@@ -1,13 +1,34 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.immutable.ListMap
+
+import graft.queries.{Relational, TrainingData}
+import graft.functions.Wave
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full declared operator surface: the relational query set
+  * (SURVEY §2.7 Q1–Q12), the training-data pipeline operators (dedup /
+  * text analysis / similarity search), and the wave-analytics batch (Q13).
+  * `oracleSql` carries the DuckDB transliteration for every query whose
+  * semantics are engine-independent; hash-based ops (MinHash/SimHash/ANN/
+  * wave UDFs) are rows-only here and invariant-checked in ScalaTest.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q03GroupAgg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ListMap((Relational.queries ++ TrainingData.queries ++ Seq[(String, (SparkSession, String) => DataFrame)](
+      "wave_analytics" -> ((s, _) => Wave.waveAnalytics(s)),
+    )): _*)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    ListMap((Relational.oracle ++ TrainingData.oracle): _*)
 }

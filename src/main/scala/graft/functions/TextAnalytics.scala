@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text analytics for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` only — no
+  * UDFs — so the whole pipeline stays inside whole-stage codegen and every
+  * expression has an exact DuckDB-SQL transliteration for the oracle. At
+  * 100 TB these run as pure map-side projections over the parquet scan: no
+  * shuffle, no driver involvement.
+  *
+  * The reference's only text ops are upper/concat/contains chains
+  * (`/root/reference/pkg/internal/conduit/conduit_test.go:80-91`); these
+  * operators are the training-data-pipeline extension mandated by SURVEY §7.9.
+  */
+object TextAnalytics {
+
+  /** Lower-cased alphabetic word tokens. */
+  def words(text: Column): Column = split(lower(text), "[^a-z]+")
+
+  /** Per-language marker-word lists. With the synthetic fixture vocabulary
+    * the interesting property is determinism, not linguistics; on real data
+    * these would be the usual top-stopword lists per language.
+    */
+  val enMarkers: Seq[String] = Seq("the", "a", "of", "to", "and", "is", "in", "that")
+  val dataMarkers: Seq[String] = Seq("table", "row", "column", "key", "value", "hash")
+  val computeMarkers: Seq[String] = Seq("scan", "merge", "join", "agg", "filter", "sort", "group", "window")
+
+  private def hitCount(text: Column, markers: Seq[String]): Column =
+    size(filter(words(text), w => array_contains(lit(markers.toArray), w)))
+
+  /** n-gram-heuristic language/domain ID: count marker hits per class, pick
+    * the argmax with a fixed tie order. Pure projection (no shuffle).
+    */
+  def langScores(text: Column): (Column, Column, Column) =
+    (hitCount(text, enMarkers), hitCount(text, dataMarkers), hitCount(text, computeMarkers))
+
+  def langPredict(en: Column, data: Column, compute: Column): Column =
+    when(en >= data && en >= compute, "en")
+      .when(data >= compute, "data")
+      .otherwise("compute")
+
+  /** Whitespace token count (trim first so blank docs count 0). */
+  def wsTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count: alphabetic runs, digit runs, and single
+    * punctuation marks each count as one token — the standard pre-tokenizer
+    * regex shape used by byte-pair tokenizers. */
+  val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(bpeTokenPattern))
+
+  /** Quality-scoring feature columns (length/punct/alpha/stopword ratios). */
+  def nChars(text: Column): Column = length(text)
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.!?,;:]", "")) // keep only punctuation
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+      nullif(length(text), lit(0)).cast("double")
+  def stopwordRatio(text: Column): Column =
+    hitCount(text, enMarkers).cast("double") /
+      nullif(wsTokenCount(text), lit(0)).cast("double")
+
+  /** Composite quality score in [0,1]-ish: weighted, exactly reproducible. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(nChars(text).cast("double") / lit(500.0), lit(1.0))
+    lenScore * lit(0.5) + alphaRatio(text) * lit(0.25) + stopwordRatio(text) * lit(0.25)
+  }
+
+  /** Document fingerprint: md5 over whitespace-normalized, lower-cased text —
+    * the exact-dedupe identity (reference: sha-256 element IDs,
+    * `/root/reference/pkg/internal/types/element.go:28-37`). */
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+  def fingerprint(text: Column): Column = md5(normalizedText(text))
+
+  /** 64-bit rolling-style content hash (xxhash64 of the normalized text) —
+    * cheap bigint identity for shuffle keys; codegen'd native expression. */
+  def fingerprint64(text: Column): Column = xxhash64(normalizedText(text))
+}

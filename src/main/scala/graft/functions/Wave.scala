@@ -1,0 +1,202 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Signal-analytics function pack (SURVEY §2.3, W1–W8), re-expressing the
+  * reference's wave pipeline:
+  *  - FFT + power spectrum  (`/root/reference/pkg/builder/utils.go:147-202`)
+  *  - dominant frequency    (`utils.go:176-181`)
+  *  - total energy          (`utils.go:183-189`)
+  *  - SNR                   (`utils.go:191-199`)
+  *  - Haar wavelet fwd/inv  (`utils.go:45-63`)
+  *  - threshold denoise     (`utils.go:65-113`)
+  *  - MSE                   (`example/wave_encoding_example/main.go:31-40`)
+  *  - top-5 spectral peaks  (`example/wave_encoding_example/main.go:42-60`)
+  *
+  * The scalar kernels are plain Scala (iterative radix-2 FFT — O(n log n),
+  * allocation-light) wrapped as UDFs over `array<double>`; per SURVEY §4 no
+  * Catalyst expression is needed — each UDF call is one row-local kernel and
+  * the surrounding plan (projection, top-k) stays declarative. At scale this
+  * is embarrassingly parallel: no shuffle, no state.
+  */
+object Wave {
+
+  /** In-place iterative radix-2 Cooley–Tukey FFT; input length must be a
+    * power of two. Returns (re, im) arrays. */
+  def fft(re: Array[Double], im: Array[Double]): (Array[Double], Array[Double]) = {
+    val n = re.length
+    require((n & (n - 1)) == 0, s"FFT length must be a power of 2, got $n")
+    val r = re.clone(); val i = im.clone()
+    // bit-reversal permutation
+    var j = 0
+    var k = 0
+    var bit = 0
+    j = 0
+    for (idx <- 1 until n) {
+      bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (idx < j) {
+        val tr = r(idx); r(idx) = r(j); r(j) = tr
+        val ti = i(idx); i(idx) = i(j); i(j) = ti
+      }
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wRe = math.cos(ang); val wIm = math.sin(ang)
+      var base = 0
+      while (base < n) {
+        var curRe = 1.0; var curIm = 0.0
+        k = 0
+        while (k < len / 2) {
+          val aRe = r(base + k); val aIm = i(base + k)
+          val bRe = r(base + k + len / 2) * curRe - i(base + k + len / 2) * curIm
+          val bIm = r(base + k + len / 2) * curIm + i(base + k + len / 2) * curRe
+          r(base + k) = aRe + bRe; i(base + k) = aIm + bIm
+          r(base + k + len / 2) = aRe - bRe; i(base + k + len / 2) = aIm - bIm
+          val nRe = curRe * wRe - curIm * wIm
+          curIm = curRe * wIm + curIm * wRe
+          curRe = nRe
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+    (r, i)
+  }
+
+  /** Power spectrum of a real signal: |FFT|² for the first n/2 bins. */
+  def powerSpectrum(signal: Array[Double]): Array[Double] = {
+    val (r, i) = fft(signal, new Array[Double](signal.length))
+    Array.tabulate(signal.length / 2)(k => r(k) * r(k) + i(k) * i(k))
+  }
+
+  /** Dominant frequency in Hz given sample rate (argmax over spectrum,
+    * DC bin excluded as in the reference's peak search). */
+  def dominantFreq(signal: Array[Double], sampleRate: Double): Double = {
+    val spec = powerSpectrum(signal)
+    var best = 1; var bestV = Double.MinValue
+    var k = 1
+    while (k < spec.length) { if (spec(k) > bestV) { bestV = spec(k); best = k }; k += 1 }
+    best * sampleRate / signal.length
+  }
+
+  /** Σ x² time-domain energy. */
+  def totalEnergy(signal: Array[Double]): Double = {
+    var s = 0.0; var k = 0
+    while (k < signal.length) { s += signal(k) * signal(k); k += 1 }
+    s
+  }
+
+  /** 10·log10(peak / rest) SNR over the power spectrum. */
+  def snr(signal: Array[Double]): Double = {
+    val spec = powerSpectrum(signal)
+    if (spec.isEmpty) return 0.0
+    val peak = spec.max
+    val rest = spec.sum - peak
+    if (rest <= 0) Double.PositiveInfinity else 10.0 * math.log10(peak / rest)
+  }
+
+  /** Single-level Haar forward transform: (averages ++ details)/√2. */
+  def haarForward(x: Array[Double]): Array[Double] = {
+    val n = x.length / 2
+    val out = new Array[Double](x.length)
+    val s = math.sqrt(2.0)
+    var k = 0
+    while (k < n) {
+      out(k) = (x(2 * k) + x(2 * k + 1)) / s
+      out(n + k) = (x(2 * k) - x(2 * k + 1)) / s
+      k += 1
+    }
+    out
+  }
+
+  /** Inverse of [[haarForward]]. */
+  def haarInverse(c: Array[Double]): Array[Double] = {
+    val n = c.length / 2
+    val out = new Array[Double](c.length)
+    val s = math.sqrt(2.0)
+    var k = 0
+    while (k < n) {
+      out(2 * k) = (c(k) + c(n + k)) / s
+      out(2 * k + 1) = (c(k) - c(n + k)) / s
+      k += 1
+    }
+    out
+  }
+
+  /** Zero all coefficients below `frac` of the max magnitude (reference
+    * default 0.5%, `utils.go:65-113`). Returns (denoised, keptCount). */
+  def thresholdDenoise(c: Array[Double], frac: Double = 0.005): (Array[Double], Int) = {
+    val mx = c.map(math.abs).foldLeft(0.0)(math.max)
+    val thr = mx * frac
+    var kept = 0
+    val out = c.map { v => if (math.abs(v) >= thr && v != 0.0) { kept += 1; v } else 0.0 }
+    (out, kept)
+  }
+
+  /** Mean squared error between two equal-length signals. */
+  def mse(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var k = 0
+    while (k < a.length) { val d = a(k) - b(k); s += d * d; k += 1 }
+    s / a.length
+  }
+
+  /** Top-N local spectral maxima as (freqHz, power), sorted by power desc. */
+  def topPeaks(signal: Array[Double], sampleRate: Double, n: Int): Seq[(Double, Double)] = {
+    val spec = powerSpectrum(signal)
+    val peaks = (1 until spec.length - 1).collect {
+      case k if spec(k) > spec(k - 1) && spec(k) >= spec(k + 1) =>
+        (k * sampleRate / signal.length, spec(k))
+    }
+    peaks.sortBy { case (f, v) => (-v, f) }.take(n)
+  }
+
+  // ---- UDF registration + the declared wave query (Q13) ----
+
+  val dominantFreqUdf = udf((s: Seq[Double], rate: Double) => dominantFreq(s.toArray, rate))
+  val totalEnergyUdf = udf((s: Seq[Double]) => totalEnergy(s.toArray))
+  val snrUdf = udf((s: Seq[Double]) => snr(s.toArray))
+  val topPeaksUdf = udf((s: Seq[Double], rate: Double, n: Int) =>
+    topPeaks(s.toArray, rate, n).map { case (f, v) => (f, v) })
+  val haarRoundTripMseUdf = udf { (s: Seq[Double], frac: Double) =>
+    val fwd = haarForward(s.toArray)
+    val (den, kept) = thresholdDenoise(fwd, frac)
+    val back = haarInverse(den)
+    (mse(s.toArray, back), kept)
+  }
+
+  /** Deterministic synthetic wave table: `n` waves of `len` samples, wave i =
+    * sin(2π·f_i·t/len)·a_i + 0.25·sin(2π·3f_i·t/len) with f_i, a_i derived
+    * from i. Mirrors the reference demo's synth input
+    * (`/root/reference/example/wave_encoding_example/main.go`). */
+  def synthWaves(spark: SparkSession, n: Int, len: Int): DataFrame = {
+    spark.range(n.toLong).toDF("id")
+      .withColumn("freq", (col("id") % 13 + 2).cast("double"))
+      .withColumn("amp", (col("id") % 5 + 1).cast("double") / lit(2.0))
+      .withColumn("samples", transform(sequence(lit(0), lit(len - 1)), t =>
+        col("amp") * sin(lit(2.0 * math.Pi) * col("freq") * t.cast("double") / lit(len.toDouble)) +
+          lit(0.25) * sin(lit(2.0 * math.Pi) * lit(3.0) * col("freq") * t.cast("double") / lit(len.toDouble))))
+  }
+
+  /** The full wave-analytics batch (SURVEY §2.7 Q13): FFT-derived features +
+    * Haar round-trip MSE + top-5 peaks per wave. */
+  def waveAnalytics(spark: SparkSession, n: Int = 64, len: Int = 256,
+                    sampleRate: Double = 256.0): DataFrame = {
+    synthWaves(spark, n, len)
+      .withColumn("dominant_freq", dominantFreqUdf(col("samples"), lit(sampleRate)))
+      .withColumn("total_energy", totalEnergyUdf(col("samples")))
+      .withColumn("snr_db", snrUdf(col("samples")))
+      .withColumn("peaks", topPeaksUdf(col("samples"), lit(sampleRate), lit(5)))
+      .withColumn("haar", haarRoundTripMseUdf(col("samples"), lit(0.005)))
+      .select(col("id"), col("freq"), col("amp"), col("dominant_freq"),
+        col("total_energy"), col("snr_db"),
+        col("peaks").getField("_1").as("peak_freqs"),
+        col("haar").getField("_1").as("haar_mse"),
+        col("haar").getField("_2").as("haar_kept"))
+      .orderBy("id")
+  }
+}

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalytics
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. Generalizes the reference's sha-256 element
+  * identity dedupe (`/root/reference/pkg/internal/types/element.go:28-37`,
+  * requeue-collapse `/root/reference/pkg/internal/resister/queue.go:65-83`)
+  * to corpus-scale near-duplicate detection.
+  *
+  * Scale design:
+  *  - Exact dedupe is one shuffle on a 128-bit content hash (never on the
+  *    raw text) — shuffle payload is (hash, doc_id), constant width.
+  *  - MinHash signatures are computed map-side from built-in `xxhash64`
+  *    (codegen'd, one pass over the token array per permutation); candidate
+  *    generation shuffles (band_hash, doc_id) pairs only — O(docs × bands)
+  *    narrow rows, never text × text. The verify step joins signatures, not
+  *    documents, and only for bucket-colliding pairs.
+  *  - SimHash is a 64-bit projection; near-dup candidates come from banding
+  *    the 64 bits into 4×16-bit keys (Hamming ≤ 3 ⇒ at least one band equal
+  *    by pigeonhole over 4 bands).
+  *  - All-pairs Jaccard is provided only as a *sampled* verifier (its O(n²)
+  *    is the thing MinHash exists to avoid at 100 TB).
+  */
+object Dedup {
+
+  /** Exact dedupe: keep the lowest doc_id per content fingerprint.
+    * One hash-shuffle; at 100 TB this is the canonical "hash-groupBy" pass. */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TextAnalytics.fingerprint(col("text")).as("text_hash"))
+      .groupBy("text_hash")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("copies"))
+      .select("doc_id", "text_hash", "copies")
+
+  /** k-shingle (word n-gram) set of a document, as distinct strings.
+    * transform over a sliding window of the token array — pure codegen. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = filter(TextAnalytics.words(text), w => length(w) > 0)
+    if (n == 1) array_distinct(toks)
+    else array_distinct(
+      filter(
+        transform(toks, (_, i) =>
+          when(i <= size(toks) - n,
+            concat_ws(" ", slice(toks, i + 1, lit(n))))),
+        s => s.isNotNull))
+  }
+
+  /** MinHash signature: for permutation i, min over shingles of
+    * xxhash64(seed_i, shingle). Returns array<bigint> of length k.
+    * Single left-fold carrying all k running minima — one pass over the
+    * shingle set (k separate array_min(transform(...)) calls would
+    * re-evaluate the shingle expression k times). */
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    val seeds = array((0 until k).map(i => lit(i)): _*)
+    aggregate(shingles, array_repeat(lit(Long.MaxValue), k),
+      (acc, s) => zip_with(acc, seeds, (a, seed) => least(a, xxhash64(seed, s))))
+  }
+
+  /** LSH banding: split the k-length signature into `bands` bands of
+    * k/bands rows each; each band hashes to one bucket key. */
+  def lshBands(sig: Column, k: Int, bands: Int): Column = {
+    val r = k / bands
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"), xxhash64(slice(sig, b * r + 1, r)).as("bucket"))): _*)
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs with estimated Jaccard
+    * (fraction of matching signature positions). Returns
+    * (a_id, b_id, est_jaccard) for pairs whose estimate ≥ threshold.
+    */
+  def minhashPairs(docs: DataFrame, shingleN: Int = 2, k: Int = 64,
+                   bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val sigs = docs
+      .select(col("doc_id"),
+        minhashSignature(wordShingles(col("text"), shingleN), k).as("sig"))
+    val buckets = sigs
+      .select(col("doc_id"), col("sig"), explode(lshBands(col("sig"), k, bands)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val a = buckets.select(col("band"), col("bucket"),
+      col("doc_id").as("a_id"), col("sig").as("a_sig"))
+    val b = buckets.select(col("band"), col("bucket"),
+      col("doc_id").as("b_id"), col("sig").as("b_sig"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sig"), col("b_sig"))
+      .distinct() // a pair may collide in several bands
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y), b => b))
+          .cast("double") / lit(64).cast("double"))
+      .filter(col("est_jaccard") >= threshold)
+      .select("a_id", "b_id", "est_jaccard")
+  }
+
+  /** 64-bit SimHash over word tokens: bit j of the hash is the sign of the
+    * sum over tokens of ±1 according to bit j of xxhash64(token).
+    * Expressed as 64 aggregate folds over the token array — map-side only.
+    */
+  def simhash64(text: Column): Column = {
+    val toks = filter(TextAnalytics.words(text), w => length(w) > 0)
+    val hashes = transform(toks, t => xxhash64(t))
+    // one fold over tokens carrying a 64-long vote vector; bit masks are a
+    // literal array so the whole thing is a single codegen'd aggregate
+    val masks = array((0 until 64).map(j => lit(1L << j)): _*)
+    val votes = aggregate(hashes, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, masks,
+        (a, m) => a + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-duplicate candidates: band the 64-bit hash into four
+    * 16-bit keys; Hamming-distance ≤ 3 pairs must share ≥ 1 band. Exact
+    * Hamming distance is then computed on the candidates only. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val withSim = docs.select(col("doc_id"), simhash64(col("text")).as("simhash"))
+    val banded = withSim.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"), col("simhash").as("a_sim"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("b_id"), col("simhash").as("b_sim"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sim", "b_sim").distinct()
+      .withColumn("hamming", bit_count(col("a_sim").bitwiseXOR(col("b_sim"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  /** Sampled all-pairs word-set Jaccard (the exact verifier / oracle query).
+    * `sampleMod` keeps one doc in `sampleMod`, bounding pairs to (n/m)²/2.
+    */
+  def jaccardPairs(docs: DataFrame, sampleMod: Int, threshold: Double): DataFrame = {
+    val sets = docs.filter(col("doc_id") % sampleMod === 0)
+      .select(col("doc_id"), wordShingles(col("text"), 1).as("w"))
+    val a = sets.select(col("doc_id").as("a_id"), col("w").as("a_w"))
+    val b = sets.select(col("doc_id").as("b_id"), col("w").as("b_w"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_w"), col("b_w"))))
+      .withColumn("uni", size(array_union(col("a_w"), col("b_w"))))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "inter", "uni", "jaccard")
+  }
+}

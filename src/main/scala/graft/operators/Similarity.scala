@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, per the 100 TB design brief:
+  *  - `bruteForceTopK`: exact cosine top-k against a query vector — a single
+  *    map-side projection + TakeOrdered. Correct baseline; O(n·d) work but
+  *    zero shuffle (the top-k merge moves only k rows per partition).
+  *  - `lshTopK`: random-hyperplane LSH pre-filter — hash every vector to a
+  *    signed-projection bucket signature, probe only vectors sharing ≥ one
+  *    band with the query. At cluster scale the bucket key becomes a
+  *    partition/bucketing key so a probe touches a small fraction of data.
+  *
+  * Hyperplanes are deterministic (seeded xxhash-derived pseudo-gaussians),
+  * so results are stable across runs/partitionings — a requirement for the
+  * driver's hash-compare and for reproducible training-data pipelines.
+  *
+  * Dot products fold left-to-right in DOUBLE via `aggregate(zip_with(...))`
+  * — sequential and deterministic, matching the DuckDB oracle bit-for-bit.
+  */
+object Similarity {
+
+  /** Deterministic cosine similarity between two float-array columns,
+    * computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact cosine top-k of `embeddings` (vec_id, embedding) vs the row with
+    * vec_id == queryId. The query vector rides along via a broadcast
+    * single-row cross join. */
+  def bruteForceTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("query_vec"))
+    embeddings
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), cosine(col("embedding"), col("query_vec")).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-gaussian hyperplane component for (plane i, dim j):
+    * a fixed xorshift-style mix of (i, j) mapped to roughly N(0,1) via a sum
+    * of uniforms. Box–Muller-free and branch-free. */
+  private def planeComponent(i: Int, j: Int): Double = {
+    var x = (i.toLong * 0x9E3779B97F4A7C15L) ^ (j.toLong * 0xC2B2AE3D27D4EB4FL) ^ 0xDEADBEEFL
+    var s = 0.0
+    var n = 0
+    while (n < 12) { // sum of 12 uniforms - 6 ~ N(0,1)
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      s += (x >>> 11).toDouble / (1L << 53).toDouble
+      n += 1
+    }
+    s - 6.0
+  }
+
+  /** `planes` literal hyperplane matrix as array<array<double>>. */
+  private def planeMatrix(nPlanes: Int, dim: Int): Column =
+    array((0 until nPlanes).map(i =>
+      array((0 until dim).map(j => lit(planeComponent(i, j))): _*)): _*)
+
+  /** Sign-projection signature: bit i = sign(v · plane_i), packed into a
+    * bigint per `bandBits`-plane band. Returns array<bigint> of
+    * nPlanes/bandBits bands. Fewer bits per band ⇒ higher collision rate ⇒
+    * higher recall at more candidates — 8 is a good default for d=64. */
+  def lshSignature(vec: Column, nPlanes: Int, dim: Int, bandBits: Int = 8): Column = {
+    val planes = planeMatrix(nPlanes, dim)
+    val bits = transform(planes, p =>
+      when(aggregate(zip_with(vec, p, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v) >= 0, 1L).otherwise(0L))
+    val bandCount = nPlanes / bandBits
+    array((0 until bandCount).map { b =>
+      aggregate(
+        zip_with(slice(bits, b * bandBits + 1, bandBits),
+          array((0 until bandBits).map(j => lit(1L << j)): _*),
+          (bit, m) => when(bit === 1L, m).otherwise(0L)),
+        lit(0L), (acc, x) => acc.bitwiseOR(x))
+    }: _*)
+  }
+
+  /** ANN top-k: probe only vectors sharing at least one LSH band with the
+    * query, then exact cosine on the candidates. `nPlanes` must be a
+    * multiple of 16. Recall < 1 by construction; verified against
+    * `bruteForceTopK` in tests. */
+  def lshTopK(embeddings: DataFrame, queryId: Long, k: Int,
+              nPlanes: Int = 64, dim: Int = 64): DataFrame = {
+    val sigs = embeddings.select(col("vec_id"), col("embedding"),
+      lshSignature(col("embedding"), nPlanes, dim).as("sig"))
+    val banded = sigs.select(col("vec_id"), col("embedding"),
+      posexplode(col("sig")).as(Seq("band", "bucket")))
+    val qBands = banded.filter(col("vec_id") === queryId)
+      .select(col("band"), col("bucket"), col("embedding").as("query_vec"))
+    banded.filter(col("vec_id") =!= queryId)
+      .join(broadcast(qBands), Seq("band", "bucket"))
+      .select(col("vec_id"), col("embedding"), col("query_vec"))
+      .dropDuplicates("vec_id")
+      .select(col("vec_id"), cosine(col("embedding"), col("query_vec")).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,278 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** The declared relational query set (SURVEY.md §2.7 Q1–Q12) — the
+  * correctness contract for the engine, each hash-checked against a DuckDB
+  * oracle on the same parquet fixtures.
+  *
+  * Design notes for exact oracle parity:
+  *  - Money/measure aggregates go through `DECIMAL(18,2)` before SUM so the
+  *    result is order-independent and bit-identical across engines, then are
+  *    cast back to DOUBLE (both engines round-to-nearest identically).
+  *  - `events.ts` is parquet TIMESTAMP(NANOS); Spark reads it as a BIGINT of
+  *    epoch-nanos (legacy nanosAsLong), the oracle uses `epoch_ns(ts)` — all
+  *    timestamp logic on `events` is integer arithmetic in both engines.
+  *  - Every computed column is aliased identically here and in the oracle
+  *    SQL (driver compares by sorted column name).
+  *
+  * Scale notes: all queries are single-pass scan→shuffle-on-group-key plans;
+  * no driver-side collects; small dimension joins are broadcast.
+  */
+object Relational {
+
+  /** Exact decimal sum of a double column, surfaced as DOUBLE. */
+  private def dsum(c: String) = sum(col(c).cast("decimal(18,2)")).cast("double")
+
+  /** Q1 — filter + project with computed revenue.
+    * Reference semantics: transformer chain projection (T1/T6,
+    * `/root/reference/pkg/internal/wire/transform.go:93-119`,
+    * `/root/reference/pkg/internal/utils/functors.go:5-22`).
+    * Plan: parquet scan with pushed date filter + column pruning; no shuffle.
+    */
+  def q01FilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate").cast("date") <= lit("1998-09-02").cast("date"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)").as("revenue"),
+        col("l_shipdate").cast("date").as("ship_date"))
+
+  /** Q2 — string transform chain: upper-case + "-PROCESSED" suffix + negative
+    * tagging (T8, `/root/reference/pkg/internal/conduit/conduit_test.go:80-91`,
+    * `/root/reference/example/advanced_composition_example/ingestor/main.go:52-55`).
+    */
+  def q02StringChain(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_name").contains("1"))
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        concat(col("c_name"), lit("-PROCESSED")).as("name_processed"),
+        (col("c_acctbal") < 0).as("is_negative"),
+        col("c_mktsegment"))
+
+  /** Q3 — grouped aggregation, TPC-H Q1 shape (A1 meters generalized to
+    * keyed aggregation, `/root/reference/pkg/internal/meter/metrics.go:76-95`).
+    * Plan: partial (map-side) agg → shuffle on (returnflag, linestatus) →
+    * final agg; only 6 groups, so the shuffle is tiny at any scale.
+    */
+  def q03GroupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("count_order"),
+        dsum("l_quantity").as("sum_qty"),
+        dsum("l_extendedprice").as("sum_base_price"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("sum_disc_price"),
+        (dsum("l_quantity") / count(lit(1))).as("avg_qty"),
+        (dsum("l_extendedprice") / count(lit(1))).as("avg_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q4 — error-routing split: rows failing a predicate are diverted to an
+    * error route, both routes counted (T4 error channel,
+    * `/root/reference/pkg/internal/wire/internal.go:59-77`,
+    * `/root/reference/pkg/internal/types/element.go:41-44`).
+    */
+  def q04ErrorSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(when(col("event_type") === "error" || col("value") < 0, "error")
+        .otherwise("ok").as("route"), col("value"))
+      .groupBy("route")
+      .agg(count(lit(1)).as("n"), dsum("value").as("sum_value"))
+      .orderBy("route")
+
+  /** Q5 — content-hash dedupe identity: distinct counts over sha-256 of the
+    * payload (A7, `/root/reference/pkg/internal/types/element.go:28-37`,
+    * `/root/reference/pkg/internal/utils/utils.go:121-131`).
+    */
+  def q05DedupeCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .agg(
+        count(lit(1)).as("total"),
+        countDistinct(sha2(col("props"), 256)).as("distinct_hashes"),
+        countDistinct(col("props")).as("distinct_props"))
+
+  /** Q6 — priority-queue drain order: highest priority first, oldest first
+    * within a priority (F4 resister ordering,
+    * `/root/reference/pkg/internal/resister/queue.go:106-133`,
+    * `/root/reference/pkg/internal/types/element.go:81-98`).
+    * Plan: TakeOrderedAndProject — per-partition top-k then merge, no sort of
+    * the full table at scale.
+    */
+  def q06PriorityOrder(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        expr("ts div 1000").as("ts_us"))
+      .orderBy(desc("value"), asc("ts_us"), asc("event_id"))
+      .limit(100)
+
+  /** Q7 — top-k per group (W8 top-5 spectral peaks generalized,
+    * `/root/reference/example/wave_encoding_example/main.go:42-60`).
+    * Plan: single shuffle on event_type, per-group sort, rank filter.
+    */
+  def q07TopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(desc("value"), asc("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("event_type", "rn", "event_id", "value")
+      .orderBy("event_type", "rn")
+  }
+
+  /** Q8 — tumbling 1-minute event-time window counts (A3 rate meters,
+    * `/root/reference/pkg/internal/types/meter.go:13-18`). Window start is
+    * integer epoch-nanos arithmetic so the oracle matches exactly; the
+    * streaming twin of this query lives in graft.streaming.
+    */
+  def q08WindowTumbling(spark: SparkSession, dir: String): DataFrame = {
+    val minuteNs = 60L * 1000 * 1000 * 1000
+    Tables.events(spark, dir)
+      .withColumn("window_start_ns", col("ts") - (col("ts") % lit(minuteNs)))
+      .groupBy("window_start_ns")
+      .agg(count(lit(1)).as("n"), dsum("value").as("sum_value"))
+      .orderBy("window_start_ns")
+  }
+
+  /** Q9 — last-write-wins upsert by key (K4 ON CONFLICT DO UPDATE semantics,
+    * `/root/reference/pkg/internal/adapter/postgresclient/sql.go:186-208`).
+    */
+  def q09UpsertLww(spark: SparkSession, dir: String): DataFrame = {
+    // order on µs-truncated ts so rank selection matches the oracle, which
+    // only ever sees microsecond precision
+    val w = Window.partitionBy("user_id").orderBy(expr("ts div 1000").desc, desc("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_type"),
+        col("value").as("last_value"), expr("ts div 1000").as("last_ts_us"))
+      .orderBy("user_id")
+  }
+
+  /** Q10 — reader pushdown shape: WHERE + ORDER BY + LIMIT n, the generated
+    * SELECT of the reference's Postgres reader
+    * (`/root/reference/pkg/internal/adapter/postgresclient/reader.go:103-129`).
+    * Filter + projection reach the parquet scan; limit is TakeOrdered.
+    */
+  def q10PushdownLimit(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase" && col("value") > 100)
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"), col("props"))
+      .orderBy(asc("ts_us"), asc("event_id"))
+      .limit(50)
+
+  /** Q11 — global max/min + percentage-of-total per category (A2 peak /
+    * A4 progress meters, `/root/reference/pkg/internal/meter/metrics.go:190-217`,
+    * `/root/reference/pkg/internal/meter/monitor.go:37-52`).
+    */
+  def q11MinmaxPct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        max("o_totalprice").as("max_price"),
+        min("o_totalprice").as("min_price"),
+        dsum("o_totalprice").as("sum_price"))
+      .withColumn("pct_of_total",
+        col("n").cast("double") * lit(100) / sum("n").over(Window.partitionBy()).cast("double"))
+      .orderBy("o_orderpriority")
+
+  /** Q12 — multi-way enrichment join (Spark-native extension, SURVEY §2.7
+    * Q12). nation/region are tiny and customer is ~1.5% of orders: all three
+    * are broadcast so the plan has zero shuffles for the joins themselves —
+    * at 100 TB the orders scan streams through three BroadcastHashJoins.
+    */
+  def q12JoinEnrich(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), col("c_name"), col("n_name"), col("r_name"),
+        col("o_orderdate").cast("date").as("order_date"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q01_filter_project" -> q01FilterProject _,
+    "q02_string_chain"   -> q02StringChain _,
+    "q03_group_agg"      -> q03GroupAgg _,
+    "q04_error_split"    -> q04ErrorSplit _,
+    "q05_dedupe_count"   -> q05DedupeCount _,
+    "q06_priority_order" -> q06PriorityOrder _,
+    "q07_topk_per_group" -> q07TopkPerGroup _,
+    "q08_window_tumbling"-> q08WindowTumbling _,
+    "q09_upsert_lww"     -> q09UpsertLww _,
+    "q10_pushdown_limit" -> q10PushdownLimit _,
+    "q11_minmax_pct"     -> q11MinmaxPct _,
+    "q12_join_enrich"    -> q12JoinEnrich _,
+  )
+
+  /** DuckDB-dialect oracle SQL, column-name and value aligned with the
+    * DataFrame plans above. */
+  val oracle: Seq[(String, String)] = Seq(
+    "q01_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'""".stripMargin,
+    "q02_string_chain" ->
+      """SELECT c_custkey, UPPER(c_name) AS name_upper,
+        | c_name || '-PROCESSED' AS name_processed,
+        | c_acctbal < 0 AS is_negative, c_mktsegment
+        |FROM customer WHERE c_name LIKE '%1%'""".stripMargin,
+    "q03_group_agg" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS count_order,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q04_error_split" ->
+      """SELECT CASE WHEN event_type = 'error' OR value < 0 THEN 'error' ELSE 'ok' END AS route,
+        | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q05_dedupe_count" ->
+      """SELECT COUNT(*) AS total, COUNT(DISTINCT sha256(props)) AS distinct_hashes,
+        | COUNT(DISTINCT props) AS distinct_props FROM events""".stripMargin,
+    "q06_priority_order" ->
+      """SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+        |FROM events ORDER BY value DESC, ts_us ASC, event_id ASC LIMIT 100""".stripMargin,
+    "q07_topk_per_group" ->
+      """SELECT event_type, rn, event_id, value FROM (
+        | SELECT event_type, event_id, value,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn
+        | FROM events) WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin,
+    "q08_window_tumbling" ->
+      """SELECT epoch_ns(ts) - (epoch_ns(ts) % 60000000000) AS window_start_ns,
+        | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q09_upsert_lww" ->
+      """SELECT user_id, last_type, last_value, last_ts_us FROM (
+        | SELECT user_id, event_type AS last_type, value AS last_value,
+        |  epoch_us(ts) AS last_ts_us,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q10_pushdown_limit" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, props FROM events
+        |WHERE event_type = 'purchase' AND value > 100
+        |ORDER BY ts_us ASC, event_id ASC LIMIT 50""".stripMargin,
+    "q11_minmax_pct" ->
+      """SELECT o_orderpriority, n, max_price, min_price, sum_price,
+        | CAST(n AS DOUBLE) * 100 / CAST(SUM(n) OVER () AS DOUBLE) AS pct_of_total
+        |FROM (SELECT o_orderpriority, COUNT(*) AS n, MAX(o_totalprice) AS max_price,
+        |  MIN(o_totalprice) AS min_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        | FROM orders GROUP BY 1) ORDER BY o_orderpriority""".stripMargin,
+    "q12_join_enrich" ->
+      """SELECT o_orderkey, c_name, n_name, r_name,
+        | CAST(o_orderdate AS DATE) AS order_date, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderstatus = 'O' ORDER BY o_orderkey""".stripMargin,
+  )
+}

@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalytics._
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** Training-data-pipeline operators over the `documents` / `embeddings`
+  * fixtures (SURVEY §7.9): dedup family, text analysis, similarity search.
+  * Oracle-checked where the op is exactly SQL-expressible in DuckDB;
+  * MinHash/SimHash/ANN use engine-specific hashes and get rows-only checks
+  * plus ScalaTest invariants (candidates ⊇ exact matches, recall vs brute
+  * force).
+  */
+object TrainingData {
+
+  def ddExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  def ddJaccardWords(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(spark, dir), sampleMod = 10, threshold = 0.9)
+      .orderBy("a_id", "b_id")
+
+  def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(Tables.documents(spark, dir), shingleN = 2, k = 64,
+        bands = 16, threshold = 0.5)
+      .orderBy("a_id", "b_id")
+
+  def ddSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir), maxHamming = 8)
+      .orderBy("a_id", "b_id")
+
+  def txtLangId(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val (en, data, compute) = langScores(t)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), en.as("en_hits"), data.as("data_hits"),
+        compute.as("compute_hits"))
+      .withColumn("predicted",
+        langPredict(col("en_hits"), col("data_hits"), col("compute_hits")))
+      .orderBy("doc_id")
+  }
+
+  def txtQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        nChars(col("text")).as("n_chars_m"),
+        wsTokenCount(col("text")).as("n_words"),
+        punctCount(col("text")).as("n_punct"),
+        alphaRatio(col("text")).as("alpha_ratio"),
+        stopwordRatio(col("text")).as("stopword_ratio"),
+        qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  def txtTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        wsTokenCount(col("text")).as("ws_tokens"),
+        bpeTokenCount(col("text")).as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  def txtFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  def simCosineTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(Tables.embeddings(spark, dir), queryId = 0L, k = 10)
+
+  def simAnnLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(Tables.embeddings(spark, dir), queryId = 0L, k = 10)
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "dd_exact"         -> ddExact _,
+    "dd_jaccard_words" -> ddJaccardWords _,
+    "dd_minhash_lsh"   -> ddMinhashLsh _,
+    "dd_simhash"       -> ddSimhash _,
+    "txt_lang_id"      -> txtLangId _,
+    "txt_quality"      -> txtQuality _,
+    "txt_tokens"       -> txtTokens _,
+    "txt_fingerprint"  -> txtFingerprint _,
+    "sim_cosine_topk"  -> simCosineTopK _,
+    "sim_ann_lsh"      -> simAnnLsh _,
+  )
+
+  private val enList = enMarkers.map(s => s"'$s'").mkString("[", ", ", "]")
+  private val dataList = dataMarkers.map(s => s"'$s'").mkString("[", ", ", "]")
+  private val computeList = computeMarkers.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** DuckDB transliterations (exactly value-aligned). MinHash/SimHash/ANN
+    * intentionally omitted (engine-specific hash functions). */
+  val oracle: Seq[(String, String)] = Seq(
+    "dd_exact" ->
+      """SELECT doc_id, text_hash, copies FROM (
+        | SELECT MIN(doc_id) AS doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_hash,
+        |  COUNT(*) AS copies
+        | FROM documents GROUP BY 2) ORDER BY doc_id""".stripMargin,
+    "dd_jaccard_words" ->
+      """WITH s AS (
+        | SELECT doc_id,
+        |  list_distinct(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS w
+        | FROM documents WHERE doc_id % 10 = 0)
+        |SELECT a_id, b_id, inter, uni, CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+        |FROM (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  len(list_intersect(a.w, b.w)) AS inter,
+        |  len(list_distinct(list_concat(a.w, b.w))) AS uni
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.9
+        |ORDER BY a_id, b_id""".stripMargin,
+    "txt_lang_id" ->
+      s"""SELECT doc_id, en_hits, data_hits, compute_hits,
+         | CASE WHEN en_hits >= data_hits AND en_hits >= compute_hits THEN 'en'
+         |      WHEN data_hits >= compute_hits THEN 'data'
+         |      ELSE 'compute' END AS predicted
+         |FROM (
+         | SELECT doc_id,
+         |  len(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> list_contains($enList, w))) AS en_hits,
+         |  len(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> list_contains($dataList, w))) AS data_hits,
+         |  len(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> list_contains($computeList, w))) AS compute_hits
+         | FROM documents) ORDER BY doc_id""".stripMargin,
+    "txt_quality" ->
+      s"""WITH f AS (
+         | SELECT doc_id, length(text) AS n_chars_m,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+         |  length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |    / CAST(nullif(length(text), 0) AS DOUBLE) AS alpha_ratio,
+         |  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> list_contains($enList, w))) AS DOUBLE)
+         |    / CAST(nullif(CASE WHEN length(trim(text)) = 0 THEN 0
+         |        ELSE len(string_split_regex(trim(text), '\\s+')) END, 0) AS DOUBLE) AS stopword_ratio
+         | FROM documents)
+         |SELECT doc_id, n_chars_m, n_words, n_punct, alpha_ratio, stopword_ratio,
+         | least(CAST(n_chars_m AS DOUBLE) / 500.0, 1.0) * 0.5
+         |  + alpha_ratio * 0.25 + stopword_ratio * 0.25 AS quality
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "txt_tokens" ->
+      """SELECT doc_id,
+        | CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "sim_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        | list_dot_product(e.v, q.qv)
+        |  / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+        |FROM e, q WHERE e.vec_id <> 0
+        |ORDER BY sim DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+  )
+}

@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated TPC-H-ish fixture tables (TESTDATA.md).
+  *
+  * The reference engine's sources are record-stream adapters (Kafka/S3/
+  * Postgres readers, `/root/reference/pkg/internal/adapter/...`); in a
+  * Spark-first design the batch scan surface is simply `spark.read` with
+  * Catalyst handling column pruning and predicate pushdown — the projection
+  * hint the reference declares but never implements
+  * (`pkg/internal/types/codec.go:52-57`) comes for free here.
+  *
+  * All loaders take the scale-factor directory so the same query code runs
+  * at sf0.001 (smoke), sf0.01 (oracle), sf0.1 (bench) and, unchanged, on a
+  * 100 TB cluster layout (directory of parquet files per table).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, table: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS); Spark surfaces it as a BIGINT
+    // of epoch-nanos. All event-time logic in this engine is integer
+    // arithmetic on that column (oracle side: duckdb epoch_ns()).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$table.parquet")
+  }
+
+  def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Register every fixture table as a temp view so `spark.sql` queries can
+    * name them exactly like the DuckDB oracle does. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

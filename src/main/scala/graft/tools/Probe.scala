@@ -1,0 +1,25 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only scratch main for inspecting fixture schemas / plans. */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    for (t <- Seq("events", "orders", "lineitem", "embeddings")) {
+      val df = spark.read.parquet(s"$dir/$t.parquet")
+      println(s"== $t ==")
+      df.printSchema()
+      df.show(3, truncate = false)
+    }
+    spark.stop()
+  }
+}
