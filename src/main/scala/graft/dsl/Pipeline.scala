@@ -1,0 +1,159 @@
+package graft.dsl
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import scala.reflect.runtime.universe.TypeTag
+import scala.util.{Failure, Success, Try}
+
+/** A record routed through the pipeline: either still on the main flow
+  * (`error == null`) or diverted to the error flow by `stage`.
+  * Spark-native form of the reference's element + error-channel pair
+  * (`/root/reference/pkg/internal/types/element.go:41-54`,
+  * `/root/reference/pkg/internal/wire/internal.go:59-77`).
+  */
+case class Routed[T](value: T, stage: String, error: String) {
+  def isOk: Boolean = error == null
+}
+
+/** A failed record surfaced on the error flow (reference `ElementError[T]`,
+  * `/root/reference/pkg/internal/types/element.go:41-44`). */
+case class PipelineError[T](value: T, stage: String, error: String)
+
+/** Typed dataflow DSL — the electrician-shaped public API (SURVEY §7.3).
+  *
+  * A `Pipeline[T]` is the Spark-native form of the reference's `Wire[T]` /
+  * `Conduit[T]` chain (`/root/reference/pkg/internal/types/wire.go:9-63`,
+  * `conduit.go`): an ordered chain of per-record transforms where a failing
+  * record leaves the main flow and continues on the error flow, without
+  * stopping the pipeline (reference invariant, `wire_test.go:54`).
+  *
+  * Implementation: one `Dataset[Routed[T]]`, transforms as `map` over it —
+  * Catalyst fuses the chain into a single whole-stage-codegen'd stage, the
+  * exact analogue of the reference's fast-path transform fusion
+  * (`/root/reference/pkg/internal/wire/internal.go:80-110`). Nothing here
+  * touches the driver; every combinator is partition-parallel, so the same
+  * pipeline runs identically on 32 local threads or 1000 executors.
+  */
+final class Pipeline[T: Encoder : TypeTag] private (private val routed: Dataset[Routed[T]]) {
+
+  private implicit def routedEnc: Encoder[Routed[T]] = Pipeline.routedEncoder[T]
+
+  /** Chain a transform; an exception diverts the record to the error flow
+    * (T1+T4). The error flow passes through untouched. */
+  def transform(stage: String)(f: T => T): Pipeline[T] =
+    new Pipeline(routed.map { r =>
+      if (!r.isOk) r
+      else Try(f(r.value)) match {
+        case Success(v) => Routed(v, stage, null)
+        case Failure(e) => Routed(r.value, stage, Option(e.getMessage).getOrElse(e.getClass.getName))
+      }
+    })
+
+  /** Transform returning Either — explicit error routing without throwing. */
+  def transformEither(stage: String)(f: T => Either[String, T]): Pipeline[T] =
+    new Pipeline(routed.map { r =>
+      if (!r.isOk) r
+      else f(r.value) match {
+        case Right(v)  => Routed(v, stage, null)
+        case Left(err) => Routed(r.value, stage, err)
+      }
+    })
+
+  /** Insulator semantics (T5, `/root/reference/pkg/internal/wire/
+    * transform.go:9-76`): on failure, re-attempt via `retry` up to
+    * `threshold` times; success re-enters the main flow, final failure goes
+    * to the error flow with the last error. Bounded and executor-local —
+    * no driver round-trip per retry. */
+  def transformWithRetry(stage: String, threshold: Int)
+                        (f: T => T)(retry: (T, String) => T): Pipeline[T] =
+    new Pipeline(routed.map { r =>
+      if (!r.isOk) r
+      else Try(f(r.value)) match {
+        case Success(v) => Routed(v, stage, null)
+        case Failure(first) =>
+          var lastErr = Option(first.getMessage).getOrElse(first.getClass.getName)
+          var attempt = 0
+          var out: Routed[T] = null
+          while (out == null && attempt < threshold) {
+            attempt += 1
+            Try(retry(r.value, lastErr)) match {
+              case Success(v) => out = Routed(v, stage, null)
+              case Failure(e) => lastErr = Option(e.getMessage).getOrElse(e.getClass.getName)
+            }
+          }
+          if (out != null) out else Routed(r.value, stage, lastErr)
+      }
+    })
+
+  /** Declarative filter (T6) — dropped records simply leave the flow (they
+    * are not errors). */
+  def filter(p: T => Boolean): Pipeline[T] =
+    new Pipeline(routed.filter((r: Routed[T]) => !r.isOk || p(r.value)))
+
+  /** Per-partition scratch state (T3, the reference's TransformerFactory /
+    * WireWithScratchBytes: one scratch instance per worker,
+    * `/root/reference/pkg/internal/wire/internal.go:19-30`). */
+  def mapPartitionsWithScratch[S](mkScratch: () => S)(f: (S, T) => T): Pipeline[T] =
+    new Pipeline(routed.mapPartitions { iter =>
+      val scratch = mkScratch()
+      iter.map { r =>
+        if (!r.isOk) r
+        else Try(f(scratch, r.value)) match {
+          case Success(v) => Routed(v, "scratch", null)
+          case Failure(e) => Routed(r.value, "scratch", Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
+      }
+    })
+
+  /** Content-identity dedupe (A7): keep one record per key. */
+  def dedupeBy(key: T => String): Pipeline[T] = {
+    import routed.sparkSession.implicits._
+    val deduped = routed.filter((r: Routed[T]) => r.isOk)
+      .groupByKey(r => key(r.value))
+      .reduceGroups((a, _) => a)
+      .map(_._2)
+    new Pipeline(deduped.union(routed.filter((r: Routed[T]) => !r.isOk)))
+  }
+
+  /** Fan-in of two pipelines (reference conduit/wire fan-in,
+    * `/root/reference/pkg/internal/adapter/kafkaclient/writer.go:16-55`). */
+  def union(other: Pipeline[T]): Pipeline[T] = new Pipeline(routed.union(other.routed))
+
+  /** Main flow — successfully processed records. */
+  def output: Dataset[T] =
+    routed.filter((r: Routed[T]) => r.isOk).map(_.value)
+
+  /** Error flow (the reference's error channel). */
+  def errors: Dataset[PipelineError[T]] = {
+    implicit val errEnc: Encoder[PipelineError[T]] = Pipeline.errorEncoder[T]
+    routed.filter((r: Routed[T]) => !r.isOk)
+      .map(r => PipelineError(r.value, r.stage, r.error))
+  }
+
+  /** Terminal collect — the reference's `Load()` / `LoadAsJSONArray()`
+    * (`/root/reference/pkg/internal/wire/load.go:11-52`). Driver-side by
+    * definition; use `output` + a writer for anything large. */
+  def load(): Seq[T] = output.collect().toSeq
+}
+
+object Pipeline {
+
+  private[dsl] def routedEncoder[T: Encoder : TypeTag]: Encoder[Routed[T]] =
+    Encoders.product[Routed[T]]
+  private[dsl] def errorEncoder[T: Encoder : TypeTag]: Encoder[PipelineError[T]] =
+    Encoders.product[PipelineError[T]]
+
+  /** Lift a typed Dataset into a pipeline (all records on the main flow). */
+  def apply[T: Encoder : TypeTag](ds: Dataset[T]): Pipeline[T] = {
+    implicit val renc: Encoder[Routed[T]] = routedEncoder[T]
+    new Pipeline(ds.map(v => Routed(v, "source", null)))
+  }
+
+  /** Lift a driver-local batch (the reference's Plug/AdapterFunc bounded
+    * source, `/root/reference/pkg/internal/plug/plug.go:13-57`). */
+  def fromSeq[T: Encoder : TypeTag](spark: SparkSession, data: Seq[T],
+                                    parallelism: Int = 0): Pipeline[T] = {
+    val n = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
+    apply(spark.createDataset(data)(implicitly[Encoder[T]])
+      .repartition(math.max(1, math.min(n, data.size))))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Codec surface (SURVEY §2.6 K8): the reference's pluggable per-record
+  * encoders/decoders (`/root/reference/pkg/internal/codec/`) map to columnar
+  * conversions — `to_json`/`from_json` for JSON/NDJSON, string ops for the
+  * line codec, binary casts for raw payloads. XML/HTML and the gob codec
+  * are out of engine scope (SURVEY §7 "Not ported"): their job — typed
+  * round-trips at storage boundaries — is covered by parquet + Encoders.
+  */
+object Codecs {
+
+  /** JSON encode a whole row (codec/json.go:25-45). */
+  def toJsonRow(df: DataFrame): Column = to_json(struct(df.columns.map(col): _*))
+
+  /** JSON decode into typed struct columns. */
+  def fromJsonCol(c: Column, schema: StructType): Column = from_json(c, schema)
+
+  /** Line codec (codec/line.go:23-39): value + newline on encode; trim on
+    * decode. */
+  def encodeLine(c: Column): Column = concat(c.cast("string"), lit("\n"))
+  def decodeLine(c: Column): Column = regexp_replace(c, "\\r?\\n$", "")
+
+  /** Binary codec (codec/binary.go): pass-through bytes. */
+  def encodeBinary(c: Column): Column = c.cast("binary")
+
+  /** The reference's fixed-layout little-endian WaveData codec
+    * (`/root/reference/pkg/internal/codec/wave.go:14-148`) — kept as a pair
+    * of kernels for byte-parity round-trip tests; persistence in this
+    * engine is parquet structs. Layout: [id:int32][n:int32][re,im:f64]*n. */
+  def waveEncode(id: Int, re: Array[Double], im: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + re.length * 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(id).putInt(re.length)
+    var i = 0
+    while (i < re.length) { bb.putDouble(re(i)).putDouble(im(i)); i += 1 }
+    bb.array()
+  }
+
+  def waveDecode(bytes: Array[Byte]): (Int, Array[Double], Array[Double]) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val id = bb.getInt; val n = bb.getInt
+    val re = new Array[Double](n); val im = new Array[Double](n)
+    var i = 0
+    while (i < n) { re(i) = bb.getDouble; im(i) = bb.getDouble; i += 1 }
+    (id, re, im)
+  }
+
+  /** zlib deflate/inflate — the wave compress step
+    * (`/root/reference/pkg/builder/utils.go:65-113` uses gob+zlib; here the
+    * payload is the raw coefficient bytes). */
+  def deflate(bytes: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(bytes); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  def inflate(bytes: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(bytes)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!inf.finished()) out.write(buf, 0, inf.inflate(buf))
+    inf.end()
+    out.toByteArray
+  }
+}

@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level payload crypto + compression (SURVEY §2.1 S5/S11, §2.6 K2):
+  * the reference encrypts/compresses payloads crossing storage or transport
+  * boundaries (AES-GCM client-side encryption,
+  * `/root/reference/pkg/internal/adapter/s3client/writer_helpers.go:163-246`;
+  * relay wrap `/root/reference/pkg/internal/forwardrelay/payload.go:50-181`).
+  *
+  * Spark ≥3.3 ships native `aes_encrypt`/`aes_decrypt` expressions with GCM
+  * mode — codegen'd, no UDF. Compression of whole columns is deliberately
+  * NOT exposed: at rest it belongs to the storage codec
+  * (`spark.sql.parquet.compression.codec`), in flight to the shuffle codec;
+  * per-value gzip would fight both.
+  */
+object Crypto {
+
+  /** AES-GCM encrypt a binary/string column. Key must be 16/24/32 bytes. */
+  def aesGcmEncrypt(payload: Column, key: Column): Column =
+    aes_encrypt(payload, key, lit("GCM"), lit("DEFAULT"))
+
+  /** Inverse of [[aesGcmEncrypt]]. */
+  def aesGcmDecrypt(ciphertext: Column, key: Column): Column =
+    aes_decrypt(ciphertext, key, lit("GCM"), lit("DEFAULT"))
+
+  /** sha-256 content id — the reference's element identity
+    * (`/root/reference/pkg/internal/utils/utils.go:121-131`). */
+  def contentId(payload: Column): Column = sha2(payload.cast("binary"), 256)
+
+  /** The benchmark workload's chained hashing (N rounds of sha-256 over
+    * payload+seq+prev, `/root/reference/example/benchmark_example/
+    * processing/main.go:83-103`) as a fold — used by the throughput bench. */
+  def chainedHash(payload: Column, seq: Column, rounds: Int): Column =
+    (1 to rounds).foldLeft(sha2(concat(payload.cast("binary"), seq.cast("string").cast("binary")), 256)) {
+      (prev, _) => sha2(concat(payload.cast("binary"), prev.cast("binary")), 256)
+    }
+}

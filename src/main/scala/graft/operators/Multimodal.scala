@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing for training-data
+  * pipelines: opaque `binary` payloads + typed metadata, with
+  * decode/feature-extract/resize/frame-sample as per-partition batch
+  * kernels.
+  *
+  * The media codecs themselves are NOT in this container, so the decode
+  * kernel is a clearly-marked deterministic STUB (`StubCodec`) — the
+  * Spark-side contract (schema, partitioning, batch iteration shape, error
+  * routing) is real and tested, and a production deployment swaps
+  * `MediaCodec` for a JNI/FFI-backed implementation without touching the
+  * plan.
+  *
+  * Scale notes: media blobs are the classic "wide row" hazard — all
+  * kernels run via `mapPartitions` (one codec instance per partition, the
+  * Scala analogue of `mapInPandas` batch processing), rows never pass
+  * through the driver, and feature extraction projects blobs away as early
+  * as possible so shuffles move features, not media.
+  */
+object Multimodal {
+
+  /** Typed media record: opaque payload + metadata (mirrors the reference's
+    * WrappedPayload envelope of bytes + typed metadata,
+    * `/root/reference/proto/electrician_relay.proto:16-92`). */
+  case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte],
+                         width: Int, height: Int, sampleRateHz: Int, nFrames: Int)
+
+  case class MediaFeatures(media_id: Long, kind: String, byteLen: Int,
+                           meanByte: Double, entropy: Double,
+                           thumbnail: Array[Byte], ok: Boolean, error: String)
+
+  /** Per-partition codec contract — the swap point for a real decoder. */
+  trait MediaCodec extends Serializable {
+    def decode(kind: String, payload: Array[Byte]): Array[Byte]
+    def resize(pixels: Array[Byte], w: Int, h: Int, toW: Int, toH: Int): Array[Byte]
+  }
+
+  /** STUB codec: deterministic stand-in (identity "decode", stride
+    * "resize"). Real image/audio libs are unavailable in this environment —
+    * see object scaladoc. */
+  object StubCodec extends MediaCodec {
+    override def decode(kind: String, payload: Array[Byte]): Array[Byte] = payload
+    override def resize(pixels: Array[Byte], w: Int, h: Int, toW: Int, toH: Int): Array[Byte] = {
+      if (pixels.isEmpty || toW * toH == 0) return Array.emptyByteArray
+      val out = new Array[Byte](math.min(toW * toH, pixels.length))
+      val stride = math.max(1, pixels.length / math.max(1, out.length))
+      var i = 0
+      while (i < out.length) { out(i) = pixels(math.min(i * stride, pixels.length - 1)); i += 1 }
+      out
+    }
+  }
+
+  /** Wrap the documents fixture as fake media rows (payload = utf-8 bytes)
+    * so the plumbing is exercised on real partitioned data. */
+  def syntheticMedia(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("kind"),
+        col("text").cast("binary").as("payload"),
+        (col("doc_id") % 64 + 1).cast("int").as("width"),
+        (col("doc_id") % 48 + 1).cast("int").as("height"),
+        lit(16000).as("sampleRateHz"),
+        (col("doc_id") % 30 + 1).cast("int").as("nFrames"))
+      .as[MediaRecord]
+  }
+
+  /** Decode + feature-extract, one codec instance per partition; failures
+    * route to (ok=false, error) rows instead of failing the job — the T4
+    * error-channel semantic at the media layer. */
+  def extractFeatures(media: Dataset[MediaRecord],
+                      codec: MediaCodec = StubCodec,
+                      thumbW: Int = 8, thumbH: Int = 8): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { iter =>
+      iter.map { m =>
+        try {
+          val decoded = codec.decode(m.kind, m.payload)
+          var sum = 0L
+          val hist = new Array[Long](256)
+          var i = 0
+          while (i < decoded.length) {
+            val b = decoded(i) & 0xFF
+            sum += b; hist(b) += 1; i += 1
+          }
+          val n = decoded.length.toDouble
+          var ent = 0.0
+          if (n > 0) {
+            var j = 0
+            while (j < 256) {
+              if (hist(j) > 0) { val p = hist(j) / n; ent -= p * math.log(p) / math.log(2.0) }
+              j += 1
+            }
+          }
+          val thumb = codec.resize(decoded, m.width, m.height, thumbW, thumbH)
+          MediaFeatures(m.media_id, m.kind, decoded.length,
+            if (n > 0) sum / n else 0.0, ent, thumb, ok = true, error = null)
+        } catch {
+          case e: Throwable =>
+            MediaFeatures(m.media_id, m.kind, 0, 0.0, 0.0, Array.emptyByteArray,
+              ok = false, error = Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
+      }
+    }
+  }
+
+  /** Frame sampling for video-kind rows: every `stride`-th frame index —
+    * the plan-side shape of frame extraction (frame bytes would come from
+    * the codec in production). */
+  def sampleFrames(media: Dataset[MediaRecord], stride: Int): DataFrame =
+    media.toDF()
+      .filter(col("kind") === "video")
+      .select(col("media_id"), explode(sequence(lit(0), col("nFrames") - 1)).as("frame_idx"))
+      .filter(col("frame_idx") % stride === 0)
+}

@@ -1,0 +1,113 @@
+package graft.reliability
+
+import java.time.Instant
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong, AtomicReference}
+
+/** Driver-side reliability policies (SURVEY §2.5 / §7.6). In a Spark-first
+  * design these are NOT Catalyst operators: rate limiting maps to source
+  * ingest caps, circuit breaking and diversion to foreachBatch routing, and
+  * blackouts to query lifecycle control. The classes here hold the policy
+  * state; `graft.streaming.Guarded*` wires them into streaming queries.
+  */
+
+/** Error-threshold circuit breaker with time-window auto-reset
+  * (`/root/reference/pkg/internal/circuitbreaker/state.go:11-106`):
+  * `errorThreshold` errors within `windowMillis` trips open; the breaker
+  * re-closes (reset) once `windowMillis` has elapsed since the trip.
+  * Thread-safe; lives on the driver (one decision per micro-batch, never
+  * per record — per-record breaker checks would serialize the executors).
+  */
+final class CircuitBreaker(errorThreshold: Int, windowMillis: Long,
+                           clock: () => Long = () => System.currentTimeMillis()) extends Serializable {
+  private val errorCount = new AtomicInteger(0)
+  private val windowStart = new AtomicLong(0L)
+  private val openedAt = new AtomicLong(-1L)
+
+  /** Record `n` errors; trips the breaker if the threshold is crossed
+    * within the rolling window. Returns the new open/closed state. */
+  def recordErrors(n: Int): Boolean = synchronized {
+    val now = clock()
+    if (now - windowStart.get() > windowMillis) { windowStart.set(now); errorCount.set(0) }
+    if (errorCount.addAndGet(n) >= errorThreshold && openedAt.get() < 0) openedAt.set(now)
+    isOpen
+  }
+
+  /** True while tripped; auto-resets after the window elapses. */
+  def isOpen: Boolean = synchronized {
+    val o = openedAt.get()
+    if (o >= 0 && clock() - o >= windowMillis) { openedAt.set(-1L); errorCount.set(0) }
+    openedAt.get() >= 0
+  }
+
+  def allow: Boolean = !isOpen
+}
+
+/** Token-bucket rate limiter (`/root/reference/pkg/internal/surgeprotector/
+  * rate_limit.go:49-75`): capacity tokens, refilled every refill interval.
+  * Driver-side pacing for foreachBatch sinks; for sources prefer the
+  * declarative caps (`maxOffsetsPerTrigger`/`maxFilesPerTrigger`) that
+  * [[RateLimit.sourceOptions]] produces — those let Spark plan the batch
+  * size instead of blocking threads.
+  */
+final class TokenBucket(capacity: Long, refillEveryMillis: Long,
+                        clock: () => Long = () => System.currentTimeMillis()) extends Serializable {
+  private var tokens = capacity
+  private var nextRefill = clock() + refillEveryMillis
+
+  def tryTake(n: Long = 1): Boolean = synchronized {
+    val now = clock()
+    if (now >= nextRefill) {
+      tokens = capacity
+      nextRefill = now + refillEveryMillis
+    }
+    if (tokens >= n) { tokens -= n; true } else false
+  }
+}
+
+object RateLimit {
+  /** Declarative ingest caps — the 100 TB-scale way to rate-limit: the
+    * source reads at most this much per trigger; no thread ever blocks. */
+  def sourceOptions(maxRecordsPerTrigger: Long): Map[String, String] =
+    Map("maxOffsetsPerTrigger" -> maxRecordsPerTrigger.toString)
+  def fileSourceOptions(maxFilesPerTrigger: Int): Map[String, String] =
+    Map("maxFilesPerTrigger" -> maxFilesPerTrigger.toString)
+}
+
+/** Scheduled blackout window (`/root/reference/pkg/internal/surgeprotector/
+  * state.go`, `SurgeProtectorWithBlackoutPeriod`): trip between start/end.
+  * Consulted per micro-batch by the guarded sink. */
+final class Blackout(startEpochMs: Long, endEpochMs: Long,
+                     clock: () => Long = () => System.currentTimeMillis()) extends Serializable {
+  def active: Boolean = { val t = clock(); t >= startEpochMs && t < endEpochMs }
+}
+
+object Blackout {
+  def between(start: Instant, end: Instant): Blackout =
+    new Blackout(start.toEpochMilli, end.toEpochMilli)
+}
+
+/** Full-jitter exponential backoff, the reference's S3 put retry policy
+  * (`/root/reference/pkg/internal/adapter/s3client/writer_helpers.go:24-146`):
+  * 5 attempts, 100 ms base, 3 s cap, full jitter. Used by foreachBatch JDBC/
+  * object-store writers where Spark's task retry doesn't apply. */
+object Backoff {
+  def retry[A](attempts: Int = 5, baseMillis: Long = 100, capMillis: Long = 3000,
+               seed: Long = 42L, sleep: Long => Unit = Thread.sleep)(op: () => A): A = {
+    val rnd = new scala.util.Random(seed)
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try return op()
+      catch {
+        case e: Throwable =>
+          last = e
+          if (i < attempts - 1) {
+            val expCap = math.min(capMillis, baseMillis * (1L << i))
+            sleep(math.abs(rnd.nextLong()) % math.max(1L, expCap))
+          }
+      }
+      i += 1
+    }
+    throw last
+  }
+}

@@ -1,0 +1,126 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, DataFrameReader, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamReader, DataStreamWriter, Trigger}
+
+/** Batch + streaming source/sink surface (SURVEY §2.1/§2.6, §7.4-7.5).
+  *
+  * Each reference adapter maps to a declarative Spark reader/writer; the
+  * hand-rolled poll budgets, flush triples, and checkpoints become source
+  * options, triggers, and Structured Streaming checkpoints (strictly
+  * stronger: exactly-once vs the reference's at-least-once manual commits).
+  */
+object Sources {
+
+  /** NDJSON (+gzip) reader — the reference S3/file NDJSON scan
+    * (`/root/reference/pkg/internal/adapter/s3client/reader.go:139-178`).
+    * Schema must be supplied for production use (inference = extra pass). */
+  def ndjson(spark: SparkSession, path: String,
+             schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read.option("compression", "gzip").option("mode", "PERMISSIVE")
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
+  /** Streaming file source with a files-per-trigger ingest cap — the poll
+    * budget of the reference readers (maxPollRecords/Bytes/interval,
+    * `/root/reference/pkg/internal/adapter/kafkaclient/reader.go:83-94`)
+    * expressed declaratively. */
+  def fileStream(spark: SparkSession, path: String, format: String,
+                 schema: org.apache.spark.sql.types.StructType,
+                 maxFilesPerTrigger: Int = 0): DataFrame = {
+    var r: DataStreamReader = spark.readStream.format(format).schema(schema)
+    if (maxFilesPerTrigger > 0) r = r.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    r.load(path)
+  }
+
+  /** Kafka streaming source wiring (S4): NDJSON value decode via from_json,
+    * start-at earliest/latest/timestamp, poll budget via
+    * maxOffsetsPerTrigger. Builder-only here (no broker in the test env);
+    * the decode column logic is unit-tested on static frames. */
+  def kafkaStream(spark: SparkSession, bootstrap: String, topic: String,
+                  valueSchema: org.apache.spark.sql.types.StructType,
+                  startingOffsets: String = "earliest",
+                  maxOffsetsPerTrigger: Long = 0): DataFrame = {
+    var r = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+    if (maxOffsetsPerTrigger > 0) r = r.option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+    decodeKafka(r.load(), valueSchema)
+  }
+
+  /** Kafka value/key decode: bytes → string → from_json struct columns
+    * (reference NDJSON decode, `kafkaclient/reader.go:146-171`). */
+  def decodeKafka(raw: DataFrame, valueSchema: org.apache.spark.sql.types.StructType): DataFrame =
+    raw.select(
+      col("key").cast("string").as("key"),
+      from_json(col("value").cast("string"), valueSchema).as("value"),
+      col("topic"), col("partition"), col("offset"), col("timestamp"))
+
+  /** Kafka sink encode (K1): record → to_json value, key/header columns from
+    * `{field}` templates (`/root/reference/pkg/internal/adapter/kafkaclient/
+    * templates.go:9-57`): "{user_id}" renders that column, free text passes
+    * through. */
+  def encodeKafka(df: DataFrame, keyTemplate: String): DataFrame =
+    df.select(
+      renderTemplate(df, keyTemplate).as("key"),
+      to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** Render a `{field}` template into a concat of columns/literals. */
+  def renderTemplate(df: DataFrame, template: String): Column = {
+    val parts = "\\{[^}]+\\}|[^{]+".r.findAllIn(template).map { tok =>
+      if (tok.startsWith("{") && tok.endsWith("}")) col(tok.substring(1, tok.length - 1)).cast("string")
+      else lit(tok)
+    }.toSeq
+    if (parts.isEmpty) lit("") else concat(parts: _*)
+  }
+
+  /** Partitioned NDJSON/parquet writer with time-template layout — the
+    * reference's `{yyyy}/{MM}/{dd}/{HH}` object-key template
+    * (`/root/reference/pkg/internal/adapter/s3client/writer_helpers.go:327-353`)
+    * expressed as Hive-style partitioning (which also gives readers
+    * partition pruning, which key templates never could). */
+  def writePartitionedByTime(df: DataFrame, tsCol: String, path: String,
+                             format: String = "parquet",
+                             compression: String = "snappy"): Unit =
+    df.withColumn("yyyy", year(col(tsCol)))
+      .withColumn("mm", month(col(tsCol)))
+      .withColumn("dd", dayofmonth(col(tsCol)))
+      .write.mode("append")
+      .partitionBy("yyyy", "mm", "dd")
+      .option("compression", compression)
+      .format(format).save(path)
+
+  /** JDBC pushdown read (S7): the reference's generated
+    * `SELECT ... WHERE ... ORDER BY ... LIMIT n`
+    * (`/root/reference/pkg/internal/adapter/postgresclient/reader.go:103-129`)
+    * becomes a JDBC `query` option — the database executes it, Spark reads
+    * the result. Builder returns the reader so tests can inspect options
+    * without a live database. */
+  def jdbcPushdownQuery(table: String, columns: Seq[String], where: Option[String],
+                        orderBy: Option[String], limit: Option[Int]): String = {
+    val cols = if (columns.isEmpty) "*" else columns.mkString(", ")
+    val sb = new StringBuilder(s"SELECT $cols FROM $table")
+    where.foreach(w => sb.append(s" WHERE $w"))
+    orderBy.foreach(o => sb.append(s" ORDER BY $o"))
+    limit.foreach(n => sb.append(s" LIMIT $n"))
+    sb.toString
+  }
+
+  def jdbc(spark: SparkSession, url: String, query: String,
+           props: Map[String, String] = Map.empty): DataFrameReader =
+    props.foldLeft(spark.read.format("jdbc").option("url", url).option("query", query)) {
+      case (r, (k, v)) => r.option(k, v)
+    }
+
+  /** Streaming sink with the reference's flush-age trigger (K2/K3: flush by
+    * count/bytes/age ⇒ micro-batch ProcessingTime trigger; Spark sizes the
+    * files, the trigger bounds the age). */
+  def timedFileSink[T](ds: Dataset[T], path: String, checkpoint: String,
+                       format: String, triggerMillis: Long): DataStreamWriter[T] =
+    ds.writeStream.format(format)
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerMillis))
+}

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import graft.reliability.{Blackout, CircuitBreaker, TokenBucket}
+
+/** foreachBatch sink guard combining the reference's flow-control stack
+  * (SURVEY §2.5): circuit breaker (F5), blackout diversion (F2), backup
+  * sink (F3), DLQ/ground-wire error diversion (T4 sink side,
+  * `/root/reference/pkg/internal/wire/routing.go:27-47`).
+  *
+  * Decisions are made once per micro-batch on the driver — never per record
+  * — so the executors stay fully parallel. The error predicate splits the
+  * batch into main/error datasets with one pass each (both writes are
+  * Spark jobs; no collect).
+  */
+final class GuardedBatchSink[T](
+    breaker: CircuitBreaker,
+    blackout: Option[Blackout],
+    writeMain: (Dataset[T], Long) => Unit,
+    writeError: (Dataset[T], Long) => Unit,
+    writeBackup: Option[(Dataset[T], Long) => Unit],
+    isError: T => Boolean,
+) extends ((Dataset[T], Long) => Unit) with Serializable {
+
+  override def apply(batch: Dataset[T], batchId: Long): Unit = {
+    val diverted = blackout.exists(_.active) || breaker.isOpen
+    if (diverted) {
+      // tripped/blacked-out: divert the whole batch to the backup sink if
+      // configured (surge-protector backup submit, surgeprotector/submit.go:16-32),
+      // else to the error sink (ground-wire drop, wire/submit.go:54-77)
+      writeBackup.getOrElse(writeError)(batch, batchId)
+      return
+    }
+    val errs = batch.filter(isError(_))
+    val good = batch.filter(!isError(_))
+    // cache-free two-pass split: each side reads the micro-batch source once
+    val nErr = errs.count()
+    if (nErr > 0) breaker.recordErrors(nErr.toInt)
+    writeMain(good, batchId)
+    if (nErr > 0) writeError(errs, batchId)
+  }
+}
+
+object GuardedBatchSink {
+  def apply[T](breaker: CircuitBreaker,
+               writeMain: (Dataset[T], Long) => Unit,
+               writeError: (Dataset[T], Long) => Unit,
+               isError: T => Boolean,
+               blackout: Option[Blackout] = None,
+               writeBackup: Option[(Dataset[T], Long) => Unit] = None): GuardedBatchSink[T] =
+    new GuardedBatchSink(breaker, blackout, writeMain, writeError, writeBackup, isError)
+}

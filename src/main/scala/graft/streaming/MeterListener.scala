@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+import scala.collection.concurrent.TrieMap
+
+/** The meter registry bridged to Structured Streaming (SURVEY §2.4).
+  *
+  * The reference's Meter is a concurrent named-counter registry with
+  * totals, thresholds, peaks, and monitor-driven shutdown
+  * (`/root/reference/pkg/internal/types/meter.go:8-144`,
+  * `/root/reference/pkg/internal/meter/monitor.go:13-74`). Here the
+  * counters are fed by `Dataset.observe` metrics arriving through a
+  * `StreamingQueryListener` — observation costs nothing on the executors
+  * (it rides the existing aggregation buffers), and policy (completion /
+  * error-threshold stop) runs on the driver per micro-batch.
+  */
+final class MeterListener(
+    completionTotal: Long = -1L,                  // stop when processed ≥ total (A5)
+    errorPctThreshold: Double = -1.0,             // stop when error% ≥ threshold (A5)
+    onTrip: String => Unit = _ => (),
+) extends StreamingQueryListener {
+
+  private val counters = new TrieMap[String, Long]()
+  private val peaks = new TrieMap[String, Double]()
+  @volatile private var tripped: Option[String] = None
+
+  def count(name: String): Long = counters.getOrElse(name, 0L)
+  def peak(name: String): Double = peaks.getOrElse(name, 0.0)
+  def processedPerSecond: Double = peaks.getOrElse("processedPerSecond", 0.0)
+  def isTripped: Boolean = tripped.isDefined
+  def tripReason: Option[String] = tripped
+
+  private def bump(name: String, by: Long): Unit =
+    counters.updateWith(name) { v => Some(v.getOrElse(0L) + by) }
+  private def peakMax(name: String, v: Double): Unit =
+    peaks.updateWith(name) { p => Some(math.max(p.getOrElse(Double.MinValue), v)) }
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    val p = event.progress
+    // rate meters (A3): processed-per-second + peak
+    peakMax("processedPerSecond", p.processedRowsPerSecond)
+    bump("inputRows", p.numInputRows)
+    // observed meters (A1/A2): every df.observe(...) on the query surfaces here
+    p.observedMetrics.forEach { (name, row) =>
+      row.schema.fieldNames.foreach { f =>
+        row.getAs[Any](f) match {
+          case l: java.lang.Long => bump(s"$name.$f", l)
+          case d: java.lang.Double => peakMax(s"$name.$f", d)
+          case _ => ()
+        }
+      }
+    }
+    // monitor policies (A5, meter/monitor.go): completion + error threshold
+    val processed = count("meter.processed_count")
+    val errors = count("meter.error_count")
+    if (completionTotal > 0 && processed >= completionTotal && tripped.isEmpty)
+      tripped = Some(s"completed: $processed >= $completionTotal")
+    if (errorPctThreshold > 0 && processed > 0 &&
+        errors.toDouble * 100.0 / processed >= errorPctThreshold && tripped.isEmpty)
+      tripped = Some(f"error threshold: ${errors.toDouble * 100.0 / processed}%.1f%% >= $errorPctThreshold%.1f%%")
+    tripped.foreach(onTrip)
+  }
+}

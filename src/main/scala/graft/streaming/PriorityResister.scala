@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A queued element with resister metadata — the reference's
+  * `Element[T]` envelope (`/root/reference/pkg/internal/types/element.go:47-54`)
+  * with a string payload. */
+case class QueuedElement(id: String, shard: Int, priority: Int,
+                         createdAtMs: Long, retryCount: Int, payload: String)
+
+/** An element released from the queue at `drainedAtMs` with its effective
+  * (aged) priority. */
+case class DrainedElement(id: String, priority: Int, effectivePriority: Int,
+                          retryCount: Int, payload: String, drainedAtMs: Long)
+
+/** F4 — the priority re-queue ("resister") as a custom stateful streaming
+  * operator (`/root/reference/pkg/internal/resister/queue.go:11-163`):
+  * a max-heap on priority with aging (+1 per minute in queue, + retry
+  * count, decay after 5 retries) and requeue-by-id collapse.
+  *
+  * Spark mapping (SURVEY §2.5): `flatMapGroupsWithState` holding the
+  * pending set per shard; each trigger merges arrivals (by id — a re-queued
+  * id replaces its predecessor, keeping max priority and summed retries),
+  * then drains up to `budgetPerTrigger` elements in effective-priority
+  * order. Sharding bounds per-group state and parallelizes the queue across
+  * executors; a global total order exists only within a shard, matching the
+  * reference where each wire owns its own queue.
+  */
+object PriorityResister {
+
+  /** Reference aging rule (`element.go:81-98`): +1 per whole minute in
+    * queue, +retryCount, with priority decayed by (retries-5) beyond 5
+    * retries (`queue.go:136-163`). */
+  def effectivePriority(e: QueuedElement, nowMs: Long): Int = {
+    val ageMin = ((nowMs - e.createdAtMs) / 60000L).toInt
+    val decay = math.max(0, e.retryCount - 5)
+    e.priority + ageMin + e.retryCount - decay
+  }
+
+  def drain(input: Dataset[QueuedElement], budgetPerTrigger: Int,
+            now: () => Long = () => System.currentTimeMillis()): Dataset[DrainedElement] = {
+    import input.sparkSession.implicits._
+    input
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[Seq[QueuedElement], DrainedElement](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Int, arrivals: Iterator[QueuedElement], state: GroupState[Seq[QueuedElement]]) =>
+          val nowMs = now()
+          val pending = state.getOption.getOrElse(Seq.empty)
+          // requeue-by-id collapse (queue.go:65-83): new arrival replaces the
+          // pending entry, keeping the max priority and accumulated retries
+          val merged = (pending ++ arrivals.toSeq)
+            .groupBy(_.id)
+            .map { case (_, vs) =>
+              vs.reduce { (a, b) =>
+                val (old, nw) = if (a.createdAtMs <= b.createdAtMs) (a, b) else (b, a)
+                nw.copy(priority = math.max(old.priority, nw.priority),
+                  retryCount = old.retryCount + nw.retryCount,
+                  createdAtMs = old.createdAtMs)
+              }
+            }.toSeq
+          val ordered = merged.sortBy(e => (-effectivePriority(e, nowMs), e.createdAtMs, e.id))
+          val (out, keep) = ordered.splitAt(budgetPerTrigger)
+          state.update(keep)
+          out.iterator.map(e => DrainedElement(e.id, e.priority,
+            effectivePriority(e, nowMs), e.retryCount, e.payload, nowMs))
+      }
+  }
+
+  /** Batch form of the same ordering contract (used by the Q6 oracle query
+    * and tests): drain everything, globally ordered. */
+  def drainBatch(input: Dataset[QueuedElement], nowMs: Long): Dataset[DrainedElement] = {
+    import input.sparkSession.implicits._
+    input.map(e => DrainedElement(e.id, e.priority, effectivePriority(e, nowMs),
+        e.retryCount, e.payload, nowMs))
+      .orderBy(org.apache.spark.sql.functions.desc("effectivePriority"),
+        org.apache.spark.sql.functions.asc("id"))
+  }
+}

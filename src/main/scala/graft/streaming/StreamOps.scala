@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming surface of the engine (SURVEY §7.5): event-time
+  * windows, watermarked dedupe, observed meters. The reference's streaming
+  * runtime (goroutine wires + channel queues) maps wholesale onto Spark's
+  * micro-batch engine; these helpers pin down the exact configurations that
+  * reproduce its semantics.
+  */
+object StreamOps {
+
+  /** Event-time column from the engine's canonical epoch-nanos BIGINT. */
+  def eventTime(nsCol: String): org.apache.spark.sql.Column =
+    timestamp_micros((col(nsCol) / 1000L).cast("long"))
+
+  /** Tumbling event-time window counts + sums with a watermark — the
+    * streaming twin of Relational.q08 (A3 rate meters,
+    * `/root/reference/pkg/internal/types/meter.go:13-18`). State is bounded
+    * by the watermark: late data beyond `lateness` is dropped, so state
+    * size is O(windows in flight), independent of stream length. */
+  def tumblingCounts(events: DataFrame, nsCol: String, window: String,
+                     lateness: String): DataFrame =
+    events
+      .withColumn("event_time", eventTime(nsCol))
+      .withWatermark("event_time", lateness)
+      .groupBy(org.apache.spark.sql.functions.window(col("event_time"), window))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("n"), col("sum_value"))
+
+  /** Watermarked streaming dedupe (A7 streaming form): exactly the
+    * reference's requeue-collapse identity but with state bounded by the
+    * watermark (`dropDuplicatesWithinWatermark`, Spark 3.5+). */
+  def dedupeWithinWatermark(events: DataFrame, nsCol: String, idCols: Seq[String],
+                            lateness: String): DataFrame =
+    events
+      .withColumn("event_time", eventTime(nsCol))
+      .withWatermark("event_time", lateness)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  /** Attach the meter observation (A1–A6): processed / error counts, value
+    * sum/max — readable per micro-batch from a StreamingQueryListener
+    * exactly like the reference's sensor→meter wiring
+    * (`/root/reference/pkg/internal/sensor/metrics.go:12-35`). */
+  def observed(df: DataFrame, meterName: String, errorPredicate: org.apache.spark.sql.Column): DataFrame =
+    df.observe(meterName,
+      count(lit(1)).as("processed_count"),
+      sum(when(errorPredicate, 1L).otherwise(0L)).as("error_count"),
+      max(col("value")).as("peak_value"))
+}

@@ -1,0 +1,104 @@
+package graft.dsl
+
+import graft.SparkSpec
+
+/** Mirrors the reference's wire/conduit behavioral invariants
+  * (`/root/reference/pkg/internal/wire/wire_test.go`,
+  * `/root/reference/pkg/internal/conduit/conduit_test.go`). */
+case class Feedback(customerId: String, content: String, category: String,
+                    isNegative: Boolean)
+
+class PipelineSpec extends SparkSpec {
+  import SparkSpec.session.implicits._
+
+  private def fb(n: Int) = (0 until n).map(i =>
+    Feedback(s"c$i", if (i % 5 == 0) s"error item $i" else s"great item $i", null, isNegative = false))
+
+  test("transform chain applies in order and suffixes -PROCESSED (conduit_test.go:80-91)") {
+    val p = Pipeline.fromSeq(spark, fb(20))
+      .transform("upper")(f => f.copy(content = f.content.toUpperCase))
+      .transform("suffix")(f => f.copy(content = f.content + "-PROCESSED"))
+    val out = p.load()
+    assert(out.size == 20)
+    assert(out.forall(_.content.endsWith("-PROCESSED")))
+    assert(out.forall(f => f.content.startsWith("ERROR") || f.content.startsWith("GREAT")))
+  }
+
+  test("a failing record leaves the flow but does NOT stop the pipeline (wire_test.go:54)") {
+    val p = Pipeline.fromSeq(spark, fb(20))
+      .transformEither("errorSim") { f =>
+        if (f.content.contains("error")) Left("simulated failure") else Right(f)
+      }
+    assert(p.output.count() == 16)
+    val errs = p.errors.collect()
+    assert(errs.length == 4)
+    assert(errs.forall(_.error == "simulated failure"))
+    assert(errs.forall(_.stage == "errorSim"))
+  }
+
+  test("thrown exceptions route to the error flow with their message") {
+    val p = Pipeline.fromSeq(spark, fb(10))
+      .transform("boom") { f =>
+        if (f.customerId == "c3") throw new IllegalStateException("kaboom") else f
+      }
+    assert(p.output.count() == 9)
+    assert(p.errors.collect().map(_.error).toSeq == Seq("kaboom"))
+  }
+
+  test("insulator retry: success re-enters the main flow (wire_test.go:382)") {
+    val p = Pipeline.fromSeq(spark, fb(10))
+      .transformWithRetry("retry", threshold = 3) { f =>
+        if (f.content.contains("error")) throw new RuntimeException("first try fails") else f
+      } { (f, _) => f.copy(content = f.content.replace("error", "fixed")) }
+    assert(p.output.count() == 10)
+    assert(p.errors.count() == 0)
+    assert(p.output.collect().count(_.content.contains("fixed")) == 2)
+  }
+
+  test("insulator exhaustion: final failure carries the last error") {
+    val p = Pipeline.fromSeq(spark, fb(10))
+      .transformWithRetry("retry", threshold = 2) { f =>
+        if (f.customerId == "c0") throw new RuntimeException("always fails") else f
+      } { (_, _) => throw new RuntimeException("retry also fails") }
+    assert(p.output.count() == 9)
+    val e = p.errors.collect().head
+    assert(e.error == "retry also fails" && e.stage == "retry")
+  }
+
+  test("filter drops without erroring (functors.go:5-22)") {
+    val p = Pipeline.fromSeq(spark, fb(20)).filter(!_.content.contains("error"))
+    assert(p.output.count() == 16)
+    assert(p.errors.count() == 0)
+  }
+
+  test("dedupeBy collapses by content identity (element.go:28-37)") {
+    val dup = fb(6) ++ fb(6)
+    val p = Pipeline.fromSeq(spark, dup).dedupeBy(_.customerId)
+    assert(p.output.count() == 6)
+  }
+
+  test("mapPartitionsWithScratch: one scratch instance per partition (wire/internal.go:19-30)") {
+    val p = Pipeline.fromSeq(spark, fb(40), parallelism = 4)
+      .mapPartitionsWithScratch(() => new java.util.concurrent.atomic.AtomicLong()) {
+        (scratch, f) => f.copy(category = s"p${System.identityHashCode(scratch)}-${scratch.incrementAndGet() > 0}")
+      }
+    // all records in one partition share the scratch instance
+    val cats = p.output.collect().groupBy(_.category)
+    assert(cats.size <= 4 && cats.size >= 1)
+  }
+
+  test("union fans in two pipelines (kafka writer fan-in, writer.go:16-55)") {
+    val a = Pipeline.fromSeq(spark, fb(5))
+    val b = Pipeline.fromSeq(spark, fb(7))
+    assert(a.union(b).output.count() == 12)
+  }
+
+  test("errors pass through later transform stages untouched") {
+    val p = Pipeline.fromSeq(spark, fb(10))
+      .transformEither("fail")(f => if (f.customerId == "c1") Left("dead") else Right(f))
+      .transform("later")(f => f.copy(content = f.content + "!"))
+    val errs = p.errors.collect()
+    assert(errs.length == 1 && errs.head.stage == "fail")
+    assert(p.output.collect().forall(_.content.endsWith("!")))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** Golden tests for the wave pack (SURVEY §2.3 W1–W8), checked against the
+  * reference formulas (`/root/reference/pkg/builder/utils.go:45-202`). */
+class WaveSpec extends SparkSpec {
+
+  private def sine(freq: Double, n: Int, amp: Double = 1.0): Array[Double] =
+    Array.tabulate(n)(t => amp * math.sin(2 * math.Pi * freq * t / n))
+
+  test("FFT of a pure sinusoid concentrates power in its bin") {
+    val spec = Wave.powerSpectrum(sine(8, 128))
+    val hot = spec.indexOf(spec.max)
+    assert(hot == 8)
+    // all other bins ~0
+    assert(spec.zipWithIndex.filter(_._2 != 8).map(_._1).max < 1e-18)
+  }
+
+  test("dominantFreq recovers the synth frequency in Hz (utils.go:176-181)") {
+    // 8 cycles over 128 samples at 128 Hz sample rate -> 8 Hz
+    assert(Wave.dominantFreq(sine(8, 128), 128.0) === 8.0)
+    // same signal at 256 Hz sample rate -> 16 Hz
+    assert(Wave.dominantFreq(sine(8, 128), 256.0) === 16.0)
+  }
+
+  test("Parseval: time-domain energy equals spectrum sum / n") {
+    val s = sine(5, 64, amp = 2.0)
+    val e = Wave.totalEnergy(s)
+    val (r, i) = Wave.fft(s, new Array[Double](64))
+    val specE = r.zip(i).map { case (a, b) => a * a + b * b }.sum / 64.0
+    assert(math.abs(e - specE) < 1e-9)
+    // analytic: amp²·n/2 for a pure sinusoid
+    assert(math.abs(e - 2.0 * 2.0 * 64 / 2) < 1e-9)
+  }
+
+  test("SNR is high for a clean tone, low for mixed tones (utils.go:191-199)") {
+    val clean = Wave.snr(sine(8, 128))
+    val mixed = Wave.snr(sine(8, 128).zip(sine(21, 128)).map { case (a, b) => a + b })
+    assert(clean > 100.0) // numerically near-pure
+    assert(mixed < 10.0)
+  }
+
+  test("Haar forward/inverse round-trips exactly (utils.go:45-63)") {
+    val s = sine(3, 64).map(_ + 0.5)
+    val back = Wave.haarInverse(Wave.haarForward(s))
+    assert(s.zip(back).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
+  test("threshold denoise keeps large coeffs, MSE small but nonzero (utils.go:65-113)") {
+    val s = sine(4, 128, 2.0).zip(sine(40, 128, 0.002)).map { case (a, b) => a + b }
+    val fwd = Wave.haarForward(s)
+    val (den, kept) = Wave.thresholdDenoise(fwd, frac = 0.05)
+    assert(kept < 128 && kept > 0)
+    val m = Wave.mse(s, Wave.haarInverse(den))
+    assert(m > 0 && m < 1e-2) // zeroed details are < 5% of max each
+
+  }
+
+  test("top-5 peaks are local maxima sorted by power (wave_encoding_example/main.go:42-60)") {
+    val s = sine(8, 256, 3.0).zip(sine(30, 256, 1.5)).map { case (a, b) => a + b }
+    val peaks = Wave.topPeaks(s, 256.0, 5)
+    assert(peaks.nonEmpty)
+    assert(peaks.head._1 == 8.0) // strongest first
+    assert(peaks.exists(_._1 == 30.0))
+    assert(peaks == peaks.sortBy { case (f, v) => (-v, f) })
+  }
+
+  test("waveAnalytics query: dominant_freq matches the synth freq per wave") {
+    val rows = Wave.waveAnalytics(spark, n = 16, len = 256).collect()
+    assert(rows.length == 16)
+    rows.foreach { r =>
+      val freq = r.getAs[Double]("freq")
+      val dom = r.getAs[Double]("dominant_freq")
+      assert(dom === freq, s"wave ${r.getAs[Long]("id")}: dominant $dom != synth $freq")
+    }
+    // haar round-trip with 0.5% threshold is near-lossless
+    assert(rows.forall(_.getAs[Double]("haar_mse") < 1e-3))
+  }
+
+  test("wave binary codec round-trips byte-exactly (codec/wave.go:14-148)") {
+    val re = sine(7, 32); val im = sine(3, 32, 0.5)
+    val (id2, re2, im2) = Codecs.waveDecode(Codecs.waveEncode(42, re, im))
+    assert(id2 == 42)
+    assert(re.sameElements(re2) && im.sameElements(im2))
+  }
+
+  test("deflate/inflate round-trip (utils.go:65-113 zlib step)") {
+    val bytes = Codecs.waveEncode(1, sine(2, 256), new Array[Double](256))
+    val packed = Codecs.deflate(bytes)
+    assert(packed.length < bytes.length) // sinusoid compresses
+    assert(Codecs.inflate(packed).sameElements(bytes))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpec {
+  import SparkSpec.session.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir).cache()
+
+  test("exact dedupe keeps one keeper per content hash, lowest doc_id") {
+    val dup = docs.limit(50).union(docs.limit(20)) // 20 exact duplicates
+    val out = Dedup.exact(dup)
+    assert(out.count() == 50)
+    assert(out.agg(sum("copies")).as[Long].head() == 70)
+  }
+
+  test("identical docs always collide in MinHash LSH and estimate jaccard 1.0") {
+    val base = docs.limit(30)
+    val cloned = base.select((col("doc_id") + 100000).as("doc_id"), col("text"),
+      col("lang"), col("source"), col("n_chars"))
+    val pairs = Dedup.minhashPairs(base.union(cloned), threshold = 0.9)
+      .filter(col("b_id") === col("a_id") + 100000)
+    assert(pairs.count() == 30)
+    assert(pairs.agg(min("est_jaccard")).as[Double].head() == 1.0)
+  }
+
+  test("MinHash signature estimates true word-bigram jaccard within tolerance") {
+    val sets = docs.limit(40)
+      .select(col("doc_id"), Dedup.wordShingles(col("text"), 2).as("sh"),
+        Dedup.minhashSignature(Dedup.wordShingles(col("text"), 2), 64).as("sig"))
+    val a = sets.select(col("doc_id").as("a_id"), col("sh").as("a_sh"), col("sig").as("a_sig"))
+    val b = sets.select(col("doc_id").as("b_id"), col("sh").as("b_sh"), col("sig").as("b_sig"))
+    val joint = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("true_j", size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+        size(array_union(col("a_sh"), col("b_sh"))).cast("double"))
+      .withColumn("est_j", size(filter(zip_with(col("a_sig"), col("b_sig"),
+        (x, y) => x === y), v => v)).cast("double") / lit(64.0))
+    val mae = joint.agg(avg(abs(col("true_j") - col("est_j")))).as[Double].head()
+    assert(mae < 0.12, s"minhash estimate MAE too high: $mae") // ~1/sqrt(64) scale
+  }
+
+  test("SimHash of identical docs is identical; near-identical docs are close") {
+    val withSim = docs.limit(20).select(col("doc_id"), Dedup.simhash64(col("text")).as("s1"),
+      Dedup.simhash64(concat(col("text"), lit(" tail"))).as("s2"),
+      Dedup.simhash64(col("text")).as("s3"))
+    assert(withSim.filter(col("s1") =!= col("s3")).count() == 0)
+    val dist = withSim.select(bit_count(col("s1").bitwiseXOR(col("s2"))).as("d"))
+    assert(dist.agg(max("d")).as[Int].head() <= 16) // one appended word flips few bits
+  }
+
+  test("brute-force cosine top-k: self-similarity is 1, results ordered desc") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val self = embs.limit(5)
+      .select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+    assert(self.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
+    val top = Similarity.bruteForceTopK(embs, queryId = 0, k = 10).collect()
+    assert(top.length == 10)
+    val sims = top.map(_.getAs[Double]("sim"))
+    assert(sims.sameElements(sims.sortBy(-_)))
+    assert(!top.exists(_.getAs[Long]("vec_id") == 0L))
+  }
+
+  test("LSH ANN finds planted near-duplicates (the operator's actual use case)") {
+    // plant 10 perturbed copies of vector 0: cosine ~0.99 vs the query
+    val embs = Tables.embeddings(spark, sfDir)
+    val planted = embs.filter(col("vec_id") === 0)
+      .crossJoin(spark.range(1, 11).toDF("i"))
+      .select((col("i") + 100000).as("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          (x + when(j % 7 === col("i") % 7, lit(0.01f)).otherwise(lit(0.0f))).cast("float"))
+          .as("embedding"),
+        lit(0).as("label"))
+    val all = embs.unionByName(planted)
+    val exact = Similarity.bruteForceTopK(all, 0, 10).collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(exact.count(_ >= 100000) == 10) // sanity: planted dups ARE the true top-10
+    val approx = Similarity.lshTopK(all, 0, 10).collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = (exact & approx).size / 10.0
+    assert(recall >= 0.8, s"ANN recall on planted near-dups: $recall")
+  }
+
+  test("jaccard pairs are symmetric-free (a<b) and above threshold") {
+    val pairs = Dedup.jaccardPairs(docs, sampleMod = 5, threshold = 0.85).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => r.getAs[Long]("a_id") < r.getAs[Long]("b_id")))
+    assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.85))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.functions.{Codecs, Crypto}
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class SourcesCodecsSpec extends SparkSpec {
+  import SparkSpec.session.implicits._
+
+  test("kafka encode/decode round-trips records through to_json/from_json (S4/K1)") {
+    val df = Seq((1L, "click", 9.5), (2L, "view", 1.0)).toDF("id", "typ", "v")
+    val encoded = Sources.encodeKafka(df, "{id}-{typ}")
+    val keys = encoded.select("key").as[String].collect().sorted
+    assert(keys.sameElements(Array("1-click", "2-view")))
+    val schema = StructType(Seq(StructField("id", LongType), StructField("typ", StringType),
+      StructField("v", DoubleType)))
+    val decoded = encoded.select(from_json(col("value"), schema).as("r")).select("r.*")
+    assert(decoded.as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "click", 9.5), (2L, "view", 1.0)))
+  }
+
+  test("key template renders literals and multiple fields (templates.go:9-57)") {
+    val df = Seq((7L, "x")).toDF("a", "b")
+    val out = df.select(Sources.renderTemplate(df, "pre/{a}/mid-{b}.json").as("k"))
+      .as[String].head()
+    assert(out == "pre/7/mid-x.json")
+  }
+
+  test("jdbc pushdown query builder shapes WHERE/ORDER/LIMIT (postgresclient/reader.go:103-129)") {
+    assert(Sources.jdbcPushdownQuery("events", Seq("payload"), Some("ts > 5"),
+      Some("ts ASC"), Some(10)) == "SELECT payload FROM events WHERE ts > 5 ORDER BY ts ASC LIMIT 10")
+    assert(Sources.jdbcPushdownQuery("t", Nil, None, None, None) == "SELECT * FROM t")
+  }
+
+  test("ndjson gzip write/read round-trip with time partitioning (S5/K2)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ndjson").toString
+    val df = Seq((1L, "2024-03-01T10:00:00", "a"), (2L, "2024-04-02T11:00:00", "b"))
+      .toDF("id", "ts", "payload")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    Sources.writePartitionedByTime(df, "ts", tmp, format = "json", compression = "gzip")
+    // partition directories exist (pruning-capable layout, not key templates)
+    val parts = new java.io.File(tmp).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(parts.sameElements(Array("yyyy=2024")))
+    val back = Sources.ndjson(spark, tmp)
+    assert(back.count() == 2)
+    assert(back.select("payload").as[String].collect().sorted.sameElements(Array("a", "b")))
+  }
+
+  test("AES-GCM encrypt/decrypt round-trips payloads (Crypto, aes_* built-ins)") {
+    val key = "0123456789abcdef" // 16-byte key
+    val df = Seq("secret-1", "secret-2").toDF("payload")
+    val round = df.select(
+      Crypto.aesGcmDecrypt(Crypto.aesGcmEncrypt(col("payload"), lit(key)), lit(key))
+        .cast("string").as("back"))
+    assert(round.as[String].collect().sorted.sameElements(Array("secret-1", "secret-2")))
+  }
+
+  test("chained sha-256 hash matches a reference-style sequential fold (processing/main.go:83-103)") {
+    val df = Seq(("payload-a", 1L)).toDF("payload", "seq")
+    val got = df.select(Crypto.chainedHash(col("payload"), col("seq"), rounds = 2).as("h"))
+      .as[String].head()
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+    val r0 = hex(md.digest("payload-a1".getBytes))
+    val r1 = hex(md.digest(("payload-a" + r0).getBytes))
+    val r2 = hex(md.digest(("payload-a" + r1).getBytes))
+    assert(got == r2)
+  }
+
+  test("line codec encode/decode (codec/line.go:23-39)") {
+    val df = Seq("hello").toDF("v")
+    val enc = df.select(Codecs.encodeLine(col("v")).as("l")).as[String].head()
+    assert(enc == "hello\n")
+    assert(df.select(Codecs.decodeLine(lit("hello\n")).as("d")).as[String].head() == "hello")
+  }
+
+  test("multimodal feature extraction runs per-partition with stub codec") {
+    val media = Multimodal.syntheticMedia(Tables.documents(spark, sfDir).limit(30))
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 30)
+    assert(feats.forall(_.ok))
+    assert(feats.forall(f => f.byteLen > 0 && f.entropy > 0 && f.thumbnail.nonEmpty))
+    assert(feats.map(_.kind).toSet == Set("image", "audio", "video"))
+  }
+
+  test("multimodal decode failure routes to error rows, not job failure (T4)") {
+    val media = Multimodal.syntheticMedia(Tables.documents(spark, sfDir).limit(9))
+    val failing = new Multimodal.MediaCodec {
+      override def decode(kind: String, payload: Array[Byte]): Array[Byte] =
+        if (kind == "audio") throw new RuntimeException("no audio codec") else payload
+      override def resize(p: Array[Byte], w: Int, h: Int, tw: Int, th: Int): Array[Byte] =
+        Multimodal.StubCodec.resize(p, w, h, tw, th)
+    }
+    val feats = Multimodal.extractFeatures(media, codec = failing).collect()
+    val (bad, good) = feats.partition(_.kind == "audio")
+    assert(bad.nonEmpty && bad.forall(f => !f.ok && f.error == "no audio codec"))
+    assert(good.forall(_.ok))
+  }
+
+  test("frame sampling explodes only video rows at the stride") {
+    val media = Multimodal.syntheticMedia(Tables.documents(spark, sfDir).limit(30))
+    val frames = Multimodal.sampleFrames(media, stride = 5)
+    val perId = frames.groupBy("media_id").count().collect()
+    assert(perId.nonEmpty)
+    frames.select("frame_idx").as[Int].collect().foreach(i => assert(i % 5 == 0))
+  }
+}

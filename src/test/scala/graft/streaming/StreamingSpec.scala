@@ -1,0 +1,137 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.reliability.CircuitBreaker
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+case class Ev(event_id: Long, ts: Long, user_id: Long, event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+  import SparkSpec.session.implicits._
+
+  private val minuteNs = 60L * 1000 * 1000 * 1000
+  private def ev(id: Long, minute: Long, v: Double = 1.0, typ: String = "click") =
+    Ev(id, minute * minuteNs + id * 1000, id % 3, typ, v)
+
+  test("tumbling window counts with watermark (streaming twin of q08)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.tumblingCounts(mem.toDF(), "ts", "1 minute", "2 minutes")
+      .writeStream.format("memory").queryName("tumbling").outputMode("complete").start()
+    try {
+      mem.addData(ev(1, 0), ev(2, 0), ev(3, 1), ev(4, 1), ev(5, 1))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling").orderBy("window_start").collect()
+      assert(rows.map(_.getAs[Long]("n")).toSeq == Seq(2L, 3L))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark collapses repeated ids (A7 streaming)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.dedupeWithinWatermark(mem.toDF(), "ts", Seq("event_id"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      mem.addData(ev(1, 0), ev(1, 0), ev(2, 0), ev(1, 0), ev(3, 1))
+      q.processAllAvailable()
+      assert(spark.table("dedup").select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("priority resister drains in aged-priority order within budget (queue.go:11-163)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[QueuedElement]
+    val fixedNow = 10L * 60000
+    val drained = PriorityResister.drain(mem.toDS(), budgetPerTrigger = 2, now = () => fixedNow)
+    val q = drained.writeStream.format("memory").queryName("resister")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        QueuedElement("low", 0, 1, fixedNow, 0, "low-prio"),
+        QueuedElement("high", 0, 9, fixedNow, 0, "high-prio"),
+        QueuedElement("aged", 0, 5, fixedNow - 5 * 60000, 0, "5-min-old"), // +5 aging
+        QueuedElement("mid", 0, 4, fixedNow, 0, "mid-prio"))
+      q.processAllAvailable()
+      // budget 2: high(9) and aged(5+5=10) drain first
+      val first = spark.table("resister").select("id").as[String].collect().toSet
+      assert(first == Set("high", "aged"))
+      mem.addData(QueuedElement("urgent", 0, 99, fixedNow, 0, "jump the queue"))
+      q.processAllAvailable()
+      val second = spark.table("resister").select("id").as[String].collect().toSet
+      assert(second == Set("high", "aged", "urgent", "mid"))
+    } finally q.stop()
+  }
+
+  test("requeue-by-id collapses to one element keeping max priority (queue.go:65-83)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[QueuedElement]
+    val drained = PriorityResister.drain(mem.toDS(), budgetPerTrigger = 10, now = () => 0L)
+    val q = drained.writeStream.format("memory").queryName("requeue")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        QueuedElement("x", 0, 1, 0, 0, "v1"),
+        QueuedElement("x", 0, 7, 0, 1, "v2"),
+        QueuedElement("y", 0, 2, 0, 0, "y"))
+      q.processAllAvailable()
+      val rows = spark.table("requeue").collect()
+      assert(rows.length == 2)
+      val x = rows.find(_.getAs[String]("id") == "x").get
+      assert(x.getAs[Int]("priority") == 7 && x.getAs[String]("payload") == "v2")
+      assert(x.getAs[Int]("retryCount") == 1)
+    } finally q.stop()
+  }
+
+  test("guarded sink splits errors to DLQ and diverts while breaker is open (F5/T4)") {
+    var now = 0L
+    val cb = new CircuitBreaker(errorThreshold = 3, windowMillis = 1000, clock = () => now)
+    val main = collection.mutable.ArrayBuffer[Ev]()
+    val dlq = collection.mutable.ArrayBuffer[Ev]()
+    val sink = GuardedBatchSink[Ev](cb,
+      (ds, _) => main ++= ds.collect(),
+      (ds, _) => dlq ++= ds.collect(),
+      isError = _.event_type == "error")
+
+    val batch1 = spark.createDataset(Seq(ev(1, 0), ev(2, 0), ev(3, 0, typ = "error")))
+    sink(batch1, 0L)
+    assert(main.size == 2 && dlq.size == 1 && cb.allow)
+
+    val batch2 = spark.createDataset(Seq(ev(4, 0, typ = "error"), ev(5, 0, typ = "error")))
+    sink(batch2, 1L) // 1+2 errors >= 3 -> trips AFTER writing
+    assert(!cb.allow)
+
+    val batch3 = spark.createDataset(Seq(ev(6, 0)))
+    sink(batch3, 2L) // breaker open -> whole batch diverted to DLQ
+    assert(main.size == 2 && dlq.size == 4)
+
+    now = 2000 // window elapsed -> closed again
+    sink(spark.createDataset(Seq(ev(7, 0))), 3L)
+    assert(main.size == 3)
+  }
+
+  test("observed meters surface via StreamingQueryListener (A1-A6)") {
+    implicit val sqlCtx = spark.sqlContext
+    val listener = new MeterListener()
+    spark.streams.addListener(listener)
+    val mem = MemoryStream[Ev]
+    val observed = StreamOps.observed(mem.toDF(), "meter", col("event_type") === "error")
+    val q = observed.writeStream.format("memory").queryName("metered")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev(1, 0, v = 5.0), ev(2, 0, v = 9.0), ev(3, 0, v = 1.0, typ = "error"))
+      q.processAllAvailable()
+      // listener callbacks are async; poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.count("meter.processed_count") < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(listener.count("meter.processed_count") == 3)
+      assert(listener.count("meter.error_count") == 1)
+      assert(listener.peak("meter.peak_value") == 9.0)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+}
