@@ -13,11 +13,11 @@ import graft.functions.TextAnalytics
   * Scale design:
   *  - Exact dedupe is one shuffle on a 128-bit content hash (never on the
   *    raw text) — shuffle payload is (hash, doc_id), constant width.
-  *  - MinHash signatures are computed map-side from built-in `xxhash64`
-  *    (codegen'd, one pass over the token array per permutation); candidate
-  *    generation shuffles (band_hash, doc_id) pairs only — O(docs × bands)
-  *    narrow rows, never text × text. The verify step joins signatures, not
-  *    documents, and only for bucket-colliding pairs.
+  *  - MinHash signatures are computed map-side by a primitive-loop kernel
+  *    (one base hash per shingle + k affine permutations, FastHash.minhash);
+  *    candidate generation shuffles (band_hash, doc_id) pairs only —
+  *    O(docs × bands) narrow rows, never text × text. The verify step joins
+  *    signatures, not documents, and only for bucket-colliding pairs.
   *  - SimHash is a 64-bit projection; near-dup candidates come from banding
   *    the 64 bits into 4×16-bit keys (Hamming ≤ 3 ⇒ at least one band equal
   *    by pigeonhole over 4 bands).
@@ -48,16 +48,11 @@ object Dedup {
         s => s.isNotNull))
   }
 
-  /** MinHash signature: for permutation i, min over shingles of
-    * xxhash64(seed_i, shingle). Returns array<bigint> of length k.
-    * Single left-fold carrying all k running minima — one pass over the
-    * shingle set (k separate array_min(transform(...)) calls would
-    * re-evaluate the shingle expression k times). */
-  def minhashSignature(shingles: Column, k: Int): Column = {
-    val seeds = array((0 until k).map(i => lit(i)): _*)
-    aggregate(shingles, array_repeat(lit(Long.MaxValue), k),
-      (acc, s) => zip_with(acc, seeds, (a, seed) => least(a, xxhash64(seed, s))))
-  }
+  /** MinHash signature over word n-gram shingles — kernel-backed
+    * (graft.functions.FastHash): the pure-Catalyst fold formulation is
+    * CodegenFallback (interpreted) and ~20x slower at sf0.1. */
+  def minhashSignature(text: Column, shingleN: Int, k: Int): Column =
+    graft.functions.FastHash.minhashCol(text, shingleN, k)
 
   /** LSH banding: split the k-length signature into `bands` bands of
     * k/bands rows each; each band hashes to one bucket key. */
@@ -74,8 +69,7 @@ object Dedup {
   def minhashPairs(docs: DataFrame, shingleN: Int = 2, k: Int = 64,
                    bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     val sigs = docs
-      .select(col("doc_id"),
-        minhashSignature(wordShingles(col("text"), shingleN), k).as("sig"))
+      .select(col("doc_id"), minhashSignature(col("text"), shingleN, k).as("sig"))
     val buckets = sigs
       .select(col("doc_id"), col("sig"), explode(lshBands(col("sig"), k, bands)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
@@ -95,22 +89,10 @@ object Dedup {
   }
 
   /** 64-bit SimHash over word tokens: bit j of the hash is the sign of the
-    * sum over tokens of ±1 according to bit j of xxhash64(token).
-    * Expressed as 64 aggregate folds over the token array — map-side only.
-    */
-  def simhash64(text: Column): Column = {
-    val toks = filter(TextAnalytics.words(text), w => length(w) > 0)
-    val hashes = transform(toks, t => xxhash64(t))
-    // one fold over tokens carrying a 64-long vote vector; bit masks are a
-    // literal array so the whole thing is a single codegen'd aggregate
-    val masks = array((0 until 64).map(j => lit(1L << j)): _*)
-    val votes = aggregate(hashes, array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, masks,
-        (a, m) => a + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(0L)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+    * sum over tokens of ±1 according to bit j of the token hash —
+    * kernel-backed, map-side only. */
+  def simhash64(text: Column): Column =
+    graft.functions.FastHash.simhashCol(text)
 
   /** SimHash near-duplicate candidates: band the 64-bit hash into four
     * 16-bit keys; Hamming-distance ≤ 3 pairs must share ≥ 1 band. Exact
@@ -136,13 +118,16 @@ object Dedup {
     * `sampleMod` keeps one doc in `sampleMod`, bounding pairs to (n/m)²/2.
     */
   def jaccardPairs(docs: DataFrame, sampleMod: Int, threshold: Double): DataFrame = {
+    // word sets as sorted distinct 64-bit token hashes; pair intersection by
+    // linear merge (FastHash kernel) — the interpreted array_intersect/
+    // array_union formulation costs ~10x more on the O(pairs) inner loop
     val sets = docs.filter(col("doc_id") % sampleMod === 0)
-      .select(col("doc_id"), wordShingles(col("text"), 1).as("w"))
+      .select(col("doc_id"), graft.functions.FastHash.tokenSetCol(col("text")).as("w"))
     val a = sets.select(col("doc_id").as("a_id"), col("w").as("a_w"))
     val b = sets.select(col("doc_id").as("b_id"), col("w").as("b_w"))
     a.crossJoin(b).filter(col("a_id") < col("b_id"))
-      .withColumn("inter", size(array_intersect(col("a_w"), col("b_w"))))
-      .withColumn("uni", size(array_union(col("a_w"), col("b_w"))))
+      .withColumn("iu", graft.functions.FastHash.interUnionCol(col("a_w"), col("b_w")))
+      .select(col("a_id"), col("b_id"), col("iu._1").as("inter"), col("iu._2").as("uni"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "inter", "uni", "jaccard")

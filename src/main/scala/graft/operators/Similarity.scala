@@ -46,44 +46,14 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic pseudo-gaussian hyperplane component for (plane i, dim j):
-    * a fixed xorshift-style mix of (i, j) mapped to roughly N(0,1) via a sum
-    * of uniforms. Box–Muller-free and branch-free. */
-  private def planeComponent(i: Int, j: Int): Double = {
-    var x = (i.toLong * 0x9E3779B97F4A7C15L) ^ (j.toLong * 0xC2B2AE3D27D4EB4FL) ^ 0xDEADBEEFL
-    var s = 0.0
-    var n = 0
-    while (n < 12) { // sum of 12 uniforms - 6 ~ N(0,1)
-      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
-      s += (x >>> 11).toDouble / (1L << 53).toDouble
-      n += 1
-    }
-    s - 6.0
-  }
-
-  /** `planes` literal hyperplane matrix as array<array<double>>. */
-  private def planeMatrix(nPlanes: Int, dim: Int): Column =
-    array((0 until nPlanes).map(i =>
-      array((0 until dim).map(j => lit(planeComponent(i, j))): _*)): _*)
-
   /** Sign-projection signature: bit i = sign(v · plane_i), packed into a
     * bigint per `bandBits`-plane band. Returns array<bigint> of
     * nPlanes/bandBits bands. Fewer bits per band ⇒ higher collision rate ⇒
-    * higher recall at more candidates — 8 is a good default for d=64. */
-  def lshSignature(vec: Column, nPlanes: Int, dim: Int, bandBits: Int = 8): Column = {
-    val planes = planeMatrix(nPlanes, dim)
-    val bits = transform(planes, p =>
-      when(aggregate(zip_with(vec, p, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v) >= 0, 1L).otherwise(0L))
-    val bandCount = nPlanes / bandBits
-    array((0 until bandCount).map { b =>
-      aggregate(
-        zip_with(slice(bits, b * bandBits + 1, bandBits),
-          array((0 until bandBits).map(j => lit(1L << j)): _*),
-          (bit, m) => when(bit === 1L, m).otherwise(0L)),
-        lit(0L), (acc, x) => acc.bitwiseOR(x))
-    }: _*)
-  }
+    * higher recall at more candidates — 8 is a good default for d=64.
+    * Kernel-backed (graft.functions.FastHash): the 64 interpreted
+    * aggregate-fold dot products cost ~13 s at sf0.1 vs <1 s as loops. */
+  def lshSignature(vec: Column, nPlanes: Int, dim: Int, bandBits: Int = 8): Column =
+    graft.functions.FastHash.lshSignatureCol(vec, nPlanes, dim, bandBits)
 
   /** ANN top-k: probe only vectors sharing at least one LSH band with the
     * query, then exact cosine on the candidates. `nPlanes` must be a

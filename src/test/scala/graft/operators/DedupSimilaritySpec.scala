@@ -29,7 +29,7 @@ class DedupSimilaritySpec extends SparkSpec {
   test("MinHash signature estimates true word-bigram jaccard within tolerance") {
     val sets = docs.limit(40)
       .select(col("doc_id"), Dedup.wordShingles(col("text"), 2).as("sh"),
-        Dedup.minhashSignature(Dedup.wordShingles(col("text"), 2), 64).as("sig"))
+        Dedup.minhashSignature(col("text"), 2, 64).as("sig"))
     val a = sets.select(col("doc_id").as("a_id"), col("sh").as("a_sh"), col("sig").as("a_sig"))
     val b = sets.select(col("doc_id").as("b_id"), col("sh").as("b_sh"), col("sig").as("b_sig"))
     val joint = a.crossJoin(b).filter(col("a_id") < col("b_id"))
