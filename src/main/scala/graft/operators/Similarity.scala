@@ -24,13 +24,11 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Deterministic cosine similarity between two float-array columns,
-    * computed in double. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+    * computed in double. Backed by the codegen'd native expression
+    * (graft.plans.FloatVectorDot); identical values to the equivalent
+    * `aggregate(zip_with(...))` fold, minus the interpretation cost. */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.cosineF(a, b)
 
   /** Exact cosine top-k of `embeddings` (vec_id, embedding) vs the row with
     * vec_id == queryId. The query vector rides along via a broadcast

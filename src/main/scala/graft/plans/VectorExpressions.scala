@@ -1,0 +1,20 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.sqrt
+
+/** Public API over the native vector expressions — see
+  * `org.apache.spark.sql.graft.FloatVectorDot` for the Catalyst
+  * implementation (codegen'd fused loop) and the rationale. */
+object VectorExpressions {
+
+  /** Codegen'd dot product of two array<float> columns, in double. */
+  def dotF(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressionGlue.dotF(a, b)
+
+  /** Codegen'd cosine similarity — numerically identical to an
+    * `aggregate(zip_with(...))` fold (same sequential double accumulation),
+    * without the interpretation cost. */
+  def cosineF(a: Column, b: Column): Column =
+    dotF(a, b) / (sqrt(dotF(a, a)) * sqrt(dotF(b, b)))
+}
