@@ -25,6 +25,17 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap((Relational.queries ++ TrainingData.queries ++ Seq[(String, (SparkSession, String) => DataFrame)](
       "wave_analytics" -> ((s, _) => Wave.waveAnalytics(s)),
+      // The reference's benchmark workload (BASELINE.md row 1): N records,
+      // sha-256 per record over payload+seq, chained rounds
+      // (/root/reference/example/benchmark_example/processing/main.go:43-159).
+      // Scaled to 2M here so it times in seconds, not minutes, at local[32].
+      "t7_hash_throughput" -> ((s, _) => {
+        import org.apache.spark.sql.functions._
+        val payload = sha2(concat(lit("bank-"), (col("id") % 65536).cast("string")), 256)
+        s.range(2000000L).toDF("id")
+          .select(graft.functions.Crypto.chainedHash(payload, col("id"), rounds = 1).as("hash"))
+          .agg(count(lit(1)).as("n"), max("hash").as("max_hash"))
+      }),
     )): _*)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** End-to-end file-based streaming: source poll budget, transform, timed
+  * sink, checkpointed restart — the S5→K3 pipeline shape
+  * (`/root/reference/pkg/internal/adapter/s3client/reader.go:199-272`,
+  * `parquet_writer.go:14-169`) on Structured Streaming's own
+  * listing+checkpoint machinery. */
+class FileStreamSpec extends SparkSpec {
+  import SparkSpec.session.implicits._
+
+  test("file stream reads with maxFilesPerTrigger cap, transforms, writes parquet, restarts from checkpoint") {
+    val root = Files.createTempDirectory("graft-stream").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    new java.io.File(in).mkdirs()
+
+    // drop 3 input files (the reference's listed S3 objects)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "payload").write.mode("append").parquet(in)
+    Seq((3L, "c")).toDF("id", "payload").write.mode("append").parquet(in)
+
+    val schema = spark.read.parquet(in).schema
+    def startQuery() = {
+      val src = Sources.fileStream(spark, in, "parquet", schema, maxFilesPerTrigger = 1)
+        .withColumn("payload", upper(col("payload")))
+      Sources.timedFileSink(src, out, ckpt, "parquet", triggerMillis = 50).start()
+    }
+
+    val q1 = startQuery()
+    try { q1.processAllAvailable() } finally q1.stop()
+    val firstPass = spark.read.parquet(out).as[(Long, String)].collect().toSet
+    assert(firstPass == Set((1L, "A"), (2L, "B"), (3L, "C")))
+
+    // new data arrives while the query is down; restart resumes from the
+    // checkpoint and processes only the delta (no duplicates = exactly-once)
+    Seq((4L, "d")).toDF("id", "payload").write.mode("append").parquet(in)
+    val q2 = startQuery()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val secondPass = spark.read.parquet(out).as[(Long, String)].collect().toSeq
+    assert(secondPass.size == 4) // no reprocessing of files 1-3
+    assert(secondPass.toSet == Set((1L, "A"), (2L, "B"), (3L, "C"), (4L, "D")))
+  }
+}
