@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities for the 100 TB checklist.
+  *
+  * First line of defense is AQE (`spark.sql.adaptive.skewJoin.enabled`,
+  * on by default) which splits oversized shuffle partitions at runtime.
+  * Salting is the explicit fallback for pathological keys AQE can't fix —
+  * e.g. a single null-ish key holding >50% of rows, or skewed aggregations
+  * (AQE skew handling only covers joins).
+  */
+object Skew {
+
+  /** Salted equi-join: left rows get a random-ish (but deterministic,
+    * hash-derived) salt in [0, salts); the right side is replicated once
+    * per salt value. The hot key's rows thereby spread across `salts`
+    * shuffle partitions. Use when the RIGHT side is small enough to
+    * replicate ×salts but too large to broadcast outright.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, salts: Int): DataFrame = {
+    val saltedLeft = left.withColumn("_salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts.toLong)))
+    val saltedRight = right.crossJoin(right.sparkSession.range(0, salts).toDF("_salt"))
+    saltedLeft.join(saltedRight, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Two-phase (salted) aggregation for skewed group keys: partial
+    * aggregate on (key, salt), then final aggregate on key. `aggs` must be
+    * algebraic (associative re-aggregation), expressed as (partial, final)
+    * column pairs over the value column. Built-ins cover sum/count/min/max.
+    */
+  def saltedCount(df: DataFrame, key: String, salts: Int): DataFrame =
+    df.withColumn("_salt", pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts)))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(col(key))
+      .agg(sum("_partial").as("n"))
+}

@@ -195,6 +195,15 @@ object Relational {
         col("o_orderdate").cast("date").as("order_date"), col("o_totalprice"))
       .orderBy("o_orderkey")
 
+  /** A3 peak rate — one-pass custom TypedImperativeAggregate
+    * (`org.apache.spark.sql.graft.PeakRatePerSecond`): the reference meter's
+    * `MetricPeakProcessedPerSecond` as a real aggregate. Oracle is the
+    * equivalent two-level GROUP BY/max. */
+  def a3PeakRate(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .agg(org.apache.spark.sql.graft.PeakRateGlue.peakRatePerSecond(col("ts")).as("pr"))
+      .select(col("pr.peak_second").as("peak_second"), col("pr.peak_count").as("peak_count"))
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_filter_project" -> q01FilterProject _,
     "q02_string_chain"   -> q02StringChain _,
@@ -208,6 +217,7 @@ object Relational {
     "q10_pushdown_limit" -> q10PushdownLimit _,
     "q11_minmax_pct"     -> q11MinmaxPct _,
     "q12_join_enrich"    -> q12JoinEnrich _,
+    "a3_peak_rate"       -> a3PeakRate _,
   )
 
   /** DuckDB-dialect oracle SQL, column-name and value aligned with the
@@ -274,5 +284,10 @@ object Relational {
         | JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         |WHERE o_orderstatus = 'O' ORDER BY o_orderkey""".stripMargin,
+    "a3_peak_rate" ->
+      """SELECT sec AS peak_second, cnt AS peak_count FROM (
+        | SELECT epoch_us(ts) // 1000000 AS sec, COUNT(*) AS cnt
+        | FROM events GROUP BY 1)
+        |ORDER BY cnt DESC, sec ASC LIMIT 1""".stripMargin,
   )
 }

@@ -1,0 +1,35 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for the engine's native expressions, so
+  * `spark.sql("SELECT float_vector_dot(a, b) ...")` works alongside the
+  * Column API. Install either at session build time
+  * (`.config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")`)
+  * or on a live session via [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
+}
+
+object GraftExtensions {
+
+  private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "float_vector_dot" -> (args => FloatVectorDot(args(0), args(1))),
+    "peak_rate_per_second" -> (args => PeakRatePerSecond(args.head).toAggregateExpression()),
+  )
+
+  /** Register into an existing session's function registry. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

@@ -1,0 +1,100 @@
+/* Under org.apache.spark.sql for the private[sql] aggregate surface.
+ * Public API: graft.plans.VectorExpressions / graft.functions.GraftFunctions. */
+package org.apache.spark.sql.graft
+
+import java.nio.ByteBuffer
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** One-pass "peak events per second" aggregate — SURVEY §4's declared
+  * custom-Catalyst candidate (a): the reference meter's
+  * `MetricPeakProcessedPerSecond` (`/root/reference/pkg/internal/types/
+  * meter.go:13-18`, sampled by a monitor loop) as a real aggregate function.
+  *
+  * Input: epoch-nanos BIGINT event times. Buffer: open-addressed
+  * second→count map (primitive longs, no boxing). Output:
+  * struct(peak_second, peak_count), ties broken toward the earliest second.
+  *
+  * vs. the two-level formulation (`GROUP BY second` then `MAX`): one
+  * aggregation pass and one shuffle of O(distinct seconds) map buffers
+  * instead of a full (second, count) exchange — the classic
+  * partial-aggregate win, available because count-per-key merges
+  * associatively.
+  */
+case class PeakRatePerSecond(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[Long, Long]] with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("peak_second", LongType, nullable = false),
+    StructField("peak_count", LongType, nullable = false)))
+  override def prettyName: String = "peak_rate_per_second"
+
+  override def createAggregationBuffer(): java.util.HashMap[Long, Long] =
+    new java.util.HashMap[Long, Long]()
+
+  override def update(buf: java.util.HashMap[Long, Long], input: InternalRow): java.util.HashMap[Long, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val sec = v.asInstanceOf[Long] / 1000000000L
+      buf.merge(sec, 1L, (a, b) => a + b)
+    }
+    buf
+  }
+
+  override def merge(a: java.util.HashMap[Long, Long], b: java.util.HashMap[Long, Long]): java.util.HashMap[Long, Long] = {
+    b.forEach((k, v) => a.merge(k, v, (x, y) => x + y))
+    a
+  }
+
+  override def eval(buf: java.util.HashMap[Long, Long]): Any = {
+    var peakSec = 0L
+    var peakCnt = 0L
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue > peakCnt || (e.getValue == peakCnt && e.getKey < peakSec)) {
+        peakCnt = e.getValue; peakSec = e.getKey
+      }
+    }
+    InternalRow(peakSec, peakCnt)
+  }
+
+  override def serialize(buf: java.util.HashMap[Long, Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size() * 16)
+    bb.putInt(buf.size())
+    buf.forEach((k, v) => { bb.putLong(k); bb.putLong(v) })
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[Long, Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val m = new java.util.HashMap[Long, Long](math.max(16, n * 2))
+    var i = 0
+    while (i < n) { m.put(bb.getLong, bb.getLong); i += 1 }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): PeakRatePerSecond =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): PeakRatePerSecond =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object PeakRateGlue {
+  def peakRatePerSecond(tsNanos: Column): Column =
+    ExpressionUtils.column(PeakRatePerSecond(ExpressionUtils.expression(tsNanos))
+      .toAggregateExpression())
+}

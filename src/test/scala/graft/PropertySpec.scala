@@ -1,0 +1,81 @@
+package graft
+
+import graft.functions.{Codecs, FastHash, Wave}
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property tests (SURVEY §5: "ScalaCheck property tests for codec/hash
+  * round-trips"). Runs under sbt's native ScalaCheck framework. */
+object GraftProperties extends Properties("graft") {
+
+  private val doubleGen = Gen.chooseNum(-1e6, 1e6)
+  private val waveGen = for {
+    n <- Gen.oneOf(2, 4, 8, 16, 32, 64)
+    xs <- Gen.listOfN(n, doubleGen)
+  } yield xs.toArray
+
+  private val textGen = Gen.listOf(Gen.oneOf(
+    Gen.alphaStr, Gen.const(" "), Gen.const("\t"), Gen.const("\n"),
+    Gen.const("."), Gen.const(","), Gen.const("42"), Gen.const("!"))).map(_.mkString)
+
+  property("wave binary codec round-trips") =
+    forAll(Gen.chooseNum(Int.MinValue, Int.MaxValue), waveGen, waveGen) {
+      (id: Int, re: Array[Double], im0: Array[Double]) =>
+        val im = java.util.Arrays.copyOf(im0, re.length)
+        val (id2, re2, im2) = Codecs.waveDecode(Codecs.waveEncode(id, re, im))
+        id2 == id && re2.sameElements(re) && im2.sameElements(im)
+    }
+
+  property("deflate/inflate is identity") =
+    forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bs =>
+      val arr = bs.toArray
+      Codecs.inflate(Codecs.deflate(arr)).sameElements(arr)
+    }
+
+  property("Haar forward/inverse is identity") = forAll(waveGen) { s =>
+    val back = Wave.haarInverse(Wave.haarForward(s))
+    s.zip(back).forall { case (a, b) => math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(a)) }
+  }
+
+  property("FFT preserves energy (Parseval)") = forAll(waveGen) { s =>
+    val (r, i) = Wave.fft(s, new Array[Double](s.length))
+    val specE = r.zip(i).map { case (a, b) => a * a + b * b }.sum / s.length
+    val timeE = Wave.totalEnergy(s)
+    math.abs(specE - timeE) <= 1e-6 * math.max(1.0, timeE)
+  }
+
+  property("tokenSet sorted+distinct, case/separator-insensitive") = forAll(textGen) { t =>
+    val ts = FastHash.tokenSet(t)
+    ts.sameElements(ts.clone().sorted) &&
+      ts.distinct.length == ts.length &&
+      FastHash.tokenSet(t.toUpperCase).sameElements(ts) &&
+      FastHash.tokenSet(t.replace(" ", "  ,  ")).sameElements(ts)
+  }
+
+  property("interUnion matches Set semantics") = forAll(textGen, textGen) { (a, b) =>
+    val sa = FastHash.tokenSet(a); val sb = FastHash.tokenSet(b)
+    val (inter, uni) = FastHash.interUnion(sa, sb)
+    inter == sa.toSet.intersect(sb.toSet).size && uni == sa.toSet.union(sb.toSet).size
+  }
+
+  property("minhash/simhash deterministic") = forAll(textGen) { t =>
+    FastHash.minhash(t, 2, 32).sameElements(FastHash.minhash(t, 2, 32)) &&
+      FastHash.simhash(t) == FastHash.simhash(t)
+  }
+
+  property("minhash positions monotone under shingle containment") =
+    forAll(textGen, textGen) { (t, extra) =>
+      val a = FastHash.minhash(t, 1, 32)
+      val b = FastHash.minhash(t + " " + extra, 1, 32)
+      a.zip(b).forall { case (x, y) => y <= x }
+    }
+
+  property("lsh signature stable and band-count correct") = forAll(
+    Gen.listOfN(64, Gen.chooseNum(-1f, 1f))) { vs =>
+    val v = vs.toArray
+    val planes = Array.tabulate(64, 64)(FastHash.planeComponent)
+    val s1 = FastHash.lshSignature(v, planes, 8)
+    val s2 = FastHash.lshSignature(v, planes, 8)
+    s1.length == 8 && s1.sameElements(s2)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftExtensions
+
+class NativeExprSpec extends SparkSpec {
+  import SparkSpec.session.implicits._
+
+  test("FloatVectorDot matches the interpreted fold formulation exactly") {
+    val embs = Tables.embeddings(spark, sfDir).limit(50)
+    val both = embs.select(
+      VectorExpressions.dotF(col("embedding"), col("embedding")).as("native"),
+      aggregate(zip_with(col("embedding"), col("embedding"),
+        (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("fold"))
+    // bit-identical, not just close: same sequential double accumulation
+    assert(both.filter(col("native") =!= col("fold")).count() == 0)
+  }
+
+  test("native functions usable from SQL after extension registration") {
+    GraftExtensions.register(spark)
+    Tables.embeddings(spark, sfDir).limit(5).createOrReplaceTempView("emb_t")
+    val viaSql = spark.sql(
+      "SELECT vec_id, float_vector_dot(embedding, embedding) AS d FROM emb_t ORDER BY vec_id")
+      .as[(Long, Double)].collect()
+    assert(viaSql.length == 5 && viaSql.forall(_._2 > 0))
+
+    Tables.events(spark, sfDir).createOrReplaceTempView("ev_t")
+    val peak = spark.sql("SELECT peak_rate_per_second(ts) AS pr FROM ev_t")
+      .select("pr.peak_second", "pr.peak_count").as[(Long, Long)].head()
+    // oracle formulation: two-level group-by + max
+    val expected = Tables.events(spark, sfDir)
+      .groupBy((col("ts") / lit(1000000000L)).cast("long").as("sec"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("sec")).as[(Long, Long)].head()
+    assert(peak == expected)
+  }
+
+  test("peak rate aggregate survives partial/merge across partitions") {
+    val df = spark.range(0, 10000).toDF("id").repartition(8)
+      .select((lit(1700000000L) * 1000000000L + (col("id") % 7) * 1000000000L).as("ts"))
+    val pr = df.agg(org.apache.spark.sql.graft.PeakRateGlue.peakRatePerSecond(col("ts")).as("pr"))
+      .select("pr.peak_second", "pr.peak_count").as[(Long, Long)].head()
+    // ids 0..9999 over 7 seconds: seconds 0..4 get 1429, 5..6 get 1428
+    assert(pr == ((1700000000L, 1429L)))
+  }
+}
