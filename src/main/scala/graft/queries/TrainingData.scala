@@ -65,6 +65,40 @@ object TrainingData {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** Vocabulary top-k: explode words → count → top 50 by frequency.
+    * Partial-aggregates before the shuffle; top-k is TakeOrdered. */
+  def txtTopWords(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("word"))
+      .limit(50)
+
+  /** Corpus length statistics with exact decimal averaging. */
+  def txtLengthStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        sum("n_chars").as("sum_chars"),
+        (sum("n_chars").cast("double") / count(lit(1))).as("avg_chars"))
+      .orderBy("lang")
+
+  /** JSON metadata extraction (the S5/S7 decode path: JSONB metadata column,
+    * `/root/reference/pkg/internal/adapter/postgresclient/sql.go:52-55`):
+    * native JSON-path op in Spark, value-aligned regexp in the oracle. */
+  def evJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("k")
+
   def simCosineTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(Tables.embeddings(spark, dir), queryId = 0L, k = 10)
 
@@ -80,6 +114,9 @@ object TrainingData {
     "txt_quality"      -> txtQuality _,
     "txt_tokens"       -> txtTokens _,
     "txt_fingerprint"  -> txtFingerprint _,
+    "txt_top_words"    -> txtTopWords _,
+    "txt_length_stats" -> txtLengthStats _,
+    "ev_json_extract"  -> evJsonExtract _,
     "sim_cosine_topk"  -> simCosineTopK _,
     "sim_ann_lsh"      -> simAnnLsh _,
   )
@@ -146,6 +183,22 @@ object TrainingData {
     "txt_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_top_words" ->
+      """SELECT word, COUNT(*) AS n FROM (
+        | SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        | FROM documents)
+        |WHERE length(word) > 0
+        |GROUP BY 1 ORDER BY n DESC, word ASC LIMIT 50""".stripMargin,
+    "txt_length_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
+        | MAX(n_chars) AS max_chars, SUM(n_chars) AS sum_chars,
+        | CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_json_extract" ->
+      """SELECT k, COUNT(*) AS n FROM (
+        | SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+        | FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

@@ -108,6 +108,20 @@ object Sources {
     sb.toString
   }
 
+  /** Upsert statement generator (K4): the reference's
+    * `INSERT ... ON CONFLICT (keys) DO UPDATE SET ...`
+    * (`/root/reference/pkg/internal/adapter/postgresclient/sql.go:186-208`).
+    * Used from foreachBatch: write the micro-batch to a staging table, then
+    * execute this statement over the JDBC connection — Spark's task retries
+    * stay idempotent because the upsert is key-deterministic. */
+  def upsertSql(table: String, keyCols: Seq[String], cols: Seq[String]): String = {
+    require(keyCols.nonEmpty && cols.nonEmpty)
+    val updates = cols.filterNot(keyCols.contains)
+      .map(c => s"$c = EXCLUDED.$c").mkString(", ")
+    s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")}) " +
+      s"ON CONFLICT (${keyCols.mkString(", ")}) DO UPDATE SET $updates"
+  }
+
   def jdbc(spark: SparkSession, url: String, query: String,
            props: Map[String, String] = Map.empty): DataFrameReader =
     props.foldLeft(spark.read.format("jdbc").option("url", url).option("query", query)) {

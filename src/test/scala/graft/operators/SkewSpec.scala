@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SkewSpec extends SparkSpec {
+  import SparkSpec.session.implicits._
+
+  test("saltedJoin returns exactly the plain join result on skewed data") {
+    // 90% of left rows share one hot key
+    val left = spark.range(0, 2000).toDF("id")
+      .withColumn("k", when(col("id") % 10 < 9, 1L).otherwise(col("id") % 100))
+      .withColumn("lv", col("id") * 2)
+    val right = spark.range(0, 100).toDF("k").withColumn("rv", col("k") * 10)
+    val plain = left.join(right, "k").select("id", "k", "lv", "rv")
+    val salted = Skew.saltedJoin(left, right, "k", salts = 8).select("id", "k", "lv", "rv")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("saltedCount equals plain groupBy count") {
+    val df = spark.range(0, 5000).toDF("id")
+      .withColumn("k", when(col("id") % 10 < 8, 7L).otherwise(col("id") % 50))
+    val plain = df.groupBy("k").agg(count(lit(1)).as("n"))
+    val salted = Skew.saltedCount(df, "k", salts = 16)
+    assert(salted.as[(Long, Long)].collect().toSet == plain.as[(Long, Long)].collect().toSet)
+  }
+
+  test("upsert SQL generator mirrors the reference ON CONFLICT shape (sql.go:186-208)") {
+    val sql = graft.sources.Sources.upsertSql("t", Seq("id"), Seq("id", "payload", "ts"))
+    assert(sql == "INSERT INTO t (id, payload, ts) VALUES (?, ?, ?) " +
+      "ON CONFLICT (id) DO UPDATE SET payload = EXCLUDED.payload, ts = EXCLUDED.ts")
+  }
+}

@@ -1,0 +1,45 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Bucketing evidence for the scale checklist: a join between two tables
+  * bucketed on the join key runs with ZERO shuffle exchanges — the
+  * co-located-join strategy for repeated large-large joins at 100 TB
+  * (SURVEY §7.9 / design brief "repartition()/bucketing for co-located
+  * joins"). */
+class BucketingSpec extends SparkSpec {
+
+  test("join between tables bucketed on the key plans without a shuffle") {
+    // warehouse dir is a tmp dir set (statically) in SparkSpec
+
+    Tables.orders(spark, sfDir)
+      .write.mode("overwrite").bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_bkt")
+    Tables.customer(spark, sfDir)
+      .withColumn("c_custkey", col("c_custkey").cast("long"))
+      .write.mode("overwrite").bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("customer_bkt")
+
+    // disable broadcast so the planner must choose between shuffle and
+    // bucket-colocated sort-merge join
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("orders_bkt")
+        .join(spark.table("customer_bkt"), col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      // and it returns the same rows as the unbucketed join
+      val expected = Tables.orders(spark, sfDir).join(
+        Tables.customer(spark, sfDir).withColumn("c_custkey", col("c_custkey").cast("long")),
+        col("o_custkey") === col("c_custkey")).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    }
+  }
+}
