@@ -79,13 +79,16 @@ object Dedup {
       col("doc_id").as("b_id"), col("sig").as("b_sig"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_sig"), col("b_sig"))
-      .distinct() // a pair may collide in several bands
+      // estimate before dedup so the distinct shuffles (a_id, b_id, est)
+      // instead of dragging both 512-byte signatures through the exchange;
+      // a pair colliding in several bands computes the same estimate each
+      // time (cheap: 64 comparisons) and collapses to one row
       .withColumn("est_jaccard",
         size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y), b => b))
-          .cast("double") / lit(64).cast("double"))
+          .cast("double") / lit(k).cast("double"))
       .filter(col("est_jaccard") >= threshold)
       .select("a_id", "b_id", "est_jaccard")
+      .distinct()
   }
 
   /** 64-bit SimHash over word tokens: bit j of the hash is the sign of the

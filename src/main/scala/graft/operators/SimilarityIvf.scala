@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.plans.VectorExpressions
+
+/** IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
+  * scale path for similarity search (design brief: "an IVF or LSH-bucketed
+  * variant as the scale path"; this engine ships both).
+  *
+  * Build: k-means coarse centroids trained distributedly — deterministic
+  * seeding (hash-ranked rows) and a fixed number of Lloyd iterations, each
+  * one aggregation pass (groupBy nearest-centroid → component-wise mean).
+  * Probe: rank cells by query-to-centroid similarity, scan only the best
+  * `nprobe` cells with exact cosine.
+  *
+  * Scale properties: training touches a bounded sample; assignment is a
+  * map-side projection against a broadcast centroid table; at cluster scale
+  * `cell` becomes the partition/bucket key so a probe reads
+  * nprobe/nCells of the data. Everything is deterministic → reproducible
+  * result sets across runs and layouts.
+  */
+object SimilarityIvf {
+
+  /** Train `nCells` centroids on a deterministic sample (hash-ranked) with
+    * `iters` Lloyd iterations. Returns (cell, centroid array<double>). */
+  def trainCentroids(embeddings: DataFrame, nCells: Int, iters: Int = 3,
+                     sampleN: Int = 4096): Array[(Int, Array[Double])] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // deterministic sample: best `sampleN` rows by xxhash of id
+    val sample = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleN)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      .cache()
+    // seed: `nCells` hash-ranked sample rows
+    var centroids: Array[Array[Double]] = sample.limit(nCells).as[Seq[Double]]
+      .collect().map(_.toArray)
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assigned = sample.as[Seq[Double]].map { v =>
+        (nearestCell(v.toArray, bc.value), v)
+      }.toDF("cell", "v")
+      // component-wise mean per cell, one aggregation pass
+      val dim = centroids(0).length
+      val sums = assigned.groupBy("cell").agg(
+        count(lit(1)).as("n"),
+        array((0 until dim).map(d => sum(col("v").getItem(d))): _*).as("sums"))
+      val updated = sums.select(col("cell"), col("n"), col("sums")).as[(Int, Long, Seq[Double])]
+        .collect().map { case (cell, n, ss) => cell -> ss.map(_ / n).toArray }.toMap
+      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
+      bc.destroy()
+      it += 1
+    }
+    sample.unpersist()
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+  }
+
+  private[operators] def nearestCell(v: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val ctr = centroids(c)
+      var d = 0.0
+      var j = 0
+      val n = math.min(v.length, ctr.length)
+      while (j < n) { val t = v(j) - ctr(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Assign every vector to its coarse cell (map-side, broadcast centroids). */
+  def assignCells(embeddings: DataFrame, centroids: Array[(Int, Array[Double])]): DataFrame = {
+    val ctrs = centroids.sortBy(_._1).map(_._2)
+    val cellUdf = udf((v: Array[Float]) => nearestCell(v.map(_.toDouble), ctrs))
+    embeddings.withColumn("cell", cellUdf(col("embedding")))
+  }
+
+  /** ANN top-k: scan only the `nprobe` cells nearest to the query vector. */
+  def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
+              nCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val centroids = trainCentroids(embeddings, nCells)
+    val withCells = assignCells(embeddings, centroids)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val qVec = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding")).as[Seq[Float]].head().map(_.toDouble).toArray
+    val probeCells = centroids
+      .map { case (cell, ctr) =>
+        var d = 0.0; var j = 0
+        while (j < math.min(qVec.length, ctr.length)) { val t = qVec(j) - ctr(j); d += t * t; j += 1 }
+        (cell, d)
+      }
+      .sortBy { case (cell, d) => (d, cell) }
+      .take(nprobe).map(_._1).toSet
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("query_vec"))
+    withCells
+      .filter(col("cell").isin(probeCells.toSeq: _*))
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cell"),
+        VectorExpressions.cosineF(col("embedding"), col("query_vec")).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+  }
+}

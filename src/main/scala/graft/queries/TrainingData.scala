@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalytics._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, SimilarityIvf}
 import graft.sources.Tables
 
 /** Training-data-pipeline operators over the `documents` / `embeddings`
@@ -105,6 +105,10 @@ object TrainingData {
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(spark, dir), queryId = 0L, k = 10)
 
+  def simAnnIvf(spark: SparkSession, dir: String): DataFrame =
+    SimilarityIvf.ivfTopK(Tables.embeddings(spark, dir), queryId = 0L, k = 10,
+      nCells = 16, nprobe = 4)
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dd_exact"         -> ddExact _,
     "dd_jaccard_words" -> ddJaccardWords _,
@@ -119,6 +123,7 @@ object TrainingData {
     "ev_json_extract"  -> evJsonExtract _,
     "sim_cosine_topk"  -> simCosineTopK _,
     "sim_ann_lsh"      -> simAnnLsh _,
+    "sim_ann_ivf"      -> simAnnIvf _,
   )
 
   private val enList = enMarkers.map(s => s"'$s'").mkString("[", ", ", "]")

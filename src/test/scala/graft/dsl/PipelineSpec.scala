@@ -93,6 +93,21 @@ class PipelineSpec extends SparkSpec {
     assert(a.union(b).output.count() == 12)
   }
 
+  test("5k-element two-stage conduit: all processed, content verified (conduit_test.go:92+)") {
+    // the reference's TestFeedbackProcessing envelope: 5,000 elements
+    // through a 2-stage chain, every element accounted for
+    val p = Pipeline.fromSeq(spark, fb(5000), parallelism = 4)
+      .transform("stage1")(f => f.copy(content = f.content.toUpperCase))
+      .transformEither("stage2") { f =>
+        if (f.content.contains("ERROR")) Left("negative feedback") else Right(f.copy(category = "ok"))
+      }
+    val good = p.output.count()
+    val bad = p.errors.count()
+    assert(good + bad == 5000)
+    assert(bad == 1000) // every 5th is an error record
+    assert(p.output.filter((f: Feedback) => f.category == "ok").count() == good)
+  }
+
   test("errors pass through later transform stages untouched") {
     val p = Pipeline.fromSeq(spark, fb(10))
       .transformEither("fail")(f => if (f.customerId == "c1") Left("dead") else Right(f))

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkSpec {
+
+  private def planted(n: Int) = {
+    val embs = Tables.embeddings(spark, sfDir)
+    val extra = embs.filter(col("vec_id") === 0)
+      .crossJoin(spark.range(1, n + 1).toDF("i"))
+      .select((col("i") + 100000).as("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          (x + when(j % 7 === col("i") % 7, lit(0.01f)).otherwise(lit(0.0f))).cast("float"))
+          .as("embedding"),
+        lit(0).as("label"))
+    embs.unionByName(extra)
+  }
+
+  test("IVF centroids train deterministically and cover all cells") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val c1 = SimilarityIvf.trainCentroids(embs, nCells = 8, iters = 2)
+    val c2 = SimilarityIvf.trainCentroids(embs, nCells = 8, iters = 2)
+    assert(c1.length == 8)
+    assert(c1.map(_._1).toSeq == (0 until 8))
+    // determinism: identical centroids across runs
+    c1.zip(c2).foreach { case ((i1, v1), (i2, v2)) =>
+      assert(i1 == i2 && v1.sameElements(v2))
+    }
+    val cells = SimilarityIvf.assignCells(embs, c1)
+      .groupBy("cell").count().collect()
+    assert(cells.length > 1) // data actually spreads over cells
+  }
+
+  test("IVF top-k finds planted near-duplicates (same bar as LSH path)") {
+    val all = planted(10)
+    val exact = Similarity.bruteForceTopK(all, 0, 10).collect().map(_.getAs[Long]("vec_id")).toSet
+    val approx = SimilarityIvf.ivfTopK(all, 0, 10, nCells = 8, nprobe = 3)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = (exact & approx).size / 10.0
+    assert(recall >= 0.8, s"IVF recall on planted near-dups: $recall")
+  }
+
+  test("IVF probes only a subset of cells (the point of the index)") {
+    val all = planted(5)
+    val out = SimilarityIvf.ivfTopK(all, 0, 10, nCells = 8, nprobe = 2).collect()
+    val probedCells = out.map(_.getAs[Int]("cell")).toSet
+    assert(probedCells.size <= 2)
+  }
+}

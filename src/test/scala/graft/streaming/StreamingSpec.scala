@@ -111,6 +111,29 @@ class StreamingSpec extends SparkSpec {
     assert(main.size == 3)
   }
 
+  test("blackout window diverts whole batches to the backup sink (F2/F3)") {
+    var now = 0L
+    val cb = new CircuitBreaker(errorThreshold = 100, windowMillis = 1000, clock = () => now)
+    val blackout = new graft.reliability.Blackout(100, 200, () => now)
+    val main = collection.mutable.ArrayBuffer[Ev]()
+    val dlq = collection.mutable.ArrayBuffer[Ev]()
+    val backup = collection.mutable.ArrayBuffer[Ev]()
+    val sink = GuardedBatchSink[Ev](cb,
+      (ds, _) => main ++= ds.collect(),
+      (ds, _) => dlq ++= ds.collect(),
+      isError = _ => false,
+      blackout = Some(blackout),
+      writeBackup = Some((ds, _) => backup ++= ds.collect()))
+    sink(spark.createDataset(Seq(ev(1, 0))), 0L)
+    assert(main.size == 1 && backup.isEmpty)
+    now = 150 // inside the blackout window
+    sink(spark.createDataset(Seq(ev(2, 0), ev(3, 0))), 1L)
+    assert(main.size == 1 && backup.size == 2 && dlq.isEmpty)
+    now = 250 // blackout over
+    sink(spark.createDataset(Seq(ev(4, 0))), 2L)
+    assert(main.size == 2)
+  }
+
   test("observed meters surface via StreamingQueryListener (A1-A6)") {
     implicit val sqlCtx = spark.sqlContext
     val listener = new MeterListener()
