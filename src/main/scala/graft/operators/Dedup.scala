@@ -121,15 +121,26 @@ object Dedup {
     * `sampleMod` keeps one doc in `sampleMod`, bounding pairs to (n/m)²/2.
     */
   def jaccardPairs(docs: DataFrame, sampleMod: Int, threshold: Double): DataFrame = {
-    // word sets as sorted distinct 64-bit token hashes; pair intersection by
-    // linear merge (FastHash kernel) — the interpreted array_intersect/
-    // array_union formulation costs ~10x more on the O(pairs) inner loop
+    // Word sets as sorted distinct 64-bit token hashes; pair intersection by
+    // linear merge (FastHash kernel). The sampled sets are broadcast as a
+    // map so the O(n²) pair join moves only (a_id, b_id) — carrying the
+    // array columns through the cross join would copy ~size(set) bytes per
+    // pair. The sample is small by construction (that's what makes the
+    // quadratic verifier usable); the scalable near-dup path is minhashPairs.
+    val spark = docs.sparkSession
+    import spark.implicits._
     val sets = docs.filter(col("doc_id") % sampleMod === 0)
       .select(col("doc_id"), graft.functions.FastHash.tokenSetCol(col("text")).as("w"))
-    val a = sets.select(col("doc_id").as("a_id"), col("w").as("a_w"))
-    val b = sets.select(col("doc_id").as("b_id"), col("w").as("b_w"))
-    a.crossJoin(b).filter(col("a_id") < col("b_id"))
-      .withColumn("iu", graft.functions.FastHash.interUnionCol(col("a_w"), col("b_w")))
+      .as[(Long, Array[Long])].collect()
+    val bc = spark.sparkContext.broadcast(sets.toMap)
+    val iuUdf = udf { (aId: Long, bId: Long) =>
+      graft.functions.FastHash.interUnion(bc.value(aId), bc.value(bId))
+    }
+    val ids = sets.map(_._1).sorted
+    val idsDf = spark.createDataset(ids).toDF("a_id")
+    idsDf.crossJoin(spark.createDataset(ids).toDF("b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("iu", iuUdf(col("a_id"), col("b_id")))
       .select(col("a_id"), col("b_id"), col("iu._1").as("inter"), col("iu._2").as("uni"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
       .filter(col("jaccard") >= threshold)
