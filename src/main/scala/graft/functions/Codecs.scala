@@ -19,6 +19,12 @@ object Codecs {
   /** JSON decode into typed struct columns. */
   def fromJsonCol(c: Column, schema: StructType): Column = from_json(c, schema)
 
+  /** XML codec (codec/xml.go): Spark 4 ships native to_xml/from_xml. */
+  def toXmlRow(df: DataFrame, rootTag: String = "row"): Column =
+    to_xml(struct(df.columns.map(col): _*),
+      new java.util.HashMap[String, String] { put("rootTag", rootTag) })
+  def fromXmlCol(c: Column, schema: StructType): Column = from_xml(c, schema)
+
   /** Line codec (codec/line.go:23-39): value + newline on encode; trim on
     * decode. */
   def encodeLine(c: Column): Column = concat(c.cast("string"), lit("\n"))

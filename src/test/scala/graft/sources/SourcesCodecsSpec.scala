@@ -69,6 +69,15 @@ class SourcesCodecsSpec extends SparkSpec {
     assert(got == r2)
   }
 
+  test("XML codec round-trips rows (codec/xml.go, Spark 4 native to_xml/from_xml)") {
+    val df = Seq((7L, "hello & <world>"), (8L, "plain")).toDF("id", "payload")
+    val xml = df.select(Codecs.toXmlRow(df).as("x"))
+    val schema = StructType(Seq(StructField("id", LongType), StructField("payload", StringType)))
+    val back = xml.select(Codecs.fromXmlCol(col("x"), schema).as("r")).select("r.*")
+    assert(back.as[(Long, String)].collect().toSet ==
+      Set((7L, "hello & <world>"), (8L, "plain")))
+  }
+
   test("line codec encode/decode (codec/line.go:23-39)") {
     val df = Seq("hello").toDF("v")
     val enc = df.select(Codecs.encodeLine(col("v")).as("l")).as[String].head()
