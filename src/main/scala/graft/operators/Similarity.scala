@@ -53,6 +53,45 @@ object Similarity {
   def lshSignature(vec: Column, nPlanes: Int, dim: Int, bandBits: Int = 8): Column =
     graft.functions.FastHash.lshSignatureCol(vec, nPlanes, dim, bandBits)
 
+  /** Embedding-cosine near-duplicate pairs, exact sampled verifier: all
+    * pairs within the sample with cosine ≥ threshold. Precomputes the
+    * norm once per vector; the pair join then needs one codegen'd dot per
+    * pair. Quadratic by design (the oracle-checkable spec); the scalable
+    * candidate path is [[cosineNearDupPairs]]. */
+  def cosinePairsExact(embeddings: DataFrame, sampleMod: Int, threshold: Double): DataFrame = {
+    val dot = graft.plans.VectorExpressions.dotF _
+    val sample = embeddings.filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id"), col("embedding"), sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+    val a = sample.select(col("vec_id").as("a_id"), col("embedding").as("a_v"), col("norm").as("a_n"))
+    val b = sample.select(col("vec_id").as("b_id"), col("embedding").as("b_v"), col("norm").as("b_n"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("cos_sim", dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")))
+      .filter(col("cos_sim") >= threshold)
+      .select("a_id", "b_id", "cos_sim")
+  }
+
+  /** Embedding-cosine near-duplicate candidates at scale: LSH band
+    * collision prunes the pair space (shuffles only (band, id) rows), then
+    * exact cosine on bucket-colliding pairs. Recall < 1 by construction —
+    * the same LSH/verify contract as MinHash dedupe, for vectors. */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
+                         nPlanes: Int = 64, dim: Int = 64, bandBits: Int = 16): DataFrame = {
+    val dot = graft.plans.VectorExpressions.dotF _
+    val sigs = embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("norm"),
+      posexplode(lshSignature(col("embedding"), nPlanes, dim, bandBits)).as(Seq("band", "bucket")))
+    val a = sigs.select(col("band"), col("bucket"), col("vec_id").as("a_id"),
+      col("embedding").as("a_v"), col("norm").as("a_n"))
+    val b = sigs.select(col("band"), col("bucket"), col("vec_id").as("b_id"),
+      col("embedding").as("b_v"), col("norm").as("b_n"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos_sim", dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")))
+      .filter(col("cos_sim") >= threshold)
+      .select("a_id", "b_id", "cos_sim")
+      .distinct()
+  }
+
   /** ANN top-k: probe only vectors sharing at least one LSH band with the
     * query, then exact cosine on the candidates. `nPlanes` must be a
     * multiple of 16. Recall < 1 by construction; verified against

@@ -105,6 +105,14 @@ object TrainingData {
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(spark, dir), queryId = 0L, k = 10)
 
+  def ddEmbedExact(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairsExact(Tables.embeddings(spark, dir), sampleMod = 2, threshold = 0.4)
+      .orderBy("a_id", "b_id")
+
+  def ddEmbedLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(Tables.embeddings(spark, dir), threshold = 0.4)
+      .orderBy("a_id", "b_id")
+
   def simAnnIvf(spark: SparkSession, dir: String): DataFrame =
     SimilarityIvf.ivfTopK(Tables.embeddings(spark, dir), queryId = 0L, k = 10,
       nCells = 16, nprobe = 4)
@@ -114,6 +122,8 @@ object TrainingData {
     "dd_jaccard_words" -> ddJaccardWords _,
     "dd_minhash_lsh"   -> ddMinhashLsh _,
     "dd_simhash"       -> ddSimhash _,
+    "dd_embed_exact"   -> ddEmbedExact _,
+    "dd_embed_lsh"     -> ddEmbedLsh _,
     "txt_lang_id"      -> txtLangId _,
     "txt_quality"      -> txtQuality _,
     "txt_tokens"       -> txtTokens _,
@@ -188,6 +198,16 @@ object TrainingData {
     "txt_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dd_embed_exact" ->
+      """WITH n AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nm
+        | FROM embeddings WHERE vec_id % 2 = 0)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        | list_dot_product(a.v, b.v) / (a.nm * b.nm) AS cos_sim
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
     "txt_top_words" ->
       """SELECT word, COUNT(*) AS n FROM (
         | SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word

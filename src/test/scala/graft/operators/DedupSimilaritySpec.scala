@@ -80,6 +80,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"ANN recall on planted near-dups: $recall")
   }
 
+  test("embedding-cosine near-dup: LSH candidates are a subset of exact pairs, planted dups found") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.cosinePairsExact(embs, sampleMod = 1, threshold = 0.4)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val lsh = Similarity.cosineNearDupPairs(embs, threshold = 0.4)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(lsh.subsetOf(exact)) // candidates verified by exact cosine -> no false positives
+    // planted exact duplicate must always collide (cosine 1 -> same signs)
+    val withDup = embs.unionByName(embs.filter(col("vec_id") === 3)
+      .select(lit(100003L).as("vec_id"), col("embedding"), col("label")))
+    val dupPairs = Similarity.cosineNearDupPairs(withDup, threshold = 0.99)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    assert(dupPairs.contains((3L, 100003L)))
+  }
+
   test("jaccard pairs are symmetric-free (a<b) and above threshold") {
     val pairs = Dedup.jaccardPairs(docs, sampleMod = 5, threshold = 0.85).collect()
     assert(pairs.nonEmpty)
