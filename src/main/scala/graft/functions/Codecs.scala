@@ -73,7 +73,14 @@ object Codecs {
     inf.setInput(bytes)
     val out = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](4096)
-    while (!inf.finished()) out.write(buf, 0, inf.inflate(buf))
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      if (n == 0 && inf.needsInput()) {
+        inf.end()
+        throw new java.util.zip.DataFormatException("truncated or corrupt deflate stream")
+      }
+      out.write(buf, 0, n)
+    }
     inf.end()
     out.toByteArray
   }

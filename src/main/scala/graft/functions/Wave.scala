@@ -102,6 +102,7 @@ object Wave {
 
   /** Single-level Haar forward transform: (averages ++ details)/√2. */
   def haarForward(x: Array[Double]): Array[Double] = {
+    require(x.length % 2 == 0, s"Haar transform needs even length, got ${x.length}")
     val n = x.length / 2
     val out = new Array[Double](x.length)
     val s = math.sqrt(2.0)
@@ -116,6 +117,7 @@ object Wave {
 
   /** Inverse of [[haarForward]]. */
   def haarInverse(c: Array[Double]): Array[Double] = {
+    require(c.length % 2 == 0, s"Haar transform needs even length, got ${c.length}")
     val n = c.length / 2
     val out = new Array[Double](c.length)
     val s = math.sqrt(2.0)

@@ -19,8 +19,8 @@ import graft.functions.TextAnalytics
   *    O(docs × bands) narrow rows, never text × text. The verify step joins
   *    signatures, not documents, and only for bucket-colliding pairs.
   *  - SimHash is a 64-bit projection; near-dup candidates come from banding
-  *    the 64 bits into 4×16-bit keys (Hamming ≤ 3 ⇒ at least one band equal
-  *    by pigeonhole over 4 bands).
+  *    the 64 bits into maxHamming+1 keys (Hamming ≤ maxHamming ⇒ at least
+  *    one band equal, by pigeonhole).
   *  - All-pairs Jaccard is provided only as a *sampled* verifier (its O(n²)
   *    is the thing MinHash exists to avoid at 100 TB).
   */
@@ -70,6 +70,11 @@ object Dedup {
                    bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     val sigs = docs
       .select(col("doc_id"), minhashSignature(col("text"), shingleN, k).as("sig"))
+      // docs with fewer than shingleN tokens produce the sentinel
+      // all-Long.MaxValue signature; they have no similarity basis and would
+      // otherwise all collide into one bucket (false dup pairs + an O(m²)
+      // hot bucket). Drop them from candidate generation.
+      .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
     val buckets = sigs
       .select(col("doc_id"), col("sig"), explode(lshBands(col("sig"), k, bands)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
@@ -97,15 +102,26 @@ object Dedup {
   def simhash64(text: Column): Column =
     graft.functions.FastHash.simhashCol(text)
 
-  /** SimHash near-duplicate candidates: band the 64-bit hash into four
-    * 16-bit keys; Hamming-distance ≤ 3 pairs must share ≥ 1 band. Exact
+  /** SimHash near-duplicate candidates: band the 64 bits into
+    * `maxHamming + 1` keys — by pigeonhole, any pair within Hamming
+    * distance maxHamming shares at least one full band, so candidate
+    * generation is recall-complete for the requested distance. Exact
     * Hamming distance is then computed on the candidates only. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    require(nBands <= 64, s"maxHamming $maxHamming needs more bands than bits")
+    val bounds = (0 to nBands).map(b => b * 64 / nBands)
     val withSim = docs.select(col("doc_id"), simhash64(col("text")).as("simhash"))
+      // zero-token docs hash to exactly 0 and would all pair with each
+      // other; a real doc hashing to 0 has probability 2^-64
+      .filter(col("simhash") =!= 0L)
     val banded = withSim.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until nBands).map { b =>
+        val width = bounds(b + 1) - bounds(b)
+        val mask = if (width == 64) -1L else (1L << width) - 1
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))): _*)).as("bb"))
+          shiftright(col("simhash"), bounds(b)).bitwiseAND(mask).as("bucket"))
+      }: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bucket"))
     val a = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"), col("simhash").as("a_sim"))
     val b = banded.select(col("band"), col("bucket"), col("doc_id").as("b_id"), col("simhash").as("b_sim"))

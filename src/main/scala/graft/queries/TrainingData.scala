@@ -28,7 +28,7 @@ object TrainingData {
       .orderBy("a_id", "b_id")
 
   def ddSimhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(Tables.documents(spark, dir), maxHamming = 8)
+    Dedup.simhashPairs(Tables.documents(spark, dir), maxHamming = 3)
       .orderBy("a_id", "b_id")
 
   def txtLangId(spark: SparkSession, dir: String): DataFrame = {

@@ -1,7 +1,6 @@
 package graft.reliability
 
 import java.time.Instant
-import java.util.concurrent.atomic.{AtomicInteger, AtomicLong, AtomicReference}
 
 /** Driver-side reliability policies (SURVEY §2.5 / §7.6). In a Spark-first
   * design these are NOT Catalyst operators: rate limiting maps to source
@@ -19,24 +18,26 @@ import java.util.concurrent.atomic.{AtomicInteger, AtomicLong, AtomicReference}
   */
 final class CircuitBreaker(errorThreshold: Int, windowMillis: Long,
                            clock: () => Long = () => System.currentTimeMillis()) extends Serializable {
-  private val errorCount = new AtomicInteger(0)
-  private val windowStart = new AtomicLong(0L)
-  private val openedAt = new AtomicLong(-1L)
+  // plain fields guarded by `synchronized` — one driver-side decision per
+  // micro-batch, never contended enough to warrant lock-free structure
+  private var errorCount = 0
+  private var windowStart = 0L
+  private var openedAt = -1L
 
   /** Record `n` errors; trips the breaker if the threshold is crossed
     * within the rolling window. Returns the new open/closed state. */
   def recordErrors(n: Int): Boolean = synchronized {
     val now = clock()
-    if (now - windowStart.get() > windowMillis) { windowStart.set(now); errorCount.set(0) }
-    if (errorCount.addAndGet(n) >= errorThreshold && openedAt.get() < 0) openedAt.set(now)
+    if (now - windowStart > windowMillis) { windowStart = now; errorCount = 0 }
+    errorCount += n
+    if (errorCount >= errorThreshold && openedAt < 0) openedAt = now
     isOpen
   }
 
   /** True while tripped; auto-resets after the window elapses. */
   def isOpen: Boolean = synchronized {
-    val o = openedAt.get()
-    if (o >= 0 && clock() - o >= windowMillis) { openedAt.set(-1L); errorCount.set(0) }
-    openedAt.get() >= 0
+    if (openedAt >= 0 && clock() - openedAt >= windowMillis) { openedAt = -1L; errorCount = 0 }
+    openedAt >= 0
   }
 
   def allow: Boolean = !isOpen
@@ -91,8 +92,11 @@ object Blackout {
   * 5 attempts, 100 ms base, 3 s cap, full jitter. Used by foreachBatch JDBC/
   * object-store writers where Spark's task retry doesn't apply. */
 object Backoff {
+  /** seed defaults to a per-call nanoTime so concurrent retriers are
+    * DE-correlated (full jitter exists to spread the herd); pass a fixed
+    * seed only for reproducible tests. */
   def retry[A](attempts: Int = 5, baseMillis: Long = 100, capMillis: Long = 3000,
-               seed: Long = 42L, sleep: Long => Unit = Thread.sleep)(op: () => A): A = {
+               seed: Long = System.nanoTime(), sleep: Long => Unit = Thread.sleep)(op: () => A): A = {
     val rnd = new scala.util.Random(seed)
     var last: Throwable = null
     var i = 0
@@ -103,7 +107,7 @@ object Backoff {
           last = e
           if (i < attempts - 1) {
             val expCap = math.min(capMillis, baseMillis * (1L << i))
-            sleep(math.abs(rnd.nextLong()) % math.max(1L, expCap))
+            sleep(java.lang.Math.floorMod(rnd.nextLong(), math.max(1L, expCap)))
           }
       }
       i += 1

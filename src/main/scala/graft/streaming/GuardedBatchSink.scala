@@ -31,13 +31,17 @@ final class GuardedBatchSink[T](
       writeBackup.getOrElse(writeError)(batch, batchId)
       return
     }
-    val errs = batch.filter(isError(_))
-    val good = batch.filter(!isError(_))
-    // cache-free two-pass split: each side reads the micro-batch source once
-    val nErr = errs.count()
-    if (nErr > 0) breaker.recordErrors(nErr.toInt)
-    writeMain(good, batchId)
-    if (nErr > 0) writeError(errs, batchId)
+    // persist once: the split + count + two writes would otherwise
+    // recompute the micro-batch's upstream three times
+    batch.persist()
+    try {
+      val errs = batch.filter(isError(_))
+      val good = batch.filter(!isError(_))
+      val nErr = errs.count()
+      if (nErr > 0) breaker.recordErrors(nErr.toInt)
+      writeMain(good, batchId)
+      if (nErr > 0) writeError(errs, batchId)
+    } finally batch.unpersist()
   }
 }
 

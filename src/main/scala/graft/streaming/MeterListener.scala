@@ -21,6 +21,7 @@ final class MeterListener(
     completionTotal: Long = -1L,                  // stop when processed ≥ total (A5)
     errorPctThreshold: Double = -1.0,             // stop when error% ≥ threshold (A5)
     onTrip: String => Unit = _ => (),
+    meterName: String = "meter",                  // must match StreamOps.observed's name
 ) extends StreamingQueryListener {
 
   private val counters = new TrieMap[String, Long]()
@@ -56,14 +57,17 @@ final class MeterListener(
         }
       }
     }
-    // monitor policies (A5, meter/monitor.go): completion + error threshold
-    val processed = count("meter.processed_count")
-    val errors = count("meter.error_count")
-    if (completionTotal > 0 && processed >= completionTotal && tripped.isEmpty)
-      tripped = Some(s"completed: $processed >= $completionTotal")
-    if (errorPctThreshold > 0 && processed > 0 &&
-        errors.toDouble * 100.0 / processed >= errorPctThreshold && tripped.isEmpty)
-      tripped = Some(f"error threshold: ${errors.toDouble * 100.0 / processed}%.1f%% >= $errorPctThreshold%.1f%%")
-    tripped.foreach(onTrip)
+    // monitor policies (A5, meter/monitor.go): completion + error threshold;
+    // onTrip fires exactly once
+    val processed = count(s"$meterName.processed_count")
+    val errors = count(s"$meterName.error_count")
+    if (tripped.isEmpty) {
+      if (completionTotal > 0 && processed >= completionTotal)
+        tripped = Some(s"completed: $processed >= $completionTotal")
+      else if (errorPctThreshold > 0 && processed > 0 &&
+          errors.toDouble * 100.0 / processed >= errorPctThreshold)
+        tripped = Some(f"error threshold: ${errors.toDouble * 100.0 / processed}%.1f%% >= $errorPctThreshold%.1f%%")
+      tripped.foreach(onTrip)
+    }
   }
 }

@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   */
 object StreamOps {
 
-  /** Event-time column from the engine's canonical epoch-nanos BIGINT. */
+  /** Event-time column from the engine's canonical epoch-nanos BIGINT.
+    * Integer division (`div`), not `/`: double division rounds half the
+    * sub-µs remainders up, off-by-one vs the batch queries' `ts div 1000`. */
   def eventTime(nsCol: String): org.apache.spark.sql.Column =
-    timestamp_micros((col(nsCol) / 1000L).cast("long"))
+    timestamp_micros(expr(s"$nsCol div 1000"))
 
   /** Tumbling event-time window counts + sums with a watermark — the
     * streaming twin of Relational.q08 (A3 rate meters,
