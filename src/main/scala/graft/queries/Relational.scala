@@ -204,6 +204,44 @@ object Relational {
       .agg(org.apache.spark.sql.graft.PeakRateGlue.peakRatePerSecond(col("ts")).as("pr"))
       .select(col("pr.peak_second").as("peak_second"), col("pr.peak_count").as("peak_count"))
 
+  /** Q13 — semi/anti join membership (`ds.join(..., "left_semi"/"left_anti")`,
+    * SURVEY §2.7 Q12 family): customers with vs without orders. */
+  def q13SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir)
+    val orderKeys = Tables.orders(spark, dir).select(col("o_custkey"))
+    val semi = customer.join(orderKeys, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n")).select(lit("semi").as("kind"), col("n"))
+    val anti = customer.join(orderKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("anti").as("kind"), col("n"))
+    anti.unionByName(semi).orderBy("kind")
+  }
+
+  /** Q14 — ROLLUP hierarchy totals (multi-level meters in one pass). */
+  def q14Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum("l_quantity").as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** Q15 — sessionization (gaps-and-islands): a new session starts after a
+    * gap > 5 minutes per user. All event-time math on µs integers so the
+    * oracle matches exactly; the streaming twin is
+    * `StreamOps.sessionCounts` (native session_window). */
+  def q15Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 5L * 60 * 1000 * 1000
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+      .withColumn("prev_ts", lag("ts_us", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+      .orderBy("user_id", "session_id")
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_filter_project" -> q01FilterProject _,
     "q02_string_chain"   -> q02StringChain _,
@@ -218,6 +256,9 @@ object Relational {
     "q11_minmax_pct"     -> q11MinmaxPct _,
     "q12_join_enrich"    -> q12JoinEnrich _,
     "a3_peak_rate"       -> a3PeakRate _,
+    "q13_semi_anti"      -> q13SemiAnti _,
+    "q14_rollup"         -> q14Rollup _,
+    "q15_sessionize"     -> q15Sessionize _,
   )
 
   /** DuckDB-dialect oracle SQL, column-name and value aligned with the
@@ -289,5 +330,35 @@ object Relational {
         | SELECT epoch_us(ts) // 1000000 AS sec, COUNT(*) AS cnt
         | FROM events GROUP BY 1)
         |ORDER BY cnt DESC, sec ASC LIMIT 1""".stripMargin,
+    "q13_semi_anti" ->
+      """SELECT kind, n FROM (
+        | SELECT 'anti' AS kind, COUNT(*) AS n FROM customer
+        |  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        | UNION ALL
+        | SELECT 'semi' AS kind, COUNT(*) AS n FROM customer
+        |  WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |) ORDER BY kind""".stripMargin,
+    "q14_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q15_sessionize" ->
+      """WITH t AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
+        | FROM events),
+        |f AS (
+        | SELECT user_id, event_id, ts_us,
+        |  CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 300000000 THEN 1 ELSE 0 END AS new_session
+        | FROM t),
+        |s AS (
+        | SELECT user_id, ts_us,
+        |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM f)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        | MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -31,6 +31,20 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
       .select(col("window.start").as("window_start"), col("n"), col("sum_value"))
 
+  /** Session windows with a gap timeout — the streaming twin of
+    * Relational.q15Sessionize, using Spark's native `session_window`
+    * (state bounded by the watermark; sessions merge as late-but-in-bounds
+    * events arrive). */
+  def sessionCounts(events: DataFrame, nsCol: String, keyCol: String,
+                    gap: String, lateness: String): DataFrame =
+    events
+      .withColumn("event_time", eventTime(nsCol))
+      .withWatermark("event_time", lateness)
+      .groupBy(session_window(col("event_time"), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col(keyCol), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n"))
+
   /** Watermarked streaming dedupe (A7 streaming form): exactly the
     * reference's requeue-collapse identity but with state bounded by the
     * watermark (`dropDuplicatesWithinWatermark`, Spark 3.5+). */

@@ -28,6 +28,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows close after the gap timeout (streaming twin of q15)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.sessionCounts(mem.toDF(), "ts", "user_id", "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("sessions").outputMode("complete").start()
+    try {
+      // user 0: events at minute 0,1 (one session) and minute 20 (new session)
+      mem.addData(
+        Ev(1, 0L * minuteNs, 0, "click", 1.0),
+        Ev(2, 1L * minuteNs, 0, "click", 1.0),
+        Ev(3, 20L * minuteNs, 0, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").orderBy("session_start").collect()
+      assert(rows.length == 2)
+      assert(rows.map(_.getAs[Long]("n")).toSeq == Seq(2L, 1L))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark collapses repeated ids (A7 streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
