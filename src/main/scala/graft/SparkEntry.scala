@@ -25,16 +25,18 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap((Relational.queries ++ TrainingData.queries ++ Seq[(String, (SparkSession, String) => DataFrame)](
       "wave_analytics" -> ((s, _) => Wave.waveAnalytics(s)),
-      // The reference's benchmark workload (BASELINE.md row 1): N records,
-      // sha-256 per record over payload+seq, chained rounds
+      // The reference's benchmark workload (BASELINE.md row 1): 10M records,
+      // 256-byte payload from a 65,536-entry deterministic bank, sha-256 per
+      // record over payload+seq, chained rounds
       // (/root/reference/example/benchmark_example/processing/main.go:43-159).
-      // Scaled to 2M here so it times in seconds, not minutes, at local[32].
+      // Kernel-backed (FastHash.chainedSha256: digest-bytes chaining, reused
+      // MessageDigest) - the sha2()-expression formulation allocates a
+      // digest per call and hex-encodes between rounds.
       "t7_hash_throughput" -> ((s, _) => {
         import org.apache.spark.sql.functions._
-        val payload = sha2(concat(lit("bank-"), (col("id") % 65536).cast("string")), 256)
-        s.range(2000000L).toDF("id")
-          .select(graft.functions.Crypto.chainedHash(payload, col("id"), rounds = 1).as("hash"))
-          .agg(count(lit(1)).as("n"), max("hash").as("max_hash"))
+        s.range(10000000L).toDF("id")
+          .select(graft.functions.FastHash.bankChainedSha256Col(col("id"), rounds = 1).as("hash"))
+          .agg(count(lit(1)).as("n"), max(hex(col("hash"))).as("max_hash"))
       }),
     )): _*)
 

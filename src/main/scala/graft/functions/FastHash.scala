@@ -162,6 +162,64 @@ object FastHash {
     (inter, a.length + b.length - inter)
   }
 
+  /** Chained sha-256 kernel, the reference benchmark's per-record workload
+    * (`/root/reference/example/benchmark_example/processing/main.go:83-103`):
+    * round 0 hashes payload||seq, round i hashes payload||digest_{i-1} —
+    * raw digest bytes between rounds (no hex round-trips), one reused
+    * MessageDigest per thread. The expression-level twin
+    * (Crypto.chainedHash) chains hex strings; this kernel is the
+    * throughput path. */
+  private val sha256Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-256")
+  }
+
+  def chainedSha256(payload: Array[Byte], seq: Long, rounds: Int): Array[Byte] = {
+    val md = sha256Local.get()
+    md.reset()
+    md.update(payload)
+    var i = 56
+    while (i >= 0) { md.update((seq >>> i).toByte); i -= 8 } // big-endian seq
+    var digest = md.digest()
+    var r = 1
+    while (r < rounds) {
+      md.reset()
+      md.update(payload)
+      md.update(digest)
+      digest = md.digest()
+      r += 1
+    }
+    digest
+  }
+
+  def chainedSha256Col(payload: Column, seq: Column, rounds: Int): Column =
+    udf((p: Array[Byte], s: Long) => chainedSha256(p, s, rounds)).apply(payload, seq)
+
+  /** The reference benchmark's deterministic payload bank: `n` payloads of
+    * `size` bytes from an xorshift64* stream seeded 0x9E3779B97F4A7C15
+    * (`/root/reference/example/benchmark_example/processing/main.go:28-39`).
+    * Built lazily once per executor JVM (~17 MB at defaults) — payload
+    * generation stays outside the per-record hot loop, as in the reference. */
+  lazy val payloadBank: Array[Array[Byte]] = {
+    var x = 0x9E3779B97F4A7C15L
+    Array.fill(65536) {
+      val p = new Array[Byte](256)
+      var i = 0
+      while (i < 256) {
+        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+        val v = x * 0x2545F4914F6CDD1DL
+        p(i) = (v >>> 32).toByte
+        i += 1
+      }
+      p
+    }
+  }
+
+  /** Bank-payload chained hash keyed by sequence id — the full reference
+    * benchmark record workload as one kernel. */
+  def bankChainedSha256Col(seq: Column, rounds: Int): Column =
+    udf((s: Long) => chainedSha256(payloadBank((s % 65536).toInt), s, rounds)).apply(seq)
+
   // ---- Column-level wrappers ----
 
   def tokenSetCol(text: Column): Column = udf((s: String) => tokenSet(s)).apply(text)
