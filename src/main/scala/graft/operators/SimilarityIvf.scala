@@ -81,6 +81,46 @@ object SimilarityIvf {
     embeddings.withColumn("cell", cellUdf(col("embedding")))
   }
 
+  /** Persist the index: vectors written as parquet PARTITIONED BY cell
+    * (so probes become partition-pruned scans — at 100 TB a probe touches
+    * nprobe/nCells of the files, enforced by the storage layout, not a
+    * runtime filter), plus a `_centroids` side table. */
+  def buildIndex(embeddings: DataFrame, path: String, nCells: Int = 16,
+                 iters: Int = 3): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centroids = trainCentroids(embeddings, nCells, iters)
+    assignCells(embeddings, centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    spark.createDataset(centroids.toSeq.map { case (c, v) => (c, v.toSeq) })
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
+  /** Probe a persisted index: rank cells by centroid distance, scan only
+    * the best `nprobe` PARTITIONS, exact cosine re-rank. */
+  def probeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                 queryVec: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$path/_centroids")
+      .as[(Int, Seq[Double])].collect().map { case (c, v) => (c, v.toArray) }
+    val qd = queryVec.map(_.toDouble)
+    val probeCells = centroids.map { case (cell, ctr) =>
+      var d = 0.0; var j = 0
+      while (j < math.min(qd.length, ctr.length)) { val t = qd(j) - ctr(j); d += t * t; j += 1 }
+      (cell, d)
+    }.sortBy { case (cell, d) => (d, cell) }.take(nprobe).map(_._1)
+    val q = spark.createDataset(Seq(queryVec.toSeq)).toDF("query_vec")
+      .select(col("query_vec").cast("array<float>").as("query_vec"))
+    spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(probeCells.toSeq: _*)) // -> PartitionFilters
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cell"),
+        VectorExpressions.cosineF(col("embedding"), col("query_vec")).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** ANN top-k: scan only the `nprobe` cells nearest to the query vector. */
   def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
               nCells: Int = 16, nprobe: Int = 4): DataFrame = {

