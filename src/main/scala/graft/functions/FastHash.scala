@@ -162,6 +162,74 @@ object FastHash {
     (inter, a.length + b.length - inter)
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): polynomial rolling hash over `k`-char grams of the
+    * normalized text, keep the minimum hash of each `w`-gram window
+    * (rightmost on ties). Guarantees: any shared substring of length
+    * ≥ w + k - 1 between two documents yields at least one shared
+    * fingerprint — the partial-overlap detector exact hashing can't be.
+    * Returns sorted distinct fingerprints.
+    */
+  def winnow(text: String, k: Int = 8, w: Int = 4): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
+    // normalize: lower-case, collapse non-alphanumerics to one space
+    val sb = new java.lang.StringBuilder(text.length)
+    var prevSpace = true
+    var i = 0
+    while (i < text.length) {
+      var c = text.charAt(i)
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+      val alnum = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (alnum) { sb.append(c); prevSpace = false }
+      else if (!prevSpace) { sb.append(' '); prevSpace = true }
+      i += 1
+    }
+    val s = sb.toString.trim
+    if (s.length < k) return Array.emptyLongArray
+    val n = s.length - k + 1
+    val B = 1099511628211L
+    var topPow = 1L
+    i = 0
+    while (i < k - 1) { topPow *= B; i += 1 }
+    // rolling hashes of all k-grams
+    val grams = new Array[Long](n)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    grams(0) = splitmix64(h)
+    i = 1
+    while (i < n) {
+      h = (h - s.charAt(i - 1) * topPow) * B + s.charAt(i + k - 1)
+      grams(i) = splitmix64(h)
+      i += 1
+    }
+    // winnow: min per window of w grams, rightmost on ties
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    val windows = math.max(1, n - w + 1)
+    var wi = 0
+    var lastIdx = -1
+    while (wi < windows) {
+      var minIdx = wi
+      var j = wi
+      val end = math.min(wi + w, n)
+      while (j < end) { if (grams(j) <= grams(minIdx)) minIdx = j; j += 1 }
+      if (minIdx != lastIdx) { out += grams(minIdx); lastIdx = minIdx }
+      wi += 1
+    }
+    val arr = out.toArray
+    java.util.Arrays.sort(arr)
+    var wr = 1
+    i = 1
+    while (i < arr.length) {
+      if (arr(i) != arr(wr - 1)) { arr(wr) = arr(i); wr += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(arr, math.min(wr, arr.length))
+  }
+
+  def winnowCol(text: Column, k: Int = 8, w: Int = 4): Column =
+    udf((s: String) => winnow(s, k, w)).apply(text)
+
   /** Chained sha-256 kernel, the reference benchmark's per-record workload
     * (`/root/reference/example/benchmark_example/processing/main.go:83-103`):
     * round 0 hashes payload||seq, round i hashes payload||digest_{i-1} —

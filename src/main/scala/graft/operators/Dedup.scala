@@ -133,6 +133,32 @@ object Dedup {
       .select("a_id", "b_id", "hamming")
   }
 
+  /** Winnowing-fingerprint overlap candidates: documents sharing ≥
+    * `minShared` rolling-hash fingerprints (detects PARTIAL overlap —
+    * shared passages of ≥ w+k-1 chars — which whole-document hashing and
+    * token-set similarity both miss). Same narrow shuffle shape as the
+    * other LSH ops: explode (fingerprint, doc_id), self-join on
+    * fingerprint, count per pair. Fingerprints shared by more than
+    * `maxDocFreq` docs are dropped first (boilerplate suppression and the
+    * hot-key guard in one). */
+  def winnowOverlapPairs(docs: DataFrame, k: Int = 8, w: Int = 4,
+                         minShared: Int = 2, maxDocFreq: Int = 100): DataFrame = {
+    val fps = docs
+      .select(col("doc_id"),
+        explode(graft.functions.FastHash.winnowCol(col("text"), k, w)).as("fp"))
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq && col("df") >= 2)
+      .select("fp")
+    val kept = fps.join(rare, "fp")
+    val a = kept.select(col("fp"), col("doc_id").as("a_id"))
+    val b = kept.select(col("fp"), col("doc_id").as("b_id"))
+    a.join(b, "fp")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** Sampled all-pairs word-set Jaccard (the exact verifier / oracle query).
     * `sampleMod` keeps one doc in `sampleMod`, bounding pairs to (n/m)²/2.
     */

@@ -105,6 +105,10 @@ object TrainingData {
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(spark, dir), queryId = 0L, k = 10)
 
+  def ddWinnowOverlap(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowOverlapPairs(Tables.documents(spark, dir), minShared = 10, maxDocFreq = 20)
+      .orderBy("a_id", "b_id")
+
   def ddEmbedExact(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosinePairsExact(Tables.embeddings(spark, dir), sampleMod = 2, threshold = 0.4)
       .orderBy("a_id", "b_id")
@@ -122,6 +126,7 @@ object TrainingData {
     "dd_jaccard_words" -> ddJaccardWords _,
     "dd_minhash_lsh"   -> ddMinhashLsh _,
     "dd_simhash"       -> ddSimhash _,
+    "dd_winnow_overlap" -> ddWinnowOverlap _,
     "dd_embed_exact"   -> ddEmbedExact _,
     "dd_embed_lsh"     -> ddEmbedLsh _,
     "txt_lang_id"      -> txtLangId _,

@@ -70,6 +70,20 @@ object GraftProperties extends Properties("graft") {
       a.zip(b).forall { case (x, y) => y <= x }
     }
 
+  property("winnowing: a shared long substring yields a shared fingerprint") =
+    forAll(Gen.alphaStr.suchThat(_.length >= 30), Gen.alphaStr, Gen.alphaStr) {
+      (shared, pre, post) =>
+        val a = FastHash.winnow(pre + " " + shared)
+        val b = FastHash.winnow(shared + " " + post)
+        // guarantee: substrings of length >= w+k-1 (=11) share a fingerprint
+        a.intersect(b).nonEmpty
+    }
+
+  property("winnowing deterministic, sorted, distinct") = forAll(textGen) { t =>
+    val f1 = FastHash.winnow(t); val f2 = FastHash.winnow(t)
+    f1.sameElements(f2) && f1.sameElements(f1.clone().sorted) && f1.distinct.length == f1.length
+  }
+
   property("lsh signature stable and band-count correct") = forAll(
     Gen.listOfN(64, Gen.chooseNum(-1f, 1f))) { vs =>
     val v = vs.toArray
