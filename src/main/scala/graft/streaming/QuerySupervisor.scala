@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.reliability.{Backoff, CircuitBreaker}
+
+/** Circuit-breaker-gated restart loop for a streaming query — the
+  * reference generator's connector supervision
+  * (`/root/reference/pkg/internal/generator/internal.go:89-117`: restart
+  * each failed connector unless the breaker is open, on a control-loop
+  * tick). With Structured Streaming checkpoints a restart resumes
+  * exactly-once from the last committed offsets, which is strictly
+  * stronger than the reference's re-poll.
+  */
+final class QuerySupervisor(
+    breaker: CircuitBreaker,
+    maxRestarts: Int = 5,
+    restartBackoffMs: Long = 100,
+    tickMs: Long = 100,              // generator/internal.go:54 control tick
+    sleep: Long => Unit = Thread.sleep,
+) {
+
+  @volatile private var restartCount = 0
+  @volatile private var stopped = false
+  @volatile private var lastErrorMsg: Option[String] = None
+
+  def restarts: Int = restartCount
+  def lastError: Option[String] = lastErrorMsg
+
+  /** Ask the supervisor to stop after the current query terminates. */
+  def shutdown(): Unit = stopped = true
+
+  /** Run `mkQuery` under supervision, blocking until clean termination,
+    * breaker-open with no recovery, or the restart budget is exhausted.
+    * Returns true if the final termination was clean. */
+  def superviseBlocking(mkQuery: () => StreamingQuery): Boolean = {
+    while (!stopped) {
+      if (!breaker.allow) { sleep(tickMs) } // wait out the open window
+      else {
+        val q = mkQuery()
+        try {
+          q.awaitTermination()
+          return true // clean stop
+        } catch {
+          case e: Throwable =>
+            lastErrorMsg = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+            breaker.recordErrors(1)
+            restartCount += 1
+            if (restartCount > maxRestarts) return false
+            sleep(math.min(restartBackoffMs * (1L << math.min(restartCount, 10)), 5000L))
+        }
+      }
+    }
+    true
+  }
+}

@@ -152,6 +152,28 @@ class StreamingSpec extends SparkSpec {
     assert(main.size == 2)
   }
 
+  test("query supervisor restarts a failing query until it recovers (generator/internal.go:89-117)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(ev(1, 0), ev(2, 0))
+    val failuresLeft = new java.util.concurrent.atomic.AtomicInteger(2)
+    val processed = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val cb = new graft.reliability.CircuitBreaker(errorThreshold = 10, windowMillis = 50)
+    val sup = new QuerySupervisor(cb, maxRestarts = 5, restartBackoffMs = 1, sleep = _ => ())
+    def mkQuery() = mem.toDS().writeStream
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[Ev], _: Long) =>
+        if (failuresLeft.getAndDecrement() > 0) throw new RuntimeException("sink down")
+        ds.collect().foreach(e => processed.add(e.event_id))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val clean = sup.superviseBlocking(() => mkQuery())
+    assert(clean, s"supervisor gave up: ${sup.lastError}")
+    assert(sup.restarts == 2)
+    assert(processed.contains(1L) && processed.contains(2L))
+  }
+
   test("observed meters surface via StreamingQueryListener (A1-A6)") {
     implicit val sqlCtx = spark.sqlContext
     val listener = new MeterListener()
