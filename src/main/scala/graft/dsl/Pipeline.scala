@@ -129,10 +129,15 @@ final class Pipeline[T: Encoder : TypeTag] private (private val routed: Dataset[
       .map(r => PipelineError(r.value, r.stage, r.error))
   }
 
-  /** Terminal collect — the reference's `Load()` / `LoadAsJSONArray()`
-    * (`/root/reference/pkg/internal/wire/load.go:11-52`). Driver-side by
+  /** Terminal collect — the reference's `Load()`
+    * (`/root/reference/pkg/internal/wire/load.go:11-31`). Driver-side by
     * definition; use `output` + a writer for anything large. */
   def load(): Seq[T] = output.collect().toSeq
+
+  /** The reference's `LoadAsJSONArray()` (`wire/load.go:33-52`): drain the
+    * main flow as one JSON array string. */
+  def loadAsJsonArray(): String =
+    output.toJSON.collect().mkString("[", ",", "]")
 }
 
 object Pipeline {

@@ -117,6 +117,18 @@ object TrainingData {
     Similarity.cosineNearDupPairs(Tables.embeddings(spark, dir), threshold = 0.4)
       .orderBy("a_id", "b_id")
 
+  /** Multimodal feature extraction over binary media columns (stub codec;
+    * the Spark-side plumbing — schema, per-partition batching, error
+    * routing — is the real deliverable). Rows-only check. */
+  def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.extractFeatures(Multimodal.syntheticMedia(Tables.documents(spark, dir)))
+      .toDF()
+      .select(col("media_id"), col("kind"), col("byteLen"), col("meanByte"),
+        col("entropy"), col("ok"))
+      .orderBy("media_id")
+  }
+
   def simAnnIvf(spark: SparkSession, dir: String): DataFrame =
     SimilarityIvf.ivfTopK(Tables.embeddings(spark, dir), queryId = 0L, k = 10,
       nCells = 16, nprobe = 4)
@@ -139,6 +151,7 @@ object TrainingData {
     "sim_cosine_topk"  -> simCosineTopK _,
     "sim_ann_lsh"      -> simAnnLsh _,
     "sim_ann_ivf"      -> simAnnIvf _,
+    "mm_features"      -> mmFeatures _,
   )
 
   private val enList = enMarkers.map(s => s"'$s'").mkString("[", ", ", "]")

@@ -108,6 +108,13 @@ class PipelineSpec extends SparkSpec {
     assert(p.output.filter((f: Feedback) => f.category == "ok").count() == good)
   }
 
+  test("loadAsJsonArray drains the flow as one JSON array (wire/load.go:33-52)") {
+    val json = Pipeline.fromSeq(spark, fb(3)).loadAsJsonArray()
+    assert(json.startsWith("[") && json.endsWith("]"))
+    assert(json.split("\\},\\{").length == 3)
+    assert(json.contains("\"customerId\""))
+  }
+
   test("errors pass through later transform stages untouched") {
     val p = Pipeline.fromSeq(spark, fb(10))
       .transformEither("fail")(f => if (f.customerId == "c1") Left("dead") else Right(f))
