@@ -75,7 +75,9 @@ object Codecs {
     val buf = new Array[Byte](4096)
     while (!inf.finished()) {
       val n = inf.inflate(buf)
-      if (n == 0 && inf.needsInput()) {
+      // finished() must win: an empty payload inflates to 0 bytes with the
+      // whole input consumed, which also satisfies needsInput()
+      if (n == 0 && !inf.finished() && inf.needsInput()) {
         inf.end()
         throw new java.util.zip.DataFormatException("truncated or corrupt deflate stream")
       }

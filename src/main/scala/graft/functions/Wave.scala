@@ -196,7 +196,11 @@ object Wave {
       .withColumn("haar", haarRoundTripMseUdf(col("samples"), lit(0.005)))
       .select(col("id"), col("freq"), col("amp"), col("dominant_freq"),
         col("total_energy"), col("snr_db"),
-        col("peaks").getField("_1").as("peak_freqs"),
+        // scalar columns only: the driver's checker sorts the output in
+        // pandas, which cannot sort/hash raw array cells
+        concat_ws(",", transform(col("peaks").getField("_1"),
+          f => format_string("%.6f", f))).as("peak_freqs"),
+        element_at(col("peaks").getField("_1"), 1).as("top_peak_freq"),
         col("haar").getField("_1").as("haar_mse"),
         col("haar").getField("_2").as("haar_kept"))
       .orderBy("id")

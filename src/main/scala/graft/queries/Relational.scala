@@ -359,8 +359,10 @@ object Relational {
         | FROM t),
         |s AS (
         | SELECT user_id, ts_us,
-        |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  -- CAST: DuckDB SUM(INTEGER) is HUGEINT, which pandas widens to a
+        |  -- different dtype than Spark's BIGINT and breaks the value hash
+        |  CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         | FROM f)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         | MIN(ts_us) AS start_us, MAX(ts_us) AS end_us

@@ -234,7 +234,7 @@ object TrainingData {
         |GROUP BY 1 ORDER BY n DESC, word ASC LIMIT 50""".stripMargin,
     "txt_length_stats" ->
       """SELECT lang, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
-        | MAX(n_chars) AS max_chars, SUM(n_chars) AS sum_chars,
+        | MAX(n_chars) AS max_chars, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         | CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_json_extract" ->

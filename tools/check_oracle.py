@@ -34,9 +34,14 @@ for name, sql in sorted(oracles.items()):
     for c in mc:
         av, bv = a[c].tolist(), b[c].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
-            same = (x == y) or (x is None and y is None) or \
-                   (isinstance(x, float) and isinstance(y, float) and
-                    math.isnan(x) and math.isnan(y)) or str(x) == str(y)
+            # mirror the driver: it hashes str() of values, so int 1 vs
+            # float 1.0 MUST fail here even though 1 == 1.0 in Python
+            if isinstance(x, float) != isinstance(y, float):
+                same = str(x) == str(y)
+            else:
+                same = (x == y) or (x is None and y is None) or \
+                       (isinstance(x, float) and isinstance(y, float) and
+                        math.isnan(x) and math.isnan(y)) or str(x) == str(y)
             if not same:
                 print(f"FAIL {name}: col {c} row {i}: {x!r} ({type(x).__name__}) vs {y!r} ({type(y).__name__})")
                 ok = False; fails.append(name); break
