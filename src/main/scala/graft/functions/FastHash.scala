@@ -151,6 +151,49 @@ object FastHash {
     java.util.Arrays.copyOf(t, w)
   }
 
+  /** Distinct sorted FNV-1a hashes of the character `n`-grams of the
+    * normalized text (ASCII lower-case, non-alphanumeric runs collapsed to
+    * one space, trimmed) — the set representation for character-level
+    * Jaccard, which catches near-dups that word tokenization misses
+    * (typos, joined/split words). DuckDB transliteration of the
+    * normalization: `trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+    * 'g'))`. */
+  def charNgramSet(text: String, n: Int): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
+    val sb = new java.lang.StringBuilder(text.length)
+    var lastSpace = true
+    var i = 0
+    while (i < text.length) {
+      var c = text.charAt(i)
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        sb.append(c); lastSpace = false
+      } else if (!lastSpace) {
+        sb.append(' '); lastSpace = true
+      }
+      i += 1
+    }
+    while (sb.length > 0 && sb.charAt(sb.length - 1) == ' ') sb.setLength(sb.length - 1)
+    if (sb.length < n) return Array.emptyLongArray
+    val out = new Array[Long](sb.length - n + 1)
+    var p = 0
+    while (p <= sb.length - n) {
+      var h = -3750763034362895579L
+      var j = 0
+      while (j < n) { h = (h ^ sb.charAt(p + j)) * 1099511628211L; j += 1 }
+      out(p) = h
+      p += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 1
+    var q = 1
+    while (q < out.length) {
+      if (out(q) != out(w - 1)) { out(w) = out(q); w += 1 }
+      q += 1
+    }
+    java.util.Arrays.copyOf(out, w)
+  }
+
   /** (intersection, union) sizes of two sorted distinct arrays via merge. */
   def interUnion(a: Array[Long], b: Array[Long]): (Int, Int) = {
     var i = 0; var j = 0; var inter = 0
@@ -291,6 +334,9 @@ object FastHash {
   // ---- Column-level wrappers ----
 
   def tokenSetCol(text: Column): Column = udf((s: String) => tokenSet(s)).apply(text)
+
+  def charNgramSetCol(text: Column, n: Int): Column =
+    udf((s: String) => charNgramSet(s, n)).apply(text)
 
   def interUnionCol(a: Column, b: Column): Column =
     udf((x: Array[Long], y: Array[Long]) => interUnion(x, y)).apply(a, b)

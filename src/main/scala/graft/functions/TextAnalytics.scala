@@ -80,4 +80,41 @@ object TextAnalytics {
   /** 64-bit rolling-style content hash (xxhash64 of the normalized text) —
     * cheap bigint identity for shuffle keys; codegen'd native expression. */
   def fingerprint64(text: Column): Column = xxhash64(normalizedText(text))
+
+  // ---- HTML → text extraction (K8 HTML codec,
+  //      `/root/reference/pkg/internal/codec/html.go`, generalized to the
+  //      web-corpus extraction step of a training-data pipeline) ----
+
+  /** Strip an HTML document to its visible text: drop script/style blocks
+    * and comments, remove tags, decode the common entities, collapse
+    * whitespace. Pure regexp chain — no UDF, stays in codegen, and has an
+    * exact DuckDB transliteration (regexp_replace/replace chain). Every
+    * pattern is valid in both java.util.regex and RE2 ((?is) inline flags,
+    * non-greedy quantifiers). */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    // literal replaces; &amp; LAST so "&amp;lt;" single-decodes to "&lt;"
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  // ---- PII redaction (training-data sanitization pass) ----
+
+  /** Patterns valid and identical in java.util.regex and RE2. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  /** Mask emails then phones. Email first: an email never contains a
+    * phone-shaped substring, so order only matters for determinism. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailPattern, "[EMAIL]"),
+      phonePattern, "[PHONE]")
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(emailPattern))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(phonePattern))
 }

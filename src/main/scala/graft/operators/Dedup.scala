@@ -162,17 +162,32 @@ object Dedup {
   /** Sampled all-pairs word-set Jaccard (the exact verifier / oracle query).
     * `sampleMod` keeps one doc in `sampleMod`, bounding pairs to (n/m)²/2.
     */
-  def jaccardPairs(docs: DataFrame, sampleMod: Int, threshold: Double): DataFrame = {
-    // Word sets as sorted distinct 64-bit token hashes; pair intersection by
-    // linear merge (FastHash kernel). The sampled sets are broadcast as a
-    // map so the O(n²) pair join moves only (a_id, b_id) — carrying the
-    // array columns through the cross join would copy ~size(set) bytes per
-    // pair. The sample is small by construction (that's what makes the
-    // quadratic verifier usable); the scalable near-dup path is minhashPairs.
+  def jaccardPairs(docs: DataFrame, sampleMod: Int, threshold: Double): DataFrame =
+    sampledSetJaccard(docs, graft.functions.FastHash.tokenSetCol(col("text")),
+      sampleMod, threshold)
+
+  /** Sampled all-pairs character n-gram Jaccard: the set is char n-grams of
+    * the normalized text rather than word tokens — catches typo-level and
+    * word-boundary near-dups word sets miss. Same sampled-verifier role as
+    * [[jaccardPairs]]; the scale path for char-level similarity is
+    * minhashPairs over char shingles. */
+  def charNgramJaccardPairs(docs: DataFrame, n: Int = 3, sampleMod: Int = 10,
+                            threshold: Double = 0.6): DataFrame =
+    sampledSetJaccard(docs, graft.functions.FastHash.charNgramSetCol(col("text"), n),
+      sampleMod, threshold)
+
+  private def sampledSetJaccard(docs: DataFrame, setCol: Column,
+                                sampleMod: Int, threshold: Double): DataFrame = {
+    // Sets as sorted distinct 64-bit hashes; pair intersection by linear
+    // merge (FastHash kernel). The sampled sets are broadcast as a map so
+    // the O(n²) pair join moves only (a_id, b_id) — carrying the array
+    // columns through the cross join would copy ~size(set) bytes per pair.
+    // The sample is small by construction (that's what makes the quadratic
+    // verifier usable); the scalable near-dup path is minhashPairs.
     val spark = docs.sparkSession
     import spark.implicits._
     val sets = docs.filter(col("doc_id") % sampleMod === 0)
-      .select(col("doc_id"), graft.functions.FastHash.tokenSetCol(col("text")).as("w"))
+      .select(col("doc_id"), setCol.as("w"))
       .as[(Long, Array[Long])].collect()
     val bc = spark.sparkContext.broadcast(sets.toMap)
     val iuUdf = udf { (aId: Long, bId: Long) =>

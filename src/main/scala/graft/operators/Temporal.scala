@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks as built-ins: as-of join and
+  * interval×point range join. The reference has no joins at all (SURVEY §2
+  * intro); these generalize its event-stream semantics (ordered per-key
+  * element flow, `/root/reference/pkg/internal/resister/queue.go:106-133`)
+  * to the cross-stream correlation queries a warehouse needs.
+  *
+  * Scale design — both operators avoid the naive O(n·m) range join
+  * (BroadcastNestedLoopJoin) that Catalyst would pick for an inequality
+  * predicate:
+  *  - asofJoin is a UNION + one shuffle on the key + per-key sort: cost is
+  *    the same as a single window aggregation, no pair blow-up, works at any
+  *    left/right ratio. This is the standard "sort-merge as-of" plan.
+  *  - intervalPointJoin buckets time so the range predicate becomes an
+  *    equi-join on (key, bucket) plus a residual filter; each interval
+  *    explodes to ~(width/bucket)+1 rows, each point to exactly 1.
+  */
+object Temporal {
+
+  /** As-of join: for each left row, attach the most recent right row with
+    * `right.ts <= left.ts` in the same `key` group (null columns when no
+    * right row precedes). Right rows must be unique per (key, ts) — dedupe
+    * upstream or matches are nondeterministic.
+    *
+    * Plan: tag sides, unionByName, one window over (key) ordered by
+    * (ts, side) with right-before-left on ties (inclusive <=), carry the
+    * latest right struct forward with last(ignoreNulls), keep left rows.
+    * One exchange + one sort; nothing quadratic.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!rightCols.contains(key) && !rightCols.contains(ts),
+      s"rightCols must exclude the join columns ($key, $ts)")
+    val l = left.select(col(key).as("__k"), col(ts).as("__ts"),
+      lit(1).as("__side"), struct(leftCols.map(col): _*).as("__l"))
+    val r = right.select(col(key).as("__k"), col(ts).as("__ts"),
+      lit(0).as("__side"), struct(rightCols.map(col): _*).as("__r"))
+    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(c => col("__l").getField(c).as(c)) ++
+        rightCols.map(c => col("__m").getField(c).as(c)): _*)
+  }
+
+  /** Interval×point range join: rows of `points` whose `ts` falls in
+    * [lo, hi] of an `intervals` row with the same `key` (inner join
+    * semantics). `bucketWidth` should be ≈ the typical interval width:
+    * each interval is exploded to the buckets it spans (width/bucket + 1),
+    * each point maps to exactly one bucket — so a (interval, point) pair
+    * can only meet in the point's single bucket and needs no dedup.
+    */
+  def intervalPointJoin(intervals: DataFrame, points: DataFrame, key: String,
+                        lo: String, hi: String, ts: String,
+                        bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val b = lit(bucketWidth)
+    val exploded = intervals.withColumn("__b",
+      explode(sequence(floor(col(lo) / b), floor(col(hi) / b))))
+    val bucketed = points.withColumn("__b", floor(col(ts) / b))
+    exploded.join(bucketed, Seq(key, "__b"))
+      .filter(col(ts) >= col(lo) && col(ts) <= col(hi))
+      .drop("__b")
+  }
+}

@@ -247,6 +247,92 @@ object Relational {
       .orderBy("user_id", "session_id")
   }
 
+  /** Q16 — as-of attribution: each purchase joined to the user's most recent
+    * preceding view (operators.Temporal.asofJoin — union + one window, no
+    * range-join blow-up; DuckDB oracle uses its native ASOF JOIN). Views are
+    * deduped to one per (user, µs) first so tie-breaking is well-defined in
+    * both engines. */
+  def evAsofAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Temporal
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), expr("ts div 1000").as("view_ts_us"), col("event_id"))
+      .groupBy("user_id", "view_ts_us")
+      .agg(max("event_id").as("view_id"))
+      .withColumn("ts_us", col("view_ts_us"))
+    Temporal.asofJoin(purchases, views, key = "user_id", ts = "ts_us",
+        rightCols = Seq("view_id", "view_ts_us"))
+      .withColumn("gap_us", col("ts_us") - col("view_ts_us"))
+      .orderBy("purchase_id")
+  }
+
+  /** Q17 — interval×point range join: views within the 24 hours before
+    * each purchase, counted per purchase (operators.Temporal
+    * .intervalPointJoin — bucketed equi-join + residual filter replaces the
+    * nested-loop range join Catalyst would otherwise pick). */
+  def evRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Temporal
+    val winUs = 86400L * 1000 * 1000
+    val ev = Tables.events(spark, dir)
+    val windows = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        (expr("ts div 1000") - winUs).as("lo_us"), expr("ts div 1000").as("hi_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+    Temporal.intervalPointJoin(windows, views, key = "user_id",
+        lo = "lo_us", hi = "hi_us", ts = "ts_us", bucketWidth = winUs)
+      .groupBy("purchase_id", "user_id")
+      .agg(count(lit(1)).as("n_views"), max("ts_us").as("last_view_us"))
+      .orderBy("purchase_id")
+  }
+
+  /** Q18 — dispersion meters (variance/stddev as an A2/A4 extension): exact
+    * integer-cent sums (order-independent), then an IDENTICAL double
+    * expression tree in both engines — each IEEE op is deterministic, so
+    * sqrt((sxx - sx²/n)/(n-1))/100 is bit-identical when sx/sxx/n match
+    * exactly. */
+  def q16Dispersion(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    Tables.events(spark, dir)
+      .select(col("event_type"), cents.as("cents"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sx_cents"),
+        sum(col("cents") * col("cents")).as("sxx_cents2"))
+      .withColumn("mean_value",
+        col("sx_cents").cast("double") / col("n").cast("double") / lit(100.0))
+      .withColumn("var_value",
+        (col("sxx_cents2").cast("double") -
+          col("sx_cents").cast("double") * col("sx_cents").cast("double") / col("n").cast("double"))
+          / (col("n").cast("double") - lit(1.0)) / lit(10000.0))
+      .withColumn("stddev_value", sqrt(col("var_value")))
+      .orderBy("event_type")
+  }
+
+  /** Q19 — CUBE hierarchy totals (all four grouping combinations in one
+    * pass; the GROUPING SETS twin of q14_rollup). */
+  def q17Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum("l_quantity").as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** Q20 — pivot: per-user event-type counts as columns (`Dataset.pivot`
+    * with an explicit value list so the plan is a single pass — no
+    * distinct-values pre-query; missing combinations coalesce to 0 to match
+    * the oracle's FILTER counts). */
+  def q18Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy("user_id")
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_filter_project" -> q01FilterProject _,
     "q02_string_chain"   -> q02StringChain _,
@@ -264,6 +350,11 @@ object Relational {
     "q13_semi_anti"      -> q13SemiAnti _,
     "q14_rollup"         -> q14Rollup _,
     "q15_sessionize"     -> q15Sessionize _,
+    "ev_asof_attribution" -> evAsofAttribution _,
+    "ev_range_join"      -> evRangeJoin _,
+    "q16_dispersion"     -> q16Dispersion _,
+    "q17_cube"           -> q17Cube _,
+    "q18_pivot"          -> q18Pivot _,
   )
 
   /** DuckDB-dialect oracle SQL, column-name and value aligned with the
@@ -367,5 +458,62 @@ object Relational {
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         | MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_asof_attribution" ->
+      """WITH p AS (
+        | SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS ts_us
+        | FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        | SELECT user_id, epoch_us(ts) AS view_ts_us, MAX(event_id) AS view_id
+        | FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.purchase_id, p.user_id, p.ts_us, v.view_id, v.view_ts_us,
+        | p.ts_us - v.view_ts_us AS gap_us
+        |FROM p ASOF LEFT JOIN v
+        | ON p.user_id = v.user_id AND v.view_ts_us <= p.ts_us
+        |ORDER BY purchase_id""".stripMargin,
+    "ev_range_join" ->
+      """WITH p AS (
+        | SELECT event_id AS purchase_id, user_id,
+        |  epoch_us(ts) - 86400000000 AS lo_us, epoch_us(ts) AS hi_us
+        | FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        | SELECT user_id, epoch_us(ts) AS ts_us FROM events
+        | WHERE event_type = 'view')
+        |SELECT p.purchase_id, p.user_id, COUNT(*) AS n_views,
+        | MAX(v.ts_us) AS last_view_us
+        |FROM p JOIN v
+        | ON p.user_id = v.user_id AND v.ts_us >= p.lo_us AND v.ts_us <= p.hi_us
+        |GROUP BY 1, 2 ORDER BY purchase_id""".stripMargin,
+    "q16_dispersion" ->
+      """WITH c AS (
+        | SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        | FROM events),
+        |g AS (
+        | SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS sx_cents,
+        |  CAST(SUM(cents * cents) AS BIGINT) AS sxx_cents2
+        | FROM c GROUP BY 1),
+        |d AS (
+        | SELECT event_type, n, sx_cents, sxx_cents2,
+        |  CAST(sx_cents AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_value,
+        |  (CAST(sxx_cents2 AS DOUBLE)
+        |    - CAST(sx_cents AS DOUBLE) * CAST(sx_cents AS DOUBLE) / CAST(n AS DOUBLE))
+        |   / (CAST(n AS DOUBLE) - 1.0) / 10000.0 AS var_value
+        | FROM g)
+        |SELECT event_type, n, sx_cents, sxx_cents2, mean_value, var_value,
+        | sqrt(var_value) AS stddev_value
+        |FROM d ORDER BY event_type""".stripMargin,
+    "q17_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        | SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q18_pivot" ->
+      """SELECT user_id,
+        | COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+        | COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+        | COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        | COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        | COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

@@ -129,6 +129,45 @@ object TrainingData {
       .orderBy("media_id")
   }
 
+  /** HTML extraction: wrap each document in a deterministic HTML envelope
+    * (title/style/script/comment noise), then strip back to visible text
+    * with the real extractor (TextAnalytics.htmlToText — pure regexp chain,
+    * map-side only). The oracle rebuilds the same envelope and strips it
+    * with an independently-written DuckDB regexp chain. */
+  def txtHtmlStrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextAnalytics
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id"),
+      lit("</title><style>p{color:red}</style></head><body><h1>Doc "),
+      col("doc_id"), lit("</h1><p>"), col("text"),
+      lit("</p><script>var x=1;</script><!-- note --></body></html>"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalytics.htmlToText(html).as("extracted"))
+      .withColumn("n_chars_x", length(col("extracted")))
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction: documents get a deterministic contact-info suffix
+    * (email + phone), which the redactor masks. Counts are taken before
+    * masking. Map-side regexp only. */
+  def txtRedact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextAnalytics
+    val pii = concat(col("text"), lit(" contact user"), col("doc_id"),
+      lit("@example.com or +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalytics.emailCount(pii).as("n_emails"),
+        TextAnalytics.phoneCount(pii).as("n_phones"),
+        TextAnalytics.redactPii(pii).as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.charNgramJaccardPairs(Tables.documents(spark, dir), n = 3,
+        sampleMod = 10, threshold = 0.6)
+      .orderBy("a_id", "b_id")
+
   def simAnnIvf(spark: SparkSession, dir: String): DataFrame =
     SimilarityIvf.ivfTopK(Tables.embeddings(spark, dir), queryId = 0L, k = 10,
       nCells = 16, nprobe = 4)
@@ -136,6 +175,7 @@ object TrainingData {
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dd_exact"         -> ddExact _,
     "dd_jaccard_words" -> ddJaccardWords _,
+    "dd_ngram_jaccard" -> ddNgramJaccard _,
     "dd_minhash_lsh"   -> ddMinhashLsh _,
     "dd_simhash"       -> ddSimhash _,
     "dd_winnow_overlap" -> ddWinnowOverlap _,
@@ -147,6 +187,8 @@ object TrainingData {
     "txt_fingerprint"  -> txtFingerprint _,
     "txt_top_words"    -> txtTopWords _,
     "txt_length_stats" -> txtLengthStats _,
+    "txt_html_strip"   -> txtHtmlStrip _,
+    "txt_redact"       -> txtRedact _,
     "ev_json_extract"  -> evJsonExtract _,
     "sim_cosine_topk"  -> simCosineTopK _,
     "sim_ann_lsh"      -> simAnnLsh _,
@@ -237,6 +279,59 @@ object TrainingData {
         | MAX(n_chars) AS max_chars, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         | CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "txt_html_strip" ->
+      """WITH h AS (
+        | SELECT doc_id,
+        |  '<html><head><title>Doc ' || doc_id ||
+        |  '</title><style>p{color:red}</style></head><body><h1>Doc ' ||
+        |  doc_id || '</h1><p>' || text ||
+        |  '</p><script>var x=1;</script><!-- note --></body></html>' AS html
+        | FROM documents),
+        |x AS (
+        | SELECT doc_id,
+        |  trim(regexp_replace(
+        |   replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |     '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |     '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |     '(?s)<!--.*?-->', ' ', 'g'),
+        |     '<[^>]*>', ' ', 'g'),
+        |   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |   '&nbsp;', ' '), '&amp;', '&'),
+        |  '\s+', ' ', 'g')) AS extracted
+        | FROM h)
+        |SELECT doc_id, extracted, length(extracted) AS n_chars_x
+        |FROM x ORDER BY doc_id""".stripMargin,
+    "txt_redact" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+        |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS pii
+        | FROM documents)
+        |SELECT doc_id,
+        | len(regexp_extract_all(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        | len(regexp_extract_all(pii, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+        | regexp_replace(
+        |  regexp_replace(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |  '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "dd_ngram_jaccard" ->
+      """WITH n AS (
+        | SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+        | FROM documents WHERE doc_id % 10 = 0),
+        |s AS (
+        | SELECT doc_id,
+        |  list_distinct([substr(nt, CAST(i AS INT), 3) for i in range(1, length(nt) - 1)]) AS g
+        | FROM n WHERE length(nt) >= 3)
+        |SELECT a_id, b_id, inter, uni,
+        | CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+        |FROM (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  len(list_intersect(a.g, b.g)) AS inter,
+        |  len(list_distinct(list_concat(a.g, b.g))) AS uni
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.6
+        |ORDER BY a_id, b_id""".stripMargin,
     "ev_json_extract" ->
       """SELECT k, COUNT(*) AS n FROM (
         | SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k

@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** HTML extraction, PII redaction, and char-n-gram set semantics. */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def extract(html: String): String =
+    Seq(html).toDF("h").select(TextAnalytics.htmlToText(col("h")).as("x"))
+      .as[String].head()
+
+  test("htmlToText strips tags, script/style bodies, and comments") {
+    val html = """<html><head><style>p { color: red; }</style></head>
+      <body><h1>Title</h1><p class="x">hello <b>world</b></p>
+      <script type="text/javascript">var hidden = "secret";</script>
+      <!-- invisible comment --></body></html>"""
+    assert(extract(html) == "Title hello world")
+  }
+
+  test("htmlToText decodes entities exactly once") {
+    assert(extract("<p>a &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp; b &amp;&amp; c</p>")
+      == "a <tag> \"q\" 's' b && c")
+    // &amp;lt; is the ESCAPED text "&lt;" — must not double-decode to "<"
+    assert(extract("<p>&amp;lt;</p>") == "&lt;")
+  }
+
+  test("htmlToText handles multiline script blocks and attribute noise") {
+    val html = "<div data-x=\"1 > 0\">keep</div><script>\nif (a < b) { x(); }\n</script>"
+    // note: the "1 > 0" attribute ends the tag at its '>' — documented
+    // regex-extractor behavior for attribute values containing '>'
+    assert(extract(html).contains("keep"))
+    assert(!extract(html).contains("x()"))
+  }
+
+  test("redactPii masks emails and phones, counts match") {
+    val df = Seq("write user.name+tag@sub.example.co.uk or call +1-555-0123 now")
+      .toDF("t")
+      .select(TextAnalytics.redactPii(col("t")).as("r"),
+        TextAnalytics.emailCount(col("t")).as("ne"),
+        TextAnalytics.phoneCount(col("t")).as("np"))
+    val row = df.head()
+    assert(row.getAs[String]("r") == "write [EMAIL] or call [PHONE] now")
+    assert(row.getAs[Int]("ne") == 1 && row.getAs[Int]("np") == 1)
+  }
+
+  test("charNgramSet: sorted, distinct, normalization-insensitive") {
+    val a = FastHash.charNgramSet("Hello,   World!", 3)
+    val b = FastHash.charNgramSet("hello world", 3)
+    assert(a.sameElements(b)) // case + punctuation/whitespace normalization
+    assert(a.toSeq == a.toSeq.sorted && a.toSeq.distinct == a.toSeq)
+    // "hello world" has 9 grams, all distinct
+    assert(a.length == 9)
+    assert(FastHash.charNgramSet("ab", 3).isEmpty) // shorter than n
+    assert(FastHash.charNgramSet(null, 3).isEmpty)
+  }
+
+  test("charNgramSet jaccard separates near-dups from unrelated text") {
+    def jac(x: String, y: String): Double = {
+      val (i, u) = FastHash.interUnion(
+        FastHash.charNgramSet(x, 3), FastHash.charNgramSet(y, 3))
+      i.toDouble / u.toDouble
+    }
+    val near = jac("the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumped over the lazy dog")
+    val far = jac("the quick brown fox", "completely unrelated words here")
+    assert(near > 0.8 && far < 0.2)
+  }
+}

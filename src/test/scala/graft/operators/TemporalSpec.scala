@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Semantics of the temporal join operators (Temporal.asofJoin /
+  * intervalPointJoin): inclusive boundaries, tie order, null on no match,
+  * bucket-crossing intervals, no duplicate pairs. */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = Seq(
+    ("u1", 100L, "p1"),
+    ("u1", 200L, "p2"),
+    ("u1", 50L, "p0"), // before any right row
+    ("u2", 100L, "p3") // key with no right rows at all
+  ).toDF("k", "t", "pid")
+
+  private def right = Seq(
+    ("u1", 100L, "r100"), // exactly at p1's ts — inclusive match
+    ("u1", 150L, "r150"),
+    ("u1", 60L, "r60")
+  ).toDF("k", "t", "rv")
+
+  test("asofJoin picks the most recent right row at or before each left ts") {
+    val out = Temporal.asofJoin(left, right, key = "k", ts = "t", rightCols = Seq("rv"))
+      .collect().map(r => r.getAs[String]("pid") -> r.getAs[String]("rv")).toMap
+    assert(out("p1") == "r100") // ties are inclusive: right at == ts matches
+    assert(out("p2") == "r150") // latest preceding, not first
+    assert(out("p0") == null)   // nothing precedes
+    assert(out("p3") == null)   // key absent from right
+  }
+
+  test("asofJoin preserves every left row exactly once and all left columns") {
+    val out = Temporal.asofJoin(left, right, "k", "t", Seq("rv"))
+    assert(out.count() == 4)
+    assert(out.columns.toSeq == Seq("k", "t", "pid", "rv"))
+  }
+
+  test("asofJoin rejects rightCols that collide with the join columns") {
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoin(left, right, "k", "t", Seq("t", "rv"))
+    }
+  }
+
+  test("asofJoin matches a brute-force per-row maximum on random-ish data") {
+    val l = spark.range(200).select(
+      (col("id") % 7).cast("string").as("k"),
+      ((col("id") * 37) % 1000).as("t"), col("id").as("lid"))
+    val r = spark.range(150).select(
+      (col("id") % 7).cast("string").as("k"),
+      ((col("id") * 53) % 1000).as("t"), col("id").as("rid"))
+      // asofJoin contract: right unique per (key, ts)
+      .groupBy("k", "t").agg(max("rid").as("rid"))
+    val got = Temporal.asofJoin(l, r, "k", "t", Seq("rid"))
+      .collect().map(x => x.getAs[Long]("lid") -> Option(x.get(x.fieldIndex("rid")))).toMap
+    val rs = r.collect().map(x => (x.getAs[String]("k"), x.getAs[Long]("t"), x.getAs[Long]("rid")))
+    l.collect().foreach { row =>
+      val (k, t, lid) = (row.getAs[String]("k"), row.getAs[Long]("t"), row.getAs[Long]("lid"))
+      val cand = rs.filter(c => c._1 == k && c._2 <= t)
+      val want = if (cand.isEmpty) None
+        else Some(cand.maxBy(c => (c._2, c._3))._3)
+      assert(got(lid) == want, s"lid=$lid k=$k t=$t")
+    }
+  }
+
+  test("intervalPointJoin: inclusive bounds, bucket-crossing, no dup pairs") {
+    val intervals = Seq(
+      ("u1", 10L, 30L, "i1"),   // spans buckets 1..3 at width 10
+      ("u1", 100L, 100L, "i2"), // degenerate single-point interval
+      ("u2", 0L, 1000L, "i3")   // wide interval, many buckets
+    ).toDF("k", "lo", "hi", "iid")
+    val points = Seq(
+      ("u1", 10L, "a"),  // == lo of i1: inclusive
+      ("u1", 30L, "b"),  // == hi of i1: inclusive
+      ("u1", 31L, "c"),  // just outside
+      ("u1", 100L, "d"), // matches i2
+      ("u2", 500L, "e")
+    ).toDF("k", "ts", "pv")
+    val out = Temporal.intervalPointJoin(intervals, points, "k", "lo", "hi", "ts", 10L)
+      .select("iid", "pv").as[(String, String)].collect().sorted
+    assert(out.toSeq == Seq(("i1", "a"), ("i1", "b"), ("i2", "d"), ("i3", "e")))
+  }
+
+  test("intervalPointJoin matches a plain inequality join") {
+    val intervals = spark.range(50).select((col("id") % 5).cast("string").as("k"),
+      (col("id") * 13 % 500).as("lo"), (col("id") * 13 % 500 + 40).as("hi"), col("id").as("iid"))
+    val points = spark.range(300).select((col("id") % 5).cast("string").as("k"),
+      (col("id") * 7 % 600).as("ts"), col("id").as("pid"))
+    val got = Temporal.intervalPointJoin(intervals, points, "k", "lo", "hi", "ts", 25L)
+      .select("iid", "pid").as[(Long, Long)].collect().toSet
+    val want = intervals.join(points, Seq("k"))
+      .filter(col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .select("iid", "pid").as[(Long, Long)].collect().toSet
+    assert(got == want)
+  }
+}
