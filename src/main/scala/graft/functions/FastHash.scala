@@ -46,6 +46,69 @@ object FastHash {
     out.toArray
   }
 
+  /** FNV-1a 64 of a (lower-case) string — the marker-word hash that
+    * tokenHashes produces for an identical token. */
+  def fnv1a64(s: String): Long = {
+    var h = -3750763034362895579L
+    var i = 0
+    while (i < s.length) { h = (h ^ s.charAt(i)) * 1099511628211L; i += 1 }
+    h
+  }
+
+  /** Count, per marker set, how many tokens of `text` are members — the
+    * language-ID / stopword hit counts in ONE tokenization pass. `sets` are
+    * FNV-1a hashes of the marker words (collision odds 2⁻⁶⁴ per pair);
+    * each set is tiny (≤ ~10 entries) so membership is a linear scan of
+    * primitive longs. Replaces the `filter(words, array_contains)`
+    * higher-order-function formulation, which is CodegenFallback
+    * (interpreted + boxed) and re-tokenizes once per marker class. */
+  def markerHits(text: String, sets: Array[Array[Long]]): Array[Int] = {
+    val out = new Array[Int](sets.length)
+    if (text == null) return out
+    var h = -3750763034362895579L
+    var inTok = false
+    var i = 0
+    val n = text.length
+    while (i <= n) {
+      var c = if (i < n) text.charAt(i) else ' '
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+      if (c >= 'a' && c <= 'z') {
+        h = (h ^ c) * 1099511628211L
+        inTok = true
+      } else if (inTok) {
+        var s = 0
+        while (s < sets.length) {
+          val set = sets(s)
+          var j = 0
+          while (j < set.length) {
+            if (set(j) == h) { out(s) += 1; j = set.length } else j += 1
+          }
+          s += 1
+        }
+        h = -3750763034362895579L
+        inTok = false
+      }
+      i += 1
+    }
+    out
+  }
+
+  def markerHitsCol(text: Column, sets: Array[Array[Long]]): Column =
+    udf((s: String) => markerHits(s, sets)).apply(text)
+
+  /** Fraction of equal positions between two equal-length signatures —
+    * the MinHash Jaccard estimate, as a primitive loop (the zip_with/filter
+    * HOF twin is CodegenFallback). */
+  def sigAgreement(a: Array[Long], b: Array[Long]): Double = {
+    var m = 0
+    var i = 0
+    while (i < a.length) { if (a(i) == b(i)) m += 1; i += 1 }
+    m.toDouble / a.length
+  }
+
+  def sigAgreementCol(a: Column, b: Column): Column =
+    udf((x: Array[Long], y: Array[Long]) => sigAgreement(x, y)).apply(a, b)
+
   private def splitmix64(x0: Long): Long = {
     var x = x0 + -7046029254386353131L
     x = (x ^ (x >>> 30)) * -4658895280553007687L
@@ -56,15 +119,27 @@ object FastHash {
   /** mix two 64-bit hashes (for word n-gram shingles without string concat) */
   private def mix2(a: Long, b: Long): Long = splitmix64(a ^ (b * -6148914691236517205L))
 
+  /** The k affine-permutation coefficients for [[minhash]], seed-stable.
+    * Precomputed ONCE per operator (and captured in the UDF closure) —
+    * rebuilding them per row costs 2 allocations + 2k splitmix calls on
+    * every document. */
+  def minhashPerms(k: Int): (Array[Long], Array[Long]) =
+    (Array.tabulate(k)(i => splitmix64(2L * i) | 1L), // odd multipliers
+      Array.tabulate(k)(i => splitmix64(2L * i + 1)))
+
   /** MinHash signature over word `n`-gram shingles: one base hash per
     * shingle, k affine permutations (a_i·h + b_i), running minima.
     * Shingle multiplicity is irrelevant under min, so no dedup pass. */
   def minhash(text: String, n: Int, k: Int): Array[Long] = {
+    val (as, bs) = minhashPerms(k)
+    minhash(text, n, as, bs)
+  }
+
+  def minhash(text: String, n: Int, as: Array[Long], bs: Array[Long]): Array[Long] = {
+    val k = as.length
     val toks = tokenHashes(text)
     val sig = Array.fill(k)(Long.MaxValue)
     if (toks.length < n) return sig
-    val as = Array.tabulate(k)(i => splitmix64(2L * i) | 1L) // odd multipliers
-    val bs = Array.tabulate(k)(i => splitmix64(2L * i + 1))
     var i = 0
     val last = toks.length - n
     while (i <= last) {
@@ -157,7 +232,13 @@ object FastHash {
     * Jaccard, which catches near-dups that word tokenization misses
     * (typos, joined/split words). DuckDB transliteration of the
     * normalization: `trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
-    * 'g'))`. */
+    * 'g'))`.
+    *
+    * Contract: ASCII-ONLY lower-casing (as in all kernels here). A
+    * character whose UNICODE lowercase is ASCII (U+0130 İ, U+212A K)
+    * normalizes differently from a Unicode `lower()` — on non-ASCII
+    * corpora, pre-transliterate on both engines before comparing to an
+    * oracle. The fixtures are pure ASCII. */
   def charNgramSet(text: String, n: Int): Array[Long] = {
     if (text == null) return Array.emptyLongArray
     val sb = new java.lang.StringBuilder(text.length)
@@ -341,8 +422,10 @@ object FastHash {
   def interUnionCol(a: Column, b: Column): Column =
     udf((x: Array[Long], y: Array[Long]) => interUnion(x, y)).apply(a, b)
 
-  def minhashCol(text: Column, n: Int, k: Int): Column =
-    udf((s: String) => minhash(s, n, k)).apply(text)
+  def minhashCol(text: Column, n: Int, k: Int): Column = {
+    val (as, bs) = minhashPerms(k) // hoisted out of the per-row path
+    udf((s: String) => minhash(s, n, as, bs)).apply(text)
+  }
 
   def simhashCol(text: Column): Column =
     udf((s: String) => simhash(s)).apply(text)

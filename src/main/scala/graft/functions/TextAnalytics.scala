@@ -29,14 +29,30 @@ object TextAnalytics {
   val dataMarkers: Seq[String] = Seq("table", "row", "column", "key", "value", "hash")
   val computeMarkers: Seq[String] = Seq("scan", "merge", "join", "agg", "filter", "sort", "group", "window")
 
-  private def hitCount(text: Column, markers: Seq[String]): Column =
-    size(filter(words(text), w => array_contains(lit(markers.toArray), w)))
+  /** FNV hashes of the three marker lists, precomputed once; class index
+    * order is (en, data, compute). */
+  private lazy val markerHashSets: Array[Array[Long]] =
+    Array(enMarkers, dataMarkers, computeMarkers).map(_.map(FastHash.fnv1a64).toArray)
+
+  /** All three marker hit-counts in ONE tokenization pass (FastHash
+    * kernel). The earlier `filter(words, array_contains)` HOF form was
+    * CodegenFallback — interpreted, boxed, and re-tokenizing per class; at
+    * corpus scale that is 3 interpreted passes per row. The UDF is
+    * deterministic, so repeated uses inside one projection are
+    * subexpression-eliminated by codegen. */
+  def markerHitCounts(text: Column): Column =
+    FastHash.markerHitsCol(text, markerHashSets)
+
+  private def hitCount(text: Column, classIdx: Int): Column =
+    element_at(markerHitCounts(text), classIdx + 1)
 
   /** n-gram-heuristic language/domain ID: count marker hits per class, pick
     * the argmax with a fixed tie order. Pure projection (no shuffle).
     */
-  def langScores(text: Column): (Column, Column, Column) =
-    (hitCount(text, enMarkers), hitCount(text, dataMarkers), hitCount(text, computeMarkers))
+  def langScores(text: Column): (Column, Column, Column) = {
+    val hits = markerHitCounts(text)
+    (element_at(hits, 1), element_at(hits, 2), element_at(hits, 3))
+  }
 
   def langPredict(en: Column, data: Column, compute: Column): Column =
     when(en >= data && en >= compute, "en")
@@ -61,7 +77,7 @@ object TextAnalytics {
     length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
       nullif(length(text), lit(0)).cast("double")
   def stopwordRatio(text: Column): Column =
-    hitCount(text, enMarkers).cast("double") /
+    hitCount(text, 0).cast("double") /
       nullif(wsTokenCount(text), lit(0)).cast("double")
 
   /** Composite quality score in [0,1]-ish: weighted, exactly reproducible. */

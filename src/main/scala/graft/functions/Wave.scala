@@ -200,7 +200,9 @@ object Wave {
         // pandas, which cannot sort/hash raw array cells
         concat_ws(",", transform(col("peaks").getField("_1"),
           f => format_string("%.6f", f))).as("peak_freqs"),
-        element_at(col("peaks").getField("_1"), 1).as("top_peak_freq"),
+        // try_element_at: a flat/degenerate spectrum yields an empty peaks
+        // array, which element_at would turn into an ANSI INVALID_ARRAY_INDEX
+        try_element_at(col("peaks").getField("_1"), lit(1)).as("top_peak_freq"),
         col("haar").getField("_1").as("haar_mse"),
         col("haar").getField("_2").as("haar_kept"))
       .orderBy("id")

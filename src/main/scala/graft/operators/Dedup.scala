@@ -65,9 +65,18 @@ object Dedup {
   /** MinHash+LSH near-duplicate candidate pairs with estimated Jaccard
     * (fraction of matching signature positions). Returns
     * (a_id, b_id, est_jaccard) for pairs whose estimate ≥ threshold.
-    */
+    *
+    * Shuffle shape at scale: candidate generation is ONE aggregation over
+    * (band, bucket, doc_id) rows — the 512-byte signature never rides the
+    * candidate exchange (at 16 bands that would be ~8 KB per doc), and
+    * there is no bucket self-join at all. Candidate pairs are distinct'd
+    * as bare (a_id, b_id), then the signature table is joined back twice
+    * by id to score them — each doc's signature crosses the wire once, not
+    * once per band, and at scale Spark's ReuseExchange serves both sig
+    * joins from one shuffle of the signature table. */
   def minhashPairs(docs: DataFrame, shingleN: Int = 2, k: Int = 64,
-                   bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+                   bands: Int = 16, threshold: Double = 0.5,
+                   maxBucket: Int = 1000): DataFrame = {
     val sigs = docs
       .select(col("doc_id"), minhashSignature(col("text"), shingleN, k).as("sig"))
       // docs with fewer than shingleN tokens produce the sentinel
@@ -75,25 +84,28 @@ object Dedup {
       // otherwise all collide into one bucket (false dup pairs + an O(m²)
       // hot bucket). Drop them from candidate generation.
       .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
+    import org.apache.spark.sql.graft.CappedLongCollect.cappedLongCollect
     val buckets = sigs
-      .select(col("doc_id"), col("sig"), explode(lshBands(col("sig"), k, bands)).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
-    val a = buckets.select(col("band"), col("bucket"),
-      col("doc_id").as("a_id"), col("sig").as("a_sig"))
-    val b = buckets.select(col("band"), col("bucket"),
-      col("doc_id").as("b_id"), col("sig").as("b_sig"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("a_id") < col("b_id"))
-      // estimate before dedup so the distinct shuffles (a_id, b_id, est)
-      // instead of dragging both 512-byte signatures through the exchange;
-      // a pair colliding in several bands computes the same estimate each
-      // time (cheap: 64 comparisons) and collapses to one row
+      .select(col("doc_id"), explode(lshBands(col("sig"), k, bands)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    // candidate generation as ONE aggregation (no bucket self-join): group
+    // ids per (band, bucket) with the capped collect — a degenerate bucket
+    // holding > maxBucket docs would explode into O(m²) pairs and is
+    // dropped inside the aggregate, the standard LSH hot-bucket guard —
+    // then emit each bucket's id-pairs and dedup across bands
+    val pairs = buckets.groupBy("band", "bucket")
+      .agg(cappedLongCollect(col("doc_id"), maxBucket).as("ds"))
+      .filter(col("ds").isNotNull && size(col("ds")) >= 2)
+      .select(explode(idPairsUdf(col("ds"))).as("p"))
+      .select(col("p._1").as("a_id"), col("p._2").as("b_id"))
+      .distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), "b_id")
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y), b => b))
-          .cast("double") / lit(k).cast("double"))
+        graft.functions.FastHash.sigAgreementCol(col("a_sig"), col("b_sig")))
       .filter(col("est_jaccard") >= threshold)
       .select("a_id", "b_id", "est_jaccard")
-      .distinct()
   }
 
   /** 64-bit SimHash over word tokens: bit j of the hash is the sign of the
@@ -136,27 +148,48 @@ object Dedup {
   /** Winnowing-fingerprint overlap candidates: documents sharing ≥
     * `minShared` rolling-hash fingerprints (detects PARTIAL overlap —
     * shared passages of ≥ w+k-1 chars — which whole-document hashing and
-    * token-set similarity both miss). Same narrow shuffle shape as the
-    * other LSH ops: explode (fingerprint, doc_id), self-join on
-    * fingerprint, count per pair. Fingerprints shared by more than
-    * `maxDocFreq` docs are dropped first (boilerplate suppression and the
-    * hot-key guard in one). */
+    * token-set similarity both miss).
+    *
+    * Single corpus pass: explode (fingerprint, doc_id) once, group by
+    * fingerprint with a CAPPED collect (hot-key guard inside the
+    * aggregate — a fingerprint shared by more than `maxDocFreq` docs is
+    * boilerplate and evaluates to NULL before it can buffer unboundedly or
+    * explode into O(df²) pairs), then emit each group's id-pairs and count
+    * shared fingerprints per pair. The earlier self-join formulation
+    * referenced the fingerprint frame four times, and Spark re-derived it —
+    * four full corpus scans each re-running the winnow UDF; this shape runs
+    * the UDF exactly once. */
   def winnowOverlapPairs(docs: DataFrame, k: Int = 8, w: Int = 4,
                          minShared: Int = 2, maxDocFreq: Int = 100): DataFrame = {
+    import org.apache.spark.sql.graft.CappedLongCollect.cappedLongCollect
     val fps = docs
       .select(col("doc_id"),
         explode(graft.functions.FastHash.winnowCol(col("text"), k, w)).as("fp"))
-    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq && col("df") >= 2)
-      .select("fp")
-    val kept = fps.join(rare, "fp")
-    val a = kept.select(col("fp"), col("doc_id").as("a_id"))
-    val b = kept.select(col("fp"), col("doc_id").as("b_id"))
-    a.join(b, "fp")
-      .filter(col("a_id") < col("b_id"))
+    // a doc's fingerprints are distinct (winnow dedups), so group members
+    // are distinct doc_ids and pair counts = shared-fingerprint counts
+    val groups = fps.groupBy("fp")
+      .agg(cappedLongCollect(col("doc_id"), maxDocFreq).as("ds"))
+      .filter(col("ds").isNotNull && size(col("ds")) >= 2)
+    groups
+      .select(explode(idPairsUdf(col("ds"))).as("p"))
+      .select(col("p._1").as("a_id"), col("p._2").as("b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
+  }
+
+  /** All (a<b) pairs from a sorted id array — group sizes are bounded by
+    * the collect cap, so output is at most cap·(cap−1)/2 rows per group. */
+  private val idPairsUdf = udf { (ids: Array[Long]) =>
+    val out = new Array[(Long, Long)](ids.length * (ids.length - 1) / 2)
+    var w = 0
+    var i = 0
+    while (i < ids.length) {
+      var j = i + 1
+      while (j < ids.length) { out(w) = (ids(i), ids(j)); w += 1; j += 1 }
+      i += 1
+    }
+    out
   }
 
   /** Sampled all-pairs word-set Jaccard (the exact verifier / oracle query).
@@ -189,6 +222,11 @@ object Dedup {
     val sets = docs.filter(col("doc_id") % sampleMod === 0)
       .select(col("doc_id"), setCol.as("w"))
       .as[(Long, Array[Long])].collect()
+    // the quadratic verifier is only usable because the sample is small —
+    // enforce the bound instead of assuming it (pairs = n(n-1)/2)
+    require(sets.length <= maxVerifierSample,
+      s"sampled verifier got ${sets.length} docs (cap $maxVerifierSample); " +
+        s"raise sampleMod — the scalable near-dup path is minhashPairs")
     val bc = spark.sparkContext.broadcast(sets.toMap)
     val iuUdf = udf { (aId: Long, bId: Long) =>
       graft.functions.FastHash.interUnion(bc.value(aId), bc.value(bId))
@@ -199,8 +237,16 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .withColumn("iu", iuUdf(col("a_id"), col("b_id")))
       .select(col("a_id"), col("b_id"), col("iu._1").as("inter"), col("iu._2").as("uni"))
+      // two empty sets give 0/0 = NaN, which Spark orders ABOVE all numbers
+      // (so `NaN >= threshold` is true) while SQL oracles exclude such docs
+      // — drop empty-union pairs before the threshold filter
+      .filter(col("uni") > 0)
       .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "inter", "uni", "jaccard")
   }
+
+  /** Hard cap on the sampled quadratic verifiers ([[jaccardPairs]],
+    * [[charNgramJaccardPairs]]): 20k docs ⇒ ≤ 2·10⁸ candidate pairs. */
+  val maxVerifierSample: Int = 20000
 }

@@ -37,6 +37,13 @@ object Temporal {
     val leftCols = left.columns.toSeq
     require(!rightCols.contains(key) && !rightCols.contains(ts),
       s"rightCols must exclude the join columns ($key, $ts)")
+    // a right output column shadowing a left column would silently produce
+    // duplicate names; internal plumbing names would corrupt the plan
+    val clash = rightCols.toSet.intersect(leftCols.toSet)
+    require(clash.isEmpty, s"rightCols collide with left columns: ${clash.mkString(", ")}")
+    val reserved = (leftCols ++ rightCols).filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"column names starting with __ are reserved by asofJoin: ${reserved.mkString(", ")}")
     val l = left.select(col(key).as("__k"), col(ts).as("__ts"),
       lit(1).as("__side"), struct(leftCols.map(col): _*).as("__l"))
     val r = right.select(col(key).as("__k"), col(ts).as("__ts"),

@@ -1,0 +1,110 @@
+/* Under org.apache.spark.sql for the private[sql] aggregate surface.
+ * Public API: graft.operators.Dedup (winnowOverlapPairs). */
+package org.apache.spark.sql.graft
+
+import java.nio.ByteBuffer
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Collect up to `cap` distinct-row long values per group; groups that
+  * exceed the cap evaluate to NULL instead of buffering unboundedly.
+  *
+  * This is the hot-key guard of the winnowing overlap join expressed as a
+  * single aggregation pass: a fingerprint shared by more than `cap`
+  * documents is boilerplate (and would explode into O(cap²) pairs), so the
+  * group is dropped the moment it overflows — the buffer never holds more
+  * than cap+1 values, no matter how frequent the key is. The two-pass
+  * alternative (count per key, filter, re-join) re-scans the corpus and
+  * re-runs the fingerprint UDF; this keeps it to one pass.
+  *
+  * Output is sorted ascending so downstream pair-explosion emits (a<b)
+  * pairs without re-sorting. Values are buffered as primitive longs
+  * (ByteBuffer serialization, no boxing on the wire).
+  */
+case class CappedLongCollect(
+    child: Expression,
+    cap: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CappedLongCollect.Buf] with ExpectsInputTypes {
+
+  require(cap > 0, s"cap must be positive: $cap")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "capped_long_collect"
+
+  // buffer holds at most cap+1 values; length == cap+1 means "overflowed"
+  override def createAggregationBuffer(): CappedLongCollect.Buf =
+    new CappedLongCollect.Buf(new Array[Long](math.min(cap + 1, 16)), 0)
+
+  override def update(buf: CappedLongCollect.Buf, input: InternalRow): CappedLongCollect.Buf = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Long], cap)
+    buf
+  }
+
+  override def merge(a: CappedLongCollect.Buf, b: CappedLongCollect.Buf): CappedLongCollect.Buf = {
+    var i = 0
+    while (i < b.n && a.n <= cap) { a.add(b.arr(i), cap); i += 1 }
+    if (b.n > cap) a.n = cap + 1 // propagate overflow even if a had room
+    a
+  }
+
+  override def eval(buf: CappedLongCollect.Buf): Any = {
+    if (buf.n > cap) null
+    else {
+      val out = java.util.Arrays.copyOf(buf.arr, buf.n)
+      java.util.Arrays.sort(out)
+      new GenericArrayData(out)
+    }
+  }
+
+  override def serialize(buf: CappedLongCollect.Buf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.n * 8)
+    bb.putInt(buf.n)
+    var i = 0
+    while (i < buf.n) { bb.putLong(buf.arr(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): CappedLongCollect.Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val arr = new Array[Long](math.max(n, 1))
+    var i = 0
+    while (i < n) { arr(i) = bb.getLong; i += 1 }
+    new CappedLongCollect.Buf(arr, n)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CappedLongCollect =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CappedLongCollect =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object CappedLongCollect {
+  /** Growable primitive-long buffer; n > cap marks overflow (adds ignored). */
+  final class Buf(var arr: Array[Long], var n: Int) {
+    def add(v: Long, cap: Int): Unit = {
+      if (n <= cap) {
+        if (n == arr.length) arr = java.util.Arrays.copyOf(arr, math.min(arr.length * 2, cap + 1))
+        arr(n) = v
+        n += 1
+      }
+    }
+  }
+
+  def cappedLongCollect(c: Column, cap: Int): Column =
+    ExpressionUtils.column(CappedLongCollect(ExpressionUtils.expression(c), cap)
+      .toAggregateExpression())
+}
