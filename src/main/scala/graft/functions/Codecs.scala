@@ -86,4 +86,31 @@ object Codecs {
     inf.end()
     out.toByteArray
   }
+
+  /** gzip (RFC 1952) — the reference S3 object compression
+    * (`/root/reference/pkg/internal/adapter/s3client/reader.go:88-96`,
+    * `writer_helpers.go` gzip-before-encrypt). Whole-OBJECT codec for the
+    * CSE read/write path, not a per-value column codec (per-value
+    * compression belongs to the storage/shuffle codecs). */
+  def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(bytes); gz.close()
+    out.toByteArray
+  }
+
+  def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    out.toByteArray
+  }
+
+  /** Column twin of [[gunzip]] — one call per FILE in the binaryFile read
+    * path (objects, not records, so the UDF is off the per-record hot
+    * path). */
+  def gunzipCol(c: Column): Column = udf(gunzip _).apply(c)
 }

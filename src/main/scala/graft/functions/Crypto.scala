@@ -25,6 +25,37 @@ object Crypto {
   def aesGcmDecrypt(ciphertext: Column, key: Column): Column =
     aes_decrypt(ciphertext, key, lit("GCM"), lit("DEFAULT"))
 
+  /** Executor-side AES-GCM kernels in Spark's native wire format (12-byte
+    * random IV prefix, 128-bit tag, no AAD) — byte-compatible with
+    * `aes_encrypt`/`aes_decrypt` above, so an object encrypted by one side
+    * always decrypts on the other. Used where the unit of encryption is a
+    * whole OBJECT (the reference's S3 client-side encryption,
+    * `writer_helpers.go:163-246` seal / `reader.go:180-196` open), which a
+    * per-value column expression can't express. */
+  def aesGcmEncryptBytes(plain: Array[Byte], key: Array[Byte]): Array[Byte] = {
+    val iv = new Array[Byte](12)
+    java.security.SecureRandom.getInstanceStrong.nextBytes(iv)
+    val c = javax.crypto.Cipher.getInstance("AES/GCM/NoPadding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.GCMParameterSpec(128, iv))
+    val ct = c.doFinal(plain)
+    val out = new Array[Byte](12 + ct.length)
+    System.arraycopy(iv, 0, out, 0, 12)
+    System.arraycopy(ct, 0, out, 12, ct.length)
+    out
+  }
+
+  /** Inverse of [[aesGcmEncryptBytes]]; throws AEADBadTagException on a
+    * wrong key or tampered payload (authenticated encryption). */
+  def aesGcmDecryptBytes(blob: Array[Byte], key: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/GCM/NoPadding")
+    c.init(javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.GCMParameterSpec(128, blob, 0, 12))
+    c.doFinal(blob, 12, blob.length - 12)
+  }
+
   /** sha-256 content id — the reference's element identity
     * (`/root/reference/pkg/internal/utils/utils.go:121-131`). */
   def contentId(payload: Column): Column = sha2(payload.cast("binary"), 256)

@@ -179,8 +179,9 @@ object Dedup {
   }
 
   /** All (a<b) pairs from a sorted id array — group sizes are bounded by
-    * the collect cap, so output is at most cap·(cap−1)/2 rows per group. */
-  private val idPairsUdf = udf { (ids: Array[Long]) =>
+    * the collect cap, so output is at most cap·(cap−1)/2 rows per group.
+    * Shared with [[Similarity.cosineNearDupPairs]] (same LSH-bucket shape). */
+  private[operators] val idPairsUdf = udf { (ids: Array[Long]) =>
     val out = new Array[(Long, Long)](ids.length * (ids.length - 1) / 2)
     var w = 0
     var i = 0

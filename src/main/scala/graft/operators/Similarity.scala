@@ -62,6 +62,12 @@ object Similarity {
     val dot = graft.plans.VectorExpressions.dotF _
     val sample = embeddings.filter(col("vec_id") % sampleMod === 0)
       .select(col("vec_id"), col("embedding"), sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+    // the quadratic verifier is only usable because the sample is small —
+    // enforce the bound instead of assuming it (pairs = n(n-1)/2)
+    val n = sample.count()
+    require(n <= Dedup.maxVerifierSample,
+      s"sampled verifier got $n vectors (cap ${Dedup.maxVerifierSample}); " +
+        s"raise sampleMod — the scalable near-dup path is cosineNearDupPairs")
     val a = sample.select(col("vec_id").as("a_id"), col("embedding").as("a_v"), col("norm").as("a_n"))
     val b = sample.select(col("vec_id").as("b_id"), col("embedding").as("b_v"), col("norm").as("b_n"))
     a.crossJoin(b).filter(col("a_id") < col("b_id"))
@@ -71,25 +77,40 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate candidates at scale: LSH band
-    * collision prunes the pair space (shuffles only (band, id) rows), then
-    * exact cosine on bucket-colliding pairs. Recall < 1 by construction —
-    * the same LSH/verify contract as MinHash dedupe, for vectors. */
+    * collision prunes the pair space, then exact cosine on bucket-colliding
+    * pairs. Recall < 1 by construction — the same LSH/verify contract as
+    * MinHash dedupe, for vectors.
+    *
+    * Shuffle shape (mirrors [[Dedup.minhashPairs]]): candidate generation
+    * is ONE aggregation over bare (band, bucket, vec_id) rows — the
+    * embedding never rides the candidate exchange and there is no bucket
+    * self-join. A degenerate bucket holding > maxBucket vectors (e.g. the
+    * all-zeros signature region) is dropped inside the capped collect —
+    * the LSH hot-bucket guard. Distinct (a_id, b_id) pairs then join the
+    * vector table twice by id, so each embedding crosses the wire once,
+    * not once per band, and ReuseExchange serves both joins from one
+    * shuffle of the vector table. */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
-                         nPlanes: Int = 64, dim: Int = 64, bandBits: Int = 16): DataFrame = {
+                         nPlanes: Int = 64, dim: Int = 64, bandBits: Int = 16,
+                         maxBucket: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.graft.CappedLongCollect.cappedLongCollect
     val dot = graft.plans.VectorExpressions.dotF _
-    val sigs = embeddings.select(col("vec_id"), col("embedding"),
-      sqrt(dot(col("embedding"), col("embedding"))).as("norm"),
+    val vecs = embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+    val buckets = embeddings.select(col("vec_id"),
       posexplode(lshSignature(col("embedding"), nPlanes, dim, bandBits)).as(Seq("band", "bucket")))
-    val a = sigs.select(col("band"), col("bucket"), col("vec_id").as("a_id"),
-      col("embedding").as("a_v"), col("norm").as("a_n"))
-    val b = sigs.select(col("band"), col("bucket"), col("vec_id").as("b_id"),
-      col("embedding").as("b_v"), col("norm").as("b_n"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("a_id") < col("b_id"))
+    val pairs = buckets.groupBy("band", "bucket")
+      .agg(cappedLongCollect(col("vec_id"), maxBucket).as("vs"))
+      .filter(col("vs").isNotNull && size(col("vs")) >= 2)
+      .select(explode(Dedup.idPairsUdf(col("vs"))).as("p"))
+      .select(col("p._1").as("a_id"), col("p._2").as("b_id"))
+      .distinct()
+    pairs
+      .join(vecs.select(col("vec_id").as("a_id"), col("embedding").as("a_v"), col("norm").as("a_n")), "a_id")
+      .join(vecs.select(col("vec_id").as("b_id"), col("embedding").as("b_v"), col("norm").as("b_n")), "b_id")
       .withColumn("cos_sim", dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")))
       .filter(col("cos_sim") >= threshold)
       .select("a_id", "b_id", "cos_sim")
-      .distinct()
   }
 
   /** ANN top-k: probe only vectors sharing at least one LSH band with the

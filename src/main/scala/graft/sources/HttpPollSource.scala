@@ -1,0 +1,152 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+import java.util.concurrent.{Executors, ScheduledExecutorService, TimeUnit}
+import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.reliability.Backoff
+
+/** Minimal HTTP GET transport for the poll source — the fetch half of the
+  * reference HTTP client adapter
+  * (`/root/reference/pkg/internal/adapter/httpclient/fetch.go:15-68`):
+  * request with timeout + headers, non-2xx status is an error (so the retry
+  * policy sees it), body returned as text for the codec layer to decode.
+  * OAuth/token plumbing is out of engine scope (SURVEY §7).
+  */
+object Http {
+  final class StatusException(val status: Int, url: String)
+    extends RuntimeException(s"http request failed with status code: $status ($url)")
+
+  private lazy val client = HttpClient.newBuilder()
+    .followRedirects(HttpClient.Redirect.NORMAL)
+    .build()
+
+  def get(url: String, headers: Map[String, String] = Map.empty,
+          timeoutMillis: Long = 10000): String = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofMillis(timeoutMillis)).GET()
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() < 200 || resp.statusCode() >= 300)
+      throw new StatusException(resp.statusCode(), url)
+    resp.body()
+  }
+}
+
+/** S3 HTTP poll source: the reference's interval-polling HTTP adapter
+  * (`/root/reference/pkg/internal/adapter/httpclient/serve.go:13-67`,
+  * `attemptFetchAndSubmit` retry loop) re-expressed for Spark's micro-batch
+  * model — a DRIVER-side fetch loop appends each poll's records to a
+  * [[MemoryStream]], which any Structured Streaming query consumes like any
+  * other source (watermarks, stateful ops, checkpointed sinks all apply
+  * downstream).
+  *
+  * Driver-side by design: an HTTP poll of one endpoint is inherently a
+  * single-node ingest edge (the reference adapter is the same); scale-out
+  * ingest belongs to Kafka/files (S4/S5), which this engine treats as the
+  * canonical high-volume edges. The poll payloads here are control-plane
+  * sized (sensor reads, API pages), and Spark distributes everything
+  * downstream of the source buffer.
+  *
+  * Failure semantics mirror the reference Serve loop: each tick retries up
+  * to `attempts` with full-jitter backoff ([[Backoff.retry]] — same policy
+  * as the reference's `backoffDuration`); a tick that exhausts its retries
+  * stops the poller and records the failure (`serve.go` returns the error),
+  * leaving already-buffered records readable.
+  *
+  * @param fetch     transport thunk, e.g. `() => Http.get(url)`; injectable
+  *                  so tests can stub the endpoint.
+  * @param decode    body → records; default splits NDJSON lines (the
+  *                  reference line/JSON codec split).
+  */
+final class HttpPollSource(
+    spark: SparkSession,
+    fetch: () => String,
+    intervalMillis: Long,
+    attempts: Int = 5,
+    decode: String => Seq[String] = HttpPollSource.ndjsonLines,
+    sleep: Long => Unit = Thread.sleep) {
+  require(intervalMillis > 0, "interval must be greater than zero")
+
+  import spark.implicits._
+  private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val stream = MemoryStream[String]
+  private val scheduler = new AtomicReference[ScheduledExecutorService](null)
+  private val polls = new AtomicLong(0)
+  private val records = new AtomicLong(0)
+  private val failed = new AtomicReference[Throwable](null)
+
+  /** Raw record stream (one string per fetched record). */
+  def raw: Dataset[String] = stream.toDS()
+
+  /** Typed stream: each record JSON-decoded to `schema` fields. */
+  def jsonStream(schema: StructType): DataFrame =
+    raw.select(from_json(col("value"), schema).as("r")).select("r.*")
+
+  /** One synchronous fetch-with-retry; appends decoded records to the
+    * stream buffer. Returns the number of records appended. Public as the
+    * deterministic test/backfill hook — `start()` just calls this on the
+    * interval. */
+  def pollOnce(): Int = {
+    val body = Backoff.retry(attempts = attempts, sleep = sleep)(fetch)
+    val recs = decode(body)
+    if (recs.nonEmpty) stream.addData(recs)
+    polls.incrementAndGet()
+    records.addAndGet(recs.length)
+    recs.length
+  }
+
+  /** Begin interval polling (no-op if already serving). */
+  def start(): Unit = {
+    val exec = Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-http-poll"); t.setDaemon(true); t
+    }
+    if (scheduler.compareAndSet(null, exec)) {
+      exec.scheduleWithFixedDelay(() => {
+        try pollOnce()
+        catch {
+          case e: Throwable => failed.set(e); stop() // serve.go: stop on exhausted retries
+        }
+      }, intervalMillis, intervalMillis, TimeUnit.MILLISECONDS)
+    } else exec.shutdown()
+  }
+
+  def stop(): Unit = {
+    val exec = scheduler.getAndSet(null)
+    if (exec != null) exec.shutdown()
+  }
+
+  def isServing: Boolean = scheduler.get() != null
+  def pollCount: Long = polls.get()
+  def recordCount: Long = records.get()
+  def failure: Option[Throwable] = Option(failed.get())
+}
+
+object HttpPollSource {
+  /** NDJSON body → records: non-empty lines. */
+  val ndjsonLines: String => Seq[String] =
+    body => body.split("\\r?\\n").toSeq.filter(_.nonEmpty)
+
+  /** A JSON-array body → one record per element (the reference JSON codec
+    * path for `application/json` responses that page as arrays). Uses
+    * Jackson (already on Spark's classpath) — not a hot path: runs once per
+    * poll on the driver. */
+  val jsonArrayElements: String => Seq[String] = { body =>
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(body)
+    if (root.isArray) {
+      val it = root.elements()
+      val out = Seq.newBuilder[String]
+      while (it.hasNext) out += om.writeValueAsString(it.next())
+      out.result()
+    } else Seq(body)
+  }
+}

@@ -128,6 +128,52 @@ object Sources {
       case (r, (k, v)) => r.option(k, v)
     }
 
+  /** S5 client-side-encryption READ path: the reference decrypts whole S3
+    * objects before parsing (`/root/reference/pkg/internal/adapter/s3client/
+    * reader.go:66-137`: AES-GCM open → gunzip → NDJSON lines → unmarshal).
+    * Spark shape: `binaryFile` scan (one row per object, distributed) →
+    * native codegen'd `aes_decrypt` on the object bytes → gunzip kernel
+    * (per FILE, not per record) → line split → `from_json`. Objects stay
+    * executor-local end to end — no driver fetch, no shuffle; parallelism =
+    * number of objects, exactly the reference's per-object decode unit. */
+  def readEncryptedNdjson(spark: SparkSession, path: String, key: Array[Byte],
+                          schema: org.apache.spark.sql.types.StructType,
+                          gzipped: Boolean = true,
+                          pathGlob: String = "*.ndjson.enc"): DataFrame = {
+    val blobs = spark.read.format("binaryFile")
+      .option("pathGlobFilter", pathGlob).load(path)
+    val plain = graft.functions.Crypto.aesGcmDecrypt(col("content"), lit(key))
+    val text = (if (gzipped) graft.functions.Codecs.gunzipCol(plain) else plain).cast("string")
+    blobs.select(explode(split(text, "\\r?\\n")).as("line"))
+      .filter(trim(col("line")) =!= "")
+      .select(from_json(col("line"), schema).as("r"))
+      .select("r.*")
+  }
+
+  /** S5 CSE WRITE path (the reference seal: NDJSON → gzip → AES-GCM →
+    * object put, `writer_helpers.go:163-246`). One encrypted object per
+    * partition, written executor-side through the Hadoop FileSystem (local,
+    * HDFS, or s3a — same API the parquet writers use), so the writer
+    * distributes like any other sink. Encryption format is Spark-native
+    * (12-byte IV prefix), so [[readEncryptedNdjson]]'s `aes_decrypt` opens
+    * it. */
+  def writeEncryptedNdjson(df: DataFrame, path: String, key: Array[Byte],
+                           gzipped: Boolean = true): Unit = {
+    val suffix = ".ndjson.enc"
+    df.toJSON.foreachPartition { (it: Iterator[String]) =>
+      if (it.hasNext) {
+        val body = it.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val sealed0 = if (gzipped) graft.functions.Codecs.gzip(body) else body
+        val blob = graft.functions.Crypto.aesGcmEncryptBytes(sealed0, key)
+        val pid = org.apache.spark.TaskContext.get().partitionId()
+        val dir = new org.apache.hadoop.fs.Path(path)
+        val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d$suffix"), true)
+        try out.write(blob) finally out.close()
+      }
+    }
+  }
+
   /** Streaming sink with the reference's flush-age trigger (K2/K3: flush by
     * count/bytes/age ⇒ micro-batch ProcessingTime trigger; Spark sizes the
     * files, the trigger bounds the age). */

@@ -101,4 +101,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.forall(r => r.getAs[Long]("a_id") < r.getAs[Long]("b_id")))
     assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.85))
   }
+
+  test("sampled verifiers fail fast past the hard sample cap") {
+    val n = Dedup.maxVerifierSample + 1
+    val bigDocs = spark.range(n).select(col("id").as("doc_id"), lit("a b c").as("text"))
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.jaccardPairs(bigDocs, sampleMod = 1, threshold = 0.9).collect()
+    }
+    assert(e1.getMessage.contains("raise sampleMod"))
+    val bigVecs = spark.range(n).select(col("id").as("vec_id"),
+      array(lit(1.0f), lit(0.5f)).as("embedding"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.cosinePairsExact(bigVecs, sampleMod = 1, threshold = 0.9).collect()
+    }
+    assert(e2.getMessage.contains("raise sampleMod"))
+  }
 }

@@ -1,0 +1,105 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.HttpServer
+import graft.SparkSpec
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+/** S3 HTTP poll source against an in-process stub endpoint: records flow
+  * into a streaming query; transient 5xx responses are retried with
+  * backoff; exhausted retries stop the serve loop (reference serve.go
+  * semantics). */
+class HttpPollSourceSpec extends SparkSpec {
+
+  private val schema = new StructType()
+    .add("id", LongType).add("name", StringType)
+
+  /** Stub server: fails the first `failures` requests with 503, then pages
+    * NDJSON bodies of `perPage` records. */
+  private def withServer(failures: Int, perPage: Int = 3)(f: (String, AtomicInteger) => Unit): Unit = {
+    val hits = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/feed", { exchange =>
+      val n = hits.incrementAndGet()
+      if (n <= failures) {
+        exchange.sendResponseHeaders(503, -1)
+      } else {
+        val page = n - failures - 1
+        val body = (0 until perPage)
+          .map(i => s"""{"id":${page * perPage + i},"name":"rec${page * perPage + i}"}""")
+          .mkString("\n").getBytes("UTF-8")
+        exchange.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+        exchange.sendResponseHeaders(200, body.length)
+        exchange.getResponseBody.write(body)
+      }
+      exchange.close()
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/feed", hits)
+    finally server.stop(0)
+  }
+
+  test("records flow from endpoint to streaming query across polls") {
+    withServer(failures = 0) { (url, _) =>
+      val src = new HttpPollSource(spark, () => Http.get(url), intervalMillis = 50, sleep = _ => ())
+      val q = src.jsonStream(schema).writeStream
+        .format("memory").queryName("http_poll").outputMode("append").start()
+      try {
+        assert(src.pollOnce() == 3)
+        assert(src.pollOnce() == 3) // second page
+        q.processAllAvailable()
+        val rows = spark.table("http_poll").collect()
+        assert(rows.length == 6)
+        assert(rows.map(_.getAs[Long]("id")).sorted.toSeq == (0L to 5L))
+        assert(rows.forall(r => r.getAs[String]("name") == s"rec${r.getAs[Long]("id")}"))
+      } finally q.stop()
+    }
+  }
+
+  test("transient 5xx is retried with backoff until success") {
+    withServer(failures = 2) { (url, hits) =>
+      val src = new HttpPollSource(spark, () => Http.get(url), intervalMillis = 50, sleep = _ => ())
+      assert(src.pollOnce() == 3) // 2 failures + 1 success inside one poll
+      assert(hits.get() == 3)
+      assert(src.failure.isEmpty)
+    }
+  }
+
+  test("exhausted retries stop the serve loop and record the failure") {
+    withServer(failures = 1000) { (url, _) =>
+      val src = new HttpPollSource(spark, () => Http.get(url),
+        intervalMillis = 5, attempts = 2, sleep = _ => ())
+      src.start()
+      assert(src.isServing)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (src.failure.isEmpty && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(src.failure.exists(_.isInstanceOf[Http.StatusException]))
+      assert(!src.isServing) // serve.go: exhausted retries end the loop
+      assert(src.recordCount == 0)
+    }
+  }
+
+  test("interval serve loop buffers records without manual polls") {
+    withServer(failures = 0) { (url, _) =>
+      val src = new HttpPollSource(spark, () => Http.get(url), intervalMillis = 10, sleep = _ => ())
+      src.start()
+      try {
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (src.recordCount < 6 && System.nanoTime() < deadline) Thread.sleep(10)
+        assert(src.recordCount >= 6)
+        assert(src.pollCount >= 2)
+      } finally src.stop()
+      assert(!src.isServing)
+    }
+  }
+
+  test("json-array bodies decode one record per element") {
+    val recs = HttpPollSource.jsonArrayElements("""[{"id":1},{"id":2},{"id":3}]""")
+    assert(recs.length == 3)
+    assert(recs.head.contains("\"id\":1"))
+    // non-array body passes through whole
+    assert(HttpPollSource.jsonArrayElements("""{"id":9}""") == Seq("""{"id":9}"""))
+  }
+}

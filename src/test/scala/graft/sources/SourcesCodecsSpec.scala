@@ -57,6 +57,30 @@ class SourcesCodecsSpec extends SparkSpec {
     assert(round.as[String].collect().sorted.sameElements(Array("secret-1", "secret-2")))
   }
 
+  test("CSE gz-NDJSON write/read round-trip (S5 read path, reader.go:66-137)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cse").toString
+    val key = "0123456789abcdef".getBytes("UTF-8")
+    val df = spark.range(200).select(col("id"),
+      concat(lit("payload-"), col("id")).as("payload"))
+      .repartition(3) // several objects, one per partition
+    Sources.writeEncryptedNdjson(df, tmp, key)
+    val files = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".ndjson.enc"))
+    assert(files.length == 3)
+    // objects are sealed: raw bytes contain neither plaintext nor a gzip header
+    val raw = java.nio.file.Files.readAllBytes(files.head.toPath)
+    assert(!new String(raw, "ISO-8859-1").contains("payload-"))
+    assert(!(raw(0) == 0x1f.toByte && raw(1) == 0x8b.toByte))
+    val schema = StructType(Seq(StructField("id", LongType), StructField("payload", StringType)))
+    val back = Sources.readEncryptedNdjson(spark, tmp, key, schema)
+    assert(back.count() == 200)
+    assert(back.as[(Long, String)].collect().toSet ==
+      (0L until 200L).map(i => (i, s"payload-$i")).toSet)
+    // wrong key must fail authentication (AEAD tag check), not return garbage
+    intercept[Exception] {
+      Sources.readEncryptedNdjson(spark, tmp, "ffffffffffffffff".getBytes("UTF-8"), schema).count()
+    }
+  }
+
   test("chained sha-256 hash matches a reference-style sequential fold (processing/main.go:83-103)") {
     val df = Seq(("payload-a", 1L)).toDF("payload", "seq")
     val got = df.select(Crypto.chainedHash(col("payload"), col("seq"), rounds = 2).as("h"))
