@@ -58,4 +58,75 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("float_vector_dot"), p)
     assert(!p.contains("BatchEvalPython"), p)
   }
+
+  // ---- round-2 queries + round-3 restructures ----
+
+  private def executed(name: String) =
+    graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+
+  private def countScans(p: String): Int = "Scan parquet".r.findAllIn(p).size
+
+  test("ev_asof: as-of join is union + one window, never a nested-loop join") {
+    val p = planOf("ev_asof_attribution")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Window ".r.findAllIn(p).size == 1, p)
+  }
+
+  test("ev_range: bucketed range join stays an equi-join (no BNLJ blow-up)") {
+    val p = planOf("ev_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // bucket explode on the probe side makes the range predicate equi-joinable
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("q18_pivot: pivot is single-pass (no distinct-values subquery scan)") {
+    val p = planOf("q18_pivot")
+    assert(countScans(p) == 1, p)
+  }
+
+  test("dd_winnow: fingerprint restructure reads the corpus once, winnows once") {
+    val p = planOf("dd_winnow_overlap")
+    assert(countScans(p) == 1, p)
+    // one winnow explode + one pair explode, not four scan+Generate subtrees
+    assert("Generate ".r.findAllIn(p).size == 2, p)
+  }
+
+  /** The (band,bucket) candidate exchanges must ship bare ids — a signature
+    * or embedding riding the shuffle multiplies its width by the band count
+    * (the round-2 '8 KB/doc' regression this restructure removed). */
+  private def assertNarrowBucketShuffle(name: String, wide: String*): Unit = {
+    // AQE hides exchanges from plan.collect, so audit the formatted explain:
+    // each "(n) Exchange" node block lists its Input columns.
+    val fmtd = graft.SparkEntry.queries(name)(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    val blocks = fmtd.split("\\n(?=\\(\\d+\\) )").toSeq
+      .filter(b => b.startsWith("(") && b.linesIterator.next().contains("Exchange"))
+      .filter(_.contains("hashpartitioning(band"))
+    assert(blocks.nonEmpty, s"$name: no (band,...) exchange found\n$fmtd")
+    blocks.foreach { b =>
+      val input = b.linesIterator.find(_.startsWith("Input")).getOrElse("")
+      wide.foreach(w => assert(!input.contains(w),
+        s"$name: wide column '$w' rides the band exchange: $input"))
+    }
+  }
+
+  test("dd_minhash_lsh: LSH bucket shuffle carries no signature arrays") {
+    assertNarrowBucketShuffle("dd_minhash_lsh", "sig")
+  }
+
+  test("dd_embed_lsh: LSH bucket shuffle carries no embeddings") {
+    assertNarrowBucketShuffle("dd_embed_lsh", "embedding", "norm")
+  }
+
+  test("txt_lang_id/txt_quality: marker counts are kernel UDFs, not interpreted HOFs") {
+    Seq("txt_lang_id", "txt_quality").foreach { n =>
+      val analyzed = graft.SparkEntry.queries(n)(spark, sfDir).queryExecution.optimizedPlan
+      val hofs = analyzed.expressions.flatMap(_.collect {
+        case f: org.apache.spark.sql.catalyst.expressions.ArrayFilter => f
+      })
+      assert(hofs.isEmpty, s"$n still uses ArrayFilter (CodegenFallback)")
+    }
+  }
 }
