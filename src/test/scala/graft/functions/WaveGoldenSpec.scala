@@ -1,0 +1,25 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** Locks the committed wave-analytics golden parquet (the DuckDB side of
+  * the `wave_analytics` oracle) to the current kernels. If a Wave kernel
+  * changes behavior, this fails and forces a deliberate regeneration via
+  * `runMain graft.tools.GoldenWave` — the golden can never silently drift
+  * from the code, and the oracle hash check stays meaningful. */
+class WaveGoldenSpec extends SparkSpec {
+
+  test("committed golden parquet is bit-identical to a fresh waveAnalytics run") {
+    val golden = spark.read.parquet("/root/repo/golden/wave_analytics.parquet")
+      .orderBy("id").collect()
+    val fresh = Wave.waveAnalytics(spark).collect()
+    assert(golden.length == fresh.length && golden.length == 64)
+    // names+types only: the parquet round-trip relaxes nullability
+    def shape(r: org.apache.spark.sql.Row) = r.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    assert(shape(golden.head) == shape(fresh.head),
+      s"schema drift: ${golden.head.schema} vs ${fresh.head.schema}")
+    golden.zip(fresh).foreach { case (g, f) =>
+      assert(g == f, s"golden drift at id ${g.getAs[Long]("id")}: $g vs $f")
+    }
+  }
+}
