@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Streaming twin of [[graft.operators.Temporal.asofJoin]]: for each left
+  * row, attach the most recent right row with `right.ts <= left.ts` in the
+  * same key group, over micro-batches.
+  *
+  * Spark mapping: union the tagged sides, `flatMapGroupsWithState` per key
+  * holding only the LATEST right row seen so far — state is O(1) per key
+  * (one ts + one narrow struct), independent of stream length, so the
+  * operator survives unbounded streams without a watermark. Within a
+  * micro-batch, rows are processed in (ts, side) order with right-before-
+  * left on ties — identical tie semantics to the batch window (inclusive
+  * `<=`).
+  *
+  * Replay contract (where stream output == the batch operator on the same
+  * data): per key, every right row with `ts <= left.ts` must arrive no
+  * later than that left row's micro-batch. Any per-key ts-ordered source
+  * (an ordered log, a Kafka partition keyed by the join key) satisfies
+  * this; out-of-order arrivals within one micro-batch are fine (sorted
+  * here). Emitted matches always satisfy `right.ts <= left.ts` even when
+  * the contract is violated — a violation can only degrade a match to null
+  * or to an older right, never attach a future right. This is the same
+  * ordering contract as the reference's per-key element flow
+  * (`/root/reference/pkg/internal/resister/queue.go:106-133`).
+  */
+object AsofStream {
+
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!rightCols.contains(key) && !rightCols.contains(ts),
+      s"rightCols must exclude the join columns ($key, $ts)")
+    val clash = rightCols.toSet.intersect(leftCols.toSet)
+    require(clash.isEmpty, s"rightCols collide with left columns: ${clash.mkString(", ")}")
+    val reserved = (leftCols ++ rightCols).filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"column names starting with __ are reserved by asofJoin: ${reserved.mkString(", ")}")
+
+    val l = left.select(col(key).cast("string").as("__k"), col(ts).cast("long").as("__ts"),
+      lit(1).as("__side"), struct(leftCols.map(col): _*).as("__l"))
+    val r = right.select(col(key).cast("string").as("__k"), col(ts).cast("long").as("__ts"),
+      lit(0).as("__side"), struct(rightCols.map(col): _*).as("__r"))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+
+    val leftStruct = unioned.schema("__l").dataType.asInstanceOf[StructType]
+    val rightStruct = unioned.schema("__r").dataType.asInstanceOf[StructType]
+    val outSchema = StructType(
+      leftStruct.fields.map(_.copy(nullable = true)) ++
+        rightStruct.fields.map(_.copy(nullable = true)))
+    val stateSchema = StructType(Seq(
+      StructField("ts", LongType), StructField("r", rightStruct)))
+
+    val nLeft = leftStruct.length
+    val nRight = rightStruct.length
+
+    val stateEnc = Encoders.row(stateSchema)
+    val outEnc = Encoders.row(outSchema)
+
+    unioned
+      .groupByKey(_.getAs[String]("__k"))(Encoders.STRING)
+      .flatMapGroupsWithState[Row, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, it: Iterator[Row], state: GroupState[Row]) =>
+          var lastTs = state.getOption.map(_.getLong(0)).getOrElse(Long.MinValue)
+          var lastR = state.getOption.map(_.getAs[Row](1)).orNull
+          val out = Seq.newBuilder[Row]
+          // right (0) before left (1) on equal ts: inclusive <= as in batch
+          it.toArray.sortBy(x => (x.getLong(1), x.getInt(2))).foreach { x =>
+            if (x.getInt(2) == 0) { lastTs = x.getLong(1); lastR = x.getAs[Row](4) }
+            else {
+              val lv = x.getAs[Row](3)
+              val vals = new Array[Any](nLeft + nRight)
+              var i = 0
+              while (i < nLeft) { vals(i) = lv.get(i); i += 1 }
+              // ts guard: a right that arrived in an earlier batch but has
+              // ts AFTER this left must not match — emitted pairs always
+              // satisfy right.ts <= left.ts, never just "arrived before"
+              if (lastR != null && lastTs <= x.getLong(1)) {
+                var j = 0
+                while (j < nRight) { vals(nLeft + j) = lastR.get(j); j += 1 }
+              }
+              out += new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(vals, outSchema)
+            }
+          }
+          state.update(new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+            Array[Any](lastTs, lastR), stateSchema))
+          out.result().iterator
+      }(stateEnc, outEnc).toDF(outSchema.fieldNames: _*)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Temporal
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+case class LeftEv(k: String, ts: Long, lv: String)
+case class RightEv(k: String, ts: Long, price: Double, src: String)
+
+/** The streaming as-of twin must reproduce the batch operator on replay
+  * (same fixture, per-key ts-ordered arrival across micro-batches). */
+class AsofStreamSpec extends SparkSpec {
+  import SparkSpec.session.implicits._
+
+  private val lefts = Seq(
+    LeftEv("a", 5, "a5"),   // before any right: null match
+    LeftEv("a", 15, "a15"), // matches right ts=10
+    LeftEv("a", 30, "a30"), // tie with right ts=30: inclusive <=
+    LeftEv("a", 45, "a45"), // matches right ts=30 (most recent, not first)
+    LeftEv("b", 20, "b20"), // matches b's right ts=20 (tie)
+    LeftEv("c", 99, "c99")) // key with no rights at all
+  private val rights = Seq(
+    RightEv("a", 10, 1.0, "r10"),
+    RightEv("a", 30, 3.0, "r30"),
+    RightEv("b", 20, 2.0, "rb"))
+
+  test("stream replay matches the batch as-of join row for row") {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[LeftEv]
+    val rMem = MemoryStream[RightEv]
+    val joined = AsofStream.asofJoin(lMem.toDF(), rMem.toDF(),
+      key = "k", ts = "ts", rightCols = Seq("price", "src"))
+    val q = joined.writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: everything up to ts 20, out of order within the batch.
+      // Rights are added first: the replay contract only requires that a
+      // right row never lands in a LATER micro-batch than a left row it
+      // precedes, and the query triggers continuously, so right-first keeps
+      // any batch split the trigger picks contract-conforming.
+      rMem.addData(rights.filter(_.ts <= 20).reverse: _*)
+      q.processAllAvailable()
+      lMem.addData(lefts.filter(_.ts <= 20).reverse: _*)
+      q.processAllAvailable()
+      // batch 2: the rest
+      rMem.addData(rights.filter(_.ts > 20): _*)
+      q.processAllAvailable()
+      lMem.addData(lefts.filter(_.ts > 20): _*)
+      q.processAllAvailable()
+
+      val stream = spark.table("asof_stream")
+        .select("k", "ts", "lv", "price", "src")
+        .collect().map(_.toSeq).toSet
+      val batch = Temporal.asofJoin(
+        lefts.toDF(), rights.toDF(), key = "k", ts = "ts",
+        rightCols = Seq("price", "src"))
+        .select("k", "ts", "lv", "price", "src")
+        .collect().map(_.toSeq).toSet
+      assert(stream == batch, s"stream $stream\nbatch $batch")
+      assert(stream.size == lefts.size) // one output row per left row
+      // spot-check the semantics, not just self-consistency
+      val a45 = spark.table("asof_stream").filter($"lv" === "a45").head()
+      assert(a45.getAs[Double]("price") == 3.0 && a45.getAs[String]("src") == "r30")
+      val a5 = spark.table("asof_stream").filter($"lv" === "a5").head()
+      assert(a5.isNullAt(a5.fieldIndex("price")))
+    } finally q.stop()
+  }
+
+  test("state stays O(1) per key: only the latest right row is retained") {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[LeftEv]
+    val rMem = MemoryStream[RightEv]
+    val joined = AsofStream.asofJoin(lMem.toDF(), rMem.toDF(),
+      key = "k", ts = "ts", rightCols = Seq("price", "src"))
+    val q = joined.writeStream.format("memory").queryName("asof_state")
+      .outputMode("append").start()
+    try {
+      // 1000 rights in batch 1; the left in batch 2 must see only the last
+      rMem.addData((1 to 1000).map(i => RightEv("k", i.toLong, i.toDouble, s"r$i")): _*)
+      q.processAllAvailable()
+      lMem.addData(LeftEv("k", 5000, "probe"))
+      q.processAllAvailable()
+      val row = spark.table("asof_state").head()
+      assert(row.getAs[Double]("price") == 1000.0)
+      val progress = q.lastProgress.stateOperators
+      assert(progress.nonEmpty && progress.head.numRowsTotal == 1,
+        s"expected 1 state row, got ${progress.map(_.numRowsTotal).mkString(",")}")
+    } finally q.stop()
+  }
+}
