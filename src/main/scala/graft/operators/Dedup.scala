@@ -250,4 +250,60 @@ object Dedup {
   /** Hard cap on the sampled quadratic verifiers ([[jaccardPairs]],
     * [[charNgramJaccardPairs]]): 20k docs ⇒ ≤ 2·10⁸ candidate pairs. */
   val maxVerifierSample: Int = 20000
+
+  /** Connected components over a near-dup pair graph — the last step of a
+    * dedup pipeline: pairs → clusters → one canonical doc per cluster
+    * (cluster_id = min doc_id in the component; a doc is canonical iff
+    * doc_id == cluster_id). Generalizes the reference's requeue-by-id
+    * collapse (`/root/reference/pkg/internal/resister/queue.go:65-83`) from
+    * identical ids to transitive near-dup identity.
+    *
+    * Scale design: iterative min-label propagation with POINTER JUMPING —
+    * each iteration is (a) one edges⋈labels join + min-agg pulling each
+    * node's best neighbor label, then (b) one labels⋈labels join replacing
+    * every label by its label's label. (b) halves the distance to the
+    * component minimum each round, so convergence is O(log diameter)
+    * iterations (25 rounds cover diameter 2³³), not O(diameter) as plain
+    * propagation would be. Labels are monotone non-increasing, so
+    * convergence is detected by an aggregate sum (no extra join), and each
+    * iteration is localCheckpoint'ed to truncate lineage — at cluster scale
+    * swap for `checkpoint` on reliable storage. Shuffle width is always
+    * (long, long): the text never enters the component computation.
+    *
+    * @param nodes one column `idCol`; singletons come out as their own
+    *              cluster
+    * @param pairs columns (`a_id`, `b_id`) — undirected, any orientation
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+                          idCol: String = "doc_id", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionAll(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lbl"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    def sumOf(df: DataFrame): Long = // empty input sums to null
+      df.agg(coalesce(sum("lbl"), lit(0L))).head().getLong(0)
+    var checksum = sumOf(labels)
+    while (!converged && iter < maxIter) {
+      // (a) pull the minimum neighbor label
+      val nbrMin = edges.join(labels, edges("v") === labels("id"))
+        .groupBy("u").agg(min("lbl").as("nmin"))
+      val pulled = labels.join(nbrMin, labels("id") === nbrMin("u"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+      // (b) pointer jump: label := label's label (halves chain depth)
+      val parent = pulled.select(col("id").as("pid"), col("lbl").as("plbl"))
+      val next = pulled.join(parent, pulled("lbl") === parent("pid"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val nextSum = sumOf(next)
+      converged = nextSum == checksum // labels only ever decrease
+      checksum = nextSum
+      labels = next
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter " +
+      "iterations — the pair graph has pathological diameter; raise maxIter")
+    labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
+  }
 }

@@ -172,10 +172,30 @@ object TrainingData {
     SimilarityIvf.ivfTopK(Tables.embeddings(spark, dir), queryId = 0L, k = 10,
       nCells = 16, nprobe = 4)
 
+  /** Near-dup pairs → components → canonical doc per cluster: the last step
+    * of the dedup pipeline. Pairs from the n-gram Jaccard verifier (the
+    * oracle-exact pair set); clustering by [[Dedup.connectedComponents]];
+    * the DuckDB oracle recomputes the transitive closure with a recursive
+    * CTE, so the component structure itself is value-checked. */
+  def ddCluster(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.charNgramJaccardPairs(docs, n = 3, sampleMod = 10,
+      threshold = 0.6).select("a_id", "b_id")
+    val nodes = docs.filter(col("doc_id") % 10 === 0).select("doc_id")
+    val cc = Dedup.connectedComponents(nodes, pairs)
+    cc.join(cc.groupBy(col("cluster_id").as("cid"))
+        .agg(count(lit(1)).as("cluster_size")),
+        col("cluster_id") === col("cid"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dd_exact"         -> ddExact _,
     "dd_jaccard_words" -> ddJaccardWords _,
     "dd_ngram_jaccard" -> ddNgramJaccard _,
+    "dd_cluster"       -> ddCluster _,
     "dd_minhash_lsh"   -> ddMinhashLsh _,
     "dd_simhash"       -> ddSimhash _,
     "dd_winnow_overlap" -> ddWinnowOverlap _,
@@ -332,6 +352,34 @@ object TrainingData {
         | FROM s a JOIN s b ON a.doc_id < b.doc_id)
         |WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.6
         |ORDER BY a_id, b_id""".stripMargin,
+    // transitive closure of the n-gram pair graph via a recursive CTE —
+    // value-checks the component structure, not just the pair set
+    "dd_cluster" ->
+      """WITH RECURSIVE
+        |n AS (
+        | SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+        | FROM documents WHERE doc_id % 10 = 0),
+        |s AS (
+        | SELECT doc_id,
+        |  list_distinct([substr(nt, CAST(i AS INT), 3) for i in range(1, length(nt) - 1)]) AS g
+        | FROM n WHERE length(nt) >= 3),
+        |p AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |        / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.6),
+        |e AS (SELECT a_id AS u, b_id AS v FROM p UNION SELECT b_id, a_id FROM p),
+        |reach AS (
+        | SELECT doc_id AS u, doc_id AS r FROM n
+        | UNION
+        | SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u),
+        |cc AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u)
+        |SELECT cc.doc_id, cc.cluster_id, sz.cluster_size,
+        | cc.doc_id = cc.cluster_id AS is_canonical
+        |FROM cc JOIN (
+        | SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id) sz
+        | USING (cluster_id)
+        |ORDER BY doc_id""".stripMargin,
     "ev_json_extract" ->
       """SELECT k, COUNT(*) AS n FROM (
         | SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k

@@ -116,4 +116,27 @@ class DedupSimilaritySpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("raise sampleMod"))
   }
+
+  test("connected components: chains close transitively, singletons stay alone") {
+    import SparkSpec.session.implicits._
+    // component {1,2,3,4} as a pure chain (worst case for propagation),
+    // component {10,11} as one edge, 20 and 21 as singletons
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
+  }
+
+  test("connected components: pointer jumping closes a long chain in O(log n) iterations") {
+    import SparkSpec.session.implicits._
+    // a 200-node path: plain min-propagation would need ~200 iterations,
+    // far beyond the cap — only the pointer-jumping acceleration converges
+    val n = 200
+    val nodes = (0L until n).toDF("doc_id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(nodes, pairs).as[(Long, Long)].collect()
+    assert(got.length == n && got.forall(_._2 == 0L))
+  }
 }
