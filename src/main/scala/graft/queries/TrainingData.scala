@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalytics._
-import graft.operators.{Dedup, Similarity, SimilarityIvf}
+import graft.operators.{Curation, Dedup, Similarity, SimilarityIvf}
 import graft.sources.Tables
 
 /** Training-data-pipeline operators over the `documents` / `embeddings`
@@ -191,6 +191,28 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Top-3 distinctive terms per doc (integer-exact tf/df ranking). */
+  def txtTfidf(spark: SparkSession, dir: String): DataFrame =
+    tfIdfTop(Tables.documents(spark, dir), k = 3)
+      .orderBy("doc_id", "rank")
+
+  /** Deterministic 80/10/10 split; sum(doc_id) checksums membership, not
+    * just counts — a wrong assignment fails the hash even at equal sizes. */
+  def dsSplit(spark: SparkSession, dir: String): DataFrame =
+    Curation.hashSplit(Tables.documents(spark, dir), "doc_id")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+      .orderBy("split")
+
+  /** Stratified downsample: dominant language to 200‰, de to 500‰, tail
+    * kept whole. Membership checksummed as in [[dsSplit]]. */
+  def dsSampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Curation.stratifiedSample(Tables.documents(spark, dir), "doc_id", "lang",
+        Map("en" -> 200, "de" -> 500))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
+      .orderBy("lang")
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dd_exact"         -> ddExact _,
     "dd_jaccard_words" -> ddJaccardWords _,
@@ -206,7 +228,10 @@ object TrainingData {
     "txt_tokens"       -> txtTokens _,
     "txt_fingerprint"  -> txtFingerprint _,
     "txt_top_words"    -> txtTopWords _,
+    "txt_tfidf"        -> txtTfidf _,
     "txt_length_stats" -> txtLengthStats _,
+    "ds_split"         -> dsSplit _,
+    "ds_sample_stratified" -> dsSampleStratified _,
     "txt_html_strip"   -> txtHtmlStrip _,
     "txt_redact"       -> txtRedact _,
     "ev_json_extract"  -> evJsonExtract _,
@@ -294,6 +319,36 @@ object TrainingData {
         | FROM documents)
         |WHERE length(word) > 0
         |GROUP BY 1 ORDER BY n DESC, word ASC LIMIT 50""".stripMargin,
+    "txt_tfidf" ->
+      """WITH t AS (
+        | SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+        | FROM documents),
+        |tf AS (
+        | SELECT doc_id, tok, COUNT(*) AS tf FROM t WHERE length(tok) > 0 GROUP BY 1, 2),
+        |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        |r AS (
+        | SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+        |  row_number() OVER (PARTITION BY tf.doc_id
+        |                     ORDER BY tf.tf DESC, df.df ASC, tf.tok ASC) AS rank
+        | FROM tf JOIN df USING (tok))
+        |SELECT doc_id, tok, tf, df, rank FROM r WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+    // the split/sample hash is plain SQL arithmetic — the oracle runs the
+    // SAME bucketing, so membership (sum_ids), not just counts, must agree
+    "ds_split" ->
+      """SELECT split, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids FROM (
+        | SELECT doc_id,
+        |  CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 1000 < 800 THEN 'train'
+        |       WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 1000 < 900 THEN 'val'
+        |       ELSE 'test' END AS split
+        | FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ds_sample_stratified" ->
+      """SELECT lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents
+        |WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 % 1000 <
+        |  CASE lang WHEN 'en' THEN 200 WHEN 'de' THEN 500 ELSE 1000 END
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "txt_length_stats" ->
       """SELECT lang, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
         | MAX(n_chars) AS max_chars, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import SparkSpec.session.implicits._
+
+  test("hashSplit is deterministic, stable under growth, and near the weights") {
+    val small = spark.range(10000).toDF("id")
+    val a = Curation.hashSplit(small, "id").groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    // proportions near 800/100/100 per-mille (hash fairness, not exactness)
+    assert(math.abs(a("train") - 8000) < 300, a)
+    assert(math.abs(a("val") - 1000) < 150, a)
+    assert(math.abs(a("test") - 1000) < 150, a)
+    // growing the dataset never reassigns an existing row (no RNG, no seed)
+    val assignedSmall = Curation.hashSplit(small, "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val assignedBig = Curation.hashSplit(spark.range(20000).toDF("id"), "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(assignedSmall.forall { case (id, s) => assignedBig(id) == s })
+  }
+
+  test("stratifiedSample applies per-stratum rates with the default for the tail") {
+    val df = spark.range(9000).select(col("id"),
+      (col("id") % 3).cast("string").as("s"))
+    val kept = Curation.stratifiedSample(df, "id", "s",
+        Map("0" -> 100, "1" -> 500), defaultPerMille = 1000)
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(math.abs(kept("0") - 300) < 100, kept)  // 10% of 3000
+    assert(math.abs(kept("1") - 1500) < 150, kept) // 50% of 3000
+    assert(kept("2") == 3000)                      // default keeps all
+    // sampling is a subset relation, never a rewrite
+    val ids = Curation.hashSample(df, "id", 250).select("id").as[Long].collect().toSet
+    assert(ids.subsetOf((0L until 9000L).toSet) && ids.nonEmpty)
+  }
+}
