@@ -143,18 +143,19 @@ object TextAnalytics {
     * the oracle on libm ulp differences). [[tfIdf]] exposes the smoothed
     * float score for consumers that want the value, not the ranking.
     *
-    * Scale shape: one token explode → partial-agg'd (doc, tok) counts →
-    * vocab-sized df table joined back on tok (broadcastable for real
-    * vocabularies) → per-doc WindowGroupLimit top-k. No driver state. */
+    * Scale shape: ONE token explode + tf aggregation (the corpus pass —
+    * deriving df from a separate aggregation would recompute the scan and
+    * tokenize twice), then df as a count-over-window on the already-reduced
+    * tf table, then per-doc WindowGroupLimit top-k. Three exchanges of
+    * (doc, tok, count)-width rows, one corpus read, no driver state. */
   def tfIdfTop(docs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("tok"))
       .filter(length(col("tok")) > 0)
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val withDf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
     val w = Window.partitionBy("doc_id").orderBy(desc("tf"), asc("df"), asc("tok"))
-    tf.join(broadcast(dfT), "tok")
-      .withColumn("rank", row_number().over(w))
+    withDf.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("doc_id", "tok", "tf", "df", "rank")
   }

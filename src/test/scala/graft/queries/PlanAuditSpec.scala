@@ -120,6 +120,20 @@ class PlanAuditSpec extends SparkSpec {
     assertNarrowBucketShuffle("dd_embed_lsh", "embedding", "norm")
   }
 
+  test("txt_tfidf: one corpus scan; per-doc top-k short-circuits via WindowGroupLimit") {
+    val p = planOf("txt_tfidf")
+    assert(countScans(p) == 1, p) // df from window over tf, not a re-scan
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("ds_split/ds_sample: pure map-side projections, single aggregation pass") {
+    Seq("ds_split", "ds_sample_stratified").foreach { n =>
+      val p = planOf(n)
+      assert(p.contains("partial_count"), s"$n: $p")
+      assert(!p.contains("SortMergeJoin"), s"$n: $p") // rates ride a broadcast
+    }
+  }
+
   test("txt_lang_id/txt_quality: marker counts are kernel UDFs, not interpreted HOFs") {
     Seq("txt_lang_id", "txt_quality").foreach { n =>
       val analyzed = graft.SparkEntry.queries(n)(spark, sfDir).queryExecution.optimizedPlan
