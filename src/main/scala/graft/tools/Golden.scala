@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** One-shot generator for the committed golden parquets that promote
+  * DETERMINISTIC rows-only queries to value-checked oracles (the pattern
+  * established for `wave_analytics`): the DuckDB side of the correctness
+  * gate reads the committed file while Spark recomputes the query, so any
+  * behavior drift breaks the hash match.
+  *
+  * Eligibility is determinism, audited per query: pair sets are exact set
+  * results of deterministic hash kernels; per-pair floats (est_jaccard,
+  * cos_sim, entropy) are computed row-locally in one JVM kernel (no
+  * cross-partition float accumulation, so bit-stable under any parallelism
+  * or partition layout); orderings are total. `sim_ann_ivf` is explicitly
+  * NOT golden-locked: its k-means update sums doubles across partitions,
+  * whose merge order is nondeterministic.
+  *
+  * These goldens are regression locks on the engine's own semantics —
+  * independent SEMANTIC verification lives in the ScalaTest invariants
+  * (LSH candidates ⊇ exact duplicates, recall vs brute force, kernel
+  * round-trips), and GoldenLockSpec re-derives every file from source on
+  * each test run, so a stale or hand-edited golden cannot survive.
+  */
+object Golden {
+
+  /** Deterministic rows-only queries, locked at the driver's verify scale. */
+  val queries = Seq("dd_minhash_lsh", "dd_simhash", "dd_winnow_overlap",
+    "dd_embed_lsh", "sim_ann_lsh", "t7_hash_throughput", "mm_features")
+
+  val sfDir = "/root/testdata/sf0.01"
+
+  def main(args: Array[String]): Unit = {
+    val outDir = if (args.nonEmpty) args(0) else "/root/repo/golden/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    queries.foreach { name =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"golden-$name").toString
+      graft.SparkEntry.queries(name)(spark, sfDir).coalesce(1).write
+        .mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(outDir, s"$name.parquet")
+      java.nio.file.Files.copy(part.toPath, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      println(s"golden written: $dst")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,33 @@
+package graft.tools
+
+import graft.SparkSpec
+
+/** Locks every committed golden parquet (the DuckDB side of the
+  * deterministic rows-only oracles) to the current engine code: each file
+  * is re-derived from source at the driver's verify scale and compared as
+  * a row multiset. A behavior change in any locked kernel fails here and
+  * forces a deliberate regeneration via `runMain graft.tools.Golden` — a
+  * stale or hand-edited golden cannot survive a test run. */
+class GoldenLockSpec extends SparkSpec {
+
+  private def shape(r: org.apache.spark.sql.Row) =
+    r.schema.fields.map(f => (f.name, f.dataType)).toSeq
+
+  Golden.queries.foreach { name =>
+    test(s"golden $name is re-derivable from the current engine") {
+      val golden = spark.read.parquet(s"/root/repo/golden/sf0.01/$name.parquet")
+      val fresh = graft.SparkEntry.queries(name)(spark, Golden.sfDir)
+      val g = golden.collect()
+      val f = fresh.collect()
+      assert(g.nonEmpty, s"$name: empty golden")
+      assert(shape(g.head) == shape(f.head),
+        s"$name schema drift: ${g.head.schema} vs ${f.head.schema}")
+      // multiset compare: row order is not part of the contract (the
+      // oracle checker sorts), but values are exact — including doubles
+      val gm = g.map(_.toSeq).groupBy(identity).map { case (k, v) => k -> v.length }
+      val fm = f.map(_.toSeq).groupBy(identity).map { case (k, v) => k -> v.length }
+      assert(gm == fm, s"$name drift: golden-only=${gm.keySet -- fm.keySet}; " +
+        s"fresh-only=${fm.keySet -- gm.keySet}")
+    }
+  }
+}
