@@ -22,6 +22,9 @@ import graft.plans.VectorExpressions
   */
 object SimilarityIvf {
 
+  /** Fixed-point scale (2^20) for the centroid-update sums. */
+  private val FixedPoint = 1048576.0
+
   /** Train `nCells` centroids on a deterministic sample (hash-ranked) with
     * `iters` Lloyd iterations. Returns (cell, centroid array<double>). */
   def trainCentroids(embeddings: DataFrame, nCells: Int, iters: Int = 3,
@@ -44,13 +47,20 @@ object SimilarityIvf {
       val assigned = sample.as[Seq[Double]].map { v =>
         (nearestCell(v.toArray, bc.value), v)
       }.toDF("cell", "v")
-      // component-wise mean per cell, one aggregation pass
+      // Component-wise mean per cell, one aggregation pass. Elements are
+      // quantized to 2^-20 fixed-point LONGS before summing: integer
+      // addition is associative, so the update is bit-identical under any
+      // partition layout or merge order — double sums would drift by ulps
+      // per run and make the trained index nondeterministic. The 2^-20
+      // quantization error is orders below what k-means assignment resolves.
       val dim = centroids(0).length
       val sums = assigned.groupBy("cell").agg(
         count(lit(1)).as("n"),
-        array((0 until dim).map(d => sum(col("v").getItem(d))): _*).as("sums"))
-      val updated = sums.select(col("cell"), col("n"), col("sums")).as[(Int, Long, Seq[Double])]
-        .collect().map { case (cell, n, ss) => cell -> ss.map(_ / n).toArray }.toMap
+        array((0 until dim).map(d =>
+          sum((col("v").getItem(d) * FixedPoint).cast("long"))): _*).as("sums"))
+      val updated = sums.select(col("cell"), col("n"), col("sums")).as[(Int, Long, Seq[Long])]
+        .collect().map { case (cell, n, ss) =>
+          cell -> ss.map(_.toDouble / (n * FixedPoint)).toArray }.toMap
       centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
       bc.destroy()
       it += 1

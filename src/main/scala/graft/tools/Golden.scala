@@ -24,9 +24,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Golden {
 
-  /** Deterministic rows-only queries, locked at the driver's verify scale. */
+  /** Deterministic rows-only queries, locked at the driver's verify scale.
+    * sim_ann_ivf qualifies because the k-means update sums 2^-20
+    * fixed-point longs (associative), not doubles. */
   val queries = Seq("dd_minhash_lsh", "dd_simhash", "dd_winnow_overlap",
-    "dd_embed_lsh", "sim_ann_lsh", "t7_hash_throughput", "mm_features")
+    "dd_embed_lsh", "sim_ann_lsh", "sim_ann_ivf", "t7_hash_throughput",
+    "mm_features")
 
   val sfDir = "/root/testdata/sf0.01"
 
