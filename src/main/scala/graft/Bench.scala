@@ -22,7 +22,11 @@ object Bench {
     // a loaded box. The first (cold) run is reported separately.
     val runs = 3
     val cold = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional args = subset of query names to time (dev spot-checks)
+    val only = args.toSet
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .map { case (name, fn) =>
       val times = (0 until runs).map { i =>
         val t0 = System.nanoTime()
         // noop sink, not count(): count() lets Catalyst prune the projected

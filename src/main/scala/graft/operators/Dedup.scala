@@ -276,8 +276,12 @@ object Dedup {
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           idCol: String = "doc_id", maxIter: Int = 25): DataFrame = {
+    // materialize the edge set once: it is re-joined EVERY iteration, and
+    // without the checkpoint Spark would recompute the (possibly expensive)
+    // pair-generation subtree each round
     val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionAll(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      .localCheckpoint()
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lbl"))
       .localCheckpoint()
     var converged = false

@@ -37,4 +37,17 @@ object Skew {
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col(key))
       .agg(sum("_partial").as("n"))
+
+  /** Two-phase salted count + sum over a money-like double column. The
+    * value is scaled to integer cents BEFORE summing, so both phases are
+    * associative integer adds — exact and order-independent (a double sum
+    * would change with the salt fan-out), which is what lets the salted
+    * plan promise bit-equal results to the unsalted one. */
+  def saltedStats(df: DataFrame, key: String, valueCol: String, salts: Int): DataFrame =
+    df.withColumn("_salt", pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts)))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_n"),
+        sum(round(col(valueCol) * 100).cast("long")).as("_cents"))
+      .groupBy(col(key))
+      .agg(sum("_n").as("n"), (sum("_cents") / 100.0).as("sum_value"))
 }

@@ -333,6 +333,33 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Q19 — salted two-phase aggregation over the skewed event_type key
+    * (one type dominates the stream). The salt spreads the hot key across
+    * `salts` shuffle partitions; integer-cent sums make both phases exact,
+    * so the oracle is the PLAIN group-by — the skew path must be
+    * bit-equal, not just approximately right. */
+  def q19SkewAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedStats(Tables.events(spark, dir),
+        "event_type", "value", salts = 8)
+      .orderBy("event_type")
+
+  /** Q20 — inter-event gaps via lag over (user, time): the event-time
+    * deltas a funnel/latency analysis needs. µs resolution on both sides
+    * (ts div 1000 ↔ epoch_us, the established nanos↔µs parity rule);
+    * ties broken by event_id so the lag neighbor is deterministic. */
+  def q20EventGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").as("ts_us"))
+      .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"), min("gap_us").as("min_gap_us"),
+        max("gap_us").as("max_gap_us"), sum("gap_us").as("sum_gap_us"))
+      .orderBy("event_type")
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_filter_project" -> q01FilterProject _,
     "q02_string_chain"   -> q02StringChain _,
@@ -355,6 +382,8 @@ object Relational {
     "q16_dispersion"     -> q16Dispersion _,
     "q17_cube"           -> q17Cube _,
     "q18_pivot"          -> q18Pivot _,
+    "q19_skew_agg"       -> q19SkewAgg _,
+    "q20_event_gaps"     -> q20EventGaps _,
   )
 
   /** DuckDB-dialect oracle SQL, column-name and value aligned with the
@@ -515,5 +544,18 @@ object Relational {
         | COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
         | COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the PLAIN group-by: the salted two-phase plan must be bit-equal
+    "q19_skew_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q20_event_gaps" ->
+      """SELECT event_type, COUNT(*) AS n_gaps, MIN(gap_us) AS min_gap_us,
+        | MAX(gap_us) AS max_gap_us, CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
+        |FROM (
+        | SELECT event_type, epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |   PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+        | FROM events)
+        |WHERE gap_us IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
