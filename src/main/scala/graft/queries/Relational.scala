@@ -173,17 +173,25 @@ object Relational {
     * A4 progress meters, `/root/reference/pkg/internal/meter/metrics.go:190-217`,
     * `/root/reference/pkg/internal/meter/monitor.go:37-52`).
     */
-  def q11MinmaxPct(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
+  def q11MinmaxPct(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
       .groupBy("o_orderpriority")
       .agg(
         count(lit(1)).as("n"),
         max("o_totalprice").as("max_price"),
         min("o_totalprice").as("min_price"),
         dsum("o_totalprice").as("sum_price"))
+    // percentage-of-total via a broadcast single-row total, not a
+    // partitionBy()-less window: same 5-row input either way, but the
+    // window form plans a deliberate single-partition WindowExec (and
+    // warns), while the scalar crossJoin stays partition-parallel
+    val total = per.agg(sum("n").as("total_n"))
+    per.crossJoin(broadcast(total))
       .withColumn("pct_of_total",
-        col("n").cast("double") * lit(100) / sum("n").over(Window.partitionBy()).cast("double"))
+        col("n").cast("double") * lit(100) / col("total_n").cast("double"))
+      .drop("total_n")
       .orderBy("o_orderpriority")
+  }
 
   /** Q12 — multi-way enrichment join (Spark-native extension, SURVEY §2.7
     * Q12). nation/region are tiny and customer is ~1.5% of orders: all three
