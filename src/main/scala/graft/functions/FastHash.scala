@@ -63,8 +63,11 @@ object FastHash {
     * higher-order-function formulation, which is CodegenFallback
     * (interpreted + boxed) and re-tokenizes once per marker class. */
   def markerHits(text: String, sets: Array[Array[Long]]): Array[Int] = {
+    // null in → null out: the HOF formulation this kernel replaced (and the
+    // SQL oracles) propagate NULL for null text; zeros would silently
+    // reclassify null-text rows as the zero-count class
+    if (text == null) return null
     val out = new Array[Int](sets.length)
-    if (text == null) return out
     var h = -3750763034362895579L
     var inTok = false
     var i = 0

@@ -23,9 +23,14 @@ object Curation {
     * per-mille convention used by [[hashSplit]] and [[stratifiedSample]]. */
   val Buckets = 1000
 
-  /** Deterministic bucket in [0, buckets): stable across engines and runs. */
+  /** Deterministic bucket in [0, buckets): stable across engines and runs.
+    * The id is normalized to [0, 2^31) FIRST — plain `%` keeps the
+    * dividend's sign in both Spark and DuckDB, and a negative bucket would
+    * compare `< rate` as always-true (every negative id would land in
+    * 'train' and survive every sample). The add-then-mod normalization is
+    * plain SQL, mirrored verbatim in the oracles. */
   def hashBucket(id: Column, buckets: Int = Buckets): Column =
-    ((id % 2147483648L) * 2654435761L) % 4294967296L % buckets
+    ((id % 2147483648L + 2147483648L) % 2147483648L * 2654435761L) % 4294967296L % buckets
 
   /** Train/val/test assignment by id hash: buckets [0, trainPerMille) →
     * train, [trainPerMille, trainPerMille+valPerMille) → val, rest → test.

@@ -60,17 +60,23 @@ object Similarity {
     * candidate path is [[cosineNearDupPairs]]. */
   def cosinePairsExact(embeddings: DataFrame, sampleMod: Int, threshold: Double): DataFrame = {
     val dot = graft.plans.VectorExpressions.dotF _
-    val sample = embeddings.filter(col("vec_id") % sampleMod === 0)
-      .select(col("vec_id"), col("embedding"), sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
     // the quadratic verifier is only usable because the sample is small —
-    // enforce the bound instead of assuming it (pairs = n(n-1)/2)
-    val n = sample.count()
+    // enforce the bound instead of assuming it (pairs = n(n-1)/2). The
+    // guard counts ids only, limit-bounded, so it never scans past the cap
+    // or evaluates the norm projection
+    val n = embeddings.filter(col("vec_id") % sampleMod === 0)
+      .select("vec_id").limit(Dedup.maxVerifierSample + 1).count()
     require(n <= Dedup.maxVerifierSample,
       s"sampled verifier got $n vectors (cap ${Dedup.maxVerifierSample}); " +
         s"raise sampleMod — the scalable near-dup path is cosineNearDupPairs")
+    val sample = embeddings.filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id"), col("embedding"), sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
     val a = sample.select(col("vec_id").as("a_id"), col("embedding").as("a_v"), col("norm").as("a_n"))
     val b = sample.select(col("vec_id").as("b_id"), col("embedding").as("b_v"), col("norm").as("b_n"))
     a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      // zero-norm (all-zeros) vectors give 0/0 = NaN, which Spark orders
+      // ABOVE all doubles — `NaN >= threshold` is TRUE; drop them first
+      .filter(col("a_n") > 0 && col("b_n") > 0)
       .withColumn("cos_sim", dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")))
       .filter(col("cos_sim") >= threshold)
       .select("a_id", "b_id", "cos_sim")
@@ -108,6 +114,10 @@ object Similarity {
     pairs
       .join(vecs.select(col("vec_id").as("a_id"), col("embedding").as("a_v"), col("norm").as("a_n")), "a_id")
       .join(vecs.select(col("vec_id").as("b_id"), col("embedding").as("b_v"), col("norm").as("b_n")), "b_id")
+      // zero-norm guard: 0/0 = NaN sorts above every double, so a NaN
+      // cos_sim would pass the >= threshold filter (same trap as the
+      // Jaccard verifiers' empty-set pairs)
+      .filter(col("a_n") > 0 && col("b_n") > 0)
       .withColumn("cos_sim", dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")))
       .filter(col("cos_sim") >= threshold)
       .select("a_id", "b_id", "cos_sim")

@@ -338,15 +338,15 @@ object TrainingData {
     "ds_split" ->
       """SELECT split, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids FROM (
         | SELECT doc_id,
-        |  CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 1000 < 800 THEN 'train'
-        |       WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 1000 < 900 THEN 'val'
+        |  CASE WHEN ((doc_id % 2147483648 + 2147483648) % 2147483648 * 2654435761) % 4294967296 % 1000 < 800 THEN 'train'
+        |       WHEN ((doc_id % 2147483648 + 2147483648) % 2147483648 * 2654435761) % 4294967296 % 1000 < 900 THEN 'val'
         |       ELSE 'test' END AS split
         | FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ds_sample_stratified" ->
       """SELECT lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
         |FROM documents
-        |WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 % 1000 <
+        |WHERE ((doc_id % 2147483648 + 2147483648) % 2147483648 * 2654435761) % 4294967296 % 1000 <
         |  CASE lang WHEN 'en' THEN 200 WHEN 'de' THEN 500 ELSE 1000 END
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "txt_length_stats" ->

@@ -160,15 +160,37 @@ object Sources {
   def writeEncryptedNdjson(df: DataFrame, path: String, key: Array[Byte],
                            gzipped: Boolean = true): Unit = {
     val suffix = ".ndjson.enc"
+    val spark = df.sparkSession
+    // the SESSION Hadoop conf (spark.hadoop.* — s3a credentials, defaultFS),
+    // shipped to executors like the built-in writers do; a bare
+    // `new Configuration()` on the executor would see none of it.
+    // Shipped as entries (Configuration itself is not Serializable and
+    // Spark's SerializableConfiguration wrapper is private[spark]).
+    val confEntries: Array[(String, String)] = {
+      import scala.jdk.CollectionConverters._
+      spark.sessionState.newHadoopConf().iterator().asScala
+        .map(e => e.getKey -> e.getValue).toArray
+    }
+    val confBc = spark.sparkContext.broadcast(confEntries)
+    // overwrite semantics like parquet's mode("overwrite"): clear previous
+    // objects first, or a rewrite with fewer partitions leaves stale parts
+    // that the read glob silently unions in
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val dfs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (dfs.exists(dir))
+      dfs.listStatus(dir).filter(_.getPath.getName.endsWith(suffix))
+        .foreach(st => dfs.delete(st.getPath, false))
     df.toJSON.foreachPartition { (it: Iterator[String]) =>
       if (it.hasNext) {
         val body = it.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val sealed0 = if (gzipped) graft.functions.Codecs.gzip(body) else body
         val blob = graft.functions.Crypto.aesGcmEncryptBytes(sealed0, key)
         val pid = org.apache.spark.TaskContext.get().partitionId()
-        val dir = new org.apache.hadoop.fs.Path(path)
-        val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val out = fs.create(new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d$suffix"), true)
+        val d = new org.apache.hadoop.fs.Path(path)
+        val hc = new org.apache.hadoop.conf.Configuration(false)
+        confBc.value.foreach { case (k, v) => hc.set(k, v) }
+        val fs = d.getFileSystem(hc)
+        val out = fs.create(new org.apache.hadoop.fs.Path(d, f"part-$pid%05d$suffix"), true)
         try out.write(blob) finally out.close()
       }
     }

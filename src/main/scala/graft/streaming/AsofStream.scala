@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -27,6 +27,10 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * or to an older right, never attach a future right. This is the same
   * ordering contract as the reference's per-key element flow
   * (`/root/reference/pkg/internal/resister/queue.go:106-133`).
+  *
+  * Rows with a null `ts` are dropped on both sides (a row without an event
+  * time has no place in the ordered replay); the batch operator instead
+  * sorts nulls first, so feed it null-free inputs when comparing.
   */
 object AsofStream {
 
@@ -41,10 +45,24 @@ object AsofStream {
     require(reserved.isEmpty,
       s"column names starting with __ are reserved by asofJoin: ${reserved.mkString(", ")}")
 
-    val l = left.select(col(key).cast("string").as("__k"), col(ts).cast("long").as("__ts"),
-      lit(1).as("__side"), struct(leftCols.map(col): _*).as("__l"))
-    val r = right.select(col(key).cast("string").as("__k"), col(ts).cast("long").as("__ts"),
-      lit(0).as("__side"), struct(rightCols.map(col): _*).as("__r"))
+    // ts → long at FULL resolution: a bare long cast on TimestampType
+    // truncates to epoch seconds, which would collapse sub-second order
+    // (and contradict the batch twin, which compares raw timestamps);
+    // unix_micros preserves exactly what the batch window sorts on.
+    // Null ts rows are dropped on both sides — the ordered-arrival replay
+    // contract is meaningless for a row without an event time.
+    def tsLong(df: DataFrame): Column = df.schema(ts).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(ts))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(ts).cast("timestamp"))
+      case _ => col(ts).cast("long")
+    }
+    val l = left.filter(col(ts).isNotNull)
+      .select(col(key).cast("string").as("__k"), tsLong(left).as("__ts"),
+        lit(1).as("__side"), struct(leftCols.map(col): _*).as("__l"))
+    val r = right.filter(col(ts).isNotNull)
+      .select(col(key).cast("string").as("__k"), tsLong(right).as("__ts"),
+        lit(0).as("__side"), struct(rightCols.map(col): _*).as("__r"))
     val unioned = l.unionByName(r, allowMissingColumns = true)
 
     val leftStruct = unioned.schema("__l").dataType.asInstanceOf[StructType]

@@ -12,9 +12,10 @@ import org.apache.spark.sql.SparkSession
   * results of deterministic hash kernels; per-pair floats (est_jaccard,
   * cos_sim, entropy) are computed row-locally in one JVM kernel (no
   * cross-partition float accumulation, so bit-stable under any parallelism
-  * or partition layout); orderings are total. `sim_ann_ivf` is explicitly
-  * NOT golden-locked: its k-means update sums doubles across partitions,
-  * whose merge order is nondeterministic.
+  * or partition layout); orderings are total. `sim_ann_ivf` qualifies
+  * since its k-means update switched to 2^-20 fixed-point LONG sums —
+  * integer addition is associative, so the trained index is bit-stable
+  * under any merge order (a double sum would not be).
   *
   * These goldens are regression locks on the engine's own semantics —
   * independent SEMANTIC verification lives in the ScalaTest invariants
@@ -33,8 +34,8 @@ object Golden {
 
   val sfDir = "/root/testdata/sf0.01"
 
-  def main(args: Array[String]): Unit = {
-    val outDir = if (args.nonEmpty) args(0) else "/root/repo/golden/sf0.01"
+  /** Shared golden-session factory (also used by [[GoldenWave]]). */
+  def session(): SparkSession = {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -42,17 +43,30 @@ object Golden {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    spark
+  }
+
+  /** Export a DataFrame as ONE parquet file at `dst` (also used by
+    * [[GoldenWave]]): coalesce to a single part in a temp dir, then copy
+    * the part file into place. */
+  def writeGolden(df: org.apache.spark.sql.DataFrame, dst: java.nio.file.Path): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("golden").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no parquet part written under $tmp"))
+    java.nio.file.Files.createDirectories(dst.getParent)
+    java.nio.file.Files.copy(part.toPath, dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    println(s"golden written: $dst")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outDir = if (args.nonEmpty) args(0) else "/root/repo/golden/sf0.01"
+    val spark = session()
     queries.foreach { name =>
-      val tmp = java.nio.file.Files.createTempDirectory(s"golden-$name").toString
-      graft.SparkEntry.queries(name)(spark, sfDir).coalesce(1).write
-        .mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dst = java.nio.file.Paths.get(outDir, s"$name.parquet")
-      java.nio.file.Files.copy(part.toPath, dst,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      println(s"golden written: $dst")
+      writeGolden(graft.SparkEntry.queries(name)(spark, sfDir),
+        java.nio.file.Paths.get(outDir, s"$name.parquet"))
     }
     spark.stop()
   }

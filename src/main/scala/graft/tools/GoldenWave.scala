@@ -1,7 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-
 /** One-shot generator for the committed wave-analytics golden parquet
   * (`golden/wave_analytics.parquet`). The golden file promotes the
   * `wave_analytics` query from a rows-only check to a value-checked oracle:
@@ -15,27 +13,17 @@ import org.apache.spark.sql.SparkSession
   * (`/root/reference/pkg/builder/utils.go:45-202`); WaveGoldenSpec locks
   * the committed file against the current kernels so a code change forces a
   * deliberate regeneration here, never a silent divergence.
+  *
+  * Kept separate from [[Golden]] (sf0.01-scoped goldens): the wave batch is
+  * synthetic and scale-independent. Session + export go through Golden's
+  * shared helpers.
   */
 object GoldenWave {
   def main(args: Array[String]): Unit = {
     val outDir = if (args.nonEmpty) args(0) else "/root/repo/golden"
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val tmp = java.nio.file.Files.createTempDirectory("golden-wave").toString
-    graft.functions.Wave.waveAnalytics(spark).coalesce(1).write
-      .mode("overwrite").parquet(tmp)
-    val part = new java.io.File(tmp).listFiles()
-      .find(_.getName.endsWith(".parquet")).get
-    val dst = java.nio.file.Paths.get(outDir, "wave_analytics.parquet")
-    java.nio.file.Files.createDirectories(dst.getParent)
-    java.nio.file.Files.copy(part.toPath, dst,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    println(s"golden written: $dst")
+    val spark = Golden.session()
+    Golden.writeGolden(graft.functions.Wave.waveAnalytics(spark),
+      java.nio.file.Paths.get(outDir, "wave_analytics.parquet"))
     spark.stop()
   }
 }

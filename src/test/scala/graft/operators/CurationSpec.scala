@@ -35,4 +35,15 @@ class CurationSpec extends SparkSpec {
     val ids = Curation.hashSample(df, "id", 250).select("id").as[Long].collect().toSet
     assert(ids.subsetOf((0L until 9000L).toSet) && ids.nonEmpty)
   }
+
+  test("hashBucket stays in [0, buckets) for negative ids too") {
+    val df = spark.range(-5000, 5000).toDF("id")
+    val buckets = df.select(Curation.hashBucket(col("id")).as("b"))
+      .agg(min("b"), max("b")).as[(Long, Long)].head()
+    assert(buckets._1 >= 0 && buckets._2 < Curation.Buckets, buckets)
+    // and the split therefore actually splits the negative half
+    val negSplits = Curation.hashSplit(spark.range(-5000, 0).toDF("id"), "id")
+      .select("split").distinct().as[String].collect().toSet
+    assert(negSplits == Set("train", "val", "test"), negSplits)
+  }
 }

@@ -79,6 +79,14 @@ class SourcesCodecsSpec extends SparkSpec {
     intercept[Exception] {
       Sources.readEncryptedNdjson(spark, tmp, "ffffffffffffffff".getBytes("UTF-8"), schema).count()
     }
+    // overwrite semantics: a rewrite with FEWER partitions must not leave
+    // stale parts from the previous write for the read glob to union in
+    val df2 = spark.range(10).select(col("id"),
+      concat(lit("rewrite-"), col("id")).as("payload")).repartition(2)
+    Sources.writeEncryptedNdjson(df2, tmp, key)
+    val after = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".ndjson.enc"))
+    assert(after.length == 2, after.map(_.getName).toSeq)
+    assert(Sources.readEncryptedNdjson(spark, tmp, key, schema).count() == 10)
   }
 
   test("chained sha-256 hash matches a reference-style sequential fold (processing/main.go:83-103)") {
