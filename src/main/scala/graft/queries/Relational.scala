@@ -368,6 +368,21 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** A7 approximate variant — HLL distinct users per event type next to
+    * the exact count. Golden-locked (not DuckDB-checked): the estimate is
+    * engine-specific, but deterministic — HLL register merges are
+    * element-wise max (commutative, associative, idempotent), so the
+    * sketch is bit-stable under any partitioning. The 2% target precision
+    * is invariant-checked against n_exact in ScalaTest. At 100 TB the
+    * sketch is the only option: exact distinct shuffles every (type, user)
+    * pair, HLL ships one 2.5 KB register array per group per partition. */
+  def a7ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_exact"),
+        approx_count_distinct("user_id", rsd = 0.02).as("n_approx"))
+      .orderBy("event_type")
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_filter_project" -> q01FilterProject _,
     "q02_string_chain"   -> q02StringChain _,
@@ -392,6 +407,7 @@ object Relational {
     "q18_pivot"          -> q18Pivot _,
     "q19_skew_agg"       -> q19SkewAgg _,
     "q20_event_gaps"     -> q20EventGaps _,
+    "a7_approx_distinct" -> a7ApproxDistinct _,
   )
 
   /** DuckDB-dialect oracle SQL, column-name and value aligned with the

@@ -1,0 +1,21 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Semantic invariant for the golden-locked HLL query: the estimate must
+  * track the exact distinct count within a few standard errors of the 2%
+  * target precision — the independent check that the committed golden is
+  * locking a CORRECT sketch, not just a stable one. */
+class ApproxSpec extends SparkSpec {
+
+  test("a7_approx_distinct: HLL estimate within 5x target rsd of exact") {
+    val rows = Relational.a7ApproxDistinct(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val approx = r.getAs[Long]("n_approx").toDouble
+      assert(math.abs(approx - exact) <= math.max(2.0, 0.10 * exact),
+        s"${r.getAs[String]("event_type")}: approx $approx vs exact $exact")
+    }
+  }
+}
