@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding quantization for similarity search at 100 TB: symmetric
+  * per-vector int8 with a float scale — 4× less storage/shuffle width than
+  * float32, and candidate scoring becomes an integer dot product (SIMD-
+  * friendly, no float rounding divergence across platforms). The float
+  * path stays the re-rank / ground-truth tier, mirroring the IVF and LSH
+  * candidate/verify split used across the similarity family.
+  *
+  * All kernels are row-local primitive loops (the FastHash pattern — HOF
+  * array expressions are CodegenFallback) and deterministic: round-half-up
+  * quantization, no accumulation across rows.
+  */
+object VectorQuant {
+
+  /** Per-vector symmetric scale: maxAbs/127 (0 for the zero vector). */
+  def quantScale(v: Array[Float]): Float = {
+    if (v == null) return 0f
+    var m = 0f
+    var i = 0
+    while (i < v.length) { val a = math.abs(v(i)); if (a > m) m = a; i += 1 }
+    m / 127f
+  }
+
+  /** Quantize to int8 with round-half-up; zero vectors map to all-zeros. */
+  def quantize(v: Array[Float], scale: Float): Array[Byte] = {
+    if (v == null) return null
+    val out = new Array[Byte](v.length)
+    if (scale == 0f) return out
+    var i = 0
+    while (i < v.length) {
+      out(i) = math.round(v(i) / scale).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Integer dot product of two int8 vectors (exact, no float rounding). */
+  def dotI8(a: Array[Byte], b: Array[Byte]): Long = {
+    if (a == null || b == null) return 0L
+    var s = 0L
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** (scale, q) struct column: the stored form of a quantized embedding. */
+  def quantizeCol(v: Column): Column = {
+    val u = udf { (arr: Array[Float]) =>
+      if (arr == null) null
+      else { val s = quantScale(arr); (s, quantize(arr, s)) }
+    }
+    u(v)
+  }
+
+  /** Approximate cosine from quantized vectors. The per-vector scales
+    * cancel in the cosine, so only the int8 arrays are needed: integer dot
+    * over integer norms — exact integer arithmetic plus one sqrt, fully
+    * deterministic; the quantization error (~1/255 per component) is the
+    * bounded approximation. Zero vectors yield null (0/0 guarded). */
+  def cosI8Col(aQ: Column, bQ: Column): Column = {
+    val u = udf { (a: Array[Byte], b: Array[Byte]) =>
+      if (a == null || b == null) None
+      else {
+        var na = 0L; var nb = 0L
+        var i = 0
+        while (i < a.length) { na += a(i) * a(i); i += 1 }
+        i = 0
+        while (i < b.length) { nb += b(i) * b(i); i += 1 }
+        if (na == 0L || nb == 0L) None
+        else Some(dotI8(a, b) / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)))
+      }
+    }
+    u(aQ, bQ)
+  }
+}

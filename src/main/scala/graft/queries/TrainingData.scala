@@ -172,6 +172,25 @@ object TrainingData {
     SimilarityIvf.ivfTopK(Tables.embeddings(spark, dir), queryId = 0L, k = 10,
       nCells = 16, nprobe = 4)
 
+  /** Quantized ANN: top-k by int8-cosine over per-vector symmetric
+    * quantization — the 4×-smaller storage/shuffle tier of the similarity
+    * stack (float stays the re-rank tier). Golden-locked (integer
+    * arithmetic, deterministic); recall vs the float path is
+    * invariant-checked in ScalaTest. */
+  def simAnnInt8(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorQuant
+    val quant = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorQuant.quantizeCol(col("embedding")).as("qv"))
+    val qrow = quant.filter(col("vec_id") === 0)
+      .select(col("qv").getField("_2").as("q_q"))
+    quant.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qrow))
+      .select(col("vec_id"),
+        VectorQuant.cosI8Col(col("qv").getField("_2"), col("q_q")).as("sim_q"))
+      .orderBy(desc("sim_q"), asc("vec_id"))
+      .limit(10)
+  }
+
   /** Near-dup pairs → components → canonical doc per cluster: the last step
     * of the dedup pipeline. Pairs from the n-gram Jaccard verifier (the
     * oracle-exact pair set); clustering by [[Dedup.connectedComponents]];
@@ -238,6 +257,7 @@ object TrainingData {
     "sim_cosine_topk"  -> simCosineTopK _,
     "sim_ann_lsh"      -> simAnnLsh _,
     "sim_ann_ivf"      -> simAnnIvf _,
+    "sim_ann_int8"     -> simAnnInt8 _,
     "mm_features"      -> mmFeatures _,
   )
 

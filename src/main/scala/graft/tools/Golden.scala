@@ -30,7 +30,7 @@ object Golden {
     * fixed-point longs (associative), not doubles. */
   val queries = Seq("dd_minhash_lsh", "dd_simhash", "dd_winnow_overlap",
     "dd_embed_lsh", "sim_ann_lsh", "sim_ann_ivf", "t7_hash_throughput",
-    "mm_features", "a7_approx_distinct")
+    "mm_features", "a7_approx_distinct", "sim_ann_int8")
 
   val sfDir = "/root/testdata/sf0.01"
 

@@ -117,6 +117,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(e2.getMessage.contains("raise sampleMod"))
   }
 
+  test("int8-quantized top-k tracks the float cosine ranking (recall >= 0.8)") {
+    val dir = sfDir
+    val exact = Similarity.bruteForceTopK(graft.sources.Tables.embeddings(spark, dir), 0, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val quant = graft.queries.TrainingData.simAnnInt8(spark, dir)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = (exact & quant).size / 10.0
+    assert(recall >= 0.8, s"int8 recall vs float: $recall")
+  }
+
   test("connected components: chains close transitively, singletons stay alone") {
     import SparkSpec.session.implicits._
     // component {1,2,3,4} as a pure chain (worst case for propagation),
