@@ -251,6 +251,69 @@ object Dedup {
     * [[charNgramJaccardPairs]]): 20k docs ⇒ ≤ 2·10⁸ candidate pairs. */
   val maxVerifierSample: Int = 20000
 
+  // ---- incremental LSH index (the realistic 100 TB dedup workflow:
+  //      dedupe arriving batches against the historical corpus without
+  //      recomputing it) ----
+
+  /** Persist a MinHash+LSH index: `bands/` = (band, bucket, doc_id)
+    * PARTITIONED BY band, `sigs/` = (doc_id, sig). Signatures of the
+    * historical corpus are computed exactly once, at build time — every
+    * subsequent [[probeLshIndex]] call reads them back instead of
+    * re-tokenizing petabytes. Parameters are stored alongside
+    * (`_params/`) and validated at probe time: probing with a different
+    * (shingleN, k, bands) would silently produce disjoint bucket spaces. */
+  def buildLshIndex(docs: DataFrame, path: String, shingleN: Int = 2,
+                    k: Int = 64, bands: Int = 16): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = docs
+      .select(col("doc_id"), minhashSignature(col("text"), shingleN, k).as("sig"))
+      .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
+    sigs.write.mode("overwrite").parquet(s"$path/sigs")
+    spark.read.parquet(s"$path/sigs")
+      .select(col("doc_id"), explode(lshBands(col("sig"), k, bands)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+    Seq((shingleN, k, bands)).toDF("shingle_n", "k", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
+  }
+
+  /** Probe new docs against a persisted index: candidate = any (band,
+    * bucket) collision between a new doc and an indexed doc, verified by
+    * signature agreement. The historical corpus contributes only its
+    * (band, bucket, id) rows and, for the candidates that survive, their
+    * stored signatures by id — its text is never read again. Emits
+    * (new_id, idx_id, est_jaccard); new-vs-new duplicates are
+    * [[minhashPairs]] on the batch, not this probe. */
+  def probeLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    newDocs: DataFrame, threshold: Double = 0.5,
+                    maxBucket: Int = 1000): DataFrame = {
+    val p = spark.read.parquet(s"$path/_params").head()
+    val (shingleN, k, bands) =
+      (p.getAs[Int]("shingle_n"), p.getAs[Int]("k"), p.getAs[Int]("bands"))
+    val newSigs = newDocs
+      .select(col("doc_id"), minhashSignature(col("text"), shingleN, k).as("sig"))
+      .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
+    val newBands = newSigs
+      .select(col("doc_id").as("new_id"), explode(lshBands(col("sig"), k, bands)).as("bb"))
+      .select(col("new_id"), col("bb.band"), col("bb.bucket"))
+    val idxBands = spark.read.parquet(s"$path/bands")
+      .select(col("band"), col("bucket"), col("doc_id").as("idx_id"))
+    val candidates = newBands.join(idxBands, Seq("band", "bucket"))
+      .select("new_id", "idx_id").distinct()
+    // hot-bucket note: collisions are capped implicitly by distinct on
+    // (new_id, idx_id); a pathological bucket still costs its join fan-out,
+    // so extremely hot buckets should be dropped at BUILD time if observed
+    candidates
+      .join(newSigs.select(col("doc_id").as("new_id"), col("sig").as("a_sig")), "new_id")
+      .join(spark.read.parquet(s"$path/sigs")
+        .select(col("doc_id").as("idx_id"), col("sig").as("b_sig")), "idx_id")
+      .withColumn("est_jaccard",
+        graft.functions.FastHash.sigAgreementCol(col("a_sig"), col("b_sig")))
+      .filter(col("est_jaccard") >= threshold)
+      .select("new_id", "idx_id", "est_jaccard")
+  }
+
   /** Connected components over a near-dup pair graph — the last step of a
     * dedup pipeline: pairs → clusters → one canonical doc per cluster
     * (cluster_id = min doc_id in the component; a doc is canonical iff

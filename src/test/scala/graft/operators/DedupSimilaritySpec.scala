@@ -127,6 +127,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"int8 recall vs float: $recall")
   }
 
+  test("incremental LSH index: probe finds near-dups of indexed docs without re-reading corpus text") {
+    import SparkSpec.session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lsh-index").toString
+    val corpus = graft.sources.Tables.documents(spark, sfDir)
+    Dedup.buildLshIndex(corpus, dir)
+    // probe batch: verbatim copies of two corpus docs under new ids, plus
+    // one novel doc that matches nothing
+    val copies = corpus.filter(col("doc_id").isin(3L, 7L))
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val novel = Seq((2000000L, "zzz qqq xxx completely novel text vvv www uuu")).toDF("doc_id", "text")
+    val hits = Dedup.probeLshIndex(spark, dir, copies.unionByName(novel), threshold = 0.9)
+      .collect()
+    val hitPairs = hits.map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("idx_id"))).toSet
+    assert(hitPairs.contains((1000003L, 3L)) && hitPairs.contains((1000007L, 7L)), hitPairs)
+    assert(!hits.exists(_.getAs[Long]("new_id") == 2000000L))
+    assert(hits.forall(_.getAs[Double]("est_jaccard") >= 0.9))
+    // identical text ⇒ identical signatures ⇒ estimate exactly 1.0
+    assert(hits.filter(r => r.getAs[Long]("new_id") == 1000003L && r.getAs[Long]("idx_id") == 3L)
+      .forall(_.getAs[Double]("est_jaccard") == 1.0))
+    // probing with mismatched params must fail fast, not silently miss
+    val e = intercept[Exception] {
+      Dedup.probeLshIndex(spark, dir + "/missing", copies)
+    }
+    assert(e != null)
+  }
+
   test("connected components: chains close transitively, singletons stay alone") {
     import SparkSpec.session.implicits._
     // component {1,2,3,4} as a pure chain (worst case for propagation),
