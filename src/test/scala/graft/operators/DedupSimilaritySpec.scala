@@ -153,6 +153,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(e != null)
   }
 
+  test("streaming incremental dedup: each micro-batch probes the persisted LSH index") {
+    import SparkSpec.session.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("lsh-stream").toString
+    val corpus = graft.sources.Tables.documents(spark, sfDir)
+    Dedup.buildLshIndex(corpus, dir)
+    val corpusText = corpus.filter(col("doc_id") === 5L).select("text").as[String].head()
+    val mem = MemoryStream[(Long, String)]
+    val hits = collection.mutable.ArrayBuffer[(Long, Long)]()
+    // the arriving stream dedupes against the HISTORICAL index inside
+    // foreachBatch — the index is read per batch, the corpus text never
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        hits.synchronized {
+          hits ++= Dedup.probeLshIndex(spark, dir, batch, threshold = 0.9)
+            .select("new_id", "idx_id").as[(Long, Long)].collect()
+        }
+        ()
+      }.start()
+    try {
+      mem.addData((5000001L, corpusText), (5000002L, "novel stream doc unlike anything"))
+      q.processAllAvailable()
+      mem.addData((5000003L, corpusText))
+      q.processAllAvailable()
+      hits.synchronized {
+        assert(hits.contains((5000001L, 5L)) && hits.contains((5000003L, 5L)), hits)
+        assert(!hits.exists(_._1 == 5000002L), hits)
+      }
+    } finally q.stop()
+  }
+
   test("connected components: chains close transitively, singletons stay alone") {
     import SparkSpec.session.implicits._
     // component {1,2,3,4} as a pure chain (worst case for propagation),
