@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Table-maintenance operators: the small-files problem. Streaming sinks
+  * (K2/K3 — `Sources.timedFileSink`, `writePartitionedByTime`) roll files
+  * by trigger age, so a long-running pipeline accretes thousands of tiny
+  * parquet files whose per-file open/footer cost eventually dominates
+  * scans. Compaction rewrites a directory to ~`targetBytes` files.
+  *
+  * Scale design: the rewrite is one distributed read + repartition + write
+  * — no driver-side data movement; only file STATUS (name + length) is
+  * listed on the driver. The rewrite goes to a temp sibling directory
+  * first and swaps in with two renames, so a concurrent reader sees either
+  * the old files or the new, never a half-written mix.
+  */
+object Maintenance {
+
+  /** Number of output files a compaction of `path` would produce (the
+    * driver-side plan — cheap, lists file statuses only). */
+  def compactionPlan(spark: SparkSession, path: String,
+                     targetBytes: Long): (Long, Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = fs.listStatus(p)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val bytes = parts.map(_.getLen).sum
+    val outFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    (bytes, parts.length, outFiles)
+  }
+
+  /** Compact a parquet directory to ~`targetBytes` files. Returns
+    * (files before, files after). No-op (returns unchanged counts) when
+    * the directory already has no more files than the target count. */
+  def compactParquet(spark: SparkSession, path: String,
+                     targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val (bytes, nBefore, nTarget) = compactionPlan(spark, path, targetBytes)
+    if (nBefore <= nTarget) return (nBefore, nBefore)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(path + "._compact_tmp")
+    val bak = new org.apache.hadoop.fs.Path(path + "._compact_old")
+    // coalesce, not repartition: compaction must not pay a shuffle — it
+    // only narrows the file count, preserving data distribution
+    spark.read.parquet(path).coalesce(nTarget)
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(p, bak), s"compaction: could not move $p aside")
+    if (!fs.rename(tmp, p)) { // roll back, never leave the path missing
+      fs.rename(bak, p)
+      sys.error(s"compaction: swap failed for $p, rolled back")
+    }
+    fs.delete(bak, true)
+    val nAfter = fs.listStatus(p)
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    (nBefore, nAfter)
+  }
+}

@@ -1,0 +1,30 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MaintenanceSpec extends SparkSpec {
+  import SparkSpec.session.implicits._
+
+  test("compaction narrows file count without changing data, then no-ops") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    spark.range(10000).select(col("id"), (col("id") * 2).as("v"))
+      .repartition(50).write.parquet(dir)
+    def files() = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files() == 50)
+    val before = spark.read.parquet(dir).as[(Long, Long)].collect().toSet
+
+    val (nBefore, nAfter) = Maintenance.compactParquet(spark, dir,
+      targetBytes = 512L * 1024)
+    assert(nBefore == 50 && nAfter < 50 && nAfter == files(), (nBefore, nAfter))
+    assert(spark.read.parquet(dir).as[(Long, Long)].collect().toSet == before)
+    // no leftover tmp/backup directories from the swap
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(_.contains("_compact")), parent.toSeq)
+
+    // already compact → no-op with unchanged counts
+    val (b2, a2) = Maintenance.compactParquet(spark, dir, targetBytes = 512L * 1024)
+    assert(b2 == a2 && a2 == files())
+  }
+}
