@@ -66,6 +66,11 @@ object VectorQuant {
     val u = udf { (a: Array[Byte], b: Array[Byte]) =>
       if (a == null || b == null) None
       else {
+        // a dimension mismatch (e.g. an embedding-model change mid-corpus)
+        // must fail loudly — a prefix dot with full-length norms would
+        // produce a plausible-but-deflated similarity
+        require(a.length == b.length,
+          s"quantized vectors differ in dimension: ${a.length} vs ${b.length}")
         var na = 0L; var nb = 0L
         var i = 0
         while (i < a.length) { na += a(i) * a(i); i += 1 }

@@ -99,13 +99,7 @@ object Dedup {
       .select(explode(idPairsUdf(col("ds"))).as("p"))
       .select(col("p._1").as("a_id"), col("p._2").as("b_id"))
       .distinct()
-    pairs
-      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), "a_id")
-      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), "b_id")
-      .withColumn("est_jaccard",
-        graft.functions.FastHash.sigAgreementCol(col("a_sig"), col("b_sig")))
-      .filter(col("est_jaccard") >= threshold)
-      .select("a_id", "b_id", "est_jaccard")
+    verifyBySig(pairs, sigs, sigs, "a_id", "b_id", threshold)
   }
 
   /** 64-bit SimHash over word tokens: bit j of the hash is the sign of the
@@ -255,28 +249,80 @@ object Dedup {
   //      dedupe arriving batches against the historical corpus without
   //      recomputing it) ----
 
-  /** Persist a MinHash+LSH index: `bands/` = (band, bucket, doc_id)
-    * PARTITIONED BY band, `sigs/` = (doc_id, sig). Signatures of the
-    * historical corpus are computed exactly once, at build time — every
-    * subsequent [[probeLshIndex]] call reads them back instead of
-    * re-tokenizing petabytes. Parameters are stored alongside
-    * (`_params/`) and validated at probe time: probing with a different
-    * (shingleN, k, bands) would silently produce disjoint bucket spaces. */
+  /** Persist a MinHash+LSH index: `v<N>/bands/` = (band, bucket, doc_id)
+    * PARTITIONED BY band, `v<N>/sigs/` = (doc_id, sig), `v<N>/params/` =
+    * the build parameters (probes read them back, so probe and index can
+    * never disagree on the bucket space). Signatures of the historical
+    * corpus are computed exactly once, at build time — every subsequent
+    * [[probeLshIndex]] call reads them back instead of re-tokenizing
+    * petabytes.
+    *
+    * Builds are ATOMIC to concurrent probes: each build writes a complete
+    * new `v<N>` directory and then points `_current` at it in one tiny
+    * file write — a probe running mid-rebuild keeps reading the previous
+    * complete version, never a mix (old versions are pruned after the
+    * pointer swap).
+    *
+    * Hot buckets are dropped at build time: a bucket holding more than
+    * `maxBucket` docs (degenerate boilerplate) would fan every colliding
+    * probe doc out maxBucket-fold; the same guard [[minhashPairs]] applies
+    * via its capped collect. */
   def buildLshIndex(docs: DataFrame, path: String, shingleN: Int = 2,
-                    k: Int = 64, bands: Int = 16): Unit = {
+                    k: Int = 64, bands: Int = 16, maxBucket: Int = 1000): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val version = currentLshVersion(fs, root).getOrElse(0) + 1
+    val vdir = s"$path/v$version"
     val sigs = docs
       .select(col("doc_id"), minhashSignature(col("text"), shingleN, k).as("sig"))
       .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
-    sigs.write.mode("overwrite").parquet(s"$path/sigs")
-    spark.read.parquet(s"$path/sigs")
+    sigs.write.mode("overwrite").parquet(s"$vdir/sigs")
+    val allBands = spark.read.parquet(s"$vdir/sigs")
       .select(col("doc_id"), explode(lshBands(col("sig"), k, bands)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
-    Seq((shingleN, k, bands)).toDF("shingle_n", "k", "bands")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
+    val hot = allBands.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+      .select("band", "bucket")
+    allBands.join(hot, Seq("band", "bucket"), "left_anti")
+      .write.mode("overwrite").partitionBy("band").parquet(s"$vdir/bands")
+    Seq((shingleN, k, bands, maxBucket)).toDF("shingle_n", "k", "bands", "max_bucket")
+      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/params")
+    // pointer swap: one small-file write makes the new version visible
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "_current"), true)
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    // prune superseded versions (probes started before the swap may still
+    // read them; prune is best-effort and can be deferred by the caller)
+    fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.startsWith("v") && p.getName != s"v$version")
+      .foreach(p => fs.delete(p, true))
   }
+
+  private def currentLshVersion(fs: org.apache.hadoop.fs.FileSystem,
+                                root: org.apache.hadoop.fs.Path): Option[Int] = {
+    val ptr = new org.apache.hadoop.fs.Path(root, "_current")
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt)
+      finally in.close()
+    }
+  }
+
+  /** Verify candidate pairs by stored-signature agreement — shared by the
+    * batch ([[minhashPairs]]) and incremental ([[probeLshIndex]]) paths so
+    * the scoring semantics can never diverge between them. */
+  private def verifyBySig(candidates: DataFrame, aSigs: DataFrame, bSigs: DataFrame,
+                          aKey: String, bKey: String, threshold: Double): DataFrame =
+    candidates
+      .join(aSigs.select(col("doc_id").as(aKey), col("sig").as("a_sig")), aKey)
+      .join(bSigs.select(col("doc_id").as(bKey), col("sig").as("b_sig")), bKey)
+      .withColumn("est_jaccard",
+        graft.functions.FastHash.sigAgreementCol(col("a_sig"), col("b_sig")))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col(aKey), col(bKey), col("est_jaccard"))
 
   /** Probe new docs against a persisted index: candidate = any (band,
     * bucket) collision between a new doc and an indexed doc, verified by
@@ -286,9 +332,16 @@ object Dedup {
     * (new_id, idx_id, est_jaccard); new-vs-new duplicates are
     * [[minhashPairs]] on the batch, not this probe. */
   def probeLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                    newDocs: DataFrame, threshold: Double = 0.5,
-                    maxBucket: Int = 1000): DataFrame = {
-    val p = spark.read.parquet(s"$path/_params").head()
+                    newDocs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val version = currentLshVersion(fs, root).getOrElse(
+      sys.error(s"no LSH index at $path (missing _current pointer — " +
+        "run buildLshIndex first)"))
+    val vdir = s"$path/v$version"
+    // parameters come FROM the index, so probe and index bucket spaces
+    // cannot disagree (hot buckets were already dropped at build time)
+    val p = spark.read.parquet(s"$vdir/params").head()
     val (shingleN, k, bands) =
       (p.getAs[Int]("shingle_n"), p.getAs[Int]("k"), p.getAs[Int]("bands"))
     val newSigs = newDocs
@@ -297,21 +350,12 @@ object Dedup {
     val newBands = newSigs
       .select(col("doc_id").as("new_id"), explode(lshBands(col("sig"), k, bands)).as("bb"))
       .select(col("new_id"), col("bb.band"), col("bb.bucket"))
-    val idxBands = spark.read.parquet(s"$path/bands")
+    val idxBands = spark.read.parquet(s"$vdir/bands")
       .select(col("band"), col("bucket"), col("doc_id").as("idx_id"))
     val candidates = newBands.join(idxBands, Seq("band", "bucket"))
       .select("new_id", "idx_id").distinct()
-    // hot-bucket note: collisions are capped implicitly by distinct on
-    // (new_id, idx_id); a pathological bucket still costs its join fan-out,
-    // so extremely hot buckets should be dropped at BUILD time if observed
-    candidates
-      .join(newSigs.select(col("doc_id").as("new_id"), col("sig").as("a_sig")), "new_id")
-      .join(spark.read.parquet(s"$path/sigs")
-        .select(col("doc_id").as("idx_id"), col("sig").as("b_sig")), "idx_id")
-      .withColumn("est_jaccard",
-        graft.functions.FastHash.sigAgreementCol(col("a_sig"), col("b_sig")))
-      .filter(col("est_jaccard") >= threshold)
-      .select("new_id", "idx_id", "est_jaccard")
+    verifyBySig(candidates, newSigs,
+      spark.read.parquet(s"$vdir/sigs"), "new_id", "idx_id", threshold)
   }
 
   /** Connected components over a near-dup pair graph — the last step of a

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Table-maintenance operators: the small-files problem. Streaming sinks
   * (K2/K3 — `Sources.timedFileSink`, `writePartitionedByTime`) roll files
@@ -8,50 +9,91 @@ import org.apache.spark.sql.SparkSession
   * parquet files whose per-file open/footer cost eventually dominates
   * scans. Compaction rewrites a directory to ~`targetBytes` files.
   *
-  * Scale design: the rewrite is one distributed read + repartition + write
-  * — no driver-side data movement; only file STATUS (name + length) is
-  * listed on the driver. The rewrite goes to a temp sibling directory
-  * first and swaps in with two renames, so a concurrent reader sees either
-  * the old files or the new, never a half-written mix.
+  * Scale design: the rewrite is one distributed read + coalesce + write
+  * per leaf directory — no shuffle, no driver-side data movement; only
+  * file STATUS (name + length) is listed on the driver. Hive-partitioned
+  * layouts (`k=v/` subdirectories) are compacted leaf by leaf, preserving
+  * the layout. The swap is rename-based: there is a brief window where a
+  * leaf path is absent, so run compaction on a quiesced table (readers
+  * racing the swap may fail and retry; they never see a half-written mix
+  * of old and new files).
+  *
+  * SAFETY: refuses a directory governed by a streaming `_spark_metadata`
+  * commit log — compacting under a live file-stream sink would orphan the
+  * log's file references and hide compacted history from metadata-aware
+  * readers. Stop the query and remove the log (or write to a new path)
+  * before compacting.
   */
 object Maintenance {
 
-  /** Number of output files a compaction of `path` would produce (the
-    * driver-side plan — cheap, lists file statuses only). */
-  def compactionPlan(spark: SparkSession, path: String,
-                     targetBytes: Long): (Long, Int, Int) = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val parts = fs.listStatus(p)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-    val bytes = parts.map(_.getLen).sum
-    val outFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    (bytes, parts.length, outFiles)
+  private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  /** Compact a parquet directory to ~`targetBytes` files. Returns
-    * (files before, files after). No-op (returns unchanged counts) when
-    * the directory already has no more files than the target count. */
+  /** Leaf directories (depth-first) that directly contain parquet files. */
+  private def leafDirs(fs: FileSystem, p: Path): Seq[Path] = {
+    val entries = fs.listStatus(p).filterNot(_.getPath.getName.startsWith("_"))
+    val subdirs = entries.filter(_.isDirectory).map(_.getPath)
+    val hasParquet = entries.exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    (if (hasParquet) Seq(p) else Seq.empty) ++ subdirs.flatMap(leafDirs(fs, _))
+  }
+
+  private def requireNotStreaming(fs: FileSystem, p: Path): Unit =
+    require(!fs.exists(new Path(p, "_spark_metadata")),
+      s"$p is governed by a streaming _spark_metadata commit log; compacting " +
+        "under a live file-stream sink orphans the log's file references — " +
+        "stop the query and remove the log (or compact a copy) first")
+
+  /** The compaction shape: (total bytes, parquet files now, files after),
+    * across all leaf directories. Driver-side file statuses only. */
+  def compactionPlan(spark: SparkSession, path: String,
+                     targetBytes: Long): (Long, Int, Int) = {
+    val (fs, p) = fsOf(spark, path)
+    requireNotStreaming(fs, p)
+    val leaves = leafDirs(fs, p)
+    val perLeaf = leaves.map { leaf =>
+      val parts = fs.listStatus(leaf)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      val bytes = parts.map(_.getLen).sum
+      (bytes, parts.length, math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt))
+    }
+    (perLeaf.map(_._1).sum, perLeaf.map(_._2).sum, perLeaf.map(_._3).sum)
+  }
+
+  /** Compact every leaf directory of `path` to ~`targetBytes` files.
+    * Returns (files before, files after) summed over leaves; leaves already
+    * at or under their target count are left untouched. */
   def compactParquet(spark: SparkSession, path: String,
                      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val (bytes, nBefore, nTarget) = compactionPlan(spark, path, targetBytes)
-    if (nBefore <= nTarget) return (nBefore, nBefore)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new org.apache.hadoop.fs.Path(path + "._compact_tmp")
-    val bak = new org.apache.hadoop.fs.Path(path + "._compact_old")
-    // coalesce, not repartition: compaction must not pay a shuffle — it
-    // only narrows the file count, preserving data distribution
-    spark.read.parquet(path).coalesce(nTarget)
-      .write.mode("overwrite").parquet(tmp.toString)
-    require(fs.rename(p, bak), s"compaction: could not move $p aside")
-    if (!fs.rename(tmp, p)) { // roll back, never leave the path missing
-      fs.rename(bak, p)
-      sys.error(s"compaction: swap failed for $p, rolled back")
+    val (fs, root) = fsOf(spark, path)
+    requireNotStreaming(fs, root)
+    var before = 0
+    var after = 0
+    leafDirs(fs, root).foreach { leaf =>
+      val parts = fs.listStatus(leaf)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      val bytes = parts.map(_.getLen).sum
+      val nTarget = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      before += parts.length
+      if (parts.length <= nTarget) after += parts.length
+      else {
+        val tmp = new Path(leaf.toString + "._compact_tmp")
+        val bak = new Path(leaf.toString + "._compact_old")
+        // coalesce, not repartition: compaction must not pay a shuffle —
+        // it only narrows the file count, preserving data distribution
+        spark.read.parquet(leaf.toString).coalesce(nTarget)
+          .write.mode("overwrite").parquet(tmp.toString)
+        require(fs.rename(leaf, bak), s"compaction: could not move $leaf aside")
+        if (!fs.rename(tmp, leaf)) { // roll back, never leave the leaf missing
+          fs.rename(bak, leaf)
+          sys.error(s"compaction: swap failed for $leaf, rolled back")
+        }
+        fs.delete(bak, true)
+        after += fs.listStatus(leaf)
+          .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      }
     }
-    fs.delete(bak, true)
-    val nAfter = fs.listStatus(p)
-      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-    (nBefore, nAfter)
+    (before, after)
   }
 }

@@ -146,11 +146,19 @@ class DedupSimilaritySpec extends SparkSpec {
     // identical text ⇒ identical signatures ⇒ estimate exactly 1.0
     assert(hits.filter(r => r.getAs[Long]("new_id") == 1000003L && r.getAs[Long]("idx_id") == 3L)
       .forall(_.getAs[Double]("est_jaccard") == 1.0))
-    // probing with mismatched params must fail fast, not silently miss
-    val e = intercept[Exception] {
+    // an unbuilt path fails fast with a clear message, not a read error
+    val e = intercept[RuntimeException] {
       Dedup.probeLshIndex(spark, dir + "/missing", copies)
     }
-    assert(e != null)
+    assert(e.getMessage.contains("buildLshIndex"), e.getMessage)
+    // rebuild bumps the version atomically: pointer moves, old dir pruned
+    Dedup.buildLshIndex(corpus, dir)
+    val versions = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("v")).map(_.getName).toSeq
+    assert(versions == Seq("v2"), versions)
+    assert(Dedup.probeLshIndex(spark, dir, copies, threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("idx_id"))).toSet
+      .contains((1000003L, 3L)))
   }
 
   test("streaming incremental dedup: each micro-batch probes the persisted LSH index") {

@@ -27,4 +27,27 @@ class MaintenanceSpec extends SparkSpec {
     val (b2, a2) = Maintenance.compactParquet(spark, dir, targetBytes = 512L * 1024)
     assert(b2 == a2 && a2 == files())
   }
+
+  test("compaction recurses into Hive-partitioned leaves, preserving the layout") {
+    val dir = java.nio.file.Files.createTempDirectory("compact-part").toString + "/t"
+    spark.range(6000).select(col("id"), (col("id") % 3).as("k"))
+      .repartition(20).write.partitionBy("k").parquet(dir)
+    val before = spark.read.parquet(dir).as[(Long, Long)].collect().toSet
+    val (nb, na) = Maintenance.compactParquet(spark, dir, targetBytes = 512L * 1024)
+    assert(nb > na && na >= 3, (nb, na)) // at least one file per partition
+    // layout intact: still k=0/1/2 directories, data identical
+    val parts = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(parts.toSeq == Seq("k=0", "k=1", "k=2"), parts.toSeq)
+    assert(spark.read.parquet(dir).as[(Long, Long)].collect().toSet == before)
+  }
+
+  test("compaction refuses a directory with a streaming _spark_metadata log") {
+    val dir = java.nio.file.Files.createTempDirectory("compact-stream").toString + "/t"
+    spark.range(100).write.parquet(dir)
+    new java.io.File(dir, "_spark_metadata").mkdirs()
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.compactParquet(spark, dir)
+    }
+    assert(e.getMessage.contains("_spark_metadata"), e.getMessage)
+  }
 }
