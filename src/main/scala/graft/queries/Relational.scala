@@ -383,6 +383,20 @@ object Relational {
         approx_count_distinct("user_id", rsd = 0.02).as("n_approx"))
       .orderBy("event_type")
 
+  /** Q21 — set operators: customers with urgent orders ∩ customers with
+    * finished orders ∖ customers with any jumbo order. INTERSECT/EXCEPT
+    * plan as left-semi/left-anti joins over distinct key sets (partial-
+    * agg'd, broadcastable) — no full-row comparison machinery. */
+  def q21SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    def keys(p: org.apache.spark.sql.Column) =
+      orders.filter(p).select("o_custkey")
+    keys(col("o_orderpriority") === "1-URGENT")
+      .intersect(keys(col("o_orderstatus") === "F"))
+      .except(keys(col("o_totalprice") > 400000))
+      .orderBy("o_custkey")
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_filter_project" -> q01FilterProject _,
     "q02_string_chain"   -> q02StringChain _,
@@ -407,6 +421,7 @@ object Relational {
     "q18_pivot"          -> q18Pivot _,
     "q19_skew_agg"       -> q19SkewAgg _,
     "q20_event_gaps"     -> q20EventGaps _,
+    "q21_set_ops"        -> q21SetOps _,
     "a7_approx_distinct" -> a7ApproxDistinct _,
   )
 
@@ -573,6 +588,13 @@ object Relational {
       """SELECT event_type, COUNT(*) AS n,
         | SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_set_ops" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+        |ORDER BY o_custkey""".stripMargin,
     "q20_event_gaps" ->
       """SELECT event_type, COUNT(*) AS n_gaps, MIN(gap_us) AS min_gap_us,
         | MAX(gap_us) AS max_gap_us, CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us

@@ -22,6 +22,24 @@ object Sources {
     schema.fold(r)(s => r.schema(s)).json(path)
   }
 
+  /** S9 server jack, socket variant: a listening ingress that PEERS push
+    * line-framed records to (the reference's HTTP/WS server jacks,
+    * `/root/reference/pkg/internal/adapter/httpserver/serve.go`,
+    * `wsserver/`), expressed with Spark's built-in socket source + NDJSON
+    * decode. The HTTP/WS framing itself stays out of engine scope (SURVEY
+    * §2.1 — terminate protocol at a gateway and forward line-framed), but
+    * the jack semantics — bind, accept pushed records, decode, flow into
+    * the same transform chain — are real and e2e-tested. Driver-ingress
+    * like the reference's single listener; NOT for production fan-in at
+    * scale (that edge is Kafka), exactly as the reference documents its
+    * jacks as edge adapters. */
+  def socketNdjsonStream(spark: SparkSession, host: String, port: Int,
+                         schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+      .select(from_json(col("value"), schema).as("r"))
+      .select("r.*")
+
   /** Streaming file source with a files-per-trigger ingest cap — the poll
     * budget of the reference readers (maxPollRecords/Bytes/interval,
     * `/root/reference/pkg/internal/adapter/kafkaclient/reader.go:83-94`)

@@ -89,6 +89,34 @@ class SourcesCodecsSpec extends SparkSpec {
     assert(Sources.readEncryptedNdjson(spark, tmp, key, schema).count() == 10)
   }
 
+  test("socket jack: pushed NDJSON lines flow decoded into a streaming query (S9)") {
+    // an in-test TCP server stands in for the gateway-forwarded peer
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val pusher = new Thread(() => {
+      val sock = server.accept()
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      (1 to 5).foreach(i => out.println(s"""{"id": $i, "payload": "pushed-$i"}"""))
+      // keep the connection open until the query has drained the lines
+      Thread.sleep(10000)
+      sock.close(); server.close()
+    })
+    pusher.setDaemon(true)
+    pusher.start()
+    val schema = StructType(Seq(StructField("id", LongType), StructField("payload", StringType)))
+    val q = Sources.socketNdjsonStream(spark, "localhost", port, schema)
+      .writeStream.format("memory").queryName("socket_jack").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("socket_jack").count() < 5 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
+      val rows = spark.table("socket_jack").as[(Long, String)].collect().toSet
+      assert(rows == (1 to 5).map(i => (i.toLong, s"pushed-$i")).toSet, rows)
+    } finally q.stop()
+  }
+
   test("chained sha-256 hash matches a reference-style sequential fold (processing/main.go:83-103)") {
     val df = Seq(("payload-a", 1L)).toDF("payload", "seq")
     val got = df.select(Crypto.chainedHash(col("payload"), col("seq"), rounds = 2).as("h"))
