@@ -271,8 +271,7 @@ object Dedup {
                     k: Int = 64, bands: Int = 16, maxBucket: Int = 1000): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val (fs, root) = graft.sources.Fs.of(spark, path)
     val version = currentLshVersion(fs, root).getOrElse(0) + 1
     val vdir = s"$path/v$version"
     val sigs = docs
@@ -333,8 +332,7 @@ object Dedup {
     * [[minhashPairs]] on the batch, not this probe. */
   def probeLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     newDocs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val (fs, root) = graft.sources.Fs.of(spark, path)
     val version = currentLshVersion(fs, root).getOrElse(
       sys.error(s"no LSH index at $path (missing _current pointer — " +
         "run buildLshIndex first)"))

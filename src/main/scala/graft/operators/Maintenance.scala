@@ -26,11 +26,6 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object Maintenance {
 
-  private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
-    val p = new Path(path)
-    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
-  }
-
   /** Leaf directories (depth-first) that directly contain parquet files. */
   private def leafDirs(fs: FileSystem, p: Path): Seq[Path] = {
     val entries = fs.listStatus(p).filterNot(_.getPath.getName.startsWith("_"))
@@ -49,7 +44,7 @@ object Maintenance {
     * across all leaf directories. Driver-side file statuses only. */
   def compactionPlan(spark: SparkSession, path: String,
                      targetBytes: Long): (Long, Int, Int) = {
-    val (fs, p) = fsOf(spark, path)
+    val (fs, p) = graft.sources.Fs.of(spark, path)
     requireNotStreaming(fs, p)
     val leaves = leafDirs(fs, p)
     val perLeaf = leaves.map { leaf =>
@@ -66,7 +61,7 @@ object Maintenance {
     * at or under their target count are left untouched. */
   def compactParquet(spark: SparkSession, path: String,
                      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val (fs, root) = fsOf(spark, path)
+    val (fs, root) = graft.sources.Fs.of(spark, path)
     requireNotStreaming(fs, root)
     var before = 0
     var after = 0

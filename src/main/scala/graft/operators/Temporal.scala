@@ -32,18 +32,25 @@ object Temporal {
     * latest right struct forward with last(ignoreNulls), keep left rows.
     * One exchange + one sort; nothing quadratic.
     */
-  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
-               rightCols: Seq[String]): DataFrame = {
-    val leftCols = left.columns.toSeq
+  /** Shared column-contract checks for the batch and streaming as-of
+    * joins: a right output column shadowing a left column would silently
+    * produce duplicate names; internal `__` plumbing names would corrupt
+    * the plan. */
+  private[graft] def validateAsofColumns(leftCols: Seq[String], rightCols: Seq[String],
+                                         key: String, ts: String): Unit = {
     require(!rightCols.contains(key) && !rightCols.contains(ts),
       s"rightCols must exclude the join columns ($key, $ts)")
-    // a right output column shadowing a left column would silently produce
-    // duplicate names; internal plumbing names would corrupt the plan
     val clash = rightCols.toSet.intersect(leftCols.toSet)
     require(clash.isEmpty, s"rightCols collide with left columns: ${clash.mkString(", ")}")
     val reserved = (leftCols ++ rightCols).filter(_.startsWith("__"))
     require(reserved.isEmpty,
       s"column names starting with __ are reserved by asofJoin: ${reserved.mkString(", ")}")
+  }
+
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    validateAsofColumns(leftCols, rightCols, key, ts)
     val l = left.select(col(key).as("__k"), col(ts).as("__ts"),
       lit(1).as("__side"), struct(leftCols.map(col): _*).as("__l"))
     val r = right.select(col(key).as("__k"), col(ts).as("__ts"),

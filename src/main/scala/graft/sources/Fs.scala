@@ -1,0 +1,16 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Session-configured Hadoop filesystem access — the one way the engine
+  * touches storage paths directly (index builds, compaction, sealed-object
+  * sinks). Always resolves through `spark.sessionState.newHadoopConf()` so
+  * `spark.hadoop.*` settings (s3a credentials, defaultFS) apply uniformly;
+  * a bare `new Configuration()` would silently drop them. */
+object Fs {
+  def of(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+}

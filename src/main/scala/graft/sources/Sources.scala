@@ -193,8 +193,7 @@ object Sources {
     // overwrite semantics like parquet's mode("overwrite"): clear previous
     // objects first, or a rewrite with fewer partitions leaves stale parts
     // that the read glob silently unions in
-    val dir = new org.apache.hadoop.fs.Path(path)
-    val dfs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val (dfs, dir) = Fs.of(spark, path)
     if (dfs.exists(dir))
       dfs.listStatus(dir).filter(_.getPath.getName.endsWith(suffix))
         .foreach(st => dfs.delete(st.getPath, false))

@@ -37,13 +37,7 @@ object AsofStream {
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    require(!rightCols.contains(key) && !rightCols.contains(ts),
-      s"rightCols must exclude the join columns ($key, $ts)")
-    val clash = rightCols.toSet.intersect(leftCols.toSet)
-    require(clash.isEmpty, s"rightCols collide with left columns: ${clash.mkString(", ")}")
-    val reserved = (leftCols ++ rightCols).filter(_.startsWith("__"))
-    require(reserved.isEmpty,
-      s"column names starting with __ are reserved by asofJoin: ${reserved.mkString(", ")}")
+    graft.operators.Temporal.validateAsofColumns(leftCols, rightCols, key, ts)
 
     // ts → long at FULL resolution: a bare long cast on TimestampType
     // truncates to epoch seconds, which would collapse sub-second order

@@ -25,9 +25,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Golden {
 
-  /** Deterministic rows-only queries, locked at the driver's verify scale.
-    * sim_ann_ivf qualifies because the k-means update sums 2^-20
-    * fixed-point longs (associative), not doubles. */
+  /** Deterministic rows-only queries, locked at the driver's verify scale
+    * (eligibility rationale per query in the class doc above). */
   val queries = Seq("dd_minhash_lsh", "dd_simhash", "dd_winnow_overlap",
     "dd_embed_lsh", "sim_ann_lsh", "sim_ann_ivf", "t7_hash_throughput",
     "mm_features", "a7_approx_distinct", "sim_ann_int8")
