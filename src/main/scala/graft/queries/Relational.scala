@@ -397,6 +397,38 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** Q22 — moving aggregate over a row frame: per-user 3-event moving sum
+    * (cents-scaled for cross-engine exactness), folded per event type. The
+    * window partitions by user (bounded frames, partition-parallel);
+    * the fold checks every frame value, not just a sample. */
+  def q22MovingSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(-2, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("mov3", sum("cents").over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("mov3").as("sum_mov3"),
+        max("mov3").as("max_mov3"))
+      .orderBy("event_type")
+  }
+
+  /** Q23 — exact percentiles (median / p90) of the value distribution per
+    * event type. Exact `percentile` (sort-based), not the approximate
+    * sketch: both engines interpolate rank p·(n−1) over the same
+    * cents-integer inputs, so the doubles agree bit-for-bit. At scale the
+    * exact form is a per-group sort — the documented trade against
+    * `approx_percentile` when a verifiable answer matters. */
+  def q23Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type")
+      .agg(expr("percentile(cents, 0.5)").as("p50_cents"),
+        expr("percentile(cents, 0.9)").as("p90_cents"))
+      .orderBy("event_type")
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_filter_project" -> q01FilterProject _,
     "q02_string_chain"   -> q02StringChain _,
@@ -422,6 +454,8 @@ object Relational {
     "q19_skew_agg"       -> q19SkewAgg _,
     "q20_event_gaps"     -> q20EventGaps _,
     "q21_set_ops"        -> q21SetOps _,
+    "q22_moving_sum"     -> q22MovingSum _,
+    "q23_percentiles"    -> q23Percentiles _,
     "a7_approx_distinct" -> a7ApproxDistinct _,
   )
 
@@ -588,6 +622,21 @@ object Relational {
       """SELECT event_type, COUNT(*) AS n,
         | SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q23_percentiles" ->
+      """SELECT event_type,
+        | quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50_cents,
+        | quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9) AS p90_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q22_moving_sum" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(mov3) AS BIGINT) AS sum_mov3, MAX(mov3) AS max_mov3
+        |FROM (
+        | SELECT event_type,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+        |   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov3
+        | FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q21_set_ops" ->
       """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |INTERSECT
