@@ -67,4 +67,17 @@ class TextOpsSpec extends SparkSpec {
     val far = jac("the quick brown fox", "completely unrelated words here")
     assert(near > 0.8 && far < 0.2)
   }
+
+  test("marker-hit kernel propagates null for null text (oracle NULL parity)") {
+    import SparkSpec.session.implicits._
+    assert(FastHash.markerHits(null, Array(Array(1L))) == null)
+    // through the column path: a null-text row must classify as null, not
+    // fall into the zero-count class the way a zeros array would
+    val df = Seq((1L, "the and of data"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalytics.markerHitCounts(col("text")).as("hits"))
+    val rows = df.orderBy("doc_id").collect()
+    assert(!rows(0).isNullAt(1))
+    assert(rows(1).isNullAt(1))
+  }
 }

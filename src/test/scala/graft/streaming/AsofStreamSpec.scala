@@ -66,6 +66,31 @@ class AsofStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TimestampType ts keeps sub-second precision (unix_micros, not a seconds cast)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val lMem = MemoryStream[LeftEv]
+    val rMem = MemoryStream[RightEv]
+    // ts reinterpreted as µs-precision timestamps within the same second:
+    // left at .000200, right at .000700 — a seconds cast would collapse
+    // them and wrongly attach the future right on the tie
+    def asTs(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", timestamp_micros(col("ts") + 1700000000000000L))
+    val joined = AsofStream.asofJoin(asTs(lMem.toDF()), asTs(rMem.toDF()),
+      key = "k", ts = "ts", rightCols = Seq("price", "src"))
+    val q = joined.writeStream.format("memory").queryName("asof_ts")
+      .outputMode("append").start()
+    try {
+      rMem.addData(RightEv("k", 700, 7.0, "micro-later"))
+      q.processAllAvailable()
+      lMem.addData(LeftEv("k", 200, "early-left"))
+      q.processAllAvailable()
+      val row = spark.table("asof_ts").head()
+      // right.ts (.000700) > left.ts (.000200): must NOT match
+      assert(row.isNullAt(row.fieldIndex("price")), row)
+    } finally q.stop()
+  }
+
   test("state stays O(1) per key: only the latest right row is retained") {
     implicit val sqlCtx = spark.sqlContext
     val lMem = MemoryStream[LeftEv]
