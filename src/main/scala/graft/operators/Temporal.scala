@@ -22,16 +22,6 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
-  /** As-of join: for each left row, attach the most recent right row with
-    * `right.ts <= left.ts` in the same `key` group (null columns when no
-    * right row precedes). Right rows must be unique per (key, ts) — dedupe
-    * upstream or matches are nondeterministic.
-    *
-    * Plan: tag sides, unionByName, one window over (key) ordered by
-    * (ts, side) with right-before-left on ties (inclusive <=), carry the
-    * latest right struct forward with last(ignoreNulls), keep left rows.
-    * One exchange + one sort; nothing quadratic.
-    */
   /** Shared column-contract checks for the batch and streaming as-of
     * joins: a right output column shadowing a left column would silently
     * produce duplicate names; internal `__` plumbing names would corrupt
@@ -47,6 +37,16 @@ object Temporal {
       s"column names starting with __ are reserved by asofJoin: ${reserved.mkString(", ")}")
   }
 
+  /** As-of join: for each left row, attach the most recent right row with
+    * `right.ts <= left.ts` in the same `key` group (null columns when no
+    * right row precedes). Right rows must be unique per (key, ts) — dedupe
+    * upstream or matches are nondeterministic.
+    *
+    * Plan: tag sides, unionByName, one window over (key) ordered by
+    * (ts, side) with right-before-left on ties (inclusive <=), carry the
+    * latest right struct forward with last(ignoreNulls), keep left rows.
+    * One exchange + one sort; nothing quadratic.
+    */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq

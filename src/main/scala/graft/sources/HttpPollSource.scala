@@ -87,9 +87,10 @@ final class HttpPollSource(
   /** Raw record stream (one string per fetched record). */
   def raw: Dataset[String] = stream.toDS()
 
-  /** Typed stream: each record JSON-decoded to `schema` fields. */
+  /** Typed stream: each record JSON-decoded to `schema` fields (blank or
+    * unparseable records dropped — see [[Sources.jsonLines]]). */
   def jsonStream(schema: StructType): DataFrame =
-    raw.select(from_json(col("value"), schema).as("r")).select("r.*")
+    Sources.jsonLines(raw.toDF("value"), "value", schema)
 
   /** One synchronous fetch-with-retry; appends decoded records to the
     * stream buffer. Returns the number of records appended. Public as the

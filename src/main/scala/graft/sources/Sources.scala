@@ -22,6 +22,20 @@ object Sources {
     schema.fold(r)(s => r.schema(s)).json(path)
   }
 
+  /** Decode line-framed JSON records: blank lines (keep-alives, trailing
+    * newlines) and unparseable lines produce NO row — a null struct from
+    * `from_json` would otherwise expand to a phantom all-null record.
+    * Callers that must ROUTE bad records instead of dropping them should
+    * parse upstream with the T4 error-split pattern (`Pipeline`/
+    * `GuardedBatchSink`), not this helper. Shared by the socket jack, the
+    * CSE reader, and the HTTP poll source. */
+  def jsonLines(lines: DataFrame, lineCol: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    lines.filter(trim(col(lineCol)) =!= "")
+      .select(from_json(col(lineCol), schema).as("r"))
+      .filter(col("r").isNotNull)
+      .select("r.*")
+
   /** S9 server jack, socket variant: a listening ingress that PEERS push
     * line-framed records to (the reference's HTTP/WS server jacks,
     * `/root/reference/pkg/internal/adapter/httpserver/serve.go`,
@@ -35,10 +49,8 @@ object Sources {
     * jacks as edge adapters. */
   def socketNdjsonStream(spark: SparkSession, host: String, port: Int,
                          schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.readStream.format("socket")
-      .option("host", host).option("port", port).load()
-      .select(from_json(col("value"), schema).as("r"))
-      .select("r.*")
+    jsonLines(spark.readStream.format("socket")
+      .option("host", host).option("port", port).load(), "value", schema)
 
   /** Streaming file source with a files-per-trigger ingest cap — the poll
     * budget of the reference readers (maxPollRecords/Bytes/interval,
@@ -162,10 +174,8 @@ object Sources {
       .option("pathGlobFilter", pathGlob).load(path)
     val plain = graft.functions.Crypto.aesGcmDecrypt(col("content"), lit(key))
     val text = (if (gzipped) graft.functions.Codecs.gunzipCol(plain) else plain).cast("string")
-    blobs.select(explode(split(text, "\\r?\\n")).as("line"))
-      .filter(trim(col("line")) =!= "")
-      .select(from_json(col("line"), schema).as("r"))
-      .select("r.*")
+    jsonLines(blobs.select(explode(split(text, "\\r?\\n")).as("line")),
+      "line", schema)
   }
 
   /** S5 CSE WRITE path (the reference seal: NDJSON → gzip → AES-GCM →
