@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalytics
+import graft.operators.{Curation, Dedup, Maintenance}
+import graft.sources.Tables
+
+/** The whole training-data pipeline composed end to end, the way a user of
+  * the reference would wire adapters into a conduit: extract → quality
+  * gate → dedupe (keep canonical) → deterministic split → partitioned
+  * write → maintenance. Each stage is covered in depth by its own spec;
+  * this one locks the COMPOSITION — column contracts lining up across
+  * modules, counts conserved where stages promise conservation. */
+class EndToEndSpec extends SparkSpec {
+  import SparkSpec.session.implicits._
+
+  test("extract → quality → dedupe → split → write composes over the fixture corpus") {
+    val out = java.nio.file.Files.createTempDirectory("e2e").toString + "/corpus"
+
+    // 1. extraction: wrap in an HTML envelope then strip back to text
+    //    (the web-corpus path; envelope mirrors the txt_html_strip fixture)
+    val html = concat(lit("<html><body><p>"), col("text"),
+      lit("</p><script>var x=1;</script></body></html>"))
+    val extracted = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextAnalytics.htmlToText(html).as("text"))
+
+    // 2. quality gate: drop short/degraded docs
+    val gated = extracted.filter(
+      TextAnalytics.qualityScore(col("text")) > 0.3 && length(col("text")) >= 40)
+    val nGated = gated.count()
+    assert(nGated > 0 && nGated <= extracted.count())
+
+    // 3. dedupe: keep the canonical doc per exact-content cluster
+    val keepers = Dedup.exact(gated).select("doc_id")
+    val deduped = gated.join(keepers, "doc_id")
+
+    // 4. deterministic split, then partitioned write
+    Curation.hashSplit(deduped, "doc_id")
+      .write.partitionBy("split").parquet(out)
+
+    // 5. read back: split is conserved, assignment is reproducible
+    val back = spark.read.parquet(out)
+    assert(back.count() == keepers.count())
+    val splits = back.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(splits.values.sum == keepers.count())
+    assert(splits.keySet.subsetOf(Set("train", "val", "test")))
+    val again = Curation.hashSplit(deduped, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(back.select("doc_id", "split").as[(Long, String)].collect()
+      .forall { case (id, s) => again(id) == s })
+
+    // 6. maintenance: compaction plan reflects the written layout
+    val (bytes, files, target) = Maintenance.compactionPlan(spark, out, 128L * 1024 * 1024)
+    assert(bytes > 0 && files >= splits.size && target >= splits.size)
+  }
+}
