@@ -52,6 +52,26 @@ object Sources {
     jsonLines(spark.readStream.format("socket")
       .option("host", host).option("port", port).load(), "value", schema)
 
+  /** K5 forward relay, socket variant: push records to a downstream
+    * listener as NDJSON lines (the reference's forward relay hands records
+    * to the next pipeline over the network; its gRPC/QUIC framing is out
+    * of engine scope, line-framed TCP is the canonical edge here — the
+    * receiving side is [[socketNdjsonStream]]). Executor-side: each
+    * partition opens its own connection and streams its rows, so the relay
+    * distributes like any sink and never funnels through the driver. Use
+    * from `foreachBatch` for streaming relays (per-batch connection =
+    * at-least-once on retry, same as the reference's relay semantics). */
+  def writeSocketNdjson(df: DataFrame, host: String, port: Int): Unit =
+    df.toJSON.foreachPartition { (it: Iterator[String]) =>
+      if (it.hasNext) {
+        val sock = new java.net.Socket(host, port)
+        val out = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8"))
+        try { it.foreach { line => out.write(line); out.write('\n') }; out.flush() }
+        finally { out.close(); sock.close() }
+      }
+    }
+
   /** Streaming file source with a files-per-trigger ingest cap — the poll
     * budget of the reference readers (maxPollRecords/Bytes/interval,
     * `/root/reference/pkg/internal/adapter/kafkaclient/reader.go:83-94`)

@@ -117,6 +117,41 @@ class SourcesCodecsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("forward relay: partitions push NDJSON to a downstream listener (K5)") {
+    val received = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val server = new java.net.ServerSocket(0)
+    val acceptor = new Thread(() => {
+      try while (true) {
+        val sock = server.accept()
+        new Thread(() => {
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+          var line = in.readLine()
+          while (line != null) { received.add(line); line = in.readLine() }
+          sock.close()
+        }).start()
+      } catch { case _: Throwable => () } // server closed
+    })
+    acceptor.setDaemon(true); acceptor.start()
+    try {
+      val df = spark.range(20).select(col("id"),
+        concat(lit("relayed-"), col("id")).as("payload")).repartition(4)
+      Sources.writeSocketNdjson(df, "localhost", server.getLocalPort)
+      val deadline = System.currentTimeMillis() + 15000
+      while (received.size() < 20 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(received.size() == 20, s"got ${received.size()} lines")
+      // round-trips through the matching decode path
+      import scala.jdk.CollectionConverters._
+      val back = Sources.jsonLines(
+        spark.createDataset(received.asScala.toSeq)(
+          org.apache.spark.sql.Encoders.STRING).toDF("value"),
+        "value",
+        StructType(Seq(StructField("id", LongType), StructField("payload", StringType))))
+      assert(back.as[(Long, String)].collect().toSet ==
+        (0L until 20L).map(i => (i, s"relayed-$i")).toSet)
+    } finally server.close()
+  }
+
   test("chained sha-256 hash matches a reference-style sequential fold (processing/main.go:83-103)") {
     val df = Seq(("payload-a", 1L)).toDF("payload", "seq")
     val got = df.select(Crypto.chainedHash(col("payload"), col("seq"), rounds = 2).as("h"))
