@@ -134,6 +134,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q21: INTERSECT/EXCEPT plan as broadcast semi/anti joins over pruned key scans") {
+    val p = planOf("q21_set_ops")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q22/q23: single corpus scan feeding windowed/percentile aggregation") {
+    Seq("q22_moving_sum", "q23_percentiles").foreach { n =>
+      val p = planOf(n)
+      assert(countScans(p) == 1, s"$n: $p")
+    }
+    // the percentile aggregation is still partial before its one shuffle
+    assert(planOf("q23_percentiles").contains("partial_percentile"),
+      planOf("q23_percentiles"))
+  }
+
   test("txt_lang_id/txt_quality: marker counts are kernel UDFs, not interpreted HOFs") {
     Seq("txt_lang_id", "txt_quality").foreach { n =>
       val analyzed = graft.SparkEntry.queries(n)(spark, sfDir).queryExecution.optimizedPlan
