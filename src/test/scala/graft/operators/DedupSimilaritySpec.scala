@@ -205,6 +205,28 @@ class DedupSimilaritySpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
   }
 
+  test("connected components match a union-find oracle on seeded random graphs") {
+    import SparkSpec.session.implicits._
+    val n = 60
+    for (seed <- Seq(1, 2, 3, 4, 5)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(n * seed / 2)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find ground truth
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = Dedup.connectedComponents(
+        (0L until n).toDF("doc_id"), edges.toDF("a_id", "b_id"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"seed $seed: diff ${got.toSet.diff(expected.toSet)}")
+    }
+  }
+
   test("connected components: pointer jumping closes a long chain in O(log n) iterations") {
     import SparkSpec.session.implicits._
     // a 200-node path: plain min-propagation would need ~200 iterations,
