@@ -1,0 +1,14 @@
+package graft.tools
+object ContractCheck {
+  def main(args: Array[String]): Unit = {
+    val qs = graft.SparkEntry.queries.keySet
+    val os = graft.SparkEntry.oracleSql.keySet
+    println(s"CONTRACT queries=${qs.size} oracles=${os.size} oracleWithoutQuery=${os.diff(qs)}")
+    require(os.subsetOf(qs), "oracle entries must reference declared queries")
+    val spark = Golden.session()
+    val n = graft.SparkEntry.entry(spark).count()
+    println(s"CONTRACT entry rows=$n")
+    require(n > 0)
+    spark.stop()
+  }
+}
