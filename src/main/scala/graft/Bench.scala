@@ -39,10 +39,16 @@ object Bench {
       cold(name) = times.head
       name -> times.sorted.apply(runs / 2)
     }
+    // Keep the stdout JSON line SHORT: the driver tail-captures process
+    // output and parses the last JSON line — round-3's line (55 queries x
+    // warm+cold at full double precision) overflowed the capture window and
+    // the driver recorded parsed:null. 3-decimal timings + cold map on
+    // stderr keep the line well under the window.
     def fmt(m: Iterable[(String, Double)]): String =
-      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"cold":${fmt(cold)},"sf":"$sfDir"}""")
+    System.err.println(s"""[bench] cold=${fmt(cold)}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(results)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

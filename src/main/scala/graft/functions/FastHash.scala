@@ -415,9 +415,53 @@ object FastHash {
   def bankChainedSha256Col(seq: Column, rounds: Int): Column =
     udf((s: Long) => chainedSha256(payloadBank((s % 65536).toInt), s, rounds)).apply(seq)
 
+  /** One-pass word-repetition statistics (the Gopher/C4 repetition
+    * filters, word-level): returns (nWords, nDistinctWords, topWordCount,
+    * topBigramCount) over the lower-cased alphabetic tokens of `text`
+    * (same tokenization contract as [[tokenHashes]]/TextAnalytics.words).
+    * Duplicate-word fraction and top-bigram coverage derive from these
+    * four integers; all derivation stays integer/`/`-exact so a SQL oracle
+    * reproduces it bit-for-bit. Counting is by token STRING (not hash) so
+    * the counts equal a SQL GROUP BY count even under hash collisions.
+    * Pure map-side kernel: no shuffle, one tokenization pass per row. */
+  def repetitionStats(text: String): (Int, Int, Int, Int) = {
+    if (text == null) return (0, 0, 0, 0)
+    val wordCounts = new java.util.HashMap[String, Int]()
+    val bigramCounts = new java.util.HashMap[String, Int]()
+    var nWords = 0
+    var topWord = 0
+    var topBigram = 0
+    var prev: String = null
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    val n = text.length
+    while (i <= n) {
+      val c0 = if (i < n) text.charAt(i) else ' '
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      if (c >= 'a' && c <= 'z') sb.append(c)
+      else if (sb.length > 0) {
+        val w = sb.toString
+        sb.setLength(0)
+        nWords += 1
+        val wc = wordCounts.merge(w, 1, Integer.sum)
+        if (wc > topWord) topWord = wc
+        if (prev != null) {
+          val bc = bigramCounts.merge(prev + " " + w, 1, Integer.sum)
+          if (bc > topBigram) topBigram = bc
+        }
+        prev = w
+      }
+      i += 1
+    }
+    (nWords, wordCounts.size, topWord, topBigram)
+  }
+
   // ---- Column-level wrappers ----
 
   def tokenSetCol(text: Column): Column = udf((s: String) => tokenSet(s)).apply(text)
+
+  def repetitionStatsCol(text: Column): Column =
+    udf((s: String) => repetitionStats(s)).apply(text)
 
   def charNgramSetCol(text: Column, n: Int): Column =
     udf((s: String) => charNgramSet(s, n)).apply(text)

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark-contamination detection: flag corpus documents that contain
+  * word n-grams from a held-out benchmark/eval set — the decontamination
+  * pass every training-data pipeline runs before training (generalizes the
+  * reference's content-identity idea,
+  * `/root/reference/pkg/internal/utils/utils.go:121-131`, from whole-record
+  * identity to shared-span identity).
+  *
+  * 100 TB shape: the benchmark side is SMALL by definition (eval sets are
+  * megabytes) — its distinct n-grams are collected once and broadcast; the
+  * corpus side is a pure map-side kernel pass (one tokenization per row, a
+  * local distinct-gram set per document, membership probes against the
+  * broadcast set). NO shuffle of the corpus, no explode: the n_grams ×
+  * corpus row blow-up that a join formulation would shuffle never
+  * materializes. Matching is by exact gram STRING, so a SQL oracle
+  * (explode + IN) reproduces the counts bit-for-bit.
+  */
+object Contamination {
+
+  /** Distinct word `n`-grams of `text` as strings, over lower-cased
+    * alphabetic tokens (tokenization contract of FastHash.tokenHashes /
+    * TextAnalytics.words). */
+  def distinctWordNgrams(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty[String]
+    val toks = new scala.collection.mutable.ArrayBuffer[String](64)
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    val len = text.length
+    while (i <= len) {
+      val c0 = if (i < len) text.charAt(i) else ' '
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      if (c >= 'a' && c <= 'z') sb.append(c)
+      else if (sb.length > 0) { toks += sb.toString; sb.setLength(0) }
+      i += 1
+    }
+    if (toks.length < n) return Array.empty[String]
+    val out = new java.util.LinkedHashSet[String]()
+    var j = 0
+    while (j <= toks.length - n) {
+      val g = new java.lang.StringBuilder(16 * n)
+      var k = 0
+      while (k < n) {
+        if (k > 0) g.append(' ')
+        g.append(toks(j + k))
+        k += 1
+      }
+      out.add(g.toString)
+      j += 1
+    }
+    out.toArray(new Array[String](out.size))
+  }
+
+  /** Distinct n-grams of the benchmark frame, collected to the driver.
+    * Bounded by construction — benchmark corpora are small; `maxGrams`
+    * makes the bound explicit instead of assumed (same policy as
+    * Dedup.maxVerifierSample). */
+  def benchmarkGrams(bench: DataFrame, textCol: Column, n: Int,
+                     maxGrams: Int = 2000000): Array[String] = {
+    val spark = bench.sparkSession
+    import spark.implicits._
+    val grams = bench
+      .select(explode(udf((s: String) => distinctWordNgrams(s, n)).apply(textCol)).as("gram"))
+      .distinct()
+      .as[String].collect()
+    require(grams.length <= maxGrams,
+      s"benchmark gram set has ${grams.length} grams (cap $maxGrams); " +
+        "decontamination expects a small eval corpus on the broadcast side")
+    grams
+  }
+
+  /** Per-document contamination counts against a broadcast benchmark gram
+    * set: (doc_id from `idCol`, n_contaminated = distinct grams shared with
+    * the benchmark, n_grams = distinct grams in the doc, contamination_frac).
+    * Only contaminated documents are returned. */
+  def contaminated(corpus: DataFrame, idCol: Column, textCol: Column,
+                   grams: Array[String], n: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val bc = spark.sparkContext.broadcast {
+      val s = new java.util.HashSet[String](grams.length * 2)
+      grams.foreach(s.add)
+      s
+    }
+    val kernel = udf { (text: String) =>
+      val set = bc.value
+      val docGrams = distinctWordNgrams(text, n)
+      var hits = 0
+      var i = 0
+      while (i < docGrams.length) {
+        if (set.contains(docGrams(i))) hits += 1
+        i += 1
+      }
+      (hits, docGrams.length)
+    }
+    corpus
+      .select(idCol.as("doc_id"), kernel(textCol).as("c"))
+      .select(col("doc_id"),
+        col("c._1").cast("long").as("n_contaminated"),
+        col("c._2").cast("long").as("n_grams"),
+        (col("c._1").cast("double") / col("c._2").cast("double"))
+          .as("contamination_frac"))
+      .filter(col("n_contaminated") > 0)
+  }
+}

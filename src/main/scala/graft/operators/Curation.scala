@@ -50,6 +50,35 @@ object Curation {
   def hashSample(df: DataFrame, idCol: String, keepPerMille: Int): DataFrame =
     df.filter(hashBucket(col(idCol)) < keepPerMille)
 
+  /** Weighted source mixing with OVERSAMPLING (training-data mixture
+    * weights): per-stratum per-mille weight `w` emits `w / 1000` full
+    * copies of every row plus one extra copy for rows whose hash bucket
+    * < `w % 1000` — e.g. 2500‰ = 2 full epochs of the source plus a
+    * deterministic extra 500‰ sample. The emitted `epoch`
+    * column (0-based copy index) lets downstream consumers shuffle epochs
+    * independently. Downsampling (w < 1000) and dropping (w = 0) fall out
+    * of the same arithmetic. Deterministic: same row → same copy count on
+    * every engine/run/scale. Weights ride a broadcast join; the explode is
+    * map-side (no shuffle). */
+  def weightedMix(df: DataFrame, idCol: String, strataCol: String,
+                  weightsPerMille: Map[String, Int],
+                  defaultPerMille: Int = Buckets): DataFrame = {
+    require(weightsPerMille.values.forall(_ >= 0) && defaultPerMille >= 0,
+      "mixture weights must be non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val weights = weightsPerMille.toSeq.toDF(strataCol, "__w")
+    df.join(broadcast(weights), Seq(strataCol), "left")
+      .withColumn("__w", coalesce(col("__w"), lit(defaultPerMille)))
+      .withColumn("__copies",
+        expr(s"__w div $Buckets").cast("int") +
+          when(hashBucket(col(idCol)) < col("__w") % Buckets, 1).otherwise(0))
+      // filter BEFORE explode: sequence(0, -1) would yield [0, -1], not []
+      .filter(col("__copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0), col("__copies") - 1)))
+      .drop("__w", "__copies")
+  }
+
   /** Stratified deterministic sample: per-stratum keep rates (per-mille),
     * e.g. downsample a dominant language while keeping the tail whole.
     * Rates ride a broadcast join (the strata table is small by definition);

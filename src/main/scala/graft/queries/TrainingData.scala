@@ -232,6 +232,87 @@ object TrainingData {
       .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
       .orderBy("lang")
 
+  /** Gopher/C4-style word-level repetition filters in ONE kernel pass:
+    * duplicate-word fraction and top-bigram coverage flag boilerplate /
+    * machine-generated text. Map-side only (no shuffle); the integer stats
+    * come from FastHash.repetitionStats, the fractions are per-row exact
+    * division (bit-reproducible cross-engine). */
+  def txtRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val r = graft.functions.FastHash.repetitionStatsCol(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), r.as("r"))
+      .select(col("doc_id"),
+        col("r._1").cast("long").as("n_words"),
+        col("r._2").cast("long").as("n_distinct_words"),
+        col("r._3").cast("long").as("top_word_count"),
+        col("r._4").cast("long").as("top_bigram_count"))
+      .filter(col("n_words") > 0)
+      .withColumn("dup_word_frac",
+        (col("n_words") - col("n_distinct_words")).cast("double") /
+          nullif(col("n_words"), lit(0L)).cast("double"))
+      .withColumn("top_bigram_frac",
+        col("top_bigram_count").cast("double") /
+          nullif(col("n_words") - 1, lit(0L)).cast("double"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination: docs sharing any word-trigram with the
+    * held-out "benchmark" slice (doc_id % 50 = 0). Benchmark grams are
+    * collected + broadcast (eval sets are small by definition); the corpus
+    * side is one map-side kernel pass — no corpus shuffle, no explode. */
+  def ddContamination(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Contamination
+    val docs = Tables.documents(spark, dir)
+    val grams = Contamination.benchmarkGrams(
+      docs.filter(col("doc_id") % 50 === 0), col("text"), n = 3)
+    Contamination.contaminated(docs.filter(col("doc_id") % 50 =!= 0),
+        col("doc_id"), col("text"), grams, n = 3)
+      .orderBy("doc_id")
+  }
+
+  /** Mixture weights with oversampling: src0 at 2.5 epochs, src1 at 1.5,
+    * src2 downsampled to 200‰, src3 dropped, the rest at 1 epoch.
+    * Membership checksummed (sum of ids over emitted copies). */
+  def dsMix(spark: SparkSession, dir: String): DataFrame =
+    Curation.weightedMix(Tables.documents(spark, dir), "doc_id", "source",
+        Map("src0" -> 2500, "src1" -> 1500, "src2" -> 200, "src3" -> 0))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum("doc_id").as("sum_ids"),
+        (max("epoch") + 1).cast("long").as("n_epochs"))
+      .orderBy("source")
+
+  /** The composed curation pipeline (what a user actually runs): quality
+    * gate (length + word count) → bag-of-words-identity dedup (md5 of the
+    * sorted distinct vocabulary — catches shuffled/reordered boilerplate
+    * that exact text hashing misses) → per-source funnel stats with a
+    * membership checksum on the surviving docs. One corpus scan; the only
+    * shuffles are the dedup window and the per-source aggregate. */
+  def dsCurate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = array_remove(split(lower(col("text")), "[^a-z]+"), "")
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(ws).as("n_words"),
+        md5(concat_ws(" ", array_sort(array_distinct(ws)))).as("fp_bow"))
+      .withColumn("keep_q", col("n_chars") >= 100 && col("n_words") >= 20)
+    val kept = base.filter(col("keep_q"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("fp_bow").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+    val totals = base.groupBy("source").agg(
+      count(lit(1)).as("n_total"),
+      sum(when(col("keep_q"), 1L).otherwise(0L)).as("n_quality"))
+    val keptStats = kept.groupBy("source").agg(
+      count(lit(1)).as("n_kept"), sum("doc_id").as("sum_kept_ids"))
+    totals.join(keptStats, Seq("source"), "left")
+      .select(col("source"), col("n_total"), col("n_quality"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("sum_kept_ids"), lit(0L)).as("sum_kept_ids"))
+      .orderBy("source")
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dd_exact"         -> ddExact _,
     "dd_jaccard_words" -> ddJaccardWords _,
@@ -251,6 +332,10 @@ object TrainingData {
     "txt_length_stats" -> txtLengthStats _,
     "ds_split"         -> dsSplit _,
     "ds_sample_stratified" -> dsSampleStratified _,
+    "txt_repetition"   -> txtRepetition _,
+    "dd_contamination" -> ddContamination _,
+    "ds_mix"           -> dsMix _,
+    "ds_curate"        -> dsCurate _,
     "txt_html_strip"   -> txtHtmlStrip _,
     "txt_redact"       -> txtRedact _,
     "ev_json_extract"  -> evJsonExtract _,
@@ -369,6 +454,86 @@ object TrainingData {
         |WHERE ((doc_id % 2147483648 + 2147483648) % 2147483648 * 2654435761) % 4294967296 % 1000 <
         |  CASE lang WHEN 'en' THEN 200 WHEN 'de' THEN 500 ELSE 1000 END
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "txt_repetition" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> len(w) > 0) AS ws
+        | FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS pos FROM t),
+        |wc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |tw AS (
+        | SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+        |  COUNT(*) AS n_distinct_words, MAX(c) AS top_word_count
+        | FROM wc GROUP BY 1),
+        |bg AS (
+        | SELECT doc_id,
+        |  w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+        | FROM tok),
+        |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg WHERE b IS NOT NULL GROUP BY 1, 2),
+        |tb AS (SELECT doc_id, MAX(c) AS top_bigram_count FROM bc GROUP BY 1)
+        |SELECT tw.doc_id, n_words, n_distinct_words, top_word_count,
+        | coalesce(tb.top_bigram_count, 0) AS top_bigram_count,
+        | CAST(n_words - n_distinct_words AS DOUBLE) / nullif(n_words, 0) AS dup_word_frac,
+        | CAST(coalesce(tb.top_bigram_count, 0) AS DOUBLE) / nullif(n_words - 1, 0) AS top_bigram_frac
+        |FROM tw LEFT JOIN tb ON tw.doc_id = tb.doc_id
+        |ORDER BY tw.doc_id""".stripMargin,
+    "dd_contamination" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> len(w) > 0) AS ws
+        | FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS pos FROM t),
+        |g AS (
+        | SELECT doc_id,
+        |  w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS gram
+        | FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |gg AS (SELECT DISTINCT doc_id, gram FROM g WHERE gram IS NOT NULL),
+        |bench AS (SELECT DISTINCT gram FROM gg WHERE doc_id % 50 = 0),
+        |st AS (
+        | SELECT doc_id, COUNT(*) AS n_grams,
+        |  COUNT(*) FILTER (gram IN (SELECT gram FROM bench)) AS n_contaminated
+        | FROM gg WHERE doc_id % 50 <> 0 GROUP BY 1)
+        |SELECT doc_id, CAST(n_contaminated AS BIGINT) AS n_contaminated,
+        | CAST(n_grams AS BIGINT) AS n_grams,
+        | CAST(n_contaminated AS DOUBLE) / n_grams AS contamination_frac
+        |FROM st WHERE n_contaminated > 0 ORDER BY doc_id""".stripMargin,
+    "ds_mix" ->
+      """WITH w AS (
+        | SELECT doc_id, source,
+        |  CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 1500
+        |              WHEN 'src2' THEN 200 WHEN 'src3' THEN 0 ELSE 1000 END AS wpm,
+        |  ((doc_id % 2147483648 + 2147483648) % 2147483648 * 2654435761) % 4294967296 % 1000 AS b
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, source,
+        |  wpm // 1000 + CASE WHEN b < wpm % 1000 THEN 1 ELSE 0 END AS copies
+        | FROM w)
+        |SELECT source, CAST(SUM(copies) AS BIGINT) AS n_rows, COUNT(*) AS n_docs,
+        | CAST(SUM(doc_id * copies) AS BIGINT) AS sum_ids,
+        | CAST(MAX(copies) AS BIGINT) AS n_epochs
+        |FROM c WHERE copies > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ds_curate" ->
+      """WITH base AS (
+        | SELECT doc_id, source, n_chars,
+        |  len(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS n_words,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |   list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> len(w) > 0))), ' ')) AS fp_bow
+        | FROM documents),
+        |b2 AS (SELECT *, (n_chars >= 100 AND n_words >= 20) AS keep_q FROM base),
+        |kept AS (
+        | SELECT * FROM (
+        |  SELECT doc_id, source, fp_bow,
+        |   row_number() OVER (PARTITION BY fp_bow ORDER BY doc_id) AS rn
+        |  FROM b2 WHERE keep_q) WHERE rn = 1),
+        |t AS (
+        | SELECT source, COUNT(*) AS n_total, COUNT(*) FILTER (keep_q) AS n_quality
+        | FROM b2 GROUP BY 1),
+        |k AS (
+        | SELECT source, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids
+        | FROM kept GROUP BY 1)
+        |SELECT t.source, n_total, n_quality, coalesce(n_kept, 0) AS n_kept,
+        | coalesce(sum_kept_ids, 0) AS sum_kept_ids
+        |FROM t LEFT JOIN k ON t.source = k.source ORDER BY 1""".stripMargin,
     "txt_length_stats" ->
       """SELECT lang, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
         | MAX(n_chars) AS max_chars, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

@@ -68,6 +68,30 @@ class TextOpsSpec extends SparkSpec {
     assert(near > 0.8 && far < 0.2)
   }
 
+  test("repetitionStats matches a naive group-by count on random docs") {
+    def naive(text: String): (Int, Int, Int, Int) = {
+      val ws = text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toSeq
+      val bigrams = ws.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      (ws.size,
+        ws.distinct.size,
+        if (ws.isEmpty) 0 else ws.groupBy(identity).values.map(_.size).max,
+        if (bigrams.isEmpty) 0 else bigrams.groupBy(identity).values.map(_.size).max)
+    }
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("spam", "ham", "eggs", "foo", "bar")
+    (0 until 200).foreach { _ =>
+      val doc = Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(if (rnd.nextBoolean()) " " else ", ")
+      assert(FastHash.repetitionStats(doc) == naive(doc), s"doc='$doc'")
+    }
+    // hand-checked: "a a b a" → 4 words, 2 distinct, 'a'×3, top bigram "a a"×1...
+    assert(FastHash.repetitionStats("a a b a") == (4, 2, 3, 1))
+    assert(FastHash.repetitionStats("go go go") == (3, 1, 3, 2))
+    assert(FastHash.repetitionStats("") == (0, 0, 0, 0))
+    assert(FastHash.repetitionStats(null) == (0, 0, 0, 0))
+    assert(FastHash.repetitionStats("Mixed CASE mixed") == (3, 2, 2, 1))
+  }
+
   test("marker-hit kernel propagates null for null text (oracle NULL parity)") {
     import SparkSpec.session.implicits._
     assert(FastHash.markerHits(null, Array(Array(1L))) == null)

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Benchmark-contamination detection: gram extraction semantics, kernel
+  * counts vs a naive reimplementation, and the broadcast-side size cap. */
+class ContaminationSpec extends SparkSpec {
+  import SparkSpec.session.implicits._
+
+  test("distinctWordNgrams: tokenization, dedup, and boundary cases") {
+    assert(Contamination.distinctWordNgrams("a b c d", 3).toSeq ==
+      Seq("a b c", "b c d"))
+    // case-folded, non-letters separate, digits are separators (words() contract)
+    assert(Contamination.distinctWordNgrams("A-b C4d", 2).toSeq ==
+      Seq("a b", "b c", "c d"))
+    // repeated gram appears once
+    assert(Contamination.distinctWordNgrams("x y x y x", 2).toSeq ==
+      Seq("x y", "y x"))
+    // shorter than n, empty, null
+    assert(Contamination.distinctWordNgrams("one two", 3).isEmpty)
+    assert(Contamination.distinctWordNgrams("", 2).isEmpty)
+    assert(Contamination.distinctWordNgrams(null, 2).isEmpty)
+  }
+
+  test("contaminated counts match a naive set-intersection on random docs") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    def doc() = Seq.fill(3 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = (0L until 40L).map(i => (i, doc()))
+    val benchTexts = docs.filter(_._1 % 8 == 0)
+    val corpusRows = docs.filterNot(_._1 % 8 == 0)
+
+    val benchDf = benchTexts.toDF("doc_id", "text")
+    val grams = Contamination.benchmarkGrams(benchDf, col("text"), n = 2)
+    val got = Contamination.contaminated(corpusRows.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), grams, n = 2)
+      .select("doc_id", "n_contaminated", "n_grams")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    val benchSet = benchTexts.flatMap(d =>
+      Contamination.distinctWordNgrams(d._2, 2)).toSet
+    corpusRows.foreach { case (id, text) =>
+      val g = Contamination.distinctWordNgrams(text, 2).toSet
+      val hits = g.intersect(benchSet).size
+      if (hits > 0) assert(got(id) == (hits.toLong, g.size.toLong), s"doc $id")
+      else assert(!got.contains(id), s"doc $id should be clean")
+    }
+  }
+
+  test("benchmarkGrams enforces the broadcast-side cap") {
+    // digits are separators, so letter-distinct words per doc
+    val big = (0 until 26).map { i =>
+      val l = ('a' + i).toChar
+      (i.toLong, s"${l}one ${l}two ${l}three")
+    }.toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Contamination.benchmarkGrams(big, col("text"), n = 2, maxGrams = 10)
+    }
+    assert(e.getMessage.contains("cap"))
+  }
+}

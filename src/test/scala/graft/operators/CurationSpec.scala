@@ -36,6 +36,34 @@ class CurationSpec extends SparkSpec {
     assert(ids.subsetOf((0L until 9000L).toSet) && ids.nonEmpty)
   }
 
+  test("weightedMix emits floor(w/1000) copies plus a deterministic extra") {
+    val df = spark.range(4000).select(col("id"),
+      (col("id") % 4).cast("string").as("s"))
+    val weights = Map("0" -> 2500, "1" -> 1000, "2" -> 200, "3" -> 0)
+    val mixed = Curation.weightedMix(df, "id", "s", weights)
+    val perDoc = mixed.groupBy("id", "s").agg(count(lit(1)).as("n"),
+        max("epoch").as("maxe"), min("epoch").as("mine"))
+      .as[(Long, String, Long, Int, Int)].collect()
+    perDoc.foreach { case (id, s, n, maxe, mine) =>
+      val w = weights(s)
+      // exact per-row copy count: the arithmetic, not just proportions
+      val b = ((id % 2147483648L + 2147483648L) % 2147483648L * 2654435761L) % 4294967296L % 1000
+      val expected = w / 1000 + (if (b < w % 1000) 1 else 0)
+      assert(n == expected, s"id=$id w=$w")
+      // epoch is a dense 0-based copy index
+      assert(mine == 0 && maxe == n - 1, s"id=$id")
+    }
+    val bySrc = mixed.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(math.abs(bySrc("0") - 2500) < 150, bySrc) // 2 epochs + ~500‰
+    assert(bySrc("1") == 1000)                       // exactly 1 epoch
+    assert(math.abs(bySrc("2") - 200) < 80, bySrc)   // downsample
+    assert(!bySrc.contains("3"))                     // dropped source
+    // strata not in the map get the default (1 epoch)
+    val dflt = Curation.weightedMix(df, "id", "s", Map("0" -> 2500))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(dflt("1") == 1000 && dflt("3") == 1000)
+  }
+
   test("hashBucket stays in [0, buckets) for negative ids too") {
     val df = spark.range(-5000, 5000).toDF("id")
     val buckets = df.select(Curation.hashBucket(col("id")).as("b"))
