@@ -391,9 +391,8 @@ object Dedup {
       .localCheckpoint()
     var converged = false
     var iter = 0
-    def sumOf(df: DataFrame): Long = // empty input sums to null
-      df.agg(coalesce(sum("lbl"), lit(0L))).head().getLong(0)
-    var checksum = sumOf(labels)
+    var checksum = // empty input sums to null
+      labels.agg(coalesce(sum("lbl"), lit(0L))).head().getLong(0)
     while (!converged && iter < maxIter) {
       // (a) pull the minimum neighbor label
       val nbrMin = edges.join(labels, edges("v") === labels("id"))
@@ -402,10 +401,14 @@ object Dedup {
         .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
       // (b) pointer jump: label := label's label (halves chain depth)
       val parent = pulled.select(col("id").as("pid"), col("lbl").as("plbl"))
+      // the convergence checksum rides the checkpoint job as an observed
+      // metric — one action per iteration, not a checkpoint + a sum job
+      val obs = org.apache.spark.sql.Observation()
       val next = pulled.join(parent, pulled("lbl") === parent("pid"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
+        .observe(obs, coalesce(sum("lbl"), lit(0L)).as("s"))
         .localCheckpoint()
-      val nextSum = sumOf(next)
+      val nextSum = obs.get("s").asInstanceOf[Long]
       converged = nextSum == checksum // labels only ever decrease
       checksum = nextSum
       labels = next

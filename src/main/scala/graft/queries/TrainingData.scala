@@ -297,19 +297,18 @@ object TrainingData {
         size(ws).as("n_words"),
         md5(concat_ws(" ", array_sort(array_distinct(ws)))).as("fp_bow"))
       .withColumn("keep_q", col("n_chars") >= 100 && col("n_words") >= 20)
-    val kept = base.filter(col("keep_q"))
-      .withColumn("rn",
-        row_number().over(Window.partitionBy("fp_bow").orderBy("doc_id")))
-      .filter(col("rn") === 1)
-    val totals = base.groupBy("source").agg(
-      count(lit(1)).as("n_total"),
-      sum(when(col("keep_q"), 1L).otherwise(0L)).as("n_quality"))
-    val keptStats = kept.groupBy("source").agg(
-      count(lit(1)).as("n_kept"), sum("doc_id").as("sum_kept_ids"))
-    totals.join(keptStats, Seq("source"), "left")
-      .select(col("source"), col("n_total"), col("n_quality"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("sum_kept_ids"), lit(0L)).as("sum_kept_ids"))
+    // ONE corpus scan: ordering quality docs first inside each fp group
+    // makes "min doc_id among quality docs of the group" the rn=1 row, so
+    // the dedup verdict and the funnel counts come from the same window
+    // pass — no quality-filtered self-join, no second scan.
+    val rn = row_number().over(
+      Window.partitionBy("fp_bow").orderBy(desc("keep_q"), asc("doc_id")))
+    base.withColumn("kept", col("keep_q") && rn === 1)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep_q"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        coalesce(sum(when(col("kept"), col("doc_id"))), lit(0L)).as("sum_kept_ids"))
       .orderBy("source")
   }
 

@@ -150,6 +150,34 @@ class PlanAuditSpec extends SparkSpec {
       planOf("q23_percentiles"))
   }
 
+  test("txt_repetition/dd_contamination: one scan, kernel-only, no join or explode") {
+    Seq("txt_repetition", "dd_contamination").foreach { n =>
+      val p = planOf(n)
+      assert(countScans(p) == 1, s"$n: $p")
+      // broadcast-set kernels, not an ngram explode + join formulation:
+      // the grams × corpus intermediate must never materialize
+      assert(!p.contains("Join"), s"$n: $p")
+      assert(!p.contains("Generate"), s"$n: $p")
+      assert(!p.contains("HashAggregate"), s"$n: $p")
+    }
+  }
+
+  test("ds_mix: weights ride a broadcast join; explode is map-side; agg is partial") {
+    val p = planOf("ds_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("Generate explode"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("ds_curate: the whole funnel is one scan, one window, one aggregate") {
+    val p = planOf("ds_curate")
+    assert(countScans(p) == 1, p)
+    assert(!p.contains("Join"), p)
+    assert("Window ".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("txt_lang_id/txt_quality: marker counts are kernel UDFs, not interpreted HOFs") {
     Seq("txt_lang_id", "txt_quality").foreach { n =>
       val analyzed = graft.SparkEntry.queries(n)(spark, sfDir).queryExecution.optimizedPlan

@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Regenerate PLANS.md from `sbt "runMain graft.tools.Explain <sfDir>"` output.
+
+Usage:
+  sbt -batch "runMain graft.tools.Explain /root/testdata/sf0.01" > /tmp/plans_raw.txt
+  python3 tools/gen_plans.py /tmp/plans_raw.txt > PLANS.md
+
+Keeps, per query: the formatted-mode plan tree plus every PushedFilters /
+ReadSchema detail line — the evidence lines PlanAuditSpec locks against.
+"""
+import re
+import sys
+
+raw = open(sys.argv[1]).read()
+# sbt prefixes program stdout with "[info] "
+raw = re.sub(r"^\[info\] ?", "", raw, flags=re.M)
+
+HEADER = """# PLANS — physical-plan audit of the declared query set
+
+Generated from `sbt "runMain graft.tools.Explain /root/testdata/sf0.01"`
+via `tools/gen_plans.py`. Per query: the plan tree plus every
+PushedFilters/ReadSchema line — the evidence for the scale checklist
+(pushdown, pruning, partial aggregation, broadcast joins,
+TakeOrdered/WindowGroupLimit top-k, no stray shuffles).
+Plan-property regressions are enforced by PlanAuditSpec.
+"""
+
+print(HEADER)
+sections = re.split(r"^======== (\S+) ========$", raw, flags=re.M)
+for i in range(1, len(sections), 2):
+    name, body = sections[i], sections[i + 1]
+    lines = body.splitlines()
+    tree, details = [], []
+    in_tree = False
+    for ln in lines:
+        s = ln.rstrip()
+        # tree = between "== Physical Plan ==" and the first "(n) Node" detail
+        # block (sbt logging drops the blank separator lines)
+        if s.strip() == "== Physical Plan ==":
+            in_tree = True
+            continue
+        if in_tree and re.match(r"^\(\d+\) ", s.strip()):
+            in_tree = False
+        if in_tree and s.strip():
+            tree.append(s)
+        m = re.match(r"^(PushedFilters|ReadSchema): (.*)$", s.strip())
+        if m:
+            details.append(s.strip())
+    print(f"## {name}\n")
+    print("```")
+    print("\n".join(tree))
+    print("\n".join(details))
+    print("```\n")
