@@ -312,6 +312,22 @@ object TrainingData {
       .orderBy("source")
   }
 
+  /** Heavy hitters via the SpaceSaving sketch aggregate: one pass, bounded
+    * memory, summary-width shuffle (never the token stream). Capacity 256
+    * exceeds the fixture vocabulary, so every count is exact with err = 0 —
+    * which is what lets a plain GROUP BY oracle value-check the sketch.
+    * Eviction/merge error bounds are invariant-checked in SpaceSavingSpec. */
+  def a8HeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .agg(org.apache.spark.sql.graft.SpaceSavingGlue
+        .spaceSavingTopK(col("word"), 256).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("word"), col("e.count").as("n"),
+        col("e.err").as("err"))
+      .orderBy(desc("n"), asc("word"))
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dd_exact"         -> ddExact _,
     "dd_jaccard_words" -> ddJaccardWords _,
@@ -331,6 +347,7 @@ object TrainingData {
     "txt_length_stats" -> txtLengthStats _,
     "ds_split"         -> dsSplit _,
     "ds_sample_stratified" -> dsSampleStratified _,
+    "a8_heavy_hitters" -> a8HeavyHitters _,
     "txt_repetition"   -> txtRepetition _,
     "dd_contamination" -> ddContamination _,
     "ds_mix"           -> dsMix _,
@@ -453,6 +470,14 @@ object TrainingData {
         |WHERE ((doc_id % 2147483648 + 2147483648) % 2147483648 * 2654435761) % 4294967296 % 1000 <
         |  CASE lang WHEN 'en' THEN 200 WHEN 'de' THEN 500 ELSE 1000 END
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // with capacity > |vocab| the sketch is exact, so the oracle is the
+    // plain GROUP BY it replaces at scale
+    "a8_heavy_hitters" ->
+      """SELECT word, COUNT(*) AS n, CAST(0 AS BIGINT) AS err FROM (
+        | SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        | FROM documents)
+        |WHERE length(word) > 0
+        |GROUP BY 1 ORDER BY n DESC, word ASC""".stripMargin,
     "txt_repetition" ->
       """WITH t AS (
         | SELECT doc_id,

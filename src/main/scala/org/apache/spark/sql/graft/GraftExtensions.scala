@@ -25,6 +25,9 @@ object GraftExtensions {
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "float_vector_dot" -> (args => FloatVectorDot(args(0), args(1))),
     "peak_rate_per_second" -> (args => PeakRatePerSecond(args.head).toAggregateExpression()),
+    // capacity must be a foldable int literal, e.g. space_saving_topk(w, 256)
+    "space_saving_topk" -> (args => SpaceSavingTopK(args(0),
+      args(1).eval().asInstanceOf[Int]).toAggregateExpression()),
   )
 
   /** Register into an existing session's function registry. */

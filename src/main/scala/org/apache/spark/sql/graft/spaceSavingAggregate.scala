@@ -1,0 +1,171 @@
+/* Under org.apache.spark.sql for the private[sql] aggregate surface.
+ * Public API: SpaceSavingGlue.spaceSavingTopK / SQL space_saving_topk. */
+package org.apache.spark.sql.graft
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SpaceSaving heavy-hitters sketch (Metwally/Agrawal/El Abbadi) as a
+  * one-pass aggregate: top items by frequency with BOUNDED memory —
+  * `capacity` counters per partial buffer, merged associatively — instead
+  * of a full (item, count) groupBy exchange. The 100 TB shape for
+  * vocabulary / heavy-key stats: the shuffle moves one `capacity`-entry
+  * summary per map task, never the token stream.
+  *
+  * Guarantees (standard for SpaceSaving): estimated count ≥ true count;
+  * overestimate ≤ `err`; any item with true count > N/capacity is present
+  * in the summary. With `capacity` ≥ distinct(items) no eviction ever
+  * happens and every count is EXACT with err = 0 (how the oracle query
+  * checks this operator against a plain GROUP BY).
+  *
+  * Output: array<struct<item, count, err>> sorted by (count desc, item
+  * asc). Eviction and merge both break count ties toward the
+  * lexicographically smaller item, so the summary is deterministic for a
+  * fixed partitioning.
+  *
+  * Generalizes the reference meter's fixed counter registry
+  * (`/root/reference/pkg/internal/meter/metrics.go:76-95`) to unbounded
+  * key domains under a fixed memory budget.
+  */
+case class SpaceSavingTopK(
+    child: Expression,
+    capacity: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[String, Array[Long]]] with ExpectsInputTypes {
+
+  require(capacity > 0, "capacity must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("count", LongType, nullable = false),
+    StructField("err", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "space_saving_topk"
+
+  // buffer value = Array(count, err)
+  override def createAggregationBuffer(): java.util.HashMap[String, Array[Long]] =
+    new java.util.HashMap[String, Array[Long]]()
+
+  /** (minCount, its key) with ties toward the smaller key — the eviction
+    * victim and the "what an absent item could have counted" bound. */
+  private def minEntry(buf: java.util.HashMap[String, Array[Long]]): (Long, String) = {
+    var mc = Long.MaxValue
+    var mk: String = null
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue()(0)
+      if (c < mc || (c == mc && (mk == null || e.getKey < mk))) { mc = c; mk = e.getKey }
+    }
+    (mc, mk)
+  }
+
+  override def update(buf: java.util.HashMap[String, Array[Long]], input: InternalRow): java.util.HashMap[String, Array[Long]] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val item = v.asInstanceOf[UTF8String].toString
+      val cur = buf.get(item)
+      if (cur != null) cur(0) += 1
+      else if (buf.size() < capacity) buf.put(item, Array(1L, 0L))
+      else {
+        // evict the min-count entry; the newcomer inherits its count as the
+        // classic SpaceSaving overestimate bound
+        val (mc, mk) = minEntry(buf)
+        buf.remove(mk)
+        buf.put(item, Array(mc + 1, mc))
+      }
+    }
+    buf
+  }
+
+  override def merge(a: java.util.HashMap[String, Array[Long]],
+                     b: java.util.HashMap[String, Array[Long]]): java.util.HashMap[String, Array[Long]] = {
+    if (b.isEmpty) return a
+    // an item absent from a FULL summary may have been counted up to that
+    // summary's min count — absent-side contribution is (min, min)
+    val mA = if (a.size() == capacity) minEntry(a)._1 else 0L
+    val mB = if (b.size() == capacity) minEntry(b)._1 else 0L
+    b.forEach { (k, vb) =>
+      val va = a.get(k)
+      if (va != null) { va(0) += vb(0); va(1) += vb(1) }
+      else a.put(k, Array(vb(0) + mA, vb(1) + mA))
+    }
+    if (mB > 0) a.forEach { (k, va) =>
+      if (!b.containsKey(k)) { va(0) += mB; va(1) += mB }
+    }
+    // shrink back to capacity, dropping the smallest (ties: larger key goes)
+    while (a.size() > capacity) {
+      val (_, mk) = minEntry(a)
+      a.remove(mk)
+    }
+    a
+  }
+
+  override def eval(buf: java.util.HashMap[String, Array[Long]]): Any = {
+    val entries = new Array[(String, Long, Long)](buf.size())
+    var i = 0
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      entries(i) = (e.getKey, e.getValue()(0), e.getValue()(1))
+      i += 1
+    }
+    java.util.Arrays.sort(entries, Ordering.by((t: (String, Long, Long)) => (-t._2, t._1)))
+    new GenericArrayData(entries.map(t =>
+      InternalRow(UTF8String.fromString(t._1), t._2, t._3): Any))
+  }
+
+  override def serialize(buf: java.util.HashMap[String, Array[Long]]): Array[Byte] = {
+    var bytes = 4
+    val items = new java.util.ArrayList[(Array[Byte], Array[Long])](buf.size())
+    buf.forEach { (k, v) =>
+      val kb = k.getBytes(StandardCharsets.UTF_8)
+      items.add((kb, v))
+      bytes += 4 + kb.length + 16
+    }
+    val bb = ByteBuffer.allocate(bytes)
+    bb.putInt(items.size())
+    items.forEach { case (kb, v) =>
+      bb.putInt(kb.length); bb.put(kb); bb.putLong(v(0)); bb.putLong(v(1))
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Array[Long]] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val m = new java.util.HashMap[String, Array[Long]](math.max(16, n * 2))
+    var i = 0
+    while (i < n) {
+      val kb = new Array[Byte](bb.getInt)
+      bb.get(kb)
+      m.put(new String(kb, StandardCharsets.UTF_8), Array(bb.getLong, bb.getLong))
+      i += 1
+    }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSavingTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SpaceSavingTopK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object SpaceSavingGlue {
+  def spaceSavingTopK(item: Column, capacity: Int): Column =
+    ExpressionUtils.column(SpaceSavingTopK(ExpressionUtils.expression(item), capacity)
+      .toAggregateExpression())
+}

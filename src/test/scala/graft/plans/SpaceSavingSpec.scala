@@ -1,0 +1,72 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{GraftExtensions, SpaceSavingGlue}
+
+/** SpaceSaving sketch invariants: exactness under capacity, the classic
+  * overestimate/coverage guarantees over capacity, and the SQL surface. */
+class SpaceSavingSpec extends SparkSpec {
+  import SparkSpec.session.implicits._
+
+  private def sketch(items: Seq[String], capacity: Int): Seq[(String, Long, Long)] =
+    items.toDF("w")
+      .agg(SpaceSavingGlue.spaceSavingTopK(col("w"), capacity).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select("e.item", "e.count", "e.err")
+      .as[(String, Long, Long)].collect().toSeq
+
+  test("capacity >= distinct items: every count exact, err 0, sorted") {
+    val rnd = new scala.util.Random(3)
+    val items = Seq.fill(5000)(s"w${rnd.nextInt(40)}")
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = sketch(items, 64)
+    assert(got.size == truth.size)
+    got.foreach { case (w, n, e) => assert(n == truth(w) && e == 0L, w) }
+    // output ordering is (count desc, item asc)
+    assert(got == got.sortBy(t => (-t._2, t._1)))
+  }
+
+  test("capacity < distinct items: SpaceSaving guarantees hold") {
+    val rnd = new scala.util.Random(9)
+    // skewed stream: few heavy items + a long tail
+    val heavy = Seq.tabulate(4)(i => Seq.fill(800 + i * 100)(s"heavy$i")).flatten
+    val tail = Seq.fill(2000)(s"t${rnd.nextInt(500)}")
+    val items = rnd.shuffle(heavy ++ tail)
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = items.size.toLong
+    val capacity = 32
+    val got = sketch(items, capacity)
+    assert(got.size == capacity)
+    got.foreach { case (w, est, err) =>
+      val t = truth(w)
+      assert(est >= t, s"$w underestimated: $est < $t")
+      assert(est - err <= t, s"$w guaranteed lower bound broken")
+    }
+    // every item with true count > N/capacity must be in the summary
+    val present = got.map(_._1).toSet
+    truth.filter(_._2 > n / capacity).keys.foreach(w =>
+      assert(present.contains(w), s"heavy hitter $w missing"))
+  }
+
+  test("sketch survives serialize/merge across many partitions") {
+    val items = (0 until 10000).map(i => s"w${i % 50}")
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = items.toDF("w").repartition(17)
+      .agg(SpaceSavingGlue.spaceSavingTopK(col("w"), 64).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select("e.item", "e.count", "e.err")
+      .as[(String, Long, Long)].collect()
+    assert(got.length == 50)
+    got.foreach { case (w, n, e) => assert(n == truth(w) && e == 0L, w) }
+  }
+
+  test("space_saving_topk is callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    Seq("a", "b", "a").toDF("w").createOrReplaceTempView("ss_words")
+    val rows = spark.sql(
+      "SELECT explode(space_saving_topk(w, 8)) AS e FROM ss_words")
+      .select("e.item", "e.count").as[(String, Long)].collect().toSeq
+    assert(rows == Seq(("a", 2L), ("b", 1L)))
+  }
+}
