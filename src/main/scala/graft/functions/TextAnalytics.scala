@@ -163,4 +163,38 @@ object TextAnalytics {
   /** Smoothed tf-idf score: tf · (ln((N+1)/(df+1)) + 1). */
   def tfIdf(tf: Column, df: Column, nDocs: Long): Column =
     tf.cast("double") * (log((lit(nDocs) + 1).cast("double") / (df.cast("double") + 1)) + 1)
+
+  // ---- Unigram-LM quality scoring (CCNet-style perplexity filter) ----
+
+  /** Per-document average token log-probability under a unigram LM trained
+    * on the corpus itself: score(d) = (Σ_t∈d ln count(t)) / |d| − ln N.
+    * Low scores flag rare-vocabulary / junk documents — the classic
+    * LM-perplexity quality gate of web-corpus pipelines.
+    *
+    * Scale shape: ONE token explode; the LM (distinct-token counts) is
+    * vocabulary-sized and rides a broadcast join; the per-doc reduce
+    * shuffles (doc_id, long) pairs only. On a real pipeline the LM comes
+    * from a fixed reference corpus — still broadcast-sized.
+    *
+    * Determinism: ln(count) is quantized to 2⁻²⁰ fixed-point and summed as
+    * LONGS (integer addition is associative, so the result is identical
+    * under any partitioning/merge order — same trick as the IVF centroid
+    * sums), then converted to the double score once per doc. ln() over
+    * integral doubles is bit-identical between the JVM and DuckDB libm
+    * (verified over the full count range), so the score is oracle-exact. */
+  def lmScore(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val lm = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val totalTokens = lm.agg(sum("cnt").as("nt"))
+    val q = toks.join(broadcast(lm), Seq("tok"))
+      .select(col("doc_id"),
+        round(log(col("cnt").cast("double")) * 1048576).cast("long").as("ql"))
+    q.groupBy("doc_id")
+      .agg(sum("ql").as("sq"), count(lit(1)).as("n_tokens"))
+      .crossJoin(broadcast(totalTokens))
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("sq").cast("double") / 1048576.0) / col("n_tokens") -
+          log(col("nt").cast("double"))).as("avg_logprob"))
+  }
 }

@@ -328,6 +328,11 @@ object TrainingData {
         col("e.err").as("err"))
       .orderBy(desc("n"), asc("word"))
 
+  /** Unigram-LM quality scores over the corpus (see TextAnalytics.lmScore
+    * for the determinism/oracle story). */
+  def txtLmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScore(Tables.documents(spark, dir)).orderBy("doc_id")
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dd_exact"         -> ddExact _,
     "dd_jaccard_words" -> ddJaccardWords _,
@@ -348,6 +353,7 @@ object TrainingData {
     "ds_split"         -> dsSplit _,
     "ds_sample_stratified" -> dsSampleStratified _,
     "a8_heavy_hitters" -> a8HeavyHitters _,
+    "txt_lm_score"     -> txtLmScore _,
     "txt_repetition"   -> txtRepetition _,
     "dd_contamination" -> ddContamination _,
     "ds_mix"           -> dsMix _,
@@ -478,6 +484,25 @@ object TrainingData {
         | FROM documents)
         |WHERE length(word) > 0
         |GROUP BY 1 ORDER BY n DESC, word ASC""".stripMargin,
+    // ln() over integral doubles is bit-identical JVM↔DuckDB; the per-doc
+    // sum is 2^-20 fixed-point LONGS on both sides (associative), so the
+    // double score is reproduced exactly
+    "txt_lm_score" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(list_filter(
+        |  string_split_regex(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS tok
+        | FROM documents),
+        |tf AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nt FROM tf),
+        |q AS (
+        | SELECT t.doc_id,
+        |  CAST(round(ln(CAST(cnt AS DOUBLE)) * 1048576) AS BIGINT) AS ql
+        | FROM tok t JOIN tf USING (tok)),
+        |d AS (SELECT doc_id, CAST(SUM(ql) AS BIGINT) AS sq, COUNT(*) AS n_tokens
+        |      FROM q GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        | (CAST(sq AS DOUBLE) / 1048576.0) / n_tokens - ln(CAST(nt AS DOUBLE)) AS avg_logprob
+        |FROM d, tot ORDER BY doc_id""".stripMargin,
     "txt_repetition" ->
       """WITH t AS (
         | SELECT doc_id,

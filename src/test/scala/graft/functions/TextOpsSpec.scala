@@ -92,6 +92,20 @@ class TextOpsSpec extends SparkSpec {
     assert(FastHash.repetitionStats("Mixed CASE mixed") == (3, 2, 2, 1))
   }
 
+  test("lmScore ranks common-vocabulary docs above rare-vocabulary junk") {
+    import SparkSpec.session.implicits._
+    val common = "the data table row value key " * 10
+    val docs = (
+      (0L until 20L).map(i => (i, common)) :+            // fluent docs
+        (100L, "zzyzx qwfp xkcd vexq jumbl")             // junk vocabulary
+      ).toDF("doc_id", "text")
+    val scores = TextAnalytics.lmScore(docs)
+      .select("doc_id", "avg_logprob").as[(Long, Double)].collect().toMap
+    assert(scores(100L) < scores(0L) - 1.0, scores)
+    // identical docs score identically (deterministic fixed-point sum)
+    assert(scores(0L) == scores(19L))
+  }
+
   test("marker-hit kernel propagates null for null text (oracle NULL parity)") {
     import SparkSpec.session.implicits._
     assert(FastHash.markerHits(null, Array(Array(1L))) == null)

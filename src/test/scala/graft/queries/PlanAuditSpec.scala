@@ -178,6 +178,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("txt_lm_score: the LM rides broadcast joins; no sort-merge join") {
+    val p = planOf("txt_lm_score")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("txt_lang_id/txt_quality: marker counts are kernel UDFs, not interpreted HOFs") {
     Seq("txt_lang_id", "txt_quality").foreach { n =>
       val analyzed = graft.SparkEntry.queries(n)(spark, sfDir).queryExecution.optimizedPlan
