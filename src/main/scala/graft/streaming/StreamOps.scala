@@ -55,6 +55,23 @@ object StreamOps {
       .withWatermark("event_time", lateness)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Streaming curation (the streaming twin of the batch dsCurate funnel):
+    * stateless quality gate (length + word count — pure projections, so
+    * every batch text filter composes here unchanged) followed by
+    * bag-of-words-fingerprint dedup with state bounded by the watermark.
+    * Arriving near-boilerplate that reorders words still collapses, exactly
+    * as in the batch operator. */
+  def curateStream(docs: DataFrame, nsCol: String, lateness: String,
+                   minChars: Int = 100, minWords: Int = 20): DataFrame = {
+    val ws = array_remove(split(lower(col("text")), "[^a-z]+"), "")
+    docs
+      .filter(length(col("text")) >= minChars && size(ws) >= minWords)
+      .withColumn("fp_bow", md5(concat_ws(" ", array_sort(array_distinct(ws)))))
+      .withColumn("event_time", eventTime(nsCol))
+      .withWatermark("event_time", lateness)
+      .dropDuplicatesWithinWatermark(Seq("fp_bow"))
+  }
+
   /** Attach the meter observation (A1–A6): processed / error counts, value
     * sum/max — readable per micro-batch from a StreamingQueryListener
     * exactly like the reference's sensor→meter wiring

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
 case class Ev(event_id: Long, ts: Long, user_id: Long, event_type: String, value: Double)
+case class StreamDoc(doc_id: Long, ts: Long, text: String)
 
 class StreamingSpec extends SparkSpec {
   import SparkSpec.session.implicits._
@@ -55,6 +56,29 @@ class StreamingSpec extends SparkSpec {
       mem.addData(ev(1, 0), ev(1, 0), ev(2, 0), ev(1, 0), ev(3, 1))
       q.processAllAvailable()
       assert(spark.table("dedup").select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("streaming curation gates quality and collapses reordered boilerplate") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamDoc]
+    val fluent = ("the data table row value key scan merge join " * 4).trim
+    val reordered = fluent.split(" ").reverse.mkString(" ") // same word set
+    val distinctDoc = ("window batch stream filter sort group agg column " * 4).trim
+    val q = StreamOps.curateStream(mem.toDF(), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("curated").outputMode("append").start()
+    try {
+      mem.addData(
+        StreamDoc(1, 0L, fluent),
+        StreamDoc(2, 1000, reordered),   // bag-of-words dup of doc 1
+        StreamDoc(3, 2000, "too short"), // fails the quality gate
+        StreamDoc(4, 3000, distinctDoc))
+      q.processAllAvailable()
+      val kept = spark.table("curated").select("doc_id").as[Long].collect().sorted.toSeq
+      // exactly one of the bag-of-words twins survives (which one is a
+      // partition-order detail), the short doc never enters state
+      assert(kept.length == 2 && kept.contains(4L), kept)
+      assert(kept.count(id => id == 1L || id == 2L) == 1, kept)
     } finally q.stop()
   }
 
