@@ -164,6 +164,32 @@ object TextAnalytics {
   def tfIdf(tf: Column, df: Column, nDocs: Long): Column =
     tf.cast("double") * (log((lit(nDocs) + 1).cast("double") / (df.cast("double") + 1)) + 1)
 
+  // ---- Context-window chunking (training-example preparation) ----
+
+  /** Split each document into overlapping token windows of `size` words
+    * every `stride` words — the context-window chunking step that precedes
+    * sequence packing in a training pipeline. Every token lands in at least
+    * one chunk; the final chunk may be short. Pure built-ins
+    * (sequence/explode/slice — all codegen'd), map-side only: the explode
+    * multiplies rows ~n/stride but shuffles nothing. */
+  def chunkTokens(docs: org.apache.spark.sql.DataFrame, size: Int,
+                  stride: Int): org.apache.spark.sql.DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      "need 0 < stride <= size (stride > size would drop tokens)")
+    val ws = array_remove(split(lower(col("text")), "[^a-z]+"), "")
+    docs.select(col("doc_id"), ws.as("ws"))
+      .withColumn("n", org.apache.spark.sql.functions.size(col("ws")))
+      .filter(col("n") > 0)
+      .withColumn("chunk_id",
+        explode(sequence(lit(0), expr(s"(n - 1) div $stride"))))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        concat_ws(" ", slice(col("ws"), (col("chunk_id") * stride + 1).cast("int"), lit(size)))
+          .as("chunk_text"),
+        org.apache.spark.sql.functions.size(
+          slice(col("ws"), (col("chunk_id") * stride + 1).cast("int"), lit(size)))
+          .cast("long").as("n_tokens"))
+  }
+
   // ---- Unigram-LM quality scoring (CCNet-style perplexity filter) ----
 
   /** Per-document average token log-probability under a unigram LM trained

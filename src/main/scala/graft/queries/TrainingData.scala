@@ -328,6 +328,12 @@ object TrainingData {
         col("e.err").as("err"))
       .orderBy(desc("n"), asc("word"))
 
+  /** Context-window chunking: 32-token windows every 24 tokens (8-token
+    * overlap). Chunk boundaries, counts, and text value-checked. */
+  def dsChunk(spark: SparkSession, dir: String): DataFrame =
+    chunkTokens(Tables.documents(spark, dir), size = 32, stride = 24)
+      .orderBy("doc_id", "chunk_id")
+
   /** Unigram-LM quality scores over the corpus (see TextAnalytics.lmScore
     * for the determinism/oracle story). */
   def txtLmScore(spark: SparkSession, dir: String): DataFrame =
@@ -354,6 +360,7 @@ object TrainingData {
     "ds_sample_stratified" -> dsSampleStratified _,
     "a8_heavy_hitters" -> a8HeavyHitters _,
     "txt_lm_score"     -> txtLmScore _,
+    "ds_chunk"         -> dsChunk _,
     "txt_repetition"   -> txtRepetition _,
     "dd_contamination" -> ddContamination _,
     "ds_mix"           -> dsMix _,
@@ -484,6 +491,17 @@ object TrainingData {
         | FROM documents)
         |WHERE length(word) > 0
         |GROUP BY 1 ORDER BY n DESC, word ASC""".stripMargin,
+    "ds_chunk" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> len(w) > 0) AS ws
+        | FROM documents),
+        |n AS (SELECT doc_id, ws, len(ws) AS n FROM t WHERE len(ws) > 0),
+        |c AS (SELECT doc_id, ws, n, unnest(range((n - 1) // 24 + 1)) AS chunk_id FROM n)
+        |SELECT doc_id, chunk_id,
+        | array_to_string(ws[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text,
+        | CAST(len(ws[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS BIGINT) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     // ln() over integral doubles is bit-identical JVM↔DuckDB; the per-doc
     // sum is 2^-20 fixed-point LONGS on both sides (associative), so the
     // double score is reproduced exactly

@@ -92,6 +92,34 @@ class TextOpsSpec extends SparkSpec {
     assert(FastHash.repetitionStats("Mixed CASE mixed") == (3, 2, 2, 1))
   }
 
+  test("chunkTokens covers every token with the declared overlap") {
+    import SparkSpec.session.implicits._
+    // digits are token separators, so letter-suffixed words: wa..wj
+    val w = (0 until 10).map(i => "w" + ('a' + i).toChar)
+    val docs = Seq(
+      (1L, w.mkString(" ")), // 10 words
+      (2L, "solo"),          // single short chunk
+      (3L, "")               // no tokens → no chunks
+    ).toDF("doc_id", "text")
+    val got = TextAnalytics.chunkTokens(docs, size = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "chunk_text", "n_tokens")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    // starts 0,3,6,9 → [wa..wd][wd..wg][wg..wj][wj]
+    assert(got.filter(_._1 == 1L).map(_._3) == Seq(
+      "wa wb wc wd", "wd we wf wg", "wg wh wi wj", "wj"))
+    assert(got.filter(_._1 == 1L).map(_._4) == Seq(4L, 4L, 4L, 1L))
+    assert(got.filter(_._1 == 2L) == Seq((2L, 0L, "solo", 1L)))
+    assert(!got.exists(_._1 == 3L))
+    // every token of doc 1 appears in at least one chunk
+    val covered = got.filter(_._1 == 1L).flatMap(_._3.split(" ")).toSet
+    assert(covered == w.toSet)
+    // stride > size would silently drop tokens — rejected up front
+    intercept[IllegalArgumentException] {
+      TextAnalytics.chunkTokens(docs, size = 4, stride = 5)
+    }
+  }
+
   test("lmScore ranks common-vocabulary docs above rare-vocabulary junk") {
     import SparkSpec.session.implicits._
     val common = "the data table row value key " * 10

@@ -178,6 +178,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("ds_chunk: one scan, map-side explode, no shuffle before the output sort") {
+    val p = planOf("ds_chunk")
+    assert(countScans(p) == 1, p)
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+  }
+
   test("txt_lm_score: the LM rides broadcast joins; no sort-merge join") {
     val p = planOf("txt_lm_score")
     assert(p.contains("BroadcastHashJoin"), p)
