@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextAnalytics
-import graft.operators.{Curation, Dedup, Maintenance}
+import graft.functions.{FastHash, TextAnalytics}
+import graft.operators.{Contamination, Curation, Dedup, Maintenance}
 import graft.sources.Tables
 
 /** The whole training-data pipeline composed end to end, the way a user of
@@ -53,5 +53,57 @@ class EndToEndSpec extends SparkSpec {
     // 6. maintenance: compaction plan reflects the written layout
     val (bytes, files, target) = Maintenance.compactionPlan(spark, out, 128L * 1024 * 1024)
     assert(bytes > 0 && files >= splits.size && target >= splits.size)
+  }
+
+  test("repetition gate → decontaminate → dedup → chunk → mix composes (the LLM prep path)") {
+    val docs = Tables.documents(spark, sfDir)
+
+    // 1. repetition gate: top bigram must not cover most of the doc
+    val rep = docs
+      .select(col("doc_id"), col("source"), col("text"),
+        FastHash.repetitionStatsCol(col("text")).as("r"))
+      .filter(col("r._1") > 1 &&
+        col("r._4").cast("double") / (col("r._1") - 1) <= lit(0.5))
+      .drop("r")
+    val nRep = rep.count()
+    assert(nRep > 0)
+
+    // 2. decontaminate against the held-out slice (8-grams: long spans only)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val grams = Contamination.benchmarkGrams(bench, col("text"), n = 8)
+    val dirty = Contamination.contaminated(rep, col("doc_id"), col("text"), grams, n = 8)
+      .select(col("doc_id").as("dirty_id"))
+    val clean = rep.filter(col("doc_id") % 50 =!= 0)
+      .join(dirty, col("doc_id") === col("dirty_id"), "left_anti")
+    val nClean = clean.count()
+    assert(nClean > 0 && nClean <= nRep)
+
+    // 3. near-dup dedup via the bag-of-words fingerprint (keep min doc_id)
+    val fp = md5(concat_ws(" ",
+      array_sort(array_distinct(array_remove(split(lower(col("text")), "[^a-z]+"), "")))))
+    val deduped = clean.withColumn("fp", fp)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp").orderBy("doc_id")))
+      .filter(col("rn") === 1).drop("fp", "rn")
+    val nDeduped = deduped.count()
+    assert(nDeduped > 0 && nDeduped <= nClean)
+
+    // 4. chunk into context windows; tokens are conserved or duplicated by
+    //    overlap, never lost
+    val chunks = TextAnalytics.chunkTokens(deduped, size = 32, stride = 24)
+    val chunkTokens = chunks.agg(sum("n_tokens")).head().getLong(0)
+    val docTokens = deduped.select(
+        org.apache.spark.sql.functions.size(
+          array_remove(split(lower(col("text")), "[^a-z]+"), "")).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(chunkTokens >= docTokens, s"$chunkTokens < $docTokens")
+
+    // 5. mix chunk-bearing docs by source weight; epochs multiply rows
+    val mixed = Curation.weightedMix(deduped, "doc_id", "source",
+      Map("src0" -> 2000), defaultPerMille = 1000)
+    val bySrc = mixed.groupBy("source").count().as[(String, Long)].collect().toMap
+    val src0Docs = deduped.filter(col("source") === "src0").count()
+    assert(bySrc.getOrElse("src0", 0L) == 2 * src0Docs)
+    assert(bySrc.filter(_._1 != "src0").values.sum == nDeduped - src0Docs)
   }
 }
