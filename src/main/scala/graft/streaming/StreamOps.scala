@@ -55,6 +55,30 @@ object StreamOps {
       .withWatermark("event_time", lateness)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream-stream interval join — the streaming twin of the batch range
+    * join (Temporal.rangeJoin): left events match right events on `keyCol`
+    * within `[left.ts, left.ts + windowSpec]`. Both sides are watermarked,
+    * and the join condition carries the time bound, so each side's buffered
+    * state is evicted once the other side's watermark passes it — bounded
+    * state, the stream-stream analogue of the reference's conduit fan-in
+    * (`/root/reference/pkg/internal/conduit/wiring.go:81-98`) with an
+    * event-time correlation instead of arrival-order merging. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
+                         nsCol: String, windowSpec: String,
+                         lateness: String): DataFrame = {
+    val l = left.withColumn("l_time", eventTime(nsCol))
+      .withWatermark("l_time", lateness)
+    val r = right.select(col(keyCol).as("r_key"),
+        eventTime(nsCol).as("r_time"),
+        struct(right.columns.map(col): _*).as("r_row"))
+      .withWatermark("r_time", lateness)
+    l.join(r,
+      col(keyCol) === col("r_key") &&
+        col("r_time") >= col("l_time") &&
+        col("r_time") <= col("l_time") + expr(s"INTERVAL $windowSpec"))
+      .drop("r_key")
+  }
+
   /** Streaming curation (the streaming twin of the batch dsCurate funnel):
     * stateless quality gate (length + word count — pure projections, so
     * every batch text filter composes here unchanged) followed by

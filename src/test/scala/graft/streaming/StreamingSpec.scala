@@ -59,6 +59,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join correlates events within the window, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val joined = StreamOps.intervalJoinStream(
+      clicks.toDF(), buys.toDF().withColumnRenamed("event_id", "buy_id")
+        .select(col("buy_id"), col("ts"), col("user_id")),
+      keyCol = "user_id", nsCol = "ts", windowSpec = "'5' MINUTE", lateness = "10 minutes")
+    val q = joined.select(col("event_id"), col("r_row.buy_id"))
+      .writeStream.format("memory").queryName("ivj").outputMode("append").start()
+    try {
+      // realistic epoch base: an event time AT the initial watermark (epoch
+      // 0) is dropped as late — epoch-zero fixtures silently empty the join
+      val base = 1700000000L * 1000 * 1000 * 1000
+      // user 0 clicks at minute 0; buys at minute 3 (in window) and 9 (out)
+      clicks.addData(Ev(1, base, 0, "click", 1.0))
+      buys.addData(
+        Ev(100, base + 3 * minuteNs, 0, "buy", 1.0),
+        Ev(101, base + 9 * minuteNs, 0, "buy", 1.0),
+        Ev(102, base + 3 * minuteNs, 1, "buy", 1.0)) // other user: no match
+      q.processAllAvailable()
+      val rows = spark.table("ivj").as[(Long, Long)].collect().toSeq
+      assert(rows == Seq((1L, 100L)), rows)
+    } finally q.stop()
+  }
+
   test("streaming curation gates quality and collapses reordered boilerplate") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamDoc]
