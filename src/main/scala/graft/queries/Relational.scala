@@ -429,6 +429,33 @@ object Relational {
         expr("percentile(cents, 0.9)").as("p90_cents"))
       .orderBy("event_type")
 
+  /** Q24 — ranking-window suite: ntile / percent_rank / cume_dist / lag
+    * over per-user event sequences, folded per event type. The ranking
+    * ratios are exact doubles computed from the same integers on both
+    * engines; they are quantized to parts-per-million LONGS before the
+    * group fold so every sum is integer (associative — a raw double sum
+    * would be partition-order-dependent). The (ts_us, event_id) ordering is
+    * total, so ntile buckets are deterministic. */
+  def q24WindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("q4", ntile(4).over(w))
+      .withColumn("pr_ppm", round(percent_rank().over(w) * 1000000).cast("long"))
+      .withColumn("cd_ppm", round(cume_dist().over(w) * 1000000).cast("long"))
+      .withColumn("delta_cents", col("cents") - lag("cents", 1).over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("q4").as("sum_q4"),
+        sum("pr_ppm").as("sum_pr_ppm"),
+        sum("cd_ppm").as("sum_cd_ppm"),
+        coalesce(sum("delta_cents"), lit(0L)).as("sum_delta_cents"),
+        max("q4").cast("long").as("max_q4"))
+      .orderBy("event_type")
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_filter_project" -> q01FilterProject _,
     "q02_string_chain"   -> q02StringChain _,
@@ -456,6 +483,7 @@ object Relational {
     "q21_set_ops"        -> q21SetOps _,
     "q22_moving_sum"     -> q22MovingSum _,
     "q23_percentiles"    -> q23Percentiles _,
+    "q24_window_suite"   -> q24WindowSuite _,
     "a7_approx_distinct" -> a7ApproxDistinct _,
   )
 
@@ -644,6 +672,25 @@ object Relational {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_totalprice > 400000
         |ORDER BY o_custkey""".stripMargin,
+    // ranking ratios quantized to ppm LONGS pre-fold on both engines: the
+    // per-row doubles are identical (same ints, same IEEE ops, same
+    // positive-halfway rounding), and integer sums are order-independent
+    "q24_window_suite" ->
+      """SELECT event_type, COUNT(*) AS n, CAST(SUM(q4) AS BIGINT) AS sum_q4,
+        | CAST(SUM(pr_ppm) AS BIGINT) AS sum_pr_ppm,
+        | CAST(SUM(cd_ppm) AS BIGINT) AS sum_cd_ppm,
+        | CAST(coalesce(SUM(delta_cents), 0) AS BIGINT) AS sum_delta_cents,
+        | CAST(MAX(q4) AS BIGINT) AS max_q4
+        |FROM (
+        | SELECT event_type,
+        |  ntile(4) OVER win AS q4,
+        |  CAST(round(percent_rank() OVER win * 1000000) AS BIGINT) AS pr_ppm,
+        |  CAST(round(cume_dist() OVER win * 1000000) AS BIGINT) AS cd_ppm,
+        |  CAST(round(value * 100) AS BIGINT)
+        |   - lag(CAST(round(value * 100) AS BIGINT), 1) OVER win AS delta_cents
+        | FROM events
+        | WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q20_event_gaps" ->
       """SELECT event_type, COUNT(*) AS n_gaps, MIN(gap_us) AS min_gap_us,
         | MAX(gap_us) AS max_gap_us, CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
