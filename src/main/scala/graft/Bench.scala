@@ -44,11 +44,14 @@ object Bench {
     // warm+cold at full double precision) overflowed the capture window and
     // the driver recorded parsed:null. 3-decimal timings + cold map on
     // stderr keep the line well under the window.
+    // Locale.ROOT: f"%.3f" uses the JVM default locale — a comma-decimal
+    // locale (de_DE, fr_FR) would emit 0,123 and break the JSON again
+    def s3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     def fmt(m: Iterable[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      m.map { case (k, v) => "\"" + k + "\":" + s3(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     System.err.println(s"""[bench] cold=${fmt(cold)}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(results)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -197,8 +197,11 @@ object TextAnalytics {
     * Low scores flag rare-vocabulary / junk documents — the classic
     * LM-perplexity quality gate of web-corpus pipelines.
     *
-    * Scale shape: ONE token explode; the LM (distinct-token counts) is
-    * vocabulary-sized and rides a broadcast join; the per-doc reduce
+    * Scale shape: TWO token passes — one to train the LM (distinct-token
+    * counts), one to score against it — which is the irreducible minimum
+    * without caching the tokenized corpus. The LM is vocabulary-sized and
+    * rides a broadcast join (carrying the corpus total via a window over
+    * the already-reduced LM, so no third corpus pass); the per-doc reduce
     * shuffles (doc_id, long) pairs only. On a real pipeline the LM comes
     * from a fixed reference corpus — still broadcast-sized.
     *
@@ -211,14 +214,17 @@ object TextAnalytics {
   def lmScore(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("tok"))
       .filter(length(col("tok")) > 0)
+    // corpus-total as a window over the vocab-sized LM frame (single tiny
+    // partition — fine for a vocabulary, and it avoids re-deriving the
+    // token lineage a third time for a separate total aggregate)
     val lm = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val totalTokens = lm.agg(sum("cnt").as("nt"))
-    val q = toks.join(broadcast(lm), Seq("tok"))
-      .select(col("doc_id"),
+      .withColumn("nt", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    toks.join(broadcast(lm), Seq("tok"))
+      .select(col("doc_id"), col("nt"),
         round(log(col("cnt").cast("double")) * 1048576).cast("long").as("ql"))
-    q.groupBy("doc_id")
-      .agg(sum("ql").as("sq"), count(lit(1)).as("n_tokens"))
-      .crossJoin(broadcast(totalTokens))
+      .groupBy("doc_id")
+      .agg(sum("ql").as("sq"), count(lit(1)).as("n_tokens"), max("nt").as("nt"))
       .select(col("doc_id"), col("n_tokens"),
         ((col("sq").cast("double") / 1048576.0) / col("n_tokens") -
           log(col("nt").cast("double"))).as("avg_logprob"))

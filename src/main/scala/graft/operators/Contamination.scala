@@ -62,12 +62,15 @@ object Contamination {
                      maxGrams: Int = 2000000): Array[String] = {
     val spark = bench.sparkSession
     import spark.implicits._
+    // cap BEFORE collecting: limit(cap+1) keeps the driver fetch bounded
+    // even when a huge corpus is passed as the "benchmark" by mistake
     val grams = bench
       .select(explode(udf((s: String) => distinctWordNgrams(s, n)).apply(textCol)).as("gram"))
       .distinct()
+      .limit(maxGrams + 1)
       .as[String].collect()
     require(grams.length <= maxGrams,
-      s"benchmark gram set has ${grams.length} grams (cap $maxGrams); " +
+      s"benchmark gram set exceeds the cap ($maxGrams); " +
         "decontamination expects a small eval corpus on the broadcast side")
     grams
   }

@@ -25,10 +25,23 @@ object GraftExtensions {
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "float_vector_dot" -> (args => FloatVectorDot(args(0), args(1))),
     "peak_rate_per_second" -> (args => PeakRatePerSecond(args.head).toAggregateExpression()),
-    // capacity must be a foldable int literal, e.g. space_saving_topk(w, 256)
+    // capacity must be an integer literal, e.g. space_saving_topk(w, 256)
     "space_saving_topk" -> (args => SpaceSavingTopK(args(0),
-      args(1).eval().asInstanceOf[Int]).toAggregateExpression()),
+      capacityLiteral(args(1))).toAggregateExpression()),
   )
+
+  /** Second arg of space_saving_topk: accept int/long/short/byte literals
+    * with a clear error for anything else (a bare eval().asInstanceOf[Int]
+    * would ClassCastException on BIGINT literals and turn NULL into 0). */
+  private def capacityLiteral(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
+      require(v <= Int.MaxValue, s"capacity $v exceeds Int.MaxValue"); v.toInt
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Short, _) => v.toInt
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Byte, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"space_saving_topk capacity must be an integer literal, got: $other")
+  }
 
   /** Register into an existing session's function registry. */
   def register(spark: SparkSession): Unit =

@@ -27,20 +27,47 @@ import org.apache.spark.unsafe.types.UTF8String
   * checks this operator against a plain GROUP BY).
   *
   * Output: array<struct<item, count, err>> sorted by (count desc, item
-  * asc). Eviction and merge both break count ties toward the
-  * lexicographically smaller item, so the summary is deterministic for a
-  * fixed partitioning.
+  * asc). Eviction (in update and in post-merge shrink) always removes the
+  * (count, key)-minimum — the lexicographically SMALLEST key among tied
+  * min counts — so the summary is deterministic for a fixed partitioning.
+  *
+  * Hot path: eviction victims come from a lazily-maintained min-heap over
+  * (count, key) — entries go stale when a resident's count grows and are
+  * re-validated on pop — so a tail-heavy stream (evicting on almost every
+  * row, the heavy-hitter regime) pays O(log capacity) per row, not an
+  * O(capacity) min scan. The heap is rebuilt after merges (which mutate
+  * counts wholesale) and compacted when stale entries pile up.
   *
   * Generalizes the reference meter's fixed counter registry
   * (`/root/reference/pkg/internal/meter/metrics.go:76-95`) to unbounded
   * key domains under a fixed memory budget.
   */
+/** Min-heap entry: the key's count AT PUSH TIME (may be stale). */
+final class SSHeapEntry(val c: Long, val k: String) extends Comparable[SSHeapEntry] {
+  override def compareTo(o: SSHeapEntry): Int = {
+    val d = java.lang.Long.compare(c, o.c)
+    if (d != 0) d else k.compareTo(o.k)
+  }
+}
+
+/** Aggregation buffer: counter map (item → [count, err]) plus the lazy
+  * eviction heap. Only the map is serialized; the heap is derived state. */
+final class SSBuffer {
+  val map = new java.util.HashMap[String, Array[Long]]()
+  val heap = new java.util.PriorityQueue[SSHeapEntry]()
+  def push(k: String, c: Long): Unit = heap.add(new SSHeapEntry(c, k))
+  def rebuildHeap(): Unit = {
+    heap.clear()
+    map.forEach((k, v) => push(k, v(0)))
+  }
+}
+
 case class SpaceSavingTopK(
     child: Expression,
     capacity: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.HashMap[String, Array[Long]]] with ExpectsInputTypes {
+  extends TypedImperativeAggregate[SSBuffer] with ExpectsInputTypes {
 
   require(capacity > 0, "capacity must be positive")
 
@@ -53,16 +80,15 @@ case class SpaceSavingTopK(
     StructField("err", LongType, nullable = false))), containsNull = false)
   override def prettyName: String = "space_saving_topk"
 
-  // buffer value = Array(count, err)
-  override def createAggregationBuffer(): java.util.HashMap[String, Array[Long]] =
-    new java.util.HashMap[String, Array[Long]]()
+  override def createAggregationBuffer(): SSBuffer = new SSBuffer
 
-  /** (minCount, its key) with ties toward the smaller key — the eviction
-    * victim and the "what an absent item could have counted" bound. */
-  private def minEntry(buf: java.util.HashMap[String, Array[Long]]): (Long, String) = {
+  /** (minCount, its key) with ties toward the smaller key — full scan,
+    * used only on the merge path (merge mutates counts wholesale, so the
+    * heap is rebuilt afterwards anyway). */
+  private def minEntry(m: java.util.HashMap[String, Array[Long]]): (Long, String) = {
     var mc = Long.MaxValue
     var mk: String = null
-    val it = buf.entrySet().iterator()
+    val it = m.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       val c = e.getValue()(0)
@@ -71,51 +97,70 @@ case class SpaceSavingTopK(
     (mc, mk)
   }
 
-  override def update(buf: java.util.HashMap[String, Array[Long]], input: InternalRow): java.util.HashMap[String, Array[Long]] = {
+  override def update(buf: SSBuffer, input: InternalRow): SSBuffer = {
     val v = child.eval(input)
     if (v != null) {
       val item = v.asInstanceOf[UTF8String].toString
-      val cur = buf.get(item)
-      if (cur != null) cur(0) += 1
-      else if (buf.size() < capacity) buf.put(item, Array(1L, 0L))
-      else {
-        // evict the min-count entry; the newcomer inherits its count as the
-        // classic SpaceSaving overestimate bound
-        val (mc, mk) = minEntry(buf)
-        buf.remove(mk)
-        buf.put(item, Array(mc + 1, mc))
+      val cur = buf.map.get(item)
+      if (cur != null) cur(0) += 1 // its heap entry is now stale; lazily fixed
+      else if (buf.map.size() < capacity) {
+        buf.map.put(item, Array(1L, 0L))
+        buf.push(item, 1L)
+      } else {
+        // lazy-pop to the true (count, key) minimum: skip entries for
+        // already-evicted keys, re-push stale counts. Every resident key
+        // keeps at least one heap entry (inserts and re-pushes add one;
+        // pops only drop absent/victim entries), so the loop terminates.
+        var evicted = false
+        while (!evicted) {
+          val e = buf.heap.poll()
+          val cv = buf.map.get(e.k)
+          if (cv != null) {
+            if (cv(0) != e.c) buf.push(e.k, cv(0))
+            else {
+              // the newcomer inherits the victim's count as the classic
+              // SpaceSaving overestimate bound
+              buf.map.remove(e.k)
+              buf.map.put(item, Array(e.c + 1, e.c))
+              buf.push(item, e.c + 1)
+              evicted = true
+            }
+          }
+        }
+        // compact when stale entries pile up (bounds heap memory)
+        if (buf.heap.size() > 8 * capacity) buf.rebuildHeap()
       }
     }
     buf
   }
 
-  override def merge(a: java.util.HashMap[String, Array[Long]],
-                     b: java.util.HashMap[String, Array[Long]]): java.util.HashMap[String, Array[Long]] = {
-    if (b.isEmpty) return a
+  override def merge(a: SSBuffer, b: SSBuffer): SSBuffer = {
+    if (b.map.isEmpty) return a
     // an item absent from a FULL summary may have been counted up to that
     // summary's min count — absent-side contribution is (min, min)
-    val mA = if (a.size() == capacity) minEntry(a)._1 else 0L
-    val mB = if (b.size() == capacity) minEntry(b)._1 else 0L
-    b.forEach { (k, vb) =>
-      val va = a.get(k)
+    val mA = if (a.map.size() == capacity) minEntry(a.map)._1 else 0L
+    val mB = if (b.map.size() == capacity) minEntry(b.map)._1 else 0L
+    b.map.forEach { (k, vb) =>
+      val va = a.map.get(k)
       if (va != null) { va(0) += vb(0); va(1) += vb(1) }
-      else a.put(k, Array(vb(0) + mA, vb(1) + mA))
+      else a.map.put(k, Array(vb(0) + mA, vb(1) + mA))
     }
-    if (mB > 0) a.forEach { (k, va) =>
-      if (!b.containsKey(k)) { va(0) += mB; va(1) += mB }
+    if (mB > 0) a.map.forEach { (k, va) =>
+      if (!b.map.containsKey(k)) { va(0) += mB; va(1) += mB }
     }
-    // shrink back to capacity, dropping the smallest (ties: larger key goes)
-    while (a.size() > capacity) {
-      val (_, mk) = minEntry(a)
-      a.remove(mk)
+    // shrink back to capacity, dropping the (count, key)-smallest
+    while (a.map.size() > capacity) {
+      val (_, mk) = minEntry(a.map)
+      a.map.remove(mk)
     }
+    a.rebuildHeap() // merge mutated counts wholesale; derive fresh
     a
   }
 
-  override def eval(buf: java.util.HashMap[String, Array[Long]]): Any = {
-    val entries = new Array[(String, Long, Long)](buf.size())
+  override def eval(buf: SSBuffer): Any = {
+    val entries = new Array[(String, Long, Long)](buf.map.size())
     var i = 0
-    val it = buf.entrySet().iterator()
+    val it = buf.map.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       entries(i) = (e.getKey, e.getValue()(0), e.getValue()(1))
@@ -126,10 +171,10 @@ case class SpaceSavingTopK(
       InternalRow(UTF8String.fromString(t._1), t._2, t._3): Any))
   }
 
-  override def serialize(buf: java.util.HashMap[String, Array[Long]]): Array[Byte] = {
+  override def serialize(buf: SSBuffer): Array[Byte] = {
     var bytes = 4
-    val items = new java.util.ArrayList[(Array[Byte], Array[Long])](buf.size())
-    buf.forEach { (k, v) =>
+    val items = new java.util.ArrayList[(Array[Byte], Array[Long])](buf.map.size())
+    buf.map.forEach { (k, v) =>
       val kb = k.getBytes(StandardCharsets.UTF_8)
       items.add((kb, v))
       bytes += 4 + kb.length + 16
@@ -142,18 +187,19 @@ case class SpaceSavingTopK(
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Array[Long]] = {
+  override def deserialize(bytes: Array[Byte]): SSBuffer = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val m = new java.util.HashMap[String, Array[Long]](math.max(16, n * 2))
+    val buf = new SSBuffer
     var i = 0
     while (i < n) {
       val kb = new Array[Byte](bb.getInt)
       bb.get(kb)
-      m.put(new String(kb, StandardCharsets.UTF_8), Array(bb.getLong, bb.getLong))
+      buf.map.put(new String(kb, StandardCharsets.UTF_8), Array(bb.getLong, bb.getLong))
       i += 1
     }
-    m
+    buf.rebuildHeap()
+    buf
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSavingTopK =

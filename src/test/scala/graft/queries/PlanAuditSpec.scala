@@ -185,8 +185,9 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
   }
 
-  test("txt_lm_score: the LM rides broadcast joins; no sort-merge join") {
+  test("txt_lm_score: two token passes (train, score), LM broadcast, no third scan") {
     val p = planOf("txt_lm_score")
+    assert(countScans(p) == 2, p)
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }

@@ -49,5 +49,6 @@ for i in range(1, len(sections), 2):
     print(f"## {name}\n")
     print("```")
     print("\n".join(tree))
-    print("\n".join(details))
+    if details:
+        print("\n".join(details))
     print("```\n")
