@@ -59,44 +59,60 @@ object Contamination {
     * makes the bound explicit instead of assumed (same policy as
     * Dedup.maxVerifierSample). */
   def benchmarkGrams(bench: DataFrame, textCol: Column, n: Int,
-                     maxGrams: Int = 2000000): Array[String] = {
+                     maxGrams: Int = 2000000): Array[String] =
+    benchmarkGramIndex(bench, lit(0L), textCol, n, maxGrams).map(_._1)
+
+  /** Benchmark gram → smallest benchmark doc id containing it — the
+    * attribution index, so contaminated corpus docs can report WHICH eval
+    * document they overlap. Collected + broadcast, capped like
+    * [[benchmarkGrams]]. */
+  def benchmarkGramIndex(bench: DataFrame, idCol: Column, textCol: Column,
+                         n: Int, maxGrams: Int = 2000000): Array[(String, Long)] = {
     val spark = bench.sparkSession
     import spark.implicits._
     // cap BEFORE collecting: limit(cap+1) keeps the driver fetch bounded
     // even when a huge corpus is passed as the "benchmark" by mistake
-    val grams = bench
-      .select(explode(udf((s: String) => distinctWordNgrams(s, n)).apply(textCol)).as("gram"))
-      .distinct()
+    val index = bench
+      .select(idCol.as("bench_id"),
+        explode(udf((s: String) => distinctWordNgrams(s, n)).apply(textCol)).as("gram"))
+      .groupBy("gram").agg(org.apache.spark.sql.functions.min("bench_id").as("bench_id"))
       .limit(maxGrams + 1)
-      .as[String].collect()
-    require(grams.length <= maxGrams,
+      .as[(String, Long)].collect()
+    require(index.length <= maxGrams,
       s"benchmark gram set exceeds the cap ($maxGrams); " +
         "decontamination expects a small eval corpus on the broadcast side")
-    grams
+    index
   }
 
-  /** Per-document contamination counts against a broadcast benchmark gram
-    * set: (doc_id from `idCol`, n_contaminated = distinct grams shared with
-    * the benchmark, n_grams = distinct grams in the doc, contamination_frac).
-    * Only contaminated documents are returned. */
+  /** Per-document contamination counts against the broadcast benchmark
+    * index: (doc_id from `idCol`, n_contaminated = distinct grams shared
+    * with the benchmark, n_grams = distinct grams in the doc,
+    * contamination_frac, matched_bench_id = smallest benchmark doc sharing
+    * a gram — the attribution a decontamination report needs). Only
+    * contaminated documents are returned. */
   def contaminated(corpus: DataFrame, idCol: Column, textCol: Column,
-                   grams: Array[String], n: Int): DataFrame = {
+                   index: Array[(String, Long)], n: Int): DataFrame = {
     val spark = corpus.sparkSession
     val bc = spark.sparkContext.broadcast {
-      val s = new java.util.HashSet[String](grams.length * 2)
-      grams.foreach(s.add)
-      s
+      val m = new java.util.HashMap[String, java.lang.Long](index.length * 2)
+      index.foreach { case (g, id) => m.put(g, id) }
+      m
     }
     val kernel = udf { (text: String) =>
-      val set = bc.value
+      val m = bc.value
       val docGrams = distinctWordNgrams(text, n)
       var hits = 0
+      var minBench = Long.MaxValue
       var i = 0
       while (i < docGrams.length) {
-        if (set.contains(docGrams(i))) hits += 1
+        val b = m.get(docGrams(i))
+        if (b != null) {
+          hits += 1
+          if (b < minBench) minBench = b
+        }
         i += 1
       }
-      (hits, docGrams.length)
+      (hits, docGrams.length, if (hits > 0) minBench else -1L)
     }
     corpus
       .select(idCol.as("doc_id"), kernel(textCol).as("c"))
@@ -104,7 +120,8 @@ object Contamination {
         col("c._1").cast("long").as("n_contaminated"),
         col("c._2").cast("long").as("n_grams"),
         (col("c._1").cast("double") / col("c._2").cast("double"))
-          .as("contamination_frac"))
+          .as("contamination_frac"),
+        col("c._3").as("matched_bench_id"))
       .filter(col("n_contaminated") > 0)
   }
 }

@@ -263,10 +263,10 @@ object TrainingData {
   def ddContamination(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Contamination
     val docs = Tables.documents(spark, dir)
-    val grams = Contamination.benchmarkGrams(
-      docs.filter(col("doc_id") % 50 === 0), col("text"), n = 3)
+    val index = Contamination.benchmarkGramIndex(
+      docs.filter(col("doc_id") % 50 === 0), col("doc_id"), col("text"), n = 3)
     Contamination.contaminated(docs.filter(col("doc_id") % 50 =!= 0),
-        col("doc_id"), col("text"), grams, n = 3)
+        col("doc_id"), col("text"), index, n = 3)
       .orderBy("doc_id")
   }
 
@@ -555,14 +555,19 @@ object TrainingData {
         |  w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS gram
         | FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
         |gg AS (SELECT DISTINCT doc_id, gram FROM g WHERE gram IS NOT NULL),
-        |bench AS (SELECT DISTINCT gram FROM gg WHERE doc_id % 50 = 0),
+        |bench AS (
+        | SELECT gram, MIN(doc_id) AS bench_id
+        | FROM gg WHERE doc_id % 50 = 0 GROUP BY 1),
         |st AS (
-        | SELECT doc_id, COUNT(*) AS n_grams,
-        |  COUNT(*) FILTER (gram IN (SELECT gram FROM bench)) AS n_contaminated
-        | FROM gg WHERE doc_id % 50 <> 0 GROUP BY 1)
+        | SELECT gg.doc_id, COUNT(*) AS n_grams,
+        |  COUNT(b.gram) AS n_contaminated,
+        |  MIN(b.bench_id) AS matched_bench_id
+        | FROM gg LEFT JOIN bench b ON gg.gram = b.gram
+        | WHERE gg.doc_id % 50 <> 0 GROUP BY 1)
         |SELECT doc_id, CAST(n_contaminated AS BIGINT) AS n_contaminated,
         | CAST(n_grams AS BIGINT) AS n_grams,
-        | CAST(n_contaminated AS DOUBLE) / n_grams AS contamination_frac
+        | CAST(n_contaminated AS DOUBLE) / n_grams AS contamination_frac,
+        | matched_bench_id
         |FROM st WHERE n_contaminated > 0 ORDER BY doc_id""".stripMargin,
     "ds_mix" ->
       """WITH w AS (

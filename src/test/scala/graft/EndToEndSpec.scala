@@ -70,8 +70,8 @@ class EndToEndSpec extends SparkSpec {
 
     // 2. decontaminate against the held-out slice (8-grams: long spans only)
     val bench = docs.filter(col("doc_id") % 50 === 0)
-    val grams = Contamination.benchmarkGrams(bench, col("text"), n = 8)
-    val dirty = Contamination.contaminated(rep, col("doc_id"), col("text"), grams, n = 8)
+    val index = Contamination.benchmarkGramIndex(bench, col("doc_id"), col("text"), n = 8)
+    val dirty = Contamination.contaminated(rep, col("doc_id"), col("text"), index, n = 8)
       .select(col("doc_id").as("dirty_id"))
     val clean = rep.filter(col("doc_id") % 50 =!= 0)
       .join(dirty, col("doc_id") === col("dirty_id"), "left_anti")

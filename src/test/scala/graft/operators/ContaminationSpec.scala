@@ -32,19 +32,23 @@ class ContaminationSpec extends SparkSpec {
     val corpusRows = docs.filterNot(_._1 % 8 == 0)
 
     val benchDf = benchTexts.toDF("doc_id", "text")
-    val grams = Contamination.benchmarkGrams(benchDf, col("text"), n = 2)
+    val index = Contamination.benchmarkGramIndex(benchDf, col("doc_id"), col("text"), n = 2)
     val got = Contamination.contaminated(corpusRows.toDF("doc_id", "text"),
-        col("doc_id"), col("text"), grams, n = 2)
-      .select("doc_id", "n_contaminated", "n_grams")
-      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+        col("doc_id"), col("text"), index, n = 2)
+      .select("doc_id", "n_contaminated", "n_grams", "matched_bench_id")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
 
-    val benchSet = benchTexts.flatMap(d =>
-      Contamination.distinctWordNgrams(d._2, 2)).toSet
+    val benchIdx = benchTexts.flatMap { case (bid, t) =>
+      Contamination.distinctWordNgrams(t, 2).map(_ -> bid)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
     corpusRows.foreach { case (id, text) =>
       val g = Contamination.distinctWordNgrams(text, 2).toSet
-      val hits = g.intersect(benchSet).size
-      if (hits > 0) assert(got(id) == (hits.toLong, g.size.toLong), s"doc $id")
-      else assert(!got.contains(id), s"doc $id should be clean")
+      val matched = g.filter(benchIdx.contains)
+      if (matched.nonEmpty) {
+        val wantBench = matched.map(benchIdx).min
+        assert(got(id) == (matched.size.toLong, g.size.toLong, wantBench), s"doc $id")
+      } else assert(!got.contains(id), s"doc $id should be clean")
     }
   }
 
@@ -58,5 +62,9 @@ class ContaminationSpec extends SparkSpec {
       Contamination.benchmarkGrams(big, col("text"), n = 2, maxGrams = 10)
     }
     assert(e.getMessage.contains("cap"))
+    val e2 = intercept[IllegalArgumentException] {
+      Contamination.benchmarkGramIndex(big, col("doc_id"), col("text"), n = 2, maxGrams = 10)
+    }
+    assert(e2.getMessage.contains("cap"))
   }
 }

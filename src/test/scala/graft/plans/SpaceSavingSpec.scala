@@ -61,6 +61,24 @@ class SpaceSavingSpec extends SparkSpec {
     got.foreach { case (w, n, e) => assert(n == truth(w) && e == 0L, w) }
   }
 
+  test("sketch aggregates a stream with bounded state (complete mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = mem.toDF().toDF("w")
+      .agg(SpaceSavingGlue.spaceSavingTopK(col("w"), 8).as("hh"))
+      .writeStream.format("memory").queryName("sshh").outputMode("complete").start()
+    try {
+      mem.addData("a", "b", "a")
+      q.processAllAvailable()
+      mem.addData("a", "c") // state carries across micro-batches
+      q.processAllAvailable()
+      val rows = spark.table("sshh")
+        .select(explode(col("hh")).as("e")).select("e.item", "e.count")
+        .as[(String, Long)].collect().toSeq
+      assert(rows == Seq(("a", 3L), ("b", 1L), ("c", 1L)), rows)
+    } finally q.stop()
+  }
+
   test("space_saving_topk is callable from SQL after registration") {
     GraftExtensions.register(spark)
     Seq("a", "b", "a").toDF("w").createOrReplaceTempView("ss_words")
