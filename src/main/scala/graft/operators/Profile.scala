@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-pass column profiling — the ANALYZE-TABLE tool of the engine:
+  * per column, row/null/distinct counts, min/max, and the modal value with
+  * its frequency (via the SpaceSaving sketch, exact while the column's
+  * distinct count fits the capacity). Generalizes the reference meter's
+  * named-counter registry (`/root/reference/pkg/internal/meter/
+  * metrics.go:76-95`) from pipeline events to data columns.
+  *
+  * Scale shape: `stack` unpivots the selected columns in the scan
+  * projection (rows × |cols|, map-side), then ONE aggregation pass
+  * computes every statistic — one corpus read for the whole profile, with
+  * the usual two-level (partial → final) aggregation. The sketch keeps the
+  * top-value computation inside the same pass instead of a per-column
+  * GROUP BY + ORDER BY LIMIT 1 re-scan.
+  */
+object Profile {
+
+  /** Profile `cols` of `df`. Values are profiled as strings (CAST AS
+    * STRING — the cross-engine-stable representation); min/max are
+    * lexicographic on that representation. */
+  def profile(df: DataFrame, cols: Seq[String], sketchCapacity: Int = 1024): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
+    val stacked = df.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS (col_name, value)")
+    stacked.groupBy("col_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("value")).as("n_distinct"),
+        min("value").as("min_value"),
+        max("value").as("max_value"),
+        org.apache.spark.sql.graft.SpaceSavingGlue
+          .spaceSavingTopK(col("value"), sketchCapacity).as("hh"))
+      .select(col("col_name"), col("n_rows"), col("n_null"), col("n_distinct"),
+        col("min_value"), col("max_value"),
+        // summary is sorted (count desc, item asc): element 1 is the mode,
+        // smallest value on frequency ties — deterministic cross-engine
+        element_at(col("hh"), 1).getField("item").as("top_value"),
+        element_at(col("hh"), 1).getField("count").as("top_count"))
+  }
+}

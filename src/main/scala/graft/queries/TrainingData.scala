@@ -334,6 +334,15 @@ object TrainingData {
     chunkTokens(Tables.documents(spark, dir), size = 32, stride = 24)
       .orderBy("doc_id", "chunk_id")
 
+  /** One-pass column profile of the documents table (Profile.profile):
+    * the sketch capacity exceeds every column's distinct count at verify
+    * scale, so the modal value is exact and the whole profile is
+    * oracle-checkable. */
+  def dsProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profile(Tables.documents(spark, dir),
+        Seq("lang", "source", "n_chars"))
+      .orderBy("col_name")
+
   /** Unigram-LM quality scores over the corpus (see TextAnalytics.lmScore
     * for the determinism/oracle story). */
   def txtLmScore(spark: SparkSession, dir: String): DataFrame =
@@ -361,6 +370,7 @@ object TrainingData {
     "a8_heavy_hitters" -> a8HeavyHitters _,
     "txt_lm_score"     -> txtLmScore _,
     "ds_chunk"         -> dsChunk _,
+    "ds_profile"       -> dsProfile _,
     "txt_repetition"   -> txtRepetition _,
     "dd_contamination" -> ddContamination _,
     "ds_mix"           -> dsMix _,
@@ -491,6 +501,27 @@ object TrainingData {
         | FROM documents)
         |WHERE length(word) > 0
         |GROUP BY 1 ORDER BY n DESC, word ASC""".stripMargin,
+    "ds_profile" ->
+      """WITH s AS (
+        | SELECT 'lang' AS col_name, CAST(lang AS VARCHAR) AS value FROM documents
+        | UNION ALL SELECT 'source', CAST(source AS VARCHAR) FROM documents
+        | UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents),
+        |top AS (
+        | SELECT col_name, value AS top_value, c AS top_count FROM (
+        |  SELECT col_name, value, COUNT(*) AS c,
+        |   row_number() OVER (PARTITION BY col_name
+        |                      ORDER BY COUNT(*) DESC, value ASC) AS rn
+        |  FROM s WHERE value IS NOT NULL GROUP BY 1, 2) WHERE rn = 1),
+        |agg AS (
+        | SELECT col_name, COUNT(*) AS n_rows,
+        |  COUNT(*) FILTER (value IS NULL) AS n_null,
+        |  COUNT(DISTINCT value) AS n_distinct,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        | FROM s GROUP BY 1)
+        |SELECT agg.col_name, n_rows, n_null, n_distinct, min_value, max_value,
+        | top.top_value, CAST(top.top_count AS BIGINT) AS top_count
+        |FROM agg JOIN top ON agg.col_name = top.col_name
+        |ORDER BY agg.col_name""".stripMargin,
     "ds_chunk" ->
       """WITH t AS (
         | SELECT doc_id,

@@ -1,0 +1,30 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** One-pass column profiler: null accounting, exact distincts, modal value
+  * with deterministic tie-breaks. */
+class ProfileSpec extends SparkSpec {
+  import SparkSpec.session.implicits._
+
+  test("profile counts nulls, distincts, and the modal value per column") {
+    val df = Seq(
+      (Some("x"), 1L), (Some("x"), 2L), (Some("y"), 2L), (None, 3L)
+    ).toDF("s", "n")
+    val got = Profile.profile(df, Seq("s", "n"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, Long, String, String, String, Long)]
+      .collect().toSeq
+    // n: values 1,2,2,3 — mode 2×2; min "1" max "3"
+    assert(got(0) == ("n", 4L, 0L, 3L, "1", "3", "2", 2L), got(0))
+    // s: x,x,y,null — null counted but excluded from distinct/top/min/max
+    assert(got(1) == ("s", 4L, 1L, 2L, "x", "y", "x", 2L), got(1))
+  }
+
+  test("modal frequency ties break toward the smaller value") {
+    val df = Seq("b", "a", "c", "a", "b").toDF("v")
+    val row = Profile.profile(df, Seq("v"))
+      .select("top_value", "top_count").as[(String, Long)].head()
+    assert(row == ("a", 2L), row) // a and b both 2× — a wins
+  }
+}
