@@ -92,4 +92,25 @@ object GraftProperties extends Properties("graft") {
     val s2 = FastHash.lshSignature(v, planes, 8)
     s1.length == 8 && s1.sameElements(s2)
   }
+
+  property("repetitionStats internal invariants hold on arbitrary text") =
+    forAll(textGen) { t =>
+      val (n, d, tw, tb) = FastHash.repetitionStats(t)
+      // distinct ≤ total; the top word count is achievable; bigrams bounded
+      d <= n && tw <= n && tb <= math.max(0, n - 1) &&
+        (n == 0 || (d >= 1 && tw >= 1)) &&
+        (tw == 0) == (n == 0) &&
+        // duplicates exist iff some word repeats
+        ((n > d) == (tw > 1))
+    }
+
+  property("word n-grams: count, distinctness, and n-token shape") =
+    forAll(textGen, Gen.oneOf(1, 2, 3)) { (t, n) =>
+      import graft.operators.Contamination.distinctWordNgrams
+      val grams = distinctWordNgrams(t, n)
+      val words = t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      grams.length == words.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSet.size &&
+        grams.forall(_.split(" ").length == n) &&
+        grams.distinct.length == grams.length
+    }
 }
