@@ -278,7 +278,10 @@ object TrainingData {
         Map("src0" -> 2500, "src1" -> 1500, "src2" -> 200, "src3" -> 0))
       .groupBy("source")
       .agg(count(lit(1)).as("n_rows"),
-        countDistinct(col("doc_id")).as("n_docs"),
+        // every kept doc emits epoch 0 exactly once, so this equals
+        // countDistinct(doc_id) without the distinct-aggregate expand
+        // (one exchange instead of two)
+        sum(when(col("epoch") === 0, 1L).otherwise(0L)).as("n_docs"),
         sum("doc_id").as("sum_ids"),
         (max("epoch") + 1).cast("long").as("n_epochs"))
       .orderBy("source")

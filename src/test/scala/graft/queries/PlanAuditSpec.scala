@@ -168,6 +168,8 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("Generate explode"), p)
     assert(p.contains("partial_count"), p)
+    // n_docs counts epoch-0 rows, not countDistinct — no distinct-agg Expand
+    assert(!p.contains("Expand"), p)
   }
 
   test("ds_curate: the whole funnel is one scan, one window, one aggregate") {
