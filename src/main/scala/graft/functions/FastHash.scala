@@ -424,10 +424,19 @@ object FastHash {
     * reproduces it bit-for-bit. Counting is by token STRING (not hash) so
     * the counts equal a SQL GROUP BY count even under hash collisions.
     * Pure map-side kernel: no shuffle, one tokenization pass per row. */
+  /** Per-thread scratch maps for [[repetitionStats]] — the reference's
+    * worker-local-scratch pattern (TransformerFactory,
+    * `/root/reference/pkg/internal/wire/internal.go:19-30`): at corpus
+    * scale, two fresh HashMaps per ROW is pure GC churn. */
+  private val repScratch = new ThreadLocal[(java.util.HashMap[String, Int], java.util.HashMap[String, Int])] {
+    override def initialValue() = (new java.util.HashMap[String, Int](), new java.util.HashMap[String, Int]())
+  }
+
   def repetitionStats(text: String): (Int, Int, Int, Int) = {
     if (text == null) return (0, 0, 0, 0)
-    val wordCounts = new java.util.HashMap[String, Int]()
-    val bigramCounts = new java.util.HashMap[String, Int]()
+    val (wordCounts, bigramCounts) = repScratch.get()
+    wordCounts.clear()
+    bigramCounts.clear()
     var nWords = 0
     var topWord = 0
     var topBigram = 0

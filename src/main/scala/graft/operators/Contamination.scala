@@ -21,12 +21,22 @@ import org.apache.spark.sql.functions._
   */
 object Contamination {
 
+  /** Per-thread scratch (tokens buffer + distinct set) — worker-local
+    * scratch as in the reference's TransformerFactory
+    * (`/root/reference/pkg/internal/wire/internal.go:19-30`); fresh
+    * collections per row would be GC churn at corpus scale. */
+  private val gramScratch = new ThreadLocal[(scala.collection.mutable.ArrayBuffer[String], java.util.LinkedHashSet[String])] {
+    override def initialValue() =
+      (new scala.collection.mutable.ArrayBuffer[String](64), new java.util.LinkedHashSet[String]())
+  }
+
   /** Distinct word `n`-grams of `text` as strings, over lower-cased
     * alphabetic tokens (tokenization contract of FastHash.tokenHashes /
     * TextAnalytics.words). */
   def distinctWordNgrams(text: String, n: Int): Array[String] = {
     if (text == null) return Array.empty[String]
-    val toks = new scala.collection.mutable.ArrayBuffer[String](64)
+    val (toks, _) = gramScratch.get()
+    toks.clear()
     val sb = new java.lang.StringBuilder(16)
     var i = 0
     val len = text.length
@@ -38,7 +48,8 @@ object Contamination {
       i += 1
     }
     if (toks.length < n) return Array.empty[String]
-    val out = new java.util.LinkedHashSet[String]()
+    val out = gramScratch.get()._2
+    out.clear()
     var j = 0
     while (j <= toks.length - n) {
       val g = new java.lang.StringBuilder(16 * n)
