@@ -415,6 +415,21 @@ object FastHash {
   def bankChainedSha256Col(seq: Column, rounds: Int): Column =
     udf((s: Long) => chainedSha256(payloadBank((s % 65536).toInt), s, rounds)).apply(seq)
 
+  /** Per-thread scratch maps for [[repetitionStats]] — the reference's
+    * worker-local-scratch pattern (TransformerFactory,
+    * `/root/reference/pkg/internal/wire/internal.go:19-30`): at corpus
+    * scale, two fresh HashMaps per ROW is pure GC churn. Oversized scratch
+    * (after a pathological document) is dropped rather than cleared, so one
+    * huge row can't pin memory or inflate clear() cost for the thread's
+    * lifetime. */
+  private val repScratch = new ThreadLocal[(java.util.HashMap[String, Int], java.util.HashMap[String, Int])] {
+    override def initialValue() = (new java.util.HashMap[String, Int](), new java.util.HashMap[String, Int]())
+  }
+
+  /** Scratch collections beyond this many entries are discarded after the
+    * row instead of reused (bounds retained heap + clear() cost). */
+  private val scratchEntryCap = 1 << 16
+
   /** One-pass word-repetition statistics (the Gopher/C4 repetition
     * filters, word-level): returns (nWords, nDistinctWords, topWordCount,
     * topBigramCount) over the lower-cased alphabetic tokens of `text`
@@ -424,14 +439,6 @@ object FastHash {
     * reproduces it bit-for-bit. Counting is by token STRING (not hash) so
     * the counts equal a SQL GROUP BY count even under hash collisions.
     * Pure map-side kernel: no shuffle, one tokenization pass per row. */
-  /** Per-thread scratch maps for [[repetitionStats]] — the reference's
-    * worker-local-scratch pattern (TransformerFactory,
-    * `/root/reference/pkg/internal/wire/internal.go:19-30`): at corpus
-    * scale, two fresh HashMaps per ROW is pure GC churn. */
-  private val repScratch = new ThreadLocal[(java.util.HashMap[String, Int], java.util.HashMap[String, Int])] {
-    override def initialValue() = (new java.util.HashMap[String, Int](), new java.util.HashMap[String, Int]())
-  }
-
   def repetitionStats(text: String): (Int, Int, Int, Int) = {
     if (text == null) return (0, 0, 0, 0)
     val (wordCounts, bigramCounts) = repScratch.get()
@@ -462,7 +469,9 @@ object FastHash {
       }
       i += 1
     }
-    (nWords, wordCounts.size, topWord, topBigram)
+    val result = (nWords, wordCounts.size, topWord, topBigram)
+    if (wordCounts.size + bigramCounts.size > scratchEntryCap) repScratch.remove()
+    result
   }
 
   // ---- Column-level wrappers ----

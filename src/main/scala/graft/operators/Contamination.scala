@@ -24,19 +24,24 @@ object Contamination {
   /** Per-thread scratch (tokens buffer + distinct set) — worker-local
     * scratch as in the reference's TransformerFactory
     * (`/root/reference/pkg/internal/wire/internal.go:19-30`); fresh
-    * collections per row would be GC churn at corpus scale. */
+    * collections per row would be GC churn at corpus scale. Oversized
+    * scratch (after a pathological document) is dropped rather than
+    * reused, so one huge row can't pin its strings or inflate clear()
+    * cost for the thread's lifetime. */
   private val gramScratch = new ThreadLocal[(scala.collection.mutable.ArrayBuffer[String], java.util.LinkedHashSet[String])] {
     override def initialValue() =
       (new scala.collection.mutable.ArrayBuffer[String](64), new java.util.LinkedHashSet[String]())
   }
+  private val scratchEntryCap = 1 << 16
 
   /** Distinct word `n`-grams of `text` as strings, over lower-cased
     * alphabetic tokens (tokenization contract of FastHash.tokenHashes /
     * TextAnalytics.words). */
   def distinctWordNgrams(text: String, n: Int): Array[String] = {
     if (text == null) return Array.empty[String]
-    val (toks, _) = gramScratch.get()
+    val (toks, out) = gramScratch.get()
     toks.clear()
+    out.clear()
     val sb = new java.lang.StringBuilder(16)
     var i = 0
     val len = text.length
@@ -48,8 +53,6 @@ object Contamination {
       i += 1
     }
     if (toks.length < n) return Array.empty[String]
-    val out = gramScratch.get()._2
-    out.clear()
     var j = 0
     while (j <= toks.length - n) {
       val g = new java.lang.StringBuilder(16 * n)
@@ -62,7 +65,9 @@ object Contamination {
       out.add(g.toString)
       j += 1
     }
-    out.toArray(new Array[String](out.size))
+    val result = out.toArray(new Array[String](out.size))
+    if (out.size > scratchEntryCap || toks.length > scratchEntryCap) gramScratch.remove()
+    result
   }
 
   /** Distinct n-grams of the benchmark frame, collected to the driver.
