@@ -176,18 +176,20 @@ object TextAnalytics {
                   stride: Int): org.apache.spark.sql.DataFrame = {
     require(size > 0 && stride > 0 && stride <= size,
       "need 0 < stride <= size (stride > size would drop tokens)")
-    val ws = array_remove(split(lower(col("text")), "[^a-z]+"), "")
+    // same tokenizer as the rest of the text stack (words()), so chunking
+    // can never drift from lmScore/markerHitCounts tokenization
+    val ws = array_remove(words(col("text")), "")
     docs.select(col("doc_id"), ws.as("ws"))
       .withColumn("n", org.apache.spark.sql.functions.size(col("ws")))
       .filter(col("n") > 0)
       .withColumn("chunk_id",
         explode(sequence(lit(0), expr(s"(n - 1) div $stride"))))
+      // materialize the window once; chunk_text/n_tokens derive from it
+      .withColumn("chunk",
+        slice(col("ws"), (col("chunk_id") * stride + 1).cast("int"), lit(size)))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
-        concat_ws(" ", slice(col("ws"), (col("chunk_id") * stride + 1).cast("int"), lit(size)))
-          .as("chunk_text"),
-        org.apache.spark.sql.functions.size(
-          slice(col("ws"), (col("chunk_id") * stride + 1).cast("int"), lit(size)))
-          .cast("long").as("n_tokens"))
+        concat_ws(" ", col("chunk")).as("chunk_text"),
+        org.apache.spark.sql.functions.size(col("chunk")).cast("long").as("n_tokens"))
   }
 
   // ---- Unigram-LM quality scoring (CCNet-style perplexity filter) ----

@@ -95,7 +95,7 @@ object Contamination {
       .limit(maxGrams + 1)
       .as[(String, Long)].collect()
     require(index.length <= maxGrams,
-      s"benchmark gram set exceeds the cap ($maxGrams); " +
+      s"benchmark gram set has more than $maxGrams grams (cap $maxGrams); " +
         "decontamination expects a small eval corpus on the broadcast side")
     index
   }

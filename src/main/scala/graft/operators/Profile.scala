@@ -24,7 +24,13 @@ object Profile {
     * lexicographic on that representation. */
   def profile(df: DataFrame, cols: Seq[String], sketchCapacity: Int = 1024): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
+    // escape the spliced identifiers/labels: backticks double inside
+    // `...`-quoting, single quotes double inside SQL string literals
+    val stackArgs = cols.map { c =>
+      val label = c.replace("'", "''")
+      val ident = c.replace("`", "``")
+      s"'$label', CAST(`$ident` AS STRING)"
+    }.mkString(", ")
     val stacked = df.selectExpr(
       s"stack(${cols.size}, $stackArgs) AS (col_name, value)")
     stacked.groupBy("col_name")
@@ -39,8 +45,11 @@ object Profile {
       .select(col("col_name"), col("n_rows"), col("n_null"), col("n_distinct"),
         col("min_value"), col("max_value"),
         // summary is sorted (count desc, item asc): element 1 is the mode,
-        // smallest value on frequency ties — deterministic cross-engine
-        element_at(col("hh"), 1).getField("item").as("top_value"),
-        element_at(col("hh"), 1).getField("count").as("top_count"))
+        // smallest value on frequency ties — deterministic cross-engine.
+        // try_element_at: an all-null column leaves the sketch empty, and
+        // ANSI element_at would abort the whole profile instead of
+        // yielding a null mode
+        try_element_at(col("hh"), lit(1)).getField("item").as("top_value"),
+        try_element_at(col("hh"), lit(1)).getField("count").as("top_count"))
   }
 }

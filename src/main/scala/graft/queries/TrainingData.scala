@@ -523,7 +523,7 @@ object TrainingData {
         | FROM s GROUP BY 1)
         |SELECT agg.col_name, n_rows, n_null, n_distinct, min_value, max_value,
         | top.top_value, CAST(top.top_count AS BIGINT) AS top_count
-        |FROM agg JOIN top ON agg.col_name = top.col_name
+        |FROM agg LEFT JOIN top ON agg.col_name = top.col_name
         |ORDER BY agg.col_name""".stripMargin,
     "ds_chunk" ->
       """WITH t AS (

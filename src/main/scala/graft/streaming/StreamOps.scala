@@ -66,17 +66,22 @@ object StreamOps {
   def intervalJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
                          nsCol: String, windowSpec: String,
                          lateness: String): DataFrame = {
-    val l = left.withColumn("l_time", eventTime(nsCol))
-      .withWatermark("l_time", lateness)
-    val r = right.select(col(keyCol).as("r_key"),
-        eventTime(nsCol).as("r_time"),
+    // working names are reserved: a caller column with the same name would
+    // make the join condition ambiguous or corrupt the output contract
+    val reserved = Seq("__ivj_ltime", "__ivj_key", "__ivj_rtime", "r_row")
+    val clash = (left.columns ++ right.columns).filter(reserved.contains)
+    require(clash.isEmpty, s"input columns collide with reserved names: ${clash.mkString(", ")}")
+    val l = left.withColumn("__ivj_ltime", eventTime(nsCol))
+      .withWatermark("__ivj_ltime", lateness)
+    val r = right.select(col(keyCol).as("__ivj_key"),
+        eventTime(nsCol).as("__ivj_rtime"),
         struct(right.columns.map(col): _*).as("r_row"))
-      .withWatermark("r_time", lateness)
+      .withWatermark("__ivj_rtime", lateness)
     l.join(r,
-      col(keyCol) === col("r_key") &&
-        col("r_time") >= col("l_time") &&
-        col("r_time") <= col("l_time") + expr(s"INTERVAL $windowSpec"))
-      .drop("r_key")
+      col(keyCol) === col("__ivj_key") &&
+        col("__ivj_rtime") >= col("__ivj_ltime") &&
+        col("__ivj_rtime") <= col("__ivj_ltime") + expr(s"INTERVAL $windowSpec"))
+      .drop("__ivj_key", "__ivj_ltime", "__ivj_rtime")
   }
 
   /** Streaming curation (the streaming twin of the batch dsCurate funnel):

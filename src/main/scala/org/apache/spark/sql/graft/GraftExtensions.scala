@@ -36,7 +36,10 @@ object GraftExtensions {
   private def capacityLiteral(e: Expression): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
-      require(v <= Int.MaxValue, s"capacity $v exceeds Int.MaxValue"); v.toInt
+      // both bounds: a large-negative BIGINT would otherwise wrap through
+      // toInt into a small positive capacity and silently degrade counts
+      require(v >= 1 && v <= Int.MaxValue, s"capacity $v out of [1, Int.MaxValue]")
+      v.toInt
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Short, _) => v.toInt
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Byte, _) => v.toInt
     case other => throw new IllegalArgumentException(

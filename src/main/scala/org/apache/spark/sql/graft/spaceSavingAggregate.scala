@@ -32,11 +32,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * min counts — so the summary is deterministic for a fixed partitioning.
   *
   * Hot path: eviction victims come from a lazily-maintained min-heap over
-  * (count, key) — entries go stale when a resident's count grows and are
-  * re-validated on pop — so a tail-heavy stream (evicting on almost every
-  * row, the heavy-hitter regime) pays O(log capacity) per row, not an
-  * O(capacity) min scan. The heap is rebuilt after merges (which mutate
-  * counts wholesale) and compacted when stale entries pile up.
+  * (count, key) — an entry goes stale when its resident's count grows and
+  * is re-validated (popped and re-pushed current) on its way to the top —
+  * so a tail-heavy stream (evicting on almost every row, the heavy-hitter
+  * regime) pays O(log capacity) per row, not an O(capacity) min scan.
+  * Invariant: every resident key has EXACTLY one heap entry (insert pushes
+  * one, a stale pop re-pushes one, eviction pops the victim's only entry),
+  * so heap size ≤ capacity — no compaction needed. The heap is rebuilt
+  * after merges, which mutate counts wholesale.
   *
   * Generalizes the reference meter's fixed counter registry
   * (`/root/reference/pkg/internal/meter/metrics.go:76-95`) to unbounded
@@ -107,28 +110,24 @@ case class SpaceSavingTopK(
         buf.map.put(item, Array(1L, 0L))
         buf.push(item, 1L)
       } else {
-        // lazy-pop to the true (count, key) minimum: skip entries for
-        // already-evicted keys, re-push stale counts. Every resident key
-        // keeps at least one heap entry (inserts and re-pushes add one;
-        // pops only drop absent/victim entries), so the loop terminates.
+        // lazy-pop to the true (count, key) minimum: re-push stale counts
+        // until the top entry is current. Exactly-one-entry-per-resident
+        // (see class doc) bounds the heap at `capacity` and guarantees the
+        // poll never returns null.
         var evicted = false
         while (!evicted) {
           val e = buf.heap.poll()
           val cv = buf.map.get(e.k)
-          if (cv != null) {
-            if (cv(0) != e.c) buf.push(e.k, cv(0))
-            else {
-              // the newcomer inherits the victim's count as the classic
-              // SpaceSaving overestimate bound
-              buf.map.remove(e.k)
-              buf.map.put(item, Array(e.c + 1, e.c))
-              buf.push(item, e.c + 1)
-              evicted = true
-            }
+          if (cv(0) != e.c) buf.push(e.k, cv(0))
+          else {
+            // the newcomer inherits the victim's count as the classic
+            // SpaceSaving overestimate bound
+            buf.map.remove(e.k)
+            buf.map.put(item, Array(e.c + 1, e.c))
+            buf.push(item, e.c + 1)
+            evicted = true
           }
         }
-        // compact when stale entries pile up (bounds heap memory)
-        if (buf.heap.size() > 8 * capacity) buf.rebuildHeap()
       }
     }
     buf
