@@ -46,9 +46,32 @@ object GraftExtensions {
       s"space_saving_topk capacity must be an integer literal, got: $other")
   }
 
-  /** Register into an existing session's function registry. */
-  def register(spark: SparkSession): Unit =
+  /** Register into an existing session's function registry. Also registers
+    * the kernel UDFs (session-scoped `spark.udf` — UDF-backed, so they
+    * don't go through the extensions injection path the native expressions
+    * use), making the whole text/dedup kernel surface SQL-reachable:
+    * e.g. `SELECT graft_minhash(text, 2, 64) FROM docs`. */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
     }
+    import graft.functions.FastHash
+    spark.udf.register("graft_repetition_stats",
+      (s: String) => FastHash.repetitionStats(s))
+    spark.udf.register("graft_token_set", (s: String) => FastHash.tokenSet(s))
+    spark.udf.register("graft_char_ngram_set",
+      (s: String, n: Int) => FastHash.charNgramSet(s, n))
+    spark.udf.register("graft_winnow",
+      (s: String, k: Int, w: Int) => FastHash.winnow(s, k, w))
+    // perms cached per k (per executor): rebuilding them per ROW is the
+    // 2-allocations+2k-splitmix-calls-per-document trap minhashCol hoists
+    val permCache = new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+    spark.udf.register("graft_minhash", (s: String, n: Int, k: Int) => {
+      val (as, bs) = permCache.computeIfAbsent(k, kk => FastHash.minhashPerms(kk))
+      FastHash.minhash(s, n, as, bs)
+    })
+    spark.udf.register("graft_simhash", (s: String) => FastHash.simhash(s))
+    spark.udf.register("graft_word_ngrams",
+      (s: String, n: Int) => graft.operators.Contamination.distinctWordNgrams(s, n))
+  }
 }

@@ -87,4 +87,22 @@ class SpaceSavingSpec extends SparkSpec {
       .select("e.item", "e.count").as[(String, Long)].collect().toSeq
     assert(rows == Seq(("a", 2L), ("b", 1L)))
   }
+
+  test("kernel UDFs are SQL-reachable and agree with the Column API") {
+    GraftExtensions.register(spark)
+    Seq((1L, "the quick brown fox the")).toDF("id", "text")
+      .createOrReplaceTempView("kern_docs")
+    val r = spark.sql("""
+      SELECT graft_repetition_stats(text) AS rep,
+             graft_simhash(text) AS sh,
+             graft_minhash(text, 2, 16) AS mh,
+             graft_word_ngrams(text, 2) AS grams
+      FROM kern_docs""").head()
+    assert(r.getStruct(0).getInt(0) == 5)                     // n_words
+    assert(r.getStruct(0).getInt(1) == 4)                     // distinct
+    assert(r.getLong(1) == graft.functions.FastHash.simhash("the quick brown fox the"))
+    assert(r.getSeq[Long](2) ==
+      graft.functions.FastHash.minhash("the quick brown fox the", 2, 16).toSeq)
+    assert(r.getSeq[String](3).contains("quick brown"))
+  }
 }
