@@ -27,6 +27,8 @@ object Bench {
     val results = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .map { case (name, fn) =>
+      // stderr progress: if a run hangs or is killed, the log shows WHERE
+      System.err.println(s"[bench] running $name")
       val times = (0 until runs).map { i =>
         val t0 = System.nanoTime()
         // noop sink, not count(): count() lets Catalyst prune the projected

@@ -61,6 +61,41 @@ class SpaceSavingSpec extends SparkSpec {
     got.foreach { case (w, n, e) => assert(n == truth(w) && e == 0L, w) }
   }
 
+  test("lazy-heap eviction is summary-identical to the textbook full-scan form") {
+    // reference implementation: classic SpaceSaving with an O(capacity)
+    // min scan per eviction, (count, key)-min victim — the semantics the
+    // heap refactor must preserve exactly
+    def reference(items: Seq[String], capacity: Int): Seq[(String, Long, Long)] = {
+      val m = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
+      items.foreach { it =>
+        m.get(it) match {
+          case Some((c, e)) => m(it) = (c + 1, e)
+          case None if m.size < capacity => m(it) = (1L, 0L)
+          case None =>
+            val (vk, (vc, _)) = m.minBy { case (k, (c, _)) => (c, k) }
+            m.remove(vk)
+            m(it) = (vc + 1, vc)
+        }
+      }
+      m.toSeq.map { case (k, (c, e)) => (k, c, e) }.sortBy(t => (-t._2, t._1))
+    }
+    val rnd = new scala.util.Random(21)
+    (0 until 5).foreach { trial =>
+      val items = Seq.fill(3000) {
+        // zipf-ish: small ids common, long tail
+        val z = math.min(rnd.nextInt(10), rnd.nextInt(200))
+        s"w$z"
+      }
+      // single partition so update order matches the sequential reference
+      val got = items.toDF("w").coalesce(1)
+        .agg(SpaceSavingGlue.spaceSavingTopK(col("w"), 16).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select("e.item", "e.count", "e.err")
+        .as[(String, Long, Long)].collect().toSeq
+      assert(got == reference(items, 16), s"trial $trial")
+    }
+  }
+
   test("sketch aggregates a stream with bounded state (complete mode)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
