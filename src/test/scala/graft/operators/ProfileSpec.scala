@@ -21,6 +21,18 @@ class ProfileSpec extends SparkSpec {
     assert(got(1) == ("s", 4L, 1L, 2L, "x", "y", "x", 2L), got(1))
   }
 
+  test("profile survives awkward column names and all-null columns") {
+    val df = Seq((Some("x"), 1L), (None, 1L))
+      .toDF("it's", "n").withColumn("all_null", org.apache.spark.sql.functions.lit(null: String))
+    val got = Profile.profile(df, Seq("it's", "all_null"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, Long, Option[String], Option[String], Option[String], Option[Long])]
+      .collect().toSeq
+    // all-null column: empty sketch yields a null mode, not an ANSI error
+    assert(got(0) == ("all_null", 2L, 2L, 0L, None, None, None, None), got(0))
+    assert(got(1)._1 == "it's" && got(1)._7 == Some("x"), got(1))
+  }
+
   test("modal frequency ties break toward the smaller value") {
     val df = Seq("b", "a", "c", "a", "b").toDF("v")
     val row = Profile.profile(df, Seq("v"))

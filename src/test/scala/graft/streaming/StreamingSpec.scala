@@ -85,6 +85,17 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("interval join rejects inputs whose columns collide with reserved names") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val bad = mem.toDF().withColumnRenamed("value", "r_row")
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.intervalJoinStream(bad, mem.toDF(), "user_id", "ts",
+        "'5' MINUTE", "10 minutes")
+    }
+    assert(e.getMessage.contains("r_row"))
+  }
+
   test("streaming curation gates quality and collapses reordered boilerplate") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamDoc]
