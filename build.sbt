@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-parses the bench's stdout JSON line. A forked run's
+// default outputStrategy is LoggedOutput, which frames every program line
+// as "[info] ..." — that prefix is why BENCH_r01..r04 all recorded
+// parsed:null. StdoutOutput passes the child's stdout/stderr through
+// unframed, so the bare JSON object is a parseable stdout line.
+outputStrategy := Some(StdoutOutput)
+// ...and drop the "[success] Total time" trailer after the JSON line.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

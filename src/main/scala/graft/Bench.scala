@@ -41,11 +41,13 @@ object Bench {
       cold(name) = times.head
       name -> times.sorted.apply(runs / 2)
     }
-    // Keep the stdout JSON line SHORT: the driver tail-captures process
-    // output and parses the last JSON line — round-3's line (55 queries x
-    // warm+cold at full double precision) overflowed the capture window and
-    // the driver recorded parsed:null. 3-decimal timings + cold map on
-    // stderr keep the line well under the window.
+    // The driver tail-captures process output and parses the last JSON
+    // line. Two things broke that historically: (a) r3's line (55 queries x
+    // warm+cold at full double precision) overflowed the capture window —
+    // 3-decimal timings + cold map on stderr keep it short; (b) sbt's
+    // LoggedOutput framed every forked-run line as "[info] {...}", so no
+    // stdout line ever started with '{' — build.sbt now sets
+    // outputStrategy := StdoutOutput so this println lands unframed.
     // Locale.ROOT: f"%.3f" uses the JVM default locale — a comma-decimal
     // locale (de_DE, fr_FR) would emit 0,123 and break the JSON again
     def s3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
