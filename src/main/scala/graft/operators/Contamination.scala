@@ -38,6 +38,9 @@ object Contamination {
     * alphabetic tokens (tokenization contract of FastHash.tokenHashes /
     * TextAnalytics.words). */
   def distinctWordNgrams(text: String, n: Int): Array[String] = {
+    // reachable from SQL via graft_word_ngrams(text, n): n < 1 must fail
+    // loudly — silently returning [""] would "match" across all documents
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
     if (text == null) return Array.empty[String]
     val (toks, out) = gramScratch.get()
     toks.clear()

@@ -1,55 +1,63 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** One-pass column profiling — the ANALYZE-TABLE tool of the engine:
-  * per column, row/null/distinct counts, min/max, and the modal value with
-  * its frequency (via the SpaceSaving sketch, exact while the column's
-  * distinct count fits the capacity). Generalizes the reference meter's
-  * named-counter registry (`/root/reference/pkg/internal/meter/
+  * per column, row/null/approx-distinct counts, min/max, and the modal
+  * value with its frequency (via the SpaceSaving sketch, exact while the
+  * column's distinct count fits the capacity). Generalizes the reference
+  * meter's named-counter registry (`/root/reference/pkg/internal/meter/
   * metrics.go:76-95`) from pipeline events to data columns.
   *
-  * Scale shape: `stack` unpivots the selected columns in the scan
-  * projection (rows × |cols|, map-side), then ONE aggregation pass
-  * computes every statistic — one corpus read for the whole profile, with
-  * the usual two-level (partial → final) aggregation. The sketch keeps the
-  * top-value computation inside the same pass instead of a per-column
-  * GROUP BY + ORDER BY LIMIT 1 re-scan.
+  * Scale shape: a typed unpivot (explode of one struct per profiled
+  * column, map-side in the scan projection) feeds ONE aggregation pass
+  * that computes every statistic — one corpus read for the whole profile,
+  * with the usual two-level (partial → final) aggregation. Every stat is
+  * sketch- or constant-width: the distinct count is HyperLogLog++
+  * (`approx_count_distinct`, deterministic merges), the mode rides the
+  * SpaceSaving sketch, so the shuffle carries |cols| × O(sketch) bytes
+  * regardless of data size. The one non-sketch stat, exact
+  * `n_distinct`, is OPT-IN (`exactDistinct = true`) because it shuffles
+  * every distinct (col_name, value) pair AND makes Catalyst plan an
+  * Expand (doubling the unpivoted rows) — fine at oracle scale, wrong at
+  * 100 TB; the default plan has neither.
   */
 object Profile {
 
   /** Profile `cols` of `df`. Values are profiled as strings (CAST AS
     * STRING — the cross-engine-stable representation); min/max are
-    * lexicographic on that representation. */
-  def profile(df: DataFrame, cols: Seq[String], sketchCapacity: Int = 1024): DataFrame = {
+    * lexicographic on that representation. The unpivot is built from
+    * typed Columns, so column names need no quoting or escape handling
+    * anywhere. */
+  def profile(df: DataFrame, cols: Seq[String], sketchCapacity: Int = 1024,
+              exactDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    // escape the spliced identifiers/labels: backticks double inside
-    // `...`-quoting, single quotes double inside SQL string literals
-    val stackArgs = cols.map { c =>
-      val label = c.replace("'", "''")
-      val ident = c.replace("`", "``")
-      s"'$label', CAST(`$ident` AS STRING)"
-    }.mkString(", ")
-    val stacked = df.selectExpr(
-      s"stack(${cols.size}, $stackArgs) AS (col_name, value)")
-    stacked.groupBy("col_name")
-      .agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
-        countDistinct(col("value")).as("n_distinct"),
-        min("value").as("min_value"),
-        max("value").as("max_value"),
-        org.apache.spark.sql.graft.SpaceSavingGlue
-          .spaceSavingTopK(col("value"), sketchCapacity).as("hh"))
-      .select(col("col_name"), col("n_rows"), col("n_null"), col("n_distinct"),
-        col("min_value"), col("max_value"),
+    val entries: Column = array(cols.map { c =>
+      struct(lit(c).as("col_name"), col(c).cast("string").as("value"))
+    }: _*)
+    val stacked = df
+      .select(explode(entries).as("e"))
+      .select(col("e.col_name").as("col_name"), col("e.value").as("value"))
+    val stats = Seq(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
+      approx_count_distinct(col("value")).as("n_distinct_approx")) ++
+      (if (exactDistinct) Seq(countDistinct(col("value")).as("n_distinct"))
+       else Seq.empty) ++ Seq(
+      min("value").as("min_value"),
+      max("value").as("max_value"),
+      org.apache.spark.sql.graft.SpaceSavingGlue
+        .spaceSavingTopK(col("value"), sketchCapacity).as("hh"))
+    val aggregated = stacked.groupBy("col_name").agg(stats.head, stats.tail: _*)
+    aggregated.select(
+      (aggregated.columns.filterNot(_ == "hh").map(col) ++ Seq(
         // summary is sorted (count desc, item asc): element 1 is the mode,
         // smallest value on frequency ties — deterministic cross-engine.
         // try_element_at: an all-null column leaves the sketch empty, and
         // ANSI element_at would abort the whole profile instead of
         // yielding a null mode
         try_element_at(col("hh"), lit(1)).getField("item").as("top_value"),
-        try_element_at(col("hh"), lit(1)).getField("count").as("top_count"))
+        try_element_at(col("hh"), lit(1)).getField("count").as("top_count"))): _*)
   }
 }

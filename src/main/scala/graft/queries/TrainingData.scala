@@ -337,13 +337,26 @@ object TrainingData {
     chunkTokens(Tables.documents(spark, dir), size = 32, stride = 24)
       .orderBy("doc_id", "chunk_id")
 
-  /** One-pass column profile of the documents table (Profile.profile):
-    * the sketch capacity exceeds every column's distinct count at verify
-    * scale, so the modal value is exact and the whole profile is
-    * oracle-checkable. */
+  /** One-pass column profile of the documents table (Profile.profile) —
+    * the scale path: every statistic is sketch- or constant-width (HLL++
+    * distinct, SpaceSaving mode), no Expand, shuffle width independent of
+    * data size. HLL merges are deterministic, so the whole profile is
+    * golden-locked. The sketch capacity exceeds every column's distinct
+    * count at verify scale, so the modal value is exact. */
   def dsProfile(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Profile.profile(Tables.documents(spark, dir),
         Seq("lang", "source", "n_chars"))
+      .orderBy("col_name")
+
+  /** Small-sf oracle twin of [[dsProfile]]: exact `n_distinct`
+    * (`exactDistinct = true` — Expand + full distinct shuffle, the
+    * documented NON-scale path) so the profile semantics stay
+    * cross-checked live against DuckDB; the approx column is dropped
+    * because no other engine reproduces Spark's HLL++ values. */
+  def dsProfileExact(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profile(Tables.documents(spark, dir),
+        Seq("lang", "source", "n_chars"), exactDistinct = true)
+      .drop("n_distinct_approx")
       .orderBy("col_name")
 
   /** Unigram-LM quality scores over the corpus (see TextAnalytics.lmScore
@@ -374,6 +387,7 @@ object TrainingData {
     "txt_lm_score"     -> txtLmScore _,
     "ds_chunk"         -> dsChunk _,
     "ds_profile"       -> dsProfile _,
+    "ds_profile_exact" -> dsProfileExact _,
     "txt_repetition"   -> txtRepetition _,
     "dd_contamination" -> ddContamination _,
     "ds_mix"           -> dsMix _,
@@ -504,7 +518,7 @@ object TrainingData {
         | FROM documents)
         |WHERE length(word) > 0
         |GROUP BY 1 ORDER BY n DESC, word ASC""".stripMargin,
-    "ds_profile" ->
+    "ds_profile_exact" ->
       """WITH s AS (
         | SELECT 'lang' AS col_name, CAST(lang AS VARCHAR) AS value FROM documents
         | UNION ALL SELECT 'source', CAST(source AS VARCHAR) FROM documents

@@ -92,6 +92,10 @@ object StreamOps {
     * as in the batch operator. */
   def curateStream(docs: DataFrame, nsCol: String, lateness: String,
                    minChars: Int = 100, minWords: Int = 20): DataFrame = {
+    // working names are reserved (same contract as intervalJoinStream): a
+    // caller column named fp_bow/event_time would be silently clobbered
+    val clash = docs.columns.filter(Seq("fp_bow", "event_time").contains)
+    require(clash.isEmpty, s"input columns collide with reserved names: ${clash.mkString(", ")}")
     val ws = array_remove(split(lower(col("text")), "[^a-z]+"), "")
     docs
       .filter(length(col("text")) >= minChars && size(ws) >= minWords)

@@ -29,7 +29,7 @@ object Golden {
     * (eligibility rationale per query in the class doc above). */
   val queries = Seq("dd_minhash_lsh", "dd_simhash", "dd_winnow_overlap",
     "dd_embed_lsh", "sim_ann_lsh", "sim_ann_ivf", "t7_hash_throughput",
-    "mm_features", "a7_approx_distinct", "sim_ann_int8")
+    "mm_features", "a7_approx_distinct", "sim_ann_int8", "ds_profile")
 
   val sfDir = "/root/testdata/sf0.01"
 
@@ -61,9 +61,13 @@ object Golden {
   }
 
   def main(args: Array[String]): Unit = {
-    val outDir = if (args.nonEmpty) args(0) else "/root/repo/golden/sf0.01"
+    val outDir = "/root/repo/golden/sf0.01"
+    // optional args = subset of query names to regenerate: goldens are
+    // value- but not byte-identical across runs, so regenerating ALL for
+    // a one-query change churns the committed files for nothing
+    val only = args.toSet
     val spark = session()
-    queries.foreach { name =>
+    queries.filter(n => only.isEmpty || only.contains(n)).foreach { name =>
       writeGolden(graft.SparkEntry.queries(name)(spark, sfDir),
         java.nio.file.Paths.get(outDir, s"$name.parquet"))
     }

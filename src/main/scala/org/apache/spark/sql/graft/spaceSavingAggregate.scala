@@ -147,10 +147,17 @@ case class SpaceSavingTopK(
     if (mB > 0) a.map.forEach { (k, va) =>
       if (!b.map.containsKey(k)) { va(0) += mB; va(1) += mB }
     }
-    // shrink back to capacity, dropping the (count, key)-smallest
-    while (a.map.size() > capacity) {
-      val (_, mk) = minEntry(a.map)
-      a.map.remove(mk)
+    // shrink back to capacity in ONE pass: sort the entries once and drop
+    // the (count, key)-smallest excess — removing one minimum per full
+    // scan would make a merge of two full summaries O(capacity^2)
+    val excess = a.map.size() - capacity
+    if (excess > 0) {
+      val entries = new Array[(Long, String)](a.map.size())
+      var i = 0
+      a.map.forEach { (k, v) => entries(i) = (v(0), k); i += 1 }
+      java.util.Arrays.sort(entries, Ordering.Tuple2[Long, String])
+      var j = 0
+      while (j < excess) { a.map.remove(entries(j)._2); j += 1 }
     }
     a.rebuildHeap() // merge mutated counts wholesale; derive fresh
     a

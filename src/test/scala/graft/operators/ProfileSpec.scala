@@ -2,8 +2,8 @@ package graft.operators
 
 import graft.SparkSpec
 
-/** One-pass column profiler: null accounting, exact distincts, modal value
-  * with deterministic tie-breaks. */
+/** One-pass column profiler: null accounting, HLL distincts (exact-twin
+  * opt-in), modal value with deterministic tie-breaks. */
 class ProfileSpec extends SparkSpec {
   import SparkSpec.session.implicits._
 
@@ -15,22 +15,31 @@ class ProfileSpec extends SparkSpec {
       .orderBy("col_name")
       .as[(String, Long, Long, Long, String, String, String, Long)]
       .collect().toSeq
-    // n: values 1,2,2,3 — mode 2×2; min "1" max "3"
+    // n: values 1,2,2,3 — mode 2×2; min "1" max "3"; HLL++ is exact at
+    // these cardinalities (tested, and golden-locked at verify scale)
     assert(got(0) == ("n", 4L, 0L, 3L, "1", "3", "2", 2L), got(0))
     // s: x,x,y,null — null counted but excluded from distinct/top/min/max
     assert(got(1) == ("s", 4L, 1L, 2L, "x", "y", "x", 2L), got(1))
   }
 
+  test("exactDistinct adds the exact n_distinct column (oracle twin)") {
+    val df = Seq("a", "b", "b", "c").toDF("v")
+    val row = Profile.profile(df, Seq("v"), exactDistinct = true)
+      .select("n_distinct", "n_distinct_approx").as[(Long, Long)].head()
+    assert(row == ((3L, 3L)), row)
+  }
+
   test("profile survives awkward column names and all-null columns") {
+    // typed-column unpivot: quotes AND backslashes in names need no escaping
     val df = Seq((Some("x"), 1L), (None, 1L))
-      .toDF("it's", "n").withColumn("all_null", org.apache.spark.sql.functions.lit(null: String))
-    val got = Profile.profile(df, Seq("it's", "all_null"))
+      .toDF("it's a \\", "n").withColumn("all_null", org.apache.spark.sql.functions.lit(null: String))
+    val got = Profile.profile(df, Seq("it's a \\", "all_null"))
       .orderBy("col_name")
       .as[(String, Long, Long, Long, Option[String], Option[String], Option[String], Option[Long])]
       .collect().toSeq
     // all-null column: empty sketch yields a null mode, not an ANSI error
     assert(got(0) == ("all_null", 2L, 2L, 0L, None, None, None, None), got(0))
-    assert(got(1)._1 == "it's" && got(1)._7 == Some("x"), got(1))
+    assert(got(1)._1 == "it's a \\" && got(1)._7 == Some("x"), got(1))
   }
 
   test("modal frequency ties break toward the smaller value") {

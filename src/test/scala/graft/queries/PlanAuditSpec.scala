@@ -172,6 +172,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Expand"), p)
   }
 
+  test("ds_profile: one scan, sketch-only aggregation — no distinct Expand") {
+    val p = planOf("ds_profile")
+    assert(countScans(p) == 1, p)
+    // the scale path keeps every stat sketch-width: exact countDistinct
+    // would plan an Expand (×2 the unpivoted rows) plus a full distinct
+    // shuffle — that plan is quarantined in ds_profile_exact
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("ds_curate: the whole funnel is one scan, one window, one aggregate") {
     val p = planOf("ds_curate")
     assert(countScans(p) == 1, p)
