@@ -9,12 +9,16 @@ import org.apache.spark.sql.types._
   * decode/feature-extract/resize/frame-sample as per-partition batch
   * kernels.
   *
-  * The media codecs themselves are NOT in this container, so the decode
-  * kernel is a clearly-marked deterministic STUB (`StubCodec`) — the
-  * Spark-side contract (schema, partitioning, batch iteration shape, error
-  * routing) is real and tested, and a production deployment swaps
-  * `MediaCodec` for a JNI/FFI-backed implementation without touching the
-  * plan.
+  * The IMAGE decode path is real: `ImageIoCodec` decodes PNG/JPEG/BMP/GIF
+  * through the JDK's own `javax.imageio` (no external jars) to luma pixels
+  * with true nearest-neighbor resize. Audio/video codecs are not in this
+  * container, so their decode kernel is a clearly-marked deterministic
+  * STUB (`StubCodec`) — the Spark-side contract (schema, partitioning,
+  * batch iteration shape, error routing) is identical, and a production
+  * deployment swaps `MediaCodec` for an FFmpeg-style FFI implementation
+  * without touching the plan. `StubCodec` also remains the codec of the
+  * declared `mm_features` query, whose synthetic fixture payloads are
+  * text bytes, not encoded images.
   *
   * Scale notes: media blobs are the classic "wide row" hazard — all
   * kernels run via `mapPartitions` (one codec instance per partition, the
@@ -51,6 +55,68 @@ object Multimodal {
       val stride = math.max(1, pixels.length / math.max(1, out.length))
       var i = 0
       while (i < out.length) { out(i) = pixels(math.min(i * stride, pixels.length - 1)); i += 1 }
+      out
+    }
+  }
+
+  /** Real image codec backed by `javax.imageio` — ships with the JDK, so
+    * no external jars: decodes any ImageIO-registered container (PNG, JPEG,
+    * BMP, GIF) to 8-bit luma pixels (ITU-R BT.601 integer weights; for
+    * grayscale sources the luma equals the sample value exactly) and
+    * resizes with real nearest-neighbor sampling. Non-image kinds pass
+    * through untouched (audio/video codecs stay stubbed — see object
+    * scaladoc). An undecodable or dimension-mismatched payload throws, so
+    * `extractFeatures` routes it to an (ok=false, error) row — the T4
+    * error-channel semantic — instead of poisoning the partition. */
+  object ImageIoCodec extends MediaCodec {
+    override def decode(kind: String, payload: Array[Byte]): Array[Byte] = {
+      if (kind != "image") return payload
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null)
+        throw new IllegalArgumentException("payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Byte](w * h)
+      // single-band gray sources: read raster samples raw — getRGB would
+      // round-trip them through the gray→sRGB color-space curve
+      val gray = img.getColorModel.getNumComponents == 1
+      val raster = img.getRaster
+      var y = 0
+      var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val lum =
+            if (gray) raster.getSample(x, y, 0)
+            else {
+              val rgb = img.getRGB(x, y)
+              ((rgb >> 16 & 0xFF) * 299 + (rgb >> 8 & 0xFF) * 587 +
+                (rgb & 0xFF) * 114) / 1000
+            }
+          out(i) = lum.toByte
+          i += 1
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+    override def resize(pixels: Array[Byte], w: Int, h: Int, toW: Int, toH: Int): Array[Byte] = {
+      if (toW <= 0 || toH <= 0) return Array.emptyByteArray
+      if (pixels.length != w * h)
+        throw new IllegalArgumentException(
+          s"pixel buffer ${pixels.length} does not match declared ${w}x$h")
+      val out = new Array[Byte](toW * toH)
+      var y = 0
+      while (y < toH) {
+        val sy = y * h / toH
+        var x = 0
+        while (x < toW) {
+          out(y * toW + x) = pixels(sy * w + x * w / toW)
+          x += 1
+        }
+        y += 1
+      }
       out
     }
   }

@@ -87,7 +87,20 @@ object Sources {
   /** Kafka streaming source wiring (S4): NDJSON value decode via from_json,
     * start-at earliest/latest/timestamp, poll budget via
     * maxOffsetsPerTrigger. Builder-only here (no broker in the test env);
-    * the decode column logic is unit-tested on static frames. */
+    * the decode column logic is unit-tested on static frames.
+    *
+    * Broker round-trip status (checked round 5, 2026-08-12): an embedded
+    * KRaft broker test needs `org.apache.kafka:kafka_2.13` on the test
+    * classpath. The offline coursier cache does not carry it — an actual
+    * `sbt update` resolution attempt for kafka_2.13:3.7.0 fails with
+    * "Not found" against the cached-only repo, and /opt/spark/jars ships
+    * no kafka-clients / spark-sql-kafka connector either (`ls | grep -i
+    * kafka` is empty), so even the connector's classpath cannot load in
+    * this sandbox. The reference gates its equivalent round-trip the same
+    * way (LocalStack-only `TestKafkaClientLocalstackRoundTrip`,
+    * `kafkaclient/reader.go:17-316`, `writer.go:16-303`); on a cluster
+    * with the standard spark-sql-kafka package this builder is the
+    * complete wiring. */
   def kafkaStream(spark: SparkSession, bootstrap: String, topic: String,
                   valueSchema: org.apache.spark.sql.types.StructType,
                   startingOffsets: String = "earliest",

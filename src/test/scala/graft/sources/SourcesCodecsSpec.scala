@@ -203,6 +203,35 @@ class SourcesCodecsSpec extends SparkSpec {
     assert(good.forall(_.ok))
   }
 
+  test("ImageIoCodec decodes a real committed PNG through extractFeatures") {
+    // gradient_8x6.png: 8-bit grayscale, pixel(x,y) = (x*37 + y*11) % 256 —
+    // generated once, committed; ImageIO reads the real container (IHDR /
+    // zlib IDAT / CRCs), not a synthetic byte pattern
+    val in = getClass.getResourceAsStream("/fixtures/gradient_8x6.png")
+    assert(in != null, "missing committed PNG fixture")
+    val png = in.readAllBytes()
+    def px(x: Int, y: Int): Int = (x * 37 + y * 11) % 256
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, "image", png, 8, 6, 0, 0)))
+    val f = Multimodal.extractFeatures(media, codec = Multimodal.ImageIoCodec,
+      thumbW = 4, thumbH = 4).collect().head
+    assert(f.ok, String.valueOf(f.error))
+    assert(f.byteLen == 48, f.byteLen) // 8x6 luma pixels, not the 122 png bytes
+    val exactMean = (for (y <- 0 until 6; x <- 0 until 8) yield px(x, y)).sum / 48.0
+    assert(f.meanByte == exactMean, f.meanByte)
+    // true nearest-neighbor: thumb(x,y) = pixel(x*8/4, y*6/4)
+    val expectThumb = for (y <- 0 until 4; x <- 0 until 4)
+      yield px(x * 8 / 4, y * 6 / 4).toByte
+    assert(f.thumbnail.toSeq == expectThumb, f.thumbnail.toSeq)
+  }
+
+  test("ImageIoCodec routes undecodable payloads to error rows (T4)") {
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, "image", Array[Byte](1, 2, 3, 4), 2, 2, 0, 0)))
+    val f = Multimodal.extractFeatures(media, codec = Multimodal.ImageIoCodec).collect().head
+    assert(!f.ok && f.error.contains("not a decodable image"), f)
+  }
+
   test("frame sampling explodes only video rows at the stride") {
     val media = Multimodal.syntheticMedia(Tables.documents(spark, sfDir).limit(30))
     val frames = Multimodal.sampleFrames(media, stride = 5)
