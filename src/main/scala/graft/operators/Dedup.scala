@@ -363,16 +363,17 @@ object Dedup {
     * collapse (`/root/reference/pkg/internal/resister/queue.go:65-83`) from
     * identical ids to transitive near-dup identity.
     *
-    * Scale design: iterative min-label propagation with POINTER JUMPING —
-    * each iteration is (a) one edges⋈labels join + min-agg pulling each
-    * node's best neighbor label, then (b) one labels⋈labels join replacing
-    * every label by its label's label. (b) halves the distance to the
-    * component minimum each round, so convergence is O(log diameter)
-    * iterations (25 rounds cover diameter 2³³), not O(diameter) as plain
-    * propagation would be. Labels are monotone non-increasing, so
-    * convergence is detected by an aggregate sum (no extra join), and each
-    * iteration is localCheckpoint'ed to truncate lineage — at cluster scale
-    * swap for `checkpoint` on reliable storage. Shuffle width is always
+    * Scale design: iterative min-label propagation with POINTER JUMPING,
+    * fused into ONE materialization per round — an edges⋈labels join +
+    * min-agg pulls each node's best neighbor label, and in the same plan a
+    * labels⋈labels join replaces every label by its (previous round's)
+    * label's label. The jump halves the distance to the component minimum
+    * each round, so convergence is O(log diameter) iterations (25 rounds
+    * cover diameter well past 2³⁰), not O(diameter) as plain propagation
+    * would be. Labels are monotone non-increasing, so convergence is
+    * detected by an aggregate sum (no extra join), and each round is
+    * localCheckpoint'ed to truncate lineage — at cluster scale swap for
+    * `checkpoint` on reliable storage. Shuffle width is always
     * (long, long): the text never enters the component computation.
     *
     * @param nodes one column `idCol`; singletons come out as their own
@@ -383,9 +384,13 @@ object Dedup {
                           idCol: String = "doc_id", maxIter: Int = 25): DataFrame = {
     // materialize the edge set once: it is re-joined EVERY iteration, and
     // without the checkpoint Spark would recompute the (possibly expensive)
-    // pair-generation subtree each round
+    // pair-generation subtree each round. Pre-partitioning by the join key
+    // means only the (small) labels side shuffles on each pull —
+    // localCheckpoint preserves outputPartitioning, so the exchange on the
+    // edge side happens exactly once for the whole loop.
     val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionAll(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      .repartition(col("v"))
       .localCheckpoint()
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lbl"))
       .localCheckpoint()
@@ -394,18 +399,32 @@ object Dedup {
     var checksum = // empty input sums to null
       labels.agg(coalesce(sum("lbl"), lit(0L))).head().getLong(0)
     while (!converged && iter < maxIter) {
-      // (a) pull the minimum neighbor label
+      // ONE materialization per round (r4 ran two: a pull job then a jump
+      // job whose un-checkpointed self-join recomputed the pull subtree
+      // twice). Both label-improvement sources derive from the
+      // MATERIALIZED previous round and fold into a single least():
+      //   nmin — min label over graph neighbors (the pull; its fixed point
+      //          is the convergence certificate: labels only decrease, so
+      //          an unchanged sum means lbl(u) <= lbl(v) across every
+      //          symmetric edge, i.e. labels are constant per component);
+      //   plbl — the label's own label (pointer jump, one round stale:
+      //          simultaneous rather than post-pull, which can cost an
+      //          extra cheap round but saves a materialization every
+      //          round — measured net-positive at sf0.1).
+      // A reverse min-id-of-my-children shortcut was also tried and bought
+      // no rounds on near-clique dup graphs; left out to keep the round at
+      // two joins. The convergence checksum rides the checkpoint job as an
+      // observed metric — one action per iteration, no separate sum job.
+      val obs = org.apache.spark.sql.Observation()
       val nbrMin = edges.join(labels, edges("v") === labels("id"))
         .groupBy("u").agg(min("lbl").as("nmin"))
-      val pulled = labels.join(nbrMin, labels("id") === nbrMin("u"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-      // (b) pointer jump: label := label's label (halves chain depth)
-      val parent = pulled.select(col("id").as("pid"), col("lbl").as("plbl"))
-      // the convergence checksum rides the checkpoint job as an observed
-      // metric — one action per iteration, not a checkpoint + a sum job
-      val obs = org.apache.spark.sql.Observation()
-      val next = pulled.join(parent, pulled("lbl") === parent("pid"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
+      val parent = labels.select(col("id").as("pid"), col("lbl").as("plbl"))
+      val next = labels
+        .join(nbrMin, labels("id") === nbrMin("u"), "left")
+        .join(parent, labels("lbl") === col("pid"), "left")
+        .select(col("id"), least(col("lbl"),
+          coalesce(col("nmin"), col("lbl")),
+          coalesce(col("plbl"), col("lbl"))).as("lbl"))
         .observe(obs, coalesce(sum("lbl"), lit(0L)).as("s"))
         .localCheckpoint()
       val nextSum = obs.get("s").asInstanceOf[Long]
@@ -416,6 +435,7 @@ object Dedup {
     }
     require(converged, s"connectedComponents did not converge in $maxIter " +
       "iterations — the pair graph has pathological diameter; raise maxIter")
+    System.err.println(s"[graft] connectedComponents converged in $iter rounds")
     labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
   }
 }
