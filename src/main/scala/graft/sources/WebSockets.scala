@@ -1,0 +1,306 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, DataInputStream, DataOutputStream, OutputStream}
+import java.net.{ServerSocket, Socket, URI}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+import java.util.concurrent.{ConcurrentHashMap, CompletionStage, TimeUnit}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong, AtomicReference}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types.StructType
+
+/** WebSocket edge adapters (SURVEY §2.1 S8/S10, §2.6 K6) on JDK-only
+  * primitives — no new dependencies:
+  *
+  *  - [[WsFrames]]: RFC 6455 frame + handshake codec (pure functions,
+  *    property-tested across the 7/16/64-bit length encodings).
+  *  - [[WsServerHub]] (S10 server jack + K6 broadcast): a real
+  *    protocol-terminating listener — HTTP Upgrade handshake, masked
+  *    client-frame decode, ping/pong, close handshake — that feeds
+  *    received text messages into a [[MemoryStream]] exactly like
+  *    [[HttpPollSource]], and can push text frames to every connected
+  *    peer (the reference's WS broadcast server,
+  *    `/root/reference/pkg/internal/adapter/wsserver/serve.go`,
+  *    `jack/websocket/serve.go:17-147`).
+  *  - [[WsClientSource]] (S8 client): `java.net.http.HttpClient`'s
+  *    built-in RFC 6455 client (an INDEPENDENT protocol implementation —
+  *    its handshake/masking validating against our server is part of the
+  *    e2e test's point), buffering server-pushed messages into a
+  *    MemoryStream (`/root/reference/pkg/internal/adapter/
+  *    websocketclient/serve.go:14-45`).
+  *
+  * Driver-ingress by design, like the reference's single-listener jacks
+  * and the HTTP poll source: WS payloads are control-plane sized
+  * (notifications, sensor pushes, UI fan-out); the high-volume edges stay
+  * Kafka/files. Spark distributes everything downstream of the buffer.
+  */
+object WsFrames {
+
+  private val WsGuid = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+  /** Sec-WebSocket-Accept for a client's Sec-WebSocket-Key (RFC 6455 §4.2.2). */
+  def acceptKey(clientKey: String): String =
+    Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("SHA-1")
+        .digest((clientKey + WsGuid).getBytes(UTF_8)))
+
+  val OpText = 0x1
+  val OpClose = 0x8
+  val OpPing = 0x9
+  val OpPong = 0xA
+
+  /** Encode one final frame. Server→client frames are unmasked; a client
+    * MUST mask (RFC 6455 §5.3) — pass a key to take that path. */
+  def encode(opcode: Int, payload: Array[Byte],
+             maskKey: Option[Array[Byte]] = None): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(payload.length + 14)
+    out.write(0x80 | (opcode & 0x0F))
+    val maskBit = if (maskKey.isDefined) 0x80 else 0x00
+    val n = payload.length
+    if (n < 126) out.write(maskBit | n)
+    else if (n < 65536) {
+      out.write(maskBit | 126); out.write(n >> 8); out.write(n & 0xFF)
+    } else {
+      out.write(maskBit | 127)
+      var i = 7
+      while (i >= 0) { out.write(((n.toLong >> (8 * i)) & 0xFF).toInt); i -= 1 }
+    }
+    maskKey match {
+      case Some(key) =>
+        require(key.length == 4, "mask key must be 4 bytes")
+        out.write(key)
+        var i = 0
+        while (i < n) { out.write(payload(i) ^ key(i % 4)); i += 1 }
+      case None => out.write(payload, 0, n)
+    }
+    out.toByteArray
+  }
+
+  final case class Frame(fin: Boolean, opcode: Int, payload: Array[Byte])
+
+  /** Read one frame (blocking). Throws EOFException on a half-closed peer. */
+  def readFrame(in: DataInputStream): Frame = {
+    val b0 = in.readUnsignedByte()
+    val b1 = in.readUnsignedByte()
+    val masked = (b1 & 0x80) != 0
+    val len7 = b1 & 0x7F
+    val len: Long =
+      if (len7 < 126) len7
+      else if (len7 == 126) in.readUnsignedShort().toLong
+      else in.readLong()
+    require(len <= Int.MaxValue, s"frame of $len bytes exceeds the jack's limit")
+    val key = if (masked) { val k = new Array[Byte](4); in.readFully(k); k } else null
+    val payload = new Array[Byte](len.toInt)
+    in.readFully(payload)
+    if (masked) {
+      var i = 0
+      while (i < payload.length) { payload(i) = (payload(i) ^ key(i % 4)).toByte; i += 1 }
+    }
+    Frame((b0 & 0x80) != 0, b0 & 0x0F, payload)
+  }
+}
+
+/** S10 + K6: WebSocket server hub — ingress jack (received text messages
+  * flow into a streaming source buffer) and broadcast sink (text frames
+  * pushed to every connected peer). `port = 0` binds an ephemeral port
+  * (see [[boundPort]]). */
+final class WsServerHub(spark: SparkSession, port: Int) {
+
+  import spark.implicits._
+  private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val stream = MemoryStream[String]
+  private val server = new ServerSocket(port)
+  private val running = new AtomicBoolean(true)
+  private val conns = new ConcurrentHashMap[Socket, OutputStream]()
+  private val received = new AtomicLong(0)
+  private val broadcastCount = new AtomicLong(0)
+
+  def boundPort: Int = server.getLocalPort
+
+  private val acceptor = new Thread(() => {
+    while (running.get()) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => serve(sock), s"graft-ws-conn-${sock.getPort}")
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Throwable => () } // closed during accept = shutdown
+    }
+  }, "graft-ws-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  /** Per-connection: HTTP Upgrade handshake, then the frame loop. A text
+    * message buffers continuation frames until FIN, then lands in the
+    * source buffer. Ping is answered with pong; close is echoed and the
+    * socket dropped (RFC 6455 §5.5.1). */
+  private def serve(sock: Socket): Unit = {
+    try {
+      val in = new DataInputStream(sock.getInputStream)
+      val rawOut = new BufferedOutputStream(sock.getOutputStream)
+      val key = readUpgradeKey(in)
+      rawOut.write(
+        ("HTTP/1.1 101 Switching Protocols\r\n" +
+          "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+          s"Sec-WebSocket-Accept: ${WsFrames.acceptKey(key)}\r\n\r\n").getBytes(UTF_8))
+      rawOut.flush()
+      val out = new DataOutputStream(rawOut)
+      conns.put(sock, out)
+      val pending = new StringBuilder
+      var open = true
+      while (open && running.get()) {
+        val f = WsFrames.readFrame(in)
+        f.opcode match {
+          case WsFrames.OpText | 0x0 =>
+            pending.append(new String(f.payload, UTF_8))
+            if (f.fin) {
+              stream.addData(pending.result())
+              received.incrementAndGet()
+              pending.clear()
+            }
+          case WsFrames.OpPing =>
+            out.synchronized { out.write(WsFrames.encode(WsFrames.OpPong, f.payload)); out.flush() }
+          case WsFrames.OpClose =>
+            out.synchronized { out.write(WsFrames.encode(WsFrames.OpClose, f.payload)); out.flush() }
+            open = false
+          case _ => () // binary frames are out of the jack's contract; skip
+        }
+      }
+    } catch { case _: Throwable => () } // connection-level failure drops the peer only
+    finally { conns.remove(sock); try sock.close() catch { case _: Throwable => () } }
+  }
+
+  private def readUpgradeKey(in: DataInputStream): String = {
+    var key: String = null
+    var line = readHeaderLine(in)
+    while (line.nonEmpty) {
+      val idx = line.indexOf(':')
+      if (idx > 0 && line.substring(0, idx).trim.equalsIgnoreCase("Sec-WebSocket-Key"))
+        key = line.substring(idx + 1).trim
+      line = readHeaderLine(in)
+    }
+    require(key != null, "upgrade request carries no Sec-WebSocket-Key")
+    key
+  }
+
+  private def readHeaderLine(in: DataInputStream): String = {
+    val sb = new StringBuilder
+    var c = in.read()
+    while (c != -1 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = in.read() }
+    sb.result()
+  }
+
+  /** Raw ingress stream (one string per received text message). */
+  def raw: Dataset[String] = stream.toDS()
+
+  /** Typed ingress: each message JSON-decoded to `schema` fields. */
+  def jsonStream(schema: StructType): DataFrame =
+    Sources.jsonLines(raw.toDF("value"), "value", schema)
+
+  /** K6 broadcast: push each record to every connected peer as one text
+    * frame. Returns the number of frames written (records × live peers). A
+    * peer that fails mid-broadcast is dropped, not retried — the
+    * reference's broadcast loop likewise treats send failure as
+    * disconnect. Driver-side fan-out by design (see class doc): feed from
+    * `foreachBatch` with `df.toJSON.toLocalIterator` for streaming use. */
+  def broadcast(records: IterableOnce[String]): Long = {
+    var sent = 0L
+    records.iterator.foreach { r =>
+      val frame = WsFrames.encode(WsFrames.OpText, r.getBytes(UTF_8))
+      conns.forEach { (sock, out) =>
+        try {
+          out.synchronized { out.write(frame); out.flush() }
+          sent += 1
+        } catch {
+          case _: Throwable =>
+            conns.remove(sock); try sock.close() catch { case _: Throwable => () }
+        }
+      }
+    }
+    broadcastCount.addAndGet(sent)
+    sent
+  }
+
+  def connectionCount: Int = conns.size()
+  def receivedCount: Long = received.get()
+  def broadcastFrames: Long = broadcastCount.get()
+
+  def stop(): Unit = {
+    running.set(false)
+    try server.close() catch { case _: Throwable => () }
+    conns.forEach { (sock, _) => try sock.close() catch { case _: Throwable => () } }
+    conns.clear()
+  }
+}
+
+/** S8 WebSocket client source: connect to a ws:// endpoint and buffer
+  * server-pushed text messages into a streaming source. The underlying
+  * client is the JDK's own RFC 6455 implementation, so its handshake and
+  * mandatory client-side masking exercise [[WsServerHub]]'s decode path
+  * from an independent implementation in the e2e test. */
+final class WsClientSource(spark: SparkSession, url: String) {
+
+  import spark.implicits._
+  private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val stream = MemoryStream[String]
+  private val received = new AtomicLong(0)
+  private val closed = new AtomicReference[String](null)
+  private val ws = new AtomicReference[java.net.http.WebSocket](null)
+
+  private final class Listener extends java.net.http.WebSocket.Listener {
+    private val pending = new StringBuilder
+    override def onText(w: java.net.http.WebSocket, data: CharSequence,
+                        last: Boolean): CompletionStage[_] = {
+      pending.append(data)
+      if (last) {
+        stream.addData(pending.result())
+        received.incrementAndGet()
+        pending.clear()
+      }
+      w.request(1)
+      null
+    }
+    override def onClose(w: java.net.http.WebSocket, statusCode: Int,
+                         reason: String): CompletionStage[_] = {
+      closed.set(s"$statusCode $reason")
+      null
+    }
+  }
+
+  /** Connect (blocking, with timeout). */
+  def connect(timeoutMillis: Long = 10000): Unit = {
+    val built = java.net.http.HttpClient.newHttpClient().newWebSocketBuilder()
+      .buildAsync(URI.create(url), new Listener)
+      .orTimeout(timeoutMillis, TimeUnit.MILLISECONDS)
+      .join()
+    ws.set(built)
+  }
+
+  def raw: Dataset[String] = stream.toDS()
+  def jsonStream(schema: StructType): DataFrame =
+    Sources.jsonLines(raw.toDF("value"), "value", schema)
+
+  /** Send one text message (the client half is bidirectional in the
+    * reference adapter too). */
+  def send(text: String): Unit = {
+    val w = ws.get()
+    require(w != null, "not connected")
+    w.sendText(text, true).join()
+  }
+
+  def receivedCount: Long = received.get()
+  def closeReason: Option[String] = Option(closed.get())
+
+  def stop(): Unit = {
+    val w = ws.getAndSet(null)
+    if (w != null) {
+      try w.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "bye")
+        .orTimeout(2, TimeUnit.SECONDS).join()
+      catch { case _: Throwable => () }
+    }
+  }
+}

@@ -1,0 +1,110 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.SparkSpec
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+/** WebSocket edge adapters (S8 client / S10 server jack / K6 broadcast):
+  * RFC 6455 codec known-answers and round-trips, then a full e2e in which
+  * the JDK's independent WebSocket client implementation talks to our
+  * hand-rolled server — each side's handshake, masking, and framing
+  * validates the other's. */
+class WebSocketSpec extends SparkSpec {
+
+  private val schema = new StructType()
+    .add("id", LongType).add("name", StringType)
+
+  test("Sec-WebSocket-Accept matches the RFC 6455 worked example") {
+    assert(WsFrames.acceptKey("dGhlIHNhbXBsZSBub25jZQ==") ==
+      "s3pPLMBiTxaQ9kYGzzhZRbK+xOo=")
+  }
+
+  test("frame codec round-trips across the 7/16/64-bit length encodings") {
+    for {
+      n <- Seq(0, 1, 125, 126, 200, 65535, 65536, 70000)
+      mask <- Seq(None, Some(Array[Byte](1, 2, 3, 4)))
+    } {
+      val payload = Array.tabulate[Byte](n)(i => (i % 251).toByte)
+      val bytes = WsFrames.encode(WsFrames.OpText, payload, mask)
+      val f = WsFrames.readFrame(new DataInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      assert(f.fin && f.opcode == WsFrames.OpText, s"n=$n mask=${mask.isDefined}")
+      assert(f.payload.toSeq == payload.toSeq, s"n=$n mask=${mask.isDefined}")
+    }
+  }
+
+  test("raw-socket peer: handshake key, masked 16-bit frame, ping->pong, close echo") {
+    val hub = new WsServerHub(spark, 0)
+    try {
+      val sock = new java.net.Socket("127.0.0.1", hub.boundPort)
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      out.write(("GET /jack HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n" +
+        "Connection: Upgrade\r\nSec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n" +
+        "Sec-WebSocket-Version: 13\r\n\r\n").getBytes(UTF_8))
+      out.flush()
+      val resp = new StringBuilder
+      while (!resp.endsWith("\r\n\r\n")) resp.append(in.read().toChar)
+      assert(resp.startsWith("HTTP/1.1 101"), resp.result())
+      assert(resp.toString.contains("Sec-WebSocket-Accept: s3pPLMBiTxaQ9kYGzzhZRbK+xOo="))
+      // masked text frame long enough for the 16-bit length path
+      val msg = ("{\"id\":7,\"name\":\"" + "x" * 180 + "\"}").getBytes(UTF_8)
+      out.write(WsFrames.encode(WsFrames.OpText, msg, Some(Array[Byte](9, 8, 7, 6))))
+      out.flush()
+      // ping must come back as pong with the same payload
+      out.write(WsFrames.encode(WsFrames.OpPing, "hb".getBytes(UTF_8), Some(Array[Byte](1, 1, 1, 1))))
+      out.flush()
+      val pong = WsFrames.readFrame(in)
+      assert(pong.opcode == WsFrames.OpPong && new String(pong.payload, UTF_8) == "hb")
+      // close is echoed, then the server drops the connection
+      out.write(WsFrames.encode(WsFrames.OpClose, Array.emptyByteArray, Some(Array[Byte](2, 2, 2, 2))))
+      out.flush()
+      assert(WsFrames.readFrame(in).opcode == WsFrames.OpClose)
+      sock.close()
+      assert(hub.receivedCount == 1)
+    } finally hub.stop()
+  }
+
+  test("e2e: JDK client pushes into the jack; hub broadcast reaches the client source (S8+S10+K6)") {
+    val hub = new WsServerHub(spark, 0)
+    val client = new WsClientSource(spark, s"ws://127.0.0.1:${hub.boundPort}/feed")
+    val ingress = hub.jsonStream(schema).writeStream
+      .format("memory").queryName("ws_jack").outputMode("append").start()
+    try {
+      client.connect()
+      // S10 ingress: the JDK client's masked frames through our decode
+      (0 until 5).foreach(i => client.send(s"""{"id":$i,"name":"rec$i"}"""))
+      eventually(hub.receivedCount == 5, "jack did not receive 5 messages")
+      ingress.processAllAvailable()
+      val rows = spark.table("ws_jack").collect()
+      assert(rows.length == 5)
+      assert(rows.map(_.getAs[Long]("id")).sorted.toSeq == (0L until 5L))
+
+      // K6 broadcast: our frames through the JDK client's decode,
+      // flowing into the S8 client source's streaming buffer
+      val egress = client.raw.toDF("value").writeStream
+        .format("memory").queryName("ws_client").outputMode("append").start()
+      try {
+        assert(hub.connectionCount == 1)
+        val sent = hub.broadcast(Seq("""{"id":100}""", """{"id":101}"""))
+        assert(sent == 2, s"sent=$sent")
+        eventually(client.receivedCount == 2, "client did not receive the broadcast")
+        egress.processAllAvailable()
+        val got = spark.table("ws_client").collect().map(_.getString(0)).sorted
+        assert(got.toSeq == Seq("""{"id":100}""", """{"id":101}"""))
+      } finally egress.stop()
+    } finally {
+      client.stop()
+      ingress.stop()
+      hub.stop()
+    }
+  }
+
+  private def eventually(cond: => Boolean, msg: String, timeoutMs: Long = 10000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(20)
+    assert(cond, msg)
+  }
+}
