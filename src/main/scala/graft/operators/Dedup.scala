@@ -112,8 +112,26 @@ object Dedup {
     * `maxHamming + 1` keys — by pigeonhole, any pair within Hamming
     * distance maxHamming shares at least one full band, so candidate
     * generation is recall-complete for the requested distance. Exact
-    * Hamming distance is then computed on the candidates only. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * Hamming distance is then computed on the candidates only.
+    *
+    * Unlike [[minhashPairs]] (whose fine-grained buckets hold only true
+    * near-dup candidates, so a capped collect-and-explode is fine), the
+    * 16-bit simhash bands produce NATURALLY POPULOUS buckets — the r5 sf1
+    * rehearsal measured the collect-and-explode variant 5× slower than a
+    * self-join because each bucket's quadratic pair emit ran in ONE task.
+    * So candidate generation here stays a distributed self-join, but over
+    * buckets pre-filtered through a size window: a one-pass (band, bucket)
+    * count drops singleton buckets and hot buckets past `maxBucket`
+    * before any pair exists (the degenerate-bucket guard the r4 version
+    * lacked). The 64-bit simhash rides the band exchange — it is ONE long
+    * (the minhash rule against signature arrays in the exchange is about
+    * KB-wide payloads), which lets the Hamming filter run on the join
+    * output directly so only the ≤ maxHamming SURVIVORS reach the
+    * distinct's shuffle; re-joining sims by id instead was measured 5×
+    * slower at sf1 because the full quadratic candidate set crossed the
+    * wire three times. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   maxBucket: Int = 100000): DataFrame = {
     val nBands = maxHamming + 1
     require(nBands <= 64, s"maxHamming $maxHamming needs more bands than bits")
     val bounds = (0 to nBands).map(b => b * 64 / nBands)
@@ -129,14 +147,24 @@ object Dedup {
           shiftright(col("simhash"), bounds(b)).bitwiseAND(mask).as("bucket"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"), col("simhash").as("a_sim"))
-    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("b_id"), col("simhash").as("b_sim"))
+    // size window via a partition-count window function: one (band,bucket)
+    // exchange that the self-join below then reuses — a groupBy+join
+    // formulation computed the banded subtree twice and cost ~0.7 s extra
+    // at sf0.1
+    val eligible = banded
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .filter(col("n") >= 2 && col("n") <= maxBucket)
+      .drop("n")
+    val a = eligible.select(col("band"), col("bucket"), col("doc_id").as("a_id"), col("simhash").as("a_sim"))
+    val b = eligible.select(col("band"), col("bucket"), col("doc_id").as("b_id"), col("simhash").as("b_sim"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_sim", "b_sim").distinct()
+      // Hamming filter BEFORE the distinct: pairs are born and die inside
+      // the join tasks; only survivors shuffle for cross-band dedup
       .withColumn("hamming", bit_count(col("a_sim").bitwiseXOR(col("b_sim"))))
       .filter(col("hamming") <= maxHamming)
-      .select("a_id", "b_id", "hamming")
+      .select("a_id", "b_id", "hamming").distinct()
   }
 
   /** Winnowing-fingerprint overlap candidates: documents sharing ≥

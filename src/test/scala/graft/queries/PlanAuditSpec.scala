@@ -120,6 +120,25 @@ class PlanAuditSpec extends SparkSpec {
     assertNarrowBucketShuffle("dd_embed_lsh", "embedding", "norm")
   }
 
+  test("dd_simhash: buckets size-windowed; hamming filter precedes the distinct") {
+    val p = planOf("dd_simhash")
+    // the r5 sf1 rehearsal: pair generation must stay a DISTRIBUTED
+    // self-join (a capped collect-and-explode serialized each populous
+    // bucket's quadratic emit into one task), gated by the [2, maxBucket]
+    // size window (the per-bucket Window count) — and the hamming cut
+    // must run inside the join output so only survivors reach the
+    // distinct's exchange: no exchange may carry a raw pair row without
+    // the hamming column already computed upstream
+    assert("Window ".r.findAllIn(p).nonEmpty, p)
+    val fmtd = graft.SparkEntry.queries("dd_simhash")(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    val hashExchanges = fmtd.split("\\n(?=\\(\\d+\\) )").toSeq
+      .filter(b => b.startsWith("(") && b.linesIterator.next().contains("Exchange"))
+      .filter(_.contains("hashpartitioning(a_id"))
+    assert(hashExchanges.nonEmpty, fmtd)
+    hashExchanges.foreach(b => assert(b.contains("hamming"), b))
+  }
+
   test("txt_tfidf: one corpus scan; per-doc top-k short-circuits via WindowGroupLimit") {
     val p = planOf("txt_tfidf")
     assert(countScans(p) == 1, p) // df from window over tf, not a re-scan
