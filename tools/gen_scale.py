@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Deterministic sf1 rehearsal tables: a 10x replication of sf0.1.
+
+Dimensions are copied as-is; fact tables are replicated `COPIES` times
+with per-copy key shifts chosen so foreign keys stay valid (dimension
+keys untouched, lineitem/orders shift together) and so the %-based
+samplers in the declared queries see the same fraction in every copy
+(doc offset divisible by 10 and 50). events.ts gets a +copy MICROsecond
+skew: it breaks cross-copy ordering ties deterministically AND survives
+DuckDB's nanos->micros truncation, so rank/lag-based oracles stay
+value-aligned (a nanosecond skew would vanish on the DuckDB side).
+
+pyarrow (not Spark) so events.ts round-trips as parquet TIMESTAMP(NANOS)
+- Spark 4 cannot write that type, and both engines' reads are keyed to it
+(see TESTDATA.md / Tables.load nanosAsLong).
+
+Usage: python3 tools/gen_scale.py [outdir]   (default /tmp/graft_sf1)
+"""
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
+COPIES = 10
+
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+# table -> {column: per-copy offset}
+FACTS = {
+    "lineitem": {"l_orderkey": 10_000_000},
+    "orders": {"o_orderkey": 10_000_000},
+    "events": {"event_id": 10_000_000, "ts": 1_000},  # ts unit: nanos -> 1 us/copy
+    "documents": {"doc_id": 100_000},
+    "embeddings": {"vec_id": 1_000_000},
+}
+
+
+def shifted(table, shifts, copy):
+    cols = []
+    for name in table.schema.names:
+        col = table.column(name)
+        if name in shifts and copy > 0:
+            typ = col.type
+            if pa.types.is_timestamp(typ):
+                col = pc.add(col, pa.scalar(shifts[name] * copy, type=pa.duration(typ.unit)))
+            else:
+                col = pc.add(col, pa.scalar(shifts[name] * copy, type=typ))
+            col = col.cast(typ)
+        cols.append(col)
+    return pa.table(dict(zip(table.schema.names, cols)), schema=table.schema)
+
+
+def main():
+    import os
+
+    os.makedirs(OUT, exist_ok=True)
+    for t in DIMS:
+        table = pq.read_table(f"{SRC}/{t}.parquet")
+        pq.write_table(table, f"{OUT}/{t}.parquet")
+        print(f"{t}: {table.num_rows} rows (copied)")
+    for t, shifts in FACTS.items():
+        base = pq.read_table(f"{SRC}/{t}.parquet")
+        big = pa.concat_tables([shifted(base, shifts, c) for c in range(COPIES)])
+        pq.write_table(big, f"{OUT}/{t}.parquet")
+        print(f"{t}: {base.num_rows} -> {big.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()
