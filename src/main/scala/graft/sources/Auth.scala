@@ -1,0 +1,89 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpRequest, HttpResponse}
+import java.net.URLEncoder
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.Duration
+import java.util.concurrent.atomic.AtomicReference
+
+/** OAuth2 client-credentials grant for the HTTP adapters — the auth half
+  * of the reference HTTP client (`/root/reference/pkg/internal/adapter/
+  * httpclient/oauth.go`): POST the grant to the token endpoint, cache the
+  * bearer token until `expires_in` minus a refresh skew, re-fetch lazily
+  * on expiry, and inject `Authorization: Bearer ...` into data requests.
+  *
+  * Driver-side like the poll source it feeds (the token cache is one
+  * mutable cell; executors never fetch). Transport and clock are
+  * injectable for deterministic tests. */
+final class OAuth2ClientCredentials(
+    tokenUrl: String,
+    clientId: String,
+    clientSecret: String,
+    scope: Option[String] = None,
+    refreshSkewMillis: Long = 30000,
+    post: (String, String) => String = Auth.postForm(_, _),
+    now: () => Long = () => System.currentTimeMillis()) {
+
+  private final case class Tok(value: String, expiresAt: Long)
+  private val cached = new AtomicReference[Tok](null)
+  private val fetchCount = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Current bearer token, fetching/refreshing if absent or expiring. */
+  def token(): String = {
+    val t = cached.get()
+    if (t != null && now() < t.expiresAt) t.value
+    else this.synchronized { // one refresher; losers reuse the fresh token
+      val t2 = cached.get()
+      if (t2 != null && now() < t2.expiresAt) t2.value
+      else {
+        val fresh = fetch()
+        cached.set(fresh)
+        fresh.value
+      }
+    }
+  }
+
+  /** Header map for [[Http.get]]. */
+  def authHeader(): Map[String, String] =
+    Map("Authorization" -> s"Bearer ${token()}")
+
+  def tokenFetches: Long = fetchCount.get()
+
+  private def fetch(): Tok = {
+    val form = (Seq(
+      "grant_type" -> "client_credentials",
+      "client_id" -> clientId,
+      "client_secret" -> clientSecret) ++ scope.map("scope" -> _))
+      .map { case (k, v) => s"$k=${URLEncoder.encode(v, UTF_8)}" }
+      .mkString("&")
+    val body = post(tokenUrl, form)
+    fetchCount.incrementAndGet()
+    // jackson ships with Spark; a full JSON parse beats regex token-picking
+    val json = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    val tok = json.path("access_token").asText(null)
+    require(tok != null && tok.nonEmpty, s"token endpoint returned no access_token: $body")
+    val ttlMillis = json.path("expires_in").asLong(0L) * 1000L
+    val expiresAt =
+      if (ttlMillis <= 0) Long.MaxValue // non-expiring token
+      else now() + math.max(ttlMillis - refreshSkewMillis, 1000L)
+    Tok(tok, expiresAt)
+  }
+}
+
+object Auth {
+  /** Form-encoded POST returning the body; non-2xx throws (so retry
+    * policies see it), mirroring [[Http.get]]. */
+  def postForm(url: String, form: String, timeoutMillis: Long = 10000): String = {
+    val req = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofMillis(timeoutMillis))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(form))
+      .build()
+    val resp = java.net.http.HttpClient.newHttpClient()
+      .send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() < 200 || resp.statusCode() >= 300)
+      throw new Http.StatusException(resp.statusCode(), url)
+    resp.body()
+  }
+}

@@ -1,0 +1,98 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.HttpServer
+import graft.SparkSpec
+
+/** OAuth2 client-credentials against an in-process authorization +
+  * resource server: grant shape, token caching, skewed refresh, bearer
+  * injection into the poll-source fetch path. */
+class AuthSpec extends SparkSpec {
+
+  private def withServers(expiresIn: Long)(f: (String, String, AtomicInteger) => Unit): Unit = {
+    val tokens = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/token", { ex =>
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val n = tokens.incrementAndGet()
+      val resp =
+        if (!body.contains("grant_type=client_credentials") ||
+          !body.contains("client_id=cid") || !body.contains("client_secret=sec")) {
+          """{"error":"invalid_client"}""".getBytes("UTF-8")
+        } else s"""{"access_token":"tok$n","token_type":"Bearer","expires_in":$expiresIn}""".getBytes("UTF-8")
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, resp.length)
+      ex.getResponseBody.write(resp)
+      ex.close()
+    })
+    server.createContext("/data", { ex =>
+      val auth = ex.getRequestHeaders.getFirst("Authorization")
+      if (auth == null || !auth.startsWith("Bearer tok")) {
+        ex.sendResponseHeaders(401, -1)
+      } else {
+        val body = s"""{"id":1,"via":"${auth.stripPrefix("Bearer ")}"}""".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body)
+      }
+      ex.close()
+    })
+    server.start()
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    try f(s"$base/token", s"$base/data", tokens)
+    finally server.stop(0)
+  }
+
+  test("grant is posted once and the token cached across requests") {
+    withServers(expiresIn = 3600) { (tokenUrl, dataUrl, tokens) =>
+      val oauth = new OAuth2ClientCredentials(tokenUrl, "cid", "sec")
+      (0 until 3).foreach { _ =>
+        val body = Http.get(dataUrl, headers = oauth.authHeader())
+        assert(body.contains("\"via\":\"tok1\""), body)
+      }
+      assert(tokens.get() == 1 && oauth.tokenFetches == 1)
+    }
+  }
+
+  test("expired token refreshes lazily, respecting the skew") {
+    withServers(expiresIn = 60) { (tokenUrl, _, tokens) =>
+      var clock = 0L
+      val oauth = new OAuth2ClientCredentials(tokenUrl, "cid", "sec",
+        refreshSkewMillis = 10000, now = () => clock)
+      assert(oauth.token() == "tok1")
+      clock = 49000 // inside expires_in - skew
+      assert(oauth.token() == "tok1")
+      clock = 51000 // past 60s - 10s skew -> refresh
+      assert(oauth.token() == "tok2")
+      assert(tokens.get() == 2)
+    }
+  }
+
+  test("a wrong secret fails loudly, not with a phantom token") {
+    withServers(expiresIn = 3600) { (tokenUrl, _, _) =>
+      val bad = new OAuth2ClientCredentials(tokenUrl, "cid", "WRONG")
+      val e = intercept[IllegalArgumentException](bad.token())
+      assert(e.getMessage.contains("no access_token"), e.getMessage)
+    }
+  }
+
+  test("bearer injection feeds the poll source end to end") {
+    withServers(expiresIn = 3600) { (tokenUrl, dataUrl, _) =>
+      val oauth = new OAuth2ClientCredentials(tokenUrl, "cid", "sec")
+      val src = new HttpPollSource(spark,
+        () => Http.get(dataUrl, headers = oauth.authHeader()),
+        intervalMillis = 50, sleep = _ => ())
+      assert(src.pollOnce() == 1)
+      val q = src.jsonStream(new org.apache.spark.sql.types.StructType()
+          .add("id", org.apache.spark.sql.types.LongType)
+          .add("via", org.apache.spark.sql.types.StringType))
+        .writeStream.format("memory").queryName("oauth_poll").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val rows = spark.table("oauth_poll").collect()
+        assert(rows.length == 1 && rows.head.getAs[String]("via") == "tok1")
+      } finally q.stop()
+    }
+  }
+}
