@@ -1,0 +1,277 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+import java.security.{KeyFactory, KeyStore, PrivateKey}
+import java.security.cert.{CertificateFactory, X509Certificate}
+import java.security.spec.PKCS8EncodedKeySpec
+import java.util.Base64
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+import javax.net.ssl.{KeyManagerFactory, SNIHostName, SSLContext, SSLParameters,
+  SSLServerSocket, SSLSocket, TrustManagerFactory}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types.StructType
+
+/** TLS / mTLS for the socket edge adapters — the transport-security half
+  * of the reference relays (`/root/reference/pkg/internal/receivingrelay/
+  * tls.go:13-90`, `forwardrelay/tls.go:13-80`): PEM cert/key/CA files, a
+  * bounded TLS version range defaulting to 1.2–1.3, SNI/hostname
+  * verification against the configured server name, and — for mTLS — the
+  * reference's `MTLSOptions{AllowedPrincipals, TrustDomain}`
+  * (`receivingrelay/auth_options.go:14-24`): the server requires a client
+  * certificate from the configured CA and authorizes the presented
+  * principal (SPIFFE URI SAN if present, else the subject CN).
+  *
+  * JDK-only (`javax.net.ssl`): PEM parsing via `CertificateFactory` +
+  * PKCS#8 `KeyFactory`, no new dependencies. [[TlsConfig]] is a small
+  * serializable value so the relay writer can build its `SSLContext`
+  * executor-side inside `foreachPartition` — certificates distribute like
+  * any other executor-local file (`--files` on a cluster).
+  */
+final case class TlsConfig(
+    certFile: String,
+    keyFile: String,
+    caFile: String,
+    serverName: String = "localhost",
+    minVersion: String = "TLSv1.2",
+    maxVersion: String = "TLSv1.3")
+
+/** mTLS authorization policy (reference `relay.MTLSOptions`). Principals
+  * are SPIFFE-style URIs (`spiffe://<trustDomain>/<name>`) when the client
+  * certificate carries a URI SAN, else `cn:<subject CN>`. An empty
+  * `allowedPrincipals` admits any certificate the CA signed (transport
+  * authentication only); a non-empty list also requires the principal to
+  * be listed. A non-empty `trustDomain` additionally requires URI
+  * principals to live in that domain. */
+final case class MtlsOptions(
+    allowedPrincipals: Seq[String] = Nil,
+    trustDomain: String = "")
+
+object Tls {
+
+  /** All certificates in a PEM file (a chain file yields the chain). */
+  def loadCerts(path: String): Seq[X509Certificate] = {
+    val in = Files.newInputStream(Paths.get(path))
+    try {
+      import scala.jdk.CollectionConverters._
+      CertificateFactory.getInstance("X.509").generateCertificates(in)
+        .asScala.toSeq.map(_.asInstanceOf[X509Certificate])
+    } finally in.close()
+  }
+
+  /** PKCS#8 "PRIVATE KEY" PEM → `PrivateKey` (EC then RSA — the two
+    * families the reference's `tls.LoadX509KeyPair` accepts in practice). */
+  def loadPrivateKey(path: String): PrivateKey = {
+    val pem = new String(Files.readAllBytes(Paths.get(path)), UTF_8)
+    val b64 = pem.linesIterator
+      .filterNot(l => l.startsWith("-----") || l.isBlank).mkString
+    val der = Base64.getDecoder.decode(b64)
+    val spec = new PKCS8EncodedKeySpec(der)
+    try KeyFactory.getInstance("EC").generatePrivate(spec)
+    catch {
+      case _: java.security.spec.InvalidKeySpecException =>
+        KeyFactory.getInstance("RSA").generatePrivate(spec)
+    }
+  }
+
+  /** SSLContext with our identity (cert+key) and the peer CA as the only
+    * trust anchor — both sides of the reference's `tls.Config`
+    * (Certificates + RootCAs/ClientCAs). */
+  def sslContext(cfg: TlsConfig): SSLContext = {
+    val pw = Array.emptyCharArray // in-memory stores; no password at rest
+    val ks = KeyStore.getInstance("PKCS12")
+    ks.load(null, null)
+    ks.setKeyEntry("identity", loadPrivateKey(cfg.keyFile), pw,
+      loadCerts(cfg.certFile).toArray)
+    val kmf = KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, pw)
+    val ts = KeyStore.getInstance("PKCS12")
+    ts.load(null, null)
+    loadCerts(cfg.caFile).zipWithIndex.foreach { case (c, i) =>
+      ts.setCertificateEntry(s"ca-$i", c)
+    }
+    val tmf = TrustManagerFactory.getInstance(TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(ts)
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, tmf.getTrustManagers, null)
+    ctx
+  }
+
+  /** The JDK protocol names admitted by the configured [min, max] range
+    * (reference MinTLSVersion/MaxTLSVersion defaulting, `tls.go:54-61`). */
+  def protocolRange(cfg: TlsConfig): Array[String] = {
+    val order = Seq("TLSv1.2", "TLSv1.3")
+    val lo = order.indexOf(cfg.minVersion)
+    val hi = order.indexOf(cfg.maxVersion)
+    require(lo >= 0 && hi >= lo, s"bad TLS version range [${cfg.minVersion}, ${cfg.maxVersion}]")
+    order.slice(lo, hi + 1).toArray
+  }
+
+  /** Connect a client socket: bounded protocol range, SNI = serverName,
+    * and HTTPS-style endpoint identification (hostname verification
+    * against the server certificate — the reference sets
+    * `ServerName` on its client `tls.Config` for the same check). */
+  def clientSocket(cfg: TlsConfig, host: String, port: Int): SSLSocket = {
+    val sock = sslContext(cfg).getSocketFactory
+      .createSocket(host, port).asInstanceOf[SSLSocket]
+    val params = new SSLParameters()
+    params.setProtocols(protocolRange(cfg))
+    params.setServerNames(java.util.List.of(new SNIHostName(cfg.serverName)))
+    params.setEndpointIdentificationAlgorithm("HTTPS")
+    sock.setSSLParameters(params)
+    sock.startHandshake()
+    sock
+  }
+
+  /** Bind a server socket; `mtls` nonempty ⇒ client certificates are
+    * REQUIRED and verified against the CA (Go's
+    * `tls.RequireAndVerifyClientCert`). Principal authorization happens
+    * after the handshake via [[authorize]] — TLS proves possession, the
+    * policy decides admission, as in the reference's auth options split. */
+  def serverSocket(cfg: TlsConfig, port: Int, mtls: Option[MtlsOptions]): SSLServerSocket = {
+    val srv = sslContext(cfg).getServerSocketFactory
+      .createServerSocket(port).asInstanceOf[SSLServerSocket]
+    srv.setEnabledProtocols(protocolRange(cfg))
+    if (mtls.isDefined) srv.setNeedClientAuth(true)
+    srv
+  }
+
+  /** The peer's principal: first URI SAN (SPIFFE identity) if present,
+    * else `cn:<subject CN>`. */
+  def principalOf(cert: X509Certificate): String = {
+    val sans = Option(cert.getSubjectAlternativeNames)
+    val uri = sans.flatMap { list =>
+      import scala.jdk.CollectionConverters._
+      list.asScala.collectFirst {
+        // SAN type 6 = uniformResourceIdentifier (RFC 5280)
+        case entry if entry.get(0) == Integer.valueOf(6) => entry.get(1).toString
+      }
+    }
+    uri.getOrElse {
+      val dn = cert.getSubjectX500Principal.getName
+      val cn = dn.split(",").map(_.trim).collectFirst {
+        case kv if kv.startsWith("CN=") => kv.substring(3)
+      }
+      s"cn:${cn.getOrElse(dn)}"
+    }
+  }
+
+  /** Enforce [[MtlsOptions]] on a handshaken server-side socket. Returns
+    * the admitted principal; throws SecurityException on policy failure
+    * (CA validity was already enforced by the handshake itself). */
+  def authorize(sock: SSLSocket, mtls: MtlsOptions): String = {
+    val peer = sock.getSession.getPeerCertificates
+    require(peer.nonEmpty, "mTLS session without a peer certificate")
+    val principal = principalOf(peer.head.asInstanceOf[X509Certificate])
+    if (mtls.trustDomain.nonEmpty && principal.startsWith("spiffe://")) {
+      val domain = principal.stripPrefix("spiffe://").takeWhile(_ != '/')
+      if (domain != mtls.trustDomain)
+        throw new SecurityException(
+          s"principal $principal outside trust domain ${mtls.trustDomain}")
+    }
+    if (mtls.allowedPrincipals.nonEmpty && !mtls.allowedPrincipals.contains(principal))
+      throw new SecurityException(s"principal $principal not in allowed list")
+    principal
+  }
+
+  /** TLS forward relay (K5 secured): [[Sources.writeSocketNdjson]] over
+    * mTLS. Executor-side like the plain variant — each partition builds
+    * its SSLContext from the (serializable) config and streams its rows
+    * over its own authenticated connection. */
+  def writeSocketNdjsonTls(df: DataFrame, host: String, port: Int, cfg: TlsConfig): Unit =
+    df.toJSON.foreachPartition { (it: Iterator[String]) =>
+      if (it.hasNext) {
+        val sock = clientSocket(cfg, host, port)
+        val out = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(sock.getOutputStream, UTF_8))
+        try { it.foreach { line => out.write(line); out.write('\n') }; out.flush() }
+        finally { out.close(); sock.close() }
+      }
+    }
+}
+
+/** S9 server jack, mTLS variant: a protocol-terminating NDJSON listener
+  * that REQUIRES a client certificate from the configured CA and admits
+  * only [[MtlsOptions]]-authorized principals — the reference's
+  * mTLS-guarded receiving relay / server jack
+  * (`receivingrelay/auth_options.go:14-24`, `jack/httpserver/auth`).
+  * Accepted lines land in a [[MemoryStream]] exactly like [[WsServerHub]];
+  * rejected peers are dropped at handshake/authorization and counted.
+  * Driver-ingress by design (control-plane edge; bulk edges stay
+  * Kafka/files — see [[Sources.socketNdjsonStream]]'s scope note). */
+final class TlsNdjsonJack(spark: SparkSession, port: Int, cfg: TlsConfig,
+                          mtls: MtlsOptions = MtlsOptions()) {
+
+  import spark.implicits._
+  private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val stream = MemoryStream[String]
+  private val server = Tls.serverSocket(cfg, port, Some(mtls))
+  private val running = new AtomicBoolean(true)
+  private val received = new AtomicLong(0)
+  private val rejectedPeers = new AtomicLong(0)
+  private val admittedPeers = new AtomicLong(0)
+
+  def boundPort: Int = server.getLocalPort
+
+  private val acceptor = new Thread(() => {
+    while (running.get()) {
+      try {
+        val sock = server.accept().asInstanceOf[SSLSocket]
+        val t = new Thread(() => serve(sock), s"graft-tls-conn-${sock.getPort}")
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Throwable => () } // closed during accept = shutdown
+    }
+  }, "graft-tls-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def serve(sock: SSLSocket): Unit = {
+    var admitted = false
+    try {
+      sock.startHandshake() // rejects certs the CA didn't sign
+      Tls.authorize(sock, mtls) // rejects disallowed principals
+      admitted = true
+      admittedPeers.incrementAndGet()
+      val in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
+      var line = in.readLine()
+      while (line != null && running.get()) {
+        if (line.nonEmpty) {
+          // MemoryStream's row encoder is NOT thread-safe: concurrent
+          // addData from per-connection threads corrupts stored rows
+          // (observed as duplicated/overwritten values). One lock across
+          // all connections; ingestion here is control-plane sized.
+          stream.synchronized { stream.addData(line) }
+          received.incrementAndGet()
+        }
+        line = in.readLine()
+      }
+    } catch {
+      // handshake/authorization failure = rejected peer; an admitted
+      // peer's mid-stream connection failure just drops that peer
+      case _: Throwable => if (!admitted) rejectedPeers.incrementAndGet()
+    } finally { try sock.close() catch { case _: Throwable => () } }
+  }
+
+  /** Raw ingress stream (one string per received line). */
+  def raw: Dataset[String] = stream.toDS()
+
+  /** Typed ingress: each line JSON-decoded to `schema` fields. */
+  def jsonStream(schema: StructType): DataFrame =
+    Sources.jsonLines(raw.toDF("value"), "value", schema)
+
+  def receivedCount: Long = received.get()
+  def admittedCount: Long = admittedPeers.get()
+  def rejectedCount: Long = rejectedPeers.get()
+
+  def stop(): Unit = {
+    running.set(false)
+    try server.close() catch { case _: Throwable => () }
+  }
+}

@@ -157,7 +157,9 @@ final class WsServerHub(spark: SparkSession, port: Int) {
           case WsFrames.OpText | 0x0 =>
             pending.append(new String(f.payload, UTF_8))
             if (f.fin) {
-              stream.addData(pending.result())
+              // serialize across connection threads: MemoryStream's row
+              // encoder is not thread-safe (see TlsNdjsonJack.serve)
+              stream.synchronized { stream.addData(pending.result()) }
               received.incrementAndGet()
               pending.clear()
             }

@@ -1,0 +1,107 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+/** mTLS socket edge (the reference's TLS relay config + MTLSOptions,
+  * `receivingrelay/tls.go`, `auth_options.go`): PEM loading, principal
+  * extraction, a full relay→jack round-trip over mutually-authenticated
+  * TLS, and the three rejection paths (untrusted CA, disallowed
+  * principal, wrong trust domain). Certificates are committed fixtures
+  * under src/test/resources/tls (test-only keys, 100-year validity). */
+class TlsSpec extends SparkSpec {
+
+  private val dir = "src/test/resources/tls"
+  private def cfg(cert: String, key: String, ca: String = "ca.pem") =
+    TlsConfig(s"$dir/$cert", s"$dir/$key", s"$dir/$ca")
+
+  private val serverCfg = cfg("server.pem", "server-key.pem")
+  private val clientCfg = cfg("client.pem", "client-key.pem")
+  private val schema = new StructType().add("id", LongType).add("name", StringType)
+
+  test("PEM loaders: cert chain, EC PKCS#8 key, SPIFFE/CN principals") {
+    val serverCert = Tls.loadCerts(s"$dir/server.pem")
+    assert(serverCert.nonEmpty)
+    assert(Tls.loadPrivateKey(s"$dir/server-key.pem").getAlgorithm == "EC")
+    // client carries a SPIFFE URI SAN; the CA carries only a CN
+    assert(Tls.principalOf(Tls.loadCerts(s"$dir/client.pem").head) ==
+      "spiffe://graft.test/relay-client")
+    assert(Tls.principalOf(Tls.loadCerts(s"$dir/ca.pem").head) == "cn:graft-test-ca")
+  }
+
+  test("protocol range: defaults to 1.2-1.3, rejects inverted ranges") {
+    assert(Tls.protocolRange(serverCfg).toSeq == Seq("TLSv1.2", "TLSv1.3"))
+    assert(Tls.protocolRange(serverCfg.copy(minVersion = "TLSv1.3")).toSeq ==
+      Seq("TLSv1.3"))
+    intercept[IllegalArgumentException] {
+      Tls.protocolRange(serverCfg.copy(minVersion = "TLSv1.3", maxVersion = "TLSv1.2"))
+    }
+  }
+
+  test("e2e: mTLS relay writes, jack authorizes the SPIFFE principal and ingests") {
+    val jack = new TlsNdjsonJack(spark, 0, serverCfg,
+      MtlsOptions(Seq("spiffe://graft.test/relay-client"), "graft.test"))
+    val ingress = jack.jsonStream(schema).writeStream
+      .format("memory").queryName("tls_jack").outputMode("append").start()
+    try {
+      import spark.implicits._
+      val df = (0L until 5L).map(i => (i, s"rec$i")).toDF("id", "name")
+      Tls.writeSocketNdjsonTls(df, "localhost", jack.boundPort, clientCfg)
+      eventually(jack.receivedCount == 5, s"jack got ${jack.receivedCount}/5 lines")
+      ingress.processAllAvailable()
+      val rows = spark.table("tls_jack").collect()
+      assert(rows.length == 5)
+      assert(rows.map(_.getAs[Long]("id")).sorted.toSeq == (0L until 5L))
+      assert(jack.admittedCount >= 1 && jack.rejectedCount == 0)
+    } finally { ingress.stop(); jack.stop() }
+  }
+
+  test("rejects a client whose certificate the CA did not sign") {
+    val jack = new TlsNdjsonJack(spark, 0, serverCfg, MtlsOptions())
+    try {
+      val rogue = cfg("rogue.pem", "rogue-key.pem")
+      intercept[Exception] {
+        val sock = Tls.clientSocket(rogue, "localhost", jack.boundPort)
+        // force the full handshake to complete or fail: TLS 1.3 servers
+        // only see the client cert after the client's Finished flight
+        try { sock.getOutputStream.write('\n'); sock.getOutputStream.flush()
+              sock.getInputStream.read() } finally sock.close()
+      }
+      eventually(jack.rejectedCount >= 1, "rogue peer was not rejected")
+      assert(jack.receivedCount == 0)
+    } finally jack.stop()
+  }
+
+  test("rejects a CA-valid client whose principal is not allowed") {
+    val jack = new TlsNdjsonJack(spark, 0, serverCfg,
+      MtlsOptions(Seq("spiffe://graft.test/relay-client"), "graft.test"))
+    try {
+      val other = cfg("client2.pem", "client2-key.pem")
+      val sock = Tls.clientSocket(other, "localhost", jack.boundPort)
+      try { sock.getOutputStream.write("{\"id\":1}\n".getBytes("UTF-8"))
+            sock.getOutputStream.flush(); sock.getInputStream.read() }
+      catch { case _: Throwable => () } finally sock.close()
+      eventually(jack.rejectedCount >= 1, "disallowed principal was not rejected")
+      assert(jack.receivedCount == 0)
+    } finally jack.stop()
+  }
+
+  test("rejects a principal outside the trust domain") {
+    val jack = new TlsNdjsonJack(spark, 0, serverCfg,
+      MtlsOptions(Nil, "prod.example"))
+    try {
+      val sock = Tls.clientSocket(clientCfg, "localhost", jack.boundPort)
+      try { sock.getOutputStream.write("{\"id\":1}\n".getBytes("UTF-8"))
+            sock.getOutputStream.flush(); sock.getInputStream.read() }
+      catch { case _: Throwable => () } finally sock.close()
+      eventually(jack.rejectedCount >= 1, "out-of-domain principal was not rejected")
+      assert(jack.receivedCount == 0)
+    } finally jack.stop()
+  }
+
+  private def eventually(cond: => Boolean, msg: => String, timeoutMs: Long = 10000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(20)
+    assert(cond, msg)
+  }
+}
