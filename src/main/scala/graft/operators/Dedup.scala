@@ -121,9 +121,17 @@ object Dedup {
     * self-join because each bucket's quadratic pair emit ran in ONE task.
     * So candidate generation here stays a distributed self-join, but over
     * buckets pre-filtered through a size window: a one-pass (band, bucket)
-    * count drops singleton buckets and hot buckets past `maxBucket`
-    * before any pair exists (the degenerate-bucket guard the r4 version
-    * lacked). The 64-bit simhash rides the band exchange — it is ONE long
+    * rank drops singleton buckets and TRUNCATES hot buckets to their
+    * first `maxBucket` members (deterministic doc_id order) before any
+    * pair exists. Truncation, not wholesale drop: a mega-cluster of exact
+    * duplicates concentrates in one bucket, and dropping it entirely
+    * (the r4→r5 interim behavior) silently lost exactly the pairs dedup
+    * most needs. So recall is complete for pairs whose shared bucket
+    * holds ≤ maxBucket members; beyond the cap, the first maxBucket
+    * members still pair (and connected components still merges them)
+    * while the tail is cut — the same bounded-truncation contract as
+    * [[minhashPairs]]'s capped collect. The 64-bit simhash rides the band
+    * exchange — it is ONE long
     * (the minhash rule against signature arrays in the exchange is about
     * KB-wide payloads), which lets the Hamming filter run on the join
     * output directly so only the ≤ maxHamming SURVIVORS reach the
@@ -131,7 +139,7 @@ object Dedup {
     * slower at sf1 because the full quadratic candidate set crossed the
     * wire three times. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-                   maxBucket: Int = 100000): DataFrame = {
+                   maxBucket: Int = 5000): DataFrame = {
     val nBands = maxHamming + 1
     require(nBands <= 64, s"maxHamming $maxHamming needs more bands than bits")
     val bounds = (0 to nBands).map(b => b * 64 / nBands)
@@ -147,15 +155,18 @@ object Dedup {
           shiftright(col("simhash"), bounds(b)).bitwiseAND(mask).as("bucket"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bucket"))
-    // size window via a partition-count window function: one (band,bucket)
-    // exchange that the self-join below then reuses — a groupBy+join
-    // formulation computed the banded subtree twice and cost ~0.7 s extra
-    // at sf0.1
+    // size window via partition-count + rank window functions: one
+    // (band,bucket) exchange that the self-join below then reuses — a
+    // groupBy+join formulation computed the banded subtree twice and cost
+    // ~0.7 s extra at sf0.1. Worst-case join cost per hot bucket is
+    // maxBucket² rows born-and-filtered inside one task — size maxBucket
+    // accordingly
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
     val eligible = banded
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-      .filter(col("n") >= 2 && col("n") <= maxBucket)
-      .drop("n")
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(w.orderBy("doc_id")))
+      .filter(col("n") >= 2 && col("rn") <= maxBucket)
+      .drop("n", "rn")
     val a = eligible.select(col("band"), col("bucket"), col("doc_id").as("a_id"), col("simhash").as("a_sim"))
     val b = eligible.select(col("band"), col("bucket"), col("doc_id").as("b_id"), col("simhash").as("b_sim"))
     a.join(b, Seq("band", "bucket"))
@@ -463,7 +474,6 @@ object Dedup {
     }
     require(converged, s"connectedComponents did not converge in $maxIter " +
       "iterations — the pair graph has pathological diameter; raise maxIter")
-    System.err.println(s"[graft] connectedComponents converged in $iter rounds")
     labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
   }
 }

@@ -72,6 +72,11 @@ final class OAuth2ClientCredentials(
 }
 
 object Auth {
+  // one shared client like HttpPollSource: a fresh HttpClient per token
+  // fetch would churn its selector/executor threads on every refresh of a
+  // long-lived streaming driver
+  private lazy val client = java.net.http.HttpClient.newHttpClient()
+
   /** Form-encoded POST returning the body; non-2xx throws (so retry
     * policies see it), mirroring [[Http.get]]. */
   def postForm(url: String, form: String, timeoutMillis: Long = 10000): String = {
@@ -80,8 +85,7 @@ object Auth {
       .header("Content-Type", "application/x-www-form-urlencoded")
       .POST(HttpRequest.BodyPublishers.ofString(form))
       .build()
-    val resp = java.net.http.HttpClient.newHttpClient()
-      .send(req, HttpResponse.BodyHandlers.ofString())
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() < 200 || resp.statusCode() >= 300)
       throw new Http.StatusException(resp.statusCode(), url)
     resp.body()

@@ -119,13 +119,21 @@ object Tls {
   def clientSocket(cfg: TlsConfig, host: String, port: Int): SSLSocket = {
     val sock = sslContext(cfg).getSocketFactory
       .createSocket(host, port).asInstanceOf[SSLSocket]
-    val params = new SSLParameters()
-    params.setProtocols(protocolRange(cfg))
-    params.setServerNames(java.util.List.of(new SNIHostName(cfg.serverName)))
-    params.setEndpointIdentificationAlgorithm("HTTPS")
-    sock.setSSLParameters(params)
-    sock.startHandshake()
-    sock
+    try {
+      val params = new SSLParameters()
+      params.setProtocols(protocolRange(cfg))
+      params.setServerNames(java.util.List.of(new SNIHostName(cfg.serverName)))
+      params.setEndpointIdentificationAlgorithm("HTTPS")
+      sock.setSSLParameters(params)
+      sock.startHandshake()
+      sock
+    } catch {
+      // close before rethrowing: a rejected handshake inside a retried
+      // Spark task must not leak one FD per attempt
+      case e: Throwable =>
+        try sock.close() catch { case _: Throwable => () }
+        throw e
+    }
   }
 
   /** Bind a server socket; `mtls` nonempty ⇒ client certificates are
@@ -163,12 +171,19 @@ object Tls {
 
   /** Enforce [[MtlsOptions]] on a handshaken server-side socket. Returns
     * the admitted principal; throws SecurityException on policy failure
-    * (CA validity was already enforced by the handshake itself). */
+    * (CA validity was already enforced by the handshake itself). A
+    * non-empty trust domain REQUIRES a SPIFFE principal inside it: a
+    * CA-signed certificate without a URI SAN (a CN-only cert, or the
+    * server's own cert replayed as a client) must not slip past the
+    * domain fence just because it never declared a domain. */
   def authorize(sock: SSLSocket, mtls: MtlsOptions): String = {
     val peer = sock.getSession.getPeerCertificates
     require(peer.nonEmpty, "mTLS session without a peer certificate")
     val principal = principalOf(peer.head.asInstanceOf[X509Certificate])
-    if (mtls.trustDomain.nonEmpty && principal.startsWith("spiffe://")) {
+    if (mtls.trustDomain.nonEmpty) {
+      if (!principal.startsWith("spiffe://"))
+        throw new SecurityException(
+          s"trust domain ${mtls.trustDomain} requires a SPIFFE principal; got $principal")
       val domain = principal.stripPrefix("spiffe://").takeWhile(_ != '/')
       if (domain != mtls.trustDomain)
         throw new SecurityException(
@@ -213,6 +228,7 @@ final class TlsNdjsonJack(spark: SparkSession, port: Int, cfg: TlsConfig,
   private val stream = MemoryStream[String]
   private val server = Tls.serverSocket(cfg, port, Some(mtls))
   private val running = new AtomicBoolean(true)
+  private val conns = java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
   private val received = new AtomicLong(0)
   private val rejectedPeers = new AtomicLong(0)
   private val admittedPeers = new AtomicLong(0)
@@ -220,13 +236,19 @@ final class TlsNdjsonJack(spark: SparkSession, port: Int, cfg: TlsConfig,
   def boundPort: Int = server.getLocalPort
 
   private val acceptor = new Thread(() => {
-    while (running.get()) {
+    while (running.get() && !server.isClosed) {
       try {
         val sock = server.accept().asInstanceOf[SSLSocket]
+        conns.add(sock)
         val t = new Thread(() => serve(sock), s"graft-tls-conn-${sock.getPort}")
         t.setDaemon(true)
         t.start()
-      } catch { case _: Throwable => () } // closed during accept = shutdown
+      } catch {
+        // closed during accept = shutdown (loop condition exits); any
+        // other persistent failure (e.g. FD exhaustion) must not become
+        // a 100% busy-spin — back off before retrying
+        case _: Throwable => if (running.get() && !server.isClosed) Thread.sleep(100)
+      }
     }
   }, "graft-tls-accept")
   acceptor.setDaemon(true)
@@ -256,7 +278,10 @@ final class TlsNdjsonJack(spark: SparkSession, port: Int, cfg: TlsConfig,
       // handshake/authorization failure = rejected peer; an admitted
       // peer's mid-stream connection failure just drops that peer
       case _: Throwable => if (!admitted) rejectedPeers.incrementAndGet()
-    } finally { try sock.close() catch { case _: Throwable => () } }
+    } finally {
+      conns.remove(sock)
+      try sock.close() catch { case _: Throwable => () }
+    }
   }
 
   /** Raw ingress stream (one string per received line). */
@@ -273,5 +298,9 @@ final class TlsNdjsonJack(spark: SparkSession, port: Int, cfg: TlsConfig,
   def stop(): Unit = {
     running.set(false)
     try server.close() catch { case _: Throwable => () }
+    // close live peer connections too, or their reader threads (blocked
+    // in readLine) and sockets outlive the jack for the JVM's life
+    conns.forEach(s => try s.close() catch { case _: Throwable => () })
+    conns.clear()
   }
 }

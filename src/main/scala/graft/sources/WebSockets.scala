@@ -51,12 +51,14 @@ object WsFrames {
   val OpPing = 0x9
   val OpPong = 0xA
 
-  /** Encode one final frame. Server→client frames are unmasked; a client
+  /** Encode one frame (final unless `fin = false` — continuation frames
+    * then carry opcode 0x0). Server→client frames are unmasked; a client
     * MUST mask (RFC 6455 §5.3) — pass a key to take that path. */
   def encode(opcode: Int, payload: Array[Byte],
-             maskKey: Option[Array[Byte]] = None): Array[Byte] = {
+             maskKey: Option[Array[Byte]] = None,
+             fin: Boolean = true): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(payload.length + 14)
-    out.write(0x80 | (opcode & 0x0F))
+    out.write((if (fin) 0x80 else 0x00) | (opcode & 0x0F))
     val maskBit = if (maskKey.isDefined) 0x80 else 0x00
     val n = payload.length
     if (n < 126) out.write(maskBit | n)
@@ -90,7 +92,9 @@ object WsFrames {
       if (len7 < 126) len7
       else if (len7 == 126) in.readUnsignedShort().toLong
       else in.readLong()
-    require(len <= Int.MaxValue, s"frame of $len bytes exceeds the jack's limit")
+    // the 64-bit form is unsigned on the wire: a high-bit length reads as
+    // negative and must be a protocol error, not a NegativeArraySizeException
+    require(len >= 0 && len <= Int.MaxValue, s"bad frame length $len")
     val key = if (masked) { val k = new Array[Byte](4); in.readFully(k); k } else null
     val payload = new Array[Byte](len.toInt)
     in.readFully(payload)
@@ -121,13 +125,17 @@ final class WsServerHub(spark: SparkSession, port: Int) {
   def boundPort: Int = server.getLocalPort
 
   private val acceptor = new Thread(() => {
-    while (running.get()) {
+    while (running.get() && !server.isClosed) {
       try {
         val sock = server.accept()
         val t = new Thread(() => serve(sock), s"graft-ws-conn-${sock.getPort}")
         t.setDaemon(true)
         t.start()
-      } catch { case _: Throwable => () } // closed during accept = shutdown
+      } catch {
+        // closed during accept = shutdown (loop condition exits); other
+        // persistent failures (FD exhaustion) back off instead of spinning
+        case _: Throwable => if (running.get() && !server.isClosed) Thread.sleep(100)
+      }
     }
   }, "graft-ws-accept")
   acceptor.setDaemon(true)
@@ -149,19 +157,23 @@ final class WsServerHub(spark: SparkSession, port: Int) {
       rawOut.flush()
       val out = new DataOutputStream(rawOut)
       conns.put(sock, out)
-      val pending = new StringBuilder
+      // accumulate BYTES and decode once at FIN: RFC 6455 §5.4 lets a
+      // fragmentation boundary split a multi-byte UTF-8 sequence, so
+      // per-fragment decoding would corrupt the straddling character
+      val pending = new java.io.ByteArrayOutputStream()
       var open = true
       while (open && running.get()) {
         val f = WsFrames.readFrame(in)
         f.opcode match {
           case WsFrames.OpText | 0x0 =>
-            pending.append(new String(f.payload, UTF_8))
+            pending.write(f.payload)
             if (f.fin) {
               // serialize across connection threads: MemoryStream's row
               // encoder is not thread-safe (see TlsNdjsonJack.serve)
-              stream.synchronized { stream.addData(pending.result()) }
+              val msg = new String(pending.toByteArray, UTF_8)
+              stream.synchronized { stream.addData(msg) }
               received.incrementAndGet()
-              pending.clear()
+              pending.reset()
             }
           case WsFrames.OpPing =>
             out.synchronized { out.write(WsFrames.encode(WsFrames.OpPong, f.payload)); out.flush() }

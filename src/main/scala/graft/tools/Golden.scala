@@ -66,6 +66,10 @@ object Golden {
     // value- but not byte-identical across runs, so regenerating ALL for
     // a one-query change churns the committed files for nothing
     val only = args.toSet
+    val unknown = only.diff(queries.toSet)
+    require(unknown.isEmpty,
+      s"unknown golden query name(s): ${unknown.mkString(", ")} — " +
+        s"known: ${queries.mkString(", ")}")
     val spark = session()
     queries.filter(n => only.isEmpty || only.contains(n)).foreach { name =>
       writeGolden(graft.SparkEntry.queries(name)(spark, sfDir),

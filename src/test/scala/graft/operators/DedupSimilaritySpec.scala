@@ -50,6 +50,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(dist.agg(max("d")).as[Int].head() <= 16) // one appended word flips few bits
   }
 
+  test("simhash hot buckets truncate to maxBucket members, not to zero pairs") {
+    import spark.implicits._
+    // 6 identical docs share one simhash, so every band's bucket holds all
+    // 6 — past maxBucket = 3. The r5 interim behavior dropped the whole
+    // bucket (zero pairs for exactly the biggest duplicate cluster); the
+    // cap must instead keep the first 3 doc_ids → C(3,2) = 3 pairs.
+    val docs = (0L until 6L).map(i => (i, "the same boilerplate text repeated"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3, maxBucket = 3)
+      .orderBy("a_id", "b_id").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(pairs.forall(_.getInt(2) == 0))
+  }
+
   test("brute-force cosine top-k: self-similarity is 1, results ordered desc") {
     val embs = Tables.embeddings(spark, sfDir)
     val self = embs.limit(5)

@@ -86,6 +86,20 @@ class TlsSpec extends SparkSpec {
     } finally jack.stop()
   }
 
+  test("a trust domain rejects CN-only certificates (no SPIFFE bypass)") {
+    // the server's own CA-signed cert has no URI SAN: replayed as a client
+    // identity it must NOT slip past a trust-domain fence
+    val jack = new TlsNdjsonJack(spark, 0, serverCfg, MtlsOptions(Nil, "graft.test"))
+    try {
+      val sock = Tls.clientSocket(serverCfg, "localhost", jack.boundPort)
+      try { sock.getOutputStream.write("{\"id\":1}\n".getBytes("UTF-8"))
+            sock.getOutputStream.flush(); sock.getInputStream.read() }
+      catch { case _: Throwable => () } finally sock.close()
+      eventually(jack.rejectedCount >= 1, "CN-only peer was not rejected")
+      assert(jack.receivedCount == 0)
+    } finally jack.stop()
+  }
+
   test("rejects a principal outside the trust domain") {
     val jack = new TlsNdjsonJack(spark, 0, serverCfg,
       MtlsOptions(Nil, "prod.example"))

@@ -35,6 +35,46 @@ class WebSocketSpec extends SparkSpec {
     }
   }
 
+  test("a multi-byte UTF-8 character split across a fragmentation boundary survives") {
+    val hub = new WsServerHub(spark, 0)
+    try {
+      val sock = new java.net.Socket("127.0.0.1", hub.boundPort)
+      val out = new DataOutputStream(sock.getOutputStream)
+      out.write(("GET / HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n" +
+        "Connection: Upgrade\r\nSec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n\r\n")
+        .getBytes(UTF_8))
+      out.flush()
+      val in = new DataInputStream(sock.getInputStream)
+      val resp = new StringBuilder
+      while (!resp.endsWith("\r\n\r\n")) resp.append(in.read().toChar)
+      // "a€b": the 3-byte € (E2 82 AC) split after its first byte —
+      // RFC 6455 §5.4 allows any byte boundary; decode must wait for FIN
+      val bytes = "a€b".getBytes(UTF_8)
+      out.write(WsFrames.encode(WsFrames.OpText, bytes.take(2), Some(Array[Byte](1, 2, 3, 4)), fin = false))
+      out.write(WsFrames.encode(0x0, bytes.drop(2), Some(Array[Byte](5, 6, 7, 8))))
+      out.flush()
+      val deadline = System.currentTimeMillis() + 10000
+      while (hub.receivedCount < 1 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(hub.receivedCount == 1)
+      val got = hub.raw.writeStream.format("memory").queryName("ws_frag")
+        .outputMode("append").start()
+      try {
+        got.processAllAvailable()
+        assert(spark.table("ws_frag").collect().map(_.getString(0)).toSeq == Seq("a€b"))
+      } finally got.stop()
+      sock.close()
+    } finally hub.stop()
+  }
+
+  test("a negative 64-bit frame length is a protocol error, not a crash") {
+    // 127-marker with the high bit set in the 8 length bytes
+    val bad = Array[Byte](0x81.toByte, 127, 0x80.toByte, 0, 0, 0, 0, 0, 0, 1)
+    val e = intercept[IllegalArgumentException] {
+      WsFrames.readFrame(new DataInputStream(new java.io.ByteArrayInputStream(bad)))
+    }
+    assert(e.getMessage.contains("bad frame length"))
+  }
+
   test("raw-socket peer: handshake key, masked 16-bit frame, ping->pong, close echo") {
     val hub = new WsServerHub(spark, 0)
     try {
