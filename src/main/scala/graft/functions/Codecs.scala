@@ -113,4 +113,30 @@ object Codecs {
     * path (objects, not records, so the UDF is off the per-record hot
     * path). */
   def gunzipCol(c: Column): Column = udf(gunzip _).apply(c)
+
+  // one reused Deflater per executor thread: Deflater wraps a native zlib
+  // stream whose allocation dominates small-payload deflates; reset() is
+  // cheap. Level pinned to 6 so the length is a deterministic function of
+  // the input (golden-lockable), independent of DEFAULT_COMPRESSION drift.
+  private val deflScratch = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue() = new java.util.zip.Deflater(6)
+  }
+
+  /** Deflated size of `bytes` without materializing the output — the
+    * compression-ratio quality signal (a low ratio means repetitive,
+    * low-entropy text; the classic cheap cousin of the Gopher repetition
+    * filters). Counting kernel only: the compressed bytes are discarded
+    * buffer-by-buffer. */
+  def deflateLen(bytes: Array[Byte]): Int = {
+    if (bytes == null || bytes.isEmpty) return 0
+    val d = deflScratch.get()
+    d.reset()
+    d.setInput(bytes); d.finish()
+    var total = 0
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
+
+  def deflateLenCol(c: Column): Column = udf(deflateLen _).apply(c)
 }

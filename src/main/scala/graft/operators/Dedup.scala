@@ -35,6 +35,49 @@ object Dedup {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("copies"))
       .select("doc_id", "text_hash", "copies")
 
+  /** Incremental exact dedup against an existing corpus, Bloom-prefiltered:
+    * return the `incoming` rows whose `text` does NOT appear verbatim in
+    * `corpus` — the per-batch half of corpus-growth dedup (new crawl slice
+    * vs what's already ingested).
+    *
+    * Scale shape (incoming ≪ corpus — the incremental contract):
+    *  1. One corpus pass builds a Bloom filter over md5(text) (a
+    *     distributed aggregate; bit-OR merges are order-independent, so
+    *     the bitmap is deterministic). ~1.2 GB of bits covers 10⁹ corpus
+    *     docs at fpp 0.01 — past that, build per-partition-range filters
+    *     or fall back to the bucketed join of [[exact]].
+    *  2. The incoming scan probes the broadcast filter map-side. Misses
+    *     are DEFINITELY new (Bloom has no false negatives) and keep no
+    *     further cost; hits (true overlap + fpp·|incoming| false
+    *     positives) become the candidate set.
+    *  3. One verify pass semi-joins corpus against the BROADCAST candidate
+    *     md5 set — the corpus never shuffles; matched md5s come back
+    *     small, and a broadcast anti-join removes the confirmed-old rows.
+    * Net: zero shuffles of either table; the only exchanges are the two
+    * small broadcasts, both bounded by |incoming|.
+    *
+    * Identity is verbatim md5(text) (128-bit; collision-free in practice —
+    * the same contract as [[exact]]'s content hash). The Bloom filter is
+    * rebuilt per call here; a production incremental loop builds it once
+    * per corpus version and reuses it across batches. */
+  def bloomPrefilterNew(incoming: DataFrame, corpus: DataFrame,
+                        expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    require(!incoming.columns.contains("__md5"),
+      "incoming already carries the reserved column __md5")
+    val withMd5 = incoming.withColumn("__md5", md5(col("text")))
+    val corpusMd5 = corpus.select(md5(col("text")).as("__md5"))
+    val n = if (expectedItems > 0) expectedItems else math.max(corpusMd5.count(), 1L)
+    val bf = corpusMd5.stat.bloomFilter("__md5", n, fpp)
+    val bfBc = incoming.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((m: String) => bfBc.value.mightContainString(m))
+    val candidates = withMd5.filter(mightContain(col("__md5")))
+      .select("__md5").distinct()
+    val confirmedOld = corpusMd5
+      .join(broadcast(candidates), Seq("__md5"), "left_semi").distinct()
+    withMd5.join(broadcast(confirmedOld), Seq("__md5"), "left_anti")
+      .drop("__md5")
+  }
+
   /** k-shingle (word n-gram) set of a document, as distinct strings.
     * transform over a sliding window of the token array — pure codegen. */
   def wordShingles(text: Column, n: Int): Column = {

@@ -364,6 +364,34 @@ object TrainingData {
   def txtLmScore(spark: SparkSession, dir: String): DataFrame =
     lmScore(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** Bloom-prefiltered incremental dedup: treat every 5th doc as the
+    * incoming batch and the rest as the ingested corpus; return the
+    * incoming docs whose text is genuinely new. The Bloom prefilter +
+    * broadcast verify make the result EXACT (see
+    * [[Dedup.bloomPrefilterNew]]), so a plain NOT EXISTS anti-join is the
+    * oracle. */
+  def ddBloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+    Dedup.bloomPrefilterNew(incoming, corpus)
+      .select(col("doc_id")).orderBy("doc_id")
+  }
+
+  /** Compression-ratio quality signal: deflated-size / byte-size per doc
+    * (zlib level 6 — deterministic, so golden-locked). Ratio reported as
+    * ppm in integer math to keep the cross-engine hash float-free. */
+  def txtCompressRatio(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("b"))
+      .select(col("doc_id"),
+        length(col("b")).cast("long").as("n_bytes"),
+        graft.functions.Codecs.deflateLenCol(col("b")).cast("long").as("n_deflate"))
+      .withColumn("ratio_ppm",
+        when(col("n_bytes") === 0, lit(1000000L))
+          .otherwise(col("n_deflate") * 1000000L / col("n_bytes")))
+      .orderBy("doc_id")
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dd_exact"         -> ddExact _,
     "dd_jaccard_words" -> ddJaccardWords _,
@@ -400,6 +428,8 @@ object TrainingData {
     "sim_ann_ivf"      -> simAnnIvf _,
     "sim_ann_int8"     -> simAnnInt8 _,
     "mm_features"      -> mmFeatures _,
+    "dd_bloom_prefilter" -> ddBloomPrefilter _,
+    "txt_compress_ratio" -> txtCompressRatio _,
   )
 
   private val enList = enMarkers.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -409,6 +439,12 @@ object TrainingData {
   /** DuckDB transliterations (exactly value-aligned). MinHash/SimHash/ANN
     * intentionally omitted (engine-specific hash functions). */
   val oracle: Seq[(String, String)] = Seq(
+    "dd_bloom_prefilter" ->
+      """SELECT i.doc_id FROM documents i
+        |WHERE i.doc_id % 5 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents c
+        |  WHERE c.doc_id % 5 <> 0 AND c.text = i.text)
+        |ORDER BY doc_id""".stripMargin,
     "dd_exact" ->
       """SELECT doc_id, text_hash, copies FROM (
         | SELECT MIN(doc_id) AS doc_id,

@@ -29,7 +29,10 @@ object Golden {
     * (eligibility rationale per query in the class doc above). */
   val queries = Seq("dd_minhash_lsh", "dd_simhash", "dd_winnow_overlap",
     "dd_embed_lsh", "sim_ann_lsh", "sim_ann_ivf", "t7_hash_throughput",
-    "mm_features", "a7_approx_distinct", "sim_ann_int8", "ds_profile")
+    "mm_features", "a7_approx_distinct", "sim_ann_int8", "ds_profile",
+    // deflate(level 6) length is a pure function of the bytes; the JDK's
+    // bundled zlib makes it environment-stable at the verify scale
+    "txt_compress_ratio")
 
   val sfDir = "/root/testdata/sf0.01"
 

@@ -32,6 +32,19 @@ object GraftProperties extends Properties("graft") {
       Codecs.inflate(Codecs.deflate(arr)).sameElements(arr)
     }
 
+  property("deflateLen counts exactly an independent level-6 deflate") =
+    forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bs =>
+      val arr = bs.toArray
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(arr); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      val expected = if (arr.isEmpty) 0 else out.size()
+      Codecs.deflateLen(arr) == expected
+    }
+
   property("Haar forward/inverse is identity") = forAll(waveGen) { s =>
     val back = Wave.haarInverse(Wave.haarForward(s))
     s.zip(back).forall { case (a, b) => math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(a)) }

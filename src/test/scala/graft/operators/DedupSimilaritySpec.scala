@@ -65,6 +65,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.forall(_.getInt(2) == 0))
   }
 
+  test("bloom prefilter equals the plain anti-join (false positives verified away)") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    // incoming = the mod-5 slice plus 7 corpus texts under new ids, so the
+    // overlap (must be filtered out) is known non-empty
+    val dupes = corpus.limit(7).select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val incoming = docs.filter(col("doc_id") % 5 === 0).union(dupes)
+    // fpp pushed high enough that false positives certainly occur at this
+    // scale — the verify pass must still produce the exact anti-join
+    val viaBloom = Dedup.bloomPrefilterNew(incoming, corpus, fpp = 0.5)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val exact = incoming.join(corpus, Seq("text"), "left_anti")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(viaBloom == exact)
+    assert(viaBloom.nonEmpty && viaBloom.size <= incoming.count() - 7)
+    intercept[IllegalArgumentException] {
+      Dedup.bloomPrefilterNew(incoming.withColumn("__md5", lit("x")), corpus)
+    }
+  }
+
   test("brute-force cosine top-k: self-similarity is 1, results ordered desc") {
     val embs = Tables.embeddings(spark, sfDir)
     val self = embs.limit(5)
