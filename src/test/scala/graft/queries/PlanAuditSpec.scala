@@ -223,6 +223,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("dd_bloom_prefilter: both verify joins broadcast — the corpus never shuffles") {
+    val p = planOf("dd_bloom_prefilter")
+    assert("BroadcastHashJoin .*LeftSemi".r.findAllIn(p).size == 1, p)
+    assert("BroadcastHashJoin .*LeftAnti".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("txt_compress_ratio: one scan, map-side kernel, no join or aggregation") {
+    val p = planOf("txt_compress_ratio")
+    assert(countScans(p) == 1, p)
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+  }
+
   test("txt_lang_id/txt_quality: marker counts are kernel UDFs, not interpreted HOFs") {
     Seq("txt_lang_id", "txt_quality").foreach { n =>
       val analyzed = graft.SparkEntry.queries(n)(spark, sfDir).queryExecution.optimizedPlan
