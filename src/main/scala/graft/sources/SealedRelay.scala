@@ -1,0 +1,196 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types.StructType
+
+/** Sealed relay pair — the reference forward/receiving relay's
+  * wrap/unwrap payload contract (`/root/reference/pkg/internal/
+  * forwardrelay/payload.go:50-181`: serialize → optional compress →
+  * optional AES-GCM, flags carried in message metadata; unwrap reverses
+  * it, `receivingrelay/payload.go:15-102`) re-expressed over the
+  * line-framed socket edge. The gRPC/proto transport stays out of engine
+  * scope (SURVEY §2.1 S11/S12 — exchange ≡ Spark shuffle); what IS the
+  * reference's semantic surface — the sealed payload pipeline, its
+  * key/flag validation, and executor-side distribution — is real here:
+  *
+  *  - Serialization is NDJSON (the engine's record codec) instead of gob.
+  *  - Compression is gzip ([[graft.functions.Codecs.gzip]]); encryption is
+  *    AES-GCM in Spark's native wire format
+  *    ([[graft.functions.Crypto.aesGcmEncryptBytes]], 12-byte IV prefix),
+  *    so sealed payloads interoperate with `aes_decrypt` everywhere else.
+  *  - One frame per PARTITION batch (the reference wraps per message;
+  *    batch-granularity sealing is the same trade the K2 CSE writer
+  *    makes — amortize the cipher/deflate setup across records).
+  *  - The reference's `validateEncryptionRequirement` (key XOR no-AES is
+  *    an error in both directions, `payload.go:36-48`) is enforced at
+  *    builder time on both ends.
+  *
+  * Frame layout: `"GRS1" | flags:1B (bit0 gzip, bit1 aes) | len:4B |
+  * payload` — the self-describing metadata subset unwrap actually needs.
+  */
+object SealedRelay {
+
+  private val Magic = "GRS1".getBytes(UTF_8)
+  val FlagGzip = 0x1
+  val FlagAes = 0x2
+
+  /** The reference's encryption-requirement rule: enabling AES without a
+    * key, or supplying a key without enabling AES, is a config error. */
+  def validate(encrypt: Boolean, key: Option[Array[Byte]]): Unit = {
+    require(!encrypt || key.isDefined, "encryption enabled but encryption key is empty")
+    require(encrypt || key.isEmpty, "encryption key provided but AES-GCM is not enabled")
+    key.foreach(k => require(Set(16, 24, 32).contains(k.length),
+      s"AES key must be 16/24/32 bytes, got ${k.length}"))
+  }
+
+  /** Seal one payload: compress then encrypt, as configured. */
+  def seal(body: Array[Byte], gzipped: Boolean, key: Option[Array[Byte]]): (Int, Array[Byte]) = {
+    val compressed = if (gzipped) graft.functions.Codecs.gzip(body) else body
+    val sealedBytes = key.fold(compressed)(k =>
+      graft.functions.Crypto.aesGcmEncryptBytes(compressed, k))
+    val flags = (if (gzipped) FlagGzip else 0) | (if (key.isDefined) FlagAes else 0)
+    (flags, sealedBytes)
+  }
+
+  /** Unwrap one payload per its frame flags. A frame sealed with a key
+    * the receiver doesn't hold fails the GCM tag check and throws. */
+  def unwrap(flags: Int, payload: Array[Byte], key: Option[Array[Byte]]): Array[Byte] = {
+    val decrypted =
+      if ((flags & FlagAes) != 0) {
+        val k = key.getOrElse(throw new SecurityException(
+          "frame is AES-GCM sealed but the jack holds no key"))
+        graft.functions.Crypto.aesGcmDecryptBytes(payload, k)
+      } else payload
+    if ((flags & FlagGzip) != 0) graft.functions.Codecs.gunzip(decrypted) else decrypted
+  }
+
+  def writeFrame(out: DataOutputStream, flags: Int, payload: Array[Byte]): Unit = {
+    out.write(Magic)
+    out.writeByte(flags)
+    out.writeInt(payload.length)
+    out.write(payload)
+    out.flush()
+  }
+
+  /** Read one frame; None at clean EOF. */
+  def readFrame(in: DataInputStream): Option[(Int, Array[Byte])] = {
+    val magic = new Array[Byte](4)
+    try in.readFully(magic) catch { case _: EOFException => return None }
+    require(java.util.Arrays.equals(magic, Magic),
+      s"bad frame magic ${magic.toSeq} — peer is not a sealed relay")
+    val flags = in.readUnsignedByte()
+    val len = in.readInt()
+    require(len >= 0 && len <= (1 << 30), s"bad frame length $len")
+    val payload = new Array[Byte](len)
+    in.readFully(payload)
+    Some((flags, payload))
+  }
+
+  /** K5/S11 sealed forward relay: each partition seals its rows as one
+    * NDJSON batch frame and streams it over its own connection —
+    * executor-side like [[Sources.writeSocketNdjson]], never through the
+    * driver. */
+  def writeSocketSealed(df: DataFrame, host: String, port: Int,
+                        gzipped: Boolean = true,
+                        encrypt: Boolean = false,
+                        key: Option[Array[Byte]] = None): Unit = {
+    validate(encrypt, key)
+    df.toJSON.foreachPartition { (it: Iterator[String]) =>
+      if (it.hasNext) {
+        val body = it.mkString("\n").getBytes(UTF_8)
+        val (flags, payload) = seal(body, gzipped, key)
+        val sock = new Socket(host, port)
+        try writeFrame(new DataOutputStream(
+          new BufferedOutputStream(sock.getOutputStream)), flags, payload)
+        finally sock.close()
+      }
+    }
+  }
+}
+
+/** S11 sealed receiving relay: accept framed connections, unwrap
+  * (decrypt → decompress) per frame flags, split the NDJSON batch into
+  * records, and feed a streaming source buffer — the reference's
+  * receiving-relay unwrap loop (`receivingrelay/receive.go:13-97`) with
+  * MemoryStream in place of the output submitters. A frame that fails
+  * the GCM tag (wrong key) or the magic check drops that connection and
+  * counts it; good frames from other peers are unaffected. Compose with
+  * [[TlsNdjsonJack]]'s `Tls.serverSocket` for mTLS-on-the-wire — payload
+  * sealing and transport auth are independent layers, as in the
+  * reference's SecurityOptions vs TLSConfig split. */
+final class SealedReceivingRelay(spark: SparkSession, port: Int,
+                                 key: Option[Array[Byte]] = None) {
+
+  import spark.implicits._
+  private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val stream = MemoryStream[String]
+  private val server = new ServerSocket(port)
+  private val running = new AtomicBoolean(true)
+  private val conns = java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
+  private val received = new AtomicLong(0)
+  private val badFrames = new AtomicLong(0)
+
+  def boundPort: Int = server.getLocalPort
+
+  private val acceptor = new Thread(() => {
+    while (running.get() && !server.isClosed) {
+      try {
+        val sock = server.accept()
+        conns.add(sock)
+        val t = new Thread(() => serve(sock), s"graft-sealed-conn-${sock.getPort}")
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case _: Throwable => if (running.get() && !server.isClosed) Thread.sleep(100)
+      }
+    }
+  }, "graft-sealed-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def serve(sock: Socket): Unit = {
+    try {
+      val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+      var more = true
+      while (more && running.get()) {
+        SealedRelay.readFrame(in) match {
+          case Some((flags, payload)) =>
+            val lines = new String(SealedRelay.unwrap(flags, payload, key), UTF_8)
+              .split("\n").iterator.filter(_.nonEmpty)
+            // one lock per FRAME (not per record): MemoryStream's row
+            // encoder is not thread-safe (see TlsNdjsonJack.serve)
+            stream.synchronized { lines.foreach { l => stream.addData(l); received.incrementAndGet() } }
+          case None => more = false
+        }
+      }
+    } catch {
+      case _: Throwable => badFrames.incrementAndGet() // wrong key/magic drops the peer
+    } finally {
+      conns.remove(sock)
+      try sock.close() catch { case _: Throwable => () }
+    }
+  }
+
+  /** Raw ingress stream (one string per received record). */
+  def raw: Dataset[String] = stream.toDS()
+
+  def jsonStream(schema: StructType): DataFrame =
+    Sources.jsonLines(raw.toDF("value"), "value", schema)
+
+  def receivedCount: Long = received.get()
+  def badFrameCount: Long = badFrames.get()
+
+  def stop(): Unit = {
+    running.set(false)
+    try server.close() catch { case _: Throwable => () }
+    conns.forEach(s => try s.close() catch { case _: Throwable => () })
+    conns.clear()
+  }
+}

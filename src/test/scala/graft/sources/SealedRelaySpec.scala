@@ -1,0 +1,86 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.SparkSpec
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+/** Sealed relay pair (the reference wrap/unwrap payload contract):
+  * frame codec round-trips across the flag matrix, the
+  * encryption-requirement validation, a full gzip+AES e2e from
+  * executor-side partitions into the receiving relay's stream, and the
+  * wrong-key rejection path. */
+class SealedRelaySpec extends SparkSpec {
+
+  private val key = Array.tabulate[Byte](32)(i => (i * 7 + 3).toByte)
+  private val schema = new StructType().add("id", LongType).add("name", StringType)
+
+  test("frame codec + seal/unwrap round-trip across the flag matrix") {
+    val body = ("payload with unicode — € ٭ —" * 40).getBytes(UTF_8)
+    for {
+      gz <- Seq(false, true)
+      k <- Seq(None, Some(key))
+    } {
+      val (flags, sealedBytes) = SealedRelay.seal(body, gz, k)
+      val buf = new ByteArrayOutputStream()
+      SealedRelay.writeFrame(new DataOutputStream(buf), flags, sealedBytes)
+      val in = new DataInputStream(new ByteArrayInputStream(buf.toByteArray))
+      val Some((f2, p2)) = SealedRelay.readFrame(in)
+      assert(f2 == flags)
+      assert(SealedRelay.unwrap(f2, p2, k).toSeq == body.toSeq, s"gz=$gz aes=${k.isDefined}")
+      assert(SealedRelay.readFrame(in).isEmpty) // clean EOF
+    }
+  }
+
+  test("encryption-requirement validation matches the reference rule") {
+    SealedRelay.validate(encrypt = false, None)
+    SealedRelay.validate(encrypt = true, Some(key))
+    intercept[IllegalArgumentException] { SealedRelay.validate(encrypt = true, None) }
+    intercept[IllegalArgumentException] { SealedRelay.validate(encrypt = false, Some(key)) }
+    intercept[IllegalArgumentException] { SealedRelay.validate(encrypt = true, Some(key.take(5))) }
+  }
+
+  test("bad magic is a protocol error") {
+    val in = new DataInputStream(new ByteArrayInputStream("JUNKxxxx".getBytes(UTF_8)))
+    val e = intercept[IllegalArgumentException] { SealedRelay.readFrame(in) }
+    assert(e.getMessage.contains("magic"))
+  }
+
+  test("e2e: partitions seal gzip+AES batches; the receiving relay unwraps into the stream") {
+    val relay = new SealedReceivingRelay(spark, 0, Some(key))
+    val ingress = relay.jsonStream(schema).writeStream
+      .format("memory").queryName("sealed_jack").outputMode("append").start()
+    try {
+      import spark.implicits._
+      val df = (0L until 20L).map(i => (i, s"rec$i")).toDF("id", "name")
+      SealedRelay.writeSocketSealed(df, "127.0.0.1", relay.boundPort,
+        gzipped = true, encrypt = true, key = Some(key))
+      eventually(relay.receivedCount == 20, s"relay got ${relay.receivedCount}/20")
+      ingress.processAllAvailable()
+      val rows = spark.table("sealed_jack").collect()
+      assert(rows.length == 20)
+      assert(rows.map(_.getAs[Long]("id")).sorted.toSeq == (0L until 20L))
+      assert(relay.badFrameCount == 0)
+    } finally { ingress.stop(); relay.stop() }
+  }
+
+  test("a frame sealed with the wrong key fails the tag check and is counted") {
+    val relay = new SealedReceivingRelay(spark, 0, Some(key))
+    try {
+      import spark.implicits._
+      val wrongKey = key.map(b => (b ^ 0x55).toByte)
+      val df = Seq((1L, "x")).toDF("id", "name")
+      SealedRelay.writeSocketSealed(df, "127.0.0.1", relay.boundPort,
+        gzipped = false, encrypt = true, key = Some(wrongKey))
+      eventually(relay.badFrameCount >= 1, "bad frame was not counted")
+      assert(relay.receivedCount == 0)
+    } finally relay.stop()
+  }
+
+  private def eventually(cond: => Boolean, msg: => String, timeoutMs: Long = 10000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(20)
+    assert(cond, msg)
+  }
+}
