@@ -105,6 +105,36 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(Seq("fp_bow"))
   }
 
+  /** Streaming twin of [[graft.operators.Dedup.bloomPrefilterNew]]:
+    * filter a document stream down to texts NOT in an already-ingested
+    * corpus. The corpus Bloom filter is built ONCE (batch-side, from the
+    * corpus version the stream runs against) and probed map-side per
+    * micro-batch — no state, no shuffle, no stream-static join for the
+    * common all-miss case; bloom HITS (true overlap + fpp false
+    * positives) are exactness-checked by a stream-static anti-join whose
+    * static side is the corpus md5 projection. Within-stream duplicates
+    * are then collapsed by the watermarked dedup, so the composition is
+    * "new vs corpus, once per watermark window". */
+  def bloomPrefilterStream(docs: DataFrame, nsCol: String, lateness: String,
+                           corpusBloom: org.apache.spark.util.sketch.BloomFilter,
+                           corpusMd5: DataFrame): DataFrame = {
+    val clash = docs.columns.filter(Seq("__md5", "event_time").contains)
+    require(clash.isEmpty, s"input columns collide with reserved names: ${clash.mkString(", ")}")
+    val bfBc = docs.sparkSession.sparkContext.broadcast(corpusBloom)
+    val mightContain = udf((m: String) => bfBc.value.mightContainString(m))
+    val withMd5 = docs.withColumn("__md5", md5(col("text")))
+    // bloom misses are DEFINITELY new (no false negatives) and skip the
+    // join entirely; only hits pay the stream-static anti-join
+    val misses = withMd5.filter(!mightContain(col("__md5")))
+    val verified = withMd5.filter(mightContain(col("__md5")))
+      .join(corpusMd5.select(col("__md5")), Seq("__md5"), "left_anti")
+    misses.unionByName(verified)
+      .withColumn("event_time", eventTime(nsCol))
+      .withWatermark("event_time", lateness)
+      .dropDuplicatesWithinWatermark(Seq("__md5"))
+      .drop("__md5")
+  }
+
   /** Attach the meter observation (A1–A6): processed / error counts, value
     * sum/max — readable per micro-batch from a StreamingQueryListener
     * exactly like the reference's sensor→meter wiring

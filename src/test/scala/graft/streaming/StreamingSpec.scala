@@ -119,6 +119,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bloom prefilter: corpus texts drop, new texts pass, within-stream dups collapse") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpusTexts = Seq("already ingested document one", "already ingested document two")
+    val corpus = corpusTexts.toDF("text").select(md5(col("text")).as("__md5"))
+    val bloom = corpus.stat.bloomFilter("__md5", 10, 0.03)
+    val mem = MemoryStream[StreamDoc]
+    val q = StreamOps.bloomPrefilterStream(mem.toDF(), "ts", "10 minutes", bloom, corpus)
+      .writeStream.format("memory").queryName("bloom_stream").outputMode("append").start()
+    try {
+      mem.addData(
+        StreamDoc(1, 0L, "already ingested document one"), // in corpus -> drop
+        StreamDoc(2, 1000, "a genuinely new document"),
+        StreamDoc(3, 2000, "a genuinely new document"),    // within-stream dup of 2
+        StreamDoc(4, 3000, "another new document"))
+      q.processAllAvailable()
+      val kept = spark.table("bloom_stream").select("doc_id").as[Long].collect().sorted.toSeq
+      assert(kept.length == 2 && kept.contains(4L), kept)
+      assert(kept.count(id => id == 2L || id == 3L) == 1, kept)
+    } finally q.stop()
+  }
+
   test("priority resister drains in aged-priority order within budget (queue.go:11-163)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[QueuedElement]
