@@ -78,6 +78,36 @@ object Dedup {
       .drop("__md5")
   }
 
+  /** Per-document duplicated-span coverage: the fraction of a document's
+    * distinct n-word spans that also occur in ≥ `minDocs` documents — the
+    * decision input for span-level dedup (C4-style "drop documents whose
+    * content is mostly seen elsewhere"), complementing
+    * [[winnowPairs]]'s pair listing with a per-doc scalar.
+    *
+    * Scale shape: spans explode map-side ([[wordShingles]], distinct
+    * within doc), the per-span document count is a partition-count WINDOW
+    * over the span hash (one (gh) exchange; a groupBy+join-back
+    * formulation scanned and exploded the corpus twice — the same lesson
+    * as [[simhashPairs]]'s size window), then one (doc_id) exchange folds
+    * the coverage. Span TEXT never shuffles — the identity is xxhash64 of
+    * the span, the same hash-identity contract as [[exact]]. Integer ppm
+    * output keeps the oracle float-free. */
+  def spanCoverage(docs: DataFrame, n: Int = 10, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 2, s"need n >= 1 (got $n), minDocs >= 2 (got $minDocs)")
+    val grams = docs
+      .select(col("doc_id"), explode(wordShingles(col("text"), n)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    // spans are distinct within a doc, so the partition count = doc count
+    grams
+      .withColumn("nd", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("gh")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("nd") >= minDocs, 1L).otherwise(0L)).as("n_dup_spans"))
+      // div, not `/`: Column./ on longs is DOUBLE division in Spark
+      .withColumn("dup_frac_ppm", expr("n_dup_spans * 1000000 div n_spans"))
+  }
+
   /** k-shingle (word n-gram) set of a document, as distinct strings.
     * transform over a sliding window of the token array — pure codegen. */
   def wordShingles(text: Column, n: Int): Column = {

@@ -389,7 +389,15 @@ object TrainingData {
         graft.functions.Codecs.deflateLenCol(col("b")).cast("long").as("n_deflate"))
       .withColumn("ratio_ppm",
         when(col("n_bytes") === 0, lit(1000000L))
-          .otherwise(col("n_deflate") * 1000000L / col("n_bytes")))
+          // div, not `/`: Column./ on longs is DOUBLE division in Spark,
+          // and the ppm contract is integer
+          .otherwise(expr("n_deflate * 1000000 div n_bytes")))
+      .orderBy("doc_id")
+
+  /** Per-doc duplicated-span coverage over 10-word spans (C4-style span
+    * dedup decision input; see [[Dedup.spanCoverage]]). */
+  def ddSpanCoverage(spark: SparkSession, dir: String): DataFrame =
+    Dedup.spanCoverage(Tables.documents(spark, dir), n = 10, minDocs = 2)
       .orderBy("doc_id")
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -430,6 +438,7 @@ object TrainingData {
     "mm_features"      -> mmFeatures _,
     "dd_bloom_prefilter" -> ddBloomPrefilter _,
     "txt_compress_ratio" -> txtCompressRatio _,
+    "dd_span_coverage"   -> ddSpanCoverage _,
   )
 
   private val enList = enMarkers.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -445,6 +454,21 @@ object TrainingData {
         |  SELECT 1 FROM documents c
         |  WHERE c.doc_id % 5 <> 0 AND c.text = i.text)
         |ORDER BY doc_id""".stripMargin,
+    "dd_span_coverage" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> len(w) > 0) AS w
+        | FROM documents),
+        |grams AS (
+        | SELECT doc_id, unnest(list_distinct(
+        |   [array_to_string(w[i:i+9], ' ') for i in generate_series(1, len(w) - 9)])) AS g
+        | FROM toks),
+        |counts AS (SELECT g, count(*) AS nd FROM grams GROUP BY g)
+        |SELECT doc_id, count(*) AS n_spans,
+        | CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        | CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS dup_frac_ppm
+        |FROM grams JOIN counts USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dd_exact" ->
       """SELECT doc_id, text_hash, copies FROM (
         | SELECT MIN(doc_id) AS doc_id,

@@ -236,6 +236,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
   }
 
+  test("dd_span_coverage: one scan — span counting is a window, not a join-back") {
+    val p = planOf("dd_span_coverage")
+    assert(countScans(p) == 1, p)
+    assert(!p.contains("Join"), p)
+    assert("Window".r.findAllIn(p).size >= 1, p)
+  }
+
   test("txt_lang_id/txt_quality: marker counts are kernel UDFs, not interpreted HOFs") {
     Seq("txt_lang_id", "txt_quality").foreach { n =>
       val analyzed = graft.SparkEntry.queries(n)(spark, sfDir).queryExecution.optimizedPlan
