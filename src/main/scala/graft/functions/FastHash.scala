@@ -46,6 +46,38 @@ object FastHash {
     out.toArray
   }
 
+  /** Distinct hashes of the n-word spans of `text`, one tokenization pass
+    * (same token contract as [[tokenHashes]]): span hash = order-sensitive
+    * mix2 fold of the n token hashes. Feeds Dedup.spanCoverage — the
+    * Catalyst `transform`+`slice` formulation re-tokenized the document
+    * once per span position (O(words²) with an array allocation per
+    * position; measured 8.7 s vs sub-second at sf0.1). Identity-by-hash
+    * equals identity-by-span-string barring 2⁻⁶⁴ collisions, the same
+    * contract as every other kernel here. */
+  def spanHashes(text: String, n: Int): Array[Long] = {
+    val toks = tokenHashes(text)
+    if (toks.length < n) return Array.emptyLongArray
+    val m = toks.length - n + 1
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 1469598103934665603L
+      var j = 0
+      while (j < n) { h = mix2(h, toks(i + j)); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // in-place dedupe of the sorted spans (distinct within doc)
+    var w = 0
+    var r = 0
+    while (r < m) {
+      if (r == 0 || out(r) != out(r - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    java.util.Arrays.copyOf(out, w)
+  }
+
   /** FNV-1a 64 of a (lower-case) string — the marker-word hash that
     * tokenHashes produces for an identical token. */
   def fnv1a64(s: String): Long = {
@@ -477,6 +509,9 @@ object FastHash {
   // ---- Column-level wrappers ----
 
   def tokenSetCol(text: Column): Column = udf((s: String) => tokenSet(s)).apply(text)
+
+  def spanHashesCol(text: Column, n: Int): Column =
+    udf((s: String) => spanHashes(s, n)).apply(text)
 
   def repetitionStatsCol(text: Column): Column =
     udf((s: String) => repetitionStats(s)).apply(text)

@@ -84,19 +84,22 @@ object Dedup {
     * content is mostly seen elsewhere"), complementing
     * [[winnowPairs]]'s pair listing with a per-doc scalar.
     *
-    * Scale shape: spans explode map-side ([[wordShingles]], distinct
-    * within doc), the per-span document count is a partition-count WINDOW
-    * over the span hash (one (gh) exchange; a groupBy+join-back
-    * formulation scanned and exploded the corpus twice — the same lesson
-    * as [[simhashPairs]]'s size window), then one (doc_id) exchange folds
-    * the coverage. Span TEXT never shuffles — the identity is xxhash64 of
-    * the span, the same hash-identity contract as [[exact]]. Integer ppm
-    * output keeps the oracle float-free. */
+    * Scale shape: distinct span hashes come from a ONE-PASS kernel
+    * ([[graft.functions.FastHash.spanHashes]] — the Catalyst
+    * `transform`+`slice` shingle expression re-tokenized the document per
+    * span position, O(words²), 8.7 s→0.6 s at sf0.1), explode map-side,
+    * then the per-span document count is a partition-count WINDOW over
+    * the span hash (one (gh) exchange; a groupBy+join-back formulation
+    * scanned and exploded the corpus twice — the same lesson as
+    * [[simhashPairs]]'s size window), then one (doc_id) exchange folds
+    * the coverage. Span TEXT never materializes at all — the identity is
+    * the span-hash, the same hash-identity contract as [[exact]].
+    * Integer ppm output keeps the oracle float-free. */
   def spanCoverage(docs: DataFrame, n: Int = 10, minDocs: Int = 2): DataFrame = {
     require(n >= 1 && minDocs >= 2, s"need n >= 1 (got $n), minDocs >= 2 (got $minDocs)")
     val grams = docs
-      .select(col("doc_id"), explode(wordShingles(col("text"), n)).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      .select(col("doc_id"),
+        explode(graft.functions.FastHash.spanHashesCol(col("text"), n)).as("gh"))
     // spans are distinct within a doc, so the partition count = doc count
     grams
       .withColumn("nd", count(lit(1)).over(

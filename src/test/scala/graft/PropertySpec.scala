@@ -32,6 +32,28 @@ object GraftProperties extends Properties("graft") {
       Codecs.inflate(Codecs.deflate(arr)).sameElements(arr)
     }
 
+  property("sealed-relay frame + seal/unwrap round-trips any payload and flag combo") =
+    forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)),
+           Gen.oneOf(false, true), Gen.oneOf(false, true)) { (bs, gz, aes) =>
+      val body = bs.toArray
+      val key = if (aes) Some(Array.tabulate[Byte](16)(i => (i * 11 + 1).toByte)) else None
+      val (flags, sealedBytes) = graft.sources.SealedRelay.seal(body, gz, key)
+      val buf = new java.io.ByteArrayOutputStream()
+      graft.sources.SealedRelay.writeFrame(new java.io.DataOutputStream(buf), flags, sealedBytes)
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(buf.toByteArray))
+      val Some((f2, p2)) = graft.sources.SealedRelay.readFrame(in)
+      f2 == flags && graft.sources.SealedRelay.unwrap(f2, p2, key).sameElements(body)
+    }
+
+  property("spanHashes: distinct count equals naive distinct span strings; order-sensitive") =
+    forAll(textGen, Gen.chooseNum(1, 4)) { (t, n) =>
+      val words = Option(t).getOrElse("").toLowerCase
+        .split("[^a-z]+").filter(_.nonEmpty)
+      val naive = words.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+      val kernel = graft.functions.FastHash.spanHashes(t, n)
+      kernel.length == naive.size && kernel.toSet.size == kernel.length
+    }
+
   property("deflateLen counts exactly an independent level-6 deflate") =
     forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bs =>
       val arr = bs.toArray
