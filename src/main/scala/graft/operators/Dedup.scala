@@ -57,9 +57,14 @@ object Dedup {
     * small broadcasts, both bounded by |incoming|.
     *
     * Identity is verbatim md5(text) (128-bit; collision-free in practice —
-    * the same contract as [[exact]]'s content hash). The Bloom filter is
-    * rebuilt per call here; a production incremental loop builds it once
-    * per corpus version and reuses it across batches. */
+    * the same contract as [[exact]]'s content hash). A null text is
+    * DEFINITELY new (SQL equality never matches null — the oracle
+    * semantics) and bypasses the probe. The Bloom filter is rebuilt per
+    * call here — two eager corpus passes (count when `expectedItems` is
+    * defaulted, then the filter aggregation) AT CONSTRUCTION TIME, plus
+    * the verify pass on execution; a production incremental loop passes
+    * `expectedItems` and builds the filter once per corpus version,
+    * amortizing across batches. */
   def bloomPrefilterNew(incoming: DataFrame, corpus: DataFrame,
                         expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
     require(!incoming.columns.contains("__md5"),
@@ -69,7 +74,9 @@ object Dedup {
     val n = if (expectedItems > 0) expectedItems else math.max(corpusMd5.count(), 1L)
     val bf = corpusMd5.stat.bloomFilter("__md5", n, fpp)
     val bfBc = incoming.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((m: String) => bfBc.value.mightContainString(m))
+    // null-safe: mightContainString(null) NPEs, and a null md5 (null
+    // text) must read as a miss anyway
+    val mightContain = udf((m: String) => m != null && bfBc.value.mightContainString(m))
     val candidates = withMd5.filter(mightContain(col("__md5")))
       .select("__md5").distinct()
     val confirmedOld = corpusMd5

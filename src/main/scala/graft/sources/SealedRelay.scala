@@ -78,10 +78,17 @@ object SealedRelay {
     out.flush()
   }
 
-  /** Read one frame; None at clean EOF. */
+  /** Read one frame; None at clean EOF (between frames only — a stream
+    * truncated MID-frame, including mid-magic, is an error, not an EOF:
+    * readFully alone couldn't tell the two apart). */
   def readFrame(in: DataInputStream): Option[(Int, Array[Byte])] = {
+    val first = in.read()
+    if (first < 0) return None // clean EOF at a frame boundary
     val magic = new Array[Byte](4)
-    try in.readFully(magic) catch { case _: EOFException => return None }
+    magic(0) = first.toByte
+    try in.readFully(magic, 1, 3)
+    catch { case _: EOFException =>
+      throw new java.io.IOException("stream truncated mid-magic") }
     require(java.util.Arrays.equals(magic, Magic),
       s"bad frame magic ${magic.toSeq} — peer is not a sealed relay")
     val flags = in.readUnsignedByte()
@@ -92,23 +99,44 @@ object SealedRelay {
     Some((flags, payload))
   }
 
-  /** K5/S11 sealed forward relay: each partition seals its rows as one
-    * NDJSON batch frame and streams it over its own connection —
-    * executor-side like [[Sources.writeSocketNdjson]], never through the
-    * driver. */
+  /** K5/S11 sealed forward relay: each partition seals its rows as
+    * NDJSON batch frames over its own connection — executor-side like
+    * [[Sources.writeSocketNdjson]], never through the driver. Batches
+    * are CHUNKED at `maxChunkBytes` of raw body per frame: frames are
+    * independent unwrap units, so chunking bounds writer memory (a
+    * whole-partition frame held ~4 concurrent copies of the partition —
+    * string, bytes, gzip, ciphertext — and anything past the receiver's
+    * 1 GiB frame cap would be dropped wholesale), while the per-frame
+    * cipher/deflate setup still amortizes over megabytes. Encryption is
+    * keyed by `key`'s presence — one parameter, no flag to keep in
+    * lockstep (the reference's two-field rule is [[validate]], applied
+    * where both fields exist: the config surface). */
   def writeSocketSealed(df: DataFrame, host: String, port: Int,
                         gzipped: Boolean = true,
-                        encrypt: Boolean = false,
-                        key: Option[Array[Byte]] = None): Unit = {
-    validate(encrypt, key)
+                        key: Option[Array[Byte]] = None,
+                        maxChunkBytes: Int = 4 << 20): Unit = {
+    validate(key.isDefined, key)
+    require(maxChunkBytes > 0 && maxChunkBytes <= (1 << 29),
+      s"maxChunkBytes out of range: $maxChunkBytes")
     df.toJSON.foreachPartition { (it: Iterator[String]) =>
       if (it.hasNext) {
-        val body = it.mkString("\n").getBytes(UTF_8)
-        val (flags, payload) = seal(body, gzipped, key)
         val sock = new Socket(host, port)
-        try writeFrame(new DataOutputStream(
-          new BufferedOutputStream(sock.getOutputStream)), flags, payload)
-        finally sock.close()
+        try {
+          val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+          val buf = new java.io.ByteArrayOutputStream(math.min(maxChunkBytes, 1 << 20))
+          def flushChunk(): Unit = if (buf.size > 0) {
+            val (flags, payload) = seal(buf.toByteArray, gzipped, key)
+            writeFrame(out, flags, payload)
+            buf.reset()
+          }
+          it.foreach { line =>
+            val b = line.getBytes(UTF_8)
+            if (buf.size > 0 && buf.size + b.length + 1 > maxChunkBytes) flushChunk()
+            if (buf.size > 0) buf.write('\n')
+            buf.write(b)
+          }
+          flushChunk()
+        } finally sock.close()
       }
     }
   }
@@ -171,7 +199,11 @@ final class SealedReceivingRelay(spark: SparkSession, port: Int,
         }
       }
     } catch {
-      case _: Throwable => badFrames.incrementAndGet() // wrong key/magic drops the peer
+      // wrong key / bad magic / truncation drops the peer and counts —
+      // but a socket torn down by OUR stop() is not the peer's fault and
+      // must not pollute the diagnostic counter
+      case _: Throwable =>
+        if (running.get() && !sock.isClosed) badFrames.incrementAndGet()
     } finally {
       conns.remove(sock)
       try sock.close() catch { case _: Throwable => () }

@@ -121,7 +121,8 @@ object StreamOps {
     val clash = docs.columns.filter(Seq("__md5", "event_time").contains)
     require(clash.isEmpty, s"input columns collide with reserved names: ${clash.mkString(", ")}")
     val bfBc = docs.sparkSession.sparkContext.broadcast(corpusBloom)
-    val mightContain = udf((m: String) => bfBc.value.mightContainString(m))
+    // null-safe (see Dedup.bloomPrefilterNew): a null text is a miss
+    val mightContain = udf((m: String) => m != null && bfBc.value.mightContainString(m))
     val withMd5 = docs.withColumn("__md5", md5(col("text")))
     // bloom misses are DEFINITELY new (no false negatives) and skip the
     // join entirely; only hits pay the stream-static anti-join

@@ -30,8 +30,12 @@ object Golden {
   val queries = Seq("dd_minhash_lsh", "dd_simhash", "dd_winnow_overlap",
     "dd_embed_lsh", "sim_ann_lsh", "sim_ann_ivf", "t7_hash_throughput",
     "mm_features", "a7_approx_distinct", "sim_ann_int8", "ds_profile",
-    // deflate(level 6) length is a pure function of the bytes; the JDK's
-    // bundled zlib makes it environment-stable at the verify scale
+    // deflate(level 6) length is a pure function of the bytes GIVEN the
+    // zlib the JVM links (Linux OpenJDK uses the system zlib, so a
+    // zlib-ng host would emit different lengths). Stable here because
+    // build, tests, and the driver's verify all run this container's
+    // JVM; GoldenLockSpec re-derives per run and will flag an
+    // environment change loudly — regenerate the golden then.
     "txt_compress_ratio")
 
   val sfDir = "/root/testdata/sf0.01"

@@ -68,10 +68,13 @@ class DedupSimilaritySpec extends SparkSpec {
   test("bloom prefilter equals the plain anti-join (false positives verified away)") {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
-    // incoming = the mod-5 slice plus 7 corpus texts under new ids, so the
-    // overlap (must be filtered out) is known non-empty
+    // incoming = the mod-5 slice plus 7 corpus texts under new ids (the
+    // overlap that must be filtered out) plus one null text (must pass:
+    // SQL equality never matches null, and the probe must not NPE)
     val dupes = corpus.limit(7).select((col("doc_id") + 100000L).as("doc_id"), col("text"))
-    val incoming = docs.filter(col("doc_id") % 5 === 0).union(dupes)
+    val nullDoc = spark.range(1).select(lit(200000L).as("doc_id"),
+      lit(null).cast("string").as("text"))
+    val incoming = docs.filter(col("doc_id") % 5 === 0).union(dupes).union(nullDoc)
     // fpp pushed high enough that false positives certainly occur at this
     // scale — the verify pass must still produce the exact anti-join
     val viaBloom = Dedup.bloomPrefilterNew(incoming, corpus, fpp = 0.5)

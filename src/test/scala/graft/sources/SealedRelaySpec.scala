@@ -47,6 +47,12 @@ class SealedRelaySpec extends SparkSpec {
     assert(e.getMessage.contains("magic"))
   }
 
+  test("truncation mid-magic is an error, not a clean EOF") {
+    val in = new DataInputStream(new ByteArrayInputStream("GR".getBytes(UTF_8)))
+    val e = intercept[java.io.IOException] { SealedRelay.readFrame(in) }
+    assert(e.getMessage.contains("truncated"))
+  }
+
   test("e2e: partitions seal gzip+AES batches; the receiving relay unwraps into the stream") {
     val relay = new SealedReceivingRelay(spark, 0, Some(key))
     val ingress = relay.jsonStream(schema).writeStream
@@ -54,8 +60,10 @@ class SealedRelaySpec extends SparkSpec {
     try {
       import spark.implicits._
       val df = (0L until 20L).map(i => (i, s"rec$i")).toDF("id", "name")
+      // tiny chunk cap: the 20 records split across several frames, so
+      // the e2e also exercises multi-frame connections
       SealedRelay.writeSocketSealed(df, "127.0.0.1", relay.boundPort,
-        gzipped = true, encrypt = true, key = Some(key))
+        gzipped = true, key = Some(key), maxChunkBytes = 64)
       eventually(relay.receivedCount == 20, s"relay got ${relay.receivedCount}/20")
       ingress.processAllAvailable()
       val rows = spark.table("sealed_jack").collect()
@@ -72,7 +80,7 @@ class SealedRelaySpec extends SparkSpec {
       val wrongKey = key.map(b => (b ^ 0x55).toByte)
       val df = Seq((1L, "x")).toDF("id", "name")
       SealedRelay.writeSocketSealed(df, "127.0.0.1", relay.boundPort,
-        gzipped = false, encrypt = true, key = Some(wrongKey))
+        gzipped = false, key = Some(wrongKey))
       eventually(relay.badFrameCount >= 1, "bad frame was not counted")
       assert(relay.receivedCount == 0)
     } finally relay.stop()
