@@ -79,6 +79,55 @@ object Curation {
       .drop("__w", "__copies")
   }
 
+  /** Sequence packing: assign every document a global token offset in
+    * doc_id order and derive its context-window bin — the pretraining
+    * step that concatenates the corpus and slices it into fixed
+    * `windowTokens` windows (documents straddle window boundaries, as in
+    * GPT-style packing; `bin_id`/`offset_in_bin` say where each document
+    * starts).
+    *
+    * The global running sum is a DISTRIBUTED two-level prefix scan, not a
+    * single-partition window: bucket = doc_id div `bucketSize` (a pure
+    * function — deterministic at any partitioning, no sampling, no driver
+    * state), within-bucket cumsum is a window partitioned by bucket, and
+    * bucket base offsets are a cumsum over the bucket TOTALS (corpus/
+    * bucketSize rows — at 10¹⁰ docs and the default bucket size that is
+    * ~2.4M narrow rows; add a third level before that window becomes the
+    * bottleneck) broadcast back. Token counts use the one-pass
+    * repetition-stats kernel (same tokenization contract as the text
+    * analytics). Everything is integer arithmetic — the oracle is a SQL
+    * running sum. */
+  def packSequences(docs: DataFrame, windowTokens: Int,
+                    bucketSize: Long = 4096L): DataFrame = {
+    require(windowTokens >= 1 && bucketSize >= 1)
+    // lazy localCheckpoint: the token counts feed TWO consumers (the
+    // within-bucket window and the bucket-totals aggregate), and the
+    // branches don't canonicalize identically, so exchange reuse does not
+    // engage — without the checkpoint each branch re-scanned the corpus
+    // and re-ran the token kernel. Checkpointed rows are 3 longs, never
+    // text (same narrow-materialization rule as connectedComponents).
+    val toks = docs.select(col("doc_id"),
+      graft.functions.FastHash.repetitionStatsCol(col("text"))
+        .getField("_1").cast("long").as("n_tokens"))
+      .withColumn("__bucket", expr(s"doc_id div $bucketSize"))
+      .localCheckpoint(false)
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("__bucket").orderBy("doc_id")
+    val wBuckets = org.apache.spark.sql.expressions.Window
+      .orderBy("__bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val withCum = toks.withColumn("__cum", sum("n_tokens").over(wIn))
+    val bases = toks.groupBy("__bucket").agg(sum("n_tokens").as("__t"))
+      .withColumn("__base", coalesce(sum("__t").over(wBuckets), lit(0L)))
+      .select("__bucket", "__base")
+    withCum
+      .join(broadcast(bases), Seq("__bucket"))
+      .withColumn("start_offset", col("__base") + col("__cum") - col("n_tokens"))
+      .withColumn("bin_id", expr(s"start_offset div $windowTokens"))
+      .withColumn("offset_in_bin", col("start_offset") % windowTokens)
+      .select("doc_id", "n_tokens", "start_offset", "bin_id", "offset_in_bin")
+  }
+
   /** Stratified deterministic sample: per-stratum keep rates (per-mille),
     * e.g. downsample a dominant language while keeping the tail whole.
     * Rates ride a broadcast join (the strata table is small by definition);

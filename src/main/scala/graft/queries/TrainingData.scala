@@ -400,6 +400,12 @@ object TrainingData {
     Dedup.spanCoverage(Tables.documents(spark, dir), n = 10, minDocs = 2)
       .orderBy("doc_id")
 
+  /** Sequence packing into 256-token context windows (see
+    * [[Curation.packSequences]]). */
+  def dsPack(spark: SparkSession, dir: String): DataFrame =
+    Curation.packSequences(Tables.documents(spark, dir), windowTokens = 256)
+      .orderBy("doc_id")
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dd_exact"         -> ddExact _,
     "dd_jaccard_words" -> ddJaccardWords _,
@@ -439,6 +445,7 @@ object TrainingData {
     "dd_bloom_prefilter" -> ddBloomPrefilter _,
     "txt_compress_ratio" -> txtCompressRatio _,
     "dd_span_coverage"   -> ddSpanCoverage _,
+    "ds_pack"            -> dsPack _,
   )
 
   private val enList = enMarkers.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -454,6 +461,20 @@ object TrainingData {
         |  SELECT 1 FROM documents c
         |  WHERE c.doc_id % 5 <> 0 AND c.text = i.text)
         |ORDER BY doc_id""".stripMargin,
+    "ds_pack" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  len(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS n_tokens
+        | FROM documents),
+        |cums AS (
+        | SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+        | FROM toks)
+        |SELECT doc_id, n_tokens,
+        | cum - n_tokens AS start_offset,
+        | (cum - n_tokens) // 256 AS bin_id,
+        | (cum - n_tokens) % 256 AS offset_in_bin
+        |FROM cums ORDER BY doc_id""".stripMargin,
     "dd_span_coverage" ->
       """WITH toks AS (
         | SELECT doc_id,

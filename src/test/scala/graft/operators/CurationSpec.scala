@@ -74,4 +74,27 @@ class CurationSpec extends SparkSpec {
       .select("split").distinct().as[String].collect().toSet
     assert(negSplits == Set("train", "val", "test"), negSplits)
   }
+
+  test("packSequences: offsets are a gapless doc_id-ordered scan, invariant to bucket size") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val packedDf = Curation.packSequences(docs, windowTokens = 128).orderBy("doc_id")
+    val packed = packedDf.collect()
+    // the checkpointed token counts feed both branches: the corpus (and
+    // the token kernel) must not appear twice in the executed plan
+    val plan = packedDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"), plan)
+    // global scan property: each start_offset = previous start + previous n_tokens
+    var expect = 0L
+    packed.foreach { r =>
+      assert(r.getAs[Long]("start_offset") == expect, r)
+      assert(r.getAs[Long]("bin_id") == expect / 128 &&
+        r.getAs[Long]("offset_in_bin") == expect % 128, r)
+      expect += r.getAs[Long]("n_tokens")
+    }
+    // the two-level scan is a pure function of the data: any bucket size
+    // (including one forcing many buckets) gives identical offsets
+    val alt = Curation.packSequences(docs, windowTokens = 128, bucketSize = 7)
+      .orderBy("doc_id").collect()
+    assert(packed.map(_.toSeq).toSeq == alt.map(_.toSeq).toSeq)
+  }
 }
