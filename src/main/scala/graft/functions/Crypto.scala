@@ -32,9 +32,17 @@ object Crypto {
     * whole OBJECT (the reference's S3 client-side encryption,
     * `writer_helpers.go:163-246` seal / `reader.go:180-196` open), which a
     * per-value column expression can't express. */
+  // one cached urandom-backed SecureRandom per thread for IV generation:
+  // getInstanceStrong per call blocks on /dev/random (seconds on an
+  // entropy-starved host) and the chunked relay writer seals many frames
+  // per partition. GCM needs IV uniqueness, not blocking entropy.
+  private val ivRandom = new ThreadLocal[java.security.SecureRandom] {
+    override def initialValue() = new java.security.SecureRandom()
+  }
+
   def aesGcmEncryptBytes(plain: Array[Byte], key: Array[Byte]): Array[Byte] = {
     val iv = new Array[Byte](12)
-    java.security.SecureRandom.getInstanceStrong.nextBytes(iv)
+    ivRandom.get().nextBytes(iv)
     val c = javax.crypto.Cipher.getInstance("AES/GCM/NoPadding")
     c.init(javax.crypto.Cipher.ENCRYPT_MODE,
       new javax.crypto.spec.SecretKeySpec(key, "AES"),

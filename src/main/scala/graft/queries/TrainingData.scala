@@ -464,7 +464,7 @@ object TrainingData {
     "ds_pack" ->
       """WITH toks AS (
         | SELECT doc_id,
-        |  len(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS n_tokens
+        |  coalesce(len(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> len(w) > 0)), 0) AS n_tokens
         | FROM documents),
         |cums AS (
         | SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,

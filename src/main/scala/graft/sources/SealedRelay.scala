@@ -24,9 +24,11 @@ import org.apache.spark.sql.types.StructType
   *    AES-GCM in Spark's native wire format
   *    ([[graft.functions.Crypto.aesGcmEncryptBytes]], 12-byte IV prefix),
   *    so sealed payloads interoperate with `aes_decrypt` everywhere else.
-  *  - One frame per PARTITION batch (the reference wraps per message;
-  *    batch-granularity sealing is the same trade the K2 CSE writer
-  *    makes — amortize the cipher/deflate setup across records).
+  *  - Frames carry CHUNKED batches of records (the reference wraps per
+  *    message; megabyte-granularity sealing is the same trade the K2 CSE
+  *    writer makes — amortize the cipher/deflate setup across records —
+  *    while bounding writer memory; a connection carries any number of
+  *    frames).
   *  - The reference's `validateEncryptionRequirement` (key XOR no-AES is
   *    an error in both directions, `payload.go:36-48`) is enforced at
   *    builder time on both ends.
@@ -109,13 +111,14 @@ object SealedRelay {
     * 1 GiB frame cap would be dropped wholesale), while the per-frame
     * cipher/deflate setup still amortizes over megabytes. Encryption is
     * keyed by `key`'s presence — one parameter, no flag to keep in
-    * lockstep (the reference's two-field rule is [[validate]], applied
-    * where both fields exist: the config surface). */
+    * lockstep ([[validate]]'s two-field rule applies to surfaces that
+    * genuinely carry both fields; here only the key length can fail). */
   def writeSocketSealed(df: DataFrame, host: String, port: Int,
                         gzipped: Boolean = true,
                         key: Option[Array[Byte]] = None,
                         maxChunkBytes: Int = 4 << 20): Unit = {
-    validate(key.isDefined, key)
+    key.foreach(k => require(Set(16, 24, 32).contains(k.length),
+      s"AES key must be 16/24/32 bytes, got ${k.length}"))
     require(maxChunkBytes > 0 && maxChunkBytes <= (1 << 29),
       s"maxChunkBytes out of range: $maxChunkBytes")
     df.toJSON.foreachPartition { (it: Iterator[String]) =>

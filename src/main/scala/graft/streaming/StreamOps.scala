@@ -129,10 +129,15 @@ object StreamOps {
     val misses = withMd5.filter(!mightContain(col("__md5")))
     val verified = withMd5.filter(mightContain(col("__md5")))
       .join(corpusMd5.select(col("__md5")), Seq("__md5"), "left_anti")
-    misses.unionByName(verified)
+    val merged = misses.unionByName(verified)
       .withColumn("event_time", eventTime(nsCol))
       .withWatermark("event_time", lateness)
+    // dedupe only rows WITH an identity: dropDuplicates treats nulls as
+    // equal, which would collapse distinct null-text documents — but the
+    // contract (matching the batch twin) is that null never equals null
+    val deduped = merged.filter(col("__md5").isNotNull)
       .dropDuplicatesWithinWatermark(Seq("__md5"))
+    merged.filter(col("__md5").isNull).unionByName(deduped)
       .drop("__md5")
   }
 

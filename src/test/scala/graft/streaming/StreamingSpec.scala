@@ -132,11 +132,14 @@ class StreamingSpec extends SparkSpec {
         StreamDoc(1, 0L, "already ingested document one"), // in corpus -> drop
         StreamDoc(2, 1000, "a genuinely new document"),
         StreamDoc(3, 2000, "a genuinely new document"),    // within-stream dup of 2
-        StreamDoc(4, 3000, "another new document"))
+        StreamDoc(4, 3000, "another new document"),
+        StreamDoc(5, 4000, null),                          // null text: no identity,
+        StreamDoc(6, 5000, null))                          // BOTH pass (null != null)
       q.processAllAvailable()
       val kept = spark.table("bloom_stream").select("doc_id").as[Long].collect().sorted.toSeq
-      assert(kept.length == 2 && kept.contains(4L), kept)
+      assert(kept.length == 4 && kept.contains(4L), kept)
       assert(kept.count(id => id == 2L || id == 3L) == 1, kept)
+      assert(kept.contains(5L) && kept.contains(6L), kept)
     } finally q.stop()
   }
 
