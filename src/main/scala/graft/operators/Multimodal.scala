@@ -11,7 +11,11 @@ import org.apache.spark.sql.types._
   *
   * The IMAGE decode path is real: `ImageIoCodec` decodes PNG/JPEG/BMP/GIF
   * through the JDK's own `javax.imageio` (no external jars) to luma pixels
-  * with true nearest-neighbor resize. Audio/video codecs are not in this
+  * with true nearest-neighbor resize. The AUDIO decode path is real for
+  * WAV/PCM: `WavCodec` decodes through the JDK's `javax.sound.sampled`
+  * to mono double samples feeding the Wave pack's spectral kernels
+  * (`audioSpectralFeatures` — dominant frequency, energy, RMS).
+  * Compressed audio (MP3/OGG) and video codecs are not in this
   * container, so their decode kernel is a clearly-marked deterministic
   * STUB (`StubCodec`) — the Spark-side contract (schema, partitioning,
   * batch iteration shape, error routing) is identical, and a production
@@ -118,6 +122,81 @@ object Multimodal {
         y += 1
       }
       out
+    }
+  }
+
+  /** Real AUDIO decode backed by `javax.sound.sampled` — like ImageIO it
+    * ships with the JDK, so WAV/PCM needs no external jars (compressed
+    * containers like MP3/OGG stay with the FFI swap point). Decodes the
+    * WAV to mono double samples in [-1, 1] (channels averaged,
+    * 8/16/24/32-bit PCM little-endian per the format header) plus the
+    * sample rate, feeding the Wave pack's spectral kernels. */
+  object WavCodec {
+    def decodePcm(payload: Array[Byte]): (Array[Double], Double) = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"only PCM_SIGNED WAV is JDK-decodable, got ${fmt.getEncoding}")
+        val bytesPerSample = fmt.getSampleSizeInBits / 8
+        require(bytesPerSample >= 1 && bytesPerSample <= 4,
+          s"unsupported sample width ${fmt.getSampleSizeInBits}")
+        val raw = in.readAllBytes()
+        val ch = fmt.getChannels
+        val frameBytes = bytesPerSample * ch
+        val nFrames = raw.length / frameBytes
+        val out = new Array[Double](nFrames)
+        val full = (1L << (fmt.getSampleSizeInBits - 1)).toDouble
+        var f = 0
+        while (f < nFrames) {
+          var acc = 0.0
+          var c = 0
+          while (c < ch) {
+            val base = f * frameBytes + c * bytesPerSample
+            // little-endian signed per the WAV spec
+            var v = 0L
+            var b = bytesPerSample - 1
+            while (b >= 0) { v = (v << 8) | (raw(base + b) & 0xFF); b -= 1 }
+            val shift = 64 - fmt.getSampleSizeInBits
+            acc += (v << shift >> shift).toDouble / full
+            c += 1
+          }
+          out(f) = acc / ch
+          f += 1
+        }
+        (out, fmt.getSampleRate.toDouble)
+      } finally in.close()
+    }
+  }
+
+  case class AudioFeatures(media_id: Long, n_samples: Int, sample_rate_hz: Double,
+                           dominant_freq_hz: Double, energy: Double, rms: Double,
+                           ok: Boolean, error: String)
+
+  /** Spectral features for audio-kind rows: WAV → mono PCM → the Wave
+    * pack's FFT kernels (dominant frequency, total energy, RMS). Same
+    * per-partition batch shape and (ok=false, error) routing as
+    * [[extractFeatures]]; blobs are projected away before anything
+    * shuffles. */
+  def audioSpectralFeatures(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions { iter =>
+      iter.map { m =>
+        try {
+          val (pcm, rate) = WavCodec.decodePcm(m.payload)
+          require(pcm.nonEmpty, "empty audio payload")
+          val dom = graft.functions.Wave.dominantFreq(pcm, rate)
+          val energy = graft.functions.Wave.totalEnergy(pcm)
+          val rms = math.sqrt(energy / pcm.length)
+          AudioFeatures(m.media_id, pcm.length, rate, dom, energy, rms,
+            ok = true, error = null)
+        } catch {
+          case e: Throwable =>
+            AudioFeatures(m.media_id, 0, 0.0, 0.0, 0.0, 0.0,
+              ok = false, error = Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
+      }
     }
   }
 

@@ -189,6 +189,43 @@ class SourcesCodecsSpec extends SparkSpec {
     assert(feats.map(_.kind).toSet == Set("image", "audio", "video"))
   }
 
+  test("audio: a synthesized WAV decodes via the JDK and the Wave kernels find its tone") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 440 Hz sine, 16-bit stereo PCM at 8 kHz, 1024 frames — stereo
+    // exercises the downmix, 16-bit the little-endian sample decode
+    def wavBytes(freq: Double, frames: Int): Array[Byte] = {
+      val rate = 8000f
+      val pcm = new Array[Byte](frames * 4)
+      var i = 0
+      while (i < frames) {
+        val v = (math.sin(2 * math.Pi * freq * i / rate) * 30000).toInt
+        pcm(i * 4) = (v & 0xFF).toByte; pcm(i * 4 + 1) = (v >> 8).toByte
+        pcm(i * 4 + 2) = (v & 0xFF).toByte; pcm(i * 4 + 3) = (v >> 8).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(rate, 16, 2, true, false)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, "audio", wavBytes(440.0, 1024), 0, 0, 8000, 0),
+      Multimodal.MediaRecord(2L, "audio", wavBytes(1000.0, 1024), 0, 0, 8000, 0),
+      Multimodal.MediaRecord(3L, "audio", "not a wav".getBytes("UTF-8"), 0, 0, 0, 0),
+      Multimodal.MediaRecord(4L, "video", wavBytes(440.0, 64), 0, 0, 0, 0))
+    val feats = Multimodal.audioSpectralFeatures(spark.createDataset(rows))
+      .collect().sortBy(_.media_id)
+    assert(feats.map(_.media_id).toSeq == Seq(1L, 2L, 3L)) // video filtered out
+    val Array(a440, a1000, bad) = feats
+    // FFT bin resolution at 8 kHz / 1024 samples is ~7.8 Hz
+    assert(a440.ok && math.abs(a440.dominant_freq_hz - 440.0) < 8.0, a440)
+    assert(a1000.ok && math.abs(a1000.dominant_freq_hz - 1000.0) < 8.0, a1000)
+    assert(a440.n_samples == 1024 && a440.sample_rate_hz == 8000.0)
+    assert(a440.rms > 0.5 && a440.rms < 0.8, a440) // sine RMS ≈ 0.65 of 30000/32768
+    assert(!bad.ok && bad.error != null)
+  }
+
   test("multimodal decode failure routes to error rows, not job failure (T4)") {
     val media = Multimodal.syntheticMedia(Tables.documents(spark, sfDir).limit(9))
     val failing = new Multimodal.MediaCodec {
