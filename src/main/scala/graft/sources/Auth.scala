@@ -71,11 +71,133 @@ final class OAuth2ClientCredentials(
   }
 }
 
+/** Server-side token introspection (RFC 7662) with the reference's
+  * caching/backoff/scope semantics — the auth half of the HTTP server
+  * jack (`/root/reference/pkg/internal/jack/httpserver/
+  * auth_introspection.go:43-181`): POST `token=...` to the introspection
+  * endpoint (client auth basic/bearer/none), cache the `{active, scope}`
+  * verdict for `cacheTtlMillis` (reference default 30 s), require every
+  * scope in `requiredScopes`, and on HTTP 429 back off with doubling
+  * delay (250 ms → 5 s cap) during which validation fails fast.
+  * Transport-agnostic: any ingress (the socket/TLS jacks, a gateway
+  * filter) calls [[validate]] with the presented token. */
+final class IntrospectionValidator(
+    introspectionUrl: String,
+    authType: String = "basic",
+    clientId: String = "",
+    clientSecret: String = "",
+    bearerToken: String = "",
+    requiredScopes: Seq[String] = Nil,
+    cacheTtlMillis: Long = 30000,
+    post: (String, String, Map[String, String]) => (Int, String) = Auth.postFormStatus(_, _, _),
+    now: () => Long = () => System.currentTimeMillis()) {
+
+  private case class Entry(active: Boolean, scope: String, exp: Long)
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+  private var backoffStep = 250L
+  private var backoffUntil = 0L
+  private val introspections = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def introspectionCalls: Long = introspections.get()
+
+  private def hasAllScopes(granted: String): Boolean = {
+    val set = granted.split("\\s+").filter(_.nonEmpty).toSet
+    requiredScopes.forall(set.contains)
+  }
+
+  private def verdict(e: Entry): Either[String, Unit] =
+    if (!e.active) Left("token inactive")
+    else if (!hasAllScopes(e.scope)) Left("insufficient scope")
+    else Right(())
+
+  /** Right(()) = admitted; Left(reason) = rejected. */
+  def validate(token: String): Either[String, Unit] = {
+    val t = now()
+    val inBackoff = this.synchronized { t < backoffUntil }
+    if (inBackoff) return Left("auth server backoff in effect")
+    val cached = cache.get(token)
+    if (cached != null && t < cached.exp) return verdict(cached)
+    val authHeader: Map[String, String] = authType.toLowerCase match {
+      case "basic" => Map("Authorization" -> ("Basic " + java.util.Base64.getEncoder
+        .encodeToString(s"$clientId:$clientSecret".getBytes(UTF_8))))
+      case "bearer" if bearerToken.nonEmpty => Map("Authorization" -> s"Bearer $bearerToken")
+      case _ => Map.empty
+    }
+    val (status, body) =
+      try post(introspectionUrl, s"token=${URLEncoder.encode(token, UTF_8)}", authHeader)
+      catch { case e: Exception => return Left(s"introspection failed: ${e.getMessage}") }
+    introspections.incrementAndGet()
+    if (status == 429) {
+      this.synchronized {
+        backoffStep = math.min(backoffStep * 2, 5000L)
+        backoffUntil = t + backoffStep
+      }
+      return Left("introspection 429")
+    }
+    this.synchronized { backoffStep = 250L; backoffUntil = 0L }
+    if (status < 200 || status >= 300) return Left(s"introspection status $status")
+    val json = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    val e = Entry(json.path("active").asBoolean(false),
+      json.path("scope").asText(""), t + cacheTtlMillis)
+    cache.put(token, e)
+    verdict(e)
+  }
+}
+
 object Auth {
   // one shared client like HttpPollSource: a fresh HttpClient per token
   // fetch would churn its selector/executor threads on every refresh of a
   // long-lived streaming driver
   private lazy val client = java.net.http.HttpClient.newHttpClient()
+
+  /** The jack's request-authorization policy
+    * (`jack/httpserver/auth_policy.go:12-47`): static header checks, then
+    * the token validator; failures REJECT when `authRequired`, soft-pass
+    * (logged by the caller) when not. */
+  def authorize(headers: Map[String, String],
+                staticHeaders: Map[String, String] = Map.empty,
+                validator: Option[String => Either[String, Unit]] = None,
+                authRequired: Boolean = true): Either[String, Unit] = {
+    val result = checkStaticHeaders(headers, staticHeaders).flatMap { _ =>
+      validator.fold[Either[String, Unit]](Right(())) { v =>
+        val tok = extractBearerToken(headers)
+        if (tok.isEmpty) Left("no bearer token") else v(tok)
+      }
+    }
+    if (authRequired) result else Right(())
+  }
+
+  /** Case-insensitive `Authorization: Bearer <token>` extraction
+    * (`auth_introspection.go:229-246`). */
+  def extractBearerToken(headers: Map[String, String]): String =
+    headers.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("authorization") &&
+        v.regionMatches(true, 0, "Bearer ", 0, 7) => v.substring(7).trim
+    }.getOrElse("")
+
+  /** Required static headers, name-case-insensitive, value-exact
+    * (`auth_policy.go:49-58`). */
+  def checkStaticHeaders(headers: Map[String, String],
+                         required: Map[String, String]): Either[String, Unit] = {
+    val lower = headers.map { case (k, v) => k.toLowerCase -> v }
+    required.collectFirst {
+      case (k, v) if !lower.get(k.toLowerCase).contains(v) => s"missing/invalid header $k"
+    }.toLeft(())
+  }
+
+  /** Form POST returning (status, body) without throwing on non-2xx —
+    * the introspection path needs to SEE the 429. */
+  def postFormStatus(url: String, form: String,
+                     headers: Map[String, String] = Map.empty,
+                     timeoutMillis: Long = 10000): (Int, String) = {
+    var b = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofMillis(timeoutMillis))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(form))
+    headers.foreach { case (k, v) => b = b.header(k, v) }
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
 
   /** Form-encoded POST returning the body; non-2xx throws (so retry
     * policies see it), mirroring [[Http.get]]. */

@@ -77,6 +77,59 @@ class AuthSpec extends SparkSpec {
     }
   }
 
+  test("introspection: caches verdicts, enforces scopes, backs off on 429") {
+    // scripted introspection endpoint: responses keyed by token, plus a
+    // call counter and a 429 switch
+    var respond429 = false
+    val calls = new AtomicInteger(0)
+    val post: (String, String, Map[String, String]) => (Int, String) = { (_, form, hdrs) =>
+      calls.incrementAndGet()
+      assert(hdrs("Authorization").startsWith("Basic "), hdrs)
+      if (respond429) (429, "")
+      else if (form.contains("token=good")) (200, """{"active":true,"scope":"read write"}""")
+      else if (form.contains("token=narrow")) (200, """{"active":true,"scope":"read"}""")
+      else (200, """{"active":false}""")
+    }
+    var clock = 0L
+    val v = new IntrospectionValidator("http://auth/introspect",
+      clientId = "cid", clientSecret = "sec",
+      requiredScopes = Seq("read", "write"), cacheTtlMillis = 30000,
+      post = post, now = () => clock)
+    assert(v.validate("good") == Right(()))
+    assert(v.validate("good") == Right(())) // cached
+    assert(calls.get() == 1)
+    assert(v.validate("narrow") == Left("insufficient scope"))
+    assert(v.validate("revoked") == Left("token inactive"))
+    clock = 31000 // past the TTL -> re-introspect
+    assert(v.validate("good") == Right(()) && calls.get() == 4)
+    // 429: doubling backoff (250 -> 500), validation fails fast meanwhile
+    respond429 = true
+    clock = 62000
+    assert(v.validate("fresh1") == Left("introspection 429"))
+    assert(v.validate("fresh2") == Left("auth server backoff in effect"))
+    val before = calls.get()
+    assert(v.validate("fresh3") == Left("auth server backoff in effect"))
+    assert(calls.get() == before) // no endpoint hit during backoff
+    respond429 = false
+    clock = 63000 // past the 500ms backoff
+    assert(v.validate("good") == Right(()))
+  }
+
+  test("auth policy: static headers, bearer extraction, soft-fail when not required") {
+    assert(Auth.extractBearerToken(Map("Authorization" -> "Bearer abc")) == "abc")
+    assert(Auth.extractBearerToken(Map("authorization" -> "bearer xyz ")) == "xyz")
+    assert(Auth.extractBearerToken(Map("X-Other" -> "v")) == "")
+    assert(Auth.checkStaticHeaders(Map("X-Env" -> "prod"), Map("x-env" -> "prod")) == Right(()))
+    assert(Auth.checkStaticHeaders(Map.empty, Map("x-env" -> "prod")).isLeft)
+    val reject: String => Either[String, Unit] = _ => Left("nope")
+    assert(Auth.authorize(Map("Authorization" -> "Bearer t"),
+      validator = Some(reject)) == Left("nope"))
+    assert(Auth.authorize(Map("Authorization" -> "Bearer t"),
+      validator = Some(reject), authRequired = false) == Right(()))
+    assert(Auth.authorize(Map.empty, validator = Some(_ => Right(()))) ==
+      Left("no bearer token"))
+  }
+
   test("bearer injection feeds the poll source end to end") {
     withServers(expiresIn = 3600) { (tokenUrl, dataUrl, _) =>
       val oauth = new OAuth2ClientCredentials(tokenUrl, "cid", "sec")
