@@ -127,39 +127,52 @@ object Multimodal {
 
   /** Real AUDIO decode backed by `javax.sound.sampled` — like ImageIO it
     * ships with the JDK, so WAV/PCM needs no external jars (compressed
-    * containers like MP3/OGG stay with the FFI swap point). Decodes the
-    * WAV to mono double samples in [-1, 1] (channels averaged,
-    * 8/16/24/32-bit PCM little-endian per the format header) plus the
-    * sample rate, feeding the Wave pack's spectral kernels. */
+    * containers like MP3/OGG stay with the FFI swap point). Decodes to
+    * mono double samples in [-1, 1] (channels averaged; 8-bit unsigned
+    * per the WAV spec, 16/24/32-bit signed; byte order per the container
+    * header, so big-endian AIFF/AU decode correctly too) plus the sample
+    * rate, feeding the Wave pack's spectral kernels. */
   object WavCodec {
     def decodePcm(payload: Array[Byte]): (Array[Double], Double) = {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
         val fmt = in.getFormat
-        require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-          s"only PCM_SIGNED WAV is JDK-decodable, got ${fmt.getEncoding}")
-        val bytesPerSample = fmt.getSampleSizeInBits / 8
-        require(bytesPerSample >= 1 && bytesPerSample <= 4,
-          s"unsupported sample width ${fmt.getSampleSizeInBits}")
+        val enc = fmt.getEncoding
+        // 8-bit WAV is PCM_UNSIGNED per the spec; wider widths are signed
+        val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        require(unsigned ||
+          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"only PCM is JDK-decodable, got $enc")
+        val bits = fmt.getSampleSizeInBits
+        require(bits % 8 == 0 && bits >= 8 && bits <= 32,
+          s"unsupported sample width $bits")
+        val bytesPerSample = bits / 8
         val raw = in.readAllBytes()
         val ch = fmt.getChannels
         val frameBytes = bytesPerSample * ch
         val nFrames = raw.length / frameBytes
         val out = new Array[Double](nFrames)
-        val full = (1L << (fmt.getSampleSizeInBits - 1)).toDouble
+        val full = (1L << (bits - 1)).toDouble
+        val bigEndian = fmt.isBigEndian // AIFF/AU containers decode big-endian
         var f = 0
         while (f < nFrames) {
           var acc = 0.0
           var c = 0
           while (c < ch) {
             val base = f * frameBytes + c * bytesPerSample
-            // little-endian signed per the WAV spec
             var v = 0L
-            var b = bytesPerSample - 1
-            while (b >= 0) { v = (v << 8) | (raw(base + b) & 0xFF); b -= 1 }
-            val shift = 64 - fmt.getSampleSizeInBits
-            acc += (v << shift >> shift).toDouble / full
+            if (bigEndian) {
+              var b = 0
+              while (b < bytesPerSample) { v = (v << 8) | (raw(base + b) & 0xFF); b += 1 }
+            } else {
+              var b = bytesPerSample - 1
+              while (b >= 0) { v = (v << 8) | (raw(base + b) & 0xFF); b -= 1 }
+            }
+            val sample =
+              if (unsigned) v - full // center 0..2^bits-1 on zero
+              else { val shift = 64 - bits; (v << shift >> shift).toDouble }
+            acc += sample / full
             c += 1
           }
           out(f) = acc / ch
@@ -186,7 +199,14 @@ object Multimodal {
         try {
           val (pcm, rate) = WavCodec.decodePcm(m.payload)
           require(pcm.nonEmpty, "empty audio payload")
-          val dom = graft.functions.Wave.dominantFreq(pcm, rate)
+          // the radix-2 FFT needs a power-of-2 length and real clips are
+          // never one: truncate to the largest power of 2 that fits
+          // (spectral resolution stays honest — zero-padding would smear
+          // the true bins); energy/RMS use the FULL signal
+          val fftLen = java.lang.Integer.highestOneBit(pcm.length)
+          val head = if (fftLen == pcm.length) pcm
+                     else java.util.Arrays.copyOf(pcm, fftLen)
+          val dom = graft.functions.Wave.dominantFreq(head, rate)
           val energy = graft.functions.Wave.totalEnergy(pcm)
           val rms = math.sqrt(energy / pcm.length)
           AudioFeatures(m.media_id, pcm.length, rate, dom, energy, rms,

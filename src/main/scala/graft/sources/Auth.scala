@@ -78,9 +78,12 @@ final class OAuth2ClientCredentials(
   * endpoint (client auth basic/bearer/none), cache the `{active, scope}`
   * verdict for `cacheTtlMillis` (reference default 30 s), require every
   * scope in `requiredScopes`, and on HTTP 429 back off with doubling
-  * delay (250 ms → 5 s cap) during which validation fails fast.
-  * Transport-agnostic: any ingress (the socket/TLS jacks, a gateway
-  * filter) calls [[validate]] with the presented token. */
+  * delay (500 ms on the first hit — the reference doubles-then-applies —
+  * capped at 5 s) during which only UNCACHED validations fail fast:
+  * tokens with a live cached verdict keep being served, since they need
+  * no auth-server call. Transport-agnostic: any ingress (the socket/TLS
+  * jacks, a gateway filter) calls [[validate]] with the presented
+  * token. */
 final class IntrospectionValidator(
     introspectionUrl: String,
     authType: String = "basic",
@@ -94,6 +97,11 @@ final class IntrospectionValidator(
 
   private case class Entry(active: Boolean, scope: String, exp: Long)
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+  // an unauthenticated client can present unlimited distinct garbage
+  // tokens; the cache must not grow with them. On overflow: sweep
+  // expired entries, and if still full skip caching (validation still
+  // answers, just uncached).
+  private val maxCacheEntries = 10000
   private var backoffStep = 250L
   private var backoffUntil = 0L
   private val introspections = new java.util.concurrent.atomic.AtomicLong(0)
@@ -113,10 +121,12 @@ final class IntrospectionValidator(
   /** Right(()) = admitted; Left(reason) = rejected. */
   def validate(token: String): Either[String, Unit] = {
     val t = now()
-    val inBackoff = this.synchronized { t < backoffUntil }
-    if (inBackoff) return Left("auth server backoff in effect")
+    // cache first: a rate-limited auth server must not outage clients
+    // whose verdict is already known
     val cached = cache.get(token)
     if (cached != null && t < cached.exp) return verdict(cached)
+    val inBackoff = this.synchronized { t < backoffUntil }
+    if (inBackoff) return Left("auth server backoff in effect")
     val authHeader: Map[String, String] = authType.toLowerCase match {
       case "basic" => Map("Authorization" -> ("Basic " + java.util.Base64.getEncoder
         .encodeToString(s"$clientId:$clientSecret".getBytes(UTF_8))))
@@ -136,10 +146,17 @@ final class IntrospectionValidator(
     }
     this.synchronized { backoffStep = 250L; backoffUntil = 0L }
     if (status < 200 || status >= 300) return Left(s"introspection status $status")
-    val json = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    // parse failures (proxy HTML, empty body) must reject, not escape the
+    // Either contract and crash the caller's request handler
+    val json =
+      try Auth.mapper.readTree(body)
+      catch { case e: Exception => return Left(s"unparseable introspection body: ${e.getMessage}") }
     val e = Entry(json.path("active").asBoolean(false),
       json.path("scope").asText(""), t + cacheTtlMillis)
-    cache.put(token, e)
+    if (cache.size >= maxCacheEntries) {
+      cache.entrySet.removeIf(en => en.getValue.exp <= t)
+    }
+    if (cache.size < maxCacheEntries) cache.put(token, e)
     verdict(e)
   }
 }
@@ -150,21 +167,28 @@ object Auth {
   // long-lived streaming driver
   private lazy val client = java.net.http.HttpClient.newHttpClient()
 
+  // one shared mapper: readTree is thread-safe and an ObjectMapper is a
+  // heavyweight allocation for a per-request validation hot path
+  private[sources] lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** The jack's request-authorization policy
     * (`jack/httpserver/auth_policy.go:12-47`): static header checks, then
-    * the token validator; failures REJECT when `authRequired`, soft-pass
-    * (logged by the caller) when not. */
+    * the token validator; failures REJECT when `authRequired`, soft-PASS
+    * when not — the reason is delivered to `onSoftFail` (the reference
+    * warn-logs it) rather than silently discarded. */
   def authorize(headers: Map[String, String],
                 staticHeaders: Map[String, String] = Map.empty,
                 validator: Option[String => Either[String, Unit]] = None,
-                authRequired: Boolean = true): Either[String, Unit] = {
+                authRequired: Boolean = true,
+                onSoftFail: String => Unit = _ => ()): Either[String, Unit] = {
     val result = checkStaticHeaders(headers, staticHeaders).flatMap { _ =>
       validator.fold[Either[String, Unit]](Right(())) { v =>
         val tok = extractBearerToken(headers)
         if (tok.isEmpty) Left("no bearer token") else v(tok)
       }
     }
-    if (authRequired) result else Right(())
+    if (authRequired) result
+    else { result.left.foreach(onSoftFail); Right(()) }
   }
 
   /** Case-insensitive `Authorization: Bearer <token>` extraction
@@ -202,14 +226,8 @@ object Auth {
   /** Form-encoded POST returning the body; non-2xx throws (so retry
     * policies see it), mirroring [[Http.get]]. */
   def postForm(url: String, form: String, timeoutMillis: Long = 10000): String = {
-    val req = HttpRequest.newBuilder(URI.create(url))
-      .timeout(Duration.ofMillis(timeoutMillis))
-      .header("Content-Type", "application/x-www-form-urlencoded")
-      .POST(HttpRequest.BodyPublishers.ofString(form))
-      .build()
-    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() < 200 || resp.statusCode() >= 300)
-      throw new Http.StatusException(resp.statusCode(), url)
-    resp.body()
+    val (status, body) = postFormStatus(url, form, Map.empty, timeoutMillis)
+    if (status < 200 || status >= 300) throw new Http.StatusException(status, url)
+    body
   }
 }

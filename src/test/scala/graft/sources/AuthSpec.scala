@@ -113,6 +113,20 @@ class AuthSpec extends SparkSpec {
     respond429 = false
     clock = 63000 // past the 500ms backoff
     assert(v.validate("good") == Right(()))
+    // a live cached verdict keeps serving DURING backoff (no network)
+    respond429 = true
+    clock = 64000
+    assert(v.validate("fresh4") == Left("introspection 429"))
+    val cachedCalls = calls.get()
+    assert(v.validate("good") == Right(())) // cached at 63000, TTL 30s
+    assert(calls.get() == cachedCalls)
+  }
+
+  test("introspection: unparseable 2xx body rejects instead of throwing") {
+    val v = new IntrospectionValidator("http://auth/introspect",
+      post = (_, _, _) => (200, "<html>proxy error</html>"), now = () => 0L)
+    val r = v.validate("tok")
+    assert(r.isLeft && r.left.exists(_.contains("unparseable")), r)
   }
 
   test("auth policy: static headers, bearer extraction, soft-fail when not required") {
@@ -124,8 +138,11 @@ class AuthSpec extends SparkSpec {
     val reject: String => Either[String, Unit] = _ => Left("nope")
     assert(Auth.authorize(Map("Authorization" -> "Bearer t"),
       validator = Some(reject)) == Left("nope"))
+    var soft: String = null
     assert(Auth.authorize(Map("Authorization" -> "Bearer t"),
-      validator = Some(reject), authRequired = false) == Right(()))
+      validator = Some(reject), authRequired = false,
+      onSoftFail = soft = _) == Right(()))
+    assert(soft == "nope") // the reason reaches the soft-fail hook
     assert(Auth.authorize(Map.empty, validator = Some(_ => Right(()))) ==
       Left("no bearer token"))
   }

@@ -209,21 +209,38 @@ class SourcesCodecsSpec extends SparkSpec {
       AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
       out.toByteArray
     }
+    // 8-bit unsigned mono WAV (the spec's encoding for 8-bit)
+    def wav8Bytes(freq: Double, frames: Int): Array[Byte] = {
+      val rate = 8000f
+      val pcm = Array.tabulate[Byte](frames)(i =>
+        ((math.sin(2 * math.Pi * freq * i / rate) * 120).toInt + 128).toByte)
+      val fmt = new AudioFormat(rate, 8, 1, false, false)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
     val rows = Seq(
       Multimodal.MediaRecord(1L, "audio", wavBytes(440.0, 1024), 0, 0, 8000, 0),
-      Multimodal.MediaRecord(2L, "audio", wavBytes(1000.0, 1024), 0, 0, 8000, 0),
+      // real clips are never power-of-2 frames: FFT truncates to 512 here
+      Multimodal.MediaRecord(2L, "audio", wavBytes(1000.0, 1000), 0, 0, 8000, 0),
       Multimodal.MediaRecord(3L, "audio", "not a wav".getBytes("UTF-8"), 0, 0, 0, 0),
-      Multimodal.MediaRecord(4L, "video", wavBytes(440.0, 64), 0, 0, 0, 0))
+      Multimodal.MediaRecord(4L, "video", wavBytes(440.0, 64), 0, 0, 0, 0),
+      Multimodal.MediaRecord(5L, "audio", wav8Bytes(500.0, 512), 0, 0, 8000, 0))
     val feats = Multimodal.audioSpectralFeatures(spark.createDataset(rows))
       .collect().sortBy(_.media_id)
-    assert(feats.map(_.media_id).toSeq == Seq(1L, 2L, 3L)) // video filtered out
-    val Array(a440, a1000, bad) = feats
+    assert(feats.map(_.media_id).toSeq == Seq(1L, 2L, 3L, 5L)) // video filtered out
+    val Array(a440, a1000, bad, a8bit) = feats
     // FFT bin resolution at 8 kHz / 1024 samples is ~7.8 Hz
     assert(a440.ok && math.abs(a440.dominant_freq_hz - 440.0) < 8.0, a440)
-    assert(a1000.ok && math.abs(a1000.dominant_freq_hz - 1000.0) < 8.0, a1000)
+    // 1000 frames truncate to a 512-sample FFT: ~15.6 Hz bins
+    assert(a1000.ok && math.abs(a1000.dominant_freq_hz - 1000.0) < 16.0, a1000)
+    assert(a1000.n_samples == 1000, a1000)
     assert(a440.n_samples == 1024 && a440.sample_rate_hz == 8000.0)
     assert(a440.rms > 0.5 && a440.rms < 0.8, a440) // sine RMS ≈ 0.65 of 30000/32768
     assert(!bad.ok && bad.error != null)
+    assert(a8bit.ok && math.abs(a8bit.dominant_freq_hz - 500.0) < 16.0, a8bit)
+    assert(a8bit.rms > 0.5 && a8bit.rms < 0.8, a8bit) // (120/128)/sqrt(2) ≈ 0.66
   }
 
   test("multimodal decode failure routes to error rows, not job failure (T4)") {
