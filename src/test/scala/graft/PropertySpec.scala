@@ -54,6 +54,23 @@ object GraftProperties extends Properties("graft") {
       kernel.length == naive.size && kernel.toSet.size == kernel.length
     }
 
+  property("WAV PCM decode round-trips synthesized 16-bit mono samples exactly") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-32768, 32767))) { vals =>
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+      val pcm = new Array[Byte](vals.length * 2)
+      vals.zipWithIndex.foreach { case (v, i) =>
+        pcm(i * 2) = (v & 0xFF).toByte; pcm(i * 2 + 1) = (v >> 8).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, vals.length)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      val (samples, rate) = graft.operators.Multimodal.WavCodec.decodePcm(out.toByteArray)
+      rate == 8000.0 && samples.length == vals.length &&
+        samples.zip(vals).forall { case (s, v) => math.abs(s - v / 32768.0) < 1e-12 }
+    }
+
   property("deflateLen counts exactly an independent level-6 deflate") =
     forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bs =>
       val arr = bs.toArray
