@@ -131,6 +131,13 @@ final class IntrospectionValidator(
       case "basic" => Map("Authorization" -> ("Basic " + java.util.Base64.getEncoder
         .encodeToString(s"$clientId:$clientSecret".getBytes(UTF_8))))
       case "bearer" if bearerToken.nonEmpty => Map("Authorization" -> s"Bearer $bearerToken")
+      // the reference's default case falls back to Basic whenever client
+      // credentials are configured (`auth_introspection.go:128-132`) —
+      // an unrecognized authType must not silently degrade a credentialed
+      // validator to unauthenticated introspection
+      case _ if clientId.nonEmpty || clientSecret.nonEmpty =>
+        Map("Authorization" -> ("Basic " + java.util.Base64.getEncoder
+          .encodeToString(s"$clientId:$clientSecret".getBytes(UTF_8))))
       case _ => Map.empty
     }
     val (status, body) =

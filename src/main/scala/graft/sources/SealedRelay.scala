@@ -61,14 +61,23 @@ object SealedRelay {
   }
 
   /** Unwrap one payload per its frame flags. A frame sealed with a key
-    * the receiver doesn't hold fails the GCM tag check and throws. */
+    * the receiver doesn't hold fails the GCM tag check and throws. A
+    * receiver that HOLDS a key refuses unsealed frames outright — the
+    * reference's "unwrap: encryption required" rule
+    * (`receivingrelay/payload.go:30-33`): the key is the only
+    * authentication on this edge, so accepting an attacker-controlled
+    * flags=0 frame would be a downgrade-to-plaintext injection hole. */
   def unwrap(flags: Int, payload: Array[Byte], key: Option[Array[Byte]]): Array[Byte] = {
     val decrypted =
       if ((flags & FlagAes) != 0) {
         val k = key.getOrElse(throw new SecurityException(
           "frame is AES-GCM sealed but the jack holds no key"))
         graft.functions.Crypto.aesGcmDecryptBytes(payload, k)
-      } else payload
+      } else {
+        if (key.isDefined) throw new SecurityException(
+          "unwrap: encryption required — receiver holds a key but the frame is not AES-GCM sealed")
+        payload
+      }
     if ((flags & FlagGzip) != 0) graft.functions.Codecs.gunzip(decrypted) else decrypted
   }
 
@@ -80,10 +89,19 @@ object SealedRelay {
     out.flush()
   }
 
+  /** Default receiver-side frame cap. The declared length is read from an
+    * UNAUTHENTICATED peer before any GCM verification, so the allocation
+    * it provokes must be small: 64 MiB (vs the writer's 4 MiB default /
+    * 512 MiB hard chunk bound) keeps a handful of hostile connections
+    * from OOMing the receiver while leaving 16× headroom over any frame
+    * a default writer emits. */
+  val DefaultMaxFrameBytes: Int = 64 << 20
+
   /** Read one frame; None at clean EOF (between frames only — a stream
     * truncated MID-frame, including mid-magic, is an error, not an EOF:
     * readFully alone couldn't tell the two apart). */
-  def readFrame(in: DataInputStream): Option[(Int, Array[Byte])] = {
+  def readFrame(in: DataInputStream,
+                maxFrameBytes: Int = DefaultMaxFrameBytes): Option[(Int, Array[Byte])] = {
     val first = in.read()
     if (first < 0) return None // clean EOF at a frame boundary
     val magic = new Array[Byte](4)
@@ -95,7 +113,7 @@ object SealedRelay {
       s"bad frame magic ${magic.toSeq} — peer is not a sealed relay")
     val flags = in.readUnsignedByte()
     val len = in.readInt()
-    require(len >= 0 && len <= (1 << 30), s"bad frame length $len")
+    require(len >= 0 && len <= maxFrameBytes, s"bad frame length $len (cap $maxFrameBytes)")
     val payload = new Array[Byte](len)
     in.readFully(payload)
     Some((flags, payload))
@@ -108,7 +126,7 @@ object SealedRelay {
     * independent unwrap units, so chunking bounds writer memory (a
     * whole-partition frame held ~4 concurrent copies of the partition —
     * string, bytes, gzip, ciphertext — and anything past the receiver's
-    * 1 GiB frame cap would be dropped wholesale), while the per-frame
+    * frame cap, 64 MiB by default, would be dropped wholesale), while the per-frame
     * cipher/deflate setup still amortizes over megabytes. Encryption is
     * keyed by `key`'s presence — one parameter, no flag to keep in
     * lockstep ([[validate]]'s two-field rule applies to surfaces that
@@ -156,7 +174,9 @@ object SealedRelay {
   * sealing and transport auth are independent layers, as in the
   * reference's SecurityOptions vs TLSConfig split. */
 final class SealedReceivingRelay(spark: SparkSession, port: Int,
-                                 key: Option[Array[Byte]] = None) {
+                                 key: Option[Array[Byte]] = None,
+                                 maxFrameBytes: Int = SealedRelay.DefaultMaxFrameBytes) {
+  require(maxFrameBytes > 0, s"maxFrameBytes must be positive: $maxFrameBytes")
 
   import spark.implicits._
   private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -191,7 +211,7 @@ final class SealedReceivingRelay(spark: SparkSession, port: Int,
       val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
       var more = true
       while (more && running.get()) {
-        SealedRelay.readFrame(in) match {
+        SealedRelay.readFrame(in, maxFrameBytes) match {
           case Some((flags, payload)) =>
             val lines = new String(SealedRelay.unwrap(flags, payload, key), UTF_8)
               .split("\n").iterator.filter(_.nonEmpty)

@@ -115,10 +115,21 @@ object Tls {
   /** Connect a client socket: bounded protocol range, SNI = serverName,
     * and HTTPS-style endpoint identification (hostname verification
     * against the server certificate — the reference sets
-    * `ServerName` on its client `tls.Config` for the same check). */
+    * `ServerName` on its client `tls.Config` for the same check).
+    * The certificate is verified against `cfg.serverName`, NOT the
+    * connect address: TCP goes to `host` (which may be an IP or a
+    * load-balancer alias) while the TLS layer is created with
+    * `serverName` as its peer host, so endpoint identification matches
+    * the reference's ServerName semantics. */
   def clientSocket(cfg: TlsConfig, host: String, port: Int): SSLSocket = {
-    val sock = sslContext(cfg).getSocketFactory
-      .createSocket(host, port).asInstanceOf[SSLSocket]
+    val raw = new java.net.Socket(host, port)
+    val sock =
+      try sslContext(cfg).getSocketFactory
+        .createSocket(raw, cfg.serverName, port, true).asInstanceOf[SSLSocket]
+      catch { case e: Throwable =>
+        try raw.close() catch { case _: Throwable => () }
+        throw e
+      }
     try {
       val params = new SSLParameters()
       params.setProtocols(protocolRange(cfg))

@@ -122,6 +122,28 @@ class AuthSpec extends SparkSpec {
     assert(calls.get() == cachedCalls)
   }
 
+  test("introspection: unrecognized authType with credentials falls back to Basic") {
+    // the reference's default case (auth_introspection.go:128-132) —
+    // 'client_secret_basic' must not degrade to unauthenticated calls
+    var seen: Map[String, String] = Map.empty
+    val v = new IntrospectionValidator("http://auth/introspect",
+      authType = "client_secret_basic", clientId = "cid", clientSecret = "sec",
+      post = { (_, _, hdrs) => seen = hdrs; (200, """{"active":true,"scope":""}""") },
+      now = () => 0L)
+    assert(v.validate("tok") == Right(()))
+    val expected = "Basic " + java.util.Base64.getEncoder
+      .encodeToString("cid:sec".getBytes("UTF-8"))
+    assert(seen.get("Authorization").contains(expected), seen)
+    // no credentials configured -> still unauthenticated, as before
+    var seen2: Map[String, String] = Map("marker" -> "unset")
+    val v2 = new IntrospectionValidator("http://auth/introspect",
+      authType = "whatever",
+      post = { (_, _, hdrs) => seen2 = hdrs; (200, """{"active":true,"scope":""}""") },
+      now = () => 0L)
+    assert(v2.validate("tok") == Right(()))
+    assert(!seen2.contains("Authorization"), seen2)
+  }
+
   test("introspection: unparseable 2xx body rejects instead of throwing") {
     val v = new IntrospectionValidator("http://auth/introspect",
       post = (_, _, _) => (200, "<html>proxy error</html>"), now = () => 0L)

@@ -53,6 +53,49 @@ class SealedRelaySpec extends SparkSpec {
     assert(e.getMessage.contains("truncated"))
   }
 
+  test("a keyed receiver refuses unsealed frames — no downgrade to plaintext") {
+    // the reference's 'unwrap: encryption required' (receivingrelay/
+    // payload.go:30-33): the key is the only authentication on this edge
+    val body = "injected".getBytes(UTF_8)
+    for (gz <- Seq(false, true)) {
+      val (flags, p) = SealedRelay.seal(body, gz, None)
+      val e = intercept[SecurityException] { SealedRelay.unwrap(flags, p, Some(key)) }
+      assert(e.getMessage.contains("encryption required"))
+    }
+    // and the sealed direction still round-trips
+    val (f, p) = SealedRelay.seal(body, gzipped = true, Some(key))
+    assert(SealedRelay.unwrap(f, p, Some(key)).toSeq == body.toSeq)
+  }
+
+  test("e2e: a keyed relay drops a peer that sends plaintext frames") {
+    val relay = new SealedReceivingRelay(spark, 0, Some(key))
+    try {
+      import spark.implicits._
+      val df = Seq((1L, "injected")).toDF("id", "name")
+      SealedRelay.writeSocketSealed(df, "127.0.0.1", relay.boundPort,
+        gzipped = false, key = None)
+      eventually(relay.badFrameCount >= 1, "plaintext frame was not rejected")
+      assert(relay.receivedCount == 0)
+    } finally relay.stop()
+  }
+
+  test("a declared frame length over the receiver cap is rejected before allocation") {
+    val buf = new ByteArrayOutputStream()
+    val out = new DataOutputStream(buf)
+    out.write("GRS1".getBytes(UTF_8)); out.writeByte(0)
+    out.writeInt(SealedRelay.DefaultMaxFrameBytes + 1)
+    val in = new DataInputStream(new ByteArrayInputStream(buf.toByteArray))
+    val e = intercept[IllegalArgumentException] { SealedRelay.readFrame(in) }
+    assert(e.getMessage.contains("frame length"))
+    // a caller-raised cap admits the same header
+    val in2 = new DataInputStream(new ByteArrayInputStream(buf.toByteArray))
+    // payload bytes are absent, so a raised cap must get past the length
+    // check and then fail on the truncated body instead
+    intercept[java.io.EOFException] {
+      SealedRelay.readFrame(in2, maxFrameBytes = 128 << 20)
+    }
+  }
+
   test("e2e: partitions seal gzip+AES batches; the receiving relay unwraps into the stream") {
     val relay = new SealedReceivingRelay(spark, 0, Some(key))
     val ingress = relay.jsonStream(schema).writeStream

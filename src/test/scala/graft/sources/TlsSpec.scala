@@ -72,6 +72,27 @@ class TlsSpec extends SparkSpec {
     } finally jack.stop()
   }
 
+  test("endpoint identification follows cfg.serverName, not the connect address") {
+    val jack = new TlsNdjsonJack(spark, 0, serverCfg, MtlsOptions())
+    try {
+      // positive: TCP to the IP literal while the certificate is verified
+      // against serverName (the reference's ServerName semantics)
+      val sock = Tls.clientSocket(clientCfg, "127.0.0.1", jack.boundPort)
+      sock.close()
+      // negative: same reachable endpoint, but a serverName the cert does
+      // not carry must fail verification — proving the check follows
+      // serverName rather than the host we connected to
+      val e = intercept[Exception] {
+        val s = Tls.clientSocket(clientCfg.copy(serverName = "wrong.example"),
+          "localhost", jack.boundPort)
+        try { s.getOutputStream.write('\n'); s.getOutputStream.flush()
+              s.getInputStream.read() } finally s.close()
+      }
+      assert(e.isInstanceOf[javax.net.ssl.SSLException] ||
+        e.getCause.isInstanceOf[javax.net.ssl.SSLException], e.toString)
+    } finally jack.stop()
+  }
+
   test("rejects a CA-valid client whose principal is not allowed") {
     val jack = new TlsNdjsonJack(spark, 0, serverCfg,
       MtlsOptions(Seq("spiffe://graft.test/relay-client"), "graft.test"))
