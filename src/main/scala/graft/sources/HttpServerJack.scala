@@ -1,0 +1,188 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.Executors
+import java.util.concurrent.atomic.AtomicLong
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer, HttpsConfigurator, HttpsParameters, HttpsServer}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types.StructType
+
+/** S9 HTTP server jack with real HTTP/1.1 framing — the reference's
+  * `httpServerAdapter.Serve` request loop
+  * (`jack/httpserver/serve.go:30-128`) on the JDK's built-in
+  * `com.sun.net.httpserver` (no new dependencies), feeding a streaming
+  * source buffer:
+  *
+  *  - one configured `method` + `endpoint`; any other path is 404, any
+  *    other method 405 — Go's exact-match `ServeMux` semantics (the JDK
+  *    server prefix-matches contexts, so the handler re-checks the path).
+  *  - request authorization is the EXISTING policy stack
+  *    ([[Auth.authorize]]: static headers, then the bearer validator —
+  *    e.g. an [[IntrospectionValidator]]); failures are 401 when
+  *    `authRequired`, soft-PASS with the reason counted when not
+  *    (`serve.go:137-148`, `auth_policy.go:12-47`).
+  *  - the body is ONE JSON record per request (`decode.go:9-15`); a
+  *    parse failure is a 400 ("Error parsing request", `serve.go:150-155`).
+  *    Accepted records are re-rendered compact (a pretty-printed body
+  *    must not smuggle newlines into the NDJSON stream buffer).
+  *  - the response carries the configured static headers and status
+  *    (`serve.go:176-193` with the submit response defaulted).
+  *  - optional TLS via the existing [[TlsConfig]] loader; `mtls` set ⇒
+  *    client certificates are required and verified against the CA, as
+  *    on the socket jack.
+  *
+  * Driver-ingress like the reference's single listener; control-plane
+  * sized — high-volume edges stay Kafka/files (SURVEY §2.1). Note
+  * MemoryStream does NOT survive restart: this edge is replay-from-peer,
+  * not checkpoint-recoverable (see FileStreamSpec for the recoverable
+  * edge).
+  */
+final class HttpServerJack(
+    spark: SparkSession,
+    port: Int,
+    endpoint: String = "/ingest",
+    method: String = "POST",
+    staticHeaders: Map[String, String] = Map.empty,
+    validator: Option[String => Either[String, Unit]] = None,
+    authRequired: Boolean = true,
+    responseHeaders: Map[String, String] = Map.empty,
+    responseStatus: Int = 200,
+    tls: Option[TlsConfig] = None,
+    mtls: Boolean = false,
+    maxBodyBytes: Int = 4 << 20) {
+
+  require(endpoint.startsWith("/"), s"endpoint must start with '/': $endpoint")
+  require(maxBodyBytes > 0, s"maxBodyBytes must be positive: $maxBodyBytes")
+
+  import spark.implicits._
+  private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val stream = MemoryStream[String]
+  private val received = new AtomicLong(0)
+  private val rejected = new AtomicLong(0)
+  private val badRequests = new AtomicLong(0)
+  private val softFailures = new AtomicLong(0)
+
+  // a small pool, not the calling thread: the reference's net/http serves
+  // each request on its own goroutine; a control-plane jack needs just
+  // enough parallelism to not head-of-line-block health checks behind a
+  // slow introspection round-trip
+  private val pool = Executors.newFixedThreadPool(4, r => {
+    val t = new Thread(r, "graft-http-jack"); t.setDaemon(true); t
+  })
+
+  private val server: HttpServer = tls match {
+    case Some(cfg) =>
+      val s = HttpsServer.create(new InetSocketAddress(port), 0)
+      val ctx = Tls.sslContext(cfg)
+      s.setHttpsConfigurator(new HttpsConfigurator(ctx) {
+        override def configure(params: HttpsParameters): Unit = {
+          val p = ctx.getDefaultSSLParameters
+          p.setProtocols(Tls.protocolRange(cfg))
+          if (mtls) p.setNeedClientAuth(true)
+          params.setSSLParameters(p)
+        }
+      })
+      s
+    case None => HttpServer.create(new InetSocketAddress(port), 0)
+  }
+
+  server.createContext("/", (exchange: HttpExchange) => handle(exchange))
+  server.setExecutor(pool)
+  server.start()
+
+  def boundPort: Int = server.getAddress.getPort
+
+  private def respond(ex: HttpExchange, status: Int, body: String,
+                      headers: Map[String, String] = Map.empty): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
+    ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def handle(ex: HttpExchange): Unit = {
+    try {
+      // the JDK server prefix-matches its contexts; the reference's mux
+      // serves exactly cfg.endpoint — re-check for parity
+      if (ex.getRequestURI.getPath != endpoint) {
+        respond(ex, 404, "Not Found"); return
+      }
+      if (ex.getRequestMethod != method) {
+        respond(ex, 405, "Method Not Allowed"); return
+      }
+      val headers: Map[String, String] = {
+        import scala.jdk.CollectionConverters._
+        ex.getRequestHeaders.asScala.map { case (k, vs) =>
+          k -> (if (vs.isEmpty) "" else vs.get(0))
+        }.toMap
+      }
+      Auth.authorize(headers, staticHeaders, validator, authRequired,
+        onSoftFail = _ => softFailures.incrementAndGet()) match {
+        case Left(_) =>
+          rejected.incrementAndGet()
+          respond(ex, 401, "Unauthorized"); return
+        case Right(()) => ()
+      }
+      val body = readBounded(ex)
+      if (body == null) { respond(ex, 413, "Payload Too Large"); return }
+      val line =
+        try {
+          val node = Auth.mapper.readTree(body)
+          // readTree accepts bare scalars and trailing garbage is caught
+          // by exceptions; an ingest record must be a JSON object
+          if (node == null || !node.isObject) throw new IllegalArgumentException("not a JSON object")
+          Auth.mapper.writeValueAsString(node)
+        } catch {
+          case e: Exception =>
+            badRequests.incrementAndGet()
+            respond(ex, 400, s"Error parsing request: ${e.getMessage}")
+            return
+        }
+      // MemoryStream's row encoder is not thread-safe across the pool's
+      // request threads (see TlsNdjsonJack.serve)
+      stream.synchronized { stream.addData(line) }
+      received.incrementAndGet()
+      respond(ex, responseStatus, "", responseHeaders)
+    } catch {
+      case _: Throwable =>
+        try respond(ex, 500, "Internal Server Error") catch { case _: Throwable => () }
+    }
+  }
+
+  /** Read at most maxBodyBytes; null = over the cap (413, analogous to
+    * the sealed relay's pre-allocation frame cap: an authorized-or-soft
+    * peer still must not provoke unbounded buffering). */
+  private def readBounded(ex: HttpExchange): Array[Byte] = {
+    val in = ex.getRequestBody
+    val buf = new java.io.ByteArrayOutputStream(math.min(maxBodyBytes, 8192))
+    val chunk = new Array[Byte](8192)
+    var n = in.read(chunk)
+    while (n >= 0) {
+      if (buf.size + n > maxBodyBytes) return null
+      buf.write(chunk, 0, n)
+      n = in.read(chunk)
+    }
+    buf.toByteArray
+  }
+
+  /** Raw ingress stream (one compact JSON string per accepted request). */
+  def raw: Dataset[String] = stream.toDS()
+
+  def jsonStream(schema: StructType): DataFrame =
+    Sources.jsonLines(raw.toDF("value"), "value", schema)
+
+  def receivedCount: Long = received.get()
+  def rejectedCount: Long = rejected.get()
+  def badRequestCount: Long = badRequests.get()
+  def softFailureCount: Long = softFailures.get()
+
+  def stop(): Unit = {
+    server.stop(0)
+    pool.shutdownNow()
+  }
+}

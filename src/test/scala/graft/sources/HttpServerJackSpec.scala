@@ -1,0 +1,121 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.SparkSpec
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+/** S9 HTTP server jack: real HTTP/1.1 framing against the JDK's own
+  * independent `java.net.http` client — routing (404/405), the auth
+  * policy in required and soft modes (401 path), JSON body decode
+  * (400 path), body-size cap (413), response headers, TLS, and rows
+  * landing in a streaming query end to end. */
+class HttpServerJackSpec extends SparkSpec {
+
+  private val schema = new StructType().add("id", LongType).add("name", StringType)
+  private val client = HttpClient.newHttpClient()
+
+  private def post(port: Int, path: String, body: String,
+                   headers: Map[String, String] = Map.empty,
+                   method: String = "POST",
+                   c: HttpClient = client,
+                   scheme: String = "http"): HttpResponse[String] = {
+    var b = HttpRequest.newBuilder(URI.create(s"$scheme://localhost:$port$path"))
+      .method(method, HttpRequest.BodyPublishers.ofString(body))
+    headers.foreach { case (k, v) => b = b.header(k, v) }
+    c.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  test("e2e: authorized JSON posts land in a streaming query; bad requests get the right statuses") {
+    val jack = new HttpServerJack(spark, 0,
+      staticHeaders = Map("X-Env" -> "test"),
+      validator = Some(t => if (t == "good-token") Right(()) else Left("token inactive")),
+      responseHeaders = Map("X-Jack" -> "graft"))
+    val ingress = jack.jsonStream(schema).writeStream
+      .format("memory").queryName("http_jack").outputMode("append").start()
+    try {
+      val ok = Map("Authorization" -> "Bearer good-token", "X-Env" -> "test")
+      // happy path — including a pretty-printed body that must flatten to
+      // one NDJSON record
+      (0 until 5).foreach { i =>
+        val r = post(jack.boundPort, "/ingest", s"""{\n  "id": $i,\n  "name": "rec$i"\n}""", ok)
+        assert(r.statusCode() == 200, r.body())
+        assert(r.headers().firstValue("X-Jack").orElse("") == "graft")
+      }
+      // 401: bad token, missing token, missing static header
+      assert(post(jack.boundPort, "/ingest", """{"id":9}""",
+        Map("Authorization" -> "Bearer evil", "X-Env" -> "test")).statusCode() == 401)
+      assert(post(jack.boundPort, "/ingest", """{"id":9}""",
+        Map("X-Env" -> "test")).statusCode() == 401)
+      assert(post(jack.boundPort, "/ingest", """{"id":9}""",
+        Map("Authorization" -> "Bearer good-token")).statusCode() == 401)
+      // routing: wrong path 404, wrong method 405 (auth not even consulted)
+      assert(post(jack.boundPort, "/other", """{"id":9}""", ok).statusCode() == 404)
+      assert(post(jack.boundPort, "/ingest", "", ok, method = "PUT").statusCode() == 405)
+      // decode: malformed JSON and non-object bodies are 400
+      val bad = post(jack.boundPort, "/ingest", """{"id": nope}""", ok)
+      assert(bad.statusCode() == 400 && bad.body().contains("Error parsing request"), bad.body())
+      assert(post(jack.boundPort, "/ingest", """"just a string"""", ok).statusCode() == 400)
+
+      ingress.processAllAvailable()
+      val rows = spark.table("http_jack").collect()
+      assert(rows.length == 5)
+      assert(rows.map(_.getAs[Long]("id")).sorted.toSeq == (0L until 5L))
+      assert(jack.receivedCount == 5)
+      assert(jack.rejectedCount == 3)
+      assert(jack.badRequestCount == 2)
+    } finally { ingress.stop(); jack.stop() }
+  }
+
+  test("soft auth mode passes failed requests through and counts the reason") {
+    val jack = new HttpServerJack(spark, 0,
+      validator = Some(_ => Left("token inactive")), authRequired = false)
+    try {
+      val r = post(jack.boundPort, "/ingest", """{"id":1,"name":"soft"}""",
+        Map("Authorization" -> "Bearer whatever"))
+      assert(r.statusCode() == 200)
+      eventually(jack.receivedCount == 1, "soft-mode record not ingested")
+      assert(jack.softFailureCount == 1)
+      assert(jack.rejectedCount == 0)
+    } finally jack.stop()
+  }
+
+  test("a body over the cap is a 413, not an unbounded buffer") {
+    val jack = new HttpServerJack(spark, 0, validator = None,
+      authRequired = false, maxBodyBytes = 1024)
+    try {
+      val big = s"""{"id":1,"name":"${"x" * 2048}"}"""
+      assert(post(jack.boundPort, "/ingest", big).statusCode() == 413)
+      assert(post(jack.boundPort, "/ingest", """{"id":1,"name":"ok"}""").statusCode() == 200)
+    } finally jack.stop()
+  }
+
+  test("e2e over TLS: the JDK client verifies the jack's certificate and posts through auth") {
+    val dir = "src/test/resources/tls"
+    val serverCfg = TlsConfig(s"$dir/server.pem", s"$dir/server-key.pem", s"$dir/ca.pem")
+    val clientCfg = TlsConfig(s"$dir/client.pem", s"$dir/client-key.pem", s"$dir/ca.pem")
+    val jack = new HttpServerJack(spark, 0,
+      validator = Some(t => if (t == "tls-token") Right(()) else Left("bad")),
+      tls = Some(serverCfg))
+    val tlsClient = HttpClient.newBuilder().sslContext(Tls.sslContext(clientCfg)).build()
+    try {
+      val r = post(jack.boundPort, "/ingest", """{"id":7,"name":"sec"}""",
+        Map("Authorization" -> "Bearer tls-token"), c = tlsClient, scheme = "https")
+      assert(r.statusCode() == 200, r.body())
+      eventually(jack.receivedCount == 1, "TLS record not ingested")
+      // and a client that does not trust the CA fails the handshake
+      intercept[java.io.IOException] {
+        post(jack.boundPort, "/ingest", """{"id":8}""",
+          Map("Authorization" -> "Bearer tls-token"), scheme = "https")
+      }
+    } finally jack.stop()
+  }
+
+  private def eventually(cond: => Boolean, msg: => String, timeoutMs: Long = 10000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(20)
+    assert(cond, msg)
+  }
+}
