@@ -23,6 +23,22 @@ object Curation {
     * per-mille convention used by [[hashSplit]] and [[stratifiedSample]]. */
   val Buckets = 1000
 
+  /** Upper bound on [[packSequences]]'s second prefix-scan level: the
+    * bucket-totals window runs in ONE task and its bases are broadcast,
+    * so both must stay small at any corpus size. 2^20 rows ≈ 16 MB of
+    * (bucket, base) longs — comfortably single-task and broadcastable. */
+  val TargetSecondLevelRows: Long = 1L << 20
+
+  /** Bucket size for a corpus whose doc_ids span [0, idSpan): the
+    * smallest size keeping the second level ≤
+    * [[TargetSecondLevelRows]] buckets, floored at 4096 so small corpora
+    * keep the first-level windows usefully parallel without a
+    * vanishingly small second level. */
+  def adaptiveBucketSize(idSpan: Long, targetBuckets: Long = TargetSecondLevelRows): Long = {
+    require(idSpan >= 0 && targetBuckets >= 1)
+    math.max(4096L, (idSpan + targetBuckets - 1) / targetBuckets)
+  }
+
   /** Deterministic bucket in [0, buckets): stable across engines and runs.
     * The id is normalized to [0, 2^31) FIRST — plain `%` keeps the
     * dividend's sign in both Spark and DuckDB, and a negative bucket would
@@ -90,27 +106,44 @@ object Curation {
     * single-partition window: bucket = doc_id div `bucketSize` (a pure
     * function — deterministic at any partitioning, no sampling, no driver
     * state), within-bucket cumsum is a window partitioned by bucket, and
-    * bucket base offsets are a cumsum over the bucket TOTALS (corpus/
-    * bucketSize rows — at 10¹⁰ docs and the default bucket size that is
-    * ~2.4M narrow rows; add a third level before that window becomes the
-    * bottleneck) broadcast back. Token counts use the one-pass
-    * repetition-stats kernel (same tokenization contract as the text
-    * analytics). Everything is integer arithmetic — the oracle is a SQL
-    * running sum. */
+    * bucket base offsets are a cumsum over the bucket TOTALS broadcast
+    * back. `bucketSize = 0` (the default) sizes buckets ADAPTIVELY from
+    * the corpus' max doc_id so the second level stays ≤
+    * [[Curation.TargetSecondLevelRows]] rows no matter the corpus: the
+    * single-partition bucket window and the base broadcast are then
+    * bounded (~1M (long,long) rows / ~16 MB) even at 10¹¹ docs, where the
+    * old fixed 4096 default pushed ~24M rows through one task. The
+    * offsets are a pure prefix sum over doc_id order, so `bin_id`/
+    * `offset_in_bin` are IDENTICAL for every bucket size — adaptive
+    * sizing is a plan property, not a semantic one. Token counts use the
+    * one-pass repetition-stats kernel (same tokenization contract as the
+    * text analytics). Everything is integer arithmetic — the oracle is a
+    * SQL running sum. */
   def packSequences(docs: DataFrame, windowTokens: Int,
-                    bucketSize: Long = 4096L): DataFrame = {
-    require(windowTokens >= 1 && bucketSize >= 1)
+                    bucketSize: Long = 0L): DataFrame = {
+    require(windowTokens >= 1 && bucketSize >= 0)
     // lazy localCheckpoint: the token counts feed TWO consumers (the
     // within-bucket window and the bucket-totals aggregate), and the
     // branches don't canonicalize identically, so exchange reuse does not
     // engage — without the checkpoint each branch re-scanned the corpus
     // and re-ran the token kernel. Checkpointed rows are 3 longs, never
     // text (same narrow-materialization rule as connectedComponents).
-    val toks = docs.select(col("doc_id"),
+    // Adaptive sizing reads max(doc_id) off the checkpoint (one narrow
+    // agg job — the corpus and the token kernel still run once).
+    val counts = docs.select(col("doc_id"),
       graft.functions.FastHash.repetitionStatsCol(col("text"))
         .getField("_1").cast("long").as("n_tokens"))
-      .withColumn("__bucket", expr(s"doc_id div $bucketSize"))
       .localCheckpoint(false)
+    val effectiveBucketSize =
+      if (bucketSize > 0) bucketSize
+      else {
+        val maxId = counts.agg(max("doc_id")).head().getAs[Any](0) match {
+          case null => 0L
+          case l: Long => l
+        }
+        adaptiveBucketSize(maxId + 1)
+      }
+    val toks = counts.withColumn("__bucket", expr(s"doc_id div $effectiveBucketSize"))
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy("__bucket").orderBy("doc_id")
     val wBuckets = org.apache.spark.sql.expressions.Window

@@ -92,9 +92,30 @@ class CurationSpec extends SparkSpec {
       expect += r.getAs[Long]("n_tokens")
     }
     // the two-level scan is a pure function of the data: any bucket size
-    // (including one forcing many buckets) gives identical offsets
+    // (including one forcing many buckets) gives identical offsets —
+    // the default (adaptive) path must agree with explicit sizes
     val alt = Curation.packSequences(docs, windowTokens = 128, bucketSize = 7)
       .orderBy("doc_id").collect()
     assert(packed.map(_.toSeq).toSeq == alt.map(_.toSeq).toSeq)
+    val fixed = Curation.packSequences(docs, windowTokens = 128, bucketSize = 4096)
+      .orderBy("doc_id").collect()
+    assert(packed.map(_.toSeq).toSeq == fixed.map(_.toSeq).toSeq)
+  }
+
+  test("packSequences: adaptive bucket sizing bounds the second scan level at any corpus size") {
+    // the bucket-totals window is single-task and its bases broadcast:
+    // the bucket COUNT (= second-level rows) must stay ≤ the target for
+    // every id span, and the floor must hold for small corpora
+    for (span <- Seq(0L, 1L, 60000L, 1L << 24, 1L << 32, 1L << 40, (1L << 40) + 17, Long.MaxValue / 2)) {
+      val bs = Curation.adaptiveBucketSize(span)
+      val buckets = (span + bs - 1) / math.max(bs, 1L)
+      assert(bs >= 4096L, s"span=$span bs=$bs")
+      assert(buckets <= Curation.TargetSecondLevelRows, s"span=$span bs=$bs buckets=$buckets")
+    }
+    assert(Curation.adaptiveBucketSize(60000L) == 4096L) // sf-scale corpora keep the old size
+    // 10^11 docs: the fixed 4096 default pushed ~24M rows through one
+    // task; adaptive keeps it at the 1M target
+    val big = Curation.adaptiveBucketSize(100000000000L)
+    assert((100000000000L + big - 1) / big <= Curation.TargetSecondLevelRows)
   }
 }
