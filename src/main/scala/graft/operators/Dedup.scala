@@ -44,8 +44,15 @@ object Dedup {
     *  1. One corpus pass builds a Bloom filter over md5(text) (a
     *     distributed aggregate; bit-OR merges are order-independent, so
     *     the bitmap is deterministic). ~1.2 GB of bits covers 10⁹ corpus
-    *     docs at fpp 0.01 — past that, build per-partition-range filters
-    *     or fall back to the bucketed join of [[exact]].
+    *     docs at fpp 0.01 — past `maxItemsPerShard` the build SHARDS by
+    *     md5 prefix: one corpus pass shuffles (shard, md5) pairs — 32-
+    *     byte hashes, never text — to one task per shard, each building
+    *     one right-sized filter, so no single bitmap outgrows a JVM
+    *     array or a broadcast block. Probes pick their shard by the same
+    *     prefix arithmetic; hit/miss behavior is bit-identical in
+    *     distribution to the single filter (locked by a differential
+    *     spec). Past ~10¹⁰ docs the aggregate bitmap itself outgrows
+    *     broadcast — fall back to the bucketed join of [[exact]].
     *  2. The incoming scan probes the broadcast filter map-side. Misses
     *     are DEFINITELY new (Bloom has no false negatives) and keep no
     *     further cost; hits (true overlap + fpp·|incoming| false
@@ -66,23 +73,66 @@ object Dedup {
     * `expectedItems` and builds the filter once per corpus version,
     * amortizing across batches. */
   def bloomPrefilterNew(incoming: DataFrame, corpus: DataFrame,
-                        expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
+                        expectedItems: Long = 0L, fpp: Double = 0.01,
+                        maxItemsPerShard: Long = 1L << 30): DataFrame = {
     require(!incoming.columns.contains("__md5"),
       "incoming already carries the reserved column __md5")
+    require(maxItemsPerShard >= 1, s"maxItemsPerShard must be positive: $maxItemsPerShard")
     val withMd5 = incoming.withColumn("__md5", md5(col("text")))
     val corpusMd5 = corpus.select(md5(col("text")).as("__md5"))
     val n = if (expectedItems > 0) expectedItems else math.max(corpusMd5.count(), 1L)
-    val bf = corpusMd5.stat.bloomFilter("__md5", n, fpp)
-    val bfBc = incoming.sparkSession.sparkContext.broadcast(bf)
-    // null-safe: mightContainString(null) NPEs, and a null md5 (null
-    // text) must read as a miss anyway
-    val mightContain = udf((m: String) => m != null && bfBc.value.mightContainString(m))
+    val shards = (((n + maxItemsPerShard - 1) / maxItemsPerShard) min Int.MaxValue.toLong).toInt
+    val mightContain =
+      if (shards <= 1) {
+        val bf = corpusMd5.stat.bloomFilter("__md5", n, fpp)
+        val bfBc = incoming.sparkSession.sparkContext.broadcast(bf)
+        // null-safe: mightContainString(null) NPEs, and a null md5 (null
+        // text) must read as a miss anyway
+        udf((m: String) => m != null && bfBc.value.mightContainString(m))
+      } else {
+        val filters = buildShardedBloom(corpusMd5, shards, (n + shards - 1) / shards, fpp)
+        val fBc = incoming.sparkSession.sparkContext.broadcast(filters)
+        udf((m: String) =>
+          m != null && fBc.value(bloomShardIndex(m, fBc.value.length)).mightContainString(m))
+      }
     val candidates = withMd5.filter(mightContain(col("__md5")))
       .select("__md5").distinct()
     val confirmedOld = corpusMd5
       .join(broadcast(candidates), Seq("__md5"), "left_semi").distinct()
     withMd5.join(broadcast(confirmedOld), Seq("__md5"), "left_anti")
       .drop("__md5")
+  }
+
+  /** Shard index from the first 60 bits of the md5 hex — pure arithmetic,
+    * identical on the build (executor) and probe (executor) sides. */
+  private[operators] def bloomShardIndex(md5Hex: String, shards: Int): Int =
+    (java.lang.Long.parseUnsignedLong(md5Hex.substring(0, 15), 16) % shards).toInt
+
+  /** All shard filters in ONE corpus pass: (shard, md5) pairs are
+    * partitioned so each of the `shards` tasks builds exactly ONE
+    * right-sized filter — per-task memory is one shard's bitmap, not the
+    * whole corpus' (a treeAggregate of a filter ARRAY would hold every
+    * shard's bits in every task). The exchange carries 32-byte hex
+    * hashes, never text. Bit-setting commutes, so each bitmap is
+    * deterministic at any row order. */
+  private def buildShardedBloom(corpusMd5: DataFrame, shards: Int,
+                                perShardItems: Long,
+                                fpp: Double): Array[org.apache.spark.util.sketch.BloomFilter] = {
+    val pairs = corpusMd5.rdd
+      .map(_.getString(0)).filter(_ != null)
+      .map(m => (bloomShardIndex(m, shards), m))
+    val byShard = pairs.partitionBy(new org.apache.spark.Partitioner {
+      override def numPartitions: Int = shards
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    })
+    val built = byShard.mapPartitionsWithIndex { (idx, it) =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(math.max(perShardItems, 1L), fpp)
+      it.foreach { case (_, m) => bf.putString(m) }
+      Iterator((idx, bf))
+    }.collect()
+    val out = new Array[org.apache.spark.util.sketch.BloomFilter](shards)
+    built.foreach { case (i, bf) => out(i) = bf }
+    out
   }
 
   /** Per-document duplicated-span coverage: the fraction of a document's

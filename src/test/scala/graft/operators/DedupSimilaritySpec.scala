@@ -86,6 +86,30 @@ class DedupSimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.bloomPrefilterNew(incoming.withColumn("__md5", lit("x")), corpus)
     }
+    // sharded path (forced by a tiny per-shard cap → many real shards):
+    // hits and misses must be identical to the single-filter path
+    val viaSharded = Dedup.bloomPrefilterNew(incoming, corpus, fpp = 0.5,
+      maxItemsPerShard = 50)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(viaSharded == exact)
+  }
+
+  test("sharded bloom build: every md5 routes to exactly one filter that contains it") {
+    // the differential property underneath the prefilter: a sharded build
+    // has no false NEGATIVES (every corpus hash hits its own shard's
+    // filter), and the shard arithmetic is stable between build and probe
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text")).limit(200)
+    val md5s = docs.select(md5(col("text"))).collect().map(_.getString(0))
+    for (shards <- Seq(2, 7)) {
+      val idx = md5s.map(Dedup.bloomShardIndex(_, shards))
+      assert(idx.forall(i => i >= 0 && i < shards))
+      assert(idx.distinct.length > 1, s"shards=$shards degenerate routing")
+    }
+    // end-to-end: with a corpus-only incoming slice and fpp tiny, the
+    // sharded prefilter confirms every row as old (no survivors)
+    val survivors = Dedup.bloomPrefilterNew(docs, docs, fpp = 0.001,
+      maxItemsPerShard = 30).count()
+    assert(survivors == 0)
   }
 
   test("brute-force cosine top-k: self-similarity is 1, results ordered desc") {
