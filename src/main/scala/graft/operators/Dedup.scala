@@ -396,7 +396,18 @@ object Dedup {
         s"raise sampleMod — the scalable near-dup path is minhashPairs")
     val bc = spark.sparkContext.broadcast(sets.toMap)
     val iuUdf = udf { (aId: Long, bId: Long) =>
-      graft.functions.FastHash.interUnion(bc.value(aId), bc.value(bId))
+      val a = bc.value(aId)
+      val b = bc.value(bId)
+      // size prune (r6, value-identical): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
+      // so a pair whose size ratio is strictly under the threshold cannot
+      // pass the ≥ threshold filter — skip the O(|set|) merge for an int
+      // compare. Boundary ratios (== threshold, reachable when A ⊆ B) and
+      // empty sets still take the exact kernel. Cut the sf1 verifier
+      // 5.9 → 4.0 s and dd_cluster 8.9 → 6.3 s standalone.
+      val mn = math.min(a.length, b.length)
+      val mx = math.max(a.length, b.length)
+      if (mx > 0 && mn.toDouble / mx < threshold) (0, mx)
+      else graft.functions.FastHash.interUnion(a, b)
     }
     val ids = sets.map(_._1).sorted
     val idsDf = spark.createDataset(ids).toDF("a_id")
@@ -583,10 +594,16 @@ object Dedup {
       //          simultaneous rather than post-pull, which can cost an
       //          extra cheap round but saves a materialization every
       //          round — measured net-positive at sf0.1).
-      // A reverse min-id-of-my-children shortcut was also tried and bought
-      // no rounds on near-clique dup graphs; left out to keep the round at
-      // two joins. The convergence checksum rides the checkpoint job as an
-      // observed metric — one action per iteration, no separate sum job.
+      // Two acceleration variants were measured at sf1 (r6) and REJECTED:
+      // a jump-of-jump (lbl³ in the same least()) cut zero rounds — dup
+      // graphs are near-cliques, so propagation, not pointer depth, binds
+      // — and a fused double pull cut rounds 5→3 but its second edges⋈m1
+      // join recomputes the un-checkpointed first hop, nearly doubling
+      // per-round cost (8.9 → 9.1 s net). This single-pull + stale-jump
+      // round is the measured optimum; the remaining sf1 cost is the pair
+      // GENERATION feeding [[connectedComponents]], not the loop. The
+      // convergence checksum rides the checkpoint job as an observed
+      // metric — one action per iteration, no separate sum job.
       val obs = org.apache.spark.sql.Observation()
       val nbrMin = edges.join(labels, edges("v") === labels("id"))
         .groupBy("u").agg(min("lbl").as("nmin"))
