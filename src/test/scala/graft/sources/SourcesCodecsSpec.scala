@@ -279,6 +279,72 @@ class SourcesCodecsSpec extends SparkSpec {
     assert(f.thumbnail.toSeq == expectThumb, f.thumbnail.toSeq)
   }
 
+  test("ImageIoCodec decodes a committed 24-bit BMP with exact BT.601 lumas") {
+    // lossless container: every luma is computable from the generator
+    // formula r=(x*31+y*7)%256 g=(x*13+y*29)%256 b=(x*53+y*3)%256
+    val in = getClass.getResourceAsStream("/fixtures/gradient_rgb_8x6.bmp")
+    assert(in != null, "missing committed BMP fixture")
+    val bmp = in.readAllBytes()
+    def luma(x: Int, y: Int): Int = {
+      val r = (x * 31 + y * 7) % 256
+      val g = (x * 13 + y * 29) % 256
+      val b = (x * 53 + y * 3) % 256
+      (r * 299 + g * 587 + b * 114) / 1000
+    }
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, "image", bmp, 8, 6, 0, 0)))
+    val f = Multimodal.extractFeatures(media, codec = Multimodal.ImageIoCodec,
+      thumbW = 4, thumbH = 3).collect().head
+    assert(f.ok, String.valueOf(f.error))
+    assert(f.byteLen == 48, f.byteLen)
+    val exactMean = (for (y <- 0 until 6; x <- 0 until 8) yield luma(x, y)).sum / 48.0
+    assert(f.meanByte == exactMean, f.meanByte)
+    val expectThumb = for (y <- 0 until 3; x <- 0 until 4)
+      yield luma(x * 8 / 4, y * 6 / 3).toByte
+    assert(f.thumbnail.toSeq == expectThumb, f.thumbnail.toSeq)
+  }
+
+  test("ImageIoCodec decodes a committed gray JPEG through the raster-direct path") {
+    // single-band gray source: the codec must read raster samples raw
+    // (numComponents == 1), not round-trip through the sRGB curve. JPEG is
+    // lossy, so the expectations are the decoded samples of the COMMITTED
+    // file, recorded at generation time (source px = (x*37 + y*11) % 256).
+    val in = getClass.getResourceAsStream("/fixtures/gradient_gray_8x6.jpg")
+    assert(in != null, "missing committed gray JPEG fixture")
+    val jpg = in.readAllBytes()
+    val expect = Seq(
+      0, 38, 70, 118, 136, 179, 232, 1, 11, 38, 87, 129, 169, 197, 229, 16,
+      22, 66, 108, 114, 163, 215, 237, 20, 26, 75, 96, 165, 173, 218, 255, 41,
+      49, 79, 133, 134, 202, 228, 0, 42, 51, 86, 118, 182, 210, 229, 28, 62)
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, "image", jpg, 8, 6, 0, 0)))
+    val f = Multimodal.extractFeatures(media, codec = Multimodal.ImageIoCodec,
+      thumbW = 8, thumbH = 6).collect().head
+    assert(f.ok, String.valueOf(f.error))
+    assert(f.byteLen == 48, f.byteLen)
+    // an 8x6 -> 8x6 nearest-neighbor thumb is the identity: the full
+    // decoded luma plane comes back for an exact compare
+    assert(f.thumbnail.map(_ & 0xFF).toSeq == expect, f.thumbnail.map(_ & 0xFF).toSeq)
+    assert(f.meanByte == expect.sum / 48.0, f.meanByte)
+  }
+
+  test("ImageIoCodec decodes a committed color JPEG through the BT.601 path") {
+    val in = getClass.getResourceAsStream("/fixtures/gradient_rgb_8x6.jpg")
+    assert(in != null, "missing committed color JPEG fixture")
+    val jpg = in.readAllBytes()
+    val expect = Seq(
+      1, 24, 47, 67, 94, 83, 112, 127, 19, 43, 66, 87, 113, 101, 132, 148,
+      38, 61, 86, 104, 132, 121, 150, 167, 56, 80, 104, 124, 151, 138, 169, 185,
+      80, 103, 127, 147, 175, 163, 193, 208, 95, 118, 143, 162, 189, 177, 208, 223)
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, "image", jpg, 8, 6, 0, 0)))
+    val f = Multimodal.extractFeatures(media, codec = Multimodal.ImageIoCodec,
+      thumbW = 8, thumbH = 6).collect().head
+    assert(f.ok, String.valueOf(f.error))
+    assert(f.thumbnail.map(_ & 0xFF).toSeq == expect, f.thumbnail.map(_ & 0xFF).toSeq)
+    assert(f.meanByte == expect.sum / 48.0, f.meanByte)
+  }
+
   test("ImageIoCodec routes undecodable payloads to error rows (T4)") {
     val media = spark.createDataset(Seq(
       Multimodal.MediaRecord(1L, "image", Array[Byte](1, 2, 3, 4), 2, 2, 0, 0)))
