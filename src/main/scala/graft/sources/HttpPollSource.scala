@@ -61,6 +61,12 @@ object Http {
   * stops the poller and records the failure (`serve.go` returns the error),
   * leaving already-buffered records readable.
   *
+  * Restart contract: the source buffer is a MemoryStream, which does NOT
+  * survive driver restart — records buffered but not yet processed by the
+  * query are lost with the JVM, and recovery is re-poll-from-endpoint,
+  * not checkpoint replay. The checkpoint-recoverable edge is the file
+  * stream (FileStreamSpec's kill/restart test asserts its exactly-once).
+  *
   * @param fetch     transport thunk, e.g. `() => Http.get(url)`; injectable
   *                  so tests can stub the endpoint.
   * @param decode    body → records; default splits NDJSON lines (the

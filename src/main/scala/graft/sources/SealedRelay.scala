@@ -172,7 +172,11 @@ object SealedRelay {
   * counts it; good frames from other peers are unaffected. Compose with
   * [[TlsNdjsonJack]]'s `Tls.serverSocket` for mTLS-on-the-wire — payload
   * sealing and transport auth are independent layers, as in the
-  * reference's SecurityOptions vs TLSConfig split. */
+  * reference's SecurityOptions vs TLSConfig split. Restart contract: the
+  * buffer is a MemoryStream, which does NOT survive driver restart —
+  * recovery is replay-from-peer (the writer's per-batch at-least-once),
+  * not checkpoint replay; the checkpoint-recoverable edge is the file
+  * stream (FileStreamSpec's kill/restart test). */
 final class SealedReceivingRelay(spark: SparkSession, port: Int,
                                  key: Option[Array[Byte]] = None,
                                  maxFrameBytes: Int = SealedRelay.DefaultMaxFrameBytes) {

@@ -229,7 +229,10 @@ object Tls {
   * Accepted lines land in a [[MemoryStream]] exactly like [[WsServerHub]];
   * rejected peers are dropped at handshake/authorization and counted.
   * Driver-ingress by design (control-plane edge; bulk edges stay
-  * Kafka/files — see [[Sources.socketNdjsonStream]]'s scope note). */
+  * Kafka/files — see [[Sources.socketNdjsonStream]]'s scope note).
+  * Restart contract: MemoryStream-buffered — does NOT survive driver
+  * restart; recovery is replay-from-peer, not checkpoint replay (the
+  * recoverable edge is the file stream, FileStreamSpec). */
 final class TlsNdjsonJack(spark: SparkSession, port: Int, cfg: TlsConfig,
                           mtls: MtlsOptions = MtlsOptions()) {
 

@@ -109,7 +109,10 @@ object WsFrames {
 /** S10 + K6: WebSocket server hub — ingress jack (received text messages
   * flow into a streaming source buffer) and broadcast sink (text frames
   * pushed to every connected peer). `port = 0` binds an ephemeral port
-  * (see [[boundPort]]). */
+  * (see [[boundPort]]). Restart contract: the buffer is a MemoryStream,
+  * which does NOT survive driver restart — this edge is replay-from-peer,
+  * not checkpoint-recoverable (the recoverable edge is the file stream;
+  * see FileStreamSpec's kill/restart test). */
 final class WsServerHub(spark: SparkSession, port: Int) {
 
   import spark.implicits._
@@ -254,7 +257,9 @@ final class WsServerHub(spark: SparkSession, port: Int) {
   * server-pushed text messages into a streaming source. The underlying
   * client is the JDK's own RFC 6455 implementation, so its handshake and
   * mandatory client-side masking exercise [[WsServerHub]]'s decode path
-  * from an independent implementation in the e2e test. */
+  * from an independent implementation in the e2e test. Restart contract:
+  * MemoryStream-buffered — not checkpoint-recoverable; recovery is
+  * reconnect-and-resubscribe (see [[WsServerHub]]'s note). */
 final class WsClientSource(spark: SparkSession, url: String) {
 
   import spark.implicits._
