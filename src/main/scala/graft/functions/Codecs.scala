@@ -99,12 +99,25 @@ object Codecs {
     out.toByteArray
   }
 
-  def gunzip(bytes: Array[Byte]): Array[Byte] = {
+  def gunzip(bytes: Array[Byte]): Array[Byte] = gunzipBounded(bytes, Int.MaxValue)
+
+  /** [[gunzip]] with an inflated-size cap: throws `java.io.IOException`
+    * as soon as the output would exceed `maxOut`. Ingress edges that
+    * decompress attacker-supplied payloads (the sealed relay) must bound
+    * the EXPANDED size — a frame-length cap alone leaves a ~1000:1 gzip
+    * bomb able to provoke multi-GiB allocations before any key check. */
+  def gunzipBounded(bytes: Array[Byte], maxOut: Int): Array[Byte] = {
     val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
     val out = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](8192)
     var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    while (n >= 0) {
+      if (out.size.toLong + n > maxOut)
+        throw new java.io.IOException(
+          s"gunzip output exceeds the $maxOut-byte cap — refusing decompression bomb")
+      out.write(buf, 0, n)
+      n = in.read(buf)
+    }
     in.close()
     out.toByteArray
   }

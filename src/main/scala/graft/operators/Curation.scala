@@ -29,7 +29,8 @@ object Curation {
     * (bucket, base) longs — comfortably single-task and broadcastable. */
   val TargetSecondLevelRows: Long = 1L << 20
 
-  /** Bucket size for a corpus whose doc_ids span [0, idSpan): the
+  /** Bucket size for a corpus whose doc_ids cover a range of `idSpan`
+    * values (max − min + 1 — ids of any sign): the
     * smallest size keeping the second level ≤
     * [[TargetSecondLevelRows]] buckets, floored at 4096 so small corpora
     * keep the first-level windows usefully parallel without a
@@ -108,7 +109,7 @@ object Curation {
     * state), within-bucket cumsum is a window partitioned by bucket, and
     * bucket base offsets are a cumsum over the bucket TOTALS broadcast
     * back. `bucketSize = 0` (the default) sizes buckets ADAPTIVELY from
-    * the corpus' max doc_id so the second level stays ≤
+    * the corpus' doc_id span so the second level stays ≤
     * [[Curation.TargetSecondLevelRows]] rows no matter the corpus: the
     * single-partition bucket window and the base broadcast are then
     * bounded (~1M (long,long) rows / ~16 MB) even at 10¹¹ docs, where the
@@ -128,8 +129,8 @@ object Curation {
     // engage — without the checkpoint each branch re-scanned the corpus
     // and re-ran the token kernel. Checkpointed rows are 3 longs, never
     // text (same narrow-materialization rule as connectedComponents).
-    // Adaptive sizing reads max(doc_id) off the checkpoint (one narrow
-    // agg job — the corpus and the token kernel still run once).
+    // Adaptive sizing reads min/max(doc_id) off the checkpoint (one
+    // narrow agg job — the corpus and the token kernel still run once).
     val counts = docs.select(col("doc_id"),
       graft.functions.FastHash.repetitionStatsCol(col("text"))
         .getField("_1").cast("long").as("n_tokens"))
@@ -137,11 +138,14 @@ object Curation {
     val effectiveBucketSize =
       if (bucketSize > 0) bucketSize
       else {
-        val maxId = counts.agg(max("doc_id")).head().getAs[Any](0) match {
-          case null => 0L
-          case l: Long => l
-        }
-        adaptiveBucketSize(maxId + 1)
+        // long-cast: an IntegerType doc_id must not surprise the row
+        // accessor; min..max span: buckets = doc_id div bs, so for
+        // negative or offset id ranges the bucket COUNT is governed by
+        // the span, not by max alone
+        val row = counts.agg(min(col("doc_id").cast("long")),
+          max(col("doc_id").cast("long"))).head()
+        val span = if (row.isNullAt(0)) 1L else row.getLong(1) - row.getLong(0) + 1L
+        adaptiveBucketSize(span)
       }
     val toks = counts.withColumn("__bucket", expr(s"doc_id div $effectiveBucketSize"))
     val wIn = org.apache.spark.sql.expressions.Window

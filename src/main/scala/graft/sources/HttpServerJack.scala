@@ -56,6 +56,9 @@ final class HttpServerJack(
 
   require(endpoint.startsWith("/"), s"endpoint must start with '/': $endpoint")
   require(maxBodyBytes > 0, s"maxBodyBytes must be positive: $maxBodyBytes")
+  // half-configured security must fail fast, not silently downgrade
+  // (same rule as SealedRelay.validate's key/flag lockstep)
+  require(tls.isDefined || !mtls, "mtls = true requires a TlsConfig (tls = Some(...))")
 
   import spark.implicits._
   private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -67,7 +67,8 @@ object SealedRelay {
     * (`receivingrelay/payload.go:30-33`): the key is the only
     * authentication on this edge, so accepting an attacker-controlled
     * flags=0 frame would be a downgrade-to-plaintext injection hole. */
-  def unwrap(flags: Int, payload: Array[Byte], key: Option[Array[Byte]]): Array[Byte] = {
+  def unwrap(flags: Int, payload: Array[Byte], key: Option[Array[Byte]],
+             maxInflatedBytes: Int = DefaultMaxInflatedBytes): Array[Byte] = {
     val decrypted =
       if ((flags & FlagAes) != 0) {
         val k = key.getOrElse(throw new SecurityException(
@@ -78,7 +79,9 @@ object SealedRelay {
           "unwrap: encryption required — receiver holds a key but the frame is not AES-GCM sealed")
         payload
       }
-    if ((flags & FlagGzip) != 0) graft.functions.Codecs.gunzip(decrypted) else decrypted
+    if ((flags & FlagGzip) != 0)
+      graft.functions.Codecs.gunzipBounded(decrypted, maxInflatedBytes)
+    else decrypted
   }
 
   def writeFrame(out: DataOutputStream, flags: Int, payload: Array[Byte]): Unit = {
@@ -96,6 +99,14 @@ object SealedRelay {
     * from OOMing the receiver while leaving 16× headroom over any frame
     * a default writer emits. */
   val DefaultMaxFrameBytes: Int = 64 << 20
+
+  /** Cap on the DECOMPRESSED size of one frame (the frame cap bounds only
+    * the wire bytes; a ~1000:1 gzip bomb inside an under-cap frame could
+    * still provoke a multi-GiB allocation — on an unkeyed receiver, before
+    * any authentication at all). 8× the frame cap accommodates any
+    * legitimately compressible NDJSON batch; a frame inflating past it is
+    * dropped with its connection like any other bad frame. */
+  val DefaultMaxInflatedBytes: Int = 512 << 20
 
   /** Read one frame; None at clean EOF (between frames only — a stream
     * truncated MID-frame, including mid-magic, is an error, not an EOF:
@@ -130,7 +141,14 @@ object SealedRelay {
     * cipher/deflate setup still amortizes over megabytes. Encryption is
     * keyed by `key`'s presence — one parameter, no flag to keep in
     * lockstep ([[validate]]'s two-field rule applies to surfaces that
-    * genuinely carry both fields; here only the key length can fail). */
+    * genuinely carry both fields; here only the key length can fail).
+    *
+    * `maxChunkBytes` bounds the PRE-seal body; gzip on incompressible
+    * data and the AES-GCM envelope add small overhead, and the RECEIVER
+    * independently caps wire frames ([[DefaultMaxFrameBytes]] 64 MiB by
+    * default, configurable). Keep maxChunkBytes comfortably under the
+    * receiving side's cap (the defaults leave 16× headroom) — an
+    * over-cap frame is dropped with its connection on the far side. */
   def writeSocketSealed(df: DataFrame, host: String, port: Int,
                         gzipped: Boolean = true,
                         key: Option[Array[Byte]] = None,
@@ -179,8 +197,11 @@ object SealedRelay {
   * stream (FileStreamSpec's kill/restart test). */
 final class SealedReceivingRelay(spark: SparkSession, port: Int,
                                  key: Option[Array[Byte]] = None,
-                                 maxFrameBytes: Int = SealedRelay.DefaultMaxFrameBytes) {
+                                 maxFrameBytes: Int = SealedRelay.DefaultMaxFrameBytes,
+                                 maxInflatedBytes: Int = SealedRelay.DefaultMaxInflatedBytes) {
   require(maxFrameBytes > 0, s"maxFrameBytes must be positive: $maxFrameBytes")
+  require(maxInflatedBytes >= maxFrameBytes,
+    s"maxInflatedBytes ($maxInflatedBytes) must be at least maxFrameBytes ($maxFrameBytes)")
 
   import spark.implicits._
   private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -217,7 +238,7 @@ final class SealedReceivingRelay(spark: SparkSession, port: Int,
       while (more && running.get()) {
         SealedRelay.readFrame(in, maxFrameBytes) match {
           case Some((flags, payload)) =>
-            val lines = new String(SealedRelay.unwrap(flags, payload, key), UTF_8)
+            val lines = new String(SealedRelay.unwrap(flags, payload, key, maxInflatedBytes), UTF_8)
               .split("\n").iterator.filter(_.nonEmpty)
             // one lock per FRAME (not per record): MemoryStream's row
             // encoder is not thread-safe (see TlsNdjsonJack.serve)

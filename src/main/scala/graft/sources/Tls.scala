@@ -21,7 +21,8 @@ import org.apache.spark.sql.types.StructType
   * of the reference relays (`/root/reference/pkg/internal/receivingrelay/
   * tls.go:13-90`, `forwardrelay/tls.go:13-80`): PEM cert/key/CA files, a
   * bounded TLS version range defaulting to 1.2–1.3, SNI/hostname
-  * verification against the configured server name, and — for mTLS — the
+  * verification against the configured server name (when set; else the
+  * connect host), and — for mTLS — the
   * reference's `MTLSOptions{AllowedPrincipals, TrustDomain}`
   * (`receivingrelay/auth_options.go:14-24`): the server requires a client
   * certificate from the configured CA and authorizes the presented
@@ -37,7 +38,7 @@ final case class TlsConfig(
     certFile: String,
     keyFile: String,
     caFile: String,
-    serverName: String = "localhost",
+    serverName: String = "",
     minVersion: String = "TLSv1.2",
     maxVersion: String = "TLSv1.3")
 
@@ -112,20 +113,22 @@ object Tls {
     order.slice(lo, hi + 1).toArray
   }
 
-  /** Connect a client socket: bounded protocol range, SNI = serverName,
-    * and HTTPS-style endpoint identification (hostname verification
-    * against the server certificate — the reference sets
-    * `ServerName` on its client `tls.Config` for the same check).
-    * The certificate is verified against `cfg.serverName`, NOT the
-    * connect address: TCP goes to `host` (which may be an IP or a
-    * load-balancer alias) while the TLS layer is created with
-    * `serverName` as its peer host, so endpoint identification matches
-    * the reference's ServerName semantics. */
+  /** Connect a client socket: bounded protocol range, SNI, and
+    * HTTPS-style endpoint identification (hostname verification against
+    * the server certificate — the reference sets `ServerName` on its
+    * client `tls.Config` for the same check). A non-empty
+    * `cfg.serverName` overrides the verification name: TCP goes to
+    * `host` (which may be an IP or a load-balancer alias) while the TLS
+    * layer is created with `serverName` as its peer host — the
+    * reference's ServerName semantics. With serverName unset the
+    * certificate is verified against the connect host, the ordinary
+    * dial-by-DNS-name case. */
   def clientSocket(cfg: TlsConfig, host: String, port: Int): SSLSocket = {
+    val peer = if (cfg.serverName.nonEmpty) cfg.serverName else host
     val raw = new java.net.Socket(host, port)
     val sock =
       try sslContext(cfg).getSocketFactory
-        .createSocket(raw, cfg.serverName, port, true).asInstanceOf[SSLSocket]
+        .createSocket(raw, peer, port, true).asInstanceOf[SSLSocket]
       catch { case e: Throwable =>
         try raw.close() catch { case _: Throwable => () }
         throw e
@@ -133,7 +136,7 @@ object Tls {
     try {
       val params = new SSLParameters()
       params.setProtocols(protocolRange(cfg))
-      params.setServerNames(java.util.List.of(new SNIHostName(cfg.serverName)))
+      params.setServerNames(java.util.List.of(new SNIHostName(peer)))
       params.setEndpointIdentificationAlgorithm("HTTPS")
       sock.setSSLParameters(params)
       sock.startHandshake()

@@ -25,4 +25,12 @@ object SparkSpec {
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   def sfDir: String = SparkSpec.sfDir
+
+  /** Poll `cond` until true or `timeoutMs`, then assert it — the shared
+    * helper for specs that wait on background ingress threads. */
+  protected def eventually(cond: => Boolean, msg: => String, timeoutMs: Long = 10000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(20)
+    assert(cond, msg)
+  }
 }

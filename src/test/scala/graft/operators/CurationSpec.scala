@@ -118,4 +118,17 @@ class CurationSpec extends SparkSpec {
     val big = Curation.adaptiveBucketSize(100000000000L)
     assert((100000000000L + big - 1) / big <= Curation.TargetSecondLevelRows)
   }
+
+  test("packSequences: the adaptive default survives negative and non-long doc_ids") {
+    import SparkSpec.session.implicits._
+    // hash-derived ids can be negative, and callers may carry IntegerType
+    // ids — the span derivation must handle both (the bucketing math
+    // itself is sign- and width-agnostic)
+    val docs = Seq((-5, "alpha beta"), (-2, "gamma"), (3, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val packed = Curation.packSequences(docs, windowTokens = 4)
+      .orderBy("doc_id").collect()
+    assert(packed.map(_.getAs[Long]("start_offset")).toSeq == Seq(0L, 2L, 3L))
+    assert(packed.map(_.getAs[Long]("n_tokens")).toSeq == Seq(2L, 1L, 3L))
+  }
 }

@@ -92,6 +92,13 @@ class HttpServerJackSpec extends SparkSpec {
     } finally jack.stop()
   }
 
+  test("mtls without a TlsConfig is a construction error, not a silent plaintext listener") {
+    val e = intercept[IllegalArgumentException] {
+      new HttpServerJack(spark, 0, mtls = true)
+    }
+    assert(e.getMessage.contains("requires a TlsConfig"), e.getMessage)
+  }
+
   test("e2e over TLS: the JDK client verifies the jack's certificate and posts through auth") {
     val dir = "src/test/resources/tls"
     val serverCfg = TlsConfig(s"$dir/server.pem", s"$dir/server-key.pem", s"$dir/ca.pem")
@@ -113,9 +120,4 @@ class HttpServerJackSpec extends SparkSpec {
     } finally jack.stop()
   }
 
-  private def eventually(cond: => Boolean, msg: => String, timeoutMs: Long = 10000): Unit = {
-    val deadline = System.currentTimeMillis() + timeoutMs
-    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(20)
-    assert(cond, msg)
-  }
 }

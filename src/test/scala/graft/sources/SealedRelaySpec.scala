@@ -96,6 +96,21 @@ class SealedRelaySpec extends SparkSpec {
     }
   }
 
+  test("a decompression bomb is cut off at the inflated-size cap") {
+    // the frame cap bounds wire bytes only: 10 MB of zeros gzips to ~10 KB,
+    // so a bomb inside an under-cap frame must be stopped by the inflated
+    // cap during unwrap, not by an allocation failure after it
+    val bomb = graft.functions.Codecs.gzip(new Array[Byte](10 << 20))
+    assert(bomb.length < (64 << 10), s"fixture not bomb-shaped: ${bomb.length}")
+    val e = intercept[java.io.IOException] {
+      SealedRelay.unwrap(SealedRelay.FlagGzip, bomb, None, maxInflatedBytes = 1 << 20)
+    }
+    assert(e.getMessage.contains("bomb"), e.getMessage)
+    // under the cap the same payload inflates fine
+    assert(SealedRelay.unwrap(SealedRelay.FlagGzip, bomb, None,
+      maxInflatedBytes = 11 << 20).length == (10 << 20))
+  }
+
   test("e2e: partitions seal gzip+AES batches; the receiving relay unwraps into the stream") {
     val relay = new SealedReceivingRelay(spark, 0, Some(key))
     val ingress = relay.jsonStream(schema).writeStream
@@ -129,9 +144,4 @@ class SealedRelaySpec extends SparkSpec {
     } finally relay.stop()
   }
 
-  private def eventually(cond: => Boolean, msg: => String, timeoutMs: Long = 10000): Unit = {
-    val deadline = System.currentTimeMillis() + timeoutMs
-    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(20)
-    assert(cond, msg)
-  }
 }

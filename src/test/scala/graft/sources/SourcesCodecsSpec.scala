@@ -323,9 +323,14 @@ class SourcesCodecsSpec extends SparkSpec {
     assert(f.ok, String.valueOf(f.error))
     assert(f.byteLen == 48, f.byteLen)
     // an 8x6 -> 8x6 nearest-neighbor thumb is the identity: the full
-    // decoded luma plane comes back for an exact compare
-    assert(f.thumbnail.map(_ & 0xFF).toSeq == expect, f.thumbnail.map(_ & 0xFF).toSeq)
-    assert(f.meanByte == expect.sum / 48.0, f.meanByte)
+    // decoded luma plane comes back. ±2 tolerance, not exact equality:
+    // the committed bytes are fixed but the JPEG IDCT is the decoder's —
+    // a different ImageIO plugin may differ by a rounding step, while the
+    // bugs this guards (sRGB-curve round-trip, channel order) shift
+    // values by tens. The lossless-exact path is the BMP test above.
+    val got = f.thumbnail.map(_ & 0xFF).toSeq
+    got.zip(expect).foreach { case (g, e) => assert(math.abs(g - e) <= 2, s"$got") }
+    assert(math.abs(f.meanByte - expect.sum / 48.0) <= 1.0, f.meanByte)
   }
 
   test("ImageIoCodec decodes a committed color JPEG through the BT.601 path") {
@@ -341,8 +346,10 @@ class SourcesCodecsSpec extends SparkSpec {
     val f = Multimodal.extractFeatures(media, codec = Multimodal.ImageIoCodec,
       thumbW = 8, thumbH = 6).collect().head
     assert(f.ok, String.valueOf(f.error))
-    assert(f.thumbnail.map(_ & 0xFF).toSeq == expect, f.thumbnail.map(_ & 0xFF).toSeq)
-    assert(f.meanByte == expect.sum / 48.0, f.meanByte)
+    // ±2 per pixel — same decoder-tolerance rationale as the gray test
+    val got = f.thumbnail.map(_ & 0xFF).toSeq
+    got.zip(expect).foreach { case (g, e) => assert(math.abs(g - e) <= 2, s"$got") }
+    assert(math.abs(f.meanByte - expect.sum / 48.0) <= 1.0, f.meanByte)
   }
 
   test("ImageIoCodec routes undecodable payloads to error rows (T4)") {

@@ -134,9 +134,4 @@ class TlsSpec extends SparkSpec {
     } finally jack.stop()
   }
 
-  private def eventually(cond: => Boolean, msg: => String, timeoutMs: Long = 10000): Unit = {
-    val deadline = System.currentTimeMillis() + timeoutMs
-    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(20)
-    assert(cond, msg)
-  }
 }

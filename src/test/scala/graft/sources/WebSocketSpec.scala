@@ -142,9 +142,4 @@ class WebSocketSpec extends SparkSpec {
     }
   }
 
-  private def eventually(cond: => Boolean, msg: String, timeoutMs: Long = 10000): Unit = {
-    val deadline = System.currentTimeMillis() + timeoutMs
-    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(20)
-    assert(cond, msg)
-  }
 }
