@@ -92,6 +92,31 @@ class HttpServerJackSpec extends SparkSpec {
     } finally jack.stop()
   }
 
+  test("concurrent posts from many clients all land exactly once (MemoryStream sync)") {
+    // the jack serves requests on a 4-thread pool; MemoryStream.addData is
+    // not thread-safe, so this hammers the synchronized enqueue from more
+    // clients than pool threads and asserts nothing is lost or corrupted
+    val jack = new HttpServerJack(spark, 0, authRequired = false)
+    val ingress = jack.jsonStream(schema).writeStream
+      .format("memory").queryName("http_jack_conc").outputMode("append").start()
+    try {
+      val n = 200
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      val futures = (0 until n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int =
+            post(jack.boundPort, "/ingest", s"""{"id":$i,"name":"c$i"}""").statusCode()
+        })
+      }
+      assert(futures.map(_.get()).forall(_ == 200))
+      pool.shutdown()
+      eventually(jack.receivedCount == n, s"got ${jack.receivedCount}/$n")
+      ingress.processAllAvailable()
+      val ids = spark.table("http_jack_conc").collect().map(_.getAs[Long]("id"))
+      assert(ids.length == n && ids.sorted.toSeq == (0L until n), s"${ids.length} rows")
+    } finally { ingress.stop(); jack.stop() }
+  }
+
   test("mtls without a TlsConfig is a construction error, not a silent plaintext listener") {
     val e = intercept[IllegalArgumentException] {
       new HttpServerJack(spark, 0, mtls = true)
