@@ -108,18 +108,22 @@ object Codecs {
     * bomb able to provoke multi-GiB allocations before any key check. */
   def gunzipBounded(bytes: Array[Byte], maxOut: Int): Array[Byte] = {
     val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
-    val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    var n = in.read(buf)
-    while (n >= 0) {
-      if (out.size.toLong + n > maxOut)
-        throw new java.io.IOException(
-          s"gunzip output exceeds the $maxOut-byte cap — refusing decompression bomb")
-      out.write(buf, 0, n)
-      n = in.read(buf)
-    }
-    in.close()
-    out.toByteArray
+    // finally, not drop-through: the bomb-rejection throw is the path a
+    // hostile peer exercises repeatedly, and each GZIPInputStream holds a
+    // native zlib Inflater that must not wait for the GC
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (out.size.toLong + n > maxOut)
+          throw new java.io.IOException(
+            s"gunzip output exceeds the $maxOut-byte cap — refusing decompression bomb")
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } finally in.close()
   }
 
   /** Column twin of [[gunzip]] — one call per FILE in the binaryFile read

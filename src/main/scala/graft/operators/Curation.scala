@@ -37,7 +37,11 @@ object Curation {
     * vanishingly small second level. */
   def adaptiveBucketSize(idSpan: Long, targetBuckets: Long = TargetSecondLevelRows): Long = {
     require(idSpan >= 0 && targetBuckets >= 1)
-    math.max(4096L, (idSpan + targetBuckets - 1) / targetBuckets)
+    // ceil-div without the (idSpan + targetBuckets - 1) addition, which
+    // overflows for spans near Long.MaxValue and would silently fall back
+    // to the 4096 floor — the exact blow-up this function prevents
+    val ceil = idSpan / targetBuckets + (if (idSpan % targetBuckets == 0) 0L else 1L)
+    math.max(4096L, ceil)
   }
 
   /** Deterministic bucket in [0, buckets): stable across engines and runs.
@@ -129,25 +133,30 @@ object Curation {
     // engage — without the checkpoint each branch re-scanned the corpus
     // and re-ran the token kernel. Checkpointed rows are 3 longs, never
     // text (same narrow-materialization rule as connectedComponents).
-    // Adaptive sizing reads min/max(doc_id) off the checkpoint (one
-    // narrow agg job — the corpus and the token kernel still run once).
-    val counts = docs.select(col("doc_id"),
-      graft.functions.FastHash.repetitionStatsCol(col("text"))
-        .getField("_1").cast("long").as("n_tokens"))
-      .localCheckpoint(false)
     val effectiveBucketSize =
       if (bucketSize > 0) bucketSize
       else {
-        // long-cast: an IntegerType doc_id must not surprise the row
-        // accessor; min..max span: buckets = doc_id div bs, so for
-        // negative or offset id ranges the bucket COUNT is governed by
-        // the span, not by max alone
-        val row = counts.agg(min(col("doc_id").cast("long")),
+        // Adaptive sizing runs one min/max job over the PRUNED id column
+        // at plan-build time (the only eager step — the token kernel and
+        // the checkpoint stay lazy). Long-cast: an IntegerType doc_id
+        // must not surprise the row accessor. min..max span: buckets =
+        // doc_id div bs, so the bucket COUNT is governed by the span of
+        // ids, not by max alone; the subtraction saturates instead of
+        // wrapping for hash-range ids spanning most of the long line.
+        val row = docs.agg(min(col("doc_id").cast("long")),
           max(col("doc_id").cast("long"))).head()
-        val span = if (row.isNullAt(0)) 1L else row.getLong(1) - row.getLong(0) + 1L
+        val span =
+          if (row.isNullAt(0)) 1L
+          else
+            try math.addExact(math.subtractExact(row.getLong(1), row.getLong(0)), 1L)
+            catch { case _: ArithmeticException => Long.MaxValue }
         adaptiveBucketSize(span)
       }
-    val toks = counts.withColumn("__bucket", expr(s"doc_id div $effectiveBucketSize"))
+    val toks = docs.select(col("doc_id"),
+      graft.functions.FastHash.repetitionStatsCol(col("text"))
+        .getField("_1").cast("long").as("n_tokens"))
+      .withColumn("__bucket", expr(s"doc_id div $effectiveBucketSize"))
+      .localCheckpoint(false)
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy("__bucket").orderBy("doc_id")
     val wBuckets = org.apache.spark.sql.expressions.Window

@@ -44,15 +44,19 @@ object Dedup {
     *  1. One corpus pass builds a Bloom filter over md5(text) (a
     *     distributed aggregate; bit-OR merges are order-independent, so
     *     the bitmap is deterministic). ~1.2 GB of bits covers 10⁹ corpus
-    *     docs at fpp 0.01 — past `maxItemsPerShard` the build SHARDS by
-    *     md5 prefix: one corpus pass shuffles (shard, md5) pairs — 32-
-    *     byte hashes, never text — to one task per shard, each building
-    *     one right-sized filter, so no single bitmap outgrows a JVM
-    *     array or a broadcast block. Probes pick their shard by the same
-    *     prefix arithmetic; hit/miss behavior is bit-identical in
-    *     distribution to the single filter (locked by a differential
-    *     spec). Past ~10¹⁰ docs the aggregate bitmap itself outgrows
-    *     broadcast — fall back to the bucketed join of [[exact]].
+    *     docs at fpp 0.01 — past `maxItemsPerShard` (default 2²⁷ items ≈
+    *     160 MB of bits per shard) the build SHARDS by md5 prefix: one
+    *     corpus pass shuffles (shard, md5) pairs — 32-byte hashes, never
+    *     text — to one task per shard, each building one right-sized
+    *     filter, so no single bitmap outgrows a JVM array, a task-result
+    *     transfer (spark.driver.maxResultSize, 1 GB default), or a
+    *     broadcast block. Probes pick their shard by the same prefix
+    *     arithmetic; hit/miss behavior is bit-identical in distribution
+    *     to the single filter (locked by a differential spec). The
+    *     AGGREGATE bitmap still grows linearly — ~12 GB at 10¹⁰ docs —
+    *     so the driver and each executor must hold it regardless of
+    *     sharding; past what broadcast comfortably carries, fall back to
+    *     the bucketed join of [[exact]].
     *  2. The incoming scan probes the broadcast filter map-side. Misses
     *     are DEFINITELY new (Bloom has no false negatives) and keep no
     *     further cost; hits (true overlap + fpp·|incoming| false
@@ -74,7 +78,7 @@ object Dedup {
     * amortizing across batches. */
   def bloomPrefilterNew(incoming: DataFrame, corpus: DataFrame,
                         expectedItems: Long = 0L, fpp: Double = 0.01,
-                        maxItemsPerShard: Long = 1L << 30): DataFrame = {
+                        maxItemsPerShard: Long = 1L << 27): DataFrame = {
     require(!incoming.columns.contains("__md5"),
       "incoming already carries the reserved column __md5")
     require(maxItemsPerShard >= 1, s"maxItemsPerShard must be positive: $maxItemsPerShard")

@@ -130,7 +130,12 @@ final class IntrospectionValidator(
     val authHeader: Map[String, String] = authType.toLowerCase match {
       case "basic" => Map("Authorization" -> ("Basic " + java.util.Base64.getEncoder
         .encodeToString(s"$clientId:$clientSecret".getBytes(UTF_8))))
-      case "bearer" if bearerToken.nonEmpty => Map("Authorization" -> s"Bearer $bearerToken")
+      // an EXPLICIT bearer config with an empty token stays unauthenticated
+      // (e.g. the token env var failed to load) — falling through to Basic
+      // here would be a silent scheme downgrade of a deliberate choice
+      case "bearer" =>
+        if (bearerToken.nonEmpty) Map("Authorization" -> s"Bearer $bearerToken")
+        else Map.empty
       // the reference's default case falls back to Basic whenever client
       // credentials are configured (`auth_introspection.go:128-132`) —
       // an unrecognized authType must not silently degrade a credentialed

@@ -31,8 +31,11 @@ import org.apache.spark.sql.types.StructType
   *  - the response carries the configured static headers and status
   *    (`serve.go:176-193` with the submit response defaulted).
   *  - optional TLS via the existing [[TlsConfig]] loader; `mtls` set ⇒
-  *    client certificates are required and verified against the CA, as
-  *    on the socket jack.
+  *    client certificates are required, verified against the CA at the
+  *    handshake, and the presented principal is authorized against the
+  *    [[MtlsOptions]] policy per request ([[Tls.authorizePrincipal]] —
+  *    the same allowed-principals/trust-domain fence as the socket
+  *    jack; a CA-valid but unlisted principal gets a 401).
   *
   * Driver-ingress like the reference's single listener; control-plane
   * sized — high-volume edges stay Kafka/files (SURVEY §2.1). Note
@@ -51,14 +54,14 @@ final class HttpServerJack(
     responseHeaders: Map[String, String] = Map.empty,
     responseStatus: Int = 200,
     tls: Option[TlsConfig] = None,
-    mtls: Boolean = false,
+    mtls: Option[MtlsOptions] = None,
     maxBodyBytes: Int = 4 << 20) {
 
   require(endpoint.startsWith("/"), s"endpoint must start with '/': $endpoint")
   require(maxBodyBytes > 0, s"maxBodyBytes must be positive: $maxBodyBytes")
   // half-configured security must fail fast, not silently downgrade
   // (same rule as SealedRelay.validate's key/flag lockstep)
-  require(tls.isDefined || !mtls, "mtls = true requires a TlsConfig (tls = Some(...))")
+  require(tls.isDefined || mtls.isEmpty, "mtls requires a TlsConfig (tls = Some(...))")
 
   import spark.implicits._
   private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -85,7 +88,7 @@ final class HttpServerJack(
         override def configure(params: HttpsParameters): Unit = {
           val p = ctx.getDefaultSSLParameters
           p.setProtocols(Tls.protocolRange(cfg))
-          if (mtls) p.setNeedClientAuth(true)
+          if (mtls.isDefined) p.setNeedClientAuth(true)
           params.setSSLParameters(p)
         }
       })
@@ -117,6 +120,24 @@ final class HttpServerJack(
       }
       if (ex.getRequestMethod != method) {
         respond(ex, 405, "Method Not Allowed"); return
+      }
+      // mTLS principal policy BEFORE the header policy: the handshake
+      // proved CA validity, but a CA-valid-yet-unlisted principal (or the
+      // server's own cert replayed) must not reach the ingest path
+      mtls.foreach { opts =>
+        val admitted =
+          try {
+            val session = ex.asInstanceOf[com.sun.net.httpserver.HttpsExchange].getSSLSession
+            val peer = session.getPeerCertificates
+            require(peer.nonEmpty, "mTLS session without a peer certificate")
+            Tls.authorizePrincipal(
+              peer.head.asInstanceOf[java.security.cert.X509Certificate], opts)
+            true
+          } catch { case _: Exception => false }
+        if (!admitted) {
+          rejected.incrementAndGet()
+          respond(ex, 401, "Unauthorized"); return
+        }
       }
       val headers: Map[String, String] = {
         import scala.jdk.CollectionConverters._

@@ -146,17 +146,21 @@ object SealedRelay {
     * `maxChunkBytes` bounds the PRE-seal body; gzip on incompressible
     * data and the AES-GCM envelope add small overhead, and the RECEIVER
     * independently caps wire frames ([[DefaultMaxFrameBytes]] 64 MiB by
-    * default, configurable). Keep maxChunkBytes comfortably under the
-    * receiving side's cap (the defaults leave 16× headroom) — an
-    * over-cap frame is dropped with its connection on the far side. */
+    * default, configurable). The writer's bound is capped at 48 MiB so a
+    * legal writer config can never emit a frame a DEFAULT receiver drops
+    * (the far side discards over-cap frames with their connection, which
+    * the writer cannot see); a single record larger than the chunk bound
+    * throws rather than being framed whole for the same reason —
+    * silent loss is worse than a failed task. */
   def writeSocketSealed(df: DataFrame, host: String, port: Int,
                         gzipped: Boolean = true,
                         key: Option[Array[Byte]] = None,
                         maxChunkBytes: Int = 4 << 20): Unit = {
     key.foreach(k => require(Set(16, 24, 32).contains(k.length),
       s"AES key must be 16/24/32 bytes, got ${k.length}"))
-    require(maxChunkBytes > 0 && maxChunkBytes <= (1 << 29),
-      s"maxChunkBytes out of range: $maxChunkBytes")
+    require(maxChunkBytes > 0 && maxChunkBytes <= (48 << 20),
+      s"maxChunkBytes out of range: $maxChunkBytes (cap 48 MiB — the default " +
+        "receiver drops frames over 64 MiB, and seal overhead needs margin)")
     df.toJSON.foreachPartition { (it: Iterator[String]) =>
       if (it.hasNext) {
         val sock = new Socket(host, port)
@@ -170,6 +174,10 @@ object SealedRelay {
           }
           it.foreach { line =>
             val b = line.getBytes(UTF_8)
+            require(b.length + 1 <= maxChunkBytes,
+              s"single record of ${b.length} bytes exceeds maxChunkBytes " +
+                s"$maxChunkBytes — it would be framed whole and silently " +
+                "dropped by the receiver's frame cap")
             if (buf.size > 0 && buf.size + b.length + 1 > maxChunkBytes) flushChunk()
             if (buf.size > 0) buf.write('\n')
             buf.write(b)

@@ -193,7 +193,13 @@ object Tls {
   def authorize(sock: SSLSocket, mtls: MtlsOptions): String = {
     val peer = sock.getSession.getPeerCertificates
     require(peer.nonEmpty, "mTLS session without a peer certificate")
-    val principal = principalOf(peer.head.asInstanceOf[X509Certificate])
+    authorizePrincipal(peer.head.asInstanceOf[X509Certificate], mtls)
+  }
+
+  /** [[authorize]] for transports that surface the peer certificate
+    * without an SSLSocket (the JDK HttpsServer's exchange session). */
+  def authorizePrincipal(cert: X509Certificate, mtls: MtlsOptions): String = {
+    val principal = principalOf(cert)
     if (mtls.trustDomain.nonEmpty) {
       if (!principal.startsWith("spiffe://"))
         throw new SecurityException(

@@ -112,6 +112,14 @@ class CurationSpec extends SparkSpec {
       assert(bs >= 4096L, s"span=$span bs=$bs")
       assert(buckets <= Curation.TargetSecondLevelRows, s"span=$span bs=$bs buckets=$buckets")
     }
+    // spans near Long.MaxValue must not overflow the ceil-div into the
+    // 4096 floor (the degenerate case adaptive sizing exists to prevent)
+    for (span <- Seq(Long.MaxValue, Long.MaxValue - 1, Long.MaxValue / 2 + 7)) {
+      val bs = Curation.adaptiveBucketSize(span)
+      assert(bs > 4096L, s"span=$span bs=$bs")
+      // ceil(span / bs) within the target (allow the +1 of integer ceil)
+      assert(span / bs <= Curation.TargetSecondLevelRows, s"span=$span bs=$bs")
+    }
     assert(Curation.adaptiveBucketSize(60000L) == 4096L) // sf-scale corpora keep the old size
     // 10^11 docs: the fixed 4096 default pushed ~24M rows through one
     // task; adaptive keeps it at the 1M target

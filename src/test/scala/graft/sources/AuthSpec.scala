@@ -142,6 +142,16 @@ class AuthSpec extends SparkSpec {
       now = () => 0L)
     assert(v2.validate("tok") == Right(()))
     assert(!seen2.contains("Authorization"), seen2)
+    // an EXPLICIT bearer config whose token failed to load must stay
+    // unauthenticated, not silently downgrade to Basic with the
+    // also-present client credentials
+    var seen3: Map[String, String] = Map("marker" -> "unset")
+    val v3 = new IntrospectionValidator("http://auth/introspect",
+      authType = "bearer", bearerToken = "", clientId = "cid", clientSecret = "sec",
+      post = { (_, _, hdrs) => seen3 = hdrs; (200, """{"active":true,"scope":""}""") },
+      now = () => 0L)
+    assert(v3.validate("tok") == Right(()))
+    assert(!seen3.contains("Authorization"), seen3)
   }
 
   test("introspection: unparseable 2xx body rejects instead of throwing") {

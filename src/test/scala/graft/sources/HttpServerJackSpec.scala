@@ -119,9 +119,34 @@ class HttpServerJackSpec extends SparkSpec {
 
   test("mtls without a TlsConfig is a construction error, not a silent plaintext listener") {
     val e = intercept[IllegalArgumentException] {
-      new HttpServerJack(spark, 0, mtls = true)
+      new HttpServerJack(spark, 0, mtls = Some(MtlsOptions()))
     }
     assert(e.getMessage.contains("requires a TlsConfig"), e.getMessage)
+  }
+
+  test("mtls enforces the principal policy, not just CA validity") {
+    val dir = "src/test/resources/tls"
+    val serverCfg = TlsConfig(s"$dir/server.pem", s"$dir/server-key.pem", s"$dir/ca.pem")
+    val clientCfg = TlsConfig(s"$dir/client.pem", s"$dir/client-key.pem", s"$dir/ca.pem")
+    def jackWith(opts: MtlsOptions) = new HttpServerJack(spark, 0,
+      authRequired = false, tls = Some(serverCfg), mtls = Some(opts))
+    val tlsClient = HttpClient.newBuilder().sslContext(Tls.sslContext(clientCfg)).build()
+    // allowed principal (the client cert's SPIFFE SAN) is admitted
+    val ok = jackWith(MtlsOptions(Seq("spiffe://graft.test/relay-client"), "graft.test"))
+    try {
+      val r = post(ok.boundPort, "/ingest", """{"id":1,"name":"m"}""",
+        c = tlsClient, scheme = "https")
+      assert(r.statusCode() == 200, r.body())
+      eventually(ok.receivedCount == 1, "mTLS record not ingested")
+    } finally ok.stop()
+    // the SAME CA-valid certificate against a different allowed list is 401
+    val deny = jackWith(MtlsOptions(Seq("spiffe://graft.test/other"), "graft.test"))
+    try {
+      val r = post(deny.boundPort, "/ingest", """{"id":2,"name":"m"}""",
+        c = tlsClient, scheme = "https")
+      assert(r.statusCode() == 401, r.body())
+      assert(deny.receivedCount == 0 && deny.rejectedCount == 1)
+    } finally deny.stop()
   }
 
   test("e2e over TLS: the JDK client verifies the jack's certificate and posts through auth") {

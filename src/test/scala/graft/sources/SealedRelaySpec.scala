@@ -96,6 +96,26 @@ class SealedRelaySpec extends SparkSpec {
     }
   }
 
+  test("a single record over the chunk bound fails the writer task, not the receiver") {
+    val relay = new SealedReceivingRelay(spark, 0, None)
+    try {
+      import spark.implicits._
+      val df = Seq((1L, "x" * 2048)).toDF("id", "name")
+      val e = intercept[Exception] {
+        SealedRelay.writeSocketSealed(df, "127.0.0.1", relay.boundPort,
+          gzipped = false, maxChunkBytes = 256)
+      }
+      // Spark wraps the task failure; the root message must surface
+      assert(e.getMessage.contains("exceeds maxChunkBytes") ||
+        Option(e.getCause).exists(_.getMessage.contains("exceeds maxChunkBytes")), e.toString)
+      // and the writer bound itself is capped under the receiver default
+      intercept[IllegalArgumentException] {
+        SealedRelay.writeSocketSealed(df, "127.0.0.1", relay.boundPort,
+          maxChunkBytes = 128 << 20)
+      }
+    } finally relay.stop()
+  }
+
   test("a decompression bomb is cut off at the inflated-size cap") {
     // the frame cap bounds wire bytes only: 10 MB of zeros gzips to ~10 KB,
     // so a bomb inside an under-cap frame must be stopped by the inflated
