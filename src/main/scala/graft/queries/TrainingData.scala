@@ -76,6 +76,26 @@ object TrainingData {
       .orderBy(desc("n"), asc("word"))
       .limit(50)
 
+  /** Bigram vocabulary top-k — the tokenizer-training counterpart of
+    * [[txtTopWords]]: corpus-wide counts of adjacent word pairs (merge
+    * candidates for a BPE-style vocabulary build). Pairs are formed
+    * map-side by a native transform-over-slice (codegen, no UDF) after
+    * dropping empty tokens, so the only exchange is the partial-agg
+    * count shuffle and top-k is TakeOrdered — the same scale shape as
+    * the unigram query at 2× the exploded rows. */
+  def txtBigrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("__ws", filter(graft.functions.TextAnalytics.words(col("text")),
+        w => length(w) > 0))
+      .select(explode(when(size(col("__ws")) < 2, array().cast("array<string>"))
+        .otherwise(expr(
+          "transform(slice(__ws, 1, size(__ws)-1), (w, i) -> concat(w, ' ', __ws[i+1]))")))
+        .as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("bigram"))
+      .limit(100)
+
   /** Corpus length statistics with exact decimal averaging. */
   def txtLengthStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -421,6 +441,7 @@ object TrainingData {
     "txt_tokens"       -> txtTokens _,
     "txt_fingerprint"  -> txtFingerprint _,
     "txt_top_words"    -> txtTopWords _,
+    "txt_bigrams"      -> txtBigrams _,
     "txt_tfidf"        -> txtTfidf _,
     "txt_length_stats" -> txtLengthStats _,
     "ds_split"         -> dsSplit _,
@@ -561,6 +582,17 @@ object TrainingData {
         | FROM documents)
         |WHERE length(word) > 0
         |GROUP BY 1 ORDER BY n DESC, word ASC LIMIT 50""".stripMargin,
+    "txt_bigrams" ->
+      """WITH w AS (
+        | SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                    x -> length(x) > 0) AS ws
+        | FROM documents),
+        |b AS (
+        | SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+        |               i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+        | FROM w WHERE len(ws) >= 2)
+        |SELECT bigram, COUNT(*) AS n FROM b
+        |GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 100""".stripMargin,
     "txt_tfidf" ->
       """WITH t AS (
         | SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok

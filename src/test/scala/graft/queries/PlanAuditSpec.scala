@@ -53,6 +53,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("GreaterThan(value,100"), p)
   }
 
+  test("txt_bigrams: native pair generation, partial agg, TakeOrdered top-k") {
+    val p = planOf("txt_bigrams")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    val m = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
+    assert(m.exists(_.group(1) == "text:string"), p) // only the text column scans
+  }
+
   test("sim_cosine_topk: native expression keeps the projection codegen-compatible") {
     val p = planOf("sim_cosine_topk")
     assert(p.contains("float_vector_dot"), p)
