@@ -98,10 +98,15 @@ class TlsSpec extends SparkSpec {
       MtlsOptions(Seq("spiffe://graft.test/relay-client"), "graft.test"))
     try {
       val other = cfg("client2.pem", "client2-key.pem")
-      val sock = Tls.clientSocket(other, "localhost", jack.boundPort)
-      try { sock.getOutputStream.write("{\"id\":1}\n".getBytes("UTF-8"))
-            sock.getOutputStream.flush(); sock.getInputStream.read() }
-      catch { case _: Throwable => () } finally sock.close()
+      // the server may reset the connection at any point after rejecting
+      // (including mid-handshake) — client-side errors are expected here;
+      // the assertions are the jack's counters
+      try {
+        val sock = Tls.clientSocket(other, "localhost", jack.boundPort)
+        try { sock.getOutputStream.write("{\"id\":1}\n".getBytes("UTF-8"))
+              sock.getOutputStream.flush(); sock.getInputStream.read() }
+        finally sock.close()
+      } catch { case _: Throwable => () }
       eventually(jack.rejectedCount >= 1, "disallowed principal was not rejected")
       assert(jack.receivedCount == 0)
     } finally jack.stop()
@@ -112,10 +117,12 @@ class TlsSpec extends SparkSpec {
     // identity it must NOT slip past a trust-domain fence
     val jack = new TlsNdjsonJack(spark, 0, serverCfg, MtlsOptions(Nil, "graft.test"))
     try {
-      val sock = Tls.clientSocket(serverCfg, "localhost", jack.boundPort)
-      try { sock.getOutputStream.write("{\"id\":1}\n".getBytes("UTF-8"))
-            sock.getOutputStream.flush(); sock.getInputStream.read() }
-      catch { case _: Throwable => () } finally sock.close()
+      try {
+        val sock = Tls.clientSocket(serverCfg, "localhost", jack.boundPort)
+        try { sock.getOutputStream.write("{\"id\":1}\n".getBytes("UTF-8"))
+              sock.getOutputStream.flush(); sock.getInputStream.read() }
+        finally sock.close()
+      } catch { case _: Throwable => () }
       eventually(jack.rejectedCount >= 1, "CN-only peer was not rejected")
       assert(jack.receivedCount == 0)
     } finally jack.stop()
@@ -125,10 +132,12 @@ class TlsSpec extends SparkSpec {
     val jack = new TlsNdjsonJack(spark, 0, serverCfg,
       MtlsOptions(Nil, "prod.example"))
     try {
-      val sock = Tls.clientSocket(clientCfg, "localhost", jack.boundPort)
-      try { sock.getOutputStream.write("{\"id\":1}\n".getBytes("UTF-8"))
-            sock.getOutputStream.flush(); sock.getInputStream.read() }
-      catch { case _: Throwable => () } finally sock.close()
+      try {
+        val sock = Tls.clientSocket(clientCfg, "localhost", jack.boundPort)
+        try { sock.getOutputStream.write("{\"id\":1}\n".getBytes("UTF-8"))
+              sock.getOutputStream.flush(); sock.getInputStream.read() }
+        finally sock.close()
+      } catch { case _: Throwable => () }
       eventually(jack.rejectedCount >= 1, "out-of-domain principal was not rejected")
       assert(jack.receivedCount == 0)
     } finally jack.stop()
