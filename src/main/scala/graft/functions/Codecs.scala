@@ -107,6 +107,15 @@ object Codecs {
     * the EXPANDED size — a frame-length cap alone leaves a ~1000:1 gzip
     * bomb able to provoke multi-GiB allocations before any key check. */
   def gunzipBounded(bytes: Array[Byte], maxOut: Int): Array[Byte] = {
+    // pre-validate before constructing: the GZIPInputStream CONSTRUCTOR
+    // allocates its native Inflater and then parses the header, so a
+    // bad-magic or obviously-truncated payload thrown from the ctor would
+    // leak the Inflater to the GC (it never escapes to be closed). The
+    // 10-byte header minimum + magic check blocks the cheap hostile case
+    // without allocation; a crafted valid-magic-but-truncated header can
+    // still throw inside the ctor, a far narrower channel.
+    if (bytes.length < 10 || bytes(0) != 0x1f.toByte || bytes(1) != 0x8b.toByte)
+      throw new java.io.IOException("not a gzip payload (bad magic or truncated header)")
     val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
     // finally, not drop-through: the bomb-rejection throw is the path a
     // hostile peer exercises repeatedly, and each GZIPInputStream holds a

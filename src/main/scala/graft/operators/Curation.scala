@@ -133,17 +133,24 @@ object Curation {
     // engage — without the checkpoint each branch re-scanned the corpus
     // and re-ran the token kernel. Checkpointed rows are 3 longs, never
     // text (same narrow-materialization rule as connectedComponents).
+    val counts = docs.select(col("doc_id"),
+      graft.functions.FastHash.repetitionStatsCol(col("text"))
+        .getField("_1").cast("long").as("n_tokens"))
+      .localCheckpoint(false)
     val effectiveBucketSize =
       if (bucketSize > 0) bucketSize
       else {
-        // Adaptive sizing runs one min/max job over the PRUNED id column
-        // at plan-build time (the only eager step — the token kernel and
-        // the checkpoint stay lazy). Long-cast: an IntegerType doc_id
-        // must not surprise the row accessor. min..max span: buckets =
-        // doc_id div bs, so the bucket COUNT is governed by the span of
-        // ids, not by max alone; the subtraction saturates instead of
-        // wrapping for hash-range ids spanning most of the long line.
-        val row = docs.agg(min(col("doc_id").cast("long")),
+        // Adaptive sizing runs one min/max job at plan-build time — ON
+        // THE CHECKPOINT, so the job that sizes the buckets is the same
+        // job that materializes the token counts: the corpus upstream
+        // (which may be an arbitrary un-prunable pipeline, not just a
+        // parquet scan) executes exactly once per call, as before.
+        // Long-cast: an IntegerType doc_id must not surprise the row
+        // accessor. min..max span: buckets = doc_id div bs, so the
+        // bucket COUNT is governed by the span of ids, not max alone;
+        // the subtraction saturates instead of wrapping for hash-range
+        // ids spanning most of the long line.
+        val row = counts.agg(min(col("doc_id").cast("long")),
           max(col("doc_id").cast("long"))).head()
         val span =
           if (row.isNullAt(0)) 1L
@@ -152,11 +159,7 @@ object Curation {
             catch { case _: ArithmeticException => Long.MaxValue }
         adaptiveBucketSize(span)
       }
-    val toks = docs.select(col("doc_id"),
-      graft.functions.FastHash.repetitionStatsCol(col("text"))
-        .getField("_1").cast("long").as("n_tokens"))
-      .withColumn("__bucket", expr(s"doc_id div $effectiveBucketSize"))
-      .localCheckpoint(false)
+    val toks = counts.withColumn("__bucket", expr(s"doc_id div $effectiveBucketSize"))
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy("__bucket").orderBy("doc_id")
     val wBuckets = org.apache.spark.sql.expressions.Window

@@ -123,15 +123,16 @@ final class HttpServerJack(
       }
       // mTLS principal policy BEFORE the header policy: the handshake
       // proved CA validity, but a CA-valid-yet-unlisted principal (or the
-      // server's own cert replayed) must not reach the ingest path
-      mtls.foreach { opts =>
+      // server's own cert replayed) must not reach the ingest path.
+      // Plain if, not mtls.foreach { ... return }: a non-local return
+      // from a lambda is a control-flow THROW, which the outer
+      // catch-everything would intercept and double-respond on.
+      if (mtls.isDefined) {
         val admitted =
           try {
-            val session = ex.asInstanceOf[com.sun.net.httpserver.HttpsExchange].getSSLSession
-            val peer = session.getPeerCertificates
-            require(peer.nonEmpty, "mTLS session without a peer certificate")
-            Tls.authorizePrincipal(
-              peer.head.asInstanceOf[java.security.cert.X509Certificate], opts)
+            Tls.authorizeSession(
+              ex.asInstanceOf[com.sun.net.httpserver.HttpsExchange].getSSLSession,
+              mtls.get)
             true
           } catch { case _: Exception => false }
         if (!admitted) {

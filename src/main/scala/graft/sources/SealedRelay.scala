@@ -174,7 +174,9 @@ object SealedRelay {
           }
           it.foreach { line =>
             val b = line.getBytes(UTF_8)
-            require(b.length + 1 <= maxChunkBytes,
+            // a lone record frames at exactly b.length bytes (the '\n'
+            // separator is only written between records)
+            require(b.length <= maxChunkBytes,
               s"single record of ${b.length} bytes exceeds maxChunkBytes " +
                 s"$maxChunkBytes — it would be framed whole and silently " +
                 "dropped by the receiver's frame cap")

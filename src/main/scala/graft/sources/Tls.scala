@@ -190,14 +190,19 @@ object Tls {
     * CA-signed certificate without a URI SAN (a CN-only cert, or the
     * server's own cert replayed as a client) must not slip past the
     * domain fence just because it never declared a domain. */
-  def authorize(sock: SSLSocket, mtls: MtlsOptions): String = {
-    val peer = sock.getSession.getPeerCertificates
+  def authorize(sock: SSLSocket, mtls: MtlsOptions): String =
+    authorizeSession(sock.getSession, mtls)
+
+  /** [[authorize]] for any handshaken session — the one place that owns
+    * the "first chain certificate is the peer" contract, shared by the
+    * socket jack and the JDK HttpsServer's exchange session. */
+  def authorizeSession(session: javax.net.ssl.SSLSession, mtls: MtlsOptions): String = {
+    val peer = session.getPeerCertificates
     require(peer.nonEmpty, "mTLS session without a peer certificate")
     authorizePrincipal(peer.head.asInstanceOf[X509Certificate], mtls)
   }
 
-  /** [[authorize]] for transports that surface the peer certificate
-    * without an SSLSocket (the JDK HttpsServer's exchange session). */
+  /** Principal policy on an already-extracted peer certificate. */
   def authorizePrincipal(cert: X509Certificate, mtls: MtlsOptions): String = {
     val principal = principalOf(cert)
     if (mtls.trustDomain.nonEmpty) {
