@@ -122,6 +122,25 @@ object TrainingData {
   def simCosineTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(Tables.embeddings(spark, dir), queryId = 0L, k = 10)
 
+  /** Per-label embedding centroids — the class-prototype op of
+    * embedding-space curation (assign-to-nearest-centroid, outlier
+    * scoring, per-class drift). Output is (label, pos, n, sum_ppm): one
+    * row per dimension with the component sum in integer ppm, so the
+    * centroid is sum_ppm / n / 1e6 and the oracle is hash-exact —
+    * float sums are order-dependent across engines, floor-of-double in
+    * fixed point is not (same rule as every float aggregate here).
+    * Scale shape: posexplode is map-side (rows × dim narrow rows, no
+    * text), partial HashAggregate before the one (label, pos) exchange;
+    * output is |labels| × dim rows — tiny at any corpus size. */
+  def simCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .select(col("label"), (col("pos0") + 1).as("pos"),
+        floor(col("v").cast("double") * 1000000d).as("v_ppm"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"), sum("v_ppm").as("sum_ppm"))
+      .orderBy("label", "pos")
+
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(spark, dir), queryId = 0L, k = 10)
 
@@ -459,6 +478,7 @@ object TrainingData {
     "txt_redact"       -> txtRedact _,
     "ev_json_extract"  -> evJsonExtract _,
     "sim_cosine_topk"  -> simCosineTopK _,
+    "sim_centroids"    -> simCentroids _,
     "sim_ann_lsh"      -> simAnnLsh _,
     "sim_ann_ivf"      -> simAnnIvf _,
     "sim_ann_int8"     -> simAnnInt8 _,
@@ -866,5 +886,12 @@ object TrainingData {
         |  / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim
         |FROM e, q WHERE e.vec_id <> 0
         |ORDER BY sim DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+    "sim_centroids" ->
+      """SELECT label, pos, COUNT(*) AS n,
+        | CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_ppm
+        |FROM (SELECT label, unnest(embedding) AS v,
+        |             generate_subscripts(embedding, 1) AS pos
+        |      FROM embeddings)
+        |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
   )
 }

@@ -65,6 +65,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(pruned, p)
   }
 
+  test("sim_centroids: map-side partial sums before the one (label, pos) exchange") {
+    val p = planOf("sim_centroids")
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
   test("sim_cosine_topk: native expression keeps the projection codegen-compatible") {
     val p = planOf("sim_cosine_topk")
     assert(p.contains("float_vector_dot"), p)
