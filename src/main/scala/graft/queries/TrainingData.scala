@@ -144,6 +144,38 @@ object TrainingData {
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(spark, dir), queryId = 0L, k = 10)
 
+  /** Assign every vector to its nearest class centroid ([[simCentroids]]'
+    * consumer): the embedding-space curation primitive — label-agreement
+    * auditing (is_match), mislabel candidates, per-class drift. All
+    * arithmetic is integer ppm (vector components floored, centroids
+    * truncating-div), so distances are exact longs and the oracle
+    * hash-matches; squared-distance fits comfortably (diff ≤ ~4e6 ppm,
+    * squared × dims ≪ 2⁶³). Scale shape: centroids are |labels| × dim —
+    * broadcast by construction; the candidate space is rows × |labels|
+    * narrow rows, folded map-side by min_by before any exchange, so the
+    * only shuffle is the final orderBy presentation sort. */
+  def simAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").as("true_label"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000) as bigint))")
+          .as("vp"))
+    val cents = simCentroids(spark, dir)
+      .select(col("label").as("c_label"), col("pos"),
+        expr("sum_ppm div n").as("c"))
+      .groupBy("c_label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cp"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        expr("aggregate(zip_with(vp, cp, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .groupBy(col("vec_id"), col("true_label"))
+      .agg(min(struct(col("d2"), col("c_label"))).as("best"))
+      .select(col("vec_id"), col("true_label"),
+        col("best.c_label").as("assigned_label"),
+        col("best.d2").as("d2"),
+        (col("true_label") === col("best.c_label")).as("is_match"))
+      .orderBy("vec_id")
+  }
+
   def ddWinnowOverlap(spark: SparkSession, dir: String): DataFrame =
     Dedup.winnowOverlapPairs(Tables.documents(spark, dir), minShared = 10, maxDocFreq = 20)
       .orderBy("a_id", "b_id")
@@ -479,6 +511,7 @@ object TrainingData {
     "ev_json_extract"  -> evJsonExtract _,
     "sim_cosine_topk"  -> simCosineTopK _,
     "sim_centroids"    -> simCentroids _,
+    "sim_assign"       -> simAssign _,
     "sim_ann_lsh"      -> simAnnLsh _,
     "sim_ann_ivf"      -> simAnnIvf _,
     "sim_ann_int8"     -> simAnnInt8 _,
@@ -893,5 +926,30 @@ object TrainingData {
         |             generate_subscripts(embedding, 1) AS pos
         |      FROM embeddings)
         |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
+    "sim_assign" ->
+      """WITH v AS (
+        | SELECT vec_id, label AS true_label,
+        |  list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vp
+        | FROM embeddings),
+        |cp AS (
+        | SELECT label AS c_label, pos,
+        |  SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) // COUNT(*) AS c
+        | FROM (SELECT label, unnest(embedding) AS v,
+        |              generate_subscripts(embedding, 1) AS pos FROM embeddings)
+        | GROUP BY 1, 2),
+        |c AS (SELECT c_label, list(CAST(c AS BIGINT) ORDER BY pos) AS cl FROM cp GROUP BY 1),
+        |d AS (
+        | SELECT v.vec_id, v.true_label, c.c_label,
+        |  CAST(list_sum(list_transform(generate_series(1, len(vp)),
+        |    i -> (vp[i] - cl[i]) * (vp[i] - cl[i]))) AS BIGINT) AS d2,
+        |  row_number() OVER (PARTITION BY v.vec_id
+        |                     ORDER BY CAST(list_sum(list_transform(generate_series(1, len(vp)),
+        |                       i -> (vp[i] - cl[i]) * (vp[i] - cl[i]))) AS BIGINT) ASC,
+        |                       c.c_label ASC) AS rk
+        | FROM v CROSS JOIN c)
+        |SELECT vec_id, true_label, c_label AS assigned_label, d2,
+        |       (true_label = assigned_label) AS is_match
+        |FROM d WHERE rk = 1 ORDER BY vec_id""".stripMargin,
   )
 }

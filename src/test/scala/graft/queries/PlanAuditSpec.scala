@@ -72,6 +72,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
   }
 
+  test("sim_assign: centroids broadcast; the argmin folds map-side before the exchange") {
+    val p = planOf("sim_assign")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("partial_min".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
   test("sim_cosine_topk: native expression keeps the projection codegen-compatible") {
     val p = planOf("sim_cosine_topk")
     assert(p.contains("float_vector_dot"), p)
