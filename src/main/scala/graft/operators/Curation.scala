@@ -131,8 +131,9 @@ object Curation {
     // within-bucket window and the bucket-totals aggregate), and the
     // branches don't canonicalize identically, so exchange reuse does not
     // engage — without the checkpoint each branch re-scanned the corpus
-    // and re-ran the token kernel. Checkpointed rows are 3 longs, never
-    // text (same narrow-materialization rule as connectedComponents).
+    // and re-ran the token kernel. Checkpointed rows are 2 longs, never
+    // text (same narrow-materialization rule as connectedComponents);
+    // __bucket projects on top once the adaptive size is known.
     val counts = docs.select(col("doc_id"),
       graft.functions.FastHash.repetitionStatsCol(col("text"))
         .getField("_1").cast("long").as("n_tokens"))

@@ -133,13 +133,19 @@ object TrainingData {
     * text), partial HashAggregate before the one (label, pos) exchange;
     * output is |labels| × dim rows — tiny at any corpus size. */
   def simCentroids(spark: SparkSession, dir: String): DataFrame =
+    centroidSums(spark, dir).orderBy("label", "pos")
+
+  /** [[simCentroids]] without the presentation sort — the form other
+    * operators consume ([[simAssign]] re-aggregates immediately, and an
+    * orderBy there would inject a global range-partition shuffle only to
+    * destroy it). */
+  private def centroidSums(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
       .select(col("label"), (col("pos0") + 1).as("pos"),
         floor(col("v").cast("double") * 1000000d).as("v_ppm"))
       .groupBy("label", "pos")
       .agg(count(lit(1)).as("n"), sum("v_ppm").as("sum_ppm"))
-      .orderBy("label", "pos")
 
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(spark, dir), queryId = 0L, k = 10)
@@ -152,14 +158,15 @@ object TrainingData {
     * hash-matches; squared-distance fits comfortably (diff ≤ ~4e6 ppm,
     * squared × dims ≪ 2⁶³). Scale shape: centroids are |labels| × dim —
     * broadcast by construction; the candidate space is rows × |labels|
-    * narrow rows, folded map-side by min_by before any exchange, so the
-    * only shuffle is the final orderBy presentation sort. */
+    * narrow rows whose argmin partial-folds map-side, leaving one
+    * rows-scale exchange of (vec_id, label, best) plus the final
+    * presentation sort. */
   def simAssign(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label").as("true_label"),
         expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000) as bigint))")
           .as("vp"))
-    val cents = simCentroids(spark, dir)
+    val cents = centroidSums(spark, dir)
       .select(col("label").as("c_label"), col("pos"),
         expr("sum_ppm div n").as("c"))
       .groupBy("c_label")

@@ -33,7 +33,7 @@ import org.apache.spark.sql.types.StructType
   *  - optional TLS via the existing [[TlsConfig]] loader; `mtls` set ⇒
   *    client certificates are required, verified against the CA at the
   *    handshake, and the presented principal is authorized against the
-  *    [[MtlsOptions]] policy per request ([[Tls.authorizePrincipal]] —
+  *    [[MtlsOptions]] policy per request ([[Tls.authorizeSession]] —
   *    the same allowed-principals/trust-domain fence as the socket
   *    jack; a CA-valid but unlisted principal gets a 401).
   *
