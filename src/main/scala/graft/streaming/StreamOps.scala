@@ -11,6 +11,9 @@ import org.apache.spark.sql.functions._
   */
 object StreamOps {
 
+  /** Typed result of [[assignStream]]'s per-vector argmin. */
+  final case class Assigned(assigned_label: Int, d2: Long)
+
   /** Event-time column from the engine's canonical epoch-nanos BIGINT.
     * Integer division (`div`), not `/`: double division rounds half the
     * sub-µs remainders up, off-by-one vs the batch queries' `ts div 1000`. */
@@ -145,6 +148,50 @@ object StreamOps {
     * sum/max — readable per micro-batch from a StreamingQueryListener
     * exactly like the reference's sensor→meter wiring
     * (`/root/reference/pkg/internal/sensor/metrics.go:12-35`). */
+  /** Streaming twin of the nearest-centroid assignment
+    * ([[graft.queries.TrainingData.simAssign]]'s oracle-checked batch
+    * form): score each incoming vector against a STATIC centroid
+    * snapshot — the online half of embedding curation (route/flag
+    * vectors as they arrive; centroids refresh out-of-band like the LSH
+    * index versions). `centroids` is (label, cp: Array[Long]) in the
+    * same integer-ppm space; it is collected ONCE (require-capped — a
+    * centroid table is |labels| rows by construction) and broadcast, so
+    * the per-batch work is a stateless map-side projection: no
+    * stream-static join, no shuffle, no state store. */
+  def assignStream(vectors: DataFrame,
+                   centroids: Seq[(Int, Array[Long])]): DataFrame = {
+    require(centroids.nonEmpty && centroids.size <= 100000,
+      s"centroid snapshot must be non-empty and bounded, got ${centroids.size}")
+    val dims = centroids.head._2.length
+    require(centroids.forall(_._2.length == dims), "ragged centroid dimensions")
+    val bc = vectors.sparkSession.sparkContext.broadcast(centroids)
+    val assign = udf { (v: Seq[Float]) =>
+      if (v == null || v.length != dims) None
+      else {
+        var bestLabel = Int.MaxValue
+        var bestD2 = Long.MaxValue
+        bc.value.foreach { case (label, cp) =>
+          var d2 = 0L
+          var i = 0
+          while (i < dims) {
+            val d = math.floor(v(i).toDouble * 1000000d).toLong - cp(i)
+            d2 += d * d
+            i += 1
+          }
+          // tie-break by label asc, same total order as the batch argmin
+          if (d2 < bestD2 || (d2 == bestD2 && label < bestLabel)) {
+            bestD2 = d2; bestLabel = label
+          }
+        }
+        Some(StreamOps.Assigned(bestLabel, bestD2))
+      }
+    }
+    vectors.withColumn("__a", assign(col("embedding")))
+      .withColumn("assigned_label", col("__a.assigned_label"))
+      .withColumn("d2", col("__a.d2"))
+      .drop("__a")
+  }
+
   def observed(df: DataFrame, meterName: String, errorPredicate: org.apache.spark.sql.Column): DataFrame =
     df.observe(meterName,
       count(lit(1)).as("processed_count"),

@@ -8,6 +8,7 @@ import org.apache.spark.sql.streaming.OutputMode
 
 case class Ev(event_id: Long, ts: Long, user_id: Long, event_type: String, value: Double)
 case class StreamDoc(doc_id: Long, ts: Long, text: String)
+case class StreamVec(vec_id: Long, embedding: Array[Float])
 
 class StreamingSpec extends SparkSpec {
   import SparkSpec.session.implicits._
@@ -140,6 +141,35 @@ class StreamingSpec extends SparkSpec {
       assert(kept.length == 4 && kept.contains(4L), kept)
       assert(kept.count(id => id == 2L || id == 3L) == 1, kept)
       assert(kept.contains(5L) && kept.contains(6L), kept)
+    } finally q.stop()
+  }
+
+  test("streaming centroid assignment matches the batch argmin on the same vectors") {
+    implicit val sqlCtx = spark.sqlContext
+    // batch truth: the oracle-checked sim_assign on the fixture
+    val batch = graft.queries.TrainingData.simAssign(spark, sfDir)
+      .select("vec_id", "assigned_label", "d2").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    // centroid snapshot in the same integer-ppm space the batch uses
+    val centroids = graft.queries.TrainingData.simCentroids(spark, sfDir)
+      .select(col("label"), col("pos"), expr("sum_ppm div n").as("c"))
+      .collect().groupBy(_.getInt(0)).toSeq
+      .map { case (label, rows) =>
+        label -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toArray
+      }
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val mem = MemoryStream[StreamVec]
+    val q = StreamOps.assignStream(mem.toDF(), centroids)
+      .writeStream.format("memory").queryName("assign_stream").outputMode("append").start()
+    try {
+      mem.addData(vecs.take(50).map { case (id, e) => StreamVec(id, e) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("assign_stream")
+        .select("vec_id", "assigned_label", "d2").collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+      assert(got.size == 50)
+      got.foreach { case (id, a) => assert(a == batch(id), s"vec $id: $a vs ${batch(id)}") }
     } finally q.stop()
   }
 
