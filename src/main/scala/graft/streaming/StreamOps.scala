@@ -148,6 +148,12 @@ object StreamOps {
     * sum/max — readable per micro-batch from a StreamingQueryListener
     * exactly like the reference's sensor→meter wiring
     * (`/root/reference/pkg/internal/sensor/metrics.go:12-35`). */
+  def observed(df: DataFrame, meterName: String, errorPredicate: org.apache.spark.sql.Column): DataFrame =
+    df.observe(meterName,
+      count(lit(1)).as("processed_count"),
+      sum(when(errorPredicate, 1L).otherwise(0L)).as("error_count"),
+      max(col("value")).as("peak_value"))
+
   /** Streaming twin of the nearest-centroid assignment
     * ([[graft.queries.TrainingData.simAssign]]'s oracle-checked batch
     * form): score each incoming vector against a STATIC centroid
@@ -157,24 +163,33 @@ object StreamOps {
     * same integer-ppm space; it is collected ONCE (require-capped — a
     * centroid table is |labels| rows by construction) and broadcast, so
     * the per-batch work is a stateless map-side projection: no
-    * stream-static join, no shuffle, no state store. */
+    * stream-static join, no shuffle, no state store. A missing,
+    * wrong-dimension, or null-containing vector yields a NULL assignment
+    * (boxed elements so nulls are visible — a primitive Seq[Float]
+    * binding would silently unbox them to 0 and fabricate a confident
+    * assignment the batch form never produces). */
   def assignStream(vectors: DataFrame,
                    centroids: Seq[(Int, Array[Long])]): DataFrame = {
     require(centroids.nonEmpty && centroids.size <= 100000,
       s"centroid snapshot must be non-empty and bounded, got ${centroids.size}")
     val dims = centroids.head._2.length
     require(centroids.forall(_._2.length == dims), "ragged centroid dimensions")
+    val clash = vectors.columns.filter(Seq("__a", "assigned_label", "d2").contains)
+    require(clash.isEmpty, s"input columns collide with reserved names: ${clash.mkString(", ")}")
     val bc = vectors.sparkSession.sparkContext.broadcast(centroids)
-    val assign = udf { (v: Seq[Float]) =>
-      if (v == null || v.length != dims) None
+    val assign = udf { (v: Seq[java.lang.Float]) =>
+      if (v == null || v.length != dims || v.exists(_ == null)) None
       else {
+        // quantize ONCE per vector — the centroid loop below is then pure
+        // long arithmetic over two arrays
+        val vq = Array.tabulate(dims)(i => math.floor(v(i).toDouble * 1000000d).toLong)
         var bestLabel = Int.MaxValue
         var bestD2 = Long.MaxValue
         bc.value.foreach { case (label, cp) =>
           var d2 = 0L
           var i = 0
           while (i < dims) {
-            val d = math.floor(v(i).toDouble * 1000000d).toLong - cp(i)
+            val d = vq(i) - cp(i)
             d2 += d * d
             i += 1
           }
@@ -191,10 +206,4 @@ object StreamOps {
       .withColumn("d2", col("__a.d2"))
       .drop("__a")
   }
-
-  def observed(df: DataFrame, meterName: String, errorPredicate: org.apache.spark.sql.Column): DataFrame =
-    df.observe(meterName,
-      count(lit(1)).as("processed_count"),
-      sum(when(errorPredicate, 1L).otherwise(0L)).as("error_count"),
-      max(col("value")).as("peak_value"))
 }
