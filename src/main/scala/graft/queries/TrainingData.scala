@@ -150,6 +150,33 @@ object TrainingData {
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(spark, dir), queryId = 0L, k = 10)
 
+  /** Per-label outlier candidates: the k vectors farthest from their OWN
+    * label's centroid — the noise/mislabel review queue that closes the
+    * centroid triple (centroids → assignment → outliers). Same integer-
+    * ppm arithmetic as [[simAssign]]; the per-label top-k is a window
+    * rank (WindowGroupLimit prunes per partition), and the centroid side
+    * joins broadcast, so the only rows-scale exchange is the (label)
+    * window shuffle. */
+  def simOutliers(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000) as bigint))")
+          .as("vp"))
+    val cents = centroidSums(spark, dir)
+      .select(col("label"), col("pos"), expr("sum_ppm div n").as("c"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(desc("d2"), asc("vec_id"))
+    e.join(broadcast(cents), Seq("label"))
+      .withColumn("d2",
+        expr("aggregate(zip_with(vp, cp, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("label"), col("rk"), col("vec_id"), col("d2"))
+      .orderBy("label", "rk")
+  }
+
   /** Assign every vector to its nearest class centroid ([[simCentroids]]'
     * consumer): the embedding-space curation primitive — label-agreement
     * auditing (is_match), mislabel candidates, per-class drift. All
@@ -519,6 +546,7 @@ object TrainingData {
     "sim_cosine_topk"  -> simCosineTopK _,
     "sim_centroids"    -> simCentroids _,
     "sim_assign"       -> simAssign _,
+    "sim_outliers"     -> ((s, d) => simOutliers(s, d)),
     "sim_ann_lsh"      -> simAnnLsh _,
     "sim_ann_ivf"      -> simAnnIvf _,
     "sim_ann_int8"     -> simAnnInt8 _,
@@ -958,5 +986,29 @@ object TrainingData {
         |SELECT vec_id, true_label, c_label AS assigned_label, d2,
         |       (true_label = assigned_label) AS is_match
         |FROM d WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+    "sim_outliers" ->
+      """WITH v AS (
+        | SELECT vec_id, label,
+        |  list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vp
+        | FROM embeddings),
+        |cp AS (
+        | SELECT label, pos,
+        |  SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) // COUNT(*) AS c
+        | FROM (SELECT label, unnest(embedding) AS v,
+        |              generate_subscripts(embedding, 1) AS pos FROM embeddings)
+        | GROUP BY 1, 2),
+        |c AS (SELECT label, list(CAST(c AS BIGINT) ORDER BY pos) AS cl FROM cp GROUP BY 1),
+        |d AS (
+        | SELECT v.vec_id, v.label,
+        |  CAST(list_sum(list_transform(generate_series(1, len(vp)),
+        |    i -> (vp[i] - cl[i]) * (vp[i] - cl[i]))) AS BIGINT) AS d2
+        | FROM v JOIN c USING (label)),
+        |r AS (
+        | SELECT label, vec_id, d2,
+        |  row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id ASC) AS rk
+        | FROM d)
+        |SELECT label, rk, vec_id, d2 FROM r WHERE rk <= 10
+        |ORDER BY label, rk""".stripMargin,
   )
 }

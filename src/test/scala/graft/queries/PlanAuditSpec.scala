@@ -80,6 +80,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
   }
 
+  test("sim_outliers: per-label top-k prunes via WindowGroupLimit, centroids broadcast") {
+    val p = planOf("sim_outliers")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("sim_cosine_topk: native expression keeps the projection codegen-compatible") {
     val p = planOf("sim_cosine_topk")
     assert(p.contains("float_vector_dot"), p)
