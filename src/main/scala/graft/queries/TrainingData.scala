@@ -150,6 +150,30 @@ object TrainingData {
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(spark, dir), queryId = 0L, k = 10)
 
+  /** The integer-ppm projection shared by the centroid consumers: vectors
+    * quantized to longs, restricted to WELL-FORMED embeddings (non-empty,
+    * no null elements) — Spark's `aggregate` propagates nulls while
+    * DuckDB's `list_sum` skips them, so the oracle contract excludes
+    * malformed vectors identically on both sides (the streaming twin
+    * returns a null assignment for the same rows). */
+  private def ppmVectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000) as bigint))")
+          .as("vp"))
+      .filter(size(col("vp")) > 0 && !exists(col("vp"), _.isNull))
+
+  /** Centroid vectors as position-ordered ppm arrays, one row per label —
+    * the broadcast side of [[simAssign]]/[[simOutliers]]. */
+  private def centroidArrays(spark: SparkSession, dir: String): DataFrame =
+    centroidSums(spark, dir)
+      .select(col("label"), col("pos"), expr("sum_ppm div n").as("c"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cp"))
+
+  private val ppmDistSq =
+    "aggregate(zip_with(vp, cp, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+
   /** Per-label outlier candidates: the k vectors farthest from their OWN
     * label's centroid — the noise/mislabel review queue that closes the
     * centroid triple (centroids → assignment → outliers). Same integer-
@@ -158,19 +182,11 @@ object TrainingData {
     * joins broadcast, so the only rows-scale exchange is the (label)
     * window shuffle. */
   def simOutliers(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000) as bigint))")
-          .as("vp"))
-    val cents = centroidSums(spark, dir)
-      .select(col("label"), col("pos"), expr("sum_ppm div n").as("c"))
-      .groupBy("label")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cp"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("label").orderBy(desc("d2"), asc("vec_id"))
-    e.join(broadcast(cents), Seq("label"))
-      .withColumn("d2",
-        expr("aggregate(zip_with(vp, cp, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+    ppmVectors(spark, dir)
+      .join(broadcast(centroidArrays(spark, dir)), Seq("label"))
+      .withColumn("d2", expr(ppmDistSq))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("label"), col("rk"), col("vec_id"), col("d2"))
@@ -189,18 +205,10 @@ object TrainingData {
     * rows-scale exchange of (vec_id, label, best) plus the final
     * presentation sort. */
   def simAssign(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label").as("true_label"),
-        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000) as bigint))")
-          .as("vp"))
-    val cents = centroidSums(spark, dir)
-      .select(col("label").as("c_label"), col("pos"),
-        expr("sum_ppm div n").as("c"))
-      .groupBy("c_label")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cp"))
+    val e = ppmVectors(spark, dir).withColumnRenamed("label", "true_label")
+    val cents = centroidArrays(spark, dir).withColumnRenamed("label", "c_label")
     e.crossJoin(broadcast(cents))
-      .withColumn("d2",
-        expr("aggregate(zip_with(vp, cp, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("d2", expr(ppmDistSq))
       .groupBy(col("vec_id"), col("true_label"))
       .agg(min(struct(col("d2"), col("c_label"))).as("best"))
       .select(col("vec_id"), col("true_label"),
@@ -962,11 +970,13 @@ object TrainingData {
         |      FROM embeddings)
         |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
     "sim_assign" ->
-      """WITH v AS (
+      """WITH v0 AS (
         | SELECT vec_id, label AS true_label,
         |  list_transform(embedding,
         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vp
         | FROM embeddings),
+        |v AS (SELECT * FROM v0
+        |      WHERE len(vp) > 0 AND len(list_filter(vp, x -> x IS NULL)) = 0),
         |cp AS (
         | SELECT label AS c_label, pos,
         |  SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) // COUNT(*) AS c
@@ -987,11 +997,13 @@ object TrainingData {
         |       (true_label = assigned_label) AS is_match
         |FROM d WHERE rk = 1 ORDER BY vec_id""".stripMargin,
     "sim_outliers" ->
-      """WITH v AS (
+      """WITH v0 AS (
         | SELECT vec_id, label,
         |  list_transform(embedding,
         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vp
         | FROM embeddings),
+        |v AS (SELECT * FROM v0
+        |      WHERE len(vp) > 0 AND len(list_filter(vp, x -> x IS NULL)) = 0),
         |cp AS (
         | SELECT label, pos,
         |  SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) // COUNT(*) AS c

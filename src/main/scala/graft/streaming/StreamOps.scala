@@ -72,7 +72,9 @@ object StreamOps {
     // working names are reserved: a caller column with the same name would
     // make the join condition ambiguous or corrupt the output contract
     val reserved = Seq("__ivj_ltime", "__ivj_key", "__ivj_rtime", "r_row")
-    val clash = (left.columns ++ right.columns).filter(reserved.contains)
+    // case-insensitive: Spark column resolution is, so "R_ROW" would
+    // silently collide past a case-sensitive check
+    val clash = (left.columns ++ right.columns).filter(c => reserved.contains(c.toLowerCase))
     require(clash.isEmpty, s"input columns collide with reserved names: ${clash.mkString(", ")}")
     val l = left.withColumn("__ivj_ltime", eventTime(nsCol))
       .withWatermark("__ivj_ltime", lateness)
@@ -97,7 +99,7 @@ object StreamOps {
                    minChars: Int = 100, minWords: Int = 20): DataFrame = {
     // working names are reserved (same contract as intervalJoinStream): a
     // caller column named fp_bow/event_time would be silently clobbered
-    val clash = docs.columns.filter(Seq("fp_bow", "event_time").contains)
+    val clash = docs.columns.filter(c => Seq("fp_bow", "event_time").contains(c.toLowerCase))
     require(clash.isEmpty, s"input columns collide with reserved names: ${clash.mkString(", ")}")
     val ws = array_remove(split(lower(col("text")), "[^a-z]+"), "")
     docs
@@ -121,7 +123,7 @@ object StreamOps {
   def bloomPrefilterStream(docs: DataFrame, nsCol: String, lateness: String,
                            corpusBloom: org.apache.spark.util.sketch.BloomFilter,
                            corpusMd5: DataFrame): DataFrame = {
-    val clash = docs.columns.filter(Seq("__md5", "event_time").contains)
+    val clash = docs.columns.filter(c => Seq("__md5", "event_time").contains(c.toLowerCase))
     require(clash.isEmpty, s"input columns collide with reserved names: ${clash.mkString(", ")}")
     val bfBc = docs.sparkSession.sparkContext.broadcast(corpusBloom)
     // null-safe (see Dedup.bloomPrefilterNew): a null text is a miss
@@ -174,7 +176,7 @@ object StreamOps {
       s"centroid snapshot must be non-empty and bounded, got ${centroids.size}")
     val dims = centroids.head._2.length
     require(centroids.forall(_._2.length == dims), "ragged centroid dimensions")
-    val clash = vectors.columns.filter(Seq("__a", "assigned_label", "d2").contains)
+    val clash = vectors.columns.filter(c => Seq("__a", "assigned_label", "d2").contains(c.toLowerCase))
     require(clash.isEmpty, s"input columns collide with reserved names: ${clash.mkString(", ")}")
     val bc = vectors.sparkSession.sparkContext.broadcast(centroids)
     val assign = udf { (v: Seq[java.lang.Float]) =>

@@ -173,6 +173,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming centroid assignment nulls malformed vectors and guards reserved names") {
+    implicit val sqlCtx = spark.sqlContext
+    val centroids = Seq(0 -> Array(0L, 0L), 1 -> Array(1000000L, 1000000L))
+    val mem = MemoryStream[StreamVec]
+    val q = StreamOps.assignStream(mem.toDF(), centroids)
+      .writeStream.format("memory").queryName("assign_malformed").outputMode("append").start()
+    try {
+      mem.addData(
+        StreamVec(1, Array(0.1f, 0.1f)),            // well-formed -> label 0
+        StreamVec(2, Array(0.1f)),                  // wrong dimension -> null
+        StreamVec(3, null),                         // missing vector -> null
+        StreamVec(4, Array(0.9f, 0.9f)))            // well-formed -> label 1
+      q.processAllAvailable()
+      val rows = spark.table("assign_malformed")
+        .select("vec_id", "assigned_label").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+      assert(rows == Map(1L -> Some(0), 2L -> None, 3L -> None, 4L -> Some(1)), rows)
+    } finally q.stop()
+    // a null ELEMENT must null the assignment, not quantize as zero — fed
+    // through a boxed-array frame since the case class carries primitives
+    val boxed = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(9L, Array[java.lang.Float](0.5f, null))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))))
+    val scored = StreamOps.assignStream(boxed, centroids).collect().head
+    assert(scored.isNullAt(scored.fieldIndex("assigned_label")), scored)
+    // reserved-name guard is case-insensitive, like Spark's resolution
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.assignStream(boxed.withColumn("D2", lit(1)), centroids)
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+  }
+
   test("priority resister drains in aged-priority order within budget (queue.go:11-163)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[QueuedElement]
