@@ -120,7 +120,11 @@ object Curation {
     * old fixed 4096 default pushed ~24M rows through one task. The
     * offsets are a pure prefix sum over doc_id order, so `bin_id`/
     * `offset_in_bin` are IDENTICAL for every bucket size — adaptive
-    * sizing is a plan property, not a semantic one. Token counts use the
+    * sizing is a plan property, not a semantic one. NOTE: the adaptive
+    * default is EAGER — it runs one Spark job (min/max over the
+    * localCheckpointed token counts) at CALL time, before the returned
+    * DataFrame is ever executed; pass an explicit `bucketSize > 0` if
+    * lazy plan construction matters to the caller. Token counts use the
     * one-pass repetition-stats kernel (same tokenization contract as the
     * text analytics). Everything is integer arithmetic — the oracle is a
     * SQL running sum. */

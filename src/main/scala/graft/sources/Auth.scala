@@ -136,6 +136,11 @@ final class IntrospectionValidator(
       case "bearer" =>
         if (bearerToken.nonEmpty) Map("Authorization" -> s"Bearer $bearerToken")
         else Map.empty
+      // an EXPLICIT "none" sends no Authorization header even when client
+      // credentials are configured (`auth_introspection.go` has a dedicated
+      // `case "none":`) — the operator disabled auth; transmitting the
+      // credentials anyway would leak them to the introspection endpoint
+      case "none" => Map.empty
       // the reference's default case falls back to Basic whenever client
       // credentials are configured (`auth_introspection.go:128-132`) —
       // an unrecognized authType must not silently degrade a credentialed

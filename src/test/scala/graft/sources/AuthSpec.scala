@@ -152,6 +152,16 @@ class AuthSpec extends SparkSpec {
       now = () => 0L)
     assert(v3.validate("tok") == Right(()))
     assert(!seen3.contains("Authorization"), seen3)
+    // an EXPLICIT "none" with credentials configured sends NO Authorization
+    // header (reference has a dedicated `case "none":`) — the operator
+    // disabled auth; the credentialed fallback must not override that
+    var seen4: Map[String, String] = Map("marker" -> "unset")
+    val v4 = new IntrospectionValidator("http://auth/introspect",
+      authType = "none", clientId = "cid", clientSecret = "sec",
+      post = { (_, _, hdrs) => seen4 = hdrs; (200, """{"active":true,"scope":""}""") },
+      now = () => 0L)
+    assert(v4.validate("tok") == Right(()))
+    assert(!seen4.contains("Authorization"), seen4)
   }
 
   test("introspection: unparseable 2xx body rejects instead of throwing") {
