@@ -506,6 +506,34 @@ object FastHash {
     result
   }
 
+  /** One-pass unigram-LM scoring stats: (nTokens, sumQl) over the
+    * lower-cased alphabetic tokens of `text` that are present in `ql`
+    * (inner-join semantics — unknown tokens are skipped, matching the
+    * `toks JOIN lm` of the standalone formulation). Same tokenization
+    * contract as [[repetitionStats]]. `ql` maps token → round(ln(count)·2²⁰)
+    * quantized ONCE at model build (TextAnalytics.trainUnigramLm), so the
+    * per-row work is a lookup + integer add — and integer addition is
+    * associative, so the sum is identical under any partitioning. */
+  def lmStats(text: String, ql: java.util.HashMap[String, java.lang.Long]): (Long, Long) = {
+    var n = 0L
+    var sq = 0L
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    val len = text.length
+    while (i <= len) {
+      val c0 = if (i < len) text.charAt(i) else ' '
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      if (c >= 'a' && c <= 'z') sb.append(c)
+      else if (sb.length > 0) {
+        val q = ql.get(sb.toString)
+        sb.setLength(0)
+        if (q ne null) { n += 1; sq += q.longValue }
+      }
+      i += 1
+    }
+    (n, sq)
+  }
+
   // ---- Column-level wrappers ----
 
   def tokenSetCol(text: Column): Column = udf((s: String) => tokenSet(s)).apply(text)

@@ -192,6 +192,135 @@ object TextAnalytics {
         org.apache.spark.sql.functions.size(col("chunk")).cast("long").as("n_tokens"))
   }
 
+  // ---- One-pass multi-signal extractor (txt_signals) ----
+
+  /** Quantized unigram LM: token → round(ln(count)·2²⁰), plus the corpus
+    * token total. Trained once by [[trainUnigramLm]] (a bounded model-build
+    * job), applied map-side by [[signals]]' scoring kernel. */
+  final case class UnigramLm(ql: java.util.HashMap[String, java.lang.Long],
+                             totalTokens: Long)
+
+  /** round(ln(cnt)·2²⁰) with Spark's exact `round` semantics (HALF_UP over
+    * the decimal rendering of the double — `BigDecimal.valueOf`), so the
+    * pre-quantized LM entries equal the standalone query's per-token
+    * `round(log(cnt)*1048576).cast(long)` bit-for-bit. */
+  private[functions] def quantLogCount(cnt: Long): Long =
+    java.math.BigDecimal.valueOf(math.log(cnt.toDouble) * 1048576d)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
+  /** Train the unigram LM: one token-aggregation job, vocabulary collected
+    * to the driver (guard-limited — the collect can never fetch more than
+    * `maxVocab + 1` rows) and quantized once. The memory bound is the
+    * vocabulary, the same bound the broadcast-join formulation in
+    * [[lmScore]] already carries; a corpus whose alphabetic vocabulary
+    * exceeds the cap should train on a sample or a fixed reference corpus
+    * (which is what a production pipeline does anyway — the LM is a model
+    * artifact, not a per-query derivation). */
+  def trainUnigramLm(docs: org.apache.spark.sql.DataFrame,
+                     maxVocab: Int = 1 << 25): UnigramLm = {
+    val rows = docs.select(explode(words(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .limit(maxVocab + 1)
+      .collect()
+    require(rows.length <= maxVocab,
+      s"unigram LM vocabulary exceeds maxVocab=$maxVocab — train on a " +
+        "sampled or reference corpus, or raise the cap")
+    val ql = new java.util.HashMap[String, java.lang.Long](math.max(16, rows.length * 2))
+    var total = 0L
+    rows.foreach { r =>
+      val cnt = r.getLong(1)
+      total += cnt
+      ql.put(r.getString(0), java.lang.Long.valueOf(quantLogCount(cnt)))
+    }
+    UnigramLm(ql, total)
+  }
+
+  /** (nTokens, Σ quantized-log-count) per row; null text → null struct (the
+    * SQL formulation produces no row — downstream nulls match). */
+  private def lmStatsCol(text: Column,
+                         lm: org.apache.spark.broadcast.Broadcast[UnigramLm]): Column =
+    udf((s: String) => if (s == null) None else Some(FastHash.lmStats(s, lm.value.ql)))
+      .apply(text)
+
+  /** ALL per-document quality/identity signals in ONE corpus pass — the
+    * curation scan: quality features, whitespace/BPE token counts, language
+    * ID, fingerprint, compression ratio, repetition stats, and unigram-LM
+    * score, each column bit-equal to its standalone query (txt_quality,
+    * txt_tokens, txt_lang_id, txt_fingerprint, txt_compress_ratio,
+    * txt_repetition, txt_lm_score — TxtSignalsSpec locks the equality).
+    * At 100 TB the corpus scan IS the dominant cost of a curation decision;
+    * seven single-signal queries read the corpus seven times, this
+    * projection reads it once — the reference's own model runs ALL
+    * per-record transforms as one chain over the wire, never a rescan
+    * (`/root/reference/pkg/internal/wire/transform.go:93-119`).
+    *
+    * Row contract: rows are NOT filtered (txt_repetition drops 0-word docs,
+    * txt_lm_score drops docs with no in-LM tokens; here those docs keep
+    * zero counts and null fractions/score), and the repetition word count
+    * is emitted as `n_alpha_words` (txt_quality's `n_words` keeps its
+    * whitespace-token meaning).
+    *
+    * The LM rides an explicit executor broadcast into the scoring kernel —
+    * a map-side lookup, where the broadcast-JOIN formulation would add a
+    * second scan branch and an aggregation. Plan: scan → project (+
+    * presentation sort), 0 joins, 0 aggregates — PlanAuditSpec locks it. */
+  def signals(docs: org.apache.spark.sql.DataFrame, lm: UnigramLm): org.apache.spark.sql.DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(lm)
+    val t = col("text")
+    val bytes = encode(t, "UTF-8")
+    val raw = docs.select(col("doc_id"),
+      nChars(t).as("n_chars_m"),
+      wsTokenCount(t).as("n_words"),
+      punctCount(t).as("n_punct"),
+      alphaRatio(t).as("alpha_ratio"),
+      markerHitCounts(t).as("__hits"),
+      bpeTokenCount(t).as("bpe_tokens"),
+      fingerprint(t).as("fp"),
+      length(bytes).cast("long").as("n_bytes"),
+      Codecs.deflateLenCol(bytes).cast("long").as("n_deflate"),
+      FastHash.repetitionStatsCol(t).as("__r"),
+      lmStatsCol(t, bc).as("__l"))
+    // derivations reference the hoisted kernel structs, so every kernel
+    // runs exactly once per row no matter how many columns consume it
+    val stopword = element_at(col("__hits"), 1).cast("double") /
+      nullif(col("n_words"), lit(0)).cast("double")
+    val lenScore = least(col("n_chars_m").cast("double") / lit(500.0), lit(1.0))
+    val nAlpha = col("__r._1").cast("long")
+    raw.select(
+      col("doc_id"), col("n_chars_m"), col("n_words"), col("n_punct"),
+      col("alpha_ratio"),
+      stopword.as("stopword_ratio"),
+      (lenScore * lit(0.5) + col("alpha_ratio") * lit(0.25) + stopword * lit(0.25))
+        .as("quality"),
+      col("n_words").as("ws_tokens"),
+      col("bpe_tokens"),
+      element_at(col("__hits"), 1).as("en_hits"),
+      element_at(col("__hits"), 2).as("data_hits"),
+      element_at(col("__hits"), 3).as("compute_hits"),
+      langPredict(element_at(col("__hits"), 1), element_at(col("__hits"), 2),
+        element_at(col("__hits"), 3)).as("predicted"),
+      col("fp"), col("n_bytes"), col("n_deflate"),
+      when(col("n_bytes") === 0, lit(1000000L))
+        .otherwise(expr("n_deflate * 1000000 div n_bytes")).as("ratio_ppm"),
+      nAlpha.as("n_alpha_words"),
+      col("__r._2").cast("long").as("n_distinct_words"),
+      col("__r._3").cast("long").as("top_word_count"),
+      col("__r._4").cast("long").as("top_bigram_count"),
+      ((nAlpha - col("__r._2").cast("long")).cast("double") /
+        nullif(nAlpha, lit(0L)).cast("double")).as("dup_word_frac"),
+      // guarded: at n_alpha_words = 0 the unguarded form divides by
+      // nullif(-1, 0) = -1 and emits -0.0 where the filtered standalone
+      // query (and the SQL oracle's left join) have NULL
+      when(nAlpha > 0,
+        col("__r._4").cast("long").cast("double") /
+          nullif(nAlpha - 1, lit(0L)).cast("double")).as("top_bigram_frac"),
+      coalesce(col("__l._1"), lit(0L)).as("lm_n_tokens"),
+      when(col("__l._1") > 0,
+        (col("__l._2").cast("double") / lit(1048576.0)) / col("__l._1") -
+          log(lit(lm.totalTokens).cast("double"))).as("avg_logprob"))
+  }
+
   // ---- Unigram-LM quality scoring (CCNet-style perplexity filter) ----
 
   /** Per-document average token log-probability under a unigram LM trained

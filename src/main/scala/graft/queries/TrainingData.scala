@@ -477,6 +477,18 @@ object TrainingData {
   def txtLmScore(spark: SparkSession, dir: String): DataFrame =
     lmScore(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** ALL per-doc text signals in ONE corpus pass (TextAnalytics.signals) —
+    * the scan-efficiency form of the seven standalone txt_* signal queries.
+    * The unigram LM is trained up front as a bounded model-build job
+    * (vocabulary-sized collect + executor broadcast — the same memory bound
+    * as [[txtLmScore]]'s broadcast LM; a production pipeline trains it once
+    * on a reference corpus and reuses it), so the signal scan itself is a
+    * single pass: scan → project → presentation sort. */
+  def txtSignals(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    signals(docs, trainUnigramLm(docs)).orderBy("doc_id")
+  }
+
   /** Bloom-prefiltered incremental dedup: treat every 5th doc as the
     * incoming batch and the rest as the ingested corpus; return the
     * incoming docs whose text is genuinely new. The Bloom prefilter +
@@ -541,6 +553,7 @@ object TrainingData {
     "ds_sample_stratified" -> dsSampleStratified _,
     "a8_heavy_hitters" -> a8HeavyHitters _,
     "txt_lm_score"     -> txtLmScore _,
+    "txt_signals"      -> txtSignals _,
     "ds_chunk"         -> dsChunk _,
     "ds_profile"       -> dsProfile _,
     "ds_profile_exact" -> dsProfileExact _,
@@ -801,6 +814,84 @@ object TrainingData {
         | CAST(coalesce(tb.top_bigram_count, 0) AS DOUBLE) / nullif(n_words - 1, 0) AS top_bigram_frac
         |FROM tw LEFT JOIN tb ON tw.doc_id = tb.doc_id
         |ORDER BY tw.doc_id""".stripMargin,
+    // txt_signals = join of the standalone signal oracles on doc_id: the
+    // quality/tokens/lang/fingerprint expressions inline (f/f2), the
+    // repetition and LM CTE chains from their standalone oracles (rt*/l*),
+    // and the deflate columns from the committed txt_compress_ratio golden
+    // (DuckDB has no zlib; GoldenLockSpec re-derives that golden from
+    // source every test run, so the join stays honest). LEFT joins +
+    // coalesce reproduce the fused row contract (0-word docs keep zero
+    // counts and null fractions/score instead of being filtered).
+    "txt_signals" ->
+      s"""WITH f AS (
+         | SELECT doc_id, length(text) AS n_chars_m,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+         |  length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |    / CAST(nullif(length(text), 0) AS DOUBLE) AS alpha_ratio,
+         |  len(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> list_contains($enList, w))) AS en_hits,
+         |  len(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> list_contains($dataList, w))) AS data_hits,
+         |  len(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> list_contains($computeList, w))) AS compute_hits,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+         |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         | FROM documents),
+         |f2 AS (
+         | SELECT *, CAST(en_hits AS DOUBLE) / CAST(nullif(n_words, 0) AS DOUBLE) AS stopword_ratio
+         | FROM f),
+         |rt AS (
+         | SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> len(w) > 0) AS ws
+         | FROM documents),
+         |rtok AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS pos FROM rt),
+         |rwc AS (SELECT doc_id, w, COUNT(*) AS c FROM rtok GROUP BY 1, 2),
+         |rtw AS (
+         | SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+         |  COUNT(*) AS n_distinct_words, MAX(c) AS top_word_count
+         | FROM rwc GROUP BY 1),
+         |rbg AS (
+         | SELECT doc_id,
+         |  w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+         | FROM rtok),
+         |rbc AS (SELECT doc_id, b, COUNT(*) AS c FROM rbg WHERE b IS NOT NULL GROUP BY 1, 2),
+         |rtb AS (SELECT doc_id, MAX(c) AS top_bigram_count FROM rbc GROUP BY 1),
+         |ltf AS (SELECT w AS tok, COUNT(*) AS cnt FROM rtok GROUP BY 1),
+         |ltot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nt FROM ltf),
+         |lq AS (
+         | SELECT t.doc_id,
+         |  CAST(round(ln(CAST(cnt AS DOUBLE)) * 1048576) AS BIGINT) AS ql
+         | FROM rtok t JOIN ltf ON t.w = ltf.tok),
+         |ld AS (SELECT doc_id, CAST(SUM(ql) AS BIGINT) AS sq, COUNT(*) AS n_tokens
+         |       FROM lq GROUP BY 1),
+         |cr AS (SELECT doc_id, n_bytes, n_deflate, ratio_ppm
+         |       FROM read_parquet('/root/repo/golden/sf0.01/txt_compress_ratio.parquet'))
+         |SELECT f2.doc_id, f2.n_chars_m, f2.n_words, f2.n_punct, f2.alpha_ratio,
+         | f2.stopword_ratio,
+         | least(CAST(f2.n_chars_m AS DOUBLE) / 500.0, 1.0) * 0.5
+         |  + f2.alpha_ratio * 0.25 + f2.stopword_ratio * 0.25 AS quality,
+         | f2.n_words AS ws_tokens, f2.bpe_tokens,
+         | f2.en_hits, f2.data_hits, f2.compute_hits,
+         | CASE WHEN f2.en_hits >= f2.data_hits AND f2.en_hits >= f2.compute_hits THEN 'en'
+         |      WHEN f2.data_hits >= f2.compute_hits THEN 'data'
+         |      ELSE 'compute' END AS predicted,
+         | f2.fp, cr.n_bytes, cr.n_deflate, cr.ratio_ppm,
+         | coalesce(rtw.n_words, 0) AS n_alpha_words,
+         | CAST(coalesce(rtw.n_distinct_words, 0) AS BIGINT) AS n_distinct_words,
+         | CAST(coalesce(rtw.top_word_count, 0) AS BIGINT) AS top_word_count,
+         | CAST(coalesce(rtb.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+         | CAST(rtw.n_words - rtw.n_distinct_words AS DOUBLE) / nullif(rtw.n_words, 0) AS dup_word_frac,
+         | CAST(coalesce(rtb.top_bigram_count, 0) AS DOUBLE) / nullif(rtw.n_words - 1, 0) AS top_bigram_frac,
+         | CAST(coalesce(ld.n_tokens, 0) AS BIGINT) AS lm_n_tokens,
+         | CASE WHEN ld.n_tokens > 0 THEN
+         |  (CAST(ld.sq AS DOUBLE) / 1048576.0) / ld.n_tokens - ln(CAST(ltot.nt AS DOUBLE))
+         | END AS avg_logprob
+         |FROM f2
+         |JOIN cr USING (doc_id)
+         |LEFT JOIN rtw USING (doc_id)
+         |LEFT JOIN rtb USING (doc_id)
+         |LEFT JOIN ld USING (doc_id)
+         |CROSS JOIN ltot
+         |ORDER BY f2.doc_id""".stripMargin,
     "dd_contamination" ->
       """WITH t AS (
         | SELECT doc_id,

@@ -1,0 +1,132 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.queries.TrainingData
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Locks the txt_signals contract: every fused column is value-identical to
+  * its standalone single-signal query, and the unfiltered row contract
+  * (zero counts + null fractions/score for degenerate docs) holds on edge
+  * inputs the fixtures don't contain. */
+class TxtSignalsSpec extends SparkSpec {
+
+  private lazy val fused = TrainingData.txtSignals(spark, sfDir).cache()
+
+  /** Set-equality in both directions plus a row-count check (except alone
+    * would pass if one side had duplicate rows). */
+  private def assertSameRows(a: DataFrame, b: DataFrame, what: String): Unit = {
+    assert(a.count() == b.count(), s"$what: row counts differ")
+    assert(a.except(b).isEmpty, s"$what: fused rows missing from standalone")
+    assert(b.except(a).isEmpty, s"$what: standalone rows missing from fused")
+  }
+
+  test("quality columns equal txt_quality") {
+    assertSameRows(
+      fused.select("doc_id", "n_chars_m", "n_words", "n_punct",
+        "alpha_ratio", "stopword_ratio", "quality"),
+      TrainingData.txtQuality(spark, sfDir), "quality")
+  }
+
+  test("token counts equal txt_tokens") {
+    assertSameRows(fused.select("doc_id", "ws_tokens", "bpe_tokens"),
+      TrainingData.txtTokens(spark, sfDir), "tokens")
+  }
+
+  test("fingerprint equals txt_fingerprint") {
+    assertSameRows(fused.select("doc_id", "fp"),
+      TrainingData.txtFingerprint(spark, sfDir), "fingerprint")
+  }
+
+  test("language columns equal txt_lang_id") {
+    assertSameRows(
+      fused.select("doc_id", "en_hits", "data_hits", "compute_hits", "predicted"),
+      TrainingData.txtLangId(spark, sfDir), "lang_id")
+  }
+
+  test("compression columns equal txt_compress_ratio") {
+    assertSameRows(fused.select("doc_id", "n_bytes", "n_deflate", "ratio_ppm"),
+      TrainingData.txtCompressRatio(spark, sfDir), "compress_ratio")
+  }
+
+  test("repetition columns equal txt_repetition on its (filtered) rows") {
+    assertSameRows(
+      fused.filter(col("n_alpha_words") > 0)
+        .select(col("doc_id"), col("n_alpha_words").as("n_words"),
+          col("n_distinct_words"), col("top_word_count"),
+          col("top_bigram_count"), col("dup_word_frac"), col("top_bigram_frac")),
+      TrainingData.txtRepetition(spark, sfDir), "repetition")
+  }
+
+  test("LM columns equal txt_lm_score on its (filtered) rows") {
+    assertSameRows(
+      fused.filter(col("lm_n_tokens") > 0)
+        .select(col("doc_id"), col("lm_n_tokens").as("n_tokens"),
+          col("avg_logprob")),
+      TrainingData.txtLmScore(spark, sfDir), "lm_score")
+  }
+
+  test("degenerate docs: zero counts, null fractions — never -0.0 or a crash") {
+    import scala.jdk.CollectionConverters._
+    val docs = spark.createDataFrame(Seq(
+      (1L, ""),                 // empty
+      (2L, "12345 678 !!"),     // no alphabetic words
+      (3L, "hello"),            // one word (bigram denominator 0)
+      (5L, "the the the")       // all-duplicate words
+    ).map(t => org.apache.spark.sql.Row(t._1, t._2)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+      .union(spark.sql("SELECT CAST(4 AS BIGINT) AS doc_id, CAST(NULL AS STRING) AS text"))
+    val out = TextAnalytics.signals(docs, TextAnalytics.trainUnigramLm(docs))
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+
+    val empty = byId(1L)
+    assert(empty.getAs[Long]("n_alpha_words") == 0L)
+    assert(empty.isNullAt(empty.fieldIndex("dup_word_frac")))
+    assert(empty.isNullAt(empty.fieldIndex("top_bigram_frac")))
+    assert(empty.getAs[Long]("lm_n_tokens") == 0L)
+    assert(empty.isNullAt(empty.fieldIndex("avg_logprob")))
+    assert(empty.getAs[Int]("n_words") == 0)
+
+    // no-alpha doc: the unguarded bigram fraction would be 0/-1 = -0.0
+    val noAlpha = byId(2L)
+    assert(noAlpha.getAs[Long]("n_alpha_words") == 0L)
+    assert(noAlpha.isNullAt(noAlpha.fieldIndex("top_bigram_frac")))
+    assert(noAlpha.getAs[Int]("bpe_tokens") == 4) // 12345, 678, !, !
+
+    val single = byId(3L)
+    assert(single.getAs[Long]("n_alpha_words") == 1L)
+    assert(single.getAs[Double]("dup_word_frac") == 0.0)
+    assert(single.isNullAt(single.fieldIndex("top_bigram_frac")))
+    assert(single.getAs[Long]("lm_n_tokens") == 1L)
+
+    val nullText = byId(4L)
+    assert(nullText.isNullAt(nullText.fieldIndex("n_chars_m")))
+    assert(nullText.isNullAt(nullText.fieldIndex("fp")))
+    // langPredict falls through its null comparisons to the otherwise
+    // branch — same as the standalone query and the oracle's CASE ... ELSE
+    assert(nullText.getAs[String]("predicted") == "compute")
+    assert(nullText.getAs[Long]("n_alpha_words") == 0L)
+    assert(nullText.getAs[Long]("lm_n_tokens") == 0L)
+    assert(nullText.isNullAt(nullText.fieldIndex("avg_logprob")))
+
+    // corpus: the(3), hello(1) -> total 4; doc 5 score = ln(3) - ln(4)
+    val dup = byId(5L)
+    assert(dup.getAs[Long]("n_alpha_words") == 3L)
+    assert(dup.getAs[Long]("n_distinct_words") == 1L)
+    assert(math.abs(dup.getAs[Double]("dup_word_frac") - 2.0 / 3.0) < 1e-12)
+    assert(dup.getAs[Double]("top_bigram_frac") == 1.0)
+    assert(math.abs(dup.getAs[Double]("avg_logprob") -
+      (math.log(3.0) - math.log(4.0))) < 1e-5)
+  }
+
+  test("trainUnigramLm enforces the vocabulary cap without a full collect") {
+    val docs = spark.range(1).selectExpr("id AS doc_id", "'one two three' AS text")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalytics.trainUnigramLm(docs, maxVocab = 2)
+    }
+    assert(e.getMessage.contains("vocabulary exceeds"))
+  }
+}

@@ -250,6 +250,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
   }
 
+  test("txt_signals: the fused extractor is ONE corpus scan — no joins, no aggregates") {
+    // the whole point of the query: every per-doc signal from a single
+    // pass (the LM is a separate bounded model-build job at call time,
+    // not a branch of this plan)
+    val p = planOf("txt_signals")
+    assert(countScans(p) == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Aggregate"), p) // Hash/Sort/ObjectHash all match
+    assert(!p.contains("Generate"), p)
+  }
+
   test("txt_lm_score: two token passes (train, score), LM broadcast, no third scan") {
     val p = planOf("txt_lm_score")
     assert(countScans(p) == 2, p)
