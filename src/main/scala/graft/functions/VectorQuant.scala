@@ -16,6 +16,29 @@ import org.apache.spark.sql.functions._
   */
 object VectorQuant {
 
+  /** Nearest centroid by squared L2 in the integer-ppm space; ties break
+    * by label asc — the same total order as `min(struct(d2, label))`, so
+    * the result is identical to the crossJoin+argmin formulation it
+    * replaces. ONE kernel shared by the batch `sim_assign` projection and
+    * the streaming `assignStream` twin (they can never drift). Callers
+    * guarantee well-formed equal-dimension inputs (the batch ppm
+    * projection filters malformed vectors; the stream twin nulls them
+    * before calling); a ragged pair scores over the common prefix. */
+  def argminCentroid(vq: Array[Long], centroids: Seq[(Int, Array[Long])]): (Int, Long) = {
+    var bestLabel = Int.MaxValue
+    var bestD2 = Long.MaxValue
+    centroids.foreach { case (label, cp) =>
+      var d2 = 0L
+      var i = 0
+      val n = math.min(vq.length, cp.length)
+      while (i < n) { val d = vq(i) - cp(i); d2 += d * d; i += 1 }
+      if (d2 < bestD2 || (d2 == bestD2 && label < bestLabel)) {
+        bestD2 = d2; bestLabel = label
+      }
+    }
+    (bestLabel, bestD2)
+  }
+
   /** Per-vector symmetric scale: maxAbs/127 (0 for the zero vector). */
   def quantScale(v: Array[Float]): Float = {
     if (v == null) return 0f

@@ -193,28 +193,43 @@ object TrainingData {
       .orderBy("label", "rk")
   }
 
+  /** The centroid snapshot for the map-side argmin: [[centroidArrays]]
+    * collected (guard-limited — a centroid table is |labels| rows by
+    * construction) in the same integer-ppm space the streaming twin
+    * broadcasts. This is the model-build job of the assignment, run once
+    * per call here and out-of-band in a real pipeline. */
+  private def centroidSnapshot(spark: SparkSession, dir: String): Seq[(Int, Array[Long])] = {
+    val rows = centroidArrays(spark, dir).limit(100001).collect()
+    require(rows.length <= 100000, s"centroid table unexpectedly large: ${rows.length} labels")
+    rows.toSeq.map(r => r.getInt(0) -> r.getSeq[Long](1).toArray)
+  }
+
   /** Assign every vector to its nearest class centroid ([[simCentroids]]'
     * consumer): the embedding-space curation primitive — label-agreement
     * auditing (is_match), mislabel candidates, per-class drift. All
     * arithmetic is integer ppm (vector components floored, centroids
     * truncating-div), so distances are exact longs and the oracle
     * hash-matches; squared-distance fits comfortably (diff ≤ ~4e6 ppm,
-    * squared × dims ≪ 2⁶³). Scale shape: centroids are |labels| × dim —
-    * broadcast by construction; the candidate space is rows × |labels|
-    * narrow rows whose argmin partial-folds map-side, leaving one
-    * rows-scale exchange of (vec_id, label, best) plus the final
-    * presentation sort. */
+    * squared × dims ≪ 2⁶³). Scale shape: the centroids are |labels| × dim
+    * — a driver snapshot + executor broadcast by construction — and the
+    * argmin is the shared [[graft.functions.VectorQuant.argminCentroid]]
+    * fold (one kernel with the streaming twin), so the whole assignment is
+    * a stateless map-side projection: scan → project → presentation sort,
+    * no join, no aggregate. The earlier crossJoin(broadcast)+min(struct)
+    * formulation partial-folded the argmin map-side but still materialized
+    * rows × |labels| candidates and paid two sorts around a rows-scale
+    * exchange; the fold emits the winner directly. */
   def simAssign(spark: SparkSession, dir: String): DataFrame = {
-    val e = ppmVectors(spark, dir).withColumnRenamed("label", "true_label")
-    val cents = centroidArrays(spark, dir).withColumnRenamed("label", "c_label")
-    e.crossJoin(broadcast(cents))
-      .withColumn("d2", expr(ppmDistSq))
-      .groupBy(col("vec_id"), col("true_label"))
-      .agg(min(struct(col("d2"), col("c_label"))).as("best"))
+    val bc = spark.sparkContext.broadcast(centroidSnapshot(spark, dir))
+    val assign = udf { (vp: Seq[Long]) =>
+      graft.functions.VectorQuant.argminCentroid(vp.toArray, bc.value)
+    }
+    ppmVectors(spark, dir).withColumnRenamed("label", "true_label")
+      .withColumn("__a", assign(col("vp")))
       .select(col("vec_id"), col("true_label"),
-        col("best.c_label").as("assigned_label"),
-        col("best.d2").as("d2"),
-        (col("true_label") === col("best.c_label")).as("is_match"))
+        col("__a._1").as("assigned_label"),
+        col("__a._2").as("d2"),
+        (col("true_label") === col("__a._1")).as("is_match"))
       .orderBy("vec_id")
   }
 

@@ -182,24 +182,12 @@ object StreamOps {
     val assign = udf { (v: Seq[java.lang.Float]) =>
       if (v == null || v.length != dims || v.exists(_ == null)) None
       else {
-        // quantize ONCE per vector — the centroid loop below is then pure
-        // long arithmetic over two arrays
+        // quantize ONCE per vector, then the SAME argmin kernel the batch
+        // sim_assign projection uses (tie-break by label asc) — one shared
+        // fold, so batch and stream can never drift
         val vq = Array.tabulate(dims)(i => math.floor(v(i).toDouble * 1000000d).toLong)
-        var bestLabel = Int.MaxValue
-        var bestD2 = Long.MaxValue
-        bc.value.foreach { case (label, cp) =>
-          var d2 = 0L
-          var i = 0
-          while (i < dims) {
-            val d = vq(i) - cp(i)
-            d2 += d * d
-            i += 1
-          }
-          // tie-break by label asc, same total order as the batch argmin
-          if (d2 < bestD2 || (d2 == bestD2 && label < bestLabel)) {
-            bestD2 = d2; bestLabel = label
-          }
-        }
+        val (bestLabel, bestD2) =
+          graft.functions.VectorQuant.argminCentroid(vq, bc.value)
         Some(StreamOps.Assigned(bestLabel, bestD2))
       }
     }
