@@ -459,7 +459,7 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val (fs, root) = graft.sources.Fs.of(spark, path)
-    val version = currentLshVersion(fs, root).getOrElse(0) + 1
+    val version = graft.sources.Fs.currentVersion(fs, root).getOrElse(0) + 1
     val vdir = s"$path/v$version"
     val sigs = docs
       .select(col("doc_id"), minhashSignature(col("text"), shingleN, k).as("sig"))
@@ -475,26 +475,9 @@ object Dedup {
       .write.mode("overwrite").partitionBy("band").parquet(s"$vdir/bands")
     Seq((shingleN, k, bands, maxBucket)).toDF("shingle_n", "k", "bands", "max_bucket")
       .coalesce(1).write.mode("overwrite").parquet(s"$vdir/params")
-    // pointer swap: one small-file write makes the new version visible
-    val out = fs.create(new org.apache.hadoop.fs.Path(root, "_current"), true)
-    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
-    // prune superseded versions (probes started before the swap may still
-    // read them; prune is best-effort and can be deferred by the caller)
-    fs.listStatus(root).map(_.getPath)
-      .filter(p => p.getName.startsWith("v") && p.getName != s"v$version")
-      .foreach(p => fs.delete(p, true))
-  }
-
-  private def currentLshVersion(fs: org.apache.hadoop.fs.FileSystem,
-                                root: org.apache.hadoop.fs.Path): Option[Int] = {
-    val ptr = new org.apache.hadoop.fs.Path(root, "_current")
-    if (!fs.exists(ptr)) None
-    else {
-      val in = fs.open(ptr)
-      try Some(new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt)
-      finally in.close()
-    }
+    // pointer swap + best-effort prune (probes started before the swap may
+    // still read the old version; prune can be deferred by the caller)
+    graft.sources.Fs.publishVersion(fs, root, version)
   }
 
   /** Verify candidate pairs by stored-signature agreement — shared by the
@@ -520,7 +503,7 @@ object Dedup {
   def probeLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     newDocs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val (fs, root) = graft.sources.Fs.of(spark, path)
-    val version = currentLshVersion(fs, root).getOrElse(
+    val version = graft.sources.Fs.currentVersion(fs, root).getOrElse(
       sys.error(s"no LSH index at $path (missing _current pointer — " +
         "run buildLshIndex first)"))
     val vdir = s"$path/v$version"

@@ -91,28 +91,48 @@ object SimilarityIvf {
     embeddings.withColumn("cell", cellUdf(col("embedding")))
   }
 
-  /** Persist the index: vectors written as parquet PARTITIONED BY cell
-    * (so probes become partition-pruned scans — at 100 TB a probe touches
-    * nprobe/nCells of the files, enforced by the storage layout, not a
-    * runtime filter), plus a `_centroids` side table. */
+  /** Persist an index VERSION: vectors written as parquet PARTITIONED BY
+    * cell (so probes become partition-pruned scans — at 100 TB a probe
+    * touches nprobe/nCells of the files, enforced by the storage layout,
+    * not a runtime filter), plus a `_centroids` side table, into a fresh
+    * `v<N>/` that an atomic `_current` pointer swap then publishes — the
+    * same layout and concurrency contract as the LSH index
+    * (Dedup.buildLshIndex): a probe that resolved the pointer before a
+    * rebuild keeps reading its previous COMPLETE version, never a mix;
+    * superseded versions are pruned best-effort after the swap. Build
+    * once, probe many — a real pipeline rebuilds on corpus refresh, not
+    * per query (graft.queries.TrainingData.simAnnIvf probes the persisted
+    * index). */
   def buildIndex(embeddings: DataFrame, path: String, nCells: Int = 16,
                  iters: Int = 3): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    val (fs, root) = graft.sources.Fs.of(spark, path)
+    val version = graft.sources.Fs.currentVersion(fs, root).getOrElse(0) + 1
+    val vdir = s"$path/v$version"
     val centroids = trainCentroids(embeddings, nCells, iters)
     assignCells(embeddings, centroids)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/vectors")
     spark.createDataset(centroids.toSeq.map { case (c, v) => (c, v.toSeq) })
       .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/_centroids")
+    graft.sources.Fs.publishVersion(fs, root, version)
   }
 
-  /** Probe a persisted index: rank cells by centroid distance, scan only
-    * the best `nprobe` PARTITIONS, exact cosine re-rank. */
+  /** Probe a persisted index: resolve `_current` once, rank that version's
+    * cells by centroid distance, scan only the best `nprobe` PARTITIONS,
+    * exact cosine re-rank. `excludeIds` drops result rows (e.g. the query
+    * vector itself when it is part of the corpus) BEFORE the top-k cut. */
   def probeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                 queryVec: Array[Float], k: Int, nprobe: Int): DataFrame = {
+                 queryVec: Array[Float], k: Int, nprobe: Int,
+                 excludeIds: Seq[Long] = Nil): DataFrame = {
     import spark.implicits._
-    val centroids = spark.read.parquet(s"$path/_centroids")
+    val (fs, root) = graft.sources.Fs.of(spark, path)
+    val version = graft.sources.Fs.currentVersion(fs, root).getOrElse(
+      sys.error(s"no IVF index at $path (missing _current pointer — " +
+        "run buildIndex first)"))
+    val vdir = s"$path/v$version"
+    val centroids = spark.read.parquet(s"$vdir/_centroids")
       .as[(Int, Seq[Double])].collect().map { case (c, v) => (c, v.toArray) }
     val qd = queryVec.map(_.toDouble)
     val probeCells = centroids.map { case (cell, ctr) =>
@@ -122,8 +142,9 @@ object SimilarityIvf {
     }.sortBy { case (cell, d) => (d, cell) }.take(nprobe).map(_._1)
     val q = spark.createDataset(Seq(queryVec.toSeq)).toDF("query_vec")
       .select(col("query_vec").cast("array<float>").as("query_vec"))
-    spark.read.parquet(s"$path/vectors")
+    spark.read.parquet(s"$vdir/vectors")
       .filter(col("cell").isin(probeCells.toSeq: _*)) // -> PartitionFilters
+      .filter(if (excludeIds.isEmpty) lit(true) else !col("vec_id").isin(excludeIds: _*))
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("cell"),
         VectorExpressions.cosineF(col("embedding"), col("query_vec")).as("sim"))

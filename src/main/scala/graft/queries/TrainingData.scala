@@ -296,9 +296,29 @@ object TrainingData {
         sampleMod = 10, threshold = 0.6)
       .orderBy("a_id", "b_id")
 
-  def simAnnIvf(spark: SparkSession, dir: String): DataFrame =
-    SimilarityIvf.ivfTopK(Tables.embeddings(spark, dir), queryId = 0L, k = 10,
-      nCells = 16, nprobe = 4)
+  /** Paths whose IVF index this JVM already built — build once, probe
+    * many (the declared index contract). Keyed per fixture dir; a fresh
+    * JVM always rebuilds, so a code change can never probe a stale index
+    * (GoldenLockSpec's per-run re-derivation stays honest). */
+  private val ivfBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** ANN via the PERSISTED versioned IVF index: the first call in a JVM
+    * builds `v<N>/` + `_current` (SimilarityIvf.buildIndex — the same
+    * build/swap layout as the LSH index), every later call is probe-only:
+    * resolve the pointer, rank cells, partition-pruned scan of the best
+    * nprobe cells. Same result as the self-contained [[SimilarityIvf
+    * .ivfTopK]] (training is deterministic), which IvfSpec locks. */
+  def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val path = s"${sys.props("java.io.tmpdir")}/graft-ivf-index-" +
+      java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    if (ivfBuilt.add(path)) SimilarityIvf.buildIndex(emb, path, nCells = 16)
+    val qVec = emb.filter(col("vec_id") === 0L)
+      .select("embedding").as[Array[Float]].head()
+    SimilarityIvf.probeIndex(spark, path, qVec, k = 10, nprobe = 4,
+      excludeIds = Seq(0L))
+  }
 
   /** Quantized ANN: top-k by int8-cosine over per-vector symmetric
     * quantization — the 4×-smaller storage/shuffle tier of the similarity

@@ -13,4 +13,33 @@ object Fs {
     val p = new Path(path)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
+
+  // ---- versioned-index pointer (the `v<N>/` + `_current` layout shared
+  //      by the LSH and IVF indexes) ----
+
+  /** Read the `_current` version pointer of a versioned index root; None
+    * if the index has never been built. */
+  def currentVersion(fs: FileSystem, root: Path): Option[Int] = {
+    val ptr = new Path(root, "_current")
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt)
+      finally in.close()
+    }
+  }
+
+  /** Publish `version`: one tiny `_current` overwrite makes the new
+    * complete `v<N>/` visible to every subsequent reader (a reader that
+    * resolved the pointer before the swap keeps reading its previous
+    * complete version — never a mix), then best-effort prune of the
+    * superseded `v*` directories. */
+  def publishVersion(fs: FileSystem, root: Path, version: Int): Unit = {
+    val out = fs.create(new Path(root, "_current"), true)
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.startsWith("v") && p.getName != s"v$version")
+      .foreach(p => fs.delete(p, true))
+  }
 }

@@ -63,6 +63,49 @@ class IvfSpec extends SparkSpec {
     assert(inline.collect().nonEmpty)
   }
 
+  test("IVF index versions: rebuild writes v2, swaps _current, prunes v1") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-v").toString
+    val embs = Tables.embeddings(spark, sfDir)
+    SimilarityIvf.buildIndex(embs, idx, nCells = 8)
+    val (fs, root) = graft.sources.Fs.of(spark, idx)
+    assert(graft.sources.Fs.currentVersion(fs, root).contains(1))
+    val qVec = embs.filter(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    val r1 = SimilarityIvf.probeIndex(spark, idx, qVec, k = 10, nprobe = 3).collect()
+    SimilarityIvf.buildIndex(embs, idx, nCells = 8)
+    assert(graft.sources.Fs.currentVersion(fs, root).contains(2))
+    // the superseded version is pruned after the pointer swap — readers
+    // only ever resolve a COMPLETE v<N>, never a mix
+    val names = fs.listStatus(root).map(_.getPath.getName).toSet
+    assert(names == Set("v2", "_current"), names)
+    // deterministic training -> identical probe results across versions
+    val r2 = SimilarityIvf.probeIndex(spark, idx, qVec, k = 10, nprobe = 3).collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq)
+    // a probe without any build demands one instead of returning garbage
+    val e = intercept[RuntimeException] {
+      SimilarityIvf.probeIndex(spark, s"$idx/missing", qVec, k = 1, nprobe = 1)
+    }
+    assert(e.getMessage.contains("buildIndex"), e.getMessage)
+  }
+
+  test("probe excludeIds drops rows before the top-k cut") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-x").toString
+    val embs = Tables.embeddings(spark, sfDir)
+    SimilarityIvf.buildIndex(embs, idx, nCells = 8)
+    val qVec = embs.filter(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    val rows = SimilarityIvf.probeIndex(spark, idx, qVec, k = 5, nprobe = 3,
+      excludeIds = Seq(0L)).collect()
+    assert(rows.nonEmpty && !rows.exists(_.getAs[Long]("vec_id") == 0L), rows.toSeq)
+  }
+
+  test("sim_ann_ivf (persisted probe path) equals the self-contained ivfTopK") {
+    val viaIndex = graft.queries.TrainingData.simAnnIvf(spark, sfDir).collect()
+    val inline = SimilarityIvf.ivfTopK(Tables.embeddings(spark, sfDir),
+      queryId = 0L, k = 10, nCells = 16, nprobe = 4).collect()
+    assert(viaIndex.map(_.toString).toSeq == inline.map(_.toString).toSeq)
+  }
+
   test("IVF probes only a subset of cells (the point of the index)") {
     val all = planted(5)
     val out = SimilarityIvf.ivfTopK(all, 0, 10, nCells = 8, nprobe = 2).collect()
