@@ -429,6 +429,25 @@ object Relational {
         expr("percentile(cents, 0.9)").as("p90_cents"))
       .orderBy("event_type")
 
+  /** The sketch tier of [[q23Percentiles]] — `approx_percentile` over the
+    * same cents integers, fixed accuracy 10000 (rank error ≤ n/10000 per
+    * group). At 100 TB the exact form's per-group sort is the bottleneck;
+    * the sketch is one pass with a summary-width shuffle (the same
+    * exact-vs-approx pairing as a7/a8). The sketch returns actual data
+    * elements, not interpolations, so values differ from the exact twin by
+    * design; Q23ApproxSpec bounds the rank error against it. Determinism:
+    * the GK summary's merge is order-sensitive in general, so this query
+    * is locked by a golden plus a partition-layout invariance spec rather
+    * than a cross-engine oracle (DuckDB's approx sketch is t-digest —
+    * different algorithm, different values). */
+  def q23PercentilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type")
+      .agg(expr("approx_percentile(cents, 0.5, 10000)").as("p50_cents"),
+        expr("approx_percentile(cents, 0.9, 10000)").as("p90_cents"))
+      .orderBy("event_type")
+
   /** Q24 — ranking-window suite: ntile / percent_rank / cume_dist / lag
     * over per-user event sequences, folded per event type. The ranking
     * ratios are exact doubles computed from the same integers on both
@@ -483,6 +502,7 @@ object Relational {
     "q21_set_ops"        -> q21SetOps _,
     "q22_moving_sum"     -> q22MovingSum _,
     "q23_percentiles"    -> q23Percentiles _,
+    "q23_percentiles_approx" -> q23PercentilesApprox _,
     "q24_window_suite"   -> q24WindowSuite _,
     "a7_approx_distinct" -> a7ApproxDistinct _,
   )

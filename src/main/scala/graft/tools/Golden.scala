@@ -36,7 +36,14 @@ object Golden {
     // build, tests, and the driver's verify all run this container's
     // JVM; GoldenLockSpec re-derives per run and will flag an
     // environment change loudly — regenerate the golden then.
-    "txt_compress_ratio")
+    "txt_compress_ratio",
+    // approx_percentile over integer cents with fixed accuracy: the GK
+    // summary's merge is order-sensitive in general, but Q23ApproxSpec
+    // locks partition-layout invariance (repartition(1)/(13)/by-value all
+    // bit-equal) before this golden can lock values — if a Spark upgrade
+    // makes the merge layout-dependent, the spec fails first with a
+    // readable message
+    "q23_percentiles_approx")
 
   val sfDir = "/root/testdata/sf0.01"
 

@@ -206,6 +206,12 @@ class PlanAuditSpec extends SparkSpec {
       planOf("q23_percentiles"))
   }
 
+  test("q23_percentiles_approx: one scan, sketch partial-aggregated before the shuffle") {
+    val p = planOf("q23_percentiles_approx")
+    assert(countScans(p) == 1, p)
+    assert(p.contains("partial_approx_percentile"), p)
+  }
+
   test("txt_repetition/dd_contamination: one scan, kernel-only, no join or explode") {
     Seq("txt_repetition", "dd_contamination").foreach { n =>
       val p = planOf(n)

@@ -1,0 +1,53 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Locks the approx-percentile tier: rank-error bound vs the exact twin,
+  * and partition-layout invariance (the property that makes the sketch
+  * golden-lockable — if a Spark upgrade ever makes the GK merge
+  * layout-dependent, this fails before the golden does). */
+class Q23ApproxSpec extends SparkSpec {
+
+  test("approx percentiles land within the accuracy-implied rank error of exact") {
+    val byType = Tables.events(spark, sfDir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .collect().groupBy(_.getString(0)).map { case (t, rows) =>
+        t -> rows.map(_.getLong(1)).sorted
+      }
+    val approx = Relational.q23PercentilesApprox(spark, sfDir).collect()
+    assert(approx.length == byType.size)
+    approx.foreach { r =>
+      val t = r.getString(0)
+      val sorted = byType(t)
+      val n = sorted.length
+      Seq(0.5 -> r.getLong(1), 0.9 -> r.getLong(2)).foreach { case (p, v) =>
+        // the sketch returns an actual element; its rank must be within
+        // eps*n of the target rank (accuracy 10000 -> eps = 1e-4), +1 for
+        // the discrete target
+        val lo = sorted.indexWhere(_ == v)
+        val hi = sorted.lastIndexWhere(_ == v)
+        assert(lo >= 0, s"$t p$p: value $v not in the data (sketch must return elements)")
+        val target = p * (n - 1)
+        val tol = n / 10000.0 + 1.0
+        assert(target >= lo - tol && target <= hi + tol,
+          s"$t p$p: value $v spans ranks [$lo,$hi], target $target, tol $tol")
+      }
+    }
+  }
+
+  test("approx percentiles are invariant to partition layout (golden-lockable)") {
+    def run(prep: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      prep(Tables.events(spark, sfDir)
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("cents")))
+        .groupBy("event_type")
+        .agg(expr("approx_percentile(cents, 0.5, 10000)").as("p50_cents"),
+          expr("approx_percentile(cents, 0.9, 10000)").as("p90_cents"))
+        .orderBy("event_type").collect().map(_.toString).toSeq
+    val base = run(identity)
+    assert(base == run(_.repartition(1)), "repartition(1) changed the sketch result")
+    assert(base == run(_.repartition(13)), "repartition(13) changed the sketch result")
+    assert(base == run(_.repartition(4, col("cents"))), "value-partitioned layout changed the sketch result")
+  }
+}
