@@ -38,10 +38,24 @@ import org.apache.spark.sql.types.StructType
   *    jack; a CA-valid but unlisted principal gets a 401).
   *
   * Driver-ingress like the reference's single listener; control-plane
-  * sized — high-volume edges stay Kafka/files (SURVEY §2.1). Note
-  * MemoryStream does NOT survive restart: this edge is replay-from-peer,
-  * not checkpoint-recoverable (see FileStreamSpec for the recoverable
-  * edge).
+  * sized — high-volume edges stay Kafka/files (SURVEY §2.1).
+  *
+  * Restart contract, selected by `spoolDir`:
+  *  - `None` (default): accepted records feed a MemoryStream, which does
+  *    NOT survive restart — replay-from-peer (the documented jack
+  *    contract; see FileStreamSpec for the recoverable edge).
+  *  - `Some(dir)`: RECOVERABLE mode — each accepted record is spooled as
+  *    one atomically-renamed NDJSON file BEFORE the 2xx response, and
+  *    [[raw]]/[[jsonStream]] read the directory through Spark's
+  *    checkpointable file source, so a restarted query resumes from its
+  *    checkpoint and processes every spooled record exactly once
+  *    (HttpServerJackSpec kills and restarts the query mid-backlog).
+  *    The peer side stays at-least-once: a crash between the durable
+  *    write and the response makes the peer retry an already-spooled
+  *    record — dedupe downstream (A7) if double-submits matter. One file
+  *    per record is the control-plane trade (no flusher thread, no
+  *    batching latency); compact spooled files periodically with
+  *    Maintenance.compactParquet's sibling for higher rates.
   */
 final class HttpServerJack(
     spark: SparkSession,
@@ -55,7 +69,9 @@ final class HttpServerJack(
     responseStatus: Int = 200,
     tls: Option[TlsConfig] = None,
     mtls: Option[MtlsOptions] = None,
-    maxBodyBytes: Int = 4 << 20) {
+    maxBodyBytes: Int = 4 << 20,
+    spoolDir: Option[String] = None,
+    spoolMaxFilesPerTrigger: Option[Int] = None) {
 
   require(endpoint.startsWith("/"), s"endpoint must start with '/': $endpoint")
   require(maxBodyBytes > 0, s"maxBodyBytes must be positive: $maxBodyBytes")
@@ -67,6 +83,11 @@ final class HttpServerJack(
   private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
   private val stream = MemoryStream[String]
+  private val spoolFs = spoolDir.map { d =>
+    val (fs, root) = Fs.of(spark, d)
+    fs.mkdirs(root)
+    (fs, root)
+  }
   private val received = new AtomicLong(0)
   private val rejected = new AtomicLong(0)
   private val badRequests = new AtomicLong(0)
@@ -168,9 +189,24 @@ final class HttpServerJack(
             respond(ex, 400, s"Error parsing request: ${e.getMessage}")
             return
         }
-      // MemoryStream's row encoder is not thread-safe across the pool's
-      // request threads (see TlsNdjsonJack.serve)
-      stream.synchronized { stream.addData(line) }
+      spoolFs match {
+        case Some((fs, root)) =>
+          // durable FIRST, respond after: a crash between the two makes
+          // the peer retry an already-spooled record (at-least-once on
+          // the wire), never lose an acknowledged one. A failed write
+          // falls to the outer catch -> 500, peer retries.
+          val unique = java.util.UUID.randomUUID().toString
+          val tmp = new org.apache.hadoop.fs.Path(root, s".spool-$unique.tmp")
+          val dst = new org.apache.hadoop.fs.Path(root, s"spool-$unique.ndjson")
+          val out = fs.create(tmp, false)
+          try out.write((line + "\n").getBytes(UTF_8)) finally out.close()
+          if (!fs.rename(tmp, dst))
+            throw new java.io.IOException(s"spool rename failed: $dst")
+        case None =>
+          // MemoryStream's row encoder is not thread-safe across the
+          // pool's request threads (see TlsNdjsonJack.serve)
+          stream.synchronized { stream.addData(line) }
+      }
       received.incrementAndGet()
       respond(ex, responseStatus, "", responseHeaders)
     } catch {
@@ -195,8 +231,16 @@ final class HttpServerJack(
     buf.toByteArray
   }
 
-  /** Raw ingress stream (one compact JSON string per accepted request). */
-  def raw: Dataset[String] = stream.toDS()
+  /** Raw ingress stream (one compact JSON string per accepted request):
+    * the checkpoint-recoverable file source over the spool dir in
+    * recoverable mode, the MemoryStream otherwise. */
+  def raw: Dataset[String] = spoolDir match {
+    case Some(dir) =>
+      val reader = spark.readStream
+      spoolMaxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+      reader.text(dir).as[String]
+    case None => stream.toDS()
+  }
 
   def jsonStream(schema: StructType): DataFrame =
     Sources.jsonLines(raw.toDF("value"), "value", schema)

@@ -149,6 +149,46 @@ class HttpServerJackSpec extends SparkSpec {
     } finally deny.stop()
   }
 
+  test("spool mode: acknowledged records survive a mid-backlog kill/restart exactly once") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-http-spool").toString
+    val spool = s"$root/spool"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val jack = new HttpServerJack(spark, 0, authRequired = false,
+      spoolDir = Some(spool), spoolMaxFilesPerTrigger = Some(1))
+    try {
+      // acceptance is durable on the 2xx, with NO consumer running: each
+      // record is an atomically-renamed NDJSON file before the response
+      (1 to 6).foreach { i =>
+        val r = post(jack.boundPort, "/ingest", s"""{"id":$i,"name":"rec$i"}""")
+        assert(r.statusCode() == 200, r.body())
+      }
+      assert(jack.receivedCount == 6)
+      val files = new java.io.File(spool).listFiles().map(_.getName)
+      assert(files.count(_.endsWith(".ndjson")) == 6, files.toSeq)
+      assert(!files.exists(_.endsWith(".tmp")), s"leftover temp files: ${files.toSeq}")
+
+      // one-file-per-trigger backlog; kill after the first commit, restart
+      // must deliver precisely the uncommitted remainder (the FileStream
+      // kill contract, now on the HTTP edge)
+      def startQuery() = jack.jsonStream(schema).writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+        .start()
+      val q1 = startQuery()
+      val deadline = System.currentTimeMillis() + 30000
+      while (q1.recentProgress.map(_.numInputRows).sum < 1 &&
+             System.currentTimeMillis() < deadline) Thread.sleep(10)
+      q1.stop()
+      assert(q1.recentProgress.map(_.numInputRows).sum >= 1,
+        "query never committed a batch before the kill")
+      val q2 = startQuery()
+      try q2.processAllAvailable() finally q2.stop()
+      val rows = spark.read.parquet(out).select("id").collect().map(_.getLong(0)).toSeq
+      assert(rows.sorted == (1L to 6L), s"expected ids 1..6 exactly once, got $rows")
+    } finally jack.stop()
+  }
+
   test("e2e over TLS: the JDK client verifies the jack's certificate and posts through auth") {
     val dir = "src/test/resources/tls"
     val serverCfg = TlsConfig(s"$dir/server.pem", s"$dir/server-key.pem", s"$dir/ca.pem")

@@ -52,7 +52,8 @@ class FileStreamSpec extends SparkSpec {
     // restart must deliver precisely the uncommitted remainder — the
     // file sink's transactional commit log is what makes replayed batch
     // attempts invisible. This is the checkpoint-recoverable edge; the
-    // MemoryStream-fed jacks (HTTP/WS/sealed relay) are replay-from-peer
+    // MemoryStream-fed jacks (WS/sealed relay, and the HTTP jack without
+    // a spoolDir — spool mode rides THIS contract) are replay-from-peer
     // by contract and documented as such at each adapter.
     val root = Files.createTempDirectory("graft-kill").toString
     val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
