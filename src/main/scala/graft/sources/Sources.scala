@@ -89,10 +89,10 @@ object Sources {
     * maxOffsetsPerTrigger. Builder-only here (no broker in the test env);
     * the decode column logic is unit-tested on static frames.
     *
-    * Broker round-trip status (re-checked round 6, 2026-08-13: an `sbt
-    * update` for spark-sql-kafka-0-10_2.13:4.1.2 still fails "Not found"
-    * against the offline cache; /opt/spark/jars still ships no kafka
-    * artifact — the gap below stands unchanged): an embedded
+    * Broker round-trip status (re-checked rounds 6 AND 7, 2026-08-13: an
+    * `sbt update` for spark-sql-kafka-0-10_2.13:4.1.2 still fails "Not
+    * found" against the offline cache; /opt/spark/jars still ships no
+    * kafka artifact — the gap below stands unchanged): an embedded
     * KRaft broker test needs `org.apache.kafka:kafka_2.13` on the test
     * classpath. The offline coursier cache does not carry it — an actual
     * `sbt update` resolution attempt for kafka_2.13:3.7.0 fails with
