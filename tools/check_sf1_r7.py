@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Round-7 targeted sf1 correctness: compare the round's new/changed
+queries against DuckDB at /tmp/graft_sf1 (the full check_oracle run is
+reserved for sf0.01 — the quadratic oracles take 30+ CPU-min at sf1).
+
+txt_signals' committed oracle joins the sf0.01 compress GOLDEN for the
+deflate columns (DuckDB has no zlib), so at sf1 we compare every column
+EXCEPT n_deflate/ratio_ppm, with n_bytes recomputed in SQL.
+
+Usage: check_sf1_r7.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, math
+import duckdb
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["events", "documents", "embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def compare(name, sql, drop_cols=()):
+    pq = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not pq:
+        print(f"FAIL {name}: no spark output"); return False
+    mine = con.sql(f"SELECT * FROM '{pq[0]}'").df().drop(columns=list(drop_cols))
+    orc = con.sql(sql).df()
+    mc, oc = sorted(mine.columns), sorted(orc.columns)
+    if mc != oc:
+        print(f"FAIL {name}: columns {mc} vs {oc}"); return False
+    a = mine[mc].sort_values(mc).reset_index(drop=True)
+    b = orc[oc].sort_values(oc).reset_index(drop=True)
+    if len(a) != len(b):
+        print(f"FAIL {name}: rows {len(a)} vs {len(b)}"); return False
+    for c in mc:
+        for i, (x, y) in enumerate(zip(a[c].tolist(), b[c].tolist())):
+            if isinstance(x, float) != isinstance(y, float):
+                same = str(x) == str(y)
+            else:
+                same = (x == y) or (x is None and y is None) or \
+                       (isinstance(x, float) and isinstance(y, float) and
+                        math.isnan(x) and math.isnan(y)) or str(x) == str(y)
+            if not same:
+                print(f"FAIL {name}: col {c} row {i}: {x!r} vs {y!r}")
+                return False
+    print(f"OK   {name}: {len(a)} rows")
+    return True
+
+fails = []
+
+# sim_assign: the committed oracle is pure SQL — use it as-is
+if not compare("sim_assign", oracles["sim_assign"]):
+    fails.append("sim_assign")
+
+# txt_signals: committed oracle minus the golden-joined deflate columns
+sig = oracles["txt_signals"]
+marker = "cr AS (SELECT doc_id, n_bytes, n_deflate, ratio_ppm"
+assert marker in sig, "txt_signals oracle shape changed — update this script"
+start = sig.index(marker)
+end = sig.index(")", sig.index("read_parquet", start)) + 1
+sig = sig[:start] + ("cr AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes"
+                     " FROM documents") + sig[end:]
+sig = sig.replace(" cr.n_bytes, cr.n_deflate, cr.ratio_ppm,", " cr.n_bytes,")
+if not compare("txt_signals", sig, drop_cols=("n_deflate", "ratio_ppm")):
+    fails.append("txt_signals")
+
+# rows-only sanity for the golden-pinned queries (values locked at sf0.01)
+for name, min_rows in [("sim_ann_ivf", 10), ("q23_percentiles_approx", 5)]:
+    pq = glob.glob(f"{out_dir}/{name}/*.parquet")
+    n = con.sql(f"SELECT count(*) FROM '{pq[0]}'").fetchone()[0] if pq else 0
+    status = "ROWS" if n >= min_rows else "FAIL"
+    if status == "FAIL":
+        fails.append(name)
+    print(f"{status} {name}: {n} rows")
+
+print("FAILED:", sorted(set(fails)) if fails else "none")
+sys.exit(1 if fails else 0)
