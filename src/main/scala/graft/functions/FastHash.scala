@@ -515,14 +515,21 @@ object FastHash {
     * per-row work is a lookup + integer add — and integer addition is
     * associative, so the sum is identical under any partitioning. */
   def lmStats(text: String, ql: java.util.HashMap[String, java.lang.Long]): (Long, Long) = {
+    // FULL Unicode lowercase first (Locale.ROOT), then scan [a-z] runs —
+    // exactly split(lower(text), "[^a-z]+"). The TRAINING side tokenizes
+    // with Spark's lower(), whose mappings are not ASCII-only ('İ' →
+    // i + combining dot, Kelvin 'K' → k); an ASCII-only scorer would see
+    // a different token stream on such input and break the bit-equality
+    // contract with txt_lm_score. (ASCII input takes toLowerCase's fast
+    // path, so the common case stays cheap.)
+    val t = text.toLowerCase(java.util.Locale.ROOT)
     var n = 0L
     var sq = 0L
     val sb = new java.lang.StringBuilder(16)
     var i = 0
-    val len = text.length
+    val len = t.length
     while (i <= len) {
-      val c0 = if (i < len) text.charAt(i) else ' '
-      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      val c = if (i < len) t.charAt(i) else ' '
       if (c >= 'a' && c <= 'z') sb.append(c)
       else if (sb.length > 0) {
         val q = ql.get(sb.toString)

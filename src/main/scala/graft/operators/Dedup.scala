@@ -445,10 +445,11 @@ object Dedup {
     * petabytes.
     *
     * Builds are ATOMIC to concurrent probes: each build writes a complete
-    * new `v<N>` directory and then points `_current` at it in one tiny
-    * file write — a probe running mid-rebuild keeps reading the previous
-    * complete version, never a mix (old versions are pruned after the
-    * pointer swap).
+    * new `v<N>` directory and then flips `_current` to it via a rename
+    * (Fs.publishVersion) — a probe running mid-rebuild keeps reading the
+    * previous complete version, never a mix. The immediately superseded
+    * version is retained for such in-flight readers; strictly older ones
+    * are pruned.
     *
     * Hot buckets are dropped at build time: a bucket holding more than
     * `maxBucket` docs (degenerate boilerplate) would fan every colliding
@@ -475,8 +476,8 @@ object Dedup {
       .write.mode("overwrite").partitionBy("band").parquet(s"$vdir/bands")
     Seq((shingleN, k, bands, maxBucket)).toDF("shingle_n", "k", "bands", "max_bucket")
       .coalesce(1).write.mode("overwrite").parquet(s"$vdir/params")
-    // pointer swap + best-effort prune (probes started before the swap may
-    // still read the old version; prune can be deferred by the caller)
+    // rename-based pointer swap; retains the immediately-previous version
+    // for in-flight probes, prunes strictly older ones
     graft.sources.Fs.publishVersion(fs, root, version)
   }
 

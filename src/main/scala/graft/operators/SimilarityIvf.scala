@@ -95,11 +95,14 @@ object SimilarityIvf {
     * cell (so probes become partition-pruned scans — at 100 TB a probe
     * touches nprobe/nCells of the files, enforced by the storage layout,
     * not a runtime filter), plus a `_centroids` side table, into a fresh
-    * `v<N>/` that an atomic `_current` pointer swap then publishes — the
-    * same layout and concurrency contract as the LSH index
+    * `v<N>/` that a rename-based `_current` pointer swap then publishes —
+    * the same layout and concurrency contract as the LSH index
     * (Dedup.buildLshIndex): a probe that resolved the pointer before a
-    * rebuild keeps reading its previous COMPLETE version, never a mix;
-    * superseded versions are pruned best-effort after the swap. Build
+    * rebuild keeps reading its previous COMPLETE version, never a mix
+    * (that immediately-previous version is retained through the next
+    * build; only strictly older ones are pruned — Fs.publishVersion).
+    * Pre-versioning flat layouts (`$path/vectors` without `_current`) are
+    * not migrated: probes fail fast with "run buildIndex first". Build
     * once, probe many — a real pipeline rebuilds on corpus refresh, not
     * per query (graft.queries.TrainingData.simAnnIvf probes the persisted
     * index). */

@@ -301,6 +301,7 @@ object TrainingData {
     * JVM always rebuilds, so a code change can never probe a stale index
     * (GoldenLockSpec's per-run re-derivation stays honest). */
   private val ivfBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val ivfBuildLock = new Object
 
   /** ANN via the PERSISTED versioned IVF index: the first call in a JVM
     * builds `v<N>/` + `_current` (SimilarityIvf.buildIndex — the same
@@ -311,9 +312,21 @@ object TrainingData {
   def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val path = s"${sys.props("java.io.tmpdir")}/graft-ivf-index-" +
-      java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
-    if (ivfBuilt.add(path)) SimilarityIvf.buildIndex(emb, path, nCells = 16)
+    // md5 of the dir, not hashCode: a 32-bit collision would silently
+    // probe another corpus's index and return wrong neighbors
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val path = s"${sys.props("java.io.tmpdir")}/graft-ivf-index-$key"
+    // serialized first-build, and only mark built AFTER success: a
+    // throwing build must not poison the memo (later calls would die on
+    // "no IVF index"), and a concurrent second call must not probe
+    // before _current is published
+    ivfBuildLock.synchronized {
+      if (!ivfBuilt.contains(path)) {
+        SimilarityIvf.buildIndex(emb, path, nCells = 16)
+        ivfBuilt.add(path)
+      }
+    }
     val qVec = emb.filter(col("vec_id") === 0L)
       .select("embedding").as[Array[Float]].head()
     SimilarityIvf.probeIndex(spark, path, qVec, k = 10, nprobe = 4,

@@ -30,16 +30,33 @@ object Fs {
     }
   }
 
-  /** Publish `version`: one tiny `_current` overwrite makes the new
-    * complete `v<N>/` visible to every subsequent reader (a reader that
-    * resolved the pointer before the swap keeps reading its previous
-    * complete version — never a mix), then best-effort prune of the
-    * superseded `v*` directories. */
+  /** Publish `version`: the pointer flips via a RENAME (`_current.tmp`
+    * written complete, then renamed over `_current` with OVERWRITE), so a
+    * concurrent [[currentVersion]] reads the old value or the new one —
+    * never a truncated file (an in-place overwrite has a window where the
+    * pointer file exists but is empty). On HDFS the rename is atomic; the
+    * local filesystem implements OVERWRITE as delete+rename, whose
+    * vanishingly small window reads as "no index yet" (None), still never
+    * a torn value. The IMMEDIATELY superseded version is RETAINED — a
+    * reader that resolved the pointer just before the swap may still have
+    * lazy plans scanning it — and only strictly older `v<N>` directories
+    * are pruned. The prune matches `v<digits>` exactly: a legacy or
+    * unrelated entry that merely starts with 'v' (e.g. a pre-versioning
+    * `vectors` dir) is never touched. */
   def publishVersion(fs: FileSystem, root: Path, version: Int): Unit = {
-    val out = fs.create(new Path(root, "_current"), true)
+    val q = fs.makeQualified(root)
+    val tmp = new Path(q, "_current.tmp")
+    val out = fs.create(tmp, true)
     try out.write(version.toString.getBytes("UTF-8")) finally out.close()
-    fs.listStatus(root).map(_.getPath)
-      .filter(p => p.getName.startsWith("v") && p.getName != s"v$version")
-      .foreach(p => fs.delete(p, true))
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(q.toUri, fs.getConf)
+    fc.rename(tmp, new Path(q, "_current"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val vPat = "^v(\\d+)$".r
+    fs.listStatus(q).map(_.getPath).foreach { p =>
+      p.getName match {
+        case vPat(n) if n.toInt < version - 1 => fs.delete(p, true)
+        case _ => ()
+      }
+    }
   }
 }

@@ -193,13 +193,21 @@ final class HttpServerJack(
         case Some((fs, root)) =>
           // durable FIRST, respond after: a crash between the two makes
           // the peer retry an already-spooled record (at-least-once on
-          // the wire), never lose an acknowledged one. A failed write
-          // falls to the outer catch -> 500, peer retries.
+          // the wire); an acknowledged record survives any JVM/process
+          // crash (see the hsync note below for the power-loss caveat).
+          // A failed write falls to the outer catch -> 500, peer retries.
           val unique = java.util.UUID.randomUUID().toString
           val tmp = new org.apache.hadoop.fs.Path(root, s".spool-$unique.tmp")
           val dst = new org.apache.hadoop.fs.Path(root, s"spool-$unique.ndjson")
           val out = fs.create(tmp, false)
-          try out.write((line + "\n").getBytes(UTF_8)) finally out.close()
+          try {
+            out.write((line + "\n").getBytes(UTF_8))
+            // push the record past the client buffers before the ack:
+            // hsync reaches disk on HDFS; the local filesystem downgrades
+            // it to a flush, so locally the guarantee is JVM/process-crash
+            // durability (power-loss durability needs a syncing FS)
+            out.hsync()
+          } finally out.close()
           if (!fs.rename(tmp, dst))
             throw new java.io.IOException(s"spool rename failed: $dst")
         case None =>

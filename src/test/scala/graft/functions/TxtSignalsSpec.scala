@@ -122,6 +122,25 @@ class TxtSignalsSpec extends SparkSpec {
       (math.log(3.0) - math.log(4.0))) < 1e-5)
   }
 
+  test("LM scoring matches the standalone on non-ASCII case mappings") {
+    // Spark's lower() is full Unicode ('İ' -> i + combining dot,
+    // Kelvin 'K' -> k); the scoring kernel must tokenize identically
+    // to the training side or fused lm columns drift from txt_lm_score
+    val docs = spark.createDataFrame(Seq(
+      (1L, "İstanbul hotel"), // Unicode uppercase dotted I
+      (2L, "Kelvin scale"),   // Kelvin sign lowercases to ASCII k
+      (3L, "plain ascii words hotel scale")
+    )).toDF("doc_id", "text")
+    val standalone = TextAnalytics.lmScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val fused = TextAnalytics.signals(docs, TextAnalytics.trainUnigramLm(docs))
+      .select("doc_id", "lm_n_tokens", "avg_logprob").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    standalone.foreach { case (id, exp) =>
+      assert(fused(id) == exp, s"doc $id: fused ${fused(id)} vs standalone $exp")
+    }
+  }
+
   test("trainUnigramLm enforces the vocabulary cap without a full collect") {
     val docs = spark.range(1).selectExpr("id AS doc_id", "'one two three' AS text")
     val e = intercept[IllegalArgumentException] {

@@ -213,11 +213,15 @@ class DedupSimilaritySpec extends SparkSpec {
       Dedup.probeLshIndex(spark, dir + "/missing", copies)
     }
     assert(e.getMessage.contains("buildLshIndex"), e.getMessage)
-    // rebuild bumps the version atomically: pointer moves, old dir pruned
+    // rebuild bumps the version: pointer moves via rename; the
+    // immediately-previous version is retained for in-flight probes
     Dedup.buildLshIndex(corpus, dir)
     val versions = new java.io.File(dir).listFiles()
-      .filter(_.getName.startsWith("v")).map(_.getName).toSeq
-    assert(versions == Seq("v2"), versions)
+      .filter(_.getName.matches("v\\d+")).map(_.getName).toSeq.sorted
+    assert(versions == Seq("v1", "v2"), versions)
+    assert(graft.sources.Fs.currentVersion(
+      graft.sources.Fs.of(spark, dir)._1,
+      graft.sources.Fs.of(spark, dir)._2).contains(2))
     assert(Dedup.probeLshIndex(spark, dir, copies, threshold = 0.9)
       .collect().map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("idx_id"))).toSet
       .contains((1000003L, 3L)))

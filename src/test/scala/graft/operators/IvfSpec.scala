@@ -74,10 +74,14 @@ class IvfSpec extends SparkSpec {
     val r1 = SimilarityIvf.probeIndex(spark, idx, qVec, k = 10, nprobe = 3).collect()
     SimilarityIvf.buildIndex(embs, idx, nCells = 8)
     assert(graft.sources.Fs.currentVersion(fs, root).contains(2))
-    // the superseded version is pruned after the pointer swap — readers
-    // only ever resolve a COMPLETE v<N>, never a mix
+    // the immediately-previous version is RETAINED for in-flight readers
+    // that resolved the pointer just before the swap
     val names = fs.listStatus(root).map(_.getPath.getName).toSet
-    assert(names == Set("v2", "_current"), names)
+    assert(names == Set("v1", "v2", "_current"), names)
+    // ... and strictly older versions are pruned on the NEXT build
+    SimilarityIvf.buildIndex(embs, idx, nCells = 8)
+    val names3 = fs.listStatus(root).map(_.getPath.getName).toSet
+    assert(names3 == Set("v2", "v3", "_current"), names3)
     // deterministic training -> identical probe results across versions
     val r2 = SimilarityIvf.probeIndex(spark, idx, qVec, k = 10, nprobe = 3).collect()
     assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq)
