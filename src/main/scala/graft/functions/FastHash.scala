@@ -470,6 +470,10 @@ object FastHash {
     * four integers; all derivation stays integer/`/`-exact so a SQL oracle
     * reproduces it bit-for-bit. Counting is by token STRING (not hash) so
     * the counts equal a SQL GROUP BY count even under hash collisions.
+    * ASCII-ONLY lower-casing (the [[charNgramSet]] contract): a character
+    * with a non-trivial Unicode case mapping tokenizes differently from a
+    * full `lower()` — pre-transliterate non-ASCII corpora on both engine
+    * and oracle sides. The fixtures are pure ASCII.
     * Pure map-side kernel: no shuffle, one tokenization pass per row. */
   def repetitionStats(text: String): (Int, Int, Int, Int) = {
     if (text == null) return (0, 0, 0, 0)
@@ -509,20 +513,28 @@ object FastHash {
   /** One-pass unigram-LM scoring stats: (nTokens, sumQl) over the
     * lower-cased alphabetic tokens of `text` that are present in `ql`
     * (inner-join semantics — unknown tokens are skipped, matching the
-    * `toks JOIN lm` of the standalone formulation). Same tokenization
-    * contract as [[repetitionStats]]. `ql` maps token → round(ln(count)·2²⁰)
+    * `toks JOIN lm` of the standalone formulation). Tokenization contract:
+    * exactly Spark's `split(lower(text), "[^a-z]+")` including the full
+    * Unicode lowercase — NOT the ASCII-only shift of [[repetitionStats]]
+    * (which documents its ASCII-input precondition like [[charNgramSet]]);
+    * this kernel must match its TRAINING side, which is Catalyst `lower`.
+    * `ql` maps token → round(ln(count)·2²⁰)
     * quantized ONCE at model build (TextAnalytics.trainUnigramLm), so the
     * per-row work is a lookup + integer add — and integer addition is
     * associative, so the sum is identical under any partitioning. */
   def lmStats(text: String, ql: java.util.HashMap[String, java.lang.Long]): (Long, Long) = {
-    // FULL Unicode lowercase first (Locale.ROOT), then scan [a-z] runs —
-    // exactly split(lower(text), "[^a-z]+"). The TRAINING side tokenizes
-    // with Spark's lower(), whose mappings are not ASCII-only ('İ' →
-    // i + combining dot, Kelvin 'K' → k); an ASCII-only scorer would see
-    // a different token stream on such input and break the bit-equality
-    // contract with txt_lm_score. (ASCII input takes toLowerCase's fast
-    // path, so the common case stays cheap.)
-    val t = text.toLowerCase(java.util.Locale.ROOT)
+    // FULL Unicode lowercase first, then scan [a-z] runs — exactly
+    // split(lower(text), "[^a-z]+"). The TRAINING side tokenizes with
+    // Spark's lower(), whose slow path is String.toLowerCase() with the
+    // JVM DEFAULT locale (verified in spark-unsafe 4.1.2:
+    // UTF8String.toLowerCaseSlow) and whose mappings are not ASCII-only
+    // ('İ' → i + combining dot, Kelvin 'K' → k) — so the scorer uses the
+    // same default-locale toLowerCase, or training and scoring would
+    // tokenize differently (ASCII-only scanning, or ROOT under a Turkish
+    // default locale, both break the bit-equality contract with
+    // txt_lm_score). ASCII input takes the fast path, so the common case
+    // stays cheap.
+    val t = text.toLowerCase
     var n = 0L
     var sq = 0L
     val sb = new java.lang.StringBuilder(16)

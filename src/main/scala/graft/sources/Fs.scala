@@ -45,7 +45,10 @@ object Fs {
     * `vectors` dir) is never touched. */
   def publishVersion(fs: FileSystem, root: Path, version: Int): Unit = {
     val q = fs.makeQualified(root)
-    val tmp = new Path(q, "_current.tmp")
+    // UUID-suffixed tmp: a fixed name would let two builders on the same
+    // root (separate JVMs — the callers' in-process locks can't reach
+    // across) truncate each other's half-written pointer mid-publish
+    val tmp = new Path(q, s"_current.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(version.toString.getBytes("UTF-8")) finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(q.toUri, fs.getConf)

@@ -246,7 +246,11 @@ final class HttpServerJack(
     case Some(dir) =>
       val reader = spark.readStream
       spoolMaxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-      reader.text(dir).as[String]
+      // the file source's default maxFileAge (7d) would silently SKIP
+      // acknowledged spool files older than (newest - 7d) when a consumer
+      // restarts after a long outage — exactly-once must not decay by
+      // wall clock, so disable the age cutoff
+      reader.option("maxFileAge", "36500d").text(dir).as[String]
     case None => stream.toDS()
   }
 

@@ -13,12 +13,15 @@ class TxtSignalsSpec extends SparkSpec {
 
   private lazy val fused = TrainingData.txtSignals(spark, sfDir).cache()
 
-  /** Set-equality in both directions plus a row-count check (except alone
-    * would pass if one side had duplicate rows). */
+  /** Multiset equality: group by every column and compare (row, count)
+    * pairs both ways — a plain two-sided except is set-based and would
+    * pass on equal distinct sets with different duplicate multiplicities
+    * (and a count check alone misses swapped multiplicities). */
   private def assertSameRows(a: DataFrame, b: DataFrame, what: String): Unit = {
-    assert(a.count() == b.count(), s"$what: row counts differ")
-    assert(a.except(b).isEmpty, s"$what: fused rows missing from standalone")
-    assert(b.except(a).isEmpty, s"$what: standalone rows missing from fused")
+    val ac = a.groupBy(a.columns.map(col): _*).count()
+    val bc = b.groupBy(b.columns.map(col): _*).count()
+    assert(ac.except(bc).isEmpty, s"$what: fused rows missing from standalone")
+    assert(bc.except(ac).isEmpty, s"$what: standalone rows missing from fused")
   }
 
   test("quality columns equal txt_quality") {

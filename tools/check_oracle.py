@@ -2,35 +2,24 @@
 """Dev-side replica of the driver's correctness gate: run Verify output
 against DuckDB oracles and compare values exactly (sorted rows, sorted
 column names). Usage: check_oracle.py <sfDir> <verifyOutDir>
+
+`compare_frames` holds the single copy of the driver-mirroring comparison
+semantics; targeted checkers (check_sf1_r7.py) import it rather than
+re-implementing the contract.
 """
 import sys, json, glob, math
-import duckdb
 
-sf_dir, out_dir = sys.argv[1], sys.argv[2]
-con = duckdb.connect()
-for t in ["region","nation","customer","supplier","part","orders","lineitem",
-          "events","documents","embeddings"]:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-fails = []
-for name, sql in sorted(oracles.items()):
-    pq = glob.glob(f"{out_dir}/{name}/*.parquet")
-    if not pq:
-        print(f"FAIL {name}: no spark output"); fails.append(name); continue
-    try:
-        mine = con.sql(f"SELECT * FROM '{pq[0]}'").df()
-        orc = con.sql(sql).df()
-    except Exception as e:
-        print(f"FAIL {name}: {e}"); fails.append(name); continue
+def compare_frames(mine, orc):
+    """Compare two pandas frames with the driver's semantics. Returns an
+    error string, or None when they match."""
     mc, oc = sorted(mine.columns), sorted(orc.columns)
     if mc != oc:
-        print(f"FAIL {name}: columns {mc} vs {oc}"); fails.append(name); continue
+        return f"columns {mc} vs {oc}"
     a = mine[mc].sort_values(mc).reset_index(drop=True)
     b = orc[oc].sort_values(oc).reset_index(drop=True)
     if len(a) != len(b):
-        print(f"FAIL {name}: rows {len(a)} vs {len(b)}"); fails.append(name); continue
-    ok = True
+        return f"rows {len(a)} vs {len(b)}"
     for c in mc:
         av, bv = a[c].tolist(), b[c].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
@@ -43,19 +32,46 @@ for name, sql in sorted(oracles.items()):
                        (isinstance(x, float) and isinstance(y, float) and
                         math.isnan(x) and math.isnan(y)) or str(x) == str(y)
             if not same:
-                print(f"FAIL {name}: col {c} row {i}: {x!r} ({type(x).__name__}) vs {y!r} ({type(y).__name__})")
-                ok = False; fails.append(name); break
-        if not ok: break
-    if ok:
-        print(f"OK   {name}: {len(a)} rows")
+                return (f"col {c} row {i}: {x!r} ({type(x).__name__}) "
+                        f"vs {y!r} ({type(y).__name__})")
+    return None
 
-# rows-only queries (no oracle)
-import os
-for d in sorted(glob.glob(f"{out_dir}/*/")):
-    name = d.rstrip("/").split("/")[-1]
-    if name in oracles: continue
-    pq = glob.glob(f"{d}/*.parquet")
-    n = con.sql(f"SELECT count(*) FROM '{pq[0]}'").fetchone()[0] if pq else 0
-    print(f"ROWS {name}: {n}")
-print("FAILED:", sorted(set(fails)) if fails else "none")
-sys.exit(1 if fails else 0)
+
+def main():
+    import duckdb
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    fails = []
+    for name, sql in sorted(oracles.items()):
+        pq = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not pq:
+            print(f"FAIL {name}: no spark output"); fails.append(name); continue
+        try:
+            mine = con.sql(f"SELECT * FROM '{pq[0]}'").df()
+            orc = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); fails.append(name); continue
+        err = compare_frames(mine, orc)
+        if err:
+            print(f"FAIL {name}: {err}"); fails.append(name)
+        else:
+            print(f"OK   {name}: {len(mine)} rows")
+
+    # rows-only queries (no oracle)
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = d.rstrip("/").split("/")[-1]
+        if name in oracles: continue
+        pq = glob.glob(f"{d}/*.parquet")
+        n = con.sql(f"SELECT count(*) FROM '{pq[0]}'").fetchone()[0] if pq else 0
+        print(f"ROWS {name}: {n}")
+    print("FAILED:", sorted(set(fails)) if fails else "none")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()

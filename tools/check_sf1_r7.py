@@ -9,8 +9,11 @@ EXCEPT n_deflate/ratio_ppm, with n_bytes recomputed in SQL.
 
 Usage: check_sf1_r7.py <sfDir> <verifyOutDir>
 """
-import sys, json, glob, math
+import sys, json, glob, os
 import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from check_oracle import compare_frames  # the one copy of the contract
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
@@ -25,25 +28,10 @@ def compare(name, sql, drop_cols=()):
         print(f"FAIL {name}: no spark output"); return False
     mine = con.sql(f"SELECT * FROM '{pq[0]}'").df().drop(columns=list(drop_cols))
     orc = con.sql(sql).df()
-    mc, oc = sorted(mine.columns), sorted(orc.columns)
-    if mc != oc:
-        print(f"FAIL {name}: columns {mc} vs {oc}"); return False
-    a = mine[mc].sort_values(mc).reset_index(drop=True)
-    b = orc[oc].sort_values(oc).reset_index(drop=True)
-    if len(a) != len(b):
-        print(f"FAIL {name}: rows {len(a)} vs {len(b)}"); return False
-    for c in mc:
-        for i, (x, y) in enumerate(zip(a[c].tolist(), b[c].tolist())):
-            if isinstance(x, float) != isinstance(y, float):
-                same = str(x) == str(y)
-            else:
-                same = (x == y) or (x is None and y is None) or \
-                       (isinstance(x, float) and isinstance(y, float) and
-                        math.isnan(x) and math.isnan(y)) or str(x) == str(y)
-            if not same:
-                print(f"FAIL {name}: col {c} row {i}: {x!r} vs {y!r}")
-                return False
-    print(f"OK   {name}: {len(a)} rows")
+    err = compare_frames(mine, orc)
+    if err:
+        print(f"FAIL {name}: {err}"); return False
+    print(f"OK   {name}: {len(mine)} rows")
     return True
 
 fails = []
