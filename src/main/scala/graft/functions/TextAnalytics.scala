@@ -236,6 +236,45 @@ object TextAnalytics {
     UnigramLm(ql, total)
   }
 
+  /** Persist a trained LM as a versioned model artifact — `v<N>/lm/`
+    * parquet (token, ql) plus `v<N>/meta/` (total_tokens), published with
+    * the same rename-based `_current` pointer swap as the LSH/IVF indexes
+    * (Fs.publishVersion: readers resolve a complete version, the
+    * immediately-previous one is retained). A production pipeline trains
+    * once per corpus refresh and scores many batches/streams against the
+    * loaded artifact. */
+  def saveUnigramLm(spark: org.apache.spark.sql.SparkSession, lm: UnigramLm,
+                    path: String): Unit = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val (fs, root) = graft.sources.Fs.of(spark, path)
+    val version = graft.sources.Fs.currentVersion(fs, root).getOrElse(0) + 1
+    val vdir = s"$path/v$version"
+    lm.ql.entrySet.asScala.toSeq.map(e => (e.getKey, e.getValue.longValue))
+      .toDF("tok", "ql").write.mode("overwrite").parquet(s"$vdir/lm")
+    Seq(lm.totalTokens).toDF("total_tokens")
+      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
+    graft.sources.Fs.publishVersion(fs, root, version)
+  }
+
+  /** Load the `_current` version of a persisted LM (guard-limited like
+    * [[trainUnigramLm]]'s collect). */
+  def loadUnigramLm(spark: org.apache.spark.sql.SparkSession, path: String,
+                    maxVocab: Int = 1 << 25): UnigramLm = {
+    val (fs, root) = graft.sources.Fs.of(spark, path)
+    val version = graft.sources.Fs.currentVersion(fs, root).getOrElse(
+      sys.error(s"no unigram LM at $path (missing _current pointer — " +
+        "run saveUnigramLm first)"))
+    val vdir = s"$path/v$version"
+    val rows = spark.read.parquet(s"$vdir/lm").limit(maxVocab + 1).collect()
+    require(rows.length <= maxVocab,
+      s"persisted LM vocabulary exceeds maxVocab=$maxVocab")
+    val ql = new java.util.HashMap[String, java.lang.Long](math.max(16, rows.length * 2))
+    rows.foreach(r => ql.put(r.getString(0), java.lang.Long.valueOf(r.getLong(1))))
+    val total = spark.read.parquet(s"$vdir/meta").head().getLong(0)
+    UnigramLm(ql, total)
+  }
+
   /** (nTokens, Σ quantized-log-count) per row; null text → null struct (the
     * SQL formulation produces no row — downstream nulls match). */
   private def lmStatsCol(text: Column,
@@ -264,7 +303,11 @@ object TextAnalytics {
     * The LM rides an explicit executor broadcast into the scoring kernel —
     * a map-side lookup, where the broadcast-JOIN formulation would add a
     * second scan branch and an aggregation. Plan: scan → project (+
-    * presentation sort), 0 joins, 0 aggregates — PlanAuditSpec locks it. */
+    * presentation sort), 0 joins, 0 aggregates — PlanAuditSpec locks it.
+    * Being a stateless projection, it applies UNCHANGED to a streaming
+    * DataFrame (score arriving docs against a loaded LM artifact —
+    * [[saveUnigramLm]]/[[loadUnigramLm]]); TxtSignalsSpec runs the
+    * batch/stream differential. */
   def signals(docs: org.apache.spark.sql.DataFrame, lm: UnigramLm): org.apache.spark.sql.DataFrame = {
     val bc = docs.sparkSession.sparkContext.broadcast(lm)
     val t = col("text")

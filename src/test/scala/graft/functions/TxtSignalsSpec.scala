@@ -5,6 +5,8 @@ import graft.queries.TrainingData
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+case class SignalDoc(doc_id: Long, text: String)
+
 /** Locks the txt_signals contract: every fused column is value-identical to
   * its standalone single-signal query, and the unfiltered row contract
   * (zero counts + null fractions/score for degenerate docs) holds on edge
@@ -142,6 +144,51 @@ class TxtSignalsSpec extends SparkSpec {
     standalone.foreach { case (id, exp) =>
       assert(fused(id) == exp, s"doc $id: fused ${fused(id)} vs standalone $exp")
     }
+  }
+
+  test("persisted LM: save/load round-trips, versions bump, missing pointer fails fast") {
+    val docs = graft.sources.Tables.documents(spark, sfDir).limit(100)
+    val lm = TextAnalytics.trainUnigramLm(docs)
+    val path = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    TextAnalytics.saveUnigramLm(spark, lm, path)
+    val loaded = TextAnalytics.loadUnigramLm(spark, path)
+    assert(loaded.totalTokens == lm.totalTokens)
+    assert(loaded.ql == lm.ql)
+    // re-save bumps the version behind the same pointer machinery
+    TextAnalytics.saveUnigramLm(spark, lm, path)
+    val (fs, root) = graft.sources.Fs.of(spark, path)
+    assert(graft.sources.Fs.currentVersion(fs, root).contains(2))
+    assert(TextAnalytics.loadUnigramLm(spark, path).ql == lm.ql)
+    val e = intercept[RuntimeException] {
+      TextAnalytics.loadUnigramLm(spark, s"$path/missing")
+    }
+    assert(e.getMessage.contains("saveUnigramLm"), e.getMessage)
+  }
+
+  test("streaming twin: the fused projection scores a stream bit-equal to batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").limit(50)
+      .as[SignalDoc].collect().toIndexedSeq
+    val lm = TextAnalytics.trainUnigramLm(
+      graft.sources.Tables.documents(spark, sfDir))
+    val batch = TextAnalytics.signals(docs.toDF(), lm)
+      .collect().map(r => r.getLong(0) -> r.toString).toMap
+    val mem = MemoryStream[SignalDoc]
+    val q = TextAnalytics.signals(mem.toDF(), lm).writeStream
+      .format("memory").queryName("txt_signals_stream").outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("txt_signals_stream")
+        .collect().map(r => r.getLong(0) -> r.toString).toMap
+      assert(got.size == 50)
+      got.foreach { case (id, row) =>
+        assert(row == batch(id), s"doc $id:\n stream $row\n batch  ${batch(id)}")
+      }
+    } finally q.stop()
   }
 
   test("trainUnigramLm enforces the vocabulary cap without a full collect") {
