@@ -182,6 +182,91 @@ object Curation {
       .select("doc_id", "n_tokens", "start_offset", "bin_id", "offset_in_bin")
   }
 
+  /** Upper bound on [[budgetSelect]]'s quality-bucket count: the bucket
+    * totals are collected to the driver to compute prefix offsets, so the
+    * count must stay driver-small at any corpus size. Quality scores live
+    * in [0, 1], so granularity — not corpus size — picks this. */
+  val MaxQualityBuckets = 100000
+
+  /** Token-budget corpus selection: score every document, keep the
+    * highest-quality documents until a global token budget is spent — the
+    * "best N tokens" curation step of a pretraining data pipeline (select
+    * by quality, stop at the training-token target). Selection order is
+    * (quality DESC, doc_id ASC); a document is kept iff the running token
+    * total INCLUDING it stays ≤ `budgetTokens`. Documents whose quality
+    * is NULL (empty/whitespace-only text) are not scoreable and never
+    * selected.
+    *
+    * The global running sum over the quality ordering is a DISTRIBUTED
+    * two-level prefix scan in the same shape as [[packSequences]], keyed
+    * on QUANTIZED quality instead of id span: bucket = floor(quality ×
+    * `qualityBuckets`) (a pure function of the row — deterministic at any
+    * partitioning), within-bucket cumsum is a window partitioned by
+    * bucket ordered (quality DESC, doc_id), and bucket base offsets are a
+    * prefix over the per-bucket token totals, computed on the driver
+    * (bounded: ≤ `qualityBuckets` rows by construction, see
+    * [[MaxQualityBuckets]]). Because quantization is monotone in quality,
+    * bucket-desc-then-within-bucket order IS the global order, so the
+    * result is identical to a single-partition window — the oracle is a
+    * plain SQL window cumsum.
+    *
+    * Scale properties: whole buckets past the budget are PRUNED before
+    * the window shuffle — at 100 TB with a budget selecting the top few
+    * percent, the exchange carries only the selected quality range, and
+    * it carries (doc_id, quality, n_tokens, bucket) — never text. Bucket
+    * skew is bounded by quality granularity: raise `qualityBuckets` if
+    * one quality value dominates the boundary. NOTE: like
+    * [[packSequences]]'s adaptive default, this is EAGER — the bucket
+    * totals run one Spark job (on a localCheckpoint of the narrow scored
+    * projection, so the text kernel runs once) at CALL time. */
+  def budgetSelect(docs: DataFrame, budgetTokens: Long,
+                   qualityBuckets: Int = 1000): DataFrame = {
+    require(budgetTokens >= 0, "token budget must be non-negative")
+    require(qualityBuckets >= 1 && qualityBuckets <= MaxQualityBuckets,
+      s"qualityBuckets must be in [1, $MaxQualityBuckets]")
+    import graft.functions.TextAnalytics.{qualityScore, wsTokenCount}
+    val spark = docs.sparkSession
+    // narrow scored projection (4 cols, never text), checkpointed because
+    // it feeds two consumers: the bucket-totals job and the window
+    val scored = docs.select(col("doc_id"),
+        qualityScore(col("text")).as("quality"),
+        wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      .filter(col("quality").isNotNull)
+      // quality ∈ [0, 1] by construction; clamp the closed upper edge so
+      // quality = 1.0 lands in the top bucket, not a phantom one past it
+      .withColumn("__qb",
+        least(floor(col("quality") * qualityBuckets), lit(qualityBuckets - 1))
+          .cast("int"))
+      .localCheckpoint(false)
+    // level 1: per-bucket token totals → driver prefix (≤ qualityBuckets
+    // rows). offset(b) = tokens in strictly-higher-quality buckets.
+    val totals = scored.groupBy("__qb").agg(sum("n_tokens").as("__t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(-_._1)
+    val offsets = totals.scanLeft((Int.MaxValue, 0L)) {
+      case ((_, acc), (qb, t)) => (qb, acc + t)
+    }.sliding(2).collect { case Array((_, prev), (qb, _)) => (qb, prev) }.toSeq
+    // a bucket can contribute rows only if the tokens above it leave
+    // budget headroom; the selected set is upward-closed in __qb, so the
+    // prune is a single >= filter pushed below the window shuffle
+    val selected = offsets.filter(_._2 < budgetTokens).map(_._1)
+    if (selected.isEmpty)
+      return scored.withColumn("cum_tokens", lit(0L))
+        .select("doc_id", "quality", "n_tokens", "cum_tokens")
+        .filter(lit(false))
+    val minQb = selected.min
+    import spark.implicits._
+    val offsetsDf = offsets.toDF("__qb", "__base")
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("__qb").orderBy(desc("quality"), asc("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    scored.filter(col("__qb") >= minQb)
+      .join(broadcast(offsetsDf), Seq("__qb"))
+      .withColumn("cum_tokens", col("__base") + sum("n_tokens").over(wIn))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select("doc_id", "quality", "n_tokens", "cum_tokens")
+  }
+
   /** Stratified deterministic sample: per-stratum keep rates (per-mille),
     * e.g. downsample a dominant language while keeping the tail whole.
     * Rates ride a broadcast join (the strata table is small by definition);

@@ -579,6 +579,14 @@ object TrainingData {
     Curation.packSequences(Tables.documents(spark, dir), windowTokens = 256)
       .orderBy("doc_id")
 
+  /** Token-budget corpus selection ([[Curation.budgetSelect]]): the
+    * highest-quality documents whose running token total fits a fixed
+    * training budget — presentation-ordered by doc_id so the oracle
+    * compare is stable. */
+  def dsBudgetSelect(spark: SparkSession, dir: String): DataFrame =
+    Curation.budgetSelect(Tables.documents(spark, dir), budgetTokens = 12000)
+      .orderBy("doc_id")
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dd_exact"         -> ddExact _,
     "dd_jaccard_words" -> ddJaccardWords _,
@@ -624,6 +632,7 @@ object TrainingData {
     "txt_compress_ratio" -> txtCompressRatio _,
     "dd_span_coverage"   -> ddSpanCoverage _,
     "ds_pack"            -> dsPack _,
+    "ds_budget_select"   -> dsBudgetSelect _,
   )
 
   private val enList = enMarkers.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -653,6 +662,30 @@ object TrainingData {
         | (cum - n_tokens) // 256 AS bin_id,
         | (cum - n_tokens) % 256 AS offset_in_bin
         |FROM cums ORDER BY doc_id""".stripMargin,
+    "ds_budget_select" ->
+      s"""WITH f AS (
+         | SELECT doc_id, length(text) AS n_chars_m,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |    / CAST(nullif(length(text), 0) AS DOUBLE) AS alpha_ratio,
+         |  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> list_contains($enList, w))) AS DOUBLE)
+         |    / CAST(nullif(CASE WHEN length(trim(text)) = 0 THEN 0
+         |        ELSE len(string_split_regex(trim(text), '\\s+')) END, 0) AS DOUBLE) AS stopword_ratio
+         | FROM documents),
+         |s AS (
+         | SELECT doc_id,
+         |  least(CAST(n_chars_m AS DOUBLE) / 500.0, 1.0) * 0.5
+         |   + alpha_ratio * 0.25 + stopword_ratio * 0.25 AS quality,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens
+         | FROM f),
+         |c AS (
+         | SELECT doc_id, quality, n_tokens,
+         |  CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         | FROM s WHERE quality IS NOT NULL)
+         |SELECT doc_id, quality, n_tokens, cum_tokens
+         |FROM c WHERE cum_tokens <= 12000 ORDER BY doc_id""".stripMargin,
     "dd_span_coverage" ->
       """WITH toks AS (
         | SELECT doc_id,

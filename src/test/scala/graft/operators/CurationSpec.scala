@@ -139,4 +139,51 @@ class CurationSpec extends SparkSpec {
     assert(packed.map(_.getAs[Long]("start_offset")).toSeq == Seq(0L, 2L, 3L))
     assert(packed.map(_.getAs[Long]("n_tokens")).toSeq == Seq(2L, 1L, 3L))
   }
+
+  test("budgetSelect equals the single-partition global-window formulation") {
+    import SparkSpec.session.implicits._
+    import graft.functions.TextAnalytics.{qualityScore, wsTokenCount}
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val budget = 3000L
+    // reference formulation: ONE window over the global quality order —
+    // correct by inspection, unusable at scale (single task)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("quality"), asc("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val expected = docs.select(col("doc_id"),
+        qualityScore(col("text")).as("quality"),
+        wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      .filter(col("quality").isNotNull)
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select("doc_id", "quality", "n_tokens", "cum_tokens")
+      .as[(Long, Double, Long, Long)].collect().sortBy(_._1).toSeq
+    // the bucketed scan must be value-identical at ANY granularity
+    for (buckets <- Seq(1, 7, 1000)) {
+      val got = Curation.budgetSelect(docs, budget, qualityBuckets = buckets)
+        .as[(Long, Double, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == expected, s"buckets=$buckets")
+    }
+    assert(expected.nonEmpty && expected.size < docs.count())
+  }
+
+  test("budgetSelect edges: zero budget, over-budget, unscoreable docs") {
+    import SparkSpec.session.implicits._
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a solid stretch of normal prose with the usual words in it"),
+      (3L, ""), (4L, "   "), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // zero budget selects nothing (every doc here has tokens)
+    assert(Curation.budgetSelect(docs, 0L).count() == 0)
+    // a budget >= the corpus total selects every SCOREABLE doc; the
+    // null-quality rows (empty / whitespace / null text) never appear
+    val all = Curation.budgetSelect(docs, 1000000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(all == Set(1L, 2L))
+    // the running total is the selection invariant: every kept row's
+    // cum_tokens is within budget and consistent with its n_tokens
+    val rows = Curation.budgetSelect(docs, 1000000L)
+      .select("n_tokens", "cum_tokens").as[(Long, Long)].collect()
+    assert(rows.map(_._1).sum == rows.map(_._2).max)
+  }
 }
