@@ -246,11 +246,24 @@ object TextAnalytics {
   def saveUnigramLm(spark: org.apache.spark.sql.SparkSession, lm: UnigramLm,
                     path: String): Unit = {
     import spark.implicits._
-    import scala.jdk.CollectionConverters._
     val (fs, root) = graft.sources.Fs.of(spark, path)
     val version = graft.sources.Fs.currentVersion(fs, root).getOrElse(0) + 1
     val vdir = s"$path/v$version"
-    lm.ql.entrySet.asScala.toSeq.map(e => (e.getKey, e.getValue.longValue))
+    // one flat array copy of the vocab, shipped through parallelize —
+    // NOT Seq.toDF, whose LocalRelation would embed an encoded second
+    // copy of an up-to-2^25-entry vocab inside the write plan on the
+    // driver (a ~3x transient spike next to the live HashMap)
+    val entries = new Array[(String, Long)](lm.ql.size)
+    val it = lm.ql.entrySet.iterator
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      entries(i) = (e.getKey, e.getValue.longValue)
+      i += 1
+    }
+    val slices = math.min(32, 1 + entries.length / (1 << 20))
+    spark.sparkContext
+      .parallelize(scala.collection.immutable.ArraySeq.unsafeWrapArray(entries), slices)
       .toDF("tok", "ql").write.mode("overwrite").parquet(s"$vdir/lm")
     Seq(lm.totalTokens).toDF("total_tokens")
       .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")

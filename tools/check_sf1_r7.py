@@ -36,9 +36,11 @@ def compare(name, sql, drop_cols=()):
 
 fails = []
 
-# sim_assign: the committed oracle is pure SQL — use it as-is
-if not compare("sim_assign", oracles["sim_assign"]):
-    fails.append("sim_assign")
+# sim_assign / ds_budget_select: the committed oracles are pure SQL —
+# use them as-is
+for name in ["sim_assign", "ds_budget_select"]:
+    if not compare(name, oracles[name]):
+        fails.append(name)
 
 # txt_signals: committed oracle minus the golden-joined deflate columns
 sig = oracles["txt_signals"]
