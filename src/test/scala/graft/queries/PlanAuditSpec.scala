@@ -259,6 +259,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
   }
 
+  test("ds_budget_select: bucket-partitioned window cumsum, broadcast offsets, no text") {
+    // the global running total must NOT be a single-partition window:
+    // it is partitioned by the quality bucket, with the driver-side
+    // bucket base offsets riding a broadcast join, over the narrow
+    // checkpointed projection (the text column never reaches a shuffle)
+    val p = planOf("ds_budget_select")
+    assert(p.contains("hashpartitioning(__qb"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("text#"), p)
+  }
+
   test("txt_signals: the fused extractor is ONE corpus scan — no joins, no aggregates") {
     // the whole point of the query: every per-doc signal from a single
     // pass (the LM is a separate bounded model-build job at call time,
