@@ -267,6 +267,41 @@ object Curation {
       .select("doc_id", "quality", "n_tokens", "cum_tokens")
   }
 
+  /** Quality-canonical near-dup resolution: resolve the duplicate-pair
+    * edge list into connected components ([[Dedup.connectedComponents]])
+    * and KEEP exactly one document per cluster — the highest-quality
+    * member, ties broken by lowest doc_id — the curation step that turns
+    * near-dup DETECTION into a deduplicated corpus (the reference's
+    * dedupe identity keeps first-seen per identity,
+    * `/root/reference/pkg/builder/aggregator.go`; at corpus scale "best
+    * of the cluster" is the selection a training pipeline wants).
+    * Singletons are their own cluster and always kept; unscoreable docs
+    * (null quality) sort last within their cluster but stay eligible, so
+    * an all-unscoreable cluster keeps its lowest doc_id.
+    *
+    * Scale: quality is a map-side kernel over the node projection — every
+    * exchange carries (doc_id, cluster_id, quality), never text. The
+    * per-cluster argmax is a rank-1 window that Spark rewrites to
+    * WindowGroupLimit (per-partition top-1 BEFORE the cluster exchange),
+    * and cluster sizes aggregate partially off the checkpointed component
+    * labels, so no side of any join or shuffle exceeds one row per
+    * (partition, cluster). */
+  def keepBest(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    import graft.functions.TextAnalytics.qualityScore
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col("doc_id"), qualityScore(col("text")).as("quality"))
+    val cc = Dedup.connectedComponents(docs.select("doc_id"), pairs)
+    val sizes = cc.groupBy(col("cluster_id").as("cid"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(desc_nulls_last("quality"), asc("doc_id"))
+    cc.join(scored, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(sizes, col("cluster_id") === col("cid"))
+      .select("doc_id", "cluster_id", "cluster_size", "quality")
+  }
+
   /** Stratified deterministic sample: per-stratum keep rates (per-mille),
     * e.g. downsample a dominant language while keeping the tail whole.
     * Rates ride a broadcast join (the strata table is small by definition);

@@ -371,6 +371,18 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Quality-canonical dedup ([[Curation.keepBest]]): the kept corpus
+    * after resolving `dd_cluster`'s near-dup components to their
+    * highest-quality member — same node subset and pair source as
+    * `dd_cluster`, so the two queries audit each other. */
+  def ddKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.charNgramJaccardPairs(docs, n = 3, sampleMod = 10,
+      threshold = 0.6).select("a_id", "b_id")
+    Curation.keepBest(docs.filter(col("doc_id") % 10 === 0), pairs)
+      .orderBy("doc_id")
+  }
+
   /** Top-3 distinctive terms per doc (integer-exact tf/df ranking). */
   def txtTfidf(spark: SparkSession, dir: String): DataFrame =
     tfIdfTop(Tables.documents(spark, dir), k = 3)
@@ -633,6 +645,7 @@ object TrainingData {
     "dd_span_coverage"   -> ddSpanCoverage _,
     "ds_pack"            -> dsPack _,
     "ds_budget_select"   -> dsBudgetSelect _,
+    "dd_keep_best"       -> ddKeepBest _,
   )
 
   private val enList = enMarkers.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -1121,6 +1134,49 @@ object TrainingData {
         | SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id) sz
         | USING (cluster_id)
         |ORDER BY doc_id""".stripMargin,
+    "dd_keep_best" ->
+      s"""WITH RECURSIVE
+         |n AS (
+         | SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+         | FROM documents WHERE doc_id % 10 = 0),
+         |s AS (
+         | SELECT doc_id,
+         |  list_distinct([substr(nt, CAST(i AS INT), 3) for i in range(1, length(nt) - 1)]) AS g
+         | FROM n WHERE length(nt) >= 3),
+         |p AS (
+         | SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         | FROM s a JOIN s b ON a.doc_id < b.doc_id
+         | WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |        / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.6),
+         |e AS (SELECT a_id AS u, b_id AS v FROM p UNION SELECT b_id, a_id FROM p),
+         |reach AS (
+         | SELECT doc_id AS u, doc_id AS r FROM n
+         | UNION
+         | SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u),
+         |cc AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u),
+         |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id),
+         |f AS (
+         | SELECT doc_id, length(text) AS n_chars_m,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |    / CAST(nullif(length(text), 0) AS DOUBLE) AS alpha_ratio,
+         |  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> list_contains($enList, w))) AS DOUBLE)
+         |    / CAST(nullif(CASE WHEN length(trim(text)) = 0 THEN 0
+         |        ELSE len(string_split_regex(trim(text), '\\s+')) END, 0) AS DOUBLE) AS stopword_ratio
+         | FROM documents WHERE doc_id % 10 = 0),
+         |q AS (
+         | SELECT doc_id,
+         |  least(CAST(n_chars_m AS DOUBLE) / 500.0, 1.0) * 0.5
+         |   + alpha_ratio * 0.25 + stopword_ratio * 0.25 AS quality
+         | FROM f),
+         |r AS (
+         | SELECT cc.doc_id, cc.cluster_id, sz.cluster_size, q.quality,
+         |  row_number() OVER (PARTITION BY cc.cluster_id
+         |    ORDER BY q.quality DESC NULLS LAST, cc.doc_id) AS rn
+         | FROM cc JOIN sz USING (cluster_id) JOIN q ON q.doc_id = cc.doc_id)
+         |SELECT doc_id, cluster_id, cluster_size, quality
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "ev_json_extract" ->
       """SELECT k, COUNT(*) AS n FROM (
         | SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k

@@ -167,6 +167,33 @@ class CurationSpec extends SparkSpec {
     assert(expected.nonEmpty && expected.size < docs.count())
   }
 
+  test("keepBest keeps the highest-quality member per cluster, singletons intact") {
+    import SparkSpec.session.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then the dog " +
+        "sleeps in the sun for a while with the other dogs"),
+      (2L, "zzz"),
+      (3L, ""),
+      (10L, "qq"),
+      (11L, "a solid stretch of normal prose with the usual words in it " +
+        "and some more of the same to make it longer"),
+      (20L, "a lone document in no duplicate pair at all"),
+      (30L, ""), (31L, "   ")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (30L, 31L))
+      .toDF("a_id", "b_id")
+    val kept = Curation.keepBest(docs, pairs)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // one survivor per cluster: best quality wins (1 over 2/3, 11 over
+    // 10), singletons survive, all-unscoreable cluster keeps lowest id
+    assert(kept.toSeq == Seq((1L, 1L, 3L), (11L, 10L, 2L), (20L, 20L, 1L),
+      (30L, 30L, 2L)))
+    // the survivor count IS the cluster count
+    val nClusters = Curation.keepBest(docs, pairs).count()
+    assert(nClusters == 4)
+  }
+
   test("budgetSelect edges: zero budget, over-budget, unscoreable docs") {
     import SparkSpec.session.implicits._
     val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),

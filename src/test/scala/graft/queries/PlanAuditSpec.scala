@@ -271,6 +271,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("text#"), p)
   }
 
+  test("dd_keep_best: per-cluster argmax short-circuits via WindowGroupLimit") {
+    // the rank-1 filter must rewrite to a per-partition top-1 BEFORE the
+    // cluster exchange — at scale the window shuffle then carries at most
+    // one row per (partition, cluster), not the whole corpus
+    val p = planOf("dd_keep_best")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("txt_signals: the fused extractor is ONE corpus scan — no joins, no aggregates") {
     // the whole point of the query: every per-doc signal from a single
     // pass (the LM is a separate bounded model-build job at call time,
