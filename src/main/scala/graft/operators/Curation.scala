@@ -302,6 +302,68 @@ object Curation {
       .select("doc_id", "cluster_id", "cluster_size", "quality")
   }
 
+  /** Hash-prefix bucket count for [[seededOrder]]'s two-level rank: the
+    * per-bucket row counts are collected to the driver, so this must stay
+    * driver-small at any corpus size. 4096 = the first 3 hex chars of the
+    * md5 key; md5 uniformity makes every bucket carry ~N/4096 rows with
+    * no data-dependent skew. */
+  val OrderBuckets = 4096
+
+  /** Deterministic seeded corpus ordering + shard assignment: the
+    * reproducible "shuffle" of a training-data pipeline. Every document
+    * gets a shuffle key `md5("<seed>:<doc_id>")`, a dense global position
+    * `pos` ∈ [1, N] in key order, and a balanced round-robin `shard` =
+    * (pos − 1) mod `numShards`. Same seed ⇒ bit-identical order on every
+    * engine, every run, at every scale (no RNG, no partition-order
+    * dependence); a new seed reshuffles for the next epoch. Extends the
+    * reference's deterministic content-identity idea
+    * (`/root/reference/pkg/internal/utils/utils.go:121-131`) from
+    * membership to ORDER.
+    *
+    * The dense global rank is the same two-level scan as [[budgetSelect]],
+    * keyed on the md5 hex PREFIX instead of quantized quality: bucket =
+    * first 3 hex chars (a pure row function, monotone in the key because
+    * fixed-width lowercase hex orders identically as string and as
+    * number), within-bucket `row_number` ordered (key, doc_id), bucket
+    * base offsets prefix-summed on the driver (≤ [[OrderBuckets]] rows).
+    * Bucket-asc-then-key-asc IS the global key order, so the result is
+    * identical to a single-partition window and the oracle is a plain
+    * SQL `row_number` over the md5 ordering.
+    *
+    * Scale: the window exchange carries (doc_id, 32-char key, bucket) —
+    * never text — and md5 uniformity bounds every bucket at ~N/4096 rows
+    * regardless of data skew. NOTE: like [[budgetSelect]], this is
+    * EAGER — the bucket-count job runs (on a localCheckpoint of the keyed
+    * projection) at CALL time. */
+  def seededOrder(docs: DataFrame, seed: Long, numShards: Int): DataFrame = {
+    require(numShards >= 1, "numShards must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // narrow keyed projection, checkpointed: feeds the bucket-count job
+    // and the rank window
+    val keyed = docs.select(col("doc_id"),
+        md5(concat(lit(s"$seed:"), col("doc_id").cast("string")))
+          .as("shuffle_key"))
+      .withColumn("__hb",
+        conv(substring(col("shuffle_key"), 1, 3), 16, 10).cast("int"))
+      .localCheckpoint(false)
+    // level 1: per-bucket counts → driver prefix (≤ OrderBuckets rows).
+    // base(b) = rows in strictly-lower buckets.
+    val counts = keyed.groupBy("__hb").agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = counts.scanLeft((-1, 0L)) {
+      case ((_, acc), (hb, n)) => (hb, acc + n)
+    }.sliding(2).collect { case Array((_, prev), (hb, _)) => (hb, prev) }.toSeq
+    val offsetsDf = offsets.toDF("__hb", "__base")
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("__hb").orderBy("shuffle_key", "doc_id")
+    keyed.join(broadcast(offsetsDf), Seq("__hb"))
+      .withColumn("pos", col("__base") + row_number().over(wIn))
+      .withColumn("shard", ((col("pos") - 1) % numShards).cast("int"))
+      .select("doc_id", "shuffle_key", "pos", "shard")
+  }
+
   /** Stratified deterministic sample: per-stratum keep rates (per-mille),
     * e.g. downsample a dominant language while keeping the tail whole.
     * Rates ride a broadcast join (the strata table is small by definition);

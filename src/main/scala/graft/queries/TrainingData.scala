@@ -383,6 +383,13 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Deterministic seeded shuffle + shard assignment
+    * ([[Curation.seededOrder]]): reproducible training-data ordering —
+    * same seed ⇒ same order on any engine at any scale. */
+  def dsOrder(spark: SparkSession, dir: String): DataFrame =
+    Curation.seededOrder(Tables.documents(spark, dir), seed = 42L,
+      numShards = 8).orderBy("doc_id")
+
   /** Top-3 distinctive terms per doc (integer-exact tf/df ranking). */
   def txtTfidf(spark: SparkSession, dir: String): DataFrame =
     tfIdfTop(Tables.documents(spark, dir), k = 3)
@@ -646,6 +653,7 @@ object TrainingData {
     "ds_pack"            -> dsPack _,
     "ds_budget_select"   -> dsBudgetSelect _,
     "dd_keep_best"       -> ddKeepBest _,
+    "ds_order"           -> dsOrder _,
   )
 
   private val enList = enMarkers.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -699,6 +707,18 @@ object TrainingData {
          | FROM s WHERE quality IS NOT NULL)
          |SELECT doc_id, quality, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens <= 12000 ORDER BY doc_id""".stripMargin,
+    "ds_order" ->
+      """WITH r AS (
+        | SELECT doc_id,
+        |  md5('42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        | FROM documents),
+        |p AS (
+        | SELECT doc_id, shuffle_key,
+        |  row_number() OVER (ORDER BY shuffle_key, doc_id) AS pos
+        | FROM r)
+        |SELECT doc_id, shuffle_key, pos,
+        | CAST((pos - 1) % 8 AS INT) AS shard
+        |FROM p ORDER BY doc_id""".stripMargin,
     "dd_span_coverage" ->
       """WITH toks AS (
         | SELECT doc_id,

@@ -194,6 +194,26 @@ class CurationSpec extends SparkSpec {
     assert(nClusters == 4)
   }
 
+  test("seededOrder: dense permutation, deterministic, seed-sensitive, balanced shards") {
+    val docs = spark.range(500).toDF("doc_id")
+    val a = Curation.seededOrder(docs, seed = 1L, numShards = 7)
+      .select("doc_id", "pos", "shard").as[(Long, Long, Int)].collect()
+    // pos is a dense permutation of 1..N
+    assert(a.map(_._2).sorted.toSeq == (1L to 500L))
+    // shards are round-robin balanced: sizes differ by at most 1
+    val sizes = a.groupBy(_._3).view.mapValues(_.length).values
+    assert(sizes.size == 7 && sizes.max - sizes.min <= 1, sizes.toSeq)
+    // same seed reproduces the exact order; a new seed reshuffles
+    val b = Curation.seededOrder(docs, seed = 1L, numShards = 7)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(a.forall { case (id, pos, _) => b(id) == pos })
+    val c = Curation.seededOrder(docs, seed = 2L, numShards = 7)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(a.count { case (id, pos, _) => c(id) == pos } < 25)
+    // and it IS a shuffle: position order differs from id order
+    assert(a.count { case (id, pos, _) => pos == id + 1 } < 25)
+  }
+
   test("budgetSelect edges: zero budget, over-budget, unscoreable docs") {
     import SparkSpec.session.implicits._
     val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),

@@ -271,6 +271,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("text#"), p)
   }
 
+  test("ds_order: bucket-partitioned rank window, broadcast offsets, no text") {
+    // the global rank must NOT be a single-partition window: it is
+    // partitioned by the md5-prefix bucket with driver-side base offsets
+    // riding a broadcast join, and the text column never leaves the scan
+    val p = planOf("ds_order")
+    assert(p.contains("hashpartitioning(__hb"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("text#"), p)
+  }
+
   test("dd_keep_best: per-cluster argmax short-circuits via WindowGroupLimit") {
     // the rank-1 filter must rewrite to a per-partition top-1 BEFORE the
     // cluster exchange — at scale the window shuffle then carries at most
