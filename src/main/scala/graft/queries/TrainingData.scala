@@ -233,6 +233,69 @@ object TrainingData {
       .orderBy("vec_id")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    * arXiv:2303.09540 — public paper): cluster the embedding space, find
+    * near-duplicate pairs ONLY within a cluster, resolve them into
+    * groups, and keep one representative per group — the member FARTHEST
+    * from its centroid (the paper's keep-low-centroid-similarity rule:
+    * prototypical members carry the least marginal information), ties to
+    * the lowest vec_id. Singletons are their own group and always kept.
+    *
+    * Composition: the cluster model is the per-label ppm centroid table
+    * ([[simCentroids]]) with the shared map-side argmin
+    * ([[graft.functions.VectorQuant.argminCentroid]]); pair discovery is
+    * the exact sampled verifier scoped to a cluster (quadratic by design
+    * — the require guard bounds the largest cluster, and the scalable
+    * candidate path is [[graft.operators.Similarity.cosineNearDupPairs]]
+    * restricted to cluster-agreeing pairs); group resolution is
+    * [[graft.operators.Dedup.connectedComponents]]. Cluster-scoping is
+    * what makes semantic dedup tractable at 100 TB: the pair space drops
+    * from O(N²) to Σ|cluster|², and every post-assignment exchange
+    * carries (vec_id, cluster, d2) — never the embedding. */
+  def simSemdedup(spark: SparkSession, dir: String,
+                  sampleMod: Int = 2, threshold: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dot = graft.plans.VectorExpressions.dotF _
+    val bc = spark.sparkContext.broadcast(centroidSnapshot(spark, dir))
+    val assignU = udf { (vp: Seq[Long]) =>
+      graft.functions.VectorQuant.argminCentroid(vp.toArray, bc.value)
+    }
+    val assigned = ppmVectors(spark, dir)
+      .filter(col("vec_id") % sampleMod === 0)
+      .withColumn("__a", assignU(col("vp")))
+      .select(col("vec_id"), col("__a._1").as("cluster"), col("__a._2").as("d2"))
+      .localCheckpoint(false)
+    // quadratic-verifier guard: per-cluster pair work is |cluster|²/2
+    val maxCluster = assigned.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .agg(coalesce(max("n"), lit(0L))).head().getLong(0)
+    require(maxCluster <= Dedup.maxVerifierSample,
+      s"largest cluster has $maxCluster vectors (cap ${Dedup.maxVerifierSample}); " +
+        "raise sampleMod — the scalable pair path is cosineNearDupPairs")
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nm"))
+    val sample = assigned.join(vecs, "vec_id")
+    val a = sample.select(col("cluster"), col("vec_id").as("a_id"),
+      col("embedding").as("a_v"), col("nm").as("a_n"))
+    val b = sample.select(col("cluster").as("cluster_b"), col("vec_id").as("b_id"),
+      col("embedding").as("b_v"), col("nm").as("b_n"))
+    val pairs = a.join(b, col("cluster") === col("cluster_b") && col("a_id") < col("b_id"))
+      // zero-norm vectors give 0/0 = NaN which sorts above every double
+      .filter(col("a_n") > 0 && col("b_n") > 0)
+      .filter(dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")) >= threshold)
+      .select("a_id", "b_id")
+    val cc = Dedup.connectedComponents(assigned.select("vec_id"), pairs, idCol = "vec_id")
+      .select(col("vec_id"), col("cluster_id").as("group_id"))
+    val sizes = cc.groupBy(col("group_id").as("gid")).agg(count(lit(1)).as("group_size"))
+    val w = Window.partitionBy("group_id").orderBy(desc("d2"), asc("vec_id"))
+    cc.join(assigned, "vec_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(sizes, col("group_id") === col("gid"))
+      .select("vec_id", "group_id", "group_size", "cluster", "d2")
+      .orderBy("vec_id")
+  }
+
   def ddWinnowOverlap(spark: SparkSession, dir: String): DataFrame =
     Dedup.winnowOverlapPairs(Tables.documents(spark, dir), minShared = 10, maxDocFreq = 20)
       .orderBy("a_id", "b_id")
@@ -654,6 +717,7 @@ object TrainingData {
     "ds_budget_select"   -> dsBudgetSelect _,
     "dd_keep_best"       -> ddKeepBest _,
     "ds_order"           -> dsOrder _,
+    "sim_semdedup"       -> ((s: SparkSession, d: String) => simSemdedup(s, d)),
   )
 
   private val enList = enMarkers.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -1244,6 +1308,56 @@ object TrainingData {
         |SELECT vec_id, true_label, c_label AS assigned_label, d2,
         |       (true_label = assigned_label) AS is_match
         |FROM d WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+    "sim_semdedup" ->
+      """WITH RECURSIVE
+        |v0 AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve,
+        |  list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vp
+        | FROM embeddings),
+        |v AS (SELECT * FROM v0
+        |      WHERE len(vp) > 0 AND len(list_filter(vp, x -> x IS NULL)) = 0
+        |        AND vec_id % 2 = 0),
+        |cp AS (
+        | SELECT label AS c_label, pos,
+        |  SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) // COUNT(*) AS c
+        | FROM (SELECT label, unnest(embedding) AS v,
+        |              generate_subscripts(embedding, 1) AS pos FROM embeddings)
+        | GROUP BY 1, 2),
+        |c AS (SELECT c_label, list(CAST(c AS BIGINT) ORDER BY pos) AS cl FROM cp GROUP BY 1),
+        |d AS (
+        | SELECT v.vec_id, c.c_label,
+        |  CAST(list_sum(list_transform(generate_series(1, len(vp)),
+        |    i -> (vp[i] - cl[i]) * (vp[i] - cl[i]))) AS BIGINT) AS d2,
+        |  row_number() OVER (PARTITION BY v.vec_id
+        |                     ORDER BY CAST(list_sum(list_transform(generate_series(1, len(vp)),
+        |                       i -> (vp[i] - cl[i]) * (vp[i] - cl[i]))) AS BIGINT) ASC,
+        |                       c.c_label ASC) AS rk
+        | FROM v CROSS JOIN c),
+        |asg AS (SELECT vec_id, c_label AS cluster, d2 FROM d WHERE rk = 1),
+        |n AS (
+        | SELECT asg.vec_id, asg.cluster, v.ve,
+        |  sqrt(list_dot_product(v.ve, v.ve)) AS nm
+        | FROM asg JOIN v USING (vec_id)),
+        |p AS (
+        | SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        | FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        | WHERE a.nm > 0 AND b.nm > 0
+        |  AND list_dot_product(a.ve, b.ve) / (a.nm * b.nm) >= 0.3),
+        |e AS (SELECT a_id AS u, b_id AS w FROM p UNION SELECT b_id, a_id FROM p),
+        |reach AS (
+        | SELECT vec_id AS u, vec_id AS r FROM asg
+        | UNION
+        | SELECT e.u, reach.r FROM e JOIN reach ON e.w = reach.u),
+        |cc AS (SELECT u AS vec_id, MIN(r) AS group_id FROM reach GROUP BY u),
+        |sz AS (SELECT group_id, COUNT(*) AS group_size FROM cc GROUP BY group_id),
+        |r AS (
+        | SELECT cc.vec_id, cc.group_id, sz.group_size, asg.cluster, asg.d2,
+        |  row_number() OVER (PARTITION BY cc.group_id
+        |    ORDER BY asg.d2 DESC, cc.vec_id) AS rn
+        | FROM cc JOIN sz USING (group_id) JOIN asg USING (vec_id))
+        |SELECT vec_id, group_id, group_size, cluster, d2
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "sim_outliers" ->
       """WITH v0 AS (
         | SELECT vec_id, label,

