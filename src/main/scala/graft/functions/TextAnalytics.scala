@@ -416,4 +416,56 @@ object TextAnalytics {
         ((col("sq").cast("double") / 1048576.0) / col("n_tokens") -
           log(col("nt").cast("double"))).as("avg_logprob"))
   }
+
+  /** Per-document average CONDITIONAL bigram log-probability under a
+    * bigram MLE LM trained on the corpus itself:
+    * score(d) = (Σ_i [ln c(w_{i−1} w_i) − ln ctx(w_{i−1})]) / (|d|−1),
+    * where ctx(w) counts w in bigram-CONTEXT (non-final) positions, so
+    * the conditional is exactly normalized (Σ_x p(x|w) = 1) and, because
+    * the LM trains on the scored corpus, every count is ≥ 1 — no
+    * smoothing term whose log would break cross-engine bit-equality.
+    * One rung up CCNet's n-gram-LM quality ladder from [[lmScore]]: a
+    * document of common words in an UNLIKELY ORDER scores low here but
+    * unremarkably there.
+    *
+    * Determinism: same fixed-point trick as [[lmScore]] — both ln()
+    * arguments are integral counts, each term quantized to 2⁻²⁰ and
+    * summed as longs (associative under any partitioning).
+    *
+    * Scale shape: bigram pairing is the native transform-over-slice (no
+    * UDF); the LM's two count tables fold into one per-bigram `qd`
+    * table joined by KEY — a bigram vocabulary grows with the corpus,
+    * so unlike the unigram LM it must NOT ride a broadcast (also why
+    * this stays a standalone query rather than a fused `txt_signals`
+    * column: the signal needs a vocabulary-sized join, not a map-side
+    * kernel). The corpus pays one (doc_id, bg) key-join exchange and
+    * one (doc_id, long) reduce — the same two-exchange floor as
+    * [[lmScore]]. */
+  def lmScoreBigram(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bgs = docs
+      .withColumn("__ws", filter(words(col("text")), w => length(w) > 0))
+      .filter(size(col("__ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(__ws, 1, size(__ws)-1), " +
+          "(w, i) -> struct(concat(w, ' ', __ws[i+1]) AS bg, w AS w1))")).as("p"))
+      .select(col("doc_id"), col("p.bg").as("bg"), col("p.w1").as("w1"))
+      // three consumers (two LM counts + the scoring join): materialize
+      // the tokenized pairs once instead of re-running the text kernel
+      .localCheckpoint(false)
+    val c2 = bgs.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = bgs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // vocab-sized join: per-bigram quantized log-conditional. words()
+    // tokens contain no spaces, so the context is recoverable from the
+    // bigram key and c1 joins without touching the corpus again
+    val lm = c2.withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(c1, Seq("w1"))
+      .select(col("bg"),
+        (round(log(col("c2").cast("double")) * 1048576).cast("long") -
+          round(log(col("c1").cast("double")) * 1048576).cast("long")).as("qd"))
+    bgs.join(lm, Seq("bg"))
+      .groupBy("doc_id")
+      .agg(sum("qd").as("sq"), count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        ((col("sq").cast("double") / 1048576.0) / col("n_bigrams")).as("avg_logprob"))
+  }
 }

@@ -607,6 +607,13 @@ object TrainingData {
   def txtLmScore(spark: SparkSession, dir: String): DataFrame =
     lmScore(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** Bigram-conditional LM quality score
+    * ([[graft.functions.TextAnalytics.lmScoreBigram]]): word-ORDER
+    * perplexity gate, one rung up from `txt_lm_score`'s unigram. */
+  def txtLmBigram(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.TextAnalytics.lmScoreBigram(Tables.documents(spark, dir))
+      .orderBy("doc_id")
+
   /** ALL per-doc text signals in ONE corpus pass (TextAnalytics.signals) —
     * the scan-efficiency form of the seven standalone txt_* signal queries.
     * The unigram LM is trained up front as a bounded model-build job
@@ -691,6 +698,7 @@ object TrainingData {
     "ds_sample_stratified" -> dsSampleStratified _,
     "a8_heavy_hitters" -> a8HeavyHitters _,
     "txt_lm_score"     -> txtLmScore _,
+    "txt_lm_bigram"    -> txtLmBigram _,
     "txt_signals"      -> txtSignals _,
     "ds_chunk"         -> dsChunk _,
     "ds_profile"       -> dsProfile _,
@@ -969,6 +977,30 @@ object TrainingData {
         |SELECT doc_id, n_tokens,
         | (CAST(sq AS DOUBLE) / 1048576.0) / n_tokens - ln(CAST(nt AS DOUBLE)) AS avg_logprob
         |FROM d, tot ORDER BY doc_id""".stripMargin,
+    "txt_lm_bigram" ->
+      """WITH w AS (
+        | SELECT doc_id, list_filter(
+        |  string_split_regex(lower(text), '[^a-z]+'), x -> len(x) > 0) AS ws
+        | FROM documents),
+        |b AS (
+        | SELECT doc_id,
+        |  unnest(list_transform(generate_series(1, len(ws) - 1),
+        |         i -> ws[i] || ' ' || ws[i + 1])) AS bg,
+        |  unnest(list_transform(generate_series(1, len(ws) - 1),
+        |         i -> ws[i])) AS w1
+        | FROM w WHERE len(ws) >= 2),
+        |c2 AS (SELECT bg, COUNT(*) AS c2 FROM b GROUP BY 1),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY 1),
+        |q AS (
+        | SELECT b.doc_id,
+        |  CAST(round(ln(CAST(c2.c2 AS DOUBLE)) * 1048576) AS BIGINT)
+        |   - CAST(round(ln(CAST(c1.c1 AS DOUBLE)) * 1048576) AS BIGINT) AS ql
+        | FROM b JOIN c2 USING (bg) JOIN c1 USING (w1)),
+        |d AS (SELECT doc_id, CAST(SUM(ql) AS BIGINT) AS sq,
+        |             COUNT(*) AS n_bigrams FROM q GROUP BY 1)
+        |SELECT doc_id, n_bigrams,
+        | (CAST(sq AS DOUBLE) / 1048576.0) / n_bigrams AS avg_logprob
+        |FROM d ORDER BY doc_id""".stripMargin,
     "txt_repetition" ->
       """WITH t AS (
         | SELECT doc_id,

@@ -134,6 +134,28 @@ class TextOpsSpec extends SparkSpec {
     assert(scores(0L) == scores(19L))
   }
 
+  test("lmScoreBigram penalizes unlikely word ORDER that the unigram LM cannot see") {
+    import SparkSpec.session.implicits._
+    // both docs use the SAME vocabulary with the same unigram counts —
+    // one in the corpus-dominant order, one scrambled
+    val fluent = "the data table holds the data row " * 8
+    val scrambled = "table the holds data the row data " * 8
+    val docs = ((0L until 20L).map(i => (i, fluent)) :+ (100L, scrambled))
+      .toDF("doc_id", "text")
+    val s = TextAnalytics.lmScoreBigram(docs)
+      .select("doc_id", "n_bigrams", "avg_logprob")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(s(100L)._2 < s(0L)._2 - 0.5, s)
+    // conditional log-probs are never positive (c_bigram <= c_context)
+    assert(s.values.forall(_._2 <= 0.0), s)
+    // identical docs score identically, with |d|-1 bigrams each
+    assert(s(0L) == s(19L) && s(0L)._1 == fluent.trim.split(" ").length - 1)
+    // a doc below 2 tokens has no bigram and drops out (oracle parity)
+    val tiny = TextAnalytics.lmScoreBigram(Seq((1L, "one"), (2L, ""),
+      (3L, "two words")).toDF("doc_id", "text"))
+    assert(tiny.select("doc_id").as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("marker-hit kernel propagates null for null text (oracle NULL parity)") {
     import SparkSpec.session.implicits._
     assert(FastHash.markerHits(null, Array(Array(1L))) == null)
