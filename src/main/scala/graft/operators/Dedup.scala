@@ -172,6 +172,67 @@ object Dedup {
       .withColumn("dup_frac_ppm", expr("n_dup_spans * 1000000 div n_spans"))
   }
 
+  /** Corpus-wide boilerplate-segment REMOVAL (the line/paragraph-dedup
+    * pass of an LLM curation pipeline, CCNet/RefinedWeb-style, adapted to
+    * single-line whitespace corpora): split each document into
+    * non-overlapping `segWords`-word segments, drop every segment whose
+    * content occurs in ≥ `minDocs` DISTINCT documents, and reassemble the
+    * surviving text. Complements [[spanCoverage]] — that op *measures*
+    * duplication at sliding-window granularity; this one *removes* it at
+    * reassembly-safe (non-overlapping) granularity. Same sub-document
+    * generalization of the reference's hash-identity collapse
+    * (`/root/reference/pkg/internal/types/element.go:28-37`) as
+    * [[spanCoverage]].
+    *
+    * Scale shape (text NEVER rides an exchange; 2 column-pruned scans):
+    *  1. Segmentation + xxhash64 per segment are map-side projections;
+    *     segments are distinct'd within a doc before exploding, so a
+    *     plain count == count of distinct docs.
+    *  2. The per-segment document count is a partition-count WINDOW over
+    *     the 8-byte hash — one (doc_id, sh) exchange. The
+    *     groupBy+join-back formulation added a third corpus scan and a
+    *     second hash exchange (the same lesson as [[spanCoverage]]).
+    *  3. One (doc_id) exchange folds the duplicated hashes into a
+    *     per-doc set — bounded by the boilerplate population, not the
+    *     corpus.
+    *  4. Reassembly joins that narrow per-doc hash set back to the
+    *     document row and drops segments with a higher-order `filter`
+    *     (re-hashing map-side rather than shuffling positions). The
+    *     narrow side is broadcastable in the common case (AQE picks it
+    *     up); under a sort-merge fallback it is the only join where the
+    *     doc row moves — at cluster scale bucket `docs` by doc_id to
+    *     keep that exchange off the text too.
+    * Segment identity is the hash (the [[exact]] contract); a corpus
+    * where 8-byte collisions matter should raise `segWords` — a collision
+    * needs two distinct segments hashing equal AND co-resident docs.
+    * Docs with no words are dropped (no segments to judge — keeps the
+    * guard off `sequence(0, -1)`, which Spark generates DESCENDING). */
+  def segmentDedup(docs: DataFrame, segWords: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(segWords >= 1 && minDocs >= 2,
+      s"need segWords >= 1 (got $segWords), minDocs >= 2 (got $minDocs)")
+    val base = docs
+      .select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), w => length(w) > 0).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .withColumn("segs", expr(
+        s"transform(sequence(0, cast(ceil(size(ws) / $segWords.0) as int) - 1), " +
+        s"i -> concat_ws(' ', slice(ws, i * $segWords + 1, $segWords)))"))
+    val segHashes = base.select(col("doc_id"),
+      explode(array_distinct(expr("transform(segs, s -> xxhash64(s))"))).as("sh"))
+    val docDup = segHashes
+      .withColumn("nd", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+      .filter(col("nd") >= minDocs)
+      .groupBy("doc_id").agg(collect_set(col("sh")).as("dup_sh"))
+    base.join(docDup, Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        "filter(segs, s -> NOT coalesce(array_contains(dup_sh, xxhash64(s)), false))"))
+      .select(col("doc_id"),
+        size(col("segs")).cast("long").as("n_segs"),
+        (size(col("segs")) - size(col("kept"))).cast("long").as("n_dropped"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
   /** k-shingle (word n-gram) set of a document, as distinct strings.
     * transform over a sliding window of the token array — pure codegen. */
   def wordShingles(text: Column, n: Int): Column = {

@@ -662,6 +662,12 @@ object TrainingData {
     Dedup.spanCoverage(Tables.documents(spark, dir), n = 10, minDocs = 2)
       .orderBy("doc_id")
 
+  /** Boilerplate-segment removal: drop 8-word segments seen in ≥2 docs,
+    * reassemble the cleaned text (see [[Dedup.segmentDedup]]). */
+  def ddSegmentDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.segmentDedup(Tables.documents(spark, dir), segWords = 8, minDocs = 2)
+      .orderBy("doc_id")
+
   /** Sequence packing into 256-token context windows (see
     * [[Curation.packSequences]]). */
   def dsPack(spark: SparkSession, dir: String): DataFrame =
@@ -721,6 +727,7 @@ object TrainingData {
     "dd_bloom_prefilter" -> ddBloomPrefilter _,
     "txt_compress_ratio" -> txtCompressRatio _,
     "dd_span_coverage"   -> ddSpanCoverage _,
+    "dd_segment_dedup"   -> ddSegmentDedup _,
     "ds_pack"            -> dsPack _,
     "ds_budget_select"   -> dsBudgetSelect _,
     "dd_keep_best"       -> ddKeepBest _,
@@ -806,6 +813,25 @@ object TrainingData {
         | CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS dup_frac_ppm
         |FROM grams JOIN counts USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dd_segment_dedup" ->
+      """WITH w AS (
+        | SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws
+        | FROM documents),
+        |nz AS (SELECT doc_id, ws FROM w WHERE len(ws) > 0),
+        |e AS (
+        | SELECT doc_id, u.pos AS pos, u.seg AS seg FROM (
+        |   SELECT doc_id, unnest(list_transform(generate_series(1, CAST(ceil(len(ws) / 8.0) AS INT)),
+        |      i -> {'pos': i, 'seg': array_to_string(ws[(i-1)*8+1 : i*8], ' ')})) AS u
+        |   FROM nz)),
+        |d AS (
+        | SELECT seg FROM (SELECT DISTINCT doc_id, seg FROM e)
+        | GROUP BY seg HAVING count(*) >= 2),
+        |k AS (
+        | SELECT e.doc_id, e.pos, e.seg, CASE WHEN d.seg IS NOT NULL THEN 1 ELSE 0 END AS dropme
+        | FROM e LEFT JOIN d USING (seg))
+        |SELECT doc_id, count(*) AS n_segs, CAST(sum(dropme) AS BIGINT) AS n_dropped,
+        | coalesce(string_agg(CASE WHEN dropme = 0 THEN seg END, ' ' ORDER BY pos), '') AS clean_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dd_exact" ->
       """SELECT doc_id, text_hash, copies FROM (
         | SELECT MIN(doc_id) AS doc_id,

@@ -326,4 +326,40 @@ class DedupSimilaritySpec extends SparkSpec {
     // or the query degenerates to identity (guard the fixture)
     assert(kept.exists(_._3 > 1), "no duplicate groups found — fixture drifted")
   }
+
+  test("segmentDedup drops exactly the cross-doc segments and reassembles the rest") {
+    val fixture = Seq(
+      // 1/2: verbatim copies — every segment duplicated, clean text empty
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "a b c d e f g h i j k l m n o p"),
+      // 3: shares only the FIRST aligned 8-word segment with 1/2
+      (3L, "a b c d e f g h zz yy xx ww vv uu tt ss"),
+      // 4: unique — nothing dropped, text round-trips normalized
+      (4L, "q r s t u v w x y z1 z2"),
+      // 5: whitespace-only — no segments, dropped from output
+      (5L, "   ")
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(fixture, segWords = 8, minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L) == ((1L, 2L, 2L, "")) && byId(2L) == ((2L, 2L, 2L, "")))
+    assert(byId(3L) == ((3L, 2L, 1L, "zz yy xx ww vv uu tt ss")))
+    assert(byId(4L) == ((4L, 2L, 0L, "q r s t u v w x y z1 z2")))
+  }
+
+  test("segmentDedup on unique docs is lossless modulo whitespace normalization") {
+    // tag every WORD with its doc id — the corpus fixture contains real
+    // near-dups, so uniqueness must hold per segment, not per document
+    val unique = docs.limit(40).select(col("doc_id"), concat_ws(" ",
+      expr("transform(filter(split(text, '\\\\s+'), w -> length(w) > 0), " +
+        "w -> concat(w, '_', cast(doc_id as string)))")).as("text"))
+    val out = Dedup.segmentDedup(unique, segWords = 8, minDocs = 2)
+    assert(out.agg(sum("n_dropped")).as[Long].head() == 0L)
+    // reassembly == whitespace-normalized original when nothing is dropped
+    val joined = out.join(unique, "doc_id")
+      .filter(col("clean_text") =!= col("text"))
+    assert(joined.count() == 0)
+  }
 }

@@ -291,6 +291,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("embedding#"), p)
   }
 
+  test("dd_segment_dedup: two pruned scans, hash-window count, broadcast join-back") {
+    // the per-segment doc count must be the partition-count window over
+    // the 8-byte hash (one exchange), NOT a groupBy + join-back (which
+    // adds a third corpus scan); the per-doc dup-hash set must come back
+    // over a broadcast, so the document row never rides a shuffle
+    val p = planOf("dd_segment_dedup")
+    assert(countScans(p) == 2, p)
+    assert(p.contains("hashpartitioning(sh"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("dd_keep_best: per-cluster argmax short-circuits via WindowGroupLimit") {
     // the rank-1 filter must rewrite to a per-partition top-1 BEFORE the
     // cluster exchange — at scale the window shuffle then carries at most
