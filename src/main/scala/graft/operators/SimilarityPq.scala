@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the COMPRESSION tier of the similarity
+  * stack, complementing the coarse-pruning tier ([[SimilarityIvf]]) and
+  * the 4× int8 tier ([[graft.functions.VectorQuant]]): split each vector
+  * into `m` subvectors, learn a `ksub`-entry codebook per subspace, and
+  * store each vector as `m` small codes. At 64 float dims with m=16,
+  * ksub=16 (the shipped config) that is 256 bytes → 16 half-byte codes
+  * (32× compression), and the winnowing scan never touches the float
+  * vectors — distance is approximated from the codes alone via an ADC
+  * (asymmetric distance computation) lookup table, so a 100 TB embedding
+  * corpus scans as a ~3 TB code table with the float tier touched only
+  * for the shortlist re-rank ([[adcRerankTopK]]).
+  *
+  * Generalizes the reference's quantize-at-rest idea (thresholded wavelet
+  * compression, `/root/reference/pkg/wave/wave.go:131-166`) to the
+  * similarity stack: lossy-compress the stored form, compute on the
+  * compressed form, keep the exact form for the final verify.
+  *
+  * Scale + determinism design:
+  *  - Training runs per-subspace k-means on the SAME bounded hash-ranked
+  *    sample as the IVF coarse quantizer ([[SimilarityIvf.trainCentroids]]
+  *    — 2^-20 fixed-point LONG sums, so codebooks are bit-stable under
+  *    any partition layout; that is what makes `sim_pq` golden-eligible).
+  *  - Encoding is a map-side projection (broadcast codebooks, primitive
+  *    argmin loop). No shuffle.
+  *  - An ADC query builds its m×ksub table ONCE on the driver (fixed
+  *    iteration order ⇒ bit-stable doubles), broadcasts it, and the scan
+  *    is projection + `TakeOrderedAndProject` top-k — the corpus-side
+  *    cost is one column-pruned scan of the code column.
+  */
+object SimilarityPq {
+
+  /** Codebooks: m subspaces × ksub centroids × (dim/m) components. */
+  type Codebooks = Array[Array[Array[Double]]]
+
+  /** Train per-subspace codebooks on a deterministic bounded sample.
+    * `dim` must divide evenly into `m` subspaces (asserted). */
+  def trainCodebooks(embeddings: DataFrame, m: Int = 4, ksub: Int = 16,
+                     iters: Int = 3, sampleN: Int = 4096): Codebooks = {
+    require(m >= 1 && ksub >= 2, s"need m >= 1 (got $m), ksub >= 2 (got $ksub)")
+    val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    (0 until m).map { j =>
+      val sliced = embeddings.select(col("vec_id"),
+        slice(col("embedding"), j * sub + 1, sub).as("embedding"))
+      SimilarityIvf.trainCentroids(sliced, ksub, iters, sampleN)
+        .sortBy(_._1).map(_._2)
+    }.toArray
+  }
+
+  /** Encode every vector as its `m` per-subspace nearest-centroid codes —
+    * a map-side projection against the broadcast codebooks. */
+  def encode(embeddings: DataFrame, books: Codebooks): DataFrame = {
+    val sub = books(0)(0).length
+    val m = books.length
+    val enc = udf((v: Array[Float]) => {
+      val d = new Array[Double](sub)
+      val codes = new Array[Int](m)
+      var j = 0
+      while (j < m) {
+        var i = 0
+        while (i < sub) { d(i) = v(j * sub + i).toDouble; i += 1 }
+        codes(j) = SimilarityIvf.nearestCell(d, books(j))
+        j += 1
+      }
+      codes
+    })
+    embeddings.select(col("vec_id"), enc(col("embedding")).as("codes"))
+  }
+
+  /** Approximate top-k nearest to `queryVec` by ADC over the codes:
+    * dist²(q, x) ≈ Σ_j table(j)(code_j(x)) where table(j)(c) =
+    * ‖q_j − centroid_{j,c}‖². Ties break on vec_id for a total order. */
+  def adcTopK(codes: DataFrame, books: Codebooks, queryVec: Array[Float],
+              k: Int, excludeIds: Seq[Long] = Nil): DataFrame = {
+    val sub = books(0)(0).length
+    val q = queryVec.map(_.toDouble)
+    val table: Array[Array[Double]] = books.indices.map { j =>
+      books(j).map { ctr =>
+        var d = 0.0; var i = 0
+        while (i < sub) { val t = q(j * sub + i) - ctr(i); d += t * t; i += 1 }
+        d
+      }
+    }.toArray
+    val score = udf((cs: Seq[Int]) => {
+      var s = 0.0; var j = 0
+      while (j < cs.length) { s += table(j)(cs(j)); j += 1 }
+      s
+    })
+    val base = if (excludeIds.isEmpty) codes
+               else codes.filter(!col("vec_id").isin(excludeIds: _*))
+    base.select(col("vec_id"), score(col("codes")).as("adc_dist2"))
+      .orderBy(asc("adc_dist2"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** The full PQ query pipeline: ADC shortlist over the codes, then an
+    * EXACT re-rank of the shortlist against the float vectors — the
+    * standard shape (compressed scan does the winnowing, floats only
+    * touch `shortlist` rows). The re-rank join broadcasts the shortlist
+    * ids, so the float side is one column-pruned scan with a map-side
+    * semi-join — at 100 TB the code scan reads ~1/32 of the bytes and
+    * the float fetch reads `shortlist` rows' worth of pages. Exact
+    * distances are row-local fixed-order double sums (golden-eligible).
+    * Emits (vec_id, adc_dist2, d2) ordered by exact d2, vec_id. */
+  def adcRerankTopK(embeddings: DataFrame, books: Codebooks,
+                    queryVec: Array[Float], k: Int, shortlist: Int,
+                    excludeIds: Seq[Long] = Nil): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val short = adcTopK(encode(embeddings, books), books, queryVec,
+      shortlist, excludeIds)
+    val q = queryVec.map(_.toDouble)
+    val d2 = udf((v: Array[Float]) => {
+      var s = 0.0; var i = 0
+      while (i < v.length) { val t = v(i) - q(i); s += t * t; i += 1 }
+      s
+    })
+    embeddings.join(broadcast(short), "vec_id")
+      .select(col("vec_id"), col("adc_dist2"), d2(col("embedding")).as("d2"))
+      .orderBy(asc("d2"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Reconstruct the (lossy) decoded vector — test/debug surface for the
+    * quantization-error invariants, not a query path. */
+  def decode(codes: Array[Int], books: Codebooks): Array[Double] = {
+    val sub = books(0)(0).length
+    val out = new Array[Double](codes.length * sub)
+    var j = 0
+    while (j < codes.length) {
+      System.arraycopy(books(j)(codes(j)), 0, out, j * sub, sub)
+      j += 1
+    }
+    out
+  }
+}

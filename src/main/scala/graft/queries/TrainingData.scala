@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalytics._
-import graft.operators.{Curation, Dedup, Similarity, SimilarityIvf}
+import graft.operators.{Curation, Dedup, Similarity, SimilarityIvf, SimilarityPq}
 import graft.sources.Tables
 
 /** Training-data-pipeline operators over the `documents` / `embeddings`
@@ -396,6 +396,41 @@ object TrainingData {
       excludeIds = Seq(0L))
   }
 
+  /** Trained PQ codebooks this JVM already built, keyed per fixture dir —
+    * train once, encode/probe many (the same build-once contract as the
+    * IVF index memo below; a fresh JVM always retrains, so a kernel
+    * change can never probe stale codebooks). */
+  private val pqBooks =
+    new java.util.concurrent.ConcurrentHashMap[String, SimilarityPq.Codebooks]()
+  private val pqBuildLock = new Object
+
+  /** Product-quantized ANN: ADC shortlist over 16×4-bit codes (256 B
+    * float vector → 8 B of codes, 32×), exact re-rank of the 50-row
+    * shortlist — the compression tier of the similarity stack (IVF
+    * prunes cells, int8 shrinks 4×, PQ makes the winnowing scan itself
+    * code-only; float touches only the shortlist). Golden-locked:
+    * codebooks come from the fixed-point k-means, the ADC table is built
+    * once driver-side in fixed order, per-row sums run in fixed subspace
+    * order, and the re-rank distances are row-local — bit-stable under
+    * any layout. Shortlist recall vs the float path is invariant-checked
+    * in ScalaTest (PqSpec: exact top-10 ⊆ ADC top-50 at this config). */
+  def simPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val books = pqBuildLock.synchronized {
+      var b = pqBooks.get(dir)
+      if (b == null) {
+        b = SimilarityPq.trainCodebooks(emb, m = 16, ksub = 16)
+        pqBooks.put(dir, b)
+      }
+      b
+    }
+    val qVec = emb.filter(col("vec_id") === 0L)
+      .select("embedding").as[Array[Float]].head()
+    SimilarityPq.adcRerankTopK(emb, books, qVec, k = 10, shortlist = 50,
+      excludeIds = Seq(0L))
+  }
+
   /** Quantized ANN: top-k by int8-cosine over per-vector symmetric
     * quantization — the 4×-smaller storage/shuffle tier of the similarity
     * stack (float stays the re-rank tier). Golden-locked (integer
@@ -723,6 +758,7 @@ object TrainingData {
     "sim_ann_lsh"      -> simAnnLsh _,
     "sim_ann_ivf"      -> simAnnIvf _,
     "sim_ann_int8"     -> simAnnInt8 _,
+    "sim_pq"           -> simPq _,
     "mm_features"      -> mmFeatures _,
     "dd_bloom_prefilter" -> ddBloomPrefilter _,
     "txt_compress_ratio" -> txtCompressRatio _,

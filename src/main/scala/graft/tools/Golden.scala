@@ -37,6 +37,11 @@ object Golden {
     // JVM; GoldenLockSpec re-derives per run and will flag an
     // environment change loudly — regenerate the golden then.
     "txt_compress_ratio",
+    // PQ/ADC: codebooks from the same fixed-point k-means as sim_ann_ivf;
+    // the ADC table is driver-built in fixed order and the per-row sum
+    // iterates subspaces in fixed order — no distributed float reduce
+    // anywhere, so the result is bit-stable under any layout
+    "sim_pq",
     // approx_percentile over integer cents with fixed accuracy: the GK
     // summary's merge is order-sensitive in general, but Q23ApproxSpec
     // locks partition-layout invariance (repartition(1)/(13)/by-value all

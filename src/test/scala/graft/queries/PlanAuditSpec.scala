@@ -303,6 +303,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("sim_pq: code-only winnow via TakeOrdered, broadcast re-rank, zero shuffles") {
+    // the ADC shortlist must short-circuit through TakeOrderedAndProject
+    // (never a global sort) and come back to the float side as a
+    // broadcast — the whole query runs without one hash exchange
+    val p = planOf("sim_pq")
+    assert(countScans(p) == 2, p)
+    assert("TakeOrderedAndProject".r.findAllIn(p).size == 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
   test("dd_keep_best: per-cluster argmax short-circuits via WindowGroupLimit") {
     // the rank-1 filter must rewrite to a per-partition top-1 BEFORE the
     // cluster exchange — at scale the window shuffle then carries at most
