@@ -187,14 +187,25 @@ object Dedup {
     * Scale shape (text NEVER rides an exchange; 2 column-pruned scans):
     *  1. Segmentation + xxhash64 per segment are map-side projections;
     *     segments are distinct'd within a doc before exploding, so a
-    *     plain count == count of distinct docs.
-    *  2. The per-segment document count is a partition-count WINDOW over
-    *     the 8-byte hash — one (doc_id, sh) exchange. The
-    *     groupBy+join-back formulation added a third corpus scan and a
-    *     second hash exchange (the same lesson as [[spanCoverage]]).
-    *  3. One (doc_id) exchange folds the duplicated hashes into a
-    *     per-doc set — bounded by the boilerplate population, not the
-    *     corpus.
+    *     plain count == count of distinct docs. The exploded
+    *     (doc_id, sh) rows — 16 bytes each, never text — are
+    *     localCheckpoint'ed so both consumers below read the
+    *     materialization instead of re-scanning the corpus. NOTE: like
+    *     [[graft.operators.Curation.packSequences]], that checkpoint is
+    *     an EAGER job at plan-construction time.
+    *  2. The per-segment document count is a partial-aggregated
+    *     groupBy(sh) — hot boilerplate hashes (the very thing this op
+    *     hunts: a footer in 10⁸ docs) combine MAP-SIDE before the
+    *     exchange. A count-over-window formulation has no partial
+    *     aggregation, so the hottest hash would funnel its every
+    *     occurrence into one straggling window task — [[spanCoverage]]'s
+    *     window shape is fine for its sliding-span DISTRIBUTION but
+    *     would be the skew hotspot here.
+    *  3. The duplicated hashes broadcast back onto the checkpointed rows
+    *     (the dup set is bounded by the boilerplate population, not the
+    *     corpus — drop the broadcast hint if a degenerate corpus breaks
+    *     that bound) and one (doc_id) exchange folds them into a per-doc
+    *     set.
     *  4. Reassembly joins that narrow per-doc hash set back to the
     *     document row and drops segments with a higher-order `filter`
     *     (re-hashing map-side rather than shuffling positions). The
@@ -202,6 +213,9 @@ object Dedup {
     *     up); under a sort-merge fallback it is the only join where the
     *     doc row moves — at cluster scale bucket `docs` by doc_id to
     *     keep that exchange off the text too.
+    * Tokenization is an explicit whitespace class (identical byte-for-
+    * byte on the Spark and DuckDB sides — Java `\s` matches U+000B,
+    * RE2's does not, so the shorthand is NOT cross-engine-stable).
     * Segment identity is the hash (the [[exact]] contract); a corpus
     * where 8-byte collisions matter should raise `segWords` — a collision
     * needs two distinct segments hashing equal AND co-resident docs.
@@ -212,17 +226,17 @@ object Dedup {
       s"need segWords >= 1 (got $segWords), minDocs >= 2 (got $minDocs)")
     val base = docs
       .select(col("doc_id"),
-        filter(split(col("text"), "\\s+"), w => length(w) > 0).as("ws"))
+        filter(split(col("text"), "[ \\t\\n\\u000B\\f\\r]+"), w => length(w) > 0).as("ws"))
       .filter(size(col("ws")) > 0)
       .withColumn("segs", expr(
         s"transform(sequence(0, cast(ceil(size(ws) / $segWords.0) as int) - 1), " +
         s"i -> concat_ws(' ', slice(ws, i * $segWords + 1, $segWords)))"))
     val segHashes = base.select(col("doc_id"),
       explode(array_distinct(expr("transform(segs, s -> xxhash64(s))"))).as("sh"))
-    val docDup = segHashes
-      .withColumn("nd", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-      .filter(col("nd") >= minDocs)
+      .localCheckpoint()
+    val dup = segHashes.groupBy("sh").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select("sh")
+    val docDup = segHashes.join(broadcast(dup), "sh")
       .groupBy("doc_id").agg(collect_set(col("sh")).as("dup_sh"))
     base.join(docDup, Seq("doc_id"), "left")
       .withColumn("kept", expr(

@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * the 4× int8 tier ([[graft.functions.VectorQuant]]): split each vector
   * into `m` subvectors, learn a `ksub`-entry codebook per subspace, and
   * store each vector as `m` small codes. At 64 float dims with m=16,
-  * ksub=16 (the shipped config) that is 256 bytes → 16 half-byte codes
-  * (32× compression), and the winnowing scan never touches the float
-  * vectors — distance is approximated from the codes alone via an ADC
-  * (asymmetric distance computation) lookup table, so a 100 TB embedding
-  * corpus scans as a ~3 TB code table with the float tier touched only
-  * for the shortlist re-rank ([[adcRerankTopK]]).
+  * ksub=16 (the shipped config) that is 256 bytes → 16 nibble-packed
+  * codes = 8 bytes (32×), and the winnowing scan of a PERSISTED index
+  * ([[buildIndex]]/[[probeIndex]]) reads only that code column —
+  * distance is approximated from the codes alone via an ADC (asymmetric
+  * distance computation) lookup table, so a 100 TB embedding corpus
+  * winnows as a ~3 TB code table with the float tier touched only for
+  * the shortlist re-rank.
   *
   * Generalizes the reference's quantize-at-rest idea (thresholded wavelet
   * compression, `/root/reference/pkg/wave/wave.go:131-166`) to the
@@ -21,72 +22,161 @@ import org.apache.spark.sql.functions._
   * compressed form, keep the exact form for the final verify.
   *
   * Scale + determinism design:
-  *  - Training runs per-subspace k-means on the SAME bounded hash-ranked
-  *    sample as the IVF coarse quantizer ([[SimilarityIvf.trainCentroids]]
-  *    — 2^-20 fixed-point LONG sums, so codebooks are bit-stable under
-  *    any partition layout; that is what makes `sim_pq` golden-eligible).
+  *  - Training draws ONE bounded hash-ranked corpus sample (the same
+  *    sampling rule as [[SimilarityIvf.trainCentroids]]) and runs the m
+  *    per-subspace k-means DRIVER-LOCAL over it — one Spark job total,
+  *    not m corpus sorts. The arithmetic replicates the IVF trainer's
+  *    2^-20 fixed-point LONG sums exactly (truncate-toward-zero
+  *    quantization, sum-then-divide means), so codebooks are bit-stable
+  *    and independent of partition layout; that is what makes `sim_pq`
+  *    golden-eligible.
   *  - Encoding is a map-side projection (broadcast codebooks, primitive
-  *    argmin loop). No shuffle.
+  *    argmin loop). No shuffle. A null or wrong-dimension vector encodes
+  *    to null codes and is excluded from scoring (visible, not a crash —
+  *    the sim_assign null-contract).
   *  - An ADC query builds its m×ksub table ONCE on the driver (fixed
   *    iteration order ⇒ bit-stable doubles), broadcasts it, and the scan
-  *    is projection + `TakeOrderedAndProject` top-k — the corpus-side
-  *    cost is one column-pruned scan of the code column.
+  *    is projection + `TakeOrderedAndProject` top-k.
   */
 object SimilarityPq {
 
   /** Codebooks: m subspaces × ksub centroids × (dim/m) components. */
   type Codebooks = Array[Array[Array[Double]]]
 
+  /** Fixed-point scale for centroid-update sums — MUST match
+    * [[SimilarityIvf]]'s so the two trainers stay value-compatible. */
+  private val FixedPoint = 1048576.0
+
   /** Train per-subspace codebooks on a deterministic bounded sample.
+    * One corpus job (hash-ranked top-`sampleN` collect, ~1 MB at 64
+    * dims); the per-subspace Lloyd iterations run driver-local on that
+    * sample with the IVF trainer's exact fixed-point arithmetic, so the
+    * result is identical to slicing the corpus per subspace and running
+    * the distributed trainer m times — minus m−1 corpus sorts.
     * `dim` must divide evenly into `m` subspaces (asserted). */
-  def trainCodebooks(embeddings: DataFrame, m: Int = 4, ksub: Int = 16,
+  def trainCodebooks(embeddings: DataFrame, m: Int = 16, ksub: Int = 16,
                      iters: Int = 3, sampleN: Int = 4096): Codebooks = {
     require(m >= 1 && ksub >= 2, s"need m >= 1 (got $m), ksub >= 2 (got $ksub)")
-    val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val sample: Array[Array[Float]] = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleN)
+      .select(col("embedding")).as[Array[Float]]
+      .collect()
+    require(sample.nonEmpty, "empty embeddings table — nothing to train on")
+    val dim = sample(0).length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
     (0 until m).map { j =>
-      val sliced = embeddings.select(col("vec_id"),
-        slice(col("embedding"), j * sub + 1, sub).as("embedding"))
-      SimilarityIvf.trainCentroids(sliced, ksub, iters, sampleN)
-        .sortBy(_._1).map(_._2)
+      val sliced = sample.map { v =>
+        val d = new Array[Double](sub)
+        var i = 0
+        while (i < sub) { d(i) = v(j * sub + i).toDouble; i += 1 }
+        d
+      }
+      lloydLocal(sliced, ksub, iters)
     }.toArray
   }
 
+  /** Driver-local Lloyd iterations replicating the distributed trainer's
+    * value semantics bit-for-bit: seed = first `k` sample rows (hash
+    * order), per-iteration sums quantized `(x * 2^20).toLong` (truncate
+    * toward zero — the SQL double→long cast), mean = Σ/(n·2^20), empty
+    * cells keep their previous centroid. */
+  private def lloydLocal(rows: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val dim = rows(0).length
+    var centroids: Array[Array[Double]] = rows.take(k).map(_.clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centroids.length)(new Array[Long](dim))
+      val counts = new Array[Long](centroids.length)
+      rows.foreach { v =>
+        val c = SimilarityIvf.nearestCell(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += (v(i) * FixedPoint).toLong; i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_.toDouble / (counts(c) * FixedPoint))
+      }.toArray
+      it += 1
+    }
+    centroids
+  }
+
   /** Encode every vector as its `m` per-subspace nearest-centroid codes —
-    * a map-side projection against the broadcast codebooks. */
+    * a map-side projection against the broadcast codebooks. A null or
+    * wrong-dimension vector yields NULL codes (visible; scoring skips
+    * it) instead of crashing the task. */
   def encode(embeddings: DataFrame, books: Codebooks): DataFrame = {
     val sub = books(0)(0).length
     val m = books.length
     val enc = udf((v: Array[Float]) => {
-      val d = new Array[Double](sub)
-      val codes = new Array[Int](m)
-      var j = 0
-      while (j < m) {
-        var i = 0
-        while (i < sub) { d(i) = v(j * sub + i).toDouble; i += 1 }
-        codes(j) = SimilarityIvf.nearestCell(d, books(j))
-        j += 1
+      if (v == null || v.length != m * sub) null
+      else {
+        val d = new Array[Double](sub)
+        val codes = new Array[Int](m)
+        var j = 0
+        while (j < m) {
+          var i = 0
+          while (i < sub) { d(i) = v(j * sub + i).toDouble; i += 1 }
+          codes(j) = SimilarityIvf.nearestCell(d, books(j))
+          j += 1
+        }
+        codes
       }
-      codes
     })
     embeddings.select(col("vec_id"), enc(col("embedding")).as("codes"))
   }
 
-  /** Approximate top-k nearest to `queryVec` by ADC over the codes:
-    * dist²(q, x) ≈ Σ_j table(j)(code_j(x)) where table(j)(c) =
-    * ‖q_j − centroid_{j,c}‖². Ties break on vec_id for a total order. */
-  def adcTopK(codes: DataFrame, books: Codebooks, queryVec: Array[Float],
-              k: Int, excludeIds: Seq[Long] = Nil): DataFrame = {
+  /** Pack an m-code row into ⌈m/2⌉ bytes (two 4-bit codes per byte;
+    * requires ksub ≤ 16 — asserted at [[buildIndex]]). */
+  private[operators] def pack4(codes: Array[Int]): Array[Byte] = {
+    val out = new Array[Byte]((codes.length + 1) / 2)
+    var j = 0
+    while (j < codes.length) {
+      val shifted = codes(j) << (if (j % 2 == 0) 4 else 0)
+      out(j / 2) = (out(j / 2) | shifted).toByte
+      j += 1
+    }
+    out
+  }
+
+  /** Unpack ⌈m/2⌉ bytes back to m 4-bit codes. */
+  private[operators] def unpack4(bytes: Array[Byte], m: Int): Array[Int] = {
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val b = bytes(j / 2) & 0xff
+      out(j) = if (j % 2 == 0) b >>> 4 else b & 0x0f
+      j += 1
+    }
+    out
+  }
+
+  /** The ADC distance table for `queryVec`: table(j)(c) =
+    * ‖q_j − centroid_{j,c}‖², driver-built in fixed order. */
+  private def adcTable(books: Codebooks, queryVec: Array[Float]): Array[Array[Double]] = {
     val sub = books(0)(0).length
     val q = queryVec.map(_.toDouble)
-    val table: Array[Array[Double]] = books.indices.map { j =>
+    books.indices.map { j =>
       books(j).map { ctr =>
         var d = 0.0; var i = 0
         while (i < sub) { val t = q(j * sub + i) - ctr(i); d += t * t; i += 1 }
         d
       }
     }.toArray
+  }
+
+  /** Approximate top-k nearest to `queryVec` by ADC over unpacked codes:
+    * dist²(q, x) ≈ Σ_j table(j)(code_j(x)). Null code rows (ragged
+    * vectors) are excluded. Ties break on vec_id for a total order. */
+  def adcTopK(codes: DataFrame, books: Codebooks, queryVec: Array[Float],
+              k: Int, excludeIds: Seq[Long] = Nil): DataFrame = {
+    val table = adcTable(books, queryVec)
     val score = udf((cs: Seq[Int]) => {
       var s = 0.0; var j = 0
       while (j < cs.length) { s += table(j)(cs(j)); j += 1 }
@@ -94,36 +184,120 @@ object SimilarityPq {
     })
     val base = if (excludeIds.isEmpty) codes
                else codes.filter(!col("vec_id").isin(excludeIds: _*))
-    base.select(col("vec_id"), score(col("codes")).as("adc_dist2"))
+    base.filter(col("codes").isNotNull)
+      .select(col("vec_id"), score(col("codes")).as("adc_dist2"))
       .orderBy(asc("adc_dist2"), asc("vec_id"))
       .limit(k)
   }
 
-  /** The full PQ query pipeline: ADC shortlist over the codes, then an
-    * EXACT re-rank of the shortlist against the float vectors — the
-    * standard shape (compressed scan does the winnowing, floats only
-    * touch `shortlist` rows). The re-rank join broadcasts the shortlist
-    * ids, so the float side is one column-pruned scan with a map-side
-    * semi-join — at 100 TB the code scan reads ~1/32 of the bytes and
-    * the float fetch reads `shortlist` rows' worth of pages. Exact
-    * distances are row-local fixed-order double sums (golden-eligible).
-    * Emits (vec_id, adc_dist2, d2) ordered by exact d2, vec_id. */
-  def adcRerankTopK(embeddings: DataFrame, books: Codebooks,
-                    queryVec: Array[Float], k: Int, shortlist: Int,
-                    excludeIds: Seq[Long] = Nil): DataFrame = {
-    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
-    val short = adcTopK(encode(embeddings, books), books, queryVec,
-      shortlist, excludeIds)
+  /** Exact re-rank of an ADC `shortlist` against the float vectors:
+    * broadcast the shortlist ids, one column-pruned float scan fetches
+    * only matching rows' pages, exact row-local distances order the
+    * final k. Emits (vec_id, adc_dist2, d2) ordered by exact d2. */
+  private def rerank(embeddings: DataFrame, short: DataFrame,
+                     queryVec: Array[Float], k: Int): DataFrame = {
     val q = queryVec.map(_.toDouble)
     val d2 = udf((v: Array[Float]) => {
       var s = 0.0; var i = 0
-      while (i < v.length) { val t = v(i) - q(i); s += t * t; i += 1 }
+      val n = math.min(v.length, q.length)
+      while (i < n) { val t = v(i) - q(i); s += t * t; i += 1 }
       s
     })
     embeddings.join(broadcast(short), "vec_id")
       .select(col("vec_id"), col("adc_dist2"), d2(col("embedding")).as("d2"))
       .orderBy(asc("d2"), asc("vec_id"))
       .limit(k)
+  }
+
+  /** Self-contained PQ query (train/encode inline): ADC shortlist, then
+    * exact re-rank. NOTE this variant re-reads the float column for the
+    * winnow too — it is the small-scale / test surface. The scale path
+    * is [[buildIndex]] once + [[probeIndex]] per query, where the winnow
+    * scan reads only the persisted 8-byte code rows. */
+  def adcRerankTopK(embeddings: DataFrame, books: Codebooks,
+                    queryVec: Array[Float], k: Int, shortlist: Int,
+                    excludeIds: Seq[Long] = Nil): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val short = adcTopK(encode(embeddings, books), books, queryVec,
+      shortlist, excludeIds)
+    rerank(embeddings, short, queryVec, k)
+  }
+
+  /** Persist a PQ index VERSION: nibble-packed codes as parquet plus a
+    * `_codebooks` side table, into a fresh `v<N>/` published by the
+    * rename-based `_current` pointer swap — the same layout and
+    * concurrency contract as the LSH and IVF indexes (a probe that
+    * resolved the pointer before a rebuild keeps reading its previous
+    * COMPLETE version). Build once per corpus version, probe many. */
+  def buildIndex(embeddings: DataFrame, path: String, m: Int = 16,
+                 ksub: Int = 16, iters: Int = 3): Unit = {
+    require(ksub <= 16, s"codes are nibble-packed: ksub must be <= 16 (got $ksub)")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (fs, root) = graft.sources.Fs.of(spark, path)
+    val version = graft.sources.Fs.currentVersion(fs, root).getOrElse(0) + 1
+    val vdir = s"$path/v$version"
+    val books = trainCodebooks(embeddings, m, ksub, iters)
+    val packUdf = udf((cs: Seq[Int]) =>
+      if (cs == null) null else pack4(cs.toArray))
+    encode(embeddings, books)
+      .select(col("vec_id"), packUdf(col("codes")).as("code"))
+      .write.mode("overwrite").parquet(s"$vdir/codes")
+    spark.createDataset(
+        books.zipWithIndex.flatMap { case (cb, j) =>
+          cb.zipWithIndex.map { case (ctr, c) => (j, c, ctr.toSeq) }
+        }.toSeq)
+      .toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/_codebooks")
+    graft.sources.Fs.publishVersion(fs, root, version)
+  }
+
+  /** Load a persisted version's codebooks (driver-side, m×ksub rows). */
+  private def loadCodebooks(spark: SparkSession, vdir: String): Codebooks = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$vdir/_codebooks")
+      .select(col("subspace"), col("code"), col("centroid"))
+      .as[(Int, Int, Seq[Double])].collect()
+    val m = rows.map(_._1).max + 1
+    val ksub = rows.map(_._2).max + 1
+    val books: Codebooks = Array.ofDim[Array[Double]](m, ksub)
+    rows.foreach { case (j, c, ctr) => books(j)(c) = ctr.toArray }
+    books
+  }
+
+  /** Probe a persisted index: resolve `_current` once, winnow by ADC
+    * over the PACKED code scan (the float table is not read until the
+    * re-rank fetch of `shortlist` rows). `embeddings` supplies the
+    * exact tier — in a real pipeline, the primary vector store. */
+  def probeIndex(spark: SparkSession, path: String, embeddings: DataFrame,
+                 queryVec: Array[Float], k: Int, shortlist: Int,
+                 excludeIds: Seq[Long] = Nil): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val (fs, root) = graft.sources.Fs.of(spark, path)
+    val version = graft.sources.Fs.currentVersion(fs, root).getOrElse(
+      sys.error(s"no PQ index at $path (missing _current pointer — " +
+        "run buildIndex first)"))
+    val vdir = s"$path/v$version"
+    val books = loadCodebooks(spark, vdir)
+    val m = books.length
+    val table = adcTable(books, queryVec)
+    val score = udf((bytes: Array[Byte]) => {
+      if (bytes == null) null.asInstanceOf[java.lang.Double]
+      else {
+        val cs = unpack4(bytes, m)
+        var s = 0.0; var j = 0
+        while (j < m) { s += table(j)(cs(j)); j += 1 }
+        java.lang.Double.valueOf(s)
+      }
+    })
+    val codes = spark.read.parquet(s"$vdir/codes")
+    val base = if (excludeIds.isEmpty) codes
+               else codes.filter(!col("vec_id").isin(excludeIds: _*))
+    val short = base.filter(col("code").isNotNull)
+      .select(col("vec_id"), score(col("code")).as("adc_dist2"))
+      .orderBy(asc("adc_dist2"), asc("vec_id"))
+      .limit(shortlist)
+    rerank(embeddings, short, queryVec, k)
   }
 
   /** Reconstruct the (lossy) decoded vector — test/debug surface for the

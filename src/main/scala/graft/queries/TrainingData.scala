@@ -396,38 +396,41 @@ object TrainingData {
       excludeIds = Seq(0L))
   }
 
-  /** Trained PQ codebooks this JVM already built, keyed per fixture dir —
-    * train once, encode/probe many (the same build-once contract as the
-    * IVF index memo below; a fresh JVM always retrains, so a kernel
-    * change can never probe stale codebooks). */
-  private val pqBooks =
-    new java.util.concurrent.ConcurrentHashMap[String, SimilarityPq.Codebooks]()
+  /** Paths whose PQ index this JVM already built — build once, probe
+    * many (the same memo contract as the IVF index below; a fresh JVM
+    * always rebuilds, so a kernel change can never probe stale codes). */
+  private val pqBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val pqBuildLock = new Object
 
-  /** Product-quantized ANN: ADC shortlist over 16×4-bit codes (256 B
-    * float vector → 8 B of codes, 32×), exact re-rank of the 50-row
-    * shortlist — the compression tier of the similarity stack (IVF
-    * prunes cells, int8 shrinks 4×, PQ makes the winnowing scan itself
-    * code-only; float touches only the shortlist). Golden-locked:
+  /** Product-quantized ANN via the PERSISTED versioned code index: ADC
+    * shortlist over 16×4-bit nibble-packed codes (256 B float vector →
+    * 8 B stored, 32×), exact re-rank of the 50-row shortlist — the
+    * compression tier of the similarity stack (IVF prunes cells, int8
+    * shrinks 4×, PQ makes the winnowing scan read only the code
+    * column; floats page in for the shortlist fetch). The first call in
+    * a JVM builds `v<N>/` + `_current` (SimilarityPq.buildIndex — the
+    * IVF/LSH build/swap layout); later calls probe only. Golden-locked:
     * codebooks come from the fixed-point k-means, the ADC table is built
     * once driver-side in fixed order, per-row sums run in fixed subspace
     * order, and the re-rank distances are row-local — bit-stable under
     * any layout. Shortlist recall vs the float path is invariant-checked
-    * in ScalaTest (PqSpec: exact top-10 ⊆ ADC top-50 at this config). */
+    * in ScalaTest (PqSpec: ≥8/10 floor on the sf0.001 test fixture;
+    * measured 10/10 at sf0.01, the scale the golden locks). */
   def simPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val books = pqBuildLock.synchronized {
-      var b = pqBooks.get(dir)
-      if (b == null) {
-        b = SimilarityPq.trainCodebooks(emb, m = 16, ksub = 16)
-        pqBooks.put(dir, b)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val path = s"${sys.props("java.io.tmpdir")}/graft-pq-index-$key"
+    pqBuildLock.synchronized {
+      if (!pqBuilt.contains(path)) {
+        SimilarityPq.buildIndex(emb, path, m = 16, ksub = 16)
+        pqBuilt.add(path)
       }
-      b
     }
     val qVec = emb.filter(col("vec_id") === 0L)
       .select("embedding").as[Array[Float]].head()
-    SimilarityPq.adcRerankTopK(emb, books, qVec, k = 10, shortlist = 50,
+    SimilarityPq.probeIndex(spark, path, emb, qVec, k = 10, shortlist = 50,
       excludeIds = Seq(0L))
   }
 
@@ -850,8 +853,10 @@ object TrainingData {
         |FROM grams JOIN counts USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dd_segment_dedup" ->
+      // explicit whitespace class: Java \s matches U+000B, RE2's \s does
+      // not — the shorthand silently diverges across engines
       """WITH w AS (
-        | SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws
+        | SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> len(x) > 0) AS ws
         | FROM documents),
         |nz AS (SELECT doc_id, ws FROM w WHERE len(ws) > 0),
         |e AS (

@@ -66,6 +66,53 @@ class PqSpec extends SparkSpec {
       s"re-ranked $reranked != exact-over-shortlist $expected")
   }
 
+  test("nibble packing round-trips every code row") {
+    val codes = SimilarityPq.encode(embs, books)
+      .select("codes").as[Seq[Int]].collect()
+    codes.foreach { cs =>
+      val rt = SimilarityPq.unpack4(SimilarityPq.pack4(cs.toArray), cs.length)
+      assert(rt.toSeq == cs, s"pack/unpack drifted: $cs -> ${rt.toSeq}")
+    }
+    // odd m packs the trailing nibble high, zero-padded
+    assert(SimilarityPq.unpack4(SimilarityPq.pack4(Array(3, 7, 15)), 3).toSeq
+      == Seq(3, 7, 15))
+  }
+
+  test("ragged vectors encode to null codes and are excluded, not a crash") {
+    val q = embs.filter(col("vec_id") === 0L)
+      .select("embedding").as[Array[Float]].head()
+    val ragged = embs.select(col("vec_id"), col("embedding"))
+      .unionByName(Seq(
+        (900001L, Array.fill(8)(0.1f)),        // wrong dim
+        (900002L, null.asInstanceOf[Array[Float]]) // null vector
+      ).toDF("vec_id", "embedding"))
+    val coded = SimilarityPq.encode(ragged, books)
+    assert(coded.filter(col("vec_id") >= 900000L && col("codes").isNotNull)
+      .count() == 0)
+    // scoring skips them instead of throwing
+    val top = SimilarityPq.adcTopK(coded, books, q, k = 5, excludeIds = Seq(0L))
+      .select("vec_id").as[Long].collect()
+    assert(top.length == 5 && top.forall(_ < 900000L))
+  }
+
+  test("persisted index probe returns exactly the inline pipeline's result") {
+    val q = embs.filter(col("vec_id") === 0L)
+      .select("embedding").as[Array[Float]].head()
+    val path = java.nio.file.Files
+      .createTempDirectory("pq-index-spec").toString
+    SimilarityPq.buildIndex(embs, path, m = 16, ksub = 16)
+    val probed = SimilarityPq.probeIndex(spark, path, embs, q, k = 10,
+      shortlist = 50, excludeIds = Seq(0L)).collect().toSeq
+    val inline = SimilarityPq.adcRerankTopK(embs, books, q, k = 10,
+      shortlist = 50, excludeIds = Seq(0L)).collect().toSeq
+    assert(probed == inline, s"persisted $probed != inline $inline")
+    // rebuild publishes v2 and probes still resolve (pointer swap)
+    SimilarityPq.buildIndex(embs, path, m = 16, ksub = 16)
+    val probed2 = SimilarityPq.probeIndex(spark, path, embs, q, k = 10,
+      shortlist = 50, excludeIds = Seq(0L)).collect().toSeq
+    assert(probed2 == inline)
+  }
+
   test("decode error is the quantization contract: closer than the global mean") {
     val mean = embs.select(posexplode(col("embedding")))
       .groupBy("pos").agg(avg("col").as("m"))

@@ -291,14 +291,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("embedding#"), p)
   }
 
-  test("dd_segment_dedup: two pruned scans, hash-window count, broadcast join-back") {
-    // the per-segment doc count must be the partition-count window over
-    // the 8-byte hash (one exchange), NOT a groupBy + join-back (which
-    // adds a third corpus scan); the per-doc dup-hash set must come back
-    // over a broadcast, so the document row never rides a shuffle
+  test("dd_segment_dedup: one corpus scan + checkpoint, partial-agged count, broadcast join-back") {
+    // the per-segment doc count must be a PARTIAL-aggregated groupBy over
+    // the checkpointed (doc_id, sh) rows — a count-over-window would
+    // funnel every occurrence of a hot boilerplate hash into one task —
+    // and both the dup set and the per-doc hash set must come back over
+    // broadcasts, so the document row never rides a shuffle
     val p = planOf("dd_segment_dedup")
-    assert(countScans(p) == 2, p)
-    assert(p.contains("hashpartitioning(sh"), p)
+    assert(countScans(p) == 1, p) // corpus parquet; hashes read the checkpoint
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Window"), p)
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
