@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hashed n-gram importance weighting for data selection (DSIR-style:
+  * "Data Selection for Language Models via Importance Resampling",
+  * Xie et al. 2023 — the public method, re-expressed Spark-first).
+  *
+  * Each document is represented by its word unigrams + bigrams hashed
+  * into a fixed number of buckets; a target subset of the corpus (e.g.
+  * one language, one trusted source) and the raw corpus each induce a
+  * bucket distribution, and a document's importance weight is the sum of
+  * per-gram log-likelihood ratios log p_target(b)/p_raw(b) (add-one
+  * smoothed). High-weight documents "look like" the target under the
+  * hashed-gram bag model and are the ones importance resampling keeps.
+  * The reference engine's curation model runs per-record scoring
+  * transforms over the wire exactly once
+  * (/root/reference/pkg/internal/wire/transform.go:93-119); this is the
+  * corpus-level analogue that needs a corpus-derived model first.
+  *
+  * Scale shape: pass 1 partial-aggregates hashed grams down to a
+  * `buckets`-row table (the only exchange is `buckets` rows wide), which
+  * is collected (bounded by construction: `buckets` ≤ 2^20) and folded
+  * into a literal log-ratio array that ships with the plan like a
+  * broadcast; pass 2 is a map-only projection — hash, look up, integer
+  * sum — with no join and no aggregate, so at 100 TB the cost is two
+  * corpus scans and an 16 KB table, and the scoring pass fuses into any
+  * other per-doc projection. Selection composes on top (orderBy weight
+  * desc / threshold), deliberately NOT baked in here: a global rank
+  * would add a single-partition window for presentation only.
+  *
+  * Determinism / oracle-exactness: gram hashing is an integer polynomial
+  * fold over codepoints (mod 2^31−1 — positive, overflow-free in longs);
+  * ln() is taken only over INTEGRAL doubles (counts + smoothing), which
+  * is bit-identical between JVM and DuckDB libm, quantized to 2⁻²⁰
+  * fixed-point per bucket and summed as longs (associative under any
+  * partitioning) — the same trick as
+  * [[graft.functions.TextAnalytics.lmScore]].
+  */
+object Importance {
+
+  /** Max buckets: keeps the collected table and the literal array that
+    * rides the plan bounded (2^20 longs = 8 MB) at ANY corpus size. */
+  val MaxBuckets = 1 << 20
+
+  private val log2p20 = 1048576.0
+
+  /** `round(ln(n) * 2^20)` over an integral argument — bit-identical to
+    * DuckDB's `CAST(round(ln(CAST(n AS DOUBLE)) * 1048576) AS BIGINT)`
+    * (Math.round = HALF_UP for the non-negative values ln produces
+    * here). */
+  private def qln(n: Long): Long = Math.round(Math.log(n.toDouble) * log2p20)
+
+  /** Word unigrams + adjacent-pair bigrams ("w1 w2") over a materialized
+    * `__ws` token-array column — the corpus tokenization every other
+    * text operator uses, so the gram model can never drift from the
+    * signal queries; pairing is the same native transform-over-slice as
+    * [[graft.queries.TrainingData.txtBigrams]]. */
+  private val gramsExpr: Column = concat(
+    col("__ws"),
+    when(size(col("__ws")) < 2, array().cast("array<string>"))
+      .otherwise(expr(
+        "transform(slice(__ws, 1, size(__ws)-1), (w, i) -> concat(w, ' ', __ws[i+1]))")))
+
+  /** Hash each gram to a bucket: polynomial codepoint fold
+    * h = fold(7, (h, c) -> (h*31 + c) mod 2^31−1), bucket = h mod B.
+    * The split('') trailing-empty element Java regexes produce is
+    * filtered so the fold sees exactly the codepoints DuckDB's
+    * string_split sees. */
+  private def bucketsArrCol(grams: Column, buckets: Int): Column =
+    transform(grams, g =>
+      aggregate(
+        filter(split(g, ""), c => c =!= ""),
+        lit(7L),
+        (h, c) => (h * 31 + ascii(c)) % 2147483647L) % buckets)
+
+  /** Per-document importance weights against a target subset.
+    *
+    * Output: (doc_id, n_grams, weight_fp, avg_weight) — `weight_fp` is
+    * the 2⁻²⁰ fixed-point sum Σ_g [qln(ct(b)+1) − qln(cr(b)+1)] −
+    * n_grams·[qln(Nt+B) − qln(Nr+B)], i.e. the add-one-smoothed
+    * log-likelihood-ratio of the doc under target vs raw hashed-gram
+    * unigram models; `avg_weight` the per-gram double. Documents with no
+    * grams are excluded (no model support on either side).
+    *
+    * @param isTarget predicate over the doc row selecting the target
+    *                 subset (e.g. `col("lang") === "en"`)
+    */
+  def importanceWeights(docs: DataFrame, isTarget: Column,
+                        buckets: Int = 2048): DataFrame = {
+    require(buckets > 0 && buckets <= MaxBuckets,
+      s"buckets must be in (0, $MaxBuckets]: $buckets")
+
+    val grams = docs
+      .withColumn("__ws",
+        filter(graft.functions.TextAnalytics.words(col("text")), w => length(w) > 0))
+      .select(col("doc_id"), isTarget.as("__t"), gramsExpr.as("__gs"))
+      .filter(size(col("__gs")) >= 1)
+
+    // pass 1: bucket-count model — the exchange is `buckets` rows wide
+    val counts = grams
+      .select(col("__t"), explode(bucketsArrCol(col("__gs"), buckets)).as("__b"))
+      .groupBy("__b")
+      .agg(count(lit(1)).as("cr"), sum(when(col("__t"), 1L).otherwise(0L)).as("ct"))
+      .collect()
+
+    var nr = 0L; var nt = 0L
+    val ql = new Array[Long](buckets)
+    counts.foreach { r =>
+      val b = r.getLong(0).toInt; val cr = r.getLong(1); val ct = r.getLong(2)
+      nr += cr; nt += ct
+      ql(b) = qln(ct + 1) - qln(cr + 1)
+    }
+    val qn = qln(nt + buckets) - qln(nr + buckets)
+    val qlLit = typedLit(ql.toSeq)
+
+    // pass 2: map-only scoring — hash, look up, integer-sum; no join
+    grams
+      .select(col("doc_id"), size(col("__gs")).cast("long").as("n_grams"),
+        aggregate(bucketsArrCol(col("__gs"), buckets), lit(0L),
+          (acc, b) => acc + element_at(qlLit, (b + 1).cast("int"))).as("__sq"))
+      .select(col("doc_id"), col("n_grams"),
+        (col("__sq") - col("n_grams") * qn).as("weight_fp"),
+        (((col("__sq") - col("n_grams") * qn).cast("double") / log2p20) /
+          col("n_grams")).as("avg_weight"))
+  }
+}

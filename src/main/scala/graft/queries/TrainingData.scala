@@ -720,6 +720,15 @@ object TrainingData {
     Curation.budgetSelect(Tables.documents(spark, dir), budgetTokens = 12000)
       .orderBy("doc_id")
 
+  /** DSIR-style hashed-gram importance weights of every document against
+    * the English subset of the corpus (see
+    * [[graft.operators.Importance.importanceWeights]]) — the
+    * data-selection model pass + map-only scoring pass. */
+  def dsImportance(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Importance.importanceWeights(
+      Tables.documents(spark, dir), col("lang") === "en")
+      .orderBy("doc_id")
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dd_exact"         -> ddExact _,
     "dd_jaccard_words" -> ddJaccardWords _,
@@ -772,6 +781,7 @@ object TrainingData {
     "dd_keep_best"       -> ddKeepBest _,
     "ds_order"           -> dsOrder _,
     "sim_semdedup"       -> ((s: SparkSession, d: String) => simSemdedup(s, d)),
+    "ds_importance"      -> dsImportance _,
   )
 
   private val enList = enMarkers.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -781,6 +791,50 @@ object TrainingData {
   /** DuckDB transliterations (exactly value-aligned). MinHash/SimHash/ANN
     * intentionally omitted (engine-specific hash functions). */
   val oracle: Seq[(String, String)] = Seq(
+    // same gram model both sides: unigrams + ' '-joined bigrams, hashed by
+    // the integer polynomial fold mod 2^31-1 into 2048 buckets; ln() only
+    // over integral doubles (counts + add-one smoothing), quantized 2^-20
+    "ds_importance" ->
+      """WITH w AS (
+        | SELECT doc_id, lang,
+        |  list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |              x -> length(x) > 0) AS ws
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, lang,
+        |  unnest(ws || list_transform(generate_series(1, len(ws) - 1),
+        |                              i -> ws[i] || ' ' || ws[i + 1])) AS g
+        | FROM w WHERE len(ws) >= 1),
+        |gb AS (
+        | SELECT doc_id, lang,
+        |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |    list_transform(string_split(g, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 2147483647) % 2048 AS b
+        | FROM g),
+        |cnt AS (
+        | SELECT b, COUNT(*) AS cr, COUNT(*) FILTER (WHERE lang = 'en') AS ct
+        | FROM gb GROUP BY 1),
+        |tot AS (
+        | SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(ct) AS BIGINT) AS nt
+        | FROM cnt),
+        |ql AS (
+        | SELECT b,
+        |  CAST(round(ln(CAST(ct + 1 AS DOUBLE)) * 1048576) AS BIGINT)
+        |   - CAST(round(ln(CAST(cr + 1 AS DOUBLE)) * 1048576) AS BIGINT) AS ql
+        | FROM cnt),
+        |qn AS (
+        | SELECT CAST(round(ln(CAST(nt + 2048 AS DOUBLE)) * 1048576) AS BIGINT)
+        |   - CAST(round(ln(CAST(nr + 2048 AS DOUBLE)) * 1048576) AS BIGINT) AS qn
+        | FROM tot),
+        |d AS (
+        | SELECT gb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(ql.ql) AS BIGINT) AS sum_ql
+        | FROM gb JOIN ql USING (b) GROUP BY 1)
+        |SELECT d.doc_id, d.n_grams,
+        | d.sum_ql - d.n_grams * qn.qn AS weight_fp,
+        | (CAST(d.sum_ql - d.n_grams * qn.qn AS DOUBLE) / 1048576.0) / d.n_grams
+        |   AS avg_weight
+        |FROM d, qn ORDER BY doc_id""".stripMargin,
     "dd_bloom_prefilter" ->
       """SELECT i.doc_id FROM documents i
         |WHERE i.doc_id % 5 = 0 AND NOT EXISTS (

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ImportanceSpec extends SparkSpec {
+  import SparkSpec.session.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "lang")
+
+  /** Independent plain-Scala twin of the operator's model: hashed-gram
+    * add-one log-likelihood ratio in 2^-20 fixed point. */
+  private def expectedWeights(corpus: Seq[(Long, String, String)], buckets: Int)
+      : Map[Long, (Long, Long)] = {
+    def grams(t: String): Seq[String] = {
+      val ws = t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toSeq
+      ws ++ ws.zip(ws.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    def bucket(g: String): Int =
+      (g.foldLeft(7L)((h, c) => (h * 31 + c.toInt) % 2147483647L) % buckets).toInt
+    def qln(n: Long): Long = Math.round(Math.log(n.toDouble) * 1048576.0)
+    val all = corpus.flatMap { case (id, t, l) => grams(t).map(g => (id, l, bucket(g))) }
+    val cr = all.groupBy(_._3).map { case (b, xs) => b -> xs.size.toLong }
+    val ct = all.filter(_._2 == "en").groupBy(_._3)
+      .map { case (b, xs) => b -> xs.size.toLong }
+    val qn = qln(all.count(_._2 == "en") + buckets) - qln(all.size.toLong + buckets)
+    all.groupBy(_._1).map { case (id, xs) =>
+      val sq = xs.map { case (_, _, b) =>
+        qln(ct.getOrElse(b, 0L) + 1) - qln(cr(b) + 1) }.sum
+      id -> (xs.size.toLong, sq - xs.size * qn)
+    }
+  }
+
+  test("importanceWeights matches an independent fixed-point reimplementation") {
+    val corpus = Seq[(Long, String, String)](
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the dog sat on the log", "en"),
+      (3L, "der hund sitzt auf dem baum", "de"),
+      (4L, "le chat et le chien", "fr"),
+      (5L, "the cat and the dog", "en"),
+      (6L, "cat", "de"))
+    val got = Importance.importanceWeights(docs(corpus: _*), $"lang" === "en",
+        buckets = 64)
+      .select("doc_id", "n_grams", "weight_fp")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == expectedWeights(corpus, 64), got)
+  }
+
+  test("target-like documents outweigh off-target ones on the real corpus") {
+    val w = Importance.importanceWeights(
+      spark.read.parquet(s"$sfDir/documents.parquet"), $"lang" === "en")
+    val byLang = w.join(
+        spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "lang"),
+        Seq("doc_id"))
+      .groupBy($"lang" === "en").agg(avg("avg_weight").as("m"))
+      .as[(Boolean, Double)].collect().toMap
+    // the absolute level is shifted by the smoothing mass (B buckets vs a
+    // subset-sized Nt), so only the ORDER is model-guaranteed: target-like
+    // docs must sit clearly above the rest
+    assert(byLang(true) > byLang(false) + 0.01,
+      s"en mean ${byLang(true)} should exceed non-en mean ${byLang(false)}")
+  }
+
+  test("gram accounting: n_grams = tokens + bigrams; gramless docs excluded") {
+    val w = Importance.importanceWeights(
+      docs((1L, "one two three", "en"), (2L, "solo", "en"),
+           (3L, "", "en"), (4L, "42 17", "en")),
+      $"lang" === "en", buckets = 16)
+      .select("doc_id", "n_grams").as[(Long, Long)].collect().toMap
+    assert(w == Map(1L -> 5L, 2L -> 1L), w) // 3+2 grams; 1+0; "" and "42 17" dropped
+  }
+
+  test("scoring pass is map-only: no join, no aggregate exchange, no UDF") {
+    val plan = graft.SparkEntry.queries("ds_importance")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"), plan)
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan)
+  }
+}
