@@ -123,6 +123,46 @@ object Similarity {
       .select("a_id", "b_id", "cos_sim")
   }
 
+  /** Deterministic Rademacher (±1) random projection of the embedding
+    * column to `outDims` dimensions — Johnson–Lindenstrauss compression
+    * (Achlioptas 2003's database-friendly ±1 variant) so a wide-embedding
+    * corpus can be shrunk BEFORE it rides any exchange: at 100 TB the
+    * projected table is outDims/d of the original scan, and every
+    * downstream ANN/cluster pass works on the compact vectors.
+    *
+    * proj_j(v) = Σ_i v_ppm[i] · s(i, j), with v quantized to integer ppm
+    * (floor(x·10⁶) — the shared fixed-point convention) and the sign
+    * matrix derived from a seedless integer hash: a linear (i, j) mix mod
+    * 2³¹−1, one Lehmer step (×48271 mod 2³¹−1, MINSTD — its low bit is
+    * well-mixed where the linear combination's is not), parity → ±1. No
+    * stored projection matrix, no RNG: any executor, any partitioning,
+    * any engine reproduces the same matrix from (i, j) alone — which is
+    * what makes the result hash-comparable and the operator usable as a
+    * stable feature transform across pipeline runs.
+    *
+    * Scale shape: map-only projection (no join, no aggregate, no UDF) —
+    * fuses into the scan. E[‖proj‖²] = outDims·‖v_ppm‖², so distances are
+    * preserved up to the JL distortion of `outDims` (property-tested).
+    * Malformed vectors (empty / null elements) are excluded under the
+    * same contract as the centroid consumers. */
+  def randomProject(embeddings: DataFrame, outDims: Int = 8): DataFrame = {
+    require(outDims > 0 && outDims <= 64, s"outDims must be in (0, 64]: $outDims")
+    val vp = expr(
+      "transform(embedding, x -> cast(floor(cast(x as double) * 1000000) as bigint))")
+    val projections = (0 until outDims).map { j =>
+      expr(s"""aggregate(
+        transform(__vp, (x, i) ->
+          x * (CASE WHEN ((((i * 2654435761 + $j * 40503 + 7) % 2147483647)
+                           * 48271) % 2147483647) % 2 = 0
+               THEN 1 ELSE -1 END)),
+        CAST(0 AS BIGINT), (acc, y) -> acc + y)""").as(s"p$j")
+    }
+    embeddings
+      .select(col("vec_id"), vp.as("__vp"))
+      .filter(size(col("__vp")) > 0 && !exists(col("__vp"), _.isNull))
+      .select(col("vec_id") +: projections: _*)
+  }
+
   /** ANN top-k: probe only vectors sharing at least one LSH band with the
     * query, then exact cosine on the candidates. `nPlanes` must be a
     * multiple of 16. Recall < 1 by construction; verified against

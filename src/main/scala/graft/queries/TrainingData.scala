@@ -729,6 +729,13 @@ object TrainingData {
       Tables.documents(spark, dir), col("lang") === "en")
       .orderBy("doc_id")
 
+  /** Johnson–Lindenstrauss compression of the embedding table to 8
+    * dimensions via the deterministic ±1 projection (see
+    * [[graft.operators.Similarity.randomProject]]). */
+  def simRp(spark: SparkSession, dir: String): DataFrame =
+    Similarity.randomProject(Tables.embeddings(spark, dir), outDims = 8)
+      .orderBy("vec_id")
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dd_exact"         -> ddExact _,
     "dd_jaccard_words" -> ddJaccardWords _,
@@ -782,7 +789,17 @@ object TrainingData {
     "ds_order"           -> dsOrder _,
     "sim_semdedup"       -> ((s: SparkSession, d: String) => simSemdedup(s, d)),
     "ds_importance"      -> dsImportance _,
+    "sim_rp"             -> simRp _,
   )
+
+  // sim_rp's 8 projection columns share one formula (1-based DuckDB list
+  // index i ↔ the Spark transform's 0-based i), generated rather than
+  // hand-repeated so Spark and oracle can only drift together
+  private val rpCols = (0 until 8).map { j =>
+    s"CAST(list_sum(list_transform(generate_series(1, len(vp)), i -> vp[i] * " +
+      s"(CASE WHEN (((((i - 1) * 2654435761 + $j * 40503 + 7) % 2147483647) " +
+      s"* 48271) % 2147483647) % 2 = 0 THEN 1 ELSE -1 END))) AS BIGINT) AS p$j"
+  }.mkString(",\n ")
 
   private val enList = enMarkers.map(s => s"'$s'").mkString("[", ", ", "]")
   private val dataList = dataMarkers.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -835,6 +852,17 @@ object TrainingData {
         | (CAST(d.sum_ql - d.n_grams * qn.qn AS DOUBLE) / 1048576.0) / d.n_grams
         |   AS avg_weight
         |FROM d, qn ORDER BY doc_id""".stripMargin,
+    "sim_rp" ->
+      s"""WITH v0 AS (
+         | SELECT vec_id,
+         |  list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vp
+         | FROM embeddings),
+         |v AS (SELECT * FROM v0
+         |      WHERE len(vp) > 0 AND len(list_filter(vp, x -> x IS NULL)) = 0)
+         |SELECT vec_id,
+         | $rpCols
+         |FROM v ORDER BY vec_id""".stripMargin,
     "dd_bloom_prefilter" ->
       """SELECT i.doc_id FROM documents i
         |WHERE i.doc_id % 5 = 0 AND NOT EXISTS (
