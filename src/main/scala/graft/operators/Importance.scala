@@ -52,28 +52,53 @@ object Importance {
     * here). */
   private def qln(n: Long): Long = Math.round(Math.log(n.toDouble) * log2p20)
 
-  /** Word unigrams + adjacent-pair bigrams ("w1 w2") over a materialized
-    * `__ws` token-array column — the corpus tokenization every other
-    * text operator uses, so the gram model can never drift from the
-    * signal queries; pairing is the same native transform-over-slice as
-    * [[graft.queries.TrainingData.txtBigrams]]. */
-  private val gramsExpr: Column = concat(
-    col("__ws"),
-    when(size(col("__ws")) < 2, array().cast("array<string>"))
-      .otherwise(expr(
-        "transform(slice(__ws, 1, size(__ws)-1), (w, i) -> concat(w, ' ', __ws[i+1]))")))
+  /** One-pass gram kernel: bucket ids of the word unigrams + adjacent
+    * bigrams of `text` — maximal [a-z] runs after lower-casing (the
+    * corpus tokenization every other text operator uses), each hashed by
+    * the polynomial fold h = fold(7, (h, c) -> (h·31 + c) mod 2³¹−1) over
+    * its codepoints, bigrams over "w1 w2". The bigram hash is continued
+    * FROM the previous word's fold state (the fold is sequential), so the
+    * whole gram stream costs one pass over the characters — the
+    * equivalent higher-order `aggregate(split(...))` formulation is
+    * CodegenFallback and benched 13.5 s at sf0.1 vs <0.5 s here, the
+    * same interpreted-fold trap FastHash exists for.
+    *
+    * Contract: ASCII-only lower-casing, like every kernel in
+    * [[graft.functions.FastHash]] — the fixtures are pure ASCII; on
+    * non-ASCII corpora pre-transliterate on both engines. */
+  private[operators] def gramBuckets(text: String, buckets: Int): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
+    val P = 2147483647L
+    val out = scala.collection.mutable.ArrayBuilder.make[Long]
+    var h1 = 7L   // fold-from-7 of the word being read (unigram hash)
+    var hb = 0L   // fold of (prev word + ' ' + word so far) (bigram hash)
+    var prev = -1L
+    var inWord = false
+    var i = 0
+    while (i <= text.length) {
+      var c = if (i < text.length) text.charAt(i) else ' '
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+      if (c >= 'a' && c <= 'z') {
+        if (!inWord) {
+          inWord = true; h1 = 7L
+          hb = if (prev >= 0) (prev * 31 + 32) % P else 0L
+        }
+        h1 = (h1 * 31 + c) % P
+        if (prev >= 0) hb = (hb * 31 + c) % P
+      } else if (inWord) {
+        out += h1 % buckets
+        if (prev >= 0) out += hb % buckets
+        prev = h1
+        inWord = false
+      }
+      i += 1
+    }
+    out.result()
+  }
 
-  /** Hash each gram to a bucket: polynomial codepoint fold
-    * h = fold(7, (h, c) -> (h*31 + c) mod 2^31−1), bucket = h mod B.
-    * The split('') trailing-empty element Java regexes produce is
-    * filtered so the fold sees exactly the codepoints DuckDB's
-    * string_split sees. */
-  private def bucketsArrCol(grams: Column, buckets: Int): Column =
-    transform(grams, g =>
-      aggregate(
-        filter(split(g, ""), c => c =!= ""),
-        lit(7L),
-        (h, c) => (h * 31 + ascii(c)) % 2147483647L) % buckets)
+  /** Typed result of the scoring kernel (Spark 4 needs a case-class
+    * encoder, not udf(f, schema)). */
+  case class GramScore(nGrams: Long, weightFp: Long)
 
   /** Per-document importance weights against a target subset.
     *
@@ -92,15 +117,11 @@ object Importance {
     require(buckets > 0 && buckets <= MaxBuckets,
       s"buckets must be in (0, $MaxBuckets]: $buckets")
 
-    val grams = docs
-      .withColumn("__ws",
-        filter(graft.functions.TextAnalytics.words(col("text")), w => length(w) > 0))
-      .select(col("doc_id"), isTarget.as("__t"), gramsExpr.as("__gs"))
-      .filter(size(col("__gs")) >= 1)
+    val bucketsUdf = udf((s: String) => gramBuckets(s, buckets))
 
     // pass 1: bucket-count model — the exchange is `buckets` rows wide
-    val counts = grams
-      .select(col("__t"), explode(bucketsArrCol(col("__gs"), buckets)).as("__b"))
+    val counts = docs
+      .select(isTarget.as("__t"), explode(bucketsUdf(col("text"))).as("__b"))
       .groupBy("__b")
       .agg(count(lit(1)).as("cr"), sum(when(col("__t"), 1L).otherwise(0L)).as("ct"))
       .collect()
@@ -113,16 +134,26 @@ object Importance {
       ql(b) = qln(ct + 1) - qln(cr + 1)
     }
     val qn = qln(nt + buckets) - qln(nr + buckets)
-    val qlLit = typedLit(ql.toSeq)
 
-    // pass 2: map-only scoring — hash, look up, integer-sum; no join
-    grams
-      .select(col("doc_id"), size(col("__gs")).cast("long").as("n_grams"),
-        aggregate(bucketsArrCol(col("__gs"), buckets), lit(0L),
-          (acc, b) => acc + element_at(qlLit, (b + 1).cast("int"))).as("__sq"))
-      .select(col("doc_id"), col("n_grams"),
-        (col("__sq") - col("n_grams") * qn).as("weight_fp"),
-        (((col("__sq") - col("n_grams") * qn).cast("double") / log2p20) /
-          col("n_grams")).as("avg_weight"))
+    // pass 2: map-only scoring — re-hash, look up, integer-sum in one
+    // kernel call per doc (the ql table is a closure constant, shipped
+    // with the task like a broadcast); docs with no grams return None
+    // and drop (no model support on either side)
+    val scoreUdf = udf { (s: String) =>
+      val bs = gramBuckets(s, buckets)
+      if (bs.isEmpty) None
+      else {
+        var sq = 0L; var i = 0
+        while (i < bs.length) { sq += ql(bs(i).toInt); i += 1 }
+        Some(GramScore(bs.length.toLong, sq - bs.length * qn))
+      }
+    }
+    docs
+      .select(col("doc_id"), scoreUdf(col("text")).as("__s"))
+      .filter(col("__s").isNotNull)
+      .select(col("doc_id"), col("__s.nGrams").as("n_grams"),
+        col("__s.weightFp").as("weight_fp"),
+        ((col("__s.weightFp").cast("double") / log2p20) /
+          col("__s.nGrams")).as("avg_weight"))
   }
 }
