@@ -147,20 +147,35 @@ object Similarity {
     * same contract as the centroid consumers. */
   def randomProject(embeddings: DataFrame, outDims: Int = 8): DataFrame = {
     require(outDims > 0 && outDims <= 64, s"outDims must be in (0, 64]: $outDims")
-    val vp = expr(
-      "transform(embedding, x -> cast(floor(cast(x as double) * 1000000) as bigint))")
-    val projections = (0 until outDims).map { j =>
-      expr(s"""aggregate(
-        transform(__vp, (x, i) ->
-          x * (CASE WHEN ((((i * 2654435761 + $j * 40503 + 7) % 2147483647)
-                           * 48271) % 2147483647) % 2 = 0
-               THEN 1 ELSE -1 END)),
-        CAST(0 AS BIGINT), (acc, y) -> acc + y)""").as(s"p$j")
-    }
+    val projUdf = udf((v: Seq[Float]) => rpProject(v, outDims))
     embeddings
-      .select(col("vec_id"), vp.as("__vp"))
-      .filter(size(col("__vp")) > 0 && !exists(col("__vp"), _.isNull))
-      .select(col("vec_id") +: projections: _*)
+      .select(col("vec_id"), col("embedding"))
+      .filter(size(col("embedding")) > 0 && !exists(col("embedding"), _.isNull))
+      .select(col("vec_id"), projUdf(col("embedding")).as("__p"))
+      .select(col("vec_id") +:
+        (0 until outDims).map(j => col("__p")(j).as(s"p$j")): _*)
+  }
+
+  /** The projection kernel: quantize to ppm, multiply by the (i, j) sign,
+    * accumulate all `outDims` outputs in one pass over the vector. A
+    * per-dimension `aggregate(transform(...))` formulation is
+    * CodegenFallback (interpreted per element × per output dim) and
+    * benched 3.6 s at sf1 vs ~0.4 s here — FastHash's trap, again. */
+  private[operators] def rpProject(v: Seq[Float], outDims: Int): Array[Long] = {
+    val out = new Array[Long](outDims)
+    var i = 0
+    val it = v.iterator
+    while (it.hasNext) {
+      val x = math.floor(it.next().toDouble * 1000000).toLong
+      var j = 0
+      while (j < outDims) {
+        val h = (i.toLong * 2654435761L + j.toLong * 40503L + 7L) % 2147483647L
+        out(j) += (if ((h * 48271L) % 2147483647L % 2 == 0) x else -x)
+        j += 1
+      }
+      i += 1
+    }
+    out
   }
 
   /** ANN top-k: probe only vectors sharing at least one LSH band with the
