@@ -138,7 +138,11 @@ object Importance {
     // pass 2: map-only scoring — re-hash, look up, integer-sum in one
     // kernel call per doc (the ql table is a closure constant, shipped
     // with the task like a broadcast); docs with no grams return None
-    // and drop (no model support on either side)
+    // and drop (no model support on either side). asNondeterministic is
+    // a placement fence, not semantics: the UDF is pure, but without it
+    // the isNotNull filter is pushed below the Project as
+    // isnotnull(UDF(text)) and the kernel runs TWICE per doc (Filter and
+    // Project are separate codegen operators — no cross-operator CSE)
     val scoreUdf = udf { (s: String) =>
       val bs = gramBuckets(s, buckets)
       if (bs.isEmpty) None
@@ -147,7 +151,7 @@ object Importance {
         while (i < bs.length) { sq += ql(bs(i).toInt); i += 1 }
         Some(GramScore(bs.length.toLong, sq - bs.length * qn))
       }
-    }
+    }.asNondeterministic()
     docs
       .select(col("doc_id"), scoreUdf(col("text")).as("__s"))
       .filter(col("__s").isNotNull)

@@ -793,12 +793,16 @@ object TrainingData {
   )
 
   // sim_rp's 8 projection columns share one formula (1-based DuckDB list
-  // index i ↔ the Spark transform's 0-based i), generated rather than
-  // hand-repeated so Spark and oracle can only drift together
+  // index i ↔ the kernel's 0-based i), generated rather than
+  // hand-repeated so Spark and oracle can only drift together. The sign
+  // replays Similarity.rpSign: linear seed, two xor-folded Lehmer
+  // rounds (h ^= h>>15, *48271; h ^= h>>16, *16807 — mod 2^31-1), parity.
   private val rpCols = (0 until 8).map { j =>
+    val h1 = s"(((i - 1) * 48271 + $j * 16807 + 1013904223) % 2147483647)"
+    val h2 = s"((xor($h1, $h1 // 32768) * 48271) % 2147483647)"
+    val h3 = s"((xor($h2, $h2 // 65536) * 16807) % 2147483647)"
     s"CAST(list_sum(list_transform(generate_series(1, len(vp)), i -> vp[i] * " +
-      s"(CASE WHEN (((((i - 1) * 2654435761 + $j * 40503 + 7) % 2147483647) " +
-      s"* 48271) % 2147483647) % 2 = 0 THEN 1 ELSE -1 END))) AS BIGINT) AS p$j"
+      s"(CASE WHEN $h3 % 2 = 0 THEN 1 ELSE -1 END))) AS BIGINT) AS p$j"
   }.mkString(",\n ")
 
   private val enList = enMarkers.map(s => s"'$s'").mkString("[", ", ", "]")

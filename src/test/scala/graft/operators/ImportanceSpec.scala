@@ -47,20 +47,31 @@ class ImportanceSpec extends SparkSpec {
     assert(got == expectedWeights(corpus, 64), got)
   }
 
-  test("target-like documents outweigh off-target ones on the real corpus") {
+  // NOT tested against the fixtures' lang column: FIXTURES.md documents
+  // that `lang` is a label uncorrelated with the text, so any en-vs-rest
+  // gap there is finite-sample self-count bias that decays with corpus
+  // size (measured: 0.034 at sf0.001 but 0.004 at sf0.1) — a constructed
+  // vocabulary split is the signal the model actually guarantees on
+  test("documents sharing the target vocabulary outweigh off-target ones") {
+    val target = (0 until 30).map(i =>
+      (i.toLong, s"the quick brown fox jumps over lazy dog number ${num(i)}", "t"))
+    val off = (30 until 60).map(i =>
+      (i.toLong, s"zebra quartz vexing jackdaws glyph banana kiwi item ${num(i)}", "o"))
+    // held-out docs, one per vocabulary, excluded from the target set
+    val probes = Seq(
+      (100L, "quick brown fox jumps over the lazy dog", "p"),
+      (101L, "vexing jackdaws quartz glyph banana kiwi zebra", "p"))
     val w = Importance.importanceWeights(
-      spark.read.parquet(s"$sfDir/documents.parquet"), $"lang" === "en")
-    val byLang = w.join(
-        spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "lang"),
-        Seq("doc_id"))
-      .groupBy($"lang" === "en").agg(avg("avg_weight").as("m"))
-      .as[(Boolean, Double)].collect().toMap
-    // the absolute level is shifted by the smoothing mass (B buckets vs a
-    // subset-sized Nt), so only the ORDER is model-guaranteed: target-like
-    // docs must sit clearly above the rest
-    assert(byLang(true) > byLang(false) + 0.01,
-      s"en mean ${byLang(true)} should exceed non-en mean ${byLang(false)}")
+        docs((target ++ off ++ probes): _*), $"lang" === "t", buckets = 512)
+      .select("doc_id", "avg_weight").as[(Long, Double)].collect().toMap
+    assert(w(100L) > w(101L) + 0.1,
+      s"target-vocab probe ${w(100L)} vs off-vocab probe ${w(101L)}")
+    val tMean = target.map(d => w(d._1)).sum / target.size
+    val oMean = off.map(d => w(d._1)).sum / off.size
+    assert(tMean > oMean + 0.1, s"target mean $tMean vs off mean $oMean")
   }
+
+  private def num(i: Int): String = "abcdefghij".charAt(i % 10).toString * 3
 
   test("gram accounting: n_grams = tokens + bigrams; gramless docs excluded") {
     val w = Importance.importanceWeights(

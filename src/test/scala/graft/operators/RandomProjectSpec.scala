@@ -7,8 +7,11 @@ class RandomProjectSpec extends SparkSpec {
   import SparkSpec.session.implicits._
 
   private def sign(i: Int, j: Int): Long = {
-    val h = (i.toLong * 2654435761L + j.toLong * 40503L + 7L) % 2147483647L
-    if ((h * 48271L) % 2147483647L % 2 == 0) 1L else -1L
+    val P = 2147483647L
+    var h = (i.toLong * 48271L + j.toLong * 16807L + 1013904223L) % P
+    h = ((h ^ (h / 32768L)) * 48271L) % P
+    h = ((h ^ (h / 65536L)) * 16807L) % P
+    if (h % 2 == 0) 1L else -1L
   }
 
   private def projScala(v: Seq[Float], j: Int): Long =
@@ -29,6 +32,20 @@ class RandomProjectSpec extends SparkSpec {
       assert(got(id)(j) == projScala(v, j), s"vec $id dim $j")
   }
 
+  test("sign matrix mixes: adjacent output dims decorrelated, balanced") {
+    // locks the review finding: the first hash (linear j, one Lehmer
+    // step) left adjacent sign columns ~91% identical (|corr| ~0.82),
+    // collapsing the projection to ~2.5 effective dims; a true
+    // Rademacher matrix's max |corr| over 64 rows is ~0.28
+    val dim = 64; val k = 8
+    val m = Array.tabulate(dim, k)((i, j) => Similarity.rpSign(i, j))
+    val colCorr = (0 until k - 1).map(j =>
+      math.abs((0 until dim).map(i => (m(i)(j) * m(i)(j + 1)).toInt).sum.toDouble) / dim)
+    assert(colCorr.max < 0.4, s"adjacent-dim |corr| ${colCorr.mkString(",")}")
+    val balance = math.abs(m.flatten.map(_.toInt).sum.toDouble) / (dim * k)
+    assert(balance < 0.15, s"sign balance $balance")
+  }
+
   test("JL expectation: mean squared projected norm tracks outDims * input norm") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val proj = Similarity.randomProject(emb, outDims = 8)
@@ -47,32 +64,32 @@ class RandomProjectSpec extends SparkSpec {
     assert(ratio > 0.7 && ratio < 1.3, s"norm-preservation ratio $ratio")
   }
 
-  // Pearson correlation over ALL pairs is the wrong metric here: random
-  // high-dim vectors concentrate (distance CV ~12% on this corpus), so the
-  // JL distortion at k=8 swamps the tiny global spread. The property the
-  // downstream dedup/ANN consumers actually need is that genuinely-near
-  // pairs STAY near relative to the background — tested directly.
-  test("near pairs stay separated from the background after projection") {
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .filter($"vec_id" < 40)
-    val vp = emb.select($"vec_id", expr(
-      "transform(embedding, x -> cast(floor(cast(x as double) * 1000000) as bigint))")
-      .as("vp")).as[(Long, Seq[Long])].collect().toMap
-    val pr = Similarity.randomProject(emb, outDims = 8)
+  // Pearson correlation over random-pair distances is the wrong metric
+  // here: random high-dim vectors concentrate (distance CV ~12% on the
+  // fixture corpus), so the JL distortion at k=8 swamps the tiny global
+  // spread — and "slightly closer than median" pairs land inside one JL
+  // sd of the background. The property the downstream dedup/ANN
+  // consumers actually need is that GENUINE near-duplicates (distance
+  // << background) stay far below the background — constructed here so
+  // the signal is orders of magnitude beyond the noise.
+  test("near-duplicate pairs stay far below the background after projection") {
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 20).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextGaussian().toFloat)))
+    val dups = (0 until 5).map { i => // ~1% perturbation of vector i
+      (100L + i, base(i)._2.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val pr = Similarity.randomProject((base ++ dups).toDF("vec_id", "embedding"),
+        outDims = 8)
       .collect().map(r => r.getLong(0) -> (1 to 8).map(c => r.getLong(c))).toMap
-    val ids = vp.keys.toSeq.sorted
-    val dists = (for {
-      a <- ids; b <- ids if a < b
-      va = vp(a); vb = vp(b) if va.size == vb.size
-    } yield {
-      val o = va.zip(vb).map { case (x, y) => val d = (x - y).toDouble; d * d }.sum
-      val p = pr(a).zip(pr(b)).map { case (x, y) => val d = (x - y).toDouble; d * d }.sum
-      (o, p)
-    }).sortBy(_._1)
-    val (close, rest) = dists.splitAt(8)
-    val ratio = (close.map(_._2).sum / close.size) / (rest.map(_._2).sum / rest.size)
-    assert(ratio < 0.8, s"closest pairs' projected distance ratio $ratio " +
-      s"(measured ~0.62 on this corpus) over ${dists.size} pairs")
+    def d2(a: Seq[Long], b: Seq[Long]): Double =
+      a.zip(b).map { case (x, y) => val d = (x - y).toDouble; d * d }.sum
+    val dupMean = (0 until 5).map(i => d2(pr(i.toLong), pr(100L + i))).sum / 5
+    val bgPairs = for (a <- 0 until 20; b <- a + 1 until 20) yield
+      d2(pr(a.toLong), pr(b.toLong))
+    val bgMean = bgPairs.sum / bgPairs.size
+    assert(dupMean < 0.05 * bgMean,
+      s"near-dup mean projected d2 $dupMean vs background $bgMean")
   }
 
   test("sim_rp plan is map-only: no join, no aggregate exchange") {
