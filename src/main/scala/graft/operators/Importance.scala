@@ -100,6 +100,16 @@ object Importance {
     * encoder, not udf(f, schema)). */
   case class GramScore(nGrams: Long, weightFp: Long)
 
+  /** The trained selection model: dense per-bucket log-likelihood-ratio
+    * table (2⁻²⁰ fixed point; `ql.length` buckets) plus the constant
+    * per-gram smoothing-normalizer term. Bounded by [[MaxBuckets]] at
+    * ANY corpus size — the corpus determines the VALUES, never the
+    * size, which is what lets it ship as a closure/broadcast and
+    * persist as a tiny artifact. */
+  case class ImportanceModel(ql: Array[Long], qn: Long) {
+    def buckets: Int = ql.length
+  }
+
   /** Per-document importance weights against a target subset.
     *
     * Output: (doc_id, n_grams, weight_fp, avg_weight) — `weight_fp` is
@@ -113,19 +123,25 @@ object Importance {
     *                 subset (e.g. `col("lang") === "en"`)
     */
   def importanceWeights(docs: DataFrame, isTarget: Column,
-                        buckets: Int = 2048): DataFrame = {
+                        buckets: Int = 2048): DataFrame =
+    scoreImportance(docs, trainImportanceModel(docs, isTarget, buckets))
+
+  /** Pass 1, the model build: hashed-gram bucket counts for the target
+    * subset and the raw corpus, folded into the per-bucket log-ratio
+    * table on the driver. The only exchange is `buckets` rows wide at
+    * any corpus size; a production pipeline trains once per corpus
+    * refresh ([[saveImportanceModel]]) and scores many batches/streams
+    * against the loaded artifact. */
+  def trainImportanceModel(docs: DataFrame, isTarget: Column,
+                           buckets: Int = 2048): ImportanceModel = {
     require(buckets > 0 && buckets <= MaxBuckets,
       s"buckets must be in (0, $MaxBuckets]: $buckets")
-
     val bucketsUdf = udf((s: String) => gramBuckets(s, buckets))
-
-    // pass 1: bucket-count model — the exchange is `buckets` rows wide
     val counts = docs
       .select(isTarget.as("__t"), explode(bucketsUdf(col("text"))).as("__b"))
       .groupBy("__b")
       .agg(count(lit(1)).as("cr"), sum(when(col("__t"), 1L).otherwise(0L)).as("ct"))
       .collect()
-
     var nr = 0L; var nt = 0L
     val ql = new Array[Long](buckets)
     counts.foreach { r =>
@@ -133,16 +149,24 @@ object Importance {
       nr += cr; nt += ct
       ql(b) = qln(ct + 1) - qln(cr + 1)
     }
-    val qn = qln(nt + buckets) - qln(nr + buckets)
+    ImportanceModel(ql, qln(nt + buckets) - qln(nr + buckets))
+  }
 
-    // pass 2: map-only scoring — re-hash, look up, integer-sum in one
-    // kernel call per doc (the ql table is a closure constant, shipped
-    // with the task like a broadcast); docs with no grams return None
-    // and drop (no model support on either side). asNondeterministic is
-    // a placement fence, not semantics: the UDF is pure, but without it
-    // the isNotNull filter is pushed below the Project as
-    // isnotnull(UDF(text)) and the kernel runs TWICE per doc (Filter and
-    // Project are separate codegen operators — no cross-operator CSE)
+  /** Pass 2, the scoring projection: re-hash, look up, integer-sum in
+    * one kernel call per doc (the model is a closure constant, shipped
+    * with the task like a broadcast); docs with no grams return None and
+    * drop (no model support on either side). STATELESS — no join, no
+    * aggregate, no state store — so it applies unchanged to a streaming
+    * `docs` (the online half of selection: score documents as they
+    * arrive against the current model artifact, which refreshes
+    * out-of-band like the LSH/IVF index versions; the differential spec
+    * locks stream ≡ batch). asNondeterministic is a placement fence,
+    * not semantics: the UDF is pure, but without it the isNotNull filter
+    * is pushed below the Project as isnotnull(UDF(text)) and the kernel
+    * runs TWICE per doc (Filter and Project are separate codegen
+    * operators — no cross-operator CSE). */
+  def scoreImportance(docs: DataFrame, model: ImportanceModel): DataFrame = {
+    val ql = model.ql; val qn = model.qn; val buckets = model.buckets
     val scoreUdf = udf { (s: String) =>
       val bs = gramBuckets(s, buckets)
       if (bs.isEmpty) None
@@ -159,5 +183,42 @@ object Importance {
         col("__s.weightFp").as("weight_fp"),
         ((col("__s.weightFp").cast("double") / log2p20) /
           col("__s.nGrams")).as("avg_weight"))
+  }
+
+  /** Persist a trained model as a versioned artifact — `v<N>/model/`
+    * parquet (bucket, ql) plus `v<N>/meta/` (qn, buckets), published
+    * with the same rename-based `_current` pointer swap as the LSH/IVF
+    * indexes and the unigram LM (readers resolve a complete version,
+    * the immediately-previous one is retained). */
+  def saveImportanceModel(spark: org.apache.spark.sql.SparkSession,
+                          model: ImportanceModel, path: String): Unit = {
+    import spark.implicits._
+    val (fs, root) = graft.sources.Fs.of(spark, path)
+    val version = graft.sources.Fs.currentVersion(fs, root).getOrElse(0) + 1
+    val vdir = s"$path/v$version"
+    model.ql.toSeq.zipWithIndex.map { case (q, b) => (b, q) }
+      .toDF("bucket", "ql")
+      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/model")
+    Seq((model.qn, model.buckets)).toDF("qn", "buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
+    graft.sources.Fs.publishVersion(fs, root, version)
+  }
+
+  /** Load the `_current` version of a persisted model. */
+  def loadImportanceModel(spark: org.apache.spark.sql.SparkSession,
+                          path: String): ImportanceModel = {
+    val (fs, root) = graft.sources.Fs.of(spark, path)
+    val version = graft.sources.Fs.currentVersion(fs, root).getOrElse(
+      sys.error(s"no importance model at $path (missing _current pointer — " +
+        "run saveImportanceModel first)"))
+    val vdir = s"$path/v$version"
+    val meta = spark.read.parquet(s"$vdir/meta").head()
+    val (qn, buckets) = (meta.getLong(0), meta.getInt(1))
+    require(buckets > 0 && buckets <= MaxBuckets,
+      s"persisted model has implausible bucket count $buckets")
+    val ql = new Array[Long](buckets)
+    spark.read.parquet(s"$vdir/model").collect()
+      .foreach(r => ql(r.getInt(0)) = r.getLong(1))
+    ImportanceModel(ql, qn)
   }
 }

@@ -3,6 +3,8 @@ package graft.operators
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
+case class ImpDoc(doc_id: Long, text: String)
+
 class ImportanceSpec extends SparkSpec {
   import SparkSpec.session.implicits._
 
@@ -72,6 +74,50 @@ class ImportanceSpec extends SparkSpec {
   }
 
   private def num(i: Int): String = "abcdefghij".charAt(i % 10).toString * 3
+
+  test("model save/load round-trips behind the versioned pointer") {
+    val dir = java.nio.file.Files.createTempDirectory("imp-model").toString
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val m1 = Importance.trainImportanceModel(corpus, $"lang" === "en")
+    Importance.saveImportanceModel(spark, m1, dir)
+    val loaded = Importance.loadImportanceModel(spark, dir)
+    assert(loaded.ql.toSeq == m1.ql.toSeq && loaded.qn == m1.qn)
+    // scoring from the loaded artifact is bit-equal to the direct path
+    val direct = Importance.scoreImportance(corpus, m1)
+      .collect().map(r => r.getLong(0) -> r.toString).toMap
+    val viaDisk = Importance.scoreImportance(corpus, loaded)
+      .collect().map(r => r.getLong(0) -> r.toString).toMap
+    assert(viaDisk == direct)
+    // second save bumps the version; the pointer resolves the new one
+    Importance.saveImportanceModel(spark, m1, dir)
+    val (fs, root) = graft.sources.Fs.of(spark, dir)
+    assert(graft.sources.Fs.currentVersion(fs, root).contains(2))
+    val e = intercept[RuntimeException] {
+      Importance.loadImportanceModel(spark, s"$dir/missing")
+    }
+    assert(e.getMessage.contains("saveImportanceModel"), e.getMessage)
+  }
+
+  test("streaming twin: scoreImportance on a stream is bit-equal to batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docRows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").limit(50).as[ImpDoc].collect().toIndexedSeq
+    val model = Importance.trainImportanceModel(
+      spark.read.parquet(s"$sfDir/documents.parquet"), $"lang" === "en")
+    val batch = Importance.scoreImportance(docRows.toDF(), model)
+      .collect().map(r => r.getLong(0) -> r.toString).toMap
+    val mem = MemoryStream[ImpDoc]
+    val q = Importance.scoreImportance(mem.toDF(), model).writeStream
+      .format("memory").queryName("imp_stream").outputMode("append").start()
+    try {
+      mem.addData(docRows: _*)
+      q.processAllAvailable()
+      val got = spark.table("imp_stream")
+        .collect().map(r => r.getLong(0) -> r.toString).toMap
+      assert(got == batch, s"stream/batch divergence (${got.size} vs ${batch.size} rows)")
+    } finally q.stop()
+  }
 
   test("gram accounting: n_grams = tokens + bigrams; gramless docs excluded") {
     val w = Importance.importanceWeights(
