@@ -1,0 +1,176 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer over the corpus tokenization every other
+  * text operator uses — the real subword vocabulary build behind
+  * `txt_tokens`' BPE-ish regex approximation (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units" — the
+  * public algorithm, re-expressed Spark-first).
+  *
+  * Scale shape: training NEVER iterates over the corpus — one corpus
+  * scan partial-aggregates to the distinct-word frequency table
+  * (vocabulary-sized, capped collect like the unigram LM), and the merge
+  * loop runs on that table driver-side, so 200 merges cost 200 passes
+  * over ~10⁴ distinct words, not 200 corpus scans. Encoding is one
+  * kernel call per document against the broadcast-sized merge ranks —
+  * map-only, fusable into any curation scan, with a per-task word cache
+  * because Zipf makes most tokens repeats.
+  *
+  * Determinism (golden eligibility): word counts are exact integers; the
+  * merge argmax tie-breaks totally (count desc, then pair lexicographic),
+  * so the merge sequence is unique under any partitioning; encoding is a
+  * pure function of (word, ranks). Word-final symbols carry the classic
+  * `</w>` marker so "est" mid-word and word-final "est</w>" learn
+  * separately (the paper's formulation). ASCII-only tokenization like
+  * every kernel here — the fixtures are pure ASCII. */
+object Bpe {
+
+  /** Learned merge table in rank order (rank = array index). */
+  case class BpeModel(merges: Array[(String, String)])
+
+  val MaxVocab = 1 << 22
+
+  /** One corpus scan → capped word-frequency table → driver merge loop. */
+  def trainBpe(docs: DataFrame, nMerges: Int = 200,
+               maxVocab: Int = MaxVocab): BpeModel = {
+    require(nMerges > 0 && nMerges <= 65536, s"nMerges out of range: $nMerges")
+    val rows = docs
+      .select(explode(TextAnalytics.words(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .limit(maxVocab + 1)
+      .collect()
+    require(rows.length <= maxVocab,
+      s"BPE word table exceeds maxVocab=$maxVocab — train on a sampled " +
+        "or reference corpus, or raise the cap")
+    val words = rows.map(r => (symbolize(r.getString(0)), r.getLong(1)))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var active = words
+    var step = 0
+    while (step < nMerges) {
+      // weighted adjacent-pair counts over the word table (not the corpus)
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      active.foreach { case (syms, cnt) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + cnt)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) step = nMerges
+      else {
+        // total order: count desc, then pair lexicographic — unique winner
+        val best = counts.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        active = active.map { case (syms, cnt) => (mergePair(syms, best), cnt) }
+        step += 1
+      }
+    }
+    BpeModel(merges.toArray)
+  }
+
+  /** Per-document BPE token count under the model: one kernel call per
+    * doc, per-task word cache (bounded — Zipf means the cache covers
+    * almost all occurrences long before the cap). */
+  def bpeCountCol(text: Column, model: BpeModel): Column = {
+    val ranks: Map[(String, String), Int] =
+      model.merges.zipWithIndex.map { case (p, r) => p -> r }.toMap
+    val enc = udf { (s: String) =>
+      if (s == null) 0L
+      else {
+        // per-thread cache KEYED BY the ranks instance: a plain
+        // ThreadLocal map would survive across queries with different
+        // models on the same executor thread and serve stale counts
+        val entry = bpeCache.get()
+        val cache =
+          if (entry == null || (entry._1 ne ranks)) {
+            val m = new java.util.HashMap[String, java.lang.Long]()
+            bpeCache.set((ranks, m)); m
+          } else entry._2
+        var total = 0L
+        var i = 0
+        val n = s.length
+        while (i < n) {
+          var c = s.charAt(i)
+          if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+          if (c >= 'a' && c <= 'z') {
+            val start = i
+            val sb = new java.lang.StringBuilder
+            while (i < n && {
+              var cc = s.charAt(i)
+              if (cc >= 'A' && cc <= 'Z') cc = (cc + 32).toChar
+              if (cc >= 'a' && cc <= 'z') { sb.append(cc); true } else false
+            }) i += 1
+            val w = sb.toString
+            val cached = cache.get(w)
+            if (cached != null) total += cached.longValue
+            else {
+              val k = encodeWord(w, ranks).length.toLong
+              if (cache.size < (1 << 17)) cache.put(w, java.lang.Long.valueOf(k))
+              total += k
+            }
+            if (i == start) i += 1 // defensive: never stall
+          } else i += 1
+        }
+        total
+      }
+    }
+    enc(text)
+  }
+
+  // thread-confined (model-ref, word → token-count) cache; see bpeCountCol
+  private val bpeCache =
+    new ThreadLocal[(AnyRef, java.util.HashMap[String, java.lang.Long])]
+
+  /** A word as its initial symbol sequence: chars, last one marked `</w>`. */
+  private[functions] def symbolize(w: String): Array[String] = {
+    val out = new Array[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      out(i) = if (i == w.length - 1) w.charAt(i).toString + "</w>"
+               else w.charAt(i).toString
+      i += 1
+    }
+    out
+  }
+
+  private[functions] def mergePair(syms: Array[String],
+                                   p: (String, String)): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == p._1 && syms(i + 1) == p._2) {
+        out += syms(i) + syms(i + 1); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Standard greedy BPE encode: repeatedly merge the lowest-rank
+    * adjacent pair until none applies. */
+  private[functions] def encodeWord(w: String,
+                                    ranks: Map[(String, String), Int]): Array[String] = {
+    var syms = symbolize(w)
+    var done = syms.length <= 1
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestAt = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        ranks.get((syms(i), syms(i + 1))).foreach { r =>
+          if (r < bestRank) { bestRank = r; bestAt = i }
+        }
+        i += 1
+      }
+      if (bestAt < 0) done = true
+      else {
+        syms = mergePair(syms, (syms(bestAt), syms(bestAt + 1)))
+        done = syms.length <= 1
+      }
+    }
+    syms
+  }
+}

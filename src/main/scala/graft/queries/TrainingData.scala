@@ -736,6 +736,20 @@ object TrainingData {
     Similarity.randomProject(Tables.embeddings(spark, dir), outDims = 8)
       .orderBy("vec_id")
 
+  /** Real BPE subword tokenization (see [[graft.functions.Bpe]]): learn
+    * 200 merges from the corpus word-frequency table (one scan + driver
+    * loop), then count each document's subword tokens under the learned
+    * vocabulary — the honest version of `txt_tokens`' BPE-ish regex
+    * estimate. Golden-locked (the merge sequence is deterministic but
+    * not SQL-expressible). */
+  def txtBpe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val model = graft.functions.Bpe.trainBpe(docs, nMerges = 200)
+    docs.select(col("doc_id"),
+        graft.functions.Bpe.bpeCountCol(col("text"), model).as("bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dd_exact"         -> ddExact _,
     "dd_jaccard_words" -> ddJaccardWords _,
@@ -790,6 +804,7 @@ object TrainingData {
     "sim_semdedup"       -> ((s: SparkSession, d: String) => simSemdedup(s, d)),
     "ds_importance"      -> dsImportance _,
     "sim_rp"             -> simRp _,
+    "txt_bpe"            -> txtBpe _,
   )
 
   // sim_rp's 8 projection columns share one formula (1-based DuckDB list

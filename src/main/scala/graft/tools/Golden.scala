@@ -48,7 +48,13 @@ object Golden {
     // bit-equal) before this golden can lock values — if a Spark upgrade
     // makes the merge layout-dependent, the spec fails first with a
     // readable message
-    "q23_percentiles_approx")
+    "q23_percentiles_approx",
+    // BPE: word counts are exact integers and the merge argmax tie-breaks
+    // totally (count desc, pair lexicographic), so the learned merge
+    // sequence — and with it every per-doc token count — is bit-stable
+    // under any partitioning; BpeSpec verifies the algorithm against the
+    // hand-computed Sennrich et al. example
+    "txt_bpe")
 
   val sfDir = "/root/testdata/sf0.01"
 

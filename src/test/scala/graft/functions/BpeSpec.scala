@@ -1,0 +1,73 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+  import SparkSpec.session.implicits._
+
+  // the Sennrich et al. (2016) worked example: {low:5, lower:2,
+  // newest:6, widest:3} — merge counts hand-computed with the </w>
+  // word-final marker and the (count desc, pair lexicographic) tie-break
+  private def sennrichCorpus = {
+    def rep(w: String, n: Int) = Seq.fill(n)(w).mkString(" ")
+    Seq((1L, rep("low", 5)), (2L, rep("lower", 2)),
+        (3L, rep("newest", 6)), (4L, rep("widest", 3)))
+      .toDF("doc_id", "text")
+  }
+
+  test("trainBpe reproduces the hand-computed merge sequence") {
+    val m = Bpe.trainBpe(sennrichCorpus, nMerges = 4)
+    // (e,s)=9 beats (s,t</w>)=9 lexicographically; then (es,t</w>)=9;
+    // then (l,o)=7; then the 6-count tie (e,w)/(n,e)/(w,est</w>) falls
+    // to (e,w)
+    assert(m.merges.toSeq == Seq(("e", "s"), ("es", "t</w>"), ("l", "o"),
+      ("e", "w")), m.merges.toSeq)
+  }
+
+  test("encodeWord applies merges greedily by rank") {
+    val m = Bpe.trainBpe(sennrichCorpus, nMerges = 4)
+    val ranks = m.merges.zipWithIndex.map { case (p, r) => p -> r }.toMap
+    // l o w e s t</w> -> (e,s) -> (es,t</w>) -> (l,o) -> no (lo,w) merge
+    assert(Bpe.encodeWord("lowest", ranks).toSeq == Seq("lo", "w", "est</w>"))
+    assert(Bpe.encodeWord("newest", ranks).toSeq == Seq("n", "ew", "est</w>"))
+    assert(Bpe.encodeWord("x", ranks).toSeq == Seq("x</w>"))
+  }
+
+  test("zero-merge counts equal letter counts; the word cache is model-keyed") {
+    val docs = Seq((1L, "ab cde Hello99world")).toDF("doc_id", "text")
+    val none = Bpe.BpeModel(Array.empty)
+    val n0 = docs.select(Bpe.bpeCountCol($"text", none)).as[Long].head()
+    assert(n0 == 2 + 3 + 5 + 5, s"letters as tokens: $n0") // ab cde hello world
+    // a different model scoring the SAME words on the same thread must
+    // not see the zero-merge cache entries
+    val trained = Bpe.trainBpe(Seq((1L, "ab ab ab")).toDF("doc_id", "text"),
+      nMerges = 1) // merges (a, b</w>) -> "ab" is ONE token
+    val n1 = docs.select(Bpe.bpeCountCol($"text", trained)).as[Long].head()
+    assert(n1 == 1 + 3 + 5 + 5, s"cached counts leaked across models: $n1")
+  }
+
+  test("more merges never increase a document's token count") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+      .select("doc_id", "text").cache()
+    val m50 = Bpe.trainBpe(docs, nMerges = 50)
+    val m200 = Bpe.trainBpe(docs, nMerges = 200)
+    val joined = docs
+      .select($"doc_id", Bpe.bpeCountCol($"text", m50).as("t50"),
+        Bpe.bpeCountCol($"text", m200).as("t200"))
+      .as[(Long, Long, Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (id, t50, t200) =>
+      assert(t200 <= t50, s"doc $id: $t200 tokens under 200 merges > $t50 under 50")
+    }
+    // and the merges genuinely compress somewhere
+    assert(joined.map(_._3).sum < joined.map(_._2).sum)
+  }
+
+  test("training is deterministic across runs and partitionings") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = Bpe.trainBpe(docs, nMerges = 60)
+    val b = Bpe.trainBpe(docs.repartition(13), nMerges = 60)
+    assert(a.merges.toSeq == b.merges.toSeq)
+  }
+}
