@@ -125,6 +125,36 @@ object Bpe {
   private val bpeCache =
     new ThreadLocal[(AnyRef, java.util.HashMap[String, java.lang.Long])]
 
+  /** Persist a trained merge table as a versioned artifact — `v<N>/merges/`
+    * parquet (rank, lhs, rhs), published with the same rename-based
+    * `_current` pointer swap as the LSH/IVF indexes and the LM/importance
+    * models: train once per corpus refresh, encode many batches/streams
+    * against the loaded vocabulary. */
+  def saveBpe(spark: org.apache.spark.sql.SparkSession,
+              model: BpeModel, path: String): Unit = {
+    import spark.implicits._
+    val (fs, root) = graft.sources.Fs.of(spark, path)
+    val version = graft.sources.Fs.currentVersion(fs, root).getOrElse(0) + 1
+    model.merges.toSeq.zipWithIndex
+      .map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "lhs", "rhs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/v$version/merges")
+    graft.sources.Fs.publishVersion(fs, root, version)
+  }
+
+  /** Load the `_current` version of a persisted merge table (rank order
+    * restored from the rank column, not file order). */
+  def loadBpe(spark: org.apache.spark.sql.SparkSession, path: String): BpeModel = {
+    val (fs, root) = graft.sources.Fs.of(spark, path)
+    val version = graft.sources.Fs.currentVersion(fs, root).getOrElse(
+      sys.error(s"no BPE model at $path (missing _current pointer — " +
+        "run saveBpe first)"))
+    val merges = spark.read.parquet(s"$path/v$version/merges")
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    BpeModel(merges)
+  }
+
   /** A word as its initial symbol sequence: chars, last one marked `</w>`. */
   private[functions] def symbolize(w: String): Array[String] = {
     val out = new Array[String](w.length)

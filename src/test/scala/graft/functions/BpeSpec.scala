@@ -64,6 +64,23 @@ class BpeSpec extends SparkSpec {
     assert(joined.map(_._3).sum < joined.map(_._2).sum)
   }
 
+  test("model save/load round-trips behind the versioned pointer") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe-model").toString
+    val m = Bpe.trainBpe(sennrichCorpus, nMerges = 4)
+    Bpe.saveBpe(spark, m, dir)
+    val loaded = Bpe.loadBpe(spark, dir)
+    assert(loaded.merges.toSeq == m.merges.toSeq)
+    val docs = Seq((1L, "the lowest newest")).toDF("doc_id", "text")
+    val direct = docs.select(Bpe.bpeCountCol($"text", m)).as[Long].head()
+    val viaDisk = docs.select(Bpe.bpeCountCol($"text", loaded)).as[Long].head()
+    assert(viaDisk == direct)
+    Bpe.saveBpe(spark, m, dir)
+    val (fs, root) = graft.sources.Fs.of(spark, dir)
+    assert(graft.sources.Fs.currentVersion(fs, root).contains(2))
+    val e = intercept[RuntimeException] { Bpe.loadBpe(spark, s"$dir/missing") }
+    assert(e.getMessage.contains("saveBpe"), e.getMessage)
+  }
+
   test("training is deterministic across runs and partitionings") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val a = Bpe.trainBpe(docs, nMerges = 60)
