@@ -11,12 +11,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: training NEVER iterates over the corpus — one corpus
   * scan partial-aggregates to the distinct-word frequency table
-  * (vocabulary-sized, capped collect like the unigram LM), and the merge
-  * loop runs on that table driver-side, so 200 merges cost 200 passes
-  * over ~10⁴ distinct words, not 200 corpus scans. Encoding is one
-  * kernel call per document against the broadcast-sized merge ranks —
-  * map-only, fusable into any curation scan, with a per-task word cache
-  * because Zipf makes most tokens repeats.
+  * (vocabulary-sized, capped collect shared with the unigram LM —
+  * TextAnalytics.wordFrequencyTable), and the merge loop runs on that
+  * table driver-side INCREMENTALLY: each merge re-counts only the words
+  * containing the winning pair, so cost scales with the Zipf tail the
+  * merge actually touches, not the vocabulary. Encoding is one kernel
+  * call per document against the broadcast-sized merge ranks — map-only,
+  * fusable into any curation scan, with a per-task word cache because
+  * Zipf makes most tokens repeats.
   *
   * Determinism (golden eligibility): word counts are exact integers; the
   * merge argmax tie-breaks totally (count desc, then pair lexicographic),
@@ -32,42 +34,74 @@ object Bpe {
 
   val MaxVocab = 1 << 22
 
-  /** One corpus scan → capped word-frequency table → driver merge loop. */
+  /** One corpus scan → capped word-frequency table → driver merge loop.
+    *
+    * Tokenization is [[TextAnalytics.asciiWords]] — the SAME word boundary
+    * the encode kernel's `charAt` scanner uses, so train and encode can
+    * never disagree on what a word is (Unicode `lower()` admits characters
+    * like U+212A whose lowercase lands in `[a-z]` that an ASCII scanner
+    * treats as separators; on the pure-ASCII fixtures the two tokenizers
+    * are identical).
+    *
+    * The merge loop is the standard INCREMENTAL formulation: pair counts
+    * and a pair → affected-word index are built once, and each merge
+    * re-counts only the words that actually contain the winning pair —
+    * not the whole table. At the vocabulary cap this is the difference
+    * between touching a Zipf tail's handful of words per merge and
+    * rebuilding 2²² symbol arrays 200 times. The argmax stays a full scan
+    * of the live pair-count map (small next to the word table), with the
+    * same total tie-break order as before — the merge sequence is
+    * IDENTICAL to the rebuild-everything formulation. */
   def trainBpe(docs: DataFrame, nMerges: Int = 200,
                maxVocab: Int = MaxVocab): BpeModel = {
     require(nMerges > 0 && nMerges <= 65536, s"nMerges out of range: $nMerges")
-    val rows = docs
-      .select(explode(TextAnalytics.words(col("text"))).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .groupBy("tok").agg(count(lit(1)).as("cnt"))
-      .limit(maxVocab + 1)
-      .collect()
-    require(rows.length <= maxVocab,
-      s"BPE word table exceeds maxVocab=$maxVocab — train on a sampled " +
-        "or reference corpus, or raise the cap")
+    val rows = TextAnalytics.wordFrequencyTable(
+      docs, TextAnalytics.asciiWords, maxVocab, "BPE word table")
     val words = rows.map(r => (symbolize(r.getString(0)), r.getLong(1)))
+    // pair → weighted count over the word table, and pair → indices of
+    // words that contained the pair when last counted (entries may go
+    // stale after a word is rewritten; consumers re-check containment)
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val where = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    def countWord(idx: Int, sign: Long): Unit = {
+      val (syms, cnt) = words(idx)
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val c = counts.getOrElse(p, 0L) + sign * cnt
+        if (c == 0L) counts.remove(p) else counts.update(p, c)
+        if (sign > 0)
+          where.getOrElseUpdate(p, scala.collection.mutable.HashSet.empty) += idx
+        i += 1
+      }
+    }
+    var w = 0
+    while (w < words.length) { countWord(w, 1L); w += 1 }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var active = words
     var step = 0
-    while (step < nMerges) {
-      // weighted adjacent-pair counts over the word table (not the corpus)
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      active.foreach { case (syms, cnt) =>
+    while (step < nMerges && counts.nonEmpty) {
+      // total order: count desc, then pair lexicographic — unique winner
+      val best = counts.minBy { case ((a, b), c) => (-c, a, b) }._1
+      merges += best
+      // every occurrence of `best` merges, so its count drops to zero and
+      // its index entry is fully consumed here (a merged word cannot
+      // recreate the pair: both members were fused into one new symbol)
+      where.remove(best).foreach(_.foreach { idx =>
+        val (syms, cnt) = words(idx)
+        var has = false
         var i = 0
-        while (i < syms.length - 1) {
-          val p = (syms(i), syms(i + 1))
-          counts.update(p, counts.getOrElse(p, 0L) + cnt)
+        while (!has && i < syms.length - 1) {
+          has = syms(i) == best._1 && syms(i + 1) == best._2
           i += 1
         }
-      }
-      if (counts.isEmpty) step = nMerges
-      else {
-        // total order: count desc, then pair lexicographic — unique winner
-        val best = counts.minBy { case ((a, b), c) => (-c, a, b) }._1
-        merges += best
-        active = active.map { case (syms, cnt) => (mergePair(syms, best), cnt) }
-        step += 1
-      }
+        if (has) { // stale entries skip: the word was rewritten since
+          countWord(idx, -1L)
+          words(idx) = (mergePair(syms, best), cnt)
+          countWord(idx, 1L)
+        }
+      })
+      step += 1
     }
     BpeModel(merges.toArray)
   }
@@ -81,15 +115,22 @@ object Bpe {
     val enc = udf { (s: String) =>
       if (s == null) 0L
       else {
-        // per-thread cache KEYED BY the ranks instance: a plain
+        // per-thread caches KEYED BY the ranks instance: a plain
         // ThreadLocal map would survive across queries with different
-        // models on the same executor thread and serve stale counts
-        val entry = bpeCache.get()
-        val cache =
-          if (entry == null || (entry._1 ne ranks)) {
-            val m = new java.util.HashMap[String, java.lang.Long]()
-            bpeCache.set((ranks, m)); m
-          } else entry._2
+        // models on the same executor thread and serve stale counts, and
+        // a single slot would thrash when one projection scores two
+        // models (each row flips the identity, zero hits)
+        var slots = bpeCache.get()
+        if (slots == null) {
+          slots = new java.util.IdentityHashMap[AnyRef, java.util.HashMap[String, java.lang.Long]]()
+          bpeCache.set(slots)
+        }
+        var cache = slots.get(ranks)
+        if (cache == null) {
+          if (slots.size >= 4) slots.clear() // bound thread-local footprint
+          cache = new java.util.HashMap[String, java.lang.Long]()
+          slots.put(ranks, cache)
+        }
         var total = 0L
         var i = 0
         val n = s.length
@@ -97,7 +138,6 @@ object Bpe {
           var c = s.charAt(i)
           if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
           if (c >= 'a' && c <= 'z') {
-            val start = i
             val sb = new java.lang.StringBuilder
             while (i < n && {
               var cc = s.charAt(i)
@@ -112,7 +152,7 @@ object Bpe {
               if (cache.size < (1 << 17)) cache.put(w, java.lang.Long.valueOf(k))
               total += k
             }
-            if (i == start) i += 1 // defensive: never stall
+            // the inner loop consumed >= 1 char (charAt(i) was a letter)
           } else i += 1
         }
         total
@@ -121,9 +161,9 @@ object Bpe {
     enc(text)
   }
 
-  // thread-confined (model-ref, word → token-count) cache; see bpeCountCol
+  // thread-confined model-ref → (word → token-count) caches; see bpeCountCol
   private val bpeCache =
-    new ThreadLocal[(AnyRef, java.util.HashMap[String, java.lang.Long])]
+    new ThreadLocal[java.util.IdentityHashMap[AnyRef, java.util.HashMap[String, java.lang.Long]]]
 
   /** Persist a trained merge table as a versioned artifact — `v<N>/merges/`
     * parquet (rank, lhs, rhs), published with the same rename-based
@@ -133,23 +173,21 @@ object Bpe {
   def saveBpe(spark: org.apache.spark.sql.SparkSession,
               model: BpeModel, path: String): Unit = {
     import spark.implicits._
-    val (fs, root) = graft.sources.Fs.of(spark, path)
-    val version = graft.sources.Fs.currentVersion(fs, root).getOrElse(0) + 1
-    model.merges.toSeq.zipWithIndex
-      .map { case ((a, b), r) => (r, a, b) }
-      .toDF("rank", "lhs", "rhs")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/v$version/merges")
-    graft.sources.Fs.publishVersion(fs, root, version)
+    graft.sources.Fs.writeVersioned(spark, path) { vdir =>
+      model.merges.toSeq.zipWithIndex
+        .map { case ((a, b), r) => (r, a, b) }
+        .toDF("rank", "lhs", "rhs")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/merges")
+    }
+    ()
   }
 
   /** Load the `_current` version of a persisted merge table (rank order
     * restored from the rank column, not file order). */
   def loadBpe(spark: org.apache.spark.sql.SparkSession, path: String): BpeModel = {
-    val (fs, root) = graft.sources.Fs.of(spark, path)
-    val version = graft.sources.Fs.currentVersion(fs, root).getOrElse(
-      sys.error(s"no BPE model at $path (missing _current pointer — " +
-        "run saveBpe first)"))
-    val merges = spark.read.parquet(s"$path/v$version/merges")
+    val vdir = graft.sources.Fs.resolveCurrent(spark, path,
+      s"no BPE model at $path (missing _current pointer — run saveBpe first)")
+    val merges = spark.read.parquet(s"$vdir/merges")
       .collect().sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2)))
     BpeModel(merges)

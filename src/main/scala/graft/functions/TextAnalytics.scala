@@ -21,6 +21,16 @@ object TextAnalytics {
   /** Lower-cased alphabetic word tokens. */
   def words(text: Column): Column = split(lower(text), "[^a-z]+")
 
+  /** ASCII-only variant: maximal `[A-Za-z]` runs, case-folded AFTER the
+    * non-ASCII strip. Pairs with JVM kernels that scan `charAt` ranges
+    * (the BPE encoder) — [[words]]' Unicode `lower()` can admit characters
+    * whose lowercase lands in `[a-z]` (e.g. U+212A KELVIN SIGN → 'k') that
+    * an ASCII scanner treats as separators, so a model trained on [[words]]
+    * would disagree with its own ASCII encode kernel on non-ASCII text.
+    * On pure-ASCII input the two tokenizations are identical. */
+  def asciiWords(text: Column): Column =
+    split(lower(regexp_replace(text, "[^A-Za-z]+", " ")), " ")
+
   /** Per-language marker-word lists. With the synthetic fixture vocabulary
     * the interesting property is determinism, not linguistics; on real data
     * these would be the usual top-stopword lists per language.
@@ -208,6 +218,26 @@ object TextAnalytics {
     java.math.BigDecimal.valueOf(math.log(cnt.toDouble) * 1048576d)
       .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
 
+  /** Capped distinct-word frequency table: one corpus scan partial-aggregates
+    * to (token, count), collected driver-side under a hard cap — the collect
+    * can never fetch more than `maxVocab + 1` rows. Shared by the unigram-LM
+    * and BPE trainers; the tokenizer column is the caller's so each model
+    * stays consistent with its own scoring kernel. */
+  private[graft] def wordFrequencyTable(docs: org.apache.spark.sql.DataFrame,
+                                        tokenizer: Column => Column,
+                                        maxVocab: Int,
+                                        what: String): Array[org.apache.spark.sql.Row] = {
+    val rows = docs.select(explode(tokenizer(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .limit(maxVocab + 1)
+      .collect()
+    require(rows.length <= maxVocab,
+      s"$what vocabulary exceeds maxVocab=$maxVocab — train on a " +
+        "sampled or reference corpus, or raise the cap")
+    rows
+  }
+
   /** Train the unigram LM: one token-aggregation job, vocabulary collected
     * to the driver (guard-limited — the collect can never fetch more than
     * `maxVocab + 1` rows) and quantized once. The memory bound is the
@@ -218,14 +248,7 @@ object TextAnalytics {
     * artifact, not a per-query derivation). */
   def trainUnigramLm(docs: org.apache.spark.sql.DataFrame,
                      maxVocab: Int = 1 << 25): UnigramLm = {
-    val rows = docs.select(explode(words(col("text"))).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .groupBy("tok").agg(count(lit(1)).as("cnt"))
-      .limit(maxVocab + 1)
-      .collect()
-    require(rows.length <= maxVocab,
-      s"unigram LM vocabulary exceeds maxVocab=$maxVocab — train on a " +
-        "sampled or reference corpus, or raise the cap")
+    val rows = wordFrequencyTable(docs, words, maxVocab, "unigram LM")
     val ql = new java.util.HashMap[String, java.lang.Long](math.max(16, rows.length * 2))
     var total = 0L
     rows.foreach { r =>
@@ -246,39 +269,35 @@ object TextAnalytics {
   def saveUnigramLm(spark: org.apache.spark.sql.SparkSession, lm: UnigramLm,
                     path: String): Unit = {
     import spark.implicits._
-    val (fs, root) = graft.sources.Fs.of(spark, path)
-    val version = graft.sources.Fs.currentVersion(fs, root).getOrElse(0) + 1
-    val vdir = s"$path/v$version"
-    // one flat array copy of the vocab, shipped through parallelize —
-    // NOT Seq.toDF, whose LocalRelation would embed an encoded second
-    // copy of an up-to-2^25-entry vocab inside the write plan on the
-    // driver (a ~3x transient spike next to the live HashMap)
-    val entries = new Array[(String, Long)](lm.ql.size)
-    val it = lm.ql.entrySet.iterator
-    var i = 0
-    while (it.hasNext) {
-      val e = it.next()
-      entries(i) = (e.getKey, e.getValue.longValue)
-      i += 1
+    graft.sources.Fs.writeVersioned(spark, path) { vdir =>
+      // one flat array copy of the vocab, shipped through parallelize —
+      // NOT Seq.toDF, whose LocalRelation would embed an encoded second
+      // copy of an up-to-2^25-entry vocab inside the write plan on the
+      // driver (a ~3x transient spike next to the live HashMap)
+      val entries = new Array[(String, Long)](lm.ql.size)
+      val it = lm.ql.entrySet.iterator
+      var i = 0
+      while (it.hasNext) {
+        val e = it.next()
+        entries(i) = (e.getKey, e.getValue.longValue)
+        i += 1
+      }
+      val slices = math.min(32, 1 + entries.length / (1 << 20))
+      spark.sparkContext
+        .parallelize(scala.collection.immutable.ArraySeq.unsafeWrapArray(entries), slices)
+        .toDF("tok", "ql").write.mode("overwrite").parquet(s"$vdir/lm")
+      Seq(lm.totalTokens).toDF("total_tokens")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
     }
-    val slices = math.min(32, 1 + entries.length / (1 << 20))
-    spark.sparkContext
-      .parallelize(scala.collection.immutable.ArraySeq.unsafeWrapArray(entries), slices)
-      .toDF("tok", "ql").write.mode("overwrite").parquet(s"$vdir/lm")
-    Seq(lm.totalTokens).toDF("total_tokens")
-      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
-    graft.sources.Fs.publishVersion(fs, root, version)
   }
 
   /** Load the `_current` version of a persisted LM (guard-limited like
     * [[trainUnigramLm]]'s collect). */
   def loadUnigramLm(spark: org.apache.spark.sql.SparkSession, path: String,
                     maxVocab: Int = 1 << 25): UnigramLm = {
-    val (fs, root) = graft.sources.Fs.of(spark, path)
-    val version = graft.sources.Fs.currentVersion(fs, root).getOrElse(
-      sys.error(s"no unigram LM at $path (missing _current pointer — " +
-        "run saveUnigramLm first)"))
-    val vdir = s"$path/v$version"
+    val vdir = graft.sources.Fs.resolveCurrent(spark, path,
+      s"no unigram LM at $path (missing _current pointer — " +
+        "run saveUnigramLm first)")
     val rows = spark.read.parquet(s"$vdir/lm").limit(maxVocab + 1).collect()
     require(rows.length <= maxVocab,
       s"persisted LM vocabulary exceeds maxVocab=$maxVocab")

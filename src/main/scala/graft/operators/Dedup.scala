@@ -534,26 +534,25 @@ object Dedup {
                     k: Int = 64, bands: Int = 16, maxBucket: Int = 1000): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (fs, root) = graft.sources.Fs.of(spark, path)
-    val version = graft.sources.Fs.currentVersion(fs, root).getOrElse(0) + 1
-    val vdir = s"$path/v$version"
-    val sigs = docs
-      .select(col("doc_id"), minhashSignature(col("text"), shingleN, k).as("sig"))
-      .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
-    sigs.write.mode("overwrite").parquet(s"$vdir/sigs")
-    val allBands = spark.read.parquet(s"$vdir/sigs")
-      .select(col("doc_id"), explode(lshBands(col("sig"), k, bands)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-    val hot = allBands.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
-      .select("band", "bucket")
-    allBands.join(hot, Seq("band", "bucket"), "left_anti")
-      .write.mode("overwrite").partitionBy("band").parquet(s"$vdir/bands")
-    Seq((shingleN, k, bands, maxBucket)).toDF("shingle_n", "k", "bands", "max_bucket")
-      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/params")
-    // rename-based pointer swap; retains the immediately-previous version
-    // for in-flight probes, prunes strictly older ones
-    graft.sources.Fs.publishVersion(fs, root, version)
+    // rename-based pointer swap on return; retains the immediately-previous
+    // version for in-flight probes, prunes strictly older ones
+    graft.sources.Fs.writeVersioned(spark, path) { vdir =>
+      val sigs = docs
+        .select(col("doc_id"), minhashSignature(col("text"), shingleN, k).as("sig"))
+        .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
+      sigs.write.mode("overwrite").parquet(s"$vdir/sigs")
+      val allBands = spark.read.parquet(s"$vdir/sigs")
+        .select(col("doc_id"), explode(lshBands(col("sig"), k, bands)).as("bb"))
+        .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+      val hot = allBands.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+        .select("band", "bucket")
+      allBands.join(hot, Seq("band", "bucket"), "left_anti")
+        .write.mode("overwrite").partitionBy("band").parquet(s"$vdir/bands")
+      Seq((shingleN, k, bands, maxBucket)).toDF("shingle_n", "k", "bands", "max_bucket")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/params")
+    }
+    ()
   }
 
   /** Verify candidate pairs by stored-signature agreement — shared by the
@@ -578,11 +577,9 @@ object Dedup {
     * [[minhashPairs]] on the batch, not this probe. */
   def probeLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     newDocs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val (fs, root) = graft.sources.Fs.of(spark, path)
-    val version = graft.sources.Fs.currentVersion(fs, root).getOrElse(
-      sys.error(s"no LSH index at $path (missing _current pointer — " +
-        "run buildLshIndex first)"))
-    val vdir = s"$path/v$version"
+    val vdir = graft.sources.Fs.resolveCurrent(spark, path,
+      s"no LSH index at $path (missing _current pointer — " +
+        "run buildLshIndex first)")
     // parameters come FROM the index, so probe and index bucket spaces
     // cannot disagree (hot buckets were already dropped at build time)
     val p = spark.read.parquet(s"$vdir/params").head()

@@ -193,25 +193,21 @@ object Importance {
   def saveImportanceModel(spark: org.apache.spark.sql.SparkSession,
                           model: ImportanceModel, path: String): Unit = {
     import spark.implicits._
-    val (fs, root) = graft.sources.Fs.of(spark, path)
-    val version = graft.sources.Fs.currentVersion(fs, root).getOrElse(0) + 1
-    val vdir = s"$path/v$version"
-    model.ql.toSeq.zipWithIndex.map { case (q, b) => (b, q) }
-      .toDF("bucket", "ql")
-      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/model")
-    Seq((model.qn, model.buckets)).toDF("qn", "buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
-    graft.sources.Fs.publishVersion(fs, root, version)
+    graft.sources.Fs.writeVersioned(spark, path) { vdir =>
+      model.ql.toSeq.zipWithIndex.map { case (q, b) => (b, q) }
+        .toDF("bucket", "ql")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/model")
+      Seq((model.qn, model.buckets)).toDF("qn", "buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
+    }
   }
 
   /** Load the `_current` version of a persisted model. */
   def loadImportanceModel(spark: org.apache.spark.sql.SparkSession,
                           path: String): ImportanceModel = {
-    val (fs, root) = graft.sources.Fs.of(spark, path)
-    val version = graft.sources.Fs.currentVersion(fs, root).getOrElse(
-      sys.error(s"no importance model at $path (missing _current pointer — " +
-        "run saveImportanceModel first)"))
-    val vdir = s"$path/v$version"
+    val vdir = graft.sources.Fs.resolveCurrent(spark, path,
+      s"no importance model at $path (missing _current pointer — " +
+        "run saveImportanceModel first)")
     val meta = spark.read.parquet(s"$vdir/meta").head()
     val (qn, buckets) = (meta.getLong(0), meta.getInt(1))
     require(buckets > 0 && buckets <= MaxBuckets,

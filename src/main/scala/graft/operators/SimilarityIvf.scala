@@ -110,16 +110,15 @@ object SimilarityIvf {
                  iters: Int = 3): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val (fs, root) = graft.sources.Fs.of(spark, path)
-    val version = graft.sources.Fs.currentVersion(fs, root).getOrElse(0) + 1
-    val vdir = s"$path/v$version"
-    val centroids = trainCentroids(embeddings, nCells, iters)
-    assignCells(embeddings, centroids)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/vectors")
-    spark.createDataset(centroids.toSeq.map { case (c, v) => (c, v.toSeq) })
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/_centroids")
-    graft.sources.Fs.publishVersion(fs, root, version)
+    graft.sources.Fs.writeVersioned(spark, path) { vdir =>
+      val centroids = trainCentroids(embeddings, nCells, iters)
+      assignCells(embeddings, centroids)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/vectors")
+      spark.createDataset(centroids.toSeq.map { case (c, v) => (c, v.toSeq) })
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/_centroids")
+    }
+    ()
   }
 
   /** Probe a persisted index: resolve `_current` once, rank that version's
@@ -130,11 +129,9 @@ object SimilarityIvf {
                  queryVec: Array[Float], k: Int, nprobe: Int,
                  excludeIds: Seq[Long] = Nil): DataFrame = {
     import spark.implicits._
-    val (fs, root) = graft.sources.Fs.of(spark, path)
-    val version = graft.sources.Fs.currentVersion(fs, root).getOrElse(
-      sys.error(s"no IVF index at $path (missing _current pointer — " +
-        "run buildIndex first)"))
-    val vdir = s"$path/v$version"
+    val vdir = graft.sources.Fs.resolveCurrent(spark, path,
+      s"no IVF index at $path (missing _current pointer — " +
+        "run buildIndex first)")
     val centroids = spark.read.parquet(s"$vdir/_centroids")
       .as[(Int, Seq[Double])].collect().map { case (c, v) => (c, v.toArray) }
     val qd = queryVec.map(_.toDouble)

@@ -234,22 +234,21 @@ object SimilarityPq {
     require(ksub <= 16, s"codes are nibble-packed: ksub must be <= 16 (got $ksub)")
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val (fs, root) = graft.sources.Fs.of(spark, path)
-    val version = graft.sources.Fs.currentVersion(fs, root).getOrElse(0) + 1
-    val vdir = s"$path/v$version"
-    val books = trainCodebooks(embeddings, m, ksub, iters)
-    val packUdf = udf((cs: Seq[Int]) =>
-      if (cs == null) null else pack4(cs.toArray))
-    encode(embeddings, books)
-      .select(col("vec_id"), packUdf(col("codes")).as("code"))
-      .write.mode("overwrite").parquet(s"$vdir/codes")
-    spark.createDataset(
-        books.zipWithIndex.flatMap { case (cb, j) =>
-          cb.zipWithIndex.map { case (ctr, c) => (j, c, ctr.toSeq) }
-        }.toSeq)
-      .toDF("subspace", "code", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/_codebooks")
-    graft.sources.Fs.publishVersion(fs, root, version)
+    graft.sources.Fs.writeVersioned(spark, path) { vdir =>
+      val books = trainCodebooks(embeddings, m, ksub, iters)
+      val packUdf = udf((cs: Seq[Int]) =>
+        if (cs == null) null else pack4(cs.toArray))
+      encode(embeddings, books)
+        .select(col("vec_id"), packUdf(col("codes")).as("code"))
+        .write.mode("overwrite").parquet(s"$vdir/codes")
+      spark.createDataset(
+          books.zipWithIndex.flatMap { case (cb, j) =>
+            cb.zipWithIndex.map { case (ctr, c) => (j, c, ctr.toSeq) }
+          }.toSeq)
+        .toDF("subspace", "code", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/_codebooks")
+    }
+    ()
   }
 
   /** Load a persisted version's codebooks (driver-side, m×ksub rows). */
@@ -273,11 +272,9 @@ object SimilarityPq {
                  queryVec: Array[Float], k: Int, shortlist: Int,
                  excludeIds: Seq[Long] = Nil): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
-    val (fs, root) = graft.sources.Fs.of(spark, path)
-    val version = graft.sources.Fs.currentVersion(fs, root).getOrElse(
-      sys.error(s"no PQ index at $path (missing _current pointer — " +
-        "run buildIndex first)"))
-    val vdir = s"$path/v$version"
+    val vdir = graft.sources.Fs.resolveCurrent(spark, path,
+      s"no PQ index at $path (missing _current pointer — " +
+        "run buildIndex first)")
     val books = loadCodebooks(spark, vdir)
     val m = books.length
     val table = adcTable(books, queryVec)

@@ -30,6 +30,28 @@ object Fs {
     }
   }
 
+  /** Write the NEXT version of a versioned artifact root: `write` receives
+    * the fresh `v<N>` directory to populate, and on return the `_current`
+    * pointer swaps atomically ([[publishVersion]]). The one skeleton behind
+    * every persisted artifact (LSH/IVF/PQ indexes, unigram LM, importance
+    * model, BPE merges) — a protocol fix lands here once. Returns the
+    * published version. */
+  def writeVersioned(spark: SparkSession, path: String)(write: String => Unit): Int = {
+    val (fs, root) = of(spark, path)
+    val version = currentVersion(fs, root).getOrElse(0) + 1
+    write(s"$path/v$version")
+    publishVersion(fs, root, version)
+    version
+  }
+
+  /** Resolve the `_current` `v<N>` directory of a versioned artifact root;
+    * fails with `missing` (name the build entry point) when absent. */
+  def resolveCurrent(spark: SparkSession, path: String, missing: => String): String = {
+    val (fs, root) = of(spark, path)
+    val version = currentVersion(fs, root).getOrElse(sys.error(missing))
+    s"$path/v$version"
+  }
+
   /** Publish `version`: the pointer flips via a RENAME (`_current.tmp`
     * written complete, then renamed over `_current` with OVERWRITE), so a
     * concurrent [[currentVersion]] reads the old value or the new one —
