@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish fixture tables (TESTDATA.md).
   *
@@ -21,11 +23,23 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, table: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS); Spark surfaces it as a BIGINT
-    // of epoch-nanos. All event-time logic in this engine is integer
-    // arithmetic on that column (oracle side: duckdb epoch_ns()).
+    // `events.ts` is epoch-nanos BIGINT everywhere in this engine; all
+    // event-time logic is integer arithmetic on that column (oracle side:
+    // duckdb epoch_ns()/epoch_us()). The fixture generator has shipped the
+    // column as parquet TIMESTAMP(NANOS) in some rounds (surfaced as a
+    // nano-long via legacy nanosAsLong) and TIMESTAMP(MICROS) in others
+    // (surfaced as TIMESTAMP_NTZ) — normalize HERE so the contract holds
+    // against either physical layout. The session timezone is pinned to
+    // UTC because the NTZ→LTZ cast reinterprets the naive wall-clock in
+    // session time, and the DuckDB oracle treats the same naive value
+    // as-is: any other zone would shift Spark's nanos against the oracle's.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$table.parquet")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val df = spark.read.parquet(s"$dir/$table.parquet")
+    if (table == "events" && df.schema("ts").dataType != LongType)
+      df.withColumn("ts",
+        (unix_micros(col("ts").cast(TimestampType)) * 1000L).as("ts"))
+    else df
   }
 
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
