@@ -379,4 +379,87 @@ object Curation {
       .filter(hashBucket(col(idCol)) < col("__rate"))
       .drop("__rate")
   }
+
+  /** Per-stratum quality quota: keep at most `cap` documents per stratum
+    * (source / domain / language), chosen by quality rank — the
+    * domain-balancing step of a web-scale corpus (C4/Gopher-style
+    * per-domain caps): without it the largest crawl domains dominate the
+    * token budget regardless of quality. Where [[stratifiedSample]] keeps
+    * a hash-RATE of each stratum (membership independent of quality),
+    * this keeps a quality-ranked COUNT: rank within stratum by
+    * (quality desc, doc_id asc — deterministic total order), keep
+    * `rank <= cap`.
+    *
+    * Output: (doc_id, stratum, quality, rank) for every kept doc.
+    *
+    * Scale: quality is a map-side kernel over the (id, stratum, text)
+    * projection — text never rides the exchange. The rank-≤-cap window
+    * rewrites to WindowGroupLimit, so every partition locally truncates
+    * to its own top-`cap` per stratum BEFORE the stratum exchange: the
+    * shuffle carries at most `cap` × strata-per-partition narrow rows,
+    * not the corpus, and a single hot domain costs `cap` rows per
+    * upstream partition — bounded, unskewed, whatever the crawl mix. */
+  def sourceQuota(docs: DataFrame, strataCol: String, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    import graft.functions.TextAnalytics.qualityScore
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCol)
+      .orderBy(desc_nulls_last("quality"), asc("doc_id"))
+    docs.select(col("doc_id"), col(strataCol),
+        qualityScore(col("text")).as("quality"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= cap)
+  }
+
+  /** Exact distribution thresholds for integer-valued curation signals —
+    * the calibration step before any filter in the funnel: "drop the
+    * bottom decile by length" needs the decile first, and at 100 TB the
+    * naive exact form (a per-signal sort, or `percentile()`'s collected
+    * value buffer) is the bottleneck q23's scaladoc documents. Signals
+    * produced by the one-pass extractor ([[graft.functions.TextAnalytics
+    * .signals]]) are integers by design (counts, fixed-point ppm), so
+    * their EXACT quantiles come from a value histogram instead: one
+    * map-side melt of the signal projection, one partial-aggregated
+    * (signal, value) count exchange whose width is bounded by the VALUE
+    * RANGE (never the corpus — a million-row and a trillion-row corpus
+    * aggregate to the same histogram size), a per-signal cumulative
+    * window over that already-tiny histogram, and an integer rank pick.
+    *
+    * The quantile definition is `percentile_disc`-style lower: the
+    * smallest value v with cumCount(v) ≥ ⌈q·N⌉, compared in exact
+    * integer form as 1000·cum ≥ q‰·N — no doubles anywhere, so the
+    * DuckDB oracle replays it verbatim.
+    *
+    * Output: one row per signal — (signal, n_docs, p<q1>, …, p<qk>).
+    *
+    * @param signals projection holding the signal columns (one corpus
+    *                scan upstream; this op adds no second scan)
+    * @param signalCols integer-valued columns to calibrate
+    * @param quantilesPermille quantile grid in ‰, e.g. Seq(100, 500, 900)
+    */
+  def histogramThresholds(signals: DataFrame, signalCols: Seq[String],
+                          quantilesPermille: Seq[Int]): DataFrame = {
+    require(signalCols.nonEmpty, "signalCols must be non-empty")
+    require(quantilesPermille.nonEmpty &&
+      quantilesPermille.forall(q => q >= 1 && q <= 1000),
+      s"quantiles must be in [1, 1000]‰: $quantilesPermille")
+    import org.apache.spark.sql.expressions.Window
+    val stackArgs = signalCols
+      .map(c => s"'$c', CAST(`$c` AS BIGINT)").mkString(", ")
+    val melted = signals.select(
+      expr(s"stack(${signalCols.size}, $stackArgs)").as(Seq("signal", "value")))
+    val hist = melted.groupBy("signal", "value")
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("signal").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("signal")
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wTot))
+    cum.groupBy("signal")
+      .agg(max(col("n")).as("n_docs"),
+        quantilesPermille.map(q =>
+          min(when(col("cum") * 1000 >= lit(q) * col("n"), col("value")))
+            .as(s"p$q")): _*)
+  }
 }

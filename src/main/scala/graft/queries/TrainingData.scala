@@ -491,6 +491,32 @@ object TrainingData {
     Curation.seededOrder(Tables.documents(spark, dir), seed = 42L,
       numShards = 8).orderBy("doc_id")
 
+  /** Per-source quality quota ([[Curation.sourceQuota]]): keep the top 15
+    * docs per source by quality — C4/Gopher-style domain balancing. Every
+    * fixture source holds 25 docs at sf0.01 (250 at sf0.1), so the cap
+    * truncates every stratum, not a tail case. */
+  def dsQuota(spark: SparkSession, dir: String): DataFrame =
+    Curation.sourceQuota(Tables.documents(spark, dir), "source", cap = 15)
+      .orderBy("source", "rank")
+
+  /** Exact signal-threshold calibration ([[Curation.histogramThresholds]]):
+    * p10/p50/p90 of four integer curation signals from ONE corpus scan —
+    * the histogram form whose exchange width is bounded by the value
+    * range, not the corpus. */
+  def dsThresholds(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextAnalytics._
+    val t = col("text")
+    val sig = Tables.documents(spark, dir).select(
+      nChars(t).as("n_chars_m"),
+      wsTokenCount(t).as("ws_tokens"),
+      bpeTokenCount(t).as("bpe_tokens"),
+      punctCount(t).as("n_punct"))
+    Curation.histogramThresholds(sig,
+        Seq("n_chars_m", "ws_tokens", "bpe_tokens", "n_punct"),
+        Seq(100, 500, 900))
+      .orderBy("signal")
+  }
+
   /** Top-3 distinctive terms per doc (integer-exact tf/df ranking). */
   def txtTfidf(spark: SparkSession, dir: String): DataFrame =
     tfIdfTop(Tables.documents(spark, dir), k = 3)
@@ -801,6 +827,8 @@ object TrainingData {
     "ds_budget_select"   -> dsBudgetSelect _,
     "dd_keep_best"       -> ddKeepBest _,
     "ds_order"           -> dsOrder _,
+    "ds_quota"           -> dsQuota _,
+    "ds_thresholds"      -> dsThresholds _,
     "sim_semdedup"       -> ((s: SparkSession, d: String) => simSemdedup(s, d)),
     "ds_importance"      -> dsImportance _,
     "sim_rp"             -> simRp _,
@@ -938,6 +966,53 @@ object TrainingData {
         |SELECT doc_id, shuffle_key, pos,
         | CAST((pos - 1) % 8 AS INT) AS shard
         |FROM p ORDER BY doc_id""".stripMargin,
+    // same composite-quality expression as the txt_quality oracle (the
+    // established DuckDB transliteration of TextAnalytics.qualityScore),
+    // ranked per source with the engine's exact tie order
+    "ds_quota" ->
+      s"""WITH q AS (
+         | SELECT doc_id, source,
+         |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+         |   + (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |      / CAST(nullif(length(text), 0) AS DOUBLE)) * 0.25
+         |   + (CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> list_contains($enList, w))) AS DOUBLE)
+         |      / CAST(nullif(CASE WHEN length(trim(text)) = 0 THEN 0
+         |          ELSE len(string_split_regex(trim(text), '\\s+')) END, 0) AS DOUBLE)) * 0.25 AS quality
+         | FROM documents),
+         |r AS (
+         | SELECT doc_id, source, quality,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY quality DESC NULLS LAST, doc_id) AS INT) AS rank
+         | FROM q)
+         |SELECT doc_id, source, quality, rank FROM r WHERE rank <= 15
+         |ORDER BY source, rank""".stripMargin,
+    // the exact histogram-quantile definition, replayed verbatim: smallest
+    // value whose cumulative count reaches ⌈q‰·N⌉, all-integer compare
+    "ds_thresholds" ->
+      """WITH s AS (
+        | SELECT length(text) AS n_chars_m,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens,
+        |  length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct
+        | FROM documents),
+        |m AS (
+        | SELECT 'n_chars_m' AS signal, CAST(n_chars_m AS BIGINT) AS value FROM s
+        | UNION ALL SELECT 'ws_tokens', CAST(ws_tokens AS BIGINT) FROM s
+        | UNION ALL SELECT 'bpe_tokens', CAST(bpe_tokens AS BIGINT) FROM s
+        | UNION ALL SELECT 'n_punct', CAST(n_punct AS BIGINT) FROM s),
+        |h AS (SELECT signal, value, COUNT(*) AS cnt FROM m GROUP BY 1, 2),
+        |c AS (
+        | SELECT signal, value, cnt,
+        |  SUM(cnt) OVER (PARTITION BY signal ORDER BY value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  SUM(cnt) OVER (PARTITION BY signal) AS n
+        | FROM h)
+        |SELECT signal, CAST(MAX(n) AS BIGINT) AS n_docs,
+        | MIN(CASE WHEN cum * 1000 >= 100 * n THEN value END) AS p100,
+        | MIN(CASE WHEN cum * 1000 >= 500 * n THEN value END) AS p500,
+        | MIN(CASE WHEN cum * 1000 >= 900 * n THEN value END) AS p900
+        |FROM c GROUP BY signal ORDER BY signal""".stripMargin,
     "dd_span_coverage" ->
       """WITH toks AS (
         | SELECT doc_id,

@@ -233,4 +233,45 @@ class CurationSpec extends SparkSpec {
       .select("n_tokens", "cum_tokens").as[(Long, Long)].collect()
     assert(rows.map(_._1).sum == rows.map(_._2).max)
   }
+
+  test("sourceQuota keeps exactly the quality-top cap per stratum") {
+    import SparkSpec.session.implicits._
+    // quality is monotone in length below 500 chars for same-shape text,
+    // so longer prose = higher quality within a source
+    def prose(words: Int) = Seq.fill(words)("the quick fox").mkString(" ")
+    val docs = Seq(
+      (1L, "a", prose(30)), (2L, "a", prose(20)), (3L, "a", prose(10)),
+      (4L, "b", prose(5)), (5L, "b", prose(25)),
+      (6L, "c", prose(1))).toDF("doc_id", "source", "text")
+    val kept = Curation.sourceQuota(docs, "source", cap = 2)
+      .select("doc_id", "source", "rank").as[(Long, String, Int)].collect()
+    // per-stratum counts truncate at the cap; under-cap strata keep all
+    assert(kept.count(_._2 == "a") == 2 && kept.count(_._2 == "b") == 2
+      && kept.count(_._2 == "c") == 1, kept.toSeq)
+    // the kept docs are the quality-best, rank follows quality order
+    assert(kept.filter(_._2 == "a").map(_._1).toSet == Set(1L, 2L))
+    assert(kept.find(_._1 == 1L).get._3 == 1 && kept.find(_._1 == 5L).get._3 == 1)
+    // null-quality docs (blank text) sort last but stay eligible
+    val withBlank = docs.union(Seq((7L, "c", "")).toDF("doc_id", "source", "text"))
+    val c = Curation.sourceQuota(withBlank, "source", cap = 2)
+      .filter(col("source") === "c")
+      .select("doc_id", "rank").as[(Long, Int)].collect().toMap
+    assert(c == Map(6L -> 1, 7L -> 2), c)
+  }
+
+  test("histogramThresholds picks the exact percentile_disc-lower value") {
+    import SparkSpec.session.implicits._
+    val df = Seq.tabulate(10)(i => (i + 1L, i + 1L)).toDF("u", "v")
+    val t = Curation.histogramThresholds(df, Seq("u", "v"), Seq(100, 500, 900))
+      .orderBy("signal")
+      .as[(String, Long, Long, Long, Long)].collect()
+    // uniform 1..10: ⌈q·10⌉-th value — p10%=1, p50%=5, p90%=9
+    assert(t.toSeq == Seq(("u", 10L, 1L, 5L, 9L), ("v", 10L, 1L, 5L, 9L)), t.toSeq)
+    // duplicate-heavy: [1,1,1,7] — cum(1)=3 covers 50% (3/4 ≥ 0.5) but
+    // not 90% (3/4 < 0.9), so p900 jumps to 7
+    val dup = Seq(1L, 1L, 1L, 7L).toDF("x")
+    val d = Curation.histogramThresholds(dup, Seq("x"), Seq(500, 900))
+      .as[(String, Long, Long, Long)].head()
+    assert(d == (("x", 4L, 1L, 7L)), d)
+  }
 }

@@ -325,6 +325,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("ds_quota: per-source cap short-circuits via WindowGroupLimit, quality map-side") {
+    // rank ≤ cap must rewrite to per-partition top-cap BEFORE the source
+    // exchange (a hot domain costs cap rows per upstream partition, never
+    // its full crawl), and the stratum exchange is a hash partitioning on
+    // source over the narrow (doc_id, source, quality) projection
+    val p = planOf("ds_quota")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("hashpartitioning(source"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("ds_thresholds: one corpus scan, partial-aggregated histogram exchange") {
+    // the melt is map-side (no join, no second scan) and the (signal,
+    // value) histogram partial-aggregates before its exchange — the
+    // shuffle width is the VALUE RANGE of the signals, not the corpus
+    val p = planOf("ds_thresholds")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("txt_signals: the fused extractor is ONE corpus scan — no joins, no aggregates") {
     // the whole point of the query: every per-doc signal from a single
     // pass (the LM is a separate bounded model-build job at call time,
