@@ -411,6 +411,38 @@ object Curation {
       .filter(col("rank") <= cap)
   }
 
+  /** Integrity manifest of a [[seededOrder]] shard layout: one row per
+    * shard with the counts and checksums a training job (or a later
+    * verification pass) needs to prove it read exactly what was exported —
+    * doc count, whitespace-token count, id-sum, an ORDER-SENSITIVE
+    * position⊗id xor (a permutation of ids across positions flips it,
+    * where sum-based checksums can't see reordering), and the pos range.
+    * The write side is [[Maintenance.writeShards]]; this aggregation is
+    * what it persists alongside the data.
+    *
+    * Scale: the rank machinery is [[seededOrder]]'s (bucketed two-level,
+    * broadcast offsets); the token projection is one map-side kernel and
+    * joins the (doc_id, pos, shard) labels id-to-id — both sides narrow,
+    * text never shuffles — and the manifest aggregate partial-aggregates
+    * to `numShards` rows. The xor terms reduce ids and positions mod
+    * 2³¹−1 BEFORE multiplying, so the product never exceeds ~2⁶² and the
+    * checksum is overflow-free (hence engine-exact) at any corpus size. */
+  def shardManifest(docs: DataFrame, seed: Long, numShards: Int): DataFrame = {
+    val P = 2147483647L
+    val labels = seededOrder(docs, seed, numShards)
+    val toks = docs.select(col("doc_id").as("__id"),
+      graft.functions.TextAnalytics.wsTokenCount(col("text")).cast("long")
+        .as("__tok"))
+    labels.join(toks, col("doc_id") === col("__id"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__tok").as("n_tokens"),
+        sum("doc_id").as("sum_ids"),
+        expr(s"bit_xor((pos % $P) * (doc_id % $P))").as("xor_posid"),
+        min("pos").as("min_pos"),
+        max("pos").as("max_pos"))
+  }
+
   /** Exact distribution thresholds for integer-valued curation signals —
     * the calibration step before any filter in the funnel: "drop the
     * bottom decile by length" needs the decile first, and at 100 TB the

@@ -91,4 +91,61 @@ object Maintenance {
     }
     (before, after)
   }
+
+  /** Deterministic training-shard export: the terminal write of a curation
+    * pipeline. Documents get [[Curation.seededOrder]]'s reproducible
+    * (pos, shard) labels, the payload is written one Hive subdirectory per
+    * shard (`shard=<k>/`, rows carrying their global `pos` so a reader can
+    * restore exact epoch order), and [[Curation.shardManifest]]'s
+    * per-shard integrity manifest is persisted NEXT TO the data it
+    * describes. The whole export is one `v<N>/` version published by the
+    * atomic `_current` pointer swap every other artifact uses — a training
+    * job either sees a complete (data + manifest) version or the previous
+    * one, never a half-written export.
+    *
+    * Scale: one (doc_id → labels) join co-shuffles the payload with its
+    * shard assignment (the payload must physically move once — that IS the
+    * export); `repartition(shard)` makes each output subtree a single
+    * straight write, and rows sort by `pos` within partitions so shard
+    * files are range-readable in order. Returns the published version.
+    *
+    * Restart contract: a killed export leaves an orphan unpublished
+    * `v<N>` directory that the next successful publish prunes; `_current`
+    * still names the last complete version throughout. */
+  def writeShards(spark: SparkSession, docs: org.apache.spark.sql.DataFrame,
+                  path: String, seed: Long, numShards: Int): Int = {
+    import org.apache.spark.sql.functions._
+    graft.sources.Fs.writeVersioned(spark, path) { vdir =>
+      val labels = graft.operators.Curation.seededOrder(docs, seed, numShards)
+        .select("doc_id", "pos", "shard")
+      docs.join(labels, "doc_id")
+        .repartition(numShards, col("shard"))
+        .sortWithinPartitions("pos")
+        .write.partitionBy("shard").mode("overwrite").parquet(s"$vdir/data")
+      graft.operators.Curation.shardManifest(docs, seed, numShards)
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/manifest")
+    }
+  }
+
+  /** Audit a published shard export: re-derive the manifest FROM the
+    * written data files and compare it to the persisted manifest —
+    * the check a training job runs before trusting an export. Returns
+    * the rows that disagree (empty = intact). */
+  def auditShards(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val P = 2147483647L
+    val vdir = graft.sources.Fs.resolveCurrent(spark, path,
+      s"no shard export at $path (missing _current pointer — run writeShards first)")
+    val derived = spark.read.parquet(s"$vdir/data")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextAnalytics.wsTokenCount(col("text")).cast("long"))
+          .as("n_tokens"),
+        sum("doc_id").as("sum_ids"),
+        expr(s"bit_xor((pos % $P) * (doc_id % $P))").as("xor_posid"),
+        min("pos").as("min_pos"),
+        max("pos").as("max_pos"))
+    val manifest = spark.read.parquet(s"$vdir/manifest")
+    derived.exceptAll(manifest).unionAll(manifest.exceptAll(derived))
+  }
 }

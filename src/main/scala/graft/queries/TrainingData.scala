@@ -491,6 +491,14 @@ object TrainingData {
     Curation.seededOrder(Tables.documents(spark, dir), seed = 42L,
       numShards = 8).orderBy("doc_id")
 
+  /** Shard-export integrity manifest ([[Curation.shardManifest]], the
+    * aggregation [[graft.operators.Maintenance.writeShards]] persists):
+    * per-shard counts, id-sum, and the order-sensitive pos⊗id xor —
+    * what proves a training job read exactly the export. */
+  def dsShardManifest(spark: SparkSession, dir: String): DataFrame =
+    Curation.shardManifest(Tables.documents(spark, dir), seed = 42L,
+      numShards = 8).orderBy("shard")
+
   /** Per-source quality quota ([[Curation.sourceQuota]]): keep the top 15
     * docs per source by quality — C4/Gopher-style domain balancing. Every
     * fixture source holds 25 docs at sf0.01 (250 at sf0.1), so the cap
@@ -829,6 +837,7 @@ object TrainingData {
     "ds_order"           -> dsOrder _,
     "ds_quota"           -> dsQuota _,
     "ds_thresholds"      -> dsThresholds _,
+    "ds_shard_manifest"  -> dsShardManifest _,
     "sim_semdedup"       -> ((s: SparkSession, d: String) => simSemdedup(s, d)),
     "ds_importance"      -> dsImportance _,
     "sim_rp"             -> simRp _,
@@ -966,6 +975,29 @@ object TrainingData {
         |SELECT doc_id, shuffle_key, pos,
         | CAST((pos - 1) % 8 AS INT) AS shard
         |FROM p ORDER BY doc_id""".stripMargin,
+    // replays ds_order's pos/shard formula, then the manifest aggregate;
+    // the xor terms reduce mod 2^31-1 before multiplying on both engines,
+    // so the checksum is overflow-free and engine-exact
+    "ds_shard_manifest" ->
+      """WITH r AS (
+        | SELECT doc_id, text,
+        |  md5('42:' || CAST(doc_id AS VARCHAR)) AS key
+        | FROM documents),
+        |p AS (
+        | SELECT doc_id, text,
+        |  row_number() OVER (ORDER BY key, doc_id) AS pos
+        | FROM r),
+        |s AS (
+        | SELECT doc_id, pos, CAST((pos - 1) % 8 AS INT) AS shard,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
+        | FROM p)
+        |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(tok) AS BIGINT) AS n_tokens,
+        | CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        | bit_xor((pos % 2147483647) * (doc_id % 2147483647)) AS xor_posid,
+        | MIN(pos) AS min_pos, MAX(pos) AS max_pos
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
     // same composite-quality expression as the txt_quality oracle (the
     // established DuckDB transliteration of TextAnalytics.qualityScore),
     // ranked per source with the engine's exact tie order

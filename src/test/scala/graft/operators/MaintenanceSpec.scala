@@ -50,4 +50,47 @@ class MaintenanceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("_spark_metadata"), e.getMessage)
   }
+
+  test("writeShards publishes a complete versioned export that auditShards accepts") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString + "/export"
+    val docs = spark.range(100).select(col("id").as("doc_id"),
+      concat(lit("doc number "), col("id")).as("text"))
+    val v1 = Maintenance.writeShards(spark, docs, dir, seed = 42L, numShards = 4)
+    assert(v1 == 1)
+    // the written data IS the corpus, once each, with restorable order
+    val data = spark.read.parquet(s"$dir/v1/data")
+    assert(data.count() == 100)
+    assert(data.select("doc_id").distinct().count() == 100)
+    assert(data.select("pos").as[Long].collect().sorted.toSeq == (1L to 100L))
+    // four shard subdirectories, round-robin balanced
+    val shardCounts = data.groupBy("shard").count()
+      .as[(Int, Long)].collect().toMap
+    assert(shardCounts == Map(0 -> 25, 1 -> 25, 2 -> 25, 3 -> 25), shardCounts)
+    // the persisted manifest matches both the derived-from-files audit
+    // and the query-side aggregation
+    assert(Maintenance.auditShards(spark, dir).isEmpty)
+    val fromQuery = Curation.shardManifest(docs, 42L, 4)
+      .collect().map(_.toSeq).toSet
+    val persisted = spark.read.parquet(s"$dir/v1/manifest")
+      .select("shard", "n_docs", "n_tokens", "sum_ids", "xor_posid",
+        "min_pos", "max_pos").collect().map(_.toSeq).toSet
+    assert(fromQuery == persisted)
+    // a second export re-shards under a new version; the pointer advances
+    // and the audit still passes on the new current
+    val v2 = Maintenance.writeShards(spark, docs.limit(50), dir, 7L, 2)
+    assert(v2 == 2)
+    assert(Maintenance.auditShards(spark, dir).isEmpty)
+    assert(spark.read.parquet(s"$dir/v2/data").count() == 50)
+    // a corrupted export (a doc swapped for a different id) is caught
+    val (fs, _) = graft.sources.Fs.of(spark, dir)
+    val tampered = spark.read.parquet(s"$dir/v2/data")
+      .withColumn("doc_id",
+        when(col("doc_id") === 0L, 999L).otherwise(col("doc_id")))
+    val tmp = java.nio.file.Files.createTempDirectory("tamper").toString
+    tampered.write.partitionBy("shard").mode("overwrite").parquet(s"$tmp/data")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v2/data"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/data"),
+      new org.apache.hadoop.fs.Path(s"$dir/v2/data"))
+    assert(!Maintenance.auditShards(spark, dir).isEmpty)
+  }
 }

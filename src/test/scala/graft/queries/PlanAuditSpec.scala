@@ -346,6 +346,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("ds_shard_manifest: bucketed rank, broadcast offsets, partial-agged manifest") {
+    // the rank machinery is seededOrder's (md5-prefix bucketed window +
+    // broadcast base offsets); the token projection is a map-side kernel
+    // joined id-to-id, and the per-shard aggregate partial-aggregates to
+    // numShards rows before its exchange — no nested-loop join anywhere
+    val p = planOf("ds_shard_manifest")
+    assert(p.contains("hashpartitioning(__hb"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
   test("txt_signals: the fused extractor is ONE corpus scan — no joins, no aggregates") {
     // the whole point of the query: every per-doc signal from a single
     // pass (the LM is a separate bounded model-build job at call time,
