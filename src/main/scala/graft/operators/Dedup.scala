@@ -352,14 +352,28 @@ object Dedup {
     * wire three times. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    maxBucket: Int = 5000): DataFrame = {
-    val nBands = maxHamming + 1
-    require(nBands <= 64, s"maxHamming $maxHamming needs more bands than bits")
-    val bounds = (0 to nBands).map(b => b * 64 / nBands)
     val withSim = docs.select(col("doc_id"), simhash64(col("text")).as("simhash"))
       // zero-token docs hash to exactly 0 and would all pair with each
       // other; a real doc hashing to 0 has probability 2^-64
       .filter(col("simhash") =!= 0L)
-    val banded = withSim.select(col("doc_id"), col("simhash"),
+    hammingPairs64(withSim, "simhash", maxHamming, maxBucket)
+  }
+
+  /** Banded Hamming-distance pairing over ANY 64-bit perceptual hash
+    * column — the candidate machinery [[simhashPairs]] always used,
+    * extracted verbatim so other 64-bit hashes (image dHash —
+    * [[Multimodal.imageNearDups]]) share one implementation. Expects
+    * (doc_id, `hashCol`) rows; returns (a_id, b_id, hamming ≤ maxHamming).
+    * Pigeonhole recall, size-windowed self-join, Hamming filter before
+    * the distinct — see [[simhashPairs]]'s scaladoc for the scale
+    * rationale of each step. */
+  private[graft] def hammingPairs64(withHash: DataFrame, hashCol: String,
+                                    maxHamming: Int, maxBucket: Int): DataFrame = {
+    val nBands = maxHamming + 1
+    require(nBands <= 64, s"maxHamming $maxHamming needs more bands than bits")
+    val bounds = (0 to nBands).map(b => b * 64 / nBands)
+    val banded = withHash.select(col("doc_id"), col(hashCol).as("simhash"))
+      .select(col("doc_id"), col("simhash"),
       explode(array((0 until nBands).map { b =>
         val width = bounds(b + 1) - bounds(b)
         val mask = if (width == 64) -1L else (1L << width) - 1

@@ -283,4 +283,115 @@ object Multimodal {
       .filter(col("kind") === "video")
       .select(col("media_id"), explode(sequence(lit(0), col("nFrames") - 1)).as("frame_idx"))
       .filter(col("frame_idx") % stride === 0)
+
+  // ---- Perceptual image hashing (dHash) + near-duplicate pairing ----
+
+  case class ImageHash(media_id: Long, dhash: Long, ok: Boolean, error: String)
+
+  /** 64-bit difference hash over a 9×8 luma thumbnail: bit (y·8 + x) is
+    * set iff pixel (x, y) < pixel (x+1, y) — the sign of the horizontal
+    * luma gradient. The classic web-scale image-dedup fingerprint
+    * (LAION-style pipelines): invariant to uniform brightness shifts and
+    * to any monotone tone curve (only gradient SIGNS matter), robust to
+    * recompression, and two images within a few flipped bits are
+    * near-duplicates. */
+  private[operators] def dHash64(thumb9x8: Array[Byte]): Long = {
+    require(thumb9x8.length == 72, s"dHash needs 9x8=72 luma bytes, got ${thumb9x8.length}")
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if ((thumb9x8(y * 9 + x) & 0xFF) < (thumb9x8(y * 9 + x + 1) & 0xFF))
+          h |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Per-image dHash: decode → 9×8 luma thumbnail → 64-bit gradient hash,
+    * one codec instance per partition, failures routed to (ok=false,
+    * error) rows — the same batch shape and error-channel contract as
+    * [[extractFeatures]]. The payload is projected away here; everything
+    * downstream (bucketing, pairing, clustering) moves 8-byte hashes. */
+  def imageDHashes(media: Dataset[MediaRecord],
+                   codec: MediaCodec = ImageIoCodec): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { iter =>
+      iter.map { m =>
+        try {
+          val pixels = codec.decode(m.kind, m.payload)
+          val thumb = codec.resize(pixels, m.width, m.height, 9, 8)
+          ImageHash(m.media_id, dHash64(thumb), ok = true, error = null)
+        } catch {
+          case e: Throwable =>
+            ImageHash(m.media_id, 0L, ok = false,
+              error = Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
+      }
+    }
+  }
+
+  /** Image near-duplicate pairs: dHash within `maxHamming` bits, via the
+    * SAME banded-pigeonhole machinery as text SimHash
+    * ([[Dedup.hammingPairs64]]) — candidate recall is complete for the
+    * requested distance, hot buckets are size-windowed, and only the
+    * 8-byte hash ever rides an exchange (the decoded image never leaves
+    * its scan task). Failed decodes drop (they carry no visual identity);
+    * note a FLAT image hashes to 0 like every other flat image — dHash
+    * cannot distinguish solid colors by design (no gradients to sign). */
+  def imageNearDups(media: Dataset[MediaRecord],
+                    codec: MediaCodec = ImageIoCodec,
+                    maxHamming: Int = 6, maxBucket: Int = 5000): DataFrame = {
+    val hashes = imageDHashes(media, codec).toDF()
+      .filter(col("ok"))
+      .select(col("media_id").as("doc_id"), col("dhash"))
+    Dedup.hammingPairs64(hashes, "dhash", maxHamming, maxBucket)
+      .withColumnRenamed("a_id", "a_media").withColumnRenamed("b_id", "b_media")
+  }
+
+  /** Deterministic REAL-image corpus derived from the documents fixture:
+    * each doc becomes a 32×24 grayscale PNG (encoded with the JDK's own
+    * ImageIO writer, decoded back by the same stack — the full real
+    * codec path, no stubs). Luma is a family-parameterized gradient
+    * field: docs sharing `doc_id % families` have IDENTICAL gradient
+    * signs (their dHashes collide exactly), a per-doc brightness shift
+    * exercises dHash's tone invariance, and docs with doc_id % 5 == 0
+    * get one inverted row segment (a few flipped bits — the
+    * near-but-not-exact case). */
+  def syntheticImages(docs: DataFrame, families: Int = 24): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    val fams = families
+    docs.select(col("doc_id")).as[Long].mapPartitions { iter =>
+      iter.map { id =>
+        val fam = (id % fams).toInt
+        val bright = ((id / fams) % 32).toInt // dHash-invariant shift
+        val w = 32; val h = 24
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var lum = ((x * (3 + fam) + y * (5 + 2 * fam)) % 97) * 2 + bright
+            // one inverted segment for every 5th doc: flips a handful of
+            // gradient signs, not the whole identity. Row 12 and columns
+            // 10..21 are chosen because the 9×8 nearest-neighbor resize
+            // SAMPLES them (rows y'·3, columns x'·32/9) — a perturbation
+            // on unsampled pixels would be invisible to the hash
+            if (id % 5 == 0 && y == 12 && x >= 10 && x < 22) lum = 255 - lum
+            raster.setSample(x, y, 0, math.min(255, math.max(0, lum)))
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        MediaRecord(id, "image", out.toByteArray, w, h, 0, 0)
+      }
+    }
+  }
 }

@@ -320,6 +320,20 @@ object TrainingData {
       .orderBy("media_id")
   }
 
+  /** Image near-duplicate pairs over REAL decoded pixels
+    * ([[Multimodal.imageNearDups]]): every 7th doc becomes a deterministic
+    * 32×24 grayscale PNG (encoded AND decoded by the JDK's ImageIO — the
+    * full real codec path), hashed with the 64-bit dHash gradient
+    * fingerprint, and paired within Hamming ≤ 6 via the same banded
+    * machinery as text SimHash. Family-sharing docs collide exactly;
+    * the every-5th-doc inverted segment lands a few bits away. */
+  def mmPhash(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 7 === 0)
+    Multimodal.imageNearDups(Multimodal.syntheticImages(docs))
+      .orderBy("a_media", "b_media")
+  }
+
   /** HTML extraction: wrap each document in a deterministic HTML envelope
     * (title/style/script/comment noise), then strip back to visible text
     * with the real extractor (TextAnalytics.htmlToText — pure regexp chain,
@@ -827,6 +841,7 @@ object TrainingData {
     "sim_ann_int8"     -> simAnnInt8 _,
     "sim_pq"           -> simPq _,
     "mm_features"      -> mmFeatures _,
+    "mm_phash"         -> mmPhash _,
     "dd_bloom_prefilter" -> ddBloomPrefilter _,
     "txt_compress_ratio" -> txtCompressRatio _,
     "dd_span_coverage"   -> ddSpanCoverage _,

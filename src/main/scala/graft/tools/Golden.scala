@@ -54,7 +54,14 @@ object Golden {
     // sequence — and with it every per-doc token count — is bit-stable
     // under any partitioning; BpeSpec verifies the algorithm against the
     // hand-computed Sennrich et al. example
-    "txt_bpe")
+    "txt_bpe",
+    // dHash near-dups: the synthetic PNGs are deterministic pixel
+    // functions of doc_id, the JDK's ImageIO round-trip is lossless for
+    // TYPE_BYTE_GRAY PNG, and the gradient-sign hash plus banded Hamming
+    // pairing is pure integer logic — bit-stable under any partitioning;
+    // MultimodalHashSpec verifies invariances (brightness shift = same
+    // hash, inverted segment = few bits, cross-family = far)
+    "mm_phash")
 
   val sfDir = "/root/testdata/sf0.01"
 

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.operators.Multimodal.{ImageIoCodec, MediaRecord}
+import org.apache.spark.sql.functions._
+
+/** Locks the dHash contract: the hash sees gradient SIGNS only (so a
+  * uniform brightness shift is identity), a small localized perturbation
+  * moves a few bits, different content is far, and the near-dup pairing
+  * finds exactly the planted structure through the REAL ImageIO
+  * encode→decode round trip. */
+class MultimodalHashSpec extends SparkSpec {
+  import SparkSpec.session.implicits._
+
+  private def grayPng(w: Int, h: Int)(lum: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    for (y <- 0 until h; x <- 0 until w)
+      r.setSample(x, y, 0, math.min(255, math.max(0, lum(x, y))))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def hashOf(payload: Array[Byte], w: Int, h: Int): Long = {
+    val pixels = ImageIoCodec.decode("image", payload)
+    Multimodal.dHash64(ImageIoCodec.resize(pixels, w, h, 9, 8))
+  }
+
+  test("dHash is invariant to uniform brightness, sensitive to content") {
+    def base(x: Int, y: Int) = (x * 7 + y * 11) % 97 * 2
+    val a = hashOf(grayPng(32, 24)(base), 32, 24)
+    val b = hashOf(grayPng(32, 24)((x, y) => base(x, y) + 25), 32, 24)
+    assert(a == b, "brightness shift must not change gradient signs")
+    // reversing the horizontal gradient flips (nearly) every set bit
+    val c = hashOf(grayPng(32, 24)((x, y) => base(31 - x, y)), 32, 24)
+    assert(java.lang.Long.bitCount(a ^ c) > 20, java.lang.Long.bitCount(a ^ c))
+  }
+
+  test("committed image fixtures hash consistently across containers") {
+    def fixture(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/fixtures/$name")
+      try in.readAllBytes() finally in.close()
+    }
+    // two content families across containers (SourcesCodecsSpec documents
+    // the generator formulas): the gray gradient ships as lossless PNG +
+    // lossy gray JPEG, the RGB gradient as lossless BMP + lossy color
+    // JPEG. JPEG recompression must move a hash only a few bits; the two
+    // different contents must not collide
+    val png = hashOf(fixture("gradient_8x6.png"), 8, 6)
+    val jpgGray = hashOf(fixture("gradient_gray_8x6.jpg"), 8, 6)
+    val bmp = hashOf(fixture("gradient_rgb_8x6.bmp"), 8, 6)
+    val jpgRgb = hashOf(fixture("gradient_rgb_8x6.jpg"), 8, 6)
+    assert(java.lang.Long.bitCount(png ^ jpgGray) <= 8,
+      s"gray jpeg moved ${java.lang.Long.bitCount(png ^ jpgGray)} bits")
+    assert(java.lang.Long.bitCount(bmp ^ jpgRgb) <= 8,
+      s"rgb jpeg moved ${java.lang.Long.bitCount(bmp ^ jpgRgb)} bits")
+    assert(png != bmp, "different contents must not collide")
+  }
+
+  test("imageNearDups finds family collisions and perturbed members, not cross-family") {
+    // 3 families over ids 0..11: families {0,3,6,9} {1,4,7,10} {2,5,8,11};
+    // ids 0,5,10 carry the inverted segment
+    val docs = spark.range(12).toDF("doc_id")
+    val media = Multimodal.syntheticImages(docs, families = 3)
+    val hashes = Multimodal.imageDHashes(media).collect()
+    assert(hashes.length == 12 && hashes.forall(_.ok))
+    val h = hashes.map(r => r.media_id -> r.dhash).toMap
+    // unperturbed family members collide exactly (0, 5, 10 are perturbed)
+    assert(h(3L) == h(6L) && h(6L) == h(9L))
+    assert(h(1L) == h(4L) && h(4L) == h(7L))
+    assert(h(2L) == h(8L) && h(8L) == h(11L))
+    // the inverted segment moves a few bits, never zero, never many
+    for ((p, u) <- Seq((0L, 3L), (5L, 2L), (10L, 7L))) {
+      val d = java.lang.Long.bitCount(h(p) ^ h(u))
+      assert(d >= 1 && d <= 6, s"perturbation $p moved $d bits vs $u")
+    }
+    // pairing at maxHamming=6: all within-family pairs, nothing across
+    val pairs = Multimodal.imageNearDups(media, maxHamming = 6)
+      .select("a_media", "b_media").as[(Long, Long)].collect().toSet
+    val families = (0L until 12L).groupBy(_ % 3).values.toSeq
+    val expected = families.flatMap(f =>
+      for (a <- f; b <- f if a < b) yield (a, b)).toSet
+    assert(pairs == expected, s"missing=${expected -- pairs} extra=${pairs -- expected}")
+  }
+
+  test("undecodable payloads route to the error channel, not the job") {
+    val media = Seq(
+      MediaRecord(1L, "image", Array[Byte](1, 2, 3), 4, 4, 0, 0),
+      MediaRecord(2L, "image", grayPng(9, 8)((x, y) => x * 20), 9, 8, 0, 0))
+      .toDS()
+    val rows = Multimodal.imageDHashes(media).collect().sortBy(_.media_id)
+    assert(!rows(0).ok && rows(0).error != null)
+    assert(rows(1).ok)
+    // failed rows never reach the pairing
+    assert(Multimodal.imageNearDups(media).count() == 0)
+  }
+}
