@@ -352,6 +352,136 @@ object Multimodal {
       .withColumnRenamed("a_id", "a_media").withColumnRenamed("b_id", "b_media")
   }
 
+  // ---- Perceptual audio fingerprinting (spectral constellation) ----
+
+  case class AudioFingerprint(media_id: Long, fp: Long, ok: Boolean, error: String)
+
+  /** 64-bit spectral-constellation fingerprint: decode to mono PCM, take
+    * the power spectrum of the largest power-of-2 prefix (the Wave pack's
+    * honesty rule — zero-padding would smear true bins), keep the top
+    * `nPeaks` LOCAL MAXIMA at least 1/1000 of the strongest peak (the
+    * relative floor rejects quantization-noise maxima, which would
+    * otherwise contribute corpus-random bits), and set one bit per peak
+    * in a 64-coarse-bin map of the spectrum. The Shazam-style idea
+    * reduced to one word: same dominant tones ⇒ same bits, so the hash
+    * is invariant to GAIN (scaling multiplies every power equally and
+    * ranking/threshold are relative) and an added weak tone moves
+    * exactly one bit. Silence (no peaks) maps to 0 — indistinguishable
+    * like flat images under dHash, by design. */
+  private[operators] def audioFingerprint64(pcm: Array[Double], nPeaks: Int = 8): Long = {
+    if (pcm.length < 4) return 0L
+    val fftLen = java.lang.Integer.highestOneBit(pcm.length)
+    val head = if (fftLen == pcm.length) pcm
+               else java.util.Arrays.copyOf(pcm, fftLen)
+    val spec = graft.functions.Wave.powerSpectrum(head)
+    var maxP = 0.0
+    var k = 1
+    while (k < spec.length - 1) { if (spec(k) > maxP) maxP = spec(k); k += 1 }
+    if (maxP <= 0.0) return 0L
+    val floor = maxP / 1000.0
+    val peaks = (1 until spec.length - 1).collect {
+      case i if spec(i) > spec(i - 1) && spec(i) >= spec(i + 1) &&
+        spec(i) >= floor => (i, spec(i))
+    }
+    var h = 0L
+    peaks.sortBy { case (i, p) => (-p, i) }.take(nPeaks).foreach { case (i, _) =>
+      h |= 1L << (i.toLong * 64 / spec.length)
+    }
+    h
+  }
+
+  /** Per-clip fingerprints through the REAL JDK WAV decode, same batch
+    * shape and error routing as [[imageDHashes]]. */
+  def audioFingerprints(media: Dataset[MediaRecord]): Dataset[AudioFingerprint] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions { iter =>
+      iter.map { m =>
+        try {
+          val (pcm, _) = WavCodec.decodePcm(m.payload)
+          AudioFingerprint(m.media_id, audioFingerprint64(pcm), ok = true, error = null)
+        } catch {
+          case e: Throwable =>
+            AudioFingerprint(m.media_id, 0L, ok = false,
+              error = Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
+      }
+    }
+  }
+
+  /** Audio near-duplicate pairs within `maxHamming` constellation bits —
+    * the third consumer of [[Dedup.hammingPairs64]] (text SimHash, image
+    * dHash, audio constellation: one pairing implementation, three
+    * perceptual hashes). Only 8-byte fingerprints ride exchanges. */
+  def audioNearDups(media: Dataset[MediaRecord],
+                    maxHamming: Int = 2, maxBucket: Int = 5000): DataFrame = {
+    val fps = audioFingerprints(media).toDF()
+      .filter(col("ok") && col("fp") =!= 0L)
+      .select(col("media_id").as("doc_id"), col("fp"))
+    Dedup.hammingPairs64(fps, "fp", maxHamming, maxBucket)
+      .withColumnRenamed("a_id", "a_media").withColumnRenamed("b_id", "b_media")
+  }
+
+  /** Deterministic REAL-audio corpus from the documents fixture: each doc
+    * becomes a 16-bit PCM WAV (RIFF bytes built directly — no encoder
+    * dependency; decoded by the real `javax.sound` stack) of three
+    * bin-aligned tones whose FFT bins are a pure function of
+    * `doc_id % families`. Coarse-bin spacing is chosen so distinct
+    * families differ by ≥ 4 constellation bits while the weak extra tone
+    * every 5th doc carries moves exactly 1 (so family identity survives
+    * maxHamming = 2 pairing with margin); a per-doc gain exercises the
+    * fingerprint's amplitude invariance. */
+  def syntheticAudio(docs: DataFrame, families: Int = 12): Dataset[MediaRecord] = {
+    require(families <= 12, "coarse-bin layout guarantees separation up to 12 families")
+    import docs.sparkSession.implicits._
+    val fams = families
+    docs.select(col("doc_id")).as[Long].mapPartitions { iter =>
+      iter.map { id =>
+        val fam = (id % fams).toInt
+        val n = 2048
+        // FFT bins = 16 × coarse bins {1, 9, 22} + 2·fam (and 35 + 2·fam
+        // for the perturbing tone): {8, 13, 21} pairwise differences and
+        // the 13/17 family offsets of the perturb bin make any cross-
+        // family overlap ≤ 1 shared coarse bin
+        val bins = Array(16 + 32 * fam, 144 + 32 * fam, 352 + 32 * fam)
+        val amps = Array(1.0, 0.8, 0.6)
+        val gain = 0.15 + 0.01 * ((id / fams) % 8)
+        val perturbed = id % 5 == 0
+        val samples = new Array[Double](n)
+        var t = 0
+        while (t < n) {
+          var s = 0.0
+          var j = 0
+          while (j < 3) {
+            s += amps(j) * math.sin(2 * math.Pi * bins(j) * t / n); j += 1
+          }
+          if (perturbed) s += 0.3 * math.sin(2 * math.Pi * (560 + 32 * fam) * t / n)
+          samples(t) = s * gain
+          t += 1
+        }
+        MediaRecord(id, "audio", pcm16Wav(samples, 8000), 0, 0, 8000, n)
+      }
+    }
+  }
+
+  /** Minimal RIFF/WAVE container around 16-bit little-endian mono PCM —
+    * byte-deterministic by construction. */
+  private[operators] def pcm16Wav(samples: Array[Double], rateHz: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rateHz).putInt(rateHz * 2)
+      .putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach { s =>
+      val v = math.max(-1.0, math.min(1.0, s))
+      bb.putShort(math.round(v * 32767).toShort)
+    }
+    bb.array()
+  }
+
   /** Deterministic REAL-image corpus derived from the documents fixture:
     * each doc becomes a 32×24 grayscale PNG (encoded with the JDK's own
     * ImageIO writer, decoded back by the same stack — the full real

@@ -334,6 +334,19 @@ object TrainingData {
       .orderBy("a_media", "b_media")
   }
 
+  /** Audio near-duplicate pairs over REAL decoded PCM
+    * ([[Multimodal.audioNearDups]]): every 7th doc becomes a
+    * deterministic three-tone 16-bit WAV (RIFF bytes built directly,
+    * decoded by the real javax.sound stack), fingerprinted with the
+    * 64-bit spectral constellation, and paired within Hamming ≤ 2 via
+    * the same banded machinery as SimHash and dHash. */
+  def mmAudioFp(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 7 === 0)
+    Multimodal.audioNearDups(Multimodal.syntheticAudio(docs))
+      .orderBy("a_media", "b_media")
+  }
+
   /** HTML extraction: wrap each document in a deterministic HTML envelope
     * (title/style/script/comment noise), then strip back to visible text
     * with the real extractor (TextAnalytics.htmlToText — pure regexp chain,
@@ -842,6 +855,7 @@ object TrainingData {
     "sim_pq"           -> simPq _,
     "mm_features"      -> mmFeatures _,
     "mm_phash"         -> mmPhash _,
+    "mm_audio_fp"      -> mmAudioFp _,
     "dd_bloom_prefilter" -> ddBloomPrefilter _,
     "txt_compress_ratio" -> txtCompressRatio _,
     "dd_span_coverage"   -> ddSpanCoverage _,

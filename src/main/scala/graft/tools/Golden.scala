@@ -61,7 +61,14 @@ object Golden {
     // pairing is pure integer logic — bit-stable under any partitioning;
     // MultimodalHashSpec verifies invariances (brightness shift = same
     // hash, inverted segment = few bits, cross-family = far)
-    "mm_phash")
+    "mm_phash",
+    // audio constellation near-dups: the synthetic WAVs are deterministic
+    // sample functions of doc_id (RIFF bytes built directly), the PCM
+    // decode is exact integer scaling, and the FFT of bin-aligned tones
+    // puts peak maxima at deterministic bins far above the relative
+    // noise floor — bit-stable like mm_phash; MultimodalHashSpec locks
+    // gain invariance and the planted family structure
+    "mm_audio_fp")
 
   val sfDir = "/root/testdata/sf0.01"
 

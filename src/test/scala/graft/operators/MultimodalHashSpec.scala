@@ -85,6 +85,49 @@ class MultimodalHashSpec extends SparkSpec {
     assert(pairs == expected, s"missing=${expected -- pairs} extra=${pairs -- expected}")
   }
 
+  test("audio fingerprint: gain-invariant, tone adds one bit, families separate") {
+    def tones(bins: Seq[(Int, Double)], n: Int = 2048, gain: Double = 0.2) =
+      Array.tabulate(n)(t => bins.map { case (k, a) =>
+        a * math.sin(2 * math.Pi * k * t / n) }.sum * gain)
+    val base = Seq(16 -> 1.0, 144 -> 0.8, 352 -> 0.6)
+    val a = Multimodal.audioFingerprint64(tones(base))
+    // gain scales every peak equally: identical constellation
+    assert(a == Multimodal.audioFingerprint64(tones(base, gain = 0.05)))
+    assert(java.lang.Long.bitCount(a) == 3, java.lang.Long.bitCount(a))
+    // one added weak tone = exactly one more bit
+    val b = Multimodal.audioFingerprint64(tones(base :+ (560 -> 0.3)))
+    assert(java.lang.Long.bitCount(a ^ b) == 1, (a, b))
+    // the real WAV round trip (encode RIFF → javax.sound decode) preserves
+    // the fingerprint: 16-bit quantization noise stays under the floor
+    val viaWav = {
+      val (pcm, rate) = Multimodal.WavCodec.decodePcm(
+        Multimodal.pcm16Wav(tones(base), 8000))
+      assert(rate == 8000.0)
+      Multimodal.audioFingerprint64(pcm)
+    }
+    assert(viaWav == a, s"WAV round trip moved bits: $viaWav vs $a")
+    // silence maps to zero
+    assert(Multimodal.audioFingerprint64(new Array[Double](2048)) == 0L)
+  }
+
+  test("audioNearDups finds family collisions and perturbed members, not cross-family") {
+    val docs = spark.range(24).toDF("doc_id")
+    val media = Multimodal.syntheticAudio(docs, families = 12)
+    val fps = Multimodal.audioFingerprints(media).collect()
+    assert(fps.length == 24 && fps.forall(_.ok))
+    val h = fps.map(r => r.media_id -> r.fp).toMap
+    // two docs per family (id, id+12): identical unless one is perturbed
+    assert(h(1L) == h(13L) && h(2L) == h(14L))
+    // perturbed members sit exactly 1 bit away (ids 0, 5, 10, 15, 20)
+    assert(java.lang.Long.bitCount(h(0L) ^ h(12L)) == 1)
+    assert(java.lang.Long.bitCount(h(15L) ^ h(3L)) == 1)
+    val pairs = Multimodal.audioNearDups(media)
+      .select("a_media", "b_media").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 12L), (1L, 13L), (2L, 14L), (3L, 15L), (4L, 16L),
+      (5L, 17L), (6L, 18L), (7L, 19L), (8L, 20L), (9L, 21L), (10L, 22L),
+      (11L, 23L)), pairs)
+  }
+
   test("undecodable payloads route to the error channel, not the job") {
     val media = Seq(
       MediaRecord(1L, "image", Array[Byte](1, 2, 3), 4, 4, 0, 0),
