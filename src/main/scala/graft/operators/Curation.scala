@@ -427,13 +427,21 @@ object Curation {
     * to `numShards` rows. The xor terms reduce ids and positions mod
     * 2³¹−1 BEFORE multiplying, so the product never exceeds ~2⁶² and the
     * checksum is overflow-free (hence engine-exact) at any corpus size. */
-  def shardManifest(docs: DataFrame, seed: Long, numShards: Int): DataFrame = {
+  def shardManifest(docs: DataFrame, seed: Long, numShards: Int): DataFrame =
+    shardManifestFromLabels(seededOrder(docs, seed, numShards), docs)
+
+  /** [[shardManifest]] over ALREADY-COMPUTED order labels — the variant
+    * [[Maintenance.writeShards]] uses so one seededOrder pass (bucket
+    * collect, checkpoint, rank window) serves both the data write and
+    * the manifest instead of being re-derived per consumer. */
+  private[operators] def shardManifestFromLabels(labels: DataFrame,
+                                                 docs: DataFrame): DataFrame = {
     val P = 2147483647L
-    val labels = seededOrder(docs, seed, numShards)
     val toks = docs.select(col("doc_id").as("__id"),
       graft.functions.TextAnalytics.wsTokenCount(col("text")).cast("long")
         .as("__tok"))
-    labels.join(toks, col("doc_id") === col("__id"))
+    labels.select("doc_id", "pos", "shard") // not the 32-char shuffle key
+      .join(toks, col("doc_id") === col("__id"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         sum("__tok").as("n_tokens"),
@@ -480,6 +488,12 @@ object Curation {
       .map(c => s"'$c', CAST(`$c` AS BIGINT)").mkString(", ")
     val melted = signals.select(
       expr(s"stack(${signalCols.size}, $stackArgs)").as(Seq("signal", "value")))
+      // quantiles are over the NON-NULL population (percentile_disc
+      // semantics). Without the explicit filter a NULL signal (e.g. a
+      // null-text doc) would sort NULLS FIRST in Spark's cumulative
+      // window but NULLS LAST in the DuckDB oracle's, inflating every
+      // Spark cum by the null count and shifting thresholds a value early
+      .filter(col("value").isNotNull)
     val hist = melted.groupBy("signal", "value")
       .agg(count(lit(1)).as("cnt"))
     val wCum = Window.partitionBy("signal").orderBy("value")

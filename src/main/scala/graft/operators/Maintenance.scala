@@ -116,13 +116,17 @@ object Maintenance {
                   path: String, seed: Long, numShards: Int): Int = {
     import org.apache.spark.sql.functions._
     graft.sources.Fs.writeVersioned(spark, path) { vdir =>
+      // ONE seededOrder pass serves both writes: the returned frame's
+      // keyed projection is localCheckpointed inside seededOrder, so the
+      // data write and the manifest aggregation below share the corpus
+      // scan and the driver-side bucket collect instead of re-deriving
       val labels = graft.operators.Curation.seededOrder(docs, seed, numShards)
         .select("doc_id", "pos", "shard")
       docs.join(labels, "doc_id")
         .repartition(numShards, col("shard"))
         .sortWithinPartitions("pos")
         .write.partitionBy("shard").mode("overwrite").parquet(s"$vdir/data")
-      graft.operators.Curation.shardManifest(docs, seed, numShards)
+      graft.operators.Curation.shardManifestFromLabels(labels, docs)
         .coalesce(1).write.mode("overwrite").parquet(s"$vdir/manifest")
     }
   }

@@ -339,14 +339,18 @@ object Multimodal {
     * ([[Dedup.hammingPairs64]]) — candidate recall is complete for the
     * requested distance, hot buckets are size-windowed, and only the
     * 8-byte hash ever rides an exchange (the decoded image never leaves
-    * its scan task). Failed decodes drop (they carry no visual identity);
-    * note a FLAT image hashes to 0 like every other flat image — dHash
-    * cannot distinguish solid colors by design (no gradients to sign). */
+    * its scan task). Failed decodes drop (they carry no visual identity),
+    * and so do zero hashes — the same guard as [[Dedup.simhashPairs]] and
+    * [[audioNearDups]]: every FLAT image (any solid color — dHash has no
+    * gradients to sign) hashes to exactly 0, so a placeholder-heavy
+    * corpus would otherwise pair all its blanks quadratically AND declare
+    * a black and a white frame duplicates. Flat images have no gradient
+    * identity to match on; dedup them exactly (byte hash) instead. */
   def imageNearDups(media: Dataset[MediaRecord],
                     codec: MediaCodec = ImageIoCodec,
                     maxHamming: Int = 6, maxBucket: Int = 5000): DataFrame = {
     val hashes = imageDHashes(media, codec).toDF()
-      .filter(col("ok"))
+      .filter(col("ok") && col("dhash") =!= 0L)
       .select(col("media_id").as("doc_id"), col("dhash"))
     Dedup.hammingPairs64(hashes, "dhash", maxHamming, maxBucket)
       .withColumnRenamed("a_id", "a_media").withColumnRenamed("b_id", "b_media")

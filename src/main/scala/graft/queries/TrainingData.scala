@@ -1062,7 +1062,8 @@ object TrainingData {
         | UNION ALL SELECT 'ws_tokens', CAST(ws_tokens AS BIGINT) FROM s
         | UNION ALL SELECT 'bpe_tokens', CAST(bpe_tokens AS BIGINT) FROM s
         | UNION ALL SELECT 'n_punct', CAST(n_punct AS BIGINT) FROM s),
-        |h AS (SELECT signal, value, COUNT(*) AS cnt FROM m GROUP BY 1, 2),
+        |h AS (SELECT signal, value, COUNT(*) AS cnt FROM m
+        |      WHERE value IS NOT NULL GROUP BY 1, 2),
         |c AS (
         | SELECT signal, value, cnt,
         |  SUM(cnt) OVER (PARTITION BY signal ORDER BY value

@@ -273,5 +273,13 @@ class CurationSpec extends SparkSpec {
     val d = Curation.histogramThresholds(dup, Seq("x"), Seq(500, 900))
       .as[(String, Long, Long, Long)].head()
     assert(d == (("x", 4L, 1L, 7L)), d)
+    // NULL signals are excluded from the population (percentile_disc
+    // semantics): [null,1,1,1,7] must match [1,1,1,7] exactly — n_docs
+    // counts non-null values and thresholds do not shift
+    val withNull = Seq(Option.empty[Long], Some(1L), Some(1L), Some(1L), Some(7L))
+      .toDF("x")
+    val dn = Curation.histogramThresholds(withNull, Seq("x"), Seq(500, 900))
+      .as[(String, Long, Long, Long)].head()
+    assert(dn == (("x", 4L, 1L, 7L)), dn)
   }
 }

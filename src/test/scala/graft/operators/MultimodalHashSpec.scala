@@ -139,4 +139,19 @@ class MultimodalHashSpec extends SparkSpec {
     // failed rows never reach the pairing
     assert(Multimodal.imageNearDups(media).count() == 0)
   }
+
+  test("flat images hash to zero and are excluded from near-dup pairing") {
+    // a black and a white frame both dHash to 0 (no gradients to sign) —
+    // they carry no gradient identity and must NOT be declared duplicates
+    // of each other (the simhashPairs/audioNearDups zero guard)
+    val media = Seq(
+      MediaRecord(1L, "image", grayPng(16, 16)((_, _) => 0), 16, 16, 0, 0),
+      MediaRecord(2L, "image", grayPng(16, 16)((_, _) => 255), 16, 16, 0, 0),
+      MediaRecord(3L, "image", grayPng(16, 16)((x, _) => x * 15), 16, 16, 0, 0))
+      .toDS()
+    val hashes = Multimodal.imageDHashes(media).collect()
+    assert(hashes.filter(h => h.media_id <= 2).forall(_.dhash == 0L))
+    assert(hashes.find(_.media_id == 3).get.dhash != 0L)
+    assert(Multimodal.imageNearDups(media).count() == 0)
+  }
 }
