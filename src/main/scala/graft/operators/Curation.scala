@@ -430,25 +430,36 @@ object Curation {
   def shardManifest(docs: DataFrame, seed: Long, numShards: Int): DataFrame =
     shardManifestFromLabels(seededOrder(docs, seed, numShards), docs)
 
+  /** THE manifest definition — the one place the per-shard checksum
+    * columns live, shared by the query path below, the export's
+    * manifest write, and the audit's re-derivation
+    * ([[Maintenance.writeShards]]/[[Maintenance.auditShards]]): a
+    * definition drifting in one consumer would otherwise make the audit
+    * permanently condemn intact exports. Input rows need (doc_id, pos,
+    * shard) plus the token count column `tok`. */
+  private[operators] def manifestAggCols(tok: Column): Seq[Column] = {
+    val P = 2147483647L
+    Seq(count(lit(1)).as("n_docs"),
+      sum(tok).as("n_tokens"),
+      sum(col("doc_id")).as("sum_ids"),
+      expr(s"bit_xor((pos % $P) * (doc_id % $P))").as("xor_posid"),
+      min(col("pos")).as("min_pos"),
+      max(col("pos")).as("max_pos"))
+  }
+
   /** [[shardManifest]] over ALREADY-COMPUTED order labels — the variant
     * [[Maintenance.writeShards]] uses so one seededOrder pass (bucket
     * collect, checkpoint, rank window) serves both the data write and
     * the manifest instead of being re-derived per consumer. */
   private[operators] def shardManifestFromLabels(labels: DataFrame,
                                                  docs: DataFrame): DataFrame = {
-    val P = 2147483647L
     val toks = docs.select(col("doc_id").as("__id"),
       graft.functions.TextAnalytics.wsTokenCount(col("text")).cast("long")
         .as("__tok"))
-    labels.select("doc_id", "pos", "shard") // not the 32-char shuffle key
+    val joined = labels.select("doc_id", "pos", "shard") // not the 32-char key
       .join(toks, col("doc_id") === col("__id"))
-      .groupBy("shard")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("__tok").as("n_tokens"),
-        sum("doc_id").as("sum_ids"),
-        expr(s"bit_xor((pos % $P) * (doc_id % $P))").as("xor_posid"),
-        min("pos").as("min_pos"),
-        max("pos").as("max_pos"))
+    val cols = manifestAggCols(col("__tok"))
+    joined.groupBy("shard").agg(cols.head, cols.tail: _*)
   }
 
   /** Exact distribution thresholds for integer-valued curation signals —

@@ -116,19 +116,40 @@ object Maintenance {
                   path: String, seed: Long, numShards: Int): Int = {
     import org.apache.spark.sql.functions._
     graft.sources.Fs.writeVersioned(spark, path) { vdir =>
-      // ONE seededOrder pass serves both writes: the returned frame's
-      // keyed projection is localCheckpointed inside seededOrder, so the
-      // data write and the manifest aggregation below share the corpus
-      // scan and the driver-side bucket collect instead of re-deriving
       val labels = graft.operators.Curation.seededOrder(docs, seed, numShards)
         .select("doc_id", "pos", "shard")
       docs.join(labels, "doc_id")
         .repartition(numShards, col("shard"))
-        .sortWithinPartitions("pos")
+        // sort on (shard, pos), not pos alone: the dynamic-partition
+        // write requires its child ordered by the partition column, so a
+        // bare pos sort would be REPLACED by a shard sort (SPARK-40885 —
+        // V1Writes inserts its own sort and EliminateSorts drops the
+        // inner one), silently scrambling epoch order inside shard
+        // files; with shard leading, the required ordering is already
+        // satisfied and the pos sub-order survives to the files
+        .sortWithinPartitions("shard", "pos")
         .write.partitionBy("shard").mode("overwrite").parquet(s"$vdir/data")
-      graft.operators.Curation.shardManifestFromLabels(labels, docs)
+      // manifest FROM THE WRITTEN FILES, not from a re-evaluation of the
+      // caller's plan: a nondeterministic `docs` (unordered limit,
+      // unseeded sample) could differ between the data-write job and a
+      // second scan, publishing a manifest that condemns its own export;
+      // reading back what was actually written makes manifest-matches-
+      // data true by construction (and costs a scan of the narrow
+      // re-written corpus, not a second pass over the input pipeline)
+      derivedManifest(spark, s"$vdir/data")
         .coalesce(1).write.mode("overwrite").parquet(s"$vdir/manifest")
     }
+  }
+
+  /** The manifest of a written shard tree, re-derived from its files —
+    * one definition ([[graft.operators.Curation.manifestAggCols]])
+    * shared by the export publish and the audit. */
+  private def derivedManifest(spark: SparkSession,
+                              dataDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cols = graft.operators.Curation.manifestAggCols(
+      graft.functions.TextAnalytics.wsTokenCount(col("text")).cast("long"))
+    spark.read.parquet(dataDir).groupBy("shard").agg(cols.head, cols.tail: _*)
   }
 
   /** Audit a published shard export: re-derive the manifest FROM the
@@ -136,19 +157,9 @@ object Maintenance {
     * the check a training job runs before trusting an export. Returns
     * the rows that disagree (empty = intact). */
   def auditShards(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions._
-    val P = 2147483647L
     val vdir = graft.sources.Fs.resolveCurrent(spark, path,
       s"no shard export at $path (missing _current pointer — run writeShards first)")
-    val derived = spark.read.parquet(s"$vdir/data")
-      .groupBy("shard")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(graft.functions.TextAnalytics.wsTokenCount(col("text")).cast("long"))
-          .as("n_tokens"),
-        sum("doc_id").as("sum_ids"),
-        expr(s"bit_xor((pos % $P) * (doc_id % $P))").as("xor_posid"),
-        min("pos").as("min_pos"),
-        max("pos").as("max_pos"))
+    val derived = derivedManifest(spark, s"$vdir/data")
     val manifest = spark.read.parquet(s"$vdir/manifest")
     derived.exceptAll(manifest).unionAll(manifest.exceptAll(derived))
   }

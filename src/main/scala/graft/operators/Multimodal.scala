@@ -46,6 +46,15 @@ object Multimodal {
   trait MediaCodec extends Serializable {
     def decode(kind: String, payload: Array[Byte]): Array[Byte]
     def resize(pixels: Array[Byte], w: Int, h: Int, toW: Int, toH: Int): Array[Byte]
+    /** Decoded pixels plus the TRUE dimensions when the container knows
+      * them; the default trusts declared metadata (all a stub can do).
+      * Hash-type consumers must use this, not `decode` + metadata: a
+      * transposed width/height pair has the same product, so the
+      * resize length guard cannot catch it and a wrong row stride
+      * yields a well-formed but meaningless hash. */
+    def decodeImage(payload: Array[Byte], declaredW: Int,
+                    declaredH: Int): (Array[Byte], Int, Int) =
+      (decode("image", payload), declaredW, declaredH)
   }
 
   /** STUB codec: deterministic stand-in (identity "decode", stride
@@ -75,6 +84,12 @@ object Multimodal {
   object ImageIoCodec extends MediaCodec {
     override def decode(kind: String, payload: Array[Byte]): Array[Byte] = {
       if (kind != "image") return payload
+      decodeImage(payload, 0, 0)._1
+    }
+    /** The container KNOWS its dimensions — return them with the pixels
+      * (declared metadata ignored). */
+    override def decodeImage(payload: Array[Byte], declaredW: Int,
+                             declaredH: Int): (Array[Byte], Int, Int) = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null)
         throw new IllegalArgumentException("payload is not a decodable image")
@@ -103,7 +118,7 @@ object Multimodal {
         }
         y += 1
       }
-      out
+      (out, w, h)
     }
     override def resize(pixels: Array[Byte], w: Int, h: Int, toW: Int, toH: Int): Array[Byte] = {
       if (toW <= 0 || toH <= 0) return Array.emptyByteArray
@@ -322,8 +337,10 @@ object Multimodal {
     media.filter(_.kind == "image").mapPartitions { iter =>
       iter.map { m =>
         try {
-          val pixels = codec.decode(m.kind, m.payload)
-          val thumb = codec.resize(pixels, m.width, m.height, 9, 8)
+          // decodeImage, not decode + declared metadata: the container's
+          // true dimensions drive the resize stride (see MediaCodec doc)
+          val (pixels, w, h) = codec.decodeImage(m.payload, m.width, m.height)
+          val thumb = codec.resize(pixels, w, h, 9, 8)
           ImageHash(m.media_id, dHash64(thumb), ok = true, error = null)
         } catch {
           case e: Throwable =>
@@ -435,7 +452,8 @@ object Multimodal {
     * maxHamming = 2 pairing with margin); a per-doc gain exercises the
     * fingerprint's amplitude invariance. */
   def syntheticAudio(docs: DataFrame, families: Int = 12): Dataset[MediaRecord] = {
-    require(families <= 12, "coarse-bin layout guarantees separation up to 12 families")
+    require(families >= 1 && families <= 12,
+      s"coarse-bin layout guarantees separation for 1..12 families: $families")
     import docs.sparkSession.implicits._
     val fams = families
     docs.select(col("doc_id")).as[Long].mapPartitions { iter =>
@@ -496,6 +514,7 @@ object Multimodal {
     * get one inverted row segment (a few flipped bits — the
     * near-but-not-exact case). */
   def syntheticImages(docs: DataFrame, families: Int = 24): Dataset[MediaRecord] = {
+    require(families >= 1, s"families must be >= 1: $families")
     import docs.sparkSession.implicits._
     val fams = families
     docs.select(col("doc_id")).as[Long].mapPartitions { iter =>

@@ -66,6 +66,14 @@ class MaintenanceSpec extends SparkSpec {
     val shardCounts = data.groupBy("shard").count()
       .as[(Int, Long)].collect().toMap
     assert(shardCounts == Map(0 -> 25, 1 -> 25, 2 -> 25, 3 -> 25), shardCounts)
+    // rows INSIDE each shard file are in ascending pos order (the
+    // restorable-epoch-order contract — a bare pos sort would be
+    // eliminated by the partitioned write's own shard sort)
+    for (k <- 0 until 4) {
+      val pos = spark.read.parquet(s"$dir/v1/data/shard=$k")
+        .select("pos").as[Long].collect()
+      assert(pos.sameElements(pos.sorted), s"shard $k not pos-ordered")
+    }
     // the persisted manifest matches both the derived-from-files audit
     // and the query-side aggregation
     assert(Maintenance.auditShards(spark, dir).isEmpty)

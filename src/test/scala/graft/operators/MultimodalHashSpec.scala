@@ -140,6 +140,19 @@ class MultimodalHashSpec extends SparkSpec {
     assert(Multimodal.imageNearDups(media).count() == 0)
   }
 
+  test("transposed width/height metadata cannot corrupt the hash (true dims win)") {
+    // 32x24 image declared as 24x32: same pixel count, so a length guard
+    // can't catch it — decodeImage must return the container's true
+    // dimensions and hash identically to correct metadata
+    val png = grayPng(32, 24)((x, y) => (x * 7 + y * 3) % 97 * 2)
+    val media = Seq(
+      MediaRecord(1L, "image", png, 32, 24, 0, 0),
+      MediaRecord(2L, "image", png, 24, 32, 0, 0)).toDS()
+    val h = Multimodal.imageDHashes(media).collect().map(r => r.media_id -> r).toMap
+    assert(h(1L).ok && h(2L).ok)
+    assert(h(1L).dhash == h(2L).dhash, "metadata must not affect the hash")
+  }
+
   test("flat images hash to zero and are excluded from near-dup pairing") {
     // a black and a white frame both dHash to 0 (no gradients to sign) —
     // they carry no gradient identity and must NOT be declared duplicates
