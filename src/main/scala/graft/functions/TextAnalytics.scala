@@ -316,10 +316,11 @@ object TextAnalytics {
 
   /** ALL per-document quality/identity signals in ONE corpus pass — the
     * curation scan: quality features, whitespace/BPE token counts, language
-    * ID, fingerprint, compression ratio, repetition stats, and unigram-LM
-    * score, each column bit-equal to its standalone query (txt_quality,
-    * txt_tokens, txt_lang_id, txt_fingerprint, txt_compress_ratio,
-    * txt_repetition, txt_lm_score — TxtSignalsSpec locks the equality).
+    * ID, fingerprint, compression ratio, repetition stats, unigram-LM
+    * score, and character entropy, each column bit-equal to its standalone
+    * query (txt_quality, txt_tokens, txt_lang_id, txt_fingerprint,
+    * txt_compress_ratio, txt_repetition, txt_lm_score, txt_entropy —
+    * TxtSignalsSpec locks the equality).
     * At 100 TB the corpus scan IS the dominant cost of a curation decision;
     * seven single-signal queries read the corpus seven times, this
     * projection reads it once — the reference's own model runs ALL
@@ -355,7 +356,8 @@ object TextAnalytics {
       length(bytes).cast("long").as("n_bytes"),
       Codecs.deflateLenCol(bytes).cast("long").as("n_deflate"),
       FastHash.repetitionStatsCol(t).as("__r"),
-      lmStatsCol(t, bc).as("__l"))
+      lmStatsCol(t, bc).as("__l"),
+      entropyStatsCol(t).as("__e"))
     // derivations reference the hoisted kernel structs, so every kernel
     // runs exactly once per row no matter how many columns consume it
     val stopword = element_at(col("__hits"), 1).cast("double") /
@@ -393,10 +395,67 @@ object TextAnalytics {
       coalesce(col("__l._1"), lit(0L)).as("lm_n_tokens"),
       when(col("__l._1") > 0,
         (col("__l._2").cast("double") / lit(1048576.0)) / col("__l._1") -
-          log(lit(lm.totalTokens).cast("double"))).as("avg_logprob"))
+          log(lit(lm.totalTokens).cast("double"))).as("avg_logprob"),
+      coalesce(col("__e.nChars"), lit(0L)).as("n_chars_e"),
+      coalesce(col("__e.sumClncFp"), lit(0L)).as("sum_clnc_fp"),
+      when(col("__e.nChars") > 0,
+        entropyNats(col("__e.nChars"), col("__e.sumClncFp"))).as("entropy_nats"))
   }
 
   // ---- Unigram-LM quality scoring (CCNet-style perplexity filter) ----
+
+  // ---- Character-entropy quality signal ----
+
+  /** Typed result of the entropy kernel (Spark 4 needs a case-class
+    * encoder). `sumClncFp` = Σ_c cnt_c · round(ln(cnt_c)·2²⁰) over the
+    * codepoint histogram — every term integral, so the sum is exact and
+    * partition-order-free. */
+  case class EntropyStats(nChars: Long, sumClncFp: Long)
+
+  /** One-pass codepoint-histogram statistics for Shannon character
+    * entropy: H_nats = ln(n) − (Σ cnt·ln cnt)/n. Low entropy flags
+    * repeated-character boilerplate, high entropy flags random/encoded
+    * junk (base64 blobs, mojibake) — the classic cheap gibberish gate.
+    * ln() is taken over INTEGRAL counts only and quantized to 2⁻²⁰
+    * fixed point (the [[lmScore]]/ds_importance trick), so the derived
+    * double is bit-identical to the DuckDB oracle's. Counts are per
+    * CODEPOINT (matching the oracle's `regexp_extract_all(text,
+    * '[\s\S]')`); null/empty text returns None and the consumer keeps
+    * or drops the row per its own contract. */
+  private[graft] def charEntropyStats(text: String): Option[EntropyStats] = {
+    if (text == null || text.isEmpty) return None
+    val hist = new scala.collection.mutable.LongMap[Long]()
+    var i = 0
+    var n = 0L
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      hist(cp.toLong) = hist.getOrElse(cp.toLong, 0L) + 1L
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var s = 0L
+    hist.foreachValue { cnt =>
+      s += cnt * Math.round(Math.log(cnt.toDouble) * 1048576.0)
+    }
+    Some(EntropyStats(n, s))
+  }
+
+  /** Column form of [[charEntropyStats]]. asNondeterministic is the same
+    * placement fence as scoreImportance's: the UDF is pure, but without
+    * it a pushed isnotnull filter would run the kernel twice per row. */
+  def entropyStatsCol(text: Column): Column =
+    udf((s: String) => charEntropyStats(s)).asNondeterministic()(text)
+
+  /** Derived nats-entropy from the exact integer stats — the one double
+    * expression both engines evaluate over identical integers. */
+  def entropyNats(nChars: Column, sumClncFp: Column): Column =
+    (quantLn(nChars) * nChars - sumClncFp).cast("double") /
+      (nChars.cast("double") * lit(1048576.0))
+
+  /** `round(ln(n)·2²⁰)` as a Column over an integral input — matches
+    * DuckDB `CAST(round(ln(CAST(n AS DOUBLE)) * 1048576) AS BIGINT)`. */
+  private def quantLn(n: Column): Column =
+    round(log(n.cast("double")) * lit(1048576.0)).cast("long")
 
   /** Per-document average token log-probability under a unigram LM trained
     * on the corpus itself: score(d) = (Σ_t∈d ln count(t)) / |d| − ln N.

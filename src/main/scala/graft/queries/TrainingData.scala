@@ -518,6 +518,24 @@ object TrainingData {
     Curation.seededOrder(Tables.documents(spark, dir), seed = 42L,
       numShards = 8).orderBy("doc_id")
 
+  /** Shannon character entropy ([[TextAnalytics.charEntropyStats]]): the
+    * cheap gibberish gate — low entropy = repeated-char boilerplate,
+    * high = random/encoded junk. Exact integer stats plus ONE derived
+    * double both engines compute from identical integers. Empty docs
+    * drop (no distribution to measure), matching the oracle's unnest. */
+  def txtEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextAnalytics
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalytics.entropyStatsCol(col("text")).as("__e"))
+      .filter(col("__e").isNotNull)
+      .select(col("doc_id"),
+        col("__e.nChars").as("n_chars_e"),
+        col("__e.sumClncFp").as("sum_clnc_fp"),
+        TextAnalytics.entropyNats(col("__e.nChars"), col("__e.sumClncFp"))
+          .as("entropy_nats"))
+      .orderBy("doc_id")
+  }
+
   /** Shard-export integrity manifest ([[Curation.shardManifest]], the
     * aggregation [[graft.operators.Maintenance.writeShards]] persists):
     * per-shard counts, id-sum, and the order-sensitive pos⊗id xor —
@@ -867,6 +885,7 @@ object TrainingData {
     "ds_quota"           -> dsQuota _,
     "ds_thresholds"      -> dsThresholds _,
     "ds_shard_manifest"  -> dsShardManifest _,
+    "txt_entropy"        -> txtEntropy _,
     "sim_semdedup"       -> ((s: SparkSession, d: String) => simSemdedup(s, d)),
     "ds_importance"      -> dsImportance _,
     "sim_rp"             -> simRp _,
@@ -1004,6 +1023,23 @@ object TrainingData {
         |SELECT doc_id, shuffle_key, pos,
         | CAST((pos - 1) % 8 AS INT) AS shard
         |FROM p ORDER BY doc_id""".stripMargin,
+    // the entropy fixed point replays charEntropyStats: ln over INTEGRAL
+    // counts only, quantized 2^-20, summed exactly; the single derived
+    // double is the same expression over the same integers on both sides
+    "txt_entropy" ->
+      """WITH c AS (
+        | SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch
+        | FROM documents),
+        |h AS (SELECT doc_id, ch, COUNT(*) AS cnt FROM c GROUP BY 1, 2),
+        |s AS (SELECT doc_id,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_chars_e,
+        |  CAST(SUM(cnt * CAST(round(ln(CAST(cnt AS DOUBLE)) * 1048576) AS BIGINT)) AS BIGINT) AS sum_clnc_fp
+        | FROM h GROUP BY 1)
+        |SELECT doc_id, n_chars_e, sum_clnc_fp,
+        | CAST(CAST(round(ln(CAST(n_chars_e AS DOUBLE)) * 1048576) AS BIGINT) * n_chars_e
+        |      - sum_clnc_fp AS DOUBLE)
+        |   / (CAST(n_chars_e AS DOUBLE) * 1048576.0) AS entropy_nats
+        |FROM s ORDER BY doc_id""".stripMargin,
     // replays ds_order's pos/shard formula, then the manifest aggregate;
     // the xor terms reduce mod 2^31-1 before multiplying on both engines,
     // so the checksum is overflow-free and engine-exact
@@ -1379,7 +1415,13 @@ object TrainingData {
          |ld AS (SELECT doc_id, CAST(SUM(ql) AS BIGINT) AS sq, COUNT(*) AS n_tokens
          |       FROM lq GROUP BY 1),
          |cr AS (SELECT doc_id, n_bytes, n_deflate, ratio_ppm
-         |       FROM read_parquet('/root/repo/golden/sf0.01/txt_compress_ratio.parquet'))
+         |       FROM read_parquet('/root/repo/golden/sf0.01/txt_compress_ratio.parquet')),
+         |ec AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\\s\\S]')) AS ch
+         |       FROM documents),
+         |eh AS (SELECT doc_id, ch, COUNT(*) AS cnt FROM ec GROUP BY 1, 2),
+         |es AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chars_e,
+         |        CAST(SUM(cnt * CAST(round(ln(CAST(cnt AS DOUBLE)) * 1048576) AS BIGINT)) AS BIGINT) AS sum_clnc_fp
+         |       FROM eh GROUP BY 1)
          |SELECT f2.doc_id, f2.n_chars_m, f2.n_words, f2.n_punct, f2.alpha_ratio,
          | f2.stopword_ratio,
          | least(CAST(f2.n_chars_m AS DOUBLE) / 500.0, 1.0) * 0.5
@@ -1399,12 +1441,20 @@ object TrainingData {
          | CAST(coalesce(ld.n_tokens, 0) AS BIGINT) AS lm_n_tokens,
          | CASE WHEN ld.n_tokens > 0 THEN
          |  (CAST(ld.sq AS DOUBLE) / 1048576.0) / ld.n_tokens - ln(CAST(ltot.nt AS DOUBLE))
-         | END AS avg_logprob
+         | END AS avg_logprob,
+         | coalesce(es.n_chars_e, 0) AS n_chars_e,
+         | coalesce(es.sum_clnc_fp, 0) AS sum_clnc_fp,
+         | CASE WHEN es.n_chars_e > 0 THEN
+         |  CAST(CAST(round(ln(CAST(es.n_chars_e AS DOUBLE)) * 1048576) AS BIGINT) * es.n_chars_e
+         |       - es.sum_clnc_fp AS DOUBLE)
+         |    / (CAST(es.n_chars_e AS DOUBLE) * 1048576.0)
+         | END AS entropy_nats
          |FROM f2
          |JOIN cr USING (doc_id)
          |LEFT JOIN rtw USING (doc_id)
          |LEFT JOIN rtb USING (doc_id)
          |LEFT JOIN ld USING (doc_id)
+         |LEFT JOIN es USING (doc_id)
          |CROSS JOIN ltot
          |ORDER BY f2.doc_id""".stripMargin,
     "dd_contamination" ->

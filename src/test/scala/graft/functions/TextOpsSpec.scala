@@ -156,6 +156,37 @@ class TextOpsSpec extends SparkSpec {
     assert(tiny.select("doc_id").as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("charEntropyStats: hand-computed entropies, bounds, codepoint counting") {
+    import SparkSpec.session.implicits._
+    def nats(s: String): Double = {
+      val e = TextAnalytics.charEntropyStats(s).get
+      val qn = Math.round(Math.log(e.nChars.toDouble) * 1048576.0)
+      (qn * e.nChars - e.sumClncFp).toDouble / (e.nChars * 1048576.0)
+    }
+    // single repeated char: zero entropy exactly (sum = n·qln(n))
+    assert(nats("aaaa") == 0.0)
+    // two symbols 2+2: H = ln 2 (to fixed-point precision)
+    assert(math.abs(nats("abab") - math.log(2)) < 1e-5, nats("abab"))
+    // uniform 4 distinct: ln 4
+    assert(math.abs(nats("abcd") - math.log(4)) < 1e-5)
+    // skewed 3+1: ln4 − (3·ln3)/4
+    assert(math.abs(nats("aaab") - (math.log(4) - 3 * math.log(3) / 4)) < 1e-5)
+    // bounds on arbitrary text: 0 ≤ H ≤ ln n
+    val h = nats("the quick brown fox!")
+    assert(h >= 0.0 && h <= math.log(20.0))
+    // empty and null drop (no distribution to measure)
+    assert(TextAnalytics.charEntropyStats("").isEmpty)
+    assert(TextAnalytics.charEntropyStats(null).isEmpty)
+    // supplementary-plane codepoints count ONCE (the oracle's regexp
+    // extracts codepoints, not UTF-16 units): 𝄞 is two chars, one glyph
+    val clef = new String(Character.toChars(0x1D11E))
+    assert(TextAnalytics.charEntropyStats(clef + clef).get.nChars == 2L)
+    // column path: the query emits the same derived double
+    val viaQuery = graft.queries.TrainingData.txtEntropy(spark, sfDir)
+      .filter(col("doc_id") === 0L).select("entropy_nats").as[Double].head()
+    assert(viaQuery > 0.0 && viaQuery < 6.0)
+  }
+
   test("marker-hit kernel propagates null for null text (oracle NULL parity)") {
     import SparkSpec.session.implicits._
     assert(FastHash.markerHits(null, Array(Array(1L))) == null)

@@ -63,6 +63,13 @@ class TxtSignalsSpec extends SparkSpec {
       TrainingData.txtRepetition(spark, sfDir), "repetition")
   }
 
+  test("entropy columns equal txt_entropy on its (filtered) rows") {
+    assertSameRows(
+      fused.filter(col("n_chars_e") > 0)
+        .select("doc_id", "n_chars_e", "sum_clnc_fp", "entropy_nats"),
+      TrainingData.txtEntropy(spark, sfDir), "entropy")
+  }
+
   test("LM columns equal txt_lm_score on its (filtered) rows") {
     assertSameRows(
       fused.filter(col("lm_n_tokens") > 0)
