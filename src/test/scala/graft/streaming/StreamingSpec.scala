@@ -347,4 +347,39 @@ class StreamingSpec extends SparkSpec {
       spark.streams.removeListener(listener)
     }
   }
+
+  test("streaming perceptual hashes match batch bit-for-bit (media ingest twin)") {
+    // imageDHashes/audioFingerprints are STATELESS mapPartitions kernels,
+    // so they apply unchanged to a streaming Dataset — the online half of
+    // multimodal dedup (hash arriving media, probe the persisted index).
+    // This differential locks stream ≡ batch on the same payloads.
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.range(8).toDF("doc_id")
+    val images = Multimodal.syntheticImages(docs, families = 3).collect()
+    val audio = Multimodal.syntheticAudio(docs, families = 3).collect()
+    val batchImg = Multimodal.imageDHashes(
+      spark.createDataset(images.toSeq)).collect()
+      .map(r => r.media_id -> r.dhash).toMap
+    val batchAud = Multimodal.audioFingerprints(
+      spark.createDataset(audio.toSeq)).collect()
+      .map(r => r.media_id -> r.fp).toMap
+    val mem = MemoryStream[Multimodal.MediaRecord]
+    val q = Multimodal.imageDHashes(mem.toDS())
+      .writeStream.format("memory").queryName("img_hash_stream")
+      .outputMode("append").start()
+    val qa = Multimodal.audioFingerprints(mem.toDS())
+      .writeStream.format("memory").queryName("aud_fp_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(images.toSeq ++ audio.toSeq)
+      q.processAllAvailable(); qa.processAllAvailable()
+      val gotImg = spark.table("img_hash_stream")
+        .select("media_id", "dhash").as[(Long, Long)].collect().toMap
+      val gotAud = spark.table("aud_fp_stream")
+        .select("media_id", "fp").as[(Long, Long)].collect().toMap
+      assert(gotImg == batchImg, "image stream/batch hash drift")
+      assert(gotAud == batchAud, "audio stream/batch fingerprint drift")
+    } finally { q.stop(); qa.stop() }
+  }
 }
