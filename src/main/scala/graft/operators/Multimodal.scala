@@ -442,6 +442,29 @@ object Multimodal {
       .withColumnRenamed("a_id", "a_media").withColumnRenamed("b_id", "b_media")
   }
 
+  /** End-to-end multimodal dedup resolution: near-dup pairs (image dHash
+    * or audio constellation) → connected components → keep the
+    * lowest-id member per cluster. The media analogue of the text
+    * funnel's exact/keep-best resolution — what a 100 TB media pipeline
+    * actually ships: the deduplicated corpus plus, per kept item, how
+    * many near-duplicates it absorbed. Lowest-id (not quality-ranked
+    * like [[Curation.keepBest]]): perceptual hashes carry no quality
+    * signal, and lowest-id is the stable, engine-free canonical choice.
+    *
+    * Scale: pairs and components move (id, id) longs only;
+    * the keep decision is one per-cluster min — partial-aggregated —
+    * and the hash pass is the same single media scan as the pairing. */
+  def dedupKeep(hashes: DataFrame, pairs: DataFrame): DataFrame = {
+    val cc = Dedup.connectedComponents(
+      hashes.select(col("media_id").as("doc_id")),
+      pairs.select(col("a_media").as("a_id"), col("b_media").as("b_id")))
+    cc.groupBy("cluster_id")
+      .agg(min(col("doc_id")).as("media_id"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("media_id"), col("cluster_id"), col("cluster_size"),
+        (col("cluster_size") - 1).as("n_absorbed"))
+  }
+
   /** Deterministic REAL-audio corpus from the documents fixture: each doc
     * becomes a 16-bit PCM WAV (RIFF bytes built directly — no encoder
     * dependency; decoded by the real `javax.sound` stack) of three

@@ -347,6 +347,23 @@ object TrainingData {
       .orderBy("a_media", "b_media")
   }
 
+  /** End-to-end image dedup resolution ([[Multimodal.dedupKeep]]): the
+    * mm_phash pairs resolved through connected components to the kept
+    * corpus — lowest id per near-dup cluster plus absorption counts. */
+  def mmDedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val media = Multimodal.syntheticImages(
+      Tables.documents(spark, dir).filter(col("doc_id") % 7 === 0))
+    val hashes = Multimodal.imageDHashes(media).toDF()
+      .filter(col("ok") && col("dhash") =!= 0L)
+    Multimodal.dedupKeep(hashes,
+        graft.operators.Dedup.hammingPairs64(
+          hashes.select(col("media_id").as("doc_id"), col("dhash")),
+          "dhash", maxHamming = 6, maxBucket = 5000)
+          .select(col("a_id").as("a_media"), col("b_id").as("b_media")))
+      .orderBy("media_id")
+  }
+
   /** HTML extraction: wrap each document in a deterministic HTML envelope
     * (title/style/script/comment noise), then strip back to visible text
     * with the real extractor (TextAnalytics.htmlToText — pure regexp chain,
@@ -874,6 +891,7 @@ object TrainingData {
     "mm_features"      -> mmFeatures _,
     "mm_phash"         -> mmPhash _,
     "mm_audio_fp"      -> mmAudioFp _,
+    "mm_dedup_keep"    -> mmDedupKeep _,
     "dd_bloom_prefilter" -> ddBloomPrefilter _,
     "txt_compress_ratio" -> txtCompressRatio _,
     "dd_span_coverage"   -> ddSpanCoverage _,

@@ -68,7 +68,11 @@ object Golden {
     // puts peak maxima at deterministic bins far above the relative
     // noise floor — bit-stable like mm_phash; MultimodalHashSpec locks
     // gain invariance and the planted family structure
-    "mm_audio_fp")
+    "mm_audio_fp",
+    // dedup resolution over mm_phash's pairs: connected components with
+    // total tie-breaking (min label propagation) + per-cluster min/count
+    // aggregates — deterministic composition of two bit-stable stages
+    "mm_dedup_keep")
 
   val sfDir = "/root/testdata/sf0.01"
 

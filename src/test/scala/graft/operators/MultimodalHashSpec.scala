@@ -128,6 +128,27 @@ class MultimodalHashSpec extends SparkSpec {
       (11L, 23L)), pairs)
   }
 
+  test("dedupKeep resolves pair clusters to lowest-id canonicals with absorption counts") {
+    // 9 images, 3 families over ids 0..8: clusters {0,3,6} {1,4,7} {2,5,8}
+    val docs = spark.range(9).toDF("doc_id")
+    val media = Multimodal.syntheticImages(docs, families = 3)
+    val hashes = Multimodal.imageDHashes(media).toDF()
+      .filter(col("ok") && col("dhash") =!= 0L)
+    val pairs = Multimodal.imageNearDups(media, maxHamming = 6)
+    val kept = Multimodal.dedupKeep(hashes, pairs)
+      .select("media_id", "cluster_size", "n_absorbed")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(kept == Set((0L, 3L, 2L), (1L, 3L, 2L), (2L, 3L, 2L)), kept)
+    // an isolated singleton (no pairs) survives as its own cluster
+    val lone = Multimodal.syntheticImages(spark.range(1).toDF("doc_id"), families = 1)
+    val loneHash = Multimodal.imageDHashes(lone).toDF()
+      .filter(col("ok") && col("dhash") =!= 0L)
+    val loneKept = Multimodal.dedupKeep(loneHash,
+      Multimodal.imageNearDups(lone))
+      .select("media_id", "cluster_size").as[(Long, Long)].collect().toSeq
+    assert(loneKept == Seq((0L, 1L)), loneKept)
+  }
+
   test("undecodable payloads route to the error channel, not the job") {
     val media = Seq(
       MediaRecord(1L, "image", Array[Byte](1, 2, 3), 4, 4, 0, 0),
