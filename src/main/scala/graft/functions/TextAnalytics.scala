@@ -322,7 +322,7 @@ object TextAnalytics {
     * txt_compress_ratio, txt_repetition, txt_lm_score, txt_entropy —
     * TxtSignalsSpec locks the equality).
     * At 100 TB the corpus scan IS the dominant cost of a curation decision;
-    * seven single-signal queries read the corpus seven times, this
+    * eight single-signal queries read the corpus eight times, this
     * projection reads it once — the reference's own model runs ALL
     * per-record transforms as one chain over the wire, never a rescan
     * (`/root/reference/pkg/internal/wire/transform.go:93-119`).
@@ -402,8 +402,6 @@ object TextAnalytics {
         entropyNats(col("__e.nChars"), col("__e.sumClncFp"))).as("entropy_nats"))
   }
 
-  // ---- Unigram-LM quality scoring (CCNet-style perplexity filter) ----
-
   // ---- Character-entropy quality signal ----
 
   /** Typed result of the entropy kernel (Spark 4 needs a case-class
@@ -456,6 +454,8 @@ object TextAnalytics {
     * DuckDB `CAST(round(ln(CAST(n AS DOUBLE)) * 1048576) AS BIGINT)`. */
   private def quantLn(n: Column): Column =
     round(log(n.cast("double")) * lit(1048576.0)).cast("long")
+
+  // ---- Unigram-LM quality scoring (CCNet-style perplexity filter) ----
 
   /** Per-document average token log-probability under a unigram LM trained
     * on the corpus itself: score(d) = (Σ_t∈d ln count(t)) / |d| − ln N.

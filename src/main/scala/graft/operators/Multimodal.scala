@@ -365,11 +365,21 @@ object Multimodal {
     * identity to match on; dedup them exactly (byte hash) instead. */
   def imageNearDups(media: Dataset[MediaRecord],
                     codec: MediaCodec = ImageIoCodec,
-                    maxHamming: Int = 6, maxBucket: Int = 5000): DataFrame = {
-    val hashes = imageDHashes(media, codec).toDF()
+                    maxHamming: Int = 6, maxBucket: Int = 5000): DataFrame =
+    imageNearDupsFromHashes(imageDHashes(media, codec).toDF(),
+      maxHamming, maxBucket)
+
+  /** [[imageNearDups]] over an ALREADY-COMPUTED hash frame — the variant
+    * [[dedupKeep]] callers use so one decode+hash scan (checkpointed)
+    * serves both the pairing and the cluster-node set. Applies the
+    * eligibility guards (failed decodes and flat zero-hashes never
+    * pair) in ONE place for both entry points. */
+  def imageNearDupsFromHashes(hashes: DataFrame, maxHamming: Int = 6,
+                              maxBucket: Int = 5000): DataFrame = {
+    val eligible = hashes
       .filter(col("ok") && col("dhash") =!= 0L)
       .select(col("media_id").as("doc_id"), col("dhash"))
-    Dedup.hammingPairs64(hashes, "dhash", maxHamming, maxBucket)
+    Dedup.hammingPairs64(eligible, "dhash", maxHamming, maxBucket)
       .withColumnRenamed("a_id", "a_media").withColumnRenamed("b_id", "b_media")
   }
 
@@ -451,17 +461,27 @@ object Multimodal {
     * like [[Curation.keepBest]]): perceptual hashes carry no quality
     * signal, and lowest-id is the stable, engine-free canonical choice.
     *
-    * Scale: pairs and components move (id, id) longs only;
-    * the keep decision is one per-cluster min — partial-aggregated —
-    * and the hash pass is the same single media scan as the pairing. */
+    * COVERAGE contract: `hashes` should be the FULL hash frame
+    * (including failed decodes and flat zero-hashes) — those rows have
+    * no perceptual identity to merge on, so they come through as their
+    * own singleton clusters rather than silently vanishing from the
+    * kept corpus: Σ cluster_size always equals the input media count.
+    * Only the PAIRS must come from the eligibility-guarded path
+    * ([[imageNearDupsFromHashes]]/[[audioNearDups]]).
+    *
+    * Scale: pairs and components move (id, id) longs only, and the keep
+    * decision is free — connectedComponents labels every cluster with
+    * its min member id, so the canonical IS the cluster label and the
+    * only aggregate is a partial-agged per-label count. Checkpoint the
+    * hash frame before deriving pairs from it (the queries do) so the
+    * decode+hash scan runs once for both consumers. */
   def dedupKeep(hashes: DataFrame, pairs: DataFrame): DataFrame = {
     val cc = Dedup.connectedComponents(
       hashes.select(col("media_id").as("doc_id")),
       pairs.select(col("a_media").as("a_id"), col("b_media").as("b_id")))
     cc.groupBy("cluster_id")
-      .agg(min(col("doc_id")).as("media_id"),
-        count(lit(1)).as("cluster_size"))
-      .select(col("media_id"), col("cluster_id"), col("cluster_size"),
+      .agg(count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id").as("media_id"), col("cluster_size"),
         (col("cluster_size") - 1).as("n_absorbed"))
   }
 

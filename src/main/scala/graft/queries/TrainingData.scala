@@ -354,13 +354,10 @@ object TrainingData {
     import graft.operators.Multimodal
     val media = Multimodal.syntheticImages(
       Tables.documents(spark, dir).filter(col("doc_id") % 7 === 0))
-    val hashes = Multimodal.imageDHashes(media).toDF()
-      .filter(col("ok") && col("dhash") =!= 0L)
-    Multimodal.dedupKeep(hashes,
-        graft.operators.Dedup.hammingPairs64(
-          hashes.select(col("media_id").as("doc_id"), col("dhash")),
-          "dhash", maxHamming = 6, maxBucket = 5000)
-          .select(col("a_id").as("a_media"), col("b_id").as("b_media")))
+    // checkpoint the narrow hash rows so the decode+hash scan runs ONCE
+    // for both consumers (the pairing and the cluster-node set)
+    val hashes = Multimodal.imageDHashes(media).toDF().localCheckpoint(false)
+    Multimodal.dedupKeep(hashes, Multimodal.imageNearDupsFromHashes(hashes))
       .orderBy("media_id")
   }
 

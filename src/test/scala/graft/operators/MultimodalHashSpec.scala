@@ -133,20 +133,38 @@ class MultimodalHashSpec extends SparkSpec {
     val docs = spark.range(9).toDF("doc_id")
     val media = Multimodal.syntheticImages(docs, families = 3)
     val hashes = Multimodal.imageDHashes(media).toDF()
-      .filter(col("ok") && col("dhash") =!= 0L)
-    val pairs = Multimodal.imageNearDups(media, maxHamming = 6)
-    val kept = Multimodal.dedupKeep(hashes, pairs)
+    val kept = Multimodal.dedupKeep(hashes,
+        Multimodal.imageNearDupsFromHashes(hashes))
       .select("media_id", "cluster_size", "n_absorbed")
       .as[(Long, Long, Long)].collect().toSet
     assert(kept == Set((0L, 3L, 2L), (1L, 3L, 2L), (2L, 3L, 2L)), kept)
     // an isolated singleton (no pairs) survives as its own cluster
     val lone = Multimodal.syntheticImages(spark.range(1).toDF("doc_id"), families = 1)
     val loneHash = Multimodal.imageDHashes(lone).toDF()
-      .filter(col("ok") && col("dhash") =!= 0L)
     val loneKept = Multimodal.dedupKeep(loneHash,
-      Multimodal.imageNearDups(lone))
+      Multimodal.imageNearDupsFromHashes(loneHash))
       .select("media_id", "cluster_size").as[(Long, Long)].collect().toSeq
     assert(loneKept == Seq((0L, 1L)), loneKept)
+  }
+
+  test("dedupKeep covers the WHOLE corpus: flat and undecodable items survive as singletons") {
+    // 2 gradient dups + 2 distinct flat frames + 1 corrupt payload:
+    // the kept corpus must account for every input id (Σ size = 5) —
+    // the unpairable items come through as their own clusters, and a
+    // black and a white frame are NOT merged
+    val grad = grayPng(16, 16)((x, _) => x * 15)
+    val media = Seq(
+      MediaRecord(1L, "image", grad, 16, 16, 0, 0),
+      MediaRecord(2L, "image", grad, 16, 16, 0, 0),
+      MediaRecord(3L, "image", grayPng(16, 16)((_, _) => 0), 16, 16, 0, 0),
+      MediaRecord(4L, "image", grayPng(16, 16)((_, _) => 255), 16, 16, 0, 0),
+      MediaRecord(5L, "image", Array[Byte](9, 9, 9), 4, 4, 0, 0)).toDS()
+    val hashes = Multimodal.imageDHashes(media).toDF()
+    val kept = Multimodal.dedupKeep(hashes,
+        Multimodal.imageNearDupsFromHashes(hashes))
+      .select("media_id", "cluster_size").as[(Long, Long)].collect().toMap
+    assert(kept == Map(1L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 1L), kept)
+    assert(kept.values.sum == 5L, "kept corpus must cover every input")
   }
 
   test("undecodable payloads route to the error channel, not the job") {
