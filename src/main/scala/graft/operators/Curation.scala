@@ -267,6 +267,75 @@ object Curation {
       .select("doc_id", "quality", "n_tokens", "cum_tokens")
   }
 
+  /** Per-stratum token-budget selection — how a training MIX is actually
+    * built: each source/domain gets a token budget (the mixture weights ×
+    * total budget), and within each stratum the highest-quality documents
+    * fill it ([[budgetSelect]] is the single-global-budget special case;
+    * [[sourceQuota]] caps COUNTS, this fills TOKEN budgets). Only strata
+    * present in `budgets` participate.
+    *
+    * Same distributed two-level prefix scan as [[budgetSelect]], keyed on
+    * (stratum, quantized-quality bucket): per-(stratum, bucket) token
+    * totals collect to the driver (bounded: ≤ |budgets| × qualityBuckets
+    * rows BY CONSTRUCTION — the stratum list is the caller's budget map,
+    * never data-dependent), per-stratum base offsets prefix on the
+    * driver, and ONLY the buckets with budget headroom enter the window
+    * exchange (the prune is membership in the broadcast offsets table,
+    * so whole out-of-budget buckets never shuffle). The exchange carries
+    * (doc_id, stratum, quality, n_tokens, bucket) — never text. EAGER
+    * like its siblings: the totals job runs at call time on a
+    * localCheckpoint of the narrow scored projection. */
+  def budgetSelectPerStratum(docs: DataFrame, strataCol: String,
+                             budgets: Map[String, Long],
+                             qualityBuckets: Int = 1000): DataFrame = {
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    require(budgets.values.forall(_ >= 0L), "token budgets must be non-negative")
+    require(qualityBuckets >= 1 && qualityBuckets <= MaxQualityBuckets,
+      s"qualityBuckets must be in [1, $MaxQualityBuckets]")
+    import graft.functions.TextAnalytics.{qualityScore, wsTokenCount}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scored = docs
+      .filter(col(strataCol).isin(budgets.keys.toSeq: _*))
+      .select(col("doc_id"), col(strataCol).as("__s"),
+        qualityScore(col("text")).as("quality"),
+        wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      .filter(col("quality").isNotNull)
+      .withColumn("__qb",
+        least(floor(col("quality") * qualityBuckets), lit(qualityBuckets - 1))
+          .cast("int"))
+      .localCheckpoint(false)
+    val totals = scored.groupBy("__s", "__qb").agg(sum("n_tokens").as("__t"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    // per stratum: offsets over buckets in DESCENDING quality order;
+    // keep only buckets whose base leaves headroom under that
+    // stratum's budget — the broadcast table IS the prune
+    val offsets = totals.toSeq.flatMap { case (s, rows) =>
+      val budget = budgets(s)
+      rows.sortBy(-_._2).scanLeft((s, Int.MaxValue, 0L, budget)) {
+        case ((_, _, acc, _), (_, qb, t)) => (s, qb, acc + t, budget)
+      }.sliding(2).collect {
+        case Array((_, _, prev, _), (_, qb, _, _)) if prev < budget =>
+          (s, qb, prev, budget)
+      }.toSeq
+    }
+    if (offsets.isEmpty)
+      return scored.withColumn("cum_tokens", lit(0L))
+        .select(col("doc_id"), col("__s").as(strataCol), col("quality"),
+          col("n_tokens"), col("cum_tokens"))
+        .filter(lit(false))
+    val offsetsDf = offsets.toDF("__s", "__qb", "__base", "__budget")
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("__s", "__qb").orderBy(desc("quality"), asc("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    scored.join(broadcast(offsetsDf), Seq("__s", "__qb"))
+      .withColumn("cum_tokens", col("__base") + sum("n_tokens").over(wIn))
+      .filter(col("cum_tokens") <= col("__budget"))
+      .select(col("doc_id"), col("__s").as(strataCol), col("quality"),
+        col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Quality-canonical near-dup resolution: resolve the duplicate-pair
     * edge list into connected components ([[Dedup.connectedComponents]])
     * and KEEP exactly one document per cluster — the highest-quality

@@ -532,6 +532,15 @@ object TrainingData {
     Curation.seededOrder(Tables.documents(spark, dir), seed = 42L,
       numShards = 8).orderBy("doc_id")
 
+  /** Per-source token-budget mix ([[Curation.budgetSelectPerStratum]]):
+    * three sources get distinct token budgets and fill them with their
+    * highest-quality docs — the mixture-building step of a training
+    * pipeline (weights × total budget → per-domain budgets). */
+  def dsMixBudget(spark: SparkSession, dir: String): DataFrame =
+    Curation.budgetSelectPerStratum(Tables.documents(spark, dir), "source",
+        Map("src0" -> 3000L, "src1" -> 1500L, "src5" -> 600L))
+      .orderBy("source", "cum_tokens")
+
   /** Shannon character entropy ([[TextAnalytics.charEntropyStats]]): the
     * cheap gibberish gate — low entropy = repeated-char boilerplate,
     * high = random/encoded junk. Exact integer stats plus ONE derived
@@ -901,6 +910,7 @@ object TrainingData {
     "ds_thresholds"      -> dsThresholds _,
     "ds_shard_manifest"  -> dsShardManifest _,
     "txt_entropy"        -> txtEntropy _,
+    "ds_mix_budget"      -> dsMixBudget _,
     "sim_semdedup"       -> ((s: SparkSession, d: String) => simSemdedup(s, d)),
     "ds_importance"      -> dsImportance _,
     "sim_rp"             -> simRp _,
@@ -1038,6 +1048,36 @@ object TrainingData {
         |SELECT doc_id, shuffle_key, pos,
         | CAST((pos - 1) % 8 AS INT) AS shard
         |FROM p ORDER BY doc_id""".stripMargin,
+    // per-stratum twin of the ds_budget_select oracle: same quality and
+    // token expressions, window partitioned by source, per-source budget
+    "ds_mix_budget" ->
+      s"""WITH f AS (
+         | SELECT doc_id, source, length(text) AS n_chars_m,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |    / CAST(nullif(length(text), 0) AS DOUBLE) AS alpha_ratio,
+         |  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> list_contains($enList, w))) AS DOUBLE)
+         |    / CAST(nullif(CASE WHEN length(trim(text)) = 0 THEN 0
+         |        ELSE len(string_split_regex(trim(text), '\\s+')) END, 0) AS DOUBLE) AS stopword_ratio
+         | FROM documents
+         | WHERE source IN ('src0', 'src1', 'src5')),
+         |s AS (
+         | SELECT doc_id, source,
+         |  least(CAST(n_chars_m AS DOUBLE) / 500.0, 1.0) * 0.5
+         |   + alpha_ratio * 0.25 + stopword_ratio * 0.25 AS quality,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 1500 ELSE 600 END AS budget
+         | FROM f),
+         |c AS (
+         | SELECT doc_id, source, quality, n_tokens, budget,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY quality DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         | FROM s WHERE quality IS NOT NULL)
+         |SELECT doc_id, source, quality, n_tokens, cum_tokens
+         |FROM c WHERE cum_tokens <= budget
+         |ORDER BY source, cum_tokens""".stripMargin,
     // the entropy fixed point replays charEntropyStats: ln over INTEGRAL
     // counts only, quantized 2^-20, summed exactly; the single derived
     // double is the same expression over the same integers on both sides

@@ -234,6 +234,41 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(_._1).sum == rows.map(_._2).max)
   }
 
+  test("budgetSelectPerStratum fills each stratum's token budget independently") {
+    import SparkSpec.session.implicits._
+    def prose(words: Int) = Seq.fill(words)("the quick fox").mkString(" ")
+    // per-doc tokens = 3·words; qualities monotone in length (< 500 chars)
+    val docs = Seq(
+      (1L, "a", prose(10)), (2L, "a", prose(8)), (3L, "a", prose(6)),
+      (4L, "b", prose(12)), (5L, "b", prose(4)),
+      (6L, "c", prose(9))).toDF("doc_id", "source", "text")
+    val sel = Curation.budgetSelectPerStratum(docs, "source",
+        Map("a" -> 60L, "b" -> 36L, "c" -> 0L))
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+      .as[(Long, String, Long, Long)].collect()
+    val bySrc = sel.groupBy(_._2)
+    // a: best-first 30 + 24 = 54 ≤ 60, adding 18 would burst → docs 1, 2
+    assert(bySrc("a").map(_._1).toSet == Set(1L, 2L), sel.toSeq)
+    // b: best doc is 36 tokens — exactly the budget; second would burst
+    assert(bySrc("b").map(_._1).toSet == Set(4L), sel.toSeq)
+    // c: zero budget selects nothing; absent strata never appear
+    assert(!bySrc.contains("c"))
+    // invariant: within each stratum, cum is the running sum of its own
+    // tokens and never exceeds the budget
+    for ((s, rows) <- bySrc) {
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._3).sum == sorted.last._4, (s, sorted.toSeq))
+    }
+    // a stratum not in the budget map is excluded even with high quality
+    val sel2 = Curation.budgetSelectPerStratum(docs, "source", Map("b" -> 1000L))
+      .select("source").as[String].collect().toSet
+    assert(sel2 == Set("b"))
+    // all-zero budgets: empty result, correct schema
+    val empty = Curation.budgetSelectPerStratum(docs, "source", Map("a" -> 0L))
+    assert(empty.count() == 0 &&
+      empty.columns.toSeq == Seq("doc_id", "source", "quality", "n_tokens", "cum_tokens"))
+  }
+
   test("sourceQuota keeps exactly the quality-top cap per stratum") {
     import SparkSpec.session.implicits._
     // quality is monotone in length below 500 chars for same-shape text,

@@ -346,6 +346,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("ds_mix_budget: per-stratum bucketed cumsum, broadcast offsets, no text") {
+    // same scale shape as ds_budget_select, keyed per (stratum, bucket):
+    // the window is partitioned on (__s, __qb) — never single-partition —
+    // offsets ride a broadcast join, and text stays in the scan
+    val p = planOf("ds_mix_budget")
+    assert(p.contains("hashpartitioning(__s"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("text#"), p)
+  }
+
   test("ds_shard_manifest: bucketed rank, broadcast offsets, partial-agged manifest") {
     // the rank machinery is seededOrder's (md5-prefix bucketed window +
     // broadcast base offsets); the token projection is a map-side kernel
