@@ -367,19 +367,29 @@ object Dedup {
     * Pigeonhole recall, size-windowed self-join, Hamming filter before
     * the distinct — see [[simhashPairs]]'s scaladoc for the scale
     * rationale of each step. */
+  /** The 64-bit band decomposition shared by every Hamming consumer
+    * (pair generation here, the persisted hash index in
+    * [[Multimodal]]): `nBands` contiguous bit ranges as (band, bucket)
+    * structs. One definition — an index built and probed with different
+    * band layouts would silently lose its pigeonhole recall. */
+  private[graft] def bands64(hash: Column, nBands: Int): Column = {
+    require(nBands >= 1 && nBands <= 64, s"need 1..64 bands: $nBands")
+    val bounds = (0 to nBands).map(b => b * 64 / nBands)
+    array((0 until nBands).map { b =>
+      val width = bounds(b + 1) - bounds(b)
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      struct(lit(b).as("band"),
+        shiftright(hash, bounds(b)).bitwiseAND(mask).as("bucket"))
+    }: _*)
+  }
+
   private[graft] def hammingPairs64(withHash: DataFrame, hashCol: String,
                                     maxHamming: Int, maxBucket: Int): DataFrame = {
     val nBands = maxHamming + 1
     require(nBands <= 64, s"maxHamming $maxHamming needs more bands than bits")
-    val bounds = (0 to nBands).map(b => b * 64 / nBands)
     val banded = withHash.select(col("doc_id"), col(hashCol).as("simhash"))
       .select(col("doc_id"), col("simhash"),
-      explode(array((0 until nBands).map { b =>
-        val width = bounds(b + 1) - bounds(b)
-        val mask = if (width == 64) -1L else (1L << width) - 1
-        struct(lit(b).as("band"),
-          shiftright(col("simhash"), bounds(b)).bitwiseAND(mask).as("bucket"))
-      }: _*)).as("bb"))
+        explode(bands64(col("simhash"), nBands)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bucket"))
     // size window via partition-count + rank window functions: one
     // (band,bucket) exchange that the self-join below then reuses — a

@@ -485,6 +485,74 @@ object Multimodal {
         (col("cluster_size") - 1).as("n_absorbed"))
   }
 
+  // ---- Persisted perceptual-hash index (incremental media dedup) ----
+
+  /** Persist a banded 64-bit perceptual-hash index — the corpus side of
+    * INCREMENTAL media dedup: build once per corpus refresh, then probe
+    * every arriving batch/stream against it (the media analogue of the
+    * text MinHash index, same versioned `v<N>/_current` contract:
+    * rename-published, previous version retained for in-flight probes).
+    * Generic over the hash: image dHash and audio constellations index
+    * identically.
+    *
+    * @param hashes eligible (media_id, `hashCol`) rows — callers apply
+    *               the ok/zero guards ([[imageNearDupsFromHashes]]'s);
+    *               flat/failed media have no perceptual identity to index
+    * @param maxHamming the distance the index guarantees recall for:
+    *                   bands = maxHamming + 1 (pigeonhole) */
+  def buildHashIndex(hashes: DataFrame, path: String, hashCol: String,
+                     maxHamming: Int = 6): Unit = {
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    val nBands = maxHamming + 1
+    require(nBands <= 64, s"maxHamming $maxHamming needs more bands than bits")
+    graft.sources.Fs.writeVersioned(spark, path) { vdir =>
+      hashes.select(col("media_id"), col(hashCol).cast("long").as("hash"))
+        .write.mode("overwrite").parquet(s"$vdir/hashes")
+      // band table from the WRITTEN hashes (one scan feeds both files,
+      // and the band table can never drift from the hash table)
+      spark.read.parquet(s"$vdir/hashes")
+        .select(col("media_id"), col("hash"),
+          explode(Dedup.bands64(col("hash"), nBands)).as("bb"))
+        .select(col("media_id"), col("hash"), col("bb.band"), col("bb.bucket"))
+        .write.mode("overwrite").partitionBy("band").parquet(s"$vdir/bands")
+      Seq(maxHamming).toDF("max_hamming")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/params")
+    }
+    ()
+  }
+
+  /** Probe the `_current` index version with new media hashes: returns
+    * (new_id, idx_id, hamming) for every index item within `maxHamming`
+    * of an arriving item. Recall is complete up to the distance the
+    * index was BUILT for (band layout and bound come from the persisted
+    * params, so probe and index can never disagree); requesting a larger
+    * distance fails fast instead of silently losing pairs. Partition
+    * pruning on `band` applies when few bands match — the band join
+    * carries (id, hash) longs only. Stateless, so it applies unchanged
+    * inside a streaming foreachBatch — the online half of media dedup. */
+  def probeHashIndex(spark: SparkSession, path: String, newHashes: DataFrame,
+                     hashCol: String, maxHamming: Int = 6): DataFrame = {
+    val vdir = graft.sources.Fs.resolveCurrent(spark, path,
+      s"no hash index at $path (missing _current pointer — run buildHashIndex first)")
+    val built = spark.read.parquet(s"$vdir/params").head().getInt(0)
+    require(maxHamming <= built,
+      s"index guarantees recall to hamming $built, requested $maxHamming — rebuild deeper")
+    val nBands = built + 1
+    val probeBands = newHashes
+      .select(col("media_id").as("new_id"), col(hashCol).cast("long").as("new_hash"))
+      .select(col("new_id"), col("new_hash"),
+        explode(Dedup.bands64(col("new_hash"), nBands)).as("bb"))
+      .select(col("new_id"), col("new_hash"), col("bb.band"), col("bb.bucket"))
+    val idxBands = spark.read.parquet(s"$vdir/bands")
+      .select(col("band"), col("bucket"), col("media_id").as("idx_id"),
+        col("hash").as("idx_hash"))
+    probeBands.join(idxBands, Seq("band", "bucket"))
+      .withColumn("hamming", bit_count(col("new_hash").bitwiseXOR(col("idx_hash"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("new_id", "idx_id", "hamming").distinct()
+  }
+
   /** Deterministic REAL-audio corpus from the documents fixture: each doc
     * becomes a 16-bit PCM WAV (RIFF bytes built directly — no encoder
     * dependency; decoded by the real `javax.sound` stack) of three

@@ -167,6 +167,45 @@ class MultimodalHashSpec extends SparkSpec {
     assert(kept.values.sum == 5L, "kept corpus must cover every input")
   }
 
+  test("persisted hash index: build, probe, version swap, depth guard") {
+    val dir = java.nio.file.Files.createTempDirectory("mmidx").toString + "/idx"
+    // corpus: families {0,3} {1,4} {2,5} — id 0 perturbed
+    val corpus = Multimodal.syntheticImages(spark.range(6).toDF("doc_id"), families = 3)
+    val corpusHashes = Multimodal.imageDHashes(corpus).toDF()
+      .filter(col("ok") && col("dhash") =!= 0L)
+    Multimodal.buildHashIndex(corpusHashes, dir, "dhash", maxHamming = 6)
+    // arrivals 6..8 continue the same families: each must hit its family
+    // members (and only them)
+    val arrivals = Multimodal.syntheticImages(
+      spark.range(6, 9).toDF("doc_id"), families = 3)
+    val arrivalHashes = Multimodal.imageDHashes(arrivals).toDF()
+      .filter(col("ok") && col("dhash") =!= 0L)
+    val hits = Multimodal.probeHashIndex(spark, dir, arrivalHashes, "dhash")
+      .select("new_id", "idx_id").as[(Long, Long)].collect().toSet
+    assert(hits == Set((6L, 0L), (6L, 3L), (7L, 1L), (7L, 4L), (8L, 2L), (8L, 5L)), hits)
+    // probing deeper than the index was built for fails fast
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.probeHashIndex(spark, dir, arrivalHashes, "dhash", maxHamming = 12)
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+    // rebuild with a different corpus: _current advances and the probe
+    // reflects the new version (family 0/3 gone)
+    Multimodal.buildHashIndex(corpusHashes.filter(col("media_id") % 3 =!= 0), dir, "dhash")
+    val hits2 = Multimodal.probeHashIndex(spark, dir, arrivalHashes, "dhash")
+      .select("new_id", "idx_id").as[(Long, Long)].collect().toSet
+    assert(hits2 == Set((7L, 1L), (7L, 4L), (8L, 2L), (8L, 5L)), hits2)
+    // the audio fingerprints index through the same machinery
+    val audio = Multimodal.syntheticAudio(spark.range(4).toDF("doc_id"), families = 2)
+    val afp = Multimodal.audioFingerprints(audio).toDF()
+      .filter(col("ok") && col("fp") =!= 0L)
+    val adir = java.nio.file.Files.createTempDirectory("mmidxa").toString + "/idx"
+    Multimodal.buildHashIndex(afp, adir, "fp", maxHamming = 2)
+    val ahits = Multimodal.probeHashIndex(spark, adir,
+        afp.filter(col("media_id") === 1L), "fp", maxHamming = 2)
+      .select("idx_id").as[Long].collect().toSet
+    assert(ahits == Set(1L, 3L), ahits) // itself + its family twin
+  }
+
   test("undecodable payloads route to the error channel, not the job") {
     val media = Seq(
       MediaRecord(1L, "image", Array[Byte](1, 2, 3), 4, 4, 0, 0),
