@@ -222,48 +222,15 @@ object Curation {
   def budgetSelect(docs: DataFrame, budgetTokens: Long,
                    qualityBuckets: Int = 1000): DataFrame = {
     require(budgetTokens >= 0, "token budget must be non-negative")
-    require(qualityBuckets >= 1 && qualityBuckets <= MaxQualityBuckets,
-      s"qualityBuckets must be in [1, $MaxQualityBuckets]")
-    import graft.functions.TextAnalytics.{qualityScore, wsTokenCount}
-    val spark = docs.sparkSession
-    // narrow scored projection (4 cols, never text), checkpointed because
-    // it feeds two consumers: the bucket-totals job and the window
-    val scored = docs.select(col("doc_id"),
-        qualityScore(col("text")).as("quality"),
-        wsTokenCount(col("text")).cast("long").as("n_tokens"))
-      .filter(col("quality").isNotNull)
-      // quality ∈ [0, 1] by construction; clamp the closed upper edge so
-      // quality = 1.0 lands in the top bucket, not a phantom one past it
-      .withColumn("__qb",
-        least(floor(col("quality") * qualityBuckets), lit(qualityBuckets - 1))
-          .cast("int"))
-      .localCheckpoint(false)
-    // level 1: per-bucket token totals → driver prefix (≤ qualityBuckets
-    // rows). offset(b) = tokens in strictly-higher-quality buckets.
-    val totals = scored.groupBy("__qb").agg(sum("n_tokens").as("__t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
-      .sortBy(-_._1)
-    val offsets = totals.scanLeft((Int.MaxValue, 0L)) {
-      case ((_, acc), (qb, t)) => (qb, acc + t)
-    }.sliding(2).collect { case Array((_, prev), (qb, _)) => (qb, prev) }.toSeq
-    // a bucket can contribute rows only if the tokens above it leave
-    // budget headroom; the selected set is upward-closed in __qb, so the
-    // prune is a single >= filter pushed below the window shuffle
-    val selected = offsets.filter(_._2 < budgetTokens).map(_._1)
-    if (selected.isEmpty)
-      return scored.withColumn("cum_tokens", lit(0L))
-        .select("doc_id", "quality", "n_tokens", "cum_tokens")
-        .filter(lit(false))
-    val minQb = selected.min
-    import spark.implicits._
-    val offsetsDf = offsets.toDF("__qb", "__base")
-    val wIn = org.apache.spark.sql.expressions.Window
-      .partitionBy("__qb").orderBy(desc("quality"), asc("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    scored.filter(col("__qb") >= minQb)
-      .join(broadcast(offsetsDf), Seq("__qb"))
-      .withColumn("cum_tokens", col("__base") + sum("n_tokens").over(wIn))
-      .filter(col("cum_tokens") <= budgetTokens)
+    // the single-global-budget special case of the per-stratum scan: one
+    // constant stratum, then drop the stratum column. ONE prefix-scan
+    // implementation — a fix to the bucket clamp, the prune condition,
+    // or the checkpoint eagerness cannot drift between the two entry
+    // points. Values are identical to the historical inline form (the
+    // oracle-checked ds_budget_select locks this).
+    budgetSelectPerStratum(
+        docs.withColumn("__one", lit("all")), "__one",
+        Map("all" -> budgetTokens), qualityBuckets)
       .select("doc_id", "quality", "n_tokens", "cum_tokens")
   }
 

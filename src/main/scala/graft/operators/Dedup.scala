@@ -359,16 +359,8 @@ object Dedup {
     hammingPairs64(withSim, "simhash", maxHamming, maxBucket)
   }
 
-  /** Banded Hamming-distance pairing over ANY 64-bit perceptual hash
-    * column — the candidate machinery [[simhashPairs]] always used,
-    * extracted verbatim so other 64-bit hashes (image dHash —
-    * [[Multimodal.imageNearDups]]) share one implementation. Expects
-    * (doc_id, `hashCol`) rows; returns (a_id, b_id, hamming ≤ maxHamming).
-    * Pigeonhole recall, size-windowed self-join, Hamming filter before
-    * the distinct — see [[simhashPairs]]'s scaladoc for the scale
-    * rationale of each step. */
   /** The 64-bit band decomposition shared by every Hamming consumer
-    * (pair generation here, the persisted hash index in
+    * (pair generation below, the persisted hash index in
     * [[Multimodal]]): `nBands` contiguous bit ranges as (band, bucket)
     * structs. One definition — an index built and probed with different
     * band layouts would silently lose its pigeonhole recall. */
@@ -383,6 +375,14 @@ object Dedup {
     }: _*)
   }
 
+  /** Banded Hamming-distance pairing over ANY 64-bit perceptual hash
+    * column — the candidate machinery [[simhashPairs]] always used,
+    * extracted verbatim so other 64-bit hashes (image dHash —
+    * [[Multimodal.imageNearDups]], audio constellations) share one
+    * implementation. Expects (doc_id, `hashCol`) rows; returns
+    * (a_id, b_id, hamming ≤ maxHamming). Pigeonhole recall,
+    * size-windowed self-join, Hamming filter before the distinct — see
+    * [[simhashPairs]]'s scaladoc for the scale rationale of each step. */
   private[graft] def hammingPairs64(withHash: DataFrame, hashCol: String,
                                     maxHamming: Int, maxBucket: Int): DataFrame = {
     val nBands = maxHamming + 1

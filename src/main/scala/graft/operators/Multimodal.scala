@@ -501,22 +501,35 @@ object Multimodal {
     * @param maxHamming the distance the index guarantees recall for:
     *                   bands = maxHamming + 1 (pigeonhole) */
   def buildHashIndex(hashes: DataFrame, path: String, hashCol: String,
-                     maxHamming: Int = 6): Unit = {
+                     maxHamming: Int = 6, maxBucket: Int = 5000): Unit = {
     val spark = hashes.sparkSession
     import spark.implicits._
     val nBands = maxHamming + 1
-    require(nBands <= 64, s"maxHamming $maxHamming needs more bands than bits")
+    // full range check BEFORE any write: a bad bound failing inside the
+    // version closure would waste the corpus write and orphan a v<N> dir
+    require(nBands >= 1 && nBands <= 64,
+      s"maxHamming must be in [0, 63]: $maxHamming")
+    require(maxBucket >= 1, s"maxBucket must be >= 1: $maxBucket")
     graft.sources.Fs.writeVersioned(spark, path) { vdir =>
       hashes.select(col("media_id"), col(hashCol).cast("long").as("hash"))
         .write.mode("overwrite").parquet(s"$vdir/hashes")
       // band table from the WRITTEN hashes (one scan feeds both files,
-      // and the band table can never drift from the hash table)
+      // and the band table can never drift from the hash table). Hot
+      // buckets TRUNCATE to their first maxBucket members in media_id
+      // order — the same bounded-truncation contract as hammingPairs64
+      // (a 100k-copy placeholder family would otherwise make every
+      // probe touching its bucket quadratic); partial recall into a
+      // truncated bucket still surfaces the family
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "bucket").orderBy("media_id")
       spark.read.parquet(s"$vdir/hashes")
         .select(col("media_id"), col("hash"),
           explode(Dedup.bands64(col("hash"), nBands)).as("bb"))
         .select(col("media_id"), col("hash"), col("bb.band"), col("bb.bucket"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= maxBucket).drop("__rn")
         .write.mode("overwrite").partitionBy("band").parquet(s"$vdir/bands")
-      Seq(maxHamming).toDF("max_hamming")
+      Seq((maxHamming, maxBucket)).toDF("max_hamming", "max_bucket")
         .coalesce(1).write.mode("overwrite").parquet(s"$vdir/params")
     }
     ()
@@ -539,12 +552,20 @@ object Multimodal {
     require(maxHamming <= built,
       s"index guarantees recall to hamming $built, requested $maxHamming — rebuild deeper")
     val nBands = built + 1
+    // probing at d < built needs only d+1 of the index's bands: a pair
+    // within hamming d mismatches at most d bands TOTAL, so among any
+    // chosen d+1 bands at least one matches — restricting both sides to
+    // the first d+1 bands preserves pigeonhole recall while cutting the
+    // join volume (and the band-partition scan) by (built−d)/(built+1)
+    val probed = maxHamming + 1
     val probeBands = newHashes
       .select(col("media_id").as("new_id"), col(hashCol).cast("long").as("new_hash"))
       .select(col("new_id"), col("new_hash"),
         explode(Dedup.bands64(col("new_hash"), nBands)).as("bb"))
       .select(col("new_id"), col("new_hash"), col("bb.band"), col("bb.bucket"))
+      .filter(col("band") < probed)
     val idxBands = spark.read.parquet(s"$vdir/bands")
+      .filter(col("band") < probed)
       .select(col("band"), col("bucket"), col("media_id").as("idx_id"),
         col("hash").as("idx_hash"))
     probeBands.join(idxBands, Seq("band", "bucket"))

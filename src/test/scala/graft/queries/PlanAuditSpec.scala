@@ -261,11 +261,13 @@ class PlanAuditSpec extends SparkSpec {
 
   test("ds_budget_select: bucket-partitioned window cumsum, broadcast offsets, no text") {
     // the global running total must NOT be a single-partition window:
-    // it is partitioned by the quality bucket, with the driver-side
-    // bucket base offsets riding a broadcast join, over the narrow
-    // checkpointed projection (the text column never reaches a shuffle)
+    // it is partitioned by the (constant-stratum, quality-bucket) key —
+    // budgetSelect delegates to the per-stratum scan — with the
+    // driver-side bucket base offsets riding a broadcast join, over the
+    // narrow checkpointed projection (text never reaches a shuffle)
     val p = planOf("ds_budget_select")
-    assert(p.contains("hashpartitioning(__qb"), p)
+    assert(p.contains("hashpartitioning(__s"), p)
+    assert(p.contains("__qb"), p)
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("text#"), p)
