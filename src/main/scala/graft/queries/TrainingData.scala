@@ -361,6 +361,38 @@ object TrainingData {
       .orderBy("media_id")
   }
 
+  private val mmIdxBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val mmIdxBuildLock = new Object
+
+  /** Incremental media dedup through the PERSISTED hash index
+    * ([[Multimodal.buildHashIndex]]/[[Multimodal.probeHashIndex]]): the
+    * unperturbed family members are the indexed corpus, the perturbed
+    * every-5th docs are the arriving batch — each arrival must surface
+    * its family within the Hamming budget via the index, not a rescan.
+    * Index build is memoized per corpus dir like sim_ann_ivf's (build
+    * once, probe many — the production shape). */
+  def mmIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 7 === 0)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir:mmphash".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val path = s"${sys.props("java.io.tmpdir")}/graft-mmhash-index-$key"
+    mmIdxBuildLock.synchronized {
+      if (!mmIdxBuilt.contains(path)) {
+        val corpusHashes = Multimodal.imageDHashes(
+            Multimodal.syntheticImages(docs.filter(col("doc_id") % 5 =!= 0))).toDF()
+          .filter(col("ok") && col("dhash") =!= 0L)
+        Multimodal.buildHashIndex(corpusHashes, path, "dhash", maxHamming = 6)
+        mmIdxBuilt.add(path)
+      }
+    }
+    val arrivals = Multimodal.imageDHashes(
+        Multimodal.syntheticImages(docs.filter(col("doc_id") % 5 === 0))).toDF()
+      .filter(col("ok") && col("dhash") =!= 0L)
+    Multimodal.probeHashIndex(spark, path, arrivals, "dhash", maxHamming = 6)
+      .orderBy("new_id", "idx_id")
+  }
+
   /** HTML extraction: wrap each document in a deterministic HTML envelope
     * (title/style/script/comment noise), then strip back to visible text
     * with the real extractor (TextAnalytics.htmlToText — pure regexp chain,
@@ -898,6 +930,7 @@ object TrainingData {
     "mm_phash"         -> mmPhash _,
     "mm_audio_fp"      -> mmAudioFp _,
     "mm_dedup_keep"    -> mmDedupKeep _,
+    "mm_index_probe"   -> mmIndexProbe _,
     "dd_bloom_prefilter" -> ddBloomPrefilter _,
     "txt_compress_ratio" -> txtCompressRatio _,
     "dd_span_coverage"   -> ddSpanCoverage _,

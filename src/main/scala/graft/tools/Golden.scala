@@ -72,7 +72,11 @@ object Golden {
     // dedup resolution over mm_phash's pairs: connected components with
     // total tie-breaking (min label propagation) + per-cluster min/count
     // aggregates — deterministic composition of two bit-stable stages
-    "mm_dedup_keep")
+    "mm_dedup_keep",
+    // index probe: same deterministic hash family as mm_phash, split
+    // into indexed corpus (unperturbed) vs arrivals (perturbed); the
+    // banded index join is set-semantics (distinct) so layout-free
+    "mm_index_probe")
 
   val sfDir = "/root/testdata/sf0.01"
 
