@@ -374,22 +374,25 @@ object TrainingData {
   def mmIndexProbe(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Multimodal
     val docs = Tables.documents(spark, dir).filter(col("doc_id") % 7 === 0)
+    // ONE eligibility pipeline for both sides (the imageNearDupsFromHashes
+    // guard), so the contract cannot drift between corpus and arrivals
+    def eligibleHashes(d: DataFrame): DataFrame =
+      Multimodal.imageDHashes(Multimodal.syntheticImages(d)).toDF()
+        .filter(col("ok") && col("dhash") =!= 0L)
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir:mmphash".getBytes("UTF-8")).map("%02x".format(_)).mkString
     val path = s"${sys.props("java.io.tmpdir")}/graft-mmhash-index-$key"
     mmIdxBuildLock.synchronized {
       if (!mmIdxBuilt.contains(path)) {
-        val corpusHashes = Multimodal.imageDHashes(
-            Multimodal.syntheticImages(docs.filter(col("doc_id") % 5 =!= 0))).toDF()
-          .filter(col("ok") && col("dhash") =!= 0L)
-        Multimodal.buildHashIndex(corpusHashes, path, "dhash", maxHamming = 6)
+        Multimodal.buildHashIndex(
+          eligibleHashes(docs.filter(col("doc_id") % 5 =!= 0)),
+          path, "dhash", maxHamming = 6)
         mmIdxBuilt.add(path)
       }
     }
-    val arrivals = Multimodal.imageDHashes(
-        Multimodal.syntheticImages(docs.filter(col("doc_id") % 5 === 0))).toDF()
-      .filter(col("ok") && col("dhash") =!= 0L)
-    Multimodal.probeHashIndex(spark, path, arrivals, "dhash", maxHamming = 6)
+    Multimodal.probeHashIndex(spark, path,
+        eligibleHashes(docs.filter(col("doc_id") % 5 === 0)),
+        "dhash", maxHamming = 6)
       .orderBy("new_id", "idx_id")
   }
 

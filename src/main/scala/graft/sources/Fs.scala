@@ -38,11 +38,30 @@ object Fs {
     * published version. */
   def writeVersioned(spark: SparkSession, path: String)(write: String => Unit): Int = {
     val (fs, root) = of(spark, path)
-    val version = currentVersion(fs, root).getOrElse(0) + 1
+    // CLAIM the version directory with an exclusive create before
+    // writing into it: two concurrent builders in SEPARATE JVMs (the
+    // in-process memo locks can't reach across) would otherwise both
+    // read currentVersion = N and interleave their overwrite-mode
+    // writes inside one v<N+1> directory — a published index mixing one
+    // writer's data files with the other's. The loser of the exclusive
+    // create bumps to the next free version; both builds complete into
+    // disjoint directories and the pointer lands on whichever published
+    // last (never on a torn mix).
+    var version = currentVersion(fs, root).getOrElse(0) + 1
+    while (!tryClaim(fs, root, version)) version += 1
     write(s"$path/v$version")
     publishVersion(fs, root, version)
     version
   }
+
+  /** Atomically claim `v<version>/` via exclusive file create (fails if
+    * the claim exists — HDFS and the local fs both give create-exclusive
+    * semantics). */
+  private def tryClaim(fs: FileSystem, root: Path, version: Int): Boolean =
+    try {
+      fs.create(new Path(root, s"v$version/_claim"), false).close()
+      true
+    } catch { case _: java.io.IOException => false }
 
   /** Resolve the `_current` `v<N>` directory of a versioned artifact root;
     * fails with `missing` (name the build entry point) when absent. */
@@ -67,6 +86,10 @@ object Fs {
     * `vectors` dir) is never touched. */
   def publishVersion(fs: FileSystem, root: Path, version: Int): Unit = {
     val q = fs.makeQualified(root)
+    // never regress the pointer: if a concurrent builder claimed a HIGHER
+    // version and already published it, this (older) complete version
+    // stays on disk unpublished rather than shadowing the newer one
+    if (currentVersion(fs, q).exists(_ > version)) return
     // UUID-suffixed tmp: a fixed name would let two builders on the same
     // root (separate JVMs — the callers' in-process locks can't reach
     // across) truncate each other's half-written pointer mid-publish

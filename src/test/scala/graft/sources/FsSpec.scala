@@ -1,0 +1,45 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** Locks the versioned-artifact protocol's cross-JVM safety: version
+  * directories are CLAIMED by exclusive create before any write (two
+  * concurrent builders can never interleave files in one directory), and
+  * the `_current` pointer never regresses onto an older version. */
+class FsSpec extends SparkSpec {
+
+  test("writeVersioned skips a claimed version instead of writing into it") {
+    val dir = java.nio.file.Files.createTempDirectory("fsspec").toString + "/art"
+    val (fs, root) = Fs.of(spark, dir)
+    val v1 = Fs.writeVersioned(spark, dir) { vdir =>
+      fs.create(new org.apache.hadoop.fs.Path(s"$vdir/data"), true).close()
+    }
+    assert(v1 == 1 && Fs.currentVersion(fs, root).contains(1))
+    // another builder (simulated) has already claimed v2 but not finished:
+    // our build must land in v3, leaving the in-flight directory alone
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/v2/_claim"), false).close()
+    val v3 = Fs.writeVersioned(spark, dir) { vdir =>
+      assert(vdir.endsWith("/v3"), vdir)
+      fs.create(new org.apache.hadoop.fs.Path(s"$vdir/data"), true).close()
+    }
+    assert(v3 == 3 && Fs.currentVersion(fs, root).contains(3))
+    // the unfinished claimed v2 was not pruned (only strictly older than
+    // version-1 is), and v3's files are intact
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v2/_claim")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v3/data")))
+  }
+
+  test("publishVersion never regresses the pointer onto an older version") {
+    val dir = java.nio.file.Files.createTempDirectory("fsspec2").toString + "/art"
+    val (fs, root) = Fs.of(spark, dir)
+    Fs.publishVersion(fs, root, 5)
+    assert(Fs.currentVersion(fs, root).contains(5))
+    // a slower builder finishing an OLDER complete version must not
+    // shadow the newer published one
+    Fs.publishVersion(fs, root, 4)
+    assert(Fs.currentVersion(fs, root).contains(5))
+    // a newer publish still advances
+    Fs.publishVersion(fs, root, 6)
+    assert(Fs.currentVersion(fs, root).contains(6))
+  }
+}
