@@ -78,6 +78,68 @@ object FastHash {
     java.util.Arrays.copyOf(out, w)
   }
 
+  /** Per-position hashes of the n-word spans of `text`, in span order —
+    * [[spanHashes]] WITHOUT the sort+dedupe tail: excision
+    * (Dedup.spanExcise) needs every occurrence with its word position,
+    * including a span repeated inside one document. Same token and
+    * hash-identity contract as [[spanHashes]]. */
+  def spanHashesPos(text: String, n: Int): Array[Long] = {
+    val toks = tokenHashes(text)
+    if (toks.length < n) return Array.emptyLongArray
+    val m = toks.length - n + 1
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 1469598103934665603L
+      var j = 0
+      while (j < n) { h = mix2(h, toks(i + j)); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  /** Excise the n-word spans starting at the 0-based word positions
+    * `starts` (overlaps unioned) from the [a-z]+ tokenization of `text`
+    * and reassemble the survivors — the removal step of span-level dedup
+    * (Dedup.spanExcise). Returns (n_words, n_excised, text_kept). One
+    * pass over the characters plus O(|starts| · n) covered-position
+    * marking; tokenization is the [[tokenHashes]] contract (lower-cased
+    * ASCII-letter runs), so the excised positions line up with the span
+    * hashes computed from the same text. */
+  def exciseSpans(text: String, starts: Array[Int], n: Int): (Long, Long, String) = {
+    val words = new scala.collection.mutable.ArrayBuffer[String]()
+    val sb = new java.lang.StringBuilder(16)
+    val len = if (text == null) 0 else text.length
+    var i = 0
+    while (i <= len) {
+      var c = if (i < len) text.charAt(i) else ' '
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+      if (c >= 'a' && c <= 'z') sb.append(c)
+      else if (sb.length > 0) { words += sb.toString; sb.setLength(0) }
+      i += 1
+    }
+    val nw = words.length
+    if (starts == null || starts.isEmpty) return (nw.toLong, 0L, words.mkString(" "))
+    val covered = new Array[Boolean](nw)
+    var s = 0
+    while (s < starts.length) {
+      var p = starts(s)
+      val end = math.min(p.toLong + n, nw.toLong).toInt
+      while (p < end) { covered(p) = true; p += 1 }
+      s += 1
+    }
+    val out = new java.lang.StringBuilder(len)
+    var exc = 0
+    var w = 0
+    while (w < nw) {
+      if (covered(w)) exc += 1
+      else { if (out.length > 0) out.append(' '); out.append(words(w)) }
+      w += 1
+    }
+    (nw.toLong, exc.toLong, out.toString)
+  }
+
   /** FNV-1a 64 of a (lower-case) string — the marker-word hash that
     * tokenHashes produces for an identical token. */
   def fnv1a64(s: String): Long = {
@@ -559,6 +621,13 @@ object FastHash {
 
   def spanHashesCol(text: Column, n: Int): Column =
     udf((s: String) => spanHashes(s, n)).apply(text)
+
+  def spanHashesPosCol(text: Column, n: Int): Column =
+    udf((s: String) => spanHashesPos(s, n)).apply(text)
+
+  def exciseSpansCol(text: Column, starts: Column, n: Int): Column =
+    udf((s: String, st: Seq[Int]) =>
+      exciseSpans(s, if (st == null) null else st.toArray, n)).apply(text, starts)
 
   def repetitionStatsCol(text: Column): Column =
     udf((s: String) => repetitionStats(s)).apply(text)

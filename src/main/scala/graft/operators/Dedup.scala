@@ -247,6 +247,78 @@ object Dedup {
         concat_ws(" ", col("kept")).as("clean_text"))
   }
 
+  /** Duplicated-span EXCISION: drop every occurrence of a duplicated
+    * n-word span except the globally first, and reassemble each
+    * document's surviving words — the removal counterpart of
+    * [[spanCoverage]] (exact-substring dedup at word-span granularity;
+    * the public algorithm of Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", re-expressed over word n-grams
+    * instead of token suffix arrays). "Duplicated" here counts
+    * OCCURRENCES — a span repeated inside one document is excised too —
+    * not [[spanCoverage]]'s distinct-document count; the canonical
+    * occurrence is min (doc_id, pos), so the output is a pure function
+    * of the corpus under any partitioning. Sub-document generalization
+    * of the reference's hash-identity collapse
+    * (`/root/reference/pkg/internal/types/element.go:28-37`), like
+    * [[segmentDedup]] — that op removes at non-overlapping segment
+    * granularity with a distinct-doc threshold; this one removes at
+    * sliding-span granularity keeping one canonical copy.
+    *
+    * Scale shape (text never rides an exchange; 2 column-pruned scans):
+    *  1. One corpus scan emits (doc_id, pos, gh) via the one-pass
+    *     position-keeping span kernel
+    *     ([[graft.functions.FastHash.spanHashesPos]]); the ~20-byte rows
+    *     are localCheckpoint'ed for the two consumers below. NOTE: the
+    *     checkpoint is an EAGER job at call time, like [[segmentDedup]].
+    *  2. One partial-agged groupBy(gh) finds duplicated spans and their
+    *     canonical occurrence — hot spans (the boilerplate this op
+    *     hunts) combine MAP-SIDE before the exchange, and the result is
+    *     bounded by the duplicated population, not the corpus. The
+    *     canonical (doc_id, pos) min is taken over a base-2³² DECIMAL
+    *     key (doc_id · 2³² + pos — order-preserving for any long doc_id
+    *     since 0 ≤ pos < 2³², and 2⁶³·2³² fits Decimal(38) exactly):
+    *     min over a fixed-width decimal stays a HashAggregate, where the
+    *     direct min(struct(doc_id, pos)) formulation forces a
+    *     SortAggregate — a per-partition SORT of the whole span table,
+    *     the dominant cost at corpus scale (measured: the struct plan
+    *     sorts occ twice at step 2; the key plan hash-aggregates both).
+    *  3. Occurrences re-join that table by gh (longs only; AQE
+    *     broadcasts it when it fits), the canonical row is dropped, and
+    *     one (doc_id) exchange folds the excise starts into a per-doc
+    *     array bounded by the doc's own span count.
+    *  4. The narrow per-doc array joins back to the document row (AQE
+    *     broadcasts the narrow side in the common case; at cluster scale
+    *     bucket `docs` by doc_id so the text side never shuffles even
+    *     under the sort-merge fallback) and a one-pass kernel
+    *     re-tokenizes, unions overlapping spans, drops covered words,
+    *     and reassembles ([[graft.functions.FastHash.exciseSpans]]).
+    * Span identity is the 64-bit hash (the [[exact]] contract): a
+    * collision needs two distinct spans hashing equal to cause an extra
+    * excision; raise `n` if that matters for a given corpus. */
+  def spanExcise(docs: DataFrame, n: Int = 10): DataFrame = {
+    require(n >= 1, s"need n >= 1 (got $n)")
+    val occ = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.FastHash.spanHashesPosCol(col("text"), n))
+          .as(Seq("pos", "gh")))
+      .withColumn("k",
+        col("doc_id").cast("decimal(38,0)") * lit(4294967296L) + col("pos"))
+      .localCheckpoint()
+    val canon = occ.groupBy("gh")
+      .agg(count(lit(1)).as("cnt"), min(col("k")).as("ck"))
+      .filter(col("cnt") >= 2)
+      .select("gh", "ck")
+    val excStarts = occ.join(canon, "gh")
+      .filter(col("k") =!= col("ck"))
+      .groupBy("doc_id")
+      .agg(collect_list(col("pos")).as("starts"))
+    docs.join(excStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        graft.functions.FastHash.exciseSpansCol(col("text"), col("starts"), n).as("r"))
+      .select(col("doc_id"), col("r._1").as("n_words"), col("r._2").as("n_excised"),
+        col("r._3").as("text_kept"))
+  }
+
   /** k-shingle (word n-gram) set of a document, as distinct strings.
     * transform over a sliding window of the token array — pure codegen. */
   def wordShingles(text: Column, n: Int): Column = {

@@ -837,6 +837,13 @@ object TrainingData {
     Dedup.spanCoverage(Tables.documents(spark, dir), n = 10, minDocs = 2)
       .orderBy("doc_id")
 
+  /** Duplicated-span excision over 10-word spans: every occurrence but
+    * the globally first is removed and the surviving words reassembled
+    * (see [[Dedup.spanExcise]]). */
+  def ddSpanExcise(spark: SparkSession, dir: String): DataFrame =
+    Dedup.spanExcise(Tables.documents(spark, dir), n = 10)
+      .orderBy("doc_id")
+
   /** Boilerplate-segment removal: drop 8-word segments seen in ≥2 docs,
     * reassemble the cleaned text (see [[Dedup.segmentDedup]]). */
   def ddSegmentDedup(spark: SparkSession, dir: String): DataFrame =
@@ -937,6 +944,7 @@ object TrainingData {
     "dd_bloom_prefilter" -> ddBloomPrefilter _,
     "txt_compress_ratio" -> txtCompressRatio _,
     "dd_span_coverage"   -> ddSpanCoverage _,
+    "dd_span_excise"     -> ddSpanExcise _,
     "dd_segment_dedup"   -> ddSegmentDedup _,
     "ds_pack"            -> dsPack _,
     "ds_budget_select"   -> dsBudgetSelect _,
@@ -1217,6 +1225,34 @@ object TrainingData {
         | CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS dup_frac_ppm
         |FROM grams JOIN counts USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dd_span_excise" ->
+      // same span semantics as dd_span_coverage's oracle (10-word [a-z]+
+      // grams of lower(text)); rn > 1 over (doc_id, pos) IS the Spark
+      // side's "duplicated and not the min-struct canonical" — a row_number
+      // above 1 exists iff the span occurs at least twice
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> len(w) > 0) AS w
+        | FROM documents),
+        |occ AS (
+        | SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+        |   SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 9),
+        |      i -> {'pos': i, 'g': array_to_string(w[i:i+9], ' ')})) AS u
+        |   FROM toks)),
+        |exc AS (
+        | SELECT doc_id, pos FROM (
+        |   SELECT doc_id, pos, row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |   FROM occ) WHERE rn > 1),
+        |cov AS (
+        | SELECT DISTINCT doc_id, cp FROM (
+        |   SELECT doc_id, unnest(generate_series(pos, pos + 9)) AS cp FROM exc)),
+        |cl AS (SELECT doc_id, list(cp) AS cps FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        | CAST(coalesce(len(cps), 0) AS BIGINT) AS n_excised,
+        | coalesce(array_to_string(list_transform(
+        |   list_filter(generate_series(1, len(w)), i -> cps IS NULL OR NOT list_contains(cps, i)),
+        |   i -> w[i]), ' '), '') AS text_kept
+        |FROM toks t LEFT JOIN cl USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "dd_segment_dedup" ->
       // explicit whitespace class: Java \s matches U+000B, RE2's \s does
       // not — the shorthand silently diverges across engines

@@ -349,6 +349,54 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(byId(4L) == ((4L, 2L, 0L, "q r s t u v w x y z1 z2")))
   }
 
+  test("spanExcise keeps the globally first occurrence and excises the rest") {
+    val fixture = Seq(
+      // 1/2 share one 10-word span; canonical = (doc 1, pos 0) so doc 2
+      // loses exactly the 10 covered words and keeps its own edges
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa uniqone uniqtwo"),
+      (2L, "prefix alpha beta gamma delta epsilon zeta eta theta iota kappa tailer"),
+      // 3: the SAME 10-gram twice WITHIN one doc — occurrence-counted, so
+      // the second copy is excised even though no other doc has it
+      (3L, "ka kb kc kd ke kf kg kh ki kj ka kb kc kd ke kf kg kh ki kj"),
+      // 4: too short for any span — untouched
+      (4L, "tiny doc"),
+      // 5: tokenization check — case folds, punctuation splits
+      (5L, "Mixed CASE And punct-uation!!")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanExcise(fixture, n = 10).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L) == ((1L, 12L, 0L,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa uniqone uniqtwo")))
+    assert(byId(2L) == ((2L, 12L, 10L, "prefix tailer")))
+    assert(byId(3L) == ((3L, 20L, 10L, "ka kb kc kd ke kf kg kh ki kj")))
+    assert(byId(4L) == ((4L, 2L, 0L, "tiny doc")))
+    assert(byId(5L) == ((5L, 5L, 0L, "mixed case and punct uation")))
+  }
+
+  test("spanExcise unions overlapping duplicated spans instead of double-counting") {
+    val fixture = Seq(
+      (6L, "ba bb bc bd be bf bg bh bi bj bk"),
+      // shares an 11-word run with 6 → TWO overlapping duplicated spans
+      // whose covered union is 11 words, not 20
+      (7L, "xx ba bb bc bd be bf bg bh bi bj bk yy")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanExcise(fixture, n = 10).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(6L) == ((6L, 11L, 0L, "ba bb bc bd be bf bg bh bi bj bk")))
+    assert(byId(7L) == ((7L, 13L, 11L, "xx yy")))
+  }
+
+  test("spanExcise output is consistent: kept word count == n_words - n_excised") {
+    val out = Dedup.spanExcise(docs, n = 10)
+      .withColumn("kept_words",
+        size(filter(split(col("text_kept"), " "), w => length(w) > 0)).cast("long"))
+    assert(out.filter(col("kept_words") =!= col("n_words") - col("n_excised")).count() == 0)
+    // and something real was excised from the near-dup-rich corpus fixture
+    assert(out.agg(sum("n_excised")).as[Long].head() > 0)
+  }
+
   test("segmentDedup on unique docs is lossless modulo whitespace normalization") {
     // tag every WORD with its doc id — the corpus fixture contains real
     // near-dups, so uniqueness must hold per segment, not per document

@@ -308,6 +308,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("dd_span_excise: one corpus scan + checkpoint, HASH-agged canonical, broadcast join-backs") {
+    // the canonical-occurrence min must be a hash aggregation over the
+    // decimal (doc_id·2³² + pos) key — the min(struct) formulation
+    // degrades to SortAggregate, a per-partition sort of the whole span
+    // table; and both join-backs (canon→occ, starts→docs) must broadcast
+    // so neither the span table nor the document row rides a shuffle
+    val p = planOf("dd_span_excise")
+    assert(countScans(p) == 1, p) // corpus parquet; occurrences read the checkpoint
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("sim_pq: code-only winnow via TakeOrdered, broadcast re-rank, zero shuffles") {
     // the ADC shortlist must short-circuit through TakeOrderedAndProject
     // (never a global sort) and come back to the float side as a
