@@ -319,6 +319,81 @@ object Dedup {
         col("r._3").as("text_kept"))
   }
 
+  /** Persist the corpus's distinct span hashes as a versioned index for
+    * [[probeSpanExcise]] — the incremental half of span-level dedup:
+    * `v<N>/spans/` = (gh) partitioned into `shards` by pmod(gh),
+    * `v<N>/params/` = (n, shards). Span hashes are computed once at
+    * build; probes never re-read the corpus text. Same atomic
+    * `v<N>`/`_current` publish as every other artifact
+    * (graft.sources.Fs.writeVersioned — rename-based pointer swap,
+    * concurrent probes keep reading the previous complete version).
+    *
+    * Scale shape: the distinct-within-doc span hashes
+    * ([[graft.functions.FastHash.spanHashes]]) explode map-side and ONE
+    * global distinct (partial-agged, so corpus-wide boilerplate combines
+    * before the exchange) produces 8-byte rows — roughly 1% of the text
+    * bytes they summarize. The shard partition column gives probes
+    * parallel scans and gives a cluster deployment a fixed key space to
+    * co-partition batch spans against; at 100 TB additionally front the
+    * exact semi-join with a [[bloomShards]]-style prefilter so only
+    * candidate spans reach it. */
+  def buildSpanIndex(docs: DataFrame, path: String, n: Int = 10,
+                     shards: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(n >= 1 && shards >= 1,
+      s"need n >= 1 (got $n), shards >= 1 (got $shards)")
+    graft.sources.Fs.writeVersioned(spark, path) { vdir =>
+      docs
+        .select(explode(
+          graft.functions.FastHash.spanHashesCol(col("text"), n)).as("gh"))
+        .distinct()
+        .withColumn("shard", pmod(col("gh"), lit(shards)).cast("int"))
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$vdir/spans")
+      Seq((n, shards)).toDF("n", "shards")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/params")
+    }
+    ()
+  }
+
+  /** Excise from arriving docs every n-word span the indexed corpus
+    * already contains — the INCREMENTAL twin of [[spanExcise]]. There the
+    * corpus excises against itself keeping one canonical occurrence;
+    * here the corpus IS the canonical and the batch sheds whatever it
+    * repeats. The span width comes from the persisted params, so probe
+    * and index can never disagree on what a span is. STATELESS over the
+    * batch (within-batch duplication is [[spanExcise]] on the batch, not
+    * this probe), so the same call serves a streaming foreachBatch —
+    * stream ≡ batch locked by differential spec. Output schema =
+    * [[spanExcise]]'s (doc_id, n_words, n_excised, text_kept).
+    *
+    * Shuffle shape: batch spans and index rows meet in a LEFT SEMI join
+    * on the 8-byte hash — text never rides it, and the index side
+    * contributes nothing downstream of the join, so Spark prunes it to
+    * the single gh column at scan time. */
+  def probeSpanExcise(spark: org.apache.spark.sql.SparkSession, path: String,
+                      batch: DataFrame): DataFrame = {
+    val vdir = graft.sources.Fs.resolveCurrent(spark, path,
+      s"no span index at $path (missing _current pointer — " +
+        "run buildSpanIndex first)")
+    val n = spark.read.parquet(s"$vdir/params").head().getAs[Int]("n")
+    val occ = batch.select(col("doc_id"),
+      posexplode(graft.functions.FastHash.spanHashesPosCol(col("text"), n))
+        .as(Seq("pos", "gh")))
+    // explicit schema: an index built from a corpus with no spans at all
+    // (every doc shorter than n words) writes zero data files, and a
+    // schema-inferred read of that would fail instead of excising nothing
+    val idx = spark.read.schema("gh LONG, shard INT")
+      .parquet(s"$vdir/spans").select("gh")
+    val starts = occ.join(idx, Seq("gh"), "left_semi")
+      .groupBy("doc_id").agg(collect_list(col("pos")).as("starts"))
+    batch.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        graft.functions.FastHash.exciseSpansCol(col("text"), col("starts"), n).as("r"))
+      .select(col("doc_id"), col("r._1").as("n_words"), col("r._2").as("n_excised"),
+        col("r._3").as("text_kept"))
+  }
+
   /** k-shingle (word n-gram) set of a document, as distinct strings.
     * transform over a sliding window of the token array — pure codegen. */
   def wordShingles(text: Column, n: Int): Column = {

@@ -844,6 +844,29 @@ object TrainingData {
     Dedup.spanExcise(Tables.documents(spark, dir), n = 10)
       .orderBy("doc_id")
 
+  private val spanIdxBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val spanIdxBuildLock = new Object
+
+  /** Incremental span excision through the PERSISTED span index
+    * ([[Dedup.buildSpanIndex]]/[[Dedup.probeSpanExcise]]): the corpus
+    * (doc_id % 5 != 0) is indexed once per fixture dir (memoized like
+    * mm_index_probe's), and the arriving batch (doc_id % 5 == 0) sheds
+    * every span the corpus already contains. */
+  def ddSpanProbe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir:spanidx".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val path = s"${sys.props("java.io.tmpdir")}/graft-span-index-$key"
+    spanIdxBuildLock.synchronized {
+      if (!spanIdxBuilt.contains(path)) {
+        Dedup.buildSpanIndex(docs.filter(col("doc_id") % 5 =!= 0), path, n = 10)
+        spanIdxBuilt.add(path)
+      }
+    }
+    Dedup.probeSpanExcise(spark, path, docs.filter(col("doc_id") % 5 === 0))
+      .orderBy("doc_id")
+  }
+
   /** Boilerplate-segment removal: drop 8-word segments seen in ≥2 docs,
     * reassemble the cleaned text (see [[Dedup.segmentDedup]]). */
   def ddSegmentDedup(spark: SparkSession, dir: String): DataFrame =
@@ -945,6 +968,7 @@ object TrainingData {
     "txt_compress_ratio" -> txtCompressRatio _,
     "dd_span_coverage"   -> ddSpanCoverage _,
     "dd_span_excise"     -> ddSpanExcise _,
+    "dd_span_probe"      -> ddSpanProbe _,
     "dd_segment_dedup"   -> ddSegmentDedup _,
     "ds_pack"            -> dsPack _,
     "ds_budget_select"   -> dsBudgetSelect _,
@@ -1253,6 +1277,34 @@ object TrainingData {
         |   list_filter(generate_series(1, len(w)), i -> cps IS NULL OR NOT list_contains(cps, i)),
         |   i -> w[i]), ' '), '') AS text_kept
         |FROM toks t LEFT JOIN cl USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+    "dd_span_probe" ->
+      // same span semantics as dd_span_excise's oracle; the corpus CTE is
+      // DISTINCT, so the hit join is an exact semi-join by construction
+      """WITH tok AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> len(w) > 0) AS w
+        | FROM documents),
+        |corpus AS (
+        | SELECT DISTINCT g FROM (
+        |   SELECT unnest([array_to_string(w[i:i+9], ' ') for i in generate_series(1, len(w) - 9)]) AS g
+        |   FROM tok WHERE doc_id % 5 <> 0)),
+        |occ AS (
+        | SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+        |   SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 9),
+        |      i -> {'pos': i, 'g': array_to_string(w[i:i+9], ' ')})) AS u
+        |   FROM tok WHERE doc_id % 5 = 0)),
+        |hit AS (SELECT doc_id, pos FROM occ JOIN corpus USING (g)),
+        |cov AS (
+        | SELECT DISTINCT doc_id, cp FROM (
+        |   SELECT doc_id, unnest(generate_series(pos, pos + 9)) AS cp FROM hit)),
+        |cl AS (SELECT doc_id, list(cp) AS cps FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        | CAST(coalesce(len(cps), 0) AS BIGINT) AS n_excised,
+        | coalesce(array_to_string(list_transform(
+        |   list_filter(generate_series(1, len(w)), i -> cps IS NULL OR NOT list_contains(cps, i)),
+        |   i -> w[i]), ' '), '') AS text_kept
+        |FROM tok t LEFT JOIN cl USING (doc_id)
+        |WHERE t.doc_id % 5 = 0 ORDER BY t.doc_id""".stripMargin,
     "dd_segment_dedup" ->
       // explicit whitespace class: Java \s matches U+000B, RE2's \s does
       // not — the shorthand silently diverges across engines

@@ -397,6 +397,73 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.agg(sum("n_excised")).as[Long].head() > 0)
   }
 
+  test("span index probe excises exactly the corpus-known spans from a batch") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa uniqone uniqtwo")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("span-idx").toString
+    Dedup.buildSpanIndex(corpus, dir, n = 10)
+    val batch = Seq(
+      // carries the corpus 10-gram with fresh edges → middle excised
+      (10L, "fresh alpha beta gamma delta epsilon zeta eta theta iota kappa ending"),
+      // nothing in common with the corpus → untouched
+      (11L, "entirely new words that the historical corpus never contained at all"),
+      // shorter than a span → untouched
+      (12L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val out = Dedup.probeSpanExcise(spark, dir, batch).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(10L) == ((10L, 12L, 10L, "fresh ending")))
+    assert(byId(11L) == ((11L, 11L, 0L,
+      "entirely new words that the historical corpus never contained at all")))
+    assert(byId(12L) == ((12L, 2L, 0L, "tiny doc")))
+    // a REBUILD with a different corpus swaps the version atomically and
+    // the probe follows the pointer: doc 10's span is no longer indexed
+    Dedup.buildSpanIndex(
+      Seq((2L, "other content entirely unrelated to anything above here now also")).toDF("doc_id", "text"),
+      dir, n = 10)
+    val after = Dedup.probeSpanExcise(spark, dir, batch)
+    assert(after.agg(sum("n_excised")).as[Long].head() == 0L)
+    // an index over a corpus with NO spans at all (every doc shorter than
+    // n words) is legitimately empty — the probe excises nothing
+    Dedup.buildSpanIndex(Seq((3L, "too short")).toDF("doc_id", "text"), dir, n = 10)
+    val empty = Dedup.probeSpanExcise(spark, dir, batch)
+    assert(empty.agg(sum("n_excised")).as[Long].head() == 0L)
+    // and a missing index fails fast with the build hint
+    val e = intercept[RuntimeException] {
+      Dedup.probeSpanExcise(spark, dir + "-nowhere", batch)
+    }
+    assert(e.getMessage.contains("buildSpanIndex"))
+  }
+
+  test("probeSpanExcise is stateless over the batch: foreachBatch stream == batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batchDocs = docs.filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("span-idx-stream").toString
+    Dedup.buildSpanIndex(corpus, dir, n = 10)
+    val expected = Dedup.probeSpanExcise(spark, dir,
+      batchDocs.toDF("doc_id", "text"))
+      .as[(Long, Long, Long, String)].collect().toSet
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set[(Long, Long, Long, String)]()
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= Dedup.probeSpanExcise(spark, dir, df)
+          .as[(Long, Long, Long, String)].collect()
+        ()
+      }.start()
+    try {
+      val (h1, h2) = batchDocs.splitAt(batchDocs.length / 2)
+      mem.addData(h1); q.processAllAvailable()
+      mem.addData(h2); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == expected, "stream/batch span-probe drift")
+  }
+
   test("segmentDedup on unique docs is lossless modulo whitespace normalization") {
     // tag every WORD with its doc id — the corpus fixture contains real
     // near-dups, so uniqueness must hold per segment, not per document

@@ -324,6 +324,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("dd_span_probe: batch spans meet the index in a LEFT SEMI hash join, no text on any exchange") {
+    // the index side contributes nothing downstream, so the join must be
+    // a semi join (the scan prunes to the single gh column), and the
+    // per-doc start arrays must come back to the batch docs by broadcast
+    val p = planOf("dd_span_probe")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("SortAggregate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("sim_pq: code-only winnow via TakeOrdered, broadcast re-rank, zero shuffles") {
     // the ADC shortlist must short-circuit through TakeOrderedAndProject
     // (never a global sort) and come back to the float side as a
