@@ -55,18 +55,12 @@ object FastHash {
     * equals identity-by-span-string barring 2⁻⁶⁴ collisions, the same
     * contract as every other kernel here. */
   def spanHashes(text: String, n: Int): Array[Long] = {
-    val toks = tokenHashes(text)
-    if (toks.length < n) return Array.emptyLongArray
-    val m = toks.length - n + 1
-    val out = new Array[Long](m)
-    var i = 0
-    while (i < m) {
-      var h = 1469598103934665603L
-      var j = 0
-      while (j < n) { h = mix2(h, toks(i + j)); j += 1 }
-      out(i) = h
-      i += 1
-    }
+    // ONE copy of the hashing fold ([[spanHashesPos]]): the per-position
+    // and distinct variants must agree bit-for-bit or excision probes
+    // would never match indexes built from the other path
+    val out = spanHashesPos(text, n)
+    val m = out.length
+    if (m == 0) return out
     java.util.Arrays.sort(out)
     // in-place dedupe of the sorted spans (distinct within doc)
     var w = 0
@@ -82,7 +76,7 @@ object FastHash {
     * [[spanHashes]] WITHOUT the sort+dedupe tail: excision
     * (Dedup.spanExcise) needs every occurrence with its word position,
     * including a span repeated inside one document. Same token and
-    * hash-identity contract as [[spanHashes]]. */
+    * hash-identity contract as [[spanHashes]] (which delegates here). */
   def spanHashesPos(text: String, n: Int): Array[Long] = {
     val toks = tokenHashes(text)
     if (toks.length < n) return Array.emptyLongArray

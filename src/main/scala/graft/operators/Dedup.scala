@@ -267,9 +267,12 @@ object Dedup {
     * Scale shape (text never rides an exchange; 2 column-pruned scans):
     *  1. One corpus scan emits (doc_id, pos, gh) via the one-pass
     *     position-keeping span kernel
-    *     ([[graft.functions.FastHash.spanHashesPos]]); the ~20-byte rows
-    *     are localCheckpoint'ed for the two consumers below. NOTE: the
-    *     checkpoint is an EAGER job at call time, like [[segmentDedup]].
+    *     ([[graft.functions.FastHash.spanHashesPos]]); the 20-byte rows
+    *     are localCheckpoint'ed for the two consumers below (the decimal
+    *     canonical key is derived AFTER the checkpoint — it is pure
+    *     arithmetic and would otherwise inflate the materialization).
+    *     NOTE: the checkpoint is an EAGER job at call time, like
+    *     [[segmentDedup]].
     *  2. One partial-agged groupBy(gh) finds duplicated spans and their
     *     canonical occurrence — hot spans (the boilerplate this op
     *     hunts) combine MAP-SIDE before the exchange, and the result is
@@ -297,13 +300,16 @@ object Dedup {
     * excision; raise `n` if that matters for a given corpus. */
   def spanExcise(docs: DataFrame, n: Int = 10): DataFrame = {
     require(n >= 1, s"need n >= 1 (got $n)")
+    // the decimal key is DERIVED after the checkpoint (pure arithmetic
+    // over checkpointed columns) — materializing it would inflate the
+    // 20 B/row span table, the scale-critical artifact, by ~the key width
     val occ = docs
       .select(col("doc_id"),
         posexplode(graft.functions.FastHash.spanHashesPosCol(col("text"), n))
           .as(Seq("pos", "gh")))
+      .localCheckpoint()
       .withColumn("k",
         col("doc_id").cast("decimal(38,0)") * lit(4294967296L) + col("pos"))
-      .localCheckpoint()
     val canon = occ.groupBy("gh")
       .agg(count(lit(1)).as("cnt"), min(col("k")).as("ck"))
       .filter(col("cnt") >= 2)

@@ -361,8 +361,32 @@ object TrainingData {
       .orderBy("media_id")
   }
 
-  private val mmIdxBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private val mmIdxBuildLock = new Object
+  /** Paths this JVM already built, across ALL memoized index families
+    * (mm/ivf/pq/span) — build once, probe many (the production shape).
+    * Marked built only AFTER a successful build (a throwing build must
+    * not poison the memo: later calls would die on "no index"), and
+    * first-builds are serialized so a concurrent second call cannot
+    * probe before `_current` is published. A fresh JVM always rebuilds,
+    * so a kernel change can never probe stale artifacts. */
+  private val idxBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val idxBuildLock = new Object
+
+  /** Memoized versioned-index build: the tmpdir path for (`dir`, `tag`),
+    * built via `build(path)` exactly once per JVM under [[idxBuildLock]].
+    * md5 of the dir, not hashCode: a 32-bit collision would silently
+    * probe another corpus's index and return wrong results. */
+  private def memoizedIndex(dir: String, tag: String)(build: String => Unit): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir:$tag".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val path = s"${sys.props("java.io.tmpdir")}/graft-$tag-index-$key"
+    idxBuildLock.synchronized {
+      if (!idxBuilt.contains(path)) {
+        build(path)
+        idxBuilt.add(path)
+      }
+    }
+    path
+  }
 
   /** Incremental media dedup through the PERSISTED hash index
     * ([[Multimodal.buildHashIndex]]/[[Multimodal.probeHashIndex]]): the
@@ -379,16 +403,10 @@ object TrainingData {
     def eligibleHashes(d: DataFrame): DataFrame =
       Multimodal.imageDHashes(Multimodal.syntheticImages(d)).toDF()
         .filter(col("ok") && col("dhash") =!= 0L)
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir:mmphash".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val path = s"${sys.props("java.io.tmpdir")}/graft-mmhash-index-$key"
-    mmIdxBuildLock.synchronized {
-      if (!mmIdxBuilt.contains(path)) {
-        Multimodal.buildHashIndex(
-          eligibleHashes(docs.filter(col("doc_id") % 5 =!= 0)),
-          path, "dhash", maxHamming = 6)
-        mmIdxBuilt.add(path)
-      }
+    val path = memoizedIndex(dir, "mmhash") { p =>
+      Multimodal.buildHashIndex(
+        eligibleHashes(docs.filter(col("doc_id") % 5 =!= 0)),
+        p, "dhash", maxHamming = 6)
     }
     Multimodal.probeHashIndex(spark, path,
         eligibleHashes(docs.filter(col("doc_id") % 5 === 0)),
@@ -439,9 +457,6 @@ object TrainingData {
     * many (the declared index contract). Keyed per fixture dir; a fresh
     * JVM always rebuilds, so a code change can never probe a stale index
     * (GoldenLockSpec's per-run re-derivation stays honest). */
-  private val ivfBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private val ivfBuildLock = new Object
-
   /** ANN via the PERSISTED versioned IVF index: the first call in a JVM
     * builds `v<N>/` + `_current` (SimilarityIvf.buildIndex — the same
     * build/swap layout as the LSH index), every later call is probe-only:
@@ -451,32 +466,14 @@ object TrainingData {
   def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    // md5 of the dir, not hashCode: a 32-bit collision would silently
-    // probe another corpus's index and return wrong neighbors
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val path = s"${sys.props("java.io.tmpdir")}/graft-ivf-index-$key"
-    // serialized first-build, and only mark built AFTER success: a
-    // throwing build must not poison the memo (later calls would die on
-    // "no IVF index"), and a concurrent second call must not probe
-    // before _current is published
-    ivfBuildLock.synchronized {
-      if (!ivfBuilt.contains(path)) {
-        SimilarityIvf.buildIndex(emb, path, nCells = 16)
-        ivfBuilt.add(path)
-      }
+    val path = memoizedIndex(dir, "ivf") { p =>
+      SimilarityIvf.buildIndex(emb, p, nCells = 16)
     }
     val qVec = emb.filter(col("vec_id") === 0L)
       .select("embedding").as[Array[Float]].head()
     SimilarityIvf.probeIndex(spark, path, qVec, k = 10, nprobe = 4,
       excludeIds = Seq(0L))
   }
-
-  /** Paths whose PQ index this JVM already built — build once, probe
-    * many (the same memo contract as the IVF index below; a fresh JVM
-    * always rebuilds, so a kernel change can never probe stale codes). */
-  private val pqBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private val pqBuildLock = new Object
 
   /** Product-quantized ANN via the PERSISTED versioned code index: ADC
     * shortlist over 16×4-bit nibble-packed codes (256 B float vector →
@@ -495,14 +492,8 @@ object TrainingData {
   def simPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val path = s"${sys.props("java.io.tmpdir")}/graft-pq-index-$key"
-    pqBuildLock.synchronized {
-      if (!pqBuilt.contains(path)) {
-        SimilarityPq.buildIndex(emb, path, m = 16, ksub = 16)
-        pqBuilt.add(path)
-      }
+    val path = memoizedIndex(dir, "pq") { p =>
+      SimilarityPq.buildIndex(emb, p, m = 16, ksub = 16)
     }
     val qVec = emb.filter(col("vec_id") === 0L)
       .select("embedding").as[Array[Float]].head()
@@ -844,9 +835,6 @@ object TrainingData {
     Dedup.spanExcise(Tables.documents(spark, dir), n = 10)
       .orderBy("doc_id")
 
-  private val spanIdxBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private val spanIdxBuildLock = new Object
-
   /** Incremental span excision through the PERSISTED span index
     * ([[Dedup.buildSpanIndex]]/[[Dedup.probeSpanExcise]]): the corpus
     * (doc_id % 5 != 0) is indexed once per fixture dir (memoized like
@@ -854,14 +842,8 @@ object TrainingData {
     * every span the corpus already contains. */
   def ddSpanProbe(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir:spanidx".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val path = s"${sys.props("java.io.tmpdir")}/graft-span-index-$key"
-    spanIdxBuildLock.synchronized {
-      if (!spanIdxBuilt.contains(path)) {
-        Dedup.buildSpanIndex(docs.filter(col("doc_id") % 5 =!= 0), path, n = 10)
-        spanIdxBuilt.add(path)
-      }
+    val path = memoizedIndex(dir, "span") { p =>
+      Dedup.buildSpanIndex(docs.filter(col("doc_id") % 5 =!= 0), p, n = 10)
     }
     Dedup.probeSpanExcise(spark, path, docs.filter(col("doc_id") % 5 === 0))
       .orderBy("doc_id")

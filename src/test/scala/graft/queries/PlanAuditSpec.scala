@@ -317,7 +317,10 @@ class PlanAuditSpec extends SparkSpec {
     val p = planOf("dd_span_excise")
     assert(countScans(p) == 1, p) // corpus parquet; occurrences read the checkpoint
     assert(p.contains("Scan ExistingRDD"), p)
-    assert(p.contains("HashAggregate"), p)
+    // word-boundary: "ObjectHashAggregate" (the collect_list fold, always
+    // present) contains the substring, which would make a bare contains
+    // check vacuous
+    assert("(?<!Object)HashAggregate".r.findFirstIn(p).isDefined, p)
     assert(!p.contains("SortAggregate"), p)
     assert(!p.contains("Window"), p)
     assert(p.contains("BroadcastHashJoin"), p)
