@@ -124,13 +124,21 @@ object Curation {
     * default is EAGER — it runs one Spark job (min/max over the
     * localCheckpointed token counts) at CALL time, before the returned
     * DataFrame is ever executed; pass an explicit `bucketSize > 0` if
-    * lazy plan construction matters to the caller. Token counts use the
-    * one-pass repetition-stats kernel (same tokenization contract as the
-    * text analytics). Everything is integer arithmetic — the oracle is a
-    * SQL running sum. */
+    * lazy plan construction matters to the caller. Token counts default
+    * to the one-pass repetition-stats kernel (same tokenization contract
+    * as the text analytics); pass `tokenCount` to pack by another
+    * counting — e.g. a trained BPE tokenizer's true subword counts
+    * (ds_bpe_pack), the production pack key. Everything downstream of
+    * the count is integer arithmetic — the oracle is a SQL running
+    * sum. */
   def packSequences(docs: DataFrame, windowTokens: Int,
-                    bucketSize: Long = 0L): DataFrame = {
+                    bucketSize: Long = 0L,
+                    tokenCount: Column = null): DataFrame = {
     require(windowTokens >= 1 && bucketSize >= 0)
+    val tokens =
+      if (tokenCount != null) tokenCount
+      else graft.functions.FastHash.repetitionStatsCol(col("text"))
+        .getField("_1").cast("long")
     // lazy localCheckpoint: the token counts feed TWO consumers (the
     // within-bucket window and the bucket-totals aggregate), and the
     // branches don't canonicalize identically, so exchange reuse does not
@@ -138,9 +146,7 @@ object Curation {
     // and re-ran the token kernel. Checkpointed rows are 2 longs, never
     // text (same narrow-materialization rule as connectedComponents);
     // __bucket projects on top once the adaptive size is known.
-    val counts = docs.select(col("doc_id"),
-      graft.functions.FastHash.repetitionStatsCol(col("text"))
-        .getField("_1").cast("long").as("n_tokens"))
+    val counts = docs.select(col("doc_id"), tokens.cast("long").as("n_tokens"))
       .localCheckpoint(false)
     val effectiveBucketSize =
       if (bucketSize > 0) bucketSize

@@ -899,6 +899,22 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** End-to-end tokenize→pack: learn the BPE vocabulary (one scan +
+    * driver merge loop, exactly [[txtBpe]]'s model), then pack the corpus
+    * into 256-token context windows by the TRUE subword counts — the
+    * production pack key ([[Curation.packSequences]] with the trained
+    * tokenizer in place of the regex estimate). Deterministic end to end
+    * (bit-stable BPE counts × integer prefix sums), so golden-locked;
+    * CurationSpec differential-locks the pack arithmetic against
+    * pure-Scala prefix sums of the same counts. */
+  def dsBpePack(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val model = graft.functions.Bpe.trainBpe(docs, nMerges = 200)
+    Curation.packSequences(docs, windowTokens = 256,
+      tokenCount = graft.functions.Bpe.bpeCountCol(col("text"), model))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dd_exact"         -> ddExact _,
     "dd_jaccard_words" -> ddJaccardWords _,
@@ -953,6 +969,7 @@ object TrainingData {
     "dd_span_probe"      -> ddSpanProbe _,
     "dd_segment_dedup"   -> ddSegmentDedup _,
     "ds_pack"            -> dsPack _,
+    "ds_bpe_pack"        -> dsBpePack _,
     "ds_budget_select"   -> dsBudgetSelect _,
     "dd_keep_best"       -> ddKeepBest _,
     "ds_order"           -> dsOrder _,

@@ -76,7 +76,12 @@ object Golden {
     // index probe: same deterministic hash family as mm_phash, split
     // into indexed corpus (unperturbed) vs arrivals (perturbed); the
     // banded index join is set-semantics (distinct) so layout-free
-    "mm_index_probe")
+    "mm_index_probe",
+    // BPE-keyed packing: txt_bpe's bit-stable counts (see above) composed
+    // with packSequences' integer prefix sums — deterministic at any
+    // partitioning and bucket size (the offsets are a pure function of
+    // (doc_id, count) pairs; adaptive bucketing is a plan property)
+    "ds_bpe_pack")
 
   val sfDir = "/root/testdata/sf0.01"
 

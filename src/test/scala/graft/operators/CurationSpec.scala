@@ -102,6 +102,32 @@ class CurationSpec extends SparkSpec {
     assert(packed.map(_.toSeq).toSeq == fixed.map(_.toSeq).toSeq)
   }
 
+  test("packSequences with a custom tokenCount packs by exactly those counts (BPE end-to-end)") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val model = graft.functions.Bpe.trainBpe(docs, nMerges = 50)
+    val counted = docs.select(col("doc_id"),
+      graft.functions.Bpe.bpeCountCol(col("text"), model).as("c"))
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    // pure-Scala expectation: prefix sums of the SAME counts in doc_id order
+    val packed = Curation.packSequences(docs, windowTokens = 64,
+        tokenCount = graft.functions.Bpe.bpeCountCol(col("text"), model))
+      .orderBy("doc_id").collect()
+    assert(packed.length == counted.length)
+    var expect = 0L
+    packed.zip(counted).foreach { case (r, (id, c)) =>
+      assert(r.getAs[Long]("doc_id") == id && r.getAs[Long]("n_tokens") == c, r)
+      assert(r.getAs[Long]("start_offset") == expect, r)
+      assert(r.getAs[Long]("bin_id") == expect / 64 &&
+        r.getAs[Long]("offset_in_bin") == expect % 64, r)
+      expect += c
+    }
+    // BPE counts differ from the default regex estimate — this must be a
+    // genuinely different packing, not the default path under a new name
+    val default = Curation.packSequences(docs, windowTokens = 64)
+      .orderBy("doc_id").select("n_tokens").as[Long].collect()
+    assert(default.toSeq != counted.map(_._2).toSeq)
+  }
+
   test("packSequences: adaptive bucket sizing bounds the second scan level at any corpus size") {
     // the bucket-totals window is single-task and its bases broadcast:
     // the bucket COUNT (= second-level rows) must stay ≤ the target for
