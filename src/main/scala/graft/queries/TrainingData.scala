@@ -893,25 +893,41 @@ object TrainingData {
     * not SQL-expressible). */
   def txtBpe(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val model = graft.functions.Bpe.trainBpe(docs, nMerges = 200)
     docs.select(col("doc_id"),
-        graft.functions.Bpe.bpeCountCol(col("text"), model).as("bpe_tokens"))
+        graft.functions.Bpe.bpeCountCol(col("text"), bpeModelFor(spark, dir))
+          .as("bpe_tokens"))
       .orderBy("doc_id")
   }
 
-  /** End-to-end tokenize→pack: learn the BPE vocabulary (one scan +
-    * driver merge loop, exactly [[txtBpe]]'s model), then pack the corpus
-    * into 256-token context windows by the TRUE subword counts — the
-    * production pack key ([[Curation.packSequences]] with the trained
-    * tokenizer in place of the regex estimate). Deterministic end to end
-    * (bit-stable BPE counts × integer prefix sums), so golden-locked;
-    * CurationSpec differential-locks the pack arithmetic against
-    * pure-Scala prefix sums of the same counts. */
+  /** The corpus's trained BPE model, through the PERSISTED versioned
+    * artifact ([[graft.functions.Bpe.saveBpeModel]]): trained and
+    * published once per fixture dir (the [[memoizedIndex]] contract),
+    * loaded per call (≤ 200 driver-small rows). txt_bpe and ds_bpe_pack
+    * share this one model — train once, encode many, the production
+    * shape; values are identical to the former train-per-call form
+    * (training is deterministic), which the committed goldens lock. */
+  private def bpeModelFor(spark: SparkSession, dir: String): graft.functions.Bpe.BpeModel = {
+    val path = memoizedIndex(dir, "bpe") { p =>
+      graft.functions.Bpe.saveBpe(spark,
+        graft.functions.Bpe.trainBpe(Tables.documents(spark, dir), nMerges = 200), p)
+    }
+    graft.functions.Bpe.loadBpe(spark, path)
+  }
+
+  /** End-to-end tokenize→pack: the corpus's trained BPE vocabulary
+    * (exactly [[txtBpe]]'s model, shared through the persisted artifact
+    * — [[bpeModelFor]]), then pack the corpus into 256-token context
+    * windows by the TRUE subword counts — the production pack key
+    * ([[Curation.packSequences]] with the trained tokenizer in place of
+    * the regex estimate). Deterministic end to end (bit-stable BPE
+    * counts × integer prefix sums), so golden-locked; CurationSpec
+    * differential-locks the pack arithmetic against pure-Scala prefix
+    * sums of the same counts. */
   def dsBpePack(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val model = graft.functions.Bpe.trainBpe(docs, nMerges = 200)
     Curation.packSequences(docs, windowTokens = 256,
-      tokenCount = graft.functions.Bpe.bpeCountCol(col("text"), model))
+      tokenCount = graft.functions.Bpe.bpeCountCol(col("text"),
+        bpeModelFor(spark, dir)))
       .orderBy("doc_id")
   }
 

@@ -79,6 +79,9 @@ class BpeSpec extends SparkSpec {
     assert(graft.sources.Fs.currentVersion(fs, root).contains(2))
     val e = intercept[RuntimeException] { Bpe.loadBpe(spark, s"$dir/missing") }
     assert(e.getMessage.contains("saveBpe"), e.getMessage)
+    // an empty model (degenerate corpus) round-trips as empty, not a crash
+    Bpe.saveBpe(spark, Bpe.BpeModel(Array.empty), dir)
+    assert(Bpe.loadBpe(spark, dir).merges.isEmpty)
   }
 
   test("training is deterministic across runs and partitionings") {
@@ -87,4 +90,5 @@ class BpeSpec extends SparkSpec {
     val b = Bpe.trainBpe(docs.repartition(13), nMerges = 60)
     assert(a.merges.toSeq == b.merges.toSeq)
   }
+
 }
