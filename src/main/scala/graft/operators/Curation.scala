@@ -133,12 +133,9 @@ object Curation {
     * sum. */
   def packSequences(docs: DataFrame, windowTokens: Int,
                     bucketSize: Long = 0L,
-                    tokenCount: Column = null): DataFrame = {
+                    tokenCount: Column = graft.functions.FastHash
+                      .repetitionStatsCol(col("text")).getField("_1")): DataFrame = {
     require(windowTokens >= 1 && bucketSize >= 0)
-    val tokens =
-      if (tokenCount != null) tokenCount
-      else graft.functions.FastHash.repetitionStatsCol(col("text"))
-        .getField("_1").cast("long")
     // lazy localCheckpoint: the token counts feed TWO consumers (the
     // within-bucket window and the bucket-totals aggregate), and the
     // branches don't canonicalize identically, so exchange reuse does not
@@ -146,7 +143,14 @@ object Curation {
     // and re-ran the token kernel. Checkpointed rows are 2 longs, never
     // text (same narrow-materialization rule as connectedComponents);
     // __bucket projects on top once the adaptive size is known.
-    val counts = docs.select(col("doc_id"), tokens.cast("long").as("n_tokens"))
+    // coalesce(0): the default kernel never returns NULL, but a
+    // caller-supplied count column might (join-derived, UDF over missing
+    // docs) — window sum() would skip the NULL while the row kept NULL
+    // offsets, silently corrupting downstream bin arithmetic; a no-count
+    // doc packs as zero-width instead, matching the kernel's null-text
+    // behavior.
+    val counts = docs.select(col("doc_id"),
+        coalesce(tokenCount.cast("long"), lit(0L)).as("n_tokens"))
       .localCheckpoint(false)
     val effectiveBucketSize =
       if (bucketSize > 0) bucketSize

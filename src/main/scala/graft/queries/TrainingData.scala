@@ -374,10 +374,19 @@ object TrainingData {
   /** Memoized versioned-index build: the tmpdir path for (`dir`, `tag`),
     * built via `build(path)` exactly once per JVM under [[idxBuildLock]].
     * md5 of the dir, not hashCode: a 32-bit collision would silently
-    * probe another corpus's index and return wrong results. */
+    * probe another corpus's index and return wrong results. The key also
+    * folds in every fixture file's (name, length, mtime): the driver is
+    * known to regenerate testdata between rounds, and a memo keyed on
+    * the dir alone would then serve an artifact trained on the OLD
+    * corpus — silently wrong values, no error. A content change rekeys,
+    * which both busts the in-JVM memo and lands the rebuild in a fresh
+    * tmp path. */
   private def memoizedIndex(dir: String, tag: String)(build: String => Unit): String = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(",")
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir:$tag".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(s"$dir:$tag:$files".getBytes("UTF-8")).map("%02x".format(_)).mkString
     val path = s"${sys.props("java.io.tmpdir")}/graft-$tag-index-$key"
     idxBuildLock.synchronized {
       if (!idxBuilt.contains(path)) {
@@ -900,7 +909,7 @@ object TrainingData {
   }
 
   /** The corpus's trained BPE model, through the PERSISTED versioned
-    * artifact ([[graft.functions.Bpe.saveBpeModel]]): trained and
+    * artifact ([[graft.functions.Bpe.saveBpe]]): trained and
     * published once per fixture dir (the [[memoizedIndex]] contract),
     * loaded per call (≤ 200 driver-small rows). txt_bpe and ds_bpe_pack
     * share this one model — train once, encode many, the production
