@@ -54,6 +54,32 @@ object GraftProperties extends Properties("graft") {
       kernel.length == naive.size && kernel.toSet.size == kernel.length
     }
 
+  property("spanHashesPos: one hash per position, and its distinct set IS spanHashes") =
+    forAll(textGen, Gen.chooseNum(1, 4)) { (t, n) =>
+      val words = Option(t).getOrElse("").toLowerCase
+        .split("[^a-z]+").filter(_.nonEmpty)
+      val positions = math.max(0, words.length - n + 1)
+      val pos = graft.functions.FastHash.spanHashesPos(t, n)
+      // the per-position and distinct variants must agree bit-for-bit or
+      // excision probes would never match indexes built from the other path
+      pos.length == positions &&
+        pos.toSet == graft.functions.FastHash.spanHashes(t, n).toSet
+    }
+
+  property("exciseSpans: accounting holds and survivors are exactly the uncovered words") =
+    forAll(textGen, Gen.chooseNum(1, 4),
+      Gen.listOf(Gen.chooseNum(0, 50))) { (t, n, starts) =>
+      val words = Option(t).getOrElse("").toLowerCase
+        .split("[^a-z]+").filter(_.nonEmpty)
+      val (nw, exc, kept) =
+        graft.functions.FastHash.exciseSpans(t, starts.toArray, n)
+      val covered = starts.flatMap(p => p until math.min(p.toLong + n, words.length.toLong).toInt)
+        .toSet.filter(_ < words.length)
+      val expectKept = words.zipWithIndex.collect { case (w, i) if !covered(i) => w }
+      nw == words.length && exc == covered.size &&
+        kept == expectKept.mkString(" ")
+    }
+
   property("WAV PCM decode round-trips synthesized 16-bit mono samples exactly") =
     forAll(Gen.nonEmptyListOf(Gen.chooseNum(-32768, 32767))) { vals =>
       import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
