@@ -340,12 +340,20 @@ object TextAnalytics {
     * Being a stateless projection, it applies UNCHANGED to a streaming
     * DataFrame (score arriving docs against a loaded LM artifact —
     * [[saveUnigramLm]]/[[loadUnigramLm]]); TxtSignalsSpec runs the
-    * batch/stream differential. */
-  def signals(docs: org.apache.spark.sql.DataFrame, lm: UnigramLm): org.apache.spark.sql.DataFrame = {
+    * batch/stream differential.
+    *
+    * Pass `bpe` (a trained [[Bpe.BpeModel]], typically the persisted
+    * artifact) to fuse the TRUE subword count into the same pass as
+    * `bpe_true` — bit-equal to the standalone txt_bpe column
+    * (TxtSignalsSpec locks it; the driver oracle joins the committed
+    * txt_bpe golden), without the second corpus scan the standalone
+    * query costs. */
+  def signals(docs: org.apache.spark.sql.DataFrame, lm: UnigramLm,
+              bpe: Option[Bpe.BpeModel] = None): org.apache.spark.sql.DataFrame = {
     val bc = docs.sparkSession.sparkContext.broadcast(lm)
     val t = col("text")
     val bytes = encode(t, "UTF-8")
-    val raw = docs.select(col("doc_id"),
+    val raw = docs.select(Seq(col("doc_id"),
       nChars(t).as("n_chars_m"),
       wsTokenCount(t).as("n_words"),
       punctCount(t).as("n_punct"),
@@ -357,14 +365,20 @@ object TextAnalytics {
       Codecs.deflateLenCol(bytes).cast("long").as("n_deflate"),
       FastHash.repetitionStatsCol(t).as("__r"),
       lmStatsCol(t, bc).as("__l"),
-      entropyStatsCol(t).as("__e"))
+      entropyStatsCol(t).as("__e")) ++
+      // the TRUE subword count under a trained model (txt_bpe's), fused
+      // into the same pass — at 100 TB the real tokenizer count must not
+      // cost a second corpus scan; stays a stateless map-side kernel, so
+      // the plan lock (1 scan, 0 joins, 0 aggregates) and the streaming
+      // twin hold unchanged
+      bpe.map(m => Bpe.bpeCountCol(t, m).as("bpe_true")).toSeq: _*)
     // derivations reference the hoisted kernel structs, so every kernel
     // runs exactly once per row no matter how many columns consume it
     val stopword = element_at(col("__hits"), 1).cast("double") /
       nullif(col("n_words"), lit(0)).cast("double")
     val lenScore = least(col("n_chars_m").cast("double") / lit(500.0), lit(1.0))
     val nAlpha = col("__r._1").cast("long")
-    raw.select(
+    raw.select(Seq(
       col("doc_id"), col("n_chars_m"), col("n_words"), col("n_punct"),
       col("alpha_ratio"),
       stopword.as("stopword_ratio"),
@@ -399,7 +413,8 @@ object TextAnalytics {
       coalesce(col("__e.nChars"), lit(0L)).as("n_chars_e"),
       coalesce(col("__e.sumClncFp"), lit(0L)).as("sum_clnc_fp"),
       when(col("__e.nChars") > 0,
-        entropyNats(col("__e.nChars"), col("__e.sumClncFp"))).as("entropy_nats"))
+        entropyNats(col("__e.nChars"), col("__e.sumClncFp"))).as("entropy_nats")) ++
+      bpe.map(_ => col("bpe_true")).toSeq: _*)
   }
 
   // ---- Character-entropy quality signal ----

@@ -798,7 +798,8 @@ object TrainingData {
     * single pass: scan → project → presentation sort. */
   def txtSignals(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    signals(docs, trainUnigramLm(docs)).orderBy("doc_id")
+    signals(docs, trainUnigramLm(docs), Some(bpeModelFor(spark, dir)))
+      .orderBy("doc_id")
   }
 
   /** Bloom-prefiltered incremental dedup: treat every 5th doc as the
@@ -1619,6 +1620,8 @@ object TrainingData {
          |       FROM lq GROUP BY 1),
          |cr AS (SELECT doc_id, n_bytes, n_deflate, ratio_ppm
          |       FROM read_parquet('/root/repo/golden/sf0.01/txt_compress_ratio.parquet')),
+         |bt AS (SELECT doc_id, bpe_tokens AS bpe_true
+         |       FROM read_parquet('/root/repo/golden/sf0.01/txt_bpe.parquet')),
          |ec AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\\s\\S]')) AS ch
          |       FROM documents),
          |eh AS (SELECT doc_id, ch, COUNT(*) AS cnt FROM ec GROUP BY 1, 2),
@@ -1651,9 +1654,11 @@ object TrainingData {
          |  CAST(CAST(round(ln(CAST(es.n_chars_e AS DOUBLE)) * 1048576) AS BIGINT) * es.n_chars_e
          |       - es.sum_clnc_fp AS DOUBLE)
          |    / (CAST(es.n_chars_e AS DOUBLE) * 1048576.0)
-         | END AS entropy_nats
+         | END AS entropy_nats,
+         | bt.bpe_true
          |FROM f2
          |JOIN cr USING (doc_id)
+         |JOIN bt USING (doc_id)
          |LEFT JOIN rtw USING (doc_id)
          |LEFT JOIN rtb USING (doc_id)
          |LEFT JOIN ld USING (doc_id)

@@ -38,6 +38,12 @@ class TxtSignalsSpec extends SparkSpec {
       TrainingData.txtTokens(spark, sfDir), "tokens")
   }
 
+  test("true-BPE column equals txt_bpe (same persisted model, one pass)") {
+    assertSameRows(
+      fused.select(col("doc_id"), col("bpe_true").as("bpe_tokens")),
+      TrainingData.txtBpe(spark, sfDir), "bpe_true")
+  }
+
   test("fingerprint equals txt_fingerprint") {
     assertSameRows(fused.select("doc_id", "fp"),
       TrainingData.txtFingerprint(spark, sfDir), "fingerprint")
