@@ -187,10 +187,14 @@ class TxtSignalsSpec extends SparkSpec {
       .as[SignalDoc].collect().toIndexedSeq
     val lm = TextAnalytics.trainUnigramLm(
       graft.sources.Tables.documents(spark, sfDir))
-    val batch = TextAnalytics.signals(docs.toDF(), lm)
+    // include the fused BPE column: the stream side must score against
+    // the same loaded model bit-for-bit too
+    val bpe = Some(graft.functions.Bpe.trainBpe(
+      graft.sources.Tables.documents(spark, sfDir), nMerges = 50))
+    val batch = TextAnalytics.signals(docs.toDF(), lm, bpe)
       .collect().map(r => r.getLong(0) -> r.toString).toMap
     val mem = MemoryStream[SignalDoc]
-    val q = TextAnalytics.signals(mem.toDF(), lm).writeStream
+    val q = TextAnalytics.signals(mem.toDF(), lm, bpe).writeStream
       .format("memory").queryName("txt_signals_stream").outputMode("append").start()
     try {
       mem.addData(docs: _*)
