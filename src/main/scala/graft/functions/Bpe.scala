@@ -110,11 +110,18 @@ object Bpe {
     * doc, per-task word cache (bounded — Zipf means the cache covers
     * almost all occurrences long before the cap). */
   def bpeCountCol(text: Column, model: BpeModel): Column = {
-    val ranks: Map[(String, String), Int] =
-      model.merges.zipWithIndex.map { case (p, r) => p -> r }.toMap
+    // the ranks table rides an EXECUTOR BROADCAST, not the task closure:
+    // at the 65536-merge cap the map is ~MBs, and a closure capture would
+    // serialize it with every task of the corpus scan (the same reason
+    // signals() broadcasts the unigram LM). One deserialized instance per
+    // executor also makes the identity-keyed word cache below maximally
+    // effective.
+    val bcRanks = org.apache.spark.sql.SparkSession.active.sparkContext
+      .broadcast(model.merges.zipWithIndex.map { case (p, r) => p -> r }.toMap)
     val enc = udf { (s: String) =>
       if (s == null) 0L
       else {
+        val ranks = bcRanks.value
         // per-thread caches KEYED BY the ranks instance: a plain
         // ThreadLocal map would survive across queries with different
         // models on the same executor thread and serve stale counts, and

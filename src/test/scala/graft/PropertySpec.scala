@@ -18,6 +18,12 @@ object GraftProperties extends Properties("graft") {
     Gen.alphaStr, Gen.const(" "), Gen.const("\t"), Gen.const("\n"),
     Gen.const("."), Gen.const(","), Gen.const("42"), Gen.const("!"))).map(_.mkString)
 
+  /** ONE reference tokenization for every word-level property — must stay
+    * in sync with the FastHash.tokenHashes ASCII contract; four inline
+    * copies drifted apart is exactly the bug this helper prevents. */
+  private def asciiWords(t: String): Array[String] =
+    Option(t).getOrElse("").toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+
   property("wave binary codec round-trips") =
     forAll(Gen.chooseNum(Int.MinValue, Int.MaxValue), waveGen, waveGen) {
       (id: Int, re: Array[Double], im0: Array[Double]) =>
@@ -47,8 +53,7 @@ object GraftProperties extends Properties("graft") {
 
   property("spanHashes: distinct count equals naive distinct span strings; order-sensitive") =
     forAll(textGen, Gen.chooseNum(1, 4)) { (t, n) =>
-      val words = Option(t).getOrElse("").toLowerCase
-        .split("[^a-z]+").filter(_.nonEmpty)
+      val words = asciiWords(t)
       val naive = words.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
       val kernel = graft.functions.FastHash.spanHashes(t, n)
       kernel.length == naive.size && kernel.toSet.size == kernel.length
@@ -56,8 +61,7 @@ object GraftProperties extends Properties("graft") {
 
   property("spanHashesPos: one hash per position, and its distinct set IS spanHashes") =
     forAll(textGen, Gen.chooseNum(1, 4)) { (t, n) =>
-      val words = Option(t).getOrElse("").toLowerCase
-        .split("[^a-z]+").filter(_.nonEmpty)
+      val words = asciiWords(t)
       val positions = math.max(0, words.length - n + 1)
       val pos = graft.functions.FastHash.spanHashesPos(t, n)
       // the per-position and distinct variants must agree bit-for-bit or
@@ -69,8 +73,7 @@ object GraftProperties extends Properties("graft") {
   property("exciseSpans: accounting holds and survivors are exactly the uncovered words") =
     forAll(textGen, Gen.chooseNum(1, 4),
       Gen.listOf(Gen.chooseNum(0, 50))) { (t, n, starts) =>
-      val words = Option(t).getOrElse("").toLowerCase
-        .split("[^a-z]+").filter(_.nonEmpty)
+      val words = asciiWords(t)
       val (nw, exc, kept) =
         graft.functions.FastHash.exciseSpans(t, starts.toArray, n)
       val covered = starts.flatMap(p => p until math.min(p.toLong + n, words.length.toLong).toInt)
@@ -186,7 +189,7 @@ object GraftProperties extends Properties("graft") {
     forAll(textGen, Gen.oneOf(1, 2, 3)) { (t, n) =>
       import graft.operators.Contamination.distinctWordNgrams
       val grams = distinctWordNgrams(t, n)
-      val words = t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      val words = asciiWords(t)
       grams.length == words.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSet.size &&
         grams.forall(_.split(" ").length == n) &&
         grams.distinct.length == grams.length

@@ -187,10 +187,13 @@ class TxtSignalsSpec extends SparkSpec {
       .as[SignalDoc].collect().toIndexedSeq
     val lm = TextAnalytics.trainUnigramLm(
       graft.sources.Tables.documents(spark, sfDir))
-    // include the fused BPE column: the stream side must score against
-    // the same loaded model bit-for-bit too
-    val bpe = Some(graft.functions.Bpe.trainBpe(
-      graft.sources.Tables.documents(spark, sfDir), nMerges = 50))
+    // include the fused BPE column THROUGH the persisted artifact (save →
+    // load → score), so this differential covers the production shape: a
+    // stream scored against the loaded model, bit-equal to batch
+    val bpePath = java.nio.file.Files.createTempDirectory("signals-bpe").toString
+    graft.functions.Bpe.saveBpe(spark, graft.functions.Bpe.trainBpe(
+      graft.sources.Tables.documents(spark, sfDir), nMerges = 50), bpePath)
+    val bpe = Some(graft.functions.Bpe.loadBpe(spark, bpePath))
     val batch = TextAnalytics.signals(docs.toDF(), lm, bpe)
       .collect().map(r => r.getLong(0) -> r.toString).toMap
     val mem = MemoryStream[SignalDoc]
