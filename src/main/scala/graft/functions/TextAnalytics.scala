@@ -69,6 +69,27 @@ object TextAnalytics {
       .when(data >= compute, "data")
       .otherwise("compute")
 
+  /** Blocklist for the C4-style bad-word document filter: pages containing
+    * blocklisted terms are dropped (strict) or down-weighted past a hit-rate
+    * threshold (soft). On real data this is the standard released badword
+    * list; on the synthetic fixture it mixes present ("slow", "big") and
+    * absent ("spam", "junk") members so both outcomes are exercised. */
+  val blockWords: Seq[String] = Seq("slow", "big", "spam", "junk")
+
+  private lazy val blockHashSet: Array[Array[Long]] =
+    Array(blockWords.map(FastHash.fnv1a64).toArray)
+
+  /** Blocklisted-token occurrences in one tokenization pass (same FNV
+    * kernel as [[markerHitCounts]]; null text → null). */
+  def blockHits(text: Column): Column =
+    element_at(FastHash.markerHitsCol(text, blockHashSet), 1)
+
+  /** Count of alphabetic word runs — the denominator for token-rate
+    * signals. Native `regexp_count` (codegen), equal to the number of
+    * non-empty [[words]] tokens on ASCII text. */
+  def alphaTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+"))
+
   /** Whitespace token count (trim first so blank docs count 0). */
   def wsTokenCount(text: Column): Column =
     when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))

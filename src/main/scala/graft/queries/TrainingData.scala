@@ -594,6 +594,29 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** C4-style blocklist filter: per doc, alpha-token count, blocklisted-token
+    * hits (one FNV-kernel tokenization pass), hit rate in exact integer ppm,
+    * and the two standard dispositions — `keep_strict` (C4's rule: any hit
+    * drops the page) and `keep_soft` (rate-thresholded, Gopher-style).
+    * Scale shape: pure map-side projection over the scan (no shuffle but the
+    * presentation sort); the blocklist rides the task binary, never the
+    * exchange. Null text propagates null (same contract as the marker
+    * kernel). */
+  def txtBlocklist(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextAnalytics
+    val t = col("text")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalytics.alphaTokenCount(t).as("n_words"),
+        TextAnalytics.blockHits(t).as("bad_hits"))
+      .withColumn("bad_ppm",
+        when(col("n_words") === 0, lit(0L))
+          .otherwise(expr("CAST(bad_hits AS BIGINT) * 1000000 div n_words")))
+      .withColumn("keep_strict", col("bad_hits") === 0)
+      .withColumn("keep_soft", col("bad_ppm") <= 150000L)
+      .orderBy("doc_id")
+  }
+
   /** Shard-export integrity manifest ([[Curation.shardManifest]], the
     * aggregation [[graft.operators.Maintenance.writeShards]] persists):
     * per-shard counts, id-sum, and the order-sensitive pos⊗id xor —
@@ -1003,6 +1026,7 @@ object TrainingData {
     "ds_thresholds"      -> dsThresholds _,
     "ds_shard_manifest"  -> dsShardManifest _,
     "txt_entropy"        -> txtEntropy _,
+    "txt_blocklist"      -> txtBlocklist _,
     "ds_mix_budget"      -> dsMixBudget _,
     "sim_semdedup"       -> ((s: SparkSession, d: String) => simSemdedup(s, d)),
     "ds_importance"      -> dsImportance _,
@@ -1406,6 +1430,27 @@ object TrainingData {
     "txt_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same tokenization as the Spark kernel: [A-Za-z]+ runs for the
+    // denominator, [a-z]+ case-folded membership for the hits; ppm is
+    // integer floor division both sides (values non-negative, so Spark's
+    // truncating `div` ≡ DuckDB's floor `//`)
+    "txt_blocklist" -> {
+      val blockList = blockWords.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH f AS (
+         | SELECT doc_id,
+         |  len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+         |  len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |      w -> list_contains($blockList, w))) AS bad_hits
+         | FROM documents),
+         |p AS (
+         | SELECT doc_id, n_words, bad_hits,
+         |  CASE WHEN n_words = 0 THEN 0
+         |       ELSE bad_hits * 1000000 // n_words END AS bad_ppm
+         | FROM f)
+         |SELECT doc_id, n_words, bad_hits, bad_ppm,
+         | bad_hits = 0 AS keep_strict, bad_ppm <= 150000 AS keep_soft
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
     "dd_embed_exact" ->
       """WITH n AS (
         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -187,6 +187,41 @@ class TextOpsSpec extends SparkSpec {
     assert(viaQuery > 0.0 && viaQuery < 6.0)
   }
 
+  test("blocklist filter: hits, ppm, and both dispositions") {
+    import SparkSpec.session.implicits._
+    val df = Seq(
+      (1L, "fast clean words only"),            // no hits → keep both ways
+      (2L, "one slow word in six words here"),  // 1/7 ≈ 142857 ppm → soft keeps
+      (3L, "slow big slow big"),                // 4/4 → both drop
+      (4L, ""),                                 // empty: 0 words, 0 ppm
+      (5L, null.asInstanceOf[String]))          // null propagates
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalytics.alphaTokenCount(col("text")).as("n"),
+        TextAnalytics.blockHits(col("text")).as("bad"))
+      .orderBy("doc_id").collect()
+    assert(got(0).getInt(1) == 4 && got(0).getInt(2) == 0)
+    assert(got(1).getInt(1) == 7 && got(1).getInt(2) == 1)
+    assert(got(2).getInt(1) == 4 && got(2).getInt(2) == 4)
+    assert(got(3).getInt(1) == 0 && got(3).getInt(2) == 0)
+    assert(got(4).isNullAt(1) && got(4).isNullAt(2))
+    // blocklist membership is token-exact: "slowly"/"bigger" are not hits
+    val sub = Seq("slowly bigger").toDF("text")
+      .select(TextAnalytics.blockHits(col("text"))).as[Int].head()
+    assert(sub == 0)
+    // query path on the fixture: ppm floor math and the strict rule agree
+    val q = graft.queries.TrainingData.txtBlocklist(spark, sfDir)
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, bad, ppm) = (r.getAs[Int]("n_words").toLong,
+        r.getAs[Int]("bad_hits").toLong, r.getAs[Long]("bad_ppm"))
+      assert(ppm == (if (n == 0) 0L else bad * 1000000L / n))
+      assert(r.getAs[Boolean]("keep_strict") == (bad == 0L))
+      assert(r.getAs[Boolean]("keep_soft") == (ppm <= 150000L))
+    }
+  }
+
   test("marker-hit kernel propagates null for null text (oracle NULL parity)") {
     import SparkSpec.session.implicits._
     assert(FastHash.markerHits(null, Array(Array(1L))) == null)

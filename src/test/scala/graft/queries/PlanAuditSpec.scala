@@ -412,6 +412,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Generate"), p)
   }
 
+  test("txt_blocklist: one scan, map-side kernel, no join or aggregation") {
+    val p = planOf("txt_blocklist")
+    assert(countScans(p) == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Aggregate"), p)
+    assert(!p.contains("Generate"), p) // membership via the FNV kernel, no explode
+  }
+
   test("txt_lm_score: two token passes (train, score), LM broadcast, no third scan") {
     val p = planOf("txt_lm_score")
     assert(countScans(p) == 2, p)
