@@ -491,6 +491,63 @@ object TextAnalytics {
   private def quantLn(n: Column): Column =
     round(log(n.cast("double")) * lit(1048576.0)).cast("long")
 
+  // ---- BM25 retrieval scoring (query-based data selection) ----
+
+  /** BM25 relevance of every document against a fixed query-term set — the
+    * retrieval step of targeted data selection (pull training docs similar
+    * to a benchmark/query distribution). Okapi parameters k1 = 1.2,
+    * b = 0.75 folded into exact integer rationals.
+    *
+    * All arithmetic is exact fixed point so the oracle hash-matches:
+    * idf_fp(t) = round(ln(2N+2)·2²⁰) − round(ln(2df+1)·2²⁰)
+    * (= ln((N+1)/(df+½)), the Lucene-style idf, with each ln over an exact
+    * integer — the [[lmScore]] quantization trick; ln is monotone so the
+    * quantized difference is never negative even for terms in every doc,
+    * which keeps all operands non-negative and Spark's truncating `div`
+    * exactly equal to DuckDB's flooring `//`), and the tf-saturation ratio
+    * tf·(k1+1)/(tf + k1·(1−b+b·dl·N/S)) is carried as the integer rational
+    * 44·tf·S / (20·tf·S + 6·S + 18·dl·N), floor-multiplied into idf_fp in
+    * two exact steps (idf·(num div den) + idf·(num mod den) div den) so the
+    * largest intermediate is idf_fp·den — documented headroom to corpora of
+    * ~10¹² total tokens before the 2⁻²⁰ scale must drop a bit.
+    *
+    * Scale shape: TWO corpus scans, both map-side kernel passes (per-term
+    * tf counts in ONE tokenization via the FNV marker kernel — no explode):
+    * scan 1 reduces to a single global stats row (N, S, df per term) that
+    * rides a broadcast nested-loop join of ONE row; scan 2 computes scores
+    * and short-circuits into TakeOrdered top-k. Nothing doc-scale shuffles. */
+  def bm25(docs: org.apache.spark.sql.DataFrame, terms: Seq[String], k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty && terms == terms.distinct, "terms must be distinct")
+    val termSets = terms.map(t => Array(FastHash.fnv1a64(t))).toArray
+    val tfs = FastHash.markerHitsCol(col("text"), termSets)
+    val proj = docs.select(
+      Seq(col("doc_id"), alphaTokenCount(col("text")).cast("long").as("dl")) ++
+        (0 until terms.length).map(i =>
+          element_at(tfs, i + 1).cast("long").as(s"tf$i")): _*)
+    val dfCols = (0 until terms.length).map(i =>
+      sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = proj.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").as("sum_dl") +: dfCols): _*)
+    val contrib = (0 until terms.length).map { i =>
+      val idf = s"(CAST(round(ln(CAST(2*n_docs + 2 AS DOUBLE)) * 1048576) AS BIGINT)" +
+        s" - CAST(round(ln(CAST(2*df$i + 1 AS DOUBLE)) * 1048576) AS BIGINT))"
+      val num = s"(44 * tf$i * sum_dl)"
+      val den = s"(20 * tf$i * sum_dl + 6 * sum_dl + 18 * dl * n_docs)"
+      s"(CASE WHEN tf$i = 0 THEN 0 ELSE " +
+        s"$idf * ($num div $den) + ($idf * ($num % $den)) div $den END)"
+    }
+    proj.crossJoin(broadcast(stats))
+      .withColumn("n_matched",
+        (0 until terms.length).map(i => when(col(s"tf$i") > 0, 1).otherwise(0))
+          .reduce(_ + _))
+      .filter(col("n_matched") > 0)
+      .withColumn("score_fp", expr(contrib.mkString(" + ")))
+      .select("doc_id", "n_matched", "score_fp")
+      .orderBy(desc("score_fp"), asc("doc_id"))
+      .limit(k)
+  }
+
   // ---- Unigram-LM quality scoring (CCNet-style perplexity filter) ----
 
   /** Per-document average token log-probability under a unigram LM trained

@@ -594,6 +594,18 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** The BM25 query-term set: chosen from the fixture vocabulary with
+    * distinct document frequencies so idf actually differentiates. */
+  val bm25Terms: Seq[String] = Seq("spark", "join", "window")
+
+  /** BM25 retrieval top-k ([[TextAnalytics.bm25]]): score every document
+    * against the fixed query-term set, keep the 20 most relevant — the
+    * benchmark-similarity data-selection step. Exact fixed-point math, so
+    * the DuckDB oracle is hash-green; plan is two kernel scans (global
+    * stats row broadcast, then score + TakeOrdered). */
+  def txtBm25(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.TextAnalytics.bm25(Tables.documents(spark, dir), bm25Terms, k = 20)
+
   /** C4-style blocklist filter: per doc, alpha-token count, blocklisted-token
     * hits (one FNV-kernel tokenization pass), hit rate in exact integer ppm,
     * and the two standard dispositions — `keep_strict` (C4's rule: any hit
@@ -1027,6 +1039,7 @@ object TrainingData {
     "ds_shard_manifest"  -> dsShardManifest _,
     "txt_entropy"        -> txtEntropy _,
     "txt_blocklist"      -> txtBlocklist _,
+    "txt_bm25"           -> txtBm25 _,
     "ds_mix_budget"      -> dsMixBudget _,
     "sim_semdedup"       -> ((s: SparkSession, d: String) => simSemdedup(s, d)),
     "ds_importance"      -> dsImportance _,
@@ -1430,6 +1443,48 @@ object TrainingData {
     "txt_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // BM25 in the same exact fixed-point arithmetic as TextAnalytics.bm25:
+    // Lucene-style idf over quantized ln of exact integers, tf saturation
+    // as the integer rational 44·tf·S/(20·tf·S+6·S+18·dl·N) folded in with
+    // two exact floor steps. All operands non-negative, so DuckDB's `//`
+    // (floor) ≡ Spark's `div` (truncate).
+    "txt_bm25" -> {
+      val tfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(ws, x -> x = '$t')) AS BIGINT) AS tf$i"
+      }.mkString(",\n  ")
+      val dfCols = bm25Terms.indices.map(i =>
+        s"CAST(COUNT(*) FILTER (WHERE tf$i > 0) AS BIGINT) AS df$i").mkString(", ")
+      val matched = bm25Terms.indices.map(i =>
+        s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+      val contrib = bm25Terms.indices.map { i =>
+        val idf = s"(CAST(round(ln(CAST(2*n_docs + 2 AS DOUBLE)) * 1048576) AS BIGINT)" +
+          s" - CAST(round(ln(CAST(2*df$i + 1 AS DOUBLE)) * 1048576) AS BIGINT))"
+        val num = s"(44 * tf$i * sum_dl)"
+        val den = s"(20 * tf$i * sum_dl + 6 * sum_dl + 18 * dl * n_docs)"
+        s"(CASE WHEN tf$i = 0 THEN 0 ELSE " +
+          s"$idf * ($num // $den) + ($idf * ($num % $den)) // $den END)"
+      }.mkString("\n  + ")
+      s"""WITH w AS (
+         | SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS dl,
+         |  list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |              x -> length(x) > 0) AS ws
+         | FROM documents),
+         |t AS (
+         | SELECT doc_id, dl,
+         |  $tfCols
+         | FROM w),
+         |s AS (
+         | SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(dl) AS BIGINT) AS sum_dl, $dfCols
+         | FROM t),
+         |m AS (
+         | SELECT t.*, s.*, $matched AS n_matched FROM t, s)
+         |SELECT doc_id, n_matched,
+         | $contrib AS score_fp
+         |FROM m WHERE n_matched > 0
+         |ORDER BY score_fp DESC, doc_id LIMIT 20""".stripMargin
+    },
     // same tokenization as the Spark kernel: [A-Za-z]+ runs for the
     // denominator, [a-z]+ case-folded membership for the hits; ppm is
     // integer floor division both sides (values non-negative, so Spark's

@@ -222,6 +222,32 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25: idf ordering, tf monotonicity, length normalization, match filter") {
+    import SparkSpec.session.implicits._
+    // "rare" appears in 1 of 6 docs, "common" in 5 of 6; equal lengths where compared
+    val docs = Seq(
+      (1L, "rare pad pad pad"),           // 1×rare, dl=4
+      (2L, "common pad pad pad"),         // 1×common, dl=4
+      (3L, "common common pad pad"),      // 2×common, dl=4
+      (4L, "common pad pad pad pad pad pad pad"), // 1×common, dl=8
+      (5L, "common filler filler"),
+      (6L, "common other other"),
+      (7L, "nothing matching here"))
+      .toDF("doc_id", "text")
+    val got = TextAnalytics.bm25(docs, Seq("rare", "common"), k = 10)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(!got.contains(7L))                 // no-match docs filtered
+    assert(got(1L)._2 > got(2L)._2)           // rarer term → higher idf → higher score
+    assert(got(3L)._2 > got(2L)._2)           // more occurrences → higher score
+    assert(got(2L)._2 > got(4L)._2)           // longer doc → length-normalized down
+    assert(got.values.forall(_._2 > 0))       // Lucene idf keeps scores positive
+    // fixture query path: full top-k, strictly ordered output
+    val rows = graft.queries.TrainingData.txtBm25(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getLong(2)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
   test("marker-hit kernel propagates null for null text (oracle NULL parity)") {
     import SparkSpec.session.implicits._
     assert(FastHash.markerHits(null, Array(Array(1L))) == null)

@@ -420,6 +420,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Generate"), p) // membership via the FNV kernel, no explode
   }
 
+  test("txt_bm25: two kernel scans, one-row stats broadcast, TakeOrdered top-k") {
+    val p = planOf("txt_bm25")
+    assert(countScans(p) == 2, p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // the single stats row
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Generate"), p)
+  }
+
   test("txt_lm_score: two token passes (train, score), LM broadcast, no third scan") {
     val p = planOf("txt_lm_score")
     assert(countScans(p) == 2, p)
