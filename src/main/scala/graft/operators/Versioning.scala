@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset-version operators: what changed between two corpus snapshots,
+  * and did the distribution move. A 100 TB training corpus is rebuilt
+  * continuously (new crawls in, dedup/filters re-tuned); before a rebuild
+  * is promoted, the pipeline wants (a) an exact content diff vs the
+  * serving version and (b) a per-signal drift check — both as bounded
+  * reports, neither ever shuffling document text.
+  *
+  * (The reference engine's unit of change-tracking is the per-element
+  * content hash, `/root/reference/pkg/internal/types/element.go:28-37`;
+  * these operators lift that identity to whole-snapshot comparison.)
+  */
+object Versioning {
+
+  /** Row-level diff of two snapshots keyed by `idCol`: one row per id with
+    * `status` ∈ added | removed | changed | unchanged and the carried
+    * `source` dimension (new side wins when both exist).
+    *
+    * Scale shape: each side is projected to (id, md5, source) BEFORE the
+    * full-outer join, so the exchange carries ~50 B/row regardless of
+    * document size; the join hash-partitions both sides on the id (with
+    * id-bucketed tables it is co-located and shuffle-free). Presence is
+    * tracked by literal markers, not hash nullability, so null-text rows
+    * diff correctly (null fp on both sides = unchanged via null-safe
+    * equality, mirrored as IS NOT DISTINCT FROM in the oracle). */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      dimCol: String = "source"): DataFrame = {
+    def proj(df: DataFrame, side: String): DataFrame =
+      df.select(col(idCol), md5(col(textCol)).as(s"__fp_$side"),
+        col(dimCol).as(s"__dim_$side"), lit(1).as(s"__in_$side"))
+    proj(oldSnap, "o").join(proj(newSnap, "n"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__in_o").isNull, "added")
+          .when(col("__in_n").isNull, "removed")
+          .when(col("__fp_o") <=> col("__fp_n"), "unchanged")
+          .otherwise("changed").as("status"),
+        coalesce(col("__dim_n"), col("__dim_o")).as(dimCol))
+  }
+
+  /** Per-signal distribution drift between two snapshots as the exact
+    * total-variation distance over a bucketed signal, in integer ppm:
+    * TV = ½·Σ_b |p_b − q_b|, computed as
+    * floor(10⁶ · Σ_b |c_b·M − d_b·N| / (2·N·M)) with integer counts
+    * (c, d) and totals (N, M) — no floats anywhere, so the oracle is
+    * hash-exact. One number per signal; 0 = identical distributions,
+    * 1e6 = disjoint support.
+    *
+    * `signals` maps signal name → bucketing expression over a snapshot row
+    * (e.g. `floor(n_chars/64)`). Scale shape: each snapshot reduces to a
+    * (signal, bucket, count) table via one partial-agged pass per side —
+    * bucket-sized, not corpus-sized — then a bucket-level outer join and
+    * one tiny aggregate.
+    *
+    * Overflow headroom: sum_abs ≤ 2·N·M, so the ppm convenience column is
+    * exact while 10⁶·sum_abs fits a long — snapshots up to ~1.4M docs per
+    * side (N·M ≲ 4.6×10¹²). Beyond that the EXACT rational components
+    * (sum_abs, n_docs_old, n_docs_new) are still emitted — TV =
+    * sum_abs / (2·N·M) in one BigInt line downstream — or run the drift
+    * per source shard, which is how a 100 TB report is read anyway. */
+  def signalDrift(oldSnap: DataFrame, newSnap: DataFrame,
+      signals: Seq[(String, Column)]): DataFrame = {
+    require(signals.nonEmpty, "at least one signal")
+    def hist(df: DataFrame): DataFrame = {
+      // ONE corpus scan for all signals (a union-per-signal would re-scan
+      // the snapshot |signals| times): every bucket expression evaluates in
+      // one projection, explodes to narrow (signal, bucket) rows, and
+      // partial-aggregates before the only exchange. Null signal values
+      // (e.g. null text) get a reserved sentinel bucket: a bare null
+      // bucket would never pair with itself across the full-outer join
+      // (SQL null ≠ null in join keys) and double-count.
+      val buckets = signals.map { case (name, bucket) =>
+        struct(lit(name).as("signal"),
+          coalesce(bucket.cast("long"), lit(Long.MinValue)).as("bucket"))
+      }
+      df.select(explode(array(buckets: _*)).as("sb"))
+        .select(col("sb.signal").as("signal"), col("sb.bucket").as("bucket"))
+        .groupBy("signal", "bucket").agg(count(lit(1)).as("c"))
+    }
+    val joined = hist(oldSnap).withColumnRenamed("c", "c_o")
+      .join(hist(newSnap).withColumnRenamed("c", "c_n"),
+        Seq("signal", "bucket"), "full_outer")
+      .select(col("signal"),
+        coalesce(col("c_o"), lit(0L)).as("c_o"),
+        coalesce(col("c_n"), lit(0L)).as("c_n"))
+    // per-signal totals as a window over the already-reduced bucket frame
+    // (the lmScore trick: re-aggregating the lineage would re-scan both
+    // corpora; the window costs one bucket-level exchange + sort)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("signal")
+    joined
+      .withColumn("n_o", sum("c_o").over(w))
+      .withColumn("n_n", sum("c_n").over(w))
+      .groupBy("signal")
+      .agg(max("n_o").as("n_docs_old"), max("n_n").as("n_docs_new"),
+        sum(abs(col("c_o") * col("n_n") - col("c_n") * col("n_o"))).as("sum_abs"))
+      .select(col("signal"), col("n_docs_old"), col("n_docs_new"), col("sum_abs"),
+        expr("(1000000 * sum_abs) div (2 * n_docs_old * n_docs_new)").as("tv_ppm"))
+  }
+}

@@ -594,6 +594,40 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  // ---- dataset-version snapshots: two deterministic views of the fixture
+  //      corpus (different membership, a few edited docs) standing in for
+  //      "the serving corpus" vs "the rebuilt corpus" ----
+
+  private def snapOld(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).filter(col("doc_id") % 7 =!= 3)
+
+  private def snapNew(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+
+  /** Content diff between corpus versions ([[graft.operators.Versioning
+    * .snapshotDiff]]): per (source, status) counts of added / removed /
+    * changed / unchanged docs — the promotion gate report for a corpus
+    * rebuild. Hash-projected before the id join; text never shuffles. */
+  def dsSnapshotDiff(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Versioning.snapshotDiff(snapOld(spark, dir), snapNew(spark, dir))
+      .groupBy("source", "status").agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "status")
+
+  /** Distribution drift between corpus versions ([[graft.operators
+    * .Versioning.signalDrift]]): exact total-variation distance in integer
+    * ppm over three integer-bucketed signals (doc length, alpha-token
+    * count, blocklist hits). All-integer pipeline → oracle hash-exact. */
+  def dsDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Versioning.signalDrift(snapOld(spark, dir), snapNew(spark, dir),
+      Seq(
+        "len64"    -> expr("n_chars div 64"),
+        "words16"  -> expr(s"CAST(regexp_count(text, '[A-Za-z]+') AS BIGINT) div 16"),
+        "badhits"  -> graft.functions.TextAnalytics.blockHits(col("text"))))
+      .orderBy("signal")
+
   /** The BM25 query-term set: chosen from the fixture vocabulary with
     * distinct document frequencies so idf actually differentiates. */
   val bm25Terms: Seq[String] = Seq("spark", "join", "window")
@@ -1040,6 +1074,8 @@ object TrainingData {
     "txt_entropy"        -> txtEntropy _,
     "txt_blocklist"      -> txtBlocklist _,
     "txt_bm25"           -> txtBm25 _,
+    "ds_snapshot_diff"   -> dsSnapshotDiff _,
+    "ds_drift"           -> dsDrift _,
     "ds_mix_budget"      -> dsMixBudget _,
     "sim_semdedup"       -> ((s: SparkSession, d: String) => simSemdedup(s, d)),
     "ds_importance"      -> dsImportance _,
@@ -1443,6 +1479,61 @@ object TrainingData {
     "txt_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the two snapshot views are inlined CTEs on both sides; status via
+    // presence (doc_id never null), content equality null-safe
+    "ds_snapshot_diff" ->
+      """WITH o AS (
+        | SELECT doc_id, source, md5(text) AS fp
+        | FROM documents WHERE doc_id % 7 <> 3),
+        |n AS (
+        | SELECT doc_id, source,
+        |  md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS fp
+        | FROM documents WHERE doc_id % 5 <> 0),
+        |d AS (
+        | SELECT coalesce(n.source, o.source) AS source,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.fp IS NOT DISTINCT FROM n.fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        | FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+        |SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // exact integer TV distance: same sentinel-bucketed histograms, same
+    // |c_o·M − c_n·N| rational; all operands non-negative so `//` ≡ `div`
+    "ds_drift" -> {
+      val blockList = blockWords.map(s => s"'$s'").mkString("[", ", ", "]")
+      def sigs(src: String) =
+        s"""SELECT 'len64' AS signal, coalesce(n_chars // 64, -9223372036854775808) AS bucket FROM $src
+           | UNION ALL
+           | SELECT 'words16', coalesce(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) // 16, -9223372036854775808) FROM $src
+           | UNION ALL
+           | SELECT 'badhits', coalesce(CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+           |   w -> list_contains($blockList, w))) AS BIGINT), -9223372036854775808) FROM $src""".stripMargin
+      s"""WITH o0 AS (SELECT * FROM documents WHERE doc_id % 7 <> 3),
+         |n0 AS (
+         | SELECT doc_id, source, n_chars,
+         |  CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+         | FROM documents WHERE doc_id % 5 <> 0),
+         |ho AS (SELECT signal, bucket, CAST(COUNT(*) AS BIGINT) AS c_o
+         |       FROM (${sigs("o0")}) GROUP BY 1, 2),
+         |hn AS (SELECT signal, bucket, CAST(COUNT(*) AS BIGINT) AS c_n
+         |       FROM (${sigs("n0")}) GROUP BY 1, 2),
+         |j AS (
+         | SELECT coalesce(ho.signal, hn.signal) AS signal,
+         |  coalesce(c_o, 0) AS c_o, coalesce(c_n, 0) AS c_n
+         | FROM ho FULL JOIN hn ON ho.signal = hn.signal AND ho.bucket = hn.bucket),
+         |t AS (
+         | SELECT signal, SUM(c_o) OVER (PARTITION BY signal) AS n_o,
+         |  SUM(c_n) OVER (PARTITION BY signal) AS n_n, c_o, c_n
+         | FROM j)
+         |SELECT signal,
+         | CAST(MAX(n_o) AS BIGINT) AS n_docs_old,
+         | CAST(MAX(n_n) AS BIGINT) AS n_docs_new,
+         | CAST(SUM(abs(c_o * n_n - c_n * n_o)) AS BIGINT) AS sum_abs,
+         | (1000000 * CAST(SUM(abs(c_o * n_n - c_n * n_o)) AS BIGINT))
+         |   // (2 * CAST(MAX(n_o) AS BIGINT) * CAST(MAX(n_n) AS BIGINT)) AS tv_ppm
+         |FROM t GROUP BY signal ORDER BY signal""".stripMargin
+    },
     // BM25 in the same exact fixed-point arithmetic as TextAnalytics.bm25:
     // Lucene-style idf over quantized ln of exact integers, tf saturation
     // as the integer rational 44·tf·S/(20·tf·S+6·S+18·dl·N) folded in with

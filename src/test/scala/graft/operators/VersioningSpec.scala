@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Snapshot diff + signal drift: status classification (incl. null text),
+  * exact TV endpoints, and the sentinel-bucket pairing. */
+class VersioningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val oldSnap = Seq(
+    (1L, "same text", "s1"),
+    (2L, "will change", "s1"),
+    (3L, "will vanish", "s2"),
+    (5L, null.asInstanceOf[String], "s2"), // null on both sides → unchanged
+    (6L, "becomes null", "s2"))
+    .toDF("doc_id", "text", "source")
+
+  private val newSnap = Seq(
+    (1L, "same text", "s1"),
+    (2L, "has changed", "s1"),
+    (4L, "brand new", "s2"),
+    (5L, null.asInstanceOf[String], "s2"),
+    (6L, null.asInstanceOf[String], "s2")) // text → null is a change
+    .toDF("doc_id", "text", "source")
+
+  test("snapshotDiff classifies all four statuses; null text is null-safe") {
+    val got = Versioning.snapshotDiff(oldSnap, newSnap)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged", 6L -> "changed"))
+  }
+
+  test("snapshotDiff carries the dimension from whichever side exists") {
+    val dims = Versioning.snapshotDiff(oldSnap, newSnap)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(dims(3L) == "s2" && dims(4L) == "s2" && dims(1L) == "s1")
+  }
+
+  test("signalDrift: identical snapshots → 0; disjoint buckets → exactly 1e6") {
+    val a = Seq(1L, 2L, 3L).toDF("v")
+    val b = Seq(11L, 12L).toDF("v")
+    val same = Versioning.signalDrift(a, a, Seq("v" -> col("v"))).collect()
+    assert(same.head.getAs[Long]("tv_ppm") == 0L &&
+      same.head.getAs[Long]("sum_abs") == 0L)
+    val disj = Versioning.signalDrift(a, b, Seq("v" -> col("v"))).collect()
+    assert(disj.head.getAs[Long]("tv_ppm") == 1000000L)
+  }
+
+  test("signalDrift: hand-computed rational on a half-shifted distribution") {
+    // old: {0:2, 1:2} of 4; new: {0:1, 1:1, 2:2} of 4
+    // sum_abs = |2·4−1·4| + |2·4−1·4| + |0−2·4| = 4+4+8 = 16
+    // TV = 16 / (2·4·4) = 0.5 → 500000 ppm
+    val a = Seq(0L, 0L, 1L, 1L).toDF("v")
+    val b = Seq(0L, 1L, 2L, 2L).toDF("v")
+    val r = Versioning.signalDrift(a, b, Seq("v" -> col("v"))).collect().head
+    assert(r.getAs[Long]("sum_abs") == 16L)
+    assert(r.getAs[Long]("n_docs_old") == 4L && r.getAs[Long]("n_docs_new") == 4L)
+    assert(r.getAs[Long]("tv_ppm") == 500000L)
+  }
+
+  test("signalDrift: null signal values pair via the sentinel bucket") {
+    val a = Seq[java.lang.Long](null, 1L).toDF("v")
+    val b = Seq[java.lang.Long](null, 1L).toDF("v")
+    val r = Versioning.signalDrift(a, b, Seq("v" -> col("v"))).collect().head
+    assert(r.getAs[Long]("tv_ppm") == 0L) // null==null through the sentinel
+  }
+
+  test("signalDrift evaluates every signal from ONE scan per side") {
+    val q = graft.queries.TrainingData.dsDrift(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(plan).size == 2, plan)
+    assert(q.collect().length == 3)
+  }
+}

@@ -420,6 +420,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Generate"), p) // membership via the FNV kernel, no explode
   }
 
+  test("ds_snapshot_diff: hash-projected before the id join — text never shuffles") {
+    val p = planOf("ds_snapshot_diff")
+    // the only exchanges carry (doc_id, md5, source, marker) rows; the
+    // md5 projection must sit below the join, i.e. no Exchange whose
+    // schema still contains the text column
+    val exchanges = p.split("\n").filter(_.contains("Exchange"))
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text#")), p)
+    assert(p.contains("FullOuter"), p)
+  }
+
+  test("ds_drift: one scan per snapshot, partial-agged histograms") {
+    val p = planOf("ds_drift")
+    assert(countScans(p) == 2, p)
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("FullOuter"), p)
+  }
+
   test("txt_bm25: two kernel scans, one-row stats broadcast, TakeOrdered top-k") {
     val p = planOf("txt_bm25")
     assert(countScans(p) == 2, p)
