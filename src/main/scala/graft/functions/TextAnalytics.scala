@@ -84,6 +84,11 @@ object TextAnalytics {
   def blockHits(text: Column): Column =
     element_at(FastHash.markerHitsCol(text, blockHashSet), 1)
 
+  /** Marker classes + the blocklist as ONE kernel call — the [[signals]]
+    * extractor counts all four in a single tokenization pass. */
+  private lazy val markerAndBlockSets: Array[Array[Long]] =
+    markerHashSets :+ blockHashSet.head
+
   /** Count of alphabetic word runs — the denominator for token-rate
     * signals. Native `regexp_count` (codegen), equal to the number of
     * non-empty [[words]] tokens on ASCII text. */
@@ -340,8 +345,9 @@ object TextAnalytics {
     * ID, fingerprint, compression ratio, repetition stats, unigram-LM
     * score, and character entropy, each column bit-equal to its standalone
     * query (txt_quality, txt_tokens, txt_lang_id, txt_fingerprint,
-    * txt_compress_ratio, txt_repetition, txt_lm_score, txt_entropy —
-    * TxtSignalsSpec locks the equality).
+    * txt_compress_ratio, txt_repetition, txt_lm_score, txt_entropy,
+    * txt_blocklist — TxtSignalsSpec locks the equality; the blocklist
+    * count is the 4th element of the same single marker-kernel pass).
     * At 100 TB the corpus scan IS the dominant cost of a curation decision;
     * eight single-signal queries read the corpus eight times, this
     * projection reads it once — the reference's own model runs ALL
@@ -379,7 +385,11 @@ object TextAnalytics {
       wsTokenCount(t).as("n_words"),
       punctCount(t).as("n_punct"),
       alphaRatio(t).as("alpha_ratio"),
-      markerHitCounts(t).as("__hits"),
+      // one kernel pass counts the three language classes AND the
+      // blocklist (4th element) — fusing txt_blocklist costs zero extra
+      // tokenizations
+      FastHash.markerHitsCol(t, markerAndBlockSets).as("__hits"),
+      alphaTokenCount(t).cast("int").as("__baw"),
       bpeTokenCount(t).as("bpe_tokens"),
       fingerprint(t).as("fp"),
       length(bytes).cast("long").as("n_bytes"),
@@ -434,7 +444,13 @@ object TextAnalytics {
       coalesce(col("__e.nChars"), lit(0L)).as("n_chars_e"),
       coalesce(col("__e.sumClncFp"), lit(0L)).as("sum_clnc_fp"),
       when(col("__e.nChars") > 0,
-        entropyNats(col("__e.nChars"), col("__e.sumClncFp"))).as("entropy_nats")) ++
+        entropyNats(col("__e.nChars"), col("__e.sumClncFp"))).as("entropy_nats"),
+      // blocklist columns bit-equal to txt_blocklist (same kernel element,
+      // same alpha-run denominator and floor division)
+      element_at(col("__hits"), 4).as("bad_hits"),
+      when(col("__baw") === 0, lit(0L))
+        .otherwise(expr("CAST(element_at(__hits, 4) AS BIGINT) * 1000000 div __baw"))
+        .as("bad_ppm")) ++
       bpe.map(_ => col("bpe_true")).toSeq: _*)
   }
 

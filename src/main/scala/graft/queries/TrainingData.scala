@@ -1097,6 +1097,7 @@ object TrainingData {
   }.mkString(",\n ")
 
   private val enList = enMarkers.map(s => s"'$s'").mkString("[", ", ", "]")
+  private val blockListSql = blockWords.map(s => s"'$s'").mkString("[", ", ", "]")
   private val dataList = dataMarkers.map(s => s"'$s'").mkString("[", ", ", "]")
   private val computeList = computeMarkers.map(s => s"'$s'").mkString("[", ", ", "]")
 
@@ -1780,7 +1781,9 @@ object TrainingData {
          |  len(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> list_contains($dataList, w))) AS data_hits,
          |  len(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> list_contains($computeList, w))) AS compute_hits,
          |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
-         |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         |  len(regexp_extract_all(text, '[A-Za-z]+')) AS n_aw,
+         |  len(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> list_contains($blockListSql, w))) AS bad_hits
          | FROM documents),
          |f2 AS (
          | SELECT *, CAST(en_hits AS DOUBLE) / CAST(nullif(n_words, 0) AS DOUBLE) AS stopword_ratio
@@ -1846,6 +1849,9 @@ object TrainingData {
          |       - es.sum_clnc_fp AS DOUBLE)
          |    / (CAST(es.n_chars_e AS DOUBLE) * 1048576.0)
          | END AS entropy_nats,
+         | f2.bad_hits,
+         | CASE WHEN f2.n_aw = 0 THEN 0
+         |      ELSE f2.bad_hits * 1000000 // f2.n_aw END AS bad_ppm,
          | bt.bpe_true
          |FROM f2
          |JOIN cr USING (doc_id)

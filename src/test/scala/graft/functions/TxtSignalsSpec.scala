@@ -44,6 +44,13 @@ class TxtSignalsSpec extends SparkSpec {
       TrainingData.txtBpe(spark, sfDir), "bpe_true")
   }
 
+  test("blocklist columns equal txt_blocklist") {
+    assertSameRows(
+      fused.select("doc_id", "bad_hits", "bad_ppm"),
+      TrainingData.txtBlocklist(spark, sfDir)
+        .select("doc_id", "bad_hits", "bad_ppm"), "blocklist")
+  }
+
   test("fingerprint equals txt_fingerprint") {
     assertSameRows(fused.select("doc_id", "fp"),
       TrainingData.txtFingerprint(spark, sfDir), "fingerprint")
