@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed Lloyd's k-means over an embedding column — the full-corpus
+  * counterpart of the SAMPLE-based driver k-means that seeds the IVF index
+  * ([[SimilarityIvf]]): there the model trains on ≤4096 collected rows;
+  * here every vector votes in every iteration, which is the shape that
+  * matters when the corpus is 100 TB and a 4096-row sample misses tail
+  * modes.
+  *
+  * Scale design, per iteration: centroids (k × dim longs — KBs) ride an
+  * executor broadcast into the shared map-side argmin kernel
+  * ([[graft.functions.VectorQuant.argminCentroid]], one kernel with
+  * sim_assign and its streaming twin); the update reduces via posexplode →
+  * partial-agged (cluster, pos) sums — the ONLY exchange, k·dim rows wide
+  * regardless of corpus size — and the k×dim update itself happens on the
+  * driver. The quantized projection is persisted MEMORY_AND_DISK (the
+  * standard iterative-ML trade: T scans of a spilled columnar cache beat
+  * T parquet re-reads; drop `cache = false` to re-scan instead, e.g. when
+  * the projection exceeds cluster storage).
+  *
+  * Determinism (golden-eligible): components are floored to integer ppm
+  * ONCE; all sums are LONG (associative — bit-stable under any partition
+  * layout or merge order); the argmin tie-breaks to the lowest cluster id;
+  * init picks the k seeds by (xxhash64(vec_id), vec_id) order — a
+  * deterministic pseudo-random draw with no RNG state. Empty clusters keep
+  * their previous centroid (documented Lloyd's convention).
+  */
+object KMeans {
+
+  /** Trained model: per-cluster centroid components in integer ppm. */
+  final case class Model(centroids: Array[Array[Long]]) {
+    def snapshot: Seq[(Int, Array[Long])] = centroids.toSeq.zipWithIndex.map(_.swap)
+  }
+
+  /** The ppm projection shared by train and assign: (vec_id, vp) with
+    * invalid vectors (null/empty/null components) dropped. */
+  def ppmProject(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("vp"))
+      .filter(size(col("vp")) > 0 &&
+        size(filter(col("vp"), x => x.isNull)) === 0)
+
+  /** Run `iters` Lloyd iterations with k clusters; returns the model. */
+  def train(embeddings: DataFrame, k: Int, iters: Int,
+      cache: Boolean = true): Model = {
+    require(k > 0 && iters >= 0, "k > 0, iters >= 0")
+    val spark = embeddings.sparkSession
+    val vecs0 = ppmProject(embeddings)
+    val vecs = if (cache) vecs0.persist(StorageLevel.MEMORY_AND_DISK) else vecs0
+    try {
+      // deterministic seed draw: k vectors in (hash, id) order
+      val seeds = vecs.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(k).collect()
+        .map(_.getSeq[Long](1).toArray)
+      require(seeds.nonEmpty, "no valid vectors to train on")
+      var centroids: Array[Array[Long]] =
+        if (seeds.length >= k) seeds
+        else seeds ++ Array.fill(k - seeds.length)(seeds.head.clone())
+      for (_ <- 0 until iters) {
+        val bc = spark.sparkContext.broadcast(
+          centroids.toSeq.zipWithIndex.map(_.swap): Seq[(Int, Array[Long])])
+        val assignU = udf { (vp: Seq[Long]) =>
+          graft.functions.VectorQuant.argminCentroid(vp.toArray, bc.value)._1
+        }
+        // the one exchange: k·dim (cluster, pos) partial sums
+        val sums = vecs.withColumn("c", assignU(col("vp")))
+          .select(col("c"), posexplode(col("vp")).as(Seq("pos", "v")))
+          .groupBy("c", "pos")
+          .agg(sum("v").as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next = centroids.map(_.clone())
+        sums.foreach { r =>
+          val (c, pos) = (r.getInt(0), r.getInt(1))
+          next(c)(pos) = r.getLong(2) / r.getLong(3) // truncating div, exact
+        }
+        centroids = next
+        bc.destroy()
+      }
+      Model(centroids)
+    } finally if (cache) { vecs.unpersist(); () }
+  }
+
+  /** Assign every vector to its nearest trained centroid: map-side argmin
+    * over the broadcast model (scan → project, no join, no aggregate). */
+  def assign(embeddings: DataFrame, model: Model): DataFrame = {
+    val bc = embeddings.sparkSession.sparkContext.broadcast(model.snapshot)
+    val assignU = udf { (vp: Seq[Long]) =>
+      graft.functions.VectorQuant.argminCentroid(vp.toArray, bc.value)
+    }
+    ppmProject(embeddings)
+      .withColumn("__a", assignU(col("vp")))
+      .select(col("vec_id"), col("__a._1").as("cluster"), col("__a._2").as("d2"))
+  }
+
+  /** Train + summarize: one row per (cluster, pos) with the final centroid
+    * component and the cluster population under the FINAL model — the
+    * compact, deterministic training artifact. */
+  def trainSummary(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    val model = train(embeddings, k, iters)
+    val counts = assign(embeddings, model)
+      .groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
+    import spark.implicits._
+    val cents = model.centroids.zipWithIndex.flatMap { case (cp, c) =>
+      cp.zipWithIndex.map { case (v, pos) => (c, pos, v) }
+    }.toSeq.toDF("cluster", "pos", "c_ppm")
+    cents.join(counts, Seq("cluster"), "left")
+      .select(col("cluster"), col("pos"), col("c_ppm"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+  }
+}

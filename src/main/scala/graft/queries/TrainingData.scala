@@ -628,6 +628,17 @@ object TrainingData {
         "badhits"  -> graft.functions.TextAnalytics.blockHits(col("text"))))
       .orderBy("signal")
 
+  /** Distributed full-corpus k-means ([[graft.operators.KMeans]]): 8
+    * clusters, 3 Lloyd iterations over every embedding — the unsupervised
+    * counterpart of the label-keyed [[simCentroids]] and the full-data
+    * path the IVF index's sample-based driver k-means approximates.
+    * Output is the deterministic training artifact: final centroid
+    * components (integer ppm) + cluster populations. Golden-locked (all
+    * integer math, associative sums, total tie orders). */
+  def simKmeans(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.KMeans.trainSummary(Tables.embeddings(spark, dir),
+      k = 8, iters = 3).orderBy("cluster", "pos")
+
   /** The BM25 query-term set: chosen from the fixture vocabulary with
     * distinct document frequencies so idf actually differentiates. */
   val bm25Terms: Seq[String] = Seq("spark", "join", "window")
@@ -1076,6 +1087,7 @@ object TrainingData {
     "txt_bm25"           -> txtBm25 _,
     "ds_snapshot_diff"   -> dsSnapshotDiff _,
     "ds_drift"           -> dsDrift _,
+    "sim_kmeans"         -> simKmeans _,
     "ds_mix_budget"      -> dsMixBudget _,
     "sim_semdedup"       -> ((s: SparkSession, d: String) => simSemdedup(s, d)),
     "ds_importance"      -> dsImportance _,

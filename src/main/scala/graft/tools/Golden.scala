@@ -81,7 +81,12 @@ object Golden {
     // with packSequences' integer prefix sums — deterministic at any
     // partitioning and bucket size (the offsets are a pure function of
     // (doc_id, count) pairs; adaptive bucketing is a plan property)
-    "ds_bpe_pack")
+    "ds_bpe_pack",
+    // full-corpus Lloyd's: ppm-floored components, LONG sums (associative
+    // → bit-stable under any partition layout), lowest-id argmin ties,
+    // RNG-free (xxhash64, vec_id)-ordered seed draw, truncating-div
+    // centroid updates — every step total-ordered integer math
+    "sim_kmeans")
 
   val sfDir = "/root/testdata/sf0.01"
 

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Distributed Lloyd's: convergence on separated blobs, layout
+  * determinism, monotone inertia, empty-cluster survival. */
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def embDF(rows: Seq[(Long, Seq[Float])]) =
+    rows.toDF("vec_id", "embedding")
+
+  test("two separated blobs: centroids land on the blob means, assignments split") {
+    // blob A around (0, 0), blob B around (10, 10); 0.25 steps are exact
+    // in float, so the ppm means are exact integers
+    val a = Seq(0L -> Seq(0.0f, 0.0f), 1L -> Seq(0.25f, 0.0f), 2L -> Seq(0.0f, 0.25f),
+      3L -> Seq(0.25f, 0.25f))
+    val b = Seq(10L -> Seq(10.0f, 10.0f), 11L -> Seq(10.25f, 10.0f),
+      12L -> Seq(10.0f, 10.25f), 13L -> Seq(10.25f, 10.25f))
+    val model = KMeans.train(embDF(a ++ b), k = 2, iters = 4)
+    val cents = model.centroids.map(_.toSeq).sortBy(_.head)
+    assert(cents(0) == Seq(125000L, 125000L))   // mean of blob A in ppm
+    assert(cents(1) == Seq(10125000L, 10125000L))
+    val asg = KMeans.assign(embDF(a ++ b), model)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a.map(x => asg(x._1)).distinct.size == 1)
+    assert(b.map(x => asg(x._1)).distinct.size == 1)
+    assert(asg(0L) != asg(10L))
+  }
+
+  test("training is bit-stable under input partition layout") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val m1 = KMeans.train(emb.repartition(2), k = 4, iters = 2)
+    val m2 = KMeans.train(emb.repartition(13), k = 4, iters = 2)
+    assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
+  }
+
+  test("inertia is non-increasing across iterations") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val inertias = (0 to 3).map { it =>
+      val m = KMeans.train(emb, k = 4, iters = it)
+      KMeans.assign(emb, m).agg(sum("d2")).as[Long].head()
+    }
+    inertias.sliding(2).foreach { case Seq(prev, next) =>
+      assert(next <= prev, s"inertia rose: $inertias")
+    }
+  }
+
+  test("k larger than the corpus: padded seeds, empty clusters survive") {
+    val tiny = embDF(Seq(1L -> Seq(1.0f, 1.0f), 2L -> Seq(2.0f, 2.0f)))
+    val model = KMeans.train(tiny, k = 5, iters = 2)
+    assert(model.centroids.length == 5)
+    val summary = KMeans.trainSummary(tiny, k = 5, iters = 2)
+    val counts = summary.groupBy("cluster").agg(max("n_vecs").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2L) // every vector assigned exactly once
+  }
+
+  test("sim_kmeans artifact: k·dim rows, populations cover the valid corpus") {
+    val q = graft.queries.TrainingData.simKmeans(spark, sfDir)
+    val rows = q.collect()
+    val dim = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(size(col("embedding"))).as[Int].head()
+    assert(rows.length == 8 * dim)
+    val nValid = KMeans.ppmProject(
+      graft.sources.Tables.embeddings(spark, sfDir)).count()
+    val perCluster = rows.map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(perCluster.values.sum == nValid)
+  }
+}
