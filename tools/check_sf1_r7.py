@@ -38,7 +38,8 @@ fails = []
 
 # sim_assign / ds_budget_select: the committed oracles are pure SQL —
 # use them as-is
-for name in ["sim_assign", "ds_budget_select"]:
+for name in ["sim_assign", "ds_budget_select", "txt_blocklist", "txt_bm25",
+             "ds_snapshot_diff", "ds_drift"]:
     if not compare(name, oracles[name]):
         fails.append(name)
 
@@ -51,13 +52,24 @@ end = sig.index(")", sig.index("read_parquet", start)) + 1
 sig = sig[:start] + ("cr AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes"
                      " FROM documents") + sig[end:]
 sig = sig.replace(" cr.n_bytes, cr.n_deflate, cr.ratio_ppm,", " cr.n_bytes,")
-if not compare("txt_signals", sig, drop_cols=("n_deflate", "ratio_ppm")):
+# bpe_true joins the sf0.01 txt_bpe GOLDEN (the trained tokenizer is
+# engine-specific — not recomputable in SQL): drop the column and its
+# golden join at sf1; bit-equality with txt_bpe is TxtSignalsSpec's lock
+bt_start = sig.index("bt AS (SELECT doc_id, bpe_tokens AS bpe_true")
+bt_end = sig.index("ec AS (")  # the CTE that follows bt
+sig = sig[:bt_start] + sig[bt_end:]
+sig = sig.replace(",\n bt.bpe_true", "").replace("\nJOIN bt USING (doc_id)", "")
+if not compare("txt_signals", sig, drop_cols=("n_deflate", "ratio_ppm", "bpe_true")):
     fails.append("txt_signals")
 
-# rows-only sanity for the golden-pinned queries (values locked at sf0.01)
-for name, min_rows in [("sim_ann_ivf", 10), ("q23_percentiles_approx", 5)]:
+# rows-only sanity for the golden-pinned queries (values locked at
+# sf0.01); absent output = the query wasn't in this (subset) verify run
+for name, min_rows in [("sim_ann_ivf", 10), ("q23_percentiles_approx", 5),
+                       ("sim_kmeans", 512)]:
     pq = glob.glob(f"{out_dir}/{name}/*.parquet")
-    n = con.sql(f"SELECT count(*) FROM '{pq[0]}'").fetchone()[0] if pq else 0
+    if not pq:
+        print(f"SKIP {name}: not in this verify run"); continue
+    n = con.sql(f"SELECT count(*) FROM '{pq[0]}'").fetchone()[0]
     status = "ROWS" if n >= min_rows else "FAIL"
     if status == "FAIL":
         fails.append(name)
