@@ -524,8 +524,10 @@ object TextAnalytics {
     * tf·(k1+1)/(tf + k1·(1−b+b·dl·N/S)) is carried as the integer rational
     * 44·tf·S / (20·tf·S + 6·S + 18·dl·N), floor-multiplied into idf_fp in
     * two exact steps (idf·(num div den) + idf·(num mod den) div den) so the
-    * largest intermediate is idf_fp·den — documented headroom to corpora of
-    * ~10¹² total tokens before the 2⁻²⁰ scale must drop a bit.
+    * largest intermediate is idf_fp·(num mod den) < idf_fp·den ≈ 2.2·10⁷ ·
+    * 44·S — headroom to corpora of ~10¹⁰ total tokens at the 2⁻²⁰ idf
+    * scale; past that, drop the scale a few bits (each bit doubles S's
+    * headroom at 2⁻²⁰-worth-of-idf precision cost).
     *
     * Scale shape: TWO corpus scans, both map-side kernel passes (per-term
     * tf counts in ONE tokenization via the FNV marker kernel — no explode):
@@ -535,6 +537,10 @@ object TextAnalytics {
   def bm25(docs: org.apache.spark.sql.DataFrame, terms: Seq[String], k: Int)
       : org.apache.spark.sql.DataFrame = {
     require(terms.nonEmpty && terms == terms.distinct, "terms must be distinct")
+    // the kernel case-folds tokens to [a-z] runs before hashing; a term
+    // outside that alphabet can never match and would silently score 0
+    require(terms.forall(t => t.nonEmpty && t.forall(c => c >= 'a' && c <= 'z')),
+      s"terms must be lowercase a-z words, got: ${terms.mkString(", ")}")
     val termSets = terms.map(t => Array(FastHash.fnv1a64(t))).toArray
     val tfs = FastHash.markerHitsCol(col("text"), termSets)
     val proj = docs.select(

@@ -16,6 +16,21 @@ import org.apache.spark.sql.functions._
   */
 object VectorQuant {
 
+  /** THE integer-ppm quantization: components floored to ×10⁶ longs. One
+    * definition shared by every ppm consumer (the sim_assign/centroid
+    * family and KMeans), so the quantization and the well-formedness rule
+    * can never diverge between operators. */
+  def ppmVec(embedding: Column): Column =
+    transform(embedding,
+      x => floor(x.cast("double") * lit(1000000d)).cast("long"))
+
+  /** Well-formed ppm vector: non-empty with no null components — Spark's
+    * `aggregate` propagates nulls while DuckDB's `list_sum` skips them,
+    * so oracle-checked consumers must exclude malformed vectors
+    * identically on both sides. */
+  def isWellFormedPpm(vp: Column): Column =
+    (size(vp) > 0) && !exists(vp, _.isNull)
+
   /** Nearest centroid by squared L2 in the integer-ppm space; ties break
     * by label asc — the same total order as `min(struct(d2, label))`, so
     * the result is identical to the crossJoin+argmin formulation it

@@ -37,79 +37,100 @@ object KMeans {
   }
 
   /** The ppm projection shared by train and assign: (vec_id, vp) with
-    * invalid vectors (null/empty/null components) dropped. */
+    * invalid vectors (null/empty/null components) dropped — the SHARED
+    * quantization + well-formedness rule
+    * ([[graft.functions.VectorQuant.ppmVec]]), one definition with the
+    * sim_assign/centroid family. */
   def ppmProject(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("vp"))
-      .filter(size(col("vp")) > 0 &&
-        size(filter(col("vp"), x => x.isNull)) === 0)
+        graft.functions.VectorQuant.ppmVec(col("embedding")).as("vp"))
+      .filter(graft.functions.VectorQuant.isWellFormedPpm(col("vp")))
 
   /** Run `iters` Lloyd iterations with k clusters; returns the model. */
   def train(embeddings: DataFrame, k: Int, iters: Int,
       cache: Boolean = true): Model = {
-    require(k > 0 && iters >= 0, "k > 0, iters >= 0")
-    val spark = embeddings.sparkSession
     val vecs0 = ppmProject(embeddings)
     val vecs = if (cache) vecs0.persist(StorageLevel.MEMORY_AND_DISK) else vecs0
-    try {
-      // deterministic seed draw: k vectors in (hash, id) order
-      val seeds = vecs.orderBy(xxhash64(col("vec_id")), col("vec_id"))
-        .limit(k).collect()
-        .map(_.getSeq[Long](1).toArray)
-      require(seeds.nonEmpty, "no valid vectors to train on")
-      var centroids: Array[Array[Long]] =
-        if (seeds.length >= k) seeds
-        else seeds ++ Array.fill(k - seeds.length)(seeds.head.clone())
-      for (_ <- 0 until iters) {
-        val bc = spark.sparkContext.broadcast(
-          centroids.toSeq.zipWithIndex.map(_.swap): Seq[(Int, Array[Long])])
-        val assignU = udf { (vp: Seq[Long]) =>
-          graft.functions.VectorQuant.argminCentroid(vp.toArray, bc.value)._1
-        }
-        // the one exchange: k·dim (cluster, pos) partial sums
-        val sums = vecs.withColumn("c", assignU(col("vp")))
-          .select(col("c"), posexplode(col("vp")).as(Seq("pos", "v")))
-          .groupBy("c", "pos")
-          .agg(sum("v").as("s"), count(lit(1)).as("n"))
-          .collect()
-        val next = centroids.map(_.clone())
-        sums.foreach { r =>
-          val (c, pos) = (r.getInt(0), r.getInt(1))
-          next(c)(pos) = r.getLong(2) / r.getLong(3) // truncating div, exact
-        }
-        centroids = next
-        bc.destroy()
+    try trainOn(vecs, k, iters)
+    finally if (cache) { vecs.unpersist(); () }
+  }
+
+  /** Core Lloyd loop over an already-projected (vec_id, vp) frame —
+    * callers own persistence of `vecs`. */
+  private def trainOn(vecs: DataFrame, k: Int, iters: Int): Model = {
+    require(k > 0 && iters >= 0, "k > 0, iters >= 0")
+    val spark = vecs.sparkSession
+    // deterministic seed draw: k vectors in (hash, id) order
+    val seeds = vecs.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(k).collect()
+      .map(_.getSeq[Long](1).toArray)
+    require(seeds.nonEmpty, "no valid vectors to train on")
+    // the model dimension is the seed dimension: a ragged corpus (mixed
+    // embedding widths) would otherwise posexplode positions past the
+    // centroid arrays and crash the driver update mid-train — off-width
+    // vectors are excluded from the update sums (argminCentroid's
+    // common-prefix contract is not enough for the UPDATE step)
+    val dim = seeds.head.length
+    val uni = vecs.filter(size(col("vp")) === dim)
+    var centroids: Array[Array[Long]] =
+      if (seeds.length >= k) seeds
+      else seeds ++ Array.fill(k - seeds.length)(seeds.head.clone())
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(
+        centroids.toSeq.zipWithIndex.map(_.swap): Seq[(Int, Array[Long])])
+      val assignU = udf { (vp: Seq[Long]) =>
+        graft.functions.VectorQuant.argminCentroid(vp.toArray, bc.value)._1
       }
-      Model(centroids)
-    } finally if (cache) { vecs.unpersist(); () }
+      // the one exchange: k·dim (cluster, pos) partial sums
+      val sums = uni.withColumn("c", assignU(col("vp")))
+        .select(col("c"), posexplode(col("vp")).as(Seq("pos", "v")))
+        .groupBy("c", "pos")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        val (c, pos) = (r.getInt(0), r.getInt(1))
+        next(c)(pos) = r.getLong(2) / r.getLong(3) // truncating div, exact
+      }
+      centroids = next
+      bc.destroy()
+    }
+    Model(centroids)
   }
 
   /** Assign every vector to its nearest trained centroid: map-side argmin
     * over the broadcast model (scan → project, no join, no aggregate). */
-  def assign(embeddings: DataFrame, model: Model): DataFrame = {
-    val bc = embeddings.sparkSession.sparkContext.broadcast(model.snapshot)
+  def assign(embeddings: DataFrame, model: Model): DataFrame =
+    assignOn(ppmProject(embeddings), model)
+
+  private def assignOn(vecs: DataFrame, model: Model): DataFrame = {
+    val bc = vecs.sparkSession.sparkContext.broadcast(model.snapshot)
     val assignU = udf { (vp: Seq[Long]) =>
       graft.functions.VectorQuant.argminCentroid(vp.toArray, bc.value)
     }
-    ppmProject(embeddings)
-      .withColumn("__a", assignU(col("vp")))
+    vecs.withColumn("__a", assignU(col("vp")))
       .select(col("vec_id"), col("__a._1").as("cluster"), col("__a._2").as("d2"))
   }
 
   /** Train + summarize: one row per (cluster, pos) with the final centroid
     * component and the cluster population under the FINAL model — the
-    * compact, deterministic training artifact. */
+    * compact, deterministic training artifact. The projection is persisted
+    * ONCE and shared between the training iterations and the final
+    * population count (a train-then-assign pair would re-project the
+    * corpus from scratch for the count — a whole redundant read at scale). */
   def trainSummary(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
     val spark = embeddings.sparkSession
-    val model = train(embeddings, k, iters)
-    val counts = assign(embeddings, model)
-      .groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
-    import spark.implicits._
-    val cents = model.centroids.zipWithIndex.flatMap { case (cp, c) =>
-      cp.zipWithIndex.map { case (v, pos) => (c, pos, v) }
-    }.toSeq.toDF("cluster", "pos", "c_ppm")
-    cents.join(counts, Seq("cluster"), "left")
-      .select(col("cluster"), col("pos"), col("c_ppm"),
-        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+    val vecs = ppmProject(embeddings).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val model = trainOn(vecs, k, iters)
+      val counts = assignOn(vecs, model)
+        .groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      import spark.implicits._
+      model.centroids.zipWithIndex.flatMap { case (cp, c) =>
+        cp.zipWithIndex.map { case (v, pos) =>
+          (c, pos, v, counts.getOrElse(c, 0L)) }
+      }.toSeq.toDF("cluster", "pos", "c_ppm", "n_vecs")
+    } finally { vecs.unpersist(); () }
   }
 }

@@ -58,8 +58,10 @@ object Versioning {
     *
     * Overflow headroom: sum_abs ≤ 2·N·M, so the ppm convenience column is
     * exact while 10⁶·sum_abs fits a long — snapshots up to ~1.4M docs per
-    * side (N·M ≲ 4.6×10¹²). Beyond that the EXACT rational components
-    * (sum_abs, n_docs_old, n_docs_new) are still emitted — TV =
+    * side (N·M ≲ 4.6×10¹²). Past that bound (and for an empty snapshot,
+    * where TV is undefined) tv_ppm is GUARDED to NULL rather than left to
+    * ANSI-mode overflow/div-zero errors, and the EXACT rational components
+    * (sum_abs, n_docs_old, n_docs_new) still report — TV =
     * sum_abs / (2·N·M) in one BigInt line downstream — or run the drift
     * per source shard, which is how a 100 TB report is read anyway. */
   def signalDrift(oldSnap: DataFrame, newSnap: DataFrame,
@@ -97,7 +99,14 @@ object Versioning {
       .groupBy("signal")
       .agg(max("n_o").as("n_docs_old"), max("n_n").as("n_docs_new"),
         sum(abs(col("c_o") * col("n_n") - col("c_n") * col("n_o"))).as("sum_abs"))
+      // tv_ppm guards: an EMPTY snapshot would divide by zero (ANSI mode
+      // throws, killing the whole report), and past the documented
+      // headroom the 10⁶ multiply would overflow — both yield NULL ppm
+      // while the exact rational components still report
       .select(col("signal"), col("n_docs_old"), col("n_docs_new"), col("sum_abs"),
-        expr("(1000000 * sum_abs) div (2 * n_docs_old * n_docs_new)").as("tv_ppm"))
+        expr("CASE WHEN n_docs_old = 0 OR n_docs_new = 0 THEN NULL " +
+          "WHEN sum_abs > 9223372036854 THEN NULL " +
+          "ELSE (1000000 * sum_abs) div (2 * n_docs_old * n_docs_new) END")
+          .as("tv_ppm"))
   }
 }

@@ -156,12 +156,13 @@ object TrainingData {
     * DuckDB's `list_sum` skips them, so the oracle contract excludes
     * malformed vectors identically on both sides (the streaming twin
     * returns a null assignment for the same rows). */
-  private def ppmVectors(spark: SparkSession, dir: String): DataFrame =
+  private def ppmVectors(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorQuant
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000) as bigint))")
-          .as("vp"))
-      .filter(size(col("vp")) > 0 && !exists(col("vp"), _.isNull))
+        VectorQuant.ppmVec(col("embedding")).as("vp"))
+      .filter(VectorQuant.isWellFormedPpm(col("vp")))
+  }
 
   /** Centroid vectors as position-ordered ppm arrays, one row per label —
     * the broadcast side of [[simAssign]]/[[simOutliers]]. */
@@ -624,7 +625,10 @@ object TrainingData {
     graft.operators.Versioning.signalDrift(snapOld(spark, dir), snapNew(spark, dir),
       Seq(
         "len64"    -> expr("n_chars div 64"),
-        "words16"  -> expr(s"CAST(regexp_count(text, '[A-Za-z]+') AS BIGINT) div 16"),
+        // >>4 ≡ div 16 on the non-negative count — keeps the ONE
+        // alphaTokenCount definition instead of re-spelling its regex
+        "words16"  -> shiftright(
+          graft.functions.TextAnalytics.alphaTokenCount(col("text")).cast("long"), 4),
         "badhits"  -> graft.functions.TextAnalytics.blockHits(col("text"))))
       .orderBy("signal")
 
@@ -1514,7 +1518,7 @@ object TrainingData {
     // exact integer TV distance: same sentinel-bucketed histograms, same
     // |c_o·M − c_n·N| rational; all operands non-negative so `//` ≡ `div`
     "ds_drift" -> {
-      val blockList = blockWords.map(s => s"'$s'").mkString("[", ", ", "]")
+      val blockList = blockListSql
       def sigs(src: String) =
         s"""SELECT 'len64' AS signal, coalesce(n_chars // 64, -9223372036854775808) AS bucket FROM $src
            | UNION ALL
@@ -1543,8 +1547,10 @@ object TrainingData {
          | CAST(MAX(n_o) AS BIGINT) AS n_docs_old,
          | CAST(MAX(n_n) AS BIGINT) AS n_docs_new,
          | CAST(SUM(abs(c_o * n_n - c_n * n_o)) AS BIGINT) AS sum_abs,
-         | (1000000 * CAST(SUM(abs(c_o * n_n - c_n * n_o)) AS BIGINT))
-         |   // (2 * CAST(MAX(n_o) AS BIGINT) * CAST(MAX(n_n) AS BIGINT)) AS tv_ppm
+         | CASE WHEN CAST(MAX(n_o) AS BIGINT) = 0 OR CAST(MAX(n_n) AS BIGINT) = 0 THEN NULL
+         |      WHEN CAST(SUM(abs(c_o * n_n - c_n * n_o)) AS BIGINT) > 9223372036854 THEN NULL
+         |      ELSE (1000000 * CAST(SUM(abs(c_o * n_n - c_n * n_o)) AS BIGINT))
+         |   // (2 * CAST(MAX(n_o) AS BIGINT) * CAST(MAX(n_n) AS BIGINT)) END AS tv_ppm
          |FROM t GROUP BY signal ORDER BY signal""".stripMargin
     },
     // BM25 in the same exact fixed-point arithmetic as TextAnalytics.bm25:
@@ -1594,7 +1600,7 @@ object TrainingData {
     // integer floor division both sides (values non-negative, so Spark's
     // truncating `div` ≡ DuckDB's floor `//`)
     "txt_blocklist" -> {
-      val blockList = blockWords.map(s => s"'$s'").mkString("[", ", ", "]")
+      val blockList = blockListSql
       s"""WITH f AS (
          | SELECT doc_id,
          |  len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,

@@ -241,6 +241,14 @@ class TextOpsSpec extends SparkSpec {
     assert(got(3L)._2 > got(2L)._2)           // more occurrences → higher score
     assert(got(2L)._2 > got(4L)._2)           // longer doc → length-normalized down
     assert(got.values.forall(_._2 > 0))       // Lucene idf keeps scores positive
+    // terms outside the kernel's [a-z] alphabet can never match — fail
+    // fast instead of silently scoring zero
+    intercept[IllegalArgumentException] {
+      TextAnalytics.bm25(docs, Seq("Spark"), k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalytics.bm25(docs, Seq("rare", "rare"), k = 5)
+    }
     // fixture query path: full top-k, strictly ordered output
     val rows = graft.queries.TrainingData.txtBm25(spark, sfDir).collect()
     assert(rows.length == 20)

@@ -57,6 +57,17 @@ class KMeansSpec extends SparkSpec {
     assert(counts.values.sum == 2L) // every vector assigned exactly once
   }
 
+  test("ragged corpus: off-width vectors are excluded from the update, no crash") {
+    val ragged = embDF(Seq(
+      1L -> Seq(0.0f, 0.0f), 2L -> Seq(1.0f, 1.0f),
+      3L -> Seq(5.0f, 5.0f, 5.0f))) // wider than the seed dimension
+    val model = KMeans.train(ragged, k = 2, iters = 2)
+    assert(model.centroids.forall(_.length == 2))
+    // the wide vector still gets an assignment (common-prefix distance) but
+    // never corrupts the update sums
+    assert(KMeans.assign(ragged, model).count() == 3)
+  }
+
   test("sim_kmeans artifact: k·dim rows, populations cover the valid corpus") {
     val q = graft.queries.TrainingData.simKmeans(spark, sfDir)
     val rows = q.collect()

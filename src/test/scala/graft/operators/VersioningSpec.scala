@@ -59,6 +59,15 @@ class VersioningSpec extends SparkSpec {
     assert(r.getAs[Long]("tv_ppm") == 500000L)
   }
 
+  test("signalDrift: an empty snapshot reports null tv_ppm, not a div-zero error") {
+    val a = Seq(1L, 2L).toDF("v")
+    val empty = spark.range(0).selectExpr("id AS v")
+    val r = Versioning.signalDrift(a, empty, Seq("v" -> col("v"))).collect().head
+    assert(r.isNullAt(r.fieldIndex("tv_ppm"))) // guarded, exact components intact
+    assert(r.getAs[Long]("n_docs_new") == 0L)
+    assert(r.getAs[Long]("n_docs_old") == 2L)
+  }
+
   test("signalDrift: null signal values pair via the sentinel bucket") {
     val a = Seq[java.lang.Long](null, 1L).toDF("v")
     val b = Seq[java.lang.Long](null, 1L).toDF("v")

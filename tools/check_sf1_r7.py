@@ -7,7 +7,12 @@ txt_signals' committed oracle joins the sf0.01 compress GOLDEN for the
 deflate columns (DuckDB has no zlib), so at sf1 we compare every column
 EXCEPT n_deflate/ratio_ppm, with n_bytes recomputed in SQL.
 
-Usage: check_sf1_r7.py <sfDir> <verifyOutDir>
+Usage: check_sf1_r7.py <sfDir> <verifyOutDir> [query ...]
+
+With explicit query names, only those are checked (a subset Verify run);
+without, the full round-7 target list is required and a missing output is
+a FAILURE (a query that crashed before writing parquet must not pass as
+"skipped").
 """
 import sys, json, glob, os
 import duckdb
@@ -16,6 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from check_oracle import compare_frames  # the one copy of the contract
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
+subset = set(sys.argv[3:])  # empty = full run, every target required
+def wanted(name):
+    return not subset or name in subset
 con = duckdb.connect()
 for t in ["events", "documents", "embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -40,35 +48,41 @@ fails = []
 # use them as-is
 for name in ["sim_assign", "ds_budget_select", "txt_blocklist", "txt_bm25",
              "ds_snapshot_diff", "ds_drift"]:
-    if not compare(name, oracles[name]):
+    if wanted(name) and not compare(name, oracles[name]):
         fails.append(name)
 
 # txt_signals: committed oracle minus the golden-joined deflate columns
-sig = oracles["txt_signals"]
-marker = "cr AS (SELECT doc_id, n_bytes, n_deflate, ratio_ppm"
-assert marker in sig, "txt_signals oracle shape changed — update this script"
-start = sig.index(marker)
-end = sig.index(")", sig.index("read_parquet", start)) + 1
-sig = sig[:start] + ("cr AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes"
-                     " FROM documents") + sig[end:]
-sig = sig.replace(" cr.n_bytes, cr.n_deflate, cr.ratio_ppm,", " cr.n_bytes,")
-# bpe_true joins the sf0.01 txt_bpe GOLDEN (the trained tokenizer is
-# engine-specific — not recomputable in SQL): drop the column and its
-# golden join at sf1; bit-equality with txt_bpe is TxtSignalsSpec's lock
-bt_start = sig.index("bt AS (SELECT doc_id, bpe_tokens AS bpe_true")
-bt_end = sig.index("ec AS (")  # the CTE that follows bt
-sig = sig[:bt_start] + sig[bt_end:]
-sig = sig.replace(",\n bt.bpe_true", "").replace("\nJOIN bt USING (doc_id)", "")
-if not compare("txt_signals", sig, drop_cols=("n_deflate", "ratio_ppm", "bpe_true")):
-    fails.append("txt_signals")
+if wanted("txt_signals"):
+    sig = oracles["txt_signals"]
+    marker = "cr AS (SELECT doc_id, n_bytes, n_deflate, ratio_ppm"
+    assert marker in sig, "txt_signals oracle shape changed — update this script"
+    start = sig.index(marker)
+    end = sig.index(")", sig.index("read_parquet", start)) + 1
+    sig = sig[:start] + ("cr AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes"
+                         " FROM documents") + sig[end:]
+    sig = sig.replace(" cr.n_bytes, cr.n_deflate, cr.ratio_ppm,", " cr.n_bytes,")
+    # bpe_true joins the sf0.01 txt_bpe GOLDEN (the trained tokenizer is
+    # engine-specific — not recomputable in SQL): drop the column and its
+    # golden join at sf1; bit-equality with txt_bpe is TxtSignalsSpec's lock
+    bt_start = sig.index("bt AS (SELECT doc_id, bpe_tokens AS bpe_true")
+    bt_end = sig.index("ec AS (")  # the CTE that follows bt
+    sig = sig[:bt_start] + sig[bt_end:]
+    sig = sig.replace(",\n bt.bpe_true", "").replace("\nJOIN bt USING (doc_id)", "")
+    if not compare("txt_signals", sig,
+                   drop_cols=("n_deflate", "ratio_ppm", "bpe_true")):
+        fails.append("txt_signals")
 
 # rows-only sanity for the golden-pinned queries (values locked at
-# sf0.01); absent output = the query wasn't in this (subset) verify run
+# sf0.01). In a FULL run a missing output is a FAILURE — a query that
+# crashed before writing parquet must not pass as skipped; only an
+# explicit subset request may skip.
 for name, min_rows in [("sim_ann_ivf", 10), ("q23_percentiles_approx", 5),
                        ("sim_kmeans", 512)]:
+    if not wanted(name):
+        continue
     pq = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not pq:
-        print(f"SKIP {name}: not in this verify run"); continue
+        print(f"FAIL {name}: no spark output"); fails.append(name); continue
     n = con.sql(f"SELECT count(*) FROM '{pq[0]}'").fetchone()[0]
     status = "ROWS" if n >= min_rows else "FAIL"
     if status == "FAIL":
