@@ -98,6 +98,36 @@ object KMeans {
     Model(centroids)
   }
 
+  /** Persist a trained model as a versioned artifact — `v<N>/centroids/`
+    * parquet (cluster, pos, c_ppm) behind the same rename-based
+    * `_current` pointer swap as the LSH/IVF/span indexes and the LM/BPE/
+    * importance models: train once (the expensive full-corpus job),
+    * assign many (stream batches, later corpora) against the published
+    * version; readers always resolve a complete model. */
+  def saveModel(spark: SparkSession, model: Model, path: String): Unit = {
+    import spark.implicits._
+    graft.sources.Fs.writeVersioned(spark, path) { vdir =>
+      model.centroids.zipWithIndex.flatMap { case (cp, c) =>
+        cp.zipWithIndex.map { case (v, pos) => (c, pos, v) }
+      }.toSeq.toDF("cluster", "pos", "c_ppm")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/centroids")
+    }
+  }
+
+  /** Load the `_current` version of a persisted model. */
+  def loadModel(spark: SparkSession, path: String): Model = {
+    val vdir = graft.sources.Fs.resolveCurrent(spark, path,
+      s"no k-means model at $path (missing _current pointer — " +
+        "run saveModel first)")
+    val rows = spark.read.parquet(s"$vdir/centroids").collect()
+    require(rows.nonEmpty, s"persisted k-means model at $vdir is empty")
+    val k = rows.iterator.map(_.getInt(0)).max + 1
+    val dim = rows.iterator.map(_.getInt(1)).max + 1
+    val cents = Array.fill(k)(new Array[Long](dim))
+    rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    Model(cents)
+  }
+
   /** Assign every vector to its nearest trained centroid: map-side argmin
     * over the broadcast model (scan → project, no join, no aggregate). */
   def assign(embeddings: DataFrame, model: Model): DataFrame =

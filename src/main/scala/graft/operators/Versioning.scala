@@ -64,6 +64,48 @@ object Versioning {
     * (sum_abs, n_docs_old, n_docs_new) still report — TV =
     * sum_abs / (2·N·M) in one BigInt line downstream — or run the drift
     * per source shard, which is how a 100 TB report is read anyway. */
+  /** Embedding-space drift between two snapshots: per-label centroid shift
+    * as the exact squared L2 distance in integer ppm² — did a class's
+    * representation move between the serving and rebuilt corpus (new
+    * crawl, changed dedup, re-embedded models). Uses THE shared ppm
+    * quantization ([[graft.functions.VectorQuant.ppmVec]]) and the same
+    * truncating-div centroid rule as the sim_centroids family (Spark
+    * `div` ≡ DuckDB integer `//`: both round toward zero, negative sums
+    * included), so the result is oracle-exact on any sign pattern.
+    *
+    * Scale shape: each side reduces via posexplode → partial-agged
+    * (label, pos) sums — |labels|·dim rows regardless of corpus size —
+    * then a label-level join and one tiny aggregate. A label absent on a
+    * side reports null shift (no centroid to compare) with both
+    * populations still counted. Headroom: per-dim diff ≤ ~4·10⁶ ppm on
+    * unit-ish embeddings → d2 ≤ dims·1.6·10¹³ — fine to thousands of
+    * dims. */
+  def embeddingDrift(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    import graft.functions.VectorQuant
+    def cents(df: DataFrame, side: String): DataFrame =
+      df.select(col("label"), VectorQuant.ppmVec(col("embedding")).as("vp"))
+        .filter(VectorQuant.isWellFormedPpm(col("vp")))
+        .select(col("label"), posexplode(col("vp")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(sum("v").as(s"s_$side"), count(lit(1)).as(s"n_$side"))
+    // truncating division on BOTH engines: Spark's `div` and DuckDB's
+    // integer `//` both round toward zero (verified on negatives — DuckDB
+    // -7 // 3 = -2), so the centroid rule is cross-engine exact for
+    // negative component sums too
+    cents(oldSnap, "o").join(cents(newSnap, "n"), Seq("label", "pos"), "full_outer")
+      .select(col("label"),
+        expr("s_o div n_o").as("c_o"), expr("s_n div n_n").as("c_n"),
+        col("n_o"), col("n_n"))
+      .groupBy("label")
+      .agg(
+        coalesce(max("n_o"), lit(0L)).as("n_old"),
+        coalesce(max("n_n"), lit(0L)).as("n_new"),
+        // null on either side (label absent) nulls the whole sum — the
+        // "no centroid to compare" contract
+        sum((col("c_o") - col("c_n")) * (col("c_o") - col("c_n")))
+          .as("shift_d2"))
+  }
+
   def signalDrift(oldSnap: DataFrame, newSnap: DataFrame,
       signals: Seq[(String, Column)]): DataFrame = {
     require(signals.nonEmpty, "at least one signal")

@@ -632,6 +632,19 @@ object TrainingData {
         "badhits"  -> graft.functions.TextAnalytics.blockHits(col("text"))))
       .orderBy("signal")
 
+  /** Embedding-space drift between corpus versions
+    * ([[graft.operators.Versioning.embeddingDrift]]): per-label centroid
+    * shift (exact squared L2 in ppm²) between two membership-shifted
+    * snapshots of the embeddings table — did a class's representation
+    * move across the rebuild. */
+  def simDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    graft.operators.Versioning.embeddingDrift(
+      emb.filter(col("vec_id") % 7 =!= 3),
+      emb.filter(col("vec_id") % 5 =!= 0))
+      .orderBy("label")
+  }
+
   /** Distributed full-corpus k-means ([[graft.operators.KMeans]]): 8
     * clusters, 3 Lloyd iterations over every embedding — the unsupervised
     * counterpart of the label-keyed [[simCentroids]] and the full-data
@@ -1092,6 +1105,7 @@ object TrainingData {
     "ds_snapshot_diff"   -> dsSnapshotDiff _,
     "ds_drift"           -> dsDrift _,
     "sim_kmeans"         -> simKmeans _,
+    "sim_drift"          -> simDrift _,
     "ds_mix_budget"      -> dsMixBudget _,
     "sim_semdedup"       -> ((s: SparkSession, d: String) => simSemdedup(s, d)),
     "ds_importance"      -> dsImportance _,
@@ -1496,6 +1510,34 @@ object TrainingData {
     "txt_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same ppm quantization, same truncating-div centroids (Spark `div` ≡
+    // DuckDB integer `//`, negatives included), 0-based positions via
+    // parallel unnest(range(len))
+    "sim_drift" ->
+      """WITH base AS (
+        | SELECT vec_id, label,
+        |  list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vp
+        | FROM embeddings),
+        |v AS (SELECT * FROM base
+        |      WHERE len(vp) > 0 AND len(list_filter(vp, x -> x IS NULL)) = 0),
+        |oe AS (SELECT label, unnest(vp) AS v, unnest(range(len(vp))) AS pos
+        |       FROM v WHERE vec_id % 7 <> 3),
+        |ne AS (SELECT label, unnest(vp) AS v, unnest(range(len(vp))) AS pos
+        |       FROM v WHERE vec_id % 5 <> 0),
+        |co AS (SELECT label, pos, CAST(SUM(v) AS BIGINT) // COUNT(*) AS c_o,
+        |        CAST(COUNT(*) AS BIGINT) AS n_o
+        |       FROM oe GROUP BY 1, 2),
+        |cn AS (SELECT label, pos, CAST(SUM(v) AS BIGINT) // COUNT(*) AS c_n,
+        |        CAST(COUNT(*) AS BIGINT) AS n_n
+        |       FROM ne GROUP BY 1, 2),
+        |j AS (
+        | SELECT coalesce(co.label, cn.label) AS label, c_o, c_n, n_o, n_n
+        | FROM co FULL JOIN cn ON co.label = cn.label AND co.pos = cn.pos)
+        |SELECT label,
+        | coalesce(MAX(n_o), 0) AS n_old, coalesce(MAX(n_n), 0) AS n_new,
+        | CAST(SUM((c_o - c_n) * (c_o - c_n)) AS BIGINT) AS shift_d2
+        |FROM j GROUP BY label ORDER BY label""".stripMargin,
     // the two snapshot views are inlined CTEs on both sides; status via
     // presence (doc_id never null), content equality null-safe
     "ds_snapshot_diff" ->

@@ -68,6 +68,28 @@ class KMeansSpec extends SparkSpec {
     assert(KMeans.assign(ragged, model).count() == 3)
   }
 
+  test("persisted model: save/load round-trips, versions bump, missing pointer fails fast") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val m1 = KMeans.train(emb, k = 3, iters = 1)
+    val path = java.nio.file.Files.createTempDirectory("kmeans-model").toString
+    intercept[RuntimeException] { KMeans.loadModel(spark, path) }
+    KMeans.saveModel(spark, m1, path)
+    val loaded = KMeans.loadModel(spark, path)
+    assert(loaded.centroids.map(_.toSeq).toSeq == m1.centroids.map(_.toSeq).toSeq)
+    // a retrain publishes v2; readers now resolve the new model
+    val m2 = KMeans.train(emb, k = 3, iters = 2)
+    KMeans.saveModel(spark, m2, path)
+    assert(KMeans.loadModel(spark, path).centroids.map(_.toSeq).toSeq
+      == m2.centroids.map(_.toSeq).toSeq)
+    assert(new java.io.File(path, "v1").exists() &&
+      new java.io.File(path, "v2").exists())
+    // assignment against the loaded artifact ≡ against the in-memory model
+    val a = KMeans.assign(emb, m2).collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val b = KMeans.assign(emb, KMeans.loadModel(spark, path))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(a == b)
+  }
+
   test("sim_kmeans artifact: k·dim rows, populations cover the valid corpus") {
     val q = graft.queries.TrainingData.simKmeans(spark, sfDir)
     val rows = q.collect()

@@ -75,6 +75,30 @@ class VersioningSpec extends SparkSpec {
     assert(r.getAs[Long]("tv_ppm") == 0L) // null==null through the sentinel
   }
 
+  test("embeddingDrift: zero on identical snapshots, exact d2 on a known shift") {
+    val o = Seq((1L, Seq(1.0f, 0.0f), 0), (2L, Seq(3.0f, 0.0f), 0),
+      (3L, Seq(0.5f, 0.5f), 1)).toDF("vec_id", "embedding", "label")
+    val same = Versioning.embeddingDrift(o, o).collect()
+    assert(same.forall(_.getAs[Long]("shift_d2") == 0L))
+    // label 0 centroid moves from (2e6, 0) to (1e6, 0) → d2 = 1e12
+    val n = Seq((1L, Seq(1.0f, 0.0f), 0), (4L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(0.5f, 0.5f), 1)).toDF("vec_id", "embedding", "label")
+    val got = Versioning.embeddingDrift(o, n)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(got(0).getAs[Long]("shift_d2") == 1000000000000L)
+    assert(got(1).getAs[Long]("shift_d2") == 0L)
+  }
+
+  test("embeddingDrift: a label absent on one side reports null shift, populations intact") {
+    val o = Seq((1L, Seq(1.0f), 0), (2L, Seq(2.0f), 7)).toDF("vec_id", "embedding", "label")
+    val n = Seq((1L, Seq(1.0f), 0)).toDF("vec_id", "embedding", "label")
+    val got = Versioning.embeddingDrift(o, n)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(got(7).isNullAt(got(7).fieldIndex("shift_d2")))
+    assert(got(7).getAs[Long]("n_old") == 1L && got(7).getAs[Long]("n_new") == 0L)
+    assert(got(0).getAs[Long]("shift_d2") == 0L)
+  }
+
   test("signalDrift evaluates every signal from ONE scan per side") {
     val q = graft.queries.TrainingData.dsDrift(spark, sfDir)
     val plan = q.queryExecution.executedPlan.toString
