@@ -448,6 +448,58 @@ object Relational {
         expr("approx_percentile(cents, 0.9, 10000)").as("p90_cents"))
       .orderBy("event_type")
 
+  /** EV-anomaly — robust per-type outlier detection: median + MAD over
+    * integer cents, and the count of events past the standard robust
+    * z-threshold (|v−med| > 3.5·1.4826·MAD, carried as the exact integer
+    * inequality 10⁴·|d| > 51891·mad — no floats anywhere). Median and MAD
+    * are EXACT lower-discrete quantiles computed with the ds_thresholds
+    * histogram trick: ONE corpus scan reduces to a (type, cents) value
+    * histogram — the exchange is value-range-bounded, not corpus-sized —
+    * and the median, the deviation histogram, the MAD, and the outlier
+    * count all derive from histogram rows. A per-group sort of raw events
+    * (the textbook percentile plan) never happens. NOTE the histogram is
+    * localCheckpoint-ed — an eager Spark job runs at CALL time (the
+    * packSequences precedent, documented there too); without it each of
+    * the three consumers re-scans the corpus. mad = 0 (≥half the
+    * values tie at the median) degenerates to flagging every off-median
+    * value — the documented MAD convention. */
+  def evAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the histogram feeds THREE consumers (median, deviation/MAD, outlier
+    // count); without materialization each branch re-derives it from its
+    // own corpus scan (4 scans total — observed in the plan audit).
+    // localCheckpoint pins the value-range-bounded rows once (the
+    // packSequences pattern: an eager job at call time, documented) and
+    // every branch reads the checkpoint.
+    val hist = Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .groupBy("event_type", "c").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    def lowerMedian(h: DataFrame, vCol: String): DataFrame = {
+      val w = Window.partitionBy("event_type").orderBy(vCol)
+      val wAll = Window.partitionBy("event_type")
+      h.withColumn("cum", sum("cnt").over(w))
+        .withColumn("n", sum("cnt").over(wAll))
+        .filter(expr("cum >= (n + 1) div 2"))
+        .groupBy("event_type")
+        .agg(min(vCol).as("med"), max("n").as("n"))
+    }
+    val med = lowerMedian(hist, "c")
+      .select(col("event_type"), col("med").as("med_cents"), col("n"))
+    val dev = hist.join(med, Seq("event_type"))
+      .select(col("event_type"), abs(col("c") - col("med_cents")).as("d"), col("cnt"))
+      .groupBy("event_type", "d").agg(sum("cnt").as("cnt"))
+    val mad = lowerMedian(dev, "d")
+      .select(col("event_type"), col("med").as("mad_cents"))
+    hist.join(med, Seq("event_type")).join(mad, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(max("n").as("n_events"), max("med_cents").as("med_cents"),
+        max("mad_cents").as("mad_cents"),
+        sum(when(abs(col("c") - col("med_cents")) * 10000 >
+          col("mad_cents") * 51891, col("cnt")).otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   /** Q24 — ranking-window suite: ntile / percent_rank / cume_dist / lag
     * over per-user event sequences, folded per event type. The ranking
     * ratios are exact doubles computed from the same integers on both
@@ -503,6 +555,7 @@ object Relational {
     "q22_moving_sum"     -> q22MovingSum _,
     "q23_percentiles"    -> q23Percentiles _,
     "q23_percentiles_approx" -> q23PercentilesApprox _,
+    "ev_anomaly" -> evAnomaly _,
     "q24_window_suite"   -> q24WindowSuite _,
     "a7_approx_distinct" -> a7ApproxDistinct _,
   )
@@ -633,6 +686,40 @@ object Relational {
         |FROM p JOIN v
         | ON p.user_id = v.user_id AND v.ts_us >= p.lo_us AND v.ts_us <= p.hi_us
         |GROUP BY 1, 2 ORDER BY purchase_id""".stripMargin,
+    // same histogram-cumsum lower-discrete quantiles, same exact integer
+    // z-inequality (10⁴·|d| > 51891·mad)
+    "ev_anomaly" ->
+      """WITH h AS (
+        | SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        | FROM events GROUP BY 1, 2),
+        |m0 AS (
+        | SELECT event_type, c, cnt,
+        |  SUM(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+        |  SUM(cnt) OVER (PARTITION BY event_type) AS n
+        | FROM h),
+        |med AS (
+        | SELECT event_type, MIN(c) AS med_cents, CAST(MAX(n) AS BIGINT) AS n
+        | FROM m0 WHERE cum >= (n + 1) // 2 GROUP BY 1),
+        |dev AS (
+        | SELECT h.event_type, abs(h.c - med.med_cents) AS d,
+        |  CAST(SUM(h.cnt) AS BIGINT) AS cnt
+        | FROM h JOIN med USING (event_type) GROUP BY 1, 2),
+        |d0 AS (
+        | SELECT event_type, d, cnt,
+        |  SUM(cnt) OVER (PARTITION BY event_type ORDER BY d) AS cum,
+        |  SUM(cnt) OVER (PARTITION BY event_type) AS n
+        | FROM dev),
+        |mad AS (
+        | SELECT event_type, MIN(d) AS mad_cents
+        | FROM d0 WHERE cum >= (n + 1) // 2 GROUP BY 1)
+        |SELECT h.event_type, CAST(MAX(med.n) AS BIGINT) AS n_events,
+        | MAX(med.med_cents) AS med_cents, MAX(mad.mad_cents) AS mad_cents,
+        | CAST(SUM(CASE WHEN abs(h.c - med.med_cents) * 10000
+        |                    > mad.mad_cents * 51891 THEN h.cnt ELSE 0 END) AS BIGINT)
+        |  AS n_outliers
+        |FROM h JOIN med USING (event_type) JOIN mad USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q16_dispersion" ->
       """WITH c AS (
         | SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents

@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** ev_anomaly's robust statistics: hand-computed median/MAD/outlier
+  * counts, including the mad = 0 degeneracy. */
+class AnomalySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: Seq[(String, Double)]) = {
+    val dir = java.nio.file.Files.createTempDirectory("anomaly").toString
+    rows.zipWithIndex
+      .map { case ((t, v), i) =>
+        (i.toLong, new java.sql.Timestamp(1000L * i), i.toLong, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Relational.evAnomaly(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+  }
+
+  test("hand-computed median, MAD, and robust-z outlier count") {
+    // values 1..7 plus outlier 100: med = lower-median of 8 = 4 (cum>=4),
+    // deviations |c-400|: {300,200,100,0,100,200,300,9600} cents ->
+    // dev histogram sorted: 0,100,100,200,200,300,300,9600; mad = 200
+    // (cum at 100 -> 3 < 4.5 -> wait (n+1)//2 = 4; cum: 0:1,100:3,200:5 -> mad=200)
+    // threshold: |d|*10000 > 200*51891 -> |d| > 1037.82 cents -> only 9600
+    val got = run(Seq("a" -> 1.0, "a" -> 2.0, "a" -> 3.0, "a" -> 4.0,
+      "a" -> 5.0, "a" -> 6.0, "a" -> 7.0, "a" -> 100.0))
+    assert(got("a") == ((8L, 400L, 200L, 1L)))
+  }
+
+  test("mad = 0 degeneracy: every off-median value flags") {
+    val got = run(Seq("b" -> 5.0, "b" -> 5.0, "b" -> 5.0, "b" -> 9.0))
+    assert(got("b") == ((4L, 500L, 0L, 1L)))
+  }
+
+  test("per-type independence: types do not contaminate each other") {
+    val got = run(Seq("a" -> 1.0, "a" -> 1.0, "a" -> 1.0,
+      "c" -> 1000.0, "c" -> 1000.0, "c" -> 1000.0))
+    assert(got("a")._2 == 100L && got("c")._2 == 100000L)
+    assert(got("a")._4 == 0L && got("c")._4 == 0L)
+  }
+}

@@ -420,6 +420,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Generate"), p) // membership via the FNV kernel, no explode
   }
 
+  test("ev_anomaly: the corpus is scanned ONCE (checkpointed histogram), no raw-event sort") {
+    // the single parquet scan lives in the eager histogram-checkpoint job;
+    // the audited plan's three quantile/outlier branches all read the
+    // checkpointed value histogram (0 file scans here — before the
+    // checkpoint, each branch re-derived the histogram from its own scan:
+    // 4 corpus reads)
+    val p = planOf("ev_anomaly")
+    assert(countScans(p) == 0, p)
+    assert(!p.contains("percentile"), p) // quantiles via histogram, not sort-based percentile
+  }
+
   test("ds_snapshot_diff: hash-projected before the id join — text never shuffles") {
     val p = planOf("ds_snapshot_diff")
     // the only exchanges carry (doc_id, md5, source, marker) rows; the
