@@ -89,6 +89,13 @@ object TextAnalytics {
   private lazy val markerAndBlockSets: Array[Array[Long]] =
     markerHashSets :+ blockHashSet.head
 
+  /** Row-level blocklist kernel — the SQL-surface twin of [[blockHits]]
+    * (registered as `graft_block_hits`); null in → null out. */
+  def blockHitsKernel(s: String): Integer = {
+    val r = FastHash.markerHits(s, blockHashSet)
+    if (r == null) null else Integer.valueOf(r(0))
+  }
+
   /** Count of alphabetic word runs — the denominator for token-rate
     * signals. Native `regexp_count` (codegen), equal to the number of
     * non-empty [[words]] tokens on ASCII text. */

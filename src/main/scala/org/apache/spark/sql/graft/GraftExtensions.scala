@@ -73,5 +73,7 @@ object GraftExtensions {
     spark.udf.register("graft_simhash", (s: String) => FastHash.simhash(s))
     spark.udf.register("graft_word_ngrams",
       (s: String, n: Int) => graft.operators.Contamination.distinctWordNgrams(s, n))
+    spark.udf.register("graft_block_hits",
+      (s: String) => graft.functions.TextAnalytics.blockHitsKernel(s))
   }
 }

@@ -36,6 +36,11 @@ class NativeExprSpec extends SparkSpec {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("sec")).as[(Long, Long)].head()
     assert(peak == expected)
+
+    // blocklist kernel from SQL: counts match the Column path, null propagates
+    val hits = spark.sql(
+      "SELECT graft_block_hits('one slow big day'), graft_block_hits(NULL)").head()
+    assert(hits.getInt(0) == 2 && hits.isNullAt(1))
   }
 
   test("peak rate aggregate survives partial/merge across partitions") {
