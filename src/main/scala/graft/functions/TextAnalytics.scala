@@ -89,6 +89,11 @@ object TextAnalytics {
   private lazy val markerAndBlockSets: Array[Array[Long]] =
     markerHashSets :+ blockHashSet.head
 
+  /** All four hit classes (en / data / compute / blocklist) in ONE
+    * tokenization pass — what [[signals]] and the corpus card consume. */
+  def markerAndBlockHits(text: Column): Column =
+    FastHash.markerHitsCol(text, markerAndBlockSets)
+
   /** Row-level blocklist kernel — the SQL-surface twin of [[blockHits]]
     * (registered as `graft_block_hits`); null in → null out. */
   def blockHitsKernel(s: String): Integer = {
@@ -395,7 +400,7 @@ object TextAnalytics {
       // one kernel pass counts the three language classes AND the
       // blocklist (4th element) — fusing txt_blocklist costs zero extra
       // tokenizations
-      FastHash.markerHitsCol(t, markerAndBlockSets).as("__hits"),
+      markerAndBlockHits(t).as("__hits"),
       alphaTokenCount(t).cast("int").as("__baw"),
       bpeTokenCount(t).as("bpe_tokens"),
       fingerprint(t).as("fp"),

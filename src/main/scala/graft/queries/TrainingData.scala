@@ -632,6 +632,34 @@ object TrainingData {
         "badhits"  -> graft.functions.TextAnalytics.blockHits(col("text"))))
       .orderBy("signal")
 
+  /** Per-source corpus card ([[graft.functions.TextAnalytics]] kernels in
+    * one pass): the datasheet a corpus release ships — per source, doc and
+    * token counts, exact within-source duplicate count (docs minus
+    * distinct fingerprints), blocklisted-doc count, and the
+    * predicted-English share. One scan, one (source) aggregate (the
+    * count-distinct adds the standard expand — still source-keyed);
+    * every field integer-exact, so the oracle hash-matches. */
+  def dsCorpusCard(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextAnalytics
+    val t = col("text")
+    val hits = TextAnalytics.markerAndBlockHits(t)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars"),
+        TextAnalytics.alphaTokenCount(t).cast("long").as("toks"),
+        element_at(hits, 1).as("en"), element_at(hits, 2).as("da"),
+        element_at(hits, 3).as("co"), element_at(hits, 4).as("bad"),
+        TextAnalytics.fingerprint(t).as("fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum("toks").as("n_tokens"),
+        sum(when(col("bad") > 0, 1L).otherwise(0L)).as("n_bad_docs"),
+        (count(lit(1)) - countDistinct("fp")).as("n_dup_docs"),
+        sum(when(TextAnalytics.langPredict(col("en"), col("da"), col("co")) === "en",
+          1L).otherwise(0L)).as("n_en_docs"))
+      .orderBy("source")
+  }
+
   /** Embedding-space drift between corpus versions
     * ([[graft.operators.Versioning.embeddingDrift]]): per-label centroid
     * shift (exact squared L2 in ppm²) between two membership-shifted
@@ -1106,6 +1134,7 @@ object TrainingData {
     "ds_drift"           -> dsDrift _,
     "sim_kmeans"         -> simKmeans _,
     "sim_drift"          -> simDrift _,
+    "ds_corpus_card"     -> dsCorpusCard _,
     "ds_mix_budget"      -> dsMixBudget _,
     "sim_semdedup"       -> ((s: SparkSession, d: String) => simSemdedup(s, d)),
     "ds_importance"      -> dsImportance _,
@@ -1510,6 +1539,26 @@ object TrainingData {
     "txt_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same kernels as the standalone queries (marker tokenization for
+    // lang/blocklist, [A-Za-z]+ runs for tokens, normalized-md5
+    // fingerprint); COUNT DISTINCT skips nulls on both engines
+    "ds_corpus_card" ->
+      s"""WITH f AS (
+         | SELECT source, n_chars,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS toks,
+         |  len(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> list_contains($enList, w))) AS en,
+         |  len(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> list_contains($dataList, w))) AS da,
+         |  len(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> list_contains($computeList, w))) AS co,
+         |  len(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> list_contains($blockListSql, w))) AS bad,
+         |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         | FROM documents)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         | CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         | CAST(SUM(CASE WHEN bad > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_docs,
+         | CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_dup_docs,
+         | CAST(SUM(CASE WHEN en >= da AND en >= co THEN 1 ELSE 0 END) AS BIGINT) AS n_en_docs
+         |FROM f GROUP BY source ORDER BY source""".stripMargin,
     // same ppm quantization, same truncating-div centroids (Spark `div` ≡
     // DuckDB integer `//`, negatives included), 0-based positions via
     // parallel unnest(range(len))

@@ -420,6 +420,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Generate"), p) // membership via the FNV kernel, no explode
   }
 
+  test("ds_corpus_card: one scan, one source-keyed aggregate with partial combine") {
+    val p = planOf("ds_corpus_card")
+    assert(countScans(p) == 1, p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("ev_anomaly: the corpus is scanned ONCE (checkpointed histogram), no raw-event sort") {
     // the single parquet scan lives in the eager histogram-checkpoint job;
     // the audited plan's three quantile/outlier branches all read the
