@@ -106,27 +106,37 @@ object Versioning {
           .as("shift_d2"))
   }
 
-  def signalDrift(oldSnap: DataFrame, newSnap: DataFrame,
-      signals: Seq[(String, Column)]): DataFrame = {
+  /** The (signal, bucket, c) histogram one snapshot reduces to — ONE
+    * corpus scan for all signals (a union-per-signal would re-scan the
+    * snapshot |signals| times): every bucket expression evaluates in one
+    * projection, explodes to narrow (signal, bucket) rows, and
+    * partial-aggregates before the only exchange. Null signal values
+    * (e.g. null text) get a reserved sentinel bucket: a bare null bucket
+    * would never pair with itself across the full-outer join (SQL null ≠
+    * null in join keys) and double-count. Public so a streaming monitor
+    * can pre-reduce the REFERENCE side once instead of re-scanning it
+    * per micro-batch. */
+  def signalHistogram(df: DataFrame, signals: Seq[(String, Column)]): DataFrame = {
     require(signals.nonEmpty, "at least one signal")
-    def hist(df: DataFrame): DataFrame = {
-      // ONE corpus scan for all signals (a union-per-signal would re-scan
-      // the snapshot |signals| times): every bucket expression evaluates in
-      // one projection, explodes to narrow (signal, bucket) rows, and
-      // partial-aggregates before the only exchange. Null signal values
-      // (e.g. null text) get a reserved sentinel bucket: a bare null
-      // bucket would never pair with itself across the full-outer join
-      // (SQL null ≠ null in join keys) and double-count.
-      val buckets = signals.map { case (name, bucket) =>
-        struct(lit(name).as("signal"),
-          coalesce(bucket.cast("long"), lit(Long.MinValue)).as("bucket"))
-      }
-      df.select(explode(array(buckets: _*)).as("sb"))
-        .select(col("sb.signal").as("signal"), col("sb.bucket").as("bucket"))
-        .groupBy("signal", "bucket").agg(count(lit(1)).as("c"))
+    val buckets = signals.map { case (name, bucket) =>
+      struct(lit(name).as("signal"),
+        coalesce(bucket.cast("long"), lit(Long.MinValue)).as("bucket"))
     }
-    val joined = hist(oldSnap).withColumnRenamed("c", "c_o")
-      .join(hist(newSnap).withColumnRenamed("c", "c_n"),
+    df.select(explode(array(buckets: _*)).as("sb"))
+      .select(col("sb.signal").as("signal"), col("sb.bucket").as("bucket"))
+      .groupBy("signal", "bucket").agg(count(lit(1)).as("c"))
+  }
+
+  def signalDrift(oldSnap: DataFrame, newSnap: DataFrame,
+      signals: Seq[(String, Column)]): DataFrame =
+    driftFromHistograms(signalHistogram(oldSnap, signals),
+      signalHistogram(newSnap, signals))
+
+  /** TV distance from two pre-reduced [[signalHistogram]]s — the shared
+    * tail of the batch query and the per-micro-batch streaming monitor. */
+  def driftFromHistograms(histOld: DataFrame, histNew: DataFrame): DataFrame = {
+    val joined = histOld.withColumnRenamed("c", "c_o")
+      .join(histNew.withColumnRenamed("c", "c_n"),
         Seq("signal", "bucket"), "full_outer")
       .select(col("signal"),
         coalesce(col("c_o"), lit(0L)).as("c_o"),

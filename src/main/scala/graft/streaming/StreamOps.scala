@@ -196,4 +196,32 @@ object StreamOps {
       .withColumn("d2", col("__a.d2"))
       .drop("__a")
   }
+
+  /** Streaming twin of the distribution-drift report
+    * ([[graft.operators.Versioning.signalDrift]], batch-checked as
+    * ds_drift): per micro-batch, the arriving docs are bucketed with the
+    * SAME signal expressions and compared against a REFERENCE histogram
+    * via the shared exact-TV tail ([[graft.operators.Versioning
+    * .driftFromHistograms]]) — the online data-quality tripwire (alert
+    * when an ingest batch stops looking like the corpus it feeds).
+    *
+    * The reference is pre-reduced ONCE (localCheckpoint — it is
+    * bucket-sized) instead of re-scanning the reference corpus every
+    * batch; per-batch cost is one pass over the batch plus a
+    * histogram-level join. Reports go to `onReport(driftDF, batchId)` —
+    * one row per signal, same schema/arithmetic as the batch query, so
+    * the differential (stream report ≡ batch signalDrift of the same
+    * rows) holds bit-exactly. */
+  def driftStream(docs: DataFrame, reference: DataFrame,
+      signals: Seq[(String, org.apache.spark.sql.Column)])
+      (onReport: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Versioning
+    val refHist = Versioning.signalHistogram(reference, signals).localCheckpoint()
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        onReport(Versioning.driftFromHistograms(refHist,
+          Versioning.signalHistogram(batch, signals)), id)
+      }
+      .start()
+  }
 }

@@ -99,6 +99,36 @@ class VersioningSpec extends SparkSpec {
     assert(got(0).getAs[Long]("shift_d2") == 0L)
   }
 
+  test("driftStream: per-batch reports bit-equal the batch signalDrift") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val sigs = Seq("len64" -> expr("n_chars div 64"))
+    val reference = graft.sources.Tables.documents(spark, sfDir)
+      .select("n_chars")
+    val batches = Seq(
+      Seq(10L, 100L, 700L), // batch 0
+      Seq(64L, 64L, 1000L, 2000L)) // batch 1
+    val mem = MemoryStream[Long]
+    val reports = scala.collection.mutable.Map[Long, Seq[String]]()
+    val q = graft.streaming.StreamOps.driftStream(
+      mem.toDF().withColumnRenamed("value", "n_chars"), reference, sigs) {
+      (df, id) => reports.synchronized {
+        reports(id) = df.orderBy("signal").collect().map(_.toString).toSeq
+      }
+    }
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    import spark.implicits._
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val batchForm = graft.operators.Versioning.signalDrift(
+          reference, b.toDF("n_chars"), sigs)
+        .orderBy("signal").collect().map(_.toString).toSeq
+      assert(reports.synchronized(reports(i.toLong)) == batchForm,
+        s"batch $i: stream ≠ batch")
+    }
+  }
+
   test("signalDrift evaluates every signal from ONE scan per side") {
     val q = graft.queries.TrainingData.dsDrift(spark, sfDir)
     val plan = q.queryExecution.executedPlan.toString
