@@ -660,6 +660,45 @@ object TrainingData {
       .orderBy("source")
   }
 
+  /** Train→eval leakage audit over the deterministic hash split
+    * ([[Curation.hashSplit]]): for each held-out split and each identity
+    * (exact normalized fingerprint; order-insensitive bag-of-words
+    * fingerprint — the same fp the streaming curate dedup uses), how many
+    * docs ALSO appear in train. The eval-integrity counterpart of
+    * [[ddContamination]] (which audits against an external benchmark).
+    *
+    * Scale shape: one scan → stacked (kind, fp, split) rows → ONE
+    * (kind, fp) partial-agged aggregate carrying per-split counts + a
+    * has-train flag → a 2-row reduce, then the per-split rows are
+    * exploded from structs (NOT a self-union, which would re-run the
+    * whole lineage once per split). No window, no sort, no join. */
+  def dsSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextAnalytics
+    val t = col("text")
+    val ws = array_remove(split(lower(t), "[^a-z]+"), "")
+    val stacked = Curation.hashSplit(Tables.documents(spark, dir), "doc_id")
+      .select(col("split"), explode(array(
+        struct(lit("exact").as("kind"), TextAnalytics.fingerprint(t).as("fp")),
+        struct(lit("bow").as("kind"),
+          md5(concat_ws(" ", array_sort(array_distinct(ws)))).as("fp")))).as("kf"))
+      .select(col("split"), col("kf.kind").as("kind"), col("kf.fp").as("fp"))
+    val perFp = stacked.groupBy("kind", "fp")
+      .agg(max(when(col("split") === "train", 1L).otherwise(0L)).as("ht"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("nv"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("nt"))
+    perFp.groupBy("kind")
+      .agg(sum("nv").as("nd_val"), sum(col("nv") * col("ht")).as("nl_val"),
+        sum("nt").as("nd_test"), sum(col("nt") * col("ht")).as("nl_test"))
+      .select(col("kind"), explode(array(
+        struct(lit("val").as("split"), col("nd_val").as("n_docs"),
+          col("nl_val").as("n_leaked")),
+        struct(lit("test").as("split"), col("nd_test").as("n_docs"),
+          col("nl_test").as("n_leaked")))).as("r"))
+      .select(col("kind"), col("r.split").as("split"),
+        col("r.n_docs").as("n_docs"), col("r.n_leaked").as("n_leaked"))
+      .orderBy("kind", "split")
+  }
+
   /** Embedding-space drift between corpus versions
     * ([[graft.operators.Versioning.embeddingDrift]]): per-label centroid
     * shift (exact squared L2 in ppm²) between two membership-shifted
@@ -1135,6 +1174,7 @@ object TrainingData {
     "sim_kmeans"         -> simKmeans _,
     "sim_drift"          -> simDrift _,
     "ds_corpus_card"     -> dsCorpusCard _,
+    "ds_split_leakage"   -> dsSplitLeakage _,
     "ds_mix_budget"      -> dsMixBudget _,
     "sim_semdedup"       -> ((s: SparkSession, d: String) => simSemdedup(s, d)),
     "ds_importance"      -> dsImportance _,
@@ -1539,6 +1579,37 @@ object TrainingData {
     "txt_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same split hash, same two fingerprints (normalized-md5 exact; the
+    // curate bag-of-words md5)
+    "ds_split_leakage" ->
+      """WITH b AS (
+        | SELECT
+        |  CASE WHEN ((doc_id % 2147483648 + 2147483648) % 2147483648 * 2654435761) % 4294967296 % 1000 < 800 THEN 'train'
+        |       WHEN ((doc_id % 2147483648 + 2147483648) % 2147483648 * 2654435761) % 4294967296 % 1000 < 900 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_exact,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> w <> ''))),
+        |    ' ')) AS fp_bow
+        | FROM documents),
+        |s AS (
+        | SELECT split, 'exact' AS kind, fp_exact AS fp FROM b
+        | UNION ALL SELECT split, 'bow', fp_bow FROM b),
+        |pf AS (
+        | SELECT kind, fp,
+        |  MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ht,
+        |  SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS nv,
+        |  SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS nt
+        | FROM s GROUP BY 1, 2),
+        |a AS (
+        | SELECT kind,
+        |  CAST(SUM(nv) AS BIGINT) AS nd_val, CAST(SUM(nv * ht) AS BIGINT) AS nl_val,
+        |  CAST(SUM(nt) AS BIGINT) AS nd_test, CAST(SUM(nt * ht) AS BIGINT) AS nl_test
+        | FROM pf GROUP BY 1)
+        |SELECT kind, 'val' AS split, nd_val AS n_docs, nl_val AS n_leaked FROM a
+        |UNION ALL
+        |SELECT kind, 'test', nd_test, nl_test FROM a
+        |ORDER BY kind, split""".stripMargin,
     // same kernels as the standalone queries (marker tokenization for
     // lang/blocklist, [A-Za-z]+ runs for tokens, normalized-md5
     // fingerprint); COUNT DISTINCT skips nulls on both engines

@@ -1,0 +1,39 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.Curation
+
+/** ds_split_leakage semantics: planted cross-split duplicates are
+  * counted under the right identity. */
+class LeakageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("planted bow-duplicate across train/val counts as bow leak only") {
+    // discover where the hash split puts small ids, then plant dups
+    val splits = Curation.hashSplit(
+        spark.range(200).toDF("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trainId = splits.collectFirst { case (id, "train") => id }.get
+    val valId = splits.collectFirst { case (id, "val") => id }.get
+    val testId = splits.collectFirst { case (id, "test") => id }.get
+    val train2 = splits.collectFirst { case (id, "train") if id != trainId => id }.get
+
+    val dir = java.nio.file.Files.createTempDirectory("leak").toString
+    Seq(
+      (trainId, "alpha beta gamma", "en", "s", 10L),
+      (train2, "totally different words", "en", "s", 10L),
+      (valId, "beta  GAMMA alpha", "en", "s", 10L), // bow-dup of train, not exact
+      (testId, "unrelated content entirely", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = TrainingData.dsSplitLeakage(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got(("bow", "val")) == ((1L, 1L)))    // the planted near-dup
+    assert(got(("exact", "val")) == ((1L, 0L)))  // different raw text
+    assert(got(("bow", "test")) == ((1L, 0L)))
+    assert(got(("exact", "test")) == ((1L, 0L)))
+  }
+}

@@ -420,6 +420,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Generate"), p) // membership via the FNV kernel, no explode
   }
 
+  test("ds_split_leakage: one scan, aggregate-only (no window sort, no join)") {
+    val p = planOf("ds_split_leakage")
+    assert(countScans(p) == 1, p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("ds_corpus_card: one scan, one source-keyed aggregate with partial combine") {
     val p = planOf("ds_corpus_card")
     assert(countScans(p) == 1, p)
