@@ -134,6 +134,27 @@ object TextAnalytics {
     lenScore * lit(0.5) + alphaRatio(text) * lit(0.25) + stopwordRatio(text) * lit(0.25)
   }
 
+  /** Lower-cased alphabetic tokens with empties removed — the shared
+    * tokenization under the bag-of-words identity. */
+  def bowWords(text: Column): Column =
+    array_remove(split(lower(text), "[^a-z]+"), "")
+
+  /** Order-insensitive bag-of-words identity: md5 of the sorted distinct
+    * word set — the near-dup fingerprint shared by the curation funnel
+    * (dsCurate), the streaming curate dedup, and the train→eval leakage
+    * audit (ONE definition, so the identity cannot drift between them).
+    * Docs with NO content under this identity (null text, or no
+    * alphabetic tokens at all) get a NULL fingerprint: cross-engine
+    * consistent (DuckDB's md5(NULL) is NULL while Spark's concat_ws
+    * would quietly map a null array to md5("")), and it keeps unrelated
+    * letterless docs ("123" vs "!!!") from colliding on the empty-set
+    * hash and reporting as duplicates of each other. */
+  def bowFingerprint(text: Column): Column = {
+    val ws = bowWords(text)
+    when(text.isNull || size(ws) === 0, lit(null).cast("string"))
+      .otherwise(md5(concat_ws(" ", array_sort(array_distinct(ws)))))
+  }
+
   /** Document fingerprint: md5 over whitespace-normalized, lower-cased text —
     * the exact-dedupe identity (reference: sha-256 element IDs,
     * `/root/reference/pkg/internal/types/element.go:28-37`). */

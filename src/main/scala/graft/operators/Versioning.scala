@@ -42,28 +42,6 @@ object Versioning {
         coalesce(col("__dim_n"), col("__dim_o")).as(dimCol))
   }
 
-  /** Per-signal distribution drift between two snapshots as the exact
-    * total-variation distance over a bucketed signal, in integer ppm:
-    * TV = ½·Σ_b |p_b − q_b|, computed as
-    * floor(10⁶ · Σ_b |c_b·M − d_b·N| / (2·N·M)) with integer counts
-    * (c, d) and totals (N, M) — no floats anywhere, so the oracle is
-    * hash-exact. One number per signal; 0 = identical distributions,
-    * 1e6 = disjoint support.
-    *
-    * `signals` maps signal name → bucketing expression over a snapshot row
-    * (e.g. `floor(n_chars/64)`). Scale shape: each snapshot reduces to a
-    * (signal, bucket, count) table via one partial-agged pass per side —
-    * bucket-sized, not corpus-sized — then a bucket-level outer join and
-    * one tiny aggregate.
-    *
-    * Overflow headroom: sum_abs ≤ 2·N·M, so the ppm convenience column is
-    * exact while 10⁶·sum_abs fits a long — snapshots up to ~1.4M docs per
-    * side (N·M ≲ 4.6×10¹²). Past that bound (and for an empty snapshot,
-    * where TV is undefined) tv_ppm is GUARDED to NULL rather than left to
-    * ANSI-mode overflow/div-zero errors, and the EXACT rational components
-    * (sum_abs, n_docs_old, n_docs_new) still report — TV =
-    * sum_abs / (2·N·M) in one BigInt line downstream — or run the drift
-    * per source shard, which is how a 100 TB report is read anyway. */
   /** Embedding-space drift between two snapshots: per-label centroid shift
     * as the exact squared L2 distance in integer ppm² — did a class's
     * representation move between the serving and rebuilt corpus (new
@@ -76,8 +54,9 @@ object Versioning {
     * Scale shape: each side reduces via posexplode → partial-agged
     * (label, pos) sums — |labels|·dim rows regardless of corpus size —
     * then a label-level join and one tiny aggregate. A label absent on a
-    * side reports null shift (no centroid to compare) with both
-    * populations still counted. Headroom: per-dim diff ≤ ~4·10⁶ ppm on
+    * side — or present with MISMATCHED dimensions (re-embedded corpus) —
+    * reports null shift (no comparable centroid) with both populations
+    * still counted. Headroom: per-dim diff ≤ ~4·10⁶ ppm on
     * unit-ish embeddings → d2 ≤ dims·1.6·10¹³ — fine to thousands of
     * dims. */
   def embeddingDrift(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
@@ -100,10 +79,17 @@ object Versioning {
       .agg(
         coalesce(max("n_o"), lit(0L)).as("n_old"),
         coalesce(max("n_n"), lit(0L)).as("n_new"),
-        // null on either side (label absent) nulls the whole sum — the
-        // "no centroid to compare" contract
+        // EVERY dimension must exist on BOTH sides or the shift is null:
+        // SQL SUM skips null products, so a re-embedded label (64-dim old
+        // vs 128-dim new — the motivating case) would otherwise report a
+        // deflated-but-plausible partial sum as the exact L2 shift. The
+        // min-flag covers both full absence and partial overlap.
+        min(when(col("c_o").isNotNull && col("c_n").isNotNull, 1).otherwise(0))
+          .as("__aligned"),
         sum((col("c_o") - col("c_n")) * (col("c_o") - col("c_n")))
-          .as("shift_d2"))
+          .as("__d2"))
+      .select(col("label"), col("n_old"), col("n_new"),
+        when(col("__aligned") === 1, col("__d2")).as("shift_d2"))
   }
 
   /** The (signal, bucket, c) histogram one snapshot reduces to — ONE
@@ -127,6 +113,27 @@ object Versioning {
       .groupBy("signal", "bucket").agg(count(lit(1)).as("c"))
   }
 
+  /** Per-signal distribution drift between two snapshots as the exact
+    * total-variation distance over a bucketed signal, in integer ppm:
+    * TV = ½·Σ_b |p_b − q_b|, computed as
+    * floor(10⁶ · Σ_b |c_b·M − d_b·N| / (2·N·M)) with integer counts
+    * (c, d) and totals (N, M) — no floats anywhere, so the oracle is
+    * hash-exact. One number per signal; 0 = identical distributions,
+    * 1e6 = disjoint support.
+    *
+    * `signals` maps signal name → bucketing expression over a snapshot row
+    * (e.g. `floor(n_chars/64)`). Scale shape: each snapshot reduces to a
+    * [[signalHistogram]] — bucket-sized, not corpus-sized — then the
+    * bucket-level outer join + tiny aggregate of [[driftFromHistograms]].
+    *
+    * Overflow headroom: sum_abs ≤ 2·N·M, so the ppm convenience column is
+    * exact while 10⁶·sum_abs fits a long — snapshots up to ~1.4M docs per
+    * side (N·M ≲ 4.6×10¹²). Past that bound (and for an empty snapshot,
+    * where TV is undefined) tv_ppm is GUARDED to NULL rather than left to
+    * ANSI-mode overflow/div-zero errors, and the EXACT rational components
+    * (sum_abs, n_docs_old, n_docs_new) still report — TV =
+    * sum_abs / (2·N·M) in one BigInt line downstream — or run the drift
+    * per source shard, which is how a 100 TB report is read anyway. */
   def signalDrift(oldSnap: DataFrame, newSnap: DataFrame,
       signals: Seq[(String, Column)]): DataFrame =
     driftFromHistograms(signalHistogram(oldSnap, signals),

@@ -675,13 +675,16 @@ object TrainingData {
   def dsSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextAnalytics
     val t = col("text")
-    val ws = array_remove(split(lower(t), "[^a-z]+"), "")
+    // docs with no identity under a fingerprint (null fp — e.g. null text,
+    // or letterless text under the bow identity) are not auditable under
+    // that kind and are excluded from its counts; a kind with zero
+    // auditable docs emits no rows at all
     val stacked = Curation.hashSplit(Tables.documents(spark, dir), "doc_id")
       .select(col("split"), explode(array(
         struct(lit("exact").as("kind"), TextAnalytics.fingerprint(t).as("fp")),
-        struct(lit("bow").as("kind"),
-          md5(concat_ws(" ", array_sort(array_distinct(ws)))).as("fp")))).as("kf"))
+        struct(lit("bow").as("kind"), TextAnalytics.bowFingerprint(t).as("fp")))).as("kf"))
       .select(col("split"), col("kf.kind").as("kind"), col("kf.fp").as("fp"))
+      .filter(col("fp").isNotNull)
     val perFp = stacked.groupBy("kind", "fp")
       .agg(max(when(col("split") === "train", 1L).otherwise(0L)).as("ht"),
         sum(when(col("split") === "val", 1L).otherwise(0L)).as("nv"),
@@ -876,11 +879,15 @@ object TrainingData {
     * shuffles are the dedup window and the per-source aggregate. */
   def dsCurate(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ws = array_remove(split(lower(col("text")), "[^a-z]+"), "")
+    import graft.functions.TextAnalytics
+    // the SHARED bow identity (one definition with curateStream and the
+    // leakage audit); no-content docs get a null fp — they group together
+    // under the window exactly as the md5("") sentinel grouped them, and
+    // they can never be quality rows, so the funnel counts are unchanged
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"),
-        size(ws).as("n_words"),
-        md5(concat_ws(" ", array_sort(array_distinct(ws)))).as("fp_bow"))
+        size(TextAnalytics.bowWords(col("text"))).as("n_words"),
+        TextAnalytics.bowFingerprint(col("text")).as("fp_bow"))
       .withColumn("keep_q", col("n_chars") >= 100 && col("n_words") >= 20)
     // ONE corpus scan: ordering quality docs first inside each fp group
     // makes "min doc_id among quality docs of the group" the rn=1 row, so
@@ -1588,13 +1595,18 @@ object TrainingData {
         |       WHEN ((doc_id % 2147483648 + 2147483648) % 2147483648 * 2654435761) % 4294967296 % 1000 < 900 THEN 'val'
         |       ELSE 'test' END AS split,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_exact,
-        |  md5(array_to_string(list_sort(list_distinct(
-        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> w <> ''))),
-        |    ' ')) AS fp_bow
+        |  CASE WHEN text IS NULL OR len(list_filter(
+        |         string_split_regex(lower(text), '[^a-z]+'), w -> w <> '')) = 0
+        |       THEN NULL
+        |       ELSE md5(array_to_string(list_sort(list_distinct(
+        |         list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> w <> ''))),
+        |         ' ')) END AS fp_bow
         | FROM documents),
         |s AS (
-        | SELECT split, 'exact' AS kind, fp_exact AS fp FROM b
-        | UNION ALL SELECT split, 'bow', fp_bow FROM b),
+        | SELECT split, kind, fp FROM (
+        |  SELECT split, 'exact' AS kind, fp_exact AS fp FROM b
+        |  UNION ALL SELECT split, 'bow', fp_bow FROM b)
+        | WHERE fp IS NOT NULL),
         |pf AS (
         | SELECT kind, fp,
         |  MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ht,
@@ -1656,7 +1668,9 @@ object TrainingData {
         | FROM co FULL JOIN cn ON co.label = cn.label AND co.pos = cn.pos)
         |SELECT label,
         | coalesce(MAX(n_o), 0) AS n_old, coalesce(MAX(n_n), 0) AS n_new,
-        | CAST(SUM((c_o - c_n) * (c_o - c_n)) AS BIGINT) AS shift_d2
+        | CASE WHEN MIN(CASE WHEN c_o IS NOT NULL AND c_n IS NOT NULL
+        |                    THEN 1 ELSE 0 END) = 1
+        |      THEN CAST(SUM((c_o - c_n) * (c_o - c_n)) AS BIGINT) END AS shift_d2
         |FROM j GROUP BY label ORDER BY label""".stripMargin,
     // the two snapshot views are inlined CTEs on both sides; status via
     // presence (doc_id never null), content equality null-safe

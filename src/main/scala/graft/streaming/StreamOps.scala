@@ -101,10 +101,13 @@ object StreamOps {
     // caller column named fp_bow/event_time would be silently clobbered
     val clash = docs.columns.filter(c => Seq("fp_bow", "event_time").contains(c.toLowerCase))
     require(clash.isEmpty, s"input columns collide with reserved names: ${clash.mkString(", ")}")
-    val ws = array_remove(split(lower(col("text")), "[^a-z]+"), "")
+    // the SHARED bow identity (TextAnalytics.bowFingerprint — one
+    // definition with dsCurate and the leakage audit); the quality gate
+    // runs first, so the null-fp (no-content) branch is unreachable here
+    val ws = graft.functions.TextAnalytics.bowWords(col("text"))
     docs
       .filter(length(col("text")) >= minChars && size(ws) >= minWords)
-      .withColumn("fp_bow", md5(concat_ws(" ", array_sort(array_distinct(ws)))))
+      .withColumn("fp_bow", graft.functions.TextAnalytics.bowFingerprint(col("text")))
       .withColumn("event_time", eventTime(nsCol))
       .withWatermark("event_time", lateness)
       .dropDuplicatesWithinWatermark(Seq("fp_bow"))

@@ -89,6 +89,16 @@ class VersioningSpec extends SparkSpec {
     assert(got(1).getAs[Long]("shift_d2") == 0L)
   }
 
+  test("embeddingDrift: a re-embedded (dimension-changed) label reports null, not a partial sum") {
+    val o = Seq((1L, Seq(1.0f, 2.0f), 0)).toDF("vec_id", "embedding", "label")
+    val n = Seq((1L, Seq(1.0f, 2.0f, 3.0f), 0)).toDF("vec_id", "embedding", "label")
+    val r = Versioning.embeddingDrift(o, n).collect().head
+    // the first two dims agree exactly — a partial sum would report 0 and
+    // read as "no drift" when the representation actually changed shape
+    assert(r.isNullAt(r.fieldIndex("shift_d2")))
+    assert(r.getAs[Long]("n_old") == 1L && r.getAs[Long]("n_new") == 1L)
+  }
+
   test("embeddingDrift: a label absent on one side reports null shift, populations intact") {
     val o = Seq((1L, Seq(1.0f), 0), (2L, Seq(2.0f), 7)).toDF("vec_id", "embedding", "label")
     val n = Seq((1L, Seq(1.0f), 0)).toDF("vec_id", "embedding", "label")

@@ -21,11 +21,11 @@ class AnomalySpec extends SparkSpec {
   }
 
   test("hand-computed median, MAD, and robust-z outlier count") {
-    // values 1..7 plus outlier 100: med = lower-median of 8 = 4 (cum>=4),
-    // deviations |c-400|: {300,200,100,0,100,200,300,9600} cents ->
-    // dev histogram sorted: 0,100,100,200,200,300,300,9600; mad = 200
-    // (cum at 100 -> 3 < 4.5 -> wait (n+1)//2 = 4; cum: 0:1,100:3,200:5 -> mad=200)
-    // threshold: |d|*10000 > 200*51891 -> |d| > 1037.82 cents -> only 9600
+    // values 1..7 plus outlier 100: n=8, rank (n+1) div 2 = 4; value cum
+    // hits 4 at 400 cents -> med = 400. Deviations |c-400|:
+    // {300,200,100,0,100,200,300,9600}; dev cum: 0->1, 100->3, 200->5 >= 4
+    // -> mad = 200. Threshold: |d|*10000 > 200*51891 -> |d| > 1037.82
+    // cents -> only the 9600 deviation flags
     val got = run(Seq("a" -> 1.0, "a" -> 2.0, "a" -> 3.0, "a" -> 4.0,
       "a" -> 5.0, "a" -> 6.0, "a" -> 7.0, "a" -> 100.0))
     assert(got("a") == ((8L, 400L, 200L, 1L)))

@@ -36,4 +36,31 @@ class LeakageSpec extends SparkSpec {
     assert(got(("bow", "test")) == ((1L, 0L)))
     assert(got(("exact", "test")) == ((1L, 0L)))
   }
+
+  test("no-identity docs are excluded, not collided: null text and letterless never leak") {
+    val splits = Curation.hashSplit(
+        spark.range(200).toDF("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trainId = splits.collectFirst { case (id, "train") => id }.get
+    val valId = splits.collectFirst { case (id, "val") => id }.get
+
+    val dir = java.nio.file.Files.createTempDirectory("leak2").toString
+    Seq(
+      (trainId, null.asInstanceOf[String], "en", "s", 0L), // no identity at all
+      (valId, "123 456 !!!", "en", "s", 11L))              // letterless: no bow identity
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = TrainingData.dsSplitLeakage(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // bow: neither doc has a bow identity -> the kind has nothing to
+    // audit and emits no rows; crucially the letterless val doc is NOT
+    // reported as a leak against the null-text train doc (the old
+    // md5("") sentinel collided them)
+    assert(!got.contains(("bow", "val")) && !got.contains(("bow", "test")))
+    // exact: the letterless doc HAS an exact identity (its raw text);
+    // the null-text train doc has none -> no leak
+    assert(got(("exact", "val")) == ((1L, 0L)))
+  }
 }
