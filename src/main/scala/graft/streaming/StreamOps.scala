@@ -200,6 +200,35 @@ object StreamOps {
       .drop("__a")
   }
 
+  /** Streaming twin of the robust outlier detector
+    * ([[graft.queries.Relational.evAnomaly]], oracle-checked in batch):
+    * flag arriving events against a STATIC (median, MAD) snapshot per
+    * event type — the online tripwire half, with the reference stats
+    * refreshed out-of-band like the centroid/LSH/Bloom snapshots. Same
+    * exact integer rule as the batch query (|cents−med|·10⁴ >
+    * mad·51891), same cents quantization, so a differential against the
+    * batch thresholds holds bit-exactly. Stateless map-side projection:
+    * no join, no state store; an event type absent from the reference
+    * yields a NULL flag (no stats to judge against — distinct from a
+    * confident false). */
+  def anomalyStream(events: DataFrame,
+      reference: Map[String, (Long, Long)]): DataFrame = {
+    require(reference.nonEmpty && reference.size <= 1000000,
+      s"reference snapshot must be non-empty and bounded, got ${reference.size}")
+    val clash = events.columns.filter(c => Seq("cents", "is_outlier").contains(c.toLowerCase))
+    require(clash.isEmpty, s"input columns collide with reserved names: ${clash.mkString(", ")}")
+    val bc = events.sparkSession.sparkContext.broadcast(reference)
+    val flag = udf { (t: String, cents: java.lang.Long) =>
+      if (cents == null) None
+      else bc.value.get(t).map { case (med, mad) =>
+        math.abs(cents - med) * 10000L > mad * 51891L
+      }
+    }
+    events
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withColumn("is_outlier", flag(col("event_type"), col("cents")))
+  }
+
   /** Streaming twin of the distribution-drift report
     * ([[graft.operators.Versioning.signalDrift]], batch-checked as
     * ds_drift): per micro-batch, the arriving docs are bucketed with the

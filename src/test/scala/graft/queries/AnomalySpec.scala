@@ -36,6 +36,48 @@ class AnomalySpec extends SparkSpec {
     assert(got("b") == ((4L, 500L, 0L, 1L)))
   }
 
+  test("anomalyStream: per-event flags match the batch rule bit-exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // reference stats from the batch query over the fixture
+    val ref = graft.queries.Relational.evAnomaly(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val sample = graft.sources.Tables.events(spark, sfDir)
+      .select("event_id", "event_type", "value").limit(200)
+      .as[(Long, String, Double)].collect().toIndexedSeq
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = graft.streaming.StreamOps.anomalyStream(
+      mem.toDF().toDF("event_id", "event_type", "value"), ref)
+      .writeStream.format("memory").queryName("anomaly_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+      val got = spark.table("anomaly_stream")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(3), if (r.isNullAt(4)) null else r.getBoolean(4))).toMap
+      assert(got.size == sample.size)
+      sample.foreach { case (id, t, v) =>
+        val cents = math.round(v * 100)
+        val expected: Any = ref.get(t).map { case (med, mad) =>
+          math.abs(cents - med) * 10000L > mad * 51891L }.getOrElse(null)
+        assert(got(id) == ((cents, expected)), s"event $id")
+      }
+      // unknown type → null flag, not false
+      val mem2 = MemoryStream[(Long, String, Double)]
+      val q2 = graft.streaming.StreamOps.anomalyStream(
+        mem2.toDF().toDF("event_id", "event_type", "value"), ref)
+        .writeStream.format("memory").queryName("anomaly_stream2")
+        .outputMode("append").start()
+      try {
+        mem2.addData((1L, "never_seen_type", 3.0))
+        q2.processAllAvailable()
+        assert(spark.table("anomaly_stream2").collect().head.isNullAt(4))
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("per-type independence: types do not contaminate each other") {
     val got = run(Seq("a" -> 1.0, "a" -> 1.0, "a" -> 1.0,
       "c" -> 1000.0, "c" -> 1000.0, "c" -> 1000.0))
