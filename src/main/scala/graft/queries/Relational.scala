@@ -527,6 +527,65 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** EV-funnel — ordered conversion funnel view → click → purchase within
+    * a 7-day window of the user's FIRST view. Semantics are the greedy
+    * earliest-chain (documented; simpler than ClickHouse windowFunnel's
+    * sliding restart and expressible identically in both engines): t1 =
+    * first view; t2 = first click strictly after t1 and ≤ t1+W; t3 = first
+    * purchase strictly after t2 and ≤ t1+W. Output is ONE summary row:
+    * users reaching each step (cumulative) and the total conversion lag.
+    *
+    * Scale: the three step timestamps are conditional window MINs over the
+    * same partition-by-user spec — one hash exchange on user_id and one
+    * sort serve all three Window nodes, the per-user collapse rides the
+    * SAME partitioning (no second exchange), and the final fold is a
+    * single partial-agged global row. No self-joins: the textbook k-step
+    * funnel-as-k-joins plan re-shuffles the event table per step. */
+  def evFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val winUs = 7L * 86400 * 1000 * 1000
+    val w = Window.partitionBy("user_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts_us") > col("t1") &&
+          col("ts_us") <= col("t1") + winUs, col("ts_us"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts_us") > col("t2") &&
+          col("ts_us") <= col("t1") + winUs, col("ts_us"))).over(w))
+      .groupBy("user_id")
+      .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+      .agg(count(col("t1")).as("n_step1"),
+        count(col("t2")).as("n_step2"),
+        count(col("t3")).as("n_step3"),
+        coalesce(sum(col("t2") - col("t1")), lit(0L)).as("sum_lag2_us"),
+        coalesce(sum(col("t3") - col("t1")), lit(0L)).as("sum_lag3_us"))
+  }
+
+  /** EV-retention — daily cohort retention: users bucketed by the epoch
+    * day of their first event; each (cohort, later-active-day) pair
+    * counts the distinct users still active at that offset. The classic
+    * retention triangle, exact (daily grain — the fixture's 30-day span
+    * gives a full triangle; weekly collapses it to one saturated cohort).
+    *
+    * Scale: the cohort day is a window MIN over partition-by-user (one
+    * exchange, no self-join back to events — the textbook first-seen JOIN
+    * re-shuffles the full table), then distinct (cohort, offset, user)
+    * partial-aggs before the count's second exchange. At 100 TB the
+    * distinct-user set per cell is the irreducible state; cells are
+    * bounded by days², not corpus size. */
+  def evRetention(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000 * 1000
+    val w = Window.partitionBy("user_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), expr("(ts div 1000) div " + dayUs).as("day"))
+      .withColumn("cohort_day", min("day").over(w))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_filter_project" -> q01FilterProject _,
     "q02_string_chain"   -> q02StringChain _,
@@ -556,6 +615,8 @@ object Relational {
     "q23_percentiles"    -> q23Percentiles _,
     "q23_percentiles_approx" -> q23PercentilesApprox _,
     "ev_anomaly" -> evAnomaly _,
+    "ev_funnel"          -> evFunnel _,
+    "ev_retention"       -> evRetention _,
     "q24_window_suite"   -> q24WindowSuite _,
     "a7_approx_distinct" -> a7ApproxDistinct _,
   )
@@ -806,5 +867,47 @@ object Relational {
         |   PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
         | FROM events)
         |WHERE gap_us IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    // greedy earliest-chain funnel, layered conditional window mins (the
+    // same step definition as the Spark plan, step k visible to step k+1
+    // through one CTE layer)
+    "ev_funnel" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |a AS (
+        | SELECT user_id, event_type, ts_us,
+        |  MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+        |   OVER (PARTITION BY user_id) AS t1
+        | FROM e),
+        |b AS (
+        | SELECT user_id, event_type, ts_us, t1,
+        |  MIN(CASE WHEN event_type = 'click' AND ts_us > t1
+        |            AND ts_us <= t1 + 604800000000 THEN ts_us END)
+        |   OVER (PARTITION BY user_id) AS t2
+        | FROM a),
+        |c AS (
+        | SELECT user_id, t1, t2,
+        |  MIN(CASE WHEN event_type = 'purchase' AND ts_us > t2
+        |            AND ts_us <= t1 + 604800000000 THEN ts_us END)
+        |   OVER (PARTITION BY user_id) AS t3
+        | FROM b),
+        |u AS (
+        | SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+        | FROM c GROUP BY 1)
+        |SELECT CAST(COUNT(t1) AS BIGINT) AS n_step1,
+        | CAST(COUNT(t2) AS BIGINT) AS n_step2,
+        | CAST(COUNT(t3) AS BIGINT) AS n_step3,
+        | CAST(coalesce(SUM(t2 - t1), 0) AS BIGINT) AS sum_lag2_us,
+        | CAST(coalesce(SUM(t3 - t1), 0) AS BIGINT) AS sum_lag3_us
+        |FROM u""".stripMargin,
+    "ev_retention" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |c AS (
+        | SELECT user_id, day,
+        |  MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+        | FROM e)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }
