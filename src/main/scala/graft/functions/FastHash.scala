@@ -248,6 +248,38 @@ object FastHash {
     sig
   }
 
+  /** Hashed bag-of-words bucket counts: one tokenization pass (the
+    * [[tokenHashes]] contract — lower-cased alphabetic runs), each token
+    * hashed to `floorMod(splitmix64(fnv), dim)` and counted. Returns the
+    * NONZERO buckets as parallel sorted (idx, count) arrays — the sparse
+    * feature vector the trained quality classifier ([[graft.operators
+    * .Classifier]]) consumes. splitmix64 diffusion matters: raw FNV of
+    * short tokens is low-entropy in the low bits, and a biased modulus
+    * would alias common words into few buckets. null text → null (the
+    * kernel-wide null contract). */
+  def tokenBuckets(text: String, dim: Int): (Array[Int], Array[Int]) = {
+    if (text == null) return null
+    val toks = tokenHashes(text)
+    val dense = new Array[Int](dim)
+    var i = 0
+    while (i < toks.length) {
+      dense(java.lang.Math.floorMod(splitmix64(toks(i)), dim.toLong).toInt) += 1
+      i += 1
+    }
+    var nnz = 0
+    var d = 0
+    while (d < dim) { if (dense(d) != 0) nnz += 1; d += 1 }
+    val idx = new Array[Int](nnz)
+    val cnt = new Array[Int](nnz)
+    var o = 0
+    d = 0
+    while (d < dim) {
+      if (dense(d) != 0) { idx(o) = d; cnt(o) = dense(d); o += 1 }
+      d += 1
+    }
+    (idx, cnt)
+  }
+
   /** 64-bit SimHash over word tokens: bit j = sign of Σ_tokens ±1 by bit j
     * of the token hash. */
   def simhash(text: String): Long = {

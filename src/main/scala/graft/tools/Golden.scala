@@ -86,7 +86,17 @@ object Golden {
     // → bit-stable under any partition layout), lowest-id argmin ties,
     // RNG-free (xxhash64, vec_id)-ordered seed draw, truncating-div
     // centroid updates — every step total-ordered integer math
-    "sim_kmeans")
+    "sim_kmeans",
+    // distilled quality classifier: per-doc float math is row-local
+    // StrictMath (fdlibm — bit-identical on every JVM); cross-row
+    // gradient/loss sums are quantized nanos (longs, associative), so the
+    // trained model — and with it every score — is bit-stable under any
+    // partition layout; ClassifierSpec locks repartition invariance
+    "ds_quality_model",
+    // same bit-stable scoring, total orderings (margin desc + doc_id /
+    // bin): the label-noise queue and the calibration deciles inherit
+    // ds_quality_model's determinism argument
+    "ds_label_noise", "ds_model_calibration")
 
   val sfDir = "/root/testdata/sf0.01"
 

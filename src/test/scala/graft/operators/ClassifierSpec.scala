@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Distilled quality classifier: learnability on a separable synthetic
+  * task, held-out accuracy distilling the real quality heuristic, loss
+  * convergence, layout determinism, artifact round-trip, and the
+  * batch≡stream scoring differential. */
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+  private lazy val label =
+    (graft.functions.TextAnalytics.qualityScore(col("text")) >= 0.55).cast("int")
+
+  test("separable synthetic task: near-perfect accuracy in few passes") {
+    // positive docs say 'alpha', negative docs say 'omega' — one hashed
+    // bucket separates them, so the model must drive it hard positive
+    val rows = (0 until 200).map { i =>
+      if (i % 2 == 0) (i.toLong, "alpha alpha beta common word", 1)
+      else (i.toLong, "omega omega beta common word", 0)
+    }
+    val df = rows.toDF("doc_id", "text", "y")
+    val r = Classifier.train(df, col("y"), dim = 256, iters = 15)
+    val scored = Classifier.scored(df, r.model)
+    val acc = scored.filter(col("predicted") === col("y")).count().toDouble / 200
+    assert(acc == 1.0, s"synthetic accuracy $acc")
+  }
+
+  test("distills the quality heuristic: held-out accuracy >= 0.9") {
+    val labeled = docs.select(col("doc_id"), col("text"), label.as("y"),
+      (pmod(xxhash64(col("doc_id")), lit(5)) =!= 0).as("is_train"))
+    val r = Classifier.train(labeled.filter(col("is_train")), col("y"))
+    val heldOut = Classifier.scored(labeled.filter(!col("is_train")), r.model)
+    val n = heldOut.count()
+    val good = heldOut.filter(col("predicted") === col("y")).count()
+    assert(n > 50, s"held-out slice unexpectedly small: $n")
+    assert(good.toDouble / n >= 0.9, s"held-out accuracy ${good.toDouble / n}")
+  }
+
+  test("training loss converges: final mean loss well under the prior's") {
+    val r = Classifier.train(docs, label, iters = 25)
+    // iteration 0 evaluates the all-zero weights: p=0.5 → loss = ln 2
+    assert(r.lossNanos.head <= 693147181L)
+    assert(r.lossNanos.last < r.lossNanos.head / 2,
+      s"loss did not converge: ${r.lossNanos.head} -> ${r.lossNanos.last}")
+  }
+
+  test("training is bit-stable under input partition layout") {
+    val m1 = Classifier.train(docs.repartition(2), label, iters = 5).model
+    val m2 = Classifier.train(docs.repartition(13), label, iters = 5).model
+    assert(m1.wNanos.toSeq == m2.wNanos.toSeq)
+  }
+
+  test("artifact round-trip: persisted model scores identically") {
+    val dir = java.nio.file.Files.createTempDirectory("clf").toString
+    val r = Classifier.train(docs, label, iters = 5)
+    Classifier.saveModel(spark, r.model, dir)
+    val loaded = Classifier.loadModel(spark, dir)
+    assert(loaded.wNanos.toSeq == r.model.wNanos.toSeq)
+    val a = Classifier.score(docs, r.model).orderBy("doc_id").collect().toSeq
+    val b = Classifier.score(docs, loaded).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("null text scores NULL, not 50%") {
+    val df = Seq((1L, "some words here"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val m = Classifier.Model(8, new Array[Long](10))
+    val rows = Classifier.score(df, m).orderBy("doc_id").collect()
+    assert(!rows(0).isNullAt(1) && rows(0).getInt(2) == 1) // p=0.5 → predicted 1
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
+  }
+
+  test("streaming twin: scored() on a MemoryStream equals the batch scores") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val r = Classifier.train(docs, label, iters = 5)
+    val batch = Classifier.score(docs.limit(50), r.model)
+      .collect().map(x => (x.getLong(0), x.get(1), x.get(2))).toSet
+    val input = MemoryStream[(Long, String)]
+    val rows = docs.limit(50).select("doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    input.addData(rows.toSeq)
+    val q = Classifier.scored(input.toDF().toDF("doc_id", "text"), r.model)
+      .writeStream.format("memory").queryName("clf_stream").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("clf_stream")
+        .select("doc_id", "score_ppm", "predicted")
+        .collect().map(x => (x.getLong(0), x.get(1), x.get(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}

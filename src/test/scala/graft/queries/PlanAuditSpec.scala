@@ -498,6 +498,49 @@ class PlanAuditSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).size >= 1, p)
   }
 
+  test("ev_funnel: one user exchange serves all three step windows AND the per-user collapse") {
+    val p = planOf("ev_funnel")
+    assert(countScans(p) == 1, p)
+    assert(!p.contains("Join"), p)
+    // exactly two exchanges total: hash-by-user (shared by the three
+    // chained Window nodes and the per-user max — a re-shuffle between
+    // window and groupBy(user) would be a regression) + the single-row
+    // global fold
+    assert("Exchange".r.findAllIn(p).size == 2, p)
+    assert("Window".r.findAllIn(p).size == 3, p)
+  }
+
+  test("ev_retention: first-seen is a window, not a self-join back to events") {
+    val p = planOf("ev_retention")
+    assert(countScans(p) == 1, p)
+    assert(!p.contains("Join"), p)
+    // hash-by-user (window + distinct reuse it) + count exchange +
+    // presentation sort — the textbook first-seen JOIN plan would add a
+    // second scan and a join exchange
+    assert("Exchange".r.findAllIn(p).size == 3, p)
+  }
+
+  test("ds_quality_model: scoring is one scan, no join; confusion agg is partial") {
+    val p = planOf("ds_quality_model")
+    assert(countScans(p) == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("ds_label_noise: one scored scan into TakeOrdered — no full sort, no join") {
+    val p = planOf("ds_label_noise")
+    assert(countScans(p) == 1, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("ds_model_calibration: one scored scan, partial-agged decile bins") {
+    val p = planOf("ds_model_calibration")
+    assert(countScans(p) == 1, p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("txt_lang_id/txt_quality: marker counts are kernel UDFs, not interpreted HOFs") {
     Seq("txt_lang_id", "txt_quality").foreach { n =>
       val analyzed = graft.SparkEntry.queries(n)(spark, sfDir).queryExecution.optimizedPlan
