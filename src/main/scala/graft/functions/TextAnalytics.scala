@@ -203,6 +203,28 @@ object TextAnalytics {
   def emailCount(text: Column): Column = regexp_count(text, lit(emailPattern))
   def phoneCount(text: Column): Column = regexp_count(text, lit(phonePattern))
 
+  // ---- Unicode normalization (ingest sanitation pass) ----
+
+  /** Canonical text normalization, the fixed order every consumer shares:
+    * (1) Unicode NFC (combining sequences compose — 'e'+U+0301 → 'é');
+    * (2) NBSP → plain space; (3) strip NON-WHITESPACE control chars
+    * ([\x00-\x08\x0E-\x1F\x7F] — \t \n \x0B \x0C \r survive to step 4);
+    * (4) collapse every whitespace run to one space; (5) trim. Steps 2–5
+    * are the same class semantics in java.util.regex and RE2 (\s =
+    * [ \t\n\x0B\f\r] in both), and both engines implement standard NFC,
+    * so the DuckDB oracle reproduces the transform exactly. Row-local
+    * scalar (no JVM-libm floats anywhere); null in → null out. */
+  def normalizeText(text: Column): Column = {
+    val u = udf { (s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+        .replace('\u00A0', ' ')
+        .replaceAll("[\\x00-\\x08\\x0E-\\x1F\\x7F]", "")
+        .replaceAll("\\s+", " ").trim
+    }
+    u(text)
+  }
+
   // ---- TF-IDF distinctive terms (corpus vocabulary analysis) ----
 
   /** Top-k most distinctive terms per document: rank by (tf desc, df asc,

@@ -82,6 +82,41 @@ object Similarity {
       .select("a_id", "b_id", "cos_sim")
   }
 
+  /** Contrastive hard-negative mining: for each sampled anchor, the k
+    * most-similar vectors with a DIFFERENT label whose cosine lands in
+    * [lo, hi) — similar enough to be hard for metric learning, capped
+    * below near-dup range where a "negative" is usually label noise. The
+    * anchor sample is require-capped (the quadratic-verifier bound) and
+    * BROADCAST with precomputed norms, so the corpus side streams map-side
+    * through one codegen'd dot per (vector, anchor) and the per-anchor
+    * top-k short-circuits via WindowGroupLimit — no corpus self-join, no
+    * full sort. At 100 TB: anchors are the training batch (bounded);
+    * corpus pass count is 1. */
+  def hardNegatives(embeddings: DataFrame, sampleMod: Int, k: Int,
+                    lo: Double, hi: Double): DataFrame = {
+    val dot = graft.plans.VectorExpressions.dotF _
+    import org.apache.spark.sql.expressions.Window
+    val n = embeddings.filter(col("vec_id") % sampleMod === 0)
+      .select("vec_id").limit(Dedup.maxVerifierSample + 1).count()
+    require(n <= Dedup.maxVerifierSample,
+      s"hard-negative anchor sample got $n vectors (cap " +
+        s"${Dedup.maxVerifierSample}); raise sampleMod")
+    def withNorm(df: DataFrame) = df.select(col("vec_id"), col("label"),
+      col("embedding"), sqrt(dot(col("embedding"), col("embedding"))).as("nm"))
+    val anchors = withNorm(embeddings.filter(col("vec_id") % sampleMod === 0))
+      .filter(col("nm") > 0)
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+        col("embedding").as("a_v"), col("nm").as("a_n"))
+    val w = Window.partitionBy("anchor_id").orderBy(desc("cos_sim"), asc("neg_id"))
+    withNorm(embeddings).filter(col("nm") > 0)
+      .join(broadcast(anchors), col("label") =!= col("a_label"))
+      .withColumn("cos_sim", dot(col("embedding"), col("a_v")) / (col("nm") * col("a_n")))
+      .filter(col("cos_sim") >= lo && col("cos_sim") < hi)
+      .select(col("anchor_id"), col("vec_id").as("neg_id"), col("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate candidates at scale: LSH band
     * collision prunes the pair space, then exact cosine on bucket-colliding
     * pairs. Recall < 1 by construction — the same LSH/verify contract as

@@ -458,6 +458,38 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Contrastive hard-negative mining
+    * ([[graft.operators.Similarity.hardNegatives]]): per sampled anchor,
+    * the 5 most-similar OTHER-label vectors with cosine in [0.25, 0.95) —
+    * the metric-learning batch-construction step. Anchors broadcast with
+    * norms; one corpus pass; per-anchor top-k via WindowGroupLimit. */
+  def dsHardNegatives(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.hardNegatives(Tables.embeddings(spark, dir),
+      sampleMod = 10, k = 5, lo = 0.25, hi = 0.95)
+      .orderBy("anchor_id", "rank")
+
+  /** Unicode normalization ([[TextAnalytics.normalizeText]]): documents
+    * get a deterministic mess injected — leading tab, a combining-accent
+    * sequence (e + U+0301, NFC-composes to é), an NBSP, every space
+    * doubled, a BEL control char, trailing double space — and the
+    * normalizer must undo all of it (the txt_redact/txt_html_strip
+    * perturbation pattern: the oracle reproduces both the mess and the
+    * cleanup, so the cross-engine check exercises the full semantics, not
+    * the fixture's clean ASCII). Map-side scalar only; the md5 fingerprint
+    * locks the normalized BYTES, not just the lengths. */
+  def txtNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextAnalytics
+    val messy = concat(lit("\te\u0301\u00a0"),
+      regexp_replace(col("text"), " ", "  "), lit("\u0007  end"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), length(messy).as("n_chars_messy"),
+        TextAnalytics.normalizeText(messy).as("norm"))
+      .select(col("doc_id"), col("n_chars_messy"),
+        length(col("norm")).as("n_chars_norm"),
+        md5(col("norm")).as("norm_fp"))
+      .orderBy("doc_id")
+  }
+
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.charNgramJaccardPairs(Tables.documents(spark, dir), n = 3,
         sampleMod = 10, threshold = 0.6)
@@ -1220,6 +1252,8 @@ object TrainingData {
     "ds_curate"        -> dsCurate _,
     "txt_html_strip"   -> txtHtmlStrip _,
     "txt_redact"       -> txtRedact _,
+    "txt_normalize"    -> txtNormalize _,
+    "ds_hard_negatives" -> dsHardNegatives _,
     "ev_json_extract"  -> evJsonExtract _,
     "sim_cosine_topk"  -> simCosineTopK _,
     "sim_centroids"    -> simCentroids _,
@@ -2237,6 +2271,46 @@ object TrainingData {
         |  regexp_replace(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |  '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted
         |FROM p ORDER BY doc_id""".stripMargin,
+    // same double-cosine contract as dd_embed_exact (index-order double
+    // sums agree across engines); Spark row_number is INT, DuckDB's is
+    // BIGINT — cast
+    "ds_hard_negatives" ->
+      """WITH n AS (
+        | SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                        CAST(embedding AS DOUBLE[]))) AS nm
+        | FROM embeddings),
+        |a AS (
+        | SELECT vec_id AS anchor_id, label AS a_label, v AS a_v, nm AS a_n
+        | FROM n WHERE vec_id % 10 = 0 AND nm > 0),
+        |f AS (
+        | SELECT a.anchor_id, n.vec_id AS neg_id,
+        |  list_dot_product(n.v, a.a_v) / (n.nm * a.a_n) AS cos_sim
+        | FROM n JOIN a ON n.label <> a.a_label
+        | WHERE n.nm > 0),
+        |r AS (
+        | SELECT anchor_id, neg_id, cos_sim,
+        |  CAST(row_number() OVER (PARTITION BY anchor_id
+        |   ORDER BY cos_sim DESC, neg_id) AS INT) AS rank
+        | FROM f WHERE cos_sim >= 0.25 AND cos_sim < 0.95)
+        |SELECT * FROM r WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
+    // the mess is injected with chr() so the SQL file stays ASCII; NFC,
+    // \s (= [ \t\n\x0B\f\r] in RE2 and java.util.regex), and md5 agree
+    // across engines — the fingerprint locks the normalized bytes
+    "txt_normalize" ->
+      """WITH m AS (
+        | SELECT doc_id, chr(9) || 'e' || chr(769) || chr(160) ||
+        |  replace(text, ' ', '  ') || chr(7) || '  end' AS messy
+        | FROM documents),
+        |n AS (
+        | SELECT doc_id, length(messy) AS n_chars_messy,
+        |  trim(regexp_replace(regexp_replace(
+        |   replace(nfc_normalize(messy), chr(160), ' '),
+        |   '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')) AS norm
+        | FROM m)
+        |SELECT doc_id, n_chars_messy, length(norm) AS n_chars_norm,
+        | md5(norm) AS norm_fp
+        |FROM n ORDER BY doc_id""".stripMargin,
     "dd_ngram_jaccard" ->
       """WITH n AS (
         | SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt

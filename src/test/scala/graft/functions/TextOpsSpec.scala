@@ -256,6 +256,26 @@ class TextOpsSpec extends SparkSpec {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("normalizeText: NFC composes, NBSP maps, control strips, runs collapse, trims") {
+    import SparkSpec.session.implicits._
+    val cases = Seq(
+      (1L, "e\u0301tude"),                    // decomposed accent -> NFC
+      (2L, "a\u00a0b"),                       // NBSP -> space
+      (3L, "a\u0007b\u0000c"),               // BEL + NUL stripped, words fuse
+      (4L, "  a \t\n  b\u000bc  "),         // every ws flavor collapses
+      (5L, null.asInstanceOf[String]),        // null in -> null out
+      (6L, "already clean"))
+    val out = cases.toDF("id", "t")
+      .select(col("id"), TextAnalytics.normalizeText(col("t")).as("n"))
+      .orderBy("id").collect().map(r => if (r.isNullAt(1)) null else r.getString(1))
+    assert(out(0) == "\u00e9tude")
+    assert(out(1) == "a b")
+    assert(out(2) == "abc")
+    assert(out(3) == "a b c")
+    assert(out(4) == null)
+    assert(out(5) == "already clean")
+  }
+
   test("marker-hit kernel propagates null for null text (oracle NULL parity)") {
     import SparkSpec.session.implicits._
     assert(FastHash.markerHits(null, Array(Array(1L))) == null)

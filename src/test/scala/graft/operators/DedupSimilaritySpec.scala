@@ -477,4 +477,35 @@ class DedupSimilaritySpec extends SparkSpec {
       .filter(col("clean_text") =!= col("text"))
     assert(joined.count() == 0)
   }
+
+  test("hardNegatives: other-label only, cosine in band, ranks dense from 1") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val out = Similarity.hardNegatives(emb, sampleMod = 10, k = 5,
+      lo = 0.25, hi = 0.95).collect()
+    assert(out.nonEmpty)
+    val labels = emb.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    out.foreach { r =>
+      val (a, nId, cos, rank) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+      assert(labels(a) != labels(nId), s"same-label pair $a/$nId")
+      assert(cos >= 0.25 && cos < 0.95, s"cos $cos out of band")
+      assert(rank >= 1 && rank <= 5)
+    }
+    // per anchor: ranks dense 1..n, cosines non-increasing in rank order
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to rs.length).toSeq)
+      val cs = sorted.map(_.getDouble(2)).toSeq
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
+    }
+    // the quadratic guard trips when the anchor sample exceeds the cap
+    // (synthetic wide table — the fixture is far under the 20k cap)
+    import spark.implicits._
+    val wide = spark.range(Dedup.maxVerifierSample + 10L)
+      .select(col("id").as("vec_id"), lit(0).as("label"),
+        array(lit(1.0f)).as("embedding"))
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(wide, sampleMod = 1, k = 5, lo = 0.25, hi = 0.95)
+    }
+  }
 }

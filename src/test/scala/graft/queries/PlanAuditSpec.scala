@@ -541,6 +541,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("txt_normalize: one scan, map-side scalar only — no shuffle at all") {
+    val p = planOf("txt_normalize")
+    assert(countScans(p) == 1, p)
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+  }
+
+  test("ds_hard_negatives: anchors broadcast, one corpus pass, WindowGroupLimit top-k") {
+    val p = planOf("ds_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("txt_lang_id/txt_quality: marker counts are kernel UDFs, not interpreted HOFs") {
     Seq("txt_lang_id", "txt_quality").foreach { n =>
       val analyzed = graft.SparkEntry.queries(n)(spark, sfDir).queryExecution.optimizedPlan
