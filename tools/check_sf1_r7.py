@@ -89,5 +89,28 @@ for name, min_rows in [("sim_ann_ivf", 10), ("q23_percentiles_approx", 5),
         fails.append(name)
     print(f"{status} {name}: {n} rows")
 
+# late-round-7 additions with pure SQL oracles: the committed oracle runs
+# as-is at sf1 (ds_hard_negatives is the one quadratic here — 2k anchors
+# x 20k vectors at sf1, inside the documented targeted-compare budget)
+for name in ["ev_funnel", "ev_retention", "txt_normalize",
+             "ds_hard_negatives"]:
+    if wanted(name) and name in oracles and not compare(name, oracles[name]):
+        fails.append(name)
+
+# classifier trio: values are golden-pinned at sf0.01 (engine-trained
+# model); at sf1 assert shape sanity — the spec suite owns semantics
+for name, min_rows in [("ds_quality_model", 4), ("ds_label_noise", 1),
+                       ("ds_model_calibration", 5)]:
+    if not wanted(name):
+        continue
+    pq = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not pq:
+        print(f"FAIL {name}: no spark output"); fails.append(name); continue
+    n = con.sql(f"SELECT count(*) FROM '{pq[0]}'").fetchone()[0]
+    status = "ROWS" if n >= min_rows else "FAIL"
+    if status == "FAIL":
+        fails.append(name)
+    print(f"{status} {name}: {n} rows")
+
 print("FAILED:", sorted(set(fails)) if fails else "none")
 sys.exit(1 if fails else 0)
