@@ -205,22 +205,30 @@ object TextAnalytics {
 
   // ---- Unicode normalization (ingest sanitation pass) ----
 
+  // compiled ONCE: replaceAll on String recompiles its Pattern per call,
+  // which on the per-document ingest path is pure wasted CPU
+  private val ctrlPattern =
+    java.util.regex.Pattern.compile("[\\x00-\\x08\\x0B\\x0E-\\x1F\\x7F]")
+  private val wsRunPattern = java.util.regex.Pattern.compile("\\s+")
+
   /** Canonical text normalization, the fixed order every consumer shares:
-    * (1) Unicode NFC (combining sequences compose — 'e'+U+0301 → 'é');
-    * (2) NBSP → plain space; (3) strip NON-WHITESPACE control chars
-    * ([\x00-\x08\x0E-\x1F\x7F] — \t \n \x0B \x0C \r survive to step 4);
-    * (4) collapse every whitespace run to one space; (5) trim. Steps 2–5
-    * are the same class semantics in java.util.regex and RE2 (\s =
-    * [ \t\n\x0B\f\r] in both), and both engines implement standard NFC,
-    * so the DuckDB oracle reproduces the transform exactly. Row-local
-    * scalar (no JVM-libm floats anywhere); null in → null out. */
+    * (1) Unicode NFC (combining sequences compose — 'e'+U+0301 -> 'e'
+    * with acute); (2) NBSP -> plain space; (3) strip control chars
+    * ([\x00-\x08\x0B\x0E-\x1F\x7F] — \x0B is stripped HERE, not
+    * collapsed, because Java's \s includes it while RE2's \s is
+    * [\t\n\f\r ] and does not: stripping it first is what keeps the
+    * two engines identical); (4) collapse every whitespace run (\t \n
+    * \f \r space — the \s members the engines agree on) to one space;
+    * (5) trim. Row-local scalar; null in -> null out. */
   def normalizeText(text: Column): Column = {
     val u = udf { (s: String) =>
       if (s == null) null
-      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
-        .replace('\u00A0', ' ')
-        .replaceAll("[\\x00-\\x08\\x0E-\\x1F\\x7F]", "")
-        .replaceAll("\\s+", " ").trim
+      else {
+        val nfc = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+          .replace('\u00A0', ' ')
+        wsRunPattern.matcher(
+          ctrlPattern.matcher(nfc).replaceAll("")).replaceAll(" ").trim
+      }
     }
     u(text)
   }

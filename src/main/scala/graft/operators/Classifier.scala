@@ -78,11 +78,10 @@ object Classifier {
     var total = 0L
     var j = 0
     while (j < bc._2.length) { total += bc._2(j); j += 1 }
-    val xv =
-      if (total == 0L) new Array[Double](0)
-      else bc._2.map(c => c.toDouble / total)
-    val idx = if (total == 0L) Array.emptyIntArray else bc._1
-    (idx, xv, math.min(text.length / LengthSaturationChars, 1.0))
+    // a token-less doc has EMPTY bucket arrays (tokenBuckets' contract),
+    // so the map below never divides by the zero total
+    (bc._1, bc._2.map(c => c.toDouble / total),
+      math.min(text.length / LengthSaturationChars, 1.0))
   }
 
   /** Featurize: (label, idx[], x[], xlen) rows with null-text /

@@ -761,8 +761,8 @@ object TrainingData {
   /** Distilled quality classifier ([[graft.operators.Classifier]]): label
     * every doc with the expensive signal (qualityScore ≥ 0.55 — near the
     * fixture median, so classes are balanced), train hashed-BOW logistic
-    * regression on the 80% hash-split (pmod(xxhash64(doc_id), 5) ≠ 0 —
-    * the ds_split convention), score EVERY doc with the trained model,
+    * regression on the 80% train slice of the repo split convention
+    * (Curation.hashBucket < 800), score EVERY doc with the trained model,
     * and emit the per-(split, label, prediction) confusion cells with
     * summed scores. Held-out generalization is visible in the is_train=0
     * cells. Golden-locked: quantized-nano gradient sums + StrictMath give
@@ -782,12 +782,16 @@ object TrainingData {
   }
 
   /** The shared labeling: expensive signal (quality ≥ 0.55, near the
-    * fixture median) + the ds_split 80/20 hash convention. */
+    * fixture median) + THE repo split convention
+    * ([[graft.operators.Curation.hashBucket]] < 800 ≡ hashSplit's train
+    * slice — one split definition with ds_split/ds_split_leakage, so a
+    * doc cannot be "train" to the classifier and "test" to the leakage
+    * audit). */
   private def qualityLabeled(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
         (qualityScore(col("text")) >= 0.55).cast("int").as("y"),
-        (pmod(xxhash64(col("doc_id")), lit(5)) =!= 0).cast("int").as("is_train"))
+        (Curation.hashBucket(col("doc_id")) < 800).cast("int").as("is_train"))
 
   /** Train-once-per-corpus memo for the distilled quality model (the
     * media/IVF index pattern): builds + persists on first use, then every
@@ -2306,7 +2310,7 @@ object TrainingData {
         | SELECT doc_id, length(messy) AS n_chars_messy,
         |  trim(regexp_replace(regexp_replace(
         |   replace(nfc_normalize(messy), chr(160), ' '),
-        |   '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')) AS norm
+        |   '[\x00-\x08\x0B\x0E-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')) AS norm
         | FROM m)
         |SELECT doc_id, n_chars_messy, length(norm) AS n_chars_norm,
         | md5(norm) AS norm_fp

@@ -262,7 +262,7 @@ class TextOpsSpec extends SparkSpec {
       (1L, "e\u0301tude"),                    // decomposed accent -> NFC
       (2L, "a\u00a0b"),                       // NBSP -> space
       (3L, "a\u0007b\u0000c"),               // BEL + NUL stripped, words fuse
-      (4L, "  a \t\n  b\u000bc  "),         // every ws flavor collapses
+      (4L, "  a \t\n  b\u000bc \f d  "),   // agreed ws collapses; VT strips
       (5L, null.asInstanceOf[String]),        // null in -> null out
       (6L, "already clean"))
     val out = cases.toDF("id", "t")
@@ -271,7 +271,9 @@ class TextOpsSpec extends SparkSpec {
     assert(out(0) == "\u00e9tude")
     assert(out(1) == "a b")
     assert(out(2) == "abc")
-    assert(out(3) == "a b c")
+    // \x0B is STRIPPED (RE2's \s excludes it — the cross-engine rule),
+    // so 'b'+VT+'c' fuses; \f is agreed whitespace and collapses
+    assert(out(3) == "a bc d")
     assert(out(4) == null)
     assert(out(5) == "already clean")
   }

@@ -30,7 +30,7 @@ class ClassifierSpec extends SparkSpec {
 
   test("distills the quality heuristic: held-out accuracy >= 0.9") {
     val labeled = docs.select(col("doc_id"), col("text"), label.as("y"),
-      (pmod(xxhash64(col("doc_id")), lit(5)) =!= 0).as("is_train"))
+      (Curation.hashBucket(col("doc_id")) < 800).as("is_train"))
     val r = Classifier.train(labeled.filter(col("is_train")), col("y"))
     val heldOut = Classifier.scored(labeled.filter(!col("is_train")), r.model)
     val n = heldOut.count()
@@ -77,11 +77,13 @@ class ClassifierSpec extends SparkSpec {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val r = Classifier.train(docs, label, iters = 5)
-    val batch = Classifier.score(docs.limit(50), r.model)
+    // ONE materialized slice drives both sides: limit without orderBy is
+    // free to pick different rows per evaluation
+    val rows = docs.orderBy("doc_id").limit(50).select("doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    val batch = Classifier.score(rows.toSeq.toDF("doc_id", "text"), r.model)
       .collect().map(x => (x.getLong(0), x.get(1), x.get(2))).toSet
     val input = MemoryStream[(Long, String)]
-    val rows = docs.limit(50).select("doc_id", "text")
-      .collect().map(x => (x.getLong(0), x.getString(1)))
     input.addData(rows.toSeq)
     val q = Classifier.scored(input.toDF().toDF("doc_id", "text"), r.model)
       .writeStream.format("memory").queryName("clf_stream").outputMode("append")

@@ -94,7 +94,12 @@ for name, min_rows in [("sim_ann_ivf", 10), ("q23_percentiles_approx", 5),
 # x 20k vectors at sf1, inside the documented targeted-compare budget)
 for name in ["ev_funnel", "ev_retention", "txt_normalize",
              "ds_hard_negatives"]:
-    if wanted(name) and name in oracles and not compare(name, oracles[name]):
+    if not wanted(name):
+        continue
+    if name not in oracles:  # a silently-missing oracle must not pass
+        print(f"FAIL {name}: no oracle in oracle_sql.json")
+        fails.append(name)
+    elif not compare(name, oracles[name]):
         fails.append(name)
 
 # classifier trio: values are golden-pinned at sf0.01 (engine-trained
