@@ -541,10 +541,15 @@ object Relational {
     * SAME partitioning (no second exchange), and the final fold is a
     * single partial-agged global row. No self-joins: the textbook k-step
     * funnel-as-k-joins plan re-shuffles the event table per step. */
-  def evFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val winUs = 7L * 86400 * 1000 * 1000
+  /** The funnel's conversion window. */
+  val funnelWindowUs: Long = 7L * 86400 * 1000 * 1000
+
+  /** Per-user step timestamps — the funnel frame the summary folds and
+    * the streaming twin ([[graft.streaming.StreamOps.funnelStream]])
+    * must converge to. One row per user: (user_id, t1, t2, t3). */
+  def evFunnelPerUser(events: DataFrame, winUs: Long = funnelWindowUs): DataFrame = {
     val w = Window.partitionBy("user_id")
-    Tables.events(spark, dir)
+    events
       .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
       .withColumn("t1",
         min(when(col("event_type") === "view", col("ts_us"))).over(w))
@@ -556,12 +561,15 @@ object Relational {
           col("ts_us") <= col("t1") + winUs, col("ts_us"))).over(w))
       .groupBy("user_id")
       .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+  }
+
+  def evFunnel(spark: SparkSession, dir: String): DataFrame =
+    evFunnelPerUser(Tables.events(spark, dir))
       .agg(count(col("t1")).as("n_step1"),
         count(col("t2")).as("n_step2"),
         count(col("t3")).as("n_step3"),
         coalesce(sum(col("t2") - col("t1")), lit(0L)).as("sum_lag2_us"),
         coalesce(sum(col("t3") - col("t1")), lit(0L)).as("sum_lag3_us"))
-  }
 
   /** EV-retention — daily cohort retention: users bucketed by the epoch
     * day of their first event; each (cohort, later-active-day) pair

@@ -256,4 +256,57 @@ object StreamOps {
       }
       .start()
   }
+
+  /** A user's live funnel state ([[funnelStream]]): the greedy
+    * view→click→purchase chain timestamps reached so far and the step
+    * count. */
+  final case class FunnelState(user_id: Long, t1: Option[Long],
+      t2: Option[Long], t3: Option[Long], step: Int)
+
+  /** Streaming twin of the conversion funnel
+    * ([[graft.queries.Relational.evFunnel]], oracle-checked in batch):
+    * per-user `mapGroupsWithState` folding arriving events into the
+    * greedy earliest-chain (t1 = first view; t2 = first click after t1
+    * within the window; t3 = first purchase after t2) — the live "where
+    * is this user in the funnel" surface, updated every micro-batch.
+    *
+    * Equivalence contract: batch ≡ stream when each user's events arrive
+    * in event-time order (the per-key ordering a keyed log partition
+    * gives); the within-batch fold sorts by (ts_us, event_type) so a
+    * single batch is always exact. Under cross-batch DISORDER a late
+    * earlier view cannot retract an already-taken t2/t3 — the documented
+    * trade every snapshot-fed twin here makes (the batch query is the
+    * authority; the stream is the monotone online view). State is 3
+    * longs + an int per user, bounded by the active-user cardinality. */
+  def funnelStream(events: DataFrame, winUs: Long =
+      graft.queries.Relational.funnelWindowUs): Dataset[FunnelState] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events
+      .select(col("user_id").cast("long"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Long)],
+         state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(user, None, None, None, 0))
+          // event-time order within the batch (type tiebreak for determinism)
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, tpe, ts) =>
+            if (tpe == "view" && s.t1.isEmpty)
+              s = s.copy(t1 = Some(ts))
+            else if (tpe == "click" && s.t2.isEmpty && s.t1.exists(t1 =>
+              ts > t1 && ts <= t1 + winUs))
+              s = s.copy(t2 = Some(ts))
+            else if (tpe == "purchase" && s.t3.isEmpty && s.t2.exists(ts > _) &&
+              s.t1.exists(ts <= _ + winUs))
+              s = s.copy(t3 = Some(ts))
+          }
+          s = s.copy(step =
+            if (s.t3.isDefined) 3 else if (s.t2.isDefined) 2
+            else if (s.t1.isDefined) 1 else 0)
+          state.update(s)
+          s
+      }
+  }
 }

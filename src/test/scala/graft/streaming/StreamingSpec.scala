@@ -382,4 +382,61 @@ class StreamingSpec extends SparkSpec {
       assert(gotAud == batchAud, "audio stream/batch fingerprint drift")
     } finally { q.stop(); qa.stop() }
   }
+
+  test("funnel stream equals the batch per-user funnel under ordered arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val batch = graft.queries.Relational.evFunnelPerUser(events)
+      .collect().map { r =>
+        def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        r.getLong(0) -> ((opt(1), opt(2), opt(3)))
+      }.toMap
+    // event-time order, split across three micro-batches
+    val rows = events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy("ts", "event_id").as[Ev].collect()
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.funnelStream(mem.toDF())
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      // states only gain fields, so the per-user max over updates IS the
+      // final state
+      val got = spark.table("funnel_stream")
+        .groupBy("user_id").agg(max("t1").as("t1"), max("t2").as("t2"),
+          max("t3").as("t3"))
+        .collect().map { r =>
+          def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+          r.getLong(0) -> ((opt(1), opt(2), opt(3)))
+        }.toMap
+      assert(got.keySet == batch.keySet)
+      got.foreach { case (u, s) => assert(s == batch(u), s"user $u: $s vs ${batch(u)}") }
+    } finally q.stop()
+  }
+
+  test("funnel stream documents the no-retraction contract under disorder") {
+    implicit val sqlCtx = spark.sqlContext
+    val us = 1000L // ns per µs
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.funnelStream(mem.toDF())
+      .writeStream.format("memory").queryName("funnel_disorder")
+      .outputMode("update").start()
+    try {
+      // batch 1: view@100, click@200 -> chain (100, 200)
+      mem.addData(Ev(1, 100 * us, 7, "view", 0), Ev(2, 200 * us, 7, "click", 0))
+      q.processAllAvailable()
+      // batch 2: LATE view@50 — the batch query would re-anchor t1=50;
+      // the stream keeps its monotone chain (the documented trade)
+      mem.addData(Ev(3, 50 * us, 7, "view", 0))
+      q.processAllAvailable()
+      val last = spark.table("funnel_disorder")
+        .groupBy("user_id").agg(max("t1").as("t1"), max("t2").as("t2"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).head
+      assert(last == ((100L, 200L)))
+    } finally q.stop()
+  }
 }
