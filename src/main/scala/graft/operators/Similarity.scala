@@ -82,6 +82,67 @@ object Similarity {
       .select("a_id", "b_id", "cos_sim")
   }
 
+  /** Per-dimension standardization statistics over the well-formed ppm
+    * projection (the [[graft.functions.VectorQuant.ppmVec]] contract —
+    * one quantization rule with the centroid/assign/k-means family):
+    * exact integer (n, mean_ppm, var_ppm2) per dimension, the
+    * preprocessing artifact embedding whitening / PQ codebook training
+    * standardizes against.
+    *
+    * Two corpus passes by design: pass 1 reduces to per-dim (n, Σv) for
+    * the truncated mean; pass 2 sums CENTERED squares — |v−mean| of a
+    * unit-scale embedding is ≤ ~2²¹ ppm, so the long Σ(v−mean)² holds
+    * ~2²¹ rows per dimension per 2⁶³ of headroom (≫ any real shard; a
+    * raw Σv² formulation would overflow long at corpus scale and decimal
+    * division rules diverge across engines). The exploded intermediate is
+    * rows×dim wide — bigger than the corpus — so re-scanning beats
+    * checkpointing it. Stats rows are dim-sized: the pass-2 join
+    * broadcasts. */
+  def whitenStats(embeddings: DataFrame): DataFrame = {
+    val vq = graft.functions.VectorQuant
+    def exploded = embeddings
+      .select(vq.ppmVec(col("embedding")).as("vp"))
+      .filter(vq.isWellFormedPpm(col("vp")))
+      .select(posexplode(col("vp")).as(Seq("pos", "v")))
+    val means = exploded.groupBy("pos")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_ppm"))
+      .select(col("pos"), col("n"), expr("sum_ppm div n").as("mean_ppm"))
+    exploded.join(broadcast(means), Seq("pos"))
+      .groupBy("pos")
+      .agg(max("n").as("n"), max("mean_ppm").as("mean_ppm"),
+        sum((col("v") - col("mean_ppm")) * (col("v") - col("mean_ppm")))
+          .as("css"))
+      .select(col("pos"), col("n"), col("mean_ppm"),
+        expr("css div n").as("var_ppm2"))
+      .orderBy("pos")
+  }
+
+  /** Whiten every vector against a stats snapshot: w = (v − mean)/sd in
+    * integer MILLI-sigma units (sd = floor-sqrt of var_ppm2; a zero-
+    * variance dimension whitens to 0 rather than dividing by zero).
+    * Map-side over the broadcast dim-sized snapshot — scan → project. */
+  def whiten(embeddings: DataFrame, stats: Array[(Int, Long, Long)]): DataFrame = {
+    val vq = graft.functions.VectorQuant
+    val snap = stats.sortBy(_._1).map { case (_, mean, varPpm2) =>
+      (mean, math.sqrt(varPpm2.toDouble).toLong)
+    }
+    val bc = embeddings.sparkSession.sparkContext.broadcast(snap)
+    val whitenU = udf { (vp: Seq[Long]) =>
+      val s = bc.value
+      val out = new Array[Long](vp.length)
+      var i = 0
+      while (i < vp.length) {
+        if (i < s.length && s(i)._2 > 0) out(i) = (vp(i) - s(i)._1) * 1000L / s(i)._2
+        i += 1
+      }
+      out
+    }
+    embeddings
+      .select(col("vec_id"), vq.ppmVec(col("embedding")).as("vp"))
+      .filter(vq.isWellFormedPpm(col("vp")))
+      .select(col("vec_id"), whitenU(col("vp")).as("w_milli"))
+  }
+
   /** Contrastive hard-negative mining: for each sampled anchor, the k
     * most-similar vectors with a DIFFERENT label whose cosine lands in
     * [lo, hi) — similar enough to be hard for metric learning, capped

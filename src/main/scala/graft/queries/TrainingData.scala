@@ -458,6 +458,13 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Per-dimension whitening statistics
+    * ([[graft.operators.Similarity.whitenStats]]): exact integer
+    * (n, mean_ppm, var_ppm2) per embedding dimension — the
+    * standardization artifact, oracle-checked. */
+  def simWhiten(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.whitenStats(Tables.embeddings(spark, dir))
+
   /** Contrastive hard-negative mining
     * ([[graft.operators.Similarity.hardNegatives]]): per sampled anchor,
     * the 5 most-similar OTHER-label vectors with cosine in [0.25, 0.95) —
@@ -1258,6 +1265,7 @@ object TrainingData {
     "txt_redact"       -> txtRedact _,
     "txt_normalize"    -> txtNormalize _,
     "ds_hard_negatives" -> dsHardNegatives _,
+    "sim_whiten"       -> simWhiten _,
     "ev_json_extract"  -> evJsonExtract _,
     "sim_cosine_topk"  -> simCosineTopK _,
     "sim_centroids"    -> simCentroids _,
@@ -2275,6 +2283,26 @@ object TrainingData {
         |  regexp_replace(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |  '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted
         |FROM p ORDER BY doc_id""".stripMargin,
+    // truncated mean then centered long squares — the exact two-pass the
+    // Spark plan runs; `//` is truncating on non-negative operands
+    "sim_whiten" ->
+      """WITH v AS (
+        | SELECT list_transform(embedding,
+        |   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vp
+        | FROM embeddings),
+        |e AS (
+        | SELECT unnest(vp) AS v, generate_subscripts(vp, 1) - 1 AS pos
+        | FROM (SELECT vp FROM v
+        |       WHERE len(vp) > 0 AND len(list_filter(vp, x -> x IS NULL)) = 0)),
+        |m AS (
+        | SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(v) AS BIGINT) // COUNT(*) AS mean_ppm
+        | FROM e GROUP BY 1)
+        |SELECT e.pos, MAX(m.n) AS n, CAST(MAX(m.mean_ppm) AS BIGINT) AS mean_ppm,
+        | CAST(CAST(SUM((e.v - m.mean_ppm) * (e.v - m.mean_ppm)) AS BIGINT)
+        |      // MAX(m.n) AS BIGINT) AS var_ppm2
+        |FROM e JOIN m USING (pos)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // same double-cosine contract as dd_embed_exact (index-order double
     // sums agree across engines); Spark row_number is INT, DuckDB's is
     // BIGINT — cast

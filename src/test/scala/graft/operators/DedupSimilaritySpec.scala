@@ -478,6 +478,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(joined.count() == 0)
   }
 
+  test("whiten standardizes: per-dim mean ~0 and var ~1e6 milli-sigma^2") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val stats = Similarity.whitenStats(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    assert(stats.length == 64)
+    val white = Similarity.whiten(emb, stats)
+      .select(posexplode(col("w_milli")).as(Seq("pos", "w")))
+    val check = white.groupBy("pos")
+      .agg(avg(col("w")).as("m"),
+        avg(col("w") * col("w")).as("msq"))
+      .collect()
+    check.foreach { r =>
+      // whitened mean within 1% of a sigma of zero; E[w^2] ~ 1e6 within 5%
+      assert(math.abs(r.getDouble(1)) < 10, s"pos ${r.getInt(0)} mean ${r.getDouble(1)}")
+      assert(math.abs(r.getDouble(2) - 1e6) < 5e4, s"pos ${r.getInt(0)} var ${r.getDouble(2)}")
+    }
+    // zero-variance dimension whitens to 0, not a divide-by-zero
+    import spark.implicits._
+    val flat = Seq((1L, Seq(2.0f, 5.0f)), (2L, Seq(2.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val fs = Similarity.whitenStats(flat).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    assert(fs(0)._3 == 0L) // dim 0 constant
+    val fw = Similarity.whiten(flat, fs).orderBy("vec_id")
+      .collect().map(_.getSeq[Long](1))
+    assert(fw.forall(_.head == 0L))
+  }
+
   test("hardNegatives: other-label only, cosine in band, ranks dense from 1") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
     val out = Similarity.hardNegatives(emb, sampleMod = 10, k = 5,

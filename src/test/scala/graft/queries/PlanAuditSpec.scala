@@ -541,6 +541,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("sim_whiten: two partial-agged passes, dim-sized stats broadcast back") {
+    val p = planOf("sim_whiten")
+    assert(countScans(p) == 2, p) // the documented two-pass trade
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("txt_normalize: one scan, map-side scalar only — no shuffle at all") {
     val p = planOf("txt_normalize")
     assert(countScans(p) == 1, p)
