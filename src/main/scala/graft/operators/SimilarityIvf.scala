@@ -152,6 +152,61 @@ object SimilarityIvf {
       .limit(k)
   }
 
+  /** Batched contrastive hard-negative mining through the persisted
+    * index — the SCALE path of [[Similarity.hardNegatives]] (which pays
+    * |corpus|×|anchors| exact cosines so a SQL oracle can check it).
+    * Anchors are require-capped, collected with their norms, and each
+    * computes its `nprobe` nearest cells against the index centroids on
+    * the driver; the exploded (cell, anchor) table — |anchors|·nprobe
+    * rows — broadcasts into ONE equi-join on `cell` over the index
+    * vectors, so each vector meets only the anchors probing its cell
+    * (a nprobe/nCells fraction of the brute pair count) and the
+    * per-anchor top-k short-circuits via WindowGroupLimit. Same output
+    * contract as the brute operator; recall < 1 by construction (the
+    * IVF trade), invariant-locked against the brute band set. */
+  def hardNegativesIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+                       anchors: DataFrame, k: Int, lo: Double, hi: Double,
+                       nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val vdir = graft.sources.Fs.resolveCurrent(spark, path,
+      s"no IVF index at $path (missing _current pointer — run buildIndex first)")
+    val centroids = spark.read.parquet(s"$vdir/_centroids")
+      .as[(Int, Seq[Double])].collect().map { case (c, v) => (c, v.toArray) }
+    val aRows = anchors.select(col("vec_id"), col("label"), col("embedding"))
+      .limit(Dedup.maxVerifierSample + 1)
+      .as[(Long, Int, Array[Float])].collect()
+    require(aRows.length <= Dedup.maxVerifierSample,
+      s"anchor set exceeds the cap ${Dedup.maxVerifierSample} — pre-filter anchors")
+    val probe = aRows.flatMap { case (id, label, v) =>
+      val vd = v.map(_.toDouble)
+      var n2 = 0.0; var j = 0
+      while (j < vd.length) { n2 += vd(j) * vd(j); j += 1 }
+      if (n2 <= 0) Seq.empty[(Int, Long, Int, Array[Float], Double)]
+      else centroids.map { case (cell, ctr) =>
+        var d = 0.0; var i = 0
+        val m = math.min(vd.length, ctr.length)
+        while (i < m) { val t = vd(i) - ctr(i); d += t * t; i += 1 }
+        (cell, d)
+      }.sortBy { case (cell, d) => (d, cell) }.take(nprobe)
+        .map { case (cell, _) => (cell, id, label, v, math.sqrt(n2)) }.toSeq
+    }.toSeq
+    val aDf = probe.toDF("cell", "anchor_id", "a_label", "a_v", "a_n")
+    val dot = VectorExpressions.dotF _
+    val w = Window.partitionBy("anchor_id").orderBy(desc("cos_sim"), asc("neg_id"))
+    spark.read.parquet(s"$vdir/vectors")
+      .join(broadcast(aDf), Seq("cell"))
+      .filter(col("label") =!= col("a_label"))
+      .withColumn("nm", sqrt(dot(col("embedding"), col("embedding"))))
+      .filter(col("nm") > 0)
+      .withColumn("cos_sim",
+        dot(col("embedding"), col("a_v")) / (col("nm") * col("a_n")))
+      .filter(col("cos_sim") >= lo && col("cos_sim") < hi)
+      .select(col("anchor_id"), col("vec_id").as("neg_id"), col("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** ANN top-k: scan only the `nprobe` cells nearest to the query vector. */
   def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
               nCells: Int = 16, nprobe: Int = 4): DataFrame = {

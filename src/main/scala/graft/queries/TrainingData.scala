@@ -458,6 +458,23 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Hard negatives through the persisted IVF index
+    * ([[SimilarityIvf.hardNegativesIvf]]) — the scale path of
+    * [[dsHardNegatives]]: each vector meets only the anchors probing its
+    * cell (nprobe/nCells of the brute pair count). Golden-locked: the
+    * index is bit-stable (sim_ann_ivf's argument) and the cosine/rank
+    * math is row-local with a total order; the recall-vs-brute invariant
+    * lives in IvfSpec. */
+  def dsHardNegativesIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val path = memoizedIndex(dir, "ivf") { p =>
+      SimilarityIvf.buildIndex(emb, p, nCells = 16)
+    }
+    SimilarityIvf.hardNegativesIvf(spark, path,
+      emb.filter(col("vec_id") % 10 === 0), k = 5, lo = 0.25, hi = 0.95)
+      .orderBy("anchor_id", "rank")
+  }
+
   /** Per-dimension whitening statistics
     * ([[graft.operators.Similarity.whitenStats]]): exact integer
     * (n, mean_ppm, var_ppm2) per embedding dimension — the
@@ -1266,6 +1283,7 @@ object TrainingData {
     "txt_normalize"    -> txtNormalize _,
     "ds_hard_negatives" -> dsHardNegatives _,
     "sim_whiten"       -> simWhiten _,
+    "ds_hard_negatives_ivf" -> dsHardNegativesIvf _,
     "ev_json_extract"  -> evJsonExtract _,
     "sim_cosine_topk"  -> simCosineTopK _,
     "sim_centroids"    -> simCentroids _,

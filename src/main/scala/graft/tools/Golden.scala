@@ -96,7 +96,12 @@ object Golden {
     // same bit-stable scoring, total orderings (margin desc + doc_id /
     // bin): the label-noise queue and the calibration deciles inherit
     // ds_quality_model's determinism argument
-    "ds_label_noise", "ds_model_calibration")
+    "ds_label_noise", "ds_model_calibration",
+    // IVF-probed hard negatives: the persisted index is bit-stable
+    // (sim_ann_ivf's fixed-point argument), probe-cell ranking is a
+    // total order on the driver, per-pair cosine is row-local, and the
+    // (cos desc, neg_id) rank order is total
+    "ds_hard_negatives_ivf")
 
   val sfDir = "/root/testdata/sf0.01"
 

@@ -116,4 +116,30 @@ class IvfSpec extends SparkSpec {
     val probedCells = out.map(_.getAs[Int]("cell")).toSet
     assert(probedCells.size <= 2)
   }
+
+  test("IVF hard negatives: subset of the brute band set, decent recall, valid pairs") {
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, dir)
+    // brute BAND SET per anchor (no top-k cut): the universe any probe
+    // path must draw from
+    val brute = Similarity.hardNegatives(emb, sampleMod = 10, k = Int.MaxValue,
+      lo = 0.25, hi = 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteTop = Similarity.hardNegatives(emb, sampleMod = 10, k = 5,
+      lo = 0.25, hi = 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = graft.queries.TrainingData.dsHardNegativesIvf(spark, dir).collect()
+    val labels = emb.select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    ivf.foreach { r =>
+      val (a, n, cos) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(brute.contains((a, n)), s"IVF pair ($a,$n) not in the brute band set")
+      assert(labels(a) != labels(n) && cos >= 0.25 && cos < 0.95)
+    }
+    // recall@5 vs the brute top-5 across anchors — nprobe=4 of 16 cells
+    // must recover well over half of the true hard negatives
+    val ivfPairs = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bruteTop & ivfPairs).size.toDouble / bruteTop.size
+    assert(recall >= 0.6, s"recall@5 $recall")
+  }
 }
