@@ -105,7 +105,8 @@ for name in ["ev_funnel", "ev_retention", "txt_normalize",
 # classifier trio: values are golden-pinned at sf0.01 (engine-trained
 # model); at sf1 assert shape sanity — the spec suite owns semantics
 for name, min_rows in [("ds_quality_model", 4), ("ds_label_noise", 1),
-                       ("ds_model_calibration", 5)]:
+                       ("ds_model_calibration", 5),
+                       ("ds_hard_negatives_ivf", 1000)]:
     if not wanted(name):
         continue
     pq = glob.glob(f"{out_dir}/{name}/*.parquet")
