@@ -594,6 +594,33 @@ object Relational {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** EV-trending — recency-decayed activity ranking: each event weighs
+    * 2^-(age/half-life) of a fresh one, with age anchored to the stream's
+    * max event time and a one-day half-life. The decay is EXACT integer
+    * halving (weight_ppm = 10⁶ >> min(age div halfLife, 62)) — a float
+    * exp() would hang the oracle on libm ulps, and step-halving ranks
+    * identically to the smooth curve at this grain. The trending view a
+    * feed/ops dashboard sorts by.
+    *
+    * Scale: one corpus scan; the max-ts anchor is a 1-row aggregate
+    * broadcast back (the txt_bm25 stats pattern — no window over an
+    * unpartitioned frame, which would funnel the corpus through one
+    * task); per-type partial aggs before the one narrow exchange. */
+  def evTrending(spark: SparkSession, dir: String): DataFrame = {
+    val halfLifeUs = 86400L * 1000 * 1000
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts div 1000").as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val anchor = ev.agg(max("ts_us").as("t_ref"))
+    ev.crossJoin(broadcast(anchor))
+      .withColumn("w_ppm", expr(
+        s"shiftright(1000000L, cast(least((t_ref - ts_us) div $halfLifeUs, 62) as int))"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("w_ppm").as("trend_ppm"),
+        sum(col("w_ppm") * col("cents")).as("trend_cents_ppm"))
+      .orderBy(desc("trend_ppm"), asc("event_type"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_filter_project" -> q01FilterProject _,
     "q02_string_chain"   -> q02StringChain _,
@@ -625,6 +652,7 @@ object Relational {
     "ev_anomaly" -> evAnomaly _,
     "ev_funnel"          -> evFunnel _,
     "ev_retention"       -> evRetention _,
+    "ev_trending"        -> evTrending _,
     "q24_window_suite"   -> q24WindowSuite _,
     "a7_approx_distinct" -> a7ApproxDistinct _,
   )
@@ -907,6 +935,22 @@ object Relational {
         | CAST(coalesce(SUM(t2 - t1), 0) AS BIGINT) AS sum_lag2_us,
         | CAST(coalesce(SUM(t3 - t1), 0) AS BIGINT) AS sum_lag3_us
         |FROM u""".stripMargin,
+    // integer halving decay: `>>` on BIGINT in DuckDB == Spark shiftright;
+    // ages are non-negative so `div` ≡ `//`
+    "ev_trending" ->
+      """WITH e AS (
+        | SELECT event_type, epoch_us(ts) AS ts_us,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |a AS (SELECT MAX(ts_us) AS t_ref FROM e)
+        |SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(1000000 AS BIGINT)
+        |   >> CAST(LEAST((t_ref - ts_us) // 86400000000, 62) AS INT)) AS BIGINT)
+        |  AS trend_ppm,
+        | CAST(SUM((CAST(1000000 AS BIGINT)
+        |   >> CAST(LEAST((t_ref - ts_us) // 86400000000, 62) AS INT)) * cents) AS BIGINT)
+        |  AS trend_cents_ppm
+        |FROM e CROSS JOIN a
+        |GROUP BY 1 ORDER BY trend_ppm DESC, event_type""".stripMargin,
     "ev_retention" ->
       """WITH e AS (
         | SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),

@@ -527,6 +527,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("ev_trending: one corpus scan, 1-row anchor broadcast, partial-agged types") {
+    val p = planOf("ev_trending")
+    assert(countScans(p) <= 2, p) // corpus + the 1-row anchor branch
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
+  }
+
   test("ds_label_noise: one scored scan into TakeOrdered — no full sort, no join") {
     val p = planOf("ds_label_noise")
     assert(countScans(p) == 1, p)
