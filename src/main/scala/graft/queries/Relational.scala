@@ -621,6 +621,26 @@ object Relational {
       .orderBy(desc("trend_ppm"), asc("event_type"))
   }
 
+  /** EV-transitions — first-order path analysis: per-user event-type
+    * transition counts (the Markov chain a journey/funnel designer reads)
+    * with the conditional probability in exact integer ppm. lag over the
+    * total (ts_us, event_id) per-user order — ONE user exchange, the
+    * transition fold partial-aggs on top; probabilities derive from the
+    * same aggregate rows (a window over the counts, no re-scan). */
+  def evTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").as("ts_us"))
+      .withColumn("from_type", lag("event_type", 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_ppm",
+        expr("n * 1000000 div sum(n) over (partition by from_type)"))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_filter_project" -> q01FilterProject _,
     "q02_string_chain"   -> q02StringChain _,
@@ -653,6 +673,7 @@ object Relational {
     "ev_funnel"          -> evFunnel _,
     "ev_retention"       -> evRetention _,
     "ev_trending"        -> evTrending _,
+    "ev_transitions"     -> evTransitions _,
     "q24_window_suite"   -> q24WindowSuite _,
     "a7_approx_distinct" -> a7ApproxDistinct _,
   )
@@ -935,6 +956,19 @@ object Relational {
         | CAST(coalesce(SUM(t2 - t1), 0) AS BIGINT) AS sum_lag2_us,
         | CAST(coalesce(SUM(t3 - t1), 0) AS BIGINT) AS sum_lag3_us
         |FROM u""".stripMargin,
+    "ev_transitions" ->
+      """WITH t AS (
+        | SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+        |  LAG(event_type) OVER (PARTITION BY user_id
+        |   ORDER BY epoch_us(ts), event_id) AS from_type
+        | FROM events),
+        |c AS (
+        | SELECT from_type, event_type AS to_type, COUNT(*) AS n
+        | FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        | CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+        |  AS p_ppm
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
     // integer halving decay: `>>` on BIGINT in DuckDB == Spark shiftright;
     // ages are non-negative so `div` ≡ `//`
     "ev_trending" ->

@@ -535,6 +535,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
   }
 
+  test("ev_transitions: one user exchange, partial-agged pairs, no join") {
+    val p = planOf("ev_transitions")
+    assert(countScans(p) == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("ds_label_noise: one scored scan into TakeOrdered — no full sort, no join") {
     val p = planOf("ds_label_noise")
     assert(countScans(p) == 1, p)

@@ -93,7 +93,8 @@ for name, min_rows in [("sim_ann_ivf", 10), ("q23_percentiles_approx", 5),
 # as-is at sf1 (ds_hard_negatives is the one quadratic here — 2k anchors
 # x 20k vectors at sf1, inside the documented targeted-compare budget)
 for name in ["ev_funnel", "ev_retention", "txt_normalize",
-             "ds_hard_negatives", "sim_whiten", "ev_trending"]:
+             "ds_hard_negatives", "sim_whiten", "ev_trending",
+             "ev_transitions"]:
     if not wanted(name):
         continue
     if name not in oracles:  # a silently-missing oracle must not pass
