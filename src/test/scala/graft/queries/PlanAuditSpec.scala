@@ -535,6 +535,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
   }
 
+  test("ds_hard_negatives_ivf: cell equi-join broadcast, WindowGroupLimit top-k") {
+    val p = planOf("ds_hard_negatives_ivf")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("ev_transitions: one user exchange, partial-agged pairs, no join") {
     val p = planOf("ev_transitions")
     assert(countScans(p) == 1, p)
