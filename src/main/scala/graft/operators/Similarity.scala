@@ -123,8 +123,15 @@ object Similarity {
     * Map-side over the broadcast dim-sized snapshot — scan → project. */
   def whiten(embeddings: DataFrame, stats: Array[(Int, Long, Long)]): DataFrame = {
     val vq = graft.functions.VectorQuant
-    val snap = stats.sortBy(_._1).map { case (_, mean, varPpm2) =>
-      (mean, math.sqrt(varPpm2.toDouble).toLong)
+    // index by POS, not array order: a filtered/non-contiguous snapshot
+    // mapped positionally would standardize every dimension against the
+    // wrong stats with no error
+    require(stats.map(_._1).sorted.toSeq == stats.indices,
+      s"stats must cover positions 0..${stats.length - 1} exactly — " +
+        "got " + stats.map(_._1).sorted.mkString(","))
+    val snap = new Array[(Long, Long)](stats.length)
+    stats.foreach { case (pos, mean, varPpm2) =>
+      snap(pos) = (mean, math.sqrt(varPpm2.toDouble).toLong)
     }
     val bc = embeddings.sparkSession.sparkContext.broadcast(snap)
     val whitenU = udf { (vp: Seq[Long]) =>
@@ -168,10 +175,25 @@ object Similarity {
       .filter(col("nm") > 0)
       .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
         col("embedding").as("a_v"), col("nm").as("a_n"))
+    rankHardNegatives(
+      withNorm(embeddings).filter(col("nm") > 0)
+        .join(broadcast(anchors), col("label") =!= col("a_label")),
+      k, lo, hi)
+  }
+
+  /** The ONE copy of the hard-negative output stage — cosine, band
+    * filter, per-anchor top-k — shared by the brute pass and the
+    * IVF-probed path ([[SimilarityIvf.hardNegativesIvf]]) so the two can
+    * never drift on the contract the subset/recall invariants assume.
+    * `cands` carries (anchor_id, vec_id, embedding, nm, a_v, a_n). */
+  private[operators] def rankHardNegatives(cands: DataFrame, k: Int,
+      lo: Double, hi: Double): DataFrame = {
+    val dot = graft.plans.VectorExpressions.dotF _
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("anchor_id").orderBy(desc("cos_sim"), asc("neg_id"))
-    withNorm(embeddings).filter(col("nm") > 0)
-      .join(broadcast(anchors), col("label") =!= col("a_label"))
-      .withColumn("cos_sim", dot(col("embedding"), col("a_v")) / (col("nm") * col("a_n")))
+    cands
+      .withColumn("cos_sim",
+        dot(col("embedding"), col("a_v")) / (col("nm") * col("a_n")))
       .filter(col("cos_sim") >= lo && col("cos_sim") < hi)
       .select(col("anchor_id"), col("vec_id").as("neg_id"), col("cos_sim"))
       .withColumn("rank", row_number().over(w))

@@ -125,21 +125,37 @@ object SimilarityIvf {
     * cells by centroid distance, scan only the best `nprobe` PARTITIONS,
     * exact cosine re-rank. `excludeIds` drops result rows (e.g. the query
     * vector itself when it is part of the corpus) BEFORE the top-k cut. */
-  def probeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                 queryVec: Array[Float], k: Int, nprobe: Int,
-                 excludeIds: Seq[Long] = Nil): DataFrame = {
+  /** Resolve the `_current` index version and load its centroid table —
+    * the ONE copy of the layout/error contract for every probe path. */
+  private def resolveWithCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): (String, Array[(Int, Array[Double])]) = {
     import spark.implicits._
     val vdir = graft.sources.Fs.resolveCurrent(spark, path,
       s"no IVF index at $path (missing _current pointer — " +
         "run buildIndex first)")
-    val centroids = spark.read.parquet(s"$vdir/_centroids")
-      .as[(Int, Seq[Double])].collect().map { case (c, v) => (c, v.toArray) }
-    val qd = queryVec.map(_.toDouble)
-    val probeCells = centroids.map { case (cell, ctr) =>
+    (vdir, spark.read.parquet(s"$vdir/_centroids")
+      .as[(Int, Seq[Double])].collect().map { case (c, v) => (c, v.toArray) })
+  }
+
+  /** The `nprobe` nearest cells to `vd` — the ONE copy of the probe-cell
+    * ranking (L2 over the common prefix, (distance, cell) tie order)
+    * shared by the single-query probe and the batched hard-negative
+    * probe, so the "same cells as the index" assumption cannot drift. */
+  private def nearestCells(vd: Array[Double],
+      centroids: Array[(Int, Array[Double])], nprobe: Int): Seq[Int] =
+    centroids.map { case (cell, ctr) =>
       var d = 0.0; var j = 0
-      while (j < math.min(qd.length, ctr.length)) { val t = qd(j) - ctr(j); d += t * t; j += 1 }
+      val m = math.min(vd.length, ctr.length)
+      while (j < m) { val t = vd(j) - ctr(j); d += t * t; j += 1 }
       (cell, d)
-    }.sortBy { case (cell, d) => (d, cell) }.take(nprobe).map(_._1)
+    }.sortBy { case (cell, d) => (d, cell) }.take(nprobe).map(_._1).toSeq
+
+  def probeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                 queryVec: Array[Float], k: Int, nprobe: Int,
+                 excludeIds: Seq[Long] = Nil): DataFrame = {
+    import spark.implicits._
+    val (vdir, centroids) = resolveWithCentroids(spark, path)
+    val probeCells = nearestCells(queryVec.map(_.toDouble), centroids, nprobe)
     val q = spark.createDataset(Seq(queryVec.toSeq)).toDF("query_vec")
       .select(col("query_vec").cast("array<float>").as("query_vec"))
     spark.read.parquet(s"$vdir/vectors")
@@ -168,43 +184,34 @@ object SimilarityIvf {
                        anchors: DataFrame, k: Int, lo: Double, hi: Double,
                        nprobe: Int = 4): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val vdir = graft.sources.Fs.resolveCurrent(spark, path,
-      s"no IVF index at $path (missing _current pointer — run buildIndex first)")
-    val centroids = spark.read.parquet(s"$vdir/_centroids")
-      .as[(Int, Seq[Double])].collect().map { case (c, v) => (c, v.toArray) }
+    val (vdir, centroids) = resolveWithCentroids(spark, path)
     val aRows = anchors.select(col("vec_id"), col("label"), col("embedding"))
       .limit(Dedup.maxVerifierSample + 1)
       .as[(Long, Int, Array[Float])].collect()
     require(aRows.length <= Dedup.maxVerifierSample,
       s"anchor set exceeds the cap ${Dedup.maxVerifierSample} — pre-filter anchors")
-    val probe = aRows.flatMap { case (id, label, v) =>
+    // the anchor PAYLOAD (embedding + norm) broadcasts ONCE per anchor;
+    // only the thin (cell, anchor_id) probe pairs are exploded nprobe×
+    val payload = aRows.flatMap { case (id, label, v) =>
       val vd = v.map(_.toDouble)
       var n2 = 0.0; var j = 0
       while (j < vd.length) { n2 += vd(j) * vd(j); j += 1 }
-      if (n2 <= 0) Seq.empty[(Int, Long, Int, Array[Float], Double)]
-      else centroids.map { case (cell, ctr) =>
-        var d = 0.0; var i = 0
-        val m = math.min(vd.length, ctr.length)
-        while (i < m) { val t = vd(i) - ctr(i); d += t * t; i += 1 }
-        (cell, d)
-      }.sortBy { case (cell, d) => (d, cell) }.take(nprobe)
-        .map { case (cell, _) => (cell, id, label, v, math.sqrt(n2)) }.toSeq
+      if (n2 <= 0) None else Some((id, label, v, math.sqrt(n2)))
     }.toSeq
-    val aDf = probe.toDF("cell", "anchor_id", "a_label", "a_v", "a_n")
+    val cells = payload.flatMap { case (id, _, v, _) =>
+      nearestCells(v.map(_.toDouble), centroids, nprobe).map(c => (c, id))
+    }
+    val aDf = payload.toDF("anchor_id", "a_label", "a_v", "a_n")
+    val cDf = cells.toDF("cell", "anchor_id")
     val dot = VectorExpressions.dotF _
-    val w = Window.partitionBy("anchor_id").orderBy(desc("cos_sim"), asc("neg_id"))
-    spark.read.parquet(s"$vdir/vectors")
-      .join(broadcast(aDf), Seq("cell"))
-      .filter(col("label") =!= col("a_label"))
-      .withColumn("nm", sqrt(dot(col("embedding"), col("embedding"))))
-      .filter(col("nm") > 0)
-      .withColumn("cos_sim",
-        dot(col("embedding"), col("a_v")) / (col("nm") * col("a_n")))
-      .filter(col("cos_sim") >= lo && col("cos_sim") < hi)
-      .select(col("anchor_id"), col("vec_id").as("neg_id"), col("cos_sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    Similarity.rankHardNegatives(
+      spark.read.parquet(s"$vdir/vectors")
+        .join(broadcast(cDf), Seq("cell"))
+        .join(broadcast(aDf), Seq("anchor_id"))
+        .filter(col("label") =!= col("a_label"))
+        .withColumn("nm", sqrt(dot(col("embedding"), col("embedding"))))
+        .filter(col("nm") > 0),
+      k, lo, hi)
   }
 
   /** ANN top-k: scan only the `nprobe` cells nearest to the query vector. */

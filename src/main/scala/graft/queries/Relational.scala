@@ -527,26 +527,25 @@ object Relational {
       .orderBy("event_type")
   }
 
-  /** EV-funnel — ordered conversion funnel view → click → purchase within
-    * a 7-day window of the user's FIRST view. Semantics are the greedy
-    * earliest-chain (documented; simpler than ClickHouse windowFunnel's
-    * sliding restart and expressible identically in both engines): t1 =
-    * first view; t2 = first click strictly after t1 and ≤ t1+W; t3 = first
-    * purchase strictly after t2 and ≤ t1+W. Output is ONE summary row:
-    * users reaching each step (cumulative) and the total conversion lag.
-    *
-    * Scale: the three step timestamps are conditional window MINs over the
-    * same partition-by-user spec — one hash exchange on user_id and one
-    * sort serve all three Window nodes, the per-user collapse rides the
-    * SAME partitioning (no second exchange), and the final fold is a
-    * single partial-agged global row. No self-joins: the textbook k-step
-    * funnel-as-k-joins plan re-shuffles the event table per step. */
   /** The funnel's conversion window. */
   val funnelWindowUs: Long = 7L * 86400 * 1000 * 1000
 
-  /** Per-user step timestamps — the funnel frame the summary folds and
-    * the streaming twin ([[graft.streaming.StreamOps.funnelStream]])
-    * must converge to. One row per user: (user_id, t1, t2, t3). */
+  /** EV-funnel per-user frame — ordered conversion funnel view → click →
+    * purchase within a 7-day window of the user's FIRST view. Semantics
+    * are the greedy earliest-chain (documented; simpler than ClickHouse
+    * windowFunnel's sliding restart and expressible identically in both
+    * engines): t1 = first view; t2 = first click strictly after t1 and ≤
+    * t1+W; t3 = first purchase strictly after t2 and ≤ t1+W. One row per
+    * user: (user_id, t1, t2, t3) — the frame [[evFunnel]] folds and the
+    * streaming twin ([[graft.streaming.StreamOps.funnelStream]]) must
+    * converge to.
+    *
+    * Scale: the three step timestamps are conditional window MINs over the
+    * same partition-by-user spec — one hash exchange on user_id and one
+    * sort serve all three Window nodes, and the per-user collapse rides
+    * the SAME partitioning (no second exchange). No self-joins: the
+    * textbook k-step funnel-as-k-joins plan re-shuffles the event table
+    * per step. */
   def evFunnelPerUser(events: DataFrame, winUs: Long = funnelWindowUs): DataFrame = {
     val w = Window.partitionBy("user_id")
     events
@@ -563,6 +562,9 @@ object Relational {
       .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
   }
 
+  /** The funnel summary: ONE row — users reaching each step (cumulative)
+    * and the total conversion lag, a single partial-agged global fold
+    * over [[evFunnelPerUser]]. */
   def evFunnel(spark: SparkSession, dir: String): DataFrame =
     evFunnelPerUser(Tables.events(spark, dir))
       .agg(count(col("t1")).as("n_step1"),
@@ -602,10 +604,11 @@ object Relational {
     * identically to the smooth curve at this grain. The trending view a
     * feed/ops dashboard sorts by.
     *
-    * Scale: one corpus scan; the max-ts anchor is a 1-row aggregate
-    * broadcast back (the txt_bm25 stats pattern — no window over an
-    * unpartitioned frame, which would funnel the corpus through one
-    * task); per-type partial aggs before the one narrow exchange. */
+    * Scale: two reduced scans — the weighted fold plus the 1-row max-ts
+    * anchor branch broadcast back (the txt_bm25 stats pattern; a window
+    * over an unpartitioned frame would save the scan but funnel the
+    * corpus through one task); per-type partial aggs before the one
+    * narrow exchange. */
   def evTrending(spark: SparkSession, dir: String): DataFrame = {
     val halfLifeUs = 86400L * 1000 * 1000
     val ev = Tables.events(spark, dir)
