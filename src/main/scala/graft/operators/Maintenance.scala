@@ -163,4 +163,23 @@ object Maintenance {
     val manifest = spark.read.parquet(s"$vdir/manifest")
     derived.exceptAll(manifest).unionAll(manifest.exceptAll(derived))
   }
+
+  /** Publish a table BUCKETED (and per-bucket sorted) by its join key —
+    * the co-located-join storage layout: two tables bucketed the same way
+    * on the same key join with NO exchange on either side (Spark trusts
+    * the bucketing-derived `HashPartitioning`), which at 100 TB deletes
+    * the dominant shuffle of every fact-to-fact join that repeats across
+    * runs. Pay the hash-distribute ONCE at write; every later join,
+    * aggregation, or dedup on the key starts co-located
+    * (BucketedJoinSpec locks the exchange-free plan and the
+    * result-equality differential vs the plain join). Spark's bucket
+    * layout is engine-internal (hash = Murmur3 of the key), so both
+    * sides must be written by this engine — the standard caveat. */
+  def writeBucketed(df: org.apache.spark.sql.DataFrame, table: String,
+                    keyCol: String, buckets: Int): Unit = {
+    require(buckets > 0, "buckets > 0")
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keyCol).sortBy(keyCol)
+      .saveAsTable(table)
+  }
 }

@@ -102,3 +102,48 @@ class MaintenanceSpec extends SparkSpec {
     assert(!Maintenance.auditShards(spark, dir).isEmpty)
   }
 }
+
+/** Co-located joins on bucketed storage: the exchange-free plan and the
+  * result-equality differential vs the plain shuffled join. */
+class BucketedJoinSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("same-bucketed tables join with NO exchange; results equal the plain join") {
+    val dir = "/root/testdata/sf0.001"
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = graft.sources.Tables.customer(spark, dir)
+      .select("c_custkey", "c_mktsegment")
+    // the fixture dim is broadcast-sized, which would bypass bucketing —
+    // force the shuffle-join path the layout exists to serve (at 100 TB
+    // both sides are fact-sized and broadcast is off the table anyway)
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Maintenance.writeBucketed(orders, "bk_orders", "o_custkey", 8)
+      Maintenance.writeBucketed(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), "bk_cust", "o_custkey", 8)
+      val joined = spark.table("bk_orders").join(spark.table("bk_cust"), "o_custkey")
+      val rows = joined.count() // materialize so AQE finalizes the plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      // differential: identical multiset of (custkey, price, segment)
+      val plain = orders.join(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+      assert(rows == plain.count())
+      assert(joined.exceptAll(plain).isEmpty && plain.exceptAll(joined).isEmpty)
+      // and a keyed aggregation on the bucket key also starts co-located
+      val agg = spark.table("bk_orders").groupBy("o_custkey")
+        .agg(sum("o_totalprice").as("s"))
+      agg.count()
+      val aplan = agg.queryExecution.executedPlan.toString
+      assert(!aplan.contains("Exchange"), s"bucketed agg still shuffles:\n$aplan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
+      spark.sql("DROP TABLE IF EXISTS bk_orders")
+      spark.sql("DROP TABLE IF EXISTS bk_cust")
+    }
+  }
+}
