@@ -458,6 +458,34 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** The MODEL-GATED curation pipeline — [[dsCurate]]'s funnel with the
+    * distilled classifier as the quality gate instead of the raw
+    * heuristic thresholds (the production shape: heuristics label a
+    * slice, the trained model gates the corpus; scoring is one cheap
+    * map-side pass). Keep = model says quality (score ≥ 50%) AND the doc
+    * wins its bag-of-words dedup group, quality rows preferred — same
+    * one-window funnel shape as dsCurate, same shared bow identity.
+    * Golden-locked (scoring bit-stable, orders total). */
+  def dsCurateModel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = graft.operators.Classifier.scored(
+      Tables.documents(spark, dir), qualityModel(spark, dir))
+      .select(col("doc_id"), col("source"),
+        bowFingerprint(col("text")).as("fp_bow"),
+        // null-text docs score NULL — they are not quality, not a
+        // three-valued maybe (coalesce keeps the window order total)
+        coalesce(col("predicted") === 1, lit(false)).as("keep_q"))
+    val rn = row_number().over(
+      Window.partitionBy("fp_bow").orderBy(desc("keep_q"), asc("doc_id")))
+    scored.withColumn("kept", col("keep_q") && rn === 1)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep_q"), 1L).otherwise(0L)).as("n_model_quality"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        coalesce(sum(when(col("kept"), col("doc_id"))), lit(0L)).as("sum_kept_ids"))
+      .orderBy("source")
+  }
+
   /** Hard negatives through the persisted IVF index
     * ([[SimilarityIvf.hardNegativesIvf]]) — the scale path of
     * [[dsHardNegatives]]: each vector meets only the anchors probing its
@@ -1284,6 +1312,7 @@ object TrainingData {
     "ds_hard_negatives" -> dsHardNegatives _,
     "sim_whiten"       -> simWhiten _,
     "ds_hard_negatives_ivf" -> dsHardNegativesIvf _,
+    "ds_curate_model"  -> dsCurateModel _,
     "ev_json_extract"  -> evJsonExtract _,
     "sim_cosine_topk"  -> simCosineTopK _,
     "sim_centroids"    -> simCentroids _,

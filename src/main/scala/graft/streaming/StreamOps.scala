@@ -257,6 +257,44 @@ object StreamOps {
       .start()
   }
 
+  /** One observed transition ([[transitionStream]]). */
+  final case class Transition(user_id: Long, from_type: String,
+      to_type: String, ts_us: Long)
+
+  /** Streaming twin of the transition matrix
+    * ([[graft.queries.Relational.evTransitions]], oracle-checked in
+    * batch): per-user `flatMapGroupsWithState` keeping ONLY the last
+    * (ts, type) pair; each arriving event emits its (from → to) edge.
+    * Downstream the consumer folds edges into the matrix incrementally —
+    * the live path-analysis feed. Same equivalence contract as
+    * [[funnelStream]]: batch ≡ stream under per-user event-time-ordered
+    * arrival (within-batch rows are sorted by (ts_us, event_id), so a
+    * single batch is always exact); state is one (string, long) per
+    * user. */
+  def transitionStream(events: DataFrame): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id").cast("long"), col("event_type"),
+        expr("ts div 1000").as("ts_us"), col("event_id").cast("long"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Long, Long)],
+         state: GroupState[(String, Long)]) =>
+          var last = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+          rows.toSeq.sortBy(r => (r._3, r._4)).foreach { case (_, tpe, ts, _) =>
+            last.foreach { case (fromTpe, _) =>
+              out += Transition(user, fromTpe, tpe, ts)
+            }
+            last = Some((tpe, ts))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** A user's live funnel state ([[funnelStream]]): the greedy
     * view→click→purchase chain timestamps reached so far and the step
     * count. */

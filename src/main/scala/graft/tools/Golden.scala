@@ -101,7 +101,11 @@ object Golden {
     // (sim_ann_ivf's fixed-point argument), probe-cell ranking is a
     // total order on the driver, per-pair cosine is row-local, and the
     // (cos desc, neg_id) rank order is total
-    "ds_hard_negatives_ivf")
+    "ds_hard_negatives_ivf",
+    // model-gated curation: bit-stable scoring (ds_quality_model's
+    // argument) composed with the dedup window's total (keep_q desc,
+    // doc_id) order and integer funnel counts
+    "ds_curate_model")
 
   val sfDir = "/root/testdata/sf0.01"
 

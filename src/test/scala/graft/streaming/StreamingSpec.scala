@@ -418,6 +418,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transition stream equals the batch transition matrix under ordered arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val batch = graft.queries.Relational.evTransitions(spark, sfDir)
+      .select("from_type", "to_type", "n").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val rows = events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy("ts", "event_id").as[Ev].collect()
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.transitionStream(mem.toDF())
+      .writeStream.format("memory").queryName("trans_stream")
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("trans_stream")
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("funnel stream documents the no-retraction contract under disorder") {
     implicit val sqlCtx = spark.sqlContext
     val us = 1000L // ns per µs
