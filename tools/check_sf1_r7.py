@@ -107,7 +107,8 @@ for name in ["ev_funnel", "ev_retention", "txt_normalize",
 # model); at sf1 assert shape sanity — the spec suite owns semantics
 for name, min_rows in [("ds_quality_model", 4), ("ds_label_noise", 1),
                        ("ds_model_calibration", 5),
-                       ("ds_hard_negatives_ivf", 1000)]:
+                       ("ds_hard_negatives_ivf", 1000),
+                       ("ds_curate_model", 10)]:
     if not wanted(name):
         continue
     pq = glob.glob(f"{out_dir}/{name}/*.parquet")
