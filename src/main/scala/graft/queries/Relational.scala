@@ -644,6 +644,29 @@ object Relational {
       .orderBy("from_type", "to_type")
   }
 
+  /** Q25 — correlated-subquery shape (TPC-H Q17's skeleton): lineitems
+    * whose quantity is under 20% of their part's average quantity — the
+    * small-order revenue probe. Spark decorrelates the scalar subquery
+    * into an aggregate + join; the per-part averages are part-cardinality
+    * rows (broadcastable), so the corpus scans once and meets the
+    * averages map-side. All comparisons are exact integer
+    * cross-multiplications over cents longs — no float average crosses
+    * an engine boundary. */
+  def q25Correlated(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        round(col("l_quantity") * 100).cast("long").as("qty_cents"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+    val avgq = li.groupBy("l_partkey")
+      .agg(sum("qty_cents").as("sum_qty_cents"), count(lit(1)).as("n_li"))
+    li.join(broadcast(avgq), Seq("l_partkey"))
+      // qty < 0.2·(sum/n)  ⇔  5·qty·n < sum — exact long cross-multiply,
+      // no float average crosses an engine boundary
+      .filter(col("qty_cents") * col("n_li") * 5 < col("sum_qty_cents"))
+      .agg(count(lit(1)).as("n_small"),
+        sum("price_cents").as("sum_price_cents"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_filter_project" -> q01FilterProject _,
     "q02_string_chain"   -> q02StringChain _,
@@ -677,6 +700,7 @@ object Relational {
     "ev_retention"       -> evRetention _,
     "ev_trending"        -> evTrending _,
     "ev_transitions"     -> evTransitions _,
+    "q25_correlated"     -> q25Correlated _,
     "q24_window_suite"   -> q24WindowSuite _,
     "a7_approx_distinct" -> a7ApproxDistinct _,
   )
@@ -959,6 +983,20 @@ object Relational {
         | CAST(coalesce(SUM(t2 - t1), 0) AS BIGINT) AS sum_lag2_us,
         | CAST(coalesce(SUM(t3 - t1), 0) AS BIGINT) AS sum_lag3_us
         |FROM u""".stripMargin,
+    "q25_correlated" ->
+      """WITH li AS (
+        | SELECT l_partkey,
+        |  CAST(round(l_quantity * 100) AS BIGINT) AS qty_cents,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+        | FROM lineitem),
+        |a AS (
+        | SELECT l_partkey, CAST(SUM(qty_cents) AS BIGINT) AS sum_qty_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n_li
+        | FROM li GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+        | CAST(SUM(li.price_cents) AS BIGINT) AS sum_price_cents
+        |FROM li JOIN a USING (l_partkey)
+        |WHERE li.qty_cents * a.n_li * 5 < a.sum_qty_cents""".stripMargin,
     "ev_transitions" ->
       """WITH t AS (
         | SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,

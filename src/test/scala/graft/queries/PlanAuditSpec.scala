@@ -542,6 +542,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q25_correlated: per-part averages broadcast back — no shuffle join") {
+    val p = planOf("q25_correlated")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("ev_transitions: one user exchange, partial-agged pairs, no join") {
     val p = planOf("ev_transitions")
     assert(countScans(p) == 1, p)
