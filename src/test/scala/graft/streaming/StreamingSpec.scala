@@ -443,6 +443,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel stream state survives a checkpointed stop/restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val us = 1000L
+    val ckpt = java.nio.file.Files.createTempDirectory("funnel_ckpt").toString
+    val mem = MemoryStream[Ev]
+    // memory sink refuses checkpoint recovery; foreachBatch is the
+    // recovery-supported sink shape (the GuardedBatchSink production path)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Int)]()
+    def start() = StreamOps.funnelStream(mem.toDF())
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.FunnelState], _: Long) =>
+        b.collect().foreach(s => seen.add(
+          (s.t1.getOrElse(-1L), s.t2.getOrElse(-1L), s.t3.getOrElse(-1L), s.step)))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    val q1 = start()
+    try {
+      mem.addData(Ev(1, 100 * us, 11, "view", 0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart against the same checkpoint: the user's t1 must still
+    // anchor the chain for events arriving after the restart
+    val q2 = start()
+    try {
+      mem.addData(Ev(2, 200 * us, 11, "click", 0), Ev(3, 300 * us, 11, "purchase", 0))
+      q2.processAllAvailable()
+      val states = seen.toArray(Array.empty[(Long, Long, Long, Int)])
+      assert(states.contains((100L, 200L, 300L, 3)),
+        s"state lost across restart: ${states.mkString(", ")}")
+    } finally q2.stop()
+  }
+
   test("funnel stream documents the no-retraction contract under disorder") {
     implicit val sqlCtx = spark.sqlContext
     val us = 1000L // ns per µs
