@@ -646,12 +646,12 @@ object Relational {
 
   /** Q25 — correlated-subquery shape (TPC-H Q17's skeleton): lineitems
     * whose quantity is under 20% of their part's average quantity — the
-    * small-order revenue probe. Spark decorrelates the scalar subquery
-    * into an aggregate + join; the per-part averages are part-cardinality
-    * rows (broadcastable), so the corpus scans once and meets the
-    * averages map-side. All comparisons are exact integer
-    * cross-multiplications over cents longs — no float average crosses
-    * an engine boundary. */
+    * small-order revenue probe, decorrelated into an aggregate + join:
+    * the aggregate side pays one reduced lineitem scan for the
+    * part-cardinality averages, which then broadcast onto the probe
+    * side's scan (two scans total — the committed plan; the probe never
+    * shuffles). All comparisons are exact integer cross-multiplications
+    * over cents longs — no float average crosses an engine boundary. */
   def q25Correlated(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_quantity"),

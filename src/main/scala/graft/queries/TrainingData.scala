@@ -466,25 +466,16 @@ object TrainingData {
     * wins its bag-of-words dedup group, quality rows preferred — same
     * one-window funnel shape as dsCurate, same shared bow identity.
     * Golden-locked (scoring bit-stable, orders total). */
-  def dsCurateModel(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val scored = graft.operators.Classifier.scored(
-      Tables.documents(spark, dir), qualityModel(spark, dir))
-      .select(col("doc_id"), col("source"),
-        bowFingerprint(col("text")).as("fp_bow"),
-        // null-text docs score NULL — they are not quality, not a
-        // three-valued maybe (coalesce keeps the window order total)
-        coalesce(col("predicted") === 1, lit(false)).as("keep_q"))
-    val rn = row_number().over(
-      Window.partitionBy("fp_bow").orderBy(desc("keep_q"), asc("doc_id")))
-    scored.withColumn("kept", col("keep_q") && rn === 1)
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_total"),
-        sum(when(col("keep_q"), 1L).otherwise(0L)).as("n_model_quality"),
-        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-        coalesce(sum(when(col("kept"), col("doc_id"))), lit(0L)).as("sum_kept_ids"))
-      .orderBy("source")
-  }
+  def dsCurateModel(spark: SparkSession, dir: String): DataFrame =
+    curationFunnel(
+      graft.operators.Classifier.scored(
+        Tables.documents(spark, dir), qualityModel(spark, dir))
+        .select(col("doc_id"), col("source"),
+          bowFingerprint(col("text")).as("fp_bow"),
+          // null-text docs score NULL — they are not quality, not a
+          // three-valued maybe (coalesce keeps the window order total)
+          coalesce(col("predicted") === 1, lit(false)).as("keep_q")),
+      qualityCountName = "n_model_quality")
 
   /** Hard negatives through the persisted IVF index
     * ([[SimilarityIvf.hardNegativesIvf]]) — the scale path of
@@ -1041,7 +1032,6 @@ object TrainingData {
     * membership checksum on the surviving docs. One corpus scan; the only
     * shuffles are the dedup window and the per-source aggregate. */
   def dsCurate(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.TextAnalytics
     // the SHARED bow identity (one definition with curateStream and the
     // leakage audit); no-content docs get a null fp — they group together
@@ -1052,16 +1042,26 @@ object TrainingData {
         size(TextAnalytics.bowWords(col("text"))).as("n_words"),
         TextAnalytics.bowFingerprint(col("text")).as("fp_bow"))
       .withColumn("keep_q", col("n_chars") >= 100 && col("n_words") >= 20)
-    // ONE corpus scan: ordering quality docs first inside each fp group
-    // makes "min doc_id among quality docs of the group" the rn=1 row, so
-    // the dedup verdict and the funnel counts come from the same window
-    // pass — no quality-filtered self-join, no second scan.
+    curationFunnel(base, qualityCountName = "n_quality")
+  }
+
+  /** The ONE copy of the dedup-window + per-source funnel fold shared by
+    * the heuristic ([[dsCurate]]) and model-gated ([[dsCurateModel]])
+    * pipelines — only the `keep_q` gate differs between them, so the
+    * funnel semantics cannot drift. Input: (doc_id, source, fp_bow,
+    * keep_q). ONE corpus scan: ordering quality docs first inside each
+    * fp group makes "min doc_id among quality docs of the group" the
+    * rn=1 row, so the dedup verdict and the funnel counts come from the
+    * same window pass — no quality-filtered self-join, no second scan. */
+  private def curationFunnel(base: DataFrame,
+      qualityCountName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val rn = row_number().over(
       Window.partitionBy("fp_bow").orderBy(desc("keep_q"), asc("doc_id")))
     base.withColumn("kept", col("keep_q") && rn === 1)
       .groupBy("source")
       .agg(count(lit(1)).as("n_total"),
-        sum(when(col("keep_q"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("keep_q"), 1L).otherwise(0L)).as(qualityCountName),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
         coalesce(sum(when(col("kept"), col("doc_id"))), lit(0L)).as("sum_kept_ids"))
       .orderBy("source")

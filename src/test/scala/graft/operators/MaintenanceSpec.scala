@@ -124,7 +124,9 @@ class BucketedJoinSpec extends graft.SparkSpec {
       Maintenance.writeBucketed(
         cust.withColumnRenamed("c_custkey", "o_custkey"), "bk_cust", "o_custkey", 8)
       val joined = spark.table("bk_orders").join(spark.table("bk_cust"), "o_custkey")
-      val rows = joined.count() // materialize so AQE finalizes the plan
+      // execute THIS dataset (count() would plan a separate query) so the
+      // AdaptiveSparkPlan we assert on is the finalized one
+      val rows = joined.collect().length.toLong
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"), plan)
       assert(!plan.contains("Exchange"),
@@ -137,7 +139,7 @@ class BucketedJoinSpec extends graft.SparkSpec {
       // and a keyed aggregation on the bucket key also starts co-located
       val agg = spark.table("bk_orders").groupBy("o_custkey")
         .agg(sum("o_totalprice").as("s"))
-      agg.count()
+      agg.collect() // execute THIS dataset before reading its final plan
       val aplan = agg.queryExecution.executedPlan.toString
       assert(!aplan.contains("Exchange"), s"bucketed agg still shuffles:\n$aplan")
     } finally {

@@ -25,7 +25,10 @@ subset = set(sys.argv[3:])  # empty = full run, every target required
 def wanted(name):
     return not subset or name in subset
 con = duckdb.connect()
-for t in ["events", "documents", "embeddings"]:
+# register EVERY fixture table: an oracle referencing an unregistered
+# table would abort the whole gate with a CatalogException mid-list
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
 oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
