@@ -233,6 +233,61 @@ object TextAnalytics {
     u(text)
   }
 
+  // ---- Span corruption (denoising pretraining objective) ----
+
+  /** T5/UL2-style span corruption, fully deterministic and
+    * SQL-replayable: lower-cased alphabetic word tokens (the [[words]]
+    * contract); position i (1-based) STARTS a masked span iff two
+    * Lehmer rounds of (doc_id, i) land on 0 mod 7 — h = (doc_id·48271 +
+    * i·16807 + 12345) mod (2³¹−1), start iff (h·48271 mod (2³¹−1))
+    * mod 7 = 0 — and a start masks positions i..i+2 (overlapping spans
+    * merge). The corrupted INPUT replaces each masked run with one `<m>`
+    * sentinel; the TARGET is the masked runs, each prefixed `<m>` (the
+    * denoising pair a seq2seq objective trains on). ~35–40% of starts
+    * at rate 1/7 × span 3. The 31-bit Lehmer replays exactly in DuckDB
+    * BIGINT arithmetic (the sim_rp precedent), so the oracle checks the
+    * md5 of both strings. One pass per doc; null text → null. */
+  def spanCorrupt(text: String, docId: Long): (Int, Int, String, String) = {
+    if (text == null) return null
+    val words = text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+    val n = words.length
+    def starts(i: Int): Boolean = { // i is 1-based
+      val h = (docId * 48271L + i.toLong * 16807L + 12345L) % 2147483647L
+      (h * 48271L % 2147483647L) % 7L == 0L
+    }
+    val masked = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      if (starts(i + 1)) {
+        var j = i
+        while (j < math.min(i + 3, n)) { masked(j) = true; j += 1 }
+      }
+      i += 1
+    }
+    val input = new StringBuilder
+    val target = new StringBuilder
+    var nMasked = 0
+    i = 0
+    while (i < n) {
+      val runStart = masked(i) && (i == 0 || !masked(i - 1))
+      if (!masked(i)) {
+        if (input.nonEmpty) input.append(' ')
+        input.append(words(i))
+      } else {
+        nMasked += 1
+        if (runStart) {
+          if (input.nonEmpty) input.append(' ')
+          input.append("<m>")
+          if (target.nonEmpty) target.append(' ')
+          target.append("<m>")
+        }
+        target.append(' ').append(words(i))
+      }
+      i += 1
+    }
+    (n, nMasked, input.toString, target.toString)
+  }
+
   // ---- TF-IDF distinctive terms (corpus vocabulary analysis) ----
 
   /** Top-k most distinctive terms per document: rank by (tf desc, df asc,

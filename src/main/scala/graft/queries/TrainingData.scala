@@ -458,6 +458,25 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** T5-style span corruption ([[TextAnalytics.spanCorrupt]]) — the
+    * denoising-objective transform: deterministic Lehmer-seeded masked
+    * spans, corrupted input + target per doc, fingerprinted so the
+    * DuckDB oracle checks the exact strings (the sim_rp hash-replay
+    * precedent). Map-side scalar over one scan. */
+  def dsSpanCorrupt(spark: SparkSession, dir: String): DataFrame = {
+    val u = udf { (t: String, id: Long) =>
+      graft.functions.TextAnalytics.spanCorrupt(t, id)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), u(col("text"), col("doc_id")).as("c"))
+      .select(col("doc_id"),
+        col("c._1").cast("long").as("n_words"),
+        col("c._2").cast("long").as("n_masked"),
+        md5(col("c._3")).as("input_fp"),
+        md5(col("c._4")).as("target_fp"))
+      .orderBy("doc_id")
+  }
+
   /** The MODEL-GATED curation pipeline — [[dsCurate]]'s funnel with the
     * distilled classifier as the quality gate instead of the raw
     * heuristic thresholds (the production shape: heuristics label a
@@ -1313,6 +1332,7 @@ object TrainingData {
     "sim_whiten"       -> simWhiten _,
     "ds_hard_negatives_ivf" -> dsHardNegativesIvf _,
     "ds_curate_model"  -> dsCurateModel _,
+    "ds_span_corrupt"  -> dsSpanCorrupt _,
     "ev_json_extract"  -> evJsonExtract _,
     "sim_cosine_topk"  -> simCosineTopK _,
     "sim_centroids"    -> simCentroids _,
@@ -2350,6 +2370,47 @@ object TrainingData {
         |      // MAX(m.n) AS BIGINT) AS var_ppm2
         |FROM e JOIN m USING (pos)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the 31-bit Lehmer mask replay (sim_rp precedent): position i
+    // starts a span iff ((doc_id*48271 + i*16807 + 12345) mod (2^31-1))
+    // *48271 mod (2^31-1) mod 7 = 0; a start masks i..i+2. string_agg
+    // skips NULL items, which is exactly the run-collapse; empty/no-token
+    // docs re-join as ('', '') while null text stays NULL
+    "ds_span_corrupt" ->
+      """WITH w AS (
+        | SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                            x -> length(x) > 0) AS ws
+        | FROM documents WHERE text IS NOT NULL),
+        |e AS (
+        | SELECT doc_id, len(ws) AS n_words, unnest(ws) AS w,
+        |  generate_subscripts(ws, 1) AS i
+        | FROM w),
+        |m AS (
+        | SELECT doc_id, n_words, w, i,
+        |  ((CASE WHEN (((doc_id*48271 + i*16807 + 12345) % 2147483647)
+        |            * 48271 % 2147483647) % 7 = 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN i >= 2 AND (((doc_id*48271 + (i-1)*16807 + 12345) % 2147483647)
+        |            * 48271 % 2147483647) % 7 = 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN i >= 3 AND (((doc_id*48271 + (i-2)*16807 + 12345) % 2147483647)
+        |            * 48271 % 2147483647) % 7 = 0 THEN 1 ELSE 0 END)) > 0 AS masked
+        | FROM e),
+        |r AS (
+        | SELECT *, masked AND NOT coalesce(
+        |   LAG(masked) OVER (PARTITION BY doc_id ORDER BY i), false) AS run_start
+        | FROM m),
+        |s AS (
+        | SELECT doc_id, CAST(MAX(n_words) AS BIGINT) AS n_words,
+        |  CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+        |  md5(coalesce(string_agg(CASE WHEN NOT masked THEN w
+        |    WHEN run_start THEN '<m>' END, ' ' ORDER BY i), '')) AS input_fp,
+        |  md5(coalesce(string_agg(CASE WHEN run_start THEN '<m> ' || w
+        |    WHEN masked THEN w END, ' ' ORDER BY i), '')) AS target_fp
+        | FROM r GROUP BY 1)
+        |SELECT d.doc_id,
+        | CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(s.n_words, 0) END AS n_words,
+        | CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(s.n_masked, 0) END AS n_masked,
+        | CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(s.input_fp, md5('')) END AS input_fp,
+        | CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(s.target_fp, md5('')) END AS target_fp
+        |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // same double-cosine contract as dd_embed_exact (index-order double
     // sums agree across engines); Spark row_number is INT, DuckDB's is
     // BIGINT — cast

@@ -278,6 +278,40 @@ class TextOpsSpec extends SparkSpec {
     assert(out(5) == "already clean")
   }
 
+  test("spanCorrupt: reconstruction, mask accounting, null/empty contracts") {
+    // reconstruction: substituting the k-th target run for the k-th <m>
+    // sentinel in the input must reproduce the full word sequence
+    def reconstruct(input: String, target: String): String = {
+      val runs = target.split("<m> ").filter(_.nonEmpty).map(_.trim)
+      var k = -1
+      input.split(" ").toSeq.flatMap {
+        case "<m>" => k += 1; runs(k).split(" ").toSeq
+        case w => Seq(w)
+      }.mkString(" ")
+    }
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    var totWords = 0L; var totMasked = 0L
+    docs.take(100).foreach { case (id, t) =>
+      val (n, nm, input, target) = TextAnalytics.spanCorrupt(t, id)
+      val words = t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).mkString(" ")
+      assert(reconstruct(input, target) == words, s"doc $id reconstruction")
+      assert(input.split(" ").count(_ == "<m>") == target.split(" ").count(_ == "<m>"))
+      totWords += n; totMasked += nm
+    }
+    // 1/7 start rate x span 3 ⇒ expect roughly 30-40% masked
+    val rate = totMasked.toDouble / totWords
+    assert(rate > 0.2 && rate < 0.5, s"mask rate $rate")
+    // the doc_id seed matters: across several ids of the same text, the
+    // corrupted inputs are not all identical (two specific ids MAY
+    // coincide on a short text — that is fine)
+    val sameText = "one two three four five six seven eight nine ten " * 3
+    val inputs = (1L to 8L).map(TextAnalytics.spanCorrupt(sameText, _)._3)
+    assert(inputs.distinct.size > 1, inputs.mkString(" | "))
+    assert(TextAnalytics.spanCorrupt(null, 1L) == null)
+    assert(TextAnalytics.spanCorrupt("123 !!!", 9L) == ((0, 0, "", "")))
+  }
+
   test("marker-hit kernel propagates null for null text (oracle NULL parity)") {
     import SparkSpec.session.implicits._
     assert(FastHash.markerHits(null, Array(Array(1L))) == null)
