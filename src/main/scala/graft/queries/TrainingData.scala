@@ -477,6 +477,36 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** FIM (fill-in-the-middle) transform — the code-LM counterpart of
+    * [[dsSpanCorrupt]]: two Lehmer draws pick CHARACTER split points
+    * p1 ≤ p2; the training string is prefix + <fim> + suffix and the
+    * completion is the middle (PSM order). Pure substring arithmetic on
+    * both engines — 1-based substr everywhere, md5 locks the pieces.
+    * Null text → null row values; the split points are a pure function
+    * of (doc_id, n_chars) so the transform is reproducible at any
+    * partitioning. */
+  def dsFim(spark: SparkSession, dir: String): DataFrame = {
+    val n = length(col("text"))
+    // two independent 31-bit Lehmer draws on (doc_id, n)
+    def draw(salt: Int) =
+      pmod((col("doc_id") * 48271L + n * 16807L + lit(salt)), lit(2147483647L))
+    val p1 = (draw(1) % greatest(n, lit(1))) + 1 // in [1, n]
+    val p2 = (draw(2) % greatest(n, lit(1))) + 1
+    val lo = least(p1, p2)
+    val hi = greatest(p1, p2)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), n.cast("long").as("n_chars"),
+        lo.cast("long").as("lo"), hi.cast("long").as("hi"))
+      .select(col("doc_id"), col("n_chars"), col("lo"), col("hi"),
+        md5(concat(expr("substring(text, 1, cast(lo - 1 as int))"),
+          lit("<fim>"),
+          expr("substring(text, cast(hi as int), cast(n_chars - hi + 1 as int))")))
+          .as("psm_fp"),
+        md5(expr("substring(text, cast(lo as int), cast(hi - lo as int))"))
+          .as("middle_fp"))
+      .orderBy("doc_id")
+  }
+
   /** The MODEL-GATED curation pipeline — [[dsCurate]]'s funnel with the
     * distilled classifier as the quality gate instead of the raw
     * heuristic thresholds (the production shape: heuristics label a
@@ -1333,6 +1363,7 @@ object TrainingData {
     "ds_hard_negatives_ivf" -> dsHardNegativesIvf _,
     "ds_curate_model"  -> dsCurateModel _,
     "ds_span_corrupt"  -> dsSpanCorrupt _,
+    "ds_fim"           -> dsFim _,
     "ev_json_extract"  -> evJsonExtract _,
     "sim_cosine_topk"  -> simCosineTopK _,
     "sim_centroids"    -> simCentroids _,
@@ -2370,6 +2401,26 @@ object TrainingData {
         |      // MAX(m.n) AS BIGINT) AS var_ppm2
         |FROM e JOIN m USING (pos)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same Lehmer family; `||` (not concat) so a NULL text propagates
+    // NULL in DuckDB the way Spark's concat does
+    "ds_fim" ->
+      """WITH b AS (
+        | SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars,
+        |  ((doc_id*48271 + length(text)*16807 + 1) % 2147483647)
+        |    % greatest(length(text), 1) + 1 AS p1,
+        |  ((doc_id*48271 + length(text)*16807 + 2) % 2147483647)
+        |    % greatest(length(text), 1) + 1 AS p2
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, text, n_chars,
+        |  CAST(LEAST(p1, p2) AS BIGINT) AS lo,
+        |  CAST(GREATEST(p1, p2) AS BIGINT) AS hi
+        | FROM b)
+        |SELECT doc_id, n_chars, lo, hi,
+        | md5(substr(text, 1, CAST(lo - 1 AS INT)) || '<fim>' ||
+        |     substr(text, CAST(hi AS INT), CAST(n_chars - hi + 1 AS INT))) AS psm_fp,
+        | md5(substr(text, CAST(lo AS INT), CAST(hi - lo AS INT))) AS middle_fp
+        |FROM s ORDER BY doc_id""".stripMargin,
     // the 31-bit Lehmer mask replay (sim_rp precedent): position i
     // starts a span iff ((doc_id*48271 + i*16807 + 12345) mod (2^31-1))
     // *48271 mod (2^31-1) mod 7 = 0; a start masks i..i+2. string_agg

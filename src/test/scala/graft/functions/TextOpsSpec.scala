@@ -312,6 +312,28 @@ class TextOpsSpec extends SparkSpec {
     assert(TextAnalytics.spanCorrupt("123 !!!", 9L) == ((0, 0, "", "")))
   }
 
+  test("ds_fim split points are in bounds and reassemble the document") {
+    val rows = graft.queries.TrainingData.dsFim(spark, "/root/testdata/sf0.001")
+      .collect()
+    val texts = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, n, lo, hi) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val t = texts(id)
+      assert(n == t.length && lo >= 1 && lo <= hi && hi <= n + 1 && hi <= math.max(n, 1))
+      val (p, m, s) = (t.substring(0, lo.toInt - 1),
+        t.substring(lo.toInt - 1, hi.toInt - 1),
+        t.substring(hi.toInt - 1))
+      assert(p + m + s == t, s"doc $id reassembly")
+      // the fingerprints are of exactly these pieces
+      def md5(x: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getString(4) == md5(p + "<fim>" + s) && r.getString(5) == md5(m))
+    }
+  }
+
   test("marker-hit kernel propagates null for null text (oracle NULL parity)") {
     import SparkSpec.session.implicits._
     assert(FastHash.markerHits(null, Array(Array(1L))) == null)

@@ -97,7 +97,7 @@ for name, min_rows in [("sim_ann_ivf", 10), ("q23_percentiles_approx", 5),
 # x 20k vectors at sf1, inside the documented targeted-compare budget)
 for name in ["ev_funnel", "ev_retention", "txt_normalize",
              "ds_hard_negatives", "sim_whiten", "ev_trending",
-             "ev_transitions", "q25_correlated", "ds_span_corrupt"]:
+             "ev_transitions", "q25_correlated", "ds_span_corrupt", "ds_fim"]:
     if not wanted(name):
         continue
     if name not in oracles:  # a silently-missing oracle must not pass
