@@ -103,16 +103,23 @@ object Classifier {
     * reach held-out accuracy ≥ 95% distilling the quality heuristic. */
   def train(docs: DataFrame, labelCol: Column, dim: Int = 1024,
             iters: Int = 25, lr: Double = 5.0, momentum: Double = 0.9,
-            cache: Boolean = true): TrainResult = {
+            cache: Boolean = true,
+            initial: Option[Model] = None): TrainResult = {
     require(dim > 0 && iters >= 0 && lr > 0, "dim > 0, iters >= 0, lr > 0")
     require(momentum >= 0 && momentum < 1, "momentum in [0, 1)")
+    initial.foreach(m => require(m.dim == dim,
+      s"warm-start model dimension ${m.dim} != requested $dim"))
     val spark = docs.sparkSession
     val feats0 = featurize(docs, labelCol, dim)
     val feats = if (cache) feats0.persist(StorageLevel.MEMORY_AND_DISK) else feats0
     try {
       val n = feats.count()
       require(n > 0, "no labeled documents to train on")
-      val w = new Array[Double](dim + 2)
+      // warm start: continue from a persisted model's nanos-derived
+      // doubles (continual distillation — retrain on a fresh corpus
+      // slice without forgetting the published weights); velocity
+      // restarts at zero, the standard warm-restart convention
+      val w = initial.map(_.weights).getOrElse(new Array[Double](dim + 2))
       val v = new Array[Double](dim + 2)
       val losses = new Array[Long](iters)
       for (it <- 0 until iters) {

@@ -64,6 +64,21 @@ class ClassifierSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("warm start: initial loss equals the donor's final loss; dim mismatch rejected") {
+    val r1 = Classifier.train(docs, label, iters = 10)
+    val r2 = Classifier.train(docs, label, iters = 5, initial = Some(r1.model))
+    // iteration 0 of the warm run evaluates the donor weights — visibly
+    // below the all-zero prior's ln 2, i.e. not a cold restart
+    assert(r2.lossNanos.head < 600000000L,
+      s"warm start restarted cold: ${r2.lossNanos.head}")
+    val cold = Classifier.train(docs, label, iters = 5)
+    assert(r2.lossNanos.last < cold.lossNanos.last,
+      s"warm ${r2.lossNanos.last} not ahead of cold ${cold.lossNanos.last}")
+    intercept[IllegalArgumentException] {
+      Classifier.train(docs, label, dim = 512, initial = Some(r1.model))
+    }
+  }
+
   test("null text scores NULL, not 50%") {
     val df = Seq((1L, "some words here"), (2L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
