@@ -487,9 +487,12 @@ object TrainingData {
     * partitioning. */
   def dsFim(spark: SparkSession, dir: String): DataFrame = {
     val n = length(col("text"))
-    // two independent 31-bit Lehmer draws on (doc_id, n)
+    // two 31-bit Lehmer draws on (doc_id, n): the SECOND multiplicative
+    // round decorrelates the salts — without it draw(2) = draw(1) + 1
+    // and the middle degenerates to one character (review-pass catch)
     def draw(salt: Int) =
-      pmod((col("doc_id") * 48271L + n * 16807L + lit(salt)), lit(2147483647L))
+      pmod(pmod(col("doc_id") * 48271L + n * 16807L + lit(salt),
+        lit(2147483647L)) * 48271L, lit(2147483647L))
     val p1 = (draw(1) % greatest(n, lit(1))) + 1 // in [1, n]
     val p2 = (draw(2) % greatest(n, lit(1))) + 1
     val lo = least(p1, p2)
@@ -2406,9 +2409,11 @@ object TrainingData {
     "ds_fim" ->
       """WITH b AS (
         | SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars,
-        |  ((doc_id*48271 + length(text)*16807 + 1) % 2147483647)
+        |  (((doc_id*48271 + length(text)*16807 + 1) % 2147483647)
+        |    * 48271 % 2147483647)
         |    % greatest(length(text), 1) + 1 AS p1,
-        |  ((doc_id*48271 + length(text)*16807 + 2) % 2147483647)
+        |  (((doc_id*48271 + length(text)*16807 + 2) % 2147483647)
+        |    * 48271 % 2147483647)
         |    % greatest(length(text), 1) + 1 AS p2
         | FROM documents),
         |s AS (

@@ -319,9 +319,17 @@ class TextOpsSpec extends SparkSpec {
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(rows.nonEmpty)
+    // middles must be real spans, not the degenerate 1-char the
+    // correlated-draw bug produced (review-pass catch): sizable spread
+    val midLens = rows.map(r => r.getLong(3) - r.getLong(2))
+    assert(midLens.distinct.length > 10, s"middle lengths collapsed: ${midLens.take(20).toSeq}")
+    assert(midLens.count(_ > 10) > rows.length / 4, "middles mostly degenerate")
     rows.foreach { r =>
       val (id, n, lo, hi) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
       val t = texts(id)
+      // UTF-16 slicing below is only valid on BMP-only text — assert the
+      // precondition instead of silently relying on it
+      assert(t.codePointCount(0, t.length) == t.length, s"doc $id has non-BMP chars")
       assert(n == t.length && lo >= 1 && lo <= hi && hi <= n + 1 && hi <= math.max(n, 1))
       val (p, m, s) = (t.substring(0, lo.toInt - 1),
         t.substring(lo.toInt - 1, hi.toInt - 1),
