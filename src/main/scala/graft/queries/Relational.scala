@@ -667,6 +667,77 @@ object Relational {
         sum("price_cents").as("sum_price_cents"))
   }
 
+  /** Q26 — the sole-blame supplier probe (TPC-H Q21's skeleton, adapted to
+    * the fixture columns: "late" = shipped > 90 days after the order date).
+    * Suppliers whose lineitem was the ONLY late one in a finished
+    * multi-supplier order — the classic triple-self-join EXISTS/NOT-EXISTS
+    * is re-expressed as ONE per-order aggregate: count the distinct
+    * suppliers and distinct LATE suppliers per order, keep orders with
+    * ≥ 2 suppliers and exactly 1 late one, and charge that supplier. One
+    * fact-to-fact shuffle join (lineitem ⋈ orders on the order key — the
+    * canonical co-location candidate for [[graft.operators.Maintenance
+    * .writeBucketed]]) + one order-key aggregation replace Q21's THREE
+    * lineitem scans; the supplier name join broadcasts; top-25 is
+    * TakeOrderedAndProject, never a full sort. */
+  def q26WaitingOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    // two-level aggregate instead of the planner's multi-countDistinct
+    // Expand (which would double every lineitem row): first collapse to
+    // (order, supplier) grain — partial-agged, so the exchange carries the
+    // deduped pair stream — then one order-grain fold over supplier rows
+    val perOrder = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("is_late",
+        to_date(col("l_shipdate")) > date_add(to_date(col("o_orderdate")), 90))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(col("is_late")).as("supp_late"))
+      .groupBy("l_orderkey")
+      .agg(
+        count(lit(1)).as("n_supp"),
+        sum(when(col("supp_late"), 1L).otherwise(0L)).as("n_late_supp"),
+        min(when(col("supp_late"), col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+    perOrder.groupBy("late_supp")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("late_supp") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(desc("numwait"), asc("s_name"))
+      .limit(25)
+  }
+
+  /** Q27 — lapsed high-balance customers (TPC-H Q22's skeleton, recency-
+    * anchored because every fixture customer has SOME order): customers
+    * with an account balance above the positive-balance average and no
+    * order since 2000-01-01, rolled up by market segment. The scalar
+    * subquery is a 1-row (sum, count) aggregate broadcast back; the
+    * comparison is an exact long cross-multiply (cents·n > sum — no float
+    * average crosses an engine boundary, the q25 idiom); "lapsed" is a
+    * left-anti join against the RECENT order custkeys — the date filter
+    * pushes to the orders scan so the anti-join's right side is the
+    * recent slice, not the order history, and at scale it is the
+    * canonical shuffle anti-join on the customer key (nothing
+    * driver-side). */
+  def q27IdleBalances(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val stats = cust.filter(col("bal_cents") > 0)
+      .agg(sum("bal_cents").as("sum_pos_cents"), count(lit(1)).as("n_pos"))
+    val recent = Tables.orders(spark, dir)
+      .filter(to_date(col("o_orderdate")) >= lit("2000-01-01").cast("date"))
+      .select(col("o_custkey"))
+    cust.join(broadcast(stats))
+      .filter(col("bal_cents") * col("n_pos") > col("sum_pos_cents"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"), sum("bal_cents").as("sum_bal_cents"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_filter_project" -> q01FilterProject _,
     "q02_string_chain"   -> q02StringChain _,
@@ -701,6 +772,8 @@ object Relational {
     "ev_trending"        -> evTrending _,
     "ev_transitions"     -> evTransitions _,
     "q25_correlated"     -> q25Correlated _,
+    "q26_waiting_orders" -> q26WaitingOrders _,
+    "q27_idle_balances"  -> q27IdleBalances _,
     "q24_window_suite"   -> q24WindowSuite _,
     "a7_approx_distinct" -> a7ApproxDistinct _,
   )
@@ -997,6 +1070,37 @@ object Relational {
         | CAST(SUM(li.price_cents) AS BIGINT) AS sum_price_cents
         |FROM li JOIN a USING (l_partkey)
         |WHERE li.qty_cents * a.n_li * 5 < a.sum_qty_cents""".stripMargin,
+    "q26_waiting_orders" ->
+      """WITH per_order AS (
+        | SELECT l_orderkey,
+        |  COUNT(DISTINCT l_suppkey) AS n_supp,
+        |  COUNT(DISTINCT CASE WHEN CAST(l_shipdate AS DATE) >
+        |    CAST(o_orderdate AS DATE) + INTERVAL 90 DAY THEN l_suppkey END) AS n_late_supp,
+        |  MIN(CASE WHEN CAST(l_shipdate AS DATE) >
+        |    CAST(o_orderdate AS DATE) + INTERVAL 90 DAY THEN l_suppkey END) AS late_supp
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE o_orderstatus = 'F'
+        | GROUP BY 1)
+        |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM per_order JOIN supplier ON late_supp = s_suppkey
+        |WHERE n_supp >= 2 AND n_late_supp = 1
+        |GROUP BY 1 ORDER BY numwait DESC, s_name ASC LIMIT 25""".stripMargin,
+    "q27_idle_balances" ->
+      """WITH cust AS (
+        | SELECT c_custkey, c_mktsegment,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        | FROM customer),
+        |stats AS (
+        | SELECT CAST(SUM(bal_cents) AS BIGINT) AS sum_pos_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pos
+        | FROM cust WHERE bal_cents > 0)
+        |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        | CAST(SUM(bal_cents) AS BIGINT) AS sum_bal_cents
+        |FROM cust, stats
+        |WHERE bal_cents * n_pos > sum_pos_cents
+        | AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |   AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_transitions" ->
       """WITH t AS (
         | SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,

@@ -549,6 +549,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("q26: two-level agg — no multi-distinct Expand, top-25 short-circuits") {
+    val p = planOf("q26_waiting_orders")
+    // the (order, supplier) pre-collapse replaces the planner's
+    // countDistinct Expand (which would double every lineitem row)
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q27: 1-row balance stats broadcast; lapsed filter is an anti-join") {
+    val p = planOf("q27_idle_balances")
+    // the scalar-subquery stats are a 1-row broadcast (BNLJ BuildRight is
+    // the free plan for that); the recency filter must reach the orders
+    // scan so the anti-join's build side is the recent slice only
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Inner"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("ev_transitions: one user exchange, partial-agged pairs, no join") {
     val p = planOf("ev_transitions")
     assert(countScans(p) == 1, p)
