@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dataset-curation operators for training pipelines: deterministic
@@ -98,6 +99,78 @@ object Curation {
       .filter(col("__copies") > 0)
       .withColumn("epoch", explode(sequence(lit(0), col("__copies") - 1)))
       .drop("__w", "__copies")
+  }
+
+  /** Raw deterministic id hash in [0, 2^32): the uniform key behind
+    * [[hashBucket]], exposed at full width for priority arithmetic
+    * (plain SQL, replayable verbatim in any engine). */
+  def idHash(id: Column): Column =
+    ((id % 2147483648L + 2147483648L) % 2147483648L * 2654435761L) % 4294967296L
+
+  /** Deterministic weighted bottom-k sample: every row draws the uniform
+    * [[idHash]] key and its stratum's weight divides it —
+    * `priority = hash div weight` (integer division, replayed exactly by
+    * any engine's BIGINT `//`) — and the global k lowest-priority rows
+    * win. Doubling a stratum's weight halves its priorities, so it fills
+    * ~2x the slots of an equal-size unit-weight stratum; weight 0 removes
+    * the stratum entirely. This is the bounded-output complement of
+    * [[weightedMix]] (which reweights by COPYING): same stable-under-
+    * append hash, but the output is exactly k rows however large the
+    * corpus. Weights ride a broadcast join; selection is
+    * TakeOrderedAndProject (heap of k per task + driver merge), never a
+    * full sort. */
+  def weightedSample(df: DataFrame, idCol: String, strataCol: String,
+                     weights: Map[String, Int], k: Int,
+                     defaultWeight: Int = 1): DataFrame = {
+    require(weights.values.forall(_ >= 0) && defaultWeight >= 0,
+      "sample weights must be non-negative")
+    require(k > 0, s"sample size must be positive: $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.toDF(strataCol, "__w")
+    df.join(broadcast(w), Seq(strataCol), "left")
+      .withColumn("__w", coalesce(col("__w"), lit(defaultWeight)))
+      .filter(col("__w") > 0)
+      .withColumn("priority", expr(
+        s"((($idCol % 2147483648 + 2147483648) % 2147483648 * 2654435761)" +
+          s" % 4294967296) div __w"))
+      .drop("__w")
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
+
+  /** Preference-pair construction (post-training data shape): per stratum,
+    * pair the i-th best-scored document with the i-th worst — (chosen,
+    * rejected) rows for reward-model / DPO-style training — keeping pairs
+    * whose score gap clears `minGap`. Both rank branches are top-k windows
+    * (`row_number <= k` → WindowGroupLimit, per-partition heaps — the
+    * stratum is never fully sorted), the best ordering is the exact
+    * reverse of the worst ordering (score desc, id asc ↔ score asc, id
+    * desc) so ranks are total and engine-independent given an integer
+    * score, and the pair join runs over the k·|strata|-sized rank tables,
+    * not the corpus. Small-stratum overlap (|stratum| < 2k) is excluded by
+    * the `chosen != rejected` + positive-gap guards. */
+  def preferencePairs(docs: DataFrame, idCol: String, strataCol: String,
+                      scoreCol: String, k: Int, minGap: Long): DataFrame = {
+    require(k > 0 && k <= 1000, s"pairs per stratum out of range: $k")
+    val best = Window.partitionBy(col(strataCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val worst = Window.partitionBy(col(strataCol))
+      .orderBy(col(scoreCol).asc, col(idCol).desc)
+    val b = docs.select(col(strataCol), col(idCol).as("chosen_id"),
+        col(scoreCol).as("chosen_score"),
+        row_number().over(best).as("pair_rank"))
+      .filter(col("pair_rank") <= k)
+    val wst = docs.select(col(strataCol), col(idCol).as("rejected_id"),
+        col(scoreCol).as("rejected_score"),
+        row_number().over(worst).as("pair_rank"))
+      .filter(col("pair_rank") <= k)
+    b.join(wst, Seq(strataCol, "pair_rank"))
+      .filter(col("chosen_id") =!= col("rejected_id") &&
+        col("chosen_score") - col("rejected_score") >= minGap)
+      .select(col(strataCol), col("pair_rank"), col("chosen_id"),
+        col("rejected_id"),
+        (col("chosen_score") - col("rejected_score")).as("gap"))
   }
 
   /** Sequence packing: assign every document a global token offset in

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalytics._
 import graft.operators.{Curation, Dedup, Similarity, SimilarityIvf, SimilarityPq}
@@ -1023,6 +1023,151 @@ object TrainingData {
       .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
       .orderBy("lang")
 
+  /** Deterministic weighted bottom-k corpus sample ([[Curation
+    * .weightedSample]]): source weights 1/2/4/8, 500 global slots, higher
+    * weight → proportionally more slots. Membership checksummed per source
+    * ([[dsSplit]]'s sum-of-ids idiom) so a wrong SELECTION — not just a
+    * wrong count — fails the hash. Selection is TakeOrderedAndProject over
+    * a map-side priority projection; nothing scans twice. */
+  def dsSampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    Curation.weightedSample(Tables.documents(spark, dir), "doc_id", "source",
+        Map("src0" -> 1, "src1" -> 2, "src2" -> 4, "src3" -> 8), k = 500)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
+      .orderBy("source")
+
+  /** Integer quality score for ranking-shaped curation ops: a length term
+    * (chars capped at 500, in milli) plus the alpha-character ratio in ppm
+    * — both pure integer arithmetic (`div` ≡ DuckDB `//`), so ranks are
+    * total and engine-independent with the (score, doc_id) tie-break. */
+  private def scorePpm: Column = expr(
+    "least(n_chars, 500) * 1000 + " +
+      "(length(regexp_replace(text, '[^A-Za-z]', '')) * 1000000)" +
+      " div greatest(n_chars, 1)")
+
+  /** Preference pairs for reward-model / DPO-style training ([[Curation
+    * .preferencePairs]]): per source, the i-th best [[scorePpm]] document
+    * is the `chosen`, the i-th worst the `rejected`, top-20 pairs with a
+    * ≥ 100k-ppm gap. Both rank branches are WindowGroupLimit heaps (the
+    * corpus is never fully sorted); the pair join runs on 20·|sources|
+    * rows. */
+  def dsPreferencePairs(spark: SparkSession, dir: String): DataFrame =
+    Curation.preferencePairs(
+        Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+          scorePpm.as("score_ppm")),
+        "doc_id", "source", "score_ppm", k = 20, minGap = 100000L)
+      .orderBy("source", "pair_rank")
+
+  /** Inter-labeler agreement audit (Cohen's kappa, exact ppm): do the
+    * length-based keep rule (chars ≥ 200 AND ws-tokens ≥ 30) and the
+    * repetition-based keep rule (duplicate-word fraction < 1/2, exact
+    * cross-multiply) agree beyond chance, per source? One kernel scan to
+    * the four per-source contingency counts, then kappa on the
+    * source-sized aggregate rows. The two-step ppm divisions
+    * (`(x·10⁶ div n)·y div n`) are THE spec — deliberately sequenced so
+    * every intermediate stays under 2⁶³ at any corpus size, and replayed
+    * verbatim by the oracle. */
+  def dsAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val r = graft.functions.FastHash.repetitionStatsCol(col("text"))
+    val base = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars"),
+        graft.functions.TextAnalytics.wsTokenCount(col("text")).as("ws_tokens"),
+        r.getField("_1").cast("long").as("n_words"),
+        r.getField("_2").cast("long").as("n_distinct"))
+      .withColumn("label_a", col("n_chars") >= 200 && col("ws_tokens") >= 30)
+      .withColumn("label_b",
+        (col("n_words") - col("n_distinct")) * 2 < col("n_words"))
+    base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("label_a") && col("label_b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(!col("label_a") && !col("label_b"), 1L).otherwise(0L)).as("n00"),
+        sum(when(col("label_a"), 1L).otherwise(0L)).as("a1"),
+        sum(when(col("label_b"), 1L).otherwise(0L)).as("b1"))
+      .withColumn("po_ppm", expr("(n11 + n00) * 1000000 div n_docs"))
+      .withColumn("pe_ppm", expr(
+        "(a1 * 1000000 div n_docs) * b1 div n_docs + " +
+          "((n_docs - a1) * 1000000 div n_docs) * (n_docs - b1) div n_docs"))
+      .withColumn("kappa_ppm", expr(
+        "CASE WHEN pe_ppm = 1000000 THEN 0 " +
+          "ELSE (po_ppm - pe_ppm) * 1000000 div (1000000 - pe_ppm) END"))
+      .select(col("source"), col("n_docs"), col("po_ppm"), col("pe_ppm"),
+        col("kappa_ppm"))
+      .orderBy("source")
+  }
+
+  /** PMI-style collocation mining over the corpus (vocabulary work: which
+    * bigrams are units?): lift = P(pair) / (P(w1)·P(w2)) in exact ppm,
+    * ranked over pairs seen ≥ 5 times. One tokenized scan per granularity
+    * (the txt_bigrams pairing + the unigram fold); unigram counts and the
+    * 1-row corpus total broadcast onto the observed-bigram table, so no
+    * corpus-scale shuffle carries text. The lift arithmetic is staged as
+    * `p(w2|w1)_ppm = c12·10⁶ div c1` (long-exact) then
+    * `lift_ppm = p·N div c2` through DECIMAL(38,0) — the product can pass
+    * 2⁶³ at 100 TB corpus sizes, and the decimal remainder-subtract form
+    * keeps the floor exact; the oracle replays it in HUGEINT.
+    *
+    * Shape note: the unigram table is NOT broadcast — a web-scale corpus
+    * has 100M+ distinct tokens. Each surviving pair unfolds to two
+    * (side, word) rows that join the single unigram fold on the word key
+    * (a vocabulary-sized equi-join, text-free rows) and re-fold to
+    * (n_left, n_right); only the 1-row corpus total rides a broadcast,
+    * and the total comes from an explode-free reduced scan (map-side
+    * `size()` sums), not a rescan of the token stream. */
+  def txtCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ws = filter(graft.functions.TextAnalytics.words(col("text")),
+      w => length(w) > 0)
+    val uni = docs.select(explode(ws).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    val total = docs.select(size(ws).as("n")).agg(sum("n").as("n_total"))
+    val pairs = docs
+      .withColumn("__ws", ws)
+      .select(explode(when(size(col("__ws")) < 2, array().cast("array<string>"))
+        .otherwise(expr(
+          "transform(slice(__ws, 1, size(__ws)-1), (w, i) -> concat(w, ' ', __ws[i+1]))")))
+        .as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 5)
+    val sides = pairs.select(col("bigram"), col("n_pair"),
+        explode(array(
+          struct(lit(1).as("side"),
+            substring_index(col("bigram"), " ", 1).as("word")),
+          struct(lit(2).as("side"),
+            substring_index(col("bigram"), " ", -1).as("word")))).as("s"))
+      .select(col("bigram"), col("n_pair"), col("s.side"), col("s.word"))
+    sides.join(uni, Seq("word"))
+      .groupBy("bigram", "n_pair")
+      .agg(max(when(col("side") === 1, col("c"))).as("n_left"),
+        max(when(col("side") === 2, col("c"))).as("n_right"))
+      .join(broadcast(total))
+      .withColumn("p21_ppm", expr("n_pair * 1000000 div n_left"))
+      .withColumn("lift_ppm", expr(
+        "CAST((CAST(p21_ppm AS DECIMAL(38,0)) * CAST(n_total AS DECIMAL(38,0))" +
+          " - CAST(p21_ppm AS DECIMAL(38,0)) * CAST(n_total AS DECIMAL(38,0))" +
+          " % CAST(n_right AS DECIMAL(38,0)))" +
+          " / CAST(n_right AS DECIMAL(38,0)) AS BIGINT)"))
+      .select(col("bigram"), col("n_pair"), col("n_left"), col("n_right"),
+        col("p21_ppm"), col("lift_ppm"))
+      .orderBy(desc("lift_ppm"), asc("bigram"))
+      .limit(50)
+  }
+
+  /** Tokenizer-fertility audit: regex-BPE tokens per 100 characters by
+    * (lang, source) in exact milli units — the per-slice cost model every
+    * token-budgeted op ([[dsPack]]-family, budget selection) prices
+    * against. One kernel scan, one small aggregate. */
+  def txtFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        graft.functions.TextAnalytics.bpeTokenCount(col("text")).as("bpe_tokens"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("bpe_tokens").as("sum_tokens"),
+        sum("n_chars").as("sum_chars"))
+      .withColumn("fert_milli",
+        expr("sum_tokens * 100000 div greatest(sum_chars, 1)"))
+      .orderBy("lang", "source")
+
   /** Gopher/C4-style word-level repetition filters in ONE kernel pass:
     * duplicate-word fraction and top-bigram coverage flag boilerplate /
     * machine-generated text. Map-side only (no shuffle); the integer stats
@@ -1347,6 +1492,11 @@ object TrainingData {
     "txt_length_stats" -> txtLengthStats _,
     "ds_split"         -> dsSplit _,
     "ds_sample_stratified" -> dsSampleStratified _,
+    "ds_sample_weighted"   -> dsSampleWeighted _,
+    "ds_preference_pairs"  -> dsPreferencePairs _,
+    "ds_agreement"         -> dsAgreement _,
+    "txt_collocations"     -> txtCollocations _,
+    "txt_fertility"        -> txtFertility _,
     "a8_heavy_hitters" -> a8HeavyHitters _,
     "txt_lm_score"     -> txtLmScore _,
     "txt_lm_bigram"    -> txtLmBigram _,
@@ -2074,6 +2224,106 @@ object TrainingData {
         |WHERE ((doc_id % 2147483648 + 2147483648) % 2147483648 * 2654435761) % 4294967296 % 1000 <
         |  CASE lang WHEN 'en' THEN 200 WHEN 'de' THEN 500 ELSE 1000 END
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same raw id hash as ds_split; priority = hash // weight, bottom-500
+    // by (priority, doc_id) — the oracle replays the exact selection
+    "ds_sample_weighted" ->
+      """WITH pri AS (
+        | SELECT source, doc_id,
+        |  ((doc_id % 2147483648 + 2147483648) % 2147483648 * 2654435761) % 4294967296
+        |   // (CASE source WHEN 'src0' THEN 1 WHEN 'src1' THEN 2
+        |       WHEN 'src2' THEN 4 WHEN 'src3' THEN 8 ELSE 1 END) AS priority
+        | FROM documents),
+        |keep AS (SELECT * FROM pri ORDER BY priority, doc_id LIMIT 500)
+        |SELECT source, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM keep GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ds_preference_pairs" ->
+      """WITH scored AS (
+        | SELECT doc_id, source,
+        |  least(n_chars, 500) * 1000 +
+        |   (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000)
+        |    // greatest(n_chars, 1) AS score_ppm
+        | FROM documents),
+        |b AS (
+        | SELECT source, doc_id AS chosen_id, score_ppm AS chosen_score,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY score_ppm DESC, doc_id ASC) AS pair_rank
+        | FROM scored),
+        |w AS (
+        | SELECT source, doc_id AS rejected_id, score_ppm AS rejected_score,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY score_ppm ASC, doc_id DESC) AS pair_rank
+        | FROM scored)
+        |SELECT b.source, b.pair_rank, chosen_id, rejected_id,
+        | chosen_score - rejected_score AS gap
+        |FROM b JOIN w ON b.source = w.source AND b.pair_rank = w.pair_rank
+        |WHERE b.pair_rank <= 20 AND w.pair_rank <= 20
+        | AND chosen_id <> rejected_id
+        | AND chosen_score - rejected_score >= 100000
+        |ORDER BY b.source, b.pair_rank""".stripMargin,
+    // the two-step ppm divisions are the spec (sequenced to stay under
+    // 2^63 at any corpus size) — replayed verbatim here
+    "ds_agreement" ->
+      """WITH t AS (
+        | SELECT source,
+        |  list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> len(w) > 0) AS ws,
+        |  n_chars,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens
+        | FROM documents),
+        |lab AS (
+        | SELECT source,
+        |  n_chars >= 200 AND ws_tokens >= 30 AS label_a,
+        |  (len(ws) - len(list_distinct(ws))) * 2 < len(ws) AS label_b
+        | FROM t),
+        |agg AS (
+        | SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN label_a AND label_b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        |  CAST(SUM(CASE WHEN NOT label_a AND NOT label_b THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+        |  CAST(SUM(CASE WHEN label_a THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+        |  CAST(SUM(CASE WHEN label_b THEN 1 ELSE 0 END) AS BIGINT) AS b1
+        | FROM lab GROUP BY 1),
+        |k AS (
+        | SELECT source, n_docs,
+        |  (n11 + n00) * 1000000 // n_docs AS po_ppm,
+        |  (a1 * 1000000 // n_docs) * b1 // n_docs +
+        |   ((n_docs - a1) * 1000000 // n_docs) * (n_docs - b1) // n_docs AS pe_ppm
+        | FROM agg)
+        |SELECT source, n_docs, po_ppm, pe_ppm,
+        | CASE WHEN pe_ppm = 1000000 THEN 0
+        |      ELSE (po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm) END AS kappa_ppm
+        |FROM k ORDER BY source""".stripMargin,
+    "txt_collocations" ->
+      """WITH t AS (
+        | SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                    x -> length(x) > 0) AS ws
+        | FROM documents),
+        |uni AS (
+        | SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS c
+        | FROM (SELECT unnest(ws) AS w FROM t) GROUP BY 1),
+        |total AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM uni),
+        |pairs AS (
+        | SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_pair FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+        |                i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+        |  FROM t WHERE len(ws) >= 2)
+        | GROUP BY 1 HAVING COUNT(*) >= 5),
+        |lifted AS (
+        | SELECT bigram, n_pair, u1.c AS n_left, u2.c AS n_right,
+        |  n_pair * 1000000 // u1.c AS p21_ppm,
+        |  CAST(CAST(n_pair * 1000000 // u1.c AS HUGEINT) * n_total // u2.c
+        |       AS BIGINT) AS lift_ppm
+        | FROM pairs, total
+        | JOIN uni u1 ON string_split(bigram, ' ')[1] = u1.word
+        | JOIN uni u2 ON string_split(bigram, ' ')[2] = u2.word)
+        |SELECT bigram, n_pair, n_left, n_right, p21_ppm, lift_ppm
+        |FROM lifted ORDER BY lift_ppm DESC, bigram ASC LIMIT 50""".stripMargin,
+    "txt_fertility" ->
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS sum_tokens,
+        | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        | CAST(CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) * 100000
+        |  // greatest(CAST(SUM(n_chars) AS BIGINT), 1) AS BIGINT) AS fert_milli
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // with capacity > |vocab| the sketch is exact, so the oracle is the
     // plain GROUP BY it replaces at scale
     "a8_heavy_hitters" ->

@@ -343,4 +343,56 @@ class CurationSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].head()
     assert(dn == (("x", 4L, 1L, 7L)), dn)
   }
+
+  test("weightedSample: exact k, weight-proportional fill, layout-invariant") {
+    val df = spark.range(8000).select(col("id"),
+      (col("id") % 2).cast("string").as("s"))
+    val w = Map("0" -> 1, "1" -> 4)
+    val kept = Curation.weightedSample(df, "id", "s", w, k = 1000)
+    val rows = kept.select("id", "s").as[(Long, String)].collect()
+    assert(rows.length == 1000)
+    // equal-size strata: weight 4 must fill clearly more slots than weight 1
+    // (expected ~4:1; assert a conservative 2:1 to stay noise-proof)
+    val bySrc = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("1") > 2 * bySrc("0"), bySrc)
+    // the selection is the arithmetic, not a sample: replay it exactly
+    val expected = (0L until 8000L).map { id =>
+      val h = ((id % 2147483648L + 2147483648L) % 2147483648L * 2654435761L) % 4294967296L
+      (h / w((id % 2).toString), id)
+    }.sorted.take(1000).map(_._2).toSet
+    assert(rows.map(_._1).toSet == expected)
+    // partitioning never changes membership
+    val re = Curation.weightedSample(df.repartition(13), "id", "s", w, k = 1000)
+      .select("id").as[Long].collect().toSet
+    assert(re == expected)
+    // weight 0 removes the stratum entirely
+    val none = Curation.weightedSample(df, "id", "s", Map("0" -> 0, "1" -> 1),
+        k = 100).select("s").as[String].collect()
+    assert(none.forall(_ == "1"))
+  }
+
+  test("preferencePairs: ordered disjoint pairs with the gap floor") {
+    val df = spark.range(300).select(col("id"),
+      (col("id") % 3).cast("string").as("s"),
+      // score strictly increasing in id so ranks are hand-checkable
+      (col("id") * 10).as("score"))
+    val pairs = Curation.preferencePairs(df, "id", "s", "score",
+        k = 5, minGap = 50L)
+      .as[(String, Int, Long, Long, Long)].collect()
+    // 3 strata x 5 ranks, all clearing the gap on this spread
+    assert(pairs.length == 15, pairs.length)
+    pairs.foreach { case (s, rank, chosen, rejected, gap) =>
+      assert(rank >= 1 && rank <= 5)
+      assert(chosen != rejected)
+      assert(gap >= 50L, gap)
+      // rank-i best pairs with rank-i worst: in stratum s the ids are
+      // s, s+3, ..., 297+s-3... — best ids descend, worst ascend
+      val ids = (0L until 300L).filter(_ % 3 == s.toLong).sorted
+      assert(chosen == ids(ids.length - rank) && rejected == ids(rank - 1),
+        (s, rank, chosen, rejected))
+    }
+    // a tiny stratum (1 row) can never pair with itself
+    val one = Seq((1L, "z", 5L)).toDF("id", "s", "score")
+    assert(Curation.preferencePairs(one, "id", "s", "score", 5, 0L).count() == 0)
+  }
 }

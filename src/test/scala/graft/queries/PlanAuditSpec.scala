@@ -559,6 +559,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ds_sample_weighted: priority top-k short-circuits, weights broadcast") {
+    val p = planOf("ds_sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(countScans(p) == 1, p)
+  }
+
+  test("ds_preference_pairs: both rank branches are WindowGroupLimit heaps") {
+    val p = planOf("ds_preference_pairs")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(countScans(p) == 2, p) // one per rank branch — never a full sort
+  }
+
+  test("ds_agreement: one kernel scan, partial-agged contingency counts") {
+    val p = planOf("ds_agreement")
+    assert(countScans(p) == 1, p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("txt_collocations: unigram join is keyed (vocab never broadcast wide), 3 reduced scans") {
+    val p = planOf("txt_collocations")
+    // pairs fold + unigram fold + explode-free total; the (side, word)
+    // unfold joins the unigram table on the word key and the re-fold
+    // reuses the bigram partitioning (no extra exchange); only the 1-row
+    // total rides a nested-loop broadcast
+    assert(countScans(p) == 3, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Expand"), p)
+  }
+
+  test("txt_fertility: one scan, map-side partial aggregation") {
+    val p = planOf("txt_fertility")
+    assert(countScans(p) == 1, p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q27: 1-row balance stats broadcast; lapsed filter is an anti-join") {
     val p = planOf("q27_idle_balances")
     // the scalar-subquery stats are a 1-row broadcast (BNLJ BuildRight is
