@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Table-maintenance operators: the small-files problem. Streaming sinks
@@ -181,5 +182,28 @@ object Maintenance {
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, keyCol).sortBy(keyCol)
       .saveAsTable(table)
+  }
+
+  /** Incremental aggregate maintenance: merge pre-aggregated rollup
+    * slices into the rollup of their union WITHOUT rescanning the
+    * underlying rows — the 100 TB pattern where history is aggregated
+    * once and only the new partition's delta is folded in each cycle.
+    * Sound for ALGEBRAIC measures only (sums and counts re-aggregate as
+    * sums; min/max as themselves via `mergeExprs`); averages must ride as
+    * (sum, count) pairs. Every slice must share the schema
+    * (`unionByName`, no missing columns). Each merge is one
+    * rollup-key-sized exchange — never a fact-table scan. */
+  def mergeRollups(rollups: Seq[org.apache.spark.sql.DataFrame],
+                   keys: Seq[String],
+                   mergeExprs: Map[String, String => Column] = Map.empty,
+                   sumCols: Seq[String] = Seq.empty): org.apache.spark.sql.DataFrame = {
+    require(rollups.nonEmpty, "nothing to merge")
+    require(sumCols.nonEmpty || mergeExprs.nonEmpty, "no measures to merge")
+    val all = rollups.reduce(_.unionByName(_))
+    val measures =
+      sumCols.map(c => sum(col(c)).as(c)) ++
+        mergeExprs.map { case (c, f) => f(c).as(c) }
+    all.groupBy(keys.map(col): _*)
+      .agg(measures.head, measures.tail: _*)
   }
 }

@@ -240,19 +240,103 @@ object Relational {
     * gap > 5 minutes per user. All event-time math on µs integers so the
     * oracle matches exactly; the streaming twin is
     * `StreamOps.sessionCounts` (native session_window). */
-  def q15Sessionize(spark: SparkSession, dir: String): DataFrame = {
+  /** THE session definition (gaps-and-islands, 5-minute gap): events
+    * labeled with a per-user running session_id. One user exchange, two
+    * windows over it; shared by [[q15Sessionize]] and [[evCooccurrence]]
+    * so "session" can never mean two things. */
+  private def sessionLabeled(spark: SparkSession, dir: String): DataFrame = {
     val gapUs = 5L * 60 * 1000 * 1000
     val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
       .withColumn("prev_ts", lag("ts_us", 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1L).otherwise(0L))
       .withColumn("session_id", sum("new_session").over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  def q15Sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionLabeled(spark, dir)
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"), min("ts_us").as("start_us"), max("ts_us").as("end_us"))
       .orderBy("user_id", "session_id")
+
+  /** EV-cooccurrence — which event types travel together within a session
+    * (market-basket association over [[sessionLabeled]] sessions): for
+    * every unordered type pair, the number of sessions containing both and
+    * the lift vs independence in exact ppm. The per-session distinct type
+    * set is folded to ONE sorted array (sessions hold a handful of types,
+    * so the map-side pair unfold is |types|² over a tiny array — no
+    * session self-join, no row blow-up); type totals and the 1-row session
+    * count broadcast onto the pair-sized aggregate. Lift arithmetic is the
+    * two-step long division (`(n_both·10⁶ div n_a)·n_sessions div n_b`) —
+    * the spec the oracle replays; operands stay under 2⁶³ to ~9e12
+    * sessions. */
+  def evCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = sessionLabeled(spark, dir)
+      .groupBy("user_id", "session_id")
+      .agg(sort_array(collect_set(col("event_type"))).as("types"))
+    // ONE explode emits every mark the query needs — the (null, null)
+    // session marker, one (type, null) single per distinct type, and the
+    // (a, b) unordered pairs — so one scan + one aggregation feed all
+    // three consumers. The localCheckpoint below is the sharing barrier:
+    // without it Catalyst pushes each consumer's grouping-key filter below
+    // the aggregate into the scan, and the session window re-runs once per
+    // branch (a 4-scan plan). The checkpoint materializes the |types|²-
+    // sized aggregate once (an eager job at plan-build time, the ds_pack
+    // precedent) and every branch reads it back. */
+    val marks = sessions.select(explode(concat(
+        array(struct(lit(null).cast("string").as("type_a"),
+          lit(null).cast("string").as("type_b"))),
+        expr("transform(types, a -> " +
+          "struct(a AS type_a, CAST(NULL AS STRING) AS type_b))"),
+        expr("flatten(transform(types, (a, i) -> " +
+          "transform(slice(types, i + 2, size(types) - i - 1), " +
+          "b -> struct(a AS type_a, b AS type_b))))"))).as("m"))
+      .groupBy(col("m.type_a").as("type_a"), col("m.type_b").as("type_b"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val totals = marks.filter(col("type_a").isNull)
+      .select(col("n").as("n_sessions"))
+    val singles = marks.filter(col("type_a").isNotNull && col("type_b").isNull)
+    val pairs = marks.filter(col("type_b").isNotNull)
+      .withColumnRenamed("n", "n_both")
+    pairs
+      .join(broadcast(singles.select(col("type_a"), col("n").as("n_a"))),
+        Seq("type_a"))
+      .join(broadcast(singles.select(col("type_a").as("type_b"),
+        col("n").as("n_b"))), Seq("type_b"))
+      .join(broadcast(totals))
+      .withColumn("lift_ppm",
+        expr("(n_both * 1000000 div n_a) * n_sessions div n_b"))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
+        col("n_b"), col("lift_ppm"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** EV-rollup-merge — incremental aggregate maintenance proven against
+    * the full recompute: the event stream is rolled up per slice (here:
+    * even/odd event days standing in for history vs the new partition)
+    * and [[graft.operators.Maintenance.mergeRollups]] folds the
+    * pre-aggregated slices into (event_type, day) totals WITHOUT touching
+    * the underlying rows again; the oracle is the direct GROUP BY over
+    * everything, so the hash check IS the merge≡recompute proof. Values
+    * in exact cents. At 100 TB the merge exchange is rollup-key-sized
+    * while the recompute would rescan the fact table every cycle. */
+  def evRollupMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Maintenance
+    val dayUs = 86400L * 1000 * 1000
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"), expr("(ts div 1000) div " + dayUs).as("day"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+    def slice(parity: Int) = base.filter(col("day") % 2 === parity)
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"), sum("value_cents").as("sum_cents"))
+    Maintenance.mergeRollups(Seq(slice(0), slice(1)),
+        keys = Seq("event_type", "day"), sumCols = Seq("n", "sum_cents"))
+      .orderBy("event_type", "day")
   }
 
   /** Q16 — as-of attribution: each purchase joined to the user's most recent
@@ -774,6 +858,8 @@ object Relational {
     "q25_correlated"     -> q25Correlated _,
     "q26_waiting_orders" -> q26WaitingOrders _,
     "q27_idle_balances"  -> q27IdleBalances _,
+    "ev_cooccurrence"    -> evCooccurrence _,
+    "ev_rollup_merge"    -> evRollupMerge _,
     "q24_window_suite"   -> q24WindowSuite _,
     "a7_approx_distinct" -> a7ApproxDistinct _,
   )
@@ -1101,6 +1187,47 @@ object Relational {
         | AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |   AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the q15 session window replayed, then a session self-join builds the
+    // unordered pairs; the two-step lift division is the spec
+    "ev_cooccurrence" ->
+      """WITH t AS (
+        | SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |  LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
+        | FROM events),
+        |f AS (
+        | SELECT user_id, event_type, ts_us, event_id,
+        |  CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 300000000 THEN 1 ELSE 0 END AS new_session
+        | FROM t),
+        |s AS (
+        | SELECT user_id, event_type,
+        |  CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        | FROM f),
+        |st AS (SELECT DISTINCT user_id, session_id, event_type FROM s),
+        |n AS (SELECT CAST(COUNT(DISTINCT (user_id, session_id)) AS BIGINT) AS n_sessions FROM st),
+        |singles AS (
+        | SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_type FROM st GROUP BY 1),
+        |pairs AS (
+        | SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_both
+        | FROM st a JOIN st b
+        |  ON a.user_id = b.user_id AND a.session_id = b.session_id
+        |  AND a.event_type < b.event_type
+        | GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_both, sa.n_type AS n_a, sb.n_type AS n_b,
+        | (n_both * 1000000 // sa.n_type) * n_sessions // sb.n_type AS lift_ppm
+        |FROM pairs
+        |JOIN singles sa ON sa.event_type = type_a
+        |JOIN singles sb ON sb.event_type = type_b
+        |CROSS JOIN n
+        |ORDER BY type_a, type_b""".stripMargin,
+    // direct GROUP BY over everything: value-matching it proves the
+    // slice-merge path re-aggregates losslessly
+    "ev_rollup_merge" ->
+      """SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ev_transitions" ->
       """WITH t AS (
         | SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,

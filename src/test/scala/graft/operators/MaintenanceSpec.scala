@@ -148,4 +148,30 @@ class BucketedJoinSpec extends graft.SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bk_cust")
     }
   }
+
+  test("mergeRollups: merging slice rollups equals the full recompute, any split, any order") {
+    val rows = spark.range(5000).select(
+      (col("id") % 7).cast("string").as("k"),
+      (col("id") % 11).as("g"),
+      (col("id") * 3 % 101).as("v"))
+    def rollup(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k", "g").agg(count(lit(1)).as("n"), sum("v").as("sv"),
+        min("v").as("mn"), max("v").as("mx"))
+    val direct = rollup(rows).orderBy("k", "g").collect()
+    // three uneven hash slices, sum/count via sumCols, min/max via mergeExprs
+    val slices = (0 to 2).map(i => rollup(rows.filter(col("id") % 3 === i)))
+    def merged(parts: Seq[org.apache.spark.sql.DataFrame]) =
+      Maintenance.mergeRollups(parts, Seq("k", "g"),
+        mergeExprs = Map("mn" -> (c => min(col(c))), "mx" -> (c => max(col(c)))),
+        sumCols = Seq("n", "sv"))
+        .select("k", "g", "n", "sv", "mn", "mx").orderBy("k", "g").collect()
+    assert(merged(slices).sameElements(direct))
+    // merge order never matters (associative measures)
+    assert(merged(slices.reverse).sameElements(direct))
+    // incremental: fold a pre-merged rollup with a late delta
+    val pre = Maintenance.mergeRollups(slices.take(2), Seq("k", "g"),
+      mergeExprs = Map("mn" -> (c => min(col(c))), "mx" -> (c => max(col(c)))),
+      sumCols = Seq("n", "sv"))
+    assert(merged(Seq(pre, slices(2))).sameElements(direct))
+  }
 }

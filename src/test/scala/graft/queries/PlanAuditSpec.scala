@@ -600,6 +600,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("ev_cooccurrence: one materialized mark aggregate feeds all branches") {
+    // the |types|²-sized mark table is localCheckpointed once (eager
+    // ds_pack-style build job); the final plan must read ONLY the
+    // checkpoint — a parquet scan here means a branch re-ran the session
+    // window (the 4-scan shape this query was built to avoid)
+    val p = planOf("ev_cooccurrence")
+    assert(countScans(p) == 0, p)
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("Window"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+  }
+
+  test("ev_rollup_merge: slice rollups partial-agg before union, no rescan") {
+    val p = planOf("ev_rollup_merge")
+    assert(countScans(p) == 2, p) // one per slice — stand-ins for stored rollups
+    assert(p.contains("Union"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q27: 1-row balance stats broadcast; lapsed filter is an anti-join") {
     val p = planOf("q27_idle_balances")
     // the scalar-subquery stats are a 1-row broadcast (BNLJ BuildRight is
