@@ -257,6 +257,44 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming incremental rollup maintenance — the foreachBatch twin of
+    * [[graft.operators.Maintenance.mergeRollups]] and the production form
+    * of the `ev_rollup_merge` query: each micro-batch rolls up to its
+    * (keys → sums) delta and folds into the persisted rollup, published
+    * as the next `v<N>/` with the atomic `_current` swap (readers always
+    * resolve a complete rollup; a crash between write and swap leaves the
+    * previous version current). Idempotent under checkpoint replay: the
+    * folded-through batchId rides in each version's `meta`, and a
+    * replayed batch at or below that high-water mark is skipped — so with
+    * a checkpointLocation the maintained rollup is exactly-once across
+    * restarts. Per-batch cost is one pass over the batch plus a
+    * rollup-key-sized merge exchange; history is never rescanned. */
+  def mergeRollupBatch(rollupPath: String, keys: Seq[String],
+                       sumCols: Seq[String])
+                      (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val (fs, root) = graft.sources.Fs.of(spark, rollupPath)
+    val prev = graft.sources.Fs.currentVersion(fs, root)
+      .map(v => s"$rollupPath/v$v")
+    val last = prev.map(d => spark.read.parquet(s"$d/meta").head.getLong(0))
+    if (last.exists(_ >= batchId)) return
+    val delta = batch.groupBy(keys.map(col): _*)
+      .agg(sum(col(sumCols.head)).as(sumCols.head),
+        sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+    val merged = prev match {
+      case Some(d) => graft.operators.Maintenance.mergeRollups(
+        Seq(spark.read.parquet(s"$d/rollup"), delta), keys, sumCols = sumCols)
+      case None => delta
+    }
+    graft.sources.Fs.writeVersioned(spark, rollupPath) { vdir =>
+      merged.write.mode("overwrite").parquet(s"$vdir/rollup")
+      Seq(batchId).toDF("last_batch").coalesce(1)
+        .write.mode("overwrite").parquet(s"$vdir/meta")
+    }
+    ()
+  }
+
   /** One observed transition ([[transitionStream]]). */
   final case class Transition(user_id: Long, from_type: String,
       to_type: String, ts_us: Long)

@@ -477,6 +477,50 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("rollup merge sink folds every batch exactly once across a restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val us = 1000L
+    val ckpt = java.nio.file.Files.createTempDirectory("rollup_ckpt").toString
+    val path = java.nio.file.Files.createTempDirectory("rollup_art").toString + "/r"
+    val mem = MemoryStream[Ev]
+    def start() = mem.toDF()
+      .select(col("event_type"), lit(1L).as("n"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .writeStream
+      .foreachBatch(StreamOps.mergeRollupBatch(path,
+        Seq("event_type"), Seq("n", "cents")) _)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    def rollup() = spark.read.parquet(
+        graft.sources.Fs.resolveCurrent(spark, path, "no rollup") + "/rollup")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val q1 = start()
+    try {
+      mem.addData(Ev(1, 100 * us, 1, "view", 1.0), Ev(2, 200 * us, 1, "view", 2.0))
+      q1.processAllAvailable()
+      mem.addData(Ev(3, 300 * us, 2, "click", 0.5))
+      q1.processAllAvailable()
+      assert(rollup() == Map("view" -> ((2L, 300L)), "click" -> ((1L, 50L))))
+    } finally q1.stop()
+    // restart on the same checkpoint: new data folds in, nothing doubles
+    val q2 = start()
+    try {
+      mem.addData(Ev(4, 400 * us, 1, "view", 3.0))
+      q2.processAllAvailable()
+      assert(rollup() == Map("view" -> ((3L, 600L)), "click" -> ((1L, 50L))))
+    } finally q2.stop()
+    // a replayed batch at or below the high-water mark is a no-op: the
+    // version count must not move and values must not double
+    val (fs, root) = graft.sources.Fs.of(spark, path)
+    val vBefore = graft.sources.Fs.currentVersion(fs, root).get
+    val replay = spark.createDataFrame(
+      Seq(("view", 1L, 600L))).toDF("event_type", "n", "cents")
+    StreamOps.mergeRollupBatch(path, Seq("event_type"), Seq("n", "cents"))(
+      replay, 0L)
+    assert(graft.sources.Fs.currentVersion(fs, root).get == vBefore)
+    assert(rollup() == Map("view" -> ((3L, 600L)), "click" -> ((1L, 50L))))
+  }
+
   test("funnel stream documents the no-retraction contract under disorder") {
     implicit val sqlCtx = spark.sqlContext
     val us = 1000L // ns per µs
