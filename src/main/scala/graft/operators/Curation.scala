@@ -52,7 +52,7 @@ object Curation {
     * 'train' and survive every sample). The add-then-mod normalization is
     * plain SQL, mirrored verbatim in the oracles. */
   def hashBucket(id: Column, buckets: Int = Buckets): Column =
-    ((id % 2147483648L + 2147483648L) % 2147483648L * 2654435761L) % 4294967296L % buckets
+    idHash(id) % buckets
 
   /** Train/val/test assignment by id hash: buckets [0, trainPerMille) →
     * train, [trainPerMille, trainPerMille+valPerMille) → val, rest → test.
@@ -101,9 +101,10 @@ object Curation {
       .drop("__w", "__copies")
   }
 
-  /** Raw deterministic id hash in [0, 2^32): the uniform key behind
-    * [[hashBucket]], exposed at full width for priority arithmetic
-    * (plain SQL, replayable verbatim in any engine). */
+  /** THE raw deterministic id hash in [0, 2^32): the single copy of the
+    * arithmetic behind [[hashBucket]] and [[weightedSample]]'s priority
+    * (plain SQL, replayable verbatim in any engine — the oracles inline
+    * the same expression). */
   def idHash(id: Column): Column =
     ((id % 2147483648L + 2147483648L) % 2147483648L * 2654435761L) % 4294967296L
 
@@ -131,12 +132,11 @@ object Curation {
     df.join(broadcast(w), Seq(strataCol), "left")
       .withColumn("__w", coalesce(col("__w"), lit(defaultWeight)))
       .filter(col("__w") > 0)
-      .withColumn("priority", expr(
-        s"((($idCol % 2147483648 + 2147483648) % 2147483648 * 2654435761)" +
-          s" % 4294967296) div __w"))
-      .drop("__w")
-      .orderBy(col("priority"), col(idCol))
+      .withColumn("__h", idHash(col(idCol)))
+      .withColumn("__priority", expr("__h div __w"))
+      .orderBy(col("__priority"), col(idCol))
       .limit(k)
+      .drop("__w", "__h", "__priority")
   }
 
   /** Preference-pair construction (post-training data shape): per stratum,
@@ -148,11 +148,16 @@ object Curation {
     * reverse of the worst ordering (score desc, id asc ↔ score asc, id
     * desc) so ranks are total and engine-independent given an integer
     * score, and the pair join runs over the k·|strata|-sized rank tables,
-    * not the corpus. Small-stratum overlap (|stratum| < 2k) is excluded by
-    * the `chosen != rejected` + positive-gap guards. */
+    * not the corpus. `minGap` must be positive: together with
+    * `chosen != rejected` it excludes small-stratum rank overlap AND
+    * mirrored tie pairs (with a zero gap allowed, an all-tied stratum
+    * would emit both (a, c) and (c, a) — contradictory training pairs
+    * where "chosen" is not better). */
   def preferencePairs(docs: DataFrame, idCol: String, strataCol: String,
                       scoreCol: String, k: Int, minGap: Long): DataFrame = {
     require(k > 0 && k <= 1000, s"pairs per stratum out of range: $k")
+    require(minGap > 0, s"minGap must be positive (got $minGap): a zero " +
+      "gap admits mirrored tie pairs where chosen is not better than rejected")
     val best = Window.partitionBy(col(strataCol))
       .orderBy(col(scoreCol).desc, col(idCol).asc)
     val worst = Window.partitionBy(col(strataCol))

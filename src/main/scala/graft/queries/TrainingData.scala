@@ -1119,7 +1119,10 @@ object TrainingData {
       w => length(w) > 0)
     val uni = docs.select(explode(ws).as("word"))
       .groupBy("word").agg(count(lit(1)).as("c"))
-    val total = docs.select(size(ws).as("n")).agg(sum("n").as("n_total"))
+    // n_total = Σc over the unigram fold — the totals branch shares uni's
+    // word exchange (ReusedExchange), so the corpus is NOT rescanned for
+    // a number the vocabulary table already holds
+    val total = uni.agg(sum("c").as("n_total"))
     val pairs = docs
       .withColumn("__ws", ws)
       .select(explode(when(size(col("__ws")) < 2, array().cast("array<string>"))

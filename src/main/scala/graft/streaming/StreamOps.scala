@@ -264,10 +264,15 @@ object StreamOps {
     * as the next `v<N>/` with the atomic `_current` swap (readers always
     * resolve a complete rollup; a crash between write and swap leaves the
     * previous version current). Idempotent under checkpoint replay: the
-    * folded-through batchId rides in each version's `meta`, and a
-    * replayed batch at or below that high-water mark is skipped — so with
-    * a checkpointLocation the maintained rollup is exactly-once across
-    * restarts. Per-batch cost is one pass over the batch plus a
+    * folded-through batchId rides in each version's `meta`: a replayed
+    * batch AT the high-water mark (checkpoint recovery re-runs exactly
+    * the last uncommitted batch) is skipped, so with a checkpointLocation
+    * the maintained rollup is exactly-once across restarts. A batchId
+    * BELOW the mark is not a replay — it means a different stream (fresh
+    * checkpoint, deleted checkpoint dir) was pointed at this rollup, and
+    * silently skipping would drop its data; that fails loudly instead.
+    * Point a new stream at a new rollup path, or fold its history in as
+    * one batch. Per-batch cost is one pass over the batch plus a
     * rollup-key-sized merge exchange; history is never rescanned. */
   def mergeRollupBatch(rollupPath: String, keys: Seq[String],
                        sumCols: Seq[String])
@@ -278,7 +283,11 @@ object StreamOps {
     val prev = graft.sources.Fs.currentVersion(fs, root)
       .map(v => s"$rollupPath/v$v")
     val last = prev.map(d => spark.read.parquet(s"$d/meta").head.getLong(0))
-    if (last.exists(_ >= batchId)) return
+    if (last.contains(batchId)) return // checkpoint replay of the last batch
+    require(last.forall(_ < batchId),
+      s"rollup at $rollupPath already folded through batch ${last.get}, " +
+        s"got batch $batchId from an unrelated stream — its earlier " +
+        "batches were never merged here; use a fresh rollup path")
     val delta = batch.groupBy(keys.map(col): _*)
       .agg(sum(col(sumCols.head)).as(sumCols.head),
         sumCols.tail.map(c => sum(col(c)).as(c)): _*)

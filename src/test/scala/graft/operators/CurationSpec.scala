@@ -393,6 +393,14 @@ class CurationSpec extends SparkSpec {
     }
     // a tiny stratum (1 row) can never pair with itself
     val one = Seq((1L, "z", 5L)).toDF("id", "s", "score")
-    assert(Curation.preferencePairs(one, "id", "s", "score", 5, 0L).count() == 0)
+    assert(Curation.preferencePairs(one, "id", "s", "score", 5, 1L).count() == 0)
+    // zero gap is rejected: it would admit mirrored tie pairs
+    intercept[IllegalArgumentException] {
+      Curation.preferencePairs(one, "id", "s", "score", 5, 0L)
+    }
+    // an all-tied stratum emits nothing (no mirrored pairs)
+    val tied = Seq((1L, "t", 7L), (2L, "t", 7L), (3L, "t", 7L))
+      .toDF("id", "s", "score")
+    assert(Curation.preferencePairs(tied, "id", "s", "score", 5, 1L).count() == 0)
   }
 }

@@ -581,16 +581,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
-  test("txt_collocations: unigram join is keyed (vocab never broadcast wide), 3 reduced scans") {
+  test("txt_collocations: keyed vocab join; totals branch reuses the word shuffle") {
     val p = planOf("txt_collocations")
-    // pairs fold + unigram fold + explode-free total; the (side, word)
-    // unfold joins the unigram table on the word key and the re-fold
-    // reuses the bigram partitioning (no extra exchange); only the 1-row
-    // total rides a nested-loop broadcast
-    assert(countScans(p) == 3, p)
+    // pairs fold + unigram fold; n_total = Σc re-aggregates the unigram
+    // table, and at RUNTIME AQE reuses the word exchange for it (static
+    // plans print the subtree twice — the reuse assert below is the one
+    // that counts); the (side, word) unfold joins the unigram table on
+    // the word key, and only the 1-row total rides a nested-loop
+    // broadcast
     assert(p.contains("TakeOrderedAndProject"), p)
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p)
     assert(!p.contains("CartesianProduct") && !p.contains("Expand"), p)
+    val df = graft.SparkEntry.queries("txt_collocations")(spark, sfDir)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("Reused"),
+      s"totals branch re-ran the unigram map side instead of reusing " +
+        s"the word shuffle:\n$executed")
   }
 
   test("txt_fertility: one scan, map-side partial aggregation") {

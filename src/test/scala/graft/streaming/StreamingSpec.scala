@@ -509,15 +509,26 @@ class StreamingSpec extends SparkSpec {
       q2.processAllAvailable()
       assert(rollup() == Map("view" -> ((3L, 600L)), "click" -> ((1L, 50L))))
     } finally q2.stop()
-    // a replayed batch at or below the high-water mark is a no-op: the
-    // version count must not move and values must not double
+    // a replayed batch AT the high-water mark (the checkpoint-recovery
+    // case) is a no-op: version pointer and values must not move
     val (fs, root) = graft.sources.Fs.of(spark, path)
     val vBefore = graft.sources.Fs.currentVersion(fs, root).get
     val replay = spark.createDataFrame(
       Seq(("view", 1L, 600L))).toDF("event_type", "n", "cents")
+    val lastId = spark.read.parquet(
+      graft.sources.Fs.resolveCurrent(spark, path, "no rollup") + "/meta")
+      .head.getLong(0)
     StreamOps.mergeRollupBatch(path, Seq("event_type"), Seq("n", "cents"))(
-      replay, 0L)
+      replay, lastId)
     assert(graft.sources.Fs.currentVersion(fs, root).get == vBefore)
+    assert(rollup() == Map("view" -> ((3L, 600L)), "click" -> ((1L, 50L))))
+    // a batchId BELOW the mark is an unrelated stream, not a replay —
+    // silently skipping would drop its earlier batches, so it must throw
+    val ex = intercept[IllegalArgumentException] {
+      StreamOps.mergeRollupBatch(path, Seq("event_type"), Seq("n", "cents"))(
+        replay, lastId - 1)
+    }
+    assert(ex.getMessage.contains("unrelated stream"), ex.getMessage)
     assert(rollup() == Map("view" -> ((3L, 600L)), "click" -> ((1L, 50L))))
   }
 

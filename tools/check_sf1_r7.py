@@ -97,7 +97,11 @@ for name, min_rows in [("sim_ann_ivf", 10), ("q23_percentiles_approx", 5),
 # x 20k vectors at sf1, inside the documented targeted-compare budget)
 for name in ["ev_funnel", "ev_retention", "txt_normalize",
              "ds_hard_negatives", "sim_whiten", "ev_trending",
-             "ev_transitions", "q25_correlated", "ds_span_corrupt", "ds_fim"]:
+             "ev_transitions", "q25_correlated", "ds_span_corrupt", "ds_fim",
+             # second-session round-7 additions (batches 13-14)
+             "q26_waiting_orders", "q27_idle_balances", "ds_sample_weighted",
+             "ds_preference_pairs", "ds_agreement", "txt_collocations",
+             "txt_fertility", "ev_cooccurrence", "ev_rollup_merge"]:
     if not wanted(name):
         continue
     if name not in oracles:  # a silently-missing oracle must not pass
