@@ -91,51 +91,132 @@ object SimilarityIvf {
     embeddings.withColumn("cell", cellUdf(col("embedding")))
   }
 
-  /** Persist an index VERSION: vectors written as parquet PARTITIONED BY
-    * cell (so probes become partition-pruned scans — at 100 TB a probe
-    * touches nprobe/nCells of the files, enforced by the storage layout,
-    * not a runtime filter), plus a `_centroids` side table, into a fresh
-    * `v<N>/` that a rename-based `_current` pointer swap then publishes —
-    * the same layout and concurrency contract as the LSH index
-    * (Dedup.buildLshIndex): a probe that resolved the pointer before a
-    * rebuild keeps reading its previous COMPLETE version, never a mix
-    * (that immediately-previous version is retained through the next
-    * build; only strictly older ones are pruned — Fs.publishVersion).
-    * Pre-versioning flat layouts (`$path/vectors` without `_current`) are
-    * not migrated: probes fail fast with "run buildIndex first". Build
-    * once, probe many — a real pipeline rebuilds on corpus refresh, not
-    * per query (graft.queries.TrainingData.simAnnIvf probes the persisted
-    * index). */
+  /** Persist an index VERSION. Layout: vector data lives in immutable
+    * SEGMENT directories under `$path/segments/seg-<uuid>/`, each parquet
+    * PARTITIONED BY cell (so probes become partition-pruned scans — at
+    * 100 TB a probe touches nprobe/nCells of the files, enforced by the
+    * storage layout, not a runtime filter); each `v<N>/` version is
+    * METADATA ONLY — the `_centroids` side table plus `_segments`, the
+    * list of segment directories that participate. The rename-based
+    * `_current` pointer swap publishes a version atomically, with the
+    * same concurrency contract as the LSH index (Dedup.buildLshIndex): a
+    * probe that resolved the pointer before a rebuild keeps reading its
+    * previous COMPLETE version, never a mix. Segments sit OUTSIDE the
+    * version dirs because Fs.publishVersion prunes old versions — an
+    * [[appendToIndex]] chain must keep its base data alive across many
+    * pointer bumps; orphaned segments are collected by [[compactIndex]].
+    * Pre-versioning flat layouts are not migrated: probes fail fast with
+    * "run buildIndex first". Build once, probe many — a real pipeline
+    * rebuilds on corpus refresh, not per query
+    * (graft.queries.TrainingData.simAnnIvf probes the persisted index). */
   def buildIndex(embeddings: DataFrame, path: String, nCells: Int = 16,
                  iters: Int = 3): Unit = {
     val spark = embeddings.sparkSession
+    val centroids = trainCentroids(embeddings, nCells, iters)
+    val seg = writeSegment(path, assignCells(embeddings, centroids))
+    publishMeta(spark, path, centroids, Seq(seg))
+  }
+
+  /** Write one immutable vector segment; returns its path-relative name. */
+  private def writeSegment(path: String, assigned: DataFrame): String = {
+    val seg = s"segments/seg-${java.util.UUID.randomUUID()}"
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/$seg")
+    seg
+  }
+
+  /** Publish a metadata version referencing `segments` (in order). */
+  private def publishMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, centroids: Array[(Int, Array[Double])],
+      segments: Seq[String]): Unit = {
     import spark.implicits._
     graft.sources.Fs.writeVersioned(spark, path) { vdir =>
-      val centroids = trainCentroids(embeddings, nCells, iters)
-      assignCells(embeddings, centroids)
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/vectors")
       spark.createDataset(centroids.toSeq.map { case (c, v) => (c, v.toSeq) })
         .toDF("cell", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$vdir/_centroids")
+      segments.toDF("segment")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/_segments")
     }
     ()
+  }
+
+  /** Incrementally index NEW vectors without retraining or rewriting the
+    * corpus: assign them to the CURRENT version's centroids (the
+    * coarse quantizer is frozen between rebuilds — the standard IVF
+    * trade: recall on a drifting distribution degrades until the next
+    * [[buildIndex]]/[[compactIndex]] refresh), write one new segment with
+    * just the delta, and publish a version whose `_segments` is the base
+    * chain plus the delta. Cost is proportional to the DELTA, not the
+    * corpus; probes transparently scan the chain (same cell partitioning
+    * in every segment). Long chains accrete per-segment file overhead —
+    * [[compactIndex]] folds them back to one. */
+  def appendToIndex(newVectors: DataFrame, path: String): Unit = {
+    val spark = newVectors.sparkSession
+    val (_, centroids, segs) = resolveIndex(spark, path)
+    val seg = writeSegment(path, assignCells(newVectors, centroids))
+    publishMeta(spark, path, centroids, segs :+ seg)
+  }
+
+  /** Fold an append chain back to ONE segment (same centroids, same
+    * rows): reads the current chain, writes a consolidated segment,
+    * publishes a version referencing only it, then deletes segment
+    * directories referenced by NEITHER the new version nor its
+    * predecessor (matching Fs's keep-one-previous retention, so a probe
+    * that resolved the pointer just before the compaction still reads a
+    * complete chain). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Unit = {
+    val (_, centroids, segs) = resolveIndex(spark, path)
+    val seg = writeSegment(path, readVectors(spark, path, segs))
+    publishMeta(spark, path, centroids, Seq(seg))
+    gcSegments(spark, path)
+  }
+
+  /** Delete segment dirs unreferenced by the current AND previous
+    * versions. */
+  private def gcSegments(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Unit = {
+    import spark.implicits._
+    val (fs, root) = graft.sources.Fs.of(spark, path)
+    val cur = graft.sources.Fs.currentVersion(fs, root).getOrElse(return)
+    val live = Seq(cur, cur - 1).flatMap { v =>
+      val p = new org.apache.hadoop.fs.Path(root, s"v$v/_segments")
+      if (fs.exists(p))
+        spark.read.parquet(s"$path/v$v/_segments").as[String].collect()
+      else Seq.empty
+    }.toSet
+    val segRoot = new org.apache.hadoop.fs.Path(root, "segments")
+    if (!fs.exists(segRoot)) return
+    fs.listStatus(segRoot).map(_.getPath).foreach { p =>
+      if (!live.contains(s"segments/${p.getName}")) fs.delete(p, true)
+    }
   }
 
   /** Probe a persisted index: resolve `_current` once, rank that version's
     * cells by centroid distance, scan only the best `nprobe` PARTITIONS,
     * exact cosine re-rank. `excludeIds` drops result rows (e.g. the query
     * vector itself when it is part of the corpus) BEFORE the top-k cut. */
-  /** Resolve the `_current` index version and load its centroid table —
-    * the ONE copy of the layout/error contract for every probe path. */
-  private def resolveWithCentroids(spark: org.apache.spark.sql.SparkSession,
-      path: String): (String, Array[(Int, Array[Double])]) = {
+  /** Resolve the `_current` index version, its centroid table, and its
+    * segment list — the ONE copy of the layout/error contract for every
+    * probe path. */
+  private def resolveIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (String, Array[(Int, Array[Double])], Seq[String]) = {
     import spark.implicits._
     val vdir = graft.sources.Fs.resolveCurrent(spark, path,
       s"no IVF index at $path (missing _current pointer — " +
         "run buildIndex first)")
-    (vdir, spark.read.parquet(s"$vdir/_centroids")
-      .as[(Int, Seq[Double])].collect().map { case (c, v) => (c, v.toArray) })
+    val centroids = spark.read.parquet(s"$vdir/_centroids")
+      .as[(Int, Seq[Double])].collect().map { case (c, v) => (c, v.toArray) }
+    val segs = spark.read.parquet(s"$vdir/_segments").as[String].collect().toSeq
+    (vdir, centroids, segs)
   }
+
+  /** Union scan of a version's segment chain — one scan per segment
+    * (separate roots cannot share one partition discovery), unioned;
+    * cell-filter pushdown prunes partitions in EACH segment scan. */
+  private def readVectors(spark: org.apache.spark.sql.SparkSession,
+      path: String, segs: Seq[String]): DataFrame =
+    segs.map(s => spark.read.parquet(s"$path/$s")).reduce(_.unionByName(_))
 
   /** The `nprobe` nearest cells to `vd` — the ONE copy of the probe-cell
     * ranking (L2 over the common prefix, (distance, cell) tie order)
@@ -154,11 +235,11 @@ object SimilarityIvf {
                  queryVec: Array[Float], k: Int, nprobe: Int,
                  excludeIds: Seq[Long] = Nil): DataFrame = {
     import spark.implicits._
-    val (vdir, centroids) = resolveWithCentroids(spark, path)
+    val (_, centroids, segs) = resolveIndex(spark, path)
     val probeCells = nearestCells(queryVec.map(_.toDouble), centroids, nprobe)
     val q = spark.createDataset(Seq(queryVec.toSeq)).toDF("query_vec")
       .select(col("query_vec").cast("array<float>").as("query_vec"))
-    spark.read.parquet(s"$vdir/vectors")
+    readVectors(spark, path, segs)
       .filter(col("cell").isin(probeCells.toSeq: _*)) // -> PartitionFilters
       .filter(if (excludeIds.isEmpty) lit(true) else !col("vec_id").isin(excludeIds: _*))
       .crossJoin(broadcast(q))
@@ -184,7 +265,7 @@ object SimilarityIvf {
                        anchors: DataFrame, k: Int, lo: Double, hi: Double,
                        nprobe: Int = 4): DataFrame = {
     import spark.implicits._
-    val (vdir, centroids) = resolveWithCentroids(spark, path)
+    val (_, centroids, segs) = resolveIndex(spark, path)
     val aRows = anchors.select(col("vec_id"), col("label"), col("embedding"))
       .limit(Dedup.maxVerifierSample + 1)
       .as[(Long, Int, Array[Float])].collect()
@@ -205,7 +286,7 @@ object SimilarityIvf {
     val cDf = cells.toDF("cell", "anchor_id")
     val dot = VectorExpressions.dotF _
     Similarity.rankHardNegatives(
-      spark.read.parquet(s"$vdir/vectors")
+      readVectors(spark, path, segs)
         .join(broadcast(cDf), Seq("cell"))
         .join(broadcast(aDf), Seq("anchor_id"))
         .filter(col("label") =!= col("a_label"))

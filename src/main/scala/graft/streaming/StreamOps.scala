@@ -304,6 +304,61 @@ object StreamOps {
     ()
   }
 
+  /** One co-occurrence mark from a CLOSED session ([[cooccurStream]]):
+    * the same three-kind mark the batch query aggregates — (None, None)
+    * is the session marker, (Some(t), None) one single per distinct
+    * type, (Some(a), Some(b)) an unordered pair with a < b. */
+  final case class SessionMark(user_id: Long, type_a: Option[String],
+      type_b: Option[String])
+
+  /** Streaming twin of the session co-occurrence query
+    * ([[graft.queries.Relational.evCooccurrence]], oracle-checked in
+    * batch): per-user `flatMapGroupsWithState` holding the OPEN session's
+    * distinct type set + last event time; when an arriving event opens a
+    * gap > `gapUs`, the closed session emits its marks (marker, singles,
+    * sorted pairs — exactly the rows the batch query's explode produces),
+    * and the downstream consumer folds them into the same type-pair
+    * aggregate the batch query checkpoints. Equivalence contract: batch ≡
+    * stream over CLOSED sessions under per-user event-time-ordered
+    * arrival; a session stays open (and unemitted) until a later event
+    * closes it — the streaming-native trade (an event-time timeout would
+    * need a watermark on a keyed state this engine leaves to the
+    * deployment). State per user is one (types, last_ts) pair, bounded by
+    * the distinct-type alphabet. */
+  def cooccurStream(events: DataFrame,
+      gapUs: Long = 5L * 60 * 1000 * 1000): Dataset[SessionMark] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id").cast("long"), col("event_type"),
+        expr("ts div 1000").as("ts_us"), col("event_id").cast("long"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Long, Long)],
+         state: GroupState[(Seq[String], Long)]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionMark]
+          def close(types: Seq[String]): Unit = {
+            val sorted = types.distinct.sorted
+            out += SessionMark(user, None, None)
+            sorted.foreach(t => out += SessionMark(user, Some(t), None))
+            for (i <- sorted.indices; j <- (i + 1) until sorted.length)
+              out += SessionMark(user, Some(sorted(i)), Some(sorted(j)))
+          }
+          var cur = state.getOption
+          rows.toSeq.sortBy(r => (r._3, r._4)).foreach { case (_, tpe, ts, _) =>
+            cur = cur match {
+              case Some((types, last)) if ts - last > gapUs =>
+                close(types); Some((Seq(tpe), ts))
+              case Some((types, _)) => Some(((types :+ tpe).distinct, ts))
+              case None => Some((Seq(tpe), ts))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** One observed transition ([[transitionStream]]). */
   final case class Transition(user_id: Long, from_type: String,
       to_type: String, ts_us: Long)

@@ -77,11 +77,13 @@ class IvfSpec extends SparkSpec {
     // the immediately-previous version is RETAINED for in-flight readers
     // that resolved the pointer just before the swap
     val names = fs.listStatus(root).map(_.getPath.getName).toSet
-    assert(names == Set("v1", "v2", "_current"), names)
+    assert(names == Set("v1", "v2", "segments", "_current"), names)
     // ... and strictly older versions are pruned on the NEXT build
+    // (vector SEGMENTS live outside the version dirs and survive pruning
+    // — an append chain's base data must outlive pointer bumps)
     SimilarityIvf.buildIndex(embs, idx, nCells = 8)
     val names3 = fs.listStatus(root).map(_.getPath.getName).toSet
-    assert(names3 == Set("v2", "v3", "_current"), names3)
+    assert(names3 == Set("v2", "v3", "segments", "_current"), names3)
     // deterministic training -> identical probe results across versions
     val r2 = SimilarityIvf.probeIndex(spark, idx, qVec, k = 10, nprobe = 3).collect()
     assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq)
@@ -141,5 +143,49 @@ class IvfSpec extends SparkSpec {
     val ivfPairs = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (bruteTop & ivfPairs).size.toDouble / bruteTop.size
     assert(recall >= 0.6, s"recall@5 $recall")
+  }
+
+  test("append indexes the delta only; compact folds the chain and GCs") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-a").toString
+    val embs = Tables.embeddings(spark, sfDir)
+    val base = embs.filter(col("vec_id") % 3 =!= 0)
+    val delta = embs.filter(col("vec_id") % 3 === 0)
+    SimilarityIvf.buildIndex(base, idx, nCells = 8)
+    val (fs, root) = graft.sources.Fs.of(spark, idx)
+    def segDirs() = fs.listStatus(
+      new org.apache.hadoop.fs.Path(root, "segments")).map(_.getPath.getName).toSet
+    val baseSegs = segDirs()
+    assert(baseSegs.size == 1)
+    // a delta vector is invisible before the append...
+    val qVec = embs.filter(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    val pre = SimilarityIvf.probeIndex(spark, idx, qVec, k = 5, nprobe = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(!pre.contains(0L))
+    SimilarityIvf.appendToIndex(delta, idx)
+    assert(segDirs().size == 2, segDirs())
+    // ...and the exact top hit afterwards (nprobe = all cells -> exact)
+    val post = SimilarityIvf.probeIndex(spark, idx, qVec, k = 5, nprobe = 8)
+      .collect()
+    assert(post.head.getLong(0) == 0L, post.map(_.getLong(0)).mkString(","))
+    // centroids are FROZEN across the append (no retrain)
+    val v1c = spark.read.parquet(s"$idx/v1/_centroids").collect().map(_.toString).sorted
+    val v2c = spark.read.parquet(s"$idx/v2/_centroids").collect().map(_.toString).sorted
+    assert(v1c.sameElements(v2c))
+    // compaction folds to one segment with identical probe results
+    SimilarityIvf.compactIndex(spark, idx)
+    val compacted = SimilarityIvf.probeIndex(spark, idx, qVec, k = 5, nprobe = 8)
+      .collect()
+    assert(compacted.map(_.toString).toSeq == post.map(_.toString).toSeq)
+    // first compact retains the chain (previous version still references
+    // it — the keep-one-previous retention); a second compact GCs it
+    assert(segDirs().size == 3, segDirs())
+    SimilarityIvf.compactIndex(spark, idx)
+    val after = segDirs()
+    assert(after.size == 2, after) // last two consolidated segments only
+    assert((after & baseSegs).isEmpty, "original chain not collected")
+    val again = SimilarityIvf.probeIndex(spark, idx, qVec, k = 5, nprobe = 8)
+      .collect()
+    assert(again.map(_.toString).toSeq == post.map(_.toString).toSeq)
   }
 }

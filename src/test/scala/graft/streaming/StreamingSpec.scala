@@ -477,6 +477,48 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("cooccur stream emits exactly the batch marks for closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val us = 1000L
+    val gapUs = 5L * 60 * 1000 * 1000
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.cooccurStream(mem.toDF())
+      .writeStream.format("memory").queryName("cooccur_marks")
+      .outputMode("append").start()
+    try {
+      // user 7: session {view, click} then (gap) session {view, purchase};
+      // user 8: one session {click}; events arrive in event-time order
+      // split across micro-batches (including a session spanning batches)
+      mem.addData(Ev(1, 100 * us, 7, "view", 0), Ev(2, 200 * us, 7, "click", 0))
+      q.processAllAvailable()
+      mem.addData(Ev(3, 250 * us, 7, "view", 0)) // same session (gap small)
+      q.processAllAvailable()
+      val far = 500 * 1000 * 1000L // µs — 500 s, past the 5-min gap
+      mem.addData(Ev(4, far * us, 7, "view", 0),
+        Ev(5, (far + 1) * us, 7, "purchase", 0),
+        Ev(6, 300 * us, 8, "click", 0))
+      q.processAllAvailable()
+      // close the open sessions with sentinel events (their own sessions
+      // stay open and emit nothing — the documented contract)
+      val flush = far + 2 * gapUs
+      mem.addData(Ev(7, flush * us, 7, "sentinel", 0),
+        Ev(8, flush * us, 8, "sentinel", 0))
+      q.processAllAvailable()
+      val marks = spark.table("cooccur_marks")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2))))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      // session 1 of user 7: {click, view} -> marker + 2 singles + 1 pair;
+      // session 2: {purchase, view}; user 8: {click}
+      val expected = Map(
+        (7L, None, None) -> 2, (8L, None, None) -> 1,
+        (7L, Some("click"), None) -> 1, (7L, Some("view"), None) -> 2,
+        (7L, Some("purchase"), None) -> 1, (8L, Some("click"), None) -> 1,
+        (7L, Some("click"), Some("view")) -> 1,
+        (7L, Some("purchase"), Some("view")) -> 1)
+      assert(marks == expected, marks)
+    } finally q.stop()
+  }
+
   test("rollup merge sink folds every batch exactly once across a restart") {
     implicit val sqlCtx = spark.sqlContext
     val us = 1000L
