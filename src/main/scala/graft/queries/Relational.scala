@@ -822,6 +822,29 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Q28 — key-skew report over the event stream: the distribution facts
+    * that decide whether a keyed job needs salting (the [[graft.operators
+    * .Skew]] family) — key count, rows at the hottest key, the hot key's
+    * share and the top-10 share of all rows, in exact ppm. Two reduced
+    * aggregation passes (the ev_trending two-scan pattern): the per-key
+    * counts fold once for the global stats, and the top-10 branch is a
+    * TakeOrderedAndProject heap + 1-row broadcast — no users-scale sort,
+    * no driver collect. */
+  def q28SkewReport(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val top10 = counts.orderBy(desc("n"), asc("user_id")).limit(10)
+      .agg(sum("n").as("top10_n"))
+    counts
+      .agg(count(lit(1)).as("n_keys"), sum("n").as("n_rows"),
+        max("n").as("max_n"))
+      .join(broadcast(top10))
+      .withColumn("max_share_ppm", expr("max_n * 1000000 div n_rows"))
+      .withColumn("top10_share_ppm", expr("top10_n * 1000000 div n_rows"))
+      .select(col("n_keys"), col("n_rows"), col("max_n"),
+        col("max_share_ppm"), col("top10_n"), col("top10_share_ppm"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_filter_project" -> q01FilterProject _,
     "q02_string_chain"   -> q02StringChain _,
@@ -860,6 +883,7 @@ object Relational {
     "q27_idle_balances"  -> q27IdleBalances _,
     "ev_cooccurrence"    -> evCooccurrence _,
     "ev_rollup_merge"    -> evRollupMerge _,
+    "q28_skew_report"    -> q28SkewReport _,
     "q24_window_suite"   -> q24WindowSuite _,
     "a7_approx_distinct" -> a7ApproxDistinct _,
   )
@@ -1221,6 +1245,20 @@ object Relational {
         |JOIN singles sb ON sb.event_type = type_b
         |CROSS JOIN n
         |ORDER BY type_a, type_b""".stripMargin,
+    "q28_skew_report" ->
+      """WITH c AS (
+        | SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |t AS (
+        | SELECT CAST(SUM(n) AS BIGINT) AS top10_n FROM (
+        |  SELECT n FROM c ORDER BY n DESC, user_id ASC LIMIT 10)),
+        |g AS (
+        | SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(n) AS BIGINT) AS n_rows, CAST(MAX(n) AS BIGINT) AS max_n
+        | FROM c)
+        |SELECT n_keys, n_rows, max_n,
+        | max_n * 1000000 // n_rows AS max_share_ppm,
+        | top10_n, top10_n * 1000000 // n_rows AS top10_share_ppm
+        |FROM g, t""".stripMargin,
     // direct GROUP BY over everything: value-matching it proves the
     // slice-merge path re-aggregates losslessly
     "ev_rollup_merge" ->

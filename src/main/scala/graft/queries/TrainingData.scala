@@ -42,6 +42,44 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Language/topic-marker confusion audit: how the [[txtLangId]]
+    * predictor distributes over the corpus's ACTUAL lang labels — the
+    * per-(lang, predicted) counts and within-lang shares (exact ppm) a
+    * curation run reads before trusting the classifier on a new corpus
+    * mix. One kernel scan; the share window runs over the class-pair-
+    * sized aggregate rows (ev_transitions pattern). */
+  def txtLangidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val (en, data, compute) = langScores(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), langPredict(en, data, compute).as("predicted"))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      .withColumn("share_ppm",
+        expr("n * 1000000 div sum(n) over (partition by lang)"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** Dedup yield curve: how many near-dup pairs (and docs touched) each
+    * candidate Jaccard threshold would flag — the sweep an operator reads
+    * before committing a threshold, priced as ONE run of the sampled
+    * verifier instead of five. The threshold comparison is an exact
+    * integer cross-multiply (`inter·1000 ≥ t·uni` — no float J crosses an
+    * engine boundary); the docs side re-aggregates the pair table (pair
+    * counts and distinct-doc counts need different grains), both over the
+    * require-capped sampled pair set, never the corpus. */
+  def ddThresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardPairs(Tables.documents(spark, dir),
+        sampleMod = 10, threshold = 0.5)
+      .select(col("a_id"), col("b_id"), col("inter"), col("uni"))
+    val swept = pairs.select(col("a_id"), col("b_id"), col("inter"), col("uni"),
+        explode(expr("array(500, 600, 700, 800, 900)")).as("t_permille"))
+      .filter(col("inter") * 1000 >= col("t_permille") * col("uni"))
+    val nPairs = swept.groupBy("t_permille").agg(count(lit(1)).as("n_pairs"))
+    val nDocs = swept
+      .select(col("t_permille"), explode(array(col("a_id"), col("b_id"))).as("d"))
+      .groupBy("t_permille").agg(countDistinct("d").as("n_docs"))
+    nPairs.join(nDocs, Seq("t_permille")).orderBy("t_permille")
+  }
+
   def txtQuality(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -1486,6 +1524,8 @@ object TrainingData {
     "dd_embed_exact"   -> ddEmbedExact _,
     "dd_embed_lsh"     -> ddEmbedLsh _,
     "txt_lang_id"      -> txtLangId _,
+    "txt_langid_confusion" -> txtLangidConfusion _,
+    "dd_threshold_curve"   -> ddThresholdCurve _,
     "txt_quality"      -> txtQuality _,
     "txt_tokens"       -> txtTokens _,
     "txt_fingerprint"  -> txtFingerprint _,
@@ -1939,6 +1979,45 @@ object TrainingData {
          |  len(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> list_contains($dataList, w))) AS data_hits,
          |  len(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> list_contains($computeList, w))) AS compute_hits
          | FROM documents) ORDER BY doc_id""".stripMargin,
+    "txt_langid_confusion" ->
+      s"""WITH p AS (
+         | SELECT lang,
+         |  CASE WHEN en_hits >= data_hits AND en_hits >= compute_hits THEN 'en'
+         |       WHEN data_hits >= compute_hits THEN 'data'
+         |       ELSE 'compute' END AS predicted
+         | FROM (
+         |  SELECT lang,
+         |   len(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> list_contains($enList, w))) AS en_hits,
+         |   len(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> list_contains($dataList, w))) AS data_hits,
+         |   len(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> list_contains($computeList, w))) AS compute_hits
+         |  FROM documents)),
+         |c AS (
+         | SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+         | FROM p GROUP BY 1, 2)
+         |SELECT lang, predicted, n,
+         | n * 1000000 // CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS share_ppm
+         |FROM c ORDER BY lang, predicted""".stripMargin,
+    "dd_threshold_curve" ->
+      """WITH s AS (
+        | SELECT doc_id,
+        |  list_distinct(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS w
+        | FROM documents WHERE doc_id % 10 = 0),
+        |pairs AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  len(list_intersect(a.w, b.w)) AS inter,
+        |  len(list_distinct(list_concat(a.w, b.w))) AS uni
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        |        / CAST(len(list_distinct(list_concat(a.w, b.w))) AS DOUBLE) >= 0.5),
+        |swept AS (
+        | SELECT t_permille, a_id, b_id FROM pairs
+        | CROSS JOIN (VALUES (500), (600), (700), (800), (900)) t(t_permille)
+        | WHERE inter * 1000 >= t_permille * uni)
+        |SELECT t_permille,
+        | CAST(COUNT(DISTINCT (a_id, b_id)) AS BIGINT) AS n_pairs,
+        | CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs
+        |FROM (SELECT t_permille, a_id, b_id, unnest([a_id, b_id]) AS d FROM swept)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "txt_quality" ->
       s"""WITH f AS (
          | SELECT doc_id, length(text) AS n_chars_m,

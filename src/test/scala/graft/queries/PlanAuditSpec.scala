@@ -627,6 +627,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q28_skew_report: top-10 is a heap, global stats one fold, no users sort") {
+    val p = planOf("q28_skew_report")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(countScans(p) == 2, p) // the documented two reduced passes
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("txt_langid_confusion: one kernel scan, share window over aggregate rows") {
+    val p = planOf("txt_langid_confusion")
+    assert(countScans(p) == 1, p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("dd_threshold_curve: one sweep over the sampled pair set per grain") {
+    val p = planOf("dd_threshold_curve")
+    // the threshold explode rides the require-capped verifier output;
+    // the only joins are the verifier's sampled self-join and the tiny
+    // 5-row curve join — never a corpus-scale join
+    assert(p.contains("Generate"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q27: 1-row balance stats broadcast; lapsed filter is an anti-join") {
     val p = planOf("q27_idle_balances")
     // the scalar-subquery stats are a 1-row broadcast (BNLJ BuildRight is
