@@ -845,6 +845,79 @@ object Relational {
         col("max_share_ppm"), col("top10_n"), col("top10_share_ppm"))
   }
 
+  /** EV-autocorrelation — does daily traffic repeat on a k-day rhythm?
+    * Pearson autocorrelation of per-type DAILY counts at lags 1..7,
+    * exact to the last bit: the day-pair join is calendar-based (a
+    * missing day contributes no pair, by spec), the per-(type, lag)
+    * sums are plain longs, and r² lands in ppm through the two-step
+    * DECIMAL(38,0) remainder-subtract floor (`cov² div varx`, then
+    * `·10⁶ div vary` — each intermediate under 10³⁸, HUGEINT in the
+    * oracle), with the sign carried separately — no sqrt, no float.
+    * Two reduced passes build the day-count table (it is days×types
+    * sized; the lag explode and self-join run over it, never the
+    * events). Long-sum bound: daily counts to ~1.5e8 keep Σn² under
+    * 2⁶³ for a year of days — quantize counts first beyond that. */
+  def evAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000 * 1000
+    def daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr(s"(ts div 1000) div $dayUs").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val lagged = daily.select(col("event_type"), col("day"), col("n"),
+        explode(expr("array(1, 2, 3, 4, 5, 6, 7)")).as("lag"))
+      .withColumn("day2", col("day") + col("lag"))
+    val pairs = lagged.join(
+      daily.select(col("event_type"), col("day").as("day2"),
+        col("n").as("n2")),
+      Seq("event_type", "day2"))
+    pairs.groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("n").as("sx"), sum("n2").as("sy"),
+        sum(col("n") * col("n")).as("sxx"),
+        sum(col("n2") * col("n2")).as("syy"),
+        sum(col("n") * col("n2")).as("sxy"))
+      .withColumn("cov_s", expr("n_pairs * sxy - sx * sy"))
+      .withColumn("varx_s", expr("n_pairs * sxx - sx * sx"))
+      .withColumn("vary_s", expr("n_pairs * syy - sy * sy"))
+      .withColumn("r2_ppm", expr(
+        "CASE WHEN varx_s = 0 OR vary_s = 0 THEN NULL ELSE CAST(" +
+          "((CAST(cov_s AS DECIMAL(38,0)) * CAST(cov_s AS DECIMAL(38,0))" +
+          "  - CAST(cov_s AS DECIMAL(38,0)) * CAST(cov_s AS DECIMAL(38,0))" +
+          "    % CAST(varx_s AS DECIMAL(38,0)))" +
+          " / CAST(varx_s AS DECIMAL(38,0)) * 1000000" +
+          " - (CAST(cov_s AS DECIMAL(38,0)) * CAST(cov_s AS DECIMAL(38,0))" +
+          "    - CAST(cov_s AS DECIMAL(38,0)) * CAST(cov_s AS DECIMAL(38,0))" +
+          "      % CAST(varx_s AS DECIMAL(38,0)))" +
+          "   / CAST(varx_s AS DECIMAL(38,0)) * 1000000" +
+          "   % CAST(vary_s AS DECIMAL(38,0)))" +
+          " / CAST(vary_s AS DECIMAL(38,0)) AS BIGINT) END"))
+      .withColumn("r_sign", signum(col("cov_s")).cast("int"))
+      .select(col("event_type"), col("lag"), col("n_pairs"), col("cov_s"),
+        col("r2_ppm"), col("r_sign"))
+      .orderBy("event_type", "lag")
+  }
+
+  /** DS-range-bounds — the planning step of a globally-sorted publish:
+    * exact percentile boundaries splitting the key space into 8 shards,
+    * then the per-shard row counts that PROVE the balance (the numbers a
+    * range-partitioned write is sized from). The bounds come from one
+    * exact-percentile aggregate (1 row, broadcast back); shard assignment
+    * is a map-side fold over the 7-element bound array; at 100 TB the
+    * exact tier is replaced by the q23 sketch twin — the shape (tiny
+    * bound table broadcast onto one scan) is the point. */
+  def dsRangeBounds(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.events(spark, dir).select(col("user_id"))
+    val bounds = keys.agg(expr(
+      "percentile(user_id, array(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875))")
+      .as("bounds"))
+    keys.join(broadcast(bounds))
+      .withColumn("shard",
+        expr("size(filter(bounds, b -> CAST(user_id AS DOUBLE) > b))"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        min("user_id").as("min_key"), max("user_id").as("max_key"))
+      .orderBy("shard")
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_filter_project" -> q01FilterProject _,
     "q02_string_chain"   -> q02StringChain _,
@@ -884,6 +957,8 @@ object Relational {
     "ev_cooccurrence"    -> evCooccurrence _,
     "ev_rollup_merge"    -> evRollupMerge _,
     "q28_skew_report"    -> q28SkewReport _,
+    "ev_autocorr"        -> evAutocorr _,
+    "ds_range_bounds"    -> dsRangeBounds _,
     "q24_window_suite"   -> q24WindowSuite _,
     "a7_approx_distinct" -> a7ApproxDistinct _,
   )
@@ -1245,6 +1320,47 @@ object Relational {
         |JOIN singles sb ON sb.event_type = type_b
         |CROSS JOIN n
         |ORDER BY type_a, type_b""".stripMargin,
+    // two-step HUGEINT floor replay of the DECIMAL(38,0) r² arithmetic
+    "ev_autocorr" ->
+      """WITH daily AS (
+        | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2),
+        |pairs AS (
+        | SELECT a.event_type, l.lag, a.n AS n, b.n AS n2
+        | FROM daily a
+        | CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6), (7)) l(lag)
+        | JOIN daily b ON b.event_type = a.event_type AND b.day = a.day + l.lag),
+        |s AS (
+        | SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(n) AS BIGINT) AS sx, CAST(SUM(n2) AS BIGINT) AS sy,
+        |  CAST(SUM(n * n) AS BIGINT) AS sxx, CAST(SUM(n2 * n2) AS BIGINT) AS syy,
+        |  CAST(SUM(n * n2) AS BIGINT) AS sxy
+        | FROM pairs GROUP BY 1, 2),
+        |c AS (
+        | SELECT event_type, lag, n_pairs,
+        |  n_pairs * sxy - sx * sy AS cov_s,
+        |  n_pairs * sxx - sx * sx AS varx_s,
+        |  n_pairs * syy - sy * sy AS vary_s
+        | FROM s)
+        |SELECT event_type, lag, n_pairs, cov_s,
+        | CASE WHEN varx_s = 0 OR vary_s = 0 THEN NULL ELSE CAST(
+        |  (CAST(cov_s AS HUGEINT) * cov_s // varx_s) * 1000000 // vary_s
+        |  AS BIGINT) END AS r2_ppm,
+        | CAST(sign(cov_s) AS INT) AS r_sign
+        |FROM c ORDER BY event_type, lag""".stripMargin,
+    "ds_range_bounds" ->
+      """WITH b AS (
+        | SELECT [quantile_cont(user_id, 0.125), quantile_cont(user_id, 0.25),
+        |         quantile_cont(user_id, 0.375), quantile_cont(user_id, 0.5),
+        |         quantile_cont(user_id, 0.625), quantile_cont(user_id, 0.75),
+        |         quantile_cont(user_id, 0.875)] AS bounds
+        | FROM events)
+        |SELECT len(list_filter(bounds, x -> CAST(user_id AS DOUBLE) > x)) AS shard,
+        | CAST(COUNT(*) AS BIGINT) AS n_rows,
+        | CAST(MIN(user_id) AS BIGINT) AS min_key,
+        | CAST(MAX(user_id) AS BIGINT) AS max_key
+        |FROM events, b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q28_skew_report" ->
       """WITH c AS (
         | SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),

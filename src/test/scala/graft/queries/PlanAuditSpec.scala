@@ -652,6 +652,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("ev_autocorr: lag join runs over day-count tables, never events") {
+    val p = planOf("ev_autocorr")
+    assert(countScans(p) == 2, p) // the two reduced day-count passes
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("ds_range_bounds: 1-row bound table broadcast onto one keyed scan") {
+    val p = planOf("ds_range_bounds")
+    assert(countScans(p) == 2, p) // bound aggregate + assignment scan
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q27: 1-row balance stats broadcast; lapsed filter is an anti-join") {
     val p = planOf("q27_idle_balances")
     // the scalar-subquery stats are a 1-row broadcast (BNLJ BuildRight is

@@ -102,7 +102,8 @@ for name in ["ev_funnel", "ev_retention", "txt_normalize",
              "q26_waiting_orders", "q27_idle_balances", "ds_sample_weighted",
              "ds_preference_pairs", "ds_agreement", "txt_collocations",
              "txt_fertility", "ev_cooccurrence", "ev_rollup_merge",
-             "q28_skew_report", "txt_langid_confusion", "dd_threshold_curve"]:
+             "q28_skew_report", "txt_langid_confusion", "dd_threshold_curve",
+             "ev_autocorr", "ds_range_bounds"]:
     if not wanted(name):
         continue
     if name not in oracles:  # a silently-missing oracle must not pass
