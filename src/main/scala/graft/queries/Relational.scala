@@ -918,6 +918,41 @@ object Relational {
       .orderBy("shard")
   }
 
+  /** Q29 — cross-nation trade volume (TPC-H Q7's skeleton): shipping
+    * revenue between (supplier nation, customer nation) pairs by ship
+    * year, 1995–1996, excluding domestic flows. The two fact joins
+    * (lineitem⋈orders on the order key, then ⋈customer on the customer
+    * key) are the canonical shuffle joins — both co-location candidates
+    * for bucketed storage; supplier and the two nation legs broadcast.
+    * Revenue uses the q03 DECIMAL-product idiom (exact product sum,
+    * surfaced as double) and the year filter pushes to the lineitem
+    * scan. */
+  def q29NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")).between("1995-01-01", "1996-12-31"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(to_date(col("l_shipdate"))).as("l_year"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))).as("volume"))
+    val supp = broadcast(Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    li.join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum(col("volume")).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_filter_project" -> q01FilterProject _,
     "q02_string_chain"   -> q02StringChain _,
@@ -959,6 +994,7 @@ object Relational {
     "q28_skew_report"    -> q28SkewReport _,
     "ev_autocorr"        -> evAutocorr _,
     "ds_range_bounds"    -> dsRangeBounds _,
+    "q29_nation_volume"  -> q29NationVolume _,
     "q24_window_suite"   -> q24WindowSuite _,
     "a7_approx_distinct" -> a7ApproxDistinct _,
   )
@@ -1320,6 +1356,23 @@ object Relational {
         |JOIN singles sb ON sb.event_type = type_b
         |CROSS JOIN n
         |ORDER BY type_a, type_b""".stripMargin,
+    "q29_nation_volume" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        | CAST(SUM(volume) AS DOUBLE) AS revenue
+        |FROM (
+        | SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |  year(CAST(l_shipdate AS DATE)) AS l_year,
+        |  CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+        | FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ns ON s_nationkey = ns.n_nationkey
+        | JOIN nation nc ON c_nationkey = nc.n_nationkey
+        | WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+        |  AND ns.n_name <> nc.n_name)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // two-step HUGEINT floor replay of the DECIMAL(38,0) r² arithmetic
     "ev_autocorr" ->
       """WITH daily AS (

@@ -1443,6 +1443,25 @@ object TrainingData {
     Curation.packSequences(Tables.documents(spark, dir), windowTokens = 256)
       .orderBy("doc_id")
 
+  /** Packing-efficiency audit over [[dsPack]]'s window assignment: the
+    * one-row report a training run reads before trusting the pack —
+    * total docs/tokens, windows used, fill ratio in exact ppm (tokens
+    * over windows×256; only the LAST window can be partial in the
+    * offset-packing model, so fill < 1 means exactly the tail), and how
+    * many docs span a window boundary (those need attention-mask
+    * plumbing downstream). One aggregate over the pack projection —
+    * the pack itself never re-materializes. */
+  def dsPackStats(spark: SparkSession, dir: String): DataFrame =
+    Curation.packSequences(Tables.documents(spark, dir), windowTokens = 256)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        (max(expr("(start_offset + greatest(n_tokens, 1) - 1) div 256")) + 1)
+          .as("n_windows"),
+        sum(when(col("offset_in_bin") + col("n_tokens") > 256, 1L)
+          .otherwise(0L)).as("n_spanning"))
+      .withColumn("fill_ppm",
+        expr("total_tokens * 1000000 div (n_windows * 256)"))
+
   /** Token-budget corpus selection ([[Curation.budgetSelect]]): the
     * highest-quality documents whose running token total fits a fixed
     * training budget — presentation-ordered by doc_id so the oracle
@@ -1581,6 +1600,7 @@ object TrainingData {
     "dd_span_probe"      -> ddSpanProbe _,
     "dd_segment_dedup"   -> ddSegmentDedup _,
     "ds_pack"            -> dsPack _,
+    "ds_pack_stats"      -> dsPackStats _,
     "ds_bpe_pack"        -> dsBpePack _,
     "ds_budget_select"   -> dsBudgetSelect _,
     "dd_keep_best"       -> ddKeepBest _,
@@ -1703,6 +1723,28 @@ object TrainingData {
         | (cum - n_tokens) // 256 AS bin_id,
         | (cum - n_tokens) % 256 AS offset_in_bin
         |FROM cums ORDER BY doc_id""".stripMargin,
+    "ds_pack_stats" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  coalesce(len(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> len(w) > 0)), 0) AS n_tokens
+        | FROM documents),
+        |cums AS (
+        | SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+        | FROM toks),
+        |p AS (
+        | SELECT n_tokens, cum - n_tokens AS start_offset,
+        |  (cum - n_tokens) % 256 AS offset_in_bin
+        | FROM cums),
+        |g AS (
+        | SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(MAX((start_offset + greatest(n_tokens, 1) - 1) // 256) + 1 AS BIGINT) AS n_windows,
+        |  CAST(SUM(CASE WHEN offset_in_bin + n_tokens > 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
+        | FROM p)
+        |SELECT n_docs, total_tokens, n_windows, n_spanning,
+        | total_tokens * 1000000 // (n_windows * 256) AS fill_ppm
+        |FROM g""".stripMargin,
     "ds_budget_select" ->
       s"""WITH f AS (
          | SELECT doc_id, length(text) AS n_chars_m,

@@ -103,7 +103,8 @@ for name in ["ev_funnel", "ev_retention", "txt_normalize",
              "ds_preference_pairs", "ds_agreement", "txt_collocations",
              "txt_fertility", "ev_cooccurrence", "ev_rollup_merge",
              "q28_skew_report", "txt_langid_confusion", "dd_threshold_curve",
-             "ev_autocorr", "ds_range_bounds"]:
+             "ev_autocorr", "ds_range_bounds", "q29_nation_volume",
+             "ds_pack_stats"]:
     if not wanted(name):
         continue
     if name not in oracles:  # a silently-missing oracle must not pass
