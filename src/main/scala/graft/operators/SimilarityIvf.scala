@@ -104,7 +104,8 @@ object SimilarityIvf {
     * previous COMPLETE version, never a mix. Segments sit OUTSIDE the
     * version dirs because Fs.publishVersion prunes old versions — an
     * [[appendToIndex]] chain must keep its base data alive across many
-    * pointer bumps; orphaned segments are collected by [[compactIndex]].
+    * pointer bumps; segments referenced by neither the current nor the
+    * previous version are collected on every publish.
     * Pre-versioning flat layouts are not migrated: probes fail fast with
     * "run buildIndex first". Build once, probe many — a real pipeline
     * rebuilds on corpus refresh, not per query
@@ -125,7 +126,11 @@ object SimilarityIvf {
     seg
   }
 
-  /** Publish a metadata version referencing `segments` (in order). */
+  /** Publish a metadata version referencing `segments` (in order), then
+    * collect segments no live version references — WITHOUT this, every
+    * rebuild would leak a full corpus-sized segment (the old layout
+    * reclaimed vectors through version pruning; segments opted out of
+    * that to keep append chains alive, so they need their own GC). */
   private def publishMeta(spark: org.apache.spark.sql.SparkSession,
       path: String, centroids: Array[(Int, Array[Double])],
       segments: Seq[String]): Unit = {
@@ -137,7 +142,7 @@ object SimilarityIvf {
       segments.toDF("segment")
         .coalesce(1).write.mode("overwrite").parquet(s"$vdir/_segments")
     }
-    ()
+    gcSegments(spark, path)
   }
 
   /** Incrementally index NEW vectors without retraining or rewriting the
@@ -149,9 +154,21 @@ object SimilarityIvf {
     * chain plus the delta. Cost is proportional to the DELTA, not the
     * corpus; probes transparently scan the chain (same cell partitioning
     * in every segment). Long chains accrete per-segment file overhead —
-    * [[compactIndex]] folds them back to one. */
+    * [[compactIndex]] folds them back to one.
+    *
+    * Concurrency contract: append and compact are SINGLE-MAINTAINER
+    * operations (the usual LSM-maintenance rule). They read the current
+    * chain and publish a successor — two concurrent appends both extend
+    * the same base and the later publish drops the earlier delta from
+    * the live chain, and a compaction racing an append can collect a
+    * segment the append is about to reference. Serialize maintenance
+    * externally (one scheduler owns the index); concurrent PROBES are
+    * always safe (they resolve a complete published version). An empty
+    * delta is a no-op — a zero-row segment would hold no parquet files
+    * and poison every later chain read. */
   def appendToIndex(newVectors: DataFrame, path: String): Unit = {
     val spark = newVectors.sparkSession
+    if (newVectors.isEmpty) return
     val (_, centroids, segs) = resolveIndex(spark, path)
     val seg = writeSegment(path, assignCells(newVectors, centroids))
     publishMeta(spark, path, centroids, segs :+ seg)
@@ -169,7 +186,6 @@ object SimilarityIvf {
     val (_, centroids, segs) = resolveIndex(spark, path)
     val seg = writeSegment(path, readVectors(spark, path, segs))
     publishMeta(spark, path, centroids, Seq(seg))
-    gcSegments(spark, path)
   }
 
   /** Delete segment dirs unreferenced by the current AND previous
@@ -207,6 +223,10 @@ object SimilarityIvf {
         "run buildIndex first)")
     val centroids = spark.read.parquet(s"$vdir/_centroids")
       .as[(Int, Seq[Double])].collect().map { case (c, v) => (c, v.toArray) }
+    val (fs, _) = graft.sources.Fs.of(spark, path)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$vdir/_segments")),
+      s"IVF index at $path predates the segment layout (version dir " +
+        s"$vdir has no _segments) — run buildIndex to refresh it")
     val segs = spark.read.parquet(s"$vdir/_segments").as[String].collect().toSeq
     (vdir, centroids, segs)
   }

@@ -855,8 +855,12 @@ object Relational {
     * oracle), with the sign carried separately — no sqrt, no float.
     * Two reduced passes build the day-count table (it is days×types
     * sized; the lag explode and self-join run over it, never the
-    * events). Long-sum bound: daily counts to ~1.5e8 keep Σn² under
-    * 2⁶³ for a year of days — quantize counts first beyond that. */
+    * events). Long-sum bound: the binding term is
+    * `n_pairs·sxy ≈ days²·c²`, so daily counts to ~8e6 stay under 2⁶³
+    * across a year of days (c < √(2⁶³)/days) — quantize daily counts
+    * (e.g. to kilo-events) before the stats beyond that; the oracle's
+    * ANSI engine errors rather than wraps, so an overflow shows up as a
+    * divergence, not a silent wrong answer. */
   def evAutocorr(spark: SparkSession, dir: String): DataFrame = {
     val dayUs = 86400L * 1000 * 1000
     def daily = Tables.events(spark, dir)

@@ -162,6 +162,11 @@ class IvfSpec extends SparkSpec {
     val pre = SimilarityIvf.probeIndex(spark, idx, qVec, k = 5, nprobe = 8)
       .collect().map(_.getLong(0)).toSet
     assert(!pre.contains(0L))
+    // an empty delta is a no-op (a zero-row segment would hold no
+    // parquet files and poison every later chain read)
+    SimilarityIvf.appendToIndex(delta.filter(lit(false)), idx)
+    assert(segDirs().size == 1, segDirs())
+    assert(graft.sources.Fs.currentVersion(fs, root).contains(1))
     SimilarityIvf.appendToIndex(delta, idx)
     assert(segDirs().size == 2, segDirs())
     // ...and the exact top hit afterwards (nprobe = all cells -> exact)

@@ -592,15 +592,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p)
     assert(!p.contains("CartesianProduct") && !p.contains("Expand"), p)
+    // the totals branch must not re-tokenize the corpus — clear any
+    // sibling suite's cached documents relation first so the check runs
+    // the production (uncached) shape where AQE stage reuse is the only
+    // sharing mechanism, then assert the reuse actually happened
+    spark.catalog.clearCache()
     val df = graft.SparkEntry.queries("txt_collocations")(spark, sfDir)
     df.collect()
     val executed = df.queryExecution.executedPlan.toString
-    // the totals branch must not re-tokenize the corpus: either AQE
-    // reused the word shuffle stage (standalone runs) or the documents
-    // relation was already cached by a sibling suite (full-suite runs —
-    // the rescan then reads memory, not parquet)
-    assert(executed.contains("Reused") ||
-        executed.contains("InMemoryTableScan"),
+    assert(executed.contains("Reused"),
       s"totals branch re-ran the unigram map side instead of reusing " +
         s"the word shuffle:\n$executed")
   }
