@@ -957,6 +957,66 @@ object Relational {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** EV-A/B — experiment readout over a deterministic assignment (the
+    * [[graft.operators.Curation.hashBucket]] split standing in for a
+    * real assignment column): per-variant users, converters
+    * (≥ 1 purchase), conversion in exact ppm, and the variant delta.
+    * One user-grain fold (partial-agged), then arithmetic over the
+    * 2-row variant table; the delta pivot is a self-join of that tiny
+    * aggregate. */
+  def evAbTest(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("purchases"))
+      .withColumn("variant",
+        when(graft.operators.Curation.hashBucket(col("user_id"), 2) === 0,
+          "control").otherwise("treatment"))
+    val v = perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("purchases") > 0, 1L).otherwise(0L)).as("n_converted"))
+      .withColumn("conv_ppm", expr("n_converted * 1000000 div n_users"))
+    v.join(broadcast(v.filter(col("variant") === "control")
+        .select(col("conv_ppm").as("control_ppm"))))
+      .withColumn("delta_ppm", col("conv_ppm") - col("control_ppm"))
+      .select(col("variant"), col("n_users"), col("n_converted"),
+        col("conv_ppm"), col("delta_ppm"))
+      .orderBy("variant")
+  }
+
+  /** EV-RFM — recency/frequency/monetary segmentation: every user scored
+    * on the three classic axes (last event time, event count, spend in
+    * cents), split at the POPULATION MEDIANS into 2×2×2 segments, rolled
+    * up to segment populations. Median splits keep the segmentation
+    * meaningful at every corpus scale (fixed absolute thresholds
+    * degenerate to one segment as the data grows or shrinks); the
+    * 1-row median table broadcasts back onto the user fold, and the
+    * user table is built once per branch (two reduced passes — the
+    * q28 pattern). */
+  def evRfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    def users = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(max("ts_us").as("last_ts"), count(lit(1)).as("freq"),
+        sum("cents").as("monetary_cents"))
+    val medians = users.agg(
+      expr("percentile(last_ts, 0.5)").as("med_ts"),
+      expr("percentile(freq, 0.5)").as("med_freq"),
+      expr("percentile(monetary_cents, 0.5)").as("med_cents"))
+    users.join(broadcast(medians))
+      .withColumn("r", when(col("last_ts") >= col("med_ts"), "recent")
+        .otherwise("lapsed"))
+      .withColumn("f", when(col("freq") >= col("med_freq"), "frequent")
+        .otherwise("casual"))
+      .withColumn("m", when(col("monetary_cents") >= col("med_cents"), "big")
+        .otherwise("small"))
+      .groupBy("r", "f", "m")
+      .agg(count(lit(1)).as("n_users"),
+        sum("monetary_cents").as("segment_cents"))
+      .orderBy("r", "f", "m")
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_filter_project" -> q01FilterProject _,
     "q02_string_chain"   -> q02StringChain _,
@@ -999,6 +1059,8 @@ object Relational {
     "ev_autocorr"        -> evAutocorr _,
     "ds_range_bounds"    -> dsRangeBounds _,
     "q29_nation_volume"  -> q29NationVolume _,
+    "ev_ab_test"         -> evAbTest _,
+    "ev_rfm_segments"    -> evRfmSegments _,
     "q24_window_suite"   -> q24WindowSuite _,
     "a7_approx_distinct" -> a7ApproxDistinct _,
   )
@@ -1418,6 +1480,45 @@ object Relational {
         | CAST(MIN(user_id) AS BIGINT) AS min_key,
         | CAST(MAX(user_id) AS BIGINT) AS max_key
         |FROM events, b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_ab_test" ->
+      """WITH u AS (
+        | SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        |  CASE WHEN ((user_id % 2147483648 + 2147483648) % 2147483648 * 2654435761) % 4294967296 % 2 = 0
+        |       THEN 'control' ELSE 'treatment' END AS variant
+        | FROM events GROUP BY 1),
+        |v AS (
+        | SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(CASE WHEN purchases > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+        | FROM u GROUP BY 1),
+        |p AS (SELECT variant, n_users, n_converted,
+        |       n_converted * 1000000 // n_users AS conv_ppm FROM v),
+        |c AS (SELECT conv_ppm AS control_ppm FROM p WHERE variant = 'control')
+        |SELECT variant, n_users, n_converted, conv_ppm,
+        | conv_ppm - control_ppm AS delta_ppm
+        |FROM p, c ORDER BY variant""".stripMargin,
+    "ev_rfm_segments" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(ts) AS ts_us,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        | FROM events),
+        |u AS (
+        | SELECT user_id, MAX(ts_us) AS last_ts,
+        |  CAST(COUNT(*) AS BIGINT) AS freq,
+        |  CAST(SUM(cents) AS BIGINT) AS monetary_cents
+        | FROM e GROUP BY 1),
+        |med AS (
+        | SELECT quantile_cont(last_ts, 0.5) AS med_ts,
+        |  quantile_cont(freq, 0.5) AS med_freq,
+        |  quantile_cont(monetary_cents, 0.5) AS med_cents
+        | FROM u)
+        |SELECT
+        | CASE WHEN last_ts >= med_ts THEN 'recent' ELSE 'lapsed' END AS r,
+        | CASE WHEN freq >= med_freq THEN 'frequent' ELSE 'casual' END AS f,
+        | CASE WHEN monetary_cents >= med_cents THEN 'big' ELSE 'small' END AS m,
+        | CAST(COUNT(*) AS BIGINT) AS n_users,
+        | CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+        |FROM u, med GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q28_skew_report" ->
       """WITH c AS (
         | SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),

@@ -42,6 +42,31 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Dedup impact report: what exact dedup actually buys, per source —
+    * docs and tokens before/after keeping one canonical copy (global
+    * min-doc_id per normalized fingerprint, the [[ddExact]] rule), with
+    * the token-level removal rate in exact ppm. The numbers a curation
+    * run reads to decide whether near-dup passes are worth their cost
+    * on this corpus. One kernel scan + one fingerprint-keyed window
+    * (hashes ride the exchange, never text), then a source-sized fold. */
+  def dsDedupImpact(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        fingerprint(col("text")).as("fp"),
+        size(filter(words(col("text")), x => length(x) > 0))
+          .cast("long").as("n_tokens"))
+      .withColumn("keep", col("doc_id") === min("doc_id").over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum("n_tokens").as("tokens_total"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+      .withColumn("removed_ppm", expr(
+        "(tokens_total - tokens_kept) * 1000000 div greatest(tokens_total, 1)"))
+      .orderBy("source")
+  }
+
   /** Language/topic-marker confusion audit: how the [[txtLangId]]
     * predictor distributes over the corpus's ACTUAL lang labels — the
     * per-(lang, predicted) counts and within-lang shares (exact ppm) a
@@ -1545,6 +1570,7 @@ object TrainingData {
     "txt_lang_id"      -> txtLangId _,
     "txt_langid_confusion" -> txtLangidConfusion _,
     "dd_threshold_curve"   -> ddThresholdCurve _,
+    "ds_dedup_impact"      -> dsDedupImpact _,
     "txt_quality"      -> txtQuality _,
     "txt_tokens"       -> txtTokens _,
     "txt_fingerprint"  -> txtFingerprint _,
@@ -1997,6 +2023,24 @@ object TrainingData {
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_hash,
         |  COUNT(*) AS copies
         | FROM documents GROUP BY 2) ORDER BY doc_id""".stripMargin,
+    "ds_dedup_impact" ->
+      """WITH d AS (
+        | SELECT source, doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                       x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |k AS (
+        | SELECT source, n_tokens,
+        |  doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS keep
+        | FROM d)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+        | CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+        | (CAST(SUM(n_tokens) AS BIGINT) - CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT))
+        |  * 1000000 // greatest(CAST(SUM(n_tokens) AS BIGINT), 1) AS removed_ppm
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd_jaccard_words" ->
       """WITH s AS (
         | SELECT doc_id,

@@ -688,6 +688,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ev_ab_test: one user fold, variant math over the 2-row aggregate") {
+    val p = planOf("ev_ab_test")
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("ev_rfm_segments: median table broadcast onto the user fold") {
+    val p = planOf("ev_rfm_segments")
+    assert(countScans(p) == 2, p) // the two reduced user-fold passes
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ds_dedup_impact: fingerprint window carries hashes, one kernel scan") {
+    val p = planOf("ds_dedup_impact")
+    assert(countScans(p) == 1, p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q27: 1-row balance stats broadcast; lapsed filter is an anti-join") {
     val p = planOf("q27_idle_balances")
     // the scalar-subquery stats are a 1-row broadcast (BNLJ BuildRight is

@@ -104,7 +104,8 @@ for name in ["ev_funnel", "ev_retention", "txt_normalize",
              "txt_fertility", "ev_cooccurrence", "ev_rollup_merge",
              "q28_skew_report", "txt_langid_confusion", "dd_threshold_curve",
              "ev_autocorr", "ds_range_bounds", "q29_nation_volume",
-             "ds_pack_stats"]:
+             "ds_pack_stats", "ev_ab_test", "ev_rfm_segments",
+             "ds_dedup_impact"]:
     if not wanted(name):
         continue
     if name not in oracles:  # a silently-missing oracle must not pass
