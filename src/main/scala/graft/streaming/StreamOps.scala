@@ -304,6 +304,26 @@ object StreamOps {
     ()
   }
 
+  /** Streaming twin of the a8 heavy-hitters sketch
+    * ([[graft.queries.TrainingData.a8HeavyHitters]], oracle-checked in
+    * batch): the SAME SpaceSaving `TypedImperativeAggregate` running as
+    * a streaming GLOBAL aggregate — the state store holds ONE bounded
+    * sketch buffer (`capacity` entries), not per-word counts, so the
+    * live top-k surface costs O(capacity) state at ANY vocabulary size;
+    * batch-boundary merges go through the sketch's own merge (the same
+    * path partial aggregation exercises in batch). Complete-mode sink
+    * required (the result is one row re-emitted per trigger).
+    * Differential contract: with capacity ≥ |vocabulary| the sketch is
+    * exact (the a8 contract), so the latest emission equals the batch
+    * fold of every row seen so far. */
+  def heavyHittersStream(docs: DataFrame, capacity: Int = 256): DataFrame =
+    docs
+      .select(explode(graft.functions.TextAnalytics.words(col("text")))
+        .as("word"))
+      .filter(length(col("word")) > 0)
+      .agg(org.apache.spark.sql.graft.SpaceSavingGlue
+        .spaceSavingTopK(col("word"), capacity).as("hh"))
+
   /** One co-occurrence mark from a CLOSED session ([[cooccurStream]]):
     * the same three-kind mark the batch query aggregates — (None, None)
     * is the session marker, (Some(t), None) one single per distinct

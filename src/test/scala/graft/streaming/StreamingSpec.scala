@@ -477,6 +477,30 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("heavy-hitters stream equals the batch sketch across batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    import SparkSpec.session.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.heavyHittersStream(
+        mem.toDF().toDF("doc_id", "text"), capacity = 64)
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData((1L, "alpha beta alpha"), (2L, "beta gamma beta"))
+      q.processAllAvailable()
+      mem.addData((3L, "alpha alpha delta"))
+      q.processAllAvailable()
+      val got = spark.table("hh_stream")
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item"), col("e.count"))
+        .as[(String, Long)].collect().toMap
+      // capacity >= vocab -> exact counts over everything seen so far,
+      // including the merge across the two micro-batches
+      assert(got == Map("alpha" -> 4L, "beta" -> 3L, "gamma" -> 1L,
+        "delta" -> 1L), got)
+    } finally q.stop()
+  }
+
   test("cooccur stream emits exactly the batch marks for closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val us = 1000L
