@@ -962,8 +962,11 @@ object Relational {
     * real assignment column): per-variant users, converters
     * (≥ 1 purchase), conversion in exact ppm, and the variant delta.
     * One user-grain fold (partial-agged), then arithmetic over the
-    * 2-row variant table; the delta pivot is a self-join of that tiny
-    * aggregate. */
+    * 2-row variant table; the control pivot is a WINDOW over that tiny
+    * aggregate — a self-join formulation would let Catalyst push the
+    * variant filter below the aggregation and re-run the whole events
+    * fold a second time (the ev_cooccurrence lesson), where the window
+    * runs on the 2 rows the fold already produced. */
   def evAbTest(spark: SparkSession, dir: String): DataFrame = {
     val perUser = Tables.events(spark, dir)
       .groupBy("user_id")
@@ -972,12 +975,13 @@ object Relational {
       .withColumn("variant",
         when(graft.operators.Curation.hashBucket(col("user_id"), 2) === 0,
           "control").otherwise("treatment"))
-    val v = perUser.groupBy("variant")
+    perUser.groupBy("variant")
       .agg(count(lit(1)).as("n_users"),
         sum(when(col("purchases") > 0, 1L).otherwise(0L)).as("n_converted"))
       .withColumn("conv_ppm", expr("n_converted * 1000000 div n_users"))
-    v.join(broadcast(v.filter(col("variant") === "control")
-        .select(col("conv_ppm").as("control_ppm"))))
+      .withColumn("control_ppm",
+        max(when(col("variant") === "control", col("conv_ppm")))
+          .over(Window.partitionBy()))
       .withColumn("delta_ppm", col("conv_ppm") - col("control_ppm"))
       .select(col("variant"), col("n_users"), col("n_converted"),
         col("conv_ppm"), col("delta_ppm"))

@@ -1335,12 +1335,20 @@ object TrainingData {
     * exceeds the fixture vocabulary, so every count is exact with err = 0 —
     * which is what lets a plain GROUP BY oracle value-check the sketch.
     * Eviction/merge error bounds are invariant-checked in SpaceSavingSpec. */
-  def a8HeavyHitters(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  /** THE tokenize-and-sketch stage behind the heavy-hitter surface —
+    * one copy shared by the batch query and
+    * [[graft.streaming.StreamOps.heavyHittersStream]], so the streaming
+    * twin can never silently diverge from the batch tokenization or
+    * sketch parameters. */
+  def wordSketch(docs: DataFrame, capacity: Int = 256): DataFrame =
+    docs
       .select(explode(words(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
       .agg(org.apache.spark.sql.graft.SpaceSavingGlue
-        .spaceSavingTopK(col("word"), 256).as("hh"))
+        .spaceSavingTopK(col("word"), capacity).as("hh"))
+
+  def a8HeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    wordSketch(Tables.documents(spark, dir))
       .select(explode(col("hh")).as("e"))
       .select(col("e.item").as("word"), col("e.count").as("n"),
         col("e.err").as("err"))

@@ -315,14 +315,10 @@ object StreamOps {
     * required (the result is one row re-emitted per trigger).
     * Differential contract: with capacity ≥ |vocabulary| the sketch is
     * exact (the a8 contract), so the latest emission equals the batch
-    * fold of every row seen so far. */
+    * fold of every row seen so far — guaranteed structurally because
+    * both run the ONE [[graft.queries.TrainingData.wordSketch]] stage. */
   def heavyHittersStream(docs: DataFrame, capacity: Int = 256): DataFrame =
-    docs
-      .select(explode(graft.functions.TextAnalytics.words(col("text")))
-        .as("word"))
-      .filter(length(col("word")) > 0)
-      .agg(org.apache.spark.sql.graft.SpaceSavingGlue
-        .spaceSavingTopK(col("word"), capacity).as("hh"))
+    graft.queries.TrainingData.wordSketch(docs, capacity)
 
   /** One co-occurrence mark from a CLOSED session ([[cooccurStream]]):
     * the same three-kind mark the batch query aggregates — (None, None)

@@ -688,11 +688,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("ev_ab_test: one user fold, variant math over the 2-row aggregate") {
+  test("ev_ab_test: ONE user fold; control pivot is a window, not a rescan") {
     val p = planOf("ev_ab_test")
+    assert(countScans(p) == 1, p) // a self-join pivot would rescan events
     assert(p.contains("partial_sum"), p)
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
   }
 
   test("ev_rfm_segments: median table broadcast onto the user fold") {
