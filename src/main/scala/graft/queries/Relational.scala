@@ -1021,6 +1021,30 @@ object Relational {
       .orderBy("r", "f", "m")
   }
 
+  /** EV-forecast-baseline — how predictable is daily traffic? The
+    * seasonal-naive error floor (predict day t with day t−7) every real
+    * forecaster must beat, reported per type as WAPE in exact ppm
+    * (Σ|actual − predicted| · 10⁶ div Σactual — all integer; a
+    * calendar day with either side missing contributes no pair, the
+    * [[evAutocorr]] join rule). Two reduced day-count passes; the lag
+    * join runs over the days×types table, never the events. */
+  def evForecastBaseline(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000 * 1000
+    def daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr(s"(ts div 1000) div $dayUs").as("day"))
+      .agg(count(lit(1)).as("n"))
+    daily.withColumn("day7", col("day") + 7)
+      .select(col("event_type"), col("day7").as("day"), col("n").as("pred"))
+      .join(daily, Seq("event_type", "day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("n") - col("pred"))).as("sum_abs_err"),
+        sum("n").as("sum_actual"))
+      .withColumn("wape_ppm",
+        expr("sum_abs_err * 1000000 div greatest(sum_actual, 1)"))
+      .orderBy("event_type")
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_filter_project" -> q01FilterProject _,
     "q02_string_chain"   -> q02StringChain _,
@@ -1065,6 +1089,7 @@ object Relational {
     "q29_nation_volume"  -> q29NationVolume _,
     "ev_ab_test"         -> evAbTest _,
     "ev_rfm_segments"    -> evRfmSegments _,
+    "ev_forecast_baseline" -> evForecastBaseline _,
     "q24_window_suite"   -> q24WindowSuite _,
     "a7_approx_distinct" -> a7ApproxDistinct _,
   )
@@ -1484,6 +1509,21 @@ object Relational {
         | CAST(MIN(user_id) AS BIGINT) AS min_key,
         | CAST(MAX(user_id) AS BIGINT) AS max_key
         |FROM events, b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_forecast_baseline" ->
+      """WITH daily AS (
+        | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2),
+        |p AS (
+        | SELECT a.event_type, a.n, b.n AS pred
+        | FROM daily a JOIN daily b
+        |  ON b.event_type = a.event_type AND b.day = a.day - 7)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        | CAST(SUM(abs(n - pred)) AS BIGINT) AS sum_abs_err,
+        | CAST(SUM(n) AS BIGINT) AS sum_actual,
+        | CAST(SUM(abs(n - pred)) AS BIGINT) * 1000000
+        |  // greatest(CAST(SUM(n) AS BIGINT), 1) AS wape_ppm
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_ab_test" ->
       """WITH u AS (
         | SELECT user_id,

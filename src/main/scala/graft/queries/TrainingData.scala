@@ -42,6 +42,28 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Per-source keyword profile (the corpus-card view of "what
+    * characterizes each source"): top-5 distinctive terms per source by
+    * the txt_tfidf ranking recipe lifted to source grain — term frequency
+    * within the source, document-frequency penalty counted over SOURCES
+    * (integer-exact ordering: tf desc, source-df asc, term asc; no float
+    * score crosses an engine boundary). One tokenized scan → one
+    * (source, word) fold; the source-df window and the top-5 rank run
+    * over the vocabulary-sized aggregate, cut by WindowGroupLimit. */
+  def txtSourceKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, dir)
+      .select(col("source"), explode(words(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+    tf.withColumn("df", count(lit(1)).over(w.partitionBy("tok")))
+      .withColumn("rank", row_number().over(
+        w.partitionBy("source").orderBy(desc("tf"), asc("df"), asc("tok"))))
+      .filter(col("rank") <= 5)
+      .select("source", "tok", "tf", "df", "rank")
+      .orderBy("source", "rank")
+  }
+
   /** Dedup impact report: what exact dedup actually buys, per source —
     * docs and tokens before/after keeping one canonical copy (global
     * min-doc_id per normalized fingerprint, the [[ddExact]] rule), with
@@ -1579,6 +1601,7 @@ object TrainingData {
     "txt_langid_confusion" -> txtLangidConfusion _,
     "dd_threshold_curve"   -> ddThresholdCurve _,
     "ds_dedup_impact"      -> dsDedupImpact _,
+    "txt_source_keywords"  -> txtSourceKeywords _,
     "txt_quality"      -> txtQuality _,
     "txt_tokens"       -> txtTokens _,
     "txt_fingerprint"  -> txtFingerprint _,
@@ -2031,6 +2054,21 @@ object TrainingData {
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_hash,
         |  COUNT(*) AS copies
         | FROM documents GROUP BY 2) ORDER BY doc_id""".stripMargin,
+    "txt_source_keywords" ->
+      """WITH t AS (
+        | SELECT source, unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+        | FROM documents),
+        |tf AS (
+        | SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        | FROM t WHERE length(tok) > 0 GROUP BY 1, 2),
+        |d AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |r AS (
+        | SELECT tf.source, tf.tok, tf.tf, d.df,
+        |  row_number() OVER (PARTITION BY tf.source
+        |                     ORDER BY tf.tf DESC, d.df ASC, tf.tok ASC) AS rank
+        | FROM tf JOIN d USING (tok))
+        |SELECT source, tok, tf, df, rank FROM r WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin,
     "ds_dedup_impact" ->
       """WITH d AS (
         | SELECT source, doc_id,

@@ -710,6 +710,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("ev_forecast_baseline: lag join over day counts, never events") {
+    val p = planOf("ev_forecast_baseline")
+    assert(countScans(p) == 2, p) // the two reduced day-count passes
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("txt_source_keywords: one tokenized scan, WindowGroupLimit top-5") {
+    val p = planOf("txt_source_keywords")
+    assert(countScans(p) == 1, p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q27: 1-row balance stats broadcast; lapsed filter is an anti-join") {
     val p = planOf("q27_idle_balances")
     // the scalar-subquery stats are a 1-row broadcast (BNLJ BuildRight is

@@ -105,7 +105,8 @@ for name in ["ev_funnel", "ev_retention", "txt_normalize",
              "q28_skew_report", "txt_langid_confusion", "dd_threshold_curve",
              "ev_autocorr", "ds_range_bounds", "q29_nation_volume",
              "ds_pack_stats", "ev_ab_test", "ev_rfm_segments",
-             "ds_dedup_impact"]:
+             "ds_dedup_impact", "ev_forecast_baseline",
+             "txt_source_keywords"]:
     if not wanted(name):
         continue
     if name not in oracles:  # a silently-missing oracle must not pass
