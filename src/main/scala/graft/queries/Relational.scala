@@ -1045,6 +1045,34 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** EV-new-vs-returning — the daily-actives growth split every ops
+    * dashboard leads with: per calendar day, distinct active users
+    * partitioned into first-ever-seen (new) vs returning, with the
+    * returning share in exact ppm. ONE exchange on user_id serves both
+    * stateful steps: the explicit user repartition satisfies the
+    * (user, day) distinct (same user ⇒ same partition ⇒ same (user,
+    * day) group) AND the first-seen window — a bare `.distinct()` would
+    * hash on (user, day) and force a second user-keyed exchange for the
+    * window (the plan lock pins the single-exchange shape). Then the
+    * day-sized rollup; events never pay a second pass. */
+  def evNewVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000 * 1000
+    val w = Window.partitionBy("user_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"(ts div 1000) div $dayUs").as("day"))
+      .repartition(col("user_id"))
+      .dropDuplicates("user_id", "day")
+      .withColumn("first_day", min("day").over(w))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new"))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+      .withColumn("returning_ppm",
+        expr("n_returning * 1000000 div greatest(n_active, 1)"))
+      .orderBy("day")
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_filter_project" -> q01FilterProject _,
     "q02_string_chain"   -> q02StringChain _,
@@ -1090,6 +1118,7 @@ object Relational {
     "ev_ab_test"         -> evAbTest _,
     "ev_rfm_segments"    -> evRfmSegments _,
     "ev_forecast_baseline" -> evForecastBaseline _,
+    "ev_new_vs_returning"  -> evNewVsReturning _,
     "q24_window_suite"   -> q24WindowSuite _,
     "a7_approx_distinct" -> a7ApproxDistinct _,
   )
@@ -1509,6 +1538,19 @@ object Relational {
         | CAST(MIN(user_id) AS BIGINT) AS min_key,
         | CAST(MAX(user_id) AS BIGINT) AS max_key
         |FROM events, b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_new_vs_returning" ->
+      """WITH ud AS (
+        | SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |f AS (
+        | SELECT user_id, day, MIN(day) OVER (PARTITION BY user_id) AS first_day
+        | FROM ud),
+        |g AS (
+        | SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active,
+        |  CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        | FROM f GROUP BY 1)
+        |SELECT day, n_active, n_new, n_active - n_new AS n_returning,
+        | (n_active - n_new) * 1000000 // greatest(n_active, 1) AS returning_ppm
+        |FROM g ORDER BY day""".stripMargin,
     "ev_forecast_baseline" ->
       """WITH daily AS (
         | SELECT event_type, epoch_us(ts) // 86400000000 AS day,

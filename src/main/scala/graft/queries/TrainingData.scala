@@ -42,6 +42,32 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Per-source readability (Flesch reading-ease, integer-quantized):
+    * the curation signal that separates prose from listings/code at a
+    * glance. Counts are the crude public proxies — sentences as
+    * terminal-punctuation runs, words as ws tokens, syllables as vowel
+    * groups — summed per source, then the Flesch formula in exact milli
+    * units with the two-step truncating division as THE spec
+    * (206.835 − 1.015·words/sentences − 84.6·syllables/words, each term
+    * scaled ×1000 and floored independently — replayed verbatim by the
+    * oracle). One kernel scan, source-sized fold, zero floats. */
+  def txtReadability(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        regexp_count(col("text"), lit("[.!?]+")).cast("long").as("sentences"),
+        wsTokenCount(col("text")).cast("long").as("words"),
+        regexp_count(lower(col("text")), lit("[aeiou]+")).cast("long")
+          .as("syllables"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("sentences").as("sentences"),
+        sum("words").as("words"),
+        sum("syllables").as("syllables"))
+      .withColumn("flesch_milli", expr(
+        "206835 - (1015 * words) div greatest(sentences, 1)" +
+          " - (84600 * syllables) div greatest(words, 1)"))
+      .orderBy("source")
+
   /** Per-source keyword profile (the corpus-card view of "what
     * characterizes each source"): top-5 distinctive terms per source by
     * the txt_tfidf ranking recipe lifted to source grain — term frequency
@@ -1602,6 +1628,7 @@ object TrainingData {
     "dd_threshold_curve"   -> ddThresholdCurve _,
     "ds_dedup_impact"      -> dsDedupImpact _,
     "txt_source_keywords"  -> txtSourceKeywords _,
+    "txt_readability"      -> txtReadability _,
     "txt_quality"      -> txtQuality _,
     "txt_tokens"       -> txtTokens _,
     "txt_fingerprint"  -> txtFingerprint _,
@@ -2054,6 +2081,24 @@ object TrainingData {
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_hash,
         |  COUNT(*) AS copies
         | FROM documents GROUP BY 2) ORDER BY doc_id""".stripMargin,
+    "txt_readability" ->
+      """WITH d AS (
+        | SELECT source,
+        |  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS sentences,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS words,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT) AS syllables
+        | FROM documents),
+        |g AS (
+        | SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(sentences) AS BIGINT) AS sentences,
+        |  CAST(SUM(words) AS BIGINT) AS words,
+        |  CAST(SUM(syllables) AS BIGINT) AS syllables
+        | FROM d GROUP BY 1)
+        |SELECT source, n_docs, sentences, words, syllables,
+        | 206835 - (1015 * words) // greatest(sentences, 1)
+        |  - (84600 * syllables) // greatest(words, 1) AS flesch_milli
+        |FROM g ORDER BY source""".stripMargin,
     "txt_source_keywords" ->
       """WITH t AS (
         | SELECT source, unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok

@@ -724,6 +724,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("ev_new_vs_returning: distinct fold and first-seen window share one user exchange") {
+    val p = planOf("ev_new_vs_returning")
+    assert(countScans(p) == 1, p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    // the per-(user, day) distinct and the per-user window must reuse
+    // one hashpartitioning(user_id) — a second user-keyed Exchange means
+    // the plan degraded to two passes over the distinct rows
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("txt_readability: one kernel scan, source-sized fold, no floats") {
+    val p = planOf("txt_readability")
+    assert(countScans(p) == 1, p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q27: 1-row balance stats broadcast; lapsed filter is an anti-join") {
     val p = planOf("q27_idle_balances")
     // the scalar-subquery stats are a 1-row broadcast (BNLJ BuildRight is

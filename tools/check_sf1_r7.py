@@ -106,7 +106,8 @@ for name in ["ev_funnel", "ev_retention", "txt_normalize",
              "ev_autocorr", "ds_range_bounds", "q29_nation_volume",
              "ds_pack_stats", "ev_ab_test", "ev_rfm_segments",
              "ds_dedup_impact", "ev_forecast_baseline",
-             "txt_source_keywords"]:
+             "txt_source_keywords", "txt_readability",
+             "ev_new_vs_returning"]:
     if not wanted(name):
         continue
     if name not in oracles:  # a silently-missing oracle must not pass
