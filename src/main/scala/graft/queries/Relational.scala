@@ -1073,6 +1073,33 @@ object Relational {
       .orderBy("day")
   }
 
+  /** Q30 — disjunctive-predicate revenue (TPC-H Q19's skeleton): three
+    * (brand, size-range, quantity-range) OR-arms over lineitem ⋈ part.
+    * The per-side halves of the disjunction (quantity bounds on
+    * lineitem, brand/size alternatives on part) are pushable — Catalyst
+    * extracts the common conjuncts from the OR and the plan lock pins
+    * the quantity range reaching the lineitem scan — while the
+    * cross-table arms evaluate after the broadcast join. Revenue uses
+    * the q03 DECIMAL-product idiom. */
+  def q30Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))).as("volume"))
+    val part = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    def arm(brand: String, sizeHi: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand &&
+        col("p_size").between(1, sizeHi) &&
+        col("l_quantity").between(qLo, qHi)
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(arm("Brand#12", 5, 1, 11) || arm("Brand#23", 10, 10, 20) ||
+        arm("Brand#34", 15, 20, 30))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("volume")).cast("double").as("revenue"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_filter_project" -> q01FilterProject _,
     "q02_string_chain"   -> q02StringChain _,
@@ -1119,6 +1146,7 @@ object Relational {
     "ev_rfm_segments"    -> evRfmSegments _,
     "ev_forecast_baseline" -> evForecastBaseline _,
     "ev_new_vs_returning"  -> evNewVsReturning _,
+    "q30_disjunctive"      -> q30Disjunctive _,
     "q24_window_suite"   -> q24WindowSuite _,
     "a7_approx_distinct" -> a7ApproxDistinct _,
   )
@@ -1538,6 +1566,17 @@ object Relational {
         | CAST(MIN(user_id) AS BIGINT) AS min_key,
         | CAST(MAX(user_id) AS BIGINT) AS max_key
         |FROM events, b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q30_disjunctive" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |          (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "ev_new_vs_returning" ->
       """WITH ud AS (
         | SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),

@@ -742,6 +742,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q30: the OR-extracted per-side halves push to BOTH scans") {
+    val p = planOf("q30_disjunctive")
+    // Catalyst must extract the common per-table conjuncts from the
+    // three-arm disjunction: the quantity ranges reach the lineitem
+    // scan, the brand/size alternatives reach the part scan
+    assert(p.contains("PushedFilters: [IsNotNull(l_partkey), Or(") ||
+      "Or\\(.*l_quantity".r.findFirstIn(p).isDefined, p)
+    assert("Or\\(.*p_brand".r.findFirstIn(p).isDefined ||
+      p.contains("EqualTo(p_brand"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q27: 1-row balance stats broadcast; lapsed filter is an anti-join") {
     val p = planOf("q27_idle_balances")
     // the scalar-subquery stats are a 1-row broadcast (BNLJ BuildRight is

@@ -107,7 +107,7 @@ for name in ["ev_funnel", "ev_retention", "txt_normalize",
              "ds_pack_stats", "ev_ab_test", "ev_rfm_segments",
              "ds_dedup_impact", "ev_forecast_baseline",
              "txt_source_keywords", "txt_readability",
-             "ev_new_vs_returning"]:
+             "ev_new_vs_returning", "q30_disjunctive"]:
     if not wanted(name):
         continue
     if name not in oracles:  # a silently-missing oracle must not pass
