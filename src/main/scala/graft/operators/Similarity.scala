@@ -186,6 +186,36 @@ object Similarity {
     * IVF-probed path ([[SimilarityIvf.hardNegativesIvf]]) so the two can
     * never drift on the contract the subset/recall invariants assume.
     * `cands` carries (anchor_id, vec_id, embedding, nm, a_v, a_n). */
+  /** Same-label nearest neighbors per anchor — the POSITIVES half of
+    * contrastive-pair construction ([[hardNegatives]] is the other): for
+    * each sampled anchor, the k most-similar vectors sharing its label,
+    * self excluded, inside [lo, hi) (hi < 1 keeps exact duplicates out
+    * of the positive set — a duplicate teaches nothing). Same capped
+    * anchor sample, same broadcast shape, same ranking kernel as the
+    * negatives, so the two halves of a contrastive batch can never
+    * disagree on scoring. */
+  def positivePairs(embeddings: DataFrame, sampleMod: Int, k: Int,
+                    lo: Double, hi: Double): DataFrame = {
+    val dot = graft.plans.VectorExpressions.dotF _
+    val n = embeddings.filter(col("vec_id") % sampleMod === 0)
+      .select("vec_id").limit(Dedup.maxVerifierSample + 1).count()
+    require(n <= Dedup.maxVerifierSample,
+      s"positive-pair anchor sample got $n vectors (cap " +
+        s"${Dedup.maxVerifierSample}); raise sampleMod")
+    def withNorm(df: DataFrame) = df.select(col("vec_id"), col("label"),
+      col("embedding"), sqrt(dot(col("embedding"), col("embedding"))).as("nm"))
+    val anchors = withNorm(embeddings.filter(col("vec_id") % sampleMod === 0))
+      .filter(col("nm") > 0)
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+        col("embedding").as("a_v"), col("nm").as("a_n"))
+    rankHardNegatives(
+      withNorm(embeddings).filter(col("nm") > 0)
+        .join(broadcast(anchors),
+          col("label") === col("a_label") && col("vec_id") =!= col("anchor_id")),
+      k, lo, hi)
+      .withColumnRenamed("neg_id", "pos_id")
+  }
+
   private[operators] def rankHardNegatives(cands: DataFrame, k: Int,
       lo: Double, hi: Double): DataFrame = {
     val dot = graft.plans.VectorExpressions.dotF _

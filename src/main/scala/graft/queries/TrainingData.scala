@@ -674,6 +674,16 @@ object TrainingData {
       sampleMod = 10, k = 5, lo = 0.25, hi = 0.95)
       .orderBy("anchor_id", "rank")
 
+  /** The positives half of contrastive-pair construction
+    * ([[Similarity.positivePairs]]): per anchor, the 5 most-similar
+    * SAME-label vectors inside [0.2, 0.9999) — hi < 1 keeps exact
+    * duplicates out of the positive set. Same scoring kernel as
+    * [[dsHardNegatives]], so a contrastive batch's two halves agree. */
+  def dsPositivePairs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.positivePairs(Tables.embeddings(spark, dir),
+      sampleMod = 10, k = 5, lo = 0.2, hi = 0.9999)
+      .orderBy("anchor_id", "rank")
+
   /** Unicode normalization ([[TextAnalytics.normalizeText]]): documents
     * get a deterministic mess injected — leading tab, a combining-accent
     * sequence (e + U+0301, NFC-composes to é), an NBSP, every space
@@ -1658,6 +1668,7 @@ object TrainingData {
     "txt_redact"       -> txtRedact _,
     "txt_normalize"    -> txtNormalize _,
     "ds_hard_negatives" -> dsHardNegatives _,
+    "ds_positive_pairs" -> dsPositivePairs _,
     "sim_whiten"       -> simWhiten _,
     "ds_hard_negatives_ivf" -> dsHardNegativesIvf _,
     "ds_curate_model"  -> dsCurateModel _,
@@ -2998,6 +3009,26 @@ object TrainingData {
         |  CAST(row_number() OVER (PARTITION BY anchor_id
         |   ORDER BY cos_sim DESC, neg_id) AS INT) AS rank
         | FROM f WHERE cos_sim >= 0.25 AND cos_sim < 0.95)
+        |SELECT * FROM r WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
+    "ds_positive_pairs" ->
+      """WITH n AS (
+        | SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                        CAST(embedding AS DOUBLE[]))) AS nm
+        | FROM embeddings),
+        |a AS (
+        | SELECT vec_id AS anchor_id, label AS a_label, v AS a_v, nm AS a_n
+        | FROM n WHERE vec_id % 10 = 0 AND nm > 0),
+        |f AS (
+        | SELECT a.anchor_id, n.vec_id AS pos_id,
+        |  list_dot_product(n.v, a.a_v) / (n.nm * a.a_n) AS cos_sim
+        | FROM n JOIN a ON n.label = a.a_label AND n.vec_id <> a.anchor_id
+        | WHERE n.nm > 0),
+        |r AS (
+        | SELECT anchor_id, pos_id, cos_sim,
+        |  CAST(row_number() OVER (PARTITION BY anchor_id
+        |   ORDER BY cos_sim DESC, pos_id) AS INT) AS rank
+        | FROM f WHERE cos_sim >= 0.2 AND cos_sim < 0.9999)
         |SELECT * FROM r WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
     // the mess is injected with chr() so the SQL file stays ASCII; NFC,
     // \s (= [ \t\n\x0B\f\r] in RE2 and java.util.regex), and md5 agree

@@ -107,7 +107,10 @@ for name in ["ev_funnel", "ev_retention", "txt_normalize",
              "ds_pack_stats", "ev_ab_test", "ev_rfm_segments",
              "ds_dedup_impact", "ev_forecast_baseline",
              "txt_source_keywords", "txt_readability",
-             "ev_new_vs_returning", "q30_disjunctive"]:
+             "ev_new_vs_returning", "q30_disjunctive",
+             # same-label quadratic is 1/|labels| of the negatives' pair
+             # count — inside the documented targeted-compare budget
+             "ds_positive_pairs"]:
     if not wanted(name):
         continue
     if name not in oracles:  # a silently-missing oracle must not pass
