@@ -214,6 +214,14 @@ object Classifier {
         "run saveModel first)")
     val rows = spark.read.parquet(s"$vdir/weights").collect()
     require(rows.nonEmpty, s"persisted classifier model at $vdir is empty")
+    // positions must cover 0..n-1 exactly (the whiten-stats contiguity
+    // rule): a missing pos would silently load a zero weight, a duplicate
+    // would silently overwrite, an out-of-range pos would throw a raw
+    // ArrayIndexOutOfBoundsException instead of a diagnostic
+    val positions = rows.map(_.getInt(0)).sorted
+    require(positions.toSeq == rows.indices,
+      s"persisted classifier model at $vdir has corrupt weight positions — " +
+        s"expected 0..${rows.length - 1} exactly, got ${positions.mkString(",")}")
     val w = new Array[Long](rows.length)
     rows.foreach(r => w(r.getInt(0)) = r.getLong(1))
     Model(w.length - 2, w)

@@ -199,10 +199,17 @@ object Maintenance {
                    sumCols: Seq[String] = Seq.empty): org.apache.spark.sql.DataFrame = {
     require(rollups.nonEmpty, "nothing to merge")
     require(sumCols.nonEmpty || mergeExprs.nonEmpty, "no measures to merge")
+    // a measure in BOTH lists would emit two identically-named output
+    // columns; and Map iteration order is unspecified above 4 entries, so
+    // merge measures are emitted in sorted-key order for a deterministic
+    // output schema across Scala versions
+    val overlap = sumCols.toSet.intersect(mergeExprs.keySet)
+    require(overlap.isEmpty,
+      s"measures listed in both sumCols and mergeExprs: ${overlap.toSeq.sorted.mkString(",")}")
     val all = rollups.reduce(_.unionByName(_))
     val measures =
       sumCols.map(c => sum(col(c)).as(c)) ++
-        mergeExprs.map { case (c, f) => f(c).as(c) }
+        mergeExprs.toSeq.sortBy(_._1).map { case (c, f) => f(c).as(c) }
     all.groupBy(keys.map(col): _*)
       .agg(measures.head, measures.tail: _*)
   }

@@ -136,10 +136,16 @@ object Similarity {
     val bc = embeddings.sparkSession.sparkContext.broadcast(snap)
     val whitenU = udf { (vp: Seq[Long]) =>
       val s = bc.value
+      // same loud-failure contract as the stats-contiguity require above:
+      // a vector wider/narrower than the snapshot would otherwise whiten
+      // to silently zero-filled (or truncated-stats) output
+      require(vp.length == s.length,
+        s"vector has ${vp.length} dims but the stats snapshot has ${s.length} — " +
+          "whitening against mismatched stats would mis-standardize silently")
       val out = new Array[Long](vp.length)
       var i = 0
       while (i < vp.length) {
-        if (i < s.length && s(i)._2 > 0) out(i) = (vp(i) - s(i)._1) * 1000L / s(i)._2
+        if (s(i)._2 > 0) out(i) = (vp(i) - s(i)._1) * 1000L / s(i)._2
         i += 1
       }
       out

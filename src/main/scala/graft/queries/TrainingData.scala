@@ -595,7 +595,17 @@ object TrainingData {
     * both engines — 1-based substr everywhere, md5 locks the pieces.
     * Null text → null row values; the split points are a pure function
     * of (doc_id, n_chars) so the transform is reproducible at any
-    * partitioning. */
+    * partitioning.
+    *
+    * BMP-only contract: "character" here means UTF-16 code unit — Spark's
+    * `length`/`substring` count code units while DuckDB's `length`/
+    * `substr` count code points, so on any non-BMP text (emoji,
+    * supplementary CJK) the two engines pick different split points and
+    * the fingerprints diverge; a surrogate pair can also be cut in half.
+    * The oracle contract therefore requires BMP-only input (asserted on
+    * the fixture by the spec). For arbitrary text, pre-normalize, or
+    * derive n from a code-point count on both engines and split on
+    * code-point offsets. */
   def dsFim(spark: SparkSession, dir: String): DataFrame = {
     val n = length(col("text"))
     // two 31-bit Lehmer draws on (doc_id, n): the SECOND multiplicative
