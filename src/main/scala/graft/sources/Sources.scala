@@ -165,12 +165,16 @@ object Sources {
     * the result. Builder returns the reader so tests can inspect options
     * without a live database. */
   def jdbcPushdownQuery(table: String, columns: Seq[String], where: Option[String],
-                        orderBy: Option[String], limit: Option[Int]): String = {
+                        orderBy: Option[String], limit: Option[Int],
+                        ansiLimit: Boolean = false): String = {
     val cols = if (columns.isEmpty) "*" else columns.mkString(", ")
     val sb = new StringBuilder(s"SELECT $cols FROM $table")
     where.foreach(w => sb.append(s" WHERE $w"))
     orderBy.foreach(o => sb.append(s" ORDER BY $o"))
-    limit.foreach(n => sb.append(s" LIMIT $n"))
+    // Postgres speaks LIMIT; Derby and other strict-ANSI engines speak
+    // FETCH FIRST (same plan, different spelling)
+    limit.foreach(n => sb.append(
+      if (ansiLimit) s" FETCH FIRST $n ROWS ONLY" else s" LIMIT $n"))
     sb.toString
   }
 
@@ -193,6 +197,78 @@ object Sources {
     props.foldLeft(spark.read.format("jdbc").option("url", url).option("query", query)) {
       case (r, (k, v)) => r.option(k, v)
     }
+
+  /** ANSI MERGE upsert generator — the K4 upsert for engines that speak
+    * standard MERGE instead of Postgres `ON CONFLICT` (Derby, SQL Server,
+    * Oracle, Postgres 15+): same last-write-wins contract as [[upsertSql]],
+    * sourced from a staging table instead of a VALUES list. Identifiers are
+    * double-quoted to match how Spark's JDBC writer creates the staging
+    * table (it quotes column names, preserving case). */
+  def mergeUpsertSql(table: String, staging: String,
+                     keyCols: Seq[String], cols: Seq[String]): String = {
+    require(keyCols.nonEmpty && cols.nonEmpty, "keyCols and cols must be non-empty")
+    require(keyCols.forall(cols.contains), s"keyCols ${keyCols.mkString(",")} must be a subset of cols")
+    require(keyCols.size < cols.size, "upsert needs at least one non-key column to update")
+    def q(s: String) = "\"" + s + "\""
+    val on = keyCols.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+    val updates = cols.filterNot(keyCols.contains)
+      .map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
+    s"MERGE INTO ${q(table)} t USING ${q(staging)} s ON $on " +
+      s"WHEN MATCHED THEN UPDATE SET $updates " +
+      s"WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")}) " +
+      s"VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})"
+  }
+
+  /** K4 upsert micro-batch body (the reference's Postgres writer upsert,
+    * `/root/reference/pkg/internal/adapter/postgresclient/sql.go:186-266`,
+    * re-expressed for Spark's execution model): reduce the batch to its
+    * LAST write per key (row_number over `orderCols` desc — MERGE requires
+    * unique source keys, and the reduce is what makes task retries
+    * harmless), bulk-write the survivors to a staging table through
+    * Spark's distributed JDBC writer, then run ONE set-oriented MERGE on
+    * the driver connection. Replaying the same batch is idempotent (MERGE
+    * is key-deterministic); batches apply in arrival order, exactly the
+    * reference's ON CONFLICT DO UPDATE semantics. Call from `foreachBatch`
+    * for streaming upserts. The heavy row traffic (staging write) is
+    * executor-distributed; only the O(1) MERGE statement runs on the
+    * driver. */
+  def upsertViaStaging(batch: DataFrame, url: String, table: String,
+                       keyCols: Seq[String], orderCols: Seq[String],
+                       props: Map[String, String] = Map.empty,
+                       staging: Option[String] = None,
+                       createColumnTypes: Option[String] = None): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val stagingTable = staging.getOrElse(s"${table}_stage")
+    val cols = batch.columns.toSeq
+    val reduced =
+      if (orderCols.isEmpty) batch.dropDuplicates(keyCols)
+      else {
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(orderCols.map(c => col(c).desc): _*)
+        batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+    // the staging name is passed QUOTED so the writer's CREATE TABLE and
+    // the MERGE below resolve the same case-preserved identifier (Spark
+    // embeds dbtable verbatim; unquoted names would case-fold DB-side)
+    var writer = props.foldLeft(
+      reduced.write.format("jdbc")
+        .option("url", url).option("dbtable", "\"" + stagingTable + "\"")) {
+      case (wr, (k, v)) => wr.option(k, v)
+    }
+    createColumnTypes.foreach(t => writer = writer.option("createTableColumnTypes", t))
+    writer.mode("overwrite").save()
+    val connProps = new java.util.Properties()
+    props.foreach { case (k, v) => if (k != "driver") connProps.setProperty(k, v) }
+    props.get("driver").foreach(d => Class.forName(d))
+    val conn = java.sql.DriverManager.getConnection(url, connProps)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(mergeUpsertSql(table, stagingTable, keyCols, cols))
+      finally st.close()
+      if (!conn.getAutoCommit) conn.commit()
+    } finally conn.close()
+  }
 
   /** S5 client-side-encryption READ path: the reference decrypts whole S3
     * objects before parsing (`/root/reference/pkg/internal/adapter/s3client/
