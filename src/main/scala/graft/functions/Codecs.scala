@@ -135,6 +135,87 @@ object Codecs {
     } finally in.close()
   }
 
+  /** Payload compression algorithms — ids are the reference relay's
+    * `CompressionAlgorithm` proto enum values
+    * (`/root/reference/proto/electrician_relay.proto:96-103`), so sealed
+    * frames and protobuf metadata carry the same numbering. The reference
+    * dispatch is `forwardrelay/payload.go:111-141`; note its DEFLATE case
+    * actually writes gzip framing (`gzip.NewWriter`), so DEFLATE here is
+    * gzip too — wire parity beats naming. BROTLI (4) has no implementation
+    * on this classpath and is rejected loudly in both directions; the
+    * other four (gzip-framed deflate, snappy, zstd, lz4-frame) ride the
+    * jars Spark already ships. */
+  val CompressNone = 0
+  val CompressDeflate = 1
+  val CompressSnappy = 2
+  val CompressZstd = 3
+  val CompressBrotli = 4
+  val CompressLz4 = 5
+
+  /** Compress `bytes` with the proto-enum `algo`. NONE passes through. */
+  def compress(algo: Int, bytes: Array[Byte]): Array[Byte] = algo match {
+    case CompressNone => bytes
+    case CompressDeflate => gzip(bytes)
+    case CompressSnappy => org.xerial.snappy.Snappy.compress(bytes)
+    case CompressZstd =>
+      // level 3 = zstd's own default; the byte[] API stamps the frame
+      // content size, which decompressBounded relies on for its cap check
+      com.github.luben.zstd.Zstd.compress(bytes, 3)
+    case CompressLz4 =>
+      val out = new java.io.ByteArrayOutputStream()
+      val w = new net.jpountz.lz4.LZ4FrameOutputStream(out)
+      try w.write(bytes) finally w.close()
+      out.toByteArray
+    case CompressBrotli => throw new UnsupportedOperationException(
+      "brotli is not available on this classpath — use deflate/snappy/zstd/lz4")
+    case other => throw new IllegalArgumentException(s"unknown compression algorithm id $other")
+  }
+
+  /** Decompress with an EXPANDED-size cap — the sealed-relay ingress rule
+    * ([[gunzipBounded]]): every algorithm refuses output beyond `maxOut`
+    * before (or while) allocating it, so a decompression bomb inside an
+    * under-cap frame cannot provoke a multi-GiB allocation. */
+  def decompressBounded(algo: Int, bytes: Array[Byte], maxOut: Int): Array[Byte] = algo match {
+    case CompressNone => bytes
+    case CompressDeflate => gunzipBounded(bytes, maxOut)
+    case CompressSnappy =>
+      // the varint header is attacker-controlled but authoritative for the
+      // real payload: a lie in either direction fails the decoder, and the
+      // cap check runs before the allocation the header provokes
+      val n = org.xerial.snappy.Snappy.uncompressedLength(bytes)
+      if (n > maxOut) throw new java.io.IOException(
+        s"snappy output $n exceeds the $maxOut-byte cap — refusing decompression bomb")
+      org.xerial.snappy.Snappy.uncompress(bytes)
+    case CompressZstd =>
+      val n = com.github.luben.zstd.Zstd.getFrameContentSize(bytes)
+      if (n < 0) throw new java.io.IOException(
+        "zstd frame does not declare its content size — refusing unbounded decompression")
+      if (n > maxOut) throw new java.io.IOException(
+        s"zstd output $n exceeds the $maxOut-byte cap — refusing decompression bomb")
+      // the allocated buffer is exactly n: a frame whose actual output
+      // exceeds its declared size fails inside the native decoder
+      com.github.luben.zstd.Zstd.decompress(bytes, n.toInt)
+    case CompressLz4 =>
+      val in = new net.jpountz.lz4.LZ4FrameInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) {
+          if (out.size.toLong + n > maxOut)
+            throw new java.io.IOException(
+              s"lz4 output exceeds the $maxOut-byte cap — refusing decompression bomb")
+          out.write(buf, 0, n)
+          n = in.read(buf)
+        }
+        out.toByteArray
+      } finally in.close()
+    case CompressBrotli => throw new UnsupportedOperationException(
+      "brotli is not available on this classpath — use deflate/snappy/zstd/lz4")
+    case other => throw new IllegalArgumentException(s"unknown compression algorithm id $other")
+  }
+
   /** Column twin of [[gunzip]] — one call per FILE in the binaryFile read
     * path (objects, not records, so the UDF is off the per-record hot
     * path). */

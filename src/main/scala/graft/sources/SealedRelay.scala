@@ -20,7 +20,10 @@ import org.apache.spark.sql.types.StructType
   * key/flag validation, and executor-side distribution — is real here:
   *
   *  - Serialization is NDJSON (the engine's record codec) instead of gob.
-  *  - Compression is gzip ([[graft.functions.Codecs.gzip]]); encryption is
+  *  - Compression speaks the reference's full algorithm menu except
+  *    brotli (deflate-as-gzip/snappy/zstd/lz4,
+  *    [[graft.functions.Codecs.compress]], ids = the proto enum); the
+  *    frame flags carry the algorithm id. Encryption is
   *    AES-GCM in Spark's native wire format
   *    ([[graft.functions.Crypto.aesGcmEncryptBytes]], 12-byte IV prefix),
   *    so sealed payloads interoperate with `aes_decrypt` everywhere else.
@@ -42,6 +45,36 @@ object SealedRelay {
   val FlagGzip = 0x1
   val FlagAes = 0x2
 
+  /** Frame payload is a protobuf [[RelayProto.WrappedPayload]] envelope —
+    * the sealing (compression algorithm, AES suite) is declared INSIDE the
+    * envelope's MessageMetadata, the reference's actual wire contract,
+    * instead of in the frame flag bits. Mutually exclusive with
+    * [[FlagGzip]]/[[FlagAes]]: one self-description, not two. */
+  val FlagProto = 0x4
+
+  /** Flags layout: bit0 = compressed (kept as the legacy gzip bit so GRS1
+    * frames from older writers still parse), bit1 = AES-GCM, bits 4-6 =
+    * compression algorithm id ([[graft.functions.Codecs.CompressDeflate]]
+    * etc. — the reference's `CompressionAlgorithm` proto enum values, so
+    * frame flags and protobuf metadata agree). Algorithm bits of 0 on a
+    * compressed frame mean legacy gzip. */
+  def flagsFor(algo: Int, encrypted: Boolean): Int = {
+    require(algo >= 0 && algo <= 7, s"algorithm id out of flag range: $algo")
+    (if (algo != graft.functions.Codecs.CompressNone) FlagGzip else 0) |
+      (if (encrypted) FlagAes else 0) | (algo << 4)
+  }
+
+  /** Decode the compression algorithm from frame flags. */
+  def algoOf(flags: Int): Int = {
+    val c = graft.functions.Codecs
+    if ((flags & FlagGzip) == 0) c.CompressNone
+    else {
+      val a = (flags >> 4) & 7
+      if (a == c.CompressNone) c.CompressDeflate // legacy gzip-only writers
+      else a
+    }
+  }
+
   /** The reference's encryption-requirement rule: enabling AES without a
     * key, or supplying a key without enabling AES, is a config error. */
   def validate(encrypt: Boolean, key: Option[Array[Byte]]): Unit = {
@@ -51,13 +84,20 @@ object SealedRelay {
       s"AES key must be 16/24/32 bytes, got ${k.length}"))
   }
 
-  /** Seal one payload: compress then encrypt, as configured. */
-  def seal(body: Array[Byte], gzipped: Boolean, key: Option[Array[Byte]]): (Int, Array[Byte]) = {
-    val compressed = if (gzipped) graft.functions.Codecs.gzip(body) else body
+  /** Seal one payload: compress then encrypt, as configured. The boolean
+    * form is the legacy gzip-only surface; the Int form takes any
+    * [[graft.functions.Codecs]] algorithm id (the reference's payload
+    * compression menu, `forwardrelay/payload.go:111-141`). */
+  def seal(body: Array[Byte], gzipped: Boolean, key: Option[Array[Byte]]): (Int, Array[Byte]) =
+    seal(body,
+      if (gzipped) graft.functions.Codecs.CompressDeflate
+      else graft.functions.Codecs.CompressNone, key)
+
+  def seal(body: Array[Byte], algo: Int, key: Option[Array[Byte]]): (Int, Array[Byte]) = {
+    val compressed = graft.functions.Codecs.compress(algo, body)
     val sealedBytes = key.fold(compressed)(k =>
       graft.functions.Crypto.aesGcmEncryptBytes(compressed, k))
-    val flags = (if (gzipped) FlagGzip else 0) | (if (key.isDefined) FlagAes else 0)
-    (flags, sealedBytes)
+    (flagsFor(algo, key.isDefined), sealedBytes)
   }
 
   /** Unwrap one payload per its frame flags. A frame sealed with a key
@@ -79,9 +119,52 @@ object SealedRelay {
           "unwrap: encryption required — receiver holds a key but the frame is not AES-GCM sealed")
         payload
       }
-    if ((flags & FlagGzip) != 0)
-      graft.functions.Codecs.gunzipBounded(decrypted, maxInflatedBytes)
-    else decrypted
+    graft.functions.Codecs.decompressBounded(algoOf(flags), decrypted, maxInflatedBytes)
+  }
+
+  /** K5 forward relay, protobuf-envelope variant: each chunk rides as an
+    * encoded `WrappedPayload` (seq-numbered per connection, sealing
+    * declared in metadata) inside a [[FlagProto]] frame — wire-level
+    * parity with the reference's relay contract
+    * (`proto/electrician_relay.proto:16-92`). Same chunking, distribution
+    * and validation rules as [[writeSocketSealedWith]]. */
+  def writeSocketProto(df: DataFrame, host: String, port: Int,
+                       compression: Int,
+                       key: Option[Array[Byte]] = None,
+                       maxChunkBytes: Int = 4 << 20): Unit = {
+    graft.functions.Codecs.compress(compression, Array.emptyByteArray)
+    key.foreach(k => require(Set(16, 24, 32).contains(k.length),
+      s"AES key must be 16/24/32 bytes, got ${k.length}"))
+    require(maxChunkBytes > 0 && maxChunkBytes <= (48 << 20),
+      s"maxChunkBytes out of range: $maxChunkBytes")
+    df.toJSON.foreachPartition { (it: Iterator[String]) =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.get().partitionId()
+        val sock = new Socket(host, port)
+        try {
+          val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+          val buf = new java.io.ByteArrayOutputStream(math.min(maxChunkBytes, 1 << 20))
+          var seq = 0L
+          def flushChunk(): Unit = if (buf.size > 0) {
+            val wrapped = RelayProto.wrap(buf.toByteArray, id = s"p$pid-$seq",
+              seq = seq, tsEpochMs = System.currentTimeMillis(),
+              algo = compression, key = key)
+            writeFrame(out, FlagProto, RelayProto.encode(wrapped))
+            seq += 1
+            buf.reset()
+          }
+          it.foreach { line =>
+            val b = line.getBytes(UTF_8)
+            require(b.length <= maxChunkBytes,
+              s"single record of ${b.length} bytes exceeds maxChunkBytes $maxChunkBytes")
+            if (buf.size > 0 && buf.size + b.length + 1 > maxChunkBytes) flushChunk()
+            if (buf.size > 0) buf.write('\n')
+            buf.write(b)
+          }
+          flushChunk()
+        } finally sock.close()
+      }
+    }
   }
 
   def writeFrame(out: DataOutputStream, flags: Int, payload: Array[Byte]): Unit = {
@@ -155,7 +238,22 @@ object SealedRelay {
   def writeSocketSealed(df: DataFrame, host: String, port: Int,
                         gzipped: Boolean = true,
                         key: Option[Array[Byte]] = None,
-                        maxChunkBytes: Int = 4 << 20): Unit = {
+                        maxChunkBytes: Int = 4 << 20): Unit =
+    writeSocketSealedWith(df, host, port,
+      if (gzipped) graft.functions.Codecs.CompressDeflate
+      else graft.functions.Codecs.CompressNone,
+      key, maxChunkBytes)
+
+  /** [[writeSocketSealed]] with an explicit compression algorithm
+    * ([[graft.functions.Codecs]] proto-enum ids: deflate/snappy/zstd/lz4).
+    * The algorithm must round-trip locally before any task runs —
+    * `compress(algo, empty)` validates the id and classpath on the driver
+    * (brotli and unknown ids fail here, not per-task on executors). */
+  def writeSocketSealedWith(df: DataFrame, host: String, port: Int,
+                            compression: Int,
+                            key: Option[Array[Byte]] = None,
+                            maxChunkBytes: Int = 4 << 20): Unit = {
+    graft.functions.Codecs.compress(compression, Array.emptyByteArray)
     key.foreach(k => require(Set(16, 24, 32).contains(k.length),
       s"AES key must be 16/24/32 bytes, got ${k.length}"))
     require(maxChunkBytes > 0 && maxChunkBytes <= (48 << 20),
@@ -168,7 +266,7 @@ object SealedRelay {
           val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
           val buf = new java.io.ByteArrayOutputStream(math.min(maxChunkBytes, 1 << 20))
           def flushChunk(): Unit = if (buf.size > 0) {
-            val (flags, payload) = seal(buf.toByteArray, gzipped, key)
+            val (flags, payload) = seal(buf.toByteArray, compression, key)
             writeFrame(out, flags, payload)
             buf.reset()
           }
@@ -248,7 +346,15 @@ final class SealedReceivingRelay(spark: SparkSession, port: Int,
       while (more && running.get()) {
         SealedRelay.readFrame(in, maxFrameBytes) match {
           case Some((flags, payload)) =>
-            val lines = new String(SealedRelay.unwrap(flags, payload, key, maxInflatedBytes), UTF_8)
+            val body =
+              if ((flags & SealedRelay.FlagProto) != 0) {
+                // protobuf envelope: sealing is declared in its metadata;
+                // outer flag bits must not ALSO claim sealing
+                require((flags & (SealedRelay.FlagGzip | SealedRelay.FlagAes)) == 0,
+                  s"proto frame carries outer sealing flags $flags — ambiguous self-description")
+                RelayProto.unwrap(RelayProto.decode(payload), key, maxInflatedBytes)
+              } else SealedRelay.unwrap(flags, payload, key, maxInflatedBytes)
+            val lines = new String(body, UTF_8)
               .split("\n").iterator.filter(_.nonEmpty)
             // one lock per FRAME (not per record): MemoryStream's row
             // encoder is not thread-safe (see TlsNdjsonJack.serve)

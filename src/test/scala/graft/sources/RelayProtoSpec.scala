@@ -1,0 +1,144 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.SparkSpec
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+/** Wire-level checks for the hand-rolled proto3 WrappedPayload codec
+  * (`/root/reference/proto/electrician_relay.proto:16-92`): golden bytes
+  * against the proto3 wire spec, round-trips, unknown-field forward
+  * compatibility, the sealed-payload rules over the envelope, and the
+  * socket e2e. */
+class RelayProtoSpec extends SparkSpec {
+
+  private val key = Array.tabulate[Byte](32)(i => (i * 11 + 5).toByte)
+
+  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+
+  test("golden bytes: scalar fields encode exactly per the proto3 wire spec") {
+    // id=1(string "a") → 0a 01 61; payload=3(bytes 01 02) → 1a 02 01 02;
+    // seq=6(varint 7) → 30 07. Zero-valued fields are absent.
+    val p = RelayProto.WrappedPayload(id = "a", payload = Array[Byte](1, 2), seq = 7)
+    assert(hex(RelayProto.encode(p)) === "0a01611a0201023007")
+    // nested metadata: field 4 wire 2, body = content_type field 2 → 12 01 78
+    val m = RelayProto.WrappedPayload(
+      metadata = Some(RelayProto.MessageMetadata(contentType = "x")))
+    assert(hex(RelayProto.encode(m)) === "2203120178")
+    // timestamp: field 2, body = seconds=1 → 08 01
+    val t = RelayProto.WrappedPayload(
+      timestamp = Some(RelayProto.PTimestamp(1, 0)))
+    assert(hex(RelayProto.encode(t)) === "12020801")
+  }
+
+  test("full message round-trips: metadata, headers map, version, perf, security, error") {
+    val p = RelayProto.WrappedPayload(
+      id = "msg-42",
+      timestamp = Some(RelayProto.PTimestamp(1700000000L, 123456789)),
+      payload = Array.tabulate[Byte](64)(_.toByte),
+      metadata = Some(RelayProto.MessageMetadata(
+        headers = Map("k1" -> "v1", "k2" -> "v2"),
+        contentType = "application/x-ndjson",
+        version = Some(RelayProto.VersionInfo(1, 0)),
+        performance = Some(RelayProto.PerformanceOptions(
+          useCompression = true, compressionAlgorithm = 3, compressionLevel = 5)),
+        traceId = "trace-7",
+        priority = 2,
+        security = Some(RelayProto.SecurityOptions(enabled = true, RelayProto.SuiteAesGcm)))),
+      errorInfo = Some(RelayProto.ErrorInfo(13, "boom", Seq("d1", "d2"))),
+      seq = 99,
+      payloadEncoding = 2,
+      payloadType = "graft.Record")
+    val back = RelayProto.decode(RelayProto.encode(p))
+    assert(back.copy(payload = Array.emptyByteArray) ===
+      p.copy(payload = Array.emptyByteArray))
+    assert(back.payload.toSeq === p.payload.toSeq)
+  }
+
+  test("unknown fields (delivery/channel/fragment — proto fields 20/21/28) are skipped") {
+    val base = RelayProto.encode(
+      RelayProto.WrappedPayload(id = "a", payload = Array[Byte](1, 2), seq = 7))
+    val extra = Array[Byte](
+      0xa0.toByte, 0x01, 0x01, // field 20 varint (DeliveryMode) = 1
+      0xaa.toByte, 0x01, 0x01, 'c'.toByte, // field 21 string "c" (channel)
+      0xe2.toByte, 0x01, 0x02, 0x08, 0x01) // field 28 message (FragmentInfo{index=1})
+    val p = RelayProto.decode(base ++ extra)
+    assert(p.id === "a"); assert(p.seq === 7L); assert(p.payload.toSeq === Seq[Byte](1, 2))
+  }
+
+  test("negative int32 fields ride 10-byte sign-extended varints, per spec") {
+    val p = RelayProto.WrappedPayload(
+      errorInfo = Some(RelayProto.ErrorInfo(-3, "", Nil)))
+    val back = RelayProto.decode(RelayProto.encode(p))
+    assert(back.errorInfo.get.code === -3)
+  }
+
+  test("truncated and overrun envelopes are rejected, not misread") {
+    val good = RelayProto.encode(RelayProto.WrappedPayload(id = "abcdef"))
+    intercept[IllegalArgumentException] { RelayProto.decode(good.dropRight(3)) }
+    // length-delimited field claiming more bytes than the buffer holds
+    intercept[IllegalArgumentException] {
+      RelayProto.decode(Array[Byte](0x0a, 0x7f, 0x61))
+    }
+  }
+
+  test("wrap/unwrap enforce the sealed-payload rules across codecs") {
+    val c = graft.functions.Codecs
+    val body = ("line of text\n" * 100).getBytes(UTF_8)
+    for (algo <- Seq(c.CompressNone, c.CompressDeflate, c.CompressSnappy, c.CompressZstd, c.CompressLz4)) {
+      // sealed round-trip
+      val sealedEnv = RelayProto.wrap(body, "id", 1, 1700000000000L, algo, Some(key))
+      assert(sealedEnv.metadata.get.security.get.enabled)
+      assert(RelayProto.unwrap(RelayProto.decode(RelayProto.encode(sealedEnv)), Some(key)).toSeq
+        === body.toSeq, s"algo=$algo")
+      // plain round-trip
+      val plainEnv = RelayProto.wrap(body, "id", 1, 0L, algo, None)
+      assert(RelayProto.unwrap(plainEnv, None).toSeq === body.toSeq)
+      // keyed receiver refuses unsealed envelopes (downgrade protection)
+      intercept[SecurityException] { RelayProto.unwrap(plainEnv, Some(key)) }
+      // unkeyed receiver refuses sealed envelopes
+      intercept[SecurityException] { RelayProto.unwrap(sealedEnv, None) }
+    }
+    // wrong key fails the GCM tag check
+    val env = RelayProto.wrap(body, "id", 1, 0L, c.CompressZstd, Some(key))
+    val wrongKey = key.map(b => (b ^ 0x3c).toByte)
+    intercept[Exception] { RelayProto.unwrap(env, Some(wrongKey)) }
+    // unknown suite is rejected before any decrypt attempt
+    val badSuite = env.copy(metadata = Some(env.metadata.get.copy(
+      security = Some(RelayProto.SecurityOptions(enabled = true, suite = 9)))))
+    intercept[IllegalArgumentException] { RelayProto.unwrap(badSuite, Some(key)) }
+  }
+
+  test("e2e: proto-envelope frames from executor partitions land in the receiving stream") {
+    val schema = new StructType().add("id", LongType).add("name", StringType)
+    val relay = new SealedReceivingRelay(spark, 0, Some(key))
+    val ingress = relay.jsonStream(schema).writeStream
+      .format("memory").queryName("proto_jack").outputMode("append").start()
+    try {
+      import spark.implicits._
+      val df = (0L until 20L).map(i => (i, s"rec$i")).toDF("id", "name")
+      SealedRelay.writeSocketProto(df, "127.0.0.1", relay.boundPort,
+        compression = graft.functions.Codecs.CompressSnappy,
+        key = Some(key), maxChunkBytes = 64)
+      eventually(relay.receivedCount == 20, s"relay got ${relay.receivedCount}/20")
+      ingress.processAllAvailable()
+      val rows = spark.table("proto_jack").collect()
+      assert(rows.length == 20)
+      assert(rows.map(_.getAs[Long]("id")).sorted.toSeq == (0L until 20L))
+      assert(relay.badFrameCount == 0)
+    } finally { ingress.stop(); relay.stop() }
+  }
+
+  test("e2e: a proto envelope sealed with the wrong key is dropped and counted") {
+    val relay = new SealedReceivingRelay(spark, 0, Some(key))
+    try {
+      import spark.implicits._
+      val wrongKey = key.map(b => (b ^ 0x55).toByte)
+      val df = Seq((1L, "x")).toDF("id", "name")
+      SealedRelay.writeSocketProto(df, "127.0.0.1", relay.boundPort,
+        compression = graft.functions.Codecs.CompressNone, key = Some(wrongKey))
+      eventually(relay.badFrameCount >= 1, "bad proto frame was not counted")
+      assert(relay.receivedCount == 0)
+    } finally relay.stop()
+  }
+}

@@ -33,6 +33,61 @@ class SealedRelaySpec extends SparkSpec {
     }
   }
 
+  test("cross-codec seal/unwrap: deflate/snappy/zstd/lz4 round-trip, with and without AES") {
+    val c = graft.functions.Codecs
+    val body = ("compressible line of text — αβγ\n" * 200).getBytes(UTF_8)
+    for {
+      algo <- Seq(c.CompressNone, c.CompressDeflate, c.CompressSnappy, c.CompressZstd, c.CompressLz4)
+      k <- Seq(None, Some(key))
+    } {
+      val (flags, sealedBytes) = SealedRelay.seal(body, algo, k)
+      assert(SealedRelay.algoOf(flags) ==
+        (if (algo == c.CompressNone) c.CompressNone else algo))
+      assert(SealedRelay.unwrap(flags, sealedBytes, k).toSeq == body.toSeq,
+        s"algo=$algo aes=${k.isDefined}")
+      if (algo != c.CompressNone)
+        assert(sealedBytes.length < body.length, s"algo=$algo did not compress")
+    }
+  }
+
+  test("legacy gzip-only flags (algorithm bits 0) still unwrap — old writers interoperate") {
+    val body = "legacy frame".getBytes(UTF_8)
+    val legacyFlags = SealedRelay.FlagGzip // bit0 only, no algorithm bits
+    val payload = graft.functions.Codecs.gzip(body)
+    assert(SealedRelay.unwrap(legacyFlags, payload, None).toSeq == body.toSeq)
+  }
+
+  test("brotli and unknown algorithm ids are rejected loudly in both directions") {
+    val c = graft.functions.Codecs
+    val body = "x".getBytes(UTF_8)
+    intercept[UnsupportedOperationException] { SealedRelay.seal(body, c.CompressBrotli, None) }
+    intercept[UnsupportedOperationException] {
+      SealedRelay.unwrap(SealedRelay.flagsFor(c.CompressBrotli, encrypted = false), body, None)
+    }
+    intercept[IllegalArgumentException] {
+      // id 6 is in flag range (3 bits) but maps to no codec
+      SealedRelay.unwrap(SealedRelay.flagsFor(6, encrypted = false), body, None)
+    }
+    intercept[IllegalArgumentException] { SealedRelay.flagsFor(9, encrypted = false) }
+  }
+
+  test("snappy/zstd/lz4 honor the inflated-size cap — no decompression bombs") {
+    val c = graft.functions.Codecs
+    val zeros = new Array[Byte](4 << 20) // 4 MiB of zeros compresses tiny
+    for (algo <- Seq(c.CompressSnappy, c.CompressZstd, c.CompressLz4)) {
+      val packed = c.compress(algo, zeros)
+      // bomb-shaped: ≥16× expansion on unwrap (snappy's block format tops
+      // out near 20:1 on zeros; zstd/lz4 do far better)
+      assert(packed.length < zeros.length / 16, s"algo=$algo fixture did not compress")
+      val e = intercept[java.io.IOException] {
+        c.decompressBounded(algo, packed, 1 << 20)
+      }
+      assert(e.getMessage.contains("cap"), s"algo=$algo: ${e.getMessage}")
+      // and under the cap it round-trips
+      assert(c.decompressBounded(algo, packed, 8 << 20).length == zeros.length)
+    }
+  }
+
   test("encryption-requirement validation matches the reference rule") {
     SealedRelay.validate(encrypt = false, None)
     SealedRelay.validate(encrypt = true, Some(key))
@@ -145,6 +200,25 @@ class SealedRelaySpec extends SparkSpec {
       eventually(relay.receivedCount == 20, s"relay got ${relay.receivedCount}/20")
       ingress.processAllAvailable()
       val rows = spark.table("sealed_jack").collect()
+      assert(rows.length == 20)
+      assert(rows.map(_.getAs[Long]("id")).sorted.toSeq == (0L until 20L))
+      assert(relay.badFrameCount == 0)
+    } finally { ingress.stop(); relay.stop() }
+  }
+
+  test("e2e: zstd+AES sealed partitions unwrap into the stream — new codecs ride the same frames") {
+    val relay = new SealedReceivingRelay(spark, 0, Some(key))
+    val ingress = relay.jsonStream(schema).writeStream
+      .format("memory").queryName("sealed_zstd_jack").outputMode("append").start()
+    try {
+      import spark.implicits._
+      val df = (0L until 20L).map(i => (i, s"rec$i")).toDF("id", "name")
+      SealedRelay.writeSocketSealedWith(df, "127.0.0.1", relay.boundPort,
+        compression = graft.functions.Codecs.CompressZstd,
+        key = Some(key), maxChunkBytes = 64)
+      eventually(relay.receivedCount == 20, s"relay got ${relay.receivedCount}/20")
+      ingress.processAllAvailable()
+      val rows = spark.table("sealed_zstd_jack").collect()
       assert(rows.length == 20)
       assert(rows.map(_.getAs[Long]("id")).sorted.toSeq == (0L until 20L))
       assert(relay.badFrameCount == 0)
