@@ -1100,6 +1100,81 @@ object Relational {
         sum(col("volume")).cast("double").as("revenue"))
   }
 
+  /** Q31 — min-cost supplier (TPC-H Q2's skeleton over the fixture's
+    * tables: lineitem stands in for partsupp as the part↔supplier link,
+    * unit cost = the lineitem's extended price in cents). The classic
+    * correlated MIN subquery — "the supplier whose cost IS the minimum
+    * for that part, among suppliers of the target region" — decorrelates
+    * into a part-grain MIN aggregate re-joined to the probe side (how
+    * every engine, including Catalyst's own decorrelation, executes Q2).
+    * Scale shape: the 4-dim chain (region→nation→supplier, and the part
+    * filter) broadcasts ONTO the fact scan, so both the aggregate and the
+    * probe are reduced map-side before the only exchange (the part-grain
+    * MIN); the min map is part-cardinality and broadcasts back — the fact
+    * table never shuffles. Ties on the min cost return every achieving
+    * supplier, as Q2 does; output is (bal_cents, s_name, p_partkey)-total
+    * so the hash comparison is order-stable. */
+  def q31MinCostSupp(spark: SparkSession, dir: String): DataFrame = {
+    val rs = broadcast(Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("s_acctbal") * 100).cast("long").as("bal_cents"), col("n_name")))
+    val pt = broadcast(Tables.part(spark, dir)
+      .filter(col("p_type") === "STANDARD" && col("p_size").between(10, 20))
+      .select(col("p_partkey"), col("p_name")))
+    def eligible = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+      .join(rs, col("l_suppkey") === col("s_suppkey"))
+      .join(pt, col("l_partkey") === col("p_partkey"))
+    val mn = eligible.groupBy(col("l_partkey").as("mn_partkey"))
+      .agg(min("price_cents").as("min_cents"))
+    eligible.join(broadcast(mn),
+        col("l_partkey") === col("mn_partkey") &&
+          col("price_cents") === col("min_cents"))
+      .select(col("bal_cents"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"), col("p_name"), col("price_cents"))
+      .distinct()
+      .orderBy(desc("bal_cents"), asc("s_name"), asc("p_partkey"))
+  }
+
+  /** Q32 — qualified-supplier probe (TPC-H Q20's skeleton): suppliers in
+    * a region who shipped MORE than a threshold quantity of any
+    * 'red '-named part during 1997 — the nested semi-join chain
+    * `supplier SEMI (lineitem SEMI part …grouped-HAVING…)` that Q20 runs
+    * against partsupp availability (the fixture has no partsupp, so the
+    * HAVING threshold stands in for `0.5·availqty`; the join topology is
+    * the point). Scale shape: the part filter broadcasts as a LEFT SEMI
+    * onto the one lineitem scan (ship-date filter pushed to parquet), the
+    * only exchange is the (supplier, part)-grain sum, and both outer
+    * semi-joins broadcast supplier-cardinality sets — lineitem never
+    * shuffles at fact grain and nothing is scanned twice. Quantities fold
+    * as exact cents longs. */
+  def q32QualifiedSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val redParts = broadcast(Tables.part(spark, dir)
+      .filter(col("p_name").startsWith("red "))
+      .select(col("p_partkey")))
+    val qualified = Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")).between("1997-01-01", "1997-12-31"))
+      .join(redParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
+      .filter(col("qty_cents") > 4000)
+      .select(col("l_suppkey")).distinct()
+    val regionNations = broadcast(Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey")))
+    Tables.supplier(spark, dir)
+      .join(regionNations, col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .join(broadcast(qualified), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_name")
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_filter_project" -> q01FilterProject _,
     "q02_string_chain"   -> q02StringChain _,
@@ -1147,6 +1222,8 @@ object Relational {
     "ev_forecast_baseline" -> evForecastBaseline _,
     "ev_new_vs_returning"  -> evNewVsReturning _,
     "q30_disjunctive"      -> q30Disjunctive _,
+    "q31_min_cost_supp"    -> q31MinCostSupp _,
+    "q32_qualified_suppliers" -> q32QualifiedSuppliers _,
     "q24_window_suite"   -> q24WindowSuite _,
     "a7_approx_distinct" -> a7ApproxDistinct _,
   )
@@ -1577,6 +1654,38 @@ object Relational {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q31_min_cost_supp" ->
+      """WITH rs AS (
+        | SELECT s_suppkey, s_name,
+        |  CAST(round(s_acctbal*100) AS BIGINT) AS bal_cents, n_name
+        | FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | WHERE r_name = 'EUROPE'),
+        |el AS (
+        | SELECT l_partkey, s_name, n_name, bal_cents, p_name,
+        |  CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents
+        | FROM lineitem JOIN rs ON l_suppkey = rs.s_suppkey
+        | JOIN part ON l_partkey = p_partkey
+        | WHERE p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20),
+        |mn AS (
+        | SELECT l_partkey, min(price_cents) AS min_cents FROM el GROUP BY 1)
+        |SELECT DISTINCT bal_cents, s_name, n_name,
+        | el.l_partkey AS p_partkey, p_name, price_cents
+        |FROM el JOIN mn ON el.l_partkey = mn.l_partkey
+        | AND el.price_cents = mn.min_cents
+        |ORDER BY bal_cents DESC, s_name, p_partkey""".stripMargin,
+    "q32_qualified_suppliers" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red %')
+        |    AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(CAST(round(l_quantity*100) AS BIGINT)) > 4000)
+        |AND s_nationkey IN (
+        |  SELECT n_nationkey FROM nation WHERE n_regionkey IN (
+        |    SELECT r_regionkey FROM region WHERE r_name = 'ASIA'))
+        |ORDER BY s_name""".stripMargin,
     "ev_new_vs_returning" ->
       """WITH ud AS (
         | SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),

@@ -808,6 +808,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q31: Q2 decorrelation — every join broadcasts, only key-grain exchanges") {
+    val p = planOf("q31_min_cost_supp")
+    // the 4-dim chain and the part-grain min map all broadcast; the fact
+    // table must never shuffle at row grain
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // shuffles: the part-grain MIN, the distinct, and the output sort — no more
+    assert("Exchange (hash|range)partitioning".r.findAllIn(p).size <= 3, p)
+    assert(p.contains("partial_min"), p)
+  }
+
+  test("q32: Q20 semi-join chain — one lineitem scan, date filter pushed, all semi-joins broadcast") {
+    val p = planOf("q32_qualified_suppliers")
+    // lineitem appears exactly once (5 scans total: li, part, supplier,
+    // nation, region) — the nested IN-chain must not re-scan the fact
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,1997-01-01"), p)
+    assert("LeftSemi".r.findAllIn(p).size == 3, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("txt_lang_id/txt_quality: marker counts are kernel UDFs, not interpreted HOFs") {
     Seq("txt_lang_id", "txt_quality").foreach { n =>
       val analyzed = graft.SparkEntry.queries(n)(spark, sfDir).queryExecution.optimizedPlan

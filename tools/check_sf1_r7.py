@@ -108,6 +108,8 @@ for name in ["ev_funnel", "ev_retention", "txt_normalize",
              "ds_dedup_impact", "ev_forecast_baseline",
              "txt_source_keywords", "txt_readability",
              "ev_new_vs_returning", "q30_disjunctive",
+             # round-8 additions
+             "q31_min_cost_supp", "q32_qualified_suppliers",
              # same-label quadratic is 1/|labels| of the negatives' pair
              # count — inside the documented targeted-compare budget
              "ds_positive_pairs"]:
