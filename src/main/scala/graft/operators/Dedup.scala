@@ -791,29 +791,45 @@ object Dedup {
     * each round, so convergence is O(log diameter) iterations (25 rounds
     * cover diameter well past 2³⁰), not O(diameter) as plain propagation
     * would be. Labels are monotone non-increasing, so convergence is
-    * detected by an aggregate sum (no extra join), and each round is
-    * localCheckpoint'ed to truncate lineage — at cluster scale swap for
-    * `checkpoint` on reliable storage. Shuffle width is always
+    * detected by an aggregate sum (no extra join), and each round's
+    * materialization truncates lineage. Shuffle width is always
     * (long, long): the text never enters the component computation.
+    *
+    * Checkpoint modes: by default rounds are `localCheckpoint`ed
+    * (executor-local blocks — fastest, and correct on a healthy cluster);
+    * pass `checkpointDir` for RELIABLE `checkpoint()` on shared storage,
+    * the 100 TB posture — a lost executor then costs a re-read of the
+    * last round from DFS instead of recomputing the loop from its start
+    * (localCheckpoint'ed lineage is TRUNCATED, so a lost block is fatal
+    * to the job, which is fine for short loops and wrong for hour-long
+    * ones). Both modes produce identical labels (spec-locked); reliable
+    * rounds keep the same pre-partitioned edge side, since Dataset
+    * checkpoints preserve outputPartitioning.
     *
     * @param nodes one column `idCol`; singletons come out as their own
     *              cluster
     * @param pairs columns (`a_id`, `b_id`) — undirected, any orientation
+    * @param checkpointDir reliable-checkpoint directory (DFS path on a
+    *                      cluster); None = executor-local checkpoints
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-                          idCol: String = "doc_id", maxIter: Int = 25): DataFrame = {
+                          idCol: String = "doc_id", maxIter: Int = 25,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // materialize the edge set once: it is re-joined EVERY iteration, and
     // without the checkpoint Spark would recompute the (possibly expensive)
     // pair-generation subtree each round. Pre-partitioning by the join key
     // means only the (small) labels side shuffles on each pull —
     // localCheckpoint preserves outputPartitioning, so the exchange on the
     // edge side happens exactly once for the whole loop.
-    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
-      .unionAll(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
-      .repartition(col("v"))
-      .localCheckpoint()
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lbl"))
-      .localCheckpoint()
+    val edges = materialize(
+      pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+        .unionAll(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+        .repartition(col("v")))
+    var labels = materialize(
+      nodes.select(col(idCol).as("id"), col(idCol).as("lbl")))
     var converged = false
     var iter = 0
     var checksum = // empty input sums to null
@@ -845,14 +861,13 @@ object Dedup {
       val nbrMin = edges.join(labels, edges("v") === labels("id"))
         .groupBy("u").agg(min("lbl").as("nmin"))
       val parent = labels.select(col("id").as("pid"), col("lbl").as("plbl"))
-      val next = labels
+      val next = materialize(labels
         .join(nbrMin, labels("id") === nbrMin("u"), "left")
         .join(parent, labels("lbl") === col("pid"), "left")
         .select(col("id"), least(col("lbl"),
           coalesce(col("nmin"), col("lbl")),
           coalesce(col("plbl"), col("lbl"))).as("lbl"))
-        .observe(obs, coalesce(sum("lbl"), lit(0L)).as("s"))
-        .localCheckpoint()
+        .observe(obs, coalesce(sum("lbl"), lit(0L)).as("s")))
       val nextSum = obs.get("s").asInstanceOf[Long]
       converged = nextSum == checksum // labels only ever decrease
       checksum = nextSum

@@ -293,6 +293,27 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("connected components: reliable checkpoint() mode produces identical labels " +
+    "and writes round state to the checkpoint dir") {
+    import SparkSpec.session.implicits._
+    val n = 80
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val nodes = (0L until n).toDF("doc_id")
+    val pairs = edges.toDF("a_id", "b_id")
+    val local = Dedup.connectedComponents(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-cc-ck").toString
+    val reliable = Dedup.connectedComponents(nodes, pairs,
+        checkpointDir = Some(ckDir))
+      .as[(Long, Long)].collect().toMap
+    assert(reliable == local)
+    // the rounds really went through reliable storage, not executor blocks
+    val rddDirs = new java.io.File(ckDir).listFiles()
+    assert(rddDirs != null && rddDirs.nonEmpty, s"no checkpoint state under $ckDir")
+  }
+
   test("connected components: pointer jumping closes a long chain in O(log n) iterations") {
     import SparkSpec.session.implicits._
     // a 200-node path: plain min-propagation would need ~200 iterations,

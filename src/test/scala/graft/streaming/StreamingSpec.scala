@@ -498,6 +498,15 @@ class StreamingSpec extends SparkSpec {
       // including the merge across the two micro-batches
       assert(got == Map("alpha" -> 4L, "beta" -> 3L, "gamma" -> 1L,
         "delta" -> 1L), got)
+      // state-store footprint lock: the complete-mode global aggregate
+      // keeps exactly ONE state row (the merged sketch buffer) no matter
+      // how many words streamed through — per-word state (a groupBy
+      // formulation, store size ∝ vocabulary) would show up here
+      val stateOps = q.lastProgress.stateOperators
+      assert(stateOps.nonEmpty, "no state operator in progress metrics")
+      assert(stateOps.map(_.numRowsTotal).sum == 1,
+        s"expected one sketch-buffer state row, got " +
+          stateOps.map(_.numRowsTotal).mkString(","))
     } finally q.stop()
   }
 
