@@ -89,7 +89,9 @@ object Sources {
     * maxOffsetsPerTrigger. Builder-only here (no broker in the test env);
     * the decode column logic is unit-tested on static frames.
     *
-    * Broker round-trip status (re-checked rounds 6 AND 7, 2026-08-13: an
+    * Broker round-trip status (re-checked rounds 6, 7 AND 8 — the round-8
+    * attempt on 2026-08-14 resolved neither kafka_2.13:3.7.0 nor
+    * spark-sql-kafka-0-10_2.13:4.1.2 from the offline cache; an
     * `sbt update` for spark-sql-kafka-0-10_2.13:4.1.2 still fails "Not
     * found" against the offline cache; /opt/spark/jars still ships no
     * kafka artifact — the gap below stands unchanged): an embedded

@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** The swap-in contract for [[Multimodal.MediaCodec]] implementations —
+  * the guard VERDICT asked for around the stubbed MP3/video slots: a
+  * decoder vendored later (JLayer-class MP3, a video keyframe reader)
+  * must pass `assertCodecContract` before the pipeline trusts it, and the
+  * failure modes the Multimodal scaladoc warns about (transposed
+  * dimensions, truncated buffers, nondeterministic output) each fail it
+  * LOUDLY — demonstrated below with deliberately broken codecs. */
+class MediaCodecContractSpec extends SparkSpec {
+
+  private def grayPng(w: Int, h: Int)(lum: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    for (y <- 0 until h; x <- 0 until w)
+      r.setSample(x, y, 0, math.min(255, math.max(0, lum(x, y))))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** The contract, against a reference payload whose TRUE dimensions are
+    * known (and asymmetric, so transposition is observable):
+    *  1. decodeImage's pixel buffer is consistent with its returned dims;
+    *  2. the returned dims are the truth, not a transposition — the
+    *     products match, so only a known fixture can catch this;
+    *  3. decode is deterministic (hash-type consumers require it);
+    *  4. a downsizing resize returns exactly toW·toH pixels,
+    *     deterministically. */
+  private def assertCodecContract(codec: Multimodal.MediaCodec,
+                                  payload: Array[Byte], w: Int, h: Int): Unit = {
+    require(w != h, "contract fixture must be asymmetric to observe transposition")
+    val (px, rw, rh) = codec.decodeImage(payload, w, h)
+    assert(px.length == rw * rh,
+      s"decodeImage returned ${px.length} pixels for claimed ${rw}x$rh")
+    assert(rw == w && rh == h,
+      s"decodeImage returned ${rw}x$rh for a ${w}x$h payload — transposed or wrong")
+    val (px2, rw2, rh2) = codec.decodeImage(payload, w, h)
+    assert(rw2 == rw && rh2 == rh && px2.sameElements(px),
+      "decodeImage is not deterministic")
+    val (tw, th) = ((w + 1) / 2, (h + 1) / 2)
+    val rs = codec.resize(px, rw, rh, tw, th)
+    assert(rs.length == tw * th,
+      s"resize to ${tw}x$th returned ${rs.length} pixels")
+    assert(codec.resize(px, rw, rh, tw, th).sameElements(rs),
+      "resize is not deterministic")
+  }
+
+  private val W = 16
+  private val H = 10
+  private val png = grayPng(W, H)((x, y) => (x * 13 + y * 7) % 251)
+
+  test("ImageIoCodec satisfies the swap-in contract on a real PNG") {
+    assertCodecContract(Multimodal.ImageIoCodec, png, W, H)
+  }
+
+  test("StubCodec satisfies the contract under its documented precondition " +
+    "(payload already a raw w*h buffer)") {
+    val raw = Array.tabulate[Byte](W * H)(i => (i % 251).toByte)
+    assertCodecContract(Multimodal.StubCodec, raw, W, H)
+  }
+
+  test("a codec that transposes dimensions fails the contract loudly") {
+    val transposed = new Multimodal.MediaCodec {
+      def decode(kind: String, payload: Array[Byte]): Array[Byte] =
+        Multimodal.ImageIoCodec.decode(kind, payload)
+      def resize(p: Array[Byte], w: Int, h: Int, tw: Int, th: Int): Array[Byte] =
+        Multimodal.ImageIoCodec.resize(p, w, h, tw, th)
+      override def decodeImage(payload: Array[Byte], dw: Int, dh: Int): (Array[Byte], Int, Int) = {
+        val (px, w, h) = Multimodal.ImageIoCodec.decodeImage(payload, dw, dh)
+        (px, h, w) // the same-product bug the Multimodal scaladoc warns about
+      }
+    }
+    val e = intercept[org.scalatest.exceptions.TestFailedException] {
+      assertCodecContract(transposed, png, W, H)
+    }
+    assert(e.getMessage.contains("transposed"))
+  }
+
+  test("a codec that truncates the pixel buffer fails the contract loudly") {
+    val truncating = new Multimodal.MediaCodec {
+      def decode(kind: String, payload: Array[Byte]): Array[Byte] =
+        Multimodal.ImageIoCodec.decode(kind, payload).dropRight(1)
+      def resize(p: Array[Byte], w: Int, h: Int, tw: Int, th: Int): Array[Byte] =
+        Multimodal.StubCodec.resize(p, w, h, tw, th)
+      override def decodeImage(payload: Array[Byte], dw: Int, dh: Int): (Array[Byte], Int, Int) = {
+        val (px, w, h) = Multimodal.ImageIoCodec.decodeImage(payload, dw, dh)
+        (px.dropRight(1), w, h)
+      }
+    }
+    val e = intercept[org.scalatest.exceptions.TestFailedException] {
+      assertCodecContract(truncating, png, W, H)
+    }
+    assert(e.getMessage.contains("pixels for claimed"))
+  }
+
+  test("a nondeterministic codec fails the contract loudly") {
+    val flaky = new Multimodal.MediaCodec {
+      private var n = 0
+      def decode(kind: String, payload: Array[Byte]): Array[Byte] =
+        Multimodal.ImageIoCodec.decode(kind, payload)
+      def resize(p: Array[Byte], w: Int, h: Int, tw: Int, th: Int): Array[Byte] =
+        Multimodal.ImageIoCodec.resize(p, w, h, tw, th)
+      override def decodeImage(payload: Array[Byte], dw: Int, dh: Int): (Array[Byte], Int, Int) = {
+        val (px, w, h) = Multimodal.ImageIoCodec.decodeImage(payload, dw, dh)
+        n += 1
+        if (n > 1) px(0) = (px(0) ^ 1).toByte
+        (px, w, h)
+      }
+    }
+    val e = intercept[org.scalatest.exceptions.TestFailedException] {
+      assertCodecContract(flaky, png, W, H)
+    }
+    assert(e.getMessage.contains("deterministic"))
+  }
+}
