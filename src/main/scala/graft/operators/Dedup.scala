@@ -815,9 +815,27 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           idCol: String = "doc_id", maxIter: Int = 25,
                           checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
+    val sc = nodes.sparkSession.sparkContext
+    val prevCkDir = sc.getCheckpointDir
+    // a fresh per-call subdirectory: checkpoint files outlive the returned
+    // frame and accumulate for the SparkContext lifetime (the context
+    // cleaner reclaims them only with spark.cleaner.referenceTracking
+    // .cleanCheckpoints=true), so scoping each run lets the caller delete
+    // the whole tree once the labels are materialized downstream
+    checkpointDir.foreach(d => sc.setCheckpointDir(
+      d + "/cc-" + java.util.UUID.randomUUID().toString.take(8)))
     def materialize(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) {
+        // persist before checkpoint: the eager materialization and the
+        // reliable DFS write are SEPARATE jobs, and an unpersisted plan
+        // would be recomputed from scratch by the write job — doubling
+        // every round of exactly the long loops this mode exists for
+        val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val out = cached.checkpoint()
+        cached.unpersist(blocking = false)
+        out
+      } else df.localCheckpoint()
+    try {
     // materialize the edge set once: it is re-joined EVERY iteration, and
     // without the checkpoint Spark would recompute the (possibly expensive)
     // pair-generation subtree each round. Pre-partitioning by the join key
@@ -877,5 +895,12 @@ object Dedup {
     require(converged, s"connectedComponents did not converge in $maxIter " +
       "iterations — the pair graph has pathological diameter; raise maxIter")
     labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
+    } finally {
+      // restore the application's checkpoint dir — this function must not
+      // silently repoint other jobs' reliable checkpoints. (If none was
+      // set before, the per-call subdir remains set; SparkContext has no
+      // unset, and a stray dir is harmless where a REPOINTED one is not.)
+      if (checkpointDir.isDefined) prevCkDir.foreach(sc.setCheckpointDir)
+    }
   }
 }

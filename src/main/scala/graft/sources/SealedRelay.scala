@@ -135,8 +135,29 @@ object SealedRelay {
     graft.functions.Codecs.compress(compression, Array.emptyByteArray)
     key.foreach(k => require(Set(16, 24, 32).contains(k.length),
       s"AES key must be 16/24/32 bytes, got ${k.length}"))
+    writeSocketChunked(df, host, port, maxChunkBytes) { (out, body, seq, pid) =>
+      val wrapped = RelayProto.wrap(body, id = s"p$pid-$seq",
+        seq = seq, tsEpochMs = System.currentTimeMillis(),
+        algo = compression, key = key)
+      writeFrame(out, FlagProto, RelayProto.encode(wrapped))
+    }
+  }
+
+  /** THE executor-side chunked socket loop shared by every sealed writer
+    * (flag-framed and proto-envelope): per partition, one connection;
+    * records buffer to `maxChunkBytes` of raw NDJSON body and each chunk
+    * goes to `emit` with its per-connection sequence number and the
+    * partition id. All the subtle invariants live HERE once — the 48 MiB
+    * writer cap under the receiver's 64 MiB default, the oversized-record
+    * fail-fast, and the chunk-boundary arithmetic (the '\n' separator is
+    * only written between records, so a lone record frames at exactly its
+    * own length). */
+  private def writeSocketChunked(df: DataFrame, host: String, port: Int,
+                                 maxChunkBytes: Int)
+                                (emit: (DataOutputStream, Array[Byte], Long, Int) => Unit): Unit = {
     require(maxChunkBytes > 0 && maxChunkBytes <= (48 << 20),
-      s"maxChunkBytes out of range: $maxChunkBytes")
+      s"maxChunkBytes out of range: $maxChunkBytes (cap 48 MiB — the default " +
+        "receiver drops frames over 64 MiB, and seal overhead needs margin)")
     df.toJSON.foreachPartition { (it: Iterator[String]) =>
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.get().partitionId()
@@ -146,17 +167,16 @@ object SealedRelay {
           val buf = new java.io.ByteArrayOutputStream(math.min(maxChunkBytes, 1 << 20))
           var seq = 0L
           def flushChunk(): Unit = if (buf.size > 0) {
-            val wrapped = RelayProto.wrap(buf.toByteArray, id = s"p$pid-$seq",
-              seq = seq, tsEpochMs = System.currentTimeMillis(),
-              algo = compression, key = key)
-            writeFrame(out, FlagProto, RelayProto.encode(wrapped))
+            emit(out, buf.toByteArray, seq, pid)
             seq += 1
             buf.reset()
           }
           it.foreach { line =>
             val b = line.getBytes(UTF_8)
             require(b.length <= maxChunkBytes,
-              s"single record of ${b.length} bytes exceeds maxChunkBytes $maxChunkBytes")
+              s"single record of ${b.length} bytes exceeds maxChunkBytes " +
+                s"$maxChunkBytes — it would be framed whole and silently " +
+                "dropped by the receiver's frame cap")
             if (buf.size > 0 && buf.size + b.length + 1 > maxChunkBytes) flushChunk()
             if (buf.size > 0) buf.write('\n')
             buf.write(b)
@@ -256,35 +276,9 @@ object SealedRelay {
     graft.functions.Codecs.compress(compression, Array.emptyByteArray)
     key.foreach(k => require(Set(16, 24, 32).contains(k.length),
       s"AES key must be 16/24/32 bytes, got ${k.length}"))
-    require(maxChunkBytes > 0 && maxChunkBytes <= (48 << 20),
-      s"maxChunkBytes out of range: $maxChunkBytes (cap 48 MiB — the default " +
-        "receiver drops frames over 64 MiB, and seal overhead needs margin)")
-    df.toJSON.foreachPartition { (it: Iterator[String]) =>
-      if (it.hasNext) {
-        val sock = new Socket(host, port)
-        try {
-          val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
-          val buf = new java.io.ByteArrayOutputStream(math.min(maxChunkBytes, 1 << 20))
-          def flushChunk(): Unit = if (buf.size > 0) {
-            val (flags, payload) = seal(buf.toByteArray, compression, key)
-            writeFrame(out, flags, payload)
-            buf.reset()
-          }
-          it.foreach { line =>
-            val b = line.getBytes(UTF_8)
-            // a lone record frames at exactly b.length bytes (the '\n'
-            // separator is only written between records)
-            require(b.length <= maxChunkBytes,
-              s"single record of ${b.length} bytes exceeds maxChunkBytes " +
-                s"$maxChunkBytes — it would be framed whole and silently " +
-                "dropped by the receiver's frame cap")
-            if (buf.size > 0 && buf.size + b.length + 1 > maxChunkBytes) flushChunk()
-            if (buf.size > 0) buf.write('\n')
-            buf.write(b)
-          }
-          flushChunk()
-        } finally sock.close()
-      }
+    writeSocketChunked(df, host, port, maxChunkBytes) { (out, body, _, _) =>
+      val (flags, payload) = seal(body, compression, key)
+      writeFrame(out, flags, payload)
     }
   }
 }

@@ -203,19 +203,24 @@ object Sources {
   /** ANSI MERGE upsert generator — the K4 upsert for engines that speak
     * standard MERGE instead of Postgres `ON CONFLICT` (Derby, SQL Server,
     * Oracle, Postgres 15+): same last-write-wins contract as [[upsertSql]],
-    * sourced from a staging table instead of a VALUES list. Identifiers are
-    * double-quoted to match how Spark's JDBC writer creates the staging
-    * table (it quotes column names, preserving case). */
+    * sourced from a staging table instead of a VALUES list. COLUMN names
+    * are double-quoted to match how Spark's JDBC writer creates the
+    * staging table (it quotes column names, preserving case). TABLE names
+    * are quoted the same way UNLESS the caller already quoted them —
+    * pass the db's case-folded spelling (e.g. `EVENTS_LATEST` on
+    * Derby/Oracle) or a pre-quoted name to target a table that was
+    * created with unquoted identifiers. */
   def mergeUpsertSql(table: String, staging: String,
                      keyCols: Seq[String], cols: Seq[String]): String = {
     require(keyCols.nonEmpty && cols.nonEmpty, "keyCols and cols must be non-empty")
     require(keyCols.forall(cols.contains), s"keyCols ${keyCols.mkString(",")} must be a subset of cols")
     require(keyCols.size < cols.size, "upsert needs at least one non-key column to update")
     def q(s: String) = "\"" + s + "\""
+    def qTbl(s: String) = if (s.startsWith("\"")) s else q(s)
     val on = keyCols.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
     val updates = cols.filterNot(keyCols.contains)
       .map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
-    s"MERGE INTO ${q(table)} t USING ${q(staging)} s ON $on " +
+    s"MERGE INTO ${qTbl(table)} t USING ${qTbl(staging)} s ON $on " +
       s"WHEN MATCHED THEN UPDATE SET $updates " +
       s"WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")}) " +
       s"VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})"
@@ -233,15 +238,31 @@ object Sources {
     * reference's ON CONFLICT DO UPDATE semantics. Call from `foreachBatch`
     * for streaming upserts. The heavy row traffic (staging write) is
     * executor-distributed; only the O(1) MERGE statement runs on the
-    * driver. */
+    * driver.
+    *
+    * `orderCols` must be a TOTAL order within each key (q09 uses
+    * (ts, event_id)): on ties, row_number picks an arbitrary survivor and
+    * a task retry may pick a different one — the same caveat the
+    * reference's batch insert has on duplicate keys in one batch. */
   def upsertViaStaging(batch: DataFrame, url: String, table: String,
                        keyCols: Seq[String], orderCols: Seq[String],
                        props: Map[String, String] = Map.empty,
                        staging: Option[String] = None,
                        createColumnTypes: Option[String] = None): Unit = {
     import org.apache.spark.sql.expressions.Window
-    val stagingTable = staging.getOrElse(s"${table}_stage")
+    // default staging name composes INSIDE any caller-supplied quoting
+    val stagingTable = staging.getOrElse {
+      if (table.startsWith("\""))
+        "\"" + table.stripPrefix("\"").stripSuffix("\"") + "_stage\""
+      else s"${table}_stage"
+    }
     val cols = batch.columns.toSeq
+    require(!cols.contains("__rn"),
+      "batch column name __rn is reserved by the last-write-wins reduce")
+    // build (and thereby validate) the MERGE before the expensive
+    // distributed staging write: a bad keyCols config must fail in
+    // milliseconds, not after the whole micro-batch hit the database
+    val mergeSql = mergeUpsertSql(table, stagingTable, keyCols, cols)
     val reduced =
       if (orderCols.isEmpty) batch.dropDuplicates(keyCols)
       else {
@@ -255,7 +276,9 @@ object Sources {
     // embeds dbtable verbatim; unquoted names would case-fold DB-side)
     var writer = props.foldLeft(
       reduced.write.format("jdbc")
-        .option("url", url).option("dbtable", "\"" + stagingTable + "\"")) {
+        .option("url", url).option("dbtable",
+          if (stagingTable.startsWith("\"")) stagingTable
+          else "\"" + stagingTable + "\"")) {
       case (wr, (k, v)) => wr.option(k, v)
     }
     createColumnTypes.foreach(t => writer = writer.option("createTableColumnTypes", t))
@@ -266,7 +289,7 @@ object Sources {
     val conn = java.sql.DriverManager.getConnection(url, connProps)
     try {
       val st = conn.createStatement()
-      try st.executeUpdate(mergeUpsertSql(table, stagingTable, keyCols, cols))
+      try st.executeUpdate(mergeSql)
       finally st.close()
       if (!conn.getAutoCommit) conn.commit()
     } finally conn.close()

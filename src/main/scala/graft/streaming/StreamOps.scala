@@ -316,15 +316,11 @@ object StreamOps {
     * Differential contract: with capacity ≥ |vocabulary| the sketch is
     * exact (the a8 contract), so the latest emission equals the batch
     * fold of every row seen so far — guaranteed structurally because
-    * both run the ONE [[graft.queries.TrainingData.wordSketch]] stage. */
-  /** Streaming heavy hitters — the batch word sketch run as a complete-
-    * mode global aggregate. State-store footprint: ONE state row holding
-    * one SpaceSaving buffer (capacity-bounded, ~`capacity`·(word+16B)),
-    * INDEPENDENT of corpus size — each micro-batch folds map-side into
-    * partial sketches and the store keeps only the merged one. The
-    * differential spec asserts `numRowsTotal == 1` from the query's state
-    * metrics, so a regression to per-word state (the naive groupBy twin,
-    * whose store grows with the vocabulary) fails loudly. */
+    * both run the ONE [[graft.queries.TrainingData.wordSketch]] stage.
+    * The state contract is metrics-locked: the differential spec asserts
+    * `numRowsTotal == 1` from the query's state-operator metrics, so a
+    * regression to per-word state (a groupBy formulation, store size ∝
+    * vocabulary) fails loudly. */
   def heavyHittersStream(docs: DataFrame, capacity: Int = 256): DataFrame =
     graft.queries.TrainingData.wordSketch(docs, capacity)
 
