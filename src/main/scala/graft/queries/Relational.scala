@@ -1175,6 +1175,70 @@ object Relational {
       .orderBy("s_name")
   }
 
+  /** Q33 — important-parts fraction filter (TPC-H Q11's skeleton):
+    * per-part inventory value among one region's suppliers, keeping parts
+    * whose value exceeds 1/1000 of the GLOBAL value — the scalar-subquery-
+    * over-the-same-aggregate shape. Decorrelation: the part-grain value
+    * fold runs once per consumer (rows + 1-row total) over the SAME
+    * reduced scan — AQE reuses the aggregation exchange where available —
+    * and the total joins back as a 1-row broadcast (BNLJ, the q27 idiom);
+    * the comparison is an exact long cross-multiply, no float fraction
+    * crosses an engine boundary. The 1/1000 fraction is fixture-tuned;
+    * TPC-H scales Q11's fraction with SF (0.0001/SF) because a fixed
+    * share empties as part cardinality grows — the sf1 gate records the
+    * value-exact empty result. Part grain can be fact-like at 100 TB,
+    * so the total is NOT a single-partition window (q34's dimension-grain
+    * trick would bottleneck here); two reduced folds + broadcast is the
+    * scale posture. */
+  def q33ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val rs = broadcast(Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey")))
+    def partValue = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+      .join(rs, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey")
+      .agg(sum("price_cents").as("value_cents"))
+    val total = partValue.agg(sum("value_cents").as("total_cents"))
+    partValue.join(broadcast(total))
+      .filter(col("value_cents") * 1000 > col("total_cents"))
+      .select(col("l_partkey").as("p_partkey"), col("value_cents"))
+      .orderBy(desc("value_cents"), asc("p_partkey"))
+  }
+
+  /** Q34 — top supplier by quarter revenue, ties kept (TPC-H Q15's
+    * skeleton: the revenue view + MAX-of-the-view join). One lineitem
+    * scan total: revenue folds to SUPPLIER grain (a dimension — small by
+    * construction at any corpus size), and the max rides an empty-
+    * partition window over that dimension-grain aggregate instead of a
+    * second fact fold (the ev_ab_test pattern; a self-join formulation
+    * would re-run the quarter scan). Revenue is exact decimal cents —
+    * price(2dp)·(1−disc)(2dp) is an exact 4dp product on both engines,
+    * ×10000 makes it INTEGER-valued before the long cast (a ×100 cents
+    * cast differs cross-engine: DuckDB rounds decimal→BIGINT, Spark
+    * truncates — exact only when the fractional part is zero). */
+  def q34TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")).between("1997-01-01", "1997-03-31"))
+      .select(col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")) *
+          lit(10000)).cast("long").as("rev_c4"))
+      .groupBy("l_suppkey")
+      .agg(sum("rev_c4").as("total_rev_c4"))
+    rev
+      .withColumn("mx", max("total_rev_c4").over(Window.partitionBy()))
+      .filter(col("total_rev_c4") === col("mx"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev_c4"))
+      .orderBy("s_suppkey")
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_filter_project" -> q01FilterProject _,
     "q02_string_chain"   -> q02StringChain _,
@@ -1224,6 +1288,8 @@ object Relational {
     "q30_disjunctive"      -> q30Disjunctive _,
     "q31_min_cost_supp"    -> q31MinCostSupp _,
     "q32_qualified_suppliers" -> q32QualifiedSuppliers _,
+    "q33_important_parts"  -> q33ImportantParts _,
+    "q34_top_supplier"     -> q34TopSupplier _,
     "q24_window_suite"   -> q24WindowSuite _,
     "a7_approx_distinct" -> a7ApproxDistinct _,
   )
@@ -1686,6 +1752,29 @@ object Relational {
         |  SELECT n_nationkey FROM nation WHERE n_regionkey IN (
         |    SELECT r_regionkey FROM region WHERE r_name = 'ASIA'))
         |ORDER BY s_name""".stripMargin,
+    "q33_important_parts" ->
+      """WITH rs AS (
+        | SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'AMERICA'),
+        |pv AS (
+        | SELECT l_partkey,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS value_cents
+        | FROM lineitem JOIN rs ON l_suppkey = rs.s_suppkey GROUP BY 1)
+        |SELECT l_partkey AS p_partkey, value_cents FROM pv
+        |WHERE value_cents * 1000 > (SELECT CAST(sum(value_cents) AS BIGINT) FROM pv)
+        |ORDER BY value_cents DESC, p_partkey""".stripMargin,
+    "q34_top_supplier" ->
+      """WITH rev AS (
+        | SELECT l_suppkey,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)) AS BIGINT) AS total_rev_c4
+        | FROM lineitem
+        | WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+        | GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev_c4 FROM supplier
+        |JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_rev_c4 = (SELECT max(total_rev_c4) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
     "ev_new_vs_returning" ->
       """WITH ud AS (
         | SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),

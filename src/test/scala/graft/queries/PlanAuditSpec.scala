@@ -831,6 +831,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("q33: Q11 fraction filter — supplier semi broadcast, 1-row total via BNLJ, no SMJ") {
+    val p = planOf("q33_important_parts")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // the 1-row global total
+    assert("LeftSemi".r.findAllIn(p).size == 2, p)   // region-supplier semi on both folds
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q34: Q15 max-of-view — ONE lineitem scan, quarter filter pushed, dimension-grain window") {
+    val p = planOf("q34_top_supplier")
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,1997-01-01"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("txt_lang_id/txt_quality: marker counts are kernel UDFs, not interpreted HOFs") {
     Seq("txt_lang_id", "txt_quality").foreach { n =>
       val analyzed = graft.SparkEntry.queries(n)(spark, sfDir).queryExecution.optimizedPlan

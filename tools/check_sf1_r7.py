@@ -110,6 +110,7 @@ for name in ["ev_funnel", "ev_retention", "txt_normalize",
              "ev_new_vs_returning", "q30_disjunctive",
              # round-8 additions
              "q31_min_cost_supp", "q32_qualified_suppliers",
+             "q33_important_parts", "q34_top_supplier",
              # same-label quadratic is 1/|labels| of the negatives' pair
              # count — inside the documented targeted-compare budget
              "ds_positive_pairs"]:
