@@ -66,6 +66,29 @@ object RelayProto {
                                   payloadEncoding: Int = 0,
                                   payloadType: String = "")
 
+  /** StreamAcknowledgment subset: success=1, message=2, stream_id=4,
+    * id=5, seq=6, code=7, retryable=8, last_seq=9, ok_count=10,
+    * err_count=11 (proto:585-597) — the receiver→writer half of the
+    * `StreamReceive` contract. */
+  final case class StreamAck(success: Boolean,
+                             message: String = "",
+                             streamId: String = "",
+                             id: String = "",
+                             seq: Long = 0L,
+                             code: Int = 0,
+                             retryable: Boolean = false,
+                             lastSeq: Long = 0L,
+                             okCount: Long = 0L,
+                             errCount: Long = 0L)
+
+  /** RelayEnvelope oneof (proto:572-578): the arms this engine speaks.
+    * `StreamOpen` (arm 1) is session negotiation the socket edge does not
+    * need — encountering it on decode is an explicit error, not a silent
+    * skip (skipping a oneof arm would mis-read the stream's intent). */
+  sealed trait Envelope extends Serializable
+  final case class EnvelopePayload(payload: WrappedPayload) extends Envelope
+  final case class EnvelopeClose(reason: String) extends Envelope
+
   // --- wire primitives -------------------------------------------------
 
   private final class Writer {
@@ -177,6 +200,32 @@ object RelayProto {
     w.result
   }
 
+  def encodeAck(a: StreamAck): Array[Byte] = {
+    val w = new Writer
+    w.bool(1, a.success)
+    w.string(2, a.message)
+    w.string(4, a.streamId)
+    w.string(5, a.id)
+    w.int(6, a.seq)
+    w.int32(7, a.code)
+    w.bool(8, a.retryable)
+    w.int(9, a.lastSeq)
+    w.int(10, a.okCount)
+    w.int(11, a.errCount)
+    w.result
+  }
+
+  def encodeEnvelope(e: Envelope): Array[Byte] = {
+    val w = new Writer
+    e match {
+      case EnvelopePayload(p) => w.message(2, encode(p))
+      case EnvelopeClose(reason) =>
+        val cw = new Writer; cw.string(1, reason)
+        w.message(3, cw.result)
+    }
+    w.result
+  }
+
   // --- decoders ---------------------------------------------------------
 
   private def decodeTimestamp(r: Reader): PTimestamp = {
@@ -264,6 +313,44 @@ object RelayProto {
       case (_, w) => r.skip(w)
     }
     p
+  }
+
+  def decodeAck(bytes: Array[Byte]): StreamAck = {
+    val r = new Reader(bytes)
+    var a = StreamAck(success = false)
+    while (r.hasMore) r.readTag() match {
+      case (1, 0) => a = a.copy(success = r.varint() != 0)
+      case (2, 2) => a = a.copy(message = r.stringField())
+      case (4, 2) => a = a.copy(streamId = r.stringField())
+      case (5, 2) => a = a.copy(id = r.stringField())
+      case (6, 0) => a = a.copy(seq = r.varint())
+      case (7, 0) => a = a.copy(code = r.varint().toInt)
+      case (8, 0) => a = a.copy(retryable = r.varint() != 0)
+      case (9, 0) => a = a.copy(lastSeq = r.varint())
+      case (10, 0) => a = a.copy(okCount = r.varint())
+      case (11, 0) => a = a.copy(errCount = r.varint())
+      case (_, w) => r.skip(w)
+    }
+    a
+  }
+
+  def decodeEnvelope(bytes: Array[Byte]): Envelope = {
+    val r = new Reader(bytes)
+    var out: Option[Envelope] = None
+    while (r.hasMore) r.readTag() match {
+      case (1, 2) => throw new IllegalArgumentException(
+        "RelayEnvelope StreamOpen arm is not spoken on the socket edge")
+      case (2, 2) => out = Some(EnvelopePayload(decode(r.bytesField())))
+      case (3, 2) =>
+        val cr = r.sub(); var reason = ""
+        while (cr.hasMore) cr.readTag() match {
+          case (1, 2) => reason = cr.stringField()
+          case (_, w) => cr.skip(w)
+        }
+        out = Some(EnvelopeClose(reason))
+      case (_, w) => r.skip(w)
+    }
+    out.getOrElse(throw new IllegalArgumentException("empty RelayEnvelope — no oneof arm set"))
   }
 
   // --- the sealed-payload contract over the envelope ---------------------

@@ -52,6 +52,11 @@ object SealedRelay {
     * [[FlagGzip]]/[[FlagAes]]: one self-description, not two. */
   val FlagProto = 0x4
 
+  /** Frame payload is an encoded `StreamAcknowledgment` flowing
+    * receiver→writer ([[RelayProto.StreamAck]]) — the return half of the
+    * reference's `StreamReceive` bidirectional contract. */
+  val FlagAck = 0x8
+
   /** Flags layout: bit0 = compressed (kept as the legacy gzip bit so GRS1
     * frames from older writers still parse), bit1 = AES-GCM, bits 4-6 =
     * compression algorithm id ([[graft.functions.Codecs.CompressDeflate]]
@@ -122,39 +127,92 @@ object SealedRelay {
     graft.functions.Codecs.decompressBounded(algoOf(flags), decrypted, maxInflatedBytes)
   }
 
-  /** K5 forward relay, protobuf-envelope variant: each chunk rides as an
-    * encoded `WrappedPayload` (seq-numbered per connection, sealing
-    * declared in metadata) inside a [[FlagProto]] frame — wire-level
-    * parity with the reference's relay contract
-    * (`proto/electrician_relay.proto:16-92`). Same chunking, distribution
-    * and validation rules as [[writeSocketSealedWith]]. */
+  /** Per-connection writer context for [[writeSocketChunked]] callbacks:
+    * the framed output, the partition id, and a once-per-connection ack
+    * input (lazy — a BufferedInputStream may read ahead, so it must be
+    * created exactly once or later acks lose buffered bytes). */
+  final class WriterCtx private[SealedRelay] (val out: DataOutputStream,
+                                              sock: Socket, val pid: Int) {
+    lazy val ackIn: DataInputStream =
+      new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    private[SealedRelay] def setTimeout(ms: Int): Unit = sock.setSoTimeout(ms)
+  }
+
+  /** Read one [[FlagAck]] frame and decode its StreamAcknowledgment. */
+  private def readAck(ctx: WriterCtx): RelayProto.StreamAck = {
+    val (flags, payload) = readFrame(ctx.ackIn).getOrElse(
+      throw new java.io.IOException("connection closed while awaiting ack"))
+    require(flags == FlagAck, s"expected an ack frame, got flags $flags")
+    RelayProto.decodeAck(payload)
+  }
+
+  /** K5 forward relay, protobuf-envelope variant — the reference's
+    * `StreamReceive(stream RelayEnvelope) returns (stream
+    * StreamAcknowledgment)` contract (`proto/electrician_relay.proto:
+    * 572-597`) over the socket edge: each chunk rides as an
+    * `EnvelopePayload(WrappedPayload)` frame (seq-numbered per
+    * connection, sealing declared in metadata), and the stream ends with
+    * an `EnvelopeClose`. Ack modes, matching the receiver's config the
+    * way the AES key must match:
+    *  - "none": fire-and-forget frames (per-batch at-least-once via task
+    *    retry, like the flag-framed writer);
+    *  - "per-frame": one StreamAcknowledgment read after every frame —
+    *    `success` and seq echo are REQUIRED or the task fails;
+    *  - "batch": one ack after EnvelopeClose whose ok_count must equal
+    *    the frames sent (the reference's after-batch commit shape).
+    * A mode mismatch (writer expects acks, receiver sends none) fails the
+    * task on `ackTimeoutMs` instead of hanging. Same chunking,
+    * distribution and validation rules as [[writeSocketSealedWith]]. */
   def writeSocketProto(df: DataFrame, host: String, port: Int,
                        compression: Int,
                        key: Option[Array[Byte]] = None,
-                       maxChunkBytes: Int = 4 << 20): Unit = {
+                       maxChunkBytes: Int = 4 << 20,
+                       ackMode: String = "none",
+                       ackTimeoutMs: Int = 30000): Unit = {
     graft.functions.Codecs.compress(compression, Array.emptyByteArray)
     key.foreach(k => require(Set(16, 24, 32).contains(k.length),
       s"AES key must be 16/24/32 bytes, got ${k.length}"))
-    writeSocketChunked(df, host, port, maxChunkBytes) { (out, body, seq, pid) =>
-      val wrapped = RelayProto.wrap(body, id = s"p$pid-$seq",
-        seq = seq, tsEpochMs = System.currentTimeMillis(),
-        algo = compression, key = key)
-      writeFrame(out, FlagProto, RelayProto.encode(wrapped))
-    }
+    require(Set("none", "per-frame", "batch").contains(ackMode),
+      s"unknown ackMode '$ackMode' — none | per-frame | batch")
+    writeSocketChunked(df, host, port, maxChunkBytes,
+      soTimeoutMs = if (ackMode == "none") 0 else ackTimeoutMs)(
+      emit = { (ctx, body, seq) =>
+        val wrapped = RelayProto.wrap(body, id = s"p${ctx.pid}-$seq",
+          seq = seq, tsEpochMs = System.currentTimeMillis(),
+          algo = compression, key = key)
+        writeFrame(ctx.out, FlagProto,
+          RelayProto.encodeEnvelope(RelayProto.EnvelopePayload(wrapped)))
+        if (ackMode == "per-frame") {
+          val ack = readAck(ctx)
+          require(ack.success && ack.seq == seq,
+            s"frame $seq rejected by receiver (ack seq=${ack.seq}): ${ack.message}")
+        }
+      },
+      onDone = { (ctx, nFrames) =>
+        writeFrame(ctx.out, FlagProto,
+          RelayProto.encodeEnvelope(RelayProto.EnvelopeClose("end-of-partition")))
+        if (ackMode == "batch") {
+          val ack = readAck(ctx)
+          require(ack.success && ack.okCount == nFrames,
+            s"batch rejected: ok=${ack.okCount}/$nFrames err=${ack.errCount} ${ack.message}")
+        }
+      })
   }
 
   /** THE executor-side chunked socket loop shared by every sealed writer
     * (flag-framed and proto-envelope): per partition, one connection;
     * records buffer to `maxChunkBytes` of raw NDJSON body and each chunk
-    * goes to `emit` with its per-connection sequence number and the
-    * partition id. All the subtle invariants live HERE once — the 48 MiB
+    * goes to `emit` with its per-connection sequence number. `onDone`
+    * runs after the last chunk with the frame count (stream-close / batch
+    * acks). All the subtle invariants live HERE once — the 48 MiB
     * writer cap under the receiver's 64 MiB default, the oversized-record
     * fail-fast, and the chunk-boundary arithmetic (the '\n' separator is
     * only written between records, so a lone record frames at exactly its
     * own length). */
   private def writeSocketChunked(df: DataFrame, host: String, port: Int,
-                                 maxChunkBytes: Int)
-                                (emit: (DataOutputStream, Array[Byte], Long, Int) => Unit): Unit = {
+                                 maxChunkBytes: Int, soTimeoutMs: Int = 0)
+                                (emit: (WriterCtx, Array[Byte], Long) => Unit,
+                                 onDone: (WriterCtx, Long) => Unit = (_, _) => ()): Unit = {
     require(maxChunkBytes > 0 && maxChunkBytes <= (48 << 20),
       s"maxChunkBytes out of range: $maxChunkBytes (cap 48 MiB — the default " +
         "receiver drops frames over 64 MiB, and seal overhead needs margin)")
@@ -163,11 +221,13 @@ object SealedRelay {
         val pid = org.apache.spark.TaskContext.get().partitionId()
         val sock = new Socket(host, port)
         try {
-          val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+          if (soTimeoutMs > 0) sock.setSoTimeout(soTimeoutMs)
+          val ctx = new WriterCtx(
+            new DataOutputStream(new BufferedOutputStream(sock.getOutputStream)), sock, pid)
           val buf = new java.io.ByteArrayOutputStream(math.min(maxChunkBytes, 1 << 20))
           var seq = 0L
           def flushChunk(): Unit = if (buf.size > 0) {
-            emit(out, buf.toByteArray, seq, pid)
+            emit(ctx, buf.toByteArray, seq)
             seq += 1
             buf.reset()
           }
@@ -182,6 +242,7 @@ object SealedRelay {
             buf.write(b)
           }
           flushChunk()
+          onDone(ctx, seq)
         } finally sock.close()
       }
     }
@@ -276,10 +337,10 @@ object SealedRelay {
     graft.functions.Codecs.compress(compression, Array.emptyByteArray)
     key.foreach(k => require(Set(16, 24, 32).contains(k.length),
       s"AES key must be 16/24/32 bytes, got ${k.length}"))
-    writeSocketChunked(df, host, port, maxChunkBytes) { (out, body, _, _) =>
+    writeSocketChunked(df, host, port, maxChunkBytes)(emit = { (ctx, body, _) =>
       val (flags, payload) = seal(body, compression, key)
-      writeFrame(out, flags, payload)
-    }
+      writeFrame(ctx.out, flags, payload)
+    })
   }
 }
 
@@ -296,14 +357,25 @@ object SealedRelay {
   * buffer is a MemoryStream, which does NOT survive driver restart —
   * recovery is replay-from-peer (the writer's per-batch at-least-once),
   * not checkpoint replay; the checkpoint-recoverable edge is the file
-  * stream (FileStreamSpec's kill/restart test). */
+  * stream (FileStreamSpec's kill/restart test).
+  *
+  * `ackMode` is the reference's ack-mode config (per-message / batch /
+  * none, `receivingrelay/receive.go` ack dispatch) for PROTO-envelope
+  * connections: "per-frame" sends a StreamAcknowledgment after every
+  * payload frame (failure acks carry retryable=true before the
+  * connection drops), "batch" sends one summary ack (last_seq, ok_count)
+  * when the writer's EnvelopeClose arrives. Flag-framed GRS1 traffic is
+  * never acked, matching the fire-and-forget legacy writers. */
 final class SealedReceivingRelay(spark: SparkSession, port: Int,
                                  key: Option[Array[Byte]] = None,
                                  maxFrameBytes: Int = SealedRelay.DefaultMaxFrameBytes,
-                                 maxInflatedBytes: Int = SealedRelay.DefaultMaxInflatedBytes) {
+                                 maxInflatedBytes: Int = SealedRelay.DefaultMaxInflatedBytes,
+                                 ackMode: String = "none") {
   require(maxFrameBytes > 0, s"maxFrameBytes must be positive: $maxFrameBytes")
   require(maxInflatedBytes >= maxFrameBytes,
     s"maxInflatedBytes ($maxInflatedBytes) must be at least maxFrameBytes ($maxFrameBytes)")
+  require(Set("none", "per-frame", "batch").contains(ackMode),
+    s"unknown ackMode '$ackMode' — none | per-frame | batch")
 
   import spark.implicits._
   private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -336,23 +408,59 @@ final class SealedReceivingRelay(spark: SparkSession, port: Int,
   private def serve(sock: Socket): Unit = {
     try {
       val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+      // one ack stream per connection, created only if a proto frame asks
+      lazy val ackOut = new DataOutputStream(
+        new BufferedOutputStream(sock.getOutputStream))
+      def sendAck(a: RelayProto.StreamAck): Unit =
+        SealedRelay.writeFrame(ackOut, SealedRelay.FlagAck, RelayProto.encodeAck(a))
+      var okCount = 0L
+      var lastSeq = 0L
       var more = true
       while (more && running.get()) {
         SealedRelay.readFrame(in, maxFrameBytes) match {
           case Some((flags, payload)) =>
-            val body =
-              if ((flags & SealedRelay.FlagProto) != 0) {
-                // protobuf envelope: sealing is declared in its metadata;
-                // outer flag bits must not ALSO claim sealing
-                require((flags & (SealedRelay.FlagGzip | SealedRelay.FlagAes)) == 0,
-                  s"proto frame carries outer sealing flags $flags — ambiguous self-description")
-                RelayProto.unwrap(RelayProto.decode(payload), key, maxInflatedBytes)
-              } else SealedRelay.unwrap(flags, payload, key, maxInflatedBytes)
-            val lines = new String(body, UTF_8)
-              .split("\n").iterator.filter(_.nonEmpty)
-            // one lock per FRAME (not per record): MemoryStream's row
-            // encoder is not thread-safe (see TlsNdjsonJack.serve)
-            stream.synchronized { lines.foreach { l => stream.addData(l); received.incrementAndGet() } }
+            def feed(body: Array[Byte]): Unit = {
+              val lines = new String(body, UTF_8)
+                .split("\n").iterator.filter(_.nonEmpty)
+              // one lock per FRAME (not per record): MemoryStream's row
+              // encoder is not thread-safe (see TlsNdjsonJack.serve)
+              stream.synchronized {
+                lines.foreach { l => stream.addData(l); received.incrementAndGet() }
+              }
+            }
+            if ((flags & SealedRelay.FlagProto) != 0) {
+              // protobuf envelope: sealing is declared in its metadata;
+              // outer flag bits must not ALSO claim sealing
+              require((flags & (SealedRelay.FlagGzip | SealedRelay.FlagAes)) == 0,
+                s"proto frame carries outer sealing flags $flags — ambiguous self-description")
+              RelayProto.decodeEnvelope(payload) match {
+                case RelayProto.EnvelopePayload(wp) =>
+                  val body =
+                    try RelayProto.unwrap(wp, key, maxInflatedBytes)
+                    catch {
+                      case e: Throwable =>
+                        // a failure ack BEFORE the drop: the writer learns
+                        // which frame died instead of just losing the pipe
+                        if (ackMode == "per-frame")
+                          try sendAck(RelayProto.StreamAck(success = false,
+                            message = String.valueOf(e.getMessage), id = wp.id,
+                            seq = wp.seq, retryable = true))
+                          catch { case _: Throwable => () }
+                        throw e
+                    }
+                  feed(body)
+                  okCount += 1
+                  lastSeq = wp.seq
+                  if (ackMode == "per-frame")
+                    sendAck(RelayProto.StreamAck(success = true, id = wp.id,
+                      seq = wp.seq, lastSeq = wp.seq, okCount = 1))
+                case RelayProto.EnvelopeClose(_) =>
+                  if (ackMode == "batch")
+                    sendAck(RelayProto.StreamAck(success = true,
+                      lastSeq = lastSeq, okCount = okCount))
+                  more = false
+              }
+            } else feed(SealedRelay.unwrap(flags, payload, key, maxInflatedBytes))
           case None => more = false
         }
       }

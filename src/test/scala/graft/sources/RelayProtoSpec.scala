@@ -109,6 +109,105 @@ class RelayProtoSpec extends SparkSpec {
     intercept[IllegalArgumentException] { RelayProto.unwrap(badSuite, Some(key)) }
   }
 
+  test("StreamAcknowledgment round-trips and encodes per the wire spec") {
+    val a = RelayProto.StreamAck(success = true, message = "ok", streamId = "s1",
+      id = "p0-3", seq = 3, code = 0, retryable = false, lastSeq = 3,
+      okCount = 4, errCount = 1)
+    assert(RelayProto.decodeAck(RelayProto.encodeAck(a)) === a)
+    // golden: success=1 → 08 01; seq=6(varint 3) → 30 03
+    assert(hex(RelayProto.encodeAck(RelayProto.StreamAck(success = true, seq = 3)))
+      === "08013003")
+  }
+
+  test("RelayEnvelope oneof: payload and close arms round-trip; StreamOpen and empty are rejected") {
+    val wp = RelayProto.WrappedPayload(id = "x", payload = Array[Byte](9), seq = 2)
+    RelayProto.decodeEnvelope(RelayProto.encodeEnvelope(RelayProto.EnvelopePayload(wp))) match {
+      case RelayProto.EnvelopePayload(b) => assert(b.id === "x" && b.seq === 2L)
+      case other => fail(s"wrong arm: $other")
+    }
+    assert(RelayProto.decodeEnvelope(RelayProto.encodeEnvelope(
+      RelayProto.EnvelopeClose("done"))) === RelayProto.EnvelopeClose("done"))
+    // StreamOpen arm (field 1, message): explicit rejection, not a skip
+    intercept[IllegalArgumentException] {
+      RelayProto.decodeEnvelope(Array[Byte](0x0a, 0x00))
+    }
+    intercept[IllegalArgumentException] { RelayProto.decodeEnvelope(Array.emptyByteArray) }
+  }
+
+  test("e2e: per-frame acks — every frame acknowledged, rows land, seq echoes checked") {
+    val schema = new StructType().add("id", LongType).add("name", StringType)
+    val relay = new SealedReceivingRelay(spark, 0, Some(key), ackMode = "per-frame")
+    val ingress = relay.jsonStream(schema).writeStream
+      .format("memory").queryName("ack_frame_jack").outputMode("append").start()
+    try {
+      import spark.implicits._
+      val df = (0L until 20L).map(i => (i, s"rec$i")).toDF("id", "name")
+      SealedRelay.writeSocketProto(df, "127.0.0.1", relay.boundPort,
+        compression = graft.functions.Codecs.CompressZstd,
+        key = Some(key), maxChunkBytes = 64, ackMode = "per-frame")
+      eventually(relay.receivedCount == 20, s"relay got ${relay.receivedCount}/20")
+      ingress.processAllAvailable()
+      assert(spark.table("ack_frame_jack").count() == 20)
+      assert(relay.badFrameCount == 0)
+    } finally { ingress.stop(); relay.stop() }
+  }
+
+  test("e2e: batch ack — one summary acknowledgment with ok_count after EnvelopeClose") {
+    val schema = new StructType().add("id", LongType).add("name", StringType)
+    val relay = new SealedReceivingRelay(spark, 0, None, ackMode = "batch")
+    val ingress = relay.jsonStream(schema).writeStream
+      .format("memory").queryName("ack_batch_jack").outputMode("append").start()
+    try {
+      import spark.implicits._
+      val df = (0L until 20L).map(i => (i, s"rec$i")).toDF("id", "name")
+      // tiny chunks force several frames, so ok_count really counts
+      SealedRelay.writeSocketProto(df, "127.0.0.1", relay.boundPort,
+        compression = graft.functions.Codecs.CompressNone,
+        key = None, maxChunkBytes = 64, ackMode = "batch")
+      eventually(relay.receivedCount == 20, s"relay got ${relay.receivedCount}/20")
+      ingress.processAllAvailable()
+      assert(spark.table("ack_batch_jack").count() == 20)
+    } finally { ingress.stop(); relay.stop() }
+  }
+
+  test("ack-mode mismatch fails the writer task on timeout instead of hanging") {
+    val relay = new SealedReceivingRelay(spark, 0, None, ackMode = "none")
+    try {
+      import spark.implicits._
+      val df = Seq((1L, "x")).toDF("id", "name")
+      val e = intercept[Exception] {
+        SealedRelay.writeSocketProto(df, "127.0.0.1", relay.boundPort,
+          compression = graft.functions.Codecs.CompressNone,
+          ackMode = "per-frame", ackTimeoutMs = 1500)
+      }
+      def anywhere(t: Throwable, p: String => Boolean): Boolean =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+          .exists(x => p(String.valueOf(x.getMessage)) || p(x.getClass.getName))
+      assert(anywhere(e, s => s.toLowerCase.contains("timed out") ||
+        s.contains("SocketTimeout")), e.toString)
+    } finally relay.stop()
+  }
+
+  test("e2e: wrong key under per-frame acks — the failure ack names the frame, writer task fails") {
+    val relay = new SealedReceivingRelay(spark, 0, Some(key), ackMode = "per-frame")
+    try {
+      import spark.implicits._
+      val wrongKey = key.map(b => (b ^ 0x55).toByte)
+      val df = Seq((1L, "x")).toDF("id", "name")
+      val e = intercept[Exception] {
+        SealedRelay.writeSocketProto(df, "127.0.0.1", relay.boundPort,
+          compression = graft.functions.Codecs.CompressNone,
+          key = Some(wrongKey), ackMode = "per-frame", ackTimeoutMs = 5000)
+      }
+      def anywhere(t: Throwable, p: String => Boolean): Boolean =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+          .exists(x => p(String.valueOf(x.getMessage)))
+      assert(anywhere(e, _.contains("rejected by receiver")), e.toString)
+      eventually(relay.badFrameCount >= 1, "bad frame was not counted")
+      assert(relay.receivedCount == 0)
+    } finally relay.stop()
+  }
+
   test("e2e: proto-envelope frames from executor partitions land in the receiving stream") {
     val schema = new StructType().add("id", LongType).add("name", StringType)
     val relay = new SealedReceivingRelay(spark, 0, Some(key))
