@@ -348,7 +348,12 @@ object RelayProto {
           case (_, w) => cr.skip(w)
         }
         out = Some(EnvelopeClose(reason))
-      case (_, w) => r.skip(w)
+      // STRICT, deliberately: RelayEnvelope is a pure oneof, so any other
+      // field means the frame is NOT an envelope (e.g. a bare
+      // WrappedPayload, whose metadata=4/seq=6 land here) — skipping
+      // would let such frames half-parse into garbage arms silently
+      case (f, _) => throw new IllegalArgumentException(
+        s"unexpected RelayEnvelope field $f — frame is not an envelope")
     }
     out.getOrElse(throw new IllegalArgumentException("empty RelayEnvelope — no oneof arm set"))
   }

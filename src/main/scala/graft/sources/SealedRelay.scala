@@ -135,7 +135,6 @@ object SealedRelay {
                                               sock: Socket, val pid: Int) {
     lazy val ackIn: DataInputStream =
       new DataInputStream(new BufferedInputStream(sock.getInputStream))
-    private[SealedRelay] def setTimeout(ms: Int): Unit = sock.setSoTimeout(ms)
   }
 
   /** Read one [[FlagAck]] frame and decode its StreamAcknowledgment. */
@@ -411,8 +410,14 @@ final class SealedReceivingRelay(spark: SparkSession, port: Int,
       // one ack stream per connection, created only if a proto frame asks
       lazy val ackOut = new DataOutputStream(
         new BufferedOutputStream(sock.getOutputStream))
+      var peerGone = false
+      // success/close acks are best-effort: the records are already
+      // ingested, so a peer that closed without reading its acks (e.g. a
+      // fire-and-forget writer against an acking receiver) must not count
+      // as a bad frame — only mark the pipe dead and stop reading
       def sendAck(a: RelayProto.StreamAck): Unit =
-        SealedRelay.writeFrame(ackOut, SealedRelay.FlagAck, RelayProto.encodeAck(a))
+        try SealedRelay.writeFrame(ackOut, SealedRelay.FlagAck, RelayProto.encodeAck(a))
+        catch { case _: java.io.IOException => peerGone = true }
       var okCount = 0L
       var lastSeq = 0L
       var more = true
@@ -451,9 +456,11 @@ final class SealedReceivingRelay(spark: SparkSession, port: Int,
                   feed(body)
                   okCount += 1
                   lastSeq = wp.seq
-                  if (ackMode == "per-frame")
+                  if (ackMode == "per-frame") {
                     sendAck(RelayProto.StreamAck(success = true, id = wp.id,
                       seq = wp.seq, lastSeq = wp.seq, okCount = 1))
+                    if (peerGone) more = false
+                  }
                 case RelayProto.EnvelopeClose(_) =>
                   if (ackMode == "batch")
                     sendAck(RelayProto.StreamAck(success = true,

@@ -208,6 +208,44 @@ class RelayProtoSpec extends SparkSpec {
     } finally relay.stop()
   }
 
+  test("a bare WrappedPayload frame is rejected by the strict envelope decode, not misread") {
+    // RelayEnvelope is a pure oneof: a non-envelope message (here a full
+    // wrap() payload with metadata=4/seq=6) must fail loudly — lenient
+    // skipping would half-parse it into a garbage arm or a phantom close
+    val bare = RelayProto.encode(RelayProto.wrap(
+      "data".getBytes(UTF_8), "id", 3, 0L, graft.functions.Codecs.CompressNone, None))
+    val e = intercept[IllegalArgumentException] { RelayProto.decodeEnvelope(bare) }
+    // the id field (1, wire 2) trips the StreamOpen-arm rejection; a
+    // payload with an empty id would instead trip the strict-field check
+    assert(e.getMessage.contains("not an envelope") ||
+      e.getMessage.contains("StreamOpen"), e.getMessage)
+    val bareNoId = RelayProto.encode(RelayProto.wrap(
+      "data".getBytes(UTF_8), "", 3, 0L, graft.functions.Codecs.CompressNone, None))
+    val e2 = intercept[Exception] { RelayProto.decodeEnvelope(bareNoId) }
+    assert(e2.getMessage != null, e2.toString)
+  }
+
+  test("e2e: an acking receiver paired with a fire-and-forget writer ingests everything " +
+    "and counts no bad frames") {
+    val schema = new StructType().add("id", LongType).add("name", StringType)
+    val relay = new SealedReceivingRelay(spark, 0, None, ackMode = "batch")
+    val ingress = relay.jsonStream(schema).writeStream
+      .format("memory").queryName("ack_unread_jack").outputMode("append").start()
+    try {
+      import spark.implicits._
+      val df = (0L until 10L).map(i => (i, s"rec$i")).toDF("id", "name")
+      // writer never reads acks and closes right after EnvelopeClose; the
+      // receiver's best-effort summary ack may hit a dead pipe — that is
+      // NOT a bad frame
+      SealedRelay.writeSocketProto(df, "127.0.0.1", relay.boundPort,
+        compression = graft.functions.Codecs.CompressNone, ackMode = "none")
+      eventually(relay.receivedCount == 10, s"relay got ${relay.receivedCount}/10")
+      ingress.processAllAvailable()
+      assert(spark.table("ack_unread_jack").count() == 10)
+      assert(relay.badFrameCount == 0, s"bad frames: ${relay.badFrameCount}")
+    } finally { ingress.stop(); relay.stop() }
+  }
+
   test("e2e: proto-envelope frames from executor partitions land in the receiving stream") {
     val schema = new StructType().add("id", LongType).add("name", StringType)
     val relay = new SealedReceivingRelay(spark, 0, Some(key))
