@@ -213,4 +213,57 @@ object Maintenance {
     all.groupBy(keys.map(col): _*)
       .agg(measures.head, measures.tail: _*)
   }
+
+  /** Z-value of up to 4 numeric columns: each is min-max quantized to
+    * `bits` cells and the cell bits are interleaved — pure `Column`
+    * shift/or arithmetic (codegen'd end to end, no UDF). `stats` is the
+    * (min, max) per column from a one-row stats pass; a degenerate
+    * column (min == max) contributes constant zero bits. Min-max
+    * quantization is the classic simple variant: heavy skew in a column
+    * wastes its cells near the hot end (rank/quantile quantization is
+    * the upgrade when that bites — same interleave, different cell
+    * function). */
+  def zValue(cols: Seq[Column], stats: Seq[(Long, Long)], bits: Int = 16): Column = {
+    require(cols.size >= 2 && cols.size <= 4, s"zValue interleaves 2-4 columns, got ${cols.size}")
+    require(stats.size == cols.size, "one (min,max) pair per column")
+    require(bits > 0 && bits * cols.size <= 63, s"$bits bits x ${cols.size} cols overflows a long")
+    val cellMax = (1L << bits) - 1
+    val cells = cols.zip(stats).map { case (c, (lo, hi)) =>
+      val span = math.max(hi - lo, 1L)
+      least(greatest((c.cast("long") - lit(lo)) * lit(cellMax) / lit(span),
+        lit(0L)), lit(cellMax))
+    }
+    (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+      cells.zipWithIndex.foldLeft(acc) { case (a, (cell, i)) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(cell, b).bitwiseAND(lit(1L)), b * cols.size + i))
+      }
+    }
+  }
+
+  /** Z-ORDER clustered write — the lakehouse layout op for multi-column
+    * scan locality at 100 TB: rows are range-partitioned and sorted by
+    * their interleaved [[zValue]], so each output file covers a small
+    * HYPER-RECTANGLE of the key space instead of a thin slab of one
+    * column. A predicate on ANY of the clustered columns then prunes to
+    * ~N^((d-1)/d) of the files via parquet min/max stats, where a
+    * single-column sort prunes only its own column and scans everything
+    * for the others (ZorderSpec measures exactly this). Two passes: a
+    * one-row min/max stats agg, then repartitionByRange on the z-value
+    * (sampling-based bounds — the one exchange) + in-partition sort +
+    * write; the z column itself is dropped from the output. */
+  def writeZordered(df: org.apache.spark.sql.DataFrame, path: String,
+                    zCols: Seq[String], numFiles: Int, bits: Int = 16): Unit = {
+    require(numFiles > 0, "numFiles > 0")
+    val statCols = zCols.flatMap(c =>
+      Seq(expr(s"min($c)").cast("long"), expr(s"max($c)").cast("long")))
+    val statsRow = df.agg(statCols.head, statCols.tail: _*).head()
+    val stats = zCols.indices.map(i =>
+      (statsRow.getLong(2 * i), statsRow.getLong(2 * i + 1)))
+    df.withColumn("__z", zValue(zCols.map(col), stats, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

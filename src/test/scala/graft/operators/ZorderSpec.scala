@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Z-order clustering: the z-value interleave is correct, and the
+  * layout delivers what it exists for — multi-column file pruning. The
+  * pruning test measures the REAL quantity: for a box predicate, how
+  * many output files' [min,max] ranges intersect it (exactly what
+  * parquet row-group/file skipping consults) under z-order vs under a
+  * single-column linear sort. */
+class ZorderSpec extends SparkSpec {
+  import SparkSpec.session.implicits._
+
+  test("zValue interleaves bits: locality-preserving and correct on hand cases") {
+    // 2 cols, 2 bits, stats (0,3): cell = value itself. z(x,y) interleaves
+    // x into even bits, y into odd bits
+    val df = Seq((0L, 0L), (3L, 0L), (0L, 3L), (3L, 3L), (2L, 1L)).toDF("x", "y")
+    val got = df.select(Maintenance.zValue(Seq(col("x"), col("y")),
+      Seq((0L, 3L), (0L, 3L)), bits = 2).as("z"))
+      .as[Long].collect().toSeq
+    // x=2(10),y=1(01): z bits = y1 x1 y0 x0 = 0 1 1 0 = 6
+    assert(got == Seq(0L, 5L, 10L, 15L, 6L), got)
+  }
+
+  test("zValue clamps out-of-stats values and survives degenerate columns") {
+    val df = Seq((-5L, 7L), (99L, 7L)).toDF("x", "y")
+    val z = df.select(Maintenance.zValue(Seq(col("x"), col("y")),
+      Seq((0L, 9L), (7L, 7L)), bits = 4).as("z")).as[Long].collect()
+    assert(z.forall(v => v >= 0), z.toSeq) // clamped, no negative shifts
+    // y is constant: contributes zero bits, so z is x's cells only
+    assert(z(0) == 0L) // x clamped to 0
+  }
+
+  test("z-ordered layout prunes files on BOTH dimensions; linear sort only on its own") {
+    val n = 40000
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(n)((rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+    val df = rows.toDF("a", "b")
+    val files = 16
+    val zDir = java.nio.file.Files.createTempDirectory("graft-z").toString
+    val linDir = java.nio.file.Files.createTempDirectory("graft-lin").toString
+    Maintenance.writeZordered(df, zDir, Seq("a", "b"), numFiles = files)
+    df.repartitionByRange(files, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(linDir)
+
+    // per-file bounding boxes — the stats parquet skipping consults
+    def boxes(dir: String): Array[(Long, Long, Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(min("a"), max("a"), min("b"), max("b"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    def hit(dir: String)(aLo: Long, aHi: Long, bLo: Long, bHi: Long): Int =
+      boxes(dir).count { case (a0, a1, b0, b1) =>
+        a1 >= aLo && a0 <= aHi && b1 >= bLo && b0 <= bHi }
+
+    val q = (1L << 13) // an eighth of each dimension
+    // predicate on b alone: the a-sorted linear layout cannot prune at all
+    val zB = hit(zDir)(0, Long.MaxValue, 0, q)
+    val linB = hit(linDir)(0, Long.MaxValue, 0, q)
+    assert(linB == files, s"linear layout unexpectedly pruned b: $linB")
+    assert(zB <= files / 2, s"z-order should prune the b-only predicate: $zB of $files")
+    // 2-D box: z-order touches a small corner of the space
+    val zBox = hit(zDir)(0, q, 0, q)
+    assert(zBox <= files / 4, s"z-order box hit $zBox of $files files")
+  }
+
+  test("writeZordered round-trips the data unchanged (layout-only op)") {
+    val df = (0L until 5000L).map(i => (i % 257, (i * 31) % 263)).toDF("a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("graft-z-rt").toString
+    Maintenance.writeZordered(df, dir, Seq("a", "b"), numFiles = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 5000)
+    assert(back.select(sum(col("a") * 1000000 + col("b"))).head.getLong(0) ==
+      df.select(sum(col("a") * 1000000 + col("b"))).head.getLong(0))
+    assert(back.columns.toSeq == Seq("a", "b")) // __z dropped
+  }
+}
