@@ -315,6 +315,52 @@ object SimilarityIvf {
       k, lo, hi)
   }
 
+  /** Distributed k-NN GRAPH over the persisted index — the all-vectors
+    * neighbor structure behind semantic dedup, graph-based ANN (NSW
+    * builds), and cluster refinement. Fully distributed, NO driver
+    * anchor collect (every vector is an anchor — the hardNegativesIvf
+    * driver-side probe table would be the whole corpus): each vector
+    * computes its `nprobe` nearest cells map-side against the broadcast
+    * centroids, explodes to a (cell, src) probe stream, and ONE
+    * cell-keyed equi-join pairs it with the index vectors — per-cell
+    * pair work, nprobe·Σ|cell|²  total, the standard IVF graph cost
+    * (raise nCells ∝ √N to hold it at N^1.5). Hot cells are
+    * rank-truncated at `maxCellSize` on the TARGET side (the
+    * Dedup.maxBucket convention: bounded work beats unbounded recall);
+    * a pair reachable through two shared cells dedups before ranking;
+    * per-src top-k short-circuits via WindowGroupLimit. Deterministic
+    * given the index (bit-stable by sim_ann_ivf's fixed-point argument):
+    * per-pair cosine is row-local and the (sim desc, dst_id) order is
+    * total. */
+  def knnGraphIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+                  k: Int, nprobe: Int = 2,
+                  maxCellSize: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, centroids, segs) = resolveIndex(spark, path)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val vecs = readVectors(spark, path, segs)
+    val probeU = udf { (v: Seq[Float]) =>
+      nearestCells(v.map(_.toDouble).toArray, bc.value, nprobe).toSeq
+    }
+    val probes = vecs.select(col("vec_id").as("src_id"),
+        col("embedding").as("src_vec"),
+        explode(probeU(col("embedding"))).as("cell"))
+    val w = Window.partitionBy("cell").orderBy("vec_id")
+    val targets = vecs.select(col("vec_id"), col("cell"), col("embedding"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxCellSize).drop("__rn")
+    targets.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("src_id"))
+      .select(col("src_id"), col("vec_id").as("dst_id"),
+        graft.plans.VectorExpressions.cosineF(col("src_vec"), col("embedding")).as("sim"))
+      .dropDuplicates("src_id", "dst_id")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("src_id").orderBy(desc("sim"), asc("dst_id"))))
+      .filter(col("rank") <= k)
+      .select(col("src_id"), col("rank"), col("dst_id"),
+        floor(col("sim") * 1000000).cast("long").as("sim_ppm"))
+  }
+
   /** ANN top-k: scan only the `nprobe` cells nearest to the query vector. */
   def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
               nCells: Int = 16, nprobe: Int = 4): DataFrame = {

@@ -743,6 +743,31 @@ object TrainingData {
       excludeIds = Seq(0L))
   }
 
+  /** k-NN GRAPH over the whole embedding corpus through the SAME
+    * persisted IVF index ([[SimilarityIvf.knnGraphIvf]]): every vector's
+    * 3 nearest neighbors among the vectors sharing its 2 probe cells —
+    * the neighbor structure semantic dedup and graph-ANN builds start
+    * from. Fully distributed (no driver anchor collect — the operator's
+    * point vs hardNegativesIvf), per-cell pair work, WindowGroupLimit
+    * top-k. The graph's own index is sized nCells ≈ √N (the documented
+    * knnGraphIvf posture: per-cell pairing is |cell|²-ish, so fixed
+    * cells would scale the graph 100× per 10× data where √N cells hold
+    * it near N^1.5 — measured 29× vs ~7× per 10× at sf1), separate from
+    * the probe index sim_ann_ivf pins at 16 cells. Golden-locked: N is a
+    * deterministic count so the cell count — and with it the bit-stable
+    * index (sim_ann_ivf's fixed-point argument) — is reproducible;
+    * per-pair cosine is row-local, the (sim desc, dst_id) rank order and
+    * the (src, rank) output order are total. */
+  def simKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val path = memoizedIndex(dir, "ivf-knn") { p =>
+      val nCells = math.max(16, math.sqrt(emb.count().toDouble).toInt)
+      SimilarityIvf.buildIndex(emb, p, nCells = nCells)
+    }
+    SimilarityIvf.knnGraphIvf(spark, path, k = 3, nprobe = 2)
+      .orderBy("src_id", "rank")
+  }
+
   /** Product-quantized ANN via the PERSISTED versioned code index: ADC
     * shortlist over 16×4-bit nibble-packed codes (256 B float vector →
     * 8 B stored, 32×), exact re-rank of the 50-row shortlist — the
@@ -1691,6 +1716,7 @@ object TrainingData {
     "sim_outliers"     -> ((s, d) => simOutliers(s, d)),
     "sim_ann_lsh"      -> simAnnLsh _,
     "sim_ann_ivf"      -> simAnnIvf _,
+    "sim_knn_graph"    -> simKnnGraph _,
     "sim_ann_int8"     -> simAnnInt8 _,
     "sim_pq"           -> simPq _,
     "mm_features"      -> mmFeatures _,

@@ -102,6 +102,11 @@ object Golden {
     // total order on the driver, per-pair cosine is row-local, and the
     // (cos desc, neg_id) rank order is total
     "ds_hard_negatives_ivf",
+    // k-NN graph: same bit-stable index; probe cells are a pure kernel
+    // of (vector, centroids), pair dedup is exact-key, per-pair cosine
+    // is row-local, and the (sim desc, dst_id) rank and (src, rank)
+    // output orders are total — no distributed float reduce anywhere
+    "sim_knn_graph",
     // model-gated curation: bit-stable scoring (ds_quality_model's
     // argument) composed with the dedup window's total (keep_q desc,
     // doc_id) order and integer funnel counts

@@ -63,6 +63,41 @@ class IvfSpec extends SparkSpec {
     assert(inline.collect().nonEmpty)
   }
 
+  test("knn graph: valid dense-ranked edges, planted near-dups are mutual neighbors, " +
+    "recall floor vs brute force") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-knn").toString
+    val all = planted(4) // vec 0 + 4 near-copies at 100001..100004
+    SimilarityIvf.buildIndex(all, idx, nCells = 8)
+    val g = SimilarityIvf.knnGraphIvf(spark, idx, k = 3, nprobe = 3).collect()
+    // structural invariants: no self edges, <= k dense ranks per src, sims sorted
+    assert(g.forall(r => r.getAs[Long]("src_id") != r.getAs[Long]("dst_id")))
+    val bySrc = g.groupBy(_.getAs[Long]("src_id"))
+    bySrc.values.foreach { edges =>
+      val ranks = edges.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks == (1 to ranks.length), ranks)
+      val sims = edges.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("sim_ppm")).toSeq
+      assert(sims == sims.sorted.reverse, s"sims not descending: $sims")
+    }
+    // the planted family: each near-copy's top neighbors are family members
+    val family = Set(0L, 100001L, 100002L, 100003L, 100004L)
+    family.foreach { id =>
+      val nbrs = bySrc(id).map(_.getAs[Long]("dst_id")).toSet
+      assert(nbrs.subsetOf(family - id), s"vec $id neighbors outside family: $nbrs")
+    }
+    // recall vs brute on a sampled src set: every brute top-1 that shares
+    // a probe cell must be found; globally require a floor on exact top-1
+    val top1 = g.filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("src_id") -> r.getAs[Long]("dst_id")).toMap
+    val sample = top1.keys.take(20).toSeq
+    val hits = sample.count { src =>
+      val brute = Similarity.bruteForceTopK(all, src, 2).collect()
+        .map(_.getAs[Long]("vec_id")).filter(_ != src)
+      brute.headOption.contains(top1(src))
+    }
+    assert(hits >= sample.length / 2,
+      s"knn top-1 matched brute for only $hits/${sample.length} sources")
+  }
+
   test("IVF index versions: rebuild writes v2, swaps _current, prunes v1") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf-v").toString
     val embs = Tables.embeddings(spark, sfDir)

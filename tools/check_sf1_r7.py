@@ -127,7 +127,9 @@ for name in ["ev_funnel", "ev_retention", "txt_normalize",
 for name, min_rows in [("ds_quality_model", 4), ("ds_label_noise", 1),
                        ("ds_model_calibration", 5),
                        ("ds_hard_negatives_ivf", 1000),
-                       ("ds_curate_model", 10)]:
+                       ("ds_curate_model", 10),
+                       # golden-pinned at sf0.01; sf1 = rows+invariants
+                       ("sim_knn_graph", 1000)]:
     if not wanted(name):
         continue
     pq = glob.glob(f"{out_dir}/{name}/*.parquet")
