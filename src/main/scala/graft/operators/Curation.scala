@@ -643,4 +643,37 @@ object Curation {
           min(when(col("cum") * 1000 >= lit(q) * col("n"), col("value")))
             .as(s"p$q")): _*)
   }
+
+  /** Deterministic canary injection — the provenance/memorization probe
+    * of a training corpus (the public "secret sharer" methodology:
+    * plant unique marker strings at a known rate, later measure
+    * extraction/leakage). Selection and marker id are two Lehmer rounds
+    * on doc_id — pure integer arithmetic that replays exactly in any SQL
+    * engine (the sim_rp precedent), so the canary set is reproducible
+    * from the seedless pipeline config alone, at any partitioning.
+    * Map-side scalar over one scan; null text still gets its marker
+    * (the canary must survive whatever the document carries). */
+  def injectCanaries(docs: DataFrame, textCol: String,
+                     ratePpm: Int): DataFrame = {
+    require(ratePpm >= 0 && ratePpm <= 1000000, s"ratePpm out of range: $ratePpm")
+    val h = (col("doc_id") * 48271L) % 2147483647L
+    val isCanary = h % 1000000L < ratePpm
+    val canaryId = (h * 48271L) % 2147483647L
+    docs.withColumn("is_canary", isCanary)
+      .withColumn("canary_id", when(isCanary, canaryId))
+      .withColumn(textCol,
+        when(isCanary, concat(coalesce(col(textCol), lit("")),
+          lit(" CANARY_"), canaryId.cast("string")))
+          .otherwise(col(textCol)))
+  }
+
+  /** Canary detection sweep: extract planted markers back out of the
+    * text by pattern — the audit half of [[injectCanaries]] (run it over
+    * a TRAINED-ON corpus snapshot, or over model samples, to measure
+    * containment/extraction). One scan; regexp is the per-row kernel. */
+  def scanCanaries(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(col("doc_id"),
+        regexp_extract(col(textCol), "CANARY_([0-9]+)", 1).as("found"))
+      .filter(col("found") =!= "")
+      .select(col("doc_id"), col("found").cast("long").as("canary_id"))
 }

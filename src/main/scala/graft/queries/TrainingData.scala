@@ -851,6 +851,35 @@ object TrainingData {
     Curation.seededOrder(Tables.documents(spark, dir), seed = 42L,
       numShards = 8).orderBy("doc_id")
 
+  /** Canary-injected corpus ([[Curation.injectCanaries]]): ~2% of docs
+    * get a unique deterministic marker appended — per-doc injection
+    * decision, marker id, and the md5 of the resulting text (locking the
+    * exact output strings cross-engine). */
+  def dsCanary(spark: SparkSession, dir: String): DataFrame =
+    Curation.injectCanaries(Tables.documents(spark, dir), "text",
+        ratePpm = 20000)
+      .select(col("doc_id"), col("is_canary"), col("canary_id"),
+        md5(col("text")).as("out_fp"))
+      .orderBy("doc_id")
+
+  /** Canary audit ([[Curation.scanCanaries]] over the injected corpus):
+    * detection closes the loop on injection — every planted marker is
+    * found by the scan, none invented, ids recovered exactly. Reported
+    * as one summary row (docs, planted, found, matching id+doc joins)
+    * the oracle recomputes from scratch. */
+  def dsCanaryAudit(spark: SparkSession, dir: String): DataFrame = {
+    val injected = Curation.injectCanaries(Tables.documents(spark, dir),
+      "text", ratePpm = 20000)
+    val found = Curation.scanCanaries(injected, "text")
+    val planted = injected.filter(col("is_canary"))
+      .select(col("doc_id"), col("canary_id"))
+    injected.agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_canary"), 1L).otherwise(0L)).as("n_planted"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .crossJoin(planted.join(found, Seq("doc_id", "canary_id"), "left_semi")
+        .agg(count(lit(1)).as("n_recovered")))
+  }
+
   /** Per-source token-budget mix ([[Curation.budgetSelectPerStratum]]):
     * three sources get distinct token budgets and fill them with their
     * highest-quality docs — the mixture-building step of a training
@@ -1736,6 +1765,8 @@ object TrainingData {
     "ds_budget_select"   -> dsBudgetSelect _,
     "dd_keep_best"       -> ddKeepBest _,
     "ds_order"           -> dsOrder _,
+    "ds_canary"          -> dsCanary _,
+    "ds_canary_audit"    -> dsCanaryAudit _,
     "ds_quota"           -> dsQuota _,
     "ds_thresholds"      -> dsThresholds _,
     "ds_shard_manifest"  -> dsShardManifest _,
@@ -1900,6 +1931,44 @@ object TrainingData {
          | FROM s WHERE quality IS NOT NULL)
          |SELECT doc_id, quality, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens <= 12000 ORDER BY doc_id""".stripMargin,
+    "ds_canary" ->
+      """WITH inj AS (
+        | SELECT doc_id,
+        |  (doc_id * 48271) % 2147483647 % 1000000 < 20000 AS is_canary,
+        |  ((doc_id * 48271) % 2147483647) * 48271 % 2147483647 AS cid,
+        |  text
+        | FROM documents)
+        |SELECT doc_id, is_canary,
+        | CASE WHEN is_canary THEN cid END AS canary_id,
+        | md5(CASE WHEN is_canary
+        |      THEN coalesce(text, '') || ' CANARY_' || CAST(cid AS VARCHAR)
+        |      ELSE text END) AS out_fp
+        |FROM inj ORDER BY doc_id""".stripMargin,
+    "ds_canary_audit" ->
+      """WITH inj AS (
+        | SELECT doc_id,
+        |  (doc_id * 48271) % 2147483647 % 1000000 < 20000 AS is_canary,
+        |  ((doc_id * 48271) % 2147483647) * 48271 % 2147483647 AS cid,
+        |  text
+        | FROM documents),
+        |t AS (
+        | SELECT doc_id, is_canary,
+        |  CASE WHEN is_canary THEN cid END AS canary_id,
+        |  CASE WHEN is_canary
+        |   THEN coalesce(text, '') || ' CANARY_' || CAST(cid AS VARCHAR)
+        |   ELSE text END AS text2
+        | FROM inj),
+        |f AS (
+        | SELECT doc_id,
+        |  CAST(regexp_extract(text2, 'CANARY_([0-9]+)', 1) AS BIGINT) AS canary_id
+        | FROM t WHERE regexp_extract(text2, 'CANARY_([0-9]+)', 1) <> '')
+        |SELECT
+        | CAST((SELECT count(*) FROM t) AS BIGINT) AS n_docs,
+        | CAST((SELECT count(*) FROM t WHERE is_canary) AS BIGINT) AS n_planted,
+        | CAST((SELECT count(*) FROM f) AS BIGINT) AS n_found,
+        | CAST((SELECT count(*) FROM t p JOIN f USING (doc_id)
+        |       WHERE p.is_canary AND p.canary_id = f.canary_id) AS BIGINT)
+        |   AS n_recovered""".stripMargin,
     "ds_order" ->
       """WITH r AS (
         | SELECT doc_id,

@@ -111,6 +111,7 @@ for name in ["ev_funnel", "ev_retention", "txt_normalize",
              # round-8 additions
              "q31_min_cost_supp", "q32_qualified_suppliers",
              "q33_important_parts", "q34_top_supplier",
+             "ds_canary", "ds_canary_audit",
              # same-label quadratic is 1/|labels| of the negatives' pair
              # count — inside the documented targeted-compare budget
              "ds_positive_pairs"]:
