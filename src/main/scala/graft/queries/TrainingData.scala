@@ -867,18 +867,20 @@ object TrainingData {
     * found by the scan, none invented, ids recovered exactly. Reported
     * as one summary row (docs, planted, found, matching id+doc joins)
     * the oracle recomputes from scratch. */
-  def dsCanaryAudit(spark: SparkSession, dir: String): DataFrame = {
-    val injected = Curation.injectCanaries(Tables.documents(spark, dir),
-      "text", ratePpm = 20000)
-    val found = Curation.scanCanaries(injected, "text")
-    val planted = injected.filter(col("is_canary"))
-      .select(col("doc_id"), col("canary_id"))
-    injected.agg(count(lit(1)).as("n_docs"),
-        sum(when(col("is_canary"), 1L).otherwise(0L)).as("n_planted"))
-      .crossJoin(found.agg(count(lit(1)).as("n_found")))
-      .crossJoin(planted.join(found, Seq("doc_id", "canary_id"), "left_semi")
-        .agg(count(lit(1)).as("n_recovered")))
-  }
+  def dsCanaryAudit(spark: SparkSession, dir: String): DataFrame =
+    Curation.injectCanaries(Tables.documents(spark, dir), "text",
+        ratePpm = 20000)
+      .select(col("is_canary"), col("canary_id"),
+        regexp_extract(col("text"), "CANARY_([0-9]+)", 1).as("found"))
+      // injection and detection share the row, so recovery is a per-row
+      // id comparison and the whole audit is ONE scan of conditional
+      // aggregates (a join formulation re-scanned documents 4x)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_canary"), 1L).otherwise(0L)).as("n_planted"),
+        sum(when(col("found") =!= "", 1L).otherwise(0L)).as("n_found"),
+        sum(when(col("is_canary") &&
+          col("found").cast("long") === col("canary_id"), 1L).otherwise(0L))
+          .as("n_recovered"))
 
   /** Per-source token-budget mix ([[Curation.budgetSelectPerStratum]]):
     * three sources get distinct token budgets and fill them with their
@@ -1945,30 +1947,24 @@ object TrainingData {
         |      ELSE text END) AS out_fp
         |FROM inj ORDER BY doc_id""".stripMargin,
     "ds_canary_audit" ->
-      """WITH inj AS (
+      """WITH t AS (
         | SELECT doc_id,
         |  (doc_id * 48271) % 2147483647 % 1000000 < 20000 AS is_canary,
         |  ((doc_id * 48271) % 2147483647) * 48271 % 2147483647 AS cid,
-        |  text
-        | FROM documents),
-        |t AS (
-        | SELECT doc_id, is_canary,
-        |  CASE WHEN is_canary THEN cid END AS canary_id,
-        |  CASE WHEN is_canary
-        |   THEN coalesce(text, '') || ' CANARY_' || CAST(cid AS VARCHAR)
+        |  CASE WHEN (doc_id * 48271) % 2147483647 % 1000000 < 20000
+        |   THEN coalesce(text, '') || ' CANARY_' ||
+        |        CAST(((doc_id * 48271) % 2147483647) * 48271 % 2147483647 AS VARCHAR)
         |   ELSE text END AS text2
-        | FROM inj),
-        |f AS (
-        | SELECT doc_id,
-        |  CAST(regexp_extract(text2, 'CANARY_([0-9]+)', 1) AS BIGINT) AS canary_id
-        | FROM t WHERE regexp_extract(text2, 'CANARY_([0-9]+)', 1) <> '')
+        | FROM documents)
         |SELECT
-        | CAST((SELECT count(*) FROM t) AS BIGINT) AS n_docs,
-        | CAST((SELECT count(*) FROM t WHERE is_canary) AS BIGINT) AS n_planted,
-        | CAST((SELECT count(*) FROM f) AS BIGINT) AS n_found,
-        | CAST((SELECT count(*) FROM t p JOIN f USING (doc_id)
-        |       WHERE p.is_canary AND p.canary_id = f.canary_id) AS BIGINT)
-        |   AS n_recovered""".stripMargin,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN is_canary THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
+        | CAST(sum(CASE WHEN regexp_extract(text2, 'CANARY_([0-9]+)', 1) <> ''
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+        | CAST(sum(CASE WHEN is_canary AND
+        |      TRY_CAST(regexp_extract(text2, 'CANARY_([0-9]+)', 1) AS BIGINT) = cid
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered
+        |FROM t""".stripMargin,
     "ds_order" ->
       """WITH r AS (
         | SELECT doc_id,

@@ -848,6 +848,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("sim_knn_graph: WindowGroupLimit top-k, no nested-loop or cartesian pairing") {
+    val p = planOf("sim_knn_graph")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ds_canary: one scan, map-side projection, no joins") {
+    val p = planOf("ds_canary")
+    assert(countScans(p) == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("ds_canary_audit: ONE scan of conditional aggregates — no join formulation") {
+    val p = planOf("ds_canary_audit")
+    assert(countScans(p) == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+  }
+
   test("txt_lang_id/txt_quality: marker counts are kernel UDFs, not interpreted HOFs") {
     Seq("txt_lang_id", "txt_quality").foreach { n =>
       val analyzed = graft.SparkEntry.queries(n)(spark, sfDir).queryExecution.optimizedPlan
