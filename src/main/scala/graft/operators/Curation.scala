@@ -652,7 +652,14 @@ object Curation {
     * engine (the sim_rp precedent), so the canary set is reproducible
     * from the seedless pipeline config alone, at any partitioning.
     * Map-side scalar over one scan; null text still gets its marker
-    * (the canary must survive whatever the document carries). */
+    * (the canary must survive whatever the document carries).
+    *
+    * Id-uniqueness bound: the Lehmer map is a bijection mod 2³¹−1, so
+    * marker ids are unique only while doc_id stays below 2 147 483 647 —
+    * past ~2.1B documents, doc_id and doc_id+2³¹−1 mint the SAME marker
+    * (and selection correlates), breaking per-document attribution. For
+    * corpora beyond that, widen the id (e.g. xxhash64) and accept losing
+    * the pure-SQL oracle replay, or partition the id space per shard. */
   def injectCanaries(docs: DataFrame, textCol: String,
                      ratePpm: Int): DataFrame = {
     require(ratePpm >= 0 && ratePpm <= 1000000, s"ratePpm out of range: $ratePpm")

@@ -216,7 +216,10 @@ object Maintenance {
 
   /** Z-value of up to 4 numeric columns: each is min-max quantized to
     * `bits` cells and the cell bits are interleaved — pure `Column`
-    * shift/or arithmetic (codegen'd end to end, no UDF). `stats` is the
+    * shift/or arithmetic (codegen'd end to end, no UDF). `bits` must
+    * satisfy bits·|cols| ≤ 63 (so 16 bits covers 2-3 columns; 4 columns
+    * need ≤ 15 — [[writeZordered]]'s auto default handles this).
+    * `stats` is the
     * (min, max) per column from a one-row stats pass; a degenerate
     * column (min == max) contributes constant zero bits. Min-max
     * quantization is the classic simple variant: heavy skew in a column
@@ -248,22 +251,36 @@ object Maintenance {
     * column. A predicate on ANY of the clustered columns then prunes to
     * ~N^((d-1)/d) of the files via parquet min/max stats, where a
     * single-column sort prunes only its own column and scans everything
-    * for the others (ZorderSpec measures exactly this). Two passes: a
-    * one-row min/max stats agg, then repartitionByRange on the z-value
-    * (sampling-based bounds — the one exchange) + in-partition sort +
-    * write; the z column itself is dropped from the output. */
+    * for the others (ZorderSpec measures exactly this). Three passes
+    * over the (persisted) z-keyed frame, ONE over the upstream plan: the
+    * one-row min/max stats agg runs on the raw input, then the z-keyed
+    * frame is persisted so repartitionByRange's range-bounds sampling
+    * job and the final write read the cache instead of re-evaluating an
+    * expensive upstream twice more. `bits` defaults to the widest
+    * interleave that fits a long for the column count (16 for 2-3
+    * columns, 15 for 4); the z column is dropped from the output. Empty
+    * input writes an empty dataset (a maintenance job must no-op, not
+    * NPE, on an empty partition). */
   def writeZordered(df: org.apache.spark.sql.DataFrame, path: String,
-                    zCols: Seq[String], numFiles: Int, bits: Int = 16): Unit = {
+                    zCols: Seq[String], numFiles: Int, bits: Int = 0): Unit = {
     require(numFiles > 0, "numFiles > 0")
+    val effBits = if (bits > 0) bits else math.min(16, 63 / zCols.size)
     val statCols = zCols.flatMap(c =>
       Seq(expr(s"min($c)").cast("long"), expr(s"max($c)").cast("long")))
     val statsRow = df.agg(statCols.head, statCols.tail: _*).head()
+    if (statsRow.isNullAt(0)) { // empty input: stats are all null
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val stats = zCols.indices.map(i =>
       (statsRow.getLong(2 * i), statsRow.getLong(2 * i + 1)))
-    df.withColumn("__z", zValue(zCols.map(col), stats, bits))
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-      .write.mode("overwrite").parquet(path)
+    val keyed = df.withColumn("__z", zValue(zCols.map(col), stats, effBits))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      keyed.repartitionByRange(numFiles, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite").parquet(path)
+    } finally keyed.unpersist(blocking = false)
   }
 }

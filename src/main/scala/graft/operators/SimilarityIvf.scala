@@ -29,6 +29,12 @@ object SimilarityIvf {
     * `iters` Lloyd iterations. Returns (cell, centroid array<double>). */
   def trainCentroids(embeddings: DataFrame, nCells: Int, iters: Int = 3,
                      sampleN: Int = 4096): Array[(Int, Array[Double])] = {
+    // a silently-undersized sample would seed fewer/degenerate centroids
+    // and quietly break every nCells ∝ √N scaling promise downstream —
+    // callers sizing cells past the default sample must raise sampleN
+    require(nCells <= sampleN,
+      s"nCells $nCells exceeds the training sample $sampleN — raise sampleN " +
+        "(≥ a few rows per centroid) or lower nCells")
     val spark = embeddings.sparkSession
     import spark.implicits._
     // deterministic sample: best `sampleN` rows by xxhash of id
@@ -111,9 +117,12 @@ object SimilarityIvf {
     * rebuilds on corpus refresh, not per query
     * (graft.queries.TrainingData.simAnnIvf probes the persisted index). */
   def buildIndex(embeddings: DataFrame, path: String, nCells: Int = 16,
-                 iters: Int = 3): Unit = {
+                 iters: Int = 3, sampleN: Int = 4096): Unit = {
     val spark = embeddings.sparkSession
-    val centroids = trainCentroids(embeddings, nCells, iters)
+    val centroids = trainCentroids(embeddings, nCells, iters,
+      // keep the √N posture honest: never train nCells centroids on
+      // fewer than 8 sample rows each
+      math.max(sampleN, 8 * nCells))
     val seg = writeSegment(path, assignCells(embeddings, centroids))
     publishMeta(spark, path, centroids, Seq(seg))
   }
@@ -338,7 +347,11 @@ object SimilarityIvf {
     import org.apache.spark.sql.expressions.Window
     val (_, centroids, segs) = resolveIndex(spark, path)
     val bc = spark.sparkContext.broadcast(centroids)
+    // zero-norm guard (the hardNegativesIvf rule): a zero vector makes
+    // every touching cosine 0/0 = NaN, and NaN sorts ABOVE all doubles,
+    // so one zero embedding would hijack rank 1 for its whole cell
     val vecs = readVectors(spark, path, segs)
+      .filter(VectorExpressions.dotF(col("embedding"), col("embedding")) > 0)
     val probeU = udf { (v: Seq[Float]) =>
       nearestCells(v.map(_.toDouble).toArray, bc.value, nprobe).toSeq
     }

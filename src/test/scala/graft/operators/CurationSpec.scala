@@ -403,4 +403,26 @@ class CurationSpec extends SparkSpec {
       .toDF("id", "s", "score")
     assert(Curation.preferencePairs(tied, "id", "s", "score", 5, 1L).count() == 0)
   }
+
+  test("canaries: inject → scanCanaries round-trip recovers exactly the planted set") {
+    import SparkSpec.session.implicits._
+    val docs = (0L until 2000L).map(i =>
+      (i, if (i % 17 == 0) null else s"document body $i")).toDF("doc_id", "text")
+    val injected = Curation.injectCanaries(docs, "text", ratePpm = 50000)
+    val planted = injected.filter(col("is_canary"))
+      .select(col("doc_id"), col("canary_id")).as[(Long, Long)].collect().toSet
+    assert(planted.nonEmpty, "fixture planted nothing — raise ratePpm")
+    // the PUBLIC audit operator (not an inline regexp) recovers the set
+    val found = Curation.scanCanaries(injected, "text")
+      .as[(Long, Long)].collect().toSet
+    assert(found === planted)
+    // markers survive null text, ids are unique, rate is in the ballpark
+    assert(planted.map(_._2).size === planted.size, "duplicate canary ids")
+    val nullDocCanaries = injected.filter(col("is_canary") && col("doc_id") % 17 === 0)
+    assert(nullDocCanaries.filter(col("text").isNull).count() == 0,
+      "a null-text doc lost its marker")
+    assert(planted.size > 50 && planted.size < 150, s"rate off: ${planted.size}/2000")
+    // an unmarked corpus scans clean
+    assert(Curation.scanCanaries(docs, "text").count() == 0)
+  }
 }

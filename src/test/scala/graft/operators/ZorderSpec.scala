@@ -65,6 +65,18 @@ class ZorderSpec extends SparkSpec {
     assert(zBox <= files / 4, s"z-order box hit $zBox of $files files")
   }
 
+  test("writeZordered no-ops cleanly on empty input and auto-sizes bits for 4 columns") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("graft-z-empty").toString
+    Maintenance.writeZordered(empty, dir, Seq("a", "b"), numFiles = 4)
+    assert(spark.read.parquet(dir).count() == 0)
+    // 4 clustered columns: the default bits must clamp to 15 (16x4 > 63)
+    val four = (0L until 100L).map(i => (i, i * 2, i * 3, i * 5)).toDF("a", "b", "c", "d")
+    val dir4 = java.nio.file.Files.createTempDirectory("graft-z4").toString
+    Maintenance.writeZordered(four, dir4, Seq("a", "b", "c", "d"), numFiles = 2)
+    assert(spark.read.parquet(dir4).count() == 100)
+  }
+
   test("writeZordered round-trips the data unchanged (layout-only op)") {
     val df = (0L until 5000L).map(i => (i % 257, (i * 31) % 263)).toDF("a", "b")
     val dir = java.nio.file.Files.createTempDirectory("graft-z-rt").toString
