@@ -1239,6 +1239,62 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  /** Q35 — large-order customers (TPC-H Q18's skeleton). The classic
+    * rewrite: Q18's `o_orderkey IN (SELECT … HAVING sum(qty) > T)` and
+    * its outer `sum(qty)` are the SAME order-grain aggregate, so ONE
+    * lineitem fold + HAVING replaces the semi-join-plus-refold a naive
+    * translation pays. Scale shape: the filtered order set is tiny by
+    * construction (that is Q18's point), so it BROADCASTS up the
+    * dimension chain — onto orders, then onto customer — and the only
+    * fact-grain exchange is the order-key fold; top-100 is
+    * TakeOrderedAndProject. Quantities fold as exact cents longs. */
+  def q35LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        round(col("l_quantity") * 100).cast("long").as("qty_cents"))
+      .groupBy("l_orderkey")
+      .agg(sum("qty_cents").as("total_qty_cents"))
+      .filter(col("total_qty_cents") > 30000)
+    val withCust = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(broadcast(bigOrders), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("total_qty_cents"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"))
+      .join(broadcast(withCust), col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("total_qty_cents"))
+      .orderBy(desc("total_qty_cents"), asc("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Q36 — supplier diversity per part attribute (TPC-H Q16's skeleton):
+    * distinct suppliers per (brand, type, size) over the lineitem link,
+    * excluding flagged suppliers via NOT IN. Scale shape: the part
+    * filter broadcasts onto the one lineitem scan; NOT IN becomes a
+    * broadcast LEFT ANTI on the (tiny) flagged-supplier set — the exact
+    * rewrite is safe because supplier keys are non-null, the case where
+    * NOT IN ≡ anti-join; the distinct count is the q26 two-level
+    * aggregate (collapse to (attrs, suppkey) grain, then fold) — never
+    * a planner countDistinct Expand that would double the fact rows. */
+  def q36SupplierDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val pt = broadcast(Tables.part(spark, dir)
+      .filter(col("p_size").isin(1, 5, 10, 15, 20) &&
+        !col("p_type").startsWith("PROMO"))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .select(col("p_brand"), col("p_type"), col("p_size"), col("l_suppkey"))
+      .distinct()
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(count(lit(1)).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_filter_project" -> q01FilterProject _,
     "q02_string_chain"   -> q02StringChain _,
@@ -1290,6 +1346,8 @@ object Relational {
     "q32_qualified_suppliers" -> q32QualifiedSuppliers _,
     "q33_important_parts"  -> q33ImportantParts _,
     "q34_top_supplier"     -> q34TopSupplier _,
+    "q35_large_orders"     -> q35LargeOrders _,
+    "q36_supplier_diversity" -> q36SupplierDiversity _,
     "q24_window_suite"   -> q24WindowSuite _,
     "a7_approx_distinct" -> a7ApproxDistinct _,
   )
@@ -1775,6 +1833,25 @@ object Relational {
         |JOIN rev ON s_suppkey = l_suppkey
         |WHERE total_rev_c4 = (SELECT max(total_rev_c4) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+    "q35_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        | CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS total_qty_cents
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(round(l_quantity*100) AS BIGINT)) > 30000)
+        |GROUP BY 1, 2, 3
+        |ORDER BY total_qty_cents DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+    "q36_supplier_diversity" ->
+      """SELECT p_brand, p_type, p_size,
+        | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size IN (1, 5, 10, 15, 20) AND p_type NOT LIKE 'PROMO%'
+        |AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "ev_new_vs_returning" ->
       """WITH ud AS (
         | SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),

@@ -848,6 +848,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q35: Q18 rewrite — ONE lineitem fold, filtered agg broadcasts up the chain, TakeOrdered") {
+    val p = planOf("q35_large_orders")
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p) // IN-subquery ≡ the outer fold
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q36: Q16 — NOT IN as broadcast anti-join, two-level distinct (no Expand)") {
+    val p = planOf("q36_supplier_diversity")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("Expand"), p) // countDistinct would double the fact rows
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p)
+  }
+
   test("sim_knn_graph: WindowGroupLimit top-k, no nested-loop or cartesian pairing") {
     val p = planOf("sim_knn_graph")
     assert(p.contains("WindowGroupLimit"), p)

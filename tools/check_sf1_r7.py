@@ -112,6 +112,7 @@ for name in ["ev_funnel", "ev_retention", "txt_normalize",
              "q31_min_cost_supp", "q32_qualified_suppliers",
              "q33_important_parts", "q34_top_supplier",
              "ds_canary", "ds_canary_audit",
+             "q35_large_orders", "q36_supplier_diversity",
              # same-label quadratic is 1/|labels| of the negatives' pair
              # count — inside the documented targeted-compare budget
              "ds_positive_pairs"]:
