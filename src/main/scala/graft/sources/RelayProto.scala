@@ -106,6 +106,13 @@ object RelayProto {
     def bytes(field: Int, v: Array[Byte]): Unit =
       if (v.nonEmpty) { tag(field, 2); varint(v.length.toLong); out.write(v) }
     def string(field: Int, v: String): Unit = if (v.nonEmpty) bytes(field, v.getBytes(UTF_8))
+    /** REPEATED string element: unlike a singular proto3 scalar, every
+      * occurrence is emitted — an empty element is a real list entry,
+      * not a default to omit (caught by the codec fuzz property). */
+    def stringElement(field: Int, v: String): Unit = {
+      val b = v.getBytes(UTF_8)
+      tag(field, 2); varint(b.length.toLong); out.write(b)
+    }
     def message(field: Int, body: Array[Byte]): Unit =
       // an empty submessage is still PRESENT (unlike a zero scalar)
       { tag(field, 2); varint(body.length.toLong); out.write(body) }
@@ -168,7 +175,9 @@ object RelayProto {
   }
   private def encodeError(e: ErrorInfo): Array[Byte] = {
     val w = new Writer
-    w.int32(1, e.code); w.string(2, e.message); e.details.foreach(w.string(3, _)); w.result
+    w.int32(1, e.code); w.string(2, e.message)
+    e.details.foreach(w.stringElement(3, _))
+    w.result
   }
   private def encodeMetadata(m: MessageMetadata): Array[Byte] = {
     val w = new Writer

@@ -194,4 +194,64 @@ object GraftProperties extends Properties("graft") {
         grams.forall(_.split(" ").length == n) &&
         grams.distinct.length == grams.length
     }
+
+  // --- relay protobuf wire codec ---------------------------------------
+
+  private val wrappedGen: Gen[graft.sources.RelayProto.WrappedPayload] = {
+    import graft.sources.RelayProto._
+    for {
+      id <- Gen.alphaNumStr.map(_.take(32))
+      ts <- Gen.option(for {
+        s <- Gen.chooseNum(0L, 4102444800L); n <- Gen.chooseNum(0, 999999999)
+      } yield PTimestamp(s, n))
+      body <- Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+      hdrs <- Gen.mapOf(Gen.zip(Gen.alphaNumStr.map(_.take(8)), Gen.alphaNumStr.map(_.take(8))))
+      ct <- Gen.oneOf("", "application/x-ndjson", "text/plain")
+      perf <- Gen.option(for {
+        uc <- Gen.oneOf(false, true); a <- Gen.chooseNum(0, 5); l <- Gen.chooseNum(0, 9)
+      } yield PerformanceOptions(uc, a, l))
+      sec <- Gen.option(Gen.oneOf(false, true).map(e =>
+        SecurityOptions(e, if (e) SuiteAesGcm else SuiteNone)))
+      err <- Gen.option(for {
+        c <- Gen.chooseNum(Int.MinValue, Int.MaxValue); m <- Gen.alphaNumStr.map(_.take(16))
+        det <- Gen.listOf(Gen.alphaNumStr.map(_.take(8)))
+      } yield ErrorInfo(c, m, det))
+      seq <- Gen.chooseNum(0L, Long.MaxValue)
+      pe <- Gen.chooseNum(0, 2)
+      pt <- Gen.oneOf("", "graft.Record")
+    } yield WrappedPayload(id, ts,
+      body, Some(MessageMetadata(hdrs, ct, Some(VersionInfo(1, 0)), perf, "", 0, sec)),
+      err, seq, pe, pt)
+  }
+
+  property("WrappedPayload protobuf codec round-trips arbitrary messages") =
+    forAll(wrappedGen) { p =>
+      import graft.sources.RelayProto
+      val back = RelayProto.decode(RelayProto.encode(p))
+      back.copy(payload = Array.emptyByteArray) == p.copy(payload = Array.emptyByteArray) &&
+        back.payload.sameElements(p.payload)
+    }
+
+  property("StreamAck protobuf codec round-trips arbitrary acks") =
+    forAll(Gen.oneOf(false, true), Gen.chooseNum(0L, Long.MaxValue),
+      Gen.chooseNum(0L, Long.MaxValue), Gen.chooseNum(0L, Long.MaxValue)) {
+      (ok, seq, okc, errc) =>
+        import graft.sources.RelayProto
+        val a = RelayProto.StreamAck(success = ok, seq = seq, okCount = okc, errCount = errc)
+        RelayProto.decodeAck(RelayProto.encodeAck(a)) == a
+    }
+
+  property("proto decoder terminates on arbitrary hostile bytes (result or exception, never a hang)") =
+    forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bs =>
+      import graft.sources.RelayProto
+      val arr = bs.toArray
+      // decode of random bytes must either produce a message or throw a
+      // bounded-validation exception — both are fine; an infinite loop or
+      // an OOM-sized allocation is the failure mode this guards
+      def safe(f: => Any): Boolean =
+        try { f; true } catch { case _: IllegalArgumentException => true
+                                case _: RuntimeException => true }
+      safe(RelayProto.decode(arr)) && safe(RelayProto.decodeAck(arr)) &&
+        safe(RelayProto.decodeEnvelope(arr))
+    }
 }
