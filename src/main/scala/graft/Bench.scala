@@ -7,6 +7,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // test-scale split sizing: the whole sf0.1 lineitem is ONE ~10 MB
+      // parquet file, and the default 128 MB maxPartitionBytes turns every
+      // heavy scan into a single-core job on a 32-core runner. 1 MB splits
+      // spread the big scans across cores; at production scale (many
+      // ≥128 MB files) the default is correct and this knob is a no-op on
+      // anything already multi-file. openCost keeps tiny dims in 1 split.
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.files.openCostInBytes", "512k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
