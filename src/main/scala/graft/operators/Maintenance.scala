@@ -214,6 +214,28 @@ object Maintenance {
       .agg(measures.head, measures.tail: _*)
   }
 
+  /** Incremental EXACT distinct-count maintenance — the non-algebraic
+    * companion of [[mergeRollups]]: a distinct count cannot merge at
+    * count grain, but it merges exactly at (keys, member) grain, so the
+    * rollup ARTIFACT is the distinct pair set and the count is derived
+    * on read. Union + dedup is associative AND idempotent, which makes
+    * slice merges both incremental (fold in one partition's delta per
+    * cycle) and replay-safe (re-merging a slice is a no-op — the same
+    * property the versioned rollup's batchId high-water mark protects
+    * sums with, free here). Cost posture at 100 TB: the artifact and
+    * every merge exchange are distinct-pair-sized, never row-sized; when
+    * even that is too wide, the approximate tier is a sketch column —
+    * this operator is the exact tier. */
+  def mergeDistinctRollups(rollups: Seq[org.apache.spark.sql.DataFrame],
+                           keys: Seq[String],
+                           memberCol: String): org.apache.spark.sql.DataFrame = {
+    require(rollups.nonEmpty, "nothing to merge")
+    rollups.reduce(_.unionByName(_))
+      .dropDuplicates(keys :+ memberCol)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as(s"n_distinct_$memberCol"))
+  }
+
   /** Z-value of up to 4 numeric columns: each is min-max quantized to
     * `bits` cells and the cell bits are interleaved — pure `Column`
     * shift/or arithmetic (codegen'd end to end, no UDF). `bits` must

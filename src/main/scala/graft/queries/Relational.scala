@@ -346,6 +346,28 @@ object Relational {
       .orderBy("event_type", "day")
   }
 
+  /** EV-rollup-distinct — incremental EXACT distinct maintenance
+    * ([[graft.operators.Maintenance.mergeDistinctRollups]]): daily
+    * distinct users derived from TWO pre-built (day, user) slice
+    * artifacts (even/odd event ids standing in for history vs the new
+    * partition) instead of rescanning events — the non-algebraic
+    * companion of `ev_rollup_merge`. The oracle is the direct
+    * COUNT(DISTINCT …) over everything, so the hash check IS the
+    * merge≡recompute proof; MaintenanceSpec locks idempotence (re-merging
+    * a slice changes nothing). Merge exchanges are distinct-pair-sized. */
+  def evRollupDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Maintenance
+    val dayUs = 86400L * 1000 * 1000
+    val base = Tables.events(spark, dir)
+      .select(expr("(ts div 1000) div " + dayUs).as("day"),
+        col("user_id"), col("event_id"))
+    def slice(parity: Int) = base.filter(col("event_id") % 2 === parity)
+      .select("day", "user_id").distinct()
+    Maintenance.mergeDistinctRollups(Seq(slice(0), slice(1)),
+        keys = Seq("day"), memberCol = "user_id")
+      .orderBy("day")
+  }
+
   /** Q16 — as-of attribution: each purchase joined to the user's most recent
     * preceding view (operators.Temporal.asofJoin — union + one window, no
     * range-join blow-up; DuckDB oracle uses its native ASOF JOIN). Views are
@@ -1340,6 +1362,7 @@ object Relational {
     "q27_idle_balances"  -> q27IdleBalances _,
     "ev_cooccurrence"    -> evCooccurrence _,
     "ev_rollup_merge"    -> evRollupMerge _,
+    "ev_rollup_distinct" -> evRollupDistinct _,
     "q28_skew_report"    -> q28SkewReport _,
     "ev_autocorr"        -> evAutocorr _,
     "ds_range_bounds"    -> dsRangeBounds _,
@@ -1943,6 +1966,10 @@ object Relational {
         |FROM g, t""".stripMargin,
     // direct GROUP BY over everything: value-matching it proves the
     // slice-merge path re-aggregates losslessly
+    "ev_rollup_distinct" ->
+      """SELECT epoch_us(ts) // 86400000000 AS day,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_user_id
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_rollup_merge" ->
       """SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         | CAST(COUNT(*) AS BIGINT) AS n,

@@ -113,6 +113,7 @@ for name in ["ev_funnel", "ev_retention", "txt_normalize",
              "q33_important_parts", "q34_top_supplier",
              "ds_canary", "ds_canary_audit",
              "q35_large_orders", "q36_supplier_diversity",
+             "ev_rollup_distinct",
              # same-label quadratic is 1/|labels| of the negatives' pair
              # count — inside the documented targeted-compare budget
              "ds_positive_pairs"]:
