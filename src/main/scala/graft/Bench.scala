@@ -7,12 +7,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // test-scale split sizing: the whole sf0.1 lineitem is ONE ~10 MB
-      // parquet file, and the default 128 MB maxPartitionBytes turns every
-      // heavy scan into a single-core job on a 32-core runner. 1 MB splits
-      // spread the big scans across cores; at production scale (many
-      // ≥128 MB files) the default is correct and this knob is a no-op on
-      // anything already multi-file. openCost keeps tiny dims in 1 split.
+      // TEST-SCALE-ONLY split sizing: the whole sf0.1 lineitem is ONE
+      // ~10 MB parquet file, and the default 128 MB maxPartitionBytes
+      // turns every heavy scan into a single-core job on a 32-core
+      // runner; 1 MB splits spread them. Do NOT copy to a production
+      // config — the knob caps split size per FILE, so on real ≥128 MB
+      // files it would shatter every scan into 1 MB tasks (128× task
+      // count); keep the default there. openCost keeps tiny dims whole.
       .config("spark.sql.files.maxPartitionBytes", "1m")
       .config("spark.sql.files.openCostInBytes", "512k")
       .config("spark.ui.enabled", "false")

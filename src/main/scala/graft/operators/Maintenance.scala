@@ -230,11 +230,21 @@ object Maintenance {
                            keys: Seq[String],
                            memberCol: String): org.apache.spark.sql.DataFrame = {
     require(rollups.nonEmpty, "nothing to merge")
+    // the RESULT is itself the artifact: pair-set in, pair-set out, so a
+    // persisted merge feeds the next cycle's merge directly (the same
+    // closure property mergeRollups has for sums) — counts are a
+    // separate read via [[distinctRollupCounts]]
     rollups.reduce(_.unionByName(_))
       .dropDuplicates(keys :+ memberCol)
-      .groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as(s"n_distinct_$memberCol"))
   }
+
+  /** Derive the distinct counts from a (keys, member) rollup artifact —
+    * the read side of [[mergeDistinctRollups]]. */
+  def distinctRollupCounts(artifact: org.apache.spark.sql.DataFrame,
+                           keys: Seq[String],
+                           memberCol: String): org.apache.spark.sql.DataFrame =
+    artifact.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as(s"n_distinct_$memberCol"))
 
   /** Z-value of up to 4 numeric columns: each is min-max quantized to
     * `bits` cells and the cell bits are interleaved — pure `Column`

@@ -75,8 +75,11 @@ object Relational {
         // discounted revenue as an exact cents×basis-points LONG sum (the
         // dsum idiom; ~2.7× faster than the decimal-product aggregation it
         // replaced and the same oracle expression on both engines). Long
-        // range: ~1e8 per row ⇒ safe to ~9e10 rows per group; groups
-        // needing more keep the decimal form (q29/q30).
+        // range: per-row product tops out near 1e11 (price_cents ~1e7 ×
+        // 1e4 bp), so the sum is safe to ~1e8 rows PER GROUP (~sf30 for
+        // q03's largest group) and Spark's non-ANSI sum wraps SILENTLY
+        // past it — groups that can exceed that keep the decimal form
+        // (q29/q30 do).
         (sum(round(col("l_extendedprice") * 100).cast("long") *
           (lit(10000L) - round(col("l_discount") * 10000).cast("long"))) / 1e6)
           .as("sum_disc_price"),
@@ -363,7 +366,9 @@ object Relational {
         col("user_id"), col("event_id"))
     def slice(parity: Int) = base.filter(col("event_id") % 2 === parity)
       .select("day", "user_id").distinct()
-    Maintenance.mergeDistinctRollups(Seq(slice(0), slice(1)),
+    Maintenance.distinctRollupCounts(
+        Maintenance.mergeDistinctRollups(Seq(slice(0), slice(1)),
+          keys = Seq("day"), memberCol = "user_id"),
         keys = Seq("day"), memberCol = "user_id")
       .orderBy("day")
   }

@@ -245,12 +245,13 @@ object GraftProperties extends Properties("graft") {
     forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bs =>
       import graft.sources.RelayProto
       val arr = bs.toArray
-      // decode of random bytes must either produce a message or throw a
-      // bounded-validation exception — both are fine; an infinite loop or
-      // an OOM-sized allocation is the failure mode this guards
+      // decode of random bytes must either produce a message or throw the
+      // codec's OWN bounded-validation error (every Reader guard is a
+      // require → IllegalArgumentException). Anything else — NPE,
+      // MatchError, ClassCastException — is a decoder crash this property
+      // exists to catch, so it propagates and fails the test.
       def safe(f: => Any): Boolean =
-        try { f; true } catch { case _: IllegalArgumentException => true
-                                case _: RuntimeException => true }
+        try { f; true } catch { case _: IllegalArgumentException => true }
       safe(RelayProto.decode(arr)) && safe(RelayProto.decodeAck(arr)) &&
         safe(RelayProto.decodeEnvelope(arr))
     }

@@ -175,20 +175,28 @@ class BucketedJoinSpec extends graft.SparkSpec {
     assert(merged(Seq(pre, slices(2))).sameElements(direct))
   }
 
-  test("mergeDistinctRollups: merge == direct distinct; idempotent and order-free") {
+  test("mergeDistinctRollups: merge == direct distinct; idempotent, order-free, " +
+    "and the artifact closes over the next cycle's merge") {
     import SparkSpec.session.implicits._
     val rows = Seq((1L, 10L), (1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L), (2L, 12L))
     val df = rows.toDF("day", "user_id")
     val a = df.filter(col("user_id") % 2 === 0).distinct()
     val b = df.filter(col("user_id") % 2 === 1).distinct()
     def counts(d: org.apache.spark.sql.DataFrame) = d.as[(Long, Long)].collect().toSet
-    val direct = df.distinct().groupBy("day")
-      .agg(count(lit(1)).as("n_distinct_user_id"))
-    assert(counts(Maintenance.mergeDistinctRollups(Seq(a, b), Seq("day"), "user_id"))
-      === counts(direct))
+    def read(art: org.apache.spark.sql.DataFrame) =
+      counts(Maintenance.distinctRollupCounts(art, Seq("day"), "user_id"))
+    val direct = counts(df.distinct().groupBy("day")
+      .agg(count(lit(1)).as("n_distinct_user_id")))
+    assert(read(Maintenance.mergeDistinctRollups(Seq(a, b), Seq("day"), "user_id"))
+      === direct)
     // order-free and IDEMPOTENT: re-merging a slice changes nothing — the
     // property that makes replay safe without a batchId high-water mark
-    assert(counts(Maintenance.mergeDistinctRollups(Seq(b, a, b), Seq("day"), "user_id"))
-      === counts(direct))
+    assert(read(Maintenance.mergeDistinctRollups(Seq(b, a, b), Seq("day"), "user_id"))
+      === direct)
+    // the TRUE incremental cycle: a persisted merged artifact folds with
+    // the next delta directly — pair-set in, pair-set out
+    val preMerged = Maintenance.mergeDistinctRollups(Seq(a), Seq("day"), "user_id")
+    assert(read(Maintenance.mergeDistinctRollups(Seq(preMerged, b), Seq("day"), "user_id"))
+      === direct)
   }
 }

@@ -865,6 +865,12 @@ class PlanAuditSpec extends SparkSpec {
     assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p)
   }
 
+  test("ev_rollup_distinct: pair-grain exchanges only, partial-agged, no Expand/join") {
+    val p = planOf("ev_rollup_distinct")
+    assert(!p.contains("Join") && !p.contains("Expand"), p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+  }
+
   test("sim_knn_graph: WindowGroupLimit top-k, no nested-loop or cartesian pairing") {
     val p = planOf("sim_knn_graph")
     assert(p.contains("WindowGroupLimit"), p)
