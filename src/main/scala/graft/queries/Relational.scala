@@ -1329,6 +1329,156 @@ object Relational {
       .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
   }
 
+  /** Q37 — customer order-count distribution (TPC-H Q13's skeleton,
+    * the priority filter standing in for the comment LIKE): how many
+    * customers placed 0, 1, 2, … qualifying orders. Scale shape: orders
+    * fold to (custkey, count) grain BEFORE the outer join, so the join
+    * carries one row per ordering customer instead of one per order —
+    * the naive Q13 outer-joins raw orders onto customer and folds
+    * after, paying an order-grain shuffle with customer columns
+    * attached. Both join sides are custkey-keyed (the canonical
+    * bucketed-storage candidate); customers with no qualifying orders
+    * surface via the LEFT join's null → 0. The final histogram is a
+    * count-of-counts over at most |distinct order counts| rows. */
+  def q37CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("c_count"))
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  /** Q38 — national market share (TPC-H Q8's skeleton): of the revenue
+    * in STANDARD-type parts sold to ASIA-region customers in 1996–1997,
+    * what fraction was supplied by NATION_2, per order year. Scale
+    * shape: part filter and supplier→nation leg BROADCAST onto the one
+    * lineitem scan; the two fact-grain exchanges are lineitem⋈orders
+    * (order key) and the ASIA customer semi-join (cust key) — both
+    * co-location candidates. Revenue quantizes to exact per-row cents
+    * via `(price_cents × (10000 − disc_bp)) div 10000` — the div
+    * truncates identically on both engines, and cents-scale sums keep
+    * the ppm numerator (`Σ × 10⁶`) inside long range to ~sf5 per year
+    * (~10¹² cents); past that the numerator moves to decimal. */
+  def q38MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val asiaNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+        .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(asiaNations),
+        col("c_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("c_custkey"))
+    val ords = Tables.orders(spark, dir)
+      .filter(to_date(col("o_orderdate")).between("1996-01-01", "1997-12-31"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(to_date(col("o_orderdate"))).as("o_year"))
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+    val pt = Tables.part(spark, dir).filter(col("p_type") === "STANDARD")
+      .select(col("p_partkey"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        expr("cast(round(l_extendedprice * 100) as long) * " +
+          "(10000 - cast(round(l_discount * 10000) as long)) div 10000")
+          .as("vol_cents"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(ords, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("o_year")
+      .agg(sum(when(col("supp_nation") === "NATION_2", col("vol_cents"))
+          .otherwise(0L)).as("nation_vol_cents"),
+        sum(col("vol_cents")).as("total_vol_cents"))
+      .withColumn("mkt_share_ppm",
+        expr("nation_vol_cents * 1000000 div total_vol_cents"))
+      .orderBy("o_year")
+  }
+
+  /** Q39 — product-line profit by supplier nation and year (TPC-H Q9's
+    * skeleton, `p_retailprice`-based cost standing in for the absent
+    * partsupp leg): profit = revenue − 10 % of retail×quantity for
+    * parts named like `%red%`. Scale shape: the filtered part list and
+    * supplier→nation leg broadcast onto the one lineitem scan; the only
+    * fact-grain exchange is lineitem⋈orders on the order key (needed
+    * for the year). Profit quantizes per row at 10⁻⁶-dollar scale
+    * (cents×bp revenue minus 10·retail_cents·qty_cents) then truncates
+    * to cents with `div 10000` — both engines truncate toward zero on
+    * negatives (profit can be negative), and cents sums are long-safe
+    * past sf1000. */
+  def q39ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val pt = Tables.part(spark, dir)
+      .filter(col("p_name").contains("red"))
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("retail_cents"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val ords = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), year(to_date(col("o_orderdate"))).as("o_year"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+        round(col("l_discount") * 10000).cast("long").as("disc_bp"),
+        round(col("l_quantity") * 100).cast("long").as("qty_cents"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ords, col("l_orderkey") === col("o_orderkey"))
+      .select(col("nation"), col("o_year"),
+        expr("(price_cents * (10000 - disc_bp) - " +
+          "10 * retail_cents * qty_cents) div 10000").as("profit_cents"))
+      .groupBy("nation", "o_year")
+      .agg(count(lit(1)).as("n_items"),
+        sum("profit_cents").as("profit_cents"))
+      .orderBy(asc("nation"), desc("o_year"))
+  }
+
+  /** Q40 — local-supplier volume (TPC-H Q5's skeleton): 1996 revenue
+    * per EUROPE nation counting only lineitems whose supplier sits in
+    * the customer's own nation. Scale shape: the distinctive join is
+    * supplier on TWO keys — `l_suppkey = s_suppkey AND s_nationkey =
+    * c_nationkey` — with the customer's nation riding the fact rows
+    * from the orders⋈customer join; supplier and the nation/region legs
+    * broadcast, so the fact-grain exchanges are orders⋈customer (cust
+    * key) and lineitem⋈orders (order key), both bucketing candidates.
+    * Revenue uses the q38 per-row exact-cents idiom. */
+  def q40LocalVolume(spark: SparkSession, dir: String): DataFrame = {
+    val eurNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+        .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(eurNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val ords = Tables.orders(spark, dir)
+      .filter(to_date(col("o_orderdate")).between("1996-01-01", "1996-12-31"))
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"), col("n_name"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr("cast(round(l_extendedprice * 100) as long) * " +
+          "(10000 - cast(round(l_discount * 10000) as long)) div 10000")
+          .as("vol_cents"))
+      .join(ords, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(col("vol_cents")).as("revenue_cents"))
+      .orderBy(desc("revenue_cents"), asc("n_name"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_filter_project" -> q01FilterProject _,
     "q02_string_chain"   -> q02StringChain _,
@@ -1383,6 +1533,10 @@ object Relational {
     "q34_top_supplier"     -> q34TopSupplier _,
     "q35_large_orders"     -> q35LargeOrders _,
     "q36_supplier_diversity" -> q36SupplierDiversity _,
+    "q37_cust_dist"        -> q37CustDist _,
+    "q38_market_share"     -> q38MarketShare _,
+    "q39_product_profit"   -> q39ProductProfit _,
+    "q40_local_volume"     -> q40LocalVolume _,
     "q24_window_suite"   -> q24WindowSuite _,
     "a7_approx_distinct" -> a7ApproxDistinct _,
   )
@@ -1888,6 +2042,69 @@ object Relational {
         |AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         |GROUP BY 1, 2, 3
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q37_cust_dist" ->
+      """WITH oc AS (
+        | SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS c_count
+        | FROM orders WHERE o_orderpriority <> '1-URGENT' GROUP BY 1)
+        |SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+        | SELECT COALESCE(oc.c_count, 0) AS c_count
+        | FROM customer LEFT JOIN oc ON c_custkey = o_custkey)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q38_market_share" ->
+      """WITH li AS (
+        | SELECT l_orderkey, l_suppkey,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |   (10000 - CAST(round(l_discount * 10000) AS BIGINT)) // 10000
+        |   AS vol_cents
+        | FROM lineitem
+        | WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'STANDARD'))
+        |SELECT o_year,
+        | CAST(SUM(CASE WHEN n_name = 'NATION_2' THEN vol_cents ELSE 0 END)
+        |  AS BIGINT) AS nation_vol_cents,
+        | CAST(SUM(vol_cents) AS BIGINT) AS total_vol_cents,
+        | CAST(SUM(CASE WHEN n_name = 'NATION_2' THEN vol_cents ELSE 0 END)
+        |  * 1000000 // SUM(vol_cents) AS BIGINT) AS mkt_share_ppm
+        |FROM li
+        |JOIN (
+        | SELECT o_orderkey, year(CAST(o_orderdate AS DATE)) AS o_year
+        | FROM orders
+        | WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+        |  AND o_custkey IN (
+        |   SELECT c_custkey FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |   JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')
+        |) o ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q39_product_profit" ->
+      """SELECT n_name AS nation, year(CAST(o_orderdate AS DATE)) AS o_year,
+        | CAST(COUNT(*) AS BIGINT) AS n_items,
+        | CAST(SUM((CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |   (10000 - CAST(round(l_discount * 10000) AS BIGINT)) -
+        |   10 * CAST(round(p_retailprice * 100) AS BIGINT) *
+        |   CAST(round(l_quantity * 100) AS BIGINT)) // 10000) AS BIGINT)
+        |  AS profit_cents
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation ASC, o_year DESC""".stripMargin,
+    "q40_local_volume" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |  (10000 - CAST(round(l_discount * 10000) AS BIGINT)) // 10000)
+        |  AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        | AND CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        |GROUP BY 1 ORDER BY revenue_cents DESC, n_name""".stripMargin,
     "ev_new_vs_returning" ->
       """WITH ud AS (
         | SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),

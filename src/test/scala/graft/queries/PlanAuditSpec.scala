@@ -865,6 +865,46 @@ class PlanAuditSpec extends SparkSpec {
     assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p)
   }
 
+  test("q37: Q13 — orders fold to custkey grain BEFORE the outer join; priority pushed") {
+    val p = planOf("q37_cust_dist")
+    // the custkey-grain aggregate must sit BELOW the LeftOuter join
+    // (fold-then-join, not join-then-fold): the join's build side is the
+    // aggregate, so partial_count appears before the outer join in the tree
+    assert(p.contains("LeftOuter"), p)
+    assert(p.indexOf("partial_count") < p.indexOf("LeftOuter"), p)
+    assert(p.contains("Not(EqualTo(o_orderpriority,1-URGENT))"), p)
+    assert("orders\\.parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q38: Q8 — part/supplier legs broadcast; date + type filters pushed; one lineitem scan") {
+    val p = planOf("q38_market_share")
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("EqualTo(p_type,STANDARD)"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,1996-01-01"), p)
+    assert(p.contains("LeftSemi"), p) // ASIA-customer membership, never a row-multiplying join
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q39: Q9 — name filter pushed as StringContains; dims broadcast; one lineitem scan") {
+    val p = planOf("q39_product_profit")
+    assert(p.contains("StringContains(p_name,red)"), p)
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q40: Q5 — two-key supplier join; region/date filters pushed; one scan per table") {
+    val p = planOf("q40_local_volume")
+    assert(p.contains("EqualTo(r_name,EUROPE)"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,1996-01-01"), p)
+    // the two-key supplier equi-join (suppkey AND nationkey) must stay a
+    // hash join on both keys, not a one-key join plus residual filter
+    assert(p.contains("[l_suppkey") && p.contains("s_nationkey"), p)
+    Seq("lineitem", "orders", "customer", "supplier").foreach { t =>
+      assert(s"$t\\.parquet".r.findAllIn(p).size == 1, s"$t: $p")
+    }
+  }
+
   test("ev_rollup_distinct: pair-grain exchanges only, partial-agged, no Expand/join") {
     val p = planOf("ev_rollup_distinct")
     assert(!p.contains("Join") && !p.contains("Expand"), p)
