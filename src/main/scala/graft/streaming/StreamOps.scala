@@ -304,6 +304,51 @@ object StreamOps {
     ()
   }
 
+  /** Streaming incremental DISTINCT-rollup maintenance — the foreachBatch
+    * twin of [[graft.operators.Maintenance.mergeDistinctRollups]] and the
+    * production form of the `ev_rollup_distinct` query: each micro-batch
+    * reduces to its distinct (keys, member) pairs and set-unions into the
+    * persisted pair-set artifact (the closure property: pair-set in,
+    * pair-set out, so each version feeds the next fold directly); counts
+    * are a read via [[graft.operators.Maintenance.distinctRollupCounts]],
+    * never stored. Unlike the sum rollup, the FOLD ITSELF is idempotent —
+    * re-unioning a replayed batch changes no pair — so the batchId meta
+    * here only guards the unrelated-stream case (a batchId below the
+    * high-water mark means a different stream's earlier batches were
+    * never folded here; that fails loudly, same contract as
+    * [[mergeRollupBatch]]). Per-batch cost is one distinct over the batch
+    * plus a pair-grain merge exchange; the artifact grows with DISTINCT
+    * pairs, not rows — at 100 TB the pair set is the (keys × members)
+    * universe, and a too-hot universe is the signal to switch to the
+    * sketched `a7_approx_distinct` path instead. */
+  def mergeDistinctRollupBatch(rollupPath: String, keys: Seq[String],
+                               memberCol: String)
+                              (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val (fs, root) = graft.sources.Fs.of(spark, rollupPath)
+    val prev = graft.sources.Fs.currentVersion(fs, root)
+      .map(v => s"$rollupPath/v$v")
+    val last = prev.map(d => spark.read.parquet(s"$d/meta").head.getLong(0))
+    if (last.contains(batchId)) return // checkpoint replay of the last batch
+    require(last.forall(_ < batchId),
+      s"distinct rollup at $rollupPath already folded through batch " +
+        s"${last.get}, got batch $batchId from an unrelated stream — its " +
+        "earlier batches were never merged here; use a fresh rollup path")
+    val delta = batch.select((keys :+ memberCol).map(col): _*).distinct()
+    val merged = prev match {
+      case Some(d) => graft.operators.Maintenance.mergeDistinctRollups(
+        Seq(spark.read.parquet(s"$d/pairs"), delta), keys, memberCol)
+      case None => delta
+    }
+    graft.sources.Fs.writeVersioned(spark, rollupPath) { vdir =>
+      merged.write.mode("overwrite").parquet(s"$vdir/pairs")
+      Seq(batchId).toDF("last_batch").coalesce(1)
+        .write.mode("overwrite").parquet(s"$vdir/meta")
+    }
+    ()
+  }
+
   /** Streaming twin of the a8 heavy-hitters sketch
     * ([[graft.queries.TrainingData.a8HeavyHitters]], oracle-checked in
     * batch): the SAME SpaceSaving `TypedImperativeAggregate` running as

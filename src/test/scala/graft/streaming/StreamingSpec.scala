@@ -607,6 +607,70 @@ class StreamingSpec extends SparkSpec {
     assert(rollup() == Map("view" -> ((3L, 600L)), "click" -> ((1L, 50L))))
   }
 
+  test("distinct-rollup sink: pair-set artifact exact across restart; counts match batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val us = 1000L
+    val ckpt = java.nio.file.Files.createTempDirectory("drollup_ckpt").toString
+    val path = java.nio.file.Files.createTempDirectory("drollup_art").toString + "/r"
+    val mem = MemoryStream[Ev]
+    def start() = mem.toDF()
+      .select(col("event_type"), col("user_id"))
+      .writeStream
+      .foreachBatch(StreamOps.mergeDistinctRollupBatch(path,
+        Seq("event_type"), "user_id") _)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    def counts() = graft.operators.Maintenance.distinctRollupCounts(
+        spark.read.parquet(
+          graft.sources.Fs.resolveCurrent(spark, path, "no rollup") + "/pairs"),
+        Seq("event_type"), "user_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val q1 = start()
+    try {
+      // user 1 views twice (one distinct pair), user 2 clicks
+      mem.addData(Ev(1, 100 * us, 1, "view", 1.0), Ev(2, 200 * us, 1, "view", 2.0))
+      q1.processAllAvailable()
+      mem.addData(Ev(3, 300 * us, 2, "click", 0.5))
+      q1.processAllAvailable()
+      assert(counts() == Map("view" -> 1L, "click" -> 1L))
+    } finally q1.stop()
+    // restart on the same checkpoint: a NEW user and a RE-SEEN pair fold
+    // in — the new pair counts, the re-seen one is absorbed by the union
+    val q2 = start()
+    try {
+      mem.addData(Ev(4, 400 * us, 3, "view", 3.0), Ev(5, 500 * us, 1, "view", 4.0))
+      q2.processAllAvailable()
+      assert(counts() == Map("view" -> 2L, "click" -> 1L))
+    } finally q2.stop()
+    // replay AT the high-water mark: version pointer must not move (the
+    // fold would be value-idempotent anyway; the skip saves the write)
+    val (fs, root) = graft.sources.Fs.of(spark, path)
+    val vBefore = graft.sources.Fs.currentVersion(fs, root).get
+    val lastId = spark.read.parquet(
+      graft.sources.Fs.resolveCurrent(spark, path, "no rollup") + "/meta")
+      .head.getLong(0)
+    val replay = spark.createDataFrame(Seq(("view", 1L)))
+      .toDF("event_type", "user_id")
+    StreamOps.mergeDistinctRollupBatch(path, Seq("event_type"), "user_id")(
+      replay, lastId)
+    assert(graft.sources.Fs.currentVersion(fs, root).get == vBefore)
+    // batchId BELOW the mark = unrelated stream, must throw not skip
+    val ex = intercept[IllegalArgumentException] {
+      StreamOps.mergeDistinctRollupBatch(path, Seq("event_type"), "user_id")(
+        replay, lastId - 1)
+    }
+    assert(ex.getMessage.contains("unrelated stream"), ex.getMessage)
+    // differential: the maintained artifact's counts equal the batch
+    // distinct over every row that entered the stream
+    val allRows = Seq(("view", 1L), ("view", 1L), ("click", 2L),
+      ("view", 3L), ("view", 1L))
+    val batchDirect = spark.createDataFrame(allRows)
+      .toDF("event_type", "user_id").distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts() == batchDirect)
+  }
+
   test("funnel stream documents the no-retraction contract under disorder") {
     implicit val sqlCtx = spark.sqlContext
     val us = 1000L // ns per µs
