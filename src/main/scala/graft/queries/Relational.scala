@@ -1479,6 +1479,100 @@ object Relational {
       .orderBy(desc("revenue_cents"), asc("n_name"))
   }
 
+  /** EV-gap-fill — calendar densification + forward fill, the
+    * time-series repair every downstream model/report assumes has
+    * already happened: per (type, hour) cents sums with MISSING hours
+    * materialized (null + is_gap flag) and the last observed value
+    * carried forward. Scale shape: events fold ONCE to (type, hour)
+    * grain, then each observed row GENERATES its own gap run — the
+    * hours up to (not including) the next observed hour, via
+    * lead + sequence-explode — carrying its value as the fill. That is
+    * the forward fill by construction, with no calendar build, no
+    * second fact pass, and no join (the oracle cross-checks it against
+    * the independent calendar + `last_value IGNORE NULLS`
+    * formulation). One type-keyed exchange serves the lead window; the
+    * explode runs at (type, hour) dimension grain — thousands of rows
+    * where events are billions. Pathologically sparse series (a
+    * year-long hole) would make one row generate the whole hole; gap
+    * runs are bounded by observation density, which for real telemetry
+    * keeps rows ≈ span. */
+  def evGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000 * 1000
+    val w = Window.partitionBy("event_type").orderBy("hr")
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr(s"(ts div 1000) div $hourUs").as("hr"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("next_hr", lead("hr", 1).over(w))
+      .select(col("event_type"), col("hr").as("obs_hr"), col("cents"),
+        explode(sequence(col("hr"),
+          coalesce(col("next_hr") - 1, col("hr")))).as("hr"))
+      .select(col("event_type"), col("hr"),
+        when(col("hr") === col("obs_hr"), col("cents")).as("cents"),
+        (col("hr") =!= col("obs_hr")).as("is_gap"),
+        col("cents").as("filled_cents"))
+      .orderBy("event_type", "hr")
+  }
+
+  /** EV-SCD2 — slowly-changing-dimension type-2 intervals from an event
+    * stream: each user's consecutive same-type runs become versioned
+    * rows with `[valid_from, valid_to)` bounds and an `is_current` flag
+    * (valid_to = the NEXT run's start; null on the open run) — the
+    * standard warehouse dimension-history build, here event-sourced.
+    * Scale shape: ONE user-keyed exchange serves everything — the
+    * change-flag lag, the run-id running sum, the (user, run) fold
+    * (user partitioning satisfies the superset grouping), and the
+    * valid_to lead — so the whole build is a single shuffle plus
+    * per-partition sorts (plan-locked). All columns are exact
+    * integers/strings; run-constant event_type folds via max. */
+  def evScd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").as("ts_us"))
+      .withColumn("chg",
+        when(lag("event_type", 1).over(w).isNull ||
+          col("event_type") =!= lag("event_type", 1).over(w), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "run_id")
+      .agg(max("event_type").as("event_type"),
+        min("ts_us").as("valid_from_us"), count(lit(1)).as("n_events"))
+      .withColumn("valid_to_us", lead("valid_from_us", 1)
+        .over(Window.partitionBy("user_id").orderBy("run_id")))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select(col("user_id"), col("run_id"), col("event_type"),
+        col("valid_from_us"), col("valid_to_us"), col("is_current"),
+        col("n_events"))
+      .orderBy("user_id", "run_id")
+  }
+
+  /** Q41 — GROUPING SETS with a grouping id (the multi-grain shape
+    * q14's ROLLUP and q17's CUBE don't cover: an EXPLICIT grain list,
+    * here (flag, status) + each one-column marginal, skipping the grand
+    * total). The planner's Expand multiplies the fact rows by the
+    * number of grains BEFORE the fold — the documented cost of any
+    * grouping-sets query — but partial aggregation collapses each grain
+    * within the scan partition, so the exchange carries |grains| ×
+    * |groups| rows, not ×rows. `gid` is the engine-independent bitmask
+    * (bit per column, 1 = aggregated away; Spark and DuckDB share the
+    * Postgres convention). */
+  def q41GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_quantity") * 100).cast("long").as("qty_cents"))
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"), sum("qty_cents").as("sum_qty_cents"))
+      .select(col("gid"), col("l_returnflag"), col("l_linestatus"),
+        col("n"), col("sum_qty_cents"))
+      .orderBy(asc("gid"), asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_filter_project" -> q01FilterProject _,
     "q02_string_chain"   -> q02StringChain _,
@@ -1537,6 +1631,9 @@ object Relational {
     "q38_market_share"     -> q38MarketShare _,
     "q39_product_profit"   -> q39ProductProfit _,
     "q40_local_volume"     -> q40LocalVolume _,
+    "q41_grouping_sets"    -> q41GroupingSets _,
+    "ev_gap_fill"          -> evGapFill _,
+    "ev_scd2"              -> evScd2 _,
     "q24_window_suite"   -> q24WindowSuite _,
     "a7_approx_distinct" -> a7ApproxDistinct _,
   )
@@ -2105,6 +2202,58 @@ object Relational {
         |WHERE r_name = 'EUROPE'
         | AND CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
         |GROUP BY 1 ORDER BY revenue_cents DESC, n_name""".stripMargin,
+    "q41_grouping_sets" ->
+      """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |  AS sum_qty_cents
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        | (l_returnflag), (l_linestatus))
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "ev_gap_fill" ->
+      """WITH hourly AS (
+        | SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        | FROM events GROUP BY 1, 2),
+        |cal AS (
+        | SELECT event_type, unnest(generate_series(MIN(hr), MAX(hr))) AS hr
+        | FROM hourly GROUP BY event_type)
+        |SELECT cal.event_type, cal.hr, hourly.cents,
+        | hourly.cents IS NULL AS is_gap,
+        | last_value(hourly.cents IGNORE NULLS) OVER (
+        |  PARTITION BY cal.event_type ORDER BY cal.hr
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+        |FROM cal LEFT JOIN hourly
+        | ON cal.event_type = hourly.event_type AND cal.hr = hourly.hr
+        |ORDER BY 1, 2""".stripMargin,
+    "ev_scd2" ->
+      """WITH t AS (
+        | SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+        |  LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |   AS prev_type
+        | FROM events),
+        |f AS (
+        | SELECT user_id, event_type, event_id, ts_us,
+        |  CASE WHEN prev_type IS NULL OR event_type <> prev_type
+        |   THEN 1 ELSE 0 END AS chg
+        | FROM t),
+        |r AS (
+        | SELECT user_id, event_type, ts_us,
+        |  CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+        | FROM f),
+        |g AS (
+        | SELECT user_id, run_id, MAX(event_type) AS event_type,
+        |  MIN(ts_us) AS valid_from_us, CAST(COUNT(*) AS BIGINT) AS n_events
+        | FROM r GROUP BY 1, 2)
+        |SELECT user_id, run_id, event_type, valid_from_us,
+        | LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id)
+        |  AS valid_to_us,
+        | LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id)
+        |  IS NULL AS is_current,
+        | n_events
+        |FROM g ORDER BY user_id, run_id""".stripMargin,
     "ev_new_vs_returning" ->
       """WITH ud AS (
         | SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),

@@ -905,6 +905,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q41: grouping sets — Expand before a partial-agged fold, one group-grain exchange") {
+    val p = planOf("q41_grouping_sets")
+    assert(p.contains("Expand"), p)
+    assert(p.contains("partial_count"), p) // grains collapse within the scan partition
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("ev_gap_fill: one events scan, run-generation — no join, no calendar pass") {
+    val p = planOf("ev_gap_fill")
+    assert("events\\.parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Generate"), p) // the sequence-explode gap runs
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("ev_scd2: ONE user-keyed exchange serves lag, run-id, fold, and lead") {
+    val p = planOf("ev_scd2")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+    // the (user, run) fold must reuse the user partitioning + sort order
+    // (SortAggregate, no re-exchange on (user, run) — the count above
+    // pins the single user-keyed exchange)
+    assert(p.contains("SortAggregate"), p)
+  }
+
   test("ev_rollup_distinct: pair-grain exchanges only, partial-agged, no Expand/join") {
     val p = planOf("ev_rollup_distinct")
     assert(!p.contains("Join") && !p.contains("Expand"), p)
