@@ -277,7 +277,27 @@ object StreamOps {
   def mergeRollupBatch(rollupPath: String, keys: Seq[String],
                        sumCols: Seq[String])
                       (batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
+    val delta = batch.groupBy(keys.map(col): _*)
+      .agg(sum(col(sumCols.head)).as(sumCols.head),
+        sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+    foldVersionedBatch(batch.sparkSession, rollupPath, batchId, "rollup") {
+      case Some(prevArt) => graft.operators.Maintenance.mergeRollups(
+        Seq(prevArt, delta), keys, sumCols = sumCols)
+      case None => delta
+    }
+  }
+
+  /** The versioned-fold skeleton shared by the rollup maintainers: resolve
+    * the current version, read its folded-through batchId, skip the
+    * checkpoint replay of exactly the last batch, REJECT a batchId below
+    * the high-water mark (an unrelated stream whose earlier batches were
+    * never folded here), and publish `fold(previous artifact)` as the next
+    * `v<N>/` with the atomic `_current` swap. The replay/reject contract
+    * and the meta layout live ONLY here — the maintainers supply just the
+    * merge step. */
+  private def foldVersionedBatch(spark: SparkSession, rollupPath: String,
+      batchId: Long, artifact: String)
+      (fold: Option[DataFrame] => DataFrame): Unit = {
     import spark.implicits._
     val (fs, root) = graft.sources.Fs.of(spark, rollupPath)
     val prev = graft.sources.Fs.currentVersion(fs, root)
@@ -288,16 +308,9 @@ object StreamOps {
       s"rollup at $rollupPath already folded through batch ${last.get}, " +
         s"got batch $batchId from an unrelated stream — its earlier " +
         "batches were never merged here; use a fresh rollup path")
-    val delta = batch.groupBy(keys.map(col): _*)
-      .agg(sum(col(sumCols.head)).as(sumCols.head),
-        sumCols.tail.map(c => sum(col(c)).as(c)): _*)
-    val merged = prev match {
-      case Some(d) => graft.operators.Maintenance.mergeRollups(
-        Seq(spark.read.parquet(s"$d/rollup"), delta), keys, sumCols = sumCols)
-      case None => delta
-    }
+    val merged = fold(prev.map(d => spark.read.parquet(s"$d/$artifact")))
     graft.sources.Fs.writeVersioned(spark, rollupPath) { vdir =>
-      merged.write.mode("overwrite").parquet(s"$vdir/rollup")
+      merged.write.mode("overwrite").parquet(s"$vdir/$artifact")
       Seq(batchId).toDF("last_batch").coalesce(1)
         .write.mode("overwrite").parquet(s"$vdir/meta")
     }
@@ -324,29 +337,12 @@ object StreamOps {
   def mergeDistinctRollupBatch(rollupPath: String, keys: Seq[String],
                                memberCol: String)
                               (batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    import spark.implicits._
-    val (fs, root) = graft.sources.Fs.of(spark, rollupPath)
-    val prev = graft.sources.Fs.currentVersion(fs, root)
-      .map(v => s"$rollupPath/v$v")
-    val last = prev.map(d => spark.read.parquet(s"$d/meta").head.getLong(0))
-    if (last.contains(batchId)) return // checkpoint replay of the last batch
-    require(last.forall(_ < batchId),
-      s"distinct rollup at $rollupPath already folded through batch " +
-        s"${last.get}, got batch $batchId from an unrelated stream — its " +
-        "earlier batches were never merged here; use a fresh rollup path")
     val delta = batch.select((keys :+ memberCol).map(col): _*).distinct()
-    val merged = prev match {
-      case Some(d) => graft.operators.Maintenance.mergeDistinctRollups(
-        Seq(spark.read.parquet(s"$d/pairs"), delta), keys, memberCol)
+    foldVersionedBatch(batch.sparkSession, rollupPath, batchId, "pairs") {
+      case Some(prevArt) => graft.operators.Maintenance.mergeDistinctRollups(
+        Seq(prevArt, delta), keys, memberCol)
       case None => delta
     }
-    graft.sources.Fs.writeVersioned(spark, rollupPath) { vdir =>
-      merged.write.mode("overwrite").parquet(s"$vdir/pairs")
-      Seq(batchId).toDF("last_batch").coalesce(1)
-        .write.mode("overwrite").parquet(s"$vdir/meta")
-    }
-    ()
   }
 
   /** Streaming twin of the a8 heavy-hitters sketch

@@ -867,11 +867,11 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q37: Q13 — orders fold to custkey grain BEFORE the outer join; priority pushed") {
     val p = planOf("q37_cust_dist")
-    // the custkey-grain aggregate must sit BELOW the LeftOuter join
-    // (fold-then-join, not join-then-fold): the join's build side is the
-    // aggregate, so partial_count appears before the outer join in the tree
+    // fold-then-join, not join-then-fold: a CUSTKEY-grain aggregate over
+    // orders must exist (it only does when orders fold BELOW the outer
+    // join — the naive plan aggregates at c_count grain after the join)
     assert(p.contains("LeftOuter"), p)
-    assert(p.indexOf("partial_count") < p.indexOf("LeftOuter"), p)
+    assert(p.contains("HashAggregate(keys=[o_custkey"), p)
     assert(p.contains("Not(EqualTo(o_orderpriority,1-URGENT))"), p)
     assert("orders\\.parquet".r.findAllIn(p).size == 1, p)
   }
@@ -898,8 +898,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("EqualTo(r_name,EUROPE)"), p)
     assert(p.contains("GreaterThanOrEqual(o_orderdate,1996-01-01"), p)
     // the two-key supplier equi-join (suppkey AND nationkey) must stay a
-    // hash join on both keys, not a one-key join plus residual filter
-    assert(p.contains("[l_suppkey") && p.contains("s_nationkey"), p)
+    // hash join on both keys, not a one-key join plus residual filter:
+    // ONE join line must carry all four key names in its key lists
+    assert(p.linesIterator.exists(l => l.contains("Join") &&
+      Seq("l_suppkey", "c_nationkey", "s_suppkey", "s_nationkey")
+        .forall(l.contains)), p)
     Seq("lineitem", "orders", "customer", "supplier").foreach { t =>
       assert(s"$t\\.parquet".r.findAllIn(p).size == 1, s"$t: $p")
     }
@@ -933,7 +936,7 @@ class PlanAuditSpec extends SparkSpec {
   test("ev_rollup_distinct: pair-grain exchanges only, partial-agged, no Expand/join") {
     val p = planOf("ev_rollup_distinct")
     assert(!p.contains("Join") && !p.contains("Expand"), p)
-    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    assert(p.contains("partial_count"), p) // the count fold is map-side partial
   }
 
   test("sim_knn_graph: WindowGroupLimit top-k, no nested-loop or cartesian pairing") {
