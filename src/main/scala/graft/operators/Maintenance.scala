@@ -246,6 +246,40 @@ object Maintenance {
     artifact.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as(s"n_distinct_$memberCol"))
 
+  /** Build an HLL distinct-count rollup slice — the APPROXIMATE tier of
+    * [[mergeDistinctRollups]], for when even the distinct pair set is too
+    * wide to store or exchange (the "too-hot universe" escape hatch that
+    * operator documents): one Datasketches HLL sketch per key group,
+    * ~KBs per group at ANY member cardinality. The sketch column is the
+    * artifact; estimates are a read via [[hllRollupEstimates]]. */
+  def hllRollup(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+                memberCol: String): org.apache.spark.sql.DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(memberCol)).as(s"hll_$memberCol"))
+
+  /** Merge HLL rollup slices — sketch in, sketch out (the closure
+    * property shared by the whole rollup family), so a persisted merge
+    * feeds the next cycle directly. HLL register merges are element-wise
+    * max: commutative, associative, and IDEMPOTENT, so like the exact
+    * pair set (and unlike sums) a replayed slice is absorbed, not
+    * double-counted. Each merge exchanges keys×sketch-bytes — never the
+    * members. */
+  def mergeHllRollups(rollups: Seq[org.apache.spark.sql.DataFrame],
+                      keys: Seq[String],
+                      sketchCol: String): org.apache.spark.sql.DataFrame =
+    rollups.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(hll_union_agg(col(sketchCol)).as(sketchCol))
+
+  /** Derive the distinct-count estimates from an HLL rollup artifact —
+    * the read side of [[hllRollup]]/[[mergeHllRollups]]. Exact below the
+    * sketch's coupon threshold (small groups), ~2 % beyond it. */
+  def hllRollupEstimates(artifact: org.apache.spark.sql.DataFrame,
+                         keys: Seq[String],
+                         sketchCol: String): org.apache.spark.sql.DataFrame =
+    artifact.select((keys.map(col) :+
+      hll_sketch_estimate(col(sketchCol)).as(s"est_$sketchCol")): _*)
+
   /** Z-value of up to 4 numeric columns: each is min-max quantized to
     * `bits` cells and the cell bits are interleaved — pure `Column`
     * shift/or arithmetic (codegen'd end to end, no UDF). `bits` must

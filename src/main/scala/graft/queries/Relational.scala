@@ -1329,6 +1329,32 @@ object Relational {
       .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
   }
 
+  /** EV-rollup-distinct-HLL — the APPROXIMATE tier of
+    * [[evRollupDistinct]] ([[graft.operators.Maintenance.hllRollup]] /
+    * `mergeHllRollups`): the same two slice artifacts, but each is one
+    * Datasketches HLL sketch per day instead of the distinct pair set —
+    * the escape hatch for member universes too hot to store as pairs
+    * (sketch bytes per group at ANY cardinality). Golden-locked:
+    * register merges are element-wise max (commutative, associative,
+    * idempotent), so the merged sketch — and its integer estimate — is
+    * bit-stable under any partitioning or merge order (the
+    * `a7_approx_distinct` precedent); MaintenanceSpec independently
+    * locks estimate≈exact and replay idempotence. */
+  def evRollupDistinctHll(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Maintenance
+    val dayUs = 86400L * 1000 * 1000
+    val base = Tables.events(spark, dir)
+      .select(expr("(ts div 1000) div " + dayUs).as("day"),
+        col("user_id"), col("event_id"))
+    def slice(parity: Int) = Maintenance.hllRollup(
+      base.filter(col("event_id") % 2 === parity), Seq("day"), "user_id")
+    Maintenance.hllRollupEstimates(
+        Maintenance.mergeHllRollups(Seq(slice(0), slice(1)),
+          keys = Seq("day"), sketchCol = "hll_user_id"),
+        keys = Seq("day"), sketchCol = "hll_user_id")
+      .orderBy("day")
+  }
+
   /** Q37 — customer order-count distribution (TPC-H Q13's skeleton,
     * the priority filter standing in for the comment LIKE): how many
     * customers placed 0, 1, 2, … qualifying orders. Scale shape: orders
@@ -1612,6 +1638,7 @@ object Relational {
     "ev_cooccurrence"    -> evCooccurrence _,
     "ev_rollup_merge"    -> evRollupMerge _,
     "ev_rollup_distinct" -> evRollupDistinct _,
+    "ev_rollup_distinct_hll" -> evRollupDistinctHll _,
     "q28_skew_report"    -> q28SkewReport _,
     "ev_autocorr"        -> evAutocorr _,
     "ds_range_bounds"    -> dsRangeBounds _,

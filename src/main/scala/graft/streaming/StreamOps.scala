@@ -287,6 +287,26 @@ object StreamOps {
     }
   }
 
+  /** Streaming incremental HLL-rollup maintenance — the APPROXIMATE tier
+    * of [[mergeDistinctRollupBatch]], for member universes too hot to
+    * store as pairs: each micro-batch folds to one Datasketches HLL
+    * sketch per key group and hll-unions into the persisted sketch
+    * artifact (closure: sketch in, sketch out). Register merges are
+    * element-wise max — idempotent like the pair set — so the batchId
+    * meta only guards the unrelated-stream case. State per key group is
+    * ~KBs at ANY member cardinality; estimates are a read via
+    * [[graft.operators.Maintenance.hllRollupEstimates]]. */
+  def mergeHllRollupBatch(rollupPath: String, keys: Seq[String],
+                          memberCol: String)
+                         (batch: DataFrame, batchId: Long): Unit = {
+    val delta = graft.operators.Maintenance.hllRollup(batch, keys, memberCol)
+    foldVersionedBatch(batch.sparkSession, rollupPath, batchId, "sketch") {
+      case Some(prevArt) => graft.operators.Maintenance.mergeHllRollups(
+        Seq(prevArt, delta), keys, s"hll_$memberCol")
+      case None => delta
+    }
+  }
+
   /** The versioned-fold skeleton shared by the rollup maintainers: resolve
     * the current version, read its folded-through batchId, skip the
     * checkpoint replay of exactly the last batch, REJECT a batchId below

@@ -110,7 +110,14 @@ object Golden {
     // model-gated curation: bit-stable scoring (ds_quality_model's
     // argument) composed with the dedup window's total (keep_q desc,
     // doc_id) order and integer funnel counts
-    "ds_curate_model")
+    "ds_curate_model",
+    // merged-HLL distinct estimates: Datasketches register/coupon merges
+    // are element-wise max / set union — commutative, associative,
+    // idempotent — so the merged sketch and its INTEGER estimate are
+    // bit-stable under any partitioning or merge order (the
+    // a7_approx_distinct argument); MaintenanceSpec independently locks
+    // estimate≈exact and replay idempotence
+    "ev_rollup_distinct_hll")
 
   val sfDir = "/root/testdata/sf0.01"
 

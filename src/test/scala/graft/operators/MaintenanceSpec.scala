@@ -199,4 +199,33 @@ class BucketedJoinSpec extends graft.SparkSpec {
     assert(read(Maintenance.mergeDistinctRollups(Seq(preMerged, b), Seq("day"), "user_id"))
       === direct)
   }
+
+  test("hll rollups: merged estimates exact on small sets; idempotent; artifact closes; " +
+    "2% band at 5k members") {
+    import SparkSpec.session.implicits._
+    val rows = Seq((1L, 10L), (1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L), (2L, 12L))
+    val df = rows.toDF("day", "user_id")
+    val a = Maintenance.hllRollup(df.filter(col("user_id") % 2 === 0), Seq("day"), "user_id")
+    val b = Maintenance.hllRollup(df.filter(col("user_id") % 2 === 1), Seq("day"), "user_id")
+    def est(art: org.apache.spark.sql.DataFrame) =
+      Maintenance.hllRollupEstimates(art, Seq("day"), "hll_user_id")
+        .as[(Long, Long)].collect().toSet
+    // below the coupon threshold the sketch stores the members themselves,
+    // so the estimate is EXACT: day 1 {10, 11}, day 2 {10, 12}
+    val expected = Set((1L, 2L), (2L, 2L))
+    assert(est(Maintenance.mergeHllRollups(Seq(a, b), Seq("day"), "hll_user_id"))
+      === expected)
+    // order-free and IDEMPOTENT (register max): replaying a slice is absorbed
+    assert(est(Maintenance.mergeHllRollups(Seq(b, a, b), Seq("day"), "hll_user_id"))
+      === expected)
+    // closure: a persisted merged artifact folds with the next delta
+    val pre = Maintenance.mergeHllRollups(Seq(a), Seq("day"), "hll_user_id")
+    assert(est(Maintenance.mergeHllRollups(Seq(pre, b), Seq("day"), "hll_user_id"))
+      === expected)
+    // beyond the exact regime the estimate stays inside the sketch's band
+    val big = SparkSpec.session.range(5000)
+      .select(lit(1L).as("day"), col("id").as("user_id"))
+    val e = est(Maintenance.hllRollup(big, Seq("day"), "user_id")).head._2
+    assert(math.abs(e - 5000L) <= 150, s"estimate $e vs 5000")
+  }
 }

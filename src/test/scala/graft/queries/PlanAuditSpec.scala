@@ -933,6 +933,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("SortAggregate"), p)
   }
 
+  test("ev_rollup_distinct_hll: sketch-grain exchanges, partial sketch agg, no join") {
+    val p = planOf("ev_rollup_distinct_hll")
+    assert(!p.contains("Join"), p)
+    // both the slice build and the union-merge must partial-aggregate —
+    // exchanges carry day-keyed sketch bytes, never (day, user) rows
+    assert(p.contains("partial_hll_sketch_agg"), p)
+    assert(p.contains("partial_hll_union_agg"), p)
+  }
+
   test("ev_rollup_distinct: pair-grain exchanges only, partial-agged, no Expand/join") {
     val p = planOf("ev_rollup_distinct")
     assert(!p.contains("Join") && !p.contains("Expand"), p)

@@ -671,6 +671,59 @@ class StreamingSpec extends SparkSpec {
     assert(counts() == batchDirect)
   }
 
+  test("hll-rollup sink: sketch artifact folds across restart; small-set estimates exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val us = 1000L
+    val ckpt = java.nio.file.Files.createTempDirectory("hrollup_ckpt").toString
+    val path = java.nio.file.Files.createTempDirectory("hrollup_art").toString + "/r"
+    val mem = MemoryStream[Ev]
+    def start() = mem.toDF()
+      .select(col("event_type"), col("user_id"))
+      .writeStream
+      .foreachBatch(StreamOps.mergeHllRollupBatch(path,
+        Seq("event_type"), "user_id") _)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    def est() = graft.operators.Maintenance.hllRollupEstimates(
+        spark.read.parquet(
+          graft.sources.Fs.resolveCurrent(spark, path, "no rollup") + "/sketch"),
+        Seq("event_type"), "hll_user_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val q1 = start()
+    try {
+      mem.addData(Ev(1, 100 * us, 1, "view", 1.0), Ev(2, 200 * us, 1, "view", 2.0))
+      q1.processAllAvailable()
+      mem.addData(Ev(3, 300 * us, 2, "click", 0.5))
+      q1.processAllAvailable()
+      assert(est() == Map("view" -> 1L, "click" -> 1L))
+    } finally q1.stop()
+    // restart on the same checkpoint: a new user unions in, a re-seen
+    // user is absorbed by the register max
+    val q2 = start()
+    try {
+      mem.addData(Ev(4, 400 * us, 3, "view", 3.0), Ev(5, 500 * us, 1, "view", 4.0))
+      q2.processAllAvailable()
+      assert(est() == Map("view" -> 2L, "click" -> 1L))
+    } finally q2.stop()
+    // replay AT the mark: skipped (version pointer frozen); BELOW: rejected
+    val (fs, root) = graft.sources.Fs.of(spark, path)
+    val vBefore = graft.sources.Fs.currentVersion(fs, root).get
+    val lastId = spark.read.parquet(
+      graft.sources.Fs.resolveCurrent(spark, path, "no rollup") + "/meta")
+      .head.getLong(0)
+    val replay = spark.createDataFrame(Seq(("view", 1L)))
+      .toDF("event_type", "user_id")
+    StreamOps.mergeHllRollupBatch(path, Seq("event_type"), "user_id")(
+      replay, lastId)
+    assert(graft.sources.Fs.currentVersion(fs, root).get == vBefore)
+    val ex = intercept[IllegalArgumentException] {
+      StreamOps.mergeHllRollupBatch(path, Seq("event_type"), "user_id")(
+        replay, lastId - 1)
+    }
+    assert(ex.getMessage.contains("unrelated stream"), ex.getMessage)
+    assert(est() == Map("view" -> 2L, "click" -> 1L))
+  }
+
   test("funnel stream documents the no-retraction contract under disorder") {
     implicit val sqlCtx = spark.sqlContext
     val us = 1000L // ns per µs
