@@ -1599,6 +1599,144 @@ object Relational {
         asc_nulls_first("l_linestatus"))
   }
 
+  /** Q42 — shipping-priority top-10 (TPC-H Q3's skeleton,
+    * `o_orderpriority` standing in for the absent shippriority): unbilled
+    * revenue per order for a market segment, orders placed before / items
+    * shipped after the cutover. Scale shape: both date halves push to
+    * their scans, the segment-filtered customer key set semi-joins onto
+    * orders, the order-grain fold is the one fact exchange, and the
+    * top-10 is TakeOrderedAndProject (never a full sort). */
+  def q42ShipPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ords = Tables.orders(spark, dir)
+      .filter(to_date(col("o_orderdate")) < "1998-01-01")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("order_date"))
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+    Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")) > "1998-01-01")
+      .select(col("l_orderkey"),
+        expr("cast(round(l_extendedprice * 100) as long) * " +
+          "(10000 - cast(round(l_discount * 10000) as long)) div 10000")
+          .as("vol_cents"))
+      .join(ords, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "order_date", "o_orderpriority")
+      .agg(sum("vol_cents").as("revenue_cents"))
+      .orderBy(desc("revenue_cents"), asc("order_date"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Q43 — late-shipment order priorities (TPC-H Q4's skeleton, ship-lag
+    * > 30 days standing in for the absent commit/receipt pair): order
+    * counts per priority where EXISTS a lineitem shipped more than 30
+    * days after the order date. Scale shape: EXISTS with a correlated
+    * inequality = LEFT SEMI on the order key with the lag predicate as
+    * the join condition — the semi join collapses multi-lineitem matches
+    * before the fold, and the quarter filter pushes to the orders scan. */
+  def q43LateOrders(spark: SparkSession, dir: String): DataFrame = {
+    val ords = Tables.orders(spark, dir)
+      .filter(to_date(col("o_orderdate")).between("1997-01-01", "1997-03-31"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("order_date"))
+    ords.join(
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship_date")),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("ship_date") > date_add(col("order_date"), 30), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q44 — forecast-revenue-change probe (TPC-H Q6's skeleton): the
+    * pure filter-aggregate — revenue that WOULD have been earned had
+    * discounts in a band been dropped, one year, small quantities. The
+    * whole predicate (date range + discount band + quantity cap) must
+    * reach the parquet scan (plan-locked) and the fold is a 1-row
+    * partial-agged global sum: the minimal full-scan query, the
+    * pushdown/codegen canary of the TPC-H set. */
+  def q44RevenueChange(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")).between("1997-01-01", "1997-12-31") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .select(expr("cast(round(l_extendedprice * 100) as long) * " +
+        "cast(round(l_discount * 10000) as long) div 10000").as("disc_cents"))
+      .agg(count(lit(1)).as("n_items"), sum("disc_cents").as("revenue_cents"))
+
+  /** Q45 — returned-item losses, top-20 customers (TPC-H Q10's
+    * skeleton): revenue lost to returns in a quarter, attributed to
+    * customers. Scale shape: the return-flag and date filters push to
+    * their scans, lineitem⋈orders (order key) then ⋈customer (cust key)
+    * are the two fact exchanges — both bucketing candidates — the
+    * nation leg broadcasts, and top-20 is TakeOrderedAndProject. */
+  def q45ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val ords = Tables.orders(spark, dir)
+      .filter(to_date(col("o_orderdate")).between("1997-01-01", "1997-03-31"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"),
+        col("n_name"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        expr("cast(round(l_extendedprice * 100) as long) * " +
+          "(10000 - cast(round(l_discount * 10000) as long)) div 10000")
+          .as("vol_cents"))
+      .join(ords, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name", "acctbal_cents", "n_name")
+      .agg(sum("vol_cents").as("revenue_cents"))
+      .orderBy(desc("revenue_cents"), asc("c_custkey"))
+      .limit(20)
+  }
+
+  /** Q46 — priority mix by return status (TPC-H Q12's skeleton,
+    * `l_returnflag` standing in for the absent shipmode): per flag, how
+    * many 1997-shipped items belong to critical-priority orders vs not —
+    * the two-way conditional count over a fact-fact join. Scale shape:
+    * the date filter pushes to the lineitem scan, ONE order-key join
+    * (bucketing candidate), partial-agged conditional sums. */
+  def q46PriorityMix(spark: SparkSession, dir: String): DataFrame = {
+    val hi = Seq("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")).between("1997-01-01", "1997-12-31"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(sum(when(col("o_orderpriority").isin(hi: _*), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority").isin(hi: _*), 0L).otherwise(1L))
+          .as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Q47 — promotion revenue share (TPC-H Q14's skeleton): the fraction
+    * of one month's revenue from PROMO-type parts, in exact ppm — the
+    * conditional-fraction-over-broadcast-join shape (q38 is its big
+    * sibling across a star; this is the minimal two-sum form). The
+    * month filter pushes to the lineitem scan; part broadcasts. */
+  def q47PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val pt = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_type").startsWith("PROMO").as("is_promo"))
+    Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")).between("1997-09-01", "1997-09-30"))
+      .select(col("l_partkey"),
+        expr("cast(round(l_extendedprice * 100) as long) * " +
+          "(10000 - cast(round(l_discount * 10000) as long)) div 10000")
+          .as("vol_cents"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .agg(sum(when(col("is_promo"), col("vol_cents")).otherwise(0L))
+          .as("promo_cents"),
+        sum("vol_cents").as("total_cents"))
+      .withColumn("promo_ppm", expr("promo_cents * 1000000 div total_cents"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_filter_project" -> q01FilterProject _,
     "q02_string_chain"   -> q02StringChain _,
@@ -1659,6 +1797,12 @@ object Relational {
     "q39_product_profit"   -> q39ProductProfit _,
     "q40_local_volume"     -> q40LocalVolume _,
     "q41_grouping_sets"    -> q41GroupingSets _,
+    "q42_ship_priority"    -> q42ShipPriority _,
+    "q43_late_orders"      -> q43LateOrders _,
+    "q44_revenue_change"   -> q44RevenueChange _,
+    "q45_returned_items"   -> q45ReturnedItems _,
+    "q46_priority_mix"     -> q46PriorityMix _,
+    "q47_promo_share"      -> q47PromoShare _,
     "ev_gap_fill"          -> evGapFill _,
     "ev_scd2"              -> evScd2 _,
     "q24_window_suite"   -> q24WindowSuite _,
@@ -2238,6 +2382,75 @@ object Relational {
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         | (l_returnflag), (l_linestatus))
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q42_ship_priority" ->
+      """SELECT l_orderkey, order_date, o_orderpriority,
+        | CAST(SUM(vol_cents) AS BIGINT) AS revenue_cents
+        |FROM (
+        | SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |  o_orderpriority,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |   (10000 - CAST(round(l_discount * 10000) AS BIGINT)) // 10000
+        |   AS vol_cents
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+        |  AND o_custkey IN (
+        |   SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_cents DESC, order_date, l_orderkey LIMIT 10""".stripMargin,
+    "q43_late_orders" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-03-31'
+        | AND EXISTS (
+        |  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+        |   AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 30 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q44_revenue_change" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        | CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |  CAST(round(l_discount * 10000) AS BIGINT) // 10000) AS BIGINT)
+        |  AS revenue_cents
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+        | AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q45_returned_items" ->
+      """SELECT c_custkey, c_name,
+        | CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents, n_name,
+        | CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |  (10000 - CAST(round(l_discount * 10000) AS BIGINT)) // 10000)
+        |  AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        | AND CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-03-31'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin,
+    "q46_priority_mix" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q47_promo_share" ->
+      """WITH li AS (
+        | SELECT p_type LIKE 'PROMO%' AS is_promo,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |   (10000 - CAST(round(l_discount * 10000) AS BIGINT)) // 10000
+        |   AS vol_cents
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1997-09-01' AND DATE '1997-09-30')
+        |SELECT CAST(SUM(CASE WHEN is_promo THEN vol_cents ELSE 0 END) AS BIGINT)
+        |  AS promo_cents,
+        | CAST(SUM(vol_cents) AS BIGINT) AS total_cents,
+        | CAST(SUM(CASE WHEN is_promo THEN vol_cents ELSE 0 END) * 1000000
+        |  // SUM(vol_cents) AS BIGINT) AS promo_ppm
+        |FROM li""".stripMargin,
     "ev_gap_fill" ->
       """WITH hourly AS (
         | SELECT event_type, epoch_us(ts) // 3600000000 AS hr,

@@ -933,6 +933,60 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("SortAggregate"), p)
   }
 
+  test("q42: Q3 — both date halves pushed, segment semi-join, TakeOrdered top-10") {
+    val p = planOf("q42_ship_priority")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,1998-01-02"), p)
+    assert(p.contains("LessThan(o_orderdate,1998-01-01"), p)
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q43: Q4 — EXISTS as semi join with the lag inequality as join condition") {
+    val p = planOf("q43_late_orders")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("date_add"), p) // the 30-day lag rides the join, not a post-filter
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,1997-01-01"), p)
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q44: Q6 — the whole predicate reaches the scan; 1-row partial-agged fold") {
+    val p = planOf("q44_revenue_change")
+    // the scan's PushedFilters list is TRUNCATED in tree format (8
+    // filters), so pin the pushdown via the data-filter condition regexes
+    Seq("l_shipdate#\\d+ >= 1997-01-01", "l_discount#\\d+ >= 0\\.05",
+      "l_discount#\\d+ <= 0\\.07", "l_quantity#\\d+ < 24\\.0")
+      .foreach(f => assert(f.r.findFirstIn(p).isDefined, s"$f: $p"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount)"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q45: Q10 — flag+date pushed, nation broadcast, TakeOrdered top-20") {
+    val p = planOf("q45_returned_items")
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,1997-01-01"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    Seq("lineitem", "orders", "customer").foreach { t =>
+      assert(s"$t\\.parquet".r.findAllIn(p).size == 1, s"$t: $p")
+    }
+  }
+
+  test("q46: Q12 — date pushed, one order-key join, partial conditional sums") {
+    val p = planOf("q46_priority_mix")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,1997-01-01"), p)
+    assert(p.contains("partial_sum"), p)
+    assert("Join".r.findAllIn(p).size <= 2, p) // exactly the one order-key join
+  }
+
+  test("q47: Q14 — month pushed to the lineitem scan, part broadcast, two-sum fold") {
+    val p = planOf("q47_promo_share")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,1997-09-01"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("ev_rollup_distinct_hll: sketch-grain exchanges, partial sketch agg, no join") {
     val p = planOf("ev_rollup_distinct_hll")
     assert(!p.contains("Join"), p)
