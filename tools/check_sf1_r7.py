@@ -114,6 +114,13 @@ for name in ["ev_funnel", "ev_retention", "txt_normalize",
              "ds_canary", "ds_canary_audit",
              "q35_large_orders", "q36_supplier_diversity",
              "ev_rollup_distinct",
+             # round-8 continuation (batches 29-32): the full TPC-H
+             # shape set + gap-fill/SCD2/grouping-sets
+             "q37_cust_dist", "q38_market_share", "q39_product_profit",
+             "q40_local_volume", "q41_grouping_sets", "q42_ship_priority",
+             "q43_late_orders", "q44_revenue_change", "q45_returned_items",
+             "q46_priority_mix", "q47_promo_share", "ev_gap_fill",
+             "ev_scd2",
              # same-label quadratic is 1/|labels| of the negatives' pair
              # count — inside the documented targeted-compare budget
              "ds_positive_pairs"]:
@@ -132,7 +139,8 @@ for name, min_rows in [("ds_quality_model", 4), ("ds_label_noise", 1),
                        ("ds_hard_negatives_ivf", 1000),
                        ("ds_curate_model", 10),
                        # golden-pinned at sf0.01; sf1 = rows+invariants
-                       ("sim_knn_graph", 1000)]:
+                       ("sim_knn_graph", 1000),
+                       ("ev_rollup_distinct_hll", 25)]:
     if not wanted(name):
         continue
     pq = glob.glob(f"{out_dir}/{name}/*.parquet")
