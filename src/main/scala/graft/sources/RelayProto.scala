@@ -89,6 +89,58 @@ object RelayProto {
   final case class EnvelopePayload(payload: WrappedPayload) extends Envelope
   final case class EnvelopeClose(reason: String) extends Envelope
 
+  /** Per-connection receiver state for one RelayEnvelope stream — THE ack
+    * semantics (per-frame success/failure acks with seq echo, the batch
+    * summary on close, the failure-ack-before-drop rule) shared by every
+    * envelope transport (raw socket frames, WebSocket binary messages).
+    * `feed` ingests one unwrapped NDJSON body; `sendAck` writes one
+    * acknowledgment in the transport's own framing and must swallow its
+    * own IO failures for SUCCESS acks (records are already ingested — a
+    * peer that left without reading acks is not an error) while the
+    * failure-path ack is best-effort by construction (the unwrap error is
+    * rethrown regardless). */
+  final class EnvelopeSession(key: Option[Array[Byte]], maxInflatedBytes: Int,
+                              ackMode: String,
+                              feed: Array[Byte] => Unit,
+                              sendAck: StreamAck => Unit) {
+    require(Set("none", "per-frame", "batch").contains(ackMode),
+      s"unknown ackMode '$ackMode' — none | per-frame | batch")
+    private var okCount = 0L
+    private var lastSeq = 0L
+
+    /** Handle one envelope; false = the peer closed the stream. Unwrap
+      * failures rethrow (after the per-frame failure ack) so the transport
+      * drops and counts the connection its own way. */
+    def onEnvelope(bytes: Array[Byte]): Boolean =
+      decodeEnvelope(bytes) match {
+        case EnvelopePayload(wp) =>
+          val body =
+            try unwrap(wp, key, maxInflatedBytes)
+            catch {
+              case e: Throwable =>
+                // a failure ack BEFORE the drop: the writer learns which
+                // frame died instead of just losing the pipe
+                if (ackMode == "per-frame")
+                  try sendAck(StreamAck(success = false,
+                    message = String.valueOf(e.getMessage), id = wp.id,
+                    seq = wp.seq, retryable = true))
+                  catch { case _: Throwable => () }
+                throw e
+            }
+          feed(body)
+          okCount += 1
+          lastSeq = wp.seq
+          if (ackMode == "per-frame")
+            sendAck(StreamAck(success = true, id = wp.id, seq = wp.seq,
+              lastSeq = wp.seq, okCount = 1))
+          true
+        case EnvelopeClose(_) =>
+          if (ackMode == "batch")
+            sendAck(StreamAck(success = true, lastSeq = lastSeq, okCount = okCount))
+          false
+      }
+  }
+
   // --- wire primitives -------------------------------------------------
 
   private final class Writer {

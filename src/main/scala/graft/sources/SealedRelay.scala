@@ -200,21 +200,16 @@ object SealedRelay {
 
   /** THE executor-side chunked socket loop shared by every sealed writer
     * (flag-framed and proto-envelope): per partition, one connection;
-    * records buffer to `maxChunkBytes` of raw NDJSON body and each chunk
-    * goes to `emit` with its per-connection sequence number. `onDone`
-    * runs after the last chunk with the frame count (stream-close / batch
-    * acks). All the subtle invariants live HERE once — the 48 MiB
-    * writer cap under the receiver's 64 MiB default, the oversized-record
-    * fail-fast, and the chunk-boundary arithmetic (the '\n' separator is
-    * only written between records, so a lone record frames at exactly its
-    * own length). */
+    * records pack into `maxChunkBytes` NDJSON bodies ([[Chunking.chunks]]
+    * owns the boundary arithmetic and the oversized-record fail-fast) and
+    * each chunk goes to `emit` with its per-connection sequence number.
+    * `onDone` runs after the last chunk with the frame count
+    * (stream-close / batch acks). */
   private def writeSocketChunked(df: DataFrame, host: String, port: Int,
                                  maxChunkBytes: Int, soTimeoutMs: Int = 0)
                                 (emit: (WriterCtx, Array[Byte], Long) => Unit,
                                  onDone: (WriterCtx, Long) => Unit = (_, _) => ()): Unit = {
-    require(maxChunkBytes > 0 && maxChunkBytes <= (48 << 20),
-      s"maxChunkBytes out of range: $maxChunkBytes (cap 48 MiB — the default " +
-        "receiver drops frames over 64 MiB, and seal overhead needs margin)")
+    Chunking.requireBound(maxChunkBytes)
     df.toJSON.foreachPartition { (it: Iterator[String]) =>
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.get().partitionId()
@@ -223,24 +218,11 @@ object SealedRelay {
           if (soTimeoutMs > 0) sock.setSoTimeout(soTimeoutMs)
           val ctx = new WriterCtx(
             new DataOutputStream(new BufferedOutputStream(sock.getOutputStream)), sock, pid)
-          val buf = new java.io.ByteArrayOutputStream(math.min(maxChunkBytes, 1 << 20))
           var seq = 0L
-          def flushChunk(): Unit = if (buf.size > 0) {
-            emit(ctx, buf.toByteArray, seq)
+          Chunking.chunks(it, maxChunkBytes).foreach { body =>
+            emit(ctx, body, seq)
             seq += 1
-            buf.reset()
           }
-          it.foreach { line =>
-            val b = line.getBytes(UTF_8)
-            require(b.length <= maxChunkBytes,
-              s"single record of ${b.length} bytes exceeds maxChunkBytes " +
-                s"$maxChunkBytes — it would be framed whole and silently " +
-                "dropped by the receiver's frame cap")
-            if (buf.size > 0 && buf.size + b.length + 1 > maxChunkBytes) flushChunk()
-            if (buf.size > 0) buf.write('\n')
-            buf.write(b)
-          }
-          flushChunk()
           onDone(ctx, seq)
         } finally sock.close()
       }
@@ -418,55 +400,30 @@ final class SealedReceivingRelay(spark: SparkSession, port: Int,
       def sendAck(a: RelayProto.StreamAck): Unit =
         try SealedRelay.writeFrame(ackOut, SealedRelay.FlagAck, RelayProto.encodeAck(a))
         catch { case _: java.io.IOException => peerGone = true }
-      var okCount = 0L
-      var lastSeq = 0L
+      def feed(body: Array[Byte]): Unit = {
+        val lines = new String(body, UTF_8)
+          .split("\n").iterator.filter(_.nonEmpty)
+        // one lock per FRAME (not per record): MemoryStream's row
+        // encoder is not thread-safe (see TlsNdjsonJack.serve)
+        stream.synchronized {
+          lines.foreach { l => stream.addData(l); received.incrementAndGet() }
+        }
+      }
+      // envelope/ack semantics live in the shared session — this loop owns
+      // only the socket framing and the legacy flag-framed path
+      val session = new RelayProto.EnvelopeSession(key, maxInflatedBytes,
+        ackMode, feed, sendAck)
       var more = true
       while (more && running.get()) {
         SealedRelay.readFrame(in, maxFrameBytes) match {
           case Some((flags, payload)) =>
-            def feed(body: Array[Byte]): Unit = {
-              val lines = new String(body, UTF_8)
-                .split("\n").iterator.filter(_.nonEmpty)
-              // one lock per FRAME (not per record): MemoryStream's row
-              // encoder is not thread-safe (see TlsNdjsonJack.serve)
-              stream.synchronized {
-                lines.foreach { l => stream.addData(l); received.incrementAndGet() }
-              }
-            }
             if ((flags & SealedRelay.FlagProto) != 0) {
               // protobuf envelope: sealing is declared in its metadata;
               // outer flag bits must not ALSO claim sealing
               require((flags & (SealedRelay.FlagGzip | SealedRelay.FlagAes)) == 0,
                 s"proto frame carries outer sealing flags $flags — ambiguous self-description")
-              RelayProto.decodeEnvelope(payload) match {
-                case RelayProto.EnvelopePayload(wp) =>
-                  val body =
-                    try RelayProto.unwrap(wp, key, maxInflatedBytes)
-                    catch {
-                      case e: Throwable =>
-                        // a failure ack BEFORE the drop: the writer learns
-                        // which frame died instead of just losing the pipe
-                        if (ackMode == "per-frame")
-                          try sendAck(RelayProto.StreamAck(success = false,
-                            message = String.valueOf(e.getMessage), id = wp.id,
-                            seq = wp.seq, retryable = true))
-                          catch { case _: Throwable => () }
-                        throw e
-                    }
-                  feed(body)
-                  okCount += 1
-                  lastSeq = wp.seq
-                  if (ackMode == "per-frame") {
-                    sendAck(RelayProto.StreamAck(success = true, id = wp.id,
-                      seq = wp.seq, lastSeq = wp.seq, okCount = 1))
-                    if (peerGone) more = false
-                  }
-                case RelayProto.EnvelopeClose(_) =>
-                  if (ackMode == "batch")
-                    sendAck(RelayProto.StreamAck(success = true,
-                      lastSeq = lastSeq, okCount = okCount))
-                  more = false
-              }
+              more = session.onEnvelope(payload)
+              if (peerGone) more = false
             } else feed(SealedRelay.unwrap(flags, payload, key, maxInflatedBytes))
           case None => more = false
         }

@@ -47,9 +47,32 @@ object WsFrames {
         .digest((clientKey + WsGuid).getBytes(UTF_8)))
 
   val OpText = 0x1
+  val OpBinary = 0x2
   val OpClose = 0x8
   val OpPing = 0x9
   val OpPong = 0xA
+
+  /** Read one HTTP header line (handshake phase only — before framing). */
+  def readHeaderLine(in: DataInputStream): String = {
+    val sb = new StringBuilder
+    var c = in.read()
+    while (c != -1 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = in.read() }
+    sb.result()
+  }
+
+  /** Consume a client Upgrade request and return its Sec-WebSocket-Key. */
+  def readUpgradeKey(in: DataInputStream): String = {
+    var key: String = null
+    var line = readHeaderLine(in)
+    while (line.nonEmpty) {
+      val idx = line.indexOf(':')
+      if (idx > 0 && line.substring(0, idx).trim.equalsIgnoreCase("Sec-WebSocket-Key"))
+        key = line.substring(idx + 1).trim
+      line = readHeaderLine(in)
+    }
+    require(key != null, "upgrade request carries no Sec-WebSocket-Key")
+    key
+  }
 
   /** Encode one frame (final unless `fin = false` — continuation frames
     * then carry opcode 0x0). Server→client frames are unmasked; a client
@@ -152,7 +175,7 @@ final class WsServerHub(spark: SparkSession, port: Int) {
     try {
       val in = new DataInputStream(sock.getInputStream)
       val rawOut = new BufferedOutputStream(sock.getOutputStream)
-      val key = readUpgradeKey(in)
+      val key = WsFrames.readUpgradeKey(in)
       rawOut.write(
         ("HTTP/1.1 101 Switching Protocols\r\n" +
           "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
@@ -188,26 +211,6 @@ final class WsServerHub(spark: SparkSession, port: Int) {
       }
     } catch { case _: Throwable => () } // connection-level failure drops the peer only
     finally { conns.remove(sock); try sock.close() catch { case _: Throwable => () } }
-  }
-
-  private def readUpgradeKey(in: DataInputStream): String = {
-    var key: String = null
-    var line = readHeaderLine(in)
-    while (line.nonEmpty) {
-      val idx = line.indexOf(':')
-      if (idx > 0 && line.substring(0, idx).trim.equalsIgnoreCase("Sec-WebSocket-Key"))
-        key = line.substring(idx + 1).trim
-      line = readHeaderLine(in)
-    }
-    require(key != null, "upgrade request carries no Sec-WebSocket-Key")
-    key
-  }
-
-  private def readHeaderLine(in: DataInputStream): String = {
-    val sb = new StringBuilder
-    var c = in.read()
-    while (c != -1 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = in.read() }
-    sb.result()
   }
 
   /** Raw ingress stream (one string per received text message). */

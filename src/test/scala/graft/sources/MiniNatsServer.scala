@@ -1,0 +1,147 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.US_ASCII
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
+
+/** Test-scope NATS broker speaking the public client protocol subset the
+  * relay uses: INFO greeting, CONNECT/PING/PONG, PUB routing to
+  * SUB/UNSUB-registered subscriptions with `*`/`>` wildcard matching and
+  * queue-group round-robin, `-ERR 'Maximum Payload Violation'` + drop on
+  * an over-cap PUB (the real server's behavior). Exists so NatsRelaySpec
+  * can exercise [[NatsConnection]] end-to-end without a nats-server
+  * binary; the wire bytes themselves are locked separately by golden
+  * assertions so client and broker can't drift together unnoticed. */
+final class MiniNatsServer(port: Int = 0, maxPayload: Int = 1 << 20) {
+
+  private val server = new ServerSocket(port)
+  private val running = new AtomicBoolean(true)
+
+  private final class Client(val sock: Socket, val id: Long) {
+    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    def send(bytes: Array[Byte]): Unit = out.synchronized {
+      out.write(bytes); out.flush()
+    }
+  }
+
+  private final class Sub(val client: Client, val sid: Long, val pattern: String,
+                          val queue: Option[String])
+
+  private val clients = ConcurrentHashMap.newKeySet[Client]()
+  private val subs = new ConcurrentLinkedQueue[Sub]() // registration order
+  private val clientIds = new AtomicLong(0)
+  private val rrCounters = new ConcurrentHashMap[String, AtomicLong]()
+  private val routedCount = new AtomicLong(0)
+  private val pongCount = new AtomicLong(0)
+
+  def boundPort: Int = server.getLocalPort
+  def routed: Long = routedCount.get()
+  def pongsReceived: Long = pongCount.get()
+
+  /** Server-initiated keepalive — the real server pings idle clients. */
+  def pingAll(): Unit = clients.forEach(c =>
+    try c.send(NatsProto.Ping) catch { case _: Throwable => () })
+
+  private val acceptor = new Thread(() => {
+    while (running.get() && !server.isClosed) {
+      try {
+        val sock = server.accept()
+        val client = new Client(sock, clientIds.incrementAndGet())
+        clients.add(client)
+        val t = new Thread(() => serve(client), s"mini-nats-conn-${client.id}")
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case _: Throwable => if (running.get() && !server.isClosed) Thread.sleep(50)
+      }
+    }
+  }, "mini-nats-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def serve(client: Client): Unit = {
+    try {
+      val in = new DataInputStream(new BufferedInputStream(client.sock.getInputStream))
+      client.send((s"""INFO {"server_id":"mini","server_name":"mini","version":"0.0.1",""" +
+        s""""proto":1,"max_payload":$maxPayload}\r\n""").getBytes(US_ASCII))
+      var more = true
+      while (more && running.get()) {
+        NatsProto.readControlLine(in) match {
+          case None => more = false
+          case Some(line) =>
+            val parts = line.split(' ').filter(_.nonEmpty)
+            parts.headOption.getOrElse("") match {
+              case "CONNECT" => () // accepted; auth/verbose not modeled
+              case "PING"    => client.send(NatsProto.Pong)
+              case "PONG"    => pongCount.incrementAndGet()
+              case "PUB" =>
+                require(parts.length == 3 || parts.length == 4, s"bad PUB: $line")
+                val n = parts.last.toInt
+                if (n > maxPayload) {
+                  client.send("-ERR 'Maximum Payload Violation'\r\n".getBytes(US_ASCII))
+                  more = false // the real server drops the connection
+                } else {
+                  val payload = new Array[Byte](n)
+                  in.readFully(payload)
+                  in.readFully(new Array[Byte](2)) // trailing CRLF
+                  route(parts(1), payload,
+                    if (parts.length == 4) Some(parts(2)) else None)
+                }
+              case "SUB" =>
+                require(parts.length == 3 || parts.length == 4, s"bad SUB: $line")
+                val (queue, sid) =
+                  if (parts.length == 4) (Some(parts(2)), parts(3).toLong)
+                  else (None, parts(2).toLong)
+                NatsProto.validateSubscribeSubject(parts(1))
+                subs.add(new Sub(client, sid, parts(1), queue))
+              case "UNSUB" =>
+                require(parts.length >= 2, s"bad UNSUB: $line")
+                val sid = parts(1).toLong
+                subs.removeIf(s => s.client.eq(client) && s.sid == sid)
+              case other =>
+                client.send(s"-ERR 'Unknown Protocol Operation'\r\n".getBytes(US_ASCII))
+                more = false
+            }
+        }
+      }
+    } catch {
+      case _: Throwable => () // torn-down peer / stop()
+    } finally {
+      subs.removeIf(_.client.eq(client))
+      clients.remove(client)
+      try client.sock.close() catch { case _: Throwable => () }
+    }
+  }
+
+  private def route(subject: String, payload: Array[Byte],
+                    replyTo: Option[String]): Unit = {
+    val matching = {
+      val b = Seq.newBuilder[Sub]
+      subs.forEach(s => if (NatsProto.subjectMatches(s.pattern, subject)) b += s)
+      b.result()
+    }
+    val (queued, plain) = matching.partition(_.queue.isDefined)
+    def deliver(s: Sub): Unit = {
+      try s.client.send(NatsProto.msgFrame(subject, s.sid, payload, replyTo))
+      catch { case _: Throwable => () } // dead subscriber: drop, like the real server
+      routedCount.incrementAndGet()
+    }
+    plain.foreach(deliver)
+    // one member per queue group, round-robin in registration order
+    queued.groupBy(_.queue.get).foreach { case (q, members) =>
+      val idx = rrCounters.computeIfAbsent(q, _ => new AtomicLong(0))
+        .getAndIncrement()
+      deliver(members((idx % members.length).toInt))
+    }
+  }
+
+  def stop(): Unit = {
+    running.set(false)
+    try server.close() catch { case _: Throwable => () }
+    clients.forEach(c => try c.sock.close() catch { case _: Throwable => () })
+    clients.clear()
+    subs.clear()
+  }
+}

@@ -1,0 +1,243 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.US_ASCII
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.SparkSpec
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+/** S12 NATS relay transport: golden wire bytes for every control frame
+  * (locked against the PUBLIC protocol grammar, not against our own
+  * broker, so client and test server cannot drift together), the subject
+  * wildcard truth table, and end-to-end relay runs over [[MiniNatsServer]]
+  * — sealed fan-out, queue-group load balancing, wrong-key rejection,
+  * payload-cap enforcement on both ends, and the PING/PONG keepalive. */
+class NatsRelaySpec extends SparkSpec {
+
+  private val key = Array.tabulate[Byte](32)(i => (i * 13 + 5).toByte)
+  private val schema = new StructType().add("id", LongType).add("name", StringType)
+
+  // --- golden wire frames ---------------------------------------------------
+
+  test("golden wire bytes: PUB/SUB/UNSUB/MSG/CONNECT/PING frames match the public grammar") {
+    assert(new String(NatsProto.pubFrame("foo.bar", "hello".getBytes(US_ASCII)), US_ASCII)
+      == "PUB foo.bar 5\r\nhello\r\n")
+    assert(new String(NatsProto.pubFrame("foo", Array.emptyByteArray), US_ASCII)
+      == "PUB foo 0\r\n\r\n")
+    assert(new String(NatsProto.pubFrame("req", "x".getBytes(US_ASCII),
+      replyTo = Some("inbox.1")), US_ASCII) == "PUB req inbox.1 1\r\nx\r\n")
+    assert(new String(NatsProto.subLine("events.>", None, 7), US_ASCII)
+      == "SUB events.> 7\r\n")
+    assert(new String(NatsProto.subLine("jobs", Some("workers"), 3), US_ASCII)
+      == "SUB jobs workers 3\r\n")
+    assert(new String(NatsProto.unsubLine(3), US_ASCII) == "UNSUB 3\r\n")
+    assert(new String(NatsProto.unsubLine(3, Some(10)), US_ASCII) == "UNSUB 3 10\r\n")
+    assert(new String(NatsProto.msgFrame("foo.bar", 9, "hi".getBytes(US_ASCII)), US_ASCII)
+      == "MSG foo.bar 9 2\r\nhi\r\n")
+    assert(new String(NatsProto.msgFrame("foo", 1, "hi".getBytes(US_ASCII),
+      replyTo = Some("inbox.2")), US_ASCII) == "MSG foo 1 inbox.2 2\r\nhi\r\n")
+    assert(new String(NatsProto.Ping, US_ASCII) == "PING\r\n")
+    assert(new String(NatsProto.Pong, US_ASCII) == "PONG\r\n")
+    val connect = new String(NatsProto.connectLine("unit", verbose = true), US_ASCII)
+    assert(connect.startsWith("CONNECT {") && connect.endsWith("}\r\n"), connect)
+    assert(connect.contains("\"verbose\":true") && connect.contains("\"name\":\"unit\"")
+      && connect.contains("\"protocol\":1"), connect)
+  }
+
+  test("MSG header parse: with and without reply-to, malformed rejected") {
+    assert(NatsProto.parseMsgHeader("MSG foo.bar 11 42")
+      == NatsProto.MsgHeader("foo.bar", 11, None, 42))
+    assert(NatsProto.parseMsgHeader("MSG foo 2 inbox.9 0")
+      == NatsProto.MsgHeader("foo", 2, Some("inbox.9"), 0))
+    intercept[IllegalArgumentException](NatsProto.parseMsgHeader("MSG foo 2"))
+    intercept[IllegalArgumentException](NatsProto.parseMsgHeader("PUB foo 2 1"))
+  }
+
+  test("control-line reader: CRLF and bare-LF lines, clean EOF, mid-line truncation") {
+    def in(s: String) = new DataInputStream(
+      new java.io.ByteArrayInputStream(s.getBytes(US_ASCII)))
+    val two = in("PING\r\nPONG\n")
+    assert(NatsProto.readControlLine(two).contains("PING"))
+    assert(NatsProto.readControlLine(two).contains("PONG")) // lax bare-LF
+    assert(NatsProto.readControlLine(two).isEmpty) // clean EOF
+    intercept[EOFException](NatsProto.readControlLine(in("MSG foo"))) // truncated
+    intercept[IllegalArgumentException](
+      NatsProto.readControlLine(in("X" * 5000 + "\r\n"))) // hostile unbounded line
+  }
+
+  test("INFO max_payload extraction") {
+    assert(NatsProto.maxPayloadOf("""{"server_id":"x","max_payload":1048576}""") == 1048576)
+    assert(NatsProto.maxPayloadOf("""{"max_payload": 42 }""") == 42)
+    assert(NatsProto.maxPayloadOf("""{"server_id":"x"}""") == (1 << 20)) // default
+  }
+
+  // --- subject grammar ------------------------------------------------------
+
+  test("subject wildcard matching truth table (public grammar)") {
+    val cases = Seq(
+      ("foo", "foo", true), ("foo", "bar", false),
+      ("foo.*", "foo.bar", true), ("foo.*", "foo.bar.baz", false),
+      ("foo.*", "foo", false),
+      ("foo.>", "foo.bar", true), ("foo.>", "foo.bar.baz", true),
+      ("foo.>", "foo", false),
+      (">", "foo", true), (">", "foo.bar.baz", true),
+      ("*.bar", "foo.bar", true), ("*.bar", "foo.baz", false),
+      ("*", "foo", true), ("*", "foo.bar", false),
+      ("a.*.c", "a.b.c", true), ("a.*.c", "a.b.d", false))
+    cases.foreach { case (p, s, want) =>
+      assert(NatsProto.subjectMatches(p, s) == want, s"'$p' vs '$s'")
+    }
+  }
+
+  test("subject validation: wildcards refused on publish, '>' must be last, empty tokens refused") {
+    NatsProto.validateSubject("relay.data")
+    NatsProto.validateSubscribeSubject("relay.*")
+    NatsProto.validateSubscribeSubject("relay.>")
+    intercept[IllegalArgumentException](NatsProto.validateSubject("relay.*"))
+    intercept[IllegalArgumentException](NatsProto.validateSubject("relay.>"))
+    intercept[IllegalArgumentException](NatsProto.validateSubscribeSubject("a.>.b"))
+    intercept[IllegalArgumentException](NatsProto.validateSubject("a..b"))
+    intercept[IllegalArgumentException](NatsProto.validateSubject(".a"))
+    intercept[IllegalArgumentException](NatsProto.validateSubject("a b"))
+    intercept[IllegalArgumentException](NatsProto.validateSubject(""))
+  }
+
+  // --- e2e over the mini broker --------------------------------------------
+
+  test("e2e: sealed zstd+AES partitions publish to a subject; the receiving relay unwraps into the stream") {
+    val server = new MiniNatsServer()
+    val relay = new NatsReceivingRelay(spark, "127.0.0.1", server.boundPort,
+      "relay.data", key = Some(key))
+    val ingress = relay.jsonStream(schema).writeStream
+      .format("memory").queryName("nats_jack").outputMode("append").start()
+    try {
+      import spark.implicits._
+      val df = (0L until 200L).map(i => (i, s"rec$i")).toDF("id", "name")
+      // tiny chunk cap → many multi-record messages per partition
+      NatsRelay.writeNats(df, "127.0.0.1", server.boundPort, "relay.data",
+        compression = graft.functions.Codecs.CompressZstd,
+        key = Some(key), maxChunkBytes = 256)
+      eventually(relay.receivedCount == 200, s"relay got ${relay.receivedCount}/200")
+      ingress.processAllAvailable()
+      val rows = spark.table("nats_jack").collect()
+      assert(rows.length == 200)
+      assert(rows.map(_.getAs[Long]("id")).sorted.toSeq == (0L until 200L))
+      assert(relay.badMessageCount == 0)
+      assert(relay.lastError.isEmpty, relay.lastError.toString)
+    } finally { ingress.stop(); relay.stop(); server.stop() }
+  }
+
+  test("plain subscriptions fan out copies; queue-group members split the stream disjointly") {
+    val server = new MiniNatsServer()
+    // two plain subscribers → each sees every record; two queue-group
+    // members → each sees SOME records and together exactly the whole
+    val planA = new NatsReceivingRelay(spark, "127.0.0.1", server.boundPort, "jobs")
+    val planB = new NatsReceivingRelay(spark, "127.0.0.1", server.boundPort, "jobs")
+    val qA = new NatsReceivingRelay(spark, "127.0.0.1", server.boundPort,
+      "jobs", queue = Some("workers"))
+    val qB = new NatsReceivingRelay(spark, "127.0.0.1", server.boundPort,
+      "jobs", queue = Some("workers"))
+    try {
+      import spark.implicits._
+      val df = (0L until 64L).map(i => (i, s"j$i")).toDF("id", "name").repartition(4)
+      NatsRelay.writeNats(df, "127.0.0.1", server.boundPort, "jobs",
+        maxChunkBytes = 64)
+      eventually(planA.receivedCount == 64 && planB.receivedCount == 64 &&
+        qA.receivedCount + qB.receivedCount == 64,
+        s"a=${planA.receivedCount} b=${planB.receivedCount} " +
+          s"qa=${qA.receivedCount} qb=${qB.receivedCount}")
+      // round-robin across ≥2 multi-chunk connections reaches both members
+      assert(qA.receivedCount > 0 && qB.receivedCount > 0,
+        s"queue group did not balance: ${qA.receivedCount}/${qB.receivedCount}")
+      def ids(r: NatsReceivingRelay, name: String): Seq[Long] = {
+        val q = r.jsonStream(schema).writeStream
+          .format("memory").queryName(name).outputMode("append").start()
+        try { q.processAllAvailable() } finally q.stop()
+        spark.table(name).collect().map(_.getAs[Long]("id")).toSeq
+      }
+      val (qaIds, qbIds) = (ids(qA, "nats_qa"), ids(qB, "nats_qb"))
+      assert(qaIds.toSet.intersect(qbIds.toSet).isEmpty, "queue members overlapped")
+      assert((qaIds ++ qbIds).sorted == (0L until 64L), "queue union incomplete")
+    } finally { Seq(planA, planB, qA, qB).foreach(_.stop()); server.stop() }
+  }
+
+  test("wildcard subscription receives from every matching subject") {
+    val server = new MiniNatsServer()
+    val relay = new NatsReceivingRelay(spark, "127.0.0.1", server.boundPort, "ev.>")
+    try {
+      import spark.implicits._
+      NatsRelay.writeNats(Seq((1L, "a")).toDF("id", "name"),
+        "127.0.0.1", server.boundPort, "ev.us.click")
+      NatsRelay.writeNats(Seq((2L, "b")).toDF("id", "name"),
+        "127.0.0.1", server.boundPort, "ev.eu.view")
+      eventually(relay.receivedCount == 2, s"got ${relay.receivedCount}/2")
+    } finally { relay.stop(); server.stop() }
+  }
+
+  test("a message sealed with the wrong key fails the tag check and is counted, not fatal") {
+    val server = new MiniNatsServer()
+    val relay = new NatsReceivingRelay(spark, "127.0.0.1", server.boundPort,
+      "sealed", key = Some(key))
+    try {
+      import spark.implicits._
+      val wrongKey = key.map(b => (b ^ 0x55).toByte)
+      NatsRelay.writeNats(Seq((1L, "x")).toDF("id", "name"),
+        "127.0.0.1", server.boundPort, "sealed", key = Some(wrongKey))
+      eventually(relay.badMessageCount >= 1, "bad message was not counted")
+      assert(relay.receivedCount == 0)
+      // the subscription SURVIVES a bad message (per-message delivery,
+      // unlike the socket edge's poisoned frame stream)
+      NatsRelay.writeNats(Seq((2L, "y")).toDF("id", "name"),
+        "127.0.0.1", server.boundPort, "sealed", key = Some(key))
+      eventually(relay.receivedCount == 1, s"got ${relay.receivedCount}/1 after bad msg")
+    } finally { relay.stop(); server.stop() }
+  }
+
+  test("publishes above the server's max_payload are refused locally, before the wire") {
+    val server = new MiniNatsServer(maxPayload = 1024)
+    try {
+      val conn = new NatsConnection("127.0.0.1", server.boundPort)
+      try {
+        assert(conn.maxPayload == 1024) // learned from INFO
+        val e = intercept[IllegalArgumentException](
+          conn.publish("big", new Array[Byte](2048)))
+        assert(e.getMessage.contains("max_payload"), e.getMessage)
+        conn.publish("ok", new Array[Byte](1024)) // at the cap is legal
+        conn.flush()
+      } finally conn.close()
+    } finally server.stop()
+  }
+
+  test("the server -ERRs and drops a peer that violates max_payload on the wire") {
+    val server = new MiniNatsServer(maxPayload = 64)
+    try {
+      val sock = new Socket("127.0.0.1", server.boundPort)
+      try {
+        val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+        val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+        assert(NatsProto.readControlLine(in).exists(_.startsWith("INFO ")))
+        out.write(NatsProto.connectLine("raw"))
+        out.write("PUB big 4096\r\n".getBytes(US_ASCII))
+        out.flush()
+        val err = NatsProto.readControlLine(in)
+        assert(err.exists(_.startsWith("-ERR 'Maximum Payload Violation'")), err.toString)
+        assert(NatsProto.readControlLine(in).isEmpty) // connection dropped
+      } finally sock.close()
+    } finally server.stop()
+  }
+
+  test("keepalive: the client answers a server-initiated PING with PONG") {
+    val server = new MiniNatsServer()
+    try {
+      val conn = new NatsConnection("127.0.0.1", server.boundPort)
+      try {
+        conn.flush() // handshake settled
+        val before = server.pongsReceived
+        server.pingAll()
+        eventually(server.pongsReceived > before, "client never PONGed")
+      } finally conn.close()
+    } finally server.stop()
+  }
+}
