@@ -280,6 +280,69 @@ object Maintenance {
     artifact.select((keys.map(col) :+
       hll_sketch_estimate(col(sketchCol)).as(s"est_$sketchCol")): _*)
 
+  /** Build a THETA distinct rollup slice — the set-operation tier of the
+    * rollup family. Same artifact/merge/read split and the same
+    * idempotent-merge property as [[hllRollup]], but theta sketches
+    * additionally support INTERSECTION and DIFFERENCE reads
+    * ([[thetaOverlap]]): the cross-slice overlap questions (users in
+    * BOTH sources, retained-from-yesterday) that HLL registers cannot
+    * answer and that exact computation would have to re-shuffle raw
+    * members for. Exact below 2^lgK distinct members per group (the
+    * sketch retains every hash), ~1/√(2^lgK) relative error beyond. */
+  def thetaRollup(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+                  memberCol: String): org.apache.spark.sql.DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(org.apache.spark.sql.graft.ThetaGlue
+        .thetaSketchAgg(col(memberCol)).as(s"theta_$memberCol"))
+
+  /** Merge theta rollup slices — sketch in, sketch out; replay-safe like
+    * every member of the family (theta union is idempotent). */
+  def mergeThetaRollups(rollups: Seq[org.apache.spark.sql.DataFrame],
+                        keys: Seq[String],
+                        sketchCol: String): org.apache.spark.sql.DataFrame = {
+    require(rollups.nonEmpty, "nothing to merge")
+    rollups.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(org.apache.spark.sql.graft.ThetaGlue
+        .thetaUnionAgg(col(sketchCol)).as(sketchCol))
+  }
+
+  /** Read a theta rollup artifact: distinct-count estimates per group. */
+  def thetaRollupEstimates(artifact: org.apache.spark.sql.DataFrame,
+                           keys: Seq[String],
+                           sketchCol: String): org.apache.spark.sql.DataFrame =
+    artifact.select((keys.map(col) :+
+      org.apache.spark.sql.graft.ThetaGlue
+        .thetaEstimate(col(sketchCol)).as(s"est_$sketchCol")): _*)
+
+  /** THE theta-only read: given two same-keyed rollup artifacts A and B,
+    * the per-group overlap algebra — |A|, |B|, |A∪B|, |A∩B|, |A\B| —
+    * computed entirely on KB-sized sketch columns (one sketch-wide
+    * broadcast-or-shuffle join on the group keys; raw members are never
+    * exchanged). Groups present in only one artifact surface with the
+    * other side's sketch empty rather than dropping (full outer join +
+    * empty-sketch fill), because "no overlap" is an answer, not a gap. */
+  def thetaOverlap(a: org.apache.spark.sql.DataFrame,
+                   b: org.apache.spark.sql.DataFrame,
+                   keys: Seq[String], sketchCol: String,
+                   suffixes: (String, String) = ("a", "b")): org.apache.spark.sql.DataFrame = {
+    val g = org.apache.spark.sql.graft.ThetaGlue
+    val empty = org.apache.spark.sql.graft.ThetaOps
+      .newUnion(org.apache.spark.sql.graft.ThetaDefaults.LgK).getResult.toByteArray
+    val (sa, sb) = (s"${sketchCol}_${suffixes._1}", s"${sketchCol}_${suffixes._2}")
+    val left = a.withColumnRenamed(sketchCol, sa)
+    val right = b.withColumnRenamed(sketchCol, sb)
+    val joined = left.join(right, keys, "full_outer")
+      .withColumn(sa, coalesce(col(sa), lit(empty)))
+      .withColumn(sb, coalesce(col(sb), lit(empty)))
+    joined.select((keys.map(col) ++ Seq(
+      g.thetaEstimate(col(sa)).as(s"est_${suffixes._1}"),
+      g.thetaEstimate(col(sb)).as(s"est_${suffixes._2}"),
+      g.thetaEstimate(g.thetaUnion(col(sa), col(sb))).as("est_union"),
+      g.thetaEstimate(g.thetaIntersection(col(sa), col(sb))).as("est_intersection"),
+      g.thetaEstimate(g.thetaANotB(col(sa), col(sb))).as(s"est_only_${suffixes._1}"))): _*)
+  }
+
   /** Z-value of up to 4 numeric columns: each is min-max quantized to
     * `bits` cells and the cell bits are interleaved — pure `Column`
     * shift/or arithmetic (codegen'd end to end, no UDF). `bits` must

@@ -1355,6 +1355,48 @@ object Relational {
       .orderBy("day")
   }
 
+  /** EV-rollup-distinct-THETA — the SET-OPERATION tier of the rollup
+    * family ([[graft.operators.Maintenance.thetaRollup]] /
+    * `thetaOverlap`, native Catalyst aggregates over Datasketches theta):
+    * same two per-day slice artifacts (even/odd event ids standing in
+    * for two sources), but theta sketches answer what neither the pair
+    * set (too wide past ~1e9 members) nor HLL (union-only) can at
+    * 100 TB: per-day |even ∩ odd| (users active in BOTH sources) and
+    * |even \ odd|, computed entirely on KB-sized sketch columns.
+    * `n_users` reads the slice-MERGED artifact; `n_union` the scalar
+    * union of the two slices — emitting both locks merge ≡ scalar-union.
+    * Oracle is the exact per-user SQL: below 2^12 = 4096 distinct users
+    * per day (the Datasketches default nominal entries) every sketch is
+    * in EXACT mode — retains all hashes, estimates are the true counts,
+    * insertion-order independent — and the fixture stays under the bound
+    * at every test scale (sf1 rehearsal max = 1356/day; ThetaSpec owns
+    * the estimation-mode regime past 4096). */
+  def evRollupDistinctTheta(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Maintenance
+    val dayUs = 86400L * 1000 * 1000
+    val base = Tables.events(spark, dir)
+      .select(expr("(ts div 1000) div " + dayUs).as("day"),
+        col("user_id"), col("event_id"))
+    def slice(parity: Int) = Maintenance.thetaRollup(
+      base.filter(col("event_id") % 2 === parity), Seq("day"), "user_id")
+    val (even, odd) = (slice(0), slice(1))
+    val merged = Maintenance.thetaRollupEstimates(
+      Maintenance.mergeThetaRollups(Seq(even, odd),
+        keys = Seq("day"), sketchCol = "theta_user_id"),
+      keys = Seq("day"), sketchCol = "theta_user_id")
+    Maintenance.thetaOverlap(even, odd, keys = Seq("day"),
+        sketchCol = "theta_user_id", suffixes = ("even", "odd"))
+      .join(merged, Seq("day"))
+      .select(col("day"),
+        col("est_theta_user_id").cast("long").as("n_users"),
+        col("est_union").cast("long").as("n_union"),
+        col("est_even").cast("long").as("n_even"),
+        col("est_odd").cast("long").as("n_odd"),
+        col("est_intersection").cast("long").as("n_both"),
+        col("est_only_even").cast("long").as("n_only_even"))
+      .orderBy("day")
+  }
+
   /** Q37 — customer order-count distribution (TPC-H Q13's skeleton,
     * the priority filter standing in for the comment LIKE): how many
     * customers placed 0, 1, 2, … qualifying orders. Scale shape: orders
@@ -1777,6 +1819,7 @@ object Relational {
     "ev_rollup_merge"    -> evRollupMerge _,
     "ev_rollup_distinct" -> evRollupDistinct _,
     "ev_rollup_distinct_hll" -> evRollupDistinctHll _,
+    "ev_rollup_distinct_theta" -> evRollupDistinctTheta _,
     "q28_skew_report"    -> q28SkewReport _,
     "ev_autocorr"        -> evAutocorr _,
     "ds_range_bounds"    -> dsRangeBounds _,
@@ -2581,6 +2624,23 @@ object Relational {
       """SELECT epoch_us(ts) // 86400000000 AS day,
         | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_user_id
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact per-user fold: value-matching the sketch query proves every
+    // sketch stayed in exact mode (see evRollupDistinctTheta's bound) AND
+    // that union/intersection/difference reads are the true set algebra
+    "ev_rollup_distinct_theta" ->
+      """WITH per_user AS (
+        | SELECT epoch_us(ts) // 86400000000 AS day, user_id,
+        |  MAX(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS has_even,
+        |  MAX(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS has_odd
+        | FROM events GROUP BY 1, 2)
+        |SELECT day,
+        | CAST(COUNT(*) AS BIGINT) AS n_users,
+        | CAST(COUNT(*) AS BIGINT) AS n_union,
+        | CAST(SUM(has_even) AS BIGINT) AS n_even,
+        | CAST(SUM(has_odd) AS BIGINT) AS n_odd,
+        | CAST(SUM(CASE WHEN has_even = 1 AND has_odd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        | CAST(SUM(CASE WHEN has_even = 1 AND has_odd = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_even
+        |FROM per_user GROUP BY day ORDER BY day""".stripMargin,
     "ev_rollup_merge" ->
       """SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         | CAST(COUNT(*) AS BIGINT) AS n,

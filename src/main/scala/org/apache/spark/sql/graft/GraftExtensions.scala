@@ -28,6 +28,13 @@ object GraftExtensions {
     // capacity must be an integer literal, e.g. space_saving_topk(w, 256)
     "space_saving_topk" -> (args => SpaceSavingTopK(args(0),
       capacityLiteral(args(1))).toAggregateExpression()),
+    // theta distinct sketches: set ops HLL can't do (∩, \)
+    "theta_sketch_agg" -> (args => ThetaSketchAgg(args.head).toAggregateExpression()),
+    "theta_union_agg" -> (args => ThetaUnionAgg(args.head).toAggregateExpression()),
+    "theta_union" -> (args => ThetaSketchUnion(args(0), args(1))),
+    "theta_intersection" -> (args => ThetaSketchIntersection(args(0), args(1))),
+    "theta_a_not_b" -> (args => ThetaSketchANotB(args(0), args(1))),
+    "theta_estimate" -> (args => ThetaSketchEstimate(args.head)),
   )
 
   /** Second arg of space_saving_topk: accept int/long/short/byte literals

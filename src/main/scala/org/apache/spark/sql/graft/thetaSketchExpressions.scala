@@ -1,0 +1,253 @@
+/* Under org.apache.spark.sql for the private[sql] aggregate surface.
+ * Public API: graft.operators.Maintenance theta rollup helpers /
+ * GraftExtensions SQL registration. */
+package org.apache.spark.sql.graft
+
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketch, Union}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Theta-sketch distinct aggregates and SET OPERATIONS — the capability
+  * tier above HLL in the rollup family: HLL answers only |A| and |A∪B|;
+  * theta sketches (Datasketches, on Spark's own classpath) additionally
+  * answer |A∩B| and |A\B|, the cross-slice overlap questions
+  * ("users active in BOTH sources / retained from yesterday") that at
+  * 100 TB cannot be answered exactly without re-shuffling raw members.
+  *
+  * Determinism contract (what makes these ORACLE-checkable): a theta
+  * sketch whose retained-set stays under its nominal-entries capacity k
+  * (default 2^12 = 4096) is in EXACT mode — it retains every distinct
+  * hash, its compact-ordered serialization is a sorted hash list
+  * (insertion-order independent), and `getEstimate` is the exact distinct
+  * count. Unions/intersections/differences of exact-mode sketches are
+  * exact-mode. Past k the sketch decimates and results become
+  * order-sensitive estimates (±~1/√k) — the property spec covers that
+  * regime; the declared query keeps per-group cardinality under k at
+  * every test scale and documents the bound.
+  */
+object ThetaOps {
+
+  def newUnion(lgK: Int): Union =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+
+  def heapify(bytes: Array[Byte]): CompactSketch =
+    CompactSketch.heapify(Memory.wrap(bytes))
+
+  def toBytes(s: CompactSketch): Array[Byte] = s.toByteArray
+
+  def union(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val u = newUnion(ThetaDefaults.LgK)
+    u.union(Memory.wrap(a))
+    u.union(Memory.wrap(b))
+    u.getResult.toByteArray
+  }
+
+  def intersect(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val i = SetOperation.builder().buildIntersection()
+    i.intersect(heapify(a))
+    i.intersect(heapify(b))
+    i.getResult.toByteArray
+  }
+
+  def aNotB(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    SetOperation.builder().buildANotB()
+      .aNotB(heapify(a), heapify(b)).toByteArray
+
+  def estimate(bytes: Array[Byte]): Double = heapify(bytes).getEstimate
+}
+
+object ThetaDefaults {
+  /** log2(nominal entries): 12 → 4096 retained hashes ≈ 32 KiB max per
+    * sketch, the Datasketches default — exact below 4096 distinct
+    * members per group, ~1.6 % relative error above. */
+  val LgK: Int = 12
+}
+
+/** Aggregate raw member values into one theta sketch per group. Accepts
+  * STRING (hashed as UTF-8 bytes), integral, and BINARY members. */
+case class ThetaSketchAgg(
+    child: Expression,
+    lgK: Int = ThetaDefaults.LgK,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Union] with ExpectsInputTypes {
+
+  require(lgK >= 4 && lgK <= 26, s"lgK out of range [4,26]: $lgK")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(StringType, LongType, IntegerType, BinaryType))
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "theta_sketch_agg"
+
+  override def createAggregationBuffer(): Union = ThetaOps.newUnion(lgK)
+
+  override def update(buf: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) v match {
+      // strings hash via their UTF-8 bytes — the ONE canonical encoding,
+      // so sketches built from different slices always agree
+      case s: UTF8String => buf.update(s.getBytes)
+      case l: Long       => buf.update(l)
+      case i: Int        => buf.update(i.toLong)
+      case b: Array[Byte] => buf.update(b)
+      case other => throw new IllegalStateException(
+        s"theta_sketch_agg: unsupported runtime type ${other.getClass}")
+    }
+    buf
+  }
+
+  override def merge(a: Union, b: Union): Union = {
+    a.union(b.getResult)
+    a
+  }
+
+  override def eval(buf: Union): Any = buf.getResult.toByteArray
+
+  override def serialize(buf: Union): Array[Byte] = buf.getResult.toByteArray
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = ThetaOps.newUnion(lgK)
+    u.union(Memory.wrap(bytes))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** Merge serialized theta sketches (the rollup-slice merge — sketch in,
+  * sketch out, same closure property as the HLL tier). Union is
+  * commutative, associative, and IDEMPOTENT: a replayed slice is
+  * absorbed, not double-counted. */
+case class ThetaUnionAgg(
+    child: Expression,
+    lgK: Int = ThetaDefaults.LgK,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Union] with ExpectsInputTypes {
+
+  require(lgK >= 4 && lgK <= 26, s"lgK out of range [4,26]: $lgK")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "theta_union_agg"
+
+  override def createAggregationBuffer(): Union = ThetaOps.newUnion(lgK)
+
+  override def update(buf: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) buf.union(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(a: Union, b: Union): Union = {
+    a.union(b.getResult)
+    a
+  }
+
+  override def eval(buf: Union): Any = buf.getResult.toByteArray
+
+  override def serialize(buf: Union): Array[Byte] = buf.getResult.toByteArray
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = ThetaOps.newUnion(lgK)
+    u.union(Memory.wrap(bytes))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** Scalar set operations over serialized sketches. Codegen'd (they run
+  * per GROUP row after aggregation — cheap — but staying inside
+  * whole-stage codegen keeps the surrounding projection fused). */
+sealed abstract class ThetaBinaryOp extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  protected def opName: String
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    apply(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  protected def apply(a: Array[Byte], b: Array[Byte]): Array[Byte]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graft.ThetaOps.$opName($a, $b);")
+}
+
+case class ThetaSketchUnion(left: Expression, right: Expression) extends ThetaBinaryOp {
+  override protected def opName: String = "union"
+  override protected def apply(a: Array[Byte], b: Array[Byte]): Array[Byte] = ThetaOps.union(a, b)
+  override def prettyName: String = "theta_union"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class ThetaSketchIntersection(left: Expression, right: Expression) extends ThetaBinaryOp {
+  override protected def opName: String = "intersect"
+  override protected def apply(a: Array[Byte], b: Array[Byte]): Array[Byte] = ThetaOps.intersect(a, b)
+  override def prettyName: String = "theta_intersection"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class ThetaSketchANotB(left: Expression, right: Expression) extends ThetaBinaryOp {
+  override protected def opName: String = "aNotB"
+  override protected def apply(a: Array[Byte], b: Array[Byte]): Array[Byte] = ThetaOps.aNotB(a, b)
+  override def prettyName: String = "theta_a_not_b"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class ThetaSketchEstimate(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "theta_estimate"
+
+  override protected def nullSafeEval(v: Any): Any =
+    ThetaOps.estimate(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.ThetaOps.estimate($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column-API glue for the theta family. */
+object ThetaGlue {
+  private def col(e: Expression): Column = ExpressionUtils.column(e)
+  private def expr(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def thetaSketchAgg(c: Column, lgK: Int = ThetaDefaults.LgK): Column =
+    col(ThetaSketchAgg(expr(c), lgK).toAggregateExpression())
+  def thetaUnionAgg(c: Column, lgK: Int = ThetaDefaults.LgK): Column =
+    col(ThetaUnionAgg(expr(c), lgK).toAggregateExpression())
+  def thetaUnion(a: Column, b: Column): Column =
+    col(ThetaSketchUnion(expr(a), expr(b)))
+  def thetaIntersection(a: Column, b: Column): Column =
+    col(ThetaSketchIntersection(expr(a), expr(b)))
+  def thetaANotB(a: Column, b: Column): Column =
+    col(ThetaSketchANotB(expr(a), expr(b)))
+  def thetaEstimate(c: Column): Column =
+    col(ThetaSketchEstimate(expr(c)))
+}

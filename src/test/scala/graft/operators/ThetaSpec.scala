@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{ThetaGlue, ThetaOps}
+
+/** Theta-sketch rollup tier: exact-mode set algebra vs brute force,
+  * order/partitioning independence of the exact-mode artifact, replay
+  * idempotence of slice merges, the estimation-mode error envelope past
+  * nominal entries, the full-outer empty-sketch fill in thetaOverlap,
+  * and the SQL registration. */
+class ThetaSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // two overlapping member sets per group: group g has members
+  // g*1000+0..599 in A and g*1000+300..899 in B → |A|=600, |B|=600,
+  // |A∩B|=300, |A\B|=300, |A∪B|=900
+  private def slices = {
+    val a = (0 until 4).flatMap(g => (0 until 600).map(m => (g, s"u${g * 1000 + m}")))
+      .toDF("g", "member")
+    val b = (0 until 4).flatMap(g => (300 until 900).map(m => (g, s"u${g * 1000 + m}")))
+      .toDF("g", "member")
+    (a, b)
+  }
+
+  test("exact mode: union/intersection/difference estimates are the true set sizes") {
+    val (a, b) = slices
+    val rows = Maintenance.thetaOverlap(
+      Maintenance.thetaRollup(a, Seq("g"), "member"),
+      Maintenance.thetaRollup(b, Seq("g"), "member"),
+      keys = Seq("g"), sketchCol = "theta_member")
+      .collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("est_a") == 600.0, r.toString)
+      assert(r.getAs[Double]("est_b") == 600.0, r.toString)
+      assert(r.getAs[Double]("est_union") == 900.0, r.toString)
+      assert(r.getAs[Double]("est_intersection") == 300.0, r.toString)
+      assert(r.getAs[Double]("est_only_a") == 300.0, r.toString)
+    }
+  }
+
+  test("exact-mode artifact bytes are insertion-order and partitioning independent") {
+    val (a, _) = slices
+    def bytesOf(df: org.apache.spark.sql.DataFrame): Map[Int, Seq[Byte]] =
+      Maintenance.thetaRollup(df, Seq("g"), "member").collect()
+        .map(r => r.getAs[Int]("g") -> r.getAs[Array[Byte]]("theta_member").toSeq)
+        .toMap
+    val once = bytesOf(a.repartition(1))
+    val wide = bytesOf(a.repartition(17, col("member")))
+    val reversed = bytesOf(a.orderBy(desc("member")))
+    assert(once == wide && once == reversed,
+      "exact-mode compact sketches must be canonical")
+  }
+
+  test("slice merges are idempotent: re-merging a slice changes no estimate") {
+    val (a, b) = slices
+    val (sa, sb) = (Maintenance.thetaRollup(a, Seq("g"), "member"),
+      Maintenance.thetaRollup(b, Seq("g"), "member"))
+    def ests(dfs: Seq[org.apache.spark.sql.DataFrame]): Map[Int, Double] =
+      Maintenance.thetaRollupEstimates(
+        Maintenance.mergeThetaRollups(dfs, Seq("g"), "theta_member"),
+        Seq("g"), "theta_member")
+        .collect().map(r => r.getAs[Int]("g") -> r.getAs[Double]("est_theta_member")).toMap
+    val clean = ests(Seq(sa, sb))
+    val replayed = ests(Seq(sa, sb, sb, sa))
+    assert(clean == replayed, "replayed slices must be absorbed")
+    assert(clean.values.forall(_ == 900.0), clean.toString)
+  }
+
+  test("estimation mode: past nominal entries the estimate lands within the error envelope") {
+    // 50k distinct members >> 4096 nominal entries → decimation kicks in;
+    // theta RSE at k=4096 is ~1/64, assert a generous 4σ band
+    val n = 50000
+    val df = (0 until n).map(i => (1, s"member_$i")).toDF("g", "member")
+    val est = Maintenance.thetaRollupEstimates(
+      Maintenance.thetaRollup(df, Seq("g"), "member"), Seq("g"), "theta_member")
+      .collect().head.getAs[Double]("est_theta_member")
+    assert(math.abs(est - n) < n * (4.0 / 64), s"estimate $est vs $n")
+  }
+
+  test("thetaOverlap full-outer: a group present in one artifact only reads as zero overlap") {
+    val a = Seq((1, "x"), (1, "y"), (2, "z")).toDF("g", "member")
+    val b = Seq((1, "y")).toDF("g", "member") // no group 2
+    val rows = Maintenance.thetaOverlap(
+      Maintenance.thetaRollup(a, Seq("g"), "member"),
+      Maintenance.thetaRollup(b, Seq("g"), "member"),
+      keys = Seq("g"), sketchCol = "theta_member")
+      .collect().map(r => r.getAs[Int]("g") -> r).toMap
+    val g2 = rows(2)
+    assert(g2.getAs[Double]("est_a") == 1.0)
+    assert(g2.getAs[Double]("est_b") == 0.0)
+    assert(g2.getAs[Double]("est_union") == 1.0)
+    assert(g2.getAs[Double]("est_intersection") == 0.0)
+    assert(g2.getAs[Double]("est_only_a") == 1.0)
+    assert(rows(1).getAs[Double]("est_intersection") == 1.0)
+  }
+
+  test("empty input: an unfed union is a valid zero-estimate sketch") {
+    val empty = ThetaOps.newUnion(12).getResult.toByteArray
+    assert(ThetaOps.estimate(empty) == 0.0)
+    // and it is the identity for union / absorbing for intersection
+    val one = {
+      val u = ThetaOps.newUnion(12); u.update("only"); u.getResult.toByteArray
+    }
+    assert(ThetaOps.estimate(ThetaOps.union(empty, one)) == 1.0)
+    assert(ThetaOps.estimate(ThetaOps.intersect(empty, one)) == 0.0)
+  }
+
+  test("SQL surface: the theta family is reachable from spark.sql after register()") {
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    Seq((1, "a"), (1, "b"), (2, "a")).toDF("g", "m").createOrReplaceTempView("theta_in")
+    val rows = spark.sql(
+      """SELECT g, CAST(theta_estimate(theta_sketch_agg(m)) AS BIGINT) AS n
+        |FROM theta_in GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(rows.map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((1, 2L), (2, 1L)))
+  }
+
+  test("long and string members both sketch; nulls are skipped not counted") {
+    val df = Seq[(Int, java.lang.Long)]((1, 10L), (1, 11L), (1, null), (1, 10L))
+      .toDF("g", "m")
+    val est = df.groupBy("g")
+      .agg(ThetaGlue.thetaEstimate(ThetaGlue.thetaSketchAgg(col("m"))).as("n"))
+      .collect().head.getAs[Double]("n")
+    assert(est == 2.0)
+  }
+}

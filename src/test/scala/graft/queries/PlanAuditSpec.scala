@@ -996,6 +996,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_hll_union_agg"), p)
   }
 
+  test("ev_rollup_distinct_theta: partial sketch aggs both tiers, artifact joins never row-grain") {
+    val p = planOf("ev_rollup_distinct_theta")
+    // slice build AND artifact merge partial-aggregate: exchanges carry
+    // day-keyed sketch bytes, never (day, user) rows
+    assert(p.contains("partial_theta_sketch_agg"), p)
+    assert(p.contains("partial_theta_union_agg"), p)
+    // the merged-artifact read joins at day grain via broadcast; the
+    // full-outer overlap join cannot broadcast (FullOuter) but is
+    // sketch-grain SMJ — nothing may degenerate to a nested loop
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("ev_rollup_distinct: pair-grain exchanges only, partial-agged, no Expand/join") {
     val p = planOf("ev_rollup_distinct")
     assert(!p.contains("Join") && !p.contains("Expand"), p)
