@@ -290,21 +290,27 @@ object Maintenance {
     * members for. Exact below 2^lgK distinct members per group (the
     * sketch retains every hash), ~1/√(2^lgK) relative error beyond. */
   def thetaRollup(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
-                  memberCol: String): org.apache.spark.sql.DataFrame =
+                  memberCol: String,
+                  lgK: Int = org.apache.spark.sql.graft.ThetaDefaults.LgK): org.apache.spark.sql.DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(org.apache.spark.sql.graft.ThetaGlue
-        .thetaSketchAgg(col(memberCol)).as(s"theta_$memberCol"))
+        .thetaSketchAgg(col(memberCol), lgK).as(s"theta_$memberCol"))
 
   /** Merge theta rollup slices — sketch in, sketch out; replay-safe like
-    * every member of the family (theta union is idempotent). */
+    * every member of the family (theta union is idempotent). `lgK` must
+    * be at least the slices' BUILD lgK: a smaller merge gadget would
+    * decimate exact-mode inputs into estimates (the scalar pairwise ops
+    * in [[thetaOverlap]] are lossless by construction; an aggregate must
+    * bound its buffer, so the cap is explicit here). */
   def mergeThetaRollups(rollups: Seq[org.apache.spark.sql.DataFrame],
                         keys: Seq[String],
-                        sketchCol: String): org.apache.spark.sql.DataFrame = {
+                        sketchCol: String,
+                        lgK: Int = org.apache.spark.sql.graft.ThetaDefaults.LgK): org.apache.spark.sql.DataFrame = {
     require(rollups.nonEmpty, "nothing to merge")
     rollups.reduce(_.unionByName(_))
       .groupBy(keys.map(col): _*)
       .agg(org.apache.spark.sql.graft.ThetaGlue
-        .thetaUnionAgg(col(sketchCol)).as(sketchCol))
+        .thetaUnionAgg(col(sketchCol), lgK).as(sketchCol))
   }
 
   /** Read a theta rollup artifact: distinct-count estimates per group. */

@@ -210,15 +210,6 @@ final class NatsConnection(host: String, port: Int,
   private val err = new AtomicReference[String](null)
   private val dead = new CountDownLatch(1)
 
-  /** Server-declared max_payload from INFO — publishes above it are
-    * refused locally (the server would `-ERR` and drop us). */
-  val maxPayload: Int = {
-    val info = NatsProto.readControlLine(in).getOrElse(
-      throw new IOException("connection closed before INFO"))
-    require(info.startsWith("INFO "), s"expected INFO, got: $info")
-    NatsProto.maxPayloadOf(info.substring(5))
-  }
-
   private def send(bytes: Array[Byte]): Unit = out.synchronized {
     if (!running.get()) throw new IOException(
       s"NATS connection closed${Option(err.get()).fold("")(e => s" ($e)")}")
@@ -226,8 +217,25 @@ final class NatsConnection(host: String, port: Int,
     out.flush()
   }
 
-  send(NatsProto.connectLine(name))
-  sock.setSoTimeout(0)
+  /** Server-declared max_payload from INFO — publishes above it are
+    * refused locally (the server would `-ERR` and drop us). A handshake
+    * failure (no INFO, timeout, write error) must not leak the connected
+    * socket: there is no reader thread yet to clean up after us. */
+  val maxPayload: Int =
+    try {
+      val info = NatsProto.readControlLine(in).getOrElse(
+        throw new IOException("connection closed before INFO"))
+      require(info.startsWith("INFO "), s"expected INFO, got: $info")
+      val mp = NatsProto.maxPayloadOf(info.substring(5))
+      send(NatsProto.connectLine(name))
+      sock.setSoTimeout(0)
+      mp
+    } catch {
+      case e: Throwable =>
+        running.set(false)
+        try sock.close() catch { case _: Throwable => () }
+        throw e
+    }
 
   private val reader = new Thread(() => {
     try {
@@ -303,8 +311,11 @@ final class NatsConnection(host: String, port: Int,
   }
 
   /** PING/PONG round trip: when it returns, the server has processed every
-    * command written before it (the NATS flush idiom). Throws on timeout
-    * or a dead connection, surfacing any `-ERR` the server sent. */
+    * command written before it (the NATS flush idiom). Throws on timeout,
+    * on a dead connection, AND on any `-ERR` the server sent — real
+    * servers keep the connection open for some errors (e.g. a publish
+    * permission violation) while silently discarding the messages, so a
+    * lingering error must fail the barrier even though the PONG arrived. */
   def flush(timeoutMs: Long = 30000): Unit = {
     val latch = new CountDownLatch(1)
     pingWaiters.add(latch)
@@ -314,6 +325,7 @@ final class NatsConnection(host: String, port: Int,
     if (!running.get())
       throw new IOException(
         s"NATS connection died during flush${lastError.fold("")(e => s": $e")}")
+    lastError.foreach(e => throw new IOException(s"NATS server error: $e"))
   }
 
   override def close(): Unit = {
@@ -396,11 +408,7 @@ final class NatsReceivingRelay(spark: SparkSession, host: String, port: Int,
   private val sid = conn.subscribe(subject, queue) { (_, _, payload) =>
     try {
       val body = RelayProto.unwrap(RelayProto.decode(payload), key, maxInflatedBytes)
-      val lines = new String(body, UTF_8).split("\n").iterator.filter(_.nonEmpty)
-      // one lock per MESSAGE: MemoryStream's row encoder is not thread-safe
-      stream.synchronized {
-        lines.foreach { l => stream.addData(l); received.incrementAndGet() }
-      }
+      Chunking.feedNdjson(stream, received)(body)
     } catch {
       case _: Throwable => badMessages.incrementAndGet()
     }

@@ -400,15 +400,7 @@ final class SealedReceivingRelay(spark: SparkSession, port: Int,
       def sendAck(a: RelayProto.StreamAck): Unit =
         try SealedRelay.writeFrame(ackOut, SealedRelay.FlagAck, RelayProto.encodeAck(a))
         catch { case _: java.io.IOException => peerGone = true }
-      def feed(body: Array[Byte]): Unit = {
-        val lines = new String(body, UTF_8)
-          .split("\n").iterator.filter(_.nonEmpty)
-        // one lock per FRAME (not per record): MemoryStream's row
-        // encoder is not thread-safe (see TlsNdjsonJack.serve)
-        stream.synchronized {
-          lines.foreach { l => stream.addData(l); received.incrementAndGet() }
-        }
-      }
+      val feed: Array[Byte] => Unit = Chunking.feedNdjson(stream, received)
       // envelope/ack semantics live in the shared session — this loop owns
       // only the socket framing and the legacy flag-framed path
       val session = new RelayProto.EnvelopeSession(key, maxInflatedBytes,

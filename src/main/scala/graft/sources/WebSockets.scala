@@ -105,8 +105,17 @@ object WsFrames {
 
   final case class Frame(fin: Boolean, opcode: Int, payload: Array[Byte])
 
-  /** Read one frame (blocking). Throws EOFException on a half-closed peer. */
-  def readFrame(in: DataInputStream): Frame = {
+  /** Default per-frame payload cap: the declared length comes from an
+    * UNAUTHENTICATED peer and is allocated before any validation, so it
+    * must be bounded BEFORE `new Array` — same rule as
+    * [[SealedRelay.DefaultMaxFrameBytes]] (and the same 64 MiB). */
+  val DefaultMaxFramePayload: Int = 64 << 20
+
+  /** Read one frame (blocking). Throws EOFException on a half-closed peer,
+    * and rejects frames whose DECLARED length exceeds `maxPayloadBytes`
+    * before allocating. */
+  def readFrame(in: DataInputStream,
+                maxPayloadBytes: Int = DefaultMaxFramePayload): Frame = {
     val b0 = in.readUnsignedByte()
     val b1 = in.readUnsignedByte()
     val masked = (b1 & 0x80) != 0
@@ -117,7 +126,8 @@ object WsFrames {
       else in.readLong()
     // the 64-bit form is unsigned on the wire: a high-bit length reads as
     // negative and must be a protocol error, not a NegativeArraySizeException
-    require(len >= 0 && len <= Int.MaxValue, s"bad frame length $len")
+    require(len >= 0 && len <= maxPayloadBytes,
+      s"bad frame length $len (cap $maxPayloadBytes)")
     val key = if (masked) { val k = new Array[Byte](4); in.readFully(k); k } else null
     val payload = new Array[Byte](len.toInt)
     in.readFully(payload)

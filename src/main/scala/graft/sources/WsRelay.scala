@@ -120,8 +120,13 @@ object WsRelay {
         val pid = org.apache.spark.TaskContext.get().partitionId()
         val sock = new Socket(host, port)
         try {
-          if (ackMode != "none") sock.setSoTimeout(ackTimeoutMs)
+          // the handshake read is bounded in EVERY mode — a peer that
+          // accepts TCP but never answers the Upgrade must fail the task,
+          // not hang it; fire-and-forget then clears the timeout (it never
+          // reads again)
+          sock.setSoTimeout(ackTimeoutMs)
           clientHandshake(sock, s"$host:$port", path)
+          if (ackMode == "none") sock.setSoTimeout(0)
           val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
           val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
           def sendEnvelope(e: RelayProto.Envelope): Unit = {
@@ -233,20 +238,17 @@ final class WsRelayReceiver(spark: SparkSession, port: Int,
           out.write(WsFrames.encode(WsFrames.OpBinary, RelayProto.encodeAck(a)))
           out.flush()
         } catch { case _: java.io.IOException => peerGone = true }
-      def feed(body: Array[Byte]): Unit = {
-        val lines = new String(body, UTF_8).split("\n").iterator.filter(_.nonEmpty)
-        stream.synchronized {
-          lines.foreach { l => stream.addData(l); received.incrementAndGet() }
-        }
-      }
       val session = new RelayProto.EnvelopeSession(key, maxInflatedBytes,
-        ackMode, feed, sendAck)
+        ackMode, Chunking.feedNdjson(stream, received), sendAck)
 
       val pending = new java.io.ByteArrayOutputStream()
       var inMessage = false
       var more = true
       while (more && running.get()) {
-        val f = WsFrames.readFrame(in)
+        // frame cap = message cap: a single frame's DECLARED length is
+        // bounded before allocation (WsFrames.readFrame), and continuation
+        // accumulation is bounded below
+        val f = WsFrames.readFrame(in, maxMessageBytes)
         f.opcode match {
           case WsFrames.OpBinary | 0x0 =>
             require(inMessage == (f.opcode == 0x0),

@@ -43,8 +43,14 @@ object ThetaOps {
 
   def toBytes(s: CompactSketch): Array[Byte] = s.toByteArray
 
+  /** Scalar (pairwise) union is LOSSLESS: the gadget runs at the maximum
+    * lgK so it can never downsample below its inputs — a union of two
+    * exact-mode sketches stays exact whatever lgK they were built with
+    * (the aggregate unions take an explicit lgK instead, because an
+    * unbounded merge buffer is exactly what a streaming aggregate must
+    * not have; here memory is bounded by the two inputs' retained sets). */
   def union(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    val u = newUnion(ThetaDefaults.LgK)
+    val u = newUnion(26)
     u.union(Memory.wrap(a))
     u.union(Memory.wrap(b))
     u.getResult.toByteArray

@@ -80,6 +80,25 @@ class ThetaSpec extends SparkSpec {
     assert(math.abs(est - n) < n * (4.0 / 64), s"estimate $est vs $n")
   }
 
+  test("larger-lgK sketches keep exactness through scalar ops AND merges — no silent decimation") {
+    // 10k members per slice: past the DEFAULT 4096 nominal entries but
+    // inside lgK=14 (16384). Overlap algebra and the lgK-matched merge
+    // must stay exact; a union gadget at the default lgK would decimate
+    val a = (0 until 10000).map(m => (1, s"a$m")).toDF("g", "member")
+    val b = (5000 until 15000).map(m => (1, s"a$m")).toDF("g", "member")
+    val (sa, sb) = (Maintenance.thetaRollup(a, Seq("g"), "member", lgK = 14),
+      Maintenance.thetaRollup(b, Seq("g"), "member", lgK = 14))
+    val o = Maintenance.thetaOverlap(sa, sb, Seq("g"), "theta_member").collect().head
+    assert(o.getAs[Double]("est_a") == 10000.0, o.toString)
+    assert(o.getAs[Double]("est_union") == 15000.0, o.toString)
+    assert(o.getAs[Double]("est_intersection") == 5000.0, o.toString)
+    assert(o.getAs[Double]("est_only_a") == 5000.0, o.toString)
+    val merged = Maintenance.thetaRollupEstimates(
+      Maintenance.mergeThetaRollups(Seq(sa, sb), Seq("g"), "theta_member", lgK = 14),
+      Seq("g"), "theta_member").collect().head.getAs[Double]("est_theta_member")
+    assert(merged == 15000.0, s"merge decimated: $merged")
+  }
+
   test("thetaOverlap full-outer: a group present in one artifact only reads as zero overlap") {
     val a = Seq((1, "x"), (1, "y"), (2, "z")).toDF("g", "member")
     val b = Seq((1, "y")).toDF("g", "member") // no group 2

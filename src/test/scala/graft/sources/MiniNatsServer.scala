@@ -14,7 +14,8 @@ import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
   * can exercise [[NatsConnection]] end-to-end without a nats-server
   * binary; the wire bytes themselves are locked separately by golden
   * assertions so client and broker can't drift together unnoticed. */
-final class MiniNatsServer(port: Int = 0, maxPayload: Int = 1 << 20) {
+final class MiniNatsServer(port: Int = 0, maxPayload: Int = 1 << 20,
+                           denyPublish: Set[String] = Set.empty) {
 
   private val server = new ServerSocket(port)
   private val running = new AtomicBoolean(true)
@@ -82,6 +83,15 @@ final class MiniNatsServer(port: Int = 0, maxPayload: Int = 1 << 20) {
                 if (n > maxPayload) {
                   client.send("-ERR 'Maximum Payload Violation'\r\n".getBytes(US_ASCII))
                   more = false // the real server drops the connection
+                } else if (denyPublish.contains(parts(1))) {
+                  // the real server's authorization behavior: -ERR, message
+                  // DISCARDED, connection stays open
+                  val payload = new Array[Byte](n)
+                  in.readFully(payload)
+                  in.readFully(new Array[Byte](2))
+                  client.send(
+                    ("-ERR 'Permissions Violation for Publish to \"" +
+                      parts(1) + "\"'\r\n").getBytes(US_ASCII))
                 } else {
                   val payload = new Array[Byte](n)
                   in.readFully(payload)

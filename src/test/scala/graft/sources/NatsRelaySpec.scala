@@ -228,6 +228,36 @@ class NatsRelaySpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("a non-fatal server -ERR (permissions) fails the flush barrier — records never vanish silently") {
+    // the real server discards denied publishes and keeps the connection
+    // OPEN: only the flush-time error check catches the loss
+    val server = new MiniNatsServer(denyPublish = Set("forbidden"))
+    try {
+      import spark.implicits._
+      val e = intercept[Exception] {
+        NatsRelay.writeNats(Seq((1L, "x")).toDF("id", "name"),
+          "127.0.0.1", server.boundPort, "forbidden")
+      }
+      def chain(t: Throwable): String = {
+        val sb = new StringBuilder
+        var c: Throwable = t
+        while (c != null) { sb.append(c.getMessage).append(" | "); c = c.getCause }
+        sb.result()
+      }
+      assert(chain(e).contains("Permissions Violation"), chain(e))
+    } finally server.stop()
+  }
+
+  test("a handshake that never receives INFO fails fast instead of leaking the task") {
+    val silent = new java.net.ServerSocket(0) // accepts, never sends INFO
+    try {
+      val t0 = System.nanoTime()
+      intercept[Exception](
+        new NatsConnection("127.0.0.1", silent.getLocalPort, handshakeTimeoutMs = 1200))
+      assert((System.nanoTime() - t0) / 1000000 < 20000, "handshake not bounded")
+    } finally silent.close()
+  }
+
   test("keepalive: the client answers a server-initiated PING with PONG") {
     val server = new MiniNatsServer()
     try {

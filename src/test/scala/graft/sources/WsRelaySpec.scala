@@ -163,6 +163,29 @@ class WsRelaySpec extends SparkSpec {
     } finally badAccept.close()
   }
 
+  test("a hostile declared frame length is rejected BEFORE allocation") {
+    // header claims a 2 GiB unmasked binary frame; readFrame must throw on
+    // the declared length without trying to allocate it
+    val header = Array[Byte](0x82.toByte, 127, 0, 0, 0, 0, 0x7F, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte)
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(header))
+    val e = intercept[IllegalArgumentException](WsFrames.readFrame(in))
+    assert(e.getMessage.contains("bad frame length"), e.getMessage)
+  }
+
+  test("a silent upgrade peer times out the handshake in EVERY ack mode") {
+    val silent = new ServerSocket(0) // accepts, never answers
+    try {
+      val t0 = System.nanoTime()
+      val e = intercept[Exception] {
+        WsRelay.writeWsProto(df(1), "127.0.0.1", silent.getLocalPort,
+          ackMode = "none", ackTimeoutMs = 1500)
+      }
+      val waitedMs = (System.nanoTime() - t0) / 1000000
+      assert(failureChain(e).toLowerCase.contains("timed out"), failureChain(e))
+      assert(waitedMs < 30000, s"hung ${waitedMs}ms — handshake not bounded")
+    } finally silent.close()
+  }
+
   test("oversized message: a frame past maxMessageBytes drops the connection and counts") {
     val relay = new WsRelayReceiver(spark, 0, maxMessageBytes = 256)
     try {
