@@ -321,6 +321,52 @@ object Maintenance {
       org.apache.spark.sql.graft.ThetaGlue
         .thetaEstimate(col(sketchCol)).as(s"est_$sketchCol")): _*)
 
+  /** Build a KLL quantile rollup slice — the QUANTILE member of the
+    * rollup family (Spark 4.1's native Datasketches KLL aggregates):
+    * one mergeable quantile sketch per key group, so percentiles become
+    * incrementally maintainable artifacts like sums/distincts — p99
+    * dashboards fold in a day's slice instead of re-scanning raw values.
+    * Exact while a group's n stays ≤ k (KLL retains every value before
+    * its first compaction), ~1.7%/√(k/200)-rank-error beyond; the
+    * merged sketch adopts k from its inputs. */
+  def kllRollup(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+                valueCol: String, k: Int = 16384): org.apache.spark.sql.DataFrame = {
+    require(k >= 8 && k <= 65535, s"k out of KLL range [8,65535]: $k")
+    df.groupBy(keys.map(col): _*)
+      .agg(expr(s"kll_sketch_agg_double($valueCol, $k)").as(s"kll_$valueCol"))
+  }
+
+  /** Merge KLL rollup slices — sketch in, sketch out. NOT idempotent
+    * (unlike the distinct family: a value re-fed re-counts, same as a
+    * replayed sum), so replay protection is the versioned fold's batchId
+    * high-water mark, exactly as for sums. */
+  def mergeKllRollups(rollups: Seq[org.apache.spark.sql.DataFrame],
+                      keys: Seq[String],
+                      sketchCol: String, k: Int = 16384): org.apache.spark.sql.DataFrame = {
+    require(rollups.nonEmpty, "nothing to merge")
+    require(k >= 8 && k <= 65535, s"k out of KLL range [8,65535]: $k")
+    rollups.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(expr(s"kll_merge_agg_double($sketchCol, $k)").as(sketchCol))
+  }
+
+  /** Read a KLL rollup artifact: n plus the requested quantiles per
+    * group. Quantiles follow the Datasketches INCLUSIVE convention —
+    * the smallest retained value whose rank (fraction of values ≤ it)
+    * reaches q — i.e. `min(v) where cume_dist() >= q`. */
+  def kllRollupQuantiles(artifact: org.apache.spark.sql.DataFrame,
+                         keys: Seq[String], sketchCol: String,
+                         quantiles: Seq[(String, Double)]): org.apache.spark.sql.DataFrame = {
+    require(quantiles.nonEmpty, "no quantiles requested")
+    quantiles.foreach { case (n, q) =>
+      require(q >= 0.0 && q <= 1.0, s"quantile $n=$q out of [0,1]") }
+    artifact.select((keys.map(col) ++
+      Seq(expr(s"kll_sketch_get_n_double($sketchCol)").as("n")) ++
+      quantiles.map { case (name, q) =>
+        expr(s"kll_sketch_get_quantile_double($sketchCol, ${q}D)").as(name)
+      }): _*)
+  }
+
   /** THE theta-only read: given two same-keyed rollup artifacts A and B,
     * the per-group overlap algebra — |A|, |B|, |A∪B|, |A∩B|, |A\B| —
     * computed entirely on KB-sized sketch columns (one sketch-wide

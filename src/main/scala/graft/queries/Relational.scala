@@ -1397,6 +1397,37 @@ object Relational {
       .orderBy("day")
   }
 
+  /** EV-percentiles-KLL — the QUANTILE member of the rollup family
+    * ([[graft.operators.Maintenance.kllRollup]] / `mergeKllRollups`,
+    * Spark 4.1's native Datasketches KLL aggregates): per (event_type,
+    * day), two parity slice artifacts merge into one quantile sketch
+    * and p50/p90/p99 read off the artifact — incrementally maintainable
+    * percentiles, the ops question `q23_percentiles` answers by full
+    * re-scan. Value-exact oracle: KLL retains EVERY value while a
+    * group's n ≤ k (no compaction has happened), and the read follows
+    * the Datasketches INCLUSIVE convention = `min(v) where cume_dist ≥
+    * q`, expressed verbatim in the DuckDB SQL; k = 16384 covers the
+    * fixture at every scale (sf1 rehearsal max = 7390 rows per group).
+    * Returned quantiles are actual retained input doubles — no
+    * arithmetic — so cross-engine equality is bit-exact. KllSpec owns
+    * the past-k estimation regime and merge≡rebuild. */
+  def evPercentilesKll(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Maintenance
+    val dayUs = 86400L * 1000 * 1000
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"), expr("(ts div 1000) div " + dayUs).as("day"),
+        col("value"), col("event_id"))
+    def slice(parity: Int) = Maintenance.kllRollup(
+      base.filter(col("event_id") % 2 === parity),
+      Seq("event_type", "day"), "value")
+    Maintenance.kllRollupQuantiles(
+        Maintenance.mergeKllRollups(Seq(slice(0), slice(1)),
+          keys = Seq("event_type", "day"), sketchCol = "kll_value"),
+        keys = Seq("event_type", "day"), sketchCol = "kll_value",
+        quantiles = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+      .orderBy("event_type", "day")
+  }
+
   /** Q37 — customer order-count distribution (TPC-H Q13's skeleton,
     * the priority filter standing in for the comment LIKE): how many
     * customers placed 0, 1, 2, … qualifying orders. Scale shape: orders
@@ -1820,6 +1851,7 @@ object Relational {
     "ev_rollup_distinct" -> evRollupDistinct _,
     "ev_rollup_distinct_hll" -> evRollupDistinctHll _,
     "ev_rollup_distinct_theta" -> evRollupDistinctTheta _,
+    "ev_percentiles_kll" -> evPercentilesKll _,
     "q28_skew_report"    -> q28SkewReport _,
     "ev_autocorr"        -> evAutocorr _,
     "ds_range_bounds"    -> dsRangeBounds _,
@@ -2624,6 +2656,21 @@ object Relational {
       """SELECT epoch_us(ts) // 86400000000 AS day,
         | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_user_id
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the INCLUSIVE quantile convention spelled out: smallest value whose
+    // cume_dist reaches q — value-matching proves every KLL sketch stayed
+    // in exact (pre-compaction) mode and the merge lost nothing
+    "ev_percentiles_kll" ->
+      """WITH ranked AS (
+        | SELECT event_type, epoch_us(ts) // 86400000000 AS day, value AS v,
+        |  cume_dist() OVER (PARTITION BY event_type, epoch_us(ts) // 86400000000
+        |   ORDER BY value) AS cd
+        | FROM events)
+        |SELECT event_type, day,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | MIN(CASE WHEN cd >= 0.5 THEN v END) AS p50,
+        | MIN(CASE WHEN cd >= 0.9 THEN v END) AS p90,
+        | MIN(CASE WHEN cd >= 0.99 THEN v END) AS p99
+        |FROM ranked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // exact per-user fold: value-matching the sketch query proves every
     // sketch stayed in exact mode (see evRollupDistinctTheta's bound) AND
     // that union/intersection/difference reads are the true set algebra

@@ -307,6 +307,46 @@ object StreamOps {
     }
   }
 
+  /** Streaming incremental THETA-rollup maintenance — the foreachBatch
+    * twin of [[graft.operators.Maintenance.mergeThetaRollups]]: same
+    * fold/replay contract as the HLL maintainer (theta union is
+    * idempotent, so the batchId mark only guards the unrelated-stream
+    * case), but the maintained artifact additionally serves the OVERLAP
+    * reads ([[graft.operators.Maintenance.thetaOverlap]] against another
+    * rollup — live "users in both sources" on sketch bytes). `lgK` must
+    * match the tier's build lgK (see `mergeThetaRollups`). */
+  def mergeThetaRollupBatch(rollupPath: String, keys: Seq[String],
+                            memberCol: String,
+                            lgK: Int = org.apache.spark.sql.graft.ThetaDefaults.LgK)
+                           (batch: DataFrame, batchId: Long): Unit = {
+    val delta = graft.operators.Maintenance.thetaRollup(batch, keys, memberCol, lgK)
+    foldVersionedBatch(batch.sparkSession, rollupPath, batchId, "sketch") {
+      case Some(prevArt) => graft.operators.Maintenance.mergeThetaRollups(
+        Seq(prevArt, delta), keys, s"theta_$memberCol", lgK)
+      case None => delta
+    }
+  }
+
+  /** Streaming incremental KLL-quantile maintenance — the foreachBatch
+    * twin of [[graft.operators.Maintenance.mergeKllRollups]] and the
+    * production form of `ev_percentiles_kll`: each micro-batch sketches
+    * its values and merges into the persisted quantile artifact; p50/p99
+    * are a read via `kllRollupQuantiles`, never stored. Unlike the
+    * distinct tiers the FOLD IS NOT idempotent (a re-fed value re-counts,
+    * exactly like a replayed sum), so the skeleton's batchId high-water
+    * mark is the correctness-critical replay protection here, not an
+    * optimization. */
+  def mergeKllRollupBatch(rollupPath: String, keys: Seq[String],
+                          valueCol: String, k: Int = 16384)
+                         (batch: DataFrame, batchId: Long): Unit = {
+    val delta = graft.operators.Maintenance.kllRollup(batch, keys, valueCol, k)
+    foldVersionedBatch(batch.sparkSession, rollupPath, batchId, "sketch") {
+      case Some(prevArt) => graft.operators.Maintenance.mergeKllRollups(
+        Seq(prevArt, delta), keys, s"kll_$valueCol", k)
+      case None => delta
+    }
+  }
+
   /** The versioned-fold skeleton shared by the rollup maintainers: resolve
     * the current version, read its folded-through batchId, skip the
     * checkpoint replay of exactly the last batch, REJECT a batchId below

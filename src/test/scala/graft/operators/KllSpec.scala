@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** KLL quantile rollup tier: pre-compaction exactness at thousands of
+  * values, merge ≡ rebuild, partitioning invariance in exact mode, the
+  * past-k estimation envelope, and the replay (NON-idempotence) contract
+  * that separates quantile sketches from the distinct family. */
+class KllSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // deterministic, non-uniform values with duplicates: v = (i*i) % 9973
+  private def values(n: Int) = (0 until n).map(i => (1, ((i.toLong * i) % 9973).toDouble))
+
+  private def quantiles(df: org.apache.spark.sql.DataFrame, k: Int = 16384) =
+    Maintenance.kllRollupQuantiles(
+      Maintenance.kllRollup(df, Seq("g"), "v", k),
+      Seq("g"), "kll_v", Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+
+  private def exactInclusive(vs: Seq[Double], q: Double): Double = {
+    val sorted = vs.sorted
+    val n = sorted.length
+    // smallest v whose rank (#values ≤ v)/n reaches q — the Datasketches
+    // INCLUSIVE convention the engine and the DuckDB oracle both use
+    sorted(math.max(0, math.ceil(q * n).toInt - 1))
+  }
+
+  test("exact mode: 10k values under k=16384 read back the true inclusive quantiles, any partitioning") {
+    val vs = values(10000)
+    val expected = Seq(0.5, 0.9, 0.99).map(q => exactInclusive(vs.map(_._2), q))
+    for (parts <- Seq(1, 13)) {
+      val row = quantiles(vs.toDF("g", "v").repartition(parts)).collect().head
+      assert(row.getAs[Long]("n") == 10000)
+      assert(Seq(row.getAs[Double]("p50"), row.getAs[Double]("p90"),
+        row.getAs[Double]("p99")) == expected, s"parts=$parts")
+    }
+  }
+
+  test("slice merge ≡ single build in exact mode") {
+    val vs = values(6000)
+    val (a, b) = vs.splitAt(2500)
+    val merged = Maintenance.kllRollupQuantiles(
+      Maintenance.mergeKllRollups(
+        Seq(Maintenance.kllRollup(a.toDF("g", "v"), Seq("g"), "v"),
+          Maintenance.kllRollup(b.toDF("g", "v"), Seq("g"), "v")),
+        Seq("g"), "kll_v"),
+      Seq("g"), "kll_v", Seq("p50" -> 0.5, "p99" -> 0.99)).collect().head
+    val single = quantiles(vs.toDF("g", "v")).collect().head
+    assert(merged.getAs[Long]("n") == 6000)
+    assert(merged.getAs[Double]("p50") == single.getAs[Double]("p50"))
+    assert(merged.getAs[Double]("p99") == single.getAs[Double]("p99"))
+  }
+
+  test("estimation mode: past k the rank error stays inside the envelope") {
+    // 60k values, k=256 → compaction; KLL rank error at k=256 is ~1.3%,
+    // assert a generous 5% rank band around the true quantile
+    val n = 60000
+    val vs = (0 until n).map(i => (1, ((i.toLong * 2654435761L) % 100000).toDouble))
+    val row = quantiles(vs.toDF("g", "v"), k = 256).collect().head
+    assert(row.getAs[Long]("n") == n)
+    val sorted = vs.map(_._2).sorted
+    def rankOf(v: Double): Double = sorted.count(_ <= v).toDouble / n
+    for ((name, q) <- Seq("p50" -> 0.5, "p90" -> 0.9)) {
+      val r = rankOf(row.getAs[Double](name))
+      assert(math.abs(r - q) < 0.05, s"$name: rank $r vs $q")
+    }
+  }
+
+  test("replay is NOT absorbed: re-merging a slice doubles n — versioned-fold protection applies") {
+    val a = Maintenance.kllRollup(values(1000).toDF("g", "v"), Seq("g"), "v")
+    val once = Maintenance.kllRollupQuantiles(
+      Maintenance.mergeKllRollups(Seq(a), Seq("g"), "kll_v"),
+      Seq("g"), "kll_v", Seq("p50" -> 0.5)).collect().head.getAs[Long]("n")
+    val twice = Maintenance.kllRollupQuantiles(
+      Maintenance.mergeKllRollups(Seq(a, a), Seq("g"), "kll_v"),
+      Seq("g"), "kll_v", Seq("p50" -> 0.5)).collect().head.getAs[Long]("n")
+    assert(once == 1000 && twice == 2000,
+      s"quantile sketches must count replays ($once/$twice) — unlike the distinct tiers")
+  }
+
+  test("parameter validation: k range and quantile bounds") {
+    val df = values(10).toDF("g", "v")
+    intercept[IllegalArgumentException](Maintenance.kllRollup(df, Seq("g"), "v", k = 4))
+    intercept[IllegalArgumentException](Maintenance.kllRollup(df, Seq("g"), "v", k = 70000))
+    intercept[IllegalArgumentException](Maintenance.kllRollupQuantiles(
+      Maintenance.kllRollup(df, Seq("g"), "v"), Seq("g"), "kll_v", Seq("bad" -> 1.5)))
+    intercept[IllegalArgumentException](Maintenance.kllRollupQuantiles(
+      Maintenance.kllRollup(df, Seq("g"), "v"), Seq("g"), "kll_v", Seq.empty))
+  }
+}

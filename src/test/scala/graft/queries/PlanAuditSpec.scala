@@ -1009,6 +1009,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("ev_percentiles_kll: partial sketch aggs on build and merge, sketch-grain exchanges, no join") {
+    val p = planOf("ev_percentiles_kll")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_kll_sketch_agg_double"), p)
+    assert(p.contains("partial_kll_merge_agg_double"), p)
+  }
+
   test("ev_rollup_distinct: pair-grain exchanges only, partial-agged, no Expand/join") {
     val p = planOf("ev_rollup_distinct")
     assert(!p.contains("Join") && !p.contains("Expand"), p)

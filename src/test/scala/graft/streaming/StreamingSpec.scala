@@ -724,6 +724,115 @@ class StreamingSpec extends SparkSpec {
     assert(est() == Map("view" -> 2L, "click" -> 1L))
   }
 
+  test("theta-rollup sink: sketch artifact folds across restart; overlap reads work live") {
+    implicit val sqlCtx = spark.sqlContext
+    val us = 1000L
+    val ckpt = java.nio.file.Files.createTempDirectory("trollup_ckpt").toString
+    val path = java.nio.file.Files.createTempDirectory("trollup_art").toString + "/r"
+    val mem = MemoryStream[Ev]
+    def start() = mem.toDF()
+      .select(col("event_type"), col("user_id"))
+      .writeStream
+      .foreachBatch(StreamOps.mergeThetaRollupBatch(path,
+        Seq("event_type"), "user_id") _)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    def artifact() = spark.read.parquet(
+      graft.sources.Fs.resolveCurrent(spark, path, "no rollup") + "/sketch")
+    def est() = graft.operators.Maintenance.thetaRollupEstimates(
+        artifact(), Seq("event_type"), "theta_user_id")
+      .collect().map(r => r.getString(0) -> r.getAs[Double](1).toLong).toMap
+    val q1 = start()
+    try {
+      mem.addData(Ev(1, 100 * us, 1, "view", 1.0), Ev(2, 200 * us, 1, "view", 2.0))
+      q1.processAllAvailable()
+      mem.addData(Ev(3, 300 * us, 2, "click", 0.5))
+      q1.processAllAvailable()
+      assert(est() == Map("view" -> 1L, "click" -> 1L))
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      mem.addData(Ev(4, 400 * us, 3, "view", 3.0), Ev(5, 500 * us, 1, "view", 4.0))
+      q2.processAllAvailable()
+      assert(est() == Map("view" -> 2L, "click" -> 1L))
+    } finally q2.stop()
+    // the theta-only capability on the LIVE artifact: overlap between the
+    // maintained view rollup and a reference click rollup — user 1 viewed
+    // AND user 2 clicked, only user overlap counted per type pair
+    val clicks = graft.operators.Maintenance.thetaRollup(
+      spark.createDataFrame(Seq(("view", 1L), ("view", 9L)))
+        .toDF("event_type", "user_id"),
+      Seq("event_type"), "user_id")
+    val o = graft.operators.Maintenance.thetaOverlap(
+      artifact().filter(col("event_type") === "view"), clicks,
+      Seq("event_type"), "theta_user_id").collect().head
+    assert(o.getAs[Double]("est_a") == 2.0) // users 1, 3
+    assert(o.getAs[Double]("est_intersection") == 1.0) // user 1
+    assert(o.getAs[Double]("est_union") == 3.0) // users 1, 3, 9
+    // replay AT the mark skipped; BELOW rejected
+    val (fs, root) = graft.sources.Fs.of(spark, path)
+    val vBefore = graft.sources.Fs.currentVersion(fs, root).get
+    val lastId = spark.read.parquet(
+      graft.sources.Fs.resolveCurrent(spark, path, "no rollup") + "/meta")
+      .head.getLong(0)
+    val replay = spark.createDataFrame(Seq(("view", 1L)))
+      .toDF("event_type", "user_id")
+    StreamOps.mergeThetaRollupBatch(path, Seq("event_type"), "user_id")(replay, lastId)
+    assert(graft.sources.Fs.currentVersion(fs, root).get == vBefore)
+    val ex = intercept[IllegalArgumentException] {
+      StreamOps.mergeThetaRollupBatch(path, Seq("event_type"), "user_id")(
+        replay, lastId - 1)
+    }
+    assert(ex.getMessage.contains("unrelated stream"), ex.getMessage)
+  }
+
+  test("kll-rollup sink: quantile artifact folds across restart; replay protection is load-bearing") {
+    implicit val sqlCtx = spark.sqlContext
+    val us = 1000L
+    val ckpt = java.nio.file.Files.createTempDirectory("krollup_ckpt").toString
+    val path = java.nio.file.Files.createTempDirectory("krollup_art").toString + "/r"
+    val mem = MemoryStream[Ev]
+    def start() = mem.toDF()
+      .select(col("event_type"), col("value"))
+      .writeStream
+      .foreachBatch(StreamOps.mergeKllRollupBatch(path,
+        Seq("event_type"), "value") _)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    def read() = graft.operators.Maintenance.kllRollupQuantiles(
+        spark.read.parquet(
+          graft.sources.Fs.resolveCurrent(spark, path, "no rollup") + "/sketch"),
+        Seq("event_type"), "kll_value", Seq("p50" -> 0.5))
+      .collect().map(r => r.getString(0) -> ((r.getAs[Long]("n"), r.getAs[Double]("p50")))).toMap
+    val q1 = start()
+    try {
+      mem.addData(Ev(1, 100 * us, 1, "view", 10.0), Ev(2, 200 * us, 1, "view", 20.0))
+      q1.processAllAvailable()
+      assert(read() == Map("view" -> ((2L, 10.0))))
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      mem.addData(Ev(3, 300 * us, 2, "view", 30.0))
+      q2.processAllAvailable()
+      // exact inclusive median of {10, 20, 30} after the cross-restart fold
+      assert(read() == Map("view" -> ((3L, 20.0))))
+    } finally q2.stop()
+    // replay AT the mark MUST be skipped — the fold is non-idempotent, a
+    // re-fold would double-count n (the contract the doc calls load-bearing)
+    val lastId = spark.read.parquet(
+      graft.sources.Fs.resolveCurrent(spark, path, "no rollup") + "/meta")
+      .head.getLong(0)
+    val replay = spark.createDataFrame(Seq(("view", 99.0)))
+      .toDF("event_type", "value")
+    StreamOps.mergeKllRollupBatch(path, Seq("event_type"), "value")(replay, lastId)
+    assert(read() == Map("view" -> ((3L, 20.0))), "replayed batch was double-counted")
+    val ex = intercept[IllegalArgumentException] {
+      StreamOps.mergeKllRollupBatch(path, Seq("event_type"), "value")(
+        replay, lastId - 1)
+    }
+    assert(ex.getMessage.contains("unrelated stream"), ex.getMessage)
+  }
+
   test("funnel stream documents the no-retraction contract under disorder") {
     implicit val sqlCtx = spark.sqlContext
     val us = 1000L // ns per µs

@@ -121,9 +121,10 @@ for name in ["ev_funnel", "ev_retention", "txt_normalize",
              "q43_late_orders", "q44_revenue_change", "q45_returned_items",
              "q46_priority_mix", "q47_promo_share", "ev_gap_fill",
              "ev_scd2",
-             # value-exact at sf1 BY THE EXACT-MODE BOUND: max distinct
-             # users/day = 1356 < 4096 nominal entries (see the query doc)
-             "ev_rollup_distinct_theta",
+             # value-exact at sf1 BY THE EXACT-MODE BOUNDS: theta max
+             # distinct users/day = 1356 < 4096 nominal entries; KLL max
+             # rows per (type,day) = 7390 < k=16384 (see the query docs)
+             "ev_rollup_distinct_theta", "ev_percentiles_kll",
              # same-label quadratic is 1/|labels| of the negatives' pair
              # count — inside the documented targeted-compare budget
              "ds_positive_pairs"]:
