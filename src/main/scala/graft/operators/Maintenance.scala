@@ -333,7 +333,7 @@ object Maintenance {
                 valueCol: String, k: Int = 16384): org.apache.spark.sql.DataFrame = {
     require(k >= 8 && k <= 65535, s"k out of KLL range [8,65535]: $k")
     df.groupBy(keys.map(col): _*)
-      .agg(expr(s"kll_sketch_agg_double($valueCol, $k)").as(s"kll_$valueCol"))
+      .agg(expr(s"kll_sketch_agg_double(`$valueCol`, $k)").as(s"kll_$valueCol"))
   }
 
   /** Merge KLL rollup slices — sketch in, sketch out. NOT idempotent
@@ -347,7 +347,7 @@ object Maintenance {
     require(k >= 8 && k <= 65535, s"k out of KLL range [8,65535]: $k")
     rollups.reduce(_.unionByName(_))
       .groupBy(keys.map(col): _*)
-      .agg(expr(s"kll_merge_agg_double($sketchCol, $k)").as(sketchCol))
+      .agg(expr(s"kll_merge_agg_double(`$sketchCol`, $k)").as(sketchCol))
   }
 
   /** Read a KLL rollup artifact: n plus the requested quantiles per
@@ -361,9 +361,9 @@ object Maintenance {
     quantiles.foreach { case (n, q) =>
       require(q >= 0.0 && q <= 1.0, s"quantile $n=$q out of [0,1]") }
     artifact.select((keys.map(col) ++
-      Seq(expr(s"kll_sketch_get_n_double($sketchCol)").as("n")) ++
+      Seq(expr(s"kll_sketch_get_n_double(`$sketchCol`)").as("n")) ++
       quantiles.map { case (name, q) =>
-        expr(s"kll_sketch_get_quantile_double($sketchCol, ${q}D)").as(name)
+        expr(s"kll_sketch_get_quantile_double(`$sketchCol`, ${q}D)").as(name)
       }): _*)
   }
 

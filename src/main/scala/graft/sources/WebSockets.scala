@@ -202,6 +202,11 @@ final class WsServerHub(spark: SparkSession, port: Int) {
         val f = WsFrames.readFrame(in)
         f.opcode match {
           case WsFrames.OpText | 0x0 =>
+            // the per-frame cap alone doesn't bound a message: a hostile
+            // peer streaming never-FIN fragments must not grow this buffer
+            // past the same 64 MiB bound
+            require(pending.size.toLong + f.payload.length <= WsFrames.DefaultMaxFramePayload,
+              s"message exceeds ${WsFrames.DefaultMaxFramePayload} bytes")
             pending.write(f.payload)
             if (f.fin) {
               // serialize across connection threads: MemoryStream's row

@@ -67,15 +67,20 @@ object WsRelay {
     * clean close frame. Used by the writer to await acks — text frames on
     * this edge are a protocol error. */
   private def readBinaryMessage(in: DataInputStream, out: DataOutputStream,
-                                masked: Boolean): Option[Array[Byte]] = {
+                                masked: Boolean,
+                                maxMessageBytes: Int = 1 << 20): Option[Array[Byte]] = {
     val pending = new java.io.ByteArrayOutputStream()
     var inMessage = false
     while (true) {
-      val f = WsFrames.readFrame(in)
+      // acks are a few hundred bytes — a tight frame AND message bound
+      // keeps a compromised receiver from ballooning the writer task
+      val f = WsFrames.readFrame(in, maxMessageBytes)
       f.opcode match {
         case WsFrames.OpBinary | 0x0 =>
           require(inMessage == (f.opcode == 0x0),
             s"fragmentation violation: opcode ${f.opcode} while inMessage=$inMessage")
+          require(pending.size.toLong + f.payload.length <= maxMessageBytes,
+            s"message exceeds $maxMessageBytes bytes")
           inMessage = true
           pending.write(f.payload)
           if (f.fin) return Some(pending.toByteArray)

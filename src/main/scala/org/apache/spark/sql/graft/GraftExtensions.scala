@@ -28,14 +28,34 @@ object GraftExtensions {
     // capacity must be an integer literal, e.g. space_saving_topk(w, 256)
     "space_saving_topk" -> (args => SpaceSavingTopK(args(0),
       capacityLiteral(args(1))).toAggregateExpression()),
-    // theta distinct sketches: set ops HLL can't do (∩, \)
-    "theta_sketch_agg" -> (args => ThetaSketchAgg(args.head).toAggregateExpression()),
-    "theta_union_agg" -> (args => ThetaUnionAgg(args.head).toAggregateExpression()),
-    "theta_union" -> (args => ThetaSketchUnion(args(0), args(1))),
-    "theta_intersection" -> (args => ThetaSketchIntersection(args(0), args(1))),
-    "theta_a_not_b" -> (args => ThetaSketchANotB(args(0), args(1))),
-    "theta_estimate" -> (args => ThetaSketchEstimate(args.head)),
+    // theta distinct sketches: set ops HLL can't do (∩, \); optional
+    // second arg = lgK literal — a silently-dropped extra arg would turn
+    // an intended exact-mode sketch into an estimate with no error
+    "theta_sketch_agg" -> (args =>
+      ThetaSketchAgg(args.head, optionalLgK(args, "theta_sketch_agg"))
+        .toAggregateExpression()),
+    "theta_union_agg" -> (args =>
+      ThetaUnionAgg(args.head, optionalLgK(args, "theta_union_agg"))
+        .toAggregateExpression()),
+    "theta_union" -> (args => ThetaSketchUnion(exactly2(args, "theta_union")(0), args(1))),
+    "theta_intersection" -> (args => ThetaSketchIntersection(exactly2(args, "theta_intersection")(0), args(1))),
+    "theta_a_not_b" -> (args => ThetaSketchANotB(exactly2(args, "theta_a_not_b")(0), args(1))),
+    "theta_estimate" -> (args => {
+      require(args.length == 1, s"theta_estimate takes 1 argument, got ${args.length}")
+      ThetaSketchEstimate(args.head)
+    }),
   )
+
+  private def exactly2(args: Seq[Expression], name: String): Seq[Expression] = {
+    require(args.length == 2, s"$name takes 2 arguments, got ${args.length}")
+    args
+  }
+
+  private def optionalLgK(args: Seq[Expression], name: String): Int = {
+    require(args.length == 1 || args.length == 2,
+      s"$name takes (column[, lgK]), got ${args.length} arguments")
+    if (args.length == 1) ThetaDefaults.LgK else capacityLiteral(args(1))
+  }
 
   /** Second arg of space_saving_topk: accept int/long/short/byte literals
     * with a clear error for anything else (a bare eval().asInstanceOf[Int]

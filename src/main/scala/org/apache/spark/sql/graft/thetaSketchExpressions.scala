@@ -100,12 +100,17 @@ case class ThetaSketchAgg(
   override def update(buf: Union, input: InternalRow): Union = {
     val v = child.eval(input)
     if (v != null) v match {
-      // strings hash via their UTF-8 bytes — the ONE canonical encoding,
-      // so sketches built from different slices always agree
-      case s: UTF8String => buf.update(s.getBytes)
-      case l: Long       => buf.update(l)
-      case i: Int        => buf.update(i.toLong)
-      case b: Array[Byte] => buf.update(b)
+      // strings/binaries hash via a type-prefixed byte encoding — ONE
+      // canonical, INJECTIVE form, so sketches built from different
+      // slices always agree AND the empty string / empty binary are
+      // real members ([0x01] / [0x02]): a bare `update(bytes)` is a
+      // documented Datasketches no-op on empty input, which would
+      // silently undercount vs COUNT(DISTINCT) and break the exact-mode
+      // oracle contract
+      case s: UTF8String  => buf.update(ThetaSketchAgg.prefixed(1, s.getBytes))
+      case l: Long        => buf.update(l)
+      case i: Int         => buf.update(i.toLong)
+      case b: Array[Byte] => buf.update(ThetaSketchAgg.prefixed(2, b))
       case other => throw new IllegalStateException(
         s"theta_sketch_agg: unsupported runtime type ${other.getClass}")
     }
@@ -132,6 +137,18 @@ case class ThetaSketchAgg(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
+}
+
+object ThetaSketchAgg {
+  /** `[tag] ++ payload`: injective per type (the tag is a constant-length
+    * prefix) and never empty, so every member — including "" — updates
+    * the sketch. */
+  private[graft] def prefixed(tag: Byte, payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](payload.length + 1)
+    out(0) = tag
+    System.arraycopy(payload, 0, out, 1, payload.length)
+    out
+  }
 }
 
 /** Merge serialized theta sketches (the rollup-slice merge — sketch in,

@@ -136,6 +136,31 @@ class ThetaSpec extends SparkSpec {
     assert(rows.map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((1, 2L), (2, 1L)))
   }
 
+  test("the empty string is a real member — counted, not a silent Datasketches no-op") {
+    val df = Seq((1, ""), (1, "a"), (1, "")).toDF("g", "m")
+    val est = df.groupBy("g")
+      .agg(ThetaGlue.thetaEstimate(ThetaGlue.thetaSketchAgg(col("m"))).as("n"))
+      .collect().head.getAs[Double]("n")
+    assert(est == 2.0, s"empty string dropped: $est") // {"", "a"}
+  }
+
+  test("SQL arity: extra/missing args fail loudly; the 2-arg lgK form is honored") {
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    // 5000 distinct past the default 4096: only lgK=14 stays exact
+    (0 until 5000).map(i => (1, s"m$i")).toDF("g", "m")
+      .createOrReplaceTempView("theta_lgk_in")
+    val exact = spark.sql(
+      "SELECT theta_estimate(theta_sketch_agg(m, 14)) AS n FROM theta_lgk_in")
+      .collect().head.getAs[Double]("n")
+    assert(exact == 5000.0, s"lgK arg ignored: $exact")
+    val e = intercept[Exception](spark.sql(
+      "SELECT theta_estimate(theta_sketch_agg(m, 14, 9)) FROM theta_lgk_in").collect())
+    assert(e.getMessage.contains("theta_sketch_agg takes"), e.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT theta_union(sk) FROM (SELECT theta_sketch_agg(m) sk FROM theta_lgk_in)").collect())
+    assert(e2.getMessage.contains("theta_union takes 2"), e2.getMessage)
+  }
+
   test("long and string members both sketch; nulls are skipped not counted") {
     val df = Seq[(Int, java.lang.Long)]((1, 10L), (1, 11L), (1, null), (1, 10L))
       .toDF("g", "m")
