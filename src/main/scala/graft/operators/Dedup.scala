@@ -413,6 +413,45 @@ object Dedup {
         s => s.isNotNull))
   }
 
+  /** Kernel twin of [[wordShingles]] for corpus-scale paths: identical
+    * tokenization (Unicode lowercase, `[^a-z]+` separators) and the same
+    * distinct shingle-string output, in ONE JVM call per document —
+    * [[wordShingles]]' higher-order functions (transform/slice/filter)
+    * are CodegenFallback (interpreted), measured ~10× slower per scan at
+    * sf0.1, the same trade [[minhashSignature]] documents.
+    * DedupSimilaritySpec differential-locks kernel ≡ Catalyst on the
+    * documents fixture. */
+  def wordShingleSet(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty
+    val toks = text.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z]+").filter(_.nonEmpty)
+    if (toks.length < n) return Array.empty
+    val seen = new java.util.LinkedHashSet[String]() // first-seen order, like array_distinct
+    var i = 0
+    val sb = new java.lang.StringBuilder
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[String](seen.size)
+    seen.toArray(out)
+    out
+  }
+
+  private val wordShingleSetUdf =
+    org.apache.spark.sql.functions.udf(wordShingleSet _)
+
+  /** Column form of [[wordShingleSet]]. */
+  def wordShinglesKernel(text: Column, n: Int): Column =
+    wordShingleSetUdf(text, lit(n))
+
   /** MinHash signature over word n-gram shingles — kernel-backed
     * (graft.functions.FastHash): the pure-Catalyst fold formulation is
     * CodegenFallback (interpreted) and ~20x slower at sf0.1. */

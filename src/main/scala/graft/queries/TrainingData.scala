@@ -1689,8 +1689,63 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** DD-cross-source-overlap — the cross-corpus contamination report
+    * (the CCNet/RefinedWeb-style question "how much of source A's
+    * content already exists in source B?") computed WITHOUT pairing
+    * documents: one theta sketch of word-3-shingles per source
+    * ([[graft.operators.Maintenance.thetaRollup]] over
+    * [[graft.operators.Dedup.wordShingles]]), then the pairwise overlap
+    * algebra — |A|, |B|, |A∩B|, containment/Jaccard ppm — on KB-sized
+    * sketch columns. Scale posture: corpus cost is ONE shingle scan +
+    * a |sources|-row artifact; the pair stage is quadratic in the
+    * NUMBER OF SOURCES only (constant in corpus size) — all-pairs over
+    * an artifact of tens-to-hundreds of sources is the design, and past
+    * ~1000 sources you'd pre-bucket by shingle bands instead. The
+    * artifact is COLLECTED once (require-capped at 4096 sources — the
+    * bounded-model-collect idiom): the corpus is scanned exactly once,
+    * and the pair stage runs on a |sources|-row local frame instead of
+    * recomputing the shingle aggregation per join branch. Oracle is
+    * the exact distinct-(source, shingle) SQL: lgK = 14 keeps every
+    * sketch in exact mode (max 10886 distinct shingles/source at
+    * sf0.1 AND the sf1 rehearsal, which replicates the same texts), so
+    * estimates are true set sizes and the ppm integer division replays
+    * exactly (`div` ↔ `//`). */
+  def ddCrossSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, Maintenance}
+    val g = org.apache.spark.sql.graft.ThetaGlue
+    val shingles = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(Dedup.wordShinglesKernel(col("text"), 3)).as("shingle"))
+    val artRows = Maintenance.thetaRollup(shingles, Seq("source"), "shingle", lgK = 14)
+      .collect()
+    require(artRows.length <= 4096,
+      s"${artRows.length} sources — the all-pairs report caps at 4096 " +
+        "(past that, pre-bucket by shingle bands)")
+    val art = spark.createDataFrame(
+      spark.sparkContext.parallelize(artRows.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("theta_shingle",
+          org.apache.spark.sql.types.BinaryType))))
+    val a = art.select(col("source").as("src_a"), col("theta_shingle").as("sk_a"))
+    val b = art.select(col("source").as("src_b"), col("theta_shingle").as("sk_b"))
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        g.thetaEstimate(col("sk_a")).cast("long").as("n_a"),
+        g.thetaEstimate(col("sk_b")).cast("long").as("n_b"),
+        g.thetaEstimate(g.thetaIntersection(col("sk_a"), col("sk_b")))
+          .cast("long").as("n_shared"),
+        g.thetaEstimate(g.thetaUnion(col("sk_a"), col("sk_b")))
+          .cast("long").as("n_union"))
+      .withColumn("containment_a_ppm", expr("n_shared * 1000000 div n_a"))
+      .withColumn("jaccard_ppm", expr("n_shared * 1000000 div n_union"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dd_exact"         -> ddExact _,
+    "dd_cross_source_overlap" -> ddCrossSourceOverlap _,
     "dd_jaccard_words" -> ddJaccardWords _,
     "dd_ngram_jaccard" -> ddNgramJaccard _,
     "dd_cluster"       -> ddCluster _,
@@ -2193,6 +2248,32 @@ object TrainingData {
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_hash,
         |  COUNT(*) AS copies
         | FROM documents GROUP BY 2) ORDER BY doc_id""".stripMargin,
+    // exact distinct-(source, shingle) fold: value-matching the sketch
+    // report proves exact mode held and the pairwise set algebra is true
+    "dd_cross_source_overlap" ->
+      """WITH toks AS (
+        | SELECT source,
+        |  list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |   x -> len(x) > 0) AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT DISTINCT source, array_to_string(t[u.i:u.i+2], ' ') AS s
+        | FROM toks, UNNEST(generate_series(1, len(toks.t) - 2)) AS u(i)),
+        |n AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1),
+        |pair AS (
+        | SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+        | FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        | GROUP BY 1, 2)
+        |SELECT na.source AS src_a, nb.source AS src_b,
+        | na.n AS n_a, nb.n AS n_b,
+        | COALESCE(p.n_shared, 0) AS n_shared,
+        | na.n + nb.n - COALESCE(p.n_shared, 0) AS n_union,
+        | COALESCE(p.n_shared, 0) * 1000000 // na.n AS containment_a_ppm,
+        | COALESCE(p.n_shared, 0) * 1000000 //
+        |  (na.n + nb.n - COALESCE(p.n_shared, 0)) AS jaccard_ppm
+        |FROM n na JOIN n nb ON na.source < nb.source
+        |LEFT JOIN pair p ON p.src_a = na.source AND p.src_b = nb.source
+        |ORDER BY 1, 2""".stripMargin,
     "txt_readability" ->
       """WITH d AS (
         | SELECT source,

@@ -9,6 +9,27 @@ class DedupSimilaritySpec extends SparkSpec {
 
   private lazy val docs = Tables.documents(spark, sfDir).cache()
 
+  test("wordShinglesKernel ≡ the Catalyst wordShingles on the whole fixture corpus") {
+    // the kernel exists purely for speed (the higher-order-function path
+    // is interpreted); any tokenization/ordering divergence would silently
+    // shift every shingle-based operator, so lock value equality per doc
+    for (n <- Seq(1, 3)) {
+      val both = docs.select(col("doc_id"),
+        Dedup.wordShingles(col("text"), n).as("catalyst"),
+        Dedup.wordShinglesKernel(col("text"), n).as("kernel"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"n=$n doc=${r.getLong(0)}")
+      }
+    }
+    // degenerate inputs: shorter than n, empty, null-ish separators only
+    assert(Dedup.wordShingleSet("one two", 3).isEmpty)
+    assert(Dedup.wordShingleSet("", 2).isEmpty)
+    assert(Dedup.wordShingleSet("!!! 123 ...", 2).isEmpty)
+    assert(Dedup.wordShingleSet("A b. a B", 2).toSeq == Seq("a b", "b a"))
+  }
+
   test("exact dedupe keeps one keeper per content hash, lowest doc_id") {
     val dup = docs.limit(50).union(docs.limit(20)) // 20 exact duplicates
     val out = Dedup.exact(dup)

@@ -1009,6 +1009,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("dd_cross_source_overlap: the pair stage runs on the COLLECTED artifact, never the corpus") {
+    val p = planOf("dd_cross_source_overlap")
+    // the corpus scan + sketch aggregation happen once, in the bounded
+    // artifact collect; the returned pair-stage plan must contain NO
+    // parquet scan at all — its all-pairs join runs over the
+    // |sources|-row local frame (the intentional quadratic-in-sources
+    // design; Spark renders it CartesianProduct or BNLJ depending on
+    // stats — both are artifact-sized here)
+    assert(!p.contains("Scan parquet"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"), p)
+    // the set algebra itself stays inside the projection — codegen'd
+    // theta expressions, no per-pair shuffle
+    assert(p.contains("theta_intersection"), p)
+  }
+
   test("ev_percentiles_kll: partial sketch aggs on build and merge, sketch-grain exchanges, no join") {
     val p = planOf("ev_percentiles_kll")
     assert(!p.contains("Join"), p)
