@@ -422,7 +422,7 @@ object Dedup {
     * DedupSimilaritySpec differential-locks kernel ≡ Catalyst on the
     * documents fixture. */
   def wordShingleSet(text: String, n: Int): Array[String] = {
-    if (text == null) return Array.empty
+    if (text == null) return null // the Catalyst twin is null-propagating
     val toks = text.toLowerCase(java.util.Locale.ROOT)
       .split("[^a-z]+").filter(_.nonEmpty)
     if (toks.length < n) return Array.empty

@@ -1716,24 +1716,34 @@ object TrainingData {
     val shingles = Tables.documents(spark, dir)
       .select(col("source"),
         explode(Dedup.wordShinglesKernel(col("text"), 3)).as("shingle"))
+    // cap BEFORE materializing: limit(cap+1) bounds what the driver ever
+    // holds (a high-cardinality source column must fail the require, not
+    // OOM the collect), the bounded-model-collect idiom
     val artRows = Maintenance.thetaRollup(shingles, Seq("source"), "shingle", lgK = 14)
-      .collect()
+      .limit(4097).collect()
     require(artRows.length <= 4096,
-      s"${artRows.length} sources — the all-pairs report caps at 4096 " +
+      s"more than 4096 sources — the all-pairs report caps there " +
         "(past that, pre-bucket by shingle bands)")
+    // enough slices that the quadratic pair stage parallelizes when the
+    // source count is large; 1 task below that avoids empty-task overhead
+    val slices = math.max(1, math.min(16, artRows.length / 64))
     val art = spark.createDataFrame(
-      spark.sparkContext.parallelize(artRows.toIndexedSeq, 1),
+      spark.sparkContext.parallelize(artRows.toIndexedSeq, slices),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("source",
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("theta_shingle",
           org.apache.spark.sql.types.BinaryType))))
-    val a = art.select(col("source").as("src_a"), col("theta_shingle").as("sk_a"))
-    val b = art.select(col("source").as("src_b"), col("theta_shingle").as("sk_b"))
+      // per-source estimate computed ONCE here — inside the pair
+      // projection it would re-heapify each sketch per pair (2·C(n,2)
+      // redundant estimates at the cap)
+      .withColumn("n_est", g.thetaEstimate(col("theta_shingle")).cast("long"))
+    val a = art.select(col("source").as("src_a"),
+      col("theta_shingle").as("sk_a"), col("n_est").as("n_a"))
+    val b = art.select(col("source").as("src_b"),
+      col("theta_shingle").as("sk_b"), col("n_est").as("n_b"))
     a.join(b, col("src_a") < col("src_b"))
-      .select(col("src_a"), col("src_b"),
-        g.thetaEstimate(col("sk_a")).cast("long").as("n_a"),
-        g.thetaEstimate(col("sk_b")).cast("long").as("n_b"),
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
         g.thetaEstimate(g.thetaIntersection(col("sk_a"), col("sk_b")))
           .cast("long").as("n_shared"),
         g.thetaEstimate(g.thetaUnion(col("sk_a"), col("sk_b")))

@@ -23,11 +23,21 @@ class DedupSimilaritySpec extends SparkSpec {
           s"n=$n doc=${r.getLong(0)}")
       }
     }
-    // degenerate inputs: shorter than n, empty, null-ish separators only
+    // degenerate inputs: shorter than n, empty, separators only, null
     assert(Dedup.wordShingleSet("one two", 3).isEmpty)
     assert(Dedup.wordShingleSet("", 2).isEmpty)
     assert(Dedup.wordShingleSet("!!! 123 ...", 2).isEmpty)
     assert(Dedup.wordShingleSet("A b. a B", 2).toSeq == Seq("a b", "b a"))
+    // null propagates like the Catalyst twin (size(null) semantics differ
+    // from size([]) — a silent empty-for-null swap would diverge there)
+    assert(Dedup.wordShingleSet(null, 2) == null)
+    import spark.implicits._
+    val nullRow = Seq((1L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .select(Dedup.wordShingles(col("text"), 2).as("catalyst"),
+        Dedup.wordShinglesKernel(col("text"), 2).as("kernel"))
+      .collect().head
+    assert(nullRow.isNullAt(0) && nullRow.isNullAt(1))
   }
 
   test("exact dedupe keeps one keeper per content hash, lowest doc_id") {
