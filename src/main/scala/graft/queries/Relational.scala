@@ -1428,6 +1428,42 @@ object Relational {
       .orderBy("event_type", "day")
   }
 
+  /** EV-retention-theta — day-over-day retained / new / churned users
+    * from SKETCH ALGEBRA alone: one theta sketch per day (the same
+    * artifact `ev_rollup_distinct_theta` maintains), consecutive days
+    * joined at artifact grain, and the three flows read as
+    * |D_t ∩ D_{t-1}| / |D_t \ D_{t-1}| / |D_{t-1} \ D_t| — at 100 TB
+    * this is the retention dashboard that never re-shuffles raw user
+    * ids (the exact-join formulation is `ev_retention`, its oracle
+    * twin at fixture scale). Identities n_active = n_retained + n_new
+    * and n_prev = n_retained + n_churned hold exactly in exact mode —
+    * the oracle (per-user lag fold) locks all five columns, so the
+    * hash check proves the a-not-b reads are the true set differences
+    * in both directions. Same exact-mode bound as the rollup query
+    * (≤1356 distinct users/day at every scale vs 4096). */
+  def evRetentionTheta(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Maintenance
+    val g = org.apache.spark.sql.graft.ThetaGlue
+    val dayUs = 86400L * 1000 * 1000
+    val art = Maintenance.thetaRollup(
+      Tables.events(spark, dir)
+        .select(expr("(ts div 1000) div " + dayUs).as("day"), col("user_id")),
+      Seq("day"), "user_id")
+    val prev = art.select((col("day") + 1).as("day"),
+      col("theta_user_id").as("sk_prev"))
+    art.join(prev, Seq("day")) // inner: day 0 has no yesterday, like LAG
+      .select(col("day"),
+        g.thetaEstimate(col("theta_user_id")).cast("long").as("n_active"),
+        g.thetaEstimate(col("sk_prev")).cast("long").as("n_prev"),
+        g.thetaEstimate(g.thetaIntersection(col("theta_user_id"), col("sk_prev")))
+          .cast("long").as("n_retained"),
+        g.thetaEstimate(g.thetaANotB(col("theta_user_id"), col("sk_prev")))
+          .cast("long").as("n_new"),
+        g.thetaEstimate(g.thetaANotB(col("sk_prev"), col("theta_user_id")))
+          .cast("long").as("n_churned"))
+      .orderBy("day")
+  }
+
   /** Q37 — customer order-count distribution (TPC-H Q13's skeleton,
     * the priority filter standing in for the comment LIKE): how many
     * customers placed 0, 1, 2, … qualifying orders. Scale shape: orders
@@ -1852,6 +1888,7 @@ object Relational {
     "ev_rollup_distinct_hll" -> evRollupDistinctHll _,
     "ev_rollup_distinct_theta" -> evRollupDistinctTheta _,
     "ev_percentiles_kll" -> evPercentilesKll _,
+    "ev_retention_theta" -> evRetentionTheta _,
     "q28_skew_report"    -> q28SkewReport _,
     "ev_autocorr"        -> evAutocorr _,
     "ds_range_bounds"    -> dsRangeBounds _,
@@ -2656,6 +2693,28 @@ object Relational {
       """SELECT epoch_us(ts) // 86400000000 AS day,
         | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_user_id
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact per-(user, day) lag fold: the five theta reads must equal the
+    // true day-over-day set flows (both a-not-b directions locked)
+    "ev_retention_theta" ->
+      """WITH du AS (
+        | SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+        | FROM events),
+        |flows AS (
+        | SELECT d.day,
+        |  CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS retained
+        | FROM du d LEFT JOIN du p
+        |  ON p.user_id = d.user_id AND p.day = d.day - 1),
+        |act AS (
+        | SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active,
+        |  CAST(SUM(retained) AS BIGINT) AS n_retained
+        | FROM flows GROUP BY day)
+        |SELECT a.day, a.n_active,
+        | p.n_active AS n_prev,
+        | a.n_retained,
+        | a.n_active - a.n_retained AS n_new,
+        | p.n_active - a.n_retained AS n_churned
+        |FROM act a JOIN act p ON p.day = a.day - 1
+        |ORDER BY a.day""".stripMargin,
     // the INCLUSIVE quantile convention spelled out: smallest value whose
     // cume_dist reaches q — value-matching proves every KLL sketch stayed
     // in exact (pre-compaction) mode and the merge lost nothing

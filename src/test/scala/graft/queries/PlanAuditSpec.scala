@@ -1025,6 +1025,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("theta_intersection"), p)
   }
 
+  test("ev_retention_theta: sketch-grain day join, both a-not-b reads in the projection") {
+    val p = planOf("ev_retention_theta")
+    assert(p.contains("partial_theta_sketch_agg"), p)
+    // consecutive-day join runs at ARTIFACT grain on the day key — never
+    // a nested loop, and the set algebra stays in the projection
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("theta_a_not_b"), p)
+  }
+
   test("ev_percentiles_kll: partial sketch aggs on build and merge, sketch-grain exchanges, no join") {
     val p = planOf("ev_percentiles_kll")
     assert(!p.contains("Join"), p)

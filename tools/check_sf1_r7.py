@@ -125,6 +125,7 @@ for name in ["ev_funnel", "ev_retention", "txt_normalize",
              # distinct users/day = 1356 < 4096 nominal entries; KLL max
              # rows per (type,day) = 7390 < k=16384 (see the query docs)
              "ev_rollup_distinct_theta", "ev_percentiles_kll",
+             "ev_retention_theta",
              # sf1 replicates the SAME texts, so per-source shingle sets
              # and the exact-mode bound are unchanged from sf0.1
              "dd_cross_source_overlap",
