@@ -1431,16 +1431,20 @@ object Relational {
   /** EV-retention-theta — day-over-day retained / new / churned users
     * from SKETCH ALGEBRA alone: one theta sketch per day (the same
     * artifact `ev_rollup_distinct_theta` maintains), consecutive days
-    * joined at artifact grain, and the three flows read as
-    * |D_t ∩ D_{t-1}| / |D_t \ D_{t-1}| / |D_{t-1} \ D_t| — at 100 TB
-    * this is the retention dashboard that never re-shuffles raw user
-    * ids (the exact-join formulation is `ev_retention`, its oracle
-    * twin at fixture scale). Identities n_active = n_retained + n_new
-    * and n_prev = n_retained + n_churned hold exactly in exact mode —
-    * the oracle (per-user lag fold) locks all five columns, so the
+    * paired with yesterday's by ONE lag window over the ~|days|-row
+    * artifact (single events scan — no self-join recompute), and the
+    * three flows read as |D_t ∩ D_{t-1}| / |D_t \ D_{t-1}| /
+    * |D_{t-1} \ D_t| — at 100 TB this is the retention dashboard that
+    * never re-shuffles raw user ids. The unpartitioned window is
+    * artifact-grain BY CONSTRUCTION (one row per day), so the
+    * single-partition sort it implies is |days| sketch rows, not data.
+    * Identities n_active = n_retained + n_new and n_prev = n_retained
+    * + n_churned hold exactly in exact mode — the oracle is this
+    * query's own per-user lag fold, locking all five columns, so the
     * hash check proves the a-not-b reads are the true set differences
-    * in both directions. Same exact-mode bound as the rollup query
-    * (≤1356 distinct users/day at every scale vs 4096). */
+    * in both directions (`ev_retention` is the separate cohort-grid
+    * shape, not this day-over-day form). Same exact-mode bound as the
+    * rollup query (≤1356 distinct users/day at every scale vs 4096). */
   def evRetentionTheta(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Maintenance
     val g = org.apache.spark.sql.graft.ThetaGlue
@@ -1449,9 +1453,13 @@ object Relational {
       Tables.events(spark, dir)
         .select(expr("(ts div 1000) div " + dayUs).as("day"), col("user_id")),
       Seq("day"), "user_id")
-    val prev = art.select((col("day") + 1).as("day"),
-      col("theta_user_id").as("sk_prev"))
-    art.join(prev, Seq("day")) // inner: day 0 has no yesterday, like LAG
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+    art.select(col("day"), col("theta_user_id"),
+        lag("theta_user_id", 1).over(w).as("sk_prev"),
+        lag("day", 1).over(w).as("prev_day"))
+      // drop day 0 AND post-gap days: "yesterday" must be day - 1, the
+      // same rows the oracle's p.day = d.day - 1 join keeps
+      .filter(col("prev_day") === col("day") - 1)
       .select(col("day"),
         g.thetaEstimate(col("theta_user_id")).cast("long").as("n_active"),
         g.thetaEstimate(col("sk_prev")).cast("long").as("n_prev"),

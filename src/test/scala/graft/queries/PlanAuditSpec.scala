@@ -1025,13 +1025,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("theta_intersection"), p)
   }
 
-  test("ev_retention_theta: sketch-grain day join, both a-not-b reads in the projection") {
+  test("ev_retention_theta: ONE events scan, lag window at artifact grain, full set algebra") {
     val p = planOf("ev_retention_theta")
     assert(p.contains("partial_theta_sketch_agg"), p)
-    // consecutive-day join runs at ARTIFACT grain on the day key — never
-    // a nested loop, and the set algebra stays in the projection
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("theta_a_not_b"), p)
+    // one corpus scan total — the day pairing is a lag window over the
+    // per-day artifact, NOT a self-join recomputing the aggregation
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Window") && !p.contains("Join"), p)
+    // all three flow reads present: intersection once, a-not-b BOTH ways
+    assert(p.contains("theta_intersection"), p)
+    assert("theta_a_not_b".r.findAllIn(p).size >= 2, p)
   }
 
   test("ev_percentiles_kll: partial sketch aggs on build and merge, sketch-grain exchanges, no join") {
