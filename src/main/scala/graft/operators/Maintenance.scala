@@ -234,6 +234,11 @@ object Maintenance {
     // persisted merge feeds the next cycle's merge directly (the same
     // closure property mergeRollups has for sums) — counts are a
     // separate read via [[distinctRollupCounts]]
+    // A null member survives dedup as AT MOST ONE (keys, null) pair — it
+    // marks the group's existence (SQL keeps an all-null group with
+    // COUNT(DISTINCT) = 0) but is NOT a distinct value: the read side
+    // counts with COUNT(member), which skips nulls, so all three tiers
+    // (exact / HLL / theta — whose sketch updates skip nulls) agree.
     rollups.reduce(_.unionByName(_))
       .dropDuplicates(keys :+ memberCol)
   }
@@ -244,7 +249,9 @@ object Maintenance {
                            keys: Seq[String],
                            memberCol: String): org.apache.spark.sql.DataFrame =
     artifact.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as(s"n_distinct_$memberCol"))
+      // count(member), not count(1): COUNT(DISTINCT) semantics skip null
+      // members, but an all-null group still yields a row with count 0
+      .agg(count(col(memberCol)).as(s"n_distinct_$memberCol"))
 
   /** Build an HLL distinct-count rollup slice — the APPROXIMATE tier of
     * [[mergeDistinctRollups]], for when even the distinct pair set is too
@@ -301,7 +308,10 @@ object Maintenance {
     * be at least the slices' BUILD lgK: a smaller merge gadget would
     * decimate exact-mode inputs into estimates (the scalar pairwise ops
     * in [[thetaOverlap]] are lossless by construction; an aggregate must
-    * bound its buffer, so the cap is explicit here). */
+    * bound its buffer, so the cap is explicit here). ENFORCED, not just
+    * documented: the union aggregate throws when an exact-mode input's
+    * retained entries exceed the merge gadget's nominal 2^lgK — the
+    * downgrade is a correctness bug, never a silent fallback. */
   def mergeThetaRollups(rollups: Seq[org.apache.spark.sql.DataFrame],
                         keys: Seq[String],
                         sketchCol: String,
@@ -413,9 +423,17 @@ object Maintenance {
     require(bits > 0 && bits * cols.size <= 63, s"$bits bits x ${cols.size} cols overflows a long")
     val cellMax = (1L << bits) - 1
     val cells = cols.zip(stats).map { case (c, (lo, hi)) =>
-      val span = math.max(hi - lo, 1L)
-      least(greatest((c.cast("long") - lit(lo)) * lit(cellMax) / lit(span),
-        lit(0L)), lit(cellMax))
+      // Quantize in DOUBLE: the long form (v - lo) * cellMax / span wraps
+      // negative once span * cellMax exceeds Long.MaxValue (~1.4e14 span at
+      // bits=16 — a multi-year epoch-microsecond column), and the clamp then
+      // silently maps the largest values to cell 0, destroying the layout.
+      // span is computed in double too so hi - lo cannot wrap either. Double
+      // scaling by a positive constant is monotone non-decreasing, which is
+      // all a layout key needs (ties between adjacent cells are harmless);
+      // the final clamp keeps the cast in [0, cellMax].
+      val span = math.max(hi.toDouble - lo.toDouble, 1.0)
+      val scaled = (c.cast("double") - lit(lo.toDouble)) * lit(cellMax.toDouble / span)
+      least(greatest(scaled.cast("long"), lit(0L)), lit(cellMax))
     }
     (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
       cells.zipWithIndex.foldLeft(acc) { case (a, (cell, i)) =>

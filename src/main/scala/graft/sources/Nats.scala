@@ -318,8 +318,17 @@ final class NatsConnection(host: String, port: Int,
     * lingering error must fail the barrier even though the PONG arrived. */
   def flush(timeoutMs: Long = 30000): Unit = {
     val latch = new CountDownLatch(1)
-    pingWaiters.add(latch)
-    send(NatsProto.Ping)
+    // Enqueue + PING under the writer lock, and REMOVE the latch if the
+    // write throws: waiters are matched to PINGs purely by queue order, so
+    // (a) enqueue order must equal PING write order (hence the shared lock,
+    // not enqueue-after-send), and (b) a stale waiter from a failed send
+    // would consume the PONG belonging to the NEXT flush on this
+    // connection, timing that flush out spuriously.
+    out.synchronized {
+      pingWaiters.add(latch)
+      try send(NatsProto.Ping)
+      catch { case t: Throwable => pingWaiters.remove(latch); throw t }
+    }
     if (!latch.await(timeoutMs, TimeUnit.MILLISECONDS))
       throw new IOException(s"flush timed out after ${timeoutMs}ms")
     if (!running.get())

@@ -52,19 +52,38 @@ object WsFrames {
   val OpPing = 0x9
   val OpPong = 0xA
 
+  /** Max HTTP header-line length accepted during the handshake — the same
+    * hostile-peer bound every other pre-auth read path carries (NATS
+    * control lines, frame caps): an unauthenticated peer streaming bytes
+    * with no '\n' must hit a loud error, not grow a StringBuilder forever. */
+  val MaxHeaderLine = 8192
+  /** Max header lines per upgrade request (same hostile-peer rationale). */
+  val MaxHeaderLines = 256
+
   /** Read one HTTP header line (handshake phase only — before framing). */
   def readHeaderLine(in: DataInputStream): String = {
     val sb = new StringBuilder
     var c = in.read()
-    while (c != -1 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = in.read() }
+    while (c != -1 && c != '\n') {
+      if (c != '\r') sb.append(c.toChar)
+      if (sb.length > MaxHeaderLine)
+        throw new java.io.IOException(
+          s"handshake header line exceeds $MaxHeaderLine bytes")
+      c = in.read()
+    }
     sb.result()
   }
 
   /** Consume a client Upgrade request and return its Sec-WebSocket-Key. */
   def readUpgradeKey(in: DataInputStream): String = {
     var key: String = null
+    var n = 0
     var line = readHeaderLine(in)
     while (line.nonEmpty) {
+      n += 1
+      if (n > MaxHeaderLines)
+        throw new java.io.IOException(
+          s"handshake exceeds $MaxHeaderLines header lines")
       val idx = line.indexOf(':')
       if (idx > 0 && line.substring(0, idx).trim.equalsIgnoreCase("Sec-WebSocket-Key"))
         key = line.substring(idx + 1).trim

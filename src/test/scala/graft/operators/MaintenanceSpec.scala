@@ -228,4 +228,24 @@ class BucketedJoinSpec extends graft.SparkSpec {
     val e = est(Maintenance.hllRollup(big, Seq("day"), "user_id")).head._2
     assert(math.abs(e - 5000L) <= 150, s"estimate $e vs 5000")
   }
+
+  test("distinct rollup COUNT(DISTINCT) null semantics: null members are not " +
+    "values, but an all-null group still yields a zero row") {
+    import SparkSpec.session.implicits._
+    // day 1: members {10, 11, null}; day 2: members {null} only
+    val df = Seq[(Long, java.lang.Long)](
+      (1L, 10L), (1L, null), (1L, 11L), (1L, 10L), (2L, null), (2L, null))
+      .toDF("day", "user_id")
+    val art = Maintenance.mergeDistinctRollups(
+      Seq(df.filter(col("day") === 1).distinct(), df.filter(col("day") === 2).distinct()),
+      Seq("day"), "user_id")
+    val got = Maintenance.distinctRollupCounts(art, Seq("day"), "user_id")
+      .as[(Long, Long)].collect().toMap
+    // exactly SQL: SELECT day, COUNT(DISTINCT user_id) ... GROUP BY day
+    assert(got === Map(1L -> 2L, 2L -> 0L), got.toString)
+    // and a null pair replayed through another merge stays absorbed
+    val re = Maintenance.mergeDistinctRollups(Seq(art, art), Seq("day"), "user_id")
+    assert(Maintenance.distinctRollupCounts(re, Seq("day"), "user_id")
+      .as[(Long, Long)].collect().toMap === got)
+  }
 }

@@ -169,4 +169,26 @@ class ThetaSpec extends SparkSpec {
       .collect().head.getAs[Double]("n")
     assert(est == 2.0)
   }
+
+  test("merge lgK below an exact-mode slice's retained set fails LOUDLY, " +
+    "never silently decimates; a big-enough lgK stays exact") {
+    // 10k distinct members, built at lgK=14 (16384 nominal) → EXACT mode
+    val slice = Maintenance.thetaRollup(
+      (0 until 10000).map(i => (1, s"m$i")).toDF("g", "member"),
+      Seq("g"), "member", lgK = 14)
+    // merging at lgK=14 is lossless: the estimate is the exact count
+    val ok = Maintenance.thetaRollupEstimates(
+      Maintenance.mergeThetaRollups(Seq(slice), Seq("g"), "theta_member", lgK = 14),
+      Seq("g"), "theta_member").collect().head.getAs[Double]("est_theta_member")
+    assert(ok == 10000.0, s"lossless merge drifted: $ok")
+    // merging at the DEFAULT lgK=12 (4096 nominal) would decimate the
+    // exact slice into an estimate — the guard must throw, not downgrade
+    val e = intercept[Throwable] {
+      Maintenance.mergeThetaRollups(Seq(slice), Seq("g"), "theta_member").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("decimate")), chain(e).mkString(" | "))
+  }
 }

@@ -32,6 +32,22 @@ class ZorderSpec extends SparkSpec {
     assert(z(0) == 0L) // x clamped to 0
   }
 
+  test("zValue survives wide spans (epoch-micros scale) without long wrap") {
+    // span * cellMax > Long.MaxValue for the old long arithmetic: a ~12.7y
+    // epoch-microsecond span at bits=16 wrapped negative and clamped the
+    // TOP of the range to cell 0. The double path must stay monotone and
+    // map the max to the top cell.
+    val hi = 400000000000000L
+    val vals = Seq(0L, hi / 4, hi / 2, hi - 1, hi)
+    val df = vals.map(v => (v, 1L)).toDF("t", "c")
+    val z = df.select(Maintenance.zValue(Seq(col("t"), col("c")),
+      Seq((0L, hi), (0L, 3L)), bits = 16).as("z")).as[Long].collect().toSeq
+    assert(z == z.sorted, s"not monotone in t: $z")
+    assert(z.head < z(1) && z(1) < z(2) && z(2) < z.last,
+      s"wide span collapsed cells: $z")
+    assert(z.last > (1L << 30), s"top of range landed in a low cell: ${z.last}")
+  }
+
   test("z-ordered layout prunes files on BOTH dimensions; linear sort only on its own") {
     val n = 40000
     val rnd = new scala.util.Random(7)

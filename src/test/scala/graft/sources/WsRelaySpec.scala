@@ -125,6 +125,22 @@ class WsRelaySpec extends SparkSpec {
     } finally relay.stop()
   }
 
+  test("handshake header reads are bounded: an endless unterminated line and " +
+    "an endless header stream both fail loudly instead of growing memory") {
+    val noNewline = new java.io.DataInputStream(new java.io.InputStream {
+      override def read(): Int = 'a' // hostile peer: bytes forever, no '\n'
+    })
+    val e = intercept[java.io.IOException](WsFrames.readHeaderLine(noNewline))
+    assert(e.getMessage.contains("header line exceeds"), e.getMessage)
+    val endlessHeaders = new java.io.DataInputStream(new java.io.InputStream {
+      private val line = "X-Pad: y\r\n".getBytes(UTF_8)
+      private var i = 0
+      override def read(): Int = { val b = line(i % line.length); i += 1; b & 0xff }
+    })
+    val e2 = intercept[java.io.IOException](WsFrames.readUpgradeKey(endlessHeaders))
+    assert(e2.getMessage.contains("header lines"), e2.getMessage)
+  }
+
   test("handshake: a non-101 response and a wrong accept key are both refused") {
     def oneShotServer(response: String): (ServerSocket, Thread) = {
       val srv = new ServerSocket(0)
