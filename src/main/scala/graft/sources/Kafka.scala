@@ -1,0 +1,467 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, IOException}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import KafkaProto._
+
+/** Kafka edge without the connector jars: a blocking wire client over
+  * [[KafkaProto]] plus the Spark integration — a distributed batch read
+  * (one Spark task per Kafka partition), a distributed producer sink with
+  * the reference's batch budgets and `{field}` key semantics, and a
+  * spool consumer that bridges a topic into Spark's file stream with
+  * exactly-once delivery (offset-named idempotent spool files + broker
+  * committed offsets — the same spool discipline as `HttpServerJack`).
+  *
+  * Reference semantics mapped (`/root/reference/pkg/internal/adapter/
+  * kafkaclient/`): poll budgets maxPollRecords/maxPollBytes
+  * (`reader.go:83-94`), commit modes auto / manual:after-each /
+  * manual:after-batch (`reader.go:185-296`), NDJSON values with bad rows
+  * dropped not fatal (`reader.go:146-171`), writer batch maxRecords/
+  * maxBytes/acks (`writer.go:108-200`), murmur2 default partitioning.
+  * On a cluster with the stock connector, `Sources.kafkaStream` is the
+  * drop-in equivalent of the spool bridge; this path exists so the edge
+  * is REAL — produced, fetched, committed, and restart-tested — in any
+  * JVM-only environment. */
+object Kafka {
+
+  /** The connector-compatible scan schema ([[Sources.decodeKafka]] accepts
+    * either source). */
+  val scanSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType), StructField("value", BinaryType),
+    StructField("topic", StringType), StructField("partition", IntegerType),
+    StructField("offset", LongType), StructField("timestamp", TimestampType)))
+
+  final case class Split(topic: String, partition: Int, start: Long, end: Long)
+
+  // ======================================================================
+  // wire client
+  // ======================================================================
+
+  /** One blocking connection; calls are serialized (the classic protocol
+    * allows pipelining, but every use here is call-and-wait). */
+  final class WireClient(host: String, port: Int, clientId: String = "graft",
+                         timeoutMs: Int = 30000) extends AutoCloseable {
+    private val sock = new Socket(host, port)
+    sock.setTcpNoDelay(true)
+    sock.setSoTimeout(timeoutMs)
+    private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    private val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    private var corr = 0
+
+    private def call(apiKey: Int, version: Int, body: Array[Byte]): Reader =
+      this.synchronized {
+        corr += 1
+        writeRequest(out, apiKey, version, corr, clientId, body)
+        val (gotCorr, r) = readResponse(in)
+        if (gotCorr != corr)
+          throw new IOException(s"correlation mismatch: sent $corr got $gotCorr")
+        r
+      }
+
+    /** ApiVersions v0 → (apiKey, minVersion, maxVersion). */
+    def apiVersions(): Seq[(Int, Int, Int)] = {
+      val r = call(ApiApiVersions, 0, new Writer().toBytes)
+      val err = r.int16()
+      require(err == ErrNone, s"ApiVersions error $err")
+      r.array(x => (x.int16().toInt, x.int16().toInt, x.int16().toInt))
+    }
+
+    /** Metadata v1 → partition ids per topic (single-broker scope: leader
+      * routing is a no-op here; a multi-broker client would key a
+      * connection pool by the leader ids this response carries). */
+    def metadata(topics: Seq[String] = null): Map[String, Seq[Int]] = {
+      val w = new Writer()
+      if (topics == null) w.int32(-1)
+      else w.array(topics)((b, t) => b.string(t))
+      val r = call(ApiMetadata, 1, w.toBytes)
+      r.array(x => { x.int32(); x.string(); x.int32(); x.nullableString() }) // brokers
+      r.int32() // controller id
+      r.array { t =>
+        val err = t.int16()
+        val name = t.string()
+        t.int8() // is_internal
+        val parts = t.array { p =>
+          p.int16(); val id = p.int32(); p.int32()
+          p.array(_.int32()); p.array(_.int32())
+          id
+        }
+        require(err == ErrNone, s"metadata error $err for topic $name")
+        name -> parts.sorted
+      }.toMap
+    }
+
+    /** Produce v3 (acks=-1): returns the assigned base offset. */
+    def produce(topic: String, partition: Int, recordSet: Array[Byte],
+                timeoutMs: Int = 30000): Long = {
+      val w = new Writer()
+      w.nullableString(null) // transactional_id
+      w.int16(-1)            // acks: all
+      w.int32(timeoutMs)
+      w.array(Seq(topic)) { (b, t) =>
+        b.string(t)
+        b.array(Seq(partition)) { (pb, p) =>
+          pb.int32(p)
+          pb.nullableBytes(recordSet)
+        }
+      }
+      val r = call(ApiProduce, 3, w.toBytes)
+      var base = -1L
+      r.array { t =>
+        t.string()
+        t.array { p =>
+          p.int32()
+          val err = p.int16()
+          base = p.int64()
+          p.int64() // log_append_time
+          require(err == ErrNone, s"produce error $err on $topic/$partition")
+        }
+      }
+      r.int32() // throttle
+      base
+    }
+
+    /** Fetch v4 from `offset`: (highWatermark, records-at-or-after-offset).
+      * The broker legitimately returns the whole batch CONTAINING the
+      * fetch offset; records below it are skipped here, exactly like the
+      * real consumer. */
+    def fetch(topic: String, partition: Int, offset: Long,
+              maxBytes: Int = 1 << 20, maxWaitMs: Int = 500,
+              minBytes: Int = 1): (Long, Seq[KRecord]) = {
+      val w = new Writer()
+      w.int32(-1) // replica_id: consumer
+      w.int32(maxWaitMs)
+      w.int32(minBytes)
+      w.int32(maxBytes)
+      w.int8(0)   // isolation: READ_UNCOMMITTED
+      w.array(Seq(topic)) { (b, t) =>
+        b.string(t)
+        b.array(Seq(partition)) { (pb, p) =>
+          pb.int32(p); pb.int64(offset); pb.int32(maxBytes)
+        }
+      }
+      val r = call(ApiFetch, 4, w.toBytes)
+      r.int32() // throttle
+      var hw = -1L
+      var recs: Seq[KRecord] = Vector.empty
+      r.array { t =>
+        t.string()
+        t.array { p =>
+          p.int32()
+          val err = p.int16()
+          hw = p.int64()
+          p.int64() // last_stable_offset
+          p.array(a => { a.int64(); a.int64() }) // aborted txns
+          val set = p.nullableBytes()
+          require(err == ErrNone, s"fetch error $err on $topic/$partition@$offset")
+          if (set != null && set.nonEmpty)
+            recs = decodeRecordBatches(set).filter(_.offset >= offset)
+        }
+      }
+      (hw, recs)
+    }
+
+    /** ListOffsets v1: earliest ([[KafkaProto.TsEarliest]]) or latest
+      * (next-to-be-assigned, [[KafkaProto.TsLatest]]). */
+    def listOffset(topic: String, partition: Int, ts: Long): Long = {
+      val w = new Writer()
+      w.int32(-1)
+      w.array(Seq(topic)) { (b, t) =>
+        b.string(t)
+        b.array(Seq(partition)) { (pb, p) => pb.int32(p); pb.int64(ts) }
+      }
+      val r = call(ApiListOffsets, 1, w.toBytes)
+      var off = -1L
+      r.array { t =>
+        t.string()
+        t.array { p =>
+          p.int32()
+          val err = p.int16()
+          p.int64() // timestamp
+          off = p.int64()
+          require(err == ErrNone, s"listOffsets error $err on $topic/$partition")
+        }
+      }
+      off
+    }
+
+    /** OffsetCommit v2 as a SIMPLE consumer (generation -1, no group
+      * membership — the reference's manual commit modes do the same
+      * standalone commit, `reader.go:185-296`). */
+    def offsetCommit(group: String, offsets: Map[(String, Int), Long]): Unit = {
+      val w = new Writer()
+      w.string(group)
+      w.int32(-1)            // generation: standalone
+      w.string("")           // member id
+      w.int64(-1L)           // retention: broker default
+      val byTopic = offsets.groupBy(_._1._1)
+      w.array(byTopic.toSeq) { (b, kv) =>
+        b.string(kv._1)
+        b.array(kv._2.toSeq) { (pb, e) =>
+          pb.int32(e._1._2); pb.int64(e._2); pb.nullableString(null)
+        }
+      }
+      val r = call(ApiOffsetCommit, 2, w.toBytes)
+      r.array { t =>
+        t.string()
+        t.array { p =>
+          p.int32()
+          val err = p.int16()
+          require(err == ErrNone, s"offsetCommit error $err")
+        }
+      }
+    }
+
+    /** OffsetFetch v1 → committed offset per partition, -1 when none. */
+    def offsetFetch(group: String, tps: Seq[(String, Int)]): Map[(String, Int), Long] = {
+      val w = new Writer()
+      w.string(group)
+      val byTopic = tps.groupBy(_._1)
+      w.array(byTopic.toSeq) { (b, kv) =>
+        b.string(kv._1)
+        b.array(kv._2)((pb, e) => pb.int32(e._2))
+      }
+      val r = call(ApiOffsetFetch, 1, w.toBytes)
+      val out = Map.newBuilder[(String, Int), Long]
+      r.array { t =>
+        val name = t.string()
+        t.array { p =>
+          val part = p.int32()
+          val off = p.int64()
+          p.nullableString()
+          val err = p.int16()
+          require(err == ErrNone, s"offsetFetch error $err")
+          out += ((name, part) -> off)
+        }
+      }
+      out.result()
+    }
+
+    override def close(): Unit = {
+      try sock.close() catch { case _: Throwable => () }
+    }
+  }
+
+  // ======================================================================
+  // Spark integration: batch read (one task per Kafka partition)
+  // ======================================================================
+
+  /** Current earliest..latest offset range per partition of `topic`. */
+  def offsetRanges(bootstrap: (String, Int), topic: String): Seq[Split] = {
+    val c = new WireClient(bootstrap._1, bootstrap._2)
+    try {
+      val parts = c.metadata(Seq(topic)).getOrElse(topic,
+        throw new IOException(s"unknown topic $topic"))
+      parts.map(p => Split(topic, p,
+        c.listOffset(topic, p, TsEarliest), c.listOffset(topic, p, TsLatest)))
+    } finally c.close()
+  }
+
+  /** Distributed batch read of `topic` in [start, end) per partition:
+    * ONE Spark task per Kafka partition, each opening its own connection
+    * and fetching its range — the scan parallelism IS the topic's
+    * partition count, the same contract the connector gives, so at
+    * cluster scale every executor pulls its own partitions and nothing
+    * funnels through the driver. */
+  def read(spark: SparkSession, bootstrap: (String, Int), topic: String,
+           splits: Seq[Split] = null, maxFetchBytes: Int = 1 << 20): DataFrame = {
+    val eff = if (splits != null) splits else offsetRanges(bootstrap, topic)
+    val (host, port) = bootstrap
+    val rows = spark.sparkContext
+      .parallelize(eff, math.max(eff.size, 1))
+      .flatMap { s =>
+        val c = new WireClient(host, port)
+        try {
+          val out = Vector.newBuilder[Row]
+          var off = s.start
+          while (off < s.end) {
+            val (_, recs) = c.fetch(s.topic, s.partition, off, maxFetchBytes)
+            if (recs.isEmpty) {
+              // an empty fetch below `end` means the range claim is stale
+              throw new IOException(s"no data at ${s.topic}/${s.partition}@$off < ${s.end}")
+            }
+            recs.iterator.takeWhile(_.offset < s.end).foreach { r =>
+              out += Row(r.key, r.value, s.topic, s.partition, r.offset,
+                new java.sql.Timestamp(r.timestamp))
+              off = r.offset + 1
+            }
+          }
+          out.result()
+        } finally c.close()
+      }
+    spark.createDataFrame(rows, scanSchema)
+  }
+
+  // ======================================================================
+  // Spark integration: producer sink
+  // ======================================================================
+
+  /** Produce a frame with `key`/`value` string or binary columns (the
+    * output of [[Sources.encodeKafka]]) to `topic`, distributed: every
+    * Spark partition opens ONE connection, routes rows by murmur2 of the
+    * key (null keys round-robin), and flushes per-Kafka-partition batches
+    * at the reference writer's budgets (maxRecords / maxBytes,
+    * `writer.go:108-130`). At-least-once on task retry, exactly like the
+    * reference writer — dedupe belongs to the consumer (the spool bridge
+    * is idempotent by offset). */
+  def write(df: DataFrame, bootstrap: (String, Int), topic: String,
+            maxBatchRecords: Int = 1000, maxBatchBytes: Int = 1 << 20,
+            headerTemplateCols: Seq[String] = Nil): Unit = {
+    val (host, port) = bootstrap
+    val cols = df.columns
+    require(cols.contains("key") && cols.contains("value"),
+      s"kafka write expects key/value columns, got ${cols.mkString(",")}")
+    val headerCols = headerTemplateCols
+    df.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val c = new WireClient(host, port)
+        try {
+          val nParts = c.metadata(Seq(topic))(topic).size
+          val pending = Array.fill(nParts)(
+            Vector.newBuilder[(Long, Array[Byte], Array[Byte], Seq[(String, Array[Byte])])])
+          val pendingN = new Array[Int](nParts)
+          val pendingB = new Array[Int](nParts)
+          var rr = 0
+          def flush(p: Int): Unit = if (pendingN(p) > 0) {
+            c.produce(topic, p, encodeRecordBatch(0L, pending(p).result()))
+            pending(p).clear(); pendingN(p) = 0; pendingB(p) = 0
+          }
+          def asBytes(v: Any): Array[Byte] = v match {
+            case null => null
+            case b: Array[Byte] => b
+            case s: String => s.getBytes(UTF_8)
+            case other => other.toString.getBytes(UTF_8)
+          }
+          it.foreach { row =>
+            val key = asBytes(row.getAs[Any]("key"))
+            val value = asBytes(row.getAs[Any]("value"))
+            val headers = headerCols.map(h => h -> asBytes(row.getAs[Any](h)))
+            val p =
+              if (key == null) { rr += 1; (rr - 1) % nParts }
+              else partitionFor(key, nParts)
+            pending(p) += ((System.currentTimeMillis(), key, value, headers))
+            pendingN(p) += 1
+            pendingB(p) += (if (key == null) 0 else key.length) +
+              (if (value == null) 0 else value.length)
+            if (pendingN(p) >= maxBatchRecords || pendingB(p) >= maxBatchBytes) flush(p)
+          }
+          (0 until nParts).foreach(flush)
+        } finally c.close()
+      }
+    }
+  }
+
+  // ======================================================================
+  // spool bridge: topic → exactly-once NDJSON spool → Spark file stream
+  // ======================================================================
+
+  /** Poll-loop consumer that lands each poll window as ONE atomically
+    * renamed NDJSON spool file named by its (partition, start offset,
+    * record span) and then commits the position to the broker. Exactly-once
+    * into the spool across kill/restart from either side of the commit:
+    *  - crash BEFORE commit → the refetch finds the durable file at the
+    *    same start offset and RE-COMMITS ITS SPAN (not the new fetch
+    *    window's — windows are not deterministic across restarts);
+    *  - crash AFTER commit → the next poll starts past the spooled data.
+    * Spark tails the spool with [[Sources.fileStream]] (maxFilesPerTrigger
+    * = the reference's poll budget) and the file source's own log makes
+    * the downstream exactly-once. Commit modes as the reference
+    * (`reader.go:185-296`): "after-batch" (default), "after-each" (commit
+    * per record — the slow-but-tight mode), "auto" (commit only on
+    * `close`, the auto-commit-on-interval analogue). */
+  final class SpoolConsumer(bootstrap: (String, Int), topic: String,
+                            group: String, spoolDir: String,
+                            commitMode: String = "after-batch",
+                            maxPollRecords: Int = 10000,
+                            maxPollBytes: Int = 1 << 20) extends AutoCloseable {
+    require(Set("after-batch", "after-each", "auto").contains(commitMode),
+      s"unknown commit mode $commitMode")
+    private val c = new WireClient(bootstrap._1, bootstrap._2)
+    private val parts: Seq[Int] = c.metadata(Seq(topic))(topic)
+    private val pos: scala.collection.mutable.Map[Int, Long] = {
+      val committed = c.offsetFetch(group, parts.map((topic, _)))
+      scala.collection.mutable.Map(parts.map { p =>
+        val cp = committed.getOrElse((topic, p), -1L)
+        p -> (if (cp >= 0) cp else c.listOffset(topic, p, TsEarliest))
+      }: _*)
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(spoolDir))
+
+    /** One poll across all partitions; returns records spooled. */
+    def pollOnce(): Int = {
+      var n = 0
+      var bytes = 0
+      parts.foreach { p =>
+        if (n < maxPollRecords && bytes < maxPollBytes) {
+          val start = pos(p)
+          val (_, recs0) = c.fetch(topic, p, start, maxPollBytes, maxWaitMs = 100)
+          val recs = recs0.take(maxPollRecords - n)
+          if (recs.nonEmpty) {
+            var cur = start
+            if (commitMode == "after-each") {
+              recs.foreach { r =>
+                if (r.offset >= cur) { // an existing wider file may skip ahead
+                  cur += spool(p, cur, Seq(r))
+                  c.offsetCommit(group, Map((topic, p) -> cur))
+                }
+              }
+            } else {
+              cur = start + spool(p, start, recs)
+              if (commitMode == "after-batch")
+                c.offsetCommit(group, Map((topic, p) -> cur))
+            }
+            pos(p) = cur
+            n += (cur - start).toInt
+            bytes += recs.iterator.map(r =>
+              if (r.value == null) 0 else r.value.length).sum
+          }
+        }
+      }
+      n
+    }
+
+    /** Write one spool file atomically, named by its (partition, start
+      * offset, RECORD SPAN), and return the span the spool now covers at
+      * `startOffset`. If a file at this start offset already exists —
+      * crash-refetch, or an abandoned uncommitted consumer — its span WINS
+      * and is returned without writing, because the committed position must
+      * advance by what is durably spooled, never by the current fetch
+      * window: windows are not deterministic across restarts, so
+      * skip-if-exists alone would commit past records the existing
+      * (smaller) file never captured. One record = one NDJSON line (a null
+      * value spools as an empty line) so spans never depend on content. */
+    private def spool(partition: Int, startOffset: Long, recs: Seq[KRecord]): Long = {
+      val prefix = f"$topic-$partition%03d-$startOffset%020d-"
+      val dir = new java.io.File(spoolDir)
+      val existing = dir.listFiles().filter(f =>
+        f.getName.startsWith(prefix) && f.getName.endsWith(".ndjson"))
+      if (existing.nonEmpty) {
+        existing.head.getName.stripPrefix(prefix).stripSuffix(".ndjson").toLong
+      } else {
+        val name = f"$prefix${recs.size}%09d.ndjson"
+        val tmp = java.nio.file.Paths.get(spoolDir, s".$name.tmp")
+        val w = java.nio.file.Files.newBufferedWriter(tmp, UTF_8)
+        try recs.foreach { r =>
+          if (r.value != null) w.write(new String(r.value, UTF_8))
+          w.write('\n')
+        } finally w.close()
+        java.nio.file.Files.move(tmp, java.nio.file.Paths.get(spoolDir, name),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        recs.size.toLong
+      }
+    }
+
+    /** Consumed (not necessarily committed) position per partition. */
+    def positions: Map[Int, Long] = pos.toMap
+
+    override def close(): Unit = {
+      if (commitMode == "auto")
+        c.offsetCommit(group, pos.map { case (p, o) => (topic, p) -> o }.toMap)
+      c.close()
+    }
+  }
+}

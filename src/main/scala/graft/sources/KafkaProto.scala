@@ -1,0 +1,391 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.CRC32C
+
+/** Kafka wire protocol, from scratch (S4/K1 without the connector jars):
+  * the binary primitives, request/response framing, and the RecordBatch v2
+  * on-disk/wire format of the PUBLIC Kafka protocol spec
+  * (kafka.apache.org/protocol) — the same layer the reference delegates to
+  * segmentio/kafka-go (`/root/reference/pkg/internal/adapter/kafkaclient/
+  * kafkaclient.go:1-110`). Spoken by [[KafkaWireClient]] and, test-side, by
+  * `MiniKafkaBroker`, the same client-and-protocol-faithful-peer pattern as
+  * the NATS edge (`Nats.scala` / `MiniNatsServer`).
+  *
+  * Scope: the NON-FLEXIBLE protocol versions (int16/int32-prefixed strings
+  * and arrays, request header v1) with RecordBatch magic 2 payloads —
+  * Produce v3, Fetch v4, Metadata v1, ListOffsets v1, OffsetCommit v2,
+  * OffsetFetch v1, ApiVersions v0. These are real protocol versions every
+  * broker still speaks (Kafka never removes them from the range it
+  * advertises for old clients); the flexible/tagged-field re-encoding of
+  * the same messages is a framing variant, not new semantics.
+  *
+  * RecordBatch v2 is implemented exactly: zigzag-varint record framing,
+  * CRC32C (Castagnoli) over attributes..end, base+delta offsets and
+  * timestamps, record headers. Compression attribute 0 (none) — payload
+  * compression for the relay edges lives in [[Codecs]], and the batch
+  * format is identical either way. */
+object KafkaProto {
+
+  // ---- api keys (public protocol ids) ----
+  val ApiProduce = 0
+  val ApiFetch = 1
+  val ApiListOffsets = 2
+  val ApiMetadata = 3
+  val ApiOffsetCommit = 8
+  val ApiOffsetFetch = 9
+  val ApiApiVersions = 18
+
+  // ---- error codes (subset used here) ----
+  val ErrNone: Short = 0
+  val ErrOffsetOutOfRange: Short = 1
+  val ErrUnknownTopicOrPartition: Short = 3
+
+  /** Earliest/latest sentinels for ListOffsets timestamps. */
+  val TsEarliest: Long = -2L
+  val TsLatest: Long = -1L
+
+  /** Hard cap on any length-prefixed field read from a peer — the same
+    * hostile-peer bound every other wire edge here carries. */
+  val MaxFieldBytes: Int = 64 << 20
+
+  // ======================================================================
+  // primitives
+  // ======================================================================
+
+  /** Growable big-endian writer for the classic (non-flexible) encoding. */
+  final class Writer {
+    private val out = new java.io.ByteArrayOutputStream(256)
+    def int8(v: Int): Writer = { out.write(v & 0xff); this }
+    def int16(v: Int): Writer = { out.write((v >> 8) & 0xff); out.write(v & 0xff); this }
+    def int32(v: Int): Writer = {
+      out.write((v >> 24) & 0xff); out.write((v >> 16) & 0xff)
+      out.write((v >> 8) & 0xff); out.write(v & 0xff); this
+    }
+    def int64(v: Long): Writer = { int32((v >> 32).toInt); int32(v.toInt); this }
+    /** Zigzag varint (record framing). */
+    def varInt(v: Int): Writer = uVarLong(((v << 1) ^ (v >> 31)).toLong & 0xffffffffL)
+    /** Zigzag varlong (record framing). */
+    def varLong(v: Long): Writer = uVarLong((v << 1) ^ (v >> 63))
+    private def uVarLong(v0: Long): Writer = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt); this
+    }
+    def string(s: String): Writer = {
+      val b = s.getBytes(UTF_8); int16(b.length); raw(b)
+    }
+    def nullableString(s: String): Writer =
+      if (s == null) int16(-1) else string(s)
+    def bytes(b: Array[Byte]): Writer = { int32(b.length); raw(b) }
+    def nullableBytes(b: Array[Byte]): Writer =
+      if (b == null) int32(-1) else bytes(b)
+    def raw(b: Array[Byte]): Writer = { out.write(b, 0, b.length); this }
+    def array[T](items: Seq[T])(f: (Writer, T) => Unit): Writer = {
+      int32(items.size); items.foreach(f(this, _)); this
+    }
+    def size: Int = out.size()
+    def toBytes: Array[Byte] = out.toByteArray
+  }
+
+  /** Reader over one received message body. */
+  final class Reader(buf: Array[Byte], private var pos: Int, end: Int) {
+    def this(buf: Array[Byte]) = this(buf, 0, buf.length)
+    def remaining: Int = end - pos
+    private def need(n: Int): Unit =
+      if (remaining < n) throw new EOFException(s"need $n bytes, have $remaining")
+    def int8(): Int = { need(1); pos += 1; buf(pos - 1) }
+    def int16(): Short = { need(2); val v = ((buf(pos) & 0xff) << 8) | (buf(pos + 1) & 0xff); pos += 2; v.toShort }
+    def int32(): Int = {
+      need(4)
+      val v = ((buf(pos) & 0xff) << 24) | ((buf(pos + 1) & 0xff) << 16) |
+        ((buf(pos + 2) & 0xff) << 8) | (buf(pos + 3) & 0xff)
+      pos += 4; v
+    }
+    def int64(): Long = (int32().toLong << 32) | (int32().toLong & 0xffffffffL)
+    def varInt(): Int = { val v = uVarLong(); ((v >>> 1) ^ -(v & 1)).toInt }
+    def varLong(): Long = { val v = uVarLong(); (v >>> 1) ^ -(v & 1) }
+    private def uVarLong(): Long = {
+      var v = 0L; var shift = 0
+      while (true) {
+        need(1); val b = buf(pos); pos += 1
+        v |= (b & 0x7fL) << shift
+        if ((b & 0x80) == 0) return v
+        shift += 7
+        if (shift > 63) throw new java.io.IOException("varint too long")
+      }
+      v // unreachable
+    }
+    def string(): String = {
+      val n = int16()
+      require(n >= 0 && n <= MaxFieldBytes, s"bad string length $n")
+      need(n); val s = new String(buf, pos, n, UTF_8); pos += n; s
+    }
+    def nullableString(): String = {
+      val n = int16()
+      if (n == -1) null
+      else {
+        require(n >= 0 && n <= MaxFieldBytes, s"bad string length $n")
+        need(n); val s = new String(buf, pos, n, UTF_8); pos += n; s
+      }
+    }
+    def nullableBytes(): Array[Byte] = {
+      val n = int32()
+      if (n == -1) null
+      else {
+        require(n >= 0 && n <= MaxFieldBytes, s"bad bytes length $n")
+        need(n); val b = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; b
+      }
+    }
+    def rawBytes(n: Int): Array[Byte] = {
+      require(n >= 0 && n <= MaxFieldBytes, s"bad raw length $n")
+      need(n); val b = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; b
+    }
+    def varBytes(): Array[Byte] = { // zigzag-varint length, -1 = null
+      val n = varInt()
+      if (n == -1) null else rawBytes(n)
+    }
+    def array[T](f: Reader => T): Seq[T] = {
+      val n = int32()
+      require(n >= -1 && n <= (1 << 24), s"bad array count $n")
+      if (n <= 0) Vector.empty else Vector.fill(n)(f(this))
+    }
+  }
+
+  // ======================================================================
+  // request/response framing
+  // ======================================================================
+
+  /** Frame and send one request: INT32 size + header v1
+    * (api_key, api_version, correlation_id, client_id) + body. */
+  def writeRequest(out: DataOutputStream, apiKey: Int, version: Int,
+                   correlationId: Int, clientId: String,
+                   body: Array[Byte]): Unit = {
+    val h = new Writer().int16(apiKey).int16(version).int32(correlationId)
+      .nullableString(clientId)
+    val header = h.toBytes
+    out.writeInt(header.length + body.length)
+    out.write(header); out.write(body)
+    out.flush()
+  }
+
+  /** Read one request frame (broker side): header + body reader. */
+  def readRequest(in: DataInputStream, maxBytes: Int = MaxFieldBytes): (Int, Int, Int, String, Reader) = {
+    val size = in.readInt()
+    require(size > 0 && size <= maxBytes, s"bad request size $size")
+    val buf = new Array[Byte](size)
+    in.readFully(buf)
+    val r = new Reader(buf)
+    val apiKey = r.int16().toInt
+    val version = r.int16().toInt
+    val correlationId = r.int32()
+    val clientId = r.nullableString()
+    (apiKey, version, correlationId, clientId, r)
+  }
+
+  /** Frame one response: INT32 size + correlation id + body. */
+  def writeResponse(out: DataOutputStream, correlationId: Int, body: Array[Byte]): Unit = {
+    out.writeInt(4 + body.length)
+    out.writeInt(correlationId)
+    out.write(body)
+    out.flush()
+  }
+
+  /** Read one response frame (client side): returns (correlationId, body). */
+  def readResponse(in: DataInputStream, maxBytes: Int = MaxFieldBytes): (Int, Reader) = {
+    val size = in.readInt()
+    require(size >= 4 && size <= maxBytes, s"bad response size $size")
+    val buf = new Array[Byte](size)
+    in.readFully(buf)
+    val r = new Reader(buf)
+    (r.int32(), r)
+  }
+
+  // ======================================================================
+  // RecordBatch v2 (magic 2)
+  // ======================================================================
+
+  /** One record as produced/consumed (offset/timestamp absolute). */
+  final case class KRecord(offset: Long, timestamp: Long,
+                           key: Array[Byte], value: Array[Byte],
+                           headers: Seq[(String, Array[Byte])] = Nil)
+
+  /** Encode one RecordBatch (magic 2, no compression, no txn/producer
+    * state): zigzag-varint record framing, CRC32C over attributes..end.
+    * `baseOffset` is what the producer sends (0 — the broker rewrites it
+    * at append, exactly like the real one) and offsets inside are deltas. */
+  def encodeRecordBatch(baseOffset: Long,
+                        records: Seq[(Long, Array[Byte], Array[Byte], Seq[(String, Array[Byte])])]): Array[Byte] = {
+    require(records.nonEmpty, "empty record batch")
+    val baseTs = records.map(_._1).min
+    val maxTs = records.map(_._1).max
+    val recBytes = new Writer()
+    records.zipWithIndex.foreach { case ((ts, key, value, headers), i) =>
+      val body = new Writer()
+      body.int8(0) // record attributes: unused
+      body.varLong(ts - baseTs)
+      body.varInt(i)
+      if (key == null) body.varInt(-1) else { body.varInt(key.length); body.raw(key) }
+      if (value == null) body.varInt(-1) else { body.varInt(value.length); body.raw(value) }
+      body.varInt(headers.size)
+      headers.foreach { case (hk, hv) =>
+        val kb = hk.getBytes(UTF_8)
+        body.varInt(kb.length); body.raw(kb)
+        if (hv == null) body.varInt(-1) else { body.varInt(hv.length); body.raw(hv) }
+      }
+      val b = body.toBytes
+      recBytes.varInt(b.length).raw(b)
+    }
+    // attributes..end — the CRC32C'd region
+    val tail = new Writer()
+    tail.int16(0)                    // attributes: no compression, CREATE_TIME
+    tail.int32(records.size - 1)     // lastOffsetDelta
+    tail.int64(baseTs)
+    tail.int64(maxTs)
+    tail.int64(-1L)                  // producerId (idempotence off)
+    tail.int16(-1)                   // producerEpoch
+    tail.int32(-1)                   // baseSequence
+    tail.int32(records.size)
+    tail.raw(recBytes.toBytes)
+    val tailBytes = tail.toBytes
+    val crc = new CRC32C()
+    crc.update(tailBytes, 0, tailBytes.length)
+    val batch = new Writer()
+    batch.int64(baseOffset)
+    batch.int32(4 + 1 + 4 + tailBytes.length) // partitionLeaderEpoch+magic+crc+tail
+    batch.int32(-1)                  // partitionLeaderEpoch
+    batch.int8(2)                    // magic
+    batch.int32(crc.getValue.toInt)  // CRC32C (stored as uint32)
+    batch.raw(tailBytes)
+    batch.toBytes
+  }
+
+  /** Rewrite the baseOffset of an encoded batch in place (what the broker
+    * does at append time; deltas inside the batch make this O(1) and keep
+    * the CRC valid — baseOffset is OUTSIDE the checksummed region). */
+  def withBaseOffset(batch: Array[Byte], baseOffset: Long): Array[Byte] = {
+    val b = java.util.Arrays.copyOf(batch, batch.length)
+    var i = 0
+    var v = baseOffset
+    while (i < 8) { b(7 - i) = (v & 0xff).toByte; v >>>= 8; i += 1 }
+    b
+  }
+
+  /** Number of records in an encoded batch (header peek, no full decode). */
+  def batchRecordCount(batch: Array[Byte]): Int =
+    new Reader(batch, 57, batch.length).int32()
+
+  /** Base offset of an encoded batch (header peek). */
+  def batchBaseOffset(batch: Array[Byte]): Long =
+    new Reader(batch, 0, batch.length).int64()
+
+  /** Decode a record-set: one or more concatenated RecordBatches, CRC
+    * verified LOUDLY (a silent pass-through on corruption is the one thing
+    * a checksum must never do). Tolerates a trailing partial batch — the
+    * protocol allows brokers to return one at the end of a fetch. */
+  def decodeRecordBatches(data: Array[Byte]): Seq[KRecord] = {
+    val out = Vector.newBuilder[KRecord]
+    var pos = 0
+    while (data.length - pos >= 12) {
+      val head = new Reader(data, pos, data.length)
+      val baseOffset = head.int64()
+      val batchLength = head.int32()
+      if (batchLength < 9 || pos + 12 + batchLength > data.length) {
+        pos = data.length // trailing partial batch: stop
+      } else {
+        val r = new Reader(data, pos + 12, pos + 12 + batchLength)
+        val leaderEpoch = r.int32()
+        val magic = r.int8()
+        require(magic == 2, s"unsupported record batch magic $magic (leaderEpoch=$leaderEpoch)")
+        val crcStored = r.int32()
+        val crc = new CRC32C()
+        crc.update(data, pos + 12 + 4 + 1 + 4, batchLength - 9)
+        require(crc.getValue.toInt == crcStored,
+          f"record batch CRC mismatch: stored 0x$crcStored%08x computed 0x${crc.getValue.toInt}%08x")
+        val attributes = r.int16()
+        require((attributes & 0x7) == 0, s"compressed batches not supported here (attrs=$attributes)")
+        r.int32() // lastOffsetDelta
+        val baseTs = r.int64()
+        r.int64() // maxTimestamp
+        r.int64(); r.int16(); r.int32() // producer id/epoch/sequence
+        val n = r.int32()
+        var i = 0
+        while (i < n) {
+          val len = r.varInt()
+          val rec = new Reader(data, pos + 12 + batchLength - r.remaining, pos + 12 + batchLength)
+          rec.int8() // record attributes
+          val tsDelta = rec.varLong()
+          val offDelta = rec.varInt()
+          val key = rec.varBytes()
+          val value = rec.varBytes()
+          val nh = rec.varInt()
+          val headers = (0 until nh).map { _ =>
+            val hk = new String(rec.rawBytes(rec.varInt()), UTF_8)
+            val hv = rec.varBytes()
+            (hk, hv)
+          }
+          out += KRecord(baseOffset + offDelta, baseTs + tsDelta, key, value, headers)
+          // advance the outer reader past this record
+          r.rawBytes(len)
+          i += 1
+        }
+        pos += 12 + batchLength
+      }
+    }
+    out.result()
+  }
+
+  // ======================================================================
+  // default partitioner
+  // ======================================================================
+
+  /** murmur2 — Kafka's DefaultPartitioner key hash (public algorithm,
+    * seed 0x9747b28c), so records keyed here land on the same partitions
+    * a stock Java producer would send them to. */
+  def murmur2(data: Array[Byte]): Int = {
+    val seed = 0x9747b28c
+    val m = 0x5bd1e995
+    val r = 24
+    val length = data.length
+    var h = seed ^ length
+    val n = length & ~3
+    var i = 0
+    while (i < n) {
+      var k = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
+        ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
+      k *= m
+      k ^= k >>> r
+      k *= m
+      h *= m
+      h ^= k
+      i += 4
+    }
+    (length & 3) match {
+      case 3 =>
+        h ^= (data(n + 2) & 0xff) << 16
+        h ^= (data(n + 1) & 0xff) << 8
+        h ^= data(n) & 0xff
+        h *= m
+      case 2 =>
+        h ^= (data(n + 1) & 0xff) << 8
+        h ^= data(n) & 0xff
+        h *= m
+      case 1 =>
+        h ^= data(n) & 0xff
+        h *= m
+      case _ => ()
+    }
+    h ^= h >>> 13
+    h *= m
+    h ^= h >>> 15
+    h
+  }
+
+  /** DefaultPartitioner placement: murmur2 of the key bytes, sign-masked,
+    * mod partition count. Null keys round-robin at the caller. */
+  def partitionFor(key: Array[Byte], numPartitions: Int): Int = {
+    require(numPartitions > 0, "numPartitions > 0")
+    (murmur2(key) & 0x7fffffff) % numPartitions
+  }
+}

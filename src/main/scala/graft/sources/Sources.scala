@@ -89,23 +89,17 @@ object Sources {
     * maxOffsetsPerTrigger. Builder-only here (no broker in the test env);
     * the decode column logic is unit-tested on static frames.
     *
-    * Broker round-trip status (re-checked rounds 6, 7 AND 8 — the round-8
-    * attempt on 2026-08-14 resolved neither kafka_2.13:3.7.0 nor
-    * spark-sql-kafka-0-10_2.13:4.1.2 from the offline cache; an
-    * `sbt update` for spark-sql-kafka-0-10_2.13:4.1.2 still fails "Not
-    * found" against the offline cache; /opt/spark/jars still ships no
-    * kafka artifact — the gap below stands unchanged): an embedded
-    * KRaft broker test needs `org.apache.kafka:kafka_2.13` on the test
-    * classpath. The offline coursier cache does not carry it — an actual
-    * `sbt update` resolution attempt for kafka_2.13:3.7.0 fails with
-    * "Not found" against the cached-only repo, and /opt/spark/jars ships
-    * no kafka-clients / spark-sql-kafka connector either (`ls | grep -i
-    * kafka` is empty), so even the connector's classpath cannot load in
-    * this sandbox. The reference gates its equivalent round-trip the same
-    * way (LocalStack-only `TestKafkaClientLocalstackRoundTrip`,
-    * `kafkaclient/reader.go:17-316`, `writer.go:16-303`); on a cluster
-    * with the standard spark-sql-kafka package this builder is the
-    * complete wiring. */
+    * THIS builder needs the spark-sql-kafka connector jars (present on any
+    * real cluster; absent in this offline sandbox — rounds 6-8 verified
+    * neither kafka_2.13 nor the connector resolve from the cache and
+    * /opt/spark/jars ships no kafka artifact). The edge is nonetheless
+    * REAL here since r9: [[Kafka]] speaks the wire protocol itself
+    * ([[KafkaProto]] — RecordBatch v2/CRC32C, produce/fetch/offsets APIs)
+    * with a distributed batch read, an executor-side producer, and the
+    * exactly-once spool bridge, all e2e-tested against a protocol-faithful
+    * broker (KafkaE2eSpec) — the Derby-for-Postgres move, applied to
+    * Kafka. On a connector-equipped cluster prefer this builder: the
+    * connector's offset checkpointing supersedes manual commits. */
   def kafkaStream(spark: SparkSession, bootstrap: String, topic: String,
                   valueSchema: org.apache.spark.sql.types.StructType,
                   startingOffsets: String = "earliest",

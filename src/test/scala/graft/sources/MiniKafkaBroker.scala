@@ -1,0 +1,288 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException}
+import java.net.{ServerSocket, Socket, SocketException}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicBoolean
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import KafkaProto._
+
+/** Protocol-faithful single-node Kafka broker for tests — the peer that
+  * makes the S4/K1 edge REAL in a jar-less sandbox, the same pattern as
+  * `MiniNatsServer`: it speaks the actual public wire protocol (the same
+  * non-flexible versions [[KafkaProto]] implements), so the client code
+  * under test exchanges genuine Kafka bytes, not a convenient fake API.
+  *
+  * Semantics covered: append-only in-memory log per partition with
+  * broker-assigned base offsets (batch baseOffset rewrite, CRC verified
+  * on produce), fetch returning the batch CONTAINING the fetch offset
+  * (consumers skip below it — the real contract), OFFSET_OUT_OF_RANGE,
+  * earliest/latest list-offsets, and a group-offset store for standalone
+  * commit/fetch. Not covered (out of test scope): replication, group
+  * membership/rebalance, transactions, compression. */
+final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0) extends AutoCloseable {
+  private val server = new ServerSocket(port)
+  def boundPort: Int = server.getLocalPort
+
+  private final class PartitionLog {
+    val batches = new ArrayBuffer[Array[Byte]]() // baseOffset already rewritten
+    var logEnd: Long = 0L
+  }
+  private val logs = new ConcurrentHashMap[(String, Int), PartitionLog]()
+  topics.foreach { case (t, n) =>
+    require(n > 0, s"topic $t needs > 0 partitions")
+    (0 until n).foreach(p => logs.put((t, p), new PartitionLog))
+  }
+  private val groupOffsets = new ConcurrentHashMap[(String, String, Int), Long]()
+
+  private val running = new AtomicBoolean(true)
+  @volatile private var produceCount = 0L
+  @volatile private var fetchCount = 0L
+  def produces: Long = produceCount
+  def fetches: Long = fetchCount
+
+  private val acceptor = new Thread(() => {
+    while (running.get()) {
+      try {
+        val s = server.accept()
+        val t = new Thread(() => serve(s))
+        t.setDaemon(true); t.start()
+      } catch { case _: Throwable => () }
+    }
+  })
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def serve(sock: Socket): Unit = {
+    sock.setTcpNoDelay(true)
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    try {
+      while (running.get()) {
+        val (apiKey, version, corr, _, r) = readRequest(in)
+        val body = apiKey match {
+          case ApiApiVersions => apiVersionsV0(version)
+          case ApiMetadata => metadataV1(version, r)
+          case ApiProduce => produceV3(version, r)
+          case ApiFetch => fetchV4(version, r)
+          case ApiListOffsets => listOffsetsV1(version, r)
+          case ApiOffsetCommit => offsetCommitV2(version, r)
+          case ApiOffsetFetch => offsetFetchV1(version, r)
+          case other => throw new EOFException(s"unsupported api key $other")
+        }
+        writeResponse(out, corr, body)
+      }
+    } catch {
+      case _: EOFException | _: SocketException => ()
+      case _: Throwable if !running.get() => ()
+    } finally {
+      try sock.close() catch { case _: Throwable => () }
+    }
+  }
+
+  private def apiVersionsV0(version: Int): Array[Byte] = {
+    require(version == 0, s"ApiVersions v$version unsupported")
+    val w = new Writer().int16(ErrNone)
+    w.array(Seq(
+      (ApiProduce, 3, 3), (ApiFetch, 4, 4), (ApiListOffsets, 1, 1),
+      (ApiMetadata, 1, 1), (ApiOffsetCommit, 2, 2), (ApiOffsetFetch, 1, 1),
+      (ApiApiVersions, 0, 0))) { (b, k) =>
+      b.int16(k._1); b.int16(k._2); b.int16(k._3)
+    }
+    w.toBytes
+  }
+
+  private def metadataV1(version: Int, r: Reader): Array[Byte] = {
+    require(version == 1, s"Metadata v$version unsupported")
+    val n = r.int32()
+    val requested: Seq[String] =
+      if (n == -1) logs.keySet.asScala.map(_._1).toSeq.distinct.sorted
+      else (0 until n).map(_ => r.string())
+    val w = new Writer()
+    w.array(Seq(0)) { (b, _) =>
+      b.int32(0); b.string("127.0.0.1"); b.int32(boundPort); b.nullableString(null)
+    }
+    w.int32(0) // controller id
+    w.array(requested) { (b, t) =>
+      val parts = logs.keySet.asScala.collect { case (`t`, p) => p }.toSeq.sorted
+      b.int16(if (parts.isEmpty) ErrUnknownTopicOrPartition else ErrNone)
+      b.string(t)
+      b.int8(0) // is_internal
+      b.array(parts) { (pb, p) =>
+        pb.int16(ErrNone); pb.int32(p); pb.int32(0)
+        pb.array(Seq(0))((x, i) => x.int32(i))
+        pb.array(Seq(0))((x, i) => x.int32(i))
+      }
+    }
+    w.toBytes
+  }
+
+  private def produceV3(version: Int, r: Reader): Array[Byte] = {
+    require(version == 3, s"Produce v$version unsupported")
+    r.nullableString() // transactional id
+    r.int16()          // acks (we always behave as acks=all)
+    r.int32()          // timeout
+    val results = r.array { t =>
+      val topic = t.string()
+      val parts = t.array { p =>
+        val partition = p.int32()
+        val set = p.nullableBytes()
+        val log = logs.get((topic, partition))
+        if (log == null) (partition, ErrUnknownTopicOrPartition, -1L)
+        else log.synchronized {
+          // broker-side CRC verification: decode throws on corruption
+          val recs = decodeRecordBatches(set)
+          val base = log.logEnd
+          log.batches += withBaseOffset(set, base)
+          log.logEnd = base + recs.size
+          produceCount += 1
+          (partition, ErrNone, base)
+        }
+      }
+      (topic, parts)
+    }
+    val w = new Writer()
+    w.array(results) { (b, tr) =>
+      b.string(tr._1)
+      b.array(tr._2) { (pb, pr) =>
+        pb.int32(pr._1); pb.int16(pr._2); pb.int64(pr._3); pb.int64(-1L)
+      }
+    }
+    w.int32(0) // throttle
+    w.toBytes
+  }
+
+  private def fetchV4(version: Int, r: Reader): Array[Byte] = {
+    require(version == 4, s"Fetch v$version unsupported")
+    r.int32() // replica id
+    val maxWait = r.int32()
+    r.int32() // min bytes
+    r.int32() // max bytes (global)
+    r.int8()  // isolation
+    val req = r.array { t =>
+      val topic = t.string()
+      val parts = t.array(p => (p.int32(), p.int64(), p.int32()))
+      (topic, parts)
+    }
+    def gather() = req.map { case (topic, parts) =>
+      (topic, parts.map { case (partition, offset, partMaxBytes) =>
+        val log = logs.get((topic, partition))
+        if (log == null) (partition, ErrUnknownTopicOrPartition, -1L, null: Array[Byte])
+        else log.synchronized {
+          if (offset < 0 || offset > log.logEnd)
+            (partition, ErrOffsetOutOfRange, log.logEnd, null: Array[Byte])
+          else {
+            // return batches starting at the batch CONTAINING offset,
+            // at least one, up to partMaxBytes
+            val out = new java.io.ByteArrayOutputStream()
+            var i = 0
+            while (i < log.batches.length && out.size == 0) {
+              val b = log.batches(i)
+              if (batchBaseOffset(b) + batchRecordCount(b) > offset) out.write(b)
+              i += 1
+            }
+            while (i < log.batches.length && out.size < partMaxBytes) {
+              out.write(log.batches(i)); i += 1
+            }
+            fetchCount += 1
+            (partition, ErrNone, log.logEnd,
+              if (out.size == 0) null else out.toByteArray)
+          }
+        }
+      })
+    }
+    var results = gather()
+    // honor maxWait crudely: if nothing anywhere, wait once and re-gather
+    if (maxWait > 0 && results.forall(_._2.forall(_._4 == null))) {
+      Thread.sleep(math.min(maxWait, 100).toLong)
+      results = gather()
+    }
+    val w = new Writer()
+    w.int32(0) // throttle
+    w.array(results) { (b, tr) =>
+      b.string(tr._1)
+      b.array(tr._2) { (pb, pr) =>
+        pb.int32(pr._1); pb.int16(pr._2); pb.int64(pr._3)
+        pb.int64(pr._3) // last stable offset = hw
+        pb.int32(0)     // aborted txns: empty array
+        pb.nullableBytes(pr._4)
+      }
+    }
+    w.toBytes
+  }
+
+  private def listOffsetsV1(version: Int, r: Reader): Array[Byte] = {
+    require(version == 1, s"ListOffsets v$version unsupported")
+    r.int32() // replica id
+    val req = r.array { t =>
+      (t.string(), t.array(p => (p.int32(), p.int64())))
+    }
+    val w = new Writer()
+    w.array(req) { (b, tr) =>
+      b.string(tr._1)
+      b.array(tr._2) { (pb, pr) =>
+        val log = logs.get((tr._1, pr._1))
+        pb.int32(pr._1)
+        if (log == null) { pb.int16(ErrUnknownTopicOrPartition); pb.int64(-1L); pb.int64(-1L) }
+        else log.synchronized {
+          val off = pr._2 match {
+            case TsEarliest =>
+              if (log.batches.isEmpty) 0L else batchBaseOffset(log.batches.head)
+            case TsLatest => log.logEnd
+            case ts => // timestamp lookup: first offset with batch maxTs >= ts — out of scope
+              throw new EOFException(s"timestamp list-offsets unsupported ($ts)")
+          }
+          pb.int16(ErrNone); pb.int64(-1L); pb.int64(off)
+        }
+      }
+    }
+    w.toBytes
+  }
+
+  private def offsetCommitV2(version: Int, r: Reader): Array[Byte] = {
+    require(version == 2, s"OffsetCommit v$version unsupported")
+    val group = r.string()
+    r.int32(); r.string(); r.int64() // generation, member, retention
+    val req = r.array { t =>
+      (t.string(), t.array(p => (p.int32(), p.int64(), p.nullableString())))
+    }
+    req.foreach { case (topic, parts) =>
+      parts.foreach { case (p, off, _) =>
+        groupOffsets.put((group, topic, p), off)
+      }
+    }
+    val w = new Writer()
+    w.array(req) { (b, tr) =>
+      b.string(tr._1)
+      b.array(tr._2)((pb, pr) => { pb.int32(pr._1); pb.int16(ErrNone) })
+    }
+    w.toBytes
+  }
+
+  private def offsetFetchV1(version: Int, r: Reader): Array[Byte] = {
+    require(version == 1, s"OffsetFetch v$version unsupported")
+    val group = r.string()
+    val req = r.array(t => (t.string(), t.array(_.int32())))
+    val w = new Writer()
+    w.array(req) { (b, tr) =>
+      b.string(tr._1)
+      b.array(tr._2) { (pb, p) =>
+        val off = Option(groupOffsets.get((group, tr._1, p))).getOrElse(-1L)
+        pb.int32(p); pb.int64(off); pb.nullableString(null); pb.int16(ErrNone)
+      }
+    }
+    w.toBytes
+  }
+
+  /** Committed offset view for assertions. */
+  def committed(group: String, topic: String, partition: Int): Long =
+    Option(groupOffsets.get((group, topic, partition))).getOrElse(-1L)
+
+  override def close(): Unit = {
+    running.set(false)
+    try server.close() catch { case _: Throwable => () }
+  }
+}
