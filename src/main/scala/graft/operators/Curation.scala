@@ -683,4 +683,93 @@ object Curation {
         regexp_extract(col(textCol), "CANARY_([0-9]+)", 1).as("found"))
       .filter(col("found") =!= "")
       .select(col("doc_id"), col("found").cast("long").as("canary_id"))
+
+  /** Rank-paired tournament between strata (sources): per stratum, rank
+    * items by score (desc, id asc — total order), then the i-th ranked
+    * item of stratum A plays the i-th ranked of stratum B for every
+    * ordered pair A < B, up to `topR` games per pair; the higher score
+    * wins (score tie → the lexicographically smaller stratum). Output is
+    * the WIN MATRIX (stratum_a, stratum_b, n_games, wins_a) — the
+    * pairwise-preference aggregate that [[btScores]] solves, and the
+    * 100 TB shape: the matrix is |strata|² rows however large the corpus;
+    * the only data-sized work is the per-stratum rank window and a
+    * rank-equi join whose fan-out is capped at topR per pair. */
+  def rankTournament(docs: DataFrame, idCol: String, strataCol: String,
+                     scoreCol: String, topR: Int = 200): DataFrame = {
+    require(topR > 0, "topR > 0")
+    val w = Window.partitionBy(strataCol)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val ranked = docs.select(col(strataCol), col(idCol), col(scoreCol))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topR)
+    val a = ranked.select(col(strataCol).as("stratum_a"), col("rk"),
+      col(scoreCol).as("score_a"))
+    val b = ranked.select(col(strataCol).as("stratum_b"), col("rk"),
+      col(scoreCol).as("score_b"))
+    a.join(b, Seq("rk"))
+      .filter(col("stratum_a") < col("stratum_b"))
+      .groupBy("stratum_a", "stratum_b")
+      .agg(count(lit(1)).as("n_games"),
+        sum(when(col("score_a") > col("score_b"), 1L)
+          .when(col("score_a") === col("score_b"), 1L) // tie → smaller name
+          .otherwise(0L)).as("wins_a"))
+  }
+
+  /** Bradley–Terry skill scores from a win matrix (Hunter 2004 MM
+    * iterations), the preference-aggregation read behind RLHF-style data:
+    * which source/labeler/model WINS pairwise, expressed as a strength
+    * p_i such that P(i beats j) = p_i/(p_i+p_j). The matrix is collected
+    * (require-capped — its size is |strata|², independent of corpus
+    * size: the sim_kmeans centroid-collect pattern) and solved
+    * driver-side in FIXED-POINT BigInt micro-units with truncating
+    * division, fixed iteration count, and (n·10⁶)-sum normalization —
+    * every step total-ordered integer math, so the scores are bit-stable
+    * on any cluster and golden-lockable. A +1-win-each smoothing prior
+    * per observed pair keeps zero-win strata solvable (documented, part
+    * of the spec). */
+  def btScores(matrix: DataFrame, iters: Int = 50,
+               maxCells: Int = 100000): DataFrame = {
+    val cells = matrix
+      .select(col("stratum_a").cast("string"), col("stratum_b").cast("string"),
+        col("n_games").cast("long"), col("wins_a").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    require(cells.length <= maxCells,
+      s"win matrix has ${cells.length} cells > $maxCells — not a stratum aggregate")
+    cells.foreach { case (a, b, n, wa) =>
+      require(wa >= 0 && wa <= n, s"wins_a out of range for ($a,$b): $wa/$n") }
+    val players = cells.flatMap(c => Seq(c._1, c._2)).distinct.sorted
+    val idx = players.zipWithIndex.toMap
+    val nP = players.length
+    // smoothed pair stats: n_ij += 2, one win each side
+    val nGames = Array.ofDim[Long](nP, nP)
+    val wins = Array.ofDim[Long](nP, nP) // wins(i)(j) = wins of i over j
+    cells.foreach { case (a, b, n, wa) =>
+      val (i, j) = (idx(a), idx(b))
+      nGames(i)(j) += n + 2; nGames(j)(i) += n + 2
+      wins(i)(j) += wa + 1; wins(j)(i) += (n - wa) + 1
+    }
+    val Micro = BigInt(1000000)
+    val Scale = BigInt("1000000000000") // 1e12 headroom for the term ratio
+    var p = Array.fill(nP)(Micro)
+    for (_ <- 0 until iters) {
+      val next = Array.tabulate(nP) { i =>
+        val wTotal = BigInt((0 until nP).map(j => wins(i)(j)).sum)
+        val denom = (0 until nP).filter(j => nGames(i)(j) > 0).map { j =>
+          BigInt(nGames(i)(j)) * Scale / (p(i) + p(j))
+        }.sum
+        if (denom == 0) Micro else wTotal * Scale / denom
+      }
+      val total = next.sum
+      p = next.map(v => v * (Micro * nP) / total)
+    }
+    val spark = matrix.sparkSession
+    import spark.implicits._
+    players.indices.map { i =>
+      val games = (0 until nP).map(j => nGames(i)(j) - (if (nGames(i)(j) > 0) 2L else 0L)).sum
+      val won = (0 until nP).map(j => wins(i)(j) - (if (nGames(i)(j) > 0) 1L else 0L)).sum
+      (players(i), games, won, p(i).toLong)
+    }.toDF("stratum", "games", "wins", "bt_micro")
+      .orderBy(desc("bt_micro"), asc("stratum"))
+  }
 }

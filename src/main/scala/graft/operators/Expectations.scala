@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-contract audit — the expectations/constraints layer a
+  * 100 TB ingest pipeline runs before promoting a snapshot (the lakehouse
+  * CHECK-constraint / dbt-test shape). The reference gates flow on runtime
+  * health sensors (`/root/reference/pkg/internal/relay/relay.go` circuit
+  * breakers); this is the DATA-side gate: assertions about the rows
+  * themselves, evaluated as ONE conditional-aggregation scan for all
+  * row-local rules plus one anti-join per referential rule — never a scan
+  * per rule (at 1000 rules × 100 TB, per-rule scans are the difference
+  * between a gate and a blackout).
+  *
+  * Output contract: one row per rule — (rule_id, kind, column,
+  * n_violations, pass) — so the gate is `violations.filter(!pass)` and
+  * the report is the artifact. All counts are exact longs.
+  */
+object Expectations {
+
+  sealed trait Rule { def id: String; def kind: String; def column: String }
+  /** Column must be non-null. */
+  final case class NotNull(id: String, column: String) extends Rule {
+    val kind = "not_null"
+  }
+  /** Column must fall in [lo, hi] (inclusive; longs — quantize first). */
+  final case class InRange(id: String, column: String, lo: Long, hi: Long) extends Rule {
+    val kind = "in_range"
+  }
+  /** Column value must be one of `values`. */
+  final case class Accepted(id: String, column: String, values: Seq[String]) extends Rule {
+    val kind = "accepted"
+  }
+  /** Arbitrary row predicate (SQL text — kept in the report for audit). */
+  final case class Check(id: String, column: String, predicate: String) extends Rule {
+    val kind = "check"
+  }
+  /** `column` must be unique across the table (a key). */
+  final case class Unique(id: String, column: String) extends Rule {
+    val kind = "unique"
+  }
+  /** Every non-null `column` must exist in `dim`'s `dimColumn`
+    * (referential integrity; dim is broadcast when small — typical). */
+  final case class RefIntegrity(id: String, column: String,
+                                dim: DataFrame, dimColumn: String) extends Rule {
+    val kind = "ref_integrity"
+  }
+
+  /** Violation count per rule — row-local rules fuse into ONE scan
+    * (conditional sums); Unique adds one groupBy on its key counting
+    * surplus rows (n - distinct keys); RefIntegrity adds one left-anti
+    * against the (deduplicated, broadcastable) dim keys. */
+  def audit(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "no rules")
+    require(rules.map(_.id).distinct.size == rules.size, "duplicate rule ids")
+    val rowLocal = rules.collect {
+      case r: NotNull => (r: Rule, col(r.column).isNull)
+      case r: InRange => (r: Rule,
+        col(r.column).isNull || col(r.column) < r.lo || col(r.column) > r.hi)
+      case r: Accepted => (r: Rule,
+        col(r.column).isNull || !col(r.column).isin(r.values: _*))
+      case r: Check => (r: Rule, !coalesce(expr(r.predicate), lit(false)))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val scanned: Seq[DataFrame] =
+      if (rowLocal.isEmpty) Nil
+      else {
+        val aggs = rowLocal.map { case (r, viol) =>
+          sum(when(viol, 1L).otherwise(0L)).as(r.id)
+        }
+        val one = df.agg(aggs.head, aggs.tail: _*)
+        Seq(one.selectExpr(s"stack(${rowLocal.size}, " +
+          rowLocal.map { case (r, _) =>
+            s"'${r.id}', '${r.kind}', '${r.column}', ${r.id}"
+          }.mkString(", ") + ") as (rule_id, kind, col_name, n_violations)"))
+      }
+    val uniques = rules.collect { case r: Unique =>
+      df.groupBy(col(r.column)).agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(col("n") - 1L), lit(0L)).as("n_violations"))
+        .select(lit(r.id).as("rule_id"), lit(r.kind).as("kind"),
+          lit(r.column).as("col_name"), col("n_violations"))
+    }
+    val refs = rules.collect { case r: RefIntegrity =>
+      df.select(col(r.column)).filter(col(r.column).isNotNull)
+        .join(broadcast(r.dim.select(col(r.dimColumn).as(r.column)).distinct()),
+          Seq(r.column), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit(r.id).as("rule_id"), lit(r.kind).as("kind"),
+          lit(r.column).as("col_name"), col("n_violations"))
+    }
+    (scanned ++ uniques ++ refs).reduce(_.unionByName(_))
+      .withColumn("pass", col("n_violations") === 0L)
+      .orderBy("rule_id")
+  }
+}

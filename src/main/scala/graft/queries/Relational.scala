@@ -1854,6 +1854,77 @@ object Relational {
       .withColumn("promo_ppm", expr("promo_cents * 1000000 div total_cents"))
   }
 
+  /** CUSUM changepoint detection per event type — the SEQUENTIAL drift
+    * detector the anomaly family lacks ([[evAnomaly]] flags outlier
+    * VALUES; this flags the DAY a level shift happened): cumulative sum
+    * of each day's deviation from the type's mean daily revenue, report
+    * the day of maximum |CUSUM| and flag it when the excursion exceeds
+    * 5 % of total revenue. Exact integer cents end to end (round-to-cents
+    * at the scan, `div` for the mean — truncation identical in DuckDB),
+    * so the oracle is a pure SQL window replay. One exchange on
+    * event_type serves the daily rollup, both window passes, and the
+    * argmax; days per type is bounded by the calendar, so the window
+    * partitions never grow with corpus size — the 100 TB shape is the
+    * daily pre-aggregate (map-side combine on (type, day)), never raw
+    * events through a window. Ties on |cusum| break by earliest day. */
+  def evChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type", "day").agg(sum("cents").as("day_cents"))
+    val wAll = Window.partitionBy("event_type")
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("total", sum("day_cents").over(wAll))
+      .withColumn("n_days", count(lit(1)).over(wAll))
+      .withColumn("cusum",
+        sum(col("day_cents") - expr("total div n_days")).over(wOrd))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(abs(col("cusum")).desc, col("day").asc)))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("cp_day"),
+        col("cusum").as("cusum_cents"),
+        (abs(col("cusum")) * 20 > col("total")).as("flagged"))
+      .orderBy("event_type")
+  }
+
+  /** Linear multi-touch attribution — the fair-share twin of
+    * [[evAsofAttribution]] (last-touch): every view in the 24 h window
+    * before a purchase shares the purchase's value equally, with the
+    * integer-division REMAINDER credited to the last touch so the
+    * per-purchase credits sum EXACTLY to the purchase value (the
+    * invariant AttributionSpec locks). Same per-user range-join shape as
+    * [[evRangeJoin]] — the join key is user_id, the time band bounds the
+    * per-user pair fan-out, and nothing crosses users, so the operator
+    * scales with per-user activity density, not corpus size. Exact
+    * cents; the tie on "last" breaks by view_id, making the remainder
+    * assignment deterministic. */
+  def evAttributionMulti(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        expr("ts div 1000").as("vts_us"))
+    val w = Window.partitionBy("purchase_id")
+    p.join(v, Seq("user_id"))
+      .filter(col("vts_us") >= col("ts_us") - 86400000000L &&
+        col("vts_us") <= col("ts_us"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("vts_us").desc, col("view_id").desc)))
+      .select(col("purchase_id"), col("user_id"), col("view_id"),
+        when(col("rk") === 1,
+          col("cents") - expr("cents div n") * (col("n") - 1))
+          .otherwise(expr("cents div n")).as("credit_cents"))
+      .orderBy("purchase_id", "view_id")
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_filter_project" -> q01FilterProject _,
     "q02_string_chain"   -> q02StringChain _,
@@ -1883,6 +1954,8 @@ object Relational {
     "q23_percentiles"    -> q23Percentiles _,
     "q23_percentiles_approx" -> q23PercentilesApprox _,
     "ev_anomaly" -> evAnomaly _,
+    "ev_changepoint"     -> evChangepoint _,
+    "ev_attribution_multi" -> evAttributionMulti _,
     "ev_funnel"          -> evFunnel _,
     "ev_retention"       -> evRetention _,
     "ev_trending"        -> evTrending _,
@@ -2043,6 +2116,50 @@ object Relational {
         |FROM p ASOF LEFT JOIN v
         | ON p.user_id = v.user_id AND v.view_ts_us <= p.ts_us
         |ORDER BY purchase_id""".stripMargin,
+    "ev_changepoint" ->
+      """WITH d AS (
+        | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+        | FROM events GROUP BY 1, 2),
+        |c AS (
+        | SELECT event_type, day, day_cents,
+        |  SUM(day_cents) OVER (PARTITION BY event_type) AS total,
+        |  COUNT(*) OVER (PARTITION BY event_type) AS n_days
+        | FROM d),
+        |s AS (
+        | SELECT event_type, day, total,
+        |  SUM(day_cents - total // n_days)
+        |   OVER (PARTITION BY event_type ORDER BY day) AS cusum
+        | FROM c),
+        |r AS (
+        | SELECT event_type, day, cusum, total,
+        |  row_number() OVER (PARTITION BY event_type
+        |                     ORDER BY abs(cusum) DESC, day ASC) AS rn
+        | FROM s)
+        |SELECT event_type, day AS cp_day, CAST(cusum AS BIGINT) AS cusum_cents,
+        | abs(cusum) * 20 > total AS flagged
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    "ev_attribution_multi" ->
+      """WITH p AS (
+        | SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS ts_us,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        | FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        | SELECT event_id AS view_id, user_id, epoch_us(ts) AS vts_us
+        | FROM events WHERE event_type = 'view'),
+        |j AS (
+        | SELECT p.purchase_id, p.user_id, p.cents, v.view_id, v.vts_us
+        | FROM p JOIN v ON p.user_id = v.user_id
+        |  AND v.vts_us >= p.ts_us - 86400000000 AND v.vts_us <= p.ts_us),
+        |r AS (
+        | SELECT *, COUNT(*) OVER (PARTITION BY purchase_id) AS n,
+        |  row_number() OVER (PARTITION BY purchase_id
+        |                     ORDER BY vts_us DESC, view_id DESC) AS rk
+        | FROM j)
+        |SELECT purchase_id, user_id, view_id,
+        | CASE WHEN rk = 1 THEN cents - (cents // n) * (n - 1)
+        |      ELSE cents // n END AS credit_cents
+        |FROM r ORDER BY purchase_id, view_id""".stripMargin,
     "ev_range_join" ->
       """WITH p AS (
         | SELECT event_id AS purchase_id, user_id,

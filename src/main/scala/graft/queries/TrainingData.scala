@@ -1753,6 +1753,49 @@ object TrainingData {
       .orderBy("src_a", "src_b")
   }
 
+  /** The [[graft.operators.Curation.rankTournament]] win matrix between
+    * sources over the shared quality score ([[scorePpm]]) — which source
+    * produces BETTER documents, as head-to-head games between equally
+    * ranked docs. Pure integer rank/compare logic: exactly SQL-replayable,
+    * and the matrix is |sources|² rows at any corpus size. */
+  def dsTournament(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.rankTournament(
+        Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+          scorePpm.as("score_ppm")),
+        "doc_id", "source", "score_ppm", topR = 200)
+      .orderBy("stratum_a", "stratum_b")
+
+  /** Bradley–Terry strengths solved from [[dsTournament]]'s matrix
+    * ([[graft.operators.Curation.btScores]]) — the RLHF-style
+    * preference-aggregation read. Golden-locked: the matrix is exact
+    * integers (its own SQL oracle above), and the MM solver is
+    * fixed-point BigInt with truncating division, fixed iterations, and
+    * total-order normalization — bit-stable on any cluster layout. */
+  def dsEloBt(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.btScores(dsTournament(spark, dir))
+
+  /** Data-contract audit over the corpus + the orders→customer key
+    * ([[graft.operators.Expectations.audit]]): the promote-gate report a
+    * snapshot pipeline runs before publishing. Row-local rules fuse into
+    * one scan; the key-uniqueness and referential rules are the only
+    * extra passes. Mixed pass/fail by construction at every sf (zh is
+    * deliberately outside the accepted-langs set; the n_chars cap clips
+    * the fixture's tail) so the report shape itself is regression-locked. */
+  def dsExpectations(spark: SparkSession, dir: String): DataFrame = {
+    val E = graft.operators.Expectations
+    val docs = Tables.documents(spark, dir)
+    E.audit(docs, Seq(
+        E.NotNull("r01_text_not_null", "text"),
+        E.InRange("r02_chars_in_range", "n_chars", 1L, 500L),
+        E.Accepted("r03_lang_accepted", "lang", Seq("en", "de", "fr", "es")),
+        E.Check("r04_len_consistent", "text", "length(text) = n_chars"),
+        E.Unique("r05_doc_id_unique", "doc_id")))
+      .unionByName(E.audit(Tables.orders(spark, dir), Seq(
+        E.RefIntegrity("r06_orders_custkey", "o_custkey",
+          Tables.customer(spark, dir), "c_custkey"))))
+      .orderBy("rule_id")
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dd_exact"         -> ddExact _,
     "dd_cross_source_overlap" -> ddCrossSourceOverlap _,
@@ -1832,6 +1875,9 @@ object TrainingData {
     "ds_budget_select"   -> dsBudgetSelect _,
     "dd_keep_best"       -> ddKeepBest _,
     "ds_order"           -> dsOrder _,
+    "ds_tournament"      -> dsTournament _,
+    "ds_elo_bt"          -> dsEloBt _,
+    "ds_expectations"    -> dsExpectations _,
     "ds_canary"          -> dsCanary _,
     "ds_canary_audit"    -> dsCanaryAudit _,
     "ds_quota"           -> dsQuota _,
@@ -1998,6 +2044,51 @@ object TrainingData {
          | FROM s WHERE quality IS NOT NULL)
          |SELECT doc_id, quality, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens <= 12000 ORDER BY doc_id""".stripMargin,
+    "ds_tournament" ->
+      """WITH scored AS (
+        | SELECT doc_id, source,
+        |  least(n_chars, 500) * 1000 +
+        |   (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000)
+        |    // greatest(n_chars, 1) AS score_ppm
+        | FROM documents),
+        |r AS (
+        | SELECT source, score_ppm,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY score_ppm DESC, doc_id ASC) AS rk
+        | FROM scored)
+        |SELECT a.source AS stratum_a, b.source AS stratum_b,
+        | CAST(COUNT(*) AS BIGINT) AS n_games,
+        | CAST(SUM(CASE WHEN a.score_ppm >= b.score_ppm THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS wins_a
+        |FROM r a JOIN r b ON a.rk = b.rk AND a.source < b.source
+        |WHERE a.rk <= 200 AND b.rk <= 200
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ds_expectations" ->
+      """WITH counts AS (
+        | SELECT 'r01_text_not_null' AS rule_id, 'not_null' AS kind,
+        |  'text' AS col_name,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        |   WHERE text IS NULL) AS n_violations
+        | UNION ALL SELECT 'r02_chars_in_range', 'in_range', 'n_chars',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        |   WHERE n_chars IS NULL OR n_chars < 1 OR n_chars > 500)
+        | UNION ALL SELECT 'r03_lang_accepted', 'accepted', 'lang',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        |   WHERE lang IS NULL OR lang NOT IN ('en', 'de', 'fr', 'es'))
+        | UNION ALL SELECT 'r04_len_consistent', 'check', 'text',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        |   WHERE NOT coalesce(length(text) = n_chars, FALSE))
+        | UNION ALL SELECT 'r05_doc_id_unique', 'unique', 'doc_id',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) -
+        |  (SELECT CAST(COUNT(*) AS BIGINT)
+        |   FROM (SELECT DISTINCT doc_id FROM documents))
+        | UNION ALL SELECT 'r06_orders_custkey', 'ref_integrity', 'o_custkey',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        |   WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
+        |    (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)))
+        |SELECT rule_id, kind, col_name, n_violations,
+        | n_violations = 0 AS pass
+        |FROM counts ORDER BY rule_id""".stripMargin,
     "ds_canary" ->
       """WITH inj AS (
         | SELECT doc_id,

@@ -117,7 +117,14 @@ object Golden {
     // bit-stable under any partitioning or merge order (the
     // a7_approx_distinct argument); MaintenanceSpec independently locks
     // estimate≈exact and replay idempotence
-    "ev_rollup_distinct_hll")
+    "ev_rollup_distinct_hll",
+    // Bradley–Terry strengths: the input win matrix is exact integers
+    // (ds_tournament — its own pure-SQL oracle), and the MM solver is
+    // driver-side fixed-point BigInt with truncating division, a fixed
+    // iteration count, and total-order normalization — no float anywhere,
+    // so the scores are bit-stable under any partitioning or cluster
+    // layout; EloBtSpec independently locks dominance/symmetry semantics
+    "ds_elo_bt")
 
   val sfDir = "/root/testdata/sf0.01"
 

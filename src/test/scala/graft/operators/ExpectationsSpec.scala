@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Data-contract audit: every rule kind catches exactly its planted
+  * violations, passes clean data, and the row-local rules share ONE scan
+  * (plan-asserted — the property that makes a 1000-rule gate feasible). */
+class ExpectationsSpec extends SparkSpec {
+  import spark.implicits._
+  import Expectations._
+
+  private val dirty = Seq(
+    (1L, Option("aaa"), Option(3L), "en"),
+    (2L, None, Option(5L), "en"),          // r1 null text; r4 len≠n (null)
+    (3L, Option("bb"), Option(99L), "zz"), // r2 range; r3 lang; r4 len≠n
+    (3L, Option("cc"), Option(2L), "en"),  // r5 dup id
+    (4L, Option("dddd"), Option(4L), "en"))
+    .toDF("doc_id", "text", "n_chars", "lang")
+
+  test("each rule kind counts exactly its planted violations; pass flags track zero") {
+    val got = audit(dirty, Seq(
+        NotNull("r1", "text"),
+        InRange("r2", "n_chars", 1L, 10L),
+        Accepted("r3", "lang", Seq("en", "de")),
+        Check("r4", "text", "length(text) = n_chars"),
+        Unique("r5", "doc_id")))
+      .as[(String, String, String, Long, Boolean)].collect().toSeq
+    assert(got === Seq(
+      ("r1", "not_null", "text", 1L, false),
+      ("r2", "in_range", "n_chars", 1L, false),
+      ("r3", "accepted", "lang", 1L, false),
+      ("r4", "check", "text", 2L, false),
+      ("r5", "unique", "doc_id", 1L, false)), got.toString)
+  }
+
+  test("ref integrity counts keys missing from the dim; null FKs are not violations") {
+    val facts = Seq(Option(10L), Option(11L), Option(99L), None).toDF("fk")
+    val dim = Seq(10L, 11L, 12L).toDF("k")
+    val got = audit(facts, Seq(RefIntegrity("r6", "fk", dim, "k")))
+      .as[(String, String, String, Long, Boolean)].collect().toSeq
+    assert(got === Seq(("r6", "ref_integrity", "fk", 1L, false)))
+  }
+
+  test("clean data passes every rule") {
+    val clean = Seq((1L, "abc", 3L, "en"), (2L, "de", 2L, "de"))
+      .toDF("doc_id", "text", "n_chars", "lang")
+    val got = audit(clean, Seq(
+      NotNull("r1", "text"), InRange("r2", "n_chars", 1L, 10L),
+      Accepted("r3", "lang", Seq("en", "de")),
+      Check("r4", "text", "length(text) = n_chars"),
+      Unique("r5", "doc_id")))
+    assert(got.filter(!col("pass")).count() === 0)
+  }
+
+  test("row-local rules fuse into ONE scan of the audited table") {
+    val plan = audit(dirty, Seq(
+      NotNull("r1", "text"), InRange("r2", "n_chars", 1L, 10L),
+      Accepted("r3", "lang", Seq("en", "de")),
+      Check("r4", "text", "length(text) = n_chars")))
+      .queryExecution.executedPlan.toString
+    val scans = "LocalTableScan|Scan ExistingRDD".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 scan for 4 row-local rules:\n$plan")
+  }
+
+  test("duplicate rule ids and empty rule lists are refused") {
+    intercept[IllegalArgumentException](
+      audit(dirty, Seq(NotNull("r", "text"), Unique("r", "doc_id"))))
+    intercept[IllegalArgumentException](audit(dirty, Nil))
+  }
+}

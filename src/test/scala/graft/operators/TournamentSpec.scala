@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Rank tournament + Bradley–Terry semantics, independent of the golden:
+  * dominance, symmetry, win accounting, the collect cap, and the
+  * changepoint/attribution invariants that their SQL oracles can't state
+  * as properties (planted level shift found; credits conserve exactly). */
+class TournamentSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: Seq[(Long, String, Long)]) =
+    rows.toDF("doc_id", "source", "score_ppm")
+
+  test("rankTournament: i-th vs i-th pairing, win counting, tie → smaller stratum") {
+    // A's docs score 30/20/10; B's 25/15/5; C ties A everywhere
+    val d = docs(Seq(
+      (1L, "a", 30L), (2L, "a", 20L), (3L, "a", 10L),
+      (4L, "b", 25L), (5L, "b", 15L), (6L, "b", 5L),
+      (7L, "c", 30L), (8L, "c", 20L), (9L, "c", 10L)))
+    val m = Curation.rankTournament(d, "doc_id", "source", "score_ppm", topR = 10)
+      .orderBy("stratum_a", "stratum_b")
+      .as[(String, String, Long, Long)].collect().toSeq
+    // a beats b 3-0; a ties c (a wins by name rule) 3-0; b loses to c 0-3
+    assert(m === Seq(("a", "b", 3L, 3L), ("a", "c", 3L, 3L), ("b", "c", 3L, 0L)))
+  }
+
+  test("btScores: a dominant stratum ranks first, a dominated one last, " +
+    "and a perfectly symmetric matrix yields equal strengths") {
+    val dominant = Seq(("a", "b", 10L, 10L), ("a", "c", 10L, 10L),
+      ("b", "c", 10L, 5L)).toDF("stratum_a", "stratum_b", "n_games", "wins_a")
+    val s = Curation.btScores(dominant).as[(String, Long, Long, Long)]
+      .collect().toSeq
+    assert(s.head._1 === "a" && s.last._1 === "c", s.toString)
+    assert(s.map(_._2) === Seq(20L, 20L, 20L)) // games conserved, un-smoothed
+    assert(s.find(_._1 == "a").get._3 === 20L) // wins un-smoothed
+    val even = Seq(("a", "b", 10L, 5L), ("b", "c", 10L, 5L),
+      ("a", "c", 10L, 5L)).toDF("stratum_a", "stratum_b", "n_games", "wins_a")
+    val e = Curation.btScores(even).as[(String, Long, Long, Long)].collect()
+    assert(e.map(_._4).distinct.length === 1, e.toSeq.toString)
+  }
+
+  test("btScores: strengths are a fixed point of the BT win probability " +
+    "(predicted win rates match observed within the fixed-point grid)") {
+    val m = Seq(("a", "b", 400L, 300L), ("b", "c", 400L, 300L),
+      ("a", "c", 400L, 380L)).toDF("stratum_a", "stratum_b", "n_games", "wins_a")
+    val p = Curation.btScores(m, iters = 200)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4.toDouble).toMap
+    // BT model: P(a>b) = p_a/(p_a+p_b); with 3 pairs and 3 free ratios the
+    // MLE reproduces observed rates closely (smoothing shifts it slightly)
+    def pred(x: String, y: String) = p(x) / (p(x) + p(y))
+    assert(math.abs(pred("a", "b") - 0.75) < 0.05, pred("a", "b").toString)
+    assert(math.abs(pred("b", "c") - 0.75) < 0.05, pred("b", "c").toString)
+  }
+
+  test("btScores: the collect cap refuses a matrix that is not a stratum aggregate") {
+    val big = spark.range(200).selectExpr("cast(id as string) as stratum_a",
+      "cast(id + 10000 as string) as stratum_b", "1L as n_games", "1L as wins_a")
+    val e = intercept[IllegalArgumentException](
+      Curation.btScores(big, maxCells = 100))
+    assert(e.getMessage.contains("not a stratum aggregate"), e.getMessage)
+  }
+
+  test("evChangepoint finds a planted level shift at the shift day and flags it") {
+    // synthetic events fixture: 20 days, value steps 1.00 → 2.00 at day 10
+    val dir = java.nio.file.Files.createTempDirectory("graft-cp").toString
+    val rows = (0 until 20).map { d =>
+      (d.toLong, new java.sql.Timestamp(d * 86400000L), 1L, "x",
+        if (d < 10) 1.00 else 2.00, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.Relational.evChangepoint(spark, dir)
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    // mean daily = 150 cents; cusum dips to -500 at day 9 (the last
+    // pre-shift day), the largest excursion; |−500|·20 = 10000 > 3000
+    assert(got === Seq(("x", 9L, -500L, true)), got.toString)
+  }
+
+  test("evAttributionMulti conserves value: per-purchase credits sum EXACTLY " +
+    "to the purchase cents (remainder lands on the last touch)") {
+    val credits = graft.queries.Relational.evAttributionMulti(spark, sfDir)
+    val byPurchase = credits.groupBy("purchase_id")
+      .agg(sum("credit_cents").as("credited"))
+    val purchases = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val joined = byPurchase.join(purchases, Seq("purchase_id"))
+    assert(joined.count() > 0)
+    assert(joined.filter(col("credited") =!= col("cents")).count() === 0)
+  }
+}

@@ -1078,4 +1078,39 @@ class PlanAuditSpec extends SparkSpec {
       assert(hofs.isEmpty, s"$n still uses ArrayFilter (CodegenFallback)")
     }
   }
+
+  test("ev_changepoint: ONE scan; daily pre-agg is partial before its exchange; " +
+    "one type-keyed exchange serves all windows; argmax is WindowGroupLimit") {
+    val p = planOf("ev_changepoint")
+    assert(countScans(p) == 1, p)
+    assert(p.contains("partial_sum"), p) // map-side combine on (type, day)
+    // exactly one exchange keyed on event_type ALONE (serving all windows),
+    // besides the (event_type, day) pre-agg exchange
+    assert("Exchange hashpartitioning\\(event_type#\\d+, \\d+\\)".r
+      .findAllIn(p).size == 1, p)
+    assert(p.contains("WindowGroupLimit"), p) // rn = 1 short-circuits
+  }
+
+  test("ev_attribution_multi: user-equi join (never BNLJ/Cartesian), both " +
+    "event-type filters pushed, one purchase-keyed exchange for both windows") {
+    val p = planOf("ev_attribution_multi")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("EqualTo(event_type,purchase)"), p)
+    assert(p.contains("EqualTo(event_type,view)"), p)
+    assert("Exchange hashpartitioning\\(purchase_id".r.findAllIn(p).size == 1, p)
+  }
+
+  test("ds_tournament: the rank cap short-circuits as WindowGroupLimit on both " +
+    "sides; the rank join is never a cross product") {
+    val p = planOf("ds_tournament")
+    assert(p.contains("WindowGroupLimit"), p) // rk <= topR prunes in the window
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("ds_expectations: 4 row-local rules share ONE documents scan (4 scans " +
+    "total: docs x2 with unique, orders, customer); ref check is broadcast anti") {
+    val p = planOf("ds_expectations")
+    assert(countScans(p) == 4, p)
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined, p)
+  }
 }

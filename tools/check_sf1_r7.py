@@ -121,6 +121,12 @@ for name in ["ev_funnel", "ev_retention", "txt_normalize",
              "q43_late_orders", "q44_revenue_change", "q45_returned_items",
              "q46_priority_mix", "q47_promo_share", "ev_gap_fill",
              "ev_scd2",
+             # round 9: exact-integer window/join/audit ops (pure SQL
+             # oracles), plus the tournament matrix feeding the
+             # golden-locked BT solver (rows-sane at sf1; its matrix is
+             # |sources|^2 at every scale)
+             "ev_changepoint", "ev_attribution_multi", "ds_tournament",
+             "ds_expectations",
              # value-exact at sf1 BY THE EXACT-MODE BOUNDS: theta max
              # distinct users/day = 1356 < 4096 nominal entries; KLL max
              # rows per (type,day) = 7390 < k=16384 (see the query docs)
