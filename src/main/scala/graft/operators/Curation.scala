@@ -729,13 +729,16 @@ object Curation {
     * of the spec). */
   def btScores(matrix: DataFrame, iters: Int = 50,
                maxCells: Int = 100000): DataFrame = {
+    // limit BEFORE collect (the TrainingData.scala:314 pattern): the cap
+    // must protect the driver from a data-sized frame, not report the OOM
     val cells = matrix
       .select(col("stratum_a").cast("string"), col("stratum_b").cast("string"),
         col("n_games").cast("long"), col("wins_a").cast("long"))
+      .limit(maxCells + 1)
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     require(cells.length <= maxCells,
-      s"win matrix has ${cells.length} cells > $maxCells — not a stratum aggregate")
+      s"win matrix has > $maxCells cells — not a stratum aggregate")
     cells.foreach { case (a, b, n, wa) =>
       require(wa >= 0 && wa <= n, s"wins_a out of range for ($a,$b): $wa/$n") }
     val players = cells.flatMap(c => Seq(c._1, c._2)).distinct.sorted
@@ -761,7 +764,10 @@ object Curation {
         if (denom == 0) Micro else wTotal * Scale / denom
       }
       val total = next.sum
-      p = next.map(v => v * (Micro * nP) / total)
+      // floor at 1: a stratum crushed to strength 0 by truncation would
+      // make the next iteration's (p_i + p_j) divisor zero for a 0-vs-0
+      // pair; 1 micro-unit keeps the math defined and the ordering intact
+      p = next.map(v => (v * (Micro * nP) / total).max(BigInt(1)))
     }
     val spark = matrix.sparkSession
     import spark.implicits._

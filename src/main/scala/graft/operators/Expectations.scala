@@ -54,6 +54,13 @@ object Expectations {
   def audit(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "no rules")
     require(rules.map(_.id).distinct.size == rules.size, "duplicate rule ids")
+    // ids ride a selectExpr alias list below — restrict them to plain
+    // identifiers so a quote or dot can neither break parsing nor inject
+    // SQL into the audit (rules are code-authored; fail fast, not escape)
+    rules.foreach(r => require(r.id.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"rule id must be a plain identifier: '${r.id}'"))
+    rules.foreach(r => require(!r.column.contains("'") && !r.column.contains("`"),
+      s"column name must not contain quotes: '${r.column}'"))
     val rowLocal = rules.collect {
       case r: NotNull => (r: Rule, col(r.column).isNull)
       case r: InRange => (r: Rule,
@@ -67,8 +74,10 @@ object Expectations {
     val scanned: Seq[DataFrame] =
       if (rowLocal.isEmpty) Nil
       else {
+        // coalesce: an EMPTY table must report 0 violations (pass), not a
+        // NULL count that makes `pass` NULL and the gate silently mute
         val aggs = rowLocal.map { case (r, viol) =>
-          sum(when(viol, 1L).otherwise(0L)).as(r.id)
+          coalesce(sum(when(viol, 1L).otherwise(0L)), lit(0L)).as(r.id)
         }
         val one = df.agg(aggs.head, aggs.tail: _*)
         Seq(one.selectExpr(s"stack(${rowLocal.size}, " +

@@ -287,8 +287,11 @@ object Kafka {
             recs.iterator.takeWhile(_.offset < s.end).foreach { r =>
               out += Row(r.key, r.value, s.topic, s.partition, r.offset,
                 new java.sql.Timestamp(r.timestamp))
-              off = r.offset + 1
             }
+            // advance past EVERYTHING fetched, not just the in-range rows:
+            // compaction/retention gaps can put the whole batch at or past
+            // `end`, and a cursor pinned below it would refetch forever
+            off = recs.last.offset + 1
           }
           out.result()
         } finally c.close()
@@ -346,7 +349,9 @@ object Kafka {
             pending(p) += ((System.currentTimeMillis(), key, value, headers))
             pendingN(p) += 1
             pendingB(p) += (if (key == null) 0 else key.length) +
-              (if (value == null) 0 else value.length)
+              (if (value == null) 0 else value.length) +
+              headers.iterator.map(h =>
+                h._1.length + (if (h._2 == null) 0 else h._2.length)).sum
             if (pendingN(p) >= maxBatchRecords || pendingB(p) >= maxBatchBytes) flush(p)
           }
           (0 until nParts).foreach(flush)
@@ -361,7 +366,7 @@ object Kafka {
 
   /** Poll-loop consumer that lands each poll window as ONE atomically
     * renamed NDJSON spool file named by its (partition, start offset,
-    * record span) and then commits the position to the broker. Exactly-once
+    * end offset) and then commits the position to the broker. Exactly-once
     * into the spool across kill/restart from either side of the commit:
     *  - crash BEFORE commit → the refetch finds the durable file at the
     *    same start offset and RE-COMMITS ITS SPAN (not the new fetch
@@ -405,18 +410,20 @@ object Kafka {
             if (commitMode == "after-each") {
               recs.foreach { r =>
                 if (r.offset >= cur) { // an existing wider file may skip ahead
-                  cur += spool(p, cur, Seq(r))
+                  cur = spool(p, cur, Seq(r)) + 1
                   c.offsetCommit(group, Map((topic, p) -> cur))
                 }
               }
             } else {
-              cur = start + spool(p, start, recs)
+              cur = spool(p, start, recs) + 1
               if (commitMode == "after-batch")
                 c.offsetCommit(group, Map((topic, p) -> cur))
             }
             pos(p) = cur
-            n += (cur - start).toInt
-            bytes += recs.iterator.map(r =>
+            // count/size only the records actually covered (an existing
+            // narrower file can leave a tail for the next poll)
+            n += recs.count(_.offset < cur)
+            bytes += recs.iterator.filter(_.offset < cur).map(r =>
               if (r.value == null) 0 else r.value.length).sum
           }
         }
@@ -425,15 +432,17 @@ object Kafka {
     }
 
     /** Write one spool file atomically, named by its (partition, start
-      * offset, RECORD SPAN), and return the span the spool now covers at
-      * `startOffset`. If a file at this start offset already exists —
-      * crash-refetch, or an abandoned uncommitted consumer — its span WINS
-      * and is returned without writing, because the committed position must
-      * advance by what is durably spooled, never by the current fetch
-      * window: windows are not deterministic across restarts, so
-      * skip-if-exists alone would commit past records the existing
-      * (smaller) file never captured. One record = one NDJSON line (a null
-      * value spools as an empty line) so spans never depend on content. */
+      * offset, LAST RECORD OFFSET), and return the last offset the spool
+      * now covers at `startOffset`. If a file at this start offset already
+      * exists — crash-refetch, or an abandoned uncommitted consumer — its
+      * recorded end WINS and is returned without writing, because the
+      * committed position must advance by what is durably spooled, never
+      * by the current fetch window: windows are not deterministic across
+      * restarts, so skip-if-exists alone would commit past records the
+      * existing (smaller) file never captured. The name carries the END
+      * OFFSET, not a record span, so compaction/retention gaps (record
+      * offsets sparser than the cursor) commit correctly. One record = one
+      * NDJSON line (a null value spools as an empty line). */
     private def spool(partition: Int, startOffset: Long, recs: Seq[KRecord]): Long = {
       val prefix = f"$topic-$partition%03d-$startOffset%020d-"
       val dir = new java.io.File(spoolDir)
@@ -442,7 +451,8 @@ object Kafka {
       if (existing.nonEmpty) {
         existing.head.getName.stripPrefix(prefix).stripSuffix(".ndjson").toLong
       } else {
-        val name = f"$prefix${recs.size}%09d.ndjson"
+        val end = recs.last.offset
+        val name = f"$prefix$end%020d.ndjson"
         val tmp = java.nio.file.Paths.get(spoolDir, s".$name.tmp")
         val w = java.nio.file.Files.newBufferedWriter(tmp, UTF_8)
         try recs.foreach { r =>
@@ -451,7 +461,7 @@ object Kafka {
         } finally w.close()
         java.nio.file.Files.move(tmp, java.nio.file.Paths.get(spoolDir, name),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        recs.size.toLong
+        end
       }
     }
 

@@ -176,18 +176,24 @@ case class ThetaUnionAgg(
     val v = child.eval(input)
     if (v != null) {
       val bytes = v.asInstanceOf[Array[Byte]]
+      val mem = Memory.wrap(bytes)
       // Enforce the documented lgK contract instead of trusting it: a union
       // gadget whose nominal entries (2^lgK) are below an exact-mode input's
       // retained set MUST decimate that input into an estimate — the silent
       // exact→estimate downgrade this family's SQL arity guard exists to
       // prevent. Valid merges (merge lgK >= build lgK) never trip this.
-      val sk = ThetaOps.heapify(bytes)
-      if (!sk.isEstimationMode && sk.getRetainedEntries(true) > (1 << lgK))
+      // Sketch.wrap is ZERO-copy (this runs once per input row of the
+      // distributed merge — heapify would copy every retained-hash array
+      // just to read two header fields); non-compact serializations, which
+      // wrap can't view but Union.union accepts, skip the guard.
+      val sk = try Sketch.wrap(mem) catch { case _: Exception => null }
+      if (sk != null && !sk.isEstimationMode &&
+          sk.getRetainedEntries(true) > (1 << lgK))
         throw new IllegalArgumentException(
           s"theta_union_agg(lgK=$lgK, nominal ${1 << lgK}) would decimate an " +
           s"exact-mode input sketch with ${sk.getRetainedEntries(true)} retained " +
           "entries into an estimate; merge with lgK >= the slices' build lgK")
-      buf.union(Memory.wrap(bytes))
+      buf.union(mem)
     }
     buf
   }

@@ -63,9 +63,23 @@ class ExpectationsSpec extends SparkSpec {
     assert(scans == 1, s"expected 1 scan for 4 row-local rules:\n$plan")
   }
 
-  test("duplicate rule ids and empty rule lists are refused") {
+  test("duplicate rule ids, non-identifier ids, and empty rule lists are refused") {
     intercept[IllegalArgumentException](
       audit(dirty, Seq(NotNull("r", "text"), Unique("r", "doc_id"))))
     intercept[IllegalArgumentException](audit(dirty, Nil))
+    // a quote or dot in an id would ride into selectExpr — refused up front
+    intercept[IllegalArgumentException](audit(dirty, Seq(NotNull("r.x", "text"))))
+    intercept[IllegalArgumentException](audit(dirty, Seq(NotNull("r'x", "text"))))
+  }
+
+  test("an EMPTY table passes every rule with count 0, never NULL (the gate " +
+    "must not go mute on an empty snapshot)") {
+    val empty = dirty.filter(col("doc_id") < 0)
+    val got = audit(empty, Seq(
+        NotNull("r1", "text"), InRange("r2", "n_chars", 1L, 10L),
+        Unique("r5", "doc_id")))
+      .as[(String, String, String, Long, Boolean)].collect().toSeq
+    assert(got.map(r => (r._4, r._5)) === Seq((0L, true), (0L, true), (0L, true)),
+      got.toString)
   }
 }

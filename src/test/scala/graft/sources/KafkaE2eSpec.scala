@@ -212,6 +212,37 @@ class KafkaE2eSpec extends SparkSpec {
     }
   }
 
+  test("offset gaps (retention deletion): the batch read terminates and the " +
+    "spool bridge stays exactly-once with a cursor below the first survivor") {
+    val broker = new MiniKafkaBroker(Map("g" -> 1))
+    val boot = ("127.0.0.1", broker.boundPort)
+    try {
+      val c = new Kafka.WireClient("127.0.0.1", broker.boundPort)
+      c.produce("g", 0, encodeRecordBatch(0L, (0 until 3).map(i =>
+        (1L, null: Array[Byte], s"""{"i":$i}""".getBytes(UTF_8), Nil))))
+      c.produce("g", 0, encodeRecordBatch(0L, (3 until 6).map(i =>
+        (1L, null: Array[Byte], s"""{"i":$i}""".getBytes(UTF_8), Nil))))
+      // a consumer committed position 0 BEFORE retention dropped batch 1
+      c.offsetCommit("gg", Map(("g", 0) -> 0L))
+      broker.dropBatches("g", 0, 1) // survivors: offsets 3..5
+      // batch read across the gap: must return the 3 survivors, not spin
+      val rows = Kafka.read(spark, boot, "g",
+        splits = Seq(Kafka.Split("g", 0, 0L, 6L))).collect()
+      assert(rows.map(_.getAs[Long]("offset")).sorted.toSeq === Seq(3L, 4L, 5L))
+      // spool bridge resuming at the stale committed cursor: one file,
+      // exactly the survivors, committed past the log end — no refetch loop
+      val spool = java.nio.file.Files.createTempDirectory("graft-kgap").toString
+      val sc = new Kafka.SpoolConsumer(boot, "g", "gg", spool)
+      assert(sc.pollOnce() === 3)
+      assert(sc.pollOnce() === 0) // nothing re-spooled
+      sc.close()
+      assert(broker.committed("gg", "g", 0) === 6L)
+      assert(spark.read.json(spool).select("i").as[Long].collect().sorted.toSeq
+        === Seq(3L, 4L, 5L))
+      c.close()
+    } finally broker.close()
+  }
+
   test("streaming twin: the spool bridge feeds Sources.fileStream under a " +
     "files-per-trigger poll budget — the kafkaStream wiring, end to end") {
     val broker = new MiniKafkaBroker(Map("s" -> 1))

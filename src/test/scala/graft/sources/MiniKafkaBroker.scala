@@ -281,6 +281,16 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0) extends Aut
   def committed(group: String, topic: String, partition: Int): Long =
     Option(groupOffsets.get((group, topic, partition))).getOrElse(-1L)
 
+  /** Drop the first `n` batches of a partition — retention/compaction
+    * deletion: the log start offset rises while logEnd stays, creating the
+    * offset gap consumers must survive (cursor below the first surviving
+    * record). */
+  def dropBatches(topic: String, partition: Int, n: Int): Unit = {
+    val log = logs.get((topic, partition))
+    require(log != null, s"unknown $topic/$partition")
+    log.synchronized { log.batches.remove(0, math.min(n, log.batches.length)) }
+  }
+
   override def close(): Unit = {
     running.set(false)
     try server.close() catch { case _: Throwable => () }
