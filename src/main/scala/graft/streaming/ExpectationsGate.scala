@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit}
+
+import graft.operators.Expectations
+
+/** Streaming data-contract gate — [[graft.operators.Expectations]] applied
+  * per micro-batch from `foreachBatch`: audit the batch against the rules,
+  * publish the per-rule report, and route the WHOLE batch to the main sink
+  * only when every rule passes; a violated batch diverts to quarantine
+  * (promote-or-hold is an all-or-nothing decision per batch — the same
+  * batch-granularity discipline as [[GuardedBatchSink]], so executors stay
+  * fully parallel and nothing is decided per record).
+  *
+  * The audit is one conditional-aggregation pass for all row-local rules
+  * (plus a key groupBy per Unique rule), and the batch is persisted once so
+  * audit + the routed write never recompute the upstream. The report sink
+  * receives (report + batch_id) every batch, pass or fail — at 100 TB the
+  * report stream IS the data-quality time series the pipeline alarms on. */
+final class ExpectationsGate(
+    rules: Seq[Expectations.Rule],
+    writeMain: (DataFrame, Long) => Unit,
+    writeQuarantine: (DataFrame, Long) => Unit,
+    writeReport: (DataFrame, Long) => Unit = (_, _) => (),
+) extends ((DataFrame, Long) => Unit) with Serializable {
+
+  override def apply(batch: DataFrame, batchId: Long): Unit = {
+    batch.persist()
+    try {
+      val report = Expectations.audit(batch, rules)
+        .withColumn("batch_id", lit(batchId))
+      // the report is rule-count-sized: collect once, reuse for the
+      // routing decision AND the report sink (auditing twice would run
+      // the rule scan twice)
+      val rows = report.collect()
+      val spark = batch.sparkSession
+      val materialized = spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), report.schema)
+      writeReport(materialized, batchId)
+      val clean = rows.forall(_.getAs[Boolean]("pass"))
+      if (clean) writeMain(batch, batchId)
+      else writeQuarantine(batch, batchId)
+    } finally batch.unpersist()
+  }
+}

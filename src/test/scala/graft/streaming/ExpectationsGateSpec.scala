@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.operators.Expectations._
+
+/** Streaming data-contract gate: a clean micro-batch promotes to main, a
+  * violated one quarantines whole, and the report stream carries every
+  * batch's per-rule counts either way. */
+class ExpectationsGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("clean batches promote, dirty batches quarantine whole, reports flow for both") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long)]
+    val main = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val quar = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val reports = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val gate = new ExpectationsGate(
+      rules = Seq(NotNull("text_not_null", "text"),
+        InRange("n_in_range", "n", 0L, 100L)),
+      writeMain = (df: DataFrame, id: Long) => { main.add((id, df.count())); () },
+      writeQuarantine = (df: DataFrame, id: Long) => { quar.add((id, df.count())); () },
+      writeReport = (rep: DataFrame, id: Long) =>
+        rep.collect().foreach(r => reports.add(
+          (id, r.getAs[String]("rule_id"), r.getAs[Long]("n_violations")))))
+    val q = in.toDF().toDF("doc_id", "text", "n")
+      .writeStream.foreachBatch(gate)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-gate").toString)
+      .start()
+    try {
+      in.addData((1L, "a", 5L), (2L, "b", 7L)) // clean
+      q.processAllAvailable()
+      in.addData((3L, null, 5L), (4L, "d", 999L)) // violates both rules
+      q.processAllAvailable()
+      in.addData((5L, "e", 1L)) // clean again — the gate reopens per batch
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(main.asScala.toSeq.map(_._2) === Seq(2L, 1L), main.toString)
+    assert(quar.asScala.toSeq.map(_._2) === Seq(2L), quar.toString)
+    // reports carry every batch (2 rules x 3 batches) with exact counts
+    val rep = reports.asScala.toSeq
+    assert(rep.size === 6, rep.toString)
+    assert(rep.filter(_._3 > 0).map(r => (r._2, r._3)).sorted ===
+      Seq(("n_in_range", 1L), ("text_not_null", 1L)), rep.toString)
+  }
+}
