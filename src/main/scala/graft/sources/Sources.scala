@@ -112,6 +112,27 @@ object Sources {
     decodeKafka(r.load(), valueSchema)
   }
 
+  /** [[kafkaStream]] without the connector jars: the same builder shape
+    * over the in-repo DataSourceV2 source (`graft-kafka`,
+    * [[GraftKafkaProvider]]) speaking the wire protocol directly. Offsets
+    * live in the query checkpoint (exactly-once downstream); `group`
+    * optionally mirrors progress to the broker's offset store for lag
+    * dashboards. */
+  def kafkaStreamWire(spark: SparkSession, host: String, port: Int, topic: String,
+                      valueSchema: org.apache.spark.sql.types.StructType,
+                      startingOffsets: String = "earliest",
+                      maxOffsetsPerTrigger: Long = 0,
+                      group: String = null): DataFrame = {
+    var r = spark.readStream.format("graft-kafka")
+      .option("host", host).option("port", port.toString)
+      .option("topic", topic)
+      .option("startingOffsets", startingOffsets)
+    if (maxOffsetsPerTrigger > 0)
+      r = r.option("maxOffsetsPerTrigger", maxOffsetsPerTrigger.toString)
+    if (group != null) r = r.option("group", group)
+    decodeKafka(r.load(), valueSchema)
+  }
+
   /** Kafka value/key decode: bytes → string → from_json struct columns
     * (reference NDJSON decode, `kafkaclient/reader.go:146-171`). */
   def decodeKafka(raw: DataFrame, valueSchema: org.apache.spark.sql.types.StructType): DataFrame =

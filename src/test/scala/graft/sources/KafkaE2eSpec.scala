@@ -274,6 +274,60 @@ class KafkaE2eSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("DataSourceV2: readStream format graft-kafka is a REAL Structured " +
+    "Streaming source — budgeted triggers, checkpointed exactly-once restart, " +
+    "broker-mirrored progress") {
+    val broker = new MiniKafkaBroker(Map("ds" -> 2))
+    val boot = ("127.0.0.1", broker.boundPort)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dsck").toString
+    try {
+      def produce(lo: Int, hi: Int): Unit =
+        Kafka.write(Sources.encodeKafka(
+          (lo until hi).map(i => (s"u${i % 11}", i.toLong)).toDF("user_id", "n"),
+          "{user_id}"), boot, "ds")
+      produce(0, 40)
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      def run(): Unit = {
+        val q = spark.readStream.format("graft-kafka")
+          .option("host", boot._1).option("port", boot._2.toString)
+          .option("topic", "ds").option("maxOffsetsPerTrigger", "10")
+          .option("group", "dsv2")
+          .load()
+          .selectExpr("cast(value as string) as v", "offset", "partition")
+          .writeStream
+          .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+            val rows = df.collect()
+            batches.add(rows.length.toLong)
+            rows.foreach(r => got.add(
+              r.getAs[String]("v").replaceAll(".*\"n\":(\\d+).*", "$1").toLong))
+            ()
+          })
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      run()
+      import scala.jdk.CollectionConverters._
+      assert(got.asScala.toSeq.sorted === (0L until 40L), got.asScala.toSeq.sorted.toString)
+      // admission control: no trigger exceeds cap (10 split across backlogged parts)
+      assert(batches.asScala.filter(_ > 0).max <= 10L, batches.toString)
+      assert(batches.asScala.filter(_ > 0).size >= 4, batches.toString)
+      // restart from the checkpoint: ONLY the new records arrive — the
+      // offsets live in Spark's log, the exactly-once contract kafkaStream
+      // documents as superseding manual commits
+      produce(40, 55)
+      run()
+      assert(got.asScala.toSeq.sorted === (0L until 55L), got.asScala.toSeq.sorted.toString)
+      // broker-mirrored progress: best-effort per-epoch, so it may lag the
+      // FINAL epoch at stop (the checkpoint, not the mirror, is the truth)
+      val ends = Kafka.offsetRanges(boot, "ds")
+      val mirrored = ends.map(s =>
+        math.max(0L, broker.committed("dsv2", "ds", s.partition))).sum
+      assert(mirrored >= 45L && mirrored <= 55L, mirrored.toString)
+    } finally broker.close()
+  }
+
   test("commit modes: after-each commits per record; auto commits only on close " +
     "(the reference's reader.go:185-296 matrix)") {
     val broker = new MiniKafkaBroker(Map("t" -> 1))
