@@ -80,7 +80,10 @@ if wanted("txt_signals"):
 # crashed before writing parquet must not pass as skipped; only an
 # explicit subset request may skip.
 for name, min_rows in [("sim_ann_ivf", 10), ("q23_percentiles_approx", 5),
-                       ("sim_kmeans", 512)]:
+                       ("sim_kmeans", 512),
+                       # BT scores are golden-pinned at sf0.01; at sf1 the
+                       # matrix is still |sources|^2 = one row per source
+                       ("ds_elo_bt", 20)]:
     if not wanted(name):
         continue
     pq = glob.glob(f"{out_dir}/{name}/*.parquet")
