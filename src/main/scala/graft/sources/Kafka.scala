@@ -38,6 +38,40 @@ object Kafka {
 
   final case class Split(topic: String, partition: Int, start: Long, end: Long)
 
+  /** Typed fetch error: the broker refused the offset (below the log start
+    * after retention/compaction, or beyond the log end). `logEnd` is the
+    * high watermark the response carried, which disambiguates the two. */
+  final class OffsetOutOfRange(val topic: String, val partition: Int,
+                               val offset: Long, val logEnd: Long)
+    extends IOException(
+      s"offset out of range: $topic/$partition@$offset (logEnd=$logEnd)")
+
+  /** ONE gap-safe fetch page — the shared kernel behind [[read]], the
+    * DSv2 reader, and [[SpoolConsumer]] (one place to fix fetch-cursor
+    * semantics, not three): returns the records in `[off, end)` and the
+    * next cursor, advanced past EVERYTHING fetched so retention/compaction
+    * holes never pin it. A cursor below the log start (real brokers answer
+    * OFFSET_OUT_OF_RANGE; deleted offsets cannot be read) clamps forward
+    * to earliest — the stock consumer's reset-to-earliest for a lagging
+    * cursor. Returns `(Nil, off)` when there is genuinely nothing at or
+    * past `off` yet. */
+  def fetchPage(c: WireClient, topic: String, partition: Int, off: Long,
+                end: Long = Long.MaxValue,
+                maxBytes: Int = 1 << 20): (Seq[KRecord], Long) = {
+    val recs =
+      try c.fetch(topic, partition, off, maxBytes)._2
+      catch {
+        case e: OffsetOutOfRange if off < e.logEnd =>
+          val earliest = c.listOffset(topic, partition, TsEarliest)
+          if (earliest <= off) throw e // not a gap — genuinely bad cursor
+          else if (earliest >= e.logEnd)
+            return (Nil, e.logEnd) // the whole backlog was deleted: skip it
+          else c.fetch(topic, partition, earliest, maxBytes)._2
+      }
+    if (recs.isEmpty) (Nil, off)
+    else (recs.filter(_.offset < end), recs.last.offset + 1)
+  }
+
   // ======================================================================
   // wire client
   // ======================================================================
@@ -157,6 +191,8 @@ object Kafka {
           p.int64() // last_stable_offset
           p.array(a => { a.int64(); a.int64() }) // aborted txns
           val set = p.nullableBytes()
+          if (err == KafkaProto.ErrOffsetOutOfRange)
+            throw new Kafka.OffsetOutOfRange(topic, partition, offset, hw)
           require(err == ErrNone, s"fetch error $err on $topic/$partition@$offset")
           if (set != null && set.nonEmpty)
             recs = decodeRecordBatches(set).filter(_.offset >= offset)
@@ -279,19 +315,17 @@ object Kafka {
           val out = Vector.newBuilder[Row]
           var off = s.start
           while (off < s.end) {
-            val (_, recs) = c.fetch(s.topic, s.partition, off, maxFetchBytes)
-            if (recs.isEmpty) {
-              // an empty fetch below `end` means the range claim is stale
+            val (recs, next) = fetchPage(c, s.topic, s.partition, off,
+              s.end, maxFetchBytes)
+            if (next == off) {
+              // no progress below `end` means the range claim is stale
               throw new IOException(s"no data at ${s.topic}/${s.partition}@$off < ${s.end}")
             }
-            recs.iterator.takeWhile(_.offset < s.end).foreach { r =>
+            recs.foreach { r =>
               out += Row(r.key, r.value, s.topic, s.partition, r.offset,
                 new java.sql.Timestamp(r.timestamp))
             }
-            // advance past EVERYTHING fetched, not just the in-range rows:
-            // compaction/retention gaps can put the whole batch at or past
-            // `end`, and a cursor pinned below it would refetch forever
-            off = recs.last.offset + 1
+            off = next
           }
           out.result()
         } finally c.close()
@@ -403,7 +437,7 @@ object Kafka {
       parts.foreach { p =>
         if (n < maxPollRecords && bytes < maxPollBytes) {
           val start = pos(p)
-          val (_, recs0) = c.fetch(topic, p, start, maxPollBytes, maxWaitMs = 100)
+          val (recs0, _) = fetchPage(c, topic, p, start, maxBytes = maxPollBytes)
           val recs = recs0.take(maxPollRecords - n)
           if (recs.nonEmpty) {
             var cur = start

@@ -106,8 +106,25 @@ private[sources] final class GraftKafkaMicroBatchStream(
     maxOffsetsPerTrigger: Option[Long], group: Option[String])
   extends MicroBatchStream with SupportsAdmissionControl {
 
-  private lazy val client = new Kafka.WireClient(host, port)
-  private lazy val partitions: Seq[Int] = client.metadata(Seq(topic))(topic)
+  // driver-side connection with ONE reconnect retry per call: real brokers
+  // drop idle sockets (connections.max.idle.ms), and a long trigger
+  // interval must not kill the query on the first listOffset after a nap.
+  // NOT lazy-val: stop() must never OPEN a socket just to close one.
+  @volatile private var clientOpt: Kafka.WireClient = _
+  private def withClient[A](f: Kafka.WireClient => A): A = synchronized {
+    if (clientOpt == null) clientOpt = new Kafka.WireClient(host, port)
+    try f(clientOpt)
+    catch {
+      case _: java.io.IOException =>
+        try clientOpt.close() catch { case _: Exception => () }
+        clientOpt = new Kafka.WireClient(host, port)
+        f(clientOpt)
+    }
+  }
+  private lazy val partitions: Seq[Int] =
+    withClient(_.metadata(Seq(topic))(topic))
+  // fair-rotation cursor for budgeted triggers (see latestOffset)
+  private var rotate = 0
 
   override def initialOffset(): Offset = {
     val ts = startingOffsets.toLowerCase match {
@@ -117,7 +134,7 @@ private[sources] final class GraftKafkaMicroBatchStream(
         s"startingOffsets must be earliest|latest, got $other")
     }
     KafkaSourceOffset(partitions.map(p =>
-      p -> client.listOffset(topic, p, ts)).toMap)
+      p -> withClient(_.listOffset(topic, p, ts))).toMap)
   }
 
   override def getDefaultReadLimit: ReadLimit =
@@ -126,24 +143,40 @@ private[sources] final class GraftKafkaMicroBatchStream(
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
 
-  /** Admission control: cap this trigger's end offsets at `limit` rows,
-    * split evenly across partitions with backlog (the budget semantics of
-    * the reference's maxPollRecords window). */
+  /** Admission control — the reference reader's maxPollRecords budget as a
+    * HARD cap: checkpointed starts are first clamped forward to the log
+    * start (retention may have deleted offsets under a lagging cursor —
+    * without the clamp a budgeted stream crawls through the hole in empty
+    * increments, or dies on OFFSET_OUT_OF_RANGE), then the row budget is
+    * divided across backlogged partitions with the remainder rotating
+    * round-robin between triggers so no partition starves when
+    * backlogged > budget. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[KafkaSourceOffset].parts
     val latest = partitions.map(p =>
-      p -> client.listOffset(topic, p, TsLatest)).toMap
+      p -> withClient(_.listOffset(topic, p, TsLatest))).toMap
+    val effFrom = partitions.map { p =>
+      val earliest = withClient(_.listOffset(topic, p, TsEarliest))
+      p -> math.max(from.getOrElse(p, 0L), math.min(earliest, latest(p)))
+    }.toMap
     limit match {
       case mr: ReadMaxRows =>
-        val backlogged = partitions.filter(p =>
-          latest(p) > from.getOrElse(p, 0L))
+        val backlogged = partitions.filter(p => latest(p) > effFrom(p)).sorted
         if (backlogged.isEmpty) KafkaSourceOffset(latest)
         else {
-          val per = math.max(1L, mr.maxRows() / backlogged.size)
-          KafkaSourceOffset(latest.map { case (p, end) =>
-            val s = from.getOrElse(p, 0L)
-            p -> math.min(end, if (end > s) s + per else end)
-          })
+          val rotated = {
+            val i = rotate % backlogged.size
+            backlogged.drop(i) ++ backlogged.take(i)
+          }
+          rotate += 1
+          val per = mr.maxRows() / backlogged.size
+          val extra = (mr.maxRows() % backlogged.size).toInt
+          val alloc = rotated.zipWithIndex.map { case (p, i) =>
+            p -> (per + (if (i < extra) 1L else 0L))
+          }.toMap
+          KafkaSourceOffset(partitions.map { p =>
+            p -> math.min(latest(p), effFrom(p) + alloc.getOrElse(p, 0L))
+          }.toMap)
         }
       case _ => KafkaSourceOffset(latest)
     }
@@ -168,14 +201,16 @@ private[sources] final class GraftKafkaMicroBatchStream(
     * group store when asked (lag dashboards see the stream like any
     * consumer). Best-effort: a failed mirror must not fail the epoch. */
   override def commit(end: Offset): Unit = group.foreach { g =>
-    try client.offsetCommit(g,
+    try withClient(_.offsetCommit(g,
       end.asInstanceOf[KafkaSourceOffset].parts.map { case (p, o) =>
         (topic, p) -> o
-      })
+      }))
     catch { case _: Exception => () }
   }
 
-  override def stop(): Unit = client.close()
+  override def stop(): Unit = synchronized {
+    if (clientOpt != null) { clientOpt.close(); clientOpt = null }
+  }
 }
 
 private[sources] final case class KafkaInputPartition(
@@ -193,14 +228,16 @@ private[sources] final class KafkaReaderFactory extends PartitionReaderFactory {
 
       override def next(): Boolean = {
         while (!buf.hasNext && off < kp.end) {
-          val (_, recs) = client.fetch(kp.topic, kp.partition, off)
-          if (recs.isEmpty)
+          // shared gap-safe page (Kafka.fetchPage): advances past retention
+          // holes, clamps a below-log-start cursor to earliest; rows beyond
+          // the planned end belong to the next micro-batch
+          val (recs, next) = Kafka.fetchPage(client, kp.topic, kp.partition,
+            off, kp.end)
+          if (next == off)
             throw new java.io.IOException(
               s"no data at ${kp.topic}/${kp.partition}@$off < ${kp.end}")
-          // progress past everything fetched (retention gaps included);
-          // rows beyond the planned end belong to the next micro-batch
-          off = recs.last.offset + 1
-          buf = recs.iterator.filter(_.offset < kp.end)
+          off = next
+          buf = recs.iterator
         }
         if (buf.hasNext) { current = buf.next(); true } else false
       }

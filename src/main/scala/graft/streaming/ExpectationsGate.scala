@@ -25,6 +25,11 @@ final class ExpectationsGate(
     writeReport: (DataFrame, Long) => Unit = (_, _) => (),
 ) extends ((DataFrame, Long) => Unit) with Serializable {
 
+  // fail misconfiguration at CONSTRUCTION (deploy time), not on the first
+  // micro-batch, where the same errors would kill the running query
+  require(rules.nonEmpty, "no rules")
+  require(rules.map(_.id).distinct.size == rules.size, "duplicate rule ids")
+
   override def apply(batch: DataFrame, batchId: Long): Unit = {
     batch.persist()
     try {

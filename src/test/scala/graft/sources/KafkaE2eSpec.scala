@@ -239,6 +239,38 @@ class KafkaE2eSpec extends SparkSpec {
       assert(broker.committed("gg", "g", 0) === 6L)
       assert(spark.read.json(spool).select("i").as[Long].collect().sorted.toSeq
         === Seq(3L, 4L, 5L))
+      // DSv2 under a BUDGET with a checkpoint BELOW the log start: the
+      // admission clamp must jump the checkpointed cursor to the log head
+      // in one trigger — not crawl the hole in empty budget-sized
+      // increments, not die on OFFSET_OUT_OF_RANGE (kafkaStreamWire is the
+      // entry point under test)
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-kgapck").toString
+      def runStream(): Unit = {
+        val q = Sources.kafkaStreamWire(spark, "127.0.0.1", broker.boundPort, "g",
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("i",
+                org.apache.spark.sql.types.LongType))),
+            startingOffsets = "earliest", maxOffsetsPerTrigger = 2)
+          .select(col("value.i"))
+          .writeStream
+          .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
+            { df.collect().foreach(r => got.add(r.getLong(0))); () })
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      runStream() // consumes 3..5, checkpoint lands at offset 6
+      import scala.jdk.CollectionConverters._
+      assert(got.asScala.toSeq.sorted === Seq(3L, 4L, 5L), got.toString)
+      c.produce("g", 0, encodeRecordBatch(0L, (6 until 9).map(i =>
+        (1L, null: Array[Byte], s"""{"i":$i}""".getBytes(UTF_8), Nil))))
+      c.produce("g", 0, encodeRecordBatch(0L, (9 until 12).map(i =>
+        (1L, null: Array[Byte], s"""{"i":$i}""".getBytes(UTF_8), Nil))))
+      broker.dropBatches("g", 0, 2) // survivors: 9..11; checkpoint 6 < log start 9
+      runStream()
+      assert(got.asScala.toSeq.sorted === Seq(3L, 4L, 5L, 9L, 10L, 11L),
+        got.toString)
       c.close()
     } finally broker.close()
   }

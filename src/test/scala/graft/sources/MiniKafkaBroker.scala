@@ -172,7 +172,12 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0) extends Aut
         val log = logs.get((topic, partition))
         if (log == null) (partition, ErrUnknownTopicOrPartition, -1L, null: Array[Byte])
         else log.synchronized {
-          if (offset < 0 || offset > log.logEnd)
+          // real-broker strictness: an offset below the log START (deleted
+          // by retention/compaction) is OFFSET_OUT_OF_RANGE too — consumers
+          // must clamp to earliest, they cannot read deleted offsets
+          val logStart =
+            if (log.batches.isEmpty) log.logEnd else batchBaseOffset(log.batches.head)
+          if (offset < logStart || offset > log.logEnd)
             (partition, ErrOffsetOutOfRange, log.logEnd, null: Array[Byte])
           else {
             // return batches starting at the batch CONTAINING offset,

@@ -81,8 +81,9 @@ if wanted("txt_signals"):
 # explicit subset request may skip.
 for name, min_rows in [("sim_ann_ivf", 10), ("q23_percentiles_approx", 5),
                        ("sim_kmeans", 512),
-                       # BT scores are golden-pinned at sf0.01; at sf1 the
-                       # matrix is still |sources|^2 = one row per source
+                       # BT scores are golden-pinned at sf0.01; output is
+                       # ONE row per source (20 at every scale; the internal
+                       # win matrix is |sources|^2 and never corpus-sized)
                        ("ds_elo_bt", 20)]:
     if not wanted(name):
         continue
