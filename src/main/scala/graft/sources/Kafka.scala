@@ -225,6 +225,22 @@ object Kafka {
       off
     }
 
+    /** InitProducerId v0 (idempotence only, no transactions): a
+      * broker-issued (producerId, epoch) identity. Batches carrying it
+      * plus a per-partition sequence number are DEDUPED by the broker on
+      * resend — produce retries become exactly-once within the producer
+      * session. */
+    def initProducerId(): (Long, Short) = {
+      val w = new Writer()
+      w.nullableString(null)
+      w.int32(60000)
+      val r = call(ApiInitProducerId, 0, w.toBytes)
+      r.int32() // throttle
+      val err = r.int16()
+      require(err == ErrNone, s"initProducerId error $err")
+      (r.int64(), r.int16())
+    }
+
     /** OffsetCommit v2 as a SIMPLE consumer (generation -1, no group
       * membership — the reference's manual commit modes do the same
       * standalone commit, `reader.go:185-296`). */
@@ -342,29 +358,53 @@ object Kafka {
     * Spark partition opens ONE connection, routes rows by murmur2 of the
     * key (null keys round-robin), and flushes per-Kafka-partition batches
     * at the reference writer's budgets (maxRecords / maxBytes,
-    * `writer.go:108-130`). At-least-once on task retry, exactly like the
-    * reference writer — dedupe belongs to the consumer (the spool bridge
-    * is idempotent by offset). */
+    * `writer.go:108-130`).
+    *
+    * Delivery: with `idempotent = true` each task takes a broker-issued
+    * producer id and numbers its batches per partition, and a flush that
+    * dies mid-acknowledge reconnects and RESENDS the same sequence — the
+    * broker dedupes it, so connection-level retries are exactly-once.
+    * A full Spark TASK retry gets a fresh producer id and can duplicate —
+    * the same boundary the stock producer has without transactions;
+    * cross-attempt exactness belongs to the consumer (the spool bridge is
+    * idempotent by offset). */
   def write(df: DataFrame, bootstrap: (String, Int), topic: String,
             maxBatchRecords: Int = 1000, maxBatchBytes: Int = 1 << 20,
-            headerTemplateCols: Seq[String] = Nil): Unit = {
+            headerTemplateCols: Seq[String] = Nil,
+            idempotent: Boolean = false): Unit = {
     val (host, port) = bootstrap
     val cols = df.columns
     require(cols.contains("key") && cols.contains("value"),
       s"kafka write expects key/value columns, got ${cols.mkString(",")}")
     val headerCols = headerTemplateCols
+    val idem = idempotent
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
-        val c = new WireClient(host, port)
+        var c = new WireClient(host, port)
         try {
           val nParts = c.metadata(Seq(topic))(topic).size
+          val (pid, epoch) = if (idem) c.initProducerId() else (-1L, (-1).toShort)
+          val seqs = new Array[Int](nParts)
           val pending = Array.fill(nParts)(
             Vector.newBuilder[(Long, Array[Byte], Array[Byte], Seq[(String, Array[Byte])])])
           val pendingN = new Array[Int](nParts)
           val pendingB = new Array[Int](nParts)
           var rr = 0
           def flush(p: Int): Unit = if (pendingN(p) > 0) {
-            c.produce(topic, p, encodeRecordBatch(0L, pending(p).result()))
+            val batch = encodeRecordBatch(0L, pending(p).result(),
+              producerId = pid, producerEpoch = epoch, baseSequence =
+                (if (idem) seqs(p) else -1))
+            try c.produce(topic, p, batch)
+            catch {
+              case _: IOException if idem =>
+                // reconnect and resend the SAME sequence: if the lost ack's
+                // append landed, the broker dedupes; if not, this is the
+                // first append — either way exactly one copy
+                try c.close() catch { case _: Exception => () }
+                c = new WireClient(host, port)
+                c.produce(topic, p, batch)
+            }
+            if (idem) seqs(p) += pendingN(p)
             pending(p).clear(); pendingN(p) = 0; pendingB(p) = 0
           }
           def asBytes(v: Any): Array[Byte] = v match {

@@ -36,11 +36,13 @@ object KafkaProto {
   val ApiOffsetCommit = 8
   val ApiOffsetFetch = 9
   val ApiApiVersions = 18
+  val ApiInitProducerId = 22
 
   // ---- error codes (subset used here) ----
   val ErrNone: Short = 0
   val ErrOffsetOutOfRange: Short = 1
   val ErrUnknownTopicOrPartition: Short = 3
+  val ErrOutOfOrderSequence: Short = 45
 
   /** Earliest/latest sentinels for ListOffsets timestamps. */
   val TsEarliest: Long = -2L
@@ -211,12 +213,18 @@ object KafkaProto {
                            key: Array[Byte], value: Array[Byte],
                            headers: Seq[(String, Array[Byte])] = Nil)
 
-  /** Encode one RecordBatch (magic 2, no compression, no txn/producer
-    * state): zigzag-varint record framing, CRC32C over attributes..end.
-    * `baseOffset` is what the producer sends (0 — the broker rewrites it
-    * at append, exactly like the real one) and offsets inside are deltas. */
+  /** Encode one RecordBatch (magic 2, no compression): zigzag-varint
+    * record framing, CRC32C over attributes..end. `baseOffset` is what the
+    * producer sends (0 — the broker rewrites it at append, exactly like
+    * the real one) and offsets inside are deltas. `producerId`/
+    * `producerEpoch`/`baseSequence` carry the IDEMPOTENT-producer identity
+    * (all -1 = classic at-least-once batch): the broker dedupes a resent
+    * (pid, partition, baseSequence) batch, which is what makes produce
+    * retries exactly-once. */
   def encodeRecordBatch(baseOffset: Long,
-                        records: Seq[(Long, Array[Byte], Array[Byte], Seq[(String, Array[Byte])])]): Array[Byte] = {
+                        records: Seq[(Long, Array[Byte], Array[Byte], Seq[(String, Array[Byte])])],
+                        producerId: Long = -1L, producerEpoch: Int = -1,
+                        baseSequence: Int = -1): Array[Byte] = {
     require(records.nonEmpty, "empty record batch")
     val baseTs = records.map(_._1).min
     val maxTs = records.map(_._1).max
@@ -243,9 +251,9 @@ object KafkaProto {
     tail.int32(records.size - 1)     // lastOffsetDelta
     tail.int64(baseTs)
     tail.int64(maxTs)
-    tail.int64(-1L)                  // producerId (idempotence off)
-    tail.int16(-1)                   // producerEpoch
-    tail.int32(-1)                   // baseSequence
+    tail.int64(producerId)
+    tail.int16(producerEpoch)
+    tail.int32(baseSequence)
     tail.int32(records.size)
     tail.raw(recBytes.toBytes)
     val tailBytes = tail.toBytes
@@ -279,6 +287,14 @@ object KafkaProto {
   /** Base offset of an encoded batch (header peek). */
   def batchBaseOffset(batch: Array[Byte]): Long =
     new Reader(batch, 0, batch.length).int64()
+
+  /** Producer id of an encoded batch (-1 = non-idempotent; header peek). */
+  def batchProducerId(batch: Array[Byte]): Long =
+    new Reader(batch, 43, batch.length).int64()
+
+  /** Base sequence of an encoded batch (header peek). */
+  def batchBaseSequence(batch: Array[Byte]): Int =
+    new Reader(batch, 53, batch.length).int32()
 
   /** Decode a record-set: one or more concatenated RecordBatches, CRC
     * verified LOUDLY (a silent pass-through on corruption is the one thing

@@ -212,6 +212,44 @@ class KafkaE2eSpec extends SparkSpec {
     }
   }
 
+  test("idempotent producer: a resent sequence is DEDUPED to the original " +
+    "offset, a sequence gap is rejected, and Kafka.write(idempotent) lands once") {
+    val broker = new MiniKafkaBroker(Map("idem" -> 1))
+    val boot = ("127.0.0.1", broker.boundPort)
+    try {
+      val c = new Kafka.WireClient("127.0.0.1", broker.boundPort)
+      val (pid, epoch) = c.initProducerId()
+      val (pid2, _) = c.initProducerId()
+      assert(pid >= 0 && pid2 != pid) // distinct identities per session
+      def batch(seq: Int, lo: Int, hi: Int) =
+        encodeRecordBatch(0L, (lo until hi).map(i =>
+          (1L, null: Array[Byte], s"""{"i":$i}""".getBytes(UTF_8), Nil)),
+          producerId = pid, producerEpoch = epoch, baseSequence = seq)
+      val b0 = batch(0, 0, 3)
+      assert(c.produce("idem", 0, b0) === 0L)
+      // the retry case: same pid + same baseSequence → acknowledged with
+      // the ORIGINAL offset, nothing appended
+      assert(c.produce("idem", 0, b0) === 0L)
+      assert(c.listOffset("idem", 0, TsLatest) === 3L)
+      // next batch must continue the sequence; a gap is rejected loudly
+      val eGap = intercept[Exception](c.produce("idem", 0, batch(7, 3, 5)))
+      assert(eGap.getMessage.contains("error 45"), eGap.getMessage)
+      assert(c.produce("idem", 0, batch(3, 3, 5)) === 3L)
+      assert(c.listOffset("idem", 0, TsLatest) === 5L)
+      // a DIFFERENT pid is its own sequence space (no cross-dedup)
+      assert(c.produce("idem", 0, encodeRecordBatch(0L,
+        Seq((1L, null: Array[Byte], """{"i":9}""".getBytes(UTF_8), Nil)),
+        producerId = pid2, producerEpoch = 0, baseSequence = 0)) === 5L)
+      c.close()
+      // the distributed writer wires the same machinery end to end
+      val src = (100 until 130).map(i => (s"k$i", i.toLong)).toDF("user_id", "n")
+      Kafka.write(Sources.encodeKafka(src, "{user_id}"), boot, "idem",
+        maxBatchRecords = 7, idempotent = true)
+      val all = Kafka.read(spark, boot, "idem")
+      assert(all.count() === 36L) // 5 + 1 + 30, each exactly once
+    } finally broker.close()
+  }
+
   test("offset gaps (retention deletion): the batch read terminates and the " +
     "spool bridge stays exactly-once with a cursor below the first survivor") {
     val broker = new MiniKafkaBroker(Map("g" -> 1))

@@ -37,6 +37,12 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0) extends Aut
     (0 until n).foreach(p => logs.put((t, p), new PartitionLog))
   }
   private val groupOffsets = new ConcurrentHashMap[(String, String, Int), Long]()
+  private val nextPid = new java.util.concurrent.atomic.AtomicLong(1000L)
+  /** Idempotent-producer state per (pid, topic, partition): last appended
+    * batch's (baseSequence, recordCount, baseOffset) — enough to dedupe an
+    * exact retry and to reject sequence gaps, the real broker's contract. */
+  private final case class PidState(lastSeq: Int, lastCount: Int, lastBase: Long)
+  private val producerSeqs = new ConcurrentHashMap[(Long, String, Int), PidState]()
 
   private val running = new AtomicBoolean(true)
   @volatile private var produceCount = 0L
@@ -71,6 +77,7 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0) extends Aut
           case ApiListOffsets => listOffsetsV1(version, r)
           case ApiOffsetCommit => offsetCommitV2(version, r)
           case ApiOffsetFetch => offsetFetchV1(version, r)
+          case ApiInitProducerId => initProducerIdV0(version, r)
           case other => throw new EOFException(s"unsupported api key $other")
         }
         writeResponse(out, corr, body)
@@ -89,7 +96,7 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0) extends Aut
     w.array(Seq(
       (ApiProduce, 3, 3), (ApiFetch, 4, 4), (ApiListOffsets, 1, 1),
       (ApiMetadata, 1, 1), (ApiOffsetCommit, 2, 2), (ApiOffsetFetch, 1, 1),
-      (ApiApiVersions, 0, 0))) { (b, k) =>
+      (ApiApiVersions, 0, 0), (ApiInitProducerId, 0, 0))) { (b, k) =>
       b.int16(k._1); b.int16(k._2); b.int16(k._3)
     }
     w.toBytes
@@ -135,11 +142,26 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0) extends Aut
         else log.synchronized {
           // broker-side CRC verification: decode throws on corruption
           val recs = decodeRecordBatches(set)
-          val base = log.logEnd
-          log.batches += withBaseOffset(set, base)
-          log.logEnd = base + recs.size
-          produceCount += 1
-          (partition, ErrNone, base)
+          val pid = batchProducerId(set)
+          val pidKey = (pid, topic, partition)
+          val prior = if (pid >= 0) producerSeqs.get(pidKey) else null
+          val seq = if (pid >= 0) batchBaseSequence(set) else -1
+          if (prior != null && seq == prior.lastSeq) {
+            // exact retry of the last batch: DEDUPE — acknowledge with the
+            // original base offset, append nothing (the idempotence contract)
+            (partition, ErrNone, prior.lastBase)
+          } else if (pid >= 0 &&
+              seq != (if (prior == null) 0 else prior.lastSeq + prior.lastCount)) {
+            (partition, ErrOutOfOrderSequence, -1L)
+          } else {
+            val base = log.logEnd
+            log.batches += withBaseOffset(set, base)
+            log.logEnd = base + recs.size
+            if (pid >= 0)
+              producerSeqs.put(pidKey, PidState(seq, recs.size, base))
+            produceCount += 1
+            (partition, ErrNone, base)
+          }
         }
       }
       (topic, parts)
@@ -245,6 +267,14 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0) extends Aut
       }
     }
     w.toBytes
+  }
+
+  private def initProducerIdV0(version: Int, r: Reader): Array[Byte] = {
+    require(version == 0, s"InitProducerId v$version unsupported")
+    r.nullableString() // transactional id (null = idempotence only)
+    r.int32()          // transaction timeout
+    new Writer().int32(0).int16(ErrNone)
+      .int64(nextPid.getAndIncrement()).int16(0).toBytes
   }
 
   private def offsetCommitV2(version: Int, r: Reader): Array[Byte] = {
