@@ -1925,6 +1925,58 @@ object Relational {
       .orderBy("purchase_id", "view_id")
   }
 
+  /** Point-in-time rolling features per event — the FEATURE-STORE shape
+    * for training data: each event sees only strictly-earlier activity
+    * (`RANGE … PRECEDING AND 1 PRECEDING` — value-based frames, so
+    * same-timestamp peers are excluded and the result is deterministic
+    * under any row order), giving leakage-free labels-join-features
+    * training rows. ONE user-keyed exchange serves both range frames and
+    * the lag (different sort keys reuse the exchange). Exact integers:
+    * event counts, purchase cents, microsecond gaps. At 100 TB the frame
+    * cost is bounded by per-user activity in the window, never corpus
+    * size — the same density argument as [[evRangeJoin]]. */
+  def evLagFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir).select(
+      col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+      when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long")).otherwise(0L).as("pc"))
+    val w7 = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-604800000000L, -1L)
+    val w30 = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-2592000000000L, -1L)
+    val wLag = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    e.select(col("event_id"), col("user_id"), col("ts_us"),
+        count(lit(1)).over(w7).as("n_7d"),
+        coalesce(sum("pc").over(w30), lit(0L)).as("spend_30d_cents"),
+        (col("ts_us") - lag("ts_us", 1).over(wLag)).as("us_since_last"))
+      .orderBy("event_id")
+  }
+
+  /** Seasonality profile — (day-of-week × hour) activity shares per event
+    * type in exact ppm, plus each type's peak slot: the decomposition the
+    * forecast/trending family reads its baselines from. Day/hour derive
+    * from epoch-microseconds by integer arithmetic (epoch day 0 was a
+    * Thursday → dow = (days + 4) % 7, 0 = Sunday — the same convention
+    * both engines can replay without timezone functions). One scan, one
+    * (type, dow, hour) pre-agg, one type-keyed window pass. */
+  def evSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val slots = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("(ts div 86400000000000 + 4) % 7").as("dow"),
+        expr("(ts div 3600000000000) % 24").as("hour"))
+      .groupBy("event_type", "dow", "hour").agg(count(lit(1)).as("n"))
+    val wAll = Window.partitionBy("event_type")
+    slots
+      .withColumn("share_ppm", expr("n * 1000000 div sum(n) over (partition by event_type)"))
+      .withColumn("rk", row_number().over(
+        wAll.orderBy(col("n").desc, col("dow").asc, col("hour").asc)))
+      .select(col("event_type"), col("dow"), col("hour"), col("n"),
+        col("share_ppm"), (col("rk") === 1).as("is_peak"))
+      .orderBy("event_type", "dow", "hour")
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_filter_project" -> q01FilterProject _,
     "q02_string_chain"   -> q02StringChain _,
@@ -1956,6 +2008,8 @@ object Relational {
     "ev_anomaly" -> evAnomaly _,
     "ev_changepoint"     -> evChangepoint _,
     "ev_attribution_multi" -> evAttributionMulti _,
+    "ev_lag_features"    -> evLagFeatures _,
+    "ev_seasonality"     -> evSeasonality _,
     "ev_funnel"          -> evFunnel _,
     "ev_retention"       -> evRetention _,
     "ev_trending"        -> evTrending _,
@@ -2116,6 +2170,39 @@ object Relational {
         |FROM p ASOF LEFT JOIN v
         | ON p.user_id = v.user_id AND v.view_ts_us <= p.ts_us
         |ORDER BY purchase_id""".stripMargin,
+    "ev_lag_features" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  CASE WHEN event_type = 'purchase'
+        |   THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS pc
+        | FROM events)
+        |SELECT event_id, user_id, ts_us,
+        | CAST(COUNT(*) OVER w7 AS BIGINT) AS n_7d,
+        | CAST(coalesce(SUM(pc) OVER w30, 0) AS BIGINT) AS spend_30d_cents,
+        | ts_us - lag(ts_us) OVER
+        |  (PARTITION BY user_id ORDER BY ts_us, event_id) AS us_since_last
+        |FROM e
+        |WINDOW w7 AS (PARTITION BY user_id ORDER BY ts_us
+        |  RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING),
+        | w30 AS (PARTITION BY user_id ORDER BY ts_us
+        |  RANGE BETWEEN 2592000000000 PRECEDING AND 1 PRECEDING)
+        |ORDER BY event_id""".stripMargin,
+    "ev_seasonality" ->
+      """WITH s AS (
+        | SELECT event_type,
+        |  (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+        |  (epoch_us(ts) // 3600000000) % 24 AS hour,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2, 3),
+        |r AS (
+        | SELECT event_type, dow, hour, n,
+        |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY event_type)
+        |       AS BIGINT) AS share_ppm,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY n DESC, dow ASC, hour ASC) AS rk
+        | FROM s)
+        |SELECT event_type, dow, hour, n, share_ppm, rk = 1 AS is_peak
+        |FROM r ORDER BY event_type, dow, hour""".stripMargin,
     "ev_changepoint" ->
       """WITH d AS (
         | SELECT event_type, epoch_us(ts) // 86400000000 AS day,

@@ -1107,6 +1107,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("ev_lag_features: ONE scan, ONE user-keyed exchange serving both range " +
+    "frames and the lag (sorts differ, the exchange is shared)") {
+    val p = planOf("ev_lag_features")
+    assert(countScans(p) == 1, p)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+    assert(p.contains("specifiedwindowframe(RangeFrame"), p) // value-based, not row
+  }
+
+  test("ev_seasonality: slot pre-agg is partial before its exchange; the scan " +
+    "reads only ts and event_type") {
+    val p = planOf("ev_seasonality")
+    assert(countScans(p) == 1, p)
+    assert(p.contains("partial_count"), p)
+    val m = "FileScan parquet \\[([^\\]]*)\\]".r.findFirstMatchIn(p)
+    assert(m.isDefined && m.get.group(1).split(",").length == 2, m.toString)
+  }
+
   test("ds_expectations: 4 row-local rules share ONE documents scan (4 scans " +
     "total: docs x2 with unique, orders, customer); ref check is broadcast anti") {
     val p = planOf("ds_expectations")
