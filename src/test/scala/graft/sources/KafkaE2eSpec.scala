@@ -241,12 +241,23 @@ class KafkaE2eSpec extends SparkSpec {
         Seq((1L, null: Array[Byte], """{"i":9}""".getBytes(UTF_8), Nil)),
         producerId = pid2, producerEpoch = 0, baseSequence = 0)) === 5L)
       c.close()
-      // the distributed writer wires the same machinery end to end
+      // the distributed writer wires the same machinery end to end — WITH
+      // a lost acknowledge injected mid-write: the broker appends a batch
+      // and kills the connection before the ack, and Kafka.write's own
+      // reconnect-resend-same-sequence path must dedupe, not duplicate
       val src = (100 until 130).map(i => (s"k$i", i.toLong)).toDF("user_id", "n")
-      Kafka.write(Sources.encodeKafka(src, "{user_id}"), boot, "idem",
+      broker.dropNextProduceAck.set(true)
+      Kafka.write(Sources.encodeKafka(src, "{user_id}").coalesce(1), boot, "idem",
         maxBatchRecords = 7, idempotent = true)
+      assert(!broker.dropNextProduceAck.get(), "fault was never triggered")
       val all = Kafka.read(spark, boot, "idem")
       assert(all.count() === 36L) // 5 + 1 + 30, each exactly once
+      // same lost-ack WITHOUT idempotence duplicates (the contract line)
+      broker.dropNextProduceAck.set(true)
+      intercept[Exception] {
+        Kafka.write(Sources.encodeKafka(src, "{user_id}").coalesce(1), boot,
+          "idem", maxBatchRecords = 1000, idempotent = false)
+      }
     } finally broker.close()
   }
 

@@ -45,6 +45,11 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0) extends Aut
   private val producerSeqs = new ConcurrentHashMap[(Long, String, Int), PidState]()
 
   private val running = new AtomicBoolean(true)
+  /** Fault injection: when armed, the NEXT produce APPENDS but the
+    * connection dies before the ack is written — the lost-acknowledge
+    * scenario an idempotent producer must survive by resending the same
+    * sequence. */
+  val dropNextProduceAck = new AtomicBoolean(false)
   @volatile private var produceCount = 0L
   @volatile private var fetchCount = 0L
   def produces: Long = produceCount
@@ -72,7 +77,11 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0) extends Aut
         val body = apiKey match {
           case ApiApiVersions => apiVersionsV0(version)
           case ApiMetadata => metadataV1(version, r)
-          case ApiProduce => produceV3(version, r)
+          case ApiProduce =>
+            val b = produceV3(version, r)
+            if (dropNextProduceAck.compareAndSet(true, false))
+              throw new EOFException("injected: ack lost after append")
+            b
           case ApiFetch => fetchV4(version, r)
           case ApiListOffsets => listOffsetsV1(version, r)
           case ApiOffsetCommit => offsetCommitV2(version, r)
@@ -146,10 +155,15 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0) extends Aut
           val pidKey = (pid, topic, partition)
           val prior = if (pid >= 0) producerSeqs.get(pidKey) else null
           val seq = if (pid >= 0) batchBaseSequence(set) else -1
-          if (prior != null && seq == prior.lastSeq) {
+          if (prior != null && seq == prior.lastSeq && recs.size == prior.lastCount) {
             // exact retry of the last batch: DEDUPE — acknowledge with the
-            // original base offset, append nothing (the idempotence contract)
+            // original base offset, append nothing (the idempotence contract).
+            // The count must match the cached batch metadata like the real
+            // broker's: same sequence with different records is a protocol
+            // violation, not a retry
             (partition, ErrNone, prior.lastBase)
+          } else if (prior != null && seq == prior.lastSeq) {
+            (partition, ErrOutOfOrderSequence, -1L)
           } else if (pid >= 0 &&
               seq != (if (prior == null) 0 else prior.lastSeq + prior.lastCount)) {
             (partition, ErrOutOfOrderSequence, -1L)
