@@ -1,0 +1,92 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** K5 forward relay over the KAFKA transport — the reference's own scaling
+  * note made concrete ("external ingress/egress at scale is Kafka", SURVEY
+  * §2.1/§2.6): rows pack into ≤`maxChunkBytes` NDJSON bodies
+  * ([[Chunking.chunks]]), each sealed into a [[RelayProto.WrappedPayload]]
+  * (compression algorithm + AES-GCM declared in its MessageMetadata — the
+  * same envelope the socket, WebSocket, and NATS relays speak) and produced
+  * as one Kafka record. Unlike those transports this edge is DURABLE and
+  * replayable: offsets give the receiving side restart semantics, and the
+  * producer runs idempotent so a lost acknowledge cannot double-append a
+  * payload. Executor-side on both ends; the driver never sees a record. */
+object KafkaRelay {
+
+  /** Relay a frame's partitions into `topic`, sealed. Payload records
+    * round-robin across the topic's partitions (chunk bodies carry no
+    * routing key); `seq` inside each WrappedPayload is per-task, so a
+    * receiver can audit per-writer continuity like the socket edge's
+    * ack brain does. */
+  def writeKafka(df: DataFrame, bootstrap: (String, Int), topic: String,
+                 compression: Int = graft.functions.Codecs.CompressNone,
+                 key: Option[Array[Byte]] = None,
+                 maxChunkBytes: Int = 1 << 19): Unit = {
+    graft.functions.Codecs.compress(compression, Array.emptyByteArray)
+    key.foreach(k => require(Set(16, 24, 32).contains(k.length),
+      s"AES key must be 16/24/32 bytes, got ${k.length}"))
+    Chunking.requireBound(maxChunkBytes)
+    val (host, port) = bootstrap
+    df.toJSON.foreachPartition { (it: Iterator[String]) =>
+      if (it.hasNext) {
+        val taskPid = org.apache.spark.TaskContext.get().partitionId()
+        var c = new Kafka.WireClient(host, port)
+        try {
+          val nParts = c.metadata(Seq(topic))(topic).size
+          val (pid, epoch) = c.initProducerId()
+          val seqs = new Array[Int](nParts)
+          var seq = 0L
+          Chunking.chunks(it, maxChunkBytes).foreach { body =>
+            val wrapped = RelayProto.wrap(body, id = s"p$taskPid-$seq",
+              seq = seq, tsEpochMs = System.currentTimeMillis(),
+              algo = compression, key = key)
+            val p = (seq % nParts).toInt
+            val batch = KafkaProto.encodeRecordBatch(0L,
+              Seq((System.currentTimeMillis(), null: Array[Byte],
+                RelayProto.encode(wrapped), Nil)),
+              producerId = pid, producerEpoch = epoch, baseSequence = seqs(p))
+            try c.produce(topic, p, batch)
+            catch {
+              case _: java.io.IOException =>
+                // lost ack: reconnect and resend the SAME sequence — the
+                // broker dedupes (the idempotent-producer contract)
+                try c.close() catch { case _: Exception => () }
+                c = new Kafka.WireClient(host, port)
+                c.produce(topic, p, batch)
+            }
+            seqs(p) += 1
+            seq += 1
+          }
+        } finally c.close()
+      }
+    }
+  }
+
+  /** Batch-read `topic`'s current contents and UNSEAL: each record value
+    * decodes as a WrappedPayload, unwraps per its declared sealing
+    * (wrong-key GCM failures and keyed-receiver-vs-unsealed-frame
+    * downgrades throw, exactly the socket receiver's rules), and the
+    * NDJSON body splits into one row per line. Distributed end to end —
+    * unwrap runs where the fetch task runs. Returns (value, topic,
+    * partition, offset): offset+line order make the read REPLAYABLE,
+    * which is what the Kafka transport buys over socket/WS/NATS relays. */
+  def readKafkaSealed(spark: SparkSession, bootstrap: (String, Int),
+                      topic: String, key: Option[Array[Byte]] = None,
+                      maxInflatedBytes: Int = SealedRelay.DefaultMaxInflatedBytes): DataFrame = {
+    key.foreach(k => require(Set(16, 24, 32).contains(k.length),
+      s"AES key must be 16/24/32 bytes, got ${k.length}"))
+    val raw = Kafka.read(spark, bootstrap, topic)
+    import spark.implicits._
+    raw.select("value", "topic", "partition", "offset")
+      .as[(Array[Byte], String, Int, Long)]
+      .flatMap { case (value, t, p, off) =>
+        val body = RelayProto.unwrap(RelayProto.decode(value), key, maxInflatedBytes)
+        new String(body, UTF_8).split("\n").iterator
+          .filter(_.nonEmpty).map(line => (line, t, p, off))
+      }
+      .toDF("value", "topic", "partition", "offset")
+  }
+}
