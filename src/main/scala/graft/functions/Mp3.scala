@@ -1,0 +1,151 @@
+package graft.functions
+
+/** MP3 container parsing — the PUBLIC frame-header format (ISO/IEC 11172-3
+  * / 13818-3): 11-bit sync, version/layer bits, bitrate and sample-rate
+  * table indices, padding, and the frame-length formula. This makes the
+  * audio METADATA path real for compressed audio — frame count, duration,
+  * average bitrate, VBR detection, ID3v2 skip — while PCM synthesis stays
+  * behind the `MediaCodec` swap trait (a full decoder needs the huffman/
+  * IMDCT stages of an audio library this environment doesn't ship;
+  * `MediaCodecContractSpec` guards the swap-in). The reference treats
+  * compressed audio the same way: opaque payload + metadata
+  * (`/root/reference/pkg/internal/types/codec.go` byte-stream contract).
+  *
+  * Everything here is exact integer arithmetic (table lookups, truncating
+  * divisions), so parse results are bit-stable anywhere and replayable in
+  * plain SQL for synthesized fixtures. */
+object Mp3 {
+
+  /** Parsed container facts. `durationMs` = totalSamples·1000 / sampleRate
+    * (truncating); `avgKbps` = Σkbps / frames (truncating); `vbr` = more
+    * than one distinct frame bitrate. */
+  final case class Meta(frames: Int, sampleRate: Int, totalSamples: Long,
+                        durationMs: Long, avgKbps: Int, vbr: Boolean)
+
+  // bitrate tables, kbps (index 1-14; 0 = free, 15 = bad) — public spec
+  private val BrV1L1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+  private val BrV1L2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+  private val BrV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val BrV2L1 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+  private val BrV2L23 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  // sample-rate tables by version (index 0-2; 3 = reserved)
+  private val SrV1 = Array(44100, 48000, 32000)
+  private val SrV2 = Array(22050, 24000, 16000)
+  private val SrV25 = Array(11025, 12000, 8000)
+
+  private final case class Frame(lengthBytes: Int, kbps: Int,
+                                 sampleRate: Int, samples: Int)
+
+  /** Parse one frame header at `pos`; None when the 4 bytes are not a
+    * valid header (bad sync/index/reserved field). */
+  private def frameAt(b: Array[Byte], pos: Int): Option[Frame] = {
+    if (pos + 4 > b.length) return None
+    val h = ((b(pos) & 0xff) << 24) | ((b(pos + 1) & 0xff) << 16) |
+      ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff)
+    if ((h >>> 21) != 0x7ff) return None
+    val version = (h >>> 19) & 0x3 // 0=2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+    val layer = (h >>> 17) & 0x3   // 0=reserved, 1=III, 2=II, 3=I
+    val brIdx = (h >>> 12) & 0xf
+    val srIdx = (h >>> 10) & 0x3
+    val padding = (h >>> 9) & 0x1
+    if (version == 1 || layer == 0 || brIdx == 0 || brIdx == 15 || srIdx == 3)
+      return None
+    val v1 = version == 3
+    val kbps = (v1, layer) match {
+      case (true, 3) => BrV1L1(brIdx)
+      case (true, 2) => BrV1L2(brIdx)
+      case (true, 1) => BrV1L3(brIdx)
+      case (false, 3) => BrV2L1(brIdx)
+      case (false, _) => BrV2L23(brIdx)
+    }
+    val sr = version match {
+      case 3 => SrV1(srIdx)
+      case 2 => SrV2(srIdx)
+      case _ => SrV25(srIdx)
+    }
+    val samples = layer match {
+      case 3 => 384                       // Layer I
+      case 2 => 1152                      // Layer II
+      case _ => if (v1) 1152 else 576     // Layer III
+    }
+    val len =
+      if (layer == 3) (12 * kbps * 1000 / sr + padding) * 4
+      else samples / 8 * kbps * 1000 / sr + padding
+    if (len < 4) None else Some(Frame(len, kbps, sr, samples))
+  }
+
+  /** Syncsafe ID3v2 length (7 bits per byte). */
+  private def id3Size(b: Array[Byte]): Int =
+    ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) | ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+
+  /** Parse an MP3 byte stream: skip an ID3v2 tag, find the first sync,
+    * then walk frames sequentially (a trailing partial frame is
+    * tolerated — real files end mid-frame after truncation). Throws on a
+    * stream with no valid frame; mixed-sample-rate streams are refused
+    * (they indicate a false sync, not a real file). */
+  def parse(bytes: Array[Byte]): Meta = {
+    var pos = 0
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3')
+      pos = 10 + id3Size(bytes)
+    while (pos + 4 <= bytes.length && frameAt(bytes, pos).isEmpty) pos += 1
+    var frames = 0
+    var kbpsSum = 0L
+    var kbpsMin = Int.MaxValue
+    var kbpsMax = 0
+    var sr = -1
+    var samples = 0L
+    var ok = true
+    while (ok) {
+      frameAt(bytes, pos) match {
+        case Some(f) if pos + f.lengthBytes <= bytes.length =>
+          require(sr == -1 || sr == f.sampleRate,
+            s"mixed sample rates ($sr vs ${f.sampleRate}): false sync")
+          sr = f.sampleRate
+          frames += 1
+          kbpsSum += f.kbps
+          kbpsMin = math.min(kbpsMin, f.kbps)
+          kbpsMax = math.max(kbpsMax, f.kbps)
+          samples += f.samples
+          pos += f.lengthBytes
+        case _ => ok = false
+      }
+    }
+    require(frames > 0, "no MP3 frames found")
+    Meta(frames, sr, samples, samples * 1000L / sr,
+      (kbpsSum / frames).toInt, kbpsMin != kbpsMax)
+  }
+
+  /** Deterministic MPEG-1 Layer III synthesizer for fixtures/tests: `n`
+    * frames at 44.1 kHz, constant 128 kbps or (vbr) alternating 128/192
+    * starting at 128, optional ID3v2 tag, payload bytes a pure function of
+    * (seed, position). Frame lengths follow the real formula, so [[parse]]
+    * exercises the same walk a real file takes. */
+  def synthesize(seed: Long, n: Int, vbr: Boolean, id3: Boolean): Array[Byte] = {
+    require(n > 0, "n > 0")
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3) {
+      out.write(Array[Byte]('I', 'D', '3', 3, 0, 0))
+      out.write(Array[Byte](0, 0, 0, 64)) // syncsafe 64
+      var i = 0
+      while (i < 64) { out.write(((seed + i) % 251).toInt); i += 1 }
+    }
+    var f = 0
+    while (f < n) {
+      val kbps = if (vbr && f % 2 == 1) 192 else 128
+      val brIdx = if (kbps == 128) 9 else 11 // MPEG1 L3 table
+      val len = 144 * kbps * 1000 / 44100    // padding 0, sr idx 0
+      out.write(0xff); out.write(0xfb)       // sync + MPEG1 + Layer III
+      out.write(brIdx << 4)                  // bitrate idx, 44100, no pad
+      out.write(0)                           // stereo, no extras
+      var j = 4
+      while (j < len) {
+        // filler never reaches 0xFF, so a payload byte can never START a
+        // false sync (the 11-bit sync needs a leading 0xFF byte)
+        out.write(((seed * 31 + f * 7 + j) % 223).toInt)
+        j += 1
+      }
+      f += 1
+    }
+    out.toByteArray
+  }
+}

@@ -1796,6 +1796,33 @@ object TrainingData {
       .orderBy("rule_id")
   }
 
+  /** Compressed-audio container metadata over synthesized MP3 payloads
+    * ([[graft.functions.Mp3]]): per media item — frame count, duration,
+    * average bitrate, VBR flag — extracted by REAL frame-header parsing
+    * (sync walk, bitrate/sample-rate tables, ID3v2 skip), the metadata
+    * tier of the compressed-audio story (PCM decode stays behind the
+    * codec swap trait). The fixture synthesizer follows the real frame
+    * formulas with closed-form parameters of doc_id, so the oracle
+    * replays the expected metadata in pure integer SQL while the engine
+    * path walks actual MP3 bytes. One scan, per-row kernel, no shuffle
+    * until the output sort. */
+  def mmAudioMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { iter =>
+        iter.map { id =>
+          val n = 5 + (id % 7).toInt
+          val vbr = id % 4 == 0
+          val bytes = graft.functions.Mp3.synthesize(id, n, vbr, id3 = id % 3 == 0)
+          val m = graft.functions.Mp3.parse(bytes)
+          (id, m.frames, m.sampleRate, m.durationMs, m.avgKbps, m.vbr)
+        }
+      }
+      .toDF("media_id", "n_frames", "sample_rate", "duration_ms",
+        "avg_kbps", "vbr")
+      .orderBy("media_id")
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dd_exact"         -> ddExact _,
     "dd_cross_source_overlap" -> ddCrossSourceOverlap _,
@@ -1875,6 +1902,7 @@ object TrainingData {
     "ds_budget_select"   -> dsBudgetSelect _,
     "dd_keep_best"       -> ddKeepBest _,
     "ds_order"           -> dsOrder _,
+    "mm_audio_meta"      -> mmAudioMeta _,
     "ds_tournament"      -> dsTournament _,
     "ds_elo_bt"          -> dsEloBt _,
     "ds_expectations"    -> dsExpectations _,
@@ -2044,6 +2072,18 @@ object TrainingData {
          | FROM s WHERE quality IS NOT NULL)
          |SELECT doc_id, quality, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens <= 12000 ORDER BY doc_id""".stripMargin,
+    "mm_audio_meta" ->
+      """WITH m AS (
+        | SELECT doc_id AS media_id, 5 + doc_id % 7 AS n,
+        |  doc_id % 4 = 0 AS vbr
+        | FROM documents)
+        |SELECT media_id, CAST(n AS INT) AS n_frames,
+        | CAST(44100 AS INT) AS sample_rate,
+        | CAST(n * 1152 * 1000 // 44100 AS BIGINT) AS duration_ms,
+        | CAST(CASE WHEN vbr THEN (128 * (n - n // 2) + 192 * (n // 2)) // n
+        |      ELSE 128 END AS INT) AS avg_kbps,
+        | vbr
+        |FROM m ORDER BY media_id""".stripMargin,
     "ds_tournament" ->
       """WITH scored AS (
         | SELECT doc_id, source,

@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MP3 frame parsing against hand-computed spec values: frame lengths
+  * from the public formula, duration/bitrate arithmetic, ID3v2 skip,
+  * VBR detection, truncation tolerance, and loud rejection of
+  * non-MP3 bytes and false syncs. */
+class Mp3Spec extends AnyFunSuite {
+
+  test("CBR 128kbps@44100 MPEG1-L3: frame length 417, duration and avg exact") {
+    val bytes = Mp3.synthesize(seed = 7, n = 10, vbr = false, id3 = false)
+    // hand check: 144 * 128000 / 44100 = 417 (truncating), 10 frames
+    assert(bytes.length === 4170)
+    assert((bytes(0) & 0xff) === 0xff && (bytes(1) & 0xff) === 0xfb)
+    val m = Mp3.parse(bytes)
+    assert(m.frames === 10)
+    assert(m.sampleRate === 44100)
+    assert(m.totalSamples === 11520L) // 10 x 1152
+    assert(m.durationMs === 261L)     // 11520000 / 44100 truncated
+    assert(m.avgKbps === 128)
+    assert(!m.vbr)
+  }
+
+  test("VBR alternating 128/192: 192 frames are 626 bytes; avg truncates; vbr set") {
+    val bytes = Mp3.synthesize(seed = 3, n = 5, vbr = true, id3 = false)
+    // frames 128,192,128,192,128 → 3x417 + 2x626 (144*192000/44100 = 626)
+    assert(bytes.length === 3 * 417 + 2 * 626)
+    val m = Mp3.parse(bytes)
+    assert(m.frames === 5 && m.vbr)
+    assert(m.avgKbps === (128 * 3 + 192 * 2) / 5) // 153 (truncating)
+  }
+
+  test("ID3v2 tag is skipped via its syncsafe size; leading garbage is scanned past") {
+    val tagged = Mp3.synthesize(seed = 1, n = 3, vbr = false, id3 = true)
+    assert(new String(tagged.take(3), "US-ASCII") === "ID3")
+    assert(Mp3.parse(tagged).frames === 3)
+    val garbage = Array.fill[Byte](37)(0x41) ++
+      Mp3.synthesize(seed = 1, n = 3, vbr = false, id3 = false)
+    assert(Mp3.parse(garbage).frames === 3)
+  }
+
+  test("a truncated final frame is tolerated (counted frames are whole ones)") {
+    val bytes = Mp3.synthesize(seed = 9, n = 4, vbr = false, id3 = false)
+    val cut = java.util.Arrays.copyOf(bytes, bytes.length - 100)
+    val m = Mp3.parse(cut)
+    assert(m.frames === 3)
+    assert(m.durationMs === 3L * 1152 * 1000 / 44100)
+  }
+
+  test("non-MP3 bytes and reserved-field headers are refused loudly") {
+    intercept[IllegalArgumentException](Mp3.parse(Array.fill[Byte](64)(0x20)))
+    // valid sync but bitrate index 15 (bad) → never a frame
+    val bad = Array[Byte](0xff.toByte, 0xfb.toByte, 0xf0.toByte, 0, 1, 2, 3)
+    intercept[IllegalArgumentException](Mp3.parse(bad))
+    intercept[IllegalArgumentException](Mp3.parse(Array.emptyByteArray))
+  }
+}
