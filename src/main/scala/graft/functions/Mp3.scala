@@ -87,7 +87,17 @@ object Mp3 {
     var pos = 0
     if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3')
       pos = 10 + id3Size(bytes)
-    while (pos + 4 <= bytes.length && frameAt(bytes, pos).isEmpty) pos += 1
+    // sync confirmation: 4 garbage bytes can LOOK like a header, so a sync
+    // only counts when the frame it describes is followed by another valid
+    // header (or ends the buffer) — the standard parser discipline; without
+    // it a false sync in leading garbage yields silently wrong metadata
+    def confirmed(p: Int): Boolean = frameAt(bytes, p) match {
+      case Some(f) =>
+        val nxt = p + f.lengthBytes
+        nxt + 4 > bytes.length || frameAt(bytes, nxt).isDefined
+      case None => false
+    }
+    while (pos + 4 <= bytes.length && !confirmed(pos)) pos += 1
     var frames = 0
     var kbpsSum = 0L
     var kbpsMin = Int.MaxValue

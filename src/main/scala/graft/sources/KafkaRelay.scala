@@ -29,40 +29,28 @@ object KafkaRelay {
     key.foreach(k => require(Set(16, 24, 32).contains(k.length),
       s"AES key must be 16/24/32 bytes, got ${k.length}"))
     Chunking.requireBound(maxChunkBytes)
-    val (host, port) = bootstrap
-    df.toJSON.foreachPartition { (it: Iterator[String]) =>
-      if (it.hasNext) {
-        val taskPid = org.apache.spark.TaskContext.get().partitionId()
-        var c = new Kafka.WireClient(host, port)
-        try {
-          val nParts = c.metadata(Seq(topic))(topic).size
-          val (pid, epoch) = c.initProducerId()
-          val seqs = new Array[Int](nParts)
-          var seq = 0L
-          Chunking.chunks(it, maxChunkBytes).foreach { body =>
-            val wrapped = RelayProto.wrap(body, id = s"p$taskPid-$seq",
-              seq = seq, tsEpochMs = System.currentTimeMillis(),
-              algo = compression, key = key)
-            val p = (seq % nParts).toInt
-            val batch = KafkaProto.encodeRecordBatch(0L,
-              Seq((System.currentTimeMillis(), null: Array[Byte],
-                RelayProto.encode(wrapped), Nil)),
-              producerId = pid, producerEpoch = epoch, baseSequence = seqs(p))
-            try c.produce(topic, p, batch)
-            catch {
-              case _: java.io.IOException =>
-                // lost ack: reconnect and resend the SAME sequence — the
-                // broker dedupes (the idempotent-producer contract)
-                try c.close() catch { case _: Exception => () }
-                c = new Kafka.WireClient(host, port)
-                c.produce(topic, p, batch)
-            }
-            seqs(p) += 1
-            seq += 1
-          }
-        } finally c.close()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val algo = compression
+    val sealKey = key
+    val chunkCap = maxChunkBytes
+    // seal into payload records, then delegate DELIVERY to Kafka.write's
+    // idempotent path — the exactly-once retry contract (pid + sequences,
+    // reconnect-and-resend-same-sequence) lives in ONE place, not two;
+    // null keys round-robin across the topic's partitions there
+    val payloads = df.toJSON.mapPartitions { it =>
+      val taskPid = org.apache.spark.TaskContext.get().partitionId()
+      var seq = 0L
+      Chunking.chunks(it, chunkCap).map { body =>
+        val wrapped = RelayProto.wrap(body, id = s"p$taskPid-$seq", seq = seq,
+          tsEpochMs = System.currentTimeMillis(), algo = algo, key = sealKey)
+        seq += 1
+        RelayProto.encode(wrapped)
       }
-    }
+    }.toDF("value")
+      .withColumn("key", org.apache.spark.sql.functions.lit(null).cast("binary"))
+    Kafka.write(payloads, bootstrap, topic,
+      maxBatchRecords = 1, idempotent = true) // one sealed chunk per batch
   }
 
   /** Batch-read `topic`'s current contents and UNSEAL: each record value

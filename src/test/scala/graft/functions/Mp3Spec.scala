@@ -40,6 +40,18 @@ class Mp3Spec extends AnyFunSuite {
     assert(Mp3.parse(garbage).frames === 3)
   }
 
+  test("a FALSE sync in leading garbage is rejected by second-frame confirmation") {
+    // 0xFF 0xFB 0x92 0x00 is a syntactically valid header (128kbps, 44100,
+    // padded → length 418) but the bytes it spans are garbage; the real
+    // stream follows. Without confirmation the parser would latch the fake
+    // header and return bogus metadata
+    val real = Mp3.synthesize(seed = 5, n = 4, vbr = false, id3 = false)
+    val fake = Array[Byte](0xff.toByte, 0xfb.toByte, 0x92.toByte, 0x00) ++
+      Array.fill[Byte](29)(0x42)
+    val m = Mp3.parse(fake ++ real)
+    assert(m.frames === 4 && m.avgKbps === 128 && !m.vbr, m.toString)
+  }
+
   test("a truncated final frame is tolerated (counted frames are whole ones)") {
     val bytes = Mp3.synthesize(seed = 9, n = 4, vbr = false, id3 = false)
     val cut = java.util.Arrays.copyOf(bytes, bytes.length - 100)

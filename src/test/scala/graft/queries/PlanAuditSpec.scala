@@ -1124,6 +1124,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(m.isDefined && m.get.group(1).split(",").length == 2, m.toString)
   }
 
+  test("mm_audio_meta: one doc_id-only scan, per-row kernel, no shuffle " +
+    "before the output sort") {
+    val p = planOf("mm_audio_meta")
+    assert(countScans(p) == 1, p)
+    val m = "FileScan parquet \\[([^\\]]*)\\]".r.findFirstMatchIn(p)
+    assert(m.isDefined && m.get.group(1).split(",").length == 1, m.toString)
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p) // sort only
+  }
+
   test("ds_expectations: 4 row-local rules share ONE documents scan (4 scans " +
     "total: docs x2 with unique, orders, customer); ref check is broadcast anti") {
     val p = planOf("ds_expectations")
