@@ -570,4 +570,50 @@ object StreamOps {
           s
       }
   }
+
+  /** One online feature row — the streaming product of
+    * [[graft.queries.Relational.evLagFeatures]]. */
+  final case class LagFeatureRow(event_id: Long, user_id: Long, ts_us: Long,
+      n_7d: Long, spend_30d_cents: Long, us_since_last: Option[Long])
+
+  /** Streaming twin of the point-in-time feature query
+    * ([[graft.queries.Relational.evLagFeatures]], oracle-checked in
+    * batch) — ONLINE feature serving: per-user `flatMapGroupsWithState`
+    * holding the user's last 30 days of (ts, purchase_cents) plus the
+    * unbounded last-event timestamp; each arriving event emits its
+    * features computed over STRICTLY-EARLIER state (same-timestamp peers
+    * excluded, exactly the batch query's `RANGE … AND 1 PRECEDING`
+    * frame), then joins the state. Equivalence contract: stream ≡ batch
+    * under per-user event-time-ordered arrival (the family's documented
+    * assumption, differential-locked). State per user is bounded by 30
+    * days of that user's activity + one timestamp — never corpus-sized. */
+  def lagFeaturesStream(events: DataFrame): Dataset[LagFeatureRow] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val Day7 = 604800000000L
+    val Day30 = 2592000000000L
+    events
+      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+        expr("ts div 1000").as("ts_us"),
+        when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L).as("pc"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[(Vector[(Long, Long)], Option[Long])]) =>
+          var (buf, lastTs) = state.getOption.getOrElse((Vector.empty[(Long, Long)], None))
+          val out = scala.collection.mutable.ArrayBuffer.empty[LagFeatureRow]
+          rows.toSeq.sortBy(r => (r._3, r._1)).foreach { case (eid, _, ts, pc) =>
+            val n7 = buf.count(e => e._1 >= ts - Day7 && e._1 < ts)
+            val s30 = buf.iterator
+              .filter(e => e._1 >= ts - Day30 && e._1 < ts).map(_._2).sum
+            out += LagFeatureRow(eid, user, ts, n7, s30, lastTs.map(ts - _))
+            buf = (buf :+ (ts, pc)).dropWhile(_._1 < ts - Day30)
+            lastTs = Some(ts)
+          }
+          state.update((buf, lastTs))
+          out.iterator
+      }
+  }
 }

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Online feature serving ≡ batch point-in-time features: the streaming
+  * twin must reproduce evLagFeatures EXACTLY over the fixture under
+  * per-user event-time-ordered arrival, across multiple micro-batches
+  * (state carries the rolling windows over batch boundaries). */
+class LagFeaturesStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stream ≡ batch on the fixture, fed event-time-ordered in 5 chunks") {
+    val batch = graft.queries.Relational.evLagFeatures(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().toSeq
+
+    // feed the raw events in global (ts, event_id) order — per-user order
+    // follows a fortiori — split into several micro-batches
+    val raw = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id").cast("long"), col("ts").cast("long"),
+        col("user_id").cast("long"), col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)]
+      .collect().sortBy(r => (r._2, r._1))
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, String, Double)]
+    val stream = StreamOps.lagFeaturesStream(
+      in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("lagfeat").start()
+    try {
+      raw.grouped(math.max(1, raw.length / 5 + 1)).foreach { chunk =>
+        in.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("lagfeat")
+      .select("event_id", "user_id", "ts_us", "n_7d", "spend_30d_cents",
+        "us_since_last")
+      .as[(Long, Long, Long, Long, Long, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(got.size === batch.size)
+    assert(got === batch)
+  }
+}
