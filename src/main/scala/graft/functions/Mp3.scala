@@ -90,14 +90,23 @@ object Mp3 {
     // sync confirmation: 4 garbage bytes can LOOK like a header, so a sync
     // only counts when the frame it describes is followed by another valid
     // header (or ends the buffer) — the standard parser discipline; without
-    // it a false sync in leading garbage yields silently wrong metadata
+    // it a false sync in leading garbage yields silently wrong metadata.
+    // FALLBACK: when no confirmed sync exists anywhere (a single-frame file
+    // with a trailing tag/junk), take the first plain header — a 4-byte
+    // lookalike is then indistinguishable from a truncated one-frame file
+    // by any parser, and refusing it would break real single-frame streams.
     def confirmed(p: Int): Boolean = frameAt(bytes, p) match {
       case Some(f) =>
         val nxt = p + f.lengthBytes
         nxt + 4 > bytes.length || frameAt(bytes, nxt).isDefined
       case None => false
     }
+    val searchStart = pos
     while (pos + 4 <= bytes.length && !confirmed(pos)) pos += 1
+    if (pos + 4 > bytes.length) {
+      pos = searchStart
+      while (pos + 4 <= bytes.length && frameAt(bytes, pos).isEmpty) pos += 1
+    }
     var frames = 0
     var kbpsSum = 0L
     var kbpsMin = Int.MaxValue

@@ -1935,6 +1935,12 @@ object Relational {
     * event counts, purchase cents, microsecond gaps. At 100 TB the frame
     * cost is bounded by per-user activity in the window, never corpus
     * size — the same density argument as [[evRangeJoin]]. */
+  /** Feature window bounds, µs — shared with the streaming twin
+    * ([[graft.streaming.StreamOps.lagFeaturesStream]]) so the two sides
+    * cannot silently diverge (the funnelStream precedent). */
+  val LagWindow7dUs: Long = 604800000000L
+  val LagWindow30dUs: Long = 2592000000000L
+
   def evLagFeatures(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.events(spark, dir).select(
@@ -1942,9 +1948,9 @@ object Relational {
       when(col("event_type") === "purchase",
         round(col("value") * 100).cast("long")).otherwise(0L).as("pc"))
     val w7 = Window.partitionBy("user_id").orderBy("ts_us")
-      .rangeBetween(-604800000000L, -1L)
+      .rangeBetween(-LagWindow7dUs, -1L)
     val w30 = Window.partitionBy("user_id").orderBy("ts_us")
-      .rangeBetween(-2592000000000L, -1L)
+      .rangeBetween(-LagWindow30dUs, -1L)
     val wLag = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     e.select(col("event_id"), col("user_id"), col("ts_us"),
         count(lit(1)).over(w7).as("n_7d"),

@@ -584,14 +584,20 @@ object StreamOps {
     * features computed over STRICTLY-EARLIER state (same-timestamp peers
     * excluded, exactly the batch query's `RANGE … AND 1 PRECEDING`
     * frame), then joins the state. Equivalence contract: stream ≡ batch
-    * under per-user event-time-ordered arrival (the family's documented
-    * assumption, differential-locked). State per user is bounded by 30
-    * days of that user's activity + one timestamp — never corpus-sized. */
+    * under per-user `(event time, event_id)`-ordered arrival ACROSS
+    * micro-batches — ties split across batches in id order too, since
+    * the lag tiebreak is event_id (in-batch ties are re-sorted here; the
+    * family's arrival assumption, differential-locked). State per user
+    * is bounded by 30 days of that user's activity + one timestamp —
+    * never corpus-sized — and the per-batch walk is O(events) amortized:
+    * three monotone pointers over the time-sorted ring (30 d eviction,
+    * 7 d boundary, strict-past boundary) with a running 30 d sum, never
+    * a rescan of the window per event. */
   def lagFeaturesStream(events: DataFrame): Dataset[LagFeatureRow] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val Day7 = 604800000000L
-    val Day30 = 2592000000000L
+    val Day7 = graft.queries.Relational.LagWindow7dUs
+    val Day30 = graft.queries.Relational.LagWindow30dUs
     events
       .select(col("event_id").cast("long"), col("user_id").cast("long"),
         expr("ts div 1000").as("ts_us"),
@@ -602,17 +608,28 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[(Long, Long, Long, Long)],
          state: GroupState[(Vector[(Long, Long)], Option[Long])]) =>
-          var (buf, lastTs) = state.getOption.getOrElse((Vector.empty[(Long, Long)], None))
+          val (kept, lastTs0) =
+            state.getOption.getOrElse((Vector.empty[(Long, Long)], None))
+          var lastTs = lastTs0
           val out = scala.collection.mutable.ArrayBuffer.empty[LagFeatureRow]
+          // time-sorted ring: state entries + this batch's events appended
+          // as processed; lo30/lo7/hi advance monotonically (ts is
+          // non-decreasing), so the whole batch is O(events) amortized
+          val arr = scala.collection.mutable.ArrayBuffer[(Long, Long)](kept: _*)
+          var lo30 = 0 // first index with ts >= t - 30d
+          var lo7 = 0  // first index with ts >= t - 7d
+          var hi = 0   // first index with ts >= t (peers start here)
+          var sum30 = 0L // Σ pc over [lo30, hi)
           rows.toSeq.sortBy(r => (r._3, r._1)).foreach { case (eid, _, ts, pc) =>
-            val n7 = buf.count(e => e._1 >= ts - Day7 && e._1 < ts)
-            val s30 = buf.iterator
-              .filter(e => e._1 >= ts - Day30 && e._1 < ts).map(_._2).sum
-            out += LagFeatureRow(eid, user, ts, n7, s30, lastTs.map(ts - _))
-            buf = (buf :+ (ts, pc)).dropWhile(_._1 < ts - Day30)
+            while (hi < arr.length && arr(hi)._1 < ts) { sum30 += arr(hi)._2; hi += 1 }
+            while (lo30 < hi && arr(lo30)._1 < ts - Day30) { sum30 -= arr(lo30)._2; lo30 += 1 }
+            if (lo7 < lo30) lo7 = lo30
+            while (lo7 < hi && arr(lo7)._1 < ts - Day7) lo7 += 1
+            out += LagFeatureRow(eid, user, ts, hi - lo7, sum30, lastTs.map(ts - _))
+            arr += ((ts, pc))
             lastTs = Some(ts)
           }
-          state.update((buf, lastTs))
+          state.update((arr.drop(lo30).toVector, lastTs))
           out.iterator
       }
   }

@@ -52,6 +52,14 @@ class Mp3Spec extends AnyFunSuite {
     assert(m.frames === 4 && m.avgKbps === 128 && !m.vbr, m.toString)
   }
 
+  test("a single-frame file with a trailing tag still parses (fallback when " +
+    "no confirmed sync exists anywhere)") {
+    val one = Mp3.synthesize(seed = 2, n = 1, vbr = false, id3 = false) ++
+      "TAGsometrailingjunk".getBytes("US-ASCII")
+    val m = Mp3.parse(one)
+    assert(m.frames === 1 && m.avgKbps === 128 && m.durationMs === 1152L * 1000 / 44100)
+  }
+
   test("a truncated final frame is tolerated (counted frames are whole ones)") {
     val bytes = Mp3.synthesize(seed = 9, n = 4, vbr = false, id3 = false)
     val cut = java.util.Arrays.copyOf(bytes, bytes.length - 100)
