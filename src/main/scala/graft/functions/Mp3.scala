@@ -141,30 +141,40 @@ object Mp3 {
     * exercises the same walk a real file takes. */
   def synthesize(seed: Long, n: Int, vbr: Boolean, id3: Boolean): Array[Byte] = {
     require(n > 0, "n > 0")
-    val out = new java.io.ByteArrayOutputStream()
-    if (id3) {
-      out.write(Array[Byte]('I', 'D', '3', 3, 0, 0))
-      out.write(Array[Byte](0, 0, 0, 64)) // syncsafe 64
-      var i = 0
-      while (i < 64) { out.write(((seed + i) % 251).toInt); i += 1 }
-    }
+    // exact-size array fill, no per-byte stream calls: this synthesizer
+    // runs once per media item in the fixture path, so its constant factor
+    // IS the query's scan cost at scale
+    def frameLen(f: Int): Int =
+      144 * (if (vbr && f % 2 == 1) 192 else 128) * 1000 / 44100
+    val head = if (id3) 74 else 0
+    var total = head
     var f = 0
+    while (f < n) { total += frameLen(f); f += 1 }
+    val out = new Array[Byte](total)
+    if (id3) {
+      out(0) = 'I'; out(1) = 'D'; out(2) = '3'; out(3) = 3
+      out(9) = 64 // syncsafe 64 (bytes 4-8 stay 0)
+      var i = 0
+      while (i < 64) { out(10 + i) = ((seed + i) % 251).toByte; i += 1 }
+    }
+    var p = head
+    f = 0
     while (f < n) {
-      val kbps = if (vbr && f % 2 == 1) 192 else 128
-      val brIdx = if (kbps == 128) 9 else 11 // MPEG1 L3 table
-      val len = 144 * kbps * 1000 / 44100    // padding 0, sr idx 0
-      out.write(0xff); out.write(0xfb)       // sync + MPEG1 + Layer III
-      out.write(brIdx << 4)                  // bitrate idx, 44100, no pad
-      out.write(0)                           // stereo, no extras
+      val len = frameLen(f)
+      val brIdx = if (vbr && f % 2 == 1) 11 else 9 // MPEG1 L3 table
+      out(p) = 0xff.toByte; out(p + 1) = 0xfb.toByte // sync + MPEG1 + L3
+      out(p + 2) = (brIdx << 4).toByte               // bitrate, 44100, no pad
+      out(p + 3) = 0                                 // stereo, no extras
       var j = 4
       while (j < len) {
         // filler never reaches 0xFF, so a payload byte can never START a
         // false sync (the 11-bit sync needs a leading 0xFF byte)
-        out.write(((seed * 31 + f * 7 + j) % 223).toInt)
+        out(p + j) = ((seed * 31 + f * 7 + j) % 223).toByte
         j += 1
       }
+      p += len
       f += 1
     }
-    out.toByteArray
+    out
   }
 }
