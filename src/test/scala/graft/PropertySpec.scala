@@ -255,4 +255,77 @@ object GraftProperties extends Properties("graft") {
       safe(RelayProto.decode(arr)) && safe(RelayProto.decodeAck(arr)) &&
         safe(RelayProto.decodeEnvelope(arr))
     }
+
+  // ---- Kafka wire codec (round 9) ----
+
+  private val kRecordGen = for {
+    ts <- Gen.chooseNum(0L, 4102444800000L)
+    key <- Gen.option(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+    value <- Gen.option(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+    nh <- Gen.chooseNum(0, 3)
+    headers <- Gen.listOfN(nh, for {
+      k <- Gen.alphaStr.map(_.take(12))
+      v <- Gen.option(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+    } yield (k, v.orNull))
+  } yield (ts, key.orNull, value.orNull, headers)
+
+  property("kafka RecordBatch v2 round-trips any records, offsets/timestamps exact") =
+    forAll(Gen.chooseNum(0L, 1L << 40), Gen.nonEmptyListOf(kRecordGen)) { (base, recs) =>
+      import graft.sources.KafkaProto
+      val batch = KafkaProto.withBaseOffset(
+        KafkaProto.encodeRecordBatch(0L, recs), base)
+      val got = KafkaProto.decodeRecordBatches(batch)
+      def beq(a: Array[Byte], b: Array[Byte]) =
+        (a == null && b == null) || (a != null && b != null && a.sameElements(b))
+      got.size == recs.size &&
+        got.zipWithIndex.forall { case (g, i) => g.offset == base + i } &&
+        got.zip(recs).forall { case (g, (ts, k, v, hs)) =>
+          g.timestamp == ts && beq(g.key, k) && beq(g.value, v) &&
+            g.headers.size == hs.size &&
+            g.headers.zip(hs).forall { case ((gk, gv), (hk, hv)) =>
+              gk == hk && beq(gv, hv)
+            }
+        }
+    }
+
+  property("kafka varint/varlong round-trip any values") =
+    forAll(Gen.chooseNum(Int.MinValue, Int.MaxValue),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue)) { (i, l) =>
+      import graft.sources.KafkaProto
+      val r = new KafkaProto.Reader(
+        new KafkaProto.Writer().varInt(i).varLong(l).toBytes)
+      r.varInt() == i && r.varLong() == l
+    }
+
+  property("kafka batch decoder terminates on arbitrary hostile bytes") =
+    forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bs =>
+      import graft.sources.KafkaProto
+      try { KafkaProto.decodeRecordBatches(bs.toArray); true }
+      catch {
+        case _: IllegalArgumentException | _: java.io.IOException => true
+      }
+    }
+
+  // ---- MP3 container (round 9) ----
+
+  property("mp3 synthesize/parse round-trips frames, duration, bitrate, vbr") =
+    forAll(Gen.chooseNum(Long.MinValue, Long.MaxValue), Gen.chooseNum(1, 40),
+      Gen.oneOf(true, false), Gen.oneOf(true, false)) { (seed, n, vbr, id3) =>
+      import graft.functions.Mp3
+      val m = Mp3.parse(Mp3.synthesize(seed, n, vbr, id3))
+      m.frames == n && m.sampleRate == 44100 &&
+        m.totalSamples == n.toLong * 1152 &&
+        m.durationMs == n.toLong * 1152 * 1000 / 44100 &&
+        m.vbr == (vbr && n >= 2) &&
+        m.avgKbps == (if (vbr) (128L * (n - n / 2) + 192L * (n / 2)) / n else 128L)
+    }
+
+  property("mp3 parser terminates on arbitrary hostile bytes") =
+    forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bs =>
+      import graft.functions.Mp3
+      // only the parser's OWN require errors are acceptable — an index
+      // crash on hostile bytes would be a parser bug
+      try { Mp3.parse(bs.toArray); true }
+      catch { case _: IllegalArgumentException => true }
+    }
 }
