@@ -78,60 +78,66 @@ object Mp3 {
   private def id3Size(b: Array[Byte]): Int =
     ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) | ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
 
-  /** Parse an MP3 byte stream: skip an ID3v2 tag, find the first sync,
-    * then walk frames sequentially (a trailing partial frame is
-    * tolerated — real files end mid-frame after truncation). Throws on a
-    * stream with no valid frame; mixed-sample-rate streams are refused
-    * (they indicate a false sync, not a real file). */
+  /** Parse an MP3 byte stream: skip an ID3v2 tag, find the first CONFIRMED
+    * sync (a header whose frame is followed by another valid header — the
+    * standard discipline against 4 garbage bytes that merely LOOK like a
+    * header), then walk frames sequentially. The walk stops at the first
+    * inconsistency (invalid next header, sample-rate change, truncated
+    * tail), so the counted frames are the consistent prefix — real files
+    * end mid-frame after truncation and carry binary trailers. When the
+    * confirmed pick yields no whole frame (or no confirmed sync exists —
+    * a single-frame file with a trailing tag), fall back to the first
+    * PLAIN header: a lone 4-byte lookalike is then indistinguishable from
+    * a truncated one-frame file by any parser, and refusing it would
+    * break real single-frame streams. Throws when no walk yields a frame. */
   def parse(bytes: Array[Byte]): Meta = {
-    var pos = 0
+    var start = 0
     if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3')
-      pos = 10 + id3Size(bytes)
-    // sync confirmation: 4 garbage bytes can LOOK like a header, so a sync
-    // only counts when the frame it describes is followed by another valid
-    // header (or ends the buffer) — the standard parser discipline; without
-    // it a false sync in leading garbage yields silently wrong metadata.
-    // FALLBACK: when no confirmed sync exists anywhere (a single-frame file
-    // with a trailing tag/junk), take the first plain header — a 4-byte
-    // lookalike is then indistinguishable from a truncated one-frame file
-    // by any parser, and refusing it would break real single-frame streams.
+      start = 10 + id3Size(bytes)
+
+    def walkFrom(p0: Int): Option[Meta] = {
+      var pos = p0
+      var frames = 0
+      var kbpsSum = 0L
+      var kbpsMin = Int.MaxValue
+      var kbpsMax = 0
+      var sr = -1
+      var samples = 0L
+      var ok = true
+      while (ok) {
+        frameAt(bytes, pos) match {
+          case Some(f) if pos + f.lengthBytes <= bytes.length &&
+              (sr == -1 || sr == f.sampleRate) =>
+            sr = f.sampleRate
+            frames += 1
+            kbpsSum += f.kbps
+            kbpsMin = math.min(kbpsMin, f.kbps)
+            kbpsMax = math.max(kbpsMax, f.kbps)
+            samples += f.samples
+            pos += f.lengthBytes
+          case _ => ok = false
+        }
+      }
+      if (frames == 0) None
+      else Some(Meta(frames, sr, samples, samples * 1000L / sr,
+        (kbpsSum / frames).toInt, kbpsMin != kbpsMax))
+    }
+    def firstPos(pred: Int => Boolean): Int = {
+      var p = start
+      while (p + 4 <= bytes.length && !pred(p)) p += 1
+      p
+    }
     def confirmed(p: Int): Boolean = frameAt(bytes, p) match {
       case Some(f) =>
         val nxt = p + f.lengthBytes
         nxt + 4 > bytes.length || frameAt(bytes, nxt).isDefined
       case None => false
     }
-    val searchStart = pos
-    while (pos + 4 <= bytes.length && !confirmed(pos)) pos += 1
-    if (pos + 4 > bytes.length) {
-      pos = searchStart
-      while (pos + 4 <= bytes.length && frameAt(bytes, pos).isEmpty) pos += 1
-    }
-    var frames = 0
-    var kbpsSum = 0L
-    var kbpsMin = Int.MaxValue
-    var kbpsMax = 0
-    var sr = -1
-    var samples = 0L
-    var ok = true
-    while (ok) {
-      frameAt(bytes, pos) match {
-        case Some(f) if pos + f.lengthBytes <= bytes.length =>
-          require(sr == -1 || sr == f.sampleRate,
-            s"mixed sample rates ($sr vs ${f.sampleRate}): false sync")
-          sr = f.sampleRate
-          frames += 1
-          kbpsSum += f.kbps
-          kbpsMin = math.min(kbpsMin, f.kbps)
-          kbpsMax = math.max(kbpsMax, f.kbps)
-          samples += f.samples
-          pos += f.lengthBytes
-        case _ => ok = false
-      }
-    }
-    require(frames > 0, "no MP3 frames found")
-    Meta(frames, sr, samples, samples * 1000L / sr,
-      (kbpsSum / frames).toInt, kbpsMin != kbpsMax)
+    val viaConfirmed = walkFrom(firstPos(confirmed))
+    val meta = viaConfirmed.orElse(
+      walkFrom(firstPos(p => frameAt(bytes, p).isDefined)))
+    require(meta.isDefined, "no MP3 frames found")
+    meta.get
   }
 
   /** Deterministic MPEG-1 Layer III synthesizer for fixtures/tests: `n`
@@ -155,7 +161,7 @@ object Mp3 {
       out(0) = 'I'; out(1) = 'D'; out(2) = '3'; out(3) = 3
       out(9) = 64 // syncsafe 64 (bytes 4-8 stay 0)
       var i = 0
-      while (i < 64) { out(10 + i) = ((seed + i) % 251).toByte; i += 1 }
+      while (i < 64) { out(10 + i) = Math.floorMod(seed + i, 251L).toByte; i += 1 }
     }
     var p = head
     f = 0
@@ -167,9 +173,10 @@ object Mp3 {
       out(p + 3) = 0                                 // stereo, no extras
       var j = 4
       while (j < len) {
-        // filler never reaches 0xFF, so a payload byte can never START a
-        // false sync (the 11-bit sync needs a leading 0xFF byte)
-        out(p + j) = ((seed * 31 + f * 7 + j) % 223).toByte
+        // floorMod keeps filler in [0, 222] for NEGATIVE seeds too, so a
+        // payload byte can never be 0xFF and START a false sync (Scala %
+        // is signed: -1 % 223 == -1 == 0xFF as a byte — the exact hole)
+        out(p + j) = Math.floorMod(seed * 31 + f * 7 + j, 223L).toByte
         j += 1
       }
       p += len

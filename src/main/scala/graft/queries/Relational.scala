@@ -1925,6 +1925,12 @@ object Relational {
       .orderBy("purchase_id", "view_id")
   }
 
+  /** Feature window bounds, µs — shared with the streaming twin
+    * ([[graft.streaming.StreamOps.lagFeaturesStream]]) so the two sides
+    * cannot silently diverge (the funnelStream precedent). */
+  val LagWindow7dUs: Long = 604800000000L
+  val LagWindow30dUs: Long = 2592000000000L
+
   /** Point-in-time rolling features per event — the FEATURE-STORE shape
     * for training data: each event sees only strictly-earlier activity
     * (`RANGE … PRECEDING AND 1 PRECEDING` — value-based frames, so
@@ -1935,12 +1941,6 @@ object Relational {
     * event counts, purchase cents, microsecond gaps. At 100 TB the frame
     * cost is bounded by per-user activity in the window, never corpus
     * size — the same density argument as [[evRangeJoin]]. */
-  /** Feature window bounds, µs — shared with the streaming twin
-    * ([[graft.streaming.StreamOps.lagFeaturesStream]]) so the two sides
-    * cannot silently diverge (the funnelStream precedent). */
-  val LagWindow7dUs: Long = 604800000000L
-  val LagWindow30dUs: Long = 2592000000000L
-
   def evLagFeatures(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.events(spark, dir).select(

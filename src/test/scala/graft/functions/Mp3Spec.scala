@@ -60,6 +60,26 @@ class Mp3Spec extends AnyFunSuite {
     assert(m.frames === 1 && m.avgKbps === 128 && m.durationMs === 1152L * 1000 / 44100)
   }
 
+  test("a single frame plus a trailing LOOKALIKE header whose frame overruns " +
+    "the buffer: the fallback still recovers the real frame") {
+    // the lookalike would be 'confirmed' by the end-of-buffer clause, walk
+    // zero whole frames, and previously mask the real unconfirmed frame
+    val real = Mp3.synthesize(seed = 2, n = 1, vbr = false, id3 = false)
+    val junk = "JUNKJUNKJUNK".getBytes("US-ASCII") ++
+      Array[Byte](0xff.toByte, 0xfb.toByte, 0x92.toByte, 0x00, 1, 2)
+    val m = Mp3.parse(real ++ junk)
+    assert(m.frames === 1 && m.avgKbps === 128, m.toString)
+  }
+
+  test("negative seeds uphold the no-0xFF filler invariant (floorMod, not %)") {
+    val bytes = Mp3.synthesize(seed = -1L, n = 2, vbr = false, id3 = false)
+    // payload bytes (all but each frame's 4-byte header) must never be 0xFF
+    val headerIdx = Set(0, 1, 2, 3, 417, 418, 419, 420)
+    assert(bytes.zipWithIndex.forall { case (b, i) =>
+      headerIdx.contains(i) || (b & 0xff) != 0xff }, "0xFF filler leaked")
+    assert(Mp3.parse(bytes).frames === 2)
+  }
+
   test("a truncated final frame is tolerated (counted frames are whole ones)") {
     val bytes = Mp3.synthesize(seed = 9, n = 4, vbr = false, id3 = false)
     val cut = java.util.Arrays.copyOf(bytes, bytes.length - 100)
