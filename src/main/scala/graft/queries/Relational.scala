@@ -1983,6 +1983,33 @@ object Relational {
       .orderBy("event_type", "dow", "hour")
   }
 
+  /** Revenue concentration by user decile — the Pareto/whale readout
+    * ("what share of purchase revenue do the top 10 % of buyers carry"):
+    * users rank into spend deciles (ntile over the TOTAL order
+    * spend desc, user_id — deterministic ties), then each decile reports
+    * its exact-ppm share and the cumulative share. Two tiny aggregates
+    * after one scan: the per-user rollup is the only data-sized exchange;
+    * deciles/windows run on |users| rows. Complements [[q19SkewAgg]]/
+    * [[q28SkewReport]], which measure KEY skew for partitioning — this is
+    * the business-metric concentration curve. */
+  def evConcentration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id").agg(sum("cents").as("spend_cents"))
+    val ranked = perUser.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("spend_cents").desc, col("user_id").asc)))
+    ranked.groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum("spend_cents").as("decile_cents"))
+      .withColumn("share_ppm",
+        expr("decile_cents * 1000000 div sum(decile_cents) over ()"))
+      .withColumn("cum_share_ppm",
+        expr("sum(decile_cents) over (order by decile) * 1000000 " +
+          "div sum(decile_cents) over ()"))
+      .orderBy("decile")
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_filter_project" -> q01FilterProject _,
     "q02_string_chain"   -> q02StringChain _,
@@ -2016,6 +2043,7 @@ object Relational {
     "ev_attribution_multi" -> evAttributionMulti _,
     "ev_lag_features"    -> evLagFeatures _,
     "ev_seasonality"     -> evSeasonality _,
+    "ev_concentration"   -> evConcentration _,
     "ev_funnel"          -> evFunnel _,
     "ev_retention"       -> evRetention _,
     "ev_trending"        -> evTrending _,
@@ -2176,6 +2204,25 @@ object Relational {
         |FROM p ASOF LEFT JOIN v
         | ON p.user_id = v.user_id AND v.view_ts_us <= p.ts_us
         |ORDER BY purchase_id""".stripMargin,
+    "ev_concentration" ->
+      """WITH u AS (
+        | SELECT user_id,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |r AS (
+        | SELECT user_id, spend_cents,
+        |  ntile(10) OVER (ORDER BY spend_cents DESC, user_id ASC) AS decile
+        | FROM u),
+        |d AS (
+        | SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(spend_cents) AS BIGINT) AS decile_cents
+        | FROM r GROUP BY 1)
+        |SELECT decile, n_users, decile_cents,
+        | CAST(decile_cents * 1000000 // SUM(decile_cents) OVER ()
+        |      AS BIGINT) AS share_ppm,
+        | CAST(SUM(decile_cents) OVER (ORDER BY decile) * 1000000
+        |      // SUM(decile_cents) OVER () AS BIGINT) AS cum_share_ppm
+        |FROM d ORDER BY decile""".stripMargin,
     "ev_lag_features" ->
       """WITH e AS (
         | SELECT event_id, user_id, epoch_us(ts) AS ts_us,

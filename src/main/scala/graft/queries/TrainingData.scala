@@ -1796,6 +1796,46 @@ object TrainingData {
       .orderBy("rule_id")
   }
 
+  /** Vocabulary-growth (Heaps' law) curve — cumulative distinct words vs
+    * cumulative tokens at ten corpus prefixes in doc_id order: the
+    * statistic tokenizer sizing and token-budget planning read ("how fast
+    * does new vocabulary still arrive at this corpus size"). Cumulative
+    * distinct is NOT windowable directly; the scalable identity is
+    * first-occurrence: |vocab ≤ boundary| = count of words whose MIN
+    * doc_id is ≤ the boundary, so the heavy work is one word→min(doc_id)
+    * aggregate (hash-shuffled by word, never a running state), and the
+    * ten prefix boundaries broadcast to pick up the counts. */
+  def txtVocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"),
+        explode(graft.functions.TextAnalytics.words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+    // ten prefix boundaries: a 10-row result — materialize once
+    // (bounded-collect pattern) so the two range joins hit a LocalRelation
+    // instead of re-running the doc_id pass per branch. The tokenizing
+    // scan deliberately runs twice instead of caching `tok`: at corpus
+    // scale the token stream dwarfs the documents, so re-scanning is the
+    // cheaper side of that trade (the evAnomaly-style checkpoint would
+    // persist tokens).
+    val bounds = docs.select(col("doc_id"))
+      .withColumn("bucket", ntile(10).over(Window.orderBy("doc_id")))
+      .groupBy("bucket").agg(max("doc_id").as("last_doc_id"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sorted
+      .toDF("bucket", "last_doc_id")
+    val vocab = tok.groupBy("word").agg(min("doc_id").as("first_doc"))
+      .groupBy("first_doc").agg(count(lit(1)).as("nw"))
+      .join(broadcast(bounds), col("first_doc") <= col("last_doc_id"))
+      .groupBy("bucket").agg(sum("nw").as("vocab_cum"))
+    val toks = tok.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      .join(broadcast(bounds), col("doc_id") <= col("last_doc_id"))
+      .groupBy("bucket").agg(sum("nt").as("tokens_cum"))
+    bounds.join(vocab, Seq("bucket")).join(toks, Seq("bucket"))
+      .select("bucket", "last_doc_id", "tokens_cum", "vocab_cum")
+      .orderBy("bucket")
+  }
+
   /** Compressed-audio container metadata over synthesized MP3 payloads
     * ([[graft.functions.Mp3]]): per media item — frame count, duration,
     * average bitrate, VBR flag — extracted by REAL frame-header parsing
@@ -1902,6 +1942,7 @@ object TrainingData {
     "ds_budget_select"   -> dsBudgetSelect _,
     "dd_keep_best"       -> ddKeepBest _,
     "ds_order"           -> dsOrder _,
+    "txt_vocab_growth"   -> txtVocabGrowth _,
     "mm_audio_meta"      -> mmAudioMeta _,
     "ds_tournament"      -> dsTournament _,
     "ds_elo_bt"          -> dsEloBt _,
@@ -2072,6 +2113,32 @@ object TrainingData {
          | FROM s WHERE quality IS NOT NULL)
          |SELECT doc_id, quality, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens <= 12000 ORDER BY doc_id""".stripMargin,
+    "txt_vocab_growth" ->
+      """WITH t AS (
+        | SELECT doc_id, word FROM (
+        |  SELECT doc_id,
+        |   unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |  FROM documents)
+        | WHERE length(word) > 0),
+        |bounds AS (
+        | SELECT bucket, MAX(doc_id) AS last_doc_id FROM (
+        |  SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS bucket
+        |  FROM documents)
+        | GROUP BY 1),
+        |firsts AS (SELECT word, MIN(doc_id) AS first_doc FROM t GROUP BY 1),
+        |vocab AS (
+        | SELECT bo.bucket, CAST(COUNT(*) AS BIGINT) AS vocab_cum
+        | FROM firsts f JOIN bounds bo ON f.first_doc <= bo.last_doc_id
+        | GROUP BY 1),
+        |toks AS (
+        | SELECT bo.bucket, CAST(COUNT(*) AS BIGINT) AS tokens_cum
+        | FROM t JOIN bounds bo ON t.doc_id <= bo.last_doc_id
+        | GROUP BY 1)
+        |SELECT bo.bucket, bo.last_doc_id, toks.tokens_cum, vocab.vocab_cum
+        |FROM bounds bo
+        |JOIN vocab ON vocab.bucket = bo.bucket
+        |JOIN toks ON toks.bucket = bo.bucket
+        |ORDER BY bo.bucket""".stripMargin,
     "mm_audio_meta" ->
       """WITH m AS (
         | SELECT doc_id AS media_id, 5 + doc_id % 7 AS n,

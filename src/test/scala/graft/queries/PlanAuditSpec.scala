@@ -1124,6 +1124,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(m.isDefined && m.get.group(1).split(",").length == 2, m.toString)
   }
 
+  test("ev_concentration: purchase filter pushed; per-user rollup is partial " +
+    "before its exchange; one scan") {
+    val p = planOf("ev_concentration")
+    assert(countScans(p) == 1, p)
+    assert(p.contains("EqualTo(event_type,purchase)"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("txt_vocab_growth: tokenizer runs exactly twice (deliberate rescan over " +
+    "token caching); boundary joins are 10-row broadcasts") {
+    val p = planOf("txt_vocab_growth")
+    assert(countScans(p) == 2, p) // vocab branch + tokens branch
+    // range joins against the materialized 10-row bounds: BNLJ against a
+    // broadcast LocalRelation is 10 predicate tests per row — deliberate
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("mm_audio_meta: one doc_id-only scan, per-row kernel, no shuffle " +
     "before the output sort") {
     val p = planOf("mm_audio_meta")
