@@ -1998,10 +1998,18 @@ object Relational {
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
       .groupBy("user_id").agg(sum("cents").as("spend_cents"))
+    // EXPLICIT null placement on both sort keys: Spark and DuckDB disagree
+    // on both defaults (ASC: nulls first vs last; DESC: last vs first), so
+    // a null user or an all-null-value user would silently shift decile
+    // membership between the engines if left to fixture luck
     val ranked = perUser.withColumn("decile",
-      ntile(10).over(Window.orderBy(col("spend_cents").desc, col("user_id").asc)))
+      ntile(10).over(Window.orderBy(
+        col("spend_cents").desc_nulls_last, col("user_id").asc_nulls_last)))
     ranked.groupBy("decile")
       .agg(count(lit(1)).as("n_users"), sum("spend_cents").as("decile_cents"))
+      // cents × 1e6 stays under 2^63 up to ~9.2e12 decile cents (~$92B) —
+      // the documented operand bound of the ppm idiom (Relational.scala
+      // conventions); widen before the multiply if a corpus approaches it
       .withColumn("share_ppm",
         expr("decile_cents * 1000000 div sum(decile_cents) over ()"))
       .withColumn("cum_share_ppm",
@@ -2211,7 +2219,8 @@ object Relational {
         | FROM events WHERE event_type = 'purchase' GROUP BY 1),
         |r AS (
         | SELECT user_id, spend_cents,
-        |  ntile(10) OVER (ORDER BY spend_cents DESC, user_id ASC) AS decile
+        |  ntile(10) OVER (ORDER BY spend_cents DESC NULLS LAST,
+        |                  user_id ASC NULLS LAST) AS decile
         | FROM u),
         |d AS (
         | SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,

@@ -1831,8 +1831,13 @@ object TrainingData {
     val toks = tok.groupBy("doc_id").agg(count(lit(1)).as("nt"))
       .join(broadcast(bounds), col("doc_id") <= col("last_doc_id"))
       .groupBy("bucket").agg(sum("nt").as("tokens_cum"))
-    bounds.join(vocab, Seq("bucket")).join(toks, Seq("bucket"))
-      .select("bucket", "last_doc_id", "tokens_cum", "vocab_cum")
+    // LEFT joins from bounds: a prefix whose documents carry no alphabetic
+    // words must still emit its curve point as (bucket, 0, 0), never drop
+    // it — consumers index the Heaps curve by bucket 1..10
+    bounds.join(vocab, Seq("bucket"), "left").join(toks, Seq("bucket"), "left")
+      .select(col("bucket"), col("last_doc_id"),
+        coalesce(col("tokens_cum"), lit(0L)).as("tokens_cum"),
+        coalesce(col("vocab_cum"), lit(0L)).as("vocab_cum"))
       .orderBy("bucket")
   }
 
@@ -2134,10 +2139,12 @@ object TrainingData {
         | SELECT bo.bucket, CAST(COUNT(*) AS BIGINT) AS tokens_cum
         | FROM t JOIN bounds bo ON t.doc_id <= bo.last_doc_id
         | GROUP BY 1)
-        |SELECT bo.bucket, bo.last_doc_id, toks.tokens_cum, vocab.vocab_cum
+        |SELECT bo.bucket, bo.last_doc_id,
+        | coalesce(toks.tokens_cum, 0) AS tokens_cum,
+        | coalesce(vocab.vocab_cum, 0) AS vocab_cum
         |FROM bounds bo
-        |JOIN vocab ON vocab.bucket = bo.bucket
-        |JOIN toks ON toks.bucket = bo.bucket
+        |LEFT JOIN vocab ON vocab.bucket = bo.bucket
+        |LEFT JOIN toks ON toks.bucket = bo.bucket
         |ORDER BY bo.bucket""".stripMargin,
     "mm_audio_meta" ->
       """WITH m AS (

@@ -1129,7 +1129,13 @@ class PlanAuditSpec extends SparkSpec {
     val p = planOf("ev_concentration")
     assert(countScans(p) == 1, p)
     assert(p.contains("EqualTo(event_type,purchase)"), p)
-    assert(p.contains("partial_sum"), p)
+    // anchor the partial agg to BEFORE the user exchange (a later decile
+    // aggregate also emits partial_sum — a bare contains would pass even
+    // if the data-sized shuffle lost its map-side combine)
+    val userExchange = p.indexOf("Exchange hashpartitioning(user_id")
+    val partial = p.lastIndexOf("partial_sum")
+    assert(userExchange > 0 && partial > userExchange,
+      s"no partial agg below the user exchange:\n$p")
   }
 
   test("txt_vocab_growth: tokenizer runs exactly twice (deliberate rescan over " +
