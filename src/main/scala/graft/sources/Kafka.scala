@@ -61,11 +61,16 @@ object Kafka {
     val recs =
       try c.fetch(topic, partition, off, maxBytes)._2
       catch {
-        case e: OffsetOutOfRange if off < e.logEnd =>
+        case e: OffsetOutOfRange =>
+          // Resolve the log bounds with ListOffsets rather than trusting the
+          // fetch error response's high-watermark field: real brokers set hw
+          // to -1 on an error partition, so branching on it would disable
+          // this recovery path everywhere except a test double.
           val earliest = c.listOffset(topic, partition, TsEarliest)
+          val latest = c.listOffset(topic, partition, TsLatest)
           if (earliest <= off) throw e // not a gap — genuinely bad cursor
-          else if (earliest >= e.logEnd)
-            return (Nil, e.logEnd) // the whole backlog was deleted: skip it
+          else if (earliest >= latest)
+            return (Nil, earliest) // the whole backlog was deleted: skip it
           else c.fetch(topic, partition, earliest, maxBytes)._2
       }
     if (recs.isEmpty) (Nil, off)

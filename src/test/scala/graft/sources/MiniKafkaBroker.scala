@@ -30,6 +30,13 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0) extends Aut
   private final class PartitionLog {
     val batches = new ArrayBuffer[Array[Byte]]() // baseOffset already rewritten
     var logEnd: Long = 0L
+    /** First readable offset, advanced by retention ([[dropBatches]]).
+      * Kept explicitly so ListOffsets(earliest) and the fetch-side
+      * out-of-range check share ONE view even when the log is empty —
+      * deriving earliest from `batches.head` would answer 0 after the
+      * whole backlog is deleted while fetch uses logEnd, and the
+      * fully-deleted-backlog recovery branch could never be exercised. */
+    var logStart: Long = 0L
   }
   private val logs = new ConcurrentHashMap[(String, Int), PartitionLog]()
   topics.foreach { case (t, n) =>
@@ -211,10 +218,10 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0) extends Aut
           // real-broker strictness: an offset below the log START (deleted
           // by retention/compaction) is OFFSET_OUT_OF_RANGE too — consumers
           // must clamp to earliest, they cannot read deleted offsets
-          val logStart =
-            if (log.batches.isEmpty) log.logEnd else batchBaseOffset(log.batches.head)
-          if (offset < logStart || offset > log.logEnd)
-            (partition, ErrOffsetOutOfRange, log.logEnd, null: Array[Byte])
+          // real brokers answer hw = -1 on an error partition — clients must
+          // resolve bounds with ListOffsets, not the error response
+          if (offset < log.logStart || offset > log.logEnd)
+            (partition, ErrOffsetOutOfRange, -1L, null: Array[Byte])
           else {
             // return batches starting at the batch CONTAINING offset,
             // at least one, up to partMaxBytes
@@ -270,8 +277,7 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0) extends Aut
         if (log == null) { pb.int16(ErrUnknownTopicOrPartition); pb.int64(-1L); pb.int64(-1L) }
         else log.synchronized {
           val off = pr._2 match {
-            case TsEarliest =>
-              if (log.batches.isEmpty) 0L else batchBaseOffset(log.batches.head)
+            case TsEarliest => log.logStart
             case TsLatest => log.logEnd
             case ts => // timestamp lookup: first offset with batch maxTs >= ts — out of scope
               throw new EOFException(s"timestamp list-offsets unsupported ($ts)")
@@ -337,7 +343,12 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0) extends Aut
   def dropBatches(topic: String, partition: Int, n: Int): Unit = {
     val log = logs.get((topic, partition))
     require(log != null, s"unknown $topic/$partition")
-    log.synchronized { log.batches.remove(0, math.min(n, log.batches.length)) }
+    log.synchronized {
+      val k = math.min(n, log.batches.length)
+      log.batches.remove(0, k)
+      log.logStart =
+        if (log.batches.isEmpty) log.logEnd else batchBaseOffset(log.batches.head)
+    }
   }
 
   override def close(): Unit = {
