@@ -488,6 +488,159 @@ object Curation {
       .select("doc_id", "shuffle_key", "pos", "shard")
   }
 
+  /** Exact per-tile row counts and value sums of `ntile(tiles) OVER
+    * (ORDER BY value DESC NULLS LAST, <any tiebreak>)` — WITHOUT the
+    * global window: the decile/percentile-bucket AGGREGATE readout
+    * (revenue concentration, contribution curves) computed scale-safe.
+    *
+    * The identity that removes the sort: rows tied on `value` are
+    * INTERCHANGEABLE for per-tile counts and sums — the tiebreak decides
+    * which row lands where, never how many or their value total — so the
+    * exact ntile aggregate is a function of the VALUE HISTOGRAM alone.
+    * Shape: one (value, count) histogram exchange (width bounded by the
+    * number of DISTINCT values, never the row count), a cumulative count
+    * over the histogram two-leveled by a sign-aware log2 super-bucket
+    * (`bin()` string length — exact integer, ≤ 130 buckets over the whole
+    * long line, monotone in value, so the within-bucket window is
+    * PARTITIONED and the per-bucket base offsets are a ≤ 130-row
+    * broadcast triangle join), and a ≤ `tiles`-row broadcast range join
+    * assigning each value group's rank interval to the tiles it overlaps.
+    * No unpartitioned window, no driver collect, fully lazy — the plan
+    * lock this shape exists for (PlanAuditSpec) asserts exactly that.
+    *
+    * Worst-case skew note: the within-super-bucket partition carries the
+    * distinct values of one OCTAVE of the value line — pathological only
+    * when a corpus concentrates ~all its distinct values in one octave
+    * AND those values are ~all unique; real spend/score distributions
+    * spread across octaves. Overflow bound: per-super-bucket
+    * `sum(value·count)` shares the ppm idiom's 2^63 operand contract.
+    *
+    * Output: (tile, n_rows, sum_value) for every NON-EMPTY tile (ntile
+    * leaves trailing tiles empty when rows < tiles); `sum_value` is null
+    * for a tile holding only null values (SQL sum semantics). Replayable
+    * verbatim by a plain `ntile` in any SQL engine — the oracle form. */
+  def ntileSumsDesc(values: DataFrame, valueCol: String, tiles: Int): DataFrame = {
+    require(tiles >= 1, s"tiles must be >= 1: $tiles")
+    val hist = values.select(col(valueCol).cast("long").as("__v"))
+      .groupBy("__v").agg(count(lit(1)).as("__cnt"))
+    // sign-aware log2 bucket: monotone NON-DECREASING in __v over the
+    // whole long line, null stays null (its own window partition; ranked
+    // last by the base arithmetic below). Long.MinValue is pinned
+    // explicitly — ANSI negate overflows on it, and −65 keeps it the
+    // most negative bucket (63-bit magnitudes reach −64)
+    val sb = when(col("__v").isNull, lit(null).cast("int"))
+      .when(col("__v") > 0, (length(bin(col("__v"))) - 1).cast("int"))
+      .when(col("__v") === 0, lit(-1))
+      .when(col("__v") === Long.MinValue, lit(-65))
+      .otherwise((-length(bin(-col("__v"))) - 1).cast("int"))
+    val hb = hist.withColumn("__sb", sb)
+    // within-super-bucket cumulative count of rows with STRICTLY higher
+    // value — partitioned window over the histogram, never the corpus
+    val wIn = Window.partitionBy("__sb")
+      .orderBy(col("__v").desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumIn = hb.withColumn("__cumin", coalesce(sum("__cnt").over(wIn), lit(0L)))
+    val sbTot = hb.groupBy("__sb")
+      .agg(sum("__cnt").as("__u"), sum(col("__v") * col("__cnt")).as("__s"))
+    // base(sb) = rows in strictly-HIGHER super-buckets (null sb ranks
+    // last -> every non-null bucket is higher); <= 130x130 triangle
+    val t2 = sbTot.select(col("__sb").as("__sb2"), col("__u").as("__u2"))
+    val base = sbTot.join(broadcast(t2),
+        col("__sb2").isNotNull &&
+          (col("__sb").isNull || col("__sb2") > col("__sb")), "left")
+      .groupBy("__sb").agg(coalesce(sum("__u2"), lit(0L)).as("__base"))
+      .select(col("__sb").as("__sbb"), col("__base"))
+    // tile rank intervals from N (1-row aggregate -> <= tiles-row table):
+    // ntile sizes are N div t (+1 for the first N % t tiles)
+    val tileDf = sbTot.agg(sum("__u").as("__n"))
+      .select(explode(sequence(lit(1), lit(tiles))).as("tile"), col("__n"))
+      .withColumn("__lo", expr(
+        s"(tile - 1) * (__n div $tiles) + least(tile - 1, __n % $tiles) + 1"))
+      .withColumn("__hi", expr(
+        s"tile * (__n div $tiles) + least(tile, __n % $tiles)"))
+      .filter(col("__lo") <= col("__hi"))
+      .select("tile", "__lo", "__hi")
+    cumIn.join(broadcast(base), col("__sb") <=> col("__sbb"))
+      .withColumn("__before", col("__base") + col("__cumin"))
+      .join(broadcast(tileDf),
+        col("__lo") <= col("__before") + col("__cnt") &&
+          col("__hi") >= col("__before") + 1)
+      .withColumn("__take",
+        least(col("__hi"), col("__before") + col("__cnt")) -
+          greatest(col("__lo"), col("__before") + 1) + lit(1L))
+      .groupBy("tile")
+      .agg(sum("__take").as("n_rows"),
+        sum(col("__v") * col("__take")).as("sum_value"))
+  }
+
+  /** Exact ntile BOUNDARY keys — `max(key)` per tile of `ntile(tiles)
+    * OVER (ORDER BY key)` — without the global window: the corpus-prefix
+    * planning step (vocabulary-growth curves, range-partition bounds).
+    * Returns (tile, lastKey) for every non-empty tile, driver-side (the
+    * consumer broadcasts ~`tiles` rows anyway — the bounded-collect
+    * pattern).
+    *
+    * Each boundary is the order statistic at rank cumSize(tile), exact
+    * under duplicate keys too (a tile ending inside a run of equal keys
+    * has that key as its max, whichever rows the tiebreak placed there).
+    * Same two-level scan as [[seededOrder]], bucketed by key SPAN
+    * ([[adaptiveBucketSize]], the [[packSequences]] keying): per-bucket
+    * counts collect to the driver (≤ [[TargetSecondLevelRows]] rows by
+    * construction), the driver prefix locates the ≤ `tiles` buckets
+    * holding a boundary rank, and ONLY those buckets' rows enter the
+    * partitioned `row_number` window — the exchange carries ≤ tiles ×
+    * bucketWidth keys, never the corpus.
+    *
+    * EAGER: runs three Spark jobs at call time (count/min/max, bucket
+    * counts, boundary pick), each over the bare key projection — pass a
+    * cheap column-pruned scan, or checkpoint upstream pipelines first.
+    * Null keys are excluded (order-statistic population is non-null;
+    * callers' key columns are table keys). Per-bucket row_number is an
+    * int — exact while no span bucket holds ≥ 2^31 duplicate keys. */
+  def ntileBoundaries(keys: DataFrame, keyCol: String,
+                      tiles: Int): Seq[(Int, Long)] = {
+    require(tiles >= 1, s"tiles must be >= 1: $tiles")
+    val spark = keys.sparkSession
+    import spark.implicits._
+    val k = keys.select(col(keyCol).cast("long").as("__k"))
+      .filter(col("__k").isNotNull)
+    val head = k.agg(count(lit(1)).as("n"), min("__k"), max("__k")).head()
+    val n = head.getLong(0)
+    if (n == 0L) return Seq.empty
+    val (kMin, kMax) = (head.getLong(1), head.getLong(2))
+    val span =
+      try math.addExact(math.subtractExact(kMax, kMin), 1L)
+      catch { case _: ArithmeticException => Long.MaxValue }
+    val bs = adaptiveBucketSize(span)
+    val withB = k.withColumn("__b", expr(s"__k div $bs"))
+    val counts = withB.groupBy("__b").agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // boundary ranks: tile t is non-empty iff its size n/t (+1 early) > 0
+    val (base, rem) = (n / tiles, n % tiles)
+    val bounds = (1 to tiles)
+      .filter(t => base + (if (t <= rem) 1L else 0L) > 0L)
+      .map(t => (t, t * base + math.min(t, rem)))
+    // locate each rank's bucket + local rank via the driver prefix
+    var acc = 0L
+    val cumBefore = counts.map { case (b, c) => val r = (b, acc); acc += c; r }.toMap
+    val bucketCnt = counts.toMap
+    val targets = bounds.map { case (t, rank) =>
+      // last bucket whose cumBefore < rank (counts sorted asc by bucket)
+      val (b, cb) = counts.map { case (bb, _) => (bb, cumBefore(bb)) }
+        .takeWhile(_._2 < rank).last
+      require(rank - cb <= bucketCnt(b), s"rank $rank escaped bucket $b")
+      (b, rank - cb, t)
+    }
+    val targetsDf = targets.toDF("__tb", "__lr", "tile")
+    val wIn = Window.partitionBy("__b").orderBy("__k")
+    withB.filter(col("__b").isin(targets.map(_._1): _*))
+      .withColumn("__r", row_number().over(wIn).cast("long"))
+      .join(broadcast(targetsDf),
+        col("__b") === col("__tb") && col("__r") === col("__lr"))
+      .select(col("tile"), col("__k"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+  }
+
   /** Stratified deterministic sample: per-stratum keep rates (per-mille),
     * e.g. downsample a dominant language while keeping the tail whole.
     * Rates ride a broadcast join (the strata table is small by definition);

@@ -1985,36 +1985,46 @@ object Relational {
 
   /** Revenue concentration by user decile — the Pareto/whale readout
     * ("what share of purchase revenue do the top 10 % of buyers carry"):
-    * users rank into spend deciles (ntile over the TOTAL order
-    * spend desc, user_id — deterministic ties), then each decile reports
-    * its exact-ppm share and the cumulative share. Two tiny aggregates
-    * after one scan: the per-user rollup is the only data-sized exchange;
-    * deciles/windows run on |users| rows. Complements [[q19SkewAgg]]/
+    * users rank into spend deciles (the ORACLE'S ntile over spend desc,
+    * user_id — deterministic ties), each decile reporting its exact-ppm
+    * share and the cumulative share.
+    *
+    * Scale shape: the decile aggregate comes from [[graft.operators
+    * .Curation.ntileSumsDesc]] — the exact-ntile identity over the spend
+    * VALUE HISTOGRAM (tied users are interchangeable for per-decile
+    * counts/sums, so the user_id tiebreak never reaches the math). The
+    * per-user rollup is the only data-sized exchange; the histogram
+    * cumulative is a PARTITIONED window (log2 super-buckets) and the
+    * share/cumulative ppm arithmetic runs as ≤ 10-row broadcast triangle
+    * joins — no unpartitioned window anywhere in the plan (PlanAuditSpec
+    * locks this; the old global `ntile(10)` funneled every user row
+    * through ONE window task). Complements [[q19SkewAgg]]/
     * [[q28SkewReport]], which measure KEY skew for partitioning — this is
     * the business-metric concentration curve. */
   def evConcentration(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val perUser = Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
       .groupBy("user_id").agg(sum("cents").as("spend_cents"))
-    // EXPLICIT null placement on both sort keys: Spark and DuckDB disagree
-    // on both defaults (ASC: nulls first vs last; DESC: last vs first), so
-    // a null user or an all-null-value user would silently shift decile
-    // membership between the engines if left to fixture luck
-    val ranked = perUser.withColumn("decile",
-      ntile(10).over(Window.orderBy(
-        col("spend_cents").desc_nulls_last, col("user_id").asc_nulls_last)))
-    ranked.groupBy("decile")
-      .agg(count(lit(1)).as("n_users"), sum("spend_cents").as("decile_cents"))
-      // cents × 1e6 stays under 2^63 up to ~9.2e12 decile cents (~$92B) —
-      // the documented operand bound of the ppm idiom (Relational.scala
-      // conventions); widen before the multiply if a corpus approaches it
-      .withColumn("share_ppm",
-        expr("decile_cents * 1000000 div sum(decile_cents) over ()"))
-      .withColumn("cum_share_ppm",
-        expr("sum(decile_cents) over (order by decile) * 1000000 " +
-          "div sum(decile_cents) over ()"))
+    val d = graft.operators.Curation.ntileSumsDesc(perUser, "spend_cents", 10)
+      .select(col("tile").as("decile"), col("n_rows").as("n_users"),
+        col("sum_value").as("decile_cents"))
+    // cents × 1e6 stays under 2^63 up to ~9.2e12 decile cents (~$92B) —
+    // the documented operand bound of the ppm idiom (Relational.scala
+    // conventions); widen before the multiply if a corpus approaches it.
+    // Both ppm columns replay the oracle's window forms exactly: the
+    // 1-row total crossJoin is `sum() over ()`, the triangle join is
+    // `sum() over (order by decile)` — null decile_cents (an all-null
+    // decile) drops out of both sums, as SQL sum semantics demand.
+    val tot = d.agg(sum("decile_cents").as("__total"))
+    val d2 = d.select(col("decile").as("__d2"), col("decile_cents").as("__c2"))
+    d.join(broadcast(d2), col("__d2") <= col("decile"))
+      .groupBy("decile", "n_users", "decile_cents")
+      .agg(sum("__c2").as("__cum"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("decile_cents * 1000000 div __total"))
+      .withColumn("cum_share_ppm", expr("__cum * 1000000 div __total"))
+      .select("decile", "n_users", "decile_cents", "share_ppm", "cum_share_ppm")
       .orderBy("decile")
   }
 

@@ -1806,7 +1806,6 @@ object TrainingData {
     * aggregate (hash-shuffled by word, never a running state), and the
     * ten prefix boundaries broadcast to pick up the counts. */
   def txtVocabGrowth(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val tok = docs.select(col("doc_id"),
@@ -1814,15 +1813,17 @@ object TrainingData {
       .filter(length(col("word")) > 0)
     // ten prefix boundaries: a 10-row result — materialize once
     // (bounded-collect pattern) so the two range joins hit a LocalRelation
-    // instead of re-running the doc_id pass per branch. The tokenizing
-    // scan deliberately runs twice instead of caching `tok`: at corpus
-    // scale the token stream dwarfs the documents, so re-scanning is the
-    // cheaper side of that trade (the evAnomaly-style checkpoint would
-    // persist tokens).
-    val bounds = docs.select(col("doc_id"))
-      .withColumn("bucket", ntile(10).over(Window.orderBy("doc_id")))
-      .groupBy("bucket").agg(max("doc_id").as("last_doc_id"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sorted
+    // instead of re-running the doc_id pass per branch. The boundary pick
+    // is [[Curation.ntileBoundaries]]'s two-level order statistic (span
+    // buckets → driver prefix → boundary-buckets-only row_number), NOT a
+    // global ntile window — the old form sorted every doc_id in ONE task
+    // before this 10-row collect (PlanAuditSpec locks the pattern out).
+    // The tokenizing scan deliberately runs twice instead of caching
+    // `tok`: at corpus scale the token stream dwarfs the documents, so
+    // re-scanning is the cheaper side of that trade (the evAnomaly-style
+    // checkpoint would persist tokens).
+    val bounds = graft.operators.Curation
+      .ntileBoundaries(docs.select(col("doc_id")), "doc_id", 10)
       .toDF("bucket", "last_doc_id")
     val vocab = tok.groupBy("word").agg(min("doc_id").as("first_doc"))
       .groupBy("first_doc").agg(count(lit(1)).as("nw"))

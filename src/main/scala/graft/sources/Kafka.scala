@@ -39,12 +39,17 @@ object Kafka {
   final case class Split(topic: String, partition: Int, start: Long, end: Long)
 
   /** Typed fetch error: the broker refused the offset (below the log start
-    * after retention/compaction, or beyond the log end). `logEnd` is the
-    * high watermark the response carried, which disambiguates the two. */
+    * after retention/compaction, or beyond the log end). `logEnd` carries
+    * the response's high-watermark field VERBATIM — real brokers set it to
+    * −1 on an error partition, so it disambiguates nothing; recovery
+    * ([[fetchPage]]) resolves the actual log bounds via
+    * ListOffsets(earliest/latest) instead of consulting it. */
   final class OffsetOutOfRange(val topic: String, val partition: Int,
                                val offset: Long, val logEnd: Long)
     extends IOException(
-      s"offset out of range: $topic/$partition@$offset (logEnd=$logEnd)")
+      s"offset out of range: $topic/$partition@$offset" +
+        (if (logEnd >= 0) s" (logEnd=$logEnd)"
+         else " (log bounds not in response; resolve via ListOffsets)"))
 
   /** ONE gap-safe fetch page — the shared kernel behind [[read]], the
     * DSv2 reader, and [[SpoolConsumer]] (one place to fix fetch-cursor
@@ -65,13 +70,29 @@ object Kafka {
           // Resolve the log bounds with ListOffsets rather than trusting the
           // fetch error response's high-watermark field: real brokers set hw
           // to -1 on an error partition, so branching on it would disable
-          // this recovery path everywhere except a test double.
-          val earliest = c.listOffset(topic, partition, TsEarliest)
-          val latest = c.listOffset(topic, partition, TsLatest)
-          if (earliest <= off) throw e // not a gap — genuinely bad cursor
-          else if (earliest >= latest)
-            return (Nil, earliest) // the whole backlog was deleted: skip it
-          else c.fetch(topic, partition, earliest, maxBytes)._2
+          // this recovery path everywhere except a test double. The clamped
+          // refetch can itself race retention (earliest advances between the
+          // ListOffsets and the refetch), so re-resolve and retry a few
+          // times before letting the error escape to Spark's task retry.
+          var attempt = 0
+          var result: Seq[KRecord] = null
+          var cursor = off
+          while (result == null) {
+            val earliest = c.listOffset(topic, partition, TsEarliest)
+            val latest = c.listOffset(topic, partition, TsLatest)
+            if (earliest <= cursor) throw e // not a gap — genuinely bad cursor
+            else if (earliest >= latest)
+              return (Nil, earliest) // the whole backlog was deleted: skip it
+            else
+              try { result = c.fetch(topic, partition, earliest, maxBytes)._2 }
+              catch {
+                case e2: OffsetOutOfRange =>
+                  attempt += 1
+                  if (attempt >= 3) throw e2
+                  cursor = earliest // re-resolve against the newer bounds
+              }
+          }
+          result
       }
     if (recs.isEmpty) (Nil, off)
     else (recs.filter(_.offset < end), recs.last.offset + 1)
@@ -482,8 +503,17 @@ object Kafka {
       parts.foreach { p =>
         if (n < maxPollRecords && bytes < maxPollBytes) {
           val start = pos(p)
-          val (recs0, _) = fetchPage(c, topic, p, start, maxBytes = maxPollBytes)
+          val (recs0, next) = fetchPage(c, topic, p, start, maxBytes = maxPollBytes)
           val recs = recs0.take(maxPollRecords - n)
+          if (recs.isEmpty && next > start) {
+            // retention deleted the whole backlog at/past the cursor:
+            // persist the forward jump (no records exist in [start, next),
+            // so committing it skips nothing) — otherwise every poll
+            // re-walks the hole through OFFSET_OUT_OF_RANGE + ListOffsets
+            pos(p) = next
+            if (commitMode != "auto")
+              c.offsetCommit(group, Map((topic, p) -> next))
+          }
           if (recs.nonEmpty) {
             var cur = start
             if (commitMode == "after-each") {

@@ -329,7 +329,15 @@ object KafkaProto {
         var i = 0
         while (i < n) {
           val len = r.varInt()
-          val rec = new Reader(data, pos + 12 + batchLength - r.remaining, pos + 12 + batchLength)
+          // bound the per-record reader by the record's OWN declared
+          // length, not the batch end: a crafted record whose field
+          // lengths exceed its framing must throw (EOFException), never
+          // silently read the next record's bytes — CRC protects against
+          // corruption, not a hostile peer
+          require(len >= 0 && len <= r.remaining,
+            s"record length $len exceeds batch remainder ${r.remaining}")
+          val recStart = pos + 12 + batchLength - r.remaining
+          val rec = new Reader(data, recStart, recStart + len)
           rec.int8() // record attributes
           val tsDelta = rec.varLong()
           val offDelta = rec.varInt()

@@ -425,4 +425,47 @@ class CurationSpec extends SparkSpec {
     // an unmarked corpus scans clean
     assert(Curation.scanCanaries(docs, "text").count() == 0)
   }
+
+  test("ntileSumsDesc equals the global-ntile-window formulation on every edge") {
+    import org.apache.spark.sql.expressions.Window
+    def check(vals: Seq[java.lang.Long], tiles: Int): Unit = {
+      val df = vals.map(v => Option(v).map(_.toLong)).toDF("v")
+      val truth = df.withColumn("t",
+          ntile(tiles).over(Window.orderBy(col("v").desc_nulls_last)))
+        .groupBy("t").agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .orderBy("t").collect().toSeq
+      val got = Curation.ntileSumsDesc(df, "v", tiles)
+        .orderBy("tile").collect().toSeq
+      assert(truth.map(_.toSeq) == got.map(_.toSeq),
+        s"tiles=$tiles vals=$vals\n truth=$truth\n got=$got")
+    }
+    check(Seq.empty, 10)                                   // no rows -> no tiles
+    check(Seq(5L, 3L).map(java.lang.Long.valueOf), 10)     // rows < tiles
+    check(Seq[java.lang.Long](null, 7L, 7L, 7L, null, 2L,  // nulls rank last;
+      0L, -5L, -5L, 100L, -(1L << 40), 1L << 40), 4)       // ties split tiles
+    check(Seq[java.lang.Long](java.lang.Long.MIN_VALUE,    // sign-aware log2
+      java.lang.Long.MAX_VALUE), 2)                        // bucket extremes
+    check(Seq[java.lang.Long](null, null, null), 3)        // all-null sums null
+    check(Seq(1L, 2L, 3L).map(java.lang.Long.valueOf), 1)  // degenerate 1 tile
+    check(Seq.fill(25)(4L).map(java.lang.Long.valueOf) ++  // one value group
+      Seq.fill(7)(9L).map(java.lang.Long.valueOf), 10)     // spanning >2 tiles
+  }
+
+  test("ntileBoundaries equals max(key) per global-ntile bucket, dups included") {
+    import org.apache.spark.sql.expressions.Window
+    def check(keys: Seq[Long], tiles: Int): Unit = {
+      val df = keys.toDF("k")
+      val truth = df.withColumn("b", ntile(tiles).over(Window.orderBy("k")))
+        .groupBy("b").agg(max("k").as("last"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+      val got = Curation.ntileBoundaries(df, "k", tiles)
+      assert(truth == got, s"tiles=$tiles\n truth=$truth\n got=$got")
+    }
+    check(Seq.empty, 10)
+    check(Seq(42L), 10)
+    check(1L to 100L, 10)
+    check(1L to 103L, 10)                      // uneven tiles (rem > 0)
+    check(Seq(3L, 3L, 3L, 3L, 9L, 9L, 1L), 3)  // boundary inside a dup run
+    check(Seq(-50L, -1L, 0L, 7L, 1L << 40), 2) // negative keys, wide span
+  }
 }

@@ -13,6 +13,19 @@ class PlanAuditSpec extends SparkSpec {
     q(spark, sfDir).queryExecution.executedPlan.toString
   }
 
+  /** Unpartitioned (single-task) Window operators in the OPTIMIZED logical
+    * plan — the 100 TB scale-killer pattern (every row through one task).
+    * The queries locked to zero below must stay at zero: a tiny-input
+    * global window is re-expressible as a broadcast triangle join, and a
+    * corpus-input one is the bug. */
+  private def globalWindowsOf(name: String): Seq[String] = {
+    val q = graft.SparkEntry.queries(name)
+    q(spark, sfDir).queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w.simpleString(120)
+    }
+  }
+
   test("q01: date filter reaches the parquet scan despite the DATE cast") {
     val p = planOf("q01_filter_project")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
@@ -1125,9 +1138,10 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("ev_concentration: purchase filter pushed; per-user rollup is partial " +
-    "before its exchange; one scan") {
+    "before its exchange; corpus-scale work EXECUTES once (AQE exchange " +
+    "reuse); NO single-task window (the old global ntile funneled every " +
+    "user row through ONE task — r9/r10 verdict #1)") {
     val p = planOf("ev_concentration")
-    assert(countScans(p) == 1, p)
     assert(p.contains("EqualTo(event_type,purchase)"), p)
     // anchor the partial agg to BEFORE the user exchange (a later decile
     // aggregate also emits partial_sum — a bare contains would pass even
@@ -1136,16 +1150,44 @@ class PlanAuditSpec extends SparkSpec {
     val partial = p.lastIndexOf("partial_sum")
     assert(userExchange > 0 && partial > userExchange,
       s"no partial agg below the user exchange:\n$p")
+    // the scale contract: decile math runs on the spend VALUE HISTOGRAM
+    // (partitioned log2-bucket cumulative + <=10-row broadcast triangle
+    // joins) — zero unpartitioned windows, no ntile, anywhere
+    assert(!p.contains("ntile"), p)
+    val gw = globalWindowsOf("ev_concentration")
+    assert(gw.isEmpty, s"single-task window regressed:\n${gw.mkString("\n")}")
+    // the histogram helper fans the rollup into several logical branches;
+    // the RUNTIME contract is that the data-sized work still happens once.
+    // Execute and read the FINAL adaptive plan (everything above the
+    // '== Initial Plan ==' echo): exactly one parquet scan and one
+    // executed user-keyed exchange — every other branch reads a
+    // ReusedExchange of them (only histogram-grain stages replay)
+    val df = graft.SparkEntry.queries("ev_concentration")(spark, sfDir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(countScans(fin) == 1, fin)
+    val userExecs = fin.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id") &&
+        !l.contains("ReusedExchange"))
+    assert(userExecs == 1, fin)
+    assert(fin.contains("ReusedExchange"), fin)
   }
 
   test("txt_vocab_growth: tokenizer runs exactly twice (deliberate rescan over " +
-    "token caching); boundary joins are 10-row broadcasts") {
+    "token caching); boundary joins are 10-row broadcasts; NO single-task " +
+    "window (the old ntile bounds sorted every doc_id in one task)") {
     val p = planOf("txt_vocab_growth")
     assert(countScans(p) == 2, p) // vocab branch + tokens branch
     // range joins against the materialized 10-row bounds: BNLJ against a
     // broadcast LocalRelation is 10 predicate tests per row — deliberate
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
     assert(!p.contains("CartesianProduct"), p)
+    // bounds come from the two-level order statistic (Curation
+    // .ntileBoundaries) — the published plan must stay window-free
+    assert(!p.contains("ntile"), p)
+    val gw = globalWindowsOf("txt_vocab_growth")
+    assert(gw.isEmpty, s"single-task window regressed:\n${gw.mkString("\n")}")
   }
 
   test("mm_audio_meta: one doc_id-only scan, per-row kernel, no shuffle " +

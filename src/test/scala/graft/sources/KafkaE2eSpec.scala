@@ -324,6 +324,129 @@ class KafkaE2eSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("fully-deleted backlog: earliest == latest after retention drops " +
+    "EVERY batch — fetchPage, read, and the spool bridge advance the cursor " +
+    "to the log head without error or respin") {
+    val broker = new MiniKafkaBroker(Map("fd" -> 1))
+    val boot = ("127.0.0.1", broker.boundPort)
+    try {
+      val c = new Kafka.WireClient("127.0.0.1", broker.boundPort)
+      c.produce("fd", 0, encodeRecordBatch(0L, (0 until 3).map(i =>
+        (1L, null: Array[Byte], s"""{"i":$i}""".getBytes(UTF_8), Nil))))
+      c.produce("fd", 0, encodeRecordBatch(0L, (3 until 5).map(i =>
+        (1L, null: Array[Byte], s"""{"i":$i}""".getBytes(UTF_8), Nil))))
+      c.offsetCommit("gfd", Map(("fd", 0) -> 0L)) // stale committed cursor
+      broker.dropBatches("fd", 0, 99) // retention deletes the WHOLE log
+      assert(c.listOffset("fd", 0, TsEarliest) === 5L)
+      assert(c.listOffset("fd", 0, TsLatest) === 5L)
+      // the kernel: (Nil, earliest) — cursor jumps the hole in one call
+      assert(Kafka.fetchPage(c, "fd", 0, 0L) === ((Nil, 5L)))
+      // batch read across the empty log: zero rows, no loop, no throw
+      assert(Kafka.read(spark, boot, "fd",
+        splits = Seq(Kafka.Split("fd", 0, 0L, 5L))).count() === 0L)
+      // spool bridge: nothing spooled, commit advances to the log head,
+      // and NEW data after the wipe flows normally from there
+      val spool = java.nio.file.Files.createTempDirectory("graft-kwipe").toString
+      val sc = new Kafka.SpoolConsumer(boot, "fd", "gfd", spool)
+      assert(sc.pollOnce() === 0)
+      assert(broker.committed("gfd", "fd", 0) === 5L)
+      c.produce("fd", 0, encodeRecordBatch(0L, Seq(
+        (1L, null: Array[Byte], """{"i":99}""".getBytes(UTF_8), Nil))))
+      assert(sc.pollOnce() === 1)
+      sc.close()
+      assert(spark.read.json(spool).select("i").as[Long].collect().toSeq
+        === Seq(99L))
+      c.close()
+    } finally broker.close()
+  }
+
+  test("retention advances BETWEEN bounds resolution and the clamped " +
+    "refetch: fetchPage re-resolves earliest and retries instead of " +
+    "failing the task") {
+    val broker = new MiniKafkaBroker(Map("rr" -> 1))
+    try {
+      val c = new Kafka.WireClient("127.0.0.1", broker.boundPort)
+      (0 until 4).foreach { b =>
+        c.produce("rr", 0, encodeRecordBatch(0L, Seq(
+          (1L, null: Array[Byte], s"""{"b":$b}""".getBytes(UTF_8), Nil),
+          (1L, null: Array[Byte], s"""{"b":$b}""".getBytes(UTF_8), Nil))))
+      }
+      broker.dropBatches("rr", 0, 1) // cursor 0 is now below logStart 2
+      // arm the race: skip the initial failing fetch(0); the drop fires on
+      // the CLAMPED refetch(2) — i.e. retention advanced past the earliest
+      // the client just resolved via ListOffsets
+      broker.dropBatchesOnFetch.set(("rr", 0, 1, 1))
+      // sequence: fetch(0) -> OOR; ListOffsets earliest=2; fetch(2) ->
+      // armed drop moves logStart to 4 -> OOR again; the retry loop
+      // re-resolves earliest=4 and fetch(4) succeeds
+      val (recs, next) = Kafka.fetchPage(c, "rr", 0, 0L)
+      assert(recs.map(_.offset) === Seq(4L, 5L, 6L, 7L))
+      assert(next === 8L)
+      c.close()
+    } finally broker.close()
+  }
+
+  test("hostile record framing: field lengths past the record's declared " +
+    "length throw instead of silently reading the next record's bytes") {
+    // record 0 claims a 64-byte value but frames only 2 of it; record 1 is
+    // valid and padded so the 62-byte over-read would stay inside the
+    // batch — the CRC is CORRECT (computed over the crafted bytes), so
+    // only the per-record bound can catch this
+    def hostile(valueClaim: Int): Array[Byte] = {
+      val body0 = new Writer()
+      body0.int8(0)             // record attributes
+      body0.varLong(0L)         // ts delta
+      body0.varInt(0)           // offset delta
+      body0.varInt(-1)          // null key
+      body0.varInt(valueClaim)  // value length CLAIM (beyond the framing)
+      body0.raw(Array[Byte](0x41, 0x42)) // only 2 value bytes framed
+      val b0 = body0.toBytes
+      val body1 = new Writer()
+      body1.int8(0); body1.varLong(0L); body1.varInt(1)
+      body1.varInt(-1)
+      body1.varInt(100); body1.raw(new Array[Byte](100)) // zero padding
+      body1.varInt(0)           // no headers
+      val b1 = body1.toBytes
+      val recBytes = new Writer()
+      recBytes.varInt(b0.length).raw(b0)
+      recBytes.varInt(b1.length).raw(b1)
+      val tail = new Writer()
+      tail.int16(0); tail.int32(1)
+      tail.int64(1L); tail.int64(1L)
+      tail.int64(-1L); tail.int16(-1); tail.int32(-1)
+      tail.int32(2)
+      tail.raw(recBytes.toBytes)
+      val tb = tail.toBytes
+      val crc = new java.util.zip.CRC32C()
+      crc.update(tb, 0, tb.length)
+      new Writer().int64(0L).int32(4 + 1 + 4 + tb.length)
+        .int32(-1).int8(2).int32(crc.getValue.toInt).raw(tb).toBytes
+    }
+    val e = intercept[java.io.EOFException] {
+      decodeRecordBatches(hostile(valueClaim = 64))
+    }
+    assert(e.getMessage.contains("need"), e.getMessage)
+    // a record whose DECLARED length itself escapes the batch remainder is
+    // rejected up front (never constructs an out-of-bounds reader)
+    val recBytes = new Writer()
+    recBytes.varInt(10000).raw(new Array[Byte](4)) // claims 10000, frames 4
+    val tail = new Writer()
+    tail.int16(0); tail.int32(0)
+    tail.int64(1L); tail.int64(1L)
+    tail.int64(-1L); tail.int16(-1); tail.int32(-1)
+    tail.int32(1)
+    tail.raw(recBytes.toBytes)
+    val tb = tail.toBytes
+    val crc = new java.util.zip.CRC32C()
+    crc.update(tb, 0, tb.length)
+    val overlong = new Writer().int64(0L).int32(4 + 1 + 4 + tb.length)
+      .int32(-1).int8(2).int32(crc.getValue.toInt).raw(tb).toBytes
+    val e2 = intercept[IllegalArgumentException] {
+      decodeRecordBatches(overlong)
+    }
+    assert(e2.getMessage.contains("exceeds batch remainder"), e2.getMessage)
+  }
+
   test("streaming twin: the spool bridge feeds Sources.fileStream under a " +
     "files-per-trigger poll budget — the kafkaStream wiring, end to end") {
     val broker = new MiniKafkaBroker(Map("s" -> 1))

@@ -57,6 +57,14 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0) extends Aut
     * scenario an idempotent producer must survive by resending the same
     * sequence. */
   val dropNextProduceAck = new AtomicBoolean(false)
+  /** Fault injection: when armed as (topic, partition, dropN, skip), the
+    * (skip+1)-th fetch request from now first advances retention
+    * ([[dropBatches]] dropN) and THEN answers — with skip=1 this lands on
+    * a client's CLAMPED refetch, i.e. the race where retention moves
+    * between its ListOffsets(earliest) resolution and the retry, which
+    * must re-resolve and refetch rather than fail the task. */
+  val dropBatchesOnFetch =
+    new java.util.concurrent.atomic.AtomicReference[(String, Int, Int, Int)](null)
   @volatile private var produceCount = 0L
   @volatile private var fetchCount = 0L
   def produces: Long = produceCount
@@ -200,6 +208,11 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0) extends Aut
 
   private def fetchV4(version: Int, r: Reader): Array[Byte] = {
     require(version == 4, s"Fetch v$version unsupported")
+    val armed = dropBatchesOnFetch.getAndSet(null)
+    if (armed != null) {
+      if (armed._4 > 0) dropBatchesOnFetch.set(armed.copy(_4 = armed._4 - 1))
+      else dropBatches(armed._1, armed._2, armed._3)
+    }
     r.int32() // replica id
     val maxWait = r.int32()
     r.int32() // min bytes
