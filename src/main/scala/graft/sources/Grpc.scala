@@ -1,0 +1,700 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, IOException}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types.StructType
+
+/** HTTP/2 wire layer for the gRPC relay edge — cleartext h2c with prior
+  * knowledge (RFC 7540 §3.4: both peers speak HTTP/2 from byte one, no
+  * Upgrade dance), the framing a stock gRPC peer actually uses for the
+  * reference's primary cross-process edge
+  * (`/root/reference/proto/electrician_relay.proto:580-583`,
+  * `pkg/internal/forwardrelay/stream.go`). Frames, the connection
+  * preface, SETTINGS/PING/WINDOW_UPDATE handling, and flow-control
+  * accounting are implemented here from the public RFC, in the same
+  * blocking-socket style as the repo's RFC 6455 and NATS transports;
+  * ONLY the HPACK header-block codec (RFC 7541 — dynamic table, huffman)
+  * is delegated to netty's public `DefaultHttp2HeadersEncoder/Decoder`,
+  * which ships on the Spark classpath — hand-rolling the 257-entry
+  * huffman table buys nothing but transcription risk.
+  *
+  * Scope: enough of RFC 7540 for gRPC's use of it — no server push, no
+  * priorities (PRIORITY frames are skipped, as the RFC allows), one
+  * HEADERS + CONTINUATIONs per block, padding accepted on receive and
+  * never sent. */
+object Http2 {
+
+  /** The 24-byte client connection preface (RFC 7540 §3.5). */
+  val Preface: Array[Byte] = "PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n".getBytes(UTF_8)
+
+  // frame types (RFC 7540 §6)
+  val TData = 0x0
+  val THeaders = 0x1
+  val TPriority = 0x2
+  val TRstStream = 0x3
+  val TSettings = 0x4
+  val TPing = 0x6
+  val TGoAway = 0x7
+  val TWindowUpdate = 0x8
+  val TContinuation = 0x9
+
+  // flags
+  val FEndStream = 0x1
+  val FAck = 0x1 // SETTINGS / PING
+  val FEndHeaders = 0x4
+  val FPadded = 0x8
+  val FPriority = 0x20
+
+  // settings identifiers (RFC 7540 §6.5.2)
+  val SetHeaderTableSize = 0x1
+  val SetMaxConcurrentStreams = 0x3
+  val SetInitialWindowSize = 0x4
+  val SetMaxFrameSize = 0x5
+
+  /** RFC defaults: connection/stream send window and max frame size. */
+  val DefaultWindow = 65535
+  val DefaultMaxFrame = 16384
+
+  final case class Frame(tpe: Int, flags: Int, streamId: Int,
+                         payload: Array[Byte]) {
+    def has(flag: Int): Boolean = (flags & flag) != 0
+  }
+
+  /** One frame: 24-bit length, type, flags, 31-bit stream id, payload.
+    * Callers synchronize on `out` — frames from concurrent acks must not
+    * interleave mid-frame. */
+  def writeFrame(out: DataOutputStream, tpe: Int, flags: Int, streamId: Int,
+                 payload: Array[Byte]): Unit = {
+    require(payload.length < (1 << 24), s"frame too large: ${payload.length}")
+    out.write((payload.length >>> 16) & 0xff)
+    out.write((payload.length >>> 8) & 0xff)
+    out.write(payload.length & 0xff)
+    out.write(tpe)
+    out.write(flags)
+    out.writeInt(streamId & 0x7fffffff)
+    out.write(payload)
+  }
+
+  /** Read one frame; the DECLARED length is bounded before allocation
+    * (the WsFrames.readFrame rule — a hostile peer must not size our
+    * buffers). */
+  def readFrame(in: DataInputStream, maxLen: Int): Frame = {
+    val b0 = in.read()
+    if (b0 < 0) throw new EOFException("connection closed between frames")
+    val len = (b0 << 16) | (in.readUnsignedByte() << 8) | in.readUnsignedByte()
+    val tpe = in.readUnsignedByte()
+    val flags = in.readUnsignedByte()
+    val streamId = in.readInt() & 0x7fffffff
+    require(len <= maxLen, s"frame of $len bytes exceeds cap $maxLen")
+    val payload = new Array[Byte](len)
+    in.readFully(payload)
+    Frame(tpe, flags, streamId, payload)
+  }
+
+  /** Strip RFC 7540 §6.1/§6.2 padding and the optional priority block
+    * from a HEADERS/DATA payload. */
+  def stripPadding(f: Frame): Array[Byte] = {
+    var start = 0
+    var end = f.payload.length
+    if (f.has(FPadded)) {
+      require(end >= 1, "padded frame without pad length")
+      val pad = f.payload(0) & 0xff
+      start = 1
+      require(end - start >= pad, s"pad $pad exceeds frame")
+      end -= pad
+    }
+    if (f.tpe == THeaders && f.has(FPriority)) {
+      require(end - start >= 5, "priority block truncated")
+      start += 5
+    }
+    java.util.Arrays.copyOfRange(f.payload, start, end)
+  }
+
+  def settingsPayload(pairs: Seq[(Int, Long)]): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    val o = new DataOutputStream(b)
+    pairs.foreach { case (id, v) => o.writeShort(id); o.writeInt(v.toInt) }
+    b.toByteArray
+  }
+
+  def parseSettings(payload: Array[Byte]): Seq[(Int, Long)] = {
+    require(payload.length % 6 == 0, s"SETTINGS length ${payload.length}")
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(payload))
+    (0 until payload.length / 6).map { _ =>
+      (in.readUnsignedShort(), in.readInt().toLong & 0xffffffffL)
+    }
+  }
+
+  def windowUpdatePayload(increment: Int): Array[Byte] = {
+    require(increment > 0, s"window increment must be positive: $increment")
+    val b = new Array[Byte](4)
+    b(0) = ((increment >>> 24) & 0x7f).toByte
+    b(1) = ((increment >>> 16) & 0xff).toByte
+    b(2) = ((increment >>> 8) & 0xff).toByte
+    b(3) = (increment & 0xff).toByte
+    b
+  }
+
+  /** HPACK header-block codec — netty's public RFC 7541 implementation
+    * (ships with Spark at /opt/spark/jars). One codec instance per
+    * connection per direction, as HPACK's dynamic table demands. */
+  final class HeaderCodec {
+    import io.netty.handler.codec.http2.{DefaultHttp2Headers, DefaultHttp2HeadersDecoder, DefaultHttp2HeadersEncoder}
+    private val enc = new DefaultHttp2HeadersEncoder()
+    private val dec = new DefaultHttp2HeadersDecoder(true)
+
+    def encode(streamId: Int, headers: Seq[(String, String)]): Array[Byte] = {
+      val h = new DefaultHttp2Headers()
+      headers.foreach { case (k, v) => h.add(k, v) }
+      val buf = io.netty.buffer.Unpooled.buffer()
+      try {
+        enc.encodeHeaders(streamId, h, buf)
+        val out = new Array[Byte](buf.readableBytes())
+        buf.readBytes(out)
+        out
+      } finally { buf.release(); () }
+    }
+
+    def decode(streamId: Int, block: Array[Byte]): Seq[(String, String)] = {
+      val buf = io.netty.buffer.Unpooled.wrappedBuffer(block)
+      try {
+        val h = dec.decodeHeaders(streamId, buf)
+        val out = Seq.newBuilder[(String, String)]
+        h.forEach(e => out += ((e.getKey.toString, e.getValue.toString)))
+        out.result()
+      } finally { buf.release(); () }
+    }
+  }
+
+  /** Send-side flow-control ledger for one connection: the peer's
+    * connection window plus per-stream windows, fed by its SETTINGS
+    * (INITIAL_WINDOW_SIZE re-bases OPEN streams too, §6.9.2) and
+    * WINDOW_UPDATEs. `awaitWindow` is how a blocking sender respects a
+    * slow peer: process incoming frames until credit arrives. */
+  final class SendWindows {
+    var conn: Long = DefaultWindow
+    var initial: Long = DefaultWindow
+    var maxFrame: Int = DefaultMaxFrame
+    private val streams = mutable.Map[Int, Long]()
+    def stream(id: Int): Long = streams.getOrElseUpdate(id, initial)
+    def consume(id: Int, n: Int): Unit = {
+      conn -= n; streams(id) = stream(id) - n
+    }
+    def onSettings(pairs: Seq[(Int, Long)]): Unit = pairs.foreach {
+      case (SetInitialWindowSize, v) =>
+        val delta = v - initial
+        initial = v
+        streams.keys.foreach(id => streams(id) = streams(id) + delta)
+      case (SetMaxFrameSize, v) => maxFrame = v.toInt
+      case _ => ()
+    }
+    def onWindowUpdate(id: Int, inc: Long): Unit =
+      if (id == 0) conn += inc else streams(id) = stream(id) + inc
+  }
+}
+
+/** gRPC's length-prefixed message layer over HTTP/2 DATA bytes (the
+  * public gRPC-over-HTTP/2 spec): 1-byte compressed flag + 4-byte
+  * big-endian length + message. The relay never uses gRPC-level
+  * compression — sealing (gzip/zstd/… + AES-GCM) lives INSIDE
+  * WrappedPayload exactly as on the socket/WS/NATS edges, so the frame
+  * flag is always 0 and a compressed-flag frame from a peer is an
+  * explicit error (we advertise no grpc-encoding). */
+object GrpcWire {
+
+  def message(body: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](5 + body.length)
+    out(0) = 0
+    out(1) = ((body.length >>> 24) & 0xff).toByte
+    out(2) = ((body.length >>> 16) & 0xff).toByte
+    out(3) = ((body.length >>> 8) & 0xff).toByte
+    out(4) = (body.length & 0xff).toByte
+    System.arraycopy(body, 0, out, 5, body.length)
+    out
+  }
+
+  /** Reassembles gRPC messages from DATA payload fragments; the declared
+    * message length is capped BEFORE buffering past it. */
+  final class MessageBuffer(maxMessageBytes: Int) {
+    private val buf = new java.io.ByteArrayOutputStream()
+    def feed(b: Array[Byte], off: Int = 0, len: Int = -1): Unit = {
+      val n = if (len < 0) b.length - off else len
+      // headroom: a partial capped message plus one more frame may sit in
+      // the buffer before poll() drains — the DECLARED length check in
+      // poll() is the real cap; this bound only stops unbounded growth
+      require(buf.size.toLong + n <= maxMessageBytes.toLong * 2 + 10,
+        s"gRPC message exceeds $maxMessageBytes bytes")
+      buf.write(b, off, n)
+    }
+    def poll(): Option[Array[Byte]] = {
+      val a = buf.toByteArray
+      if (a.length < 5) return None
+      require(a(0) == 0, s"compressed gRPC frame (flag ${a(0)}) — " +
+        "no grpc-encoding was negotiated; sealing rides inside the payload")
+      val len = ((a(1) & 0xff) << 24) | ((a(2) & 0xff) << 16) |
+        ((a(3) & 0xff) << 8) | (a(4) & 0xff)
+      require(len >= 0 && len <= maxMessageBytes,
+        s"gRPC message of $len bytes exceeds cap $maxMessageBytes")
+      if (a.length < 5 + len) None
+      else {
+        buf.reset()
+        buf.write(a, 5 + len, a.length - 5 - len)
+        Some(java.util.Arrays.copyOfRange(a, 5, 5 + len))
+      }
+    }
+    def isEmpty: Boolean = buf.size == 0
+  }
+}
+
+/** K5 gRPC forward-relay writer: each partition opens one h2c connection,
+  * POSTs `/electrician.RelayService/StreamReceive`, and streams
+  * RelayEnvelope messages; StreamAcknowledgments flow back as response
+  * messages per `ackMode` — the reference's primary relay edge
+  * (`pkg/internal/forwardrelay/stream.go`) over genuine gRPC framing.
+  * The envelope/ack semantics and sealing are [[RelayProto]] /
+  * [[SealedRelay.seal]], identical to the socket/WS/NATS edges; this
+  * object owns only the HTTP/2 + gRPC message transport. */
+object GrpcRelay {
+
+  val StreamPath = "/electrician.RelayService/StreamReceive"
+  val UnaryPath = "/electrician.RelayService/Receive"
+
+  /** Client connection preamble: preface + SETTINGS, then handle the
+    * server's SETTINGS (ack it). Returns once both directions settled
+    * enough to open a stream (the server's SETTINGS may lawfully arrive
+    * later; [[pump]] handles it whenever it does). */
+  private def clientPreamble(in: DataInputStream, out: DataOutputStream): Unit = {
+    out.write(Http2.Preface)
+    Http2.writeFrame(out, Http2.TSettings, 0, 0, Array.emptyByteArray)
+    out.flush()
+  }
+
+  /** Process ONE incoming frame against connection state; stream DATA
+    * lands in `data`, response headers/trailers in `headers`. Returns
+    * false when the peer ended our stream. */
+  private final class ClientConn(in: DataInputStream, out: DataOutputStream,
+                                 streamId: Int, maxMessageBytes: Int) {
+    val windows = new Http2.SendWindows
+    val codec = new Http2.HeaderCodec
+    val data = new GrpcWire.MessageBuffer(maxMessageBytes)
+    var headers: Seq[(String, String)] = Nil
+    var trailers: Seq[(String, String)] = Nil
+    var streamEnded = false
+    private val headerBlock = new java.io.ByteArrayOutputStream()
+    private var headersInFlight = false
+
+    /** Read + handle one frame. */
+    def pump(): Unit = {
+      val f = Http2.readFrame(in, maxMessageBytes + 1024)
+      f.tpe match {
+        case Http2.TSettings =>
+          if (!f.has(Http2.FAck)) {
+            windows.onSettings(Http2.parseSettings(f.payload))
+            Http2.writeFrame(out, Http2.TSettings, Http2.FAck, 0,
+              Array.emptyByteArray)
+            out.flush()
+          }
+        case Http2.TPing =>
+          if (!f.has(Http2.FAck)) {
+            Http2.writeFrame(out, Http2.TPing, Http2.FAck, 0, f.payload)
+            out.flush()
+          }
+        case Http2.TWindowUpdate =>
+          val inc = ((f.payload(0) & 0x7f) << 24) | ((f.payload(1) & 0xff) << 16) |
+            ((f.payload(2) & 0xff) << 8) | (f.payload(3) & 0xff)
+          windows.onWindowUpdate(f.streamId, inc.toLong)
+        case Http2.TData if f.streamId == streamId =>
+          val body = Http2.stripPadding(f)
+          data.feed(body)
+          // credit the consumed bytes back on both windows so a long ack
+          // stream never starves (RFC 7540 §6.9)
+          if (f.payload.length > 0) {
+            Http2.writeFrame(out, Http2.TWindowUpdate, 0, 0,
+              Http2.windowUpdatePayload(f.payload.length))
+            Http2.writeFrame(out, Http2.TWindowUpdate, 0, streamId,
+              Http2.windowUpdatePayload(f.payload.length))
+            out.flush()
+          }
+          if (f.has(Http2.FEndStream)) streamEnded = true
+        case Http2.THeaders | Http2.TContinuation if f.streamId == streamId =>
+          headerBlock.write(if (f.tpe == Http2.THeaders) Http2.stripPadding(f)
+            else f.payload)
+          headersInFlight = !f.has(Http2.FEndHeaders)
+          if (!headersInFlight) {
+            val hs = codec.decode(streamId, headerBlock.toByteArray)
+            headerBlock.reset()
+            if (headers.isEmpty) headers = hs else trailers = hs
+          }
+          if (f.has(Http2.FEndStream)) streamEnded = true
+        case Http2.TGoAway =>
+          throw new IOException("server sent GOAWAY mid-stream")
+        case Http2.TRstStream =>
+          throw new IOException(s"stream reset by server (code ${
+            if (f.payload.length >= 4) f.payload(3) & 0xff else -1})")
+        case _ => () // PRIORITY, other streams: skip
+      }
+    }
+
+    /** Send gRPC message bytes as DATA frames, respecting the peer's
+      * flow-control windows and max frame size. */
+    def sendData(bytes: Array[Byte], endStream: Boolean): Unit = {
+      var off = 0
+      while (off < bytes.length || (endStream && bytes.length == 0 && off == 0)) {
+        val want = math.min(bytes.length - off, windows.maxFrame)
+        while (want > 0 &&
+          (windows.conn < want || windows.stream(streamId) < want)) pump()
+        val last = off + want >= bytes.length
+        Http2.writeFrame(out, Http2.TData,
+          if (endStream && last) Http2.FEndStream else 0, streamId,
+          java.util.Arrays.copyOfRange(bytes, off, off + want))
+        windows.consume(streamId, want)
+        off += want
+        if (bytes.length == 0) { out.flush(); return } // lone END_STREAM frame
+      }
+      out.flush()
+    }
+
+    /** Block until one full gRPC message (an ack) is available. */
+    def readMessage(): Array[Byte] = {
+      var m = data.poll()
+      while (m.isEmpty) {
+        if (streamEnded && data.isEmpty)
+          throw new IOException("stream ended while awaiting ack" +
+            trailers.find(_._1 == "grpc-message").map(m => s": ${m._2}")
+              .getOrElse(""))
+        pump()
+        m = data.poll()
+      }
+      m.get
+    }
+
+    /** Block until trailers (or the stream end) arrive; verify
+      * grpc-status 0. */
+    def awaitTrailers(): Unit = {
+      while (!streamEnded) pump()
+      val status = (trailers ++ headers).collectFirst {
+        case ("grpc-status", v) => v
+      }
+      require(status.contains("0"), s"grpc-status ${status.getOrElse("missing")}" +
+        (trailers ++ headers).collectFirst { case ("grpc-message", m) => s": $m" }
+          .getOrElse(""))
+    }
+  }
+
+  /** Write a DataFrame through the relay's gRPC edge. Parameter contract
+    * mirrors [[WsRelay.writeWsProto]]/[[SealedRelay.writeSocketSealed]]:
+    * sealing (`compression`, `key`) rides inside WrappedPayload;
+    * `ackMode` none | per-frame | batch. */
+  def writeGrpcProto(df: DataFrame, host: String, port: Int,
+                     compression: Int = graft.functions.Codecs.CompressNone,
+                     key: Option[Array[Byte]] = None,
+                     maxChunkBytes: Int = 4 << 20,
+                     ackMode: String = "none",
+                     ackTimeoutMs: Int = 30000): Unit = {
+    graft.functions.Codecs.compress(compression, Array.emptyByteArray)
+    key.foreach(k => require(Set(16, 24, 32).contains(k.length),
+      s"AES key must be 16/24/32 bytes, got ${k.length}"))
+    require(Set("none", "per-frame", "batch").contains(ackMode),
+      s"unknown ackMode '$ackMode' — none | per-frame | batch")
+    Chunking.requireBound(maxChunkBytes)
+    df.toJSON.foreachPartition { (it: Iterator[String]) =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.get().partitionId()
+        val sock = new Socket(host, port)
+        try {
+          sock.setTcpNoDelay(true)
+          sock.setSoTimeout(ackTimeoutMs)
+          val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+          val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+          clientPreamble(in, out)
+          val conn = new ClientConn(in, out, streamId = 1,
+            maxMessageBytes = maxChunkBytes + 4096)
+          Http2.writeFrame(out, Http2.THeaders, Http2.FEndHeaders, 1,
+            conn.codec.encode(1, Seq(
+              ":method" -> "POST", ":scheme" -> "http",
+              ":path" -> StreamPath, ":authority" -> s"$host:$port",
+              "content-type" -> "application/grpc",
+              "te" -> "trailers")))
+          out.flush()
+          var seq = 0L
+          Chunking.chunks(it, maxChunkBytes).foreach { body =>
+            conn.sendData(GrpcWire.message(RelayProto.encodeEnvelope(
+              RelayProto.EnvelopePayload(RelayProto.wrap(body,
+                id = s"p$pid-$seq", seq = seq,
+                tsEpochMs = System.currentTimeMillis(),
+                algo = compression, key = key)))), endStream = false)
+            if (ackMode == "per-frame") {
+              val ack = RelayProto.decodeAck(conn.readMessage())
+              require(ack.success && ack.seq == seq,
+                s"message $seq rejected by receiver (ack seq=${ack.seq}): ${ack.message}")
+            }
+            seq += 1
+          }
+          conn.sendData(GrpcWire.message(RelayProto.encodeEnvelope(
+            RelayProto.EnvelopeClose("end-of-partition"))), endStream = false)
+          conn.sendData(Array.emptyByteArray, endStream = true)
+          if (ackMode == "batch") {
+            val ack = RelayProto.decodeAck(conn.readMessage())
+            require(ack.success && ack.okCount == seq,
+              s"batch rejected: ok=${ack.okCount}/$seq err=${ack.errCount} ${ack.message}")
+          }
+          conn.awaitTrailers()
+          // polite shutdown (RFC 7540 §6.8) so the receiver's read loop
+          // distinguishes a finished peer from a dropped one
+          Http2.writeFrame(out, Http2.TGoAway, 0, 0, new Array[Byte](8))
+          out.flush()
+        } finally sock.close()
+      }
+    }
+  }
+}
+
+/** S11-over-gRPC receiving relay: accept h2c connections, serve
+  * `RelayService.StreamReceive` (each gRPC message one RelayEnvelope,
+  * acks as response messages) and the unary `RelayService.Receive`.
+  * The envelope/ack brain is [[RelayProto.EnvelopeSession]] — the SAME
+  * as the socket/WS/NATS edges; this class owns only the HTTP/2
+  * transport: preface, SETTINGS, flow-control credits, HEADERS routing,
+  * per-stream gRPC message reassembly, trailers. Streams multiplex —
+  * a stock gRPC client may interleave several on one connection. */
+final class GrpcRelayReceiver(spark: SparkSession, port: Int,
+                              key: Option[Array[Byte]] = None,
+                              maxMessageBytes: Int = SealedRelay.DefaultMaxFrameBytes,
+                              maxInflatedBytes: Int = SealedRelay.DefaultMaxInflatedBytes,
+                              ackMode: String = "none") {
+  require(maxMessageBytes > 0, s"maxMessageBytes must be positive: $maxMessageBytes")
+  require(maxInflatedBytes >= maxMessageBytes,
+    s"maxInflatedBytes ($maxInflatedBytes) must be at least maxMessageBytes ($maxMessageBytes)")
+  require(Set("none", "per-frame", "batch").contains(ackMode),
+    s"unknown ackMode '$ackMode' — none | per-frame | batch")
+
+  import spark.implicits._
+  private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val stream = MemoryStream[String]
+  private val server = new ServerSocket(port)
+  private val running = new AtomicBoolean(true)
+  private val conns = java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
+  private val received = new AtomicLong(0)
+  private val badFrames = new AtomicLong(0)
+
+  def boundPort: Int = server.getLocalPort
+
+  private val acceptor = new Thread(() => {
+    while (running.get() && !server.isClosed) {
+      try {
+        val sock = server.accept()
+        conns.add(sock)
+        val t = new Thread(() => serve(sock), s"graft-grpcrelay-conn-${sock.getPort}")
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case _: Throwable => if (running.get() && !server.isClosed) Thread.sleep(100)
+      }
+    }
+  }, "graft-grpcrelay-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  /** Per-stream request state. */
+  private final class StreamState(val id: Int) {
+    var path: String = ""
+    var responded = false
+    val data = new GrpcWire.MessageBuffer(maxMessageBytes)
+    var session: RelayProto.EnvelopeSession = _
+    var closed = false
+  }
+
+  private def serve(sock: Socket): Unit = {
+    try {
+      sock.setTcpNoDelay(true)
+      val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+      val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+      // prior-knowledge preface, then our SETTINGS
+      val pre = new Array[Byte](Http2.Preface.length)
+      in.readFully(pre)
+      require(java.util.Arrays.equals(pre, Http2.Preface),
+        "not an HTTP/2 prior-knowledge connection")
+      Http2.writeFrame(out, Http2.TSettings, 0, 0, Http2.settingsPayload(Seq(
+        Http2.SetMaxFrameSize -> Http2.DefaultMaxFrame.toLong,
+        Http2.SetInitialWindowSize -> Http2.DefaultWindow.toLong)))
+      out.flush()
+
+      val codec = new Http2.HeaderCodec
+      val windows = new Http2.SendWindows
+      val streams = mutable.Map[Int, StreamState]()
+      val headerBlock = new java.io.ByteArrayOutputStream()
+      var headerStream = 0
+      var headerEndStream = false
+
+      def respondHeadersOnce(s: StreamState): Unit = if (!s.responded) {
+        Http2.writeFrame(out, Http2.THeaders, Http2.FEndHeaders, s.id,
+          codec.encode(s.id, Seq(":status" -> "200",
+            "content-type" -> "application/grpc")))
+        out.flush()
+        s.responded = true
+      }
+      def sendMessage(s: StreamState, body: Array[Byte]): Unit = {
+        respondHeadersOnce(s)
+        // acks are tiny; a stock peer's default 65535 window never blocks
+        // them, so no send-window wait loop here (receive-side DATA is the
+        // flow-controlled direction)
+        val m = GrpcWire.message(body)
+        Http2.writeFrame(out, Http2.TData, 0, s.id, m)
+        windows.consume(s.id, m.length)
+        out.flush()
+      }
+      def sendTrailers(s: StreamState, status: Int, message: String): Unit = {
+        respondHeadersOnce(s)
+        Http2.writeFrame(out, Http2.THeaders,
+          Http2.FEndHeaders | Http2.FEndStream, s.id,
+          codec.encode(s.id, Seq("grpc-status" -> status.toString) ++
+            (if (message.isEmpty) Nil else Seq("grpc-message" -> message))))
+        out.flush()
+        s.closed = true
+      }
+      def newSession(s: StreamState): RelayProto.EnvelopeSession =
+        new RelayProto.EnvelopeSession(key, maxInflatedBytes, ackMode,
+          Chunking.feedNdjson(stream, received),
+          a => try sendMessage(s, RelayProto.encodeAck(a))
+          catch { case _: IOException => () })
+
+      def onHeaders(id: Int, hs: Seq[(String, String)], endStream: Boolean): Unit = {
+        val s = streams.getOrElseUpdate(id, new StreamState(id))
+        s.path = hs.collectFirst { case (":path", p) => p }.getOrElse("")
+        require(s.path == GrpcRelay.StreamPath || s.path == GrpcRelay.UnaryPath,
+          s"unknown rpc path ${s.path}")
+        s.session = newSession(s)
+        if (endStream) onEndStream(s)
+      }
+      def drain(s: StreamState): Unit = {
+        var m = s.data.poll()
+        while (m.isDefined && !s.closed) {
+          if (s.path == GrpcRelay.UnaryPath) {
+            // unary Receive: the message IS a WrappedPayload; ack + close
+            val more = s.session.onEnvelope(RelayProto.encodeEnvelope(
+              RelayProto.EnvelopePayload(RelayProto.decode(m.get))))
+            if (ackMode != "per-frame") // unary always answers one ack
+              sendMessage(s, RelayProto.encodeAck(RelayProto.StreamAck(
+                success = true, okCount = 1)))
+            sendTrailers(s, 0, "")
+            require(more) // a payload envelope never closes the session
+          } else if (!s.session.onEnvelope(m.get)) {
+            sendTrailers(s, 0, "")
+          }
+          m = if (s.closed) None else s.data.poll()
+        }
+      }
+      def onEndStream(s: StreamState): Unit = if (!s.closed) {
+        // half-close without an explicit EnvelopeClose (a stock peer may
+        // just END_STREAM): synthesize the close so batch acks fire
+        if (s.path == GrpcRelay.StreamPath)
+          s.session.onEnvelope(RelayProto.encodeEnvelope(
+            RelayProto.EnvelopeClose("end-of-stream")))
+        if (!s.closed) sendTrailers(s, 0, "")
+      }
+
+      var more = true
+      while (more && running.get()) {
+        val f =
+          try Http2.readFrame(in, maxMessageBytes + 1024)
+          catch {
+            case e: EOFException =>
+              // a stock peer may close the TCP connection without GOAWAY;
+              // that's a clean end IFF every stream it opened finished
+              if (streams.nonEmpty && streams.values.forall(_.closed)) {
+                more = false
+                null
+              } else throw e
+          }
+        if (f == null) () else f.tpe match {
+          case Http2.TSettings =>
+            if (!f.has(Http2.FAck)) {
+              windows.onSettings(Http2.parseSettings(f.payload))
+              Http2.writeFrame(out, Http2.TSettings, Http2.FAck, 0,
+                Array.emptyByteArray)
+              out.flush()
+            }
+          case Http2.TPing =>
+            if (!f.has(Http2.FAck)) {
+              Http2.writeFrame(out, Http2.TPing, Http2.FAck, 0, f.payload)
+              out.flush()
+            }
+          case Http2.TWindowUpdate =>
+            val inc = ((f.payload(0) & 0x7f) << 24) | ((f.payload(1) & 0xff) << 16) |
+              ((f.payload(2) & 0xff) << 8) | (f.payload(3) & 0xff)
+            windows.onWindowUpdate(f.streamId, inc.toLong)
+          case Http2.THeaders =>
+            headerBlock.reset()
+            headerBlock.write(Http2.stripPadding(f))
+            headerStream = f.streamId
+            headerEndStream = f.has(Http2.FEndStream)
+            if (f.has(Http2.FEndHeaders)) {
+              onHeaders(headerStream,
+                codec.decode(headerStream, headerBlock.toByteArray),
+                headerEndStream)
+              headerBlock.reset()
+            }
+          case Http2.TContinuation =>
+            require(headerStream == f.streamId, "continuation stream mismatch")
+            require(headerBlock.size.toLong + f.payload.length <= maxMessageBytes,
+              s"header block exceeds $maxMessageBytes bytes")
+            headerBlock.write(f.payload)
+            if (f.has(Http2.FEndHeaders)) {
+              onHeaders(headerStream,
+                codec.decode(headerStream, headerBlock.toByteArray),
+                headerEndStream)
+              headerBlock.reset()
+            }
+          case Http2.TData =>
+            val s = streams.getOrElse(f.streamId,
+              throw new IOException(s"DATA on unopened stream ${f.streamId}"))
+            val body = Http2.stripPadding(f)
+            s.data.feed(body)
+            if (f.payload.length > 0) {
+              Http2.writeFrame(out, Http2.TWindowUpdate, 0, 0,
+                Http2.windowUpdatePayload(f.payload.length))
+              Http2.writeFrame(out, Http2.TWindowUpdate, 0, f.streamId,
+                Http2.windowUpdatePayload(f.payload.length))
+              out.flush()
+            }
+            drain(s)
+            if (f.has(Http2.FEndStream)) onEndStream(s)
+          case Http2.TGoAway => more = false
+          case Http2.TRstStream =>
+            streams.get(f.streamId).foreach(_.closed = true)
+          case _ => () // PRIORITY etc.
+        }
+      }
+    } catch {
+      case _: Throwable =>
+        if (running.get() && !sock.isClosed) badFrames.incrementAndGet()
+    } finally {
+      conns.remove(sock)
+      try sock.close() catch { case _: Throwable => () }
+    }
+  }
+
+  /** Raw ingress stream (one string per received record). */
+  def raw: Dataset[String] = stream.toDS()
+
+  def jsonStream(schema: StructType): DataFrame =
+    Sources.jsonLines(raw.toDF("value"), "value", schema)
+
+  def receivedCount: Long = received.get()
+  def badFrameCount: Long = badFrames.get()
+
+  def stop(): Unit = {
+    running.set(false)
+    try server.close() catch { case _: Throwable => () }
+    conns.forEach(s => try s.close() catch { case _: Throwable => () })
+    conns.clear()
+  }
+}

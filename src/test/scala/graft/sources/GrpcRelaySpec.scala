@@ -1,0 +1,305 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.SparkSpec
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+/** K5/S11 gRPC relay edge: genuine HTTP/2 (h2c prior knowledge) + gRPC
+  * length-prefixed framing around the shared RelayProto envelope/ack
+  * brain — golden wire bytes for the self-generated frames, all three
+  * ack modes e2e, the unary Receive rpc, flow-control across
+  * multi-frame DATA, stock-peer half-close, and the hostile-input
+  * rejections. */
+class GrpcRelaySpec extends SparkSpec {
+
+  private val key = Array.tabulate[Byte](32)(i => (i * 11 + 7).toByte)
+  private val schema = new StructType().add("id", LongType).add("name", StringType)
+
+  private def df(n: Long) = {
+    import spark.implicits._
+    (0L until n).map(i => (i, s"rec$i")).toDF("id", "name")
+  }
+
+  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+
+  // --- golden wire bytes ---------------------------------------------------
+
+  test("golden wire bytes: preface, SETTINGS, WINDOW_UPDATE, and one gRPC " +
+    "DATA frame carrying a fixed envelope match the public grammar") {
+    // RFC 7540 §3.5 connection preface, byte-exact
+    assert(hex(Http2.Preface) === "505249202a20485454502f322e300d0a0d0a534d0d0a0d0a")
+    // SETTINGS(MAX_FRAME_SIZE=16384, INITIAL_WINDOW_SIZE=65535):
+    // len=12 type=4 flags=0 stream=0, then two (id16, value32) pairs
+    val settings = {
+      val b = new java.io.ByteArrayOutputStream()
+      Http2.writeFrame(new DataOutputStream(b), Http2.TSettings, 0, 0,
+        Http2.settingsPayload(Seq(
+          Http2.SetMaxFrameSize -> 16384L, Http2.SetInitialWindowSize -> 65535L)))
+      b.toByteArray
+    }
+    assert(hex(settings) === "00000c040000000000" + "000500004000" + "00040000ffff")
+    // WINDOW_UPDATE(stream 3, +65535)
+    val wu = {
+      val b = new java.io.ByteArrayOutputStream()
+      Http2.writeFrame(new DataOutputStream(b), Http2.TWindowUpdate, 0, 3,
+        Http2.windowUpdatePayload(65535))
+      b.toByteArray
+    }
+    assert(hex(wu) === "000004080000000003" + "0000ffff")
+    // one DATA frame (END_STREAM) with a gRPC message wrapping a FIXED
+    // RelayEnvelope: flag 0 + len32 + proto bytes, framed on stream 1
+    val env = RelayProto.encodeEnvelope(RelayProto.EnvelopePayload(
+      RelayProto.wrap("x".getBytes(UTF_8), id = "g", seq = 1,
+        tsEpochMs = 1700000000000L,
+        algo = graft.functions.Codecs.CompressNone, key = None)))
+    val msg = GrpcWire.message(env)
+    val frame = {
+      val b = new java.io.ByteArrayOutputStream()
+      Http2.writeFrame(new DataOutputStream(b), Http2.TData,
+        Http2.FEndStream, 1, msg)
+      b.toByteArray
+    }
+    // 9-byte header: length = env+5, type DATA(0), flags END_STREAM(1)
+    assert(frame.length === 9 + 5 + env.length)
+    assert(hex(frame.take(9)) ===
+      f"${env.length + 5}%06x" + "00" + "01" + "00000001")
+    assert(hex(frame.slice(9, 14)) === "00" + f"${env.length}%08x")
+    assert(hex(frame) ===
+      "000037000100000001" + // header: len 0x37, DATA, END_STREAM, stream 1
+      "0000000032" +         // gRPC prefix: flag 0, message len 0x32
+      "1230" +               // RelayEnvelope.payload (oneof arm 2), len 0x30
+      "0a0167" +             //   id "g"
+      "12060880e2cfaa06" +   //   timestamp 1700000000s
+      "1a0178" +             //   payload "x"
+      "221e12146170706c69636174696f6e2f782d6e646a736f6e" + // metadata: content-type
+      "1a020801" + "2200" + "3a00" + // version 0.1, perf/security empty
+      "3001")                //   seq 1
+  }
+
+  test("gRPC message reassembly: split across feeds, multiple per buffer, " +
+    "compressed flag and oversize declared length rejected") {
+    val mb = new GrpcWire.MessageBuffer(1024)
+    val m1 = GrpcWire.message("hello".getBytes(UTF_8))
+    val m2 = GrpcWire.message("world!".getBytes(UTF_8))
+    mb.feed(m1, 0, 3) // partial
+    assert(mb.poll().isEmpty)
+    mb.feed(m1, 3, m1.length - 3)
+    mb.feed(m2)
+    assert(new String(mb.poll().get, UTF_8) === "hello")
+    assert(new String(mb.poll().get, UTF_8) === "world!")
+    assert(mb.poll().isEmpty && mb.isEmpty)
+    val compressed = GrpcWire.message("x".getBytes(UTF_8))
+    compressed(0) = 1
+    val mbc = new GrpcWire.MessageBuffer(1024)
+    mbc.feed(compressed)
+    assert(intercept[IllegalArgumentException](mbc.poll())
+      .getMessage.contains("compressed"))
+    val big = new GrpcWire.MessageBuffer(16)
+    big.feed(GrpcWire.message(new Array[Byte](17)).take(5))
+    assert(intercept[IllegalArgumentException](big.poll())
+      .getMessage.contains("exceeds cap"))
+  }
+
+  // --- e2e over real sockets -------------------------------------------------
+
+  test("e2e fire-and-forget: sealed zstd+AES envelopes ride gRPC DATA " +
+    "frames into the stream") {
+    val relay = new GrpcRelayReceiver(spark, 0, Some(key))
+    val ingress = relay.jsonStream(schema).writeStream
+      .format("memory").queryName("grpc_relay").outputMode("append").start()
+    try {
+      GrpcRelay.writeGrpcProto(df(100), "127.0.0.1", relay.boundPort,
+        compression = graft.functions.Codecs.CompressZstd,
+        key = Some(key), maxChunkBytes = 128)
+      eventually(relay.receivedCount == 100, s"got ${relay.receivedCount}/100")
+      ingress.processAllAvailable()
+      val rows = spark.table("grpc_relay").collect()
+      assert(rows.length == 100)
+      assert(rows.map(_.getAs[Long]("id")).sorted.toSeq == (0L until 100L))
+      assert(relay.badFrameCount == 0)
+    } finally { ingress.stop(); relay.stop() }
+  }
+
+  test("per-frame acks: every message acked with its seq echo; batch acks: " +
+    "one summary on close") {
+    for (mode <- Seq("per-frame", "batch")) {
+      val relay = new GrpcRelayReceiver(spark, 0, Some(key), ackMode = mode)
+      try {
+        GrpcRelay.writeGrpcProto(df(60), "127.0.0.1", relay.boundPort,
+          key = Some(key), maxChunkBytes = 64, ackMode = mode,
+          ackTimeoutMs = 10000)
+        eventually(relay.receivedCount == 60, s"$mode: got ${relay.receivedCount}/60")
+        assert(relay.badFrameCount == 0, mode)
+      } finally relay.stop()
+    }
+  }
+
+  test("a chunk larger than the 16384 max frame splits across DATA frames " +
+    "and the send-window wait loop makes progress") {
+    import spark.implicits._
+    // ~40 records x 8KB >> the 65535 default window and the 16384 frame cap
+    val wide = (0L until 40L).map(i => (i, "v" * 8000)).toDF("id", "name")
+    val relay = new GrpcRelayReceiver(spark, 0, ackMode = "batch")
+    try {
+      GrpcRelay.writeGrpcProto(wide, "127.0.0.1", relay.boundPort,
+        maxChunkBytes = 1 << 20, ackMode = "batch", ackTimeoutMs = 20000)
+      eventually(relay.receivedCount == 40, s"got ${relay.receivedCount}/40")
+      assert(relay.badFrameCount == 0)
+    } finally relay.stop()
+  }
+
+  test("wrong key under per-frame acks: the writer fails on the failure " +
+    "ack, the receiver counts the frame") {
+    val relay = new GrpcRelayReceiver(spark, 0, Some(key), ackMode = "per-frame")
+    try {
+      val wrong = Array.tabulate[Byte](32)(i => (i * 13 + 5).toByte)
+      val e = intercept[Exception] {
+        GrpcRelay.writeGrpcProto(df(5), "127.0.0.1", relay.boundPort,
+          key = Some(wrong), maxChunkBytes = 64, ackMode = "per-frame",
+          ackTimeoutMs = 10000)
+      }
+      eventually(relay.badFrameCount > 0, "bad frame not counted")
+      assert(relay.receivedCount == 0)
+      assert(e.toString.nonEmpty)
+    } finally relay.stop()
+  }
+
+  test("ack-mode mismatch times out instead of hanging") {
+    val relay = new GrpcRelayReceiver(spark, 0, ackMode = "none")
+    try {
+      intercept[Exception] {
+        GrpcRelay.writeGrpcProto(df(3), "127.0.0.1", relay.boundPort,
+          maxChunkBytes = 64, ackMode = "per-frame", ackTimeoutMs = 1500)
+      }
+    } finally relay.stop()
+  }
+
+  // --- hand-rolled stock-peer behaviors --------------------------------------
+
+  /** Minimal manual h2c client for peer-shaped tests: preface + SETTINGS,
+    * one request stream, collected response messages + trailers. */
+  private final class ManualPeer(port: Int) extends AutoCloseable {
+    val sock = new Socket("127.0.0.1", port)
+    sock.setSoTimeout(10000)
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    val codec = new Http2.HeaderCodec
+    val data = new GrpcWire.MessageBuffer(1 << 20)
+    var headers: Seq[(String, String)] = Nil
+    var trailers: Seq[(String, String)] = Nil
+    var ended = false
+    out.write(Http2.Preface)
+    Http2.writeFrame(out, Http2.TSettings, 0, 0, Array.emptyByteArray)
+    out.flush()
+
+    def open(path: String): Unit = {
+      Http2.writeFrame(out, Http2.THeaders, Http2.FEndHeaders, 1,
+        codec.encode(1, Seq(":method" -> "POST", ":scheme" -> "http",
+          ":path" -> path, ":authority" -> "t",
+          "content-type" -> "application/grpc", "te" -> "trailers")))
+      out.flush()
+    }
+    def send(body: Array[Byte], endStream: Boolean): Unit = {
+      Http2.writeFrame(out, Http2.TData,
+        if (endStream) Http2.FEndStream else 0, 1, GrpcWire.message(body))
+      out.flush()
+    }
+    def endStream(): Unit = {
+      Http2.writeFrame(out, Http2.TData, Http2.FEndStream, 1,
+        Array.emptyByteArray)
+      out.flush()
+    }
+    def pumpUntilEnd(): Unit = while (!ended) {
+      val f = Http2.readFrame(in, 1 << 20)
+      f.tpe match {
+        case Http2.TSettings if !f.has(Http2.FAck) =>
+          Http2.writeFrame(out, Http2.TSettings, Http2.FAck, 0,
+            Array.emptyByteArray); out.flush()
+        case Http2.TPing if !f.has(Http2.FAck) =>
+          Http2.writeFrame(out, Http2.TPing, Http2.FAck, 0, f.payload)
+          out.flush()
+        case Http2.TData => data.feed(Http2.stripPadding(f))
+          if (f.has(Http2.FEndStream)) ended = true
+        case Http2.THeaders =>
+          val hs = codec.decode(1, Http2.stripPadding(f))
+          if (headers.isEmpty) headers = hs else trailers = hs
+          if (f.has(Http2.FEndStream)) ended = true
+        case _ => ()
+      }
+    }
+    def close(): Unit = sock.close()
+  }
+
+  test("unary Receive: one WrappedPayload in, one ack + grpc-status 0 out") {
+    val relay = new GrpcRelayReceiver(spark, 0)
+    try {
+      val p = new ManualPeer(relay.boundPort)
+      try {
+        p.open(GrpcRelay.UnaryPath)
+        p.send(RelayProto.encode(RelayProto.wrap(
+          """{"id":7,"name":"solo"}""".getBytes(UTF_8), id = "u1", seq = 0,
+          tsEpochMs = 1L, algo = graft.functions.Codecs.CompressNone,
+          key = None)), endStream = true)
+        p.pumpUntilEnd()
+        val ack = RelayProto.decodeAck(p.data.poll().get)
+        assert(ack.success && ack.okCount == 1)
+        assert((p.trailers ++ p.headers)
+          .collectFirst { case ("grpc-status", v) => v }.contains("0"))
+        eventually(relay.receivedCount == 1, "record not ingested")
+      } finally p.close()
+    } finally relay.stop()
+  }
+
+  test("stock-peer half-close WITHOUT EnvelopeClose still triggers the " +
+    "batch summary ack and clean trailers") {
+    val relay = new GrpcRelayReceiver(spark, 0, ackMode = "batch")
+    try {
+      val p = new ManualPeer(relay.boundPort)
+      try {
+        p.open(GrpcRelay.StreamPath)
+        (0 until 3).foreach { i =>
+          p.send(RelayProto.encodeEnvelope(RelayProto.EnvelopePayload(
+            RelayProto.wrap(s"""{"id":$i,"name":"hc"}""".getBytes(UTF_8),
+              id = s"m$i", seq = i.toLong, tsEpochMs = 1L,
+              algo = graft.functions.Codecs.CompressNone, key = None))),
+            endStream = false)
+        }
+        p.endStream() // no EnvelopeClose — stock gRPC half-close
+        p.pumpUntilEnd()
+        val ack = RelayProto.decodeAck(p.data.poll().get)
+        assert(ack.success && ack.okCount == 3, ack)
+        assert((p.trailers ++ p.headers)
+          .collectFirst { case ("grpc-status", v) => v }.contains("0"))
+        eventually(relay.receivedCount == 3, s"got ${relay.receivedCount}/3")
+        assert(relay.badFrameCount == 0)
+      } finally p.close()
+    } finally relay.stop()
+  }
+
+  test("an unknown rpc path drops the stream as a bad frame; a non-h2c " +
+    "peer is refused at the preface") {
+    val relay = new GrpcRelayReceiver(spark, 0)
+    try {
+      val p = new ManualPeer(relay.boundPort)
+      try {
+        p.open("/electrician.RelayService/NoSuchRpc")
+        intercept[Exception](p.pumpUntilEnd()) // connection torn down
+      } finally p.close()
+      eventually(relay.badFrameCount >= 1, "bad path not counted")
+      // HTTP/1.1 bytes are not a preface
+      val sock = new Socket("127.0.0.1", relay.boundPort)
+      try {
+        sock.setSoTimeout(5000)
+        sock.getOutputStream.write(
+          "GET / HTTP/1.1\r\nHost: x\r\n\r\n".getBytes(UTF_8))
+        sock.getOutputStream.flush()
+        assert(sock.getInputStream.read() == -1) // closed, nothing served
+      } finally sock.close()
+      eventually(relay.badFrameCount >= 2, "bad preface not counted")
+      assert(relay.receivedCount == 0)
+    } finally relay.stop()
+  }
+}
