@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, IOException}
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, IOException}
 import java.net.Socket
 import java.nio.charset.StandardCharsets.UTF_8
 
@@ -38,6 +38,37 @@ object Kafka {
 
   final case class Split(topic: String, partition: Int, start: Long, end: Long)
 
+  /** Typed routing error: the broker answering is not (or no longer) the
+    * partition's leader — the client must refresh metadata and re-route
+    * ([[LeaderClient]] does; a raw [[WireClient]] caller sees it raw). */
+  final class NotLeaderForPartition(val topic: String, val partition: Int)
+    extends IOException(s"not the leader for $topic/$partition — refresh metadata")
+
+  /** One Metadata response's routing view: brokers by node id and the
+    * leader node per partition. */
+  final case class ClusterMeta(brokers: Map[Int, (String, Int)],
+                               leaders: Map[(String, Int), Int]) {
+    def partitions(topic: String): Seq[Int] =
+      leaders.keysIterator.collect { case (`topic`, p) => p }.toSeq.sorted
+  }
+
+  /** The client surface shared by the fetch kernel, the distributed
+    * read/write, and the spool bridge — implemented directly by
+    * [[WireClient]] (single broker) and by [[LeaderClient]] (metadata-
+    * routed connection pool for real multi-broker clusters). */
+  trait Client extends AutoCloseable {
+    def metadata(topics: Seq[String] = null): Map[String, Seq[Int]]
+    def fetch(topic: String, partition: Int, offset: Long,
+              maxBytes: Int = 1 << 20, maxWaitMs: Int = 500,
+              minBytes: Int = 1): (Long, Seq[KRecord])
+    def listOffset(topic: String, partition: Int, ts: Long): Long
+    def produce(topic: String, partition: Int, recordSet: Array[Byte],
+                timeoutMs: Int = 30000): Long
+    def initProducerId(): (Long, Short)
+    def offsetCommit(group: String, offsets: Map[(String, Int), Long]): Unit
+    def offsetFetch(group: String, tps: Seq[(String, Int)]): Map[(String, Int), Long]
+  }
+
   /** Typed fetch error: the broker refused the offset (below the log start
     * after retention/compaction, or beyond the log end). `logEnd` carries
     * the response's high-watermark field VERBATIM — real brokers set it to
@@ -60,7 +91,7 @@ object Kafka {
     * to earliest — the stock consumer's reset-to-earliest for a lagging
     * cursor. Returns `(Nil, off)` when there is genuinely nothing at or
     * past `off` yet. */
-  def fetchPage(c: WireClient, topic: String, partition: Int, off: Long,
+  def fetchPage(c: Client, topic: String, partition: Int, off: Long,
                 end: Long = Long.MaxValue,
                 maxBytes: Int = 1 << 20): (Seq[KRecord], Long) = {
     val recs =
@@ -105,7 +136,7 @@ object Kafka {
   /** One blocking connection; calls are serialized (the classic protocol
     * allows pipelining, but every use here is call-and-wait). */
   final class WireClient(host: String, port: Int, clientId: String = "graft",
-                         timeoutMs: Int = 30000) extends AutoCloseable {
+                         timeoutMs: Int = 30000) extends Client {
     private val sock = new Socket(host, port)
     sock.setTcpNoDelay(true)
     sock.setSoTimeout(timeoutMs)
@@ -131,28 +162,41 @@ object Kafka {
       r.array(x => (x.int16().toInt, x.int16().toInt, x.int16().toInt))
     }
 
-    /** Metadata v1 → partition ids per topic (single-broker scope: leader
-      * routing is a no-op here; a multi-broker client would key a
-      * connection pool by the leader ids this response carries). */
+    /** Metadata v1 → partition ids per topic. */
     def metadata(topics: Seq[String] = null): Map[String, Seq[Int]] = {
+      val m = metadataCluster(topics)
+      m.leaders.keys.groupBy(_._1).map { case (t, ks) =>
+        t -> ks.map(_._2).toSeq.sorted
+      }
+    }
+
+    /** Metadata v1 with the ROUTING view: broker addresses by node id and
+      * the leader node per partition — what [[LeaderClient]] keys its
+      * connection pool by (`SCALING.md` multi-broker note, now real). */
+    def metadataCluster(topics: Seq[String] = null): ClusterMeta = {
       val w = new Writer()
       if (topics == null) w.int32(-1)
       else w.array(topics)((b, t) => b.string(t))
       val r = call(ApiMetadata, 1, w.toBytes)
-      r.array(x => { x.int32(); x.string(); x.int32(); x.nullableString() }) // brokers
+      val brokers = r.array { x =>
+        val id = x.int32(); val host = x.string(); val port = x.int32()
+        x.nullableString() // rack
+        id -> ((host, port))
+      }.toMap
       r.int32() // controller id
+      val leaders = Map.newBuilder[(String, Int), Int]
       r.array { t =>
         val err = t.int16()
         val name = t.string()
         t.int8() // is_internal
-        val parts = t.array { p =>
-          p.int16(); val id = p.int32(); p.int32()
+        t.array { p =>
+          p.int16(); val id = p.int32(); val leader = p.int32()
           p.array(_.int32()); p.array(_.int32())
-          id
+          leaders += (name, id) -> leader
         }
         require(err == ErrNone, s"metadata error $err for topic $name")
-        name -> parts.sorted
-      }.toMap
+      }
+      ClusterMeta(brokers, leaders.result())
     }
 
     /** Produce v3 (acks=-1): returns the assigned base offset. */
@@ -178,6 +222,8 @@ object Kafka {
           val err = p.int16()
           base = p.int64()
           p.int64() // log_append_time
+          if (err == KafkaProto.ErrNotLeaderForPartition)
+            throw new Kafka.NotLeaderForPartition(topic, partition)
           require(err == ErrNone, s"produce error $err on $topic/$partition")
         }
       }
@@ -219,6 +265,8 @@ object Kafka {
           val set = p.nullableBytes()
           if (err == KafkaProto.ErrOffsetOutOfRange)
             throw new Kafka.OffsetOutOfRange(topic, partition, offset, hw)
+          if (err == KafkaProto.ErrNotLeaderForPartition)
+            throw new Kafka.NotLeaderForPartition(topic, partition)
           require(err == ErrNone, s"fetch error $err on $topic/$partition@$offset")
           if (set != null && set.nonEmpty)
             recs = decodeRecordBatches(set).filter(_.offset >= offset)
@@ -245,6 +293,8 @@ object Kafka {
           val err = p.int16()
           p.int64() // timestamp
           off = p.int64()
+          if (err == KafkaProto.ErrNotLeaderForPartition)
+            throw new Kafka.NotLeaderForPartition(topic, partition)
           require(err == ErrNone, s"listOffsets error $err on $topic/$partition")
         }
       }
@@ -324,13 +374,109 @@ object Kafka {
     }
   }
 
+  /** Metadata-routed connection pool — the multi-broker client
+    * (`SCALING.md`'s leader-routing note made real): partition-addressed
+    * calls (fetch/produce/listOffset) go to the partition's LEADER, keyed
+    * by node id from the Metadata response; a NOT_LEADER answer (or a
+    * dead leader connection) refreshes metadata and re-routes, bounded.
+    * Group-offset calls ride the bootstrap connection (coordinator
+    * discovery — FindCoordinator — is not modeled: every test-double
+    * broker serves group offsets, and a real deployment points bootstrap
+    * at the cluster anyway). Re-routing a produce after NOT_LEADER is
+    * duplicate-safe even for non-idempotent batches: that error means
+    * the append was refused. One instance per task/thread, like
+    * [[WireClient]]. */
+  final class LeaderClient(bootstrap: (String, Int), clientId: String = "graft",
+                           timeoutMs: Int = 30000) extends Client {
+    private val boot = new WireClient(bootstrap._1, bootstrap._2, clientId, timeoutMs)
+    private var conns = Map[Int, WireClient]()
+    private var meta: ClusterMeta = boot.metadataCluster(null)
+
+    private def refresh(): Unit = {
+      meta = boot.metadataCluster(null)
+      // drop pooled connections whose address moved or vanished
+      conns = conns.filter { case (id, c) =>
+        val keep = meta.brokers.contains(id)
+        if (!keep) { try c.close() catch { case _: Throwable => () } }
+        keep
+      }
+    }
+
+    private def leaderConn(topic: String, partition: Int): WireClient = {
+      val node = meta.leaders.getOrElse((topic, partition), {
+        refresh()
+        meta.leaders.getOrElse((topic, partition),
+          throw new IOException(s"no leader for $topic/$partition in metadata"))
+      })
+      val (h, p) = meta.brokers(node)
+      conns.getOrElse(node, {
+        val c = new WireClient(h, p, clientId, timeoutMs)
+        conns += node -> c
+        c
+      })
+    }
+
+    /** Route one partition-addressed call with a bounded
+      * refresh-and-retry on NOT_LEADER — and, for IDEMPOTENT calls only
+      * (`retryIo`, reads), on a broken pooled connection too; a produce
+      * must surface connection death to its caller, which owns the
+      * duplicate-safety decision (see [[write]]'s idempotent resend). */
+    private def routed[A](topic: String, partition: Int, retryIo: Boolean,
+                          retries: Int = 2)(f: WireClient => A): A = {
+      var attempt = 0
+      while (true) {
+        val c = leaderConn(topic, partition)
+        try return f(c)
+        catch {
+          case e @ (_: NotLeaderForPartition | _: java.net.SocketException |
+                    _: EOFException) =>
+            attempt += 1
+            if (attempt > retries ||
+              (!retryIo && !e.isInstanceOf[NotLeaderForPartition])) throw e
+            // a broken socket poisons the pooled conn: drop it either way
+            conns.find(_._2 eq c).foreach { case (id, cc) =>
+              try cc.close() catch { case _: Throwable => () }
+              conns -= id
+            }
+            refresh()
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
+    def metadata(topics: Seq[String] = null): Map[String, Seq[Int]] =
+      boot.metadata(topics)
+    def metadataCluster(topics: Seq[String] = null): ClusterMeta =
+      boot.metadataCluster(topics)
+    def fetch(topic: String, partition: Int, offset: Long, maxBytes: Int,
+              maxWaitMs: Int, minBytes: Int): (Long, Seq[KRecord]) =
+      routed(topic, partition, retryIo = true)(_.fetch(topic, partition,
+        offset, maxBytes, maxWaitMs, minBytes))
+    def listOffset(topic: String, partition: Int, ts: Long): Long =
+      routed(topic, partition, retryIo = true)(_.listOffset(topic, partition, ts))
+    def produce(topic: String, partition: Int, recordSet: Array[Byte],
+                timeoutMs: Int): Long =
+      routed(topic, partition, retryIo = false)(
+        _.produce(topic, partition, recordSet, timeoutMs))
+    def initProducerId(): (Long, Short) = boot.initProducerId()
+    def offsetCommit(group: String, offsets: Map[(String, Int), Long]): Unit =
+      boot.offsetCommit(group, offsets)
+    def offsetFetch(group: String, tps: Seq[(String, Int)]): Map[(String, Int), Long] =
+      boot.offsetFetch(group, tps)
+    override def close(): Unit = {
+      conns.valuesIterator.foreach(c => try c.close() catch { case _: Throwable => () })
+      conns = Map.empty
+      try boot.close() catch { case _: Throwable => () }
+    }
+  }
+
   // ======================================================================
   // Spark integration: batch read (one task per Kafka partition)
   // ======================================================================
 
   /** Current earliest..latest offset range per partition of `topic`. */
   def offsetRanges(bootstrap: (String, Int), topic: String): Seq[Split] = {
-    val c = new WireClient(bootstrap._1, bootstrap._2)
+    val c = new LeaderClient(bootstrap)
     try {
       val parts = c.metadata(Seq(topic)).getOrElse(topic,
         throw new IOException(s"unknown topic $topic"))
@@ -352,7 +498,7 @@ object Kafka {
     val rows = spark.sparkContext
       .parallelize(eff, math.max(eff.size, 1))
       .flatMap { s =>
-        val c = new WireClient(host, port)
+        val c = new LeaderClient((host, port))
         try {
           val out = Vector.newBuilder[Row]
           var off = s.start
@@ -406,7 +552,7 @@ object Kafka {
     val idem = idempotent
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
-        var c = new WireClient(host, port)
+        var c: Client = new LeaderClient((host, port))
         try {
           val nParts = c.metadata(Seq(topic))(topic).size
           val (pid, epoch) = if (idem) c.initProducerId() else (-1L, (-1).toShort)
@@ -427,7 +573,7 @@ object Kafka {
                 // append landed, the broker dedupes; if not, this is the
                 // first append — either way exactly one copy
                 try c.close() catch { case _: Exception => () }
-                c = new WireClient(host, port)
+                c = new LeaderClient((host, port))
                 c.produce(topic, p, batch)
             }
             if (idem) seqs(p) += pendingN(p)
@@ -485,7 +631,7 @@ object Kafka {
                             maxPollBytes: Int = 1 << 20) extends AutoCloseable {
     require(Set("after-batch", "after-each", "auto").contains(commitMode),
       s"unknown commit mode $commitMode")
-    private val c = new WireClient(bootstrap._1, bootstrap._2)
+    private val c = new LeaderClient(bootstrap)
     private val parts: Seq[Int] = c.metadata(Seq(topic))(topic)
     private val pos: scala.collection.mutable.Map[Int, Long] = {
       val committed = c.offsetFetch(group, parts.map((topic, _)))

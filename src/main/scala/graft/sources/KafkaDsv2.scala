@@ -2,10 +2,12 @@ package graft.sources
 
 import java.util
 
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
@@ -45,14 +47,19 @@ final class GraftKafkaProvider extends TableProvider with DataSourceRegister {
 }
 
 private[sources] final class GraftKafkaTable(options: CaseInsensitiveStringMap)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-kafka:${options.get("topic")}"
   override def schema(): StructType = Kafka.scanSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.STREAMING_WRITE, TableCapability.BATCH_WRITE)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new GraftKafkaScan(opts)
+    }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new GraftKafkaWrite(info)
     }
 }
 
@@ -110,14 +117,14 @@ private[sources] final class GraftKafkaMicroBatchStream(
   // drop idle sockets (connections.max.idle.ms), and a long trigger
   // interval must not kill the query on the first listOffset after a nap.
   // NOT lazy-val: stop() must never OPEN a socket just to close one.
-  @volatile private var clientOpt: Kafka.WireClient = _
-  private def withClient[A](f: Kafka.WireClient => A): A = synchronized {
-    if (clientOpt == null) clientOpt = new Kafka.WireClient(host, port)
+  @volatile private var clientOpt: Kafka.LeaderClient = _
+  private def withClient[A](f: Kafka.LeaderClient => A): A = synchronized {
+    if (clientOpt == null) clientOpt = new Kafka.LeaderClient((host, port))
     try f(clientOpt)
     catch {
       case _: java.io.IOException =>
         try clientOpt.close() catch { case _: Exception => () }
-        clientOpt = new Kafka.WireClient(host, port)
+        clientOpt = new Kafka.LeaderClient((host, port))
         f(clientOpt)
     }
   }
@@ -221,7 +228,7 @@ private[sources] final class KafkaReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val kp = p.asInstanceOf[KafkaInputPartition]
     new PartitionReader[InternalRow] {
-      private val client = new Kafka.WireClient(kp.host, kp.port)
+      private val client = new Kafka.LeaderClient((kp.host, kp.port))
       private var off = kp.start
       private var buf: Iterator[KRecord] = Iterator.empty
       private var current: KRecord = _
@@ -251,4 +258,162 @@ private[sources] final class KafkaReaderFactory extends PartitionReaderFactory {
       override def close(): Unit = client.close()
     }
   }
+}
+
+/** `writeStream.format("graft-kafka")` — the WRITE side of the DSv2
+  * table, symmetric with the read side: every task routes rows by
+  * murmur2 of the key (null keys round-robin seeded by the Spark
+  * partition id) and produces with the IDEMPOTENT producer at the
+  * reference writer's batch budgets, through [[Kafka.LeaderClient]]
+  * (multi-broker leader routing).
+  *
+  * Delivery contract: EPOCH REPLAY after a kill/restart — the crash a
+  * checkpointed stream actually recovers through — writes nothing
+  * twice: each task commits an epoch fence to the broker's group-offset
+  * store (group `<sinkGroup>-p<sparkPartition>`) AFTER its records are
+  * acknowledged, and a replayed task whose fence is already at/past its
+  * epoch skips the produce entirely. Connection-level retries are
+  * deduped by the idempotent producer (same pid/sequence resend). The
+  * remaining window — a task dying BETWEEN its last produce ack and its
+  * fence commit — can duplicate that task's batch; closing it needs
+  * Kafka transactions, which this edge does not model (documented
+  * SURVEY §2 K1). That is strictly tighter than the stock
+  * non-transactional Kafka sink, which replays every unfenced epoch.
+  *
+  * Input schema: `key`/`value` columns, string or binary (the
+  * [[Sources.encodeKafka]] shape). Options: host, port, topic,
+  * maxBatchRecords (1000), maxBatchBytes (1 MiB), sinkGroup (defaults
+  * to `graft-sink-<queryId>`). */
+private[sources] final class GraftKafkaWrite(info: LogicalWriteInfo) extends Write {
+  private def req(k: String): String = {
+    val v = info.options.get(k)
+    require(v != null && v.nonEmpty, s"graft-kafka sink requires option '$k'")
+    v
+  }
+  private val host = req("host")
+  private val port = req("port").toInt
+  private val topic = req("topic")
+  private val maxRecs = Option(info.options.get("maxBatchRecords")).map(_.toInt).getOrElse(1000)
+  private val maxBytes = Option(info.options.get("maxBatchBytes")).map(_.toInt).getOrElse(1 << 20)
+  private val sinkGroup = Option(info.options.get("sinkGroup"))
+    .getOrElse(s"graft-sink-${info.queryId()}")
+  private val schema = info.schema()
+  require(schema.fieldNames.contains("key") && schema.fieldNames.contains("value"),
+    s"graft-kafka sink expects key/value columns, got ${schema.fieldNames.mkString(",")}")
+
+  override def toStreaming: StreamingWrite = new StreamingWrite {
+    override def createStreamingWriterFactory(i: PhysicalWriteInfo): StreamingDataWriterFactory =
+      KafkaWriterFactory(host, port, topic, schema, maxRecs, maxBytes, Some(sinkGroup))
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  }
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    override def createBatchWriterFactory(i: PhysicalWriteInfo): DataWriterFactory =
+      KafkaWriterFactory(host, port, topic, schema, maxRecs, maxBytes, None)
+    override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+    override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  }
+}
+
+/** Serializable task-side factory (the only thing shipped to executors —
+  * a factory that closed over the driver-side Write would not
+  * serialize). Batch writes pass no fence group (no epochs to replay). */
+private[sources] final case class KafkaWriterFactory(
+    host: String, port: Int, topic: String, schema: StructType,
+    maxRecs: Int, maxBytes: Int, fenceGroup: Option[String])
+  extends StreamingDataWriterFactory with DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new KafkaEpochWriter(host, port, topic, schema, maxRecs, maxBytes,
+      partitionId, epochId, fenceGroup)
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KafkaEpochWriter(host, port, topic, schema, maxRecs, maxBytes,
+      partitionId, epochId = 0L, fenceGroup = None)
+}
+
+private[sources] final case class KafkaWriteDone(partitionId: Int, epochId: Long,
+                                                 records: Long) extends WriterCommitMessage
+
+/** One task's epoch-fenced idempotent produce (see [[GraftKafkaWrite]]).
+  * Batching/routing mirrors [[Kafka.write]]'s partition loop. */
+private[sources] final class KafkaEpochWriter(
+    host: String, port: Int, topic: String,
+    schema: StructType, maxRecs: Int, maxBytes: Int,
+    sparkPartition: Int, epochId: Long, fenceGroup: Option[String])
+  extends DataWriter[InternalRow] {
+
+  import java.nio.charset.StandardCharsets.UTF_8
+
+  private val c = new Kafka.LeaderClient((host, port))
+  private val keyIdx = schema.fieldIndex("key")
+  private val valIdx = schema.fieldIndex("value")
+  private def bytesAt(row: InternalRow, i: Int): Array[Byte] =
+    if (row.isNullAt(i)) null
+    else schema.fields(i).dataType match {
+      case org.apache.spark.sql.types.BinaryType => row.getBinary(i)
+      case org.apache.spark.sql.types.StringType => row.getUTF8String(i).getBytes
+      case other => throw new IllegalArgumentException(
+        s"key/value must be string or binary, got $other")
+    }
+
+  /** Fence key: one group per (sink, spark partition), partition 0 slot
+    * stores lastWrittenEpoch + 1. */
+  private def fenceKey(g: String) = s"$g-p$sparkPartition"
+  private val alreadyWritten: Boolean = fenceGroup.exists { g =>
+    c.offsetFetch(fenceKey(g), Seq((topic, 0))).getOrElse((topic, 0), -1L) > epochId
+  }
+
+  private val nParts = if (alreadyWritten) 0 else c.metadata(Seq(topic))(topic).size
+  private val (pid, epoch) =
+    if (alreadyWritten) (-1L, (-1).toShort) else c.initProducerId()
+  private val seqs = new Array[Int](math.max(nParts, 1))
+  private val pending = Array.fill(math.max(nParts, 1))(
+    Vector.newBuilder[(Long, Array[Byte], Array[Byte], Seq[(String, Array[Byte])])])
+  private val pendingN = new Array[Int](math.max(nParts, 1))
+  private val pendingB = new Array[Int](math.max(nParts, 1))
+  private var rr = sparkPartition
+  private var written = 0L
+
+  private def flush(p: Int): Unit = if (pendingN(p) > 0) {
+    val batch = KafkaProto.encodeRecordBatch(0L, pending(p).result(),
+      producerId = pid, producerEpoch = epoch, baseSequence = seqs(p))
+    try c.produce(topic, p, batch)
+    catch {
+      case _: java.io.IOException =>
+        // resend the SAME sequence on a fresh route: the idempotent
+        // producer dedupes a landed-but-unacked append (Kafka.write rule)
+        c.produce(topic, p, batch)
+    }
+    seqs(p) += pendingN(p)
+    pending(p).clear(); pendingN(p) = 0; pendingB(p) = 0
+  }
+
+  override def write(row: InternalRow): Unit = if (!alreadyWritten) {
+    val key = bytesAt(row, keyIdx)
+    val value = bytesAt(row, valIdx)
+    val p =
+      if (key == null) { rr += 1; math.floorMod(rr - 1, nParts) }
+      else KafkaProto.partitionFor(key, nParts)
+    pending(p) += ((System.currentTimeMillis(), key, value, Nil))
+    pendingN(p) += 1
+    pendingB(p) += (if (key == null) 0 else key.length) +
+      (if (value == null) 0 else value.length)
+    written += 1
+    if (pendingN(p) >= maxRecs || pendingB(p) >= maxBytes) flush(p)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (!alreadyWritten) {
+      (0 until nParts).foreach(flush)
+      // fence AFTER every record is acknowledged: a replay of this epoch
+      // (kill/restart before the query checkpoint advanced) skips produce
+      fenceGroup.foreach(g =>
+        c.offsetCommit(fenceKey(g), Map((topic, 0) -> (epochId + 1))))
+    }
+    KafkaWriteDone(sparkPartition, epochId, written)
+  }
+
+  override def abort(): Unit = () // idempotent producer; replay re-fences
+  override def close(): Unit = c.close()
 }

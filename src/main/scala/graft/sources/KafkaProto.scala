@@ -42,6 +42,7 @@ object KafkaProto {
   val ErrNone: Short = 0
   val ErrOffsetOutOfRange: Short = 1
   val ErrUnknownTopicOrPartition: Short = 3
+  val ErrNotLeaderForPartition: Short = 6
   val ErrOutOfOrderSequence: Short = 45
 
   /** Earliest/latest sentinels for ListOffsets timestamps. */

@@ -386,6 +386,127 @@ class KafkaE2eSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("DSv2 sink: writeStream.format(graft-kafka) delivers exactly-once " +
+    "across kill/restart — a replayed epoch is fenced, not re-produced") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val broker = new MiniKafkaBroker(Map("sk" -> 2))
+    val boot = ("127.0.0.1", broker.boundPort)
+    try {
+      val ck = java.nio.file.Files.createTempDirectory("graft-ksink-ck").toString
+      val ms = MemoryStream[(String, String)]
+      def start() = ms.toDF().toDF("key", "value").writeStream
+        .format("graft-kafka")
+        .option("host", boot._1).option("port", boot._2.toString)
+        .option("topic", "sk")
+        .option("checkpointLocation", ck)
+        .start()
+      ms.addData((0 until 10).map(i => (s"k$i", s"""{"v":$i}""")): _*)
+      val q1 = start()
+      q1.processAllAvailable()
+      q1.stop()
+      q1.awaitTermination()
+      assert(Kafka.read(spark, boot, "sk").count() === 10L)
+      // simulate the kill-between-sink-write-and-checkpoint-commit crash:
+      // drop the last batch's commit marker so restart REPLAYS that epoch
+      val commits = new java.io.File(ck, "commits").listFiles()
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+      assert(commits.nonEmpty)
+      assert(commits.last.delete())
+      // drop Hadoop's checksum sidecar too, or the replayed commit's
+      // atomic rename collides with the stale crc and the restart dies
+      val crc = new java.io.File(commits.last.getParentFile,
+        s".${commits.last.getName}.crc")
+      if (crc.exists()) assert(crc.delete())
+      val q2 = start()
+      q2.processAllAvailable()
+      // the replayed epoch must be FENCED: still exactly one copy of each
+      val afterReplay = Kafka.read(spark, boot, "sk").collect()
+      assert(afterReplay.length === 10, s"epoch replay duplicated: ${afterReplay.length}")
+      assert(afterReplay.map(r => new String(r.getAs[Array[Byte]]("key"), UTF_8))
+        .sorted.toSeq === (0 until 10).map(i => s"k$i").sorted)
+      // and the stream keeps flowing after the replay
+      ms.addData((10 until 15).map(i => (s"k$i", s"""{"v":$i}""")): _*)
+      q2.processAllAvailable()
+      q2.stop()
+      assert(Kafka.read(spark, boot, "sk").count() === 15L)
+      // records route by murmur2 like every other writer path
+      assert(Kafka.read(spark, boot, "sk").select("partition").distinct().count() === 2L)
+    } finally broker.close()
+  }
+
+  /** Two protocol-faithful brokers sharing one log store: partition
+    * leadership is a map flip (replication is out of test scope), so a
+    * moved partition keeps its data while the WIRE contract — Metadata
+    * leader ids, NOT_LEADER_FOR_PARTITION from the wrong broker — stays
+    * real. */
+  private final class TwoBrokerCluster(topics: Map[String, Int]) extends AutoCloseable {
+    val logs = new java.util.concurrent.ConcurrentHashMap[(String, Int), MiniKafkaBroker.PartitionLog]()
+    private val leaders = new java.util.concurrent.ConcurrentHashMap[(String, Int), Integer]()
+    topics.foreach { case (t, n) =>
+      (0 until n).foreach(p => leaders.put((t, p), Integer.valueOf(p % 2)))
+    }
+    @volatile private var view: Seq[(Int, String, Int)] = Nil
+    private def mk(id: Int) = new MiniKafkaBroker(topics, nodeId = id,
+      clusterView = () => view,
+      leaderOf = (t, p) => leaders.get((t, p)).intValue(),
+      sharedLogs = logs)
+    val b0 = mk(0)
+    val b1 = mk(1)
+    view = Seq((0, "127.0.0.1", b0.boundPort), (1, "127.0.0.1", b1.boundPort))
+    def moveLeader(t: String, p: Int, node: Int): Unit =
+      leaders.put((t, p), Integer.valueOf(node))
+    def close(): Unit = { b0.close(); b1.close() }
+  }
+
+  test("multi-broker leader routing: produce/fetch go to each partition's " +
+    "leader, the wrong broker answers NOT_LEADER, and a MOVED partition " +
+    "triggers a metadata refresh instead of a failure") {
+    val cluster = new TwoBrokerCluster(Map("mb" -> 2))
+    try {
+      val boot = ("127.0.0.1", cluster.b0.boundPort)
+      // the wire contract is real: a raw single-broker client produce to
+      // the NON-leader is refused with the typed error
+      val raw = new Kafka.WireClient("127.0.0.1", cluster.b0.boundPort)
+      intercept[Kafka.NotLeaderForPartition] {
+        raw.produce("mb", 1, encodeRecordBatch(0L, Seq( // p1 leads on b1
+          (1L, null: Array[Byte], "nope".getBytes(UTF_8), Nil))))
+      }
+      intercept[Kafka.NotLeaderForPartition] { raw.fetch("mb", 1, 0L) }
+      intercept[Kafka.NotLeaderForPartition] { raw.listOffset("mb", 1, TsLatest) }
+      raw.close()
+      // the routed client lands every partition on its leader
+      val c = new Kafka.LeaderClient(boot)
+      (0 until 6).foreach { i =>
+        c.produce("mb", i % 2, encodeRecordBatch(0L, Seq(
+          (1L, null: Array[Byte], s"""{"i":$i}""".getBytes(UTF_8), Nil))))
+      }
+      assert(c.listOffset("mb", 0, TsLatest) === 3L)
+      assert(c.listOffset("mb", 1, TsLatest) === 3L)
+      // distributed read: each split's task routes to its own leader
+      val rows = Kafka.read(spark, boot, "mb").collect()
+      assert(rows.length === 6)
+      assert(rows.map(_.getAs[Int]("partition")).sorted.toSeq === Seq(0, 0, 0, 1, 1, 1))
+      // MOVE partition 0's leadership to node 1: the client's cached
+      // metadata now routes p0 to the wrong broker — NOT_LEADER must
+      // trigger a refresh + re-route, not an error (r11 verdict item 4)
+      cluster.moveLeader("mb", 0, 1)
+      assert(c.listOffset("mb", 0, TsLatest) === 3L) // re-routed read
+      c.produce("mb", 0, encodeRecordBatch(0L, Seq(   // re-routed produce
+        (1L, null: Array[Byte], """{"i":9}""".getBytes(UTF_8), Nil))))
+      val (_, recs) = c.fetch("mb", 0, 0L)
+      assert(recs.size === 4)
+      c.close()
+      // the distributed writer end-to-end across both leaders
+      import spark.implicits._
+      val df = (0 until 10).map(i => (s"k$i", s"""{"v":$i}""")).toDF("key", "value")
+      Kafka.write(df, boot, "mb")
+      val total = Kafka.read(spark, boot, "mb").count()
+      assert(total === 17L) // 6 + 1 moved-produce + 10
+    } finally cluster.close()
+  }
+
   test("hostile record framing: field lengths past the record's declared " +
     "length throw instead of silently reading the next record's bytes") {
     // record 0 claims a 64-byte value but frames only 2 of it; record 1 is

@@ -23,25 +23,34 @@ import KafkaProto._
   * earliest/latest list-offsets, and a group-offset store for standalone
   * commit/fetch. Not covered (out of test scope): replication, group
   * membership/rebalance, transactions, compression. */
-final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0) extends AutoCloseable {
+final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
+                            val nodeId: Int = 0,
+                            clusterView: () => Seq[(Int, String, Int)] = null,
+                            leaderOf: (String, Int) => Int = null,
+                            sharedLogs: ConcurrentHashMap[(String, Int), MiniKafkaBroker.PartitionLog] = null)
+  extends AutoCloseable {
+  import MiniKafkaBroker.PartitionLog
   private val server = new ServerSocket(port)
   def boundPort: Int = server.getLocalPort
 
-  private final class PartitionLog {
-    val batches = new ArrayBuffer[Array[Byte]]() // baseOffset already rewritten
-    var logEnd: Long = 0L
-    /** First readable offset, advanced by retention ([[dropBatches]]).
-      * Kept explicitly so ListOffsets(earliest) and the fetch-side
-      * out-of-range check share ONE view even when the log is empty —
-      * deriving earliest from `batches.head` would answer 0 after the
-      * whole backlog is deleted while fetch uses logEnd, and the
-      * fully-deleted-backlog recovery branch could never be exercised. */
-    var logStart: Long = 0L
-  }
-  private val logs = new ConcurrentHashMap[(String, Int), PartitionLog]()
+  /** Cluster view for Metadata: (nodeId, host, port) per broker — just me
+    * unless a [[clusterView]] was injected (two-broker tests). */
+  private def brokersNow: Seq[(Int, String, Int)] =
+    if (clusterView != null) clusterView()
+    else Seq((nodeId, "127.0.0.1", boundPort))
+
+  /** Leader node for a partition; this broker serves only partitions it
+    * leads — others answer NOT_LEADER_FOR_PARTITION, the real contract. */
+  private def leader(topic: String, partition: Int): Int =
+    if (leaderOf != null) leaderOf(topic, partition) else nodeId
+
+  private val ErrNotLeader: Short = KafkaProto.ErrNotLeaderForPartition
+  private val logs =
+    if (sharedLogs != null) sharedLogs
+    else new ConcurrentHashMap[(String, Int), PartitionLog]()
   topics.foreach { case (t, n) =>
     require(n > 0, s"topic $t needs > 0 partitions")
-    (0 until n).foreach(p => logs.put((t, p), new PartitionLog))
+    (0 until n).foreach(p => logs.putIfAbsent((t, p), new PartitionLog))
   }
   private val groupOffsets = new ConcurrentHashMap[(String, String, Int), Long]()
   private val nextPid = new java.util.concurrent.atomic.AtomicLong(1000L)
@@ -133,19 +142,20 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0) extends Aut
       if (n == -1) logs.keySet.asScala.map(_._1).toSeq.distinct.sorted
       else (0 until n).map(_ => r.string())
     val w = new Writer()
-    w.array(Seq(0)) { (b, _) =>
-      b.int32(0); b.string("127.0.0.1"); b.int32(boundPort); b.nullableString(null)
+    w.array(brokersNow) { (b, br) =>
+      b.int32(br._1); b.string(br._2); b.int32(br._3); b.nullableString(null)
     }
-    w.int32(0) // controller id
+    w.int32(brokersNow.head._1) // controller id
     w.array(requested) { (b, t) =>
       val parts = logs.keySet.asScala.collect { case (`t`, p) => p }.toSeq.sorted
       b.int16(if (parts.isEmpty) ErrUnknownTopicOrPartition else ErrNone)
       b.string(t)
       b.int8(0) // is_internal
       b.array(parts) { (pb, p) =>
-        pb.int16(ErrNone); pb.int32(p); pb.int32(0)
-        pb.array(Seq(0))((x, i) => x.int32(i))
-        pb.array(Seq(0))((x, i) => x.int32(i))
+        val ldr = leader(t, p)
+        pb.int16(ErrNone); pb.int32(p); pb.int32(ldr)
+        pb.array(Seq(ldr))((x, i) => x.int32(i))
+        pb.array(Seq(ldr))((x, i) => x.int32(i))
       }
     }
     w.toBytes
@@ -162,7 +172,9 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0) extends Aut
         val partition = p.int32()
         val set = p.nullableBytes()
         val log = logs.get((topic, partition))
-        if (log == null) (partition, ErrUnknownTopicOrPartition, -1L)
+        if (log != null && leader(topic, partition) != nodeId)
+          (partition, ErrNotLeader, -1L)
+        else if (log == null) (partition, ErrUnknownTopicOrPartition, -1L)
         else log.synchronized {
           // broker-side CRC verification: decode throws on corruption
           val recs = decodeRecordBatches(set)
@@ -226,7 +238,9 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0) extends Aut
     def gather() = req.map { case (topic, parts) =>
       (topic, parts.map { case (partition, offset, partMaxBytes) =>
         val log = logs.get((topic, partition))
-        if (log == null) (partition, ErrUnknownTopicOrPartition, -1L, null: Array[Byte])
+        if (log != null && leader(topic, partition) != nodeId)
+          (partition, ErrNotLeader, -1L, null: Array[Byte])
+        else if (log == null) (partition, ErrUnknownTopicOrPartition, -1L, null: Array[Byte])
         else log.synchronized {
           // real-broker strictness: an offset below the log START (deleted
           // by retention/compaction) is OFFSET_OUT_OF_RANGE too — consumers
@@ -287,7 +301,9 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0) extends Aut
       b.array(tr._2) { (pb, pr) =>
         val log = logs.get((tr._1, pr._1))
         pb.int32(pr._1)
-        if (log == null) { pb.int16(ErrUnknownTopicOrPartition); pb.int64(-1L); pb.int64(-1L) }
+        if (log != null && leader(tr._1, pr._1) != nodeId) {
+          pb.int16(ErrNotLeader); pb.int64(-1L); pb.int64(-1L)
+        } else if (log == null) { pb.int16(ErrUnknownTopicOrPartition); pb.int64(-1L); pb.int64(-1L) }
         else log.synchronized {
           val off = pr._2 match {
             case TsEarliest => log.logStart
@@ -367,5 +383,23 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0) extends Aut
   override def close(): Unit = {
     running.set(false)
     try server.close() catch { case _: Throwable => () }
+  }
+}
+
+object MiniKafkaBroker {
+  /** One partition's in-memory log — held at COMPANION scope so a
+    * two-broker cluster test can share ONE logs map between broker
+    * instances (leadership moves are a map flip; replication is out of
+    * test scope). */
+  final class PartitionLog {
+    val batches = new ArrayBuffer[Array[Byte]]() // baseOffset already rewritten
+    var logEnd: Long = 0L
+    /** First readable offset, advanced by retention ([[MiniKafkaBroker
+      * .dropBatches]]). Kept explicitly so ListOffsets(earliest) and the
+      * fetch-side out-of-range check share ONE view even when the log is
+      * empty — deriving earliest from `batches.head` would answer 0 after
+      * the whole backlog is deleted while fetch uses logEnd, and the
+      * fully-deleted-backlog recovery branch could never be exercised. */
+    var logStart: Long = 0L
   }
 }
