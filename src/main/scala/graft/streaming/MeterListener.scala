@@ -26,6 +26,10 @@ final class MeterListener(
 
   private val counters = new TrieMap[String, Long]()
   private val peaks = new TrieMap[String, Double]()
+  private val timers = new TrieMap[String, MeterListener.TimerStats]()
+  // boxed values deliberately: a [String, Long] map would silently unbox
+  // a missing key's null to 0 and fabricate a 50-year span
+  private val startTimes = new ConcurrentHashMap[String, java.lang.Long]()
   @volatile private var tripped: Option[String] = None
 
   def count(name: String): Long = counters.getOrElse(name, 0L)
@@ -33,6 +37,39 @@ final class MeterListener(
   def processedPerSecond: Double = peaks.getOrElse("processedPerSecond", 0.0)
   def isTripped: Boolean = tripped.isDefined
   def tripReason: Option[String] = tripped
+
+  /** A6 per-name duration stats, fed by [[StreamOps.observeTimer]]
+    * observations and/or driver-side [[startTimer]]/[[stopTimer]]. */
+  def timer(name: String): MeterListener.TimerStats =
+    timers.getOrElse(name, MeterListener.TimerStats(0L, 0L, 0L, 0L))
+
+  /** Driver-side named timer — the reference meter's StartTimer
+    * (`/root/reference/pkg/internal/meter/metrics.go:270-287`): wall
+    * spans measured around driver work (a batch job, a publish step)
+    * land in the SAME per-name stats as the streamed durations. */
+  def startTimer(name: String): Unit =
+    startTimes.put(name, System.nanoTime())
+
+  /** StopTimer: elapsed ms since [[startTimer]] for `name`, folded into
+    * the stats; an unmatched stop returns 0 without recording — the
+    * reference's exact contract. */
+  def stopTimer(name: String): Long = {
+    val t0 = startTimes.remove(name)
+    if (t0 == null) 0L
+    else {
+      val ms = (System.nanoTime() - t0.longValue) / 1000000L
+      recordTimer(name, n = 1L, minMs = ms, maxMs = ms, sumMs = ms)
+      ms
+    }
+  }
+
+  private def recordTimer(name: String, n: Long, minMs: Long, maxMs: Long,
+                          sumMs: Long): Unit =
+    if (n > 0) timers.updateWith(name) { prev =>
+      val p = prev.getOrElse(MeterListener.TimerStats(0L, Long.MaxValue, Long.MinValue, 0L))
+      Some(MeterListener.TimerStats(p.count + n, math.min(p.minMs, minMs),
+        math.max(p.maxMs, maxMs), p.sumMs + sumMs))
+    }
 
   private def bump(name: String, by: Long): Unit =
     counters.updateWith(name) { v => Some(v.getOrElse(0L) + by) }
@@ -49,7 +86,14 @@ final class MeterListener(
     bump("inputRows", p.numInputRows)
     // observed meters (A1/A2): every df.observe(...) on the query surfaces here
     p.observedMetrics.forEach { (name, row) =>
-      row.schema.fieldNames.foreach { f =>
+      if (name.startsWith("timer.")) {
+        // A6 duration observation (StreamOps.observeTimer): fold this
+        // batch's (n, min, max, sum) into the per-name global stats
+        def l(f: String): Long =
+          Option(row.getAs[java.lang.Long](f)).map(_.longValue).getOrElse(0L)
+        recordTimer(name.stripPrefix("timer."),
+          n = l("n"), minMs = l("min_ms"), maxMs = l("max_ms"), sumMs = l("sum_ms"))
+      } else row.schema.fieldNames.foreach { f =>
         row.getAs[Any](f) match {
           case l: java.lang.Long => bump(s"$name.$f", l)
           case d: java.lang.Double => peakMax(s"$name.$f", d)
@@ -69,5 +113,14 @@ final class MeterListener(
         tripped = Some(f"error threshold: ${errors.toDouble * 100.0 / processed}%.1f%% >= $errorPctThreshold%.1f%%")
       tripped.foreach(onTrip)
     }
+  }
+}
+
+object MeterListener {
+  /** A6 aggregate duration readout: min/max/avg over every recorded
+    * span of one metric name. Zero-count stats read as zeros. */
+  final case class TimerStats(count: Long, minMs: Long, maxMs: Long,
+                              sumMs: Long) {
+    def avgMs: Long = if (count == 0) 0L else sumMs / count
   }
 }

@@ -159,6 +159,25 @@ object StreamOps {
       sum(when(errorPredicate, 1L).otherwise(0L)).as("error_count"),
       max(col("value")).as("peak_value"))
 
+  /** A6 named timer over `observe` — the streaming equivalent of the
+    * reference's StartTimer/StopTimer pair
+    * (`/root/reference/pkg/internal/meter/metrics.go:270-287`): rows
+    * already CARRY their start/stop-equivalent duration (a latency or
+    * gap column in milliseconds), and the observation folds each
+    * micro-batch's min/max/sum/count for free on the executors'
+    * aggregation buffers. [[graft.streaming.MeterListener]] merges the
+    * per-batch rows into global per-name min/max/avg — the duration
+    * readout the reference's meter row surfaces. The metric name rides
+    * the reserved `timer.` prefix so the listener can tell a timer
+    * observation from a plain counter one. */
+  def observeTimer(df: DataFrame, timerName: String,
+                   durationMsCol: org.apache.spark.sql.Column): DataFrame =
+    df.observe(s"timer.$timerName",
+      count(durationMsCol).as("n"),
+      min(durationMsCol).cast("long").as("min_ms"),
+      max(durationMsCol).cast("long").as("max_ms"),
+      sum(durationMsCol).cast("long").as("sum_ms"))
+
   /** Streaming twin of the nearest-centroid assignment
     * ([[graft.queries.TrainingData.simAssign]]'s oracle-checked batch
     * form): score each incoming vector against a STATIC centroid

@@ -279,6 +279,42 @@ class GrpcRelaySpec extends SparkSpec {
     } finally relay.stop()
   }
 
+  test("a brotli-advertising peer (proto enum 4) is rejected cleanly: " +
+    "failure ack names the algorithm, connection drops, nothing ingested") {
+    // writer side refuses to SEAL with the unimplemented arm outright
+    intercept[UnsupportedOperationException] {
+      RelayProto.wrap("x".getBytes(UTF_8), "w", 0, 1L,
+        algo = graft.functions.Codecs.CompressBrotli, key = None)
+    }
+    val relay = new GrpcRelayReceiver(spark, 0, ackMode = "per-frame")
+    try {
+      val p = new ManualPeer(relay.boundPort)
+      try {
+        p.open(GrpcRelay.StreamPath)
+        // a hostile/stock peer CLAIMS brotli in MessageMetadata without
+        // asking: the receiver must answer a retryable failure ack and
+        // drop — never crash, never half-ingest
+        val claimed = RelayProto.WrappedPayload(id = "b4", seq = 0,
+          payload = Array[Byte](1, 2, 3),
+          metadata = Some(RelayProto.MessageMetadata(
+            performance = Some(RelayProto.PerformanceOptions(
+              useCompression = true,
+              compressionAlgorithm = graft.functions.Codecs.CompressBrotli,
+              compressionLevel = 0)))))
+        p.send(RelayProto.encodeEnvelope(RelayProto.EnvelopePayload(claimed)),
+          endStream = false)
+        var ack: Option[RelayProto.StreamAck] = None
+        try while (ack.isEmpty) { p.pumpUntilEnd(); ack = p.data.poll().map(RelayProto.decodeAck) }
+        catch { case _: Exception => ack = ack.orElse(p.data.poll().map(RelayProto.decodeAck)) }
+        assert(ack.isDefined, "no failure ack before the drop")
+        assert(!ack.get.success && ack.get.retryable && ack.get.id == "b4")
+        assert(ack.get.message.toLowerCase.contains("brotli"), ack.get.message)
+        eventually(relay.badFrameCount == 1, "drop not counted")
+        assert(relay.receivedCount == 0)
+      } finally p.close()
+    } finally relay.stop()
+  }
+
   test("an unknown rpc path drops the stream as a bad frame; a non-h2c " +
     "peer is refused at the preface") {
     val relay = new GrpcRelayReceiver(spark, 0)

@@ -16,6 +16,11 @@ import graft.SparkSpec
   * remain covered by the SQL-builder unit tests in SourcesCodecsSpec. */
 class JdbcE2eSpec extends SparkSpec {
 
+  // keep Derby's boot log out of the repo root (it would otherwise drop an
+  // untracked derby.log next to build files on every run) — must be set
+  // BEFORE the embedded driver first loads
+  System.setProperty("derby.stream.error.file", "target/derby.log")
+
   private val driver = "org.apache.derby.jdbc.EmbeddedDriver"
   private val url = "jdbc:derby:memory:graftjdbc;create=true"
   private val props = Map("driver" -> driver)

@@ -348,6 +348,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("A6 named timers: observeTimer durations fold to exact per-name " +
+    "min/max/avg across micro-batches; driver Start/StopTimer shares the " +
+    "registry and an unmatched stop reads 0") {
+    implicit val sqlCtx = spark.sqlContext
+    val listener = new MeterListener()
+    spark.streams.addListener(listener)
+    val mem = MemoryStream[Ev]
+    // rows carry their own start/stop-equivalent duration in ms (value)
+    val timed = StreamOps.observeTimer(mem.toDF(), "ingest_lag",
+      col("value").cast("long"))
+    val q = timed.writeStream.format("memory").queryName("timed")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev(1, 0, v = 40.0), ev(2, 0, v = 10.0))
+      q.processAllAvailable()
+      mem.addData(ev(3, 0, v = 100.0), ev(4, 0, v = 30.0))
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.timer("ingest_lag").count < 4 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val t = listener.timer("ingest_lag")
+      assert(t.count == 4, t)
+      assert(t.minMs == 10L && t.maxMs == 100L, t) // exact across batches
+      assert(t.sumMs == 180L && t.avgMs == 45L, t)
+      // the reference's driver-side pair writes into the SAME registry
+      listener.startTimer("publish")
+      Thread.sleep(30)
+      val ms = listener.stopTimer("publish")
+      assert(ms >= 20L, s"elapsed $ms")
+      val pub = listener.timer("publish")
+      assert(pub.count == 1 && pub.minMs == ms && pub.maxMs == ms)
+      // unmatched stop: 0, nothing recorded (metrics.go:279-287 contract)
+      assert(listener.stopTimer("never-started") == 0L)
+      assert(listener.timer("never-started").count == 0)
+      // an unrelated timer name stays zeroed
+      assert(listener.timer("other").avgMs == 0L)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("streaming perceptual hashes match batch bit-for-bit (media ingest twin)") {
     // imageDHashes/audioFingerprints are STATELESS mapPartitions kernels,
     // so they apply unchanged to a streaming Dataset — the online half of
