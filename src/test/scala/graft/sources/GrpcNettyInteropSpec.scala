@@ -1,0 +1,214 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
+
+import scala.collection.mutable
+
+import io.netty.bootstrap.{Bootstrap, ServerBootstrap}
+import io.netty.buffer.Unpooled
+import io.netty.channel.{Channel, ChannelHandlerContext, ChannelInboundHandlerAdapter, ChannelInitializer}
+import io.netty.channel.nio.NioEventLoopGroup
+import io.netty.channel.socket.nio.{NioServerSocketChannel, NioSocketChannel}
+import io.netty.handler.codec.http2._
+
+import graft.SparkSpec
+
+/** STOCK-STACK interop for the hand-rolled gRPC relay edge: netty's
+  * Http2FrameCodec is an independent, widely-deployed HTTP/2
+  * implementation (its own SETTINGS negotiation, flow-control cadence,
+  * and HPACK encoder with huffman + dynamic-table indexing — the parts a
+  * same-codebase loopback test can never disprove). Both directions run:
+  * a netty client streaming into [[GrpcRelayReceiver]], and
+  * [[GrpcRelay.writeGrpcProto]] producing into a netty server. The relay
+  * payload semantics stay [[RelayProto]]; only the transport peers
+  * change. */
+class GrpcNettyInteropSpec extends SparkSpec {
+
+  /** Accumulate gRPC length-prefixed messages from data-frame bytes. */
+  private final class Acc {
+    val buf = new java.io.ByteArrayOutputStream()
+    def feed(b: Array[Byte]): Seq[Array[Byte]] = {
+      buf.write(b)
+      val out = mutable.Buffer[Array[Byte]]()
+      var a = buf.toByteArray
+      var continue = true
+      while (continue && a.length >= 5) {
+        val len = ((a(1) & 0xff) << 24) | ((a(2) & 0xff) << 16) |
+          ((a(3) & 0xff) << 8) | (a(4) & 0xff)
+        if (a.length < 5 + len) continue = false
+        else {
+          out += java.util.Arrays.copyOfRange(a, 5, 5 + len)
+          a = java.util.Arrays.copyOfRange(a, 5 + len, a.length)
+        }
+      }
+      buf.reset(); buf.write(a)
+      out.toSeq
+    }
+  }
+
+  private def bytes(d: Http2DataFrame): Array[Byte] = {
+    val c = d.content()
+    val out = new Array[Byte](c.readableBytes())
+    c.readBytes(out)
+    out
+  }
+
+  test("a netty Http2FrameCodec client (independent HPACK/flow control) " +
+    "streams sealed envelopes into the hand-rolled receiver and reads the " +
+    "batch ack + trailers back") {
+    val relay = new GrpcRelayReceiver(spark, 0, ackMode = "batch")
+    val group = new NioEventLoopGroup(1)
+    try {
+      val events = new LinkedBlockingQueue[AnyRef]()
+      val ch = new Bootstrap().group(group).channel(classOf[NioSocketChannel])
+        .handler(new ChannelInitializer[Channel] {
+          override def initChannel(c: Channel): Unit = c.pipeline.addLast(
+            Http2FrameCodecBuilder.forClient().build(),
+            new Http2MultiplexHandler(new ChannelInboundHandlerAdapter()))
+        })
+        .connect("127.0.0.1", relay.boundPort).sync().channel()
+      val sc = new Http2StreamChannelBootstrap(ch)
+        .handler(new ChannelInitializer[Channel] {
+          override def initChannel(c: Channel): Unit =
+            c.pipeline.addLast(new ChannelInboundHandlerAdapter {
+              override def channelRead(ctx: ChannelHandlerContext, msg: Any): Unit = {
+                msg match {
+                  case h: Http2HeadersFrame => events.put(h)
+                  case d: Http2DataFrame => events.put(bytes(d)); d.release()
+                  case other => io.netty.util.ReferenceCountUtil.release(other)
+                }
+                ()
+              }
+            })
+        }).open().sync().getNow
+      val hdrs = new DefaultHttp2Headers()
+      hdrs.method("POST").scheme("http").authority("interop")
+        .path(GrpcRelay.StreamPath)
+      hdrs.add("content-type", "application/grpc").add("te", "trailers")
+      sc.writeAndFlush(new DefaultHttp2HeadersFrame(hdrs))
+      (0 until 25).foreach { i =>
+        val env = RelayProto.encodeEnvelope(RelayProto.EnvelopePayload(
+          RelayProto.wrap(s"""{"id":$i,"name":"n$i"}""".getBytes(UTF_8),
+            id = s"m$i", seq = i.toLong, tsEpochMs = 1L,
+            algo = graft.functions.Codecs.CompressZstd, key = None)))
+        sc.writeAndFlush(new DefaultHttp2DataFrame(
+          Unpooled.wrappedBuffer(GrpcWire.message(env)), false))
+      }
+      sc.writeAndFlush(new DefaultHttp2DataFrame(Unpooled.wrappedBuffer(
+        GrpcWire.message(RelayProto.encodeEnvelope(
+          RelayProto.EnvelopeClose("done")))), false))
+      sc.writeAndFlush(new DefaultHttp2DataFrame(Unpooled.EMPTY_BUFFER, true))
+      // expect: response headers, the batch ack as DATA, trailers
+      val acc = new Acc
+      var ack: Option[RelayProto.StreamAck] = None
+      var status: Option[String] = None
+      val deadline = System.currentTimeMillis() + 20000
+      while ((ack.isEmpty || status.isEmpty) && System.currentTimeMillis() < deadline) {
+        events.poll(500, TimeUnit.MILLISECONDS) match {
+          case h: Http2HeadersFrame =>
+            Option(h.headers.get("grpc-status")).foreach(s => status = Some(s.toString))
+          case b: Array[Byte] =>
+            acc.feed(b).foreach(m => ack = Some(RelayProto.decodeAck(m)))
+          case _ => ()
+        }
+      }
+      assert(ack.isDefined, "no batch ack from the receiver")
+      assert(ack.get.success && ack.get.okCount == 25, ack.get)
+      assert(status.contains("0"), s"grpc-status $status")
+      eventually(relay.receivedCount == 25, s"got ${relay.receivedCount}/25")
+      assert(relay.badFrameCount == 0)
+      ch.close().sync()
+    } finally {
+      group.shutdownGracefully(0, 1, TimeUnit.SECONDS)
+      relay.stop()
+    }
+  }
+
+  test("writeGrpcProto produces into a netty Http2FrameCodec SERVER " +
+    "(per-frame acks, trailers) — the writer's framing survives a stock peer") {
+    val group = new NioEventLoopGroup(2)
+    val received = new LinkedBlockingQueue[String]()
+    // a netty-stack receiving relay: per-frame acks, grpc-status trailers
+    val server = new ServerBootstrap().group(group)
+      .channel(classOf[NioServerSocketChannel])
+      .childHandler(new ChannelInitializer[Channel] {
+        override def initChannel(c: Channel): Unit = c.pipeline.addLast(
+          Http2FrameCodecBuilder.forServer().build(),
+          new Http2MultiplexHandler(new ChannelInitializer[Channel] {
+            override def initChannel(sc: Channel): Unit =
+              sc.pipeline.addLast(new ChannelInboundHandlerAdapter {
+                private val acc = new Acc
+                private var responded = false
+                private def respondOnce(ctx: ChannelHandlerContext): Unit =
+                  if (!responded) {
+                    responded = true
+                    val h = new DefaultHttp2Headers().status("200")
+                    h.add("content-type", "application/grpc")
+                    ctx.write(new DefaultHttp2HeadersFrame(h))
+                    ()
+                  }
+                override def channelRead(ctx: ChannelHandlerContext, msg: Any): Unit = {
+                  msg match {
+                    case h: Http2HeadersFrame =>
+                      assert(h.headers.path.toString == GrpcRelay.StreamPath)
+                    case d: Http2DataFrame =>
+                      val end = d.isEndStream
+                      acc.feed(bytes(d)).foreach { m =>
+                        RelayProto.decodeEnvelope(m) match {
+                          case RelayProto.EnvelopePayload(wp) =>
+                            val body = RelayProto.unwrap(wp, None)
+                            new String(body, UTF_8).split('\n')
+                              .foreach(received.put)
+                            respondOnce(ctx)
+                            ctx.writeAndFlush(new DefaultHttp2DataFrame(
+                              Unpooled.wrappedBuffer(GrpcWire.message(
+                                RelayProto.encodeAck(RelayProto.StreamAck(
+                                  success = true, id = wp.id, seq = wp.seq,
+                                  lastSeq = wp.seq, okCount = 1))))))
+                          case RelayProto.EnvelopeClose(_) =>
+                            respondOnce(ctx)
+                            val t = new DefaultHttp2Headers()
+                            t.add("grpc-status", "0")
+                            ctx.writeAndFlush(
+                              new DefaultHttp2HeadersFrame(t, true))
+                        }
+                      }
+                      d.release()
+                      if (end && !responded) {
+                        respondOnce(ctx)
+                        val t = new DefaultHttp2Headers()
+                        t.add("grpc-status", "0")
+                        ctx.writeAndFlush(new DefaultHttp2HeadersFrame(t, true))
+                      }
+                    case other => io.netty.util.ReferenceCountUtil.release(other)
+                  }
+                  ()
+                }
+              })
+          }))
+      })
+      .bind("127.0.0.1", 0).sync()
+    val port = server.channel().localAddress()
+      .asInstanceOf[java.net.InetSocketAddress].getPort
+    try {
+      import spark.implicits._
+      val df = (0L until 40L).map(i => (i, s"rec$i")).toDF("id", "name")
+      GrpcRelay.writeGrpcProto(df, "127.0.0.1", port,
+        maxChunkBytes = 96, ackMode = "per-frame", ackTimeoutMs = 15000)
+      // the writer returns only after every per-frame ack + clean trailers
+      val got = new java.util.ArrayList[String]()
+      received.drainTo(got)
+      assert(got.size == 40, s"server received ${got.size}/40")
+      import scala.jdk.CollectionConverters._
+      val ids = got.asScala
+        .map(s => "\"id\":(\\d+)".r.findFirstMatchIn(s).get.group(1).toLong)
+        .toSeq.sorted
+      assert(ids == (0L until 40L))
+    } finally {
+      server.channel().close().sync()
+      group.shutdownGracefully(0, 1, TimeUnit.SECONDS)
+      ()
+    }
+  }
+}
