@@ -221,35 +221,52 @@ object GrpcWire {
   }
 
   /** Reassembles gRPC messages from DATA payload fragments; the declared
-    * message length is capped BEFORE buffering past it. */
+    * message length is capped BEFORE buffering past it. Offset-tracked
+    * (compact-on-demand) rather than copy-per-poll: the receiver polls
+    * after EVERY 16 KiB DATA frame, and a toByteArray-per-poll buffer
+    * would memcpy O(message²) reassembling a multi-frame message. */
   final class MessageBuffer(maxMessageBytes: Int) {
-    private val buf = new java.io.ByteArrayOutputStream()
+    private var arr = new Array[Byte](8192)
+    private var start = 0
+    private var end = 0
+    private def size = end - start
     def feed(b: Array[Byte], off: Int = 0, len: Int = -1): Unit = {
       val n = if (len < 0) b.length - off else len
       // headroom: a partial capped message plus one more frame may sit in
       // the buffer before poll() drains — the DECLARED length check in
       // poll() is the real cap; this bound only stops unbounded growth
-      require(buf.size.toLong + n <= maxMessageBytes.toLong * 2 + 10,
+      require(size.toLong + n <= maxMessageBytes.toLong * 2 + 10,
         s"gRPC message exceeds $maxMessageBytes bytes")
-      buf.write(b, off, n)
+      if (end + n > arr.length) {
+        // compact first; grow only if the live bytes still don't fit
+        System.arraycopy(arr, start, arr, 0, size)
+        end = size; start = 0
+        if (end + n > arr.length) {
+          val grown = new Array[Byte](math.max(arr.length * 2, end + n))
+          System.arraycopy(arr, 0, grown, 0, end)
+          arr = grown
+        }
+      }
+      System.arraycopy(b, off, arr, end, n)
+      end += n
     }
     def poll(): Option[Array[Byte]] = {
-      val a = buf.toByteArray
-      if (a.length < 5) return None
-      require(a(0) == 0, s"compressed gRPC frame (flag ${a(0)}) — " +
+      if (size < 5) return None
+      require(arr(start) == 0, s"compressed gRPC frame (flag ${arr(start)}) — " +
         "no grpc-encoding was negotiated; sealing rides inside the payload")
-      val len = ((a(1) & 0xff) << 24) | ((a(2) & 0xff) << 16) |
-        ((a(3) & 0xff) << 8) | (a(4) & 0xff)
+      val len = ((arr(start + 1) & 0xff) << 24) | ((arr(start + 2) & 0xff) << 16) |
+        ((arr(start + 3) & 0xff) << 8) | (arr(start + 4) & 0xff)
       require(len >= 0 && len <= maxMessageBytes,
         s"gRPC message of $len bytes exceeds cap $maxMessageBytes")
-      if (a.length < 5 + len) None
+      if (size < 5 + len) None
       else {
-        buf.reset()
-        buf.write(a, 5 + len, a.length - 5 - len)
-        Some(java.util.Arrays.copyOfRange(a, 5, 5 + len))
+        val out = java.util.Arrays.copyOfRange(arr, start + 5, start + 5 + len)
+        start += 5 + len
+        if (start == end) { start = 0; end = 0 }
+        Some(out)
       }
     }
-    def isEmpty: Boolean = buf.size == 0
+    def isEmpty: Boolean = size == 0
   }
 }
 
@@ -347,9 +364,16 @@ object GrpcRelay {
     def sendData(bytes: Array[Byte], endStream: Boolean): Unit = {
       var off = 0
       while (off < bytes.length || (endStream && bytes.length == 0 && off == 0)) {
-        val want = math.min(bytes.length - off, windows.maxFrame)
-        while (want > 0 &&
-          (windows.conn < want || windows.stream(streamId) < want)) pump()
+        // RFC 7540 §6.9: split to the AVAILABLE window — a conformant peer
+        // may hold the stream window below max-frame-size forever, so
+        // waiting for a full frame's worth of credit would livelock
+        var avail = math.min(windows.conn, windows.stream(streamId))
+        while (bytes.length > 0 && avail <= 0) {
+          pump()
+          avail = math.min(windows.conn, windows.stream(streamId))
+        }
+        val want = math.min(math.min(bytes.length - off, windows.maxFrame),
+          math.max(avail, 0L).min(Int.MaxValue).toInt)
         val last = off + want >= bytes.length
         Http2.writeFrame(out, Http2.TData,
           if (endStream && last) Http2.FEndStream else 0, streamId,
@@ -365,8 +389,11 @@ object GrpcRelay {
     def readMessage(): Array[Byte] = {
       var m = data.poll()
       while (m.isEmpty) {
-        if (streamEnded && data.isEmpty)
+        // stream over and no COMPLETE message decodable (empty buffer or
+        // a truncated tail alike): no more frames will ever arrive
+        if (streamEnded)
           throw new IOException("stream ended while awaiting ack" +
+            (if (data.isEmpty) "" else " (truncated message)") +
             trailers.find(_._1 == "grpc-message").map(m => s": ${m._2}")
               .getOrElse(""))
         pump()
@@ -569,10 +596,15 @@ final class GrpcRelayReceiver(spark: SparkSession, port: Int,
       def onHeaders(id: Int, hs: Seq[(String, String)], endStream: Boolean): Unit = {
         val s = streams.getOrElseUpdate(id, new StreamState(id))
         s.path = hs.collectFirst { case (":path", p) => p }.getOrElse("")
-        require(s.path == GrpcRelay.StreamPath || s.path == GrpcRelay.UnaryPath,
-          s"unknown rpc path ${s.path}")
-        s.session = newSession(s)
-        if (endStream) onEndStream(s)
+        if (s.path != GrpcRelay.StreamPath && s.path != GrpcRelay.UnaryPath) {
+          // fail ONLY this stream (grpc UNIMPLEMENTED), never the
+          // connection: a stock client multiplexes unrelated rpcs (health
+          // checks, reflection) over the same channel
+          sendTrailers(s, 12, s"unknown rpc ${s.path}")
+        } else {
+          s.session = newSession(s)
+          if (endStream) onEndStream(s)
+        }
       }
       def drain(s: StreamState): Unit = {
         var m = s.data.poll()
@@ -657,7 +689,8 @@ final class GrpcRelayReceiver(spark: SparkSession, port: Int,
             val s = streams.getOrElse(f.streamId,
               throw new IOException(s"DATA on unopened stream ${f.streamId}"))
             val body = Http2.stripPadding(f)
-            s.data.feed(body)
+            if (!s.closed) s.data.feed(body) // closed (e.g. UNIMPLEMENTED):
+                                             // discard, but still credit
             if (f.payload.length > 0) {
               Http2.writeFrame(out, Http2.TWindowUpdate, 0, 0,
                 Http2.windowUpdatePayload(f.payload.length))

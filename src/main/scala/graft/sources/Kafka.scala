@@ -165,9 +165,8 @@ object Kafka {
     /** Metadata v1 → partition ids per topic. */
     def metadata(topics: Seq[String] = null): Map[String, Seq[Int]] = {
       val m = metadataCluster(topics)
-      m.leaders.keys.groupBy(_._1).map { case (t, ks) =>
-        t -> ks.map(_._2).toSeq.sorted
-      }
+      m.leaders.keysIterator.map(_._1).toSet.iterator
+        .map((t: String) => t -> m.partitions(t)).toMap
     }
 
     /** Metadata v1 with the ROUTING view: broker addresses by node id and
@@ -190,9 +189,13 @@ object Kafka {
         val name = t.string()
         t.int8() // is_internal
         t.array { p =>
-          p.int16(); val id = p.int32(); val leader = p.int32()
+          p.int16() // partition error (e.g. LEADER_NOT_AVAILABLE mid-election)
+          val id = p.int32(); val leader = p.int32()
           p.array(_.int32()); p.array(_.int32())
-          leaders += (name, id) -> leader
+          // leader = -1 during election: record NOTHING — leaderConn's
+          // missing-entry path then refreshes/retries instead of blowing
+          // up on brokers(-1)
+          if (leader >= 0) leaders += (name, id) -> leader
         }
         require(err == ErrNone, s"metadata error $err for topic $name")
       }
@@ -405,8 +408,10 @@ object Kafka {
     private def leaderConn(topic: String, partition: Int): WireClient = {
       val node = meta.leaders.getOrElse((topic, partition), {
         refresh()
+        // still leaderless (election in flight): surface the RETRIABLE
+        // routing error so routed()'s bounded refresh-and-retry engages
         meta.leaders.getOrElse((topic, partition),
-          throw new IOException(s"no leader for $topic/$partition in metadata"))
+          throw new NotLeaderForPartition(topic, partition))
       })
       val (h, p) = meta.brokers(node)
       conns.getOrElse(node, {
@@ -425,16 +430,18 @@ object Kafka {
                           retries: Int = 2)(f: WireClient => A): A = {
       var attempt = 0
       while (true) {
-        val c = leaderConn(topic, partition)
-        try return f(c)
-        catch {
+        var c: WireClient = null
+        try {
+          c = leaderConn(topic, partition) // may itself throw NotLeader
+          return f(c)                      // (leaderless election window)
+        } catch {
           case e @ (_: NotLeaderForPartition | _: java.net.SocketException |
                     _: EOFException) =>
             attempt += 1
             if (attempt > retries ||
               (!retryIo && !e.isInstanceOf[NotLeaderForPartition])) throw e
             // a broken socket poisons the pooled conn: drop it either way
-            conns.find(_._2 eq c).foreach { case (id, cc) =>
+            if (c != null) conns.find(_._2 eq c).foreach { case (id, cc) =>
               try cc.close() catch { case _: Throwable => () }
               conns -= id
             }

@@ -345,7 +345,7 @@ private[sources] final class KafkaEpochWriter(
 
   import java.nio.charset.StandardCharsets.UTF_8
 
-  private val c = new Kafka.LeaderClient((host, port))
+  private var c = new Kafka.LeaderClient((host, port))
   private val keyIdx = schema.fieldIndex("key")
   private val valIdx = schema.fieldIndex("value")
   private def bytesAt(row: InternalRow, i: Int): Array[Byte] =
@@ -381,8 +381,12 @@ private[sources] final class KafkaEpochWriter(
     try c.produce(topic, p, batch)
     catch {
       case _: java.io.IOException =>
-        // resend the SAME sequence on a fresh route: the idempotent
-        // producer dedupes a landed-but-unacked append (Kafka.write rule)
+        // resend the SAME sequence on a FRESH client (the broken pooled
+        // connection inside the old one would just re-throw): the
+        // idempotent producer dedupes a landed-but-unacked append —
+        // the Kafka.write rule
+        try c.close() catch { case _: Exception => () }
+        c = new Kafka.LeaderClient((host, port))
         c.produce(topic, p, batch)
     }
     seqs(p) += pendingN(p)

@@ -126,15 +126,21 @@ class GrpcNettyInteropSpec extends SparkSpec {
   }
 
   test("writeGrpcProto produces into a netty Http2FrameCodec SERVER " +
-    "(per-frame acks, trailers) — the writer's framing survives a stock peer") {
+    "(per-frame acks, trailers, 4095-byte flow-control window below the " +
+    "frame size) — the writer splits to the available window, never stalls") {
     val group = new NioEventLoopGroup(2)
     val received = new LinkedBlockingQueue[String]()
-    // a netty-stack receiving relay: per-frame acks, grpc-status trailers
+    // a netty-stack receiving relay: per-frame acks, grpc-status trailers.
+    // The TINY initial window (< max frame size, RFC-legal) is the killer
+    // config for a sender that waits for a full frame's worth of credit
+    // instead of splitting to what the peer granted (RFC 7540 §6.9)
     val server = new ServerBootstrap().group(group)
       .channel(classOf[NioServerSocketChannel])
       .childHandler(new ChannelInitializer[Channel] {
         override def initChannel(c: Channel): Unit = c.pipeline.addLast(
-          Http2FrameCodecBuilder.forServer().build(),
+          Http2FrameCodecBuilder.forServer()
+            .initialSettings(new Http2Settings().initialWindowSize(4095))
+            .build(),
           new Http2MultiplexHandler(new ChannelInitializer[Channel] {
             override def initChannel(sc: Channel): Unit =
               sc.pipeline.addLast(new ChannelInboundHandlerAdapter {
@@ -154,6 +160,10 @@ class GrpcNettyInteropSpec extends SparkSpec {
                       assert(h.headers.path.toString == GrpcRelay.StreamPath)
                     case d: Http2DataFrame =>
                       val end = d.isEndStream
+                      val consumed = d.initialFlowControlledBytes()
+                      if (consumed > 0) // credit what we consumed — and
+                        ctx.writeAndFlush( // FLUSH it: a credit sitting in
+                          new DefaultHttp2WindowUpdateFrame(consumed)) // the outbound buffer starves the sender
                       acc.feed(bytes(d)).foreach { m =>
                         RelayProto.decodeEnvelope(m) match {
                           case RelayProto.EnvelopePayload(wp) =>
@@ -193,9 +203,12 @@ class GrpcNettyInteropSpec extends SparkSpec {
       .asInstanceOf[java.net.InetSocketAddress].getPort
     try {
       import spark.implicits._
-      val df = (0L until 40L).map(i => (i, s"rec$i")).toDF("id", "name")
+      // wide rows: each ~20KB chunk exceeds BOTH the 4095 window and a
+      // single frame, so the writer must interleave partial DATA frames
+      // with the server's WINDOW_UPDATE cadence
+      val df = (0L until 40L).map(i => (i, "x" * 2000 + i)).toDF("id", "name")
       GrpcRelay.writeGrpcProto(df, "127.0.0.1", port,
-        maxChunkBytes = 96, ackMode = "per-frame", ackTimeoutMs = 15000)
+        maxChunkBytes = 20000, ackMode = "per-frame", ackTimeoutMs = 15000)
       // the writer returns only after every per-frame ack + clean trailers
       val got = new java.util.ArrayList[String]()
       received.drainTo(got)

@@ -25,6 +25,13 @@ class GrpcRelaySpec extends SparkSpec {
 
   private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
 
+  private def failureChain(t: Throwable): String = {
+    val sb = new StringBuilder
+    var cur: Throwable = t
+    while (cur != null) { sb.append(cur.getMessage).append(" | "); cur = cur.getCause }
+    sb.result()
+  }
+
   // --- golden wire bytes ---------------------------------------------------
 
   test("golden wire bytes: preface, SETTINGS, WINDOW_UPDATE, and one gRPC " +
@@ -195,18 +202,21 @@ class GrpcRelaySpec extends SparkSpec {
     Http2.writeFrame(out, Http2.TSettings, 0, 0, Array.emptyByteArray)
     out.flush()
 
-    def open(path: String): Unit = {
-      Http2.writeFrame(out, Http2.THeaders, Http2.FEndHeaders, 1,
-        codec.encode(1, Seq(":method" -> "POST", ":scheme" -> "http",
+    def openOn(id: Int, path: String): Unit = {
+      Http2.writeFrame(out, Http2.THeaders, Http2.FEndHeaders, id,
+        codec.encode(id, Seq(":method" -> "POST", ":scheme" -> "http",
           ":path" -> path, ":authority" -> "t",
           "content-type" -> "application/grpc", "te" -> "trailers")))
       out.flush()
     }
-    def send(body: Array[Byte], endStream: Boolean): Unit = {
+    def open(path: String): Unit = openOn(1, path)
+    def sendOn(id: Int, body: Array[Byte], endStream: Boolean): Unit = {
       Http2.writeFrame(out, Http2.TData,
-        if (endStream) Http2.FEndStream else 0, 1, GrpcWire.message(body))
+        if (endStream) Http2.FEndStream else 0, id, GrpcWire.message(body))
       out.flush()
     }
+    def send(body: Array[Byte], endStream: Boolean): Unit =
+      sendOn(1, body, endStream)
     def endStream(): Unit = {
       Http2.writeFrame(out, Http2.TData, Http2.FEndStream, 1,
         Array.emptyByteArray)
@@ -315,16 +325,33 @@ class GrpcRelaySpec extends SparkSpec {
     } finally relay.stop()
   }
 
-  test("an unknown rpc path drops the stream as a bad frame; a non-h2c " +
-    "peer is refused at the preface") {
+  test("an unknown rpc path fails ONLY that stream (grpc UNIMPLEMENTED) — " +
+    "the connection keeps serving; a non-h2c peer is refused at the preface") {
     val relay = new GrpcRelayReceiver(spark, 0)
     try {
       val p = new ManualPeer(relay.boundPort)
       try {
-        p.open("/electrician.RelayService/NoSuchRpc")
-        intercept[Exception](p.pumpUntilEnd()) // connection torn down
+        // a stock client multiplexes unrelated rpcs over the channel: the
+        // health-check stream must die alone with grpc-status 12
+        p.open("/grpc.health.v1.Health/Check")
+        p.send(Array[Byte](1, 2, 3), endStream = true) // DATA after close: discarded
+        p.pumpUntilEnd()
+        assert((p.trailers ++ p.headers)
+          .collectFirst { case ("grpc-status", v) => v }.contains("12"),
+          (p.trailers ++ p.headers).toString)
+        // the SAME connection then serves a real unary rpc on stream 3
+        p.ended = false; p.headers = Nil; p.trailers = Nil
+        p.openOn(3, GrpcRelay.UnaryPath)
+        p.sendOn(3, RelayProto.encode(RelayProto.wrap(
+          """{"id":1,"name":"after"}""".getBytes(UTF_8), id = "u", seq = 0,
+          tsEpochMs = 1L, algo = graft.functions.Codecs.CompressNone,
+          key = None)), endStream = true)
+        p.pumpUntilEnd()
+        val ack = RelayProto.decodeAck(p.data.poll().get)
+        assert(ack.success && ack.okCount == 1)
+        eventually(relay.receivedCount == 1, "post-UNIMPLEMENTED rpc not served")
+        assert(relay.badFrameCount == 0, "well-formed connection miscounted")
       } finally p.close()
-      eventually(relay.badFrameCount >= 1, "bad path not counted")
       // HTTP/1.1 bytes are not a preface
       val sock = new Socket("127.0.0.1", relay.boundPort)
       try {
@@ -334,8 +361,56 @@ class GrpcRelaySpec extends SparkSpec {
         sock.getOutputStream.flush()
         assert(sock.getInputStream.read() == -1) // closed, nothing served
       } finally sock.close()
-      eventually(relay.badFrameCount >= 2, "bad preface not counted")
-      assert(relay.receivedCount == 0)
+      eventually(relay.badFrameCount >= 1, "bad preface not counted")
     } finally relay.stop()
+  }
+
+  test("a receiver that dies mid-ack (truncated gRPC message + END_STREAM) " +
+    "fails the writer FAST with the stream-ended error, not a socket timeout") {
+    // scripted h2 server: accept the stream, answer headers + a TRUNCATED
+    // ack message, then trailers/END_STREAM and vanish
+    val server = new java.net.ServerSocket(0)
+    val t = new Thread(() => {
+      val sock = server.accept()
+      val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+      val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+      val pre = new Array[Byte](Http2.Preface.length)
+      in.readFully(pre)
+      Http2.writeFrame(out, Http2.TSettings, 0, 0, Array.emptyByteArray)
+      out.flush()
+      val codec = new Http2.HeaderCodec
+      var sawData = false
+      while (!sawData) {
+        val f = Http2.readFrame(in, 1 << 20)
+        if (f.tpe == Http2.TSettings && !f.has(Http2.FAck)) {
+          Http2.writeFrame(out, Http2.TSettings, Http2.FAck, 0, Array.emptyByteArray)
+          out.flush()
+        } else if (f.tpe == Http2.TData) sawData = true
+      }
+      Http2.writeFrame(out, Http2.THeaders, Http2.FEndHeaders, 1,
+        codec.encode(1, Seq(":status" -> "200",
+          "content-type" -> "application/grpc")))
+      Http2.writeFrame(out, Http2.TData, 0, 1,
+        Array[Byte](0, 0, 0, 0, 64, 1, 2, 3)) // declares 64 bytes, sends 3
+      Http2.writeFrame(out, Http2.THeaders,
+        Http2.FEndHeaders | Http2.FEndStream, 1,
+        codec.encode(1, Seq("grpc-status" -> "13",
+          "grpc-message" -> "died mid-ack")))
+      out.flush()
+    })
+    t.setDaemon(true); t.start()
+    try {
+      val t0 = System.currentTimeMillis()
+      val e = intercept[org.apache.spark.SparkException] {
+        GrpcRelay.writeGrpcProto(df(3), "127.0.0.1", server.getLocalPort,
+          maxChunkBytes = 64, ackMode = "per-frame", ackTimeoutMs = 30000)
+      }
+      val chain = failureChain(e)
+      assert(chain.contains("stream ended while awaiting ack"), chain)
+      assert(chain.contains("truncated message"), chain)
+      assert(chain.contains("died mid-ack"), chain)
+      // failed on the END_STREAM signal, nowhere near the 30s ack timeout
+      assert(System.currentTimeMillis() - t0 < 15000, "hung instead of failing fast")
+    } finally server.close()
   }
 }
