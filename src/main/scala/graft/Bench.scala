@@ -77,8 +77,8 @@ object Bench {
         // same-sf guard: the sf marker sits at the END of the bench line,
         // so it survives tail truncation (escaped inside the driver's
         // "tail" string field, raw in bench_full.json)
-        val sameSf = text.contains(s""""sf":"$sfDir""") ||
-          text.contains("\\\"sf\\\":\\\"" + sfDir)
+        val sameSf = text.contains(s""""sf":"$sfDir\"""") ||
+          text.contains("\\\"sf\\\":\\\"" + sfDir + "\\\"")
         if (!sameSf) Nil
         else qEntry.findAllMatchIn(text)
           .map(m => m.group(1) -> m.group(2).toDouble).toSeq

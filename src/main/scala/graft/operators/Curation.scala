@@ -512,8 +512,8 @@ object Curation {
     * distinct values of one OCTAVE of the value line — pathological only
     * when a corpus concentrates ~all its distinct values in one octave
     * AND those values are ~all unique; real spend/score distributions
-    * spread across octaves. Overflow bound: per-super-bucket
-    * `sum(value·count)` shares the ppm idiom's 2^63 operand contract.
+    * spread across octaves. Overflow bound: the per-tile
+    * `sum(value·overlap)` shares the ppm idiom's 2^63 operand contract.
     *
     * Output: (tile, n_rows, sum_value) for every NON-EMPTY tile (ntile
     * leaves trailing tiles empty when rows < tiles); `sum_value` is null
@@ -540,8 +540,7 @@ object Curation {
       .orderBy(col("__v").desc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, -1)
     val cumIn = hb.withColumn("__cumin", coalesce(sum("__cnt").over(wIn), lit(0L)))
-    val sbTot = hb.groupBy("__sb")
-      .agg(sum("__cnt").as("__u"), sum(col("__v") * col("__cnt")).as("__s"))
+    val sbTot = hb.groupBy("__sb").agg(sum("__cnt").as("__u"))
     // base(sb) = rows in strictly-HIGHER super-buckets (null sb ranks
     // last -> every non-null bucket is higher); <= 130x130 triangle
     val t2 = sbTot.select(col("__sb").as("__sb2"), col("__u").as("__u2"))

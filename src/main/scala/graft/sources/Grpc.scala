@@ -132,6 +132,16 @@ object Http2 {
     }
   }
 
+  /** Parse a WINDOW_UPDATE increment, validating the frame length first
+    * (a truncated payload is a protocol error, not an index crash). */
+  def windowIncrement(f: Frame): Long = {
+    if (f.payload.length != 4)
+      throw new IOException(
+        s"WINDOW_UPDATE payload must be 4 bytes, got ${f.payload.length}")
+    (((f.payload(0) & 0x7f) << 24) | ((f.payload(1) & 0xff) << 16) |
+      ((f.payload(2) & 0xff) << 8) | (f.payload(3) & 0xff)).toLong
+  }
+
   def windowUpdatePayload(increment: Int): Array[Byte] = {
     require(increment > 0, s"window increment must be positive: $increment")
     val b = new Array[Byte](4)
@@ -324,9 +334,7 @@ object GrpcRelay {
             out.flush()
           }
         case Http2.TWindowUpdate =>
-          val inc = ((f.payload(0) & 0x7f) << 24) | ((f.payload(1) & 0xff) << 16) |
-            ((f.payload(2) & 0xff) << 8) | (f.payload(3) & 0xff)
-          windows.onWindowUpdate(f.streamId, inc.toLong)
+          windows.onWindowUpdate(f.streamId, Http2.windowIncrement(f))
         case Http2.TData if f.streamId == streamId =>
           val body = Http2.stripPadding(f)
           data.feed(body)
@@ -611,8 +619,10 @@ final class GrpcRelayReceiver(spark: SparkSession, port: Int,
         while (m.isDefined && !s.closed) {
           if (s.path == GrpcRelay.UnaryPath) {
             // unary Receive: the message IS a WrappedPayload; ack + close
-            val more = s.session.onEnvelope(RelayProto.encodeEnvelope(
-              RelayProto.EnvelopePayload(RelayProto.decode(m.get))))
+            // (decoded arm handed straight to the shared session brain —
+            // no encode/decode round-trip of a possibly-MiB payload)
+            val more = s.session.onDecoded(
+              RelayProto.EnvelopePayload(RelayProto.decode(m.get)))
             if (ackMode != "per-frame") // unary always answers one ack
               sendMessage(s, RelayProto.encodeAck(RelayProto.StreamAck(
                 success = true, okCount = 1)))
@@ -640,8 +650,9 @@ final class GrpcRelayReceiver(spark: SparkSession, port: Int,
           catch {
             case e: EOFException =>
               // a stock peer may close the TCP connection without GOAWAY;
-              // that's a clean end IFF every stream it opened finished
-              if (streams.nonEmpty && streams.values.forall(_.closed)) {
+              // that's a clean end IFF every stream it opened finished —
+              // vacuously true for a probe that opened none
+              if (streams.values.forall(_.closed)) {
                 more = false
                 null
               } else throw e
@@ -660,9 +671,7 @@ final class GrpcRelayReceiver(spark: SparkSession, port: Int,
               out.flush()
             }
           case Http2.TWindowUpdate =>
-            val inc = ((f.payload(0) & 0x7f) << 24) | ((f.payload(1) & 0xff) << 16) |
-              ((f.payload(2) & 0xff) << 8) | (f.payload(3) & 0xff)
-            windows.onWindowUpdate(f.streamId, inc.toLong)
+            windows.onWindowUpdate(f.streamId, Http2.windowIncrement(f))
           case Http2.THeaders =>
             headerBlock.reset()
             headerBlock.write(Http2.stripPadding(f))

@@ -44,12 +44,15 @@ object Kafka {
   final class NotLeaderForPartition(val topic: String, val partition: Int)
     extends IOException(s"not the leader for $topic/$partition — refresh metadata")
 
-  /** One Metadata response's routing view: brokers by node id and the
-    * leader node per partition. */
+  /** One Metadata response's routing view: brokers by node id, EVERY
+    * partition id per topic (leaderless-during-election ones included —
+    * partition COUNTS drive key placement and split planning, and must
+    * not flicker with elections), and the leader node per currently-led
+    * partition. */
   final case class ClusterMeta(brokers: Map[Int, (String, Int)],
+                               parts: Map[String, Seq[Int]],
                                leaders: Map[(String, Int), Int]) {
-    def partitions(topic: String): Seq[Int] =
-      leaders.keysIterator.collect { case (`topic`, p) => p }.toSeq.sorted
+    def partitions(topic: String): Seq[Int] = parts.getOrElse(topic, Nil)
   }
 
   /** The client surface shared by the fetch kernel, the distributed
@@ -163,11 +166,8 @@ object Kafka {
     }
 
     /** Metadata v1 → partition ids per topic. */
-    def metadata(topics: Seq[String] = null): Map[String, Seq[Int]] = {
-      val m = metadataCluster(topics)
-      m.leaders.keysIterator.map(_._1).toSet.iterator
-        .map((t: String) => t -> m.partitions(t)).toMap
-    }
+    def metadata(topics: Seq[String] = null): Map[String, Seq[Int]] =
+      metadataCluster(topics).parts
 
     /** Metadata v1 with the ROUTING view: broker addresses by node id and
       * the leader node per partition — what [[LeaderClient]] keys its
@@ -184,22 +184,25 @@ object Kafka {
       }.toMap
       r.int32() // controller id
       val leaders = Map.newBuilder[(String, Int), Int]
+      val parts = Map.newBuilder[String, Seq[Int]]
       r.array { t =>
         val err = t.int16()
         val name = t.string()
         t.int8() // is_internal
-        t.array { p =>
+        val ids = t.array { p =>
           p.int16() // partition error (e.g. LEADER_NOT_AVAILABLE mid-election)
           val id = p.int32(); val leader = p.int32()
           p.array(_.int32()); p.array(_.int32())
-          // leader = -1 during election: record NOTHING — leaderConn's
-          // missing-entry path then refreshes/retries instead of blowing
-          // up on brokers(-1)
+          // leader = -1 during election: the partition still EXISTS (ids
+          // below), but gets no routing entry — leaderConn's missing-entry
+          // path then refreshes/retries instead of blowing up on brokers(-1)
           if (leader >= 0) leaders += (name, id) -> leader
+          id
         }
         require(err == ErrNone, s"metadata error $err for topic $name")
+        parts += name -> ids.sorted
       }
-      ClusterMeta(brokers, leaders.result())
+      ClusterMeta(brokers, parts.result(), leaders.result())
     }
 
     /** Produce v3 (acks=-1): returns the assigned base offset. */
@@ -392,14 +395,17 @@ object Kafka {
   final class LeaderClient(bootstrap: (String, Int), clientId: String = "graft",
                            timeoutMs: Int = 30000) extends Client {
     private val boot = new WireClient(bootstrap._1, bootstrap._2, clientId, timeoutMs)
-    private var conns = Map[Int, WireClient]()
+    // node id -> (the address the conn was DIALED to, the conn): a broker
+    // that reschedules keeps its node id but moves host/port, so identity
+    // alone cannot decide whether a pooled socket is still the right one
+    private var conns = Map[Int, ((String, Int), WireClient)]()
     private var meta: ClusterMeta = boot.metadataCluster(null)
 
     private def refresh(): Unit = {
       meta = boot.metadataCluster(null)
       // drop pooled connections whose address moved or vanished
-      conns = conns.filter { case (id, c) =>
-        val keep = meta.brokers.contains(id)
+      conns = conns.filter { case (id, (addr, c)) =>
+        val keep = meta.brokers.get(id).contains(addr)
         if (!keep) { try c.close() catch { case _: Throwable => () } }
         keep
       }
@@ -413,12 +419,16 @@ object Kafka {
         meta.leaders.getOrElse((topic, partition),
           throw new NotLeaderForPartition(topic, partition))
       })
-      val (h, p) = meta.brokers(node)
-      conns.getOrElse(node, {
-        val c = new WireClient(h, p, clientId, timeoutMs)
-        conns += node -> c
-        c
-      })
+      val addr = meta.brokers(node)
+      conns.get(node) match {
+        case Some((a, c)) if a == addr => c
+        case stale =>
+          stale.foreach { case (_, c) =>
+            try c.close() catch { case _: Throwable => () } }
+          val c = new WireClient(addr._1, addr._2, clientId, timeoutMs)
+          conns += node -> ((addr, c))
+          c
+      }
     }
 
     /** Route one partition-addressed call with a bounded
@@ -441,7 +451,7 @@ object Kafka {
             if (attempt > retries ||
               (!retryIo && !e.isInstanceOf[NotLeaderForPartition])) throw e
             // a broken socket poisons the pooled conn: drop it either way
-            if (c != null) conns.find(_._2 eq c).foreach { case (id, cc) =>
+            if (c != null) conns.find(_._2._2 eq c).foreach { case (id, (_, cc)) =>
               try cc.close() catch { case _: Throwable => () }
               conns -= id
             }
@@ -471,7 +481,8 @@ object Kafka {
     def offsetFetch(group: String, tps: Seq[(String, Int)]): Map[(String, Int), Long] =
       boot.offsetFetch(group, tps)
     override def close(): Unit = {
-      conns.valuesIterator.foreach(c => try c.close() catch { case _: Throwable => () })
+      conns.valuesIterator.foreach { case (_, c) =>
+        try c.close() catch { case _: Throwable => () } }
       conns = Map.empty
       try boot.close() catch { case _: Throwable => () }
     }

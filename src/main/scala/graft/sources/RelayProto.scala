@@ -112,7 +112,13 @@ object RelayProto {
       * failures rethrow (after the per-frame failure ack) so the transport
       * drops and counts the connection its own way. */
     def onEnvelope(bytes: Array[Byte]): Boolean =
-      decodeEnvelope(bytes) match {
+      onDecoded(decodeEnvelope(bytes))
+
+    /** [[onEnvelope]] for an arm the transport already decoded (the gRPC
+      * unary rpc carries a bare WrappedPayload) — same brain, minus a
+      * redundant encode/decode round-trip of the payload. */
+    def onDecoded(env: Envelope): Boolean =
+      env match {
         case EnvelopePayload(wp) =>
           val body =
             try unwrap(wp, key, maxInflatedBytes)
