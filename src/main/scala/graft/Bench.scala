@@ -38,15 +38,25 @@ object Bench {
       // noop sink, not count(): count() lets Catalyst prune the projected
       // columns (revenue arithmetic, UDFs, string chains), so it would
       // time only scan+filter. The noop write computes every column.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e")
+          -1.0 // a failure is NOT a timing — it must never become a
+               // committed near-zero baseline that flags every later
+               // healthy run as a >2x "regression"
+      }
     }
     def median(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                recordCold: Boolean): Double = {
       val times = (0 until runs).map(_ => timeOnce(name, fn))
-      if (recordCold) cold(name) = times.head
-      times.sorted.apply(runs / 2)
+      if (times.exists(_ < 0)) -1.0
+      else {
+        if (recordCold) cold(name) = times.head
+        times.sorted.apply(runs / 2)
+      }
     }
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries
@@ -54,7 +64,9 @@ object Bench {
       .foreach { case (name, fn) =>
         // stderr progress: if a run hangs or is killed, the log shows WHERE
         System.err.println(s"[bench] running $name")
-        results(name) = median(name, fn, recordCold = true)
+        val m = median(name, fn, recordCold = true)
+        if (m >= 0) results(name) = m
+        else System.err.println(s"[bench] EXCLUDED $name (run failed)")
       }
     // ---- self-adjudication (r9/r10 verdict item 8) -----------------------
     // Recorded baselines: the minimum per query over every committed
@@ -81,7 +93,8 @@ object Bench {
           text.contains("\\\"sf\\\":\\\"" + sfDir + "\\\"")
         if (!sameSf) Nil
         else qEntry.findAllMatchIn(text)
-          .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter(_._2 > 0.0).toSeq // defend against any zeroed artifact
       }
       perFile.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
     }
@@ -93,7 +106,8 @@ object Bench {
           if (results(name) > 2.0 * b) {
             System.err.println(f"[bench] re-checking $name: ${results(name)}%.3f vs baseline $b%.3f")
             rechecked(name) = results(name)
-            results(name) = math.min(results(name), median(name, fn, recordCold = false))
+            val again = median(name, fn, recordCold = false)
+            if (again >= 0) results(name) = math.min(results(name), again)
           }
         }
       }

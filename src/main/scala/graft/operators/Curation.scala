@@ -488,6 +488,19 @@ object Curation {
       .select("doc_id", "shuffle_key", "pos", "shard")
   }
 
+  /** The ntile-histogram operators quantize through a LONG cast; a
+    * fractional column would silently merge distinct values (1.9 and 1.1
+    * both truncate to 1) and diverge from a true ntile over the raw
+    * order — integers only, enforced. Quantize floats (cents/ppm, the
+    * house idiom) BEFORE calling. */
+  private def requireIntegral(df: DataFrame, c: String, op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(c).dataType
+    require(Seq(LongType, IntegerType, ShortType, ByteType).contains(dt),
+      s"$op needs an integral column (quantize first — the long cast would" +
+        s" silently truncate $c: $dt)")
+  }
+
   /** Exact per-tile row counts and value sums of `ntile(tiles) OVER
     * (ORDER BY value DESC NULLS LAST, <any tiebreak>)` — WITHOUT the
     * global window: the decile/percentile-bucket AGGREGATE readout
@@ -521,6 +534,7 @@ object Curation {
     * verbatim by a plain `ntile` in any SQL engine — the oracle form. */
   def ntileSumsDesc(values: DataFrame, valueCol: String, tiles: Int): DataFrame = {
     require(tiles >= 1, s"tiles must be >= 1: $tiles")
+    requireIntegral(values, valueCol, "ntileSumsDesc")
     val hist = values.select(col(valueCol).cast("long").as("__v"))
       .groupBy("__v").agg(count(lit(1)).as("__cnt"))
     // sign-aware log2 bucket: monotone NON-DECREASING in __v over the
@@ -599,6 +613,7 @@ object Curation {
   def ntileBoundaries(keys: DataFrame, keyCol: String,
                       tiles: Int): Seq[(Int, Long)] = {
     require(tiles >= 1, s"tiles must be >= 1: $tiles")
+    requireIntegral(keys, keyCol, "ntileBoundaries")
     val spark = keys.sparkSession
     import spark.implicits._
     val k = keys.select(col(keyCol).cast("long").as("__k"))

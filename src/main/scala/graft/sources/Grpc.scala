@@ -172,6 +172,11 @@ object Http2 {
       } finally { buf.release(); () }
     }
 
+    /** Cap the ENCODER's dynamic table at the size the peer's SETTINGS
+      * advertised (RFC 7541 §4.2) — indexing beyond it is a
+      * COMPRESSION_ERROR at a strict peer. */
+    def limitEncoderTable(n: Long): Unit = enc.maxHeaderTableSize(n)
+
     def decode(streamId: Int, block: Array[Byte]): Seq[(String, String)] = {
       val buf = io.netty.buffer.Unpooled.wrappedBuffer(block)
       try {
@@ -323,7 +328,10 @@ object GrpcRelay {
       f.tpe match {
         case Http2.TSettings =>
           if (!f.has(Http2.FAck)) {
-            windows.onSettings(Http2.parseSettings(f.payload))
+            val pairs = Http2.parseSettings(f.payload)
+            windows.onSettings(pairs)
+            pairs.collectFirst { case (Http2.SetHeaderTableSize, v) => v }
+              .foreach(codec.limitEncoderTable)
             Http2.writeFrame(out, Http2.TSettings, Http2.FAck, 0,
               Array.emptyByteArray)
             out.flush()
@@ -545,6 +553,7 @@ final class GrpcRelayReceiver(spark: SparkSession, port: Int,
     val data = new GrpcWire.MessageBuffer(maxMessageBytes)
     var session: RelayProto.EnvelopeSession = _
     var closed = false
+    var endPending = false // peer half-closed; handled by processPending
   }
 
   private def serve(sock: Socket): Unit = {
@@ -564,10 +573,16 @@ final class GrpcRelayReceiver(spark: SparkSession, port: Int,
 
       val codec = new Http2.HeaderCodec
       val windows = new Http2.SendWindows
+      // OPEN streams only: closed ones are pruned (a long-lived
+      // multiplexed channel must not grow state per finished rpc), and
+      // `maxStreamSeen` tells late DATA for a pruned stream (discard +
+      // credit) apart from DATA for a stream that never existed (error)
       val streams = mutable.Map[Int, StreamState]()
+      var maxStreamSeen = 0
       val headerBlock = new java.io.ByteArrayOutputStream()
       var headerStream = 0
       var headerEndStream = false
+      var more = true
 
       def respondHeadersOnce(s: StreamState): Unit = if (!s.responded) {
         Http2.writeFrame(out, Http2.THeaders, Http2.FEndHeaders, s.id,
@@ -576,18 +591,32 @@ final class GrpcRelayReceiver(spark: SparkSession, port: Int,
         out.flush()
         s.responded = true
       }
+      // acks are flow-controlled DATA (RFC 7540 §6.9): when the peer's
+      // window is short, pump control frames — pumpOnce DEFERS all
+      // stream work (drains/ends), so waiting here cannot re-enter a send
       def sendMessage(s: StreamState, body: Array[Byte]): Unit = {
         respondHeadersOnce(s)
-        // acks are tiny; a stock peer's default 65535 window never blocks
-        // them, so no send-window wait loop here (receive-side DATA is the
-        // flow-controlled direction)
         val m = GrpcWire.message(body)
-        Http2.writeFrame(out, Http2.TData, 0, s.id, m)
-        windows.consume(s.id, m.length)
+        var off = 0
+        while (off < m.length) {
+          var avail = math.min(windows.conn, windows.stream(s.id))
+          while (avail <= 0 && more) {
+            pumpOnce()
+            avail = math.min(windows.conn, windows.stream(s.id))
+          }
+          if (!more) throw new IOException("peer went away mid-ack")
+          val n = math.min(math.min(m.length - off, windows.maxFrame).toLong,
+            avail).toInt
+          Http2.writeFrame(out, Http2.TData, 0, s.id,
+            java.util.Arrays.copyOfRange(m, off, off + n))
+          windows.consume(s.id, n)
+          off += n
+        }
         out.flush()
       }
       def sendTrailers(s: StreamState, status: Int, message: String): Unit = {
         respondHeadersOnce(s)
+        // HEADERS frames are not flow-controlled — trailers never block
         Http2.writeFrame(out, Http2.THeaders,
           Http2.FEndHeaders | Http2.FEndStream, s.id,
           codec.encode(s.id, Seq("grpc-status" -> status.toString) ++
@@ -603,6 +632,7 @@ final class GrpcRelayReceiver(spark: SparkSession, port: Int,
 
       def onHeaders(id: Int, hs: Seq[(String, String)], endStream: Boolean): Unit = {
         val s = streams.getOrElseUpdate(id, new StreamState(id))
+        maxStreamSeen = math.max(maxStreamSeen, id)
         s.path = hs.collectFirst { case (":path", p) => p }.getOrElse("")
         if (s.path != GrpcRelay.StreamPath && s.path != GrpcRelay.UnaryPath) {
           // fail ONLY this stream (grpc UNIMPLEMENTED), never the
@@ -611,7 +641,7 @@ final class GrpcRelayReceiver(spark: SparkSession, port: Int,
           sendTrailers(s, 12, s"unknown rpc ${s.path}")
         } else {
           s.session = newSession(s)
-          if (endStream) onEndStream(s)
+          if (endStream) s.endPending = true // handled by processPending
         }
       }
       def drain(s: StreamState): Unit = {
@@ -635,32 +665,45 @@ final class GrpcRelayReceiver(spark: SparkSession, port: Int,
         }
       }
       def onEndStream(s: StreamState): Unit = if (!s.closed) {
-        // half-close without an explicit EnvelopeClose (a stock peer may
-        // just END_STREAM): synthesize the close so batch acks fire
-        if (s.path == GrpcRelay.StreamPath)
-          s.session.onEnvelope(RelayProto.encodeEnvelope(
-            RelayProto.EnvelopeClose("end-of-stream")))
-        if (!s.closed) sendTrailers(s, 0, "")
+        if (!s.data.isEmpty) {
+          // the peer half-closed mid-message: acknowledging the stream as
+          // complete would silently absorb its lost record — answer the
+          // gRPC INTERNAL status naming the truncation instead
+          sendTrailers(s, 13, "truncated gRPC message at end of stream")
+        } else {
+          // half-close without an explicit EnvelopeClose (a stock peer
+          // may just END_STREAM): synthesize the close so batch acks fire
+          if (s.path == GrpcRelay.StreamPath)
+            s.session.onDecoded(RelayProto.EnvelopeClose("end-of-stream"))
+          if (!s.closed) sendTrailers(s, 0, "")
+        }
       }
 
-      var more = true
-      while (more && running.get()) {
+      /** Read + handle ONE frame; stream-level work (drains, end-of-
+        * stream) is only FLAGGED — [[processPending]] runs it from the
+        * main loop, so a send waiting on flow-control credit can pump
+        * safely without re-entrant sends. */
+      def pumpOnce(): Unit = {
         val f =
           try Http2.readFrame(in, maxMessageBytes + 1024)
           catch {
             case e: EOFException =>
               // a stock peer may close the TCP connection without GOAWAY;
-              // that's a clean end IFF every stream it opened finished —
-              // vacuously true for a probe that opened none
-              if (streams.values.forall(_.closed)) {
-                more = false
-                null
-              } else throw e
+              // that is a clean end IFF every stream it opened finished
+              // (open streams were pruned on close, so "none left" is the
+              // check) — vacuously true for a probe that opened none
+              if (streams.isEmpty) { more = false; return }
+              else throw e
           }
-        if (f == null) () else f.tpe match {
+        f.tpe match {
           case Http2.TSettings =>
             if (!f.has(Http2.FAck)) {
-              windows.onSettings(Http2.parseSettings(f.payload))
+              val pairs = Http2.parseSettings(f.payload)
+              windows.onSettings(pairs)
+              // HPACK contract: our encoder's dynamic table must not
+              // exceed what the peer's decoder advertised (RFC 7541 §4.2)
+              pairs.collectFirst { case (Http2.SetHeaderTableSize, v) => v }
+                .foreach(codec.limitEncoderTable)
               Http2.writeFrame(out, Http2.TSettings, Http2.FAck, 0,
                 Array.emptyByteArray)
               out.flush()
@@ -695,11 +738,15 @@ final class GrpcRelayReceiver(spark: SparkSession, port: Int,
               headerBlock.reset()
             }
           case Http2.TData =>
-            val s = streams.getOrElse(f.streamId,
-              throw new IOException(s"DATA on unopened stream ${f.streamId}"))
-            val body = Http2.stripPadding(f)
-            if (!s.closed) s.data.feed(body) // closed (e.g. UNIMPLEMENTED):
-                                             // discard, but still credit
+            streams.get(f.streamId) match {
+              case Some(s) =>
+                if (!s.closed) s.data.feed(Http2.stripPadding(f))
+                if (f.has(Http2.FEndStream)) s.endPending = true
+              case None if f.streamId <= maxStreamSeen =>
+                () // late DATA for a finished/reset stream: discard
+              case None =>
+                throw new IOException(s"DATA on unopened stream ${f.streamId}")
+            }
             if (f.payload.length > 0) {
               Http2.writeFrame(out, Http2.TWindowUpdate, 0, 0,
                 Http2.windowUpdatePayload(f.payload.length))
@@ -707,13 +754,24 @@ final class GrpcRelayReceiver(spark: SparkSession, port: Int,
                 Http2.windowUpdatePayload(f.payload.length))
               out.flush()
             }
-            drain(s)
-            if (f.has(Http2.FEndStream)) onEndStream(s)
           case Http2.TGoAway => more = false
           case Http2.TRstStream =>
             streams.get(f.streamId).foreach(_.closed = true)
           case _ => () // PRIORITY etc.
         }
+      }
+      /** Run flagged stream work and prune finished streams. */
+      def processPending(): Unit = {
+        streams.values.toSeq.foreach { s =>
+          if (!s.closed && !s.data.isEmpty) drain(s)
+          if (!s.closed && s.endPending) onEndStream(s)
+        }
+        streams.filterInPlace((_, s) => !s.closed)
+      }
+
+      while (more && running.get()) {
+        pumpOnce()
+        processPending()
       }
     } catch {
       case _: Throwable =>

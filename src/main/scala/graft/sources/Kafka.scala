@@ -570,33 +570,9 @@ object Kafka {
     val idem = idempotent
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
-        var c: Client = new LeaderClient((host, port))
+        val prod = new BatchProducer((host, port), topic,
+          maxBatchRecords, maxBatchBytes, idem)
         try {
-          val nParts = c.metadata(Seq(topic))(topic).size
-          val (pid, epoch) = if (idem) c.initProducerId() else (-1L, (-1).toShort)
-          val seqs = new Array[Int](nParts)
-          val pending = Array.fill(nParts)(
-            Vector.newBuilder[(Long, Array[Byte], Array[Byte], Seq[(String, Array[Byte])])])
-          val pendingN = new Array[Int](nParts)
-          val pendingB = new Array[Int](nParts)
-          var rr = 0
-          def flush(p: Int): Unit = if (pendingN(p) > 0) {
-            val batch = encodeRecordBatch(0L, pending(p).result(),
-              producerId = pid, producerEpoch = epoch, baseSequence =
-                (if (idem) seqs(p) else -1))
-            try c.produce(topic, p, batch)
-            catch {
-              case _: IOException if idem =>
-                // reconnect and resend the SAME sequence: if the lost ack's
-                // append landed, the broker dedupes; if not, this is the
-                // first append — either way exactly one copy
-                try c.close() catch { case _: Exception => () }
-                c = new LeaderClient((host, port))
-                c.produce(topic, p, batch)
-            }
-            if (idem) seqs(p) += pendingN(p)
-            pending(p).clear(); pendingN(p) = 0; pendingB(p) = 0
-          }
           def asBytes(v: Any): Array[Byte] = v match {
             case null => null
             case b: Array[Byte] => b
@@ -604,24 +580,87 @@ object Kafka {
             case other => other.toString.getBytes(UTF_8)
           }
           it.foreach { row =>
-            val key = asBytes(row.getAs[Any]("key"))
-            val value = asBytes(row.getAs[Any]("value"))
-            val headers = headerCols.map(h => h -> asBytes(row.getAs[Any](h)))
-            val p =
-              if (key == null) { rr += 1; (rr - 1) % nParts }
-              else partitionFor(key, nParts)
-            pending(p) += ((System.currentTimeMillis(), key, value, headers))
-            pendingN(p) += 1
-            pendingB(p) += (if (key == null) 0 else key.length) +
-              (if (value == null) 0 else value.length) +
-              headers.iterator.map(h =>
-                h._1.length + (if (h._2 == null) 0 else h._2.length)).sum
-            if (pendingN(p) >= maxBatchRecords || pendingB(p) >= maxBatchBytes) flush(p)
+            prod.add(asBytes(row.getAs[Any]("key")),
+              asBytes(row.getAs[Any]("value")),
+              headerCols.map(h => h -> asBytes(row.getAs[Any](h))))
           }
-          (0 until nParts).foreach(flush)
-        } finally c.close()
+          prod.flushAll()
+        } finally prod.close()
       }
     }
+  }
+
+  /** THE task-side producer kernel — one copy of the batching, murmur2
+    * (or round-robin) routing, batch budgets, and the idempotent
+    * reconnect-resend recovery, shared by [[write]] and the DSv2 sink
+    * writer (the [[fetchPage]] rule: one place to fix producer-cursor
+    * semantics, not two).
+    *
+    * Delivery: with `idempotent` each instance takes a broker-issued
+    * producer id and numbers its batches per partition; a flush that dies
+    * mid-acknowledge builds a FRESH routed client and resends the same
+    * sequence — the broker dedupes a landed-but-unacked append, so
+    * connection-level retries are exactly-once. Non-idempotent flushes
+    * surface connection death to the caller, which owns the
+    * duplicate-safety decision. `rrSeed` staggers the null-key
+    * round-robin start (e.g. by Spark partition id) so concurrent tasks
+    * do not all open on Kafka partition 0. */
+  final class BatchProducer(bootstrap: (String, Int), topic: String,
+                            maxBatchRecords: Int, maxBatchBytes: Int,
+                            idempotent: Boolean, rrSeed: Int = 0)
+    extends AutoCloseable {
+    private var c: Client = new LeaderClient(bootstrap)
+    /** Partition count at open — the routing modulus for this instance. */
+    val nParts: Int = c.metadata(Seq(topic))(topic).size
+    private val (pid, epoch) =
+      if (idempotent) c.initProducerId() else (-1L, (-1).toShort)
+    private val seqs = new Array[Int](nParts)
+    private val pending = Array.fill(nParts)(
+      Vector.newBuilder[(Long, Array[Byte], Array[Byte], Seq[(String, Array[Byte])])])
+    private val pendingN = new Array[Int](nParts)
+    private val pendingB = new Array[Int](nParts)
+    private var rr = rrSeed
+
+    /** The current routed client (fence commits and other control calls
+      * by the DSv2 writer ride the same connection pool). */
+    private[sources] def client: Client = c
+
+    def add(key: Array[Byte], value: Array[Byte],
+            headers: Seq[(String, Array[Byte])] = Nil): Unit = {
+      val p =
+        if (key == null) { rr += 1; math.floorMod(rr - 1, nParts) }
+        else partitionFor(key, nParts)
+      pending(p) += ((System.currentTimeMillis(), key, value, headers))
+      pendingN(p) += 1
+      pendingB(p) += (if (key == null) 0 else key.length) +
+        (if (value == null) 0 else value.length) +
+        headers.iterator.map(h =>
+          h._1.length + (if (h._2 == null) 0 else h._2.length)).sum
+      if (pendingN(p) >= maxBatchRecords || pendingB(p) >= maxBatchBytes)
+        flush(p)
+    }
+
+    private def flush(p: Int): Unit = if (pendingN(p) > 0) {
+      val batch = encodeRecordBatch(0L, pending(p).result(),
+        producerId = pid, producerEpoch = epoch,
+        baseSequence = (if (idempotent) seqs(p) else -1))
+      try c.produce(topic, p, batch)
+      catch {
+        case _: IOException if idempotent =>
+          // reconnect and resend the SAME sequence: if the lost ack's
+          // append landed, the broker dedupes; if not, this is the
+          // first append — either way exactly one copy
+          try c.close() catch { case _: Exception => () }
+          c = new LeaderClient(bootstrap)
+          c.produce(topic, p, batch)
+      }
+      if (idempotent) seqs(p) += pendingN(p)
+      pending(p).clear(); pendingN(p) = 0; pendingB(p) = 0
+    }
+
+    def flushAll(): Unit = (0 until nParts).foreach(flush)
+
+    override def close(): Unit = c.close()
   }
 
   // ======================================================================

@@ -336,16 +336,15 @@ private[sources] final case class KafkaWriteDone(partitionId: Int, epochId: Long
                                                  records: Long) extends WriterCommitMessage
 
 /** One task's epoch-fenced idempotent produce (see [[GraftKafkaWrite]]).
-  * Batching/routing mirrors [[Kafka.write]]'s partition loop. */
+  * Batching/routing/reconnect-resend is [[Kafka.BatchProducer]] — the
+  * SAME kernel as [[Kafka.write]]; this class adds only the epoch fence
+  * and the InternalRow column access. */
 private[sources] final class KafkaEpochWriter(
     host: String, port: Int, topic: String,
     schema: StructType, maxRecs: Int, maxBytes: Int,
     sparkPartition: Int, epochId: Long, fenceGroup: Option[String])
   extends DataWriter[InternalRow] {
 
-  import java.nio.charset.StandardCharsets.UTF_8
-
-  private var c = new Kafka.LeaderClient((host, port))
   private val keyIdx = schema.fieldIndex("key")
   private val valIdx = schema.fieldIndex("value")
   private def bytesAt(row: InternalRow, i: Int): Array[Byte] =
@@ -357,67 +356,34 @@ private[sources] final class KafkaEpochWriter(
         s"key/value must be string or binary, got $other")
     }
 
+  private val prod = new Kafka.BatchProducer((host, port), topic,
+    maxRecs, maxBytes, idempotent = true, rrSeed = sparkPartition)
+
   /** Fence key: one group per (sink, spark partition), partition 0 slot
     * stores lastWrittenEpoch + 1. */
   private def fenceKey(g: String) = s"$g-p$sparkPartition"
   private val alreadyWritten: Boolean = fenceGroup.exists { g =>
-    c.offsetFetch(fenceKey(g), Seq((topic, 0))).getOrElse((topic, 0), -1L) > epochId
+    prod.client.offsetFetch(fenceKey(g), Seq((topic, 0)))
+      .getOrElse((topic, 0), -1L) > epochId
   }
-
-  private val nParts = if (alreadyWritten) 0 else c.metadata(Seq(topic))(topic).size
-  private val (pid, epoch) =
-    if (alreadyWritten) (-1L, (-1).toShort) else c.initProducerId()
-  private val seqs = new Array[Int](math.max(nParts, 1))
-  private val pending = Array.fill(math.max(nParts, 1))(
-    Vector.newBuilder[(Long, Array[Byte], Array[Byte], Seq[(String, Array[Byte])])])
-  private val pendingN = new Array[Int](math.max(nParts, 1))
-  private val pendingB = new Array[Int](math.max(nParts, 1))
-  private var rr = sparkPartition
   private var written = 0L
 
-  private def flush(p: Int): Unit = if (pendingN(p) > 0) {
-    val batch = KafkaProto.encodeRecordBatch(0L, pending(p).result(),
-      producerId = pid, producerEpoch = epoch, baseSequence = seqs(p))
-    try c.produce(topic, p, batch)
-    catch {
-      case _: java.io.IOException =>
-        // resend the SAME sequence on a FRESH client (the broken pooled
-        // connection inside the old one would just re-throw): the
-        // idempotent producer dedupes a landed-but-unacked append —
-        // the Kafka.write rule
-        try c.close() catch { case _: Exception => () }
-        c = new Kafka.LeaderClient((host, port))
-        c.produce(topic, p, batch)
-    }
-    seqs(p) += pendingN(p)
-    pending(p).clear(); pendingN(p) = 0; pendingB(p) = 0
-  }
-
   override def write(row: InternalRow): Unit = if (!alreadyWritten) {
-    val key = bytesAt(row, keyIdx)
-    val value = bytesAt(row, valIdx)
-    val p =
-      if (key == null) { rr += 1; math.floorMod(rr - 1, nParts) }
-      else KafkaProto.partitionFor(key, nParts)
-    pending(p) += ((System.currentTimeMillis(), key, value, Nil))
-    pendingN(p) += 1
-    pendingB(p) += (if (key == null) 0 else key.length) +
-      (if (value == null) 0 else value.length)
+    prod.add(bytesAt(row, keyIdx), bytesAt(row, valIdx))
     written += 1
-    if (pendingN(p) >= maxRecs || pendingB(p) >= maxBytes) flush(p)
   }
 
   override def commit(): WriterCommitMessage = {
     if (!alreadyWritten) {
-      (0 until nParts).foreach(flush)
+      prod.flushAll()
       // fence AFTER every record is acknowledged: a replay of this epoch
       // (kill/restart before the query checkpoint advanced) skips produce
       fenceGroup.foreach(g =>
-        c.offsetCommit(fenceKey(g), Map((topic, 0) -> (epochId + 1))))
+        prod.client.offsetCommit(fenceKey(g), Map((topic, 0) -> (epochId + 1))))
     }
     KafkaWriteDone(sparkPartition, epochId, written)
   }
 
   override def abort(): Unit = () // idempotent producer; replay re-fences
-  override def close(): Unit = c.close()
+  override def close(): Unit = prod.close()
 }
