@@ -532,11 +532,23 @@ object Curation {
     * leaves trailing tiles empty when rows < tiles); `sum_value` is null
     * for a tile holding only null values (SQL sum semantics). Replayable
     * verbatim by a plain `ntile` in any SQL engine — the oracle form. */
-  def ntileSumsDesc(values: DataFrame, valueCol: String, tiles: Int): DataFrame = {
+  def ntileSumsDesc(values: DataFrame, valueCol: String, tiles: Int,
+                    materializeHist: Boolean = true): DataFrame = {
     require(tiles >= 1, s"tiles must be >= 1: $tiles")
     requireIntegral(values, valueCol, "ntileSumsDesc")
-    val hist = values.select(col(valueCol).cast("long").as("__v"))
+    val hist0 = values.select(col(valueCol).cast("long").as("__v"))
       .groupBy("__v").agg(count(lit(1)).as("__cnt"))
+    // The histogram feeds several branches (cumulative window, bucket
+    // totals, tile bounds). Catalyst prunes/pushes into each branch
+    // differently, which defeats exchange reuse and re-runs the upstream
+    // scan per branch — so by default the VALUE-GRAIN histogram (2 longs
+    // per distinct value, bounded by the value space) is lazily
+    // localCheckpointed, the packSequences rule: the corpus executes
+    // once, every branch reads the materialized rows. Callers whose
+    // input is already an exchange output that AQE provably reuses
+    // (ev_concentration's per-user rollup) pass false and keep full plan
+    // visibility.
+    val hist = if (materializeHist) hist0.localCheckpoint(false) else hist0
     // sign-aware log2 bucket: monotone NON-DECREASING in __v over the
     // whole long line, null stays null (its own window partition; ranked
     // last by the base arithmetic below). Long.MinValue is pinned
@@ -554,7 +566,13 @@ object Curation {
       .orderBy(col("__v").desc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, -1)
     val cumIn = hb.withColumn("__cumin", coalesce(sum("__cnt").over(wIn), lit(0L)))
-    val sbTot = hb.groupBy("__sb").agg(sum("__cnt").as("__u"))
+    // per-super-bucket totals derive from cumIn — the SAME
+    // Exchange(__sb) subtree as the window, so AQE's exchange reuse
+    // collapses every downstream branch onto ONE corpus scan (an
+    // aggregate straight off `hb` would canonicalize differently and
+    // re-scan per branch); the extra window pass runs on histogram-grain
+    // rows and the agg itself needs no new shuffle (already partitioned)
+    val sbTot = cumIn.groupBy("__sb").agg(sum("__cnt").as("__u"))
     // base(sb) = rows in strictly-HIGHER super-buckets (null sb ranks
     // last -> every non-null bucket is higher); <= 130x130 triangle
     val t2 = sbTot.select(col("__sb").as("__sb2"), col("__u").as("__u2"))

@@ -2006,7 +2006,12 @@ object Relational {
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
       .groupBy("user_id").agg(sum("cents").as("spend_cents"))
-    val d = graft.operators.Curation.ntileSumsDesc(perUser, "spend_cents", 10)
+    // materializeHist=false: the per-user rollup below the histogram is
+    // an exchange AQE provably reuses across the helper's branches (the
+    // plan lock asserts ONE executed scan + user exchange), so the plan
+    // stays fully visible — no checkpoint opacity needed here
+    val d = graft.operators.Curation
+      .ntileSumsDesc(perUser, "spend_cents", 10, materializeHist = false)
       .select(col("tile").as("decile"), col("n_rows").as("n_users"),
         col("sum_value").as("decile_cents"))
     // cents × 1e6 stays under 2^63 up to ~9.2e12 decile cents (~$92B) —

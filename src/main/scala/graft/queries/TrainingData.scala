@@ -1245,6 +1245,26 @@ object TrainingData {
         "doc_id", "source", "score_ppm", k = 20, minGap = 100000L)
       .orderBy("source", "pair_rank")
 
+  /** Quality-decile profile of the corpus — the calibration readout data
+    * curation decisions are argued from ("how much worse is decile 7 than
+    * decile 2, and how many tokens live there"): documents rank into
+    * [[scorePpm]] deciles, each reporting its doc count and exact
+    * sum/avg score. The decile aggregate is [[graft.operators.Curation
+    * .ntileSumsDesc]] — the exact-ntile identity over the score VALUE
+    * HISTOGRAM (one corpus-grain exchange for the score projection, then
+    * histogram-grain work, zero unpartitioned windows; the same
+    * plan-locked shape as ev_concentration) — while the DuckDB oracle
+    * replays a literal `ntile(10)`, locking the identity itself. */
+  def dsQualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(scorePpm.as("score_ppm"))
+    graft.operators.Curation.ntileSumsDesc(scored, "score_ppm", 10)
+      .select(col("tile").as("decile"), col("n_rows").as("n_docs"),
+        col("sum_value").as("sum_score_ppm"))
+      .withColumn("avg_score_ppm", expr("sum_score_ppm div n_docs"))
+      .orderBy("decile")
+  }
+
   /** Inter-labeler agreement audit (Cohen's kappa, exact ppm): do the
     * length-based keep rule (chars ≥ 200 AND ws-tokens ≥ 30) and the
     * repetition-based keep rule (duplicate-word fraction < 1/2, exact
@@ -1897,6 +1917,7 @@ object TrainingData {
     "ds_sample_stratified" -> dsSampleStratified _,
     "ds_sample_weighted"   -> dsSampleWeighted _,
     "ds_preference_pairs"  -> dsPreferencePairs _,
+    "ds_quality_deciles"   -> dsQualityDeciles _,
     "ds_agreement"         -> dsAgreement _,
     "txt_collocations"     -> txtCollocations _,
     "txt_fertility"        -> txtFertility _,
@@ -2904,6 +2925,20 @@ object TrainingData {
         |keep AS (SELECT * FROM pri ORDER BY priority, doc_id LIMIT 500)
         |SELECT source, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
         |FROM keep GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ds_quality_deciles" ->
+      """WITH s AS (
+        | SELECT least(n_chars, 500) * 1000 +
+        |   (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000)
+        |    // greatest(n_chars, 1) AS score_ppm
+        | FROM documents),
+        |r AS (
+        | SELECT score_ppm,
+        |  ntile(10) OVER (ORDER BY score_ppm DESC NULLS LAST) AS decile
+        | FROM s)
+        |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(score_ppm) AS BIGINT) AS sum_score_ppm,
+        | CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS avg_score_ppm
+        |FROM r GROUP BY 1 ORDER BY decile""".stripMargin,
     "ds_preference_pairs" ->
       """WITH scored AS (
         | SELECT doc_id, source,

@@ -44,6 +44,11 @@ object Kafka {
   final class NotLeaderForPartition(val topic: String, val partition: Int)
     extends IOException(s"not the leader for $topic/$partition — refresh metadata")
 
+  /** Typed routing error: the broker answering does not coordinate this
+    * group — re-resolve via FindCoordinator ([[LeaderClient]] does). */
+  final class NotCoordinator(val group: String)
+    extends IOException(s"not the coordinator for group $group — re-resolve")
+
   /** One Metadata response's routing view: brokers by node id, EVERY
     * partition id per topic (leaderless-during-election ones included —
     * partition COUNTS drive key placement and split planning, and must
@@ -345,9 +350,24 @@ object Kafka {
         t.array { p =>
           p.int32()
           val err = p.int16()
+          if (err == KafkaProto.ErrNotCoordinator)
+            throw new Kafka.NotCoordinator(group)
           require(err == ErrNone, s"offsetCommit error $err")
         }
       }
+    }
+
+    /** FindCoordinator v0 → the (nodeId, host, port) serving this
+      * group's offsets — group calls belong on the COORDINATOR, not an
+      * arbitrary broker (real multi-broker clusters refuse them with
+      * NOT_COORDINATOR elsewhere). */
+    def findCoordinator(group: String): (Int, String, Int) = {
+      val w = new Writer()
+      w.string(group)
+      val r = call(ApiFindCoordinator, 0, w.toBytes)
+      val err = r.int16()
+      require(err == ErrNone, s"findCoordinator error $err for group $group")
+      (r.int32(), r.string(), r.int32())
     }
 
     /** OffsetFetch v1 → committed offset per partition, -1 when none. */
@@ -368,6 +388,8 @@ object Kafka {
           val off = p.int64()
           p.nullableString()
           val err = p.int16()
+          if (err == KafkaProto.ErrNotCoordinator)
+            throw new Kafka.NotCoordinator(group)
           require(err == ErrNone, s"offsetFetch error $err")
           out += ((name, part) -> off)
         }
@@ -385,10 +407,10 @@ object Kafka {
     * calls (fetch/produce/listOffset) go to the partition's LEADER, keyed
     * by node id from the Metadata response; a NOT_LEADER answer (or a
     * dead leader connection) refreshes metadata and re-routes, bounded.
-    * Group-offset calls ride the bootstrap connection (coordinator
-    * discovery — FindCoordinator — is not modeled: every test-double
-    * broker serves group offsets, and a real deployment points bootstrap
-    * at the cluster anyway). Re-routing a produce after NOT_LEADER is
+    * Group-offset calls route to the group's COORDINATOR (FindCoordinator
+    * v0, cached per group, re-resolved on NOT_COORDINATOR or a dead
+    * socket) — the real cluster contract, where an arbitrary broker
+    * refuses group offsets. Re-routing a produce after NOT_LEADER is
     * duplicate-safe even for non-idempotent batches: that error means
     * the append was refused. One instance per task/thread, like
     * [[WireClient]]. */
@@ -461,6 +483,39 @@ object Kafka {
       throw new IllegalStateException("unreachable")
     }
 
+    // group -> coordinator connection (FindCoordinator-resolved); a
+    // NOT_COORDINATOR answer (coordinator moved) or a dead socket drops
+    // the cache entry and re-resolves, bounded — the group twin of the
+    // leader routing above. Group-offset writes are idempotent absolute
+    // positions, so the IO retry cannot double-apply anything.
+    private var coordConns = Map[String, ((String, Int), WireClient)]()
+    private def coordinatorConn(group: String): WireClient =
+      coordConns.get(group) match {
+        case Some((_, c)) => c
+        case None =>
+          val (_, h, p) = boot.findCoordinator(group)
+          val c = new WireClient(h, p, clientId, timeoutMs)
+          coordConns += group -> (((h, p), c))
+          c
+      }
+    private def groupRouted[A](group: String, retries: Int = 2)
+                              (f: WireClient => A): A = {
+      var attempt = 0
+      while (true) {
+        try return f(coordinatorConn(group))
+        catch {
+          case e @ (_: NotCoordinator | _: java.net.SocketException |
+                    _: EOFException) =>
+            attempt += 1
+            if (attempt > retries) throw e
+            coordConns.get(group).foreach { case (_, c) =>
+              try c.close() catch { case _: Throwable => () } }
+            coordConns -= group
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
     def metadata(topics: Seq[String] = null): Map[String, Seq[Int]] =
       boot.metadata(topics)
     def metadataCluster(topics: Seq[String] = null): ClusterMeta =
@@ -477,13 +532,16 @@ object Kafka {
         _.produce(topic, partition, recordSet, timeoutMs))
     def initProducerId(): (Long, Short) = boot.initProducerId()
     def offsetCommit(group: String, offsets: Map[(String, Int), Long]): Unit =
-      boot.offsetCommit(group, offsets)
+      groupRouted(group)(_.offsetCommit(group, offsets))
     def offsetFetch(group: String, tps: Seq[(String, Int)]): Map[(String, Int), Long] =
-      boot.offsetFetch(group, tps)
+      groupRouted(group)(_.offsetFetch(group, tps))
     override def close(): Unit = {
       conns.valuesIterator.foreach { case (_, c) =>
         try c.close() catch { case _: Throwable => () } }
       conns = Map.empty
+      coordConns.valuesIterator.foreach { case (_, c) =>
+        try c.close() catch { case _: Throwable => () } }
+      coordConns = Map.empty
       try boot.close() catch { case _: Throwable => () }
     }
   }

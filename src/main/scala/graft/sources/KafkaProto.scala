@@ -35,6 +35,7 @@ object KafkaProto {
   val ApiMetadata = 3
   val ApiOffsetCommit = 8
   val ApiOffsetFetch = 9
+  val ApiFindCoordinator = 10
   val ApiApiVersions = 18
   val ApiInitProducerId = 22
 
@@ -43,6 +44,7 @@ object KafkaProto {
   val ErrOffsetOutOfRange: Short = 1
   val ErrUnknownTopicOrPartition: Short = 3
   val ErrNotLeaderForPartition: Short = 6
+  val ErrNotCoordinator: Short = 16
   val ErrOutOfOrderSequence: Short = 45
 
   /** Earliest/latest sentinels for ListOffsets timestamps. */

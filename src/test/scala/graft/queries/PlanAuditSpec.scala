@@ -1174,6 +1174,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(fin.contains("ReusedExchange"), fin)
   }
 
+  test("ds_quality_deciles: no ntile, no single-task window, and the " +
+    "corpus scan EXECUTES once under AQE exchange reuse — the histogram " +
+    "decile shape holds for its second consumer too") {
+    val p = planOf("ds_quality_deciles")
+    assert(!p.contains("ntile"), p)
+    val gw = globalWindowsOf("ds_quality_deciles")
+    assert(gw.isEmpty, s"single-task window regressed:\n${gw.mkString("\n")}")
+    // the corpus scan runs ONCE inside the histogram checkpoint job
+    // (ntileSumsDesc materializeHist); the published plan reads the
+    // value-grain checkpoint — zero parquet re-scans across the
+    // helper's branches (Catalyst's per-branch pruning would otherwise
+    // defeat exchange reuse and re-scan per branch)
+    val df = graft.SparkEntry.queries("ds_quality_deciles")(spark, sfDir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(countScans(fin) == 0, fin)
+    assert(fin.contains("Scan ExistingRDD"), fin)
+  }
+
   test("txt_vocab_growth: tokenizer runs exactly twice (deliberate rescan over " +
     "token caching); boundary joins are 10-row broadcasts; NO single-task " +
     "window (the old ntile bounds sorted every doc_id in one task)") {

@@ -504,6 +504,23 @@ class KafkaE2eSpec extends SparkSpec {
       Kafka.write(df, boot, "mb")
       val total = Kafka.read(spark, boot, "mb").count()
       assert(total === 17L) // 6 + 1 moved-produce + 10
+      // group offsets live on the group's COORDINATOR: the wrong broker
+      // refuses them with the typed NOT_COORDINATOR, exactly one broker
+      // accepts, and the routed client finds it via FindCoordinator
+      val g = "mb-group"
+      val rawClients = Seq(cluster.b0, cluster.b1)
+        .map(b => new Kafka.WireClient("127.0.0.1", b.boundPort))
+      val refusals = rawClients.map { rc =>
+        try { rc.offsetCommit(g, Map(("mb", 0) -> 2L)); 0 }
+        catch { case _: Kafka.NotCoordinator => 1 }
+      }
+      assert(refusals.sum === 1, s"exactly one broker must refuse: $refusals")
+      rawClients.foreach(_.close())
+      val gc = new Kafka.LeaderClient(boot)
+      gc.offsetCommit(g, Map(("mb", 0) -> 5L, ("mb", 1) -> 6L))
+      assert(gc.offsetFetch(g, Seq(("mb", 0), ("mb", 1)))
+        === Map(("mb", 0) -> 5L, ("mb", 1) -> 6L))
+      gc.close()
     } finally cluster.close()
   }
 

@@ -111,6 +111,7 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
           case ApiOffsetCommit => offsetCommitV2(version, r)
           case ApiOffsetFetch => offsetFetchV1(version, r)
           case ApiInitProducerId => initProducerIdV0(version, r)
+          case ApiFindCoordinator => findCoordinatorV0(version, r)
           case other => throw new EOFException(s"unsupported api key $other")
         }
         writeResponse(out, corr, body)
@@ -129,7 +130,8 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
     w.array(Seq(
       (ApiProduce, 3, 3), (ApiFetch, 4, 4), (ApiListOffsets, 1, 1),
       (ApiMetadata, 1, 1), (ApiOffsetCommit, 2, 2), (ApiOffsetFetch, 1, 1),
-      (ApiApiVersions, 0, 0), (ApiInitProducerId, 0, 0))) { (b, k) =>
+      (ApiApiVersions, 0, 0), (ApiInitProducerId, 0, 0),
+      (ApiFindCoordinator, 0, 0))) { (b, k) =>
       b.int16(k._1); b.int16(k._2); b.int16(k._3)
     }
     w.toBytes
@@ -318,6 +320,21 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
     w.toBytes
   }
 
+  /** Deterministic coordinator assignment over the cluster view (the
+    * real broker hashes the group onto __consumer_offsets partitions;
+    * same idea, same answer from every broker sharing the view). */
+  private def coordinatorFor(group: String): (Int, String, Int) = {
+    val view = brokersNow
+    view(math.floorMod(group.hashCode, view.size))
+  }
+
+  private def findCoordinatorV0(version: Int, r: Reader): Array[Byte] = {
+    require(version == 0, s"FindCoordinator v$version unsupported")
+    val group = r.string()
+    val (id, host, prt) = coordinatorFor(group)
+    new Writer().int16(ErrNone).int32(id).string(host).int32(prt).toBytes
+  }
+
   private def initProducerIdV0(version: Int, r: Reader): Array[Byte] = {
     require(version == 0, s"InitProducerId v$version unsupported")
     r.nullableString() // transactional id (null = idempotence only)
@@ -326,6 +343,8 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
       .int64(nextPid.getAndIncrement()).int16(0).toBytes
   }
 
+  private val ErrNotCoordinatorLocal: Short = KafkaProto.ErrNotCoordinator
+
   private def offsetCommitV2(version: Int, r: Reader): Array[Byte] = {
     require(version == 2, s"OffsetCommit v$version unsupported")
     val group = r.string()
@@ -333,7 +352,10 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
     val req = r.array { t =>
       (t.string(), t.array(p => (p.int32(), p.int64(), p.nullableString())))
     }
-    req.foreach { case (topic, parts) =>
+    // the real contract: a broker that does not coordinate this group
+    // refuses the commit — clients must FindCoordinator and route there
+    val mine = coordinatorFor(group)._1 == nodeId
+    if (mine) req.foreach { case (topic, parts) =>
       parts.foreach { case (p, off, _) =>
         groupOffsets.put((group, topic, p), off)
       }
@@ -341,7 +363,8 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
     val w = new Writer()
     w.array(req) { (b, tr) =>
       b.string(tr._1)
-      b.array(tr._2)((pb, pr) => { pb.int32(pr._1); pb.int16(ErrNone) })
+      b.array(tr._2)((pb, pr) => { pb.int32(pr._1)
+        pb.int16(if (mine) ErrNone else ErrNotCoordinatorLocal) })
     }
     w.toBytes
   }
@@ -350,12 +373,16 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
     require(version == 1, s"OffsetFetch v$version unsupported")
     val group = r.string()
     val req = r.array(t => (t.string(), t.array(_.int32())))
+    val mine = coordinatorFor(group)._1 == nodeId
     val w = new Writer()
     w.array(req) { (b, tr) =>
       b.string(tr._1)
       b.array(tr._2) { (pb, p) =>
-        val off = Option(groupOffsets.get((group, tr._1, p))).getOrElse(-1L)
-        pb.int32(p); pb.int64(off); pb.nullableString(null); pb.int16(ErrNone)
+        val off =
+          if (mine) Option(groupOffsets.get((group, tr._1, p))).getOrElse(-1L)
+          else -1L
+        pb.int32(p); pb.int64(off); pb.nullableString(null)
+        pb.int16(if (mine) ErrNone else ErrNotCoordinatorLocal)
       }
     }
     w.toBytes

@@ -131,7 +131,7 @@ for name in ["ev_funnel", "ev_retention", "txt_normalize",
              # |sources|^2 at every scale)
              "ev_changepoint", "ev_attribution_multi", "ds_tournament",
              "ds_expectations", "ev_lag_features", "ev_seasonality",
-             "mm_audio_meta", "ev_concentration", "txt_vocab_growth",
+             "mm_audio_meta", "ev_concentration", "txt_vocab_growth", "ds_quality_deciles",
              # value-exact at sf1 BY THE EXACT-MODE BOUNDS: theta max
              # distinct users/day = 1356 < 4096 nominal entries; KLL max
              # rows per (type,day) = 7390 < k=16384 (see the query docs)
