@@ -202,6 +202,9 @@ object Http2 {
     def consume(id: Int, n: Int): Unit = {
       conn -= n; streams(id) = stream(id) - n
     }
+    /** Forget a finished stream's ledger entry (a long-lived multiplexed
+      * connection must not grow per-rpc state here either). */
+    def drop(id: Int): Unit = { streams -= id; () }
     def onSettings(pairs: Seq[(Int, Long)]): Unit = pairs.foreach {
       case (SetInitialWindowSize, v) =>
         val delta = v - initial
@@ -396,9 +399,13 @@ object GrpcRelay {
           java.util.Arrays.copyOfRange(bytes, off, off + want))
         windows.consume(streamId, want)
         off += want
-        if (bytes.length == 0) { out.flush(); return } // lone END_STREAM frame
+        // flush EVERY frame before a possible credit wait: a partial
+        // frame parked in the output buffer is credit the peer can never
+        // grant (it credits on receipt) — buffered-unflushed + blocked
+        // read = deadlock
+        out.flush()
+        if (bytes.length == 0) return // lone END_STREAM frame
       }
-      out.flush()
     }
 
     /** Block until one full gRPC message (an ack) is available. */
@@ -554,6 +561,7 @@ final class GrpcRelayReceiver(spark: SparkSession, port: Int,
     var session: RelayProto.EnvelopeSession = _
     var closed = false
     var endPending = false // peer half-closed; handled by processPending
+    var dirty = false      // new bytes since the last drain
   }
 
   private def serve(sock: Socket): Unit = {
@@ -611,8 +619,8 @@ final class GrpcRelayReceiver(spark: SparkSession, port: Int,
             java.util.Arrays.copyOfRange(m, off, off + n))
           windows.consume(s.id, n)
           off += n
+          out.flush() // before any credit wait — see ClientConn.sendData
         }
-        out.flush()
       }
       def sendTrailers(s: StreamState, status: Int, message: String): Unit = {
         respondHeadersOnce(s)
@@ -714,7 +722,9 @@ final class GrpcRelayReceiver(spark: SparkSession, port: Int,
               out.flush()
             }
           case Http2.TWindowUpdate =>
-            windows.onWindowUpdate(f.streamId, Http2.windowIncrement(f))
+            if (f.streamId == 0 || streams.contains(f.streamId))
+              windows.onWindowUpdate(f.streamId, Http2.windowIncrement(f))
+            // else: credit for a pruned stream — stale, ignore
           case Http2.THeaders =>
             headerBlock.reset()
             headerBlock.write(Http2.stripPadding(f))
@@ -738,20 +748,24 @@ final class GrpcRelayReceiver(spark: SparkSession, port: Int,
               headerBlock.reset()
             }
           case Http2.TData =>
-            streams.get(f.streamId) match {
+            val open = streams.get(f.streamId) match {
               case Some(s) =>
-                if (!s.closed) s.data.feed(Http2.stripPadding(f))
+                if (!s.closed) { s.data.feed(Http2.stripPadding(f)); s.dirty = true }
                 if (f.has(Http2.FEndStream)) s.endPending = true
+                !s.closed
               case None if f.streamId <= maxStreamSeen =>
-                () // late DATA for a finished/reset stream: discard
+                false // late DATA for a finished/reset stream: discard
               case None =>
                 throw new IOException(s"DATA on unopened stream ${f.streamId}")
             }
             if (f.payload.length > 0) {
               Http2.writeFrame(out, Http2.TWindowUpdate, 0, 0,
                 Http2.windowUpdatePayload(f.payload.length))
-              Http2.writeFrame(out, Http2.TWindowUpdate, 0, f.streamId,
-                Http2.windowUpdatePayload(f.payload.length))
+              // RFC 7540 §5.1: no frames besides PRIORITY on a CLOSED
+              // stream — late DATA gets only the connection-level credit
+              if (open)
+                Http2.writeFrame(out, Http2.TWindowUpdate, 0, f.streamId,
+                  Http2.windowUpdatePayload(f.payload.length))
               out.flush()
             }
           case Http2.TGoAway => more = false
@@ -760,13 +774,27 @@ final class GrpcRelayReceiver(spark: SparkSession, port: Int,
           case _ => () // PRIORITY etc.
         }
       }
-      /** Run flagged stream work and prune finished streams. */
+      /** Run flagged stream work to a FIXPOINT and prune finished
+        * streams: a drain's credit wait pumps frames that may flag NEW
+        * work (another stream's DATA/END_STREAM), which must not starve
+        * until the next inbound frame. */
       def processPending(): Unit = {
-        streams.values.toSeq.foreach { s =>
-          if (!s.closed && !s.data.isEmpty) drain(s)
-          if (!s.closed && s.endPending) onEndStream(s)
+        var again = true
+        while (again) {
+          val work = streams.values
+            .filter(s => !s.closed && (s.dirty || s.endPending)).toSeq
+          work.foreach { s =>
+            s.dirty = false
+            if (!s.closed && !s.data.isEmpty) drain(s)
+            if (!s.closed && s.endPending) onEndStream(s)
+          }
+          streams.filterInPlace { (id, s) =>
+            if (s.closed) windows.drop(id) // finished rpc: forget ledger too
+            !s.closed
+          }
+          again = work.nonEmpty &&
+            streams.values.exists(s => !s.closed && (s.dirty || s.endPending))
         }
-        streams.filterInPlace((_, s) => !s.closed)
       }
 
       while (more && running.get()) {

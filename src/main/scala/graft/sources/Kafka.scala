@@ -467,8 +467,12 @@ object Kafka {
           c = leaderConn(topic, partition) // may itself throw NotLeader
           return f(c)                      // (leaderless election window)
         } catch {
-          case e @ (_: NotLeaderForPartition | _: java.net.SocketException |
-                    _: EOFException) =>
+          // a hung broker surfaces as SocketTimeoutException (an
+          // InterruptedIOException, not SocketException) — any transport
+          // IOException means re-route, EXCEPT the typed fetch-range
+          // error, which is the caller's recovery signal (fetchPage)
+          case e: OffsetOutOfRange => throw e
+          case e: IOException =>
             attempt += 1
             if (attempt > retries ||
               (!retryIo && !e.isInstanceOf[NotLeaderForPartition])) throw e
@@ -504,8 +508,10 @@ object Kafka {
       while (true) {
         try return f(coordinatorConn(group))
         catch {
-          case e @ (_: NotCoordinator | _: java.net.SocketException |
-                    _: EOFException) =>
+          // any transport IOException (timeouts included) drops the
+          // cached coordinator and re-resolves — group-offset writes are
+          // idempotent absolute positions, so retries are safe
+          case e: IOException =>
             attempt += 1
             if (attempt > retries) throw e
             coordConns.get(group).foreach { case (_, c) =>

@@ -356,34 +356,41 @@ private[sources] final class KafkaEpochWriter(
         s"key/value must be string or binary, got $other")
     }
 
-  private val prod = new Kafka.BatchProducer((host, port), topic,
-    maxRecs, maxBytes, idempotent = true, rrSeed = sparkPartition)
-
   /** Fence key: one group per (sink, spark partition), partition 0 slot
     * stores lastWrittenEpoch + 1. */
   private def fenceKey(g: String) = s"$g-p$sparkPartition"
+  private val fenceClient = new Kafka.LeaderClient((host, port))
+  // fence check FIRST: a replayed epoch must not pay metadata +
+  // InitProducerId (a broker-side pid allocation) just to write nothing
   private val alreadyWritten: Boolean = fenceGroup.exists { g =>
-    prod.client.offsetFetch(fenceKey(g), Seq((topic, 0)))
+    fenceClient.offsetFetch(fenceKey(g), Seq((topic, 0)))
       .getOrElse((topic, 0), -1L) > epochId
   }
+  private lazy val prod = new Kafka.BatchProducer((host, port), topic,
+    maxRecs, maxBytes, idempotent = true, rrSeed = sparkPartition)
+  private var producing = false
   private var written = 0L
 
   override def write(row: InternalRow): Unit = if (!alreadyWritten) {
+    producing = true
     prod.add(bytesAt(row, keyIdx), bytesAt(row, valIdx))
     written += 1
   }
 
   override def commit(): WriterCommitMessage = {
     if (!alreadyWritten) {
-      prod.flushAll()
+      if (producing) prod.flushAll()
       // fence AFTER every record is acknowledged: a replay of this epoch
       // (kill/restart before the query checkpoint advanced) skips produce
       fenceGroup.foreach(g =>
-        prod.client.offsetCommit(fenceKey(g), Map((topic, 0) -> (epochId + 1))))
+        fenceClient.offsetCommit(fenceKey(g), Map((topic, 0) -> (epochId + 1))))
     }
     KafkaWriteDone(sparkPartition, epochId, written)
   }
 
   override def abort(): Unit = () // idempotent producer; replay re-fences
-  override def close(): Unit = prod.close()
+  override def close(): Unit = {
+    if (producing) prod.close()
+    fenceClient.close()
+  }
 }
