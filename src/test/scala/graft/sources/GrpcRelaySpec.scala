@@ -365,6 +365,139 @@ class GrpcRelaySpec extends SparkSpec {
     } finally relay.stop()
   }
 
+  test("three INTERLEAVED multiplexed streams on one connection: per-frame " +
+    "acks come back per stream, all complete, state is pruned") {
+    val relay = new GrpcRelayReceiver(spark, 0, ackMode = "per-frame")
+    try {
+      val p = new ManualPeer(relay.boundPort)
+      try {
+        val ids = Seq(1, 3, 5)
+        ids.foreach(id => p.openOn(id, GrpcRelay.StreamPath))
+        // round-robin the DATA so the receiver juggles all three at once
+        (0 until 4).foreach { seq =>
+          ids.foreach { id =>
+            p.sendOn(id, RelayProto.encodeEnvelope(RelayProto.EnvelopePayload(
+              RelayProto.wrap(s"""{"id":${id * 100 + seq},"name":"mx"}"""
+                .getBytes(UTF_8), id = s"s$id-$seq", seq = seq.toLong,
+                tsEpochMs = 1L, algo = graft.functions.Codecs.CompressNone,
+                key = None))), endStream = false)
+          }
+        }
+        ids.foreach { id =>
+          Http2.writeFrame(p.out, Http2.TData, Http2.FEndStream, id,
+            Array.emptyByteArray)
+        }
+        p.out.flush()
+        // collect per-frame acks (12) + per-stream trailers (3): pump until
+        // every stream ended; ManualPeer tracks one ended flag, so count
+        // trailers frames manually
+        var acks = 0
+        var trailerStreams = Set[Int]()
+        val deadline = System.currentTimeMillis() + 20000
+        while ((acks < 12 || trailerStreams.size < 3) &&
+          System.currentTimeMillis() < deadline) {
+          val f = Http2.readFrame(p.in, 1 << 20)
+          f.tpe match {
+            case Http2.TSettings if !f.has(Http2.FAck) =>
+              Http2.writeFrame(p.out, Http2.TSettings, Http2.FAck, 0,
+                Array.emptyByteArray); p.out.flush()
+            case Http2.TData =>
+              p.data.feed(Http2.stripPadding(f))
+              var m = p.data.poll()
+              while (m.isDefined) {
+                val a = RelayProto.decodeAck(m.get)
+                assert(a.success, a)
+                acks += 1
+                m = p.data.poll()
+              }
+            case Http2.THeaders =>
+              val hs = p.codec.decode(f.streamId, Http2.stripPadding(f))
+              if (hs.exists(_._1 == "grpc-status")) {
+                assert(hs.collectFirst { case ("grpc-status", v) => v }
+                  .contains("0"), hs.toString)
+                trailerStreams += f.streamId
+              }
+            case _ => ()
+          }
+        }
+        assert(acks == 12, s"acks=$acks")
+        assert(trailerStreams == Set(1, 3, 5), trailerStreams)
+        eventually(relay.receivedCount == 12, s"got ${relay.receivedCount}/12")
+        assert(relay.badFrameCount == 0)
+      } finally p.close()
+    } finally relay.stop()
+  }
+
+  test("a peer advertising a 16-byte flow-control window: the receiver " +
+    "splits acks to the credit, waits for WINDOW_UPDATEs, and still " +
+    "serves interleaved work flagged during the wait") {
+    val relay = new GrpcRelayReceiver(spark, 0, ackMode = "per-frame")
+    try {
+      val p = new ManualPeer(relay.boundPort)
+      try {
+        // shrink OUR receive window: every ack DATA frame from the
+        // receiver must now be <= 16 bytes and wait for our credits
+        Http2.writeFrame(p.out, Http2.TSettings, 0, 0,
+          Http2.settingsPayload(Seq(Http2.SetInitialWindowSize -> 16L)))
+        p.out.flush()
+        p.openOn(1, GrpcRelay.StreamPath)
+        // the 48-char message id echoes into the ack, forcing the ack
+        // DATA past the 16-byte window so the split-and-wait path runs
+        val longId = "window-test-" + ("x" * 36)
+        p.sendOn(1, RelayProto.encodeEnvelope(RelayProto.EnvelopePayload(
+          RelayProto.wrap("""{"id":1,"name":"win"}""".getBytes(UTF_8),
+            id = longId, seq = 0, tsEpochMs = 1L,
+            algo = graft.functions.Codecs.CompressNone, key = None))),
+          endStream = false)
+        // drive: credit 16 bytes back for every DATA frame received, so
+        // the receiver's credit-wait loop makes stepwise progress
+        var ack: Option[RelayProto.StreamAck] = None
+        var status: Option[String] = None
+        var dataFrames = 0
+        var sentClose = false
+        val deadline = System.currentTimeMillis() + 20000
+        while (status.isEmpty && System.currentTimeMillis() < deadline) {
+          val f = Http2.readFrame(p.in, 1 << 20)
+          f.tpe match {
+            case Http2.TSettings if !f.has(Http2.FAck) =>
+              Http2.writeFrame(p.out, Http2.TSettings, Http2.FAck, 0,
+                Array.emptyByteArray); p.out.flush()
+            case Http2.TData =>
+              val b = Http2.stripPadding(f)
+              assert(b.length <= 16, s"frame of ${b.length} exceeds our window")
+              dataFrames += 1
+              p.data.feed(b)
+              p.data.poll().foreach { m =>
+                ack = Some(RelayProto.decodeAck(m))
+                // first ack arrived whole: now half-close so trailers come
+                if (!sentClose) {
+                  sentClose = true
+                  Http2.writeFrame(p.out, Http2.TData, Http2.FEndStream, 1,
+                    Array.emptyByteArray)
+                }
+              }
+              // grant the next 16 bytes on both levels
+              Http2.writeFrame(p.out, Http2.TWindowUpdate, 0, 0,
+                Http2.windowUpdatePayload(16))
+              Http2.writeFrame(p.out, Http2.TWindowUpdate, 0, 1,
+                Http2.windowUpdatePayload(16))
+              p.out.flush()
+            case Http2.THeaders =>
+              val hs = p.codec.decode(1, Http2.stripPadding(f))
+              hs.collectFirst { case ("grpc-status", v) => v }
+                .foreach(v => status = Some(v))
+            case _ => ()
+          }
+        }
+        assert(ack.exists(a => a.success && a.seq == 0), ack.toString)
+        assert(dataFrames >= 2, s"ack was not split (frames=$dataFrames)")
+        assert(status.contains("0"), s"grpc-status $status")
+        eventually(relay.receivedCount == 1, "record not ingested")
+        assert(relay.badFrameCount == 0)
+      } finally p.close()
+    } finally relay.stop()
+  }
+
   test("a receiver that dies mid-ack (truncated gRPC message + END_STREAM) " +
     "fails the writer FAST with the stream-ended error, not a socket timeout") {
     // scripted h2 server: accept the stream, answer headers + a TRUNCATED
