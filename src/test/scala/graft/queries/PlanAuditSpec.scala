@@ -116,6 +116,63 @@ class PlanAuditSpec extends SparkSpec {
 
   private def countScans(p: String): Int = "Scan parquet".r.findAllIn(p).size
 
+  /** GLOBAL single-task-window audit — the r9-r11 verdicts' #1 pattern
+    * (a Window with no partition spec funnels EVERY row through one task;
+    * at 100 TB that is the query's death) locked for the WHOLE declared
+    * set: only the pinned queries below may carry one, each over an input
+    * that is provably tiny BY CONSTRUCTION (never corpus/fact grain), per
+    * the justification at its definition. A new query that sneaks in a
+    * global ntile/row_number/over() on data-sized input fails HERE, not
+    * in a cluster run. */
+  private val AllowedGlobalWindows = Map(
+    // packSequences second prefix-scan level: bucket TOTALS, adaptively
+    // sized <= 2^20 rows at any corpus size (Curation.TargetSecondLevelRows)
+    "ds_pack" -> 1, "ds_bpe_pack" -> 1, "ds_pack_stats" -> 1,
+    // 2-row variant pivot (scaladoc: window beats a self-join re-scan)
+    "ev_ab_test" -> 1,
+    // day-grain sketch rollup (bounded distinct users/day by fixture
+    // contract; sketch tier takes over past the exact bound)
+    "ev_retention_theta" -> 1,
+    // supplier-DIMENSION-grain max (TPC-H Q15 view max; small by
+    // construction at any fact scale)
+    "q34_top_supplier" -> 1,
+    // vocabulary-grain corpus total for the unigram LM broadcast
+    "txt_lm_score" -> 1)
+
+  /** Quadratic joins are verifier-only territory: the one allowed
+    * CartesianProduct runs on |sources|² KB-sized theta sketches (its
+    * scaladoc carries the cap). The COUNT varies with fixture stats
+    * (1 at sf0.001, 2 at sf0.01 — join strategy flips), so the lock pins
+    * the query set and bounds the count. */
+  private val AllowedCartesians = Set("dd_cross_source_overlap")
+
+  test("GLOBAL audit: no unpartitioned window outside the pinned tiny-input " +
+    "set, no CartesianProduct outside the sketch-pair query, and zero " +
+    "ScalaUDF/Python nodes anywhere (codegen-hostile)") {
+    val windowOffenders = scala.collection.mutable.Map[String, Int]()
+    val cartesianOffenders = scala.collection.mutable.Map[String, Int]()
+    val udfOffenders = scala.collection.mutable.ListBuffer[String]()
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
+      val qe = fn(spark, sfDir).queryExecution
+      val gw = qe.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }.size
+      if (gw > 0) windowOffenders(n) = gw
+      val phys = qe.executedPlan.toString
+      val cp = "CartesianProduct".r.findAllIn(phys).size
+      if (cp > 0) cartesianOffenders(n) = cp
+      if (phys.contains("ScalaUDF") || phys.contains("BatchEvalPython"))
+        udfOffenders += n
+    }
+    assert(windowOffenders.toMap == AllowedGlobalWindows,
+      s"single-task windows changed:\n got      ${windowOffenders.toMap}\n expected $AllowedGlobalWindows")
+    assert(cartesianOffenders.keySet == AllowedCartesians &&
+      cartesianOffenders.values.forall(_ <= 2),
+      s"cartesian products changed: ${cartesianOffenders.toMap}")
+    assert(udfOffenders.isEmpty, s"UDF nodes appeared in: $udfOffenders")
+  }
+
   test("ev_asof: as-of join is union + one window, never a nested-loop join") {
     val p = planOf("ev_asof_attribution")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
