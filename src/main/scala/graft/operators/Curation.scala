@@ -548,6 +548,19 @@ object Curation {
     // input is already an exchange output that AQE provably reuses
     // (ev_concentration's per-user rollup) pass false and keep full plan
     // visibility.
+    if (materializeHist) {
+      // the checkpoint REPLACES the input lineage with an RDD leaf, which
+      // would hide a caller's single-task window (or UDF) from the global
+      // plan audit — refuse it here instead, at plan-build time
+      val hidden = values.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+      require(hidden.isEmpty,
+        "ntileSumsDesc input carries an unpartitioned window — it would be" +
+          " invisible behind the histogram checkpoint; repartition the" +
+          " window or pass materializeHist=false")
+    }
     val hist = if (materializeHist) hist0.localCheckpoint(false) else hist0
     // sign-aware log2 bucket: monotone NON-DECREASING in __v over the
     // whole long line, null stays null (its own window partition; ranked

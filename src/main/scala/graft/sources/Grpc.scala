@@ -603,15 +603,18 @@ final class GrpcRelayReceiver(spark: SparkSession, port: Int,
       // window is short, pump control frames — pumpOnce DEFERS all
       // stream work (drains/ends), so waiting here cannot re-enter a send
       def sendMessage(s: StreamState, body: Array[Byte]): Unit = {
+        if (s.closed) return // RST'd stream: the peer stopped listening
         respondHeadersOnce(s)
         val m = GrpcWire.message(body)
         var off = 0
         while (off < m.length) {
+          if (s.closed) return // reset arrived mid-ack: abandon the rest
           var avail = math.min(windows.conn, windows.stream(s.id))
-          while (avail <= 0 && more) {
-            pumpOnce()
+          while (avail <= 0 && more && !s.closed) {
+            pumpOnce() // may mark s.closed via an RST_STREAM it reads
             avail = math.min(windows.conn, windows.stream(s.id))
           }
+          if (s.closed) return
           if (!more) throw new IOException("peer went away mid-ack")
           val n = math.min(math.min(m.length - off, windows.maxFrame).toLong,
             avail).toInt
@@ -623,6 +626,7 @@ final class GrpcRelayReceiver(spark: SparkSession, port: Int,
         }
       }
       def sendTrailers(s: StreamState, status: Int, message: String): Unit = {
+        if (s.closed) return // already reset/answered: nothing to send
         respondHeadersOnce(s)
         // HEADERS frames are not flow-controlled — trailers never block
         Http2.writeFrame(out, Http2.THeaders,

@@ -481,7 +481,17 @@ object Kafka {
               try cc.close() catch { case _: Throwable => () }
               conns -= id
             }
+            val before = meta.leaders.get((topic, partition))
+              .flatMap(n => meta.brokers.get(n).map(n -> _))
             refresh()
+            val after = meta.leaders.get((topic, partition))
+              .flatMap(n => meta.brokers.get(n).map(n -> _))
+            // a HUNG-but-alive leader times out; if metadata still names
+            // the same broker, another attempt just stacks timeouts —
+            // surface it (Spark's task retry owns the long game). A reset
+            // connection (SocketException/EOF) still gets its reconnect.
+            if (e.isInstanceOf[java.net.SocketTimeoutException] &&
+              before.isDefined && before == after) throw e
         }
       }
       throw new IllegalStateException("unreachable")
@@ -492,16 +502,14 @@ object Kafka {
     // the cache entry and re-resolves, bounded — the group twin of the
     // leader routing above. Group-offset writes are idempotent absolute
     // positions, so the IO retry cannot double-apply anything.
-    private var coordConns = Map[String, ((String, Int), WireClient)]()
+    private var coordConns = Map[String, WireClient]()
     private def coordinatorConn(group: String): WireClient =
-      coordConns.get(group) match {
-        case Some((_, c)) => c
-        case None =>
-          val (_, h, p) = boot.findCoordinator(group)
-          val c = new WireClient(h, p, clientId, timeoutMs)
-          coordConns += group -> (((h, p), c))
-          c
-      }
+      coordConns.getOrElse(group, {
+        val (_, h, p) = boot.findCoordinator(group)
+        val c = new WireClient(h, p, clientId, timeoutMs)
+        coordConns += group -> c
+        c
+      })
     private def groupRouted[A](group: String, retries: Int = 2)
                               (f: WireClient => A): A = {
       var attempt = 0
@@ -514,8 +522,8 @@ object Kafka {
           case e: IOException =>
             attempt += 1
             if (attempt > retries) throw e
-            coordConns.get(group).foreach { case (_, c) =>
-              try c.close() catch { case _: Throwable => () } }
+            coordConns.get(group).foreach(c =>
+              try c.close() catch { case _: Throwable => () })
             coordConns -= group
         }
       }
@@ -545,8 +553,8 @@ object Kafka {
       conns.valuesIterator.foreach { case (_, c) =>
         try c.close() catch { case _: Throwable => () } }
       conns = Map.empty
-      coordConns.valuesIterator.foreach { case (_, c) =>
-        try c.close() catch { case _: Throwable => () } }
+      coordConns.valuesIterator.foreach(c =>
+        try c.close() catch { case _: Throwable => () })
       coordConns = Map.empty
       try boot.close() catch { case _: Throwable => () }
     }

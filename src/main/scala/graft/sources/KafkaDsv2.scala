@@ -359,38 +359,48 @@ private[sources] final class KafkaEpochWriter(
   /** Fence key: one group per (sink, spark partition), partition 0 slot
     * stores lastWrittenEpoch + 1. */
   private def fenceKey(g: String) = s"$g-p$sparkPartition"
-  private val fenceClient = new Kafka.LeaderClient((host, port))
+  // only a FENCED (streaming) writer needs the fence client; a batch
+  // write must not pay a connection + Metadata round-trip it never uses
+  private val fenceClient: Option[Kafka.LeaderClient] =
+    fenceGroup.map(_ => new Kafka.LeaderClient((host, port)))
   // fence check FIRST: a replayed epoch must not pay metadata +
   // InitProducerId (a broker-side pid allocation) just to write nothing
   private val alreadyWritten: Boolean = fenceGroup.exists { g =>
-    fenceClient.offsetFetch(fenceKey(g), Seq((topic, 0)))
+    fenceClient.get.offsetFetch(fenceKey(g), Seq((topic, 0)))
       .getOrElse((topic, 0), -1L) > epochId
   }
-  private lazy val prod = new Kafka.BatchProducer((host, port), topic,
-    maxRecs, maxBytes, idempotent = true, rrSeed = sparkPartition)
-  private var producing = false
+  // created on the FIRST row (never for a fenced replay); an Option, not
+  // a lazy val — a lazy val whose initializer threw would RE-DIAL the
+  // dead broker from close() and mask the fence client's own cleanup
+  private var prodOpt: Option[Kafka.BatchProducer] = None
   private var written = 0L
 
   override def write(row: InternalRow): Unit = if (!alreadyWritten) {
-    producing = true
+    val prod = prodOpt.getOrElse {
+      val p = new Kafka.BatchProducer((host, port), topic,
+        maxRecs, maxBytes, idempotent = true, rrSeed = sparkPartition)
+      prodOpt = Some(p)
+      p
+    }
     prod.add(bytesAt(row, keyIdx), bytesAt(row, valIdx))
     written += 1
   }
 
   override def commit(): WriterCommitMessage = {
     if (!alreadyWritten) {
-      if (producing) prod.flushAll()
+      prodOpt.foreach(_.flushAll())
       // fence AFTER every record is acknowledged: a replay of this epoch
       // (kill/restart before the query checkpoint advanced) skips produce
       fenceGroup.foreach(g =>
-        fenceClient.offsetCommit(fenceKey(g), Map((topic, 0) -> (epochId + 1))))
+        fenceClient.get.offsetCommit(fenceKey(g), Map((topic, 0) -> (epochId + 1))))
     }
     KafkaWriteDone(sparkPartition, epochId, written)
   }
 
   override def abort(): Unit = () // idempotent producer; replay re-fences
   override def close(): Unit = {
-    if (producing) prod.close()
-    fenceClient.close()
+    try prodOpt.foreach(_.close())
+    finally fenceClient.foreach(c =>
+      try c.close() catch { case _: Throwable => () })
   }
 }

@@ -343,8 +343,6 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
       .int64(nextPid.getAndIncrement()).int16(0).toBytes
   }
 
-  private val ErrNotCoordinatorLocal: Short = KafkaProto.ErrNotCoordinator
-
   private def offsetCommitV2(version: Int, r: Reader): Array[Byte] = {
     require(version == 2, s"OffsetCommit v$version unsupported")
     val group = r.string()
@@ -364,7 +362,7 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
     w.array(req) { (b, tr) =>
       b.string(tr._1)
       b.array(tr._2)((pb, pr) => { pb.int32(pr._1)
-        pb.int16(if (mine) ErrNone else ErrNotCoordinatorLocal) })
+        pb.int16(if (mine) ErrNone else ErrNotCoordinator) })
     }
     w.toBytes
   }
@@ -382,7 +380,7 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
           if (mine) Option(groupOffsets.get((group, tr._1, p))).getOrElse(-1L)
           else -1L
         pb.int32(p); pb.int64(off); pb.nullableString(null)
-        pb.int16(if (mine) ErrNone else ErrNotCoordinatorLocal)
+        pb.int16(if (mine) ErrNone else ErrNotCoordinator)
       }
     }
     w.toBytes
