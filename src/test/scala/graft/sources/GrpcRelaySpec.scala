@@ -498,6 +498,77 @@ class GrpcRelaySpec extends SparkSpec {
     } finally relay.stop()
   }
 
+  test("RST_STREAM while an ack is blocked on flow-control credit: the " +
+    "receiver abandons that ack and keeps serving the connection") {
+    val relay = new GrpcRelayReceiver(spark, 0, ackMode = "per-frame")
+    try {
+      val p = new ManualPeer(relay.boundPort)
+      try {
+        // 16-byte stream window + long echoed id: the ack MUST wait for
+        // credit after its first frame
+        Http2.writeFrame(p.out, Http2.TSettings, 0, 0,
+          Http2.settingsPayload(Seq(Http2.SetInitialWindowSize -> 16L)))
+        p.out.flush()
+        p.openOn(1, GrpcRelay.StreamPath)
+        p.sendOn(1, RelayProto.encodeEnvelope(RelayProto.EnvelopePayload(
+          RelayProto.wrap("""{"id":1,"name":"rst"}""".getBytes(UTF_8),
+            id = "rst-" + ("y" * 40), seq = 0, tsEpochMs = 1L,
+            algo = graft.functions.Codecs.CompressNone, key = None))),
+          endStream = false)
+        // swallow frames until the first (window-capped) ack DATA arrives,
+        // then RESET the stream instead of granting more credit
+        var sawAckFrame = false
+        val deadline = System.currentTimeMillis() + 15000
+        while (!sawAckFrame && System.currentTimeMillis() < deadline) {
+          val f = Http2.readFrame(p.in, 1 << 20)
+          f.tpe match {
+            case Http2.TSettings if !f.has(Http2.FAck) =>
+              Http2.writeFrame(p.out, Http2.TSettings, Http2.FAck, 0,
+                Array.emptyByteArray); p.out.flush()
+            case Http2.TData => sawAckFrame = true
+            case Http2.THeaders =>
+              // MUST decode even when ignoring: HPACK's dynamic table is
+              // connection-wide — a skipped block desyncs later decodes
+              p.codec.decode(f.streamId, Http2.stripPadding(f))
+              ()
+            case _ => ()
+          }
+        }
+        assert(sawAckFrame, "no first ack frame before the reset")
+        Http2.writeFrame(p.out, Http2.TRstStream, 0, 1, new Array[Byte](4))
+        p.out.flush()
+        // the receiver must escape the credit wait and serve NEW work on
+        // the same connection: a valid unary on stream 3
+        p.openOn(3, GrpcRelay.UnaryPath)
+        p.sendOn(3, RelayProto.encode(RelayProto.wrap(
+          """{"id":2,"name":"alive"}""".getBytes(UTF_8), id = "u", seq = 0,
+          tsEpochMs = 1L, algo = graft.functions.Codecs.CompressNone,
+          key = None)), endStream = true)
+        var unaryAck: Option[RelayProto.StreamAck] = None
+        var status: Option[String] = None
+        val dl2 = System.currentTimeMillis() + 15000
+        while (status.isEmpty && System.currentTimeMillis() < dl2) {
+          val f = Http2.readFrame(p.in, 1 << 20)
+          f.tpe match {
+            case Http2.TData if f.streamId == 3 =>
+              p.data.feed(Http2.stripPadding(f))
+              p.data.poll().foreach(m => unaryAck = Some(RelayProto.decodeAck(m)))
+            case Http2.THeaders =>
+              val hs = p.codec.decode(f.streamId, Http2.stripPadding(f))
+              if (f.streamId == 3)
+                hs.collectFirst { case ("grpc-status", v) => v }
+                  .foreach(v => status = Some(v))
+            case _ => () // stray frames for stream 1 etc.
+          }
+        }
+        assert(unaryAck.exists(_.success), unaryAck.toString)
+        assert(status.contains("0"), s"grpc-status $status")
+        eventually(relay.receivedCount == 2, s"got ${relay.receivedCount}/2")
+        assert(relay.badFrameCount == 0)
+      } finally p.close()
+    } finally relay.stop()
+  }
+
   test("a receiver that dies mid-ack (truncated gRPC message + END_STREAM) " +
     "fails the writer FAST with the stream-ended error, not a socket timeout") {
     // scripted h2 server: accept the stream, answer headers + a TRUNCATED
