@@ -311,9 +311,10 @@ object GrpcRelay {
     out.flush()
   }
 
-  /** Process ONE incoming frame against connection state; stream DATA
-    * lands in `data`, response headers/trailers in `headers`. Returns
-    * false when the peer ended our stream. */
+  /** One request stream's client-side state: [[pump]] processes one
+    * incoming frame (stream DATA lands in `data`, response headers then
+    * trailers in their fields, `streamEnded` flips on END_STREAM), and
+    * the senders/readers below respect the peer's flow control. */
   private final class ClientConn(in: DataInputStream, out: DataOutputStream,
                                  streamId: Int, maxMessageBytes: Int) {
     val windows = new Http2.SendWindows
