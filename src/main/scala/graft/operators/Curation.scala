@@ -549,10 +549,13 @@ object Curation {
     // (ev_concentration's per-user rollup) pass false and keep full plan
     // visibility.
     if (materializeHist) {
-      // the checkpoint REPLACES the input lineage with an RDD leaf, which
-      // would hide a caller's single-task window (or UDF) from the global
-      // plan audit — refuse it here instead, at plan-build time
-      val hidden = values.queryExecution.optimizedPlan.collect {
+      // the checkpoint REPLACES the lineage with an RDD leaf, which would
+      // hide a caller's single-task window from the global plan audit —
+      // refuse it here, at plan-build time. Inspect HIST0's optimized
+      // plan (the exact plan being checkpointed, memoized on the Dataset
+      // so the optimizer runs once): a window the column pruner already
+      // removed is not hidden work and must not be rejected
+      val hidden = hist0.queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
           if w.partitionSpec.isEmpty => w
       }

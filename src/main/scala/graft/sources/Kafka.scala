@@ -481,17 +481,19 @@ object Kafka {
               try cc.close() catch { case _: Throwable => () }
               conns -= id
             }
-            val before = meta.leaders.get((topic, partition))
+            def leaderAddr = meta.leaders.get((topic, partition))
               .flatMap(n => meta.brokers.get(n).map(n -> _))
+            val before = leaderAddr
             refresh()
-            val after = meta.leaders.get((topic, partition))
-              .flatMap(n => meta.brokers.get(n).map(n -> _))
+            val after = leaderAddr
             // a HUNG-but-alive leader times out; if metadata still names
-            // the same broker, another attempt just stacks timeouts —
-            // surface it (Spark's task retry owns the long game). A reset
-            // connection (SocketException/EOF) still gets its reconnect.
+            // the same broker, stacking MORE timeouts only delays the
+            // failure (Spark's task retry owns the long game). But allow
+            // ONE fresh-socket attempt first: a silently-dropped idle
+            // connection (NAT reap, broker restart at the same address)
+            // also reads as a timeout and recovers in one reconnect.
             if (e.isInstanceOf[java.net.SocketTimeoutException] &&
-              before.isDefined && before == after) throw e
+              before.isDefined && before == after && attempt >= 2) throw e
         }
       }
       throw new IllegalStateException("unreachable")

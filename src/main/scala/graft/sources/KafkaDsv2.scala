@@ -360,15 +360,24 @@ private[sources] final class KafkaEpochWriter(
     * stores lastWrittenEpoch + 1. */
   private def fenceKey(g: String) = s"$g-p$sparkPartition"
   // only a FENCED (streaming) writer needs the fence client; a batch
-  // write must not pay a connection + Metadata round-trip it never uses
-  private val fenceClient: Option[Kafka.LeaderClient] =
-    fenceGroup.map(_ => new Kafka.LeaderClient((host, port)))
+  // write must not pay a connection + Metadata round-trip it never uses.
+  // Group and client travel as ONE Option so no .get can desync them.
+  private val fence: Option[(String, Kafka.LeaderClient)] =
+    fenceGroup.map(g => (g, new Kafka.LeaderClient((host, port))))
   // fence check FIRST: a replayed epoch must not pay metadata +
-  // InitProducerId (a broker-side pid allocation) just to write nothing
-  private val alreadyWritten: Boolean = fenceGroup.exists { g =>
-    fenceClient.get.offsetFetch(fenceKey(g), Seq((topic, 0)))
-      .getOrElse((topic, 0), -1L) > epochId
-  }
+  // InitProducerId (a broker-side pid allocation) just to write nothing.
+  // A throwing check must release the client — Spark never calls close()
+  // on a writer whose CONSTRUCTOR failed.
+  private val alreadyWritten: Boolean =
+    try fence.exists { case (g, c) =>
+      c.offsetFetch(fenceKey(g), Seq((topic, 0)))
+        .getOrElse((topic, 0), -1L) > epochId
+    } catch {
+      case e: Throwable =>
+        fence.foreach { case (_, c) =>
+          try c.close() catch { case _: Throwable => () } }
+        throw e
+    }
   // created on the FIRST row (never for a fenced replay); an Option, not
   // a lazy val — a lazy val whose initializer threw would RE-DIAL the
   // dead broker from close() and mask the fence client's own cleanup
@@ -391,8 +400,8 @@ private[sources] final class KafkaEpochWriter(
       prodOpt.foreach(_.flushAll())
       // fence AFTER every record is acknowledged: a replay of this epoch
       // (kill/restart before the query checkpoint advanced) skips produce
-      fenceGroup.foreach(g =>
-        fenceClient.get.offsetCommit(fenceKey(g), Map((topic, 0) -> (epochId + 1))))
+      fence.foreach { case (g, c) =>
+        c.offsetCommit(fenceKey(g), Map((topic, 0) -> (epochId + 1))) }
     }
     KafkaWriteDone(sparkPartition, epochId, written)
   }
@@ -400,7 +409,7 @@ private[sources] final class KafkaEpochWriter(
   override def abort(): Unit = () // idempotent producer; replay re-fences
   override def close(): Unit = {
     try prodOpt.foreach(_.close())
-    finally fenceClient.foreach(c =>
-      try c.close() catch { case _: Throwable => () })
+    finally fence.foreach { case (_, c) =>
+      try c.close() catch { case _: Throwable => () } }
   }
 }
