@@ -11,10 +11,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.types.StructType
 
-/** HTTP/2 wire layer for the gRPC relay edge — cleartext h2c with prior
-  * knowledge (RFC 7540 §3.4: both peers speak HTTP/2 from byte one, no
-  * Upgrade dance), the framing a stock gRPC peer actually uses for the
-  * reference's primary cross-process edge
+/** HTTP/2 wire layer for the gRPC relay edge — prior-knowledge framing
+  * (RFC 7540 §3.4: both peers speak HTTP/2 from byte one, no Upgrade
+  * dance) over either a cleartext socket (h2c) or TLS with ALPN `h2`
+  * ([[Tls]] supplies the handshake; both relay endpoints take an
+  * optional [[TlsConfig]]/[[MtlsOptions]]) — the framing a stock gRPC
+  * peer actually uses for the reference's primary cross-process edge
   * (`/root/reference/proto/electrician_relay.proto:580-583`,
   * `pkg/internal/forwardrelay/stream.go`). Frames, the connection
   * preface, SETTINGS/PING/WINDOW_UPDATE handling, and flow-control
@@ -210,7 +212,14 @@ object Http2 {
         val delta = v - initial
         initial = v
         streams.keys.foreach(id => streams(id) = streams(id) + delta)
-      case (SetMaxFrameSize, v) => maxFrame = v.toInt
+      case (SetMaxFrameSize, v) =>
+        // RFC 7540 §6.5.2: legal range [2^14, 2^24-1]; outside it is a
+        // connection error. Unvalidated, >2^31 would go negative after
+        // .toInt (copyOfRange crash) and 0 would loop sendData forever
+        // emitting empty DATA frames.
+        if (v < 16384 || v > 0xffffff)
+          throw new IOException(s"SETTINGS_MAX_FRAME_SIZE $v outside [16384, 2^24-1]")
+        maxFrame = v.toInt
       case _ => ()
     }
     def onWindowUpdate(id: Int, inc: Long): Unit =
@@ -315,8 +324,10 @@ object GrpcRelay {
     * incoming frame (stream DATA lands in `data`, response headers then
     * trailers in their fields, `streamEnded` flips on END_STREAM), and
     * the senders/readers below respect the peer's flow control. */
-  private final class ClientConn(in: DataInputStream, out: DataOutputStream,
-                                 streamId: Int, maxMessageBytes: Int) {
+  private final class ClientConn(sock: Socket, in: DataInputStream,
+                                 out: DataOutputStream,
+                                 streamId: Int, maxMessageBytes: Int,
+                                 ackTimeoutMs: Int, creditTimeoutMs: Int) {
     val windows = new Http2.SendWindows
     val codec = new Http2.HeaderCodec
     val data = new GrpcWire.MessageBuffer(maxMessageBytes)
@@ -388,9 +399,17 @@ object GrpcRelay {
         // may hold the stream window below max-frame-size forever, so
         // waiting for a full frame's worth of credit would livelock
         var avail = math.min(windows.conn, windows.stream(streamId))
-        while (bytes.length > 0 && avail <= 0) {
-          pump()
-          avail = math.min(windows.conn, windows.stream(streamId))
+        if (bytes.length > 0 && avail <= 0) {
+          // a credit wait is receiver BACKPRESSURE, not an overdue ack —
+          // it may lawfully outlast ackTimeoutMs (e.g. a receiver draining
+          // a slow sink), so it gets its own, larger timeout
+          sock.setSoTimeout(creditTimeoutMs)
+          try {
+            while (avail <= 0) {
+              pump()
+              avail = math.min(windows.conn, windows.stream(streamId))
+            }
+          } finally sock.setSoTimeout(ackTimeoutMs)
         }
         val want = math.min(math.min(bytes.length - off, windows.maxFrame),
           math.max(avail, 0L).min(Int.MaxValue).toInt)
@@ -442,13 +461,20 @@ object GrpcRelay {
   /** Write a DataFrame through the relay's gRPC edge. Parameter contract
     * mirrors [[WsRelay.writeWsProto]]/[[SealedRelay.writeSocketSealed]]:
     * sealing (`compression`, `key`) rides inside WrappedPayload;
-    * `ackMode` none | per-frame | batch. */
+    * `ackMode` none | per-frame | batch. A non-empty `tls` switches the
+    * edge to TLS with ALPN `h2` (the reference relay's default posture,
+    * `forwardrelay/auth_options.go:14-15` — TLS on unless explicitly
+    * insecure), the client certificate doubling as the mTLS identity;
+    * `creditTimeoutMs` separately bounds flow-control backpressure
+    * stalls (which may lawfully outlast an ack timeout). */
   def writeGrpcProto(df: DataFrame, host: String, port: Int,
                      compression: Int = graft.functions.Codecs.CompressNone,
                      key: Option[Array[Byte]] = None,
                      maxChunkBytes: Int = 4 << 20,
                      ackMode: String = "none",
-                     ackTimeoutMs: Int = 30000): Unit = {
+                     ackTimeoutMs: Int = 30000,
+                     tls: Option[TlsConfig] = None,
+                     creditTimeoutMs: Int = 600000): Unit = {
     graft.functions.Codecs.compress(compression, Array.emptyByteArray)
     key.foreach(k => require(Set(16, 24, 32).contains(k.length),
       s"AES key must be 16/24/32 bytes, got ${k.length}"))
@@ -458,18 +484,25 @@ object GrpcRelay {
     df.toJSON.foreachPartition { (it: Iterator[String]) =>
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.get().partitionId()
-        val sock = new Socket(host, port)
+        // the TLS socket is built executor-side from the serializable
+        // config, exactly like writeSocketNdjsonTls
+        val sock: Socket = tls match {
+          case Some(cfg) => Tls.clientSocket(cfg, host, port, alpn = Seq("h2"))
+          case None => new Socket(host, port)
+        }
         try {
           sock.setTcpNoDelay(true)
           sock.setSoTimeout(ackTimeoutMs)
           val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
           val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
           clientPreamble(in, out)
-          val conn = new ClientConn(in, out, streamId = 1,
-            maxMessageBytes = maxChunkBytes + 4096)
+          val conn = new ClientConn(sock, in, out, streamId = 1,
+            maxMessageBytes = maxChunkBytes + 4096,
+            ackTimeoutMs = ackTimeoutMs, creditTimeoutMs = creditTimeoutMs)
           Http2.writeFrame(out, Http2.THeaders, Http2.FEndHeaders, 1,
             conn.codec.encode(1, Seq(
-              ":method" -> "POST", ":scheme" -> "http",
+              ":method" -> "POST",
+              ":scheme" -> (if (tls.isDefined) "https" else "http"),
               ":path" -> StreamPath, ":authority" -> s"$host:$port",
               "content-type" -> "application/grpc",
               "te" -> "trailers")))
@@ -519,22 +552,35 @@ final class GrpcRelayReceiver(spark: SparkSession, port: Int,
                               key: Option[Array[Byte]] = None,
                               maxMessageBytes: Int = SealedRelay.DefaultMaxFrameBytes,
                               maxInflatedBytes: Int = SealedRelay.DefaultMaxInflatedBytes,
-                              ackMode: String = "none") {
+                              ackMode: String = "none",
+                              tls: Option[TlsConfig] = None,
+                              mtls: Option[MtlsOptions] = None) {
   require(maxMessageBytes > 0, s"maxMessageBytes must be positive: $maxMessageBytes")
   require(maxInflatedBytes >= maxMessageBytes,
     s"maxInflatedBytes ($maxInflatedBytes) must be at least maxMessageBytes ($maxMessageBytes)")
   require(Set("none", "per-frame", "batch").contains(ackMode),
     s"unknown ackMode '$ackMode' — none | per-frame | batch")
+  require(mtls.isEmpty || tls.isDefined,
+    "mTLS policy requires a TLS server config")
 
   import spark.implicits._
   private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
   private val stream = MemoryStream[String]
-  private val server = new ServerSocket(port)
+  // TLS arm = the reference receiving relay's default posture
+  // (`receivingrelay/tls.go`, `auth_options.go:14-24`): terminate TLS
+  // with ALPN h2, require + verify a client certificate when `mtls` is
+  // set, and authorize its principal BEFORE any HTTP/2 byte is parsed.
+  private val server: ServerSocket = tls match {
+    case Some(cfg) => Tls.serverSocket(cfg, port, mtls)
+    case None => new ServerSocket(port)
+  }
   private val running = new AtomicBoolean(true)
   private val conns = java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
   private val received = new AtomicLong(0)
   private val badFrames = new AtomicLong(0)
+  private val rejectedPeers = new AtomicLong(0)
+  private val admittedPeers = new AtomicLong(0)
 
   def boundPort: Int = server.getLocalPort
 
@@ -566,7 +612,18 @@ final class GrpcRelayReceiver(spark: SparkSession, port: Int,
   }
 
   private def serve(sock: Socket): Unit = {
+    var admitted = tls.isEmpty // cleartext arm has no admission gate
     try {
+      sock match {
+        case ssl: javax.net.ssl.SSLSocket =>
+          // handshake (rejects certs the CA didn't sign) + ALPN h2 check,
+          // then principal policy — all before the first HTTP/2 byte
+          Tls.serverHandshakeAlpn(ssl, Seq("h2"))
+          mtls.foreach(Tls.authorize(ssl, _))
+          admitted = true
+          admittedPeers.incrementAndGet()
+        case _ => ()
+      }
       sock.setTcpNoDelay(true)
       val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
       val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
@@ -808,7 +865,8 @@ final class GrpcRelayReceiver(spark: SparkSession, port: Int,
       }
     } catch {
       case _: Throwable =>
-        if (running.get() && !sock.isClosed) badFrames.incrementAndGet()
+        if (!admitted) rejectedPeers.incrementAndGet()
+        else if (running.get() && !sock.isClosed) badFrames.incrementAndGet()
     } finally {
       conns.remove(sock)
       try sock.close() catch { case _: Throwable => () }
@@ -823,6 +881,8 @@ final class GrpcRelayReceiver(spark: SparkSession, port: Int,
 
   def receivedCount: Long = received.get()
   def badFrameCount: Long = badFrames.get()
+  def admittedCount: Long = admittedPeers.get()
+  def rejectedCount: Long = rejectedPeers.get()
 
   def stop(): Unit = {
     running.set(false)

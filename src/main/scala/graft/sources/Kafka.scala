@@ -416,7 +416,20 @@ object Kafka {
     * [[WireClient]]. */
   final class LeaderClient(bootstrap: (String, Int), clientId: String = "graft",
                            timeoutMs: Int = 30000) extends Client {
-    private val boot = new WireClient(bootstrap._1, bootstrap._2, clientId, timeoutMs)
+    private var boot = new WireClient(bootstrap._1, bootstrap._2, clientId, timeoutMs)
+    /** Every metadata/coordinator call goes through here: if the
+      * bootstrap broker restarted or reaped the idle socket, the boot
+      * connection is re-dialed ONCE in place — otherwise a dead boot
+      * socket would poison every later routed call's refresh() and only
+      * Spark's task retry (a whole new client) could recover. */
+    private def viaBoot[A](f: WireClient => A): A =
+      try f(boot)
+      catch {
+        case _: IOException =>
+          try boot.close() catch { case _: Throwable => () }
+          boot = new WireClient(bootstrap._1, bootstrap._2, clientId, timeoutMs)
+          f(boot) // a second failure surfaces to the caller
+      }
     // node id -> (the address the conn was DIALED to, the conn): a broker
     // that reschedules keeps its node id but moves host/port, so identity
     // alone cannot decide whether a pooled socket is still the right one
@@ -424,7 +437,7 @@ object Kafka {
     private var meta: ClusterMeta = boot.metadataCluster(null)
 
     private def refresh(): Unit = {
-      meta = boot.metadataCluster(null)
+      meta = viaBoot(_.metadataCluster(null))
       // drop pooled connections whose address moved or vanished
       conns = conns.filter { case (id, (addr, c)) =>
         val keep = meta.brokers.get(id).contains(addr)
@@ -507,7 +520,7 @@ object Kafka {
     private var coordConns = Map[String, WireClient]()
     private def coordinatorConn(group: String): WireClient =
       coordConns.getOrElse(group, {
-        val (_, h, p) = boot.findCoordinator(group)
+        val (_, h, p) = viaBoot(_.findCoordinator(group))
         val c = new WireClient(h, p, clientId, timeoutMs)
         coordConns += group -> c
         c
@@ -533,9 +546,9 @@ object Kafka {
     }
 
     def metadata(topics: Seq[String] = null): Map[String, Seq[Int]] =
-      boot.metadata(topics)
+      viaBoot(_.metadata(topics))
     def metadataCluster(topics: Seq[String] = null): ClusterMeta =
-      boot.metadataCluster(topics)
+      viaBoot(_.metadataCluster(topics))
     def fetch(topic: String, partition: Int, offset: Long, maxBytes: Int,
               maxWaitMs: Int, minBytes: Int): (Long, Seq[KRecord]) =
       routed(topic, partition, retryIo = true)(_.fetch(topic, partition,
@@ -546,7 +559,9 @@ object Kafka {
                 timeoutMs: Int): Long =
       routed(topic, partition, retryIo = false)(
         _.produce(topic, partition, recordSet, timeoutMs))
-    def initProducerId(): (Long, Short) = boot.initProducerId()
+    // safe under viaBoot's one retry: an orphaned id from a half-failed
+    // call is simply never used
+    def initProducerId(): (Long, Short) = viaBoot(_.initProducerId())
     def offsetCommit(group: String, offsets: Map[(String, Int), Long]): Unit =
       groupRouted(group)(_.offsetCommit(group, offsets))
     def offsetFetch(group: String, tps: Seq[(String, Int)]): Map[(String, Int), Long] =

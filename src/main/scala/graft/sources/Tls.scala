@@ -123,7 +123,8 @@ object Tls {
     * reference's ServerName semantics. With serverName unset the
     * certificate is verified against the connect host, the ordinary
     * dial-by-DNS-name case. */
-  def clientSocket(cfg: TlsConfig, host: String, port: Int): SSLSocket = {
+  def clientSocket(cfg: TlsConfig, host: String, port: Int,
+                   alpn: Seq[String] = Nil): SSLSocket = {
     val peer = if (cfg.serverName.nonEmpty) cfg.serverName else host
     val raw = new java.net.Socket(host, port)
     val sock =
@@ -138,8 +139,18 @@ object Tls {
       params.setProtocols(protocolRange(cfg))
       params.setServerNames(java.util.List.of(new SNIHostName(peer)))
       params.setEndpointIdentificationAlgorithm("HTTPS")
+      if (alpn.nonEmpty) params.setApplicationProtocols(alpn.toArray)
       sock.setSSLParameters(params)
       sock.startHandshake()
+      if (alpn.nonEmpty) {
+        // ALPN is how gRPC clients bind HTTP/2 to TLS (RFC 7301 + the
+        // gRPC-over-HTTP/2 spec): a peer that negotiated none of our
+        // protocols is not speaking the protocol we are about to frame
+        val got = sock.getApplicationProtocol
+        if (got == null || got.isEmpty || !alpn.contains(got))
+          throw new javax.net.ssl.SSLHandshakeException(
+            s"ALPN negotiated '${Option(got).getOrElse("")}', wanted one of ${alpn.mkString(",")}")
+      }
       sock
     } catch {
       // close before rethrowing: a rejected handshake inside a retried
@@ -161,6 +172,23 @@ object Tls {
     srv.setEnabledProtocols(protocolRange(cfg))
     if (mtls.isDefined) srv.setNeedClientAuth(true)
     srv
+  }
+
+  /** Prepare an accepted server-side [[SSLSocket]] for ALPN (RFC 7301):
+    * restrict the selectable application protocols, run the handshake,
+    * and REQUIRE one of `alpn` to have been negotiated — a gRPC server
+    * must not fall back to framing HTTP/2 at a peer that never offered
+    * `h2`. Returns the negotiated protocol name. */
+  def serverHandshakeAlpn(sock: SSLSocket, alpn: Seq[String]): String = {
+    val params = sock.getSSLParameters
+    params.setApplicationProtocols(alpn.toArray)
+    sock.setSSLParameters(params)
+    sock.startHandshake()
+    val got = sock.getApplicationProtocol
+    if (got == null || got.isEmpty || !alpn.contains(got))
+      throw new javax.net.ssl.SSLHandshakeException(
+        s"ALPN negotiated '${Option(got).getOrElse("")}', wanted one of ${alpn.mkString(",")}")
+    got
   }
 
   /** The peer's principal: first URI SAN (SPIFFE identity) if present,

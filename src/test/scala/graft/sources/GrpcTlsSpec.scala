@@ -1,0 +1,235 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
+
+import graft.SparkSpec
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+/** TLS/mTLS on the gRPC relay edge — the reference relay's default
+  * posture (`forwardrelay/auth_options.go:14-15`: TLS on unless
+  * explicitly insecure; `receivingrelay/auth_options.go:14-24`: mTLS
+  * principal policy). The HTTP/2 framing is [[Http2]]/[[GrpcRelay]]
+  * unchanged; this spec proves the [[Tls]] composition: ALPN `h2`
+  * negotiation both roles, the full sealed round-trip over mutually
+  * authenticated TLS, the three rejection paths (untrusted CA,
+  * disallowed principal, out-of-domain principal), the no-ALPN
+  * rejection, and a netty-TLS-stack client interop (independent TLS +
+  * ALPN implementation against our JDK server side). Certificates are
+  * the committed fixtures under src/test/resources/tls. */
+class GrpcTlsSpec extends SparkSpec {
+
+  private val dir = "src/test/resources/tls"
+  private def cfg(cert: String, key: String, ca: String = "ca.pem") =
+    TlsConfig(s"$dir/$cert", s"$dir/$key", s"$dir/$ca")
+
+  private val serverCfg = cfg("server.pem", "server-key.pem")
+  private val clientCfg = cfg("client.pem", "client-key.pem")
+  private val key = Array.tabulate[Byte](32)(i => (i * 11 + 7).toByte)
+  private val schema = new StructType().add("id", LongType).add("name", StringType)
+
+  private def df(n: Long) = {
+    import spark.implicits._
+    (0L until n).map(i => (i, s"rec$i")).toDF("id", "name")
+  }
+
+  private def mtlsRelay(allowed: Seq[String] = Seq("spiffe://graft.test/relay-client"),
+                        domain: String = "graft.test",
+                        ackMode: String = "batch") =
+    new GrpcRelayReceiver(spark, 0, Some(key), ackMode = ackMode,
+      tls = Some(serverCfg), mtls = Some(MtlsOptions(allowed, domain)))
+
+  test("e2e mTLS: sealed zstd+AES envelopes over ALPN-h2 TLS, batch acks, " +
+    "SPIFFE principal admitted") {
+    val relay = mtlsRelay()
+    val ingress = relay.jsonStream(schema).writeStream
+      .format("memory").queryName("grpc_tls").outputMode("append").start()
+    try {
+      GrpcRelay.writeGrpcProto(df(80), "localhost", relay.boundPort,
+        compression = graft.functions.Codecs.CompressZstd,
+        key = Some(key), maxChunkBytes = 128, ackMode = "batch",
+        ackTimeoutMs = 15000, tls = Some(clientCfg))
+      eventually(relay.receivedCount == 80, s"got ${relay.receivedCount}/80")
+      ingress.processAllAvailable()
+      val rows = spark.table("grpc_tls").collect()
+      assert(rows.length == 80)
+      assert(rows.map(_.getAs[Long]("id")).sorted.toSeq == (0L until 80L))
+      assert(relay.admittedCount >= 1 && relay.rejectedCount == 0)
+      assert(relay.badFrameCount == 0)
+    } finally { ingress.stop(); relay.stop() }
+  }
+
+  test("rejects a writer whose certificate the CA did not sign") {
+    val relay = mtlsRelay()
+    try {
+      val rogue = cfg("rogue.pem", "rogue-key.pem")
+      intercept[Exception] {
+        GrpcRelay.writeGrpcProto(df(3), "localhost", relay.boundPort,
+          key = Some(key), ackMode = "batch", ackTimeoutMs = 8000,
+          tls = Some(rogue))
+      }
+      eventually(relay.rejectedCount >= 1, "rogue peer was not rejected")
+      assert(relay.receivedCount == 0)
+      assert(relay.admittedCount == 0)
+    } finally relay.stop()
+  }
+
+  test("rejects a CA-valid writer whose principal is not allowed") {
+    val relay = mtlsRelay()
+    try {
+      intercept[Exception] {
+        GrpcRelay.writeGrpcProto(df(3), "localhost", relay.boundPort,
+          key = Some(key), ackMode = "batch", ackTimeoutMs = 8000,
+          tls = Some(cfg("client2.pem", "client2-key.pem")))
+      }
+      eventually(relay.rejectedCount >= 1, "disallowed principal was not rejected")
+      assert(relay.receivedCount == 0)
+    } finally relay.stop()
+  }
+
+  test("rejects a principal outside the trust domain") {
+    val relay = mtlsRelay(allowed = Nil, domain = "prod.example")
+    try {
+      intercept[Exception] {
+        GrpcRelay.writeGrpcProto(df(3), "localhost", relay.boundPort,
+          key = Some(key), ackMode = "batch", ackTimeoutMs = 8000,
+          tls = Some(clientCfg))
+      }
+      eventually(relay.rejectedCount >= 1, "out-of-domain principal was not rejected")
+      assert(relay.receivedCount == 0)
+    } finally relay.stop()
+  }
+
+  test("a TLS peer that never offered ALPN h2 is refused before any " +
+    "HTTP/2 byte is parsed") {
+    val relay = mtlsRelay(allowed = Nil, domain = "")
+    try {
+      // CA-valid client, but no ALPN offer: the server must not fall back
+      // to guessing the application protocol
+      try {
+        val sock = Tls.clientSocket(clientCfg, "localhost", relay.boundPort)
+        try { sock.getOutputStream.write(Http2.Preface)
+              sock.getOutputStream.flush(); sock.getInputStream.read() }
+        finally sock.close()
+      } catch { case _: Throwable => () }
+      eventually(relay.rejectedCount >= 1, "no-ALPN peer was not rejected")
+      assert(relay.receivedCount == 0 && relay.admittedCount == 0)
+    } finally relay.stop()
+  }
+
+  test("h2c writer against a TLS receiver fails (no cleartext downgrade); " +
+    "TLS writer against an h2c receiver fails the handshake") {
+    val tlsRelay = mtlsRelay()
+    try {
+      intercept[Exception] {
+        GrpcRelay.writeGrpcProto(df(2), "localhost", tlsRelay.boundPort,
+          ackMode = "batch", ackTimeoutMs = 5000) // no tls = cleartext
+      }
+      eventually(tlsRelay.rejectedCount >= 1, "cleartext peer was not rejected")
+      assert(tlsRelay.receivedCount == 0)
+    } finally tlsRelay.stop()
+    val plainRelay = new GrpcRelayReceiver(spark, 0, Some(key))
+    try {
+      intercept[Exception] {
+        GrpcRelay.writeGrpcProto(df(2), "localhost", plainRelay.boundPort,
+          key = Some(key), ackMode = "batch", ackTimeoutMs = 5000,
+          tls = Some(clientCfg))
+      }
+      assert(plainRelay.receivedCount == 0)
+    } finally plainRelay.stop()
+  }
+
+  test("netty TLS interop: a netty SslContext client (independent TLS + " +
+    "ALPN stack) streams into the JDK-TLS receiver and reads the batch ack") {
+    import io.netty.bootstrap.Bootstrap
+    import io.netty.buffer.Unpooled
+    import io.netty.channel.{Channel, ChannelHandlerContext, ChannelInboundHandlerAdapter, ChannelInitializer}
+    import io.netty.channel.nio.NioEventLoopGroup
+    import io.netty.channel.socket.nio.NioSocketChannel
+    import io.netty.handler.codec.http2._
+    import io.netty.handler.ssl.{ApplicationProtocolConfig, ApplicationProtocolNames, SslContextBuilder, SslProvider}
+    import io.netty.handler.ssl.ApplicationProtocolConfig.{Protocol, SelectedListenerFailureBehavior, SelectorFailureBehavior}
+
+    val relay = mtlsRelay(ackMode = "batch")
+    val group = new NioEventLoopGroup(1)
+    try {
+      val ssl = SslContextBuilder.forClient()
+        .sslProvider(SslProvider.JDK)
+        .trustManager(new java.io.File(s"$dir/ca.pem"))
+        .keyManager(new java.io.File(s"$dir/client.pem"),
+          new java.io.File(s"$dir/client-key.pem"))
+        .applicationProtocolConfig(new ApplicationProtocolConfig(
+          Protocol.ALPN, SelectorFailureBehavior.NO_ADVERTISE,
+          SelectedListenerFailureBehavior.ACCEPT,
+          ApplicationProtocolNames.HTTP_2))
+        .build()
+      val events = new LinkedBlockingQueue[AnyRef]()
+      val ch = new Bootstrap().group(group).channel(classOf[NioSocketChannel])
+        .handler(new ChannelInitializer[Channel] {
+          override def initChannel(c: Channel): Unit = c.pipeline.addLast(
+            ssl.newHandler(c.alloc(), "localhost", relay.boundPort),
+            Http2FrameCodecBuilder.forClient().build(),
+            new Http2MultiplexHandler(new ChannelInboundHandlerAdapter()))
+        })
+        .connect("127.0.0.1", relay.boundPort).sync().channel()
+      val sc = new Http2StreamChannelBootstrap(ch)
+        .handler(new ChannelInitializer[Channel] {
+          override def initChannel(c: Channel): Unit =
+            c.pipeline.addLast(new ChannelInboundHandlerAdapter {
+              override def channelRead(ctx: ChannelHandlerContext, msg: Any): Unit = {
+                msg match {
+                  case h: Http2HeadersFrame => events.put(h)
+                  case d: Http2DataFrame =>
+                    val c2 = d.content()
+                    val out = new Array[Byte](c2.readableBytes())
+                    c2.readBytes(out)
+                    events.put(out); d.release()
+                  case other => io.netty.util.ReferenceCountUtil.release(other)
+                }
+                ()
+              }
+            })
+        }).open().sync().getNow
+      val hdrs = new DefaultHttp2Headers()
+      hdrs.method("POST").scheme("https").authority("localhost")
+        .path(GrpcRelay.StreamPath)
+      hdrs.add("content-type", "application/grpc").add("te", "trailers")
+      sc.writeAndFlush(new DefaultHttp2HeadersFrame(hdrs))
+      (0 until 15).foreach { i =>
+        val env = RelayProto.encodeEnvelope(RelayProto.EnvelopePayload(
+          RelayProto.wrap(s"""{"id":$i,"name":"tlsnetty"}""".getBytes(UTF_8),
+            id = s"m$i", seq = i.toLong, tsEpochMs = 1L,
+            algo = graft.functions.Codecs.CompressZstd, key = Some(key))))
+        sc.writeAndFlush(new DefaultHttp2DataFrame(
+          Unpooled.wrappedBuffer(GrpcWire.message(env)), false))
+      }
+      sc.writeAndFlush(new DefaultHttp2DataFrame(Unpooled.wrappedBuffer(
+        GrpcWire.message(RelayProto.encodeEnvelope(
+          RelayProto.EnvelopeClose("done")))), false))
+      sc.writeAndFlush(new DefaultHttp2DataFrame(Unpooled.EMPTY_BUFFER, true))
+      val buf = new GrpcWire.MessageBuffer(1 << 20)
+      var ack: Option[RelayProto.StreamAck] = None
+      var status: Option[String] = None
+      val deadline = System.currentTimeMillis() + 20000
+      while ((ack.isEmpty || status.isEmpty) && System.currentTimeMillis() < deadline) {
+        events.poll(500, TimeUnit.MILLISECONDS) match {
+          case h: Http2HeadersFrame =>
+            Option(h.headers.get("grpc-status")).foreach(s => status = Some(s.toString))
+          case b: Array[Byte] =>
+            buf.feed(b)
+            buf.poll().foreach(m => ack = Some(RelayProto.decodeAck(m)))
+          case _ => ()
+        }
+      }
+      assert(ack.isDefined, "no batch ack over TLS")
+      assert(ack.get.success && ack.get.okCount == 15, ack.get)
+      assert(status.contains("0"), s"grpc-status $status")
+      eventually(relay.receivedCount == 15, s"got ${relay.receivedCount}/15")
+      assert(relay.badFrameCount == 0 && relay.rejectedCount == 0)
+      ch.close().sync()
+    } finally {
+      group.shutdownGracefully(0, 1, TimeUnit.SECONDS)
+      relay.stop()
+    }
+  }
+}

@@ -696,4 +696,38 @@ class KafkaE2eSpec extends SparkSpec {
         spark.read.json(d2).select("i").as[Long].collect().sorted.toSeq)
     } finally broker.close()
   }
+
+  test("LeaderClient survives a bootstrap-broker restart: the boot " +
+    "connection re-dials in place instead of poisoning every later " +
+    "metadata refresh and coordinator resolution") {
+    val logs = new java.util.concurrent.ConcurrentHashMap[(String, Int), MiniKafkaBroker.PartitionLog]()
+    val b0 = new MiniKafkaBroker(Map("br" -> 1), sharedLogs = logs)
+    val port = b0.boundPort
+    val c = new Kafka.LeaderClient(("127.0.0.1", port))
+    try {
+      c.produce("br", 0, encodeRecordBatch(0L, Seq(
+        (1L, null: Array[Byte], """{"i":0}""".getBytes(UTF_8), Nil))))
+      assert(c.metadata(Seq("br")) === Map("br" -> Seq(0)))
+      b0.close()
+      // same port, same logs: the broker restarted in place; the client's
+      // boot socket AND pooled leader socket are now both dead
+      def rebind(tries: Int): MiniKafkaBroker =
+        try new MiniKafkaBroker(Map("br" -> 1), port = port, sharedLogs = logs)
+        catch { case e: java.net.BindException =>
+          if (tries <= 0) throw e
+          Thread.sleep(200); rebind(tries - 1)
+        }
+      val b1 = rebind(25)
+      try {
+        // metadata rides the dead boot socket first — must re-dial once
+        assert(c.metadata(Seq("br")) === Map("br" -> Seq(0)))
+        // a routed call recovers too (pooled leader conn re-dials via the
+        // refreshed metadata), and the log survived the restart
+        assert(c.listOffset("br", 0, KafkaProto.TsLatest) === 1L)
+        // group routing re-resolves the coordinator through the new boot
+        c.offsetCommit("br-g", Map(("br", 0) -> 1L))
+        assert(c.offsetFetch("br-g", Seq(("br", 0))) === Map(("br", 0) -> 1L))
+      } finally b1.close()
+    } finally c.close()
+  }
 }
