@@ -49,6 +49,14 @@ object Kafka {
   final class NotCoordinator(val group: String)
     extends IOException(s"not the coordinator for group $group — re-resolve")
 
+  /** Typed FENCE error (INVALID_PRODUCER_EPOCH): a newer producer claimed
+    * this transactional id — this instance is a ZOMBIE (a speculative or
+    * stale task attempt) and must stop, never retry: its batches would
+    * duplicate the successor's. Deliberately NOT retried by any transport
+    * recovery path. */
+  final class ProducerFenced(val txnId: String)
+    extends IOException(s"producer fenced: a newer producer owns transactional id $txnId")
+
   /** One Metadata response's routing view: brokers by node id, EVERY
     * partition id per topic (leaderless-during-election ones included —
     * partition COUNTS drive key placement and split planning, and must
@@ -69,12 +77,29 @@ object Kafka {
     def fetch(topic: String, partition: Int, offset: Long,
               maxBytes: Int = 1 << 20, maxWaitMs: Int = 500,
               minBytes: Int = 1): (Long, Seq[KRecord])
+    /** Cursor-advancing fetch: returns (nextCursor, records) where the
+      * cursor advances past EVERY batch span fetched — control markers
+      * and (in read_committed mode) aborted data consume offsets the
+      * record view never shows, so "records.last.offset + 1" alone
+      * would stall below them. `readCommitted` = isolation level 1:
+      * only records of committed transactions, below the last stable
+      * offset. */
+    def fetchFrom(topic: String, partition: Int, offset: Long,
+                  maxBytes: Int = 1 << 20, maxWaitMs: Int = 500,
+                  minBytes: Int = 1,
+                  readCommitted: Boolean = false): (Long, Seq[KRecord])
     def listOffset(topic: String, partition: Int, ts: Long): Long
     def produce(topic: String, partition: Int, recordSet: Array[Byte],
-                timeoutMs: Int = 30000): Long
-    def initProducerId(): (Long, Short)
+                timeoutMs: Int = 30000, transactionalId: String = null): Long
+    def initProducerId(transactionalId: String = null): (Long, Short)
     def offsetCommit(group: String, offsets: Map[(String, Int), Long]): Unit
     def offsetFetch(group: String, tps: Seq[(String, Int)]): Map[(String, Int), Long]
+    // -- transactions (null-checked by impls; see WireClient scaladoc) --
+    def addPartitionsToTxn(txnId: String, pid: Long, epoch: Short,
+                           topic: String, partitions: Seq[Int]): Unit
+    def endTxn(txnId: String, pid: Long, epoch: Short, commit: Boolean): Unit
+    def txnOffsetCommit(txnId: String, group: String, pid: Long, epoch: Short,
+                        offsets: Map[(String, Int), Long]): Unit
   }
 
   /** Typed fetch error: the broker refused the offset (below the log start
@@ -101,9 +126,15 @@ object Kafka {
     * past `off` yet. */
   def fetchPage(c: Client, topic: String, partition: Int, off: Long,
                 end: Long = Long.MaxValue,
-                maxBytes: Int = 1 << 20): (Seq[KRecord], Long) = {
-    val recs =
-      try c.fetch(topic, partition, off, maxBytes)._2
+                maxBytes: Int = 1 << 20,
+                readCommitted: Boolean = false): (Seq[KRecord], Long) = {
+    // the cursor comes from fetchFrom's DECODED-span answer: records
+    // alone can't drive it — control markers (and, read_committed,
+    // aborted batches) consume offsets the record view never shows
+    def page(at: Long): (Long, Seq[KRecord]) =
+      c.fetchFrom(topic, partition, at, maxBytes, readCommitted = readCommitted)
+    val (next, recs) =
+      try page(off)
       catch {
         case e: OffsetOutOfRange =>
           // Resolve the log bounds with ListOffsets rather than trusting the
@@ -114,7 +145,7 @@ object Kafka {
           // ListOffsets and the refetch), so re-resolve and retry a few
           // times before letting the error escape to Spark's task retry.
           var attempt = 0
-          var result: Seq[KRecord] = null
+          var result: (Long, Seq[KRecord]) = null
           var cursor = off
           while (result == null) {
             val earliest = c.listOffset(topic, partition, TsEarliest)
@@ -123,7 +154,7 @@ object Kafka {
             else if (earliest >= latest)
               return (Nil, earliest) // the whole backlog was deleted: skip it
             else
-              try { result = c.fetch(topic, partition, earliest, maxBytes)._2 }
+              try { result = page(earliest) }
               catch {
                 case e2: OffsetOutOfRange =>
                   attempt += 1
@@ -133,8 +164,8 @@ object Kafka {
           }
           result
       }
-    if (recs.isEmpty) (Nil, off)
-    else (recs.filter(_.offset < end), recs.last.offset + 1)
+    if (recs.isEmpty && next <= off) (Nil, off)
+    else (recs.filter(_.offset < end), math.max(next, off))
   }
 
   // ======================================================================
@@ -210,11 +241,16 @@ object Kafka {
       ClusterMeta(brokers, parts.result(), leaders.result())
     }
 
-    /** Produce v3 (acks=-1): returns the assigned base offset. */
+    /** Produce v3 (acks=-1): returns the assigned base offset. A non-null
+      * `transactionalId` marks the request transactional (the record set
+      * must carry the [[KafkaProto.AttrTransactional]] bit and the
+      * producer's pid/epoch); a stale epoch surfaces as the typed
+      * [[Kafka.ProducerFenced]] — the zombie-attempt STOP signal, never
+      * retried. */
     def produce(topic: String, partition: Int, recordSet: Array[Byte],
-                timeoutMs: Int = 30000): Long = {
+                timeoutMs: Int = 30000, transactionalId: String = null): Long = {
       val w = new Writer()
-      w.nullableString(null) // transactional_id
+      w.nullableString(transactionalId)
       w.int16(-1)            // acks: all
       w.int32(timeoutMs)
       w.array(Seq(topic)) { (b, t) =>
@@ -235,6 +271,8 @@ object Kafka {
           p.int64() // log_append_time
           if (err == KafkaProto.ErrNotLeaderForPartition)
             throw new Kafka.NotLeaderForPartition(topic, partition)
+          if (err == KafkaProto.ErrInvalidProducerEpoch)
+            throw new Kafka.ProducerFenced(String.valueOf(transactionalId))
           require(err == ErrNone, s"produce error $err on $topic/$partition")
         }
       }
@@ -242,19 +280,17 @@ object Kafka {
       base
     }
 
-    /** Fetch v4 from `offset`: (highWatermark, records-at-or-after-offset).
-      * The broker legitimately returns the whole batch CONTAINING the
-      * fetch offset; records below it are skipped here, exactly like the
-      * real consumer. */
-    def fetch(topic: String, partition: Int, offset: Long,
-              maxBytes: Int = 1 << 20, maxWaitMs: Int = 500,
-              minBytes: Int = 1): (Long, Seq[KRecord]) = {
+    /** Fetch v4 from `offset` at the given isolation level: returns
+      * (highWatermark, lastStableOffset, abortedTxns, rawRecordSet). */
+    private def fetchRaw(topic: String, partition: Int, offset: Long,
+                         maxBytes: Int, maxWaitMs: Int, minBytes: Int,
+                         isolation: Int): (Long, Long, Seq[(Long, Long)], Array[Byte]) = {
       val w = new Writer()
       w.int32(-1) // replica_id: consumer
       w.int32(maxWaitMs)
       w.int32(minBytes)
       w.int32(maxBytes)
-      w.int8(0)   // isolation: READ_UNCOMMITTED
+      w.int8(isolation) // 0 = READ_UNCOMMITTED, 1 = READ_COMMITTED
       w.array(Seq(topic)) { (b, t) =>
         b.string(t)
         b.array(Seq(partition)) { (pb, p) =>
@@ -264,26 +300,68 @@ object Kafka {
       val r = call(ApiFetch, 4, w.toBytes)
       r.int32() // throttle
       var hw = -1L
-      var recs: Seq[KRecord] = Vector.empty
+      var lso = -1L
+      var aborted: Seq[(Long, Long)] = Nil
+      var set: Array[Byte] = null
       r.array { t =>
         t.string()
         t.array { p =>
           p.int32()
           val err = p.int16()
           hw = p.int64()
-          p.int64() // last_stable_offset
-          p.array(a => { a.int64(); a.int64() }) // aborted txns
-          val set = p.nullableBytes()
+          lso = p.int64() // last_stable_offset
+          aborted = p.array(a => (a.int64(), a.int64())) // (pid, firstOffset)
+          set = p.nullableBytes()
           if (err == KafkaProto.ErrOffsetOutOfRange)
             throw new Kafka.OffsetOutOfRange(topic, partition, offset, hw)
           if (err == KafkaProto.ErrNotLeaderForPartition)
             throw new Kafka.NotLeaderForPartition(topic, partition)
           require(err == ErrNone, s"fetch error $err on $topic/$partition@$offset")
-          if (set != null && set.nonEmpty)
-            recs = decodeRecordBatches(set).filter(_.offset >= offset)
         }
       }
+      (hw, lso, aborted, set)
+    }
+
+    /** Fetch v4 from `offset`: (highWatermark, records-at-or-after-offset).
+      * The broker legitimately returns the whole batch CONTAINING the
+      * fetch offset; records below it are skipped here, exactly like the
+      * real consumer. READ_UNCOMMITTED: transactional records surface
+      * as they land (control markers are dropped in decode). */
+    def fetch(topic: String, partition: Int, offset: Long,
+              maxBytes: Int = 1 << 20, maxWaitMs: Int = 500,
+              minBytes: Int = 1): (Long, Seq[KRecord]) = {
+      val (hw, _, _, set) =
+        fetchRaw(topic, partition, offset, maxBytes, maxWaitMs, minBytes, 0)
+      val recs =
+        if (set == null || set.isEmpty) Vector.empty[KRecord]
+        else decodeRecordBatches(set).filter(_.offset >= offset)
       (hw, recs)
+    }
+
+    /** Cursor-advancing fetch (see the [[Kafka.Client]] scaladoc):
+      * read_uncommitted surfaces transactional records as they land;
+      * read_committed (isolation level 1) serves only records of
+      * COMMITTED transactions below the last stable offset, aborted data
+      * filtered with the response's `aborted_transactions` ranges + the
+      * abort control markers ([[KafkaProto.filterCommitted]]). Either
+      * way the returned cursor covers every DECODED batch span, markers
+      * included. */
+    def fetchFrom(topic: String, partition: Int, offset: Long,
+                  maxBytes: Int = 1 << 20, maxWaitMs: Int = 500,
+                  minBytes: Int = 1,
+                  readCommitted: Boolean = false): (Long, Seq[KRecord]) = {
+      val (_, _, aborted, set) =
+        fetchRaw(topic, partition, offset, maxBytes, maxWaitMs, minBytes,
+          if (readCommitted) 1 else 0)
+      if (set == null || set.isEmpty) (offset, Vector.empty)
+      else {
+        val batches = decodeBatchesFull(set)
+        val next = batches.map(_.lastOffset + 1).foldLeft(offset)(math.max)
+        val recs =
+          if (readCommitted) filterCommitted(batches, aborted)
+          else batches.filterNot(_.isControl).flatMap(_.records)
+        (next, recs.filter(_.offset >= offset))
+      }
     }
 
     /** ListOffsets v1: earliest ([[KafkaProto.TsEarliest]]) or latest
@@ -312,20 +390,95 @@ object Kafka {
       off
     }
 
-    /** InitProducerId v0 (idempotence only, no transactions): a
-      * broker-issued (producerId, epoch) identity. Batches carrying it
-      * plus a per-partition sequence number are DEDUPED by the broker on
-      * resend — produce retries become exactly-once within the producer
-      * session. */
-    def initProducerId(): (Long, Short) = {
+    /** InitProducerId v0: a broker-issued (producerId, epoch) identity.
+      * With a null `transactionalId` (idempotence only) batches carrying
+      * it plus a per-partition sequence number are DEDUPED by the broker
+      * on resend — produce retries become exactly-once within the
+      * producer session. With a TRANSACTIONAL id, the broker (a) keeps
+      * the pid STABLE for that id, (b) BUMPS the producer epoch — fencing
+      * every earlier holder (zombie task attempts die on their next
+      * produce/endTxn with [[Kafka.ProducerFenced]]), and (c) ABORTS any
+      * transaction the previous holder left open, which is what makes a
+      * crashed writer's unfinished batches invisible to read_committed
+      * consumers. Routes to the TRANSACTION coordinator. */
+    def initProducerId(transactionalId: String = null): (Long, Short) = {
       val w = new Writer()
-      w.nullableString(null)
+      w.nullableString(transactionalId)
       w.int32(60000)
       val r = call(ApiInitProducerId, 0, w.toBytes)
       r.int32() // throttle
       val err = r.int16()
+      if (err == KafkaProto.ErrNotCoordinator)
+        throw new Kafka.NotCoordinator(String.valueOf(transactionalId))
       require(err == ErrNone, s"initProducerId error $err")
       (r.int64(), r.int16())
+    }
+
+    /** AddPartitionsToTxn v0: register the partitions this transaction
+      * will produce to — the broker refuses transactional batches on
+      * unregistered partitions (INVALID_TXN_STATE), the real contract. */
+    def addPartitionsToTxn(txnId: String, pid: Long, epoch: Short,
+                           topic: String, partitions: Seq[Int]): Unit = {
+      val w = new Writer()
+      w.string(txnId).int64(pid).int16(epoch.toInt)
+      w.array(Seq(topic)) { (b, t) =>
+        b.string(t)
+        b.array(partitions)((pb, p) => pb.int32(p))
+      }
+      val r = call(ApiAddPartitionsToTxn, 0, w.toBytes)
+      r.int32() // throttle
+      r.array { t =>
+        t.string()
+        t.array { p =>
+          p.int32()
+          val err = p.int16()
+          if (err == KafkaProto.ErrNotCoordinator) throw new Kafka.NotCoordinator(txnId)
+          if (err == KafkaProto.ErrInvalidProducerEpoch) throw new Kafka.ProducerFenced(txnId)
+          require(err == ErrNone, s"addPartitionsToTxn error $err for $txnId")
+        }
+      }
+    }
+
+    /** EndTxn v0: commit or abort the open transaction — the broker
+      * writes the control markers that decide every produced batch. */
+    def endTxn(txnId: String, pid: Long, epoch: Short, commit: Boolean): Unit = {
+      val w = new Writer()
+      w.string(txnId).int64(pid).int16(epoch.toInt).int8(if (commit) 1 else 0)
+      val r = call(ApiEndTxn, 0, w.toBytes)
+      r.int32() // throttle
+      val err = r.int16()
+      if (err == KafkaProto.ErrNotCoordinator) throw new Kafka.NotCoordinator(txnId)
+      if (err == KafkaProto.ErrInvalidProducerEpoch) throw new Kafka.ProducerFenced(txnId)
+      require(err == ErrNone, s"endTxn error $err for $txnId")
+    }
+
+    /** TxnOffsetCommit v0: stage consumer-group offsets INSIDE the open
+      * transaction — they become visible atomically with the data at
+      * EndTxn(commit), the `sendOffsetsToTransaction` pattern that closes
+      * the produce-ack→fence window. */
+    def txnOffsetCommit(txnId: String, group: String, pid: Long, epoch: Short,
+                        offsets: Map[(String, Int), Long]): Unit = {
+      val w = new Writer()
+      w.string(txnId).string(group).int64(pid).int16(epoch.toInt)
+      val byTopic = offsets.groupBy(_._1._1)
+      w.array(byTopic.toSeq) { (b, kv) =>
+        b.string(kv._1)
+        b.array(kv._2.toSeq) { (pb, e) =>
+          pb.int32(e._1._2); pb.int64(e._2); pb.nullableString(null)
+        }
+      }
+      val r = call(ApiTxnOffsetCommit, 0, w.toBytes)
+      r.int32() // throttle
+      r.array { t =>
+        t.string()
+        t.array { p =>
+          p.int32()
+          val err = p.int16()
+          if (err == KafkaProto.ErrNotCoordinator) throw new Kafka.NotCoordinator(group)
+          if (err == KafkaProto.ErrInvalidProducerEpoch) throw new Kafka.ProducerFenced(txnId)
+          require(err == ErrNone, s"txnOffsetCommit error $err for $txnId")
+        }
+      }
     }
 
     /** OffsetCommit v2 as a SIMPLE consumer (generation -1, no group
@@ -357,17 +510,31 @@ object Kafka {
       }
     }
 
-    /** FindCoordinator v0 → the (nodeId, host, port) serving this
-      * group's offsets — group calls belong on the COORDINATOR, not an
+    /** FindCoordinator → the (nodeId, host, port) serving this key —
+      * group offsets ([[KafkaProto.CoordGroup]], v0) or a transactional
+      * id ([[KafkaProto.CoordTransaction]], v1 — the version that added
+      * key_type). Coordinator-owned calls belong THERE, not on an
       * arbitrary broker (real multi-broker clusters refuse them with
       * NOT_COORDINATOR elsewhere). */
-    def findCoordinator(group: String): (Int, String, Int) = {
-      val w = new Writer()
-      w.string(group)
-      val r = call(ApiFindCoordinator, 0, w.toBytes)
-      val err = r.int16()
-      require(err == ErrNone, s"findCoordinator error $err for group $group")
-      (r.int32(), r.string(), r.int32())
+    def findCoordinator(key: String,
+                        keyType: Int = KafkaProto.CoordGroup): (Int, String, Int) = {
+      if (keyType == KafkaProto.CoordGroup) {
+        val w = new Writer()
+        w.string(key)
+        val r = call(ApiFindCoordinator, 0, w.toBytes)
+        val err = r.int16()
+        require(err == ErrNone, s"findCoordinator error $err for group $key")
+        (r.int32(), r.string(), r.int32())
+      } else {
+        val w = new Writer()
+        w.string(key).int8(keyType)
+        val r = call(ApiFindCoordinator, 1, w.toBytes)
+        r.int32() // throttle
+        val err = r.int16()
+        r.nullableString() // error message
+        require(err == ErrNone, s"findCoordinator error $err for key $key type $keyType")
+        (r.int32(), r.string(), r.int32())
+      }
     }
 
     /** OffsetFetch v1 → committed offset per partition, -1 when none. */
@@ -512,38 +679,47 @@ object Kafka {
       throw new IllegalStateException("unreachable")
     }
 
-    // group -> coordinator connection (FindCoordinator-resolved); a
-    // NOT_COORDINATOR answer (coordinator moved) or a dead socket drops
-    // the cache entry and re-resolves, bounded — the group twin of the
-    // leader routing above. Group-offset writes are idempotent absolute
-    // positions, so the IO retry cannot double-apply anything.
-    private var coordConns = Map[String, WireClient]()
-    private def coordinatorConn(group: String): WireClient =
-      coordConns.getOrElse(group, {
-        val (_, h, p) = viaBoot(_.findCoordinator(group))
+    // (keyType, key) -> coordinator connection (FindCoordinator-resolved);
+    // a NOT_COORDINATOR answer (coordinator moved) or a dead socket drops
+    // the cache entry and re-resolves, bounded — the coordinator twin of
+    // the leader routing above. Group-offset writes are idempotent
+    // absolute positions and the txn RPCs are fenced/deduped broker-side,
+    // so the IO retry cannot double-apply anything — EXCEPT a fence
+    // rejection, which must stop the caller, not re-route.
+    private var coordConns = Map[(Int, String), WireClient]()
+    private def coordinatorConn(keyType: Int, key: String): WireClient =
+      coordConns.getOrElse((keyType, key), {
+        val (_, h, p) = viaBoot(_.findCoordinator(key, keyType))
         val c = new WireClient(h, p, clientId, timeoutMs)
-        coordConns += group -> c
+        coordConns += (keyType, key) -> c
         c
       })
-    private def groupRouted[A](group: String, retries: Int = 2)
+    private def coordRouted[A](keyType: Int, key: String, retries: Int = 2)
                               (f: WireClient => A): A = {
       var attempt = 0
       while (true) {
-        try return f(coordinatorConn(group))
+        try return f(coordinatorConn(keyType, key))
         catch {
-          // any transport IOException (timeouts included) drops the
-          // cached coordinator and re-resolves — group-offset writes are
-          // idempotent absolute positions, so retries are safe
+          // a FENCE is an answer, not a transport failure: re-routing a
+          // fenced zombie would hand its duplicate batches to the new
+          // coordinator — surface it immediately
+          case e: ProducerFenced => throw e
           case e: IOException =>
             attempt += 1
             if (attempt > retries) throw e
-            coordConns.get(group).foreach(c =>
+            coordConns.get((keyType, key)).foreach(c =>
               try c.close() catch { case _: Throwable => () })
-            coordConns -= group
+            coordConns -= ((keyType, key))
         }
       }
       throw new IllegalStateException("unreachable")
     }
+    private def groupRouted[A](group: String, retries: Int = 2)
+                              (f: WireClient => A): A =
+      coordRouted(KafkaProto.CoordGroup, group, retries)(f)
+    private def txnRouted[A](txnId: String, retries: Int = 2)
+                            (f: WireClient => A): A =
+      coordRouted(KafkaProto.CoordTransaction, txnId, retries)(f)
 
     def metadata(topics: Seq[String] = null): Map[String, Seq[Int]] =
       viaBoot(_.metadata(topics))
@@ -553,15 +729,32 @@ object Kafka {
               maxWaitMs: Int, minBytes: Int): (Long, Seq[KRecord]) =
       routed(topic, partition, retryIo = true)(_.fetch(topic, partition,
         offset, maxBytes, maxWaitMs, minBytes))
+    def fetchFrom(topic: String, partition: Int, offset: Long, maxBytes: Int,
+                  maxWaitMs: Int, minBytes: Int,
+                  readCommitted: Boolean): (Long, Seq[KRecord]) =
+      routed(topic, partition, retryIo = true)(_.fetchFrom(topic, partition,
+        offset, maxBytes, maxWaitMs, minBytes, readCommitted))
     def listOffset(topic: String, partition: Int, ts: Long): Long =
       routed(topic, partition, retryIo = true)(_.listOffset(topic, partition, ts))
     def produce(topic: String, partition: Int, recordSet: Array[Byte],
-                timeoutMs: Int): Long =
+                timeoutMs: Int, transactionalId: String): Long =
       routed(topic, partition, retryIo = false)(
-        _.produce(topic, partition, recordSet, timeoutMs))
-    // safe under viaBoot's one retry: an orphaned id from a half-failed
-    // call is simply never used
-    def initProducerId(): (Long, Short) = viaBoot(_.initProducerId())
+        _.produce(topic, partition, recordSet, timeoutMs, transactionalId))
+    // idempotence-only ids come from any broker (safe under viaBoot's one
+    // retry: an orphaned id from a half-failed call is simply never used);
+    // a TRANSACTIONAL id's init belongs on its transaction coordinator
+    def initProducerId(transactionalId: String): (Long, Short) =
+      if (transactionalId == null) viaBoot(_.initProducerId(null))
+      else txnRouted(transactionalId)(_.initProducerId(transactionalId))
+    def addPartitionsToTxn(txnId: String, pid: Long, epoch: Short,
+                           topic: String, partitions: Seq[Int]): Unit =
+      txnRouted(txnId)(_.addPartitionsToTxn(txnId, pid, epoch, topic, partitions))
+    def endTxn(txnId: String, pid: Long, epoch: Short, commit: Boolean): Unit =
+      txnRouted(txnId)(_.endTxn(txnId, pid, epoch, commit))
+    // the real protocol's routing: txn offsets go to the GROUP coordinator
+    def txnOffsetCommit(txnId: String, group: String, pid: Long, epoch: Short,
+                        offsets: Map[(String, Int), Long]): Unit =
+      groupRouted(group)(_.txnOffsetCommit(txnId, group, pid, epoch, offsets))
     def offsetCommit(group: String, offsets: Map[(String, Int), Long]): Unit =
       groupRouted(group)(_.offsetCommit(group, offsets))
     def offsetFetch(group: String, tps: Seq[(String, Int)]): Map[(String, Int), Long] =
@@ -599,9 +792,11 @@ object Kafka {
     * cluster scale every executor pulls its own partitions and nothing
     * funnels through the driver. */
   def read(spark: SparkSession, bootstrap: (String, Int), topic: String,
-           splits: Seq[Split] = null, maxFetchBytes: Int = 1 << 20): DataFrame = {
+           splits: Seq[Split] = null, maxFetchBytes: Int = 1 << 20,
+           readCommitted: Boolean = false): DataFrame = {
     val eff = if (splits != null) splits else offsetRanges(bootstrap, topic)
     val (host, port) = bootstrap
+    val rc = readCommitted
     val rows = spark.sparkContext
       .parallelize(eff, math.max(eff.size, 1))
       .flatMap { s =>
@@ -611,7 +806,7 @@ object Kafka {
           var off = s.start
           while (off < s.end) {
             val (recs, next) = fetchPage(c, s.topic, s.partition, off,
-              s.end, maxFetchBytes)
+              s.end, maxFetchBytes, readCommitted = rc)
             if (next == off) {
               // no progress below `end` means the range claim is stale
               throw new IOException(s"no data at ${s.topic}/${s.partition}@$off < ${s.end}")
@@ -696,14 +891,24 @@ object Kafka {
     * do not all open on Kafka partition 0. */
   final class BatchProducer(bootstrap: (String, Int), topic: String,
                             maxBatchRecords: Int, maxBatchBytes: Int,
-                            idempotent: Boolean, rrSeed: Int = 0)
+                            idempotent: Boolean, rrSeed: Int = 0,
+                            transactionalId: Option[String] = None)
     extends AutoCloseable {
+    // transactions imply idempotence (the pid/sequence dedupe is the same
+    // machinery; real producers enforce the same implication)
+    private val idem = idempotent || transactionalId.isDefined
+    private val txnId: String = transactionalId.orNull
     private var c: Client = new LeaderClient(bootstrap)
     /** Partition count at open — the routing modulus for this instance. */
     val nParts: Int = c.metadata(Seq(topic))(topic).size
+    /** Transactional init FENCES every earlier holder of this id (epoch
+      * bump) and ABORTS its dangling transaction — the zombie-attempt and
+      * died-before-commit recoveries both start here. */
     private val (pid, epoch) =
-      if (idempotent) c.initProducerId() else (-1L, (-1).toShort)
+      if (idem) c.initProducerId(txnId) else (-1L, (-1).toShort)
     private val seqs = new Array[Int](nParts)
+    private val inTxn = new Array[Boolean](nParts) // AddPartitionsToTxn sent
+    private var txnOpen = false
     private val pending = Array.fill(nParts)(
       Vector.newBuilder[(Long, Array[Byte], Array[Byte], Seq[(String, Array[Byte])])])
     private val pendingN = new Array[Int](nParts)
@@ -730,24 +935,63 @@ object Kafka {
     }
 
     private def flush(p: Int): Unit = if (pendingN(p) > 0) {
+      if (txnId != null && !inTxn(p)) {
+        // register the partition BEFORE its first transactional batch —
+        // the broker refuses unregistered ones (INVALID_TXN_STATE)
+        c.addPartitionsToTxn(txnId, pid, epoch, topic, Seq(p))
+        inTxn(p) = true
+        txnOpen = true
+      }
       val batch = encodeRecordBatch(0L, pending(p).result(),
         producerId = pid, producerEpoch = epoch,
-        baseSequence = (if (idempotent) seqs(p) else -1))
-      try c.produce(topic, p, batch)
+        baseSequence = (if (idem) seqs(p) else -1),
+        attributes = (if (txnId != null) KafkaProto.AttrTransactional else 0))
+      try c.produce(topic, p, batch, transactionalId = txnId)
       catch {
-        case _: IOException if idempotent =>
+        // a FENCE answer means a newer producer owns this id: resending
+        // would be the exact zombie duplicate the fence exists to stop
+        case e: ProducerFenced => throw e
+        case _: IOException if idem =>
           // reconnect and resend the SAME sequence: if the lost ack's
           // append landed, the broker dedupes; if not, this is the
           // first append — either way exactly one copy
           try c.close() catch { case _: Exception => () }
           c = new LeaderClient(bootstrap)
-          c.produce(topic, p, batch)
+          c.produce(topic, p, batch, transactionalId = txnId)
       }
-      if (idempotent) seqs(p) += pendingN(p)
+      if (idem) seqs(p) += pendingN(p)
       pending(p).clear(); pendingN(p) = 0; pendingB(p) = 0
     }
 
     def flushAll(): Unit = (0 until nParts).foreach(flush)
+
+    /** Stage consumer-group offsets INSIDE the open transaction (the
+      * `sendOffsetsToTransaction` pattern): they apply atomically with
+      * the data at [[commitTxn]] — a crash in between leaves BOTH unseen. */
+    def sendOffsets(group: String, offsets: Map[(String, Int), Long]): Unit = {
+      require(txnId != null, "sendOffsets requires a transactional producer")
+      c.txnOffsetCommit(txnId, group, pid, epoch, offsets)
+      txnOpen = true
+    }
+
+    /** Commit the open transaction: the broker writes COMMIT markers to
+      * every registered partition and applies staged offsets, atomically. */
+    def commitTxn(): Unit = {
+      require(txnId != null, "commitTxn requires a transactional producer")
+      if (txnOpen) {
+        c.endTxn(txnId, pid, epoch, commit = true)
+        java.util.Arrays.fill(inTxn, false)
+        txnOpen = false
+      }
+    }
+
+    /** Abort the open transaction (best effort — an unreachable broker
+      * aborts it anyway at the successor's InitProducerId). */
+    def abortTxn(): Unit = if (txnId != null && txnOpen) {
+      c.endTxn(txnId, pid, epoch, commit = false)
+      java.util.Arrays.fill(inTxn, false)
+      txnOpen = false
+    }
 
     override def close(): Unit = c.close()
   }

@@ -267,23 +267,28 @@ private[sources] final class KafkaReaderFactory extends PartitionReaderFactory {
   * reference writer's batch budgets, through [[Kafka.LeaderClient]]
   * (multi-broker leader routing).
   *
-  * Delivery contract: EPOCH REPLAY after a kill/restart — the crash a
-  * checkpointed stream actually recovers through — writes nothing
-  * twice: each task commits an epoch fence to the broker's group-offset
-  * store (group `<sinkGroup>-p<sparkPartition>`) AFTER its records are
-  * acknowledged, and a replayed task whose fence is already at/past its
-  * epoch skips the produce entirely. Connection-level retries are
-  * deduped by the idempotent producer (same pid/sequence resend). The
-  * remaining window — a task dying BETWEEN its last produce ack and its
-  * fence commit — can duplicate that task's batch; closing it needs
-  * Kafka transactions, which this edge does not model (documented
-  * SURVEY §2 K1). That is strictly tighter than the stock
-  * non-transactional Kafka sink, which replays every unfenced epoch.
+  * Delivery contract (streaming, default `transactional=true`):
+  * EXACTLY-ONCE through Kafka transactions. Each task produces its
+  * epoch under transactional id `<sinkGroup>-p<sparkPartition>` and
+  * commits its epoch fence via TxnOffsetCommit INSIDE the transaction —
+  * fence and data become visible atomically at EndTxn(commit), so the
+  * old produce-ack→fence window is closed: a task dying anywhere before
+  * EndTxn leaves an open transaction that the replay's InitProducerId
+  * ABORTS (its data invisible to read_committed consumers), and a
+  * replayed task whose fence is already past its epoch skips the produce
+  * entirely. The same InitProducerId bumps the producer epoch, FENCING
+  * zombie attempts (speculative execution, stale retries): their late
+  * produces/commits fail with INVALID_PRODUCER_EPOCH instead of
+  * duplicating. Connection-level retries are deduped by the idempotent
+  * producer (same pid/sequence resend). With `transactional=false` the
+  * sink falls back to the plain fence-after-ack protocol, which tightens
+  * the stock non-transactional sink (no unfenced-epoch replay) but keeps
+  * the documented die-between-ack-and-fence duplicate window.
   *
   * Input schema: `key`/`value` columns, string or binary (the
   * [[Sources.encodeKafka]] shape). Options: host, port, topic,
   * maxBatchRecords (1000), maxBatchBytes (1 MiB), sinkGroup (defaults
-  * to `graft-sink-<queryId>`). */
+  * to `graft-sink-<queryId>`), transactional (true). */
 private[sources] final class GraftKafkaWrite(info: LogicalWriteInfo) extends Write {
   private def req(k: String): String = {
     val v = info.options.get(k)
@@ -297,20 +302,24 @@ private[sources] final class GraftKafkaWrite(info: LogicalWriteInfo) extends Wri
   private val maxBytes = Option(info.options.get("maxBatchBytes")).map(_.toInt).getOrElse(1 << 20)
   private val sinkGroup = Option(info.options.get("sinkGroup"))
     .getOrElse(s"graft-sink-${info.queryId()}")
+  private val transactional = Option(info.options.get("transactional"))
+    .forall(_.toBoolean) // default true: the exactly-once path
   private val schema = info.schema()
   require(schema.fieldNames.contains("key") && schema.fieldNames.contains("value"),
     s"graft-kafka sink expects key/value columns, got ${schema.fieldNames.mkString(",")}")
 
   override def toStreaming: StreamingWrite = new StreamingWrite {
     override def createStreamingWriterFactory(i: PhysicalWriteInfo): StreamingDataWriterFactory =
-      KafkaWriterFactory(host, port, topic, schema, maxRecs, maxBytes, Some(sinkGroup))
+      KafkaWriterFactory(host, port, topic, schema, maxRecs, maxBytes,
+        Some(sinkGroup), transactional)
     override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
     override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   }
 
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(i: PhysicalWriteInfo): DataWriterFactory =
-      KafkaWriterFactory(host, port, topic, schema, maxRecs, maxBytes, None)
+      KafkaWriterFactory(host, port, topic, schema, maxRecs, maxBytes,
+        None, transactional = false)
     override def commit(messages: Array[WriterCommitMessage]): Unit = ()
     override def abort(messages: Array[WriterCommitMessage]): Unit = ()
   }
@@ -321,28 +330,35 @@ private[sources] final class GraftKafkaWrite(info: LogicalWriteInfo) extends Wri
   * serialize). Batch writes pass no fence group (no epochs to replay). */
 private[sources] final case class KafkaWriterFactory(
     host: String, port: Int, topic: String, schema: StructType,
-    maxRecs: Int, maxBytes: Int, fenceGroup: Option[String])
+    maxRecs: Int, maxBytes: Int, fenceGroup: Option[String],
+    transactional: Boolean)
   extends StreamingDataWriterFactory with DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new KafkaEpochWriter(host, port, topic, schema, maxRecs, maxBytes,
-      partitionId, epochId, fenceGroup)
+      partitionId, epochId, fenceGroup, transactional)
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new KafkaEpochWriter(host, port, topic, schema, maxRecs, maxBytes,
-      partitionId, epochId = 0L, fenceGroup = None)
+      partitionId, epochId = 0L, fenceGroup = None, transactional = false)
 }
 
 private[sources] final case class KafkaWriteDone(partitionId: Int, epochId: Long,
                                                  records: Long) extends WriterCommitMessage
 
-/** One task's epoch-fenced idempotent produce (see [[GraftKafkaWrite]]).
-  * Batching/routing/reconnect-resend is [[Kafka.BatchProducer]] — the
-  * SAME kernel as [[Kafka.write]]; this class adds only the epoch fence
-  * and the InternalRow column access. */
+/** One task's epoch-fenced produce (see [[GraftKafkaWrite]]), idempotent
+  * or fully transactional. Batching/routing/reconnect-resend is
+  * [[Kafka.BatchProducer]] — the SAME kernel as [[Kafka.write]]; this
+  * class adds only the epoch fence and the InternalRow column access.
+  * In transactional mode the transactional id AND the fence group are
+  * the same string (`<sinkGroup>-p<partition>`), so the transaction
+  * coordinator and the fence group's coordinator are the same broker —
+  * which is what lets TxnOffsetCommit stage the fence atomically with
+  * the data. */
 private[sources] final class KafkaEpochWriter(
     host: String, port: Int, topic: String,
     schema: StructType, maxRecs: Int, maxBytes: Int,
-    sparkPartition: Int, epochId: Long, fenceGroup: Option[String])
+    sparkPartition: Int, epochId: Long, fenceGroup: Option[String],
+    transactional: Boolean)
   extends DataWriter[InternalRow] {
 
   private val keyIdx = schema.fieldIndex("key")
@@ -386,8 +402,12 @@ private[sources] final class KafkaEpochWriter(
 
   override def write(row: InternalRow): Unit = if (!alreadyWritten) {
     val prod = prodOpt.getOrElse {
+      // the transactional id doubles as the fence-group name (see class
+      // scaladoc); its init fences zombies and aborts a dead predecessor
       val p = new Kafka.BatchProducer((host, port), topic,
-        maxRecs, maxBytes, idempotent = true, rrSeed = sparkPartition)
+        maxRecs, maxBytes, idempotent = true, rrSeed = sparkPartition,
+        transactionalId =
+          if (transactional) fence.map { case (g, _) => fenceKey(g) } else None)
       prodOpt = Some(p)
       p
     }
@@ -397,16 +417,30 @@ private[sources] final class KafkaEpochWriter(
 
   override def commit(): WriterCommitMessage = {
     if (!alreadyWritten) {
-      prodOpt.foreach(_.flushAll())
-      // fence AFTER every record is acknowledged: a replay of this epoch
-      // (kill/restart before the query checkpoint advanced) skips produce
-      fence.foreach { case (g, c) =>
-        c.offsetCommit(fenceKey(g), Map((topic, 0) -> (epochId + 1))) }
+      (prodOpt, fence) match {
+        case (Some(prod), Some((g, _))) if transactional =>
+          // flush, stage the fence INSIDE the transaction, commit: fence
+          // and data appear atomically — no ack→fence window remains
+          prod.flushAll()
+          prod.sendOffsets(fenceKey(g), Map((topic, 0) -> (epochId + 1)))
+          prod.commitTxn()
+        case _ =>
+          prodOpt.foreach(_.flushAll())
+          // plain path (non-transactional, or a rowless epoch with no
+          // data to pair): fence AFTER every record is acknowledged — a
+          // replay of this epoch skips produce
+          fence.foreach { case (g, c) =>
+            c.offsetCommit(fenceKey(g), Map((topic, 0) -> (epochId + 1))) }
+      }
     }
     KafkaWriteDone(sparkPartition, epochId, written)
   }
 
-  override def abort(): Unit = () // idempotent producer; replay re-fences
+  // a failed transactional task aborts best-effort (the successor's init
+  // aborts it anyway); plain mode relies on idempotence + replay re-fence
+  override def abort(): Unit =
+    if (transactional) prodOpt.foreach(p =>
+      try p.abortTxn() catch { case _: Throwable => () })
   override def close(): Unit = {
     try prodOpt.foreach(_.close())
     finally fence.foreach { case (_, c) =>

@@ -38,6 +38,9 @@ object KafkaProto {
   val ApiFindCoordinator = 10
   val ApiApiVersions = 18
   val ApiInitProducerId = 22
+  val ApiAddPartitionsToTxn = 24
+  val ApiEndTxn = 26
+  val ApiTxnOffsetCommit = 28
 
   // ---- error codes (subset used here) ----
   val ErrNone: Short = 0
@@ -46,6 +49,17 @@ object KafkaProto {
   val ErrNotLeaderForPartition: Short = 6
   val ErrNotCoordinator: Short = 16
   val ErrOutOfOrderSequence: Short = 45
+  val ErrInvalidProducerEpoch: Short = 47
+  val ErrInvalidTxnState: Short = 48
+  val ErrInvalidProducerIdMapping: Short = 49
+
+  // ---- RecordBatch v2 attribute bits (beyond the compression codec) ----
+  val AttrTransactional = 0x10
+  val AttrControl = 0x20
+
+  /** FindCoordinator key types (v1+). */
+  val CoordGroup = 0
+  val CoordTransaction = 1
 
   /** Earliest/latest sentinels for ListOffsets timestamps. */
   val TsEarliest: Long = -2L
@@ -227,7 +241,8 @@ object KafkaProto {
   def encodeRecordBatch(baseOffset: Long,
                         records: Seq[(Long, Array[Byte], Array[Byte], Seq[(String, Array[Byte])])],
                         producerId: Long = -1L, producerEpoch: Int = -1,
-                        baseSequence: Int = -1): Array[Byte] = {
+                        baseSequence: Int = -1,
+                        attributes: Int = 0): Array[Byte] = {
     require(records.nonEmpty, "empty record batch")
     val baseTs = records.map(_._1).min
     val maxTs = records.map(_._1).max
@@ -250,7 +265,7 @@ object KafkaProto {
     }
     // attributes..end — the CRC32C'd region
     val tail = new Writer()
-    tail.int16(0)                    // attributes: no compression, CREATE_TIME
+    tail.int16(attributes)           // no compression, CREATE_TIME (+txn/control bits)
     tail.int32(records.size - 1)     // lastOffsetDelta
     tail.int64(baseTs)
     tail.int64(maxTs)
@@ -295,16 +310,67 @@ object KafkaProto {
   def batchProducerId(batch: Array[Byte]): Long =
     new Reader(batch, 43, batch.length).int64()
 
+  /** Producer epoch of an encoded batch (header peek). */
+  def batchProducerEpoch(batch: Array[Byte]): Short =
+    new Reader(batch, 51, batch.length).int16()
+
   /** Base sequence of an encoded batch (header peek). */
   def batchBaseSequence(batch: Array[Byte]): Int =
     new Reader(batch, 53, batch.length).int32()
 
+  /** Attributes of an encoded batch (header peek): compression codec bits
+    * plus [[AttrTransactional]]/[[AttrControl]]. */
+  def batchAttributes(batch: Array[Byte]): Int =
+    new Reader(batch, 21, batch.length).int16().toInt
+
+  /** One decoded RecordBatch with its transaction-relevant header fields —
+    * what a read_committed consumer filters on. `lastOffset` covers the
+    * whole batch span (baseOffset + lastOffsetDelta). */
+  final case class DecodedBatch(baseOffset: Long, lastOffset: Long,
+                                attributes: Int, producerId: Long,
+                                records: Seq[KRecord]) {
+    def isTransactional: Boolean = (attributes & AttrTransactional) != 0
+    def isControl: Boolean = (attributes & AttrControl) != 0
+  }
+
+  /** A transaction CONTROL batch (the public control-record grammar): one
+    * record, key = version int16 + type int16 (0 = ABORT, 1 = COMMIT),
+    * value = version int16 + coordinator epoch int32. Attributes carry
+    * BOTH the transactional and control bits; the marker consumes one
+    * offset like any record. */
+  def encodeControlBatch(baseOffset: Long, producerId: Long,
+                         producerEpoch: Int, commit: Boolean,
+                         timestamp: Long): Array[Byte] = {
+    val key = new Writer().int16(0).int16(if (commit) 1 else 0).toBytes
+    val value = new Writer().int16(0).int32(0).toBytes
+    encodeRecordBatch(baseOffset, Seq((timestamp, key, value, Nil)),
+      producerId = producerId, producerEpoch = producerEpoch,
+      baseSequence = -1, attributes = AttrTransactional | AttrControl)
+  }
+
+  /** The control-record type of a control batch's single record:
+    * 0 = ABORT, 1 = COMMIT (key bytes: version int16 + type int16). */
+  def controlType(rec: KRecord): Int = {
+    require(rec.key != null && rec.key.length >= 4,
+      s"control record key too short (${if (rec.key == null) -1 else rec.key.length})")
+    ((rec.key(2) & 0xff) << 8) | (rec.key(3) & 0xff)
+  }
+
   /** Decode a record-set: one or more concatenated RecordBatches, CRC
     * verified LOUDLY (a silent pass-through on corruption is the one thing
     * a checksum must never do). Tolerates a trailing partial batch — the
-    * protocol allows brokers to return one at the end of a fetch. */
-  def decodeRecordBatches(data: Array[Byte]): Seq[KRecord] = {
-    val out = Vector.newBuilder[KRecord]
+    * protocol allows brokers to return one at the end of a fetch. Control
+    * batches (transaction markers) are dropped here, exactly like the
+    * consumer's decode path; callers that need them use
+    * [[decodeBatchesFull]]. */
+  def decodeRecordBatches(data: Array[Byte]): Seq[KRecord] =
+    decodeBatchesFull(data).filterNot(_.isControl).flatMap(_.records)
+
+  /** [[decodeRecordBatches]] preserving per-batch headers (transactional /
+    * control bits, producer id) — the shape a read_committed filter
+    * ([[filterCommitted]]) and the broker's produce validation need. */
+  def decodeBatchesFull(data: Array[Byte]): Seq[DecodedBatch] = {
+    val out = Vector.newBuilder[DecodedBatch]
     var pos = 0
     while (data.length - pos >= 12) {
       val head = new Reader(data, pos, data.length)
@@ -313,6 +379,7 @@ object KafkaProto {
       if (batchLength < 9 || pos + 12 + batchLength > data.length) {
         pos = data.length // trailing partial batch: stop
       } else {
+        val recs = Vector.newBuilder[KRecord]
         val r = new Reader(data, pos + 12, pos + 12 + batchLength)
         val leaderEpoch = r.int32()
         val magic = r.int8()
@@ -324,10 +391,11 @@ object KafkaProto {
           f"record batch CRC mismatch: stored 0x$crcStored%08x computed 0x${crc.getValue.toInt}%08x")
         val attributes = r.int16()
         require((attributes & 0x7) == 0, s"compressed batches not supported here (attrs=$attributes)")
-        r.int32() // lastOffsetDelta
+        val lastOffsetDelta = r.int32()
         val baseTs = r.int64()
         r.int64() // maxTimestamp
-        r.int64(); r.int16(); r.int32() // producer id/epoch/sequence
+        val producerId = r.int64()
+        r.int16(); r.int32() // producer epoch/sequence
         val n = r.int32()
         var i = 0
         while (i < n) {
@@ -352,12 +420,42 @@ object KafkaProto {
             val hv = rec.varBytes()
             (hk, hv)
           }
-          out += KRecord(baseOffset + offDelta, baseTs + tsDelta, key, value, headers)
+          recs += KRecord(baseOffset + offDelta, baseTs + tsDelta, key, value, headers)
           // advance the outer reader past this record
           r.rawBytes(len)
           i += 1
         }
+        out += DecodedBatch(baseOffset, baseOffset + lastOffsetDelta,
+          attributes, producerId, recs.result())
         pos += 12 + batchLength
+      }
+    }
+    out.result()
+  }
+
+  /** READ_COMMITTED filtering over decoded batches — the public consumer
+    * algorithm: the fetch response's `aborted_transactions` list names
+    * (producerId, firstOffset) ranges; a transactional data batch whose
+    * producer has an active aborted range is dropped, and the range
+    * DEACTIVATES at that producer's ABORT control marker (commit markers
+    * and control batches themselves never surface as records). The broker
+    * already bounds the data below the last stable offset, so every batch
+    * seen here is decided. */
+  def filterCommitted(batches: Seq[DecodedBatch],
+                      aborted: Seq[(Long, Long)]): Seq[KRecord] = {
+    val pending = scala.collection.mutable.Queue(aborted.sortBy(_._2): _*)
+    val active = scala.collection.mutable.Set[Long]()
+    val out = Vector.newBuilder[KRecord]
+    batches.foreach { b =>
+      while (pending.nonEmpty && pending.head._2 <= b.baseOffset) {
+        active += pending.dequeue()._1
+      }
+      if (b.isControl) {
+        // a control batch carries exactly one marker record
+        if (b.records.nonEmpty && controlType(b.records.head) == 0)
+          active -= b.producerId // ABORT marker closes the aborted range
+      } else if (!(b.isTransactional && active.contains(b.producerId))) {
+        out ++= b.records
       }
     }
     out.result()

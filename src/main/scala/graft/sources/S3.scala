@@ -1,0 +1,412 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** S5/S6/K2 object-store edge over the ACTUAL S3 REST API — what the
+  * reference's adapter speaks through the AWS SDK
+  * (`/root/reference/pkg/internal/adapter/s3client/`): ListObjectsV2
+  * pagination with `start-after` listing checkpoints
+  * (`reader.go:30-190`), Get/PutObject with content-encoding (gzip),
+  * client-side AES-GCM encryption flagged in object metadata
+  * (`cse.go:14-15` — `x-electrician-cse: aes-gcm`), SSE request headers,
+  * templated object keys and bounded put retries
+  * (`writer_helpers.go:64-360`), all authenticated with a from-scratch
+  * AWS Signature V4 implementation (the public SigV4 spec — the same
+  * hand-rolled-from-the-RFC discipline as the Kafka/HTTP2/NATS edges).
+  *
+  * Scale shape: listing + checkpoint advance is driver/control-plane
+  * (one small HTTP page per poll); BULK object reads fan out one Spark task
+  * per object ([[readNdjson]]) so executors pull their own objects —
+  * nothing rides through the driver. On a real cluster against real S3
+  * the drop-in is `spark.read` over s3a://; this client exists so the
+  * LISTING-CHECKPOINT and CSE semantics are e2e-provable in a jar-less
+  * sandbox (`MiniS3Server`), the MiniKafkaBroker pattern. */
+object S3 {
+
+  /** Endpoint is scheme://host:port (path-style addressing, the form
+    * every S3-compatible store accepts). Empty accessKey = unsigned
+    * requests (anonymous dev stores). */
+  final case class S3Config(endpoint: String, bucket: String,
+                            accessKey: String = "", secretKey: String = "",
+                            region: String = "us-east-1")
+
+  final case class S3Object(bytes: Array[Byte], contentType: String,
+                            contentEncoding: String, meta: Map[String, String])
+
+  final case class ListPage(keys: Seq[String], nextToken: Option[String])
+
+  /** Typed non-2xx answer (the status gates retryability: 5xx retries,
+    * 4xx is a caller bug and surfaces immediately). */
+  final class S3HttpError(val status: Int, val key: String, body: String)
+    extends java.io.IOException(s"S3 $status on $key: ${body.take(200)}")
+
+  /** The reference's CSE metadata marker (`cse.go:14-15`). */
+  val CseMetaKey = "x-electrician-cse"
+  val CseModeAesGcm = "aes-gcm"
+
+  // ======================================================================
+  // AWS Signature Version 4 (public spec) — canonical request, scoped
+  // string-to-sign, HMAC key derivation chain
+  // ======================================================================
+
+  def sha256Hex(b: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256").digest(b)
+    d.map("%02x".format(_)).mkString
+  }
+
+  private def hmac(key: Array[Byte], data: String): Array[Byte] = {
+    val m = javax.crypto.Mac.getInstance("HmacSHA256")
+    m.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    m.doFinal(data.getBytes(UTF_8))
+  }
+
+  /** RFC 3986 strict encoding (SigV4's uri-encode): unreserved chars
+    * verbatim, everything else %XX uppercase; `/` kept only in paths. */
+  def uriEncode(s: String, keepSlash: Boolean): String = {
+    val sb = new StringBuilder
+    s.getBytes(UTF_8).foreach { b =>
+      val c = (b & 0xff).toChar
+      if (c.isLetterOrDigit || c == '-' || c == '_' || c == '.' || c == '~' ||
+        (keepSlash && c == '/')) sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.result()
+  }
+
+  private val AmzDateFmt =
+    DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(ZoneOffset.UTC)
+
+  /** Canonical query string: keys and values uri-encoded, sorted. */
+  def canonicalQuery(query: Seq[(String, String)]): String =
+    query.map { case (k, v) => (uriEncode(k, keepSlash = false),
+      uriEncode(v, keepSlash = false)) }
+      .sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
+
+  /** The SigV4 Authorization header for an S3 request. `headers` must
+    * include host, x-amz-date, and x-amz-content-sha256 (every header
+    * given is signed — a tampered one breaks the signature). */
+  def sigV4Authorization(cfg: S3Config, method: String, path: String,
+                         query: Seq[(String, String)],
+                         headers: Seq[(String, String)],
+                         payloadHash: String, amzDate: String): String = {
+    val canonicalHeaders = headers.map { case (k, v) =>
+      (k.toLowerCase, v.trim)
+    }.sortBy(_._1)
+    val signedHeaders = canonicalHeaders.map(_._1).mkString(";")
+    val canonicalRequest =
+      method + "\n" +
+        uriEncode(path, keepSlash = true) + "\n" +
+        canonicalQuery(query) + "\n" +
+        canonicalHeaders.map { case (k, v) => s"$k:$v\n" }.mkString + "\n" +
+        signedHeaders + "\n" +
+        payloadHash
+    val date = amzDate.take(8)
+    val scope = s"$date/${cfg.region}/s3/aws4_request"
+    val stringToSign = "AWS4-HMAC-SHA256\n" + amzDate + "\n" + scope + "\n" +
+      sha256Hex(canonicalRequest.getBytes(UTF_8))
+    val kSigning = hmac(hmac(hmac(hmac(
+      ("AWS4" + cfg.secretKey).getBytes(UTF_8), date), cfg.region), "s3"),
+      "aws4_request")
+    val signature = hmac(kSigning, stringToSign).map("%02x".format(_)).mkString
+    s"AWS4-HMAC-SHA256 Credential=${cfg.accessKey}/$scope, " +
+      s"SignedHeaders=$signedHeaders, Signature=$signature"
+  }
+
+  // ======================================================================
+  // HTTP client
+  // ======================================================================
+
+  /** One bucket's REST client. Instantiated executor-side from the
+    * serializable [[S3Config]] (the TlsConfig pattern). */
+  final class S3Http(cfg: S3Config) {
+    private lazy val client = HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    private val base = URI.create(cfg.endpoint)
+
+    private def request(method: String, key: String,
+                        query: Seq[(String, String)],
+                        body: Array[Byte],
+                        extraHeaders: Seq[(String, String)]): HttpResponse[Array[Byte]] = {
+      val path = "/" + cfg.bucket + (if (key.isEmpty) "" else "/" + key)
+      val qs = canonicalQuery(query)
+      val uri = URI.create(cfg.endpoint + uriEncode(path, keepSlash = true) +
+        (if (qs.isEmpty) "" else "?" + qs))
+      val payloadHash = sha256Hex(if (body == null) Array.emptyByteArray else body)
+      val amzDate = AmzDateFmt.format(Instant.now())
+      val hostHeader = base.getHost +
+        (if (base.getPort > 0) s":${base.getPort}" else "")
+      val signedBase = Seq("host" -> hostHeader, "x-amz-date" -> amzDate,
+        "x-amz-content-sha256" -> payloadHash) ++ extraHeaders
+      val b = HttpRequest.newBuilder(uri)
+      signedBase.filterNot(_._1 == "host") // HttpClient sets host itself
+        .foreach { case (k, v) => b.header(k, v) }
+      if (cfg.accessKey.nonEmpty)
+        b.header("Authorization", sigV4Authorization(cfg, method, path, query,
+          signedBase, payloadHash, amzDate))
+      val req = (method match {
+        case "GET" => b.GET()
+        case "PUT" => b.PUT(HttpRequest.BodyPublishers.ofByteArray(body))
+        case "DELETE" => b.DELETE()
+        case other => throw new IllegalArgumentException(other)
+      }).build()
+      client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+    }
+
+    /** One ListObjectsV2 page (the REAL wire shape: `list-type=2`,
+      * `prefix`, `start-after`, `max-keys`, `continuation-token`; XML
+      * response with IsTruncated/NextContinuationToken). Keys come back
+      * in S3's lexicographic-by-UTF-8 order — the property the
+      * start-after checkpoint protocol rests on. */
+    def listPage(prefix: String, startAfter: String, maxKeys: Int,
+                 token: Option[String]): ListPage = {
+      val query = Seq("list-type" -> "2", "prefix" -> prefix,
+        "max-keys" -> maxKeys.toString) ++
+        (if (startAfter.nonEmpty && token.isEmpty) Seq("start-after" -> startAfter) else Nil) ++
+        token.map("continuation-token" -> _).toSeq
+      val resp = request("GET", "", query, null, Nil)
+      if (resp.statusCode() != 200)
+        throw new S3HttpError(resp.statusCode(), "", new String(resp.body(), UTF_8))
+      val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        .newDocumentBuilder()
+        .parse(new java.io.ByteArrayInputStream(resp.body()))
+      def texts(tag: String): Seq[String] = {
+        val nl = doc.getElementsByTagName(tag)
+        (0 until nl.getLength).map(nl.item(_).getTextContent)
+      }
+      val truncated = texts("IsTruncated").headOption.contains("true")
+      ListPage(texts("Key"),
+        if (truncated) texts("NextContinuationToken").headOption else None)
+    }
+
+    /** Every key under `prefix` strictly after `startAfter`, across
+      * pagination — the reader's one-sweep listing. */
+    def listAll(prefix: String, startAfter: String, pageSize: Int = 1000): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var token: Option[String] = None
+      var more = true
+      while (more) {
+        val page = listPage(prefix, startAfter, pageSize, token)
+        out ++= page.keys
+        token = page.nextToken
+        more = token.isDefined
+      }
+      out.result()
+    }
+
+    def getObject(key: String): S3Object = {
+      val resp = request("GET", key, Nil, null, Nil)
+      if (resp.statusCode() != 200)
+        throw new S3HttpError(resp.statusCode(), key, new String(resp.body(), UTF_8))
+      def hdr(n: String) = resp.headers().firstValue(n).orElse("")
+      import scala.jdk.CollectionConverters._
+      val meta = resp.headers().map().asScala.collect {
+        case (k, vs) if k.toLowerCase.startsWith("x-amz-meta-") =>
+          k.toLowerCase.stripPrefix("x-amz-meta-") -> vs.get(0)
+      }.toMap
+      S3Object(resp.body(), hdr("Content-Type"), hdr("Content-Encoding"), meta)
+    }
+
+    /** PutObject with the reference's bounded retry + backoff on
+      * RETRYABLE failures only (5xx / transport; a 4xx is a caller bug,
+      * `writer_helpers.go:64-139`). */
+    def putObject(key: String, bytes: Array[Byte],
+                  contentType: String = "application/x-ndjson",
+                  contentEncoding: String = "",
+                  meta: Map[String, String] = Map.empty,
+                  sseMode: String = "",
+                  maxAttempts: Int = 4): Unit = {
+      val headers = Seq("content-type" -> contentType) ++
+        (if (contentEncoding.nonEmpty) Seq("content-encoding" -> contentEncoding) else Nil) ++
+        meta.toSeq.map { case (k, v) => s"x-amz-meta-$k" -> v } ++
+        (sseMode.toLowerCase match {
+          case "" => Nil
+          case "aes256" => Seq("x-amz-server-side-encryption" -> "AES256")
+          case "aws:kms" => Seq("x-amz-server-side-encryption" -> "aws:kms")
+          case other => throw new IllegalArgumentException(s"sse mode $other")
+        })
+      var attempt = 1
+      var done = false
+      while (!done) {
+        val status =
+          try {
+            val resp = request("PUT", key, Nil, bytes, headers)
+            if (resp.statusCode() / 100 == 2) { done = true; 200 }
+            else if (resp.statusCode() / 100 == 5) resp.statusCode()
+            else throw new S3HttpError(resp.statusCode(), key,
+              new String(resp.body(), UTF_8))
+          } catch {
+            case _: java.io.IOException if attempt < maxAttempts => 599
+          }
+        if (!done) {
+          if (attempt >= maxAttempts)
+            throw new S3HttpError(status, key, s"put failed after $attempt attempts")
+          // capped exponential backoff, the reference's backoffDuration
+          Thread.sleep(math.min(50L << (attempt - 1), 400L))
+          attempt += 1
+        }
+      }
+    }
+  }
+
+  // ======================================================================
+  // object codec: CSE (AES-GCM + metadata marker) → gzip → NDJSON lines
+  // ======================================================================
+
+  /** Decode one object to NDJSON lines, honoring the reference's layers
+    * in ITS order (`reader.go:64-147`): metadata-flagged CSE first, then
+    * Content-Encoding gzip, then line split (blank lines dropped). A
+    * keyless reader hitting a CSE object fails loudly (never returns
+    * ciphertext as data). */
+  def decodeNdjson(obj: S3Object, cseKey: Option[Array[Byte]]): Seq[String] = {
+    val afterCse = obj.meta.get(CseMetaKey).map(_.toLowerCase) match {
+      case Some(CseModeAesGcm) =>
+        val key = cseKey.getOrElse(throw new SecurityException(
+          s"object is client-side encrypted ($CseModeAesGcm) and no key was configured"))
+        graft.functions.Crypto.aesGcmDecryptBytes(obj.bytes, key)
+      case Some(other) =>
+        throw new SecurityException(s"unknown CSE mode '$other'")
+      case None => obj.bytes
+    }
+    val plain =
+      if (obj.contentEncoding.equalsIgnoreCase("gzip"))
+        graft.functions.Codecs.gunzip(afterCse)
+      else afterCse
+    new String(plain, UTF_8).split('\n').iterator
+      .map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Encode NDJSON lines into object bytes + headers (gzip then CSE,
+    * inverse layer order of [[decodeNdjson]]). Returns (bytes,
+    * contentEncoding, metadata). */
+  def encodeNdjson(lines: Seq[String], gzipEnc: Boolean,
+                   cseKey: Option[Array[Byte]]): (Array[Byte], String, Map[String, String]) = {
+    val raw = (lines.mkString("\n") + "\n").getBytes(UTF_8)
+    val zipped = if (gzipEnc) graft.functions.Codecs.gzip(raw) else raw
+    cseKey match {
+      case Some(k) =>
+        (graft.functions.Crypto.aesGcmEncryptBytes(zipped, k),
+          if (gzipEnc) "gzip" else "", Map(CseMetaKey -> CseModeAesGcm))
+      case None => (zipped, if (gzipEnc) "gzip" else "", Map.empty)
+    }
+  }
+
+  // ======================================================================
+  // key templating (writer_helpers.go:327-360)
+  // ======================================================================
+
+  /** The reference's `{yyyy}/{MM}/{dd}/{HH}/{mm}/{ts}/{ulid}` template
+    * grammar over an injectable clock/uniqueness (deterministic tests). */
+  def renderKey(prefixTemplate: String, nameTemplate: String,
+                nowUtcMs: Long, ulid: String): String = {
+    val t = Instant.ofEpochMilli(nowUtcMs).atZone(ZoneOffset.UTC)
+    val repl = Seq(
+      "{yyyy}" -> f"${t.getYear}%04d", "{MM}" -> f"${t.getMonthValue}%02d",
+      "{dd}" -> f"${t.getDayOfMonth}%02d", "{HH}" -> f"${t.getHour}%02d",
+      "{mm}" -> f"${t.getMinute}%02d", "{ts}" -> nowUtcMs.toString,
+      "{ulid}" -> ulid)
+    def fill(s: String) = repl.foldLeft(s) { case (acc, (k, v)) => acc.replace(k, v) }
+    val prefix0 = fill(prefixTemplate)
+    val prefix = if (prefix0.isEmpty || prefix0.endsWith("/")) prefix0 else prefix0 + "/"
+    val name = fill(if (nameTemplate.isEmpty) "{ts}-{ulid}" else nameTemplate)
+    prefix + name
+  }
+
+  // ======================================================================
+  // reader: listing-checkpointed NDJSON poller (reader.go:30-190)
+  // ======================================================================
+
+  /** The reference reader's poll unit: one `fetch()` sweeps every object
+    * strictly AFTER the `startAfter` checkpoint (paginated ListObjectsV2,
+    * then GetObject + decode per key, in listing order) and only THEN
+    * advances the checkpoint to the last key seen — so a crash mid-sweep
+    * re-reads from the same checkpoint (at-least-once within a sweep)
+    * and a restart never re-reads completed sweeps. Checkpoint is
+    * externalizable (`checkpoint`/`restore`) so a durable caller (the
+    * spool bridge) makes the whole chain exactly-once. */
+  final class NdjsonPoller(http: S3Http, prefix: String,
+                           pageSize: Int = 1000,
+                           cseKey: Option[Array[Byte]] = None) {
+    @volatile private var startAfter: String = ""
+    def checkpoint: String = startAfter
+    def restore(key: String): Unit = startAfter = key
+
+    /** One sweep: (lines, keysRead). Empty when nothing is new (the
+      * reference's 204 arm). */
+    def fetch(): (Seq[String], Seq[String]) = {
+      val keys = http.listAll(prefix, startAfter, pageSize)
+      val lines = keys.flatMap(k => decodeNdjson(http.getObject(k), cseKey))
+      if (keys.nonEmpty) startAfter = keys.last // advance AFTER the sweep
+      (lines, keys)
+    }
+  }
+
+  // ======================================================================
+  // writer: templated keys + budget flush (writer_helpers.go:148-258)
+  // ======================================================================
+
+  /** NDJSON writer with the reference's flush budgets (maxRecords /
+    * maxBytes) and templated keys; every flush is one PutObject with
+    * bounded retry. `clock`/`unique` are injectable for deterministic
+    * keys in tests (and double as the ULID slot). */
+  final class NdjsonWriter(http: S3Http, prefixTemplate: String,
+                           nameTemplate: String = "{ts}-{ulid}",
+                           maxRecords: Int = 1000, maxBytes: Int = 1 << 20,
+                           gzipEnc: Boolean = false,
+                           cseKey: Option[Array[Byte]] = None,
+                           sseMode: String = "",
+                           clock: () => Long = () => System.currentTimeMillis(),
+                           unique: () => String = () => java.util.UUID.randomUUID().toString.replace("-", "")) {
+    private val buf = Vector.newBuilder[String]
+    private var n = 0
+    private var bytes = 0L
+
+    /** Returns the key flushed to, when this add crossed a budget. */
+    def add(line: String): Option[String] = {
+      buf += line
+      n += 1
+      bytes += line.length + 1
+      if (n >= maxRecords || bytes >= maxBytes) flush() else None
+    }
+
+    def flush(): Option[String] = {
+      if (n == 0) None
+      else {
+        val key = renderKey(prefixTemplate, nameTemplate, clock(), unique()) + ".ndjson"
+        val (payload, enc, meta) = encodeNdjson(buf.result(), gzipEnc, cseKey)
+        http.putObject(key, payload, contentEncoding = enc, meta = meta,
+          sseMode = sseMode)
+        buf.clear(); n = 0; bytes = 0L
+        Some(key)
+      }
+    }
+  }
+
+  // ======================================================================
+  // Spark integration: distributed bulk read (one task per object)
+  // ======================================================================
+
+  /** Distributed NDJSON read of every object under `prefix` (after
+    * `startAfter`): the LISTING happens once driver-side (control-plane
+    * sized — keys only), then each Spark task GETs and decodes its own
+    * objects — at 1000 executors each pulls its own slice of the bucket,
+    * nothing funnels through the driver. Returns one `value` row per
+    * NDJSON line; decode with [[Sources.jsonLines]]. */
+  def readNdjson(spark: SparkSession, cfg: S3Config, prefix: String,
+                 startAfter: String = "",
+                 cseKey: Option[Array[Byte]] = None): DataFrame = {
+    val keys = new S3Http(cfg).listAll(prefix, startAfter)
+    import spark.implicits._
+    spark.sparkContext
+      .parallelize(keys, math.max(keys.size, 1))
+      .flatMap { key =>
+        // executor-side client from the serializable config
+        decodeNdjson(new S3Http(cfg).getObject(key), cseKey)
+      }.toDF("value")
+  }
+}

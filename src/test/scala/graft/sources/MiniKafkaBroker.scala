@@ -57,8 +57,50 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
   /** Idempotent-producer state per (pid, topic, partition): last appended
     * batch's (baseSequence, recordCount, baseOffset) — enough to dedupe an
     * exact retry and to reject sequence gaps, the real broker's contract. */
-  private final case class PidState(lastSeq: Int, lastCount: Int, lastBase: Long)
+  private final case class PidState(epoch: Short, lastSeq: Int, lastCount: Int,
+                                    lastBase: Long)
   private val producerSeqs = new ConcurrentHashMap[(Long, String, Int), PidState]()
+
+  /** Transaction-coordinator state per transactional id: the STABLE pid,
+    * the current (fencing) epoch, the open transaction's registered
+    * partitions, and offsets staged by TxnOffsetCommit — applied to the
+    * group store atomically at EndTxn(commit), exactly the real
+    * coordinator's contract. */
+  private final class TxnState(val pid: Long) {
+    var epoch: Short = 0
+    var open = false
+    val partitions = scala.collection.mutable.LinkedHashSet[(String, Int)]()
+    val pendingOffsets = scala.collection.mutable.Map[(String, String, Int), Long]()
+  }
+  private val txns = new ConcurrentHashMap[String, TxnState]()
+
+  /** Decide an open transaction: write one control marker per registered
+    * partition (markers consume an offset like any record), close the
+    * per-partition open-txn window (recording the aborted range on
+    * abort), and on commit apply the staged group offsets — all under the
+    * coordinator's txn lock, so produce-visible state flips atomically
+    * with the fence offsets. */
+  private def finishTxn(st: TxnState, commit: Boolean): Unit = {
+    st.partitions.foreach { case (t, p) =>
+      val log = logs.get((t, p))
+      if (log != null) log.synchronized {
+        val base = log.logEnd
+        log.batches += withBaseOffset(
+          encodeControlBatch(0L, st.pid, st.epoch.toInt, commit,
+            System.currentTimeMillis()), base)
+        log.logEnd = base + 1
+        log.openTxnFirst.remove(st.pid).foreach { first =>
+          if (!commit) log.abortedRanges += ((st.pid, first, base))
+        }
+      }
+    }
+    if (commit) st.pendingOffsets.foreach { case ((g, t, p), off) =>
+      groupOffsets.put((g, t, p), off)
+    }
+    st.pendingOffsets.clear()
+    st.partitions.clear()
+    st.open = false
+  }
 
   private val running = new AtomicBoolean(true)
   /** Fault injection: when armed, the NEXT produce APPENDS but the
@@ -111,7 +153,10 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
           case ApiOffsetCommit => offsetCommitV2(version, r)
           case ApiOffsetFetch => offsetFetchV1(version, r)
           case ApiInitProducerId => initProducerIdV0(version, r)
-          case ApiFindCoordinator => findCoordinatorV0(version, r)
+          case ApiFindCoordinator => findCoordinatorReq(version, r)
+          case ApiAddPartitionsToTxn => addPartitionsToTxnV0(version, r)
+          case ApiEndTxn => endTxnV0(version, r)
+          case ApiTxnOffsetCommit => txnOffsetCommitV0(version, r)
           case other => throw new EOFException(s"unsupported api key $other")
         }
         writeResponse(out, corr, body)
@@ -131,7 +176,8 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
       (ApiProduce, 3, 3), (ApiFetch, 4, 4), (ApiListOffsets, 1, 1),
       (ApiMetadata, 1, 1), (ApiOffsetCommit, 2, 2), (ApiOffsetFetch, 1, 1),
       (ApiApiVersions, 0, 0), (ApiInitProducerId, 0, 0),
-      (ApiFindCoordinator, 0, 0))) { (b, k) =>
+      (ApiFindCoordinator, 0, 1), (ApiAddPartitionsToTxn, 0, 0),
+      (ApiEndTxn, 0, 0), (ApiTxnOffsetCommit, 0, 0))) { (b, k) =>
       b.int16(k._1); b.int16(k._2); b.int16(k._3)
     }
     w.toBytes
@@ -165,7 +211,7 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
 
   private def produceV3(version: Int, r: Reader): Array[Byte] = {
     require(version == 3, s"Produce v$version unsupported")
-    r.nullableString() // transactional id
+    val txnId = r.nullableString() // transactional id
     r.int16()          // acks (we always behave as acks=all)
     r.int32()          // timeout
     val results = r.array { t =>
@@ -181,27 +227,47 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
           // broker-side CRC verification: decode throws on corruption
           val recs = decodeRecordBatches(set)
           val pid = batchProducerId(set)
+          val bEpoch = batchProducerEpoch(set)
+          val transactional = (batchAttributes(set) & AttrTransactional) != 0
           val pidKey = (pid, topic, partition)
           val prior = if (pid >= 0) producerSeqs.get(pidKey) else null
           val seq = if (pid >= 0) batchBaseSequence(set) else -1
-          if (prior != null && seq == prior.lastSeq && recs.size == prior.lastCount) {
+          // after an epoch bump the sequence space RESTARTS at 0 — the
+          // real broker's contract; stale-epoch state must not flag the
+          // new epoch's first batch as a gap (or dedupe across epochs)
+          val samePrior = if (prior != null && prior.epoch == bEpoch) prior else null
+          // transactional batches are FENCED and state-checked first:
+          // the stale-epoch answer is what stops zombie task attempts
+          val st = if (txnId == null) null else txns.get(txnId)
+          if (transactional && (st == null || st.pid != pid)) {
+            (partition, ErrInvalidProducerIdMapping, -1L)
+          } else if (transactional && bEpoch != st.epoch) {
+            (partition, ErrInvalidProducerEpoch, -1L)
+          } else if (transactional &&
+              (!st.open || !st.partitions.contains((topic, partition)))) {
+            (partition, ErrInvalidTxnState, -1L)
+          } else if (samePrior != null && seq == samePrior.lastSeq &&
+              recs.size == samePrior.lastCount) {
             // exact retry of the last batch: DEDUPE — acknowledge with the
             // original base offset, append nothing (the idempotence contract).
             // The count must match the cached batch metadata like the real
             // broker's: same sequence with different records is a protocol
             // violation, not a retry
-            (partition, ErrNone, prior.lastBase)
-          } else if (prior != null && seq == prior.lastSeq) {
+            (partition, ErrNone, samePrior.lastBase)
+          } else if (samePrior != null && seq == samePrior.lastSeq) {
             (partition, ErrOutOfOrderSequence, -1L)
           } else if (pid >= 0 &&
-              seq != (if (prior == null) 0 else prior.lastSeq + prior.lastCount)) {
+              seq != (if (samePrior == null) 0
+                      else samePrior.lastSeq + samePrior.lastCount)) {
             (partition, ErrOutOfOrderSequence, -1L)
           } else {
             val base = log.logEnd
             log.batches += withBaseOffset(set, base)
             log.logEnd = base + recs.size
             if (pid >= 0)
-              producerSeqs.put(pidKey, PidState(seq, recs.size, base))
+              producerSeqs.put(pidKey, PidState(bEpoch, seq, recs.size, base))
+            if (transactional && !log.openTxnFirst.contains(pid))
+              log.openTxnFirst(pid) = base // this partition's LSO bound
             produceCount += 1
             (partition, ErrNone, base)
           }
@@ -231,41 +297,63 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
     val maxWait = r.int32()
     r.int32() // min bytes
     r.int32() // max bytes (global)
-    r.int8()  // isolation
+    val isolation = r.int8() // 0 = READ_UNCOMMITTED, 1 = READ_COMMITTED
     val req = r.array { t =>
       val topic = t.string()
       val parts = t.array(p => (p.int32(), p.int64(), p.int32()))
       (topic, parts)
     }
+    final case class PartRes(partition: Int, err: Short, hw: Long, lso: Long,
+                             aborted: Seq[(Long, Long)], set: Array[Byte])
     def gather() = req.map { case (topic, parts) =>
       (topic, parts.map { case (partition, offset, partMaxBytes) =>
         val log = logs.get((topic, partition))
         if (log != null && leader(topic, partition) != nodeId)
-          (partition, ErrNotLeader, -1L, null: Array[Byte])
-        else if (log == null) (partition, ErrUnknownTopicOrPartition, -1L, null: Array[Byte])
+          PartRes(partition, ErrNotLeader, -1L, -1L, Nil, null)
+        else if (log == null)
+          PartRes(partition, ErrUnknownTopicOrPartition, -1L, -1L, Nil, null)
         else log.synchronized {
+          // READ_COMMITTED serves only below the LAST STABLE OFFSET: the
+          // first offset still claimed by an OPEN transaction (undecided
+          // data must not reach a committed-only consumer)
+          val lso =
+            if (log.openTxnFirst.isEmpty) log.logEnd
+            else math.min(log.openTxnFirst.values.min, log.logEnd)
+          val readEnd = if (isolation == 1) lso else log.logEnd
           // real-broker strictness: an offset below the log START (deleted
           // by retention/compaction) is OFFSET_OUT_OF_RANGE too — consumers
           // must clamp to earliest, they cannot read deleted offsets
           // real brokers answer hw = -1 on an error partition — clients must
           // resolve bounds with ListOffsets, not the error response
           if (offset < log.logStart || offset > log.logEnd)
-            (partition, ErrOffsetOutOfRange, -1L, null: Array[Byte])
+            PartRes(partition, ErrOffsetOutOfRange, -1L, -1L, Nil, null)
           else {
             // return batches starting at the batch CONTAINING offset,
-            // at least one, up to partMaxBytes
+            // at least one, up to partMaxBytes — bounded by readEnd
             val out = new java.io.ByteArrayOutputStream()
             var i = 0
             while (i < log.batches.length && out.size == 0) {
               val b = log.batches(i)
-              if (batchBaseOffset(b) + batchRecordCount(b) > offset) out.write(b)
+              if (batchBaseOffset(b) + batchRecordCount(b) > offset &&
+                batchBaseOffset(b) < readEnd) out.write(b)
               i += 1
             }
-            while (i < log.batches.length && out.size < partMaxBytes) {
+            while (i < log.batches.length && out.size < partMaxBytes &&
+              batchBaseOffset(log.batches(i)) < readEnd) {
               out.write(log.batches(i)); i += 1
             }
             fetchCount += 1
-            (partition, ErrNone, log.logEnd,
+            // aborted ranges whose ABORT MARKER the consumer has not yet
+            // passed: entries for fully-consumed ranges would wrongly keep
+            // their pid aborted-active across the returned window
+            val aborted =
+              if (isolation == 1)
+                log.abortedRanges.toSeq.collect {
+                  case (pid, first, marker) if marker >= offset && first < readEnd =>
+                    (pid, first)
+                }
+              else Nil
+            PartRes(partition, ErrNone, log.logEnd, lso, aborted,
               if (out.size == 0) null else out.toByteArray)
           }
         }
@@ -273,7 +361,7 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
     }
     var results = gather()
     // honor maxWait crudely: if nothing anywhere, wait once and re-gather
-    if (maxWait > 0 && results.forall(_._2.forall(_._4 == null))) {
+    if (maxWait > 0 && results.forall(_._2.forall(_.set == null))) {
       Thread.sleep(math.min(maxWait, 100).toLong)
       results = gather()
     }
@@ -282,10 +370,10 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
     w.array(results) { (b, tr) =>
       b.string(tr._1)
       b.array(tr._2) { (pb, pr) =>
-        pb.int32(pr._1); pb.int16(pr._2); pb.int64(pr._3)
-        pb.int64(pr._3) // last stable offset = hw
-        pb.int32(0)     // aborted txns: empty array
-        pb.nullableBytes(pr._4)
+        pb.int32(pr.partition); pb.int16(pr.err); pb.int64(pr.hw)
+        pb.int64(pr.lso)
+        pb.array(pr.aborted) { (ab, a) => ab.int64(a._1); ab.int64(a._2) }
+        pb.nullableBytes(pr.set)
       }
     }
     w.toBytes
@@ -328,19 +416,135 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
     view(math.floorMod(group.hashCode, view.size))
   }
 
-  private def findCoordinatorV0(version: Int, r: Reader): Array[Byte] = {
-    require(version == 0, s"FindCoordinator v$version unsupported")
-    val group = r.string()
-    val (id, host, prt) = coordinatorFor(group)
-    new Writer().int16(ErrNone).int32(id).string(host).int32(prt).toBytes
+  /** FindCoordinator v0 (groups) and v1 (adds key_type — what a
+    * transactional producer resolves its coordinator with). The same
+    * deterministic hash places both coordinator kinds. */
+  private def findCoordinatorReq(version: Int, r: Reader): Array[Byte] = {
+    require(version == 0 || version == 1, s"FindCoordinator v$version unsupported")
+    val key = r.string()
+    if (version == 0) {
+      val (id, host, prt) = coordinatorFor(key)
+      new Writer().int16(ErrNone).int32(id).string(host).int32(prt).toBytes
+    } else {
+      r.int8() // key_type: groups and txn ids share the placement rule
+      val (id, host, prt) = coordinatorFor(key)
+      new Writer().int32(0).int16(ErrNone).nullableString(null)
+        .int32(id).string(host).int32(prt).toBytes
+    }
   }
 
   private def initProducerIdV0(version: Int, r: Reader): Array[Byte] = {
     require(version == 0, s"InitProducerId v$version unsupported")
-    r.nullableString() // transactional id (null = idempotence only)
+    val txnId = r.nullableString() // transactional id (null = idempotence only)
     r.int32()          // transaction timeout
-    new Writer().int32(0).int16(ErrNone)
-      .int64(nextPid.getAndIncrement()).int16(0).toBytes
+    if (txnId == null)
+      new Writer().int32(0).int16(ErrNone)
+        .int64(nextPid.getAndIncrement()).int16(0).toBytes
+    else if (coordinatorFor(txnId)._1 != nodeId)
+      // transactional init belongs on the txn coordinator
+      new Writer().int32(0).int16(ErrNotCoordinator).int64(-1L).int16(-1).toBytes
+    else {
+      val st = txns.computeIfAbsent(txnId, _ => new TxnState(nextPid.getAndIncrement()))
+      st.synchronized {
+        // the real coordinator's contract: a re-init (a) ABORTS whatever
+        // transaction the previous holder left open — a writer that died
+        // between produce-ack and commit leaves only aborted (invisible)
+        // data — and (b) BUMPS the epoch, fencing that holder if it is
+        // still alive (the zombie/speculative task attempt)
+        if (st.open) finishTxn(st, commit = false)
+        st.epoch = (st.epoch + 1).toShort
+        new Writer().int32(0).int16(ErrNone).int64(st.pid).int16(st.epoch.toInt).toBytes
+      }
+    }
+  }
+
+  /** Validate (txnId, pid, epoch) and return the state, or the error the
+    * real coordinator answers: unknown/mismatched pid mapping, or a stale
+    * epoch (the FENCE). */
+  private def txnCheck(txnId: String, pid: Long, epoch: Short): Either[Short, TxnState] = {
+    if (coordinatorFor(txnId)._1 != nodeId) Left(ErrNotCoordinator)
+    else {
+      val st = txns.get(txnId)
+      if (st == null || st.pid != pid) Left(ErrInvalidProducerIdMapping)
+      else if (epoch != st.epoch) Left(ErrInvalidProducerEpoch)
+      else Right(st)
+    }
+  }
+
+  private def addPartitionsToTxnV0(version: Int, r: Reader): Array[Byte] = {
+    require(version == 0, s"AddPartitionsToTxn v$version unsupported")
+    val txnId = r.string()
+    val pid = r.int64()
+    val epoch = r.int16()
+    val req = r.array(t => (t.string(), t.array(_.int32())))
+    val res = txnCheck(txnId, pid, epoch)
+    res.foreach { st =>
+      st.synchronized {
+        st.open = true
+        req.foreach { case (t, ps) => ps.foreach(p => st.partitions += ((t, p))) }
+      }
+    }
+    val err = res.left.toOption.getOrElse(ErrNone)
+    val w = new Writer()
+    w.int32(0) // throttle
+    w.array(req) { (b, tr) =>
+      b.string(tr._1)
+      b.array(tr._2)((pb, p) => { pb.int32(p); pb.int16(err.toInt) })
+    }
+    w.toBytes
+  }
+
+  private def endTxnV0(version: Int, r: Reader): Array[Byte] = {
+    require(version == 0, s"EndTxn v$version unsupported")
+    val txnId = r.string()
+    val pid = r.int64()
+    val epoch = r.int16()
+    val commit = r.int8() != 0
+    val err = txnCheck(txnId, pid, epoch) match {
+      case Left(e) => e
+      case Right(st) => st.synchronized {
+        if (!st.open) ErrInvalidTxnState
+        else { finishTxn(st, commit); ErrNone }
+      }
+    }
+    new Writer().int32(0).int16(err.toInt).toBytes
+  }
+
+  private def txnOffsetCommitV0(version: Int, r: Reader): Array[Byte] = {
+    require(version == 0, s"TxnOffsetCommit v$version unsupported")
+    val txnId = r.string()
+    val group = r.string()
+    val pid = r.int64()
+    val epoch = r.int16()
+    val req = r.array { t =>
+      (t.string(), t.array(p => (p.int32(), p.int64(), p.nullableString())))
+    }
+    // routed to the GROUP coordinator (the real protocol); this broker
+    // stages offsets on the txn state, which requires both coordinator
+    // roles to coincide here — guaranteed when txnId == group (the DSv2
+    // sink's usage: both are "<sinkGroup>-p<partition>")
+    val err = txnCheck(txnId, pid, epoch) match {
+      case Left(e) => e
+      case Right(st) => st.synchronized {
+        if (coordinatorFor(group)._1 != nodeId) ErrNotCoordinator
+        else {
+          st.open = true
+          req.foreach { case (t, ps) =>
+            ps.foreach { case (p, off, _) =>
+              st.pendingOffsets((group, t, p)) = off
+            }
+          }
+          ErrNone
+        }
+      }
+    }
+    val w = new Writer()
+    w.int32(0) // throttle
+    w.array(req) { (b, tr) =>
+      b.string(tr._1)
+      b.array(tr._2)((pb, pr) => { pb.int32(pr._1); pb.int16(err.toInt) })
+    }
+    w.toBytes
   }
 
   private def offsetCommitV2(version: Int, r: Reader): Array[Byte] = {
@@ -426,5 +630,13 @@ object MiniKafkaBroker {
       * the whole backlog is deleted while fetch uses logEnd, and the
       * fully-deleted-backlog recovery branch could never be exercised. */
     var logStart: Long = 0L
+    /** pid → first offset of that producer's OPEN transaction here. The
+      * minimum over these is this partition's LAST STABLE OFFSET bound —
+      * a read_committed fetch must not serve past it. Lives on the log
+      * (not the broker) so a shared-log cluster keeps one view. */
+    val openTxnFirst = scala.collection.mutable.Map[Long, Long]()
+    /** ABORTED ranges: (pid, firstOffset, abortMarkerOffset) — the
+      * fetch-response `aborted_transactions` source. */
+    val abortedRanges = new ArrayBuffer[(Long, Long, Long)]()
   }
 }

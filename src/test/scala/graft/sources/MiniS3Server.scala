@@ -1,0 +1,195 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ConcurrentSkipListMap
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import scala.jdk.CollectionConverters._
+
+/** Protocol-faithful in-process S3-compatible store — the MiniKafkaBroker
+  * treatment for the S5/K2 object edge: it speaks the actual S3 REST
+  * grammar (ListObjectsV2 with prefix / start-after / max-keys /
+  * continuation-token and the XML response shape, Get/PutObject with
+  * content headers, `x-amz-meta-*`, SSE echo, NoSuchKey XML errors) and
+  * VERIFIES AWS Signature V4 when credentials are configured — so the
+  * client code under test exchanges genuine S3 bytes, not a fake API.
+  * Keys list in lexicographic UTF-8 order (a ConcurrentSkipListMap), the
+  * property the reference's start-after listing checkpoint rests on.
+  *
+  * Fault injection: `failNextPuts(n)` answers the next n PutObject calls
+  * with 500 InternalError — the retryable-failure arm of the writer's
+  * bounded retry (`writer_helpers.go:64-139`). */
+final class MiniS3Server(bucket: String, port: Int = 0,
+                         accessKey: String = "", secretKey: String = "",
+                         region: String = "us-east-1") extends AutoCloseable {
+
+  final case class Stored(bytes: Array[Byte], contentType: String,
+                          contentEncoding: String, meta: Map[String, String],
+                          sse: String)
+
+  private val objects = new ConcurrentSkipListMap[String, Stored]()
+  private val failPuts = new AtomicInteger(0)
+  private val putAttempts = new AtomicLong(0)
+  private val listCalls = new AtomicLong(0)
+
+  def failNextPuts(n: Int): Unit = failPuts.set(n)
+  def putsAttempted: Long = putAttempts.get()
+  def listsServed: Long = listCalls.get()
+  def objectCount: Int = objects.size()
+  def keys: Seq[String] = objects.keySet().asScala.toSeq
+  def get(key: String): Option[Stored] = Option(objects.get(key))
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  def boundPort: Int = server.getAddress.getPort
+  def endpoint: String = s"http://127.0.0.1:$boundPort"
+
+  private def respond(ex: HttpExchange, status: Int, body: Array[Byte],
+                      headers: Seq[(String, String)] = Nil): Unit = {
+    headers.foreach { case (k, v) => ex.getResponseHeaders.add(k, v) }
+    ex.sendResponseHeaders(status, if (body.isEmpty) -1 else body.length.toLong)
+    if (body.nonEmpty) ex.getResponseBody.write(body)
+    ex.close()
+  }
+
+  private def xmlError(code: String, status: Int, ex: HttpExchange): Unit =
+    respond(ex, status,
+      s"""<?xml version="1.0"?><Error><Code>$code</Code></Error>"""
+        .getBytes(UTF_8), Seq("Content-Type" -> "application/xml"))
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split('&')
+      .filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        val k = if (i < 0) kv else kv.substring(0, i)
+        val v = if (i < 0) "" else kv.substring(i + 1)
+        java.net.URLDecoder.decode(k, UTF_8) -> java.net.URLDecoder.decode(v, UTF_8)
+      }.toMap
+
+  /** SigV4 verification: rebuild the canonical request from the wire
+    * (the headers the client DECLARED in SignedHeaders), re-derive the
+    * signature with the shared secret, and compare — plus the payload
+    * hash must match the actual body (a swapped body breaks it). */
+  private def authorized(ex: HttpExchange, body: Array[Byte]): Boolean = {
+    if (accessKey.isEmpty) return true
+    val auth = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+    if (!auth.startsWith("AWS4-HMAC-SHA256 ")) return false
+    val parts = auth.stripPrefix("AWS4-HMAC-SHA256 ").split(",").map(_.trim)
+      .flatMap { p =>
+        val i = p.indexOf('=')
+        if (i < 0) None else Some(p.substring(0, i) -> p.substring(i + 1))
+      }.toMap
+    val credential = parts.getOrElse("Credential", "")
+    val signedHeaders = parts.getOrElse("SignedHeaders", "")
+    if (!credential.startsWith(s"$accessKey/")) return false
+    val amzDate = Option(ex.getRequestHeaders.getFirst("x-amz-date")).getOrElse("")
+    val payloadHash =
+      Option(ex.getRequestHeaders.getFirst("x-amz-content-sha256")).getOrElse("")
+    if (payloadHash != S3.sha256Hex(body)) return false // body swap
+    val headerVals = signedHeaders.split(';').toSeq.map { h =>
+      h -> Option(ex.getRequestHeaders.getFirst(h)).getOrElse(
+        if (h == "host") Option(ex.getRequestHeaders.getFirst("Host")).getOrElse("")
+        else "")
+    }
+    val cfg = S3.S3Config(endpoint, bucket, accessKey, secretKey, region)
+    val query = queryParams(ex).toSeq
+    val expected = S3.sigV4Authorization(cfg, ex.getRequestMethod,
+      java.net.URLDecoder.decode(ex.getRequestURI.getRawPath, UTF_8),
+      query, headerVals, payloadHash, amzDate)
+    // compare only the Signature tail (ours formats ", " after commas)
+    def sig(s: String) = s.split("Signature=").last.trim
+    sig(expected) == sig(auth)
+  }
+
+  server.createContext("/", (ex: HttpExchange) => {
+    try {
+      val rawPath = ex.getRequestURI.getRawPath
+      val path = java.net.URLDecoder.decode(rawPath, UTF_8)
+      val body = ex.getRequestBody.readAllBytes()
+      if (!path.startsWith(s"/$bucket")) xmlError("NoSuchBucket", 404, ex)
+      else if (!authorized(ex, body)) xmlError("SignatureDoesNotMatch", 403, ex)
+      else {
+        val key = path.stripPrefix(s"/$bucket").stripPrefix("/")
+        (ex.getRequestMethod, key) match {
+          case ("GET", "") => listObjectsV2(ex)
+          case ("GET", k) =>
+            Option(objects.get(k)) match {
+              case None => xmlError("NoSuchKey", 404, ex)
+              case Some(o) =>
+                respond(ex, 200, o.bytes,
+                  Seq("Content-Type" -> o.contentType) ++
+                    (if (o.contentEncoding.nonEmpty)
+                      Seq("Content-Encoding" -> o.contentEncoding) else Nil) ++
+                    o.meta.toSeq.map { case (mk, v) => s"x-amz-meta-$mk" -> v })
+            }
+          case ("PUT", k) if k.nonEmpty =>
+            putAttempts.incrementAndGet()
+            if (failPuts.getAndUpdate(n => math.max(0, n - 1)) > 0)
+              xmlError("InternalError", 500, ex)
+            else {
+              def hdr(n: String) =
+                Option(ex.getRequestHeaders.getFirst(n)).getOrElse("")
+              val meta = ex.getRequestHeaders.keySet().asScala.collect {
+                case h if h.toLowerCase.startsWith("x-amz-meta-") =>
+                  h.toLowerCase.stripPrefix("x-amz-meta-") ->
+                    ex.getRequestHeaders.getFirst(h)
+              }.toMap
+              objects.put(k, Stored(body, hdr("Content-Type"),
+                hdr("Content-Encoding"), meta,
+                hdr("x-amz-server-side-encryption")))
+              respond(ex, 200, Array.emptyByteArray,
+                if (hdr("x-amz-server-side-encryption").nonEmpty)
+                  Seq("x-amz-server-side-encryption" ->
+                    hdr("x-amz-server-side-encryption"))
+                else Nil)
+            }
+          case ("DELETE", k) if k.nonEmpty =>
+            objects.remove(k); respond(ex, 204, Array.emptyByteArray)
+          case _ => xmlError("MethodNotAllowed", 405, ex)
+        }
+      }
+    } catch {
+      case _: Throwable =>
+        try xmlError("InternalError", 500, ex) catch { case _: Throwable => () }
+    }
+  })
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  server.start()
+
+  /** The real ListObjectsV2 contract: keys in lexicographic order,
+    * `start-after` applies only on the FIRST page, `continuation-token`
+    * resumes a truncated listing (ours is the last key of the prior
+    * page — opaque to a conforming client), `max-keys` bounds the page,
+    * IsTruncated + NextContinuationToken drive pagination. */
+  private def listObjectsV2(ex: HttpExchange): Unit = {
+    listCalls.incrementAndGet()
+    val q = queryParams(ex)
+    if (q.getOrElse("list-type", "") != "2") { xmlError("InvalidRequest", 400, ex); return }
+    val prefix = q.getOrElse("prefix", "")
+    val maxKeys = q.get("max-keys").map(_.toInt).getOrElse(1000)
+    val after = q.get("continuation-token").orElse(q.get("start-after")).getOrElse("")
+    val all = objects.keySet().asScala.iterator
+      .filter(k => k.startsWith(prefix) && (after.isEmpty || k > after))
+      .toSeq
+    val page = all.take(maxKeys)
+    val truncated = all.size > page.size
+    val xml = new StringBuilder
+    xml ++= s"""<?xml version="1.0" encoding="UTF-8"?>"""
+    xml ++= """<ListBucketResult xmlns="http://s3.amazonaws.com/doc/2006-03-01/">"""
+    xml ++= s"<Name>$bucket</Name><Prefix>$prefix</Prefix>"
+    xml ++= s"<KeyCount>${page.size}</KeyCount><MaxKeys>$maxKeys</MaxKeys>"
+    xml ++= s"<IsTruncated>$truncated</IsTruncated>"
+    page.foreach { k =>
+      xml ++= s"<Contents><Key>$k</Key><Size>${objects.get(k).bytes.length}</Size></Contents>"
+    }
+    if (truncated)
+      xml ++= s"<NextContinuationToken>${page.last}</NextContinuationToken>"
+    xml ++= "</ListBucketResult>"
+    respond(ex, 200, xml.result().getBytes(UTF_8),
+      Seq("Content-Type" -> "application/xml"))
+  }
+
+  override def close(): Unit = server.stop(0)
+}
