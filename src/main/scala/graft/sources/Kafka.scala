@@ -38,6 +38,16 @@ object Kafka {
 
   final case class Split(topic: String, partition: Int, start: Long, end: Long)
 
+  /** One JoinGroup answer: the broker-assigned member id, the rebalance
+    * generation, and — for the member elected LEADER — every member's
+    * decoded topic subscription (the input to the range assignor; empty
+    * for followers, the real protocol's shape). */
+  final case class JoinResult(generation: Int, memberId: String,
+                              leaderId: String,
+                              members: Seq[(String, Seq[String])]) {
+    def isLeader: Boolean = memberId == leaderId
+  }
+
   /** Typed routing error: the broker answering is not (or no longer) the
     * partition's leader — the client must refresh metadata and re-route
     * ([[LeaderClient]] does; a raw [[WireClient]] caller sees it raw). */
@@ -48,6 +58,18 @@ object Kafka {
     * group — re-resolve via FindCoordinator ([[LeaderClient]] does). */
   final class NotCoordinator(val group: String)
     extends IOException(s"not the coordinator for group $group — re-resolve")
+
+  /** Typed membership signal: the group is rebalancing — the member must
+    * REJOIN (JoinGroup) to get its new generation + assignment. An
+    * answer, not a transport failure: never re-routed or retried. */
+  final class RebalanceInProgress(val group: String)
+    extends IOException(s"group $group is rebalancing — rejoin")
+
+  /** Typed membership fence (ILLEGAL_GENERATION / UNKNOWN_MEMBER_ID):
+    * this member's generation is stale or it was evicted — its commits
+    * must NOT land (they would overwrite the new owner's progress). */
+  final class StaleMember(val group: String, val code: Short)
+    extends IOException(s"stale member of group $group (error $code) — rejoin")
 
   /** Typed FENCE error (INVALID_PRODUCER_EPOCH): a newer producer claimed
     * this transactional id — this instance is a ZOMBIE (a speculative or
@@ -93,7 +115,19 @@ object Kafka {
                 timeoutMs: Int = 30000, transactionalId: String = null): Long
     def initProducerId(transactionalId: String = null): (Long, Short)
     def offsetCommit(group: String, offsets: Map[(String, Int), Long]): Unit
+    /** OffsetCommit AS a group member: carries (generation, memberId) so
+      * the coordinator can fence a stale member's commit
+      * (ILLEGAL_GENERATION → [[Kafka.StaleMember]]). */
+    def offsetCommitAs(group: String, generation: Int, memberId: String,
+                       offsets: Map[(String, Int), Long]): Unit
     def offsetFetch(group: String, tps: Seq[(String, Int)]): Map[(String, Int), Long]
+    // -- consumer-group membership (JoinGroup/SyncGroup/Heartbeat/Leave) --
+    def joinGroup(group: String, topics: Seq[String], memberId: String,
+                  sessionTimeoutMs: Int): JoinResult
+    def syncGroup(group: String, generation: Int, memberId: String,
+                  assignments: Map[String, Map[String, Seq[Int]]]): Map[String, Seq[Int]]
+    def heartbeat(group: String, generation: Int, memberId: String): Unit
+    def leaveGroup(group: String, memberId: String): Unit
     // -- transactions (null-checked by impls; see WireClient scaladoc) --
     def addPartitionsToTxn(txnId: String, pid: Long, epoch: Short,
                            topic: String, partitions: Seq[Int]): Unit
@@ -484,11 +518,19 @@ object Kafka {
     /** OffsetCommit v2 as a SIMPLE consumer (generation -1, no group
       * membership — the reference's manual commit modes do the same
       * standalone commit, `reader.go:185-296`). */
-    def offsetCommit(group: String, offsets: Map[(String, Int), Long]): Unit = {
+    def offsetCommit(group: String, offsets: Map[(String, Int), Long]): Unit =
+      offsetCommitAs(group, -1, "", offsets)
+
+    /** OffsetCommit v2 carrying a member identity: the coordinator
+      * FENCES a stale generation or an evicted member
+      * ([[Kafka.StaleMember]]) — a zombie consumer's commit after a
+      * rebalance must not clobber the new owner's progress. */
+    def offsetCommitAs(group: String, generation: Int, memberId: String,
+                       offsets: Map[(String, Int), Long]): Unit = {
       val w = new Writer()
       w.string(group)
-      w.int32(-1)            // generation: standalone
-      w.string("")           // member id
+      w.int32(generation)
+      w.string(memberId)
       w.int64(-1L)           // retention: broker default
       val byTopic = offsets.groupBy(_._1._1)
       w.array(byTopic.toSeq) { (b, kv) =>
@@ -505,9 +547,94 @@ object Kafka {
           val err = p.int16()
           if (err == KafkaProto.ErrNotCoordinator)
             throw new Kafka.NotCoordinator(group)
+          if (err == KafkaProto.ErrIllegalGeneration ||
+            err == KafkaProto.ErrUnknownMemberId)
+            throw new Kafka.StaleMember(group, err)
           require(err == ErrNone, s"offsetCommit error $err")
         }
       }
+    }
+
+    /** JoinGroup v0 (protocol type "consumer", the range assignor
+      * advertised): BLOCKS at the coordinator until the rebalance
+      * completes — the real group barrier. First call passes an empty
+      * member id; rejoins pass the assigned one. */
+    def joinGroup(group: String, topics: Seq[String], memberId: String = "",
+                  sessionTimeoutMs: Int = 10000): Kafka.JoinResult = {
+      val w = new Writer()
+      w.string(group)
+      w.int32(sessionTimeoutMs)
+      w.string(memberId)
+      w.string("consumer")
+      w.array(Seq("range")) { (b, name) =>
+        b.string(name)
+        b.bytes(encodeSubscription(topics))
+      }
+      val r = call(ApiJoinGroup, 0, w.toBytes)
+      val err = r.int16()
+      if (err == KafkaProto.ErrNotCoordinator) throw new Kafka.NotCoordinator(group)
+      if (err == KafkaProto.ErrUnknownMemberId) throw new Kafka.StaleMember(group, err)
+      require(err == ErrNone, s"joinGroup error $err for $group")
+      val generation = r.int32()
+      r.string() // group protocol ("range")
+      val leader = r.string()
+      val mid = r.string()
+      val members = r.array { m =>
+        (m.string(), decodeSubscription(m.nullableBytes()))
+      }
+      Kafka.JoinResult(generation, mid, leader, members)
+    }
+
+    /** SyncGroup v0: the leader ships every member's assignment; every
+      * member (leader included) gets its own back. Blocks at the
+      * coordinator until the leader's assignments arrive. */
+    def syncGroup(group: String, generation: Int, memberId: String,
+                  assignments: Map[String, Map[String, Seq[Int]]]): Map[String, Seq[Int]] = {
+      val w = new Writer()
+      w.string(group)
+      w.int32(generation)
+      w.string(memberId)
+      w.array(assignments.toSeq) { (b, ma) =>
+        b.string(ma._1)
+        b.bytes(encodeAssignment(ma._2))
+      }
+      val r = call(ApiSyncGroup, 0, w.toBytes)
+      val err = r.int16()
+      if (err == KafkaProto.ErrNotCoordinator) throw new Kafka.NotCoordinator(group)
+      if (err == KafkaProto.ErrRebalanceInProgress)
+        throw new Kafka.RebalanceInProgress(group)
+      if (err == KafkaProto.ErrIllegalGeneration ||
+        err == KafkaProto.ErrUnknownMemberId)
+        throw new Kafka.StaleMember(group, err)
+      require(err == ErrNone, s"syncGroup error $err for $group")
+      decodeAssignment(r.nullableBytes())
+    }
+
+    /** Heartbeat v0: the liveness + rebalance-discovery beacon. */
+    def heartbeat(group: String, generation: Int, memberId: String): Unit = {
+      val w = new Writer()
+      w.string(group).int32(generation).string(memberId)
+      val r = call(ApiHeartbeat, 0, w.toBytes)
+      val err = r.int16()
+      if (err == KafkaProto.ErrNotCoordinator) throw new Kafka.NotCoordinator(group)
+      if (err == KafkaProto.ErrRebalanceInProgress)
+        throw new Kafka.RebalanceInProgress(group)
+      if (err == KafkaProto.ErrIllegalGeneration ||
+        err == KafkaProto.ErrUnknownMemberId)
+        throw new Kafka.StaleMember(group, err)
+      require(err == ErrNone, s"heartbeat error $err for $group")
+    }
+
+    /** LeaveGroup v0: clean departure triggers an immediate rebalance
+      * for the remaining members. */
+    def leaveGroup(group: String, memberId: String): Unit = {
+      val w = new Writer()
+      w.string(group).string(memberId)
+      val r = call(ApiLeaveGroup, 0, w.toBytes)
+      val err = r.int16()
+      if (err == KafkaProto.ErrNotCoordinator) throw new Kafka.NotCoordinator(group)
+      require(err == ErrNone || err == KafkaProto.ErrUnknownMemberId,
+        s"leaveGroup error $err for $group")
     }
 
     /** FindCoordinator → the (nodeId, host, port) serving this key —
@@ -700,10 +827,12 @@ object Kafka {
       while (true) {
         try return f(coordinatorConn(keyType, key))
         catch {
-          // a FENCE is an answer, not a transport failure: re-routing a
-          // fenced zombie would hand its duplicate batches to the new
-          // coordinator — surface it immediately
+          // ANSWERS are not transport failures: a fence/rebalance signal
+          // re-routed to a fresh coordinator would just repeat (or worse,
+          // let a zombie land its duplicates) — surface them immediately
           case e: ProducerFenced => throw e
+          case e: RebalanceInProgress => throw e
+          case e: StaleMember => throw e
           case e: IOException =>
             attempt += 1
             if (attempt > retries) throw e
@@ -757,8 +886,24 @@ object Kafka {
       groupRouted(group)(_.txnOffsetCommit(txnId, group, pid, epoch, offsets))
     def offsetCommit(group: String, offsets: Map[(String, Int), Long]): Unit =
       groupRouted(group)(_.offsetCommit(group, offsets))
+    def offsetCommitAs(group: String, generation: Int, memberId: String,
+                       offsets: Map[(String, Int), Long]): Unit =
+      groupRouted(group)(_.offsetCommitAs(group, generation, memberId, offsets))
     def offsetFetch(group: String, tps: Seq[(String, Int)]): Map[(String, Int), Long] =
       groupRouted(group)(_.offsetFetch(group, tps))
+    // membership rides the group coordinator, like offsets; a JoinGroup
+    // retried after a transport failure is safe (the coordinator answers
+    // the same member id a rejoin would)
+    def joinGroup(group: String, topics: Seq[String], memberId: String,
+                  sessionTimeoutMs: Int): JoinResult =
+      groupRouted(group)(_.joinGroup(group, topics, memberId, sessionTimeoutMs))
+    def syncGroup(group: String, generation: Int, memberId: String,
+                  assignments: Map[String, Map[String, Seq[Int]]]): Map[String, Seq[Int]] =
+      groupRouted(group)(_.syncGroup(group, generation, memberId, assignments))
+    def heartbeat(group: String, generation: Int, memberId: String): Unit =
+      groupRouted(group)(_.heartbeat(group, generation, memberId))
+    def leaveGroup(group: String, memberId: String): Unit =
+      groupRouted(group)(_.leaveGroup(group, memberId))
     override def close(): Unit = {
       conns.valuesIterator.foreach { case (_, c) =>
         try c.close() catch { case _: Throwable => () } }
@@ -997,6 +1142,67 @@ object Kafka {
   }
 
   // ======================================================================
+  // consumer-group member (the reference's GroupID reader semantics,
+  // `kafkaclient/reader.go:17-94`: dynamic partition assignment +
+  // rebalance on join/leave)
+  // ======================================================================
+
+  /** One dynamic group membership over a [[Client]]: join (+ sync, the
+    * member elected leader computing the RANGE assignment from every
+    * member's subscription — Kafka's client-side-assignor design),
+    * heartbeat-driven rebalance discovery, clean leave. The Spark DSv2
+    * source deliberately does NOT use this (static assignment, like the
+    * stock connector); this is for standalone consumers — the
+    * [[SpoolConsumer]] bridge with `dynamicMembership = true`. */
+  final class GroupMember(c: Client, group: String, topics: Seq[String],
+                          sessionTimeoutMs: Int = 10000) {
+    private var memberId = ""
+    private var gen = -1
+    def currentGeneration: Int = gen
+    def currentMemberId: String = memberId
+
+    /** (Re)join and sync; returns this member's topic → partitions.
+      * Loops when the dance restarts under it (another member joined
+      * between our join and sync) — the real client's behavior. */
+    def join(): Map[String, Seq[Int]] = {
+      var out: Map[String, Seq[Int]] = null
+      while (out == null) {
+        val jr =
+          try c.joinGroup(group, topics, memberId, sessionTimeoutMs)
+          catch {
+            // evicted while away (missed a rebalance entirely): the old
+            // id is gone — start over as a brand-new member
+            case _: StaleMember => c.joinGroup(group, topics, "", sessionTimeoutMs)
+          }
+        memberId = jr.memberId
+        gen = jr.generation
+        val assignments =
+          if (jr.isLeader)
+            KafkaProto.rangeAssign(c.metadata(topics), jr.members)
+          else Map.empty[String, Map[String, Seq[Int]]]
+        try out = c.syncGroup(group, gen, memberId, assignments)
+        catch {
+          case _: RebalanceInProgress => () // restarted under us: rejoin
+          case _: StaleMember => ()
+        }
+      }
+      out
+    }
+
+    /** True while the group is stable; false = REJOIN (the coordinator
+      * is rebalancing, or this member was evicted). */
+    def heartbeatOk(): Boolean =
+      try { c.heartbeat(group, gen, memberId); true }
+      catch {
+        case _: RebalanceInProgress => false
+        case _: StaleMember => false
+      }
+
+    def leave(): Unit =
+      if (memberId.nonEmpty) c.leaveGroup(group, memberId)
+  }
+
+  // ======================================================================
   // spool bridge: topic → exactly-once NDJSON spool → Spark file stream
   // ======================================================================
 
@@ -1018,22 +1224,68 @@ object Kafka {
                             group: String, spoolDir: String,
                             commitMode: String = "after-batch",
                             maxPollRecords: Int = 10000,
-                            maxPollBytes: Int = 1 << 20) extends AutoCloseable {
+                            maxPollBytes: Int = 1 << 20,
+                            dynamicMembership: Boolean = false,
+                            sessionTimeoutMs: Int = 10000) extends AutoCloseable {
     require(Set("after-batch", "after-each", "auto").contains(commitMode),
       s"unknown commit mode $commitMode")
     private val c = new LeaderClient(bootstrap)
-    private val parts: Seq[Int] = c.metadata(Seq(topic))(topic)
-    private val pos: scala.collection.mutable.Map[Int, Long] = {
+    // dynamic membership = the reference's GroupID reader
+    // (`kafkaclient/reader.go:17-94`): partitions come from the group's
+    // range assignment and REBALANCE as members join/leave; static mode
+    // (default) owns every partition, the original standalone contract
+    private val member: Option[GroupMember] =
+      if (dynamicMembership) Some(new GroupMember(c, group, Seq(topic), sessionTimeoutMs))
+      else None
+    private var parts: Seq[Int] = Seq.empty
+    private var pos = scala.collection.mutable.Map[Int, Long]()
+
+    /** (Re)resolve owned partitions and their start positions: broker
+      * committed offsets first, earliest otherwise; a RETAINED partition
+      * keeps local progress past the commit (the spool's idempotence
+      * absorbs any overlap either way). */
+    private def refreshAssignment(): Unit = {
+      parts = member match {
+        case Some(m) => m.join().getOrElse(topic, Nil).sorted
+        case None => c.metadata(Seq(topic))(topic)
+      }
       val committed = c.offsetFetch(group, parts.map((topic, _)))
-      scala.collection.mutable.Map(parts.map { p =>
+      val next = parts.map { p =>
         val cp = committed.getOrElse((topic, p), -1L)
-        p -> (if (cp >= 0) cp else c.listOffset(topic, p, TsEarliest))
-      }: _*)
+        val base = if (cp >= 0) cp else c.listOffset(topic, p, TsEarliest)
+        p -> math.max(base, pos.getOrElse(p, -1L))
+      }
+      pos = scala.collection.mutable.Map(next: _*)
     }
+    refreshAssignment()
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(spoolDir))
 
-    /** One poll across all partitions; returns records spooled. */
+    /** Commit as the member identity when one exists — a zombie's commit
+      * after a rebalance is FENCED broker-side (StaleMember) instead of
+      * clobbering the new owner's progress. */
+    private def commit(offsets: Map[(String, Int), Long]): Unit = member match {
+      case Some(m) => c.offsetCommitAs(group, m.currentGeneration,
+        m.currentMemberId, offsets)
+      case None => c.offsetCommit(group, offsets)
+    }
+
+    /** Partitions this consumer currently owns. */
+    def assignedPartitions: Seq[Int] = parts
+
+    /** One poll across owned partitions; returns records spooled. */
     def pollOnce(): Int = {
+      // rebalance discovery rides the heartbeat, the real cadence
+      member.foreach { m => if (!m.heartbeatOk()) refreshAssignment() }
+      try pollInner()
+      catch {
+        // a commit fenced MID-POLL (rebalanced under us): the partition
+        // has a new owner — rejoin; the spool's offset-named idempotence
+        // means whatever we landed re-dedupes at the new owner
+        case _: StaleMember if member.isDefined => refreshAssignment(); 0
+      }
+    }
+
+    private def pollInner(): Int = {
       var n = 0
       var bytes = 0
       parts.foreach { p =>
@@ -1048,7 +1300,7 @@ object Kafka {
             // re-walks the hole through OFFSET_OUT_OF_RANGE + ListOffsets
             pos(p) = next
             if (commitMode != "auto")
-              c.offsetCommit(group, Map((topic, p) -> next))
+              commit(Map((topic, p) -> next))
           }
           if (recs.nonEmpty) {
             var cur = start
@@ -1056,13 +1308,13 @@ object Kafka {
               recs.foreach { r =>
                 if (r.offset >= cur) { // an existing wider file may skip ahead
                   cur = spool(p, cur, Seq(r)) + 1
-                  c.offsetCommit(group, Map((topic, p) -> cur))
+                  commit(Map((topic, p) -> cur))
                 }
               }
             } else {
               cur = spool(p, start, recs) + 1
               if (commitMode == "after-batch")
-                c.offsetCommit(group, Map((topic, p) -> cur))
+                commit(Map((topic, p) -> cur))
             }
             pos(p) = cur
             // count/size only the records actually covered (an existing
@@ -1115,7 +1367,10 @@ object Kafka {
 
     override def close(): Unit = {
       if (commitMode == "auto")
-        c.offsetCommit(group, pos.map { case (p, o) => (topic, p) -> o }.toMap)
+        commit(pos.map { case (p, o) => (topic, p) -> o }.toMap)
+      // leave AFTER the final commit: leaving first would rebalance and
+      // fence our own auto-commit
+      member.foreach(m => try m.leave() catch { case _: Exception => () })
       c.close()
     }
   }

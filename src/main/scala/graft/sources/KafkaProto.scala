@@ -36,6 +36,10 @@ object KafkaProto {
   val ApiOffsetCommit = 8
   val ApiOffsetFetch = 9
   val ApiFindCoordinator = 10
+  val ApiJoinGroup = 11
+  val ApiHeartbeat = 12
+  val ApiLeaveGroup = 13
+  val ApiSyncGroup = 14
   val ApiApiVersions = 18
   val ApiInitProducerId = 22
   val ApiAddPartitionsToTxn = 24
@@ -48,6 +52,9 @@ object KafkaProto {
   val ErrUnknownTopicOrPartition: Short = 3
   val ErrNotLeaderForPartition: Short = 6
   val ErrNotCoordinator: Short = 16
+  val ErrIllegalGeneration: Short = 22
+  val ErrUnknownMemberId: Short = 25
+  val ErrRebalanceInProgress: Short = 27
   val ErrOutOfOrderSequence: Short = 45
   val ErrInvalidProducerEpoch: Short = 47
   val ErrInvalidTxnState: Short = 48
@@ -459,6 +466,74 @@ object KafkaProto {
       }
     }
     out.result()
+  }
+
+  // ======================================================================
+  // consumer embedded protocol (the "consumer" protocol-type payloads
+  // that ride inside JoinGroup metadata / SyncGroup assignments — the
+  // PUBLIC ConsumerProtocolSubscription/Assignment v0 grammar)
+  // ======================================================================
+
+  /** Subscription metadata v0: version, topics, user_data. */
+  def encodeSubscription(topics: Seq[String]): Array[Byte] = {
+    val w = new Writer().int16(0)
+    w.array(topics)((b, t) => b.string(t))
+    w.int32(-1) // user data: null
+    w.toBytes
+  }
+
+  def decodeSubscription(b: Array[Byte]): Seq[String] = {
+    val r = new Reader(b)
+    r.int16() // version
+    r.array(_.string())
+  }
+
+  /** Assignment v0: version, [(topic, [partition])], user_data. */
+  def encodeAssignment(parts: Map[String, Seq[Int]]): Array[Byte] = {
+    val w = new Writer().int16(0)
+    w.array(parts.toSeq.sortBy(_._1)) { (b, tp) =>
+      b.string(tp._1)
+      b.array(tp._2)((pb, p) => pb.int32(p))
+    }
+    w.int32(-1)
+    w.toBytes
+  }
+
+  def decodeAssignment(b: Array[Byte]): Map[String, Seq[Int]] = {
+    if (b == null || b.isEmpty) return Map.empty
+    val r = new Reader(b)
+    r.int16()
+    r.array(t => (t.string(), t.array(_.int32()))).toMap
+  }
+
+  /** The RANGE assignor (Kafka's default, the public algorithm): per
+    * topic, partitions sort ascending and subscribed members sort by
+    * member id; each member takes a contiguous range, the first
+    * `nParts % nMembers` members one extra — deterministic, so every
+    * member computes the same answer from the same member list. */
+  def rangeAssign(topicParts: Map[String, Seq[Int]],
+                  subscriptions: Seq[(String, Seq[String])]): Map[String, Map[String, Seq[Int]]] = {
+    val out = scala.collection.mutable.Map[String, Map[String, Seq[Int]]]()
+    topicParts.foreach { case (topic, parts0) =>
+      val members = subscriptions.collect {
+        case (m, topics) if topics.contains(topic) => m
+      }.sorted
+      if (members.nonEmpty) {
+        val parts = parts0.sorted
+        val per = parts.size / members.size
+        val extra = parts.size % members.size
+        var at = 0
+        members.zipWithIndex.foreach { case (m, i) =>
+          val take = per + (if (i < extra) 1 else 0)
+          if (take > 0) {
+            val slice = parts.slice(at, at + take)
+            out(m) = out.getOrElse(m, Map.empty) + (topic -> slice)
+            at += take
+          }
+        }
+      }
+    }
+    out.toMap
   }
 
   // ======================================================================

@@ -1,0 +1,101 @@
+package graft.sources
+
+/** The reference Postgres writer's LITERAL SQL generator — byte-exact
+  * parity with `/root/reference/pkg/internal/adapter/postgresclient/
+  * sql.go:143-265` (buildInsertColumns / buildInsertSQL /
+  * buildInsertBatchSQL): the fixed column order (id, created_at,
+  * payload, then each optional column in declaration order), `$n`
+  * placeholders with comma-NO-space joins inside lists, the
+  * ` ON CONFLICT (…) DO UPDATE SET a=EXCLUDED.a, b=EXCLUDED.b` clause
+  * with comma-space update joins, and the default update set = insert
+  * columns minus id/created_at. Golden-locked in PgSqlSpec so a drift
+  * in OUR generator (or a misreading of the reference's) turns a test
+  * red rather than shipping subtly different SQL to a real Postgres.
+  *
+  * This is the K4 Postgres-dialect branch next to [[Sources
+  * .mergeUpsertSql]] (ANSI MERGE for Derby/Oracle/SQL Server); the
+  * staging-sourced variant ([[upsertFromStagingSql]]) is what
+  * `foreachBatch` runs after Spark's distributed staging write. */
+object PgSql {
+
+  /** Mirror of `types.PostgresWriterConfig`'s SQL-shaping fields, with
+    * the reference's defaults (`postgresclient.go:70-90`). An empty
+    * optional column name omits that column, exactly like the Go nil
+    * checks. */
+  final case class WriterConfig(
+      table: String = "electrician_events",
+      columnId: String = "id",
+      columnCreatedAt: String = "created_at",
+      columnTraceId: String = "trace_id",
+      columnPayload: String = "payload",
+      columnPayloadEncrypted: String = "payload_encrypted",
+      columnMetadata: String = "metadata",
+      columnContentType: String = "content_type",
+      columnPayloadType: String = "payload_type",
+      columnPayloadEncoding: String = "payload_encoding",
+      upsert: Boolean = false,
+      upsertConflictColumns: Seq[String] = Nil,
+      upsertUpdateColumns: Seq[String] = Nil)
+
+  /** `buildInsertColumns` (sql.go:143-165): required triple, then each
+    * configured optional in the reference's declaration order. */
+  def insertColumns(cfg: WriterConfig): Seq[String] =
+    Seq(cfg.columnId, cfg.columnCreatedAt, cfg.columnPayload) ++
+      Seq(cfg.columnTraceId, cfg.columnPayloadEncrypted, cfg.columnMetadata,
+        cfg.columnContentType, cfg.columnPayloadType, cfg.columnPayloadEncoding)
+        .filter(_.nonEmpty)
+
+  /** ` ON CONFLICT (…) DO UPDATE SET …` (sql.go:186-208): conflict
+    * columns joined bare-comma; update set defaults to the insert
+    * columns minus id/created_at; pairs joined comma-space. */
+  private def conflictClause(cfg: WriterConfig, cols: Seq[String]): String =
+    if (!cfg.upsert || cfg.upsertConflictColumns.isEmpty) ""
+    else {
+      val updates =
+        if (cfg.upsertUpdateColumns.nonEmpty) cfg.upsertUpdateColumns
+        else cols.filterNot(c => c == cfg.columnId || c == cfg.columnCreatedAt)
+      " ON CONFLICT (" + cfg.upsertConflictColumns.mkString(",") +
+        ") DO UPDATE SET " +
+        updates.map(c => s"$c=EXCLUDED.$c").mkString(", ")
+    }
+
+  /** `buildInsertSQL` (sql.go:167-184 + upsert clause): one row of `$n`
+    * placeholders. */
+  def insertSql(cfg: WriterConfig): String = {
+    val cols = insertColumns(cfg)
+    "INSERT INTO " + cfg.table + " (" + cols.mkString(",") + ") VALUES (" +
+      cols.indices.map(i => s"$$${i + 1}").mkString(",") + ")" +
+      conflictClause(cfg, cols)
+  }
+
+  /** `buildInsertBatchSQL` (sql.go:225-265): `rows` value tuples with a
+    * running `$n` index, tuples joined comma-space. */
+  def insertBatchSql(cfg: WriterConfig, rows: Int): String = {
+    require(rows > 0, "batch needs rows")
+    val cols = insertColumns(cfg)
+    val tuples = (0 until rows).map { r =>
+      "(" + cols.indices.map(i => s"$$${r * cols.size + i + 1}").mkString(",") + ")"
+    }.mkString(", ")
+    "INSERT INTO " + cfg.table + " (" + cols.mkString(",") + ") VALUES " +
+      tuples + conflictClause(cfg, cols)
+  }
+
+  /** The staging-sourced upsert this engine actually runs from
+    * `foreachBatch` on a Postgres target — the same ON CONFLICT grammar
+    * over a SELECT instead of a VALUES list (the Postgres-dialect twin
+    * of [[Sources.mergeUpsertSql]]; column quoting matches how Spark's
+    * JDBC writer creates the staging table). */
+  def upsertFromStagingSql(table: String, staging: String,
+                           keyCols: Seq[String], cols: Seq[String]): String = {
+    require(keyCols.nonEmpty && cols.nonEmpty, "keyCols and cols must be non-empty")
+    require(keyCols.forall(cols.contains), "keyCols must be a subset of cols")
+    require(keyCols.size < cols.size, "upsert needs a non-key column to update")
+    def q(s: String) = "\"" + s + "\""
+    def qTbl(s: String) = if (s.startsWith("\"")) s else q(s)
+    val updates = cols.filterNot(keyCols.contains)
+      .map(c => s"${q(c)}=EXCLUDED.${q(c)}").mkString(", ")
+    s"INSERT INTO ${qTbl(table)} (${cols.map(q).mkString(",")}) " +
+      s"SELECT ${cols.map(q).mkString(",")} FROM ${qTbl(staging)}" +
+      s" ON CONFLICT (${keyCols.map(q).mkString(",")}) DO UPDATE SET $updates"
+  }
+}

@@ -697,6 +697,112 @@ class KafkaE2eSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("group membership at the wire grain: two members split partitions " +
+    "by range, rebalance on join and leave, stale generations are fenced") {
+    val broker = new MiniKafkaBroker(Map("gm" -> 4), rebalanceTimeoutMs = 2000)
+    val boot = ("127.0.0.1", broker.boundPort)
+    val c1 = new Kafka.LeaderClient(boot)
+    val c2 = new Kafka.LeaderClient(boot)
+    try {
+      val m1 = new Kafka.GroupMember(c1, "g1", Seq("gm"))
+      assert(m1.join() === Map("gm" -> Seq(0, 1, 2, 3))) // solo: owns all
+      assert(m1.heartbeatOk())
+      val gen1 = m1.currentGeneration
+      // a second member joins: the coordinator enters the rebalance; m1
+      // discovers via heartbeat and rejoins to complete the barrier
+      val m2 = new Kafka.GroupMember(c2, "g1", Seq("gm"))
+      val m2Assigned = new java.util.concurrent.atomic.AtomicReference[Map[String, Seq[Int]]]()
+      val t = new Thread(() => m2Assigned.set(m2.join()))
+      t.start()
+      eventually(!m1.heartbeatOk(), "m1 never saw the rebalance")
+      val a1 = m1.join()
+      t.join(10000)
+      assert(m2Assigned.get() != null, "m2 join did not complete")
+      // RANGE assignment: 4 partitions over member ids sorted — first
+      // member takes (0,1), second (2,3); disjoint and complete
+      assert(a1("gm") === Seq(0, 1) )
+      assert(m2Assigned.get()("gm") === Seq(2, 3))
+      assert(m1.currentGeneration > gen1)
+      assert(m1.heartbeatOk() && m2.heartbeatOk())
+      assert(broker.groupMembers("g1").size === 2)
+      // a ZOMBIE commit carrying the pre-rebalance generation is fenced
+      intercept[Kafka.StaleMember] {
+        c1.offsetCommitAs("g1", gen1, m1.currentMemberId, Map(("gm", 0) -> 99L))
+      }
+      assert(broker.committed("g1", "gm", 0) === -1L)
+      // the CURRENT generation commits fine
+      c1.offsetCommitAs("g1", m1.currentGeneration, m1.currentMemberId,
+        Map(("gm", 0) -> 7L))
+      assert(broker.committed("g1", "gm", 0) === 7L)
+      // clean leave rebalances the survivor back to full ownership
+      m2.leave()
+      eventually(!m1.heartbeatOk(), "m1 never saw m2 leave")
+      assert(m1.join() === Map("gm" -> Seq(0, 1, 2, 3)))
+      assert(broker.groupMembers("g1") === Seq(m1.currentMemberId))
+    } finally { c1.close(); c2.close(); broker.close() }
+  }
+
+  test("two dynamic SpoolConsumers share the work: partitions split on " +
+    "join, records land exactly once across the shared spool, and the " +
+    "survivor reclaims everything on leave") {
+    val broker = new MiniKafkaBroker(Map("gs" -> 4), rebalanceTimeoutMs = 3000)
+    val boot = ("127.0.0.1", broker.boundPort)
+    val raw = new Kafka.WireClient(boot._1, boot._2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-gspool").toString
+    var produced = 0
+    def produceRound(perPart: Int): Unit = (0 until 4).foreach { p =>
+      raw.produce("gs", p, encodeRecordBatch(0L, (0 until perPart).map { _ =>
+        produced += 1
+        (1L, null: Array[Byte], s"""{"i":$produced}""".getBytes(UTF_8), Nil)
+      }))
+    }
+    def spooledValues(): Seq[Long] = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".ndjson"))
+      files.flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines()
+        .filter(_.nonEmpty)
+        .map(l => "\"i\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong)).toSeq
+    }
+    val a = new Kafka.SpoolConsumer(boot, "gs", "g2", dir,
+      dynamicMembership = true)
+    try {
+      assert(a.assignedPartitions === Seq(0, 1, 2, 3))
+      produceRound(10)
+      assert(a.pollOnce() === 40)
+      // B joins while A keeps polling: A's heartbeat sees the rebalance
+      // and rejoins, completing the barrier; both end with 2 partitions
+      val bRef = new java.util.concurrent.atomic.AtomicReference[Kafka.SpoolConsumer]()
+      val t = new Thread(() => bRef.set(new Kafka.SpoolConsumer(boot, "gs",
+        "g2", dir, dynamicMembership = true)))
+      t.start()
+      eventually({ a.pollOnce(); a.assignedPartitions.size == 2 },
+        s"A kept ${a.assignedPartitions}")
+      t.join(10000)
+      val b = bRef.get()
+      assert(b != null, "B's constructor join did not complete")
+      assert(b.assignedPartitions.size === 2)
+      assert((a.assignedPartitions ++ b.assignedPartitions).sorted === Seq(0, 1, 2, 3))
+      // both drain their halves: every record lands exactly once in the
+      // SHARED spool (offset-named files dedupe across owners)
+      produceRound(10)
+      eventually({ a.pollOnce(); b.pollOnce()
+        spooledValues().size >= 80 }, s"spooled ${spooledValues().size}/80")
+      val vals = spooledValues()
+      assert(vals.size === 80 && vals.distinct.size === 80,
+        s"duplicates or loss: ${vals.size} lines, ${vals.distinct.size} distinct")
+      assert(vals.sorted === (1L to 80L))
+      // B leaves; A reclaims all four partitions and drains alone
+      b.close()
+      eventually({ a.pollOnce(); a.assignedPartitions.size == 4 },
+        s"A kept ${a.assignedPartitions} after B left")
+      produceRound(5)
+      eventually({ a.pollOnce(); spooledValues().size >= 100 },
+        s"spooled ${spooledValues().size}/100 after reclaim")
+      val all = spooledValues()
+      assert(all.size === 100 && all.distinct.size === 100)
+    } finally { a.close(); raw.close(); broker.close() }
+  }
+
   test("LeaderClient survives a bootstrap-broker restart: the boot " +
     "connection re-dials in place instead of poisoning every later " +
     "metadata refresh and coordinator resolution") {

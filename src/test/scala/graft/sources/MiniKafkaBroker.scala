@@ -27,7 +27,8 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
                             val nodeId: Int = 0,
                             clusterView: () => Seq[(Int, String, Int)] = null,
                             leaderOf: (String, Int) => Int = null,
-                            sharedLogs: ConcurrentHashMap[(String, Int), MiniKafkaBroker.PartitionLog] = null)
+                            sharedLogs: ConcurrentHashMap[(String, Int), MiniKafkaBroker.PartitionLog] = null,
+                            rebalanceTimeoutMs: Int = 3000)
   extends AutoCloseable {
   import MiniKafkaBroker.PartitionLog
   private val server = new ServerSocket(port)
@@ -154,6 +155,10 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
           case ApiOffsetFetch => offsetFetchV1(version, r)
           case ApiInitProducerId => initProducerIdV0(version, r)
           case ApiFindCoordinator => findCoordinatorReq(version, r)
+          case ApiJoinGroup => joinGroupV0(version, r)
+          case ApiSyncGroup => syncGroupV0(version, r)
+          case ApiHeartbeat => heartbeatV0(version, r)
+          case ApiLeaveGroup => leaveGroupV0(version, r)
           case ApiAddPartitionsToTxn => addPartitionsToTxnV0(version, r)
           case ApiEndTxn => endTxnV0(version, r)
           case ApiTxnOffsetCommit => txnOffsetCommitV0(version, r)
@@ -177,7 +182,9 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
       (ApiMetadata, 1, 1), (ApiOffsetCommit, 2, 2), (ApiOffsetFetch, 1, 1),
       (ApiApiVersions, 0, 0), (ApiInitProducerId, 0, 0),
       (ApiFindCoordinator, 0, 1), (ApiAddPartitionsToTxn, 0, 0),
-      (ApiEndTxn, 0, 0), (ApiTxnOffsetCommit, 0, 0))) { (b, k) =>
+      (ApiEndTxn, 0, 0), (ApiTxnOffsetCommit, 0, 0),
+      (ApiJoinGroup, 0, 0), (ApiSyncGroup, 0, 0),
+      (ApiHeartbeat, 0, 0), (ApiLeaveGroup, 0, 0))) { (b, k) =>
       b.int16(k._1); b.int16(k._2); b.int16(k._3)
     }
     w.toBytes
@@ -550,14 +557,31 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
   private def offsetCommitV2(version: Int, r: Reader): Array[Byte] = {
     require(version == 2, s"OffsetCommit v$version unsupported")
     val group = r.string()
-    r.int32(); r.string(); r.int64() // generation, member, retention
+    val generation = r.int32()
+    val memberId = r.string()
+    r.int64() // retention
     val req = r.array { t =>
       (t.string(), t.array(p => (p.int32(), p.int64(), p.nullableString())))
     }
     // the real contract: a broker that does not coordinate this group
     // refuses the commit — clients must FindCoordinator and route there
     val mine = coordinatorFor(group)._1 == nodeId
-    if (mine) req.foreach { case (topic, parts) =>
+    // member-identity fencing: a commit carrying a STALE generation (a
+    // zombie consumer past a rebalance) must not clobber the new owner's
+    // progress; generation -1 = the standalone simple-consumer path
+    val memberErr: Short =
+      if (!mine) ErrNotCoordinator
+      else if (generation < 0) ErrNone
+      else {
+        val g = groups.get(group)
+        if (g == null) ErrUnknownMemberId
+        else g.synchronized {
+          if (!g.members.contains(memberId)) ErrUnknownMemberId
+          else if (generation != g.generation) ErrIllegalGeneration
+          else ErrNone
+        }
+      }
+    if (memberErr == ErrNone) req.foreach { case (topic, parts) =>
       parts.foreach { case (p, off, _) =>
         groupOffsets.put((group, topic, p), off)
       }
@@ -565,8 +589,7 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
     val w = new Writer()
     w.array(req) { (b, tr) =>
       b.string(tr._1)
-      b.array(tr._2)((pb, pr) => { pb.int32(pr._1)
-        pb.int16(if (mine) ErrNone else ErrNotCoordinator) })
+      b.array(tr._2)((pb, pr) => { pb.int32(pr._1); pb.int16(memberErr.toInt) })
     }
     w.toBytes
   }
@@ -588,6 +611,160 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
       }
     }
     w.toBytes
+  }
+
+  // ---- group coordinator: membership + rebalance (JoinGroup et al.) ----
+
+  private final class MemberInfo {
+    var meta: Array[Byte] = Array.emptyByteArray
+    var rejoined = false // has joined the CURRENT rebalance round
+  }
+  /** One group's coordinator state. The lifecycle is the real one:
+    * Empty → PreparingRebalance (join barrier: every known member must
+    * rejoin, no-shows evicted at the rebalance timeout) → AwaitingSync
+    * (leader computes assignments client-side) → Stable. */
+  private final class GroupState {
+    var generation = 0
+    var state = "Empty"
+    val members = scala.collection.mutable.LinkedHashMap[String, MemberInfo]()
+    var leader = ""
+    var assignments = Map[String, Array[Byte]]()
+    var nextId = 0
+  }
+  private val groups = new ConcurrentHashMap[String, GroupState]()
+  private def groupState(g: String): GroupState =
+    groups.computeIfAbsent(g, _ => new GroupState)
+
+  /** Current member ids of a group (assertion surface). */
+  def groupMembers(group: String): Seq[String] = {
+    val g = groups.get(group)
+    if (g == null) Nil else g.synchronized { g.members.keys.toSeq }
+  }
+
+  private def joinGroupV0(version: Int, r: Reader): Array[Byte] = {
+    require(version == 0, s"JoinGroup v$version unsupported")
+    val group = r.string()
+    r.int32() // session timeout (liveness eviction is out of test scope)
+    val memberIdIn = r.string()
+    r.string() // protocol type ("consumer")
+    val protos = r.array(p => (p.string(), p.nullableBytes()))
+    def respond(err: Short, gen: Int, leader: String, mid: String,
+                members: Seq[(String, Array[Byte])]): Array[Byte] = {
+      val w = new Writer().int16(err).int32(gen).string("range")
+        .string(leader).string(mid)
+      w.array(members) { (b, m) => b.string(m._1); b.nullableBytes(m._2) }
+      w.toBytes
+    }
+    if (coordinatorFor(group)._1 != nodeId)
+      return respond(ErrNotCoordinator, -1, "", "", Nil)
+    val g = groupState(group)
+    g.synchronized {
+      if (memberIdIn.nonEmpty && !g.members.contains(memberIdIn))
+        return respond(ErrUnknownMemberId, -1, "", "", Nil)
+      val mid =
+        if (memberIdIn.nonEmpty) memberIdIn
+        else { g.nextId += 1; s"$group-member-${g.nextId}" }
+      val info = g.members.getOrElseUpdate(mid, new MemberInfo)
+      info.meta = protos.headOption.map(_._2).getOrElse(Array.emptyByteArray)
+      info.rejoined = true
+      g.state = "PreparingRebalance"
+      g.notifyAll()
+      // the JOIN BARRIER: block until every known member rejoined this
+      // round; members that never show are EVICTED at the deadline (the
+      // crashed-consumer rebalance)
+      val deadline = System.currentTimeMillis() + rebalanceTimeoutMs
+      while (g.state == "PreparingRebalance" &&
+        g.members.values.exists(!_.rejoined) &&
+        System.currentTimeMillis() < deadline) g.wait(25)
+      if (g.state == "PreparingRebalance") {
+        g.members.filterInPlace((_, m) => m.rejoined) // evict no-shows
+        g.generation += 1
+        g.leader = g.members.keys.head
+        g.assignments = Map.empty
+        g.state = "AwaitingSync"
+        g.members.values.foreach(_.rejoined = false)
+        g.notifyAll()
+      }
+      respond(ErrNone, g.generation, g.leader, mid,
+        if (mid == g.leader) g.members.toSeq.map { case (id, m) => (id, m.meta) }
+        else Nil)
+    }
+  }
+
+  private def syncGroupV0(version: Int, r: Reader): Array[Byte] = {
+    require(version == 0, s"SyncGroup v$version unsupported")
+    val group = r.string()
+    val generation = r.int32()
+    val memberId = r.string()
+    val asgn = r.array(a => (a.string(), a.nullableBytes()))
+    def respond(err: Short, assignment: Array[Byte]): Array[Byte] =
+      new Writer().int16(err).nullableBytes(assignment).toBytes
+    if (coordinatorFor(group)._1 != nodeId)
+      return respond(ErrNotCoordinator, null)
+    val g = groupState(group)
+    g.synchronized {
+      if (!g.members.contains(memberId)) respond(ErrUnknownMemberId, null)
+      else if (generation != g.generation) respond(ErrIllegalGeneration, null)
+      else {
+        if (memberId == g.leader && asgn.nonEmpty) {
+          g.assignments = asgn.toMap
+          g.state = "Stable"
+          g.notifyAll()
+        }
+        val deadline = System.currentTimeMillis() + rebalanceTimeoutMs
+        while (g.state == "AwaitingSync" &&
+          System.currentTimeMillis() < deadline) g.wait(25)
+        // a NEW join may have restarted the dance while we waited — the
+        // member must rejoin rather than run on a stale assignment
+        if (g.state == "Stable" && generation == g.generation)
+          respond(ErrNone, g.assignments.getOrElse(memberId, Array.emptyByteArray))
+        else respond(ErrRebalanceInProgress, null)
+      }
+    }
+  }
+
+  private def heartbeatV0(version: Int, r: Reader): Array[Byte] = {
+    require(version == 0, s"Heartbeat v$version unsupported")
+    val group = r.string()
+    val generation = r.int32()
+    val memberId = r.string()
+    val err: Short =
+      if (coordinatorFor(group)._1 != nodeId) ErrNotCoordinator
+      else {
+        val g = groupState(group)
+        g.synchronized {
+          if (!g.members.contains(memberId)) ErrUnknownMemberId
+          else if (generation != g.generation) ErrIllegalGeneration
+          else if (g.state != "Stable") ErrRebalanceInProgress
+          else ErrNone
+        }
+      }
+    new Writer().int16(err).toBytes
+  }
+
+  private def leaveGroupV0(version: Int, r: Reader): Array[Byte] = {
+    require(version == 0, s"LeaveGroup v$version unsupported")
+    val group = r.string()
+    val memberId = r.string()
+    val err: Short =
+      if (coordinatorFor(group)._1 != nodeId) ErrNotCoordinator
+      else {
+        val g = groupState(group)
+        g.synchronized {
+          if (g.members.remove(memberId).isEmpty) ErrUnknownMemberId
+          else {
+            if (g.members.isEmpty) g.state = "Empty"
+            else {
+              // remaining members discover via heartbeat and rejoin
+              g.state = "PreparingRebalance"
+              g.members.values.foreach(_.rejoined = false)
+            }
+            g.notifyAll()
+            ErrNone
+          }
+        }
+      }
+    new Writer().int16(err).toBytes
   }
 
   /** Committed offset view for assertions. */

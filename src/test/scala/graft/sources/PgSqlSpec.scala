@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden lock on the K4 Postgres-dialect SQL text — byte-exact against
+  * the reference's generator (`postgresclient/sql.go:143-265`) for the
+  * reference's DEFAULT column set, so the emitted statements are the
+  * literal strings a real electrician deployment's Postgres logs show. */
+class PgSqlSpec extends AnyFunSuite {
+
+  private val defaults = PgSql.WriterConfig()
+
+  test("insert columns follow the reference's fixed declaration order " +
+    "and optional columns drop out when unset") {
+    assert(PgSql.insertColumns(defaults) === Seq("id", "created_at",
+      "payload", "trace_id", "payload_encrypted", "metadata",
+      "content_type", "payload_type", "payload_encoding"))
+    assert(PgSql.insertColumns(defaults.copy(columnTraceId = "",
+      columnMetadata = "", columnPayloadEncoding = "")) ===
+      Seq("id", "created_at", "payload", "payload_encrypted",
+        "content_type", "payload_type"))
+  }
+
+  test("single-row insert SQL is byte-exact (no-space column joins, $n " +
+    "placeholders)") {
+    assert(PgSql.insertSql(defaults) ===
+      "INSERT INTO electrician_events (id,created_at,payload,trace_id," +
+        "payload_encrypted,metadata,content_type,payload_type," +
+        "payload_encoding) VALUES ($1,$2,$3,$4,$5,$6,$7,$8,$9)")
+  }
+
+  test("upsert clause: ON CONFLICT with bare-comma keys, EXCLUDED update " +
+    "pairs comma-space joined, id/created_at excluded by default") {
+    val up = defaults.copy(upsert = true, upsertConflictColumns = Seq("id"))
+    assert(PgSql.insertSql(up) ===
+      "INSERT INTO electrician_events (id,created_at,payload,trace_id," +
+        "payload_encrypted,metadata,content_type,payload_type," +
+        "payload_encoding) VALUES ($1,$2,$3,$4,$5,$6,$7,$8,$9)" +
+        " ON CONFLICT (id) DO UPDATE SET payload=EXCLUDED.payload, " +
+        "trace_id=EXCLUDED.trace_id, payload_encrypted=EXCLUDED.payload_encrypted, " +
+        "metadata=EXCLUDED.metadata, content_type=EXCLUDED.content_type, " +
+        "payload_type=EXCLUDED.payload_type, payload_encoding=EXCLUDED.payload_encoding")
+    // explicit update columns override the default set verbatim
+    assert(PgSql.insertSql(up.copy(upsertUpdateColumns = Seq("payload", "metadata")))
+      .endsWith(" ON CONFLICT (id) DO UPDATE SET payload=EXCLUDED.payload, " +
+        "metadata=EXCLUDED.metadata"))
+    // multi-column conflict target joins bare-comma, like the reference
+    assert(PgSql.insertSql(up.copy(upsertConflictColumns = Seq("id", "trace_id")))
+      .contains(" ON CONFLICT (id,trace_id) DO UPDATE SET "))
+    // upsert=true without conflict columns emits NO clause (the Go guard)
+    assert(PgSql.insertSql(defaults.copy(upsert = true)) ===
+      PgSql.insertSql(defaults))
+  }
+
+  test("batch insert SQL runs one $n index across row tuples joined " +
+    "comma-space") {
+    val cfg = PgSql.WriterConfig(table = "t", columnTraceId = "",
+      columnPayloadEncrypted = "", columnMetadata = "",
+      columnContentType = "", columnPayloadType = "",
+      columnPayloadEncoding = "",
+      upsert = true, upsertConflictColumns = Seq("id"))
+    assert(PgSql.insertBatchSql(cfg, 3) ===
+      "INSERT INTO t (id,created_at,payload) VALUES " +
+        "($1,$2,$3), ($4,$5,$6), ($7,$8,$9)" +
+        " ON CONFLICT (id) DO UPDATE SET payload=EXCLUDED.payload")
+    intercept[IllegalArgumentException](PgSql.insertBatchSql(cfg, 0))
+  }
+
+  test("staging-sourced Postgres upsert (the foreachBatch dialect branch) " +
+    "locks its text next to the ANSI MERGE twin") {
+    assert(PgSql.upsertFromStagingSql("events_latest", "events_stage",
+      Seq("user_id"), Seq("user_id", "ts", "status")) ===
+      """INSERT INTO "events_latest" ("user_id","ts","status") """ +
+        """SELECT "user_id","ts","status" FROM "events_stage"""" +
+        """ ON CONFLICT ("user_id") DO UPDATE SET "ts"=EXCLUDED."ts", """ +
+        """"status"=EXCLUDED."status"""")
+    // the MERGE twin still generates its own locked grammar (JdbcE2eSpec
+    // runs it live on Derby); both dialects share the quoting rules
+    assert(Sources.mergeUpsertSql("EVENTS_LATEST", "EVENTS_STAGE",
+      Seq("user_id"), Seq("user_id", "ts", "status")) ===
+      """MERGE INTO "EVENTS_LATEST" t USING "EVENTS_STAGE" s """ +
+        """ON t."user_id" = s."user_id" """ +
+        """WHEN MATCHED THEN UPDATE SET "ts" = s."ts", "status" = s."status" """ +
+        """WHEN NOT MATCHED THEN INSERT ("user_id", "ts", "status") """ +
+        """VALUES (s."user_id", s."ts", s."status")""")
+  }
+}
