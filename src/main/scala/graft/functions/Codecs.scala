@@ -167,7 +167,8 @@ object Codecs {
       try w.write(bytes) finally w.close()
       out.toByteArray
     case CompressBrotli => throw new UnsupportedOperationException(
-      "brotli is not available on this classpath — use deflate/snappy/zstd/lz4")
+      "brotli encoding is not implemented — this engine DECODES brotli " +
+        "(RFC 7932, graft.functions.Brotli) but seals with deflate/snappy/zstd/lz4")
     case other => throw new IllegalArgumentException(s"unknown compression algorithm id $other")
   }
 
@@ -211,8 +212,11 @@ object Codecs {
         }
         out.toByteArray
       } finally in.close()
-    case CompressBrotli => throw new UnsupportedOperationException(
-      "brotli is not available on this classpath — use deflate/snappy/zstd/lz4")
+    case CompressBrotli =>
+      // the from-scratch RFC 7932 decoder (closing the last codec arm,
+      // enum 4): cap enforced DURING inflation — brotli frames declare no
+      // content size, so the bound is a streaming check like lz4's
+      Brotli.decode(bytes, maxOut)
     case other => throw new IllegalArgumentException(s"unknown compression algorithm id $other")
   }
 

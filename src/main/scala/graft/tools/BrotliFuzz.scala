@@ -1,0 +1,38 @@
+package graft.tools
+
+/** Bulk ground-truth check for the from-scratch RFC 7932 decoder:
+  * decode every `<name>.br` in a directory and byte-compare against its
+  * `<name>.raw` sibling. The committed `golden/brotli` vectors run in
+  * BrotliSpec; this main exists for the BIG sweep — `tools/
+  * fuzz_brotli.py` generates thousands of reference-encoder vectors
+  * (libbrotlienc, every quality × window × input shape) into /tmp and
+  * this replays them. */
+object BrotliFuzz {
+  def main(args: Array[String]): Unit = {
+    val dir = new java.io.File(args.headOption.getOrElse("golden/brotli"))
+    var pass = 0
+    var fail = 0
+    dir.listFiles().filter(_.getName.endsWith(".br")).sortBy(_.getName)
+      .foreach { f =>
+        val name = f.getName.stripSuffix(".br")
+        val raw = java.nio.file.Files.readAllBytes(
+          new java.io.File(dir, s"$name.raw").toPath)
+        val br = java.nio.file.Files.readAllBytes(f.toPath)
+        try {
+          val got = graft.functions.Brotli.decode(br)
+          if (java.util.Arrays.equals(got, raw)) pass += 1
+          else {
+            fail += 1
+            val i = got.zip(raw).indexWhere(p => p._1 != p._2)
+            println(s"MISMATCH $name: got ${got.length} want ${raw.length} " +
+              s"firstDiff=$i got[i]=${if (i >= 0 && i < got.length) got(i) else -1} " +
+              s"want[i]=${if (i >= 0 && i < raw.length) raw(i) else -1}")
+          }
+        } catch {
+          case e: Throwable => fail += 1; println(s"ERROR $name: $e")
+        }
+      }
+    println(s"brotli check: $pass pass, $fail fail")
+    if (fail > 0) sys.exit(1)
+  }
+}

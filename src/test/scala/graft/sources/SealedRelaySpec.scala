@@ -57,11 +57,23 @@ class SealedRelaySpec extends SparkSpec {
     assert(SealedRelay.unwrap(legacyFlags, payload, None).toSeq == body.toSeq)
   }
 
-  test("brotli and unknown algorithm ids are rejected loudly in both directions") {
+  test("brotli is decode-only (r12): seal refuses, a reference-encoder " +
+    "frame unwraps, garbage claiming brotli fails loudly; unknown ids too") {
     val c = graft.functions.Codecs
     val body = "x".getBytes(UTF_8)
+    // the engine never SEALS with brotli (deflate/snappy/zstd/lz4 do)
     intercept[UnsupportedOperationException] { SealedRelay.seal(body, c.CompressBrotli, None) }
-    intercept[UnsupportedOperationException] {
+    // ...but a brotli-sealed payload from a reference peer OPENS: the
+    // golden frame was produced by the reference encoder (q11)
+    val br = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("golden/brotli/hello_q11.br"))
+    val raw = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("golden/brotli/hello_q11.raw"))
+    assert(SealedRelay.unwrap(
+      SealedRelay.flagsFor(c.CompressBrotli, encrypted = false), br, None)
+      .toSeq == raw.toSeq)
+    // hostile bytes claiming brotli fail the decoder, never crash past it
+    intercept[java.io.IOException] {
       SealedRelay.unwrap(SealedRelay.flagsFor(c.CompressBrotli, encrypted = false), body, None)
     }
     intercept[IllegalArgumentException] {

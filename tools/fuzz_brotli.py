@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Generate a large brotli ground-truth corpus with libbrotlienc for
+graft.tools.BrotliFuzz: every quality x assorted windows x input shapes.
+Usage: python3 tools/fuzz_brotli.py /tmp/brotli_fuzz [n_random]"""
+import ctypes, os, random, sys
+
+enc = ctypes.CDLL("/usr/lib/x86_64-linux-gnu/libbrotlienc.so.1")
+enc.BrotliEncoderCompress.restype = ctypes.c_int
+
+def compress(data, quality, lgwin):
+    out_len = ctypes.c_size_t(len(data) * 2 + 1024)
+    out = ctypes.create_string_buffer(out_len.value)
+    ok = enc.BrotliEncoderCompress(quality, lgwin, 0, len(data), data,
+                                   ctypes.byref(out_len), out)
+    assert ok == 1
+    return out.raw[:out_len.value]
+
+out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/brotli_fuzz"
+n_random = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+os.makedirs(out_dir, exist_ok=True)
+random.seed(int(sys.argv[3]) if len(sys.argv) > 3 else 4242)
+
+WORDS = ("the of and to in for information people work time public world "
+         "development because different available document software license "
+         "university performance description about over under their would").split()
+
+def gen_input(kind, size):
+    if kind == 0:
+        return bytes(random.getrandbits(8) for _ in range(size))
+    if kind == 1:
+        unit = bytes(random.getrandbits(8) for _ in range(random.randint(1, 40)))
+        return (unit * (size // max(1, len(unit)) + 1))[:size]
+    if kind == 2:
+        s = []
+        while sum(len(w) + 1 for w in s) < size:
+            s.append(random.choice(WORDS))
+        return (" ".join(s)).encode()[:size]
+    if kind == 3:
+        rows = []
+        i = 0
+        while sum(len(r) + 1 for r in rows) < size:
+            rows.append('{"id":%d,"v":"%s"}' % (i, random.choice(WORDS)))
+            i += 1
+        return ("\n".join(rows)).encode()[:size]
+    if kind == 4:  # utf-8 heavy
+        s = "élève 世界 naïve Добро ".encode()
+        return (s * (size // len(s) + 1))[:size]
+    # mixed: text with random binary islands
+    a = gen_input(2, size // 2)
+    b = gen_input(0, size - len(a))
+    return a + b
+
+count = 0
+for q in range(0, 12):
+    for w in (10, 11, 14, 18, 22, 24):
+        for kind in range(6):
+            for size in (0, 1, 2, 7, 64, 700, 5000, 70000):
+                if size == 0 and kind > 0:
+                    continue
+                data = gen_input(kind, size)
+                name = f"q{q}_w{w}_k{kind}_s{size}"
+                open(f"{out_dir}/{name}.raw", "wb").write(data)
+                open(f"{out_dir}/{name}.br", "wb").write(compress(data, q, w))
+                count += 1
+# plus pure-random fuzz cases
+for i in range(n_random):
+    q = random.randint(0, 11)
+    w = random.randint(10, 24)
+    kind = random.randint(0, 5)
+    size = random.randint(0, 200000)
+    data = gen_input(kind, size)
+    name = f"r{i}_q{q}_w{w}_k{kind}_s{size}"
+    open(f"{out_dir}/{name}.raw", "wb").write(data)
+    open(f"{out_dir}/{name}.br", "wb").write(compress(data, q, w))
+    count += 1
+print(f"wrote {count} vector pairs to {out_dir}")

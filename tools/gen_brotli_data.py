@@ -1,0 +1,156 @@
+#!/usr/bin/env python3
+"""Extract the RFC 7932 PUBLIC data tables from the system's BSD-licensed
+libbrotli (the same bytes printed in the RFC's appendices) into committed
+resources for the from-scratch Scala decoder, and generate golden
+compressed vectors with libbrotlienc as decode ground truth.
+
+Outputs:
+  src/main/resources/graft/brotli/dictionary.bin  (RFC 7932 Appendix A,
+      122,784 bytes, md5 96cecd2ee7a666d5aa3627d74735b32a)
+  src/main/resources/graft/brotli/transforms.bin  (Appendix B: 121 of
+      u8 prefixLen, prefix, u8 op, u8 suffixLen, suffix; op: 0=identity,
+      1=ferment-first, 2=ferment-all, 10+k=omit-first-k, 20+k=omit-last-k)
+  src/main/resources/graft/brotli/context.bin     (the 2048-byte literal
+      context lookup table, 4 modes x (256 LUT0 + 256 LUT1))
+  golden/brotli/<name>.raw + <name>.br            (decode test vectors)
+
+Also prints the 26-entry block-length code table and the dictionary
+size_bits_by_length for the Scala constants.
+"""
+import ctypes, struct, hashlib, os, sys
+
+LIB = "/usr/lib/x86_64-linux-gnu"
+common = ctypes.CDLL(f"{LIB}/libbrotlicommon.so.1")
+enc = ctypes.CDLL(f"{LIB}/libbrotlienc.so.1")
+
+root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+res = os.path.join(root, "src/main/resources/graft/brotli")
+gold = os.path.join(root, "golden/brotli")
+os.makedirs(res, exist_ok=True)
+os.makedirs(gold, exist_ok=True)
+
+# ---- dictionary ----
+common.BrotliGetDictionary.restype = ctypes.c_void_p
+dptr = common.BrotliGetDictionary()
+raw = bytes((ctypes.c_uint8 * 256).from_address(dptr))
+size_bits = list(raw[0:25])
+offsets = struct.unpack_from("<32I", raw, 32)[:25]
+data_size = struct.unpack_from("<Q", raw, 160)[0]
+data_ptr = struct.unpack_from("<Q", raw, 168)[0]
+assert data_size == 122784, data_size
+dictionary = ctypes.string_at(data_ptr, data_size)
+assert hashlib.md5(dictionary).hexdigest() == "96cecd2ee7a666d5aa3627d74735b32a"
+open(f"{res}/dictionary.bin", "wb").write(dictionary)
+print("size_bits_by_length =", size_bits)
+print("offsets_by_length =", list(offsets))
+
+# ---- transforms (inferred empirically per id) ----
+common.BrotliGetTransforms.restype = ctypes.c_void_p
+tptr = common.BrotliGetTransforms()
+nt = struct.unpack_from("<I", bytes((ctypes.c_uint8 * 64).from_address(tptr)), 24)[0]
+assert nt == 121, nt
+common.BrotliTransformDictionaryWord.restype = ctypes.c_int
+
+def apply_t(word, idx):
+    dst = ctypes.create_string_buffer(len(word) + 64)
+    n = common.BrotliTransformDictionaryWord(dst, word, len(word),
+                                             ctypes.c_void_p(tptr), idx)
+    return dst.raw[:n]
+
+def ferment_first(w):
+    return (bytes([w[0] ^ 32]) + w[1:]) if 97 <= w[0] <= 122 else w
+
+def ferment_all(w):
+    return bytes(b ^ 32 if 97 <= b <= 122 else b for b in w)
+
+W1, W2 = b"abcdefghij", b"qrstuvwxyz"
+def candidates(w):
+    out = [(0, w), (1, ferment_first(w)), (2, ferment_all(w))]
+    for k in range(1, 10):
+        out.append((10 + k, w[k:]))   # omit first k
+        out.append((20 + k, w[:-k]))  # omit last k
+    return out
+
+transforms = []
+for i in range(nt):
+    o1, o2 = apply_t(W1, i), apply_t(W2, i)
+    found = None
+    for (op, m1) in candidates(W1):
+        m2 = dict(candidates(W2))[op]
+        # prefix/suffix must be identical across both probe words
+        p = o1.find(m1)
+        while p >= 0:
+            pre, suf = o1[:p], o1[p + len(m1):]
+            if o2 == pre + m2 + suf:
+                found = (pre, op, suf)
+                break
+            p = o1.find(m1, p + 1)
+        if found:
+            break
+    assert found is not None, (i, o1, o2)
+    transforms.append(found)
+
+with open(f"{res}/transforms.bin", "wb") as f:
+    for (pre, op, suf) in transforms:
+        f.write(bytes([len(pre)]) + pre + bytes([op, len(suf)]) + suf)
+print("transforms:", len(transforms),
+      "identity-id:", [i for i, t in enumerate(transforms) if t == (b"", 0, b"")])
+
+# ---- context lookup table (4 modes x 512) ----
+ctx0 = ctypes.c_uint8.in_dll(common, "_kBrotliContextLookupTable")
+context = ctypes.string_at(ctypes.addressof(ctx0), 2048)
+open(f"{res}/context.bin", "wb").write(context)
+print("context md5:", hashlib.md5(context).hexdigest())
+
+# ---- block-length prefix code ranges ----
+blr0 = ctypes.c_uint8.in_dll(common, "_kBrotliPrefixCodeRanges")
+blr = ctypes.string_at(ctypes.addressof(blr0), 26 * 4)
+ranges = [(struct.unpack_from("<H", blr, i * 4)[0], blr[i * 4 + 2])
+          for i in range(26)]
+print("block_len offsets =", [r[0] for r in ranges])
+print("block_len nbits   =", [r[1] for r in ranges])
+
+# ---- golden vectors ----
+enc.BrotliEncoderCompress.restype = ctypes.c_int
+def compress(data, quality, lgwin):
+    out_len = ctypes.c_size_t(len(data) * 2 + 1024)
+    out = ctypes.create_string_buffer(out_len.value)
+    ok = enc.BrotliEncoderCompress(quality, lgwin, 0, len(data), data,
+                                   ctypes.byref(out_len), out)
+    assert ok == 1
+    return out.raw[:out_len.value]
+
+import random
+random.seed(12)
+vectors = {
+    "empty": (b"", 5, 22),
+    "hello_q1": (b"hello hello hello hello hello brotli", 1, 22),
+    "hello_q11": (b"hello hello hello hello hello brotli", 11, 22),
+    # dictionary-heavy english (static dictionary + transforms fire)
+    "english_q9": ((b"The time of the people and the work of the public "
+                    b"information about the development of the world. "
+                    b"This description was not available for download, "
+                    b"because the software license requires attribution "
+                    b"and the documentation includes different languages. ") * 3, 9, 22),
+    "english_q11": ((b"Because there were different versions of the same "
+                     b"document available through the university, students "
+                     b"received information during the performance. ") * 5, 11, 24),
+    # structured json-ish (the relay's actual payload shape)
+    "ndjson_q5": (("\n".join('{"id":%d,"name":"rec%d","status":"%s"}' %
+                             (i, i, "active" if i % 3 else "deleted")
+                             for i in range(200))).encode(), 5, 22),
+    # random bytes (incompressible -> uncompressed meta-blocks)
+    "random_q5": (bytes(random.getrandbits(8) for _ in range(4096)), 5, 22),
+    # long repetitive (backward refs + ring distances)
+    "repeat_q7": ((b"abcdefgh" * 700 + b"XYZ" + b"abcdefgh" * 300), 7, 18),
+    # small window forces wrap-around distances
+    "smallwin_q6": ((b"0123456789" * 500), 6, 10),
+    # utf-8 text (UTF8 context mode at high quality)
+    "utf8_q11": (("élève 世界 naïve " * 40).encode(), 11, 22),
+}
+for name, (data, q, w) in vectors.items():
+    open(f"{gold}/{name}.raw", "wb").write(data)
+    br = compress(data, q, w)
+    open(f"{gold}/{name}.br", "wb").write(br)
+    print(f"golden {name}: {len(data)} -> {len(br)} bytes (q{q} w{w})")
+print("OK")
