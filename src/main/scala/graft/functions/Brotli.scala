@@ -163,19 +163,33 @@ object Brotli {
     /** Discard to the next byte boundary (uncompressed blocks, §9.1). */
     def alignToByte(): Unit = { val r = bitCnt & 7; if (r != 0) skip(r) }
 
-    /** Copy `n` raw bytes (caller has aligned). */
-    def rawBytes(n: Int, out: java.io.ByteArrayOutputStream): Unit = {
-      var left = n
-      while (left > 0 && bitCnt > 0) { // drain whole buffered bytes first
-        out.write((bitBuf & 0xff).toInt)
-        bitBuf >>>= 8; bitCnt -= 8; left -= 1
+    /** Return `n` raw stream bytes (caller has aligned). */
+    def rawBytes(n: Int): Array[Byte] = {
+      val out = new Array[Byte](n)
+      var at = 0
+      while (at < n && bitCnt > 0) { // drain whole buffered bytes first
+        out(at) = (bitBuf & 0xff).toByte
+        bitBuf >>>= 8; bitCnt -= 8; at += 1
       }
+      val left = n - at
       if (left > 0) {
         if (bytePos + left > data.length)
           throw new IOException("brotli: truncated uncompressed block")
-        out.write(data, bytePos, left)
+        System.arraycopy(data, bytePos, out, at, left)
         bytePos += left
       }
+      out
+    }
+
+    /** Skip `n` raw stream bytes without buffering them (metadata
+      * meta-blocks may declare up to 2^24 discarded bytes — a throwaway
+      * allocation that size is the wrong shape). */
+    def skipBytes(n: Int): Unit = {
+      var left = n
+      while (left > 0 && bitCnt > 0) { bitBuf >>>= 8; bitCnt -= 8; left -= 1 }
+      if (bytePos + left > data.length)
+        throw new IOException("brotli: truncated metadata block")
+      bytePos += left
     }
   }
 
@@ -491,8 +505,7 @@ object Brotli {
             throw new IOException("brotli: zero-padded MSKIPLEN")
           if (mskipBytes > 0) mskip += 1
           bits.alignToByte()
-          val sink = new java.io.ByteArrayOutputStream()
-          bits.rawBytes(mskip, sink)
+          bits.skipBytes(mskip)
         } else {
           var mlen = 0
           var lastNibble = 0
@@ -507,22 +520,23 @@ object Brotli {
             bits.alignToByte()
             if (outLen + mlen > maxOut)
               throw new IOException(s"brotli: output exceeds $maxOut")
-            val sink = new java.io.ByteArrayOutputStream(mlen)
-            bits.rawBytes(mlen, sink)
-            emitAll(sink.toByteArray)
+            emitAll(bits.rawBytes(mlen))
           } else {
             decodeCompressedBlock(bits, mlen, maxBackward, distRb,
               () => distRbIdx, v => distRbIdx = v,
               () => outLen, emit, emitAll,
               (dist, len) => { // in-window copy (may overlap)
+                // cap BEFORE growing/filling: the bound is enforced
+                // DURING inflation, so a hostile 16 MiB copy command at
+                // the cap edge never provokes the allocation it names
+                if (outLen + len > maxOut)
+                  throw new IOException(s"brotli: output exceeds $maxOut")
                 ensure(len)
                 var k = 0
                 while (k < len) {
                   outBuf(outLen) = outBuf(outLen - dist)
                   outLen += 1; k += 1
                 }
-                if (outLen > maxOut)
-                  throw new IOException(s"brotli: output exceeds $maxOut")
               },
               i => outBuf(i))
           }
@@ -658,7 +672,12 @@ object Brotli {
           distRb(getRbIdx() & 3) = distance.toInt
           setRbIdx(getRbIdx() + 1)
         }
-        if (produced + copyLen > mlen) copyLen = mlen - produced // never past MLEN
+        // a copy overshooting MLEN is a FORMAT error (the reference's
+        // BLOCK_LENGTH check) — silently truncating would pass corrupt
+        // streams as shorter valid ones, and brotli has no checksum to
+        // catch the divergence downstream
+        if (produced + copyLen > mlen)
+          throw new IOException("brotli: copy past MLEN")
         if (copyLen > 0) {
           copy(distance.toInt, copyLen)
           produced += copyLen

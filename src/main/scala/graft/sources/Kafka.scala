@@ -110,6 +110,10 @@ object Kafka {
                   maxBytes: Int = 1 << 20, maxWaitMs: Int = 500,
                   minBytes: Int = 1,
                   readCommitted: Boolean = false): (Long, Seq[KRecord])
+    /** The LAST STABLE OFFSET: the first offset still claimed by an open
+      * transaction (log end when none). What a read_committed consumer's
+      * "no more data" actually means — undecided, not absent. */
+    def lastStable(topic: String, partition: Int): Long
     def listOffset(topic: String, partition: Int, ts: Long): Long
     def produce(topic: String, partition: Int, recordSet: Array[Byte],
                 timeoutMs: Int = 30000, transactionalId: String = null): Long
@@ -396,6 +400,13 @@ object Kafka {
           else batches.filterNot(_.isControl).flatMap(_.records)
         (next, recs.filter(_.offset >= offset))
       }
+    }
+
+    /** Last stable offset via a read_committed fetch's response field. */
+    def lastStable(topic: String, partition: Int): Long = {
+      // fetch at the log start with maxWait 0: we only want the header
+      val start = listOffset(topic, partition, TsEarliest)
+      fetchRaw(topic, partition, start, 1, 0, 1, 1)._2
     }
 
     /** ListOffsets v1: earliest ([[KafkaProto.TsEarliest]]) or latest
@@ -728,7 +739,15 @@ object Kafka {
     // that reschedules keeps its node id but moves host/port, so identity
     // alone cannot decide whether a pooled socket is still the right one
     private var conns = Map[Int, ((String, Int), WireClient)]()
-    private var meta: ClusterMeta = boot.metadataCluster(null)
+    // a failing first metadata read must close the boot socket it just
+    // opened — the constructor is the only reference holder
+    private var meta: ClusterMeta =
+      try boot.metadataCluster(null)
+      catch {
+        case e: Throwable =>
+          try boot.close() catch { case _: Throwable => () }
+          throw e
+      }
 
     private def refresh(): Unit = {
       meta = viaBoot(_.metadataCluster(null))
@@ -834,11 +853,15 @@ object Kafka {
           case e: RebalanceInProgress => throw e
           case e: StaleMember => throw e
           case e: IOException =>
-            attempt += 1
-            if (attempt > retries) throw e
+            // drop the cached coordinator BEFORE deciding to rethrow: a
+            // caller that catches and re-enters (joinGroup's
+            // NOT_COORDINATOR loop) must get a fresh resolution, not the
+            // same stale socket
             coordConns.get((keyType, key)).foreach(c =>
               try c.close() catch { case _: Throwable => () })
             coordConns -= ((keyType, key))
+            attempt += 1
+            if (attempt > retries) throw e
         }
       }
       throw new IllegalStateException("unreachable")
@@ -863,6 +886,8 @@ object Kafka {
                   readCommitted: Boolean): (Long, Seq[KRecord]) =
       routed(topic, partition, retryIo = true)(_.fetchFrom(topic, partition,
         offset, maxBytes, maxWaitMs, minBytes, readCommitted))
+    def lastStable(topic: String, partition: Int): Long =
+      routed(topic, partition, retryIo = true)(_.lastStable(topic, partition))
     def listOffset(topic: String, partition: Int, ts: Long): Long =
       routed(topic, partition, retryIo = true)(_.listOffset(topic, partition, ts))
     def produce(topic: String, partition: Int, recordSet: Array[Byte],
@@ -891,12 +916,26 @@ object Kafka {
       groupRouted(group)(_.offsetCommitAs(group, generation, memberId, offsets))
     def offsetFetch(group: String, tps: Seq[(String, Int)]): Map[(String, Int), Long] =
       groupRouted(group)(_.offsetFetch(group, tps))
-    // membership rides the group coordinator, like offsets; a JoinGroup
-    // retried after a transport failure is safe (the coordinator answers
-    // the same member id a rejoin would)
+    // membership rides the group coordinator, like offsets — but with NO
+    // blind transport retry: a first join (empty member id) that times out
+    // inside the coordinator's rebalance barrier and is silently re-sent
+    // would allocate a GHOST member that every later rebalance waits on.
+    // A NOT_COORDINATOR answer is still re-resolved (the refused join
+    // allocated nothing); only transport failures surface to the caller,
+    // which owns join recovery (it knows whether it holds an id).
     def joinGroup(group: String, topics: Seq[String], memberId: String,
-                  sessionTimeoutMs: Int): JoinResult =
-      groupRouted(group)(_.joinGroup(group, topics, memberId, sessionTimeoutMs))
+                  sessionTimeoutMs: Int): JoinResult = {
+      var moved = 0
+      while (true) {
+        try return groupRouted(group, retries = 0)(
+          _.joinGroup(group, topics, memberId, sessionTimeoutMs))
+        catch {
+          // groupRouted already dropped the cached conn; re-resolve fresh
+          case e: NotCoordinator => moved += 1; if (moved > 2) throw e
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
     def syncGroup(group: String, generation: Int, memberId: String,
                   assignments: Map[String, Map[String, Seq[Int]]]): Map[String, Seq[Int]] =
       groupRouted(group)(_.syncGroup(group, generation, memberId, assignments))
@@ -953,14 +992,24 @@ object Kafka {
             val (recs, next) = fetchPage(c, s.topic, s.partition, off,
               s.end, maxFetchBytes, readCommitted = rc)
             if (next == off) {
-              // no progress below `end` means the range claim is stale
-              throw new IOException(s"no data at ${s.topic}/${s.partition}@$off < ${s.end}")
+              // read_committed: the planned end came from the LOG end, but
+              // an OPEN transaction holds the last stable offset below it —
+              // the tail is UNDECIDED, not missing; the committed-only
+              // snapshot legitimately stops here. If the LSO moved PAST the
+              // cursor since the empty fetch (the txn decided in between —
+              // a benign race), just loop and refetch; never throw under rc
+              if (rc) {
+                if (off >= c.lastStable(s.topic, s.partition)) off = s.end
+              }
+              // no progress below `end` otherwise = the range claim is stale
+              else throw new IOException(
+                s"no data at ${s.topic}/${s.partition}@$off < ${s.end}")
             }
             recs.foreach { r =>
               out += Row(r.key, r.value, s.topic, s.partition, r.offset,
                 new java.sql.Timestamp(r.timestamp))
             }
-            off = next
+            off = math.max(off, next) // the undecided-tail stop sticks
           }
           out.result()
         } finally c.close()
@@ -1044,13 +1093,23 @@ object Kafka {
     private val idem = idempotent || transactionalId.isDefined
     private val txnId: String = transactionalId.orNull
     private var c: Client = new LeaderClient(bootstrap)
+    // a throwing CONSTRUCTOR step must release the inner client — nobody
+    // else holds a reference to close, and Spark's task retry would leak
+    // one socket pool per attempt (the KafkaEpochWriter fence-client rule)
+    private def initOrClose[A](f: => A): A =
+      try f catch {
+        case e: Throwable =>
+          try c.close() catch { case _: Throwable => () }
+          throw e
+      }
     /** Partition count at open — the routing modulus for this instance. */
-    val nParts: Int = c.metadata(Seq(topic))(topic).size
+    val nParts: Int = initOrClose(c.metadata(Seq(topic)).getOrElse(topic,
+      throw new IOException(s"unknown topic $topic")).size)
     /** Transactional init FENCES every earlier holder of this id (epoch
       * bump) and ABORTS its dangling transaction — the zombie-attempt and
       * died-before-commit recoveries both start here. */
     private val (pid, epoch) =
-      if (idem) c.initProducerId(txnId) else (-1L, (-1).toShort)
+      if (idem) initOrClose(c.initProducerId(txnId)) else (-1L, (-1).toShort)
     private val seqs = new Array[Int](nParts)
     private val inTxn = new Array[Boolean](nParts) // AddPartitionsToTxn sent
     private var txnOpen = false
@@ -1112,17 +1171,34 @@ object Kafka {
 
     /** Stage consumer-group offsets INSIDE the open transaction (the
       * `sendOffsetsToTransaction` pattern): they apply atomically with
-      * the data at [[commitTxn]] — a crash in between leaves BOTH unseen. */
+      * the data at [[commitTxn]] — a crash in between leaves BOTH unseen.
+      *
+      * CONSTRAINT: `group` must share a coordinator with the
+      * transactional id (the DSv2 sink guarantees it by using ONE string
+      * for both). The full split-coordinator protocol needs
+      * AddOffsetsToTxn + a cross-broker marker write that this edge does
+      * not model; a mismatch surfaces as a typed error here rather than
+      * a retry-exhausted NOT_COORDINATOR loop. */
     def sendOffsets(group: String, offsets: Map[(String, Int), Long]): Unit = {
       require(txnId != null, "sendOffsets requires a transactional producer")
-      c.txnOffsetCommit(txnId, group, pid, epoch, offsets)
+      try c.txnOffsetCommit(txnId, group, pid, epoch, offsets)
+      catch {
+        case e: NotCoordinator => throw new IOException(
+          s"txn offsets for group '$group' need the same coordinator as " +
+            s"transactional id '$txnId' (use one name for both, like the " +
+            "DSv2 sink) — split coordinators are not modeled", e)
+      }
       txnOpen = true
     }
 
-    /** Commit the open transaction: the broker writes COMMIT markers to
-      * every registered partition and applies staged offsets, atomically. */
+    /** Commit the open transaction: buffered records FLUSH first (the
+      * real producer's commitTransaction contract — an unflushed add
+      * leaking into the NEXT transaction would silently break
+      * atomicity), then the broker writes COMMIT markers to every
+      * registered partition and applies staged offsets, atomically. */
     def commitTxn(): Unit = {
       require(txnId != null, "commitTxn requires a transactional producer")
+      flushAll()
       if (txnOpen) {
         c.endTxn(txnId, pid, epoch, commit = true)
         java.util.Arrays.fill(inTxn, false)
@@ -1130,12 +1206,20 @@ object Kafka {
       }
     }
 
-    /** Abort the open transaction (best effort — an unreachable broker
-      * aborts it anyway at the successor's InitProducerId). */
-    def abortTxn(): Unit = if (txnId != null && txnOpen) {
-      c.endTxn(txnId, pid, epoch, commit = false)
-      java.util.Arrays.fill(inTxn, false)
-      txnOpen = false
+    /** Abort the open transaction; buffered not-yet-produced records are
+      * DISCARDED (sending them would just widen the abort). Best effort —
+      * an unreachable broker aborts it anyway at the successor's
+      * InitProducerId. */
+    def abortTxn(): Unit = if (txnId != null) {
+      var p = 0
+      while (p < nParts) {
+        pending(p).clear(); pendingN(p) = 0; pendingB(p) = 0; p += 1
+      }
+      if (txnOpen) {
+        c.endTxn(txnId, pid, epoch, commit = false)
+        java.util.Arrays.fill(inTxn, false)
+        txnOpen = false
+      }
     }
 
     override def close(): Unit = c.close()
@@ -1257,7 +1341,13 @@ object Kafka {
       }
       pos = scala.collection.mutable.Map(next: _*)
     }
-    refreshAssignment()
+    try refreshAssignment()
+    catch {
+      // a throwing constructor leaks c otherwise (no caller can close it)
+      case e: Throwable =>
+        try c.close() catch { case _: Throwable => () }
+        throw e
+    }
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(spoolDir))
 
     /** Commit as the member identity when one exists — a zombie's commit
@@ -1366,12 +1456,18 @@ object Kafka {
     def positions: Map[Int, Long] = pos.toMap
 
     override def close(): Unit = {
-      if (commitMode == "auto")
-        commit(pos.map { case (p, o) => (topic, p) -> o }.toMap)
-      // leave AFTER the final commit: leaving first would rebalance and
-      // fence our own auto-commit
-      member.foreach(m => try m.leave() catch { case _: Exception => () })
-      c.close()
+      try {
+        // leave AFTER the final commit: leaving first would rebalance and
+        // fence our own auto-commit; a StaleMember here is the benign
+        // lost-the-rebalance race (the new owner re-reads from ITS commit
+        // and the spool dedupes), not a close() failure
+        if (commitMode == "auto")
+          try commit(pos.map { case (p, o) => (topic, p) -> o }.toMap)
+          catch { case _: StaleMember => () }
+      } finally {
+        member.foreach(m => try m.leave() catch { case _: Exception => () })
+        c.close()
+      }
     }
   }
 }

@@ -72,8 +72,13 @@ object S3 {
     val sb = new StringBuilder
     s.getBytes(UTF_8).foreach { b =>
       val c = (b & 0xff).toChar
-      if (c.isLetterOrDigit || c == '-' || c == '_' || c == '.' || c == '~' ||
-        (keepSlash && c == '/')) sb.append(c)
+      // byte-wise ASCII alnum ONLY: Char.isLetterOrDigit would pass raw
+      // Latin-1 letter bytes (0xC0-0xFF — i.e. UTF-8 continuation/lead
+      // bytes) through unencoded and break canonicalization for any
+      // non-ASCII key
+      val unreserved = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '-' || c == '_' || c == '.' || c == '~'
+      if (unreserved || (keepSlash && c == '/')) sb.append(c)
       else sb.append(f"%%${b & 0xff}%02X")
     }
     sb.result()
@@ -95,8 +100,11 @@ object S3 {
                          query: Seq[(String, String)],
                          headers: Seq[(String, String)],
                          payloadHash: String, amzDate: String): String = {
+    // AWS canonicalization: lowercase names, trim edges, AND collapse
+    // sequential inner whitespace — real S3 verifies against the
+    // collapsed form, so signing the raw value 403s any multi-space value
     val canonicalHeaders = headers.map { case (k, v) =>
-      (k.toLowerCase, v.trim)
+      (k.toLowerCase, v.trim.replaceAll("[ \t]+", " "))
     }.sortBy(_._1)
     val signedHeaders = canonicalHeaders.map(_._1).mkString(";")
     val canonicalRequest =
@@ -172,8 +180,14 @@ object S3 {
       val resp = request("GET", "", query, null, Nil)
       if (resp.statusCode() != 200)
         throw new S3HttpError(resp.statusCode(), "", new String(resp.body(), UTF_8))
-      val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-        .newDocumentBuilder()
+      // hardened parser: the XML comes from a NETWORK peer — a hostile or
+      // MITM'd endpoint must not get entity expansion (XXE file reads) or
+      // doctype tricks out of our listing parse
+      val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+      dbf.setExpandEntityReferences(false)
+      dbf.setXIncludeAware(false)
+      val doc = dbf.newDocumentBuilder()
         .parse(new java.io.ByteArrayInputStream(resp.body()))
       def texts(tag: String): Seq[String] = {
         val nl = doc.getElementsByTagName(tag)
@@ -241,6 +255,9 @@ object S3 {
             else throw new S3HttpError(resp.statusCode(), key,
               new String(resp.body(), UTF_8))
           } catch {
+            // a 4xx is a CALLER bug (bad signature, bad key): it must
+            // surface immediately, not burn the retry budget
+            case e: S3HttpError => throw e
             case _: java.io.IOException if attempt < maxAttempts => 599
           }
         if (!done) {
@@ -366,11 +383,26 @@ object S3 {
     private var n = 0
     private var bytes = 0L
 
+    // UTF-8 byte length without allocating the encoded array — the flush
+    // budget is a BYTE budget (the reference's), and char count would
+    // undercount non-ASCII payloads by up to 3x
+    private def utf8Len(s: String): Int = {
+      var i = 0
+      var len = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        len += (if (c < 0x80) 1 else if (c < 0x800) 2
+                else if (Character.isHighSurrogate(c)) { i += 1; 4 } else 3)
+        i += 1
+      }
+      len
+    }
+
     /** Returns the key flushed to, when this add crossed a budget. */
     def add(line: String): Option[String] = {
       buf += line
       n += 1
-      bytes += line.length + 1
+      bytes += utf8Len(line) + 1
       if (n >= maxRecords || bytes >= maxBytes) flush() else None
     }
 
@@ -393,20 +425,27 @@ object S3 {
 
   /** Distributed NDJSON read of every object under `prefix` (after
     * `startAfter`): the LISTING happens once driver-side (control-plane
-    * sized — keys only), then each Spark task GETs and decodes its own
-    * objects — at 1000 executors each pulls its own slice of the bucket,
-    * nothing funnels through the driver. Returns one `value` row per
-    * NDJSON line; decode with [[Sources.jsonLines]]. */
+    * sized — keys only), then each Spark task GETs and decodes its slice
+    * of the keys with ONE client — at 1000 executors each pulls its own
+    * slice of the bucket, nothing funnels through the driver. Returns
+    * one `value` row per NDJSON line; decode with [[Sources.jsonLines]]. */
   def readNdjson(spark: SparkSession, cfg: S3Config, prefix: String,
                  startAfter: String = "",
                  cseKey: Option[Array[Byte]] = None): DataFrame = {
     val keys = new S3Http(cfg).listAll(prefix, startAfter)
     import spark.implicits._
+    // task count tracks cluster parallelism, not key count: a JDK
+    // HttpClient (selector thread + pool, no close() before Java 21) is
+    // built ONCE per task and serves every key in its slice — a
+    // million-object sweep must not spin up a million clients
+    val parts = math.max(1, math.min(keys.size,
+      spark.sparkContext.defaultParallelism * 4))
     spark.sparkContext
-      .parallelize(keys, math.max(keys.size, 1))
-      .flatMap { key =>
+      .parallelize(keys, parts)
+      .mapPartitions { it =>
         // executor-side client from the serializable config
-        decodeNdjson(new S3Http(cfg).getObject(key), cseKey)
+        val http = new S3Http(cfg)
+        it.flatMap(key => decodeNdjson(http.getObject(key), cseKey))
       }.toDF("value")
   }
 }

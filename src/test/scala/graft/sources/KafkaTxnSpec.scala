@@ -182,6 +182,65 @@ class KafkaTxnSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("a read_committed batch read over a topic with an OPEN transaction " +
+    "returns the decided prefix instead of failing on the undecided tail") {
+    val broker = new MiniKafkaBroker(Map("ot" -> 1))
+    val boot = ("127.0.0.1", broker.boundPort)
+    try {
+      val plain = new Kafka.WireClient(boot._1, boot._2)
+      plain.produce("ot", 0, encodeRecordBatch(0L, Seq(
+        (1L, null: Array[Byte], "before".getBytes(UTF_8), Nil))))
+      // open (UNDECIDED) transactional data sits at the log tail
+      val open = new Kafka.BatchProducer(boot, "ot", 10, 1 << 20,
+        idempotent = true, transactionalId = Some("ot-open"))
+      open.add(null, "pending".getBytes(UTF_8))
+      open.flushAll() // acked but neither committed nor aborted
+      assert(plain.lastStable("ot", 0) === 1L)
+      // the split plans to the LOG end (2), but only offset 0 is decided:
+      // the committed snapshot stops at the LSO rather than erroring out
+      val rows = Kafka.read(spark, boot, "ot", readCommitted = true).collect()
+      assert(rows.map(r => new String(r.getAs[Array[Byte]]("value"), UTF_8))
+        .toSeq === Seq("before"))
+      // once decided, the same read sees the commit
+      open.commitTxn(); open.close()
+      assert(Kafka.read(spark, boot, "ot", readCommitted = true).count() === 2L)
+      plain.close()
+    } finally broker.close()
+  }
+
+  test("sendOffsets to a group on a DIFFERENT coordinator than the " +
+    "transactional id fails with the documented constraint, not a retry loop") {
+    // two brokers: coordinatorFor hashes the name — "a" and "b" differ
+    val logs = new java.util.concurrent.ConcurrentHashMap[(String, Int), MiniKafkaBroker.PartitionLog]()
+    @volatile var view: Seq[(Int, String, Int)] = Nil
+    def mk(id: Int) = new MiniKafkaBroker(Map("sc" -> 1), nodeId = id,
+      clusterView = () => view, leaderOf = (_, _) => 0, sharedLogs = logs)
+    val b0 = mk(0); val b1 = mk(1)
+    view = Seq((0, "127.0.0.1", b0.boundPort), (1, "127.0.0.1", b1.boundPort))
+    try {
+      // find a txnId/group pair on DIFFERENT coordinators under the
+      // brokers' hash rule (group.hashCode % 2)
+      val names = ('a' to 'j').map(_.toString)
+      val txnId = names.find(n => math.floorMod(n.hashCode, 2) == 0).get
+      val group = names.find(n => math.floorMod(n.hashCode, 2) == 1).get
+      val prod = new Kafka.BatchProducer(("127.0.0.1", b0.boundPort), "sc",
+        10, 1 << 20, idempotent = true, transactionalId = Some(txnId))
+      prod.add(null, "x".getBytes(UTF_8))
+      prod.flushAll()
+      val e = intercept[java.io.IOException] {
+        prod.sendOffsets(group, Map(("sc", 0) -> 1L))
+      }
+      assert(e.getMessage.contains("same coordinator"), e.getMessage)
+      // same-name staging (the DSv2 sink shape) works on this cluster
+      prod.sendOffsets(txnId, Map(("sc", 0) -> 1L))
+      prod.commitTxn()
+      prod.close()
+      val c = new Kafka.LeaderClient(("127.0.0.1", b0.boundPort))
+      assert(c.offsetFetch(txnId, Seq(("sc", 0))) === Map(("sc", 0) -> 1L))
+      c.close()
+    } finally { b0.close(); b1.close() }
+  }
+
   test("read_committed paging interleaves committed, aborted, and plain " +
     "batches with a cursor that never stalls on markers") {
     val broker = new MiniKafkaBroker(Map("rc" -> 1))

@@ -117,10 +117,12 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
     * must re-resolve and refetch rather than fail the task. */
   val dropBatchesOnFetch =
     new java.util.concurrent.atomic.AtomicReference[(String, Int, Int, Int)](null)
-  @volatile private var produceCount = 0L
-  @volatile private var fetchCount = 0L
-  def produces: Long = produceCount
-  def fetches: Long = fetchCount
+  // atomic: incremented under DIFFERENT per-partition log monitors, so a
+  // volatile read-modify-write would lose concurrent updates
+  private val produceCount = new java.util.concurrent.atomic.AtomicLong(0)
+  private val fetchCount = new java.util.concurrent.atomic.AtomicLong(0)
+  def produces: Long = produceCount.get()
+  def fetches: Long = fetchCount.get()
 
   private val acceptor = new Thread(() => {
     while (running.get()) {
@@ -227,15 +229,26 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
         val partition = p.int32()
         val set = p.nullableBytes()
         val log = logs.get((topic, partition))
+        // batch-header peeks are pure byte reads — safe outside any lock
+        val transactional =
+          set != null && set.length > 23 &&
+            (batchAttributes(set) & AttrTransactional) != 0
+        val st = if (txnId == null) null else txns.get(txnId)
+        // LOCK ORDER: txn state BEFORE the partition log — finishTxn and
+        // initProducerId hold st while writing markers under log locks,
+        // so a produce validating st under only the log monitor races the
+        // coordinator (stale st.open re-pins the LSO; a fenced zombie's
+        // batch could land after the epoch bump)
+        def withTxn[A](body: => A): A =
+          if (transactional && st != null) st.synchronized(body) else body
         if (log != null && leader(topic, partition) != nodeId)
           (partition, ErrNotLeader, -1L)
         else if (log == null) (partition, ErrUnknownTopicOrPartition, -1L)
-        else log.synchronized {
+        else withTxn { log.synchronized {
           // broker-side CRC verification: decode throws on corruption
           val recs = decodeRecordBatches(set)
           val pid = batchProducerId(set)
           val bEpoch = batchProducerEpoch(set)
-          val transactional = (batchAttributes(set) & AttrTransactional) != 0
           val pidKey = (pid, topic, partition)
           val prior = if (pid >= 0) producerSeqs.get(pidKey) else null
           val seq = if (pid >= 0) batchBaseSequence(set) else -1
@@ -245,7 +258,6 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
           val samePrior = if (prior != null && prior.epoch == bEpoch) prior else null
           // transactional batches are FENCED and state-checked first:
           // the stale-epoch answer is what stops zombie task attempts
-          val st = if (txnId == null) null else txns.get(txnId)
           if (transactional && (st == null || st.pid != pid)) {
             (partition, ErrInvalidProducerIdMapping, -1L)
           } else if (transactional && bEpoch != st.epoch) {
@@ -275,10 +287,10 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
               producerSeqs.put(pidKey, PidState(bEpoch, seq, recs.size, base))
             if (transactional && !log.openTxnFirst.contains(pid))
               log.openTxnFirst(pid) = base // this partition's LSO bound
-            produceCount += 1
+            produceCount.incrementAndGet()
             (partition, ErrNone, base)
           }
-        }
+        } }
       }
       (topic, parts)
     }
@@ -349,7 +361,7 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
               batchBaseOffset(log.batches(i)) < readEnd) {
               out.write(log.batches(i)); i += 1
             }
-            fetchCount += 1
+            fetchCount.incrementAndGet()
             // aborted ranges whose ABORT MARKER the consumer has not yet
             // passed: entries for fully-consumed ranges would wrongly keep
             // their pid aborted-active across the returned window
@@ -568,24 +580,29 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
     val mine = coordinatorFor(group)._1 == nodeId
     // member-identity fencing: a commit carrying a STALE generation (a
     // zombie consumer past a rebalance) must not clobber the new owner's
-    // progress; generation -1 = the standalone simple-consumer path
+    // progress; generation -1 = the standalone simple-consumer path.
+    // Validation AND apply run under ONE group lock — checked-then-apply
+    // outside it would let a fenced zombie's put land after the check
+    def apply(): Short = {
+      req.foreach { case (topic, parts) =>
+        parts.foreach { case (p, off, _) =>
+          groupOffsets.put((group, topic, p), off)
+        }
+      }
+      ErrNone
+    }
     val memberErr: Short =
       if (!mine) ErrNotCoordinator
-      else if (generation < 0) ErrNone
+      else if (generation < 0) apply()
       else {
         val g = groups.get(group)
         if (g == null) ErrUnknownMemberId
         else g.synchronized {
           if (!g.members.contains(memberId)) ErrUnknownMemberId
           else if (generation != g.generation) ErrIllegalGeneration
-          else ErrNone
+          else apply()
         }
       }
-    if (memberErr == ErrNone) req.foreach { case (topic, parts) =>
-      parts.foreach { case (p, off, _) =>
-        groupOffsets.put((group, topic, p), off)
-      }
-    }
     val w = new Writer()
     w.array(req) { (b, tr) =>
       b.string(tr._1)
@@ -706,7 +723,12 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
       if (!g.members.contains(memberId)) respond(ErrUnknownMemberId, null)
       else if (generation != g.generation) respond(ErrIllegalGeneration, null)
       else {
-        if (memberId == g.leader && asgn.nonEmpty) {
+        // accept the leader's assignment ONLY in AwaitingSync: a join that
+        // arrived since (state back to PreparingRebalance) means the
+        // leader's member view is stale — real coordinators answer
+        // REBALANCE_IN_PROGRESS and the leader rejoins, instead of
+        // stabilizing a generation that starves the new member
+        if (memberId == g.leader && asgn.nonEmpty && g.state == "AwaitingSync") {
           g.assignments = asgn.toMap
           g.state = "Stable"
           g.notifyAll()
@@ -783,6 +805,12 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
       log.batches.remove(0, k)
       log.logStart =
         if (log.batches.isEmpty) log.logEnd else batchBaseOffset(log.batches.head)
+      // retention must not pin the LSO below the log start: an open-txn
+      // first-offset (or an aborted range's marker) whose batches were
+      // deleted would hold read_committed fetches empty forever
+      log.openTxnFirst.filterInPlace((_, first) => first >= log.logStart)
+      log.abortedRanges.filterInPlace { case (_, _, marker) => marker >= log.logStart }
+      ()
     }
   }
 

@@ -32,10 +32,14 @@ final class MiniS3Server(bucket: String, port: Int = 0,
 
   private val objects = new ConcurrentSkipListMap[String, Stored]()
   private val failPuts = new AtomicInteger(0)
+  @volatile private var failStatus = 500
   private val putAttempts = new AtomicLong(0)
   private val listCalls = new AtomicLong(0)
 
-  def failNextPuts(n: Int): Unit = failPuts.set(n)
+  def failNextPuts(n: Int, status: Int = 500): Unit = {
+    failStatus = status
+    failPuts.set(n)
+  }
   def putsAttempted: Long = putAttempts.get()
   def listsServed: Long = listCalls.get()
   def objectCount: Int = objects.size()
@@ -127,7 +131,8 @@ final class MiniS3Server(bucket: String, port: Int = 0,
           case ("PUT", k) if k.nonEmpty =>
             putAttempts.incrementAndGet()
             if (failPuts.getAndUpdate(n => math.max(0, n - 1)) > 0)
-              xmlError("InternalError", 500, ex)
+              xmlError(if (failStatus / 100 == 5) "InternalError" else "InvalidRequest",
+                failStatus, ex)
             else {
               def hdr(n: String) =
                 Option(ex.getRequestHeaders.getFirst(n)).getOrElse("")
@@ -175,17 +180,22 @@ final class MiniS3Server(bucket: String, port: Int = 0,
       .toSeq
     val page = all.take(maxKeys)
     val truncated = all.size > page.size
+    // keys are legal S3 content and may carry XML-special chars; the
+    // real service escapes entities, so the double must too or a key
+    // like "a&b" only breaks against the test stand-in
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;")
     val xml = new StringBuilder
     xml ++= s"""<?xml version="1.0" encoding="UTF-8"?>"""
     xml ++= """<ListBucketResult xmlns="http://s3.amazonaws.com/doc/2006-03-01/">"""
-    xml ++= s"<Name>$bucket</Name><Prefix>$prefix</Prefix>"
+    xml ++= s"<Name>${esc(bucket)}</Name><Prefix>${esc(prefix)}</Prefix>"
     xml ++= s"<KeyCount>${page.size}</KeyCount><MaxKeys>$maxKeys</MaxKeys>"
     xml ++= s"<IsTruncated>$truncated</IsTruncated>"
     page.foreach { k =>
-      xml ++= s"<Contents><Key>$k</Key><Size>${objects.get(k).bytes.length}</Size></Contents>"
+      xml ++= s"<Contents><Key>${esc(k)}</Key><Size>${objects.get(k).bytes.length}</Size></Contents>"
     }
     if (truncated)
-      xml ++= s"<NextContinuationToken>${page.last}</NextContinuationToken>"
+      xml ++= s"<NextContinuationToken>${esc(page.last)}</NextContinuationToken>"
     xml ++= "</ListBucketResult>"
     respond(ex, 200, xml.result().getBytes(UTF_8),
       Seq("Content-Type" -> "application/xml"))

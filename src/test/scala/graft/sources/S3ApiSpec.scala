@@ -196,6 +196,30 @@ class S3ApiSpec extends SparkSpec {
     } finally s.close()
   }
 
+  test("non-ASCII and XML-special keys survive signing, storage, and " +
+    "listing (byte-wise uriEncode + entity-escaped listings)") {
+    val s = newStore(signed = true)
+    try {
+      val http = new S3.S3Http(cfg(s, signed = true))
+      // UTF-8 key: Char.isLetterOrDigit would leak the Latin-1 lead byte
+      // unencoded and break the SigV4 canonical path (r12 review finding)
+      val k1 = "data/café-日記.ndjson"
+      val k2 = "data/a&b <c>.ndjson"
+      http.putObject(k1, """{"x":1}""".getBytes(UTF_8))
+      http.putObject(k2, """{"x":2}""".getBytes(UTF_8))
+      assert(http.listAll("data/", "").toSet === Set(k1, k2))
+      assert(new String(http.getObject(k1).bytes, UTF_8) === """{"x":1}""")
+      assert(new String(http.getObject(k2).bytes, UTF_8) === """{"x":2}""")
+      // a 4xx must surface on the FIRST attempt, never burn retries
+      s.failNextPuts(10, status = 400)
+      val before = s.putsAttempted
+      val e = intercept[S3.S3HttpError](http.putObject("data/x", Array[Byte](1)))
+      assert(e.status === 400)
+      assert(s.putsAttempted === before + 1, "4xx was retried")
+      s.failNextPuts(0)
+    } finally s.close()
+  }
+
   test("distributed Spark read: one task per object, lines decode with the " +
     "shared jsonLines kernel") {
     val s = newStore()
