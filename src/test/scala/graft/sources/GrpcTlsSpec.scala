@@ -139,6 +139,110 @@ class GrpcTlsSpec extends SparkSpec {
     } finally plainRelay.stop()
   }
 
+  test("netty TLS interop, server role: writeGrpcProto's JDK-TLS client " +
+    "(ALPN h2 + mTLS identity) produces into a netty SslContext server") {
+    import io.netty.bootstrap.ServerBootstrap
+    import io.netty.buffer.Unpooled
+    import io.netty.channel.{Channel, ChannelHandlerContext, ChannelInboundHandlerAdapter, ChannelInitializer}
+    import io.netty.channel.nio.NioEventLoopGroup
+    import io.netty.channel.socket.nio.NioServerSocketChannel
+    import io.netty.handler.codec.http2._
+    import io.netty.handler.ssl.{ApplicationProtocolConfig, ApplicationProtocolNames, ClientAuth, SslContextBuilder, SslProvider}
+    import io.netty.handler.ssl.ApplicationProtocolConfig.{Protocol, SelectedListenerFailureBehavior, SelectorFailureBehavior}
+    import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
+
+    val group = new NioEventLoopGroup(2)
+    val received = new LinkedBlockingQueue[String]()
+    val ssl = SslContextBuilder
+      .forServer(new java.io.File(s"$dir/server.pem"),
+        new java.io.File(s"$dir/server-key.pem"))
+      .sslProvider(SslProvider.JDK)
+      .trustManager(new java.io.File(s"$dir/ca.pem"))
+      .clientAuth(ClientAuth.REQUIRE) // mTLS: our client's cert must verify
+      .applicationProtocolConfig(new ApplicationProtocolConfig(
+        Protocol.ALPN, SelectorFailureBehavior.NO_ADVERTISE,
+        SelectedListenerFailureBehavior.ACCEPT,
+        ApplicationProtocolNames.HTTP_2))
+      .build()
+    val server = new ServerBootstrap().group(group)
+      .channel(classOf[NioServerSocketChannel])
+      .childHandler(new ChannelInitializer[Channel] {
+        override def initChannel(c: Channel): Unit = c.pipeline.addLast(
+          ssl.newHandler(c.alloc()),
+          Http2FrameCodecBuilder.forServer().build(),
+          new Http2MultiplexHandler(new ChannelInitializer[Channel] {
+            override def initChannel(sc: Channel): Unit =
+              sc.pipeline.addLast(new ChannelInboundHandlerAdapter {
+                private val buf = new GrpcWire.MessageBuffer(1 << 20)
+                private var responded = false
+                private def respondOnce(ctx: ChannelHandlerContext): Unit =
+                  if (!responded) {
+                    responded = true
+                    val h = new DefaultHttp2Headers().status("200")
+                    h.add("content-type", "application/grpc")
+                    ctx.write(new DefaultHttp2HeadersFrame(h))
+                    ()
+                  }
+                override def channelRead(ctx: ChannelHandlerContext, msg: Any): Unit = {
+                  msg match {
+                    case h: Http2HeadersFrame =>
+                      assert(h.headers.path.toString == GrpcRelay.StreamPath)
+                      assert(h.headers.scheme.toString == "https")
+                    case d: Http2DataFrame =>
+                      val c2 = d.content()
+                      val bytes = new Array[Byte](c2.readableBytes())
+                      c2.readBytes(bytes)
+                      val consumed = d.initialFlowControlledBytes()
+                      if (consumed > 0)
+                        ctx.writeAndFlush(new DefaultHttp2WindowUpdateFrame(consumed))
+                      buf.feed(bytes)
+                      var m = buf.poll()
+                      while (m.isDefined) {
+                        RelayProto.decodeEnvelope(m.get) match {
+                          case RelayProto.EnvelopePayload(wp) =>
+                            new String(RelayProto.unwrap(wp, Some(key)), UTF_8)
+                              .split('\n').foreach(received.put)
+                            respondOnce(ctx)
+                            ctx.writeAndFlush(new DefaultHttp2DataFrame(
+                              Unpooled.wrappedBuffer(GrpcWire.message(
+                                RelayProto.encodeAck(RelayProto.StreamAck(
+                                  success = true, id = wp.id, seq = wp.seq,
+                                  lastSeq = wp.seq, okCount = 1))))))
+                          case RelayProto.EnvelopeClose(_) =>
+                            respondOnce(ctx)
+                            val t = new DefaultHttp2Headers()
+                            t.add("grpc-status", "0")
+                            ctx.writeAndFlush(new DefaultHttp2HeadersFrame(t, true))
+                        }
+                        m = buf.poll()
+                      }
+                      d.release()
+                      ()
+                    case other => io.netty.util.ReferenceCountUtil.release(other)
+                  }
+                  ()
+                }
+              })
+          }))
+      })
+      .bind("127.0.0.1", 0).sync()
+    val port = server.channel().localAddress()
+      .asInstanceOf[java.net.InetSocketAddress].getPort
+    try {
+      GrpcRelay.writeGrpcProto(df(30), "localhost", port,
+        compression = graft.functions.Codecs.CompressZstd, key = Some(key),
+        maxChunkBytes = 256, ackMode = "per-frame", ackTimeoutMs = 15000,
+        tls = Some(clientCfg))
+      val got = new java.util.ArrayList[String]()
+      received.drainTo(got)
+      assert(got.size == 30, s"netty TLS server received ${got.size}/30")
+    } finally {
+      server.channel().close().sync()
+      group.shutdownGracefully(0, 1, TimeUnit.SECONDS)
+      ()
+    }
+  }
+
   test("netty TLS interop: a netty SslContext client (independent TLS + " +
     "ALPN stack) streams into the JDK-TLS receiver and reads the batch ack") {
     import io.netty.bootstrap.Bootstrap
