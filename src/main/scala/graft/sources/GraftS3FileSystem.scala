@@ -1,0 +1,242 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, FileNotFoundException, InputStream, OutputStream}
+import java.net.URI
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, FSDataOutputStream, FileStatus, FileSystem, Path, PositionedReadable, Seekable}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+/** A Hadoop `FileSystem` over the from-scratch S3 REST client
+  * ([[S3.S3Http]]) — the piece that lets `spark.read.parquet` /
+  * `spark.write.parquet` (and every other Hadoop-path source/sink) run
+  * against the ACTUAL object-store wire protocol: ListObjectsV2 for
+  * directory listings, Get/PutObject for data, SigV4 auth — e2e-provable
+  * in a jar-less sandbox against [[MiniS3Server]], completing the
+  * S6/K3 rows the same way `MiniKafkaBroker` completed S4/K1. On a real
+  * cluster the stock `s3a://` connector is the drop-in (same API); this
+  * exists so the PROTOCOL path — including the test double — is real.
+  *
+  * URI shape: `graft-s3://<bucket>/<key...>`. Configuration keys:
+  * `fs.graft-s3.endpoint`, `fs.graft-s3.access.key`,
+  * `fs.graft-s3.secret.key`, `fs.graft-s3.region` (us-east-1).
+  * Register with `fs.graft-s3.impl = graft.sources.GraftS3FileSystem`.
+  *
+  * Semantics (the standard object-store mapping):
+  *  - directories are PREFIXES — mkdirs is a no-op "true", a directory
+  *    exists iff some key lives under it;
+  *  - open() buffers the whole object (the reference's full-object
+  *    parquet read, `s3client/parquet_reader.go:13-75`; seek/pread serve
+  *    from the buffer — footers, row groups, column chunks);
+  *  - create() buffers and PUTs on close (single-part; the reference's
+  *    writer is also one object per flush);
+  *  - rename() is copy+delete per key (what the FileOutputCommitter's
+  *    task-commit rename becomes on any object store without a native
+  *    rename — the documented s3a behavior too).
+  *
+  * Scale note: whole-object buffering bounds object size by executor
+  * memory — the same envelope as the reference's reader, and the roll
+  * budgets (K3: 50k records / 60 s) keep objects small by construction.
+  * Range GETs would lift it; out of scope until something needs them. */
+final class GraftS3FileSystem extends FileSystem {
+
+  private var fsUri: URI = _
+  private var cfg: S3.S3Config = _
+  @transient private var httpOpt: S3.S3Http = _
+  private var workDir: Path = _
+
+  private def http: S3.S3Http = {
+    if (httpOpt == null) httpOpt = new S3.S3Http(cfg)
+    httpOpt
+  }
+
+  override def getScheme: String = "graft-s3"
+
+  override def initialize(uri: URI, conf: Configuration): Unit = {
+    super.initialize(uri, conf)
+    setConf(conf)
+    fsUri = URI.create(s"${uri.getScheme}://${uri.getAuthority}")
+    cfg = S3.S3Config(
+      endpoint = conf.get("fs.graft-s3.endpoint"),
+      bucket = uri.getAuthority,
+      accessKey = conf.get("fs.graft-s3.access.key", ""),
+      secretKey = conf.get("fs.graft-s3.secret.key", ""),
+      region = conf.get("fs.graft-s3.region", "us-east-1"))
+    require(cfg.endpoint != null, "fs.graft-s3.endpoint not set")
+    workDir = new Path("/")
+  }
+
+  override def getUri: URI = fsUri
+
+  /** Path → object key (no leading slash; qualified or relative). */
+  private def keyOf(f: Path): String = {
+    val p = f.toUri.getPath
+    p.stripPrefix("/")
+  }
+
+  private def fileStatus(key: String, size: Long): FileStatus =
+    new FileStatus(size, false, 1, 64L << 20, 0L,
+      new Path(s"$fsUri/$key"))
+
+  private def dirStatus(key: String): FileStatus =
+    new FileStatus(0, true, 1, 64L << 20, 0L,
+      new Path(if (key.isEmpty) s"$fsUri/" else s"$fsUri/$key"))
+
+  override def getFileStatus(f: Path): FileStatus = {
+    val key = keyOf(f)
+    if (key.isEmpty) return dirStatus("")
+    // one page answers both questions: an exact object at `key`, or any
+    // key under `key/` (= a directory)
+    val page = http.listPage(key, "", 8, None)
+    page.objects.find(_._1 == key) match {
+      case Some((_, size)) => fileStatus(key, size)
+      case None =>
+        if (page.objects.exists(_._1.startsWith(key + "/"))) dirStatus(key)
+        else throw new FileNotFoundException(s"graft-s3: $f")
+    }
+  }
+
+  override def listStatus(f: Path): Array[FileStatus] = {
+    val key = keyOf(f)
+    val prefix = if (key.isEmpty) "" else key + "/"
+    val all = http.listAllWithSize(prefix, "")
+    if (all.isEmpty) {
+      // a bare object listed as a directory lists itself (Hadoop contract)
+      return Array(getFileStatus(f)).filter(!_.isDirectory)
+    }
+    val files = Vector.newBuilder[FileStatus]
+    val dirs = scala.collection.mutable.LinkedHashSet[String]()
+    all.foreach { case (k, size) =>
+      val rest = k.stripPrefix(prefix)
+      val slash = rest.indexOf('/')
+      if (slash < 0) files += fileStatus(k, size)
+      else dirs += prefix + rest.substring(0, slash)
+    }
+    (files.result() ++ dirs.map(dirStatus)).toArray
+  }
+
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    val key = keyOf(f)
+    val obj =
+      try http.getObject(key)
+      catch {
+        case e: S3.S3HttpError if e.status == 404 =>
+          throw new FileNotFoundException(s"graft-s3: $f")
+      }
+    new FSDataInputStream(new SeekableBytes(obj.bytes))
+  }
+
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+                      bufferSize: Int, replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream = {
+    if (!overwrite && exists(f))
+      throw new java.io.IOException(s"graft-s3: $f already exists")
+    val key = keyOf(f)
+    val buf = new java.io.ByteArrayOutputStream(64 << 10)
+    val sink: OutputStream = new OutputStream {
+      override def write(b: Int): Unit = buf.write(b)
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        buf.write(b, off, len)
+      override def close(): Unit =
+        http.putObject(key, buf.toByteArray,
+          contentType = "application/octet-stream")
+    }
+    new FSDataOutputStream(sink, statistics)
+  }
+
+  override def append(f: Path, bufferSize: Int,
+                      progress: Progressable): FSDataOutputStream =
+    throw new UnsupportedOperationException("graft-s3: append (objects are immutable)")
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    val srcKey = keyOf(src)
+    val dstKey = keyOf(dst)
+    val st = try getFileStatus(src) catch {
+      case _: FileNotFoundException => return false
+    }
+    // renaming INTO an existing directory nests (the FileSystem contract
+    // the FileOutputCommitter relies on)
+    val effDst =
+      try { if (getFileStatus(dst).isDirectory) dstKey + "/" + src.getName else dstKey }
+      catch { case _: FileNotFoundException => dstKey }
+    def moveOne(from: String, to: String): Unit = {
+      val obj = http.getObject(from)
+      http.putObject(to, obj.bytes,
+        contentType = if (obj.contentType.isEmpty) "application/octet-stream"
+          else obj.contentType,
+        contentEncoding = obj.contentEncoding, meta = obj.meta)
+      http.deleteObject(from)
+    }
+    if (st.isDirectory)
+      http.listAllWithSize(srcKey + "/", "").foreach { case (k, _) =>
+        moveOne(k, effDst + k.stripPrefix(srcKey))
+      }
+    else moveOne(srcKey, effDst)
+    true
+  }
+
+  override def delete(f: Path, recursive: Boolean): Boolean = {
+    val key = keyOf(f)
+    val st = try getFileStatus(f) catch {
+      case _: FileNotFoundException => return false
+    }
+    if (st.isDirectory) {
+      val children = http.listAllWithSize(key + "/", "")
+      if (children.nonEmpty && !recursive)
+        throw new java.io.IOException(s"graft-s3: $f is a non-empty directory")
+      children.foreach { case (k, _) => http.deleteObject(k) }
+    } else http.deleteObject(key)
+    true
+  }
+
+  override def mkdirs(f: Path, permission: FsPermission): Boolean = true
+
+  override def setWorkingDirectory(dir: Path): Unit = workDir = dir
+  override def getWorkingDirectory: Path = workDir
+}
+
+/** Whole-object random-access view — what Hadoop's FSDataInputStream
+  * needs (Seekable + PositionedReadable; parquet footers read backwards
+  * and column chunks pread at offsets). */
+private[sources] final class SeekableBytes(bytes: Array[Byte])
+  extends InputStream with Seekable with PositionedReadable {
+  private val in = new ByteArrayInputStream(bytes)
+  private var at = 0L
+
+  override def read(): Int = { val v = in.read(); if (v >= 0) at += 1; v }
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    val n = in.read(b, off, len)
+    if (n > 0) at += n
+    n
+  }
+  override def available(): Int = in.available()
+
+  override def seek(pos: Long): Unit = {
+    if (pos < 0 || pos > bytes.length)
+      throw new java.io.EOFException(s"seek $pos outside [0, ${bytes.length}]")
+    in.reset()
+    val skipped = in.skip(pos)
+    require(skipped == pos, s"skip $skipped != $pos")
+    at = pos
+  }
+  override def getPos: Long = at
+  override def seekToNewSource(targetPos: Long): Boolean = false
+
+  override def read(position: Long, buffer: Array[Byte], offset: Int,
+                    length: Int): Int = {
+    if (position >= bytes.length) return -1
+    val n = math.min(length, bytes.length - position.toInt)
+    System.arraycopy(bytes, position.toInt, buffer, offset, n)
+    n
+  }
+  override def readFully(position: Long, buffer: Array[Byte], offset: Int,
+                         length: Int): Unit = {
+    if (position + length > bytes.length)
+      throw new java.io.EOFException(
+        s"readFully past end: $position+$length > ${bytes.length}")
+    System.arraycopy(bytes, position.toInt, buffer, offset, length)
+  }
+  override def readFully(position: Long, buffer: Array[Byte]): Unit =
+    readFully(position, buffer, 0, buffer.length)
+}

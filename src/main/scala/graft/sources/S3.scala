@@ -39,7 +39,10 @@ object S3 {
   final case class S3Object(bytes: Array[Byte], contentType: String,
                             contentEncoding: String, meta: Map[String, String])
 
-  final case class ListPage(keys: Seq[String], nextToken: Option[String])
+  final case class ListPage(objects: Seq[(String, Long)],
+                            nextToken: Option[String]) {
+    def keys: Seq[String] = objects.map(_._1)
+  }
 
   /** Typed non-2xx answer (the status gates retryability: 5xx retries,
     * 4xx is a caller bug and surfaces immediately). */
@@ -194,23 +197,36 @@ object S3 {
         (0 until nl.getLength).map(nl.item(_).getTextContent)
       }
       val truncated = texts("IsTruncated").headOption.contains("true")
-      ListPage(texts("Key"),
+      val sizes = texts("Size").map(_.toLong)
+      val keys = texts("Key")
+      ListPage(keys.zipAll(sizes.take(keys.size), "", 0L).filter(_._1.nonEmpty),
         if (truncated) texts("NextContinuationToken").headOption else None)
     }
 
-    /** Every key under `prefix` strictly after `startAfter`, across
-      * pagination — the reader's one-sweep listing. */
-    def listAll(prefix: String, startAfter: String, pageSize: Int = 1000): Seq[String] = {
-      val out = Seq.newBuilder[String]
+    /** Every (key, size) under `prefix` strictly after `startAfter`,
+      * across pagination — the reader's one-sweep listing. */
+    def listAllWithSize(prefix: String, startAfter: String,
+                        pageSize: Int = 1000): Seq[(String, Long)] = {
+      val out = Seq.newBuilder[(String, Long)]
       var token: Option[String] = None
       var more = true
       while (more) {
         val page = listPage(prefix, startAfter, pageSize, token)
-        out ++= page.keys
+        out ++= page.objects
         token = page.nextToken
         more = token.isDefined
       }
       out.result()
+    }
+
+    def listAll(prefix: String, startAfter: String, pageSize: Int = 1000): Seq[String] =
+      listAllWithSize(prefix, startAfter, pageSize).map(_._1)
+
+    /** DeleteObject (idempotent; S3 answers 204 even for absent keys). */
+    def deleteObject(key: String): Unit = {
+      val resp = request("DELETE", key, Nil, null, Nil)
+      if (resp.statusCode() / 100 != 2 && resp.statusCode() != 404)
+        throw new S3HttpError(resp.statusCode(), key, new String(resp.body(), UTF_8))
     }
 
     def getObject(key: String): S3Object = {
