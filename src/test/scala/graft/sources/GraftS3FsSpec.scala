@@ -85,6 +85,53 @@ class GraftS3FsSpec extends SparkSpec {
     } finally s.close()
   }
 
+  test("S5's Serve loop as Structured Streaming: readStream tails NDJSON " +
+    "objects over the REST protocol with checkpointed exactly-once restart") {
+    val s = mounted()
+    try {
+      import java.nio.charset.StandardCharsets.UTF_8
+      val http = new S3.S3Http(S3.S3Config(s.endpoint, "spark-bucket",
+        "AKIDEXAMPLE", "graft-secret"))
+      def put(b: Int, from: Int, n: Int): Unit =
+        http.putObject(f"feed/batch$b%03d.json",
+          (from until from + n).map(i => s"""{"i":$i}""")
+            .mkString("", "\n", "\n").getBytes(UTF_8),
+          contentType = "application/json")
+      put(0, 0, 5); put(1, 5, 5)
+      val ck = java.nio.file.Files.createTempDirectory("graft-s3-stream").toString
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("i", org.apache.spark.sql.types.LongType)
+      // foreachBatch, not the memory sink: memory refuses checkpoint
+      // RECOVERY, and the restart is the point of this test
+      val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val landed = new java.util.concurrent.atomic.AtomicLong(0)
+      def start() = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1") // the reference's poll budget
+        .json("graft-s3://spark-bucket/feed")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("i").collect().foreach { r =>
+            seen.add(r.getLong(0)); landed.incrementAndGet(); ()
+          }
+        }
+        .option("checkpointLocation", ck).outputMode("append").start()
+      val q1 = start()
+      q1.processAllAvailable()
+      assert(landed.get() === 10 && seen.size === 10)
+      q1.stop()
+      // restart: the file source's own log must not re-read batches 0-1;
+      // new objects arriving after the restart flow exactly once
+      put(2, 10, 5)
+      val q2 = start()
+      q2.processAllAvailable()
+      assert(landed.get() === 15, s"restart re-read: ${landed.get()} rows landed")
+      assert(seen.size === 15)
+      import scala.jdk.CollectionConverters._
+      assert(seen.asScala.toSeq.sorted === (0L until 15L))
+      q2.stop()
+    } finally s.close()
+  }
+
   test("Maintenance-style K3 flow: timed parquet roll + read-back and " +
     "object-grain delete through the FS") {
     val s = mounted()
