@@ -83,37 +83,58 @@ final class GraftS3FileSystem extends FileSystem {
     new FileStatus(0, true, 1, 64L << 20, 0L,
       new Path(if (key.isEmpty) s"$fsUri/" else s"$fsUri/$key"))
 
+  /** The prefix whose members are `key`'s children — "" at the root
+    * (root + "/" would match NO object and silently no-op deletes). */
+  private def childPrefix(key: String): String =
+    if (key.isEmpty) "" else key + "/"
+
   override def getFileStatus(f: Path): FileStatus = {
     val key = keyOf(f)
     if (key.isEmpty) return dirStatus("")
-    // one page answers both questions: an exact object at `key`, or any
-    // key under `key/` (= a directory)
-    val page = http.listPage(key, "", 8, None)
-    page.objects.find(_._1 == key) match {
+    // two TARGETED single-result probes, not one shared page: a page at
+    // prefix `key` can fill up with same-prefix SIBLINGS that sort
+    // before "key/" (' ', '!', '-', '.' < '/') and hide a live directory
+    val exact = http.listPage(key, "", 1, None).objects.headOption
+      .filter(_._1 == key)
+    exact match {
       case Some((_, size)) => fileStatus(key, size)
       case None =>
-        if (page.objects.exists(_._1.startsWith(key + "/"))) dirStatus(key)
+        if (http.listPage(key + "/", "", 1, None).objects.nonEmpty) dirStatus(key)
         else throw new FileNotFoundException(s"graft-s3: $f")
     }
   }
 
   override def listStatus(f: Path): Array[FileStatus] = {
     val key = keyOf(f)
-    val prefix = if (key.isEmpty) "" else key + "/"
-    val all = http.listAllWithSize(prefix, "")
-    if (all.isEmpty) {
+    val prefix = childPrefix(key)
+    // ONE level via the protocol's delimiter form: children roll up into
+    // CommonPrefixes broker-side, so planning a deep partitioned table is
+    // one page-loop per level, not a full-subtree transfer per level
+    val files = Vector.newBuilder[FileStatus]
+    val dirs = Vector.newBuilder[FileStatus]
+    var token: Option[String] = None
+    var more = true
+    var any = false
+    while (more) {
+      val page = http.listPage(prefix, "", 1000, token, delimiter = Some("/"))
+      page.objects.foreach { case (k, size) =>
+        any = true
+        // skip directory MARKER objects (zero-byte "key/" left by other
+        // tools): surfacing one as a file would alias the directory path
+        if (k != prefix && !k.endsWith("/")) files += fileStatus(k, size)
+      }
+      page.commonPrefixes.foreach { p =>
+        any = true
+        dirs += dirStatus(p.stripSuffix("/"))
+      }
+      token = page.nextToken
+      more = token.isDefined
+    }
+    if (!any) {
       // a bare object listed as a directory lists itself (Hadoop contract)
       return Array(getFileStatus(f)).filter(!_.isDirectory)
     }
-    val files = Vector.newBuilder[FileStatus]
-    val dirs = scala.collection.mutable.LinkedHashSet[String]()
-    all.foreach { case (k, size) =>
-      val rest = k.stripPrefix(prefix)
-      val slash = rest.indexOf('/')
-      if (slash < 0) files += fileStatus(k, size)
-      else dirs += prefix + rest.substring(0, slash)
-    }
-    (files.result() ++ dirs.map(dirStatus)).toArray
+    (files.result() ++ dirs.result()).toArray
   }
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
@@ -131,7 +152,8 @@ final class GraftS3FileSystem extends FileSystem {
                       bufferSize: Int, replication: Short, blockSize: Long,
                       progress: Progressable): FSDataOutputStream = {
     if (!overwrite && exists(f))
-      throw new java.io.IOException(s"graft-s3: $f already exists")
+      throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+        s"graft-s3: $f already exists")
     val key = keyOf(f)
     val buf = new java.io.ByteArrayOutputStream(64 << 10)
     val sink: OutputStream = new OutputStream {
@@ -156,10 +178,26 @@ final class GraftS3FileSystem extends FileSystem {
       case _: FileNotFoundException => return false
     }
     // renaming INTO an existing directory nests (the FileSystem contract
-    // the FileOutputCommitter relies on)
-    val effDst =
-      try { if (getFileStatus(dst).isDirectory) dstKey + "/" + src.getName else dstKey }
-      catch { case _: FileNotFoundException => dstKey }
+    // the FileOutputCommitter relies on); onto an existing FILE the
+    // contract is FALSE-and-untouched — rename-as-atomic-claim callers
+    // detect the lost race by that answer, never by clobbered data
+    val dstStatus = try Some(getFileStatus(dst)) catch {
+      case _: FileNotFoundException => None
+    }
+    val effDst = dstStatus match {
+      case Some(d) if d.isDirectory => childPrefix(dstKey) + src.getName
+      case Some(_) =>
+        // destination file exists: self-rename succeeds untouched, any
+        // other target is a refused clobber
+        return dstKey == srcKey
+      case None => dstKey
+    }
+    if (effDst == srcKey) return true // rename into own parent: no-op
+    if (dstStatus.exists(_.isDirectory) && {
+      // nesting may still collide with an existing child
+      try { getFileStatus(new Path(s"$fsUri/$effDst")); true }
+      catch { case _: FileNotFoundException => false }
+    }) return false
     def moveOne(from: String, to: String): Unit = {
       val obj = http.getObject(from)
       http.putObject(to, obj.bytes,
@@ -169,7 +207,7 @@ final class GraftS3FileSystem extends FileSystem {
       http.deleteObject(from)
     }
     if (st.isDirectory)
-      http.listAllWithSize(srcKey + "/", "").foreach { case (k, _) =>
+      http.listAllWithSize(childPrefix(srcKey), "").foreach { case (k, _) =>
         moveOne(k, effDst + k.stripPrefix(srcKey))
       }
     else moveOne(srcKey, effDst)
@@ -182,7 +220,7 @@ final class GraftS3FileSystem extends FileSystem {
       case _: FileNotFoundException => return false
     }
     if (st.isDirectory) {
-      val children = http.listAllWithSize(key + "/", "")
+      val children = http.listAllWithSize(childPrefix(key), "")
       if (children.nonEmpty && !recursive)
         throw new java.io.IOException(s"graft-s3: $f is a non-empty directory")
       children.foreach { case (k, _) => http.deleteObject(k) }
@@ -225,6 +263,8 @@ private[sources] final class SeekableBytes(bytes: Array[Byte])
 
   override def read(position: Long, buffer: Array[Byte], offset: Int,
                     length: Int): Int = {
+    if (position < 0)
+      throw new java.io.EOFException(s"pread at negative position $position")
     if (position >= bytes.length) return -1
     val n = math.min(length, bytes.length - position.toInt)
     System.arraycopy(bytes, position.toInt, buffer, offset, n)
@@ -232,9 +272,9 @@ private[sources] final class SeekableBytes(bytes: Array[Byte])
   }
   override def readFully(position: Long, buffer: Array[Byte], offset: Int,
                          length: Int): Unit = {
-    if (position + length > bytes.length)
+    if (position < 0 || position + length > bytes.length)
       throw new java.io.EOFException(
-        s"readFully past end: $position+$length > ${bytes.length}")
+        s"readFully outside [0, ${bytes.length}]: $position+$length")
     System.arraycopy(bytes, position.toInt, buffer, offset, length)
   }
   override def readFully(position: Long, buffer: Array[Byte]): Unit =

@@ -40,7 +40,8 @@ object S3 {
                             contentEncoding: String, meta: Map[String, String])
 
   final case class ListPage(objects: Seq[(String, Long)],
-                            nextToken: Option[String]) {
+                            nextToken: Option[String],
+                            commonPrefixes: Seq[String] = Nil) {
     def keys: Seq[String] = objects.map(_._1)
   }
 
@@ -170,16 +171,20 @@ object S3 {
     }
 
     /** One ListObjectsV2 page (the REAL wire shape: `list-type=2`,
-      * `prefix`, `start-after`, `max-keys`, `continuation-token`; XML
-      * response with IsTruncated/NextContinuationToken). Keys come back
-      * in S3's lexicographic-by-UTF-8 order — the property the
-      * start-after checkpoint protocol rests on. */
+      * `prefix`, `start-after`, `max-keys`, `continuation-token`, and
+      * optionally `delimiter` — which rolls same-level sub-prefixes up
+      * into CommonPrefixes, the directory-listing form; XML response
+      * with IsTruncated/NextContinuationToken). Keys come back in S3's
+      * lexicographic-by-UTF-8 order — the property the start-after
+      * checkpoint protocol rests on. */
     def listPage(prefix: String, startAfter: String, maxKeys: Int,
-                 token: Option[String]): ListPage = {
+                 token: Option[String],
+                 delimiter: Option[String] = None): ListPage = {
       val query = Seq("list-type" -> "2", "prefix" -> prefix,
         "max-keys" -> maxKeys.toString) ++
         (if (startAfter.nonEmpty && token.isEmpty) Seq("start-after" -> startAfter) else Nil) ++
-        token.map("continuation-token" -> _).toSeq
+        token.map("continuation-token" -> _).toSeq ++
+        delimiter.map("delimiter" -> _).toSeq
       val resp = request("GET", "", query, null, Nil)
       if (resp.statusCode() != 200)
         throw new S3HttpError(resp.statusCode(), "", new String(resp.body(), UTF_8))
@@ -192,15 +197,31 @@ object S3 {
       dbf.setXIncludeAware(false)
       val doc = dbf.newDocumentBuilder()
         .parse(new java.io.ByteArrayInputStream(resp.body()))
-      def texts(tag: String): Seq[String] = {
+      def elements(tag: String): Seq[org.w3c.dom.Element] = {
         val nl = doc.getElementsByTagName(tag)
-        (0 until nl.getLength).map(nl.item(_).getTextContent)
+        (0 until nl.getLength).map(nl.item(_).asInstanceOf[org.w3c.dom.Element])
       }
-      val truncated = texts("IsTruncated").headOption.contains("true")
-      val sizes = texts("Size").map(_.toLong)
-      val keys = texts("Key")
-      ListPage(keys.zipAll(sizes.take(keys.size), "", 0L).filter(_._1.nonEmpty),
-        if (truncated) texts("NextContinuationToken").headOption else None)
+      def childText(el: org.w3c.dom.Element, tag: String): Option[String] = {
+        val nl = el.getElementsByTagName(tag)
+        if (nl.getLength == 0) None else Some(nl.item(0).getTextContent)
+      }
+      // Key and Size pair WITHIN each Contents element — two positional
+      // tag sweeps would silently misalign on any size-less entry, and a
+      // wrong length sends the parquet footer seek into the weeds
+      val objects = elements("Contents").map { el =>
+        val key = childText(el, "Key").getOrElse(
+          throw new java.io.IOException("ListObjectsV2: Contents without Key"))
+        val size = childText(el, "Size").getOrElse(
+          throw new java.io.IOException(s"ListObjectsV2: no Size for $key")).toLong
+        (key, size)
+      }
+      val cps = elements("CommonPrefixes").flatMap(childText(_, "Prefix"))
+      val truncated = elements("IsTruncated").headOption
+        .exists(_.getTextContent == "true")
+      ListPage(objects,
+        if (truncated) elements("NextContinuationToken").headOption
+          .map(_.getTextContent) else None,
+        cps)
     }
 
     /** Every (key, size) under `prefix` strictly after `startAfter`,

@@ -85,6 +85,45 @@ class GraftS3FsSpec extends SparkSpec {
     } finally s.close()
   }
 
+  test("FileSystem contract edges: sibling keys can't shadow a directory, " +
+    "markers aren't files, renames refuse clobbers, root delete sweeps") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val s = mounted()
+    try {
+      val http = new S3.S3Http(S3.S3Config(s.endpoint, "spark-bucket",
+        "AKIDEXAMPLE", "graft-secret"))
+      val fs = new org.apache.hadoop.fs.Path("graft-s3://spark-bucket/")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def p(k: String) = new org.apache.hadoop.fs.Path(s"graft-s3://spark-bucket/$k")
+      // 9 sibling keys that sort BEFORE "t2/" (space, '!', '-' < '/'):
+      // a paged probe at prefix "t2" must not let them hide the directory
+      Seq("t2 a", "t2!b", "t2-0", "t2-1", "t2-2", "t2-3", "t2-4", "t2-5",
+        "t2.x").foreach(k => http.putObject(k, "s".getBytes(UTF_8)))
+      http.putObject("t2/f.txt", "data".getBytes(UTF_8))
+      assert(fs.getFileStatus(p("t2")).isDirectory)
+      // a zero-byte directory MARKER (external tooling) is not a file
+      http.putObject("t3/", Array.emptyByteArray)
+      http.putObject("t3/x.txt", "x".getBytes(UTF_8))
+      val t3 = fs.listStatus(p("t3"))
+      assert(t3.map(_.getPath.getName).toSeq === Seq("x.txt"), t3.mkString(","))
+      // one-level listing rolls children into CommonPrefixes: the root
+      // listing shows t2/t3 as dirs, sibling files as files
+      val root = fs.listStatus(p(""))
+      assert(root.filter(_.isDirectory).map(_.getPath.getName).toSet === Set("t2", "t3"))
+      assert(root.count(!_.isDirectory) === 9)
+      // rename contract: self-rename succeeds untouched; clobber refused
+      assert(fs.rename(p("t2/f.txt"), p("t2/f.txt")))
+      assert(fs.rename(p("t2/f.txt"), p("t2"))) // into own dir = self: true
+      http.putObject("t2/g.txt", "other".getBytes(UTF_8))
+      assert(!fs.rename(p("t2/f.txt"), p("t2/g.txt")), "clobbered an existing file")
+      assert(new String(http.getObject("t2/f.txt").bytes, UTF_8) === "data")
+      assert(new String(http.getObject("t2/g.txt").bytes, UTF_8) === "other")
+      // root recursive delete sweeps the bucket (prefix "" — not "/")
+      assert(fs.delete(p(""), true))
+      assert(s.objectCount === 0)
+    } finally s.close()
+  }
+
   test("S5's Serve loop as Structured Streaming: readStream tails NDJSON " +
     "objects over the REST protocol with checkpointed exactly-once restart") {
     val s = mounted()

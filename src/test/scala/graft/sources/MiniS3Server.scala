@@ -175,9 +175,36 @@ final class MiniS3Server(bucket: String, port: Int = 0,
     val prefix = q.getOrElse("prefix", "")
     val maxKeys = q.get("max-keys").map(_.toInt).getOrElse(1000)
     val after = q.get("continuation-token").orElse(q.get("start-after")).getOrElse("")
-    val all = objects.keySet().asScala.iterator
+    val delimiter = q.get("delimiter")
+    val matching = objects.keySet().asScala.iterator
       .filter(k => k.startsWith(prefix) && (after.isEmpty || k > after))
       .toSeq
+    // delimiter rolls same-level descendants up into CommonPrefixes (the
+    // real directory-listing contract); entries stay merged in
+    // lexicographic order so pagination tokens work across both kinds
+    sealed trait Entry { def sortKey: String }
+    case class KeyEntry(k: String) extends Entry { def sortKey = k }
+    case class CpEntry(p: String) extends Entry { def sortKey = p }
+    val all: Seq[Entry] = delimiter match {
+      case None => matching.map(KeyEntry)
+      case Some(d) =>
+        val out = Vector.newBuilder[Entry]
+        var lastCp: String = null
+        matching.foreach { k =>
+          val rest = k.stripPrefix(prefix)
+          val i = rest.indexOf(d)
+          if (i < 0) out += KeyEntry(k)
+          else {
+            val cp = prefix + rest.substring(0, i + d.length)
+            // a continuation token that IS a common prefix must not
+            // re-emit it for the prefix's remaining member keys
+            if (cp != lastCp && (after.isEmpty || cp > after)) {
+              out += CpEntry(cp); lastCp = cp
+            }
+          }
+        }
+        out.result()
+    }
     val page = all.take(maxKeys)
     val truncated = all.size > page.size
     // keys are legal S3 content and may carry XML-special chars; the
@@ -191,11 +218,14 @@ final class MiniS3Server(bucket: String, port: Int = 0,
     xml ++= s"<Name>${esc(bucket)}</Name><Prefix>${esc(prefix)}</Prefix>"
     xml ++= s"<KeyCount>${page.size}</KeyCount><MaxKeys>$maxKeys</MaxKeys>"
     xml ++= s"<IsTruncated>$truncated</IsTruncated>"
-    page.foreach { k =>
-      xml ++= s"<Contents><Key>${esc(k)}</Key><Size>${objects.get(k).bytes.length}</Size></Contents>"
+    page.foreach {
+      case KeyEntry(k) =>
+        xml ++= s"<Contents><Key>${esc(k)}</Key><Size>${objects.get(k).bytes.length}</Size></Contents>"
+      case CpEntry(p) =>
+        xml ++= s"<CommonPrefixes><Prefix>${esc(p)}</Prefix></CommonPrefixes>"
     }
     if (truncated)
-      xml ++= s"<NextContinuationToken>${esc(page.last)}</NextContinuationToken>"
+      xml ++= s"<NextContinuationToken>${esc(page.last.sortKey)}</NextContinuationToken>"
     xml ++= "</ListBucketResult>"
     respond(ex, 200, xml.result().getBytes(UTF_8),
       Seq("Content-Type" -> "application/xml"))
