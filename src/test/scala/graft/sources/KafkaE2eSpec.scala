@@ -742,6 +742,41 @@ class KafkaE2eSpec extends SparkSpec {
     } finally { c1.close(); c2.close(); broker.close() }
   }
 
+  test("a CRASHED member (no LeaveGroup, heartbeats stop) is evicted at " +
+    "its session timeout and the survivor reclaims its partitions") {
+    val broker = new MiniKafkaBroker(Map("ht" -> 4), rebalanceTimeoutMs = 2000)
+    val boot = ("127.0.0.1", broker.boundPort)
+    val c1 = new Kafka.LeaderClient(boot)
+    val c2 = new Kafka.LeaderClient(boot)
+    try {
+      val survivor = new Kafka.GroupMember(c1, "gh", Seq("ht"), sessionTimeoutMs = 800)
+      val crasher = new Kafka.GroupMember(c2, "gh", Seq("ht"), sessionTimeoutMs = 800)
+      val a1 = new java.util.concurrent.atomic.AtomicReference[Map[String, Seq[Int]]]()
+      val t = new Thread(() => a1.set(survivor.join()))
+      t.start()
+      crasher.join()
+      t.join(10000)
+      assert(a1.get() != null && broker.groupMembers("gh").size === 2)
+      assert(survivor.heartbeatOk() && crasher.heartbeatOk())
+      // the crasher DIES: no LeaveGroup, no further heartbeats. The
+      // survivor's beats keep it alive and sweep the corpse at 800ms
+      val deadline = System.currentTimeMillis() + 10000
+      var rebalanced = false
+      while (!rebalanced && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+        rebalanced = !survivor.heartbeatOk()
+      }
+      assert(rebalanced, "crashed member was never evicted")
+      assert(survivor.join() === Map("ht" -> Seq(0, 1, 2, 3)))
+      assert(broker.groupMembers("gh").size === 1)
+      // the corpse's late commit is fenced (it was evicted)
+      intercept[Kafka.StaleMember] {
+        c2.offsetCommitAs("gh", crasher.currentGeneration,
+          crasher.currentMemberId, Map(("ht", 0) -> 9L))
+      }
+    } finally { c1.close(); c2.close(); broker.close() }
+  }
+
   test("two dynamic SpoolConsumers share the work: partitions split on " +
     "join, records land exactly once across the shared spool, and the " +
     "survivor reclaims everything on leave") {

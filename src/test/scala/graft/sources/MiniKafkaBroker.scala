@@ -635,6 +635,8 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
   private final class MemberInfo {
     var meta: Array[Byte] = Array.emptyByteArray
     var rejoined = false // has joined the CURRENT rebalance round
+    var sessionTimeoutMs: Int = 10000
+    var lastSeen: Long = System.currentTimeMillis()
   }
   /** One group's coordinator state. The lifecycle is the real one:
     * Empty → PreparingRebalance (join barrier: every known member must
@@ -652,6 +654,30 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
   private def groupState(g: String): GroupState =
     groups.computeIfAbsent(g, _ => new GroupState)
 
+  /** Heartbeat-liveness eviction (the real session-timeout contract):
+    * members that stopped heartbeating past their session timeout are
+    * dropped and the group rebalances — run under the group lock at
+    * every membership touchpoint, so a CRASHED consumer (no LeaveGroup)
+    * frees its partitions without waiting for the next join barrier.
+    * Caller must hold `g`'s monitor. */
+  private def evictExpired(g: GroupState): Unit = {
+    val now = System.currentTimeMillis()
+    val expired = g.members.collect {
+      // a member WAITING in the current join barrier (rejoined) cannot
+      // heartbeat — its join IS its liveness, like the real coordinator
+      case (id, m) if !m.rejoined && now - m.lastSeen > m.sessionTimeoutMs => id
+    }.toSeq
+    if (expired.nonEmpty) {
+      expired.foreach(g.members.remove)
+      if (g.members.isEmpty) g.state = "Empty"
+      else {
+        g.state = "PreparingRebalance"
+        g.members.values.foreach(_.rejoined = false)
+      }
+      g.notifyAll()
+    }
+  }
+
   /** Current member ids of a group (assertion surface). */
   def groupMembers(group: String): Seq[String] = {
     val g = groups.get(group)
@@ -661,7 +687,7 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
   private def joinGroupV0(version: Int, r: Reader): Array[Byte] = {
     require(version == 0, s"JoinGroup v$version unsupported")
     val group = r.string()
-    r.int32() // session timeout (liveness eviction is out of test scope)
+    val sessionTimeoutMs = r.int32()
     val memberIdIn = r.string()
     r.string() // protocol type ("consumer")
     val protos = r.array(p => (p.string(), p.nullableBytes()))
@@ -676,6 +702,7 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
       return respond(ErrNotCoordinator, -1, "", "", Nil)
     val g = groupState(group)
     g.synchronized {
+      evictExpired(g)
       if (memberIdIn.nonEmpty && !g.members.contains(memberIdIn))
         return respond(ErrUnknownMemberId, -1, "", "", Nil)
       val mid =
@@ -683,6 +710,8 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
         else { g.nextId += 1; s"$group-member-${g.nextId}" }
       val info = g.members.getOrElseUpdate(mid, new MemberInfo)
       info.meta = protos.headOption.map(_._2).getOrElse(Array.emptyByteArray)
+      info.sessionTimeoutMs = sessionTimeoutMs
+      info.lastSeen = System.currentTimeMillis()
       info.rejoined = true
       g.state = "PreparingRebalance"
       g.notifyAll()
@@ -720,6 +749,7 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
       return respond(ErrNotCoordinator, null)
     val g = groupState(group)
     g.synchronized {
+      g.members.get(memberId).foreach(_.lastSeen = System.currentTimeMillis())
       if (!g.members.contains(memberId)) respond(ErrUnknownMemberId, null)
       else if (generation != g.generation) respond(ErrIllegalGeneration, null)
       else {
@@ -755,6 +785,9 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
       else {
         val g = groupState(group)
         g.synchronized {
+          // this beat proves THIS member's liveness; then sweep the rest
+          g.members.get(memberId).foreach(_.lastSeen = System.currentTimeMillis())
+          evictExpired(g)
           if (!g.members.contains(memberId)) ErrUnknownMemberId
           else if (generation != g.generation) ErrIllegalGeneration
           else if (g.state != "Stable") ErrRebalanceInProgress
