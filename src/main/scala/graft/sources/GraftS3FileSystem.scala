@@ -221,7 +221,9 @@ final class GraftS3FileSystem extends FileSystem {
     }
     if (st.isDirectory) {
       val children = http.listAllWithSize(childPrefix(key), "")
-      if (children.nonEmpty && !recursive)
+      // the directory's own MARKER object is not content: non-recursive
+      // delete of a marker-only (listStatus-empty) directory must succeed
+      if (children.exists(_._1 != childPrefix(key)) && !recursive)
         throw new java.io.IOException(s"graft-s3: $f is a non-empty directory")
       children.foreach { case (k, _) => http.deleteObject(k) }
     } else http.deleteObject(key)

@@ -617,9 +617,13 @@ final class GrpcRelayReceiver(spark: SparkSession, port: Int,
       sock match {
         case ssl: javax.net.ssl.SSLSocket =>
           // handshake (rejects certs the CA didn't sign) + ALPN h2 check,
-          // then principal policy — all before the first HTTP/2 byte
+          // then principal policy — all before the first HTTP/2 byte.
+          // The admission gate is TIME-BOXED: a silent TCP peer (scanner,
+          // slowloris) must not pin this thread + fd forever
+          ssl.setSoTimeout(15000)
           Tls.serverHandshakeAlpn(ssl, Seq("h2"))
           mtls.foreach(Tls.authorize(ssl, _))
+          ssl.setSoTimeout(0) // admitted: back to the blocking serve loop
           admitted = true
           admittedPeers.incrementAndGet()
         case _ => ()

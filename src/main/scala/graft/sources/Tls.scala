@@ -124,9 +124,15 @@ object Tls {
     * certificate is verified against the connect host, the ordinary
     * dial-by-DNS-name case. */
   def clientSocket(cfg: TlsConfig, host: String, port: Int,
-                   alpn: Seq[String] = Nil): SSLSocket = {
+                   alpn: Seq[String] = Nil,
+                   handshakeTimeoutMs: Int = 30000): SSLSocket = {
     val peer = if (cfg.serverName.nonEmpty) cfg.serverName else host
-    val raw = new java.net.Socket(host, port)
+    // bound BOTH pre-data phases: a peer that accepts TCP but never
+    // completes the handshake must not pin a Spark task forever (callers
+    // set their own SO_TIMEOUT after the socket is returned)
+    val raw = new java.net.Socket()
+    raw.connect(new java.net.InetSocketAddress(host, port), handshakeTimeoutMs)
+    raw.setSoTimeout(handshakeTimeoutMs)
     val sock =
       try sslContext(cfg).getSocketFactory
         .createSocket(raw, peer, port, true).asInstanceOf[SSLSocket]

@@ -751,12 +751,17 @@ class KafkaE2eSpec extends SparkSpec {
     try {
       val survivor = new Kafka.GroupMember(c1, "gh", Seq("ht"), sessionTimeoutMs = 800)
       val crasher = new Kafka.GroupMember(c2, "gh", Seq("ht"), sessionTimeoutMs = 800)
-      val a1 = new java.util.concurrent.atomic.AtomicReference[Map[String, Seq[Int]]]()
-      val t = new Thread(() => a1.set(survivor.join()))
+      // deterministic two-member formation: survivor joins solo, the
+      // crasher's join opens the barrier, the survivor's heartbeat sees
+      // it and rejoins — no race against the barrier timeout
+      assert(survivor.join()("ht") === Seq(0, 1, 2, 3))
+      val a2 = new java.util.concurrent.atomic.AtomicReference[Map[String, Seq[Int]]]()
+      val t = new Thread(() => a2.set(crasher.join()))
       t.start()
-      crasher.join()
+      eventually(!survivor.heartbeatOk(), "survivor never saw the crasher join")
+      survivor.join()
       t.join(10000)
-      assert(a1.get() != null && broker.groupMembers("gh").size === 2)
+      assert(a2.get() != null && broker.groupMembers("gh").size === 2)
       assert(survivor.heartbeatOk() && crasher.heartbeatOk())
       // the crasher DIES: no LeaveGroup, no further heartbeats. The
       // survivor's beats keep it alive and sweep the corpse at 800ms

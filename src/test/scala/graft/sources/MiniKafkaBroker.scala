@@ -669,11 +669,11 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
     }.toSeq
     if (expired.nonEmpty) {
       expired.foreach(g.members.remove)
+      // do NOT reset rejoined flags: in Stable they are already false,
+      // and during an active barrier clearing them would turn LIVE
+      // in-barrier joiners into no-shows (stall + wrongful eviction)
       if (g.members.isEmpty) g.state = "Empty"
-      else {
-        g.state = "PreparingRebalance"
-        g.members.values.foreach(_.rejoined = false)
-      }
+      else g.state = "PreparingRebalance"
       g.notifyAll()
     }
   }
@@ -728,7 +728,13 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
         g.leader = g.members.keys.head
         g.assignments = Map.empty
         g.state = "AwaitingSync"
-        g.members.values.foreach(_.rejoined = false)
+        g.members.values.foreach { m =>
+          m.rejoined = false
+          // the completed rejoin IS liveness: without this refresh a
+          // member that waited out a long barrier would be instantly
+          // session-expired before its SyncGroup lands
+          m.lastSeen = System.currentTimeMillis()
+        }
         g.notifyAll()
       }
       respond(ErrNone, g.generation, g.leader, mid,
@@ -810,9 +816,10 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
           else {
             if (g.members.isEmpty) g.state = "Empty"
             else {
-              // remaining members discover via heartbeat and rejoin
+              // remaining members discover via heartbeat and rejoin; the
+              // rejoined flags stay — clearing them during an ACTIVE
+              // barrier would no-show live in-barrier joiners
               g.state = "PreparingRebalance"
-              g.members.values.foreach(_.rejoined = false)
             }
             g.notifyAll()
             ErrNone

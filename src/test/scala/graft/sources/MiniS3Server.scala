@@ -174,6 +174,7 @@ final class MiniS3Server(bucket: String, port: Int = 0,
     if (q.getOrElse("list-type", "") != "2") { xmlError("InvalidRequest", 400, ex); return }
     val prefix = q.getOrElse("prefix", "")
     val maxKeys = q.get("max-keys").map(_.toInt).getOrElse(1000)
+    val fromToken = q.contains("continuation-token")
     val after = q.get("continuation-token").orElse(q.get("start-after")).getOrElse("")
     val delimiter = q.get("delimiter")
     val matching = objects.keySet().asScala.iterator
@@ -196,9 +197,11 @@ final class MiniS3Server(bucket: String, port: Int = 0,
           if (i < 0) out += KeyEntry(k)
           else {
             val cp = prefix + rest.substring(0, i + d.length)
-            // a continuation token that IS a common prefix must not
-            // re-emit it for the prefix's remaining member keys
-            if (cp != lastCp && (after.isEmpty || cp > after)) {
+            // a CONTINUATION TOKEN that is a common prefix must not be
+            // re-emitted for its remaining member keys — but start-after
+            // pointing INSIDE a prefix still reports that prefix (the
+            // real service's behavior for that parameter combination)
+            if (cp != lastCp && (!fromToken || after.isEmpty || cp > after)) {
               out += CpEntry(cp); lastCp = cp
             }
           }
