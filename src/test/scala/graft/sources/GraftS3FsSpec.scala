@@ -85,6 +85,30 @@ class GraftS3FsSpec extends SparkSpec {
     } finally s.close()
   }
 
+  test("K3 maintenance over the object protocol: compaction's directory " +
+    "rename/swap dance narrows small files without losing a row") {
+    val s = mounted()
+    try {
+      import spark.implicits._
+      // a fragmented partitioned layout: 8 small files per partition
+      (0 until 400).map(i => (i.toLong, i % 2)).toDF("id", "p")
+        .repartition(8).write.mode("overwrite").partitionBy("p")
+        .parquet("graft-s3://spark-bucket/frag")
+      val beforeFiles = s.keys.count(k => k.startsWith("frag/p=") && k.contains("part-"))
+      assert(beforeFiles > 4, s"fixture not fragmented: $beforeFiles files")
+      val (before, after) = graft.operators.Maintenance.compactParquet(
+        spark, "graft-s3://spark-bucket/frag", targetBytes = 512L * 1024 * 1024)
+      assert(before === beforeFiles && after === 2, s"$before -> $after")
+      // the rename/swap left no temp or backup trees behind
+      assert(!s.keys.exists(k => k.contains("_compact_tmp") || k.contains("_compact_old")),
+        s.keys.filter(_.contains("_compact")))
+      val back = spark.read.parquet("graft-s3://spark-bucket/frag")
+      assert(back.count() === 400)
+      assert(back.select(sum("id")).head().getLong(0) === (0L until 400L).sum)
+      assert(back.filter(col("p") === 1).count() === 200)
+    } finally s.close()
+  }
+
   test("FileSystem contract edges: sibling keys can't shadow a directory, " +
     "markers aren't files, renames refuse clobbers, root delete sweeps") {
     import java.nio.charset.StandardCharsets.UTF_8
