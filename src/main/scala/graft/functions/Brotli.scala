@@ -461,18 +461,22 @@ object Brotli {
     // bytes back, which at wbits<=24 fits in memory whole
     var outBuf = new Array[Byte](1 << 16)
     var outLen = 0
+    // ALL size arithmetic in longs: past 2^30 bytes of output an int
+    // `cap <<= 1` overflows negative-then-zero and the growth loop spins
+    // forever instead of raising the cap error
     def ensure(n: Int): Unit =
-      if (outLen + n > outBuf.length) {
-        var cap = outBuf.length
-        while (cap < outLen + n) cap <<= 1
-        outBuf = java.util.Arrays.copyOf(outBuf, cap)
+      if (outLen.toLong + n > outBuf.length) {
+        var cap = outBuf.length.toLong
+        while (cap < outLen.toLong + n) cap <<= 1
+        outBuf = java.util.Arrays.copyOf(outBuf,
+          math.min(cap, (Int.MaxValue - 8).toLong).toInt)
       }
     def emit(b: Int): Unit = {
       if (outLen >= maxOut) throw new IOException(s"brotli: output exceeds $maxOut")
       ensure(1); outBuf(outLen) = b.toByte; outLen += 1
     }
     def emitAll(bs: Array[Byte]): Unit = {
-      if (outLen + bs.length > maxOut)
+      if (outLen.toLong + bs.length > maxOut)
         throw new IOException(s"brotli: output exceeds $maxOut")
       ensure(bs.length)
       System.arraycopy(bs, 0, outBuf, outLen, bs.length)
@@ -518,7 +522,7 @@ object Brotli {
           val uncompressed = !isLast && bits.read(1) == 1
           if (uncompressed) {
             bits.alignToByte()
-            if (outLen + mlen > maxOut)
+            if (outLen.toLong + mlen > maxOut)
               throw new IOException(s"brotli: output exceeds $maxOut")
             emitAll(bits.rawBytes(mlen))
           } else {
@@ -529,7 +533,7 @@ object Brotli {
                 // cap BEFORE growing/filling: the bound is enforced
                 // DURING inflation, so a hostile 16 MiB copy command at
                 // the cap edge never provokes the allocation it names
-                if (outLen + len > maxOut)
+                if (outLen.toLong + len > maxOut)
                   throw new IOException(s"brotli: output exceeds $maxOut")
                 ensure(len)
                 var k = 0

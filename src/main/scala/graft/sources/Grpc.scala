@@ -869,8 +869,13 @@ final class GrpcRelayReceiver(spark: SparkSession, port: Int,
       }
     } catch {
       case _: Throwable =>
-        if (!admitted) rejectedPeers.incrementAndGet()
-        else if (running.get() && !sock.isClosed) badFrames.incrementAndGet()
+        // shutdown interrupting an in-flight admission is not a rejected
+        // peer. Guard on `running` ALONE: a genuinely failed handshake
+        // leaves the socket closed by JSSE itself, so the frame counter's
+        // !isClosed arm would swallow real rejections here.
+        if (!admitted) {
+          if (running.get()) rejectedPeers.incrementAndGet()
+        } else if (running.get() && !sock.isClosed) badFrames.incrementAndGet()
     } finally {
       conns.remove(sock)
       try sock.close() catch { case _: Throwable => () }

@@ -380,34 +380,51 @@ private[sources] final class KafkaEpochWriter(
   // Group and client travel as ONE Option so no .get can desync them.
   private val fence: Option[(String, Kafka.LeaderClient)] =
     fenceGroup.map(g => (g, new Kafka.LeaderClient((host, port))))
-  // fence check FIRST: a replayed epoch must not pay metadata +
-  // InitProducerId (a broker-side pid allocation) just to write nothing.
-  // A throwing check must release the client — Spark never calls close()
-  // on a writer whose CONSTRUCTOR failed.
+  private def closeFence(): Unit = fence.foreach { case (_, c) =>
+    try c.close() catch { case _: Throwable => () } }
+
+  private def newProducer() = new Kafka.BatchProducer((host, port), topic,
+    maxRecs, maxBytes, idempotent = true, rrSeed = sparkPartition,
+    // the transactional id doubles as the fence-group name (see class
+    // scaladoc); its init fences zombies and aborts a dead predecessor
+    transactionalId =
+      if (transactional) fence.map { case (g, _) => fenceKey(g) } else None)
+
+  // TRANSACTIONAL ORDER MATTERS: InitProducerId runs BEFORE the fence
+  // read. Init FENCES the predecessor and DECIDES its in-flight
+  // transaction, so the fence read that follows sees a settled world —
+  // reading the fence first races a predecessor's in-flight
+  // EndTxn(commit) into a duplicated epoch (the classic
+  // initTransactions-before-reading-offsets rule). The cost — a fenced
+  // replay pays one init it never uses — buys the exactly-once claim.
+  private var prodOpt: Option[Kafka.BatchProducer] =
+    if (transactional && fence.isDefined)
+      try Some(newProducer())
+      catch { case e: Throwable => closeFence(); throw e }
+    else None
+  // a throwing check must release BOTH clients — Spark never calls
+  // close() on a writer whose CONSTRUCTOR failed. Non-transactional mode
+  // keeps fence-first (no init to order against, and a replayed epoch
+  // skips the producer dial entirely).
   private val alreadyWritten: Boolean =
     try fence.exists { case (g, c) =>
       c.offsetFetch(fenceKey(g), Seq((topic, 0)))
         .getOrElse((topic, 0), -1L) > epochId
     } catch {
       case e: Throwable =>
-        fence.foreach { case (_, c) =>
-          try c.close() catch { case _: Throwable => () } }
+        prodOpt.foreach(p => try p.close() catch { case _: Throwable => () })
+        closeFence()
         throw e
     }
-  // created on the FIRST row (never for a fenced replay); an Option, not
-  // a lazy val — a lazy val whose initializer threw would RE-DIAL the
-  // dead broker from close() and mask the fence client's own cleanup
-  private var prodOpt: Option[Kafka.BatchProducer] = None
+  if (alreadyWritten) {
+    prodOpt.foreach(p => try p.close() catch { case _: Throwable => () })
+    prodOpt = None
+  }
   private var written = 0L
 
   override def write(row: InternalRow): Unit = if (!alreadyWritten) {
     val prod = prodOpt.getOrElse {
-      // the transactional id doubles as the fence-group name (see class
-      // scaladoc); its init fences zombies and aborts a dead predecessor
-      val p = new Kafka.BatchProducer((host, port), topic,
-        maxRecs, maxBytes, idempotent = true, rrSeed = sparkPartition,
-        transactionalId =
-          if (transactional) fence.map { case (g, _) => fenceKey(g) } else None)
+      val p = newProducer()
       prodOpt = Some(p)
       p
     }

@@ -316,8 +316,11 @@ object S3 {
     * in ITS order (`reader.go:64-147`): metadata-flagged CSE first, then
     * Content-Encoding gzip, then line split (blank lines dropped). A
     * keyless reader hitting a CSE object fails loudly (never returns
-    * ciphertext as data). */
-  def decodeNdjson(obj: S3Object, cseKey: Option[Array[Byte]]): Seq[String] = {
+    * ciphertext as data), and inflation is BOUNDED — a network peer's
+    * 10 KB gzip bomb must not provoke a multi-GiB allocation (the same
+    * ingress rule as every relay edge). */
+  def decodeNdjson(obj: S3Object, cseKey: Option[Array[Byte]],
+                   maxInflatedBytes: Int = 1 << 28): Seq[String] = {
     val afterCse = obj.meta.get(CseMetaKey).map(_.toLowerCase) match {
       case Some(CseModeAesGcm) =>
         val key = cseKey.getOrElse(throw new SecurityException(
@@ -329,7 +332,7 @@ object S3 {
     }
     val plain =
       if (obj.contentEncoding.equalsIgnoreCase("gzip"))
-        graft.functions.Codecs.gunzip(afterCse)
+        graft.functions.Codecs.gunzipBounded(afterCse, maxInflatedBytes)
       else afterCse
     new String(plain, UTF_8).split('\n').iterator
       .map(_.trim).filter(_.nonEmpty).toSeq

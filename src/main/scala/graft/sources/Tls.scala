@@ -148,15 +148,10 @@ object Tls {
       if (alpn.nonEmpty) params.setApplicationProtocols(alpn.toArray)
       sock.setSSLParameters(params)
       sock.startHandshake()
-      if (alpn.nonEmpty) {
-        // ALPN is how gRPC clients bind HTTP/2 to TLS (RFC 7301 + the
-        // gRPC-over-HTTP/2 spec): a peer that negotiated none of our
-        // protocols is not speaking the protocol we are about to frame
-        val got = sock.getApplicationProtocol
-        if (got == null || got.isEmpty || !alpn.contains(got))
-          throw new javax.net.ssl.SSLHandshakeException(
-            s"ALPN negotiated '${Option(got).getOrElse("")}', wanted one of ${alpn.mkString(",")}")
-      }
+      if (alpn.nonEmpty) requireAlpn(sock, alpn)
+      // the handshake bound must not linger as a silent 30s read timeout
+      // on the returned socket — callers that want one set their own
+      sock.setSoTimeout(0)
       sock
     } catch {
       // close before rethrowing: a rejected handshake inside a retried
@@ -180,6 +175,19 @@ object Tls {
     srv
   }
 
+  /** ONE copy of the "negotiated protocol must be one of ours" rule —
+    * client and server sides must never diverge on it. ALPN is how gRPC
+    * peers bind HTTP/2 to TLS (RFC 7301 + the gRPC-over-HTTP/2 spec): a
+    * peer that negotiated none of our protocols is not speaking the
+    * protocol we are about to frame. */
+  private def requireAlpn(sock: SSLSocket, alpn: Seq[String]): String = {
+    val got = sock.getApplicationProtocol
+    if (got == null || got.isEmpty || !alpn.contains(got))
+      throw new javax.net.ssl.SSLHandshakeException(
+        s"ALPN negotiated '${Option(got).getOrElse("")}', wanted one of ${alpn.mkString(",")}")
+    got
+  }
+
   /** Prepare an accepted server-side [[SSLSocket]] for ALPN (RFC 7301):
     * restrict the selectable application protocols, run the handshake,
     * and REQUIRE one of `alpn` to have been negotiated — a gRPC server
@@ -190,11 +198,7 @@ object Tls {
     params.setApplicationProtocols(alpn.toArray)
     sock.setSSLParameters(params)
     sock.startHandshake()
-    val got = sock.getApplicationProtocol
-    if (got == null || got.isEmpty || !alpn.contains(got))
-      throw new javax.net.ssl.SSLHandshakeException(
-        s"ALPN negotiated '${Option(got).getOrElse("")}', wanted one of ${alpn.mkString(",")}")
-    got
+    requireAlpn(sock, alpn)
   }
 
   /** The peer's principal: first URI SAN (SPIFFE identity) if present,

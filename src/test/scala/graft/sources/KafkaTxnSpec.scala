@@ -241,6 +241,66 @@ class KafkaTxnSpec extends SparkSpec {
     } finally { b0.close(); b1.close() }
   }
 
+  test("replay racing the predecessor's in-flight commit: init-before-" +
+    "fence-read decides the race to exactly one copy, either arrival order") {
+    import org.apache.spark.sql.types.{BinaryType, StructType}
+    val schema = new StructType().add("key", BinaryType).add("value", BinaryType)
+    def row(i: Int) = org.apache.spark.sql.catalyst.InternalRow(
+      s"k$i".getBytes(UTF_8), s"""{"v":$i}""".getBytes(UTF_8))
+    // ORDER 1: the predecessor's EndTxn is still IN FLIGHT (produced +
+    // staged, not committed) when the replay constructs — the replay's
+    // InitProducerId must fence it and abort its txn, so the late commit
+    // is refused, not duplicated
+    locally {
+      val broker = new MiniKafkaBroker(Map("rx" -> 1))
+      val boot = ("127.0.0.1", broker.boundPort)
+      try {
+        val a = new Kafka.BatchProducer(boot, "rx", 100, 1 << 20,
+          idempotent = true, transactionalId = Some("rxg-p0"))
+        (0 until 4).foreach(i => a.add(s"k$i".getBytes(UTF_8), s"""{"v":$i}""".getBytes(UTF_8)))
+        a.flushAll()
+        a.sendOffsets("rxg-p0", Map(("rx", 0) -> 1L)) // commit about to land
+        val w = new KafkaEpochWriter(boot._1, boot._2, "rx", schema,
+          100, 1 << 20, sparkPartition = 0, epochId = 0L,
+          fenceGroup = Some("rxg"), transactional = true)
+        // ...the predecessor's commit arrives LATE: fenced, not applied
+        intercept[Kafka.ProducerFenced] { a.commitTxn() }
+        a.close()
+        (0 until 4).foreach(i => w.write(row(i)))
+        w.commit(); w.close()
+        val probe = new Kafka.WireClient(boot._1, boot._2)
+        val vals = probe.fetchFrom("rx", 0, 0L, readCommitted = true)._2
+          .map(r => new String(r.value, UTF_8))
+        assert(vals.sorted === (0 until 4).map(i => s"""{"v":$i}""").sorted,
+          s"race duplicated: $vals")
+        assert(probe.offsetFetch("rxg-p0", Seq(("rx", 0))) === Map(("rx", 0) -> 1L))
+        probe.close()
+      } finally broker.close()
+    }
+    // ORDER 2: the predecessor's commit LANDED before the replay — the
+    // fence read (after init) sees it and the replay skips the produce
+    locally {
+      val broker = new MiniKafkaBroker(Map("rx" -> 1))
+      val boot = ("127.0.0.1", broker.boundPort)
+      try {
+        val a = new Kafka.BatchProducer(boot, "rx", 100, 1 << 20,
+          idempotent = true, transactionalId = Some("rxg-p0"))
+        (0 until 4).foreach(i => a.add(s"k$i".getBytes(UTF_8), s"""{"v":$i}""".getBytes(UTF_8)))
+        a.sendOffsets("rxg-p0", Map(("rx", 0) -> 1L))
+        a.commitTxn(); a.close() // commit landed first
+        val w = new KafkaEpochWriter(boot._1, boot._2, "rx", schema,
+          100, 1 << 20, sparkPartition = 0, epochId = 0L,
+          fenceGroup = Some("rxg"), transactional = true)
+        (0 until 4).foreach(i => w.write(row(i))) // fenced: writes nothing
+        w.commit(); w.close()
+        val probe = new Kafka.WireClient(boot._1, boot._2)
+        assert(probe.fetchFrom("rx", 0, 0L, readCommitted = true)._2.size === 4,
+          "fenced replay re-produced")
+        probe.close()
+      } finally broker.close()
+    }
+  }
+
   test("read_committed paging interleaves committed, aborted, and plain " +
     "batches with a cursor that never stalls on markers") {
     val broker = new MiniKafkaBroker(Map("rc" -> 1))
