@@ -454,6 +454,11 @@ object Brotli {
   /** Decode a complete brotli stream. `maxOut` bounds the inflated size
     * (hostile-input discipline, like [[Codecs.gunzipBounded]]). */
   def decode(data: Array[Byte], maxOut: Int = Int.MaxValue): Array[Byte] = {
+    // the growth clamp and the cap checks must agree on ONE bound: a
+    // maxOut above the max array size would pass the cap check at an
+    // offset the clamped buffer cannot hold (AIOOBE instead of the cap
+    // IOException)
+    val bound = math.min(maxOut, Int.MaxValue - 8)
     val bits = new Bits(data)
     val wbits = readWindowBits(bits)
     val maxBackward = (1L << wbits) - 16
@@ -472,12 +477,12 @@ object Brotli {
           math.min(cap, (Int.MaxValue - 8).toLong).toInt)
       }
     def emit(b: Int): Unit = {
-      if (outLen >= maxOut) throw new IOException(s"brotli: output exceeds $maxOut")
+      if (outLen >= bound) throw new IOException(s"brotli: output exceeds $bound")
       ensure(1); outBuf(outLen) = b.toByte; outLen += 1
     }
     def emitAll(bs: Array[Byte]): Unit = {
-      if (outLen.toLong + bs.length > maxOut)
-        throw new IOException(s"brotli: output exceeds $maxOut")
+      if (outLen.toLong + bs.length > bound)
+        throw new IOException(s"brotli: output exceeds $bound")
       ensure(bs.length)
       System.arraycopy(bs, 0, outBuf, outLen, bs.length)
       outLen += bs.length
@@ -522,8 +527,8 @@ object Brotli {
           val uncompressed = !isLast && bits.read(1) == 1
           if (uncompressed) {
             bits.alignToByte()
-            if (outLen.toLong + mlen > maxOut)
-              throw new IOException(s"brotli: output exceeds $maxOut")
+            if (outLen.toLong + mlen > bound)
+              throw new IOException(s"brotli: output exceeds $bound")
             emitAll(bits.rawBytes(mlen))
           } else {
             decodeCompressedBlock(bits, mlen, maxBackward, distRb,
@@ -533,8 +538,8 @@ object Brotli {
                 // cap BEFORE growing/filling: the bound is enforced
                 // DURING inflation, so a hostile 16 MiB copy command at
                 // the cap edge never provokes the allocation it names
-                if (outLen.toLong + len > maxOut)
-                  throw new IOException(s"brotli: output exceeds $maxOut")
+                if (outLen.toLong + len > bound)
+                  throw new IOException(s"brotli: output exceeds $bound")
                 ensure(len)
                 var k = 0
                 while (k < len) {

@@ -390,36 +390,39 @@ private[sources] final class KafkaEpochWriter(
     transactionalId =
       if (transactional) fence.map { case (g, _) => fenceKey(g) } else None)
 
-  // TRANSACTIONAL ORDER MATTERS: InitProducerId runs BEFORE the fence
-  // read. Init FENCES the predecessor and DECIDES its in-flight
-  // transaction, so the fence read that follows sees a settled world —
-  // reading the fence first races a predecessor's in-flight
-  // EndTxn(commit) into a duplicated epoch (the classic
-  // initTransactions-before-reading-offsets rule). The cost — a fenced
-  // replay pays one init it never uses — buys the exactly-once claim.
+  private def closeProd(): Unit = prodOpt.foreach(p =>
+    try p.close() catch { case _: Throwable => () })
+  private def fenceIsPast(): Boolean = fence.exists { case (g, c) =>
+    c.offsetFetch(fenceKey(g), Seq((topic, 0)))
+      .getOrElse((topic, 0), -1L) > epochId
+  }
+  // OPTIMISTIC pre-check, no ordering value: it only keeps a STALE replay
+  // of an already-committed epoch from dialing a producer at all — that
+  // init would FENCE a live successor writer's in-flight transaction on
+  // the same transactional id (a spurious task failure, not a
+  // correctness hole). A throwing check must release the client — Spark
+  // never calls close() on a writer whose CONSTRUCTOR failed.
+  private val preFenced: Boolean =
+    try fenceIsPast()
+    catch { case e: Throwable => closeFence(); throw e }
+  // TRANSACTIONAL ORDER MATTERS for the authoritative read:
+  // InitProducerId runs BEFORE it. Init FENCES the predecessor and
+  // DECIDES its in-flight transaction, so the re-read sees a settled
+  // world — trusting a fence read taken before init races a
+  // predecessor's in-flight EndTxn(commit) into a duplicated epoch (the
+  // classic initTransactions-before-reading-offsets rule).
   private var prodOpt: Option[Kafka.BatchProducer] =
-    if (transactional && fence.isDefined)
+    if (!preFenced && transactional && fence.isDefined)
       try Some(newProducer())
       catch { case e: Throwable => closeFence(); throw e }
     else None
-  // a throwing check must release BOTH clients — Spark never calls
-  // close() on a writer whose CONSTRUCTOR failed. Non-transactional mode
-  // keeps fence-first (no init to order against, and a replayed epoch
-  // skips the producer dial entirely).
-  private val alreadyWritten: Boolean =
-    try fence.exists { case (g, c) =>
-      c.offsetFetch(fenceKey(g), Seq((topic, 0)))
-        .getOrElse((topic, 0), -1L) > epochId
-    } catch {
-      case e: Throwable =>
-        prodOpt.foreach(p => try p.close() catch { case _: Throwable => () })
-        closeFence()
-        throw e
-    }
-  if (alreadyWritten) {
-    prodOpt.foreach(p => try p.close() catch { case _: Throwable => () })
-    prodOpt = None
+  private val alreadyWritten: Boolean = preFenced || {
+    if (transactional && fence.isDefined)
+      try fenceIsPast() // authoritative: AFTER init settled the predecessor
+      catch { case e: Throwable => closeProd(); closeFence(); throw e }
+    else false // non-txn: no init to order against; the pre-check stands
   }
+  if (alreadyWritten && prodOpt.isDefined) { closeProd(); prodOpt = None }
   private var written = 0L
 
   override def write(row: InternalRow): Unit = if (!alreadyWritten) {
@@ -443,9 +446,10 @@ private[sources] final class KafkaEpochWriter(
           prod.commitTxn()
         case _ =>
           prodOpt.foreach(_.flushAll())
-          // plain path (non-transactional, or a rowless epoch with no
-          // data to pair): fence AFTER every record is acknowledged — a
-          // replay of this epoch skips produce
+          // plain (non-transactional) path: fence AFTER every record is
+          // acknowledged — a replay of this epoch skips produce. (In
+          // transactional mode even a ROWLESS epoch takes the branch
+          // above: its fence commits as a markers-free transaction.)
           fence.foreach { case (g, c) =>
             c.offsetCommit(fenceKey(g), Map((topic, 0) -> (epochId + 1))) }
       }

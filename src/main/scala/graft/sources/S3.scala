@@ -320,7 +320,7 @@ object S3 {
     * 10 KB gzip bomb must not provoke a multi-GiB allocation (the same
     * ingress rule as every relay edge). */
   def decodeNdjson(obj: S3Object, cseKey: Option[Array[Byte]],
-                   maxInflatedBytes: Int = 1 << 28): Seq[String] = {
+                   maxInflatedBytes: Int = SealedRelay.DefaultMaxInflatedBytes): Seq[String] = {
     val afterCse = obj.meta.get(CseMetaKey).map(_.toLowerCase) match {
       case Some(CseModeAesGcm) =>
         val key = cseKey.getOrElse(throw new SecurityException(
