@@ -26,19 +26,22 @@ import org.apache.hadoop.util.Progressable
   * Semantics (the standard object-store mapping):
   *  - directories are PREFIXES — mkdirs is a no-op "true", a directory
   *    exists iff some key lives under it;
-  *  - open() buffers the whole object (the reference's full-object
-  *    parquet read, `s3client/parquet_reader.go:13-75`; seek/pread serve
-  *    from the buffer — footers, row groups, column chunks);
+  *  - open() buffers small objects whole (the reference's full-object
+  *    parquet read, `s3client/parquet_reader.go:13-75`) and switches to
+  *    RANGED GETs past `fs.graft-s3.whole.object.max` (default 8 MiB):
+  *    seeks are lazy, sequential reads pull `fs.graft-s3.readahead`
+  *    windows, preads fetch exactly the requested span — a parquet
+  *    footer read on a multi-GB object costs kilobytes;
   *  - create() buffers and PUTs on close (single-part; the reference's
   *    writer is also one object per flush);
   *  - rename() is copy+delete per key (what the FileOutputCommitter's
   *    task-commit rename becomes on any object store without a native
   *    rename — the documented s3a behavior too).
   *
-  * Scale note: whole-object buffering bounds object size by executor
-  * memory — the same envelope as the reference's reader, and the roll
-  * budgets (K3: 50k records / 60 s) keep objects small by construction.
-  * Range GETs would lift it; out of scope until something needs them. */
+  * Scale note: the ranged path bounds executor memory at the readahead
+  * window regardless of object size, so a 100× roll budget (multi-GB
+  * objects) reads with the same footprint as today's; the whole-object
+  * fast path keeps the common small-object case at one round-trip. */
 final class GraftS3FileSystem extends FileSystem {
 
   private var fsUri: URI = _
@@ -75,8 +78,8 @@ final class GraftS3FileSystem extends FileSystem {
     p.stripPrefix("/")
   }
 
-  private def fileStatus(key: String, size: Long): FileStatus =
-    new FileStatus(size, false, 1, 64L << 20, 0L,
+  private def fileStatus(key: String, size: Long, mtime: Long): FileStatus =
+    new FileStatus(size, false, 1, 64L << 20, mtime,
       new Path(s"$fsUri/$key"))
 
   private def dirStatus(key: String): FileStatus =
@@ -95,9 +98,9 @@ final class GraftS3FileSystem extends FileSystem {
     // prefix `key` can fill up with same-prefix SIBLINGS that sort
     // before "key/" (' ', '!', '-', '.' < '/') and hide a live directory
     val exact = http.listPage(key, "", 1, None).objects.headOption
-      .filter(_._1 == key)
+      .filter(_.key == key)
     exact match {
-      case Some((_, size)) => fileStatus(key, size)
+      case Some(o) => fileStatus(key, o.size, o.mtime)
       case None =>
         if (http.listPage(key + "/", "", 1, None).objects.nonEmpty) dirStatus(key)
         else throw new FileNotFoundException(s"graft-s3: $f")
@@ -117,11 +120,12 @@ final class GraftS3FileSystem extends FileSystem {
     var any = false
     while (more) {
       val page = http.listPage(prefix, "", 1000, token, delimiter = Some("/"))
-      page.objects.foreach { case (k, size) =>
+      page.objects.foreach { o =>
         any = true
         // skip directory MARKER objects (zero-byte "key/" left by other
         // tools): surfacing one as a file would alias the directory path
-        if (k != prefix && !k.endsWith("/")) files += fileStatus(k, size)
+        if (o.key != prefix && !o.key.endsWith("/"))
+          files += fileStatus(o.key, o.size, o.mtime)
       }
       page.commonPrefixes.foreach { p =>
         any = true
@@ -139,14 +143,33 @@ final class GraftS3FileSystem extends FileSystem {
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
     val key = keyOf(f)
-    val obj =
-      try http.getObject(key)
-      catch {
-        case e: S3.S3HttpError if e.status == 404 =>
-          throw new FileNotFoundException(s"graft-s3: $f")
-      }
-    new FSDataInputStream(new SeekableBytes(obj.bytes))
+    // size probe (one listing page) decides the read strategy: small
+    // objects buffer whole (ONE round-trip beats several), big ones go
+    // RANGED so a multi-GB parquet object's footer read costs kilobytes
+    // of executor memory, not object-size bytes
+    val st = getFileStatus(f)
+    if (st.isDirectory)
+      throw new FileNotFoundException(s"graft-s3: $f is a directory")
+    if (st.getLen <= wholeObjectMax) {
+      val obj =
+        try http.getObject(key)
+        catch {
+          case e: S3.S3HttpError if e.status == 404 =>
+            throw new FileNotFoundException(s"graft-s3: $f")
+        }
+      new FSDataInputStream(new SeekableBytes(obj.bytes))
+    } else
+      new FSDataInputStream(new RangedS3Stream(http, key, st.getLen, readChunk))
   }
+
+  /** Objects at or under this size read whole-object (one GET); above it
+    * the RANGED path takes over. `fs.graft-s3.whole.object.max` bytes. */
+  private def wholeObjectMax: Long =
+    getConf.getLong("fs.graft-s3.whole.object.max", 8L << 20)
+  /** Sequential readahead window for the ranged path,
+    * `fs.graft-s3.readahead` bytes. */
+  private def readChunk: Int =
+    getConf.getInt("fs.graft-s3.readahead", 4 << 20)
 
   override def create(f: Path, permission: FsPermission, overwrite: Boolean,
                       bufferSize: Int, replication: Short, blockSize: Long,
@@ -234,6 +257,97 @@ final class GraftS3FileSystem extends FileSystem {
 
   override def setWorkingDirectory(dir: Path): Unit = workDir = dir
   override def getWorkingDirectory: Path = workDir
+}
+
+/** Ranged random-access view over one object — the big-object arm of
+  * [[GraftS3FileSystem.open]]. Sequential reads pull `chunk`-byte
+  * readahead windows with one ranged GET each; seeks are LAZY (position
+  * only — no I/O until the next read, so a footer-seek never fetches the
+  * bytes it jumped over); preads fetch exactly the requested span and
+  * leave the sequential window alone (parquet column-chunk reads don't
+  * thrash the scan window). Memory: one window, regardless of object
+  * size. Synchronized: Hadoop allows interleaved pread/read on one
+  * stream. */
+private[sources] final class RangedS3Stream(http: S3.S3Http, key: String,
+                                            size: Long, chunk: Int)
+  extends InputStream with Seekable with PositionedReadable {
+  require(chunk > 0, s"readahead chunk $chunk")
+  private var pos = 0L
+  private var winStart = 0L
+  private var win: Array[Byte] = Array.emptyByteArray
+  private def winEnd: Long = winStart + win.length
+
+  private def fill(at: Long): Unit = {
+    val len = math.min(chunk.toLong, size - at)
+    win = http.getObjectRange(key, at, len)
+    winStart = at
+  }
+
+  override def read(): Int = synchronized {
+    if (pos >= size) -1
+    else {
+      if (pos < winStart || pos >= winEnd) fill(pos)
+      val v = win((pos - winStart).toInt) & 0xff
+      pos += 1
+      v
+    }
+  }
+
+  override def read(b: Array[Byte], off: Int, len: Int): Int = synchronized {
+    if (len == 0) 0
+    else if (pos >= size) -1
+    else {
+      if (pos < winStart || pos >= winEnd) fill(pos)
+      val n = math.min(len.toLong, winEnd - pos).toInt
+      System.arraycopy(win, (pos - winStart).toInt, b, off, n)
+      pos += n
+      n
+    }
+  }
+
+  override def available(): Int =
+    synchronized(math.min(Int.MaxValue.toLong, size - pos).toInt)
+
+  override def seek(p: Long): Unit = synchronized {
+    if (p < 0 || p > size)
+      throw new java.io.EOFException(s"seek $p outside [0, $size]")
+    pos = p // lazy: no fetch until the next read
+  }
+  override def getPos: Long = synchronized(pos)
+  override def seekToNewSource(targetPos: Long): Boolean = false
+
+  override def read(position: Long, buffer: Array[Byte], offset: Int,
+                    length: Int): Int = synchronized {
+    if (position < 0)
+      throw new java.io.EOFException(s"pread at negative position $position")
+    if (position >= size) return -1
+    if (length == 0) return 0
+    val n = math.min(length.toLong, size - position).toInt
+    // serve from the sequential window when it covers the span; a miss
+    // fetches EXACTLY the span without disturbing the window
+    if (position >= winStart && position + n <= winEnd)
+      System.arraycopy(win, (position - winStart).toInt, buffer, offset, n)
+    else {
+      val got = http.getObjectRange(key, position, n.toLong)
+      System.arraycopy(got, 0, buffer, offset, n)
+    }
+    n
+  }
+  override def readFully(position: Long, buffer: Array[Byte], offset: Int,
+                         length: Int): Unit = {
+    if (position < 0 || position + length > size)
+      throw new java.io.EOFException(
+        s"readFully outside [0, $size]: $position+$length")
+    var done = 0
+    while (done < length) {
+      val n = read(position + done, buffer, offset + done, length - done)
+      if (n < 0) throw new java.io.EOFException(
+        s"readFully hit EOF at ${position + done} of $size")
+      done += n
+    }
+  }
+  override def readFully(position: Long, buffer: Array[Byte]): Unit =
+    readFully(position, buffer, 0, buffer.length)
 }
 
 /** Whole-object random-access view — what Hadoop's FSDataInputStream

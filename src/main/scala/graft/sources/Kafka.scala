@@ -135,6 +135,8 @@ object Kafka {
     // -- transactions (null-checked by impls; see WireClient scaladoc) --
     def addPartitionsToTxn(txnId: String, pid: Long, epoch: Short,
                            topic: String, partitions: Seq[Int]): Unit
+    def addOffsetsToTxn(txnId: String, pid: Long, epoch: Short,
+                        group: String): Unit
     def endTxn(txnId: String, pid: Long, epoch: Short, commit: Boolean): Unit
     def txnOffsetCommit(txnId: String, group: String, pid: Long, epoch: Short,
                         offsets: Map[(String, Int), Long]): Unit
@@ -184,11 +186,14 @@ object Kafka {
           // times before letting the error escape to Spark's task retry.
           var attempt = 0
           var result: (Long, Seq[KRecord]) = null
-          var cursor = off
+          // the last log-start we already refetched at: a retry only
+          // makes sense if retention advanced it AGAIN past that point
+          var refetchedAt = -1L
           while (result == null) {
             val earliest = c.listOffset(topic, partition, TsEarliest)
             val latest = c.listOffset(topic, partition, TsLatest)
-            if (earliest <= cursor) throw e // not a gap — genuinely bad cursor
+            if (earliest <= off || earliest <= refetchedAt)
+              throw e // not a gap — genuinely bad cursor
             else if (earliest >= latest)
               return (Nil, earliest) // the whole backlog was deleted: skip it
             else
@@ -197,7 +202,7 @@ object Kafka {
                 case e2: OffsetOutOfRange =>
                   attempt += 1
                   if (attempt >= 3) throw e2
-                  cursor = earliest // re-resolve against the newer bounds
+                  refetchedAt = earliest // re-resolve against newer bounds
               }
           }
           result
@@ -482,6 +487,26 @@ object Kafka {
           require(err == ErrNone, s"addPartitionsToTxn error $err for $txnId")
         }
       }
+    }
+
+    /** AddOffsetsToTxn v0 — routed to the TRANSACTION coordinator: it
+      * registers the GROUP's offsets partition in the open transaction,
+      * which is what makes the txn coordinator deliver a marker to the
+      * group coordinator at EndTxn (WriteTxnMarkers). Without this step
+      * offsets staged by TxnOffsetCommit would sit pending forever on the
+      * group coordinator — accepted but never decided. Must precede
+      * txnOffsetCommit, the real producer's sendOffsetsToTransaction
+      * order. */
+    def addOffsetsToTxn(txnId: String, pid: Long, epoch: Short,
+                        group: String): Unit = {
+      val w = new Writer()
+      w.string(txnId).int64(pid).int16(epoch.toInt).string(group)
+      val r = call(ApiAddOffsetsToTxn, 0, w.toBytes)
+      r.int32() // throttle
+      val err = r.int16()
+      if (err == KafkaProto.ErrNotCoordinator) throw new Kafka.NotCoordinator(txnId)
+      if (err == KafkaProto.ErrInvalidProducerEpoch) throw new Kafka.ProducerFenced(txnId)
+      require(err == ErrNone, s"addOffsetsToTxn error $err for $txnId")
     }
 
     /** EndTxn v0: commit or abort the open transaction — the broker
@@ -903,6 +928,9 @@ object Kafka {
     def addPartitionsToTxn(txnId: String, pid: Long, epoch: Short,
                            topic: String, partitions: Seq[Int]): Unit =
       txnRouted(txnId)(_.addPartitionsToTxn(txnId, pid, epoch, topic, partitions))
+    def addOffsetsToTxn(txnId: String, pid: Long, epoch: Short,
+                        group: String): Unit =
+      txnRouted(txnId)(_.addOffsetsToTxn(txnId, pid, epoch, group))
     def endTxn(txnId: String, pid: Long, epoch: Short, commit: Boolean): Unit =
       txnRouted(txnId)(_.endTxn(txnId, pid, epoch, commit))
     // the real protocol's routing: txn offsets go to the GROUP coordinator
@@ -1039,17 +1067,19 @@ object Kafka {
   def write(df: DataFrame, bootstrap: (String, Int), topic: String,
             maxBatchRecords: Int = 1000, maxBatchBytes: Int = 1 << 20,
             headerTemplateCols: Seq[String] = Nil,
-            idempotent: Boolean = false): Unit = {
+            idempotent: Boolean = false,
+            compression: String = "none"): Unit = {
     val (host, port) = bootstrap
     val cols = df.columns
     require(cols.contains("key") && cols.contains("value"),
       s"kafka write expects key/value columns, got ${cols.mkString(",")}")
     val headerCols = headerTemplateCols
     val idem = idempotent
+    val codec = codecId(compression)
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val prod = new BatchProducer((host, port), topic,
-          maxBatchRecords, maxBatchBytes, idem)
+          maxBatchRecords, maxBatchBytes, idem, compression = codec)
         try {
           def asBytes(v: Any): Array[Byte] = v match {
             case null => null
@@ -1066,6 +1096,18 @@ object Kafka {
         } finally prod.close()
       }
     }
+  }
+
+  /** Producer codec name → RecordBatch attribute codec id (the stock
+    * producer's `compression.type` vocabulary). */
+  def codecId(name: String): Int = name.toLowerCase match {
+    case "none" | "" => KafkaProto.CodecNone
+    case "gzip" => KafkaProto.CodecGzip
+    case "snappy" => KafkaProto.CodecSnappy
+    case "lz4" => KafkaProto.CodecLz4
+    case "zstd" => KafkaProto.CodecZstd
+    case other => throw new IllegalArgumentException(
+      s"unknown compression.type '$other' (none|gzip|snappy|lz4|zstd)")
   }
 
   /** THE task-side producer kernel — one copy of the batching, murmur2
@@ -1086,7 +1128,8 @@ object Kafka {
   final class BatchProducer(bootstrap: (String, Int), topic: String,
                             maxBatchRecords: Int, maxBatchBytes: Int,
                             idempotent: Boolean, rrSeed: Int = 0,
-                            transactionalId: Option[String] = None)
+                            transactionalId: Option[String] = None,
+                            compression: Int = KafkaProto.CodecNone)
     extends AutoCloseable {
     // transactions imply idempotence (the pid/sequence dedupe is the same
     // machinery; real producers enforce the same implication)
@@ -1149,7 +1192,8 @@ object Kafka {
       val batch = encodeRecordBatch(0L, pending(p).result(),
         producerId = pid, producerEpoch = epoch,
         baseSequence = (if (idem) seqs(p) else -1),
-        attributes = (if (txnId != null) KafkaProto.AttrTransactional else 0))
+        attributes = (if (txnId != null) KafkaProto.AttrTransactional else 0),
+        compression = compression)
       try c.produce(topic, p, batch, transactionalId = txnId)
       catch {
         // a FENCE answer means a newer producer owns this id: resending
@@ -1173,21 +1217,18 @@ object Kafka {
       * `sendOffsetsToTransaction` pattern): they apply atomically with
       * the data at [[commitTxn]] — a crash in between leaves BOTH unseen.
       *
-      * CONSTRAINT: `group` must share a coordinator with the
-      * transactional id (the DSv2 sink guarantees it by using ONE string
-      * for both). The full split-coordinator protocol needs
-      * AddOffsetsToTxn + a cross-broker marker write that this edge does
-      * not model; a mismatch surfaces as a typed error here rather than
-      * a retry-exhausted NOT_COORDINATOR loop. */
+      * Two-coordinator protocol, in the real producer's order:
+      * AddOffsetsToTxn first (TRANSACTION coordinator — registers the
+      * group's offsets partition in the txn, so EndTxn will deliver a
+      * marker there), then TxnOffsetCommit (GROUP coordinator — stages
+      * the offsets pending that marker). Skipping the first step is the
+      * silent-loss mode: the group coordinator accepts the stage but no
+      * marker ever decides it. The two coordinators may be DIFFERENT
+      * brokers; [[LeaderClient]] routes each call by its own key. */
     def sendOffsets(group: String, offsets: Map[(String, Int), Long]): Unit = {
       require(txnId != null, "sendOffsets requires a transactional producer")
-      try c.txnOffsetCommit(txnId, group, pid, epoch, offsets)
-      catch {
-        case e: NotCoordinator => throw new IOException(
-          s"txn offsets for group '$group' need the same coordinator as " +
-            s"transactional id '$txnId' (use one name for both, like the " +
-            "DSv2 sink) — split coordinators are not modeled", e)
-      }
+      c.addOffsetsToTxn(txnId, pid, epoch, group)
+      c.txnOffsetCommit(txnId, group, pid, epoch, offsets)
       txnOpen = true
     }
 

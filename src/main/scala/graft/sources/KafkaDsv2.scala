@@ -304,6 +304,9 @@ private[sources] final class GraftKafkaWrite(info: LogicalWriteInfo) extends Wri
     .getOrElse(s"graft-sink-${info.queryId()}")
   private val transactional = Option(info.options.get("transactional"))
     .forall(_.toBoolean) // default true: the exactly-once path
+  // stock producer option name + vocabulary (none|gzip|snappy|lz4|zstd)
+  private val codec = Kafka.codecId(
+    Option(info.options.get("compression.type")).getOrElse("none"))
   private val schema = info.schema()
   require(schema.fieldNames.contains("key") && schema.fieldNames.contains("value"),
     s"graft-kafka sink expects key/value columns, got ${schema.fieldNames.mkString(",")}")
@@ -311,7 +314,7 @@ private[sources] final class GraftKafkaWrite(info: LogicalWriteInfo) extends Wri
   override def toStreaming: StreamingWrite = new StreamingWrite {
     override def createStreamingWriterFactory(i: PhysicalWriteInfo): StreamingDataWriterFactory =
       KafkaWriterFactory(host, port, topic, schema, maxRecs, maxBytes,
-        Some(sinkGroup), transactional)
+        Some(sinkGroup), transactional, codec)
     override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
     override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   }
@@ -319,7 +322,7 @@ private[sources] final class GraftKafkaWrite(info: LogicalWriteInfo) extends Wri
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(i: PhysicalWriteInfo): DataWriterFactory =
       KafkaWriterFactory(host, port, topic, schema, maxRecs, maxBytes,
-        None, transactional = false)
+        None, transactional = false, codec)
     override def commit(messages: Array[WriterCommitMessage]): Unit = ()
     override def abort(messages: Array[WriterCommitMessage]): Unit = ()
   }
@@ -331,15 +334,16 @@ private[sources] final class GraftKafkaWrite(info: LogicalWriteInfo) extends Wri
 private[sources] final case class KafkaWriterFactory(
     host: String, port: Int, topic: String, schema: StructType,
     maxRecs: Int, maxBytes: Int, fenceGroup: Option[String],
-    transactional: Boolean)
+    transactional: Boolean, codec: Int = KafkaProto.CodecNone)
   extends StreamingDataWriterFactory with DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new KafkaEpochWriter(host, port, topic, schema, maxRecs, maxBytes,
-      partitionId, epochId, fenceGroup, transactional)
+      partitionId, epochId, fenceGroup, transactional, codec)
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new KafkaEpochWriter(host, port, topic, schema, maxRecs, maxBytes,
-      partitionId, epochId = 0L, fenceGroup = None, transactional = false)
+      partitionId, epochId = 0L, fenceGroup = None, transactional = false,
+      codec = codec)
 }
 
 private[sources] final case class KafkaWriteDone(partitionId: Int, epochId: Long,
@@ -350,15 +354,16 @@ private[sources] final case class KafkaWriteDone(partitionId: Int, epochId: Long
   * [[Kafka.BatchProducer]] — the SAME kernel as [[Kafka.write]]; this
   * class adds only the epoch fence and the InternalRow column access.
   * In transactional mode the transactional id AND the fence group are
-  * the same string (`<sinkGroup>-p<partition>`), so the transaction
-  * coordinator and the fence group's coordinator are the same broker —
-  * which is what lets TxnOffsetCommit stage the fence atomically with
-  * the data. */
+  * the same string (`<sinkGroup>-p<partition>`) — one name to manage,
+  * but NOT a correctness requirement: sendOffsets speaks the full
+  * two-coordinator protocol (AddOffsetsToTxn to the txn coordinator,
+  * TxnOffsetCommit to the group coordinator, the marker delivered via
+  * WriteTxnMarkers when they are different brokers). */
 private[sources] final class KafkaEpochWriter(
     host: String, port: Int, topic: String,
     schema: StructType, maxRecs: Int, maxBytes: Int,
     sparkPartition: Int, epochId: Long, fenceGroup: Option[String],
-    transactional: Boolean)
+    transactional: Boolean, codec: Int = KafkaProto.CodecNone)
   extends DataWriter[InternalRow] {
 
   private val keyIdx = schema.fieldIndex("key")
@@ -385,6 +390,7 @@ private[sources] final class KafkaEpochWriter(
 
   private def newProducer() = new Kafka.BatchProducer((host, port), topic,
     maxRecs, maxBytes, idempotent = true, rrSeed = sparkPartition,
+    compression = codec,
     // the transactional id doubles as the fence-group name (see class
     // scaladoc); its init fences zombies and aborts a dead predecessor
     transactionalId =

@@ -43,8 +43,17 @@ object KafkaProto {
   val ApiApiVersions = 18
   val ApiInitProducerId = 22
   val ApiAddPartitionsToTxn = 24
+  val ApiAddOffsetsToTxn = 25
   val ApiEndTxn = 26
+  val ApiWriteTxnMarkers = 27
   val ApiTxnOffsetCommit = 28
+
+  /** The internal offsets topic's partition for a group — the placement
+    * rule the real coordinator uses (`abs(hash(group)) % 50`); it names
+    * which __consumer_offsets partition a WriteTxnMarkers marker targets. */
+  val OffsetsTopicPartitions = 50
+  def offsetsPartitionFor(group: String): Int =
+    (group.hashCode & 0x7fffffff) % OffsetsTopicPartitions
 
   // ---- error codes (subset used here) ----
   val ErrNone: Short = 0
@@ -63,6 +72,90 @@ object KafkaProto {
   // ---- RecordBatch v2 attribute bits (beyond the compression codec) ----
   val AttrTransactional = 0x10
   val AttrControl = 0x20
+
+  // ---- RecordBatch v2 compression codecs (attribute bits 0-2) ----
+  // The public numbering from the Kafka protocol guide; the FRAMING of
+  // each codec is the one the stock clients use for magic-2 batches:
+  // gzip = RFC 1952 stream, snappy = the xerial stream framing
+  // (0x82 SNAPPY 0x00 chunks — NOT raw block snappy), lz4 = the LZ4
+  // FRAME format (magic 0x184D2204; magic-2 batches use the spec-correct
+  // descriptor checksum), zstd = a standard zstd frame. The reference's
+  // kafka-go reader decompresses all four transparently on fetch
+  // (reference pkg/internal/adapter/kafkaclient/reader.go:146-171).
+  val CodecNone = 0
+  val CodecGzip = 1
+  val CodecSnappy = 2
+  val CodecLz4 = 3
+  val CodecZstd = 4
+
+  /** Compress a batch's RECORDS region (everything after the record
+    * count) with a Kafka batch codec. Identity for [[CodecNone]]. */
+  def compressRecords(codec: Int, bytes: Array[Byte]): Array[Byte] = codec match {
+    case CodecNone => bytes
+    case CodecGzip =>
+      val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(bytes); g.close()
+      bos.toByteArray
+    case CodecSnappy =>
+      val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+      val s = new org.xerial.snappy.SnappyOutputStream(bos)
+      s.write(bytes); s.close()
+      bos.toByteArray
+    case CodecLz4 =>
+      val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+      val l = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+      l.write(bytes); l.close()
+      bos.toByteArray
+    case CodecZstd =>
+      // level 3 = zstd's own default (same choice as Codecs.compress)
+      com.github.luben.zstd.Zstd.compress(bytes, 3)
+    case other =>
+      throw new IllegalArgumentException(s"unknown batch compression codec $other")
+  }
+
+  /** Decompress a batch's records region, bounded by `maxOut` — every
+    * codec here can express >1000:1 expansion, so the cap must bind the
+    * EXPANDED size, not the frame length (same rule as Codecs.decompress). */
+  def decompressRecords(codec: Int, bytes: Array[Byte],
+                        maxOut: Int = MaxFieldBytes): Array[Byte] = codec match {
+    case CodecNone => bytes
+    case CodecGzip =>
+      readCapped(new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes)), maxOut, "gzip")
+    case CodecSnappy =>
+      readCapped(new org.xerial.snappy.SnappyInputStream(
+        new java.io.ByteArrayInputStream(bytes)), maxOut, "snappy")
+    case CodecLz4 =>
+      readCapped(new net.jpountz.lz4.LZ4FrameInputStream(
+        new java.io.ByteArrayInputStream(bytes)), maxOut, "lz4")
+    case CodecZstd =>
+      val n = com.github.luben.zstd.Zstd.getFrameContentSize(bytes)
+      require(n >= 0, "zstd frame does not declare its content size — refusing unbounded decompression")
+      require(n <= maxOut,
+        s"zstd batch expands to $n bytes, over the $maxOut-byte cap — refusing decompression bomb")
+      com.github.luben.zstd.Zstd.decompress(bytes, n.toInt)
+    case other =>
+      throw new IllegalArgumentException(s"unknown batch compression codec $other")
+  }
+
+  private def readCapped(in: java.io.InputStream, maxOut: Int,
+                         codec: String): Array[Byte] = {
+    try {
+      val bos = new java.io.ByteArrayOutputStream(1024)
+      val buf = new Array[Byte](8192)
+      var total = 0
+      var n = in.read(buf)
+      while (n > 0) {
+        total += n
+        if (total > maxOut) throw new java.io.IOException(
+          s"$codec batch expands past the $maxOut-byte cap — refusing decompression bomb")
+        bos.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      bos.toByteArray
+    } finally in.close()
+  }
 
   /** FindCoordinator key types (v1+). */
   val CoordGroup = 0
@@ -249,8 +342,11 @@ object KafkaProto {
                         records: Seq[(Long, Array[Byte], Array[Byte], Seq[(String, Array[Byte])])],
                         producerId: Long = -1L, producerEpoch: Int = -1,
                         baseSequence: Int = -1,
-                        attributes: Int = 0): Array[Byte] = {
+                        attributes: Int = 0,
+                        compression: Int = CodecNone): Array[Byte] = {
     require(records.nonEmpty, "empty record batch")
+    require((attributes & 0x7) == 0,
+      "pass the codec via `compression`, not raw attribute bits")
     val baseTs = records.map(_._1).min
     val maxTs = records.map(_._1).max
     val recBytes = new Writer()
@@ -270,9 +366,11 @@ object KafkaProto {
       val b = body.toBytes
       recBytes.varInt(b.length).raw(b)
     }
-    // attributes..end — the CRC32C'd region
+    // attributes..end — the CRC32C'd region. Only the RECORDS region
+    // (after the count) is compressed; the fixed header stays plaintext
+    // so header peeks (count/pid/epoch/sequence) work on any batch.
     val tail = new Writer()
-    tail.int16(attributes)           // no compression, CREATE_TIME (+txn/control bits)
+    tail.int16(attributes | (compression & 0x7)) // codec + CREATE_TIME (+txn/control bits)
     tail.int32(records.size - 1)     // lastOffsetDelta
     tail.int64(baseTs)
     tail.int64(maxTs)
@@ -280,7 +378,7 @@ object KafkaProto {
     tail.int16(producerEpoch)
     tail.int32(baseSequence)
     tail.int32(records.size)
-    tail.raw(recBytes.toBytes)
+    tail.raw(compressRecords(compression, recBytes.toBytes))
     val tailBytes = tail.toBytes
     val crc = new CRC32C()
     crc.update(tailBytes, 0, tailBytes.length)
@@ -397,25 +495,34 @@ object KafkaProto {
         require(crc.getValue.toInt == crcStored,
           f"record batch CRC mismatch: stored 0x$crcStored%08x computed 0x${crc.getValue.toInt}%08x")
         val attributes = r.int16()
-        require((attributes & 0x7) == 0, s"compressed batches not supported here (attrs=$attributes)")
         val lastOffsetDelta = r.int32()
         val baseTs = r.int64()
         r.int64() // maxTimestamp
         val producerId = r.int64()
         r.int16(); r.int32() // producer epoch/sequence
         val n = r.int32()
+        // Compressed batches (attribute bits 0-2) wrap only the RECORDS
+        // region; the CRC was already verified over the COMPRESSED bytes
+        // (that is the protocol's layering — compress, then checksum).
+        val codec = attributes & 0x7
+        val (regionData, regionEnd, rr) =
+          if (codec == CodecNone) (data, pos + 12 + batchLength, r)
+          else {
+            val plain = decompressRecords(codec, r.rawBytes(r.remaining))
+            (plain, plain.length, new Reader(plain))
+          }
         var i = 0
         while (i < n) {
-          val len = r.varInt()
+          val len = rr.varInt()
           // bound the per-record reader by the record's OWN declared
           // length, not the batch end: a crafted record whose field
           // lengths exceed its framing must throw (EOFException), never
           // silently read the next record's bytes — CRC protects against
           // corruption, not a hostile peer
-          require(len >= 0 && len <= r.remaining,
-            s"record length $len exceeds batch remainder ${r.remaining}")
-          val recStart = pos + 12 + batchLength - r.remaining
-          val rec = new Reader(data, recStart, recStart + len)
+          require(len >= 0 && len <= rr.remaining,
+            s"record length $len exceeds batch remainder ${rr.remaining}")
+          val recStart = regionEnd - rr.remaining
+          val rec = new Reader(regionData, recStart, recStart + len)
           rec.int8() // record attributes
           val tsDelta = rec.varLong()
           val offDelta = rec.varInt()
@@ -428,8 +535,8 @@ object KafkaProto {
             (hk, hv)
           }
           recs += KRecord(baseOffset + offDelta, baseTs + tsDelta, key, value, headers)
-          // advance the outer reader past this record
-          r.rawBytes(len)
+          // advance the region reader past this record
+          rr.rawBytes(len)
           i += 1
         }
         out += DecodedBatch(baseOffset, baseOffset + lastOffsetDelta,

@@ -39,10 +39,15 @@ object S3 {
   final case class S3Object(bytes: Array[Byte], contentType: String,
                             contentEncoding: String, meta: Map[String, String])
 
-  final case class ListPage(objects: Seq[(String, Long)],
+  /** One listing entry: key, byte size, and LastModified (epoch millis;
+    * 0 when the listing omitted it) — consumers that order or expire by
+    * mtime (streaming maxFileAge, committer cleanup) need the real one. */
+  final case class ObjInfo(key: String, size: Long, mtime: Long)
+
+  final case class ListPage(objects: Seq[ObjInfo],
                             nextToken: Option[String],
                             commonPrefixes: Seq[String] = Nil) {
-    def keys: Seq[String] = objects.map(_._1)
+    def keys: Seq[String] = objects.map(_.key)
   }
 
   /** Typed non-2xx answer (the status gates retryability: 5xx retries,
@@ -213,7 +218,12 @@ object S3 {
           throw new java.io.IOException("ListObjectsV2: Contents without Key"))
         val size = childText(el, "Size").getOrElse(
           throw new java.io.IOException(s"ListObjectsV2: no Size for $key")).toLong
-        (key, size)
+        // LastModified is ISO-8601 in the real response; tolerate absence
+        // (0) but never a silent parse-to-garbage
+        val mtime = childText(el, "LastModified").map { t =>
+          java.time.Instant.parse(t.trim).toEpochMilli
+        }.getOrElse(0L)
+        ObjInfo(key, size, mtime)
       }
       val cps = elements("CommonPrefixes").flatMap(childText(_, "Prefix"))
       val truncated = elements("IsTruncated").headOption
@@ -233,7 +243,7 @@ object S3 {
       var more = true
       while (more) {
         val page = listPage(prefix, startAfter, pageSize, token)
-        out ++= page.objects
+        out ++= page.objects.map(o => (o.key, o.size))
         token = page.nextToken
         more = token.isDefined
       }
@@ -248,6 +258,34 @@ object S3 {
       val resp = request("DELETE", key, Nil, null, Nil)
       if (resp.statusCode() / 100 != 2 && resp.statusCode() != 404)
         throw new S3HttpError(resp.statusCode(), key, new String(resp.body(), UTF_8))
+    }
+
+    /** Ranged GetObject — `Range: bytes=start..start+len-1` (RFC 9110
+      * byte ranges over the S3 REST grammar). Returns EXACTLY the
+      * requested window (the caller bounds it by the object size); a
+      * server that ignores Range and answers 200-full gets sliced, so
+      * the caller's contract holds against either behavior. This is the
+      * read primitive that keeps a multi-GB parquet object's footer read
+      * at kilobytes instead of whole-object executor memory. */
+    def getObjectRange(key: String, start: Long, len: Long): Array[Byte] = {
+      require(start >= 0 && len > 0, s"bad range $start+$len")
+      val range = s"bytes=$start-${start + len - 1}"
+      val resp = request("GET", key, Nil, null, Seq("range" -> range))
+      resp.statusCode() match {
+        case 206 =>
+          val b = resp.body()
+          require(b.length == len,
+            s"ranged GET $key $range answered ${b.length} bytes, wanted $len")
+          b
+        case 200 => // full-object answer: slice the window out
+          val b = resp.body()
+          if (start >= b.length) throw new S3HttpError(416, key,
+            s"range $range outside object of ${b.length} bytes")
+          java.util.Arrays.copyOfRange(b, start.toInt,
+            math.min(b.length.toLong, start + len).toInt)
+        case other =>
+          throw new S3HttpError(other, key, new String(resp.body(), UTF_8))
+      }
     }
 
     def getObject(key: String): S3Object = {
@@ -295,7 +333,16 @@ object S3 {
             // a 4xx is a CALLER bug (bad signature, bad key): it must
             // surface immediately, not burn the retry budget
             case e: S3HttpError => throw e
-            case _: java.io.IOException if attempt < maxAttempts => 599
+            // a transport failure gets the SAME exhausted-retries wrapper
+            // the 5xx path gets — never a raw IOException on the last try
+            case e: java.io.IOException =>
+              if (attempt >= maxAttempts) {
+                val wrapped = new S3HttpError(599, key,
+                  s"put failed after $attempt attempts: ${e.getMessage}")
+                wrapped.initCause(e)
+                throw wrapped
+              }
+              599
           }
         if (!done) {
           if (attempt >= maxAttempts)

@@ -217,4 +217,96 @@ class GraftS3FsSpec extends SparkSpec {
       assert(spark.read.parquet("graft-s3://spark-bucket/roll").count() === 50)
     } finally s.close()
   }
+
+  test("RANGED reads: a big parquet object is read through Range GETs — " +
+    "footer + column chunks, never the whole object per read") {
+    val s = mounted()
+    try {
+      val hc = spark.sparkContext.hadoopConfiguration
+      // force the ranged arm: whole-object fast path off past 64 KiB,
+      // small readahead so sequential scans window visibly
+      hc.set("fs.graft-s3.whole.object.max", (64 << 10).toString)
+      hc.set("fs.graft-s3.readahead", (256 << 10).toString)
+      try {
+        import spark.implicits._
+        val df = (0 until 60000).map(i => (i.toLong, s"name-$i-" + "x" * 20, i % 7))
+          .toDF("id", "name", "grp")
+        df.repartition(1).write.mode("overwrite")
+          .parquet("graft-s3://spark-bucket/big")
+        val dataKey = s.keys.find(k => k.startsWith("big/part-") && k.endsWith(".parquet")).get
+        val objSize = s.get(dataKey).get.bytes.length
+        assert(objSize > (64 << 10), s"fixture too small: $objSize")
+        val before = s.rangedGetsServed
+        val back = spark.read.parquet("graft-s3://spark-bucket/big")
+        // projection + filter: the ranged path must serve pruned reads
+        assert(back.filter(col("grp") === 3).select("id").count() ===
+          (0 until 60000).count(_ % 7 == 3))
+        assert(back.agg(sum("id")).head().getLong(0) === (0L until 60000L).sum)
+        assert(s.rangedGetsServed > before,
+          s"expected Range GETs, saw full=${s.fullGetsServed}")
+      } finally {
+        hc.unset("fs.graft-s3.whole.object.max")
+        hc.unset("fs.graft-s3.readahead")
+      }
+    } finally s.close()
+  }
+
+  test("RangedS3Stream semantics: lazy seek, windowed sequential reads, " +
+    "pread outside the window, EOF edges") {
+    val s = mounted()
+    try {
+      val cfg = S3.S3Config(s.endpoint, "spark-bucket", "AKIDEXAMPLE", "graft-secret")
+      val http = new S3.S3Http(cfg)
+      val payload = Array.tabulate[Byte](100000)(i => (i % 251).toByte)
+      http.putObject("r/obj.bin", payload, contentType = "application/octet-stream")
+      val in = new RangedS3Stream(http, "r/obj.bin", payload.length.toLong, 1 << 12)
+      // lazy seek: jumping issues no GET until a read needs bytes
+      val g0 = s.rangedGetsServed
+      in.seek(90000L)
+      assert(s.rangedGetsServed === g0)
+      val one = in.read()
+      assert(one === (90000 % 251) && s.rangedGetsServed === g0 + 1)
+      // sequential read across a window boundary stays correct
+      val buf = new Array[Byte](8192)
+      var got = 0
+      while (got < buf.length) {
+        val n = in.read(buf, got, buf.length - got)
+        assert(n > 0); got += n
+      }
+      (0 until 8192).foreach(i => assert(buf(i) === ((90001 + i) % 251).toByte))
+      // pread far from the window serves exactly the span
+      val pb = new Array[Byte](16)
+      in.readFully(5L, pb)
+      (0 until 16).foreach(i => assert(pb(i) === ((5 + i) % 251).toByte))
+      // EOF edges: read at end -1; seek past end throws; readFully over end throws
+      in.seek(payload.length.toLong)
+      assert(in.read() === -1)
+      intercept[java.io.EOFException](in.seek(payload.length + 1L))
+      intercept[java.io.EOFException](in.readFully(payload.length - 8L, new Array[Byte](16)))
+      // ranged-GET protocol edges straight on the client
+      assert(http.getObjectRange("r/obj.bin", payload.length - 3L, 3L).length === 3)
+      assert(intercept[S3.S3HttpError](
+        http.getObjectRange("r/obj.bin", payload.length.toLong, 1L)).status === 416)
+    } finally s.close()
+  }
+
+  test("FileStatus carries the REAL LastModified from the listing, not " +
+    "epoch 0 — both the exact probe and listStatus") {
+    val s = mounted()
+    try {
+      val cfg = S3.S3Config(s.endpoint, "spark-bucket", "AKIDEXAMPLE", "graft-secret")
+      val http = new S3.S3Http(cfg)
+      val before = System.currentTimeMillis() - 1000
+      http.putObject("mt/a.bin", Array[Byte](1, 2, 3))
+      val after = System.currentTimeMillis() + 1000
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        java.net.URI.create("graft-s3://spark-bucket/"),
+        spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path("graft-s3://spark-bucket/mt/a.bin"))
+      assert(st.getModificationTime >= before && st.getModificationTime <= after,
+        s"mtime ${st.getModificationTime} outside [$before, $after]")
+      val listed = fs.listStatus(new org.apache.hadoop.fs.Path("graft-s3://spark-bucket/mt"))
+      assert(listed.length === 1 && listed.head.getModificationTime === st.getModificationTime)
+    } finally s.close()
+  }
 }

@@ -1,0 +1,183 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.SparkSpec
+import KafkaProto._
+
+/** S4/K1 — compressed RecordBatches, the round-13 verdict item: real
+  * producer topics are almost always compressed, and the reference's
+  * kafka-go reader decompresses gzip/snappy/lz4/zstd transparently on
+  * fetch (`/root/reference/pkg/internal/adapter/kafkaclient/reader.go:
+  * 146-171`). The codec rides attribute bits 0-2; only the RECORDS
+  * region (after the count field) is compressed, the CRC covers the
+  * COMPRESSED bytes, and the fixed header stays plaintext so the
+  * broker's header peeks keep working. Framing parity with the stock
+  * clients is locked by frame magic: gzip = RFC 1952, snappy = the
+  * xerial STREAM format (not raw block snappy), lz4 = the LZ4 FRAME
+  * format, zstd = a standard zstd frame. */
+class KafkaCompressionSpec extends SparkSpec {
+
+  private def str(b: Array[Byte]): String = if (b == null) null else new String(b, UTF_8)
+
+  private val codecs = Seq(
+    "gzip" -> CodecGzip, "snappy" -> CodecSnappy,
+    "lz4" -> CodecLz4, "zstd" -> CodecZstd)
+
+  private def sampleRecords(n: Int) = (0 until n).map { i =>
+    (1000L + i,
+      if (i % 3 == 2) null else s"k$i".getBytes(UTF_8),
+      if (i % 5 == 4) null else (s"v$i-" + "x" * (i % 40)).getBytes(UTF_8),
+      if (i % 2 == 0) Seq("h" -> s"hv$i".getBytes(UTF_8)) else Nil)
+  }
+
+  // records region starts at byte 61: 8 baseOffset + 4 length + 4
+  // leaderEpoch + 1 magic + 4 crc + 2 attrs + 4 lastOffsetDelta + 8 + 8
+  // timestamps + 8 pid + 2 epoch + 4 baseSeq + 4 count
+  private val RecordsAt = 61
+
+  test("every codec round-trips (null keys/values, headers) and the batch " +
+    "really is compressed with the STOCK framing (frame magic check)") {
+    val recs = sampleRecords(50)
+    for ((name, codec) <- codecs) {
+      val batch = encodeRecordBatch(0L, recs, compression = codec)
+      assert((batchAttributes(batch) & 0x7) === codec, name)
+      // header peeks must keep working on a compressed batch
+      assert(batchRecordCount(batch) === 50, name)
+      assert(batchBaseOffset(batch) === 0L, name)
+      // framing magic — locks parity with what the stock clients write
+      val m = batch.slice(RecordsAt, RecordsAt + 4).map(_ & 0xff)
+      codec match {
+        case CodecGzip => assert(m(0) === 0x1f && m(1) === 0x8b, name)
+        case CodecSnappy => // xerial stream header: 0x82 'S' 'N' 'A' ...
+          assert(m(0) === 0x82 && m(1) === 'S'.toInt && m(2) === 'N'.toInt, name)
+        case CodecLz4 => // LZ4 frame magic 0x184D2204 little-endian
+          assert(m(0) === 0x04 && m(1) === 0x22 && m(2) === 0x4d && m(3) === 0x18, name)
+        case CodecZstd => // zstd magic 0xFD2FB528 little-endian
+          assert(m(0) === 0x28 && m(1) === 0xb5 && m(2) === 0x2f && m(3) === 0xfd, name)
+        case _ => fail(name)
+      }
+      val got = decodeRecordBatches(batch)
+      assert(got.size === 50, name)
+      assert(got.map(_.offset) === (0L until 50L), name)
+      recs.zip(got).foreach { case ((ts, k, v, hs), r) =>
+        assert(r.timestamp === ts, name)
+        assert(str(r.key) === str(k) && str(r.value) === str(v), name)
+        assert(r.headers.map(h => (h._1, str(h._2))) === hs.map(h => (h._1, str(h._2))), name)
+      }
+      // base-offset rewrite stays CRC-valid (baseOffset is outside the
+      // checksummed region regardless of codec)
+      assert(decodeRecordBatches(withBaseOffset(batch, 7L)).head.offset === 7L, name)
+    }
+  }
+
+  test("compression actually shrinks a redundant payload") {
+    val recs = (0 until 200).map(i =>
+      (1L, null: Array[Byte], ("the same line over and over " * 8).getBytes(UTF_8),
+        Seq.empty[(String, Array[Byte])]))
+    val plain = encodeRecordBatch(0L, recs)
+    for ((name, codec) <- codecs) {
+      val z = encodeRecordBatch(0L, recs, compression = codec)
+      assert(z.length < plain.length / 4, s"$name: ${z.length} vs ${plain.length}")
+    }
+  }
+
+  test("CRC covers the COMPRESSED bytes: a bit flip inside the records " +
+    "region fails the checksum before any decompressor sees it") {
+    val batch = encodeRecordBatch(0L, sampleRecords(20), compression = CodecZstd)
+    val corrupt = java.util.Arrays.copyOf(batch, batch.length)
+    corrupt(RecordsAt + 5) = (corrupt(RecordsAt + 5) ^ 0x40).toByte
+    val e = intercept[IllegalArgumentException](decodeRecordBatches(corrupt))
+    assert(e.getMessage.contains("CRC mismatch"), e.getMessage)
+  }
+
+  test("hostile inputs: unknown codec id refuses; a decompression bomb is " +
+    "capped at the expanded size, not the frame length") {
+    intercept[IllegalArgumentException](compressRecords(7, Array[Byte](1)))
+    intercept[IllegalArgumentException](decompressRecords(5, Array[Byte](1)))
+    // 64 MiB of zeros gzips to ~64 KiB: cap at 1 MiB must throw on EXPANSION
+    val bomb = compressRecords(CodecGzip, new Array[Byte](64 << 20))
+    assert(bomb.length < (1 << 20))
+    val e = intercept[java.io.IOException](
+      decompressRecords(CodecGzip, bomb, maxOut = 1 << 20))
+    assert(e.getMessage.contains("bomb"), e.getMessage)
+    // zstd declares content size in the frame → refused before allocating
+    val zbomb = compressRecords(CodecZstd, new Array[Byte](64 << 20))
+    intercept[IllegalArgumentException](
+      decompressRecords(CodecZstd, zbomb, maxOut = 1 << 20))
+    // truncated frame throws, never silently yields partial records
+    val batch = encodeRecordBatch(0L, sampleRecords(20), compression = CodecGzip)
+    val shortened = java.util.Arrays.copyOf(batch, batch.length - 3)
+    // (re-frame with a consistent batchLength so the CRC/length checks
+    // pass and the failure is the DECOMPRESSOR's, not the framing's)
+    intercept[Exception](decompressRecords(CodecGzip,
+      batch.slice(RecordsAt, batch.length - 3)))
+    assert(shortened.length > 0) // silence unused warning
+  }
+
+  test("e2e: producer compresses per-batch, broker stores/serves the batch " +
+    "verbatim, consumer decompresses on fetch — all four codecs") {
+    for ((name, codec) <- codecs) {
+      val broker = new MiniKafkaBroker(Map("zt" -> 2))
+      try {
+        val boot = ("127.0.0.1", broker.boundPort)
+        val prod = new Kafka.BatchProducer(boot, "zt", 1000, 1 << 20,
+          idempotent = true, compression = codec)
+        try {
+          (0 until 40).foreach(i => prod.add(s"k$i".getBytes(UTF_8),
+            s"$name-$i".getBytes(UTF_8)))
+          prod.flushAll()
+        } finally prod.close()
+        val c = new Kafka.WireClient("127.0.0.1", broker.boundPort)
+        try {
+          val got = (0 until 2).flatMap(p => c.fetch("zt", p, 0L)._2)
+          assert(got.size === 40, name)
+          assert(got.map(r => str(r.value)).toSet ===
+            (0 until 40).map(i => s"$name-$i").toSet, name)
+          // the decoded-span cursor advances through compressed batches too
+          val (next0, recs0) = c.fetchFrom("zt", 0, 0L)
+          assert(recs0.nonEmpty && next0 === recs0.last.offset + 1, name)
+        } finally c.close()
+      } finally broker.close()
+    }
+  }
+
+  test("e2e: compressed TRANSACTIONAL produce — read_committed sees exactly " +
+    "the committed records; the abort path drops the whole compressed batch") {
+    val broker = new MiniKafkaBroker(Map("ztx" -> 1))
+    try {
+      val boot = ("127.0.0.1", broker.boundPort)
+      val p1 = new Kafka.BatchProducer(boot, "ztx", 1000, 1 << 20,
+        idempotent = true, transactionalId = Some("tx-z"),
+        compression = Kafka.codecId("lz4"))
+      try {
+        p1.add("a".getBytes(UTF_8), "committed".getBytes(UTF_8))
+        p1.flushAll(); p1.commitTxn()
+        p1.add("b".getBytes(UTF_8), "aborted".getBytes(UTF_8))
+        p1.flushAll(); p1.abortTxn()
+      } finally p1.close()
+      val c = new Kafka.WireClient("127.0.0.1", broker.boundPort)
+      try {
+        val committed = c.fetchFrom("ztx", 0, 0L, readCommitted = true)._2
+        assert(committed.map(r => str(r.value)) === Seq("committed"))
+      } finally c.close()
+    } finally broker.close()
+  }
+
+  test("Kafka.write(compression=zstd): the distributed Spark produce path " +
+    "compresses and the distributed read round-trips values exactly") {
+    import spark.implicits._
+    val broker = new MiniKafkaBroker(Map("zs" -> 3))
+    try {
+      val boot = ("127.0.0.1", broker.boundPort)
+      val src = (0 until 300).map(i => (s"u$i", s"payload-$i")).toDF("user_id", "body")
+      Kafka.write(Sources.encodeKafka(src, "{user_id}"), boot, "zs",
+        idempotent = true, compression = "zstd")
+      val back = Kafka.read(spark, boot, "zs")
+      assert(back.count() === 300)
+      val vals = back.select("value").as[Array[Byte]].collect().map(str).toSet
+      assert((0 until 300).forall(i => vals.exists(_.contains(s"payload-$i"))))
+      intercept[IllegalArgumentException](Kafka.codecId("brotli"))
+    } finally broker.close()
+  }
+}

@@ -208,9 +208,11 @@ class KafkaTxnSpec extends SparkSpec {
     } finally broker.close()
   }
 
-  test("sendOffsets to a group on a DIFFERENT coordinator than the " +
-    "transactional id fails with the documented constraint, not a retry loop") {
-    // two brokers: coordinatorFor hashes the name — "a" and "b" differ
+  test("SPLIT coordinators: AddOffsetsToTxn registers the group on the txn " +
+    "coordinator and EndTxn delivers the offsets marker ACROSS brokers " +
+    "(WriteTxnMarkers) — commit materializes, abort discards") {
+    // two brokers: coordinatorFor hashes the name — pick a txnId and a
+    // group that land on DIFFERENT coordinators (group.hashCode % 2)
     val logs = new java.util.concurrent.ConcurrentHashMap[(String, Int), MiniKafkaBroker.PartitionLog]()
     @volatile var view: Seq[(Int, String, Int)] = Nil
     def mk(id: Int) = new MiniKafkaBroker(Map("sc" -> 1), nodeId = id,
@@ -218,8 +220,6 @@ class KafkaTxnSpec extends SparkSpec {
     val b0 = mk(0); val b1 = mk(1)
     view = Seq((0, "127.0.0.1", b0.boundPort), (1, "127.0.0.1", b1.boundPort))
     try {
-      // find a txnId/group pair on DIFFERENT coordinators under the
-      // brokers' hash rule (group.hashCode % 2)
       val names = ('a' to 'j').map(_.toString)
       val txnId = names.find(n => math.floorMod(n.hashCode, 2) == 0).get
       val group = names.find(n => math.floorMod(n.hashCode, 2) == 1).get
@@ -227,18 +227,71 @@ class KafkaTxnSpec extends SparkSpec {
         10, 1 << 20, idempotent = true, transactionalId = Some(txnId))
       prod.add(null, "x".getBytes(UTF_8))
       prod.flushAll()
-      val e = intercept[java.io.IOException] {
-        prod.sendOffsets(group, Map(("sc", 0) -> 1L))
-      }
-      assert(e.getMessage.contains("same coordinator"), e.getMessage)
-      // same-name staging (the DSv2 sink shape) works on this cluster
-      prod.sendOffsets(txnId, Map(("sc", 0) -> 1L))
-      prod.commitTxn()
-      prod.close()
+      prod.sendOffsets(group, Map(("sc", 0) -> 1L))
       val c = new Kafka.LeaderClient(("127.0.0.1", b0.boundPort))
-      assert(c.offsetFetch(txnId, Seq(("sc", 0))) === Map(("sc", 0) -> 1L))
+      // staged ≠ visible: the group coordinator holds them PENDING until
+      // the txn coordinator's marker arrives at commit
+      assert(c.offsetFetch(group, Seq(("sc", 0))) === Map(("sc", 0) -> -1L))
+      prod.commitTxn()
+      assert(c.offsetFetch(group, Seq(("sc", 0))) === Map(("sc", 0) -> 1L))
+      // the abort arm crosses brokers too: a staged advance is DISCARDED
+      prod.add(null, "y".getBytes(UTF_8))
+      prod.flushAll()
+      prod.sendOffsets(group, Map(("sc", 0) -> 2L))
+      prod.abortTxn()
+      assert(c.offsetFetch(group, Seq(("sc", 0))) === Map(("sc", 0) -> 1L))
+      prod.close()
       c.close()
     } finally { b0.close(); b1.close() }
+  }
+
+  test("TxnOffsetCommit WITHOUT AddOffsetsToTxn is accepted but never " +
+    "decided — the real silent-loss mode the producer API must avoid") {
+    val broker = new MiniKafkaBroker(Map("nr" -> 1))
+    try {
+      val c = new Kafka.WireClient("127.0.0.1", broker.boundPort)
+      try {
+        val (pid, epoch) = c.initProducerId("nr-tx")
+        c.addPartitionsToTxn("nr-tx", pid, epoch, "nr", Seq(0))
+        c.produce("nr", 0, KafkaProto.encodeRecordBatch(0L,
+          Seq((1L, null, "v".getBytes(UTF_8), Nil)), pid, epoch.toInt, 0,
+          attributes = KafkaProto.AttrTransactional), transactionalId = "nr-tx")
+        // stage offsets but SKIP AddOffsetsToTxn: the group coordinator
+        // accepts the stage, but EndTxn has no registered group to marker
+        c.txnOffsetCommit("nr-tx", "nr-group", pid, epoch, Map(("nr", 0) -> 1L))
+        c.endTxn("nr-tx", pid, epoch, commit = true)
+        // data committed, offsets lost — exactly what the protocol says
+        assert(c.fetchFrom("nr", 0, 0L, readCommitted = true)._2.size === 1)
+        assert(c.offsetFetch("nr-group", Seq(("nr", 0))) === Map(("nr", 0) -> -1L))
+      } finally c.close()
+    } finally broker.close()
+  }
+
+  test("group coordinator fences a ZOMBIE's stale-epoch TxnOffsetCommit " +
+    "after re-init: the abort marker teaches it the bumped epoch") {
+    val broker = new MiniKafkaBroker(Map("zo" -> 1))
+    try {
+      val a = new Kafka.WireClient("127.0.0.1", broker.boundPort)
+      val b = new Kafka.WireClient("127.0.0.1", broker.boundPort)
+      try {
+        val (pid, e1) = a.initProducerId("zo-tx")
+        a.addOffsetsToTxn("zo-tx", pid, e1, "zo-g")
+        a.txnOffsetCommit("zo-tx", "zo-g", pid, e1, Map(("zo", 0) -> 5L))
+        // successor re-inits: epoch bump + abort of A's open txn, whose
+        // abort marker DISCARDS the stage and carries the NEW epoch
+        val (pid2, e2) = b.initProducerId("zo-tx")
+        assert(pid2 === pid && e2 > e1)
+        // the zombie retries its stage at the OLD epoch → fenced, and the
+        // pending store stays empty (commit below must not resurrect it)
+        intercept[Kafka.ProducerFenced] {
+          a.txnOffsetCommit("zo-tx", "zo-g", pid, e1, Map(("zo", 0) -> 6L))
+        }
+        b.addOffsetsToTxn("zo-tx", pid2, e2, "zo-g")
+        b.txnOffsetCommit("zo-tx", "zo-g", pid2, e2, Map(("zo", 0) -> 9L))
+        b.endTxn("zo-tx", pid2, e2, commit = true)
+        assert(b.offsetFetch("zo-g", Seq(("zo", 0))) === Map(("zo", 0) -> 9L))
+      } finally { a.close(); b.close() }
+    } finally broker.close()
   }
 
   test("replay racing the predecessor's in-flight commit: init-before-" +

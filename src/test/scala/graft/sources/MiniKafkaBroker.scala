@@ -63,17 +63,33 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
   private val producerSeqs = new ConcurrentHashMap[(Long, String, Int), PidState]()
 
   /** Transaction-coordinator state per transactional id: the STABLE pid,
-    * the current (fencing) epoch, the open transaction's registered
-    * partitions, and offsets staged by TxnOffsetCommit — applied to the
-    * group store atomically at EndTxn(commit), exactly the real
-    * coordinator's contract. */
+    * the current (fencing) epoch, the open transaction's registered data
+    * partitions, and the consumer GROUPS registered by AddOffsetsToTxn —
+    * at EndTxn the coordinator writes data markers locally and delivers
+    * an offsets marker to each group's coordinator (WriteTxnMarkers when
+    * that is another broker), exactly the real coordinator's division of
+    * labor. The staged offsets themselves live on the GROUP coordinator
+    * ([[pendingTxnOffsets]]), not here. */
   private final class TxnState(val pid: Long) {
     var epoch: Short = 0
     var open = false
     val partitions = scala.collection.mutable.LinkedHashSet[(String, Int)]()
-    val pendingOffsets = scala.collection.mutable.Map[(String, String, Int), Long]()
+    val offsetGroups = scala.collection.mutable.LinkedHashSet[String]()
   }
   private val txns = new ConcurrentHashMap[String, TxnState]()
+
+  /** GROUP-coordinator state: offsets staged by TxnOffsetCommit, pending
+    * the transaction marker that decides them — keyed by (pid, group,
+    * topic, partition). A stage the marker never reaches is invisible
+    * forever, which is the atomicity contract (and why a client that
+    * skips AddOffsetsToTxn loses its offsets — loudly tested). */
+  private val pendingTxnOffsets =
+    new ConcurrentHashMap[(Long, String, String, Int), Long]()
+  /** Highest producer epoch seen per pid by THIS group coordinator —
+    * fences a zombie's TxnOffsetCommit (stale epoch) independently of the
+    * txn coordinator, the real group coordinator's check. */
+  private val groupPidEpochs =
+    new ConcurrentHashMap[java.lang.Long, java.lang.Integer]()
 
   /** Decide an open transaction: write one control marker per registered
     * partition (markers consume an offset like any record), close the
@@ -95,12 +111,98 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
         }
       }
     }
-    if (commit) st.pendingOffsets.foreach { case ((g, t, p), off) =>
-      groupOffsets.put((g, t, p), off)
+    // deliver the offsets marker to each registered group's coordinator:
+    // locally when I coordinate the group, WriteTxnMarkers over the wire
+    // when another broker does — the cross-broker write the real txn
+    // coordinator performs
+    st.offsetGroups.foreach { g =>
+      val (cid, host, prt) = coordinatorFor(g)
+      if (cid == nodeId)
+        applyMarker(st.pid, st.epoch, commit, OffsetsTopic, offsetsPartitionFor(g))
+      else
+        sendOffsetsMarker(host, prt, st.pid, st.epoch, commit, g)
     }
-    st.pendingOffsets.clear()
+    st.offsetGroups.clear()
     st.partitions.clear()
     st.open = false
+  }
+
+  private val OffsetsTopic = "__consumer_offsets"
+
+  /** Apply one transaction marker to a partition THIS broker owns: for
+    * the internal offsets topic, materialize (commit) or discard (abort)
+    * every pending stage for this pid whose group hashes to the marker's
+    * partition; for a data topic, append the control batch (the
+    * WriteTxnMarkers receiver's job on a data leader). */
+  private def applyMarker(pid: Long, epoch: Short, commit: Boolean,
+                          topic: String, partition: Int): Short = {
+    if (topic == OffsetsTopic) {
+      // the marker is also how THIS coordinator learns the producer's
+      // current epoch — after an abort marker from a fenced predecessor,
+      // the zombie's stale-epoch stage must be refused, not re-accepted
+      groupPidEpochs.merge(Long.box(pid), Int.box(epoch.toInt),
+        (a, b) => if (a.intValue >= b.intValue) a else b)
+      val it = pendingTxnOffsets.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val (p2, g, t, pt) = e.getKey
+        if (p2 == pid && offsetsPartitionFor(g) == partition) {
+          if (commit) groupOffsets.put((g, t, pt), e.getValue)
+          it.remove()
+        }
+      }
+      ErrNone
+    } else if (leader(topic, partition) != nodeId) ErrNotLeader
+    else {
+      val log = logs.get((topic, partition))
+      if (log == null) ErrUnknownTopicOrPartition
+      else log.synchronized {
+        val base = log.logEnd
+        log.batches += withBaseOffset(
+          encodeControlBatch(0L, pid, epoch.toInt, commit,
+            System.currentTimeMillis()), base)
+        log.logEnd = base + 1
+        log.openTxnFirst.remove(pid).foreach { first =>
+          if (!commit) log.abortedRanges += ((pid, first, base))
+        }
+        ErrNone
+      }
+    }
+  }
+
+  /** WriteTxnMarkers to a peer broker that coordinates `group` — one
+    * marker targeting the group's __consumer_offsets partition. */
+  private def sendOffsetsMarker(host: String, port: Int, pid: Long,
+                                epoch: Short, commit: Boolean,
+                                group: String): Unit = {
+    val sock = new java.net.Socket(host, port)
+    try {
+      val out = new java.io.DataOutputStream(sock.getOutputStream)
+      val in = new java.io.DataInputStream(sock.getInputStream)
+      val body = new Writer()
+      body.array(Seq(group)) { (b, g) =>
+        b.int64(pid).int16(epoch.toInt).int8(if (commit) 1 else 0)
+        b.array(Seq(OffsetsTopic)) { (tb, t) =>
+          tb.string(t)
+          tb.array(Seq(offsetsPartitionFor(g)))((pb, pp) => pb.int32(pp))
+        }
+        b.int32(0) // coordinator epoch
+      }
+      KafkaProto.writeRequest(out, ApiWriteTxnMarkers, 0, 1,
+        s"txn-coord-$nodeId", body.toBytes)
+      val (_, r) = KafkaProto.readResponse(in)
+      r.array { m =>
+        m.int64()
+        m.array { t =>
+          t.string()
+          t.array { pr =>
+            pr.int32()
+            val err = pr.int16()
+            require(err == ErrNone, s"WriteTxnMarkers error $err from $host:$port")
+          }
+        }
+      }
+    } finally sock.close()
   }
 
   private val running = new AtomicBoolean(true)
@@ -162,6 +264,8 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
           case ApiHeartbeat => heartbeatV0(version, r)
           case ApiLeaveGroup => leaveGroupV0(version, r)
           case ApiAddPartitionsToTxn => addPartitionsToTxnV0(version, r)
+          case ApiAddOffsetsToTxn => addOffsetsToTxnV0(version, r)
+          case ApiWriteTxnMarkers => writeTxnMarkersV0(version, r)
           case ApiEndTxn => endTxnV0(version, r)
           case ApiTxnOffsetCommit => txnOffsetCommitV0(version, r)
           case other => throw new EOFException(s"unsupported api key $other")
@@ -184,6 +288,7 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
       (ApiMetadata, 1, 1), (ApiOffsetCommit, 2, 2), (ApiOffsetFetch, 1, 1),
       (ApiApiVersions, 0, 0), (ApiInitProducerId, 0, 0),
       (ApiFindCoordinator, 0, 1), (ApiAddPartitionsToTxn, 0, 0),
+      (ApiAddOffsetsToTxn, 0, 0), (ApiWriteTxnMarkers, 0, 0),
       (ApiEndTxn, 0, 0), (ApiTxnOffsetCommit, 0, 0),
       (ApiJoinGroup, 0, 0), (ApiSyncGroup, 0, 0),
       (ApiHeartbeat, 0, 0), (ApiLeaveGroup, 0, 0))) { (b, k) =>
@@ -470,8 +575,12 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
         // between produce-ack and commit leaves only aborted (invisible)
         // data — and (b) BUMPS the epoch, fencing that holder if it is
         // still alive (the zombie/speculative task attempt)
-        if (st.open) finishTxn(st, commit = false)
         st.epoch = (st.epoch + 1).toShort
+        // abort AFTER the bump (KIP-360): the abort markers then carry
+        // the NEW epoch, so every group coordinator that sees one learns
+        // the fence — a zombie's later TxnOffsetCommit at the old epoch
+        // is rejected rather than re-staged
+        if (st.open) finishTxn(st, commit = false)
         new Writer().int32(0).int16(ErrNone).int64(st.pid).int16(st.epoch.toInt).toBytes
       }
     }
@@ -513,6 +622,55 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
     w.toBytes
   }
 
+  /** AddOffsetsToTxn v0 — TRANSACTION-coordinator side: registers the
+    * group's offsets partition in the open transaction, so EndTxn will
+    * deliver the deciding marker to that group's coordinator. */
+  private def addOffsetsToTxnV0(version: Int, r: Reader): Array[Byte] = {
+    require(version == 0, s"AddOffsetsToTxn v$version unsupported")
+    val txnId = r.string()
+    val pid = r.int64()
+    val epoch = r.int16()
+    val group = r.string()
+    val err = txnCheck(txnId, pid, epoch) match {
+      case Left(e) => e
+      case Right(st) => st.synchronized {
+        st.open = true
+        st.offsetGroups += group
+        ErrNone
+      }
+    }
+    new Writer().int32(0).int16(err.toInt).toBytes
+  }
+
+  /** WriteTxnMarkers v0 — what a txn coordinator sends the brokers that
+    * own a decided transaction's partitions. Here the payload of interest
+    * is the __consumer_offsets marker that decides staged group offsets;
+    * data-topic markers are honored too when this broker leads them. */
+  private def writeTxnMarkersV0(version: Int, r: Reader): Array[Byte] = {
+    require(version == 0, s"WriteTxnMarkers v$version unsupported")
+    val markers = r.array { m =>
+      val pid = m.int64()
+      val epoch = m.int16()
+      val commit = m.int8() != 0
+      val topics = m.array(t => (t.string(), t.array(_.int32())))
+      m.int32() // coordinator epoch
+      (pid, epoch, commit, topics)
+    }
+    val w = new Writer()
+    w.array(markers) { (b, mk) =>
+      val (pid, epoch, commit, tps) = mk
+      b.int64(pid)
+      b.array(tps) { (tb, tp) =>
+        tb.string(tp._1)
+        tb.array(tp._2) { (pb, p) =>
+          pb.int32(p)
+          pb.int16(applyMarker(pid, epoch, commit, tp._1, p).toInt)
+        }
+      }
+    }
+    w.toBytes
+  }
+
   private def endTxnV0(version: Int, r: Reader): Array[Byte] = {
     require(version == 0, s"EndTxn v$version unsupported")
     val txnId = r.string()
@@ -531,32 +689,35 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
 
   private def txnOffsetCommitV0(version: Int, r: Reader): Array[Byte] = {
     require(version == 0, s"TxnOffsetCommit v$version unsupported")
-    val txnId = r.string()
+    r.string() // transactional id: carried on the wire, but the GROUP
+               // coordinator doesn't resolve it — it fences on (pid, epoch)
     val group = r.string()
     val pid = r.int64()
     val epoch = r.int16()
     val req = r.array { t =>
       (t.string(), t.array(p => (p.int32(), p.int64(), p.nullableString())))
     }
-    // routed to the GROUP coordinator (the real protocol); this broker
-    // stages offsets on the txn state, which requires both coordinator
-    // roles to coincide here — guaranteed when txnId == group (the DSv2
-    // sink's usage: both are "<sinkGroup>-p<partition>")
-    val err = txnCheck(txnId, pid, epoch) match {
-      case Left(e) => e
-      case Right(st) => st.synchronized {
-        if (coordinatorFor(group)._1 != nodeId) ErrNotCoordinator
+    // GROUP-coordinator side (the real routing): stage the offsets
+    // PENDING — only the transaction marker the txn coordinator delivers
+    // at EndTxn (locally or via WriteTxnMarkers) decides them. Zombie
+    // fencing is the group coordinator's own epoch-per-pid check.
+    val err: Short =
+      if (coordinatorFor(group)._1 != nodeId) ErrNotCoordinator
+      else {
+        var fenced = false
+        groupPidEpochs.compute(Long.box(pid), (_, old) =>
+          if (old != null && old.intValue > epoch.toInt) { fenced = true; old }
+          else Int.box(epoch.toInt))
+        if (fenced) ErrInvalidProducerEpoch
         else {
-          st.open = true
           req.foreach { case (t, ps) =>
             ps.foreach { case (p, off, _) =>
-              st.pendingOffsets((group, t, p)) = off
+              pendingTxnOffsets.put((pid, group, t, p), off)
             }
           }
           ErrNone
         }
       }
-    }
     val w = new Writer()
     w.int32(0) // throttle
     w.array(req) { (b, tr) =>

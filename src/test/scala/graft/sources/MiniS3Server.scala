@@ -28,13 +28,16 @@ final class MiniS3Server(bucket: String, port: Int = 0,
 
   final case class Stored(bytes: Array[Byte], contentType: String,
                           contentEncoding: String, meta: Map[String, String],
-                          sse: String)
+                          sse: String,
+                          mtime: Long = System.currentTimeMillis())
 
   private val objects = new ConcurrentSkipListMap[String, Stored]()
   private val failPuts = new AtomicInteger(0)
   @volatile private var failStatus = 500
   private val putAttempts = new AtomicLong(0)
   private val listCalls = new AtomicLong(0)
+  private val rangeGets = new AtomicLong(0)
+  private val fullGets = new AtomicLong(0)
 
   def failNextPuts(n: Int, status: Int = 500): Unit = {
     failStatus = status
@@ -42,6 +45,9 @@ final class MiniS3Server(bucket: String, port: Int = 0,
   }
   def putsAttempted: Long = putAttempts.get()
   def listsServed: Long = listCalls.get()
+  /** GETs answered 206 (a Range header was honored) / answered whole. */
+  def rangedGetsServed: Long = rangeGets.get()
+  def fullGetsServed: Long = fullGets.get()
   def objectCount: Int = objects.size()
   def keys: Seq[String] = objects.keySet().asScala.toSeq
   def get(key: String): Option[Stored] = Option(objects.get(key))
@@ -122,11 +128,28 @@ final class MiniS3Server(bucket: String, port: Int = 0,
             Option(objects.get(k)) match {
               case None => xmlError("NoSuchKey", 404, ex)
               case Some(o) =>
-                respond(ex, 200, o.bytes,
-                  Seq("Content-Type" -> o.contentType) ++
+                val common =
+                  Seq("Content-Type" -> o.contentType,
+                    "Last-Modified" -> httpDate(o.mtime)) ++
                     (if (o.contentEncoding.nonEmpty)
                       Seq("Content-Encoding" -> o.contentEncoding) else Nil) ++
-                    o.meta.toSeq.map { case (mk, v) => s"x-amz-meta-$mk" -> v })
+                    o.meta.toSeq.map { case (mk, v) => s"x-amz-meta-$mk" -> v }
+                Option(ex.getRequestHeaders.getFirst("Range")) match {
+                  case None =>
+                    fullGets.incrementAndGet()
+                    respond(ex, 200, o.bytes, common)
+                  case Some(spec) => parseRange(spec, o.bytes.length) match {
+                    case None =>
+                      respond(ex, 416, Array.emptyByteArray,
+                        Seq("Content-Range" -> s"bytes */${o.bytes.length}"))
+                    case Some((a, b)) =>
+                      rangeGets.incrementAndGet()
+                      respond(ex, 206,
+                        java.util.Arrays.copyOfRange(o.bytes, a.toInt, b.toInt + 1),
+                        common :+ ("Content-Range" ->
+                          s"bytes $a-$b/${o.bytes.length}"))
+                  }
+                }
             }
           case ("PUT", k) if k.nonEmpty =>
             putAttempts.incrementAndGet()
@@ -162,6 +185,34 @@ final class MiniS3Server(bucket: String, port: Int = 0,
   })
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
   server.start()
+
+  private def httpDate(ms: Long): String =
+    java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME.format(
+      java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneOffset.UTC))
+
+  /** RFC 9110 single byte-range over an object of `total` bytes:
+    * `bytes=a-b`, `bytes=a-` (to end), `bytes=-n` (suffix). Returns the
+    * inclusive [first, last] window, or None when unsatisfiable (→ 416). */
+  private def parseRange(spec: String, total: Long): Option[(Long, Long)] = {
+    if (!spec.startsWith("bytes=")) return None
+    val r = spec.stripPrefix("bytes=")
+    val i = r.indexOf('-')
+    if (i < 0) return None
+    val (a, b) = (r.substring(0, i).trim, r.substring(i + 1).trim)
+    try {
+      if (a.isEmpty) { // suffix: last n bytes
+        val n = b.toLong
+        if (n <= 0 || total == 0) None else Some((math.max(0L, total - n), total - 1))
+      } else {
+        val first = a.toLong
+        if (first >= total) None
+        else {
+          val last = if (b.isEmpty) total - 1 else math.min(b.toLong, total - 1)
+          if (last < first) None else Some((first, last))
+        }
+      }
+    } catch { case _: NumberFormatException => None }
+  }
 
   /** The real ListObjectsV2 contract: keys in lexicographic order,
     * `start-after` applies only on the FIRST page, `continuation-token`
@@ -223,7 +274,9 @@ final class MiniS3Server(bucket: String, port: Int = 0,
     xml ++= s"<IsTruncated>$truncated</IsTruncated>"
     page.foreach {
       case KeyEntry(k) =>
-        xml ++= s"<Contents><Key>${esc(k)}</Key><Size>${objects.get(k).bytes.length}</Size></Contents>"
+        val o = objects.get(k)
+        val lm = java.time.Instant.ofEpochMilli(o.mtime).toString
+        xml ++= s"<Contents><Key>${esc(k)}</Key><LastModified>$lm</LastModified><Size>${o.bytes.length}</Size></Contents>"
       case CpEntry(p) =>
         xml ++= s"<CommonPrefixes><Prefix>${esc(p)}</Prefix></CommonPrefixes>"
     }
