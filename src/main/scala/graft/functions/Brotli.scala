@@ -27,10 +27,11 @@ import java.io.IOException
   * (`tools/fuzz_brotli.py` + `graft.tools.BrotliFuzz`) that replays
   * thousands of reference-encoder outputs through this decoder.
   *
-  * DECODE-ONLY by design: the relay seals outbound payloads with the
-  * gzip/zstd/… arms, but must be able to OPEN a brotli-sealed payload
-  * from a reference peer; `Codecs.compress(brotli)` remains the
-  * documented refusal. */
+  * The sealing twin is [[BrotliEnc]] (r13): `Codecs.compress(brotli)`
+  * emits real RFC 7932 streams that this decoder AND the reference
+  * decoder (libbrotlidec, via tools/check_brotli_enc.py) open
+  * byte-exact, so both directions of the reference's enum-4 arm
+  * interoperate. */
 object Brotli {
 
   // ======================================================================

@@ -1,0 +1,635 @@
+package graft.functions
+
+/** RFC 7932 (brotli) ENCODER, from scratch — the sealing twin of
+  * [[Brotli]], closing the last codec asymmetry with the reference
+  * relay: the reference SEALS outbound payloads with brotli
+  * (`/root/reference/pkg/internal/forwardrelay/payload.go:127`,
+  * `brotli.NewWriterLevel`), so a graft relay must be able to produce
+  * what a reference receiver configured for enum 4 expects.
+  *
+  * This is a real compressed encoder, not just §9.2 stored blocks:
+  *  - greedy LZ77 over a 4-byte hash chain (the shape of the reference
+  *    encoder's quality-2 path), emitting §5 insert-and-copy commands;
+  *  - computed canonical prefix codes for the literal / command /
+  *    distance alphabets, serialized in both §3.4 forms (simple ≤4
+  *    symbols; complex with the fixed code-length code and the 16/17
+  *    repeat codes), with code lengths limited by count-boosted Huffman
+  *    retries (≤15 main, ≤5 for the code-length code — the fixed CL
+  *    prefix only has codewords for lengths 0..5);
+  *  - one block type per category, NPOSTFIX=0 / NDIRECT=0, a single
+  *    literal tree (NTREES=1 context maps read zero bits), distance
+  *    short-code 0 for last-distance reuse, implicit-0 command cells
+  *    when the (insert,copy) code pair allows;
+  *  - a stored fallback: if the compressed stream is not smaller than
+  *    §9.2 uncompressed meta-blocks, the stored form ships instead, so
+  *    incompressible payloads pay bytes of overhead, not blowup.
+  *
+  * Correctness is locked differentially BOTH ways: every encoder output
+  * must round-trip byte-exact through [[Brotli.decode]] (BrotliEncSpec:
+  * goldens' .raw corpus, structured shapes, randomized fuzz), and
+  * `tools/check_brotli_enc.py` replays encoder outputs through the
+  * SYSTEM reference decoder (libbrotlidec via ctypes) — the committed
+  * `golden/brotli_enc/` vectors were verified against libbrotlidec and
+  * are byte-locked in the spec for determinism. */
+object BrotliEnc {
+
+  // ======================================================================
+  // bit writer (LSB-first, §2 — the exact inverse of Brotli.Bits)
+  // ======================================================================
+
+  private final class BitWriter {
+    private var buf = new Array[Byte](1 << 12)
+    private var bytePos = 0
+    private var bitBuf = 0L
+    private var bitCnt = 0
+
+    private def ensure(n: Int): Unit =
+      if (bytePos + n > buf.length) {
+        var cap = buf.length
+        while (cap < bytePos + n) cap <<= 1
+        buf = java.util.Arrays.copyOf(buf, cap)
+      }
+
+    def write(v: Int, n: Int): Unit = {
+      if (n == 0) return
+      require(n <= 24, s"write of $n bits")
+      bitBuf |= (v.toLong & ((1L << n) - 1)) << bitCnt
+      bitCnt += n
+      while (bitCnt >= 8) {
+        ensure(1)
+        buf(bytePos) = (bitBuf & 0xff).toByte
+        bytePos += 1
+        bitBuf >>>= 8
+        bitCnt -= 8
+      }
+    }
+
+    /** Pad with zeros to the next byte boundary (§9.1 uncompressed). */
+    def alignToByte(): Unit = { val r = bitCnt & 7; if (r != 0) write(0, 8 - r) }
+
+    /** Raw byte copy; caller has aligned. */
+    def writeBytes(bs: Array[Byte], off: Int, len: Int): Unit = {
+      require(bitCnt == 0, "writeBytes on unaligned writer")
+      ensure(len)
+      System.arraycopy(bs, off, buf, bytePos, len)
+      bytePos += len
+    }
+
+    def bitLength: Long = bytePos.toLong * 8 + bitCnt
+
+    def toBytes: Array[Byte] = {
+      alignToByte()
+      java.util.Arrays.copyOf(buf, bytePos)
+    }
+  }
+
+  // ======================================================================
+  // §5 length-code tables (shared numerology with the decoder)
+  // ======================================================================
+
+  private val InsOffset = Array(0, 1, 2, 3, 4, 5, 6, 8, 10, 14, 18, 26, 34,
+    50, 66, 98, 130, 194, 322, 578, 1090, 2114, 6210, 22594)
+  private val InsBits = Array(0, 0, 0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5,
+    5, 6, 7, 8, 9, 10, 12, 14, 24)
+  private val CopyOffset = Array(2, 3, 4, 5, 6, 7, 8, 9, 10, 12, 14, 18, 22,
+    30, 38, 54, 70, 102, 134, 198, 326, 582, 1094, 2118)
+  private val CopyBits = Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4,
+    4, 5, 5, 6, 7, 8, 9, 10, 24)
+
+  /** (insHi, copyHi) → the §5 command cell, split by whether the cell
+    * implies distance-code 0. Cells 0..1 are the implicit-0 pair
+    * (insHi=0 with copyHi 0..1); explicit cells are rangeIdx+2 for the
+    * nine (insHi, copyHi) combinations. */
+  private def commandCell(insCode: Int, copyCode: Int, dist0: Boolean): Int = {
+    val insHi = insCode >> 3
+    val copyHi = copyCode >> 3
+    if (dist0) {
+      require(insHi == 0 && copyHi <= 1, "implicit-0 cell out of range")
+      copyHi
+    } else {
+      // inverse of (InsRangeLut, CopyRangeLut) — §5's fixed 3x3 grid
+      val rangeIdx = (insHi, copyHi) match {
+        case (0, 0) => 0
+        case (0, 1) => 1
+        case (1, 0) => 2
+        case (1, 1) => 3
+        case (0, 2) => 4
+        case (2, 0) => 5
+        case (1, 2) => 6
+        case (2, 1) => 7
+        case (2, 2) => 8
+        case other => throw new IllegalStateException(s"cell $other")
+      }
+      rangeIdx + 2
+    }
+  }
+
+  private def cmdSymbol(insCode: Int, copyCode: Int, dist0: Boolean): Int =
+    (commandCell(insCode, copyCode, dist0) << 6) |
+      ((insCode & 7) << 3) | (copyCode & 7)
+
+  private def insLenCode(len: Int): Int = {
+    var c = InsOffset.length - 1
+    while (InsOffset(c) > len) c -= 1
+    c
+  }
+
+  private def copyLenCode(len: Int): Int = {
+    var c = CopyOffset.length - 1
+    while (CopyOffset(c) > len) c -= 1
+    c
+  }
+
+  // ======================================================================
+  // canonical prefix codes (§3) — lengths, codes, serialization
+  // ======================================================================
+
+  /** Huffman code lengths limited to `maxLen`, by count-boosting retries
+    * (the reference encoder's BuildHuffmanTree shape: if the optimal tree
+    * is too deep, re-run with frequencies clamped up until it fits; the
+    * fully-boosted tree is balanced, depth ceil(log2 n) ≤ maxLen). The
+    * result is a COMPLETE code (Kraft sum exactly 1) for ≥2 symbols —
+    * the decoder's space2==0 check demands it. */
+  private def codeLengths(freqs: Array[Long], maxLen: Int): Array[Int] = {
+    val n = freqs.length
+    val lengths = new Array[Int](n)
+    val used = (0 until n).filter(freqs(_) > 0)
+    if (used.isEmpty) return lengths
+    if (used.length == 1) { lengths(used.head) = 1; return lengths }
+    var boost = 1L
+    var ok = false
+    while (!ok) {
+      java.util.Arrays.fill(lengths, 0)
+      // O(k log k) two-queue Huffman over the used symbols
+      val leaves = used.map(s => (math.max(freqs(s), boost), s)).sortBy(_._1)
+      // node: (weight, id); id < n → leaf, else internal
+      val depth = new Array[Int](used.length * 2) // per node, filled top-down later
+      val left = new Array[Int](used.length * 2)
+      val right = new Array[Int](used.length * 2)
+      val weight = new Array[Long](used.length * 2)
+      val leafQ = scala.collection.mutable.Queue(leaves.indices.map { i =>
+        weight(i) = leaves(i)._1; i
+      }: _*)
+      var nextNode = used.length
+      val nodeQ = scala.collection.mutable.Queue.empty[Int]
+      def popMin(): Int =
+        if (leafQ.isEmpty) nodeQ.dequeue()
+        else if (nodeQ.isEmpty) leafQ.dequeue()
+        else if (weight(leafQ.head) <= weight(nodeQ.head)) leafQ.dequeue()
+        else nodeQ.dequeue()
+      while (leafQ.size + nodeQ.size > 1) {
+        val a = popMin(); val b = popMin()
+        weight(nextNode) = weight(a) + weight(b)
+        left(nextNode) = a; right(nextNode) = b
+        nodeQ.enqueue(nextNode)
+        nextNode += 1
+      }
+      val root = popMin()
+      // depths top-down, iteratively
+      var maxDepth = 0
+      val stack = scala.collection.mutable.ArrayDeque((root, 0))
+      while (stack.nonEmpty) {
+        val (node, d) = stack.removeLast()
+        if (node < used.length) {
+          depth(node) = d
+          if (d > maxDepth) maxDepth = d
+        } else {
+          stack.append((left(node), d + 1))
+          stack.append((right(node), d + 1))
+        }
+      }
+      if (maxDepth <= maxLen) {
+        var i = 0
+        while (i < leaves.length) { lengths(leaves(i)._2) = depth(i); i += 1 }
+        ok = true
+      } else boost = boost * 2 + 1
+    }
+    lengths
+  }
+
+  /** Canonical codes from lengths, pre-bit-reversed for the LSB-first
+    * stream (the exact inverse of Brotli.buildPrefix's table fill):
+    * codes(s) holds the reversed codeword, write with lengths(s) bits. */
+  private def canonicalCodes(lengths: Array[Int]): Array[Int] = {
+    val codes = new Array[Int](lengths.length)
+    val maxLen = lengths.max
+    var code = 0
+    var len = 1
+    while (len <= maxLen) {
+      var sym = 0
+      while (sym < lengths.length) {
+        if (lengths(sym) == len) {
+          var rev = 0
+          var i = 0
+          while (i < len) { rev = (rev << 1) | ((code >> i) & 1); i += 1 }
+          codes(sym) = rev
+          code += 1
+        }
+        sym += 1
+      }
+      code <<= 1
+      len += 1
+    }
+    codes
+  }
+
+  /** One writable prefix code: per-symbol (reversed code, length) plus
+    * what the §3.4 description must say. `single >= 0` marks a one-symbol
+    * code — zero bits per symbol on the wire (decoder: Prefix(null,0,s)). */
+  private final class Code(val lengths: Array[Int], val codes: Array[Int],
+                           val single: Int) {
+    def writeSym(w: BitWriter, sym: Int): Unit =
+      if (single < 0) w.write(codes(sym), lengths(sym))
+  }
+
+  /** Build a code for `freqs` (padding an empty histogram to symbol 0 —
+    * the stream grammar requires a code even when no symbol is read). */
+  private def buildCode(freqs: Array[Long], maxLen: Int = 15): Code = {
+    val f = if (freqs.forall(_ == 0)) {
+      val g = freqs.clone(); g(0) = 1; g
+    } else freqs
+    val lengths = codeLengths(f, maxLen)
+    if (lengths.count(_ > 0) == 1)
+      new Code(lengths, new Array[Int](lengths.length), lengths.indexWhere(_ > 0))
+    else new Code(lengths, canonicalCodes(lengths), -1)
+  }
+
+  // ---- §3.5 fixed code-length code: value → (reversed bits, count) ----
+  // from the decoder's 4-bit peek tables: 0→00, 4→01, 3→10, 2→110,
+  // 1→0111, 5→1111 (LSB-first as written)
+  private val ClcCodeBits = Array(0, 7, 3, 2, 1, 15)
+  private val ClcCodeLen = Array(2, 4, 3, 2, 2, 4)
+  private val ClcOrder = Array(1, 2, 3, 4, 0, 5, 17, 6, 16, 7, 8, 9, 10, 11,
+    12, 13, 14, 15)
+
+  /** Serialize one prefix-code description (§3.4), exactly mirroring
+    * Brotli.readPrefixCode's consumption. */
+  private def writeCodeDescription(w: BitWriter, code: Code,
+                                   alphabetSize: Int): Unit = {
+    val used: Array[Int] =
+      code.lengths.indices.filter(code.lengths(_) > 0).toArray
+    val abits = 32 - Integer.numberOfLeadingZeros(alphabetSize - 1)
+
+    if (used.length <= 4) {
+      // ---- simple form ----
+      w.write(1, 2) // hskip = 1
+      w.write(used.length - 1, 2)
+      if (code.single >= 0) {
+        w.write(code.single, abits)
+        return
+      }
+      // transmission order: ascending code length, ties by symbol — the
+      // decoder attaches the shortest code to the first symbol read
+      val order = used.sortBy(s => (code.lengths(s), s))
+      used.length match {
+        case 2 =>
+          require(order.forall(code.lengths(_) == 1), "2-sym lengths")
+          order.foreach(w.write(_, abits))
+        case 3 =>
+          require(code.lengths(order(0)) == 1 &&
+            code.lengths(order(1)) == 2 && code.lengths(order(2)) == 2,
+            "3-sym lengths")
+          order.foreach(w.write(_, abits))
+        case 4 =>
+          val flat = order.forall(code.lengths(_) == 2)
+          order.foreach(w.write(_, abits))
+          if (flat) w.write(0, 1)
+          else {
+            require(code.lengths(order(0)) == 1 &&
+              code.lengths(order(1)) == 2 &&
+              code.lengths(order(2)) == 3 && code.lengths(order(3)) == 3,
+              "4-sym lengths")
+            w.write(1, 1)
+          }
+        case _ => throw new IllegalStateException
+      }
+      return
+    }
+
+    // ---- complex form ----
+    // 1. turn the length array into the CL symbol stream (with 16/17
+    //    repeats), stopping at the last nonzero length — the decoder
+    //    stops reading the moment the code is complete
+    val lastNonzero = code.lengths.lastIndexWhere(_ > 0)
+    val clStream = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    // (clSymbol, extraBits, extraCount)
+    var i = 0
+    var prevLen = 8 // decoder's initial previous-nonzero-length
+    while (i <= lastNonzero) {
+      val len = code.lengths(i)
+      var run = 1
+      while (i + run <= lastNonzero && code.lengths(i + run) == len) run += 1
+      if (len == 0) {
+        emitRepeats(clStream, 17, run, 3)
+      } else if (len == prevLen && run >= 3) {
+        emitRepeats(clStream, 16, run, 2)
+      } else {
+        clStream += ((len, 0, 0))
+        prevLen = len
+        if (run > 1) {
+          if (run - 1 >= 3) emitRepeats(clStream, 16, run - 1, 2)
+          else for (_ <- 1 until run) clStream += ((len, 0, 0))
+        }
+      }
+      i += run
+    }
+
+    // 2. code over the CL alphabet (lengths limited to 5: the fixed CL
+    //    code has codewords only for 0..5)
+    val clFreq = new Array[Long](18)
+    clStream.foreach { case (s, _, _) => clFreq(s) += 1 }
+    val clCode = buildCode(clFreq, maxLen = 5)
+
+    // 3. header: hskip=0, then CL code lengths in ClcOrder with the
+    //    fixed code, mirroring the decoder's space-tracking early stop
+    w.write(0, 2) // hskip = 0
+    var space = 32
+    var oi = 0
+    while (oi < 18 && space > 0) {
+      val sym = ClcOrder(oi)
+      val l = clCode.lengths(sym)
+      w.write(ClcCodeBits(l), ClcCodeLen(l))
+      if (l != 0) space -= 32 >> l
+      oi += 1
+    }
+    require(space == 0 || clCode.single >= 0, s"CL code incomplete: $space")
+
+    // 4. the CL symbol stream itself
+    clStream.foreach { case (sym, extra, extraBits) =>
+      clCode.writeSym(w, sym)
+      if (extraBits > 0) w.write(extra, extraBits)
+    }
+  }
+
+  /** Decompose a run of `total` repeats into chained 16/17 codes — the
+    * decoder's recurrence is v' = ((v-2) << eb) + 3 + e, total = v_final,
+    * so digits fall out of a base-2^eb expansion of (total-3). Runs
+    * shorter than 3 emit literal lengths instead (16/17 minimum is 3). */
+  private def emitRepeats(out: scala.collection.mutable.ArrayBuffer[(Int, Int, Int)],
+                          clSym: Int, total: Int, extraBits: Int): Unit = {
+    val lit = if (clSym == 17) 0 else -1 // 16-repeats never reach here <3
+    if (total < 3) {
+      require(clSym == 17, "short 16-run must be emitted literally")
+      for (_ <- 0 until total) out += ((lit, 0, 0))
+      return
+    }
+    val base = 1 << extraBits
+    def rec(v: Int): Unit = {
+      if (v <= 2 + base) { // single digit: v = 3 + e, e in [0, base)
+        out += ((clSym, v - 3, extraBits))
+      } else {
+        val e = (v - 3) % base
+        rec((v - 3) / base + 2)
+        out += ((clSym, e, extraBits))
+      }
+    }
+    rec(total)
+  }
+
+  // ======================================================================
+  // LZ77 (greedy, single-entry-per-bucket hash chains)
+  // ======================================================================
+
+  private final val HashBits = 17
+  private final val MinMatch = 4
+
+  /** One parsed command: `insert` literals from `litFrom`, then copy
+    * `copyLen` from `distance` back (copyLen 0 = trailing insert). */
+  private final case class Cmd(litFrom: Int, insert: Int, copyLen: Int,
+                               distance: Int)
+
+  private def hash4(data: Array[Byte], i: Int): Int = {
+    val v = ((data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
+      ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24))
+    (v * 0x9e3779b1) >>> (32 - HashBits)
+  }
+
+  /** Greedy parse of `data[from, until)` against the whole window
+    * `data[0, until)` (copies may reach into previous meta-blocks). */
+  private def parse(data: Array[Byte], from: Int, until: Int,
+                    maxBackward: Long, table: Array[Int]): Vector[Cmd] = {
+    val cmds = Vector.newBuilder[Cmd]
+    var litFrom = from
+    var i = from
+    while (i < until) {
+      var matched = 0
+      var matchDist = 0
+      if (i + MinMatch <= until) {
+        val h = hash4(data, i)
+        val cand = table(h)
+        table(h) = i
+        if (cand >= 0 && cand < i && (i - cand).toLong <= maxBackward) {
+          var l = 0
+          val maxL = until - i
+          while (l < maxL && data(cand + l) == data(i + l)) l += 1
+          if (l >= MinMatch) { matched = l; matchDist = i - cand }
+        }
+      }
+      if (matched > 0) {
+        cmds += Cmd(litFrom, i - litFrom, matched, matchDist)
+        // index positions inside the match (sparsely: every other one,
+        // the quality-1 shape) so later matches can land here
+        var j = i + 1
+        val end = math.min(i + matched, until - MinMatch)
+        while (j < end) { table(hash4(data, j)) = j; j += 2 }
+        i += matched
+        litFrom = i
+      } else i += 1
+    }
+    if (litFrom < until || cmds.result().isEmpty)
+      cmds += Cmd(litFrom, until - litFrom, 0, 0)
+    cmds.result()
+  }
+
+  // ======================================================================
+  // distance codes (NPOSTFIX=0, NDIRECT=0 → alphabet 64)
+  // ======================================================================
+
+  /** (dcode, extra, extraBits) for an explicit window distance ≥ 1. */
+  private def distCode(distance: Int): (Int, Int, Int) = {
+    val d = distance + 3 // = (2+b)*2^n + e with e < 2^n
+    val n = 31 - Integer.numberOfLeadingZeros(d) - 1
+    val b = (d >>> n) - 2
+    val e = d & ((1 << n) - 1)
+    (16 + ((n - 1) << 1) + b, e, n)
+  }
+
+  // ======================================================================
+  // meta-block emission
+  // ======================================================================
+
+  /** Fully-resolved symbol stream for one meta-block, built in the stats
+    * pass and replayed in the write pass. */
+  private final case class Resolved(cmdSym: Int, insExtra: Int, insExtraBits: Int,
+                                    copyExtra: Int, copyExtraBits: Int,
+                                    litFrom: Int, insert: Int,
+                                    dSym: Int, dExtra: Int, dExtraBits: Int)
+
+  private def writeCompressedMetaBlock(w: BitWriter, data: Array[Byte],
+                                       from: Int, until: Int, isLast: Boolean,
+                                       maxBackward: Long, table: Array[Int],
+                                       distRb: Array[Int],
+                                       rbIdxRef: Array[Int]): Unit = {
+    val mlen = until - from
+    val cmds = parse(data, from, until, maxBackward, table)
+
+    // ---- resolve every command to symbols + collect histograms ----
+    val litFreq = new Array[Long](256)
+    val cmdFreq = new Array[Long](704)
+    val distFreq = new Array[Long](64)
+    var rbIdx = rbIdxRef(0)
+    val rb = distRb.clone()
+    val resolved = cmds.map { c =>
+      var j = 0
+      while (j < c.insert) {
+        litFreq(data(c.litFrom + j) & 0xff) += 1; j += 1
+      }
+      if (c.copyLen == 0) {
+        // trailing insert-only: the decoder reads the copy-extra bits
+        // BEFORE the literals, then returns at produced==mlen — encode a
+        // zero-extra copy code (code 0, copyLen 2) it will never apply
+        val insC = insLenCode(c.insert)
+        val sym = cmdSymbol(insC, 0, dist0 = false)
+        cmdFreq(sym) += 1
+        Resolved(sym, c.insert - InsOffset(insC), InsBits(insC),
+          0, 0, c.litFrom, c.insert, -1, 0, 0)
+      } else {
+        val insC = insLenCode(c.insert)
+        val copyC = copyLenCode(c.copyLen)
+        val lastDist = rb((rbIdx + 3) & 3)
+        if (c.distance == lastDist && (insC >> 3) == 0 && (copyC >> 3) <= 1) {
+          // implicit distance-0 cell: no distance symbol at all
+          val sym = cmdSymbol(insC, copyC, dist0 = true)
+          cmdFreq(sym) += 1
+          Resolved(sym, c.insert - InsOffset(insC), InsBits(insC),
+            c.copyLen - CopyOffset(copyC), CopyBits(copyC),
+            c.litFrom, c.insert, -1, 0, 0)
+        } else {
+          val sym = cmdSymbol(insC, copyC, dist0 = false)
+          cmdFreq(sym) += 1
+          val (dSym, dExtra, dExtraBits) =
+            if (c.distance == lastDist) (0, 0, 0) // short code 0: no push
+            else distCode(c.distance)
+          distFreq(dSym) += 1
+          if (dSym != 0) { rb(rbIdx & 3) = c.distance; rbIdx += 1 }
+          Resolved(sym, c.insert - InsOffset(insC), InsBits(insC),
+            c.copyLen - CopyOffset(copyC), CopyBits(copyC),
+            c.litFrom, c.insert, dSym, dExtra, dExtraBits)
+        }
+      }
+    }
+    System.arraycopy(rb, 0, distRb, 0, 4)
+    rbIdxRef(0) = rbIdx
+
+    val litCode = buildCode(litFreq)
+    val cmdCode = buildCode(cmdFreq)
+    val dstCode = buildCode(distFreq)
+
+    // ---- meta-block header (§9.2/§9.3) ----
+    w.write(if (isLast) 1 else 0, 1)
+    if (isLast) w.write(0, 1) // ISLASTEMPTY = 0
+    val m = mlen - 1
+    if (m < (1 << 16)) { w.write(0, 2); w.write(m, 16) }
+    else if (m < (1 << 20)) { w.write(1, 2); w.write(m, 20) }
+    else { w.write(2, 2); w.write(m & 0xffffff, 24) }
+    if (!isLast) w.write(0, 1) // ISUNCOMPRESSED = 0
+    w.write(0, 1) // NBLTYPESL = 1 (varlen-uint8 of 0)
+    w.write(0, 1) // NBLTYPESI = 1
+    w.write(0, 1) // NBLTYPESD = 1
+    w.write(0, 2) // NPOSTFIX = 0
+    w.write(0, 4) // NDIRECT = 0
+    w.write(0, 2) // literal context mode (irrelevant: one literal tree)
+    w.write(0, 1) // NTREESL = 1 → context map reads zero bits
+    w.write(0, 1) // NTREESD = 1
+    writeCodeDescription(w, litCode, 256)
+    writeCodeDescription(w, cmdCode, 704)
+    writeCodeDescription(w, dstCode, 64)
+
+    // ---- data loop (§10) ----
+    resolved.foreach { r =>
+      cmdCode.writeSym(w, r.cmdSym)
+      if (r.insExtraBits > 0) w.write(r.insExtra, r.insExtraBits)
+      if (r.copyExtraBits > 0) w.write(r.copyExtra, r.copyExtraBits)
+      var j = 0
+      while (j < r.insert) {
+        litCode.writeSym(w, data(r.litFrom + j) & 0xff)
+        j += 1
+      }
+      if (r.dSym >= 0) {
+        dstCode.writeSym(w, r.dSym)
+        if (r.dExtraBits > 0) w.write(r.dExtra, r.dExtraBits)
+      }
+    }
+  }
+
+  // ======================================================================
+  // stream assembly
+  // ======================================================================
+
+  private def writeWindowBits(w: BitWriter, wbits: Int): Unit = wbits match {
+    case 16 => w.write(0, 1)
+    case n if n >= 18 && n <= 24 => w.write(1, 1); w.write(n - 17, 3)
+    case 17 => w.write(1, 1); w.write(0, 3); w.write(0, 3)
+    case n if n >= 10 && n <= 15 => w.write(1, 1); w.write(0, 3); w.write(n - 8, 3)
+    case other => throw new IllegalArgumentException(s"WBITS $other")
+  }
+
+  private def chooseWbits(n: Int): Int = {
+    var w = 10
+    while (w < 22 && (1L << w) - 16 < n) w += 1
+    w
+  }
+
+  /** §9.2 stored stream: uncompressed meta-blocks (ISLAST=0 only) + a
+    * final ISLASTEMPTY block. */
+  private def encodeStored(data: Array[Byte], wbits: Int): Array[Byte] = {
+    val w = new BitWriter
+    writeWindowBits(w, wbits)
+    var at = 0
+    while (at < data.length) {
+      val len = math.min(1 << 24, data.length - at)
+      w.write(0, 1) // ISLAST = 0
+      val m = len - 1
+      if (m < (1 << 16)) { w.write(0, 2); w.write(m, 16) }
+      else if (m < (1 << 20)) { w.write(1, 2); w.write(m, 20) }
+      else { w.write(2, 2); w.write(m & 0xffffff, 24) }
+      w.write(1, 1) // ISUNCOMPRESSED
+      w.alignToByte()
+      w.writeBytes(data, at, len)
+      at += len
+    }
+    w.write(1, 1); w.write(1, 1) // ISLAST + ISLASTEMPTY
+    w.toBytes
+  }
+
+  /** Encode `data` as a complete RFC 7932 stream. The output always
+    * round-trips through [[Brotli.decode]]; incompressible inputs fall
+    * back to stored meta-blocks (a few bytes of framing overhead). */
+  def encode(data: Array[Byte]): Array[Byte] = {
+    if (data.isEmpty) {
+      val w = new BitWriter
+      writeWindowBits(w, 10)
+      w.write(1, 1); w.write(1, 1) // ISLAST + ISLASTEMPTY
+      return w.toBytes
+    }
+    val wbits = chooseWbits(data.length)
+    val maxBackward = (1L << wbits) - 16
+    val w = new BitWriter
+    writeWindowBits(w, wbits)
+    val table = Array.fill(1 << HashBits)(-1)
+    val distRb = Array(16, 15, 11, 4)
+    val rbIdx = Array(0)
+    var at = 0
+    val blockMax = 1 << 22 // 4 MiB per meta-block (MLEN cap is 1 << 24)
+    while (at < data.length) {
+      val len = math.min(blockMax, data.length - at)
+      val isLast = at + len == data.length
+      writeCompressedMetaBlock(w, data, at, at + len, isLast, maxBackward,
+        table, distRb, rbIdx)
+      at += len
+    }
+    val out = w.toBytes
+    val stored = encodeStored(data, wbits)
+    if (stored.length < out.length) stored else out
+  }
+}

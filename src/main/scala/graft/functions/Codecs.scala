@@ -141,10 +141,10 @@ object Codecs {
     * frames and protobuf metadata carry the same numbering. The reference
     * dispatch is `forwardrelay/payload.go:111-141`; note its DEFLATE case
     * actually writes gzip framing (`gzip.NewWriter`), so DEFLATE here is
-    * gzip too — wire parity beats naming. BROTLI (4) has no implementation
-    * on this classpath and is rejected loudly in both directions; the
-    * other four (gzip-framed deflate, snappy, zstd, lz4-frame) ride the
-    * jars Spark already ships. */
+    * gzip too — wire parity beats naming. BROTLI (4) is the from-scratch
+    * pair [[Brotli]]/[[BrotliEnc]] (RFC 7932 both directions); the other
+    * four (gzip-framed deflate, snappy, zstd, lz4-frame) ride the jars
+    * Spark already ships. */
   val CompressNone = 0
   val CompressDeflate = 1
   val CompressSnappy = 2
@@ -166,9 +166,12 @@ object Codecs {
       val w = new net.jpountz.lz4.LZ4FrameOutputStream(out)
       try w.write(bytes) finally w.close()
       out.toByteArray
-    case CompressBrotli => throw new UnsupportedOperationException(
-      "brotli encoding is not implemented — this engine DECODES brotli " +
-        "(RFC 7932, graft.functions.Brotli) but seals with deflate/snappy/zstd/lz4")
+    case CompressBrotli =>
+      // the from-scratch RFC 7932 encoder (BrotliEnc): greedy-LZ77 +
+      // computed prefix codes, stored-block fallback for incompressible
+      // payloads — every output round-trips through Brotli.decode and the
+      // committed goldens were verified against libbrotlidec
+      BrotliEnc.encode(bytes)
     case other => throw new IllegalArgumentException(s"unknown compression algorithm id $other")
   }
 

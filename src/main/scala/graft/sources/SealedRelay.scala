@@ -20,9 +20,10 @@ import org.apache.spark.sql.types.StructType
   * key/flag validation, and executor-side distribution — is real here:
   *
   *  - Serialization is NDJSON (the engine's record codec) instead of gob.
-  *  - Compression speaks the reference's full algorithm menu except
-  *    brotli (deflate-as-gzip/snappy/zstd/lz4,
-  *    [[graft.functions.Codecs.compress]], ids = the proto enum); the
+  *  - Compression speaks the reference's FULL algorithm menu
+  *    (deflate-as-gzip/snappy/zstd/lz4/brotli,
+  *    [[graft.functions.Codecs.compress]], ids = the proto enum — brotli
+  *    is the from-scratch RFC 7932 pair); the
   *    frame flags carry the algorithm id. Encryption is
   *    AES-GCM in Spark's native wire format
   *    ([[graft.functions.Crypto.aesGcmEncryptBytes]], 12-byte IV prefix),
@@ -307,10 +308,11 @@ object SealedRelay {
       key, maxChunkBytes)
 
   /** [[writeSocketSealed]] with an explicit compression algorithm
-    * ([[graft.functions.Codecs]] proto-enum ids: deflate/snappy/zstd/lz4).
-    * The algorithm must round-trip locally before any task runs —
-    * `compress(algo, empty)` validates the id and classpath on the driver
-    * (brotli and unknown ids fail here, not per-task on executors). */
+    * ([[graft.functions.Codecs]] proto-enum ids:
+    * deflate/snappy/zstd/lz4/brotli). The algorithm must round-trip
+    * locally before any task runs — `compress(algo, empty)` validates the
+    * id and classpath on the driver (unknown ids fail here, not per-task
+    * on executors). */
   def writeSocketSealedWith(df: DataFrame, host: String, port: Int,
                             compression: Int,
                             key: Option[Array[Byte]] = None,

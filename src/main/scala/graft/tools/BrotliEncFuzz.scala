@@ -1,0 +1,57 @@
+package graft.tools
+
+/** Bulk encoder fuzz: generate deterministic shaped inputs, encode with
+  * BrotliEnc, self-verify through Brotli.decode, and dump (enc, raw)
+  * pairs for tools/check_brotli_enc.py to replay through the SYSTEM
+  * reference decoder (libbrotlidec) — the big-sweep twin of
+  * BrotliEncSpec's in-JVM fuzz. Usage:
+  * runMain graft.tools.BrotliEncFuzz [outDir] [n] */
+object BrotliEncFuzz {
+  def main(args: Array[String]): Unit = {
+    val outDir = new java.io.File(args.headOption.getOrElse("/tmp/brotli_enc_fuzz"))
+    val n = args.lift(1).map(_.toInt).getOrElse(1000)
+    outDir.mkdirs()
+    val rnd = new java.util.Random(814213)
+    val words = ("the of and to in for information people work time public "
+      + "world development because different available document").split(' ')
+    var k = 0
+    while (k < n) {
+      val size = rnd.nextInt(1 << rnd.nextInt(21)) // up to 1 MiB, log-skewed
+      val data: Array[Byte] = k % 5 match {
+        case 0 => val b = new Array[Byte](size); rnd.nextBytes(b); b
+        case 1 =>
+          val b = new Array[Byte](size)
+          var i = 0
+          while (i < size) {
+            val run = math.min(1 + rnd.nextInt(64), size - i)
+            java.util.Arrays.fill(b, i, i + run, ('a' + rnd.nextInt(5)).toByte)
+            i += run
+          }
+          b
+        case 2 =>
+          val sb = new java.lang.StringBuilder
+          while (sb.length < size) sb.append(words(rnd.nextInt(words.length))).append(' ')
+          sb.toString.getBytes("UTF-8").take(size)
+        case 3 => // sparse noise over zeros
+          val b = new Array[Byte](size)
+          (0 until size / 8).foreach(_ => b(rnd.nextInt(math.max(size, 1))) = rnd.nextInt().toByte)
+          b
+        case _ => // ndjson-ish records
+          val sb = new java.lang.StringBuilder
+          var i = 0
+          while (sb.length < size) {
+            sb.append(s"""{"id":$i,"type":"evt${i % 7}","v":${rnd.nextInt(1000)}}""").append('\n')
+            i += 1
+          }
+          sb.toString.getBytes("UTF-8").take(size)
+      }
+      val enc = graft.functions.BrotliEnc.encode(data)
+      val back = graft.functions.Brotli.decode(enc)
+      require(java.util.Arrays.equals(back, data), s"fuzz #$k self round-trip failed (size=$size)")
+      java.nio.file.Files.write(new java.io.File(outDir, f"f$k%04d.enc").toPath, enc)
+      java.nio.file.Files.write(new java.io.File(outDir, f"f$k%04d.raw").toPath, data)
+      k += 1
+    }
+    println(s"$n vectors self-verified into $outDir")
+  }
+}

@@ -1,0 +1,24 @@
+package graft.tools
+
+/** Regenerate golden/brotli_enc/: our RFC 7932 encoder's output for each
+  * golden/brotli *.raw input. Committed outputs are verified against the
+  * SYSTEM reference decoder (libbrotlidec) by tools/check_brotli_enc.py
+  * before commit, then byte-locked in BrotliEncSpec as a determinism
+  * guard. Usage: runMain graft.tools.BrotliEncGolden [outDir] */
+object BrotliEncGolden {
+  def main(args: Array[String]): Unit = {
+    val outDir = new java.io.File(args.headOption.getOrElse("golden/brotli_enc"))
+    outDir.mkdirs()
+    val raws = new java.io.File("golden/brotli").listFiles()
+      .filter(_.getName.endsWith(".raw")).sortBy(_.getName)
+    raws.foreach { f =>
+      val raw = java.nio.file.Files.readAllBytes(f.toPath)
+      val br = graft.functions.BrotliEnc.encode(raw)
+      val back = graft.functions.Brotli.decode(br)
+      require(java.util.Arrays.equals(back, raw), s"${f.getName}: self round-trip failed")
+      val out = new java.io.File(outDir, f.getName.stripSuffix(".raw") + ".br.graft")
+      java.nio.file.Files.write(out.toPath, br)
+      println(f"${f.getName}%-20s ${raw.length}%8d -> ${br.length}%8d bytes")
+    }
+  }
+}

@@ -1,0 +1,133 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The from-scratch RFC 7932 ENCODER, differentially locked against the
+  * from-scratch decoder (every output must round-trip byte-exact) across
+  * the goldens' raw corpus, structured shapes, and seeded random fuzz.
+  * The OTHER half of the differential — encoder outputs replayed through
+  * the SYSTEM reference decoder (libbrotlidec via ctypes) — is
+  * tools/check_brotli_enc.py, which verified the committed
+  * golden/brotli_enc vectors at generation time (byte-locked below for
+  * determinism). */
+class BrotliEncSpec extends AnyFunSuite {
+
+  private def rt(data: Array[Byte], tag: String): Array[Byte] = {
+    val br = BrotliEnc.encode(data)
+    val back = Brotli.decode(br)
+    assert(java.util.Arrays.equals(back, data),
+      s"$tag: ${data.length} bytes -> ${br.length} -> ${back.length}, mismatch")
+    br
+  }
+
+  test("every golden .raw corpus file round-trips encode -> decode") {
+    val dir = new java.io.File("golden/brotli")
+    val raws = dir.listFiles().filter(_.getName.endsWith(".raw")).sortBy(_.getName)
+    assert(raws.length >= 10)
+    raws.foreach(f => rt(Files.readAllBytes(f.toPath), f.getName))
+  }
+
+  test("structured shapes: empty, single, runs, cycles, text, binary") {
+    rt(Array.emptyByteArray, "empty")
+    rt(Array[Byte](0), "zero")
+    rt(Array[Byte](-1), "ff")
+    rt("a".getBytes(UTF_8), "single-a")
+    rt("ab".getBytes(UTF_8), "ab")
+    rt("hello world".getBytes(UTF_8), "hello")
+    rt(Array.fill[Byte](1 << 16)('x'), "run-64k")
+    rt(Array.tabulate[Byte](100000)(i => (i % 251).toByte), "cycle-251")
+    val text = ("the quick brown fox jumps over the lazy dog. " * 2000).getBytes(UTF_8)
+    rt(text, "english-repeat")
+    // all 256 byte values uniformly — exercises a full literal alphabet
+    rt(Array.tabulate[Byte](4096)(i => i.toByte), "all-bytes")
+  }
+
+  test("multi-meta-block: inputs past the 4 MiB block cap, with cross-block matches") {
+    val unit = "payload-block-%07d with shared suffix material\n"
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (sb.length < (5 << 20)) { sb.append(unit.format(i)); i += 1 }
+    val data = sb.toString.getBytes(UTF_8)
+    val br = rt(data, "5MiB-ndjson")
+    assert(br.length < data.length / 3, s"5 MiB text only reached ${br.length}")
+  }
+
+  test("incompressible input falls back to stored blocks: bytes of overhead, not blowup") {
+    val rnd = new java.util.Random(4242)
+    val data = new Array[Byte](1 << 20)
+    rnd.nextBytes(data)
+    val br = rt(data, "random-1MiB")
+    // stored framing: WBITS + per-4MiB-block headers + final empty block
+    assert(br.length <= data.length + 16, s"stored overhead ${br.length - data.length}")
+  }
+
+  test("compression is real: repetitive and texty inputs shrink hard") {
+    val text = Files.readAllBytes(Paths.get("golden/brotli/english_q9.raw"))
+    val br = BrotliEnc.encode(text)
+    assert(br.length < text.length / 2,
+      s"english: ${text.length} -> ${br.length} (want < half)")
+    val runs = ("abcabcabc" * 10000).getBytes(UTF_8)
+    assert(BrotliEnc.encode(runs).length < runs.length / 50)
+  }
+
+  test("seeded fuzz: 300 random shapes round-trip") {
+    val rnd = new java.util.Random(20260816)
+    val words = "the of and to in data stream relay payload sealed batch".split(' ')
+    (0 until 300).foreach { k =>
+      val size = rnd.nextInt(1 << rnd.nextInt(17)) // 0 .. 64 KiB, log-skewed
+      val kind = k % 4
+      val data: Array[Byte] = kind match {
+        case 0 => val b = new Array[Byte](size); rnd.nextBytes(b); b
+        case 1 => // narrow-alphabet runs
+          val b = new Array[Byte](size)
+          var i = 0
+          while (i < size) {
+            val run = math.min(1 + rnd.nextInt(32), size - i)
+            val v = ('a' + rnd.nextInt(4)).toByte
+            java.util.Arrays.fill(b, i, i + run, v); i += run
+          }
+          b
+        case 2 => // word soup (texty, match-rich)
+          val sb = new java.lang.StringBuilder
+          while (sb.length < size) sb.append(words(rnd.nextInt(words.length))).append(' ')
+          sb.toString.getBytes(UTF_8).take(size)
+        case _ => // mostly-zero with sparse noise
+          val b = new Array[Byte](size)
+          (0 until size / 16).foreach(_ => b(rnd.nextInt(math.max(size, 1))) = rnd.nextInt().toByte)
+          b
+      }
+      rt(data, s"fuzz#$k kind=$kind size=$size")
+    }
+  }
+
+  test("committed encoder goldens are byte-exact (determinism lock, " +
+    "verified against libbrotlidec at generation time)") {
+    val dir = new java.io.File("golden/brotli_enc")
+    val goldens = dir.listFiles().filter(_.getName.endsWith(".br.graft")).sortBy(_.getName)
+    assert(goldens.length >= 5, s"expected committed encoder goldens, found ${goldens.length}")
+    goldens.foreach { g =>
+      val rawName = g.getName.stripSuffix(".br.graft") + ".raw"
+      val raw = Files.readAllBytes(Paths.get(s"golden/brotli/$rawName"))
+      val want = Files.readAllBytes(g.toPath)
+      val got = BrotliEnc.encode(raw)
+      assert(java.util.Arrays.equals(got, want),
+        s"${g.getName}: encoder output drifted (${got.length} vs ${want.length} bytes)")
+      assert(java.util.Arrays.equals(Brotli.decode(want), raw))
+    }
+  }
+
+  test("Codecs enum 4 seals and opens both ways, cap honored during inflation") {
+    val c = Codecs
+    val body = ("row," * 50000).getBytes(UTF_8)
+    val packed = c.compress(c.CompressBrotli, body)
+    assert(packed.length < body.length / 20)
+    assert(c.decompressBounded(c.CompressBrotli, packed, body.length).toSeq == body.toSeq)
+    val e = intercept[java.io.IOException] {
+      c.decompressBounded(c.CompressBrotli, packed, 1 << 10)
+    }
+    assert(e.getMessage.contains("exceeds"))
+  }
+}

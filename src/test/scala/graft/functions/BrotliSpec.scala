@@ -76,7 +76,7 @@ class BrotliSpec extends AnyFunSuite {
   }
 
   test("relay integration: a brotli-sealed WrappedPayload (enum 4) from a " +
-    "reference peer OPENS; the engine still refuses to SEAL with brotli") {
+    "reference peer OPENS; since r13 the engine also SEALS with brotli (BrotliEnc)") {
     import graft.sources.{RelayProto, SealedRelay}
     val (raw, br) = gold("ndjson_q5") // 200 NDJSON records
     val wp = RelayProto.WrappedPayload(id = "b", seq = 0, payload = br,
@@ -88,10 +88,10 @@ class BrotliSpec extends AnyFunSuite {
     val body = RelayProto.unwrap(wp, None)
     assert(java.util.Arrays.equals(body, raw))
     assert(new String(body, UTF_8).linesIterator.size === 200)
-    intercept[UnsupportedOperationException](
-      SealedRelay.seal(raw, Codecs.CompressBrotli, None))
-    intercept[UnsupportedOperationException](
-      Codecs.compress(Codecs.CompressBrotli, raw))
+    // the encode arm: sealed frames carry OUR brotli, open the same way
+    val (flags, payload) = SealedRelay.seal(raw, Codecs.CompressBrotli, None)
+    assert(payload.length < raw.length / 4, s"ndjson only sealed to ${payload.length}")
+    assert(SealedRelay.unwrap(flags, payload, None).toSeq == raw.toSeq)
   }
 
   test("spec-data resources carry the RFC appendices") {

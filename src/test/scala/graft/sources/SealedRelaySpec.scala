@@ -57,13 +57,16 @@ class SealedRelaySpec extends SparkSpec {
     assert(SealedRelay.unwrap(legacyFlags, payload, None).toSeq == body.toSeq)
   }
 
-  test("brotli is decode-only (r12): seal refuses, a reference-encoder " +
-    "frame unwraps, garbage claiming brotli fails loudly; unknown ids too") {
+  test("brotli seals both ways (r13): our encoder round-trips through seal/unwrap, " +
+    "a reference-encoder frame unwraps, garbage claiming brotli fails loudly") {
     val c = graft.functions.Codecs
     val body = "x".getBytes(UTF_8)
-    // the engine never SEALS with brotli (deflate/snappy/zstd/lz4 do)
-    intercept[UnsupportedOperationException] { SealedRelay.seal(body, c.CompressBrotli, None) }
-    // ...but a brotli-sealed payload from a reference peer OPENS: the
+    // the engine SEALS with brotli since r13 (BrotliEnc) — with and without AES
+    for (key <- Seq(None, Some(Array.fill[Byte](32)(7)))) {
+      val (flags, payload) = SealedRelay.seal(body, c.CompressBrotli, key)
+      assert(SealedRelay.unwrap(flags, payload, key).toSeq == body.toSeq)
+    }
+    // ...and a brotli-sealed payload from a reference peer OPENS: the
     // golden frame was produced by the reference encoder (q11)
     val br = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("golden/brotli/hello_q11.br"))
@@ -231,6 +234,26 @@ class SealedRelaySpec extends SparkSpec {
       eventually(relay.receivedCount == 20, s"relay got ${relay.receivedCount}/20")
       ingress.processAllAvailable()
       val rows = spark.table("sealed_zstd_jack").collect()
+      assert(rows.length == 20)
+      assert(rows.map(_.getAs[Long]("id")).sorted.toSeq == (0L until 20L))
+      assert(relay.badFrameCount == 0)
+    } finally { ingress.stop(); relay.stop() }
+  }
+
+  test("e2e: brotli+AES sealed partitions unwrap into the stream — the r13 encode arm " +
+    "rides the same frames as the reference's enum 4") {
+    val relay = new SealedReceivingRelay(spark, 0, Some(key))
+    val ingress = relay.jsonStream(schema).writeStream
+      .format("memory").queryName("sealed_brotli_jack").outputMode("append").start()
+    try {
+      import spark.implicits._
+      val df = (0L until 20L).map(i => (i, s"rec$i")).toDF("id", "name")
+      SealedRelay.writeSocketSealedWith(df, "127.0.0.1", relay.boundPort,
+        compression = graft.functions.Codecs.CompressBrotli,
+        key = Some(key), maxChunkBytes = 64)
+      eventually(relay.receivedCount == 20, s"relay got ${relay.receivedCount}/20")
+      ingress.processAllAvailable()
+      val rows = spark.table("sealed_brotli_jack").collect()
       assert(rows.length == 20)
       assert(rows.map(_.getAs[Long]("id")).sorted.toSeq == (0L until 20L))
       assert(relay.badFrameCount == 0)

@@ -1,0 +1,46 @@
+#!/usr/bin/env python3
+"""Replay graft BrotliEnc outputs through the SYSTEM reference decoder
+(libbrotlidec via ctypes) — the reference-decoder half of the encoder's
+differential lock. Checks every golden/brotli_enc/*.br.graft against its
+golden/brotli/*.raw twin, plus any extra files passed as args in pairs
+(enc raw enc raw ...).  Exit 0 iff every vector decodes byte-exact."""
+import ctypes, os, sys
+
+dec = ctypes.CDLL("libbrotlidec.so.1")
+dec.BrotliDecoderDecompress.restype = ctypes.c_int
+
+def decompress(data, max_out):
+    out_len = ctypes.c_size_t(max_out)
+    out = ctypes.create_string_buffer(out_len.value)
+    # 1 == BROTLI_DECODER_RESULT_SUCCESS
+    ok = dec.BrotliDecoderDecompress(len(data), data, ctypes.byref(out_len), out)
+    assert ok == 1, f"reference decoder returned {ok}"
+    return out.raw[:out_len.value]
+
+def check(enc_path, raw_path):
+    enc = open(enc_path, "rb").read()
+    raw = open(raw_path, "rb").read()
+    got = decompress(enc, max(len(raw) * 2, 1024))
+    if got != raw:
+        print(f"FAIL {enc_path}: {len(got)} vs {len(raw)} bytes")
+        return False
+    print(f"ok   {enc_path}: {len(raw)} -> {len(enc)}")
+    return True
+
+def main():
+    ok = True
+    pairs = []
+    args = sys.argv[1:]
+    if args:
+        pairs = list(zip(args[0::2], args[1::2]))
+    else:
+        for f in sorted(os.listdir("golden/brotli_enc")):
+            if f.endswith(".br.graft"):
+                pairs.append((f"golden/brotli_enc/{f}",
+                              f"golden/brotli/{f[:-len('.br.graft')]}.raw"))
+    for enc_path, raw_path in pairs:
+        ok = check(enc_path, raw_path) and ok
+    sys.exit(0 if ok else 1)
+
+if __name__ == "__main__":
+    main()
