@@ -32,8 +32,11 @@ import org.apache.hadoop.util.Progressable
   *    seeks are lazy, sequential reads pull `fs.graft-s3.readahead`
   *    windows, preads fetch exactly the requested span — a parquet
   *    footer read on a multi-GB object costs kilobytes;
-  *  - create() buffers and PUTs on close (single-part; the reference's
-  *    writer is also one object per flush);
+  *  - create() buffers at most ONE part: single PutObject on close for
+  *    objects that fit (the reference's writer is also one object per
+  *    flush), multipart upload past `fs.graft-s3.multipart.part.size`
+  *    (real S3 caps a single PUT at 5 GiB — a 100× committer file
+  *    streams as parts with bounded writer memory, aborted on failure);
   *  - rename() is copy+delete per key (what the FileOutputCommitter's
   *    task-commit rename becomes on any object store without a native
   *    rename — the documented s3a behavior too).
@@ -171,23 +174,27 @@ final class GraftS3FileSystem extends FileSystem {
   private def readChunk: Int =
     getConf.getInt("fs.graft-s3.readahead", 4 << 20)
 
+  /** Part size for the multipart write path, `fs.graft-s3.multipart.part.size`
+    * bytes (min 5 MiB — the protocol's own non-final-part floor). Objects
+    * that fit in ONE part keep the single-PutObject fast path; anything
+    * larger streams as parts, so peak writer memory is one part regardless
+    * of object size AND the real service's 5 GiB single-PUT cap can't be
+    * hit by a 100×-scale committer file. */
+  private def partSize: Int = {
+    val v = getConf.getLong("fs.graft-s3.multipart.part.size", 64L << 20)
+    require(v >= (5L << 20) && v <= Int.MaxValue,
+      s"fs.graft-s3.multipart.part.size $v outside [5 MiB, 2 GiB)")
+    v.toInt
+  }
+
   override def create(f: Path, permission: FsPermission, overwrite: Boolean,
                       bufferSize: Int, replication: Short, blockSize: Long,
                       progress: Progressable): FSDataOutputStream = {
     if (!overwrite && exists(f))
       throw new org.apache.hadoop.fs.FileAlreadyExistsException(
         s"graft-s3: $f already exists")
-    val key = keyOf(f)
-    val buf = new java.io.ByteArrayOutputStream(64 << 10)
-    val sink: OutputStream = new OutputStream {
-      override def write(b: Int): Unit = buf.write(b)
-      override def write(b: Array[Byte], off: Int, len: Int): Unit =
-        buf.write(b, off, len)
-      override def close(): Unit =
-        http.putObject(key, buf.toByteArray,
-          contentType = "application/octet-stream")
-    }
-    new FSDataOutputStream(sink, statistics)
+    new FSDataOutputStream(
+      new MultipartS3OutputStream(http, keyOf(f), partSize), statistics)
   }
 
   override def append(f: Path, bufferSize: Int,
@@ -257,6 +264,79 @@ final class GraftS3FileSystem extends FileSystem {
 
   override def setWorkingDirectory(dir: Path): Unit = workDir = dir
   override def getWorkingDirectory: Path = workDir
+}
+
+/** The write sink behind [[GraftS3FileSystem.create]]: buffers at most
+  * ONE part. An object that fits in a single part ships as one
+  * PutObject on close (the common committer-file case — one round
+  * trip, no multipart bookkeeping); the moment the buffer crosses
+  * `partSize` the stream initiates a multipart upload and rolls full
+  * parts out as they fill, completing on close. Any failure after
+  * initiation ABORTS the upload before rethrowing, so a dead task
+  * leaves neither a half-object nor orphaned staged parts. */
+private[sources] final class MultipartS3OutputStream(http: S3.S3Http,
+                                                     key: String,
+                                                     partSizeBytes: Int)
+  extends OutputStream {
+  private val buf = new java.io.ByteArrayOutputStream(64 << 10)
+  private var uploadId: String = null
+  private var partNumber = 1
+  private val etags = Vector.newBuilder[(Int, String)]
+  private var closed = false
+
+  private def guarded[A](body: => A): A =
+    try body catch {
+      case e: Throwable =>
+        if (uploadId != null) {
+          try http.abortMultipartUpload(key, uploadId)
+          catch { case abortErr: Throwable => e.addSuppressed(abortErr) }
+          uploadId = null
+        }
+        throw e
+    }
+
+  private def rollPart(): Unit = guarded {
+    if (uploadId == null)
+      uploadId = http.createMultipartUpload(key,
+        contentType = "application/octet-stream")
+    etags += ((partNumber, http.uploadPart(key, uploadId, partNumber,
+      buf.toByteArray)))
+    partNumber += 1
+    buf.reset()
+  }
+
+  override def write(b: Int): Unit = {
+    buf.write(b)
+    if (buf.size >= partSizeBytes) rollPart()
+  }
+
+  override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+    // fill to exact part boundaries: every non-final part is EXACTLY
+    // partSize, which satisfies the 5 MiB floor by construction
+    var o = off
+    var left = len
+    while (left > 0) {
+      val room = partSizeBytes - buf.size
+      val n = math.min(room, left)
+      buf.write(b, o, n)
+      o += n
+      left -= n
+      if (buf.size >= partSizeBytes) rollPart()
+    }
+  }
+
+  override def close(): Unit = {
+    if (closed) return
+    closed = true
+    if (uploadId == null)
+      http.putObject(key, buf.toByteArray,
+        contentType = "application/octet-stream")
+    else guarded {
+      if (buf.size > 0) rollPart()
+      http.completeMultipartUpload(key, uploadId, etags.result())
+      uploadId = null
+    }
+  }
 }
 
 /** Ranged random-access view over one object — the big-object arm of

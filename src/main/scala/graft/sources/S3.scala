@@ -169,6 +169,8 @@ object S3 {
       val req = (method match {
         case "GET" => b.GET()
         case "PUT" => b.PUT(HttpRequest.BodyPublishers.ofByteArray(body))
+        case "POST" => b.POST(HttpRequest.BodyPublishers.ofByteArray(
+          if (body == null) Array.emptyByteArray else body))
         case "DELETE" => b.DELETE()
         case other => throw new IllegalArgumentException(other)
       }).build()
@@ -352,6 +354,89 @@ object S3 {
           attempt += 1
         }
       }
+    }
+
+    // ------------------------------------------------------------------
+    // multipart upload (the large-object write path: real S3 caps a
+    // single PutObject at 5 GiB, and a 100×-scale committer can emit
+    // bigger files — CreateMultipartUpload / UploadPart /
+    // CompleteMultipartUpload / AbortMultipartUpload, the standard four)
+    // ------------------------------------------------------------------
+
+    /** XXE-hardened parse of a response body (network-peer XML — same
+      * discipline as the listing parse). */
+    private def parseXml(body: Array[Byte]): org.w3c.dom.Document = {
+      val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+      dbf.setExpandEntityReferences(false)
+      dbf.setXIncludeAware(false)
+      dbf.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(body))
+    }
+
+    private def firstTagText(doc: org.w3c.dom.Document, tag: String): Option[String] = {
+      val nl = doc.getElementsByTagName(tag)
+      if (nl.getLength == 0) None else Some(nl.item(0).getTextContent)
+    }
+
+    /** CreateMultipartUpload (`POST /key?uploads`) → UploadId. */
+    def createMultipartUpload(key: String,
+                              contentType: String = "application/octet-stream"): String = {
+      val resp = request("POST", key, Seq("uploads" -> ""), null,
+        Seq("content-type" -> contentType))
+      if (resp.statusCode() != 200)
+        throw new S3HttpError(resp.statusCode(), key, new String(resp.body(), UTF_8))
+      firstTagText(parseXml(resp.body()), "UploadId").getOrElse(
+        throw new java.io.IOException(s"CreateMultipartUpload $key: no UploadId"))
+    }
+
+    /** UploadPart (`PUT /key?partNumber=N&uploadId=`) → ETag. Retries
+      * ride the caller (parts are idempotent by (uploadId, partNumber)). */
+    def uploadPart(key: String, uploadId: String, partNumber: Int,
+                   bytes: Array[Byte]): String = {
+      require(partNumber >= 1 && partNumber <= 10000,
+        s"part number $partNumber outside S3's [1, 10000]")
+      val resp = request("PUT", key,
+        Seq("partNumber" -> partNumber.toString, "uploadId" -> uploadId),
+        bytes, Nil)
+      if (resp.statusCode() / 100 != 2)
+        throw new S3HttpError(resp.statusCode(), key, new String(resp.body(), UTF_8))
+      resp.headers().firstValue("ETag").orElseThrow(() =>
+        new java.io.IOException(s"UploadPart $key#$partNumber: no ETag"))
+    }
+
+    /** CompleteMultipartUpload (`POST /key?uploadId=` with the ordered
+      * part manifest). S3 verifies each part's ETag and stitches the
+      * object atomically — the object is invisible until this returns. */
+    def completeMultipartUpload(key: String, uploadId: String,
+                                parts: Seq[(Int, String)]): Unit = {
+      require(parts.nonEmpty, "complete with no parts")
+      val xml = new StringBuilder("<CompleteMultipartUpload>")
+      parts.sortBy(_._1).foreach { case (n, etag) =>
+        // ETags are hex-quoted by the server; XML-escape is a no-op for
+        // them but keeps hostile-input discipline if a server misbehaves
+        val safe = etag.replace("&", "&amp;").replace("<", "&lt;")
+        xml.append(s"<Part><PartNumber>$n</PartNumber><ETag>$safe</ETag></Part>")
+      }
+      xml.append("</CompleteMultipartUpload>")
+      val resp = request("POST", key, Seq("uploadId" -> uploadId),
+        xml.toString.getBytes(UTF_8), Seq("content-type" -> "application/xml"))
+      if (resp.statusCode() != 200)
+        throw new S3HttpError(resp.statusCode(), key, new String(resp.body(), UTF_8))
+      // real S3 can answer 200 with an <Error> body (the late-failure
+      // quirk documented for CompleteMultipartUpload) — check for it
+      val doc = parseXml(resp.body())
+      if (doc.getElementsByTagName("Error").getLength > 0)
+        throw new S3HttpError(500, key,
+          s"CompleteMultipartUpload answered 200-with-Error: " +
+            firstTagText(doc, "Message").getOrElse(""))
+    }
+
+    /** AbortMultipartUpload (`DELETE /key?uploadId=`) — frees staged
+      * parts; idempotent like DeleteObject. */
+    def abortMultipartUpload(key: String, uploadId: String): Unit = {
+      val resp = request("DELETE", key, Seq("uploadId" -> uploadId), null, Nil)
+      if (resp.statusCode() / 100 != 2 && resp.statusCode() != 404)
+        throw new S3HttpError(resp.statusCode(), key, new String(resp.body(), UTF_8))
     }
   }
 

@@ -309,4 +309,66 @@ class GraftS3FsSpec extends SparkSpec {
       assert(listed.length === 1 && listed.head.getModificationTime === st.getModificationTime)
     } finally s.close()
   }
+
+  test("MULTIPART writes: an object past the part size streams as exact " +
+    "parts (5 MiB floor) and stitches read-back-equal; small objects keep " +
+    "the single-PUT fast path") {
+    val s = mounted()
+    try {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.graft-s3.multipart.part.size", (5 << 20).toString)
+      try {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          java.net.URI.create("graft-s3://spark-bucket/"), hc)
+        // ~12 MiB of patterned bytes → parts of 5 + 5 + 2 MiB
+        val n = 12 << 20
+        val data = Array.tabulate[Byte](n)(i => ((i * 31) % 251).toByte)
+        val out = fs.create(new org.apache.hadoop.fs.Path(
+          "graft-s3://spark-bucket/mp/big.bin"), true)
+        // mixed write shapes: bulk spans + a single-byte tail
+        out.write(data, 0, n - 1)
+        out.write(data(n - 1))
+        out.close()
+        assert(s.partPutsServed === 3, s"parts=${s.partPutsServed}")
+        assert(s.pendingUploads === 0)
+        val stored = s.get("mp/big.bin").get.bytes
+        assert(stored.length === n)
+        assert(java.util.Arrays.equals(stored, data))
+        // and the FS read path serves it back equal
+        val in = fs.open(new org.apache.hadoop.fs.Path(
+          "graft-s3://spark-bucket/mp/big.bin"))
+        val back = in.readAllBytes(); in.close()
+        assert(java.util.Arrays.equals(back, data))
+        // a small object must NOT go multipart (one PUT, no parts)
+        val partsBefore = s.partPutsServed
+        val out2 = fs.create(new org.apache.hadoop.fs.Path(
+          "graft-s3://spark-bucket/mp/small.bin"), true)
+        out2.write(Array[Byte](1, 2, 3)); out2.close()
+        assert(s.partPutsServed === partsBefore)
+        assert(s.get("mp/small.bin").get.bytes.toSeq === Seq[Byte](1, 2, 3))
+      } finally hc.unset("fs.graft-s3.multipart.part.size")
+    } finally s.close()
+  }
+
+  test("MULTIPART failure surface: a dead part upload ABORTS the upload — " +
+    "no half-object, no orphaned staged parts") {
+    val s = mounted()
+    try {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.graft-s3.multipart.part.size", (5 << 20).toString)
+      try {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          java.net.URI.create("graft-s3://spark-bucket/"), hc)
+        s.failNextPuts(1) // the FIRST part PUT dies with 500
+        val out = fs.create(new org.apache.hadoop.fs.Path(
+          "graft-s3://spark-bucket/mp/dead.bin"), true)
+        intercept[Exception] {
+          out.write(new Array[Byte](6 << 20)) // crosses the part boundary
+          out.close()
+        }
+        assert(s.pendingUploads === 0, "upload was not aborted")
+        assert(s.get("mp/dead.bin").isEmpty, "half-object materialized")
+      } finally hc.unset("fs.graft-s3.multipart.part.size")
+    } finally s.close()
+  }
 }

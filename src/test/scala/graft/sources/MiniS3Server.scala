@@ -21,17 +21,33 @@ import scala.jdk.CollectionConverters._
   *
   * Fault injection: `failNextPuts(n)` answers the next n PutObject calls
   * with 500 InternalError — the retryable-failure arm of the writer's
-  * bounded retry (`writer_helpers.go:64-139`). */
+  * bounded retry (`writer_helpers.go:64-139`).
+  *
+  * Multipart uploads speak the real four-call protocol
+  * (CreateMultipartUpload / UploadPart / CompleteMultipartUpload /
+  * AbortMultipartUpload) including the 5 MiB minimum-part rule
+  * (EntityTooSmall for any non-final short part — `minPartSize`
+  * overridable for cheap edge tests), ETag verification on complete,
+  * and atomicity: the object is invisible until complete succeeds. */
 final class MiniS3Server(bucket: String, port: Int = 0,
                          accessKey: String = "", secretKey: String = "",
-                         region: String = "us-east-1") extends AutoCloseable {
+                         region: String = "us-east-1",
+                         minPartSize: Int = 5 << 20) extends AutoCloseable {
 
   final case class Stored(bytes: Array[Byte], contentType: String,
                           contentEncoding: String, meta: Map[String, String],
                           sse: String,
                           mtime: Long = System.currentTimeMillis())
 
+  /** One in-flight multipart upload: staged parts keyed by number. */
+  final case class MpPart(bytes: Array[Byte], etag: String)
+  final case class MpUpload(key: String, contentType: String,
+                            parts: ConcurrentSkipListMap[Integer, MpPart])
+
   private val objects = new ConcurrentSkipListMap[String, Stored]()
+  private val uploads = new java.util.concurrent.ConcurrentHashMap[String, MpUpload]()
+  private val uploadSeq = new AtomicLong(0)
+  private val partPuts = new AtomicLong(0)
   private val failPuts = new AtomicInteger(0)
   @volatile private var failStatus = 500
   private val putAttempts = new AtomicLong(0)
@@ -51,6 +67,10 @@ final class MiniS3Server(bucket: String, port: Int = 0,
   def objectCount: Int = objects.size()
   def keys: Seq[String] = objects.keySet().asScala.toSeq
   def get(key: String): Option[Stored] = Option(objects.get(key))
+  /** UploadPart calls served (distinct from whole-object puts). */
+  def partPutsServed: Long = partPuts.get()
+  /** In-flight (neither completed nor aborted) multipart uploads. */
+  def pendingUploads: Int = uploads.size()
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   def boundPort: Int = server.getAddress.getPort
@@ -122,7 +142,17 @@ final class MiniS3Server(bucket: String, port: Int = 0,
       else if (!authorized(ex, body)) xmlError("SignatureDoesNotMatch", 403, ex)
       else {
         val key = path.stripPrefix(s"/$bucket").stripPrefix("/")
+        val q = queryParams(ex)
         (ex.getRequestMethod, key) match {
+          case ("POST", k) if k.nonEmpty && q.contains("uploads") =>
+            initiateMultipart(ex, k)
+          case ("POST", k) if k.nonEmpty && q.contains("uploadId") =>
+            completeMultipart(ex, k, q("uploadId"), body)
+          case ("PUT", k) if k.nonEmpty && q.contains("partNumber") =>
+            uploadPart(ex, k, q.getOrElse("uploadId", ""), q("partNumber"), body)
+          case ("DELETE", k) if k.nonEmpty && q.contains("uploadId") =>
+            uploads.remove(q("uploadId")) // abort is idempotent, like delete
+            respond(ex, 204, Array.emptyByteArray)
           case ("GET", "") => listObjectsV2(ex)
           case ("GET", k) =>
             Option(objects.get(k)) match {
@@ -185,6 +215,107 @@ final class MiniS3Server(bucket: String, port: Int = 0,
   })
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
   server.start()
+
+  // --------------------------------------------------------------------
+  // multipart upload (the real four-call protocol)
+  // --------------------------------------------------------------------
+
+  private def md5Quoted(b: Array[Byte]): String =
+    "\"" + java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map("%02x".format(_)).mkString + "\""
+
+  private def initiateMultipart(ex: HttpExchange, key: String): Unit = {
+    val id = s"mpu-${uploadSeq.incrementAndGet()}-${java.util.UUID.randomUUID()}"
+    val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+    uploads.put(id, MpUpload(key, ct, new ConcurrentSkipListMap[Integer, MpPart]()))
+    respond(ex, 200,
+      (s"""<?xml version="1.0" encoding="UTF-8"?>""" +
+        s"<InitiateMultipartUploadResult><Bucket>$bucket</Bucket>" +
+        s"<Key>$key</Key><UploadId>$id</UploadId>" +
+        "</InitiateMultipartUploadResult>").getBytes(UTF_8),
+      Seq("Content-Type" -> "application/xml"))
+  }
+
+  private def uploadPart(ex: HttpExchange, key: String, uploadId: String,
+                         partNumber: String, body: Array[Byte]): Unit = {
+    partPuts.incrementAndGet()
+    if (failPuts.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+      xmlError(if (failStatus / 100 == 5) "InternalError" else "InvalidRequest",
+        failStatus, ex)
+      return
+    }
+    val up = uploads.get(uploadId)
+    if (up == null || up.key != key) { xmlError("NoSuchUpload", 404, ex); return }
+    val n = try partNumber.toInt catch {
+      case _: NumberFormatException => -1
+    }
+    if (n < 1 || n > 10000) { xmlError("InvalidArgument", 400, ex); return }
+    val etag = md5Quoted(body)
+    up.parts.put(n, MpPart(body, etag)) // re-upload of a number replaces it
+    respond(ex, 200, Array.emptyByteArray, Seq("ETag" -> etag))
+  }
+
+  /** The real completion contract: the manifest's part numbers must be
+    * strictly ascending and match staged parts by ETag (InvalidPart),
+    * every part except the LAST must meet the 5 MiB minimum
+    * (EntityTooSmall), and the object materializes atomically — a
+    * failed complete leaves the upload open and the key absent. */
+  private def completeMultipart(ex: HttpExchange, key: String,
+                                uploadId: String, body: Array[Byte]): Unit = {
+    val up = uploads.get(uploadId)
+    if (up == null || up.key != key) { xmlError("NoSuchUpload", 404, ex); return }
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    dbf.setExpandEntityReferences(false)
+    val doc = try dbf.newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(body))
+    catch { case _: Exception => xmlError("MalformedXML", 400, ex); return }
+    val nl = doc.getElementsByTagName("Part")
+    val manifest = (0 until nl.getLength).map { i =>
+      val el = nl.item(i).asInstanceOf[org.w3c.dom.Element]
+      def t(tag: String) = {
+        val c = el.getElementsByTagName(tag)
+        if (c.getLength == 0) "" else c.item(0).getTextContent.trim
+      }
+      (t("PartNumber").toIntOption.getOrElse(-1), t("ETag"))
+    }
+    if (manifest.isEmpty) { xmlError("MalformedXML", 400, ex); return }
+    if (manifest.map(_._1) != manifest.map(_._1).sorted.distinct) {
+      xmlError("InvalidPartOrder", 400, ex); return
+    }
+    val resolved = manifest.map { case (n, etag) =>
+      val staged = up.parts.get(n)
+      // quote-insensitive ETag compare (clients may strip quotes)
+      if (staged == null ||
+        staged.etag.replace("\"", "") != etag.replace("\"", "")) null
+      else staged
+    }
+    if (resolved.contains(null)) { xmlError("InvalidPart", 400, ex); return }
+    if (resolved.dropRight(1).exists(_.bytes.length < minPartSize)) {
+      xmlError("EntityTooSmall", 400, ex); return
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    resolved.foreach(p => out.write(p.bytes))
+    objects.put(key, Stored(out.toByteArray,
+      if (up.contentType.isEmpty) "application/octet-stream" else up.contentType,
+      "", Map.empty, ""))
+    uploads.remove(uploadId)
+    // the real multipart ETag: md5 over the concatenated part md5s,
+    // suffixed "-<partCount>" — NOT the md5 of the object bytes
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    resolved.foreach { p =>
+      md5.update(java.util.HexFormat.of().parseHex(p.etag.replace("\"", "")))
+    }
+    val mpEtag = "\"" + md5.digest().map("%02x".format(_)).mkString +
+      s"-${resolved.size}\""
+    respond(ex, 200,
+      (s"""<?xml version="1.0" encoding="UTF-8"?>""" +
+        "<CompleteMultipartUploadResult>" +
+        s"<Bucket>$bucket</Bucket><Key>$key</Key>" +
+        s"<ETag>$mpEtag</ETag>" +
+        "</CompleteMultipartUploadResult>").getBytes(UTF_8),
+      Seq("Content-Type" -> "application/xml"))
+  }
 
   private def httpDate(ms: Long): String =
     java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME.format(

@@ -242,4 +242,67 @@ class S3ApiSpec extends SparkSpec {
         .count() === 20L)
     } finally s.close()
   }
+
+  test("multipart upload: create/uploadPart/complete stitches parts " +
+    "atomically, SigV4-signed — read-back hash-equal") {
+    val s = new MiniS3Server("graft-bucket", accessKey = "AKIDEXAMPLE",
+      secretKey = "graft-secret", minPartSize = 1 << 10)
+    try {
+      val http = new S3.S3Http(cfg(s, signed = true))
+      val rnd = new java.util.Random(7)
+      val parts = Seq.fill(3)({ val b = new Array[Byte](2 << 10); rnd.nextBytes(b); b })
+      val id = http.createMultipartUpload("mp/obj.bin")
+      assert(s.pendingUploads === 1)
+      // upload out of order — the manifest orders, not arrival
+      val e2 = http.uploadPart("mp/obj.bin", id, 2, parts(1))
+      val e1 = http.uploadPart("mp/obj.bin", id, 1, parts(0))
+      val e3 = http.uploadPart("mp/obj.bin", id, 3, parts(2))
+      // the object is INVISIBLE until complete
+      intercept[S3.S3HttpError](http.getObject("mp/obj.bin"))
+      http.completeMultipartUpload("mp/obj.bin", id, Seq(2 -> e2, 1 -> e1, 3 -> e3))
+      assert(s.pendingUploads === 0)
+      val whole = parts.reduce(_ ++ _)
+      assert(http.getObject("mp/obj.bin").bytes.toSeq === whole.toSeq)
+      assert(s.partPutsServed === 3)
+    } finally s.close()
+  }
+
+  test("multipart edges: abort frees staged parts and leaves no object; " +
+    "wrong ETag is InvalidPart; a short non-final part is EntityTooSmall; " +
+    "re-uploading a part number replaces it") {
+    val s = new MiniS3Server("graft-bucket", minPartSize = 1 << 10)
+    try {
+      val http = new S3.S3Http(cfg(s))
+      // abort
+      val id1 = http.createMultipartUpload("mp/a.bin")
+      http.uploadPart("mp/a.bin", id1, 1, new Array[Byte](2 << 10))
+      http.abortMultipartUpload("mp/a.bin", id1)
+      assert(s.pendingUploads === 0)
+      intercept[S3.S3HttpError](http.getObject("mp/a.bin"))
+      // completing an aborted upload is NoSuchUpload
+      val e = intercept[S3.S3HttpError](
+        http.completeMultipartUpload("mp/a.bin", id1, Seq(1 -> "\"x\"")))
+      assert(e.status === 404)
+      // wrong etag
+      val id2 = http.createMultipartUpload("mp/b.bin")
+      http.uploadPart("mp/b.bin", id2, 1, new Array[Byte](2 << 10))
+      val bad = intercept[S3.S3HttpError](
+        http.completeMultipartUpload("mp/b.bin", id2, Seq(1 -> "\"deadbeef\"")))
+      assert(bad.status === 400)
+      http.abortMultipartUpload("mp/b.bin", id2)
+      // short non-final part
+      val id3 = http.createMultipartUpload("mp/c.bin")
+      val s1 = http.uploadPart("mp/c.bin", id3, 1, new Array[Byte](16)) // < min
+      val s2 = http.uploadPart("mp/c.bin", id3, 2, new Array[Byte](2 << 10))
+      val small = intercept[S3.S3HttpError](
+        http.completeMultipartUpload("mp/c.bin", id3, Seq(1 -> s1, 2 -> s2)))
+      assert(small.status === 400)
+      // a SHORT FINAL part is fine (the real rule exempts the last part)
+      val ok1 = http.uploadPart("mp/c.bin", id3, 1, Array.fill[Byte](2 << 10)(5))
+      http.completeMultipartUpload("mp/c.bin", id3, Seq(1 -> ok1, 2 -> s2))
+      assert(http.getObject("mp/c.bin").bytes.length === (4 << 10))
+      // replace semantics: the LAST upload of a number wins
+      assert(http.getObject("mp/c.bin").bytes.take(4).forall(_ == 5))
+    } finally s.close()
+  }
 }
