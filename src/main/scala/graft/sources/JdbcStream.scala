@@ -1,0 +1,363 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S7's `Serve` poll loop as a Structured Streaming source —
+  * `readStream.format("graft-jdbc")`. The reference re-runs its select
+  * on a ticker and re-submits every row each tick
+  * (`/root/reference/pkg/internal/adapter/postgresclient/reader.go:13-46`,
+  * `buildSelectQuery` at `:103-129` — no cursor unless the caller's
+  * WhereClause keeps one); the Spark-first form checkpoints a HIGH-WATER
+  * MARK on a monotonic column instead, so each row ships in exactly one
+  * micro-batch and a restart resumes from the offset log, not from
+  * re-reading the table.
+  *
+  * Options: `url`, `driver`, `table`, `watermarkColumn` (append-monotonic
+  * BIGINT/INT or TIMESTAMP), optional `where` (AND-ed into every query,
+  * the reference's WhereClause), `startingWatermark`
+  * (`earliest` = everything in the table, `latest` = only new rows,
+  * or an explicit long / epoch-micros value), `numPartitions` (range-split
+  * the epoch across executors), `maxRowsPerPoll` (admission control: the
+  * epoch's high-water mark is clamped to the n-th pending row's value).
+  *
+  * Delivery contract: exactly-once FOR APPEND-MONOTONIC tables — a row
+  * whose watermark lands at-or-below a committed mark is never seen
+  * (the standard incremental-ingest caveat; same as the reference when
+  * its WhereClause tracks a cursor). Updates in place are invisible:
+  * poll CDC-style tables on an updated-at column with overlap handled
+  * downstream, or use the batch reader.
+  *
+  * Scale note: each epoch is a WHERE-bounded range scan the database can
+  * serve from the watermark index; `numPartitions` splits the range so a
+  * catch-up backlog reads in parallel. No driver-side rows ever — the
+  * driver only runs MIN/MAX/nth-mark probes (one row each). */
+final class GraftJdbcProvider extends TableProvider
+  with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-jdbc"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    JdbcStream.inferSchema(JdbcStream.Opts(options))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new GraftJdbcTable(schema,
+      JdbcStream.Opts(new CaseInsensitiveStringMap(properties)))
+}
+
+private[sources] final class GraftJdbcTable(tschema: StructType,
+                                            opts: JdbcStream.Opts)
+  extends Table with SupportsRead {
+  override def name(): String = s"graft-jdbc:${opts.table}"
+  override def schema(): StructType = tschema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = tschema
+        override def description(): String = s"graft-jdbc ${opts.table}"
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new GraftJdbcMicroBatchStream(tschema, opts)
+      }
+    }
+}
+
+object JdbcStream {
+
+  final case class Opts(url: String, driver: String, table: String,
+                        watermarkColumn: String, where: Option[String],
+                        startingWatermark: String, numPartitions: Int,
+                        maxRowsPerPoll: Option[Long]) {
+    def whereAnd(cond: String): String =
+      where.map(w => s"($w) AND $cond").getOrElse(cond)
+  }
+
+  object Opts {
+    def apply(o: CaseInsensitiveStringMap): Opts = {
+      def req(k: String) = {
+        val v = o.get(k)
+        require(v != null && v.nonEmpty, s"graft-jdbc: option '$k' is required")
+        v
+      }
+      Opts(req("url"), Option(o.get("driver")).getOrElse(""), req("table"),
+        req("watermarkColumn"),
+        Option(o.get("where")).filter(_.nonEmpty),
+        Option(o.get("startingWatermark")).getOrElse("earliest"),
+        Option(o.get("numPartitions")).map(_.toInt).getOrElse(1),
+        Option(o.get("maxRowsPerPoll")).map(_.toLong))
+    }
+  }
+
+  private[sources] def connect(opts: Opts): java.sql.Connection = {
+    if (opts.driver.nonEmpty) Class.forName(opts.driver)
+    java.sql.DriverManager.getConnection(opts.url)
+  }
+
+  /** JDBC → Catalyst type mapping for the polled reader (the common
+    * analytic column types; anything else fails loudly rather than
+    * silently stringifying). */
+  private[sources] def sparkType(jdbcType: Int, precision: Int, scale: Int): DataType = {
+    import java.sql.Types._
+    jdbcType match {
+      case BIGINT => LongType
+      case INTEGER | SMALLINT | TINYINT => IntegerType
+      case DOUBLE | FLOAT => DoubleType
+      case REAL => FloatType
+      case DECIMAL | NUMERIC =>
+        DecimalType(math.min(math.max(precision, 1), 38), math.max(scale, 0))
+      case BOOLEAN | BIT => BooleanType
+      case VARCHAR | CHAR | LONGVARCHAR | NVARCHAR | NCHAR | CLOB => StringType
+      case TIMESTAMP => TimestampType
+      case DATE => DateType
+      case BINARY | VARBINARY | LONGVARBINARY | BLOB => BinaryType
+      case other => throw new IllegalArgumentException(
+        s"graft-jdbc: unsupported JDBC type $other")
+    }
+  }
+
+  private[sources] def inferSchema(opts: Opts): StructType = {
+    val c = connect(opts)
+    try {
+      val st = c.createStatement()
+      try {
+        val rs = st.executeQuery(s"SELECT * FROM ${opts.table} WHERE 1=0")
+        val md = rs.getMetaData
+        StructType((1 to md.getColumnCount).map { i =>
+          StructField(md.getColumnLabel(i).toLowerCase,
+            sparkType(md.getColumnType(i), md.getPrecision(i), md.getScale(i)),
+            md.isNullable(i) != java.sql.ResultSetMetaData.columnNoNulls)
+        })
+      } finally st.close()
+    } finally c.close()
+  }
+
+  /** One JDBC value → Catalyst, matching [[sparkType]]. */
+  private[sources] def toCatalyst(rs: java.sql.ResultSet, i: Int,
+                                  dt: DataType): Any = {
+    val v: Any = dt match {
+      case LongType => rs.getLong(i)
+      case IntegerType => rs.getInt(i)
+      case DoubleType => rs.getDouble(i)
+      case FloatType => rs.getFloat(i)
+      case BooleanType => rs.getBoolean(i)
+      case StringType =>
+        val s = rs.getString(i); if (s == null) null else UTF8String.fromString(s)
+      case d: DecimalType =>
+        val b = rs.getBigDecimal(i)
+        if (b == null) null
+        else org.apache.spark.sql.types.Decimal(b, d.precision, d.scale)
+      case TimestampType =>
+        val t = rs.getTimestamp(i)
+        if (t == null) null
+        else t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+      case DateType =>
+        val d = rs.getDate(i)
+        if (d == null) null
+        else java.time.LocalDate.ofEpochDay(0).until(
+          d.toLocalDate, java.time.temporal.ChronoUnit.DAYS).toInt
+      case BinaryType => rs.getBytes(i)
+      case other => throw new IllegalArgumentException(s"graft-jdbc: $other")
+    }
+    if (rs.wasNull()) null else v
+  }
+
+  /** The watermark travels as a LONG in the offset log: integral columns
+    * as-is, TIMESTAMP columns as epoch-micros. */
+  private[sources] def markOf(rs: java.sql.ResultSet, i: Int): Option[Long] = {
+    val md = rs.getMetaData
+    val v = md.getColumnType(i) match {
+      case java.sql.Types.TIMESTAMP =>
+        val t = rs.getTimestamp(i)
+        if (t == null) 0L else t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+      case _ => rs.getLong(i)
+    }
+    if (rs.wasNull()) None else Some(v)
+  }
+
+  private[sources] def setMark(ps: java.sql.PreparedStatement, i: Int,
+                               columnIsTimestamp: Boolean, mark: Long): Unit =
+    if (columnIsTimestamp) {
+      val t = new java.sql.Timestamp(Math.floorDiv(mark, 1000L))
+      t.setNanos((Math.floorMod(mark, 1000000L) * 1000L).toInt)
+      ps.setTimestamp(i, t)
+    } else ps.setLong(i, mark)
+}
+
+/** Offset = the exclusive high-water mark already shipped. */
+private[sources] final case class JdbcSourceOffset(hwm: Long) extends Offset {
+  override def json(): String = s"""{"hwm":$hwm}"""
+}
+private[sources] object JdbcSourceOffset {
+  private val P = """\{\s*"hwm"\s*:\s*(-?\d+)\s*\}""".r
+  def fromJson(s: String): JdbcSourceOffset = s match {
+    case P(v) => JdbcSourceOffset(v.toLong)
+    case other => throw new IllegalArgumentException(s"bad jdbc offset: $other")
+  }
+}
+
+private[sources] final class GraftJdbcMicroBatchStream(schema: StructType,
+                                                       opts: JdbcStream.Opts)
+  extends MicroBatchStream with SupportsAdmissionControl {
+
+  // driver-side connection with one reconnect retry per call (servers
+  // drop idle sessions; a long trigger interval must survive that)
+  @volatile private var connOpt: java.sql.Connection = _
+  private def withConn[A](f: java.sql.Connection => A): A = synchronized {
+    if (connOpt == null) connOpt = JdbcStream.connect(opts)
+    try f(connOpt)
+    catch {
+      case _: java.sql.SQLException | _: java.io.IOException =>
+        try connOpt.close() catch { case _: Exception => () }
+        connOpt = JdbcStream.connect(opts)
+        f(connOpt)
+    }
+  }
+
+  private val wmIsTimestamp: Boolean =
+    schema(opts.watermarkColumn.toLowerCase).dataType == TimestampType
+
+  private def oneLong(sql: String): Option[Long] = withConn { c =>
+    val st = c.createStatement()
+    try {
+      val rs = st.executeQuery(sql)
+      if (!rs.next()) None else JdbcStream.markOf(rs, 1)
+    } finally st.close()
+  }
+
+  override def initialOffset(): Offset = {
+    val wm = opts.watermarkColumn
+    val t = opts.table
+    val guard = opts.where.map(w => s" WHERE ($w)").getOrElse("")
+    val hwm = opts.startingWatermark.toLowerCase match {
+      case "earliest" =>
+        // one below the smallest mark: the first epoch ships everything
+        oneLong(s"SELECT MIN($wm) FROM $t$guard").map(_ - 1).getOrElse(Long.MinValue / 2)
+      case "latest" =>
+        oneLong(s"SELECT MAX($wm) FROM $t$guard").getOrElse(Long.MinValue / 2)
+      case n => n.toLong
+    }
+    JdbcSourceOffset(hwm)
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    opts.maxRowsPerPoll.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("use latestOffset(start, limit)")
+
+  /** The poll: MAX(wm) for an unbounded trigger; under a row budget, the
+    * n-th pending row's mark (ANSI FETCH FIRST — Derby and Postgres both
+    * speak it) so one epoch never exceeds the budget by more than the
+    * ties on its final mark. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[JdbcSourceOffset].hwm
+    val wm = opts.watermarkColumn
+    val t = opts.table
+    val max = withConn { c =>
+      val ps = c.prepareStatement(
+        s"SELECT MAX($wm) FROM $t WHERE ${opts.whereAnd(s"$wm > ?")}")
+      try {
+        JdbcStream.setMark(ps, 1, wmIsTimestamp, from)
+        val rs = ps.executeQuery()
+        if (!rs.next()) None else JdbcStream.markOf(rs, 1)
+      } finally ps.close()
+    }
+    max match {
+      case None => start
+      case Some(m) =>
+        val capped = limit match {
+          case mr: ReadMaxRows =>
+            withConn { c =>
+              val ps = c.prepareStatement(
+                s"SELECT MAX($wm) FROM (SELECT $wm FROM $t WHERE " +
+                  s"${opts.whereAnd(s"$wm > ?")} ORDER BY $wm " +
+                  s"FETCH FIRST ${mr.maxRows()} ROWS ONLY) capped_marks")
+              try {
+                JdbcStream.setMark(ps, 1, wmIsTimestamp, from)
+                val rs = ps.executeQuery()
+                if (!rs.next()) None else JdbcStream.markOf(rs, 1)
+              } finally ps.close()
+            }.getOrElse(m)
+          case _ => m
+        }
+        JdbcSourceOffset(math.min(m, capped))
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val a = start.asInstanceOf[JdbcSourceOffset].hwm
+    val b = end.asInstanceOf[JdbcSourceOffset].hwm
+    if (b <= a) return Array.empty
+    // split (a, b] into numPartitions contiguous mark ranges — each task
+    // range-scans its own slice (index-served DB-side)
+    val n = math.max(1, opts.numPartitions)
+    val span = b - a
+    val parts = math.min(n.toLong, span).toInt
+    (0 until parts).map { i =>
+      val lo = a + span * i / parts
+      val hi = a + span * (i + 1) / parts
+      JdbcInputPartition(opts, schema, lo, hi, wmIsTimestamp): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JdbcReaderFactory
+
+  override def deserializeOffset(json: String): Offset =
+    JdbcSourceOffset.fromJson(json)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = synchronized {
+    if (connOpt != null) {
+      try connOpt.close() catch { case _: Exception => () }
+      connOpt = null
+    }
+  }
+}
+
+private[sources] final case class JdbcInputPartition(opts: JdbcStream.Opts,
+                                                     schema: StructType,
+                                                     lo: Long, hi: Long,
+                                                     wmIsTimestamp: Boolean)
+  extends InputPartition
+
+private[sources] final class JdbcReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val jp = p.asInstanceOf[JdbcInputPartition]
+    new PartitionReader[InternalRow] {
+      private val conn = JdbcStream.connect(jp.opts)
+      private val wm = jp.opts.watermarkColumn
+      private val cols = jp.schema.fields.map(_.name).mkString(", ")
+      private val ps = conn.prepareStatement(
+        s"SELECT $cols FROM ${jp.opts.table} WHERE " +
+          jp.opts.whereAnd(s"$wm > ? AND $wm <= ?"))
+      locally {
+        JdbcStream.setMark(ps, 1, jp.wmIsTimestamp, jp.lo)
+        JdbcStream.setMark(ps, 2, jp.wmIsTimestamp, jp.hi)
+      }
+      private val rs = ps.executeQuery()
+
+      override def next(): Boolean = rs.next()
+
+      override def get(): InternalRow =
+        new GenericInternalRow(jp.schema.fields.zipWithIndex.map {
+          case (f, i) => JdbcStream.toCatalyst(rs, i + 1, f.dataType)
+        })
+
+      override def close(): Unit = {
+        try rs.close() catch { case _: Exception => () }
+        try ps.close() catch { case _: Exception => () }
+        conn.close()
+      }
+    }
+  }
+}

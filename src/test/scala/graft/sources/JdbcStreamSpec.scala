@@ -1,0 +1,194 @@
+package graft.sources
+
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.SparkSpec
+
+/** S7's Serve poll loop as Structured Streaming, END-TO-END against live
+  * Derby: `readStream.format("graft-jdbc")` polls a watermark-bounded
+  * range per micro-batch, the offset log checkpoints the high-water
+  * mark, and a RESTART resumes exactly-once — the streaming proof the
+  * S3 Serve loop got in r12 (`GraftS3FsSpec`), now for the JDBC edge
+  * (`postgresclient/reader.go:13-46`). */
+class JdbcStreamSpec extends SparkSpec {
+
+  System.setProperty("derby.stream.error.file", "target/derby.log")
+  private val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+  private val url = "jdbc:derby:memory:graftstream;create=true"
+
+  private def exec(sql: String*): Unit = {
+    Class.forName(driver)
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      try sql.foreach(st.executeUpdate) finally st.close()
+    } finally c.close()
+  }
+
+  private def insertRows(table: String, from: Int, until: Int): Unit =
+    exec((from until until).map(i =>
+      s"($i, 'evt${i % 3}', ${i * 1.5})")
+      .mkString(s"INSERT INTO $table VALUES ", ", ", ""))
+
+  private def reader(table: String, extra: Map[String, String] = Map.empty) = {
+    val base = spark.readStream.format("graft-jdbc")
+      .option("url", url).option("driver", driver)
+      .option("table", table).option("watermarkColumn", "id")
+    extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  test("poll → micro-batch → checkpointed RESTART resumes exactly-once " +
+    "(no replay, no loss, no re-read of the table)") {
+    exec("CREATE TABLE poll1 (id BIGINT PRIMARY KEY, etype VARCHAR(16), val DOUBLE)")
+    insertRows("poll1", 0, 20)
+    val ckpt = java.nio.file.Files.createTempDirectory("jdbc_stream_ckpt").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+
+    def run(body: org.apache.spark.sql.streaming.StreamingQuery => Unit): Unit = {
+      val q = reader("poll1").writeStream
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+          df.collect().foreach(r => got.add(r.getAs[Long]("id"))); ()
+        })
+        .option("checkpointLocation", ckpt).start()
+      try body(q) finally q.stop()
+    }
+
+    import scala.jdk.CollectionConverters._
+    run { q =>
+      q.processAllAvailable()
+      assert(got.asScala.toSeq.sorted === (0L until 20L))
+      // new rows land in the NEXT batch only — prior rows never re-ship
+      insertRows("poll1", 20, 35)
+      q.processAllAvailable()
+      assert(got.asScala.toSeq.sorted === (0L until 35L))
+    }
+    // rows arriving while the query is DOWN are picked up from the
+    // checkpointed mark on restart — exactly once, without a table rescan
+    insertRows("poll1", 35, 50)
+    run { q =>
+      q.processAllAvailable()
+      val ids = got.asScala.toSeq.sorted
+      assert(ids.length === 50, s"got ${ids.length} rows (replay or loss)")
+      assert(ids === (0L until 50L))
+    }
+  }
+
+  test("schema inference maps JDBC types; values arrive typed") {
+    exec("CREATE TABLE poll2 (id BIGINT PRIMARY KEY, etype VARCHAR(16), val DOUBLE)")
+    insertRows("poll2", 0, 5)
+    val df = reader("poll2")
+    assert(df.schema === StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("etype", StringType),
+      StructField("val", DoubleType))))
+    val q = df.writeStream.format("memory").queryName("jdbc_poll2").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("jdbc_poll2").collect()
+      assert(rows.map(_.getLong(0)).sorted.toSeq === (0L until 5L))
+      assert(rows.find(_.getLong(0) == 2L).get.getString(1) === "evt2")
+      assert(rows.find(_.getLong(0) == 2L).get.getDouble(2) === 3.0)
+    } finally q.stop()
+  }
+
+  test("startingWatermark=latest ships only rows inserted after the start; " +
+    "an explicit mark starts mid-table; `where` scopes every poll") {
+    exec("CREATE TABLE poll3 (id BIGINT PRIMARY KEY, etype VARCHAR(16), val DOUBLE)")
+    insertRows("poll3", 0, 10)
+    val q = reader("poll3", Map("startingWatermark" -> "latest"))
+      .writeStream.format("memory").queryName("jdbc_poll3").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("jdbc_poll3").count() === 0)
+      insertRows("poll3", 10, 14)
+      q.processAllAvailable()
+      import spark.implicits._
+      assert(spark.table("jdbc_poll3").select("id").as[Long].collect().sorted
+        .toSeq === (10L until 14L))
+    } finally q.stop()
+
+    val q2 = reader("poll3", Map("startingWatermark" -> "5",
+      "where" -> "etype <> 'evt0'"))
+      .writeStream.format("memory").queryName("jdbc_poll3b").start()
+    try {
+      q2.processAllAvailable()
+      import spark.implicits._
+      // ids 6..13 minus the evt0 ones (id % 3 == 0): 6,9,12 dropped
+      assert(spark.table("jdbc_poll3b").select("id").as[Long].collect().sorted
+        .toSeq === Seq(7L, 8L, 10L, 11L, 13L))
+    } finally q2.stop()
+  }
+
+  test("admission control: maxRowsPerPoll bounds each micro-batch; the " +
+    "backlog drains across several epochs without loss") {
+    exec("CREATE TABLE poll4 (id BIGINT PRIMARY KEY, etype VARCHAR(16), val DOUBLE)")
+    insertRows("poll4", 0, 25)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = reader("poll4", Map("maxRowsPerPoll" -> "10"))
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+        val rows = df.collect()
+        batches.add(rows.length.toLong)
+        rows.foreach(r => got.add(r.getAs[Long]("id")))
+        ()
+      }).start()
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(got.asScala.toSeq.sorted === (0L until 25L))
+      // 25 pending rows under a 10-row budget: no epoch over budget, and
+      // the backlog needs at least 3 epochs to drain
+      assert(batches.asScala.filter(_ > 0).max <= 10L, batches.toString)
+      assert(batches.asScala.count(_ > 0) >= 3, batches.toString)
+    } finally q.stop()
+  }
+
+  test("TIMESTAMP watermark column: marks travel as epoch-micros in the " +
+    "offset log and bound the range scan") {
+    exec("CREATE TABLE poll5 (ts TIMESTAMP, payload VARCHAR(32))")
+    def insertTs(fromSec: Int, untilSec: Int): Unit =
+      exec((fromSec until untilSec).map(s =>
+        s"(TIMESTAMP('2026-08-16 10:00:${"%02d".format(s)}'), 'p$s')")
+        .mkString("INSERT INTO poll5 VALUES ", ", ", ""))
+    insertTs(0, 10)
+    val df = spark.readStream.format("graft-jdbc")
+      .option("url", url).option("driver", driver)
+      .option("table", "poll5").option("watermarkColumn", "ts").load()
+    assert(df.schema("ts").dataType === TimestampType)
+    val q = df.writeStream.format("memory").queryName("jdbc_poll5").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("jdbc_poll5").count() === 10)
+      insertTs(10, 15)
+      q.processAllAvailable()
+      import spark.implicits._
+      assert(spark.table("jdbc_poll5").select("payload").as[String].collect()
+        .sorted.length === 15)
+    } finally q.stop()
+  }
+
+  test("range splitting: a backlog epoch plans numPartitions contiguous " +
+    "mark slices that tile (start, end] exactly") {
+    val opts = JdbcStream.Opts(new CaseInsensitiveStringMap(
+      java.util.Map.of("url", url, "driver", driver, "table", "poll1",
+        "watermarkColumn", "id", "numPartitions", "4")))
+    exec("CREATE TABLE poll6 (id BIGINT PRIMARY KEY, etype VARCHAR(16), val DOUBLE)")
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val stream = new GraftJdbcMicroBatchStream(schema, opts.copy(table = "poll6"))
+    try {
+      val parts = stream.planInputPartitions(
+        JdbcSourceOffset(0L), JdbcSourceOffset(100L))
+        .map(_.asInstanceOf[JdbcInputPartition])
+      assert(parts.length === 4)
+      assert(parts.head.lo === 0L && parts.last.hi === 100L)
+      assert(parts.sliding(2).forall(w => w(0).hi == w(1).lo))
+      // a 2-row epoch never plans more slices than marks
+      assert(stream.planInputPartitions(
+        JdbcSourceOffset(0L), JdbcSourceOffset(2L)).length === 2)
+      assert(stream.planInputPartitions(
+        JdbcSourceOffset(5L), JdbcSourceOffset(5L)).isEmpty)
+    } finally stream.stop()
+  }
+}
