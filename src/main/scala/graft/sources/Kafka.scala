@@ -1403,6 +1403,12 @@ object Kafka {
     /** Partitions this consumer currently owns. */
     def assignedPartitions: Seq[Int] = parts
 
+    /** Polls whose sweep was FENCED mid-flight (a commit answered
+      * StaleMember because the group rebalanced under us) — the
+      * bridge-side replay path's observable. */
+    @volatile private var fenced = 0L
+    def fencedPolls: Long = fenced
+
     /** One poll across owned partitions; returns records spooled. */
     def pollOnce(): Int = {
       // rebalance discovery rides the heartbeat, the real cadence
@@ -1412,7 +1418,10 @@ object Kafka {
         // a commit fenced MID-POLL (rebalanced under us): the partition
         // has a new owner — rejoin; the spool's offset-named idempotence
         // means whatever we landed re-dedupes at the new owner
-        case _: StaleMember if member.isDefined => refreshAssignment(); 0
+        case _: StaleMember if member.isDefined =>
+          fenced += 1
+          refreshAssignment()
+          0
       }
     }
 

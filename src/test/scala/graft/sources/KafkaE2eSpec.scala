@@ -843,6 +843,90 @@ class KafkaE2eSpec extends SparkSpec {
     } finally { a.close(); raw.close(); broker.close() }
   }
 
+  test("rebalance MID-SWEEP: a poll fenced between spool and commit replays " +
+    "at the new owner with exactly-once spool output across the generation " +
+    "change (the bridge-side StaleMember path, end to end)") {
+    // The race under test: A's sweep is IN FLIGHT (records spooled,
+    // per-record commits landing at generation g) when B's join barrier
+    // deadline evicts the non-rejoining A — generation bumps, A's next
+    // commit answers StaleMember mid-sweep, and the already-spooled
+    // records' offsets were never committed, so the new owner refetches
+    // them; the offset-named spool dedupes the overlap. Timing-driven by
+    // nature, so the scenario retries until the fence is OBSERVED
+    // (fencedPolls) — the exactly-once assertion holds on every attempt.
+    var attempt = 0
+    var fenceSeen = false
+    while (!fenceSeen && attempt < 5) {
+      attempt += 1
+      val perPart = 800 * attempt // slower sweep each retry
+      val broker = new MiniKafkaBroker(Map("ms" -> 4), rebalanceTimeoutMs = 150)
+      val boot = ("127.0.0.1", broker.boundPort)
+      val raw = new Kafka.WireClient(boot._1, boot._2)
+      val dir = java.nio.file.Files.createTempDirectory("graft-midsweep").toString
+      def spooledValues(): Seq[Long] = {
+        import scala.jdk.CollectionConverters._
+        val files = new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".ndjson"))
+        // Files.readAllLines closes its handle — after-each mode spools
+        // one FILE per record, and a leaked-reader sweep over thousands
+        // of files exhausts the fd budget
+        files.flatMap(f => java.nio.file.Files.readAllLines(f.toPath).asScala
+          .filter(_.nonEmpty)
+          .map(l => "\"i\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong)).toSeq
+      }
+      // after-each = one commit round-trip per record: a long sweep the
+      // barrier deadline can land inside
+      val a = new Kafka.SpoolConsumer(boot, "ms", "gm", dir,
+        commitMode = "after-each", maxPollRecords = 100000,
+        maxPollBytes = 64 << 20, dynamicMembership = true)
+      val bRef = new java.util.concurrent.atomic.AtomicReference[Kafka.SpoolConsumer]()
+      try {
+        var produced = 0
+        (0 until 4).foreach { p =>
+          raw.produce("ms", p, encodeRecordBatch(0L, (0 until perPart).map { _ =>
+            produced += 1
+            (1L, null: Array[Byte], s"""{"i":$produced}""".getBytes(UTF_8), Nil)
+          }))
+        }
+        val total = 4 * perPart
+        // TA: one long sweep, then keep pumping until everything landed
+        val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val ta = new Thread(() => {
+          while (!done.get()) { a.pollOnce(); Thread.sleep(5) }
+        })
+        ta.start()
+        Thread.sleep(30) // let A's sweep get airborne before B joins
+        val tb = new Thread(() => {
+          // B's constructor join starts the rebalance; the 150 ms barrier
+          // deadline evicts mid-sweep A
+          val b = new Kafka.SpoolConsumer(boot, "ms", "gm", dir,
+            commitMode = "after-each", maxPollRecords = 100000,
+            maxPollBytes = 64 << 20, dynamicMembership = true)
+          bRef.set(b)
+          while (!done.get()) { b.pollOnce(); Thread.sleep(5) }
+        })
+        tb.start()
+        eventually(spooledValues().size >= total,
+          s"spooled ${spooledValues().size}/$total (attempt $attempt)",
+          timeoutMs = 30000)
+        done.set(true)
+        ta.join(10000); tb.join(10000)
+        // EXACTLY-ONCE across the generation change, every attempt
+        val vals = spooledValues()
+        assert(vals.size === total && vals.distinct.size === total,
+          s"attempt $attempt: ${vals.size} lines, ${vals.distinct.size} distinct")
+        assert(vals.sorted === (1L to total.toLong))
+        fenceSeen = a.fencedPolls > 0
+      } finally {
+        a.close()
+        Option(bRef.get()).foreach(_.close())
+        raw.close()
+        broker.close()
+      }
+    }
+    assert(fenceSeen, s"no mid-sweep fence observed in $attempt attempts")
+  }
+
   test("LeaderClient survives a bootstrap-broker restart: the boot " +
     "connection re-dials in place instead of poisoning every later " +
     "metadata refresh and coordinator resolution") {
