@@ -213,7 +213,8 @@ final class MiniS3Server(bucket: String, port: Int = 0,
         try xmlError("InternalError", 500, ex) catch { case _: Throwable => () }
     }
   })
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  server.setExecutor(pool)
   server.start()
 
   // --------------------------------------------------------------------
@@ -418,5 +419,10 @@ final class MiniS3Server(bucket: String, port: Int = 0,
       Seq("Content-Type" -> "application/xml"))
   }
 
-  override def close(): Unit = server.stop(0)
+  override def close(): Unit = {
+    server.stop(0)
+    // the pool's threads are non-daemon: a close() that leaves them
+    // running keeps a runMain JVM alive after main returns
+    pool.shutdownNow()
+  }
 }

@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale sweep for the graft-s3:// protocol path (SCALING.md): measure
+  * `spark.read.parquet` over the object protocol (MiniS3Server +
+  * GraftS3FileSystem, SigV4-signed) against the same files on local fs,
+  * at a given SF dir. Reports scan+agg wall seconds (min of N runs) for
+  * both paths and the overhead ratio, plus the server's GET/LIST call
+  * counts — the observable that tells WHERE protocol time goes.
+  * Usage: Test/runMain graft.tools.S3ProtoBench <sfDir> [table] [iters] */
+object S3ProtoBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val table = args.lift(1).getOrElse("lineitem")
+    val iters = args.lift(2).map(_.toInt).getOrElse(3)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .appName("s3-proto-bench")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val s = new graft.sources.MiniS3Server("bench-bucket",
+      accessKey = "AKIDEXAMPLE", secretKey = "graft-secret")
+    try {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.graft-s3.impl", classOf[graft.sources.GraftS3FileSystem].getName)
+      hc.set("fs.graft-s3.endpoint", s.endpoint)
+      hc.set("fs.graft-s3.access.key", "AKIDEXAMPLE")
+      hc.set("fs.graft-s3.secret.key", "graft-secret")
+      hc.set("fs.graft-s3.impl.disable.cache", "true")
+
+      // upload the table's parquet files over the protocol (multipart
+      // exercises automatically past the part threshold)
+      val localDir = new java.io.File(s"$sfDir/$table.parquet")
+      val files: Array[java.io.File] =
+        if (localDir.isDirectory)
+          localDir.listFiles().filter(f => f.getName.endsWith(".parquet")
+            || f.getName.startsWith("part-"))
+        else Array(new java.io.File(s"$sfDir/$table.parquet"))
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        java.net.URI.create("graft-s3://bench-bucket/"), hc)
+      var uploaded = 0L
+      files.zipWithIndex.foreach { case (f, i) =>
+        val out = fs.create(new org.apache.hadoop.fs.Path(
+          s"graft-s3://bench-bucket/$table/part-$i.parquet"), true)
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        out.write(bytes); out.close()
+        uploaded += bytes.length
+      }
+      println(s"uploaded ${files.length} objects, $uploaded bytes")
+
+      def scanAgg(path: String): (Double, Long) = {
+        var best = Double.MaxValue
+        var rows = 0L
+        (0 until iters).foreach { _ =>
+          val t0 = System.nanoTime()
+          val df = spark.read.parquet(path)
+          // scan-bound kernel: filter + two-column agg (projection pruned)
+          val r = df.filter(col(df.columns.head).isNotNull)
+            .agg(count(lit(1))).head().getLong(0)
+          val dt = (System.nanoTime() - t0) / 1e9
+          best = math.min(best, dt)
+          rows = r
+        }
+        (best, rows)
+      }
+      // warm the JVM + parquet reader on the local path first
+      val (localSec, localRows) = scanAgg(localDir.getPath)
+      val g0 = (s.fullGetsServed, s.rangedGetsServed, s.listsServed)
+      val (protoSec, protoRows) = scanAgg(s"graft-s3://bench-bucket/$table")
+      require(localRows == protoRows, s"row drift: $localRows vs $protoRows")
+      val gets = (s.fullGetsServed - g0._1, s.rangedGetsServed - g0._2,
+        s.listsServed - g0._3)
+      println(f"""{"metric":"s3_proto_overhead","table":"$table","sf_dir":"$sfDir","rows":$localRows,"local_sec":$localSec%.3f,"proto_sec":$protoSec%.3f,"ratio":${protoSec / localSec}%.2f,"full_gets":${gets._1},"ranged_gets":${gets._2},"lists":${gets._3}}""")
+    } finally {
+      s.close()
+      spark.stop()
+    }
+  }
+}
