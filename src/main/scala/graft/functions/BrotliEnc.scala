@@ -24,6 +24,14 @@ package graft.functions
   *    §9.2 uncompressed meta-blocks, the stored form ships instead, so
   *    incompressible payloads pay bytes of overhead, not blowup.
   *
+  * Density vs the reference encoder on the committed golden corpus
+  * (bytes, reference at its vector's quality): english 166 vs 130 (q9),
+  * ndjson 1019 vs 570 (q5), repeat 31 vs 29 (q7), utf8 38 vs 36 (q11),
+  * random 4101 vs 4100, and it BEATS the reference on tiny inputs
+  * (hello 25 vs 28-40). The gap on text is the reference's context
+  * modeling + static dictionary — density an egress seal doesn't need
+  * at 1.3-1.8x; correctness and bounded memory it does.
+  *
   * Correctness is locked differentially BOTH ways: every encoder output
   * must round-trip byte-exact through [[Brotli.decode]] (BrotliEncSpec:
   * goldens' .raw corpus, structured shapes, randomized fuzz), and
@@ -409,6 +417,7 @@ object BrotliEnc {
   private def parse(data: Array[Byte], from: Int, until: Int,
                     maxBackward: Long, table: Array[Int]): Vector[Cmd] = {
     val cmds = Vector.newBuilder[Cmd]
+    var nCmds = 0
     var litFrom = from
     var i = from
     while (i < until) {
@@ -427,6 +436,7 @@ object BrotliEnc {
       }
       if (matched > 0) {
         cmds += Cmd(litFrom, i - litFrom, matched, matchDist)
+        nCmds += 1
         // index positions inside the match (sparsely: every other one,
         // the quality-1 shape) so later matches can land here
         var j = i + 1
@@ -436,7 +446,8 @@ object BrotliEnc {
         litFrom = i
       } else i += 1
     }
-    if (litFrom < until || cmds.result().isEmpty)
+    // builder contract: result() must be called once, at the end
+    if (litFrom < until || nCmds == 0)
       cmds += Cmd(litFrom, until - litFrom, 0, 0)
     cmds.result()
   }

@@ -37,9 +37,11 @@ import org.apache.hadoop.util.Progressable
   *    flush), multipart upload past `fs.graft-s3.multipart.part.size`
   *    (real S3 caps a single PUT at 5 GiB — a 100× committer file
   *    streams as parts with bounded writer memory, aborted on failure);
-  *  - rename() is copy+delete per key (what the FileOutputCommitter's
-  *    task-commit rename becomes on any object store without a native
-  *    rename — the documented s3a behavior too).
+  *  - rename() is SERVER-SIDE CopyObject + delete per key (what the
+  *    FileOutputCommitter's task-commit rename becomes on any object
+  *    store without a native rename — the documented s3a behavior too);
+  *    no object bytes ride the client, so a multi-GB rename costs two
+  *    constant-size round-trips.
   *
   * Scale note: the ranged path bounds executor memory at the readahead
   * window regardless of object size, so a 100× roll budget (multi-GB
@@ -228,19 +230,26 @@ final class GraftS3FileSystem extends FileSystem {
       try { getFileStatus(new Path(s"$fsUri/$effDst")); true }
       catch { case _: FileNotFoundException => false }
     }) return false
-    def moveOne(from: String, to: String): Unit = {
-      val obj = http.getObject(from)
-      http.putObject(to, obj.bytes,
-        contentType = if (obj.contentType.isEmpty) "application/octet-stream"
-          else obj.contentType,
-        contentEncoding = obj.contentEncoding, meta = obj.meta)
+    // SERVER-SIDE copy + delete: the committer's task-commit renames of
+    // multi-GB files move zero object bytes through the client (metadata
+    // travels with the COPY directive); objects past the single-copy cap
+    // (real S3: 5 GiB) stitch via UploadPartCopy ranges
+    val singleCopyMax = {
+      val v = getConf.getLong("fs.graft-s3.copy.single.max", 5L << 30)
+      // the floor keeps every non-final UploadPartCopy part at or above
+      // the protocol's 5 MiB minimum-part rule
+      require(v >= (5L << 20), s"fs.graft-s3.copy.single.max $v under 5 MiB")
+      v
+    }
+    def moveOne(from: String, to: String, size: Long): Unit = {
+      http.copyObjectAuto(from, to, size, singleCopyMax)
       http.deleteObject(from)
     }
     if (st.isDirectory)
-      http.listAllWithSize(childPrefix(srcKey), "").foreach { case (k, _) =>
-        moveOne(k, effDst + k.stripPrefix(srcKey))
+      http.listAllWithSize(childPrefix(srcKey), "").foreach { case (k, sz) =>
+        moveOne(k, effDst + k.stripPrefix(srcKey), sz)
       }
-    else moveOne(srcKey, effDst)
+    else moveOne(srcKey, effDst, st.getLen)
     true
   }
 

@@ -337,14 +337,21 @@ private[sources] final class JdbcReaderFactory extends PartitionReaderFactory {
       private val conn = JdbcStream.connect(jp.opts)
       private val wm = jp.opts.watermarkColumn
       private val cols = jp.schema.fields.map(_.name).mkString(", ")
-      private val ps = conn.prepareStatement(
-        s"SELECT $cols FROM ${jp.opts.table} WHERE " +
-          jp.opts.whereAnd(s"$wm > ? AND $wm <= ?"))
-      locally {
-        JdbcStream.setMark(ps, 1, jp.wmIsTimestamp, jp.lo)
-        JdbcStream.setMark(ps, 2, jp.wmIsTimestamp, jp.hi)
-      }
-      private val rs = ps.executeQuery()
+      // a throwing prepare/execute must not leak the connection — no
+      // caller gets a reader handle to close
+      private val (ps, rs) =
+        try {
+          val st = conn.prepareStatement(
+            s"SELECT $cols FROM ${jp.opts.table} WHERE " +
+              jp.opts.whereAnd(s"$wm > ? AND $wm <= ?"))
+          JdbcStream.setMark(st, 1, jp.wmIsTimestamp, jp.lo)
+          JdbcStream.setMark(st, 2, jp.wmIsTimestamp, jp.hi)
+          (st, st.executeQuery())
+        } catch {
+          case e: Throwable =>
+            try conn.close() catch { case c: Exception => e.addSuppressed(c) }
+            throw e
+        }
 
       override def next(): Boolean = rs.next()
 

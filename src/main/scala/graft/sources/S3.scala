@@ -378,6 +378,73 @@ object S3 {
       if (nl.getLength == 0) None else Some(nl.item(0).getTextContent)
     }
 
+    /** CopyObject — `PUT /dstKey` with `x-amz-copy-source` and NO body:
+      * the service copies server-side, so a rename never moves object
+      * bytes through the client (the committer's multi-GB task files
+      * rename with constant client memory). Metadata is COPY-directive
+      * (the default): the destination inherits the source's headers.
+      * Real S3 caps one CopyObject at 5 GiB; [[copyObjectAuto]] routes
+      * bigger objects through [[UploadPartCopy]] parts. */
+    def copyObject(srcKey: String, dstKey: String): Unit = {
+      val src = "/" + cfg.bucket + "/" + uriEncode(srcKey, keepSlash = true)
+      val resp = request("PUT", dstKey, Nil, Array.emptyByteArray,
+        Seq("x-amz-copy-source" -> src))
+      if (resp.statusCode() != 200)
+        throw new S3HttpError(resp.statusCode(), dstKey, new String(resp.body(), UTF_8))
+      // CopyObject shares CompleteMultipartUpload's 200-with-Error quirk
+      val doc = parseXml(resp.body())
+      if (doc.getElementsByTagName("Error").getLength > 0)
+        throw new S3HttpError(500, dstKey,
+          s"CopyObject answered 200-with-Error: " +
+            firstTagText(doc, "Message").getOrElse(""))
+    }
+
+    /** Server-side copy of ONE part range (`UploadPartCopy`: UploadPart
+      * with `x-amz-copy-source` + `x-amz-copy-source-range`) → ETag.
+      * The range is inclusive, per the protocol's byte-range grammar. */
+    def uploadPartCopy(srcKey: String, dstKey: String, uploadId: String,
+                       partNumber: Int, first: Long, last: Long): String = {
+      require(first >= 0 && last >= first, s"bad copy range $first-$last")
+      val src = "/" + cfg.bucket + "/" + uriEncode(srcKey, keepSlash = true)
+      val resp = request("PUT", dstKey,
+        Seq("partNumber" -> partNumber.toString, "uploadId" -> uploadId),
+        Array.emptyByteArray,
+        Seq("x-amz-copy-source" -> src,
+          "x-amz-copy-source-range" -> s"bytes=$first-$last"))
+      if (resp.statusCode() != 200)
+        throw new S3HttpError(resp.statusCode(), dstKey, new String(resp.body(), UTF_8))
+      // the part's ETag rides the CopyPartResult BODY, not a header
+      firstTagText(parseXml(resp.body()), "ETag").map(_.trim).getOrElse(
+        throw new java.io.IOException(s"UploadPartCopy $dstKey#$partNumber: no ETag"))
+    }
+
+    /** Copy of ANY size, server-side: one CopyObject under `singleMax`
+      * (real S3's cap is 5 GiB), else CreateMultipartUpload +
+      * UploadPartCopy ranges + Complete — still zero object bytes
+      * through the client, aborted on failure. */
+    def copyObjectAuto(srcKey: String, dstKey: String, size: Long,
+                       singleMax: Long = 5L << 30): Unit = {
+      if (size <= singleMax) return copyObject(srcKey, dstKey)
+      val id = createMultipartUpload(dstKey)
+      try {
+        val parts = Seq.newBuilder[(Int, String)]
+        var at = 0L
+        var n = 1
+        while (at < size) {
+          val last = math.min(size, at + singleMax) - 1
+          parts += ((n, uploadPartCopy(srcKey, dstKey, id, n, at, last)))
+          at = last + 1
+          n += 1
+        }
+        completeMultipartUpload(dstKey, id, parts.result())
+      } catch {
+        case e: Throwable =>
+          try abortMultipartUpload(dstKey, id)
+          catch { case a: Throwable => e.addSuppressed(a) }
+          throw e
+      }
+    }
+
     /** CreateMultipartUpload (`POST /key?uploads`) → UploadId. */
     def createMultipartUpload(key: String,
                               contentType: String = "application/octet-stream"): String = {

@@ -350,6 +350,60 @@ class GraftS3FsSpec extends SparkSpec {
     } finally s.close()
   }
 
+  test("rename() is SERVER-SIDE CopyObject + delete: zero object bytes " +
+    "through the client, headers travel with the copy directive") {
+    val s = mounted()
+    try {
+      val cfg = S3.S3Config(s.endpoint, "spark-bucket", "AKIDEXAMPLE", "graft-secret")
+      val http = new S3.S3Http(cfg)
+      val payload = Array.tabulate[Byte](50000)(i => (i % 113).toByte)
+      http.putObject("cp/src.bin", payload, contentType = "application/x-ndjson",
+        contentEncoding = "gzip", meta = Map("marker" -> "kept"))
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        java.net.URI.create("graft-s3://spark-bucket/"),
+        spark.sparkContext.hadoopConfiguration)
+      val copiesBefore = s.copiesServed
+      assert(fs.rename(new org.apache.hadoop.fs.Path("graft-s3://spark-bucket/cp/src.bin"),
+        new org.apache.hadoop.fs.Path("graft-s3://spark-bucket/cp/dst.bin")))
+      assert(s.copiesServed === copiesBefore + 1)
+      assert(s.get("cp/src.bin").isEmpty)
+      val dst = s.get("cp/dst.bin").get
+      assert(java.util.Arrays.equals(dst.bytes, payload))
+      assert(dst.contentType === "application/x-ndjson")
+      assert(dst.contentEncoding === "gzip")
+      assert(dst.meta === Map("marker" -> "kept"))
+      // protocol edge: copying an absent source is NoSuchKey, not a crash
+      val e = intercept[S3.S3HttpError](http.copyObject("cp/ghost", "cp/x"))
+      assert(e.status === 404)
+    } finally s.close()
+  }
+
+  test("rename past the single-copy cap stitches via UploadPartCopy ranges " +
+    "(the real 5 GiB CopyObject limit, scaled down) — still zero bytes " +
+    "through the client") {
+    val s = mounted()
+    try {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.graft-s3.copy.single.max", (5 << 20).toString)
+      try {
+        val cfg = S3.S3Config(s.endpoint, "spark-bucket", "AKIDEXAMPLE", "graft-secret")
+        val http = new S3.S3Http(cfg)
+        val payload = Array.tabulate[Byte](12 << 20)(i => ((i * 7) % 251).toByte)
+        http.putObject("mpc/src.bin", payload)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          java.net.URI.create("graft-s3://spark-bucket/"), hc)
+        val copiesBefore = s.copiesServed
+        assert(fs.rename(new org.apache.hadoop.fs.Path("graft-s3://spark-bucket/mpc/src.bin"),
+          new org.apache.hadoop.fs.Path("graft-s3://spark-bucket/mpc/dst.bin")))
+        // 12 MiB over a 5 MiB cap = 3 UploadPartCopy ranges, no single copy
+        assert(s.copiesServed === copiesBefore + 3, s"copies=${s.copiesServed}")
+        assert(s.pendingUploads === 0)
+        assert(s.get("mpc/src.bin").isEmpty)
+        assert(java.util.Arrays.equals(s.get("mpc/dst.bin").get.bytes, payload))
+      } finally hc.unset("fs.graft-s3.copy.single.max")
+    } finally s.close()
+  }
+
   test("MULTIPART failure surface: a dead part upload ABORTS the upload — " +
     "no half-object, no orphaned staged parts") {
     val s = mounted()

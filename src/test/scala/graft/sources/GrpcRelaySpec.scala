@@ -289,21 +289,22 @@ class GrpcRelaySpec extends SparkSpec {
     } finally relay.stop()
   }
 
-  test("a brotli-advertising peer (proto enum 4) is rejected cleanly: " +
-    "failure ack names the algorithm, connection drops, nothing ingested") {
-    // writer side refuses to SEAL with the unimplemented arm outright
-    intercept[UnsupportedOperationException] {
-      RelayProto.wrap("x".getBytes(UTF_8), "w", 0, 1L,
-        algo = graft.functions.Codecs.CompressBrotli, key = None)
-    }
+  test("brotli envelopes (proto enum 4): a REAL one round-trips through " +
+    "wrap/unwrap since r13; garbage claiming brotli still gets a clean " +
+    "failure ack naming the algorithm, connection drops, nothing ingested") {
+    // r13: the writer SEALS with brotli (BrotliEnc) — both directions
+    val body = """{"id":1,"name":"sealed"}""".getBytes(UTF_8)
+    val wrapped = RelayProto.wrap(body, "w", 0, 1L,
+      algo = graft.functions.Codecs.CompressBrotli, key = None)
+    assert(RelayProto.unwrap(wrapped, None).toSeq == body.toSeq)
     val relay = new GrpcRelayReceiver(spark, 0, ackMode = "per-frame")
     try {
       val p = new ManualPeer(relay.boundPort)
       try {
         p.open(GrpcRelay.StreamPath)
-        // a hostile/stock peer CLAIMS brotli in MessageMetadata without
-        // asking: the receiver must answer a retryable failure ack and
-        // drop — never crash, never half-ingest
+        // a hostile/stock peer CLAIMS brotli over garbage bytes: the
+        // decoder must refuse it with a retryable failure ack and drop —
+        // never crash, never half-ingest
         val claimed = RelayProto.WrappedPayload(id = "b4", seq = 0,
           payload = Array[Byte](1, 2, 3),
           metadata = Some(RelayProto.MessageMetadata(

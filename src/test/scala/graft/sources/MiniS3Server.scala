@@ -48,6 +48,7 @@ final class MiniS3Server(bucket: String, port: Int = 0,
   private val uploads = new java.util.concurrent.ConcurrentHashMap[String, MpUpload]()
   private val uploadSeq = new AtomicLong(0)
   private val partPuts = new AtomicLong(0)
+  private val copyCalls = new AtomicLong(0)
   private val failPuts = new AtomicInteger(0)
   @volatile private var failStatus = 500
   private val putAttempts = new AtomicLong(0)
@@ -69,6 +70,8 @@ final class MiniS3Server(bucket: String, port: Int = 0,
   def get(key: String): Option[Stored] = Option(objects.get(key))
   /** UploadPart calls served (distinct from whole-object puts). */
   def partPutsServed: Long = partPuts.get()
+  /** Server-side CopyObject calls served. */
+  def copiesServed: Long = copyCalls.get()
   /** In-flight (neither completed nor aborted) multipart uploads. */
   def pendingUploads: Int = uploads.size()
 
@@ -181,6 +184,26 @@ final class MiniS3Server(bucket: String, port: Int = 0,
                   }
                 }
             }
+          case ("PUT", k) if k.nonEmpty &&
+            ex.getRequestHeaders.getFirst("x-amz-copy-source") != null =>
+            // server-side CopyObject: no bytes ride the request
+            copyCalls.incrementAndGet()
+            val srcSpec = java.net.URLDecoder.decode(
+              ex.getRequestHeaders.getFirst("x-amz-copy-source"), UTF_8)
+            val srcKey = srcSpec.stripPrefix("/").stripPrefix(s"$bucket/")
+            Option(objects.get(srcKey)) match {
+              case None => xmlError("NoSuchKey", 404, ex)
+              case Some(src) =>
+                val now = System.currentTimeMillis()
+                objects.put(k, src.copy(mtime = now))
+                respond(ex, 200,
+                  (s"""<?xml version="1.0" encoding="UTF-8"?>""" +
+                    "<CopyObjectResult><LastModified>" +
+                    java.time.Instant.ofEpochMilli(now).toString +
+                    s"</LastModified><ETag>${md5Quoted(src.bytes)}</ETag>" +
+                    "</CopyObjectResult>").getBytes(UTF_8),
+                  Seq("Content-Type" -> "application/xml"))
+            }
           case ("PUT", k) if k.nonEmpty =>
             putAttempts.incrementAndGet()
             if (failPuts.getAndUpdate(n => math.max(0, n - 1)) > 0)
@@ -251,6 +274,36 @@ final class MiniS3Server(bucket: String, port: Int = 0,
       case _: NumberFormatException => -1
     }
     if (n < 1 || n > 10000) { xmlError("InvalidArgument", 400, ex); return }
+    // UploadPartCopy: the part's bytes come from a source RANGE, not the
+    // request body — ETag rides the CopyPartResult XML, not a header
+    val copySource = ex.getRequestHeaders.getFirst("x-amz-copy-source")
+    if (copySource != null) {
+      copyCalls.incrementAndGet()
+      val srcKey = java.net.URLDecoder.decode(copySource, UTF_8)
+        .stripPrefix("/").stripPrefix(s"$bucket/")
+      val src = objects.get(srcKey)
+      if (src == null) { xmlError("NoSuchKey", 404, ex); return }
+      val rangeSpec = Option(ex.getRequestHeaders.getFirst("x-amz-copy-source-range"))
+      val window = rangeSpec match {
+        case None => Some((0L, src.bytes.length - 1L))
+        case Some(spec) => parseRange(spec, src.bytes.length)
+      }
+      window match {
+        case None =>
+          xmlError("InvalidRange", 416, ex)
+        case Some((a, b)) =>
+          val bytes = java.util.Arrays.copyOfRange(src.bytes, a.toInt, b.toInt + 1)
+          val etag = md5Quoted(bytes)
+          up.parts.put(n, MpPart(bytes, etag))
+          respond(ex, 200,
+            (s"""<?xml version="1.0" encoding="UTF-8"?>""" +
+              "<CopyPartResult><LastModified>" +
+              java.time.Instant.ofEpochMilli(src.mtime).toString +
+              s"</LastModified><ETag>$etag</ETag></CopyPartResult>").getBytes(UTF_8),
+            Seq("Content-Type" -> "application/xml"))
+      }
+      return
+    }
     val etag = md5Quoted(body)
     up.parts.put(n, MpPart(body, etag)) // re-upload of a number replaces it
     respond(ex, 200, Array.emptyByteArray, Seq("ETag" -> etag))
