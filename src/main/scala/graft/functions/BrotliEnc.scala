@@ -640,6 +640,10 @@ object BrotliEnc {
       at += len
     }
     val out = w.toBytes
+    // the stored stream is always >= data + framing, so when the
+    // compressed form already beat the input there is nothing to compare
+    // — skip materializing a second input-sized copy on every seal
+    if (out.length <= data.length) return out
     val stored = encodeStored(data, wbits)
     if (stored.length < out.length) stored else out
   }

@@ -192,13 +192,33 @@ object Codecs {
       org.xerial.snappy.Snappy.uncompress(bytes)
     case CompressZstd =>
       val n = com.github.luben.zstd.Zstd.getFrameContentSize(bytes)
-      if (n < 0) throw new java.io.IOException(
-        "zstd frame does not declare its content size — refusing unbounded decompression")
       if (n > maxOut) throw new java.io.IOException(
         s"zstd output $n exceeds the $maxOut-byte cap — refusing decompression bomb")
-      // the allocated buffer is exactly n: a frame whose actual output
-      // exceeds its declared size fails inside the native decoder
-      com.github.luben.zstd.Zstd.decompress(bytes, n.toInt)
+      if (n > 0)
+        // declared-size frame (our own seal shape): the allocated buffer
+        // is exactly n — a frame whose actual output exceeds its declared
+        // size fails inside the native decoder
+        com.github.luben.zstd.Zstd.decompress(bytes, n.toInt)
+      else {
+        // STREAMING frames (a reference peer's streaming writer) say
+        // CONTENTSIZE_UNKNOWN — inflate through a capped loop, same
+        // bomb rule enforced DURING inflation like the lz4 arm
+        val in = new com.github.luben.zstd.ZstdInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var r = in.read(buf)
+          while (r >= 0) {
+            if (out.size.toLong + r > maxOut)
+              throw new java.io.IOException(
+                s"zstd output exceeds the $maxOut-byte cap — refusing decompression bomb")
+            out.write(buf, 0, r)
+            r = in.read(buf)
+          }
+          out.toByteArray
+        } finally in.close()
+      }
     case CompressLz4 =>
       val in = new net.jpountz.lz4.LZ4FrameInputStream(
         new java.io.ByteArrayInputStream(bytes))

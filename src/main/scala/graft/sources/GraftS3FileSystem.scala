@@ -148,23 +148,25 @@ final class GraftS3FileSystem extends FileSystem {
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
     val key = keyOf(f)
-    // size probe (one listing page) decides the read strategy: small
-    // objects buffer whole (ONE round-trip beats several), big ones go
-    // RANGED so a multi-GB parquet object's footer read costs kilobytes
-    // of executor memory, not object-size bytes
-    val st = getFileStatus(f)
-    if (st.isDirectory)
-      throw new FileNotFoundException(s"graft-s3: $f is a directory")
-    if (st.getLen <= wholeObjectMax) {
-      val obj =
-        try http.getObject(key)
-        catch {
-          case e: S3.S3HttpError if e.status == 404 =>
-            throw new FileNotFoundException(s"graft-s3: $f")
-        }
-      new FSDataInputStream(new SeekableBytes(obj.bytes))
-    } else
-      new FSDataInputStream(new RangedS3Stream(http, key, st.getLen, readChunk))
+    if (key.isEmpty) throw new FileNotFoundException(s"graft-s3: $f is a directory")
+    // ONE ranged GET decides the read strategy AND fetches the data: a
+    // small object arrives whole (single round-trip — no separate size
+    // probe), a big one arrives as the ranged reader's first window plus
+    // its Content-Range total, so a multi-GB parquet object's footer
+    // read costs kilobytes of executor memory, not object-size bytes
+    val probe =
+      try http.getObjectPrefix(key, math.max(1L, wholeObjectMax))
+      catch {
+        case e: S3.S3HttpError if e.status == 404 =>
+          // a prefix-only path (directory) has no exact object: same
+          // not-a-readable-file outcome as the old isDirectory check
+          throw new FileNotFoundException(s"graft-s3: $f")
+      }
+    probe match {
+      case Left(bytes) => new FSDataInputStream(new SeekableBytes(bytes))
+      case Right((window, total)) =>
+        new FSDataInputStream(new RangedS3Stream(http, key, total, readChunk, window))
+    }
   }
 
   /** Objects at or under this size read whole-object (one GET); above it
@@ -292,10 +294,15 @@ private[sources] final class MultipartS3OutputStream(http: S3.S3Http,
   private var partNumber = 1
   private val etags = Vector.newBuilder[(Int, String)]
   private var closed = false
+  private var failed = false
 
   private def guarded[A](body: => A): A =
     try body catch {
       case e: Throwable =>
+        // once any part of the upload failed, the stream is DEAD: a later
+        // close() must never fall into the single-PUT branch and publish
+        // the residual buffer as a plausible-looking truncated object
+        failed = true
         if (uploadId != null) {
           try http.abortMultipartUpload(key, uploadId)
           catch { case abortErr: Throwable => e.addSuppressed(abortErr) }
@@ -337,6 +344,9 @@ private[sources] final class MultipartS3OutputStream(http: S3.S3Http,
   override def close(): Unit = {
     if (closed) return
     closed = true
+    if (failed)
+      throw new java.io.IOException(
+        s"graft-s3: write of $key already failed and was aborted")
     if (uploadId == null)
       http.putObject(key, buf.toByteArray,
         contentType = "application/octet-stream")
@@ -358,12 +368,15 @@ private[sources] final class MultipartS3OutputStream(http: S3.S3Http,
   * size. Synchronized: Hadoop allows interleaved pread/read on one
   * stream. */
 private[sources] final class RangedS3Stream(http: S3.S3Http, key: String,
-                                            size: Long, chunk: Int)
+                                            size: Long, chunk: Int,
+                                            firstWindow: Array[Byte] = Array.emptyByteArray)
   extends InputStream with Seekable with PositionedReadable {
   require(chunk > 0, s"readahead chunk $chunk")
   private var pos = 0L
   private var winStart = 0L
-  private var win: Array[Byte] = Array.emptyByteArray
+  // the open() probe's bytes seed the sequential window — a head-first
+  // reader never re-fetches what the probe already transferred
+  private var win: Array[Byte] = firstWindow
   private def winEnd: Long = winStart + win.length
 
   private def fill(at: Long): Unit = {

@@ -208,16 +208,30 @@ private[sources] final class GraftJdbcMicroBatchStream(schema: StructType,
   extends MicroBatchStream with SupportsAdmissionControl {
 
   // driver-side connection with one reconnect retry per call (servers
-  // drop idle sessions; a long trigger interval must survive that)
+  // drop idle sessions; a long trigger interval must survive that) —
+  // only for CONNECTION-shaped failures: a deterministic SQL error (bad
+  // `where`, out-of-range parameter) rethrows as-is instead of paying a
+  // spurious reconnect + doomed re-execution per trigger
   @volatile private var connOpt: java.sql.Connection = _
+  private def reconnectable(e: Throwable): Boolean = e match {
+    case _: java.io.IOException => true
+    case _: java.sql.SQLTransientException => true
+    case _: java.sql.SQLRecoverableException => true
+    case _: java.sql.SQLNonTransientConnectionException => true
+    case s: java.sql.SQLException =>
+      // SQLState class 08 = connection exception (the vendor-neutral tag)
+      Option(s.getSQLState).exists(_.startsWith("08"))
+    case _ => false
+  }
   private def withConn[A](f: java.sql.Connection => A): A = synchronized {
     if (connOpt == null) connOpt = JdbcStream.connect(opts)
     try f(connOpt)
     catch {
-      case _: java.sql.SQLException | _: java.io.IOException =>
+      case e if reconnectable(e) =>
         try connOpt.close() catch { case _: Exception => () }
         connOpt = JdbcStream.connect(opts)
-        f(connOpt)
+        try f(connOpt)
+        catch { case second: Throwable => second.addSuppressed(e); throw second }
     }
   }
 
@@ -232,6 +246,13 @@ private[sources] final class GraftJdbcMicroBatchStream(schema: StructType,
     } finally st.close()
   }
 
+  /** Empty-table floor: for TIMESTAMP watermarks the sentinel must BIND
+    * as a legal timestamp (Derby allows years 1–9999, Postgres 4713 BC+)
+    * — a Long.MinValue-ish value would throw out-of-range on every poll
+    * of an initially-empty table. 0001-01-01T00:00:00Z in epoch-micros. */
+  private val emptyFloor: Long =
+    if (wmIsTimestamp) -62135596800000000L else Long.MinValue / 2
+
   override def initialOffset(): Offset = {
     val wm = opts.watermarkColumn
     val t = opts.table
@@ -239,9 +260,9 @@ private[sources] final class GraftJdbcMicroBatchStream(schema: StructType,
     val hwm = opts.startingWatermark.toLowerCase match {
       case "earliest" =>
         // one below the smallest mark: the first epoch ships everything
-        oneLong(s"SELECT MIN($wm) FROM $t$guard").map(_ - 1).getOrElse(Long.MinValue / 2)
+        oneLong(s"SELECT MIN($wm) FROM $t$guard").map(_ - 1).getOrElse(emptyFloor)
       case "latest" =>
-        oneLong(s"SELECT MAX($wm) FROM $t$guard").getOrElse(Long.MinValue / 2)
+        oneLong(s"SELECT MAX($wm) FROM $t$guard").getOrElse(emptyFloor)
       case n => n.toLong
     }
     JdbcSourceOffset(hwm)

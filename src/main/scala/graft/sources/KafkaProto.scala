@@ -131,10 +131,20 @@ object KafkaProto {
         new java.io.ByteArrayInputStream(bytes)), maxOut, "lz4")
     case CodecZstd =>
       val n = com.github.luben.zstd.Zstd.getFrameContentSize(bytes)
-      require(n >= 0, "zstd frame does not declare its content size — refusing unbounded decompression")
-      require(n <= maxOut,
-        s"zstd batch expands to $n bytes, over the $maxOut-byte cap — refusing decompression bomb")
-      com.github.luben.zstd.Zstd.decompress(bytes, n.toInt)
+      if (n > 0) {
+        // single-shot frame (our own producer's shape): the declared size
+        // is authoritative and the cap checks before the one allocation
+        require(n <= maxOut,
+          s"zstd batch expands to $n bytes, over the $maxOut-byte cap — refusing decompression bomb")
+        com.github.luben.zstd.Zstd.decompress(bytes, n.toInt)
+      } else {
+        // STOCK producers stream (Java ZstdOutputStream, kafka-go): the
+        // frame header says CONTENTSIZE_UNKNOWN — inflate through the
+        // same capped loop the other codecs use; the cap still binds the
+        // EXPANDED size
+        readCapped(new com.github.luben.zstd.ZstdInputStream(
+          new java.io.ByteArrayInputStream(bytes)), maxOut, "zstd")
+      }
     case other =>
       throw new IllegalArgumentException(s"unknown batch compression codec $other")
   }

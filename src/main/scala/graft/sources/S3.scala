@@ -290,6 +290,33 @@ object S3 {
       }
     }
 
+    /** ONE GET with `Range: bytes=0-(max-1)` answering both open()
+      * strategies in a single round-trip: `Left(bytes)` when the whole
+      * object fit the window (200, a covering 206, or 416 = empty
+      * object), `Right((firstWindow, totalSize))` when it did not —
+      * the caller's ranged reader starts with its first window already
+      * in hand. */
+    def getObjectPrefix(key: String, max: Long): Either[Array[Byte], (Array[Byte], Long)] = {
+      require(max > 0, s"bad prefix window $max")
+      val resp = request("GET", key, Nil, null,
+        Seq("range" -> s"bytes=0-${max - 1}"))
+      resp.statusCode() match {
+        case 200 => Left(resp.body())
+        case 206 =>
+          val cr = resp.headers().firstValue("Content-Range").orElse("")
+          val slash = cr.lastIndexOf('/')
+          val totalStr = if (slash < 0) "" else cr.substring(slash + 1).trim
+          if (totalStr.isEmpty || totalStr == "*")
+            throw new S3HttpError(502, key, s"206 without a Content-Range total: '$cr'")
+          val total = totalStr.toLong
+          val b = resp.body()
+          if (total <= b.length) Left(b) else Right((b, total))
+        case 416 => Left(Array.emptyByteArray) // empty object: range off the end
+        case other =>
+          throw new S3HttpError(other, key, new String(resp.body(), UTF_8))
+      }
+    }
+
     def getObject(key: String): S3Object = {
       val resp = request("GET", key, Nil, null, Nil)
       if (resp.statusCode() != 200)
@@ -399,6 +426,33 @@ object S3 {
             firstTagText(doc, "Message").getOrElse(""))
     }
 
+    /** Bounded retry on RETRYABLE failures only — 5xx and transport
+      * IOExceptions, the same discipline as putObject's loop — for the
+      * part-grain multipart calls, which are idempotent by
+      * (uploadId, partNumber). A 4xx surfaces immediately (caller bug);
+      * the exhausted-retries surface is uniform (S3HttpError 599 wraps
+      * a final transport failure). */
+    private def retryingParts[A](key: String, maxAttempts: Int = 4)(body: => A): A = {
+      var attempt = 1
+      while (true) {
+        try return body
+        catch {
+          case e: S3HttpError =>
+            if (e.status / 100 != 5 || attempt >= maxAttempts) throw e
+          case e: java.io.IOException =>
+            if (attempt >= maxAttempts) {
+              val wrapped = new S3HttpError(599, key,
+                s"part call failed after $attempt attempts: ${e.getMessage}")
+              wrapped.initCause(e)
+              throw wrapped
+            }
+        }
+        Thread.sleep(math.min(50L << (attempt - 1), 400L))
+        attempt += 1
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
     /** Server-side copy of ONE part range (`UploadPartCopy`: UploadPart
       * with `x-amz-copy-source` + `x-amz-copy-source-range`) → ETag.
       * The range is inclusive, per the protocol's byte-range grammar. */
@@ -406,16 +460,18 @@ object S3 {
                        partNumber: Int, first: Long, last: Long): String = {
       require(first >= 0 && last >= first, s"bad copy range $first-$last")
       val src = "/" + cfg.bucket + "/" + uriEncode(srcKey, keepSlash = true)
-      val resp = request("PUT", dstKey,
-        Seq("partNumber" -> partNumber.toString, "uploadId" -> uploadId),
-        Array.emptyByteArray,
-        Seq("x-amz-copy-source" -> src,
-          "x-amz-copy-source-range" -> s"bytes=$first-$last"))
-      if (resp.statusCode() != 200)
-        throw new S3HttpError(resp.statusCode(), dstKey, new String(resp.body(), UTF_8))
-      // the part's ETag rides the CopyPartResult BODY, not a header
-      firstTagText(parseXml(resp.body()), "ETag").map(_.trim).getOrElse(
-        throw new java.io.IOException(s"UploadPartCopy $dstKey#$partNumber: no ETag"))
+      retryingParts(dstKey) {
+        val resp = request("PUT", dstKey,
+          Seq("partNumber" -> partNumber.toString, "uploadId" -> uploadId),
+          Array.emptyByteArray,
+          Seq("x-amz-copy-source" -> src,
+            "x-amz-copy-source-range" -> s"bytes=$first-$last"))
+        if (resp.statusCode() != 200)
+          throw new S3HttpError(resp.statusCode(), dstKey, new String(resp.body(), UTF_8))
+        // the part's ETag rides the CopyPartResult BODY, not a header
+        firstTagText(parseXml(resp.body()), "ETag").map(_.trim).getOrElse(
+          throw new java.io.IOException(s"UploadPartCopy $dstKey#$partNumber: no ETag"))
+      }
     }
 
     /** Copy of ANY size, server-side: one CopyObject under `singleMax`
@@ -425,7 +481,12 @@ object S3 {
     def copyObjectAuto(srcKey: String, dstKey: String, size: Long,
                        singleMax: Long = 5L << 30): Unit = {
       if (size <= singleMax) return copyObject(srcKey, dstKey)
-      val id = createMultipartUpload(dstKey)
+      // the multipart arm must forward what CopyObject's COPY directive
+      // forwards for free: the source's content headers and metadata
+      val (_, srcType, srcEnc, srcMeta) = headObject(srcKey)
+      val id = createMultipartUpload(dstKey,
+        contentType = if (srcType.isEmpty) "application/octet-stream" else srcType,
+        contentEncoding = srcEnc, meta = srcMeta)
       try {
         val parts = Seq.newBuilder[(Int, String)]
         var at = 0L
@@ -445,30 +506,67 @@ object S3 {
       }
     }
 
-    /** CreateMultipartUpload (`POST /key?uploads`) → UploadId. */
+    /** Size + headers of an object WITHOUT its body (a 1-byte ranged GET
+      * — same answer shape as a HEAD, which the JDK HttpClient builder
+      * here doesn't special-case): (size, contentType, contentEncoding,
+      * user metadata). */
+    def headObject(key: String): (Long, String, String, Map[String, String]) = {
+      val resp = request("GET", key, Nil, null, Seq("range" -> "bytes=0-0"))
+      val size = resp.statusCode() match {
+        case 206 =>
+          val cr = resp.headers().firstValue("Content-Range").orElse("")
+          val slash = cr.lastIndexOf('/')
+          val t = if (slash < 0) "" else cr.substring(slash + 1).trim
+          if (t.isEmpty || t == "*")
+            throw new S3HttpError(502, key, s"206 without a Content-Range total: '$cr'")
+          t.toLong
+        case 200 => resp.body().length.toLong
+        case 416 => 0L // empty object
+        case other =>
+          throw new S3HttpError(other, key, new String(resp.body(), UTF_8))
+      }
+      def hdr(n: String) = resp.headers().firstValue(n).orElse("")
+      import scala.jdk.CollectionConverters._
+      val meta = resp.headers().map().asScala.collect {
+        case (k, vs) if k.toLowerCase.startsWith("x-amz-meta-") =>
+          k.toLowerCase.stripPrefix("x-amz-meta-") -> vs.get(0)
+      }.toMap
+      (size, hdr("Content-Type"), hdr("Content-Encoding"), meta)
+    }
+
+    /** CreateMultipartUpload (`POST /key?uploads`) → UploadId. The
+      * content headers declared here travel to the COMPLETED object. */
     def createMultipartUpload(key: String,
-                              contentType: String = "application/octet-stream"): String = {
-      val resp = request("POST", key, Seq("uploads" -> ""), null,
-        Seq("content-type" -> contentType))
+                              contentType: String = "application/octet-stream",
+                              contentEncoding: String = "",
+                              meta: Map[String, String] = Map.empty): String = {
+      val headers = Seq("content-type" -> contentType) ++
+        (if (contentEncoding.nonEmpty) Seq("content-encoding" -> contentEncoding) else Nil) ++
+        meta.toSeq.map { case (k, v) => s"x-amz-meta-$k" -> v }
+      val resp = request("POST", key, Seq("uploads" -> ""), null, headers)
       if (resp.statusCode() != 200)
         throw new S3HttpError(resp.statusCode(), key, new String(resp.body(), UTF_8))
       firstTagText(parseXml(resp.body()), "UploadId").getOrElse(
         throw new java.io.IOException(s"CreateMultipartUpload $key: no UploadId"))
     }
 
-    /** UploadPart (`PUT /key?partNumber=N&uploadId=`) → ETag. Retries
-      * ride the caller (parts are idempotent by (uploadId, partNumber)). */
+    /** UploadPart (`PUT /key?partNumber=N&uploadId=`) → ETag, with the
+      * same bounded 5xx/transport retry as putObject — a transient
+      * failure on one of dozens of parts must not kill the whole
+      * object's upload. */
     def uploadPart(key: String, uploadId: String, partNumber: Int,
                    bytes: Array[Byte]): String = {
       require(partNumber >= 1 && partNumber <= 10000,
         s"part number $partNumber outside S3's [1, 10000]")
-      val resp = request("PUT", key,
-        Seq("partNumber" -> partNumber.toString, "uploadId" -> uploadId),
-        bytes, Nil)
-      if (resp.statusCode() / 100 != 2)
-        throw new S3HttpError(resp.statusCode(), key, new String(resp.body(), UTF_8))
-      resp.headers().firstValue("ETag").orElseThrow(() =>
-        new java.io.IOException(s"UploadPart $key#$partNumber: no ETag"))
+      retryingParts(key) {
+        val resp = request("PUT", key,
+          Seq("partNumber" -> partNumber.toString, "uploadId" -> uploadId),
+          bytes, Nil)
+        if (resp.statusCode() / 100 != 2)
+          throw new S3HttpError(resp.statusCode(), key, new String(resp.body(), UTF_8))
+        resp.headers().firstValue("ETag").orElseThrow(() =>
+          new java.io.IOException(s"UploadPart $key#$partNumber: no ETag"))
+      }
     }
 
     /** CompleteMultipartUpload (`POST /key?uploadId=` with the ordered

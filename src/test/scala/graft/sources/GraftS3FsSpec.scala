@@ -389,7 +389,7 @@ class GraftS3FsSpec extends SparkSpec {
         val cfg = S3.S3Config(s.endpoint, "spark-bucket", "AKIDEXAMPLE", "graft-secret")
         val http = new S3.S3Http(cfg)
         val payload = Array.tabulate[Byte](12 << 20)(i => ((i * 7) % 251).toByte)
-        http.putObject("mpc/src.bin", payload)
+        http.putObject("mpc/src.bin", payload, meta = Map("origin" -> "roll-7"))
         val fs = org.apache.hadoop.fs.FileSystem.get(
           java.net.URI.create("graft-s3://spark-bucket/"), hc)
         val copiesBefore = s.copiesServed
@@ -399,13 +399,20 @@ class GraftS3FsSpec extends SparkSpec {
         assert(s.copiesServed === copiesBefore + 3, s"copies=${s.copiesServed}")
         assert(s.pendingUploads === 0)
         assert(s.get("mpc/src.bin").isEmpty)
-        assert(java.util.Arrays.equals(s.get("mpc/dst.bin").get.bytes, payload))
+        val dst = s.get("mpc/dst.bin").get
+        assert(java.util.Arrays.equals(dst.bytes, payload))
+        // the multipart arm forwards what CopyObject's COPY directive
+        // forwards for free: content headers + user metadata
+        assert(dst.contentType === "application/x-ndjson")
+        assert(dst.meta === Map("origin" -> "roll-7"))
       } finally hc.unset("fs.graft-s3.copy.single.max")
     } finally s.close()
   }
 
   test("MULTIPART failure surface: a dead part upload ABORTS the upload — " +
-    "no half-object, no orphaned staged parts") {
+    "no half-object, no orphaned staged parts; a LATER close() refuses " +
+    "instead of publishing the residual buffer as a truncated object; " +
+    "a transient 500 is retried and the write succeeds") {
     val s = mounted()
     try {
       val hc = spark.sparkContext.hadoopConfiguration
@@ -413,15 +420,26 @@ class GraftS3FsSpec extends SparkSpec {
       try {
         val fs = org.apache.hadoop.fs.FileSystem.get(
           java.net.URI.create("graft-s3://spark-bucket/"), hc)
-        s.failNextPuts(1) // the FIRST part PUT dies with 500
+        // PERSISTENT failure: every retry burns → abort
+        s.failNextPuts(10)
         val out = fs.create(new org.apache.hadoop.fs.Path(
           "graft-s3://spark-bucket/mp/dead.bin"), true)
         intercept[Exception] {
           out.write(new Array[Byte](6 << 20)) // crosses the part boundary
-          out.close()
         }
         assert(s.pendingUploads === 0, "upload was not aborted")
+        // the caller's finally still runs close(): it must REFUSE, never
+        // single-PUT the residual 1 MiB as a plausible truncated object
+        intercept[java.io.IOException](out.close())
         assert(s.get("mp/dead.bin").isEmpty, "half-object materialized")
+        s.failNextPuts(0)
+        // TRANSIENT failure: one 500 rides the part retry, write succeeds
+        s.failNextPuts(1)
+        val ok = fs.create(new org.apache.hadoop.fs.Path(
+          "graft-s3://spark-bucket/mp/retry.bin"), true)
+        ok.write(new Array[Byte](6 << 20)); ok.close()
+        assert(s.get("mp/retry.bin").get.bytes.length === (6 << 20))
+        assert(s.pendingUploads === 0)
       } finally hc.unset("fs.graft-s3.multipart.part.size")
     } finally s.close()
   }

@@ -169,6 +169,45 @@ class JdbcStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("an INITIALLY-EMPTY table with a TIMESTAMP watermark starts clean " +
+    "(the sentinel binds as a legal timestamp) and ships rows when they " +
+    "arrive; a bad `where` clause surfaces its own error, not a reconnect " +
+    "artifact") {
+    exec("CREATE TABLE poll7 (ts TIMESTAMP, payload VARCHAR(32))")
+    // no rows yet: the common 'start the stream, then data flows' shape
+    val df = spark.readStream.format("graft-jdbc")
+      .option("url", url).option("driver", driver)
+      .option("table", "poll7").option("watermarkColumn", "ts").load()
+    val q = df.writeStream.format("memory").queryName("jdbc_poll7").start()
+    try {
+      q.processAllAvailable() // polls the EMPTY table: sentinel must bind
+      assert(spark.table("jdbc_poll7").count() === 0)
+      exec("INSERT INTO poll7 VALUES (TIMESTAMP('2026-08-16 12:00:00'), 'first')",
+        "INSERT INTO poll7 VALUES (TIMESTAMP('2026-08-16 12:00:01'), 'second')")
+      q.processAllAvailable()
+      import spark.implicits._
+      assert(spark.table("jdbc_poll7").select("payload").as[String].collect()
+        .sorted.toSeq === Seq("first", "second"))
+    } finally q.stop()
+    // deterministic SQL error: the original SQLException surfaces (a
+    // syntax error is not a dead connection)
+    val bad = spark.readStream.format("graft-jdbc")
+      .option("url", url).option("driver", driver)
+      .option("table", "poll7").option("watermarkColumn", "ts")
+      .option("where", "no_such_column = 1").load()
+    val q2 = bad.writeStream.format("memory").queryName("jdbc_poll7b").start()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+        q2.awaitTermination(10000)
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(_.isInstanceOf[java.sql.SQLException]),
+        chain(e).map(_.getClass.getName).toString)
+    } finally q2.stop()
+  }
+
   test("range splitting: a backlog epoch plans numPartitions contiguous " +
     "mark slices that tile (start, end] exactly") {
     val opts = JdbcStream.Opts(new CaseInsensitiveStringMap(

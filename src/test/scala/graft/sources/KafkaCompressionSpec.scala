@@ -180,4 +180,61 @@ class KafkaCompressionSpec extends SparkSpec {
       intercept[IllegalArgumentException](Kafka.codecId("brotli"))
     } finally broker.close()
   }
+
+  test("STREAMING zstd frames (CONTENTSIZE_UNKNOWN — what stock Java/go " +
+    "producers emit) decode through the capped loop; the bomb cap still " +
+    "binds the EXPANDED size; the relay codec handles them too") {
+    // stream-compress: ZstdOutputStream does NOT stamp the content size
+    val records = sampleRecords(30)
+    val plainRegion = {
+      // build an uncompressed batch and lift its records region
+      val batch = encodeRecordBatch(0L, records)
+      java.util.Arrays.copyOfRange(batch, 61, batch.length)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val zs = new com.github.luben.zstd.ZstdOutputStream(bos)
+    zs.write(plainRegion); zs.close()
+    val streamed = bos.toByteArray
+    assert(com.github.luben.zstd.Zstd.getFrameContentSize(streamed) <= 0,
+      "fixture must NOT declare its content size")
+    // 1. the batch-codec arm decodes it
+    assert(decompressRecords(CodecZstd, streamed).toSeq === plainRegion.toSeq)
+    // 2. the cap still refuses expansion past the bound
+    intercept[Exception](decompressRecords(CodecZstd, streamed,
+      maxOut = plainRegion.length / 2))
+    // 3. a WHOLE batch whose records region was stream-compressed decodes
+    //    (splice: header plaintext, records streamed, CRC over compressed)
+    val spliced = {
+      val tailPlain = java.util.Arrays.copyOfRange(
+        encodeRecordBatch(0L, records), 21, 61) // attributes..count
+      val tail = new java.io.ByteArrayOutputStream()
+      // set codec bits on the attributes int16 (big-endian at offset 0)
+      tailPlain(1) = (tailPlain(1) | CodecZstd).toByte
+      tail.write(tailPlain); tail.write(streamed)
+      val tb = tail.toByteArray
+      val crc = new java.util.zip.CRC32C()
+      crc.update(tb, 0, tb.length)
+      val w = new Writer()
+      w.int64(0L)
+      w.int32(4 + 1 + 4 + tb.length)
+      w.int32(-1); w.int8(2); w.int32(crc.getValue.toInt)
+      w.raw(tb)
+      w.toBytes
+    }
+    val decoded = decodeRecordBatches(spliced)
+    assert(decoded.size === 30)
+    assert(decoded.map(r => str(r.value)) ===
+      records.map(r => str(r._3)))
+    // 4. the relay arm (Codecs enum 3) accepts streaming frames under cap
+    val body = ("line," * 10000).getBytes(UTF_8)
+    val rb = new java.io.ByteArrayOutputStream()
+    val zs2 = new com.github.luben.zstd.ZstdOutputStream(rb)
+    zs2.write(body); zs2.close()
+    val packed = rb.toByteArray
+    assert(com.github.luben.zstd.Zstd.getFrameContentSize(packed) <= 0)
+    assert(graft.functions.Codecs.decompressBounded(
+      graft.functions.Codecs.CompressZstd, packed, body.length).toSeq === body.toSeq)
+    intercept[java.io.IOException](graft.functions.Codecs.decompressBounded(
+      graft.functions.Codecs.CompressZstd, packed, body.length / 2))
+  }
 }

@@ -39,9 +39,13 @@ final class MiniS3Server(bucket: String, port: Int = 0,
                           sse: String,
                           mtime: Long = System.currentTimeMillis())
 
-  /** One in-flight multipart upload: staged parts keyed by number. */
+  /** One in-flight multipart upload: staged parts keyed by number; the
+    * content headers declared at initiation travel to the completed
+    * object (the real service's behavior). */
   final case class MpPart(bytes: Array[Byte], etag: String)
   final case class MpUpload(key: String, contentType: String,
+                            contentEncoding: String,
+                            meta: Map[String, String],
                             parts: ConcurrentSkipListMap[Integer, MpPart])
 
   private val objects = new ConcurrentSkipListMap[String, Stored]()
@@ -251,7 +255,13 @@ final class MiniS3Server(bucket: String, port: Int = 0,
   private def initiateMultipart(ex: HttpExchange, key: String): Unit = {
     val id = s"mpu-${uploadSeq.incrementAndGet()}-${java.util.UUID.randomUUID()}"
     val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
-    uploads.put(id, MpUpload(key, ct, new ConcurrentSkipListMap[Integer, MpPart]()))
+    val ce = Option(ex.getRequestHeaders.getFirst("Content-Encoding")).getOrElse("")
+    val meta = ex.getRequestHeaders.keySet().asScala.collect {
+      case h if h.toLowerCase.startsWith("x-amz-meta-") =>
+        h.toLowerCase.stripPrefix("x-amz-meta-") -> ex.getRequestHeaders.getFirst(h)
+    }.toMap
+    uploads.put(id, MpUpload(key, ct, ce, meta,
+      new ConcurrentSkipListMap[Integer, MpPart]()))
     respond(ex, 200,
       (s"""<?xml version="1.0" encoding="UTF-8"?>""" +
         s"<InitiateMultipartUploadResult><Bucket>$bucket</Bucket>" +
@@ -352,7 +362,7 @@ final class MiniS3Server(bucket: String, port: Int = 0,
     resolved.foreach(p => out.write(p.bytes))
     objects.put(key, Stored(out.toByteArray,
       if (up.contentType.isEmpty) "application/octet-stream" else up.contentType,
-      "", Map.empty, ""))
+      up.contentEncoding, up.meta, ""))
     uploads.remove(uploadId)
     // the real multipart ETag: md5 over the concatenated part md5s,
     // suffixed "-<partCount>" — NOT the md5 of the object bytes
