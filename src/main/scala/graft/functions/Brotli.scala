@@ -44,7 +44,9 @@ object Brotli {
     try in.readAllBytes() finally in.close()
   }
 
-  private lazy val dictionary: Array[Byte] = {
+  /** Appendix A dictionary bytes, shared with the encoder's
+    * static-dictionary matcher ([[BrotliEnc]]). */
+  private[functions] lazy val dictionary: Array[Byte] = {
     val d = resource("dictionary.bin")
     require(d.length == 122784, s"dictionary.bin length ${d.length}")
     d
@@ -52,10 +54,10 @@ object Brotli {
 
   /** Appendix A word-bucket geometry: bits of word index and data
     * offset per word length 0..24 (lengths 0-3 have no words). */
-  private val DictSizeBits = Array(
+  private[functions] val DictSizeBits = Array(
     0, 0, 0, 0, 10, 10, 11, 11, 10, 10, 10, 10, 10, 9, 9, 8, 7, 7, 8, 7,
     7, 6, 6, 5, 5)
-  private val DictOffsets = Array(
+  private[functions] val DictOffsets = Array(
     0, 0, 0, 0, 0, 4096, 9216, 21504, 35840, 44032, 53248, 63488, 74752,
     87040, 93696, 100864, 104704, 106752, 108928, 113536, 115968, 118528,
     119872, 121280, 122016)

@@ -25,12 +25,15 @@ package graft.functions
   *    incompressible payloads pay bytes of overhead, not blowup.
   *
   * Density vs the reference encoder on the committed golden corpus
-  * (bytes, reference at its vector's quality): english 166 vs 130 (q9),
-  * ndjson 1019 vs 570 (q5), repeat 31 vs 29 (q7), utf8 38 vs 36 (q11),
-  * random 4101 vs 4100, and it BEATS the reference on tiny inputs
-  * (hello 25 vs 28-40). The gap on text is the reference's context
-  * modeling + static dictionary — density an egress seal doesn't need
-  * at 1.3-1.8x; correctness and bounded memory it does.
+  * (bytes, reference at its vector's quality): english 99 vs 130 (q9 —
+  * we BEAT it) and 64 vs 54 (q11), utf8 32 vs 36 (q11 — beat), hello
+  * 25 vs 28-40 (beat), repeat 31 vs 29 (q7), random 4101 vs 4100,
+  * ndjson 1010 vs 570 (q5 — the residual gap is context modeling,
+  * which an egress seal doesn't need at <2x). The static-dictionary
+  * matcher (identity transform, 4-byte-prefix index over the 13.5k
+  * Appendix A words of length >= 6) is what closes the text gap: a
+  * word's FIRST occurrence rides the dictionary, later ones the
+  * window.
   *
   * Correctness is locked differentially BOTH ways: every encoder output
   * must round-trip byte-exact through [[Brotli.decode]] (BrotliEncSpec:
@@ -395,6 +398,73 @@ object BrotliEnc {
   }
 
   // ======================================================================
+  // static dictionary matcher (Appendix A, identity transform only)
+  // ======================================================================
+
+  /** Words shorter than this cost more as a dictionary reference (a
+    * near-window-size distance is ~25-37 bits) than as literals. */
+  private final val DictMinLen = 6
+
+  /** 4-byte-prefix index over the Appendix A dictionary (lengths 4–24,
+    * identity transform only): prefix → packed (len << 16 | wordIdx)
+    * candidates, longest first. ~13.5k words, built once per JVM. */
+  private lazy val dictIndex: java.util.HashMap[Integer, Array[Int]] = {
+    val d = Brotli.dictionary
+    val tmp = new java.util.HashMap[Integer, java.util.ArrayList[Integer]]()
+    var len = 4
+    while (len <= 24) {
+      val off = Brotli.DictOffsets(len)
+      var idx = 0
+      while (idx < (1 << Brotli.DictSizeBits(len))) {
+        val base = off + idx * len
+        val p = ((d(base) & 0xff) << 24) | ((d(base + 1) & 0xff) << 16) |
+          ((d(base + 2) & 0xff) << 8) | (d(base + 3) & 0xff)
+        tmp.computeIfAbsent(p, _ => new java.util.ArrayList[Integer]())
+          .add((len << 16) | idx)
+        idx += 1
+      }
+      len += 1
+    }
+    val out = new java.util.HashMap[Integer, Array[Int]](tmp.size * 2)
+    tmp.forEach { (k, v) =>
+      val arr = new Array[Int](v.size)
+      var i = 0
+      while (i < arr.length) { arr(i) = v.get(i); i += 1 }
+      // longest first: the first verified candidate wins
+      out.put(k, arr.sortBy(e => -(e >> 16)))
+    }
+    out
+  }
+
+  /** Longest dictionary word matching `data[i..)`, as packed
+    * (len << 16 | wordIdx), or 0. IDENTITY transform only: a measured
+    * ferment-first (capitalized-word) arm was tried and removed — its
+    * address rides 9 buckets above identity (~5-8 more distance bits
+    * per reference), which cost more than the literals it replaced on
+    * every corpus fixture. */
+  private def dictMatch(data: Array[Byte], i: Int, until: Int): Int = {
+    if (i + 4 > until) return 0
+    val p = ((data(i) & 0xff) << 24) | ((data(i + 1) & 0xff) << 16) |
+      ((data(i + 2) & 0xff) << 8) | (data(i + 3) & 0xff)
+    val cands = dictIndex.get(p)
+    if (cands == null) return 0
+    val d = Brotli.dictionary
+    var c = 0
+    while (c < cands.length) {
+      val len = cands(c) >> 16
+      if (len >= DictMinLen && i + len <= until) {
+        val idx = cands(c) & 0xffff
+        val base = Brotli.DictOffsets(len) + idx * len
+        var j = 4
+        while (j < len && d(base + j) == data(i + j)) j += 1
+        if (j == len) return cands(c)
+      }
+      c += 1
+    }
+    0
+  }
+
+  // ======================================================================
   // LZ77 (greedy, single-entry-per-bucket hash chains)
   // ======================================================================
 
@@ -402,9 +472,12 @@ object BrotliEnc {
   private final val MinMatch = 4
 
   /** One parsed command: `insert` literals from `litFrom`, then copy
-    * `copyLen` from `distance` back (copyLen 0 = trailing insert). */
+    * `copyLen` from `distance` back (copyLen 0 = trailing insert).
+    * `isDict` marks a STATIC-DICTIONARY reference (§8): its distance
+    * points past maxDistance and must never enter the distance ring —
+    * the decoder's dictionary branch doesn't push it either. */
   private final case class Cmd(litFrom: Int, insert: Int, copyLen: Int,
-                               distance: Int)
+                               distance: Int, isDict: Boolean = false)
 
   private def hash4(data: Array[Byte], i: Int): Int = {
     val v = ((data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
@@ -423,6 +496,7 @@ object BrotliEnc {
     while (i < until) {
       var matched = 0
       var matchDist = 0
+      var matchDict = false
       if (i + MinMatch <= until) {
         val h = hash4(data, i)
         val cand = table(h)
@@ -433,9 +507,21 @@ object BrotliEnc {
           while (l < maxL && data(cand + l) == data(i + l)) l += 1
           if (l >= MinMatch) { matched = l; matchDist = i - cand }
         }
+        // static dictionary (§8): only when it beats the window match —
+        // the word's first occurrence; later ones ride the window
+        if (matched < 24) {
+          val dm = dictMatch(data, i, until)
+          if (dm != 0 && (dm >> 16) > matched) {
+            matched = dm >> 16
+            matchDict = true
+            // §8 address with transform id 0: maxDistance + 1 + wordIdx
+            val maxDistance = math.min(i.toLong, maxBackward)
+            matchDist = (maxDistance + 1 + (dm & 0xffff)).toInt
+          }
+        }
       }
       if (matched > 0) {
-        cmds += Cmd(litFrom, i - litFrom, matched, matchDist)
+        cmds += Cmd(litFrom, i - litFrom, matched, matchDist, matchDict)
         nCmds += 1
         // index positions inside the match (sparsely: every other one,
         // the quality-1 shape) so later matches can land here
@@ -522,7 +608,10 @@ object BrotliEnc {
             if (c.distance == lastDist) (0, 0, 0) // short code 0: no push
             else distCode(c.distance)
           distFreq(dSym) += 1
-          if (dSym != 0) { rb(rbIdx & 3) = c.distance; rbIdx += 1 }
+          // ring discipline mirrors the decoder exactly: dictionary
+          // references never enter the ring (§4 — the decoder's dict
+          // branch skips the push), window copies push on dcode != 0
+          if (dSym != 0 && !c.isDict) { rb(rbIdx & 3) = c.distance; rbIdx += 1 }
           Resolved(sym, c.insert - InsOffset(insC), InsBits(insC),
             c.copyLen - CopyOffset(copyC), CopyBits(copyC),
             c.litFrom, c.insert, dSym, dExtra, dExtraBits)

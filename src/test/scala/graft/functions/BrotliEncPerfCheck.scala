@@ -1,0 +1,36 @@
+package graft.functions
+
+/** Rough seal-path throughput observable (not a pass/fail gate — boxes
+  * vary): prints MB/s for the three payload shapes a relay actually
+  * seals. Run: Test/runMain graft.functions.BrotliEncPerfCheck */
+object BrotliEncPerfCheck {
+  def main(args: Array[String]): Unit = {
+    val rnd = new java.util.Random(1)
+    val shapes = Seq(
+      "random-8MiB" -> { val b = new Array[Byte](8 << 20); rnd.nextBytes(b); b },
+      "ndjson-8MiB" -> {
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (sb.length < (8 << 20)) {
+          sb.append(s"""{"id":$i,"type":"evt${i % 7}","value":${rnd.nextInt(100000)}}""").append('\n')
+          i += 1
+        }
+        sb.toString.getBytes("UTF-8")
+      },
+      "text-8MiB" -> {
+        val words = ("the of and to in for information people work time " +
+          "development different available document software").split(' ')
+        val sb = new java.lang.StringBuilder
+        while (sb.length < (8 << 20)) sb.append(words(rnd.nextInt(words.length))).append(' ')
+        sb.toString.getBytes("UTF-8")
+      })
+    shapes.foreach { case (name, data) =>
+      BrotliEnc.encode(data) // warm
+      val t0 = System.nanoTime()
+      val out = BrotliEnc.encode(data)
+      val dt = (System.nanoTime() - t0) / 1e9
+      require(java.util.Arrays.equals(Brotli.decode(out), data), name)
+      println(f"$name%-14s ${data.length / dt / 1e6}%8.1f MB/s  ratio ${out.length.toDouble / data.length}%.3f")
+    }
+  }
+}
