@@ -38,6 +38,57 @@ object Http {
       throw new StatusException(resp.statusCode(), url)
     resp.body()
   }
+
+  // one client per pinned-cert path: the poll loop re-fetches on an
+  // interval and must not rebuild an SSLContext per tick
+  private val pinnedClients =
+    new java.util.concurrent.ConcurrentHashMap[String, HttpClient]()
+
+  /** TLS-PINNED [[get]] — the reference's SetTlsPinnedCertificate +
+    * verifyServerCertificate
+    * (`/root/reference/pkg/internal/adapter/httpclient/tls.go:17-70`):
+    * the server's presented chain must CONTAIN the exact pinned
+    * certificate (byte-equal DER) or the handshake fails. The pin is
+    * the trust decision: a valid-but-different certificate (rotated, or
+    * MITM-minted under any CA) is refused — which is the point of
+    * pinning. Expiry is still enforced on the presented leaf. */
+  def getPinned(url: String, pinnedCertPath: String,
+                headers: Map[String, String] = Map.empty,
+                timeoutMillis: Long = 10000): String = {
+    val c = pinnedClients.computeIfAbsent(pinnedCertPath, path => {
+      val pinned = Tls.loadCerts(path).head
+      val pinnedDer = pinned.getEncoded
+      val tm = new javax.net.ssl.X509TrustManager {
+        override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] =
+          Array(pinned)
+        override def checkClientTrusted(
+            chain: Array[java.security.cert.X509Certificate], authType: String): Unit =
+          throw new java.security.cert.CertificateException(
+            "pinned trust manager is client-side only")
+        override def checkServerTrusted(
+            chain: Array[java.security.cert.X509Certificate], authType: String): Unit = {
+          if (!chain.exists(c => java.util.Arrays.equals(c.getEncoded, pinnedDer)))
+            throw new java.security.cert.CertificateException(
+              "server certificate chain does not contain the pinned certificate")
+          chain.head.checkValidity()
+        }
+      }
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(null, Array[javax.net.ssl.TrustManager](tm),
+        new java.security.SecureRandom)
+      HttpClient.newBuilder()
+        .followRedirects(HttpClient.Redirect.NORMAL)
+        .sslContext(ctx)
+        .build()
+    })
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofMillis(timeoutMillis)).GET()
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val resp = c.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() < 200 || resp.statusCode() >= 300)
+      throw new StatusException(resp.statusCode(), url)
+    resp.body()
+  }
 }
 
 /** S3 HTTP poll source: the reference's interval-polling HTTP adapter

@@ -102,4 +102,44 @@ class HttpPollSourceSpec extends SparkSpec {
     // non-array body passes through whole
     assert(HttpPollSource.jsonArrayElements("""{"id":9}""") == Seq("""{"id":9}"""))
   }
+
+  test("TLS-PINNED fetch (httpclient/tls.go): the pinned certificate admits " +
+    "the server; a DIFFERENT valid certificate is refused at the handshake; " +
+    "the poll source composes the pinned transport") {
+    val dir = "src/test/resources/tls"
+    val https = com.sun.net.httpserver.HttpsServer.create(
+      new InetSocketAddress("127.0.0.1", 0), 0)
+    https.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(
+      Tls.sslContext(TlsConfig(s"$dir/server.pem", s"$dir/server-key.pem", s"$dir/ca.pem"))))
+    val hits = new AtomicInteger(0)
+    https.createContext("/feed", { exchange =>
+      hits.incrementAndGet()
+      val body = """{"id":1,"name":"pinned"}""".getBytes("UTF-8")
+      exchange.sendResponseHeaders(200, body.length)
+      exchange.getResponseBody.write(body)
+      exchange.close()
+    })
+    https.start()
+    val url = s"https://127.0.0.1:${https.getAddress.getPort}/feed"
+    try {
+      // the pinned SERVER cert admits the connection
+      val body = Http.getPinned(url, s"$dir/server.pem")
+      assert(body.contains("\"name\":\"pinned\""))
+      // pinning a DIFFERENT (equally valid) certificate refuses the
+      // handshake — rotation/MITM is the failure this mode exists for
+      intercept[javax.net.ssl.SSLHandshakeException] {
+        Http.getPinned(url, s"$dir/client.pem")
+      }
+      // default trust refuses the self-signed server outright (the pin
+      // is what admits it, not a trust-all hole)
+      intercept[javax.net.ssl.SSLHandshakeException] { Http.get(url) }
+      // the poll source composes the pinned transport like any fetch
+      val src = new HttpPollSource(spark, () => Http.getPinned(url, s"$dir/server.pem"),
+        intervalMillis = 100000)
+      try {
+        assert(src.pollOnce() === 1)
+        assert(src.raw.isInstanceOf[org.apache.spark.sql.Dataset[_]])
+      } finally src.stop()
+    } finally https.stop(0)
+  }
 }
