@@ -411,7 +411,7 @@ object BrotliEnc {
   private lazy val dictIndex: java.util.HashMap[Integer, Array[Int]] = {
     val d = Brotli.dictionary
     val tmp = new java.util.HashMap[Integer, java.util.ArrayList[Integer]]()
-    var len = 4
+    var len = DictMinLen // shorter words never pass the matcher's floor
     while (len <= 24) {
       val off = Brotli.DictOffsets(len)
       var idx = 0

@@ -175,6 +175,25 @@ object Codecs {
     case other => throw new IllegalArgumentException(s"unknown compression algorithm id $other")
   }
 
+  /** Drain a decompressing stream with the cap enforced DURING inflation
+    * — the shared arm for codecs whose frames don't (or may not) declare
+    * their expanded size. */
+  private def readCapped(in: java.io.InputStream, maxOut: Int,
+                         codec: String): Array[Byte] =
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (out.size.toLong + n > maxOut)
+          throw new java.io.IOException(
+            s"$codec output exceeds the $maxOut-byte cap — refusing decompression bomb")
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } finally in.close()
+
   /** Decompress with an EXPANDED-size cap — the sealed-relay ingress rule
     * ([[gunzipBounded]]): every algorithm refuses output beyond `maxOut`
     * before (or while) allocating it, so a decompression bomb inside an
@@ -199,42 +218,14 @@ object Codecs {
         // is exactly n — a frame whose actual output exceeds its declared
         // size fails inside the native decoder
         com.github.luben.zstd.Zstd.decompress(bytes, n.toInt)
-      else {
+      else
         // STREAMING frames (a reference peer's streaming writer) say
-        // CONTENTSIZE_UNKNOWN — inflate through a capped loop, same
-        // bomb rule enforced DURING inflation like the lz4 arm
-        val in = new com.github.luben.zstd.ZstdInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        try {
-          val out = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](8192)
-          var r = in.read(buf)
-          while (r >= 0) {
-            if (out.size.toLong + r > maxOut)
-              throw new java.io.IOException(
-                s"zstd output exceeds the $maxOut-byte cap — refusing decompression bomb")
-            out.write(buf, 0, r)
-            r = in.read(buf)
-          }
-          out.toByteArray
-        } finally in.close()
-      }
+        // CONTENTSIZE_UNKNOWN — inflate through the shared capped loop
+        readCapped(new com.github.luben.zstd.ZstdInputStream(
+          new java.io.ByteArrayInputStream(bytes)), maxOut, "zstd")
     case CompressLz4 =>
-      val in = new net.jpountz.lz4.LZ4FrameInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      try {
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n >= 0) {
-          if (out.size.toLong + n > maxOut)
-            throw new java.io.IOException(
-              s"lz4 output exceeds the $maxOut-byte cap — refusing decompression bomb")
-          out.write(buf, 0, n)
-          n = in.read(buf)
-        }
-        out.toByteArray
-      } finally in.close()
+      readCapped(new net.jpountz.lz4.LZ4FrameInputStream(
+        new java.io.ByteArrayInputStream(bytes)), maxOut, "lz4")
     case CompressBrotli =>
       // the from-scratch RFC 7932 decoder (closing the last codec arm,
       // enum 4): cap enforced DURING inflation — brotli frames declare no

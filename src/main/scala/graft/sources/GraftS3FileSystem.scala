@@ -149,13 +149,14 @@ final class GraftS3FileSystem extends FileSystem {
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
     val key = keyOf(f)
     if (key.isEmpty) throw new FileNotFoundException(s"graft-s3: $f is a directory")
-    // ONE ranged GET decides the read strategy AND fetches the data: a
-    // small object arrives whole (single round-trip — no separate size
-    // probe), a big one arrives as the ranged reader's first window plus
-    // its Content-Range total, so a multi-GB parquet object's footer
-    // read costs kilobytes of executor memory, not object-size bytes
+    // ONE small ranged GET decides the read strategy AND fetches data: a
+    // tiny object arrives whole (single round-trip — no separate size
+    // probe), a mid-size one completes with a second range for the rest
+    // (no duplicate bytes), and a big one goes RANGED with the probe as
+    // a seed window — a multi-GB parquet's footer-first reader never
+    // pays a head-window transfer it will discard (the probe is small)
     val probe =
-      try http.getObjectPrefix(key, math.max(1L, wholeObjectMax))
+      try http.getObjectPrefix(key, math.max(1L, probeWindow))
       catch {
         case e: S3.S3HttpError if e.status == 404 =>
           // a prefix-only path (directory) has no exact object: same
@@ -164,10 +165,22 @@ final class GraftS3FileSystem extends FileSystem {
       }
     probe match {
       case Left(bytes) => new FSDataInputStream(new SeekableBytes(bytes))
+      case Right((window, total)) if total <= wholeObjectMax =>
+        // mid-size: one more range for the remainder, buffer whole
+        val rest = http.getObjectRange(key, window.length, total - window.length)
+        val all = java.util.Arrays.copyOf(window, total.toInt)
+        System.arraycopy(rest, 0, all, window.length, rest.length)
+        new FSDataInputStream(new SeekableBytes(all))
       case Right((window, total)) =>
         new FSDataInputStream(new RangedS3Stream(http, key, total, readChunk, window))
     }
   }
+
+  /** First-probe window for open(), `fs.graft-s3.probe.window` bytes:
+    * objects at or under it arrive whole in ONE round-trip; larger ones
+    * pay only this much potentially-unused head transfer. */
+  private def probeWindow: Long =
+    getConf.getLong("fs.graft-s3.probe.window", 128L << 10)
 
   /** Objects at or under this size read whole-object (one GET); above it
     * the RANGED path takes over. `fs.graft-s3.whole.object.max` bytes. */

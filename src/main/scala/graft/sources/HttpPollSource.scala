@@ -39,24 +39,36 @@ object Http {
     resp.body()
   }
 
-  // one client per pinned-cert path: the poll loop re-fetches on an
-  // interval and must not rebuild an SSLContext per tick
+  // one client per pinned-cert CONTENT hash: the poll loop re-fetches on
+  // an interval and must not rebuild an SSLContext per tick, but an
+  // in-place rotation of the PEM file must take effect without a JVM
+  // restart — keying by content gives both
   private val pinnedClients =
     new java.util.concurrent.ConcurrentHashMap[String, HttpClient]()
 
   /** TLS-PINNED [[get]] — the reference's SetTlsPinnedCertificate +
     * verifyServerCertificate
     * (`/root/reference/pkg/internal/adapter/httpclient/tls.go:17-70`):
-    * the server's presented chain must CONTAIN the exact pinned
+    * the server's presented END-ENTITY certificate must BE the pinned
     * certificate (byte-equal DER) or the handshake fails. The pin is
-    * the trust decision: a valid-but-different certificate (rotated, or
+    * the trust decision: a valid-but-different leaf (rotated, or
     * MITM-minted under any CA) is refused — which is the point of
-    * pinning. Expiry is still enforced on the presented leaf. */
+    * pinning. Only the LEAF is compared: the TLS handshake proves key
+    * possession for the leaf alone, and later chain positions are
+    * attacker-copyable public certificates (the Go reference compares
+    * within ALREADY-VERIFIED chains; over the raw presented list, a
+    * contains-check would admit any chain with the public pin appended).
+    * Expiry is still enforced on the pinned leaf. */
   def getPinned(url: String, pinnedCertPath: String,
                 headers: Map[String, String] = Map.empty,
                 timeoutMillis: Long = 10000): String = {
-    val c = pinnedClients.computeIfAbsent(pinnedCertPath, path => {
-      val pinned = Tls.loadCerts(path).head
+    val pem = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(pinnedCertPath))
+    val contentKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(pem).map("%02x".format(_)).mkString
+    val c = pinnedClients.computeIfAbsent(contentKey, _ => {
+      val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+      val pinned = cf.generateCertificate(new java.io.ByteArrayInputStream(pem))
+        .asInstanceOf[java.security.cert.X509Certificate]
       val pinnedDer = pinned.getEncoded
       val tm = new javax.net.ssl.X509TrustManager {
         override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] =
@@ -67,9 +79,10 @@ object Http {
             "pinned trust manager is client-side only")
         override def checkServerTrusted(
             chain: Array[java.security.cert.X509Certificate], authType: String): Unit = {
-          if (!chain.exists(c => java.util.Arrays.equals(c.getEncoded, pinnedDer)))
+          if (chain.isEmpty ||
+            !java.util.Arrays.equals(chain.head.getEncoded, pinnedDer))
             throw new java.security.cert.CertificateException(
-              "server certificate chain does not contain the pinned certificate")
+              "server end-entity certificate does not match the pinned certificate")
           chain.head.checkValidity()
         }
       }

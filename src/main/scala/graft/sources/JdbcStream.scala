@@ -249,9 +249,12 @@ private[sources] final class GraftJdbcMicroBatchStream(schema: StructType,
   /** Empty-table floor: for TIMESTAMP watermarks the sentinel must BIND
     * as a legal timestamp (Derby allows years 1–9999, Postgres 4713 BC+)
     * — a Long.MinValue-ish value would throw out-of-range on every poll
-    * of an initially-empty table. 0001-01-01T00:00:00Z in epoch-micros. */
+    * of an initially-empty table. 0001-01-03T00:00:00Z in epoch-micros:
+    * the two-day margin keeps the LOCAL wall-clock the driver binds
+    * (setTimestamp without a Calendar) inside year 1 in every timezone. */
   private val emptyFloor: Long =
-    if (wmIsTimestamp) -62135596800000000L else Long.MinValue / 2
+    if (wmIsTimestamp) -62135596800000000L + 2L * 86400L * 1000000L
+    else Long.MinValue / 2
 
   override def initialOffset(): Offset = {
     val wm = opts.watermarkColumn

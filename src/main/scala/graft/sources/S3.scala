@@ -521,7 +521,12 @@ object S3 {
             throw new S3HttpError(502, key, s"206 without a Content-Range total: '$cr'")
           t.toLong
         case 200 => resp.body().length.toLong
-        case 416 => 0L // empty object
+        case 416 =>
+          // EMPTY object: the 416's headers belong to the ERROR response
+          // (xml error body, no metadata) — fetch the real ones with a
+          // plain GET, which is free for a 0-byte body
+          val o = getObject(key)
+          return (o.bytes.length.toLong, o.contentType, o.contentEncoding, o.meta)
         case other =>
           throw new S3HttpError(other, key, new String(resp.body(), UTF_8))
       }

@@ -142,4 +142,70 @@ class HttpPollSourceSpec extends SparkSpec {
       } finally src.stop()
     } finally https.stop(0)
   }
+
+  test("pin-bypass attack is refused: a MITM presenting its own leaf with " +
+    "the PUBLIC pinned cert appended to the chain fails the handshake " +
+    "(only the end-entity certificate is compared)") {
+    val dir = "src/test/resources/tls"
+    // attacker: own leaf+key (the client cert stands in), with the public
+    // pinned certificate appended as a second chain element — a chain no
+    // honest keystore would build, so present it via a raw KeyManager
+    val leaf = Tls.loadCerts(s"$dir/client.pem").head
+    val pinnedPub = Tls.loadCerts(s"$dir/server.pem").head
+    val leafKey = Tls.loadPrivateKey(s"$dir/client-key.pem")
+    val km = new javax.net.ssl.X509ExtendedKeyManager {
+      override def getServerAliases(kt: String, is: Array[java.security.Principal]) = Array("a")
+      override def chooseServerAlias(kt: String, is: Array[java.security.Principal],
+                                     s: java.net.Socket) = "a"
+      override def chooseEngineServerAlias(kt: String, is: Array[java.security.Principal],
+                                           e: javax.net.ssl.SSLEngine) = "a"
+      override def getClientAliases(kt: String, is: Array[java.security.Principal]) = null
+      override def chooseClientAlias(kt: Array[String], is: Array[java.security.Principal],
+                                     s: java.net.Socket) = null
+      override def getCertificateChain(alias: String) = Array(leaf, pinnedPub)
+      override def getPrivateKey(alias: String) = leafKey
+    }
+    val attackCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+    attackCtx.init(Array[javax.net.ssl.KeyManager](km), null, null)
+    val https = com.sun.net.httpserver.HttpsServer.create(
+      new InetSocketAddress("127.0.0.1", 0), 0)
+    https.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(attackCtx))
+    https.createContext("/feed", { exchange =>
+      exchange.sendResponseHeaders(200, -1); exchange.close()
+    })
+    https.start()
+    try {
+      intercept[javax.net.ssl.SSLHandshakeException] {
+        Http.getPinned(s"https://127.0.0.1:${https.getAddress.getPort}/feed",
+          s"$dir/server.pem")
+      }
+    } finally https.stop(0)
+  }
+
+  test("pin rotation takes effect without a restart: the cache keys by " +
+    "pinned-file CONTENT, so an in-place PEM swap re-trusts immediately") {
+    val dir = "src/test/resources/tls"
+    val https = com.sun.net.httpserver.HttpsServer.create(
+      new InetSocketAddress("127.0.0.1", 0), 0)
+    https.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(
+      Tls.sslContext(TlsConfig(s"$dir/server.pem", s"$dir/server-key.pem", s"$dir/ca.pem"))))
+    https.createContext("/feed", { exchange =>
+      val b = "ok".getBytes("UTF-8")
+      exchange.sendResponseHeaders(200, b.length)
+      exchange.getResponseBody.write(b); exchange.close()
+    })
+    https.start()
+    val url = s"https://127.0.0.1:${https.getAddress.getPort}/feed"
+    val pin = java.nio.file.Files.createTempFile("pin", ".pem")
+    try {
+      // stale pin (wrong cert) fails...
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/client.pem"), pin,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      intercept[javax.net.ssl.SSLHandshakeException](Http.getPinned(url, pin.toString))
+      // ...rotating the FILE CONTENT in place re-trusts on the next fetch
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/server.pem"), pin,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      assert(Http.getPinned(url, pin.toString) === "ok")
+    } finally https.stop(0)
+  }
 }
