@@ -25,6 +25,9 @@ import KafkaProto.{KRecord, TsEarliest, TsLatest}
   *
   *  - `host`, `port`, `topic` (required)
   *  - `startingOffsets`: earliest (default) | latest
+  *  - `startingTimestamp`: epoch-ms — each partition starts at the first
+  *    record at/after it (overrides startingOffsets; all-older
+  *    partitions start at latest, the stock connector's fallback)
   *  - `maxOffsetsPerTrigger`: admission control — the reference reader's
   *    maxPollRecords budget (`kafkaclient/reader.go:83-94`), enforced via
   *    [[SupportsAdmissionControl]] like the stock connector
@@ -90,7 +93,8 @@ private[sources] final class GraftKafkaScan(options: CaseInsensitiveStringMap) e
     new GraftKafkaMicroBatchStream(host, port, topic,
       Option(options.get("startingOffsets")).getOrElse("earliest"),
       Option(options.get("maxOffsetsPerTrigger")).map(_.toLong),
-      Option(options.get("group")))
+      Option(options.get("group")),
+      Option(options.get("startingTimestamp")).map(_.toLong))
 }
 
 /** Offsets are a per-partition map serialized as canonical JSON
@@ -110,7 +114,8 @@ private[sources] object KafkaSourceOffset {
 
 private[sources] final class GraftKafkaMicroBatchStream(
     host: String, port: Int, topic: String, startingOffsets: String,
-    maxOffsetsPerTrigger: Option[Long], group: Option[String])
+    maxOffsetsPerTrigger: Option[Long], group: Option[String],
+    startingTimestamp: Option[Long] = None)
   extends MicroBatchStream with SupportsAdmissionControl {
 
   // driver-side connection with ONE reconnect retry per call: real brokers
@@ -134,6 +139,17 @@ private[sources] final class GraftKafkaMicroBatchStream(
   private var rotate = 0
 
   override def initialOffset(): Offset = {
+    // startingTimestamp (the reference reader's start-at-timestamp and
+    // the stock connector's option of the same name): each partition
+    // starts at the EARLIEST offset whose record timestamp is >= ts;
+    // a partition whose records are ALL older answers -1 and starts at
+    // latest (the stock connector's fallback)
+    startingTimestamp.foreach { ts =>
+      return KafkaSourceOffset(partitions.map { p =>
+        val o = withClient(_.listOffset(topic, p, ts))
+        p -> (if (o < 0) withClient(_.listOffset(topic, p, TsLatest)) else o)
+      }.toMap)
+    }
     val ts = startingOffsets.toLowerCase match {
       case "earliest" => TsEarliest
       case "latest" => TsLatest

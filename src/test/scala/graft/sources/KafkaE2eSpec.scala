@@ -843,6 +843,47 @@ class KafkaE2eSpec extends SparkSpec {
     } finally { a.close(); raw.close(); broker.close() }
   }
 
+  test("startingTimestamp: ListOffsets by timestamp answers the first " +
+    "at/after offset (-1 when all records are older), and the DSv2 source " +
+    "starts each partition there with the all-older fallback to latest") {
+    val broker = new MiniKafkaBroker(Map("st" -> 2))
+    val boot = ("127.0.0.1", broker.boundPort)
+    val raw = new Kafka.WireClient(boot._1, boot._2)
+    val lc = new Kafka.LeaderClient(boot)
+    try {
+      def rec(ts: Long, v: String) =
+        (ts, null: Array[Byte], v.getBytes(UTF_8), Nil: Seq[(String, Array[Byte])])
+      raw.produce("st", 0, encodeRecordBatch(0L,
+        Seq(rec(1000L, "a"), rec(2000L, "b"), rec(3000L, "c"))))
+      raw.produce("st", 1, encodeRecordBatch(0L, Seq(rec(500L, "old"))))
+      // the wire lookup contract
+      assert(lc.listOffset("st", 0, 1000L) === 0L)
+      assert(lc.listOffset("st", 0, 1500L) === 1L) // first at/after = "b"
+      assert(lc.listOffset("st", 0, 3000L) === 2L)
+      assert(lc.listOffset("st", 0, 9999L) === -1L) // all older
+      assert(lc.listOffset("st", 1, 1500L) === -1L)
+      // DSv2: p0 starts at "b", p1 (all-older) starts at latest
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val q = spark.readStream.format("graft-kafka")
+        .option("host", boot._1).option("port", boot._2.toString)
+        .option("topic", "st").option("startingTimestamp", "1500")
+        .load().selectExpr("cast(value as string) as v")
+        .writeStream
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+          df.collect().foreach(r => got.add(r.getString(0))); ()
+        }).start()
+      try {
+        q.processAllAvailable()
+        import scala.jdk.CollectionConverters._
+        assert(got.asScala.toSeq.sorted === Seq("b", "c"))
+        // p1's NEW records (after the latest fallback) still arrive
+        raw.produce("st", 1, encodeRecordBatch(0L, Seq(rec(5000L, "fresh"))))
+        q.processAllAvailable()
+        assert(got.asScala.toSeq.sorted === Seq("b", "c", "fresh"))
+      } finally q.stop()
+    } finally { lc.close(); raw.close(); broker.close() }
+  }
+
   test("rebalance MID-SWEEP: a poll fenced between spool and commit replays " +
     "at the new owner with exactly-once spool output across the generation " +
     "change (the bridge-side StaleMember path, end to end)") {

@@ -522,8 +522,22 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
           val off = pr._2 match {
             case TsEarliest => log.logStart
             case TsLatest => log.logEnd
-            case ts => // timestamp lookup: first offset with batch maxTs >= ts — out of scope
-              throw new EOFException(s"timestamp list-offsets unsupported ($ts)")
+            case ts =>
+              // the real lookup contract: the EARLIEST offset whose record
+              // timestamp is >= ts, or -1 when every record is older
+              // (consumers then fall back to latest). Batch maxTimestamp
+              // header-peek prunes the scan like the real index does.
+              var found = -1L
+              val it = log.batches.iterator
+              while (found < 0 && it.hasNext) {
+                val batch = it.next()
+                val maxTs = new Reader(batch, 35, batch.length).int64()
+                if (maxTs >= ts)
+                  decodeRecordBatches(batch)
+                    .find(_.timestamp >= ts)
+                    .foreach(r => found = r.offset)
+              }
+              found
           }
           pb.int16(ErrNone); pb.int64(-1L); pb.int64(off)
         }
