@@ -1351,7 +1351,9 @@ object Kafka {
                             maxPollRecords: Int = 10000,
                             maxPollBytes: Int = 1 << 20,
                             dynamicMembership: Boolean = false,
-                            sessionTimeoutMs: Int = 10000) extends AutoCloseable {
+                            sessionTimeoutMs: Int = 10000,
+                            startAtTimestamp: Option[Long] = None)
+    extends AutoCloseable {
     require(Set("after-batch", "after-each", "auto").contains(commitMode),
       s"unknown commit mode $commitMode")
     private val c = new LeaderClient(bootstrap)
@@ -1366,9 +1368,11 @@ object Kafka {
     private var pos = scala.collection.mutable.Map[Int, Long]()
 
     /** (Re)resolve owned partitions and their start positions: broker
-      * committed offsets first, earliest otherwise; a RETAINED partition
-      * keeps local progress past the commit (the spool's idempotence
-      * absorbs any overlap either way). */
+      * committed offsets first, then `startAtTimestamp` (the reference
+      * reader's start-at-timestamp mode — first record at/after it,
+      * all-older partitions start at latest), earliest otherwise; a
+      * RETAINED partition keeps local progress past the commit (the
+      * spool's idempotence absorbs any overlap either way). */
     private def refreshAssignment(): Unit = {
       parts = member match {
         case Some(m) => m.join().getOrElse(topic, Nil).sorted
@@ -1377,7 +1381,14 @@ object Kafka {
       val committed = c.offsetFetch(group, parts.map((topic, _)))
       val next = parts.map { p =>
         val cp = committed.getOrElse((topic, p), -1L)
-        val base = if (cp >= 0) cp else c.listOffset(topic, p, TsEarliest)
+        val base =
+          if (cp >= 0) cp
+          else startAtTimestamp match {
+            case Some(ts) =>
+              val o = c.listOffset(topic, p, ts)
+              if (o < 0) c.listOffset(topic, p, TsLatest) else o
+            case None => c.listOffset(topic, p, TsEarliest)
+          }
         p -> math.max(base, pos.getOrElse(p, -1L))
       }
       pos = scala.collection.mutable.Map(next: _*)

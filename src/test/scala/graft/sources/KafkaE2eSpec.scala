@@ -862,6 +862,19 @@ class KafkaE2eSpec extends SparkSpec {
       assert(lc.listOffset("st", 0, 3000L) === 2L)
       assert(lc.listOffset("st", 0, 9999L) === -1L) // all older
       assert(lc.listOffset("st", 1, 1500L) === -1L)
+      // SpoolConsumer: same start-at-timestamp mode when no offsets are
+      // committed yet — p0 spools b,c; p1 (all-older) spools nothing
+      val dir = java.nio.file.Files.createTempDirectory("graft-tsspool").toString
+      val sc = new Kafka.SpoolConsumer(boot, "st", "g-ts", dir,
+        startAtTimestamp = Some(1500L))
+      try {
+        assert(sc.pollOnce() === 2)
+        val lines = new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".ndjson"))
+          .flatMap(f => java.nio.file.Files.readAllLines(f.toPath)
+            .toArray(Array.empty[String])).toSeq
+        assert(lines.sorted === Seq("b", "c"))
+      } finally sc.close()
       // DSv2: p0 starts at "b", p1 (all-older) starts at latest
       val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       val q = spark.readStream.format("graft-kafka")
