@@ -405,9 +405,11 @@ object BrotliEnc {
     * near-window-size distance is ~25-37 bits) than as literals. */
   private final val DictMinLen = 6
 
-  /** 4-byte-prefix index over the Appendix A dictionary (lengths 4–24,
-    * identity transform only): prefix → packed (len << 16 | wordIdx)
-    * candidates, longest first. ~13.5k words, built once per JVM. */
+  /** 4-byte-prefix index over the Appendix A dictionary (lengths
+    * [[DictMinLen]]–24, identity transform only — shorter buckets never
+    * pass the matcher's cost floor, so they are not indexed): prefix →
+    * packed (len << 16 | wordIdx) candidates, longest first. ~11.5k
+    * words, built once per JVM. */
   private lazy val dictIndex: java.util.HashMap[Integer, Array[Int]] = {
     val d = Brotli.dictionary
     val tmp = new java.util.HashMap[Integer, java.util.ArrayList[Integer]]()

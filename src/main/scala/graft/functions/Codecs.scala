@@ -116,23 +116,12 @@ object Codecs {
     // still throw inside the ctor, a far narrower channel.
     if (bytes.length < 10 || bytes(0) != 0x1f.toByte || bytes(1) != 0x8b.toByte)
       throw new java.io.IOException("not a gzip payload (bad magic or truncated header)")
-    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
-    // finally, not drop-through: the bomb-rejection throw is the path a
-    // hostile peer exercises repeatedly, and each GZIPInputStream holds a
-    // native zlib Inflater that must not wait for the GC
-    try {
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) {
-        if (out.size.toLong + n > maxOut)
-          throw new java.io.IOException(
-            s"gunzip output exceeds the $maxOut-byte cap — refusing decompression bomb")
-        out.write(buf, 0, n)
-        n = in.read(buf)
-      }
-      out.toByteArray
-    } finally in.close()
+    // readCapped's finally/close matters here too: the bomb-rejection
+    // throw is the path a hostile peer exercises repeatedly, and each
+    // GZIPInputStream holds a native zlib Inflater that must not wait
+    // for the GC
+    readCapped(new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes)), maxOut, "gunzip")
   }
 
   /** Payload compression algorithms — ids are the reference relay's

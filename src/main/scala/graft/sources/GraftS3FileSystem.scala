@@ -165,8 +165,11 @@ final class GraftS3FileSystem extends FileSystem {
       }
     probe match {
       case Left(bytes) => new FSDataInputStream(new SeekableBytes(bytes))
-      case Right((window, total)) if total <= wholeObjectMax =>
-        // mid-size: one more range for the remainder, buffer whole
+      case Right((window, total)) if total <= wholeObjectMax &&
+          total <= Int.MaxValue - 8 =>
+        // mid-size: one more range for the remainder, buffer whole (the
+        // array-size guard matters when whole.object.max is configured
+        // past 2 GiB — those objects belong on the ranged arm below)
         val rest = http.getObjectRange(key, window.length, total - window.length)
         val all = java.util.Arrays.copyOf(window, total.toInt)
         System.arraycopy(rest, 0, all, window.length, rest.length)

@@ -65,6 +65,10 @@ object Http {
     val pem = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(pinnedCertPath))
     val contentKey = java.security.MessageDigest.getInstance("SHA-256")
       .digest(pem).map("%02x".format(_)).mkString
+    // bound the cache: rotations (and any half-written PEM read mid-swap)
+    // would otherwise accumulate one client per content hash forever —
+    // stale entries drop to GC, which reclaims the JDK client's threads
+    if (pinnedClients.size > 8) pinnedClients.clear()
     val c = pinnedClients.computeIfAbsent(contentKey, _ => {
       val cf = java.security.cert.CertificateFactory.getInstance("X.509")
       val pinned = cf.generateCertificate(new java.io.ByteArrayInputStream(pem))

@@ -1385,8 +1385,12 @@ object Kafka {
           if (cp >= 0) cp
           else startAtTimestamp match {
             case Some(ts) =>
+              // latest FIRST: a qualifying record landing between the two
+              // calls either answers the lookup or sits at/past the
+              // captured latest — never silently skipped
+              val latest = c.listOffset(topic, p, TsLatest)
               val o = c.listOffset(topic, p, ts)
-              if (o < 0) c.listOffset(topic, p, TsLatest) else o
+              if (o < 0) latest else o
             case None => c.listOffset(topic, p, TsEarliest)
           }
         p -> math.max(base, pos.getOrElse(p, -1L))

@@ -146,8 +146,13 @@ private[sources] final class GraftKafkaMicroBatchStream(
     // latest (the stock connector's fallback)
     startingTimestamp.foreach { ts =>
       return KafkaSourceOffset(partitions.map { p =>
+        // capture latest BEFORE the timestamp lookup: a qualifying record
+        // produced between the two calls then either answers the lookup
+        // (found) or sits at/past the captured latest (not skipped) —
+        // the reversed order would silently start past it
+        val latest = withClient(_.listOffset(topic, p, TsLatest))
         val o = withClient(_.listOffset(topic, p, ts))
-        p -> (if (o < 0) withClient(_.listOffset(topic, p, TsLatest)) else o)
+        p -> (if (o < 0) latest else o)
       }.toMap)
     }
     val ts = startingOffsets.toLowerCase match {
