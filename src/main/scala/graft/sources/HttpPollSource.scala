@@ -24,19 +24,42 @@ object Http {
   final class StatusException(val status: Int, url: String)
     extends RuntimeException(s"http request failed with status code: $status ($url)")
 
+  /** Full response view for callers that need validators (ETag /
+    * Last-Modified) and must see 304 Not Modified as an answer, not an
+    * error — the [[GraftHttpProvider]] change-detection offset path. */
+  final case class Resp(status: Int, headers: Map[String, String], body: String) {
+    def header(name: String): Option[String] =
+      headers.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+  }
+
   private lazy val client = HttpClient.newBuilder()
     .followRedirects(HttpClient.Redirect.NORMAL)
     .build()
 
   def get(url: String, headers: Map[String, String] = Map.empty,
           timeoutMillis: Long = 10000): String = {
+    val resp = getFull(url, headers, timeoutMillis, None)
+    if (resp.status < 200 || resp.status >= 300)
+      throw new StatusException(resp.status, url)
+    resp.body
+  }
+
+  /** GET returning the full response (status, headers, body) without
+    * throwing on non-2xx — conditional-GET callers need the 304, and the
+    * retry policy upstream decides what's an error. Pin-aware: a
+    * `pinnedCertPath` routes through the content-keyed pinned-client
+    * cache (same trust semantics as [[getPinned]]). */
+  def getFull(url: String, headers: Map[String, String] = Map.empty,
+              timeoutMillis: Long = 10000,
+              pinnedCertPath: Option[String] = None): Resp = {
+    val c = pinnedCertPath.fold(client)(pinnedClient)
     val b = HttpRequest.newBuilder(URI.create(url))
       .timeout(Duration.ofMillis(timeoutMillis)).GET()
     headers.foreach { case (k, v) => b.header(k, v) }
-    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() < 200 || resp.statusCode() >= 300)
-      throw new StatusException(resp.statusCode(), url)
-    resp.body()
+    val resp = c.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    val hs = scala.jdk.CollectionConverters.MapHasAsScala(resp.headers().map())
+      .asScala.map { case (k, vs) => k -> (if (vs.isEmpty) "" else vs.get(0)) }.toMap
+    Resp(resp.statusCode(), hs, resp.body())
   }
 
   // one client per pinned-cert CONTENT hash: the poll loop re-fetches on
@@ -62,6 +85,13 @@ object Http {
   def getPinned(url: String, pinnedCertPath: String,
                 headers: Map[String, String] = Map.empty,
                 timeoutMillis: Long = 10000): String = {
+    val resp = getFull(url, headers, timeoutMillis, Some(pinnedCertPath))
+    if (resp.status < 200 || resp.status >= 300)
+      throw new StatusException(resp.status, url)
+    resp.body
+  }
+
+  private def pinnedClient(pinnedCertPath: String): HttpClient = {
     val pem = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(pinnedCertPath))
     val contentKey = java.security.MessageDigest.getInstance("SHA-256")
       .digest(pem).map("%02x".format(_)).mkString
@@ -69,7 +99,7 @@ object Http {
     // would otherwise accumulate one client per content hash forever —
     // stale entries drop to GC, which reclaims the JDK client's threads
     if (pinnedClients.size > 8) pinnedClients.clear()
-    val c = pinnedClients.computeIfAbsent(contentKey, _ => {
+    pinnedClients.computeIfAbsent(contentKey, _ => {
       val cf = java.security.cert.CertificateFactory.getInstance("X.509")
       val pinned = cf.generateCertificate(new java.io.ByteArrayInputStream(pem))
         .asInstanceOf[java.security.cert.X509Certificate]
@@ -98,13 +128,6 @@ object Http {
         .sslContext(ctx)
         .build()
     })
-    val b = HttpRequest.newBuilder(URI.create(url))
-      .timeout(Duration.ofMillis(timeoutMillis)).GET()
-    headers.foreach { case (k, v) => b.header(k, v) }
-    val resp = c.send(b.build(), HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() < 200 || resp.statusCode() >= 300)
-      throw new StatusException(resp.statusCode(), url)
-    resp.body()
   }
 }
 

@@ -1,0 +1,343 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.util.concurrent.atomic.{AtomicInteger, AtomicReference}
+
+import com.sun.net.httpserver.HttpServer
+
+import org.apache.spark.sql.connector.read.streaming.ReadLimit
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.SparkSpec
+
+/** S3's HTTP `Serve` poll loop as a CHECKPOINTED streaming source, END TO
+  * END against a live stub endpoint: `readStream.format("graft-http")`
+  * polls a cursor-bounded page per micro-batch, the offset log checkpoints
+  * the high-water mark, and a RESTART resumes exactly-once — the streaming
+  * proof the S3 (r12) and JDBC (r13) Serve loops already have, closing the
+  * last one (`httpclient/serve.go:13-67`). */
+class HttpStreamSpec extends SparkSpec {
+
+  /** Append-monotonic feed stub: GET /feed?after=N returns up to
+    * `pageLimit` records with id > N as NDJSON. */
+  private final class Feed(pageLimit: Int = 1000) {
+    val rows = new AtomicReference[Vector[Long]](Vector.empty)
+    val hits = new AtomicInteger(0)
+    val lastAuth = new AtomicReference[String]("")
+    private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/feed", { exchange =>
+      hits.incrementAndGet()
+      lastAuth.set(Option(exchange.getRequestHeaders.getFirst("Authorization")).getOrElse(""))
+      val q = Option(exchange.getRequestURI.getQuery).getOrElse("")
+      val after = q.split("&").collectFirst {
+        case kv if kv.startsWith("after=") => kv.substring(6).toLong
+      }.getOrElse(Long.MinValue)
+      val body = rows.get().filter(_ > after).take(pageLimit)
+        .map(id => s"""{"id":$id,"name":"rec$id"}""").mkString("\n").getBytes("UTF-8")
+      exchange.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+      if (body.isEmpty) exchange.sendResponseHeaders(200, -1)
+      else { exchange.sendResponseHeaders(200, body.length); exchange.getResponseBody.write(body) }
+      exchange.close()
+    })
+    server.start()
+    def add(from: Long, until: Long): Unit =
+      rows.updateAndGet(v => v ++ (from until until))
+    def url: String = s"http://127.0.0.1:${server.getAddress.getPort}/feed"
+    def close(): Unit = server.stop(0)
+  }
+
+  private def withFeed(pageLimit: Int = 1000)(f: Feed => Unit): Unit = {
+    val feed = new Feed(pageLimit)
+    try f(feed) finally feed.close()
+  }
+
+  private def reader(url: String, extra: Map[String, String] = Map.empty) = {
+    val base = spark.readStream.format("graft-http")
+      .option("url", url).option("cursorField", "id")
+    extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  private def ids(rows: Array[org.apache.spark.sql.Row]): Seq[Long] =
+    rows.map(r => HttpStream.markOf(r.getString(0), "id")).sorted.toSeq
+
+  test("cursor mode: poll → micro-batch → checkpointed RESTART resumes " +
+    "exactly-once (no replay, no loss, no blind re-poll of the feed)") {
+    withFeed() { feed =>
+      feed.add(0, 20)
+      val ckpt = java.nio.file.Files.createTempDirectory("http_stream_ckpt").toString
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+
+      def run(body: org.apache.spark.sql.streaming.StreamingQuery => Unit): Unit = {
+        val q = reader(feed.url).writeStream
+          .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+            df.collect().foreach(r => got.add(HttpStream.markOf(r.getString(0), "id"))); ()
+          })
+          .option("checkpointLocation", ckpt).start()
+        try body(q) finally q.stop()
+      }
+
+      import scala.jdk.CollectionConverters._
+      run { q =>
+        q.processAllAvailable()
+        assert(got.asScala.toSeq.sorted === (0L until 20L))
+        // new records land in the NEXT batch only — prior ones never re-ship
+        feed.add(20, 35)
+        q.processAllAvailable()
+        assert(got.asScala.toSeq.sorted === (0L until 35L))
+      }
+      // records arriving while the query is DOWN are picked up from the
+      // checkpointed mark on restart — exactly once
+      feed.add(35, 50)
+      run { q =>
+        q.processAllAvailable()
+        val all = got.asScala.toSeq.sorted
+        assert(all.length === 50, s"got ${all.length} records (replay or loss)")
+        assert(all === (0L until 50L))
+      }
+    }
+  }
+
+  test("admission control: maxRecordsPerPoll bounds each micro-batch; the " +
+    "backlog drains across epochs without loss") {
+    withFeed() { feed =>
+      feed.add(0, 25)
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = reader(feed.url, Map("maxRecordsPerPoll" -> "10")).writeStream
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+          val rows = df.collect()
+          batches.add(rows.length.toLong)
+          rows.foreach(r => got.add(HttpStream.markOf(r.getString(0), "id")))
+          ()
+        }).start()
+      try {
+        q.processAllAvailable()
+        import scala.jdk.CollectionConverters._
+        assert(got.asScala.toSeq.sorted === (0L until 25L))
+        assert(batches.asScala.filter(_ > 0).max <= 10L, batches.toString)
+        assert(batches.asScala.count(_ > 0) >= 3, batches.toString)
+      } finally q.stop()
+    }
+  }
+
+  test("startingCursor=latest ships only records that arrive after the " +
+    "start; an explicit mark starts mid-feed") {
+    withFeed() { feed =>
+      feed.add(0, 10)
+      val q = reader(feed.url, Map("startingCursor" -> "latest"))
+        .writeStream.format("memory").queryName("http_latest").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("http_latest").count() === 0)
+        feed.add(10, 14)
+        q.processAllAvailable()
+        assert(ids(spark.table("http_latest").collect()) === (10L until 14L))
+      } finally q.stop()
+
+      val q2 = reader(feed.url, Map("startingCursor" -> "5"))
+        .writeStream.format("memory").queryName("http_mid").start()
+      try {
+        q2.processAllAvailable()
+        assert(ids(spark.table("http_mid").collect()) === (6L until 14L))
+      } finally q2.stop()
+    }
+  }
+
+  test("pagination: a page-limited endpoint drains a backlog via chained " +
+    "cursor GETs (pagesPerPoll) inside one epoch") {
+    withFeed(pageLimit = 5) { feed =>
+      feed.add(0, 18)
+      val q = reader(feed.url, Map("pagesPerPoll" -> "10"))
+        .writeStream.format("memory").queryName("http_paged").start()
+      try {
+        q.processAllAvailable()
+        assert(ids(spark.table("http_paged").collect()) === (0L until 18L))
+      } finally q.stop()
+    }
+  }
+
+  test("restart replay of an UNCOMMITTED epoch: planInputPartitions with no " +
+    "fresh-poll cache re-fetches from the start mark and filters to the " +
+    "logged (start, end] — the exactly-once replay path") {
+    withFeed(pageLimit = 4) { feed =>
+      feed.add(0, 12)
+      val opts = HttpStream.Opts(new CaseInsensitiveStringMap(
+        java.util.Map.of("url", feed.url, "cursorField", "id")))
+      // a FRESH stream instance (as after a driver restart) gets handed the
+      // offsets from the log; its cache is cold
+      val stream = new GraftHttpCursorStream(opts)
+      val parts = stream.planInputPartitions(HttpCursorOffset(2L), HttpCursorOffset(9L))
+        .map(_.asInstanceOf[HttpInputPartition])
+      val replayed = parts.flatMap(_.records).map(HttpStream.markOf(_, "id")).sorted
+      assert(replayed.toSeq === (3L to 9L),
+        "replay must ship exactly the logged range — no more (records past " +
+          "end were never logged), no less (page limits must be walked)")
+      // and the records it DID ship match the feed's content at those marks
+      assert(parts.flatMap(_.records).forall(r => r.contains("\"name\":\"rec")))
+    }
+  }
+
+  test("numPartitions slices an epoch's records into contiguous " +
+    "non-overlapping input partitions") {
+    val opts = HttpStream.Opts(new CaseInsensitiveStringMap(
+      java.util.Map.of("url", "http://unused.invalid/feed",
+        "cursorField", "id", "numPartitions", "4")))
+    val stream = new GraftHttpCursorStream(opts)
+    // seed the fresh-path cache via the admission-control poll? no — drive
+    // planInputPartitions' cache arm directly through the latestOffset cache
+    val f = classOf[GraftHttpCursorStream].getDeclaredField("cached")
+    f.setAccessible(true)
+    f.set(stream, (0L, 10L, (1L to 10L).map(i => s"""{"id":$i}""").toArray))
+    val parts = stream.planInputPartitions(HttpCursorOffset(0L), HttpCursorOffset(10L))
+      .map(_.asInstanceOf[HttpInputPartition])
+    assert(parts.length === 4)
+    assert(parts.map(_.records.length).sum === 10)
+    assert(parts.flatMap(_.records).map(HttpStream.markOf(_, "id")).toSeq === (1L to 10L))
+  }
+
+  test("change-detection mode (no cursorField): ETag 304s yield no batch; " +
+    "changed content ships one batch; RESTART does not re-ship unchanged " +
+    "content") {
+    val content = new AtomicReference[(String, String)](("""{"v":1}""", "\"etag-1\""))
+    val hits = new AtomicInteger(0)
+    val conditionalHits = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/doc", { exchange =>
+      hits.incrementAndGet()
+      val (body, etag) = content.get()
+      val inm = Option(exchange.getRequestHeaders.getFirst("If-None-Match"))
+      if (inm.contains(etag)) {
+        conditionalHits.incrementAndGet()
+        exchange.sendResponseHeaders(304, -1)
+      } else {
+        exchange.getResponseHeaders.set("ETag", etag)
+        val b = body.getBytes("UTF-8")
+        exchange.sendResponseHeaders(200, b.length)
+        exchange.getResponseBody.write(b)
+      }
+      exchange.close()
+    })
+    server.start()
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}/doc"
+    val ckpt = java.nio.file.Files.createTempDirectory("http_etag_ckpt").toString
+    try {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      def run(body: org.apache.spark.sql.streaming.StreamingQuery => Unit): Unit = {
+        val q = spark.readStream.format("graft-http").option("url", url).load()
+          .writeStream
+          .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+            df.collect().foreach(r => got.add(r.getString(0))); ()
+          })
+          .option("checkpointLocation", ckpt).start()
+        try body(q) finally q.stop()
+      }
+      import scala.jdk.CollectionConverters._
+      run { q =>
+        q.processAllAvailable() // v1 ships
+        q.processAllAvailable() // re-poll: 304, no batch
+        assert(got.asScala.toSeq === Seq("""{"v":1}"""))
+        assert(conditionalHits.get() >= 1, "re-poll must be a conditional GET answered 304")
+        content.set(("""{"v":2}""", "\"etag-2\""))
+        q.processAllAvailable() // change ships exactly one new batch
+        assert(got.asScala.toSeq.sorted === Seq("""{"v":1}""", """{"v":2}"""))
+      }
+      // restart with unchanged content: the offset log's validators make the
+      // first re-poll a 304 — nothing re-ships
+      val before = conditionalHits.get()
+      got.clear()
+      run { q =>
+        q.processAllAvailable()
+        assert(got.isEmpty, "restart must not re-ship unchanged content")
+        assert(conditionalHits.get() > before)
+      }
+    } finally server.stop(0)
+  }
+
+  test("change-detection on a VALIDATOR-LESS endpoint falls back to the " +
+    "body hash: identical bodies never re-ship") {
+    val content = new AtomicReference[String]("line-a\nline-b")
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/raw", { exchange =>
+      val b = content.get().getBytes("UTF-8")
+      exchange.sendResponseHeaders(200, b.length)
+      exchange.getResponseBody.write(b)
+      exchange.close()
+    })
+    server.start()
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}/raw"
+    try {
+      val q = spark.readStream.format("graft-http").option("url", url).load()
+        .writeStream.format("memory").queryName("http_hash").start()
+      try {
+        import spark.implicits._
+        q.processAllAvailable()
+        q.processAllAvailable() // same body → same hash → no second batch
+        assert(spark.table("http_hash").as[String].collect().sorted.toSeq ===
+          Seq("line-a", "line-b"))
+        content.set("line-a\nline-c")
+        q.processAllAvailable()
+        assert(spark.table("http_hash").as[String].collect().sorted.toSeq ===
+          Seq("line-a", "line-a", "line-b", "line-c"))
+      } finally q.stop()
+    } finally server.stop(0)
+  }
+
+  test("OAuth2 client-credentials ride the poll path: every feed GET " +
+    "carries the cached bearer token") {
+    // token endpoint: one grant POST → a long-lived token
+    val tokenHits = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/token", { exchange =>
+      tokenHits.incrementAndGet()
+      val b = """{"access_token":"tok-abc","expires_in":3600}""".getBytes("UTF-8")
+      exchange.getResponseHeaders.set("Content-Type", "application/json")
+      exchange.sendResponseHeaders(200, b.length)
+      exchange.getResponseBody.write(b)
+      exchange.close()
+    })
+    server.start()
+    withFeed() { feed =>
+      try {
+        feed.add(0, 3)
+        val q = reader(feed.url, Map(
+          "oauthTokenUrl" -> s"http://127.0.0.1:${server.getAddress.getPort}/token",
+          "oauthClientId" -> "cid", "oauthClientSecret" -> "sec"))
+          .writeStream.format("memory").queryName("http_oauth").start()
+        try {
+          q.processAllAvailable()
+          assert(ids(spark.table("http_oauth").collect()) === (0L until 3L))
+          assert(feed.lastAuth.get() === "Bearer tok-abc")
+          assert(tokenHits.get() === 1, "token must be cached across polls")
+        } finally q.stop()
+      } finally server.stop(0)
+    }
+  }
+
+  test("transient 5xx heals inside a poll via the retry budget; the row " +
+    "budget's end mark keeps ties (nth-mark semantics)") {
+    // 5xx-then-heal: first 2 requests 503, then normal feed
+    val failures = new AtomicInteger(2)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/flaky", { exchange =>
+      if (failures.getAndDecrement() > 0) exchange.sendResponseHeaders(503, -1)
+      else {
+        val b = (0 until 3).map(i => s"""{"id":$i}""").mkString("\n").getBytes("UTF-8")
+        exchange.sendResponseHeaders(200, b.length)
+        exchange.getResponseBody.write(b)
+      }
+      exchange.close()
+    })
+    server.start()
+    try {
+      val opts = HttpStream.Opts(new CaseInsensitiveStringMap(java.util.Map.of(
+        "url", s"http://127.0.0.1:${server.getAddress.getPort}/flaky",
+        "cursorField", "id", "attempts", "5")))
+      val stream = new GraftHttpCursorStream(opts) {
+        override protected def retrySleep: Long => Unit = _ => ()
+      }
+      val end = stream.latestOffset(HttpCursorOffset(Long.MinValue / 2),
+        ReadLimit.allAvailable())
+      assert(end.asInstanceOf[HttpCursorOffset].mark === 2L)
+    } finally server.stop(0)
+  }
+}
