@@ -263,11 +263,20 @@ final class GraftS3FileSystem extends FileSystem {
       http.copyObjectAuto(from, to, size, singleCopyMax)
       http.deleteObject(from)
     }
-    if (st.isDirectory)
-      http.listAllWithSize(childPrefix(srcKey), "").foreach { case (k, sz) =>
-        moveOne(k, effDst + k.stripPrefix(srcKey), sz)
+    if (st.isDirectory) {
+      // copy EVERY child first, then one batched source delete: a copy
+      // failure mid-directory leaves all sources intact (rethrow before
+      // any delete), and the cleanup pays ⌈n/1000⌉ round-trips
+      val children = http.listAllWithSize(childPrefix(srcKey), "")
+      children.foreach { case (k, sz) =>
+        http.copyObjectAuto(k, effDst + k.stripPrefix(srcKey), sz, singleCopyMax)
       }
-    else moveOne(srcKey, effDst, st.getLen)
+      val failed = http.deleteObjects(children.map(_._1))
+      if (failed.nonEmpty)
+        throw new java.io.IOException(
+          s"graft-s3: rename of $src copied but left ${failed.length} sources: " +
+            failed.take(5).map { case (k, c, m) => s"$k ($c: $m)" }.mkString("; "))
+    } else moveOne(srcKey, effDst, st.getLen)
     true
   }
 
@@ -282,7 +291,14 @@ final class GraftS3FileSystem extends FileSystem {
       // delete of a marker-only (listStatus-empty) directory must succeed
       if (children.exists(_._1 != childPrefix(key)) && !recursive)
         throw new java.io.IOException(s"graft-s3: $f is a non-empty directory")
-      children.foreach { case (k, _) => http.deleteObject(k) }
+      // batch DeleteObjects: a 10k-file committer cleanup pays ⌈n/1000⌉
+      // round-trips, not n; partial failures surface per key
+      val failed = http.deleteObjects(children.map(_._1))
+      if (failed.nonEmpty)
+        throw new java.io.IOException(
+          s"graft-s3: delete of $f left ${failed.length} objects: " +
+            failed.take(5).map { case (k, c, m) => s"$k ($c: $m)" }.mkString("; ") +
+            (if (failed.length > 5) " …" else ""))
     } else http.deleteObject(key)
     true
   }

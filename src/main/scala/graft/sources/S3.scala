@@ -177,6 +177,20 @@ object S3 {
       client.send(req, HttpResponse.BodyHandlers.ofByteArray())
     }
 
+    /** Hardened XML parse for NETWORK-peer responses: a hostile or
+      * MITM'd endpoint must not get entity expansion (XXE file reads)
+      * or doctype tricks out of our response parsing. */
+    private def hardenedXml(bytes: Array[Byte]): org.w3c.dom.Document = {
+      val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+      dbf.setExpandEntityReferences(false)
+      dbf.setXIncludeAware(false)
+      dbf.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(bytes))
+    }
+
+    private def xmlEscape(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
     /** One ListObjectsV2 page (the REAL wire shape: `list-type=2`,
       * `prefix`, `start-after`, `max-keys`, `continuation-token`, and
       * optionally `delimiter` — which rolls same-level sub-prefixes up
@@ -195,15 +209,7 @@ object S3 {
       val resp = request("GET", "", query, null, Nil)
       if (resp.statusCode() != 200)
         throw new S3HttpError(resp.statusCode(), "", new String(resp.body(), UTF_8))
-      // hardened parser: the XML comes from a NETWORK peer — a hostile or
-      // MITM'd endpoint must not get entity expansion (XXE file reads) or
-      // doctype tricks out of our listing parse
-      val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-      dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-      dbf.setExpandEntityReferences(false)
-      dbf.setXIncludeAware(false)
-      val doc = dbf.newDocumentBuilder()
-        .parse(new java.io.ByteArrayInputStream(resp.body()))
+      val doc = hardenedXml(resp.body())
       def elements(tag: String): Seq[org.w3c.dom.Element] = {
         val nl = doc.getElementsByTagName(tag)
         (0 until nl.getLength).map(nl.item(_).asInstanceOf[org.w3c.dom.Element])
@@ -260,6 +266,46 @@ object S3 {
       val resp = request("DELETE", key, Nil, null, Nil)
       if (resp.statusCode() / 100 != 2 && resp.statusCode() != 404)
         throw new S3HttpError(resp.statusCode(), key, new String(resp.body(), UTF_8))
+    }
+
+    /** Batch DeleteObjects (`POST /?delete`): up to 1000 keys per
+      * round-trip — a committer cleanup or compaction GC of a 10k-file
+      * directory pays ⌈n/1000⌉ requests instead of n. Quiet mode, so the
+      * response carries only per-key FAILURES, returned as
+      * (key, code, message) for the caller to surface (an empty result =
+      * every key gone). `Content-MD5` over the XML manifest rides signed,
+      * as the real API requires — the delete list is the one request
+      * body a corrupted byte turns destructive. */
+    def deleteObjects(keys: Seq[String]): Seq[(String, String, String)] = {
+      val errors = Seq.newBuilder[(String, String, String)]
+      keys.grouped(1000).foreach { batch =>
+        val xml = new StringBuilder(
+          """<?xml version="1.0" encoding="UTF-8"?>""" +
+            """<Delete xmlns="http://s3.amazonaws.com/doc/2006-03-01/">""" +
+            "<Quiet>true</Quiet>")
+        batch.foreach(k => xml.append("<Object><Key>")
+          .append(xmlEscape(k)).append("</Key></Object>"))
+        xml.append("</Delete>")
+        val body = xml.toString.getBytes(UTF_8)
+        val md5 = java.util.Base64.getEncoder.encodeToString(
+          java.security.MessageDigest.getInstance("MD5").digest(body))
+        val resp = request("POST", "", Seq("delete" -> ""), body,
+          Seq("content-md5" -> md5))
+        if (resp.statusCode() != 200)
+          throw new S3HttpError(resp.statusCode(), s"(batch of ${batch.length})",
+            new String(resp.body(), UTF_8))
+        val doc = hardenedXml(resp.body())
+        val nl = doc.getElementsByTagName("Error")
+        (0 until nl.getLength).foreach { i =>
+          val el = nl.item(i).asInstanceOf[org.w3c.dom.Element]
+          def t(tag: String) = {
+            val c = el.getElementsByTagName(tag)
+            if (c.getLength == 0) "" else c.item(0).getTextContent
+          }
+          errors += ((t("Key"), t("Code"), t("Message")))
+        }
+      }
+      errors.result()
     }
 
     /** Ranged GetObject — `Range: bytes=start..start+len-1` (RFC 9110

@@ -443,4 +443,110 @@ class GraftS3FsSpec extends SparkSpec {
       } finally hc.unset("fs.graft-s3.multipart.part.size")
     } finally s.close()
   }
+
+  test("BATCH DeleteObjects: a many-object directory delete issues " +
+    "⌈n/1000⌉ `POST /?delete` round-trips (never n single DELETEs), and " +
+    "per-key failures surface instead of vanishing") {
+    val s = mounted()
+    try {
+      val n = 2345
+      (0 until n).foreach(i => s.seed(f"gc/part-$i%05d.bin", Array[Byte](1, 2, 3)))
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        java.net.URI.create("graft-s3://spark-bucket/"),
+        spark.sparkContext.hadoopConfiguration)
+      assert(fs.delete(new org.apache.hadoop.fs.Path(
+        "graft-s3://spark-bucket/gc"), true))
+      assert(s.objectCount === 0)
+      assert(s.batchDeletesServed === 3, // ⌈2345/1000⌉
+        s"batch=${s.batchDeletesServed}")
+      assert(s.singleDeletesServed === 0,
+        "directory cleanup must not fall back to per-key DELETEs")
+
+      // PARTIAL FAILURE: refused keys come back as per-key <Error> entries;
+      // the FS surfaces them as an IOException naming the survivors
+      (0 until 10).foreach(i => s.seed(s"gc2/f$i.bin", Array[Byte](9)))
+      s.failDeleteKeys = Set("gc2/f3.bin", "gc2/f7.bin")
+      val e = intercept[java.io.IOException] {
+        fs.delete(new org.apache.hadoop.fs.Path("graft-s3://spark-bucket/gc2"), true)
+      }
+      assert(e.getMessage.contains("gc2/f3.bin") && e.getMessage.contains("2 objects"),
+        e.getMessage)
+      // everything NOT refused is gone; the refused keys survive
+      assert(s.keys.sorted === Seq("gc2/f3.bin", "gc2/f7.bin"))
+      s.failDeleteKeys = Set.empty
+    } finally s.close()
+  }
+
+  test("directory rename copies ALL children before any source delete " +
+    "(one batched cleanup): a mid-directory copy failure leaves every " +
+    "source object intact") {
+    val s = mounted()
+    try {
+      val cfg = S3.S3Config(s.endpoint, "spark-bucket", "AKIDEXAMPLE", "graft-secret")
+      val http = new S3.S3Http(cfg)
+      (0 until 7).foreach(i =>
+        http.putObject(s"mv/src/f$i.bin", Array.fill[Byte](100)(i.toByte)))
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        java.net.URI.create("graft-s3://spark-bucket/"),
+        spark.sparkContext.hadoopConfiguration)
+      val before = s.batchDeletesServed
+      assert(fs.rename(new org.apache.hadoop.fs.Path("graft-s3://spark-bucket/mv/src"),
+        new org.apache.hadoop.fs.Path("graft-s3://spark-bucket/mv/dst")))
+      assert(s.batchDeletesServed === before + 1, "sources must delete as ONE batch")
+      assert(s.keys.count(_.startsWith("mv/dst/")) === 7)
+      assert(!s.keys.exists(_.startsWith("mv/src/")))
+    } finally s.close()
+  }
+
+  test("deleteObjects protocol edges: Content-MD5 rides every manifest " +
+    "(the server verifies it), absent keys delete idempotently, and the " +
+    "1000-key request cap is never exceeded from the client side") {
+    val s = mounted()
+    try {
+      val cfg = S3.S3Config(s.endpoint, "spark-bucket", "AKIDEXAMPLE", "graft-secret")
+      val http = new S3.S3Http(cfg)
+      // absent keys: S3 deletes idempotently — no error entries
+      assert(http.deleteObjects(Seq("ghost/a", "ghost/b")).isEmpty)
+      // a key needing XML escaping survives the manifest round-trip
+      s.seed("esc/a&b<c>.bin", Array[Byte](1))
+      assert(http.deleteObjects(Seq("esc/a&b<c>.bin")).isEmpty)
+      assert(s.get("esc/a&b<c>.bin").isEmpty)
+      // 1001 keys split into two requests client-side (server would 400)
+      val before = s.batchDeletesServed
+      assert(http.deleteObjects((0 until 1001).map(i => s"bulk/$i")).isEmpty)
+      assert(s.batchDeletesServed === before + 2)
+    } finally s.close()
+  }
+
+  test("mtime-dependent consumer e2e: a streaming file source with " +
+    "maxFileAge over graft-s3:// expires objects by the listing's REAL " +
+    "LastModified — old objects never ship, fresh ones do") {
+    val s = mounted()
+    try {
+      val now = System.currentTimeMillis()
+      // the first batch admits everything (Spark's documented maxFileAge
+      // contract); the age gate applies to files DISCOVERED later
+      s.seed("ages/first.ndjson", "first-1".getBytes("UTF-8"), mtime = now)
+      val q = spark.readStream
+        .option("maxFileAge", "10m")
+        .text("graft-s3://spark-bucket/ages")
+        .writeStream.format("memory").queryName("s3_ages").start()
+      try {
+        q.processAllAvailable()
+        import spark.implicits._
+        assert(spark.table("s3_ages").as[String].collect().toSeq === Seq("first-1"))
+        // a stale object (backfill copy, delayed replication) lands next to
+        // a fresh one: only the fresh one may ship, decided by the REAL
+        // LastModified the listing carries (epoch-0 mtimes would admit both)
+        s.seed("ages/old.ndjson", "old-1\nold-2".getBytes("UTF-8"),
+          mtime = now - 3600L * 1000) // an hour stale
+        s.seed("ages/new.ndjson", "new-1\nnew-2".getBytes("UTF-8"),
+          mtime = now + 1000)
+        q.processAllAvailable()
+        val got = spark.table("s3_ages").as[String].collect().sorted.toSeq
+        assert(got === Seq("first-1", "new-1", "new-2"),
+          s"maxFileAge must expire the stale object via its LastModified: $got")
+      } finally q.stop()
+    } finally s.close()
+  }
 }

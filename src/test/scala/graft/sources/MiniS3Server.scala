@@ -59,6 +59,11 @@ final class MiniS3Server(bucket: String, port: Int = 0,
   private val listCalls = new AtomicLong(0)
   private val rangeGets = new AtomicLong(0)
   private val fullGets = new AtomicLong(0)
+  private val batchDeletes = new AtomicLong(0)
+  private val singleDeletes = new AtomicLong(0)
+  /** Keys the next batch deletes refuse (per-key `<Error>` entries in the
+    * DeleteResult) — partial-failure injection. */
+  @volatile var failDeleteKeys: Set[String] = Set.empty
 
   def failNextPuts(n: Int, status: Int = 500): Unit = {
     failStatus = status
@@ -72,12 +77,22 @@ final class MiniS3Server(bucket: String, port: Int = 0,
   def objectCount: Int = objects.size()
   def keys: Seq[String] = objects.keySet().asScala.toSeq
   def get(key: String): Option[Stored] = Option(objects.get(key))
+  /** Direct fixture seeding (skips n round-trips when a test needs a
+    * many-thousand-object directory). */
+  def seed(key: String, bytes: Array[Byte],
+           mtime: Long = System.currentTimeMillis()): Unit =
+    objects.put(key,
+      Stored(bytes, "application/octet-stream", "", Map.empty, "", mtime))
   /** UploadPart calls served (distinct from whole-object puts). */
   def partPutsServed: Long = partPuts.get()
   /** Server-side CopyObject calls served. */
   def copiesServed: Long = copyCalls.get()
   /** In-flight (neither completed nor aborted) multipart uploads. */
   def pendingUploads: Int = uploads.size()
+  /** Batch DeleteObjects (`POST /?delete`) requests served. */
+  def batchDeletesServed: Long = batchDeletes.get()
+  /** Single-key DELETE requests served. */
+  def singleDeletesServed: Long = singleDeletes.get()
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   def boundPort: Int = server.getAddress.getPort
@@ -151,6 +166,8 @@ final class MiniS3Server(bucket: String, port: Int = 0,
         val key = path.stripPrefix(s"/$bucket").stripPrefix("/")
         val q = queryParams(ex)
         (ex.getRequestMethod, key) match {
+          case ("POST", "") if q.contains("delete") =>
+            batchDelete(ex, body)
           case ("POST", k) if k.nonEmpty && q.contains("uploads") =>
             initiateMultipart(ex, k)
           case ("POST", k) if k.nonEmpty && q.contains("uploadId") =>
@@ -231,6 +248,7 @@ final class MiniS3Server(bucket: String, port: Int = 0,
                 else Nil)
             }
           case ("DELETE", k) if k.nonEmpty =>
+            singleDeletes.incrementAndGet()
             objects.remove(k); respond(ex, 204, Array.emptyByteArray)
           case _ => xmlError("MethodNotAllowed", 405, ex)
         }
@@ -251,6 +269,38 @@ final class MiniS3Server(bucket: String, port: Int = 0,
   private def md5Quoted(b: Array[Byte]): String =
     "\"" + java.security.MessageDigest.getInstance("MD5").digest(b)
       .map("%02x".format(_)).mkString + "\""
+
+  /** Batch DeleteObjects: the real `POST /?delete` contract — Content-MD5
+    * over the manifest is REQUIRED and verified (a corrupted delete list
+    * is the one body you never act on), at most 1000 keys per request,
+    * and in Quiet mode the DeleteResult lists only per-key failures. */
+  private def batchDelete(ex: HttpExchange, body: Array[Byte]): Unit = {
+    batchDeletes.incrementAndGet()
+    val declaredMd5 = Option(ex.getRequestHeaders.getFirst("Content-MD5")).getOrElse("")
+    if (declaredMd5.isEmpty) { xmlError("MissingContentMD5", 400, ex); return }
+    val actual = java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("MD5").digest(body))
+    if (declaredMd5 != actual) { xmlError("BadDigest", 400, ex); return }
+    val doc =
+      try javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        .newDocumentBuilder().parse(new java.io.ByteArrayInputStream(body))
+      catch { case _: Exception => xmlError("MalformedXML", 400, ex); return }
+    val nl = doc.getElementsByTagName("Key")
+    val keys = (0 until nl.getLength).map(nl.item(_).getTextContent)
+    if (keys.length > 1000) { xmlError("MalformedXML", 400, ex); return }
+    val refuse = failDeleteKeys
+    val errs = new StringBuilder
+    keys.foreach { k =>
+      if (refuse.contains(k))
+        errs.append(s"<Error><Key>$k</Key><Code>AccessDenied</Code>" +
+          "<Message>injected failure</Message></Error>")
+      else objects.remove(k)
+    }
+    respond(ex, 200,
+      (s"""<?xml version="1.0" encoding="UTF-8"?><DeleteResult>""" +
+        errs.toString + "</DeleteResult>").getBytes(UTF_8),
+      Seq("Content-Type" -> "application/xml"))
+  }
 
   private def initiateMultipart(ex: HttpExchange, key: String): Unit = {
     val id = s"mpu-${uploadSeq.incrementAndGet()}-${java.util.UUID.randomUUID()}"
