@@ -102,25 +102,41 @@ object Bench {
       }
       perFile.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
     }
+    // canary FIRST: the fixed-work hash-throughput query, this run vs its
+    // recorded minimum — a high ratio says THE BOX is slow, and every
+    // per-query ratio below is read through it (r13 verdict item 5: two
+    // rounds running, the raw 2x gate tripped only on machine allocation)
+    val canaryRatio = for {
+      v <- results.get("t7_hash_throughput")
+      b <- baseline.get("t7_hash_throughput") if b > 0
+    } yield v / b
+    // the divisor never flatters: a SLOW box (canary > 1) discounts
+    // apparent regressions, but a fast box must not amplify noise into
+    // phantom flags, so it clamps at 1
+    val canaryDiv = math.max(canaryRatio.getOrElse(1.0), 1.0)
     val rechecked = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries
       .filter { case (name, _) => results.contains(name) }
       .foreach { case (name, fn) =>
         baseline.get(name).foreach { b =>
-          if (results(name) > 2.0 * b) {
-            System.err.println(f"[bench] re-checking $name: ${results(name)}%.3f vs baseline $b%.3f")
+          // the gate reads the CANARY-NORMALIZED ratio (raw still ships
+          // in the artifact): >2x the baseline after discounting box speed
+          if (results(name) / canaryDiv > 2.0 * b) {
+            System.err.println(f"[bench] re-checking $name: ${results(name)}%.3f " +
+              f"vs baseline $b%.3f (canary $canaryDiv%.2f)")
             rechecked(name) = results(name)
             val again = median(name, fn, recordCold = false)
             if (again >= 0) results(name) = math.min(results(name), again)
           }
         }
       }
-    // canary: the fixed-work hash-throughput query, this run vs recorded —
-    // a high ratio says THE BOX is slow, discounting same-run "regressions"
-    val canaryRatio = for {
-      v <- results.get("t7_hash_throughput")
-      b <- baseline.get("t7_hash_throughput") if b > 0
-    } yield v / b
+    // both ratio columns per baselined query: raw (value / historical
+    // minimum) and normalized (raw / canary) — the normalized one is the
+    // gate, the raw one the committed record
+    val ratios = results.toSeq.flatMap { case (name, v) =>
+      baseline.get(name).filter(_ > 0).map(b => name -> v / b)
+    }
+    val ratiosNorm = ratios.map { case (name, r) => name -> r / canaryDiv }
     // The driver tail-captures process output and parses the last JSON
     // line. Two things broke that historically: (a) r3's line (55 queries x
     // warm+cold at full double precision) overflowed the capture window —
@@ -136,9 +152,20 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     System.err.println(s"""[bench] cold=${fmt(cold)}""")
     val canaryJson = canaryRatio.map(r => s3(r)).getOrElse("null")
+    val normOver2 = ratiosNorm.count(_._2 > 2.0)
     val fullJson = s"""{"metric":"total","value":${s3(total)},"unit":"sec",""" +
       s""""queries":${fmt(results)},"canary_ratio":$canaryJson,""" +
+      s""""normalized_over_2x":$normOver2,"ratio_file":"bench_ratios.json",""" +
       s""""rechecked":${fmt(rechecked)},"sf":"$sfDir"}"""
+    // ratio columns live in their OWN artifact: the baseline reader above
+    // regex-scans BENCH_r*/bench_full.json for "<q>":<num> pairs, and a
+    // ratios map inside those files would min() ~1.0 "timings" into every
+    // future baseline. bench_ratios.json is outside its name filter.
+    val ratioJson = s"""{"canary_ratio":$canaryJson,""" +
+      s""""gate":"normalized = (value / historical_min) / max(canary_ratio, 1)",""" +
+      s""""normalized_over_2x":$normOver2,""" +
+      s""""ratios":${fmt(ratios)},"ratios_normalized":${fmt(ratiosNorm)},""" +
+      s""""sf":"$sfDir"}"""
     // The driver tail-captures the LAST 2000 chars of output and
     // json-parses the final line; ~180 queries no longer fit (r8+ artifacts
     // carry parsed:null and a truncated tail). So: the COMPLETE result is
@@ -149,11 +176,15 @@ object Bench {
     // subset runs (dev spot-checks) must not clobber the committed
     // full-run artifact
     if (only.isEmpty)
-      try java.nio.file.Files.writeString(
-        java.nio.file.Path.of("bench_full.json"), fullJson + "\n")
-      catch { case e: Throwable => System.err.println(s"[bench] full dump failed: $e") }
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Path.of("bench_full.json"), fullJson + "\n")
+        java.nio.file.Files.writeString(
+          java.nio.file.Path.of("bench_ratios.json"), ratioJson + "\n")
+      } catch { case e: Throwable => System.err.println(s"[bench] full dump failed: $e") }
     val fixed = s"""{"metric":"total","value":${s3(total)},"unit":"sec",""" +
-      s""""canary_ratio":$canaryJson,"rechecked":${fmt(rechecked)},""" +
+      s""""canary_ratio":$canaryJson,"normalized_over_2x":$normOver2,""" +
+      s""""rechecked":${fmt(rechecked)},""" +
       s""""full":"bench_full.json","sf":"$sfDir","queries":"""
     val budget = 1900 - fixed.length - 2
     val slowestFirst = results.toSeq.sortBy(-_._2)
