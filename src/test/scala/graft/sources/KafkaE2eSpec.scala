@@ -524,6 +524,68 @@ class KafkaE2eSpec extends SparkSpec {
     } finally cluster.close()
   }
 
+  test("MID-STREAM leader failover: partition leadership moves WHILE a " +
+    "graft-kafka streaming query runs — epochs before, across, and after " +
+    "the move ship checkpointed exactly-once (no loss, no duplication), " +
+    "and a RESTART after a further move resumes from the offset log") {
+    val cluster = new TwoBrokerCluster(Map("fo" -> 2))
+    try {
+      val boot = ("127.0.0.1", cluster.b0.boundPort)
+      import spark.implicits._
+      def produce(lo: Int, hi: Int): Unit =
+        Kafka.write(Sources.encodeKafka(
+          (lo until hi).map(i => (s"u${i % 7}", i.toLong)).toDF("user_id", "n"),
+          "{user_id}"), boot, "fo")
+      produce(0, 20)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-fock").toString
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      def start() = spark.readStream.format("graft-kafka")
+        .option("host", boot._1).option("port", boot._2.toString)
+        .option("topic", "fo")
+        .load()
+        .selectExpr("cast(value as string) as v")
+        .writeStream
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+          df.collect().foreach(r => got.add(
+            r.getAs[String]("v").replaceAll(".*\"n\":(\\d+).*", "$1").toLong))
+          ()
+        })
+        .option("checkpointLocation", ckpt)
+        .start()
+      import scala.jdk.CollectionConverters._
+      val q = start()
+      try {
+        q.processAllAvailable()
+        assert(got.asScala.toSeq.sorted === (0L until 20L))
+        // FLIP BOTH partitions' leadership while the query RUNS: the
+        // driver's cached poll client and the next epoch's task readers
+        // both hold stale routing — NOT_LEADER must refresh + re-route
+        // inside the running stream, not surface as a query failure
+        cluster.moveLeader("fo", 0, 1)
+        cluster.moveLeader("fo", 1, 0)
+        produce(20, 40)
+        q.processAllAvailable()
+        assert(got.asScala.toSeq.sorted === (0L until 40L),
+          s"failover lost/duplicated records: ${got.asScala.toSeq.sorted}")
+        // move ONE partition back mid-stream (split leadership) — still clean
+        cluster.moveLeader("fo", 0, 0)
+        produce(40, 50)
+        q.processAllAvailable()
+        assert(got.asScala.toSeq.sorted === (0L until 50L))
+      } finally q.stop()
+      // leadership moves again while the query is DOWN; the restart must
+      // resume from the checkpointed offsets against the NEW leader map
+      cluster.moveLeader("fo", 1, 1)
+      produce(50, 60)
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        assert(got.asScala.toSeq.sorted === (0L until 60L),
+          s"restart across failover: ${got.asScala.toSeq.sorted}")
+      } finally q2.stop()
+    } finally cluster.close()
+  }
+
   test("hostile record framing: field lengths past the record's declared " +
     "length throw instead of silently reading the next record's bytes") {
     // record 0 claims a 64-byte value but frames only 2 of it; record 1 is
