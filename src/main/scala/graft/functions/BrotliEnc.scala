@@ -25,15 +25,17 @@ package graft.functions
   *    incompressible payloads pay bytes of overhead, not blowup.
   *
   * Density vs the reference encoder on the committed golden corpus
-  * (bytes, reference at its vector's quality): english 99 vs 130 (q9 —
+  * (bytes, reference at its vector's quality): english 83 vs 130 (q9 —
   * we BEAT it) and 64 vs 54 (q11), utf8 32 vs 36 (q11 — beat), hello
   * 25 vs 28-40 (beat), repeat 31 vs 29 (q7), random 4101 vs 4100,
-  * ndjson 1010 vs 570 (q5 — the residual gap is context modeling,
-  * which an egress seal doesn't need at <2x). The static-dictionary
+  * ndjson 782 vs 570 (q5, 1.37x — the residual gap is context
+  * modeling, which an egress seal doesn't need). The static-dictionary
   * matcher (identity transform, 4-byte-prefix index over the 13.5k
   * Appendix A words of length >= 6) is what closes the text gap: a
   * word's FIRST occurrence rides the dictionary, later ones the
-  * window.
+  * window; r14's one-step LAZY matching and §4 ring short codes 1-15
+  * (repeated-key distances as one zero-extra-bit symbol) took ndjson
+  * 1010 → 782 and english_q9 99 → 83 with no corpus regressions.
   *
   * Correctness is locked differentially BOTH ways: every encoder output
   * must round-trip byte-exact through [[Brotli.decode]] (BrotliEncSpec:
@@ -487,8 +489,49 @@ object BrotliEnc {
     (v * 0x9e3779b1) >>> (32 - HashBits)
   }
 
-  /** Greedy parse of `data[from, until)` against the whole window
-    * `data[0, until)` (copies may reach into previous meta-blocks). */
+  /** Best match at `i`: (length, distance, isDict), zeros when none.
+    * `insert` controls whether this probe registers `i` in the hash
+    * table — the lazy peek must NOT, or the deferred position would
+    * find only itself on its real probe. */
+  private def findMatch(data: Array[Byte], i: Int, until: Int,
+                        maxBackward: Long, table: Array[Int],
+                        insert: Boolean): (Int, Int, Boolean) = {
+    var matched = 0
+    var matchDist = 0
+    var matchDict = false
+    if (i + MinMatch <= until) {
+      val h = hash4(data, i)
+      val cand = table(h)
+      if (insert) table(h) = i
+      if (cand >= 0 && cand < i && (i - cand).toLong <= maxBackward) {
+        var l = 0
+        val maxL = until - i
+        while (l < maxL && data(cand + l) == data(i + l)) l += 1
+        if (l >= MinMatch) { matched = l; matchDist = i - cand }
+      }
+      // static dictionary (§8): only when it beats the window match —
+      // the word's first occurrence; later ones ride the window
+      if (matched < 24) {
+        val dm = dictMatch(data, i, until)
+        if (dm != 0 && (dm >> 16) > matched) {
+          matched = dm >> 16
+          matchDict = true
+          // §8 address with transform id 0: maxDistance + 1 + wordIdx
+          val maxDistance = math.min(i.toLong, maxBackward)
+          matchDist = (maxDistance + 1 + (dm & 0xffff)).toInt
+        }
+      }
+    }
+    (matched, matchDist, matchDict)
+  }
+
+  /** Lazy parse of `data[from, until)` against the whole window
+    * `data[0, until)` (copies may reach into previous meta-blocks):
+    * greedy hash-chain matching with ONE-STEP deferral — if the next
+    * position starts a strictly longer match, this position ships as a
+    * literal instead (the reference encoder's quality-5 lazy shape;
+    * worth ~10% on row-structured text where field boundaries misalign
+    * the greedy first match). */
   private def parse(data: Array[Byte], from: Int, until: Int,
                     maxBackward: Long, table: Array[Int]): Vector[Cmd] = {
     val cmds = Vector.newBuilder[Cmd]
@@ -496,33 +539,21 @@ object BrotliEnc {
     var litFrom = from
     var i = from
     while (i < until) {
-      var matched = 0
-      var matchDist = 0
-      var matchDict = false
-      if (i + MinMatch <= until) {
-        val h = hash4(data, i)
-        val cand = table(h)
-        table(h) = i
-        if (cand >= 0 && cand < i && (i - cand).toLong <= maxBackward) {
-          var l = 0
-          val maxL = until - i
-          while (l < maxL && data(cand + l) == data(i + l)) l += 1
-          if (l >= MinMatch) { matched = l; matchDist = i - cand }
-        }
-        // static dictionary (§8): only when it beats the window match —
-        // the word's first occurrence; later ones ride the window
-        if (matched < 24) {
-          val dm = dictMatch(data, i, until)
-          if (dm != 0 && (dm >> 16) > matched) {
-            matched = dm >> 16
-            matchDict = true
-            // §8 address with transform id 0: maxDistance + 1 + wordIdx
-            val maxDistance = math.min(i.toLong, maxBackward)
-            matchDist = (maxDistance + 1 + (dm & 0xffff)).toInt
-          }
-        }
-      }
+      var (matched, matchDist, matchDict) =
+        findMatch(data, i, until, maxBackward, table, insert = true)
       if (matched > 0) {
+        // defer while the NEXT position matches longer (repeats so a
+        // run of improving starts converges on the best one)
+        var deferring = true
+        while (deferring && i + 1 + MinMatch <= until) {
+          val (m2, d2, dict2) =
+            findMatch(data, i + 1, until, maxBackward, table, insert = false)
+          if (m2 > matched) {
+            i += 1 // data[i-1] rides as a literal; litFrom unchanged
+            table(hash4(data, i)) = i // the peek didn't register it
+            matched = m2; matchDist = d2; matchDict = dict2
+          } else deferring = false
+        }
         cmds += Cmd(litFrom, i - litFrom, matched, matchDist, matchDict)
         nCmds += 1
         // index positions inside the match (sparsely: every other one,
@@ -543,6 +574,28 @@ object BrotliEnc {
   // ======================================================================
   // distance codes (NPOSTFIX=0, NDIRECT=0 → alphabet 64)
   // ======================================================================
+
+  // §4 short codes 0..15: ring slot (as the +offset the decoder reads)
+  // and value delta — mirrors Brotli.ShortIdxOffset/ShortValueDelta
+  // exactly. One symbol, ZERO extra bits: on row-structured input
+  // (NDJSON's repeated-key shape) distances recur with ±small jitter,
+  // and a short code replaces a 16+ bit explicit distance.
+  private val ShortIdx = Array(3, 2, 1, 0, 3, 3, 3, 3, 3, 3, 2, 2, 2, 2, 2, 2)
+  private val ShortDelta = Array(0, 0, 0, 0, -1, 1, -2, 2, -3, 3, -1, 1, -2, 2, -3, 3)
+
+  /** Short code 0..15 reproducing `distance` from the current ring, or
+    * -1. Never for dictionary references: their "distance" is a §8
+    * address the decoder resolves via the ring-value-vs-maxDistance
+    * comparison, not a window distance. */
+  private def shortDistCode(distance: Int, rb: Array[Int], rbIdx: Int): Int = {
+    var k = 0
+    while (k < 16) {
+      val v = rb((rbIdx + ShortIdx(k)) & 3) + ShortDelta(k)
+      if (v == distance && v > 0) return k // decoder rejects non-positive
+      k += 1
+    }
+    -1
+  }
 
   /** (dcode, extra, extraBits) for an explicit window distance ≥ 1. */
   private def distCode(distance: Int): (Int, Int, Int) = {
@@ -606,13 +659,15 @@ object BrotliEnc {
         } else {
           val sym = cmdSymbol(insC, copyC, dist0 = false)
           cmdFreq(sym) += 1
+          val short = if (c.isDict) -1 else shortDistCode(c.distance, rb, rbIdx)
           val (dSym, dExtra, dExtraBits) =
-            if (c.distance == lastDist) (0, 0, 0) // short code 0: no push
+            if (short >= 0) (short, 0, 0) // ring hit: one symbol, no extra
             else distCode(c.distance)
           distFreq(dSym) += 1
           // ring discipline mirrors the decoder exactly: dictionary
           // references never enter the ring (§4 — the decoder's dict
           // branch skips the push), window copies push on dcode != 0
+          // (short codes 1..15 included)
           if (dSym != 0 && !c.isDict) { rb(rbIdx & 3) = c.distance; rbIdx += 1 }
           Resolved(sym, c.insert - InsOffset(insC), InsBits(insC),
             c.copyLen - CopyOffset(copyC), CopyBits(copyC),

@@ -1,0 +1,35 @@
+#!/usr/bin/env python3
+"""Emit the sf0.1 -> sf1 per-query ratio table for SCALING.md from two
+bench_full.json artifacts (same boot, same box).
+
+Usage: sf_ratio_table.py <bench_full_sf01.json> <bench_full_sf1.json> [threshold]
+
+Prints a markdown table of every query present in both runs, sorted by
+ratio descending, plus a summary line. Queries over `threshold` (default
+10.0 — the "super-linear per 10x data" gate) are flagged for adjudication.
+"""
+import json, sys
+
+a = json.load(open(sys.argv[1]))["queries"]
+b = json.load(open(sys.argv[2]))["queries"]
+thr = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
+
+rows = []
+for q, va in a.items():
+    if q in b and va > 0:
+        rows.append((q, va, b[q], b[q] / va))
+rows.sort(key=lambda r: -r[3])
+
+over = [r for r in rows if r[3] > thr]
+print(f"| query | sf0.1 s | sf1 s | ratio |")
+print(f"|---|---|---|---|")
+for q, va, vb, r in rows:
+    flag = " **FLAG**" if r > thr else ""
+    print(f"| {q} | {va:.3f} | {vb:.3f} | {r:.1f}x{flag} |")
+tot_a = sum(r[1] for r in rows)
+tot_b = sum(r[2] for r in rows)
+med = sorted(r[3] for r in rows)[len(rows) // 2]
+print(f"\nqueries={len(rows)} total sf0.1={tot_a:.1f}s sf1={tot_b:.1f}s "
+      f"aggregate={tot_b/tot_a:.2f}x median={med:.2f}x over_{thr:g}x={len(over)}")
+for q, va, vb, r in over:
+    print(f"ADJUDICATE {q}: {va:.3f} -> {vb:.3f} ({r:.1f}x)")
