@@ -96,7 +96,9 @@ object Backoff {
     * DE-correlated (full jitter exists to spread the herd); pass a fixed
     * seed only for reproducible tests. */
   def retry[A](attempts: Int = 5, baseMillis: Long = 100, capMillis: Long = 3000,
-               seed: Long = System.nanoTime(), sleep: Long => Unit = Thread.sleep)(op: () => A): A = {
+               seed: Long = System.nanoTime(), sleep: Long => Unit = Thread.sleep,
+               retriable: Throwable => Boolean = _ => true)(op: () => A): A = {
+    require(attempts > 0, s"retry attempts must be positive, got $attempts")
     val rnd = new scala.util.Random(seed)
     var last: Throwable = null
     var i = 0
@@ -105,6 +107,10 @@ object Backoff {
       catch {
         case e: Throwable =>
           last = e
+          // a PERMANENT failure (caller-classified: 404s, auth rejects,
+          // malformed requests) fails fast — backoff can't heal it, and
+          // retrying hammers the endpoint for nothing
+          if (!retriable(e)) throw e
           if (i < attempts - 1) {
             val expCap = math.min(capMillis, baseMillis * (1L << i))
             sleep(java.lang.Math.floorMod(rnd.nextLong(), math.max(1L, expCap)))

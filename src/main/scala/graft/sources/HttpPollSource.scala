@@ -93,8 +93,7 @@ object Http {
 
   private def pinnedClient(pinnedCertPath: String): HttpClient = {
     val pem = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(pinnedCertPath))
-    val contentKey = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(pem).map("%02x".format(_)).mkString
+    val contentKey = S3.sha256Hex(pem)
     // bound the cache: rotations (and any half-written PEM read mid-swap)
     // would otherwise accumulate one client per content hash forever —
     // stale entries drop to GC, which reclaims the JDK client's threads

@@ -129,7 +129,7 @@ object HttpStream {
           Option(o.get("oauthClientSecret")).getOrElse(""),
           Option(o.get("oauthScope")).filter(_.nonEmpty))
       }
-      Opts(url,
+      val parsed = Opts(url,
         Option(o.get("cursorField")).getOrElse(""),
         Option(o.get("cursorParam")).getOrElse("after"),
         Option(o.get("startingCursor")).getOrElse("earliest"),
@@ -140,6 +140,25 @@ object HttpStream {
         Option(o.get("attempts")).map(_.toInt).getOrElse(5),
         Option(o.get("timeoutMillis")).map(_.toLong).getOrElse(10000L),
         headers, Option(o.get("pinnedCertPath")).filter(_.nonEmpty), oauth)
+      // misconfigurations fail at load, loudly — a pagesPerPoll=0 stream
+      // would otherwise run "healthy" forever shipping zero rows, and a
+      // typo'd format would silently parse a JSON array as one NDJSON line
+      require(parsed.pagesPerPoll > 0,
+        s"graft-http: pagesPerPoll must be positive, got ${parsed.pagesPerPoll}")
+      require(parsed.numPartitions > 0,
+        s"graft-http: numPartitions must be positive, got ${parsed.numPartitions}")
+      require(parsed.attempts > 0,
+        s"graft-http: attempts must be positive, got ${parsed.attempts}")
+      require(parsed.maxRecordsPerPoll.forall(_ > 0),
+        s"graft-http: maxRecordsPerPoll must be positive")
+      require(parsed.format == "ndjson" || parsed.format == "jsonarray",
+        s"graft-http: format must be ndjson|jsonarray, got '${parsed.format}'")
+      require(parsed.startingCursor.toLowerCase == "earliest" ||
+        parsed.startingCursor.toLowerCase == "latest" ||
+        parsed.startingCursor.matches("-?\\d+"),
+        s"graft-http: startingCursor must be earliest|latest|<long>, " +
+          s"got '${parsed.startingCursor}'")
+      parsed
     }
   }
 
@@ -190,10 +209,19 @@ private[sources] trait HttpStreamFetch {
     opts.headers ++ oauthClient.fold(Map.empty[String, String])(_.authHeader()) ++ extra
 
   /** One GET with retries; non-2xx (other than the allowed set) throws
-    * inside the retry loop so transient 5xx heal (`serve.go` retry). */
+    * inside the retry loop so transient failures heal (`serve.go`
+    * retry). Only TRANSIENT statuses retry — 5xx, 408 (request
+    * timeout), 429 (rate limit) — plus transport IOExceptions; a
+    * permanent 4xx (bad URL, rejected auth) fails the first time
+    * instead of burning the whole jittered budget per trigger. */
   protected def fetchRetry(url: String, extra: Map[String, String] = Map.empty,
                            allow: Int => Boolean = s => s >= 200 && s < 300): Http.Resp =
-    Backoff.retry(attempts = opts.attempts, sleep = retrySleep) { () =>
+    Backoff.retry(attempts = opts.attempts, sleep = retrySleep,
+      retriable = {
+        case se: Http.StatusException =>
+          se.status >= 500 || se.status == 408 || se.status == 429
+        case _ => true // transport errors (connect reset, timeout)
+      }) { () =>
       val r = Http.getFull(url, requestHeaders(extra), opts.timeoutMillis,
         opts.pinnedCertPath)
       if (!allow(r.status)) throw new Http.StatusException(r.status, url)
@@ -223,16 +251,28 @@ private[sources] class GraftHttpCursorStream(val opts: HttpStream.Opts)
   // only — replaced each poll, so memory is bounded by one poll's records.
   @volatile private var cached: (Long, Long, Array[String]) = _
 
+  // records already fetched PAST an admission-capped epoch's end mark:
+  // the next poll starting exactly at that end consumes them instead of
+  // re-fetching — without this, draining an n-record backlog under a
+  // small budget re-transfers each page once per epoch it spans
+  // (O(n²/pageSize) bytes). Bounded by one poll's fetch.
+  @volatile private var pendingPast: (Long, Vector[(Long, String)]) = _
+
   /** Chained page walk from `from`: GET with cursor=mark, keep records
-    * whose mark advances, follow with cursor=new max, up to `pages`
-    * pages or until a page adds nothing new. Returns records sorted by
-    * arrival with their marks. */
-  private def pollFrom(from: Long, pages: Int): Vector[(Long, String)] = {
+    * whose mark advances, follow with cursor=new max, until a page adds
+    * nothing new, `pages` pages are spent, or the walk reaches
+    * `stopAtMark` (replay: the logged end is the only correct stopping
+    * point — a page cap there would silently under-replay an epoch that
+    * spanned more pages than the live poll's budget). Returns records in
+    * arrival order with their marks. */
+  private def pollFrom(from: Long, pages: Int,
+                       stopAtMark: Long = Long.MaxValue): Vector[(Long, String)] = {
     val out = Vector.newBuilder[(Long, String)]
     var mark = from
     var page = 0
     var progress = true
-    while (page < pages && progress) {
+    while (progress && mark < stopAtMark &&
+      (page < pages || stopAtMark != Long.MaxValue)) {
       val body = fetchRetry(HttpStream.cursorUrl(opts, mark)).body
       val recs = decode(body)
         .map(r => (HttpStream.markOf(r, opts.cursorField), r))
@@ -251,9 +291,19 @@ private[sources] class GraftHttpCursorStream(val opts: HttpStream.Opts)
     val mark = opts.startingCursor.toLowerCase match {
       case "earliest" => HttpStream.earliestFloor
       case "latest" =>
-        // one probe poll: whatever the feed holds now is already shipped
-        val recs = pollFrom(HttpStream.earliestFloor, opts.pagesPerPoll)
-        if (recs.isEmpty) HttpStream.earliestFloor else recs.map(_._1).max
+        // walk the feed to its current END (page-limited endpoints need
+        // the full walk to find the true max) keeping only the mark —
+        // "latest" on a deep backlog must not buffer the whole history
+        var m = HttpStream.earliestFloor
+        var progress = true
+        while (progress) {
+          val body = fetchRetry(HttpStream.cursorUrl(opts, m)).body
+          val marks = decode(body)
+            .map(HttpStream.markOf(_, opts.cursorField)).filter(_ > m)
+          progress = marks.nonEmpty
+          if (progress) m = marks.max
+        }
+        m
       case n => n.toLong
     }
     HttpCursorOffset(mark)
@@ -270,7 +320,11 @@ private[sources] class GraftHttpCursorStream(val opts: HttpStream.Opts)
     * final mark ride along, as in graft-jdbc). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[HttpCursorOffset].mark
-    val recs = pollFrom(from, opts.pagesPerPoll)
+    val carried = {
+      val p = pendingPast
+      if (p != null && p._1 == from) p._2 else Vector.empty
+    }
+    val recs = if (carried.nonEmpty) carried else pollFrom(from, opts.pagesPerPoll)
     if (recs.isEmpty) return start
     val end = limit match {
       case mr: ReadMaxRows if recs.length > mr.maxRows() =>
@@ -278,6 +332,7 @@ private[sources] class GraftHttpCursorStream(val opts: HttpStream.Opts)
       case _ => recs.map(_._1).max
     }
     cached = (from, end, recs.collect { case (m, r) if m <= end => r }.toArray)
+    pendingPast = (end, recs.filter(_._1 > end))
     HttpCursorOffset(end)
   }
 
@@ -292,7 +347,7 @@ private[sources] class GraftHttpCursorStream(val opts: HttpStream.Opts)
     val c = cached
     val records =
       if (c != null && c._1 == a && c._2 == b) c._3
-      else pollFrom(a, math.max(opts.pagesPerPoll, 16))
+      else pollFrom(a, opts.pagesPerPoll, stopAtMark = b)
         .collect { case (m, r) if m <= b => r }.toArray
     if (records.isEmpty) return Array.empty
     val n = math.min(math.max(1, opts.numPartitions), records.length)
@@ -338,9 +393,7 @@ private[sources] final class GraftHttpSnapshotStream(val opts: HttpStream.Opts)
   @volatile private var cached: (Long, Array[String]) = _
 
   private def sha256(body: String): String =
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
+    S3.sha256Hex(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   override def initialOffset(): Offset = HttpSnapshotOffset(0L, "", "", "")
 
@@ -363,10 +416,18 @@ private[sources] final class GraftHttpSnapshotStream(val opts: HttpStream.Opts)
       allow = s => (s >= 200 && s < 300) || s == 304)
     if (r.status == 304) return prev
     val h = sha256(r.body)
-    if (prev.ver > 0 && h == prev.sha256) return prev
+    val etag = r.header("ETag").getOrElse("")
+    val lm = r.header("Last-Modified").getOrElse("")
+    if (prev.ver > 0 && h == prev.sha256) {
+      // body unchanged: no epoch — but ADOPT rotated validators (per-node
+      // ETags behind a balancer, Last-Modified reset on redeploy), or
+      // every later conditional GET misses and re-downloads the full
+      // body forever. Same version ⇒ the offset change plans no batch.
+      return if (etag == prev.etag && lm == prev.lastModified) prev
+             else HttpSnapshotOffset(prev.ver, etag, lm, h)
+    }
     cached = (prev.ver + 1, decode(r.body).toArray)
-    HttpSnapshotOffset(prev.ver + 1,
-      r.header("ETag").getOrElse(""), r.header("Last-Modified").getOrElse(""), h)
+    HttpSnapshotOffset(prev.ver + 1, etag, lm, h)
   }
 
   override def deserializeOffset(json: String): Offset =

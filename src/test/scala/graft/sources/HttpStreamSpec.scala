@@ -144,7 +144,8 @@ class HttpStreamSpec extends SparkSpec {
   }
 
   test("pagination: a page-limited endpoint drains a backlog via chained " +
-    "cursor GETs (pagesPerPoll) inside one epoch") {
+    "cursor GETs (pagesPerPoll) inside one epoch; startingCursor=latest " +
+    "walks the full backlog to the TRUE max (not the first page's)") {
     withFeed(pageLimit = 5) { feed =>
       feed.add(0, 18)
       val q = reader(feed.url, Map("pagesPerPoll" -> "10"))
@@ -153,6 +154,17 @@ class HttpStreamSpec extends SparkSpec {
         q.processAllAvailable()
         assert(ids(spark.table("http_paged").collect()) === (0L until 18L))
       } finally q.stop()
+      // latest on the page-limited feed: the probe must chain past page 1
+      // (ids 0..4) to the real end, or old records would re-ship
+      val q2 = reader(feed.url, Map("startingCursor" -> "latest"))
+        .writeStream.format("memory").queryName("http_paged_latest").start()
+      try {
+        q2.processAllAvailable()
+        assert(spark.table("http_paged_latest").count() === 0)
+        feed.add(18, 20)
+        q2.processAllAvailable()
+        assert(ids(spark.table("http_paged_latest").collect()) === (18L until 20L))
+      } finally q2.stop()
     }
   }
 
@@ -311,6 +323,110 @@ class HttpStreamSpec extends SparkSpec {
         } finally q.stop()
       } finally server.stop(0)
     }
+  }
+
+  test("a PERMANENT 4xx fails fast (one request, no jittered retry burn); " +
+    "transient statuses keep the full budget") {
+    val hits = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/gone", { exchange =>
+      hits.incrementAndGet()
+      exchange.sendResponseHeaders(404, -1); exchange.close()
+    })
+    server.start()
+    try {
+      val opts = HttpStream.Opts(new CaseInsensitiveStringMap(java.util.Map.of(
+        "url", s"http://127.0.0.1:${server.getAddress.getPort}/gone",
+        "cursorField", "id", "attempts", "5")))
+      val stream = new GraftHttpCursorStream(opts) {
+        override protected def retrySleep: Long => Unit = _ => ()
+      }
+      val e = intercept[Http.StatusException] {
+        stream.latestOffset(HttpCursorOffset(0L), ReadLimit.allAvailable())
+      }
+      assert(e.status === 404)
+      assert(hits.get() === 1,
+        s"404 must not retry: ${hits.get()} requests for a permanent failure")
+    } finally server.stop(0)
+  }
+
+  test("admission-capped backlog drain re-uses records already fetched " +
+    "past the end mark: total endpoint requests stay O(pages), not " +
+    "O(epochs x pages)") {
+    withFeed() { feed =>
+      feed.add(0, 50)
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = reader(feed.url, Map("maxRecordsPerPoll" -> "10")).writeStream
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+          df.collect().foreach(r => got.add(HttpStream.markOf(r.getString(0), "id")))
+          ()
+        }).start()
+      try {
+        q.processAllAvailable()
+        import scala.jdk.CollectionConverters._
+        assert(got.asScala.toSeq.sorted === (0L until 50L))
+        // 50 records, page limit 1000, budget 10: ONE real fetch serves 5
+        // epochs from the carry; without it every epoch re-fetched the
+        // remaining backlog (~6 full-page GETs). Allow idle-probe slack.
+        assert(feed.hits.get() <= 4,
+          s"${feed.hits.get()} endpoint requests — the carry isn't being used")
+      } finally q.stop()
+    }
+  }
+
+  test("validator ROTATION with unchanged content: the new ETag is adopted " +
+    "without re-shipping, and later polls 304 against the NEW validator") {
+    val etag = new AtomicReference[String]("\"e1\"")
+    val served200 = new AtomicInteger(0)
+    val served304 = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/doc", { exchange =>
+      val inm = Option(exchange.getRequestHeaders.getFirst("If-None-Match"))
+      if (inm.contains(etag.get())) {
+        served304.incrementAndGet()
+        exchange.sendResponseHeaders(304, -1)
+      } else {
+        served200.incrementAndGet()
+        exchange.getResponseHeaders.set("ETag", etag.get())
+        val b = "same-body".getBytes("UTF-8")
+        exchange.sendResponseHeaders(200, b.length)
+        exchange.getResponseBody.write(b)
+      }
+      exchange.close()
+    })
+    server.start()
+    try {
+      val q = spark.readStream.format("graft-http")
+        .option("url", s"http://127.0.0.1:${server.getAddress.getPort}/doc").load()
+        .writeStream.format("memory").queryName("http_rotate").start()
+      try {
+        import spark.implicits._
+        q.processAllAvailable() // ships v1, records etag e1
+        etag.set("\"e2\"")      // rotation: NEW validator, SAME body
+        q.processAllAvailable() // 200 + hash match: adopt e2, no re-ship
+        assert(spark.table("http_rotate").as[String].collect().toSeq ===
+          Seq("same-body"), "rotated validator must not re-ship unchanged content")
+        val fullBefore = served200.get()
+        q.processAllAvailable() // must now 304 against e2 — not re-download
+        q.processAllAvailable()
+        assert(served200.get() === fullBefore,
+          "polls after adoption must be 304s, not full downloads")
+        assert(served304.get() >= 1)
+      } finally q.stop()
+    } finally server.stop(0)
+  }
+
+  test("misconfiguration fails at load: non-positive pagesPerPoll, unknown " +
+    "format, malformed startingCursor") {
+    def load(extra: Map[String, String]) =
+      extra.foldLeft(spark.readStream.format("graft-http")
+        .option("url", "http://unused.invalid/f").option("cursorField", "id")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load()
+    intercept[IllegalArgumentException](load(Map("pagesPerPoll" -> "0")))
+    intercept[IllegalArgumentException](load(Map("format" -> "json")))
+    intercept[IllegalArgumentException](load(Map("startingCursor" -> "newest")))
+    intercept[IllegalArgumentException](load(Map("maxRecordsPerPoll" -> "-5")))
   }
 
   test("transient 5xx heals inside a poll via the retry budget; the row " +

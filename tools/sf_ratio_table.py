@@ -18,6 +18,8 @@ rows = []
 for q, va in a.items():
     if q in b and va > 0:
         rows.append((q, va, b[q], b[q] / va))
+if not rows:
+    sys.exit("no common queries between the two artifacts — check the inputs")
 rows.sort(key=lambda r: -r[3])
 
 over = [r for r in rows if r[3] > thr]
