@@ -87,7 +87,7 @@ object Brotli {
 
   /** §7.1 literal context lookup: mode (LSB6=0, MSB6=1, UTF8=2,
     * SIGNED=3) → ctx = t[mode*512 + p1] | t[mode*512 + 256 + p2]. */
-  private lazy val contextLut: Array[Byte] = {
+  private[functions] lazy val contextLut: Array[Byte] = {
     val t = resource("context.bin")
     require(t.length == 2048, s"context.bin length ${t.length}")
     t

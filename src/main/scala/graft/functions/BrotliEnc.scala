@@ -8,34 +8,39 @@ package graft.functions
   * what a reference receiver configured for enum 4 expects.
   *
   * This is a real compressed encoder, not just §9.2 stored blocks:
-  *  - greedy LZ77 over a 4-byte hash chain (the shape of the reference
-  *    encoder's quality-2 path), emitting §5 insert-and-copy commands;
+  *  - LAZY LZ77 over 8-way hash buckets with a distance-cost score
+  *    (longer wins, ties to the closer candidate, ring-hit bonuses —
+  *    the reference encoder's quality-5 shape), backward match
+  *    extension, emitting §5 insert-and-copy commands;
   *  - computed canonical prefix codes for the literal / command /
   *    distance alphabets, serialized in both §3.4 forms (simple ≤4
   *    symbols; complex with the fixed code-length code and the 16/17
   *    repeat codes), with code lengths limited by count-boosted Huffman
   *    retries (≤15 main, ≤5 for the code-length code — the fixed CL
   *    prefix only has codewords for lengths 0..5);
-  *  - one block type per category, NPOSTFIX=0 / NDIRECT=0, a single
-  *    literal tree (NTREES=1 context maps read zero bits), distance
-  *    short-code 0 for last-distance reuse, implicit-0 command cells
-  *    when the (insert,copy) code pair allows;
+  *  - §7 literal CONTEXT MODELING: per-context histograms clustered
+  *    (greedy agglomerative, entropy-cost vs tree-description overhead)
+  *    into up to 4 literal trees with a §7.3 context map, mode UTF8 —
+  *    collapses to the single-tree form when one tree is optimal;
+  *  - one block type per category, NPOSTFIX=0 / NDIRECT=0, the full §4
+  *    distance ring short codes 0-15 (parse steers toward ring reuse:
+  *    a last-distance copy costs ~zero distance bits), implicit-0
+  *    command cells when the (insert,copy) code pair allows;
   *  - a stored fallback: if the compressed stream is not smaller than
   *    §9.2 uncompressed meta-blocks, the stored form ships instead, so
   *    incompressible payloads pay bytes of overhead, not blowup.
   *
   * Density vs the reference encoder on the committed golden corpus
-  * (bytes, reference at its vector's quality): english 83 vs 130 (q9 —
+  * (bytes, reference at its vector's quality): english 84 vs 130 (q9 —
   * we BEAT it) and 64 vs 54 (q11), utf8 32 vs 36 (q11 — beat), hello
   * 25 vs 28-40 (beat), repeat 31 vs 29 (q7), random 4101 vs 4100,
-  * ndjson 782 vs 570 (q5, 1.37x — the residual gap is context
-  * modeling, which an egress seal doesn't need). The static-dictionary
-  * matcher (identity transform, 4-byte-prefix index over the 13.5k
-  * Appendix A words of length >= 6) is what closes the text gap: a
-  * word's FIRST occurrence rides the dictionary, later ones the
-  * window; r14's one-step LAZY matching and §4 ring short codes 1-15
-  * (repeated-key distances as one zero-extra-bit symbol) took ndjson
-  * 1010 → 782 and english_q9 99 → 83 with no corpus regressions.
+  * ndjson 573 vs 570 (q5 — 1.005x, gap closed; r13 shipped 1010). The
+  * static-dictionary matcher (identity transform, 4-byte-prefix index
+  * over the 13.5k Appendix A words of length >= 6) closes the english
+  * text gap (a word's FIRST occurrence rides the dictionary, later
+  * ones the window); the ring-steered lazy parse closed the
+  * row-structured NDJSON gap (repeated keys reuse ring distances as
+  * one zero-extra-bit symbol).
   *
   * Correctness is locked differentially BOTH ways: every encoder output
   * must round-trip byte-exact through [[Brotli.decode]] (BrotliEncSpec:
@@ -474,6 +479,33 @@ object BrotliEnc {
 
   private final val HashBits = 17
   private final val MinMatch = 4
+  private final val BucketBits = 3 // 8 candidates per bucket (q5-ish sweep)
+  private final val BucketSize = 1 << BucketBits
+
+  /** Multi-candidate hash table: each bucket keeps the last
+    * [[BucketSize]] positions round-robin, so the matcher can choose the
+    * longest/closest candidate instead of whatever was inserted last —
+    * the single biggest parse-quality lever on structured input, where
+    * the previous row is a far better reference than a same-prefix
+    * collision three rows back. */
+  private final class HashChains {
+    private val counts = new Array[Int](1 << HashBits)
+    private val slots = Array.fill((1 << HashBits) << BucketBits)(-1)
+    def insert(h: Int, pos: Int): Unit = {
+      slots((h << BucketBits) | (counts(h) & (BucketSize - 1))) = pos
+      counts(h) += 1
+    }
+    /** Visit each stored candidate for bucket `h`. */
+    def foreachCandidate(h: Int)(f: Int => Unit): Unit = {
+      val base = h << BucketBits
+      var s = 0
+      while (s < BucketSize) {
+        val c = slots(base | s)
+        if (c >= 0) f(c)
+        s += 1
+      }
+    }
+  }
 
   /** One parsed command: `insert` literals from `litFrom`, then copy
     * `copyLen` from `distance` back (copyLen 0 = trailing insert).
@@ -489,40 +521,58 @@ object BrotliEnc {
     (v * 0x9e3779b1) >>> (32 - HashBits)
   }
 
-  /** Best match at `i`: (length, distance, isDict), zeros when none.
-    * `insert` controls whether this probe registers `i` in the hash
-    * table — the lazy peek must NOT, or the deferred position would
-    * find only itself on its real probe. */
+  /** One found match: length, distance, dictionary flag, and the score
+    * the parse compares (lazy deferral included). */
+  private final case class Found(len: Int, dist: Int, isDict: Boolean, score: Long)
+  private val NoMatch = Found(0, 0, isDict = false, 0L)
+
+  /** Best match at `i`. Candidates are scored `len·128 − bitlength(
+    * distance)` — longer wins, ties go to the CLOSER candidate — with a
+    * two-length-unit bonus for `dist == lastDist`: a last-distance reuse
+    * encodes as short code 0 (or an implicit-0 command cell), costing
+    * ~zero distance bits, which on row-structured input beats a match a
+    * byte or two longer at a fresh distance. `insert` controls whether
+    * this probe registers `i` in the hash table — the lazy peek must
+    * NOT, or the deferred position would find only itself on its real
+    * probe. */
   private def findMatch(data: Array[Byte], i: Int, until: Int,
-                        maxBackward: Long, table: Array[Int],
-                        insert: Boolean): (Int, Int, Boolean) = {
-    var matched = 0
-    var matchDist = 0
-    var matchDict = false
+                        maxBackward: Long, table: HashChains,
+                        insert: Boolean, lastDist: Int,
+                        ring: Array[Int]): Found = {
+    var best = NoMatch
     if (i + MinMatch <= until) {
       val h = hash4(data, i)
-      val cand = table(h)
-      if (insert) table(h) = i
-      if (cand >= 0 && cand < i && (i - cand).toLong <= maxBackward) {
-        var l = 0
-        val maxL = until - i
-        while (l < maxL && data(cand + l) == data(i + l)) l += 1
-        if (l >= MinMatch) { matched = l; matchDist = i - cand }
+      table.foreachCandidate(h) { cand =>
+        if (cand < i && (i - cand).toLong <= maxBackward) {
+          var l = 0
+          val maxL = until - i
+          while (l < maxL && data(cand + l) == data(i + l)) l += 1
+          if (l >= MinMatch) {
+            val dist = i - cand
+            var score = (l.toLong << 7) - (32 - Integer.numberOfLeadingZeros(dist))
+            if (dist == lastDist) score += 2L << 7
+            else if (ring != null &&
+              (dist == ring(0) || dist == ring(1) ||
+                dist == ring(2) || dist == ring(3))) score += 1L << 7
+            if (score > best.score) best = Found(l, dist, isDict = false, score)
+          }
+        }
       }
+      if (insert) table.insert(h, i)
       // static dictionary (§8): only when it beats the window match —
       // the word's first occurrence; later ones ride the window
-      if (matched < 24) {
+      if (best.len < 24) {
         val dm = dictMatch(data, i, until)
-        if (dm != 0 && (dm >> 16) > matched) {
-          matched = dm >> 16
-          matchDict = true
+        if (dm != 0 && (dm >> 16) > best.len) {
+          val len = dm >> 16
           // §8 address with transform id 0: maxDistance + 1 + wordIdx
           val maxDistance = math.min(i.toLong, maxBackward)
-          matchDist = (maxDistance + 1 + (dm & 0xffff)).toInt
+          best = Found(len, (maxDistance + 1 + (dm & 0xffff)).toInt,
+            isDict = true, (len.toLong << 7) - 18) // addresses are far: ~18 bits
         }
       }
     }
-    (matched, matchDist, matchDict)
+    best
   }
 
   /** Lazy parse of `data[from, until)` against the whole window
@@ -533,34 +583,60 @@ object BrotliEnc {
     * worth ~10% on row-structured text where field boundaries misalign
     * the greedy first match). */
   private def parse(data: Array[Byte], from: Int, until: Int,
-                    maxBackward: Long, table: Array[Int]): Vector[Cmd] = {
+                    maxBackward: Long, table: HashChains,
+                    initLastDist: Int, initRing: Array[Int]): Vector[Cmd] = {
     val cmds = Vector.newBuilder[Cmd]
     var nCmds = 0
     var litFrom = from
     var i = from
+    // the previous WINDOW copy's distance — after any copy at distance d
+    // the ring's "last distance" is d (code 0 leaves it, pushes set it),
+    // so the parse can steer toward code-0 reuse without the full ring
+    var lastDist = initLastDist
+    // shadow of the decoder's 4-entry distance ring (§4): ring hits
+    // other than the last distance still encode as one short-code
+    // symbol, worth a one-length-unit score bonus
+    val ring = initRing.clone()
+    var ringIdx = 0
     while (i < until) {
-      var (matched, matchDist, matchDict) =
-        findMatch(data, i, until, maxBackward, table, insert = true)
-      if (matched > 0) {
-        // defer while the NEXT position matches longer (repeats so a
-        // run of improving starts converges on the best one)
+      var found = findMatch(data, i, until, maxBackward, table,
+        insert = true, lastDist, ring)
+      if (found.len > 0) {
+        // defer while the NEXT position scores higher (repeats so a run
+        // of improving starts converges on the best one)
         var deferring = true
         while (deferring && i + 1 + MinMatch <= until) {
-          val (m2, d2, dict2) =
-            findMatch(data, i + 1, until, maxBackward, table, insert = false)
-          if (m2 > matched) {
+          val next = findMatch(data, i + 1, until, maxBackward, table,
+            insert = false, lastDist, ring)
+          // the deferred byte ships as a literal (~6 bits ≈ half a
+          // length unit): demand a real improvement, not a tie
+          if (next.score > found.score + (1L << 6)) {
             i += 1 // data[i-1] rides as a literal; litFrom unchanged
-            table(hash4(data, i)) = i // the peek didn't register it
-            matched = m2; matchDist = d2; matchDict = dict2
+            table.insert(hash4(data, i), i) // the peek didn't register it
+            found = next
           } else deferring = false
         }
-        cmds += Cmd(litFrom, i - litFrom, matched, matchDist, matchDict)
+        var matched = found.len
+        // extend a WINDOW match backward over pending literals: every
+        // byte absorbed is a literal that now rides the copy for free
+        // (distance unchanged; dictionary addresses can't extend)
+        if (!found.isDict) {
+          while (i > litFrom && i - found.dist > 0 &&
+            data(i - 1) == data(i - found.dist - 1)) {
+            i -= 1; matched += 1
+          }
+        }
+        cmds += Cmd(litFrom, i - litFrom, matched, found.dist, found.isDict)
         nCmds += 1
+        if (!found.isDict) {
+          if (found.dist != lastDist) { ring(ringIdx & 3) = found.dist; ringIdx += 1 }
+          lastDist = found.dist
+        }
         // index positions inside the match (sparsely: every other one,
         // the quality-1 shape) so later matches can land here
         var j = i + 1
         val end = math.min(i + matched, until - MinMatch)
-        while (j < end) { table(hash4(data, j)) = j; j += 2 }
+        while (j < end) { table.insert(hash4(data, j), j); j += 2 }
         i += matched
         litFrom = i
       } else i += 1
@@ -607,6 +683,116 @@ object BrotliEnc {
   }
 
   // ======================================================================
+  // literal context modeling (§7.1-7.3): NTREESL > 1 with one block type
+  // ======================================================================
+
+  /** §7.1 context id, mode UTF8 (the reference encoder's text mode):
+    * p1/p2 are the previous two OUTPUT bytes, which for this encoder are
+    * just the previous two input bytes — output ≡ input. */
+  private def ctxOf(data: Array[Byte], pos: Int): Int = {
+    val p1 = if (pos > 0) data(pos - 1) & 0xff else 0
+    val p2 = if (pos > 1) data(pos - 2) & 0xff else 0
+    (Brotli.contextLut((2 << 9) + p1) | Brotli.contextLut((2 << 9) + 256 + p2)) & 0xff
+  }
+
+  /** Shannon cost in bits of coding a histogram with its own code. */
+  private def histCost(h: Array[Long]): Double = {
+    var tot = 0L
+    var i = 0
+    while (i < h.length) { tot += h(i); i += 1 }
+    if (tot == 0) return 0.0
+    var bits = 0.0
+    i = 0
+    while (i < h.length) {
+      val f = h(i)
+      if (f > 0) bits += f * (math.log(tot.toDouble / f) / math.log(2.0))
+      i += 1
+    }
+    bits
+  }
+
+  /** Greedy agglomerative clustering of the 64 context histograms into
+    * literal trees: merge the pair whose combined code costs least extra,
+    * until ≤ `maxTrees` clusters remain AND the cheapest further merge
+    * would waste more entropy than one tree description saves. Returns
+    * (context → cluster map of length 64, per-cluster histograms). */
+  private def clusterContexts(freqs: Array[Array[Long]],
+                              maxTrees: Int): (Array[Int], Array[Array[Long]]) = {
+    // one extra literal tree costs roughly its complex-form description
+    val TreeOverheadBits = 50.0 * 8
+    val hists = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    val members = scala.collection.mutable.ArrayBuffer.empty[List[Int]]
+    var c = 0
+    while (c < 64) {
+      if (freqs(c).exists(_ > 0)) { hists += freqs(c).clone(); members += List(c) }
+      c += 1
+    }
+    if (hists.isEmpty)
+      return (new Array[Int](64), Array(new Array[Long](256)))
+    val costs = hists.map(histCost)
+    def mergedCost(i: Int, j: Int): Double = {
+      val m = new Array[Long](256)
+      var k = 0
+      while (k < 256) { m(k) = hists(i)(k) + hists(j)(k); k += 1 }
+      histCost(m)
+    }
+    var continueMerging = true
+    while (continueMerging && hists.length > 1) {
+      var bi = -1; var bj = -1; var bd = Double.MaxValue
+      var i = 0
+      while (i < hists.length) {
+        var j = i + 1
+        while (j < hists.length) {
+          val d = mergedCost(i, j) - costs(i) - costs(j)
+          if (d < bd) { bd = d; bi = i; bj = j }
+          j += 1
+        }
+        i += 1
+      }
+      if (hists.length > maxTrees || bd < TreeOverheadBits) {
+        var k = 0
+        while (k < 256) { hists(bi)(k) += hists(bj)(k); k += 1 }
+        costs(bi) = histCost(hists(bi))
+        members(bi) = members(bi) ++ members(bj)
+        hists.remove(bj); costs.remove(bj); members.remove(bj)
+      } else continueMerging = false
+    }
+    val cmap = new Array[Int](64)
+    members.indices.foreach(t => members(t).foreach(cmap(_) = t))
+    if (sys.env.contains("GRAFT_BROTLI_TRACE"))
+      System.err.println(s"[ctx] clusters=${hists.length} " +
+        s"lits=${hists.map(_.sum).sum} perCluster=${hists.map(_.sum).mkString(",")}")
+    (cmap, hists.toArray)
+  }
+
+  /** §9.2 variable-length 256-value count — the exact inverse of the
+    * decoder's readVarLenUint8. */
+  private def writeVarLenUint8(w: BitWriter, v: Int): Unit = {
+    require(v >= 0 && v <= 255, s"varlen-uint8 out of range: $v")
+    if (v == 0) w.write(0, 1)
+    else {
+      w.write(1, 1)
+      val n = 31 - Integer.numberOfLeadingZeros(v)
+      w.write(n, 3)
+      if (n > 0) w.write(v - (1 << n), n)
+    }
+  }
+
+  /** §7.3 context map, plainest legal form: RLEMAX=0 (no zero-RLE), a
+    * prefix code over the cluster ids, no inverse-MTF. 64 entries at ≤2
+    * bits each — the simplicity is worth more than the ~10 bytes RLE
+    * could save at these map sizes. */
+  private def writeContextMap(w: BitWriter, cmap: Array[Int], nTrees: Int): Unit = {
+    w.write(0, 1) // no RLEMAX
+    val freq = new Array[Long](nTrees)
+    cmap.foreach(v => freq(v) += 1)
+    val code = buildCode(freq)
+    writeCodeDescription(w, code, nTrees)
+    cmap.foreach(code.writeSym(w, _))
+    w.write(0, 1) // no inverse MTF
+  }
+
+  // ======================================================================
   // meta-block emission
   // ======================================================================
 
@@ -619,14 +805,18 @@ object BrotliEnc {
 
   private def writeCompressedMetaBlock(w: BitWriter, data: Array[Byte],
                                        from: Int, until: Int, isLast: Boolean,
-                                       maxBackward: Long, table: Array[Int],
+                                       maxBackward: Long, table: HashChains,
                                        distRb: Array[Int],
                                        rbIdxRef: Array[Int]): Unit = {
     val mlen = until - from
-    val cmds = parse(data, from, until, maxBackward, table)
+    val cmds = parse(data, from, until, maxBackward, table,
+      initLastDist = distRb((rbIdxRef(0) + 3) & 3), initRing = distRb)
 
     // ---- resolve every command to symbols + collect histograms ----
-    val litFreq = new Array[Long](256)
+    // literals histogram PER §7.1 CONTEXT: clustered below into NTREESL
+    // literal trees — on structured text (NDJSON keys vs values vs
+    // digits) the per-context codes are the big density lever
+    val litFreqCtx = Array.ofDim[Long](64, 256)
     val cmdFreq = new Array[Long](704)
     val distFreq = new Array[Long](64)
     var rbIdx = rbIdxRef(0)
@@ -634,7 +824,9 @@ object BrotliEnc {
     val resolved = cmds.map { c =>
       var j = 0
       while (j < c.insert) {
-        litFreq(data(c.litFrom + j) & 0xff) += 1; j += 1
+        val pos = c.litFrom + j
+        litFreqCtx(ctxOf(data, pos))(data(pos) & 0xff) += 1
+        j += 1
       }
       if (c.copyLen == 0) {
         // trailing insert-only: the decoder reads the copy-extra bits
@@ -678,7 +870,10 @@ object BrotliEnc {
     System.arraycopy(rb, 0, distRb, 0, 4)
     rbIdxRef(0) = rbIdx
 
-    val litCode = buildCode(litFreq)
+    // cluster the 64 context histograms into the literal trees (≤4:
+    // keeps every context-map code in the cheap simple form)
+    val (cmap, clusterHists) = clusterContexts(litFreqCtx, maxTrees = 4)
+    val litCodes = clusterHists.map(buildCode(_))
     val cmdCode = buildCode(cmdFreq)
     val dstCode = buildCode(distFreq)
 
@@ -695,10 +890,11 @@ object BrotliEnc {
     w.write(0, 1) // NBLTYPESD = 1
     w.write(0, 2) // NPOSTFIX = 0
     w.write(0, 4) // NDIRECT = 0
-    w.write(0, 2) // literal context mode (irrelevant: one literal tree)
-    w.write(0, 1) // NTREESL = 1 → context map reads zero bits
+    w.write(2, 2) // literal context mode UTF8 (§7.1 — matches ctxOf)
+    writeVarLenUint8(w, litCodes.length - 1) // NTREESL
+    if (litCodes.length > 1) writeContextMap(w, cmap, litCodes.length)
     w.write(0, 1) // NTREESD = 1
-    writeCodeDescription(w, litCode, 256)
+    litCodes.foreach(writeCodeDescription(w, _, 256))
     writeCodeDescription(w, cmdCode, 704)
     writeCodeDescription(w, dstCode, 64)
 
@@ -709,7 +905,8 @@ object BrotliEnc {
       if (r.copyExtraBits > 0) w.write(r.copyExtra, r.copyExtraBits)
       var j = 0
       while (j < r.insert) {
-        litCode.writeSym(w, data(r.litFrom + j) & 0xff)
+        val pos = r.litFrom + j
+        litCodes(cmap(ctxOf(data, pos))).writeSym(w, data(pos) & 0xff)
         j += 1
       }
       if (r.dSym >= 0) {
@@ -773,7 +970,7 @@ object BrotliEnc {
     val maxBackward = (1L << wbits) - 16
     val w = new BitWriter
     writeWindowBits(w, wbits)
-    val table = Array.fill(1 << HashBits)(-1)
+    val table = new HashChains
     val distRb = Array(16, 15, 11, 4)
     val rbIdx = Array(0)
     var at = 0
