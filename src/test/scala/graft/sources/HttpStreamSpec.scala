@@ -416,6 +416,50 @@ class HttpStreamSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("TLS certificate pinning rides the streaming poll path: the pinned " +
+    "leaf admits the HTTPS feed end to end; an unpinned stream refuses the " +
+    "self-signed server") {
+    val dir = "src/test/resources/tls"
+    val https = com.sun.net.httpserver.HttpsServer.create(
+      new InetSocketAddress("127.0.0.1", 0), 0)
+    https.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(
+      Tls.sslContext(TlsConfig(s"$dir/server.pem", s"$dir/server-key.pem", s"$dir/ca.pem"))))
+    https.createContext("/feed", { exchange =>
+      val q = Option(exchange.getRequestURI.getQuery).getOrElse("")
+      val after = q.split("&").collectFirst {
+        case kv if kv.startsWith("after=") => kv.substring(6).toLong
+      }.getOrElse(Long.MinValue)
+      val body = (0L until 4L).filter(_ > after)
+        .map(i => s"""{"id":$i}""").mkString("\n").getBytes("UTF-8")
+      if (body.isEmpty) exchange.sendResponseHeaders(200, -1)
+      else { exchange.sendResponseHeaders(200, body.length); exchange.getResponseBody.write(body) }
+      exchange.close()
+    })
+    https.start()
+    val url = s"https://127.0.0.1:${https.getAddress.getPort}/feed"
+    try {
+      val q = reader(url, Map("pinnedCertPath" -> s"$dir/server.pem"))
+        .writeStream.format("memory").queryName("http_pinned").start()
+      try {
+        q.processAllAvailable()
+        assert(ids(spark.table("http_pinned").collect()) === (0L until 4L))
+      } finally q.stop()
+      // without the pin, default trust refuses the self-signed feed —
+      // the stream surfaces the handshake failure, ships nothing
+      val q2 = reader(url, Map("attempts" -> "1"))
+        .writeStream.format("memory").queryName("http_unpinned").start()
+      try {
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q2.processAllAvailable(); q2.awaitTermination(10000)
+        }
+        def chain(t: Throwable): Seq[Throwable] =
+          if (t == null) Nil else t +: chain(t.getCause)
+        assert(chain(e).exists(_.isInstanceOf[javax.net.ssl.SSLHandshakeException]),
+          chain(e).map(_.getClass.getName).toString)
+      } finally q2.stop()
+    } finally https.stop(0)
+  }
+
   test("misconfiguration fails at load: non-positive pagesPerPoll, unknown " +
     "format, malformed startingCursor") {
     def load(extra: Map[String, String]) =
