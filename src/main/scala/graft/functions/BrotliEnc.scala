@@ -755,7 +755,7 @@ object BrotliEnc {
     * until ≤ `maxTrees` clusters remain AND the cheapest further merge
     * would waste more entropy than one tree description saves. Returns
     * (context → cluster map of length 64, per-cluster histograms). */
-  private def clusterContexts(freqs: Array[Array[Long]],
+  private[functions] def clusterContexts(freqs: Array[Array[Long]],
                               maxTrees: Int): (Array[Int], Array[Array[Long]]) = {
     // one extra literal tree costs roughly its complex-form description
     val TreeOverheadBits = 50.0 * 8

@@ -119,6 +119,93 @@ class BrotliEncSpec extends AnyFunSuite {
     }
   }
 
+  test("context clustering: the cached-delta agglomerative merge produces " +
+    "the SAME clustering as a naive full-rescan reference on random " +
+    "histogram sets (the delta-matrix compaction is the subtle part)") {
+    def histCost(h: Array[Long]): Double = {
+      val tot = h.sum
+      if (tot == 0) 0.0
+      else h.filter(_ > 0).map(f => f * math.log(tot.toDouble / f) / math.log(2.0)).sum
+    }
+    // naive reference: recompute EVERY pair cost each round
+    def naive(freqs: Array[Array[Long]], maxTrees: Int): (Array[Int], Int) = {
+      val overhead = 50.0 * 8
+      val hists = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+      val members = scala.collection.mutable.ArrayBuffer.empty[List[Int]]
+      (0 until 64).foreach { c =>
+        if (freqs(c).exists(_ > 0)) { hists += freqs(c).clone(); members += List(c) }
+      }
+      if (hists.isEmpty) return (new Array[Int](64), 1)
+      var go = true
+      while (go && hists.length > 1) {
+        var bi = -1; var bj = -1; var bd = Double.MaxValue
+        for (i <- hists.indices; j <- (i + 1) until hists.length) {
+          val m = Array.tabulate(256)(k => hists(i)(k) + hists(j)(k))
+          val d = histCost(m) - histCost(hists(i)) - histCost(hists(j))
+          if (d < bd) { bd = d; bi = i; bj = j }
+        }
+        if (hists.length > maxTrees || bd < overhead) {
+          (0 until 256).foreach(k => hists(bi)(k) += hists(bj)(k))
+          members(bi) = members(bi) ++ members(bj)
+          hists.remove(bj); members.remove(bj)
+        } else go = false
+      }
+      val cmap = new Array[Int](64)
+      members.indices.foreach(t => members(t).foreach(cmap(_) = t))
+      (cmap, hists.length)
+    }
+    val rnd = new scala.util.Random(424242)
+    (0 until 30).foreach { trial =>
+      val freqs = Array.ofDim[Long](64, 256)
+      // a few distinct "source" distributions spread across contexts, so
+      // real cluster structure exists; some contexts stay empty
+      val sources = Array.fill(2 + rnd.nextInt(4))(
+        Array.fill(256)(rnd.nextInt(50).toLong))
+      (0 until 64).foreach { c =>
+        if (rnd.nextInt(3) > 0) {
+          val src = sources(rnd.nextInt(sources.length))
+          (0 until 256).foreach(s => freqs(c)(s) = src(s) + rnd.nextInt(3))
+        }
+      }
+      val (gotMap, gotHists) = BrotliEnc.clusterContexts(freqs, maxTrees = 4)
+      val (wantMap, wantN) = naive(freqs, maxTrees = 4)
+      assert(gotHists.length === wantN, s"trial $trial: cluster count")
+      assert(gotMap.toSeq === wantMap.toSeq, s"trial $trial: context map")
+    }
+  }
+
+  test("literal-heavy structured input drives the MULTI-TREE context-" +
+    "modeled form and round-trips byte-exact (the §7.3 context map and " +
+    "per-tree codes on the wire)") {
+    // unique random field values defeat LZ (literals dominate), while the
+    // JSON scaffolding creates distinct literal contexts (in-string vs
+    // after-digit vs after-punctuation)
+    val rnd = new scala.util.Random(7)
+    val sb = new StringBuilder
+    (0 until 3000).foreach { i =>
+      val tok = (0 until 12).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      sb.append(s"""{"k$i":"$tok","n":${rnd.nextLong()}}""").append('\n')
+    }
+    val data = sb.toString.getBytes(UTF_8)
+    val enc = BrotliEnc.encode(data)
+    assert(java.util.Arrays.equals(Brotli.decode(enc), data))
+    assert(enc.length < data.length, "structured text must compress")
+    // and the clustering REALLY splits this shape into >1 tree: histogram
+    // the literals by context exactly as the encoder does (here, all
+    // bytes — the LZ-surviving literal subset has the same class mix)
+    val freqs = Array.ofDim[Long](64, 256)
+    data.indices.foreach { pos =>
+      val p1 = if (pos > 0) data(pos - 1) & 0xff else 0
+      val p2 = if (pos > 1) data(pos - 2) & 0xff else 0
+      val ctx = (Brotli.contextLut((2 << 9) + p1) |
+        Brotli.contextLut((2 << 9) + 256 + p2)) & 0xff
+      freqs(ctx)(data(pos) & 0xff) += 1
+    }
+    val (_, hists) = BrotliEnc.clusterContexts(freqs, maxTrees = 4)
+    assert(hists.length > 1,
+      "this shape must engage context modeling, or the test guards nothing")
+  }
+
   test("Codecs enum 4 seals and opens both ways, cap honored during inflation") {
     val c = Codecs
     val body = ("row," * 50000).getBytes(UTF_8)
