@@ -83,11 +83,7 @@ final class HttpServerJack(
   private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
   private val stream = MemoryStream[String]
-  private val spoolFs = spoolDir.map { d =>
-    val (fs, root) = Fs.of(spark, d)
-    fs.mkdirs(root)
-    (fs, root)
-  }
+  private val spoolFs = spoolDir.map(d => Spool.open(spark, d))
   private val received = new AtomicLong(0)
   private val rejected = new AtomicLong(0)
   private val badRequests = new AtomicLong(0)
@@ -194,22 +190,9 @@ final class HttpServerJack(
           // durable FIRST, respond after: a crash between the two makes
           // the peer retry an already-spooled record (at-least-once on
           // the wire); an acknowledged record survives any JVM/process
-          // crash (see the hsync note below for the power-loss caveat).
+          // crash (see Spool.writeRecord for the hsync power-loss caveat).
           // A failed write falls to the outer catch -> 500, peer retries.
-          val unique = java.util.UUID.randomUUID().toString
-          val tmp = new org.apache.hadoop.fs.Path(root, s".spool-$unique.tmp")
-          val dst = new org.apache.hadoop.fs.Path(root, s"spool-$unique.ndjson")
-          val out = fs.create(tmp, false)
-          try {
-            out.write((line + "\n").getBytes(UTF_8))
-            // push the record past the client buffers before the ack:
-            // hsync reaches disk on HDFS; the local filesystem downgrades
-            // it to a flush, so locally the guarantee is JVM/process-crash
-            // durability (power-loss durability needs a syncing FS)
-            out.hsync()
-          } finally out.close()
-          if (!fs.rename(tmp, dst))
-            throw new java.io.IOException(s"spool rename failed: $dst")
+          Spool.writeRecord(fs, root, line)
         case None =>
           // MemoryStream's row encoder is not thread-safe across the
           // pool's request threads (see TlsNdjsonJack.serve)
@@ -243,14 +226,7 @@ final class HttpServerJack(
     * the checkpoint-recoverable file source over the spool dir in
     * recoverable mode, the MemoryStream otherwise. */
   def raw: Dataset[String] = spoolDir match {
-    case Some(dir) =>
-      val reader = spark.readStream
-      spoolMaxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-      // the file source's default maxFileAge (7d) would silently SKIP
-      // acknowledged spool files older than (newest - 7d) when a consumer
-      // restarts after a long outage — exactly-once must not decay by
-      // wall clock, so disable the age cutoff
-      reader.option("maxFileAge", "36500d").text(dir).as[String]
+    case Some(dir) => Spool.readStream(spark, dir, spoolMaxFilesPerTrigger)
     case None => stream.toDS()
   }
 

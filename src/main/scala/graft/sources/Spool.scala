@@ -1,0 +1,70 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Durable-ingress spool shared by the push-transport jacks (HTTP server
+  * r7, WebSocket client/server r15).
+  *
+  * Push transports can't checkpoint a server-side cursor the way the
+  * poll-loop sources do (`graft-s3`/`graft-jdbc`/`graft-http`): once a
+  * frame is read off the socket, the transport forgets it. The honest
+  * durable form is therefore write-ahead: each accepted record lands as
+  * ONE atomically-renamed NDJSON file BEFORE the ingress path
+  * acknowledges it (HTTP 2xx) or counts it received (WS, which has no
+  * app-level ack), and consumers read the directory through Spark's
+  * checkpointable file source — a restarted query resumes from its
+  * checkpoint and processes every spooled record exactly once.
+  *
+  * One file per record is the control-plane trade (no flusher thread, no
+  * batching latency — these edges are notification-sized; the
+  * high-volume edges stay Kafka/files per SURVEY §2.1). The `.tmp` →
+  * rename dance means a reader never observes a half-written file, and a
+  * crash mid-write leaves only an invisible `.spool-*.tmp` orphan.
+  */
+object Spool {
+
+  /** Open (mkdirs) a spool directory. */
+  def open(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val (fs, root) = Fs.of(spark, dir)
+    fs.mkdirs(root)
+    (fs, root)
+  }
+
+  /** Durably write one record as an atomically-renamed NDJSON file.
+    * Throws on failure — the caller decides the transport-level reaction
+    * (HTTP 500 so the peer retries; WS drops the connection so the peer
+    * reconnects and resends). hsync pushes past client buffers before
+    * the caller acknowledges: on HDFS that reaches disk; the local
+    * filesystem downgrades it to a flush, so locally the guarantee is
+    * JVM/process-crash durability (power-loss durability needs a
+    * syncing FS). */
+  def writeRecord(fs: FileSystem, root: Path, line: String): Unit = {
+    val unique = java.util.UUID.randomUUID().toString
+    val tmp = new Path(root, s".spool-$unique.tmp")
+    val dst = new Path(root, s"spool-$unique.ndjson")
+    val out = fs.create(tmp, false)
+    try {
+      out.write((line + "\n").getBytes(UTF_8))
+      out.hsync()
+    } finally out.close()
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"spool rename failed: $dst")
+  }
+
+  /** Checkpoint-recoverable reader over a spool directory (one string
+    * per spooled record). The file source's default maxFileAge (7d)
+    * would silently SKIP acknowledged spool files older than
+    * (newest - 7d) when a consumer restarts after a long outage —
+    * exactly-once must not decay by wall clock, so the age cutoff is
+    * disabled. */
+  def readStream(spark: SparkSession, dir: String,
+                 maxFilesPerTrigger: Option[Int]): Dataset[String] = {
+    import spark.implicits._
+    val reader = spark.readStream
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.option("maxFileAge", "36500d").text(dir).as[String]
+  }
+}

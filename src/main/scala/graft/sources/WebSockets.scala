@@ -161,16 +161,33 @@ object WsFrames {
 /** S10 + K6: WebSocket server hub — ingress jack (received text messages
   * flow into a streaming source buffer) and broadcast sink (text frames
   * pushed to every connected peer). `port = 0` binds an ephemeral port
-  * (see [[boundPort]]). Restart contract: the buffer is a MemoryStream,
-  * which does NOT survive driver restart — this edge is replay-from-peer,
-  * not checkpoint-recoverable (the recoverable edge is the file stream;
-  * see FileStreamSpec's kill/restart test). */
-final class WsServerHub(spark: SparkSession, port: Int) {
+  * (see [[boundPort]]).
+  *
+  * Restart contract, selected by `spoolDir` (the HTTP jack's r7
+  * treatment, shared via [[Spool]]):
+  *  - `None` (default): received messages feed a MemoryStream, which
+  *    does NOT survive driver restart — replay-from-peer.
+  *  - `Some(dir)`: RECOVERABLE mode — each completed text message is
+  *    spooled as one atomically-renamed NDJSON file BEFORE it is counted
+  *    received, and [[raw]]/[[jsonStream]] read the directory through
+  *    the checkpointable file source: a restarted query resumes from its
+  *    checkpoint and ships every spooled message exactly once
+  *    (WebSocketSpec kills and restarts the query mid-backlog). WS has
+  *    no app-level ack, so the peer-side guarantee is weaker than the
+  *    HTTP jack's: a message in flight when the process dies is lost
+  *    (the peer only learns via the dropped connection) — but every
+  *    message the hub RECEIVED before the kill survives. A spool-write
+  *    failure drops the connection (loud, so the peer reconnects and
+  *    resends) instead of buffering in memory. */
+final class WsServerHub(spark: SparkSession, port: Int,
+                        spoolDir: Option[String] = None,
+                        spoolMaxFilesPerTrigger: Option[Int] = None) {
 
   import spark.implicits._
   private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
   private val stream = MemoryStream[String]
+  private val spoolFs = spoolDir.map(d => Spool.open(spark, d))
   private val server = new ServerSocket(port)
   private val running = new AtomicBoolean(true)
   private val conns = new ConcurrentHashMap[Socket, OutputStream]()
@@ -228,10 +245,16 @@ final class WsServerHub(spark: SparkSession, port: Int) {
               s"message exceeds ${WsFrames.DefaultMaxFramePayload} bytes")
             pending.write(f.payload)
             if (f.fin) {
-              // serialize across connection threads: MemoryStream's row
-              // encoder is not thread-safe (see TlsNdjsonJack.serve)
               val msg = new String(pending.toByteArray, UTF_8)
-              stream.synchronized { stream.addData(msg) }
+              spoolFs match {
+                // durable FIRST, count after: a spool failure throws to
+                // the connection-level catch, dropping this peer loudly
+                case Some((fs, root)) => Spool.writeRecord(fs, root, msg)
+                case None =>
+                  // serialize across connection threads: MemoryStream's
+                  // row encoder is not thread-safe (TlsNdjsonJack.serve)
+                  stream.synchronized { stream.addData(msg) }
+              }
               received.incrementAndGet()
               pending.reset()
             }
@@ -247,8 +270,13 @@ final class WsServerHub(spark: SparkSession, port: Int) {
     finally { conns.remove(sock); try sock.close() catch { case _: Throwable => () } }
   }
 
-  /** Raw ingress stream (one string per received text message). */
-  def raw: Dataset[String] = stream.toDS()
+  /** Raw ingress stream (one string per received text message): the
+    * checkpoint-recoverable file source over the spool dir in
+    * recoverable mode, the MemoryStream otherwise. */
+  def raw: Dataset[String] = spoolDir match {
+    case Some(dir) => Spool.readStream(spark, dir, spoolMaxFilesPerTrigger)
+    case None => stream.toDS()
+  }
 
   /** Typed ingress: each message JSON-decoded to `schema` fields. */
   def jsonStream(schema: StructType): DataFrame =
@@ -294,15 +322,26 @@ final class WsServerHub(spark: SparkSession, port: Int) {
   * server-pushed text messages into a streaming source. The underlying
   * client is the JDK's own RFC 6455 implementation, so its handshake and
   * mandatory client-side masking exercise [[WsServerHub]]'s decode path
-  * from an independent implementation in the e2e test. Restart contract:
-  * MemoryStream-buffered — not checkpoint-recoverable; recovery is
-  * reconnect-and-resubscribe (see [[WsServerHub]]'s note). */
-final class WsClientSource(spark: SparkSession, url: String) {
+  * from an independent implementation in the e2e test.
+  *
+  * Restart contract, selected by `spoolDir` (shared [[Spool]] path; see
+  * [[WsServerHub]]'s note for the full contract):
+  *  - `None` (default): MemoryStream-buffered — not
+  *    checkpoint-recoverable; recovery is reconnect-and-resubscribe.
+  *  - `Some(dir)`: each completed message is durably spooled before it
+  *    is counted received; consumers resume exactly-once from the file
+  *    source checkpoint. A spool failure aborts the websocket (loud —
+  *    [[closeReason]] carries the error) rather than buffering in
+  *    memory. */
+final class WsClientSource(spark: SparkSession, url: String,
+                           spoolDir: Option[String] = None,
+                           spoolMaxFilesPerTrigger: Option[Int] = None) {
 
   import spark.implicits._
   private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
   private val stream = MemoryStream[String]
+  private val spoolFs = spoolDir.map(d => Spool.open(spark, d))
   private val received = new AtomicLong(0)
   private val closed = new AtomicReference[String](null)
   private val ws = new AtomicReference[java.net.http.WebSocket](null)
@@ -313,7 +352,21 @@ final class WsClientSource(spark: SparkSession, url: String) {
                         last: Boolean): CompletionStage[_] = {
       pending.append(data)
       if (last) {
-        stream.addData(pending.result())
+        val msg = pending.result()
+        spoolFs match {
+          case Some((fs, root)) =>
+            // durable FIRST, count after; a spool failure must be loud,
+            // not a silent in-memory fallback — abort the socket so the
+            // peer sees the drop and [[closeReason]] carries the cause
+            try Spool.writeRecord(fs, root, msg)
+            catch {
+              case e: Exception =>
+                closed.set(s"spool failure: ${e.getMessage}")
+                try w.abort() catch { case _: Throwable => () }
+                return null
+            }
+          case None => stream.addData(msg)
+        }
         received.incrementAndGet()
         pending.clear()
       }
@@ -336,7 +389,10 @@ final class WsClientSource(spark: SparkSession, url: String) {
     ws.set(built)
   }
 
-  def raw: Dataset[String] = stream.toDS()
+  def raw: Dataset[String] = spoolDir match {
+    case Some(dir) => Spool.readStream(spark, dir, spoolMaxFilesPerTrigger)
+    case None => stream.toDS()
+  }
   def jsonStream(schema: StructType): DataFrame =
     Sources.jsonLines(raw.toDF("value"), "value", schema)
 

@@ -142,4 +142,67 @@ class WebSocketSpec extends SparkSpec {
     }
   }
 
+  /** Kill a streaming query after ≥1 committed batch, restart it, and
+    * assert ids 1..6 arrive exactly once — the FileStream kill contract
+    * on a WS spool dir (shared shape with HttpServerJackSpec's r7 test). */
+  private def killRestartExactlyOnce(mkStream: => org.apache.spark.sql.DataFrame,
+                                     out: String, ckpt: String): Unit = {
+    def startQuery() = mkStream.writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+      .start()
+    val q1 = startQuery()
+    val deadline = System.currentTimeMillis() + 30000
+    while (q1.recentProgress.map(_.numInputRows).sum < 1 &&
+           System.currentTimeMillis() < deadline) Thread.sleep(10)
+    q1.stop()
+    assert(q1.recentProgress.map(_.numInputRows).sum >= 1,
+      "query never committed a batch before the kill")
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(out).select("id").collect().map(_.getLong(0)).toSeq
+    assert(rows.sorted == (1L to 6L), s"expected ids 1..6 exactly once, got $rows")
+  }
+
+  private def assertSpooled(spool: String, n: Int): Unit = {
+    val files = new java.io.File(spool).listFiles().map(_.getName)
+    assert(files.count(_.endsWith(".ndjson")) == n, files.toSeq)
+    assert(!files.exists(_.endsWith(".tmp")), s"leftover temp files: ${files.toSeq}")
+  }
+
+  test("hub spool mode: messages received before a kill survive the restart exactly once") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ws-spool").toString
+    val spool = s"$root/spool"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val hub = new WsServerHub(spark, 0, spoolDir = Some(spool),
+      spoolMaxFilesPerTrigger = Some(1))
+    val client = new WsClientSource(spark, s"ws://127.0.0.1:${hub.boundPort}/feed")
+    try {
+      // receipt is durable with NO consumer running: each completed text
+      // message is an atomically-renamed NDJSON file before it's counted
+      client.connect()
+      (1 to 6).foreach(i => client.send(s"""{"id":$i,"name":"rec$i"}"""))
+      eventually(hub.receivedCount == 6, "hub did not spool 6 messages")
+      assertSpooled(spool, 6)
+      killRestartExactlyOnce(hub.jsonStream(schema), out, ckpt)
+    } finally { client.stop(); hub.stop() }
+  }
+
+  test("client-source spool mode: broadcast frames received before a kill survive the restart exactly once") {
+    val root = java.nio.file.Files.createTempDirectory("graft-wsc-spool").toString
+    val spool = s"$root/spool"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val hub = new WsServerHub(spark, 0)
+    val client = new WsClientSource(spark, s"ws://127.0.0.1:${hub.boundPort}/feed",
+      spoolDir = Some(spool), spoolMaxFilesPerTrigger = Some(1))
+    try {
+      client.connect()
+      eventually(hub.connectionCount == 1, "client not connected")
+      val sent = hub.broadcast((1 to 6).map(i => s"""{"id":$i,"name":"push$i"}"""))
+      assert(sent == 6, s"sent=$sent")
+      eventually(client.receivedCount == 6, "client did not spool 6 messages")
+      assertSpooled(spool, 6)
+      killRestartExactlyOnce(client.jsonStream(schema), out, ckpt)
+    } finally { client.stop(); hub.stop() }
+  }
+
 }
