@@ -35,7 +35,13 @@ import graft.reliability.Backoff
   *    each record ships in exactly one micro-batch, and an uncommitted
   *    epoch replays after a crash by RE-FETCHING from its start mark and
   *    filtering to the logged `(start, end]` — the same exactly-once
-  *    contract (and the same append-monotonic caveat) as `graft-jdbc`.
+  *    contract as `graft-jdbc`. A `lookback` window (cursor units, the
+  *    standard CDC hardening) re-polls below the high-water mark each
+  *    trigger and dedupes on the cursor mark against the offset's `seen`
+  *    list, so a record that COMMITS OUT OF ORDER inside the window
+  *    still ships exactly once; only a record landing below the window
+  *    (or re-using an already-shipped mark) is missed — the
+  *    append-monotonic caveat narrows to "beyond `lookback`".
   *  - **Change-detection mode** (no `cursorField`): the endpoint is a
   *    document that occasionally changes. Each poll is a conditional GET
   *    (`If-None-Match` / `If-Modified-Since`); the offset is a version
@@ -67,7 +73,9 @@ import graft.reliability.Backoff
   * per trigger), `numPartitions`, `format` (`ndjson` default |
   * `jsonarray`), `attempts` (per-fetch retry budget, full-jitter backoff
   * — the reference `maxRetries`), `timeoutMillis`, `header.<Name>`
-  * static headers, and the OAuth/pinning options above.
+  * static headers, `lookback` (cursor-mode out-of-order window, cursor
+  * units; 0 = strict append-monotonic), and the OAuth/pinning options
+  * above.
   *
   * Schema is fixed: one `value STRING` column per record (the codec
   * split the reference applies); parse downstream with `from_json`.
@@ -113,7 +121,8 @@ object HttpStream {
                         attempts: Int, timeoutMillis: Long,
                         headers: Map[String, String],
                         pinnedCertPath: Option[String],
-                        oauth: Option[(String, String, String, Option[String])])
+                        oauth: Option[(String, String, String, Option[String])],
+                        lookback: Long)
 
   object Opts {
     def apply(o: CaseInsensitiveStringMap): Opts = {
@@ -139,7 +148,8 @@ object HttpStream {
         Option(o.get("format")).getOrElse("ndjson").toLowerCase,
         Option(o.get("attempts")).map(_.toInt).getOrElse(5),
         Option(o.get("timeoutMillis")).map(_.toLong).getOrElse(10000L),
-        headers, Option(o.get("pinnedCertPath")).filter(_.nonEmpty), oauth)
+        headers, Option(o.get("pinnedCertPath")).filter(_.nonEmpty), oauth,
+        Option(o.get("lookback")).map(_.toLong).getOrElse(0L))
       // misconfigurations fail at load, loudly — a pagesPerPoll=0 stream
       // would otherwise run "healthy" forever shipping zero rows, and a
       // typo'd format would silently parse a JSON array as one NDJSON line
@@ -158,6 +168,12 @@ object HttpStream {
         parsed.startingCursor.matches("-?\\d+"),
         s"graft-http: startingCursor must be earliest|latest|<long>, " +
           s"got '${parsed.startingCursor}'")
+      require(parsed.timeoutMillis > 0,
+        s"graft-http: timeoutMillis must be positive, got ${parsed.timeoutMillis}")
+      require(parsed.lookback >= 0,
+        s"graft-http: lookback must be non-negative, got ${parsed.lookback}")
+      require(parsed.lookback == 0 || parsed.cursorField.nonEmpty,
+        "graft-http: lookback requires cursorField (cursor mode)")
       parsed
     }
   }
@@ -220,6 +236,14 @@ private[sources] trait HttpStreamFetch {
       retriable = {
         case se: Http.StatusException =>
           se.status >= 500 || se.status == 408 || se.status == 429
+        // a pin mismatch / untrusted chain / bad hostname is configuration,
+        // not weather — burning the jittered budget per trigger can't heal
+        // it (generic SSLExceptions stay retriable: a reset mid-handshake
+        // surfaces as one on some JDKs)
+        case _: javax.net.ssl.SSLHandshakeException => false
+        case _: javax.net.ssl.SSLPeerUnverifiedException => false
+        // malformed url / bad option values are permanent by definition
+        case _: IllegalArgumentException => false
         case _ => true // transport errors (connect reset, timeout)
       }) { () =>
       val r = Http.getFull(url, requestHeaders(extra), opts.timeoutMillis,
@@ -229,15 +253,33 @@ private[sources] trait HttpStreamFetch {
     }
 }
 
-/** Offset = exclusive high-water mark already shipped (cursor mode). */
-private[sources] final case class HttpCursorOffset(mark: Long) extends Offset {
-  override def json(): String = s"""{"mark":$mark}"""
+/** Offset = exclusive high-water mark already shipped (cursor mode),
+  * plus — when a `lookback` window is configured — the sorted marks
+  * already shipped WITHIN `(mark - lookback, mark]`, so a poll can
+  * re-read the window and ship only genuinely late records. `seen` is
+  * bounded by the records one window holds (control-plane sized, like
+  * the poll itself); with `lookback = 0` the json stays the pre-r15
+  * `{"mark":N}` form, so existing checkpoints parse unchanged. */
+private[sources] final case class HttpCursorOffset(
+    mark: Long, seen: Vector[Long] = Vector.empty) extends Offset {
+  override def json(): String =
+    if (seen.isEmpty) s"""{"mark":$mark}"""
+    else s"""{"mark":$mark,"seen":[${seen.mkString(",")}]}"""
+  def seenSet: Set[Long] = seen.toSet
 }
 private[sources] object HttpCursorOffset {
-  private val P = """\{\s*"mark"\s*:\s*(-?\d+)\s*\}""".r
-  def fromJson(s: String): HttpCursorOffset = s match {
-    case P(v) => HttpCursorOffset(v.toLong)
-    case other => throw new IllegalArgumentException(s"bad graft-http offset: $other")
+  def fromJson(s: String): HttpCursorOffset = {
+    val n =
+      try Auth.mapper.readTree(s)
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(s"bad graft-http offset: $s", e) }
+    if (n == null || !n.isObject || !n.hasNonNull("mark") || !n.path("mark").isNumber)
+      throw new IllegalArgumentException(s"bad graft-http offset: $s")
+    import scala.jdk.CollectionConverters._
+    val seen =
+      if (!n.has("seen")) Vector.empty[Long]
+      else n.path("seen").elements().asScala.map(_.asLong()).toVector
+    HttpCursorOffset(n.path("mark").asLong(), seen)
   }
 }
 
@@ -247,16 +289,24 @@ private[sources] class GraftHttpCursorStream(val opts: HttpStream.Opts)
   private val decode = HttpStream.decode(opts)
 
   // the fresh-path cache: the epoch latestOffset just discovered, so
-  // planInputPartitions doesn't pay a second round of GETs. One epoch
-  // only — replaced each poll, so memory is bounded by one poll's records.
-  @volatile private var cached: (Long, Long, Array[String]) = _
+  // planInputPartitions doesn't pay a second round of GETs. Keyed by the
+  // (start, end) offset jsons — with a lookback window two epochs can
+  // share an hwm and differ only in `seen`. One epoch only — replaced
+  // each poll, so memory is bounded by one poll's records.
+  @volatile private var cached: (String, String, Array[String]) = _
 
   // records already fetched PAST an admission-capped epoch's end mark:
   // the next poll starting exactly at that end consumes them instead of
   // re-fetching — without this, draining an n-record backlog under a
   // small budget re-transfers each page once per epoch it spans
   // (O(n²/pageSize) bytes). Bounded by one poll's fetch.
-  @volatile private var pendingPast: (Long, Vector[(Long, String)]) = _
+  @volatile private var pendingPast: (String, Vector[(Long, String)]) = _
+
+  /** Poll start for a committed mark: `lookback` cursor units below the
+    * hwm, so late-committing records inside the window are re-seen (and
+    * deduped against the offset's `seen` marks). */
+  private def pollFloor(mark: Long): Long =
+    if (opts.lookback == 0) mark else mark - opts.lookback
 
   /** Chained page walk from `from`: GET with cursor=mark, keep records
     * whose mark advances, follow with cursor=new max, until a page adds
@@ -306,7 +356,15 @@ private[sources] class GraftHttpCursorStream(val opts: HttpStream.Opts)
         m
       case n => n.toLong
     }
-    HttpCursorOffset(mark)
+    // with a lookback window, marks already present inside it count as
+    // shipped — otherwise the first poll would re-deliver the window
+    // below a `latest`/explicit start as "late" records ("earliest"
+    // ships everything anyway, so its window is legitimately empty)
+    val seen =
+      if (opts.lookback == 0 || mark == HttpStream.earliestFloor) Vector.empty[Long]
+      else pollFrom(pollFloor(mark), opts.pagesPerPoll, stopAtMark = mark)
+        .map(_._1).filter(_ <= mark).distinct.sorted
+    HttpCursorOffset(mark, seen)
   }
 
   override def getDefaultReadLimit: ReadLimit =
@@ -315,40 +373,71 @@ private[sources] class GraftHttpCursorStream(val opts: HttpStream.Opts)
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
 
-  /** The poll: fetch forward from the committed mark; under a row budget
-    * the epoch's end mark is the n-th pending record's mark (ties on the
-    * final mark ride along, as in graft-jdbc). */
+  /** The poll: fetch forward from the committed mark (or `lookback`
+    * below it); candidates are records not yet shipped — mark above the
+    * hwm, or inside the window and absent from `seen`. Under a row
+    * budget the epoch's end mark is the n-th candidate's mark (ties on
+    * the final mark ride along, as in graft-jdbc). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = start.asInstanceOf[HttpCursorOffset].mark
+    val s = start.asInstanceOf[HttpCursorOffset]
     val carried = {
       val p = pendingPast
-      if (p != null && p._1 == from) p._2 else Vector.empty
+      if (p != null && p._1 == s.json()) p._2 else Vector.empty
     }
-    val recs = if (carried.nonEmpty) carried else pollFrom(from, opts.pagesPerPoll)
-    if (recs.isEmpty) return start
-    val end = limit match {
-      case mr: ReadMaxRows if recs.length > mr.maxRows() =>
-        recs.map(_._1).sorted.apply(mr.maxRows().toInt - 1)
-      case _ => recs.map(_._1).max
+    val fetched =
+      if (carried.nonEmpty) carried
+      else pollFrom(pollFloor(s.mark), opts.pagesPerPoll)
+    val seen = s.seenSet
+    val cands = fetched.filter { case (m, _) => m > s.mark || !seen.contains(m) }
+    if (cands.isEmpty) return start
+    val capMark = limit match {
+      case mr: ReadMaxRows if cands.length > mr.maxRows() =>
+        cands.map(_._1).sorted.apply(mr.maxRows().toInt - 1)
+      case _ => cands.map(_._1).max
     }
-    cached = (from, end, recs.collect { case (m, r) if m <= end => r }.toArray)
-    pendingPast = (end, recs.filter(_._1 > end))
-    HttpCursorOffset(end)
+    val taken = cands.filter(_._1 <= capMark)
+    // a late-only epoch must not regress the hwm — it grows `seen` only
+    val endMark = math.max(s.mark, capMark)
+    val endSeen =
+      if (opts.lookback == 0) Vector.empty[Long]
+      else (s.seen ++ taken.map(_._1)).distinct
+        .filter(m => m > endMark - opts.lookback && m <= endMark).sorted
+    val end = HttpCursorOffset(endMark, endSeen)
+    cached = (s.json(), end.json(), taken.map(_._2).toArray)
+    // carry only UNSHIPPED records past the cap — carrying anything
+    // already in `seen` would satisfy the next poll with zero candidates
+    // and starve the feed (the carried batch would never drain)
+    pendingPast = (end.json(), cands.filter(_._1 > capMark))
+    end
   }
 
+  /** Epoch membership from the two offsets alone (replay-deterministic):
+    * a mark ships iff it is new-and-below-the-end-window (unconditional
+    * — `seen` can't track it) or it entered `seen` in this epoch. With
+    * `lookback = 0` this is exactly the old `(start, end]` rule. */
+  private def shipsIn(m: Long, s: HttpCursorOffset, e: HttpCursorOffset,
+                      eSeen: Set[Long], sSeen: Set[Long]): Boolean =
+    (m > s.mark && m <= e.mark - opts.lookback) ||
+      (m <= e.mark && eSeen.contains(m) && !sSeen.contains(m))
+
   /** Fresh path serves the poll's own records; a cache miss is RESTART
-    * REPLAY of an epoch in the offset log — re-fetch from the start mark
-    * and filter to the logged (start, end], which is exactly-once for an
-    * append-monotonic feed (the records at those marks are immutable). */
+    * REPLAY of an epoch in the offset log — re-fetch from the start
+    * mark's poll floor and filter by [[shipsIn]], which is exactly-once
+    * for feeds append-monotonic beyond the lookback window (the records
+    * at those marks are immutable; a record arriving DURING replay ships
+    * in a later epoch, not this one, because it isn't in `end.seen`). */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val a = start.asInstanceOf[HttpCursorOffset].mark
-    val b = end.asInstanceOf[HttpCursorOffset].mark
-    if (b <= a) return Array.empty
+    val s = start.asInstanceOf[HttpCursorOffset]
+    val e = end.asInstanceOf[HttpCursorOffset]
+    if (e.mark <= s.mark && e.seen == s.seen) return Array.empty
     val c = cached
     val records =
-      if (c != null && c._1 == a && c._2 == b) c._3
-      else pollFrom(a, opts.pagesPerPoll, stopAtMark = b)
-        .collect { case (m, r) if m <= b => r }.toArray
+      if (c != null && c._1 == s.json() && c._2 == e.json()) c._3
+      else {
+        val eSeen = e.seenSet; val sSeen = s.seenSet
+        pollFrom(pollFloor(s.mark), opts.pagesPerPoll, stopAtMark = e.mark)
+          .collect { case (m, r) if shipsIn(m, s, e, eSeen, sSeen) => r }.toArray
+      }
     if (records.isEmpty) return Array.empty
     val n = math.min(math.max(1, opts.numPartitions), records.length)
     (0 until n).map { i =>
@@ -391,6 +480,11 @@ private[sources] final class GraftHttpSnapshotStream(val opts: HttpStream.Opts)
 
   private val decode = HttpStream.decode(opts)
   @volatile private var cached: (Long, Array[String]) = _
+  // what a restart REPLAY actually shipped for a version: replay serves
+  // CURRENT content while the logged offset still carries the old body
+  // hash — without remembering the shipped hash, the next poll would see
+  // a "change" and deliver the identical document again as a new version
+  @volatile private var replayed: (Long, String) = _
 
   private def sha256(body: String): String =
     S3.sha256Hex(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -418,12 +512,16 @@ private[sources] final class GraftHttpSnapshotStream(val opts: HttpStream.Opts)
     val h = sha256(r.body)
     val etag = r.header("ETag").getOrElse("")
     val lm = r.header("Last-Modified").getOrElse("")
-    if (prev.ver > 0 && h == prev.sha256) {
-      // body unchanged: no epoch — but ADOPT rotated validators (per-node
-      // ETags behind a balancer, Last-Modified reset on redeploy), or
-      // every later conditional GET misses and re-downloads the full
-      // body forever. Same version ⇒ the offset change plans no batch.
-      return if (etag == prev.etag && lm == prev.lastModified) prev
+    val rep = replayed
+    if (prev.ver > 0 && (h == prev.sha256 ||
+        (rep != null && rep._1 == prev.ver && rep._2 == h))) {
+      // body unchanged (vs the logged hash, OR vs what a restart replay
+      // of this version actually shipped): no epoch — but ADOPT rotated
+      // validators (per-node ETags behind a balancer, Last-Modified
+      // reset on redeploy) and the replay-corrected hash, or every later
+      // poll re-downloads / re-ships for nothing. Same version ⇒ the
+      // offset change plans no batch.
+      return if (etag == prev.etag && lm == prev.lastModified && h == prev.sha256) prev
              else HttpSnapshotOffset(prev.ver, etag, lm, h)
     }
     cached = (prev.ver + 1, decode(r.body).toArray)
@@ -440,10 +538,14 @@ private[sources] final class GraftHttpSnapshotStream(val opts: HttpStream.Opts)
     val c = cached
     val records =
       if (c != null && c._1 == b.ver) c._2
-      else
+      else {
         // restart replay: a snapshot feed has no "as of version N" query —
-        // serve CURRENT content (documented last-writer-wins)
-        decode(fetchRetry(opts.url).body).toArray
+        // serve CURRENT content (documented last-writer-wins), and record
+        // its hash so the next poll doesn't re-ship the same bytes
+        val body = fetchRetry(opts.url).body
+        replayed = (b.ver, sha256(body))
+        decode(body).toArray
+      }
     if (records.isEmpty) return Array.empty
     val n = math.min(math.max(1, opts.numPartitions), records.length)
     (0 until n).map { i =>

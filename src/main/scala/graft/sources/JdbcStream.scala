@@ -33,9 +33,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * Delivery contract: exactly-once FOR APPEND-MONOTONIC tables — a row
   * whose watermark lands at-or-below a committed mark is never seen
   * (the standard incremental-ingest caveat; same as the reference when
-  * its WhereClause tracks a cursor). Updates in place are invisible:
-  * poll CDC-style tables on an updated-at column with overlap handled
-  * downstream, or use the batch reader.
+  * its WhereClause tracks a cursor). A `lookback` window (mark units —
+  * raw values for integral watermarks, MICROSECONDS for TIMESTAMP ones;
+  * the standard CDC hardening) re-scans `(hwm - lookback, hwm]` each
+  * poll and dedupes on the watermark value against the offset's `seen`
+  * marks, so a row that COMMITS OUT OF ORDER inside the window still
+  * ships exactly once; the caveat narrows to rows landing beyond
+  * `lookback` (or re-using an already-shipped mark). Updates in place
+  * are still invisible: poll CDC-style tables on an updated-at column,
+  * or use the batch reader.
   *
   * Scale note: each epoch is a WHERE-bounded range scan the database can
   * serve from the watermark index; `numPartitions` splits the range so a
@@ -75,7 +81,7 @@ object JdbcStream {
   final case class Opts(url: String, driver: String, table: String,
                         watermarkColumn: String, where: Option[String],
                         startingWatermark: String, numPartitions: Int,
-                        maxRowsPerPoll: Option[Long]) {
+                        maxRowsPerPoll: Option[Long], lookback: Long = 0L) {
     def whereAnd(cond: String): String =
       where.map(w => s"($w) AND $cond").getOrElse(cond)
   }
@@ -87,12 +93,16 @@ object JdbcStream {
         require(v != null && v.nonEmpty, s"graft-jdbc: option '$k' is required")
         v
       }
-      Opts(req("url"), Option(o.get("driver")).getOrElse(""), req("table"),
+      val parsed = Opts(req("url"), Option(o.get("driver")).getOrElse(""), req("table"),
         req("watermarkColumn"),
         Option(o.get("where")).filter(_.nonEmpty),
         Option(o.get("startingWatermark")).getOrElse("earliest"),
         Option(o.get("numPartitions")).map(_.toInt).getOrElse(1),
-        Option(o.get("maxRowsPerPoll")).map(_.toLong))
+        Option(o.get("maxRowsPerPoll")).map(_.toLong),
+        Option(o.get("lookback")).map(_.toLong).getOrElse(0L))
+      require(parsed.lookback >= 0,
+        s"graft-jdbc: lookback must be non-negative, got ${parsed.lookback}")
+      parsed
     }
   }
 
@@ -191,15 +201,31 @@ object JdbcStream {
     } else ps.setLong(i, mark)
 }
 
-/** Offset = the exclusive high-water mark already shipped. */
-private[sources] final case class JdbcSourceOffset(hwm: Long) extends Offset {
-  override def json(): String = s"""{"hwm":$hwm}"""
+/** Offset = the exclusive high-water mark already shipped, plus — when a
+  * `lookback` window is configured — the sorted marks already shipped
+  * WITHIN `(hwm - lookback, hwm]`, so a poll can re-scan the window and
+  * ship only genuinely late rows. With `lookback = 0` the json stays the
+  * pre-r15 `{"hwm":N}` form, so existing checkpoints parse unchanged. */
+private[sources] final case class JdbcSourceOffset(
+    hwm: Long, seen: Vector[Long] = Vector.empty) extends Offset {
+  override def json(): String =
+    if (seen.isEmpty) s"""{"hwm":$hwm}"""
+    else s"""{"hwm":$hwm,"seen":[${seen.mkString(",")}]}"""
+  def seenSet: Set[Long] = seen.toSet
 }
 private[sources] object JdbcSourceOffset {
-  private val P = """\{\s*"hwm"\s*:\s*(-?\d+)\s*\}""".r
-  def fromJson(s: String): JdbcSourceOffset = s match {
-    case P(v) => JdbcSourceOffset(v.toLong)
-    case other => throw new IllegalArgumentException(s"bad jdbc offset: $other")
+  def fromJson(s: String): JdbcSourceOffset = {
+    val n =
+      try Auth.mapper.readTree(s)
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(s"bad jdbc offset: $s", e) }
+    if (n == null || !n.isObject || !n.hasNonNull("hwm") || !n.path("hwm").isNumber)
+      throw new IllegalArgumentException(s"bad jdbc offset: $s")
+    import scala.jdk.CollectionConverters._
+    val seen =
+      if (!n.has("seen")) Vector.empty[Long]
+      else n.path("seen").elements().asScala.map(_.asLong()).toVector
+    JdbcSourceOffset(n.path("hwm").asLong(), seen)
   }
 }
 
@@ -268,7 +294,14 @@ private[sources] final class GraftJdbcMicroBatchStream(schema: StructType,
         oneLong(s"SELECT MAX($wm) FROM $t$guard").getOrElse(emptyFloor)
       case n => n.toLong
     }
-    JdbcSourceOffset(hwm)
+    // with a lookback window, marks already present inside it count as
+    // shipped — otherwise the first poll would re-deliver the window
+    // below a `latest`/explicit start as "late" rows (for `earliest`
+    // the window below MIN-1 is empty, so the probe is a no-op)
+    val seen =
+      if (opts.lookback == 0 || hwm <= emptyFloor) Vector.empty[Long]
+      else marksIn(pollFloor(hwm), hwm)
+    JdbcSourceOffset(hwm, seen)
   }
 
   override def getDefaultReadLimit: ReadLimit =
@@ -277,14 +310,46 @@ private[sources] final class GraftJdbcMicroBatchStream(schema: StructType,
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
 
-  /** The poll: MAX(wm) for an unbounded trigger; under a row budget, the
-    * n-th pending row's mark (ANSI FETCH FIRST — Derby and Postgres both
-    * speak it) so one epoch never exceeds the budget by more than the
-    * ties on its final mark. */
+  /** Poll start for a committed hwm: `lookback` mark units below it
+    * (clamped to the bindable floor for TIMESTAMP columns), so rows that
+    * COMMITTED OUT OF ORDER inside the window are re-seen and deduped
+    * against the offset's `seen` marks. */
+  private def pollFloor(hwm: Long): Long =
+    if (opts.lookback == 0 || hwm <= emptyFloor) hwm
+    else math.max(hwm - opts.lookback, emptyFloor)
+
+  /** DISTINCT marks in `(lo, hi]` — the window probe. Bounded by the rows
+    * one lookback window holds; never run for the full backlog. */
+  private def marksIn(lo: Long, hi: Long): Vector[Long] =
+    if (hi <= lo) Vector.empty
+    else withConn { c =>
+      val wm = opts.watermarkColumn
+      val ps = c.prepareStatement(
+        s"SELECT DISTINCT $wm FROM ${opts.table} WHERE " +
+          s"${opts.whereAnd(s"$wm > ? AND $wm <= ?")} ORDER BY $wm")
+      try {
+        JdbcStream.setMark(ps, 1, wmIsTimestamp, lo)
+        JdbcStream.setMark(ps, 2, wmIsTimestamp, hi)
+        val rs = ps.executeQuery()
+        val out = Vector.newBuilder[Long]
+        while (rs.next()) JdbcStream.markOf(rs, 1).foreach(out += _)
+        out.result()
+      } finally ps.close()
+    }
+
+  /** The poll: late marks from the window probe, plus MAX(wm) above the
+    * hwm for an unbounded trigger; under a row budget, the n-th pending
+    * row's mark (ANSI FETCH FIRST — Derby and Postgres both speak it) so
+    * one epoch never exceeds the budget by more than the ties on its
+    * final mark. A late-only epoch keeps the hwm and grows `seen`. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = start.asInstanceOf[JdbcSourceOffset].hwm
+    val s = start.asInstanceOf[JdbcSourceOffset]
+    val from = s.hwm
     val wm = opts.watermarkColumn
     val t = opts.table
+    val late =
+      if (opts.lookback == 0) Vector.empty[Long]
+      else { val seen = s.seenSet; marksIn(pollFloor(from), from).filterNot(seen) }
     val max = withConn { c =>
       val ps = c.prepareStatement(
         s"SELECT MAX($wm) FROM $t WHERE ${opts.whereAnd(s"$wm > ?")}")
@@ -294,41 +359,69 @@ private[sources] final class GraftJdbcMicroBatchStream(schema: StructType,
         if (!rs.next()) None else JdbcStream.markOf(rs, 1)
       } finally ps.close()
     }
-    max match {
-      case None => start
-      case Some(m) =>
-        val capped = limit match {
-          case mr: ReadMaxRows =>
-            withConn { c =>
-              val ps = c.prepareStatement(
-                s"SELECT MAX($wm) FROM (SELECT $wm FROM $t WHERE " +
-                  s"${opts.whereAnd(s"$wm > ?")} ORDER BY $wm " +
-                  s"FETCH FIRST ${mr.maxRows()} ROWS ONLY) capped_marks")
-              try {
-                JdbcStream.setMark(ps, 1, wmIsTimestamp, from)
-                val rs = ps.executeQuery()
-                if (!rs.next()) None else JdbcStream.markOf(rs, 1)
-              } finally ps.close()
-            }.getOrElse(m)
-          case _ => m
-        }
-        JdbcSourceOffset(math.min(m, capped))
+    val newBudget = limit match {
+      // the late rows spend admission budget first (they are the oldest)
+      case mr: ReadMaxRows => math.max(0L, mr.maxRows() - late.length)
+      case _ => Long.MaxValue
     }
+    val endHwm = max match {
+      case Some(m) if newBudget > 0 =>
+        val capped =
+          if (newBudget == Long.MaxValue) m
+          else withConn { c =>
+            val ps = c.prepareStatement(
+              s"SELECT MAX($wm) FROM (SELECT $wm FROM $t WHERE " +
+                s"${opts.whereAnd(s"$wm > ?")} ORDER BY $wm " +
+                s"FETCH FIRST $newBudget ROWS ONLY) capped_marks")
+            try {
+              JdbcStream.setMark(ps, 1, wmIsTimestamp, from)
+              val rs = ps.executeQuery()
+              if (!rs.next()) None else JdbcStream.markOf(rs, 1)
+            } finally ps.close()
+          }.getOrElse(m)
+        math.min(m, capped)
+      case _ => from
+    }
+    if (late.isEmpty && endHwm == from) return start
+    val endSeen =
+      if (opts.lookback == 0) Vector.empty[Long]
+      else (s.seen ++ late ++ marksIn(math.max(from, pollFloor(endHwm)), endHwm))
+        .distinct.filter(m => m > pollFloor(endHwm) && m <= endHwm).sorted
+    JdbcSourceOffset(endHwm, endSeen)
   }
 
+  /** Epoch membership is derived from the two offsets alone, so replay
+    * after a crash is deterministic even if more late rows have arrived
+    * since: the range part `(start.hwm, end.hwm - lookback]` is
+    * unconditional (below `end`'s window, `seen` can't track it), and
+    * the in-window part ships exactly the marks that entered `seen`
+    * this epoch — an IN-list per partition. With `lookback = 0` this is
+    * exactly the old contiguous `(a, b]` range split. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val a = start.asInstanceOf[JdbcSourceOffset].hwm
-    val b = end.asInstanceOf[JdbcSourceOffset].hwm
-    if (b <= a) return Array.empty
-    // split (a, b] into numPartitions contiguous mark ranges — each task
-    // range-scans its own slice (index-served DB-side)
+    val s = start.asInstanceOf[JdbcSourceOffset]
+    val e = end.asInstanceOf[JdbcSourceOffset]
+    if (e.hwm <= s.hwm && e.seen == s.seen) return Array.empty
+    val rangeLo = s.hwm
+    val rangeHi = if (opts.lookback == 0) e.hwm else math.max(rangeLo, e.hwm - opts.lookback)
+    val inMarks = (e.seen.toSet -- s.seen.toSet).toArray.sorted
     val n = math.max(1, opts.numPartitions)
-    val span = b - a
-    val parts = math.min(n.toLong, span).toInt
+    val span = math.max(0L, rangeHi - rangeLo)
+    // split the range into numPartitions contiguous mark slices — each
+    // task range-scans its own slice (index-served DB-side); the
+    // window marks ride along in contiguous chunks
+    val rangeParts = if (span == 0) 0 else math.min(n.toLong, span).toInt
+    val parts = math.max(rangeParts,
+      if (inMarks.isEmpty) 0 else math.min(n, inMarks.length))
+    if (parts == 0) return Array.empty
     (0 until parts).map { i =>
-      val lo = a + span * i / parts
-      val hi = a + span * (i + 1) / parts
-      JdbcInputPartition(opts, schema, lo, hi, wmIsTimestamp): InputPartition
+      val (lo, hi) =
+        if (i < rangeParts)
+          (rangeLo + span * i / rangeParts, rangeLo + span * (i + 1) / rangeParts)
+        else (0L, 0L) // no range slice for this partition
+      val mlo = inMarks.length * i / parts
+      val mhi = inMarks.length * (i + 1) / parts
+      JdbcInputPartition(opts, schema, lo, hi, wmIsTimestamp,
+        inMarks.slice(mlo, mhi)): InputPartition
     }.toArray
   }
 
@@ -351,7 +444,8 @@ private[sources] final class GraftJdbcMicroBatchStream(schema: StructType,
 private[sources] final case class JdbcInputPartition(opts: JdbcStream.Opts,
                                                      schema: StructType,
                                                      lo: Long, hi: Long,
-                                                     wmIsTimestamp: Boolean)
+                                                     wmIsTimestamp: Boolean,
+                                                     marks: Array[Long] = Array.empty)
   extends InputPartition
 
 private[sources] final class JdbcReaderFactory extends PartitionReaderFactory {
@@ -361,32 +455,63 @@ private[sources] final class JdbcReaderFactory extends PartitionReaderFactory {
       private val conn = JdbcStream.connect(jp.opts)
       private val wm = jp.opts.watermarkColumn
       private val cols = jp.schema.fields.map(_.name).mkString(", ")
-      // a throwing prepare/execute must not leak the connection — no
-      // caller gets a reader handle to close
-      private val (ps, rs) =
+
+      // up to two queries in sequence: the contiguous range slice, then
+      // the in-window IN-list (lookback marks). Built lazily so a
+      // throwing prepare/execute can't leak the connection — no caller
+      // gets a reader handle to close.
+      private def rangeQuery(): (java.sql.PreparedStatement, java.sql.ResultSet) = {
+        val st = conn.prepareStatement(
+          s"SELECT $cols FROM ${jp.opts.table} WHERE " +
+            jp.opts.whereAnd(s"$wm > ? AND $wm <= ?"))
+        JdbcStream.setMark(st, 1, jp.wmIsTimestamp, jp.lo)
+        JdbcStream.setMark(st, 2, jp.wmIsTimestamp, jp.hi)
+        (st, st.executeQuery())
+      }
+      private def marksQuery(): (java.sql.PreparedStatement, java.sql.ResultSet) = {
+        val holes = Array.fill(jp.marks.length)("?").mkString(", ")
+        val st = conn.prepareStatement(
+          s"SELECT $cols FROM ${jp.opts.table} WHERE " +
+            jp.opts.whereAnd(s"$wm IN ($holes)"))
+        jp.marks.zipWithIndex.foreach { case (m, i) =>
+          JdbcStream.setMark(st, i + 1, jp.wmIsTimestamp, m)
+        }
+        (st, st.executeQuery())
+      }
+      private val pendingQueries =
+        scala.collection.mutable.Queue[() => (java.sql.PreparedStatement, java.sql.ResultSet)](
+          (if (jp.hi > jp.lo) Seq(() => rangeQuery()) else Nil) ++
+          (if (jp.marks.nonEmpty) Seq(() => marksQuery()) else Nil): _*)
+      private var current: (java.sql.PreparedStatement, java.sql.ResultSet) = _
+
+      private def closeCurrent(): Unit = if (current != null) {
+        try current._2.close() catch { case _: Exception => () }
+        try current._1.close() catch { case _: Exception => () }
+        current = null
+      }
+
+      override def next(): Boolean = {
         try {
-          val st = conn.prepareStatement(
-            s"SELECT $cols FROM ${jp.opts.table} WHERE " +
-              jp.opts.whereAnd(s"$wm > ? AND $wm <= ?"))
-          JdbcStream.setMark(st, 1, jp.wmIsTimestamp, jp.lo)
-          JdbcStream.setMark(st, 2, jp.wmIsTimestamp, jp.hi)
-          (st, st.executeQuery())
+          while (current == null || !current._2.next()) {
+            closeCurrent()
+            if (pendingQueries.isEmpty) return false
+            current = pendingQueries.dequeue()()
+          }
+          true
         } catch {
           case e: Throwable =>
-            try conn.close() catch { case c: Exception => e.addSuppressed(c) }
+            try close() catch { case c: Exception => e.addSuppressed(c) }
             throw e
         }
-
-      override def next(): Boolean = rs.next()
+      }
 
       override def get(): InternalRow =
         new GenericInternalRow(jp.schema.fields.zipWithIndex.map {
-          case (f, i) => JdbcStream.toCatalyst(rs, i + 1, f.dataType)
+          case (f, i) => JdbcStream.toCatalyst(current._2, i + 1, f.dataType)
         })
 
       override def close(): Unit = {
-        try rs.close() catch { case _: Exception => () }
-        try ps.close() catch { case _: Exception => () }
+        closeCurrent()
         conn.close()
       }
     }

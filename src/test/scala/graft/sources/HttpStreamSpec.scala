@@ -24,10 +24,17 @@ class HttpStreamSpec extends SparkSpec {
     val rows = new AtomicReference[Vector[Long]](Vector.empty)
     val hits = new AtomicInteger(0)
     val lastAuth = new AtomicReference[String]("")
+    /** When set, requests whose Authorization differs from this
+      * supplier's CURRENT value are 401s (token-freshness enforcement). */
+    val requireAuth = new AtomicReference[() => String](null)
     private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/feed", { exchange =>
       hits.incrementAndGet()
       lastAuth.set(Option(exchange.getRequestHeaders.getFirst("Authorization")).getOrElse(""))
+      val auth = requireAuth.get()
+      if (auth != null && lastAuth.get() != auth()) {
+        exchange.sendResponseHeaders(401, -1); exchange.close()
+      } else {
       val q = Option(exchange.getRequestURI.getQuery).getOrElse("")
       val after = q.split("&").collectFirst {
         case kv if kv.startsWith("after=") => kv.substring(6).toLong
@@ -38,6 +45,7 @@ class HttpStreamSpec extends SparkSpec {
       if (body.isEmpty) exchange.sendResponseHeaders(200, -1)
       else { exchange.sendResponseHeaders(200, body.length); exchange.getResponseBody.write(body) }
       exchange.close()
+      }
     })
     server.start()
     def add(from: Long, until: Long): Unit =
@@ -199,7 +207,8 @@ class HttpStreamSpec extends SparkSpec {
     // planInputPartitions' cache arm directly through the latestOffset cache
     val f = classOf[GraftHttpCursorStream].getDeclaredField("cached")
     f.setAccessible(true)
-    f.set(stream, (0L, 10L, (1L to 10L).map(i => s"""{"id":$i}""").toArray))
+    f.set(stream, (HttpCursorOffset(0L).json(), HttpCursorOffset(10L).json(),
+      (1L to 10L).map(i => s"""{"id":$i}""").toArray))
     val parts = stream.planInputPartitions(HttpCursorOffset(0L), HttpCursorOffset(10L))
       .map(_.asInstanceOf[HttpInputPartition])
     assert(parts.length === 4)
@@ -262,6 +271,54 @@ class HttpStreamSpec extends SparkSpec {
         assert(got.isEmpty, "restart must not re-ship unchanged content")
         assert(conditionalHits.get() > before)
       }
+    } finally server.stop(0)
+  }
+
+  test("snapshot replay of an UNCOMMITTED epoch whose content changed " +
+    "while down ships the current document ONCE, not once per poll: the " +
+    "next poll adopts the replay-shipped hash instead of re-delivering") {
+    val content = new AtomicReference[String]("""{"v":"A"}""")
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/doc", { exchange =>
+      val b = content.get().getBytes("UTF-8")
+      exchange.sendResponseHeaders(200, b.length)
+      exchange.getResponseBody.write(b)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val opts = HttpStream.Opts(new CaseInsensitiveStringMap(java.util.Map.of(
+        "url", s"http://127.0.0.1:${server.getAddress.getPort}/doc")))
+      // epoch 1 planned against content A, then the process dies
+      // UNCOMMITTED and the document moves to B while down
+      val s1 = new GraftHttpSnapshotStream(opts)
+      val init = s1.initialOffset().asInstanceOf[HttpSnapshotOffset]
+      val off1 = s1.latestOffset(init, ReadLimit.allAvailable())
+        .asInstanceOf[HttpSnapshotOffset]
+      assert(off1.ver === 1L)
+      content.set("""{"v":"B"}""")
+      // restart: a FRESH stream instance replays the logged epoch with no
+      // fresh-poll cache — it serves CURRENT content (B, documented LWW)
+      val s2 = new GraftHttpSnapshotStream(opts)
+      val replayed = s2.planInputPartitions(init, off1)
+        .flatMap(_.asInstanceOf[HttpInputPartition].records)
+      assert(replayed.toSeq === Seq("""{"v":"B"}"""))
+      // the very next poll sees the same B — the logged sha is A's, but
+      // the replay-shipped hash matches, so NO new version (the pre-fix
+      // behavior re-shipped the identical document as ver 2)
+      val off2 = s2.latestOffset(off1, ReadLimit.allAvailable())
+        .asInstanceOf[HttpSnapshotOffset]
+      assert(off2.ver === off1.ver,
+        s"identical replayed content re-shipped as a new version: $off2")
+      assert(s2.planInputPartitions(off1, off2).isEmpty)
+      // a REAL change after the replay still ships normally
+      content.set("""{"v":"C"}""")
+      val off3 = s2.latestOffset(off2, ReadLimit.allAvailable())
+        .asInstanceOf[HttpSnapshotOffset]
+      assert(off3.ver === off2.ver + 1)
+      val shipped = s2.planInputPartitions(off2, off3)
+        .flatMap(_.asInstanceOf[HttpInputPartition].records)
+      assert(shipped.toSeq === Seq("""{"v":"C"}"""))
     } finally server.stop(0)
   }
 
@@ -445,8 +502,10 @@ class HttpStreamSpec extends SparkSpec {
         assert(ids(spark.table("http_pinned").collect()) === (0L until 4L))
       } finally q.stop()
       // without the pin, default trust refuses the self-signed feed —
-      // the stream surfaces the handshake failure, ships nothing
-      val q2 = reader(url, Map("attempts" -> "1"))
+      // the stream surfaces the handshake failure, ships nothing. No
+      // attempts=1 workaround needed: a handshake refusal is classified
+      // permanent and fails fast (see the fail-fast test below)
+      val q2 = reader(url)
         .writeStream.format("memory").queryName("http_unpinned").start()
       try {
         val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
@@ -458,6 +517,49 @@ class HttpStreamSpec extends SparkSpec {
           chain(e).map(_.getClass.getName).toString)
       } finally q2.stop()
     } finally https.stop(0)
+  }
+
+  test("a handshake-level TLS refusal is PERMANENT: no jittered retry burn " +
+    "(zero backoff sleeps with the full attempts budget configured)") {
+    val dir = "src/test/resources/tls"
+    val https = com.sun.net.httpserver.HttpsServer.create(
+      new InetSocketAddress("127.0.0.1", 0), 0)
+    https.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(
+      Tls.sslContext(TlsConfig(s"$dir/server.pem", s"$dir/server-key.pem", s"$dir/ca.pem"))))
+    https.createContext("/feed", { ex => ex.sendResponseHeaders(200, -1); ex.close() })
+    https.start()
+    try {
+      val sleeps = new AtomicInteger(0)
+      val opts = HttpStream.Opts(new CaseInsensitiveStringMap(java.util.Map.of(
+        "url", s"https://127.0.0.1:${https.getAddress.getPort}/feed",
+        "cursorField", "id", "attempts", "5")))
+      val stream = new GraftHttpCursorStream(opts) {
+        override protected def retrySleep: Long => Unit = _ => sleeps.incrementAndGet()
+      }
+      // default trust refuses the self-signed server at the handshake —
+      // that is configuration, not weather: fail on the FIRST attempt
+      intercept[javax.net.ssl.SSLHandshakeException] {
+        stream.latestOffset(HttpCursorOffset(0L), ReadLimit.allAvailable())
+      }
+      assert(sleeps.get() === 0,
+        s"handshake refusal burned ${sleeps.get()} backoff sleeps")
+    } finally https.stop(0)
+  }
+
+  test("cursor offsets round-trip their json, including the lookback seen " +
+    "list; the pre-r15 bare-mark form still parses (checkpoint compat)") {
+    assert(HttpCursorOffset.fromJson("""{"mark":42}""") === HttpCursorOffset(42L))
+    val withSeen = HttpCursorOffset(30L, Vector(20L, 25L, 30L))
+    assert(HttpCursorOffset.fromJson(withSeen.json()) === withSeen)
+    assert(withSeen.json() === """{"mark":30,"seen":[20,25,30]}""")
+    // lookback-off offsets keep emitting the old shape byte-for-byte
+    assert(HttpCursorOffset(7L).json() === """{"mark":7}""")
+    intercept[IllegalArgumentException](HttpCursorOffset.fromJson("""{"v":1}"""))
+    assert(JdbcSourceOffset.fromJson("""{"hwm":9}""") === JdbcSourceOffset(9L))
+    val j = JdbcSourceOffset(9L, Vector(8L, 9L))
+    assert(JdbcSourceOffset.fromJson(j.json()) === j)
+    assert(JdbcSourceOffset(3L).json() === """{"hwm":3}""")
+    intercept[IllegalArgumentException](JdbcSourceOffset.fromJson("nope"))
   }
 
   test("misconfiguration fails at load: non-positive pagesPerPoll, unknown " +
@@ -499,5 +601,113 @@ class HttpStreamSpec extends SparkSpec {
         ReadLimit.allAvailable())
       assert(end.asInstanceOf[HttpCursorOffset].mark === 2L)
     } finally server.stop(0)
+  }
+
+  test("lookback window: a record committing OUT OF ORDER below the " +
+    "high-water mark ships exactly once; beyond the window it is missed " +
+    "(the documented narrowed caveat); a restart preserves the dedup") {
+    withFeed() { feed =>
+      // ids 0,10,20,30 with holes a late writer will fill
+      feed.rows.set(Vector(0L, 10L, 20L, 30L))
+      val ckpt = java.nio.file.Files.createTempDirectory("http_lookback_ckpt").toString
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+
+      def run(body: org.apache.spark.sql.streaming.StreamingQuery => Unit): Unit = {
+        val q = reader(feed.url, Map("lookback" -> "15")).writeStream
+          .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+            df.collect().foreach(r => got.add(HttpStream.markOf(r.getString(0), "id"))); ()
+          })
+          .option("checkpointLocation", ckpt).start()
+        try body(q) finally q.stop()
+      }
+
+      import scala.jdk.CollectionConverters._
+      run { q =>
+        q.processAllAvailable()
+        assert(got.asScala.toSeq.sorted === Seq(0L, 10L, 20L, 30L))
+        // hwm = 30, window (15, 30]: a late record at 25 ships exactly once
+        feed.rows.updateAndGet(_ :+ 25L)
+        q.processAllAvailable()
+        assert(got.asScala.toSeq.sorted === Seq(0L, 10L, 20L, 25L, 30L))
+        // further polls must NOT re-ship it (it is in the seen list)
+        q.processAllAvailable()
+        assert(got.asScala.size === 5, s"late record re-shipped: ${got.asScala.toSeq}")
+        // a record below the window (5 <= 30 - 15) is missed, silently —
+        // the documented residual caveat, narrowed from "any late row"
+        feed.rows.updateAndGet(_ :+ 5L)
+        q.processAllAvailable()
+        assert(got.asScala.toSeq.sorted === Seq(0L, 10L, 20L, 25L, 30L))
+      }
+      // a late record arriving while the query is DOWN, inside the
+      // window, ships exactly once on restart from the checkpoint;
+      // already-shipped in-window marks (25, 20) do not re-ship
+      feed.rows.updateAndGet(_ :+ 28L)
+      run { q =>
+        q.processAllAvailable()
+        assert(got.asScala.toSeq.sorted === Seq(0L, 10L, 20L, 25L, 28L, 30L))
+        // and the hwm still advances normally past the window
+        feed.rows.updateAndGet(_ :+ 40L)
+        q.processAllAvailable()
+        assert(got.asScala.toSeq.sorted === Seq(0L, 10L, 20L, 25L, 28L, 30L, 40L))
+      }
+    }
+  }
+
+  test("OAuth2 token EXPIRY mid-stream: the source re-acquires a fresh " +
+    "bearer and keeps polling without dropping an epoch") {
+    // token endpoint: short-TTL rotating tokens (expires_in=2 → the
+    // client's skew logic re-fetches after ~1s)
+    val issued = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/token", { exchange =>
+      val n = issued.incrementAndGet()
+      val b = s"""{"access_token":"tok-$n","expires_in":2}""".getBytes("UTF-8")
+      exchange.getResponseHeaders.set("Content-Type", "application/json")
+      exchange.sendResponseHeaders(200, b.length)
+      exchange.getResponseBody.write(b)
+      exchange.close()
+    })
+    server.start()
+    val validAuth = () => s"Bearer tok-${issued.get()}"
+    withFeed() { feed =>
+      // enforce freshness at the FEED: any bearer but the latest issued
+      // is a 401 (permanent → the query would fail, not limp along), so
+      // a source that kept its stale token cannot pass this test
+      feed.requireAuth.set(validAuth)
+      try {
+        feed.add(0, 3)
+        val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+        val q = reader(feed.url, Map(
+          "oauthTokenUrl" -> s"http://127.0.0.1:${server.getAddress.getPort}/token",
+          "oauthClientId" -> "cid", "oauthClientSecret" -> "sec"))
+          .writeStream
+          .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+            df.collect().foreach(r => got.add(HttpStream.markOf(r.getString(0), "id"))); ()
+          }).start()
+        try {
+          import scala.jdk.CollectionConverters._
+          q.processAllAvailable()
+          assert(got.asScala.toSeq.sorted === (0L until 3L))
+          assert(feed.lastAuth.get() === "Bearer tok-1")
+          // outlive the token: keep the stream running past the TTL,
+          // then ship more records — they must arrive under a FRESH token
+          val deadline = System.currentTimeMillis() + 10000
+          while (issued.get() < 2 && System.currentTimeMillis() < deadline) {
+            feed.add(issued.get() + 2, issued.get() + 3) // keep epochs flowing
+            q.processAllAvailable()
+            Thread.sleep(100)
+          }
+          assert(issued.get() >= 2, "token never re-acquired after expiry")
+          feed.add(10, 13)
+          q.processAllAvailable()
+          assert(got.asScala.toSeq.sorted.takeRight(3) === Seq(10L, 11L, 12L))
+          // compare as one snapshot pair; a mid-assert rotation would
+          // otherwise flake a direct lastAuth-vs-current check
+          eventually(feed.lastAuth.get() == validAuth(),
+            s"stale bearer still in use: ${feed.lastAuth.get()} vs ${validAuth()}")
+          assert(q.exception.isEmpty, s"query failed mid-rotation: ${q.exception}")
+        } finally q.stop()
+      } finally server.stop(0)
+    }
   }
 }
