@@ -443,6 +443,10 @@ class KafkaE2eSpec extends SparkSpec {
     * real. */
   private final class TwoBrokerCluster(topics: Map[String, Int]) extends AutoCloseable {
     val logs = new java.util.concurrent.ConcurrentHashMap[(String, Int), MiniKafkaBroker.PartitionLog]()
+    // committed offsets shared like the logs: the real store is the
+    // replicated __consumer_offsets topic, so a coordinator move must
+    // find the group's progress at the new coordinator
+    val groupOffsets = new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Long]()
     private val leaders = new java.util.concurrent.ConcurrentHashMap[(String, Int), Integer]()
     topics.foreach { case (t, n) =>
       (0 until n).foreach(p => leaders.put((t, p), Integer.valueOf(p % 2)))
@@ -451,12 +455,18 @@ class KafkaE2eSpec extends SparkSpec {
     private def mk(id: Int) = new MiniKafkaBroker(topics, nodeId = id,
       clusterView = () => view,
       leaderOf = (t, p) => leaders.get((t, p)).intValue(),
-      sharedLogs = logs)
+      sharedLogs = logs,
+      sharedGroupOffsets = groupOffsets)
     val b0 = mk(0)
     val b1 = mk(1)
     view = Seq((0, "127.0.0.1", b0.boundPort), (1, "127.0.0.1", b1.boundPort))
     def moveLeader(t: String, p: Int, node: Int): Unit =
       leaders.put((t, p), Integer.valueOf(node))
+    /** Flip every group/txn COORDINATOR placement: FindCoordinator hashes
+      * the key onto the view, so reversing the view moves each key's
+      * coordinator to the other broker (both brokers share the closure,
+      * so they agree — the __consumer_offsets leadership move). */
+    def swapCoordinators(): Unit = view = view.reverse
     def close(): Unit = { b0.close(); b1.close() }
   }
 
@@ -584,6 +594,90 @@ class KafkaE2eSpec extends SparkSpec {
           s"restart across failover: ${got.asScala.toSeq.sorted}")
       } finally q2.stop()
     } finally cluster.close()
+  }
+
+  test("group COORDINATOR moves MID-STREAM: a dynamic SpoolConsumer with " +
+    "pending work rejoins at the new coordinator and its commits land " +
+    "there — no loss, no duplication, restart resumes from the moved " +
+    "coordinator's offsets") {
+    val cluster = new TwoBrokerCluster(Map("cm" -> 2))
+    val dir = java.nio.file.Files.createTempDirectory("graft-coordmove").toString
+    val boot = ("127.0.0.1", cluster.b0.boundPort)
+    val lc = new Kafka.LeaderClient(boot)
+    var produced = 0
+    def produceRound(perPart: Int): Unit = (0 until 2).foreach { p =>
+      lc.produce("cm", p, encodeRecordBatch(0L, (0 until perPart).map { _ =>
+        produced += 1
+        (1L, null: Array[Byte], s"""{"i":$produced}""".getBytes(UTF_8), Nil)
+      }))
+    }
+    def spooledValues(): Seq[Long] = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".ndjson"))
+      files.flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines()
+        .filter(_.nonEmpty)
+        .map(l => "\"i\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong)).toSeq
+    }
+    // wire-level probe: exactly one broker accepts a raw commit for this
+    // group (re-commits the group's CURRENT positions — harmless); the
+    // other refuses with the typed NOT_COORDINATOR
+    def commitAcceptor(): Int = {
+      val cur = lc.offsetFetch("cm-group", Seq(("cm", 0), ("cm", 1)))
+        .filter(_._2 >= 0)
+      val verdicts = Seq(cluster.b0, cluster.b1).map { b =>
+        val rc = new Kafka.WireClient("127.0.0.1", b.boundPort)
+        try {
+          try { rc.offsetCommit("cm-group",
+            if (cur.nonEmpty) cur else Map(("cm", 0) -> 0L)); b.nodeId }
+          catch { case _: Kafka.NotCoordinator => -1 }
+        } finally rc.close()
+      }
+      assert(verdicts.count(_ >= 0) === 1, s"coordinator split-brain: $verdicts")
+      verdicts.max
+    }
+    try {
+      produceRound(10) // 20 records
+      val sc = new Kafka.SpoolConsumer(boot, "cm", "cm-group", dir,
+        dynamicMembership = true)
+      try {
+        assert(sc.pollOnce() === 20)
+        assert(spooledValues().sorted === (1L to 20L))
+        val coordBefore = commitAcceptor()
+        // pending work FIRST, then the coordinator moves under the
+        // running poll loop: the next poll's heartbeat hits the old
+        // coordinator (NOT_COORDINATOR → re-resolve), the member is
+        // unknown at the new one (rejoin), and the batch commit for the
+        // pending records must land on the NEW coordinator
+        produceRound(10) // records 21..40, uncommitted
+        cluster.swapCoordinators()
+        eventually({ sc.pollOnce(); spooledValues().size >= 40 },
+          s"pending records not drained after the move: ${spooledValues().size}/40")
+        val vals = spooledValues()
+        assert(vals.size === 40 && vals.distinct.size === 40 &&
+          vals.sorted === (1L to 40L),
+          s"loss/duplication across the coordinator move: ${vals.sorted}")
+        val coordAfter = commitAcceptor()
+        assert(coordAfter != coordBefore,
+          s"coordinator did not move ($coordBefore -> $coordAfter)")
+        // the commits really live at the new coordinator: both partitions'
+        // committed positions equal the log end (10 + 10 records each)
+        assert(lc.offsetFetch("cm-group", Seq(("cm", 0), ("cm", 1)))
+          === Map(("cm", 0) -> 20L, ("cm", 1) -> 20L))
+      } finally sc.close()
+      // a FRESH consumer (restart) starts from the moved coordinator's
+      // committed offsets — nothing re-spools, new records still flow
+      val sc2 = new Kafka.SpoolConsumer(boot, "cm", "cm-group", dir,
+        dynamicMembership = true)
+      try {
+        assert(sc2.pollOnce() === 0, "restart re-read committed records")
+        produceRound(5) // 41..50
+        eventually({ sc2.pollOnce(); spooledValues().size >= 50 },
+          s"post-restart records: ${spooledValues().size}/50")
+        val all = spooledValues()
+        assert(all.size === 50 && all.distinct.size === 50 &&
+          all.sorted === (1L to 50L))
+      } finally sc2.close()
+    } finally { lc.close(); cluster.close() }
   }
 
   test("hostile record framing: field lengths past the record's declared " +

@@ -28,7 +28,8 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
                             clusterView: () => Seq[(Int, String, Int)] = null,
                             leaderOf: (String, Int) => Int = null,
                             sharedLogs: ConcurrentHashMap[(String, Int), MiniKafkaBroker.PartitionLog] = null,
-                            rebalanceTimeoutMs: Int = 3000)
+                            rebalanceTimeoutMs: Int = 3000,
+                            sharedGroupOffsets: ConcurrentHashMap[(String, String, Int), Long] = null)
   extends AutoCloseable {
   import MiniKafkaBroker.PartitionLog
   private val server = new ServerSocket(port)
@@ -53,7 +54,14 @@ final class MiniKafkaBroker(topics: Map[String, Int], port: Int = 0,
     require(n > 0, s"topic $t needs > 0 partitions")
     (0 until n).foreach(p => logs.putIfAbsent((t, p), new PartitionLog))
   }
-  private val groupOffsets = new ConcurrentHashMap[(String, String, Int), Long]()
+  // committed group offsets — shareable across broker instances the way
+  // [[sharedLogs]] is: the real store is the replicated __consumer_offsets
+  // topic, so a coordinator MOVE finds the group's offsets at the new
+  // coordinator (replication itself is out of test scope; a move is a
+  // view flip over one map)
+  private val groupOffsets =
+    if (sharedGroupOffsets != null) sharedGroupOffsets
+    else new ConcurrentHashMap[(String, String, Int), Long]()
   private val nextPid = new java.util.concurrent.atomic.AtomicLong(1000L)
   /** Idempotent-producer state per (pid, topic, partition): last appended
     * batch's (baseSequence, recordCount, baseOffset) — enough to dedupe an
