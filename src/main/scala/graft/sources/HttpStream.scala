@@ -388,7 +388,19 @@ private[sources] class GraftHttpCursorStream(val opts: HttpStream.Opts)
       if (carried.nonEmpty) carried
       else pollFrom(pollFloor(s.mark), opts.pagesPerPoll)
     val seen = s.seenSet
-    val cands = fetched.filter { case (m, _) => m > s.mark || !seen.contains(m) }
+    val windowCands = fetched.filter { case (m, _) => m > s.mark || !seen.contains(m) }
+    // a lookback window WIDER than one poll's page budget must not stall
+    // the feed: the floor walk can burn every page re-reading records
+    // already in `seen` and never reach past the hwm — if it surfaced
+    // nothing new, poll forward from the hwm itself (the no-lookback
+    // path), so records past the window still ship. Late detection then
+    // degrades gracefully (late records surface on triggers where the
+    // window walk completes) instead of wedging the stream; size
+    // pagesPerPoll x page size above the window's record count to keep
+    // the window fully scanned per trigger.
+    val cands =
+      if (windowCands.nonEmpty || opts.lookback == 0 || carried.nonEmpty) windowCands
+      else pollFrom(s.mark, opts.pagesPerPoll).filter(_._1 > s.mark)
     if (cands.isEmpty) return start
     val capMark = limit match {
       case mr: ReadMaxRows if cands.length > mr.maxRows() =>

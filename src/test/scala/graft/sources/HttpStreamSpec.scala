@@ -39,7 +39,10 @@ class HttpStreamSpec extends SparkSpec {
       val after = q.split("&").collectFirst {
         case kv if kv.startsWith("after=") => kv.substring(6).toLong
       }.getOrElse(Long.MinValue)
-      val body = rows.get().filter(_ > after).take(pageLimit)
+      // cursor-ascending pages: "records after X" endpoints serve in
+      // cursor order — the pagination contract the HWM walk (and any
+      // real client) depends on; a late-committing row sorts into place
+      val body = rows.get().filter(_ > after).sorted.take(pageLimit)
         .map(id => s"""{"id":$id,"name":"rec$id"}""").mkString("\n").getBytes("UTF-8")
       exchange.getResponseHeaders.set("Content-Type", "application/x-ndjson")
       if (body.isEmpty) exchange.sendResponseHeaders(200, -1)
@@ -650,6 +653,37 @@ class HttpStreamSpec extends SparkSpec {
         q.processAllAvailable()
         assert(got.asScala.toSeq.sorted === Seq(0L, 10L, 20L, 25L, 28L, 30L, 40L))
       }
+    }
+  }
+
+  test("a lookback window WIDER than one poll's page budget does not " +
+    "stall the feed: new records past the hwm still ship via the " +
+    "forward fallback poll") {
+    // page limit 3 < the 4 already-shipped records the window holds, so
+    // the floor walk burns its single page on seen records every trigger
+    withFeed(pageLimit = 3) { feed =>
+      feed.rows.set(Vector(10L, 20L, 30L, 40L))
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = reader(feed.url, Map("lookback" -> "40")).writeStream
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+          df.collect().foreach(r => got.add(HttpStream.markOf(r.getString(0), "id"))); ()
+        }).start()
+      try {
+        import scala.jdk.CollectionConverters._
+        q.processAllAvailable()
+        assert(got.asScala.toSeq.sorted === Seq(10L, 20L, 30L, 40L))
+        // the window (0, 40] holds 4 seen records; a page-3 floor walk
+        // finds nothing new — the record at 50 must still arrive
+        feed.rows.updateAndGet(_ :+ 50L)
+        q.processAllAvailable()
+        assert(got.asScala.toSeq.sorted === Seq(10L, 20L, 30L, 40L, 50L),
+          s"stalled behind the window: ${got.asScala.toSeq.sorted}")
+        // and an in-window late record still ships when the walk has page
+        // room (pagesPerPoll=1, page=3: floor walk from 10 reaches 25)
+        feed.rows.updateAndGet(_ :+ 25L)
+        q.processAllAvailable()
+        assert(got.asScala.toSeq.sorted === Seq(10L, 20L, 25L, 30L, 40L, 50L))
+      } finally q.stop()
     }
   }
 
