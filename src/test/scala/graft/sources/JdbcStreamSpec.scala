@@ -169,6 +169,61 @@ class JdbcStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TIMESTAMP watermark + lookback: the window is MICROSECONDS, a " +
+    "late transaction committing inside it ships exactly once, and the " +
+    "bindable-floor clamp holds on an initially-empty table") {
+    exec("CREATE TABLE late2 (ts TIMESTAMP, payload VARCHAR(32))")
+    def insert(sec: Int): Unit =
+      exec(s"INSERT INTO late2 VALUES (TIMESTAMP('2026-08-16 10:00:${"%02d".format(sec)}'), 'p$sec')")
+    Seq(0, 10, 20, 30).foreach(insert)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // 15 s window in micros
+    val q = spark.readStream.format("graft-jdbc")
+      .option("url", url).option("driver", driver)
+      .option("table", "late2").option("watermarkColumn", "ts")
+      .option("lookback", (15L * 1000000).toString).load()
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+        df.collect().foreach(r => got.add(r.getAs[String]("payload"))); ()
+      }).start()
+    try {
+      import scala.jdk.CollectionConverters._
+      q.processAllAvailable()
+      assert(got.asScala.toSeq.sorted === Seq("p0", "p10", "p20", "p30"))
+      // hwm = :30, window (:15, :30]: a late commit at :25 ships once
+      insert(25)
+      q.processAllAvailable()
+      assert(got.asScala.toSeq.sorted === Seq("p0", "p10", "p20", "p25", "p30"))
+      q.processAllAvailable()
+      assert(got.asScala.size === 5, s"re-shipped: ${got.asScala.toSeq}")
+      // below the window (:05 <= :30 - 15 s): missed, the documented caveat
+      insert(5)
+      q.processAllAvailable()
+      assert(got.asScala.toSeq.sorted === Seq("p0", "p10", "p20", "p25", "p30"))
+      // hwm still advances past the window
+      insert(45)
+      q.processAllAvailable()
+      assert(got.asScala.toSeq.sorted ===
+        Seq("p0", "p10", "p20", "p25", "p30", "p45"))
+    } finally q.stop()
+    // empty-table sentinel + a lookback wider than the sentinel margin:
+    // the poll floor clamps to the bindable emptyFloor instead of
+    // underflowing Derby's year-1 range on every poll
+    exec("CREATE TABLE late3 (ts TIMESTAMP, payload VARCHAR(32))")
+    val q2 = spark.readStream.format("graft-jdbc")
+      .option("url", url).option("driver", driver)
+      .option("table", "late3").option("watermarkColumn", "ts")
+      .option("lookback", (30L * 86400 * 1000000).toString) // 30 days
+      .load()
+      .writeStream.format("memory").queryName("jdbc_late3").start()
+    try {
+      q2.processAllAvailable() // must not throw out-of-range on the probe
+      exec("INSERT INTO late3 VALUES (TIMESTAMP('2026-08-16 11:00:00'), 'x')")
+      q2.processAllAvailable()
+      assert(spark.table("jdbc_late3").count() === 1)
+    } finally q2.stop()
+  }
+
   test("an INITIALLY-EMPTY table with a TIMESTAMP watermark starts clean " +
     "(the sentinel binds as a legal timestamp) and ships rows when they " +
     "arrive; a bad `where` clause surfaces its own error, not a reconnect " +
