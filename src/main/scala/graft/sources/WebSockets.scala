@@ -74,10 +74,14 @@ object WsFrames {
     sb.result()
   }
 
-  /** Consume a client Upgrade request and return its Sec-WebSocket-Key. */
-  def readUpgradeKey(in: DataInputStream): String = {
+  /** Consume a client Upgrade request; returns its Sec-WebSocket-Key and
+    * ALL request headers (the auth policy input — the reference jack
+    * authorizes static headers / bearer tokens during the upgrade,
+    * `jack/websocket/serve.go` + `auth_policy.go`). */
+  def readUpgrade(in: DataInputStream): (String, Map[String, String]) = {
     var key: String = null
     var n = 0
+    val headers = Map.newBuilder[String, String]
     var line = readHeaderLine(in)
     while (line.nonEmpty) {
       n += 1
@@ -85,13 +89,20 @@ object WsFrames {
         throw new java.io.IOException(
           s"handshake exceeds $MaxHeaderLines header lines")
       val idx = line.indexOf(':')
-      if (idx > 0 && line.substring(0, idx).trim.equalsIgnoreCase("Sec-WebSocket-Key"))
-        key = line.substring(idx + 1).trim
+      if (idx > 0) {
+        val name = line.substring(0, idx).trim
+        val value = line.substring(idx + 1).trim
+        headers += name -> value
+        if (name.equalsIgnoreCase("Sec-WebSocket-Key")) key = value
+      }
       line = readHeaderLine(in)
     }
     require(key != null, "upgrade request carries no Sec-WebSocket-Key")
-    key
+    (key, headers.result())
   }
+
+  /** Key-only form (codec tests, simple peers). */
+  def readUpgradeKey(in: DataInputStream): String = readUpgrade(in)._1
 
   /** Encode one frame (final unless `fin = false` — continuation frames
     * then carry opcode 0x0). Server→client frames are unmasked; a client
@@ -178,21 +189,51 @@ object WsFrames {
   *    (the peer only learns via the dropped connection) — but every
   *    message the hub RECEIVED before the kill survives. A spool-write
   *    failure drops the connection (loud, so the peer reconnects and
-  *    resends) instead of buffering in memory. */
+  *    resends) instead of buffering in memory.
+  *
+  * Security (the reference jack's upgrade-time stack, `jack/websocket/
+  * tls.go` + `auth.go`/`auth_policy.go`): `tls` terminates TLS on the
+  * listener via the existing [[TlsConfig]] loader; `mtls` additionally
+  * requires a CA-valid client certificate at the handshake AND runs the
+  * presented principal through the [[MtlsOptions]] policy before the
+  * upgrade completes (same fence as the HTTP jack — CA-valid but
+  * unlisted is refused). The upgrade request's headers feed the
+  * EXISTING auth policy ([[Auth.authorize]]: static headers, then the
+  * bearer validator); failures answer `401` instead of `101` when
+  * `authRequired`, soft-PASS with the reason counted when not. */
 final class WsServerHub(spark: SparkSession, port: Int,
                         spoolDir: Option[String] = None,
-                        spoolMaxFilesPerTrigger: Option[Int] = None) {
+                        spoolMaxFilesPerTrigger: Option[Int] = None,
+                        staticHeaders: Map[String, String] = Map.empty,
+                        validator: Option[String => Either[String, Unit]] = None,
+                        authRequired: Boolean = true,
+                        tls: Option[TlsConfig] = None,
+                        mtls: Option[MtlsOptions] = None) {
+
+  // half-configured security must fail fast, not silently downgrade
+  // (the HttpServerJack rule)
+  require(tls.isDefined || mtls.isEmpty, "mtls requires a TlsConfig (tls = Some(...))")
 
   import spark.implicits._
   private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
   private val stream = MemoryStream[String]
   private val spoolFs = spoolDir.map(d => Spool.open(spark, d))
-  private val server = new ServerSocket(port)
+  private val server: ServerSocket = tls match {
+    case Some(cfg) =>
+      val s = Tls.sslContext(cfg).getServerSocketFactory
+        .createServerSocket(port).asInstanceOf[javax.net.ssl.SSLServerSocket]
+      s.setEnabledProtocols(Tls.protocolRange(cfg))
+      if (mtls.isDefined) s.setNeedClientAuth(true)
+      s
+    case None => new ServerSocket(port)
+  }
   private val running = new AtomicBoolean(true)
   private val conns = new ConcurrentHashMap[Socket, OutputStream]()
   private val received = new AtomicLong(0)
   private val broadcastCount = new AtomicLong(0)
+  private val rejected = new AtomicLong(0)
+  private val softFailures = new AtomicLong(0)
 
   def boundPort: Int = server.getLocalPort
 
@@ -221,7 +262,33 @@ final class WsServerHub(spark: SparkSession, port: Int,
     try {
       val in = new DataInputStream(sock.getInputStream)
       val rawOut = new BufferedOutputStream(sock.getOutputStream)
-      val key = WsFrames.readUpgradeKey(in)
+      val (key, headers) = WsFrames.readUpgrade(in)
+      // mTLS principal policy BEFORE the header policy: the handshake
+      // proved CA validity, but a CA-valid-yet-unlisted principal must
+      // not reach the upgrade (the HttpServerJack ordering)
+      if (mtls.isDefined) {
+        val admitted =
+          try {
+            Tls.authorizeSession(
+              sock.asInstanceOf[javax.net.ssl.SSLSocket].getSession, mtls.get)
+            true
+          } catch { case _: Exception => false }
+        if (!admitted) {
+          rejected.incrementAndGet()
+          rawOut.write("HTTP/1.1 401 Unauthorized\r\n\r\n".getBytes(UTF_8))
+          rawOut.flush()
+          return
+        }
+      }
+      Auth.authorize(headers, staticHeaders, validator, authRequired,
+        onSoftFail = _ => softFailures.incrementAndGet()) match {
+        case Left(_) =>
+          rejected.incrementAndGet()
+          rawOut.write("HTTP/1.1 401 Unauthorized\r\n\r\n".getBytes(UTF_8))
+          rawOut.flush()
+          return
+        case Right(()) => ()
+      }
       rawOut.write(
         ("HTTP/1.1 101 Switching Protocols\r\n" +
           "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
@@ -309,6 +376,8 @@ final class WsServerHub(spark: SparkSession, port: Int,
   def connectionCount: Int = conns.size()
   def receivedCount: Long = received.get()
   def broadcastFrames: Long = broadcastCount.get()
+  def rejectedCount: Long = rejected.get()
+  def softFailureCount: Long = softFailures.get()
 
   def stop(): Unit = {
     running.set(false)
@@ -332,10 +401,17 @@ final class WsServerHub(spark: SparkSession, port: Int,
   *    is counted received; consumers resume exactly-once from the file
   *    source checkpoint. A spool failure aborts the websocket (loud —
   *    [[closeReason]] carries the error) rather than buffering in
-  *    memory. */
+  *    memory.
+  *
+  * `tls` routes a `wss://` dial through the existing [[TlsConfig]]
+  * loader (CA trust + optional client certificate for mTLS — the
+  * reference client's `websocketclient/tls.go`); `headers` ride the
+  * upgrade request (bearer tokens, static auth headers). */
 final class WsClientSource(spark: SparkSession, url: String,
                            spoolDir: Option[String] = None,
-                           spoolMaxFilesPerTrigger: Option[Int] = None) {
+                           spoolMaxFilesPerTrigger: Option[Int] = None,
+                           tls: Option[TlsConfig] = None,
+                           headers: Map[String, String] = Map.empty) {
 
   import spark.implicits._
   private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -382,7 +458,11 @@ final class WsClientSource(spark: SparkSession, url: String,
 
   /** Connect (blocking, with timeout). */
   def connect(timeoutMillis: Long = 10000): Unit = {
-    val built = java.net.http.HttpClient.newHttpClient().newWebSocketBuilder()
+    val clientBuilder = java.net.http.HttpClient.newBuilder()
+    tls.foreach(cfg => clientBuilder.sslContext(Tls.sslContext(cfg)))
+    val wsBuilder = clientBuilder.build().newWebSocketBuilder()
+    headers.foreach { case (k, v) => wsBuilder.header(k, v) }
+    val built = wsBuilder
       .buildAsync(URI.create(url), new Listener)
       .orTimeout(timeoutMillis, TimeUnit.MILLISECONDS)
       .join()

@@ -205,4 +205,88 @@ class WebSocketSpec extends SparkSpec {
     } finally { client.stop(); hub.stop() }
   }
 
+  test("upgrade-time auth: a bearer-validated hub answers 401 (not 101) " +
+    "to a missing/bad token and admits the valid one; soft mode counts " +
+    "instead of refusing") {
+    val hub = new WsServerHub(spark, 0,
+      validator = Some(t => if (t == "ws-token") Right(()) else Left("bad")))
+    try {
+      // no token: the JDK client surfaces the non-101 as a failed dial
+      val bare = new WsClientSource(spark, s"ws://127.0.0.1:${hub.boundPort}/feed")
+      intercept[java.util.concurrent.CompletionException](bare.connect())
+      // wrong token: same refusal, counted
+      val bad = new WsClientSource(spark, s"ws://127.0.0.1:${hub.boundPort}/feed",
+        headers = Map("Authorization" -> "Bearer nope"))
+      intercept[java.util.concurrent.CompletionException](bad.connect())
+      eventually(hub.rejectedCount == 2, s"rejected=${hub.rejectedCount}")
+      assert(hub.connectionCount === 0)
+      // valid bearer upgrades and flows
+      val ok = new WsClientSource(spark, s"ws://127.0.0.1:${hub.boundPort}/feed",
+        headers = Map("Authorization" -> "Bearer ws-token"))
+      try {
+        ok.connect()
+        ok.send("""{"id":1,"name":"authed"}""")
+        eventually(hub.receivedCount == 1, "authed message not ingested")
+      } finally ok.stop()
+    } finally hub.stop()
+    // soft mode: the failure is counted, the peer still admitted
+    val soft = new WsServerHub(spark, 0, authRequired = false,
+      validator = Some(_ => Left("always")))
+    try {
+      val c = new WsClientSource(spark, s"ws://127.0.0.1:${soft.boundPort}/feed")
+      try {
+        c.connect()
+        c.send("""{"id":2,"name":"soft"}""")
+        eventually(soft.receivedCount == 1, "soft-mode message not ingested")
+        assert(soft.softFailureCount >= 1 && soft.rejectedCount === 0)
+      } finally c.stop()
+    } finally soft.stop()
+  }
+
+  test("wss e2e: the hub terminates TLS; a CA-trusting client flows, an " +
+    "untrusting client fails the handshake; mTLS enforces the principal " +
+    "policy, not just CA validity") {
+    val dir = "src/test/resources/tls"
+    val serverCfg = TlsConfig(s"$dir/server.pem", s"$dir/server-key.pem", s"$dir/ca.pem")
+    val clientCfg = TlsConfig(s"$dir/client.pem", s"$dir/client-key.pem", s"$dir/ca.pem")
+    val hub = new WsServerHub(spark, 0, tls = Some(serverCfg))
+    try {
+      val ok = new WsClientSource(spark, s"wss://127.0.0.1:${hub.boundPort}/feed",
+        tls = Some(clientCfg))
+      try {
+        ok.connect()
+        ok.send("""{"id":1,"name":"sec"}""")
+        eventually(hub.receivedCount == 1, "TLS message not ingested")
+      } finally ok.stop()
+      // default trust refuses the self-signed hub
+      val untrusting = new WsClientSource(spark, s"wss://127.0.0.1:${hub.boundPort}/feed")
+      intercept[java.util.concurrent.CompletionException](untrusting.connect())
+    } finally hub.stop()
+    // mTLS: the client's CA-valid certificate passes the handshake, but
+    // the PRINCIPAL policy decides the upgrade — allowed flows, unlisted 401
+    def hubWith(m: MtlsOptions) = new WsServerHub(spark, 0,
+      tls = Some(serverCfg), mtls = Some(m))
+    val allow = hubWith(MtlsOptions(Seq("spiffe://graft.test/relay-client"), "graft.test"))
+    try {
+      val c = new WsClientSource(spark, s"wss://127.0.0.1:${allow.boundPort}/feed",
+        tls = Some(clientCfg))
+      try {
+        c.connect()
+        c.send("""{"id":2,"name":"mtls"}""")
+        eventually(allow.receivedCount == 1, "mTLS message not ingested")
+      } finally c.stop()
+    } finally allow.stop()
+    val deny = hubWith(MtlsOptions(Seq("spiffe://graft.test/other"), "graft.test"))
+    try {
+      val c = new WsClientSource(spark, s"wss://127.0.0.1:${deny.boundPort}/feed",
+        tls = Some(clientCfg))
+      intercept[java.util.concurrent.CompletionException](c.connect())
+      eventually(deny.rejectedCount == 1, s"rejected=${deny.rejectedCount}")
+      assert(deny.receivedCount === 0)
+    } finally deny.stop()
+    // half-configured security fails fast
+    intercept[IllegalArgumentException](
+      new WsServerHub(spark, 0, mtls = Some(MtlsOptions())))
+  }
+
 }
