@@ -200,6 +200,29 @@ object HttpStream {
         record.take(200))
   }
 
+  /** True when an SSL handshake failure is really a TRANSPORT failure in
+    * disguise: JDK 11+ wraps a peer reset/EOF mid-handshake in
+    * SSLHandshakeException, which must stay retriable — only
+    * verification failures (pin mismatch, untrusted chain, bad
+    * hostname: a CertificateException/ValidatorException in the chain,
+    * or no transport cause at all) are permanent. */
+  private[sources] def transportCaused(e: Throwable): Boolean = {
+    var c = e.getCause
+    var depth = 0
+    while (c != null && depth < 16) {
+      c match {
+        case _: java.security.cert.CertificateException => return false
+        case _: java.net.SocketException => return true
+        case _: java.net.SocketTimeoutException => return true
+        case _: java.io.EOFException => return true
+        case _ => ()
+      }
+      c = c.getCause
+      depth += 1
+    }
+    false
+  }
+
   /** `{cursor}` substitution, else `cursorParam` appended. */
   private[sources] def cursorUrl(opts: Opts, mark: Long): String =
     if (opts.url.contains("{cursor}")) opts.url.replace("{cursor}", mark.toString)
@@ -238,9 +261,11 @@ private[sources] trait HttpStreamFetch {
           se.status >= 500 || se.status == 408 || se.status == 429
         // a pin mismatch / untrusted chain / bad hostname is configuration,
         // not weather — burning the jittered budget per trigger can't heal
-        // it (generic SSLExceptions stay retriable: a reset mid-handshake
-        // surfaces as one on some JDKs)
-        case _: javax.net.ssl.SSLHandshakeException => false
+        // it. BUT modern JDKs also surface a TCP reset/EOF DURING the
+        // handshake as SSLHandshakeException ("Remote host terminated the
+        // handshake") — that is weather; classify by the cause chain.
+        case se: javax.net.ssl.SSLHandshakeException =>
+          HttpStream.transportCaused(se)
         case _: javax.net.ssl.SSLPeerUnverifiedException => false
         // malformed url / bad option values are permanent by definition
         case _: IllegalArgumentException => false
@@ -314,9 +339,11 @@ private[sources] class GraftHttpCursorStream(val opts: HttpStream.Opts)
     * `stopAtMark` (replay: the logged end is the only correct stopping
     * point — a page cap there would silently under-replay an epoch that
     * spanned more pages than the live poll's budget). Returns records in
-    * arrival order with their marks. */
+    * arrival order with their marks, plus whether the walk stopped on
+    * the PAGE BUDGET while still making progress — the only state in
+    * which records may exist past the last fetched mark. */
   private def pollFrom(from: Long, pages: Int,
-                       stopAtMark: Long = Long.MaxValue): Vector[(Long, String)] = {
+                       stopAtMark: Long = Long.MaxValue): (Vector[(Long, String)], Boolean) = {
     val out = Vector.newBuilder[(Long, String)]
     var mark = from
     var page = 0
@@ -334,7 +361,7 @@ private[sources] class GraftHttpCursorStream(val opts: HttpStream.Opts)
       }
       page += 1
     }
-    out.result()
+    (out.result(), progress && page >= pages && stopAtMark == Long.MaxValue)
   }
 
   override def initialOffset(): Offset = {
@@ -363,7 +390,7 @@ private[sources] class GraftHttpCursorStream(val opts: HttpStream.Opts)
     val seen =
       if (opts.lookback == 0 || mark == HttpStream.earliestFloor) Vector.empty[Long]
       else pollFrom(pollFloor(mark), opts.pagesPerPoll, stopAtMark = mark)
-        .map(_._1).filter(_ <= mark).distinct.sorted
+        ._1.map(_._1).filter(_ <= mark).distinct.sorted
     HttpCursorOffset(mark, seen)
   }
 
@@ -384,29 +411,45 @@ private[sources] class GraftHttpCursorStream(val opts: HttpStream.Opts)
       val p = pendingPast
       if (p != null && p._1 == s.json()) p._2 else Vector.empty
     }
-    val fetched =
-      if (carried.nonEmpty) carried
+    val (fetched, budgetStopped) =
+      if (carried.nonEmpty) (carried, false)
       else pollFrom(pollFloor(s.mark), opts.pagesPerPoll)
     val seen = s.seenSet
     val windowCands = fetched.filter { case (m, _) => m > s.mark || !seen.contains(m) }
     // a lookback window WIDER than one poll's page budget must not stall
     // the feed: the floor walk can burn every page re-reading records
     // already in `seen` and never reach past the hwm — if it surfaced
-    // nothing new, poll forward from the hwm itself (the no-lookback
-    // path), so records past the window still ship. Late detection then
-    // degrades gracefully (late records surface on triggers where the
-    // window walk completes) instead of wedging the stream; size
+    // nothing new AND stopped on the page budget without getting past
+    // the hwm (the only state that can stall), poll forward from the hwm
+    // itself (the no-lookback path), so records past the window still
+    // ship. Late detection then degrades gracefully (late records
+    // surface on triggers where the window walk completes); a walk that
+    // ran out of feed instead (no-progress stop) skips the fallback, so
+    // an idle trigger with pagesPerPoll >= 2 pays no extra request. Size
     // pagesPerPoll x page size above the window's record count to keep
     // the window fully scanned per trigger.
+    val stalled = budgetStopped &&
+      (fetched.isEmpty || fetched.map(_._1).max <= s.mark)
     val cands =
-      if (windowCands.nonEmpty || opts.lookback == 0 || carried.nonEmpty) windowCands
-      else pollFrom(s.mark, opts.pagesPerPoll).filter(_._1 > s.mark)
+      if (windowCands.nonEmpty || opts.lookback == 0 || !stalled) windowCands
+      else pollFrom(s.mark, opts.pagesPerPoll)._1.filter(_._1 > s.mark)
     if (cands.isEmpty) return start
-    val capMark = limit match {
+    val budgetCap = limit match {
       case mr: ReadMaxRows if cands.length > mr.maxRows() =>
         cands.map(_._1).sorted.apply(mr.maxRows().toInt - 1)
       case _ => cands.map(_._1).max
     }
+    // an epoch that ships a late mark must NOT advance the hwm past
+    // mark + lookback: `end.seen` (filtered to end's window) is the only
+    // channel that can replay an in-window late mark, so letting the
+    // same epoch outrun the window would ship it on the fresh path but
+    // LOSE it on crash replay. Clamp the end mark so every late mark
+    // taken stays inside end's window; the outrun new records simply
+    // ship next epoch (they are still above the hwm).
+    val lateTaken = cands.collect { case (m, _) if m <= s.mark && m <= budgetCap => m }
+    val capMark =
+      if (lateTaken.isEmpty) budgetCap
+      else math.min(budgetCap, lateTaken.min + opts.lookback - 1)
     val taken = cands.filter(_._1 <= capMark)
     // a late-only epoch must not regress the hwm — it grows `seen` only
     val endMark = math.max(s.mark, capMark)
@@ -448,7 +491,7 @@ private[sources] class GraftHttpCursorStream(val opts: HttpStream.Opts)
       else {
         val eSeen = e.seenSet; val sSeen = s.seenSet
         pollFrom(pollFloor(s.mark), opts.pagesPerPoll, stopAtMark = e.mark)
-          .collect { case (m, r) if shipsIn(m, s, e, eSeen, sSeen) => r }.toArray
+          ._1.collect { case (m, r) if shipsIn(m, s, e, eSeen, sSeen) => r }.toArray
       }
     if (records.isEmpty) return Array.empty
     val n = math.min(math.max(1, opts.numPartitions), records.length)

@@ -318,24 +318,30 @@ private[sources] final class GraftJdbcMicroBatchStream(schema: StructType,
     if (opts.lookback == 0 || hwm <= emptyFloor) hwm
     else math.max(hwm - opts.lookback, emptyFloor)
 
-  /** DISTINCT marks in `(lo, hi]` — the window probe. Bounded by the rows
-    * one lookback window holds; never run for the full backlog. */
-  private def marksIn(lo: Long, hi: Long): Vector[Long] =
+  /** DISTINCT marks in `(lo, hi]` with their ROW counts — the window
+    * probe. Bounded by the rows one lookback window holds; never run for
+    * the full backlog. Counts matter for admission: the IN-list ships
+    * every row at an admitted mark, so the budget must be charged rows,
+    * not marks (a second-granularity timestamp can share one mark across
+    * thousands of rows). */
+  private def windowMarks(lo: Long, hi: Long): Vector[(Long, Long)] =
     if (hi <= lo) Vector.empty
     else withConn { c =>
       val wm = opts.watermarkColumn
       val ps = c.prepareStatement(
-        s"SELECT DISTINCT $wm FROM ${opts.table} WHERE " +
-          s"${opts.whereAnd(s"$wm > ? AND $wm <= ?")} ORDER BY $wm")
+        s"SELECT $wm, COUNT(*) FROM ${opts.table} WHERE " +
+          s"${opts.whereAnd(s"$wm > ? AND $wm <= ?")} GROUP BY $wm ORDER BY $wm")
       try {
         JdbcStream.setMark(ps, 1, wmIsTimestamp, lo)
         JdbcStream.setMark(ps, 2, wmIsTimestamp, hi)
         val rs = ps.executeQuery()
-        val out = Vector.newBuilder[Long]
-        while (rs.next()) JdbcStream.markOf(rs, 1).foreach(out += _)
+        val out = Vector.newBuilder[(Long, Long)]
+        while (rs.next()) JdbcStream.markOf(rs, 1).foreach(m => out += (m -> rs.getLong(2)))
         out.result()
       } finally ps.close()
     }
+
+  private def marksIn(lo: Long, hi: Long): Vector[Long] = windowMarks(lo, hi).map(_._1)
 
   /** The poll: late marks from the window probe, plus MAX(wm) above the
     * hwm for an unbounded trigger; under a row budget, the n-th pending
@@ -347,9 +353,24 @@ private[sources] final class GraftJdbcMicroBatchStream(schema: StructType,
     val from = s.hwm
     val wm = opts.watermarkColumn
     val t = opts.table
-    val late =
-      if (opts.lookback == 0) Vector.empty[Long]
-      else { val seen = s.seenSet; marksIn(pollFloor(from), from).filterNot(seen) }
+    val lateAll =
+      if (opts.lookback == 0) Vector.empty[(Long, Long)]
+      else { val seen = s.seenSet
+             windowMarks(pollFloor(from), from).filterNot(m => seen.contains(m._1)) }
+    // admit late marks ascending until their ROW total exhausts the
+    // budget (always at least one, overrun bounded to that mark's ties —
+    // the old nth-mark softness); the remainder ships next epochs
+    val (late, lateRows) = limit match {
+      case mr: ReadMaxRows =>
+        var rows = 0L
+        val taken = lateAll.takeWhile { case (_, cnt) =>
+          val first = rows == 0L
+          val fits = rows + cnt <= mr.maxRows()
+          if (first || fits) { rows += cnt; true } else false
+        }
+        (taken.map(_._1), rows)
+      case _ => (lateAll.map(_._1), lateAll.map(_._2).sum)
+    }
     val max = withConn { c =>
       val ps = c.prepareStatement(
         s"SELECT MAX($wm) FROM $t WHERE ${opts.whereAnd(s"$wm > ?")}")
@@ -361,10 +382,10 @@ private[sources] final class GraftJdbcMicroBatchStream(schema: StructType,
     }
     val newBudget = limit match {
       // the late rows spend admission budget first (they are the oldest)
-      case mr: ReadMaxRows => math.max(0L, mr.maxRows() - late.length)
+      case mr: ReadMaxRows => math.max(0L, mr.maxRows() - lateRows)
       case _ => Long.MaxValue
     }
-    val endHwm = max match {
+    val uncappedEnd = max match {
       case Some(m) if newBudget > 0 =>
         val capped =
           if (newBudget == Long.MaxValue) m
@@ -382,6 +403,15 @@ private[sources] final class GraftJdbcMicroBatchStream(schema: StructType,
         math.min(m, capped)
       case _ => from
     }
+    // an epoch that ships a late mark must NOT advance the hwm past
+    // mark + lookback: `end.seen` (filtered to end's window) is the only
+    // channel that can ship an in-window late mark at plan time, so
+    // letting the same epoch outrun the window would silently DROP the
+    // late rows (they are below the range part's floor and evicted from
+    // the IN-list). Clamp; the outrun new rows ship next epoch.
+    val endHwm =
+      if (late.isEmpty) uncappedEnd
+      else math.min(uncappedEnd, math.max(from, late.min + opts.lookback - 1))
     if (late.isEmpty && endHwm == from) return start
     val endSeen =
       if (opts.lookback == 0) Vector.empty[Long]

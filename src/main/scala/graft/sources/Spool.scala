@@ -33,6 +33,19 @@ object Spool {
     (fs, root)
   }
 
+  /** Re-render one message as a COMPACT single-line JSON object. Spool
+    * files are line-oriented (the text file source splits on newlines),
+    * so a raw message with embedded newlines would come back as several
+    * rows — every spool producer must normalize first. Throws on
+    * non-object input; the caller turns that into its transport-level
+    * refusal (HTTP 400, WS connection drop). */
+  def jsonLine(msg: String): String = {
+    val node = graft.sources.Auth.mapper.readTree(msg)
+    require(node != null && node.isObject,
+      s"spooled record must be a JSON object: ${msg.take(120)}")
+    graft.sources.Auth.mapper.writeValueAsString(node)
+  }
+
   /** Durably write one record as an atomically-renamed NDJSON file.
     * Throws on failure — the caller decides the transport-level reaction
     * (HTTP 500 so the peer retries; WS drops the connection so the peer

@@ -178,11 +178,14 @@ object WsFrames {
   * treatment, shared via [[Spool]]):
   *  - `None` (default): received messages feed a MemoryStream, which
   *    does NOT survive driver restart — replay-from-peer.
-  *  - `Some(dir)`: RECOVERABLE mode — each completed text message is
-  *    spooled as one atomically-renamed NDJSON file BEFORE it is counted
-  *    received, and [[raw]]/[[jsonStream]] read the directory through
-  *    the checkpointable file source: a restarted query resumes from its
-  *    checkpoint and ships every spooled message exactly once
+  *  - `Some(dir)`: RECOVERABLE mode — each completed text message must
+  *    be one JSON OBJECT (the reference jack's decode contract,
+  *    `jack/websocket/codec.go`; non-JSON drops the peer loudly), is
+  *    re-rendered compact, and is spooled as one atomically-renamed
+  *    NDJSON file BEFORE it is counted received; [[raw]]/[[jsonStream]]
+  *    read the directory through the checkpointable file source: a
+  *    restarted query resumes from its checkpoint and ships every
+  *    spooled message exactly once
   *    (WebSocketSpec kills and restarts the query mid-backlog). WS has
   *    no app-level ack, so the peer-side guarantee is weaker than the
   *    HTTP jack's: a message in flight when the process dies is lost
@@ -314,9 +317,14 @@ final class WsServerHub(spark: SparkSession, port: Int,
             if (f.fin) {
               val msg = new String(pending.toByteArray, UTF_8)
               spoolFs match {
-                // durable FIRST, count after: a spool failure throws to
-                // the connection-level catch, dropping this peer loudly
-                case Some((fs, root)) => Spool.writeRecord(fs, root, msg)
+                // durable FIRST, count after: a spool (or normalization)
+                // failure throws to the connection-level catch, dropping
+                // this peer loudly. Spool mode requires one JSON OBJECT
+                // per message (the reference jack's decode contract) and
+                // re-renders it compact — a pretty-printed message would
+                // otherwise split into several rows at the line-oriented
+                // file source and diverge from the MemoryStream contract
+                case Some((fs, root)) => Spool.writeRecord(fs, root, Spool.jsonLine(msg))
                 case None =>
                   // serialize across connection threads: MemoryStream's
                   // row encoder is not thread-safe (TlsNdjsonJack.serve)
@@ -431,10 +439,11 @@ final class WsClientSource(spark: SparkSession, url: String,
         val msg = pending.result()
         spoolFs match {
           case Some((fs, root)) =>
-            // durable FIRST, count after; a spool failure must be loud,
-            // not a silent in-memory fallback — abort the socket so the
-            // peer sees the drop and [[closeReason]] carries the cause
-            try Spool.writeRecord(fs, root, msg)
+            // durable FIRST, count after; a spool (or normalization —
+            // see WsServerHub's note) failure must be loud, not a
+            // silent in-memory fallback — abort the socket so the peer
+            // sees the drop and [[closeReason]] carries the cause
+            try Spool.writeRecord(fs, root, Spool.jsonLine(msg))
             catch {
               case e: Exception =>
                 closed.set(s"spool failure: ${e.getMessage}")

@@ -656,6 +656,54 @@ class HttpStreamSpec extends SparkSpec {
     }
   }
 
+  test("a late record and a far hwm advance in the SAME trigger: the " +
+    "epoch clamps its end mark so the late record stays inside the end " +
+    "window — replay-deterministic, shipped exactly once (r15 review finding)") {
+    withFeed() { feed =>
+      feed.rows.set(Vector(10L, 20L, 30L))
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = reader(feed.url, Map("lookback" -> "15")).writeStream
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+          df.collect().foreach(r => got.add(HttpStream.markOf(r.getString(0), "id"))); ()
+        }).start()
+      try {
+        import scala.jdk.CollectionConverters._
+        q.processAllAvailable()
+        assert(got.asScala.toSeq.sorted === Seq(10L, 20L, 30L))
+        // BOTH arrive between triggers: 18 is late inside the window
+        // (18 > 30 - 15) while 45 would advance the hwm past 18 + 15 —
+        // without the clamp, replay of that epoch would omit 18
+        feed.rows.updateAndGet(_ ++ Vector(45L, 18L))
+        q.processAllAvailable()
+        assert(got.asScala.toSeq.sorted === Seq(10L, 18L, 20L, 30L, 45L),
+          s"same-trigger late record lost or duplicated: ${got.asScala.toSeq.sorted}")
+        q.processAllAvailable()
+        assert(got.asScala.size === 5, s"re-shipped: ${got.asScala.toSeq}")
+      } finally q.stop()
+    }
+  }
+
+  test("an SSL handshake failure caused by the TRANSPORT (peer reset/EOF " +
+    "mid-handshake) stays retriable; verification failures and bare " +
+    "handshake rejections fail fast") {
+    def hs(cause: Throwable): javax.net.ssl.SSLHandshakeException = {
+      val e = new javax.net.ssl.SSLHandshakeException("Remote host terminated the handshake")
+      if (cause != null) e.initCause(cause)
+      e
+    }
+    assert(HttpStream.transportCaused(hs(new java.net.SocketException("reset"))))
+    assert(HttpStream.transportCaused(hs(new java.io.EOFException())))
+    assert(HttpStream.transportCaused(hs(
+      new javax.net.ssl.SSLException("boom", new java.net.SocketTimeoutException()))))
+    // pin mismatch / untrusted chain: CertificateException in the chain
+    assert(!HttpStream.transportCaused(hs(
+      new java.security.cert.CertificateException("PKIX path building failed"))))
+    // a CertificateException BELOW a socket error must still be permanent
+    assert(!HttpStream.transportCaused(hs(new javax.net.ssl.SSLException(
+      "wrap", new java.security.cert.CertificateException("bad pin")))))
+    assert(!HttpStream.transportCaused(hs(null)))
+  }
+
   test("a lookback window WIDER than one poll's page budget does not " +
     "stall the feed: new records past the hwm still ship via the " +
     "forward fallback poll") {

@@ -169,6 +169,69 @@ class JdbcStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a late row and a far hwm advance in the SAME trigger: the epoch " +
+    "clamps its end mark so the late row stays inside the end window — " +
+    "shipped exactly once, not silently evicted (r15 review finding)") {
+    exec("CREATE TABLE late4 (id BIGINT PRIMARY KEY, etype VARCHAR(16), val DOUBLE)")
+    exec("INSERT INTO late4 VALUES (10,'e',1.0), (20,'e',2.0), (30,'e',3.0)")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = reader("late4", Map("lookback" -> "15")).writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+        df.collect().foreach(r => got.add(r.getAs[Long]("id"))); ()
+      }).start()
+    try {
+      import scala.jdk.CollectionConverters._
+      q.processAllAvailable()
+      assert(got.asScala.toSeq.sorted === Seq(10L, 20L, 30L))
+      // BOTH arrive between triggers: 18 is late inside the window
+      // (18 > 30 - 15) while 45 would advance the hwm past 18 + 15;
+      // without the clamp, 18 is charged to the epoch but never shipped
+      exec("INSERT INTO late4 VALUES (18,'late',1.8), (45,'new',4.5)")
+      q.processAllAvailable()
+      assert(got.asScala.toSeq.sorted === Seq(10L, 18L, 20L, 30L, 45L),
+        s"same-trigger late row lost or duplicated: ${got.asScala.toSeq.sorted}")
+      q.processAllAvailable()
+      assert(got.asScala.size === 5, s"re-shipped: ${got.asScala.toSeq}")
+    } finally q.stop()
+  }
+
+  test("lookback admission charges ROWS, not marks: a window of late rows " +
+    "sharing watermark values drains across bounded epochs instead of " +
+    "flooding one micro-batch past maxRowsPerPoll") {
+    // wm deliberately NON-unique (second-granularity-timestamp analogue)
+    exec("CREATE TABLE adm1 (id BIGINT PRIMARY KEY, wm BIGINT, val DOUBLE)")
+    exec("INSERT INTO adm1 VALUES (1,10,0.1), (2,20,0.2), (3,30,0.3)")
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft-jdbc")
+      .option("url", url).option("driver", driver)
+      .option("table", "adm1").option("watermarkColumn", "wm")
+      .option("lookback", "15").option("maxRowsPerPoll", "5")
+      .load().writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+        val rows = df.collect()
+        if (rows.nonEmpty) batches.add(rows.length.toLong)
+        rows.foreach(r => got.add(r.getAs[Long]("id"))); ()
+      }).start()
+    try {
+      import scala.jdk.CollectionConverters._
+      q.processAllAvailable()
+      assert(got.asScala.toSeq.sorted === Seq(1L, 2L, 3L))
+      // 12 late rows on 3 UNSEEN in-window marks (4 rows each), budget 5:
+      // the old mark-count charging would ship all 12 in one batch
+      exec((0 until 12).map(i => s"(${100 + i}, ${17 + (i % 3)}, 1.0)")
+        .mkString("INSERT INTO adm1 VALUES ", ", ", ""))
+      q.processAllAvailable()
+      assert(got.asScala.toSeq.sorted.drop(3) === (100L until 112L),
+        s"late rows lost/duplicated: ${got.asScala.toSeq.sorted}")
+      import scala.jdk.CollectionConverters._
+      val lateBatches = batches.asScala.toSeq.drop(1)
+      assert(lateBatches.forall(_ <= 5L),
+        s"a batch exceeded maxRowsPerPoll=5: $lateBatches")
+      assert(lateBatches.count(_ > 0) >= 3, s"expected a multi-epoch drain: $lateBatches")
+    } finally q.stop()
+  }
+
   test("TIMESTAMP watermark + lookback: the window is MICROSECONDS, a " +
     "late transaction committing inside it ships exactly once, and the " +
     "bindable-floor clamp holds on an initially-empty table") {

@@ -205,6 +205,38 @@ class WebSocketSpec extends SparkSpec {
     } finally { client.stop(); hub.stop() }
   }
 
+  test("spool mode normalizes each message to ONE compact JSON line: a " +
+    "pretty-printed (embedded-newline) message is one row downstream, " +
+    "and a non-JSON message drops the peer instead of corrupting the spool") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ws-norm").toString
+    val spool = s"$root/spool"
+    val hub = new WsServerHub(spark, 0, spoolDir = Some(spool))
+    val client = new WsClientSource(spark, s"ws://127.0.0.1:${hub.boundPort}/feed")
+    try {
+      client.connect()
+      // embedded newlines: the line-oriented file source would split a
+      // raw write into 3 rows; the compact re-render keeps it ONE record
+      client.send("{\n  \"id\": 1,\n  \"name\": \"pretty\"\n}")
+      eventually(hub.receivedCount == 1, "pretty message not spooled")
+      assertSpooled(spool, 1)
+      val q = hub.jsonStream(schema).writeStream
+        .format("memory").queryName("ws_norm").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val rows = spark.table("ws_norm").collect()
+        assert(rows.length === 1, s"message split into ${rows.length} rows")
+        assert(rows.head.getAs[Long]("id") === 1L &&
+          rows.head.getAs[String]("name") === "pretty")
+      } finally q.stop()
+      // a non-JSON message cannot be spooled line-safely: the peer is
+      // dropped loudly, nothing lands, nothing is counted
+      client.send("not json at all")
+      eventually(hub.connectionCount == 0, "hostile peer not dropped")
+      assert(hub.receivedCount === 1)
+      assertSpooled(spool, 1)
+    } finally { client.stop(); hub.stop() }
+  }
+
   test("upgrade-time auth: a bearer-validated hub answers 401 (not 101) " +
     "to a missing/bad token and admits the valid one; soft mode counts " +
     "instead of refusing") {
