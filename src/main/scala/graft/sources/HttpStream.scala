@@ -336,14 +336,12 @@ private[sources] class GraftHttpCursorStream(val opts: HttpStream.Opts)
   /** Chained page walk from `from`: GET with cursor=mark, keep records
     * whose mark advances, follow with cursor=new max, until a page adds
     * nothing new, `pages` pages are spent, or the walk reaches
-    * `stopAtMark` (replay: the logged end is the only correct stopping
-    * point — a page cap there would silently under-replay an epoch that
-    * spanned more pages than the live poll's budget). Returns records in
-    * arrival order with their marks, plus whether the walk stopped on
-    * the PAGE BUDGET while still making progress — the only state in
-    * which records may exist past the last fetched mark. */
+    * `stopAtMark` (replay and the lookback window scan: a bounded range
+    * is the correct stopping point — a page cap there would silently
+    * under-cover it). Returns records in arrival order with their
+    * marks. */
   private def pollFrom(from: Long, pages: Int,
-                       stopAtMark: Long = Long.MaxValue): (Vector[(Long, String)], Boolean) = {
+                       stopAtMark: Long = Long.MaxValue): Vector[(Long, String)] = {
     val out = Vector.newBuilder[(Long, String)]
     var mark = from
     var page = 0
@@ -361,7 +359,7 @@ private[sources] class GraftHttpCursorStream(val opts: HttpStream.Opts)
       }
       page += 1
     }
-    (out.result(), progress && page >= pages && stopAtMark == Long.MaxValue)
+    out.result()
   }
 
   override def initialOffset(): Offset = {
@@ -390,7 +388,7 @@ private[sources] class GraftHttpCursorStream(val opts: HttpStream.Opts)
     val seen =
       if (opts.lookback == 0 || mark == HttpStream.earliestFloor) Vector.empty[Long]
       else pollFrom(pollFloor(mark), opts.pagesPerPoll, stopAtMark = mark)
-        ._1.map(_._1).filter(_ <= mark).distinct.sorted
+        .map(_._1).filter(_ <= mark).distinct.sorted
     HttpCursorOffset(mark, seen)
   }
 
@@ -411,28 +409,28 @@ private[sources] class GraftHttpCursorStream(val opts: HttpStream.Opts)
       val p = pendingPast
       if (p != null && p._1 == s.json()) p._2 else Vector.empty
     }
-    val (fetched, budgetStopped) =
-      if (carried.nonEmpty) (carried, false)
-      else pollFrom(pollFloor(s.mark), opts.pagesPerPoll)
+    // the window scan and the forward poll are SEPARATE walks with
+    // separate budgets: the window scan runs to completion every trigger
+    // (bounded by the window's record count by definition — a page cap
+    // there would leave late records undetected while forward epochs
+    // advance the hwm past their eviction horizon, silently losing them;
+    // HttpStreamModelSpec catches exactly this against the earlier
+    // page-budgeted-walk-plus-forward-fallback design), while the
+    // forward walk keeps the configured pagesPerPoll budget exactly like
+    // the no-lookback path. The scan also runs while DRAINING a carried
+    // backlog: carried epochs advance the hwm too, and a late record
+    // landing mid-drain must not cross its eviction horizon unobserved.
+    // Cost per trigger: ceil(window/pageSize) + pagesPerPoll requests.
+    val windowFetched =
+      if (opts.lookback == 0) Vector.empty
+      else pollFrom(pollFloor(s.mark), opts.pagesPerPoll, stopAtMark = s.mark)
+        .filter(_._1 <= s.mark)
+    val forwardFetched =
+      if (carried.nonEmpty) carried
+      else pollFrom(s.mark, opts.pagesPerPoll)
+    val fetched = windowFetched ++ forwardFetched
     val seen = s.seenSet
-    val windowCands = fetched.filter { case (m, _) => m > s.mark || !seen.contains(m) }
-    // a lookback window WIDER than one poll's page budget must not stall
-    // the feed: the floor walk can burn every page re-reading records
-    // already in `seen` and never reach past the hwm — if it surfaced
-    // nothing new AND stopped on the page budget without getting past
-    // the hwm (the only state that can stall), poll forward from the hwm
-    // itself (the no-lookback path), so records past the window still
-    // ship. Late detection then degrades gracefully (late records
-    // surface on triggers where the window walk completes); a walk that
-    // ran out of feed instead (no-progress stop) skips the fallback, so
-    // an idle trigger with pagesPerPoll >= 2 pays no extra request. Size
-    // pagesPerPoll x page size above the window's record count to keep
-    // the window fully scanned per trigger.
-    val stalled = budgetStopped &&
-      (fetched.isEmpty || fetched.map(_._1).max <= s.mark)
-    val cands =
-      if (windowCands.nonEmpty || opts.lookback == 0 || !stalled) windowCands
-      else pollFrom(s.mark, opts.pagesPerPoll)._1.filter(_._1 > s.mark)
+    val cands = fetched.filter { case (m, _) => m > s.mark || !seen.contains(m) }
     if (cands.isEmpty) return start
     val budgetCap = limit match {
       case mr: ReadMaxRows if cands.length > mr.maxRows() =>
@@ -491,7 +489,7 @@ private[sources] class GraftHttpCursorStream(val opts: HttpStream.Opts)
       else {
         val eSeen = e.seenSet; val sSeen = s.seenSet
         pollFrom(pollFloor(s.mark), opts.pagesPerPoll, stopAtMark = e.mark)
-          ._1.collect { case (m, r) if shipsIn(m, s, e, eSeen, sSeen) => r }.toArray
+          .collect { case (m, r) if shipsIn(m, s, e, eSeen, sSeen) => r }.toArray
       }
     if (records.isEmpty) return Array.empty
     val n = math.min(math.max(1, opts.numPartitions), records.length)

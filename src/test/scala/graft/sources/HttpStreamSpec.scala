@@ -705,10 +705,12 @@ class HttpStreamSpec extends SparkSpec {
   }
 
   test("a lookback window WIDER than one poll's page budget does not " +
-    "stall the feed: new records past the hwm still ship via the " +
-    "forward fallback poll") {
-    // page limit 3 < the 4 already-shipped records the window holds, so
-    // the floor walk burns its single page on seen records every trigger
+    "stall the feed or lose late records: the window scan completes " +
+    "every trigger while the forward poll keeps its own budget") {
+    // page limit 3 < the 4 already-shipped records the window holds: a
+    // page-budgeted window walk would re-read seen records forever (the
+    // pre-fix stall) or — with a naive forward fallback — advance the
+    // hwm past an undetected late record's eviction horizon (loss)
     withFeed(pageLimit = 3) { feed =>
       feed.rows.set(Vector(10L, 20L, 30L, 40L))
       val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
@@ -720,14 +722,14 @@ class HttpStreamSpec extends SparkSpec {
         import scala.jdk.CollectionConverters._
         q.processAllAvailable()
         assert(got.asScala.toSeq.sorted === Seq(10L, 20L, 30L, 40L))
-        // the window (0, 40] holds 4 seen records; a page-3 floor walk
-        // finds nothing new — the record at 50 must still arrive
+        // the window (0, 40] holds 4 seen records (> one page): records
+        // past the hwm must still arrive
         feed.rows.updateAndGet(_ :+ 50L)
         q.processAllAvailable()
         assert(got.asScala.toSeq.sorted === Seq(10L, 20L, 30L, 40L, 50L),
           s"stalled behind the window: ${got.asScala.toSeq.sorted}")
-        // and an in-window late record still ships when the walk has page
-        // room (pagesPerPoll=1, page=3: floor walk from 10 reaches 25)
+        // a late record deep in the window ships even though reaching it
+        // takes more pages than one forward budget
         feed.rows.updateAndGet(_ :+ 25L)
         q.processAllAvailable()
         assert(got.asScala.toSeq.sorted === Seq(10L, 20L, 25L, 30L, 40L, 50L))
