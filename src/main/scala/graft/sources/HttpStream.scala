@@ -425,8 +425,11 @@ private[sources] class GraftHttpCursorStream(val opts: HttpStream.Opts)
       if (opts.lookback == 0) Vector.empty
       else pollFrom(pollFloor(s.mark), opts.pagesPerPoll, stopAtMark = s.mark)
         .filter(_._1 <= s.mark)
+    // carried records at-or-below the hwm (a budget-cut late batch) are
+    // ALSO re-fetched by the window scan — keep only the carried forward
+    // part or the same record would appear twice in one epoch's cands
     val forwardFetched =
-      if (carried.nonEmpty) carried
+      if (carried.nonEmpty) carried.filter(_._1 > s.mark)
       else pollFrom(s.mark, opts.pagesPerPoll)
     val fetched = windowFetched ++ forwardFetched
     val seen = s.seenSet

@@ -114,11 +114,15 @@ class HttpStreamModelSpec extends SparkSpec {
           rnd.nextInt(4) match {
             case 0 | 1 => // in-order append run
               (0 until 1 + rnd.nextInt(3)).foreach { _ => insert(nextMark); nextMark += 2 + rnd.nextInt(4) }
-            case 2 => // late commit aimed INSIDE the current window
+            case 2 => // late BURST aimed INSIDE the current window — several
+              // at once stresses budget-cut late batches riding pendingPast
+              // into the next trigger's window re-scan
               val lo = cur.mark - lookback + 1
               if (cur.mark > lo) {
-                val m = lo + rnd.nextInt(math.min(Int.MaxValue.toLong, cur.mark - lo).toInt + 1)
-                insert(m)
+                (0 until 1 + rnd.nextInt(3)).foreach { _ =>
+                  val m = lo + rnd.nextInt(math.min(Int.MaxValue.toLong, cur.mark - lo).toInt + 1)
+                  insert(m)
+                }
               }
             case 3 => // late commit BEYOND the window (when one exists)
               val m = cur.mark - lookback - 1 - rnd.nextInt(5)
