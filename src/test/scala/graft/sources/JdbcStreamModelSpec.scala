@@ -116,13 +116,16 @@ class JdbcStreamModelSpec extends SparkSpec {
                 if (rnd.nextInt(4) == 0) insert(nextWm) // tie BEFORE ship
                 nextWm += 2 + rnd.nextInt(4)
               }
-            case 2 | 3 => // late commit aimed INSIDE the current window —
+            case 2 | 3 => // late BURST aimed INSIDE the current window —
+              // several at once stresses the row-charged admission cut;
               // only once the hwm is a real mark (the empty-table
               // sentinel's window is clamped off by design)
               if (cur.hwm >= 10) {
                 val lo = cur.hwm - lookback + 1
-                val m = lo + rnd.nextInt((cur.hwm - lo + 1).toInt)
-                if (!seenWm.contains(m)) insert(m)
+                (0 until 1 + rnd.nextInt(3)).foreach { _ =>
+                  val m = lo + rnd.nextInt((cur.hwm - lo + 1).toInt)
+                  if (!seenWm.contains(m)) insert(m)
+                }
               }
             case 4 => // late commit BEYOND the window
               val m = cur.hwm - lookback - 1 - rnd.nextInt(5)
