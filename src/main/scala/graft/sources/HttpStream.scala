@@ -39,9 +39,15 @@ import graft.reliability.Backoff
   *    standard CDC hardening) re-polls below the high-water mark each
   *    trigger and dedupes on the cursor mark against the offset's `seen`
   *    list, so a record that COMMITS OUT OF ORDER inside the window
-  *    still ships exactly once; only a record landing below the window
-  *    (or re-using an already-shipped mark) is missed — the
-  *    append-monotonic caveat narrows to "beyond `lookback`".
+  *    still ships exactly once; a record landing below the window (or
+  *    re-using an already-shipped mark) is missed — the append-monotonic
+  *    caveat narrows to "beyond `lookback`". The window is measured
+  *    against the hwm at each trigger's scan: a record committing
+  *    CONCURRENTLY with a trigger that advances the hwm by Δ is
+  *    guaranteed only when it lands within `lookback − Δ` of the
+  *    pre-trigger hwm (the scan runs after the forward poll to keep
+  *    that race to the scan-to-offset-write interval; cap Δ with
+  *    `maxRecordsPerPoll` when concurrent late commits matter).
   *  - **Change-detection mode** (no `cursorField`): the endpoint is a
   *    document that occasionally changes. Each poll is a conditional GET
   *    (`If-None-Match` / `If-Modified-Since`); the offset is a version
@@ -336,18 +342,24 @@ private[sources] class GraftHttpCursorStream(val opts: HttpStream.Opts)
   /** Chained page walk from `from`: GET with cursor=mark, keep records
     * whose mark advances, follow with cursor=new max, until a page adds
     * nothing new, `pages` pages are spent, or the walk reaches
-    * `stopAtMark` (replay and the lookback window scan: a bounded range
-    * is the correct stopping point — a page cap there would silently
-    * under-cover it). Returns records in arrival order with their
-    * marks. */
-  private def pollFrom(from: Long, pages: Int,
-                       stopAtMark: Long = Long.MaxValue): Vector[(Long, String)] = {
+    * the bound this walk runs under. Two explicit modes so a call site
+    * cannot LOOK page-budgeted while it is not:
+    *  - [[pollPages]]: the live forward tail, budgeted by `pages`;
+    *  - [[pollRange]]: a bounded mark range walked to COMPLETION (the
+    *    lookback window scan and crash replay — a page cap there would
+    *    silently under-cover the range).
+    * Returns records in arrival order with their marks. */
+  private def pollPages(from: Long, pages: Int): Vector[(Long, String)] =
+    walk(from, pages, Long.MaxValue)
+  private def pollRange(from: Long, untilMark: Long): Vector[(Long, String)] =
+    walk(from, Int.MaxValue, untilMark)
+  private def walk(from: Long, pages: Int,
+                   stopAtMark: Long): Vector[(Long, String)] = {
     val out = Vector.newBuilder[(Long, String)]
     var mark = from
     var page = 0
     var progress = true
-    while (progress && mark < stopAtMark &&
-      (page < pages || stopAtMark != Long.MaxValue)) {
+    while (progress && mark < stopAtMark && page < pages) {
       val body = fetchRetry(HttpStream.cursorUrl(opts, mark)).body
       val recs = decode(body)
         .map(r => (HttpStream.markOf(r, opts.cursorField), r))
@@ -387,7 +399,7 @@ private[sources] class GraftHttpCursorStream(val opts: HttpStream.Opts)
     // ships everything anyway, so its window is legitimately empty)
     val seen =
       if (opts.lookback == 0 || mark == HttpStream.earliestFloor) Vector.empty[Long]
-      else pollFrom(pollFloor(mark), opts.pagesPerPoll, stopAtMark = mark)
+      else pollRange(pollFloor(mark), mark)
         .map(_._1).filter(_ <= mark).distinct.sorted
     HttpCursorOffset(mark, seen)
   }
@@ -410,7 +422,7 @@ private[sources] class GraftHttpCursorStream(val opts: HttpStream.Opts)
       if (p != null && p._1 == s.json()) p._2 else Vector.empty
     }
     // the window scan and the forward poll are SEPARATE walks with
-    // separate budgets: the window scan runs to completion every trigger
+    // separate budgets: the window scan runs to COMPLETION every trigger
     // (bounded by the window's record count by definition — a page cap
     // there would leave late records undetected while forward epochs
     // advance the hwm past their eviction horizon, silently losing them;
@@ -418,19 +430,26 @@ private[sources] class GraftHttpCursorStream(val opts: HttpStream.Opts)
     // page-budgeted-walk-plus-forward-fallback design), while the
     // forward walk keeps the configured pagesPerPoll budget exactly like
     // the no-lookback path. The scan also runs while DRAINING a carried
-    // backlog: carried epochs advance the hwm too, and a late record
-    // landing mid-drain must not cross its eviction horizon unobserved.
+    // backlog (carried epochs advance the hwm too), and runs AFTER the
+    // forward poll so a record committing while the forward GETs are in
+    // flight is still seen by this trigger's scan and bounded by the
+    // clamp below — the residual race narrows to commits landing between
+    // the scan and the offset write, bounded by the admission budget's
+    // per-epoch hwm advance (see the class scaladoc caveat).
     // Cost per trigger: ceil(window/pageSize) + pagesPerPoll requests.
-    val windowFetched =
-      if (opts.lookback == 0) Vector.empty
-      else pollFrom(pollFloor(s.mark), opts.pagesPerPoll, stopAtMark = s.mark)
-        .filter(_._1 <= s.mark)
+    //
     // carried records at-or-below the hwm (a budget-cut late batch) are
-    // ALSO re-fetched by the window scan — keep only the carried forward
-    // part or the same record would appear twice in one epoch's cands
+    // re-fetched by the window scan — only their forward part is usable,
+    // and when that part is EMPTY the live forward poll still runs, or a
+    // late-leftover drain would blind the source to new records for its
+    // whole duration.
+    val carriedForward = carried.filter(_._1 > s.mark)
     val forwardFetched =
-      if (carried.nonEmpty) carried.filter(_._1 > s.mark)
-      else pollFrom(s.mark, opts.pagesPerPoll)
+      if (carriedForward.nonEmpty) carriedForward
+      else pollPages(s.mark, opts.pagesPerPoll)
+    val windowFetched =
+      if (opts.lookback == 0 || s.mark == HttpStream.earliestFloor) Vector.empty
+      else pollRange(pollFloor(s.mark), s.mark).filter(_._1 <= s.mark)
     val fetched = windowFetched ++ forwardFetched
     val seen = s.seenSet
     val cands = fetched.filter { case (m, _) => m > s.mark || !seen.contains(m) }
@@ -491,7 +510,7 @@ private[sources] class GraftHttpCursorStream(val opts: HttpStream.Opts)
       if (c != null && c._1 == s.json() && c._2 == e.json()) c._3
       else {
         val eSeen = e.seenSet; val sSeen = s.seenSet
-        pollFrom(pollFloor(s.mark), opts.pagesPerPoll, stopAtMark = e.mark)
+        pollRange(pollFloor(s.mark), e.mark)
           .collect { case (m, r) if shipsIn(m, s, e, eSeen, sSeen) => r }.toArray
       }
     if (records.isEmpty) return Array.empty

@@ -1,9 +1,5 @@
 package graft.sources
 
-import java.net.InetSocketAddress
-import java.util.concurrent.atomic.AtomicReference
-
-import com.sun.net.httpserver.HttpServer
 import org.apache.spark.sql.connector.read.streaming.ReadLimit
 
 import graft.SparkSpec
@@ -27,27 +23,6 @@ import graft.SparkSpec
   * agree); a record landing at-or-below the window floor never ships.
   * Every failure message carries the seed. */
 class HttpStreamModelSpec extends SparkSpec {
-
-  /** Cursor-ascending paged stub feed (the Feed contract from
-    * HttpStreamSpec, minimal form). */
-  private final class ModelFeed(pageLimit: Int) {
-    val rows = new AtomicReference[Vector[Long]](Vector.empty)
-    private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    server.createContext("/feed", { exchange =>
-      val q = Option(exchange.getRequestURI.getQuery).getOrElse("")
-      val after = q.split("&").collectFirst {
-        case kv if kv.startsWith("after=") => kv.substring(6).toLong
-      }.getOrElse(Long.MinValue)
-      val body = rows.get().filter(_ > after).sorted.take(pageLimit)
-        .map(id => s"""{"id":$id}""").mkString("\n").getBytes("UTF-8")
-      if (body.isEmpty) exchange.sendResponseHeaders(200, -1)
-      else { exchange.sendResponseHeaders(200, body.length); exchange.getResponseBody.write(body) }
-      exchange.close()
-    })
-    server.start()
-    def url: String = s"http://127.0.0.1:${server.getAddress.getPort}/feed"
-    def close(): Unit = server.stop(0)
-  }
 
   private def opts(url: String, lookback: Long, pages: Int,
                    budget: Option[Long]): HttpStream.Opts =
@@ -73,7 +48,7 @@ class HttpStreamModelSpec extends SparkSpec {
       val pageLimit = 2 + rnd.nextInt(5)            // tiny pages stress walks
       val pages = 1 + rnd.nextInt(3)
       val budget = if (rnd.nextBoolean()) Some(2L + rnd.nextInt(6)) else None
-      val feed = new ModelFeed(pageLimit)
+      val feed = new PagedFeed(pageLimit)
       try {
         val o = opts(feed.url, lookback, pages, budget)
         var stream = new GraftHttpCursorStream(o)
@@ -116,9 +91,11 @@ class HttpStreamModelSpec extends SparkSpec {
               (0 until 1 + rnd.nextInt(3)).foreach { _ => insert(nextMark); nextMark += 2 + rnd.nextInt(4) }
             case 2 => // late BURST aimed INSIDE the current window — several
               // at once stresses budget-cut late batches riding pendingPast
-              // into the next trigger's window re-scan
+              // into the next trigger's window re-scan; only once the hwm
+              // is a real mark (no feed commits at the earliest sentinel,
+              // whose window the source rightly never scans)
               val lo = cur.mark - lookback + 1
-              if (cur.mark > lo) {
+              if (cur.mark >= 10 && cur.mark > lo) {
                 (0 until 1 + rnd.nextInt(3)).foreach { _ =>
                   val m = lo + rnd.nextInt(math.min(Int.MaxValue.toLong, cur.mark - lo).toInt + 1)
                   insert(m)

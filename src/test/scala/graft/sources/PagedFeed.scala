@@ -1,0 +1,47 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.util.concurrent.atomic.{AtomicInteger, AtomicReference}
+
+import com.sun.net.httpserver.HttpServer
+
+/** Shared append-monotonic feed stub for the graft-http suites
+  * (HttpStreamSpec's e2es and HttpStreamModelSpec's randomized model):
+  * `GET /feed?after=N` returns up to `pageLimit` records with id > N as
+  * NDJSON, in CURSOR-ASCENDING order — the pagination contract the HWM
+  * walk (and any real client) depends on; a late-committing row sorts
+  * into place. One copy so the two suites cannot drift apart on the
+  * feed semantics. */
+final class PagedFeed(pageLimit: Int = 1000) {
+  val rows = new AtomicReference[Vector[Long]](Vector.empty)
+  val hits = new AtomicInteger(0)
+  val lastAuth = new AtomicReference[String]("")
+  /** When set, requests whose Authorization differs from this supplier's
+    * CURRENT value are 401s (token-freshness enforcement). */
+  val requireAuth = new AtomicReference[() => String](null)
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  server.createContext("/feed", { exchange =>
+    hits.incrementAndGet()
+    lastAuth.set(Option(exchange.getRequestHeaders.getFirst("Authorization")).getOrElse(""))
+    val auth = requireAuth.get()
+    if (auth != null && lastAuth.get() != auth()) {
+      exchange.sendResponseHeaders(401, -1); exchange.close()
+    } else {
+      val q = Option(exchange.getRequestURI.getQuery).getOrElse("")
+      val after = q.split("&").collectFirst {
+        case kv if kv.startsWith("after=") => kv.substring(6).toLong
+      }.getOrElse(Long.MinValue)
+      val body = rows.get().filter(_ > after).sorted.take(pageLimit)
+        .map(id => s"""{"id":$id,"name":"rec$id"}""").mkString("\n").getBytes("UTF-8")
+      exchange.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+      if (body.isEmpty) exchange.sendResponseHeaders(200, -1)
+      else { exchange.sendResponseHeaders(200, body.length); exchange.getResponseBody.write(body) }
+      exchange.close()
+    }
+  })
+  server.start()
+  def add(from: Long, until: Long): Unit =
+    rows.updateAndGet(v => v ++ (from until until))
+  def url: String = s"http://127.0.0.1:${server.getAddress.getPort}/feed"
+  def close(): Unit = server.stop(0)
+}
