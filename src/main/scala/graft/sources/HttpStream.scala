@@ -79,9 +79,14 @@ import graft.reliability.Backoff
   * per trigger), `numPartitions`, `format` (`ndjson` default |
   * `jsonarray`), `attempts` (per-fetch retry budget, full-jitter backoff
   * — the reference `maxRetries`), `timeoutMillis`, `header.<Name>`
-  * static headers, `lookback` (cursor-mode out-of-order window, cursor
-  * units; 0 = strict append-monotonic), and the OAuth/pinning options
-  * above.
+  * static headers, `lookback` (cursor-mode out-of-order window, CURSOR
+  * UNITS; 0 = strict append-monotonic), `maxSeenMarks` (ceiling in
+  * MARKS on the distinct in-window cursor values one window may hold —
+  * the `seen` list rides every offset-log entry and the window is
+  * re-scanned every trigger, so a window too hot for the feed fails
+  * loudly at this bound instead of silently bloating checkpoint and
+  * poll; default [[HttpStream.defaultMaxSeenMarks]]), and the
+  * OAuth/pinning options above.
   *
   * Schema is fixed: one `value STRING` column per record (the codec
   * split the reference applies); parse downstream with `from_json`.
@@ -128,7 +133,7 @@ object HttpStream {
                         headers: Map[String, String],
                         pinnedCertPath: Option[String],
                         oauth: Option[(String, String, String, Option[String])],
-                        lookback: Long)
+                        lookback: Long, maxSeenMarks: Int)
 
   object Opts {
     def apply(o: CaseInsensitiveStringMap): Opts = {
@@ -155,7 +160,8 @@ object HttpStream {
         Option(o.get("attempts")).map(_.toInt).getOrElse(5),
         Option(o.get("timeoutMillis")).map(_.toLong).getOrElse(10000L),
         headers, Option(o.get("pinnedCertPath")).filter(_.nonEmpty), oauth,
-        Option(o.get("lookback")).map(_.toLong).getOrElse(0L))
+        Option(o.get("lookback")).map(_.toLong).getOrElse(0L),
+        Option(o.get("maxSeenMarks")).map(_.toInt).getOrElse(defaultMaxSeenMarks))
       // misconfigurations fail at load, loudly — a pagesPerPoll=0 stream
       // would otherwise run "healthy" forever shipping zero rows, and a
       // typo'd format would silently parse a JSON array as one NDJSON line
@@ -178,10 +184,55 @@ object HttpStream {
         s"graft-http: timeoutMillis must be positive, got ${parsed.timeoutMillis}")
       require(parsed.lookback >= 0,
         s"graft-http: lookback must be non-negative, got ${parsed.lookback}")
+      // upper bound: the window clamp (`lateMin + lookback - 1`) and the
+      // poll floor (`mark - lookback`) do Long arithmetic on real cursor
+      // values; a pathological lookback would overflow the clamp negative
+      // and silently empty the window filter. Long.MaxValue/4 is far past
+      // any sane window while keeping every sum representable.
+      require(parsed.lookback < Long.MaxValue / 4,
+        s"graft-http: lookback too large (max ${Long.MaxValue / 4}), " +
+          s"got ${parsed.lookback}")
       require(parsed.lookback == 0 || parsed.cursorField.nonEmpty,
         "graft-http: lookback requires cursorField (cursor mode)")
+      require(parsed.maxSeenMarks > 0,
+        s"graft-http: maxSeenMarks must be positive, got ${parsed.maxSeenMarks}")
       parsed
     }
+  }
+
+  /** Ceiling on the marks one lookback window may hold (overridable via
+    * `maxSeenMarks`). The `seen` list rides EVERY offset-log entry and
+    * the window is re-scanned to completion EVERY trigger, so a window
+    * that holds more than control-plane-sized mark counts poisons the
+    * checkpoint and the poll budget slowly and silently — the guard
+    * turns that misconfiguration into an immediate, attributable
+    * failure. Note the units: `lookback` is CURSOR UNITS (how far below
+    * the hwm the scan reaches); this bound is MARKS (how many distinct
+    * in-window cursor values the feed actually produced). */
+  val defaultMaxSeenMarks: Int = 4096
+
+  /** Saturating a+b for the window-clamp arithmetic: marks are raw feed
+    * values, so `lateMin + lookback` can exceed Long range even with the
+    * parse-time lookback bound; saturation keeps the clamp a no-op
+    * instead of flipping it negative and dropping every seen mark. */
+  private[sources] def satAdd(a: Long, b: Long): Long = {
+    val r = a + b
+    if (((a ^ r) & (b ^ r)) < 0) { if (a < 0) Long.MinValue else Long.MaxValue }
+    else r
+  }
+
+  /** The [[defaultMaxSeenMarks]] guard, shared with graft-jdbc: `seen`
+    * is about to be checkpointed — fail loudly when the window holds
+    * more marks than the configured ceiling. */
+  private[sources] def guardSeen(source: String, seen: Vector[Long],
+                                 lookback: Long, maxSeenMarks: Int): Vector[Long] = {
+    if (seen.size > maxSeenMarks) throw new IllegalStateException(
+      s"$source: lookback window ($lookback cursor units) holds ${seen.size} " +
+        s"marks, over the maxSeenMarks ceiling $maxSeenMarks — every offset-log " +
+        "entry carries the window's marks and every trigger re-scans the full " +
+        "window, so this feed is too hot for this window: shrink `lookback` " +
+        "or (if the offset-log/poll cost is acceptable) raise `maxSeenMarks`")
+    seen
   }
 
   /** Floor mark for `startingCursor=earliest`: below any real id/sequence/
@@ -307,9 +358,16 @@ private[sources] object HttpCursorOffset {
     if (n == null || !n.isObject || !n.hasNonNull("mark") || !n.path("mark").isNumber)
       throw new IllegalArgumentException(s"bad graft-http offset: $s")
     import scala.jdk.CollectionConverters._
+    // each seen mark gets the same loud validation as `mark`: asLong()
+    // on a corrupted element would silently coerce to 0 — a bogus seen
+    // mark that weakens dedup instead of failing the restart
     val seen =
       if (!n.has("seen")) Vector.empty[Long]
-      else n.path("seen").elements().asScala.map(_.asLong()).toVector
+      else n.path("seen").elements().asScala.map { e =>
+        if (!e.isNumber)
+          throw new IllegalArgumentException(s"bad graft-http offset: $s")
+        e.asLong()
+      }.toVector
     HttpCursorOffset(n.path("mark").asLong(), seen)
   }
 }
@@ -401,7 +459,8 @@ private[sources] class GraftHttpCursorStream(val opts: HttpStream.Opts)
       if (opts.lookback == 0 || mark == HttpStream.earliestFloor) Vector.empty[Long]
       else pollRange(pollFloor(mark), mark)
         .map(_._1).filter(_ <= mark).distinct.sorted
-    HttpCursorOffset(mark, seen)
+    HttpCursorOffset(mark,
+      HttpStream.guardSeen("graft-http", seen, opts.lookback, opts.maxSeenMarks))
   }
 
   override def getDefaultReadLimit: ReadLimit =
@@ -469,14 +528,16 @@ private[sources] class GraftHttpCursorStream(val opts: HttpStream.Opts)
     val lateTaken = cands.collect { case (m, _) if m <= s.mark && m <= budgetCap => m }
     val capMark =
       if (lateTaken.isEmpty) budgetCap
-      else math.min(budgetCap, lateTaken.min + opts.lookback - 1)
+      else math.min(budgetCap, HttpStream.satAdd(lateTaken.min, opts.lookback - 1))
     val taken = cands.filter(_._1 <= capMark)
     // a late-only epoch must not regress the hwm — it grows `seen` only
     val endMark = math.max(s.mark, capMark)
     val endSeen =
       if (opts.lookback == 0) Vector.empty[Long]
-      else (s.seen ++ taken.map(_._1)).distinct
-        .filter(m => m > endMark - opts.lookback && m <= endMark).sorted
+      else HttpStream.guardSeen("graft-http",
+        (s.seen ++ taken.map(_._1)).distinct
+          .filter(m => m > endMark - opts.lookback && m <= endMark).sorted,
+        opts.lookback, opts.maxSeenMarks)
     val end = HttpCursorOffset(endMark, endSeen)
     cached = (s.json(), end.json(), taken.map(_._2).toArray)
     // carry only UNSHIPPED records past the cap — carrying anything
@@ -594,8 +655,10 @@ private[sources] final class GraftHttpSnapshotStream(val opts: HttpStream.Opts)
       // of this version actually shipped): no epoch — but ADOPT rotated
       // validators (per-node ETags behind a balancer, Last-Modified
       // reset on redeploy) and the replay-corrected hash, or every later
-      // poll re-downloads / re-ships for nothing. Same version ⇒ the
-      // offset change plans no batch.
+      // poll re-downloads / re-ships for nothing. Same version ⇒ Spark
+      // still plans an EMPTY batch for the offset change (the ver<=ver
+      // guard in planInputPartitions returns zero partitions — there is
+      // no batch-suppression mechanism, just an empty plan).
       return if (etag == prev.etag && lm == prev.lastModified && h == prev.sha256) prev
              else HttpSnapshotOffset(prev.ver, etag, lm, h)
     }

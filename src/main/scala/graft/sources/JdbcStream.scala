@@ -39,9 +39,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * poll and dedupes on the watermark value against the offset's `seen`
   * marks, so a row that COMMITS OUT OF ORDER inside the window still
   * ships exactly once; the caveat narrows to rows landing beyond
-  * `lookback` (or re-using an already-shipped mark). Updates in place
-  * are still invisible: poll CDC-style tables on an updated-at column,
-  * or use the batch reader.
+  * `lookback` (or re-using an already-shipped mark). The window is
+  * measured against the hwm at each trigger's probe: a row committing
+  * CONCURRENTLY with a trigger that advances the hwm by Δ is guaranteed
+  * only when it lands within `lookback − Δ` of the pre-trigger hwm (the
+  * probe runs after the forward MAX/cap queries to keep that race to
+  * the probe-to-offset-write interval; cap Δ with `maxRowsPerPoll` when
+  * concurrent late commits matter — the graft-http caveat, mirrored).
+  * `maxSeenMarks` (default [[HttpStream.defaultMaxSeenMarks]]) bounds
+  * the MARKS one window may hold — `lookback` is MARK UNITS wide, but
+  * the `seen` list rides every offset-log entry and the window is
+  * re-probed every trigger, so a window too hot for the feed fails
+  * loudly at the bound instead of silently bloating both. Updates in
+  * place are still invisible: poll CDC-style tables on an updated-at
+  * column, or use the batch reader.
   *
   * Scale note: each epoch is a WHERE-bounded range scan the database can
   * serve from the watermark index; `numPartitions` splits the range so a
@@ -81,7 +92,8 @@ object JdbcStream {
   final case class Opts(url: String, driver: String, table: String,
                         watermarkColumn: String, where: Option[String],
                         startingWatermark: String, numPartitions: Int,
-                        maxRowsPerPoll: Option[Long], lookback: Long = 0L) {
+                        maxRowsPerPoll: Option[Long], lookback: Long = 0L,
+                        maxSeenMarks: Int = HttpStream.defaultMaxSeenMarks) {
     def whereAnd(cond: String): String =
       where.map(w => s"($w) AND $cond").getOrElse(cond)
   }
@@ -99,9 +111,18 @@ object JdbcStream {
         Option(o.get("startingWatermark")).getOrElse("earliest"),
         Option(o.get("numPartitions")).map(_.toInt).getOrElse(1),
         Option(o.get("maxRowsPerPoll")).map(_.toLong),
-        Option(o.get("lookback")).map(_.toLong).getOrElse(0L))
+        Option(o.get("lookback")).map(_.toLong).getOrElse(0L),
+        Option(o.get("maxSeenMarks")).map(_.toInt)
+          .getOrElse(HttpStream.defaultMaxSeenMarks))
       require(parsed.lookback >= 0,
         s"graft-jdbc: lookback must be non-negative, got ${parsed.lookback}")
+      // same overflow fence as graft-http: the window clamp
+      // (`lateMin + lookback - 1`) runs on real mark values
+      require(parsed.lookback < Long.MaxValue / 4,
+        s"graft-jdbc: lookback too large (max ${Long.MaxValue / 4}), " +
+          s"got ${parsed.lookback}")
+      require(parsed.maxSeenMarks > 0,
+        s"graft-jdbc: maxSeenMarks must be positive, got ${parsed.maxSeenMarks}")
       parsed
     }
   }
@@ -222,9 +243,16 @@ private[sources] object JdbcSourceOffset {
     if (n == null || !n.isObject || !n.hasNonNull("hwm") || !n.path("hwm").isNumber)
       throw new IllegalArgumentException(s"bad jdbc offset: $s")
     import scala.jdk.CollectionConverters._
+    // each seen mark gets the same loud validation as `hwm`: asLong()
+    // on a corrupted element would silently coerce to 0 — a bogus seen
+    // mark that weakens dedup instead of failing the restart
     val seen =
       if (!n.has("seen")) Vector.empty[Long]
-      else n.path("seen").elements().asScala.map(_.asLong()).toVector
+      else n.path("seen").elements().asScala.map { e =>
+        if (!e.isNumber)
+          throw new IllegalArgumentException(s"bad jdbc offset: $s")
+        e.asLong()
+      }.toVector
     JdbcSourceOffset(n.path("hwm").asLong(), seen)
   }
 }
@@ -301,7 +329,8 @@ private[sources] final class GraftJdbcMicroBatchStream(schema: StructType,
     val seen =
       if (opts.lookback == 0 || hwm <= emptyFloor) Vector.empty[Long]
       else marksIn(pollFloor(hwm), hwm)
-    JdbcSourceOffset(hwm, seen)
+    JdbcSourceOffset(hwm,
+      HttpStream.guardSeen("graft-jdbc", seen, opts.lookback, opts.maxSeenMarks))
   }
 
   override def getDefaultReadLimit: ReadLimit =
@@ -343,16 +372,54 @@ private[sources] final class GraftJdbcMicroBatchStream(schema: StructType,
 
   private def marksIn(lo: Long, hi: Long): Vector[Long] = windowMarks(lo, hi).map(_._1)
 
-  /** The poll: late marks from the window probe, plus MAX(wm) above the
-    * hwm for an unbounded trigger; under a row budget, the n-th pending
-    * row's mark (ANSI FETCH FIRST — Derby and Postgres both speak it) so
-    * one epoch never exceeds the budget by more than the ties on its
-    * final mark. A late-only epoch keeps the hwm and grows `seen`. */
+  /** The poll: MAX(wm) above the hwm for an unbounded trigger; under a
+    * row budget, the n-th pending row's mark (ANSI FETCH FIRST — Derby
+    * and Postgres both speak it) so one epoch never exceeds the budget
+    * by more than the ties on its final mark; THEN the late-mark window
+    * probe. The probe runs AFTER the forward queries (the graft-http
+    * ordering) so a row committing into the window while the forward
+    * queries execute is still caught by this trigger's probe — the
+    * residual concurrent-commit race narrows to the probe-to-offset-
+    * write interval (class scaladoc caveat; cap the per-epoch hwm
+    * advance with `maxRowsPerPoll` when concurrent late commits
+    * matter). A late-only epoch keeps the hwm and grows `seen`. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[JdbcSourceOffset]
     val from = s.hwm
     val wm = opts.watermarkColumn
     val t = opts.table
+    val max = withConn { c =>
+      val ps = c.prepareStatement(
+        s"SELECT MAX($wm) FROM $t WHERE ${opts.whereAnd(s"$wm > ?")}")
+      try {
+        JdbcStream.setMark(ps, 1, wmIsTimestamp, from)
+        val rs = ps.executeQuery()
+        if (!rs.next()) None else JdbcStream.markOf(rs, 1)
+      } finally ps.close()
+    }
+    def cappedForward(budget: Long): Long = max match {
+      case Some(m) if budget > 0 =>
+        val capped =
+          if (budget == Long.MaxValue) m
+          else withConn { c =>
+            val ps = c.prepareStatement(
+              s"SELECT MAX($wm) FROM (SELECT $wm FROM $t WHERE " +
+                s"${opts.whereAnd(s"$wm > ?")} ORDER BY $wm " +
+                s"FETCH FIRST $budget ROWS ONLY) capped_marks")
+            try {
+              JdbcStream.setMark(ps, 1, wmIsTimestamp, from)
+              val rs = ps.executeQuery()
+              if (!rs.next()) None else JdbcStream.markOf(rs, 1)
+            } finally ps.close()
+          }.getOrElse(m)
+        math.min(m, capped)
+      case _ => from
+    }
+    val fullBudget = limit match {
+      case mr: ReadMaxRows => mr.maxRows()
+      case _ => Long.MaxValue
+    }
+    val forwardFull = cappedForward(fullBudget)
     val lateAll =
       if (opts.lookback == 0) Vector.empty[(Long, Long)]
       else { val seen = s.seenSet
@@ -371,38 +438,14 @@ private[sources] final class GraftJdbcMicroBatchStream(schema: StructType,
         (taken.map(_._1), rows)
       case _ => (lateAll.map(_._1), lateAll.map(_._2).sum)
     }
-    val max = withConn { c =>
-      val ps = c.prepareStatement(
-        s"SELECT MAX($wm) FROM $t WHERE ${opts.whereAnd(s"$wm > ?")}")
-      try {
-        JdbcStream.setMark(ps, 1, wmIsTimestamp, from)
-        val rs = ps.executeQuery()
-        if (!rs.next()) None else JdbcStream.markOf(rs, 1)
-      } finally ps.close()
-    }
-    val newBudget = limit match {
-      // the late rows spend admission budget first (they are the oldest)
-      case mr: ReadMaxRows => math.max(0L, mr.maxRows() - lateRows)
-      case _ => Long.MaxValue
-    }
-    val uncappedEnd = max match {
-      case Some(m) if newBudget > 0 =>
-        val capped =
-          if (newBudget == Long.MaxValue) m
-          else withConn { c =>
-            val ps = c.prepareStatement(
-              s"SELECT MAX($wm) FROM (SELECT $wm FROM $t WHERE " +
-                s"${opts.whereAnd(s"$wm > ?")} ORDER BY $wm " +
-                s"FETCH FIRST $newBudget ROWS ONLY) capped_marks")
-            try {
-              JdbcStream.setMark(ps, 1, wmIsTimestamp, from)
-              val rs = ps.executeQuery()
-              if (!rs.next()) None else JdbcStream.markOf(rs, 1)
-            } finally ps.close()
-          }.getOrElse(m)
-        math.min(m, capped)
-      case _ => from
-    }
+    // the late rows spend admission budget first (they are the oldest):
+    // with late marks admitted under a finite budget, the forward cap
+    // shrinks to what is left — one extra indexed query on the rarer
+    // late path, so the common no-late path keeps the probe as the last
+    // statement before the offset write
+    val uncappedEnd =
+      if (late.isEmpty || fullBudget == Long.MaxValue) forwardFull
+      else cappedForward(math.max(0L, fullBudget - lateRows))
     // an epoch that ships a late mark must NOT advance the hwm past
     // mark + lookback: `end.seen` (filtered to end's window) is the only
     // channel that can ship an in-window late mark at plan time, so
@@ -411,12 +454,15 @@ private[sources] final class GraftJdbcMicroBatchStream(schema: StructType,
     // the IN-list). Clamp; the outrun new rows ship next epoch.
     val endHwm =
       if (late.isEmpty) uncappedEnd
-      else math.min(uncappedEnd, math.max(from, late.min + opts.lookback - 1))
+      else math.min(uncappedEnd,
+        math.max(from, HttpStream.satAdd(late.min, opts.lookback - 1)))
     if (late.isEmpty && endHwm == from) return start
     val endSeen =
       if (opts.lookback == 0) Vector.empty[Long]
-      else (s.seen ++ late ++ marksIn(math.max(from, pollFloor(endHwm)), endHwm))
-        .distinct.filter(m => m > pollFloor(endHwm) && m <= endHwm).sorted
+      else HttpStream.guardSeen("graft-jdbc",
+        (s.seen ++ late ++ marksIn(math.max(from, pollFloor(endHwm)), endHwm))
+          .distinct.filter(m => m > pollFloor(endHwm) && m <= endHwm).sorted,
+        opts.lookback, opts.maxSeenMarks)
     JdbcSourceOffset(endHwm, endSeen)
   }
 

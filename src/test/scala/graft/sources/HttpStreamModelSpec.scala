@@ -123,4 +123,32 @@ class HttpStreamModelSpec extends SparkSpec {
       } finally feed.close()
     }
   }
+
+  test("maxSeenMarks guard: a lookback window holding more marks than the " +
+    "ceiling fails the poll loudly (actionable message) instead of " +
+    "silently bloating every offset-log entry") {
+    val feed = new PagedFeed(10)
+    try {
+      val o = HttpStream.Opts(new org.apache.spark.sql.util.CaseInsensitiveStringMap({
+        val m = new java.util.HashMap[String, String]()
+        m.put("url", feed.url); m.put("cursorField", "id")
+        m.put("lookback", "100"); m.put("maxSeenMarks", "3")
+        m
+      }))
+      val stream = new GraftHttpCursorStream(o)
+      var cur = stream.initialOffset().asInstanceOf[HttpCursorOffset]
+      feed.rows.updateAndGet(_ :+ 10L :+ 50L)
+      cur = stream.latestOffset(cur, ReadLimit.allAvailable())
+        .asInstanceOf[HttpCursorOffset]
+      assert(cur.seen == Vector(10L, 50L)) // 2 marks: under the ceiling
+      // three late commits inside the window push the seen count to 5 > 3
+      feed.rows.updateAndGet(_ :+ 45L :+ 46L :+ 47L)
+      val e = intercept[IllegalStateException] {
+        stream.latestOffset(cur, ReadLimit.allAvailable())
+      }
+      assert(e.getMessage.contains("maxSeenMarks"), e.getMessage)
+      assert(e.getMessage.contains("lookback"), e.getMessage)
+      assert(e.getMessage.contains("graft-http"), e.getMessage)
+    } finally feed.close()
+  }
 }

@@ -149,4 +149,36 @@ class JdbcStreamModelSpec extends SparkSpec {
       } finally stream.stop()
     }
   }
+
+  test("maxSeenMarks guard: a lookback window holding more marks than the " +
+    "ceiling fails the poll loudly (actionable message) instead of " +
+    "silently bloating every offset-log entry") {
+    val table = "modelguard"
+    exec(s"CREATE TABLE $table (id BIGINT PRIMARY KEY, wm BIGINT)")
+    val opts = JdbcStream.Opts(new CaseInsensitiveStringMap({
+      val m = new java.util.HashMap[String, String]()
+      m.put("url", url); m.put("driver", driver); m.put("table", table)
+      m.put("watermarkColumn", "wm"); m.put("lookback", "100")
+      m.put("maxSeenMarks", "3")
+      m
+    }))
+    val stream = new GraftJdbcMicroBatchStream(schema, opts)
+    try {
+      exec(s"INSERT INTO $table VALUES (1, 10)", s"INSERT INTO $table VALUES (2, 50)")
+      var cur = stream.initialOffset().asInstanceOf[JdbcSourceOffset]
+      cur = stream.latestOffset(cur, ReadLimit.allAvailable())
+        .asInstanceOf[JdbcSourceOffset]
+      assert(cur.seen == Vector(10L, 50L)) // 2 marks: under the ceiling
+      // three late commits inside the window push the seen count to 5 > 3
+      exec(s"INSERT INTO $table VALUES (3, 45)",
+        s"INSERT INTO $table VALUES (4, 46)",
+        s"INSERT INTO $table VALUES (5, 47)")
+      val e = intercept[IllegalStateException] {
+        stream.latestOffset(cur, ReadLimit.allAvailable())
+      }
+      assert(e.getMessage.contains("maxSeenMarks"), e.getMessage)
+      assert(e.getMessage.contains("lookback"), e.getMessage)
+      assert(e.getMessage.contains("graft-jdbc"), e.getMessage)
+    } finally stream.stop()
+  }
 }
