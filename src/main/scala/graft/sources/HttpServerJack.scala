@@ -145,15 +145,27 @@ final class HttpServerJack(
       // from a lambda is a control-flow THROW, which the outer
       // catch-everything would intercept and double-respond on.
       if (mtls.isDefined) {
-        val admitted =
+        // only POLICY refusals answer 401: SecurityException (principal
+        // policy), SSLPeerUnverifiedException (no client cert in the
+        // session), IllegalArgumentException (empty chain) — with the
+        // reason surfaced so a refused principal is attributable.
+        // An unexpected operational error propagates instead of
+        // masquerading as a refusal (r15 ADVICE, shared with the WS jack).
+        val refusal =
           try {
             Tls.authorizeSession(
               ex.asInstanceOf[com.sun.net.httpserver.HttpsExchange].getSSLSession,
               mtls.get)
-            true
-          } catch { case _: Exception => false }
-        if (!admitted) {
+            None
+          } catch {
+            case e @ (_: SecurityException
+                      | _: javax.net.ssl.SSLPeerUnverifiedException
+                      | _: IllegalArgumentException) =>
+              Some(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+          }
+        if (refusal.isDefined) {
           rejected.incrementAndGet()
+          System.err.println(s"[graft-jack] mTLS principal refused: ${refusal.get}")
           respond(ex, 401, "Unauthorized"); return
         }
       }
