@@ -190,9 +190,16 @@ object WsFrames {
   *    no app-level ack, so the peer-side guarantee is weaker than the
   *    HTTP jack's: a message in flight when the process dies is lost
   *    (the peer only learns via the dropped connection) — but every
-  *    message the hub RECEIVED before the kill survives. A spool-write
-  *    failure drops the connection (loud, so the peer reconnects and
-  *    resends) instead of buffering in memory.
+  *    message the hub COUNTED RECEIVED before the kill survives. A
+  *    spool-write failure drops the connection (loud, so the peer
+  *    reconnects and resends) instead of buffering in memory.
+  *  - `spoolSegment = Some(policy)` additionally switches the spool to
+  *    GROUP COMMIT ([[Spool.SegmentWriter]]): many messages per
+  *    atomically-renamed segment file, counted received at the flush —
+  *    the measured per-record bound (~140 rec/s/writer,
+  *    graft.tools.SpoolRate) amortizes to thousands/s, at the cost of a
+  *    crash losing the unflushed tail (≤ policy bounds — the same loss
+  *    class as frames in flight, which WS cannot ack anyway).
   *
   * Security (the reference jack's upgrade-time stack, `jack/websocket/
   * tls.go` + `auth.go`/`auth_policy.go`): `tls` terminates TLS on the
@@ -211,17 +218,26 @@ final class WsServerHub(spark: SparkSession, port: Int,
                         validator: Option[String => Either[String, Unit]] = None,
                         authRequired: Boolean = true,
                         tls: Option[TlsConfig] = None,
-                        mtls: Option[MtlsOptions] = None) {
+                        mtls: Option[MtlsOptions] = None,
+                        spoolSegment: Option[Spool.SegmentPolicy] = None) {
 
   // half-configured security must fail fast, not silently downgrade
   // (the HttpServerJack rule)
   require(tls.isDefined || mtls.isEmpty, "mtls requires a TlsConfig (tls = Some(...))")
+  require(spoolSegment.isEmpty || spoolDir.isDefined,
+    "spoolSegment requires a spoolDir")
 
   import spark.implicits._
   private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
   private val stream = MemoryStream[String]
   private val spoolFs = spoolDir.map(d => Spool.open(spark, d))
+  private val received = new AtomicLong(0)
+  // group-commit spool (see Spool.SegmentWriter): the flusher owns the
+  // received count — a record is counted only once its bytes landed
+  private val segmentWriter = for {
+    (fs, root) <- spoolFs; p <- spoolSegment
+  } yield new Spool.SegmentWriter(fs, root, p, n => { received.addAndGet(n); () })
   private val server: ServerSocket = tls match {
     case Some(cfg) =>
       val s = Tls.sslContext(cfg).getServerSocketFactory
@@ -233,7 +249,6 @@ final class WsServerHub(spark: SparkSession, port: Int,
   }
   private val running = new AtomicBoolean(true)
   private val conns = new ConcurrentHashMap[Socket, OutputStream]()
-  private val received = new AtomicLong(0)
   private val broadcastCount = new AtomicLong(0)
   private val rejected = new AtomicLong(0)
   private val softFailures = new AtomicLong(0)
@@ -270,14 +285,28 @@ final class WsServerHub(spark: SparkSession, port: Int,
       // proved CA validity, but a CA-valid-yet-unlisted principal must
       // not reach the upgrade (the HttpServerJack ordering)
       if (mtls.isDefined) {
-        val admitted =
+        // only POLICY refusals answer 401: SecurityException (principal
+        // policy), SSLPeerUnverifiedException (no client cert in the
+        // session), IllegalArgumentException (empty chain). Anything
+        // else is an operational error and propagates to the
+        // connection-level catch instead of masquerading as a refusal.
+        val refusal =
           try {
             Tls.authorizeSession(
               sock.asInstanceOf[javax.net.ssl.SSLSocket].getSession, mtls.get)
-            true
-          } catch { case _: Exception => false }
-        if (!admitted) {
+            None
+          } catch {
+            case e @ (_: SecurityException
+                      | _: javax.net.ssl.SSLPeerUnverifiedException
+                      | _: IllegalArgumentException) =>
+              Some(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+          }
+        // plain if, not refusal.foreach { ... return }: a non-local
+        // return from a lambda is a control-flow THROW the outer catch
+        // would intercept (the HttpServerJack rule)
+        if (refusal.isDefined) {
           rejected.incrementAndGet()
+          System.err.println(s"[graft-ws] mTLS principal refused: ${refusal.get}")
           rawOut.write("HTTP/1.1 401 Unauthorized\r\n\r\n".getBytes(UTF_8))
           rawOut.flush()
           return
@@ -324,13 +353,23 @@ final class WsServerHub(spark: SparkSession, port: Int,
                 // re-renders it compact — a pretty-printed message would
                 // otherwise split into several rows at the line-oriented
                 // file source and diverge from the MemoryStream contract
-                case Some((fs, root)) => Spool.writeRecord(fs, root, Spool.jsonLine(msg))
+                case Some((fs, root)) =>
+                  val line = Spool.jsonLine(msg)
+                  segmentWriter match {
+                    // segment mode: durable at the group-commit flush,
+                    // which owns the count; a poisoned writer rethrows
+                    // here and drops the peer loudly
+                    case Some(w) => w.append(line)
+                    case None =>
+                      Spool.writeRecord(fs, root, line)
+                      received.incrementAndGet()
+                  }
                 case None =>
                   // serialize across connection threads: MemoryStream's
                   // row encoder is not thread-safe (TlsNdjsonJack.serve)
                   stream.synchronized { stream.addData(msg) }
+                  received.incrementAndGet()
               }
-              received.incrementAndGet()
               pending.reset()
             }
           case WsFrames.OpPing =>
@@ -392,6 +431,7 @@ final class WsServerHub(spark: SparkSession, port: Int,
     try server.close() catch { case _: Throwable => () }
     conns.forEach { (sock, _) => try sock.close() catch { case _: Throwable => () } }
     conns.clear()
+    segmentWriter.foreach(_.close()) // flush the tail
   }
 }
 
@@ -409,7 +449,8 @@ final class WsServerHub(spark: SparkSession, port: Int,
   *    is counted received; consumers resume exactly-once from the file
   *    source checkpoint. A spool failure aborts the websocket (loud —
   *    [[closeReason]] carries the error) rather than buffering in
-  *    memory.
+  *    memory. `spoolSegment` switches to group commit (see
+  *    [[WsServerHub]]'s note — same trade).
   *
   * `tls` routes a `wss://` dial through the existing [[TlsConfig]]
   * loader (CA trust + optional client certificate for mTLS — the
@@ -419,7 +460,11 @@ final class WsClientSource(spark: SparkSession, url: String,
                            spoolDir: Option[String] = None,
                            spoolMaxFilesPerTrigger: Option[Int] = None,
                            tls: Option[TlsConfig] = None,
-                           headers: Map[String, String] = Map.empty) {
+                           headers: Map[String, String] = Map.empty,
+                           spoolSegment: Option[Spool.SegmentPolicy] = None) {
+
+  require(spoolSegment.isEmpty || spoolDir.isDefined,
+    "spoolSegment requires a spoolDir")
 
   import spark.implicits._
   private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -427,8 +472,21 @@ final class WsClientSource(spark: SparkSession, url: String,
   private val stream = MemoryStream[String]
   private val spoolFs = spoolDir.map(d => Spool.open(spark, d))
   private val received = new AtomicLong(0)
+  // group-commit spool (see Spool.SegmentWriter): the flusher owns the
+  // received count — a record is counted only once its bytes landed
+  private val segmentWriter = for {
+    (fs, root) <- spoolFs; p <- spoolSegment
+  } yield new Spool.SegmentWriter(fs, root, p, n => { received.addAndGet(n); () })
   private val closed = new AtomicReference[String](null)
   private val ws = new AtomicReference[java.net.http.WebSocket](null)
+  private val userStopped = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val reconnects = new AtomicLong(0)
+  // every observed drop bumps this; the supervisor re-dials while its
+  // handled count lags. A counter, not the reason STRING: two drops
+  // with the same message (the common flap — same IOException text)
+  // must still read as two events, or clearing the first would blind
+  // the supervisor to the second
+  private val drops = new AtomicLong(0)
 
   private final class Listener extends java.net.http.WebSocket.Listener {
     private val pending = new StringBuilder
@@ -442,17 +500,30 @@ final class WsClientSource(spark: SparkSession, url: String,
             // durable FIRST, count after; a spool (or normalization —
             // see WsServerHub's note) failure must be loud, not a
             // silent in-memory fallback — abort the socket so the peer
-            // sees the drop and [[closeReason]] carries the cause
-            try Spool.writeRecord(fs, root, Spool.jsonLine(msg))
-            catch {
+            // sees the drop and [[closeReason]] carries the cause. In
+            // segment mode the count moves to the group-commit flush
+            // and a poisoned writer rethrows here.
+            try {
+              val line = Spool.jsonLine(msg)
+              segmentWriter match {
+                case Some(wtr) => wtr.append(line)
+                case None =>
+                  Spool.writeRecord(fs, root, line)
+                  received.incrementAndGet()
+              }
+            } catch {
               case e: Exception =>
                 closed.set(s"spool failure: ${e.getMessage}")
+                // abort() suppresses further listener invocations, so
+                // the drop must be signalled here
+                drops.incrementAndGet()
                 try w.abort() catch { case _: Throwable => () }
                 return null
             }
-          case None => stream.addData(msg)
+          case None =>
+            stream.addData(msg)
+            received.incrementAndGet()
         }
-        received.incrementAndGet()
         pending.clear()
       }
       w.request(1)
@@ -461,7 +532,15 @@ final class WsClientSource(spark: SparkSession, url: String,
     override def onClose(w: java.net.http.WebSocket, statusCode: Int,
                          reason: String): CompletionStage[_] = {
       closed.set(s"$statusCode $reason")
+      drops.incrementAndGet()
       null
+    }
+    // an abrupt server death surfaces as onError (IOException), not
+    // onClose — without this override the drop would be invisible to
+    // [[superviseReconnect]]'s watch
+    override def onError(w: java.net.http.WebSocket, error: Throwable): Unit = {
+      closed.set(s"error: ${Option(error.getMessage).getOrElse(error.getClass.getName)}")
+      drops.incrementAndGet()
     }
   }
 
@@ -495,13 +574,80 @@ final class WsClientSource(spark: SparkSession, url: String,
 
   def receivedCount: Long = received.get()
   def closeReason: Option[String] = Option(closed.get())
+  def reconnectCount: Long = reconnects.get()
+
+  /** Circuit-breaker-gated reconnect supervision — the reference
+    * generator restarts a failed connector on its control-loop tick
+    * unless the breaker is open
+    * (`/root/reference/pkg/internal/generator/internal.go:89-117`); for
+    * a PUSH transport the analogue is re-dialing the subscription when
+    * the socket drops. A daemon thread watches [[closeReason]] every
+    * `tickMs` and re-dials behind `breaker` with exponential backoff,
+    * until [[stop]] or the cumulative `maxReconnects` budget is spent
+    * (the QuerySupervisor budget shape — a flapping endpoint must not
+    * be hidden by infinite silent redials).
+    *
+    * Honesty note (push transport): frames the server pushes while the
+    * client is DOWN are lost — RFC 6455 has no replay protocol; the
+    * contract is that every frame the client RECEIVED is spooled
+    * exactly once and the subscription resumes after the gap. Gap-free
+    * ingest belongs to the pull edges (graft-http/graft-jdbc cursors,
+    * Kafka offsets), where the mark, not the connection, carries
+    * progress. */
+  def superviseReconnect(breaker: graft.reliability.CircuitBreaker,
+                         maxReconnects: Int = 5, tickMs: Long = 50,
+                         backoffMs: Long = 100,
+                         connectTimeoutMillis: Long = 10000,
+                         sleep: Long => Unit = Thread.sleep): Thread = {
+    val t = new Thread(() => {
+      var attempts = 0
+      // 0, not drops.get(): a drop that happened BEFORE supervision
+      // started (connect, server died, then supervise) must trigger an
+      // immediate re-dial, not be grandfathered in as handled
+      var handled = 0L
+      while (!userStopped.get() && attempts < maxReconnects) {
+        val d = drops.get()
+        if (d == handled || !breaker.allow) sleep(tickMs)
+        else {
+          attempts += 1
+          try {
+            connect(connectTimeoutMillis)
+            // handled = the count OBSERVED BEFORE the dial: a drop
+            // landing during the dial (the fresh listener shares the
+            // counter) keeps d < drops and the next tick re-dials —
+            // the counter form of the reason-string CAS, immune to two
+            // flaps carrying the identical message
+            handled = d
+            reconnects.incrementAndGet()
+            // a user stop racing the dial: stop()'s getAndSet may have
+            // missed the socket this dial just installed — re-run the
+            // close path so nothing live leaks past stop()
+            if (userStopped.get()) {
+              val w = ws.getAndSet(null)
+              if (w != null) { try w.abort() catch { case _: Throwable => () } }
+            }
+          } catch {
+            case _: Exception =>
+              breaker.recordErrors(1)
+              sleep(math.min(backoffMs * (1L << math.min(attempts, 10)), 5000L))
+          }
+        }
+      }
+    }, "graft-wsc-reconnect")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
 
   def stop(): Unit = {
+    userStopped.set(true) // before the close: the supervisor must not
+                          // treat a user stop as a drop and re-dial
     val w = ws.getAndSet(null)
     if (w != null) {
       try w.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "bye")
         .orTimeout(2, TimeUnit.SECONDS).join()
       catch { case _: Throwable => () }
     }
+    segmentWriter.foreach(_.close()) // flush the tail
   }
 }

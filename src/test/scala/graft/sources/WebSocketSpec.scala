@@ -146,7 +146,8 @@ class WebSocketSpec extends SparkSpec {
     * assert ids 1..6 arrive exactly once — the FileStream kill contract
     * on a WS spool dir (shared shape with HttpServerJackSpec's r7 test). */
   private def killRestartExactlyOnce(mkStream: => org.apache.spark.sql.DataFrame,
-                                     out: String, ckpt: String): Unit = {
+                                     out: String, ckpt: String,
+                                     expected: Seq[Long] = (1L to 6L)): Unit = {
     def startQuery() = mkStream.writeStream
       .format("parquet").option("path", out)
       .option("checkpointLocation", ckpt)
@@ -162,7 +163,8 @@ class WebSocketSpec extends SparkSpec {
     val q2 = startQuery()
     try q2.processAllAvailable() finally q2.stop()
     val rows = spark.read.parquet(out).select("id").collect().map(_.getLong(0)).toSeq
-    assert(rows.sorted == (1L to 6L), s"expected ids 1..6 exactly once, got $rows")
+    assert(rows.sorted == expected,
+      s"expected ids ${expected.head}..${expected.last} exactly once, got ${rows.sorted}")
   }
 
   private def assertSpooled(spool: String, n: Int): Unit = {
@@ -203,6 +205,79 @@ class WebSocketSpec extends SparkSpec {
       assertSpooled(spool, 6)
       killRestartExactlyOnce(client.jsonStream(schema), out, ckpt)
     } finally { client.stop(); hub.stop() }
+  }
+
+  test("spool SEGMENT mode (group commit): many messages land per segment " +
+    "file and are counted received only at the flush — the amortized form " +
+    "(Spool.SegmentWriter); a killed-and-restarted consumer still sees " +
+    "every counted message exactly once") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ws-seg").toString
+    val spool = s"$root/spool"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val hub = new WsServerHub(spark, 0, spoolDir = Some(spool),
+      spoolMaxFilesPerTrigger = Some(1),
+      spoolSegment = Some(Spool.SegmentPolicy(maxRecords = 64, maxDelayMillis = 5)))
+    val client = new WsClientSource(spark, s"ws://127.0.0.1:${hub.boundPort}/feed")
+    try {
+      client.connect()
+      val n = 300
+      (1 to n).foreach(i => client.send(s"""{"id":$i,"name":"seg$i"}"""))
+      eventually(hub.receivedCount == n,
+        s"segment spool counted ${hub.receivedCount} of $n", timeoutMs = 20000)
+      val files = new java.io.File(spool).listFiles().map(_.getName)
+      assert(!files.exists(_.endsWith(".tmp")), s"leftover temp files: ${files.toSeq}")
+      val segs = files.count(_.endsWith(".ndjson"))
+      // group commit must actually amortize: at ~140 renames/s a flush
+      // takes several sendText round-trips, so segments gather well
+      // below one-file-per-record (the exact count is timing-dependent)
+      assert(segs < n / 2, s"group commit never amortized: $segs files for $n messages")
+      killRestartExactlyOnce(hub.jsonStream(schema), out, ckpt, (1L to n))
+    } finally { client.stop(); hub.stop() }
+  }
+
+  test("supervised client reconnect: the SERVER dies mid-stream, the client " +
+    "re-dials via the CB-gated supervisor and resumes spooling — every " +
+    "RECEIVED frame lands exactly once (frames pushed while down are lost " +
+    "by design: push transport, no replay — the documented gap window)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-wsc-reconn").toString
+    val spool = s"$root/spool"
+    val hub1 = new WsServerHub(spark, 0)
+    val port = hub1.boundPort
+    val client = new WsClientSource(spark, s"ws://127.0.0.1:$port/feed",
+      spoolDir = Some(spool))
+    try {
+      client.connect()
+      val breaker = new graft.reliability.CircuitBreaker(100, 60000)
+      client.superviseReconnect(breaker, maxReconnects = 50,
+        tickMs = 20, backoffMs = 20)
+      eventually(hub1.connectionCount == 1, "client not connected")
+      assert(hub1.broadcast((1 to 4).map(i => s"""{"id":$i,"name":"pre$i"}""")) == 4)
+      eventually(client.receivedCount == 4, "pre-kill frames not received")
+      // the server dies mid-stream: the client's listener observes the
+      // drop (onError for an abrupt TCP close) and the supervisor takes
+      // over. The gap between death and re-dial success is the honest
+      // loss window — there is no hub to push to here, and a real peer's
+      // pushes in that window would be gone (push transport, no replay).
+      hub1.stop()
+      eventually(client.closeReason.isDefined || client.reconnectCount > 0,
+        "server death not observed by the client listener")
+      // a NEW server process comes up on the same address; the supervisor
+      // must land the re-dial without any help from the test
+      val hub2 = new WsServerHub(spark, port)
+      try {
+        eventually(client.reconnectCount >= 1 && hub2.connectionCount == 1,
+          s"client did not re-dial the restarted server " +
+            s"(reconnects=${client.reconnectCount}, close=${client.closeReason})",
+          timeoutMs = 20000)
+        assert(hub2.broadcast((5 to 8).map(i => s"""{"id":$i,"name":"post$i"}""")) == 4)
+        eventually(client.receivedCount == 8, "post-reconnect frames not received")
+        // exactly once across the whole life: 4 pre-kill + 4 post-reconnect
+        assertSpooled(spool, 8)
+        val ids = spark.read.schema(schema).json(spool)
+          .collect().map(_.getAs[Long]("id")).toSeq
+        assert(ids.sorted == (1L to 8L),
+          s"received frames must survive the reconnect exactly once: $ids")
+      } finally hub2.stop()
+    } finally client.stop()
   }
 
   test("spool mode normalizes each message to ONE compact JSON line: a " +
