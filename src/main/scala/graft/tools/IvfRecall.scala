@@ -22,30 +22,38 @@ import graft.sources.Tables
   *    `sim_ann_ivf` operator — per-query recall@5 over a smaller sample,
   *    since each probe is its own partition-pruned job).
   *
-  * Caveat discovered measuring this: the sf1 rehearsal fixture is a 10×
-  * REPLICATION of sf0.1 (tools/gen_scale.py shifts only vec_id), so
-  * every vector has 9 bit-identical duplicates — they quantize to the
-  * query's own cell and saturate raw recall@5 at 1.0 for ANY nprobe.
-  * The raw number is still the honest answer for "does the default find
-  * the true top-5 at sf1 on THIS fixture", but the informative curve
-  * excludes near-exact duplicates (sim ≥ 1 − 1e-6) from both truth and
-  * the IVF answer before ranking; both are printed.
+  * Fixture history: the r15 fixture was a pure 10× REPLICATION of sf0.1
+  * (gen_scale.py shifted only vec_id), so every vector had 9
+  * bit-identical duplicates that saturated raw recall@5 at 1.0 for ANY
+  * nprobe — r15 measured the curve dup-excluded (sim ≥ 1 − 1e-6). The
+  * r16 fixture perturbs replicas (deterministic ±0.05 elementwise
+  * noise, renormalized → cos ≈ 0.97 to the original): replicas are now
+  * honest NEAR-duplicates, but they still concentrate in the query's
+  * own cell, so raw recall on a replication-derived fixture remains
+  * EASIER than organic data — report the distinct-content number
+  * (dupPpm ≈ 950000) alongside it.
   *
-  * Usage: `runMain graft.tools.IvfRecall <sfDir> [graphSample] [probeSample]`
+  * Usage: `runMain graft.tools.IvfRecall <sfDir> [graphSample] [probeSample] [dupPpm]`
   * Prints one JSON line per (path, dedup, nprobe) with the mean recall@5.
-  * Results land in SCALING.md (r15). */
+  * Results land in SCALING.md (r15/r16). `dupPpm` sets the near-dup
+  * exclusion threshold for the dedup variant (default 999999 = exclude
+  * only near-exact pairs; the r16 perturbed fixture's replicas sit at
+  * cos ≈ 0.97, so pass e.g. 950000 to measure DISTINCT-CONTENT recall
+  * with the synthetic replicas excluded). */
 object IvfRecall {
 
   val K = 5
-  /** Fetch depth: enough rank room to step past the fixture's 9 exact
-    * duplicates and still have K distinct-content neighbors. */
+  /** Fetch depth: enough rank room to step past the fixture's 9
+    * replicated near-duplicates and still have K distinct-content
+    * neighbors. */
   val Kfetch = 16
-  val DupPpm = 999999L
+  val DefaultDupPpm = 999999L
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val graphSample = args.lift(1).map(_.toInt).getOrElse(200)
     val probeSample = args.lift(2).map(_.toInt).getOrElse(64)
+    val dupPpm = args.lift(3).map(_.toLong).getOrElse(DefaultDupPpm)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -55,12 +63,12 @@ object IvfRecall {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, dir, graphSample, probeSample)
+    try run(spark, dir, graphSample, probeSample, dupPpm)
     finally spark.stop()
   }
 
-  private def run(spark: SparkSession, dir: String,
-                  graphSample: Int, probeSample: Int): Unit = {
+  private def run(spark: SparkSession, dir: String, graphSample: Int,
+                  probeSample: Int, dupPpm: Long): Unit = {
     import spark.implicits._
     // the knnGraphIvf zero-norm guard, mirrored so truth and IVF rank
     // over the same corpus
@@ -90,7 +98,7 @@ object IvfRecall {
       .filter(col("rank") <= K)
       .select("qid", "dst")
     val truthRaw = topK(pairs).cache()
-    val truthDedup = topK(pairs.filter(col("sim") < lit(DupPpm / 1e6))).cache()
+    val truthDedup = topK(pairs.filter(col("sim") < lit(dupPpm / 1e6))).cache()
     println(s"""{"corpus":$n,"graph_sample":${qids.length},""" +
       s""""truth_raw":${truthRaw.count()},"truth_dedup":${truthDedup.count()}}""")
 
@@ -111,7 +119,7 @@ object IvfRecall {
           Window.partitionBy("qid").orderBy(asc("rank"))))
         .filter(col("r2") <= K).select("qid", "dst")
       val rawHits = recut(graph).join(truthRaw, Seq("qid", "dst")).count()
-      val dedupHits = recut(graph.filter(col("sim_ppm") < DupPpm))
+      val dedupHits = recut(graph.filter(col("sim_ppm") < dupPpm))
         .join(truthDedup, Seq("qid", "dst")).count()
       val denom = (qids.length.toLong * K).toDouble
       println(f"""{"path":"knn_graph","nCells":$nCells,"nprobe":$np,""" +
@@ -137,7 +145,7 @@ object IvfRecall {
           .select(col("vec_id"), col("sim")).as[(Long, Double)].collect()
         rawHit += (got.take(K).map(_._1).toSet &
           truthRawMap.getOrElse(qid, Set.empty)).size
-        dedupHit += (got.filter(_._2 < DupPpm / 1e6).take(K).map(_._1).toSet &
+        dedupHit += (got.filter(_._2 < dupPpm / 1e6).take(K).map(_._1).toSet &
           truthDedupMap.getOrElse(qid, Set.empty)).size
       }
       val denom = (probeQs.length.toLong * K).toDouble

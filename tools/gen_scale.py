@@ -14,10 +14,21 @@ pyarrow (not Spark) so events.ts round-trips as parquet TIMESTAMP(NANOS)
 - Spark 4 cannot write that type, and both engines' reads are keyed to it
 (see TESTDATA.md / Tables.load nanosAsLong).
 
+Replicated EMBEDDINGS are perturbed (r15 verdict item 6): a pure vec_id
+shift left every sf1 vector with 9 bit-identical copies, which saturated
+the IVF recall curve and silently flattered every dup-sensitive
+measurement (dd_embed_*, sim_semdedup, mm_*). Each copy>0 vector gets
+deterministic elementwise uniform noise in [-0.05, 0.05] (seeded per
+copy; vectors re-normalized to unit length, preserving the fixture's
+cosine==dot invariant). Copies become honest NEAR-duplicates
+(cos ~0.97) instead of exact ones: similarity structure at sf1 now has
+real neighborhoods, and recall is measured, not saturated.
+
 Usage: python3 tools/gen_scale.py [outdir]   (default /tmp/graft_sf1)
 """
 import sys
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -52,6 +63,19 @@ def shifted(table, shifts, copy):
     return pa.table(dict(zip(table.schema.names, cols)), schema=table.schema)
 
 
+def perturbed_embeddings(table, copy):
+    """copy>0: deterministic small noise + renormalize (see module doc)."""
+    if copy == 0:
+        return table
+    emb = np.array(table.column("embedding").to_pylist(), dtype=np.float32)
+    rng = np.random.default_rng(716_000 + copy)
+    out = emb + rng.uniform(-0.05, 0.05, size=emb.shape).astype(np.float32)
+    out /= np.linalg.norm(out, axis=1, keepdims=True)
+    idx = table.schema.get_field_index("embedding")
+    col = pa.array(out.tolist(), type=table.schema.field("embedding").type)
+    return table.set_column(idx, table.schema.field("embedding"), col)
+
+
 def main():
     import os
 
@@ -62,7 +86,10 @@ def main():
         print(f"{t}: {table.num_rows} rows (copied)")
     for t, shifts in FACTS.items():
         base = pq.read_table(f"{SRC}/{t}.parquet")
-        big = pa.concat_tables([shifted(base, shifts, c) for c in range(COPIES)])
+        copies = [shifted(base, shifts, c) for c in range(COPIES)]
+        if t == "embeddings":
+            copies = [perturbed_embeddings(c_tab, c) for c, c_tab in enumerate(copies)]
+        big = pa.concat_tables(copies)
         pq.write_table(big, f"{OUT}/{t}.parquet")
         print(f"{t}: {base.num_rows} -> {big.num_rows} rows")
 
