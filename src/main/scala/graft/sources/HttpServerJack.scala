@@ -53,9 +53,16 @@ import org.apache.spark.sql.types.StructType
   *    The peer side stays at-least-once: a crash between the durable
   *    write and the response makes the peer retry an already-spooled
   *    record — dedupe downstream (A7) if double-submits matter. One file
-  *    per record is the control-plane trade (no flusher thread, no
-  *    batching latency); compact spooled files periodically with
-  *    Maintenance.compactParquet's sibling for higher rates.
+  *    per record is the default (no batching latency; ~130-140 req/s
+  *    per writer, fsync-bound — graft.tools.SpoolRate); compact spooled
+  *    files periodically with Maintenance.compactParquet's sibling.
+  *  - `spoolSegment = Some(policy)` switches the spool to BLOCKING group
+  *    commit ([[Spool.SegmentWriter.appendSync]]): each 2xx still waits
+  *    for ITS record to be durable (the ack contract is unchanged,
+  *    unlike the WS jacks' fire-and-forget segment mode), but concurrent
+  *    requests share one hsync+rename, so throughput amortizes with
+  *    concurrency — size `poolThreads` to the expected in-flight
+  *    requests, since the batch can never exceed the pool.
   */
 final class HttpServerJack(
     spark: SparkSession,
@@ -71,19 +78,29 @@ final class HttpServerJack(
     mtls: Option[MtlsOptions] = None,
     maxBodyBytes: Int = 4 << 20,
     spoolDir: Option[String] = None,
-    spoolMaxFilesPerTrigger: Option[Int] = None) {
+    spoolMaxFilesPerTrigger: Option[Int] = None,
+    spoolSegment: Option[Spool.SegmentPolicy] = None,
+    poolThreads: Int = 4) {
 
   require(endpoint.startsWith("/"), s"endpoint must start with '/': $endpoint")
   require(maxBodyBytes > 0, s"maxBodyBytes must be positive: $maxBodyBytes")
+  require(poolThreads > 0, s"poolThreads must be positive: $poolThreads")
   // half-configured security must fail fast, not silently downgrade
   // (same rule as SealedRelay.validate's key/flag lockstep)
   require(tls.isDefined || mtls.isEmpty, "mtls requires a TlsConfig (tls = Some(...))")
+  require(spoolSegment.isEmpty || spoolDir.isDefined,
+    "spoolSegment requires a spoolDir")
 
   import spark.implicits._
   private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
   private val stream = MemoryStream[String]
   private val spoolFs = spoolDir.map(d => Spool.open(spark, d))
+  // group commit: appendSync blocks each request until its batch lands,
+  // so the 2xx path counts/responds itself — the callback is a no-op
+  private val segmentWriter = for {
+    (fs, root) <- spoolFs; p <- spoolSegment
+  } yield new Spool.SegmentWriter(fs, root, p, _ => ())
   private val received = new AtomicLong(0)
   private val rejected = new AtomicLong(0)
   private val badRequests = new AtomicLong(0)
@@ -93,7 +110,7 @@ final class HttpServerJack(
   // each request on its own goroutine; a control-plane jack needs just
   // enough parallelism to not head-of-line-block health checks behind a
   // slow introspection round-trip
-  private val pool = Executors.newFixedThreadPool(4, r => {
+  private val pool = Executors.newFixedThreadPool(poolThreads, r => {
     val t = new Thread(r, "graft-http-jack"); t.setDaemon(true); t
   })
 
@@ -204,7 +221,12 @@ final class HttpServerJack(
           // the wire); an acknowledged record survives any JVM/process
           // crash (see Spool.writeRecord for the hsync power-loss caveat).
           // A failed write falls to the outer catch -> 500, peer retries.
-          Spool.writeRecord(fs, root, line)
+          // appendSync preserves exactly that contract in segment mode:
+          // it returns only after THIS record's batch landed.
+          segmentWriter match {
+            case Some(w) => w.appendSync(line)
+            case None => Spool.writeRecord(fs, root, line)
+          }
         case None =>
           // MemoryStream's row encoder is not thread-safe across the
           // pool's request threads (see TlsNdjsonJack.serve)
@@ -253,5 +275,6 @@ final class HttpServerJack(
   def stop(): Unit = {
     server.stop(0)
     pool.shutdownNow()
+    segmentWriter.foreach(_.close()) // flush the tail; LOUD on failure
   }
 }

@@ -108,25 +108,35 @@ object Spool {
     * the bound from per-record fsync latency toward
     * `maxRecords × flush rate`.
     *
-    * The durability trade vs per-record mode: a crash loses the
-    * UNFLUSHED tail (≤ maxRecords or maxDelayMillis worth). That is the
-    * same loss class as WS frames in flight at the kill — the transport
-    * has no app-level ack to gate on — so segment mode is offered for
-    * the WS jacks only; the HTTP jack keeps per-record mode, where the
-    * 2xx must not outrun the record's own durability.
+    * The durability trade vs per-record mode depends on the append
+    * flavor:
+    *  - [[append]] (fire-and-forget, the WS jacks): a crash loses the
+    *    UNFLUSHED tail (≤ maxRecords or maxDelayMillis worth) — the
+    *    same loss class as WS frames in flight at the kill; the
+    *    transport has no app-level ack to gate on anyway.
+    *  - [[appendSync]] (blocking, the HTTP jack's group commit): the
+    *    caller returns only after ITS batch landed, so an acknowledged
+    *    record is exactly as durable as per-record mode — concurrent
+    *    requests share one hsync (classic WAL group commit) and the
+    *    per-request cost amortizes with concurrency.
     *
     * A flush failure poisons the writer (the error rethrows from every
-    * later [[append]]) so producers drop their connections loudly — the
-    * per-record mode's failure contract, asynchronously delivered. */
+    * later append, and every waiter whose batch failed gets it) so
+    * producers drop their connections / answer 500 loudly — the
+    * per-record mode's failure contract. */
   final class SegmentWriter(fs: FileSystem, root: Path, policy: SegmentPolicy,
                             onDurable: Int => Unit) {
-    private val queue = new java.util.concurrent.LinkedBlockingQueue[String]()
+    private type Entry = (String, java.util.concurrent.CompletableFuture[Void])
+    private val queue = new java.util.concurrent.LinkedBlockingQueue[Entry]()
     @volatile private var failure: Throwable = null
     @volatile private var closing = false
 
     private val flusher = new Thread(() => {
       val ms = java.util.concurrent.TimeUnit.MILLISECONDS
-      val batch = new java.util.ArrayList[String](policy.maxRecords)
+      val batch = new java.util.ArrayList[Entry](policy.maxRecords)
+      // a failed flush still CONSUMES its batch (waiters complete
+      // exceptionally) and keeps draining, so no waiter ever hangs and
+      // the loop terminates once the queue empties
       while (!closing || !queue.isEmpty) {
         try {
           batch.clear()
@@ -150,27 +160,51 @@ object Spool {
             }
             queue.drainTo(batch, policy.maxRecords - batch.size())
             val sb = new StringBuilder
-            batch.forEach(l => { sb.append(l); sb.append('\n') })
+            batch.forEach(e => { sb.append(e._1); sb.append('\n') })
             writeAtomic(fs, root, sb.result().getBytes(UTF_8))
             onDurable(batch.size())
+            batch.forEach(e => if (e._2 != null) e._2.complete(null))
           }
         } catch {
           case e: Throwable =>
             failure = e
-            closing = true // stop draining; appends now rethrow
+            closing = true // stop accepting; appends now rethrow
+            batch.forEach(en => if (en._2 != null) en._2.completeExceptionally(e))
         }
       }
     }, "graft-spool-segment")
     flusher.setDaemon(true)
     flusher.start()
 
+    private def checkPoisoned(): Unit = {
+      val f = failure
+      if (f != null) throw new java.io.IOException("spool segment flush failed", f)
+    }
+
     /** Enqueue one normalized line (see [[jsonLine]]); durability is
       * signalled via `onDurable`, not by this call returning. Rethrows
       * the flusher's failure so the producer drops loudly. */
     def append(line: String): Unit = {
-      val f = failure
-      if (f != null) throw new java.io.IOException("spool segment flush failed", f)
-      queue.put(line)
+      checkPoisoned()
+      queue.put((line, null))
+    }
+
+    /** Enqueue one normalized line and BLOCK until its batch is durable
+      * — the group-commit ack path: the caller may acknowledge its peer
+      * the moment this returns. Throws on flush failure (answer 5xx /
+      * drop, peer retries) and after 30 s of no progress (a hung FS
+      * must not hold requests open forever). */
+    def appendSync(line: String): Unit = {
+      checkPoisoned()
+      val fut = new java.util.concurrent.CompletableFuture[Void]()
+      queue.put((line, fut))
+      try fut.get(30, java.util.concurrent.TimeUnit.SECONDS)
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw new java.io.IOException("spool segment flush failed", e.getCause)
+        case _: java.util.concurrent.TimeoutException =>
+          throw new java.io.IOException("spool segment flush timed out (30s)")
+      }
     }
 
     /** Flush the tail and stop the flusher (blocking). LOUD: rethrows a

@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-import graft.sources.{Spool, WsClientSource, WsServerHub}
+import graft.sources.{HttpServerJack, Spool, WsClientSource, WsServerHub}
 
 /** WS spool rate bound — the r15 verdict's open measurement: SCALING.md
   * asserts "the file-per-record rate bound is the jack's, not Spark's"
@@ -87,14 +87,51 @@ object SpoolRate {
       }
     }
 
+    // 3. HTTP jack ingress, k concurrent posters — per-record mode acks
+    //    after its own fsync; segment mode is BLOCKING group commit
+    //    (each 2xx still waits for its batch), so the win needs real
+    //    request concurrency: poolThreads = k
+    def httpRate(k: Int, segment: Option[Spool.SegmentPolicy] = None): Double = {
+      val jack = new HttpServerJack(spark, 0, authRequired = false,
+        spoolDir = Some(tmpDir(s"http$k")), spoolSegment = segment,
+        poolThreads = k)
+      val client = java.net.http.HttpClient.newHttpClient()
+      val uri = java.net.URI.create(s"http://127.0.0.1:${jack.boundPort}/ingest")
+      def post(body: String): Int = client.send(
+        java.net.http.HttpRequest.newBuilder(uri)
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+        java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
+      try {
+        (0 until 100).foreach(i => post(s"""{"id":$i,"w":1}""")) // warm
+        val per = n / k
+        val failed = new java.util.concurrent.atomic.AtomicInteger(0)
+        val sec = timed {
+          val threads = (0 until k).map { ci =>
+            val t = new Thread(() => (0 until per).foreach { i =>
+              if (post(s"""{"id":${ci * per + i}}""") != 200)
+                failed.incrementAndGet()
+            })
+            t.start(); t
+          }
+          threads.foreach(_.join())
+        }
+        require(failed.get() == 0, s"http bench saw ${failed.get()} non-200s")
+        (per.toLong * k) / sec
+      } finally jack.stop()
+    }
+
     val ws1 = wsRate(1)
     val ws4 = wsRate(4)
     val seg = Some(Spool.SegmentPolicy())
     val ws1seg = wsRate(1, seg)
     val ws4seg = wsRate(4, seg)
+    val http4 = httpRate(4)
+    val http16seg = httpRate(16, seg)
     println(s"""{"metric":"spool_rate","n":$n,"raw_write_per_s":${s3(rawRate)},""" +
       s""""ws_1_sender_per_s":${s3(ws1)},"ws_4_senders_per_s":${s3(ws4)},""" +
       s""""ws_1_sender_segment_per_s":${s3(ws1seg)},""" +
-      s""""ws_4_senders_segment_per_s":${s3(ws4seg)}}""")
+      s""""ws_4_senders_segment_per_s":${s3(ws4seg)},""" +
+      s""""http_4_posters_per_s":${s3(http4)},""" +
+      s""""http_16_posters_segment_per_s":${s3(http16seg)}}""")
   }
 }

@@ -117,6 +117,38 @@ class HttpServerJackSpec extends SparkSpec {
     } finally { ingress.stop(); jack.stop() }
   }
 
+  test("spool SEGMENT mode (blocking group commit): every 2xx implies the " +
+    "record is durable, concurrent requests share flushes (fewer files " +
+    "than records), and nothing is lost or duplicated") {
+    val spool = java.nio.file.Files.createTempDirectory("graft-jack-seg").toString
+    val jack = new HttpServerJack(spark, 0, authRequired = false,
+      spoolDir = Some(spool), poolThreads = 16,
+      spoolSegment = Some(graft.sources.Spool.SegmentPolicy(
+        maxRecords = 64, maxDelayMillis = 5)))
+    try {
+      val n = 200
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      val futures = (0 until n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int =
+            post(jack.boundPort, "/ingest", s"""{"id":$i,"name":"g$i"}""").statusCode()
+        })
+      }
+      assert(futures.map(_.get()).forall(_ == 200))
+      pool.shutdown()
+      // every acknowledged record is ALREADY on disk — no eventually():
+      // appendSync returned before each 2xx
+      val files = new java.io.File(spool).listFiles().map(_.getName)
+      assert(!files.exists(_.endsWith(".tmp")), s"leftover temp files: ${files.toSeq}")
+      val segs = files.count(_.endsWith(".ndjson"))
+      assert(segs < n, s"group commit never amortized: $segs files for $n acks")
+      val ids = spark.read.schema(schema).json(spool)
+        .collect().map(_.getAs[Long]("id"))
+      assert(ids.length == n && ids.sorted.toSeq == (0L until n),
+        s"${ids.length} rows durable for $n acks")
+    } finally jack.stop()
+  }
+
   test("mtls without a TlsConfig is a construction error, not a silent plaintext listener") {
     val e = intercept[IllegalArgumentException] {
       new HttpServerJack(spark, 0, mtls = Some(MtlsOptions()))
