@@ -54,8 +54,9 @@ import org.apache.spark.sql.types.StructType
   *    write and the response makes the peer retry an already-spooled
   *    record — dedupe downstream (A7) if double-submits matter. One file
   *    per record is the default (no batching latency; ~130-140 req/s
-  *    per writer, fsync-bound — graft.tools.SpoolRate); compact spooled
-  *    files periodically with Maintenance.compactParquet's sibling.
+  *    per writer, fsync-bound — graft.tools.SpoolRate); reclaim
+  *    processed spool files periodically with [[Spool.retire]] (the
+  *    spool lifecycle is retention, not compaction — see its scaladoc).
   *  - `spoolSegment = Some(policy)` switches the spool to BLOCKING group
   *    commit ([[Spool.SegmentWriter.appendSync]]): each 2xx still waits
   *    for ITS record to be durable (the ack contract is unchanged,

@@ -23,6 +23,9 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * high-volume edges stay Kafka/files per SURVEY §2.1). The `.tmp` →
   * rename dance means a reader never observes a half-written file, and a
   * crash mid-write leaves only an invisible `.spool-*.tmp` orphan.
+  * Lifecycle: [[SegmentWriter]] amortizes the per-record fsync for hot
+  * edges; [[retire]] reclaims files the consumer has committed past, so
+  * the directory (and the file source's listing cost) stays bounded.
   */
 object Spool {
 
@@ -78,13 +81,84 @@ object Spool {
     * would silently SKIP acknowledged spool files older than
     * (newest - 7d) when a consumer restarts after a long outage —
     * exactly-once must not decay by wall clock, so the age cutoff is
-    * disabled. */
+    * disabled. The cost of the disabled cutoff is that the source's
+    * seen-files map grows with the total file count — bound it
+    * operationally with [[SegmentPolicy]] (fewer files) plus [[retire]]
+    * (fewer files REMAINING), not by re-enabling the age cutoff. */
   def readStream(spark: SparkSession, dir: String,
                  maxFilesPerTrigger: Option[Int]): Dataset[String] = {
     import spark.implicits._
     val reader = spark.readStream
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.option("maxFileAge", "36500d").text(dir).as[String]
+  }
+
+  /** Retention for a spool directory read by ONE checkpointed consumer —
+    * the missing piece of the spool lifecycle at scale: the file
+    * source's listing cost grows with the file count FOREVER, and the
+    * safe remedy is deletion, not compaction (a merged file is a NEW
+    * path the source would ship again as fresh data; that is why spools
+    * get retention while parquet tables get
+    * `Maintenance.compactParquet`).
+    *
+    * Deletes exactly the spool files the consumer has DURABLY processed:
+    * a file whose source-log entry's batchId is at-or-below the commit
+    * log's horizon has its rows committed to the sink, and Spark's file
+    * source never re-reads a seen path — removing it cannot affect
+    * replay. The formats read here are Spark's on-disk streaming
+    * checkpoint layout (public Spark source: HDFSMetadataLog commit
+    * files named by batch id; FileStreamSourceLog `v1` header + one
+    * JSON entry per line, with `.compact` rollups whose entries keep
+    * their original batchId). Parsing is strict-per-entry and
+    * delete-only-what-parsed: an unreadable line can only RETAIN a
+    * file, never delete a wrong one; deletion is further confined to
+    * `spoolDir` by resolving the logged file NAME against it.
+    *
+    * Returns (committed horizon batch id, files deleted); horizon -1
+    * means no committed batch yet (nothing deleted). Run it on a
+    * schedule from the consumer side; it is safe against a LIVE query
+    * (the source only lists files it has not seen; files it has seen
+    * are never re-opened after their batch commits). Single-consumer by
+    * design — with several independent consumers of one spool, retire
+    * against the slowest consumer's checkpoint or not at all. */
+  def retire(spark: SparkSession, spoolDir: String, checkpointDir: String,
+             sourceIndex: Int = 0): (Long, Int) = {
+    val (sfs, sroot) = Fs.of(spark, spoolDir)
+    val (cfs, croot) = Fs.of(spark, checkpointDir)
+    val commitsDir = new Path(croot, "commits")
+    if (!cfs.exists(commitsDir)) return (-1L, 0)
+    val horizon = cfs.listStatus(commitsDir)
+      .flatMap(st => st.getPath.getName.toLongOption).foldLeft(-1L)(math.max)
+    if (horizon < 0) return (-1L, 0)
+    val srcDir = new Path(croot, s"sources/$sourceIndex")
+    if (!cfs.exists(srcDir)) return (horizon, 0)
+    var deleted = 0
+    cfs.listStatus(srcDir).map(_.getPath)
+      .filter(p => p.getName.stripSuffix(".compact").toLongOption.isDefined)
+      .foreach { lf =>
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(cfs.open(lf), UTF_8))
+        try {
+          var line = reader.readLine() // "v1" header
+          line = reader.readLine()
+          while (line != null) {
+            try {
+              val node = Auth.mapper.readTree(line)
+              val bid = node.path("batchId")
+              val p = node.path("path")
+              if (bid.isNumber && bid.asLong() <= horizon && p.isTextual) {
+                val name = new Path(java.net.URI.create(p.asText())).getName
+                if (name.endsWith(".ndjson")) {
+                  val local = new Path(sroot, name)
+                  if (sfs.exists(local) && sfs.delete(local, false)) deleted += 1
+                }
+              }
+            } catch { case _: Exception => () } // unparseable entry → retain
+            line = reader.readLine()
+          }
+        } finally reader.close()
+      }
+    (horizon, deleted)
   }
 
   /** Segment-mode flush policy: a pending batch lands when it reaches

@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+import graft.SparkSpec
+
+/** [[Spool.retire]]'s contract: deletes exactly the spool files the
+  * consumer's checkpoint has committed past, and the deletion is
+  * invisible to the consumer — a restart neither re-ships old records
+  * nor misses new ones. The dangerous direction (deleting something the
+  * checkpoint does NOT cover) is what the strict parse-and-horizon
+  * logic exists to prevent, so the test drives the full lifecycle:
+  * spool → consume → retire → spool more → restart → consume. */
+class SpoolRetireSpec extends SparkSpec {
+
+  private val schema = new StructType().add("id", LongType).add("name", StringType)
+
+  private def ndjsonCount(dir: String): Int =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .count(_.getName.endsWith(".ndjson"))
+
+  test("retire deletes only committed-past files; restart after retire " +
+    "re-ships nothing and still sees new arrivals; no-commit checkpoints " +
+    "delete nothing") {
+    val root = java.nio.file.Files.createTempDirectory("graft-spool-retire").toString
+    val spool = s"$root/spool"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val (fs, sroot) = Spool.open(spark, spool)
+
+    // nothing committed yet: horizon -1, zero deletions (the safe no-op)
+    assert(Spool.retire(spark, spool, ckpt) == (-1L, 0))
+
+    (1 to 6).foreach(i => Spool.writeRecord(fs, sroot,
+      Spool.jsonLine(s"""{"id":$i,"name":"r$i"}""")))
+    assert(ndjsonCount(spool) == 6)
+
+    def runOnce(): Unit = {
+      val q = Sources.jsonLines(
+          Spool.readStream(spark, spool, maxFilesPerTrigger = Some(2)).toDF("value"),
+          "value", schema)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+
+    val (horizon, deleted) = Spool.retire(spark, spool, ckpt)
+    assert(horizon >= 0, s"no committed horizon: $horizon")
+    assert(deleted == 6, s"deleted $deleted of 6 committed files")
+    assert(ndjsonCount(spool) == 0)
+
+    // a second retire is idempotent
+    assert(Spool.retire(spark, spool, ckpt)._2 == 0)
+
+    // late arrivals after the purge: a restarted consumer must ship them
+    // (and ONLY them — the deleted files' records are already in the sink
+    // and the checkpoint remembers their paths)
+    (7 to 8).foreach(i => Spool.writeRecord(fs, sroot,
+      Spool.jsonLine(s"""{"id":$i,"name":"r$i"}""")))
+    runOnce()
+    val ids = spark.read.parquet(out).collect().map(_.getAs[Long]("id")).sorted.toSeq
+    assert(ids == (1L to 8L), s"retire disturbed delivery: $ids")
+
+    val (h2, d2) = Spool.retire(spark, spool, ckpt)
+    assert(h2 > horizon && d2 == 2, s"second retire: ($h2, $d2)")
+    assert(ndjsonCount(spool) == 0)
+  }
+
+  test("retire reads .compact source-log rollups (the file source compacts " +
+    "its log every 10 batches) — entries keep their original batchId") {
+    val root = java.nio.file.Files.createTempDirectory("graft-spool-retire-c").toString
+    val spool = s"$root/spool"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val (fs, sroot) = Spool.open(spark, spool)
+    (1 to 12).foreach(i => Spool.writeRecord(fs, sroot,
+      Spool.jsonLine(s"""{"id":$i,"name":"c$i"}""")))
+    // one file per trigger -> 12 batches -> the source log rolls up at
+    // batch 9 into 9.compact; retire must still see every entry
+    val q = Sources.jsonLines(
+        Spool.readStream(spark, spool, maxFilesPerTrigger = Some(1)).toDF("value"),
+        "value", schema)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    val logNames = Option(new java.io.File(s"$ckpt/sources/0").listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+    assert(logNames.exists(_.endsWith(".compact")),
+      s"fixture did not produce a compacted source log: ${logNames.toSeq}")
+    val (h, d) = Spool.retire(spark, spool, ckpt)
+    assert(h >= 11 && d == 12, s"compact-log retire: ($h, $d)")
+    assert(ndjsonCount(spool) == 0)
+  }
+}
