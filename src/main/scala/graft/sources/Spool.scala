@@ -101,22 +101,36 @@ object Spool {
     * get retention while parquet tables get
     * `Maintenance.compactParquet`).
     *
-    * Deletes exactly the spool files the consumer has DURABLY processed:
-    * a file whose source-log entry's batchId is at-or-below the commit
-    * log's horizon has its rows committed to the sink, and Spark's file
-    * source never re-reads a seen path — removing it cannot affect
-    * replay. The formats read here are Spark's on-disk streaming
-    * checkpoint layout (public Spark source: HDFSMetadataLog commit
-    * files named by batch id; FileStreamSourceLog `v1` header + one
-    * JSON entry per line, with `.compact` rollups whose entries keep
-    * their original batchId). Parsing is strict-per-entry and
-    * delete-only-what-parsed: an unreadable line can only RETAIN a
-    * file, never delete a wrong one; deletion is further confined to
-    * `spoolDir` by resolving the logged file NAME against it.
+    * Deletes exactly the spool files the consumer has DURABLY processed.
+    * The horizon is two lookups deep, and the second one matters: the
+    * commit log gives the last committed QUERY batch, but the file
+    * source's log entries are keyed by the source's OWN log offset
+    * (`FileStreamSource.metadataLogCurrentOffset`), which lags the query
+    * batch id whenever a batch finds no new files, runs no-data
+    * (watermark/state-timeout) work, or the query has several sources.
+    * So retire reads `offsets/<committedBatch>` and takes the
+    * sourceIndex-th source's `logOffset` — deleting by the query batch
+    * id instead would reap files of a still-UNCOMMITTED source batch
+    * the moment the two counters diverge, breaking crash replay.
+    * A file at-or-below that logOffset has its rows committed to the
+    * sink, and Spark's file source never re-reads a seen path — removal
+    * is invisible to replay.
     *
-    * Returns (committed horizon batch id, files deleted); horizon -1
-    * means no committed batch yet (nothing deleted). Run it on a
-    * schedule from the consumer side; it is safe against a LIVE query
+    * The formats read here are Spark's on-disk streaming checkpoint
+    * layout (public Spark source): HDFSMetadataLog commit files named by
+    * batch id; OffsetSeqLog `v1` + metadata line + one offset line per
+    * source; FileStreamSourceLog `v1` + one JSON entry per line, with
+    * `.compact` rollups whose entries keep their original batchId.
+    * Parsing is strict and delete-only-what-parsed: anything unreadable
+    * (or a missing/`-` source offset) can only RETAIN files, never
+    * delete a wrong one; deletion is further confined to `spoolDir` by
+    * resolving logged file NAMES against it, and the spool directory is
+    * listed ONCE per call (one RPC, not one exists() per historical log
+    * entry — `.compact` rollups carry every entry ever seen).
+    *
+    * Returns (file-source logOffset horizon, files deleted); horizon -1
+    * means nothing committed/knowable yet (nothing deleted). Run it on
+    * a schedule from the consumer side; it is safe against a LIVE query
     * (the source only lists files it has not seen; files it has seen
     * are never re-opened after their batch commits). Single-consumer by
     * design — with several independent consumers of one spool, retire
@@ -127,11 +141,40 @@ object Spool {
     val (cfs, croot) = Fs.of(spark, checkpointDir)
     val commitsDir = new Path(croot, "commits")
     if (!cfs.exists(commitsDir)) return (-1L, 0)
-    val horizon = cfs.listStatus(commitsDir)
+    val committedBatch = cfs.listStatus(commitsDir)
       .flatMap(st => st.getPath.getName.toLongOption).foldLeft(-1L)(math.max)
-    if (horizon < 0) return (-1L, 0)
+    if (committedBatch < 0) return (-1L, 0)
+    // the committed batch's OFFSETS entry -> this source's logOffset
+    val horizon: Long = {
+      val off = new Path(croot, s"offsets/$committedBatch")
+      if (!cfs.exists(off)) return (-1L, 0)
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(cfs.open(off), UTF_8))
+      try {
+        reader.readLine() // "v1"
+        reader.readLine() // batch metadata
+        var i = 0
+        var line = reader.readLine()
+        while (line != null && i < sourceIndex) { i += 1; line = reader.readLine() }
+        val parsed =
+          try {
+            if (line == null) None
+            else {
+              val n = Auth.mapper.readTree(line)
+              val lo = if (n == null) null else n.path("logOffset")
+              if (lo != null && lo.isNumber) Some(lo.asLong()) else None
+            }
+          } catch { case _: Exception => None }
+        parsed.getOrElse(return (-1L, 0)) // unknown offset → retain all
+      } finally reader.close()
+    }
     val srcDir = new Path(croot, s"sources/$sourceIndex")
     if (!cfs.exists(srcDir)) return (horizon, 0)
+    // one listing of the spool dir, then membership tests — not one
+    // exists() RPC per historical entry
+    val present = sfs.listStatus(sroot)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".ndjson"))
+      .map(_.getPath.getName).to(scala.collection.mutable.Set)
     var deleted = 0
     cfs.listStatus(srcDir).map(_.getPath)
       .filter(p => p.getName.stripSuffix(".compact").toLongOption.isDefined)
@@ -148,10 +191,8 @@ object Spool {
               val p = node.path("path")
               if (bid.isNumber && bid.asLong() <= horizon && p.isTextual) {
                 val name = new Path(java.net.URI.create(p.asText())).getName
-                if (name.endsWith(".ndjson")) {
-                  val local = new Path(sroot, name)
-                  if (sfs.exists(local) && sfs.delete(local, false)) deleted += 1
-                }
+                if (present.remove(name) &&
+                    sfs.delete(new Path(sroot, name), false)) deleted += 1
               }
             } catch { case _: Exception => () } // unparseable entry → retain
             line = reader.readLine()
@@ -255,29 +296,52 @@ object Spool {
       if (f != null) throw new java.io.IOException("spool segment flush failed", f)
     }
 
+    /** Enqueue with the closed-writer race closed: a producer passing
+      * the pre-checks while the flusher takes its FINAL empty-queue look
+      * would otherwise strand its entry in a queue nobody drains
+      * (silent loss for append, a full-timeout stall for appendSync).
+      * Re-checking `closing` AFTER the put and taking the entry back on
+      * a hit guarantees every entry is either flushed (remove missed:
+      * the flusher has it) or refused loudly here. Removing an EQUAL
+      * entry from another producer is equivalent — both producers then
+      * refuse and neither record is silently lost. */
+    private def enqueue(e: Entry): Unit = {
+      checkPoisoned()
+      queue.put(e)
+      if (closing && queue.remove(e)) {
+        checkPoisoned() // poisoned close: surface the root cause
+        throw new java.io.IOException("spool segment writer is closed")
+      }
+    }
+
     /** Enqueue one normalized line (see [[jsonLine]]); durability is
       * signalled via `onDurable`, not by this call returning. Rethrows
       * the flusher's failure so the producer drops loudly. */
-    def append(line: String): Unit = {
-      checkPoisoned()
-      queue.put((line, null))
-    }
+    def append(line: String): Unit = enqueue((line, null))
+
+    /** The ack deadline: generous floor, and always safely ABOVE the
+      * gather window — a sparse feed legitimately holds a lone record
+      * for the full maxDelayMillis, and timing out below that would
+      * 500 a request whose record then lands anyway (a guaranteed
+      * duplicate on every quiet-period request). */
+    private val ackTimeoutMs: Long =
+      math.max(30000L, policy.maxDelayMillis * 3)
 
     /** Enqueue one normalized line and BLOCK until its batch is durable
       * — the group-commit ack path: the caller may acknowledge its peer
       * the moment this returns. Throws on flush failure (answer 5xx /
-      * drop, peer retries) and after 30 s of no progress (a hung FS
-      * must not hold requests open forever). */
+      * drop, peer retries) and after [[ackTimeoutMs]] of no progress (a
+      * hung FS must not hold requests open forever). */
     def appendSync(line: String): Unit = {
-      checkPoisoned()
       val fut = new java.util.concurrent.CompletableFuture[Void]()
-      queue.put((line, fut))
-      try fut.get(30, java.util.concurrent.TimeUnit.SECONDS)
+      enqueue((line, fut))
+      try fut.get(ackTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
       catch {
         case e: java.util.concurrent.ExecutionException =>
           throw new java.io.IOException("spool segment flush failed", e.getCause)
         case _: java.util.concurrent.TimeoutException =>
-          throw new java.io.IOException("spool segment flush timed out (30s)")
+          throw new java.io.IOException(
+            s"spool segment flush timed out (${ackTimeoutMs}ms)")
       }
     }
 
@@ -294,6 +358,9 @@ object Spool {
         throw new java.io.IOException("spool segment flush failed", f)
       if (flusher.isAlive)
         throw new java.io.IOException("spool segment flusher did not drain in 10s")
+      if (!queue.isEmpty) // belt-and-braces vs the enqueue race guard
+        throw new java.io.IOException(
+          s"spool segment writer closed with ${queue.size()} unflushed records")
     }
   }
 }

@@ -88,4 +88,42 @@ class SpoolRetireSpec extends SparkSpec {
     assert(h >= 11 && d == 12, s"compact-log retire: ($h, $d)")
     assert(ndjsonCount(spool) == 0)
   }
+
+  test("the horizon is the SOURCE's logOffset from the committed offsets " +
+    "entry, NOT the query batch id — files of a not-yet-committed source " +
+    "batch survive even when query batches run far ahead (no-data " +
+    "batches, multi-source queries)") {
+    // synthetic checkpoint: query batch 7 committed, but this source's
+    // offset inside it is only logOffset 1 — entries at batchId 2 are an
+    // in-flight, uncommitted source batch and must be retained
+    val root = java.nio.file.Files.createTempDirectory("graft-spool-hzn").toString
+    val spool = s"$root/spool"; val ckpt = s"$root/ckpt"
+    val (fs, sroot) = Spool.open(spark, spool)
+    def write(name: String): Unit = {
+      val f = new java.io.FileWriter(s"$spool/$name"); f.write("{\"id\":1}\n"); f.close()
+    }
+    Seq("a", "b", "c").foreach(n => write(s"spool-$n.ndjson"))
+    new java.io.File(s"$ckpt/commits").mkdirs()
+    new java.io.File(s"$ckpt/offsets").mkdirs()
+    new java.io.File(s"$ckpt/sources/0").mkdirs()
+    def put(path: String, content: String): Unit = {
+      val f = new java.io.FileWriter(s"$ckpt/$path"); f.write(content); f.close()
+    }
+    put("commits/7", "v1\n{}")
+    put("offsets/7", "v1\n{\"batchWatermarkMs\":0}\n{\"logOffset\":1}")
+    put("sources/0/0", "v1\n" +
+      s"""{"path":"file://$spool/spool-a.ndjson","timestamp":1,"batchId":0}""")
+    put("sources/0/1", "v1\n" +
+      s"""{"path":"file://$spool/spool-b.ndjson","timestamp":2,"batchId":1}""")
+    put("sources/0/2", "v1\n" +
+      s"""{"path":"file://$spool/spool-c.ndjson","timestamp":3,"batchId":2}""")
+    val (h, d) = Spool.retire(spark, spool, ckpt)
+    assert(h == 1 && d == 2, s"horizon must be the source logOffset: ($h, $d)")
+    val left = new java.io.File(spool).listFiles().map(_.getName).toSeq
+    assert(left == Seq("spool-c.ndjson"),
+      s"the uncommitted source batch's file must survive: $left")
+    // and an offsets entry with no usable logOffset retains EVERYTHING
+    put("offsets/7", "v1\n{\"batchWatermarkMs\":0}\n-")
+    assert(Spool.retire(spark, spool, ckpt) == (-1L, 0))
+  }
 }
