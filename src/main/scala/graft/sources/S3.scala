@@ -727,27 +727,81 @@ object S3 {
   // ======================================================================
 
   /** The reference reader's poll unit: one `fetch()` sweeps every object
-    * strictly AFTER the `startAfter` checkpoint (paginated ListObjectsV2,
-    * then GetObject + decode per key, in listing order) and only THEN
-    * advances the checkpoint to the last key seen — so a crash mid-sweep
-    * re-reads from the same checkpoint (at-least-once within a sweep)
-    * and a restart never re-reads completed sweeps. Checkpoint is
-    * externalizable (`checkpoint`/`restore`) so a durable caller (the
-    * spool bridge) makes the whole chain exactly-once. */
+    * strictly AFTER the checkpoint floor (paginated ListObjectsV2),
+    * skips keys already delivered, GETs + decodes the rest in listing
+    * order, and only THEN advances the checkpoint — so a crash
+    * mid-sweep re-reads from the same checkpoint (at-least-once within
+    * a sweep) and a restart never re-reads completed sweeps. Checkpoint
+    * is externalizable (`checkpoint`/`restore`) so a durable caller
+    * (the spool bridge) makes the whole chain exactly-once.
+    *
+    * `lookbackKeys` (default 0 = the reference behavior) is the cursor
+    * sources' CDC hardening applied to the LISTING edge: several
+    * producers writing time-templated keys can land an object
+    * lexicographically BELOW the last key seen (producer clock skew, a
+    * retried upload finishing late), and a `startAfter` checkpoint at
+    * the tip would miss it forever. With a window, each sweep re-lists
+    * from the floor — the key `lookbackKeys` delivered keys below the
+    * tip — and dedupes on the `seen` keys riding the checkpoint, so a
+    * late key INSIDE the window ships exactly once and the miss caveat
+    * narrows to "landed more than lookbackKeys keys behind the tip".
+    * Cost per sweep: at most `lookbackKeys` extra LISTING entries (one
+    * extra page, typically); objects are never re-GET — dedup is on
+    * keys, before the fetch. With a window the checkpoint serializes as
+    * JSON `{"floor":...,"seen":[...]}`; plain legacy checkpoints
+    * restore unchanged (template-rendered keys never start with '{'). */
   final class NdjsonPoller(http: S3Http, prefix: String,
                            pageSize: Int = 1000,
-                           cseKey: Option[Array[Byte]] = None) {
-    @volatile private var startAfter: String = ""
-    def checkpoint: String = startAfter
-    def restore(key: String): Unit = startAfter = key
+                           cseKey: Option[Array[Byte]] = None,
+                           lookbackKeys: Int = 0) {
+    require(lookbackKeys >= 0, s"lookbackKeys must be non-negative: $lookbackKeys")
+    @volatile private var floor: String = ""
+    @volatile private var seen: Vector[String] = Vector.empty // sorted, > floor
+
+    def checkpoint: String =
+      if (seen.isEmpty) floor
+      else {
+        val m = Auth.mapper.createObjectNode()
+        m.put("floor", floor)
+        val arr = m.putArray("seen")
+        seen.foreach(arr.add)
+        m.toString
+      }
+
+    def restore(ck: String): Unit =
+      if (ck.startsWith("{")) {
+        val n =
+          try Auth.mapper.readTree(ck)
+          catch { case e: Exception =>
+            throw new IllegalArgumentException(s"bad poller checkpoint: $ck", e) }
+        require(n != null && n.isObject && n.path("floor").isTextual,
+          s"bad poller checkpoint: $ck")
+        import scala.jdk.CollectionConverters._
+        floor = n.path("floor").asText()
+        seen =
+          if (!n.has("seen")) Vector.empty
+          else n.path("seen").elements().asScala.map { e =>
+            require(e.isTextual, s"bad poller checkpoint: $ck")
+            e.asText()
+          }.toVector
+      } else { floor = ck; seen = Vector.empty }
 
     /** One sweep: (lines, keysRead). Empty when nothing is new (the
       * reference's 204 arm). */
     def fetch(): (Seq[String], Seq[String]) = {
-      val keys = http.listAll(prefix, startAfter, pageSize)
-      val lines = keys.flatMap(k => decodeNdjson(http.getObject(k), cseKey))
-      if (keys.nonEmpty) startAfter = keys.last // advance AFTER the sweep
-      (lines, keys)
+      val listed = http.listAll(prefix, floor, pageSize)
+      val seenSet = seen.toSet
+      val fresh = listed.filterNot(seenSet)
+      val lines = fresh.flatMap(k => decodeNdjson(http.getObject(k), cseKey))
+      if (fresh.nonEmpty) { // advance AFTER the sweep
+        val delivered = (seen ++ fresh).sorted
+        if (delivered.size > lookbackKeys) {
+          val cut = delivered.size - lookbackKeys
+          floor = delivered(cut - 1)
+          seen = delivered.drop(cut)
+        } else seen = delivered
+      }
+      (lines, fresh)
     }
   }
 

@@ -119,6 +119,124 @@ class S3ApiSpec extends SparkSpec {
     } finally s.close()
   }
 
+  test("lookbackKeys: a key landing lexicographically BELOW the tip ships " +
+    "exactly once when inside the window and never when below it; the " +
+    "JSON checkpoint restores; legacy plain-key checkpoints still parse") {
+    val s = newStore()
+    try {
+      val http = new S3.S3Http(cfg(s))
+      def put(k: String): Unit =
+        http.putObject(s"in/$k.ndjson", s"""{"k":"$k"}""".getBytes(UTF_8))
+      Seq("k010", "k020", "k030").foreach(put)
+      val p = new S3.NdjsonPoller(http, "in/", pageSize = 2, lookbackKeys = 2)
+      assert(p.fetch()._1.map(l => l) ===
+        Seq("k010", "k020", "k030").map(k => s"""{"k":"$k"}"""))
+      // floor is now k010 (2 delivered keys above it); a LATE key inside
+      // the window ships exactly once
+      put("k025")
+      assert(p.fetch()._1 === Seq("""{"k":"k025"}"""))
+      assert(p.fetch()._1.isEmpty, "late key re-shipped")
+      // floor advanced to k020; a key below it is beyond the window and
+      // never ships (the documented narrowed caveat)
+      put("k015")
+      assert(p.fetch()._1.isEmpty, "below-window key shipped")
+      // restart from the externalized JSON checkpoint: dedup state rides it
+      val ck = p.checkpoint
+      assert(ck.startsWith("{") && ck.contains("floor"), ck)
+      val p2 = new S3.NdjsonPoller(new S3.S3Http(cfg(s)), "in/",
+        pageSize = 2, lookbackKeys = 2)
+      p2.restore(ck)
+      assert(p2.fetch()._1.isEmpty, "restart re-shipped in-window keys")
+      put("k027") // in-window late arrival after the restart
+      assert(p2.fetch()._1 === Seq("""{"k":"k027"}"""))
+      // legacy plain-key checkpoint still restores (pre-window format)
+      val p3 = new S3.NdjsonPoller(new S3.S3Http(cfg(s)), "in/",
+        pageSize = 2, lookbackKeys = 2)
+      p3.restore("in/k025.ndjson")
+      assert(p3.fetch()._1 === Seq("""{"k":"k027"}""", """{"k":"k030"}"""))
+    } finally s.close()
+  }
+
+  test("lookback model: seeded interleavings of in-order uploads, late " +
+    "keys inside/below the window, and crash-restores — in-window keys " +
+    "ship exactly once, below-window never, nothing duplicates") {
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(4000 + seed)
+      val window = 1 + rnd.nextInt(4)
+      val s = newStore()
+      try {
+        val http = new S3.S3Http(cfg(s))
+        var p = new S3.NdjsonPoller(http, "m/", pageSize = 1 + rnd.nextInt(3),
+          lookbackKeys = window)
+        // the durable caller's contract: (output, checkpoint) persist
+        // atomically after a fetch; a crash discards the poller and
+        // restores from the last persisted checkpoint
+        var persistedCk = ""
+        val shipped = scala.collection.mutable.Map[String, Int]()
+        val mustShip = scala.collection.mutable.Set[String]()
+        val mustNot = scala.collection.mutable.Set[String]()
+        var nextKey = 100
+        // the poller's floor, recomputed by the MODEL from what has been
+        // delivered (shipped ≡ poller-delivered here because the loop
+        // persists the checkpoint atomically with every fetch): the key
+        // below the last `window` delivered keys — a key lands in the
+        // window iff it sorts ABOVE the floor
+        def currentFloor: String = {
+          val d = shipped.keys.toVector.sorted
+          if (d.size <= window) "" else d(d.size - window - 1)
+        }
+        def put(k: String): Unit = {
+          http.putObject(s"m/$k.ndjson", s"""{"k":"$k"}""".getBytes(UTF_8))
+          if (k > currentFloor) mustShip += k else mustNot += k
+        }
+        for (_ <- 0 until 30) {
+          rnd.nextInt(4) match {
+            case 0 | 1 => // in-order append (above everything delivered)
+              put(f"k$nextKey%04d"); nextKey += 2 + rnd.nextInt(3)
+            case 2 => // late key aimed at/below the delivered tail
+              val d = shipped.keys.toVector.sorted
+              if (d.nonEmpty) {
+                val k = f"k${(d.last.drop(1).toInt - 1 - rnd.nextInt(8)).max(1)}%04d"
+                if (!shipped.contains(k) && !mustShip.contains(k) && !mustNot.contains(k))
+                  put(k)
+              }
+            case 3 => () // idle sweep
+          }
+          if (rnd.nextBoolean()) {
+            val (lines, keys) = p.fetch()
+            keys.foreach(k0 => {
+              val k = k0.stripPrefix("m/").stripSuffix(".ndjson")
+              shipped(k) = shipped.getOrElse(k, 0) + 1
+            })
+            persistedCk = p.checkpoint // atomic persist with the output
+          }
+          if (rnd.nextInt(5) == 0) { // crash: fresh poller, last checkpoint
+            p = new S3.NdjsonPoller(http, "m/", pageSize = 1 + rnd.nextInt(3),
+              lookbackKeys = window)
+            p.restore(persistedCk)
+          }
+        }
+        var idle = 0
+        while (idle < 2) {
+          val (_, keys) = p.fetch()
+          keys.foreach(k0 => {
+            val k = k0.stripPrefix("m/").stripSuffix(".ndjson")
+            shipped(k) = shipped.getOrElse(k, 0) + 1
+          })
+          persistedCk = p.checkpoint
+          if (keys.isEmpty) idle += 1 else idle = 0
+        }
+        val dup = shipped.filter(_._2 > 1)
+        assert(dup.isEmpty, s"seed=$seed window=$window: duplicated $dup")
+        val lost = mustShip.diff(shipped.keySet)
+        assert(lost.isEmpty, s"seed=$seed window=$window: lost ${lost.toSeq.sorted}")
+        val leaked = mustNot.intersect(shipped.keySet)
+        assert(leaked.isEmpty,
+          s"seed=$seed window=$window: below-window shipped ${leaked.toSeq.sorted}")
+      } finally s.close()
+    }
+  }
+
   test("the writer flushes at its budgets to templated keys and retries a " +
     "5xx put with backoff; a persistent failure surfaces after the cap") {
     val s = newStore()
