@@ -726,6 +726,27 @@ object S3 {
   // reader: listing-checkpointed NDJSON poller (reader.go:30-190)
   // ======================================================================
 
+  /** S3 key comparison: ListObjectsV2 (and `start-after`) order keys by
+    * UTF-8 BYTE value, which diverges from Java's UTF-16 `String`
+    * ordering for supplementary-plane characters (U+10000.. sort below
+    * U+E000..U+FFFF in UTF-16 code units but above them as UTF-8
+    * bytes). Anything that picks a floor/tip among keys must use THIS
+    * order or disagree with the service about what "after" means. */
+  val utf8ByteOrder: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+
   /** The reference reader's poll unit: one `fetch()` sweeps every object
     * strictly AFTER the checkpoint floor (paginated ListObjectsV2),
     * skips keys already delivered, GETs + decodes the rest in listing
@@ -755,10 +776,14 @@ object S3 {
                            cseKey: Option[Array[Byte]] = None,
                            lookbackKeys: Int = 0) {
     require(lookbackKeys >= 0, s"lookbackKeys must be non-negative: $lookbackKeys")
-    @volatile private var floor: String = ""
-    @volatile private var seen: Vector[String] = Vector.empty // sorted, > floor
+    // ONE volatile (floor, seen) pair: checkpoint() racing fetch() must
+    // snapshot a state the poller actually held — two separate fields
+    // could serialize (new floor, stale seen) and a restore from that
+    // torn pair would re-ship an already-delivered key
+    @volatile private var state: (String, Vector[String]) = ("", Vector.empty)
 
-    def checkpoint: String =
+    def checkpoint: String = {
+      val (floor, seen) = state
       if (seen.isEmpty) floor
       else {
         val m = Auth.mapper.createObjectNode()
@@ -767,9 +792,16 @@ object S3 {
         seen.foreach(arr.add)
         m.toString
       }
+    }
 
+    /** Windowed checkpoints carry the exact marker `{"floor":` —
+      * discriminating on THAT (not a bare '{') keeps legacy plain-key
+      * checkpoints restorable even for prefixes whose keys legitimately
+      * start with a brace (renderKey passes unknown `{tokens}` through
+      * verbatim). State mutates only after FULL validation — a caller
+      * that survives the throw keeps the previous consistent state. */
     def restore(ck: String): Unit =
-      if (ck.startsWith("{")) {
+      if (ck.startsWith("""{"floor":""")) {
         val n =
           try Auth.mapper.readTree(ck)
           catch { case e: Exception =>
@@ -777,29 +809,34 @@ object S3 {
         require(n != null && n.isObject && n.path("floor").isTextual,
           s"bad poller checkpoint: $ck")
         import scala.jdk.CollectionConverters._
-        floor = n.path("floor").asText()
-        seen =
-          if (!n.has("seen")) Vector.empty
+        val seen =
+          if (!n.has("seen")) Vector.empty[String]
           else n.path("seen").elements().asScala.map { e =>
             require(e.isTextual, s"bad poller checkpoint: $ck")
             e.asText()
           }.toVector
-      } else { floor = ck; seen = Vector.empty }
+        state = (n.path("floor").asText(), seen)
+      } else state = (ck, Vector.empty)
 
     /** One sweep: (lines, keysRead). Empty when nothing is new (the
       * reference's 204 arm). */
     def fetch(): (Seq[String], Seq[String]) = {
+      val (floor, seen) = state
       val listed = http.listAll(prefix, floor, pageSize)
       val seenSet = seen.toSet
       val fresh = listed.filterNot(seenSet)
       val lines = fresh.flatMap(k => decodeNdjson(http.getObject(k), cseKey))
       if (fresh.nonEmpty) { // advance AFTER the sweep
-        val delivered = (seen ++ fresh).sorted
-        if (delivered.size > lookbackKeys) {
-          val cut = delivered.size - lookbackKeys
-          floor = delivered(cut - 1)
-          seen = delivered.drop(cut)
-        } else seen = delivered
+        // S3's listing (and start-after) order is UTF-8 BYTE order; the
+        // floor must be chosen in the same order or a supplementary-
+        // plane key could be trimmed below the floor in UTF-16 order
+        // yet still list above it — and re-ship as a duplicate
+        val delivered = (seen ++ fresh).sorted(S3.utf8ByteOrder)
+        state =
+          if (delivered.size > lookbackKeys) {
+            val cut = delivered.size - lookbackKeys
+            (delivered(cut - 1), delivered.drop(cut))
+          } else (floor, delivered)
       }
       (lines, fresh)
     }

@@ -157,6 +157,34 @@ class S3ApiSpec extends SparkSpec {
     } finally s.close()
   }
 
+  test("poller checkpoint hardening: utf8ByteOrder matches S3 where Java's " +
+    "UTF-16 order diverges; brace-prefixed legacy keys restore as keys; a " +
+    "malformed windowed checkpoint throws WITHOUT half-mutating state") {
+    // supplementary-plane divergence: U+10000 sorts below U+FFFD in
+    // UTF-16 code units but above it in UTF-8 bytes (S3's order)
+    val supp = "m/𐀀"
+    val repl = "m/�"
+    assert(supp.compareTo(repl) < 0, "sanity: Java order differs")
+    assert(S3.utf8ByteOrder.compare(supp, repl) > 0, "must follow UTF-8 bytes")
+    assert(S3.utf8ByteOrder.compare("a", "ab") < 0)
+    assert(S3.utf8ByteOrder.compare("b", "ab") > 0)
+    val s = newStore()
+    try {
+      val http = new S3.S3Http(cfg(s))
+      val p = new S3.NdjsonPoller(http, "{env}/", lookbackKeys = 2)
+      // a legacy checkpoint whose KEY starts with '{' (renderKey passes
+      // unknown tokens through) must restore as a plain key, not parse
+      p.restore("{env}/in/k001.ndjson")
+      assert(p.checkpoint == "{env}/in/k001.ndjson")
+      // malformed windowed checkpoint: loud throw, state untouched
+      val before = p.checkpoint
+      intercept[IllegalArgumentException] {
+        p.restore("""{"floor":"m/k5","seen":[42]}""")
+      }
+      assert(p.checkpoint == before, "half-restored state after a bad checkpoint")
+    } finally s.close()
+  }
+
   test("lookback model: seeded interleavings of in-order uploads, late " +
     "keys inside/below the window, and crash-restores — in-window keys " +
     "ship exactly once, below-window never, nothing duplicates") {
