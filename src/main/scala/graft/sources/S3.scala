@@ -733,18 +733,10 @@ object S3 {
     * bytes). Anything that picks a floor/tip among keys must use THIS
     * order or disagree with the service about what "after" means. */
   val utf8ByteOrder: Ordering[String] = new Ordering[String] {
-    def compare(a: String, b: String): Int = {
-      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val n = math.min(x.length, y.length)
-      var i = 0
-      while (i < n) {
-        val c = (x(i) & 0xff) - (y(i) & 0xff)
-        if (c != 0) return c
-        i += 1
-      }
-      x.length - y.length
-    }
+    def compare(a: String, b: String): Int =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** The reference reader's poll unit: one `fetch()` sweeps every object
@@ -784,7 +776,10 @@ object S3 {
 
     def checkpoint: String = {
       val (floor, seen) = state
-      if (seen.isEmpty) floor
+      // a bare floor that ITSELF matches the windowed marker must be
+      // escaped into the JSON form, or restore(checkpoint) would
+      // misparse the poller's own output (keys are arbitrary bytes)
+      if (seen.isEmpty && !floor.startsWith(NdjsonPoller.marker)) floor
       else {
         val m = Auth.mapper.createObjectNode()
         m.put("floor", floor)
@@ -798,15 +793,24 @@ object S3 {
       * discriminating on THAT (not a bare '{') keeps legacy plain-key
       * checkpoints restorable even for prefixes whose keys legitimately
       * start with a brace (renderKey passes unknown `{tokens}` through
-      * verbatim). State mutates only after FULL validation — a caller
-      * that survives the throw keeps the previous consistent state. */
-    def restore(ck: String): Unit =
-      if (ck.startsWith("""{"floor":""")) {
+      * verbatim); a bare key matching the full marker is escaped by
+      * [[checkpoint]] itself, closing the round-trip. State mutates
+      * only after FULL validation — a caller that survives the throw
+      * keeps the previous consistent state. `synchronized` with
+      * [[fetch]]: a rollback-restore racing an in-flight sweep would
+      * otherwise be clobbered by the sweep's final state write. */
+    def restore(ck: String): Unit = synchronized {
+      if (ck.startsWith(NdjsonPoller.marker)) {
         val n =
           try Auth.mapper.readTree(ck)
           catch { case e: Exception =>
             throw new IllegalArgumentException(s"bad poller checkpoint: $ck", e) }
         require(n != null && n.isObject && n.path("floor").isTextual,
+          s"bad poller checkpoint: $ck")
+        // a non-array `seen` must be LOUD: elements() on a scalar is an
+        // empty iterator, which would silently restore with no dedup
+        // state and re-ship the whole window
+        require(!n.has("seen") || n.path("seen").isArray,
           s"bad poller checkpoint: $ck")
         import scala.jdk.CollectionConverters._
         val seen =
@@ -817,10 +821,12 @@ object S3 {
           }.toVector
         state = (n.path("floor").asText(), seen)
       } else state = (ck, Vector.empty)
+    }
 
     /** One sweep: (lines, keysRead). Empty when nothing is new (the
-      * reference's 204 arm). */
-    def fetch(): (Seq[String], Seq[String]) = {
+      * reference's 204 arm). `synchronized` with [[restore]] (see
+      * there); [[checkpoint]] stays lock-free on the volatile pair. */
+    def fetch(): (Seq[String], Seq[String]) = synchronized {
       val (floor, seen) = state
       val listed = http.listAll(prefix, floor, pageSize)
       val seenSet = seen.toSet
@@ -830,8 +836,12 @@ object S3 {
         // S3's listing (and start-after) order is UTF-8 BYTE order; the
         // floor must be chosen in the same order or a supplementary-
         // plane key could be trimmed below the floor in UTF-16 order
-        // yet still list above it — and re-ship as a duplicate
-        val delivered = (seen ++ fresh).sorted(S3.utf8ByteOrder)
+        // yet still list above it — and re-ship as a duplicate. Bytes
+        // are cached per key so the sort encodes each key once.
+        val delivered = (seen ++ fresh)
+          .map(k => (k.getBytes(java.nio.charset.StandardCharsets.UTF_8), k))
+          .sortWith((p, q) => java.util.Arrays.compareUnsigned(p._1, q._1) < 0)
+          .map(_._2)
         state =
           if (delivered.size > lookbackKeys) {
             val cut = delivered.size - lookbackKeys
@@ -840,6 +850,11 @@ object S3 {
       }
       (lines, fresh)
     }
+  }
+
+  private[sources] object NdjsonPoller {
+    /** The windowed-checkpoint discriminator (see [[NdjsonPoller.restore]]). */
+    val marker: String = """{"floor":"""
   }
 
   // ======================================================================

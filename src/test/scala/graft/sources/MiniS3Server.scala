@@ -48,7 +48,10 @@ final class MiniS3Server(bucket: String, port: Int = 0,
                             meta: Map[String, String],
                             parts: ConcurrentSkipListMap[Integer, MpPart])
 
-  private val objects = new ConcurrentSkipListMap[String, Stored]()
+  // UTF-8 BYTE order, the real service's listing order — natural
+  // (UTF-16) String order diverges on supplementary-plane keys and
+  // would mask exactly the floor-selection bug S3.utf8ByteOrder fixes
+  private val objects = new ConcurrentSkipListMap[String, Stored](S3.utf8ByteOrder)
   private val uploads = new java.util.concurrent.ConcurrentHashMap[String, MpUpload]()
   private val uploadSeq = new AtomicLong(0)
   private val partPuts = new AtomicLong(0)
@@ -474,7 +477,8 @@ final class MiniS3Server(bucket: String, port: Int = 0,
     val after = q.get("continuation-token").orElse(q.get("start-after")).getOrElse("")
     val delimiter = q.get("delimiter")
     val matching = objects.keySet().asScala.iterator
-      .filter(k => k.startsWith(prefix) && (after.isEmpty || k > after))
+      .filter(k => k.startsWith(prefix) &&
+        (after.isEmpty || S3.utf8ByteOrder.compare(k, after) > 0))
       .toSeq
     // delimiter rolls same-level descendants up into CommonPrefixes (the
     // real directory-listing contract); entries stay merged in
@@ -497,7 +501,8 @@ final class MiniS3Server(bucket: String, port: Int = 0,
             // re-emitted for its remaining member keys — but start-after
             // pointing INSIDE a prefix still reports that prefix (the
             // real service's behavior for that parameter combination)
-            if (cp != lastCp && (!fromToken || after.isEmpty || cp > after)) {
+            if (cp != lastCp && (!fromToken || after.isEmpty ||
+                S3.utf8ByteOrder.compare(cp, after) > 0)) {
               out += CpEntry(cp); lastCp = cp
             }
           }

@@ -182,6 +182,25 @@ class S3ApiSpec extends SparkSpec {
         p.restore("""{"floor":"m/k5","seen":[42]}""")
       }
       assert(p.checkpoint == before, "half-restored state after a bad checkpoint")
+      // a NON-ARRAY seen must throw too — elements() on a scalar is an
+      // empty iterator and would silently drop all dedup state
+      intercept[IllegalArgumentException] {
+        p.restore("""{"floor":"m/k5","seen":"m/k6"}""")
+      }
+      assert(p.checkpoint == before)
+      // a bare floor key that itself starts with the windowed marker:
+      // checkpoint() must escape it into the JSON form so its own
+      // output round-trips through restore()
+      val weirdKey = """{"floor":x/k1.ndjson"""
+      val ckNode = Auth.mapper.createObjectNode()
+      ckNode.put("floor", weirdKey)
+      ckNode.putArray("seen")
+      p.restore(ckNode.toString)
+      val emitted = p.checkpoint
+      assert(emitted.startsWith("""{"floor":"""), emitted)
+      val p5 = new S3.NdjsonPoller(http, "x/", lookbackKeys = 1)
+      p5.restore(emitted)
+      assert(p5.checkpoint == emitted, "marker-prefixed floor did not round-trip")
     } finally s.close()
   }
 
