@@ -274,8 +274,23 @@ final class HttpServerJack(
   def softFailureCount: Long = softFailures.get()
 
   def stop(): Unit = {
-    server.stop(0)
-    pool.shutdownNow()
+    // Graceful drain BEFORE the writer close, in dependency order. A
+    // shutdownNow() here would interrupt in-flight appendSync waiters
+    // into a 500 whose record close() then flushes durably anyway —
+    // every shutdown with in-flight requests would manufacture a
+    // guaranteed duplicate (the peer retries a record that already
+    // landed). server.stop(delay) returns as soon as in-flight
+    // exchanges finish (immediately when idle) but FORCE-CLOSES
+    // connections at the delay — so the delay must sit above the
+    // segment ack deadline, or a quiet-period waiter gets its
+    // connection cut under an ack that then arrives. shutdownNow is
+    // only the hung-handler fallback after the deadline has passed.
+    val drainSeconds =
+      segmentWriter.map(w => (w.ackTimeoutMs / 1000L + 5).toInt).getOrElse(5)
+    server.stop(drainSeconds)
+    pool.shutdown()
+    if (!pool.awaitTermination(drainSeconds.toLong, java.util.concurrent.TimeUnit.SECONDS))
+      pool.shutdownNow()
     segmentWriter.foreach(_.close()) // flush the tail; LOUD on failure
   }
 }

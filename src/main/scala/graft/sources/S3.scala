@@ -762,7 +762,17 @@ object S3 {
     * extra page, typically); objects are never re-GET — dedup is on
     * keys, before the fetch. With a window the checkpoint serializes as
     * JSON `{"floor":...,"seen":[...]}`; plain legacy checkpoints
-    * restore unchanged (template-rendered keys never start with '{'). */
+    * restore unchanged (template-rendered keys never start with '{').
+    *
+    * DOWNGRADE HAZARD: the windowed JSON form is one-way. A rollback to
+    * a pre-lookback build restores the JSON blob as a plain startAfter
+    * key — and '{' (0x7B) sorts above most ASCII key bytes, so the old
+    * build would silently skip objects rather than fail. Upgrades are
+    * safe both ways ([[checkpoint]] emits the bare-floor form whenever
+    * `seen` is empty, which a window-less poller always satisfies), but
+    * once a `lookbackKeys > 0` poller has written a windowed
+    * checkpoint, roll FORWARD only — or clear the checkpoint and accept
+    * a re-read from the floor. */
   final class NdjsonPoller(http: S3Http, prefix: String,
                            pageSize: Int = 1000,
                            cseKey: Option[Array[Byte]] = None,

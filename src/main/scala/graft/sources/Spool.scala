@@ -205,8 +205,11 @@ object Spool {
   /** Segment-mode flush policy: a pending batch lands when it reaches
     * `maxRecords` lines or has waited `maxDelayMillis` — whichever
     * first. */
-  final case class SegmentPolicy(maxRecords: Int = 256, maxDelayMillis: Long = 5) {
-    require(maxRecords > 0 && maxDelayMillis > 0, s"bad segment policy: $this")
+  final case class SegmentPolicy(maxRecords: Int = 256, maxDelayMillis: Long = 5,
+                                 flushAttempts: Int = 3,
+                                 flushRetryBackoffMillis: Long = 50) {
+    require(maxRecords > 0 && maxDelayMillis > 0 && flushAttempts > 0 &&
+      flushRetryBackoffMillis > 0, s"bad segment policy: $this")
   }
 
   /** Group-commit spool writer for the WS edges — the amortized form of
@@ -235,10 +238,17 @@ object Spool {
     *    requests share one hsync (classic WAL group commit) and the
     *    per-request cost amortizes with concurrency.
     *
-    * A flush failure poisons the writer (the error rethrows from every
-    * later append, and every waiter whose batch failed gets it) so
-    * producers drop their connections / answer 500 loudly — the
-    * per-record mode's failure contract. */
+    * A failed segment write is RETRIED in place with bounded backoff
+    * (`flushAttempts` total tries, `flushRetryBackoffMillis × attempt`
+    * between them) before anything poisons: per-record mode fails only
+    * the one request and recovers on the next, and opting into segment
+    * mode must not silently trade that recovery for a writer that turns
+    * every later request into a 500 after ONE transient FS hiccup.
+    * Only a flush that exhausts its retries poisons the writer (the
+    * error rethrows from every later append, and every waiter whose
+    * batch failed gets it) so producers drop their connections / answer
+    * 500 loudly — the per-record mode's failure contract, reached only
+    * for a persistently failing FS. */
   final class SegmentWriter(fs: FileSystem, root: Path, policy: SegmentPolicy,
                             onDurable: Int => Unit) {
     private type Entry = (String, java.util.concurrent.CompletableFuture[Void])
@@ -276,7 +286,21 @@ object Spool {
             queue.drainTo(batch, policy.maxRecords - batch.size())
             val sb = new StringBuilder
             batch.forEach(e => { sb.append(e._1); sb.append('\n') })
-            writeAtomic(fs, root, sb.result().getBytes(UTF_8))
+            val bytes = sb.result().getBytes(UTF_8)
+            // bounded in-place retry BEFORE the poison path: a transient
+            // FS error must fail (at most) this batch, not every request
+            // until process restart. Exhausted retries fall through to
+            // the outer catch, which keeps the loud-poison contract.
+            var attempt = 1
+            var written = false
+            while (!written) {
+              try { writeAtomic(fs, root, bytes); written = true }
+              catch {
+                case _: Throwable if attempt < policy.flushAttempts =>
+                  Thread.sleep(policy.flushRetryBackoffMillis * attempt)
+                  attempt += 1
+              }
+            }
             onDurable(batch.size())
             batch.forEach(e => if (e._2 != null) e._2.complete(null))
           }
@@ -323,8 +347,11 @@ object Spool {
       * gather window — a sparse feed legitimately holds a lone record
       * for the full maxDelayMillis, and timing out below that would
       * 500 a request whose record then lands anyway (a guaranteed
-      * duplicate on every quiet-period request). */
-    private val ackTimeoutMs: Long =
+      * duplicate on every quiet-period request). Public so an owning
+      * server sizes its shutdown drain ABOVE it (an in-flight
+      * appendSync waiter cut off below this deadline is the same
+      * manufactured duplicate). */
+    val ackTimeoutMs: Long =
       math.max(30000L, policy.maxDelayMillis * 3)
 
     /** Enqueue one normalized line and BLOCK until its batch is durable

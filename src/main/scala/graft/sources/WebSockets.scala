@@ -544,8 +544,14 @@ final class WsClientSource(spark: SparkSession, url: String,
     }
   }
 
-  /** Connect (blocking, with timeout). */
+  /** Connect (blocking, with timeout). Clears [[closeReason]] up front:
+    * a successful (re-)dial must not leave the LAST drop's reason
+    * reported against a healthy connection — a stale failure signal for
+    * anything monitoring it. Cleared before the dial (not after) so a
+    * new socket that drops immediately still lands its reason; a dial
+    * that fails outright throws, which is the caller's signal. */
   def connect(timeoutMillis: Long = 10000): Unit = {
+    closed.set(null)
     val clientBuilder = java.net.http.HttpClient.newBuilder()
     tls.foreach(cfg => clientBuilder.sslContext(Tls.sslContext(cfg)))
     val wsBuilder = clientBuilder.build().newWebSocketBuilder()

@@ -149,6 +149,31 @@ class HttpServerJackSpec extends SparkSpec {
     } finally jack.stop()
   }
 
+  test("stop() drains in-flight appendSync waiters before closing the " +
+    "writer: a request in flight at shutdown gets its 2xx and lands " +
+    "exactly once (no manufactured duplicate)") {
+    val spool = java.nio.file.Files.createTempDirectory("graft-jack-drain").toString
+    // a long gather window parks the lone in-flight request in
+    // appendSync well past the stop() call below — the exact shape the
+    // old shutdownNow-first ordering turned into a 500 whose record
+    // close() then flushed durably anyway (ack lost, record landed:
+    // the peer's retry is a guaranteed duplicate)
+    val jack = new HttpServerJack(spark, 0, authRequired = false,
+      spoolDir = Some(spool),
+      spoolSegment = Some(graft.sources.Spool.SegmentPolicy(
+        maxRecords = 64, maxDelayMillis = 1500)))
+    val inflight = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+      post(jack.boundPort, "/ingest", """{"id":1,"name":"inflight"}""").statusCode())
+    Thread.sleep(300) // let the handler enqueue and block on its ack
+    assert(!inflight.isDone, "request finished before stop — widen the window")
+    jack.stop()
+    assert(inflight.get(30, java.util.concurrent.TimeUnit.SECONDS) == 200,
+      "in-flight request must be acked on drain, not 500'd")
+    val ids = spark.read.schema(schema).json(spool)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(ids == Seq(1L), s"record must land exactly once: $ids")
+  }
+
   test("mtls without a TlsConfig is a construction error, not a silent plaintext listener") {
     val e = intercept[IllegalArgumentException] {
       new HttpServerJack(spark, 0, mtls = Some(MtlsOptions()))

@@ -1,0 +1,78 @@
+package graft.sources
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.hadoop.fs.{FilterFileSystem, FSDataOutputStream, Path}
+
+import graft.SparkSpec
+
+/** [[Spool.SegmentWriter]] failure semantics: a TRANSIENT segment-write
+  * failure is retried in place and the writer recovers (per-record mode
+  * fails only the one request and recovers on the next — segment mode
+  * must not silently trade that away); only a PERSISTENT failure
+  * exhausts the retries and poisons, keeping the loud-failure contract. */
+class SpoolSegmentSpec extends SparkSpec {
+
+  /** Local FS wrapper whose create() throws for the first `failures`
+    * calls, then delegates — a transient-FS-error stand-in. */
+  private final class FlakyFs(inner: org.apache.hadoop.fs.FileSystem,
+                              failures: Int) extends FilterFileSystem(inner) {
+    val creates = new AtomicInteger(0)
+    override def create(f: Path, overwrite: Boolean): FSDataOutputStream = {
+      if (creates.incrementAndGet() <= failures)
+        throw new java.io.IOException("transient FS error (injected)")
+      super.create(f, overwrite)
+    }
+  }
+
+  private def ndjsonCount(dir: String): Int =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .count(_.getName.endsWith(".ndjson"))
+
+  test("a transient flush failure is retried in place: appendSync still " +
+    "acks, the writer is NOT poisoned, and later appends succeed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-seg-retry").toString
+    val (inner, root) = Spool.open(spark, dir)
+    val fs = new FlakyFs(inner, failures = 2)
+    val durable = new AtomicInteger(0)
+    val w = new Spool.SegmentWriter(fs, root,
+      Spool.SegmentPolicy(maxRecords = 8, maxDelayMillis = 5,
+        flushAttempts = 3, flushRetryBackoffMillis = 5),
+      n => { durable.addAndGet(n); () })
+    // first flush hits 2 injected failures, the 3rd attempt lands — the
+    // ack arrives (late, inside the deadline) instead of a 500
+    w.appendSync("""{"id":1}""")
+    assert(durable.get() == 1, s"durable=${durable.get()}")
+    // recovery: the writer is still healthy for the NEXT request (the
+    // old behavior poisoned forever after one transient error)
+    w.appendSync("""{"id":2}""")
+    w.close()
+    assert(durable.get() == 2)
+    assert(fs.creates.get() >= 4, s"creates=${fs.creates.get()}") // 2 failed + 2 real
+    assert(ndjsonCount(dir) == 2)
+    val lines = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".ndjson"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines()).sorted.toSeq
+    assert(lines == Seq("""{"id":1}""", """{"id":2}"""), s"lines=$lines")
+  }
+
+  test("a persistent failure exhausts the retries and poisons loudly: the " +
+    "failed waiter throws, later appends throw, close() rethrows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-seg-poison").toString
+    val (inner, root) = Spool.open(spark, dir)
+    val fs = new FlakyFs(inner, failures = Int.MaxValue)
+    val w = new Spool.SegmentWriter(fs, root,
+      Spool.SegmentPolicy(maxRecords = 8, maxDelayMillis = 5,
+        flushAttempts = 2, flushRetryBackoffMillis = 5),
+      _ => ())
+    val e1 = intercept[java.io.IOException](w.appendSync("""{"id":1}"""))
+    assert(e1.getMessage.contains("flush failed"), e1.getMessage)
+    assert(fs.creates.get() == 2, s"retry budget not honored: ${fs.creates.get()}")
+    eventually(
+      try { w.append("""{"id":2}"""); false }
+      catch { case _: java.io.IOException => true },
+      "poisoned writer accepted a later append")
+    intercept[java.io.IOException](w.close())
+    assert(ndjsonCount(dir) == 0)
+  }
+}

@@ -270,6 +270,11 @@ class WebSocketSpec extends SparkSpec {
           timeoutMs = 20000)
         assert(hub2.broadcast((5 to 8).map(i => s"""{"id":$i,"name":"post$i"}""")) == 4)
         eventually(client.receivedCount == 8, "post-reconnect frames not received")
+        // the successful re-dial cleared the drop reason: a healthy
+        // connection must not keep reporting the LAST failure forever
+        // (a stale signal for anything monitoring closeReason)
+        assert(client.closeReason.isEmpty,
+          s"stale closeReason after a successful re-dial: ${client.closeReason}")
         // exactly once across the whole life: 4 pre-kill + 4 post-reconnect
         assertSpooled(spool, 8)
         val ids = spark.read.schema(schema).json(spool)
