@@ -102,48 +102,21 @@ object Bench {
       }
       perFile.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
     }
-    // canary FIRST: the fixed-work hash-throughput query, this run vs its
-    // recorded minimum — a high ratio says THE BOX is slow, and every
-    // per-query ratio below is read through it (r13 verdict item 5: two
-    // rounds running, the raw 2x gate tripped only on machine allocation)
-    // the ratio/divisor are LIVE reads of the current t7 value: the
-    // canary re-checks FIRST in the loop below, so if t7 itself trips
-    // the gate and re-measures lower, every later gate decision and the
-    // emitted ratios divide by the fresh smaller divisor — a stale
-    // pre-recheck divisor would keep discounting real regressions
-    // (r14 ADVICE / r15 verdict item 2a)
-    def canaryRatioNow: Option[Double] = for {
-      v <- results.get("t7_hash_throughput")
-      b <- baseline.get("t7_hash_throughput") if b > 0
-    } yield v / b
-    // the divisor never flatters: a SLOW box (canary > 1) discounts
-    // apparent regressions, but a fast box must not amplify noise into
-    // phantom flags, so it clamps at 1
-    def canaryDivNow: Double = math.max(canaryRatioNow.getOrElse(1.0), 1.0)
-    val rechecked = scala.collection.mutable.LinkedHashMap[String, Double]()
-    SparkEntry.queries.toSeq
-      .sortBy { case (name, _) => if (name == "t7_hash_throughput") 0 else 1 }
-      .filter { case (name, _) => results.contains(name) }
-      .foreach { case (name, fn) =>
-        baseline.get(name).foreach { b =>
-          // the gate reads the CANARY-NORMALIZED ratio (raw still ships
-          // in the artifact): >2x the baseline after discounting box
-          // speed. The RAW >4x backstop keeps a uniform ENGINE slowdown
-          // honest: if the code itself got slower everywhere, the canary
-          // (being code) rises with it and normalization would mask
-          // every query — including the canary itself — so past 4x raw
-          // nothing is discounted away without a re-measure.
-          if (results(name) / canaryDivNow > 2.0 * b || results(name) > 4.0 * b) {
-            System.err.println(f"[bench] re-checking $name: ${results(name)}%.3f " +
-              f"vs baseline $b%.3f (canary $canaryDivNow%.2f)")
-            rechecked(name) = results(name)
-            val again = median(name, fn, recordCold = false)
-            if (again >= 0) results(name) = math.min(results(name), again)
-          }
-        }
-      }
-    val canaryRatio = canaryRatioNow
-    val canaryDiv = canaryDivNow
+    // gate semantics (canary-first live divisor, 2x-normalized OR 4x-raw
+    // trip, min() re-measure) live in BenchGate — pure and spec-locked
+    // (BenchSpec); this loop only supplies the re-measure side effect
+    val (finalResults, recheckedSeq) = BenchGate.recheckPass(
+      results.toSeq, baseline,
+      name => {
+        System.err.println(f"[bench] re-checking $name: ${results(name)}%.3f " +
+          f"vs baseline ${baseline(name)}%.3f")
+        median(name, SparkEntry.queries(name), recordCold = false)
+      })
+    results.clear()
+    finalResults.foreach { case (k, v) => results(k) = v }
+    val rechecked = recheckedSeq
+    val canaryRatio = BenchGate.canaryRatio(results, baseline)
+    val canaryDiv = BenchGate.canaryDiv(results, baseline)
     // both ratio columns per baselined query: raw (value / historical
     // minimum) and normalized (raw / canary) — the normalized one is the
     // gate, the raw one the committed record

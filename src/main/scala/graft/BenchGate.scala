@@ -1,0 +1,75 @@
+package graft
+
+/** The bench self-adjudication gate, extracted PURE so it can be locked
+  * by a unit test ([[graft.BenchSpec]]) — this logic guards every future
+  * round's performance record, and as an inline loop in `Bench.main` a
+  * refactor could silently regress it.
+  *
+  * Semantics (r9-r16 verdicts):
+  *  - the CANARY (`t7_hash_throughput`, fixed-work hash kernel) measures
+  *    the box: its ratio vs the recorded minimum says how slow THIS
+  *    machine is, and every per-query gate decision is read through it.
+  *  - the divisor never flatters: a slow box (ratio > 1) discounts
+  *    apparent regressions, but a fast box must not amplify noise into
+  *    phantom flags — it clamps at 1 ([[canaryDiv]]).
+  *  - trip rule ([[trips]]): canary-normalized > 2x the baseline, OR a
+  *    RAW > 4x backstop. The backstop keeps a uniform ENGINE slowdown
+  *    honest: if the code itself got slower everywhere, the canary
+  *    (being code) rises with it and normalization would mask every
+  *    query — including the canary itself — so past 4x raw nothing is
+  *    discounted away without a re-measure.
+  *  - the divisor is LIVE ([[recheckPass]] recomputes it before every
+  *    decision): the canary re-checks FIRST, so if t7 itself tripped
+  *    and re-measured lower, every later decision divides by the fresh
+  *    smaller divisor — a stale pre-recheck divisor would keep
+  *    discounting real regressions (r14 ADVICE / r15 verdict 2a).
+  */
+object BenchGate {
+
+  /** The fixed-work box-speed canary query. */
+  val canary = "t7_hash_throughput"
+
+  /** This run's canary value over its recorded minimum; None when either
+    * side is missing (first round at a new sf, canary run failed). */
+  def canaryRatio(results: collection.Map[String, Double],
+                  baseline: collection.Map[String, Double]): Option[Double] = for {
+    v <- results.get(canary)
+    b <- baseline.get(canary) if b > 0
+  } yield v / b
+
+  /** The gate divisor: the canary ratio clamped at 1 (never flatters). */
+  def canaryDiv(results: collection.Map[String, Double],
+                baseline: collection.Map[String, Double]): Double =
+    math.max(canaryRatio(results, baseline).getOrElse(1.0), 1.0)
+
+  /** Does `value` trip the re-check gate against `base` under `div`? */
+  def trips(value: Double, base: Double, div: Double): Boolean =
+    value / div > 2.0 * base || value > 4.0 * base
+
+  /** One full re-check pass. Walks `results` canary-FIRST (then input
+    * order); for each baselined query whose value [[trips]] under the
+    * LIVE divisor, records the original in the rechecked map, calls
+    * `remeasure(name)`, and keeps `min(original, remeasured)` — a
+    * re-measure can only absolve, never worsen, and a failed re-run
+    * (negative return, the `Bench.timeOnce` error sentinel) keeps the
+    * original so a flaky re-check can't erase a real timing. Returns
+    * (final results, rechecked originals), both in input order
+    * (rechecked in trip order). */
+  def recheckPass(results: Seq[(String, Double)],
+                  baseline: collection.Map[String, Double],
+                  remeasure: String => Double)
+      : (Seq[(String, Double)], Seq[(String, Double)]) = {
+    val cur = scala.collection.mutable.LinkedHashMap(results: _*)
+    val rechecked = scala.collection.mutable.LinkedHashMap[String, Double]()
+    results.map(_._1).sortBy(n => if (n == canary) 0 else 1).foreach { name =>
+      baseline.get(name).filter(_ > 0).foreach { b =>
+        if (trips(cur(name), b, canaryDiv(cur, baseline))) {
+          rechecked(name) = cur(name)
+          val again = remeasure(name)
+          if (again >= 0) cur(name) = math.min(cur(name), again)
+        }
+      }
+    }
+    (cur.toSeq, rechecked.toSeq)
+  }
+}

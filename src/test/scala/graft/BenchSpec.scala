@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Locks [[BenchGate]] — the bench self-adjudication gate that guards
+  * every round's performance record. Pure: no SparkSession. */
+class BenchSpec extends AnyFunSuite {
+
+  private val T7 = BenchGate.canary
+
+  test("canaryDiv clamps at 1: a fast box must not amplify noise into " +
+    "phantom flags; a slow box discounts") {
+    val base = Map(T7 -> 1.0)
+    assert(BenchGate.canaryDiv(Map(T7 -> 0.8), base) == 1.0) // fast box
+    assert(BenchGate.canaryDiv(Map(T7 -> 1.5), base) == 1.5) // slow box
+    // no canary measurement / no baseline -> neutral divisor
+    assert(BenchGate.canaryDiv(Map.empty[String, Double], base) == 1.0)
+    assert(BenchGate.canaryDiv(Map(T7 -> 1.5), Map.empty[String, Double]) == 1.0)
+    assert(BenchGate.canaryDiv(Map(T7 -> 1.5), Map(T7 -> 0.0)) == 1.0) // zeroed artifact
+  }
+
+  test("trip rule: normalized >2x trips, <=2x does not; a slow box " +
+    "discounts a raw 2.5x to a pass") {
+    assert(!BenchGate.trips(1.9, 1.0, 1.0))
+    assert(BenchGate.trips(2.1, 1.0, 1.0))
+    // slow box (div 1.5): raw 2.5x normalizes to 1.67 -> pass
+    assert(!BenchGate.trips(2.5, 1.0, 1.5))
+    // ... but a real regression still shows through the discount
+    assert(BenchGate.trips(3.5, 1.0, 1.5))
+  }
+
+  test("raw 4x backstop: a very slow canary must not discount away an " +
+    "engine-wide slowdown — past 4x raw nothing passes unre-measured") {
+    // div 3.0 would normalize 4.5x to 1.5 (under the 2x gate), but the
+    // raw backstop trips anyway
+    assert(BenchGate.trips(4.5, 1.0, 3.0))
+    assert(!BenchGate.trips(3.9, 1.0, 3.0)) // under both arms
+  }
+
+  test("recheckPass: the divisor is LIVE — a canary that trips and " +
+    "re-measures lower stops discounting later real regressions") {
+    // canary at 4.5x its baseline (trips the raw backstop), re-measures
+    // healthy at 1.0x; query q at 2.5x raw. A STALE divisor (4.5) would
+    // normalize q to 0.56 and wave it through; the live divisor (1.0
+    // after the canary re-check) must flag and re-measure q too.
+    val results = Seq("q_real_regression" -> 2.5, T7 -> 4.5)
+    val baseline = Map(T7 -> 1.0, "q_real_regression" -> 1.0)
+    val remeasured = scala.collection.mutable.ArrayBuffer[String]()
+    val (fin, rechecked) = BenchGate.recheckPass(results, baseline, {
+      case T7 => remeasured += T7; 1.0
+      case q => remeasured += q; 2.4 // the regression is real: re-run agrees
+    })
+    assert(remeasured.toSeq == Seq(T7, "q_real_regression"),
+      s"canary must re-check FIRST and the query must still trip: $remeasured")
+    val f = fin.toMap
+    assert(f(T7) == 1.0, "canary keeps the min of original and re-measure")
+    assert(f("q_real_regression") == 2.4)
+    assert(rechecked.toMap == Map(T7 -> 4.5, "q_real_regression" -> 2.5),
+      "rechecked carries the ORIGINAL (pre-re-measure) values")
+    // final order is input order, not recheck order
+    assert(fin.map(_._1) == Seq("q_real_regression", T7))
+  }
+
+  test("recheckPass: a slow-box canary that re-measures just as slow " +
+    "keeps discounting — a load spike is not published as a regression") {
+    // canary honestly slow at 4.5x raw both times; q at 2.5x raw is box
+    // noise under the live 4.5 divisor and must NOT be re-measured
+    val results = Seq(T7 -> 4.5, "q_noise" -> 2.5)
+    val baseline = Map(T7 -> 1.0, "q_noise" -> 1.0)
+    val remeasured = scala.collection.mutable.ArrayBuffer[String]()
+    val (fin, rechecked) = BenchGate.recheckPass(results, baseline,
+      n => { remeasured += n; 4.5 })
+    assert(remeasured.toSeq == Seq(T7), s"only the canary re-measures: $remeasured")
+    assert(fin.toMap == Map(T7 -> 4.5, "q_noise" -> 2.5))
+    assert(rechecked.toMap == Map(T7 -> 4.5))
+  }
+
+  test("recheckPass: min() means a re-measure can only absolve; a failed " +
+    "re-run (negative sentinel) keeps the original timing") {
+    val baseline = Map("q_worse" -> 1.0, "q_failed" -> 1.0)
+    val (fin, rechecked) = BenchGate.recheckPass(
+      Seq("q_worse" -> 2.5, "q_failed" -> 3.0), baseline, {
+        case "q_worse" => 9.9  // re-run slower: keep the original
+        case _ => -1.0         // re-run failed: keep the original
+      })
+    assert(fin.toMap == Map("q_worse" -> 2.5, "q_failed" -> 3.0))
+    assert(rechecked.toMap == Map("q_worse" -> 2.5, "q_failed" -> 3.0))
+  }
+
+  test("recheckPass: unbaselined queries never trip (first appearance " +
+    "of a new query has nothing to regress against)") {
+    val (fin, rechecked) = BenchGate.recheckPass(
+      Seq("q_new" -> 99.0), Map.empty[String, Double],
+      _ => fail("must not re-measure an unbaselined query"))
+    assert(fin == Seq("q_new" -> 99.0) && rechecked.isEmpty)
+  }
+}
