@@ -834,14 +834,23 @@ object S3 {
     }
 
     /** One sweep: (lines, keysRead). Empty when nothing is new (the
-      * reference's 204 arm). `synchronized` with [[restore]] (see
-      * there); [[checkpoint]] stays lock-free on the volatile pair. */
-    def fetch(): (Seq[String], Seq[String]) = synchronized {
+      * reference's 204 arm). */
+    def fetch(): (Seq[String], Seq[String]) = {
+      val keyed = fetchKeyed()
+      (keyed.flatMap(_._2), keyed.map(_._1))
+    }
+
+    /** One sweep, keyed: (key, its decoded lines) in listing order — the
+      * durable bridge ([[NdjsonSpoolBridge]]) needs the key↔lines
+      * association for its deterministic per-key spool paths.
+      * `synchronized` with [[restore]] (see there); [[checkpoint]] stays
+      * lock-free on the volatile pair. */
+    def fetchKeyed(): Seq[(String, Seq[String])] = synchronized {
       val (floor, seen) = state
       val listed = http.listAll(prefix, floor, pageSize)
       val seenSet = seen.toSet
       val fresh = listed.filterNot(seenSet)
-      val lines = fresh.flatMap(k => decodeNdjson(http.getObject(k), cseKey))
+      val keyed = fresh.map(k => k -> decodeNdjson(http.getObject(k), cseKey))
       if (fresh.nonEmpty) { // advance AFTER the sweep
         // S3's listing (and start-after) order is UTF-8 BYTE order; the
         // floor must be chosen in the same order or a supplementary-
@@ -858,13 +867,109 @@ object S3 {
             (delivered(cut - 1), delivered.drop(cut))
           } else (floor, delivered)
       }
-      (lines, fresh)
+      keyed
     }
   }
 
   private[sources] object NdjsonPoller {
     /** The windowed-checkpoint discriminator (see [[NdjsonPoller.restore]]). */
     val marker: String = """{"floor":"""
+  }
+
+  /** The durable streaming form of the listing-checkpointed poller — the
+    * "spool bridge" [[NdjsonPoller]]'s scaladoc promises, and the
+    * `readStream` entry that makes `lookbackKeys` reachable (the
+    * `graft-s3://` file tail rides mtime-based listing with its own
+    * seen-map; THIS path is for cursor-checkpointed NDJSON polling with
+    * the out-of-order key window). Run [[pollOnce]] on the reference's
+    * poll cadence (`reader.go:30-62` Serve loop); consume via [[raw]] /
+    * [[jsonStream]], a checkpointed Spark file source over the spool.
+    *
+    * Exactly-once across kill/restart from either side — the Kafka
+    * [[Kafka.SpoolConsumer]] shape (offset-named spool files + broker
+    * commit) adapted to the listing edge:
+    *  - each swept object lands as ONE atomically-renamed spool file at
+    *    a DETERMINISTIC path, `spool-<sha1(key)>.ndjson`;
+    *  - the poller checkpoint persists atomically AFTER the sweep's
+    *    files land (`_bridge-checkpoint` — '_'-prefixed, so the file
+    *    source's hidden-file filter never ships it as data);
+    *  - a crash between the two re-sweeps the same keys on restart and
+    *    re-lands the same paths, which is invisible downstream: Spark's
+    *    file source dedupes by PATH (and the content is identical — one
+    *    immutable object, one decode). Even a path already reaped by
+    *    [[Spool.retire]] stays in the source's seen map (the spool
+    *    reader disables maxFileAge), so a re-created file is ignored,
+    *    never re-shipped.
+    * The checkpoint file carries the windowed JSON form when
+    * `lookbackKeys > 0` — the poller's downgrade-hazard note applies to
+    * it verbatim. */
+  final class NdjsonSpoolBridge(spark: SparkSession, http: S3Http,
+                                prefix: String, spoolDir: String,
+                                pageSize: Int = 1000,
+                                cseKey: Option[Array[Byte]] = None,
+                                lookbackKeys: Int = 0,
+                                maxFilesPerTrigger: Option[Int] = None) {
+    import org.apache.hadoop.fs.{Options, Path}
+
+    private val poller = new NdjsonPoller(http, prefix, pageSize, cseKey, lookbackKeys)
+    private val (fs, root) = Spool.open(spark, spoolDir)
+    private val ckptFile = new Path(root, "_bridge-checkpoint")
+    if (fs.exists(ckptFile)) { // resume the listing cursor
+      val in = fs.open(ckptFile)
+      val s = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), UTF_8) finally in.close()
+      poller.restore(s)
+    }
+
+    private def keyFileName(key: String): String = {
+      val d = java.security.MessageDigest.getInstance("SHA-1")
+        .digest(key.getBytes(UTF_8))
+      s"spool-${d.map(b => f"$b%02x").mkString}.ndjson"
+    }
+
+    /** One sweep: list → idempotent per-key land → checkpoint persist.
+      * Returns (lines landed, objects swept). Failures throw with the
+      * checkpoint NOT advanced — the next poll re-sweeps (at-least-once
+      * into the idempotent land, exactly-once downstream). */
+    def pollOnce(): (Int, Int) = {
+      val swept = poller.fetchKeyed()
+      swept.foreach { case (key, lines) =>
+        val dst = new Path(root, keyFileName(key))
+        if (!fs.exists(dst)) {
+          val tmp = new Path(root, s".${keyFileName(key)}.tmp")
+          val out = fs.create(tmp, true) // overwrite a crashed attempt's tmp
+          try {
+            out.write(lines.map(_ + "\n").mkString.getBytes(UTF_8))
+            out.hsync()
+          } finally out.close()
+          if (!fs.rename(tmp, dst) && !fs.exists(dst))
+            throw new java.io.IOException(s"bridge spool rename failed: $dst")
+        }
+      }
+      if (swept.nonEmpty) persistCheckpoint()
+      (swept.map(_._2.size).sum, swept.size)
+    }
+
+    /** Atomic checkpoint replace (the Fs.publishVersion dance): complete
+      * tmp, then FileContext rename with OVERWRITE — a concurrent restart
+      * reads the old checkpoint or the new one, never a torn one. */
+    private def persistCheckpoint(): Unit = {
+      val q = fs.makeQualified(root)
+      val tmp = new Path(q, s"._bridge-checkpoint.tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try { out.write(poller.checkpoint.getBytes(UTF_8)); out.hsync() }
+      finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(q.toUri, fs.getConf)
+      fc.rename(tmp, new Path(q, "_bridge-checkpoint"), Options.Rename.OVERWRITE)
+    }
+
+    /** Checkpoint-recoverable stream over the landed records (one string
+      * per NDJSON line). */
+    def raw: org.apache.spark.sql.Dataset[String] =
+      Spool.readStream(spark, spoolDir, maxFilesPerTrigger)
+
+    def jsonStream(schema: org.apache.spark.sql.types.StructType): DataFrame =
+      Sources.jsonLines(raw.toDF("value"), "value", schema)
   }
 
   // ======================================================================

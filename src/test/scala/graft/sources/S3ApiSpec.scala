@@ -408,6 +408,63 @@ class S3ApiSpec extends SparkSpec {
     } finally s.close()
   }
 
+  test("NdjsonSpoolBridge: lookbackKeys is reachable from a readStream — a " +
+    "late below-tip key ships through the checkpointed spool exactly once; " +
+    "a bridge restart resumes from the persisted checkpoint; a restart " +
+    "that LOST its checkpoint re-lands the same deterministic paths, " +
+    "which the consumer's path-dedup ignores (zero duplicates)") {
+    import org.apache.spark.sql.types.{StringType, StructType}
+    val s = newStore()
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft-s3-bridge").toString
+      val spool = s"$root/spool"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+      val http = new S3.S3Http(cfg(s))
+      def put(k: String): Unit =
+        http.putObject(s"in/$k.ndjson", s"""{"k":"$k"}""".getBytes(UTF_8))
+      def bridge() = new S3.NdjsonSpoolBridge(spark, new S3.S3Http(cfg(s)),
+        "in/", spool, pageSize = 2, lookbackKeys = 2)
+      val schema = new StructType().add("k", StringType)
+      def consume(b: S3.NdjsonSpoolBridge): Unit = {
+        val q = b.jsonStream(schema).writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      def sunk(): Seq[String] =
+        spark.read.parquet(out).collect().map(_.getAs[String]("k")).sorted.toSeq
+
+      Seq("k010", "k020", "k030").foreach(put)
+      val b1 = bridge()
+      assert(b1.pollOnce() == (3, 3))
+      consume(b1)
+      assert(sunk() == Seq("k010", "k020", "k030"))
+      // the lookback window, end to end: a key BELOW the tip (producer
+      // clock skew / late retry) still ships through the stream
+      put("k025")
+      assert(b1.pollOnce() == (1, 1))
+      assert(b1.pollOnce() == (0, 0), "late key re-swept")
+      consume(b1)
+      assert(sunk() == Seq("k010", "k020", "k025", "k030"))
+      // bridge process dies; a FRESH instance resumes from the persisted
+      // checkpoint and sweeps only what is new
+      put("k040")
+      val b2 = bridge()
+      assert(b2.pollOnce() == (1, 1), "restart re-swept or skipped")
+      consume(b2)
+      assert(sunk() == Seq("k010", "k020", "k025", "k030", "k040"))
+      // crash BEFORE any checkpoint persist survived: the next incarnation
+      // re-sweeps EVERYTHING, re-landing the same deterministic paths —
+      // exists-skip on the bridge side, path-dedup on the consumer side,
+      // so the sink stays exactly-once
+      val (sfs, sroot) = Spool.open(spark, spool)
+      assert(sfs.delete(new org.apache.hadoop.fs.Path(sroot, "_bridge-checkpoint"), false))
+      val b3 = bridge()
+      assert(b3.pollOnce() == (5, 5), "checkpointless restart must re-sweep all")
+      consume(b3)
+      assert(sunk() == Seq("k010", "k020", "k025", "k030", "k040"),
+        "re-landed paths must not re-ship")
+    } finally s.close()
+  }
+
   test("multipart upload: create/uploadPart/complete stitches parts " +
     "atomically, SigV4-signed — read-back hash-equal") {
     val s = new MiniS3Server("graft-bucket", accessKey = "AKIDEXAMPLE",

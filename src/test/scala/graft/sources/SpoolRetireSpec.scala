@@ -89,6 +89,45 @@ class SpoolRetireSpec extends SparkSpec {
     assert(ndjsonCount(spool) == 0)
   }
 
+  test("retire against a LIVE segment-mode consumer: invoked on a schedule " +
+    "mid-stream, delivery stays exactly-once and the spool directory " +
+    "shrinks to the consumer's commit horizon each time") {
+    val root = java.nio.file.Files.createTempDirectory("graft-spool-live").toString
+    val spool = s"$root/spool"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val (fs, sroot) = Spool.open(spark, spool)
+    // segment-mode producer: same .ndjson naming and source-log path as
+    // per-record files, but multi-record segments — the retire coverage
+    // the per-record cases above do not exercise
+    val writer = new Spool.SegmentWriter(fs, sroot,
+      Spool.SegmentPolicy(maxRecords = 4, maxDelayMillis = 5), _ => ())
+    val q = Sources.jsonLines(
+        Spool.readStream(spark, spool, maxFilesPerTrigger = Some(2)).toDF("value"),
+        "value", schema)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(25))
+      .start()
+    try {
+      var next = 1
+      (1 to 3).foreach { wave =>
+        (1 to 8).foreach { _ =>
+          writer.appendSync(s"""{"id":$next,"name":"w$wave"}"""); next += 1
+        }
+        q.processAllAvailable() // the wave's batches are committed
+        val before = ndjsonCount(spool)
+        assert(before > 0, s"wave $wave produced no segment files")
+        val (h, d) = Spool.retire(spark, spool, ckpt)
+        assert(h >= 0 && d == before,
+          s"wave $wave: retire must reclaim every committed-past segment " +
+            s"of $before, got ($h, $d) — against the LIVE query")
+        assert(ndjsonCount(spool) == 0, s"wave $wave left files behind")
+      }
+    } finally { q.stop(); writer.close() }
+    // the retires were invisible to delivery: every record exactly once
+    val ids = spark.read.parquet(out).collect().map(_.getAs[Long]("id")).sorted.toSeq
+    assert(ids == (1L to 24L), s"live retire disturbed exactly-once delivery: $ids")
+  }
+
   test("the horizon is the SOURCE's logOffset from the committed offsets " +
     "entry, NOT the query batch id — files of a not-yet-committed source " +
     "batch survive even when query batches run far ahead (no-data " +
