@@ -426,6 +426,16 @@ final class WsServerHub(spark: SparkSession, port: Int,
   def rejectedCount: Long = rejected.get()
   def softFailureCount: Long = softFailures.get()
 
+  /** Surface the hub's ingress counters on a meter registry (see
+    * [[WsClientSource.registerMeters]]). */
+  def registerMeters(m: graft.streaming.MeterListener,
+                     prefix: String = "ws_hub"): Unit = {
+    m.registerGauge(s"$prefix.connections", () => conns.size().toLong)
+    m.registerGauge(s"$prefix.received", () => received.get())
+    m.registerGauge(s"$prefix.rejected", () => rejected.get())
+    m.registerGauge(s"$prefix.broadcast_frames", () => broadcastCount.get())
+  }
+
   def stop(): Unit = {
     running.set(false)
     try server.close() catch { case _: Throwable => () }
@@ -581,6 +591,19 @@ final class WsClientSource(spark: SparkSession, url: String,
   def receivedCount: Long = received.get()
   def closeReason: Option[String] = Option(closed.get())
   def reconnectCount: Long = reconnects.get()
+  def dropCount: Long = drops.get()
+
+  /** Surface this connection's churn on a meter registry — the reference
+    * sensor's component events to meters
+    * (`/root/reference/pkg/internal/sensor/metrics.go:12-35`). Live
+    * gauges: an operator watching the meter sees reconnects/drops the
+    * moment they happen, not at the next frame. */
+  def registerMeters(m: graft.streaming.MeterListener,
+                     prefix: String = "ws_client"): Unit = {
+    m.registerGauge(s"$prefix.reconnects", () => reconnects.get())
+    m.registerGauge(s"$prefix.drops", () => drops.get())
+    m.registerGauge(s"$prefix.received", () => received.get())
+  }
 
   /** Circuit-breaker-gated reconnect supervision — the reference
     * generator restarts a failed connector on its control-loop tick

@@ -27,12 +27,26 @@ final class MeterListener(
   private val counters = new TrieMap[String, Long]()
   private val peaks = new TrieMap[String, Double]()
   private val timers = new TrieMap[String, MeterListener.TimerStats]()
+  // component gauges — the reference sensor layer's component events to
+  // meters (`/root/reference/pkg/internal/sensor/metrics.go:12-35`):
+  // driver-side component counters (WS reconnects/drops, jack
+  // rejections) register once; [[count]] reads them LIVE and every
+  // progress event snapshots them into the counter map, so connection
+  // churn is visible on the meter surface without event plumbing
+  private val gauges = new TrieMap[String, () => Long]()
   // boxed values deliberately: a [String, Long] map would silently unbox
   // a missing key's null to 0 and fabricate a 50-year span
   private val startTimes = new ConcurrentHashMap[String, java.lang.Long]()
   @volatile private var tripped: Option[String] = None
 
-  def count(name: String): Long = counters.getOrElse(name, 0L)
+  def count(name: String): Long =
+    gauges.get(name).map(_()).getOrElse(counters.getOrElse(name, 0L))
+
+  /** Register a live component counter under `name` (a cumulative value,
+    * e.g. an AtomicLong's get): reads through [[count]] are current, and
+    * each progress event snapshots it alongside the streamed meters. */
+  def registerGauge(name: String, sample: () => Long): Unit =
+    gauges.put(name, sample)
   def peak(name: String): Double = peaks.getOrElse(name, 0.0)
   def processedPerSecond: Double = peaks.getOrElse("processedPerSecond", 0.0)
   def isTripped: Boolean = tripped.isDefined
@@ -81,6 +95,9 @@ final class MeterListener(
 
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress
+    // component gauges: snapshot the live values (SET, not bump — each
+    // sample is the cumulative count) so meter dumps carry them
+    gauges.foreach { case (n, f) => counters.put(n, f()) }
     // rate meters (A3): processed-per-second + peak
     peakMax("processedPerSecond", p.processedRowsPerSecond)
     bump("inputRows", p.numInputRows)

@@ -244,6 +244,11 @@ class WebSocketSpec extends SparkSpec {
     val port = hub1.boundPort
     val client = new WsClientSource(spark, s"ws://127.0.0.1:$port/feed",
       spoolDir = Some(spool))
+    // connection churn must be visible on the meter surface (the
+    // reference sensor's component events to meters), not only on the
+    // component's own accessors
+    val meter = new graft.streaming.MeterListener()
+    client.registerMeters(meter)
     try {
       client.connect()
       val breaker = new graft.reliability.CircuitBreaker(100, 60000)
@@ -275,6 +280,12 @@ class WebSocketSpec extends SparkSpec {
         // (a stale signal for anything monitoring closeReason)
         assert(client.closeReason.isEmpty,
           s"stale closeReason after a successful re-dial: ${client.closeReason}")
+        // the churn counters flow through the meter registry, live
+        assert(meter.count("ws_client.drops") >= 1 &&
+          meter.count("ws_client.drops") == client.dropCount,
+          s"drops not on the meter: ${meter.count("ws_client.drops")}")
+        assert(meter.count("ws_client.reconnects") == client.reconnectCount)
+        assert(meter.count("ws_client.received") == 8)
         // exactly once across the whole life: 4 pre-kill + 4 post-reconnect
         assertSpooled(spool, 8)
         val ids = spark.read.schema(schema).json(spool)

@@ -348,6 +348,19 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("component gauges (sensor→meter): a registered component counter " +
+    "reads LIVE through the meter surface and tracks the component") {
+    val listener = new MeterListener()
+    val drops = new java.util.concurrent.atomic.AtomicLong(0)
+    listener.registerGauge("ws_client.drops", () => drops.get())
+    assert(listener.count("ws_client.drops") == 0)
+    drops.set(3) // a connection flapped three times
+    assert(listener.count("ws_client.drops") == 3,
+      "gauge reads must be live, not a stale registration-time snapshot")
+    // unregistered names keep the plain-counter behavior
+    assert(listener.count("ws_client.unknown") == 0)
+  }
+
   test("A6 named timers: observeTimer durations fold to exact per-name " +
     "min/max/avg across micro-batches; driver Start/StopTimer shares the " +
     "registry and an unmatched stop reads 0") {
