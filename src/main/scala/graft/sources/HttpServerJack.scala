@@ -289,8 +289,25 @@ final class HttpServerJack(
       segmentWriter.map(w => (w.ackTimeoutMs / 1000L + 5).toInt).getOrElse(5)
     server.stop(drainSeconds)
     pool.shutdown()
-    if (!pool.awaitTermination(drainSeconds.toLong, java.util.concurrent.TimeUnit.SECONDS))
-      pool.shutdownNow()
+    // The pool drain mirrors appendSync's own deadline shape: PROGRESS-
+    // based, not total-time-bounded. Waiters queued behind several
+    // transiently-failing batches legally outlast any fixed bound (each
+    // batch gets the full retry budget), and interrupting them is the
+    // manufactured duplicate again — so keep waiting while the writer's
+    // flusher shows life, and shutdownNow only once it stalls (or, with
+    // no segment writer, after the fixed bound). server.stop above stays
+    // a fixed-delay connection-layer cut — the JDK API has no progress
+    // hook — so a brownout deeper than drainSeconds can still cut a
+    // connection whose record lands (peer-retry duplicate), the same
+    // residual as a crash at that moment.
+    val deadlineNs = System.nanoTime() + drainSeconds.toLong * 1000000000L
+    def keepWaiting: Boolean = segmentWriter match {
+      case Some(w) => w.progressGapMs <= w.ackTimeoutMs
+      case None => System.nanoTime() < deadlineNs
+    }
+    while (!pool.awaitTermination(1, java.util.concurrent.TimeUnit.SECONDS) &&
+      keepWaiting) ()
+    if (!pool.isTerminated) pool.shutdownNow()
     segmentWriter.foreach(_.close()) // flush the tail; LOUD on failure
   }
 }

@@ -921,33 +921,49 @@ object S3 {
       poller.restore(s)
     }
 
-    private def keyFileName(key: String): String = {
-      val d = java.security.MessageDigest.getInstance("SHA-1")
-        .digest(key.getBytes(UTF_8))
-      s"spool-${d.map(b => f"$b%02x").mkString}.ndjson"
-    }
+    /** The deterministic spool identity for one object key —
+      * [[Spool.writeAtomicAt]] turns it into `spool-<sha1>.ndjson`, so a
+      * crash-restore re-sweep lands the SAME path (exists-skip here,
+      * path-dedup downstream). */
+    private def keyHash(key: String): String =
+      java.security.MessageDigest.getInstance("SHA-1")
+        .digest(key.getBytes(UTF_8)).map(b => f"$b%02x").mkString
 
     /** One sweep: list → idempotent per-key land → checkpoint persist.
-      * Returns (lines landed, objects swept). Failures throw with the
-      * checkpoint NOT advanced — the next poll re-sweeps (at-least-once
-      * into the idempotent land, exactly-once downstream). */
+      * Returns (lines NEWLY landed — a re-swept key whose file already
+      * exists counts 0, so the value is an honest landing metric across
+      * crash-restores — and objects swept). Failures throw with the
+      * checkpoint not advanced ANYWHERE: fetchKeyed moves the poller's
+      * in-memory cursor, so a landing/persist failure rolls it back to
+      * the pre-sweep state before rethrowing — otherwise the retrying
+      * Serve loop would never re-sweep these keys, and the NEXT
+      * successful sweep would persist a checkpoint past them, making
+      * the loss durable (the Kafka bridge's spool-first-commit-after
+      * invariant, kept under the in-memory cursor too). */
     def pollOnce(): (Int, Int) = {
+      val preSweep = poller.checkpoint
       val swept = poller.fetchKeyed()
-      swept.foreach { case (key, lines) =>
-        val dst = new Path(root, keyFileName(key))
-        if (!fs.exists(dst)) {
-          val tmp = new Path(root, s".${keyFileName(key)}.tmp")
-          val out = fs.create(tmp, true) // overwrite a crashed attempt's tmp
-          try {
-            out.write(lines.map(_ + "\n").mkString.getBytes(UTF_8))
-            out.hsync()
-          } finally out.close()
-          if (!fs.rename(tmp, dst) && !fs.exists(dst))
-            throw new java.io.IOException(s"bridge spool rename failed: $dst")
+      var landed = 0
+      try {
+        swept.foreach { case (key, lines) =>
+          // the shared durability-critical sequence (tmp+hsync+rename-or-
+          // exists) — ONE copy for every spool producer. mayExist=true:
+          // the deterministic sha1 name is exactly the re-sweep/crash-
+          // restore collision the probe exists for, and a skipped key
+          // counts 0 (the honest newly-landed metric).
+          if (Spool.writeAtomicAt(fs, root,
+              lines.map(_ + "\n").mkString.getBytes(UTF_8), keyHash(key),
+              mayExist = true))
+            landed += lines.size
         }
+        if (swept.nonEmpty) persistCheckpoint()
+      } catch {
+        case e: Throwable =>
+          try poller.restore(preSweep)
+          catch { case r: Throwable => e.addSuppressed(r) }
+          throw e
       }
-      if (swept.nonEmpty) persistCheckpoint()
-      (swept.map(_._2.size).sum, swept.size)
+      (landed, swept.size)
     }
 
     /** Atomic checkpoint replace (the Fs.publishVersion dance): complete

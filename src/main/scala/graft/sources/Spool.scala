@@ -58,22 +58,45 @@ object Spool {
     * JVM/process-crash durability (power-loss durability needs a
     * syncing FS). */
   def writeRecord(fs: FileSystem, root: Path, line: String): Unit =
-    writeAtomic(fs, root, (line + "\n").getBytes(UTF_8))
+    writeAtomicAt(fs, root, (line + "\n").getBytes(UTF_8),
+      java.util.UUID.randomUUID().toString, mayExist = false)
 
-  /** The atomic-write dance both spool modes share: hidden `.tmp`
-    * create + write + hsync + rename-or-throw. One copy, so a fix to
-    * the durability-critical sequence reaches every producer. */
-  private def writeAtomic(fs: FileSystem, root: Path, bytes: Array[Byte]): Unit = {
-    val unique = java.util.UUID.randomUUID().toString
+  /** The atomic-write dance every spool producer shares (per-record,
+    * segment, the S3 bridge's per-key landing): hidden `.tmp` create +
+    * write + hsync + rename-or-throw, landing `spool-<unique>.ndjson`.
+    * One copy, so a fix to the durability-critical sequence reaches
+    * every producer. Returns true when THIS call made `dst` exist,
+    * false when a previous attempt (or a previous process incarnation,
+    * for deterministic names) had already landed it — the honest
+    * "newly written" signal idempotent callers count.
+    *
+    * The NAME comes from the caller so a RETRY can re-run the attempt
+    * under the SAME destination: a remote FS can fail the rename RPC
+    * after the rename actually applied, and a retry minting a fresh
+    * UUID would land the identical batch under a second path — which
+    * the consumer's path-keyed dedup cannot see (every record doubles).
+    * Under one name the retry is idempotent: dst already present =
+    * the previous attempt won (content is identical by construction),
+    * done. The tmp create overwrites for the same reason — it may be
+    * this writer's own half-written previous attempt. `mayExist` gates
+    * the up-front exists() probe: a first attempt under a fresh UUID
+    * can never collide, and the probe would cost one metadata RPC per
+    * record on a path that is already fsync-bound — only retries and
+    * deterministic-name re-sweeps pay it. */
+  private[sources] def writeAtomicAt(fs: FileSystem, root: Path,
+                                     bytes: Array[Byte], unique: String,
+                                     mayExist: Boolean): Boolean = {
     val tmp = new Path(root, s".spool-$unique.tmp")
     val dst = new Path(root, s"spool-$unique.ndjson")
-    val out = fs.create(tmp, false)
+    if (mayExist && fs.exists(dst)) return false // an earlier attempt applied
+    val out = fs.create(tmp, true)
     try {
       out.write(bytes)
       out.hsync()
     } finally out.close()
-    if (!fs.rename(tmp, dst))
+    if (!fs.rename(tmp, dst) && !fs.exists(dst))
       throw new java.io.IOException(s"spool rename failed: $dst")
+    true
   }
 
   /** Checkpoint-recoverable reader over a spool directory (one string
@@ -210,6 +233,14 @@ object Spool {
                                  flushRetryBackoffMillis: Long = 50) {
     require(maxRecords > 0 && maxDelayMillis > 0 && flushAttempts > 0 &&
       flushRetryBackoffMillis > 0, s"bad segment policy: $this")
+    /** Worst-case total retry sleep for one batch (backoff × attempt,
+      * summed): every deadline that brackets a flush — the appendSync
+      * ack timeout, close()'s drain join, an owning server's shutdown
+      * drain — must sit ABOVE this, or a legal retry config turns
+      * transiently-failing batches into timeouts whose records then
+      * land anyway (the manufactured-duplicate shape again). */
+    def maxRetrySleepMillis: Long =
+      flushRetryBackoffMillis * (flushAttempts.toLong * (flushAttempts - 1) / 2)
   }
 
   /** Group-commit spool writer for the WS edges — the amortized form of
@@ -250,11 +281,27 @@ object Spool {
     * 500 loudly — the per-record mode's failure contract, reached only
     * for a persistently failing FS. */
   final class SegmentWriter(fs: FileSystem, root: Path, policy: SegmentPolicy,
-                            onDurable: Int => Unit) {
+                            onDurable: Int => Unit,
+                            stallFloorMs: Long = 10000L) {
     private type Entry = (String, java.util.concurrent.CompletableFuture[Void])
     private val queue = new java.util.concurrent.LinkedBlockingQueue[Entry]()
     @volatile private var failure: Throwable = null
     @volatile private var closing = false
+    // liveness heartbeat, NOT a completion signal: touched at every idle
+    // poll, batch start, and write attempt, so the gap only grows while
+    // the flusher is stuck inside one FS call or one retry sleep. Every
+    // deadline below is a bound on THIS gap, never on total drain time —
+    // a deep queue may legally hold many batches, each entitled to the
+    // full retry budget, and a total-time bound would declare the writer
+    // hung mid-recovery (its records then land anyway: the manufactured-
+    // duplicate shape the deadlines exist to prevent).
+    @volatile private var lastProgressNanos = System.nanoTime()
+    private def touch(): Unit = lastProgressNanos = System.nanoTime()
+
+    /** Milliseconds since the flusher last showed life (see the heartbeat
+      * note above). Owning servers use it to keep their shutdown drains
+      * progress-based (HttpServerJack.stop). */
+    def progressGapMs: Long = (System.nanoTime() - lastProgressNanos) / 1000000L
 
     private val flusher = new Thread(() => {
       val ms = java.util.concurrent.TimeUnit.MILLISECONDS
@@ -265,6 +312,7 @@ object Spool {
       while (!closing || !queue.isEmpty) {
         try {
           batch.clear()
+          touch() // idle polling is liveness
           val first = queue.poll(policy.maxDelayMillis, ms)
           if (first != null) {
             batch.add(first)
@@ -291,12 +339,22 @@ object Spool {
             // FS error must fail (at most) this batch, not every request
             // until process restart. Exhausted retries fall through to
             // the outer catch, which keeps the loud-poison contract.
+            // ONE name across attempts: an ambiguous failure (rename RPC
+            // lost after applying) retried under a fresh UUID would land
+            // the batch twice (see writeAtomicAt). NonFatal only — an
+            // interrupt or VM error must propagate, not sleep-and-retry.
+            val unique = java.util.UUID.randomUUID().toString
             var attempt = 1
             var written = false
             while (!written) {
-              try { writeAtomic(fs, root, bytes); written = true }
-              catch {
-                case _: Throwable if attempt < policy.flushAttempts =>
+              touch() // each attempt (first or retry) is liveness
+              try {
+                writeAtomicAt(fs, root, bytes, unique,
+                  mayExist = attempt > 1) // only a retry can collide
+                written = true
+              } catch {
+                case e if attempt < policy.flushAttempts &&
+                    scala.util.control.NonFatal(e) =>
                   Thread.sleep(policy.flushRetryBackoffMillis * attempt)
                   attempt += 1
               }
@@ -343,32 +401,41 @@ object Spool {
       * the flusher's failure so the producer drops loudly. */
     def append(line: String): Unit = enqueue((line, null))
 
-    /** The ack deadline: generous floor, and always safely ABOVE the
-      * gather window — a sparse feed legitimately holds a lone record
-      * for the full maxDelayMillis, and timing out below that would
-      * 500 a request whose record then lands anyway (a guaranteed
-      * duplicate on every quiet-period request). Public so an owning
-      * server sizes its shutdown drain ABOVE it (an in-flight
-      * appendSync waiter cut off below this deadline is the same
-      * manufactured duplicate). */
+    /** The ack NO-PROGRESS deadline: generous floor, always safely ABOVE
+      * the longest legal heartbeat gap — a sparse feed legitimately
+      * holds a lone record for maxDelayMillis, and a transiently-failing
+      * flush legitimately sleeps up to its longest single retry backoff;
+      * only a genuinely hung FS call outgrows this. It deliberately does
+      * NOT bound total wait: a waiter's batch may queue behind several
+      * batches each burning the full retry budget, and cutting it off
+      * mid-recovery would 500 a request whose record then lands anyway
+      * (a guaranteed duplicate). Public so an owning server keeps its
+      * shutdown drain progress-based against the same gap (an in-flight
+      * appendSync waiter interrupted while the flusher is live is the
+      * same manufactured duplicate). */
     val ackTimeoutMs: Long =
-      math.max(30000L, policy.maxDelayMillis * 3)
+      math.max(30000L, policy.maxDelayMillis * 3) + policy.maxRetrySleepMillis
 
     /** Enqueue one normalized line and BLOCK until its batch is durable
       * — the group-commit ack path: the caller may acknowledge its peer
       * the moment this returns. Throws on flush failure (answer 5xx /
-      * drop, peer retries) and after [[ackTimeoutMs]] of no progress (a
-      * hung FS must not hold requests open forever). */
+      * drop, peer retries) and after [[ackTimeoutMs]] without flusher
+      * PROGRESS (a hung FS must not hold requests open forever; a live
+      * flusher draining a deep queue legitimately takes longer). */
     def appendSync(line: String): Unit = {
       val fut = new java.util.concurrent.CompletableFuture[Void]()
       enqueue((line, fut))
-      try fut.get(ackTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
-      catch {
-        case e: java.util.concurrent.ExecutionException =>
-          throw new java.io.IOException("spool segment flush failed", e.getCause)
-        case _: java.util.concurrent.TimeoutException =>
-          throw new java.io.IOException(
-            s"spool segment flush timed out (${ackTimeoutMs}ms)")
+      var done = false
+      while (!done) {
+        try { fut.get(250, java.util.concurrent.TimeUnit.MILLISECONDS); done = true }
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw new java.io.IOException("spool segment flush failed", e.getCause)
+          case _: java.util.concurrent.TimeoutException =>
+            if (progressGapMs > ackTimeoutMs)
+              throw new java.io.IOException(
+                s"spool segment flush stalled (no flusher progress in ${ackTimeoutMs}ms)")
+        }
       }
     }
 
@@ -376,15 +443,27 @@ object Spool {
       * stored flush failure and refuses to report a clean shutdown when
       * the flusher failed to drain — the failure contract otherwise
       * delivers via the NEXT append, which never comes at shutdown, and
-      * a silent close would vanish the very tail it promises to land. */
+      * a silent close would vanish the very tail it promises to land.
+      * The drain is PROGRESS-based, not total-time-bounded: the tail may
+      * hold several batches, each entitled to the full retry budget, and
+      * a fixed overall bound would declare the writer hung while it was
+      * mid-recovery — with its records landing after the throw. The hang
+      * threshold is the longest legal heartbeat gap (one retry sleep +
+      * one write attempt, floored at `stallFloorMs`); enqueue's closing
+      * guard caps the queue at close time, so a live flusher always
+      * drains it in finitely many touched attempts. */
     def close(): Unit = {
       closing = true
-      flusher.join(10000)
+      val stallMs =
+        stallFloorMs + policy.flushRetryBackoffMillis * (policy.flushAttempts - 1)
+      while (flusher.isAlive && progressGapMs <= stallMs)
+        flusher.join(math.min(stallMs, 100L))
       val f = failure
       if (f != null)
         throw new java.io.IOException("spool segment flush failed", f)
       if (flusher.isAlive)
-        throw new java.io.IOException("spool segment flusher did not drain in 10s")
+        throw new java.io.IOException(
+          s"spool segment flusher stalled (no progress in ${stallMs}ms)")
       if (!queue.isEmpty) // belt-and-braces vs the enqueue race guard
         throw new java.io.IOException(
           s"spool segment writer closed with ${queue.size()} unflushed records")

@@ -39,8 +39,14 @@ final class MeterListener(
   private val startTimes = new ConcurrentHashMap[String, java.lang.Long]()
   @volatile private var tripped: Option[String] = None
 
-  def count(name: String): Long =
-    gauges.get(name).map(_()).getOrElse(counters.getOrElse(name, 0L))
+  def count(name: String): Long = gauges.get(name) match {
+    // a gauge that starts throwing (its component was stopped) degrades
+    // to the last snapshot instead of breaking the read
+    case Some(f) =>
+      try f()
+      catch { case scala.util.control.NonFatal(_) => counters.getOrElse(name, 0L) }
+    case None => counters.getOrElse(name, 0L)
+  }
 
   /** Register a live component counter under `name` (a cumulative value,
     * e.g. an AtomicLong's get): reads through [[count]] are current, and
@@ -96,8 +102,14 @@ final class MeterListener(
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress
     // component gauges: snapshot the live values (SET, not bump — each
-    // sample is the cumulative count) so meter dumps carry them
-    gauges.foreach { case (n, f) => counters.put(n, f()) }
+    // sample is the cumulative count) so meter dumps carry them. Each
+    // sample is guarded: one throwing gauge (stopped component) must not
+    // abort the rate meters, the observed fold, or — worst — the A5
+    // trip policy below, which would silently disable monitor shutdown
+    gauges.foreach { case (n, f) =>
+      try counters.put(n, f())
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     // rate meters (A3): processed-per-second + peak
     peakMax("processedPerSecond", p.processedRowsPerSecond)
     bump("inputRows", p.numInputRows)

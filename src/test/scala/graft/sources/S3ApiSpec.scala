@@ -458,10 +458,28 @@ class S3ApiSpec extends SparkSpec {
       val (sfs, sroot) = Spool.open(spark, spool)
       assert(sfs.delete(new org.apache.hadoop.fs.Path(sroot, "_bridge-checkpoint"), false))
       val b3 = bridge()
-      assert(b3.pollOnce() == (5, 5), "checkpointless restart must re-sweep all")
+      // (0, 5): all five keys re-sweep but every deterministic path
+      // already exists — an HONEST landing count, not lines-per-sweep
+      assert(b3.pollOnce() == (0, 5), "checkpointless restart must re-sweep all")
       consume(b3)
       assert(sunk() == Seq("k010", "k020", "k025", "k030", "k040"),
         "re-landed paths must not re-ship")
+      // a LANDING failure rolls the in-memory cursor back to the
+      // pre-sweep checkpoint: the key stays sweepable, otherwise the
+      // next successful sweep would persist a checkpoint past it and
+      // make the loss durable. Force the failure by planting a
+      // DIRECTORY at the key's deterministic tmp path.
+      put("k050")
+      val sha = java.security.MessageDigest.getInstance("SHA-1")
+        .digest("in/k050.ndjson".getBytes(UTF_8)).map(b => f"$b%02x").mkString
+      val blocker = new java.io.File(spool, s".spool-$sha.tmp")
+      assert(blocker.mkdir(), s"could not plant $blocker")
+      intercept[java.io.IOException](b3.pollOnce())
+      assert(blocker.delete())
+      assert(b3.pollOnce() == (1, 1),
+        "the failed sweep's key must be re-swept after the land failure")
+      consume(b3)
+      assert(sunk() == Seq("k010", "k020", "k025", "k030", "k040", "k050"))
     } finally s.close()
   }
 

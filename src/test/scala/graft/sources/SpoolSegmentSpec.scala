@@ -75,4 +75,40 @@ class SpoolSegmentSpec extends SparkSpec {
     intercept[java.io.IOException](w.close())
     assert(ndjsonCount(dir) == 0)
   }
+
+  test("close() drains a MULTI-batch tail where each batch burns its full " +
+    "retry budget: the drain is progress-based, so cumulative legal " +
+    "retries far past any single batch's budget must not trip the hang " +
+    "detector — and every record still lands") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-seg-drain").toString
+    val (inner, root) = Spool.open(spark, dir)
+    // every batch fails its first two create() attempts and lands on the
+    // third — a rolling brownout, not a single hiccup
+    val creates = new AtomicInteger(0)
+    val fs = new FilterFileSystem(inner) {
+      override def create(f: Path, overwrite: Boolean): FSDataOutputStream = {
+        if (creates.getAndIncrement() % 3 < 2)
+          throw new java.io.IOException("transient FS error (injected)")
+        super.create(f, overwrite)
+      }
+    }
+    val durable = new AtomicInteger(0)
+    val w = new Spool.SegmentWriter(fs, root,
+      Spool.SegmentPolicy(maxRecords = 1, maxDelayMillis = 5,
+        flushAttempts = 3, flushRetryBackoffMillis = 300),
+      n => { durable.addAndGet(n); () },
+      stallFloorMs = 200L)
+    (1 to 4).foreach(i => w.append(s"""{"id":$i}"""))
+    // total legal drain ≈ 4 batches × (300+600)ms retry sleep ≈ 3.6 s —
+    // far above the single-batch bound (stallFloor + maxRetrySleep =
+    // 1.1 s) a fixed-deadline close would allow, while no single
+    // heartbeat gap exceeds stallFloor + longest backoff (0.8 s)
+    w.close()
+    assert(durable.get() == 4, s"durable=${durable.get()}")
+    assert(ndjsonCount(dir) == 4)
+    val lines = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".ndjson"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines()).sorted.toSeq
+    assert(lines == (1 to 4).map(i => s"""{"id":$i}"""), s"lines=$lines")
+  }
 }
