@@ -1,0 +1,139 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.SparkSpec
+
+/** Seeded randomized model of [[S3.NdjsonSpoolBridge]] — the durable
+  * listing→spool edge under every fault the bridge claims to survive,
+  * interleaved at random rather than one scripted case each
+  * (`reader.go:199-272` is the reference Serve loop this hardens):
+  *
+  *  - landing failures mid-sweep (a directory planted at the key's
+  *    deterministic tmp path makes exactly that key's landing throw) —
+  *    exercising the pollOnce CURSOR ROLLBACK: the failed sweep's keys
+  *    must stay sweepable, or the next successful sweep's checkpoint
+  *    would make the loss durable;
+  *  - process crashes (a fresh bridge instance restoring the persisted
+  *    checkpoint);
+  *  - checkpoint loss (crash before the first persist survived);
+  *  - checkpoint ROLLBACK to any earlier snapshot (the atomic-replace
+  *    dance guarantees some legal previous state, never a torn one —
+  *    re-sweeping from any older cursor must be invisible downstream).
+  *
+  * The invariant, regardless of interleaving: after the faults clear and
+  * the poller quiesces, the spool holds EXACTLY one file per put object
+  * with exactly that object's lines — the path-keyed exactly-once the
+  * consumer relies on — and a full checkpoint-loss re-sweep lands 0 new
+  * lines (the honest landing count across crash-restores). */
+class S3BridgeModelSpec extends SparkSpec {
+
+  private def sha1(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s.getBytes(UTF_8)).map(b => f"$b%02x").mkString
+
+  test("seeded model: puts × landing failures × crashes × checkpoint " +
+    "loss/rollback — the spool converges to exactly one file per object") {
+    var landFailures = 0
+    var restarts = 0
+    var ckptRollbacks = 0
+    for (seed <- 0 until 12) {
+      val rnd = new scala.util.Random(seed)
+      val s = new MiniS3Server("graft-bucket")
+      try {
+        val spool = java.nio.file.Files
+          .createTempDirectory(s"graft-bridge-model-$seed").toString
+        val cfg = S3.S3Config(s.endpoint, "graft-bucket",
+          accessKey = "", secretKey = "")
+        val http = new S3.S3Http(cfg)
+        def mkBridge() = new S3.NdjsonSpoolBridge(spark, new S3.S3Http(cfg),
+          "in/", spool, pageSize = 1 + rnd.nextInt(3),
+          lookbackKeys = 64) // window ≥ pool: any arrival order is legal
+        var bridge = mkBridge()
+        // checkpoint manipulation goes through the SAME Hadoop FS the
+        // bridge uses: the local FS is checksummed, and a direct
+        // java.nio write would desync the .crc sidecar into a
+        // ChecksumException no real crash/rollback produces
+        val (hfs, hroot) = Spool.open(spark, spool)
+        val ckptPath = new org.apache.hadoop.fs.Path(hroot, "_bridge-checkpoint")
+        def ckptExists = hfs.exists(ckptPath)
+        def ckptRead(): Array[Byte] = {
+          val in = hfs.open(ckptPath)
+          try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+        }
+        def ckptWrite(b: Array[Byte]): Unit = {
+          val out = hfs.create(ckptPath, true)
+          try out.write(b) finally out.close()
+        }
+        val ckptSnapshots = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+        val putKeys = scala.collection.mutable.ArrayBuffer[String]()
+        val pool = rnd.shuffle((0 until 24).toVector) // arrival ≠ key order
+        var nextPut = 0
+        def blockerFor(i: Int) = new java.io.File(spool,
+          s".spool-${sha1(f"in/k$i%03d.ndjson")}.tmp")
+        val blocked = scala.collection.mutable.Set[Int]()
+        for (_ <- 0 until 60) rnd.nextInt(6) match {
+          case 0 | 1 if nextPut < pool.size => // arrival
+            val i = pool(nextPut); nextPut += 1
+            http.putObject(f"in/k$i%03d.ndjson", s"""{"k":$i}""".getBytes(UTF_8))
+            putKeys += f"in/k$i%03d.ndjson"
+          case 2 => // a landing fault appears on a random pool member
+            val i = pool(rnd.nextInt(pool.size))
+            if (blocked.add(i) && !blockerFor(i).mkdir()) blocked.remove(i)
+          case 3 => // a fault clears
+            blocked.headOption.foreach { i =>
+              blocked.remove(i); blockerFor(i).delete()
+            }
+          case 4 => // poll; a blocked key's sweep throws and ROLLS BACK
+            try bridge.pollOnce()
+            catch { case _: java.io.IOException => landFailures += 1 }
+          case _ => // crash-restart, sometimes with checkpoint loss/rollback
+            if (ckptExists) ckptSnapshots += ckptRead()
+            rnd.nextInt(3) match {
+              case 0 if ckptExists => // crash before 1st persist
+                assert(hfs.delete(ckptPath, false))
+              case 1 if ckptSnapshots.nonEmpty => // stale-but-legal cursor
+                ckptWrite(ckptSnapshots(rnd.nextInt(ckptSnapshots.size)))
+                ckptRollbacks += 1
+              case _ => ()
+            }
+            bridge = mkBridge()
+            restarts += 1
+        }
+        // faults clear; the Serve loop catches up to quiescence
+        blocked.foreach(i => blockerFor(i).delete())
+        blocked.clear()
+        var idle = 0
+        var polls = 0
+        while (idle < 2) {
+          polls += 1 // bounded: a re-sweep regression must FAIL, not hang
+          assert(polls <= 200, s"seed=$seed: no quiescence after 200 polls")
+          if (bridge.pollOnce()._2 == 0) idle += 1 else idle = 0
+        }
+        // exactly one spool file per put object, holding exactly its line
+        val files = Option(new java.io.File(spool).listFiles())
+          .getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".ndjson")).map(_.getName).sorted.toSeq
+        val want = putKeys.map(k => s"spool-${sha1(k)}.ndjson").sorted.toSeq
+        assert(files == want,
+          s"seed=$seed: spool diverged\n  got  $files\n  want $want")
+        putKeys.foreach { k =>
+          val f = new java.io.File(spool, s"spool-${sha1(k)}.ndjson")
+          val lines = scala.io.Source.fromFile(f).getLines().toSeq
+          val i = k.stripPrefix("in/k").stripSuffix(".ndjson").toInt
+          assert(lines == Seq(s"""{"k":$i}"""), s"seed=$seed $k: $lines")
+        }
+        // total checkpoint loss: the full re-sweep is pure exists-skip —
+        // every path re-lands deterministically, ZERO lines count as new
+        if (ckptExists) assert(hfs.delete(ckptPath, false))
+        val fresh = mkBridge()
+        assert(fresh.pollOnce() == (0, putKeys.size),
+          s"seed=$seed: checkpointless re-sweep was not a no-op")
+      } finally s.close()
+    }
+    // the model must have exercised every fault class
+    assert(landFailures > 0, "no seed hit a landing failure")
+    assert(restarts > 0, "no seed crashed the bridge")
+    assert(ckptRollbacks > 0, "no seed rolled a checkpoint back")
+  }
+}

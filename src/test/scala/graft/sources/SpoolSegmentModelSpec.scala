@@ -1,0 +1,133 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
+
+import org.apache.hadoop.fs.{FilterFileSystem, FSDataOutputStream, Path}
+
+import graft.SparkSpec
+
+/** Seeded randomized model of [[Spool.SegmentWriter]] — the group-commit
+  * WAL under the fault classes its design talks about: concurrent
+  * producers (blocking appendSync + fire-and-forget append), transient
+  * create() failures inside the retry budget, and AMBIGUOUS renames (the
+  * rename applied, then the "RPC" failed — the remote-FS failure a
+  * fresh-UUID retry would turn into a silent duplicate). Each seed draws
+  * a policy, failure rates, and a producer mix, then checks the
+  * invariants that hold REGARDLESS of where the faults landed:
+  *
+  *  1. no line is ever durable twice (the manufactured-duplicate lock —
+  *     same-name retries + the mayExist probe make retries idempotent);
+  *  2. every record whose appendSync RETURNED is on disk (the ack
+  *     contract: a 2xx answered off this call must survive);
+  *  3. on a clean close (no exhausted budget anywhere): every record —
+  *     acked or fire-and-forget — is durable, the onDurable counter
+  *     equals the on-disk line count exactly, and no producer ever saw
+  *     an error;
+  *  4. on a poisoned run, close() is LOUD (throws).
+  */
+class SpoolSegmentModelSpec extends SparkSpec {
+
+  private def allLines(dir: String): Seq[String] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".ndjson")).toSeq
+      .flatMap(f => scala.io.Source.fromFile(f).getLines())
+
+  test("seeded model: producers × transient creates × ambiguous renames — " +
+    "acked ⇒ durable, nothing ever doubles, clean close ⇒ complete + " +
+    "exactly counted, poisoned close ⇒ loud") {
+    var cleanRuns = 0
+    var poisonedRuns = 0
+    var ambigInjected = 0
+    for (seed <- 0 until 25) {
+      val rnd = new scala.util.Random(seed)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-seg-model-$seed").toString
+      val (inner, root) = Spool.open(spark, dir)
+      var createFailPpm = rnd.nextInt(300000) // up to 30% of creates
+      var renameAmbigPpm = rnd.nextInt(200000) // up to 20% of renames
+      // two dedicated regimes: whether a RANDOM seed poisons (or draws an
+      // ambiguous rename at all) depends on how many flushes form under
+      // thread scheduling, so both regimes are also FORCED once —
+      // deterministically, independent of machine load
+      if (seed == 0) { createFailPpm = 1000000; renameAmbigPpm = 0 } // poison
+      if (seed == 1) { createFailPpm = 0; renameAmbigPpm = 1000000 } // ambig, clean
+      val frnd = new scala.util.Random(seed * 31 + 7)
+      val ambig = new AtomicInteger(0)
+      val fs = new FilterFileSystem(inner) {
+        override def create(f: Path, overwrite: Boolean): FSDataOutputStream = {
+          if (frnd.synchronized(frnd.nextInt(1000000)) < createFailPpm)
+            throw new java.io.IOException("transient create (injected)")
+          super.create(f, overwrite)
+        }
+        override def rename(src: Path, dst: Path): Boolean = {
+          val applied = super.rename(src, dst)
+          // the ambiguous class: APPLIED, then the answer was lost —
+          // thrown only on success so the model knows the file exists
+          if (applied &&
+              frnd.synchronized(frnd.nextInt(1000000)) < renameAmbigPpm) {
+            ambig.incrementAndGet()
+            throw new java.io.IOException(
+              "ambiguous rename (injected: applied, RPC answer lost)")
+          }
+          applied
+        }
+      }
+      val policy = Spool.SegmentPolicy(
+        maxRecords = 1 + rnd.nextInt(8),
+        maxDelayMillis = 1 + rnd.nextInt(5),
+        flushAttempts = 2 + rnd.nextInt(2), // ≥2: one retry so an ambiguous
+        flushRetryBackoffMillis = 1 + rnd.nextInt(3)) // rename CAN recover
+      val durable = new AtomicInteger(0)
+      val w = new Spool.SegmentWriter(fs, root, policy,
+        n => { durable.addAndGet(n); () }, stallFloorMs = 2000L)
+      val nProducers = 1 + rnd.nextInt(3)
+      val perProducer = 5 + rnd.nextInt(15)
+      val acked = ConcurrentHashMap.newKeySet[String]()
+      val fired = ConcurrentHashMap.newKeySet[String]()
+      val sawError = new AtomicBoolean(false)
+      val threads = (0 until nProducers).map { p =>
+        new Thread(() => {
+          for (i <- 0 until perProducer) {
+            val line = s"""{"p":$p,"i":$i}"""
+            try {
+              if ((p + i) % 3 == 0) { w.append(line); fired.add(line) }
+              else { w.appendSync(line); acked.add(line) }
+            } catch { case _: java.io.IOException => sawError.set(true) }
+          }
+        }, s"producer-$p")
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      val closedClean =
+        try { w.close(); true }
+        catch { case _: java.io.IOException => false }
+      val lines = allLines(dir)
+      val onDisk = lines.toSet
+      val ctx = s"seed=$seed policy=$policy createFailPpm=$createFailPpm " +
+        s"renameAmbigPpm=$renameAmbigPpm ambig=${ambig.get()} clean=$closedClean"
+      // 1. the manufactured-duplicate lock, unconditional
+      assert(lines.size == onDisk.size,
+        s"$ctx: a record landed twice: ${lines.diff(onDisk.toSeq)}")
+      // 2. the ack contract, unconditional
+      acked.forEach { l =>
+        assert(onDisk.contains(l), s"$ctx: acked but not durable: $l")
+      }
+      if (closedClean) {
+        cleanRuns += 1
+        // 3. clean close: complete, exactly counted, error-free
+        assert(!sawError.get(), s"$ctx: clean close but a producer errored")
+        fired.forEach { l =>
+          assert(onDisk.contains(l), s"$ctx: clean close lost a fired record: $l")
+        }
+        assert(durable.get() == lines.size,
+          s"$ctx: onDurable=${durable.get()} != on-disk=${lines.size}")
+      } else poisonedRuns += 1
+      ambigInjected += ambig.get()
+    }
+    // the model must actually exercise both regimes and the ambiguous path
+    assert(cleanRuns > 0, "no seed produced a clean run")
+    assert(poisonedRuns > 0, "no seed produced a poisoned run")
+    assert(ambigInjected > 0, "no seed injected an ambiguous rename")
+  }
+}

@@ -361,6 +361,48 @@ class StreamingSpec extends SparkSpec {
     assert(listener.count("ws_client.unknown") == 0)
   }
 
+  test("a gauge that starts THROWING (its component was stopped) degrades " +
+    "to the last progress snapshot instead of breaking count(), and a " +
+    "later progress event still feeds every other meter") {
+    implicit val sqlCtx = spark.sqlContext
+    val listener = new MeterListener()
+    spark.streams.addListener(listener)
+    val live = new java.util.concurrent.atomic.AtomicLong(5)
+    val dead = new java.util.concurrent.atomic.AtomicBoolean(false)
+    listener.registerGauge("ws_client.reconnects", () => {
+      if (dead.get()) throw new IllegalStateException("component stopped")
+      live.get()
+    })
+    val mem = MemoryStream[Ev]
+    val q = mem.toDF().writeStream.format("memory").queryName("gauged")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev(1, 0), ev(2, 0))
+      q.processAllAvailable()
+      // listener callbacks are async; wait for the snapshot to land
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.count("inputRows") < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(listener.count("ws_client.reconnects") == 5)
+      dead.set(true) // the component stops; its gauge now throws
+      assert(listener.count("ws_client.reconnects") == 5,
+        "a throwing gauge must degrade to the last snapshot, not propagate")
+      // the guarded snapshot loop must not let the dead gauge abort the
+      // rate meters (or, worse, the A5 trip policy) on later progress
+      mem.addData(ev(3, 0))
+      q.processAllAvailable()
+      val d2 = System.currentTimeMillis() + 10000
+      while (listener.count("inputRows") < 3 && System.currentTimeMillis() < d2)
+        Thread.sleep(50)
+      assert(listener.count("inputRows") == 3,
+        "one dead gauge silenced the other meters")
+      assert(listener.count("ws_client.reconnects") == 5)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("A6 named timers: observeTimer durations fold to exact per-name " +
     "min/max/avg across micro-batches; driver Start/StopTimer shares the " +
     "registry and an unmatched stop reads 0") {
