@@ -293,17 +293,25 @@ final class HttpServerJack(
     // based, not total-time-bounded. Waiters queued behind several
     // transiently-failing batches legally outlast any fixed bound (each
     // batch gets the full retry budget), and interrupting them is the
-    // manufactured duplicate again — so keep waiting while the writer's
-    // flusher shows life, and shutdownNow only once it stalls (or, with
-    // no segment writer, after the fixed bound). server.stop above stays
-    // a fixed-delay connection-layer cut — the JDK API has no progress
+    // manufactured duplicate again — so keep waiting while the writer
+    // still HOLDS WORK and its flusher shows life. Both legs matter: an
+    // idle flusher heartbeats forever, so gating on the heartbeat alone
+    // would wait indefinitely for a handler hung on something other than
+    // the spool (a stuck validator round-trip) — once the writer is
+    // drained, any still-running handler gets only the fixed bound
+    // before the shutdownNow fallback. server.stop above stays a
+    // fixed-delay connection-layer cut — the JDK API has no progress
     // hook — so a brownout deeper than drainSeconds can still cut a
     // connection whose record lands (peer-retry duplicate), the same
     // residual as a crash at that moment.
-    val deadlineNs = System.nanoTime() + drainSeconds.toLong * 1000000000L
+    var idleDeadlineNs = System.nanoTime() + drainSeconds.toLong * 1000000000L
     def keepWaiting: Boolean = segmentWriter match {
-      case Some(w) => w.progressGapMs <= w.ackTimeoutMs
-      case None => System.nanoTime() < deadlineNs
+      case Some(w) if w.pendingWork =>
+        // reset the idle clock: the fixed bound applies to time spent
+        // with NO spool work outstanding, not to legal flush recovery
+        idleDeadlineNs = System.nanoTime() + drainSeconds.toLong * 1000000000L
+        w.progressGapMs <= w.ackTimeoutMs
+      case _ => System.nanoTime() < idleDeadlineNs
     }
     while (!pool.awaitTermination(1, java.util.concurrent.TimeUnit.SECONDS) &&
       keepWaiting) ()

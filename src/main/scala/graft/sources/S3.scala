@@ -841,33 +841,73 @@ object S3 {
     }
 
     /** One sweep, keyed: (key, its decoded lines) in listing order — the
-      * durable bridge ([[NdjsonSpoolBridge]]) needs the key↔lines
-      * association for its deterministic per-key spool paths.
-      * `synchronized` with [[restore]] (see there); [[checkpoint]] stays
-      * lock-free on the volatile pair. */
+      * buffering form of [[sweepKeyed]] for small feeds. Callers that
+      * land each object somewhere durable should use [[sweepKeyed]]
+      * directly: buffering materializes every fresh object's decoded
+      * lines at once, which on a LARGE unswept backlog (a bridge's first
+      * sweep over an existing prefix) is the whole prefix in driver
+      * memory. */
     def fetchKeyed(): Seq[(String, Seq[String])] = synchronized {
+      // sweepKeyed advances the cursor over every key whose `land`
+      // completed — correct when `land` makes the data DURABLE, but the
+      // buffering form only hands data to the caller on full success, so
+      // a mid-sweep throw must roll the cursor back or the buffered
+      // prefix would be marked delivered yet never delivered
+      val pre = checkpoint
+      val buf = Vector.newBuilder[(String, Seq[String])]
+      try {
+        sweepKeyed((k, lines) => buf += (k -> lines))
+        buf.result()
+      } catch {
+        case e: Throwable =>
+          try restore(pre)
+          catch { case r: Throwable => e.addSuppressed(r) }
+          throw e
+      }
+    }
+
+    /** One sweep, STREAMED: list the fresh keys, then GET + decode +
+      * `land` ONE OBJECT AT A TIME — driver memory is bounded by the
+      * largest single object, never the backlog. The cursor advances
+      * over exactly the keys whose `land` completed (in the failure
+      * case, the landed prefix): a key whose landing threw stays
+      * sweepable, and — because the advance happens only AFTER its
+      * landing — a crash/throw can never persist a cursor past an
+      * unlanded key. Returns the fresh-key count. `synchronized` with
+      * [[restore]] (see there); [[checkpoint]] stays lock-free on the
+      * volatile pair. */
+    def sweepKeyed(land: (String, Seq[String]) => Unit): Int = synchronized {
       val (floor, seen) = state
       val listed = http.listAll(prefix, floor, pageSize)
       val seenSet = seen.toSet
       val fresh = listed.filterNot(seenSet)
-      val keyed = fresh.map(k => k -> decodeNdjson(http.getObject(k), cseKey))
-      if (fresh.nonEmpty) { // advance AFTER the sweep
-        // S3's listing (and start-after) order is UTF-8 BYTE order; the
-        // floor must be chosen in the same order or a supplementary-
-        // plane key could be trimmed below the floor in UTF-16 order
-        // yet still list above it — and re-ship as a duplicate. Bytes
-        // are cached per key so the sort encodes each key once.
-        val delivered = (seen ++ fresh)
-          .map(k => (k.getBytes(java.nio.charset.StandardCharsets.UTF_8), k))
-          .sortWith((p, q) => java.util.Arrays.compareUnsigned(p._1, q._1) < 0)
-          .map(_._2)
-        state =
-          if (delivered.size > lookbackKeys) {
-            val cut = delivered.size - lookbackKeys
-            (delivered(cut - 1), delivered.drop(cut))
-          } else (floor, delivered)
+      val landedKeys = Vector.newBuilder[String]
+      try fresh.foreach { k =>
+        land(k, decodeNdjson(http.getObject(k), cseKey))
+        landedKeys += k
+      } finally {
+        // advance over what actually landed — on success all of `fresh`,
+        // after a mid-sweep throw the landed prefix (so the retrying
+        // caller re-lists only from the failure onward)
+        val done = landedKeys.result()
+        if (done.nonEmpty) {
+          // S3's listing (and start-after) order is UTF-8 BYTE order; the
+          // floor must be chosen in the same order or a supplementary-
+          // plane key could be trimmed below the floor in UTF-16 order
+          // yet still list above it — and re-ship as a duplicate. Bytes
+          // are cached per key so the sort encodes each key once.
+          val delivered = (seen ++ done)
+            .map(k => (k.getBytes(java.nio.charset.StandardCharsets.UTF_8), k))
+            .sortWith((p, q) => java.util.Arrays.compareUnsigned(p._1, q._1) < 0)
+            .map(_._2)
+          state =
+            if (delivered.size > lookbackKeys) {
+              val cut = delivered.size - lookbackKeys
+              (delivered(cut - 1), delivered.drop(cut))
+            } else (floor, delivered)
+        }
       }
-      keyed
+      fresh.size
     }
   }
 
@@ -929,23 +969,31 @@ object S3 {
       java.security.MessageDigest.getInstance("SHA-1")
         .digest(key.getBytes(UTF_8)).map(b => f"$b%02x").mkString
 
-    /** One sweep: list → idempotent per-key land → checkpoint persist.
-      * Returns (lines NEWLY landed — a re-swept key whose file already
-      * exists counts 0, so the value is an honest landing metric across
-      * crash-restores — and objects swept). Failures throw with the
-      * checkpoint not advanced ANYWHERE: fetchKeyed moves the poller's
-      * in-memory cursor, so a landing/persist failure rolls it back to
-      * the pre-sweep state before rethrowing — otherwise the retrying
-      * Serve loop would never re-sweep these keys, and the NEXT
-      * successful sweep would persist a checkpoint past them, making
-      * the loss durable (the Kafka bridge's spool-first-commit-after
-      * invariant, kept under the in-memory cursor too). */
+    // a persisted-checkpoint attempt that FAILED leaves the in-memory
+    // cursor ahead of the durable one; re-persist on the next poll even
+    // if that poll sweeps nothing, so the durable cursor converges
+    // without waiting for new data (a crash meanwhile only costs an
+    // exists-skip re-sweep, never a loss — the files already landed)
+    private var ckptDirty = false
+
+    /** One sweep: list → GET + idempotent land ONE OBJECT AT A TIME →
+      * checkpoint persist. Returns (lines NEWLY landed — a re-swept key
+      * whose file already exists counts 0, so the value is an honest
+      * landing metric across crash-restores — and objects swept).
+      * Driver memory is bounded by the largest single object
+      * ([[NdjsonPoller.sweepKeyed]]), never the backlog — the first
+      * sweep of a large existing prefix must not buffer the prefix.
+      * Failure safety needs no rollback by construction: the poller's
+      * cursor advances only over keys whose landing COMPLETED, so a
+      * landing throw leaves the failed key (and everything after it)
+      * sweepable, and the spool-first-commit-after invariant (the Kafka
+      * bridge's) holds — the persisted checkpoint can never pass an
+      * unlanded key. */
     def pollOnce(): (Int, Int) = {
-      val preSweep = poller.checkpoint
-      val swept = poller.fetchKeyed()
       var landed = 0
-      try {
-        swept.foreach { case (key, lines) =>
+      var advanced = 0 // completed land callbacks = keys the cursor passed
+      val swept =
+        try poller.sweepKeyed { (key, lines) =>
           // the shared durability-critical sequence (tmp+hsync+rename-or-
           // exists) — ONE copy for every spool producer. mayExist=true:
           // the deterministic sha1 name is exactly the re-sweep/crash-
@@ -955,15 +1003,20 @@ object S3 {
               lines.map(_ + "\n").mkString.getBytes(UTF_8), keyHash(key),
               mayExist = true))
             landed += lines.size
+          advanced += 1
+        } catch {
+          case e: Throwable =>
+            // a partial sweep still advanced the cursor over its landed
+            // prefix — the next poll must persist even if it sweeps 0
+            if (advanced > 0) ckptDirty = true
+            throw e
         }
-        if (swept.nonEmpty) persistCheckpoint()
-      } catch {
-        case e: Throwable =>
-          try poller.restore(preSweep)
-          catch { case r: Throwable => e.addSuppressed(r) }
-          throw e
+      if (swept > 0 || ckptDirty) {
+        ckptDirty = true // a throw below keeps it set for the next poll
+        persistCheckpoint()
+        ckptDirty = false
       }
-      (landed, swept.size)
+      (landed, swept)
     }
 
     /** Atomic checkpoint replace (the Fs.publishVersion dance): complete

@@ -282,11 +282,12 @@ object Spool {
     * for a persistently failing FS. */
   final class SegmentWriter(fs: FileSystem, root: Path, policy: SegmentPolicy,
                             onDurable: Int => Unit,
-                            stallFloorMs: Long = 10000L) {
+                            stallFloorMs: Long = 30000L) {
     private type Entry = (String, java.util.concurrent.CompletableFuture[Void])
     private val queue = new java.util.concurrent.LinkedBlockingQueue[Entry]()
     @volatile private var failure: Throwable = null
     @volatile private var closing = false
+    @volatile private var inFlight = false
     // liveness heartbeat, NOT a completion signal: touched at every idle
     // poll, batch start, and write attempt, so the gap only grows while
     // the flusher is stuck inside one FS call or one retry sleep. Every
@@ -303,6 +304,13 @@ object Spool {
       * progress-based (HttpServerJack.stop). */
     def progressGapMs: Long = (System.nanoTime() - lastProgressNanos) / 1000000L
 
+    /** Whether the writer still holds undurable work (queued entries or a
+      * batch mid-flush). Owning servers gate their progress-based drains
+      * on THIS, not on the heartbeat alone: an idle flusher heartbeats
+      * forever, so "writer alive" must never keep a shutdown waiting for
+      * a handler that is hung on something else entirely. */
+    def pendingWork: Boolean = inFlight || !queue.isEmpty
+
     private val flusher = new Thread(() => {
       val ms = java.util.concurrent.TimeUnit.MILLISECONDS
       val batch = new java.util.ArrayList[Entry](policy.maxRecords)
@@ -312,9 +320,11 @@ object Spool {
       while (!closing || !queue.isEmpty) {
         try {
           batch.clear()
+          inFlight = false
           touch() // idle polling is liveness
           val first = queue.poll(policy.maxDelayMillis, ms)
           if (first != null) {
+            inFlight = true
             batch.add(first)
             // gather window — the documented policy: flush when the
             // batch reaches maxRecords or the FIRST record has waited
@@ -361,12 +371,14 @@ object Spool {
             }
             onDurable(batch.size())
             batch.forEach(e => if (e._2 != null) e._2.complete(null))
+            inFlight = false // also on the exit path: the loop may not come back
           }
         } catch {
           case e: Throwable =>
             failure = e
             closing = true // stop accepting; appends now rethrow
             batch.forEach(en => if (en._2 != null) en._2.completeExceptionally(e))
+            inFlight = false
         }
       }
     }, "graft-spool-segment")
@@ -401,20 +413,20 @@ object Spool {
       * the flusher's failure so the producer drops loudly. */
     def append(line: String): Unit = enqueue((line, null))
 
-    /** The ack NO-PROGRESS deadline: generous floor, always safely ABOVE
-      * the longest legal heartbeat gap — a sparse feed legitimately
-      * holds a lone record for maxDelayMillis, and a transiently-failing
-      * flush legitimately sleeps up to its longest single retry backoff;
-      * only a genuinely hung FS call outgrows this. It deliberately does
-      * NOT bound total wait: a waiter's batch may queue behind several
-      * batches each burning the full retry budget, and cutting it off
-      * mid-recovery would 500 a request whose record then lands anyway
-      * (a guaranteed duplicate). Public so an owning server keeps its
-      * shutdown drain progress-based against the same gap (an in-flight
-      * appendSync waiter interrupted while the flusher is live is the
-      * same manufactured duplicate). */
+    /** THE no-progress deadline — the writer's single definition of "a
+      * hung FS call", shared by [[appendSync]], [[close]], and the
+      * owning servers' shutdown drains, so no path can declare the
+      * writer hung while another still deems the same gap legal (a
+      * split definition 500s/fails requests whose records then land
+      * anyway — the manufactured duplicate). Generous floor
+      * (`stallFloorMs`, default 30 s — shrink it only in tests), always
+      * safely ABOVE the longest legal heartbeat gap: a sparse feed
+      * legitimately holds a lone record for maxDelayMillis, and a
+      * transiently-failing flush legitimately sleeps the full retry
+      * budget. It deliberately does NOT bound total wait: a deep queue
+      * may hold many batches, each entitled to the full budget. */
     val ackTimeoutMs: Long =
-      math.max(30000L, policy.maxDelayMillis * 3) + policy.maxRetrySleepMillis
+      math.max(stallFloorMs, policy.maxDelayMillis * 3) + policy.maxRetrySleepMillis
 
     /** Enqueue one normalized line and BLOCK until its batch is durable
       * — the group-commit ack path: the caller may acknowledge its peer
@@ -448,22 +460,21 @@ object Spool {
       * hold several batches, each entitled to the full retry budget, and
       * a fixed overall bound would declare the writer hung while it was
       * mid-recovery — with its records landing after the throw. The hang
-      * threshold is the longest legal heartbeat gap (one retry sleep +
-      * one write attempt, floored at `stallFloorMs`); enqueue's closing
+      * threshold is [[ackTimeoutMs]] — the writer's ONE definition of a
+      * hung FS call (a tighter close-side threshold would fail shutdowns
+      * over gaps the ack path itself deems legal); enqueue's closing
       * guard caps the queue at close time, so a live flusher always
       * drains it in finitely many touched attempts. */
     def close(): Unit = {
       closing = true
-      val stallMs =
-        stallFloorMs + policy.flushRetryBackoffMillis * (policy.flushAttempts - 1)
-      while (flusher.isAlive && progressGapMs <= stallMs)
-        flusher.join(math.min(stallMs, 100L))
+      while (flusher.isAlive && progressGapMs <= ackTimeoutMs)
+        flusher.join(100L)
       val f = failure
       if (f != null)
         throw new java.io.IOException("spool segment flush failed", f)
       if (flusher.isAlive)
         throw new java.io.IOException(
-          s"spool segment flusher stalled (no progress in ${stallMs}ms)")
+          s"spool segment flusher stalled (no progress in ${ackTimeoutMs}ms)")
       if (!queue.isEmpty) // belt-and-braces vs the enqueue race guard
         throw new java.io.IOException(
           s"spool segment writer closed with ${queue.size()} unflushed records")

@@ -558,18 +558,30 @@ final class WsClientSource(spark: SparkSession, url: String,
     * a successful (re-)dial must not leave the LAST drop's reason
     * reported against a healthy connection — a stale failure signal for
     * anything monitoring it. Cleared before the dial (not after) so a
-    * new socket that drops immediately still lands its reason; a dial
-    * that fails outright throws, which is the caller's signal. */
+    * new socket that drops immediately still lands its reason. A dial
+    * that fails outright throws AND records its own reason: the up-front
+    * clear must not leave a false-healthy None behind for the rest of an
+    * outage while the supervisor flaps through failed re-dials (the
+    * inverse of the stale-reason bug the clear exists for). CAS, not
+    * set: if the embryonic socket's listener already landed a reason,
+    * that one is more specific — keep it. */
   def connect(timeoutMillis: Long = 10000): Unit = {
     closed.set(null)
     val clientBuilder = java.net.http.HttpClient.newBuilder()
     tls.foreach(cfg => clientBuilder.sslContext(Tls.sslContext(cfg)))
     val wsBuilder = clientBuilder.build().newWebSocketBuilder()
     headers.foreach { case (k, v) => wsBuilder.header(k, v) }
-    val built = wsBuilder
-      .buildAsync(URI.create(url), new Listener)
-      .orTimeout(timeoutMillis, TimeUnit.MILLISECONDS)
-      .join()
+    val built =
+      try wsBuilder
+        .buildAsync(URI.create(url), new Listener)
+        .orTimeout(timeoutMillis, TimeUnit.MILLISECONDS)
+        .join()
+      catch {
+        case e: Throwable =>
+          closed.compareAndSet(null,
+            s"dial failed: ${Option(e.getMessage).getOrElse(e.getClass.getName)}")
+          throw e
+      }
     ws.set(built)
   }
 

@@ -41,9 +41,13 @@ final class MeterListener(
 
   def count(name: String): Long = gauges.get(name) match {
     // a gauge that starts throwing (its component was stopped) degrades
-    // to the last snapshot instead of breaking the read
+    // to the last snapshot instead of breaking the read. Every
+    // SUCCESSFUL read seeds that snapshot too — a driver-side registry
+    // that never saw a progress event (no streaming query attached)
+    // must still degrade to the last live value, not to a false 0 that
+    // conflates "component stopped" with "nothing ever happened"
     case Some(f) =>
-      try f()
+      try { val v = f(); counters.put(name, v); v }
       catch { case scala.util.control.NonFatal(_) => counters.getOrElse(name, 0L) }
     case None => counters.getOrElse(name, 0L)
   }

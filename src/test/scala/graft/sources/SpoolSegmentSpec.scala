@@ -100,9 +100,10 @@ class SpoolSegmentSpec extends SparkSpec {
       stallFloorMs = 200L)
     (1 to 4).foreach(i => w.append(s"""{"id":$i}"""))
     // total legal drain ≈ 4 batches × (300+600)ms retry sleep ≈ 3.6 s —
-    // far above the single-batch bound (stallFloor + maxRetrySleep =
-    // 1.1 s) a fixed-deadline close would allow, while no single
-    // heartbeat gap exceeds stallFloor + longest backoff (0.8 s)
+    // far above the single-batch budget (ackTimeoutMs = stallFloor +
+    // maxRetrySleep = 1.1 s) a fixed-deadline close would allow, while
+    // no single heartbeat gap exceeds the longest backoff (0.6 s), so
+    // the progress-based drain must ride it out
     w.close()
     assert(durable.get() == 4, s"durable=${durable.get()}")
     assert(ndjsonCount(dir) == 4)

@@ -296,6 +296,18 @@ class WebSocketSpec extends SparkSpec {
     } finally client.stop()
   }
 
+  test("a FAILED dial records its own closeReason: an outage spent in " +
+    "failed re-dials must not read as healthy (None) just because " +
+    "connect() cleared the previous drop's reason up front") {
+    val sock = new java.net.ServerSocket(0)
+    val deadPort = sock.getLocalPort
+    sock.close() // nothing listens here any more
+    val c = new WsClientSource(spark, s"ws://127.0.0.1:$deadPort/feed")
+    intercept[Exception](c.connect(2000))
+    assert(c.closeReason.exists(_.startsWith("dial failed")),
+      s"closeReason after a failed dial: ${c.closeReason}")
+  }
+
   test("spool mode normalizes each message to ONE compact JSON line: a " +
     "pretty-printed (embedded-newline) message is one row downstream, " +
     "and a non-JSON message drops the peer instead of corrupting the spool") {

@@ -361,6 +361,23 @@ class StreamingSpec extends SparkSpec {
     assert(listener.count("ws_client.unknown") == 0)
   }
 
+  test("driver-side gauge reads seed the degraded fallback: a registry " +
+    "with NO streaming query attached still degrades a dead gauge to " +
+    "the last successfully READ value, never to a false 0") {
+    val listener = new MeterListener()
+    val v = new java.util.concurrent.atomic.AtomicLong(7)
+    val dead = new java.util.concurrent.atomic.AtomicBoolean(false)
+    listener.registerGauge("jack.rejected", () => {
+      if (dead.get()) throw new IllegalStateException("component stopped")
+      v.get()
+    })
+    assert(listener.count("jack.rejected") == 7) // a live read seeds the snapshot
+    dead.set(true) // stopped WITHOUT any progress event ever firing
+    assert(listener.count("jack.rejected") == 7,
+      "a dead gauge must degrade to the last read, not conflate " +
+        "'component stopped' with 'zero events'")
+  }
+
   test("a gauge that starts THROWING (its component was stopped) degrades " +
     "to the last progress snapshot instead of breaking count(), and a " +
     "later progress event still feeds every other meter") {
