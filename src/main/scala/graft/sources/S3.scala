@@ -847,23 +847,17 @@ object S3 {
       * lines at once, which on a LARGE unswept backlog (a bridge's first
       * sweep over an existing prefix) is the whole prefix in driver
       * memory. */
-    def fetchKeyed(): Seq[(String, Seq[String])] = synchronized {
-      // sweepKeyed advances the cursor over every key whose `land`
-      // completed — correct when `land` makes the data DURABLE, but the
-      // buffering form only hands data to the caller on full success, so
-      // a mid-sweep throw must roll the cursor back or the buffered
-      // prefix would be marked delivered yet never delivered
-      val pre = checkpoint
+    def fetchKeyed(): Seq[(String, Seq[String])] = {
+      // advancePartial = false: sweepKeyed's landed-prefix advance is
+      // only correct when `land` makes the data DURABLE, but the
+      // buffering form hands data to the caller only on full success —
+      // and the lock-free checkpoint() must NEVER observe (even
+      // transiently) a cursor past keys the caller did not receive, so
+      // the failure path must write no state at all rather than
+      // advance-then-rollback
       val buf = Vector.newBuilder[(String, Seq[String])]
-      try {
-        sweepKeyed((k, lines) => buf += (k -> lines))
-        buf.result()
-      } catch {
-        case e: Throwable =>
-          try restore(pre)
-          catch { case r: Throwable => e.addSuppressed(r) }
-          throw e
-      }
+      sweepImpl((k, lines) => buf += (k -> lines), advancePartial = false)
+      buf.result()
     }
 
     /** One sweep, STREAMED: list the fresh keys, then GET + decode +
@@ -876,16 +870,31 @@ object S3 {
       * unlanded key. Returns the fresh-key count. `synchronized` with
       * [[restore]] (see there); [[checkpoint]] stays lock-free on the
       * volatile pair. */
-    def sweepKeyed(land: (String, Seq[String]) => Unit): Int = synchronized {
+    def sweepKeyed(land: (String, Seq[String]) => Unit): Int =
+      sweepImpl(land, advancePartial = true)
+
+    /** `advancePartial`: whether a mid-sweep throw still advances the
+      * cursor over the landed prefix. True for durable `land`s
+      * ([[sweepKeyed]]); false for the buffering [[fetchKeyed]], whose
+      * failure path must write NO state — the lock-free [[checkpoint]]
+      * must never observe, even transiently, a cursor past keys the
+      * caller did not receive (advance-then-rollback would open exactly
+      * that window). */
+    private def sweepImpl(land: (String, Seq[String]) => Unit,
+                          advancePartial: Boolean): Int = synchronized {
       val (floor, seen) = state
       val listed = http.listAll(prefix, floor, pageSize)
       val seenSet = seen.toSet
       val fresh = listed.filterNot(seenSet)
       val landedKeys = Vector.newBuilder[String]
-      try fresh.foreach { k =>
-        land(k, decodeNdjson(http.getObject(k), cseKey))
-        landedKeys += k
-      } finally {
+      var ok = false
+      try {
+        fresh.foreach { k =>
+          land(k, decodeNdjson(http.getObject(k), cseKey))
+          landedKeys += k
+        }
+        ok = true
+      } finally if (ok || advancePartial) {
         // advance over what actually landed — on success all of `fresh`,
         // after a mid-sweep throw the landed prefix (so the retrying
         // caller re-lists only from the failure onward)

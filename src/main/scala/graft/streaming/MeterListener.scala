@@ -47,10 +47,24 @@ final class MeterListener(
     // must still degrade to the last live value, not to a false 0 that
     // conflates "component stopped" with "nothing ever happened"
     case Some(f) =>
-      try { val v = f(); counters.put(name, v); v }
+      try { val v = f(); snapshotGaugeMax(name, v); v }
       catch { case scala.util.control.NonFatal(_) => counters.getOrElse(name, 0L) }
     case None => counters.getOrElse(name, 0L)
   }
+
+  /** Seed/refresh a gauge's degraded-fallback snapshot MONOTONICALLY:
+    * gauges are documented cumulative (see [[registerGauge]]), and a
+    * read-then-put race between count() callers and the progress
+    * listener could otherwise overwrite a newer sample with a staler
+    * one — understating the very value the degraded path exists to
+    * preserve. CAS loop on the TrieMap's atomic primitives. */
+  @annotation.tailrec
+  private def snapshotGaugeMax(name: String, v: Long): Unit =
+    counters.putIfAbsent(name, v) match {
+      case None => ()
+      case Some(cur) =>
+        if (v > cur && !counters.replace(name, cur, v)) snapshotGaugeMax(name, v)
+    }
 
   /** Register a live component counter under `name` (a cumulative value,
     * e.g. an AtomicLong's get): reads through [[count]] are current, and
@@ -111,7 +125,7 @@ final class MeterListener(
     // abort the rate meters, the observed fold, or — worst — the A5
     // trip policy below, which would silently disable monitor shutdown
     gauges.foreach { case (n, f) =>
-      try counters.put(n, f())
+      try snapshotGaugeMax(n, f())
       catch { case scala.util.control.NonFatal(_) => () }
     }
     // rate meters (A3): processed-per-second + peak
