@@ -85,7 +85,6 @@ object Relational {
           .as("sum_disc_price"),
         (dsum("l_quantity") / count(lit(1))).as("avg_qty"),
         (dsum("l_extendedprice") / count(lit(1))).as("avg_price"))
-      .orderBy("l_returnflag", "l_linestatus")
 
   /** Q4 — error-routing split: rows failing a predicate are diverted to an
     * error route, both routes counted (T4 error channel,
@@ -98,7 +97,6 @@ object Relational {
         .otherwise("ok").as("route"), col("value"))
       .groupBy("route")
       .agg(count(lit(1)).as("n"), dsum("value").as("sum_value"))
-      .orderBy("route")
 
   /** Q5 — content-hash dedupe identity: distinct counts over sha-256 of the
     * payload (A7, `/root/reference/pkg/internal/types/element.go:28-37`,
@@ -135,7 +133,6 @@ object Relational {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select("event_type", "rn", "event_id", "value")
-      .orderBy("event_type", "rn")
   }
 
   /** Q8 — tumbling 1-minute event-time window counts (A3 rate meters,
@@ -149,7 +146,6 @@ object Relational {
       .withColumn("window_start_ns", col("ts") - (col("ts") % lit(minuteNs)))
       .groupBy("window_start_ns")
       .agg(count(lit(1)).as("n"), dsum("value").as("sum_value"))
-      .orderBy("window_start_ns")
   }
 
   /** Q9 — last-write-wins upsert by key (K4 ON CONFLICT DO UPDATE semantics,
@@ -164,7 +160,6 @@ object Relational {
       .filter(col("rn") === 1)
       .select(col("user_id"), col("event_type").as("last_type"),
         col("value").as("last_value"), expr("ts div 1000").as("last_ts_us"))
-      .orderBy("user_id")
   }
 
   /** Q10 — reader pushdown shape: WHERE + ORDER BY + LIMIT n, the generated
@@ -200,7 +195,6 @@ object Relational {
       .withColumn("pct_of_total",
         col("n").cast("double") * lit(100) / col("total_n").cast("double"))
       .drop("total_n")
-      .orderBy("o_orderpriority")
   }
 
   /** Q12 — multi-way enrichment join (Spark-native extension, SURVEY §2.7
@@ -216,7 +210,6 @@ object Relational {
       .filter(col("o_orderstatus") === "O")
       .select(col("o_orderkey"), col("c_name"), col("n_name"), col("r_name"),
         col("o_orderdate").cast("date").as("order_date"), col("o_totalprice"))
-      .orderBy("o_orderkey")
 
   /** A3 peak rate — one-pass custom TypedImperativeAggregate
     * (`org.apache.spark.sql.graft.PeakRatePerSecond`): the reference meter's
@@ -236,7 +229,7 @@ object Relational {
       .agg(count(lit(1)).as("n")).select(lit("semi").as("kind"), col("n"))
     val anti = customer.join(orderKeys, col("c_custkey") === col("o_custkey"), "left_anti")
       .agg(count(lit(1)).as("n")).select(lit("anti").as("kind"), col("n"))
-    anti.unionByName(semi).orderBy("kind")
+    anti.unionByName(semi)
   }
 
   /** Q14 — ROLLUP hierarchy totals (multi-level meters in one pass). */
@@ -244,7 +237,6 @@ object Relational {
     Tables.lineitem(spark, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), dsum("l_quantity").as("sum_qty"))
-      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
   /** Q15 — sessionization (gaps-and-islands): a new session starts after a
     * gap > 5 minutes per user. All event-time math on µs integers so the
@@ -271,7 +263,6 @@ object Relational {
     sessionLabeled(spark, dir)
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"), min("ts_us").as("start_us"), max("ts_us").as("end_us"))
-      .orderBy("user_id", "session_id")
 
   /** EV-cooccurrence — which event types travel together within a session
     * (market-basket association over [[sessionLabeled]] sessions): for
@@ -323,7 +314,6 @@ object Relational {
         expr("(n_both * 1000000 div n_a) * n_sessions div n_b"))
       .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
         col("n_b"), col("lift_ppm"))
-      .orderBy("type_a", "type_b")
   }
 
   /** EV-rollup-merge — incremental aggregate maintenance proven against
@@ -346,7 +336,6 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum("value_cents").as("sum_cents"))
     Maintenance.mergeRollups(Seq(slice(0), slice(1)),
         keys = Seq("event_type", "day"), sumCols = Seq("n", "sum_cents"))
-      .orderBy("event_type", "day")
   }
 
   /** EV-rollup-distinct — incremental EXACT distinct maintenance
@@ -370,7 +359,6 @@ object Relational {
         Maintenance.mergeDistinctRollups(Seq(slice(0), slice(1)),
           keys = Seq("day"), memberCol = "user_id"),
         keys = Seq("day"), memberCol = "user_id")
-      .orderBy("day")
   }
 
   /** Q16 — as-of attribution: each purchase joined to the user's most recent
@@ -392,7 +380,6 @@ object Relational {
     Temporal.asofJoin(purchases, views, key = "user_id", ts = "ts_us",
         rightCols = Seq("view_id", "view_ts_us"))
       .withColumn("gap_us", col("ts_us") - col("view_ts_us"))
-      .orderBy("purchase_id")
   }
 
   /** Q17 — interval×point range join: views within the 24 hours before
@@ -412,7 +399,6 @@ object Relational {
         lo = "lo_us", hi = "hi_us", ts = "ts_us", bucketWidth = winUs)
       .groupBy("purchase_id", "user_id")
       .agg(count(lit(1)).as("n_views"), max("ts_us").as("last_view_us"))
-      .orderBy("purchase_id")
   }
 
   /** Q18 — dispersion meters (variance/stddev as an A2/A4 extension): exact
@@ -434,7 +420,6 @@ object Relational {
           col("sx_cents").cast("double") * col("sx_cents").cast("double") / col("n").cast("double"))
           / (col("n").cast("double") - lit(1.0)) / lit(10000.0))
       .withColumn("stddev_value", sqrt(col("var_value")))
-      .orderBy("event_type")
   }
 
   /** Q19 — CUBE hierarchy totals (all four grouping combinations in one
@@ -443,7 +428,6 @@ object Relational {
     Tables.lineitem(spark, dir)
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), dsum("l_quantity").as("sum_qty"))
-      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
   /** Q20 — pivot: per-user event-type counts as columns (`Dataset.pivot`
     * with an explicit value list so the plan is a single pass — no
@@ -456,7 +440,6 @@ object Relational {
       .pivot("event_type", types)
       .agg(count(lit(1)))
       .select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
-      .orderBy("user_id")
   }
 
   /** Q19 — salted two-phase aggregation over the skewed event_type key
@@ -467,7 +450,6 @@ object Relational {
   def q19SkewAgg(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Skew.saltedStats(Tables.events(spark, dir),
         "event_type", "value", salts = 8)
-      .orderBy("event_type")
 
   /** Q20 — inter-event gaps via lag over (user, time): the event-time
     * deltas a funnel/latency analysis needs. µs resolution on both sides
@@ -483,7 +465,6 @@ object Relational {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_gaps"), min("gap_us").as("min_gap_us"),
         max("gap_us").as("max_gap_us"), sum("gap_us").as("sum_gap_us"))
-      .orderBy("event_type")
   }
 
   /** A7 approximate variant — HLL distinct users per event type next to
@@ -499,7 +480,6 @@ object Relational {
       .groupBy("event_type")
       .agg(countDistinct("user_id").as("n_exact"),
         approx_count_distinct("user_id", rsd = 0.02).as("n_approx"))
-      .orderBy("event_type")
 
   /** Q21 — set operators: customers with urgent orders ∩ customers with
     * finished orders ∖ customers with any jumbo order. INTERSECT/EXCEPT
@@ -512,7 +492,6 @@ object Relational {
     keys(col("o_orderpriority") === "1-URGENT")
       .intersect(keys(col("o_orderstatus") === "F"))
       .except(keys(col("o_totalprice") > 400000))
-      .orderBy("o_custkey")
   }
 
   /** Q22 — moving aggregate over a row frame: per-user 3-event moving sum
@@ -530,7 +509,6 @@ object Relational {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("mov3").as("sum_mov3"),
         max("mov3").as("max_mov3"))
-      .orderBy("event_type")
   }
 
   /** Q23 — exact percentiles (median / p90) of the value distribution per
@@ -545,7 +523,6 @@ object Relational {
       .groupBy("event_type")
       .agg(expr("percentile(cents, 0.5)").as("p50_cents"),
         expr("percentile(cents, 0.9)").as("p90_cents"))
-      .orderBy("event_type")
 
   /** The sketch tier of [[q23Percentiles]] — `approx_percentile` over the
     * same cents integers, fixed accuracy 10000 (rank error ≤ n/10000 per
@@ -564,7 +541,6 @@ object Relational {
       .groupBy("event_type")
       .agg(expr("approx_percentile(cents, 0.5, 10000)").as("p50_cents"),
         expr("approx_percentile(cents, 0.9, 10000)").as("p90_cents"))
-      .orderBy("event_type")
 
   /** EV-anomaly — robust per-type outlier detection: median + MAD over
     * integer cents, and the count of events past the standard robust
@@ -615,7 +591,6 @@ object Relational {
         max("mad_cents").as("mad_cents"),
         sum(when(abs(col("c") - col("med_cents")) * 10000 >
           col("mad_cents") * 51891, col("cnt")).otherwise(0L)).as("n_outliers"))
-      .orderBy("event_type")
   }
 
   /** Q24 — ranking-window suite: ntile / percent_rank / cume_dist / lag
@@ -642,7 +617,6 @@ object Relational {
         sum("cd_ppm").as("sum_cd_ppm"),
         coalesce(sum("delta_cents"), lit(0L)).as("sum_delta_cents"),
         max("q4").cast("long").as("max_q4"))
-      .orderBy("event_type")
   }
 
   /** The funnel's conversion window. */
@@ -711,7 +685,6 @@ object Relational {
       .withColumn("cohort_day", min("day").over(w))
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
       .agg(countDistinct("user_id").as("n_users"))
-      .orderBy("cohort_day", "day_offset")
   }
 
   /** EV-trending — recency-decayed activity ranking: each event weighs
@@ -739,7 +712,6 @@ object Relational {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("w_ppm").as("trend_ppm"),
         sum(col("w_ppm") * col("cents")).as("trend_cents_ppm"))
-      .orderBy(desc("trend_ppm"), asc("event_type"))
   }
 
   /** EV-transitions — first-order path analysis: per-user event-type
@@ -759,7 +731,6 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .withColumn("p_ppm",
         expr("n * 1000000 div sum(n) over (partition by from_type)"))
-      .orderBy("from_type", "to_type")
   }
 
   /** Q25 — correlated-subquery shape (TPC-H Q17's skeleton): lineitems
@@ -853,7 +824,6 @@ object Relational {
       .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_cust"), sum("bal_cents").as("sum_bal_cents"))
-      .orderBy("c_mktsegment")
   }
 
   /** Q28 — key-skew report over the event stream: the distribution facts
@@ -931,7 +901,6 @@ object Relational {
       .withColumn("r_sign", signum(col("cov_s")).cast("int"))
       .select(col("event_type"), col("lag"), col("n_pairs"), col("cov_s"),
         col("r2_ppm"), col("r_sign"))
-      .orderBy("event_type", "lag")
   }
 
   /** DS-range-bounds — the planning step of a globally-sorted publish:
@@ -953,7 +922,6 @@ object Relational {
       .groupBy("shard")
       .agg(count(lit(1)).as("n_rows"),
         min("user_id").as("min_key"), max("user_id").as("max_key"))
-      .orderBy("shard")
   }
 
   /** Q29 — cross-nation trade volume (TPC-H Q7's skeleton): shipping
@@ -988,7 +956,6 @@ object Relational {
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy("supp_nation", "cust_nation", "l_year")
       .agg(sum(col("volume")).cast("double").as("revenue"))
-      .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
   /** EV-A/B — experiment readout over a deterministic assignment (the
@@ -1019,7 +986,6 @@ object Relational {
       .withColumn("delta_ppm", col("conv_ppm") - col("control_ppm"))
       .select(col("variant"), col("n_users"), col("n_converted"),
         col("conv_ppm"), col("delta_ppm"))
-      .orderBy("variant")
   }
 
   /** EV-RFM — recency/frequency/monetary segmentation: every user scored
@@ -1052,7 +1018,6 @@ object Relational {
       .groupBy("r", "f", "m")
       .agg(count(lit(1)).as("n_users"),
         sum("monetary_cents").as("segment_cents"))
-      .orderBy("r", "f", "m")
   }
 
   /** EV-forecast-baseline — how predictable is daily traffic? The
@@ -1076,7 +1041,6 @@ object Relational {
         sum("n").as("sum_actual"))
       .withColumn("wape_ppm",
         expr("sum_abs_err * 1000000 div greatest(sum_actual, 1)"))
-      .orderBy("event_type")
   }
 
   /** EV-new-vs-returning — the daily-actives growth split every ops
@@ -1104,7 +1068,6 @@ object Relational {
       .withColumn("n_returning", col("n_active") - col("n_new"))
       .withColumn("returning_ppm",
         expr("n_returning * 1000000 div greatest(n_active, 1)"))
-      .orderBy("day")
   }
 
   /** Q30 — disjunctive-predicate revenue (TPC-H Q19's skeleton): three
@@ -1172,7 +1135,6 @@ object Relational {
       .select(col("bal_cents"), col("s_name"), col("n_name"),
         col("l_partkey").as("p_partkey"), col("p_name"), col("price_cents"))
       .distinct()
-      .orderBy(desc("bal_cents"), asc("s_name"), asc("p_partkey"))
   }
 
   /** Q32 — qualified-supplier probe (TPC-H Q20's skeleton): suppliers in
@@ -1206,7 +1168,6 @@ object Relational {
       .join(regionNations, col("s_nationkey") === col("n_nationkey"), "left_semi")
       .join(broadcast(qualified), col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select(col("s_suppkey"), col("s_name"))
-      .orderBy("s_name")
   }
 
   /** Q33 — important-parts fraction filter (TPC-H Q11's skeleton):
@@ -1241,7 +1202,6 @@ object Relational {
     partValue.join(broadcast(total))
       .filter(col("value_cents") * 1000 > col("total_cents"))
       .select(col("l_partkey").as("p_partkey"), col("value_cents"))
-      .orderBy(desc("value_cents"), asc("p_partkey"))
   }
 
   /** Q34 — top supplier by quarter revenue, ties kept (TPC-H Q15's
@@ -1270,7 +1230,6 @@ object Relational {
       .join(broadcast(Tables.supplier(spark, dir)),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_rev_c4"))
-      .orderBy("s_suppkey")
   }
 
   /** Q35 — large-order customers (TPC-H Q18's skeleton). The classic
@@ -1326,7 +1285,6 @@ object Relational {
       .distinct()
       .groupBy("p_brand", "p_type", "p_size")
       .agg(count(lit(1)).as("supplier_cnt"))
-      .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
   }
 
   /** EV-rollup-distinct-HLL — the APPROXIMATE tier of
@@ -1352,7 +1310,6 @@ object Relational {
         Maintenance.mergeHllRollups(Seq(slice(0), slice(1)),
           keys = Seq("day"), sketchCol = "hll_user_id"),
         keys = Seq("day"), sketchCol = "hll_user_id")
-      .orderBy("day")
   }
 
   /** EV-rollup-distinct-THETA — the SET-OPERATION tier of the rollup
@@ -1394,7 +1351,6 @@ object Relational {
         col("est_odd").cast("long").as("n_odd"),
         col("est_intersection").cast("long").as("n_both"),
         col("est_only_even").cast("long").as("n_only_even"))
-      .orderBy("day")
   }
 
   /** EV-percentiles-KLL — the QUANTILE member of the rollup family
@@ -1425,7 +1381,6 @@ object Relational {
           keys = Seq("event_type", "day"), sketchCol = "kll_value"),
         keys = Seq("event_type", "day"), sketchCol = "kll_value",
         quantiles = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
-      .orderBy("event_type", "day")
   }
 
   /** EV-retention-theta — day-over-day retained / new / churned users
@@ -1469,7 +1424,6 @@ object Relational {
           .cast("long").as("n_new"),
         g.thetaEstimate(g.thetaANotB(col("sk_prev"), col("theta_user_id")))
           .cast("long").as("n_churned"))
-      .orderBy("day")
   }
 
   /** Q37 — customer order-count distribution (TPC-H Q13's skeleton,
@@ -1493,7 +1447,6 @@ object Relational {
       .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
       .groupBy("c_count")
       .agg(count(lit(1)).as("custdist"))
-      .orderBy(desc("custdist"), desc("c_count"))
   }
 
   /** Q38 — national market share (TPC-H Q8's skeleton): of the revenue
@@ -1542,7 +1495,6 @@ object Relational {
         sum(col("vol_cents")).as("total_vol_cents"))
       .withColumn("mkt_share_ppm",
         expr("nation_vol_cents * 1000000 div total_vol_cents"))
-      .orderBy("o_year")
   }
 
   /** Q39 — product-line profit by supplier nation and year (TPC-H Q9's
@@ -1581,7 +1533,6 @@ object Relational {
       .groupBy("nation", "o_year")
       .agg(count(lit(1)).as("n_items"),
         sum("profit_cents").as("profit_cents"))
-      .orderBy(asc("nation"), desc("o_year"))
   }
 
   /** Q40 — local-supplier volume (TPC-H Q5's skeleton): 1996 revenue
@@ -1619,7 +1570,6 @@ object Relational {
         col("s_nationkey") === col("c_nationkey"))
       .groupBy("n_name")
       .agg(sum(col("vol_cents")).as("revenue_cents"))
-      .orderBy(desc("revenue_cents"), asc("n_name"))
   }
 
   /** EV-gap-fill — calendar densification + forward fill, the
@@ -1653,7 +1603,6 @@ object Relational {
         when(col("hr") === col("obs_hr"), col("cents")).as("cents"),
         (col("hr") =!= col("obs_hr")).as("is_gap"),
         col("cents").as("filled_cents"))
-      .orderBy("event_type", "hr")
   }
 
   /** EV-SCD2 — slowly-changing-dimension type-2 intervals from an event
@@ -1687,7 +1636,6 @@ object Relational {
       .select(col("user_id"), col("run_id"), col("event_type"),
         col("valid_from_us"), col("valid_to_us"), col("is_current"),
         col("n_events"))
-      .orderBy("user_id", "run_id")
   }
 
   /** Q41 — GROUPING SETS with a grouping id (the multi-grain shape
@@ -1712,8 +1660,6 @@ object Relational {
         count(lit(1)).as("n"), sum("qty_cents").as("sum_qty_cents"))
       .select(col("gid"), col("l_returnflag"), col("l_linestatus"),
         col("n"), col("sum_qty_cents"))
-      .orderBy(asc("gid"), asc_nulls_first("l_returnflag"),
-        asc_nulls_first("l_linestatus"))
   }
 
   /** Q42 — shipping-priority top-10 (TPC-H Q3's skeleton,
@@ -1763,7 +1709,6 @@ object Relational {
           col("ship_date") > date_add(col("order_date"), 30), "left_semi")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("order_count"))
-      .orderBy("o_orderpriority")
   }
 
   /** Q44 — forecast-revenue-change probe (TPC-H Q6's skeleton): the
@@ -1830,7 +1775,6 @@ object Relational {
           .as("high_line_count"),
         sum(when(col("o_orderpriority").isin(hi: _*), 0L).otherwise(1L))
           .as("low_line_count"))
-      .orderBy("l_returnflag")
   }
 
   /** Q47 — promotion revenue share (TPC-H Q14's skeleton): the fraction
@@ -1887,7 +1831,6 @@ object Relational {
       .select(col("event_type"), col("day").as("cp_day"),
         col("cusum").as("cusum_cents"),
         (abs(col("cusum")) * 20 > col("total")).as("flagged"))
-      .orderBy("event_type")
   }
 
   /** Linear multi-touch attribution — the fair-share twin of
@@ -1922,7 +1865,6 @@ object Relational {
         when(col("rk") === 1,
           col("cents") - expr("cents div n") * (col("n") - 1))
           .otherwise(expr("cents div n")).as("credit_cents"))
-      .orderBy("purchase_id", "view_id")
   }
 
   /** Feature window bounds, µs — shared with the streaming twin
@@ -1956,7 +1898,6 @@ object Relational {
         count(lit(1)).over(w7).as("n_7d"),
         coalesce(sum("pc").over(w30), lit(0L)).as("spend_30d_cents"),
         (col("ts_us") - lag("ts_us", 1).over(wLag)).as("us_since_last"))
-      .orderBy("event_id")
   }
 
   /** Seasonality profile — (day-of-week × hour) activity shares per event
@@ -1980,7 +1921,6 @@ object Relational {
         wAll.orderBy(col("n").desc, col("dow").asc, col("hour").asc)))
       .select(col("event_type"), col("dow"), col("hour"), col("n"),
         col("share_ppm"), (col("rk") === 1).as("is_peak"))
-      .orderBy("event_type", "dow", "hour")
   }
 
   /** Revenue concentration by user decile — the Pareto/whale readout
@@ -2030,7 +1970,6 @@ object Relational {
       .withColumn("share_ppm", expr("decile_cents * 1000000 div __total"))
       .withColumn("cum_share_ppm", expr("__cum * 1000000 div __total"))
       .select("decile", "n_users", "decile_cents", "share_ppm", "cum_share_ppm")
-      .orderBy("decile")
   }
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(

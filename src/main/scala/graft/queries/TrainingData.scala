@@ -16,20 +16,17 @@ import graft.sources.Tables
 object TrainingData {
 
   def ddExact(spark: SparkSession, dir: String): DataFrame =
-    Dedup.exact(Tables.documents(spark, dir)).orderBy("doc_id")
+    Dedup.exact(Tables.documents(spark, dir))
 
   def ddJaccardWords(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(Tables.documents(spark, dir), sampleMod = 10, threshold = 0.9)
-      .orderBy("a_id", "b_id")
 
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(Tables.documents(spark, dir), shingleN = 2, k = 64,
         bands = 16, threshold = 0.5)
-      .orderBy("a_id", "b_id")
 
   def ddSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), maxHamming = 3)
-      .orderBy("a_id", "b_id")
 
   def txtLangId(spark: SparkSession, dir: String): DataFrame = {
     val t = col("text")
@@ -39,7 +36,6 @@ object TrainingData {
         compute.as("compute_hits"))
       .withColumn("predicted",
         langPredict(col("en_hits"), col("data_hits"), col("compute_hits")))
-      .orderBy("doc_id")
   }
 
   /** Per-source readability (Flesch reading-ease, integer-quantized):
@@ -66,7 +62,6 @@ object TrainingData {
       .withColumn("flesch_milli", expr(
         "206835 - (1015 * words) div greatest(sentences, 1)" +
           " - (84600 * syllables) div greatest(words, 1)"))
-      .orderBy("source")
 
   /** Per-source keyword profile (the corpus-card view of "what
     * characterizes each source"): top-5 distinctive terms per source by
@@ -87,7 +82,6 @@ object TrainingData {
         w.partitionBy("source").orderBy(desc("tf"), asc("df"), asc("tok"))))
       .filter(col("rank") <= 5)
       .select("source", "tok", "tf", "df", "rank")
-      .orderBy("source", "rank")
   }
 
   /** Dedup impact report: what exact dedup actually buys, per source —
@@ -112,7 +106,6 @@ object TrainingData {
         sum(when(col("keep"), col("n_tokens")).otherwise(0L)).as("tokens_kept"))
       .withColumn("removed_ppm", expr(
         "(tokens_total - tokens_kept) * 1000000 div greatest(tokens_total, 1)"))
-      .orderBy("source")
   }
 
   /** Language/topic-marker confusion audit: how the [[txtLangId]]
@@ -128,7 +121,6 @@ object TrainingData {
       .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
       .withColumn("share_ppm",
         expr("n * 1000000 div sum(n) over (partition by lang)"))
-      .orderBy("lang", "predicted")
   }
 
   /** Dedup yield curve: how many near-dup pairs (and docs touched) each
@@ -150,7 +142,7 @@ object TrainingData {
     val nDocs = swept
       .select(col("t_permille"), explode(array(col("a_id"), col("b_id"))).as("d"))
       .groupBy("t_permille").agg(countDistinct("d").as("n_docs"))
-    nPairs.join(nDocs, Seq("t_permille")).orderBy("t_permille")
+    nPairs.join(nDocs, Seq("t_permille"))
   }
 
   def txtQuality(spark: SparkSession, dir: String): DataFrame =
@@ -162,19 +154,16 @@ object TrainingData {
         alphaRatio(col("text")).as("alpha_ratio"),
         stopwordRatio(col("text")).as("stopword_ratio"),
         qualityScore(col("text")).as("quality"))
-      .orderBy("doc_id")
 
   def txtTokens(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         wsTokenCount(col("text")).as("ws_tokens"),
         bpeTokenCount(col("text")).as("bpe_tokens"))
-      .orderBy("doc_id")
 
   def txtFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
-      .orderBy("doc_id")
 
   /** Vocabulary top-k: explode words → count → top 50 by frequency.
     * Partial-aggregates before the shuffle; top-k is TakeOrdered. */
@@ -217,7 +206,6 @@ object TrainingData {
         max("n_chars").as("max_chars"),
         sum("n_chars").as("sum_chars"),
         (sum("n_chars").cast("double") / count(lit(1))).as("avg_chars"))
-      .orderBy("lang")
 
   /** JSON metadata extraction (the S5/S7 decode path: JSONB metadata column,
     * `/root/reference/pkg/internal/adapter/postgresclient/sql.go:52-55`):
@@ -228,7 +216,6 @@ object TrainingData {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy("k")
       .agg(count(lit(1)).as("n"))
-      .orderBy("k")
 
   def simCosineTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(Tables.embeddings(spark, dir), queryId = 0L, k = 10)
@@ -244,12 +231,12 @@ object TrainingData {
     * text), partial HashAggregate before the one (label, pos) exchange;
     * output is |labels| × dim rows — tiny at any corpus size. */
   def simCentroids(spark: SparkSession, dir: String): DataFrame =
-    centroidSums(spark, dir).orderBy("label", "pos")
+    centroidSums(spark, dir)
 
-  /** [[simCentroids]] without the presentation sort — the form other
-    * operators consume ([[simAssign]] re-aggregates immediately, and an
-    * orderBy there would inject a global range-partition shuffle only to
-    * destroy it). */
+  /** The centroid-sum kernel [[simCentroids]] and the other consumers
+    * ([[simAssign]] etc.) share. r17: the declared query no longer adds a
+    * presentation sort on top (the driver compare is a sorted-multiset
+    * compare — see OPTIMIZATION_r17.md), so the two are one frame now. */
   private def centroidSums(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
@@ -302,7 +289,6 @@ object TrainingData {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("label"), col("rk"), col("vec_id"), col("d2"))
-      .orderBy("label", "rk")
   }
 
   /** The centroid snapshot for the map-side argmin: [[centroidArrays]]
@@ -342,7 +328,6 @@ object TrainingData {
         col("__a._1").as("assigned_label"),
         col("__a._2").as("d2"),
         (col("true_label") === col("__a._1")).as("is_match"))
-      .orderBy("vec_id")
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al., 2023,
@@ -405,20 +390,16 @@ object TrainingData {
       .filter(col("rn") === 1)
       .join(sizes, col("group_id") === col("gid"))
       .select("vec_id", "group_id", "group_size", "cluster", "d2")
-      .orderBy("vec_id")
   }
 
   def ddWinnowOverlap(spark: SparkSession, dir: String): DataFrame =
     Dedup.winnowOverlapPairs(Tables.documents(spark, dir), minShared = 10, maxDocFreq = 20)
-      .orderBy("a_id", "b_id")
 
   def ddEmbedExact(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosinePairsExact(Tables.embeddings(spark, dir), sampleMod = 2, threshold = 0.4)
-      .orderBy("a_id", "b_id")
 
   def ddEmbedLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(Tables.embeddings(spark, dir), threshold = 0.4)
-      .orderBy("a_id", "b_id")
 
   /** Multimodal feature extraction over binary media columns (stub codec;
     * the Spark-side plumbing — schema, per-partition batching, error
@@ -429,7 +410,6 @@ object TrainingData {
       .toDF()
       .select(col("media_id"), col("kind"), col("byteLen"), col("meanByte"),
         col("entropy"), col("ok"))
-      .orderBy("media_id")
   }
 
   /** Image near-duplicate pairs over REAL decoded pixels
@@ -443,7 +423,6 @@ object TrainingData {
     import graft.operators.Multimodal
     val docs = Tables.documents(spark, dir).filter(col("doc_id") % 7 === 0)
     Multimodal.imageNearDups(Multimodal.syntheticImages(docs))
-      .orderBy("a_media", "b_media")
   }
 
   /** Audio near-duplicate pairs over REAL decoded PCM
@@ -456,7 +435,6 @@ object TrainingData {
     import graft.operators.Multimodal
     val docs = Tables.documents(spark, dir).filter(col("doc_id") % 7 === 0)
     Multimodal.audioNearDups(Multimodal.syntheticAudio(docs))
-      .orderBy("a_media", "b_media")
   }
 
   /** End-to-end image dedup resolution ([[Multimodal.dedupKeep]]): the
@@ -470,7 +448,6 @@ object TrainingData {
     // for both consumers (the pairing and the cluster-node set)
     val hashes = Multimodal.imageDHashes(media).toDF().localCheckpoint(false)
     Multimodal.dedupKeep(hashes, Multimodal.imageNearDupsFromHashes(hashes))
-      .orderBy("media_id")
   }
 
   /** Paths this JVM already built, across ALL memoized index families
@@ -532,7 +509,6 @@ object TrainingData {
     Multimodal.probeHashIndex(spark, path,
         eligibleHashes(docs.filter(col("doc_id") % 5 === 0)),
         "dhash", maxHamming = 6)
-      .orderBy("new_id", "idx_id")
   }
 
   /** HTML extraction: wrap each document in a deterministic HTML envelope
@@ -550,7 +526,6 @@ object TrainingData {
     Tables.documents(spark, dir)
       .select(col("doc_id"), TextAnalytics.htmlToText(html).as("extracted"))
       .withColumn("n_chars_x", length(col("extracted")))
-      .orderBy("doc_id")
   }
 
   /** PII redaction: documents get a deterministic contact-info suffix
@@ -566,7 +541,6 @@ object TrainingData {
         TextAnalytics.emailCount(pii).as("n_emails"),
         TextAnalytics.phoneCount(pii).as("n_phones"),
         TextAnalytics.redactPii(pii).as("redacted"))
-      .orderBy("doc_id")
   }
 
   /** T5-style span corruption ([[TextAnalytics.spanCorrupt]]) — the
@@ -585,7 +559,6 @@ object TrainingData {
         col("c._2").cast("long").as("n_masked"),
         md5(col("c._3")).as("input_fp"),
         md5(col("c._4")).as("target_fp"))
-      .orderBy("doc_id")
   }
 
   /** FIM (fill-in-the-middle) transform — the code-LM counterpart of
@@ -628,7 +601,6 @@ object TrainingData {
           .as("psm_fp"),
         md5(expr("substring(text, cast(lo as int), cast(hi - lo as int))"))
           .as("middle_fp"))
-      .orderBy("doc_id")
   }
 
   /** The MODEL-GATED curation pipeline — [[dsCurate]]'s funnel with the
@@ -664,7 +636,6 @@ object TrainingData {
     }
     SimilarityIvf.hardNegativesIvf(spark, path,
       emb.filter(col("vec_id") % 10 === 0), k = 5, lo = 0.25, hi = 0.95)
-      .orderBy("anchor_id", "rank")
   }
 
   /** Per-dimension whitening statistics
@@ -682,7 +653,6 @@ object TrainingData {
   def dsHardNegatives(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.hardNegatives(Tables.embeddings(spark, dir),
       sampleMod = 10, k = 5, lo = 0.25, hi = 0.95)
-      .orderBy("anchor_id", "rank")
 
   /** The positives half of contrastive-pair construction
     * ([[Similarity.positivePairs]]): per anchor, the 5 most-similar
@@ -692,7 +662,6 @@ object TrainingData {
   def dsPositivePairs(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.positivePairs(Tables.embeddings(spark, dir),
       sampleMod = 10, k = 5, lo = 0.2, hi = 0.9999)
-      .orderBy("anchor_id", "rank")
 
   /** Unicode normalization ([[TextAnalytics.normalizeText]]): documents
     * get a deterministic mess injected — leading tab, a combining-accent
@@ -713,13 +682,11 @@ object TrainingData {
       .select(col("doc_id"), col("n_chars_messy"),
         length(col("norm")).as("n_chars_norm"),
         md5(col("norm")).as("norm_fp"))
-      .orderBy("doc_id")
   }
 
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.charNgramJaccardPairs(Tables.documents(spark, dir), n = 3,
         sampleMod = 10, threshold = 0.6)
-      .orderBy("a_id", "b_id")
 
   /** Paths whose IVF index this JVM already built — build once, probe
     * many (the declared index contract). Keyed per fixture dir; a fresh
@@ -765,7 +732,6 @@ object TrainingData {
       SimilarityIvf.buildIndex(emb, p, nCells = nCells)
     }
     SimilarityIvf.knnGraphIvf(spark, path, k = 3, nprobe = 2)
-      .orderBy("src_id", "rank")
   }
 
   /** Product-quantized ANN via the PERSISTED versioned code index: ADC
@@ -829,7 +795,6 @@ object TrainingData {
         col("cluster_id") === col("cid"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
-      .orderBy("doc_id")
   }
 
   /** Quality-canonical dedup ([[Curation.keepBest]]): the kept corpus
@@ -841,7 +806,6 @@ object TrainingData {
     val pairs = Dedup.charNgramJaccardPairs(docs, n = 3, sampleMod = 10,
       threshold = 0.6).select("a_id", "b_id")
     Curation.keepBest(docs.filter(col("doc_id") % 10 === 0), pairs)
-      .orderBy("doc_id")
   }
 
   /** Deterministic seeded shuffle + shard assignment
@@ -849,7 +813,7 @@ object TrainingData {
     * same seed ⇒ same order on any engine at any scale. */
   def dsOrder(spark: SparkSession, dir: String): DataFrame =
     Curation.seededOrder(Tables.documents(spark, dir), seed = 42L,
-      numShards = 8).orderBy("doc_id")
+      numShards = 8)
 
   /** Canary-injected corpus ([[Curation.injectCanaries]]): ~2% of docs
     * get a unique deterministic marker appended — per-doc injection
@@ -860,7 +824,6 @@ object TrainingData {
         ratePpm = 20000)
       .select(col("doc_id"), col("is_canary"), col("canary_id"),
         md5(col("text")).as("out_fp"))
-      .orderBy("doc_id")
 
   /** Canary audit ([[Curation.scanCanaries]] over the injected corpus):
     * detection closes the loop on injection — every planted marker is
@@ -889,7 +852,6 @@ object TrainingData {
   def dsMixBudget(spark: SparkSession, dir: String): DataFrame =
     Curation.budgetSelectPerStratum(Tables.documents(spark, dir), "source",
         Map("src0" -> 3000L, "src1" -> 1500L, "src5" -> 600L))
-      .orderBy("source", "cum_tokens")
 
   /** Shannon character entropy ([[TextAnalytics.charEntropyStats]]): the
     * cheap gibberish gate — low entropy = repeated-char boilerplate,
@@ -906,7 +868,6 @@ object TrainingData {
         col("__e.sumClncFp").as("sum_clnc_fp"),
         TextAnalytics.entropyNats(col("__e.nChars"), col("__e.sumClncFp"))
           .as("entropy_nats"))
-      .orderBy("doc_id")
   }
 
   // ---- dataset-version snapshots: two deterministic views of the fixture
@@ -929,7 +890,6 @@ object TrainingData {
   def dsSnapshotDiff(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Versioning.snapshotDiff(snapOld(spark, dir), snapNew(spark, dir))
       .groupBy("source", "status").agg(count(lit(1)).as("n_docs"))
-      .orderBy("source", "status")
 
   /** Distribution drift between corpus versions ([[graft.operators
     * .Versioning.signalDrift]]): exact total-variation distance in integer
@@ -944,7 +904,6 @@ object TrainingData {
         "words16"  -> shiftright(
           graft.functions.TextAnalytics.alphaTokenCount(col("text")).cast("long"), 4),
         "badhits"  -> graft.functions.TextAnalytics.blockHits(col("text"))))
-      .orderBy("signal")
 
   /** Per-source corpus card ([[graft.functions.TextAnalytics]] kernels in
     * one pass): the datasheet a corpus release ships — per source, doc and
@@ -971,7 +930,6 @@ object TrainingData {
         (count(lit(1)) - countDistinct("fp")).as("n_dup_docs"),
         sum(when(TextAnalytics.langPredict(col("en"), col("da"), col("co")) === "en",
           1L).otherwise(0L)).as("n_en_docs"))
-      .orderBy("source")
   }
 
   /** Train→eval leakage audit over the deterministic hash split
@@ -1013,7 +971,6 @@ object TrainingData {
           col("nl_test").as("n_leaked")))).as("r"))
       .select(col("kind"), col("r.split").as("split"),
         col("r.n_docs").as("n_docs"), col("r.n_leaked").as("n_leaked"))
-      .orderBy("kind", "split")
   }
 
   /** Embedding-space drift between corpus versions
@@ -1026,7 +983,6 @@ object TrainingData {
     graft.operators.Versioning.embeddingDrift(
       emb.filter(col("vec_id") % 7 =!= 3),
       emb.filter(col("vec_id") % 5 =!= 0))
-      .orderBy("label")
   }
 
   /** Distributed full-corpus k-means ([[graft.operators.KMeans]]): 8
@@ -1038,7 +994,7 @@ object TrainingData {
     * integer math, associative sums, total tie orders). */
   def simKmeans(spark: SparkSession, dir: String): DataFrame =
     graft.operators.KMeans.trainSummary(Tables.embeddings(spark, dir),
-      k = 8, iters = 3).orderBy("cluster", "pos")
+      k = 8, iters = 3)
 
   /** Distilled quality classifier ([[graft.operators.Classifier]]): label
     * every doc with the expensive signal (qualityScore ≥ 0.55 — near the
@@ -1060,7 +1016,6 @@ object TrainingData {
     graft.operators.Classifier.scored(labeled, qualityModel(spark, dir))
       .groupBy("is_train", "y", "predicted")
       .agg(count(lit(1)).as("n_docs"), sum("score_ppm").as("sum_score_ppm"))
-      .orderBy("is_train", "y", "predicted")
   }
 
   /** The shared labeling: expensive signal (quality ≥ 0.55, near the
@@ -1117,7 +1072,6 @@ object TrainingData {
       .groupBy(least(expr("score_ppm div 100000"), lit(9L)).cast("int").as("bin"))
       .agg(count(lit(1)).as("n_docs"), sum("y").as("n_pos"),
         sum("score_ppm").as("sum_score_ppm"))
-      .orderBy("bin")
 
   /** The BM25 query-term set: chosen from the fixture vocabulary with
     * distinct document frequencies so idf actually differentiates. */
@@ -1151,7 +1105,6 @@ object TrainingData {
           .otherwise(expr("CAST(bad_hits AS BIGINT) * 1000000 div n_words")))
       .withColumn("keep_strict", col("bad_hits") === 0)
       .withColumn("keep_soft", col("bad_ppm") <= 150000L)
-      .orderBy("doc_id")
   }
 
   /** Shard-export integrity manifest ([[Curation.shardManifest]], the
@@ -1160,7 +1113,7 @@ object TrainingData {
     * what proves a training job read exactly the export. */
   def dsShardManifest(spark: SparkSession, dir: String): DataFrame =
     Curation.shardManifest(Tables.documents(spark, dir), seed = 42L,
-      numShards = 8).orderBy("shard")
+      numShards = 8)
 
   /** Per-source quality quota ([[Curation.sourceQuota]]): keep the top 15
     * docs per source by quality — C4/Gopher-style domain balancing. Every
@@ -1168,7 +1121,6 @@ object TrainingData {
     * truncates every stratum, not a tail case. */
   def dsQuota(spark: SparkSession, dir: String): DataFrame =
     Curation.sourceQuota(Tables.documents(spark, dir), "source", cap = 15)
-      .orderBy("source", "rank")
 
   /** Exact signal-threshold calibration ([[Curation.histogramThresholds]]):
     * p10/p50/p90 of four integer curation signals from ONE corpus scan —
@@ -1185,13 +1137,11 @@ object TrainingData {
     Curation.histogramThresholds(sig,
         Seq("n_chars_m", "ws_tokens", "bpe_tokens", "n_punct"),
         Seq(100, 500, 900))
-      .orderBy("signal")
   }
 
   /** Top-3 distinctive terms per doc (integer-exact tf/df ranking). */
   def txtTfidf(spark: SparkSession, dir: String): DataFrame =
     tfIdfTop(Tables.documents(spark, dir), k = 3)
-      .orderBy("doc_id", "rank")
 
   /** Deterministic 80/10/10 split; sum(doc_id) checksums membership, not
     * just counts — a wrong assignment fails the hash even at equal sizes. */
@@ -1199,7 +1149,6 @@ object TrainingData {
     Curation.hashSplit(Tables.documents(spark, dir), "doc_id")
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
-      .orderBy("split")
 
   /** Stratified downsample: dominant language to 200‰, de to 500‰, tail
     * kept whole. Membership checksummed as in [[dsSplit]]. */
@@ -1208,7 +1157,6 @@ object TrainingData {
         Map("en" -> 200, "de" -> 500))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
-      .orderBy("lang")
 
   /** Deterministic weighted bottom-k corpus sample ([[Curation
     * .weightedSample]]): source weights 1/2/4/8, 500 global slots, higher
@@ -1221,7 +1169,6 @@ object TrainingData {
         Map("src0" -> 1, "src1" -> 2, "src2" -> 4, "src3" -> 8), k = 500)
       .groupBy("source")
       .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
-      .orderBy("source")
 
   /** Integer quality score for ranking-shaped curation ops: a length term
     * (chars capped at 500, in milli) plus the alpha-character ratio in ppm
@@ -1243,7 +1190,6 @@ object TrainingData {
         Tables.documents(spark, dir).select(col("doc_id"), col("source"),
           scorePpm.as("score_ppm")),
         "doc_id", "source", "score_ppm", k = 20, minGap = 100000L)
-      .orderBy("source", "pair_rank")
 
   /** Quality-decile profile of the corpus — the calibration readout data
     * curation decisions are argued from ("how much worse is decile 7 than
@@ -1262,7 +1208,6 @@ object TrainingData {
       .select(col("tile").as("decile"), col("n_rows").as("n_docs"),
         col("sum_value").as("sum_score_ppm"))
       .withColumn("avg_score_ppm", expr("sum_score_ppm div n_docs"))
-      .orderBy("decile")
   }
 
   /** Inter-labeler agreement audit (Cohen's kappa, exact ppm): do the
@@ -1299,7 +1244,6 @@ object TrainingData {
           "ELSE (po_ppm - pe_ppm) * 1000000 div (1000000 - pe_ppm) END"))
       .select(col("source"), col("n_docs"), col("po_ppm"), col("pe_ppm"),
         col("kappa_ppm"))
-      .orderBy("source")
   }
 
   /** PMI-style collocation mining over the corpus (vocabulary work: which
@@ -1376,7 +1320,6 @@ object TrainingData {
         sum("n_chars").as("sum_chars"))
       .withColumn("fert_milli",
         expr("sum_tokens * 100000 div greatest(sum_chars, 1)"))
-      .orderBy("lang", "source")
 
   /** Gopher/C4-style word-level repetition filters in ONE kernel pass:
     * duplicate-word fraction and top-bigram coverage flag boilerplate /
@@ -1399,7 +1342,6 @@ object TrainingData {
       .withColumn("top_bigram_frac",
         col("top_bigram_count").cast("double") /
           nullif(col("n_words") - 1, lit(0L)).cast("double"))
-      .orderBy("doc_id")
   }
 
   /** Benchmark decontamination: docs sharing any word-trigram with the
@@ -1413,7 +1355,6 @@ object TrainingData {
       docs.filter(col("doc_id") % 50 === 0), col("doc_id"), col("text"), n = 3)
     Contamination.contaminated(docs.filter(col("doc_id") % 50 =!= 0),
         col("doc_id"), col("text"), index, n = 3)
-      .orderBy("doc_id")
   }
 
   /** Mixture weights with oversampling: src0 at 2.5 epochs, src1 at 1.5,
@@ -1430,7 +1371,6 @@ object TrainingData {
         sum(when(col("epoch") === 0, 1L).otherwise(0L)).as("n_docs"),
         sum("doc_id").as("sum_ids"),
         (max("epoch") + 1).cast("long").as("n_epochs"))
-      .orderBy("source")
 
   /** The composed curation pipeline (what a user actually runs): quality
     * gate (length + word count) → bag-of-words-identity dedup (md5 of the
@@ -1471,7 +1411,6 @@ object TrainingData {
         sum(when(col("keep_q"), 1L).otherwise(0L)).as(qualityCountName),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
         coalesce(sum(when(col("kept"), col("doc_id"))), lit(0L)).as("sum_kept_ids"))
-      .orderBy("source")
   }
 
   /** Heavy hitters via the SpaceSaving sketch aggregate: one pass, bounded
@@ -1496,13 +1435,11 @@ object TrainingData {
       .select(explode(col("hh")).as("e"))
       .select(col("e.item").as("word"), col("e.count").as("n"),
         col("e.err").as("err"))
-      .orderBy(desc("n"), asc("word"))
 
   /** Context-window chunking: 32-token windows every 24 tokens (8-token
     * overlap). Chunk boundaries, counts, and text value-checked. */
   def dsChunk(spark: SparkSession, dir: String): DataFrame =
     chunkTokens(Tables.documents(spark, dir), size = 32, stride = 24)
-      .orderBy("doc_id", "chunk_id")
 
   /** One-pass column profile of the documents table (Profile.profile) —
     * the scale path: every statistic is sketch- or constant-width (HLL++
@@ -1513,7 +1450,6 @@ object TrainingData {
   def dsProfile(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Profile.profile(Tables.documents(spark, dir),
         Seq("lang", "source", "n_chars"))
-      .orderBy("col_name")
 
   /** Small-sf oracle twin of [[dsProfile]]: exact `n_distinct`
     * (`exactDistinct = true` — Expand + full distinct shuffle, the
@@ -1524,19 +1460,17 @@ object TrainingData {
     graft.operators.Profile.profile(Tables.documents(spark, dir),
         Seq("lang", "source", "n_chars"), exactDistinct = true)
       .drop("n_distinct_approx")
-      .orderBy("col_name")
 
   /** Unigram-LM quality scores over the corpus (see TextAnalytics.lmScore
     * for the determinism/oracle story). */
   def txtLmScore(spark: SparkSession, dir: String): DataFrame =
-    lmScore(Tables.documents(spark, dir)).orderBy("doc_id")
+    lmScore(Tables.documents(spark, dir))
 
   /** Bigram-conditional LM quality score
     * ([[graft.functions.TextAnalytics.lmScoreBigram]]): word-ORDER
     * perplexity gate, one rung up from `txt_lm_score`'s unigram. */
   def txtLmBigram(spark: SparkSession, dir: String): DataFrame =
     graft.functions.TextAnalytics.lmScoreBigram(Tables.documents(spark, dir))
-      .orderBy("doc_id")
 
   /** ALL per-doc text signals in ONE corpus pass (TextAnalytics.signals) —
     * the scan-efficiency form of the seven standalone txt_* signal queries.
@@ -1548,7 +1482,6 @@ object TrainingData {
   def txtSignals(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     signals(docs, trainUnigramLm(docs), Some(bpeModelFor(spark, dir)))
-      .orderBy("doc_id")
   }
 
   /** Bloom-prefiltered incremental dedup: treat every 5th doc as the
@@ -1562,7 +1495,7 @@ object TrainingData {
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
     val incoming = docs.filter(col("doc_id") % 5 === 0)
     Dedup.bloomPrefilterNew(incoming, corpus)
-      .select(col("doc_id")).orderBy("doc_id")
+      .select(col("doc_id"))
   }
 
   /** Compression-ratio quality signal: deflated-size / byte-size per doc
@@ -1579,20 +1512,17 @@ object TrainingData {
           // div, not `/`: Column./ on longs is DOUBLE division in Spark,
           // and the ppm contract is integer
           .otherwise(expr("n_deflate * 1000000 div n_bytes")))
-      .orderBy("doc_id")
 
   /** Per-doc duplicated-span coverage over 10-word spans (C4-style span
     * dedup decision input; see [[Dedup.spanCoverage]]). */
   def ddSpanCoverage(spark: SparkSession, dir: String): DataFrame =
     Dedup.spanCoverage(Tables.documents(spark, dir), n = 10, minDocs = 2)
-      .orderBy("doc_id")
 
   /** Duplicated-span excision over 10-word spans: every occurrence but
     * the globally first is removed and the surviving words reassembled
     * (see [[Dedup.spanExcise]]). */
   def ddSpanExcise(spark: SparkSession, dir: String): DataFrame =
     Dedup.spanExcise(Tables.documents(spark, dir), n = 10)
-      .orderBy("doc_id")
 
   /** Incremental span excision through the PERSISTED span index
     * ([[Dedup.buildSpanIndex]]/[[Dedup.probeSpanExcise]]): the corpus
@@ -1605,20 +1535,17 @@ object TrainingData {
       Dedup.buildSpanIndex(docs.filter(col("doc_id") % 5 =!= 0), p, n = 10)
     }
     Dedup.probeSpanExcise(spark, path, docs.filter(col("doc_id") % 5 === 0))
-      .orderBy("doc_id")
   }
 
   /** Boilerplate-segment removal: drop 8-word segments seen in ≥2 docs,
     * reassemble the cleaned text (see [[Dedup.segmentDedup]]). */
   def ddSegmentDedup(spark: SparkSession, dir: String): DataFrame =
     Dedup.segmentDedup(Tables.documents(spark, dir), segWords = 8, minDocs = 2)
-      .orderBy("doc_id")
 
   /** Sequence packing into 256-token context windows (see
     * [[Curation.packSequences]]). */
   def dsPack(spark: SparkSession, dir: String): DataFrame =
     Curation.packSequences(Tables.documents(spark, dir), windowTokens = 256)
-      .orderBy("doc_id")
 
   /** Packing-efficiency audit over [[dsPack]]'s window assignment: the
     * one-row report a training run reads before trusting the pack —
@@ -1645,7 +1572,6 @@ object TrainingData {
     * compare is stable. */
   def dsBudgetSelect(spark: SparkSession, dir: String): DataFrame =
     Curation.budgetSelect(Tables.documents(spark, dir), budgetTokens = 12000)
-      .orderBy("doc_id")
 
   /** DSIR-style hashed-gram importance weights of every document against
     * the English subset of the corpus (see
@@ -1654,14 +1580,12 @@ object TrainingData {
   def dsImportance(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Importance.importanceWeights(
       Tables.documents(spark, dir), col("lang") === "en")
-      .orderBy("doc_id")
 
   /** Johnson–Lindenstrauss compression of the embedding table to 8
     * dimensions via the deterministic ±1 projection (see
     * [[graft.operators.Similarity.randomProject]]). */
   def simRp(spark: SparkSession, dir: String): DataFrame =
     Similarity.randomProject(Tables.embeddings(spark, dir), outDims = 8)
-      .orderBy("vec_id")
 
   /** Real BPE subword tokenization (see [[graft.functions.Bpe]]): learn
     * 200 merges from the corpus word-frequency table (one scan + driver
@@ -1674,7 +1598,6 @@ object TrainingData {
     docs.select(col("doc_id"),
         graft.functions.Bpe.bpeCountCol(col("text"), bpeModelFor(spark, dir))
           .as("bpe_tokens"))
-      .orderBy("doc_id")
   }
 
   /** The corpus's trained BPE model, through the PERSISTED versioned
@@ -1706,7 +1629,6 @@ object TrainingData {
     Curation.packSequences(docs, windowTokens = 256,
       tokenCount = graft.functions.Bpe.bpeCountCol(col("text"),
         bpeModelFor(spark, dir)))
-      .orderBy("doc_id")
   }
 
   /** DD-cross-source-overlap — the cross-corpus contamination report
@@ -1770,7 +1692,6 @@ object TrainingData {
           .cast("long").as("n_union"))
       .withColumn("containment_a_ppm", expr("n_shared * 1000000 div n_a"))
       .withColumn("jaccard_ppm", expr("n_shared * 1000000 div n_union"))
-      .orderBy("src_a", "src_b")
   }
 
   /** The [[graft.operators.Curation.rankTournament]] win matrix between
@@ -1783,7 +1704,6 @@ object TrainingData {
         Tables.documents(spark, dir).select(col("doc_id"), col("source"),
           scorePpm.as("score_ppm")),
         "doc_id", "source", "score_ppm", topR = 200)
-      .orderBy("stratum_a", "stratum_b")
 
   /** Bradley–Terry strengths solved from [[dsTournament]]'s matrix
     * ([[graft.operators.Curation.btScores]]) — the RLHF-style
@@ -1813,7 +1733,6 @@ object TrainingData {
       .unionByName(E.audit(Tables.orders(spark, dir), Seq(
         E.RefIntegrity("r06_orders_custkey", "o_custkey",
           Tables.customer(spark, dir), "c_custkey"))))
-      .orderBy("rule_id")
   }
 
   /** Vocabulary-growth (Heaps' law) curve — cumulative distinct words vs
@@ -1859,7 +1778,6 @@ object TrainingData {
       .select(col("bucket"), col("last_doc_id"),
         coalesce(col("tokens_cum"), lit(0L)).as("tokens_cum"),
         coalesce(col("vocab_cum"), lit(0L)).as("vocab_cum"))
-      .orderBy("bucket")
   }
 
   /** Compressed-audio container metadata over synthesized MP3 payloads
@@ -1886,7 +1804,6 @@ object TrainingData {
       }
       .toDF("media_id", "n_frames", "sample_rate", "duration_ms",
         "avg_kbps", "vbr")
-      .orderBy("media_id")
   }
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(

@@ -584,10 +584,11 @@ class PlanAuditSpec extends SparkSpec {
     val p = planOf("ev_retention")
     assert(countScans(p) == 1, p)
     assert(!p.contains("Join"), p)
-    // hash-by-user (window + distinct reuse it) + count exchange +
-    // presentation sort — the textbook first-seen JOIN plan would add a
-    // second scan and a join exchange
-    assert("Exchange".r.findAllIn(p).size == 3, p)
+    // hash-by-user (window + distinct reuse it) + count exchange — the
+    // textbook first-seen JOIN plan would add a second scan and a join
+    // exchange (r17: the presentation sort and its range exchange are
+    // gone — the driver compare is sorted-multiset, see OPTIMIZATION_r17.md)
+    assert("Exchange".r.findAllIn(p).size == 2, p)
   }
 
   test("ds_quality_model: scoring is one scan, no join; confusion agg is partial") {

@@ -13,8 +13,12 @@ class LagFeaturesStreamSpec extends SparkSpec {
   import spark.implicits._
 
   test("stream ≡ batch on the fixture, fed event-time-ordered in 5 chunks") {
+    // sortBy(event_id): the declared query no longer carries a
+    // presentation sort (r17 — the driver compare is sorted-multiset),
+    // so the differential lock sorts both sides itself
     val batch = graft.queries.Relational.evLagFeatures(spark, sfDir)
-      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().toSeq
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect()
+      .sortBy(_._1).toSeq
 
     // feed the raw events in global (ts, event_id) order — per-user order
     // follows a fortiori — split into several micro-batches

@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""One-shot r17 refactor helper: remove FINAL presentation `.orderBy(...)`
+calls from the declared query files (guide §2.4 — "an orderBy used only to
+make output deterministic" is an accidental global sort; the driver's
+correctness compare is a sorted-multiset compare, so the tail sort is pure
+presentation and at scale costs a range-sampling re-execution of the final
+stage plus a full range shuffle + sort).
+
+KEEPS: Window-spec orderBy (semantic), any orderBy followed by .limit
+(TakeOrdered top-k, semantic), and operator files (seeded selections,
+packing orders — semantic there).
+
+Run once from the repo root; review the diff, then delete or keep this
+script as provenance. Prints every removed site.
+"""
+import re, sys
+
+FILES = [
+    'src/main/scala/graft/queries/Relational.scala',
+    'src/main/scala/graft/queries/TrainingData.scala',
+]
+
+removed = []
+for path in FILES:
+    lines = open(path).read().splitlines(keepends=True)
+    out = []
+    i = 0
+    while i < len(lines):
+        l = lines[i]
+        m = '.orderBy(' in l
+        if not m:
+            out.append(l); i += 1; continue
+        stripped = l.strip()
+        # only lines that BEGIN with .orderBy( are candidates (tail chain
+        # links); `w.orderBy`, `Window...orderBy`, `val x = y.orderBy...`
+        # are window specs or semantic mid-chain sorts — keep.
+        if not stripped.startswith('.orderBy('):
+            out.append(l); i += 1; continue
+        # gather continuation lines until parens balance
+        seg = stripped
+        j = i
+        while seg.count('(') != seg.count(')') and j + 1 < len(lines):
+            j += 1
+            seg += ' ' + lines[j].strip()
+        # trailing-brace case: ".orderBy(...)\n  }" — seg may end with '}'
+        tail_extra = ''
+        core = seg
+        while core.endswith('}'):
+            tail_extra = '}' + tail_extra
+            core = core[:-1].rstrip()
+        if core.count('(') != core.count(')'):
+            out.append(l); i += 1; continue  # unbalanced → window spec line, keep
+        # next significant content after the call
+        nxt = lines[j + 1].strip() if j + 1 < len(lines) else ''
+        if nxt.startswith('.limit') or '.limit' in core:
+            out.extend(lines[i:j + 1]); i = j + 1; continue
+        if nxt.startswith('.'):
+            # mid-chain orderBy that is not followed by limit — keep for
+            # manual review (should not exist per inventory)
+            sys.stderr.write(f'KEEP midchain {path}:{i+1} {core[:60]}\n')
+            out.extend(lines[i:j + 1]); i = j + 1; continue
+        # remove the call; preserve any trailing close-brace
+        if tail_extra:
+            indent = re.match(r'\s*', lines[j]).group(0)
+            # put the brace back on its own line at the original indent of
+            # the line that carried it
+            out.append(indent + tail_extra + '\n')
+        removed.append(f'{path}:{i+1} {core[:70]}')
+        i = j + 1
+    open(path, 'w').write(''.join(out))
+
+for r in removed:
+    print('REMOVED', r)
+print(f'total removed: {len(removed)}')
