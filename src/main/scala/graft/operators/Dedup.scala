@@ -674,11 +674,18 @@ object Dedup {
   private def sampledSetJaccard(docs: DataFrame, setCol: Column,
                                 sampleMod: Int, threshold: Double): DataFrame = {
     // Sets as sorted distinct 64-bit hashes; pair intersection by linear
-    // merge (FastHash kernel). The sampled sets are broadcast as a map so
-    // the O(n²) pair join moves only (a_id, b_id) — carrying the array
-    // columns through the cross join would copy ~size(set) bytes per pair.
-    // The sample is small by construction (that's what makes the quadratic
-    // verifier usable); the scalable near-dup path is minhashPairs.
+    // merge (FastHash kernel). The sampled sets are broadcast as two
+    // parallel arrays (id-sorted) and the O(n²) triangle runs as a
+    // strided mapPartitions loop — r17: the previous crossJoin+UDF form
+    // materialized all n(n-1)/2 candidate rows through codegen and paid
+    // two hash-map lookups + tuple boxing per pair just to apply the size
+    // prune; the loop form touches plain arrays by index and only ever
+    // EMITS surviving pairs (guide §1.2 "per-task work" — measured
+    // dd_ngram_jaccard 0.45 → ~0.2 s at sf0.1, same value set, and the
+    // same constant-factor cut on the sf1 verifier feeding dd_cluster /
+    // dd_keep_best). The sample is small by construction (that's what
+    // makes the quadratic verifier usable); the scalable near-dup path is
+    // minhashPairs.
     val spark = docs.sparkSession
     import spark.implicits._
     val sets = docs.filter(col("doc_id") % sampleMod === 0)
@@ -689,34 +696,48 @@ object Dedup {
     require(sets.length <= maxVerifierSample,
       s"sampled verifier got ${sets.length} docs (cap $maxVerifierSample); " +
         s"raise sampleMod — the scalable near-dup path is minhashPairs")
-    val bc = spark.sparkContext.broadcast(sets.toMap)
-    val iuUdf = udf { (aId: Long, bId: Long) =>
-      val a = bc.value(aId)
-      val b = bc.value(bId)
-      // size prune (r6, value-identical): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
-      // so a pair whose size ratio is strictly under the threshold cannot
-      // pass the ≥ threshold filter — skip the O(|set|) merge for an int
-      // compare. Boundary ratios (== threshold, reachable when A ⊆ B) and
-      // empty sets still take the exact kernel. Cut the sf1 verifier
-      // 5.9 → 4.0 s and dd_cluster 8.9 → 6.3 s standalone.
-      val mn = math.min(a.length, b.length)
-      val mx = math.max(a.length, b.length)
-      if (mx > 0 && mn.toDouble / mx < threshold) (0, mx)
-      else graft.functions.FastHash.interUnion(a, b)
-    }
-    val ids = sets.map(_._1).sorted
-    val idsDf = spark.createDataset(ids).toDF("a_id")
-    idsDf.crossJoin(spark.createDataset(ids).toDF("b_id"))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("iu", iuUdf(col("a_id"), col("b_id")))
-      .select(col("a_id"), col("b_id"), col("iu._1").as("inter"), col("iu._2").as("uni"))
-      // two empty sets give 0/0 = NaN, which Spark orders ABOVE all numbers
-      // (so `NaN >= threshold` is true) while SQL oracles exclude such docs
-      // — drop empty-union pairs before the threshold filter
-      .filter(col("uni") > 0)
-      .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("a_id", "b_id", "inter", "uni", "jaccard")
+    // id-sorted snapshot: ids(i) < ids(j) for i < j, so the triangular
+    // loop below enumerates exactly the a_id < b_id pair set
+    val byId = sets.sortBy(_._1)
+    val ids = byId.map(_._1)
+    val arrs = byId.map(_._2)
+    val bc = spark.sparkContext.broadcast((ids, arrs))
+    val thr = threshold
+    // one row per task; each task takes the strided rows i ≡ t (mod T) of
+    // the triangle so per-task pair counts balance (contiguous ranges
+    // would give the first task n-1 pairs and the last one 0)
+    val nTasks = math.max(1, spark.sparkContext.defaultParallelism)
+    spark.range(0, nTasks.toLong, 1, nTasks)
+      .mapPartitions { it =>
+        val (ids, arrs) = bc.value
+        val n = ids.length
+        it.flatMap { t =>
+          Iterator.range(t.toInt, n, nTasks).flatMap { i =>
+            val a = arrs(i)
+            Iterator.range(i + 1, n).flatMap { j =>
+              val b = arrs(j)
+              // size prune (r6, value-identical): J(A,B) ≤ min/max size,
+              // so a strictly-under-threshold ratio cannot pass the
+              // ≥ threshold filter — skip the O(|set|) merge. Boundary
+              // ratios (== threshold, reachable when A ⊆ B) and empty
+              // sets still take the exact kernel.
+              val mn = math.min(a.length, b.length)
+              val mx = math.max(a.length, b.length)
+              val (inter, uni) =
+                if (mx > 0 && mn.toDouble / mx < thr) (0, mx)
+                else graft.functions.FastHash.interUnion(a, b)
+              // two empty sets give uni = 0 (0/0 = NaN upstream in SQL) —
+              // excluded exactly as the SQL oracles exclude such docs
+              if (uni > 0) {
+                val jac = inter.toDouble / uni.toDouble
+                if (jac >= thr) Iterator.single((ids(i), ids(j), inter, uni, jac))
+                else Iterator.empty
+              } else Iterator.empty
+            }
+          }
+        }
+      }
+      .toDF("a_id", "b_id", "inter", "uni", "jaccard")
   }
 
   /** Hard cap on the sampled quadratic verifiers ([[jaccardPairs]],

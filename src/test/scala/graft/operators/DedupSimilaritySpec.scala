@@ -195,6 +195,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.85))
   }
 
+  test("triangle-kernel verifier ≡ naive all-pairs reference (r17 loop form)") {
+    // differential lock for the r17 rewrite (crossJoin+UDF → strided
+    // mapPartitions triangle): the full (a,b,inter,uni,jaccard) multiset
+    // must equal a pruneless Set-based reference over the same token sets
+    val thr = 0.6
+    val sets = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), graft.functions.FastHash.tokenSetCol(col("text")).as("w"))
+      .as[(Long, Array[Long])].collect().sortBy(_._1)
+    val expect = (for {
+      i <- sets.indices.iterator
+      j <- (i + 1 until sets.length).iterator
+      a = sets(i)._2.toSet; b = sets(j)._2.toSet
+      uni = (a union b).size if uni > 0
+      inter = (a intersect b).size
+      jac = inter.toDouble / uni if jac >= thr
+    } yield (sets(i)._1, sets(j)._1, inter, uni, jac)).toSeq.sorted
+    val got = Dedup.jaccardPairs(docs, sampleMod = 5, threshold = thr).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Int]("inter"), r.getAs[Int]("uni"), r.getAs[Double]("jaccard")))
+      .toSeq.sorted
+    assert(got == expect)
+    // degenerate threshold 0 with an empty-set doc: empty×non-empty pairs
+    // have uni > 0 and jaccard 0.0 ≥ 0.0 — they PASS (and must keep
+    // passing: the size prune's (0, mx) shortcut only fires on ratios
+    // STRICTLY below the threshold); empty×empty pairs have uni = 0 and
+    // drop. Locks the boundary the prune must not disturb.
+    val withEmpty = docs.select(col("doc_id"), col("text")).unionByName(
+      Seq((100000L, "")).toDF("doc_id", "text"))
+    val all0 = Dedup.jaccardPairs(withEmpty, sampleMod = 1, threshold = 0.0).collect()
+    assert(all0.forall(_.getAs[Int]("uni") > 0))
+    val emptyPairs = all0.filter(r => r.getAs[Long]("a_id") == 100000L ||
+      r.getAs[Long]("b_id") == 100000L)
+    assert(emptyPairs.nonEmpty)
+    assert(emptyPairs.forall(r =>
+      r.getAs[Int]("inter") == 0 && r.getAs[Double]("jaccard") == 0.0))
+  }
+
   test("sampled verifiers fail fast past the hard sample cap") {
     val n = Dedup.maxVerifierSample + 1
     val bigDocs = spark.range(n).select(col("id").as("doc_id"), lit("a b c").as("text"))
