@@ -902,16 +902,23 @@ object Dedup {
     // means only the (small) labels side shuffles on each pull —
     // localCheckpoint preserves outputPartitioning, so the exchange on the
     // edge side happens exactly once for the whole loop.
+    sc.setJobDescription("cc: materialize edges")
     val edges = materialize(
       pairs.select(col("a_id").as("u"), col("b_id").as("v"))
         .unionAll(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
         .repartition(col("v")))
+    // r17: the initial checksum rides the label-materialization job as an
+    // observed metric — the previous separate `labels.agg(...).head()` was
+    // one more full pass over the node set (and one more Spark job) per
+    // call, purely to read a sum the checkpoint job already computes
+    val obs0 = org.apache.spark.sql.Observation()
+    sc.setJobDescription("cc: materialize labels")
     var labels = materialize(
-      nodes.select(col(idCol).as("id"), col(idCol).as("lbl")))
+      nodes.select(col(idCol).as("id"), col(idCol).as("lbl"))
+        .observe(obs0, coalesce(sum("lbl"), lit(0L)).as("s"))) // empty input sums to null
     var converged = false
     var iter = 0
-    var checksum = // empty input sums to null
-      labels.agg(coalesce(sum("lbl"), lit(0L))).head().getLong(0)
+    var checksum = obs0.get("s").asInstanceOf[Long]
     while (!converged && iter < maxIter) {
       // ONE materialization per round (r4 ran two: a pull job then a jump
       // job whose un-checkpointed self-join recomputed the pull subtree
@@ -936,6 +943,7 @@ object Dedup {
       // convergence checksum rides the checkpoint job as an observed
       // metric — one action per iteration, no separate sum job.
       val obs = org.apache.spark.sql.Observation()
+      sc.setJobDescription(s"cc: round $iter")
       val nbrMin = edges.join(labels, edges("v") === labels("id"))
         .groupBy("u").agg(min("lbl").as("nmin"))
       val parent = labels.select(col("id").as("pid"), col("lbl").as("plbl"))
@@ -952,6 +960,7 @@ object Dedup {
       labels = next
       iter += 1
     }
+    sc.setJobDescription(null)
     require(converged, s"connectedComponents did not converge in $maxIter " +
       "iterations — the pair graph has pathological diameter; raise maxIter")
     labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))

@@ -114,7 +114,6 @@ object Similarity {
           .as("css"))
       .select(col("pos"), col("n"), col("mean_ppm"),
         expr("css div n").as("var_ppm2"))
-      .orderBy("pos")
   }
 
   /** Whiten every vector against a stats snapshot: w = (v − mean)/sd in

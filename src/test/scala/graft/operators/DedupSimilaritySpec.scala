@@ -570,7 +570,7 @@ class DedupSimilaritySpec extends SparkSpec {
   test("whiten standardizes: per-dim mean ~0 and var ~1e6 milli-sigma^2") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
     val stats = Similarity.whitenStats(emb).collect()
-      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
     assert(stats.length == 64)
     val white = Similarity.whiten(emb, stats)
       .select(posexplode(col("w_milli")).as(Seq("pos", "w")))
@@ -588,7 +588,7 @@ class DedupSimilaritySpec extends SparkSpec {
     val flat = Seq((1L, Seq(2.0f, 5.0f)), (2L, Seq(2.0f, 1.0f)))
       .toDF("vec_id", "embedding")
     val fs = Similarity.whitenStats(flat).collect()
-      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
     assert(fs(0)._3 == 0L) // dim 0 constant
     val fw = Similarity.whiten(flat, fs).orderBy("vec_id")
       .collect().map(_.getSeq[Long](1))
