@@ -758,17 +758,22 @@ object TextAnalytics {
       .filter(size(col("__ws")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(slice(__ws, 1, size(__ws)-1), " +
-          "(w, i) -> struct(concat(w, ' ', __ws[i+1]) AS bg, w AS w1))")).as("p"))
-      .select(col("doc_id"), col("p.bg").as("bg"), col("p.w1").as("w1"))
-      // three consumers (two LM counts + the scoring join): materialize
+          "(w, i) -> concat(w, ' ', __ws[i+1]))")).as("bg"))
+      // two consumers (the bigram count + the scoring join): materialize
       // the tokenized pairs once instead of re-running the text kernel
       .localCheckpoint(false)
     val c2 = bgs.groupBy("bg").agg(count(lit(1)).as("c2"))
-    val c1 = bgs.groupBy("w1").agg(count(lit(1)).as("c1"))
     // vocab-sized join: per-bigram quantized log-conditional. words()
     // tokens contain no spaces, so the context is recoverable from the
-    // bigram key and c1 joins without touching the corpus again
-    val lm = c2.withColumn("w1", split(col("bg"), " ").getItem(0))
+    // bigram key without touching the corpus again — and the context
+    // count c1(w1) is exactly Σ c2 over bigrams with that prefix, so it
+    // rolls up from the VOCAB-sized c2 table (r17: the previous
+    // `bgs.groupBy("w1")` was a second full aggregation pass over the
+    // corpus-scale pair table computing a sum c2 already contains; AQE
+    // exchange reuse shares the one c2 exchange between both readers)
+    val withW1 = c2.withColumn("w1", split(col("bg"), " ").getItem(0))
+    val c1 = withW1.groupBy("w1").agg(sum("c2").as("c1"))
+    val lm = withW1
       .join(c1, Seq("w1"))
       .select(col("bg"),
         (round(log(col("c2").cast("double")) * 1048576).cast("long") -

@@ -13,8 +13,8 @@ import org.apache.spark.sql.SparkSession
 object JobProfile {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    val name = if (args.length > 1) args(1) else "sim_semdedup"
-    val cpus = if (args.length > 2) args(2) else "32"
+    val names = if (args.length > 1) args.drop(1).toSeq else Seq("sim_semdedup")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -39,18 +39,23 @@ object JobProfile {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         taskTime.addAndGet(s.stageInfo.taskMetrics.executorRunTime)
     })
-    val fn = graft.SparkEntry.queries(name)
-    // warm pass (codegen + footer caches), then the profiled pass
-    for (pass <- Seq("warm", "profiled")) {
-      done.clear(); taskTime.set(0L)
-      val t0 = System.nanoTime()
-      fn(spark, dir).write.format("noop").mode("overwrite").save()
-      val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(500) // let the async listener bus drain
-      println(f"== $name [$pass] wall ${wall}%.3f s, executor task-time ${taskTime.get / 1e3}%.3f s")
-      import scala.jdk.CollectionConverters._
-      done.asScala.toSeq.sortBy(_._1).foreach { case (id, ms, d) =>
-        println(f"  job $id%3d  ${ms / 1e3}%7.3f s  $d")
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      // warm pass (codegen + footer caches), then the profiled pass
+      for (pass <- Seq("warm", "profiled")) {
+        done.clear(); taskTime.set(0L)
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // let the async listener bus drain
+        println(f"== $name [$pass] wall ${wall}%.3f s, executor task-time ${taskTime.get / 1e3}%.3f s")
+        import scala.jdk.CollectionConverters._
+        val jobs = done.asScala.toSeq.sortBy(_._1)
+        println(f"   jobs ${jobs.size}%d, job-wall sum ${jobs.map(_._2).sum / 1e3}%.3f s")
+        if (pass == "profiled")
+          jobs.sortBy(-_._2).take(8).foreach { case (id, ms, d) =>
+            println(f"  job $id%3d  ${ms / 1e3}%7.3f s  $d")
+          }
       }
     }
     spark.stop()
