@@ -7,6 +7,16 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // r17 (guide §3.1/§9): let the planner pick shuffled-hash over
+      // sort-merge when the per-partition build side fits — an interleaved
+      // same-JVM canary-normalized A/B (tools/AbJoin) measured SHJ at
+      // 0.72-0.84x of SMJ on 6 of the 7 SMJ-bearing queries (q29 -28%,
+      // ds_snapshot_diff -26%, ds_drift -25%, sim_drift -25%, dd_cluster
+      // -16%, q45 -7%) and neutral on the 7th. Scale posture: the planner
+      // still gates on build-side size estimates, and AQE skew-split
+      // handles SHJ — this trades the per-partition sorts away, which is
+      // the same win on a cluster as on local.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       // TEST-SCALE-ONLY split sizing: the whole sf0.1 lineitem is ONE
       // ~10 MB parquet file, and the default 128 MB maxPartitionBytes
       // turns every heavy scan into a single-core job on a 32-core

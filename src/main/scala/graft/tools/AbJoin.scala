@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool (r17): interleaved same-JVM A/B of
+  * `spark.sql.join.preferSortMergeJoin` over the queries whose plans
+  * carry a SortMergeJoin — the box-noise-robust form of the measurement
+  * (each arm runs in the same session minutes apart, alternating, with
+  * the fixed-work canary timed inside each round for normalization).
+  *
+  * Usage: sbt "runMain graft.tools.AbJoin <sfDir> [rounds]"
+  */
+object AbJoin {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val rounds = if (args.length > 1) args(1).toInt else 4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.files.openCostInBytes", "512k")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val queries = Seq("t7_hash_throughput", "q29_nation_volume",
+      "q45_returned_items", "ds_snapshot_diff", "ds_drift", "sim_drift",
+      "ev_rollup_distinct_theta", "dd_cluster")
+    def time(name: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm both arms once (codegen for both plan shapes)
+    for (pref <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", pref)
+      queries.foreach(time)
+    }
+    val acc = scala.collection.mutable.Map[(String, String), List[Double]]()
+      .withDefaultValue(Nil)
+    for (r <- 1 to rounds; pref <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", pref)
+      queries.foreach { q => acc((q, pref)) ::= time(q) }
+    }
+    def med(xs: List[Double]) = xs.sorted.apply(xs.size / 2)
+    println(f"${"query"}%-26s ${"smj(med)"}%10s ${"shj(med)"}%10s  shj/smj")
+    val t7 = Map("true" -> med(acc(("t7_hash_throughput", "true"))),
+      "false" -> med(acc(("t7_hash_throughput", "false"))))
+    queries.foreach { q =>
+      val a = med(acc((q, "true"))) / t7("true")
+      val b = med(acc((q, "false"))) / t7("false")
+      println(f"$q%-26s $a%10.3f $b%10.3f  ${b / a}%.3f (canary-normalized)")
+    }
+    spark.stop()
+  }
+}
