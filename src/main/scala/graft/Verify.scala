@@ -15,6 +15,7 @@ object Verify {
       // r17: same join posture as Bench (see Bench.scala) so verified
       // plans are the benched plans
       .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "128m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -14,10 +14,17 @@ object AbJoin {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val rounds = if (args.length > 1) args(1).toInt else 4
+    // optional 3rd..5th args: a conf key and its A/B values (defaults to
+    // the r17 preferSortMergeJoin experiment)
+    val confKey = if (args.length > 2) args(2) else "spark.sql.join.preferSortMergeJoin"
+    val valA = if (args.length > 3) args(3) else "true"
+    val valB = if (args.length > 4) args(4) else "false"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.join.preferSortMergeJoin", "false") // adopted r17 posture
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "128m")
       .config("spark.sql.files.maxPartitionBytes", "1m")
       .config("spark.sql.files.openCostInBytes", "512k")
       .config("spark.ui.enabled", "false")
@@ -33,23 +40,24 @@ object AbJoin {
       (System.nanoTime() - t0) / 1e9
     }
     // warm both arms once (codegen for both plan shapes)
-    for (pref <- Seq("true", "false")) {
-      spark.conf.set("spark.sql.join.preferSortMergeJoin", pref)
+    for (v <- Seq(valA, valB)) {
+      spark.conf.set(confKey, v)
       queries.foreach(time)
     }
     val acc = scala.collection.mutable.Map[(String, String), List[Double]]()
       .withDefaultValue(Nil)
-    for (r <- 1 to rounds; pref <- Seq("true", "false")) {
-      spark.conf.set("spark.sql.join.preferSortMergeJoin", pref)
-      queries.foreach { q => acc((q, pref)) ::= time(q) }
+    for (r <- 1 to rounds; v <- Seq(valA, valB)) {
+      spark.conf.set(confKey, v)
+      queries.foreach { q => acc((q, v)) ::= time(q) }
     }
     def med(xs: List[Double]) = xs.sorted.apply(xs.size / 2)
-    println(f"${"query"}%-26s ${"smj(med)"}%10s ${"shj(med)"}%10s  shj/smj")
-    val t7 = Map("true" -> med(acc(("t7_hash_throughput", "true"))),
-      "false" -> med(acc(("t7_hash_throughput", "false"))))
+    println(s"conf $confKey: A=$valA B=$valB")
+    println(f"${"query"}%-26s ${"A(med)"}%10s ${"B(med)"}%10s  B/A")
+    val t7 = Map(valA -> med(acc(("t7_hash_throughput", valA))),
+      valB -> med(acc(("t7_hash_throughput", valB))))
     queries.foreach { q =>
-      val a = med(acc((q, "true"))) / t7("true")
-      val b = med(acc((q, "false"))) / t7("false")
+      val a = med(acc((q, valA))) / t7(valA)
+      val b = med(acc((q, valB))) / t7(valB)
       println(f"$q%-26s $a%10.3f $b%10.3f  ${b / a}%.3f (canary-normalized)")
     }
     spark.stop()
