@@ -4,6 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // r18: the two r17 join-posture flags are env-overridable so a
+    // fresh-JVM A/B can run each arm under the DRIVER'S OWN measurement
+    // (cold JVM, warm-up, median-of-3) instead of the same-JVM AbJoin
+    // interleave the r17 verdict found contradicted. Defaults = the
+    // shipped posture; the driver contract is unchanged.
+    val preferSmj = sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false")
+    val shjThreshold = sys.env.getOrElse("SPARK_GRAFT_AQE_SHJ_THRESHOLD", "128m")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,13 +23,13 @@ object Bench {
       // still gates on build-side size estimates, and AQE skew-split
       // handles SHJ — this trades the per-partition sorts away, which is
       // the same win on a cluster as on local.
-      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.join.preferSortMergeJoin", preferSmj)
       // ...and the AQE runtime form of the same choice: rewrite a planned
       // sort-merge to shuffled-hash when every post-shuffle build
       // partition is under 128 MB (a per-TASK memory bound, safe at any
       // cluster size; AbJoin A/B on top of the static flag: 0.85-0.99x
       // on all seven SMJ shapes, no losers).
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "128m")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", shjThreshold)
       // TEST-SCALE-ONLY split sizing: the whole sf0.1 lineitem is ONE
       // ~10 MB parquet file, and the default 128 MB maxPartitionBytes
       // turns every heavy scan into a single-core job on a 32-core
@@ -98,7 +105,10 @@ object Bench {
     val qEntry = "\\\\?\"([A-Za-z0-9]+_[A-Za-z0-9_]+)\\\\?\":([0-9][0-9.]*)".r
     val baseline: Map[String, Double] = {
       val files = Option(benchDir.listFiles()).getOrElse(Array.empty)
-        .filter(f => (f.getName.startsWith("BENCH_r") || f.getName == "bench_full.json")
+        .filter(f => (f.getName.startsWith("BENCH_r") || f.getName == "bench_full.json"
+          // r18: the sf1 tier artifact feeds sf1 baselines; the same-sf
+          // guard below keeps its entries out of the sf0.1 gate
+          || f.getName == "bench_sf1.json")
           && f.getName.endsWith(".json"))
       val perFile = files.toSeq.flatMap { f =>
         val text = scala.io.Source.fromFile(f, "UTF-8").mkString
@@ -177,25 +187,42 @@ object Bench {
     // whose per-query map is trimmed to the SLOWEST queries that fit the
     // window — the ones a regression gate actually looks at.
     // subset runs (dev spot-checks) must not clobber the committed
-    // full-run artifact
-    if (only.isEmpty)
+    // full-run artifact. r18: SPARK_GRAFT_BENCH_OUT names an ALTERNATIVE
+    // artifact for a deliberate subset tier (the sf1 heavy-family bench,
+    // bench_sf1.json) — same methodology, its own file, never touching
+    // bench_full.json.
+    val outOverride = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    if (only.isEmpty || outOverride.isDefined)
       try {
         java.nio.file.Files.writeString(
-          java.nio.file.Path.of("bench_full.json"), fullJson + "\n")
-        java.nio.file.Files.writeString(
-          java.nio.file.Path.of("bench_ratios.json"), ratioJson + "\n")
+          java.nio.file.Path.of(outOverride.getOrElse("bench_full.json")),
+          fullJson + "\n")
+        if (outOverride.isEmpty)
+          java.nio.file.Files.writeString(
+            java.nio.file.Path.of("bench_ratios.json"), ratioJson + "\n")
       } catch { case e: Throwable => System.err.println(s"[bench] full dump failed: $e") }
+    // n_timed: every one of these queries RAN and is in bench_full.json —
+    // the one-line map below is a display window, and the count lets the
+    // driver tell "windowed out" apart from "didn't run" (r17 PERF read
+    // the window churn as 16 dropped queries).
     val fixed = s"""{"metric":"total","value":${s3(total)},"unit":"sec",""" +
       s""""canary_ratio":$canaryJson,"normalized_over_2x":$normOver2,""" +
-      s""""rechecked":${fmt(rechecked)},""" +
+      s""""rechecked":${fmt(rechecked)},"n_timed":${results.size},""" +
       s""""full":"bench_full.json","sf":"$sfDir","queries":"""
     val budget = 1900 - fixed.length - 2
     val slowestFirst = results.toSeq.sortBy(-_._2)
     val keep = scala.collection.mutable.LinkedHashMap[String, Double]()
     var used = 0
+    // STRICT slowest-first truncation: stop at the first entry that does
+    // not fit. The r17 greedy fill kept scanning past a non-fitting name
+    // and admitted short-named faster queries instead, so the window was
+    // not a slowest-prefix and round-over-round comparisons churned
+    // (16 out / 11 in at r17) purely on name length.
+    var full = false
     slowestFirst.foreach { case (k, v) =>
       val w = k.length + s3(v).length + 4
-      if (used + w <= budget) { keep(k) = v; used += w }
+      if (!full && used + w <= budget) { keep(k) = v; used += w }
+      else full = true
     }
     println(fixed + fmt(keep) + "}")
     spark.stop()

@@ -697,8 +697,16 @@ object Dedup {
       s"sampled verifier got ${sets.length} docs (cap $maxVerifierSample); " +
         s"raise sampleMod — the scalable near-dup path is minhashPairs")
     // id-sorted snapshot: ids(i) < ids(j) for i < j, so the triangular
-    // loop below enumerates exactly the a_id < b_id pair set
+    // loop below enumerates exactly the a_id < b_id pair set. STRICTLY
+    // increasing is asserted (r18, advisor item): doc_id is a key in every
+    // fixture, but a duplicated id here would silently emit self-pairs —
+    // the r16 crossJoin form deduped via toMap, the array form must not
+    // regress that quietly.
     val byId = sets.sortBy(_._1)
+    for (i <- 1 until byId.length)
+      require(byId(i - 1)._1 < byId(i)._1,
+        s"duplicate doc_id ${byId(i)._1} in the sampled verifier input — " +
+          "doc_id must be unique (a duplicate would emit self-pairs)")
     val ids = byId.map(_._1)
     val arrs = byId.map(_._2)
     val bc = spark.sparkContext.broadcast((ids, arrs))
@@ -960,11 +968,14 @@ object Dedup {
       labels = next
       iter += 1
     }
-    sc.setJobDescription(null)
     require(converged, s"connectedComponents did not converge in $maxIter " +
       "iterations — the pair graph has pathological diameter; raise maxIter")
     labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
     } finally {
+      // reset the thread-local job description on EVERY exit (r18, advisor
+      // item): a mid-loop failure previously left "cc: round N" stuck on
+      // the context, mislabeling every later job in the session
+      sc.setJobDescription(null)
       // restore the application's checkpoint dir — this function must not
       // silently repoint other jobs' reliable checkpoints. (If none was
       // set before, the per-call subdir remains set; SparkContext has no

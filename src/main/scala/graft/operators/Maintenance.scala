@@ -303,6 +303,79 @@ object Maintenance {
       .agg(org.apache.spark.sql.graft.ThetaGlue
         .thetaSketchAgg(col(memberCol), lgK).as(s"theta_$memberCol"))
 
+  /** Fused per-source theta sketch of word n-gram shingles — the kernel
+    * form of `thetaRollup(explode(wordShinglesKernel(text, n)))` for the
+    * cross-source overlap report (r18, guide §1.2 per-task work).
+    * Value-identical by construction: tokenization is byte-for-byte
+    * [[Dedup.wordShingleSet]]'s (Unicode lowercase, `[^a-z]+` split), and
+    * each shingle updates the sketch with the SAME injective item
+    * encoding the string aggregate uses (0x01-prefixed UTF-8 of
+    * "tok₁ tok₂ … tokₙ" — tokens are pure a-z, so ASCII bytes ARE the
+    * UTF-8 bytes); a theta sketch is a distinct-hash set, so feeding
+    * occurrences instead of the per-doc distinct set cannot change it.
+    * What the fusion deletes, per shingle occurrence: the shingle String,
+    * the per-doc LinkedHashSet + Array[String], the exploded Catalyst
+    * row (+UTF8String), and the per-row aggregate path — one short-lived
+    * byte[] per occurrence remains. Partial per-(task, source) sketches
+    * — each exact-mode while a source's distinct shingles stay under
+    * 2^lgK, the declared query's documented bound — merge through the
+    * guarded [[org.apache.spark.sql.graft.ThetaUnionAgg]], exactly the
+    * partial→final shape the distributed string aggregate had, so the
+    * exchange carries |sources per task| sketch rows instead of every
+    * shingle occurrence. A doc with null text or fewer than n tokens
+    * contributes nothing, and a source none of whose docs shingle emits
+    * NO row — the explode semantics, preserved. */
+  def thetaShingleRollup(docs: org.apache.spark.sql.DataFrame, n: Int,
+                         lgK: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"need n >= 1 (got $n)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val partials = docs.select(col("source"), col("text"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val sketches = new java.util.HashMap[String, org.apache.datasketches.theta.Union]()
+        it.foreach { case (source, text) =>
+          if (text != null) {
+            val toks = text.toLowerCase(java.util.Locale.ROOT)
+              .split("[^a-z]+").filter(_.nonEmpty)
+            if (toks.length >= n) {
+              var u = sketches.get(source)
+              if (u == null) {
+                u = org.apache.spark.sql.graft.ThetaOps.newUnion(lgK)
+                sketches.put(source, u)
+              }
+              var i = 0
+              while (i <= toks.length - n) {
+                var len = 1 + (n - 1) // 0x01 tag + the joining spaces
+                var j = 0
+                while (j < n) { len += toks(i + j).length; j += 1 }
+                val b = new Array[Byte](len)
+                b(0) = 1 // the string-member tag of ThetaSketchAgg.prefixed
+                var w = 1
+                j = 0
+                while (j < n) {
+                  if (j > 0) { b(w) = ' '; w += 1 }
+                  val t = toks(i + j)
+                  var c = 0
+                  while (c < t.length) { b(w) = t.charAt(c).toByte; w += 1; c += 1 }
+                  j += 1
+                }
+                u.update(b)
+                i += 1
+              }
+            }
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        sketches.entrySet().iterator().asScala
+          .map(e => (e.getKey, e.getValue.getResult.toByteArray))
+      }
+      .toDF("source", "partial")
+    partials.groupBy("source")
+      .agg(org.apache.spark.sql.graft.ThetaGlue
+        .thetaUnionAgg(col("partial"), lgK).as("theta_shingle"))
+  }
+
   /** Merge theta rollup slices — sketch in, sketch out; replay-safe like
     * every member of the family (theta union is idempotent). `lgK` must
     * be at least the slices' BUILD lgK: a smaller merge gadget would
@@ -394,6 +467,13 @@ object Maintenance {
     val (sa, sb) = (s"${sketchCol}_${suffixes._1}", s"${sketchCol}_${suffixes._2}")
     val left = a.withColumnRenamed(sketchCol, sa)
     val right = b.withColumnRenamed(sketchCol, sb)
+    // r18 note: under the session posture AQE rewrites this full-outer
+    // SMJ to shuffled-hash at runtime. A 3-round fresh-JVM posture A/B
+    // showed ev_rollup_distinct_theta ~10% faster with the rewrite off,
+    // but a targeted hint("merge") micro-A/B (4 fresh JVMs) did NOT
+    // reproduce the difference (H/N = 1.16 then 0.94) — the query's
+    // absolute time is context-dominated at sf0.1. Left unpinned; the
+    // artifact is group-grain either way.
     val joined = left.join(right, keys, "full_outer")
       .withColumn(sa, coalesce(col(sa), lit(empty)))
       .withColumn(sb, coalesce(col(sb), lit(empty)))

@@ -1655,13 +1655,15 @@ object TrainingData {
   def ddCrossSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{Dedup, Maintenance}
     val g = org.apache.spark.sql.graft.ThetaGlue
-    val shingles = Tables.documents(spark, dir)
-      .select(col("source"),
-        explode(Dedup.wordShinglesKernel(col("text"), 3)).as("shingle"))
+    // r18: the fused shingle→sketch kernel (Maintenance.thetaShingleRollup)
+    // replaces explode(wordShinglesKernel) → thetaRollup — same item
+    // space, same sketch bytes (differential-locked in MaintenanceSpec),
+    // no per-shingle String/row materialization (guide §1.2)
     // cap BEFORE materializing: limit(cap+1) bounds what the driver ever
     // holds (a high-cardinality source column must fail the require, not
     // OOM the collect), the bounded-model-collect idiom
-    val artRows = Maintenance.thetaRollup(shingles, Seq("source"), "shingle", lgK = 14)
+    val artRows = Maintenance.thetaShingleRollup(
+        Tables.documents(spark, dir), n = 3, lgK = 14)
       .limit(4097).collect()
     require(artRows.length <= 4096,
       s"more than 4096 sources — the all-pairs report caps there " +

@@ -14,6 +14,7 @@ object AbJoin {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val rounds = if (args.length > 1) args(1).toInt else 4
+    require(rounds >= 1, s"need at least 1 round: $rounds")
     // optional 3rd..5th args: a conf key and its A/B values (defaults to
     // the r17 preferSortMergeJoin experiment)
     val confKey = if (args.length > 2) args(2) else "spark.sql.join.preferSortMergeJoin"
@@ -50,7 +51,13 @@ object AbJoin {
       spark.conf.set(confKey, v)
       queries.foreach { q => acc((q, v)) ::= time(q) }
     }
-    def med(xs: List[Double]) = xs.sorted.apply(xs.size / 2)
+    // standard median: average of the two middle elements when even —
+    // the upper-middle pick biased even-round A/B ratios (advisor item)
+    def med(xs: List[Double]) = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     println(s"conf $confKey: A=$valA B=$valB")
     println(f"${"query"}%-26s ${"A(med)"}%10s ${"B(med)"}%10s  B/A")
     val t7 = Map(valA -> med(acc(("t7_hash_throughput", valA))),

@@ -191,4 +191,48 @@ class ThetaSpec extends SparkSpec {
         .map(x => Option(x.getMessage).getOrElse("")).toSeq
     assert(chain(e).exists(_.contains("decimate")), chain(e).mkString(" | "))
   }
+
+  test("thetaShingleRollup ≡ explode(wordShinglesKernel) → thetaRollup, " +
+    "byte-identically, across edge cases and partitionings (r18 kernel lock)") {
+    // edge cases: duplicate shingles within a doc (sketch dedupes), null
+    // text, empty text, too-short text, punctuation/digit separators,
+    // Unicode uppercase (lowercases then strips to a-z), a source whose
+    // every doc is unshingleable (must be ABSENT from both artifacts),
+    // and a null source
+    val docs = Seq[(String, String)](
+      ("web", "the cat sat on the mat the cat sat on the mat"),
+      ("web", "The CAT   sat!! on3the mat?"),
+      ("web", null),
+      ("books", "alpha beta gamma delta epsilon"),
+      ("books", "alpha beta gamma"),
+      ("books", ""),
+      ("short", "one two"),
+      ("short", "x"),
+      (null, "null source shingles here fine")
+    ).toDF("source", "text")
+    def bytesOf(df: org.apache.spark.sql.DataFrame): Map[Option[String], Seq[Byte]] =
+      df.collect().map(r => Option(r.getAs[String]("source")) ->
+        r.getAs[Array[Byte]]("theta_shingle").toSeq).toMap
+    val reference = bytesOf(Maintenance.thetaRollup(
+      docs.select(col("source"),
+        explode(Dedup.wordShinglesKernel(col("text"), 3)).as("shingle")),
+      Seq("source"), "shingle", lgK = 14))
+    val fused = bytesOf(Maintenance.thetaShingleRollup(docs, n = 3, lgK = 14))
+    assert(fused.keySet == reference.keySet,
+      s"source sets differ: ${fused.keySet} vs ${reference.keySet}")
+    assert(!fused.keySet.contains(Some("short")),
+      "a source with no shingleable doc must be absent")
+    fused.keys.foreach(k => assert(fused(k) == reference(k),
+      s"sketch bytes differ for source $k"))
+    // partitioning independence of the fused kernel itself
+    val wide = bytesOf(Maintenance.thetaShingleRollup(
+      docs.repartition(7, col("text")), n = 3, lgK = 14))
+    assert(wide == fused, "fused kernel must be partitioning-independent")
+    // n = 1 (token members, no join spaces) agrees too
+    val ref1 = bytesOf(Maintenance.thetaRollup(
+      docs.select(col("source"),
+        explode(Dedup.wordShinglesKernel(col("text"), 1)).as("shingle")),
+      Seq("source"), "shingle", lgK = 14))
+    assert(bytesOf(Maintenance.thetaShingleRollup(docs, n = 1, lgK = 14)) == ref1)
+  }
 }

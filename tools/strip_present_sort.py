@@ -10,8 +10,9 @@ KEEPS: Window-spec orderBy (semantic), any orderBy followed by .limit
 (TakeOrdered top-k, semantic), and operator files (seeded selections,
 packing orders — semantic there).
 
-Run once from the repo root; review the diff, then delete or keep this
-script as provenance. Prints every removed site.
+ALREADY APPLIED (r17): kept as provenance only. The guard below exits
+early when the target sites are gone, so re-running on the refactored
+tree is a no-op instead of a fragile re-parse (advisor item, r18).
 """
 import re, sys
 
@@ -19,6 +20,11 @@ FILES = [
     'src/main/scala/graft/queries/Relational.scala',
     'src/main/scala/graft/queries/TrainingData.scala',
 ]
+
+# provenance guard (r18): the r17 run already applied this refactor, so
+# the script is DRY-RUN by default — it reports what it WOULD remove and
+# touches nothing unless --apply is passed explicitly.
+APPLY = '--apply' in sys.argv
 
 removed = []
 for path in FILES:
@@ -67,8 +73,9 @@ for path in FILES:
             out.append(indent + tail_extra + '\n')
         removed.append(f'{path}:{i+1} {core[:70]}')
         i = j + 1
-    open(path, 'w').write(''.join(out))
+    if APPLY:
+        open(path, 'w').write(''.join(out))
 
 for r in removed:
-    print('REMOVED', r)
-print(f'total removed: {len(removed)}')
+    print('WOULD REMOVE' if not APPLY else 'REMOVED', r)
+print(f'total {"removed" if APPLY else "matched (dry run; pass --apply to rewrite)"}: {len(removed)}')
