@@ -945,11 +945,20 @@ object Dedup {
       // graphs are near-cliques, so propagation, not pointer depth, binds
       // — and a fused double pull cut rounds 5→3 but its second edges⋈m1
       // join recomputes the un-checkpointed first hop, nearly doubling
-      // per-round cost (8.9 → 9.1 s net). This single-pull + stale-jump
-      // round is the measured optimum; the remaining sf1 cost is the pair
-      // GENERATION feeding [[connectedComponents]], not the loop. The
-      // convergence checksum rides the checkpoint job as an observed
-      // metric — one action per iteration, no separate sum job.
+      // per-round cost (8.9 → 9.1 s net). A THIRD variant was attempted
+      // and REJECTED in r18: folding pull + jump + self through one
+      // union + partial-min (fewer stages, parallel joins, value-
+      // identical per round) — Spark's Union.rewriteConstraints crashes
+      // (key not found) at the localCheckpoint's own
+      // LogicalRDD.rewriteStatsAndConstraints walk whenever the
+      // optimizer collapses the branch aliases back to shared attribute
+      // ids and the node lineage carries filter constraints (reproduced
+      // on dd_cluster; OPTIMIZATION_r18.md has the stack). This
+      // single-pull + stale-jump round is the measured optimum; the
+      // remaining sf1 cost is the pair GENERATION feeding
+      // [[connectedComponents]], not the loop. The convergence checksum
+      // rides the checkpoint job as an observed metric — one action per
+      // iteration, no separate sum job.
       val obs = org.apache.spark.sql.Observation()
       sc.setJobDescription(s"cc: round $iter")
       val nbrMin = edges.join(labels, edges("v") === labels("id"))

@@ -227,17 +227,21 @@ object SimilarityIvf {
   private def resolveIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): (String, Array[(Int, Array[Double])], Seq[String]) = {
     import spark.implicits._
-    val vdir = graft.sources.Fs.resolveCurrent(spark, path,
-      s"no IVF index at $path (missing _current pointer — " +
-        "run buildIndex first)")
-    val centroids = spark.read.parquet(s"$vdir/_centroids")
-      .as[(Int, Seq[Double])].collect().map { case (c, v) => (c, v.toArray) }
-    val (fs, _) = graft.sources.Fs.of(spark, path)
-    require(fs.exists(new org.apache.hadoop.fs.Path(s"$vdir/_segments")),
-      s"IVF index at $path predates the segment layout (version dir " +
-        s"$vdir has no _segments) — run buildIndex to refresh it")
-    val segs = spark.read.parquet(s"$vdir/_segments").as[String].collect().toSeq
-    (vdir, centroids, segs)
+    val sc = spark.sparkContext
+    sc.setJobDescription("ivf: resolve index metadata")
+    try {
+      val vdir = graft.sources.Fs.resolveCurrent(spark, path,
+        s"no IVF index at $path (missing _current pointer — " +
+          "run buildIndex first)")
+      val centroids = spark.read.parquet(s"$vdir/_centroids")
+        .as[(Int, Seq[Double])].collect().map { case (c, v) => (c, v.toArray) }
+      val (fs, _) = graft.sources.Fs.of(spark, path)
+      require(fs.exists(new org.apache.hadoop.fs.Path(s"$vdir/_segments")),
+        s"IVF index at $path predates the segment layout (version dir " +
+          s"$vdir has no _segments) — run buildIndex to refresh it")
+      val segs = spark.read.parquet(s"$vdir/_segments").as[String].collect().toSeq
+      (vdir, centroids, segs)
+    } finally sc.setJobDescription(null)
   }
 
   /** Union scan of a version's segment chain — one scan per segment
@@ -295,9 +299,11 @@ object SimilarityIvf {
                        nprobe: Int = 4): DataFrame = {
     import spark.implicits._
     val (_, centroids, segs) = resolveIndex(spark, path)
-    val aRows = anchors.select(col("vec_id"), col("label"), col("embedding"))
+    spark.sparkContext.setJobDescription("ivf: collect anchors")
+    val aRows = try anchors.select(col("vec_id"), col("label"), col("embedding"))
       .limit(Dedup.maxVerifierSample + 1)
       .as[(Long, Int, Array[Float])].collect()
+    finally spark.sparkContext.setJobDescription(null)
     require(aRows.length <= Dedup.maxVerifierSample,
       s"anchor set exceeds the cap ${Dedup.maxVerifierSample} — pre-filter anchors")
     // the anchor PAYLOAD (embedding + norm) broadcasts ONCE per anchor;
@@ -314,13 +320,19 @@ object SimilarityIvf {
     val aDf = payload.toDF("anchor_id", "a_label", "a_v", "a_n")
     val cDf = cells.toDF("cell", "anchor_id")
     val dot = VectorExpressions.dotF _
+    // r18 (guide §2.3): nm depends only on the vector, so compute it per
+    // CORPUS ROW before the cell join multiplies each vector by the
+    // anchors probing its cell — previously the norm dot ran once per
+    // (vector, anchor) candidate pair. Same expression, same surviving
+    // rows → bit-identical output; JobProfile showed the probe job's
+    // task-time dominated by per-pair kernel work.
     Similarity.rankHardNegatives(
       readVectors(spark, path, segs)
+        .withColumn("nm", sqrt(dot(col("embedding"), col("embedding"))))
+        .filter(col("nm") > 0)
         .join(broadcast(cDf), Seq("cell"))
         .join(broadcast(aDf), Seq("anchor_id"))
-        .filter(col("label") =!= col("a_label"))
-        .withColumn("nm", sqrt(dot(col("embedding"), col("embedding"))))
-        .filter(col("nm") > 0),
+        .filter(col("label") =!= col("a_label")),
       k, lo, hi)
   }
 

@@ -54,8 +54,10 @@ object JobProfile {
         import scala.jdk.CollectionConverters._
         val jobs = done.asScala.toSeq.sortBy(_._1)
         println(f"   jobs ${jobs.size}%d, job-wall sum ${jobs.map(_._2).sum / 1e3}%.3f s")
+        val topN = sys.env.get("SPARK_GRAFT_PROFILE_ALL")
+          .map(_ => Int.MaxValue).getOrElse(8)
         if (pass == "profiled")
-          jobs.sortBy(-_._2).take(8).foreach { case (id, ms, d) =>
+          jobs.sortBy(-_._2).take(topN).foreach { case (id, ms, d) =>
             println(f"  job $id%3d  ${ms / 1e3}%7.3f s  $d")
           }
       }
