@@ -42,6 +42,36 @@ object Versioning {
         coalesce(col("__dim_n"), col("__dim_o")).as(dimCol))
   }
 
+  /** SAME-BASE fusion of [[snapshotDiff]] (r18, guide §1.2/§2.4): when
+    * both snapshots are filtered/edited VIEWS OF ONE physical table —
+    * the incremental-rebuild case: the serving version and the rebuilt
+    * version share the base corpus — the row-level diff needs no join
+    * at all. Each base row knows its own membership and both text
+    * variants, so ONE scan classifies it; the full-outer join (and its
+    * two id-hash exchanges) disappears, and the corpus is read once
+    * instead of twice. Value-identical to
+    * `snapshotDiff(base.filter(inOld)…, base.filter(inNew)…)` by
+    * construction: the join matched rows by the shared id, which is
+    * exactly row identity here (differential-locked in VersioningSpec).
+    * `oldText`/`newText` are the per-side text expressions over the base
+    * row (pass the raw column when a side does not edit). Rows in
+    * neither snapshot are dropped, as the join's key-union semantics
+    * did. */
+  def snapshotDiffSameBase(base: DataFrame, inOld: Column, inNew: Column,
+      oldText: Column, newText: Column,
+      dimCol: String = "source"): DataFrame = {
+    val idCol = "doc_id"
+    base
+      .filter(inOld || inNew)
+      .select(col(idCol),
+        when(!inOld, "added")
+          .when(!inNew, "removed")
+          .when(md5(oldText) <=> md5(newText), "unchanged")
+          .otherwise("changed").as("status"),
+        col(dimCol))
+      .select(col(idCol), col("status"), col(dimCol))
+  }
+
   /** Embedding-space drift between two snapshots: per-label centroid shift
     * as the exact squared L2 distance in integer ppm² — did a class's
     * representation move between the serving and rebuilt corpus (new
@@ -84,6 +114,52 @@ object Versioning {
         // vs 128-dim new — the motivating case) would otherwise report a
         // deflated-but-plausible partial sum as the exact L2 shift. The
         // min-flag covers both full absence and partial overlap.
+        min(when(col("c_o").isNotNull && col("c_n").isNotNull, 1).otherwise(0))
+          .as("__aligned"),
+        sum((col("c_o") - col("c_n")) * (col("c_o") - col("c_n")))
+          .as("__d2"))
+      .select(col("label"), col("n_old"), col("n_new"),
+        when(col("__aligned") === 1, col("__d2")).as("shift_d2"))
+  }
+
+  /** SAME-BASE fusion of [[embeddingDrift]] (r18, guide §1.2/§2.4): both
+    * snapshots as membership predicates over ONE embeddings table. The
+    * per-side (label, pos) sums fold into a single aggregation carrying
+    * side flags — one posexplode pass instead of two, and the (label,
+    * pos)-grain full-outer join disappears. Value-identical to
+    * `embeddingDrift(base.filter(inOld), base.filter(inNew))`
+    * (differential-locked): the fused aggregate's key set is the union
+    * of both sides' key sets, exactly the join's; a side with no rows
+    * for a key has n = 0 here where the join had NULL, and the guarded
+    * centroid division maps both to the same NULL c value, so the
+    * alignment flag and d2 sum see identical inputs. */
+  def embeddingDriftSameBase(base: DataFrame, inOld: Column,
+                             inNew: Column): DataFrame = {
+    import graft.functions.VectorQuant
+    base
+      .filter(inOld || inNew)
+      .select(col("label"), VectorQuant.ppmVec(col("embedding")).as("vp"),
+        inOld.as("in_o"), inNew.as("in_n"))
+      .filter(VectorQuant.isWellFormedPpm(col("vp")))
+      .select(col("label"), posexplode(col("vp")).as(Seq("pos", "v")),
+        col("in_o"), col("in_n"))
+      .groupBy("label", "pos")
+      .agg(sum(when(col("in_o"), col("v"))).as("s_o"),
+        sum(when(col("in_o"), 1L)).as("n_o_raw"),
+        sum(when(col("in_n"), col("v"))).as("s_n"),
+        sum(when(col("in_n"), 1L)).as("n_n_raw"))
+      // n = 0 (absent side) must read as the join's NULL: null counts
+      // keep max() semantics downstream identical and guard the ANSI
+      // integer division (the join form could never divide by zero)
+      .select(col("label"), col("pos"),
+        when(col("n_o_raw") > 0, expr("s_o div n_o_raw")).as("c_o"),
+        when(col("n_n_raw") > 0, expr("s_n div n_n_raw")).as("c_n"),
+        when(col("n_o_raw") > 0, col("n_o_raw")).as("n_o"),
+        when(col("n_n_raw") > 0, col("n_n_raw")).as("n_n"))
+      .groupBy("label")
+      .agg(
+        coalesce(max("n_o"), lit(0L)).as("n_old"),
+        coalesce(max("n_n"), lit(0L)).as("n_new"),
         min(when(col("c_o").isNotNull && col("c_n").isNotNull, 1).otherwise(0))
           .as("__aligned"),
         sum((col("c_o") - col("c_n")) * (col("c_o") - col("c_n")))
@@ -139,12 +215,57 @@ object Versioning {
     driftFromHistograms(signalHistogram(oldSnap, signals),
       signalHistogram(newSnap, signals))
 
+  /** SAME-BASE fusion of [[signalDrift]] (r18, guide §1.2/§2.4): both
+    * snapshots as membership predicates over ONE table. The two
+    * [[signalHistogram]] scans and their bucket-level full-outer join
+    * fold into a single scan whose aggregate carries per-side counts —
+    * each exploded (signal, bucket) row contributes to c_o/c_n per its
+    * flags. Value-identical to
+    * `signalDrift(base.filter(inOld), base.filter(inNew), signals)`
+    * (differential-locked): the fused key set is the union of both
+    * sides' bucket sets — the join's — and an absent side sums to a
+    * null count that the shared tail coalesces to 0 exactly as it did
+    * the join's missing-row null. */
+  def signalDriftSameBase(base: DataFrame, inOld: Column, inNew: Column,
+      signals: Seq[(String, Column, Column)]): DataFrame = {
+    require(signals.nonEmpty, "at least one signal")
+    // per SIDE bucket expressions: a snapshot view may EDIT row content
+    // (the rebuilt-corpus case), so a signal over the new side can land
+    // in a different bucket than the same row's old side — each side's
+    // contribution explodes with its own bucket value and a side tag,
+    // and membership gates which contributions exist
+    val contribs = signals.flatMap { case (name, oldBucket, newBucket) =>
+      Seq(
+        struct(lit(name).as("signal"),
+          coalesce(oldBucket.cast("long"), lit(Long.MinValue)).as("bucket"),
+          inOld.as("o"), lit(false).as("n")),
+        struct(lit(name).as("signal"),
+          coalesce(newBucket.cast("long"), lit(Long.MinValue)).as("bucket"),
+          lit(false).as("o"), inNew.as("n")))
+    }
+    driftTail(base
+      .filter(inOld || inNew)
+      .select(explode(array(contribs: _*)).as("sb"))
+      .filter(col("sb.o") || col("sb.n"))
+      .select(col("sb.signal").as("signal"), col("sb.bucket").as("bucket"),
+        col("sb.o").as("in_o"), col("sb.n").as("in_n"))
+      .groupBy("signal", "bucket")
+      .agg(sum(when(col("in_o"), 1L)).as("c_o"),
+        sum(when(col("in_n"), 1L)).as("c_n")))
+  }
+
   /** TV distance from two pre-reduced [[signalHistogram]]s — the shared
     * tail of the batch query and the per-micro-batch streaming monitor. */
-  def driftFromHistograms(histOld: DataFrame, histNew: DataFrame): DataFrame = {
-    val joined = histOld.withColumnRenamed("c", "c_o")
+  def driftFromHistograms(histOld: DataFrame, histNew: DataFrame): DataFrame =
+    driftTail(histOld.withColumnRenamed("c", "c_o")
       .join(histNew.withColumnRenamed("c", "c_n"),
-        Seq("signal", "bucket"), "full_outer")
+        Seq("signal", "bucket"), "full_outer"))
+
+  /** The shared tail of [[driftFromHistograms]] and
+    * [[signalDriftSameBase]]: (signal, bucket, c_o, c_n) rows — null
+    * counts meaning "absent on that side" — to per-signal TV distance. */
+  private def driftTail(bucketCounts: DataFrame): DataFrame = {
+    val joined = bucketCounts
       .select(col("signal"),
         coalesce(col("c_o"), lit(0L)).as("c_o"),
         coalesce(col("c_n"), lit(0L)).as("c_n"))

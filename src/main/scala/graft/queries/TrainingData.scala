@@ -883,27 +883,54 @@ object TrainingData {
         when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
           .otherwise(col("text")))
 
-  /** Content diff between corpus versions ([[graft.operators.Versioning
-    * .snapshotDiff]]): per (source, status) counts of added / removed /
-    * changed / unchanged docs — the promotion gate report for a corpus
-    * rebuild. Hash-projected before the id join; text never shuffles. */
+  /** Content diff between corpus versions: per (source, status) counts
+    * of added / removed / changed / unchanged docs — the promotion gate
+    * report for a corpus rebuild. r18: both fixture snapshots are
+    * filtered/edited views of ONE base table, so the diff runs as the
+    * SAME-BASE fusion ([[graft.operators.Versioning
+    * .snapshotDiffSameBase]]) — one corpus scan, no join (the general
+    * two-table [[graft.operators.Versioning.snapshotDiff]] stays for
+    * physically distinct snapshots); value-identical by the operator's
+    * differential lock + the oracle. */
   def dsSnapshotDiff(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Versioning.snapshotDiff(snapOld(spark, dir), snapNew(spark, dir))
+    graft.operators.Versioning.snapshotDiffSameBase(
+        Tables.documents(spark, dir),
+        inOld = col("doc_id") % 7 =!= 3,
+        inNew = col("doc_id") % 5 =!= 0,
+        oldText = col("text"),
+        newText = when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
       .groupBy("source", "status").agg(count(lit(1)).as("n_docs"))
 
   /** Distribution drift between corpus versions ([[graft.operators
     * .Versioning.signalDrift]]): exact total-variation distance in integer
     * ppm over three integer-bucketed signals (doc length, alpha-token
     * count, blocklist hits). All-integer pipeline → oracle hash-exact. */
-  def dsDrift(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Versioning.signalDrift(snapOld(spark, dir), snapNew(spark, dir),
+  def dsDrift(spark: SparkSession, dir: String): DataFrame = {
+    // r18: the snapshots are views of one base → same-base fusion (one
+    // scan, no bucket join; see dsSnapshotDiff). Signals are per SIDE
+    // (name, old expr, new expr): the new snapshot EDITS text (" v2" on
+    // doc_id % 11), so words16/badhits over the new side must see the
+    // edited text exactly as the two-table form did; len64 reads the
+    // stored n_chars column, which the edit does not touch, so it is
+    // the same expression on both sides.
+    import graft.functions.TextAnalytics
+    val newText = when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+      .otherwise(col("text"))
+    def words16(t: org.apache.spark.sql.Column) =
+      // >>4 ≡ div 16 on the non-negative count — keeps the ONE
+      // alphaTokenCount definition instead of re-spelling its regex
+      shiftright(TextAnalytics.alphaTokenCount(t).cast("long"), 4)
+    graft.operators.Versioning.signalDriftSameBase(
+      Tables.documents(spark, dir),
+      inOld = col("doc_id") % 7 =!= 3,
+      inNew = col("doc_id") % 5 =!= 0,
       Seq(
-        "len64"    -> expr("n_chars div 64"),
-        // >>4 ≡ div 16 on the non-negative count — keeps the ONE
-        // alphaTokenCount definition instead of re-spelling its regex
-        "words16"  -> shiftright(
-          graft.functions.TextAnalytics.alphaTokenCount(col("text")).cast("long"), 4),
-        "badhits"  -> graft.functions.TextAnalytics.blockHits(col("text"))))
+        ("len64", expr("n_chars div 64"), expr("n_chars div 64")),
+        ("words16", words16(col("text")), words16(newText)),
+        ("badhits", TextAnalytics.blockHits(col("text")),
+          TextAnalytics.blockHits(newText))))
+  }
 
   /** Per-source corpus card ([[graft.functions.TextAnalytics]] kernels in
     * one pass): the datasheet a corpus release ships — per source, doc and
@@ -978,12 +1005,14 @@ object TrainingData {
     * shift (exact squared L2 in ppm²) between two membership-shifted
     * snapshots of the embeddings table — did a class's representation
     * move across the rebuild. */
-  def simDrift(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    graft.operators.Versioning.embeddingDrift(
-      emb.filter(col("vec_id") % 7 =!= 3),
-      emb.filter(col("vec_id") % 5 =!= 0))
-  }
+  def simDrift(spark: SparkSession, dir: String): DataFrame =
+    // r18: same-base fusion (one posexplode pass, no (label, pos) join —
+    // see dsSnapshotDiff; the general two-table embeddingDrift stays for
+    // physically distinct snapshots)
+    graft.operators.Versioning.embeddingDriftSameBase(
+      Tables.embeddings(spark, dir),
+      inOld = col("vec_id") % 7 =!= 3,
+      inNew = col("vec_id") % 5 =!= 0)
 
   /** Distributed full-corpus k-means ([[graft.operators.KMeans]]): 8
     * clusters, 3 Lloyd iterations over every embedding — the unsupervised

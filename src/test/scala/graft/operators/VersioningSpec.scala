@@ -139,10 +139,83 @@ class VersioningSpec extends SparkSpec {
     }
   }
 
-  test("signalDrift evaluates every signal from ONE scan per side") {
+  test("ds_drift evaluates every signal for BOTH sides from ONE corpus scan " +
+    "(r18 same-base fusion; was one scan per side)") {
     val q = graft.queries.TrainingData.dsDrift(spark, sfDir)
     val plan = q.queryExecution.executedPlan.toString
-    assert("FileScan parquet".r.findAllIn(plan).size == 2, plan)
+    assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
     assert(q.collect().length == 3)
+  }
+
+  // ---- r18 same-base fusions: differential locks vs the two-table forms ----
+
+  private def sameBaseDocs = {
+    val rows = (0L until 200L).map { i =>
+      val text = if (i % 13 == 0) null
+                 else if (i % 9 == 0) "" // empty text is a real value
+                 else s"doc $i body with some words and bad$i"
+      (i, text, s"s${i % 3}", if (text == null) 0L else text.length.toLong)
+    }
+    rows.toDF("doc_id", "text", "source", "n_chars")
+  }
+
+  test("snapshotDiffSameBase ≡ snapshotDiff on filtered/edited views of one base") {
+    val base = sameBaseDocs
+    val inOld = col("doc_id") % 7 =!= 3
+    val inNew = col("doc_id") % 5 =!= 0
+    val newText = when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+      .otherwise(col("text"))
+    val twoTable = Versioning.snapshotDiff(
+        base.filter(inOld),
+        base.filter(inNew).withColumn("text", newText))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val fused = Versioning.snapshotDiffSameBase(base, inOld, inNew,
+        oldText = col("text"), newText = newText)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(fused == twoTable, s"diff: ${fused.diff(twoTable)} / ${twoTable.diff(fused)}")
+  }
+
+  test("signalDriftSameBase ≡ signalDrift, including a side-edited signal") {
+    val base = sameBaseDocs
+    val inOld = col("doc_id") % 7 =!= 3
+    val inNew = col("doc_id") % 5 =!= 0
+    val newText = when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+      .otherwise(col("text"))
+    def sigs(t: org.apache.spark.sql.Column) = Seq(
+      "len64" -> expr("n_chars div 64"),
+      "tlen8" -> (length(t).cast("long") / 8).cast("long"))
+    val twoTable = Versioning.signalDrift(
+        base.filter(inOld),
+        base.filter(inNew).withColumn("text", newText),
+        sigs(col("text")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.get(4))).toSet
+    val fused = Versioning.signalDriftSameBase(base, inOld, inNew,
+        Seq(("len64", expr("n_chars div 64"), expr("n_chars div 64")),
+          ("tlen8", (length(col("text")).cast("long") / 8).cast("long"),
+            (length(newText).cast("long") / 8).cast("long"))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.get(4))).toSet
+    assert(fused == twoTable, s"diff: ${fused.diff(twoTable)} / ${twoTable.diff(fused)}")
+  }
+
+  test("embeddingDriftSameBase ≡ embeddingDrift, incl. mixed-dim and one-sided labels") {
+    val rows = (0L until 120L).map { i =>
+      // label 7 only exists on the old side (ids ≡ 3 mod 5 are new-excluded
+      // below... ids chosen so label 7 rows fail inNew), label 8 only new;
+      // label 9 has 3-dim vectors among 2-dim (mixed dims → null shift)
+      val label = if (i >= 110) 9 else (i % 8).toInt
+      val dim = if (label == 9 && i % 2 == 0) 3 else 2
+      (i, label, (0 until dim).map(d => (i * 0.01f + d * 0.5f)).toArray)
+    }
+    val base = rows.toDF("vec_id", "label", "embedding")
+    val inOld = col("label") =!= 8 && col("vec_id") % 5 =!= 0
+    val inNew = col("label") =!= 7 && col("vec_id") % 4 =!= 0
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.get(3))).toSet
+    val twoTable = canon(Versioning.embeddingDrift(
+      base.filter(inOld), base.filter(inNew)))
+    val fused = canon(Versioning.embeddingDriftSameBase(base, inOld, inNew))
+    assert(fused == twoTable, s"diff: ${fused.diff(twoTable)} / ${twoTable.diff(fused)}")
   }
 }
