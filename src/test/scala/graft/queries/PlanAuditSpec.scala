@@ -516,21 +516,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("percentile"), p) // quantiles via histogram, not sort-based percentile
   }
 
-  test("ds_snapshot_diff: hash-projected before the id join — text never shuffles") {
+  test("ds_snapshot_diff: r18 same-base fusion — ONE corpus scan, no join, " +
+    "text never shuffles") {
     val p = planOf("ds_snapshot_diff")
-    // the only exchanges carry (doc_id, md5, source, marker) rows; the
-    // md5 projection must sit below the join, i.e. no Exchange whose
-    // schema still contains the text column
+    assert(countScans(p) == 1, p)
+    assert(!p.contains("Join"), p) // both sides classify from the base row
     val exchanges = p.split("\n").filter(_.contains("Exchange"))
+    // only the final (source, status) aggregate exchanges — never text
     assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text#")), p)
-    assert(p.contains("FullOuter"), p)
   }
 
-  test("ds_drift: one scan per snapshot, partial-agged histograms") {
+  test("ds_drift: r18 same-base fusion — ONE corpus scan, partial-agged " +
+    "per-side histograms, no bucket join") {
     val p = planOf("ds_drift")
-    assert(countScans(p) == 2, p)
-    assert(p.contains("partial_count"), p)
-    assert(p.contains("FullOuter"), p)
+    assert(countScans(p) == 1, p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("FullOuter"), p)
   }
 
   test("txt_bm25: two kernel scans, one-row stats broadcast, TakeOrdered top-k") {
