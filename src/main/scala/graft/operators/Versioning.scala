@@ -61,11 +61,17 @@ object Versioning {
       oldText: Column, newText: Column,
       dimCol: String = "source"): DataFrame = {
     val idCol = "doc_id"
+    // null membership predicates read as FALSE (absent), exactly as the
+    // two-table form's filter() treated them — without this, a null
+    // inOld would fall through the negated when() chain into
+    // unchanged/changed instead of "added"
+    val o = coalesce(inOld, lit(false))
+    val n = coalesce(inNew, lit(false))
     base
-      .filter(inOld || inNew)
+      .filter(o || n)
       .select(col(idCol),
-        when(!inOld, "added")
-          .when(!inNew, "removed")
+        when(!o, "added")
+          .when(!n, "removed")
           .when(md5(oldText) <=> md5(newText), "unchanged")
           .otherwise("changed").as("status"),
         col(dimCol))

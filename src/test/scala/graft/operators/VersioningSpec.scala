@@ -173,6 +173,20 @@ class VersioningSpec extends SparkSpec {
         oldText = col("text"), newText = newText)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
     assert(fused == twoTable, s"diff: ${fused.diff(twoTable)} / ${twoTable.diff(fused)}")
+    // a NULL membership predicate means absent (filter semantics): doc 0
+    // is null-in-old, true-in-new → must classify as "added", exactly as
+    // the two-table form (whose filter drops the null row from old)
+    val nullableOld = when(col("doc_id") === 0, lit(null).cast("boolean"))
+      .otherwise(inOld)
+    val twoTableN = Versioning.snapshotDiff(
+        base.filter(nullableOld),
+        base.filter(inNew).withColumn("text", newText))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val fusedN = Versioning.snapshotDiffSameBase(base, nullableOld, inNew,
+        oldText = col("text"), newText = newText)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(fusedN == twoTableN,
+      s"null-predicate diff: ${fusedN.diff(twoTableN)} / ${twoTableN.diff(fusedN)}")
   }
 
   test("signalDriftSameBase ≡ signalDrift, including a side-edited signal") {
