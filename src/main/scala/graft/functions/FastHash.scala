@@ -409,6 +409,52 @@ object FastHash {
     (inter, a.length + b.length - inter)
   }
 
+  /** Smallest intersection size x for which `x / (S − x) >= thr` holds in
+    * DOUBLE arithmetic, where S = |A| + |B| — i.e. the minimum intersection
+    * a pair needs to pass a `jaccard >= thr` filter, under the exact
+    * comparison the filter itself performs (J(x) = x/(S−x) is monotone in x
+    * over the reals, and correctly-rounded division preserves that order,
+    * so the predicate is monotone in x and the boundary is well-defined).
+    * Returns S + 1 when no x in [0, S] qualifies (thr > the x = S value,
+    * which is +Infinity, cannot happen — but the form keeps callers total).
+    * thr <= 0 returns 0 (every pair qualifies; no pruning possible). */
+  def minInterFor(s: Int, thr: Double): Int = {
+    if (thr <= 0.0) return 0
+    // FP-safe bracket: start a couple below the real boundary estimate,
+    // then settle with the filter's own double comparison in both
+    // directions — correctness never rests on the closed form
+    var x = math.max(0, math.min(s, math.ceil(thr * s / (1.0 + thr)).toInt - 2))
+    while (x <= s && !(x.toDouble / (s - x).toDouble >= thr)) x += 1
+    while (x > 0 && (x - 1).toDouble / (s - (x - 1)).toDouble >= thr) x -= 1
+    x
+  }
+
+  /** [[interUnion]] with an exact early exit for thresholded callers: the
+    * merge aborts (returns −1) as soon as the intersection can provably no
+    * longer reach `need` — at any merge point, at most min(remaining A,
+    * remaining B) further matches are possible, and a match never lowers
+    * that bound, so the bound is checked only on mismatch steps. A pair
+    * whose merge completes returns the same packed (inter << 32 | uni) the
+    * plain kernel would; a pair that aborts is exactly a pair the plain
+    * kernel + filter would reject (inter_final <= bound < need <= the
+    * filter's minimum) — decisions are bit-identical, only the work for
+    * rejected pairs shrinks (the quadratic verifier's dominant cost:
+    * most candidate pairs are dissimilar and abort after ~(1−thr)·S/(1+thr)
+    * mismatches instead of walking the full merge). */
+  def interUnionBounded(a: Array[Long], b: Array[Long], need: Int): Long = {
+    val la = a.length; val lb = b.length
+    var i = 0; var j = 0; var inter = 0
+    while (i < la && j < lb) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else {
+        if (a(i) < b(j)) i += 1 else j += 1
+        val rem = math.min(la - i, lb - j)
+        if (inter + rem < need) return -1L
+      }
+    }
+    (inter.toLong << 32) | (la + lb - inter).toLong
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
     * algorithm): polynomial rolling hash over `k`-char grams of the
     * normalized text, keep the minimum hash of each `w`-gram window

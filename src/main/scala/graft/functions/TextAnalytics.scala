@@ -760,8 +760,14 @@ object TextAnalytics {
         "transform(slice(__ws, 1, size(__ws)-1), " +
           "(w, i) -> concat(w, ' ', __ws[i+1]))")).as("bg"))
       // two consumers (the bigram count + the scoring join): materialize
-      // the tokenized pairs once instead of re-running the text kernel
-      .localCheckpoint(false)
+      // the tokenized pairs once instead of re-running the text kernel.
+      // r18: EAGER — with the lazy form, AQE launches the three leaf
+      // exchange-stage jobs concurrently and all of them race the
+      // uncached tokenization behind per-partition block locks (three
+      // ~5.7 s jobs at sf1, each mostly lock wait); one eager
+      // materialization job in front lets every downstream exchange
+      // stream from cache
+      .localCheckpoint(true)
     val c2 = bgs.groupBy("bg").agg(count(lit(1)).as("c2"))
     // vocab-sized join: per-bigram quantized log-conditional. words()
     // tokens contain no spaces, so the context is recoverable from the
@@ -778,7 +784,16 @@ object TextAnalytics {
       .select(col("bg"),
         (round(log(col("c2").cast("double")) * 1048576).cast("long") -
           round(log(col("c1").cast("double")) * 1048576).cast("long")).as("qd"))
-    bgs.join(lm, Seq("bg"))
+    // r18 (guide §3.1): without the hint the planner BROADCASTS the
+    // corpus-scale pair table (the checkpointed LogicalRDD's stats read
+    // small) and streams the vocab-scale lm past it — a driver-side
+    // hash-relation build of the CORPUS side, inverted at any scale and
+    // measured as the dominant jobs at sf1. SHUFFLE_HASH on the lm side
+    // restores the declared shape: both sides exchange by bg, the
+    // vocab-grain lm is the per-partition build — the corpus pays exactly
+    // the one (doc_id, bg) key-join exchange the scaladoc promises, and
+    // the build stays bounded (vocab / partitions) at any corpus size.
+    bgs.join(lm.hint("shuffle_hash"), Seq("bg"))
       .groupBy("doc_id")
       .agg(sum("qd").as("sq"), count(lit(1)).as("n_bigrams"))
       .select(col("doc_id"), col("n_bigrams"),

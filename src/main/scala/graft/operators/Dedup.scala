@@ -724,23 +724,38 @@ object Dedup {
             val a = arrs(i)
             Iterator.range(i + 1, n).flatMap { j =>
               val b = arrs(j)
-              // size prune (r6, value-identical): J(A,B) ≤ min/max size,
-              // so a strictly-under-threshold ratio cannot pass the
-              // ≥ threshold filter — skip the O(|set|) merge. Boundary
-              // ratios (== threshold, reachable when A ⊆ B) and empty
-              // sets still take the exact kernel.
-              val mn = math.min(a.length, b.length)
-              val mx = math.max(a.length, b.length)
-              val (inter, uni) =
-                if (mx > 0 && mn.toDouble / mx < thr) (0, mx)
-                else graft.functions.FastHash.interUnion(a, b)
+              // r18 (guide §1.2 per-task work): the merge itself now
+              // early-exits. need = the minimum intersection that can pass
+              // `jaccard >= thr` under the SAME double comparison the
+              // filter applies (J(x) = x/(S−x) monotone; FastHashSpec
+              // differential-locks decision equality against the plain
+              // kernel). The r6 size prune is the need-check's mn < need
+              // special case: J(mn) = mn/mx, so mn < need ⟺ mn/mx < thr —
+              // boundary ratios (== threshold, A ⊆ B) still take the
+              // kernel. Dissimilar pairs (the vast majority) now abort
+              // ~(1−thr)/(1+thr)·S steps into the merge instead of
+              // walking all of it — at thr = 0.6 that is ~4× less merge
+              // work on the dominant reject path, the executor-time bulk
+              // of dd_cluster / dd_keep_best at sf1.
+              val s = a.length + b.length
               // two empty sets give uni = 0 (0/0 = NaN upstream in SQL) —
               // excluded exactly as the SQL oracles exclude such docs
-              if (uni > 0) {
-                val jac = inter.toDouble / uni.toDouble
-                if (jac >= thr) Iterator.single((ids(i), ids(j), inter, uni, jac))
-                else Iterator.empty
-              } else Iterator.empty
+              if (s == 0) Iterator.empty
+              else {
+                val need = graft.functions.FastHash.minInterFor(s, thr)
+                if (math.min(a.length, b.length) < need) Iterator.empty
+                else {
+                  val packed = graft.functions.FastHash.interUnionBounded(a, b, need)
+                  if (packed < 0) Iterator.empty
+                  else {
+                    val inter = (packed >> 32).toInt
+                    val uni = packed.toInt
+                    val jac = inter.toDouble / uni.toDouble
+                    if (jac >= thr) Iterator.single((ids(i), ids(j), inter, uni, jac))
+                    else Iterator.empty
+                  }
+                }
+              }
             }
           }
         }

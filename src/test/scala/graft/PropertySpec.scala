@@ -139,6 +139,34 @@ object GraftProperties extends Properties("graft") {
     inter == sa.toSet.intersect(sb.toSet).size && uni == sa.toSet.union(sb.toSet).size
   }
 
+  // r18: the bounded kernel's pass/abort decision must be bit-identical to
+  // the plain kernel + `jaccard >= thr` filter for every threshold, and a
+  // passing pair must carry the plain kernel's exact (inter, uni). This is
+  // the sampled-verifier rewrite's whole contract (Dedup.sampledSetJaccard).
+  property("interUnionBounded decision ≡ interUnion + threshold filter") =
+    forAll(textGen, textGen, Gen.oneOf(0.0, 0.1, 0.3, 0.5, 0.6, 0.8, 0.9, 0.99, 1.0)) {
+      (a, b, thr) =>
+        val sa = FastHash.tokenSet(a); val sb = FastHash.tokenSet(b)
+        val s = sa.length + sb.length
+        val (inter, uni) = FastHash.interUnion(sa, sb)
+        val exactPass = uni > 0 && inter.toDouble / uni.toDouble >= thr
+        val need = FastHash.minInterFor(s, thr)
+        // the boundary itself is exact: need − 1 fails the filter, need passes
+        val boundaryOk = (need > s) || s == 0 ||
+          ((need == 0 || !((need - 1).toDouble / (s - (need - 1)).toDouble >= thr)) &&
+            need.toDouble / (s - need).toDouble >= thr)
+        val boundedPass =
+          if (s == 0 || math.min(sa.length, sb.length) < need) false
+          else {
+            val packed = FastHash.interUnionBounded(sa, sb, need)
+            packed >= 0 && {
+              val bi = (packed >> 32).toInt; val bu = packed.toInt
+              bi == inter && bu == uni && bi.toDouble / bu.toDouble >= thr
+            }
+          }
+        boundaryOk && boundedPass == exactPass
+    }
+
   property("minhash/simhash deterministic") = forAll(textGen) { t =>
     FastHash.minhash(t, 2, 32).sameElements(FastHash.minhash(t, 2, 32)) &&
       FastHash.simhash(t) == FastHash.simhash(t)
