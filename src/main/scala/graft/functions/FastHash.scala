@@ -187,6 +187,143 @@ object FastHash {
   def markerHitsCol(text: Column, sets: Array[Array[Long]]): Column =
     udf((s: String) => markerHits(s, sets)).apply(text)
 
+  /** The five character-class counts every per-doc token/quality signal is
+    * built from, in ONE code-point pass (r18, guide §1.2 per-task work —
+    * these were four separate java.util.regex passes per row, the
+    * dominant kernel cost of txt_quality/txt_tokens and a third of the
+    * fused txt_signals scan):
+    *
+    *   1. punct  — chars in [.!?,;:]
+    *      ≡ length(regexp_replace(text, "[^.!?,;:]", ""))
+    *   2. alpha  — chars in [A-Za-z]
+    *      ≡ length(regexp_replace(text, "[^A-Za-z]", ""))
+    *   3. wsTokens — Java-split semantics over the SPACE-trimmed string:
+    *      0 when the trimmed string is empty, else (number of maximal
+    *      Java-\s runs) + 1
+    *      ≡ when(length(trim(text)) = 0, 0)
+    *        .otherwise(size(split(trim(text), "\\s+")))
+    *      (split keeps leading/trailing empty tokens at limit −1, which
+    *      is exactly runs + 1; trim strips ASCII spaces only)
+    *   4. alphaRuns — maximal [A-Za-z]+ runs
+    *      ≡ regexp_count(text, "[A-Za-z]+")
+    *   5. bpe — alpha runs + digit runs + single non-alnum-non-ws code
+    *      points ≡ regexp_count(text, "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
+    *
+    * Iteration is BY CODE POINT (java.util.regex matches classes per code
+    * point, so an astral char is ONE "other" match, not two); Java's \s
+    * is the six ASCII members [ \t\n\x0B\f\r]. Equality with the regex
+    * formulations is property-locked (PropertySpec) including astral and
+    * control characters; null in → null out (every replaced expression
+    * null-propagates). */
+  def textCounts(text: String): Array[Int] = {
+    if (text == null) return null
+    var punct = 0; var alpha = 0; var alphaRuns = 0; var bpe = 0
+    var prevAlpha = false; var prevDigit = false
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      val isA = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')
+      val isD = cp >= '0' && cp <= '9'
+      if (isA) {
+        alpha += 1
+        if (!prevAlpha) { alphaRuns += 1; bpe += 1 }
+      } else if (isD) {
+        if (!prevDigit) bpe += 1
+      } else if (!(cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+          cp == '\f' || cp == '\r')) {
+        bpe += 1
+        if (cp == '.' || cp == '!' || cp == '?' || cp == ',' ||
+            cp == ';' || cp == ':') punct += 1
+      }
+      prevAlpha = isA
+      prevDigit = isD
+      i += Character.charCount(cp)
+    }
+    // whitespace tokens over the SPACE-trimmed string (Spark's trim)
+    var st = 0; var en = n
+    while (st < en && text.charAt(st) == ' ') st += 1
+    while (en > st && text.charAt(en - 1) == ' ') en -= 1
+    var wsTokens = 0
+    if (en > st) {
+      var runs = 0
+      var inWs = false
+      var j = st
+      while (j < en) {
+        val c = text.charAt(j)
+        val w = c == ' ' || c == '\t' || c == '\n' || c == 0x0B.toChar ||
+          c == '\f' || c == '\r'
+        if (w && !inWs) runs += 1
+        inWs = w
+        j += 1
+      }
+      wsTokens = runs + 1
+    }
+    Array(punct, alpha, wsTokens, alphaRuns, bpe)
+  }
+
+  /** Column form of [[textCounts]] — deterministic, so any number of
+    * element_at readers inside one projection collapse to a single kernel
+    * run per row (the [[markerHitsCol]] precedent). */
+  def textCountsCol(text: Column): Column =
+    udf((s: String) => textCounts(s)).apply(text)
+
+  /** Adjacent word bigrams of an ALREADY-LOWERCASED string, one pass:
+    * tokens are the maximal `[a-z]` runs (exactly the non-empty elements
+    * of `split(lowered, "[^a-z]+")`), each bigram `w1 + " " + w2`. The
+    * caller passes `lower(text)` so Unicode case mapping stays the
+    * engine's (`lower()` builtin), and this kernel replaces only the
+    * interpreted HOF chain (`filter(words, …)` + `transform(slice(…))`
+    * are CodegenFallback — evaluated per element with boxing, and the
+    * tokenization re-ran in both the size filter and the projection).
+    * < 2 tokens → empty array (the `size >= 2` filter, expressed as
+    * explode-of-empty); null → null (explode drops both identically).
+    * Equality with the split/slice/transform formulation is
+    * property-locked (PropertySpec). */
+  def lowerBigrams(lowered: String): Array[String] = {
+    if (lowered == null) return null
+    val n = lowered.length
+    // first pass: count tokens; second: emit bigrams by index — no
+    // intermediate token array of Strings
+    var count = 0
+    var inTok = false
+    var i = 0
+    while (i < n) {
+      val c = lowered.charAt(i)
+      val a = c >= 'a' && c <= 'z'
+      if (a && !inTok) count += 1
+      inTok = a
+      i += 1
+    }
+    if (count < 2) return Array.empty
+    val out = new Array[String](count - 1)
+    val sb = new java.lang.StringBuilder(24)
+    var prevStart = -1; var prevEnd = -1
+    var k = 0
+    var start = -1
+    i = 0
+    while (i <= n) {
+      val a = i < n && { val c = lowered.charAt(i); c >= 'a' && c <= 'z' }
+      if (a && start < 0) start = i
+      else if (!a && start >= 0) {
+        if (prevStart >= 0) {
+          sb.setLength(0)
+          sb.append(lowered, prevStart, prevEnd).append(' ')
+            .append(lowered, start, i)
+          out(k) = sb.toString
+          k += 1
+        }
+        prevStart = start; prevEnd = i
+        start = -1
+      }
+      i += 1
+    }
+    out
+  }
+
+  def lowerBigramsCol(lowered: Column): Column =
+    udf((s: String) => lowerBigrams(s)).apply(lowered)
+
   /** Fraction of equal positions between two equal-length signatures —
     * the MinHash Jaccard estimate, as a primitive loop (the zip_with/filter
     * HOF twin is CodegenFallback). */

@@ -101,28 +101,39 @@ object TextAnalytics {
     if (r == null) null else Integer.valueOf(r(0))
   }
 
-  /** Count of alphabetic word runs — the denominator for token-rate
-    * signals. Native `regexp_count` (codegen), equal to the number of
-    * non-empty [[words]] tokens on ASCII text. */
-  def alphaTokenCount(text: Column): Column =
-    regexp_count(text, lit("[A-Za-z]+"))
+  /** The shared one-pass character-class counts ([[FastHash.textCounts]]):
+    * every reader below is an element_at over this ONE deterministic
+    * kernel call, so a projection using several of them (txt_quality,
+    * txt_tokens, the fused signals scan) runs the pass once per row where
+    * the regex formulations each cost their own java.util.regex walk —
+    * the counts are value-identical by the property-locked equivalences
+    * on the kernel's scaladoc (r18, guide §1.2). */
+  private def textCounts(text: Column): Column = FastHash.textCountsCol(text)
 
-  /** Whitespace token count (trim first so blank docs count 0). */
-  def wsTokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
+  /** Count of alphabetic word runs — the denominator for token-rate
+    * signals. ≡ `regexp_count(text, "[A-Za-z]+")`, equal to the number of
+    * non-empty [[words]] tokens on ASCII text. */
+  def alphaTokenCount(text: Column): Column = element_at(textCounts(text), 4)
+
+  /** Whitespace token count (trim first so blank docs count 0).
+    * ≡ `when(length(trim(text)) = 0, 0)
+    *    .otherwise(size(split(trim(text), "\\s+")))`. */
+  def wsTokenCount(text: Column): Column = element_at(textCounts(text), 3)
 
   /** BPE-ish subword count: alphabetic runs, digit runs, and single
     * punctuation marks each count as one token — the standard pre-tokenizer
-    * regex shape used by byte-pair tokenizers. */
+    * regex shape used by byte-pair tokenizers. ≡ `regexp_count(text,
+    * bpeTokenPattern)`. */
   val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
-  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(bpeTokenPattern))
+  def bpeTokenCount(text: Column): Column = element_at(textCounts(text), 5)
 
   /** Quality-scoring feature columns (length/punct/alpha/stopword ratios). */
   def nChars(text: Column): Column = length(text)
-  def punctCount(text: Column): Column =
-    length(regexp_replace(text, "[^.!?,;:]", "")) // keep only punctuation
+  /** ≡ `length(regexp_replace(text, "[^.!?,;:]", ""))` — punctuation only. */
+  def punctCount(text: Column): Column = element_at(textCounts(text), 1)
+  /** Numerator ≡ `length(regexp_replace(text, "[^A-Za-z]", ""))`. */
   def alphaRatio(text: Column): Column =
-    length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+    element_at(textCounts(text), 2).cast("double") /
       nullif(length(text), lit(0)).cast("double")
   def stopwordRatio(text: Column): Column =
     hitCount(text, 0).cast("double") /
@@ -753,12 +764,16 @@ object TextAnalytics {
     * one (doc_id, long) reduce — the same two-exchange floor as
     * [[lmScore]]. */
   def lmScoreBigram(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // r18 (guide §1.2 / §4.1): the previous HOF chain (filter lambda +
+    // transform/slice/concat) is CodegenFallback — interpreted, boxed per
+    // token, and the tokenization ran in both the size filter and the
+    // projection. One kernel pass over the engine-lowered text emits the
+    // SAME bigram strings (PropertySpec locks the equality; lower() stays
+    // the builtin so Unicode case mapping is unchanged); docs with < 2
+    // tokens leave as explode-of-empty exactly as the size filter did.
     val bgs = docs
-      .withColumn("__ws", filter(words(col("text")), w => length(w) > 0))
-      .filter(size(col("__ws")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(slice(__ws, 1, size(__ws)-1), " +
-          "(w, i) -> concat(w, ' ', __ws[i+1]))")).as("bg"))
+      .select(col("doc_id"),
+        explode(FastHash.lowerBigramsCol(lower(col("text")))).as("bg"))
       // two consumers (the bigram count + the scoring join): materialize
       // the tokenized pairs once instead of re-running the text kernel.
       // r18: EAGER — with the lazy form, AQE launches the three leaf
@@ -768,15 +783,20 @@ object TextAnalytics {
       // materialization job in front lets every downstream exchange
       // stream from cache
       .localCheckpoint(true)
-    val c2 = bgs.groupBy("bg").agg(count(lit(1)).as("c2"))
     // vocab-sized join: per-bigram quantized log-conditional. words()
     // tokens contain no spaces, so the context is recoverable from the
     // bigram key without touching the corpus again — and the context
     // count c1(w1) is exactly Σ c2 over bigrams with that prefix, so it
     // rolls up from the VOCAB-sized c2 table (r17: the previous
     // `bgs.groupBy("w1")` was a second full aggregation pass over the
-    // corpus-scale pair table computing a sum c2 already contains; AQE
-    // exchange reuse shares the one c2 exchange between both readers)
+    // corpus-scale pair table computing a sum c2 already contains).
+    // r18: c2 is MATERIALIZED (vocab-grain, cheap) — statically the c1
+    // branch re-derived its aggregation from the corpus-scale pair
+    // checkpoint (a second full partial-agg pass whenever AQE's
+    // canonical exchange reuse does not fire, which the sf1 profile
+    // showed as a third ~1.5 s exchange job); both lm readers now scan
+    // the reduced table
+    val c2 = bgs.groupBy("bg").agg(count(lit(1)).as("c2")).localCheckpoint(true)
     val withW1 = c2.withColumn("w1", split(col("bg"), " ").getItem(0))
     val c1 = withW1.groupBy("w1").agg(sum("c2").as("c1"))
     val lm = withW1

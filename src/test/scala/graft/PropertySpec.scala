@@ -139,6 +139,55 @@ object GraftProperties extends Properties("graft") {
     inter == sa.toSet.intersect(sb.toSet).size && uni == sa.toSet.union(sb.toSet).size
   }
 
+  // r18: textCounts must equal the exact regex formulations it replaced
+  // (java.util.regex IS what Spark's regexp_count/regexp_replace/split
+  // evaluate), including tabs/controls, unicode, and astral code points
+  // (regex classes match per CODE POINT — an astral char is one "other").
+  private val oddTextGen = Gen.listOf(Gen.oneOf(
+    Gen.alphaStr, Gen.const(" "), Gen.const("\t"), Gen.const("\n"),
+    Gen.const(""), Gen.const("\r"), Gen.const("\f"), Gen.const("."),
+    Gen.const("!"), Gen.const(",;:"), Gen.const("42"), Gen.const("é"),
+    Gen.const(" "), Gen.const("😀"), Gen.const(""),
+    Gen.const("?"))).map(_.mkString)
+
+  property("textCounts ≡ the regex formulations it replaced") =
+    forAll(oddTextGen) { t =>
+      val c = FastHash.textCounts(t)
+      val punct = t.replaceAll("[^.!?,;:]", "").length
+      val alpha = t.replaceAll("[^A-Za-z]", "").length
+      val alphaRuns = java.util.regex.Pattern.compile("[A-Za-z]+")
+        .matcher(t).results().count().toInt
+      val bpe = java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
+        .matcher(t).results().count().toInt
+      // Spark: when(length(trim(text)) = 0, 0)
+      //        .otherwise(size(split(trim(text), "\\s+")))  [split limit −1]
+      val spaceTrimmed = {
+        var st = 0; var en = t.length
+        while (st < en && t.charAt(st) == ' ') st += 1
+        while (en > st && t.charAt(en - 1) == ' ') en -= 1
+        t.substring(st, en)
+      }
+      val wsTokens = if (spaceTrimmed.isEmpty) 0
+        else spaceTrimmed.split("\\s+", -1).length
+      c(0) == punct && c(1) == alpha && c(2) == wsTokens &&
+        c(3) == alphaRuns && c(4) == bpe &&
+        (FastHash.textCounts(null) == null)
+    }
+
+  // r18: lowerBigrams must emit exactly the bigrams of the HOF chain it
+  // replaced — non-empty elements of split(lowered, "[^a-z]+") paired
+  // adjacently as "w1 w2"; < 2 tokens → empty; null → null
+  property("lowerBigrams ≡ split/filter/slide bigrams") =
+    forAll(oddTextGen) { t =>
+      val lowered = t.toLowerCase
+      val toks = lowered.split("[^a-z]+", -1).filter(_.nonEmpty)
+      val expect: Seq[String] =
+        if (toks.length < 2) Seq.empty
+        else toks.sliding(2).map(p => p(0) + " " + p(1)).toSeq
+      FastHash.lowerBigrams(lowered).toSeq == expect &&
+        (FastHash.lowerBigrams(null) == null)
+    }
+
   // r18: the bounded kernel's pass/abort decision must be bit-identical to
   // the plain kernel + `jaccard >= thr` filter for every threshold, and a
   // passing pair must carry the plain kernel's exact (inter, uni). This is
