@@ -324,6 +324,117 @@ object FastHash {
   def lowerBigramsCol(lowered: Column): Column =
     udf((s: String) => lowerBigrams(s)).apply(lowered)
 
+  /** Spark's `xxhash64(string)` — XXH64 with Spark's fixed seed 42 over
+    * the UTF-8 bytes, via the engine's own implementation so the value
+    * can never drift from the Column function (differential-locked in
+    * DedupSimilaritySpec). */
+  def sparkXxhash64(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+  }
+
+  /** Whitespace-token segments (r18, the segmentDedup kernel): tokens are
+    * the non-empty elements of `split(text, "[ \t\n\f\r]+")`,
+    * grouped into chunks of `segWords` joined by one space — exactly
+    * `transform(sequence(0, ceil(size(ws)/segWords)-1),
+    *   i -> concat_ws(' ', slice(ws, i*segWords+1, segWords)))`
+    * over `ws = filter(split(...), length > 0)`, whose
+    * filter/transform/slice lambdas are CodegenFallback (interpreted per
+    * token — the dominant cost of both dd_segment_dedup jobs at sf1).
+    * No words → empty array; null text → null (the HOF chain
+    * null-propagates). DedupSimilaritySpec differential-locks kernel ≡
+    * Catalyst on the fixture + edge rows. */
+  def wsSegments(text: String, segWords: Int): Array[String] = {
+    if (text == null) return null
+    val n = text.length
+    // token boundaries in one scan (class = ASCII space + \t\n\f\r)
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    var tokStart = -1
+    while (i <= n) {
+      val ws = i == n || {
+        val c = text.charAt(i)
+        c == ' ' || (c >= '\t' && c <= '\r')
+      }
+      if (!ws && tokStart < 0) tokStart = i
+      else if (ws && tokStart >= 0) {
+        starts.add(tokStart); ends.add(i); tokStart = -1
+      }
+      i += 1
+    }
+    val nToks = starts.size
+    if (nToks == 0) return new Array[String](0)
+    val nSegs = (nToks + segWords - 1) / segWords
+    val out = new Array[String](nSegs)
+    val sb = new java.lang.StringBuilder
+    var s = 0
+    while (s < nSegs) {
+      sb.setLength(0)
+      var t = s * segWords
+      val end = math.min(t + segWords, nToks)
+      while (t < end) {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(text, starts.get(t), ends.get(t))
+        t += 1
+      }
+      out(s) = sb.toString
+      s += 1
+    }
+    out
+  }
+
+  def wsSegmentsCol(text: Column, segWords: Int): Column =
+    udf((s: String) => wsSegments(s, segWords)).apply(text)
+
+  /** First-seen-distinct [[sparkXxhash64]] of each segment —
+    * ≡ `array_distinct(transform(segs, s -> xxhash64(s)))` (the distinct
+    * is on HASHES, so two colliding segments still collapse exactly as
+    * the Catalyst form collapses them). */
+  def distinctXxh64(segs: Array[String]): Array[Long] = {
+    if (segs == null) return null
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < segs.length) { seen.add(sparkXxhash64(segs(i))); i += 1 }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+
+  def distinctXxh64Col(segs: Column): Column =
+    udf((a: Array[String]) => distinctXxh64(a)).apply(segs)
+
+  /** The excision tail of segmentDedup: drop segments whose hash is in
+    * `dup` (null `dup` = no duplicated segments anywhere in the doc —
+    * the left-join miss — keeps everything), return (n_dropped,
+    * clean_text) — ≡ `filter(segs, s -> NOT coalesce(
+    * array_contains(dup_sh, xxhash64(s)), false))` + size arithmetic +
+    * `concat_ws(' ', kept)`. */
+  def exciseSegs(segs: Array[String], dup: Array[Long]): (Int, String) = {
+    if (segs == null) return null
+    if (dup == null || dup.isEmpty) return (0, String.join(" ", segs: _*))
+    val dupSet = new java.util.HashSet[java.lang.Long](dup.length * 2)
+    dup.foreach(h => dupSet.add(h))
+    val sb = new java.lang.StringBuilder
+    var dropped = 0
+    var i = 0
+    while (i < segs.length) {
+      if (dupSet.contains(sparkXxhash64(segs(i)))) dropped += 1
+      else {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(segs(i))
+      }
+      i += 1
+    }
+    (dropped, sb.toString)
+  }
+
+  def exciseSegsCol(segs: Column, dup: Column): Column =
+    udf((a: Array[String], d: Array[Long]) => exciseSegs(a, d)).apply(segs, dup)
+
   /** Fraction of equal positions between two equal-length signatures —
     * the MinHash Jaccard estimate, as a primitive loop (the zip_with/filter
     * HOF twin is CodegenFallback). */

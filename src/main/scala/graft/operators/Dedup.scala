@@ -224,27 +224,32 @@ object Dedup {
   def segmentDedup(docs: DataFrame, segWords: Int = 8, minDocs: Int = 2): DataFrame = {
     require(segWords >= 1 && minDocs >= 2,
       s"need segWords >= 1 (got $segWords), minDocs >= 2 (got $minDocs)")
+    // r18 (guide §1.2/§4.1): the split-filter/transform-slice/lambda-hash
+    // chain here was CodegenFallback — interpreted per token in BOTH heavy
+    // jobs (the segHashes checkpoint and the final excision projection,
+    // ~2.1 s each of dd_segment_dedup's 5.4 s at sf1). The three kernels
+    // (FastHash.wsSegments / distinctXxh64 / exciseSegs) compute the
+    // identical values — same whitespace class, same chunking, Spark's
+    // own XXH64 — locked by a DedupSimilaritySpec differential against
+    // this exact Catalyst formulation.
     val base = docs
       .select(col("doc_id"),
-        filter(split(col("text"), "[ \\t\\n\\u000B\\f\\r]+"), w => length(w) > 0).as("ws"))
-      .filter(size(col("ws")) > 0)
-      .withColumn("segs", expr(
-        s"transform(sequence(0, cast(ceil(size(ws) / $segWords.0) as int) - 1), " +
-        s"i -> concat_ws(' ', slice(ws, i * $segWords + 1, $segWords)))"))
+        graft.functions.FastHash.wsSegmentsCol(col("text"), segWords).as("segs"))
+      .filter(size(col("segs")) > 0)
     val segHashes = base.select(col("doc_id"),
-      explode(array_distinct(expr("transform(segs, s -> xxhash64(s))"))).as("sh"))
+      explode(graft.functions.FastHash.distinctXxh64Col(col("segs"))).as("sh"))
       .localCheckpoint()
     val dup = segHashes.groupBy("sh").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs).select("sh")
     val docDup = segHashes.join(broadcast(dup), "sh")
       .groupBy("doc_id").agg(collect_set(col("sh")).as("dup_sh"))
     base.join(docDup, Seq("doc_id"), "left")
-      .withColumn("kept", expr(
-        "filter(segs, s -> NOT coalesce(array_contains(dup_sh, xxhash64(s)), false))"))
+      .withColumn("__k",
+        graft.functions.FastHash.exciseSegsCol(col("segs"), col("dup_sh")))
       .select(col("doc_id"),
         size(col("segs")).cast("long").as("n_segs"),
-        (size(col("segs")) - size(col("kept"))).cast("long").as("n_dropped"),
-        concat_ws(" ", col("kept")).as("clean_text"))
+        col("__k._1").cast("long").as("n_dropped"),
+        col("__k._2").as("clean_text"))
   }
 
   /** Duplicated-span EXCISION: drop every occurrence of a duplicated

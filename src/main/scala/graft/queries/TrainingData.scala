@@ -184,13 +184,12 @@ object TrainingData {
     * count shuffle and top-k is TakeOrdered — the same scale shape as
     * the unigram query at 2× the exploded rows. */
   def txtBigrams(spark: SparkSession, dir: String): DataFrame =
+    // r18: one kernel pass builds the pairs — the filter/transform/slice
+    // HOF chain is CodegenFallback (interpreted per token); same bigram
+    // strings (property-locked), same explode-of-empty for < 2 tokens
     Tables.documents(spark, dir)
-      .withColumn("__ws", filter(graft.functions.TextAnalytics.words(col("text")),
-        w => length(w) > 0))
-      .select(explode(when(size(col("__ws")) < 2, array().cast("array<string>"))
-        .otherwise(expr(
-          "transform(slice(__ws, 1, size(__ws)-1), (w, i) -> concat(w, ' ', __ws[i+1]))")))
-        .as("bigram"))
+      .select(explode(graft.functions.FastHash.lowerBigramsCol(
+        lower(col("text")))).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("bigram"))
@@ -1295,20 +1294,21 @@ object TrainingData {
     * `size()` sums), not a rescan of the token stream. */
   def txtCollocations(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val ws = filter(graft.functions.TextAnalytics.words(col("text")),
-      w => length(w) > 0)
-    val uni = docs.select(explode(ws).as("word"))
+    // r18: explode-then-filter (all codegen) replaces the interpreted
+    // filter-HOF-then-explode — identical token multiset
+    val uni = docs.select(explode(graft.functions.TextAnalytics.words(col("text")))
+        .as("word"))
+      .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("c"))
     // n_total = Σc over the unigram fold — the totals branch shares uni's
     // word exchange (ReusedExchange), so the corpus is NOT rescanned for
     // a number the vocabulary table already holds
     val total = uni.agg(sum("c").as("n_total"))
+    // r18: pair construction via the one-pass kernel (the HOF chain is
+    // CodegenFallback — see lmScoreBigram); same bigram strings
     val pairs = docs
-      .withColumn("__ws", ws)
-      .select(explode(when(size(col("__ws")) < 2, array().cast("array<string>"))
-        .otherwise(expr(
-          "transform(slice(__ws, 1, size(__ws)-1), (w, i) -> concat(w, ' ', __ws[i+1]))")))
-        .as("bigram"))
+      .select(explode(graft.functions.FastHash.lowerBigramsCol(
+        lower(col("text")))).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= 5)
     val sides = pairs.select(col("bigram"), col("n_pair"),

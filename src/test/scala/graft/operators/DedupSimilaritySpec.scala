@@ -438,6 +438,53 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(byId(4L) == ((4L, 2L, 0L, "q r s t u v w x y z1 z2")))
   }
 
+  test("segment kernels ≡ the Catalyst HOF formulation they replaced (r18)") {
+    import graft.functions.FastHash
+    // the r18 kernels exist purely for speed (the HOF chain is
+    // interpreted); lock value equality per doc over the fixture corpus
+    // plus edge rows, against the EXACT pre-r18 expressions
+    val edge = Seq((9001L, "   "), (9002L, ""), (9003L, "one"),
+      (9004L, "a\tb\nc\fd\re  f"), (9005L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val all = docs.select(col("doc_id"), col("text")).union(edge)
+    val segWords = 8
+    val catalystSegs = expr(
+      s"transform(sequence(0, cast(ceil(size(ws) / $segWords.0) as int) - 1), " +
+        s"i -> concat_ws(' ', slice(ws, i * $segWords + 1, $segWords)))")
+    val both = all
+      .withColumn("ws",
+        filter(split(col("text"), "[ \\t\\n\\u000B\\f\\r]+"), w => length(w) > 0))
+      .withColumn("cat_segs",
+        when(size(col("ws")) > 0, catalystSegs)
+          .otherwise(when(col("text").isNotNull, array().cast("array<string>"))))
+      .withColumn("k_segs", FastHash.wsSegmentsCol(col("text"), segWords))
+      .withColumn("cat_hashes",
+        expr("array_distinct(transform(k_segs, s -> xxhash64(s)))"))
+      .withColumn("k_hashes", FastHash.distinctXxh64Col(col("k_segs")))
+      .collect()
+    both.foreach { r =>
+      assert((r.isNullAt(3) && r.isNullAt(4)) ||
+        r.getSeq[String](3) == r.getSeq[String](4),
+        s"segs diverge for doc=${r.getLong(0)}")
+      assert((r.isNullAt(5) && r.isNullAt(6)) ||
+        r.getSeq[Long](5) == r.getSeq[Long](6),
+        s"hashes diverge for doc=${r.getLong(0)}")
+    }
+    // excision ≡ the filter/array_contains lambda, including the
+    // null-dup (left-join miss) and the all-dropped cases
+    val segsEx = Seq("a b", "c d", "a b", "e f").toArray
+    val dupAB = Array(FastHash.sparkXxhash64("a b"))
+    assert(FastHash.exciseSegs(segsEx, dupAB) == ((2, "c d e f")))
+    assert(FastHash.exciseSegs(segsEx, null) == ((0, "a b c d a b e f")))
+    assert(FastHash.exciseSegs(segsEx,
+      segsEx.map(FastHash.sparkXxhash64).distinct) == ((4, "")))
+    // sparkXxhash64 IS the engine's xxhash64 (seed 42 over UTF-8)
+    val hrows = all.filter(col("text").isNotNull)
+      .select(col("text"), xxhash64(col("text"))).collect()
+    hrows.foreach(r =>
+      assert(FastHash.sparkXxhash64(r.getString(0)) == r.getLong(1)))
+  }
+
   test("spanExcise keeps the globally first occurrence and excises the rest") {
     val fixture = Seq(
       // 1/2 share one 10-word span; canonical = (doc 1, pos 0) so doc 2
