@@ -361,23 +361,35 @@ object SimilarityIvf {
     val bc = spark.sparkContext.broadcast(centroids)
     // zero-norm guard (the hardNegativesIvf rule): a zero vector makes
     // every touching cosine 0/0 = NaN, and NaN sorts ABOVE all doubles,
-    // so one zero embedding would hijack rank 1 for its whole cell
+    // so one zero embedding would hijack rank 1 for its whole cell.
+    // r18 (guide §1.2, the hardNegativesIvf precedent): the norm is
+    // computed ONCE per corpus vector here and carried through both join
+    // sides — cosineF recomputed sqrt(dot(v,v)) for BOTH vectors on
+    // every candidate pair (nprobe·Σ|cell|² pairs), tripling the
+    // per-pair kernel. sim = dot/(src_nm·nm) is the same expression
+    // tree cosineF evaluated (identical sqrt inputs, identical multiply
+    // order), so every emitted double is bit-identical; the filter
+    // nm > 0 ⟺ dot > 0 (sqrt is monotone, NaN fails both).
     val vecs = readVectors(spark, path, segs)
-      .filter(VectorExpressions.dotF(col("embedding"), col("embedding")) > 0)
+      .withColumn("nm",
+        sqrt(VectorExpressions.dotF(col("embedding"), col("embedding"))))
+      .filter(col("nm") > 0)
     val probeU = udf { (v: Seq[Float]) =>
       nearestCells(v.map(_.toDouble).toArray, bc.value, nprobe).toSeq
     }
     val probes = vecs.select(col("vec_id").as("src_id"),
-        col("embedding").as("src_vec"),
+        col("embedding").as("src_vec"), col("nm").as("src_nm"),
         explode(probeU(col("embedding"))).as("cell"))
     val w = Window.partitionBy("cell").orderBy("vec_id")
-    val targets = vecs.select(col("vec_id"), col("cell"), col("embedding"))
+    val targets = vecs.select(col("vec_id"), col("cell"), col("embedding"),
+        col("nm"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxCellSize).drop("__rn")
     targets.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("src_id"))
       .select(col("src_id"), col("vec_id").as("dst_id"),
-        graft.plans.VectorExpressions.cosineF(col("src_vec"), col("embedding")).as("sim"))
+        (graft.plans.VectorExpressions.dotF(col("src_vec"), col("embedding")) /
+          (col("src_nm") * col("nm"))).as("sim"))
       .dropDuplicates("src_id", "dst_id")
       .withColumn("rank", row_number().over(
         Window.partitionBy("src_id").orderBy(desc("sim"), asc("dst_id"))))
