@@ -90,8 +90,17 @@ def main():
         if t == "embeddings":
             copies = [perturbed_embeddings(c_tab, c) for c, c_tab in enumerate(copies)]
         big = pa.concat_tables(copies)
-        pq.write_table(big, f"{OUT}/{t}.parquet")
-        print(f"{t}: {base.num_rows} -> {big.num_rows} rows")
+        # r18: fact tables get ~32 row groups. pyarrow's default wrote ONE
+        # row group for documents/embeddings, and Spark cannot split a scan
+        # below row-group granularity - every document-kernel query ran its
+        # scan stage as a single task at any core count, so the sf1 tier
+        # measured serial kernels and flat 8-vs-32 scaling (the r17 verdict's
+        # scaling puzzle). A real 100 TB input arrives as many files/row
+        # groups; chunking the rehearsal fixture the same way is what makes
+        # its measurements transfer. Content and row order are unchanged.
+        rg = max(1024, big.num_rows // 32)
+        pq.write_table(big, f"{OUT}/{t}.parquet", row_group_size=rg)
+        print(f"{t}: {base.num_rows} -> {big.num_rows} rows (rg={rg})")
 
 
 if __name__ == "__main__":
