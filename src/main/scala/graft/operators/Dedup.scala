@@ -722,46 +722,63 @@ object Dedup {
     val nTasks = math.max(1, spark.sparkContext.defaultParallelism)
     spark.range(0, nTasks.toLong, 1, nTasks)
       .mapPartitions { it =>
+        // r18 (guide §1.2 per-task work): the merge itself early-exits.
+        // need(S) = the minimum intersection that can pass
+        // `jaccard >= thr` under the SAME double comparison the filter
+        // applies (J(x) = x/(S−x) monotone; PropertySpec differential-
+        // locks decision equality against the plain kernel). The r6 size
+        // prune is the need-check's mn < need special case: J(mn) = mn/mx,
+        // so mn < need ⟺ mn/mx < thr — boundary ratios (== threshold,
+        // A ⊆ B) still take the kernel. Dissimilar pairs (the vast
+        // majority) abort ~(1−thr)/(1+thr)·S steps into the merge instead
+        // of walking all of it. The enumeration itself is allocation-free
+        // (second r18 pass): a lengths array keeps pruned pairs from ever
+        // dereferencing the hash arrays (5k × 2.3 KB sets blow every
+        // cache level, so even the header touch was a DRAM miss per
+        // pruned pair), need(S) is memoized per task (S ≤ 2·maxLen), and
+        // survivors collect into a buffer per row instead of a per-pair
+        // Iterator chain — ~12.5M Iterator/closure allocations gone at
+        // the sf1 verifier size. Decisions and emitted tuples (and their
+        // order) are identical to the loop this replaces.
         val (ids, arrs) = bc.value
         val n = ids.length
+        val lens = new Array[Int](n)
+        var li = 0
+        while (li < n) { lens(li) = arrs(li).length; li += 1 }
+        var maxLen = 0
+        li = 0
+        while (li < n) { if (lens(li) > maxLen) maxLen = lens(li); li += 1 }
+        val needBy = new Array[Int](2 * maxLen + 1)
+        java.util.Arrays.fill(needBy, -1)
+        def needFor(s: Int): Int = {
+          var v = needBy(s)
+          if (v < 0) { v = graft.functions.FastHash.minInterFor(s, thr); needBy(s) = v }
+          v
+        }
         it.flatMap { t =>
           Iterator.range(t.toInt, n, nTasks).flatMap { i =>
             val a = arrs(i)
-            Iterator.range(i + 1, n).flatMap { j =>
-              val b = arrs(j)
-              // r18 (guide §1.2 per-task work): the merge itself now
-              // early-exits. need = the minimum intersection that can pass
-              // `jaccard >= thr` under the SAME double comparison the
-              // filter applies (J(x) = x/(S−x) monotone; FastHashSpec
-              // differential-locks decision equality against the plain
-              // kernel). The r6 size prune is the need-check's mn < need
-              // special case: J(mn) = mn/mx, so mn < need ⟺ mn/mx < thr —
-              // boundary ratios (== threshold, A ⊆ B) still take the
-              // kernel. Dissimilar pairs (the vast majority) now abort
-              // ~(1−thr)/(1+thr)·S steps into the merge instead of
-              // walking all of it — at thr = 0.6 that is ~4× less merge
-              // work on the dominant reject path, the executor-time bulk
-              // of dd_cluster / dd_keep_best at sf1.
-              val s = a.length + b.length
+            val la = lens(i)
+            val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Int, Int, Double)]()
+            var j = i + 1
+            while (j < n) {
+              val lb = lens(j)
+              val s = la + lb
               // two empty sets give uni = 0 (0/0 = NaN upstream in SQL) —
               // excluded exactly as the SQL oracles exclude such docs
-              if (s == 0) Iterator.empty
-              else {
-                val need = graft.functions.FastHash.minInterFor(s, thr)
-                if (math.min(a.length, b.length) < need) Iterator.empty
-                else {
-                  val packed = graft.functions.FastHash.interUnionBounded(a, b, need)
-                  if (packed < 0) Iterator.empty
-                  else {
-                    val inter = (packed >> 32).toInt
-                    val uni = packed.toInt
-                    val jac = inter.toDouble / uni.toDouble
-                    if (jac >= thr) Iterator.single((ids(i), ids(j), inter, uni, jac))
-                    else Iterator.empty
-                  }
+              if (s > 0 && math.min(la, lb) >= needFor(s)) {
+                val packed =
+                  graft.functions.FastHash.interUnionBounded(a, arrs(j), needFor(s))
+                if (packed >= 0) {
+                  val inter = (packed >> 32).toInt
+                  val uni = packed.toInt
+                  val jac = inter.toDouble / uni.toDouble
+                  if (jac >= thr) out += ((ids(i), ids(j), inter, uni, jac))
                 }
               }
+              j += 1
             }
+            out.iterator
           }
         }
       }

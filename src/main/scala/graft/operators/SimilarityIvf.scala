@@ -390,7 +390,17 @@ object SimilarityIvf {
       .select(col("src_id"), col("vec_id").as("dst_id"),
         (graft.plans.VectorExpressions.dotF(col("src_vec"), col("embedding")) /
           (col("src_nm") * col("nm"))).as("sim"))
-      .dropDuplicates("src_id", "dst_id")
+      // r18 (guide §2.4 — share one exchange): the tail paid TWO
+      // pair-scale shuffles — dropDuplicates exchanged by (src, dst),
+      // then the rank window re-exchanged by src. Partitioning once by
+      // src satisfies the dedup aggregate's clustering too (same-src
+      // rows are co-located, so same-(src,dst) rows are), so the
+      // aggregate and the window both run on this single exchange.
+      // max(sim) over a duplicated (src, dst) equals dropDuplicates'
+      // value exactly: duplicates are the SAME pair reached through two
+      // shared cells, carrying the identical row-local sim double.
+      .repartition(col("src_id"))
+      .groupBy("src_id", "dst_id").agg(max("sim").as("sim"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("src_id").orderBy(desc("sim"), asc("dst_id"))))
       .filter(col("rank") <= k)
